@@ -1,13 +1,39 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{EventKpis, TpchQueries, TextQueries, SimilarityQueries}
+import graft.operators.{AsOfJoin, Sessionize}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared query has a DuckDB oracle in [[oracleSql]]; the per-module
+  * maps keep query/oracle pairs adjacent to the implementation they verify.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TpchQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EventKpis.queries ++
+      TpchQueries.queries ++
+      TextQueries.queries ++
+      SimilarityQueries.queries ++
+      Map(
+        "q_asof_join" -> (AsOfJoin.purchaseAsofSignup _),
+        "q_sessionize" -> (Sessionize.sessionStats _),
+      )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    EventKpis.oracles ++
+      TpchQueries.oracles ++
+      TextQueries.oracles ++
+      SimilarityQueries.oracles ++
+      Map(
+        "q_asof_join" -> AsOfJoin.purchaseAsofSignupSql,
+        "q_sessionize" -> Sessionize.sessionStatsSql,
+      )
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Training-data text operators over the `documents` table: exact dedup,
+  * quality scoring, token counting, language-ID heuristic, fingerprinting.
+  * Every one is a narrow scan → project → (optional) single hash aggregation:
+  * no joins, no second shuffle, linear at 100 TB.
+  */
+object TextQueries {
+
+  // --------------------------------------------------------------------------
+  // q_dedup_exact — exact duplicate grouping by content hash (hash-groupBy
+  // dedup; the keep-lowest-id rule is the deterministic survivor policy).
+  // --------------------------------------------------------------------------
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_text_quality — per-document quality metrics (length/stopword/diversity
+  // signals) + composite score.
+  // --------------------------------------------------------------------------
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      wordCount(col("text")).as("n_words"),
+      distinctWordCount(col("text")).as("n_distinct_words"),
+      avgWordLen(col("text")).as("avg_word_len"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      qualityScore(col("text")).as("quality_score"))
+
+  val textQualitySql: String = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  LENGTH(text) AS n_chars,
+       |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+       |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN(string_split(text, ' ')) AS avg_word_len,
+       |  CAST(LEN(list_filter(string_split(text, ' '), w -> w IN ($stop))) AS DOUBLE)
+       |    / LEN(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) / LEN(string_split(text, ' ')) * 0.5
+       |    + LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q_token_count — whitespace tokens + BPE-ish regex token classes
+  // (word / number / punctuation runs).
+  // --------------------------------------------------------------------------
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      wordCount(col("text")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("alpha_tokens"),
+      regexp_count(col("text"), lit("[0-9]+")).cast(LongType).as("num_tokens"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+      |  CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS num_tokens
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_lang_id — stopword-vote language heuristic (n-gram-style evidence
+  // counting; first-match-wins tie policy, deterministic).
+  // --------------------------------------------------------------------------
+  private val EnMarkers = Seq("the", "a", "of", "and")
+  private val EsMarkers = Seq("el", "la", "de", "y")
+  private val DeMarkers = Seq("der", "die", "das", "und")
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(ms: Seq[String]) =
+      size(filter(words(col("text")), w => w.isInCollection(ms))).cast(LongType)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        hits(EnMarkers).as("en_hits"), hits(EsMarkers).as("es_hits"),
+        hits(DeMarkers).as("de_hits"))
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
+          .when(col("es_hits") >= col("de_hits"), "es")
+          .otherwise("de"))
+  }
+
+  val langIdSql: String = {
+    def inList(ms: Seq[String]) = ms.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CAST(LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(EnMarkers)}))) AS BIGINT) AS en_hits,
+       |  CAST(LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(EsMarkers)}))) AS BIGINT) AS es_hits,
+       |  CAST(LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(DeMarkers)}))) AS BIGINT) AS de_hits,
+       |  CASE
+       |    WHEN LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(EnMarkers)})))
+       |         >= LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(EsMarkers)})))
+       |     AND LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(EnMarkers)})))
+       |         >= LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(DeMarkers)})))
+       |    THEN 'en'
+       |    WHEN LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(EsMarkers)})))
+       |         >= LEN(list_filter(string_split(text, ' '), w -> w IN (${inList(DeMarkers)})))
+       |    THEN 'es'
+       |    ELSE 'de' END AS predicted_lang
+       |FROM documents""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q_doc_fingerprint — order-insensitive bag-of-words fingerprint + cluster
+  // sizes (near-dup grouping under word reordering).
+  // --------------------------------------------------------------------------
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(bowFingerprint(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("cluster_size"))
+
+  val docFingerprintSql: String =
+    """SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint,
+      |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS cluster_size
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"     -> (dedupExact _),
+    "q_text_quality"    -> (textQuality _),
+    "q_token_count"     -> (tokenCount _),
+    "q_lang_id"         -> (langId _),
+    "q_doc_fingerprint" -> (docFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact"     -> dedupExactSql,
+    "q_text_quality"    -> textQualitySql,
+    "q_token_count"     -> tokenCountSql,
+    "q_lang_id"         -> langIdSql,
+    "q_doc_fingerprint" -> docFingerprintSql,
+  )
+}
