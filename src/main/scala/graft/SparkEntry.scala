@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.queries.{EventKpis, TpchQueries, TextQueries, SimilarityQueries}
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, NearDup, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,7 @@ object SparkEntry {
       TpchQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
+      NearDup.queries ++
       Map(
         "q_asof_join" -> (AsOfJoin.purchaseAsofSignup _),
         "q_sessionize" -> (Sessionize.sessionStats _),
@@ -32,6 +33,7 @@ object SparkEntry {
       TpchQueries.oracles ++
       TextQueries.oracles ++
       SimilarityQueries.oracles ++
+      NearDup.oracles ++
       Map(
         "q_asof_join" -> AsOfJoin.purchaseAsofSignupSql,
         "q_sessionize" -> Sessionize.sessionStatsSql,

@@ -12,8 +12,10 @@ object VectorFunctions {
 
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd tight-loop dot product (see [[ArrayDotProduct]]); accumulation
+    * order matches the HOF equivalent
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` bit-for-bit. */
+  def dot(a: Column, b: Column): Column = ArrayDotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -27,7 +27,8 @@ object SimilarityQueries {
       .withColumn("nrm", norm(col("v")))
     val queries = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val corpus = emb
+    // single-row-group parquet → one split; spread the streamed corpus side
+    val corpus = emb.repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id").as("nbr_id"), col("v").as("cv"), col("nrm").as("cn"))
 
     val scored = broadcast(queries)
@@ -61,11 +62,91 @@ object SimilarityQueries {
       |FROM scored
       |QUALIFY rk <= 5""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_ann_ivf — IVF-bucketed ANN: the 100 TB scale path. Vectors are
+  // assigned to their nearest of K "centroid" vectors (deterministically the
+  // first K corpus vectors — a stand-in for k-means, which would train the
+  // same assignment structure); a query probes only its nprobe nearest
+  // buckets, so search cost is |queries| × (corpus/K × nprobe) instead of
+  // |queries| × corpus. Exact cosine re-ranking inside the probed buckets.
+  // --------------------------------------------------------------------------
+  val NumCentroids = 8
+  val NumProbes = 2
+  val AnnTopK = 3
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+    val wCent = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val scored = emb.join(broadcast(cents))
+      .withColumn("cent_cos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(wCent))
+
+    val assigned = scored.filter(col("crn") === 1)
+      .select(col("vec_id").as("nbr_id"), col("v").as("nv"), col("nrm").as("nn"),
+        col("cent_id").as("bucket"))
+    val probes = scored
+      .filter(col("vec_id") >= 50 && col("vec_id") < 60 && col("crn") <= NumProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cent_id").as("probe"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    probes.join(assigned,
+        col("bucket") === col("probe") && col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("rk"), col("nbr_id"), col("cosine"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(n.v) + 1),
+       |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn), 6) AS cent_cos
+       |  FROM n CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cent_cos DESC, cent_id ASC) AS crn
+       |  FROM scored),
+       |assigned AS (
+       |  SELECT vec_id AS nbr_id, v AS nv, nrm AS nn, cent_id AS bucket
+       |  FROM ranked WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS probe
+       |  FROM ranked WHERE vec_id >= 50 AND vec_id < 60 AND crn <= $NumProbes),
+       |cand AS (
+       |  SELECT p.query_id, a.nbr_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(p.qv) + 1),
+       |      i -> p.qv[i] * a.nv[i])) / (p.qn * a.nn), 6) AS cosine
+       |  FROM probes p JOIN assigned a
+       |    ON a.bucket = p.probe AND a.nbr_id <> p.query_id)
+       |SELECT query_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk,
+       |  nbr_id, cosine
+       |FROM cand
+       |QUALIFY rk <= $AnnTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK _),
+    "q_ann_ivf"     -> (annIvf _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
+    "q_ann_ivf"     -> annIvfSql,
   )
 }
