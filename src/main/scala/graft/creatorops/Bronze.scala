@@ -1,0 +1,47 @@
+package graft.creatorops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bronze layer: raw, append-only, replayable audit log of events
+  * (reference: `pipelines/bronze/ingest_local.py:28-66`; DDL
+  * `sql/ddl/01_bronze.sql:8-22`).
+  *
+  * Each input record is re-serialized to a single opaque `raw_json` string —
+  * bronze never interprets the payload — plus ingestion lineage. The
+  * `ingest_id` is ONE uuid per batch, computed driver-side, exactly like the
+  * reference's `lit(str(uuid.uuid4()))` (ingest_local.py:47): a lineage
+  * handle for the run, not a row id.
+  */
+object Bronze {
+
+  val Columns: Seq[String] = Seq(
+    "ingest_id", "source", "raw_json", "raw_schema_version",
+    "ingested_at", "p_ingest_date")
+
+  /** Ingest newline-delimited JSON files. At cluster scale this is a plain
+    * file-source scan: schema inference does one extra pass, which is the
+    * reference's behavior too (ingest_local.py:39-43); pass `schema` to skip
+    * it when the contract is known. */
+  def ingest(
+      spark: SparkSession,
+      paths: Seq[String],
+      source: String = "local_generator",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = spark.read.option("multiLine", "false")
+    val df = schema.map(reader.schema).getOrElse(reader).json(paths: _*)
+    fromRaw(df, source)
+  }
+
+  /** Wrap an already-loaded raw frame in the bronze envelope. */
+  def fromRaw(df: DataFrame, source: String): DataFrame = {
+    val ingestId = java.util.UUID.randomUUID().toString
+    df.select(to_json(struct(col("*"))).as("raw_json"))
+      .withColumn("ingest_id", lit(ingestId))
+      .withColumn("source", lit(source))
+      .withColumn("raw_schema_version", lit(1))
+      .withColumn("ingested_at", current_timestamp())
+      .withColumn("p_ingest_date", to_date(current_timestamp()))
+      .select(Columns.map(col): _*)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.creatorops
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.sources.TableIO
+
+/** End-to-end medallion pipeline runner — the Scala equivalent of the
+  * reference's sequential script runner (`local/run_all.ps1:19-23`:
+  * bronze ×1, silver ×1, gold ×3), as one in-process DAG.
+  *
+  * Unlike the reference (which re-executes the full plan for every write +
+  * count, SURVEY.md §3), the silver parse fan-out is persisted once and all
+  * downstream consumers read it — same results, one parse.
+  */
+object Pipeline {
+
+  final case class Warehouse(root: String) {
+    val bronze = s"$root/bronze_events"
+    val silverEvents = s"$root/silver_events"
+    val silverRejects = s"$root/silver_rejects"
+    val velocity = s"$root/kpi_writing_velocity_daily"
+    val churn = s"$root/kpi_revision_churn_daily"
+    val engagementBands = s"$root/kpi_engagement_bands_daily"
+    val dropoff = s"$root/kpi_dropoff_rate_daily"
+    val bottlenecks = s"$root/kpi_stage_bottlenecks"
+  }
+
+  final case class Counts(bronze: Long, silver: Long, rejects: Long,
+      velocity: Long, churn: Long, bands: Long, dropoff: Long, bottlenecks: Long)
+
+  def runAll(spark: SparkSession, eventPaths: Seq[String], root: String): Counts = {
+    val wh = Warehouse(root)
+
+    // Bronze: append-only raw log, partitioned by ingest date
+    // (ingest_local.py:55-61)
+    val bronze = Bronze.ingest(spark, eventPaths)
+    TableIO.write(bronze, wh.bronze, SaveMode.Append, partitionBy = Seq("p_ingest_date"))
+
+    // Silver: parse/validate/split/dedupe; events partitioned by event date
+    // clustered like the suggested ZORDER (02_silver_events.sql:54-61),
+    // rejects by reject date (03_silver_rejects.sql:23)
+    val silver = Silver.transform(TableIO.read(spark, wh.bronze))
+    val events = silver.events.persist()
+    val rejects = silver.rejects
+    TableIO.write(events, wh.silverEvents, partitionBy = Seq("p_event_date"),
+      clusterBy = Seq("story_id", "author_id", "event_type"))
+    TableIO.write(rejects, wh.silverRejects, partitionBy = Seq("p_reject_date"))
+
+    // Gold: five KPI tables (kpis_local.py, retention_local.py,
+    // bottlenecks_local.py)
+    val ev = TableIO.read(spark, wh.silverEvents)
+    TableIO.write(Gold.writingVelocity(ev), wh.velocity, partitionBy = Seq("p_event_date"))
+    TableIO.write(Gold.revisionChurn(ev), wh.churn, partitionBy = Seq("p_event_date"))
+    TableIO.write(Gold.engagementBands(ev), wh.engagementBands, partitionBy = Seq("p_event_date"))
+    TableIO.write(Gold.dropoffRate(ev), wh.dropoff, partitionBy = Seq("p_event_date"))
+    TableIO.write(Gold.stageBottlenecks(ev), wh.bottlenecks)
+
+    val counts = Counts(
+      bronze = TableIO.read(spark, wh.bronze).count(),
+      silver = TableIO.read(spark, wh.silverEvents).count(),
+      rejects = TableIO.read(spark, wh.silverRejects).count(),
+      velocity = TableIO.read(spark, wh.velocity).count(),
+      churn = TableIO.read(spark, wh.churn).count(),
+      bands = TableIO.read(spark, wh.engagementBands).count(),
+      dropoff = TableIO.read(spark, wh.dropoff).count(),
+      bottlenecks = TableIO.read(spark, wh.bottlenecks).count())
+    events.unpersist()
+    counts
+  }
+}

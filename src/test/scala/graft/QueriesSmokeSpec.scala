@@ -1,0 +1,24 @@
+package graft
+
+/** Every declared query must run end-to-end at sf0.001 and agree with its
+  * declared oracle key set (the value-level check is the driver's DuckDB
+  * gate; this spec catches runtime regressions early). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  test("every query has an oracle and vice versa") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 with a stable non-empty schema") {
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+      spark.catalog.clearCache()
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward as-of picks most recent right row at or before left time") {
+    val left = Seq((1L, 100L, "p1"), (1L, 205L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 100L, "s1"), (1L, 200L, "s2"), (3L, 10L, "s3"))
+      .toDF("k", "t", "sid")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Map("sid" -> "matched"))
+      .select("name", "matched").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("p1") == "s1")   // tie: right row at same t matches (>= bound)
+    assert(out("p2") == "s2")   // most recent prior
+    assert(out("p3") == null)   // no right row for key 2
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessions split exactly when gap exceeds threshold") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    // gaps: 10s, exactly 30s (no split at ==), 31s (split)
+    val df = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(40), 3L), (1L, ts(71), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessionize.sessions(df, "user_id", "ts", 30L, "event_id")
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+}
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical docs are found by both exact jaccard and minhash with j=1.0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val sh = NearDup.shingles(docs)
+    val exact = NearDup.verifyJaccard(
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), sh).collect()
+    assert(exact.length == 1 && exact.head.getAs[Double]("jaccard") == 1.0)
+    val lsh = NearDup.lshCandidates(NearDup.bandKeys(NearDup.signatures(sh)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 2L)))
+    assert(!lsh.contains((1L, 3L)) && !lsh.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs share fingerprints, disjoint docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    // route through a temp view-backed query path
+    val path = java.nio.file.Files.createTempDirectory("nd").toString
+    docs.write.mode("overwrite").parquet(s"$path/documents.parquet")
+    val out = NearDup.simhash(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codegen dot product matches the HOF formulation bit-for-bit") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+        (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, 0.6f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.asDouble(col("a")).as("a"),
+        VectorFunctions.asDouble(col("b")).as("b"))
+    val got = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, x) => s + x).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(got.head.getDouble(0) == 32.0)
+  }
+
+  test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
+    val df = Seq((Array(3.0, 4.0), Array(3.0, 4.0), Array(-4.0, 3.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.cosine(col("a"), col("b")),
+      VectorFunctions.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(r.getDouble(1)) < 1e-15)
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("word/stopword/diversity metrics on a known sentence") {
+    val df = Seq("the cat sat on the mat").toDF("text")
+    val r = df.select(
+      TextFunctions.wordCount(col("text")),
+      TextFunctions.stopwordCount(col("text")),
+      TextFunctions.distinctWordCount(col("text")),
+      TextFunctions.avgWordLen(col("text"))).head()
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == 3L) // the, on, the
+    assert(r.getLong(2) == 5L)
+    assert(math.abs(r.getDouble(3) - 17.0 / 6.0) < 1e-12)
+  }
+
+  test("bag-of-words fingerprint is order-insensitive") {
+    val df = Seq(("a b c", "c b a"), ("a b c", "a b d")).toDF("x", "y")
+    val rows = df.select(
+      (TextFunctions.bowFingerprint(col("x")) === TextFunctions.bowFingerprint(col("y"))).as("eq"))
+      .collect().map(_.getBoolean(0))
+    assert(rows.toSeq == Seq(true, false))
+  }
+}
