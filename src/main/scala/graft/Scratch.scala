@@ -20,6 +20,31 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    if (sfDir == "streaming-demo") {
+      // drive the streaming silver→velocity path from the CLI: feed NDJSON
+      // files into a file-source stream, print the windowed aggregate
+      val dir = java.nio.file.Files.createTempDirectory("stream-demo").toString
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
+        Seq(
+          """{"eventId": "S1", "eventType": "chapter_written", "eventVersion": 1, "occurredAt": "2026-01-15T10:00:00Z", "tenant": {"tenantId": "t1", "authorId": "a1"}, "entity": {"storyId": "s1"}, "metrics": {"wordCount": "100"}}""",
+          """{"eventId": "S2", "eventType": "chapter_written", "eventVersion": 1, "occurredAt": "2026-01-15T11:00:00Z", "tenant": {"tenantId": "t1", "authorId": "a1"}, "entity": {"storyId": "s1"}, "metrics": {"wordCount": "200"}}""",
+          """{"eventId": "S3", "eventType": "chapter_written", "eventVersion": 1, "occurredAt": "2026-01-16T09:00:00Z", "tenant": {"tenantId": "t1", "authorId": "a1"}, "entity": {"storyId": "s1"}, "metrics": {"wordCount": "50"}}""",
+          """garbage line""").mkString("\n").getBytes("UTF-8"))
+      val agg = graft.streaming.StreamingSilver.velocity(
+        graft.streaming.StreamingSilver.silverStream(spark.readStream.text(dir)))
+      val q = agg.writeStream.format("memory").queryName("demo")
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      // late batch: second file appears while the query runs
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b1.ndjson"),
+        Seq("""{"eventId": "S4", "eventType": "chapter_written", "eventVersion": 1, "occurredAt": "2026-01-15T23:00:00Z", "tenant": {"tenantId": "t1", "authorId": "a1"}, "entity": {"storyId": "s1"}, "metrics": {"wordCount": "7"}}""")
+          .mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      q.stop()
+      spark.table("demo").orderBy("window_start").show(false)
+      spark.stop()
+      return
+    }
     for (_ <- 1 to 2) {
       val docs = Tables.documents(spark, sfDir)
       val sh = NearDup.shingles(docs)

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.queries.{EventKpis, TpchQueries, TextQueries, SimilarityQueries}
-import graft.operators.{AsOfJoin, NearDup, Sessionize}
+import graft.operators.{AsOfJoin, Multimodal, NearDup, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,9 +21,21 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       NearDup.queries ++
+      Multimodal.queries ++
       Map(
         "q_asof_join" -> (AsOfJoin.purchaseAsofSignup _),
         "q_sessionize" -> (Sessionize.sessionStats _),
+        // approximate distinct sketch (HLL++): rows-only check — approx
+        // values are engine-specific so no DuckDB oracle is declared
+        "q_approx_distinct" -> ((s: SparkSession, dir: String) =>
+          graft.sources.Tables.lineitem(s, dir)
+            .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+            .agg(
+              org.apache.spark.sql.functions
+                .approx_count_distinct(org.apache.spark.sql.functions.col("l_partkey"))
+                .as("approx_parts"),
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n_rows"))),
       )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +46,7 @@ object SparkEntry {
       TextQueries.oracles ++
       SimilarityQueries.oracles ++
       NearDup.oracles ++
+      Multimodal.oracles ++
       Map(
         "q_asof_join" -> AsOfJoin.purchaseAsofSignupSql,
         "q_sessionize" -> Sessionize.sessionStatsSql,

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus per-partition batched decode / feature-extract /
+  * resize / frame-sample.
+  *
+  * The Spark-side plumbing is real — schema, partitioning, typed Dataset
+  * encoders, batched per-partition iteration (the JVM analogue of an
+  * Arrow-batched pandas UDF) — while the actual codec is a STUB: this
+  * container has no image/audio libraries, so `decodeStub` derives
+  * deterministic "pixels" directly from the payload bytes. Swap `decodeStub`
+  * for a real codec (JPEG/PNG/ffmpeg) and nothing else changes.
+  *
+  * Scale notes: payloads stay columnar in parquet (binary column), feature
+  * extraction is a narrow mapPartitions (no shuffle), and batching bounds
+  * per-row overhead. At 100 TB the binary column would typically hold object
+  * -store pointers instead of payloads; the operator shape is identical.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      doc_id: Long,
+      media_type: String,          // image | audio | video
+      content: Array[Byte],        // opaque payload (stub: utf-8 of text)
+      width: Int, height: Int,     // image/video metadata
+      sample_rate: Int,            // audio metadata
+      n_frames: Int)               // video metadata
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      mean_byte: Double,
+      max_byte: Int,
+      min_byte: Int)
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Wrap the documents table as a media table: binary payload + typed
+    * metadata columns. Deterministic media_type assignment by doc_id. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3).cast("int") + 1).as("media_type"),
+        encode(col("text"), "UTF-8").as("content"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") % 16 + 1).cast("int").as("n_frames"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: a real implementation would decode the codec here; this
+    * one treats the payload bytes as the decoded signal. Deterministic. */
+  def decodeStub(content: Array[Byte]): Array[Byte] = content
+
+  /** Batched per-partition feature extraction. Processes rows in fixed-size
+    * batches exactly like an Arrow-batched UDF would receive them. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val sig = decodeStub(m.content)
+          var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
+          var i = 0
+          while (i < sig.length) {
+            val b = sig(i) & 0xff
+            sum += b; if (b > mx) mx = b; if (b < mn) mn = b
+            i += 1
+          }
+          val n = sig.length.toLong
+          MediaFeatures(m.doc_id, m.media_type, n,
+            if (n == 0) 0.0 else sum.toDouble / n,
+            if (n == 0) 0 else mx, if (n == 0) 0 else mn)
+        }
+      }
+    }
+  }
+
+  /** STUB resize: nearest-neighbor "pixel" selection over the fake signal —
+    * the real version would operate on a decoded raster. Keeps output size
+    * exactly targetW*targetH. */
+  def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val sig = decodeStub(m.content)
+      val out = Array.ofDim[Byte](targetW * targetH)
+      val n = math.max(sig.length, 1)
+      var i = 0
+      while (i < out.length) { out(i) = sig(i * n / out.length % n); i += 1 }
+      m.copy(content = out, width = targetW, height = targetH)
+    }
+  }
+
+  /** STUB frame sampling for "video": split the payload into n_frames equal
+    * chunks, keep every `stride`-th frame. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").flatMap { m =>
+      val sig = decodeStub(m.content)
+      val frames = math.max(m.n_frames, 1)
+      val flen = math.max(sig.length / frames, 1)
+      (0 until frames by stride).iterator.map { f =>
+        val from = math.min(f * flen, sig.length)
+        val until = math.min(from + flen, sig.length)
+        Frame(m.doc_id, f, java.util.Arrays.copyOfRange(sig, from, until))
+      }
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // q_multimodal_features — end-to-end: media table → batched decode+extract.
+  // Oracle-checkable because the corpus is ASCII: utf-8 byte stats equal
+  // char-code stats, which DuckDB can compute with list lambdas.
+  // --------------------------------------------------------------------------
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        round(col("mean_byte"), 6).as("mean_byte"), col("max_byte"), col("min_byte"))
+  }
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+      |  ROUND(CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+      |    / LENGTH(text), 6) AS mean_byte,
+      |  CAST(list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS INTEGER) AS max_byte,
+      |  CAST(list_min(list_transform(string_split(text, ''), c -> ascii(c))) AS INTEGER) AS min_byte
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> (multimodalFeatures _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_features" -> multimodalFeaturesSql,
+  )
+}

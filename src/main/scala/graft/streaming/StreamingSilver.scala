@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.creatorops.{EventSchema, Silver}
+
+/** Structured Streaming variant of the silver→velocity path — the faithful
+  * streaming EXTENSION the reference documents but defers (batch-first by
+  * design, README.md:112; late events are only flagged in batch,
+  * transform_local.py:108-109). Here late data is handled properly with an
+  * event-time watermark + tumbling window.
+  *
+  * The parse/validate logic is SHARED with the batch layer (same
+  * Silver.parse, same reject predicate) — one contract, two execution modes.
+  */
+object StreamingSilver {
+
+  /** Raw streaming lines (e.g. spark.readStream.text(dir) or a socket) →
+    * validated, flattened silver stream. */
+  def silverStream(rawLines: DataFrame, source: String = "stream"): DataFrame = {
+    val bronzeShaped = rawLines
+      .withColumnRenamed("value", "raw_json")
+      .withColumn("ingest_id", lit("stream"))
+      .withColumn("source", lit(source))
+      .withColumn("raw_schema_version", lit(1))
+      .withColumn("ingested_at", current_timestamp())
+      .withColumn("p_ingest_date", to_date(current_timestamp()))
+    Silver.parse(bronzeShaped)
+      .withColumn("reject_reason", Silver.rejectReason)
+      .filter(col("reject_reason").isNull)
+      .select(
+        col("parsed.eventId").as("event_id"),
+        col("parsed.eventType").as("event_type"),
+        col("occurred_at"),
+        col("parsed.tenant.tenantId").as("tenant_id"),
+        col("parsed.tenant.authorId").as("author_id"),
+        col("parsed.entity.storyId").as("story_id"),
+        col("parsed.metrics").getItem("wordCount").try_cast(IntegerType).as("word_count"))
+  }
+
+  /** Event-time writing velocity: 1-day tumbling windows, late data beyond
+    * the watermark dropped (the streaming analogue of the batch
+    * `is_late_event` flag + daily gold aggregation). */
+  def velocity(silver: DataFrame, watermark: String = "7 days"): DataFrame =
+    silver
+      .filter(col("event_type") === "chapter_written")
+      .withWatermark("occurred_at", watermark)
+      .groupBy(
+        window(col("occurred_at"), "1 day").as("w"),
+        col("tenant_id"), col("author_id"))
+      .agg(
+        count(lit(1)).as("chapters_written"),
+        sum(col("word_count")).as("words_written"))
+      .select(
+        col("w.start").as("window_start"),
+        col("tenant_id"), col("author_id"),
+        col("chapters_written"), col("words_written"))
+
+  // --------------------------------------------------------------------------
+  // Custom streaming state: running per-author totals via
+  // flatMapGroupsWithState (KeyValueGroupedDataset custom state API).
+  // --------------------------------------------------------------------------
+  final case class AuthorEvent(author_id: String, word_count: Option[Int])
+  final case class AuthorTotal(author_id: String, events: Long, words: Long)
+
+  def authorTotals(silver: DataFrame): Dataset[AuthorTotal] = {
+    import silver.sparkSession.implicits._
+    silver
+      .select(col("author_id"), col("word_count"))
+      .as[AuthorEvent]
+      .groupByKey(_.author_id)
+      .flatMapGroupsWithState[AuthorTotal, AuthorTotal](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (author: String, events: Iterator[AuthorEvent], state: GroupState[AuthorTotal]) =>
+          val prev = state.getOption.getOrElse(AuthorTotal(author, 0L, 0L))
+          var n = prev.events
+          var w = prev.words
+          events.foreach { e => n += 1; w += e.word_count.getOrElse(0).toLong }
+          val next = AuthorTotal(author, n, w)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

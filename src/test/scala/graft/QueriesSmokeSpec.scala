@@ -5,8 +5,10 @@ package graft
   * gate; this spec catches runtime regressions early). */
 class QueriesSmokeSpec extends SparkSpec {
 
-  test("every query has an oracle and vice versa") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  test("every oracle refers to a declared query; only sketch queries lack one") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_approx_distinct"))
   }
 
   test("entry returns rows") {

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.creatorops.Fixtures
+
+class StreamingSpec extends SparkSpec {
+
+  private def writeStreamDir(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("stream-in").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/batch0.ndjson"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  test("file-source stream → shared silver contract → windowed velocity") {
+    val lines = Seq(
+      Fixtures.valid(id = "S1", occurredAt = "2026-01-15T10:00:00Z",
+        metrics = """{"wordCount": "100"}"""),
+      Fixtures.valid(id = "S2", occurredAt = "2026-01-15T11:00:00Z",
+        metrics = """{"wordCount": "200"}"""),
+      Fixtures.valid(id = "S3", occurredAt = "2026-01-16T09:00:00Z",
+        metrics = """{"wordCount": "50"}"""),
+      """{"eventId": "BAD", "eventType": "bogus", "eventVersion": 1}""")
+    val in = writeStreamDir(lines)
+
+    val raw = spark.readStream.text(in)
+    val agg = StreamingSilver.velocity(StreamingSilver.silverStream(raw))
+    val q = agg.writeStream
+      .format("memory").queryName("vel_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("vel_out")
+      .select("window_start", "chapters_written", "words_written")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2026-01-15 00:00:00.0", 2L, 300L),
+      ("2026-01-16 00:00:00.0", 1L, 50L)))
+  }
+
+  test("flatMapGroupsWithState accumulates per-author totals across batches") {
+    val dir = Files.createTempDirectory("stream-in2").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
+      Seq(
+        Fixtures.valid(id = "A1", authorId = "authA", metrics = """{"wordCount": "10"}"""),
+        Fixtures.valid(id = "A2", authorId = "authA", metrics = """{"wordCount": "20"}"""),
+        Fixtures.valid(id = "B1", authorId = "authB", metrics = """{"wordCount": "5"}"""))
+        .mkString("\n").getBytes("UTF-8"))
+
+    val totals = StreamingSilver.authorTotals(
+      StreamingSilver.silverStream(spark.readStream.text(dir)))
+    val q = totals.toDF().writeStream
+      .format("memory").queryName("totals_out").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // second batch arrives later → state carries over
+      Files.write(java.nio.file.Paths.get(s"$dir/b1.ndjson"),
+        Seq(Fixtures.valid(id = "A3", authorId = "authA", metrics = """{"wordCount": "30"}"""))
+          .mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val last = spark.table("totals_out")
+      .groupBy("author_id")
+      .agg(org.apache.spark.sql.functions.max("words").as("words"),
+        org.apache.spark.sql.functions.max("events").as("events"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(last("authA") == (60L, 3L))
+    assert(last("authB") == (5L, 1L))
+  }
+}
