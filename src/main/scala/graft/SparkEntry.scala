@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{EventKpis, TpchQueries, TextQueries, SimilarityQueries}
+import graft.queries.{EventKpis, ExtQueries, TpchQueries, TextQueries, SimilarityQueries}
 import graft.operators.{AsOfJoin, Multimodal, NearDup, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,6 +22,7 @@ object SparkEntry {
       SimilarityQueries.queries ++
       NearDup.queries ++
       Multimodal.queries ++
+      ExtQueries.queries ++
       Map(
         "q_asof_join" -> (AsOfJoin.purchaseAsofSignup _),
         "q_sessionize" -> (Sessionize.sessionStats _),
@@ -47,6 +48,7 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       NearDup.oracles ++
       Multimodal.oracles ++
+      ExtQueries.oracles ++
       Map(
         "q_asof_join" -> AsOfJoin.purchaseAsofSignupSql,
         "q_sessionize" -> Sessionize.sessionStatsSql,

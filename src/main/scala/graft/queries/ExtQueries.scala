@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Salting
+import graft.sources.Tables
+
+/** Second wave of capability extensions: deeper multi-join TPC-H shapes,
+  * an equi+range join, skew-salted aggregation, and a rolling-hash
+  * document fingerprint.
+  */
+object ExtQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def revenue: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"))))
+      .cast(DoubleType)
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q3 — shipping-priority shape: segment filter → 3-way join →
+  // revenue per order → top-20. Both date filters push to the scans; the
+  // order-side join is shuffle, the final top-k is TakeOrderedAndProject.
+  // --------------------------------------------------------------------------
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-07-01 00:00:00").cast(TimestampType))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-07-01 00:00:00").cast(TimestampType))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(20)
+
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q5 — local-supplier-volume shape: 6-table join with the
+  // customer-nation = supplier-nation co-location condition; region filter
+  // prunes via the broadcast dimension chain.
+  // --------------------------------------------------------------------------
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_range_join — equi + time-range join: for each purchase, count the same
+  // user's events in the following 5 minutes. The equi key keeps this a
+  // hash/sort-merge join with a residual range condition — scalable, unlike
+  // a pure range theta-join.
+  // --------------------------------------------------------------------------
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"))
+    val follow = ev.select(col("user_id").as("e_user"),
+      col("event_id").as("e_id"), unix_micros(col("ts")).as("e_us"))
+    purchases.join(follow,
+        col("p_user") === col("e_user") &&
+        col("e_us") > col("p_us") && col("e_us") <= col("p_us") + 300000000L,
+        "left")
+      .groupBy(col("p_id"), col("p_user"))
+      .agg(count(col("e_id")).as("n_following"))
+  }
+
+  val rangeJoinSql: String =
+    """SELECT p.event_id AS p_id, p.user_id AS p_user, COUNT(e.event_id) AS n_following
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN events e
+      |  ON e.user_id = p.user_id
+      |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) > epoch_us(CAST(p.ts AS TIMESTAMP))
+      |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= epoch_us(CAST(p.ts AS TIMESTAMP)) + 300000000
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_salted_agg — two-phase skew-salted aggregation over the 5-value
+  // event_type key (each key holds 20% of the table — maximal skew). The
+  // oracle is the plain single-phase aggregation: identical results by
+  // construction, proving salting is semantics-preserving.
+  // --------------------------------------------------------------------------
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Salting.saltedCountSum(
+        Tables.events(spark, dir), "event_type",
+        sumCol = col("value").cast(DecimalType(18, 2)),
+        uniqueCol = col("event_id"), buckets = 16)
+      .withColumn("sum_value", col("sum_value").cast(DoubleType))
+
+  val saltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_rolling_hash — polynomial (Rabin-Karp style) rolling hash over the
+  // word sequence: order-SENSITIVE fingerprint (complements the
+  // order-insensitive bag-of-words md5 in TextQueries). Word hashes come
+  // from md5 prefixes so the DuckDB oracle folds the identical sequence.
+  // --------------------------------------------------------------------------
+  private val M = 1000000007L
+
+  def rollingHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr(
+        s"""aggregate(
+           |  transform(split(text, ' '),
+           |    w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % ${M}L),
+           |  CAST(0 AS BIGINT),
+           |  (acc, x) -> (acc * 31 + x) % ${M}L)""".stripMargin).as("fingerprint"))
+
+  val rollingHashSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_transform(string_split(text, ' '),
+       |      w -> list_reduce(
+       |        list_transform(string_split(substring(md5(w), 1, 8), ''),
+       |          c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+       |        (a, b) -> a * 16 + b) % $M),
+       |    (acc, x) -> (acc * 31 + x) % $M) AS fingerprint
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3"      -> (tpchQ3 _),
+    "q_tpch_q5"      -> (tpchQ5 _),
+    "q_range_join"   -> (rangeJoin _),
+    "q_salted_agg"   -> (saltedAgg _),
+    "q_rolling_hash" -> (rollingHash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q3"      -> tpchQ3Sql,
+    "q_tpch_q5"      -> tpchQ5Sql,
+    "q_range_join"   -> rangeJoinSql,
+    "q_salted_agg"   -> saltedAggSql,
+    "q_rolling_hash" -> rollingHashSql,
+  )
+}
