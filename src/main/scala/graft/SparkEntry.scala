@@ -25,6 +25,21 @@ object SparkEntry {
       ExtQueries.queries ++
       Map(
         "q_asof_join" -> (AsOfJoin.purchaseAsofSignup _),
+        // same semantics through the custom LogicalPlan/Strategy/SparkPlan
+        // operator (graft.plans.NativeAsOfJoin) — one exchange+sort per side,
+        // streaming merge, no union materialization
+        "q_asof_native" -> ((s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions.{col, to_date}
+          val ev = graft.sources.Tables.events(s, dir)
+          graft.plans.NativeAsOfJoin.backward(
+              ev.filter(col("event_type") === "purchase")
+                .select(col("event_id"), col("user_id"), col("ts")),
+              ev.filter(col("event_type") === "signup")
+                .select(col("user_id"), col("ts"), col("event_id").as("sid")),
+              Seq("user_id"), "ts", "ts", Map("sid" -> "signup_event_id"))
+            .select(col("event_id"), col("user_id"),
+              to_date(col("ts")).as("p_date"), col("signup_event_id"))
+        }),
         "q_sessionize" -> (Sessionize.sessionStats _),
         // approximate distinct sketch (HLL++): rows-only check — approx
         // values are engine-specific so no DuckDB oracle is declared
@@ -51,6 +66,7 @@ object SparkEntry {
       ExtQueries.oracles ++
       Map(
         "q_asof_join" -> AsOfJoin.purchaseAsofSignupSql,
+        "q_asof_native" -> AsOfJoin.purchaseAsofSignupSql,
         "q_sessionize" -> Sessionize.sessionStatsSql,
       )
 }

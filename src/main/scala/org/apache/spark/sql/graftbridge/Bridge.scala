@@ -1,15 +1,22 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 made the classic converters
-  * `private[sql]`; this object lives in the sql package namespace purely to
-  * re-export the two calls custom Expressions need. No Spark internals are
-  * modified or shadowed.
+/** Column ⇄ Expression / LogicalPlan ⇄ DataFrame bridge. Spark 4 made the
+  * classic converters `private[sql]`; this object lives in the sql package
+  * namespace purely to re-export the calls custom Expressions and custom
+  * logical operators need. No Spark internals are modified or shadowed.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }
