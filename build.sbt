@@ -28,4 +28,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Xlog:gc:file=/tmp/gc_%p.log",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // dozens of whole-stage-codegen classes per query × 40+ queries overflow
+  // the default 240m JIT code cache → multi-minute interpreter-only phases
+  "-XX:ReservedCodeCacheSize=2g",
+  // 40+ distinct query plans deopt shared parser/codec methods repeatedly;
+  // once a method crosses the recompilation cutoff HotSpot blacklists it to
+  // interpreter-only, observed as 10-30x stalls on whatever query touches it
+  // next. Unlimited recompilation trades a little compile churn for that.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
+  "-XX:CICompilerCount=18",
 )

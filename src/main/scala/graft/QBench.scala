@@ -16,6 +16,7 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.storage.memoryMapThreshold", "2g")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("QBENCH_STAGES")) {

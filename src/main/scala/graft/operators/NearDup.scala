@@ -200,15 +200,17 @@ object NearDup {
   val SimhashBits = 32
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val nDigits = SimhashBits / 4
+    // hex digits decoded ONCE per word (8 exprs), bit votes are then cheap
+    // integer ops (32 exprs over the decoded digits, not 32 string parses)
     val wordsDf = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", md5(col("w")))
+      .select(col("doc_id") +: (0 until nDigits).map(p =>
+        expr(s"CAST(conv(substring(h, ${p + 1}, 1), 16, 10) AS INT)").as(s"d$p")): _*)
     val votes = (0 until SimhashBits).map { j =>
-      val pos = j / 4 + 1
-      val bit = j % 4
-      sum(expr(
-        s"2 * ((shiftright(CAST(conv(substring(h, $pos, 1), 16, 10) AS INT), $bit) & 1)) - 1"))
-        .as(s"v$j")
+      sum(expr(s"2 * ((shiftright(d${j / 4}, ${j % 4}) & 1)) - 1")).as(s"v$j")
     }
     val fingerprint = (0 until SimhashBits)
       .map(j => s"(CASE WHEN v$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")

@@ -185,7 +185,10 @@ object EventKpis {
   // --------------------------------------------------------------------------
   def silverFlatten(spark: SparkSession, dir: String): DataFrame = {
     val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    // single-row-group input arrives as ONE partition; spread the per-row
+    // JSON parse across cores (row-identical output, order-free compare)
     Tables.events(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("parsed", from_json(col("props"), propsSchema))
       .withColumn("p_event_date", to_date(col("ts")))
       .filter(

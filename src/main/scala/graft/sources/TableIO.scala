@@ -36,4 +36,22 @@ object TableIO {
   }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Bucketed catalog table: co-locates join/aggregation keys at WRITE time
+    * so repeated joins on the bucket key need no exchange at all — the
+    * bucketed scan already exposes HashPartitioning. This is the
+    * pre-partitioning strategy for fact-to-fact joins at 100 TB, where
+    * re-shuffling either side per query would dominate cost. Both sides
+    * must share the bucket count. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.format("parquet").saveAsTable(table)
+  }
 }

@@ -19,6 +19,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.storage.memoryMapThreshold", "2g")
+      .config("spark.sql.warehouse.dir", "/dev/shm/graft-warehouse")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
