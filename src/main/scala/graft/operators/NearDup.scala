@@ -193,6 +193,25 @@ object NearDup {
           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin)
 
   // --------------------------------------------------------------------------
+  // q_minhash_sig — the same signatures via the custom mergeable
+  // TypedImperativeAggregate (functions.MinHashSketchAgg): one aggregate
+  // call instead of NumHashes expression aggregates, buffer merged across
+  // partials. Oracle is the expression formulation — identical by
+  // construction, which is exactly the point (sketch == expression result).
+  // --------------------------------------------------------------------------
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingles(Tables.documents(spark, dir))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSketchAgg(col("shingle"), NumHashes).as("signature"))
+
+  val minhashSignaturesSql: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"MIN(md5(shingle || '#$i'))").mkString(", ")
+    shinglesCte + "\n" +
+      s"SELECT doc_id, concat_ws('|', $mins) AS signature FROM sh GROUP BY doc_id"
+  }
+
+  // --------------------------------------------------------------------------
   // q_simhash — 32-bit SimHash fingerprint per document. Bit j's source is
   // bit (j%4) of hex digit (j/4) of md5(word); per-doc vote = Σ(±1) over
   // distinct words; fingerprint bit = sign(vote).
@@ -274,6 +293,7 @@ object NearDup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh"   -> (minhashLsh _),
+    "q_minhash_sig"   -> (minhashSignatures _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_simhash"       -> (simhash _),
     "q_embed_neardup" -> (embedNearDup _),
@@ -281,6 +301,7 @@ object NearDup {
 
   val oracles: Map[String, String] = Map(
     "q_minhash_lsh"   -> minhashLshSql,
+    "q_minhash_sig"   -> minhashSignaturesSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_simhash"       -> simhashSql,
     "q_embed_neardup" -> embedNearDupSql,

@@ -193,11 +193,15 @@ object NativeAsOfJoin {
     }
   }
 
-  /** Idempotently register the planner strategy on an existing session. */
+  /** Idempotently register the planner strategy + pushdown rule on an
+    * existing session. */
   def register(spark: SparkSession): Unit = {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOfJoin
   }
 
   // --------------------------------------------------------------------------
@@ -229,6 +233,8 @@ object NativeAsOfJoin {
 /** Builder-time registration:
   * `SparkSession.builder().withExtensions(new GraftExtensions)...` */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => NativeAsOfJoin.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+  }
 }
