@@ -40,21 +40,23 @@ case class MinHashSketchAgg(
   override def createAggregationBuffer(): Array[String] =
     Array.fill[String](numHashes)(null)
 
-  private def md5hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+
+  @transient private lazy val salts: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i => ("#" + i).getBytes(StandardCharsets.UTF_8))
 
   override def update(buf: Array[String], input: InternalRow): Array[String] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.toString
+      // md5(s ++ salt) fed incrementally: one UTF-8 encode per row, no
+      // per-hash string concatenation
+      val sBytes = v.toString.getBytes(StandardCharsets.UTF_8)
+      val md = MinHashSketchAgg.digests.get()
       var i = 0
       while (i < numHashes) {
-        val h = md5hex(s + "#" + i)
+        md.reset()
+        md.update(sBytes)
+        md.update(salts(i))
+        val h = MinHashSketchAgg.toHex(md.digest())
         if (buf(i) == null || h < buf(i)) buf(i) = h
         i += 1
       }
@@ -96,4 +98,22 @@ object MinHashSketchAgg {
   def apply(c: Column, numHashes: Int): Column =
     Bridge.column(
       MinHashSketchAgg(Bridge.expression(c), numHashes).toAggregateExpression())
+
+  private[functions] val HexChars = "0123456789abcdef".toCharArray
+
+  private[functions] def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** MessageDigest.getInstance per row dominated the aggregate's cost;
+    * MessageDigest is not thread-safe, so one instance per task thread. */
+  private[functions] val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }

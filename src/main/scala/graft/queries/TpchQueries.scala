@@ -182,6 +182,42 @@ object TpchQueries {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_cube — full grouping-sets lattice over two dimensions.
+  // --------------------------------------------------------------------------
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+
+  val cubeAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_running_sum — explicit window frame (ROWS UNBOUNDED PRECEDING..CURRENT):
+  // cumulative revenue per customer in order-date order.
+  // --------------------------------------------------------------------------
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"),
+        count(lit(1)).over(w).as("nth_order"))
+  }
+
+  val runningSumSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+      |  COUNT(*) OVER w AS nth_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_intersect / q_except — set operations (absent from the reference,
   // SURVEY.md §2.7; DISTINCT semantics match ANSI INTERSECT/EXCEPT).
   // --------------------------------------------------------------------------
@@ -218,6 +254,8 @@ object TpchQueries {
     "q_distinct_agg" -> (distinctAgg _),
     "q_intersect"    -> (intersectOp _),
     "q_except"       -> (exceptOp _),
+    "q_cube"         -> (cubeAgg _),
+    "q_running_sum"  -> (runningSum _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,5 +269,7 @@ object TpchQueries {
     "q_distinct_agg" -> distinctAggSql,
     "q_intersect"    -> intersectSql,
     "q_except"       -> exceptSql,
+    "q_cube"         -> cubeAggSql,
+    "q_running_sum"  -> runningSumSql,
   )
 }

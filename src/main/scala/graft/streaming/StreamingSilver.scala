@@ -59,6 +59,16 @@ object StreamingSilver {
         col("tenant_id"), col("author_id"),
         col("chapters_written"), col("words_written"))
 
+  /** Streaming dedup by event id within the watermark horizon — the
+    * streaming analogue of the batch MERGE/keep-latest (Silver.transform):
+    * replayed or duplicated events inside the watermark are dropped with
+    * bounded state; events older than the watermark age out of the state
+    * store instead of accumulating forever. */
+  def dedupedStream(silver: DataFrame, watermark: String = "7 days"): DataFrame =
+    silver
+      .withWatermark("occurred_at", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --------------------------------------------------------------------------
   // Custom streaming state: running per-author totals via
   // flatMapGroupsWithState (KeyValueGroupedDataset custom state API).

@@ -39,6 +39,32 @@ class StreamingSpec extends SparkSpec {
       ("2026-01-16 00:00:00.0", 1L, 50L)))
   }
 
+  test("streaming dedup drops replayed event ids within the watermark") {
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
+      Seq(
+        Fixtures.valid(id = "D1", metrics = """{"wordCount": "10"}"""),
+        Fixtures.valid(id = "D1", metrics = """{"wordCount": "10"}"""),  // dup in batch
+        Fixtures.valid(id = "D2", metrics = """{"wordCount": "20"}"""))
+        .mkString("\n").getBytes("UTF-8"))
+    val deduped = StreamingSilver.dedupedStream(
+      StreamingSilver.silverStream(spark.readStream.text(dir)))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // replay D1 in a later micro-batch → still dropped (state retained)
+      Files.write(java.nio.file.Paths.get(s"$dir/b1.ndjson"),
+        Seq(Fixtures.valid(id = "D1", metrics = """{"wordCount": "10"}"""),
+          Fixtures.valid(id = "D3", metrics = """{"wordCount": "30"}"""))
+          .mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("D1", "D2", "D3"))
+  }
+
   test("flatMapGroupsWithState accumulates per-author totals across batches") {
     val dir = Files.createTempDirectory("stream-in2").toString
     Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
