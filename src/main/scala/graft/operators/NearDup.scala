@@ -256,6 +256,59 @@ object NearDup {
   }
 
   // --------------------------------------------------------------------------
+  // q_simhash_pairs — SimHash near-duplicate pairs via byte banding: split
+  // the 32-bit fingerprint into 4 bytes; by pigeonhole, any pair within
+  // hamming distance 3 shares at least one unchanged byte, so the
+  // candidate join touches only per-(band, byte) buckets — never all
+  // pairs — and the exact hamming check runs on candidates only. (At
+  // larger corpus scale the same structure uses a 64-bit fingerprint with
+  // 16-bit bands, shrinking bucket collision rates.)
+  // --------------------------------------------------------------------------
+  val HammingThreshold = 3
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sims = simhash(spark, dir)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // this synthetic corpus's tiny vocabulary clusters the fingerprint
+    // space hard (1.5M raw pairs at sf0.1), so the query reports per-doc
+    // neighbor statistics rather than materializing the quadratic pair list
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingThreshold)
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_neighbors"), min(col("hamming")).as("closest_hamming"))
+  }
+
+  val simhashPairsSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS key FROM sims")
+      .mkString(" UNION ALL ")
+    s"""WITH sims AS (
+       |$simhashSql
+       |),
+       |banded AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold)
+       |SELECT doc_a, COUNT(*) AS n_neighbors, MIN(hamming) AS closest_hamming
+       |FROM pairs GROUP BY doc_a""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q_embed_neardup — embedding-cosine near-duplicate pairs (brute force;
   // the ANN bucketed variant is the scale path, see SimilarityQueries).
   // --------------------------------------------------------------------------
@@ -296,6 +349,7 @@ object NearDup {
     "q_minhash_sig"   -> (minhashSignatures _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_simhash"       -> (simhash _),
+    "q_simhash_pairs" -> (simhashPairs _),
     "q_embed_neardup" -> (embedNearDup _),
   )
 
@@ -304,6 +358,7 @@ object NearDup {
     "q_minhash_sig"   -> minhashSignaturesSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_simhash"       -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_embed_neardup" -> embedNearDupSql,
   )
 }
