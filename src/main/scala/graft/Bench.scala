@@ -48,7 +48,7 @@ object Bench {
     // let the JIT compile queue drain: ~80 warmup query executions enqueue
     // thousands of C2 tasks; measuring into that backlog times tier-1 code
     Thread.sleep(20000)
-    // two interleaved timed passes, per-query minimum: JIT-deopt storms on
+    // three interleaved timed passes, per-query minimum: JIT-deopt storms on
     // this VM degrade arbitrary 1-2 minute windows; a window covers one
     // pass's execution of a query but rarely both, so min-of-2 reports
     // steady-state engine throughput instead of which pass got unlucky
@@ -57,10 +57,9 @@ object Bench {
       try run(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val p1 = timedPass()
-    val p2 = timedPass()
+    val passes = Seq.fill(3)(timedPass())
     val results = qs.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      name -> passes.map(_(name)).min
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
