@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,13 +140,94 @@ object SimilarityQueries {
        |FROM cand
        |QUALIFY rk <= $AnnTopK""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_ann_lsh — random-hyperplane LSH ANN: each vector's bucket is the sign
+  // pattern of dot products against NumPlanes fixed hyperplanes, so
+  // neighbors land in the same bucket with probability rising in their
+  // cosine. Search touches one bucket (corpus/2^planes of the data) with
+  // exact re-ranking inside. Hyperplane coefficients are derived
+  // deterministically from md5 on the DRIVER and embedded as literals in
+  // both the Spark plan and the oracle SQL — no runtime randomness.
+  // --------------------------------------------------------------------------
+  val NumPlanes = 8
+  val LshTopK = 3
+
+  /** 64 deterministic pseudo-random coefficients per plane from md5 hex
+    * pairs, centered on zero (exact halves — bit-identical as SQL literals). */
+  lazy val planes: Seq[Array[Double]] = {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    (0 until NumPlanes).map { p =>
+      val hex = (0 until 4).map(b => md5hex(s"plane$p-$b")).mkString
+      Array.tabulate(64)(d =>
+        Integer.parseInt(hex.substring(d * 2, d * 2 + 2), 16) - 127.5)
+    }
+  }
+
+  private def bucketExpr(v: Column): Column =
+    (0 until NumPlanes).map { p =>
+      when(dot(typedLit(planes(p).toSeq), v) >= 0.0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", bucketExpr(col("v")))
+    val corpus = emb.select(col("vec_id").as("nbr_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("bucket"))
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    queries.join(corpus, Seq("bucket"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= LshTopK)
+      .select(col("query_id"), col("rk"), col("nbr_id"), col("cosine"))
+  }
+
+  lazy val annLshSql: String = {
+    def lit64(a: Array[Double]): String = a.mkString("[", ", ", "]")
+    val bucketTerms = (0 until NumPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, LEN(v) + 1),
+         |  i -> (${lit64(planes(p))})[i] * v[i])) >= 0.0 THEN ${1 << p} ELSE 0 END)"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |    $bucketTerms AS bucket
+       |  FROM v),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(q.v) + 1),
+       |      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id >= 100 AND q.vec_id < 120)
+       |SELECT query_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk,
+       |  nbr_id, cosine
+       |FROM cand
+       |QUALIFY rk <= $LshTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_ivf"     -> (annIvf _),
+    "q_ann_lsh"     -> (annLsh _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
     "q_ann_ivf"     -> annIvfSql,
+    "q_ann_lsh"     -> annLshSql,
   )
 }
