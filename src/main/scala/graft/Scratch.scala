@@ -21,6 +21,19 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    if (sfDir == "ndjson-demo") {
+      // drive TableIO.writeNdjson through the public API; an external
+      // consumer (DuckDB, wc -l) validates the layout
+      val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")).as("p_event_date"))
+      graft.sources.TableIO.writeNdjson(ev, "/tmp/ndjson-demo", Seq("p_event_date"))
+      println("[scratch] ndjson written to /tmp/ndjson-demo rows=" + ev.count())
+      spark.stop()
+      return
+    }
     if (sfDir == "streaming-demo") {
       // drive the streaming silver→velocity path from the CLI: feed NDJSON
       // files into a file-source stream, print the windowed aggregate

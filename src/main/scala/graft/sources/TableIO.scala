@@ -37,6 +37,13 @@ object TableIO {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** Hive-partitioned NDJSON writer — the generator-side layout of the
+    * reference (`data_generator/generator.py:395-411`: one directory per
+    * `p_event_date=...`, newline-delimited JSON inside). Spark's json sink
+    * IS newline-delimited. */
+  def writeNdjson(df: DataFrame, path: String, partitionBy: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).json(path)
+
   /** Bucketed catalog table: co-locates join/aggregation keys at WRITE time
     * so repeated joins on the bucket key need no exchange at all — the
     * bucketed scan already exposes HashPartitioning. This is the

@@ -24,4 +24,18 @@ class PipelineSpec extends SparkSpec {
     val silverDir = new java.io.File(s"$root/silver_events")
     assert(silverDir.listFiles().exists(_.getName.startsWith("p_event_date=")))
   }
+
+  test("hive-partitioned NDJSON roundtrip (generator-side layout, S5)") {
+    import org.apache.spark.sql.functions.col
+    val events = Fixtures.writeNdjson(Fixtures.validPerType)
+    val silver = Silver.transform(Bronze.ingest(spark, Seq(events))).events
+    val out = java.nio.file.Files.createTempDirectory("ndjson-out").toString
+    graft.sources.TableIO.writeNdjson(
+      silver.select(col("event_id"), col("event_type"), col("p_event_date")),
+      out, Seq("p_event_date"))
+    val dir = new java.io.File(out)
+    assert(dir.listFiles().exists(_.getName.startsWith("p_event_date=")))
+    val back = spark.read.json(s"$out/*/*.json")
+    assert(back.count() == silver.count())
+  }
 }
