@@ -158,6 +158,50 @@ object ExtQueries {
        |FROM documents""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_pivot — pivoted aggregation: wide per-linestatus quantity sums keyed by
+  // return flag (Catalyst rewrites pivot to conditional aggregation — the
+  // oracle states that rewrite explicitly).
+  // --------------------------------------------------------------------------
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(LongType)))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+
+  val pivotAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_string_ops — scalar string-function battery over part names: casing,
+  // substring, replace, padding, trimming, splitting, position.
+  // --------------------------------------------------------------------------
+  def stringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      substring(col("p_name"), 1, 5).as("name_prefix"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      lpad(col("p_brand"), 12, "#").as("brand_padded"),
+      length(trim(col("p_type"))).cast(LongType).as("type_len"),
+      size(split(col("p_name"), " ")).cast(LongType).as("name_words"),
+      instr(col("p_type"), "BRUSHED").cast(LongType).as("brushed_pos"))
+
+  val stringOpsSql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS name_upper,
+      |  substring(p_name, 1, 5) AS name_prefix,
+      |  replace(p_name, ' ', '_') AS name_snake,
+      |  lpad(p_brand, 12, '#') AS brand_padded,
+      |  CAST(LENGTH(TRIM(p_type)) AS BIGINT) AS type_len,
+      |  CAST(LEN(string_split(p_name, ' ')) AS BIGINT) AS name_words,
+      |  CAST(instr(p_type, 'BRUSHED') AS BIGINT) AS brushed_pos
+      |FROM part""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3"      -> (tpchQ3 _),
@@ -165,6 +209,8 @@ object ExtQueries {
     "q_range_join"   -> (rangeJoin _),
     "q_salted_agg"   -> (saltedAgg _),
     "q_rolling_hash" -> (rollingHash _),
+    "q_pivot"        -> (pivotAgg _),
+    "q_string_ops"   -> (stringOps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +219,7 @@ object ExtQueries {
     "q_range_join"   -> rangeJoinSql,
     "q_salted_agg"   -> saltedAggSql,
     "q_rolling_hash" -> rollingHashSql,
+    "q_pivot"        -> pivotAggSql,
+    "q_string_ops"   -> stringOpsSql,
   )
 }
