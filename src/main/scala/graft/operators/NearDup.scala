@@ -42,7 +42,7 @@ object NearDup {
     * explode+hash chain onto one task (observed: 31/32 threads idle).
     * Repartitioning a few MB of text is noise next to that. */
   def shingles(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Tables.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= ShingleSize)
       .select(col("doc_id"), explode(expr(
@@ -128,17 +128,70 @@ object NearDup {
   }
 
   // --------------------------------------------------------------------------
-  // q_ngram_jaccard — exact all-pairs n-gram Jaccard via inverted-index join:
-  // intersection counts come straight off the shingle self-join (no separate
-  // candidate materialization + re-join).
+  // q_ngram_jaccard — exact n-gram Jaccard via inverted-index self-join with
+  // a document-frequency cap. A shingle appearing in k docs contributes k²
+  // self-join rows, so one stop-phrase shingle in 1% of a 100 TB corpus
+  // would dominate the whole query (the hot-shingle problem). Structure
+  // (the prefix/hot-token split from the similarity-join literature, cf.
+  // PPJoin): the self-join — candidate generation AND the bulk of the
+  // intersection counts — runs only over shingles with df <= MaxShingleDf;
+  // the few HOT shingles (df > cap) are then added back EXACTLY with a
+  // bounded candidates×hot-postings join, so the Jaccard of every surviving
+  // pair is exact, not approximate. A qualifying pair is lost only if ALL
+  // its shared shingles are hot; NearDupSpec asserts capped == uncapped
+  // output on the test corpus (max df observed at sf0.1 is 25, so the cap
+  // of 64 is a no-op there by a 2.5× margin, and the hot side is empty).
   // --------------------------------------------------------------------------
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cachedShingles(Tables.documents(spark, dir))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+  val MaxShingleDf = 64
+
+  /** Exact Jaccard pairs with the df-capped self-join + hot-shingle
+    * correction; `maxDf = Int.MaxValue` degenerates to the pure one-pass
+    * all-pairs join (the spec's uncapped reference). Expects `sh` marked
+    * for caching: the hot-shingle probe doubles as the cache-priming job.
+    *
+    * Adaptive plan choice: when NO shingle is hot (the healthy-corpus
+    * common case, and all test SFs) the capped plan is value-identical to
+    * the direct one-pass self-join, so we run exactly that — zero runtime
+    * overhead for the protection. The anti-join + correction subtrees only
+    * enter the plan when a hot shingle actually exists. */
+  private[operators] def ngramJaccardFrom(sh: DataFrame, maxDf: Int): DataFrame = {
+    def interFrom(side: DataFrame): DataFrame =
+      side.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(side.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_r"))
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    // one job: primes the shingle cache (full pass) AND detects hot shingles
+    val anyHot = maxDf != Int.MaxValue && hot.count() > 0
+    val inter = if (!anyHot) {
+      interFrom(sh).withColumnRenamed("inter_r", "inter")
+    } else {
+      val shRare = sh.join(hot, Seq("shingle"), "left_anti")
+      // capped self-join: candidate pairs and their rare-shingle
+      // intersection counts in one pass (identical subtrees reuse the
+      // aggregate's shuffle output via ReuseExchange)
+      val interRare = interFrom(shRare)
+      // exact correction: shared HOT shingles of surviving candidates
+      // (bounded: |candidates| × hot postings per doc)
+      val shHot = sh.join(hot, Seq("shingle"))
+      val interHot = interRare.select(col("doc_a"), col("doc_b"))
+        .join(shHot.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(shHot.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter_h"))
+      interRare.join(interHot, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter_r") + coalesce(col("inter_h"), lit(0L))).as("inter"))
+    }
     jaccardFromInter(inter, sh)
+  }
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // cache primed by ngramJaccardFrom's hot-shingle probe, not a count()
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    ngramJaccardFrom(sh, MaxShingleDf)
   }
 
   // Shared oracle CTE prefix: shingles exactly as `shingles` builds them.
@@ -188,9 +241,12 @@ object NearDup {
   val ngramJaccardSql: String =
     shinglesCte + ",\n" +
       jaccardTail(
-        """cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin)
+        s"""rare AS (
+           |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $MaxShingleDf),
+           |pruned AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON r.shingle = s.shingle),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin)
 
   // --------------------------------------------------------------------------
   // q_minhash_sig — the same signatures via the custom mergeable
@@ -218,23 +274,28 @@ object NearDup {
   // --------------------------------------------------------------------------
   val SimhashBits = 32
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val nDigits = SimhashBits / 4
-    // hex digits decoded ONCE per word (8 exprs), bit votes are then cheap
-    // integer ops (32 exprs over the decoded digits, not 32 string parses)
-    val wordsDf = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+  /** Per-doc SimHash bit votes for the first `bits` bits of md5(word):
+    * bit j's source is bit (j%4) of hex digit (j/4); hex digits are decoded
+    * ONCE per word (bits/4 exprs), bit votes are then cheap integer ops over
+    * the decoded digits, not `bits` string parses. One hash-aggregate. */
+  private def voteAgg(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val nDigits = bits / 4
+    val wordsDf = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", md5(col("w")))
       .select(col("doc_id") +: (0 until nDigits).map(p =>
         expr(s"CAST(conv(substring(h, ${p + 1}, 1), 16, 10) AS INT)").as(s"d$p")): _*)
-    val votes = (0 until SimhashBits).map { j =>
+    val votes = (0 until bits).map { j =>
       sum(expr(s"2 * ((shiftright(d${j / 4}, ${j % 4}) & 1)) - 1")).as(s"v$j")
     }
+    wordsDf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
     val fingerprint = (0 until SimhashBits)
       .map(j => s"(CASE WHEN v$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    wordsDf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    voteAgg(spark, dir, SimhashBits)
       .select(col("doc_id"), expr(s"CAST($fingerprint AS BIGINT)").as("simhash"))
   }
 
@@ -256,56 +317,144 @@ object NearDup {
   }
 
   // --------------------------------------------------------------------------
-  // q_simhash_pairs — SimHash near-duplicate pairs via byte banding: split
-  // the 32-bit fingerprint into 4 bytes; by pigeonhole, any pair within
-  // hamming distance 3 shares at least one unchanged byte, so the
-  // candidate join touches only per-(band, byte) buckets — never all
-  // pairs — and the exact hamming check runs on candidates only. (At
-  // larger corpus scale the same structure uses a 64-bit fingerprint with
-  // 16-bit bands, shrinking bucket collision rates.)
+  // q_simhash_pairs — SimHash near-duplicate neighbor stats, 64-bit
+  // fingerprints banded into 4×16-bit keys (pigeonhole: any pair within
+  // hamming distance 3 shares at least one unchanged 16-bit band). Two
+  // scale defenses on top of the banding (the 32-bit/8-bit-band variant
+  // saturated: 256 buckets/band ⇒ in-bucket pairs grow quadratically):
+  //
+  //  1. IDENTICAL fingerprints are collapsed to one representative BEFORE
+  //     banding (Manku et al., WWW'07 treat exact-fingerprint dups
+  //     separately for the same reason). On this corpus that alone cuts
+  //     candidates 4× (5 000 docs → 3 905 distinct fingerprints at sf0.1);
+  //     on a real corpus full of exact dups it's the difference between
+  //     O(dups²) and O(dups).
+  //  2. A deterministic per-(band,key) bucket cap (first MaxBandBucket
+  //     representatives by doc id): a degenerate bucket at 100× can no
+  //     longer go quadratic. The cap is replicated in the oracle SQL and
+  //     sized to be a no-op at test SFs (max observed bucket at sf0.1 is
+  //     589 distinct fingerprints < 1024), asserted by NearDupSpec.
+  //
+  // Output is per-doc SYMMETRIC neighbor stats: n_neighbors counts every
+  // other doc within hamming <= HammingThreshold sharing a band (group
+  // members count each other via group sizes — no pairwise expansion of
+  // identical-fingerprint groups, which would reintroduce the quadratic).
   // --------------------------------------------------------------------------
   val HammingThreshold = 3
+  val SimhashPairBits = 64
+  val SimhashBands = 4
+  val BandBits: Int = SimhashPairBits / SimhashBands
+  val MaxBandBucket = 1024
+
+  /** doc_id with its 64-bit fingerprint as 4 int band keys (k0..k3). */
+  def simhash64Keys(spark: SparkSession, dir: String): DataFrame = {
+    val keyCols = (0 until SimhashBands).map { b =>
+      val terms = (0 until BandBits)
+        .map(r => s"(CASE WHEN v${b * BandBits + r} >= 0 THEN ${1 << r} ELSE 0 END)")
+        .mkString(" + ")
+      expr(s"CAST($terms AS INT)").as(s"k$b")
+    }
+    voteAgg(spark, dir, SimhashPairBits).select(col("doc_id") +: keyCols: _*)
+  }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sims = simhash(spark, dir)
-    val banded = sims.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    // this synthetic corpus's tiny vocabulary clusters the fingerprint
-    // space hard (1.5M raw pairs at sf0.1), so the query reports per-doc
-    // neighbor statistics rather than materializing the quadratic pair list
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
+    import org.apache.spark.sql.expressions.Window
+    val keyNames = (0 until SimhashBands).map(b => s"k$b")
+    // fingerprints fan out to the group-collapse AND the per-doc join; cache
+    // + eager count for the same AQE-concurrent-subtree reason as shingles
+    val fps = simhash64Keys(spark, dir).cache()
+    fps.count()
+    val groups = fps.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("grp_size"), min(col("doc_id")).as("rep"))
+    val banded = groups.select(
+      Seq(col("rep"), col("grp_size")) ++ keyNames.map(col) :+
+        explode(array((0 until SimhashBands).map(b =>
+          struct(lit(b).as("band"), col(s"k$b").as("key"))): _*)).as("bk"): _*)
+      .select(Seq(col("rep"), col("grp_size")) ++ keyNames.map(col) ++
+        Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
+    val wBucket = Window.partitionBy(col("band"), col("key")).orderBy(col("rep"))
+    val capped = banded
+      .withColumn("rn", row_number().over(wBucket))
+      .filter(col("rn") <= MaxBandBucket)
+      .drop("rn")
+    val a = capped.select(Seq(col("band"), col("key"), col("rep").as("rep_a")) ++
+      keyNames.map(k => col(k).as(s"a_$k")): _*)
+    val b = capped.select(Seq(col("band"), col("key"), col("rep").as("rep_b"),
+      col("grp_size").as("sz_b")) ++ keyNames.map(k => col(k).as(s"b_$k")): _*)
+    val hamming = (0 until SimhashBands)
+      .map(i => bit_count(col(s"a_k$i").bitwiseXOR(col(s"b_k$i"))))
+      .reduce(_ + _).cast(LongType)
+    val pairs = a.join(b, Seq("band", "key"))
+      .filter(col("rep_a") =!= col("rep_b"))
+      .select(col("rep_a"), col("rep_b"), hamming.as("hamming"), col("sz_b"))
       .distinct()
       .filter(col("hamming") <= HammingThreshold)
-      .groupBy(col("doc_a"))
-      .agg(count(lit(1)).as("n_neighbors"), min(col("hamming")).as("closest_hamming"))
+    val crossAgg = pairs.groupBy(col("rep_a"))
+      .agg(sum(col("sz_b")).as("cross_n"), min(col("hamming")).as("min_h"))
+    fps.join(groups, keyNames)
+      .join(crossAgg, col("rep") === col("rep_a"), "left")
+      .withColumn("n_neighbors",
+        (col("grp_size") - 1 + coalesce(col("cross_n"), lit(0L))).cast(LongType))
+      .filter(col("n_neighbors") > 0)
+      .select(col("doc_id"), col("n_neighbors"),
+        when(col("grp_size") > 1, lit(0L)).otherwise(col("min_h"))
+          .cast(LongType).as("closest_hamming"))
+  }
+
+  /** 64-bit vote CTEs (same decode as [[simhashSql]], wider). */
+  private val simhash64KeysSql: String = {
+    val votes = (0 until SimhashPairBits).map { j =>
+      val pos = j / 4 + 1
+      val bit = j % 4
+      s"SUM(2 * (((instr('0123456789abcdef', substring(h, $pos, 1)) - 1 >> $bit)) & 1) - 1) AS v$j"
+    }.mkString(", ")
+    val keys = (0 until SimhashBands).map { b =>
+      val terms = (0 until BandBits)
+        .map(r => s"(CASE WHEN v${b * BandBits + r} >= 0 THEN ${1 << r} ELSE 0 END)")
+        .mkString(" + ")
+      s"CAST($terms AS INT) AS k$b"
+    }.mkString(", ")
+    s"""w AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(w) AS h FROM w),
+       |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $keys FROM votes)""".stripMargin
   }
 
   val simhashPairsSql: String = {
-    val bandSelects = (0 until 4).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS key FROM sims")
+    val keyList = (0 until SimhashBands).map(b => s"k$b").mkString(", ")
+    val bandSelects = (0 until SimhashBands).map(b =>
+      s"SELECT rep, grp_size, $keyList, $b AS band, k$b AS key FROM grp")
       .mkString(" UNION ALL ")
-    s"""WITH sims AS (
-       |$simhashSql
-       |),
+    val hamming = (0 until SimhashBands)
+      .map(i => s"bit_count(xor(a.k$i, b.k$i))").mkString(" + ")
+    s"""WITH $simhash64KeysSql,
+       |grp AS (
+       |  SELECT $keyList, COUNT(*) AS grp_size, MIN(doc_id) AS rep
+       |  FROM fp GROUP BY $keyList),
        |banded AS ($bandSelects),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY rep) AS rn
+       |    FROM banded)
+       |  WHERE rn <= $MaxBandBucket),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold)
-       |SELECT doc_a, COUNT(*) AS n_neighbors, MIN(hamming) AS closest_hamming
-       |FROM pairs GROUP BY doc_a""".stripMargin
+       |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+       |    CAST($hamming AS BIGINT) AS hamming, b.grp_size AS sz_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.key = b.key AND a.rep <> b.rep),
+       |near AS (SELECT * FROM pairs WHERE hamming <= $HammingThreshold),
+       |cross_agg AS (
+       |  SELECT rep_a, CAST(SUM(sz_b) AS BIGINT) AS cross_n, MIN(hamming) AS min_h
+       |  FROM near GROUP BY rep_a)
+       |SELECT f.doc_id,
+       |  CAST(g.grp_size - 1 + COALESCE(c.cross_n, 0) AS BIGINT) AS n_neighbors,
+       |  CAST(CASE WHEN g.grp_size > 1 THEN 0 ELSE c.min_h END AS BIGINT) AS closest_hamming
+       |FROM fp f
+       |JOIN grp g USING ($keyList)
+       |LEFT JOIN cross_agg c ON c.rep_a = g.rep
+       |WHERE g.grp_size - 1 + COALESCE(c.cross_n, 0) > 0""".stripMargin
   }
 
   // --------------------------------------------------------------------------
@@ -321,7 +470,7 @@ object NearDup {
       .withColumn("nrm", norm(col("v")))
     // the corpus parquet is a single row group → one input split; spread the
     // streamed side so the O(n²) pair loop uses every core
-    val a = emb.repartition(spark.sparkContext.defaultParallelism)
+    val a = Tables.spread(emb)
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))

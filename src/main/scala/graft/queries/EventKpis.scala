@@ -186,9 +186,9 @@ object EventKpis {
   def silverFlatten(spark: SparkSession, dir: String): DataFrame = {
     val propsSchema = StructType(Seq(StructField("k", IntegerType)))
     // single-row-group input arrives as ONE partition; spread the per-row
-    // JSON parse across cores (row-identical output, order-free compare)
-    Tables.events(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // JSON parse across cores (row-identical output, order-free compare;
+    // Tables.spread is a no-op on properly-split inputs)
+    Tables.spread(Tables.events(spark, dir))
       .withColumn("parsed", from_json(col("props"), propsSchema))
       .withColumn("p_event_date", to_date(col("ts")))
       .filter(

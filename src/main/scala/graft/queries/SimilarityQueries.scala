@@ -28,7 +28,8 @@ object SimilarityQueries {
     val queries = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     // single-row-group parquet → one split; spread the streamed corpus side
-    val corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    // (no-op on properly-split inputs)
+    val corpus = Tables.spread(emb)
       .select(col("vec_id").as("nbr_id"), col("v").as("cv"), col("nrm").as("cn"))
 
     val scored = broadcast(queries)
@@ -63,41 +64,113 @@ object SimilarityQueries {
       |QUALIFY rk <= 5""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q_ann_ivf — IVF-bucketed ANN: the 100 TB scale path. Vectors are
-  // assigned to their nearest of K "centroid" vectors (deterministically the
-  // first K corpus vectors — a stand-in for k-means, which would train the
-  // same assignment structure); a query probes only its nprobe nearest
-  // buckets, so search cost is |queries| × (corpus/K × nprobe) instead of
-  // |queries| × corpus. Exact cosine re-ranking inside the probed buckets.
+  // q_ann_ivf — IVF-bucketed ANN: the 100 TB scale path. Index build:
+  // seed centroids = the first K corpus vectors, refined by ONE Lloyd
+  // (k-means) iteration; search: a query probes only its nprobe nearest
+  // buckets, so cost is |queries| × (corpus/K × nprobe) instead of
+  // |queries| × corpus, with exact cosine re-ranking inside the probed
+  // buckets.
+  //
+  // Centroids live on the DRIVER (a bounded K×dim artifact — the standard
+  // IVF index layout) and enter the plan as literals, so per-vector bucket
+  // assignment is a NARROW argmax over an array-of-structs column: zero
+  // joins, zero explode, zero shuffle, whole-stage codegen dot products.
+  // (The previous formulation joined every vector against all K broadcast
+  // centroids — a K× row explode — then took the argmax with a row_number
+  // window, i.e. a full shuffle of N×K rows to pick a max over K values
+  // already computable in one row. PlanAuditSpec now asserts the
+  // assignment subtree is exchange/window/generate-free.)
+  //
+  // Determinism of the Lloyd step across engines: per-bucket element sums
+  // quantize values to integer MICROS (exact, order-independent integer
+  // addition in any partition order — a raw double sum would be
+  // order-dependent), and the mean is (sum/1e6)/count in double on both
+  // sides. Quantizing the MEAN's inputs is harmless to the index (the
+  // centroid is an approximation by construction); corpus vectors and the
+  // final cosines are never quantized.
   // --------------------------------------------------------------------------
   val NumCentroids = 8
   val NumProbes = 2
   val AnnTopK = 3
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** (bucket id, centroid vector, centroid norm). */
+  final case class Centroid(id: Int, v: Array[Double], nrm: Double)
+
+  /** Sequential sum-of-squares fold — matches the oracle's
+    * list_sum(list_transform(v, x -> x*x)) accumulation order. */
+  private def seqNorm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Rounded cosine vs each centroid as array<struct<cos,negk>>; argmax =
+    * array_max (max cos, ties to the SMALLEST bucket id via negated key) —
+    * all narrow expressions. */
+  private def centroidCandidates(cents: Seq[Centroid]): Column =
+    array(cents.map { c =>
+      struct(
+        round(dot(col("v"), typedLit(c.v.toSeq)) / (col("nrm") * lit(c.nrm)), 6).as("cos"),
+        lit(-c.id).as("negk"))
+    }: _*)
+
+  /** Adds `bucket` — nearest centroid id — to a (vec_id, v, nrm) frame as a
+    * pure narrow projection. Public so PlanAuditSpec can assert the plan. */
+  def assignBuckets(emb: DataFrame, cents: Seq[Centroid]): DataFrame =
+    emb.withColumn("cand", centroidCandidates(cents))
+      .withColumn("bucket", -array_max(col("cand")).getField("negk"))
+
+  /** One Lloyd iteration: assign to seeds, recompute per-bucket element-wise
+    * means (micros-quantized sums → exact + order-independent), collect the
+    * K×dim result to the driver. Empty buckets drop out (both engines agree
+    * by construction). */
+  private def lloydRefine(emb: DataFrame, seeds: Seq[Centroid]): Seq[Centroid] = {
+    val sums = assignBuckets(emb, seeds)
+      .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(sum(expr("CAST(ROUND(x * 1000000) AS BIGINT)")).as("s"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    sums.groupBy(_.getAs[Number]("bucket").intValue).toSeq.map { case (b, rows) =>
+      val vec = rows.sortBy(_.getAs[Number]("pos").intValue)
+        .map(r => (r.getAs[Long]("s").toDouble / 1e6) / r.getAs[Long]("cnt").toDouble)
+        .toArray
+      Centroid(b, vec, seqNorm(vec))
+    }.sortBy(_.id)
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, NumCentroids, NumProbes)
+
+  def annIvf(spark: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // index build: two tiny driver-side jobs (seed fetch reads K rows with
+    // pushdown; Lloyd collect is K×dim grouped sums) — NOT a data-sized
+    // collect; the index is a bounded driver artifact like any ANN index
+    val seeds = emb.filter(col("vec_id") < k).select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => {
+        val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+        Centroid(r.getAs[Number]("vec_id").intValue, v, seqNorm(v))
+      }).toSeq.sortBy(_.id)
+    val cents = lloydRefine(emb, seeds)
 
-    val wCent = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val scored = emb.join(broadcast(cents))
-      .withColumn("cent_cos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(wCent))
-
-    val assigned = scored.filter(col("crn") === 1)
-      .select(col("vec_id").as("nbr_id"), col("v").as("nv"), col("nrm").as("nn"),
-        col("cent_id").as("bucket"))
-    val probes = scored
-      .filter(col("vec_id") >= 50 && col("vec_id") < 60 && col("crn") <= NumProbes)
+    val assignedAll = assignBuckets(emb, cents)
+    val corpus = assignedAll.select(col("vec_id").as("nbr_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("bucket"))
+    // probe expansion only on the (tiny) query side: top-nprobe buckets via
+    // a per-row array sort of the K candidate structs — still narrow
+    val probes = assignedAll.filter(col("vec_id") >= 50 && col("vec_id") < 60)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("cent_id").as("probe"))
+        explode(slice(reverse(array_sort(col("cand"))), 1, nprobe)).as("pr"))
+      .withColumn("probe", -col("pr.negk"))
 
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    probes.join(assigned,
+    probes.join(corpus,
         col("bucket") === col("probe") && col("nbr_id") =!= col("query_id"))
       .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .withColumn("rk", row_number().over(wTop))
@@ -111,23 +184,45 @@ object SimilarityQueries {
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
-       |cents AS (
+       |seeds AS (
        |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
-       |scored AS (
-       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |s1 AS (
+       |  SELECT n.vec_id, n.v, c.cent_id,
        |    ROUND(list_sum(list_transform(range(1, LEN(n.v) + 1),
        |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn), 6) AS cent_cos
-       |  FROM n CROSS JOIN cents c),
-       |ranked AS (
+       |  FROM n CROSS JOIN seeds c),
+       |a1 AS (
+       |  SELECT vec_id, v, cent_id AS bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cent_cos DESC, cent_id ASC) AS crn
+       |  FROM s1),
+       |asg1 AS (SELECT vec_id, v, bucket FROM a1 WHERE crn = 1),
+       |means AS (
+       |  SELECT bucket, t.i AS i,
+       |    SUM(CAST(ROUND(v[t.i] * 1000000) AS BIGINT)) AS s, COUNT(*) AS cnt
+       |  FROM asg1 CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY bucket, t.i),
+       |cents2 AS (
+       |  SELECT bucket, list((CAST(s AS DOUBLE) / 1000000.0) / cnt ORDER BY i) AS cv
+       |  FROM means GROUP BY bucket),
+       |c2n AS (
+       |  SELECT bucket, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM cents2),
+       |s2 AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.bucket AS cent_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(n.v) + 1),
+       |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn), 6) AS cent_cos
+       |  FROM n CROSS JOIN c2n c),
+       |a2 AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY cent_cos DESC, cent_id ASC) AS crn
-       |  FROM scored),
+       |  FROM s2),
        |assigned AS (
        |  SELECT vec_id AS nbr_id, v AS nv, nrm AS nn, cent_id AS bucket
-       |  FROM ranked WHERE crn = 1),
+       |  FROM a2 WHERE crn = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS probe
-       |  FROM ranked WHERE vec_id >= 50 AND vec_id < 60 AND crn <= $NumProbes),
+       |  FROM a2 WHERE vec_id >= 50 AND vec_id < 60 AND crn <= $NumProbes),
        |cand AS (
        |  SELECT p.query_id, a.nbr_id,
        |    ROUND(list_sum(list_transform(range(1, LEN(p.qv) + 1),

@@ -26,6 +26,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Repartition to full parallelism ONLY when the input arrived under-split:
+    * a single-row-group parquet file (the test-SF layout) shows up as ONE
+    * partition, which would serialize every downstream narrow chain onto one
+    * task (observed: 31/32 threads idle). A properly-split input — the real
+    * 100 TB layout — passes through untouched, so this never inserts a
+    * gratuitous exchange at scale. `df.rdd` only forces planning, no job. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** The events table is written with parquet TIMESTAMP(NANOS), which the
     * Spark 4 parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
     * nanos as a raw long (legacy conf, runtime-settable) and rebuild a

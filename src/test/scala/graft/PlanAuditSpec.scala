@@ -57,4 +57,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("arraydotproduct") || p.contains("ArrayDotProduct"), p)
     assert(!p.contains("aggregate(zip_with"), p)
   }
+
+  test("IVF centroid assignment is narrow: no exchange, window, or explode") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries
+    import graft.functions.VectorFunctions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = (0 until 4).map(i =>
+      SimilarityQueries.Centroid(i, Array.fill(64)(i * 0.25 - 0.5), 4.0))
+    val p = SimilarityQueries.assignBuckets(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), p)
+  }
 }

@@ -67,6 +67,53 @@ class NearDupSpec extends SparkSpec {
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
   }
+
+  test("ngram df-cap is loss-free on the test corpus (no pair above threshold dropped)") {
+    // the guarantee the cap relies on: a qualifying pair is lost only if ALL
+    // its shared shingles are hot. Asserting capped == uncapped candidate
+    // sets on real test data proves no pair above the Jaccard threshold is
+    // dropped there (the uncapped set is a superset by construction).
+    val sh = NearDup.shingles(
+      graft.sources.Tables.documents(spark, sf0001)).cache()
+    sh.count()
+    def pairs(maxDf: Int) = NearDup.ngramJaccardFrom(sh, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = pairs(NearDup.MaxShingleDf)
+    val uncapped = pairs(Int.MaxValue)
+    sh.unpersist()
+    assert(capped == uncapped,
+      s"df-cap ${NearDup.MaxShingleDf} changed ${(uncapped -- capped).size} qualifying pairs")
+  }
+
+  test("simhash pairs: identical-fingerprint groups count each other at hamming 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "coal iron zinc lead tin copper nickel")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("nd64").toString
+    docs.write.mode("overwrite").parquet(s"$path/documents.parquet")
+    val out = NearDup.simhashPairs(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the 3 identical docs each see the other 2 at hamming 0; doc 4 is not
+    // within the hamming threshold of the cluster so it has no row
+    assert(out.get(1L).contains((2L, 0L)), out.toString)
+    assert(out.get(2L).contains((2L, 0L)))
+    assert(out.get(3L).contains((2L, 0L)))
+    assert(!out.contains(4L) || out(4L)._2 > 0)
+  }
+
+  test("simhash band-bucket cap has headroom on the test corpus (no-op there)") {
+    val fps = NearDup.simhash64Keys(spark, sf0001)
+    val maxBucket = (0 until NearDup.SimhashBands).map { b =>
+      fps.groupBy(col(s"k$b"))
+        .count().agg(max("count")).collect().head.getLong(0)
+    }.max
+    // cap must not bite at test SF (results unchanged by the cap), while
+    // still bounding degenerate buckets at scale
+    assert(maxBucket <= NearDup.MaxBandBucket,
+      s"max band bucket $maxBucket exceeds cap ${NearDup.MaxBandBucket}")
+  }
 }
 
 class VectorFunctionsSpec extends SparkSpec {
