@@ -50,21 +50,30 @@ object Bench {
     Thread.sleep(20000)
     // three interleaved timed passes, per-query minimum: JIT-deopt storms on
     // this VM degrade arbitrary 1-2 minute windows; a window covers one
-    // pass's execution of a query but rarely both, so min-of-2 reports
-    // steady-state engine throughput instead of which pass got unlucky
+    // pass's execution of a query but rarely all three, so min-of-3 reports
+    // steady-state engine throughput instead of which pass got unlucky.
+    // A crashing query records -1 (never a misleading partial duration) and
+    // bumps the failure count in the output line.
     def timedPass(): Map[String, Double] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        run(fn, sfDir)
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0
+      }
     }.toMap
     val passes = Seq.fill(3)(timedPass())
     val results = qs.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      val ts = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Whole-stage-codegen dot product over two `array<double>` columns.
   *
@@ -20,8 +21,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // callers guarantee array<double> inputs (VectorFunctions casts up front)
   override def dataType: DataType = DoubleType
+
+  // a null ELEMENT makes the product undefined → the whole result is null,
+  // matching the HOF formulation (aggregate over zip_with propagates null)
+  override def nullable: Boolean = super.nullable || mayHaveNullElements
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(_.dataType) match {
+      case Seq(ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"ArrayDotProduct requires two array<double> inputs, got ${other.mkString(", ")}")
+    }
+
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -29,7 +49,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -38,10 +62,18 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // the per-element null branch is emitted only when the input types
+      // admit null elements, so vector columns cast with containsNull=false
+      // keep the tight branch-free loop
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

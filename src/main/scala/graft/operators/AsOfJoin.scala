@@ -17,6 +17,13 @@ import graft.sources.Tables
   * never materializes candidate pairs, so it survives 100 TB inputs where a
   * time-range theta join would not. Ties (equal truncated timestamps) resolve
   * right-row-first, matching ASOF semantics with a `>=` bound.
+  *
+  * The payload is carried as ONE struct column filled with a single
+  * last(_, ignoreNulls=true): the struct of the most recent right row is
+  * non-null even when its fields are null, so null payload fields ride along
+  * with their row. Filling each payload column independently would instead
+  * substitute an older row's value for a null field and could mix fields
+  * from different right rows — not as-of semantics.
   */
 object AsOfJoin {
 
@@ -34,23 +41,29 @@ object AsOfJoin {
     val payloadAliases = rightPayload.values.toSeq
 
     // Right side: keep keys + time + payload, mark side=0 (sorts before left
-    // rows at equal time → inclusive `>=` as-of bound).
+    // rows at equal time → inclusive `>=` as-of bound). SQL join semantics:
+    // right rows with a null key or null time can never match (and a
+    // null-keyed left row then finds nothing in its partition) — same
+    // contract as the native operator's merge.
     val r = right.select(
       (keys.map(col) :+ col(rightTime).as("__t")) ++
         rightPayload.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+      .filter((keys.map(col(_).isNotNull) :+ col("__t").isNotNull).reduce(_ && _))
       .withColumn("__side", lit(0))
 
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val lAligned = l.select(
-      (keys.map(col) :+ col("__t") :+ col("__side")) ++
-        payloadAliases.map(a => lit(null).as(a)) ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+    // one struct per right row: non-null wrapper even when fields are null
     val rAligned = r.select(
-      (keys.map(col) :+ col("__t") :+ col("__side")) ++
-        payloadAliases.map(col) ++
+      (keys.map(col) :+ col("__t") :+ col("__side") :+
+        struct(payloadAliases.map(col): _*).as("__p")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")): _*)
+    val pType = rAligned.schema("__p").dataType
+    val lAligned = l.select(
+      (keys.map(col) :+ col("__t") :+ col("__side") :+
+        lit(null).cast(pType).as("__p")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
@@ -59,11 +72,15 @@ object AsOfJoin {
     val filled = lAligned.unionByName(rAligned)
       .select(
         (keys.map(col) ++
-          leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-          payloadAliases.map(a => last(col(a), ignoreNulls = true).over(w).as(a)) :+
+          leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__p") :+
           col("__side")): _*)
 
-    filled.filter(col("__side") === 1).drop("__side")
+    filled.filter(col("__side") === 1)
+      .select(
+        (keys.map(col) ++
+          leftCols.filterNot(keys.contains).map(col) ++
+          payloadAliases.map(a => col("__p").getField(a).as(a))): _*)
   }
 
   /** q_asof_join — each purchase event paired with the user's most recent

@@ -142,6 +142,19 @@ object NativeAsOfJoin {
           else if (rv == null) 1
           else timeOrd.compare(lv, rv)
         }
+        // SQL join semantics: nulls never match. A right row with a null key
+        // or null time can never be anyone's "most recent match" — skip it
+        // during the merge (null keys/times sort first under Ascending, so
+        // skipping preserves the merge order). Left rows with a null key fall
+        // out naturally: no surviving right row can compare equal to them.
+        def rInvalid(r: InternalRow): Boolean = {
+          var i = 0
+          while (i < rKeyIdx.length) {
+            if (r.isNullAt(rKeyIdx(i))) return true
+            i += 1
+          }
+          r.isNullAt(rTimeIdx)
+        }
 
         new Iterator[InternalRow] {
           private var rBuffered: InternalRow =
@@ -155,14 +168,18 @@ object NativeAsOfJoin {
             val l = lIter.next()
             var advancing = true
             while (advancing && rBuffered != null) {
-              val kc = cmpKeys(l, rBuffered)
-              if (kc > 0 || (kc == 0 && cmpTime(l, rBuffered) >= 0)) {
-                if (kc == 0) {
-                  lastMatch = payloadProj(rBuffered).copy()
-                  lastMatchKeySource = rBuffered
-                }
+              if (rInvalid(rBuffered)) {
                 rBuffered = if (rIter.hasNext) rIter.next().copy() else null
-              } else advancing = false
+              } else {
+                val kc = cmpKeys(l, rBuffered)
+                if (kc > 0 || (kc == 0 && cmpTime(l, rBuffered) >= 0)) {
+                  if (kc == 0) {
+                    lastMatch = payloadProj(rBuffered).copy()
+                    lastMatchKeySource = rBuffered
+                  }
+                  rBuffered = if (rIter.hasNext) rIter.next().copy() else null
+                } else advancing = false
+              }
             }
             val payload =
               if (lastMatchKeySource != null && cmpKeys(l, lastMatchKeySource) == 0)

@@ -142,6 +142,24 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
     assert(math.abs(r.getDouble(1)) < 1e-15)
   }
+
+  test("dot product rejects non-double arrays at analysis time") {
+    val df = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.ArrayDotProduct(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<double>"), e.getMessage)
+  }
+
+  test("dot product propagates null array elements to a null result") {
+    val df = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(4.0), Some(5.0), Some(6.0))),
+        (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+    val rows = df.select(graft.functions.ArrayDotProduct(col("a"), col("b")).as("d"))
+      .orderBy(col("d").asc_nulls_first).collect()
+    assert(rows.head.isNullAt(0))
+    assert(rows(1).getDouble(0) == 11.0)
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
