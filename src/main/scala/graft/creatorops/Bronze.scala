@@ -27,21 +27,32 @@ object Bronze {
       spark: SparkSession,
       paths: Seq[String],
       source: String = "local_generator",
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      ingestedAt: Option[java.sql.Timestamp] = None): DataFrame = {
     val reader = spark.read.option("multiLine", "false")
     val df = schema.map(reader.schema).getOrElse(reader).json(paths: _*)
-    fromRaw(df, source)
+    fromRaw(df, source, ingestedAt)
   }
 
-  /** Wrap an already-loaded raw frame in the bronze envelope. */
-  def fromRaw(df: DataFrame, source: String): DataFrame = {
+  /** Wrap an already-loaded raw frame in the bronze envelope.
+    *
+    * @param ingestedAt batch-level ingest stamp override; None = now (the
+    *                   reference's current_timestamp()). An explicit stamp is
+    *                   the replay/backfill hook: re-ingesting an old batch
+    *                   under its original ingest date lands it back in the
+    *                   same bronze partition. */
+  def fromRaw(
+      df: DataFrame,
+      source: String,
+      ingestedAt: Option[java.sql.Timestamp] = None): DataFrame = {
     val ingestId = java.util.UUID.randomUUID().toString
+    val stamp = ingestedAt.map(lit(_)).getOrElse(current_timestamp())
     df.select(to_json(struct(col("*"))).as("raw_json"))
       .withColumn("ingest_id", lit(ingestId))
       .withColumn("source", lit(source))
       .withColumn("raw_schema_version", lit(1))
-      .withColumn("ingested_at", current_timestamp())
-      .withColumn("p_ingest_date", to_date(current_timestamp()))
+      .withColumn("ingested_at", stamp)
+      .withColumn("p_ingest_date", to_date(stamp))
       .select(Columns.map(col): _*)
   }
 }

@@ -67,4 +67,38 @@ object Pipeline {
     events.unpersist()
     counts
   }
+
+  /** Partition-aware incremental / backfill silver run
+    * (docs/runbooks/silver-transform.md:135-138: "Batch runs are
+    * partition-aware (process only recent ingest dates unless backfill).
+    * Backfill uses parameters start_date and end_date").
+    *
+    * Reads ONLY the bronze ingest-date partitions in [startDate, endDate]
+    * (both inclusive, "yyyy-MM-dd"; the filter is on the hive partition
+    * column, so the scan is partition-pruned — at 100 TB a daily run touches
+    * one day of bronze, not the table), transforms them, and replaces ONLY
+    * the affected silver event-date / reject-date partitions via dynamic
+    * partition overwrite. Partitions outside the window are untouched, so
+    * incremental runs compose: running each batch's window in turn equals
+    * one full run over all batches (asserted by PipelineSpec).
+    */
+  def runSilverRange(
+      spark: SparkSession,
+      root: String,
+      startDate: String,
+      endDate: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val wh = Warehouse(root)
+    val bronze = TableIO.read(spark, wh.bronze)
+      .filter(col("p_ingest_date") >= to_date(lit(startDate)) &&
+        col("p_ingest_date") <= to_date(lit(endDate)))
+    val silver = Silver.transform(bronze)
+    val events = silver.events.persist()
+    TableIO.overwritePartitions(events, wh.silverEvents,
+      partitionBy = Seq("p_event_date"),
+      clusterBy = Seq("story_id", "author_id", "event_type"))
+    TableIO.overwritePartitions(silver.rejects, wh.silverRejects,
+      partitionBy = Seq("p_reject_date"))
+    events.unpersist()
+  }
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Partitioned-parquet table IO — the plain-Spark stand-in for the
@@ -14,8 +15,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    so point lookups skip row groups (02_silver_events.sql:61)
   *  - `compactTo` approximates Delta's OPTIMIZE/autoCompact small-file
   *    management (01_bronze.sql:18-26)
+  *  - full-table overwrites are ATOMIC (transaction-log-lite for Delta's
+  *    ACID overwrite, 01_bronze.sql:18-26): the job writes into a hidden
+  *    stage directory next to the table, a commit manifest is stamped only
+  *    after every task has committed, and the table directory is then
+  *    swapped in with directory renames. A job that dies mid-write leaves
+  *    the previous table untouched — readers never observe a half-written
+  *    table. (Renames are atomic on HDFS/POSIX; object stores would need a
+  *    real commit log.)
   */
 object TableIO {
+
+  /** Name of the commit manifest written inside a table directory. Its
+    * presence marks a complete, swapped-in write. */
+  val ManifestFile = "_graft_commit.json"
 
   def write(
       df: DataFrame,
@@ -29,10 +42,63 @@ object TableIO {
     val clustered =
       if (clusterBy.nonEmpty) compacted.sortWithinPartitions(clusterBy.map(col): _*)
       else compacted
-    val writer = clustered.write.mode(mode)
-    val partitioned =
-      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
-    partitioned.parquet(path)
+    def writeTo(target: String): Unit = {
+      val writer = clustered.write.mode(mode)
+      val partitioned =
+        if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+      partitioned.parquet(target)
+    }
+    if (mode == SaveMode.Overwrite) {
+      val spark = df.sparkSession
+      val table = new Path(path)
+      val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val parent = Option(table.getParent).getOrElse(new Path("."))
+      fs.mkdirs(parent)
+      val stage = new Path(parent, s".${table.getName}.__stage-$nonce")
+      writeTo(stage.toString)                          // crash here → old table intact
+      var nFiles = 0
+      val it = fs.listFiles(stage, true)
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+      val manifest = s"""{"nonce":"$nonce","files":$nFiles,"partition_by":[${
+        partitionBy.map("\"" + _ + "\"").mkString(",")}]}"""
+      val out = fs.create(new Path(stage, ManifestFile), true)
+      try out.write(manifest.getBytes("UTF-8")) finally out.close()
+      val old = new Path(parent, s".${table.getName}.__old-$nonce")
+      if (fs.exists(table) && !fs.rename(table, old))
+        throw new java.io.IOException(s"atomic overwrite: cannot retire $table")
+      if (!fs.rename(stage, table)) {                  // crash here → old recoverable
+        fs.rename(old, table)                          // restore previous version
+        throw new java.io.IOException(s"atomic overwrite: cannot publish $stage")
+      }
+      fs.delete(old, true)
+    } else writeTo(path)
+  }
+
+  /** Per-partition (dynamic) overwrite: replaces ONLY the hive partitions
+    * present in `df`, leaving all other partitions of the table in place —
+    * the incremental/backfill write pattern of the silver runbook
+    * (docs/runbooks/silver-transform.md:135-138). Uses Spark's staged
+    * dynamic partitionOverwriteMode commit, restoring the session conf. */
+  def overwritePartitions(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String],
+      clusterBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(partitionBy.nonEmpty, "dynamic overwrite requires partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val clustered =
+        if (clusterBy.nonEmpty) df.sortWithinPartitions(clusterBy.map(col): _*) else df
+      clustered.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)

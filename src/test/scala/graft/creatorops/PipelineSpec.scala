@@ -25,6 +25,81 @@ class PipelineSpec extends SparkSpec {
     assert(silverDir.listFiles().exists(_.getName.startsWith("p_event_date=")))
   }
 
+  test("atomic overwrite: a mid-write failure leaves the previous table intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.TableIO
+    val root = java.nio.file.Files.createTempDirectory("atomic").toString
+    val path = s"$root/t"
+    TableIO.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    assert(new java.io.File(path, TableIO.ManifestFile).exists(),
+      "committed table carries the commit manifest")
+    assert(TableIO.read(spark, path).count() == 2)
+
+    // a task that fails mid-job: the stage write dies, the swap never runs
+    val bad = Seq(1, 2, 3).toDF("id")
+      .withColumn("v", when(col("id") > 1, raise_error(lit("boom"))).otherwise(lit("x")))
+    intercept[Exception] { TableIO.write(bad, path) }
+
+    val after = TableIO.read(spark, path).orderBy("id").collect()
+    assert(after.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")),
+      "failed overwrite must not disturb the previous table version")
+  }
+
+  test("incremental silver runs compose: per-batch windows equal one full run; backfill heals late data") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.TableIO
+    val wh = Pipeline.Warehouse(java.nio.file.Files.createTempDirectory("whinc").toString)
+    // end-of-day ingest stamp: the day's events (occurred_at up to 23:00)
+    // must not trip the future-timestamp guard (occurred_at <= ingested_at)
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 23:30:00")
+
+    // batch 1: day-15 events, ingested on the 15th; batch 2: day-16 events,
+    // ingested on the 16th (the runbook's partition-aware daily run shape)
+    val b1 = Fixtures.validPerType // all occurredAt 2026-01-15
+    val b2 = Seq(
+      Fixtures.valid(id = "D2a", occurredAt = "2026-01-16T09:00:00Z"),
+      Fixtures.valid(id = "D2b", eventType = "scene_revised", stage = "REVISE",
+        occurredAt = "2026-01-16T10:00:00Z",
+        metrics = """{"revisionCount": "2", "wordCount": "800"}"""))
+    for ((lines, day) <- Seq(b1 -> "2026-01-15", b2 -> "2026-01-16"))
+      TableIO.write(
+        Bronze.ingest(spark, Seq(Fixtures.writeNdjson(lines)), ingestedAt = Some(ts(day))),
+        wh.bronze, org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("p_ingest_date"))
+
+    // full-run expectation over all of bronze
+    val expected = Silver.transform(TableIO.read(spark, wh.bronze)).events
+      .select("event_id", "p_event_date").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+
+    Pipeline.runSilverRange(spark, wh.root, "2026-01-15", "2026-01-15")
+    Pipeline.runSilverRange(spark, wh.root, "2026-01-16", "2026-01-16")
+    def silverNow() = TableIO.read(spark, wh.silverEvents)
+      .select("event_id", "p_event_date").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(silverNow() == expected, "sequential daily windows == one full run")
+
+    // late-arriving day-15 event lands in a day-17 ingest batch; the daily
+    // window alone must not be used for it (dynamic overwrite replaces the
+    // whole day-15 partition) — the runbook's backfill window covering every
+    // ingest date that feeds the partition heals it exactly
+    val late = Seq(Fixtures.valid(id = "LATE15", occurredAt = "2026-01-15T23:00:00Z"))
+    TableIO.write(
+      Bronze.ingest(spark, Seq(Fixtures.writeNdjson(late)), ingestedAt = Some(ts("2026-01-17"))),
+      wh.bronze, org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("p_ingest_date"))
+    Pipeline.runSilverRange(spark, wh.root, "2026-01-15", "2026-01-17")
+    assert(silverNow() == expected + (("LATE15", "2026-01-15")),
+      "backfill window reprocesses every batch feeding the partition")
+
+    // untouched-partition proof: day-16 parquet files not rewritten by a
+    // window that doesn't cover day 16 would be ideal, but the backfill
+    // window above does; instead assert the bronze scan is partition-pruned
+    val pruned = TableIO.read(spark, wh.bronze)
+      .filter(col("p_ingest_date") === to_date(lit("2026-01-15")))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("p_ingest_date"), scan)
+  }
+
   test("hive-partitioned NDJSON roundtrip (generator-side layout, S5)") {
     import org.apache.spark.sql.functions.col
     val events = Fixtures.writeNdjson(Fixtures.validPerType)
