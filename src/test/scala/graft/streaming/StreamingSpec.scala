@@ -39,6 +39,50 @@ class StreamingSpec extends SparkSpec {
       ("2026-01-16 00:00:00.0", 1L, 50L)))
   }
 
+  test("streaming velocity equals batch writingVelocity on replayed generated volume") {
+    import org.apache.spark.sql.functions._
+    import graft.creatorops.{Bronze, Generator, Gold, Silver}
+    // generated (not hand-fixture) volume; two tenants keeps it quick
+    val cfg = Generator.Config(seed = 7L, tenants = 2)
+    val lines = Generator.eventsJson(spark, cfg).collect().map(_.getString(0)).toSeq
+    assert(lines.size > 200)
+
+    // batch truth: full bronze→silver→gold run over ALL lines, rolled up to
+    // the streaming aggregate's (day, tenant, author) grain
+    val all = writeStreamDir(lines)
+    val batch = Gold.writingVelocity(
+        Silver.transform(Bronze.ingest(spark, Seq(s"$all/batch0.ndjson"))).events)
+      .groupBy(col("p_event_date"), col("tenant_id"), col("author_id"))
+      .agg(sum(col("chapters_written")).as("chapters_written"),
+        sum(col("words_written")).as("words_written"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+    // streaming: same lines split into an on-time batch and a LATE batch
+    // (every 3rd line arrives a micro-batch later, out of event-time order)
+    val (late, onTime) = lines.zipWithIndex.partition(_._2 % 3 == 0)
+    val dir = writeStreamDir(onTime.map(_._1))
+    val agg = StreamingSilver.velocity(StreamingSilver.silverStream(spark.readStream.text(dir)))
+    val q = agg.writeStream
+      .format("memory").queryName("vel_diff").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(s"$dir/batch1.ndjson"),
+        late.map(_._1).mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("vel_diff")
+      .select(to_date(col("window_start")).as("d"), col("tenant_id"), col("author_id"),
+        col("chapters_written"), col("words_written"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     val dir = Files.createTempDirectory("stream-dedup").toString
     Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
