@@ -144,9 +144,14 @@ object SimilarityQueries {
     annIvf(spark, dir, NumCentroids, NumProbes)
 
   def annIvf(spark: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
+    // the corpus feeds three passes (seed fetch, Lloyd sums, final
+    // assignment+search) — cache it for the build, the standard iterative
+    // k-means working-set pattern (at real scale this is exactly the frame
+    // you'd persist during index construction)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .cache()
     // index build: two tiny driver-side jobs (seed fetch reads K rows with
     // pushdown; Lloyd collect is K×dim grouped sums) — NOT a data-sized
     // collect; the index is a bounded driver artifact like any ANN index
