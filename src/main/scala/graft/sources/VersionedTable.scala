@@ -89,6 +89,29 @@ object VersionedTable {
     spark.read.parquet(vdir(new Path(path), v).toString)
   }
 
+  /** MERGE-equivalent upsert (docs/runbooks/silver-transform.md:114-122:
+    * "Use MERGE INTO (upsert) to enforce uniqueness ... keep record with
+    * max(ingested_at)"): rows of `updates` replace same-key rows of the
+    * current version, new keys append, and the result commits as a new
+    * version — so the merge inherits the log's atomicity AND leaves the
+    * pre-merge snapshot time-travelable.
+    *
+    * Plan shape: one left_anti hash join of current-minus-updates on the
+    * key (the only shuffle; broadcast when `updates` is small) + union —
+    * no per-row driver work, scales with the table. */
+  def upsert(updates: DataFrame, path: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "upsert requires merge keys")
+    val spark = updates.sparkSession
+    val merged = latestVersion(spark, path) match {
+      case None => updates
+      case Some(_) =>
+        val current = read(spark, path)
+        current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(updates)
+    }
+    write(merged, path)
+  }
+
   /** Row-level change feed between two committed versions: multiset diff
     * tagged insert/delete (an unchanged row appears in neither). Runs as
     * two hash anti-diffs (exceptAll), one shuffle each — no driver-side

@@ -58,6 +58,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
+  test("Tables.spread is a no-op on well-split input, an exchange only when under-split") {
+    import org.apache.spark.sql.functions._
+    val lineitem = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"))
+    val p = spark.sparkContext.defaultParallelism
+    // already at full parallelism → identical plan, no repartition inserted
+    val wellSplit = lineitem.repartition(p)
+    assert(graft.sources.Tables.spread(wellSplit) eq wellSplit,
+      "spread must pass well-split input through untouched")
+    // single-partition input → exactly the round-robin exchange
+    val underSplit = lineitem.coalesce(1)
+    val spreadPlan = graft.sources.Tables.spread(underSplit)
+      .queryExecution.executedPlan.toString
+    assert(spreadPlan.contains("Exchange RoundRobinPartitioning"), spreadPlan)
+  }
+
   test("IVF centroid assignment is narrow: no exchange, window, or explode") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityQueries

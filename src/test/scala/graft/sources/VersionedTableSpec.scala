@@ -29,6 +29,20 @@ class VersionedTableSpec extends SparkSpec {
     assert(ch == Set((2, "B", "insert"), (3, "c", "insert"), (2, "b", "delete")))
   }
 
+  test("upsert replaces matched keys, appends new ones, and keeps history") {
+    val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
+    VersionedTable.upsert(Seq((1, "a"), (2, "b")).toDF("id", "v"), path, Seq("id"))
+    val v2 = VersionedTable.upsert(Seq((2, "B2"), (3, "c")).toDF("id", "v"), path, Seq("id"))
+    assert(v2 == 2L)
+    val now = VersionedTable.read(spark, path)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(now == Set((1, "a"), (2, "B2"), (3, "c")))
+    // pre-merge snapshot still served by time travel
+    val before = VersionedTable.read(spark, path, Some(1L))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(before == Set((1, "a"), (2, "b")))
+  }
+
   test("a failed version write never becomes readable; vacuum retires old versions") {
     val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
     VersionedTable.write(Seq((1, "a")).toDF("id", "v"), path)
