@@ -101,4 +101,33 @@ object Pipeline {
       partitionBy = Seq("p_reject_date"))
     events.unpersist()
   }
+
+  /** Incremental gold refresh for an event-date window: the four
+    * date-partitioned KPIs recompute from a PARTITION-PRUNED silver scan
+    * (silver is hive-partitioned by p_event_date, so a daily refresh reads
+    * one day, not the table) and replace only their partitions in the
+    * window. Valid because each of those KPIs aggregates strictly within a
+    * date. Stage bottlenecks aggregates ACROSS dates (the lead() window
+    * spans a story's whole timeline), so it cannot be pruned and is
+    * recomputed from full silver — it is also the smallest output. */
+  def runGoldRange(
+      spark: SparkSession,
+      root: String,
+      startDate: String,
+      endDate: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val wh = Warehouse(root)
+    val evAll = TableIO.read(spark, wh.silverEvents)
+    val ev = evAll
+      .filter(col("p_event_date") >= to_date(lit(startDate)) &&
+        col("p_event_date") <= to_date(lit(endDate)))
+      .persist()
+    val byDate = Seq("p_event_date")
+    TableIO.overwritePartitions(Gold.writingVelocity(ev), wh.velocity, byDate)
+    TableIO.overwritePartitions(Gold.revisionChurn(ev), wh.churn, byDate)
+    TableIO.overwritePartitions(Gold.engagementBands(ev), wh.engagementBands, byDate)
+    TableIO.overwritePartitions(Gold.dropoffRate(ev), wh.dropoff, byDate)
+    TableIO.write(Gold.stageBottlenecks(evAll), wh.bottlenecks)
+    ev.unpersist()
+  }
 }

@@ -100,6 +100,50 @@ class PipelineSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("p_ingest_date"), scan)
   }
 
+  test("incremental gold refresh equals full recompute on the refreshed window") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.TableIO
+    val wh = Pipeline.Warehouse(java.nio.file.Files.createTempDirectory("whgold").toString)
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 23:30:00")
+    def ingest(lines: Seq[String], day: String): Unit = TableIO.write(
+      Bronze.ingest(spark, Seq(Fixtures.writeNdjson(lines)), ingestedAt = Some(ts(day))),
+      wh.bronze, org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("p_ingest_date"))
+
+    // day-15 history through the full pipeline, then a day-16 batch arrives
+    ingest(Fixtures.validPerType, "2026-01-15")
+    Pipeline.runSilverRange(spark, wh.root, "2026-01-15", "2026-01-15")
+    Pipeline.runGoldRange(spark, wh.root, "2026-01-15", "2026-01-15")
+    ingest(Seq(
+      Fixtures.valid(id = "G1", occurredAt = "2026-01-16T09:00:00Z"),
+      Fixtures.valid(id = "G2", eventType = "reader_engagement", stage = "ENGAGEMENT",
+        occurredAt = "2026-01-16T10:00:00Z", metrics = """{"engagementScore": "42.5"}"""),
+      Fixtures.valid(id = "G3", eventType = "reader_dropoff", stage = "ENGAGEMENT",
+        occurredAt = "2026-01-16T11:00:00Z", metrics = """{"engagementScore": "12.0"}""")),
+      "2026-01-16")
+    Pipeline.runSilverRange(spark, wh.root, "2026-01-16", "2026-01-16")
+    Pipeline.runGoldRange(spark, wh.root, "2026-01-16", "2026-01-16")
+
+    // every gold table must now equal a from-scratch recompute over silver
+    val ev = TableIO.read(spark, wh.silverEvents)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted.map { c =>
+        if (df.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+          round(col(c), 6).cast("string") else col(c).cast("string")
+      }
+      df.select(concat_ws("|", cols: _*)).collect().map(_.getString(0)).toSet
+    }
+    assert(canon(TableIO.read(spark, wh.velocity)) == canon(Gold.writingVelocity(ev)))
+    assert(canon(TableIO.read(spark, wh.churn)) == canon(Gold.revisionChurn(ev)))
+    assert(canon(TableIO.read(spark, wh.engagementBands)) == canon(Gold.engagementBands(ev)))
+    assert(canon(TableIO.read(spark, wh.dropoff)) == canon(Gold.dropoffRate(ev)))
+    assert(canon(TableIO.read(spark, wh.bottlenecks)) == canon(Gold.stageBottlenecks(ev)))
+
+    // the refresh's silver scan is partition-pruned on p_event_date
+    val p = ev.filter(col("p_event_date") === to_date(lit("2026-01-16")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("p_event_date"), p)
+  }
+
   test("hive-partitioned NDJSON roundtrip (generator-side layout, S5)") {
     import org.apache.spark.sql.functions.col
     val events = Fixtures.writeNdjson(Fixtures.validPerType)
