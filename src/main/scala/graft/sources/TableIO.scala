@@ -60,8 +60,11 @@ object TableIO {
       var nFiles = 0
       val it = fs.listFiles(stage, true)
       while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+      // schema rides in the manifest (LAST key — read() relies on that) so
+      // an EMPTY partitioned table stays readable: a partitioned write of
+      // zero rows emits no parquet files, leaving nothing to infer from
       val manifest = s"""{"nonce":"$nonce","files":$nFiles,"partition_by":[${
-        partitionBy.map("\"" + _ + "\"").mkString(",")}]}"""
+        partitionBy.map("\"" + _ + "\"").mkString(",")}],"schema":${df.schema.json}}"""
       val out = fs.create(new Path(stage, ManifestFile), true)
       try out.write(manifest.getBytes("UTF-8")) finally out.close()
       val old = new Path(parent, s".${table.getName}.__old-$nonce")
@@ -101,7 +104,25 @@ object TableIO {
     }
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  def read(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        // zero-row table: no parquet files to infer from — recover the
+        // schema from the commit manifest (its last key; see write())
+        val mf = new Path(path, ManifestFile)
+        val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(mf)) throw e
+        val bytes = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
+        val in = fs.open(mf)
+        try in.readFully(bytes) finally in.close()
+        val json = new String(bytes, "UTF-8")
+        val schemaJson = json.substring(json.indexOf("\"schema\":") + 9, json.length - 1)
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(schema).parquet(path)
+    }
 
   /** Hive-partitioned NDJSON writer — the generator-side layout of the
     * reference (`data_generator/generator.py:395-411`: one directory per

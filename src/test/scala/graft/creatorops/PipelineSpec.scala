@@ -46,6 +46,18 @@ class PipelineSpec extends SparkSpec {
       "failed overwrite must not disturb the previous table version")
   }
 
+  test("an empty partitioned table round-trips via the manifest schema") {
+    import spark.implicits._
+    import graft.sources.TableIO
+    val path = java.nio.file.Files.createTempDirectory("empty").toString + "/t"
+    val empty = Seq((1, "a", java.sql.Date.valueOf("2026-01-15")))
+      .toDF("id", "v", "d").filter($"id" < 0)
+    TableIO.write(empty, path, partitionBy = Seq("d"))
+    val back = TableIO.read(spark, path)
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("id", "v", "d"))
+  }
+
   test("incremental silver runs compose: per-batch windows equal one full run; backfill heals late data") {
     import org.apache.spark.sql.functions._
     import graft.sources.TableIO
