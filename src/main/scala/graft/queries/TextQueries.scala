@@ -128,8 +128,58 @@ object TextQueries {
       |FROM documents GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tfidf — top-k characteristic terms per document by tf-idf, the
+  // standard corpus-statistics text op (feature extraction / topical dedup
+  // support). Plan at scale: one hash agg for per-(doc,word) tf, one for
+  // per-word df (both map-side partial), a shuffle join of tf⋈df on word
+  // (df is vocabulary-sized — orders smaller than the corpus), and a per-doc
+  // window for top-k. N (corpus size) enters as a broadcast one-row cross
+  // join, never an action on the driver.
+  //
+  // Determinism: idf = ln((N+1)/(df+1)) rounded to 6 digits before the
+  // multiply, score rounded to 6 — both engines use IEEE doubles and
+  // correctly-rounded ln, and rounding absorbs the last ulp (SURVEY §7.4).
+  // --------------------------------------------------------------------------
+  val TfidfTopK = 3
+
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = words.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).agg(countDistinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(df, "word")
+      .join(broadcast(n))
+      .withColumn("idf", round(log((col("n") + 1).cast(DoubleType) / (col("df") + 1)), 6))
+      .withColumn("score", round(col("tf") * col("idf"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("rk").cast(LongType).as("rk"),
+        col("word"), col("tf"), col("score"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+       |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.word, tf.tf,
+       |    ROUND(tf.tf * ROUND(ln((n.n + 1) / CAST(df.df + 1 AS DOUBLE)), 6), 6) AS score
+       |  FROM tf JOIN df USING (word) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, word ASC) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, word, tf, score FROM ranked WHERE rk <= $TfidfTopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf"           -> (tfidf _),
     "q_dedup_exact"     -> (dedupExact _),
     "q_text_quality"    -> (textQuality _),
     "q_token_count"     -> (tokenCount _),
@@ -138,6 +188,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf"           -> tfidfSql,
     "q_dedup_exact"     -> dedupExactSql,
     "q_text_quality"    -> textQualitySql,
     "q_token_count"     -> tokenCountSql,
