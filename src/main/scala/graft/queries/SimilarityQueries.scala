@@ -121,6 +121,22 @@ object SimilarityQueries {
     emb.withColumn("cand", centroidCandidates(cents))
       .withColumn("bucket", -array_max(col("cand")).getField("negk"))
 
+  /** Distributed k-means index build: seed with the first k vectors, refine
+    * with `iters` Lloyd iterations (each one distributed assign + grouped
+    * sums; only the K×dim centroid table ever reaches the driver). The
+    * declared q_ann_ivf pins iters=1 to match its oracle; callers building a
+    * real index run it to convergence. `emb` should be cached — each
+    * iteration re-scans it, the canonical iterative-ML working-set shape. */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
+    val seeds = emb.filter(col("vec_id") < k).select(col("vec_id"), col("v"))
+      .collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+        Centroid(r.getAs[Number]("vec_id").intValue, v, seqNorm(v))
+      }.toSeq.sortBy(_.id)
+    (1 to iters).foldLeft(seeds)((c, _) => lloydRefine(emb, c))
+  }
+
   /** One Lloyd iteration: assign to seeds, recompute per-bucket element-wise
     * means (micros-quantized sums → exact + order-independent), collect the
     * K×dim result to the driver. Empty buckets drop out (both engines agree
@@ -152,16 +168,10 @@ object SimilarityQueries {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .cache()
-    // index build: two tiny driver-side jobs (seed fetch reads K rows with
-    // pushdown; Lloyd collect is K×dim grouped sums) — NOT a data-sized
+    // index build: tiny driver-side jobs (seed fetch reads K rows with
+    // pushdown; each Lloyd collect is K×dim grouped sums) — NOT a data-sized
     // collect; the index is a bounded driver artifact like any ANN index
-    val seeds = emb.filter(col("vec_id") < k).select(col("vec_id"), col("v"))
-      .collect()
-      .map(r => {
-        val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
-        Centroid(r.getAs[Number]("vec_id").intValue, v, seqNorm(v))
-      }).toSeq.sortBy(_.id)
-    val cents = lloydRefine(emb, seeds)
+    val cents = kmeans(emb, k, iters = 1)
 
     val assignedAll = assignBuckets(emb, cents)
     val corpus = assignedAll.select(col("vec_id").as("nbr_id"), col("v").as("nv"),

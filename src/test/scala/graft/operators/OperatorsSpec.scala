@@ -143,6 +143,27 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-15)
   }
 
+  test("kmeans index build: deterministic, and more Lloyd iterations never hurt cohesion") {
+    import graft.queries.SimilarityQueries
+    import graft.functions.VectorFunctions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v"))).cache()
+    def cost(cents: Seq[SimilarityQueries.Centroid]): Double =
+      SimilarityQueries.assignBuckets(emb, cents)
+        .select((lit(1.0) - array_max(col("cand")).getField("cos")).as("c"))
+        .agg(sum(col("c"))).collect().head.getDouble(0)
+    val one = SimilarityQueries.kmeans(emb, 8, iters = 1)
+    val five = SimilarityQueries.kmeans(emb, 8, iters = 5)
+    def canon(cs: Seq[SimilarityQueries.Centroid]) = cs.map(c => (c.id, c.v.toSeq, c.nrm))
+    assert(canon(one) == canon(SimilarityQueries.kmeans(emb, 8, iters = 1)),
+      "deterministic build")
+    assert(one.size <= 8 && five.size <= 8)
+    // total (1 - cosine-to-own-centroid) must not get worse with refinement
+    assert(cost(five) <= cost(one) + 1e-6, s"${cost(five)} vs ${cost(one)}")
+    emb.unpersist()
+  }
+
   test("dot product rejects non-double arrays at analysis time") {
     val df = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
