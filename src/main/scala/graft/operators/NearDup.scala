@@ -238,6 +238,95 @@ object NearDup {
           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin)
   }
 
+  // --------------------------------------------------------------------------
+  // q_dedup_clusters — the dedup pipeline's last step: single-linkage
+  // connected components over the LSH-verified near-dup pair graph, electing
+  // min(doc_id) per component as the canonical survivor. Min-label
+  // propagation (Pregel-style): each round is one edges⋈labels hash join +
+  // min-agg, iterated to fixpoint with a driver-side convergence count.
+  // Rounds = eccentricity of the component's min node; near-dup components
+  // are tiny by construction (LSH + Jaccard threshold), so this converges in
+  // 1-3 rounds at any corpus size — the iteration count scales with cluster
+  // DIAMETER, not corpus size. Labels are re-cached per round and the pair
+  // graph (orders smaller than the corpus) is cached once.
+  // --------------------------------------------------------------------------
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = cachedShingles(docs)
+    val pairs = verifyJaccard(lshCandidates(bandKeys(signatures(sh))), sh)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nbr_label")),
+          Seq("doc_b"))
+        .groupBy(col("doc_a")).agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("doc_a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("cluster_id"),
+      (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** Oracle: the same pair graph, with label propagation UNROLLED 4 rounds —
+    * equal to the fixpoint whenever every component's min-label reaches all
+    * members within 4 hops, which the tiny near-dup clusters of every test
+    * SF satisfy (the driver's hash compare would catch a violation). */
+  val dedupClustersSql: String = {
+    val mhCols = (0 until NumHashes)
+      .map(i => s"MIN(md5(shingle || '#$i')) AS mh$i").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val rounds = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT l.doc_id,
+         |    LEAST(l.cluster_id, COALESCE(MIN(n.cluster_id), l.cluster_id)) AS cluster_id
+         |  FROM l${i - 1} l
+         |  LEFT JOIN edges e ON e.src = l.doc_id
+         |  LEFT JOIN l${i - 1} n ON n.doc_id = e.dst
+         |  GROUP BY l.doc_id, l.cluster_id)""".stripMargin
+    }.mkString(",\n")
+    shinglesCte + ",\n" +
+      s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pairs AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.doc_a
+         |  JOIN sizes nb ON nb.doc_id = i.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+         |$rounds
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM l4""".stripMargin
+  }
+
   val ngramJaccardSql: String =
     shinglesCte + ",\n" +
       jaccardTail(
@@ -495,6 +584,7 @@ object NearDup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh"   -> (minhashLsh _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_minhash_sig"   -> (minhashSignatures _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_simhash"       -> (simhash _),
@@ -504,6 +594,7 @@ object NearDup {
 
   val oracles: Map[String, String] = Map(
     "q_minhash_lsh"   -> minhashLshSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_minhash_sig"   -> minhashSignaturesSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_simhash"       -> simhashSql,
