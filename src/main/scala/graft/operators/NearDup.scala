@@ -239,6 +239,54 @@ object NearDup {
   }
 
   // --------------------------------------------------------------------------
+  // q_minhash_estimate — Jaccard ESTIMATED from signature agreement
+  // (matching minhash components / NumHashes), the sketch's actual role at
+  // 100 TB: candidate pairs get a similarity score from 12 column equality
+  // checks on already-computed signatures, skipping the shingle-intersection
+  // verify join entirely. The exact-verify path (q_minhash_lsh) remains the
+  // precision option; this is the cheap screening pass between banding and
+  // verification.
+  // --------------------------------------------------------------------------
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cachedShingles(Tables.documents(spark, dir))
+    val sig = signatures(sh)
+    val cand = lshCandidates(bandKeys(sig))
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigA, Seq("doc_a")).join(sigB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast(DoubleType) / NumHashes).as("est_jaccard"))
+  }
+
+  val minhashEstimateSql: String = {
+    val mhCols = (0 until NumHashes)
+      .map(i => s"MIN(md5(shingle || '#$i')) AS mh$i").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until NumHashes)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    shinglesCte + ",\n" +
+      s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST($matches AS DOUBLE) / $NumHashes AS est_jaccard
+         |FROM cand c
+         |JOIN sig a ON a.doc_id = c.doc_a
+         |JOIN sig b ON b.doc_id = c.doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q_dedup_clusters — the dedup pipeline's last step: single-linkage
   // connected components over the LSH-verified near-dup pair graph, electing
   // min(doc_id) per component as the canonical survivor. Min-label
@@ -585,6 +633,7 @@ object NearDup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_minhash_estimate" -> (minhashEstimate _),
     "q_minhash_sig"   -> (minhashSignatures _),
     "q_ngram_jaccard" -> (ngramJaccardPairs _),
     "q_simhash"       -> (simhash _),
@@ -595,6 +644,7 @@ object NearDup {
   val oracles: Map[String, String] = Map(
     "q_minhash_lsh"   -> minhashLshSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_minhash_estimate" -> minhashEstimateSql,
     "q_minhash_sig"   -> minhashSignaturesSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_simhash"       -> simhashSql,
