@@ -303,29 +303,49 @@ object NearDup {
     val sh = cachedShingles(docs)
     val pairs = verifyJaccard(lshCandidates(bandKeys(signatures(sh))), sh)
       .select(col("doc_a"), col("doc_b")).cache()
+    // eager: every loop round references the edge set from several subtrees
+    // that AQE submits concurrently — a lazy cache would recompute the whole
+    // LSH verify chain per subtree per round (same failure mode as the
+    // shingle cache; observed 5-20× blowup)
+    pairs.count()
     val edges = pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    edges.count()
+    // propagation runs ONLY over docs that have an edge — near-dup members
+    // are a small fraction of any healthy corpus, so the iterative joins
+    // touch the pair subgraph, never the corpus; untouched docs join back
+    // at the end as their own singleton cluster.
+    //
+    // localCheckpoint (not cache) per round: the label frame's LINEAGE
+    // otherwise grows by two joins every iteration, and each round's action
+    // re-analyzes the whole accumulated plan — driver planning time quickly
+    // dwarfs the (tiny) stage work. Checkpointing truncates the plan to the
+    // materialized blocks, keeping per-round planning cost constant — the
+    // standard shape for iterative algorithms on DataFrames.
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nbr_label")),
           Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("nbr_label")).as("nbr_min"))
+      // carry the previous label through the round so the convergence check
+      // is a filter on this frame, not another join+job over both frames
       val next = labels
         .join(nbrMin.select(col("doc_a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint()
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
     }
-    labels.select(col("doc_id"), col("cluster_id"),
-      (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
   /** Oracle: the same pair graph, with label propagation UNROLLED 4 rounds —
