@@ -118,6 +118,45 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------------
+  // Real audio path: WAV payloads are genuinely decoded (WavCodec, pure
+  // JVM) — the one modality whose codec needs no native library. Image and
+  // video remain stubbed per the class doc.
+  // --------------------------------------------------------------------------
+  final case class AudioRow(
+      doc_id: Long, content: Array[Byte], sample_rate: Int)
+  final case class AudioFeatureRow(
+      doc_id: Long, duration_s: Double, rms: Double, peak: Double,
+      zero_crossing_rate: Double)
+
+  /** Deterministic synthetic WAV corpus: each doc renders a real PCM-16
+    * sine wave whose frequency/amplitude derive from doc_id — actual
+    * encoded audio bytes, not text-as-bytes. */
+  def audioTable(spark: SparkSession, dir: String, sampleRate: Int = 8000): Dataset[AudioRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val freq = 100.0 + (id % 40) * 20.0         // 100..880 Hz
+      val amp = 0.2 + (id % 5) * 0.15             // 0.2..0.8
+      val n = sampleRate / 4                      // 250 ms
+      val samples = Array.tabulate(n)(i =>
+        (amp * 32767.0 * math.sin(2 * math.Pi * freq * i / sampleRate)).toShort)
+      AudioRow(id, WavCodec.encode(samples, sampleRate), sampleRate)
+    }
+  }
+
+  /** Batched REAL decode + DSP feature extraction (duration, RMS, peak,
+    * zero-crossing rate) — narrow mapPartitions, no shuffle, same batch
+    * shape as extractFeatures. */
+  def audioFeatures(audio: Dataset[AudioRow], batchSize: Int = 64): Dataset[AudioFeatureRow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { a =>
+        val f = WavCodec.features(WavCodec.decode(a.content))
+        AudioFeatureRow(a.doc_id, f.duration_s, f.rms, f.peak, f.zero_crossing_rate)
+      })
+    }
+  }
+
+  // --------------------------------------------------------------------------
   // q_multimodal_features — end-to-end: media table → batched decode+extract.
   // Oracle-checkable because the corpus is ASCII: utf-8 byte stats equal
   // char-code stats, which DuckDB can compute with list lambdas.

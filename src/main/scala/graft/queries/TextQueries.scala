@@ -178,7 +178,67 @@ object TextQueries {
        |  FROM scored)
        |SELECT doc_id, rk, word, tf, score FROM ranked WHERE rk <= $TfidfTopK""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_curation_funnel — the end-to-end curation accounting every training-
+  // data pipeline needs: how many documents and tokens survive each stage of
+  // raw → language filter → quality filter → exact dedup. One narrow pass
+  // computes per-doc flags; stage counts are conditional aggregates; the
+  // dedup stage groups on content hash keeping min(struct(doc_id, tokens))
+  // so survivor token totals need NO join-back. Two shuffles total (one
+  // global agg, one hash-group agg) regardless of corpus size.
+  // --------------------------------------------------------------------------
+  val QualityThreshold = 0.5
+
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("text"),
+      wordCount(col("text")).as("toks"),
+      qualityScore(col("text")).as("q"))
+      .withColumn("is_en", col("lang") === "en")
+      .withColumn("is_q", col("lang") === "en" && col("q") >= QualityThreshold)
+    val stages = base.agg(
+      count(lit(1)).as("raw_docs"), sum(col("toks")).as("raw_tokens"),
+      sum(when(col("is_en"), 1L).otherwise(0L)).as("lang_docs"),
+      sum(when(col("is_en"), col("toks")).otherwise(0L)).as("lang_tokens"),
+      sum(when(col("is_q"), 1L).otherwise(0L)).as("quality_docs"),
+      sum(when(col("is_q"), col("toks")).otherwise(0L)).as("quality_tokens"))
+    val dedup = base.filter(col("is_q"))
+      .groupBy(md5(col("text")).as("th"))
+      .agg(min(struct(col("doc_id"), col("toks"))).as("keep"))
+      .agg(count(lit(1)).as("dedup_docs"),
+        sum(col("keep.toks")).as("dedup_tokens"))
+    stages.join(dedup)
+  }
+
+  val curationFunnelSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE) / LEN(string_split(text, ' ')) * 0.5
+       |      + LEAST(CAST(LEN(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5 AS q
+       |  FROM documents),
+       |flagged AS (
+       |  SELECT *, lang = 'en' AS is_en,
+       |    lang = 'en' AND q >= $QualityThreshold AS is_q
+       |  FROM base),
+       |stages AS (
+       |  SELECT COUNT(*) AS raw_docs, SUM(toks) AS raw_tokens,
+       |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS lang_docs,
+       |    CAST(SUM(CASE WHEN is_en THEN toks ELSE 0 END) AS BIGINT) AS lang_tokens,
+       |    CAST(SUM(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS quality_docs,
+       |    CAST(SUM(CASE WHEN is_q THEN toks ELSE 0 END) AS BIGINT) AS quality_tokens
+       |  FROM flagged),
+       |canon AS (
+       |  SELECT md5(text) AS th, MIN({'doc_id': doc_id, 'toks': toks}) AS keep
+       |  FROM flagged WHERE is_q GROUP BY 1),
+       |dedup AS (
+       |  SELECT COUNT(*) AS dedup_docs,
+       |    CAST(SUM(keep.toks) AS BIGINT) AS dedup_tokens
+       |  FROM canon)
+       |SELECT * FROM stages CROSS JOIN dedup""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_funnel" -> (curationFunnel _),
     "q_tfidf"           -> (tfidf _),
     "q_dedup_exact"     -> (dedupExact _),
     "q_text_quality"    -> (textQuality _),
@@ -188,6 +248,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_curation_funnel" -> curationFunnelSql,
     "q_tfidf"           -> tfidfSql,
     "q_dedup_exact"     -> dedupExactSql,
     "q_text_quality"    -> textQualitySql,
