@@ -58,6 +58,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"), p)
   }
 
+  test("q_tfidf and q_curation_funnel scans read only the needed columns") {
+    val t = plan("q_tfidf")
+    val tRead = t.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!tRead.contains("lang") && !tRead.contains("source"), tRead)
+    val c = plan("q_curation_funnel")
+    val cRead = c.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!cRead.contains("source") && !cRead.contains("n_chars"), cRead)
+  }
+
   test("Tables.spread is a no-op on well-split input, an exchange only when under-split") {
     import org.apache.spark.sql.functions._
     val lineitem = graft.sources.Tables.lineitem(spark, sf0001)
