@@ -329,15 +329,84 @@ object SimilarityQueries {
        |QUALIFY rk <= $LshTopK""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q_ann_recall — recall@k of the IVF index against the brute-force ground
+  // truth for the same query set: the approximation-quality measurement an
+  // ANN deployment ships with. The exact side reuses the broadcast-queries /
+  // partitioned-corpus brute-force shape (bounded query side ⇒ the corpus
+  // never shuffles); the ANN side is the declared q_ann_ivf plan; recall is
+  // a semi-join + per-query count. Exactly divides by k ⇒ recall values are
+  // k+1 representable doubles, hash-stable across engines.
+  // --------------------------------------------------------------------------
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = Tables.spread(emb)
+      .select(col("vec_id").as("nbr_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val exact = broadcast(queries)
+      .join(corpus, col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("nbr_id"))
+    val ann = annIvf(spark, dir).select(col("query_id"), col("nbr_id"))
+    val matched = exact.join(ann, Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+    queries.select(col("query_id"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") / AnnTopK).as("recall"))
+  }
+
+  lazy val annRecallSql: String =
+    s"""WITH ivf AS (
+       |$annIvfSql
+       |),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id >= 50 AND q.vec_id < 60 AND q.vec_id <> c.vec_id),
+       |exact AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $AnnTopK),
+       |matched AS (
+       |  SELECT e.query_id, COUNT(*) AS n_matched
+       |  FROM exact e
+       |  WHERE EXISTS (SELECT 1 FROM ivf i
+       |                WHERE i.query_id = e.query_id AND i.nbr_id = e.nbr_id)
+       |  GROUP BY e.query_id)
+       |SELECT q.vec_id AS query_id,
+       |  COALESCE(m.n_matched, 0) AS n_matched,
+       |  CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / $AnnTopK AS recall
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 50 AND vec_id < 60) q
+       |LEFT JOIN matched m ON m.query_id = q.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK _),
     "q_ann_ivf"     -> (annIvf _),
     "q_ann_lsh"     -> (annLsh _),
+    "q_ann_recall"  -> (annRecall _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
     "q_ann_ivf"     -> annIvfSql,
     "q_ann_lsh"     -> annLshSql,
+    "q_ann_recall"  -> annRecallSql,
   )
 }
