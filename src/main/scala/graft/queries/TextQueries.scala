@@ -237,7 +237,40 @@ object TextQueries {
        |  FROM canon)
        |SELECT * FROM stages CROSS JOIN dedup""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_stratified_sample — deterministic per-stratum sampling, the way a
+  // 100 TB pipeline downsamples: keep a row iff the first two hex digits of
+  // md5(doc_id) fall under the stratum's threshold. A pure narrow filter —
+  // no shuffle, no RNG state, reproducible across engines, partitionings,
+  // and reruns (sample membership is a function of the ROW, so late
+  // re-processing keeps the same sample). Thresholds are exact multiples of
+  // 1/256: en 50% ('80'), es 25% ('40'), de 12.5% ('20').
+  // --------------------------------------------------------------------------
+  val SampleThresholds: Seq[(String, String)] =
+    Seq("en" -> "80", "es" -> "40", "de" -> "20")
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val keep = SampleThresholds.foldLeft(lit(false)) { case (acc, (lang, thr)) =>
+      acc || (col("lang") === lang && bucket < lit(thr))
+    }
+    Tables.documents(spark, dir)
+      .filter(keep)
+      .select(col("doc_id"), col("lang"), bucket.as("sample_bucket"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val conds = SampleThresholds
+      .map { case (l, t) => s"(lang = '$l' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$t')" }
+      .mkString(" OR ")
+    s"""SELECT doc_id, lang,
+       |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_bucket
+       |FROM documents
+       |WHERE $conds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_funnel" -> (curationFunnel _),
     "q_tfidf"           -> (tfidf _),
     "q_dedup_exact"     -> (dedupExact _),
@@ -248,6 +281,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_tfidf"           -> tfidfSql,
     "q_dedup_exact"     -> dedupExactSql,
