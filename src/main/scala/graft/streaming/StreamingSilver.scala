@@ -69,6 +69,24 @@ object StreamingSilver {
       .withWatermark("occurred_at", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream → versioned-table upsert sink: every micro-batch MERGEs into
+    * the table by key via foreachBatch + [[graft.sources.VersionedTable]] —
+    * the lakehouse streaming-ingest pattern (Delta's streaming MERGE),
+    * with the log commit giving per-batch atomicity and each batch
+    * boundary time-travelable as its own version. Returns the started
+    * query; caller awaits/stops it. */
+  def sinkToVersioned(
+      silver: DataFrame,
+      path: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    silver.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.VersionedTable.upsert(batch.toDF(), path, keys): Unit
+      }
+      .start()
+
   // --------------------------------------------------------------------------
   // Custom streaming state: running per-author totals via
   // flatMapGroupsWithState (KeyValueGroupedDataset custom state API).

@@ -109,6 +109,39 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq("D1", "D2", "D3"))
   }
 
+  test("streaming upsert sink: each micro-batch merges into a versioned table") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("stream-vt").toString
+    val table = Files.createTempDirectory("stream-vt-out").toString + "/t"
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
+      Seq(
+        Fixtures.valid(id = "U1", metrics = """{"wordCount": "10"}"""),
+        Fixtures.valid(id = "U2", metrics = """{"wordCount": "20"}"""))
+        .mkString("\n").getBytes("UTF-8"))
+    val silver = StreamingSilver.silverStream(spark.readStream.text(dir))
+      .select("event_id", "word_count")
+    val q = StreamingSilver.sinkToVersioned(silver, table, Seq("event_id"))
+    try {
+      q.processAllAvailable()
+      // batch 2 updates U2 and adds U3
+      Files.write(java.nio.file.Paths.get(s"$dir/b1.ndjson"),
+        Seq(
+          Fixtures.valid(id = "U2", metrics = """{"wordCount": "99"}"""),
+          Fixtures.valid(id = "U3", metrics = """{"wordCount": "30"}"""))
+          .mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val now = VersionedTable.read(spark, table)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(now == Map("U1" -> 10, "U2" -> 99, "U3" -> 30), now.toString)
+    // each micro-batch committed one version; the pre-merge state time-travels
+    val vs = VersionedTable.versions(spark, table)
+    assert(vs.size == 2, vs.toString)
+    val v1 = VersionedTable.read(spark, table, Some(vs.head))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v1 == Map("U1" -> 10, "U2" -> 20), v1.toString)
+  }
+
   test("flatMapGroupsWithState accumulates per-author totals across batches") {
     val dir = Files.createTempDirectory("stream-in2").toString
     Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
