@@ -322,8 +322,13 @@ object NearDup {
     // dwarfs the (tiny) stage work. Checkpointing truncates the plan to the
     // materialized blocks, keeping per-round planning cost constant — the
     // standard shape for iterative algorithms on DataFrames.
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    // round-0 seeding folds the first propagation step into the init agg:
+    // label_0 = min(self, direct neighbors) — one groupBy, no join. For the
+    // dominant near-dup shape (pair cliques) this IS the fixpoint, so the
+    // loop body runs once purely to confirm convergence.
+    var labels = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(least(col("doc_a"), min(col("doc_b"))).as("cluster_id"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
