@@ -124,6 +124,40 @@ object TableIO {
         spark.read.schema(schema).parquet(path)
     }
 
+  /** Z-order value for two non-negative integer columns: interleaves the low
+    * `bits` bits of each (a in odd positions, b in even), so sorting by the
+    * result gives MULTI-dimensional locality — parquet row-group min/max
+    * stats become selective on BOTH columns, where a lexicographic
+    * sortWithinPartitions(a, b) leaves b's per-group range at full width.
+    * This is the actual mechanism behind the reference's suggested
+    * `OPTIMIZE ... ZORDER BY` (02_silver_events.sql:61), not just a
+    * stand-in sort. Pure shift/mask expression chain — whole-stage codegen,
+    * no UDF. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftright}
+    import org.apache.spark.sql.types.LongType
+    (0 until bits).map { i =>
+      (shiftright(a.cast(LongType), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+        (shiftright(b.cast(LongType), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+  }
+
+  /** Overwrite `path` with rows clustered along the Z-curve of (a, b):
+    * range-partition by z-value (so file boundaries follow the curve), then
+    * sort within partitions. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      a: String,
+      b: String,
+      bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = zValue(col(a), col(b), bits)
+    write(df.repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+      z).sortWithinPartitions(z), path)
+  }
+
   /** Hive-partitioned NDJSON writer — the generator-side layout of the
     * reference (`data_generator/generator.py:395-411`: one directory per
     * `p_event_date=...`, newline-delimited JSON inside). Spark's json sink

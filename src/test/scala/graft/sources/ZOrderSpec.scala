@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly (reference implementation check)") {
+    def ref(a: Long, b: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((a >> i) & 1L) << (2 * i + 1)
+        z |= ((b >> i) & 1L) << (2 * i)
+      }
+      z
+    }
+    val rows = for (a <- 0 until 32; b <- 0 until 32) yield (a, b)
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"), TableIO.zValue(col("a"), col("b"), 5).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b, 5), s"($a,$b)")
+    }
+  }
+
+  test("z-order clustering bounds BOTH dimensions per block; lexicographic does not") {
+    // 64x64 grid, blocks of 256 rows: along the Z-curve every block is a
+    // 16x16 tile (both ranges 15); sorted lexicographically by a, each block
+    // spans b's full width — the stats-pruning difference ZORDER exists for
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b))
+    def maxBRange(sorted: Seq[(Int, Int)]): Int =
+      sorted.grouped(256).map(g => g.map(_._2).max - g.map(_._2).min).max
+    val zSorted = grid.sortBy { case (a, b) =>
+      (0 until 6).map(i => (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i)))
+        .sum
+    }
+    val lexSorted = grid.sorted
+    assert(maxBRange(zSorted) == 15, maxBRange(zSorted).toString)
+    assert(maxBRange(lexSorted) == 63)
+
+    // end-to-end: writeZOrdered produces files whose per-file b-range is
+    // bounded, so min/max stats can prune scans filtered on b alone
+    val path = java.nio.file.Files.createTempDirectory("zord").toString + "/t"
+    TableIO.writeZOrdered(grid.toDF("a", "b"), path, "a", "b", bits = 6)
+    val perFile = spark.read.parquet(path)
+      .select(input_file_name().as("f"), col("b"))
+      .groupBy("f").agg((max("b") - min("b")).as("range_b"))
+      .collect().map(_.getInt(1))
+    assert(perFile.length > 1)
+    assert(perFile.max < 63, s"z-ordered files must bound b, got ${perFile.max}")
+  }
+}
