@@ -158,6 +158,27 @@ object TableIO {
       z).sortWithinPartitions(z), path)
   }
 
+  /** Small-file compaction — the other half of the reference's OPTIMIZE
+    * story (01_bronze.sql:18-26 autoCompact): rewrite the table into
+    * ceil(tableBytes / targetFileBytes) files via the atomic overwrite, so
+    * a table that accumulated many small appends goes back to scan-friendly
+    * file sizes. Returns the file count written. */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Int = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    var bytes = 0L
+    val it = fs.listFiles(table, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // read fully before the atomic overwrite stages the rewrite
+    val df = read(spark, path)
+    write(df.repartition(nFiles), path)
+    nFiles
+  }
+
   /** Hive-partitioned NDJSON writer — the generator-side layout of the
     * reference (`data_generator/generator.py:395-411`: one directory per
     * `p_event_date=...`, newline-delimited JSON inside). Spark's json sink

@@ -99,7 +99,18 @@ object VersionedTable {
     * Plan shape: one left_anti hash join of current-minus-updates on the
     * key (the only shuffle; broadcast when `updates` is small) + union —
     * no per-row driver work, scales with the table. */
-  def upsert(updates: DataFrame, path: String, keys: Seq[String]): Long = {
+  def upsert(updates: DataFrame, path: String, keys: Seq[String]): Long =
+    upsert(updates, path, keys, evolveSchema = false)
+
+  /** @param evolveSchema true = columns present on only one side are kept
+    *                     and null-filled on the other (Delta's
+    *                     mergeSchema/autoMerge behavior); false = schemas
+    *                     must match by name. */
+  def upsert(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      evolveSchema: Boolean): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     val spark = updates.sparkSession
     val merged = latestVersion(spark, path) match {
@@ -107,7 +118,7 @@ object VersionedTable {
       case Some(_) =>
         val current = read(spark, path)
         current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = evolveSchema)
     }
     write(merged, path)
   }

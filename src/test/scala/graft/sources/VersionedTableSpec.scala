@@ -43,6 +43,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(before == Set((1, "a"), (2, "b")))
   }
 
+  test("upsert with schema evolution keeps new columns, null-fills old rows") {
+    val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
+    VersionedTable.upsert(Seq((1, "a")).toDF("id", "v"), path, Seq("id"))
+    // new batch carries an extra column
+    VersionedTable.upsert(
+      Seq((2, "b", "extra")).toDF("id", "v", "tag"), path, Seq("id"),
+      evolveSchema = true)
+    val now = VersionedTable.read(spark, path).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(now == Seq((1, "a", None), (2, "b", Some("extra"))), now.toString)
+    // without evolution, mismatched schemas must fail loudly
+    intercept[Exception] {
+      VersionedTable.upsert(
+        Seq((3, "c", 1.0)).toDF("id", "v", "other"), path, Seq("id"))
+    }
+  }
+
+  test("compaction rewrites many small files into few, atomically") {
+    import graft.sources.TableIO
+    val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    TableIO.write((1 to 10000).toDF("x").repartition(64), path)
+    def nParquet = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nParquet == 64)
+    TableIO.compact(spark, path, targetFileBytes = 1L << 30)
+    assert(nParquet == 1, nParquet.toString)
+    assert(TableIO.read(spark, path).count() == 10000)
+  }
+
   test("a failed version write never becomes readable; vacuum retires old versions") {
     val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
     VersionedTable.write(Seq((1, "a")).toDF("id", "v"), path)
