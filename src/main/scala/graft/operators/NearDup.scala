@@ -249,7 +249,10 @@ object NearDup {
   // --------------------------------------------------------------------------
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val sh = cachedShingles(Tables.documents(spark, dir))
-    val sig = signatures(sh)
+    // the signature table feeds three subtrees (banding + both join sides);
+    // eager cache for the usual AQE-concurrent-subtree reason
+    val sig = signatures(sh).cache()
+    sig.count()
     val cand = lshCandidates(bandKeys(sig))
     val sigA = sig.select(col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
