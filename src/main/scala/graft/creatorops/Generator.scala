@@ -239,7 +239,11 @@ object Generator {
       }
     }
 
-    val betaDay = randDate(r, draftDay.plusDays(3), scheduledDay)
+    // clamp: when draftDay is within 3 days of scheduledDay the naive lower
+    // bound would exceed the upper one and events could leak past endDay
+    val betaLo = Seq(draftDay.plusDays(3), scheduledDay)
+      .min(Ordering.by((d: LocalDate) => d.toEpochDay))
+    val betaDay = randDate(r, betaLo, scheduledDay)
     emit("beta_feedback_received", betaDay, metadata = Map(
       "source" -> choice(r, BetaSources), "sentiment" -> choice(r, Sentiments)))
     val submissionDay = randDate(r, betaDay, scheduledDay)
@@ -318,9 +322,12 @@ object Generator {
       storyFlow(t, byName(t.personaName), startDay, cfg.endDay, cfg.seed))
     // deterministic downsample to ~target (reference shuffles + truncates,
     // generator.py:390-393 — order-dependent; a per-event hash keep-filter
-    // is the distribution-preserving distributed equivalent)
+    // is the distribution-preserving distributed equivalent). Cache before
+    // the sizing count so the generation fan-out runs once, not once per
+    // downstream action.
     val sampled = cfg.targetTotalEvents match {
       case Some(target) =>
+        all.cache()
         val total = all.count()
         if (total <= target) all
         else {
@@ -360,8 +367,10 @@ object Generator {
   def writeNdjson(spark: SparkSession, cfg: Config, path: String): Long = {
     val ev = events(spark, cfg).toDF()
       .withColumn("p_event_date", substring(col("occurredAt"), 1, 10))
-    graft.sources.TableIO.writeNdjson(
-      ev, path, Seq("p_event_date"))
-    ev.count()
+      .cache()  // one generation pass feeds both the write and the count
+    try {
+      graft.sources.TableIO.writeNdjson(ev, path, Seq("p_event_date"))
+      ev.count()
+    } finally ev.unpersist()
   }
 }

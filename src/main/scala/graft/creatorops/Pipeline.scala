@@ -76,28 +76,76 @@ object Pipeline {
     * Reads ONLY the bronze ingest-date partitions in [startDate, endDate]
     * (both inclusive, "yyyy-MM-dd"; the filter is on the hive partition
     * column, so the scan is partition-pruned — at 100 TB a daily run touches
-    * one day of bronze, not the table), transforms them, and replaces ONLY
-    * the affected silver event-date / reject-date partitions via dynamic
-    * partition overwrite. Partitions outside the window are untouched, so
-    * incremental runs compose: running each batch's window in turn equals
-    * one full run over all batches (asserted by PipelineSpec).
+    * one day of bronze, not the table) and transforms them.
+    *
+    * LATE-DATA SAFETY: an event-date partition this window touches may
+    * already hold rows landed by OTHER ingest batches (a late day-D event
+    * arriving in a later batch). Before the dynamic overwrite, the existing
+    * rows of exactly the touched partitions are read back (statically
+    * pruned via the collected date list — bounded by the window), unioned
+    * in, and deduped keep-latest-by-ingested_at per event_id (the runbook's
+    * MERGE rule), so a routine daily window can never wipe a partition's
+    * earlier history, and re-running any window is idempotent. Bronze is
+    * append-only, so rows never need to disappear on reprocess; correcting
+    * bad bronze rows is done by appending a newer batch and re-running the
+    * window (keep-latest picks the correction up).
     */
   def runSilverRange(
       spark: SparkSession,
       root: String,
       startDate: String,
       endDate: String): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, to_date}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number, to_date}
     val wh = Warehouse(root)
     val bronze = TableIO.read(spark, wh.bronze)
       .filter(col("p_ingest_date") >= to_date(lit(startDate)) &&
         col("p_ingest_date") <= to_date(lit(endDate)))
     val silver = Silver.transform(bronze)
     val events = silver.events.persist()
-    TableIO.overwritePartitions(events, wh.silverEvents,
+
+    def mergeTouched(
+        fresh: org.apache.spark.sql.DataFrame,
+        path: String,
+        partCol: String,
+        keyCols: Seq[String],
+        latestBy: String): org.apache.spark.sql.DataFrame = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      // a dir with no readable parquet (e.g. a zero-row dynamic overwrite
+      // left only _SUCCESS) merges like a missing table
+      val readable = fs.exists(hp) &&
+        (try { TableIO.read(spark, path); true }
+         catch { case _: org.apache.spark.sql.AnalysisException => false })
+      if (!readable) fresh
+      else {
+        val touched = fresh.select(col(partCol)).distinct().collect().map(_.get(0))
+        if (touched.isEmpty) fresh
+        else {
+          val existing = TableIO.read(spark, path)
+            .filter(col(partCol).isin(touched: _*))  // static partition pruning
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col(latestBy).desc)
+          existing.unionByName(fresh)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+            // plan must not read the path it overwrites: materialize first
+            // (bounded: only the window's partitions)
+            .localCheckpoint()
+        }
+      }
+    }
+
+    TableIO.overwritePartitions(
+      mergeTouched(events, wh.silverEvents, "p_event_date",
+        Seq("event_id"), "ingested_at"),
+      wh.silverEvents,
       partitionBy = Seq("p_event_date"),
       clusterBy = Seq("story_id", "author_id", "event_type"))
-    TableIO.overwritePartitions(silver.rejects, wh.silverRejects,
+    TableIO.overwritePartitions(
+      mergeTouched(silver.rejects, wh.silverRejects, "p_reject_date",
+        Seq("ingest_id", "raw_json", "reject_reason"), "rejected_at"),
+      wh.silverRejects,
       partitionBy = Seq("p_reject_date"))
     events.unpersist()
   }

@@ -15,14 +15,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    so point lookups skip row groups (02_silver_events.sql:61)
   *  - `compactTo` approximates Delta's OPTIMIZE/autoCompact small-file
   *    management (01_bronze.sql:18-26)
-  *  - full-table overwrites are ATOMIC (transaction-log-lite for Delta's
-  *    ACID overwrite, 01_bronze.sql:18-26): the job writes into a hidden
-  *    stage directory next to the table, a commit manifest is stamped only
-  *    after every task has committed, and the table directory is then
-  *    swapped in with directory renames. A job that dies mid-write leaves
-  *    the previous table untouched — readers never observe a half-written
-  *    table. (Renames are atomic on HDFS/POSIX; object stores would need a
-  *    real commit log.)
+  *  - full-table overwrites are ATOMIC for the writer (transaction-log-lite
+  *    for Delta's ACID overwrite, 01_bronze.sql:18-26): the job writes into
+  *    a hidden stage directory next to the table, a commit manifest is
+  *    stamped only after every task has committed, and the table directory
+  *    is then swapped in with directory renames. A job that dies mid-write
+  *    leaves the previous table untouched (orphaned stage/retired dirs from
+  *    crashed runs are swept by the next write). LIMITS: the two-rename
+  *    swap has a brief window where the table path is absent, so a READER
+  *    racing the swap can fail-and-retry (single-writer, retrying-reader
+  *    contract); a crash exactly between the renames leaves the previous
+  *    version recoverable under `.<table>.__old-*` but not live. For
+  *    always-consistent concurrent reads plus history, use
+  *    [[VersionedTable]], whose log-commit protocol has neither gap.
   */
 object TableIO {
 
@@ -55,6 +60,15 @@ object TableIO {
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       val parent = Option(table.getParent).getOrElse(new Path("."))
       fs.mkdirs(parent)
+      // sweep orphans from crashed runs (single-writer: nothing else can be
+      // mid-flight). A leftover __old means a crash hit between the two
+      // renames with the table gone — restore it before overwriting anew.
+      val orphans = fs.globStatus(new Path(parent, s".${table.getName}.__*"))
+      if (orphans != null) orphans.foreach { o =>
+        if (o.getPath.getName.contains("__old-") && !fs.exists(table))
+          fs.rename(o.getPath, table)
+        else fs.delete(o.getPath, true)
+      }
       val stage = new Path(parent, s".${table.getName}.__stage-$nonce")
       writeTo(stage.toString)                          // crash here → old table intact
       var nFiles = 0
@@ -135,11 +149,21 @@ object TableIO {
     * no UDF. */
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, shiftright}
+    import org.apache.spark.sql.functions.{concat_ws, lit, raise_error, shiftright, when}
     import org.apache.spark.sql.types.LongType
+    // out-of-range values would alias mod 2^bits and silently destroy the
+    // locality the clustering exists for — fail loudly instead
+    def checked(c: org.apache.spark.sql.Column) = {
+      val v = c.cast(LongType)
+      when(v < 0L || v >= (1L << bits),
+        raise_error(concat_ws("", lit(s"zValue: input out of [0, 2^$bits): "), v)))
+        .otherwise(v)
+    }
+    val av = checked(a)
+    val bv = checked(b)
     (0 until bits).map { i =>
-      (shiftright(a.cast(LongType), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
-        (shiftright(b.cast(LongType), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+      (shiftright(av, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+        (shiftright(bv, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
     }.reduce(_ + _)
   }
 

@@ -31,10 +31,22 @@ object Tables {
     * partition, which would serialize every downstream narrow chain onto one
     * task (observed: 31/32 threads idle). A properly-split input — the real
     * 100 TB layout — passes through untouched, so this never inserts a
-    * gratuitous exchange at scale. `df.rdd` only forces planning, no job. */
+    * gratuitous exchange at scale.
+    *
+    * Only NARROW plans (scan/project/filter/generate chains) are probed:
+    * under AQE, `df.rdd` on a plan containing an exchange MATERIALIZES the
+    * upstream shuffle stages as real jobs, so for any plan that already
+    * shuffles (whose output partitioning is governed by
+    * spark.sql.shuffle.partitions anyway) spread is an immediate no-op
+    * rather than a silent double execution. */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val narrow = df.queryExecution.optimizedPlan.collectFirst {
+      case _: Join | _: Aggregate | _: Distinct | _: RepartitionOperation |
+           _: Window | _: Sort | _: GlobalLimit => ()
+    }.isEmpty
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (narrow && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** The events table is written with parquet TIMESTAMP(NANOS), which the

@@ -100,25 +100,51 @@ object VersionedTable {
     * key (the only shuffle; broadcast when `updates` is small) + union —
     * no per-row driver work, scales with the table. */
   def upsert(updates: DataFrame, path: String, keys: Seq[String]): Long =
-    upsert(updates, path, keys, evolveSchema = false)
+    upsert(updates, path, keys, evolveSchema = false, latestBy = None)
+
+  def upsert(updates: DataFrame, path: String, keys: Seq[String],
+      evolveSchema: Boolean): Long =
+    upsert(updates, path, keys, evolveSchema, latestBy = None)
 
   /** @param evolveSchema true = columns present on only one side are kept
     *                     and null-filled on the other (Delta's
     *                     mergeSchema/autoMerge behavior); false = schemas
-    *                     must match by name. */
+    *                     must match by name.
+    * @param latestBy when the SAME key appears more than once within
+    *                 `updates`, keep the row with the max of this column
+    *                 (the runbook's "keep record with max(ingested_at)").
+    *                 Without it, intra-batch duplicate keys are rejected —
+    *                 silently unioning them in would commit a table that
+    *                 violates the MERGE uniqueness contract. */
   def upsert(
       updates: DataFrame,
       path: String,
       keys: Seq[String],
-      evolveSchema: Boolean): Long = {
+      evolveSchema: Boolean,
+      latestBy: Option[String]): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     val spark = updates.sparkSession
+    val deduped = latestBy match {
+      case Some(ord) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.row_number
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None =>
+        val dups = updates.groupBy(keys.map(col): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        require(dups == 0,
+          s"updates contain duplicate merge keys ${keys.mkString(",")}; " +
+            "pass latestBy to pick a survivor")
+        updates
+    }
     val merged = latestVersion(spark, path) match {
-      case None => updates
+      case None => deduped
       case Some(_) =>
         val current = read(spark, path)
-        current.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          .unionByName(updates, allowMissingColumns = evolveSchema)
+        current.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(deduped, allowMissingColumns = evolveSchema)
     }
     write(merged, path)
   }
@@ -126,12 +152,22 @@ object VersionedTable {
   /** Row-level change feed between two committed versions: multiset diff
     * tagged insert/delete (an unchanged row appears in neither). Runs as
     * two hash anti-diffs (exceptAll), one shuffle each — no driver-side
-    * materialization, so it scales with the table. */
+    * materialization, so it scales with the table. Versions with evolved
+    * schemas (see upsert's evolveSchema) are aligned first: columns missing
+    * on one side become typed nulls, so a row that only gained a null new
+    * column reads as unchanged. */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
     val before = read(spark, path, Some(fromV))
     val after = read(spark, path, Some(toV))
-    after.exceptAll(before).withColumn("_change_type", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    val types = (before.schema ++ after.schema).map(f => f.name -> f.dataType).toMap
+    val allCols = (before.columns ++ after.columns).distinct
+    def aligned(df: DataFrame) = df.select(allCols.map { c =>
+      if (df.columns.contains(c)) col(c) else lit(null).cast(types(c)).as(c)
+    }: _*)
+    val b = aligned(before)
+    val a = aligned(after)
+    a.exceptAll(b).withColumn("_change_type", lit("insert"))
+      .unionByName(b.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
   /** Drop data + manifests of all but the last `keepLast` versions. */

@@ -78,12 +78,14 @@ object StreamingSilver {
   def sinkToVersioned(
       silver: DataFrame,
       path: String,
-      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      keys: Seq[String],
+      latestBy: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     silver.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
-          graft.sources.VersionedTable.upsert(batch.toDF(), path, keys): Unit
+          graft.sources.VersionedTable.upsert(batch.toDF(), path, keys,
+            evolveSchema = false, latestBy = latestBy): Unit
       }
       .start()
 

@@ -72,12 +72,15 @@ class PlanAuditSpec extends SparkSpec {
     val lineitem = graft.sources.Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey"))
     val p = spark.sparkContext.defaultParallelism
-    // already at full parallelism → identical plan, no repartition inserted
+    // already-shuffled plans pass through untouched WITHOUT being probed
+    // (under AQE, probing would materialize the upstream shuffle)
     val wellSplit = lineitem.repartition(p)
     assert(graft.sources.Tables.spread(wellSplit) eq wellSplit,
-      "spread must pass well-split input through untouched")
-    // single-partition input → exactly the round-robin exchange
-    val underSplit = lineitem.coalesce(1)
+      "spread must pass shuffled input through untouched")
+    // a narrow single-file scan (one input split) → round-robin exchange
+    val single = java.nio.file.Files.createTempDirectory("spread").toString + "/t"
+    lineitem.coalesce(1).write.parquet(single)
+    val underSplit = spark.read.parquet(single)
     val spreadPlan = graft.sources.Tables.spread(underSplit)
       .queryExecution.executedPlan.toString
     assert(spreadPlan.contains("Exchange RoundRobinPartitioning"), spreadPlan)

@@ -91,17 +91,21 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDate(1).toString)).toSet
     assert(silverNow() == expected, "sequential daily windows == one full run")
 
-    // late-arriving day-15 event lands in a day-17 ingest batch; the daily
-    // window alone must not be used for it (dynamic overwrite replaces the
-    // whole day-15 partition) — the runbook's backfill window covering every
-    // ingest date that feeds the partition heals it exactly
+    // late-arriving day-15 event lands in a day-17 ingest batch; the ROUTINE
+    // DAILY window must be safe on its own: the touched day-15 partition's
+    // existing rows are merged back in (keep-latest by ingested_at), so the
+    // dynamic overwrite cannot wipe earlier history
     val late = Seq(Fixtures.valid(id = "LATE15", occurredAt = "2026-01-15T23:00:00Z"))
     TableIO.write(
       Bronze.ingest(spark, Seq(Fixtures.writeNdjson(late)), ingestedAt = Some(ts("2026-01-17"))),
       wh.bronze, org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("p_ingest_date"))
-    Pipeline.runSilverRange(spark, wh.root, "2026-01-15", "2026-01-17")
+    Pipeline.runSilverRange(spark, wh.root, "2026-01-17", "2026-01-17")
     assert(silverNow() == expected + (("LATE15", "2026-01-15")),
-      "backfill window reprocesses every batch feeding the partition")
+      "a daily window merges late data into the partition without losing history")
+    // re-running the same window (and the full backfill) is idempotent
+    Pipeline.runSilverRange(spark, wh.root, "2026-01-17", "2026-01-17")
+    Pipeline.runSilverRange(spark, wh.root, "2026-01-15", "2026-01-17")
+    assert(silverNow() == expected + (("LATE15", "2026-01-15")), "idempotent re-runs")
 
     // untouched-partition proof: day-16 parquet files not rewritten by a
     // window that doesn't cover day 16 would be ideal, but the backfill
