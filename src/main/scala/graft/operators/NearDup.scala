@@ -623,20 +623,84 @@ object NearDup {
   }
 
   // --------------------------------------------------------------------------
-  // q_embed_neardup — embedding-cosine near-duplicate pairs (brute force;
-  // the ANN bucketed variant is the scale path, see SimilarityQueries).
+  // q_embed_neardup — embedding-cosine near-duplicate pairs via banded
+  // random-hyperplane LSH (the 100 TB shape). Candidate pairs come from an
+  // EQUI-join on (band, sign-pattern key): two vectors are candidates iff
+  // they agree on all EmbedPlanesPerBand hyperplane signs of at least one
+  // band, so the shuffle key cardinality is O(vectors × bands), never
+  // O(vectors²). Exact cosine re-ranks candidates; the brute-force all-pairs
+  // variant survives as `embedNearDupBrute`, the spec's ground-truth
+  // differential (NearDupSpec), exactly as ngramJaccardPairs anchors the
+  // minhash path. Hyperplane coefficients are md5-derived on the driver and
+  // embedded as literals in both engines — no runtime randomness.
   // --------------------------------------------------------------------------
   val CosineThreshold = 0.5
+  val EmbedBands = 4
+  val EmbedPlanesPerBand = 4
+  val EmbedDim = 64
+
+  /** Deterministic pseudo-random hyperplanes (EmbedBands × EmbedPlanesPerBand
+    * × EmbedDim), coefficients from md5 hex byte pairs centered on zero —
+    * exact halves, bit-identical when rendered as SQL literals. */
+  lazy val embedPlanes: Seq[Seq[Array[Double]]] = {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    Seq.tabulate(EmbedBands, EmbedPlanesPerBand) { (b, p) =>
+      val hex = (0 until 4).map(c => md5hex(s"embband$b-plane$p-$c")).mkString
+      Array.tabulate(EmbedDim)(d =>
+        Integer.parseInt(hex.substring(d * 2, d * 2 + 2), 16) - 127.5)
+    }
+  }
+
+  private def embedBandKey(v: Column, band: Int): Column = {
+    import graft.functions.VectorFunctions._
+    (0 until EmbedPlanesPerBand).map { p =>
+      when(dot(typedLit(embedPlanes(band)(p).toSeq), v) >= 0.0, lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  private def embeddingVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+  }
 
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    // the corpus parquet is a single row group → one input split; spread the
-    // streamed side so the O(n²) pair loop uses every core
-    val a = Tables.spread(emb)
-      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val emb = embeddingVectors(spark, dir)
+    // (vec_id, band, key): the only thing that shuffles at candidate time —
+    // a few ints per vector, not the vectors themselves
+    val banded = emb
+      .select(col("vec_id"), posexplode(
+        array((0 until EmbedBands).map(b => embedBandKey(col("v"), b)): _*))
+        .as(Seq("band", "key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    // fetch vectors only for surviving candidates, then exact re-rank
+    val va = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** All-pairs ground truth for the spec differential — quadratic by
+    * construction; deliberately NOT a declared query (at 100 TB you never
+    * run this; NearDupSpec uses it to measure the LSH variant's recall). */
+  def embedNearDupBrute(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val emb = embeddingVectors(spark, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
@@ -644,17 +708,38 @@ object NearDup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  val embedNearDupSql: String =
+  lazy val embedNearDupSql: String = {
+    def lit64(a: Array[Double]): String = a.mkString("[", ", ", "]")
+    def keyExpr(band: Int): String = (0 until EmbedPlanesPerBand).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, LEN(v) + 1),
+         |  i -> (${lit64(embedPlanes(band)(p))})[i] * v[i])) >= 0.0 THEN ${1 << p} ELSE 0 END)"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    val keyCols = (0 until EmbedBands).map(b => s"${keyExpr(b)} AS k$b").mkString(",\n    ")
+    val bandSelects = (0 until EmbedBands)
+      .map(b => s"SELECT vec_id, $b AS band, k$b AS key FROM n")
+      .mkString(" UNION ALL ")
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ROUND(list_sum(list_transform(range(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))
-       |    / (a.nrm * b.nrm), 6) AS cosine
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE ROUND(list_sum(list_transform(range(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))
-       |    / (a.nrm * b.nrm), 6) >= $CosineThreshold""".stripMargin
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |    $keyCols
+       |  FROM v),
+       |banded AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       |  ROUND(list_sum(list_transform(range(1, LEN(x.v) + 1), i -> x.v[i] * y.v[i]))
+       |    / (x.nrm * y.nrm), 6) AS cosine
+       |FROM cand c
+       |JOIN n x ON x.vec_id = c.vec_a
+       |JOIN n y ON y.vec_id = c.vec_b
+       |WHERE ROUND(list_sum(list_transform(range(1, LEN(x.v) + 1), i -> x.v[i] * y.v[i]))
+       |    / (x.nrm * y.nrm), 6) >= $CosineThreshold""".stripMargin
+  }
 
   // --------------------------------------------------------------------------
 

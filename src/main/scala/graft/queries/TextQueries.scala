@@ -222,7 +222,7 @@ object TextQueries {
        |    lang = 'en' AND q >= $QualityThreshold AS is_q
        |  FROM base),
        |stages AS (
-       |  SELECT COUNT(*) AS raw_docs, SUM(toks) AS raw_tokens,
+       |  SELECT COUNT(*) AS raw_docs, CAST(SUM(toks) AS BIGINT) AS raw_tokens,
        |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS lang_docs,
        |    CAST(SUM(CASE WHEN is_en THEN toks ELSE 0 END) AS BIGINT) AS lang_tokens,
        |    CAST(SUM(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS quality_docs,

@@ -25,6 +25,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.contains("l_returnflag") && read.contains("l_quantity"), read)
   }
 
+  test("q_embed_neardup: candidates come from an equi-join, never a nested-loop") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_join_agg: dimension joins are broadcast, not shuffled") {
     val p = plan("q_join_agg")
     assert(p.contains("BroadcastHashJoin"), p)

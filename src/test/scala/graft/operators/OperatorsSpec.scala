@@ -103,6 +103,34 @@ class NearDupSpec extends SparkSpec {
     assert(!out.contains(4L) || out(4L)._2 > 0)
   }
 
+  test("embed near-dup: LSH pairs are sound vs brute force; planted dups always caught") {
+    // soundness: every banded-LSH pair is a true >=threshold pair with the
+    // exact same cosine (the re-rank is exact, so LSH can only MISS, never
+    // invent)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0), r.get(1)) -> r.getDouble(2)).toMap
+    val lsh = toMap(NearDup.embedNearDup(spark, sf0001))
+    val brute = toMap(NearDup.embedNearDupBrute(spark, sf0001))
+    lsh.foreach { case (k, c) =>
+      assert(brute.get(k).contains(c), s"LSH invented pair $k")
+    }
+    // completeness on planted duplicates: identical and positively-scaled
+    // vectors have identical hyperplane sign patterns in EVERY band, so the
+    // equi-join is guaranteed to surface them
+    val dim = NearDup.EmbedDim
+    val base = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+    val other = Array.tabulate(dim)(i => math.cos(3 * i + 2).toFloat)
+    val planted = Seq(
+      (1L, base), (2L, base), (3L, base.map(_ * 2.0f)), (4L, other))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("embnd").toString
+    planted.write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+    val found = NearDup.embedNearDup(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)) && found.contains((1L, 3L)) && found.contains((2L, 3L)),
+      found.toString)
+  }
+
   test("simhash band-bucket cap has headroom on the test corpus (no-op there)") {
     val fps = NearDup.simhash64Keys(spark, sf0001)
     val maxBucket = (0 until NearDup.SimhashBands).map { b =>
