@@ -112,4 +112,44 @@ object Gold {
         max(col("duration_hours")).as("max_hours_in_stage"))
       .withColumn("as_of_date", asOf)
   }
+
+  /** KPI 6 — post-release engagement (docs/kpis.md:99-114: "reader
+    * interaction after content is released"; documented but implemented by
+    * neither the reference V1 scripts nor any gold job there — the shape
+    * follows the documented contract). Reader engagement events are
+    * attributed to the most recent prior-or-simultaneous publish_released
+    * event of the same (tenant, story) via the single-shuffle as-of join;
+    * engagement with no preceding release drops out; aggregation is per
+    * story/day. */
+  def postReleaseEngagement(silver: DataFrame, asOf: Column = current_date()): DataFrame =
+    postReleaseEngagementFrom(silver, silver, asOf)
+
+  /** Two-source variant for incremental gold runs: engagement can be pruned
+    * to the refresh window, but releases must come from FULL silver history —
+    * an engagement event's release may predate the window by months. */
+  def postReleaseEngagementFrom(
+      engagementSilver: DataFrame,
+      releaseSilver: DataFrame,
+      asOf: Column = current_date()): DataFrame = {
+    val releases = releaseSilver.filter(col("event_type") === "publish_released")
+      .select(col("tenant_id"), col("story_id"),
+        col("occurred_at").as("released_at"), col("event_id").as("release_event_id"))
+    val engagement = engagementSilver.filter(col("event_type") === "reader_engagement")
+      .withColumn("engagement_score", dblMetric("engagementScore"))
+      .select(col("p_event_date"), col("tenant_id"), col("story_id"),
+        col("series_id"), col("occurred_at"), col("engagement_score"))
+    graft.operators.AsOfJoin.backward(engagement, releases,
+        Seq("tenant_id", "story_id"), "occurred_at", "released_at",
+        Map("release_event_id" -> "release_event_id", "released_at" -> "released_at"))
+      .filter(col("release_event_id").isNotNull)
+      .withColumn("hours_since_release",
+        (col("occurred_at").cast(LongType) - col("released_at").cast(LongType)) / 3600.0)
+      .groupBy(col("p_event_date"), col("tenant_id"), col("story_id"), col("series_id"))
+      .agg(
+        count(lit(1)).as("engagement_events"),
+        avg(col("engagement_score")).as("avg_engagement_score"),
+        avg(col("hours_since_release")).as("avg_hours_since_release"),
+        max(col("hours_since_release")).as("max_hours_since_release"))
+      .withColumn("as_of_date", asOf)
+  }
 }

@@ -23,10 +23,12 @@ object Pipeline {
     val engagementBands = s"$root/kpi_engagement_bands_daily"
     val dropoff = s"$root/kpi_dropoff_rate_daily"
     val bottlenecks = s"$root/kpi_stage_bottlenecks"
+    val postRelease = s"$root/kpi_post_release_engagement"
   }
 
   final case class Counts(bronze: Long, silver: Long, rejects: Long,
-      velocity: Long, churn: Long, bands: Long, dropoff: Long, bottlenecks: Long)
+      velocity: Long, churn: Long, bands: Long, dropoff: Long, bottlenecks: Long,
+      postRelease: Long)
 
   def runAll(spark: SparkSession, eventPaths: Seq[String], root: String): Counts = {
     val wh = Warehouse(root)
@@ -46,14 +48,15 @@ object Pipeline {
       clusterBy = Seq("story_id", "author_id", "event_type"))
     TableIO.write(rejects, wh.silverRejects, partitionBy = Seq("p_reject_date"))
 
-    // Gold: five KPI tables (kpis_local.py, retention_local.py,
-    // bottlenecks_local.py)
+    // Gold: six KPI tables (kpis_local.py, retention_local.py,
+    // bottlenecks_local.py; post-release engagement from docs/kpis.md:99-114)
     val ev = TableIO.read(spark, wh.silverEvents)
     TableIO.write(Gold.writingVelocity(ev), wh.velocity, partitionBy = Seq("p_event_date"))
     TableIO.write(Gold.revisionChurn(ev), wh.churn, partitionBy = Seq("p_event_date"))
     TableIO.write(Gold.engagementBands(ev), wh.engagementBands, partitionBy = Seq("p_event_date"))
     TableIO.write(Gold.dropoffRate(ev), wh.dropoff, partitionBy = Seq("p_event_date"))
     TableIO.write(Gold.stageBottlenecks(ev), wh.bottlenecks)
+    TableIO.write(Gold.postReleaseEngagement(ev), wh.postRelease, partitionBy = Seq("p_event_date"))
 
     val counts = Counts(
       bronze = TableIO.read(spark, wh.bronze).count(),
@@ -63,7 +66,8 @@ object Pipeline {
       churn = TableIO.read(spark, wh.churn).count(),
       bands = TableIO.read(spark, wh.engagementBands).count(),
       dropoff = TableIO.read(spark, wh.dropoff).count(),
-      bottlenecks = TableIO.read(spark, wh.bottlenecks).count())
+      bottlenecks = TableIO.read(spark, wh.bottlenecks).count(),
+      postRelease = TableIO.read(spark, wh.postRelease).count())
     events.unpersist()
     counts
   }
@@ -176,6 +180,10 @@ object Pipeline {
     TableIO.overwritePartitions(Gold.engagementBands(ev), wh.engagementBands, byDate)
     TableIO.overwritePartitions(Gold.dropoffRate(ev), wh.dropoff, byDate)
     TableIO.write(Gold.stageBottlenecks(evAll), wh.bottlenecks)
+    // engagement prunes to the window, but the as-of release side must see
+    // FULL history — an event's release can predate the window by months
+    TableIO.overwritePartitions(
+      Gold.postReleaseEngagementFrom(ev, evAll), wh.postRelease, byDate)
     ev.unpersist()
   }
 }

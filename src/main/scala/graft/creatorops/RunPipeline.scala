@@ -57,6 +57,7 @@ object RunPipeline {
     val c = Pipeline.runAll(spark, eventPaths, root)
     println(s"[pipeline] bronze=${c.bronze} silver=${c.silver} rejects=${c.rejects} " +
       s"velocity=${c.velocity} churn=${c.churn} bands=${c.bands} " +
-      s"dropoff=${c.dropoff} bottlenecks=${c.bottlenecks} -> $root")
+      s"dropoff=${c.dropoff} bottlenecks=${c.bottlenecks} " +
+      s"postRelease=${c.postRelease} -> $root")
   }
 }

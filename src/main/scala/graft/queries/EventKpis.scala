@@ -351,8 +351,64 @@ object EventKpis {
       |FROM events GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_post_release — KPI #6 "Post-Release Engagement" (docs/kpis.md:99-114:
+  // "reader interaction after content is released"; no reference
+  // implementation exists — the shape follows the documented contract).
+  // Engagement events ('view') are attributed to the most recent
+  // prior-or-simultaneous release event ('signup') of the same key via the
+  // single-shuffle as-of join, pre-release events drop out, and the result
+  // aggregates per key/day. Time-since-release stays in exact integer
+  // microseconds (unix_micros ↔ epoch_us); score sums go through
+  // DECIMAL(18,2). The gold-layer silver-schema variant is
+  // Gold.postReleaseEngagement.
+  // --------------------------------------------------------------------------
+  def postRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(spark, dir)
+    val engagement = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val releases = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("rid"))
+    AsOfJoin.backward(engagement, releases, Seq("user_id"), "ts", "ts",
+        Map("rid" -> "release_event_id", "ts" -> "released_ts"))
+      .filter(col("release_event_id").isNotNull) // post-release only
+      .withColumn("us_since_release",
+        unix_micros(col("ts")) - unix_micros(col("released_ts")))
+      .groupBy(to_date(col("ts")).as("p_event_date"), col("user_id"))
+      .agg(
+        count(lit(1)).as("engagement_events"),
+        dsum(col("value")).as("sum_score"),
+        sum(col("us_since_release")).as("total_us_since_release"),
+        max(col("us_since_release")).as("max_us_since_release"))
+      .withColumn("avg_score", col("sum_score") / col("engagement_events"))
+      .withColumn("avg_us_since_release",
+        col("total_us_since_release").cast(DoubleType) / col("engagement_events"))
+      .drop("sum_score")
+  }
+
+  val postReleaseSql: String =
+    """WITH eng AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE event_type = 'view'),
+      |rel AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS release_event_id
+      |  FROM events WHERE event_type = 'signup'),
+      |j AS (
+      |  SELECT e.user_id, e.ts, e.value,
+      |    epoch_us(e.ts) - epoch_us(r.ts) AS us_since
+      |  FROM eng e ASOF JOIN rel r ON e.user_id = r.user_id AND e.ts >= r.ts)
+      |SELECT CAST(ts AS DATE) AS p_event_date, user_id,
+      |  COUNT(*) AS engagement_events,
+      |  CAST(SUM(us_since) AS BIGINT) AS total_us_since_release,
+      |  CAST(MAX(us_since) AS BIGINT) AS max_us_since_release,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_score,
+      |  CAST(SUM(us_since) AS DOUBLE) / COUNT(*) AS avg_us_since_release
+      |FROM j GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_post_release"      -> (postRelease _),
     "q_velocity"          -> (velocity _),
     "q_churn"             -> (churn _),
     "q_engagement_bands"  -> (engagementBands _),
@@ -367,6 +423,7 @@ object EventKpis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_post_release"      -> postReleaseSql,
     "q_velocity"          -> velocitySql,
     "q_churn"             -> churnSql,
     "q_engagement_bands"  -> engagementBandsSql,

@@ -67,6 +67,26 @@ class GoldSpec extends SparkSpec {
     assert(rows("ENGAGEMENT") == (2L, 1.0)) // 1h, 1h (last event has no next)
   }
 
+  test("post-release engagement: pre-release events drop, hours measured from release") {
+    val lines = Seq(
+      Fixtures.valid(id = "P0", eventType = "reader_engagement", stage = "ENGAGEMENT",
+        occurredAt = "2026-01-15T09:00:00Z", metrics = """{"engagementScore": "10"}"""),
+      Fixtures.valid(id = "REL", eventType = "publish_released", stage = "RELEASED",
+        occurredAt = "2026-01-15T12:00:00Z", metrics = "{}"),
+      Fixtures.valid(id = "E1", eventType = "reader_engagement", stage = "ENGAGEMENT",
+        occurredAt = "2026-01-15T14:00:00Z", metrics = """{"engagementScore": "60"}"""),
+      Fixtures.valid(id = "E2", eventType = "reader_engagement", stage = "ENGAGEMENT",
+        occurredAt = "2026-01-15T16:00:00Z", metrics = """{"engagementScore": "80"}"""))
+    val sv = Silver.transform(Bronze.ingest(spark, Seq(Fixtures.writeNdjson(lines)))).events
+    val r = Gold.postReleaseEngagement(sv, asOf = lit("2026-02-01").cast("date")).collect()
+    assert(r.length == 1, r.mkString("; "))
+    val row = r.head
+    assert(row.getAs[Long]("engagement_events") == 2L) // P0 is pre-release
+    assert(row.getAs[Double]("avg_engagement_score") == 70.0)
+    assert(row.getAs[Double]("avg_hours_since_release") == 3.0) // 2h and 4h
+    assert(row.getAs[Double]("max_hours_since_release") == 4.0)
+  }
+
   test("band10 edge cases: null preserved, negatives clamp to 0, 100 stays 100") {
     import spark.implicits._
     val df = Seq(Some(-5.0), Some(0.0), Some(9.99), Some(100.0), None)

@@ -4,7 +4,7 @@ import graft.SparkSpec
 
 class PipelineSpec extends SparkSpec {
 
-  test("medallion pipeline end-to-end: bronze → silver(+rejects) → 5 gold tables") {
+  test("medallion pipeline end-to-end: bronze → silver(+rejects) → 6 gold tables") {
     val events = Fixtures.writeNdjson(
       Fixtures.validPerType ++ Fixtures.rejectLines.map(_._2))
     val root = java.nio.file.Files.createTempDirectory("wh").toString
@@ -19,6 +19,7 @@ class PipelineSpec extends SparkSpec {
     assert(counts.bands == 1L)       // one engagement band group
     assert(counts.dropoff == 1L)     // one (day, tenant, story) key
     assert(counts.bottlenecks > 0L)
+    assert(counts.postRelease == 1L) // the one engagement event after release
 
     // partition layout: silver events are hive-partitioned by event date
     val silverDir = new java.io.File(s"$root/silver_events")
@@ -153,6 +154,7 @@ class PipelineSpec extends SparkSpec {
     assert(canon(TableIO.read(spark, wh.engagementBands)) == canon(Gold.engagementBands(ev)))
     assert(canon(TableIO.read(spark, wh.dropoff)) == canon(Gold.dropoffRate(ev)))
     assert(canon(TableIO.read(spark, wh.bottlenecks)) == canon(Gold.stageBottlenecks(ev)))
+    assert(canon(TableIO.read(spark, wh.postRelease)) == canon(Gold.postReleaseEngagement(ev)))
 
     // the refresh's silver scan is partition-pruned on p_event_date
     val p = ev.filter(col("p_event_date") === to_date(lit("2026-01-16")))
