@@ -41,18 +41,47 @@ object SparkEntry {
               to_date(col("ts")).as("p_date"), col("signup_event_id"))
         }),
         "q_sessionize" -> (Sessionize.sessionStats _),
-        // approximate distinct sketch (HLL++): rows-only check — approx
-        // values are engine-specific so no DuckDB oracle is declared
-        "q_approx_distinct" -> ((s: SparkSession, dir: String) =>
+        // approximate distinct via the deterministic KMV sketch
+        // (graft.functions.KmvSketchAgg): same mergeable-bounded-state shape
+        // as HLL++, but the estimate is a pure function of md5 hashes, so
+        // the VALUE (not just the row count) checks against the DuckDB
+        // oracle. At sf0.001 groups stay under k (exact path); at sf0.01
+        // they exceed it (estimator path) — both branches are oracle-hit.
+        "q_approx_distinct" -> ((s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions.{col, count, lit}
           graft.sources.Tables.lineitem(s, dir)
-            .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+            .groupBy(col("l_returnflag"))
             .agg(
-              org.apache.spark.sql.functions
-                .approx_count_distinct(org.apache.spark.sql.functions.col("l_partkey"))
-                .as("approx_parts"),
-              org.apache.spark.sql.functions.count(
-                org.apache.spark.sql.functions.lit(1)).as("n_rows"))),
+              // the agg md5-hashes its input internally
+              graft.functions.KmvSketchAgg(
+                col("l_partkey").cast("string"), KmvK).as("approx_parts"),
+              count(lit(1)).as("n_rows"))
+        }),
       )
+
+  private val KmvK = 1024
+
+  private val approxDistinctSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS hx
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, hx,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hx) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+       |  FROM h),
+       |est AS (
+       |  SELECT l_returnflag,
+       |    CASE WHEN MAX(nd) < $KmvK THEN MAX(nd)
+       |      ELSE CAST(FLOOR(CAST(${KmvK - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) /
+       |        GREATEST(CAST(concat('0x',
+       |          substr(MAX(CASE WHEN rn = $KmvK THEN hx END), 1, 13)) AS BIGINT), 1))
+       |        AS BIGINT)
+       |    END AS approx_parts
+       |  FROM r GROUP BY 1),
+       |cnt AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, CAST(e.approx_parts AS BIGINT) AS approx_parts, c.n_rows
+       |FROM est e JOIN cnt c USING (l_returnflag)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -68,5 +97,6 @@ object SparkEntry {
         "q_asof_join" -> AsOfJoin.purchaseAsofSignupSql,
         "q_asof_native" -> AsOfJoin.purchaseAsofSignupSql,
         "q_sessionize" -> Sessionize.sessionStatsSql,
+        "q_approx_distinct" -> approxDistinctSql,
       )
 }

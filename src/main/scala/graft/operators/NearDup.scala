@@ -301,37 +301,34 @@ object NearDup {
   // DIAMETER, not corpus size. Labels are re-cached per round and the pair
   // graph (orders smaller than the corpus) is cached once.
   // --------------------------------------------------------------------------
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = cachedShingles(docs)
-    val pairs = verifyJaccard(lshCandidates(bandKeys(signatures(sh))), sh)
-      .select(col("doc_a"), col("doc_b")).cache()
-    // eager: every loop round references the edge set from several subtrees
-    // that AQE submits concurrently — a lazy cache would recompute the whole
-    // LSH verify chain per subtree per round (same failure mode as the
-    // shingle cache; observed 5-20× blowup)
-    pairs.count()
-    val edges = pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    edges.count()
-    // propagation runs ONLY over docs that have an edge — near-dup members
-    // are a small fraction of any healthy corpus, so the iterative joins
-    // touch the pair subgraph, never the corpus; untouched docs join back
-    // at the end as their own singleton cluster.
-    //
-    // localCheckpoint (not cache) per round: the label frame's LINEAGE
-    // otherwise grows by two joins every iteration, and each round's action
-    // re-analyzes the whole accumulated plan — driver planning time quickly
-    // dwarfs the (tiny) stage work. Checkpointing truncates the plan to the
-    // materialized blocks, keeping per-round planning cost constant — the
-    // standard shape for iterative algorithms on DataFrames.
-    // round-0 seeding folds the first propagation step into the init agg:
-    // label_0 = min(self, direct neighbors) — one groupBy, no join. For the
-    // dominant near-dup shape (pair cliques) this IS the fixpoint, so the
-    // loop body runs once purely to confirm convergence.
+  /** Min-label propagation to fixpoint over a BIDIRECTIONAL edge list
+    * (columns doc_a, doc_b); returns (doc_id, cluster_id) for every doc with
+    * at least one edge.
+    *
+    * Propagation runs ONLY over docs that have an edge — near-dup members
+    * are a small fraction of any healthy corpus, so the iterative joins
+    * touch the pair subgraph, never the corpus; untouched docs join back at
+    * the end as their own singleton cluster (see dedupClusters).
+    *
+    * localCheckpoint (not cache) per round: the label frame's LINEAGE
+    * otherwise grows by two joins every iteration, and each round's action
+    * re-analyzes the whole accumulated plan — driver planning time quickly
+    * dwarfs the (tiny) stage work. Checkpointing truncates the plan to the
+    * materialized blocks, keeping per-round planning cost constant — the
+    * standard shape for iterative algorithms on DataFrames.
+    *
+    * Round-0 seeding folds the first propagation step into the init agg:
+    * label_0 = min(self, direct neighbors) — one groupBy, no join. For the
+    * dominant near-dup shape (pair cliques) this IS the fixpoint, so the
+    * loop body runs once purely to confirm convergence — and that
+    * confirmation is ONE job per round: the checkpoint is lazy, so the
+    * convergence count both materializes the round's labels and measures
+    * the delta in the same job (previously: one eager-checkpoint job plus a
+    * separate count job per round). */
+  def labelPropagate(edges: DataFrame): DataFrame = {
     var labels = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(least(col("doc_a"), min(col("doc_b"))).as("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint() // eager: the loop body reads it twice per job
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -345,10 +342,27 @@ object NearDup {
         .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by the count below
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
     }
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = cachedShingles(docs)
+    val pairs = verifyJaccard(lshCandidates(bandKeys(signatures(sh))), sh)
+      .select(col("doc_a"), col("doc_b")).cache()
+    // eager: every loop round references the edge set from several subtrees
+    // that AQE submits concurrently — a lazy cache would recompute the whole
+    // LSH verify chain per subtree per round (same failure mode as the
+    // shingle cache; observed 5-20× blowup)
+    pairs.count()
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    edges.count()
+    val labels = labelPropagate(edges)
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -356,10 +370,14 @@ object NearDup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
-  /** Oracle: the same pair graph, with label propagation UNROLLED 4 rounds —
-    * equal to the fixpoint whenever every component's min-label reaches all
-    * members within 4 hops, which the tiny near-dup clusters of every test
-    * SF satisfy (the driver's hash compare would catch a violation). */
+  /** Oracle: the same pair graph, with the component minimum computed as a
+    * RECURSIVE reachability closure — cluster_id(doc) = MIN(doc_id reachable
+    * from doc), the exact single-linkage fixpoint with NO unroll horizon
+    * (the historical 4-round unroll silently assumed min-label eccentricity
+    * ≤ 4; a recursive CTE iterates until the frontier is empty, so any
+    * diameter matches the Spark fixpoint by construction). The closure table
+    * is Σ component_size² rows — near-dup components are tiny, so this stays
+    * far smaller than the corpus. */
   val dedupClustersSql: String = {
     val mhCols = (0 until NumHashes)
       .map(i => s"MIN(md5(shingle || '#$i')) AS mh$i").mkString(", ")
@@ -367,16 +385,7 @@ object NearDup {
       val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
     }.mkString(" UNION ALL ")
-    val rounds = (1 to 4).map { i =>
-      s"""l$i AS (
-         |  SELECT l.doc_id,
-         |    LEAST(l.cluster_id, COALESCE(MIN(n.cluster_id), l.cluster_id)) AS cluster_id
-         |  FROM l${i - 1} l
-         |  LEFT JOIN edges e ON e.src = l.doc_id
-         |  LEFT JOIN l${i - 1} n ON n.doc_id = e.dst
-         |  GROUP BY l.doc_id, l.cluster_id)""".stripMargin
-    }.mkString(",\n")
-    shinglesCte + ",\n" +
+    shinglesCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
       s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
          |bands AS ($bandSelects),
          |cand AS (
@@ -398,9 +407,14 @@ object NearDup {
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
-         |$rounds
-         |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM l4""".stripMargin
+         |reach AS (
+         |  SELECT src AS doc_id, src AS r FROM edges
+         |  UNION
+         |  SELECT re.doc_id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+         |lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(lb.cluster_id, d.doc_id) AS cluster_id,
+         |  d.doc_id = COALESCE(lb.cluster_id, d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN lab lb ON lb.doc_id = d.doc_id""".stripMargin
   }
 
   val ngramJaccardSql: String =

@@ -74,9 +74,9 @@ object TableIO {
       var nFiles = 0
       val it = fs.listFiles(stage, true)
       while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
-      // schema rides in the manifest (LAST key — read() relies on that) so
-      // an EMPTY partitioned table stays readable: a partitioned write of
-      // zero rows emits no parquet files, leaving nothing to infer from
+      // schema rides in the manifest so an EMPTY partitioned table stays
+      // readable: a partitioned write of zero rows emits no parquet files,
+      // leaving nothing to infer from (read() JSON-parses it back out)
       val manifest = s"""{"nonce":"$nonce","files":$nFiles,"partition_by":[${
         partitionBy.map("\"" + _ + "\"").mkString(",")}],"schema":${df.schema.json}}"""
       val out = fs.create(new Path(stage, ManifestFile), true)
@@ -131,9 +131,13 @@ object TableIO {
         val bytes = new Array[Byte](fs.getFileStatus(mf).getLen.toInt)
         val in = fs.open(mf)
         try in.readFully(bytes) finally in.close()
-        val json = new String(bytes, "UTF-8")
-        val schemaJson = json.substring(json.indexOf("\"schema\":") + 9, json.length - 1)
-        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        // real JSON parse (Jackson, already on Spark's classpath) — a
+        // positional substring would break on key reordering or on the
+        // literal `"schema":` appearing inside StructField metadata
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(bytes, "UTF-8"))
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(node.get("schema").toString)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         spark.read.schema(schema).parquet(path)
     }
@@ -170,6 +174,17 @@ object TableIO {
   /** Overwrite `path` with rows clustered along the Z-curve of (a, b):
     * range-partition by z-value (so file boundaries follow the curve), then
     * sort within partitions. */
+  /** Rewrite the table clustered along the Z-curve with TILE-ALIGNED file
+    * boundaries: the partition id is the z-value's top bits (an identity
+    * partitioner), not a sampled range split. Sampled boundaries
+    * (repartitionByRange) land a few rows past power-of-two z lines often
+    * enough that a file straddling e.g. the z-space midline carries
+    * min/max stats spanning BOTH dimensions' full width — exactly the files
+    * stats pruning then can't skip. Aligned buckets make every file's
+    * (a, b) ranges provably ≤ the tile width, deterministically. The RDD
+    * hop exists because Spark SQL exposes no explicit-partition-placement
+    * exchange; this is the rare per-partition-imperative case, and it is an
+    * OPTIMIZE-style maintenance rewrite, not a query path. */
   def writeZOrdered(
       df: DataFrame,
       path: String,
@@ -177,9 +192,26 @@ object TableIO {
       b: String,
       bits: Int = 16): Unit = {
     import org.apache.spark.sql.functions.col
-    val z = zValue(col(a), col(b), bits)
-    write(df.repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
-      z).sortWithinPartitions(z), path)
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val zBits = 2 * bits
+    // smallest power of two ≥ n, capped by the z-space itself
+    val nBuckets = math.min(
+      1L << math.min(30, zBits),
+      if (Integer.bitCount(n) == 1) n.toLong else Integer.highestOneBit(n).toLong * 2).toInt
+    val shift = math.max(0, zBits - Integer.numberOfTrailingZeros(nBuckets))
+    val keyed = df.withColumn("__z", zValue(col(a), col(b), bits))
+    val schema = keyed.schema
+    val zIdx = schema.fieldIndex("__z")
+    val placed = keyed.rdd
+      .keyBy(r => (r.getLong(zIdx) >>> shift).toInt)
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = nBuckets
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    write(spark.createDataFrame(placed, schema)
+      .sortWithinPartitions(col("__z")).drop("__z"), path)
   }
 
   /** Small-file compaction — the other half of the reference's OPTIMIZE

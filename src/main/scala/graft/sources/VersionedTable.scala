@@ -1,8 +1,10 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Versioned parquet table — the transaction-log-lite answer to the
   * reference's Delta features this environment has no jars for
@@ -11,21 +13,34 @@ import org.apache.spark.sql.functions._
   *
   * layout
   * {{{
-  *   <path>/v=00000001/...parquet      immutable version data
-  *   <path>/v=00000002/...parquet
-  *   <path>/_graft_log/00000001.json   commit manifests (the log)
+  *   <path>/d-1f3a9c2e/...parquet      immutable version data (token-named;
+  *   <path>/d-8b02d4f7/...parquet       referenced only via the log)
+  *   <path>/_graft_log/00000001.json   commit manifests (the log):
+  *                                     {"version":1,"dir":"d-1f3a9c2e","schema":{...}}
   * }}}
   *
-  * The COMMIT POINT is the atomic rename of the version's manifest into
-  * `_graft_log/` — data directories are written first and are unreferenced
-  * until their manifest lands, so a writer dying at ANY point leaves every
-  * previously-committed version readable and never exposes a partial one
-  * (same guarantee Delta gets from `_delta_log`). Readers resolve the
-  * latest committed version from the log, never by listing data dirs.
+  * The COMMIT POINT is the atomic create-if-absent of the version's manifest
+  * in `_graft_log/` — data directories are written first and are
+  * unreferenced until their manifest lands, so a writer dying at ANY point
+  * leaves every previously-committed version readable and never exposes a
+  * partial one (same guarantee Delta gets from `_delta_log`). Readers
+  * resolve the latest committed version from the log and open the data dir
+  * NAMED IN THE MANIFEST with the schema recorded there — so a committed
+  * version that nets to zero rows (an upsert that deletes everything, an
+  * empty stream batch) stays readable instead of failing schema inference.
   *
-  * Single-writer (matching the reference's one-runner-at-a-time local
-  * orchestration, `local/run_all.ps1`); concurrent writers would need a
-  * lock or CAS on the log, which local filesystems cannot give portably.
+  * MULTI-WRITER: optimistic concurrency like Delta's. Each writer stages
+  * its data under a private token-named dir, then claims version N by
+  * atomically creating `_graft_log/N.json` — on the local filesystem via a
+  * hard-link publish (POSIX `link(2)` fails if the target exists and the
+  * linked content is already complete — create-if-absent with no partial
+  * visibility), on HDFS-like filesystems via rename-no-replace. Exactly one
+  * writer wins a version slot; losers re-resolve the latest version and
+  * retry — `write` (snapshot semantics) just re-claims the next slot
+  * without rewriting data, `upsert` recomputes its merge against the new
+  * base first (its content depends on what it read). Orphaned data dirs
+  * from writers that died before committing are unreferenced and harmless;
+  * `vacuum` sweeps them once they are older than every live version.
   *
   *  - time travel: `read(spark, path, asOf = Some(v))`
   *  - change feed: `changes(spark, path, fromV, toV)` — row-level
@@ -38,10 +53,13 @@ object VersionedTable {
 
   private val LogDir = "_graft_log"
 
+  /** Give up after this many lost commit races (a pathological writer storm,
+    * not a normal contention level). */
+  val MaxCommitRetries = 20
+
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def vdir(root: Path, v: Long) = new Path(root, f"v=$v%08d")
   private def manifest(root: Path, v: Long) = new Path(root, f"$LogDir/$v%08d.json")
 
   /** Committed versions, ascending (empty for a nonexistent table). */
@@ -57,36 +75,102 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
+  private final case class Commit(dir: String, schema: Option[StructType])
+
+  private def readManifest(f: FileSystem, root: Path, v: Long): Commit = {
+    val mf = manifest(root, v)
+    val bytes = new Array[Byte](f.getFileStatus(mf).getLen.toInt)
+    val in = f.open(mf)
+    try in.readFully(bytes) finally in.close()
+    val node = new ObjectMapper().readTree(new String(bytes, "UTF-8"))
+    val schema = Option(node.get("schema")).map(s =>
+      DataType.fromJson(s.toString).asInstanceOf[StructType])
+    Commit(node.get("dir").asText, schema)
+  }
+
+  /** Stage `df` under a fresh private token dir; nothing references it until
+    * a manifest commits. */
+  private def stageData(df: DataFrame, root: Path): Path = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dir = new Path(root, s"d-$token")
+    df.write.mode("overwrite").parquet(dir.toString)
+    dir
+  }
+
+  /** Claim version `v` by atomically creating its manifest. Returns false —
+    * with the stage file cleaned up — iff another writer holds `v`. */
+  private def tryCommit(
+      f: FileSystem, root: Path, v: Long, dirName: String, schemaJson: String): Boolean = {
+    val log = new Path(root, LogDir)
+    f.mkdirs(log)
+    val stage = new Path(root,
+      s".commit-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(stage, true)
+    try out.write(s"""{"version":$v,"dir":"$dirName","schema":$schemaJson}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+    val dest = manifest(root, v)
+    val localRoot = "file" == Option(root.toUri.getScheme).getOrElse("file")
+    val won =
+      if (localRoot) {
+        // POSIX link(2): atomic create-if-absent; the linked content is
+        // already complete, so no reader can observe a partial manifest
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(stage.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        // HDFS & object-store contracts: rename fails onto an existing file
+        !f.exists(dest) && f.rename(stage, dest)
+      }
+    f.delete(stage, false)
+    won
+  }
+
   /** Append a new version containing exactly `df` (full-snapshot semantics,
     * like the reference pipeline's overwrite-per-run tables). Returns the
-    * committed version number. */
+    * committed version number. Concurrency-safe: on a lost race the data is
+    * NOT rewritten — the writer just claims the next free version slot for
+    * the already-staged dir. */
   def write(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
-    val v = latestVersion(spark, path).getOrElse(0L) + 1L
-    val data = vdir(root, v)
-    // 1. data first — unreferenced until the manifest commits
-    df.write.mode("overwrite").parquet(data.toString)
-    // 2. manifest staged next to the log, then renamed in (atomic commit)
-    val log = new Path(root, LogDir)
-    f.mkdirs(log)
-    val stage = new Path(root, f".commit-$v%08d.tmp")
-    val out = f.create(stage, true)
-    try out.write(s"""{"version":$v,"dir":"${data.getName}"}""".getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(stage, manifest(root, v)))
-      throw new java.io.IOException(s"version $v commit failed for $path")
-    v
+    val data = stageData(df, root)
+    val schemaJson = df.schema.json
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val v = latestVersion(spark, path).getOrElse(0L) + 1L
+      if (tryCommit(f, root, v, data.getName, schemaJson)) committed = v
+      else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt commit races in a row; giving up")
+      }
+    }
+    committed
   }
 
-  /** Read the latest committed version, or `asOf` for time travel. */
+  /** Read the latest committed version, or `asOf` for time travel. The data
+    * dir and schema come from the commit manifest, so empty versions read
+    * fine and no footer inference runs. */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path has no committed versions")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"$path has no version $v (committed: $vs)")
-    spark.read.parquet(vdir(new Path(path), v).toString)
+    val root = new Path(path)
+    val c = readManifest(fs(spark, root), root, v)
+    val dir = new Path(root, c.dir).toString
+    c.schema match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None => spark.read.parquet(dir) // pre-schema manifests
+    }
   }
 
   /** MERGE-equivalent upsert (docs/runbooks/silver-transform.md:114-122:
@@ -98,7 +182,12 @@ object VersionedTable {
     *
     * Plan shape: one left_anti hash join of current-minus-updates on the
     * key (the only shuffle; broadcast when `updates` is small) + union —
-    * no per-row driver work, scales with the table. */
+    * no per-row driver work, scales with the table.
+    *
+    * Concurrency: the merge pins the base version it read; if another
+    * writer commits first, the claim on base+1 fails and the merge is
+    * RECOMPUTED against the new head (optimistic concurrency, Delta-style)
+    * — a lost race can never silently drop the other writer's rows. */
   def upsert(updates: DataFrame, path: String, keys: Seq[String]): Long =
     upsert(updates, path, keys, evolveSchema = false, latestBy = None)
 
@@ -124,6 +213,8 @@ object VersionedTable {
       latestBy: Option[String]): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     val spark = updates.sparkSession
+    val root = new Path(path)
+    val f = fs(spark, root)
     val deduped = latestBy match {
       case Some(ord) =>
         import org.apache.spark.sql.expressions.Window
@@ -139,14 +230,30 @@ object VersionedTable {
             "pass latestBy to pick a survivor")
         updates
     }
-    val merged = latestVersion(spark, path) match {
-      case None => deduped
-      case Some(_) =>
-        val current = read(spark, path)
-        current.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          .unionByName(deduped, allowMissingColumns = evolveSchema)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(spark, path)
+      val merged = base match {
+        case None => deduped
+        case Some(b) =>
+          // pin the exact version the merge is computed against — reading
+          // "latest" here would race a concurrent commit past the CAS check
+          val current = read(spark, path, Some(b))
+          current.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            .unionByName(deduped, allowMissingColumns = evolveSchema)
+      }
+      val data = stageData(merged, root)
+      if (tryCommit(f, root, base.getOrElse(0L) + 1L, data.getName, merged.schema.json))
+        committed = base.getOrElse(0L) + 1L
+      else {
+        f.delete(data, true) // stale merge — recompute against the new head
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt upsert commit races in a row; giving up")
+      }
     }
-    write(merged, path)
+    committed
   }
 
   /** Row-level change feed between two committed versions: multiset diff
@@ -170,16 +277,34 @@ object VersionedTable {
       .unionByName(b.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
-  /** Drop data + manifests of all but the last `keepLast` versions. */
+  /** Drop data + manifests of all but the last `keepLast` versions, plus any
+    * data dir no manifest references (orphans from dead uncommitted
+    * writers). Orphan sweep only removes dirs whose modification time
+    * precedes the oldest KEPT commit — an in-flight writer's fresh stage
+    * dir is never touched. */
   def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val root = new Path(path)
     val f = fs(spark, root)
-    versions(spark, path).dropRight(keepLast).foreach { v =>
+    val vs = versions(spark, path)
+    val (drop, keep) = (vs.dropRight(keepLast), vs.takeRight(keepLast))
+    drop.foreach { v =>
+      val c = readManifest(f, root, v)
       // manifest first: a crash between the two deletes must not leave a
       // committed version whose data is gone
       f.delete(manifest(root, v), false)
-      f.delete(vdir(root, v), true)
+      f.delete(new Path(root, c.dir), true)
+    }
+    val live = keep.map(v => readManifest(f, root, v).dir).toSet
+    val oldestKeptTime = keep.headOption
+      .map(v => f.getFileStatus(manifest(root, v)).getModificationTime)
+      .getOrElse(Long.MaxValue)
+    f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val versioned = n.startsWith("d-") || n.startsWith("v=") // incl. legacy layout
+      if (st.isDirectory && versioned && !live.contains(n) &&
+        st.getModificationTime < oldestKeptTime)
+        f.delete(st.getPath, true)
     }
   }
 }

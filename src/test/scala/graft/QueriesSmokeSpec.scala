@@ -5,10 +5,10 @@ package graft
   * gate; this spec catches runtime regressions early). */
 class QueriesSmokeSpec extends SparkSpec {
 
-  test("every oracle refers to a declared query; only sketch queries lack one") {
+  test("every oracle refers to a declared query; every query has an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_approx_distinct"))
+    assert(rowsOnly == Set.empty[String])
   }
 
   test("entry returns rows") {

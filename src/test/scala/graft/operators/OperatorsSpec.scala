@@ -103,6 +103,33 @@ class NearDupSpec extends SparkSpec {
     assert(!out.contains(4L) || out(4L)._2 > 0)
   }
 
+  test("label propagation: diameter-8 path converges; 4-round unroll provably would not") {
+    // path graph 1-2-3-…-9: the min label (1) sits at one END, so it needs 8
+    // propagation hops to reach node 9 — past the oracle's historical
+    // 4-round horizon
+    val pairs = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val fixpoint = NearDup.labelPropagate(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixpoint == (1L to 9L).map(_ -> 1L).toMap, fixpoint.toString)
+
+    // demonstrate why the oracle is a RECURSIVE closure and not a k-round
+    // unroll: a 4-round unroll (the oracle's historical shape) provably
+    // does NOT reach the fixpoint at this diameter
+    def unrolled(k: Int): Map[Long, Long] = {
+      var m = (1L to 9L).map(i => i -> i).toMap
+      (1 to k).foreach { _ =>
+        m = m.map { case (n, l) =>
+          val nbrs = Seq(n - 1, n + 1).filter(x => x >= 1 && x <= 9)
+          n -> (l +: nbrs.map(m)).min
+        }
+      }
+      m
+    }
+    assert(unrolled(4) != fixpoint, "diameter 8 must exceed a 4-round unroll")
+  }
+
   test("embed near-dup: LSH pairs are sound vs brute force; planted dups always caught") {
     // soundness: every banded-LSH pair is a true >=threshold pair with the
     // exact same cosine (the re-rank is exact, so LSH can only MISS, never

@@ -58,3 +58,39 @@ class MinHashSketchAggSpec extends SparkSpec {
     assert(sketch(1L).split('|').length == NearDup.NumHashes)
   }
 }
+
+class KmvSketchAggSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.KmvSketchAgg
+
+  private def estimate(n: Int, k: Int, parts: Int): Long =
+    (1 to n).map(i => s"v$i").toDF("v").repartition(parts)
+      .agg(KmvSketchAgg(col("v"), k).as("e")).head().getLong(0)
+
+  test("under k the sketch is exact, duplicates collapse") {
+    val dup = ((1 to 50) ++ (1 to 50)).map(i => s"v$i").toDF("v")
+    assert(dup.agg(KmvSketchAgg(col("v"), 1024).as("e")).head().getLong(0) == 50L)
+  }
+
+  test("estimate is partition-invariant (partial merges change nothing)") {
+    val a = estimate(5000, 256, 1)
+    val b = estimate(5000, 256, 32)
+    assert(a == b, s"$a vs $b")
+  }
+
+  test("estimate lands within the sketch's expected error band") {
+    // KMV relative std error ≈ 1/sqrt(k-2); allow 4 sigma
+    val k = 256
+    val n = 5000
+    val e = estimate(n, k, 8)
+    val tol = 4.0 / math.sqrt(k - 2.0) * n
+    assert(math.abs(e - n) <= tol, s"estimate $e vs true $n (tol $tol)")
+  }
+
+  test("nulls are ignored; all-null input estimates zero") {
+    val df = Seq[Option[String]](None, None, Some("a"), Some("b")).toDF("v")
+    assert(df.agg(KmvSketchAgg(col("v"), 16).as("e")).head().getLong(0) == 2L)
+    assert(Seq[Option[String]](None).toDF("v")
+      .agg(KmvSketchAgg(col("v"), 16).as("e")).head().getLong(0) == 0L)
+  }
+}

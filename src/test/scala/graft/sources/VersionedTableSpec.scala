@@ -19,6 +19,67 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("a committed version that nets to zero rows stays readable (manifest schema)") {
+    val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
+    VersionedTable.write(Seq((1, "a")).toDF("id", "v"), path)
+    val empty = Seq((1, "a")).toDF("id", "v").filter(lit(false))
+    val v2 = VersionedTable.write(empty, path)
+    val got = VersionedTable.read(spark, path, Some(v2))
+    assert(got.count() == 0)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("concurrent writers: every commit wins a distinct version, none are lost") {
+    val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
+    val writers = 4
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    import scala.jdk.CollectionConverters._
+    val futures = (1 to writers).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          VersionedTable.write(Seq((i, s"w$i")).toDF("id", "v"), path)
+        }
+      })
+    }
+    gate.countDown()
+    val got = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(got == (1L to writers.toLong), got.toString) // contiguous, all distinct
+    assert(VersionedTable.versions(spark, path) == (1L to writers.toLong))
+    // every version is readable and carries exactly its writer's snapshot
+    val snapshots = (1L to writers.toLong).map(v =>
+      VersionedTable.read(spark, path, Some(v)).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet)
+    assert(snapshots.toSet == (1 to writers).map(i => Set((i, s"w$i"))).toSet)
+  }
+
+  test("concurrent upserts: optimistic retry means no lost update") {
+    val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
+    VersionedTable.write(Seq((0, "base")).toDF("id", "v"), path)
+    val writers = 4
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val futures = (1 to writers).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          VersionedTable.upsert(Seq((i, s"u$i")).toDF("id", "v"), path, Seq("id"))
+        }
+      })
+    }
+    gate.countDown()
+    val got = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(got == (2L to (writers + 1).toLong), got.toString)
+    // the final head contains the base row AND all four upserts — a lost
+    // race recomputed its merge instead of clobbering the other writer
+    val head = VersionedTable.read(spark, path).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(head == (Set((0, "base")) ++ (1 to writers).map(i => (i, s"u$i"))), head.toString)
+  }
+
   test("change feed tags inserts and deletes between versions") {
     val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
     VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)

@@ -39,15 +39,23 @@ class ZOrderSpec extends SparkSpec {
     assert(maxBRange(zSorted) == 15, maxBRange(zSorted).toString)
     assert(maxBRange(lexSorted) == 63)
 
-    // end-to-end: writeZOrdered produces files whose per-file b-range is
-    // bounded, so min/max stats can prune scans filtered on b alone
+    // end-to-end: writeZOrdered places rows by the z-value's top bits
+    // (tile-ALIGNED file boundaries — deterministic, unlike sampled range
+    // splits, which can straddle a power-of-two z line and emit a file whose
+    // stats span b's full width). 8 aligned buckets over a 64x64 grid ⇒
+    // every file covers one z-span of 512: b-range ≤ 31, a-range ≤ 15.
     val path = java.nio.file.Files.createTempDirectory("zord").toString + "/t"
     TableIO.writeZOrdered(grid.toDF("a", "b"), path, "a", "b", bits = 6)
     val perFile = spark.read.parquet(path)
-      .select(input_file_name().as("f"), col("b"))
-      .groupBy("f").agg((max("b") - min("b")).as("range_b"))
-      .collect().map(_.getInt(1))
-    assert(perFile.length > 1)
-    assert(perFile.max < 63, s"z-ordered files must bound b, got ${perFile.max}")
+      .select(input_file_name().as("f"), col("a"), col("b"))
+      .groupBy("f").agg(
+        count(lit(1)).as("n"),
+        (max("b") - min("b")).as("range_b"),
+        (max("a") - min("a")).as("range_a"))
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(perFile.length == 8, perFile.mkString(","))
+    assert(perFile.forall(_._1 == 512L), perFile.mkString(","))
+    assert(perFile.forall(_._2 <= 31), s"aligned z files bound b: $perFile")
+    assert(perFile.forall(_._3 <= 15), s"aligned z files bound a: $perFile")
   }
 }
