@@ -64,7 +64,8 @@ object Bench {
         name -> -1.0
       }
     }.toMap
-    val passes = Seq.fill(3)(timedPass())
+    val nPasses = 3
+    val passes = Seq.fill(nPasses)(timedPass())
     val results = qs.map { case (name, _) =>
       val ts = passes.map(_(name)).filter(_ >= 0)
       name -> (if (ts.isEmpty) -1.0 else ts.min)
@@ -73,7 +74,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}""")
+    // per-query relative spread (max-min)/min across the passes, median over
+    // queries: quantifies this VM's JIT/scheduler jitter directly in the
+    // artifact, so round-over-round deltas smaller than the recorded jitter
+    // are read as noise, not regressions
+    val spreads = qs.flatMap { case (name, _) =>
+      val ts = passes.map(_(name)).filter(_ >= 0)
+      if (ts.size == nPasses && ts.min > 0) Some((ts.max - ts.min) / ts.min) else None
+    }.sorted
+    val jitterMedPct =
+      if (spreads.isEmpty) -1.0 else math.round(spreads(spreads.size / 2) * 1000) / 10.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":$nPasses,"stat":"per_query_min_of_$nPasses","jitter_med_pct":$jitterMedPct,"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

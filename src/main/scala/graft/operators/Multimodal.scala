@@ -11,10 +11,12 @@ import graft.sources.Tables
   *
   * The Spark-side plumbing is real — schema, partitioning, typed Dataset
   * encoders, batched per-partition iteration (the JVM analogue of an
-  * Arrow-batched pandas UDF) — while the actual codec is a STUB: this
-  * container has no image/audio libraries, so `decodeStub` derives
-  * deterministic "pixels" directly from the payload bytes. Swap `decodeStub`
-  * for a real codec (JPEG/PNG/ffmpeg) and nothing else changes.
+  * Arrow-batched pandas UDF). AUDIO is genuinely decoded ([[WavCodec]],
+  * RIFF/PCM-16) and IMAGE is genuinely decoded ([[ImageCodec]], PNG/BMP via
+  * the JDK's javax.imageio — no native libraries needed). Only VIDEO keeps
+  * a stub codec (`decodeStub` treats payload bytes as the signal): its
+  * codecs need native libraries this container lacks. Swap `decodeStub`
+  * for ffmpeg and nothing else changes.
   *
   * Scale notes: payloads stay columnar in parquet (binary column), feature
   * extraction is a narrow mapPartitions (no shuffle), and batching bounds
@@ -58,8 +60,9 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: a real implementation would decode the codec here; this
-    * one treats the payload bytes as the decoded signal. Deterministic. */
+  /** STUB decoder (video only — audio uses WavCodec, images ImageCodec): a
+    * real implementation would decode the codec here; this one treats the
+    * payload bytes as the decoded signal. Deterministic. */
   def decodeStub(content: Array[Byte]): Array[Byte] = content
 
   /** Batched per-partition feature extraction. Processes rows in fixed-size
@@ -157,6 +160,92 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------------
+  // Real image path: PNG payloads genuinely encoded AND decoded via
+  // ImageCodec (javax.imageio, pure JVM). The raster content is a closed
+  // form of doc_id, so the oracle can compute identical features WITHOUT a
+  // decoder — the Spark side still round-trips every payload through the
+  // real PNG codec, which is what the query verifies.
+  // --------------------------------------------------------------------------
+  final case class ImageRow(
+      doc_id: Long, content: Array[Byte], width: Int, height: Int)
+  final case class ImageFeatureRow(
+      doc_id: Long, width: Int, height: Int, n_px: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      max_luma: Int, min_luma: Int)
+
+  /** Deterministic synthetic raster corpus: each doc renders a small RGB
+    * raster whose pixels are a closed form of doc_id, encoded as REAL PNG
+    * bytes. Mirrors audioTable's real-WAV approach. */
+  def imageTable(spark: SparkSession, dir: String): Dataset[ImageRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 16 + 4).toInt
+      val h = (id % 12 + 4).toInt
+      val rgb = Array.tabulate(w * h) { i =>
+        val r = ((id * 31 + i * 7L)  % 256).toInt
+        val g = ((id * 17 + i * 13L) % 256).toInt
+        val b = ((id * 29 + i * 3L)  % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      ImageRow(id, ImageCodec.encodePng(ImageCodec.Image(w, h, rgb)), w, h)
+    }
+  }
+
+  /** Batched REAL decode + raster feature extraction — narrow
+    * mapPartitions, no shuffle, same batch shape as extractFeatures. */
+  def imageFeatures(images: Dataset[ImageRow], batchSize: Int = 64): Dataset[ImageFeatureRow] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { im =>
+        val f = ImageCodec.features(ImageCodec.decode(im.content))
+        ImageFeatureRow(im.doc_id, f.width, f.height, f.n_px,
+          f.mean_r, f.mean_g, f.mean_b, f.max_luma, f.min_luma)
+      })
+    }
+  }
+
+  /** Batched real decode → nearest-neighbor resize → re-encode. */
+  def resizeImages(images: Dataset[ImageRow], targetW: Int, targetH: Int): Dataset[ImageRow] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.map { im =>
+      val out = ImageCodec.resize(ImageCodec.decode(im.content), targetW, targetH)
+      ImageRow(im.doc_id, ImageCodec.encodePng(out), targetW, targetH)
+    })
+  }
+
+  // --------------------------------------------------------------------------
+  // q_image_features — end-to-end: synthesize raster → encode PNG → batched
+  // REAL decode → features. The oracle replays the closed-form raster in
+  // DuckDB list lambdas; a codec bug on either side of the round-trip
+  // breaks the hash. Integer sums / pixel count in double are exact, so no
+  // tolerance is needed beyond the shared round(,6).
+  // --------------------------------------------------------------------------
+  def imageFeaturesQuery(spark: SparkSession, dir: String): DataFrame =
+    imageFeatures(imageTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"),
+        col("max_luma"), col("min_luma"))
+
+  val imageFeaturesSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 16 + 4 AS INTEGER) AS width,
+      |  CAST(doc_id % 12 + 4 AS INTEGER) AS height,
+      |  CAST((doc_id % 16 + 4) * (doc_id % 12 + 4) AS BIGINT) AS n_px,
+      |  ROUND(CAST(list_sum(list_transform(range((doc_id%16+4)*(doc_id%12+4)), i -> (doc_id*31 + i*7) % 256)) AS DOUBLE)
+      |    / ((doc_id%16+4)*(doc_id%12+4)), 6) AS mean_r,
+      |  ROUND(CAST(list_sum(list_transform(range((doc_id%16+4)*(doc_id%12+4)), i -> (doc_id*17 + i*13) % 256)) AS DOUBLE)
+      |    / ((doc_id%16+4)*(doc_id%12+4)), 6) AS mean_g,
+      |  ROUND(CAST(list_sum(list_transform(range((doc_id%16+4)*(doc_id%12+4)), i -> (doc_id*29 + i*3) % 256)) AS DOUBLE)
+      |    / ((doc_id%16+4)*(doc_id%12+4)), 6) AS mean_b,
+      |  CAST(list_max(list_transform(range((doc_id%16+4)*(doc_id%12+4)),
+      |    i -> (77*((doc_id*31 + i*7) % 256) + 150*((doc_id*17 + i*13) % 256) + 29*((doc_id*29 + i*3) % 256)) // 256)) AS INTEGER) AS max_luma,
+      |  CAST(list_min(list_transform(range((doc_id%16+4)*(doc_id%12+4)),
+      |    i -> (77*((doc_id*31 + i*7) % 256) + 150*((doc_id*17 + i*13) % 256) + 29*((doc_id*29 + i*3) % 256)) // 256)) AS INTEGER) AS min_luma
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_multimodal_features — end-to-end: media table → batched decode+extract.
   // Oracle-checkable because the corpus is ASCII: utf-8 byte stats equal
   // char-code stats, which DuckDB can compute with list lambdas.
@@ -179,9 +268,11 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),
+    "q_image_features"      -> (imageFeaturesQuery _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_image_features"      -> imageFeaturesSql,
   )
 }

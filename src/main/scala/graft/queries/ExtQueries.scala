@@ -81,6 +81,47 @@ object ExtQueries {
       |GROUP BY n_name""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tpch_q17 — small-quantity-revenue shape (TPC-H Q17): lineitems whose
+  // quantity is below half the per-part average, grouped by brand. The
+  // per-part average is a CORRELATED scalar subquery — Catalyst's
+  // decorrelation (RewriteCorrelatedScalarSubquery) turns each subquery
+  // into a per-partkey aggregate joined back on the correlation key, so the
+  // physical plan is two shuffled aggregates + equi-joins, never a
+  // per-outer-row re-scan. That rewrite is what makes the shape viable at
+  // 100 TB: the subquery aggregate is computed ONCE per part, not once per
+  // probing lineitem.
+  //
+  // Determinism: `qty < 0.5 * avg(qty)` is restated as `2*qty*cnt < sum`
+  // in exact DECIMAL/BIGINT arithmetic — a floating-point average would be
+  // summation-order-dependent and could flip boundary rows between engines.
+  // --------------------------------------------------------------------------
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q17_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("q17_part")
+    spark.sql(
+      """SELECT p.p_brand,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue,
+        |  COUNT(*) AS n_small
+        |FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+        |WHERE CAST(2 AS DECIMAL(2,0)) * CAST(l.l_quantity AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM q17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+        |       FROM q17_lineitem l3 WHERE l3.l_partkey = p.p_partkey)
+        |GROUP BY p.p_brand""".stripMargin)
+  }
+
+  val tpchQ17Sql: String =
+    """SELECT p.p_brand,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_small
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE CAST(2 AS DECIMAL(2,0)) * CAST(l.l_quantity AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+      |       FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey)
+      |GROUP BY p.p_brand""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_range_join — equi + time-range join: for each purchase, count the same
   // user's events in the following 5 minutes. The equi key keeps this a
   // hash/sort-merge join with a residual range condition — scalable, unlike
@@ -206,6 +247,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3"      -> (tpchQ3 _),
     "q_tpch_q5"      -> (tpchQ5 _),
+    "q_tpch_q17"     -> (tpchQ17 _),
     "q_range_join"   -> (rangeJoin _),
     "q_salted_agg"   -> (saltedAgg _),
     "q_rolling_hash" -> (rollingHash _),
@@ -216,6 +258,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "q_tpch_q3"      -> tpchQ3Sql,
     "q_tpch_q5"      -> tpchQ5Sql,
+    "q_tpch_q17"     -> tpchQ17Sql,
     "q_range_join"   -> rangeJoinSql,
     "q_salted_agg"   -> saltedAggSql,
     "q_rolling_hash" -> rollingHashSql,

@@ -73,6 +73,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!cRead.contains("source") && !cRead.contains("n_chars"), cRead)
   }
 
+  test("q_tpch_q17: correlated scalar subqueries are decorrelated into joins") {
+    val p = plan("q_tpch_q17")
+    // decorrelation leaves no per-row subquery execution: the correlated
+    // aggregates become per-partkey HashAggregates joined back on the
+    // correlation key — no scalar-subquery node, no nested loop
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("Tables.spread is a no-op on well-split input, an exchange only when under-split") {
     import org.apache.spark.sql.functions._
     val lineitem = graft.sources.Tables.lineitem(spark, sf0001)

@@ -42,4 +42,65 @@ class MultimodalSpec extends SparkSpec {
     val videoIds = media.filter(_.media_type == "video").collect().map(_.doc_id).toSet
     assert(frames.map(_.doc_id).toSet.subsetOf(videoIds))
   }
+
+  // ---- real image codec (ImageCodec, javax.imageio) ----
+
+  test("PNG and BMP round-trip bit-for-bit (lossless 8-bit RGB)") {
+    val img = ImageCodec.Image(3, 2, Array(0xff0000, 0x00ff00, 0x0000ff,
+                                           0x123456, 0x000000, 0xffffff))
+    val png = ImageCodec.encodePng(img)
+    assert(ImageCodec.isPng(png) && !ImageCodec.isBmp(png))
+    val backP = ImageCodec.decode(png)
+    assert(backP.width == 3 && backP.height == 2)
+    assert(backP.rgb.sameElements(img.rgb))
+    val bmp = ImageCodec.encodeBmp(img)
+    assert(ImageCodec.isBmp(bmp) && !ImageCodec.isPng(bmp))
+    assert(ImageCodec.decode(bmp).rgb.sameElements(img.rgb))
+  }
+
+  test("features are closed-form on a constant raster") {
+    // every pixel 0x402010: means are exact channel values, luma is the
+    // integer BT.601 form of that single color
+    val img = ImageCodec.Image(5, 4, Array.fill(20)(0x402010))
+    val f = ImageCodec.features(img)
+    assert(f.n_px == 20 && f.width == 5 && f.height == 4)
+    assert(f.mean_r == 64.0 && f.mean_g == 32.0 && f.mean_b == 16.0)
+    val luma = (77 * 64 + 150 * 32 + 29 * 16) >> 8
+    assert(f.max_luma == luma && f.min_luma == luma)
+  }
+
+  test("nearest-neighbor resize: 2x2 checkerboard upscales to exact 2x2 blocks") {
+    val img = ImageCodec.Image(2, 2, Array(0xffffff, 0x000000, 0x000000, 0xffffff))
+    val up = ImageCodec.resize(img, 4, 4)
+    val w = 0xffffff; val k = 0x000000
+    assert(up.rgb.toSeq == Seq(
+      w, w, k, k,
+      w, w, k, k,
+      k, k, w, w,
+      k, k, w, w))
+    // downscale back recovers the original corners
+    val down = ImageCodec.resize(up, 2, 2)
+    assert(down.rgb.sameElements(img.rgb))
+  }
+
+  test("image table payloads are real PNGs; distributed decode matches closed form") {
+    val imgs = Multimodal.imageTable(spark, sf0001).cache()
+    imgs.collect().take(10).foreach(r => assert(ImageCodec.isPng(r.content)))
+    val feats = Multimodal.imageFeatures(imgs, batchSize = 7)
+      .collect().map(f => f.doc_id -> f).toMap
+    imgs.collect().take(20).foreach { r =>
+      val id = r.doc_id
+      val n = (id % 16 + 4) * (id % 12 + 4)
+      val f = feats(id)
+      assert(f.n_px == n)
+      val reds = (0L until n).map(i => (id * 31 + i * 7) % 256)
+      assert(f.mean_r == reds.sum.toDouble / n)
+    }
+    val resized = Multimodal.resizeImages(imgs, 8, 6).collect()
+    resized.foreach { r =>
+      val back = ImageCodec.decode(r.content)
+      assert(back.width == 8 && back.height == 6)
+    }
+    imgs.unpersist()
+  }
 }
