@@ -36,55 +36,72 @@ object Bench {
     }
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    // JIT/codegen warmup on the tiny SF, then one untimed pass at the target
-    // SF so the measured pass reports steady-state engine throughput rather
-    // than first-touch page-cache misses on whichever query runs first.
+    // One full JIT/codegen warmup pass on the tiny SF so classloading and
+    // whole-stage-codegen compilation of every query's plan happens before
+    // any measurement (cold-JVM skew put 19s on whichever query ran first).
     qs.foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
-    qs.foreach { case (_, fn) =>
-      try run(fn, sfDir) catch { case _: Throwable => () }
-    }
-    // let the JIT compile queue drain: ~80 warmup query executions enqueue
+    // let the JIT compile queue drain: ~40 warmup query executions enqueue
     // thousands of C2 tasks; measuring into that backlog times tier-1 code
     Thread.sleep(20000)
-    // three interleaved timed passes, per-query minimum: JIT-deopt storms on
-    // this VM degrade arbitrary 1-2 minute windows; a window covers one
-    // pass's execution of a query but rarely all three, so min-of-3 reports
-    // steady-state engine throughput instead of which pass got unlucky.
-    // A crashing query records -1 (never a misleading partial duration) and
-    // bumps the failure count in the output line.
-    def timedPass(): Map[String, Double] = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        run(fn, sfDir)
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+    // PER-QUERY BLOCKS, not interleaved passes: one discarded warm-up
+    // execution at the target SF immediately before that query's timed
+    // n=3 — so the page cache, broadcast relations, and deopt-recompiled
+    // code for THIS query are hot when its clock starts, instead of having
+    // been evicted by ~40 other queries between warm-up and measurement
+    // (the interleaved-pass design measured 86% median spread between
+    // passes of the same query; deltas smaller than that were unreadable).
+    // Per query we report min (steady-state engine throughput, robust to
+    // one-off deopt storms) AND median (the typical execution, robust to a
+    // single lucky pass) — `queries` stays min for cross-round continuity,
+    // `queries_med` carries the medians. A crashing query records -1
+    // (never a misleading partial duration) and bumps the failure count.
+    val nTimed = 3
+    def timeBlock(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
+      try run(fn, sfDir) catch { case _: Throwable => () } // discarded warm-up
+      (1 to nTimed).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          run(fn, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
       }
-    }.toMap
-    val nPasses = 3
-    val passes = Seq.fill(nPasses)(timedPass())
-    val results = qs.map { case (name, _) =>
-      val ts = passes.map(_(name)).filter(_ >= 0)
-      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val samples: Seq[(String, Seq[Double])] =
+      qs.map { case (name, fn) => name -> timeBlock(name, fn) }
+    def medianOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = samples.map { case (name, all) =>
+      val ts = all.filter(_ >= 0)
+      (name,
+        if (ts.isEmpty) -1.0 else ts.min,
+        if (ts.isEmpty) -1.0 else medianOf(ts))
+    }
+    val qjson = results.map { case (k, mn, _) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val qjsonMed = results.map { case (k, _, md) => "\"" + k + "\":" + md }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // per-query relative spread (max-min)/min across the passes, median over
-    // queries: quantifies this VM's JIT/scheduler jitter directly in the
-    // artifact, so round-over-round deltas smaller than the recorded jitter
-    // are read as noise, not regressions
-    val spreads = qs.flatMap { case (name, _) =>
-      val ts = passes.map(_(name)).filter(_ >= 0)
-      if (ts.size == nPasses && ts.min > 0) Some((ts.max - ts.min) / ts.min) else None
+    val totalMed = results.map(_._3).filter(_ >= 0).sum
+    // per-query relative spread (max-min)/min across the timed runs, median
+    // over queries: quantifies residual jitter directly in the artifact, so
+    // round-over-round deltas smaller than the recorded jitter read as
+    // noise, not regressions
+    val spreads = samples.flatMap { case (_, all) =>
+      val ts = all.filter(_ >= 0)
+      if (ts.size == nTimed && ts.min > 0) Some((ts.max - ts.min) / ts.min) else None
     }.sorted
     val jitterMedPct =
       if (spreads.isEmpty) -1.0 else math.round(spreads(spreads.size / 2) * 1000) / 10.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":$nPasses,"stat":"per_query_min_of_$nPasses","jitter_med_pct":$jitterMedPct,"queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","jitter_med_pct":$jitterMedPct,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -325,7 +325,15 @@ object NearDup {
     * convergence count both materializes the round's labels and measures
     * the delta in the same job (previously: one eager-checkpoint job plus a
     * separate count job per round). */
-  def labelPropagate(edges: DataFrame): DataFrame = {
+  def labelPropagate(pairs: DataFrame): DataFrame = {
+    // Symmetrize LAZILY: `edges` is a narrow union of two column-swapped
+    // scans of the (cached, already-materialized) pair frame — giving it its
+    // own cache + priming count added a whole driver job for data the pair
+    // cache already holds. Reading the cache twice per round is free by
+    // comparison; the AQE-concurrent-subtree recompute hazard needs a COLD
+    // cache, and `pairs` is primed before this runs (see dedupClusters).
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(least(col("doc_a"), min(col("doc_b"))).as("cluster_id"))
       .localCheckpoint() // eager: the loop body reads it twice per job
@@ -359,10 +367,7 @@ object NearDup {
     // LSH verify chain per subtree per round (same failure mode as the
     // shingle cache; observed 5-20× blowup)
     pairs.count()
-    val edges = pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    edges.count()
-    val labels = labelPropagate(edges)
+    val labels = labelPropagate(pairs)
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -669,10 +674,15 @@ object NearDup {
     }
   }
 
+  /** Hyperplane sign bits for one band. The dot product is ROUNDED before
+    * the sign test (repo convention, same as the cosine round(,6)): the
+    * oracle recomputes it with DuckDB's list_sum, and a raw float sum within
+    * rounding error of zero could flip sign on one engine only from
+    * summation order — silently changing the candidate set. */
   private def embedBandKey(v: Column, band: Int): Column = {
     import graft.functions.VectorFunctions._
     (0 until EmbedPlanesPerBand).map { p =>
-      when(dot(typedLit(embedPlanes(band)(p).toSeq), v) >= 0.0, lit(1 << p))
+      when(round(dot(typedLit(embedPlanes(band)(p).toSeq), v), 6) >= 0.0, lit(1 << p))
         .otherwise(lit(0))
     }.reduce(_ + _)
   }
@@ -725,8 +735,8 @@ object NearDup {
   lazy val embedNearDupSql: String = {
     def lit64(a: Array[Double]): String = a.mkString("[", ", ", "]")
     def keyExpr(band: Int): String = (0 until EmbedPlanesPerBand).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, LEN(v) + 1),
-         |  i -> (${lit64(embedPlanes(band)(p))})[i] * v[i])) >= 0.0 THEN ${1 << p} ELSE 0 END)"""
+      s"""(CASE WHEN ROUND(list_sum(list_transform(range(1, LEN(v) + 1),
+         |  i -> (${lit64(embedPlanes(band)(p))})[i] * v[i])), 6) >= 0.0 THEN ${1 << p} ELSE 0 END)"""
         .stripMargin.replaceAll("\n", " ")
     }.mkString(" + ")
     val keyCols = (0 until EmbedBands).map(b => s"${keyExpr(b)} AS k$b").mkString(",\n    ")

@@ -156,11 +156,16 @@ object TableIO {
     import org.apache.spark.sql.functions.{concat_ws, lit, raise_error, shiftright, when}
     import org.apache.spark.sql.types.LongType
     // out-of-range values would alias mod 2^bits and silently destroy the
-    // locality the clustering exists for — fail loudly instead
+    // locality the clustering exists for — fail loudly instead. Nulls fail
+    // loudly too: null-in-null-out here would make the whole z-value null,
+    // which writeZOrdered's partitioner would hit as an opaque executor NPE
+    // on getLong — surface the actual problem (a null clustering key) at
+    // the row that has it.
     def checked(c: org.apache.spark.sql.Column) = {
       val v = c.cast(LongType)
-      when(v < 0L || v >= (1L << bits),
-        raise_error(concat_ws("", lit(s"zValue: input out of [0, 2^$bits): "), v)))
+      when(v.isNull, raise_error(lit("zValue: null clustering column value")))
+        .when(v < 0L || v >= (1L << bits),
+          raise_error(concat_ws("", lit(s"zValue: input out of [0, 2^$bits): "), v)))
         .otherwise(v)
     }
     val av = checked(a)

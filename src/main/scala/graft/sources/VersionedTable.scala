@@ -124,8 +124,24 @@ object VersionedTable {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       } else {
-        // HDFS & object-store contracts: rename fails onto an existing file
-        !f.exists(dest) && f.rename(stage, dest)
+        // FileContext.rename(Options.Rename.NONE) is the CONTRACTUAL
+        // no-replace rename (atomic create-if-absent on HDFS); the plain
+        // FileSystem `!exists && rename` is a TOCTOU fallback for
+        // filesystems with no FileContext binding. NOTE: object stores
+        // whose FileSystem emulates rename non-atomically (e.g. S3A)
+        // guarantee neither path — multi-writer safety there needs an
+        // external lock or a real transaction-log service, as with Delta
+        // on S3 (documented limit, not silently assumed away).
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            root.toUri, f.getConf)
+          fc.rename(stage, dest, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            !f.exists(dest) && f.rename(stage, dest)
+        }
       }
     f.delete(stage, false)
     won
@@ -277,12 +293,27 @@ object VersionedTable {
       .unionByName(b.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
+  /** Default orphan-sweep retention: like Delta's VACUUM retention horizon,
+    * an unreferenced dir must ALSO be at least this old before it is swept,
+    * so a slow in-flight writer's staged-but-not-yet-committed dir survives
+    * vacuums that run after newer commits landed. */
+  val DefaultOrphanRetentionMs: Long = 24L * 3600 * 1000
+
   /** Drop data + manifests of all but the last `keepLast` versions, plus any
     * data dir no manifest references (orphans from dead uncommitted
     * writers). Orphan sweep only removes dirs whose modification time
-    * precedes the oldest KEPT commit — an in-flight writer's fresh stage
-    * dir is never touched. */
-  def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    * precedes BOTH the oldest KEPT commit AND `now - orphanRetentionMs`
+    * (Delta-style retention floor) — the commit-time bound alone is not
+    * enough: a writer that staged BEFORE a newer commit landed would have
+    * its in-flight dir look older than every kept manifest and get swept
+    * mid-write, then win its CAS and commit a manifest pointing at deleted
+    * data. A writer in flight LONGER than the retention window is still
+    * exposed — same contract as Delta's retention horizon; don't pass a
+    * window shorter than your slowest writer. Stale `.commit-*.tmp` files
+    * (writers that died between staging the manifest bytes and publishing
+    * them) are swept under the same cutoff. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int,
+      orphanRetentionMs: Long = DefaultOrphanRetentionMs): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
     val root = new Path(path)
     val f = fs(spark, root)
@@ -299,12 +330,15 @@ object VersionedTable {
     val oldestKeptTime = keep.headOption
       .map(v => f.getFileStatus(manifest(root, v)).getModificationTime)
       .getOrElse(Long.MaxValue)
+    val cutoff = math.min(oldestKeptTime, System.currentTimeMillis() - orphanRetentionMs)
     f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       val versioned = n.startsWith("d-") || n.startsWith("v=") // incl. legacy layout
-      if (st.isDirectory && versioned && !live.contains(n) &&
-        st.getModificationTime < oldestKeptTime)
-        f.delete(st.getPath, true)
+      val staleStage = !st.isDirectory &&
+        n.startsWith(".commit-") && n.endsWith(".tmp")
+      if (st.getModificationTime < cutoff &&
+        ((st.isDirectory && versioned && !live.contains(n)) || staleStage))
+        f.delete(st.getPath, st.isDirectory)
     }
   }
 }

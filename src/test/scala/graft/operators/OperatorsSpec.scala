@@ -107,10 +107,9 @@ class NearDupSpec extends SparkSpec {
     // path graph 1-2-3-…-9: the min label (1) sits at one END, so it needs 8
     // propagation hops to reach node 9 — past the oracle's historical
     // 4-round horizon
+    // labelPropagate symmetrizes internally — pass the directed pair list
     val pairs = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val edges = pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val fixpoint = NearDup.labelPropagate(edges).collect()
+    val fixpoint = NearDup.labelPropagate(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fixpoint == (1L to 9L).map(_ -> 1L).toMap, fixpoint.toString)
 

@@ -152,4 +152,30 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.read(spark, path, Some(1L))
     }
   }
+
+  test("vacuum retention floor protects in-flight stage dirs; sweeps stale commit tmps") {
+    val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
+    VersionedTable.write(Seq((1, "a")).toDF("id", "v"), path)
+    // simulate a slow writer: a staged-but-uncommitted data dir that existed
+    // BEFORE the next commit lands (the ADVICE scenario: under the old
+    // commit-time-only rule it looks older than every kept manifest)
+    val orphan = new java.io.File(path, "d-inflight")
+    orphan.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(orphan, "part-0.parquet")).close()
+    // and a dead writer's manifest stage file
+    val tmp = new java.io.File(path, ".commit-deadbeef.tmp")
+    new java.io.FileOutputStream(tmp).close()
+    Thread.sleep(20)
+    VersionedTable.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    // default retention: both younger than the 24h floor → untouched, even
+    // though a newer commit makes them older than the oldest kept manifest
+    VersionedTable.vacuum(spark, path, keepLast = 1)
+    assert(orphan.exists(), "retention floor must protect a fresh staged dir")
+    assert(tmp.exists())
+    // zero retention: now both are sweepable (older than the kept commit)
+    VersionedTable.vacuum(spark, path, keepLast = 1, orphanRetentionMs = 0L)
+    assert(!orphan.exists(), "zero-retention vacuum must sweep the orphan")
+    assert(!tmp.exists(), "zero-retention vacuum must sweep stale commit tmps")
+    assert(VersionedTable.read(spark, path).count() == 2)
+  }
 }
