@@ -195,7 +195,16 @@ object TableIO {
       path: String,
       a: String,
       b: String,
-      bits: Int = 16): Unit = {
+      bits: Int = 16): Unit =
+    write(zPlaced(df, a, b, bits), path)
+
+  /** The placement underlying [[writeZOrdered]], exposed so other writers
+    * (e.g. [[VersionedTable.write]] with stats columns) can stage the same
+    * tile-aligned layout: one output partition per aligned z-tile, rows
+    * z-sorted within it. Writing the result 1 file : 1 partition gives every
+    * file provably narrow (a, b) ranges — exactly what file-level min/max
+    * stats need to prune effectively. */
+  def zPlaced(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
@@ -215,8 +224,8 @@ object TableIO {
         def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
       .values
-    write(spark.createDataFrame(placed, schema)
-      .sortWithinPartitions(col("__z")).drop("__z"), path)
+    spark.createDataFrame(placed, schema)
+      .sortWithinPartitions(col("__z")).drop("__z")
   }
 
   /** Small-file compaction — the other half of the reference's OPTIMIZE

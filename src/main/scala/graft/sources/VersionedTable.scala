@@ -75,7 +75,10 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  private final case class Commit(dir: String, schema: Option[StructType])
+  private final case class Commit(
+      dir: String,
+      schema: Option[StructType],
+      stats: DataSkipping.FileStats)
 
   private def readManifest(f: FileSystem, root: Path, v: Long): Commit = {
     val mf = manifest(root, v)
@@ -85,7 +88,9 @@ object VersionedTable {
     val node = new ObjectMapper().readTree(new String(bytes, "UTF-8"))
     val schema = Option(node.get("schema")).map(s =>
       DataType.fromJson(s.toString).asInstanceOf[StructType])
-    Commit(node.get("dir").asText, schema)
+    val stats = Option(node.get("stats"))
+      .map(DataSkipping.fromJson).getOrElse(Map.empty)
+    Commit(node.get("dir").asText, schema, stats)
   }
 
   /** Stage `df` under a fresh private token dir; nothing references it until
@@ -100,13 +105,15 @@ object VersionedTable {
   /** Claim version `v` by atomically creating its manifest. Returns false —
     * with the stage file cleaned up — iff another writer holds `v`. */
   private def tryCommit(
-      f: FileSystem, root: Path, v: Long, dirName: String, schemaJson: String): Boolean = {
+      f: FileSystem, root: Path, v: Long, dirName: String, schemaJson: String,
+      statsJson: Option[String] = None): Boolean = {
     val log = new Path(root, LogDir)
     f.mkdirs(log)
     val stage = new Path(root,
       s".commit-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val statsField = statsJson.map(s => s""","stats":$s""").getOrElse("")
     val out = f.create(stage, true)
-    try out.write(s"""{"version":$v,"dir":"$dirName","schema":$schemaJson}"""
+    try out.write(s"""{"version":$v,"dir":"$dirName","schema":$schemaJson$statsField}"""
       .getBytes("UTF-8"))
     finally out.close()
     val dest = manifest(root, v)
@@ -152,17 +159,27 @@ object VersionedTable {
     * committed version number. Concurrency-safe: on a lost race the data is
     * NOT rewritten — the writer just claims the next free version slot for
     * the already-staged dir. */
-  def write(df: DataFrame, path: String): Long = {
+  def write(df: DataFrame, path: String): Long = write(df, path, Nil)
+
+  /** As [[write]], additionally recording per-file min/max stats for
+    * `statsCols` in the commit manifest (parquet footer reads only — see
+    * [[DataSkipping.collect]]), enabling file pruning in [[readWhere]].
+    * Choose the columns the table is z-ordered/clustered by: stats on a
+    * column the layout doesn't cluster are valid but rarely selective. */
+  def write(df: DataFrame, path: String, statsCols: Seq[String]): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
     val data = stageData(df, root)
     val schemaJson = df.schema.json
+    val statsJson =
+      if (statsCols.isEmpty) None
+      else Some(DataSkipping.toJson(DataSkipping.collect(spark, data, statsCols)))
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
       val v = latestVersion(spark, path).getOrElse(0L) + 1L
-      if (tryCommit(f, root, v, data.getName, schemaJson)) committed = v
+      if (tryCommit(f, root, v, data.getName, schemaJson, statsJson)) committed = v
       else {
         attempt += 1
         require(attempt < MaxCommitRetries,
@@ -187,6 +204,55 @@ object VersionedTable {
       case Some(s) => spark.read.schema(s).parquet(dir)
       case None => spark.read.parquet(dir) // pre-schema manifests
     }
+  }
+
+  /** Data-skipping read: open ONLY the files whose manifest min/max stats
+    * admit rows satisfying `predicate`, then apply the full predicate to
+    * the surviving rows — pruning can only drop provably-dead files, never
+    * change the result (files or columns without stats are always kept).
+    * On a z-ordered table with stats on the clustering columns this is the
+    * Delta OPTIMIZE+ZORDER scan path: a selective query at 100 TB touches
+    * the handful of files whose z-tiles intersect the predicate box, with
+    * zero footer fetches for the rest. Falls back to the plain versioned
+    * read when the manifest carries no stats. */
+  def readWhere(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val (kept, _, c) = pruned(spark, path, predicate, asOf)
+    val df = c.schema match {
+      case Some(s) => spark.read.schema(s).parquet(kept: _*)
+      case None => spark.read.parquet(kept: _*)
+    }
+    df.filter(predicate)
+  }
+
+  /** Files (kept, skipped) for `predicate` — the observable pruning
+    * decision, exposed for audits/specs. */
+  def pruneInfo(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val (kept, skipped, _) = pruned(spark, path, predicate, asOf)
+    (kept, skipped)
+  }
+
+  private def pruned(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      asOf: Option[Long]): (Seq[String], Seq[String], Commit) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"$path has no committed versions")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"$path has no version $v (committed: $vs)")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val c = readManifest(f, root, v)
+    val dir = new Path(root, c.dir)
+    val files = if (f.exists(dir)) f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq else Seq.empty
+    val (kept, skipped) = c.schema match {
+      case Some(s) if c.stats.nonEmpty =>
+        DataSkipping.prune(files, c.stats, DataSkipping.resolve(spark, s, predicate))
+      case _ => (files, Seq.empty[String]) // no stats/schema recorded: keep all
+    }
+    (kept, skipped, c)
   }
 
   /** MERGE-equivalent upsert (docs/runbooks/silver-transform.md:114-122:

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grid: org.apache.spark.sql.DataFrame =
+    spark.range(0, 256 * 256).select(
+      (col("id") % 256).cast("int").as("a"),
+      (col("id") / 256).cast("int").as("b"),
+      col("id").as("payload"))
+
+  test("selective predicate on z-ordered data reads strictly fewer files, same result") {
+    val path = java.nio.file.Files.createTempDirectory("skip").toString + "/t"
+    // z-placed stage: every file covers one aligned z-tile, so its (a, b)
+    // min/max are narrow; stats on the clustering columns go in the manifest
+    VersionedTable.write(TableIO.zPlaced(grid, "a", "b", bits = 8),
+      path, statsCols = Seq("a", "b"))
+    val pred = col("a").between(10, 20) && col("b").between(200, 210)
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, pred)
+    assert(skipped.nonEmpty, "a selective box predicate must skip files on z-ordered data")
+    assert(kept.nonEmpty)
+    assert(kept.size < kept.size + skipped.size)
+    // pruning must be invisible in the result: same rows as the unpruned scan
+    val viaSkip = VersionedTable.readWhere(spark, path, pred)
+      .select("a", "b", "payload").collect().map(_.toSeq).toSet
+    val full = VersionedTable.read(spark, path).filter(pred)
+      .select("a", "b", "payload").collect().map(_.toSeq).toSet
+    assert(viaSkip == full)
+    assert(full.size == 11 * 11)
+    // z-order means BOTH dimensions prune: a one-sided range also skips
+    val (k2, s2) = VersionedTable.pruneInfo(spark, path, col("a") === 7)
+    assert(s2.nonEmpty, "equality on one z-dimension must also skip files")
+    assert(k2.size < k2.size + s2.size)
+  }
+
+  test("pruning is conservative: unsupported predicates and missing stats keep all files") {
+    val path = java.nio.file.Files.createTempDirectory("skip").toString + "/t"
+    VersionedTable.write(grid.repartition(8), path, statsCols = Seq("a"))
+    val total = VersionedTable.pruneInfo(spark, path, lit(true))._1.size
+    // no stats for `b` → nothing skippable on it
+    val (kb, sb) = VersionedTable.pruneInfo(spark, path, col("b") === 3)
+    assert(kb.size == total && sb.isEmpty)
+    // unsupported shape (expression of the column) keeps everything
+    val (ke, se) = VersionedTable.pruneInfo(spark, path, col("a") + 1 === 3)
+    assert(ke.size == total && se.isEmpty)
+    // random layout: `a` spans the full range in every file → selective
+    // predicate skips nothing, result still correct
+    val (kr, sr) = VersionedTable.pruneInfo(spark, path, col("a") === 7)
+    assert(kr.size == total && sr.isEmpty)
+    assert(VersionedTable.readWhere(spark, path, col("a") === 7).count() == 256)
+  }
+
+  test("string and null bounds prune correctly") {
+    val path = java.nio.file.Files.createTempDirectory("skip").toString + "/t"
+    // two files with disjoint string ranges + one all-null file — one group
+    // per partition, so the writer emits exactly one file per group
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val groups: Seq[Seq[Row]] = Seq(
+      Seq(Row("apple", 1), Row("banana", 2)),
+      Seq(Row("melon", 3), Row("peach", 4)),
+      Seq(Row(null, 5)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(groups, groups.size).flatMap(identity),
+      StructType(Seq(StructField("s", StringType), StructField("x", IntegerType))))
+    VersionedTable.write(df, path, statsCols = Seq("s"))
+    def filesFor(p: org.apache.spark.sql.Column) =
+      VersionedTable.pruneInfo(spark, path, p)
+    // 'cherry' ∈ (banana, melon): both data files could hold it? no —
+    // lo's max is 'banana' < 'cherry', hi's min is 'melon' > 'cherry';
+    // the all-null file can't match an equality either → everything skipped
+    val (k1, s1) = filesFor(col("s") === "cherry")
+    assert(k1.isEmpty && s1.size == 3, s"$k1 / $s1")
+    assert(VersionedTable.readWhere(spark, path, col("s") === "cherry").count() == 0)
+    // 'apple' matches only the lo file
+    val (k2, s2) = filesFor(col("s") === "apple")
+    assert(k2.size == 1 && s2.size == 2)
+    assert(VersionedTable.readWhere(spark, path, col("s") === "apple").count() == 1)
+    // IS NULL keeps only files that have nulls
+    val (k3, _) = filesFor(col("s").isNull)
+    assert(k3.size == 1)
+    assert(VersionedTable.readWhere(spark, path, col("s").isNull)
+      .select("x").as[Int].collect().toSeq == Seq(5))
+    // IS NOT NULL skips the all-null file
+    val (k4, s4) = filesFor(col("s").isNotNull)
+    assert(k4.size == 2 && s4.size == 1)
+    // OR prunes only when both branches prune the file
+    val (k5, _) = filesFor(col("s") === "apple" || col("s") === "peach")
+    assert(k5.size == 2)
+  }
+
+  test("time travel reads prune with the stats of THEIR version") {
+    val path = java.nio.file.Files.createTempDirectory("skip").toString + "/t"
+    VersionedTable.write(
+      Seq((1, "one"), (2, "two")).toDF("k", "v").coalesce(1), path, Seq("k"))
+    VersionedTable.write(
+      Seq((100, "hundred")).toDF("k", "v").coalesce(1), path, Seq("k"))
+    // v2 has no k<=2 rows: fully pruned; v1 keeps its file
+    val (kNew, sNew) = VersionedTable.pruneInfo(spark, path, col("k") === 1)
+    assert(kNew.isEmpty && sNew.size == 1)
+    val (kOld, _) = VersionedTable.pruneInfo(spark, path, col("k") === 1, asOf = Some(1L))
+    assert(kOld.size == 1)
+    assert(VersionedTable.readWhere(spark, path, col("k") === 1, Some(1L)).count() == 1)
+  }
+}
