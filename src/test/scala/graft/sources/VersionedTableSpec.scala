@@ -114,6 +114,17 @@ class VersionedTableSpec extends SparkSpec {
     val now = VersionedTable.read(spark, path).orderBy("id")
       .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSeq
     assert(now == Seq((1, "a", None), (2, "b", Some("extra"))), now.toString)
+    // pre-evolution version still time-travels with ITS recorded schema —
+    // the manifest pins schema per version, so widening the head never
+    // rewrites history
+    val v1 = VersionedTable.read(spark, path, Some(1L))
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "v"), v1.schema.treeString)
+    assert(v1.count() == 1)
+    // change feed across the evolution aligns columns (missing side = null)
+    val ch = VersionedTable.changes(spark, path, 1L, 2L).collect()
+      .map(r => (r.getAs[Int]("id"), Option(r.getAs[String]("tag")),
+        r.getAs[String]("_change_type"))).toSet
+    assert(ch == Set((2, Some("extra"), "insert")), ch.toString)
     // without evolution, mismatched schemas must fail loudly
     intercept[Exception] {
       VersionedTable.upsert(
