@@ -122,6 +122,90 @@ object ExtQueries {
       |GROUP BY p.p_brand""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tpch_q20 — dominant-supplier shape (TPC-H Q20's nesting: an IN
+  // subquery whose body contains a CORRELATED scalar aggregate; adapted to
+  // this schema's columns — no partsupp table, so "availqty vs half the
+  // shipped quantity" becomes "supplier ships >20% of a part's total").
+  // Catalyst decorrelates BOTH levels: the scalar subquery becomes a
+  // per-partkey aggregate joined back on the correlation key, and the IN
+  // becomes a left-semi hash join — so the plan is three shuffled
+  // aggregates/joins, never a per-row re-scan (PlanAuditSpec asserts no
+  // nested-loop join survives). Exact DECIMAL arithmetic on both engines —
+  // no float share-of-total that could flip boundary suppliers.
+  // --------------------------------------------------------------------------
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q20_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("q20_supplier")
+    spark.sql(
+      """SELECT s.s_suppkey, s.s_name
+        |FROM q20_supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT sp.l_suppkey
+        |  FROM (SELECT l_suppkey, l_partkey,
+        |          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |        FROM q20_lineitem GROUP BY l_suppkey, l_partkey) sp
+        |  WHERE CAST(5 AS DECIMAL(2,0)) * sp.q >
+        |    (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |     FROM q20_lineitem l2 WHERE l2.l_partkey = sp.l_partkey))""".stripMargin)
+  }
+
+  val tpchQ20Sql: String =
+    """SELECT s.s_suppkey, s.s_name
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT sp.l_suppkey
+      |  FROM (SELECT l_suppkey, l_partkey,
+      |          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |        FROM lineitem GROUP BY l_suppkey, l_partkey) sp
+      |  WHERE CAST(5 AS DECIMAL(2,0)) * sp.q >
+      |    (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+      |     FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey))""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q21 — waiting-orders shape (TPC-H Q21: correlated EXISTS plus
+  // correlated NOT EXISTS on the same fact table; "late" adapted to this
+  // schema as shipping >60 days after the order date, with the order date an
+  // OUTER reference inside the NOT EXISTS). Catalyst rewrites EXISTS to a
+  // left-semi and NOT EXISTS to a left-anti hash join on l_orderkey — the
+  // only shape that survives 100 TB, where a per-row re-probe of lineitem
+  // would be quadratic. Timestamp comparisons are exact in both engines.
+  // --------------------------------------------------------------------------
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q21_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("q21_orders")
+    Tables.supplier(spark, dir).createOrReplaceTempView("q21_supplier")
+    spark.sql(
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM q21_supplier s
+        |JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        |AND EXISTS (SELECT 1 FROM q21_lineitem l2
+        |            WHERE l2.l_orderkey = l1.l_orderkey
+        |            AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+        |                WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY s.s_name""".stripMargin)
+  }
+
+  val tpchQ21Sql: String =
+    """SELECT s.s_name, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |AND EXISTS (SELECT 1 FROM lineitem l2
+      |            WHERE l2.l_orderkey = l1.l_orderkey
+      |            AND l2.l_suppkey <> l1.l_suppkey)
+      |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey
+      |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s.s_name""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_range_join — equi + time-range join: for each purchase, count the same
   // user's events in the following 5 minutes. The equi key keeps this a
   // hash/sort-merge join with a residual range condition — scalable, unlike
@@ -248,6 +332,8 @@ object ExtQueries {
     "q_tpch_q3"      -> (tpchQ3 _),
     "q_tpch_q5"      -> (tpchQ5 _),
     "q_tpch_q17"     -> (tpchQ17 _),
+    "q_tpch_q20"     -> (tpchQ20 _),
+    "q_tpch_q21"     -> (tpchQ21 _),
     "q_range_join"   -> (rangeJoin _),
     "q_salted_agg"   -> (saltedAgg _),
     "q_rolling_hash" -> (rollingHash _),
@@ -259,6 +345,8 @@ object ExtQueries {
     "q_tpch_q3"      -> tpchQ3Sql,
     "q_tpch_q5"      -> tpchQ5Sql,
     "q_tpch_q17"     -> tpchQ17Sql,
+    "q_tpch_q20"     -> tpchQ20Sql,
+    "q_tpch_q21"     -> tpchQ21Sql,
     "q_range_join"   -> rangeJoinSql,
     "q_salted_agg"   -> saltedAggSql,
     "q_rolling_hash" -> rollingHashSql,

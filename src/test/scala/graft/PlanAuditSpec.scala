@@ -83,6 +83,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_tpch_q20: nested IN + correlated aggregate decorrelate to semi join + aggregates") {
+    val p = plan("q_tpch_q20")
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p) // the IN
+    assert(p.contains("HashAggregate"), p) // the decorrelated per-part aggregate
+  }
+
+  test("q_tpch_q21: EXISTS/NOT EXISTS become semi/anti hash joins, no per-row re-probe") {
+    val p = plan("q_tpch_q21")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p) // EXISTS
+    assert(p.contains("LeftAnti"), p) // NOT EXISTS
+  }
+
   test("Tables.spread is a no-op on well-split input, an exchange only when under-split") {
     import org.apache.spark.sql.functions._
     val lineitem = graft.sources.Tables.lineitem(spark, sf0001)
