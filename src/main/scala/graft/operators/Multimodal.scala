@@ -11,24 +11,29 @@ import graft.sources.Tables
   *
   * The Spark-side plumbing is real — schema, partitioning, typed Dataset
   * encoders, batched per-partition iteration (the JVM analogue of an
-  * Arrow-batched pandas UDF). AUDIO is genuinely decoded ([[WavCodec]],
-  * RIFF/PCM-16) and IMAGE is genuinely decoded ([[ImageCodec]], PNG/BMP via
-  * the JDK's javax.imageio — no native libraries needed). Only VIDEO keeps
-  * a stub codec (`decodeStub` treats payload bytes as the signal): its
-  * codecs need native libraries this container lacks. Swap `decodeStub`
-  * for ffmpeg and nothing else changes.
+  * Arrow-batched pandas UDF) — and so are ALL THREE codecs, pure JVM:
+  * AUDIO via [[WavCodec]] (RIFF/PCM-16), IMAGE via [[ImageCodec]] (PNG/BMP,
+  * javax.imageio), VIDEO via [[GifCodec]] (multi-frame animated GIF,
+  * javax.imageio). No stubs remain; swapping GIF for an ffmpeg container
+  * changes only the codec object.
+  *
+  * [[extractFeatures]] is the modality-agnostic payload pass: byte-level
+  * stats of the raw binary column (size screening, corruption triage) — it
+  * intentionally does NOT decode; the per-modality decoded paths are
+  * [[audioFeatures]], [[imageFeatures]], and [[videoFrameFeatures]].
   *
   * Scale notes: payloads stay columnar in parquet (binary column), feature
   * extraction is a narrow mapPartitions (no shuffle), and batching bounds
   * per-row overhead. At 100 TB the binary column would typically hold object
-  * -store pointers instead of payloads; the operator shape is identical.
+  * -store pointers instead of payloads — that variant is [[MediaStore]]'s
+  * pointer mode; the operator shape is identical.
   */
 object Multimodal {
 
   final case class MediaRow(
       doc_id: Long,
       media_type: String,          // image | audio | video
-      content: Array[Byte],        // opaque payload (stub: utf-8 of text)
+      content: Array[Byte],        // opaque payload (here: utf-8 of text)
       width: Int, height: Int,     // image/video metadata
       sample_rate: Int,            // audio metadata
       n_frames: Int)               // video metadata
@@ -60,19 +65,18 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder (video only — audio uses WavCodec, images ImageCodec): a
-    * real implementation would decode the codec here; this one treats the
-    * payload bytes as the decoded signal. Deterministic. */
-  def decodeStub(content: Array[Byte]): Array[Byte] = content
-
-  /** Batched per-partition feature extraction. Processes rows in fixed-size
-    * batches exactly like an Arrow-batched UDF would receive them. */
+  /** Batched per-partition PAYLOAD feature extraction — byte-level stats of
+    * the raw binary column, the modality-agnostic screening pass (size,
+    * degenerate-payload detection) that deliberately does not decode.
+    * Processes rows in fixed-size batches exactly like an Arrow-batched UDF
+    * would receive them; the decoded paths are the per-modality functions
+    * below. */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val sig = decodeStub(m.content)
+          val sig = m.content
           var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
           var i = 0
           while (i < sig.length) {
@@ -85,37 +89,6 @@ object Multimodal {
             if (n == 0) 0.0 else sum.toDouble / n,
             if (n == 0) 0 else mx, if (n == 0) 0 else mn)
         }
-      }
-    }
-  }
-
-  /** STUB resize: nearest-neighbor "pixel" selection over the fake signal —
-    * the real version would operate on a decoded raster. Keeps output size
-    * exactly targetW*targetH. */
-  def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
-    import media.sparkSession.implicits._
-    media.map { m =>
-      val sig = decodeStub(m.content)
-      val out = Array.ofDim[Byte](targetW * targetH)
-      val n = math.max(sig.length, 1)
-      var i = 0
-      while (i < out.length) { out(i) = sig(i * n / out.length % n); i += 1 }
-      m.copy(content = out, width = targetW, height = targetH)
-    }
-  }
-
-  /** STUB frame sampling for "video": split the payload into n_frames equal
-    * chunks, keep every `stride`-th frame. */
-  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
-    import media.sparkSession.implicits._
-    media.filter(_.media_type == "video").flatMap { m =>
-      val sig = decodeStub(m.content)
-      val frames = math.max(m.n_frames, 1)
-      val flen = math.max(sig.length / frames, 1)
-      (0 until frames by stride).iterator.map { f =>
-        val from = math.min(f * flen, sig.length)
-        val until = math.min(from + flen, sig.length)
-        Frame(m.doc_id, f, java.util.Arrays.copyOfRange(sig, from, until))
       }
     }
   }
@@ -214,6 +187,100 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------------
+  // Real video path: multi-frame animated GIF payloads genuinely encoded AND
+  // decoded via GifCodec (javax.imageio, pure JVM) — frames are exact
+  // 256-gray rasters (GIF's palette represents them losslessly), each a
+  // closed form of (doc_id, frame_idx), so the oracle replays the math
+  // without a decoder while the Spark side round-trips every payload
+  // through the real GIF codec.
+  // --------------------------------------------------------------------------
+  final case class VideoRow(
+      doc_id: Long, content: Array[Byte], width: Int, height: Int, n_frames: Int)
+  final case class VideoFrameRow(
+      doc_id: Long, frame_idx: Int, n_px: Long,
+      mean_gray: Double, max_gray: Int, min_gray: Int)
+
+  /** Closed-form gray value of pixel `i` of frame `f` of video `id`. */
+  private[operators] def videoPixel(id: Long, f: Int, i: Int): Int =
+    ((id * 31 + f * 11 + i * 7L) % 256).toInt
+
+  /** Deterministic synthetic video corpus: each doc renders n_frames real
+    * grayscale rasters encoded as a REAL animated GIF. */
+  def videoTable(spark: SparkSession, dir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 12 + 4).toInt
+      val h = (id % 8 + 4).toInt
+      val nf = (id % 6 + 2).toInt
+      val frames = (0 until nf).map(f =>
+        GifCodec.GrayFrame(w, h, Array.tabulate(w * h)(i => videoPixel(id, f, i))))
+      VideoRow(id, GifCodec.encodeFrames(frames), w, h, nf)
+    }
+  }
+
+  /** Batched REAL frame sampling: decode every `stride`-th frame of each
+    * GIF payload — skipped frames are sought past, not decoded
+    * (GifCodec.decodeFramesAt), the property that makes stride sampling
+    * worth doing at scale. Narrow mapPartitions, no shuffle. */
+  def sampleFrames(videos: Dataset[VideoRow], stride: Int,
+      batchSize: Int = 64): Dataset[Frame] = {
+    import videos.sparkSession.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    videos.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { v =>
+        GifCodec.decodeFramesAt(v.content, 0 until v.n_frames by stride)
+          .map { case (f, fr) =>
+            Frame(v.doc_id, f, fr.gray.map(_.toByte))
+          }
+      })
+    }
+  }
+
+  /** Batched real decode + per-frame stats for sampled frames. */
+  def videoFrameFeatures(videos: Dataset[VideoRow], stride: Int,
+      batchSize: Int = 64): Dataset[VideoFrameRow] = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { v =>
+        GifCodec.decodeFramesAt(v.content, 0 until v.n_frames by stride)
+          .map { case (f, fr) =>
+            val ft = GifCodec.features(fr)
+            VideoFrameRow(v.doc_id, f, ft.n_px, ft.mean_gray, ft.max_gray, ft.min_gray)
+          }
+      })
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // q_video_frames — end-to-end: synthesize frames → encode animated GIF →
+  // batched REAL stride-2 frame sampling + decode → per-frame stats. The
+  // oracle replays the closed-form pixel math in DuckDB lambdas; a codec
+  // bug on either side of the round-trip breaks the hash.
+  // --------------------------------------------------------------------------
+  val FrameStride = 2
+
+  def videoFramesQuery(spark: SparkSession, dir: String): DataFrame =
+    videoFrameFeatures(videoTable(spark, dir), FrameStride).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_px"),
+        round(col("mean_gray"), 6).as("mean_gray"),
+        col("max_gray"), col("min_gray"))
+
+  val videoFramesSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, UNNEST(range(0, doc_id % 6 + 2, $FrameStride)) AS frame_idx,
+       |    (doc_id % 12 + 4) * (doc_id % 8 + 4) AS n
+       |  FROM documents)
+       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  CAST(n AS BIGINT) AS n_px,
+       |  ROUND(CAST(list_sum(list_transform(range(n),
+       |    i -> (doc_id * 31 + frame_idx * 11 + i * 7) % 256)) AS DOUBLE) / n, 6) AS mean_gray,
+       |  CAST(list_max(list_transform(range(n),
+       |    i -> (doc_id * 31 + frame_idx * 11 + i * 7) % 256)) AS INTEGER) AS max_gray,
+       |  CAST(list_min(list_transform(range(n),
+       |    i -> (doc_id * 31 + frame_idx * 11 + i * 7) % 256)) AS INTEGER) AS min_gray
+       |FROM f""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_image_features — end-to-end: synthesize raster → encode PNG → batched
   // REAL decode → features. The oracle replays the closed-form raster in
   // DuckDB list lambdas; a codec bug on either side of the round-trip
@@ -269,10 +336,12 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_image_features"      -> (imageFeaturesQuery _),
+    "q_video_frames"        -> (videoFramesQuery _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_image_features"      -> imageFeaturesSql,
+    "q_video_frames"        -> videoFramesSql,
   )
 }

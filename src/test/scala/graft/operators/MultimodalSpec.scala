@@ -28,19 +28,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize produces exactly targetW*targetH bytes drawn from the source") {
-    val resized = Multimodal.resizeStub(media, 8, 6).collect()
-    resized.foreach { m =>
-      assert(m.content.length == 48 && m.width == 8 && m.height == 6)
+  // ---- real video codec (GifCodec, javax.imageio multi-frame GIF) ----
+
+  test("animated GIF round-trips grayscale frames bit-for-bit") {
+    val frames = Seq(
+      GifCodec.GrayFrame(4, 3, Array(0, 17, 255, 128, 3, 99, 200, 1, 64, 32, 16, 8)),
+      GifCodec.GrayFrame(4, 3, Array.tabulate(12)(i => (i * 21) % 256)))
+    val gif = GifCodec.encodeFrames(frames)
+    assert(GifCodec.isGif(gif))
+    val back = GifCodec.decodeFrames(gif)
+    assert(back.size == 2)
+    back.zip(frames).foreach { case (b, f) =>
+      assert(b.width == f.width && b.height == f.height)
+      assert(b.gray.sameElements(f.gray), b.gray.toSeq.toString)
     }
+    // selective decode returns exactly the requested frames
+    val only1 = GifCodec.decodeFramesAt(gif, Seq(1))
+    assert(only1.map(_._1) == Seq(1))
+    assert(only1.head._2.gray.sameElements(frames(1).gray))
   }
 
-  test("frame sampling keeps every stride-th frame of video rows only") {
-    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
-    assert(frames.nonEmpty)
-    assert(frames.forall(_.frame_idx % 2 == 0))
-    val videoIds = media.filter(_.media_type == "video").collect().map(_.doc_id).toSet
-    assert(frames.map(_.doc_id).toSet.subsetOf(videoIds))
+  test("video table payloads are real GIFs; stride sampling decodes the closed form") {
+    val vids = Multimodal.videoTable(spark, sf0001).cache()
+    vids.collect().take(10).foreach(v => assert(GifCodec.isGif(v.content)))
+    val stride = 2
+    val feats = Multimodal.videoFrameFeatures(vids, stride, batchSize = 7).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.frame_idx % stride == 0))
+    // distributed real decode matches the closed-form raster math
+    feats.filter(_.doc_id < 20).foreach { fr =>
+      val id = fr.doc_id
+      val n = ((id % 12 + 4) * (id % 8 + 4)).toInt
+      assert(fr.n_px == n.toLong)
+      val px = (0 until n).map(i => Multimodal.videoPixel(id, fr.frame_idx, i))
+      assert(fr.mean_gray == px.sum.toDouble / n)
+      assert(fr.max_gray == px.max && fr.min_gray == px.min)
+    }
+    // every video contributes exactly ceil(n_frames / stride) sampled frames
+    val perDoc = feats.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    vids.collect().foreach { v =>
+      assert(perDoc(v.doc_id) == (v.n_frames + stride - 1) / stride)
+    }
+    vids.unpersist()
   }
 
   // ---- real image codec (ImageCodec, javax.imageio) ----
