@@ -187,6 +187,30 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------------
+  // Pointer mode: the same feature extractors over object-store POINTERS
+  // instead of inline payloads (MediaStore.put/fetch) — the 100 TB contract
+  // where parquet carries URIs and bytes are fetched next to the compute.
+  // fetch + decode compose as two narrow mapPartitions; MultimodalSpec
+  // asserts pointer-mode == payload-mode features on the same corpus.
+  // --------------------------------------------------------------------------
+  def imagePointers(images: Dataset[ImageRow], storeDir: String): Dataset[MediaStore.ObjectPtr] = {
+    import images.sparkSession.implicits._
+    MediaStore.put(images.map(r => r.doc_id -> r.content), storeDir)
+  }
+
+  /** Batched fetch-then-decode over pointers — same output as
+    * [[imageFeatures]] when the store holds [[imageTable]]'s payloads. */
+  def imageFeaturesFromStore(ptrs: Dataset[MediaStore.ObjectPtr],
+      batchSize: Int = 64): Dataset[ImageFeatureRow] = {
+    import ptrs.sparkSession.implicits._
+    MediaStore.fetch(ptrs, batchSize).mapPartitions(_.map { case (id, bytes) =>
+      val f = ImageCodec.features(ImageCodec.decode(bytes))
+      ImageFeatureRow(id, f.width, f.height, f.n_px,
+        f.mean_r, f.mean_g, f.mean_b, f.max_luma, f.min_luma)
+    })
+  }
+
+  // --------------------------------------------------------------------------
   // Real video path: multi-frame animated GIF payloads genuinely encoded AND
   // decoded via GifCodec (javax.imageio, pure JVM) — frames are exact
   // 256-gray rasters (GIF's palette represents them losslessly), each a

@@ -28,6 +28,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- pointer mode (MediaStore object-store stand-in) ----
+
+  test("pointer-mode features equal payload-mode features on the same corpus") {
+    val store = java.nio.file.Files.createTempDirectory("mediastore").toString + "/objs"
+    val imgs = Multimodal.imageTable(spark, sf0001).cache()
+    val byPayload = Multimodal.imageFeatures(imgs, batchSize = 7)
+      .collect().map(f => f.doc_id -> f).toMap
+    // upload from executors, then feature-extract via batched fetch+decode
+    val ptrs = Multimodal.imagePointers(imgs, store).cache()
+    val ptrRows = ptrs.collect()
+    assert(ptrRows.length == byPayload.size)
+    // keys fan out over prefixes; pointer carries the true object size
+    ptrRows.foreach { p =>
+      assert(p.uri.contains(s"p=${p.doc_id % 256}/${p.doc_id}.bin"), p.uri)
+      assert(new java.io.File(new java.net.URI(p.uri).getPath).length() == p.n_bytes)
+    }
+    val byPointer = Multimodal.imageFeaturesFromStore(ptrs, batchSize = 7)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(byPointer == byPayload)
+    ptrs.unpersist(); imgs.unpersist()
+  }
+
   // ---- real video codec (GifCodec, javax.imageio multi-frame GIF) ----
 
   test("animated GIF round-trips grayscale frames bit-for-bit") {
