@@ -292,7 +292,19 @@ object VersionedTable {
       path: String,
       keys: Seq[String],
       evolveSchema: Boolean,
-      latestBy: Option[String]): Long = {
+      latestBy: Option[String]): Long =
+    upsert(updates, path, keys, evolveSchema, latestBy, Nil)
+
+  /** @param statsCols as in [[write]]: record per-file min/max for these
+    *                  columns in the merged version's manifest, so a table
+    *                  maintained by MERGE keeps its data-skipping reads. */
+  def upsert(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      evolveSchema: Boolean,
+      latestBy: Option[String],
+      statsCols: Seq[String]): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     val spark = updates.sparkSession
     val root = new Path(path)
@@ -326,7 +338,11 @@ object VersionedTable {
             .unionByName(deduped, allowMissingColumns = evolveSchema)
       }
       val data = stageData(merged, root)
-      if (tryCommit(f, root, base.getOrElse(0L) + 1L, data.getName, merged.schema.json))
+      val statsJson =
+        if (statsCols.isEmpty) None
+        else Some(DataSkipping.toJson(DataSkipping.collect(spark, data, statsCols)))
+      if (tryCommit(f, root, base.getOrElse(0L) + 1L, data.getName, merged.schema.json,
+        statsJson))
         committed = base.getOrElse(0L) + 1L
       else {
         f.delete(data, true) // stale merge — recompute against the new head
