@@ -101,7 +101,14 @@ object Bench {
     }.sorted
     val jitterMedPct =
       if (spreads.isEmpty) -1.0 else math.round(spreads(spreads.size / 2) * 1000) / 10.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","jitter_med_pct":$jitterMedPct,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","jitter_med_pct":$jitterMedPct,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
+    println(line)
+    // stdout alone is fragile: log-tail capture truncated the round-4
+    // artifact (`"parsed": null`). Persist the same line to a known file so
+    // the measurement survives any log-capture failure.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 }

@@ -67,8 +67,10 @@ object MediaStore {
   }
 
   /** Batched executor-side fetch: resolve each batch of pointers to payload
-    * bytes. Narrow, no shuffle; `n_bytes` from the pointer row sizes the
-    * read buffer so no stat round-trip per object is needed. */
+    * bytes. Narrow, no shuffle. `n_bytes` from the pointer row sizes the
+    * read buffer; one metadata stat per object cross-checks it so a stale
+    * pointer (object rewritten since `put`) fails loudly instead of
+    * returning silently truncated bytes. */
   def fetch(ptrs: Dataset[ObjectPtr], batchSize: Int = 64): Dataset[(Long, Array[Byte])] = {
     import ptrs.sparkSession.implicits._
     val entries = confMap(ptrs)
@@ -78,6 +80,17 @@ object MediaStore {
         batch.map { ptr =>
           val p = new Path(ptr.uri)
           if (fs == null) fs = fsFor(p.toUri, entries)
+          // JVM arrays are Int-indexed: a >=2 GiB pointer would overflow
+          // toInt into a negative size — fail loudly, don't corrupt
+          require(ptr.n_bytes >= 0 && ptr.n_bytes <= Int.MaxValue,
+            s"object ${ptr.uri}: size ${ptr.n_bytes} exceeds the 2 GiB " +
+              "single-buffer fetch limit (chunk the object or stream it)")
+          // a stale pointer (object overwritten larger since `put`) must not
+          // silently truncate: verify the live object length first
+          val live = fs.getFileStatus(p).getLen
+          require(live == ptr.n_bytes,
+            s"object ${ptr.uri}: pointer says ${ptr.n_bytes} bytes but store " +
+              s"holds $live — pointer is stale; re-resolve before fetching")
           val buf = new Array[Byte](ptr.n_bytes.toInt)
           val in = fs.open(p)
           try in.readFully(buf) finally in.close()

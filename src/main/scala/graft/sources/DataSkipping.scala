@@ -98,12 +98,15 @@ object DataSkipping {
             values += rows - st.getNumNulls
             if (rows - st.getNumNulls > 0) {
               if (!st.hasNonNullValue) usable = false // stats omitted (e.g. huge binary)
-              else statValue(st.genericGetMin.asInstanceOf[AnyRef]) match {
-                case None => usable = false
-                case Some(lo) =>
-                  val hi = statValue(st.genericGetMax.asInstanceOf[AnyRef]).get
-                  mn = Some(mn.fold(lo)(m => if (ordLt(lo, m)) lo else m))
-                  mx = Some(mx.fold(hi)(m => if (ordLt(m, hi)) hi else m))
+              else {
+                val ann = ch.getPrimitiveType.getLogicalTypeAnnotation
+                (chunkStat(st.genericGetMin.asInstanceOf[AnyRef], ann),
+                  chunkStat(st.genericGetMax.asInstanceOf[AnyRef], ann)) match {
+                  case (Some(lo), Some(hi)) =>
+                    mn = Some(mn.fold(lo)(m => if (ordLt(lo, m)) lo else m))
+                    mx = Some(mx.fold(hi)(m => if (ordLt(m, hi)) hi else m))
+                  case _ => usable = false
+                }
               }
             }
           }
@@ -114,9 +117,36 @@ object DataSkipping {
     } finally reader.close()
   }
 
+  /** Stat value dispatch on the column's LOGICAL type: decimal columns store
+    * the UNSCALED integer in their physical INT32/INT64/BINARY stats (12.34
+    * arrives as 1234), so they must be rescaled into the same BigDecimal
+    * domain the literal side uses — comparing scaled vs unscaled silently
+    * skipped files containing matching rows. */
+  private def chunkStat(
+      v: AnyRef, ann: org.apache.parquet.schema.LogicalTypeAnnotation): Option[Any] =
+    ann match {
+      case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        decimalStat(v, d.getScale)
+      case _ => statValue(v)
+    }
+
+  /** Unscaled physical decimal stat → scaled BigDecimal. Covers all three
+    * parquet physical encodings Spark writes: INT32 (precision<=9), INT64
+    * (<=18), and big-endian two's-complement BINARY/FIXED_LEN_BYTE_ARRAY. */
+  private def decimalStat(v: AnyRef, scale: Int): Option[Any] = v match {
+    case i: java.lang.Integer => Some(BigDecimal(BigInt(i.longValue()), scale))
+    case l: java.lang.Long => Some(BigDecimal(BigInt(l.longValue()), scale))
+    case b: org.apache.parquet.io.api.Binary =>
+      scala.util.Try(BigDecimal(BigInt(new java.math.BigInteger(b.getBytes)), scale)).toOption
+    case _ => None
+  }
+
   /** Normalize a parquet stat value to the comparison domain: BigDecimal for
     * every numeric physical type, String for UTF-8 binary. Unsupported
-    * physical types return None (column never prunes). */
+    * physical types return None (column never prunes). Non-finite
+    * float/double stats (NaN/±Inf — legal parquet data, and BigDecimal
+    * construction throws on them) also return None: the contract is that an
+    * unsupported value disables pruning, never fails the commit. */
   private def statValue(v: AnyRef): Option[Any] = v match {
     case i: java.lang.Integer => Some(BigDecimal(i.intValue()))
     case l: java.lang.Long => Some(BigDecimal(l.longValue()))
@@ -125,8 +155,10 @@ object DataSkipping {
     // which is injective and order-preserving on doubles — mixing a float
     // shortest-repr ("7.1") with its exact double ("7.09999990463...")
     // would mis-prune at ulp scale
-    case f: java.lang.Float => Some(BigDecimal(f.floatValue().toDouble))
-    case d: java.lang.Double => Some(BigDecimal(d.doubleValue()))
+    case f: java.lang.Float if java.lang.Float.isFinite(f.floatValue()) =>
+      Some(BigDecimal(f.floatValue().toDouble))
+    case d: java.lang.Double if java.lang.Double.isFinite(d.doubleValue()) =>
+      Some(BigDecimal(d.doubleValue()))
     case b: org.apache.parquet.io.api.Binary =>
       scala.util.Try(b.toStringUsingUTF8).toOption
     case _ => None
@@ -194,29 +226,48 @@ object DataSkipping {
   // Pruning (read path)
   // ------------------------------------------------------------------
 
+  /** The literal side of a comparison, folded: a bare Literal, or any
+    * foldable expression (the analyzer wraps literals in Casts for type
+    * coercion — e.g. a decimal(4,2) literal cast to the column's
+    * decimal(18,2) — which never constant-fold in the ANALYZED plan
+    * `resolve` produces). Evaluation failures (ANSI overflow) answer None:
+    * the file is kept. */
+  private def asLiteral(e: Expression): Option[Literal] = e match {
+    case l: Literal => Some(l)
+    case _ if e.foldable =>
+      scala.util.Try(Literal.create(e.eval(EmptyRow), e.dataType)).toOption
+    case _ => None
+  }
+
+  private def isLit(e: Expression): Boolean = asLiteral(e).isDefined
+
   /** True iff the stats PROVE no row of the file can satisfy `predicate`
-    * (i.e. the file is skippable). Unknown shapes answer false. */
+    * (i.e. the file is skippable). Unknown shapes answer false. Reversed
+    * comparisons (literal on the left) are flipped first so both spellings
+    * prune. */
   def canSkip(predicate: Expression, stats: Map[String, ColStat]): Boolean =
     predicate match {
       case And(l, r) => canSkip(l, stats) || canSkip(r, stats)
       case Or(l, r) => canSkip(l, stats) && canSkip(r, stats)
+      case EqualTo(l, a) if isLit(l) && !isLit(a) => canSkip(EqualTo(a, l), stats)
+      case GreaterThan(l, a) if isLit(l) && !isLit(a) => canSkip(LessThan(a, l), stats)
+      case GreaterThanOrEqual(l, a) if isLit(l) && !isLit(a) =>
+        canSkip(LessThanOrEqual(a, l), stats)
+      case LessThan(l, a) if isLit(l) && !isLit(a) => canSkip(GreaterThan(a, l), stats)
+      case LessThanOrEqual(l, a) if isLit(l) && !isLit(a) =>
+        canSkip(GreaterThanOrEqual(a, l), stats)
       case EqualTo(a, l) => cmpSkip(a, l, stats)(
         (mn, mx, v) => ordLt(v, mn) || ordLt(mx, v))
-      case EqualTo(l: Literal, a) => canSkip(EqualTo(a, l), stats)
       case GreaterThan(a, l) => cmpSkip(a, l, stats)(
         (_, mx, v) => !ordLt(v, mx)) // max <= v
-      case GreaterThan(l: Literal, a) => canSkip(LessThan(a, l), stats)
       case GreaterThanOrEqual(a, l) => cmpSkip(a, l, stats)(
         (_, mx, v) => ordLt(mx, v)) // max < v
-      case GreaterThanOrEqual(l: Literal, a) => canSkip(LessThanOrEqual(a, l), stats)
       case LessThan(a, l) => cmpSkip(a, l, stats)(
         (mn, _, v) => !ordLt(mn, v)) // min >= v
-      case LessThan(l: Literal, a) => canSkip(GreaterThan(a, l), stats)
       case LessThanOrEqual(a, l) => cmpSkip(a, l, stats)(
         (mn, _, v) => ordLt(v, mn)) // min > v
-      case LessThanOrEqual(l: Literal, a) => canSkip(GreaterThanOrEqual(a, l), stats)
-      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.forall(v => canSkip(EqualTo(a, v.asInstanceOf[Literal]), stats))
+      case In(a, vs) if vs.forall(isLit) =>
+        vs.forall(v => canSkip(EqualTo(a, v), stats))
       case IsNull(a) =>
         attrName(a).flatMap(stats.get)
           .exists(st => st.numNulls == 0L && !st.allNulls && st.min.isDefined)
@@ -230,8 +281,8 @@ object DataSkipping {
     * skips them outright. */
   private def cmpSkip(attr: Expression, lit: Expression,
       stats: Map[String, ColStat])(skip: (Any, Any, Any) => Boolean): Boolean =
-    (attrName(attr), lit) match {
-      case (Some(name), l: Literal) =>
+    (attrName(attr), asLiteral(lit)) match {
+      case (Some(name), Some(l)) =>
         stats.get(name).exists { st =>
           st.allNulls || (litValue(l) match {
             case Some(v) => (st.min, st.max) match {
@@ -279,6 +330,10 @@ object DataSkipping {
           d.precision - d.scale >= (intRank(f) match {
             case 1 => 3; case 2 => 5; case 3 => 10; case _ => 19
           })
+        // decimal → wider decimal is exact when neither the integer digits
+        // nor the fraction digits shrink (no rounding, no overflow)
+        case (f: DecimalType, t: DecimalType) =>
+          t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
         case _ => false
       })
   }
@@ -295,8 +350,9 @@ object DataSkipping {
     case (v: Short, _) => Some(BigDecimal(v.toInt))
     case (v: Int, _) => Some(BigDecimal(v))
     case (v: Long, _) => Some(BigDecimal(v))
-    case (v: Float, _) => Some(BigDecimal(v.toDouble)) // see statValue: same domain
-    case (v: Double, _) => Some(BigDecimal(v))
+    case (v: Float, _) if java.lang.Float.isFinite(v) =>
+      Some(BigDecimal(v.toDouble)) // see statValue: same domain
+    case (v: Double, _) if java.lang.Double.isFinite(v) => Some(BigDecimal(v))
     case (v: Decimal, _) => Some(v.toBigDecimal)
     case (v: org.apache.spark.unsafe.types.UTF8String, _) => Some(v.toString)
     case _ => None

@@ -148,6 +148,13 @@ object VersionedTable {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
           case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
             !f.exists(dest) && f.rename(stage, dest)
+          // some HDFS-compatible filesystems signal a Rename.NONE collision
+          // as a plain IOException ("rename destination exists") — if the
+          // destination now exists the race was simply lost (retry next
+          // slot); only an IOException with the destination still absent is
+          // a real failure worth aborting the writer
+          case e: java.io.IOException =>
+            if (f.exists(dest)) false else throw e
         }
       }
     f.delete(stage, false)

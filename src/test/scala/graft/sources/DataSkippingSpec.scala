@@ -92,6 +92,68 @@ class DataSkippingSpec extends SparkSpec {
     assert(k5.size == 2)
   }
 
+  test("decimal stats prune with SCALED values across all three physical encodings") {
+    // Spark writes decimal(p<=9) as INT32, (p<=18) as INT64, wider as
+    // fixed-len binary — all carrying the UNSCALED integer in footer stats
+    // (12.25 stored as 1225). Un-rescaled stats silently skipped files that
+    // DO contain matching rows (ADVICE r4, high).
+    for (typ <- Seq("decimal(9,2)", "decimal(18,2)", "decimal(38,6)")) {
+      val path = java.nio.file.Files.createTempDirectory("skipdec").toString + "/t"
+      // file A covers [10.25, 19.25], file B covers [1000.25, 1009.25]
+      val df = spark.range(0, 20).select(
+        when(col("id") < 10, col("id") + lit(10.25))
+          .otherwise(col("id") - 10 + lit(1000.25)).cast(typ).as("d"),
+        col("id").cast("int").as("x"))
+      VersionedTable.write(df.repartitionByRange(2, col("d")), path, Seq("d"))
+      // 12.25 is in file A: before the rescale fix the recorded min (1025)
+      // exceeded the literal and BOTH files were skipped → silent wrong 0
+      val eq = col("d") === lit(new java.math.BigDecimal("12.25"))
+      val (k1, s1) = VersionedTable.pruneInfo(spark, path, eq)
+      assert(k1.size == 1 && s1.size == 1, s"$typ: $k1 / $s1")
+      assert(VersionedTable.readWhere(spark, path, eq).count() == 1, typ)
+      // a value in neither file's range skips both
+      val (k2, s2) = VersionedTable.pruneInfo(
+        spark, path, col("d") === lit(new java.math.BigDecimal("500.00")))
+      assert(k2.isEmpty && s2.size == 2, typ)
+      // range predicate keeps only file A
+      val lt = col("d") < lit(new java.math.BigDecimal("100"))
+      val (k3, s3) = VersionedTable.pruneInfo(spark, path, lt)
+      assert(k3.size == 1 && s3.size == 1, typ)
+      assert(VersionedTable.readWhere(spark, path, lt).count() == 10, typ)
+    }
+  }
+
+  test("non-finite double stats disable pruning instead of failing the commit") {
+    val path = java.nio.file.Files.createTempDirectory("skipinf").toString + "/t"
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val groups: Seq[Seq[Row]] = Seq(
+      Seq(Row(1.0, 1), Row(Double.PositiveInfinity, 2)), // parquet stats max=+Inf
+      Seq(Row(5.0, 3), Row(6.0, 4)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(groups, groups.size).flatMap(identity),
+      StructType(Seq(StructField("v", DoubleType), StructField("x", IntegerType))))
+    // before the isFinite guard this commit crashed in the executor
+    // (BigDecimal(Infinity) → NumberFormatException)
+    VersionedTable.write(df, path, Seq("v"))
+    // the infinite file has no usable bounds → always kept (conservative)
+    val (k1, s1) = VersionedTable.pruneInfo(spark, path, col("v") === 100.0)
+    assert(k1.size == 1 && s1.size == 1, s"$k1 / $s1")
+    assert(VersionedTable.readWhere(spark, path, col("v") === 100.0).count() == 0)
+    val (k2, _) = VersionedTable.pruneInfo(spark, path, col("v") === 5.0)
+    assert(k2.size == 2)
+    assert(VersionedTable.readWhere(spark, path, col("v") === 5.0).count() == 1)
+  }
+
+  test("literal-on-the-left comparisons prune like attribute-first spellings") {
+    val path = java.nio.file.Files.createTempDirectory("skiprev").toString + "/t"
+    VersionedTable.write(TableIO.zPlaced(grid, "a", "b", bits = 8), path, Seq("a", "b"))
+    val attrFirst = VersionedTable.pruneInfo(spark, path, col("a") < 16)
+    val litFirst = VersionedTable.pruneInfo(spark, path, lit(16) > col("a"))
+    assert(attrFirst._2.nonEmpty)
+    assert(litFirst._1.toSet == attrFirst._1.toSet && litFirst._2.toSet == attrFirst._2.toSet)
+  }
+
   test("time travel reads prune with the stats of THEIR version") {
     val path = java.nio.file.Files.createTempDirectory("skip").toString + "/t"
     VersionedTable.write(
