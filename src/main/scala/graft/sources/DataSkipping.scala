@@ -43,17 +43,20 @@ object DataSkipping {
   // Collection (write path)
   // ------------------------------------------------------------------
 
-  /** Read per-file min/max for `cols` from the parquet FOOTERS under `dir`,
+  /** One file's manifest-bound metadata: per-column min/max stats plus the
+    * file's total row count (the latter powers metadata-only `count(*)`). */
+  final case class FileMeta(stats: Map[String, ColStat], rows: Long)
+
+  /** Read per-file min/max for `cols` AND per-file row counts from the
+    * parquet FOOTERS of `files` (pairs of manifest key → absolute path),
     * merging row-group stats per file. Footer reads are fanned out over the
-    * cluster (one task per slice of the file list); only file paths and the
-    * tiny per-column summaries travel back to the driver. */
-  def collect(spark: SparkSession, dir: Path, cols: Seq[String]): FileStats = {
-    if (cols.isEmpty) return Map.empty
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = dir.getFileSystem(conf)
-    val files = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    * cluster (one task per slice of the file list); only the keys and the
+    * tiny per-column summaries travel back to the driver. Row counts are
+    * read even when `cols` is empty — they come from the same footer. */
+  def collectMeta(spark: SparkSession, files: Seq[(String, String)],
+      cols: Seq[String]): Map[String, FileMeta] = {
     if (files.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
     // Hadoop Configuration is not Serializable — ship it as its entry map
     // (public API only) and rebuild on the executor, so cluster-specific
     // settings (object-store credentials etc.) reach the footer reader.
@@ -65,25 +68,26 @@ object DataSkipping {
     }
     val colSet = cols.toSet
     val n = math.min(files.size, spark.sparkContext.defaultParallelism)
-    spark.sparkContext.parallelize(files, n).mapPartitions { paths =>
+    spark.sparkContext.parallelize(files, n).mapPartitions { pairs =>
       val c = new Configuration(false)
       confMap.foreach { case (k, v) => c.set(k, v) }
-      paths.map(p => new Path(p).getName -> footerStats(new Path(p), c, colSet))
+      pairs.map { case (key, p) => key -> footerMeta(new Path(p), c, colSet) }
     }.collect().toMap
   }
 
-  /** Merge one file's row-group stats per requested column. */
-  private def footerStats(
-      file: Path, conf: Configuration, cols: Set[String]): Map[String, ColStat] = {
+  /** Merge one file's row-group stats per requested column + its row count. */
+  private def footerMeta(
+      file: Path, conf: Configuration, cols: Set[String]): FileMeta = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
       val perCol = blocks.flatMap(_.getColumns.asScala)
         .filter(c => c.getPath.size() == 1 && cols.contains(c.getPath.toDotString))
         .groupBy(_.getPath.toDotString)
-      perCol.flatMap { case (name, chunks) =>
+      val colStats = perCol.flatMap { case (name, chunks) =>
         var mn: Option[Any] = None
         var mx: Option[Any] = None
         var nulls = 0L
@@ -114,6 +118,7 @@ object DataSkipping {
         if (!usable) Some(name -> ColStat(None, None, nulls, allNulls = false))
         else Some(name -> ColStat(mn, mx, nulls, allNulls = values == 0L))
       }.toMap
+      FileMeta(colStats, rowCount)
     } finally reader.close()
   }
 
@@ -379,14 +384,13 @@ object DataSkipping {
     }.getOrElse(Literal.TrueLiteral)
   }
 
-  /** Partition a data dir's parquet files into (kept, skipped) under the
-    * RESOLVED `predicate` given the manifest's stats. Files absent from the
-    * stats map are always kept. */
+  /** Partition a manifest's file KEYS into (kept, skipped) under the
+    * RESOLVED `predicate` given the manifest's stats (keyed identically).
+    * Files absent from the stats map are always kept. */
   def prune(files: Seq[String], stats: FileStats,
       predicate: Expression): (Seq[String], Seq[String]) =
     files.partition { f =>
-      val name = new Path(f).getName
-      stats.get(name) match {
+      stats.get(f) match {
         case Some(colStats) => !canSkip(predicate, colStats)
         case None => true
       }

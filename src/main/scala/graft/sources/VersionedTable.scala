@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -13,41 +13,64 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * layout
   * {{{
-  *   <path>/d-1f3a9c2e/...parquet      immutable version data (token-named;
-  *   <path>/d-8b02d4f7/...parquet       referenced only via the log)
+  *   <path>/d-1f3a9c2e/...parquet      immutable data files (token-named
+  *   <path>/d-8b02d4f7/...parquet       dirs; referenced only via the log)
   *   <path>/_graft_log/00000001.json   commit manifests (the log):
-  *                                     {"version":1,"dir":"d-1f3a9c2e","schema":{...}}
+  *     {"version":2,"files":["d-1f3a9c2e/part-0.parquet",
+  *                           "d-8b02d4f7/part-0.parquet"],
+  *      "schema":{...},"rows":{"d-...":1234},"txn":{"app":7},"stats":{...}}
   * }}}
   *
-  * The COMMIT POINT is the atomic create-if-absent of the version's manifest
-  * in `_graft_log/` — data directories are written first and are
+  * A manifest lists FILES, not a directory — so one commit can mix files
+  * newly written by that commit with files carried by reference from the
+  * parent version. That is what makes every write-side verb file-granular,
+  * the property that survives 100 TB:
+  *
+  *  - [[upsert]] (MERGE) rewrites ONLY the files whose recorded key bounds
+  *    admit a matching update key (copy-on-write, like Delta MERGE); a
+  *    daily upsert touching 0.1% of keys rewrites ~0.1% of bytes, not 100%.
+  *  - [[delete]] rewrites only files whose stats intersect the predicate.
+  *  - [[compact]] (OPTIMIZE) bin-packs small files into target-size files
+  *    as a new version, carrying already-right-sized files untouched.
+  *  - [[append]] / [[commitBatch]] add files without touching any existing
+  *    byte; `commitBatch` is idempotent per (appId, batchId) via the
+  *    manifest's `txn` map (Delta's txnAppId/txnVersion idiom), giving
+  *    exactly-once streaming sinks under foreachBatch replay.
+  *  - per-file `rows` let [[countRows]] answer `count(*)` from the
+  *    manifest alone — zero data files opened.
+  *
+  * The COMMIT POINT is the atomic create-if-absent of the version's
+  * manifest in `_graft_log/` — data files are written first and are
   * unreferenced until their manifest lands, so a writer dying at ANY point
   * leaves every previously-committed version readable and never exposes a
   * partial one (same guarantee Delta gets from `_delta_log`). Readers
-  * resolve the latest committed version from the log and open the data dir
-  * NAMED IN THE MANIFEST with the schema recorded there — so a committed
-  * version that nets to zero rows (an upsert that deletes everything, an
-  * empty stream batch) stays readable instead of failing schema inference.
+  * resolve the latest committed version from the log and open exactly the
+  * files NAMED IN THE MANIFEST with the schema recorded there — so a
+  * committed version that nets to zero rows stays readable instead of
+  * failing schema inference.
   *
   * MULTI-WRITER: optimistic concurrency like Delta's. Each writer stages
-  * its data under a private token-named dir, then claims version N by
+  * its new files under a private token-named dir, then claims version N by
   * atomically creating `_graft_log/N.json` — on the local filesystem via a
-  * hard-link publish (POSIX `link(2)` fails if the target exists and the
-  * linked content is already complete — create-if-absent with no partial
+  * hard-link publish (POSIX `link(2)`: create-if-absent with no partial
   * visibility), on HDFS-like filesystems via rename-no-replace. Exactly one
   * writer wins a version slot; losers re-resolve the latest version and
-  * retry — `write` (snapshot semantics) just re-claims the next slot
-  * without rewriting data, `upsert` recomputes its merge against the new
-  * base first (its content depends on what it read). Orphaned data dirs
-  * from writers that died before committing are unreferenced and harmless;
-  * `vacuum` sweeps them once they are older than every live version.
+  * retry — `write`/`append` just re-claim the next slot without rewriting
+  * data, `upsert`/`delete` recompute against the new base first (their
+  * content depends on what they read). Orphaned data dirs from writers
+  * that died before committing are unreferenced and harmless; `vacuum`
+  * sweeps them once they are older than every live version.
   *
   *  - time travel: `read(spark, path, asOf = Some(v))`
   *  - change feed: `changes(spark, path, fromV, toV)` — row-level
-  *    insert/delete diff between two versions (CDF-lite; Delta's CDF is
-  *    also a row diff, materialized at write time instead)
-  *  - `vacuum(spark, path, keepLast)` — retire old version data like
-  *    Delta's VACUUM
+  *    insert/delete diff between two versions (CDF-lite)
+  *  - `vacuum(spark, path, keepLast)` — retire files referenced only by
+  *    dropped versions (file-granular: a file carried forward by a kept
+  *    version survives the drop of the version that wrote it)
+  *
+  * Manifests written by older releases (a single `"dir"` instead of
+  * `"files"`) remain readable: the file list is resolved by listing and
+  * their stats keys are remapped.
   */
 object VersionedTable {
 
@@ -56,6 +79,11 @@ object VersionedTable {
   /** Give up after this many lost commit races (a pathological writer storm,
     * not a normal contention level). */
   val MaxCommitRetries = 20
+
+  /** Above this many distinct update keys, copy-on-write file selection
+    * falls back from exact per-column IN-lists to per-column [min, max]
+    * bounds (still conservative, just coarser). */
+  val MaxInKeys = 1000
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -75,12 +103,18 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
+  /** One committed version: root-relative data files, the schema they are
+    * read with, per-file column stats and row counts (keyed by the same
+    * relative paths), and the streaming-transaction watermark map. */
   private final case class Commit(
-      dir: String,
+      files: Seq[String],
       schema: Option[StructType],
-      stats: DataSkipping.FileStats)
+      stats: DataSkipping.FileStats,
+      rows: Map[String, Long],
+      txn: Map[String, Long])
 
   private def readManifest(f: FileSystem, root: Path, v: Long): Commit = {
+    import scala.jdk.CollectionConverters._
     val mf = manifest(root, v)
     val bytes = new Array[Byte](f.getFileStatus(mf).getLen.toInt)
     val in = f.open(mf)
@@ -88,33 +122,86 @@ object VersionedTable {
     val node = new ObjectMapper().readTree(new String(bytes, "UTF-8"))
     val schema = Option(node.get("schema")).map(s =>
       DataType.fromJson(s.toString).asInstanceOf[StructType])
-    val stats = Option(node.get("stats"))
-      .map(DataSkipping.fromJson).getOrElse(Map.empty)
-    Commit(node.get("dir").asText, schema, stats)
+    def longMap(field: String): Map[String, Long] =
+      Option(node.get(field)).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+    Option(node.get("files")) match {
+      case Some(fl) =>
+        val files = fl.elements().asScala.map(_.asText()).toSeq
+        val stats = Option(node.get("stats"))
+          .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)
+        Commit(files, schema, stats, longMap("rows"), longMap("txn"))
+      case None =>
+        // legacy single-dir manifest: resolve the file list by listing the
+        // dir (as pre-file-list readers did) and remap stats keys from bare
+        // names to dir-relative paths
+        val dirName = node.get("dir").asText()
+        val dir = new Path(root, dirName)
+        val files = if (f.exists(dir)) f.listStatus(dir).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).sorted.map(n => s"$dirName/$n").toSeq
+        else Seq.empty
+        val stats = Option(node.get("stats"))
+          .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)
+          .map { case (name, cs) => s"$dirName/$name" -> cs }
+        Commit(files, schema, stats, Map.empty, Map.empty)
+    }
   }
 
-  /** Stage `df` under a fresh private token dir; nothing references it until
-    * a manifest commits. */
-  private def stageData(df: DataFrame, root: Path): Path = {
+  private def manifestJson(v: Long, files: Seq[String], schemaJson: String,
+      stats: DataSkipping.FileStats, rows: Map[String, Long],
+      txn: Map[String, Long]): String = {
+    val om = new ObjectMapper()
+    def jstr(s: String) = om.writeValueAsString(s)
+    val filesJson = files.map(jstr).mkString("[", ",", "]")
+    val rowsJson = rows.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
+    val txnJson = txn.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
+    val statsField =
+      if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
+    s"""{"version":$v,"files":$filesJson,"schema":$schemaJson,"rows":$rowsJson,"txn":$txnJson$statsField}"""
+  }
+
+  /** Stage `df`'s files under a fresh private token dir; nothing references
+    * them until a manifest commits. Returns the dir and the root-relative
+    * paths of the parquet files written. */
+  private def stage(df: DataFrame, root: Path, f: FileSystem): (Path, Seq[String]) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(root, s"d-$token")
     df.write.mode("overwrite").parquet(dir.toString)
-    dir
+    val rel = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"d-$token/$n").toSeq
+    (dir, rel)
   }
+
+  /** Footer pass over newly staged files: per-file stats for `statsCols`
+    * plus per-file row counts (collected even with no stats columns — the
+    * row count comes from the same footer and powers [[countRows]]). */
+  private def metaFor(spark: SparkSession, root: Path, rel: Seq[String],
+      statsCols: Seq[String]): (DataSkipping.FileStats, Map[String, Long]) = {
+    val meta = DataSkipping.collectMeta(
+      spark, rel.map(r => r -> new Path(root, r).toString), statsCols)
+    (if (statsCols.isEmpty) Map.empty else meta.map { case (k, m) => k -> m.stats },
+      meta.map { case (k, m) => k -> m.rows })
+  }
+
+  /** The stats columns a maintenance commit should keep collecting when the
+    * caller didn't name any: whatever the parent manifest tracked, so a
+    * table's data-skipping never silently degrades across MERGE/DELETE/
+    * OPTIMIZE commits. */
+  private def inheritedStatsCols(c: Commit, explicit: Seq[String]): Seq[String] =
+    if (explicit.nonEmpty) explicit
+    else c.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
 
   /** Claim version `v` by atomically creating its manifest. Returns false —
     * with the stage file cleaned up — iff another writer holds `v`. */
-  private def tryCommit(
-      f: FileSystem, root: Path, v: Long, dirName: String, schemaJson: String,
-      statsJson: Option[String] = None): Boolean = {
+  private def tryCommit(f: FileSystem, root: Path, v: Long, body: String): Boolean = {
     val log = new Path(root, LogDir)
     f.mkdirs(log)
     val stage = new Path(root,
       s".commit-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val statsField = statsJson.map(s => s""","stats":$s""").getOrElse("")
     val out = f.create(stage, true)
-    try out.write(s"""{"version":$v,"dir":"$dirName","schema":$schemaJson$statsField}"""
-      .getBytes("UTF-8"))
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     val dest = manifest(root, v)
     val localRoot = "file" == Option(root.toUri.getScheme).getOrElse("file")
@@ -165,28 +252,31 @@ object VersionedTable {
     * like the reference pipeline's overwrite-per-run tables). Returns the
     * committed version number. Concurrency-safe: on a lost race the data is
     * NOT rewritten — the writer just claims the next free version slot for
-    * the already-staged dir. */
+    * the already-staged files. */
   def write(df: DataFrame, path: String): Long = write(df, path, Nil)
 
   /** As [[write]], additionally recording per-file min/max stats for
     * `statsCols` in the commit manifest (parquet footer reads only — see
-    * [[DataSkipping.collect]]), enabling file pruning in [[readWhere]].
-    * Choose the columns the table is z-ordered/clustered by: stats on a
-    * column the layout doesn't cluster are valid but rarely selective. */
+    * [[DataSkipping.collectMeta]]), enabling file pruning in [[readWhere]]
+    * and copy-on-write file selection in [[upsert]]/[[delete]]. Choose the
+    * columns the table is z-ordered/clustered by: stats on a column the
+    * layout doesn't cluster are valid but rarely selective. */
   def write(df: DataFrame, path: String, statsCols: Seq[String]): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
-    val data = stageData(df, root)
-    val schemaJson = df.schema.json
-    val statsJson =
-      if (statsCols.isEmpty) None
-      else Some(DataSkipping.toJson(DataSkipping.collect(spark, data, statsCols)))
+    val (_, rel) = stage(df, root, f)
+    val (stats, rows) = metaFor(spark, root, rel, statsCols)
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val v = latestVersion(spark, path).getOrElse(0L) + 1L
-      if (tryCommit(f, root, v, data.getName, schemaJson, statsJson)) committed = v
+      val base = latestVersion(spark, path)
+      // carry the streaming-txn watermarks: a snapshot write between two
+      // micro-batches must not reopen the door to batch replay
+      val txn = base.map(b => readManifest(f, root, b).txn).getOrElse(Map.empty)
+      val v = base.getOrElse(0L) + 1L
+      if (tryCommit(f, root, v, manifestJson(v, rel, df.schema.json, stats, rows, txn)))
+        committed = v
       else {
         attempt += 1
         require(attempt < MaxCommitRetries,
@@ -196,21 +286,122 @@ object VersionedTable {
     committed
   }
 
-  /** Read the latest committed version, or `asOf` for time travel. The data
-    * dir and schema come from the commit manifest, so empty versions read
-    * fine and no footer inference runs. */
-  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
+  /** Commit a new version = parent's files + `df`'s files (append
+    * semantics; no existing byte is touched). When the caller passes no
+    * `statsCols`, the parent's stats columns are collected for the new
+    * files so pruning keeps working on append-maintained tables. */
+  def append(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
+    appendInternal(df, path, statsCols, txn = None)
+
+  /** Exactly-once streaming commit (Delta's txnAppId/txnVersion idiom):
+    * append `df` as a new version UNLESS this (appId, batchId) — or a later
+    * batch of the same app — already committed, in which case the call is a
+    * NO-OP returning the current version. foreachBatch re-delivers batches
+    * after restarts; routing every micro-batch through `commitBatch` makes
+    * the sink idempotent: no duplicate version, no duplicate rows. */
+  def commitBatch(df: DataFrame, path: String, appId: String, batchId: Long,
+      statsCols: Seq[String] = Nil): Long =
+    appendInternal(df, path, statsCols, txn = Some(appId -> batchId))
+
+  private def appendInternal(df: DataFrame, path: String, statsCols: Seq[String],
+      txn: Option[(String, Long)]): Long = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var staged: Option[(Path, Seq[String], DataSkipping.FileStats, Map[String, Long])] = None
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion(spark, path)
+      val c = base.map(b => readManifest(f, root, b))
+      txn.foreach { case (app, bid) =>
+        if (c.exists(_.txn.get(app).exists(_ >= bid))) {
+          // replayed batch: already committed — clean up and no-op
+          staged.foreach(s => f.delete(s._1, true))
+          return base.get
+        }
+      }
+      c.flatMap(_.schema).foreach { bs =>
+        require(bs.fieldNames.toSet == df.schema.fieldNames.toSet &&
+          bs.fields.forall(bf =>
+            df.schema.fields.find(_.name == bf.name).forall(_.dataType == bf.dataType)),
+          s"append schema mismatch vs $path: table ${bs.simpleString}, " +
+            s"batch ${df.schema.simpleString}")
+      }
+      if (staged.isEmpty) {
+        val (dir, rel) = stage(df, root, f)
+        val cols = inheritedStatsCols(c.getOrElse(Commit(Nil, None, Map.empty,
+          Map.empty, Map.empty)), statsCols)
+        val (st, rw) = metaFor(spark, root, rel, cols)
+        staged = Some((dir, rel, st, rw))
+      }
+      val (_, rel, st, rw) = staged.get
+      // merge nullability so an appended nullable column stays readable
+      val schemaJson = c.flatMap(_.schema).map { bs =>
+        StructType(bs.fields.map(bf => bf.copy(nullable = bf.nullable ||
+          df.schema.fields.find(_.name == bf.name).exists(_.nullable)))).json
+      }.getOrElse(df.schema.json)
+      val v = base.getOrElse(0L) + 1L
+      val body = manifestJson(v, c.map(_.files).getOrElse(Nil) ++ rel, schemaJson,
+        c.map(_.stats).getOrElse(Map.empty) ++ st,
+        c.map(_.rows).getOrElse(Map.empty) ++ rw,
+        c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap)
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        // staged files stay valid for the next slot (content is
+        // base-independent); only the txn/schema checks re-run
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt append commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
+  private def commitFor(spark: SparkSession, path: String,
+      asOf: Option[Long]): (Path, FileSystem, Commit) = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"$path has no committed versions")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"$path has no version $v (committed: $vs)")
     val root = new Path(path)
-    val c = readManifest(fs(spark, root), root, v)
-    val dir = new Path(root, c.dir).toString
+    val f = fs(spark, root)
+    (root, f, readManifest(f, root, v))
+  }
+
+  /** DataFrame over a subset of a commit's files, read with the commit's
+    * recorded schema (files written before a schema evolution simply read
+    * their missing columns as nulls). */
+  private def dataFrameFor(spark: SparkSession, root: Path, c: Commit,
+      files: Seq[String]): DataFrame = {
+    val abs = files.map(r => new Path(root, r).toString)
     c.schema match {
-      case Some(s) => spark.read.schema(s).parquet(dir)
-      case None => spark.read.parquet(dir) // pre-schema manifests
+      case Some(s) if abs.isEmpty =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+      case Some(s) => spark.read.schema(s).parquet(abs: _*)
+      case None if abs.isEmpty => spark.emptyDataFrame
+      case None => spark.read.parquet(abs: _*) // pre-schema manifests
     }
+  }
+
+  /** Read the latest committed version, or `asOf` for time travel. The file
+    * list and schema come from the commit manifest, so empty versions read
+    * fine and no footer inference runs. */
+  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
+    val (root, _, c) = commitFor(spark, path, asOf)
+    dataFrameFor(spark, root, c, c.files)
+  }
+
+  /** `count(*)` from the manifest alone — zero data files opened. Answers
+    * None when any file predates row-count recording (legacy commits);
+    * callers then fall back to `read(...).count()`. At any scale this is
+    * the most common query, and it costs one small JSON read. */
+  def countRows(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Option[Long] = {
+    val (_, _, c) = commitFor(spark, path, asOf)
+    if (c.files.isEmpty) Some(0L)
+    else if (c.files.forall(c.rows.contains)) Some(c.files.map(c.rows).sum)
+    else None
   }
 
   /** Data-skipping read: open ONLY the files whose manifest min/max stats
@@ -222,44 +413,30 @@ object VersionedTable {
     * the handful of files whose z-tiles intersect the predicate box, with
     * zero footer fetches for the rest. Falls back to the plain versioned
     * read when the manifest carries no stats. */
-  def readWhere(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column,
+  def readWhere(spark: SparkSession, path: String, predicate: Column,
       asOf: Option[Long] = None): DataFrame = {
-    val (kept, _, c) = pruned(spark, path, predicate, asOf)
-    val df = c.schema match {
-      case Some(s) => spark.read.schema(s).parquet(kept: _*)
-      case None => spark.read.parquet(kept: _*)
-    }
-    df.filter(predicate)
+    val (root, kept, _, c) = pruned(spark, path, predicate, asOf)
+    dataFrameFor(spark, root, c, kept).filter(predicate)
   }
 
   /** Files (kept, skipped) for `predicate` — the observable pruning
-    * decision, exposed for audits/specs. */
-  def pruneInfo(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column,
+    * decision, exposed for audits/specs. Absolute paths. */
+  def pruneInfo(spark: SparkSession, path: String, predicate: Column,
       asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
-    val (kept, skipped, _) = pruned(spark, path, predicate, asOf)
-    (kept, skipped)
+    val (root, kept, skipped, _) = pruned(spark, path, predicate, asOf)
+    (kept.map(r => new Path(root, r).toString),
+      skipped.map(r => new Path(root, r).toString))
   }
 
-  private def pruned(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column,
-      asOf: Option[Long]): (Seq[String], Seq[String], Commit) = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"$path has no committed versions")
-    val v = asOf.getOrElse(vs.last)
-    require(vs.contains(v), s"$path has no version $v (committed: $vs)")
-    val root = new Path(path)
-    val f = fs(spark, root)
-    val c = readManifest(f, root, v)
-    val dir = new Path(root, c.dir)
-    val files = if (f.exists(dir)) f.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq else Seq.empty
+  private def pruned(spark: SparkSession, path: String, predicate: Column,
+      asOf: Option[Long]): (Path, Seq[String], Seq[String], Commit) = {
+    val (root, _, c) = commitFor(spark, path, asOf)
     val (kept, skipped) = c.schema match {
       case Some(s) if c.stats.nonEmpty =>
-        DataSkipping.prune(files, c.stats, DataSkipping.resolve(spark, s, predicate))
-      case _ => (files, Seq.empty[String]) // no stats/schema recorded: keep all
+        DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
+      case _ => (c.files, Seq.empty[String]) // no stats/schema recorded: keep all
     }
-    (kept, skipped, c)
+    (root, kept, skipped, c)
   }
 
   /** MERGE-equivalent upsert (docs/runbooks/silver-transform.md:114-122:
@@ -269,9 +446,19 @@ object VersionedTable {
     * version — so the merge inherits the log's atomicity AND leaves the
     * pre-merge snapshot time-travelable.
     *
-    * Plan shape: one left_anti hash join of current-minus-updates on the
-    * key (the only shuffle; broadcast when `updates` is small) + union —
-    * no per-row driver work, scales with the table.
+    * COPY-ON-WRITE: when the base manifest carries per-file stats, the
+    * merge first computes the update keys' per-column bounds (one small
+    * aggregate over `updates`; an exact IN-list when there are at most
+    * [[MaxInKeys]] distinct keys) and rewrites ONLY the files whose
+    * recorded key ranges admit a match — every other file is carried into
+    * the new version by reference, bytes untouched. Matching is
+    * conservative per construction (a necessary condition per key column),
+    * so a carried file provably holds no matched key. A stats-less table
+    * degrades to whole-table rewrite, never to wrong results.
+    *
+    * Plan shape: one left_anti hash join of rewrite-files-minus-updates on
+    * the key (the only shuffle; AQE broadcasts small sides) + union — no
+    * per-row driver work, scales with the UPDATE, not the table.
     *
     * Concurrency: the merge pins the base version it read; if another
     * writer commits first, the claim on base+1 fails and the merge is
@@ -303,7 +490,8 @@ object VersionedTable {
     upsert(updates, path, keys, evolveSchema, latestBy, Nil)
 
   /** @param statsCols as in [[write]]: record per-file min/max for these
-    *                  columns in the merged version's manifest, so a table
+    *                  columns for the files this merge writes (parent's
+    *                  stats columns are inherited when empty), so a table
     *                  maintained by MERGE keeps its data-skipping reads. */
   def upsert(
       updates: DataFrame,
@@ -311,7 +499,20 @@ object VersionedTable {
       keys: Seq[String],
       evolveSchema: Boolean,
       latestBy: Option[String],
-      statsCols: Seq[String]): Long = {
+      statsCols: Seq[String]): Long =
+    upsert(updates, path, keys, evolveSchema, latestBy, statsCols, txn = None)
+
+  /** @param txn optional (appId, batchId) exactly-once marker, as in
+    *            [[commitBatch]]: a replayed (appId, batchId) upsert is a
+    *            no-op — the streaming MERGE sink's idempotence. */
+  def upsert(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      evolveSchema: Boolean,
+      latestBy: Option[String],
+      statsCols: Seq[String],
+      txn: Option[(String, Long)]): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     val spark = updates.sparkSession
     val root = new Path(path)
@@ -319,7 +520,6 @@ object VersionedTable {
     val deduped = latestBy match {
       case Some(ord) =>
         import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.row_number
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
         updates.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
@@ -334,28 +534,203 @@ object VersionedTable {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
+      // pin the exact version the merge is computed against — reading
+      // "latest" below this point would race a concurrent commit past the
+      // CAS check
       val base = latestVersion(spark, path)
-      val merged = base match {
-        case None => deduped
-        case Some(b) =>
-          // pin the exact version the merge is computed against — reading
-          // "latest" here would race a concurrent commit past the CAS check
-          val current = read(spark, path, Some(b))
-          current.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
-            .unionByName(deduped, allowMissingColumns = evolveSchema)
+      val baseC = base.map(b => readManifest(f, root, b))
+      txn.foreach { case (app, bid) =>
+        if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
       }
-      val data = stageData(merged, root)
-      val statsJson =
-        if (statsCols.isEmpty) None
-        else Some(DataSkipping.toJson(DataSkipping.collect(spark, data, statsCols)))
-      if (tryCommit(f, root, base.getOrElse(0L) + 1L, data.getName, merged.schema.json,
-        statsJson))
-        committed = base.getOrElse(0L) + 1L
+      val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
+      val (files, schemaJson, stats, rows, stagedDir) = baseC match {
+        case None =>
+          val (dir, rel) = stage(deduped, root, f)
+          val (st, rw) = metaFor(spark, root, rel, statsCols)
+          (rel, deduped.schema.json, st, rw, dir)
+        case Some(c) =>
+          val updSchema = deduped.schema
+          // (rewrite candidates, provably-unmatched carries, merged schema)
+          val (rewriteKeys, carryKeys, merged) = c.schema match {
+            case Some(bs) =>
+              if (!evolveSchema)
+                require(bs.fieldNames.toSet == updSchema.fieldNames.toSet,
+                  s"upsert schema mismatch vs $path (table ${bs.fieldNames.mkString(",")} " +
+                    s"vs updates ${updSchema.fieldNames.mkString(",")}); " +
+                    "pass evolveSchema=true to merge them")
+              val typesOk = bs.fields.forall(bf =>
+                updSchema.fields.find(_.name == bf.name).forall(_.dataType == bf.dataType))
+              if (!typesOk) (c.files, Seq.empty[String], None) // coercion → full rewrite
+              else {
+                val (rw, cy) = selectRewrite(spark, c, bs, deduped, keys)
+                val mergedFields = bs.fields.map { bf =>
+                  updSchema.fields.find(_.name == bf.name) match {
+                    case Some(uf) => bf.copy(nullable = bf.nullable || uf.nullable)
+                    case None => bf.copy(nullable = true) // null-filled on the update side
+                  }
+                } ++ updSchema.fields.filterNot(uf => bs.fieldNames.contains(uf.name))
+                  .map(_.copy(nullable = true)) // absent from carried files
+                (rw, cy, Some(StructType(mergedFields)))
+              }
+            case None => (c.files, Seq.empty[String], None) // legacy: no schema to prove carries
+          }
+          val rewriteDf =
+            if (rewriteKeys.isEmpty && merged.isDefined) {
+              // pure-insert fast path: stats prove NO existing file holds a
+              // matching key — stage only the updates, aligned to the
+              // merged schema
+              val m = merged.get
+              deduped.select(m.fields.map(fl =>
+                if (updSchema.fieldNames.contains(fl.name)) col(fl.name)
+                else lit(null).cast(fl.dataType).as(fl.name)).toSeq: _*)
+            } else if (rewriteKeys.isEmpty) deduped // empty/legacy base
+            else dataFrameFor(spark, root, c, rewriteKeys)
+              .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              .unionByName(deduped, allowMissingColumns = evolveSchema)
+          val (dir, rel) = stage(rewriteDf, root, f)
+          val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
+          val carrySet = carryKeys.toSet
+          (carryKeys ++ rel,
+            merged.map(_.json).getOrElse(rewriteDf.schema.json),
+            c.stats.filter(kv => carrySet(kv._1)) ++ st,
+            c.rows.filter(kv => carrySet(kv._1)) ++ rw,
+            dir)
+      }
+      val v = base.getOrElse(0L) + 1L
+      if (tryCommit(f, root, v, manifestJson(v, files, schemaJson, stats, rows, newTxn)))
+        committed = v
       else {
-        f.delete(data, true) // stale merge — recompute against the new head
+        f.delete(stagedDir, true) // stale merge — recompute against the new head
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt upsert commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
+  /** Copy-on-write file selection: build a predicate every MATCHED current
+    * row must satisfy (per key column: membership in the update keys'
+    * IN-list, or their [min, max] range when the key set is large), then
+    * prune the base files with it. Kept files MAY contain matches
+    * (rewrite); skipped files provably contain none (carry). Any failure
+    * (exotic key type, stats gap) falls back to rewrite-everything —
+    * selection is an optimization, never a correctness dependency. */
+  private def selectRewrite(spark: SparkSession, c: Commit, schema: StructType,
+      updates: DataFrame, keys: Seq[String]): (Seq[String], Seq[String]) = {
+    if (c.stats.isEmpty || c.files.isEmpty) return (c.files, Seq.empty)
+    scala.util.Try {
+      val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+      val r = updates.agg(aggs.head, aggs.tail: _*).head()
+      // a key column whose update values are ALL null can never
+      // equality-match an existing row: nothing to rewrite
+      if (keys.indices.exists(i => r.isNullAt(2 * i)))
+        (Seq.empty[String], c.files)
+      else {
+        val distinctRows =
+          updates.select(keys.map(col): _*).distinct().limit(MaxInKeys + 1).collect()
+        val perCol = keys.zipWithIndex.map { case (k, i) =>
+          if (distinctRows.length <= MaxInKeys) {
+            val vals = distinctRows.map(_.get(i)).filter(_ != null).distinct
+            col(k).isin(vals.toSeq: _*)
+          } else col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
+        }
+        val resolved = DataSkipping.resolve(spark, schema, perCol.reduce(_ && _))
+        DataSkipping.prune(c.files, c.stats, resolved)
+      }
+    }.getOrElse((c.files, Seq.empty))
+  }
+
+  /** Row-level DELETE as a versioned commit (the MERGE-family verb Delta
+    * spells `DELETE FROM t WHERE p`): rows where `predicate` is TRUE are
+    * removed; rows where it is false or NULL stay. File-granular: only
+    * files whose stats admit a matching row are rewritten — every other
+    * file is carried by reference, byte-identical. A predicate that
+    * provably matches nothing is a no-op (returns the current version,
+    * no new commit). The pre-delete snapshot stays time-travelable and
+    * [[changes]] reports the deleted rows. */
+  def delete(spark: SparkSession, path: String, predicate: Column,
+      statsCols: Seq[String] = Nil): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"$path has no committed versions")
+      val b = vs.last
+      val c = readManifest(f, root, b)
+      val (candKeys, carryKeys) = c.schema match {
+        case Some(s) if c.stats.nonEmpty =>
+          DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
+        case _ => (c.files, Seq.empty[String])
+      }
+      if (candKeys.isEmpty) return b // provably nothing to delete
+      val kept = dataFrameFor(spark, root, c, candKeys)
+        .filter(!coalesce(predicate, lit(false))) // keep p=false AND p=null rows
+      val (dir, rel) = stage(kept, root, f)
+      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
+      val carrySet = carryKeys.toSet
+      val v = b + 1L
+      val body = manifestJson(v, carryKeys ++ rel,
+        c.schema.map(_.json).getOrElse(kept.schema.json),
+        c.stats.filter(kv => carrySet(kv._1)) ++ st,
+        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn)
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        f.delete(dir, true) // stale — recompute against the new head
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt delete commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
+  /** OPTIMIZE: bin-pack the head version's small files into ~`targetBytes`
+    * files as a NEW version (the maintenance the reference's OPTIMIZE
+    * guidance describes, `sql/ddl/01_bronze.sql:24-26`). Files already at
+    * least half the target size are carried untouched; the rest are
+    * coalesced (coalesce, not repartition — no shuffle, and each output
+    * file merges ADJACENT inputs so a clustered/z-ordered layout keeps its
+    * locality and its stats stay narrow). Stats and row counts are
+    * recomputed for the packed files; every older version remains
+    * time-travelable; `vacuum` later reclaims the replaced small files.
+    * Read results are bit-identical across the compaction (row-level
+    * multiset is unchanged). No-op (current version returned) when fewer
+    * than two files qualify. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"$path has no committed versions")
+      val b = vs.last
+      val c = readManifest(f, root, b)
+      val sized = c.files.map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
+      val smallSet = sized.filter(_._2 < targetBytes / 2).map(_._1).toSet
+      if (smallSet.size < 2) return b // nothing worth packing
+      val carry = c.files.filterNot(smallSet)
+      val totalSmall = sized.collect { case (r, n) if smallSet(r) => n }.sum
+      val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
+      val packed = dataFrameFor(spark, root, c, c.files.filter(smallSet)).coalesce(nOut)
+      val (dir, rel) = stage(packed, root, f)
+      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, Nil))
+      val carrySet = carry.toSet
+      val v = b + 1L
+      val body = manifestJson(v, carry ++ rel,
+        c.schema.map(_.json).getOrElse(packed.schema.json),
+        c.stats.filter(kv => carrySet(kv._1)) ++ st,
+        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn)
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        f.delete(dir, true)
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt compact commit races in a row; giving up")
       }
     }
     committed
@@ -388,19 +763,20 @@ object VersionedTable {
     * vacuums that run after newer commits landed. */
   val DefaultOrphanRetentionMs: Long = 24L * 3600 * 1000
 
-  /** Drop data + manifests of all but the last `keepLast` versions, plus any
-    * data dir no manifest references (orphans from dead uncommitted
-    * writers). Orphan sweep only removes dirs whose modification time
-    * precedes BOTH the oldest KEPT commit AND `now - orphanRetentionMs`
-    * (Delta-style retention floor) — the commit-time bound alone is not
-    * enough: a writer that staged BEFORE a newer commit landed would have
-    * its in-flight dir look older than every kept manifest and get swept
-    * mid-write, then win its CAS and commit a manifest pointing at deleted
-    * data. A writer in flight LONGER than the retention window is still
-    * exposed — same contract as Delta's retention horizon; don't pass a
-    * window shorter than your slowest writer. Stale `.commit-*.tmp` files
-    * (writers that died between staging the manifest bytes and publishing
-    * them) are swept under the same cutoff. */
+  /** Drop the manifests of all but the last `keepLast` versions and delete
+    * every data file referenced ONLY by dropped versions — file-granular: a
+    * file a kept version carries by reference survives the drop of the
+    * version that wrote it. Data dirs that end up referenced by no kept
+    * version are removed; OTHER unreferenced dirs (stages of in-flight or
+    * dead writers) are swept only once older than BOTH the oldest kept
+    * commit AND `now - orphanRetentionMs` (Delta-style retention floor) —
+    * the commit-time bound alone is not enough: a writer that staged
+    * BEFORE a newer commit landed would look older than every kept
+    * manifest and get swept mid-write, then win its CAS and commit a
+    * manifest pointing at deleted data. A writer in flight LONGER than the
+    * retention window is still exposed — same contract as Delta's
+    * retention horizon; don't pass a window shorter than your slowest
+    * writer. Stale `.commit-*.tmp` files are swept under the same cutoff. */
   def vacuum(spark: SparkSession, path: String, keepLast: Int,
       orphanRetentionMs: Long = DefaultOrphanRetentionMs): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
@@ -408,14 +784,23 @@ object VersionedTable {
     val f = fs(spark, root)
     val vs = versions(spark, path)
     val (drop, keep) = (vs.dropRight(keepLast), vs.takeRight(keepLast))
+    val live: Set[String] =
+      keep.flatMap(v => readManifest(f, root, v).files).toSet
+    val liveDirs: Set[String] = live.map(_.takeWhile(_ != '/'))
+    val droppedDirs = scala.collection.mutable.Set.empty[String]
     drop.foreach { v =>
       val c = readManifest(f, root, v)
-      // manifest first: a crash between the two deletes must not leave a
+      // manifest first: a crash between the deletes must not leave a
       // committed version whose data is gone
       f.delete(manifest(root, v), false)
-      f.delete(new Path(root, c.dir), true)
+      c.files.filterNot(live).foreach { r =>
+        f.delete(new Path(root, r), false)
+        droppedDirs += r.takeWhile(_ != '/')
+      }
     }
-    val live = keep.map(v => readManifest(f, root, v).dir).toSet
+    // dirs that held only dropped-version files are fully dead: writers
+    // never add files to a dir once its commit landed
+    droppedDirs.filterNot(liveDirs).foreach(d => f.delete(new Path(root, d), true))
     val oldestKeptTime = keep.headOption
       .map(v => f.getFileStatus(manifest(root, v)).getModificationTime)
       .getOrElse(Long.MaxValue)
@@ -426,7 +811,7 @@ object VersionedTable {
       val staleStage = !st.isDirectory &&
         n.startsWith(".commit-") && n.endsWith(".tmp")
       if (st.getModificationTime < cutoff &&
-        ((st.isDirectory && versioned && !live.contains(n)) || staleStage))
+        ((st.isDirectory && versioned && !liveDirs.contains(n)) || staleStage))
         f.delete(st.getPath, st.isDirectory)
     }
   }

@@ -73,19 +73,29 @@ object StreamingSilver {
     * the table by key via foreachBatch + [[graft.sources.VersionedTable]] —
     * the lakehouse streaming-ingest pattern (Delta's streaming MERGE),
     * with the log commit giving per-batch atomicity and each batch
-    * boundary time-travelable as its own version. Returns the started
-    * query; caller awaits/stops it. */
+    * boundary time-travelable as its own version.
+    *
+    * EXACTLY-ONCE: foreachBatch is at-least-once (a batch is re-delivered
+    * after a restart before its checkpoint advances); passing
+    * (appId, batchId) through the manifest txn map makes the replayed
+    * commit a NO-OP — no duplicate version, no duplicate rows (Delta's
+    * txnAppId/txnVersion idempotent-write idiom). `appId` must be stable
+    * across restarts of the same logical stream (tie it to the checkpoint
+    * location, not the run). Returns the started query; caller
+    * awaits/stops it. */
   def sinkToVersioned(
       silver: DataFrame,
       path: String,
       keys: Seq[String],
-      latestBy: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      latestBy: Option[String] = None,
+      appId: String = "graft-silver-stream"): org.apache.spark.sql.streaming.StreamingQuery =
     silver.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.sources.VersionedTable.upsert(batch.toDF(), path, keys,
-            evolveSchema = false, latestBy = latestBy): Unit
+            evolveSchema = false, latestBy = latestBy, statsCols = Nil,
+            txn = Some(appId -> batchId)): Unit
       }
       .start()
 

@@ -143,6 +143,190 @@ class VersionedTableSpec extends SparkSpec {
     assert(TableIO.read(spark, path).count() == 10000)
   }
 
+  // ---- file-granular write path (round-5: copy-on-write MERGE family) ----
+
+  /** All data files of a version, absolute, via the public pruning surface
+    * (lit(true) can never skip a file). */
+  private def filesOf(path: String, asOf: Option[Long] = None): Set[String] =
+    VersionedTable.pruneInfo(spark, path, lit(true), asOf)._1.toSet
+
+  private def localFile(f: String): java.io.File =
+    new java.io.File(new org.apache.hadoop.fs.Path(f).toUri.getPath)
+
+  /** Range-clustered 4-file table over id 0..999 with id stats recorded. */
+  private def rangeTable(path: String): Unit = {
+    val df = spark.range(0, 1000).select(col("id"),
+      concat(lit("v"), col("id")).as("v"))
+    VersionedTable.write(df.repartitionByRange(4, col("id")), path, Seq("id"))
+  }
+
+  test("copy-on-write upsert rewrites ONLY files whose key bounds admit matches") {
+    val path = java.nio.file.Files.createTempDirectory("cow").toString + "/t"
+    rangeTable(path)
+    val v1Files = filesOf(path)
+    assert(v1Files.size == 4)
+    // update keys all inside ONE range tile (ids 100..105)
+    val updates = spark.range(100, 106).select(col("id"), lit("UPDATED").as("v"))
+    val v2 = VersionedTable.upsert(updates, path, Seq("id"))
+    val v2Files = filesOf(path)
+    // file-identity audit: exactly the 3 non-matching tiles carried by
+    // reference — same absolute paths, bytes untouched
+    val carried = v2Files intersect v1Files
+    assert(carried.size == 3, s"carried=${carried.size}, expected 3 of ${v1Files.size}")
+    assert((v1Files -- v2Files).size == 1, "exactly the matched tile replaced")
+    // result is still the correct MERGE
+    val got = VersionedTable.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (0L until 1000L).map(i =>
+      (i, if (i >= 100 && i <= 105) "UPDATED" else s"v$i")).toSet
+    assert(got == want)
+    // pre-merge snapshot intact
+    assert(VersionedTable.read(spark, path, Some(1L)).count() == 1000)
+    assert(v2 == 2L)
+    // data skipping still live on the merged version (stats carried + recomputed)
+    val (_, skipped) = VersionedTable.pruneInfo(spark, path, col("id") === 900L)
+    assert(skipped.nonEmpty, "merged version must keep pruning")
+  }
+
+  test("pure-insert upsert carries EVERY existing file (zero rewrite)") {
+    val path = java.nio.file.Files.createTempDirectory("cow").toString + "/t"
+    rangeTable(path)
+    val v1Files = filesOf(path)
+    val mtimes = v1Files.map(f => f -> localFile(f).lastModified()).toMap
+    // keys provably outside every file's [min, max]
+    val inserts = spark.range(5000, 5003).select(col("id"), lit("new").as("v"))
+    VersionedTable.upsert(inserts, path, Seq("id"))
+    val v2Files = filesOf(path)
+    assert(v1Files.subsetOf(v2Files), "all base files carried by reference")
+    v1Files.foreach { f =>
+      assert(localFile(f).lastModified() == mtimes(f),
+        s"carried file must be byte-untouched: $f")
+    }
+    assert(VersionedTable.read(spark, path).count() == 1003)
+  }
+
+  test("row-level DELETE rewrites only intersecting files; old version intact") {
+    val path = java.nio.file.Files.createTempDirectory("del").toString + "/t"
+    rangeTable(path)
+    val v1Files = filesOf(path)
+    val v2 = VersionedTable.delete(spark, path, col("id").between(300, 309))
+    assert(v2 == 2L)
+    val v2Files = filesOf(path)
+    assert((v2Files intersect v1Files).size == 3,
+      "only the one intersecting tile rewritten")
+    val now = VersionedTable.read(spark, path)
+    assert(now.count() == 990)
+    assert(now.filter(col("id").between(300, 309)).count() == 0)
+    // untouched rows identical (multiset compare via exceptAll both ways)
+    val expect = spark.range(0, 1000).select(col("id"),
+      concat(lit("v"), col("id")).as("v")).filter(!col("id").between(300, 309))
+    assert(now.exceptAll(expect).count() == 0 && expect.exceptAll(now).count() == 0)
+    // pre-delete snapshot still time-travelable; change feed shows the deletes
+    assert(VersionedTable.read(spark, path, Some(1L)).count() == 1000)
+    val ch = VersionedTable.changes(spark, path, 1L, 2L).collect()
+    assert(ch.length == 10 && ch.forall(_.getAs[String]("_change_type") == "delete"))
+    // a provably-empty delete is a no-op: no new version
+    val v3 = VersionedTable.delete(spark, path, col("id") === 999999L)
+    assert(v3 == v2 && VersionedTable.versions(spark, path) == Seq(1L, 2L))
+    // NULL-predicate rows survive (DELETE drops only p=TRUE rows)
+    val p2 = java.nio.file.Files.createTempDirectory("del").toString + "/t"
+    VersionedTable.write(Seq((1, Some("x")), (2, None), (3, Some("kill")))
+      .toDF("id", "s"), p2)
+    VersionedTable.delete(spark, p2, col("s") === "kill")
+    val left = VersionedTable.read(spark, p2).select("id").as[Int].collect().toSet
+    assert(left == Set(1, 2), "p=NULL row must survive DELETE")
+  }
+
+  test("OPTIMIZE compacts small files into a new version; history + stats survive") {
+    val path = java.nio.file.Files.createTempDirectory("opt").toString + "/t"
+    // 16 tiny files, id stats recorded
+    VersionedTable.write(
+      spark.range(0, 2000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .repartition(16),
+      path, Seq("id"))
+    val before = filesOf(path)
+    assert(before.size == 16)
+    val v2 = VersionedTable.compact(spark, path, targetBytes = 1L << 30)
+    assert(v2 == 2L)
+    val after = filesOf(path)
+    assert(after.size < before.size && after.size <= 2, s"got ${after.size} files")
+    // read identical across the compaction
+    val a = VersionedTable.read(spark, path)
+    val b = VersionedTable.read(spark, path, Some(1L))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // stats recomputed for packed files: an impossible predicate skips ALL
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, col("id") < 0L)
+    assert(kept.isEmpty && skipped.size == after.size,
+      "compacted files must carry recomputed stats")
+    // metadata row counts recomputed too
+    assert(VersionedTable.countRows(spark, path).contains(2000L))
+    // compacting an already-compact table is a no-op
+    assert(VersionedTable.compact(spark, path, targetBytes = 1L << 30) == v2)
+  }
+
+  test("countRows answers from the manifest with zero data-file reads") {
+    val path = java.nio.file.Files.createTempDirectory("cnt").toString + "/t"
+    rangeTable(path)
+    VersionedTable.upsert(
+      spark.range(2000, 2010).select(col("id"), lit("n").as("v")), path, Seq("id"))
+    VersionedTable.delete(spark, path, col("id").between(0, 9))
+    assert(VersionedTable.countRows(spark, path).contains(1000L))
+    assert(VersionedTable.countRows(spark, path, Some(2L)).contains(1010L))
+    assert(VersionedTable.countRows(spark, path, Some(3L)).contains(1000L))
+    assert(VersionedTable.countRows(spark, path).get ==
+      VersionedTable.read(spark, path).count())
+    // the proof it never opens data: physically destroy every data file —
+    // the metadata count still answers
+    filesOf(path).foreach(f => localFile(f).delete())
+    assert(VersionedTable.countRows(spark, path).contains(1000L))
+  }
+
+  test("commitBatch is exactly-once per (appId, batchId): replay is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("txn").toString + "/t"
+    val b0 = Seq((1, "a")).toDF("id", "v")
+    val v1 = VersionedTable.commitBatch(b0, path, "appA", 0L)
+    assert(v1 == 1L)
+    // replayed batch 0 (restart re-delivery): same version, no new rows
+    assert(VersionedTable.commitBatch(b0, path, "appA", 0L) == v1)
+    assert(VersionedTable.versions(spark, path) == Seq(1L))
+    assert(VersionedTable.read(spark, path).count() == 1)
+    // next batch commits normally
+    val v2 = VersionedTable.commitBatch(Seq((2, "b")).toDF("id", "v"), path, "appA", 1L)
+    assert(v2 == 2L && VersionedTable.read(spark, path).count() == 2)
+    // an interleaved snapshot write must not erase the watermark
+    VersionedTable.write(Seq((9, "z")).toDF("id", "v"), path)
+    assert(VersionedTable.commitBatch(b0, path, "appA", 1L) == 3L,
+      "older batch replay after unrelated write stays a no-op")
+    assert(VersionedTable.read(spark, path).count() == 1)
+    // a DIFFERENT app's batch 0 is independent
+    val v4 = VersionedTable.commitBatch(Seq((3, "c")).toDF("id", "v"), path, "appB", 0L)
+    assert(v4 == 4L)
+    // upsert honors the same txn marker (streaming MERGE sink idempotence)
+    val p2 = java.nio.file.Files.createTempDirectory("txn").toString + "/t"
+    VersionedTable.upsert(Seq((1, "a")).toDF("id", "v"), p2, Seq("id"),
+      evolveSchema = false, latestBy = None, Nil, Some("app" -> 0L))
+    VersionedTable.upsert(Seq((1, "REPLAY")).toDF("id", "v"), p2, Seq("id"),
+      evolveSchema = false, latestBy = None, Nil, Some("app" -> 0L))
+    assert(VersionedTable.versions(spark, p2) == Seq(1L))
+    assert(VersionedTable.read(spark, p2).select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("vacuum is file-granular: carried files survive dropping their writer version") {
+    val path = java.nio.file.Files.createTempDirectory("vacf").toString + "/t"
+    rangeTable(path) // v1 writes 4 files
+    val v1Files = filesOf(path)
+    VersionedTable.upsert( // v2 rewrites 1 tile, carries 3 of v1's files
+      spark.range(100, 106).select(col("id"), lit("U").as("v")), path, Seq("id"))
+    VersionedTable.vacuum(spark, path, keepLast = 1, orphanRetentionMs = 0L)
+    assert(VersionedTable.versions(spark, path) == Seq(2L))
+    // the 3 carried v1 files must still exist; only the replaced tile is gone
+    val after = filesOf(path)
+    assert((after intersect v1Files).size == 3)
+    v1Files.diff(after).foreach(f =>
+      assert(!localFile(f).exists(), s"dead file not reclaimed: $f"))
+    assert(VersionedTable.read(spark, path).count() == 1000)
+  }
+
   test("a failed version write never becomes readable; vacuum retires old versions") {
     val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
     VersionedTable.write(Seq((1, "a")).toDF("id", "v"), path)
