@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{EventKpis, ExtQueries, TpchQueries, TextQueries, SimilarityQueries}
+import graft.queries.{EventKpis, ExtQueries, SkippingQueries, TpchQueries, TextQueries, SimilarityQueries}
 import graft.operators.{AsOfJoin, Multimodal, NearDup, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,6 +23,7 @@ object SparkEntry {
       NearDup.queries ++
       Multimodal.queries ++
       ExtQueries.queries ++
+      SkippingQueries.queries ++
       Map(
         "q_asof_join" -> (AsOfJoin.purchaseAsofSignup _),
         // same semantics through the custom LogicalPlan/Strategy/SparkPlan
@@ -93,6 +94,7 @@ object SparkEntry {
       NearDup.oracles ++
       Multimodal.oracles ++
       ExtQueries.oracles ++
+      SkippingQueries.oracles ++
       Map(
         "q_asof_join" -> AsOfJoin.purchaseAsofSignupSql,
         "q_asof_native" -> AsOfJoin.purchaseAsofSignupSql,

@@ -154,6 +154,29 @@ class DataSkippingSpec extends SparkSpec {
     assert(litFirst._1.toSet == attrFirst._1.toSet && litFirst._2.toSet == attrFirst._2.toSet)
   }
 
+  test("q_skipping_scan (the DECLARED query) skips files and matches the raw scan") {
+    import graft.queries.SkippingQueries
+    val dir = sf0001
+    val path = SkippingQueries.ensureTable(spark, dir)
+    // the exact predicate the declared query reads through must skip >0
+    // files on the clustered copy — this pins the oracle-gated query to a
+    // pruned scan, not an accidental full read
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, SkippingQueries.predicate)
+    assert(skipped.nonEmpty, "declared query must actually prune files")
+    assert(kept.nonEmpty && kept.size < kept.size + skipped.size)
+    // and the query's own result equals the same aggregate over the raw table
+    val got = SkippingQueries.skippingScan(spark, dir)
+    val raw = graft.sources.Tables.events(spark, dir)
+      .filter(SkippingQueries.predicate)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    assert(got.exceptAll(raw).count() == 0 && raw.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("time travel reads prune with the stats of THEIR version") {
     val path = java.nio.file.Files.createTempDirectory("skip").toString + "/t"
     VersionedTable.write(
