@@ -119,12 +119,25 @@ object NearDup {
     sh
   }
 
+  /** Band-key frame cached + primed BEFORE the LSH self-join: both join
+    * inputs of [[lshCandidates]] are the SAME `bandKeys(signatures(sh))`
+    * subtree, and the shingle cache underneath does not stop each side
+    * from re-running the 12-way min-md5 signature aggregate and band
+    * explosion independently (observed: the aggregate — the whole cost of
+    * the sketch — executed twice per query). Materializing the band frame
+    * once makes the self-join read a few-MB cache twice instead. */
+  private def cachedBands(sh: DataFrame): DataFrame = {
+    val bands = bandKeys(signatures(sh)).cache()
+    bands.count()
+    bands
+  }
+
   // --------------------------------------------------------------------------
   // q_minhash_lsh — MinHash+LSH candidates, exact-Jaccard verified.
   // --------------------------------------------------------------------------
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = cachedShingles(Tables.documents(spark, dir))
-    verifyJaccard(lshCandidates(bandKeys(signatures(sh))), sh)
+    verifyJaccard(lshCandidates(cachedBands(sh)), sh)
   }
 
   // --------------------------------------------------------------------------
@@ -360,7 +373,7 @@ object NearDup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = cachedShingles(docs)
-    val pairs = verifyJaccard(lshCandidates(bandKeys(signatures(sh))), sh)
+    val pairs = verifyJaccard(lshCandidates(cachedBands(sh)), sh)
       .select(col("doc_a"), col("doc_b")).cache()
     // eager: every loop round references the edge set from several subtrees
     // that AQE submits concurrently — a lazy cache would recompute the whole
