@@ -77,9 +77,27 @@ object SkippingQueries {
        |FROM events WHERE user_id BETWEEN $UserLo AND $UserHi
        |GROUP BY 1""".stripMargin
 
+  /** q_meta_count — `count(*)` answered from the commit manifest's per-file
+    * row counts alone (zero data files opened; VersionedTableSpec proves
+    * the zero-read property by destroying the data files). The most common
+    * query at any scale, reduced to one small JSON read. The DuckDB oracle
+    * counts the raw table, so the metadata answer is value-checked. */
+  def metaCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureTable(spark, dir)
+    val n = VersionedTable.countRows(spark, path)
+      .getOrElse(VersionedTable.read(spark, path).count()) // legacy manifests
+    Seq(n).toDF("n_rows")
+  }
+
+  val metaCountSql: String =
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_skipping_scan" -> (skippingScan _))
+    "q_skipping_scan" -> (skippingScan _),
+    "q_meta_count" -> (metaCount _))
 
   val oracles: Map[String, String] = Map(
-    "q_skipping_scan" -> skippingScanSql)
+    "q_skipping_scan" -> skippingScanSql,
+    "q_meta_count" -> metaCountSql)
 }

@@ -88,8 +88,9 @@ object StreamingSilver {
       path: String,
       keys: Seq[String],
       latestBy: Option[String] = None,
-      appId: String = "graft-silver-stream"): org.apache.spark.sql.streaming.StreamingQuery =
-    silver.writeStream
+      appId: String = "graft-silver-stream",
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = silver.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -97,7 +98,9 @@ object StreamingSilver {
             evolveSchema = false, latestBy = latestBy, statsCols = Nil,
             txn = Some(appId -> batchId)): Unit
       }
-      .start()
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
 
   // --------------------------------------------------------------------------
   // Custom streaming state: running per-author totals via

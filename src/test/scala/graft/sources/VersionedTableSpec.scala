@@ -205,6 +205,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 1003)
   }
 
+  test("upsert matching one z-tile of a z-ordered table rewrites only that tile's files") {
+    val path = java.nio.file.Files.createTempDirectory("cowz").toString + "/t"
+    val grid = spark.range(0, 256 * 256).select(
+      (col("id") % 256).cast("int").as("a"),
+      (col("id") / 256).cast("int").as("b"),
+      col("id").as("payload"))
+    // z-placed: every file covers one aligned z-tile → narrow (a, b) bounds
+    VersionedTable.write(TableIO.zPlaced(grid, "a", "b", bits = 8), path, Seq("a", "b"))
+    val v1Files = filesOf(path)
+    assert(v1Files.size >= 8, s"need a multi-file layout, got ${v1Files.size}")
+    // update keys confined to one small z-box
+    val updates = grid
+      .filter(col("a").between(8, 11) && col("b").between(8, 11))
+      .select(col("a"), col("b"), lit(-1L).as("payload"))
+    VersionedTable.upsert(updates, path, Seq("a", "b"))
+    val v2Files = filesOf(path)
+    val rewritten = v1Files -- v2Files
+    assert(rewritten.nonEmpty, "the matched tile must be rewritten")
+    assert(rewritten.size <= 2,
+      s"a one-tile upsert must not rewrite the table: rewrote ${rewritten.size} of ${v1Files.size}")
+    // MERGE result correct
+    val got = VersionedTable.read(spark, path)
+    assert(got.filter(col("payload") === -1L).count() == 16)
+    assert(got.count() == 256L * 256)
+    val untouched = got.filter(!(col("a").between(8, 11) && col("b").between(8, 11)))
+    assert(untouched.filter(col("payload") =!= col("a") + col("b") * 256).count() == 0)
+  }
+
   test("row-level DELETE rewrites only intersecting files; old version intact") {
     val path = java.nio.file.Files.createTempDirectory("del").toString + "/t"
     rangeTable(path)

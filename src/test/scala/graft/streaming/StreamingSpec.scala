@@ -142,6 +142,54 @@ class StreamingSpec extends SparkSpec {
     assert(v1 == Map("U1" -> 10, "U2" -> 20), v1.toString)
   }
 
+  test("restart replay: a re-delivered micro-batch is a no-op (exactly-once sink)") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("stream-rr").toString
+    val table = Files.createTempDirectory("stream-rr-out").toString + "/t"
+    val ckpt = Files.createTempDirectory("stream-rr-ckpt").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
+      Seq(
+        Fixtures.valid(id = "R1", metrics = """{"wordCount": "10"}"""),
+        Fixtures.valid(id = "R2", metrics = """{"wordCount": "20"}"""))
+        .mkString("\n").getBytes("UTF-8"))
+    def startSink() = StreamingSilver.sinkToVersioned(
+      StreamingSilver.silverStream(spark.readStream.text(dir))
+        .select("event_id", "word_count"),
+      table, Seq("event_id"), latestBy = None, appId = "rr-app",
+      checkpoint = Some(ckpt))
+    val q1 = startSink()
+    try q1.processAllAvailable() finally q1.stop()
+    // stop() can return before the query deregisters; a restart on the SAME
+    // checkpoint is rejected while the old run is still listed active
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    assert(VersionedTable.versions(spark, table) == Seq(1L))
+    // CRASH WINDOW: the table commit landed but the engine died BEFORE
+    // recording batch 0 complete — restart re-delivers batch 0 (foreachBatch
+    // is at-least-once). Simulate by removing the completion marker.
+    val marker = java.nio.file.Paths.get(s"$ckpt/commits/0")
+    assert(java.nio.file.Files.deleteIfExists(marker), "checkpoint layout changed?")
+    // the checksum checkpoint manager keeps a .crc sibling; left behind it
+    // makes the replayed commit write look like a concurrent writer
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$ckpt/commits/.0.crc"))
+    val q2 = startSink()
+    try {
+      q2.processAllAvailable()
+      // the replayed batch 0 must be a no-op: same single version, same rows
+      assert(VersionedTable.versions(spark, table) == Seq(1L),
+        "replayed batch must not commit a duplicate version")
+      val rows = VersionedTable.read(spark, table)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(rows == Map("R1" -> 10, "R2" -> 20), rows.toString)
+      // and the stream keeps working: fresh data commits the next version
+      Files.write(java.nio.file.Paths.get(s"$dir/b1.ndjson"),
+        Seq(Fixtures.valid(id = "R3", metrics = """{"wordCount": "30"}"""))
+          .mkString("\n").getBytes("UTF-8"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(VersionedTable.versions(spark, table).size == 2)
+    assert(VersionedTable.read(spark, table).count() == 3)
+  }
+
   test("flatMapGroupsWithState accumulates per-author totals across batches") {
     val dir = Files.createTempDirectory("stream-in2").toString
     Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
