@@ -71,6 +71,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Manifests written by older releases (a single `"dir"` instead of
   * `"files"`) remain readable: the file list is resolved by listing and
   * their stats keys are remapped.
+  *
+  * KNOWN LIMIT at extreme file counts: each commit's manifest lists every
+  * live file with its stats (like a Delta checkpoint, minus the incremental
+  * JSON actions between checkpoints), so a million-file table re-serializes
+  * ~a hundred MB of metadata per commit. The verbs that matter stay cheap —
+  * reads parse ONE manifest, and [[compact]] exists precisely to keep file
+  * counts sane — but a Delta-style action-log + periodic-checkpoint split
+  * would be the next step if commit frequency × file count grows past that.
+  * Documented, not silently assumed away.
   */
 object VersionedTable {
 
@@ -517,7 +526,11 @@ object VersionedTable {
     val spark = updates.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
-    val deduped = latestBy match {
+    // cache: the merge reads `updates` several times (key bounds, IN-list
+    // probe, anti-join key set, union right side) — at 100 TB the updates
+    // are the SMALL side; recomputing their lineage per consumer is the
+    // only part of the merge that wouldn't scale with the update
+    val deduped = (latestBy match {
       case Some(ord) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
@@ -530,83 +543,85 @@ object VersionedTable {
           s"updates contain duplicate merge keys ${keys.mkString(",")}; " +
             "pass latestBy to pick a survivor")
         updates
-    }
-    var attempt = 0
-    var committed = -1L
-    while (committed < 0) {
-      // pin the exact version the merge is computed against — reading
-      // "latest" below this point would race a concurrent commit past the
-      // CAS check
-      val base = latestVersion(spark, path)
-      val baseC = base.map(b => readManifest(f, root, b))
-      txn.foreach { case (app, bid) =>
-        if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
+    }).cache()
+    try {
+      var attempt = 0
+      var committed = -1L
+      while (committed < 0) {
+        // pin the exact version the merge is computed against — reading
+        // "latest" below this point would race a concurrent commit past the
+        // CAS check
+        val base = latestVersion(spark, path)
+        val baseC = base.map(b => readManifest(f, root, b))
+        txn.foreach { case (app, bid) =>
+          if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
+        }
+        val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
+        val (files, schemaJson, stats, rows, stagedDir) = baseC match {
+          case None =>
+            val (dir, rel) = stage(deduped, root, f)
+            val (st, rw) = metaFor(spark, root, rel, statsCols)
+            (rel, deduped.schema.json, st, rw, dir)
+          case Some(c) =>
+            val updSchema = deduped.schema
+            // (rewrite candidates, provably-unmatched carries, merged schema)
+            val (rewriteKeys, carryKeys, merged) = c.schema match {
+              case Some(bs) =>
+                if (!evolveSchema)
+                  require(bs.fieldNames.toSet == updSchema.fieldNames.toSet,
+                    s"upsert schema mismatch vs $path (table ${bs.fieldNames.mkString(",")} " +
+                      s"vs updates ${updSchema.fieldNames.mkString(",")}); " +
+                      "pass evolveSchema=true to merge them")
+                val typesOk = bs.fields.forall(bf =>
+                  updSchema.fields.find(_.name == bf.name).forall(_.dataType == bf.dataType))
+                if (!typesOk) (c.files, Seq.empty[String], None) // coercion → full rewrite
+                else {
+                  val (rw, cy) = selectRewrite(spark, c, bs, deduped, keys)
+                  val mergedFields = bs.fields.map { bf =>
+                    updSchema.fields.find(_.name == bf.name) match {
+                      case Some(uf) => bf.copy(nullable = bf.nullable || uf.nullable)
+                      case None => bf.copy(nullable = true) // null-filled on the update side
+                    }
+                  } ++ updSchema.fields.filterNot(uf => bs.fieldNames.contains(uf.name))
+                    .map(_.copy(nullable = true)) // absent from carried files
+                  (rw, cy, Some(StructType(mergedFields)))
+                }
+              case None => (c.files, Seq.empty[String], None) // legacy: no schema to prove carries
+            }
+            val rewriteDf =
+              if (rewriteKeys.isEmpty && merged.isDefined) {
+                // pure-insert fast path: stats prove NO existing file holds a
+                // matching key — stage only the updates, aligned to the
+                // merged schema
+                val m = merged.get
+                deduped.select(m.fields.map(fl =>
+                  if (updSchema.fieldNames.contains(fl.name)) col(fl.name)
+                  else lit(null).cast(fl.dataType).as(fl.name)).toSeq: _*)
+              } else if (rewriteKeys.isEmpty) deduped // empty/legacy base
+              else dataFrameFor(spark, root, c, rewriteKeys)
+                .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
+                .unionByName(deduped, allowMissingColumns = evolveSchema)
+            val (dir, rel) = stage(rewriteDf, root, f)
+            val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
+            val carrySet = carryKeys.toSet
+            (carryKeys ++ rel,
+              merged.map(_.json).getOrElse(rewriteDf.schema.json),
+              c.stats.filter(kv => carrySet(kv._1)) ++ st,
+              c.rows.filter(kv => carrySet(kv._1)) ++ rw,
+              dir)
+        }
+        val v = base.getOrElse(0L) + 1L
+        if (tryCommit(f, root, v, manifestJson(v, files, schemaJson, stats, rows, newTxn)))
+          committed = v
+        else {
+          f.delete(stagedDir, true) // stale merge — recompute against the new head
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"$path: lost $attempt upsert commit races in a row; giving up")
+        }
       }
-      val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
-      val (files, schemaJson, stats, rows, stagedDir) = baseC match {
-        case None =>
-          val (dir, rel) = stage(deduped, root, f)
-          val (st, rw) = metaFor(spark, root, rel, statsCols)
-          (rel, deduped.schema.json, st, rw, dir)
-        case Some(c) =>
-          val updSchema = deduped.schema
-          // (rewrite candidates, provably-unmatched carries, merged schema)
-          val (rewriteKeys, carryKeys, merged) = c.schema match {
-            case Some(bs) =>
-              if (!evolveSchema)
-                require(bs.fieldNames.toSet == updSchema.fieldNames.toSet,
-                  s"upsert schema mismatch vs $path (table ${bs.fieldNames.mkString(",")} " +
-                    s"vs updates ${updSchema.fieldNames.mkString(",")}); " +
-                    "pass evolveSchema=true to merge them")
-              val typesOk = bs.fields.forall(bf =>
-                updSchema.fields.find(_.name == bf.name).forall(_.dataType == bf.dataType))
-              if (!typesOk) (c.files, Seq.empty[String], None) // coercion → full rewrite
-              else {
-                val (rw, cy) = selectRewrite(spark, c, bs, deduped, keys)
-                val mergedFields = bs.fields.map { bf =>
-                  updSchema.fields.find(_.name == bf.name) match {
-                    case Some(uf) => bf.copy(nullable = bf.nullable || uf.nullable)
-                    case None => bf.copy(nullable = true) // null-filled on the update side
-                  }
-                } ++ updSchema.fields.filterNot(uf => bs.fieldNames.contains(uf.name))
-                  .map(_.copy(nullable = true)) // absent from carried files
-                (rw, cy, Some(StructType(mergedFields)))
-              }
-            case None => (c.files, Seq.empty[String], None) // legacy: no schema to prove carries
-          }
-          val rewriteDf =
-            if (rewriteKeys.isEmpty && merged.isDefined) {
-              // pure-insert fast path: stats prove NO existing file holds a
-              // matching key — stage only the updates, aligned to the
-              // merged schema
-              val m = merged.get
-              deduped.select(m.fields.map(fl =>
-                if (updSchema.fieldNames.contains(fl.name)) col(fl.name)
-                else lit(null).cast(fl.dataType).as(fl.name)).toSeq: _*)
-            } else if (rewriteKeys.isEmpty) deduped // empty/legacy base
-            else dataFrameFor(spark, root, c, rewriteKeys)
-              .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
-              .unionByName(deduped, allowMissingColumns = evolveSchema)
-          val (dir, rel) = stage(rewriteDf, root, f)
-          val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
-          val carrySet = carryKeys.toSet
-          (carryKeys ++ rel,
-            merged.map(_.json).getOrElse(rewriteDf.schema.json),
-            c.stats.filter(kv => carrySet(kv._1)) ++ st,
-            c.rows.filter(kv => carrySet(kv._1)) ++ rw,
-            dir)
-      }
-      val v = base.getOrElse(0L) + 1L
-      if (tryCommit(f, root, v, manifestJson(v, files, schemaJson, stats, rows, newTxn)))
-        committed = v
-      else {
-        f.delete(stagedDir, true) // stale merge — recompute against the new head
-        attempt += 1
-        require(attempt < MaxCommitRetries,
-          s"$path: lost $attempt upsert commit races in a row; giving up")
-      }
-    }
-    committed
+      committed
+    } finally deduped.unpersist()
   }
 
   /** Copy-on-write file selection: build a predicate every MATCHED current
@@ -736,6 +751,43 @@ object VersionedTable {
     committed
   }
 
+  /** OPTIMIZE ZORDER BY (a, b): rewrite the head version z-ordered on two
+    * clustering columns as a NEW version, recording per-file stats on
+    * exactly those columns — the reference's own scan-pruning maintenance
+    * (`sql/ddl/02_silver_events.sql:61` ZORDER BY; Delta's
+    * `OPTIMIZE ... ZORDER BY`). After this commit every file covers one
+    * aligned z-tile, so [[readWhere]]'s manifest pruning turns a selective
+    * 2-D predicate into a handful of file opens. A full rewrite by design
+    * (re-clustering moves every row); history stays time-travelable and
+    * the streaming-txn watermarks carry forward. */
+  def zOrderBy(spark: SparkSession, path: String, a: String, b: String,
+      bits: Int = 16): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"$path has no committed versions")
+      val bse = vs.last
+      val c = readManifest(f, root, bse)
+      val placed = TableIO.zPlaced(dataFrameFor(spark, root, c, c.files), a, b, bits)
+      val (dir, rel) = stage(placed, root, f)
+      val (st, rw) = metaFor(spark, root, rel, Seq(a, b))
+      val v = bse + 1L
+      val body = manifestJson(v, rel,
+        c.schema.map(_.json).getOrElse(placed.schema.json), st, rw, c.txn)
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        f.delete(dir, true)
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt zorder commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
   /** Row-level change feed between two committed versions: multiset diff
     * tagged insert/delete (an unchanged row appears in neither). Runs as
     * two hash anti-diffs (exceptAll), one shuffle each — no driver-side
@@ -755,6 +807,25 @@ object VersionedTable {
     val a = aligned(after)
     a.exceptAll(b).withColumn("_change_type", lit("insert"))
       .unionByName(b.exceptAll(a).withColumn("_change_type", lit("delete")))
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version — file count,
+    * manifest row count (null for pre-rowcount commits), and the streaming
+    * txn watermarks — assembled from manifests only (no data files
+    * opened). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val f = fs(spark, root)
+    versions(spark, path).map { v =>
+      val c = readManifest(f, root, v)
+      val rows =
+        if (c.files.isEmpty) Some(0L)
+        else if (c.files.forall(c.rows.contains)) Some(c.files.map(c.rows).sum)
+        else None
+      (v, c.files.size, rows,
+        c.txn.toSeq.sortBy(_._1).map { case (a, b) => s"$a=$b" }.mkString(","))
+    }.toDF("version", "num_files", "num_rows", "txn")
   }
 
   /** Default orphan-sweep retention: like Delta's VACUUM retention horizon,

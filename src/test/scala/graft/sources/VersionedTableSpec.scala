@@ -233,6 +233,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(untouched.filter(col("payload") =!= col("a") + col("b") * 256).count() == 0)
   }
 
+  test("OPTIMIZE ZORDER BY re-clusters a random layout into a prunable one") {
+    val path = java.nio.file.Files.createTempDirectory("zob").toString + "/t"
+    val grid = spark.range(0, 256 * 256).select(
+      (col("id") % 256).cast("int").as("a"),
+      (col("id") / 256).cast("int").as("b"),
+      col("id").as("payload"))
+    // random round-robin layout: every file spans the full (a, b) domain,
+    // so even WITH stats nothing is skippable
+    VersionedTable.write(grid.repartition(16), path, Seq("a", "b"))
+    val box = col("a").between(10, 20) && col("b").between(200, 210)
+    assert(VersionedTable.pruneInfo(spark, path, box)._2.isEmpty,
+      "random layout must not prune (sanity)")
+    val v2 = VersionedTable.zOrderBy(spark, path, "a", "b", bits = 8)
+    assert(v2 == 2L)
+    // after ZORDER the same box predicate skips files
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, box)
+    assert(skipped.nonEmpty, "z-ordered layout must prune the box predicate")
+    assert(kept.nonEmpty)
+    // row multiset unchanged across the re-cluster; history intact
+    val a = VersionedTable.read(spark, path)
+    val b = VersionedTable.read(spark, path, Some(1L))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(VersionedTable.readWhere(spark, path, box).count() == 11 * 11)
+    assert(VersionedTable.countRows(spark, path).contains(256L * 256))
+  }
+
   test("row-level DELETE rewrites only intersecting files; old version intact") {
     val path = java.nio.file.Files.createTempDirectory("del").toString + "/t"
     rangeTable(path)
@@ -337,6 +363,19 @@ class VersionedTableSpec extends SparkSpec {
       evolveSchema = false, latestBy = None, Nil, Some("app" -> 0L))
     assert(VersionedTable.versions(spark, p2) == Seq(1L))
     assert(VersionedTable.read(spark, p2).select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("history describes every version from manifests alone") {
+    val path = java.nio.file.Files.createTempDirectory("hist").toString + "/t"
+    rangeTable(path)
+    VersionedTable.commitBatch(
+      spark.range(5000, 5005).select(col("id"), lit("n").as("v")), path, "appH", 3L)
+    VersionedTable.delete(spark, path, col("id") === 0L)
+    val h = VersionedTable.history(spark, path).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(h(0).getLong(2) == 1000L && h(1).getLong(2) == 1005L && h(2).getLong(2) == 1004L)
+    assert(h(1).getString(3) == "appH=3" && h(2).getString(3) == "appH=3")
+    assert(h.forall(_.getInt(1) > 0))
   }
 
   test("vacuum is file-granular: carried files survive dropping their writer version") {
