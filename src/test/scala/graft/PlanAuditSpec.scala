@@ -117,6 +117,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(spreadPlan.contains("Exchange RoundRobinPartitioning"), spreadPlan)
   }
 
+  test("runtime bloom-filter join reduction fires on a selective dim⋈fact shuffle join") {
+    // The shuffle-join analogue of broadcast pruning: a selective predicate
+    // on the dim side injects a bloom filter into the fact side's scan, so
+    // at 100 TB the fact shuffle carries only rows that can possibly join.
+    // Thresholds are set explicitly so the audit is deterministic at test
+    // scale; the assertion is that THIS Spark build plans the filter.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    spark.range(0, 200000)
+      .select(col("id").as("k"), (col("id") % 97).as("payload"))
+      .write.parquet(s"$dir/fact")
+    spark.range(0, 1000)
+      .select(col("id").as("k"),
+        when(col("id") < 5, lit("hot")).otherwise(lit("cold")).as("tag"))
+      .write.parquet(s"$dir/dim")
+    val conf = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force a shuffle join: broadcast joins prune the fact side already
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "hot")
+      val joined = fact.join(dim, Seq("k"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") && optimized.contains("might_contain"),
+        s"runtime bloom filter must be injected into the fact side:\n$optimized")
+      assert(joined.count() == 5) // filter is a pure reduction, never wrong
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IVF centroid assignment is narrow: no exchange, window, or explode") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityQueries
