@@ -70,6 +70,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: copy-on-write upsert ≡ full merge, for any clustering and update set") {
+    import graft.sources.VersionedTable
+    // random base layouts (clustered and not, with and without stats) ×
+    // random update key sets (inside / outside / straddling file bounds):
+    // the file-granular merge must be value-identical to the naive
+    // anti-join ∪ updates merge in every case
+    val layoutGen = Gen.oneOf("range", "random", "nostats")
+    val caseGen = for {
+      layout <- layoutGen
+      lo <- Gen.chooseNum(0, 900)
+      span <- Gen.chooseNum(1, 150)
+      outside <- Gen.chooseNum(0, 5) // extra pure-insert keys
+    } yield (layout, lo, span, outside)
+    samples(caseGen, 6).foreach { case (layout, lo, span, outside) =>
+      val path = java.nio.file.Files.createTempDirectory("cowprop").toString + "/t"
+      val base = spark.range(0, 1000).select(
+        col("id"), concat(lit("v"), col("id")).as("v"))
+      layout match {
+        case "range" =>
+          VersionedTable.write(base.repartitionByRange(5, col("id")), path, Seq("id"))
+        case "random" =>
+          VersionedTable.write(base.repartition(5), path, Seq("id"))
+        case "nostats" =>
+          VersionedTable.write(base.repartition(5), path, Nil)
+      }
+      val updates = spark.range(lo, lo + span)
+        .unionAll(spark.range(2000, 2000 + outside))
+        .select(col("id"), lit("UP").as("v"))
+      VersionedTable.upsert(updates, path, Seq("id"))
+      val got = VersionedTable.read(spark, path)
+      val want = base.join(updates.select("id"), Seq("id"), "left_anti").unionByName(updates)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"layout=$layout lo=$lo span=$span outside=$outside")
+    }
+  }
+
+  test("property: DELETE ≡ filter, for any predicate band and layout") {
+    import graft.sources.VersionedTable
+    val caseGen = for {
+      clustered <- Gen.oneOf(true, false)
+      lo <- Gen.chooseNum(-100, 1000)
+      span <- Gen.chooseNum(1, 300)
+    } yield (clustered, lo, span)
+    samples(caseGen, 5).foreach { case (clustered, lo, span) =>
+      val path = java.nio.file.Files.createTempDirectory("delprop").toString + "/t"
+      val base = spark.range(0, 1000).select(
+        col("id"), concat(lit("v"), col("id")).as("v"))
+      VersionedTable.write(
+        if (clustered) base.repartitionByRange(5, col("id")) else base.repartition(5),
+        path, Seq("id"))
+      val pred = col("id").between(lo, lo + span)
+      VersionedTable.delete(spark, path, pred)
+      val got = VersionedTable.read(spark, path)
+      val want = base.filter(!pred)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"clustered=$clustered lo=$lo span=$span")
+    }
+  }
+
   test("property: dedupe is idempotent and keeps exactly one row per event_id") {
     samples(Gen.chooseNum(1, 4), 3).foreach { copies =>
       val lines = (1 to copies).flatMap(_ =>
