@@ -206,6 +206,82 @@ object ExtQueries {
       |GROUP BY s.s_name""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tpch_q13 — customer-distribution shape (TPC-H Q13: LEFT OUTER join
+  // with a non-key predicate INSIDE the ON clause, then a two-level
+  // aggregate: orders-per-customer, then customers-per-order-count).
+  // The ON-clause predicate is the defining trait: it must NOT become a
+  // post-join filter (that would drop customers with zero qualifying
+  // orders instead of counting them at c_count=0). Catalyst pushes the
+  // single-side predicate below the join and keeps the outer semantics;
+  // the plan is two hash aggregates around one outer hash join — no
+  // driver-side work, integer-exact output.
+  // --------------------------------------------------------------------------
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("q13_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("q13_orders")
+    spark.sql(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM q13_customer c
+        |  LEFT OUTER JOIN q13_orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count""".stripMargin)
+  }
+
+  val tpchQ13Sql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) t
+      |GROUP BY c_count""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q22 — global-customer-base shape (TPC-H Q22: an UNCORRELATED
+  // scalar aggregate threshold plus a correlated NOT EXISTS; adapted to
+  // this schema — no c_phone, so the country-code grouping becomes
+  // c_mktsegment). The scalar subqueries execute ONCE (they are
+  // uncorrelated — a per-row probe never appears), and NOT EXISTS
+  // decorrelates to a left-anti hash join. The above-average test is
+  // DIVISION-FREE — `bal × N > Σbal` in exact DECIMAL/BIGINT — because a
+  // floating-point average is summation-order-dependent and could flip
+  // boundary customers between engines.
+  // --------------------------------------------------------------------------
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("q22_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("q22_orders")
+    spark.sql(
+      """SELECT c.c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM q22_customer c
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM q22_customer c2 WHERE c2.c_acctbal > 0.0)
+        |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
+        |       FROM q22_customer c3 WHERE c3.c_acctbal > 0.0)
+        |AND NOT EXISTS (SELECT 1 FROM q22_orders o
+        |                WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_mktsegment""".stripMargin)
+  }
+
+  val tpchQ22Sql: String =
+    """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
+      |       FROM customer c3 WHERE c3.c_acctbal > 0.0)
+      |AND NOT EXISTS (SELECT 1 FROM orders o
+      |                WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c.c_mktsegment""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_range_join — equi + time-range join: for each purchase, count the same
   // user's events in the following 5 minutes. The equi key keeps this a
   // hash/sort-merge join with a residual range condition — scalable, unlike
@@ -334,6 +410,8 @@ object ExtQueries {
     "q_tpch_q17"     -> (tpchQ17 _),
     "q_tpch_q20"     -> (tpchQ20 _),
     "q_tpch_q21"     -> (tpchQ21 _),
+    "q_tpch_q13"     -> (tpchQ13 _),
+    "q_tpch_q22"     -> (tpchQ22 _),
     "q_range_join"   -> (rangeJoin _),
     "q_salted_agg"   -> (saltedAgg _),
     "q_rolling_hash" -> (rollingHash _),
@@ -347,6 +425,8 @@ object ExtQueries {
     "q_tpch_q17"     -> tpchQ17Sql,
     "q_tpch_q20"     -> tpchQ20Sql,
     "q_tpch_q21"     -> tpchQ21Sql,
+    "q_tpch_q13"     -> tpchQ13Sql,
+    "q_tpch_q22"     -> tpchQ22Sql,
     "q_range_join"   -> rangeJoinSql,
     "q_salted_agg"   -> saltedAggSql,
     "q_rolling_hash" -> rollingHashSql,

@@ -98,6 +98,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p) // NOT EXISTS
   }
 
+  test("q_tpch_q13: ON-clause predicate stays inside the OUTER join, plan is hash joins") {
+    val p = plan("q_tpch_q13")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftOuter"), p) // outer semantics survive the pushed predicate
+  }
+
+  test("q_tpch_q22: NOT EXISTS is a left-anti hash join; scalar thresholds execute once") {
+    val p = plan("q_tpch_q22")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p) // NOT EXISTS
+    // the thresholds are UNCORRELATED scalars: at most one Subquery each,
+    // never a correlated per-row re-probe (no join under a subquery node)
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
+  }
+
   test("Tables.spread is a no-op on well-split input, an exchange only when under-split") {
     import org.apache.spark.sql.functions._
     val lineitem = graft.sources.Tables.lineitem(spark, sf0001)
