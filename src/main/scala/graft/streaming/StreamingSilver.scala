@@ -59,6 +59,32 @@ object StreamingSilver {
         col("tenant_id"), col("author_id"),
         col("chapters_written"), col("words_written"))
 
+  /** Watermarked STREAM-STREAM interval join: each chapter_written event
+    * joins the draft_created event of the same story when it lands within
+    * `horizonDays` after the draft. Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions, so Spark can
+    * size the join state and expire it — the only stream-stream join
+    * shape that is bounded-state (and therefore viable) on an unbounded
+    * 100 TB/day stream; an unbounded-time join would accrete state
+    * forever. Inner join: a chapter with no in-horizon draft drops. */
+  def draftChapterJoin(silver: DataFrame, horizonDays: Int = 7,
+      watermark: String = "7 days"): DataFrame = {
+    val drafts = silver.filter(col("event_type") === "draft_created")
+      .select(col("story_id"), col("event_id").as("draft_event_id"),
+        col("occurred_at").as("draft_at"))
+      .withWatermark("draft_at", watermark)
+    val chapters = silver.filter(col("event_type") === "chapter_written")
+      .select(col("story_id").as("ch_story"), col("event_id").as("chapter_event_id"),
+        col("occurred_at").as("chapter_at"), col("word_count"))
+      .withWatermark("chapter_at", watermark)
+    drafts.join(chapters,
+        col("story_id") === col("ch_story") &&
+        col("chapter_at") >= col("draft_at") &&
+        col("chapter_at") <= col("draft_at") + expr(s"INTERVAL $horizonDays DAYS"))
+      .select(col("story_id"), col("draft_event_id"), col("chapter_event_id"),
+        col("chapter_at"), col("word_count"))
+  }
+
   /** Streaming dedup by event id within the watermark horizon — the
     * streaming analogue of the batch MERGE/keep-latest (Silver.transform):
     * replayed or duplicated events inside the watermark are dropped with

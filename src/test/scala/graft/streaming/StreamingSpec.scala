@@ -142,6 +142,39 @@ class StreamingSpec extends SparkSpec {
     assert(v1 == Map("U1" -> 10, "U2" -> 20), v1.toString)
   }
 
+  test("stream-stream interval join matches batch semantics with bounded state") {
+    val dir = Files.createTempDirectory("stream-ss").toString
+    // story A: draft + one chapter inside the 7-day horizon, one outside;
+    // story B: chapter with NO draft (must drop — inner join)
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
+      Seq(
+        Fixtures.valid(id = "DA", eventType = "draft_created", stage = "DRAFT",
+          storyId = "sto_A", occurredAt = "2026-01-10T00:00:00Z", metrics = "{}"),
+        Fixtures.valid(id = "CA1", eventType = "chapter_written", storyId = "sto_A",
+          occurredAt = "2026-01-12T00:00:00Z", metrics = """{"wordCount": "500"}"""),
+        Fixtures.valid(id = "CA2", eventType = "chapter_written", storyId = "sto_A",
+          occurredAt = "2026-01-25T00:00:00Z", metrics = """{"wordCount": "700"}"""),
+        Fixtures.valid(id = "CB1", eventType = "chapter_written", storyId = "sto_B",
+          occurredAt = "2026-01-12T00:00:00Z", metrics = """{"wordCount": "900"}"""))
+        .mkString("\n").getBytes("UTF-8"))
+    val joined = StreamingSilver.draftChapterJoin(
+      StreamingSilver.silverStream(spark.readStream.text(dir)))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ss_join")
+      .select("draft_event_id", "chapter_event_id", "word_count")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("DA", "CA1", 500)), got.toString)
+    // differential: the same function over the same data as a BATCH frame
+    // (watermarks are no-ops in batch) produces the identical join
+    val batch = StreamingSilver.draftChapterJoin(
+      StreamingSilver.silverStream(spark.read.text(dir)))
+      .select("draft_event_id", "chapter_event_id", "word_count")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(batch == got)
+  }
+
   test("restart replay: a re-delivered micro-batch is a no-op (exactly-once sink)") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("stream-rr").toString
