@@ -77,6 +77,60 @@ object SkippingQueries {
        |FROM events WHERE user_id BETWEEN $UserLo AND $UserHi
        |GROUP BY 1""".stripMargin
 
+  /** Band of user_ids erased by the deletion-vector table below (dense ids
+    * from 0 ⇒ non-empty at every SF). */
+  val DvLo = 6L
+  val DvHi = 8L
+
+  /** Deterministic location of the DV-deleted copy of events. */
+  def dvTablePath(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_dvscan_v1_$key"
+  }
+
+  /** Idempotently build a range-clustered versioned copy of events and
+    * erase one user band with a DELETION VECTOR (merge-on-read: zero data
+    * files rewritten). Version commits are atomic, so the recipe resumes
+    * cleanly from either checkpoint: no table → write; one version → the
+    * dv-delete still needs to run; two versions → done. */
+  def ensureDvTable(spark: SparkSession, dir: String): String = {
+    val path = dvTablePath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      VersionedTable.write(
+        ev.repartitionByRange(16, col("user_id")), path, statsCols = Seq("user_id"))
+    }
+    if (VersionedTable.latestVersion(spark, path).contains(1L))
+      VersionedTable.deleteVectorized(spark, path, col("user_id").between(DvLo, DvHi))
+    path
+  }
+
+  /** q_dv_delete — the MERGE-ON-READ read path under the oracle gate: scan
+    * a versioned table whose deleted rows exist ONLY as deletion-vector
+    * marks (every data file still contains them), aggregate the survivors,
+    * and hash-match DuckDB running the equivalent anti-filter on the raw
+    * parquet. Green means the DV anti-join is invisible in results — the
+    * write-amplification-free DELETE is correct, not just spec-asserted. */
+  def dvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureDvTable(spark, dir)
+    VersionedTable.read(spark, path)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+  }
+
+  val dvDeleteSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM events WHERE user_id NOT BETWEEN $DvLo AND $DvHi
+       |GROUP BY 1""".stripMargin
+
   /** q_meta_count — `count(*)` answered from the commit manifest's per-file
     * row counts alone (zero data files opened; VersionedTableSpec proves
     * the zero-read property by destroying the data files). The most common
@@ -95,9 +149,11 @@ object SkippingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skipping_scan" -> (skippingScan _),
-    "q_meta_count" -> (metaCount _))
+    "q_meta_count" -> (metaCount _),
+    "q_dv_delete" -> (dvDelete _))
 
   val oracles: Map[String, String] = Map(
     "q_skipping_scan" -> skippingScanSql,
-    "q_meta_count" -> metaCountSql)
+    "q_meta_count" -> metaCountSql,
+    "q_dv_delete" -> dvDeleteSql)
 }

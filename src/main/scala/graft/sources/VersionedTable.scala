@@ -115,12 +115,28 @@ object VersionedTable {
   /** One committed version: root-relative data files, the schema they are
     * read with, per-file column stats and row counts (keyed by the same
     * relative paths), and the streaming-transaction watermark map. */
+  /** @param dv     relative paths of deletion-vector sidecar parquet files
+    *                (columns [[FileKeyCol]], [[RowIdxCol]]): rows marked
+    *                deleted without rewriting their data files (merge-on-
+    *                read, Delta's deletion-vector idiom)
+    * @param dvRows  per data file, how many of its rows the sidecars mark
+    *                deleted (metadata-only count stays exact) */
   private final case class Commit(
       files: Seq[String],
       schema: Option[StructType],
       stats: DataSkipping.FileStats,
       rows: Map[String, Long],
-      txn: Map[String, Long])
+      txn: Map[String, Long],
+      dv: Seq[String],
+      dvRows: Map[String, Long]) {
+    /** DV bookkeeping for a commit that keeps only `keep` of this commit's
+      * data files: counts for dropped files go; the sidecar list survives
+      * only while some kept file still has marked rows. */
+    def dvFor(keep: Set[String]): (Seq[String], Map[String, Long]) = {
+      val rows = dvRows.filter(kv => keep(kv._1))
+      (if (rows.isEmpty) Seq.empty else dv, rows)
+    }
+  }
 
   private def readManifest(f: FileSystem, root: Path, v: Long): Commit = {
     import scala.jdk.CollectionConverters._
@@ -139,7 +155,10 @@ object VersionedTable {
         val files = fl.elements().asScala.map(_.asText()).toSeq
         val stats = Option(node.get("stats"))
           .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)
-        Commit(files, schema, stats, longMap("rows"), longMap("txn"))
+        val dv = Option(node.get("dv"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+        Commit(files, schema, stats, longMap("rows"), longMap("txn"),
+          dv, longMap("dv_rows"))
       case None =>
         // legacy single-dir manifest: resolve the file list by listing the
         // dir (as pre-file-list readers did) and remap stats keys from bare
@@ -152,23 +171,25 @@ object VersionedTable {
         val stats = Option(node.get("stats"))
           .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)
           .map { case (name, cs) => s"$dirName/$name" -> cs }
-        Commit(files, schema, stats, Map.empty, Map.empty)
+        Commit(files, schema, stats, Map.empty, Map.empty, Seq.empty, Map.empty)
     }
   }
 
   private def manifestJson(v: Long, files: Seq[String], schemaJson: String,
       stats: DataSkipping.FileStats, rows: Map[String, Long],
-      txn: Map[String, Long]): String = {
+      txn: Map[String, Long], dv: Seq[String] = Seq.empty,
+      dvRows: Map[String, Long] = Map.empty): String = {
     val om = new ObjectMapper()
     def jstr(s: String) = om.writeValueAsString(s)
-    val filesJson = files.map(jstr).mkString("[", ",", "]")
-    val rowsJson = rows.toSeq.sortBy(_._1)
-      .map { case (k, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
-    val txnJson = txn.toSeq.sortBy(_._1)
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    def obj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
       .map { case (k, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
     val statsField =
       if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
-    s"""{"version":$v,"files":$filesJson,"schema":$schemaJson,"rows":$rowsJson,"txn":$txnJson$statsField}"""
+    val dvField =
+      if (dv.isEmpty) ""
+      else s""","dv":${arr(dv)},"dv_rows":${obj(dvRows)}"""
+    s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$dvField}"""
   }
 
   /** Stage `df`'s files under a fresh private token dir; nothing references
@@ -339,8 +360,7 @@ object VersionedTable {
       }
       if (staged.isEmpty) {
         val (dir, rel) = stage(df, root, f)
-        val cols = inheritedStatsCols(c.getOrElse(Commit(Nil, None, Map.empty,
-          Map.empty, Map.empty)), statsCols)
+        val cols = c.map(inheritedStatsCols(_, statsCols)).getOrElse(statsCols)
         val (st, rw) = metaFor(spark, root, rel, cols)
         staged = Some((dir, rel, st, rw))
       }
@@ -354,7 +374,8 @@ object VersionedTable {
       val body = manifestJson(v, c.map(_.files).getOrElse(Nil) ++ rel, schemaJson,
         c.map(_.stats).getOrElse(Map.empty) ++ st,
         c.map(_.rows).getOrElse(Map.empty) ++ rw,
-        c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap)
+        c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap,
+        c.map(_.dv).getOrElse(Seq.empty), c.map(_.dvRows).getOrElse(Map.empty))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         // staged files stay valid for the next slot (content is
@@ -378,18 +399,53 @@ object VersionedTable {
     (root, f, readManifest(f, root, v))
   }
 
+  /** Columns of a deletion-vector sidecar row: the data file's manifest key
+    * and the 0-based row position within it (Spark's `_metadata.row_index`
+    * hidden column — stable, because committed files are immutable). */
+  val FileKeyCol = "__graft_dv_file"
+  val RowIdxCol = "__graft_dv_row"
+
+  /** Above this many marked rows, the DV anti-join drops its broadcast
+    * hint and lets AQE pick the join side (a huge DV should be compacted
+    * away with [[compact]]/[[zOrderBy]] rather than broadcast). */
+  val DvBroadcastMaxRows = 2L * 1000 * 1000
+
+  /** The manifest key of the file each scanned row came from: the last two
+    * path segments of `_metadata.file_path` ("d-token/part-...parquet"). */
+  private def fileKeyExpr: org.apache.spark.sql.Column =
+    regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+
   /** DataFrame over a subset of a commit's files, read with the commit's
     * recorded schema (files written before a schema evolution simply read
-    * their missing columns as nulls). */
+    * their missing columns as nulls). Rows marked deleted by the commit's
+    * deletion vectors are filtered out with a file-key + row-index
+    * anti-join — broadcast for point-delete-sized DVs, so the data side
+    * stays narrow (no shuffle of the table to apply a small delete). */
   private def dataFrameFor(spark: SparkSession, root: Path, c: Commit,
       files: Seq[String]): DataFrame = {
     val abs = files.map(r => new Path(root, r).toString)
-    c.schema match {
+    val plain = c.schema match {
       case Some(s) if abs.isEmpty =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
       case Some(s) => spark.read.schema(s).parquet(abs: _*)
       case None if abs.isEmpty => spark.emptyDataFrame
       case None => spark.read.parquet(abs: _*) // pre-schema manifests
+    }
+    // only files with marked rows need the anti-join at all
+    if (abs.isEmpty || !files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) plain
+    else {
+      val s = c.schema.get // dv commits always record a schema
+      val base = spark.read.schema(s).parquet(abs: _*)
+        .withColumn(FileKeyCol, fileKeyExpr)
+        .withColumn(RowIdxCol, col("_metadata.row_index"))
+      val dvAll = spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
+      val dvScoped =
+        if (files.size == c.files.size) dvAll
+        else dvAll.filter(col(FileKeyCol).isin(files: _*))
+      val dvSide =
+        if (c.dvRows.values.sum <= DvBroadcastMaxRows) broadcast(dvScoped) else dvScoped
+      base.join(dvSide, Seq(FileKeyCol, RowIdxCol), "left_anti")
+        .select(s.fieldNames.map(col).toSeq: _*)
     }
   }
 
@@ -409,7 +465,10 @@ object VersionedTable {
       asOf: Option[Long] = None): Option[Long] = {
     val (_, _, c) = commitFor(spark, path, asOf)
     if (c.files.isEmpty) Some(0L)
-    else if (c.files.forall(c.rows.contains)) Some(c.files.map(c.rows).sum)
+    else if (c.files.forall(c.rows.contains))
+      // deletion-vector generations mark disjoint row sets (each is
+      // computed over the DV-applied view), so the subtraction is exact
+      Some(c.files.map(c.rows).sum - c.files.map(fk => c.dvRows.getOrElse(fk, 0L)).sum)
     else None
   }
 
@@ -557,11 +616,12 @@ object VersionedTable {
           if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
         }
         val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
-        val (files, schemaJson, stats, rows, stagedDir) = baseC match {
+        val (files, schemaJson, stats, rows, stagedDir, dvKeep, dvRowsKeep) = baseC match {
           case None =>
             val (dir, rel) = stage(deduped, root, f)
             val (st, rw) = metaFor(spark, root, rel, statsCols)
-            (rel, deduped.schema.json, st, rw, dir)
+            (rel, deduped.schema.json, st, rw, dir,
+              Seq.empty[String], Map.empty[String, Long])
           case Some(c) =>
             val updSchema = deduped.schema
             // (rewrite candidates, provably-unmatched carries, merged schema)
@@ -604,14 +664,16 @@ object VersionedTable {
             val (dir, rel) = stage(rewriteDf, root, f)
             val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
             val carrySet = carryKeys.toSet
+            val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
             (carryKeys ++ rel,
               merged.map(_.json).getOrElse(rewriteDf.schema.json),
               c.stats.filter(kv => carrySet(kv._1)) ++ st,
               c.rows.filter(kv => carrySet(kv._1)) ++ rw,
-              dir)
+              dir, dvK, dvR)
         }
         val v = base.getOrElse(0L) + 1L
-        if (tryCommit(f, root, v, manifestJson(v, files, schemaJson, stats, rows, newTxn)))
+        if (tryCommit(f, root, v,
+          manifestJson(v, files, schemaJson, stats, rows, newTxn, dvKeep, dvRowsKeep)))
           committed = v
         else {
           f.delete(stagedDir, true) // stale merge — recompute against the new head
@@ -686,11 +748,12 @@ object VersionedTable {
       val (dir, rel) = stage(kept, root, f)
       val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
       val carrySet = carryKeys.toSet
+      val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
       val v = b + 1L
       val body = manifestJson(v, carryKeys ++ rel,
         c.schema.map(_.json).getOrElse(kept.schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
-        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn)
+        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true) // stale — recompute against the new head
@@ -698,6 +761,83 @@ object VersionedTable {
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt delete commit races in a row; giving up")
       }
+    }
+    committed
+  }
+
+  /** Merge-on-read DELETE via DELETION VECTORS (Delta's DV idiom): mark
+    * matching rows deleted in a sidecar parquet of (file key, row index)
+    * pairs and commit a new version that keeps EVERY data file
+    * byte-identical — zero rewrite amplification, the right verb for point
+    * deletes (GDPR erasure, bad-record retraction) where copy-on-write
+    * [[delete]] would rewrite a whole file to drop a handful of rows.
+    *
+    * Readers apply DVs with a broadcast anti-join on (file, row_index)
+    * (`_metadata.row_index` is stable — committed files are immutable), so
+    * the data side stays narrow. Every other verb composes: CoW rewrites
+    * materialize the marks for the files they touch, [[compact]] /
+    * [[zOrderBy]] purge them wholesale, [[countRows]] subtracts them, and
+    * [[changes]] reports the marked rows as deletes. Prefer [[delete]]
+    * when the predicate hits a large fraction of rows: a huge DV makes
+    * every subsequent read pay the anti-join.
+    *
+    * Candidate files come from manifest stats like the CoW path — a file
+    * provably without matches contributes nothing and is never scanned. */
+  def deleteVectorized(spark: SparkSession, path: String,
+      predicate: Column): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"$path has no committed versions")
+      val b = vs.last
+      val c = readManifest(f, root, b)
+      require(c.schema.isDefined,
+        s"$path: vectorized delete needs a schema-recorded table")
+      val s = c.schema.get
+      val (candKeys, _) =
+        if (c.stats.nonEmpty)
+          DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
+        else (c.files, Seq.empty[String])
+      if (candKeys.isEmpty) return b // provably nothing to delete
+      // scan ONLY candidate files, with existing DVs applied (so a second
+      // delete never double-marks a row — generations stay disjoint and
+      // countRows' subtraction stays exact)
+      val abs = candKeys.map(r => new Path(root, r).toString)
+      val live = {
+        val base = spark.read.schema(s).parquet(abs: _*)
+          .withColumn(FileKeyCol, fileKeyExpr)
+          .withColumn(RowIdxCol, col("_metadata.row_index"))
+        if (!candKeys.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) base
+        else {
+          val dvAll = spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
+            .filter(col(FileKeyCol).isin(candKeys: _*))
+          base.join(broadcast(dvAll), Seq(FileKeyCol, RowIdxCol), "left_anti")
+        }
+      }
+      val marked = live.filter(coalesce(predicate, lit(false)))
+        .select(col(FileKeyCol), col(RowIdxCol)).cache()
+      try {
+        val perFile = marked.groupBy(col(FileKeyCol)).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (perFile.isEmpty) return b // predicate matched no live row
+        val (dir, rel) = stage(marked, root, f)
+        val mergedDvRows = c.dvRows ++ perFile.map { case (k, n) =>
+          k -> (c.dvRows.getOrElse(k, 0L) + n)
+        }
+        val v = b + 1L
+        val body = manifestJson(v, c.files, s.json, c.stats, c.rows, c.txn,
+          c.dv ++ rel, mergedDvRows)
+        if (tryCommit(f, root, v, body)) committed = v
+        else {
+          f.delete(dir, true) // stale marks — recompute against the new head
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"$path: lost $attempt dv-delete commit races in a row; giving up")
+        }
+      } finally marked.unpersist()
     }
     committed
   }
@@ -735,11 +875,12 @@ object VersionedTable {
       val (dir, rel) = stage(packed, root, f)
       val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, Nil))
       val carrySet = carry.toSet
+      val (dvK, dvR) = c.dvFor(carrySet) // packed files materialized their DVs
       val v = b + 1L
       val body = manifestJson(v, carry ++ rel,
         c.schema.map(_.json).getOrElse(packed.schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
-        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn)
+        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true)
@@ -819,13 +960,16 @@ object VersionedTable {
     val f = fs(spark, root)
     versions(spark, path).map { v =>
       val c = readManifest(f, root, v)
+      val dvDeleted = c.files.map(fk => c.dvRows.getOrElse(fk, 0L)).sum
       val rows =
         if (c.files.isEmpty) Some(0L)
-        else if (c.files.forall(c.rows.contains)) Some(c.files.map(c.rows).sum)
+        else if (c.files.forall(c.rows.contains))
+          Some(c.files.map(c.rows).sum - dvDeleted)
         else None
       (v, c.files.size, rows,
-        c.txn.toSeq.sortBy(_._1).map { case (a, b) => s"$a=$b" }.mkString(","))
-    }.toDF("version", "num_files", "num_rows", "txn")
+        c.txn.toSeq.sortBy(_._1).map { case (a, b) => s"$a=$b" }.mkString(","),
+        dvDeleted)
+    }.toDF("version", "num_files", "num_rows", "txn", "num_dv_deleted")
   }
 
   /** Default orphan-sweep retention: like Delta's VACUUM retention horizon,
@@ -856,7 +1000,10 @@ object VersionedTable {
     val vs = versions(spark, path)
     val (drop, keep) = (vs.dropRight(keepLast), vs.takeRight(keepLast))
     val live: Set[String] =
-      keep.flatMap(v => readManifest(f, root, v).files).toSet
+      keep.flatMap { v =>
+        val c = readManifest(f, root, v)
+        c.files ++ c.dv // DV sidecars are live exactly like data files
+      }.toSet
     val liveDirs: Set[String] = live.map(_.takeWhile(_ != '/'))
     val droppedDirs = scala.collection.mutable.Set.empty[String]
     drop.foreach { v =>
@@ -864,7 +1011,7 @@ object VersionedTable {
       // manifest first: a crash between the deletes must not leave a
       // committed version whose data is gone
       f.delete(manifest(root, v), false)
-      c.files.filterNot(live).foreach { r =>
+      (c.files ++ c.dv).filterNot(live).foreach { r =>
         f.delete(new Path(root, r), false)
         droppedDirs += r.takeWhile(_ != '/')
       }

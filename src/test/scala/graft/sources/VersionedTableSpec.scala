@@ -365,6 +365,60 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, p2).select("v").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("deletion vectors: merge-on-read DELETE rewrites ZERO files") {
+    val path = java.nio.file.Files.createTempDirectory("dv").toString + "/t"
+    rangeTable(path)
+    val v1Files = filesOf(path)
+    val v2 = VersionedTable.deleteVectorized(spark, path, col("id").between(100, 149))
+    assert(v2 == 2L)
+    // the whole point: EVERY data file carried byte-identical
+    assert(filesOf(path) == v1Files, "DV delete must not touch any data file")
+    val now = VersionedTable.read(spark, path)
+    assert(now.count() == 950)
+    assert(now.filter(col("id").between(100, 149)).count() == 0)
+    assert(now.filter(col("id") === 99L).count() == 1)
+    // metadata count subtracts the marks; history reports them
+    assert(VersionedTable.countRows(spark, path).contains(950L))
+    val h = VersionedTable.history(spark, path).orderBy("version").collect()
+    assert(h(1).getLong(4) == 50L, h.mkString(";"))
+    // pre-delete snapshot intact; change feed shows the marked rows
+    assert(VersionedTable.read(spark, path, Some(1L)).count() == 1000)
+    val ch = VersionedTable.changes(spark, path, 1L, 2L).collect()
+    assert(ch.length == 50 && ch.forall(_.getAs[String]("_change_type") == "delete"))
+    // a second, OVERLAPPING dv delete marks only still-live rows
+    VersionedTable.deleteVectorized(spark, path, col("id").between(140, 159))
+    assert(VersionedTable.countRows(spark, path).contains(940L))
+    assert(VersionedTable.read(spark, path).count() == 940)
+    // CoW upsert over marked keys: the touched file materializes its DVs
+    VersionedTable.upsert(
+      spark.range(100, 106).select(col("id"), lit("BACK").as("v")), path, Seq("id"))
+    val afterUp = VersionedTable.read(spark, path)
+    assert(afterUp.count() == 946)
+    assert(afterUp.filter(col("v") === "BACK").count() == 6)
+    assert(afterUp.filter(col("id").between(106, 159)).count() == 0,
+      "marks on the rewritten file must not resurrect other deleted rows")
+    assert(VersionedTable.countRows(spark, path).contains(946L))
+    // OPTIMIZE purges every remaining mark (files rewritten)
+    VersionedTable.compact(spark, path, targetBytes = 1L << 30)
+    val hc = VersionedTable.history(spark, path).orderBy(col("version").desc).first()
+    assert(hc.getLong(4) == 0L, "compaction must materialize deletion vectors")
+    assert(VersionedTable.read(spark, path).count() == 946)
+    assert(VersionedTable.countRows(spark, path).contains(946L))
+  }
+
+  test("deletion-vector sidecars survive vacuum while their version is live") {
+    val path = java.nio.file.Files.createTempDirectory("dvv").toString + "/t"
+    rangeTable(path)
+    VersionedTable.deleteVectorized(spark, path, col("id") < 10)
+    VersionedTable.vacuum(spark, path, keepLast = 1, orphanRetentionMs = 0L)
+    assert(VersionedTable.versions(spark, path) == Seq(2L))
+    val now = VersionedTable.read(spark, path)
+    assert(now.count() == 990 && now.filter(col("id") < 10).count() == 0)
+    assert(VersionedTable.countRows(spark, path).contains(990L))
+    // a provably-empty dv delete is a no-op
+    assert(VersionedTable.deleteVectorized(spark, path, col("id") === 999999L) == 2L)
+  }
+
   test("history describes every version from manifests alone") {
     val path = java.nio.file.Files.createTempDirectory("hist").toString + "/t"
     rangeTable(path)
