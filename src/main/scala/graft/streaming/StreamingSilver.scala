@@ -129,6 +129,50 @@ object StreamingSilver {
   }
 
   // --------------------------------------------------------------------------
+  // Custom streaming state, NEW API: the same per-author running totals via
+  // transformWithState (Spark 4's StatefulProcessor — the successor to
+  // flatMapGroupsWithState, with named typed state cells, per-key timers
+  // and TTL, backed by the RocksDB state store). Keeping BOTH variants
+  // documents the migration path; StreamingSpec asserts they produce
+  // identical totals on the same input.
+  // --------------------------------------------------------------------------
+  class AuthorTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, AuthorEvent, AuthorTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[AuthorTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[AuthorTotal](
+        "totals", org.apache.spark.sql.Encoders.product[AuthorTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[AuthorEvent],
+        timerValues: TimerValues): Iterator[AuthorTotal] = {
+      var cur = if (totals.exists()) totals.get() else AuthorTotal(key, 0L, 0L)
+      rows.foreach { e =>
+        cur = AuthorTotal(key, cur.events + 1, cur.words + e.word_count.getOrElse(0))
+      }
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Running per-author totals through the transformWithState API. Requires
+    * the RocksDB state store provider (set by the caller/spec via
+    * `spark.sql.streaming.stateStore.providerClass`) — the new API does not
+    * run on the default HDFS-backed store. */
+  def authorTotalsTws(silver: DataFrame): Dataset[AuthorTotal] = {
+    import silver.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    silver
+      .select(col("author_id"), col("word_count"))
+      .as[AuthorEvent]
+      .groupByKey(_.author_id)
+      .transformWithState(new AuthorTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[AuthorTotal]])
+  }
+
+  // --------------------------------------------------------------------------
   // Custom streaming state: running per-author totals via
   // flatMapGroupsWithState (KeyValueGroupedDataset custom state API).
   // --------------------------------------------------------------------------

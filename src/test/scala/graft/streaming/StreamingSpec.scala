@@ -253,4 +253,44 @@ class StreamingSpec extends SparkSpec {
     assert(last("authA") == (60L, 3L))
     assert(last("authB") == (5L, 1L))
   }
+
+  test("transformWithState (Spark 4 StatefulProcessor) matches flatMapGroupsWithState") {
+    val dir = Files.createTempDirectory("stream-tws").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
+      Seq(
+        Fixtures.valid(id = "T1", authorId = "authA", metrics = """{"wordCount": "10"}"""),
+        Fixtures.valid(id = "T2", authorId = "authA", metrics = """{"wordCount": "20"}"""),
+        Fixtures.valid(id = "T3", authorId = "authB", metrics = """{"wordCount": "5"}"""))
+        .mkString("\n").getBytes("UTF-8"))
+    // the new API runs only on the RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val totals = StreamingSilver.authorTotalsTws(
+        StreamingSilver.silverStream(spark.readStream.text(dir)))
+      val q = totals.toDF().writeStream
+        .format("memory").queryName("tws_out").outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        // state carries across micro-batches, as with the old API
+        Files.write(java.nio.file.Paths.get(s"$dir/b1.ndjson"),
+          Seq(Fixtures.valid(id = "T4", authorId = "authA",
+            metrics = """{"wordCount": "30"}"""))
+            .mkString("\n").getBytes("UTF-8"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("tws_out")
+        .groupBy("author_id")
+        .agg(org.apache.spark.sql.functions.max("words").as("words"),
+          org.apache.spark.sql.functions.max("events").as("events"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(last("authA") == (60L, 3L), last.toString)
+      assert(last("authB") == (5L, 1L), last.toString)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
