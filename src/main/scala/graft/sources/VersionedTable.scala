@@ -930,24 +930,61 @@ object VersionedTable {
   }
 
   /** Row-level change feed between two committed versions: multiset diff
-    * tagged insert/delete (an unchanged row appears in neither). Runs as
-    * two hash anti-diffs (exceptAll), one shuffle each — no driver-side
-    * materialization, so it scales with the table. Versions with evolved
-    * schemas (see upsert's evolveSchema) are aligned first: columns missing
-    * on one side become typed nulls, so a row that only gained a null new
-    * column reads as unchanged. */
+    * tagged insert/delete (an unchanged row appears in neither).
+    *
+    * FILE-GRANULAR: a file carried by reference from `fromV` into `toV`
+    * holds, by construction, identical live rows in both versions (same
+    * bytes, same deletion-vector marks) — its rows cancel out of the
+    * multiset diff without being read. So the exceptAll pair runs ONLY
+    * over files removed by one side or added by the other: a one-tile
+    * MERGE at 100 TB diffs two files, not the table. Files common to both
+    * versions can differ only by NEW deletion-vector marks; those rows are
+    * looked up by (file, row_index) against the mark delta and appended as
+    * deletes — again touching only the marked files.
+    *
+    * Versions with evolved schemas (see upsert's evolveSchema) are aligned
+    * first: columns missing on one side become typed nulls, so a row that
+    * only gained a null new column reads as unchanged. */
   def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
-    val before = read(spark, path, Some(fromV))
-    val after = read(spark, path, Some(toV))
-    val types = (before.schema ++ after.schema).map(f => f.name -> f.dataType).toMap
+    val (root, f, cFrom) = commitFor(spark, path, Some(fromV))
+    val (_, _, cTo) = commitFor(spark, path, Some(toV))
+    val fromSet = cFrom.files.toSet
+    val toSet = cTo.files.toSet
+    val removed = cFrom.files.filterNot(toSet)
+    val added = cTo.files.filterNot(fromSet)
+    val before = dataFrameFor(spark, root, cFrom, removed)
+    val after = dataFrameFor(spark, root, cTo, added)
+    val types = (before.schema ++ after.schema).map(fl => fl.name -> fl.dataType).toMap
     val allCols = (before.columns ++ after.columns).distinct
     def aligned(df: DataFrame) = df.select(allCols.map { c =>
       if (df.columns.contains(c)) col(c) else lit(null).cast(types(c)).as(c)
     }: _*)
     val b = aligned(before)
     val a = aligned(after)
-    a.exceptAll(b).withColumn("_change_type", lit("insert"))
+    val fileDiff = a.exceptAll(b).withColumn("_change_type", lit("insert"))
       .unionByName(b.exceptAll(a).withColumn("_change_type", lit("delete")))
+    // carried files whose mark count GREW: the delta marks are deletes
+    val dvDeltaFiles = (fromSet & toSet).toSeq.filter(fk =>
+      cTo.dvRows.getOrElse(fk, 0L) > cFrom.dvRows.getOrElse(fk, 0L))
+    if (dvDeltaFiles.isEmpty) fileDiff
+    else {
+      val s = cFrom.schema.get // dv commits always record a schema
+      val toMarks = spark.read.parquet(cTo.dv.map(r => new Path(root, r).toString): _*)
+        .filter(col(FileKeyCol).isin(dvDeltaFiles: _*))
+      val newMarks =
+        if (cFrom.dv.isEmpty) toMarks
+        else toMarks.join(
+          spark.read.parquet(cFrom.dv.map(r => new Path(root, r).toString): _*),
+          Seq(FileKeyCol, RowIdxCol), "left_anti")
+      val markedRows = spark.read.schema(s)
+        .parquet(dvDeltaFiles.map(r => new Path(root, r).toString): _*)
+        .withColumn(FileKeyCol, fileKeyExpr)
+        .withColumn(RowIdxCol, col("_metadata.row_index"))
+        .join(broadcast(newMarks), Seq(FileKeyCol, RowIdxCol))
+        .select(s.fieldNames.map(col).toSeq: _*)
+      fileDiff.unionByName(
+        aligned(markedRows).withColumn("_change_type", lit("delete")))
+    }
   }
 
   /** DESCRIBE HISTORY: one row per committed version — file count,

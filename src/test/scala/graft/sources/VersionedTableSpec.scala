@@ -419,6 +419,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.deleteVectorized(spark, path, col("id") === 999999L) == 2L)
   }
 
+  test("change feed is file-granular: carried files are never even read") {
+    val path = java.nio.file.Files.createTempDirectory("cdfg").toString + "/t"
+    rangeTable(path)
+    val v1Files = filesOf(path)
+    VersionedTable.upsert( // rewrites 1 tile, carries 3
+      spark.range(100, 106).select(col("id"), lit("U").as("v")), path, Seq("id"))
+    val carried = filesOf(path) intersect v1Files
+    assert(carried.size == 3)
+    val ch = VersionedTable.changes(spark, path, 1L, 2L)
+    val got = ch.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = (100L to 105L).flatMap(i =>
+      Seq((i, s"v$i", "delete"), (i, "U", "insert"))).toSet
+    assert(got == want, got.toString)
+    // the diff's physical inputs exclude every carried file
+    val inputs = ch.inputFiles.toSet
+    assert(inputs.nonEmpty && carried.forall(cf => !inputs.contains(cf)),
+      s"carried files must not be scanned by the diff: ${inputs.mkString(",")}")
+    // DV-delta changes: marks added on a CARRIED file surface as deletes
+    VersionedTable.deleteVectorized(spark, path, col("id").between(300, 304))
+    val ch2 = VersionedTable.changes(spark, path, 2L, 3L).collect()
+    assert(ch2.length == 5 && ch2.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(ch2.map(_.getLong(0)).toSet == (300L to 304L).toSet)
+  }
+
   test("history describes every version from manifests alone") {
     val path = java.nio.file.Files.createTempDirectory("hist").toString + "/t"
     rangeTable(path)
