@@ -580,7 +580,28 @@ object VersionedTable {
       evolveSchema: Boolean,
       latestBy: Option[String],
       statsCols: Seq[String],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)]): Long =
+    upsert(updates, path, keys, evolveSchema, latestBy, statsCols, txn, None)
+
+  /** @param deleteWhere Delta's `WHEN MATCHED [AND cond] THEN DELETE`
+    *                    clause: update rows satisfying this predicate are
+    *                    TOMBSTONES — their keys are removed from the table
+    *                    and the rows are not inserted. This is the verb
+    *                    that applies a CDC stream (op = insert/update/
+    *                    delete) into a table in ONE merge commit. The
+    *                    predicate is evaluated on the (deduplicated)
+    *                    update row; NULL counts as false (the row upserts
+    *                    normally). Copy-on-write file selection already
+    *                    covers tombstone keys — they are update keys. */
+  def upsert(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      evolveSchema: Boolean,
+      latestBy: Option[String],
+      statsCols: Seq[String],
+      txn: Option[(String, Long)],
+      deleteWhere: Option[Column]): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     val spark = updates.sparkSession
     val root = new Path(path)
@@ -603,6 +624,10 @@ object VersionedTable {
             "pass latestBy to pick a survivor")
         updates
     }).cache()
+    // tombstones' keys participate in the anti-join (they remove matched
+    // rows) but only non-tombstone rows are (re-)inserted
+    val inserts = deleteWhere
+      .map(p => deduped.filter(!coalesce(p, lit(false)))).getOrElse(deduped)
     try {
       var attempt = 0
       var committed = -1L
@@ -618,7 +643,7 @@ object VersionedTable {
         val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
         val (files, schemaJson, stats, rows, stagedDir, dvKeep, dvRowsKeep) = baseC match {
           case None =>
-            val (dir, rel) = stage(deduped, root, f)
+            val (dir, rel) = stage(inserts, root, f)
             val (st, rw) = metaFor(spark, root, rel, statsCols)
             (rel, deduped.schema.json, st, rw, dir,
               Seq.empty[String], Map.empty[String, Long])
@@ -654,13 +679,13 @@ object VersionedTable {
                 // matching key — stage only the updates, aligned to the
                 // merged schema
                 val m = merged.get
-                deduped.select(m.fields.map(fl =>
+                inserts.select(m.fields.map(fl =>
                   if (updSchema.fieldNames.contains(fl.name)) col(fl.name)
                   else lit(null).cast(fl.dataType).as(fl.name)).toSeq: _*)
-              } else if (rewriteKeys.isEmpty) deduped // empty/legacy base
+              } else if (rewriteKeys.isEmpty) inserts // empty/legacy base
               else dataFrameFor(spark, root, c, rewriteKeys)
                 .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
-                .unionByName(deduped, allowMissingColumns = evolveSchema)
+                .unionByName(inserts, allowMissingColumns = evolveSchema)
             val (dir, rel) = stage(rewriteDf, root, f)
             val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
             val carrySet = carryKeys.toSet

@@ -109,20 +109,28 @@ object StreamingSilver {
     * across restarts of the same logical stream (tie it to the checkpoint
     * location, not the run). Returns the started query; caller
     * awaits/stops it. */
+  /** @param deleteWhere optional MERGE delete clause (see
+    *                     [[graft.sources.VersionedTable.upsert]]): batch
+    *                     rows satisfying it are CDC tombstones — their
+    *                     keys are deleted instead of upserted, so the sink
+    *                     applies a full insert/update/delete change stream
+    *                     in one exactly-once commit per micro-batch. */
   def sinkToVersioned(
       silver: DataFrame,
       path: String,
       keys: Seq[String],
       latestBy: Option[String] = None,
       appId: String = "graft-silver-stream",
-      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: Option[String] = None,
+      deleteWhere: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = silver.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.sources.VersionedTable.upsert(batch.toDF(), path, keys,
             evolveSchema = false, latestBy = latestBy, statsCols = Nil,
-            txn = Some(appId -> batchId)): Unit
+            txn = Some(appId -> batchId), deleteWhere = deleteWhere): Unit
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()

@@ -419,6 +419,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.deleteVectorized(spark, path, col("id") === 999999L) == 2L)
   }
 
+  test("MERGE delete clause: one commit applies a CDC batch with tombstones") {
+    val path = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    rangeTable(path)
+    val v1Files = filesOf(path)
+    // one CDC batch: update id=100, insert id=2000, delete ids 101/102
+    // (tombstone = null payload, the WHEN MATCHED THEN DELETE condition)
+    val cdc = Seq((100L, Some("UPD")), (2000L, Some("NEW")),
+      (101L, None), (102L, None)).toDF("id", "v")
+    VersionedTable.upsert(cdc, path, Seq("id"), evolveSchema = false,
+      latestBy = None, Nil, None, deleteWhere = Some(col("v").isNull))
+    val now = VersionedTable.read(spark, path)
+    assert(now.count() == 999) // 1000 - 2 deleted + 1 inserted
+    assert(now.filter(col("id").isin(101L, 102L)).count() == 0)
+    assert(now.filter(col("id") === 100L).select("v").as[String].head() == "UPD")
+    assert(now.filter(col("id") === 2000L).count() == 1)
+    // still copy-on-write: only the matched tile was rewritten
+    assert((filesOf(path) intersect v1Files).size == 3)
+    // change feed reports the tombstoned rows as deletes
+    val ch = VersionedTable.changes(spark, path, 1L, 2L).collect()
+    val dels = ch.filter(_.getAs[String]("_change_type") == "delete").map(_.getLong(0)).toSet
+    assert(dels == Set(100L, 101L, 102L)) // 100 = update (delete old + insert new)
+    // a tombstone for an ABSENT key is a no-op, not an insert
+    VersionedTable.upsert(Seq((555555L, Option.empty[String])).toDF("id", "v"),
+      path, Seq("id"), evolveSchema = false, latestBy = None, Nil, None,
+      deleteWhere = Some(col("v").isNull))
+    assert(VersionedTable.read(spark, path).filter(col("id") === 555555L).count() == 0)
+  }
+
   test("change feed is file-granular: carried files are never even read") {
     val path = java.nio.file.Files.createTempDirectory("cdfg").toString + "/t"
     rangeTable(path)
