@@ -388,6 +388,14 @@ object VersionedTable {
     committed
   }
 
+  /** Root-relative data files of a committed version (the manifest's file
+    * list) — the observable commit contents; the streaming source derives
+    * per-version appends from consecutive lists. */
+  def filesOf(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    val (_, _, c) = commitFor(spark, path, Some(v))
+    c.files
+  }
+
   private def commitFor(spark: SparkSession, path: String,
       asOf: Option[Long]): (Path, FileSystem, Commit) = {
     val vs = versions(spark, path)

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.VersionedTable
+
+/** Structured Streaming SOURCE over a [[graft.sources.VersionedTable]] —
+  * the read half of Delta's streaming story (`spark.readStream.format
+  * ("delta")`): the commit log IS the changelog, so a streaming query can
+  * tail the table and receive each committed version's appended files as
+  * one micro-batch, exactly once, with no file-listing race (uncommitted
+  * staged files are invisible because offsets are VERSIONS, not directory
+  * contents — precisely what a raw file stream over the data dirs could
+  * never guarantee).
+  *
+  * Offsets are committed version numbers. Each batch (fromV, toV] emits the
+  * files present in toV but not in fromV, read with toV's schema. Non-append
+  * commits (MERGE/DELETE/OPTIMIZE rewrite or drop files) are REJECTED by
+  * default — a file-level changelog cannot represent row-level rewrites —
+  * unless `ignoreChanges=true`, which re-emits rewritten files whole
+  * (at-least-once for updated rows; Delta's option of the same name and the
+  * same caveat). Deletion-vector-only commits add no files and emit an
+  * empty batch. Use [[graft.sources.VersionedTable.changes]] for a
+  * row-level diff instead.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-table")          // or the class name
+  *     .option("startingVersion", "0")               // default: from genesis
+  *     .option("ignoreChanges", "false")
+  *     .load(tablePath)
+  * }}}
+  */
+class VersionedTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table source requires .load(<tablePath>)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse {
+      val spark = sqlContext.sparkSession
+      val path = tablePath(parameters)
+      VersionedTable.read(spark, path).schema // latest committed schema
+    })
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new VersionedTableSource(
+      sqlContext.sparkSession,
+      tablePath(parameters),
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+}
+
+private[streaming] class VersionedTableSource(
+    spark: SparkSession,
+    path: String,
+    startingVersion: Long,
+    ignoreChanges: Boolean) extends Source {
+
+  // pinned at source creation: a streaming query's schema cannot drift
+  // mid-run (evolve the table → restart the query, as with Delta)
+  override val schema: StructType = VersionedTable.read(spark, path).schema
+
+  override def getOffset: Option[Offset] =
+    VersionedTable.latestVersion(spark, path)
+      .filter(_ >= startingVersion).map(LongOffset(_))
+
+  /** Offsets arrive as LongOffset in-run but as SerializedOffset (raw JSON)
+    * after a checkpoint restart — parse the JSON form uniformly. */
+  private def version(o: Offset): Long = o.json().trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(version).getOrElse(math.max(0L, startingVersion - 1L))
+    val toV = version(end)
+    val fromFiles =
+      if (fromV <= 0L) Set.empty[String]
+      else VersionedTable.filesOf(spark, path, fromV).toSet
+    val toFiles = VersionedTable.filesOf(spark, path, toV)
+    val removed = fromFiles -- toFiles
+    if (removed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"$path: versions ($fromV, $toV] contain a non-append commit " +
+          s"(${removed.size} file(s) rewritten or removed). A file-level " +
+          "changelog cannot represent row-level rewrites; restart with " +
+          "option(\"ignoreChanges\",\"true\") to re-emit rewritten files " +
+          "whole, or consume VersionedTable.changes for a row-level diff.")
+    val added = toFiles.filterNot(fromFiles)
+    val root = new Path(path)
+    org.apache.spark.sql.graft.StreamingRelationShim.parquetBatch(
+      spark, schema, added.map(r => new Path(root, r).toString))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VersionedTableSource[$path]"
+}

@@ -1,0 +1,38 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.types.StructType
+
+/** Bridge for implementing a DSv1 streaming `Source` from outside Spark's
+  * packages: `getBatch` must return a DataFrame whose logical plan carries
+  * `isStreaming = true` (MicroBatchExecution asserts exactly that), and the
+  * only constructors for such a plan — `LogicalRelation(..., isStreaming)`
+  * and `Dataset.ofRows` — are `private[sql]`. This is the same pair Spark's
+  * own FileStreamSource uses (FileStreamSource.getBatch); the shim lives in
+  * an `org.apache.spark.sql` subpackage solely to reach them, and contains
+  * no logic of its own.
+  */
+object StreamingRelationShim {
+
+  /** A STREAMING DataFrame over an explicit list of parquet files with a
+    * fixed schema (no inference, no file listing). */
+  def parquetBatch(spark: SparkSession, schema: StructType,
+      files: Seq[String]): DataFrame = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (files.isEmpty) {
+      Dataset.ofRows(session,
+        LocalRelation(org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+          Nil, isStreaming = true))
+    } else {
+      val relation = DataSource(
+        sparkSession = session,
+        paths = files,
+        userSpecifiedSchema = Some(schema),
+        className = "parquet").resolveRelation(checkFilesExist = false)
+      Dataset.ofRows(session, LogicalRelation(relation, isStreaming = true))
+    }
+  }
+}

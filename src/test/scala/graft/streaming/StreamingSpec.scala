@@ -254,6 +254,54 @@ class StreamingSpec extends SparkSpec {
     assert(last("authB") == (5L, 1L))
   }
 
+  test("versioned table as a streaming SOURCE: committed versions arrive as micro-batches") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("vtsrc").toString + "/t"
+    VersionedTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), table)
+    val stream = spark.readStream.format("graft-table").load(table)
+    val q = stream.writeStream.format("memory").queryName("vt_src")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vt_src").count() == 2)
+      // a new committed version arrives as exactly its appended rows
+      VersionedTable.append(Seq((3, "c")).toDF("id", "v"), table)
+      q.processAllAvailable()
+      val got = spark.table("vt_src").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toSet
+      assert(got == Set(1 -> "a", 2 -> "b", 3 -> "c"), got.toString)
+      assert(spark.table("vt_src").count() == 3, "no duplicates across batches")
+      // a deletion-vector commit adds no files → empty batch, no failure
+      VersionedTable.deleteVectorized(spark, table, col("id") === 1)
+      q.processAllAvailable()
+      assert(spark.table("vt_src").count() == 3)
+    } finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    // a REWRITING commit poisons the file-level changelog: the default
+    // source must refuse rather than silently emit wrong rows
+    VersionedTable.upsert(Seq((2, "B2")).toDF("id", "v"), table, Seq("id"))
+    val q2 = spark.readStream.format("graft-table")
+      .option("startingVersion", (VersionedTable.latestVersion(spark, table).get - 1).toString)
+      .load(table)
+      .writeStream.format("memory").queryName("vt_src2").outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(err.getMessage.contains("non-append commit") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-append commit")),
+      err.getMessage)
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    // ignoreChanges re-emits the rewritten file whole (Delta's semantics)
+    val q3 = spark.readStream.format("graft-table")
+      .option("ignoreChanges", "true").load(table)
+      .writeStream.format("memory").queryName("vt_src3").outputMode("append").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val all = spark.table("vt_src3").collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(all.contains(2 -> "B2"))
+  }
+
   test("transformWithState (Spark 4 StatefulProcessor) matches flatMapGroupsWithState") {
     val dir = Files.createTempDirectory("stream-tws").toString
     Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
