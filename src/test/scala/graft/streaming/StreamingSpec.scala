@@ -302,6 +302,41 @@ class StreamingSpec extends SparkSpec {
     assert(all.contains(2 -> "B2"))
   }
 
+  test("table→table streaming ETL: source tails bronze, exactly-once sink merges silver") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, upper}
+    val bronze = Files.createTempDirectory("etl-b").toString + "/t"
+    val silver = Files.createTempDirectory("etl-s").toString + "/t"
+    val ckpt = Files.createTempDirectory("etl-ckpt").toString
+    VersionedTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), bronze)
+    def startEtl() = StreamingSilver.sinkToVersioned(
+      spark.readStream.format("graft-table").load(bronze)
+        .select(col("id"), upper(col("v")).as("v")),
+      silver, Seq("id"), latestBy = None, appId = "etl",
+      checkpoint = Some(ckpt))
+    val q = startEtl()
+    try {
+      q.processAllAvailable()
+      VersionedTable.append(Seq((2, "b2"), (3, "c")).toDF("id", "v"), bronze)
+      q.processAllAvailable()
+    } finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    val mid = VersionedTable.read(spark, silver)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(mid == Map(1 -> "A", 2 -> "B2", 3 -> "C"), mid.toString)
+    // RESTART from the checkpoint (exercises the serialized-offset path):
+    // only versions committed while the query was down arrive, no replays
+    VersionedTable.append(Seq((4, "d")).toDF("id", "v"), bronze)
+    val q2 = startEtl()
+    try q2.processAllAvailable() finally q2.stop()
+    val fin = VersionedTable.read(spark, silver)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(fin == Map(1 -> "A", 2 -> "B2", 3 -> "C", 4 -> "D"), fin.toString)
+    // silver saw exactly one merge commit per non-empty bronze batch
+    assert(VersionedTable.versions(spark, silver).size == 3)
+  }
+
   test("transformWithState (Spark 4 StatefulProcessor) matches flatMapGroupsWithState") {
     val dir = Files.createTempDirectory("stream-tws").toString
     Files.write(java.nio.file.Paths.get(s"$dir/b0.ndjson"),
