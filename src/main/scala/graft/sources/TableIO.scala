@@ -152,9 +152,22 @@ object TableIO {
     * stand-in sort. Pure shift/mask expression chain — whole-stage codegen,
     * no UDF. */
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-      bits: Int = 16): org.apache.spark.sql.Column = {
+      bits: Int = 16): org.apache.spark.sql.Column = zValue(Seq(a, b), bits)
+
+  /** N-dimensional Z-order value: interleaves the low `bits` bits of each
+    * column (first column in the most significant interleave position), so
+    * sorting by the result gives N-dimensional locality — clustering on
+    * (tenant, date, type) keeps every file narrow in ALL THREE, where a
+    * lexicographic sort leaves the trailing dimensions at full width per
+    * file. `dims × bits` must fit a signed long. Pure shift/mask expression
+    * chain — whole-stage codegen, no UDF. */
+  def zValue(cols: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{concat_ws, lit, raise_error, shiftright, when}
     import org.apache.spark.sql.types.LongType
+    val d = cols.size
+    require(d >= 1, "zValue needs at least one clustering column")
+    require(d.toLong * bits <= 62, s"zValue: $d dims × $bits bits exceeds a signed long")
     // out-of-range values would alias mod 2^bits and silently destroy the
     // locality the clustering exists for — fail loudly instead. Nulls fail
     // loudly too: null-in-null-out here would make the whole z-value null,
@@ -168,11 +181,11 @@ object TableIO {
           raise_error(concat_ws("", lit(s"zValue: input out of [0, 2^$bits): "), v)))
         .otherwise(v)
     }
-    val av = checked(a)
-    val bv = checked(b)
-    (0 until bits).map { i =>
-      (shiftright(av, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
-        (shiftright(bv, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+    val vs = cols.map(checked)
+    (0 until bits).flatMap { i =>
+      vs.zipWithIndex.map { case (v, j) =>
+        shiftright(v, i).bitwiseAND(lit(1L)) * lit(1L << (i * d + (d - 1 - j)))
+      }
     }.reduce(_ + _)
   }
 
@@ -204,17 +217,22 @@ object TableIO {
     * z-sorted within it. Writing the result 1 file : 1 partition gives every
     * file provably narrow (a, b) ranges — exactly what file-level min/max
     * stats need to prune effectively. */
-  def zPlaced(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
+  def zPlaced(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame =
+    zPlaced(df, Seq(a, b), bits)
+
+  /** N-dimensional tile-aligned z placement: one output partition per
+    * aligned z-tile of the `cols` hypercube, rows z-sorted within it. */
+  def zPlaced(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
-    val zBits = 2 * bits
+    val zBits = cols.size * bits
     // smallest power of two ≥ n, capped by the z-space itself
     val nBuckets = math.min(
       1L << math.min(30, zBits),
       if (Integer.bitCount(n) == 1) n.toLong else Integer.highestOneBit(n).toLong * 2).toInt
     val shift = math.max(0, zBits - Integer.numberOfTrailingZeros(nBuckets))
-    val keyed = df.withColumn("__z", zValue(col(a), col(b), bits))
+    val keyed = df.withColumn("__z", zValue(cols.map(col), bits))
     val schema = keyed.schema
     val zIdx = schema.fieldIndex("__z")
     val placed = keyed.rdd

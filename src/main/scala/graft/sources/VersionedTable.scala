@@ -935,7 +935,12 @@ object VersionedTable {
     * (re-clustering moves every row); history stays time-travelable and
     * the streaming-txn watermarks carry forward. */
   def zOrderBy(spark: SparkSession, path: String, a: String, b: String,
-      bits: Int = 16): Long = {
+      bits: Int = 16): Long = zOrderBy(spark, path, Seq(a, b), bits)
+
+  /** N-dimensional variant: cluster on any number of columns (dims × bits
+    * must fit a signed long); stats are recorded on exactly those columns. */
+  def zOrderBy(spark: SparkSession, path: String, cols: Seq[String],
+      bits: Int): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -945,9 +950,9 @@ object VersionedTable {
       require(vs.nonEmpty, s"$path has no committed versions")
       val bse = vs.last
       val c = readManifest(f, root, bse)
-      val placed = TableIO.zPlaced(dataFrameFor(spark, root, c, c.files), a, b, bits)
+      val placed = TableIO.zPlaced(dataFrameFor(spark, root, c, c.files), cols, bits)
       val (dir, rel) = stage(placed, root, f)
-      val (st, rw) = metaFor(spark, root, rel, Seq(a, b))
+      val (st, rw) = metaFor(spark, root, rel, cols)
       val v = bse + 1L
       val body = manifestJson(v, rel,
         c.schema.map(_.json).getOrElse(placed.schema.json), st, rw, c.txn)

@@ -24,6 +24,49 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("N-dimensional zValue interleaves exactly; 3-D ZORDER prunes ALL three dims") {
+    // reference interleave for 3 dims: bit i of col j → position i*3 + (2-j)
+    def ref3(a: Long, b: Long, c: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((a >> i) & 1L) << (i * 3 + 2)
+        z |= ((b >> i) & 1L) << (i * 3 + 1)
+        z |= ((c >> i) & 1L) << (i * 3)
+      }
+      z
+    }
+    val rows = for (a <- 0 until 8; b <- 0 until 8; c <- 0 until 8) yield (a, b, c)
+    val got = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        TableIO.zValue(Seq(col("a"), col("b"), col("c")), 3).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    rows.foreach { case (a, b, c) =>
+      assert(got((a, b, c)) == ref3(a, b, c, 3), s"($a,$b,$c)")
+    }
+    // 2-arg zValue must stay bit-identical to the old implementation
+    val two = Seq((5, 9)).toDF("a", "b")
+      .select(TableIO.zValue(col("a"), col("b"), 5)).head().getLong(0)
+    assert(two == ((0 until 5).map(i =>
+      (((5 >> i) & 1L) << (2 * i + 1)) | (((9 >> i) & 1L) << (2 * i))).sum))
+    // end-to-end: a 3-D z-ordered versioned table prunes on EVERY dimension
+    val path = java.nio.file.Files.createTempDirectory("z3").toString + "/t"
+    val grid = spark.range(0, 32 * 32 * 32).select(
+      (col("id") % 32).cast("int").as("a"),
+      ((col("id") / 32) % 32).cast("int").as("b"),
+      (col("id") / 1024).cast("int").as("c"))
+    VersionedTable.write(grid.transform(d => TableIO.zPlaced(d, Seq("a", "b", "c"), 5)),
+      path, Seq("a", "b", "c"))
+    for (dim <- Seq("a", "b", "c")) {
+      val (kept, skipped) = VersionedTable.pruneInfo(spark, path, col(dim) < 8)
+      assert(skipped.nonEmpty, s"one-sided range on $dim must prune")
+      assert(VersionedTable.readWhere(spark, path, col(dim) < 8).count() == 8 * 32 * 32)
+    }
+    val box = col("a").between(4, 7) && col("b").between(12, 15) && col("c").between(20, 23)
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, box)
+    assert(kept.size < skipped.size, s"3-D box must prune most files: ${kept.size}/${skipped.size}")
+    assert(VersionedTable.readWhere(spark, path, box).count() == 4 * 4 * 4)
+  }
+
   test("z-order clustering bounds BOTH dimensions per block; lexicographic does not") {
     // 64x64 grid, blocks of 256 rows: along the Z-curve every block is a
     // 16x16 tile (both ranges 15); sorted lexicographically by a, each block
