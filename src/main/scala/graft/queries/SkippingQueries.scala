@@ -147,13 +147,39 @@ object SkippingQueries {
   val metaCountSql: String =
     "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events"
 
+  /** q_meta_minmax — exact MIN/MAX + COUNT answered from manifest stats and
+    * row counts alone (zero data files opened): parquet chunk statistics
+    * are exact whenever recorded, so folding per-file bounds gives the true
+    * global extrema. Value-checked against DuckDB aggregating the raw
+    * table. The third leg of the metadata-only family (count / min / max)
+    * — at 100 TB these are planner-latency queries, not scans. */
+  def metaMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = ensureTable(spark, dir)
+    val (mn, mx) = VersionedTable.minMaxFromStats(spark, path, "user_id")
+      .getOrElse(throw new IllegalStateException(
+        s"$path: user_id stats expected on the clustered copy"))
+    val n = VersionedTable.countRows(spark, path)
+      .getOrElse(VersionedTable.read(spark, path).count())
+    Seq((mn.asInstanceOf[BigDecimal].toLong, mx.asInstanceOf[BigDecimal].toLong, n))
+      .toDF("min_user", "max_user", "n_rows")
+  }
+
+  val metaMinMaxSql: String =
+    """SELECT CAST(MIN(user_id) AS BIGINT) AS min_user,
+      |  CAST(MAX(user_id) AS BIGINT) AS max_user,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skipping_scan" -> (skippingScan _),
     "q_meta_count" -> (metaCount _),
+    "q_meta_minmax" -> (metaMinMax _),
     "q_dv_delete" -> (dvDelete _))
 
   val oracles: Map[String, String] = Map(
     "q_skipping_scan" -> skippingScanSql,
     "q_meta_count" -> metaCountSql,
+    "q_meta_minmax" -> metaMinMaxSql,
     "q_dv_delete" -> dvDeleteSql)
 }

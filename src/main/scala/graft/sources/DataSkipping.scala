@@ -169,6 +169,13 @@ object DataSkipping {
     case _ => None
   }
 
+  /** [[ordLt]] as an Ordering, for consumers aggregating bounds across
+    * files (e.g. manifest-level MIN/MAX). */
+  val statOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int =
+      if (ordLt(a, b)) -1 else if (ordLt(b, a)) 1 else 0
+  }
+
   /** Total order used for stat merging: numeric (BigDecimal) or UTF-8 byte
     * order for strings (parquet's UNSIGNED binary comparator — Java String
     * compareTo would disagree on supplementary characters). */

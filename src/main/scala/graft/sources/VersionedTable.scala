@@ -480,6 +480,30 @@ object VersionedTable {
     else None
   }
 
+  /** Exact MIN/MAX of a stats column from the manifest alone — zero data
+    * files opened (the metadata twin of [[countRows]]; parquet chunk
+    * statistics are exact whenever recorded, and collection drops columns
+    * whose stats the writer omitted or that we can't represent — see
+    * DataSkipping — so a present bound is a true bound). Answers None when
+    * any file lacks a usable bound for the column, when every file is
+    * all-null (SQL MIN/MAX would be NULL), or when ANY deletion-vector
+    * mark exists — a marked row could BE the extremum, making manifest
+    * bounds merely outer. Values come back in the stats domain
+    * (BigDecimal for numerics, String for strings). */
+  def minMaxFromStats(spark: SparkSession, path: String, column: String,
+      asOf: Option[Long] = None): Option[(Any, Any)] = {
+    val (_, _, c) = commitFor(spark, path, asOf)
+    if (c.files.isEmpty) return None
+    if (c.files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) return None
+    val perFile = c.files.map(fk => c.stats.get(fk).flatMap(_.get(column)))
+    if (perFile.exists(_.isEmpty)) return None
+    val bounds = perFile.flatten.filterNot(_.allNulls)
+    if (bounds.isEmpty) return None // MIN/MAX over zero non-null rows is NULL
+    if (bounds.exists(st => st.min.isEmpty || st.max.isEmpty)) return None
+    Some((bounds.map(_.min.get).min(DataSkipping.statOrdering),
+      bounds.map(_.max.get).max(DataSkipping.statOrdering)))
+  }
+
   /** Data-skipping read: open ONLY the files whose manifest min/max stats
     * admit rows satisfying `predicate`, then apply the full predicate to
     * the surviving rows — pruning can only drop provably-dead files, never

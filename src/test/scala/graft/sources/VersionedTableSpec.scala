@@ -472,6 +472,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(ch2.map(_.getLong(0)).toSet == (300L to 304L).toSet)
   }
 
+  test("minMaxFromStats: exact metadata extrema; DV marks and stat gaps disable it") {
+    val path = java.nio.file.Files.createTempDirectory("mmx").toString + "/t"
+    rangeTable(path)
+    assert(VersionedTable.minMaxFromStats(spark, path, "id")
+      .contains((BigDecimal(0), BigDecimal(999))))
+    // no stats for this column → None
+    assert(VersionedTable.minMaxFromStats(spark, path, "v").isEmpty)
+    // a deletion-vector mark could BE the extremum → must refuse
+    VersionedTable.deleteVectorized(spark, path, col("id") === 0L)
+    assert(VersionedTable.minMaxFromStats(spark, path, "id").isEmpty)
+    // ...but the pre-DV version still answers (per-version manifests)
+    assert(VersionedTable.minMaxFromStats(spark, path, "id", Some(1L))
+      .contains((BigDecimal(0), BigDecimal(999))))
+    // OPTIMIZE materializes the marks and restores the metadata answer
+    VersionedTable.compact(spark, path, targetBytes = 1L << 30)
+    assert(VersionedTable.minMaxFromStats(spark, path, "id")
+      .contains((BigDecimal(1), BigDecimal(999))))
+  }
+
   test("history describes every version from manifests alone") {
     val path = java.nio.file.Files.createTempDirectory("hist").toString + "/t"
     rangeTable(path)
