@@ -822,6 +822,62 @@ object VersionedTable {
     committed
   }
 
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit: a new version with
+    * the same files and an extended schema. Parquet reads by name, so every
+    * carried file serves the new columns as nulls — zero bytes move, like
+    * Delta's ADD COLUMN. New columns are forced nullable (existing rows
+    * have no value for them). Fails on a name collision. */
+  def addColumns(spark: SparkSession, path: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Long =
+    alterSchema(spark, path, "add", { s =>
+      val clash = newFields.map(_.name).toSet intersect s.fieldNames.toSet
+      require(clash.isEmpty, s"$path: column(s) already exist: ${clash.mkString(",")}")
+      StructType(s.fields ++ newFields.map(_.copy(nullable = true)))
+    })
+
+  /** ALTER TABLE DROP COLUMNS as a METADATA-ONLY commit: the dropped
+    * columns stay in the parquet files (unread — parquet is columnar, they
+    * cost nothing at scan time) and disappear from the recorded schema, so
+    * reads, upserts, and the change feed no longer see them. A later
+    * OPTIMIZE/ZORDER rewrite physically sheds them. Stats for dropped
+    * columns are pruned from the manifest. */
+  def dropColumns(spark: SparkSession, path: String, names: Seq[String]): Long =
+    alterSchema(spark, path, "drop", { s =>
+      val missing = names.toSet -- s.fieldNames.toSet
+      require(missing.isEmpty, s"$path: no such column(s): ${missing.mkString(",")}")
+      require(s.fields.length > names.size, s"$path: cannot drop every column")
+      StructType(s.fields.filterNot(f => names.contains(f.name)))
+    })
+
+  private def alterSchema(spark: SparkSession, path: String, verb: String,
+      change: StructType => StructType): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(spark, path)
+      require(vs.nonEmpty, s"$path has no committed versions")
+      val b = vs.last
+      val c = readManifest(f, root, b)
+      require(c.schema.isDefined, s"$path: schema DDL needs a schema-recorded table")
+      val next = change(c.schema.get)
+      val keep = next.fieldNames.toSet
+      val stats = c.stats.map { case (fk, cols) =>
+        fk -> cols.filter(kv => keep(kv._1))
+      }.filter(_._2.nonEmpty)
+      val v = b + 1L
+      if (tryCommit(f, root, v, manifestJson(v, c.files, next.json, stats,
+        c.rows, c.txn, c.dv, c.dvRows))) committed = v
+      else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt $verb-column commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
   /** Merge-on-read DELETE via DELETION VECTORS (Delta's DV idiom): mark
     * matching rows deleted in a sidecar parquet of (file key, row index)
     * pairs and commit a new version that keeps EVERY data file

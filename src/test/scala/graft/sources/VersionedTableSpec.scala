@@ -472,6 +472,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(ch2.map(_.getLong(0)).toSet == (300L to 304L).toSet)
   }
 
+  test("ADD/DROP COLUMN are metadata-only commits: zero bytes move") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val path = java.nio.file.Files.createTempDirectory("ddl").toString + "/t"
+    rangeTable(path)
+    val v1Files = filesOf(path)
+    // ADD: same files, new nullable column reads as null
+    val v2 = VersionedTable.addColumns(spark, path, Seq(StructField("score", IntegerType)))
+    assert(v2 == 2L && filesOf(path) == v1Files, "ADD COLUMN must not touch data")
+    val now = VersionedTable.read(spark, path)
+    assert(now.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(now.filter(col("score").isNotNull).count() == 0)
+    // upsert can then populate it (schemas now match)
+    VersionedTable.upsert(
+      spark.range(0, 3).select(col("id"), lit("U").as("v"), lit(7).as("score")),
+      path, Seq("id"), evolveSchema = false)
+    assert(VersionedTable.read(spark, path).filter(col("score") === 7).count() == 3)
+    // old version still reads its own schema
+    assert(VersionedTable.read(spark, path, Some(1L)).schema.fieldNames.toSeq == Seq("id", "v"))
+    // DROP: column disappears without rewriting carried files; its stats go
+    val before = filesOf(path)
+    VersionedTable.dropColumns(spark, path, Seq("v"))
+    assert(filesOf(path) == before, "DROP COLUMN must not touch data")
+    val dropped = VersionedTable.read(spark, path)
+    assert(dropped.schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(dropped.count() == 1000)
+    // name collision / unknown column fail loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, path, Seq(StructField("id", IntegerType)))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, path, Seq("nope"))
+    }
+  }
+
   test("minMaxFromStats: exact metadata extrema; DV marks and stat gaps disable it") {
     val path = java.nio.file.Files.createTempDirectory("mmx").toString + "/t"
     rangeTable(path)
