@@ -554,6 +554,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 1000)
   }
 
+  test("mixed concurrent writers serialize: every verb lands, invariants hold") {
+    // four DIFFERENT verbs race on one table with disjoint effects, so the
+    // final state is the same under every serialization — what must vary
+    // is only the version order. Each verb recomputes against the new head
+    // on a lost CAS race, so none may clobber another's effect.
+    val path = java.nio.file.Files.createTempDirectory("chaos").toString + "/t"
+    rangeTable(path)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    def submit(body: => Long) =
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await(); body }
+      })
+    val fUp = submit(VersionedTable.upsert(
+      spark.range(0, 10).select(col("id"), lit("RACED").as("v")), path, Seq("id")))
+    val fApp = submit(VersionedTable.append(
+      spark.range(5000, 5010).select(col("id"), concat(lit("n"), col("id")).as("v")),
+      path))
+    val fDv = submit(VersionedTable.deleteVectorized(spark, path,
+      col("id").between(100, 109)))
+    val fDel = submit(VersionedTable.delete(spark, path, col("id").between(200, 209)))
+    gate.countDown()
+    val versions = Seq(fUp, fApp, fDv, fDel)
+      .map(_.get(180, java.util.concurrent.TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(versions == Seq(2L, 3L, 4L, 5L), versions.toString) // contiguous, distinct
+    val now = VersionedTable.read(spark, path)
+    assert(now.count() == 990) // 1000 - 10 (dv) - 10 (cow) + 10 (append)
+    assert(now.filter(col("v") === "RACED").count() == 10)
+    assert(now.filter(col("id").between(100, 109)).count() == 0)
+    assert(now.filter(col("id").between(200, 209)).count() == 0)
+    assert(now.filter(col("id") >= 5000).count() == 10)
+    assert(VersionedTable.countRows(spark, path).contains(990L))
+    // every intermediate version remains a readable snapshot
+    VersionedTable.versions(spark, path).foreach { v =>
+      assert(VersionedTable.read(spark, path, Some(v)).count() > 0)
+    }
+  }
+
   test("a failed version write never becomes readable; vacuum retires old versions") {
     val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
     VersionedTable.write(Seq((1, "a")).toDF("id", "v"), path)
