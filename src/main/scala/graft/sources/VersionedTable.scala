@@ -388,6 +388,60 @@ object VersionedTable {
     committed
   }
 
+  /** TIMESTAMP AS OF: the latest version whose manifest was committed at
+    * or before `ts` (epoch millis) — manifest publish times ARE commit
+    * times (the atomic link/rename IS the commit point). None when the
+    * table has no version that old. Delta's timestamp time travel, same
+    * caveat: wall-clock resolution is the filesystem's mtime granularity. */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Option[Long] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    versions(spark, path)
+      .filter(v => f.getFileStatus(manifest(root, v)).getModificationTime <= tsMillis)
+      .lastOption
+  }
+
+  /** Read the table as of a wall-clock instant (see [[versionAt]]). */
+  def readAsOfTimestamp(spark: SparkSession, path: String, tsMillis: Long): DataFrame = {
+    val v = versionAt(spark, path, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no version committed at or before $tsMillis"))
+    read(spark, path, Some(v))
+  }
+
+  /** RESTORE TABLE TO VERSION AS A NEW COMMIT (Delta's RESTORE): re-commit
+    * version `toV`'s exact contents — files, schema, stats, row counts,
+    * deletion vectors — as the new head. METADATA-ONLY: zero bytes move,
+    * the mistake (bad merge, fat-fingered delete) stays in history as its
+    * own time-travelable version, and the streaming-txn watermarks carry
+    * forward from the CURRENT head so exactly-once sinks don't replay.
+    * Restoring the current head is a no-op. */
+  def restore(spark: SparkSession, path: String, toV: Long): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(spark, path)
+      require(vs.contains(toV), s"$path has no version $toV (committed: $vs)")
+      val head = vs.last
+      if (head == toV) return head
+      val target = readManifest(f, root, toV)
+      val cur = readManifest(f, root, head)
+      val v = head + 1L
+      val body = manifestJson(v, target.files,
+        target.schema.map(_.json).getOrElse("null"),
+        target.stats, target.rows, cur.txn, target.dv, target.dvRows)
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt restore commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
   /** Root-relative data files of a committed version (the manifest's file
     * list) — the observable commit contents; the streaming source derives
     * per-version appends from consecutive lists. */

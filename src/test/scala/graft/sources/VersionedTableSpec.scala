@@ -554,6 +554,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 1000)
   }
 
+  test("RESTORE is a metadata-only undo; TIMESTAMP AS OF resolves by commit time") {
+    val path = java.nio.file.Files.createTempDirectory("rst").toString + "/t"
+    rangeTable(path) // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(50)
+    VersionedTable.delete(spark, path, col("id") < 500) // v2, the "mistake"
+    assert(VersionedTable.read(spark, path).count() == 500)
+    // wall-clock travel lands on the version committed before the delete
+    assert(VersionedTable.readAsOfTimestamp(spark, path, t1).count() == 1000)
+    assert(VersionedTable.versionAt(spark, path, 0L).isEmpty)
+    // restore: new head = v1's exact contents, zero data files written
+    val v3 = VersionedTable.restore(spark, path, 1L)
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, path).count() == 1000)
+    assert(filesOf(path) == filesOf(path, Some(1L)), "restore must reference, not copy")
+    assert(VersionedTable.countRows(spark, path).contains(1000L))
+    // the mistake stays in history; restoring the head is a no-op
+    assert(VersionedTable.read(spark, path, Some(2L)).count() == 500)
+    assert(VersionedTable.restore(spark, path, 3L) == 3L)
+    // vacuum keeps the restored head's (old) files alive
+    VersionedTable.vacuum(spark, path, keepLast = 1, orphanRetentionMs = 0L)
+    assert(VersionedTable.read(spark, path).count() == 1000)
+  }
+
   test("mixed concurrent writers serialize: every verb lands, invariants hold") {
     // four DIFFERENT verbs race on one table with disjoint effects, so the
     // final state is the same under every serialization — what must vary
