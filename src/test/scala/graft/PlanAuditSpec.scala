@@ -132,6 +132,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(spreadPlan.contains("Exchange RoundRobinPartitioning"), spreadPlan)
   }
 
+  test("q_skipping_scan: manifest pruning COMPOSES with parquet predicate pushdown") {
+    // file-level skipping removes whole files before planning; the files
+    // that survive must still push the row-level predicate into their scan
+    // (row-group stats prune within the kept files) — the two tiers stack
+    val p = plan("q_skipping_scan")
+    assert(p.contains("PushedFilters") && p.contains("user_id"), p)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("GreaterThanOrEqual(user_id") ||
+      pushed.contains("In(user_id"), pushed)
+  }
+
   test("runtime bloom-filter join reduction fires on a selective dim⋈fact shuffle join") {
     // The shuffle-join analogue of broadcast pruning: a selective predicate
     // on the dim side injects a bloom filter into the fact side's scan, so
