@@ -138,27 +138,76 @@ object VersionedTable {
     }
   }
 
-  private def readManifest(f: FileSystem, root: Path, v: Long): Commit = {
-    import scala.jdk.CollectionConverters._
+  /** Write a FULL (self-contained) manifest every this-many versions; the
+    * versions between encode as DELTAS against their immediate parent
+    * (`"base": v-1` + added/removed files), so a small commit on a huge
+    * table serializes O(changed files) of metadata, not O(table files) —
+    * the same action-log/checkpoint split as Delta's `_delta_log`. Readers
+    * resolve a delta chain of at most this length. */
+  val CheckpointEvery = 10L
+
+  private def parseManifest(f: FileSystem, root: Path, v: Long)
+      : com.fasterxml.jackson.databind.JsonNode = {
     val mf = manifest(root, v)
     val bytes = new Array[Byte](f.getFileStatus(mf).getLen.toInt)
     val in = f.open(mf)
     try in.readFully(bytes) finally in.close()
-    val node = new ObjectMapper().readTree(new String(bytes, "UTF-8"))
-    val schema = Option(node.get("schema")).map(s =>
+    new ObjectMapper().readTree(new String(bytes, "UTF-8"))
+  }
+
+  private def strArr(node: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Option(node.get(field)).map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  private def longMap(node: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    Option(node.get(field)).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+  }
+
+  private def schemaOf(node: com.fasterxml.jackson.databind.JsonNode): Option[StructType] =
+    Option(node.get("schema")).filterNot(_.isNull).map(s =>
       DataType.fromJson(s.toString).asInstanceOf[StructType])
-    def longMap(field: String): Map[String, Long] =
-      Option(node.get(field)).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+
+  private def readManifest(f: FileSystem, root: Path, v: Long): Commit = {
+    // walk delta manifests down to their full (or legacy) anchor, then
+    // replay them oldest-first
+    var node = parseManifest(f, root, v)
+    var deltas = List.empty[com.fasterxml.jackson.databind.JsonNode]
+    while (node.has("base")) {
+      deltas ::= node // ends ordered oldest-first
+      node = parseManifest(f, root, node.get("base").asLong())
+    }
+    var c = parseFull(f, root, node)
+    deltas.foreach { d =>
+      val removed = strArr(d, "files_remove").toSet
+      val added = strArr(d, "files_add")
+      c = Commit(
+        c.files.filterNot(removed) ++ added,
+        schemaOf(d),
+        c.stats.filter(kv => !removed(kv._1)) ++ Option(d.get("stats_add"))
+          .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats),
+        c.rows.filter(kv => !removed(kv._1)) ++ longMap(d, "rows_add"),
+        longMap(d, "txn"),
+        strArr(d, "dv"),
+        longMap(d, "dv_rows"))
+    }
+    c
+  }
+
+  private def parseFull(f: FileSystem, root: Path,
+      node: com.fasterxml.jackson.databind.JsonNode): Commit =
     Option(node.get("files")) match {
-      case Some(fl) =>
-        val files = fl.elements().asScala.map(_.asText()).toSeq
-        val stats = Option(node.get("stats"))
-          .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)
-        val dv = Option(node.get("dv"))
-          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-        Commit(files, schema, stats, longMap("rows"), longMap("txn"),
-          dv, longMap("dv_rows"))
+      case Some(_) =>
+        Commit(strArr(node, "files"), schemaOf(node),
+          Option(node.get("stats"))
+            .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats),
+          longMap(node, "rows"), longMap(node, "txn"),
+          strArr(node, "dv"), longMap(node, "dv_rows"))
       case None =>
         // legacy single-dir manifest: resolve the file list by listing the
         // dir (as pre-file-list readers did) and remap stats keys from bare
@@ -171,25 +220,73 @@ object VersionedTable {
         val stats = Option(node.get("stats"))
           .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)
           .map { case (name, cs) => s"$dirName/$name" -> cs }
-        Commit(files, schema, stats, Map.empty, Map.empty, Seq.empty, Map.empty)
+        Commit(files, schemaOf(node), stats, Map.empty, Map.empty, Seq.empty, Map.empty)
     }
+
+  /** The version anchoring `v`'s delta chain (v itself when its manifest is
+    * full). Chains always step to v-1, so the chain of v is exactly
+    * {anchor .. v}. */
+  private def chainAnchor(f: FileSystem, root: Path, v: Long): Long = {
+    var cur = v
+    var node = parseManifest(f, root, cur)
+    while (node.has("base")) {
+      cur = node.get("base").asLong()
+      node = parseManifest(f, root, cur)
+    }
+    cur
   }
 
+  private def jsonHelpers = {
+    val om = new ObjectMapper()
+    (om, (s: String) => om.writeValueAsString(s))
+  }
+
+  /** Encode a commit: FULL at checkpoints (and when forced, when there is
+    * no parent, or when a carried file's stats/rows changed — e.g. DROP
+    * COLUMN — which a file-delta cannot express); otherwise a DELTA against
+    * version v-1. Small maps (txn, dv, dv_rows) and the schema ride full in
+    * both forms. */
   private def manifestJson(v: Long, files: Seq[String], schemaJson: String,
       stats: DataSkipping.FileStats, rows: Map[String, Long],
       txn: Map[String, Long], dv: Seq[String] = Seq.empty,
-      dvRows: Map[String, Long] = Map.empty): String = {
-    val om = new ObjectMapper()
-    def jstr(s: String) = om.writeValueAsString(s)
+      dvRows: Map[String, Long] = Map.empty,
+      parent: Option[Commit] = None, forceFull: Boolean = false): String = {
+    val (_, jstr) = jsonHelpers
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     def obj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
       .map { case (k, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
-    val statsField =
-      if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
-    val dvField =
-      if (dv.isEmpty) ""
-      else s""","dv":${arr(dv)},"dv_rows":${obj(dvRows)}"""
-    s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$dvField}"""
+    def full: String = {
+      val statsField =
+        if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
+      val dvField =
+        if (dv.isEmpty) ""
+        else s""","dv":${arr(dv)},"dv_rows":${obj(dvRows)}"""
+      s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$dvField}"""
+    }
+    parent match {
+      case Some(p) if !forceFull && v % CheckpointEvery != 0L =>
+        val pSet = p.files.toSet
+        val newSet = files.toSet
+        val added = files.filterNot(pSet)
+        val addedSet = added.toSet
+        val removed = p.files.filterNot(newSet)
+        // delta encoding assumes carried entries are byte-identical to the
+        // parent's; anything else (schema DDL touching stats) goes full
+        val carriedOk = files.forall(fk => addedSet(fk) ||
+          (stats.get(fk) == p.stats.get(fk) && rows.get(fk) == p.rows.get(fk)))
+        if (!carriedOk) full
+        else {
+          val statsAdd = stats.filter(kv => addedSet(kv._1))
+          val statsField =
+            if (statsAdd.isEmpty) ""
+            else s""","stats_add":${DataSkipping.toJson(statsAdd)}"""
+          val dvField =
+            if (dv.isEmpty) ""
+            else s""","dv":${arr(dv)},"dv_rows":${obj(dvRows)}"""
+          s"""{"version":$v,"base":${v - 1},"schema":$schemaJson,"files_add":${arr(added)},"files_remove":${arr(removed)},"rows_add":${obj(rows.filter(kv => addedSet(kv._1)))},"txn":${obj(txn)}$statsField$dvField}"""
+        }
+      case _ => full
+    }
   }
 
   /** Stage `df`'s files under a fresh private token dir; nothing references
@@ -301,11 +398,13 @@ object VersionedTable {
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(spark, path)
+      val parent = base.map(b => readManifest(f, root, b))
       // carry the streaming-txn watermarks: a snapshot write between two
       // micro-batches must not reopen the door to batch replay
-      val txn = base.map(b => readManifest(f, root, b).txn).getOrElse(Map.empty)
+      val txn = parent.map(_.txn).getOrElse(Map.empty)
       val v = base.getOrElse(0L) + 1L
-      if (tryCommit(f, root, v, manifestJson(v, rel, df.schema.json, stats, rows, txn)))
+      if (tryCommit(f, root, v,
+        manifestJson(v, rel, df.schema.json, stats, rows, txn, parent = parent)))
         committed = v
       else {
         attempt += 1
@@ -375,7 +474,8 @@ object VersionedTable {
         c.map(_.stats).getOrElse(Map.empty) ++ st,
         c.map(_.rows).getOrElse(Map.empty) ++ rw,
         c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap,
-        c.map(_.dv).getOrElse(Seq.empty), c.map(_.dvRows).getOrElse(Map.empty))
+        c.map(_.dv).getOrElse(Seq.empty), c.map(_.dvRows).getOrElse(Map.empty),
+        parent = c)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         // staged files stay valid for the next slot (content is
@@ -431,7 +531,8 @@ object VersionedTable {
       val v = head + 1L
       val body = manifestJson(v, target.files,
         target.schema.map(_.json).getOrElse("null"),
-        target.stats, target.rows, cur.txn, target.dv, target.dvRows)
+        target.stats, target.rows, cur.txn, target.dv, target.dvRows,
+        parent = Some(cur))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         attempt += 1
@@ -783,8 +884,8 @@ object VersionedTable {
               dir, dvK, dvR)
         }
         val v = base.getOrElse(0L) + 1L
-        if (tryCommit(f, root, v,
-          manifestJson(v, files, schemaJson, stats, rows, newTxn, dvKeep, dvRowsKeep)))
+        if (tryCommit(f, root, v, manifestJson(v, files, schemaJson, stats, rows,
+          newTxn, dvKeep, dvRowsKeep, parent = baseC)))
           committed = v
         else {
           f.delete(stagedDir, true) // stale merge — recompute against the new head
@@ -864,7 +965,8 @@ object VersionedTable {
       val body = manifestJson(v, carryKeys ++ rel,
         c.schema.map(_.json).getOrElse(kept.schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
-        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR)
+        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
+        parent = Some(c))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true) // stale — recompute against the new head
@@ -922,7 +1024,7 @@ object VersionedTable {
       }.filter(_._2.nonEmpty)
       val v = b + 1L
       if (tryCommit(f, root, v, manifestJson(v, c.files, next.json, stats,
-        c.rows, c.txn, c.dv, c.dvRows))) committed = v
+        c.rows, c.txn, c.dv, c.dvRows, parent = Some(c)))) committed = v
       else {
         attempt += 1
         require(attempt < MaxCommitRetries,
@@ -996,7 +1098,7 @@ object VersionedTable {
         }
         val v = b + 1L
         val body = manifestJson(v, c.files, s.json, c.stats, c.rows, c.txn,
-          c.dv ++ rel, mergedDvRows)
+          c.dv ++ rel, mergedDvRows, parent = Some(c))
         if (tryCommit(f, root, v, body)) committed = v
         else {
           f.delete(dir, true) // stale marks — recompute against the new head
@@ -1047,7 +1149,8 @@ object VersionedTable {
       val body = manifestJson(v, carry ++ rel,
         c.schema.map(_.json).getOrElse(packed.schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
-        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR)
+        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
+        parent = Some(c))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true)
@@ -1089,7 +1192,8 @@ object VersionedTable {
       val (st, rw) = metaFor(spark, root, rel, cols)
       val v = bse + 1L
       val body = manifestJson(v, rel,
-        c.schema.map(_.json).getOrElse(placed.schema.json), st, rw, c.txn)
+        c.schema.map(_.json).getOrElse(placed.schema.json), st, rw, c.txn,
+        parent = Some(c))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true)
@@ -1208,6 +1312,33 @@ object VersionedTable {
     val f = fs(spark, root)
     val vs = versions(spark, path)
     val (drop, keep) = (vs.dropRight(keepLast), vs.takeRight(keepLast))
+    // RE-ANCHOR before dropping: if the oldest kept version's delta chain
+    // descends into versions about to be dropped, materialize its FULL
+    // manifest first (atomic replace of the same logical commit — readers
+    // see either encoding, both resolve identically). Later kept versions'
+    // chains stop there, since chains step one version at a time.
+    keep.headOption.filter(_ => drop.nonEmpty).foreach { mk =>
+      if (chainAnchor(f, root, mk) < mk) {
+        val c = readManifest(f, root, mk)
+        val body = manifestJson(mk, c.files,
+          c.schema.map(_.json).getOrElse("null"),
+          c.stats, c.rows, c.txn, c.dv, c.dvRows) // no parent → full form
+        val tmp = new Path(root, s".anchor-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = f.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        val dest = manifest(root, mk)
+        if ("file" == Option(root.toUri.getScheme).getOrElse("file")) {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
+          fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
+      }
+    }
     val live: Set[String] =
       keep.flatMap { v =>
         val c = readManifest(f, root, v)
@@ -1215,15 +1346,20 @@ object VersionedTable {
       }.toSet
     val liveDirs: Set[String] = live.map(_.takeWhile(_ != '/'))
     val droppedDirs = scala.collection.mutable.Set.empty[String]
-    drop.foreach { v =>
-      val c = readManifest(f, root, v)
-      // manifest first: a crash between the deletes must not leave a
-      // committed version whose data is gone
-      f.delete(manifest(root, v), false)
-      (c.files ++ c.dv).filterNot(live).foreach { r =>
-        f.delete(new Path(root, r), false)
-        droppedDirs += r.takeWhile(_ != '/')
-      }
+    // resolve EVERY dropped commit before deleting ANY manifest: dropped
+    // versions may be deltas chained onto other dropped versions. A commit
+    // left unresolvable by a previous vacuum crash just loses its file
+    // list — its manifest still goes, and its files fall to the orphan
+    // sweep rather than breaking this vacuum forever.
+    val dropFiles = drop.flatMap(v =>
+      scala.util.Try(readManifest(f, root, v)).toOption.toSeq
+        .flatMap(c => c.files ++ c.dv))
+    // all manifests first: a crash between manifest and data deletion must
+    // not leave a committed version whose data is gone
+    drop.foreach(v => f.delete(manifest(root, v), false))
+    dropFiles.filterNot(live).foreach { r =>
+      f.delete(new Path(root, r), false)
+      droppedDirs += r.takeWhile(_ != '/')
     }
     // dirs that held only dropped-version files are fully dead: writers
     // never add files to a dir once its commit landed

@@ -554,6 +554,46 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 1000)
   }
 
+  test("delta manifests: small commits write O(changed) metadata; vacuum re-anchors") {
+    val path = java.nio.file.Files.createTempDirectory("dmf").toString + "/t"
+    VersionedTable.write(
+      spark.range(0, 1000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .repartition(8),
+      path, Seq("id")) // v1: full (no parent)
+    for (i <- 0 until 14) // v2..v15: one-file appends
+      VersionedTable.append(
+        spark.range(2000L + i, 2001L + i).select(col("id"), lit("x").as("v")), path)
+    def raw(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$path/_graft_log/$v%08d.json")), "UTF-8")
+    // encoding shape: v1 full, deltas chain to v-1, v10 is a full checkpoint
+    assert(!raw(1).contains("\"base\""))
+    assert(raw(5).contains("\"base\":4"))
+    assert(!raw(10).contains("\"base\""))
+    assert(raw(11).contains("\"base\":10"))
+    // the point: a 1-file commit's manifest is a fraction of the full form
+    assert(raw(11).length < raw(10).length / 2,
+      s"delta=${raw(11).length}B full=${raw(10).length}B")
+    // every version resolves correctly through its chain
+    for (v <- 1L to 15L)
+      assert(VersionedTable.read(spark, path, Some(v)).count() == 1000 + (v - 1))
+    assert(VersionedTable.countRows(spark, path).contains(1014L))
+    // skipping still works through the chain (stats carried by reference)
+    assert(VersionedTable.pruneInfo(spark, path, col("id") === 2000L)._2.nonEmpty)
+    // vacuum drops v1..v12 including the v10 checkpoint the kept chain used:
+    // the oldest kept version must be re-anchored as a full manifest
+    VersionedTable.vacuum(spark, path, keepLast = 3, orphanRetentionMs = 0L)
+    assert(VersionedTable.versions(spark, path) == Seq(13L, 14L, 15L))
+    assert(!raw(13).contains("\"base\""), "oldest kept version must be re-anchored full")
+    assert(raw(14).contains("\"base\":13"))
+    for (v <- 13L to 15L)
+      assert(VersionedTable.read(spark, path, Some(v)).count() == 1000 + (v - 1))
+    // and the log keeps moving afterwards
+    VersionedTable.append(
+      spark.range(3000, 3001).select(col("id"), lit("y").as("v")), path)
+    assert(VersionedTable.read(spark, path).count() == 1015)
+    assert(VersionedTable.countRows(spark, path).contains(1015L))
+  }
+
   test("RESTORE is a metadata-only undo; TIMESTAMP AS OF resolves by commit time") {
     val path = java.nio.file.Files.createTempDirectory("rst").toString + "/t"
     rangeTable(path) // v1
