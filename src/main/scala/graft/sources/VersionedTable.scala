@@ -72,14 +72,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `"files"`) remain readable: the file list is resolved by listing and
   * their stats keys are remapped.
   *
-  * KNOWN LIMIT at extreme file counts: each commit's manifest lists every
-  * live file with its stats (like a Delta checkpoint, minus the incremental
-  * JSON actions between checkpoints), so a million-file table re-serializes
-  * ~a hundred MB of metadata per commit. The verbs that matter stay cheap —
-  * reads parse ONE manifest, and [[compact]] exists precisely to keep file
-  * counts sane — but a Delta-style action-log + periodic-checkpoint split
-  * would be the next step if commit frequency × file count grows past that.
-  * Documented, not silently assumed away.
+  * METADATA SCALING: manifests are DELTA-ENCODED between full checkpoints
+  * (every [[CheckpointEvery]] versions) — a commit serializes O(changed
+  * files) of metadata, not O(table files), the same action-log/checkpoint
+  * split as Delta's `_delta_log`. Readers resolve a delta chain of at most
+  * [[CheckpointEvery]] manifests; [[vacuum]] re-anchors the oldest kept
+  * version in full form before dropping its chain.
   */
 object VersionedTable {
 
