@@ -154,6 +154,52 @@ class DataSkippingSpec extends SparkSpec {
     assert(litFirst._1.toSet == attrFirst._1.toSet && litFirst._2.toSet == attrFirst._2.toSet)
   }
 
+  test("date and timestamp stats prune (footer day/micros encodings match literals)") {
+    // the commonest clustering columns at scale: DATE rides parquet INT32
+    // days, TIMESTAMP rides INT64 micros — both must land in the same
+    // comparison domain as their analyzed literals
+    val path = java.nio.file.Files.createTempDirectory("skipts").toString + "/t"
+    val df = spark.range(0, 200).select(
+      expr("date_add(date'2026-01-01', cast(id / 10 as int))").as("d"),
+      (lit("2026-01-01 00:00:00").cast("timestamp") +
+        make_dt_interval(lit(0), col("id").cast("int") / 10)).as("ts"),
+      col("id"))
+    // Spark's DEFAULT parquet timestamp encoding is INT96, which carries NO
+    // usable chunk statistics — a ts column then conservatively never
+    // prunes. Cluster-at-scale tables should write INT64 micros; do so here
+    // (and assert the INT96 fallback below).
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val savedTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try VersionedTable.write(df.repartitionByRange(4, col("id")), path, Seq("d", "ts"))
+    finally savedTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    // date equality: only the file whose day range admits it survives
+    val dEq = col("d") === lit(java.sql.Date.valueOf("2026-01-15"))
+    val (kd, sd) = VersionedTable.pruneInfo(spark, path, dEq)
+    assert(sd.nonEmpty && kd.size < kd.size + sd.size, s"$kd / $sd")
+    assert(VersionedTable.readWhere(spark, path, dEq).count() == 10)
+    // timestamp range: late cutoff prunes the early files
+    val tsGe = col("ts") >= lit(java.sql.Timestamp.valueOf("2026-01-01 15:00:00"))
+    val (kt, st) = VersionedTable.pruneInfo(spark, path, tsGe)
+    assert(st.nonEmpty, s"$kt / $st")
+    assert(VersionedTable.readWhere(spark, path, tsGe).count() ==
+      df.filter(tsGe).count())
+    // out-of-domain values prune everything
+    val (k2, s2) = VersionedTable.pruneInfo(spark, path,
+      col("d") === lit(java.sql.Date.valueOf("2030-01-01")))
+    assert(k2.isEmpty && s2.size == 4)
+    // INT96 (Spark's default) leaves ts without bounds: conservative keep-all
+    val p96 = java.nio.file.Files.createTempDirectory("skipts96").toString + "/t"
+    VersionedTable.write(df.repartitionByRange(4, col("id")), p96, Seq("ts"))
+    val tsGe96 = col("ts") >= lit(java.sql.Timestamp.valueOf("2026-01-01 15:00:00"))
+    val (k96, s96) = VersionedTable.pruneInfo(spark, p96, tsGe96)
+    assert(k96.size == 4 && s96.isEmpty, "INT96 stats must disable pruning, not break it")
+    assert(VersionedTable.readWhere(spark, p96, tsGe96).count() == df.filter(tsGe96).count())
+  }
+
   test("q_skipping_scan (the DECLARED query) skips files and matches the raw scan") {
     import graft.queries.SkippingQueries
     val dir = sf0001
