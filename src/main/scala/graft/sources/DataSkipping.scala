@@ -132,8 +132,31 @@ object DataSkipping {
     ann match {
       case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
         decimalStat(v, d.getScale)
+      case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        timestampStat(v, t.getUnit)
       case _ => statValue(v)
     }
+
+  /** INT64 timestamp stats carry whatever unit the WRITER chose
+    * (`spark.sql.parquet.outputTimestampType`), but the literal domain
+    * ([[litValue]]) is always Spark's internal MICROS — so MILLIS stats must
+    * be rescaled ×1000 into the same domain (comparing millis bounds against
+    * a micros literal made `ts >= X` prune every file: max-in-millis ≪
+    * literal-in-micros). NANOS would need direction-aware rounding this
+    * value-level hook cannot do (truncating a max down could wrongly prune),
+    * so NANOS stats answer None — the column never prunes, never lies. */
+  private def timestampStat(v: AnyRef,
+      unit: org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit): Option[Any] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    v match {
+      case l: java.lang.Long => unit match {
+        case TimeUnit.MICROS => Some(BigDecimal(l.longValue()))
+        case TimeUnit.MILLIS => Some(BigDecimal(l.longValue()) * 1000)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 
   /** Unscaled physical decimal stat → scaled BigDecimal. Covers all three
     * parquet physical encodings Spark writes: INT32 (precision<=9), INT64

@@ -200,6 +200,41 @@ class DataSkippingSpec extends SparkSpec {
     assert(VersionedTable.readWhere(spark, p96, tsGe96).count() == df.filter(tsGe96).count())
   }
 
+  test("TIMESTAMP_MILLIS footer stats rescale to the micros literal domain") {
+    // outputTimestampType=TIMESTAMP_MILLIS records INT64 millis in the
+    // footer while analyzed literals are Spark-internal MICROS; without the
+    // unit rescale `ts >= X` compared max-in-millis against a micros
+    // literal and pruned EVERY file — files with matching rows included
+    val path = java.nio.file.Files.createTempDirectory("skiptsms").toString + "/t"
+    val df = spark.range(0, 200).select(
+      (lit("2026-01-01 00:00:00").cast("timestamp") +
+        make_dt_interval(lit(0), col("id").cast("int") / 10)).as("ts"),
+      col("id"))
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val savedTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MILLIS")
+    try VersionedTable.write(df.repartitionByRange(4, col("id")), path, Seq("ts"))
+    finally savedTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val tsGe = col("ts") >= lit(java.sql.Timestamp.valueOf("2026-01-01 15:00:00"))
+    val (kt, st) = VersionedTable.pruneInfo(spark, path, tsGe)
+    assert(kt.nonEmpty, "millis stats must not prune files that hold matching rows")
+    assert(st.nonEmpty, "millis stats, rescaled, must still prune the early files")
+    assert(VersionedTable.readWhere(spark, path, tsGe).count() == df.filter(tsGe).count())
+    // equality + out-of-domain: everything provably dead is still prunable
+    val (k2, s2) = VersionedTable.pruneInfo(spark, path,
+      col("ts") === lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+    assert(k2.isEmpty && s2.size == 4)
+    // and the copy-on-write verbs that reuse this resolution stay exact: a
+    // delete keyed on the millis-encoded column removes exactly its rows
+    VersionedTable.delete(spark, path,
+      col("ts") < lit(java.sql.Timestamp.valueOf("2026-01-01 01:00:00")))
+    assert(VersionedTable.read(spark, path).count() ==
+      df.filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2026-01-01 01:00:00"))).count())
+  }
+
   test("q_skipping_scan (the DECLARED query) skips files and matches the raw scan") {
     import graft.queries.SkippingQueries
     val dir = sf0001
