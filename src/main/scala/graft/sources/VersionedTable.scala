@@ -97,18 +97,79 @@ object VersionedTable {
 
   private def manifest(root: Path, v: Long) = new Path(root, f"$LogDir/$v%08d.json")
 
-  /** Committed versions, ascending (empty for a nonexistent table). */
+  private def headPtr(root: Path) = new Path(root, s"$LogDir/_head")
+
+  /** Test hook: number of full `_graft_log` directory listings performed —
+    * lets specs assert that pointer-based discovery really is O(1) (reads
+    * and commits on a pointer-maintained table never list the log). */
+  private[sources] val listCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Committed versions, ascending (empty for a nonexistent table). FULL
+    * directory listing — needed by [[history]], [[vacuum]], and as the
+    * crash fallback for pointer discovery; hot read/write paths resolve
+    * the head via [[latestVersion]]'s O(1) `_head` pointer instead. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val root = new Path(path)
     val f = fs(spark, root)
     val log = new Path(root, LogDir)
+    listCalls.incrementAndGet()
     if (!f.exists(log)) Seq.empty
     else f.listStatus(log).map(_.getPath.getName).toSeq
       .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).sorted
   }
 
-  def latestVersion(spark: SparkSession, path: String): Option[Long] =
-    versions(spark, path).lastOption
+  /** O(1) head discovery (Delta's `_last_checkpoint` idiom): read the
+    * `_head` pointer, then PROBE FORWARD past it — the pointer is advisory
+    * (written after the atomic manifest commit, so a crash or a lost
+    * pointer-update race can leave it a few versions behind, never ahead of
+    * a durable commit that matters: a pointer is only ever written for a
+    * version that committed). A missing/corrupt pointer falls back to the
+    * full listing. Cost: one read + (lag+1) existence probes instead of
+    * listing a log that can hold 10⁵-10⁶ manifests. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    readHead(f, root).filter(h => f.exists(manifest(root, h))) match {
+      case Some(h) =>
+        var v = h
+        while (f.exists(manifest(root, v + 1L))) v += 1L
+        Some(v)
+      case None => versions(spark, path).lastOption
+    }
+  }
+
+  private def readHead(f: FileSystem, root: Path): Option[Long] =
+    scala.util.Try {
+      val p = headPtr(root)
+      val len = f.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").trim.toLong
+    }.toOption
+
+  /** Advance the head pointer to `v` (best-effort: commit durability comes
+    * from the manifest CAS, not from this; any failure just leaves later
+    * readers a longer probe-forward or the listing fallback). Written via
+    * tmp + atomic replace so readers never see a partial pointer. */
+  private def writeHead(f: FileSystem, root: Path, v: Long): Unit =
+    scala.util.Try {
+      val tmp = new Path(root,
+        s"$LogDir/.head-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      val dest = headPtr(root)
+      if ("file" == Option(root.toUri.getScheme).getOrElse("file"))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
+        fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
 
   /** One committed version: root-relative data files, the schema they are
     * read with, per-file column stats and row counts (keyed by the same
@@ -118,7 +179,23 @@ object VersionedTable {
     *                deleted without rewriting their data files (merge-on-
     *                read, Delta's deletion-vector idiom)
     * @param dvRows  per data file, how many of its rows the sidecars mark
-    *                deleted (metadata-only count stays exact) */
+    *                deleted (metadata-only count stays exact)
+    * @param colMap  logical → PHYSICAL column-name mapping (Delta's
+    *                column-mapping idiom; identity entries omitted). Data
+    *                files store physical names; reads bind physical and
+    *                alias back, so a column re-added after DROP under a
+    *                fresh physical name reads as null from carried files
+    *                instead of resurrecting their stale bytes
+    * @param physDropped physical names removed by DROP COLUMN that may
+    *                still exist inside carried files — ADD COLUMN of such
+    *                a name must bind a fresh physical name. Cleared by any
+    *                commit that rewrites every file
+    * @param ts     commit wall-clock (epoch millis) recorded INSIDE the
+    *                manifest at commit time — [[versionAt]] resolves
+    *                TIMESTAMP AS OF from this, so vacuum's re-anchor
+    *                rewrite (which refreshes the file's mtime) cannot
+    *                shift time travel. 0 = legacy manifest (mtime
+    *                fallback) */
   private final case class Commit(
       files: Seq[String],
       schema: Option[StructType],
@@ -126,7 +203,11 @@ object VersionedTable {
       rows: Map[String, Long],
       txn: Map[String, Long],
       dv: Seq[String],
-      dvRows: Map[String, Long]) {
+      dvRows: Map[String, Long],
+      colMap: Map[String, String] = Map.empty,
+      physDropped: Set[String] = Set.empty,
+      ts: Long = 0L) {
+    def physName(logical: String): String = colMap.getOrElse(logical, logical)
     /** DV bookkeeping for a commit that keeps only `keep` of this commit's
       * data files: counts for dropped files go; the sidecar list survives
       * only while some kept file still has marked rows. */
@@ -167,6 +248,16 @@ object VersionedTable {
       .map(e => e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
   }
 
+  private def strMap(node: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Option(node.get(field)).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+  }
+
+  private def tsOf(node: com.fasterxml.jackson.databind.JsonNode): Long =
+    Option(node.get("ts")).map(_.asLong()).getOrElse(0L)
+
   private def schemaOf(node: com.fasterxml.jackson.databind.JsonNode): Option[StructType] =
     Option(node.get("schema")).filterNot(_.isNull).map(s =>
       DataType.fromJson(s.toString).asInstanceOf[StructType])
@@ -192,7 +283,10 @@ object VersionedTable {
         c.rows.filter(kv => !removed(kv._1)) ++ longMap(d, "rows_add"),
         longMap(d, "txn"),
         strArr(d, "dv"),
-        longMap(d, "dv_rows"))
+        longMap(d, "dv_rows"),
+        strMap(d, "colmap"),
+        strArr(d, "phys_dropped").toSet,
+        tsOf(d))
     }
     c
   }
@@ -205,7 +299,8 @@ object VersionedTable {
           Option(node.get("stats"))
             .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats),
           longMap(node, "rows"), longMap(node, "txn"),
-          strArr(node, "dv"), longMap(node, "dv_rows"))
+          strArr(node, "dv"), longMap(node, "dv_rows"),
+          strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node))
       case None =>
         // legacy single-dir manifest: resolve the file list by listing the
         // dir (as pre-file-list readers did) and remap stats keys from bare
@@ -242,24 +337,40 @@ object VersionedTable {
   /** Encode a commit: FULL at checkpoints (and when forced, when there is
     * no parent, or when a carried file's stats/rows changed — e.g. DROP
     * COLUMN — which a file-delta cannot express); otherwise a DELTA against
-    * version v-1. Small maps (txn, dv, dv_rows) and the schema ride full in
-    * both forms. */
+    * version v-1. Small fields (txn, dv, dv_rows, colmap, phys_dropped,
+    * ts) and the schema ride full in both forms. `ts` is the commit
+    * wall-clock; pass the ORIGINAL commit's ts when re-encoding an existing
+    * version (vacuum's re-anchor) so TIMESTAMP AS OF stays stable. */
   private def manifestJson(v: Long, files: Seq[String], schemaJson: String,
       stats: DataSkipping.FileStats, rows: Map[String, Long],
       txn: Map[String, Long], dv: Seq[String] = Seq.empty,
       dvRows: Map[String, Long] = Map.empty,
-      parent: Option[Commit] = None, forceFull: Boolean = false): String = {
+      parent: Option[Commit] = None, forceFull: Boolean = false,
+      colMap: Map[String, String] = Map.empty,
+      physDropped: Set[String] = Set.empty,
+      ts: Long = 0L): String = {
     val (_, jstr) = jsonHelpers
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     def obj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
       .map { case (k, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
-    def full: String = {
-      val statsField =
-        if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
+    def sobj(m: Map[String, String]) = m.toSeq.sortBy(_._1)
+      .map { case (k, s) => s"${jstr(k)}:${jstr(s)}" }.mkString("{", ",", "}")
+    val tsVal = if (ts > 0L) ts else System.currentTimeMillis()
+    def commonTail: String = {
       val dvField =
         if (dv.isEmpty) ""
         else s""","dv":${arr(dv)},"dv_rows":${obj(dvRows)}"""
-      s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$dvField}"""
+      val mapField =
+        if (colMap.isEmpty) "" else s""","colmap":${sobj(colMap)}"""
+      val droppedField =
+        if (physDropped.isEmpty) ""
+        else s""","phys_dropped":${arr(physDropped.toSeq.sorted)}"""
+      s""","ts":$tsVal$dvField$mapField$droppedField"""
+    }
+    def full: String = {
+      val statsField =
+        if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
+      s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$commonTail}"""
     }
     parent match {
       case Some(p) if !forceFull && v % CheckpointEvery != 0L =>
@@ -278,10 +389,7 @@ object VersionedTable {
           val statsField =
             if (statsAdd.isEmpty) ""
             else s""","stats_add":${DataSkipping.toJson(statsAdd)}"""
-          val dvField =
-            if (dv.isEmpty) ""
-            else s""","dv":${arr(dv)},"dv_rows":${obj(dvRows)}"""
-          s"""{"version":$v,"base":${v - 1},"schema":$schemaJson,"files_add":${arr(added)},"files_remove":${arr(removed)},"rows_add":${obj(rows.filter(kv => addedSet(kv._1)))},"txn":${obj(txn)}$statsField$dvField}"""
+          s"""{"version":$v,"base":${v - 1},"schema":$schemaJson,"files_add":${arr(added)},"files_remove":${arr(removed)},"rows_add":${obj(rows.filter(kv => addedSet(kv._1)))},"txn":${obj(txn)}$statsField$commonTail}"""
         }
       case _ => full
     }
@@ -289,11 +397,17 @@ object VersionedTable {
 
   /** Stage `df`'s files under a fresh private token dir; nothing references
     * them until a manifest commits. Returns the dir and the root-relative
-    * paths of the parquet files written. */
-  private def stage(df: DataFrame, root: Path, f: FileSystem): (Path, Seq[String]) = {
+    * paths of the parquet files written. `colMap` renames the DataFrame's
+    * logical columns to the table's PHYSICAL names before writing, so every
+    * data file of a column-mapped table stores the same physical layout. */
+  private def stage(df: DataFrame, root: Path, f: FileSystem,
+      colMap: Map[String, String] = Map.empty): (Path, Seq[String]) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(root, s"d-$token")
-    df.write.mode("overwrite").parquet(dir.toString)
+    val physical =
+      if (colMap.isEmpty) df
+      else df.select(df.columns.map(c => col(c).as(colMap.getOrElse(c, c))).toSeq: _*)
+    physical.write.mode("overwrite").parquet(dir.toString)
     val rel = f.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted.map(n => s"d-$token/$n").toSeq
     (dir, rel)
@@ -301,12 +415,21 @@ object VersionedTable {
 
   /** Footer pass over newly staged files: per-file stats for `statsCols`
     * plus per-file row counts (collected even with no stats columns — the
-    * row count comes from the same footer and powers [[countRows]]). */
+    * row count comes from the same footer and powers [[countRows]]).
+    * `statsCols` are LOGICAL names; footers store physical names, so the
+    * request maps through `colMap` and the result keys map back — manifest
+    * stats stay logical, matching [[readWhere]] predicates. */
   private def metaFor(spark: SparkSession, root: Path, rel: Seq[String],
-      statsCols: Seq[String]): (DataSkipping.FileStats, Map[String, Long]) = {
+      statsCols: Seq[String],
+      colMap: Map[String, String] = Map.empty): (DataSkipping.FileStats, Map[String, Long]) = {
+    val physCols = statsCols.map(c => colMap.getOrElse(c, c))
+    val toLogical = colMap.map(_.swap)
     val meta = DataSkipping.collectMeta(
-      spark, rel.map(r => r -> new Path(root, r).toString), statsCols)
-    (if (statsCols.isEmpty) Map.empty else meta.map { case (k, m) => k -> m.stats },
+      spark, rel.map(r => r -> new Path(root, r).toString), physCols)
+    (if (statsCols.isEmpty) Map.empty
+     else meta.map { case (k, m) =>
+       k -> m.stats.map { case (pn, st) => toLogical.getOrElse(pn, pn) -> st }
+     },
       meta.map { case (k, m) => k -> m.rows })
   }
 
@@ -370,6 +493,7 @@ object VersionedTable {
         }
       }
     f.delete(stage, false)
+    if (won) writeHead(f, root, v) // pointer update AFTER the commit point
     won
   }
 
@@ -435,7 +559,8 @@ object VersionedTable {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
-    var staged: Option[(Path, Seq[String], DataSkipping.FileStats, Map[String, Long])] = None
+    var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
+      Map[String, Long], Map[String, String])] = None
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
@@ -455,13 +580,19 @@ object VersionedTable {
           s"append schema mismatch vs $path: table ${bs.simpleString}, " +
             s"batch ${df.schema.simpleString}")
       }
-      if (staged.isEmpty) {
-        val (dir, rel) = stage(df, root, f)
-        val cols = c.map(inheritedStatsCols(_, statsCols)).getOrElse(statsCols)
-        val (st, rw) = metaFor(spark, root, rel, cols)
-        staged = Some((dir, rel, st, rw))
+      val curColMap = c.map(_.colMap).getOrElse(Map.empty)
+      if (staged.exists(_._5 != curColMap)) {
+        // a racing DDL changed the physical mapping: restage under it
+        staged.foreach(s => f.delete(s._1, true))
+        staged = None
       }
-      val (_, rel, st, rw) = staged.get
+      if (staged.isEmpty) {
+        val (dir, rel) = stage(df, root, f, curColMap)
+        val cols = c.map(inheritedStatsCols(_, statsCols)).getOrElse(statsCols)
+        val (st, rw) = metaFor(spark, root, rel, cols, curColMap)
+        staged = Some((dir, rel, st, rw, curColMap))
+      }
+      val (_, rel, st, rw, _) = staged.get
       // merge nullability so an appended nullable column stays readable
       val schemaJson = c.flatMap(_.schema).map { bs =>
         StructType(bs.fields.map(bf => bf.copy(nullable = bf.nullable ||
@@ -473,7 +604,8 @@ object VersionedTable {
         c.map(_.rows).getOrElse(Map.empty) ++ rw,
         c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap,
         c.map(_.dv).getOrElse(Seq.empty), c.map(_.dvRows).getOrElse(Map.empty),
-        parent = c)
+        parent = c, colMap = curColMap,
+        physDropped = c.map(_.physDropped).getOrElse(Set.empty))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         // staged files stay valid for the next slot (content is
@@ -486,17 +618,24 @@ object VersionedTable {
     committed
   }
 
-  /** TIMESTAMP AS OF: the latest version whose manifest was committed at
-    * or before `ts` (epoch millis) — manifest publish times ARE commit
-    * times (the atomic link/rename IS the commit point). None when the
-    * table has no version that old. Delta's timestamp time travel, same
-    * caveat: wall-clock resolution is the filesystem's mtime granularity. */
+  /** TIMESTAMP AS OF: the latest version committed at or before `ts`
+    * (epoch millis). Commit times come from the `ts` field RECORDED INSIDE
+    * each manifest at commit time — not the manifest file's mtime, which
+    * vacuum's re-anchor rewrite refreshes (an mtime-based resolution
+    * shifted after vacuum). Legacy manifests without the field fall back
+    * to mtime. None when the table has no version that old. */
   def versionAt(spark: SparkSession, path: String, tsMillis: Long): Option[Long] = {
     val root = new Path(path)
     val f = fs(spark, root)
     versions(spark, path)
-      .filter(v => f.getFileStatus(manifest(root, v)).getModificationTime <= tsMillis)
+      .filter(v => commitTime(f, root, v) <= tsMillis)
       .lastOption
+  }
+
+  private def commitTime(f: FileSystem, root: Path, v: Long): Long = {
+    val recorded = tsOf(parseManifest(f, root, v))
+    if (recorded > 0L) recorded
+    else f.getFileStatus(manifest(root, v)).getModificationTime
   }
 
   /** Read the table as of a wall-clock instant (see [[versionAt]]). */
@@ -517,22 +656,50 @@ object VersionedTable {
   def restore(spark: SparkSession, path: String, toV: Long): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
+    def missingOf(c: Commit): Seq[String] =
+      (c.files ++ c.dv).filterNot(r => f.exists(new Path(root, r)))
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val vs = versions(spark, path)
-      require(vs.contains(toV), s"$path has no version $toV (committed: $vs)")
-      val head = vs.last
+      require(f.exists(manifest(root, toV)), s"$path has no version $toV")
+      val head = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
       if (head == toV) return head
       val target = readManifest(f, root, toV)
       val cur = readManifest(f, root, head)
+      // RESTORE vs VACUUM race guard: a vacuum computing liveness BEFORE
+      // this restore commits may drop toV and delete files referenced only
+      // by dropped versions — the CAS alone can't see that. Check the
+      // target's files before committing, and re-verify after winning: if
+      // the race hit anyway, COMPENSATE by re-publishing the pre-restore
+      // head (whose files the vacuum kept — it was a kept version) rather
+      // than leave a head that points at deleted data.
+      val preMissing = missingOf(target)
+      require(preMissing.isEmpty,
+        s"$path: cannot restore to $toV — ${preMissing.size} file(s) already " +
+          s"removed (concurrent vacuum?): ${preMissing.take(3).mkString(",")}")
       val v = head + 1L
       val body = manifestJson(v, target.files,
         target.schema.map(_.json).getOrElse("null"),
         target.stats, target.rows, cur.txn, target.dv, target.dvRows,
-        parent = Some(cur))
-      if (tryCommit(f, root, v, body)) committed = v
-      else {
+        parent = Some(cur), colMap = target.colMap,
+        physDropped = target.physDropped)
+      if (tryCommit(f, root, v, body)) {
+        val postMissing = missingOf(target)
+        if (postMissing.nonEmpty) {
+          val undo = manifestJson(v + 1L, cur.files,
+            cur.schema.map(_.json).getOrElse("null"),
+            cur.stats, cur.rows, cur.txn, cur.dv, cur.dvRows,
+            parent = Some(target), forceFull = true,
+            colMap = cur.colMap, physDropped = cur.physDropped)
+          tryCommit(f, root, v + 1L, undo) // best-effort compensation
+          throw new IllegalStateException(
+            s"$path: restore to $toV raced a vacuum — ${postMissing.size} of its " +
+              s"file(s) were deleted after the commit; re-published version $head " +
+              s"as ${v + 1L}. Re-run restore within the vacuum retention window.")
+        }
+        committed = v
+      } else {
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt restore commit races in a row; giving up")
@@ -551,12 +718,16 @@ object VersionedTable {
 
   private def commitFor(spark: SparkSession, path: String,
       asOf: Option[Long]): (Path, FileSystem, Commit) = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"$path has no committed versions")
-    val v = asOf.getOrElse(vs.last)
-    require(vs.contains(v), s"$path has no version $v (committed: $vs)")
     val root = new Path(path)
     val f = fs(spark, root)
+    val v = asOf match {
+      case Some(x) => // direct existence probe, no log listing
+        require(f.exists(manifest(root, x)), s"$path has no version $x")
+        x
+      case None =>
+        latestVersion(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"$path has no committed versions"))
+    }
     (root, f, readManifest(f, root, v))
   }
 
@@ -576,6 +747,24 @@ object VersionedTable {
   private def fileKeyExpr: org.apache.spark.sql.Column =
     regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
 
+  /** The commit's schema with PHYSICAL field names — what `spark.read
+    * .schema(...)` must request so carried files bind the right bytes (a
+    * re-added column's fresh physical name is absent from pre-drop files,
+    * which therefore serve nulls, not their stale dropped column). */
+  private def physSchema(c: Commit, s: StructType): StructType =
+    if (c.colMap.isEmpty) s
+    else StructType(s.fields.map(fl => fl.copy(name = c.physName(fl.name))))
+
+  /** Physical-schema parquet read of `files`, aliased back to logical
+    * names (projection-only — Catalyst collapses it into the scan). */
+  private def physRead(spark: SparkSession, root: Path, c: Commit,
+      s: StructType, files: Seq[String]): DataFrame = {
+    val df = spark.read.schema(physSchema(c, s))
+      .parquet(files.map(r => new Path(root, r).toString): _*)
+    if (c.colMap.isEmpty) df
+    else df.select(s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)).toSeq: _*)
+  }
+
   /** DataFrame over a subset of a commit's files, read with the commit's
     * recorded schema (files written before a schema evolution simply read
     * their missing columns as nulls). Rows marked deleted by the commit's
@@ -588,7 +777,7 @@ object VersionedTable {
     val plain = c.schema match {
       case Some(s) if abs.isEmpty =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
-      case Some(s) => spark.read.schema(s).parquet(abs: _*)
+      case Some(s) => physRead(spark, root, c, s, files)
       case None if abs.isEmpty => spark.emptyDataFrame
       case None => spark.read.parquet(abs: _*) // pre-schema manifests
     }
@@ -596,7 +785,7 @@ object VersionedTable {
     if (abs.isEmpty || !files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) plain
     else {
       val s = c.schema.get // dv commits always record a schema
-      val base = spark.read.schema(s).parquet(abs: _*)
+      val base = spark.read.schema(physSchema(c, s)).parquet(abs: _*)
         .withColumn(FileKeyCol, fileKeyExpr)
         .withColumn(RowIdxCol, col("_metadata.row_index"))
       val dvAll = spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
@@ -606,7 +795,7 @@ object VersionedTable {
       val dvSide =
         if (c.dvRows.values.sum <= DvBroadcastMaxRows) broadcast(dvScoped) else dvScoped
       base.join(dvSide, Seq(FileKeyCol, RowIdxCol), "left_anti")
-        .select(s.fieldNames.map(col).toSeq: _*)
+        .select(s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)).toSeq: _*)
     }
   }
 
@@ -826,12 +1015,14 @@ object VersionedTable {
           if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
         }
         val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
-        val (files, schemaJson, stats, rows, stagedDir, dvKeep, dvRowsKeep) = baseC match {
+        val (files, schemaJson, stats, rows, stagedDir, dvKeep, dvRowsKeep,
+            cMap, physDrop) = baseC match {
           case None =>
             val (dir, rel) = stage(inserts, root, f)
             val (st, rw) = metaFor(spark, root, rel, statsCols)
             (rel, deduped.schema.json, st, rw, dir,
-              Seq.empty[String], Map.empty[String, Long])
+              Seq.empty[String], Map.empty[String, Long],
+              Map.empty[String, String], Set.empty[String])
           case Some(c) =>
             val updSchema = deduped.schema
             // (rewrite candidates, provably-unmatched carries, merged schema)
@@ -846,7 +1037,6 @@ object VersionedTable {
                   updSchema.fields.find(_.name == bf.name).forall(_.dataType == bf.dataType))
                 if (!typesOk) (c.files, Seq.empty[String], None) // coercion → full rewrite
                 else {
-                  val (rw, cy) = selectRewrite(spark, c, bs, deduped, keys)
                   val mergedFields = bs.fields.map { bf =>
                     updSchema.fields.find(_.name == bf.name) match {
                       case Some(uf) => bf.copy(nullable = bf.nullable || uf.nullable)
@@ -854,6 +1044,15 @@ object VersionedTable {
                     }
                   } ++ updSchema.fields.filterNot(uf => bs.fieldNames.contains(uf.name))
                     .map(_.copy(nullable = true)) // absent from carried files
+                  // an evolved column REUSING a dropped physical name can't
+                  // ride identity-mapped over carried files (their stale
+                  // bytes would resurrect): rewrite everything instead, so
+                  // no carried file exists to mis-bind
+                  val resurrects = updSchema.fieldNames.toSet
+                    .diff(bs.fieldNames.toSet).exists(c.physDropped)
+                  val (rw, cy) =
+                    if (resurrects) (c.files, Seq.empty[String])
+                    else selectRewrite(spark, c, bs, deduped, keys)
                   (rw, cy, Some(StructType(mergedFields)))
                 }
               case None => (c.files, Seq.empty[String], None) // legacy: no schema to prove carries
@@ -871,19 +1070,23 @@ object VersionedTable {
               else dataFrameFor(spark, root, c, rewriteKeys)
                 .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
                 .unionByName(inserts, allowMissingColumns = evolveSchema)
-            val (dir, rel) = stage(rewriteDf, root, f)
-            val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
+            val (dir, rel) = stage(rewriteDf, root, f, c.colMap)
+            val (st, rw) = metaFor(spark, root, rel,
+              inheritedStatsCols(c, statsCols), c.colMap)
             val carrySet = carryKeys.toSet
             val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
             (carryKeys ++ rel,
               merged.map(_.json).getOrElse(rewriteDf.schema.json),
               c.stats.filter(kv => carrySet(kv._1)) ++ st,
               c.rows.filter(kv => carrySet(kv._1)) ++ rw,
-              dir, dvK, dvR)
+              dir, dvK, dvR, c.colMap,
+              // no carried file left → no stale physical column anywhere
+              if (carryKeys.isEmpty) Set.empty[String] else c.physDropped)
         }
         val v = base.getOrElse(0L) + 1L
         if (tryCommit(f, root, v, manifestJson(v, files, schemaJson, stats, rows,
-          newTxn, dvKeep, dvRowsKeep, parent = baseC)))
+          newTxn, dvKeep, dvRowsKeep, parent = baseC,
+          colMap = cMap, physDropped = physDrop)))
           committed = v
         else {
           f.delete(stagedDir, true) // stale merge — recompute against the new head
@@ -943,9 +1146,8 @@ object VersionedTable {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val vs = versions(spark, path)
-      require(vs.nonEmpty, s"$path has no committed versions")
-      val b = vs.last
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(f, root, b)
       val (candKeys, carryKeys) = c.schema match {
         case Some(s) if c.stats.nonEmpty =>
@@ -955,8 +1157,8 @@ object VersionedTable {
       if (candKeys.isEmpty) return b // provably nothing to delete
       val kept = dataFrameFor(spark, root, c, candKeys)
         .filter(!coalesce(predicate, lit(false))) // keep p=false AND p=null rows
-      val (dir, rel) = stage(kept, root, f)
-      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols))
+      val (dir, rel) = stage(kept, root, f, c.colMap)
+      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols), c.colMap)
       val carrySet = carryKeys.toSet
       val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
       val v = b + 1L
@@ -964,7 +1166,8 @@ object VersionedTable {
         c.schema.map(_.json).getOrElse(kept.schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
         c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
-        parent = Some(c))
+        parent = Some(c), colMap = c.colMap,
+        physDropped = if (carryKeys.isEmpty) Set.empty else c.physDropped)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true) // stale — recompute against the new head
@@ -980,13 +1183,26 @@ object VersionedTable {
     * the same files and an extended schema. Parquet reads by name, so every
     * carried file serves the new columns as nulls — zero bytes move, like
     * Delta's ADD COLUMN. New columns are forced nullable (existing rows
-    * have no value for them). Fails on a name collision. */
+    * have no value for them). Fails on a name collision with a LIVE column.
+    *
+    * A name previously dropped by [[dropColumns]] is re-addable, but binds
+    * a FRESH physical name (Delta's column-mapping idiom): carried files
+    * still physically hold the old column under the old name, and an
+    * identity binding would resurrect those stale bytes as the "new"
+    * column's values (or fail the scan on a type change). With the fresh
+    * physical name the re-added column reads as null from every pre-drop
+    * file and as real data from files written after the re-add; pre-drop
+    * versions still time-travel with their own mapping and values. */
   def addColumns(spark: SparkSession, path: String,
       newFields: Seq[org.apache.spark.sql.types.StructField]): Long =
-    alterSchema(spark, path, "add", { s =>
+    alterSchema(spark, path, "add", { (s, c, v) =>
       val clash = newFields.map(_.name).toSet intersect s.fieldNames.toSet
       require(clash.isEmpty, s"$path: column(s) already exist: ${clash.mkString(",")}")
-      StructType(s.fields ++ newFields.map(_.copy(nullable = true)))
+      val freshMap = newFields.map(_.name)
+        .filter(n => c.physDropped.contains(c.physName(n)) || c.physDropped.contains(n))
+        .map(n => n -> s"${n}__p$v").toMap // version-unique → collision-free
+      (StructType(s.fields ++ newFields.map(_.copy(nullable = true))),
+        c.colMap ++ freshMap, c.physDropped)
     })
 
   /** ALTER TABLE DROP COLUMNS as a METADATA-ONLY commit: the dropped
@@ -994,35 +1210,39 @@ object VersionedTable {
     * cost nothing at scan time) and disappear from the recorded schema, so
     * reads, upserts, and the change feed no longer see them. A later
     * OPTIMIZE/ZORDER rewrite physically sheds them. Stats for dropped
-    * columns are pruned from the manifest. */
+    * columns are pruned from the manifest; the PHYSICAL name is recorded
+    * in `phys_dropped` so a later [[addColumns]] of the same logical name
+    * binds fresh instead of resurrecting carried bytes. */
   def dropColumns(spark: SparkSession, path: String, names: Seq[String]): Long =
-    alterSchema(spark, path, "drop", { s =>
+    alterSchema(spark, path, "drop", { (s, c, _) =>
       val missing = names.toSet -- s.fieldNames.toSet
       require(missing.isEmpty, s"$path: no such column(s): ${missing.mkString(",")}")
       require(s.fields.length > names.size, s"$path: cannot drop every column")
-      StructType(s.fields.filterNot(f => names.contains(f.name)))
+      (StructType(s.fields.filterNot(f => names.contains(f.name))),
+        c.colMap -- names,
+        c.physDropped ++ names.map(c.physName))
     })
 
   private def alterSchema(spark: SparkSession, path: String, verb: String,
-      change: StructType => StructType): Long = {
+      change: (StructType, Commit, Long) => (StructType, Map[String, String], Set[String])): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val vs = versions(spark, path)
-      require(vs.nonEmpty, s"$path has no committed versions")
-      val b = vs.last
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(f, root, b)
       require(c.schema.isDefined, s"$path: schema DDL needs a schema-recorded table")
-      val next = change(c.schema.get)
+      val v = b + 1L
+      val (next, nextMap, nextDropped) = change(c.schema.get, c, v)
       val keep = next.fieldNames.toSet
       val stats = c.stats.map { case (fk, cols) =>
         fk -> cols.filter(kv => keep(kv._1))
       }.filter(_._2.nonEmpty)
-      val v = b + 1L
       if (tryCommit(f, root, v, manifestJson(v, c.files, next.json, stats,
-        c.rows, c.txn, c.dv, c.dvRows, parent = Some(c)))) committed = v
+        c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
+        colMap = nextMap, physDropped = nextDropped))) committed = v
       else {
         attempt += 1
         require(attempt < MaxCommitRetries,
@@ -1057,9 +1277,8 @@ object VersionedTable {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val vs = versions(spark, path)
-      require(vs.nonEmpty, s"$path has no committed versions")
-      val b = vs.last
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(f, root, b)
       require(c.schema.isDefined,
         s"$path: vectorized delete needs a schema-recorded table")
@@ -1074,9 +1293,13 @@ object VersionedTable {
       // countRows' subtraction stays exact)
       val abs = candKeys.map(r => new Path(root, r).toString)
       val live = {
-        val base = spark.read.schema(s).parquet(abs: _*)
+        val phys = spark.read.schema(physSchema(c, s)).parquet(abs: _*)
           .withColumn(FileKeyCol, fileKeyExpr)
           .withColumn(RowIdxCol, col("_metadata.row_index"))
+        val base = // bind physical, alias to logical; keep the mark columns
+          if (c.colMap.isEmpty) phys
+          else phys.select((s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)) :+
+            col(FileKeyCol) :+ col(RowIdxCol)).toSeq: _*)
         if (!candKeys.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) base
         else {
           val dvAll = spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
@@ -1096,7 +1319,8 @@ object VersionedTable {
         }
         val v = b + 1L
         val body = manifestJson(v, c.files, s.json, c.stats, c.rows, c.txn,
-          c.dv ++ rel, mergedDvRows, parent = Some(c))
+          c.dv ++ rel, mergedDvRows, parent = Some(c),
+          colMap = c.colMap, physDropped = c.physDropped)
         if (tryCommit(f, root, v, body)) committed = v
         else {
           f.delete(dir, true) // stale marks — recompute against the new head
@@ -1128,9 +1352,8 @@ object VersionedTable {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val vs = versions(spark, path)
-      require(vs.nonEmpty, s"$path has no committed versions")
-      val b = vs.last
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(f, root, b)
       val sized = c.files.map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
       val smallSet = sized.filter(_._2 < targetBytes / 2).map(_._1).toSet
@@ -1139,8 +1362,8 @@ object VersionedTable {
       val totalSmall = sized.collect { case (r, n) if smallSet(r) => n }.sum
       val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
       val packed = dataFrameFor(spark, root, c, c.files.filter(smallSet)).coalesce(nOut)
-      val (dir, rel) = stage(packed, root, f)
-      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, Nil))
+      val (dir, rel) = stage(packed, root, f, c.colMap)
+      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, Nil), c.colMap)
       val carrySet = carry.toSet
       val (dvK, dvR) = c.dvFor(carrySet) // packed files materialized their DVs
       val v = b + 1L
@@ -1148,7 +1371,8 @@ object VersionedTable {
         c.schema.map(_.json).getOrElse(packed.schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
         c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
-        parent = Some(c))
+        parent = Some(c), colMap = c.colMap,
+        physDropped = if (carry.isEmpty) Set.empty else c.physDropped)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true)
@@ -1181,9 +1405,8 @@ object VersionedTable {
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
-      val vs = versions(spark, path)
-      require(vs.nonEmpty, s"$path has no committed versions")
-      val bse = vs.last
+      val bse = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(f, root, bse)
       val placed = TableIO.zPlaced(dataFrameFor(spark, root, c, c.files), cols, bits)
       val (dir, rel) = stage(placed, root, f)
@@ -1237,27 +1460,58 @@ object VersionedTable {
     val a = aligned(after)
     val fileDiff = a.exceptAll(b).withColumn("_change_type", lit("insert"))
       .unionByName(b.exceptAll(a).withColumn("_change_type", lit("delete")))
-    // carried files whose mark count GREW: the delta marks are deletes
-    val dvDeltaFiles = (fromSet & toSet).toSeq.filter(fk =>
-      cTo.dvRows.getOrElse(fk, 0L) > cFrom.dvRows.getOrElse(fk, 0L))
-    if (dvDeltaFiles.isEmpty) fileDiff
+    // Carried files whose deletion-vector marks can DIFFER — in EITHER
+    // direction: a dv-delete grows a file's mark set, but RESTORE across a
+    // dv-delete shrinks it (un-deleting rows = CDF inserts) or swaps it at
+    // an equal count. Only an identical sidecar list proves identical
+    // marks; otherwise every carried file with marks on either side is a
+    // candidate (unchanged files cancel out of the two anti-joins below —
+    // sidecars are point-delete-sized, so reading them twice is free).
+    val dvCandFiles =
+      if (cFrom.dv == cTo.dv) Seq.empty
+      else (fromSet & toSet).toSeq.filter(fk =>
+        cFrom.dvRows.getOrElse(fk, 0L) > 0L || cTo.dvRows.getOrElse(fk, 0L) > 0L)
+    if (dvCandFiles.isEmpty) fileDiff
     else {
-      val s = cFrom.schema.get // dv commits always record a schema
-      val toMarks = spark.read.parquet(cTo.dv.map(r => new Path(root, r).toString): _*)
-        .filter(col(FileKeyCol).isin(dvDeltaFiles: _*))
-      val newMarks =
-        if (cFrom.dv.isEmpty) toMarks
-        else toMarks.join(
-          spark.read.parquet(cFrom.dv.map(r => new Path(root, r).toString): _*),
-          Seq(FileKeyCol, RowIdxCol), "left_anti")
-      val markedRows = spark.read.schema(s)
-        .parquet(dvDeltaFiles.map(r => new Path(root, r).toString): _*)
+      val s = cTo.schema.orElse(cFrom.schema).get // dv commits record a schema
+      def marksOf(c: Commit): DataFrame =
+        if (c.dv.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField(FileKeyCol,
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField(RowIdxCol,
+                org.apache.spark.sql.types.LongType))))
+        else spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
+          .filter(col(FileKeyCol).isin(dvCandFiles: _*))
+          .select(col(FileKeyCol), col(RowIdxCol))
+      val fromMarks = marksOf(cFrom)
+      val toMarks = marksOf(cTo)
+      // to-only marks = newly deleted rows; from-only marks = un-deleted
+      // rows surfacing as inserts (the RESTORE direction)
+      val markDelta = toMarks
+        .join(fromMarks, Seq(FileKeyCol, RowIdxCol), "left_anti")
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(fromMarks
+          .join(toMarks, Seq(FileKeyCol, RowIdxCol), "left_anti")
+          .withColumn("_change_type", lit("insert")))
+      // bind with the TO version's physical mapping (common files hold the
+      // same bytes; mapping differences across a DDL boundary follow the
+      // destination version's view, like the file diff does)
+      val cb = if (cTo.schema.isDefined) cTo else cFrom
+      val markedRows = spark.read.schema(physSchema(cb, s))
+        .parquet(dvCandFiles.map(r => new Path(root, r).toString): _*)
         .withColumn(FileKeyCol, fileKeyExpr)
         .withColumn(RowIdxCol, col("_metadata.row_index"))
-        .join(broadcast(newMarks), Seq(FileKeyCol, RowIdxCol))
-        .select(s.fieldNames.map(col).toSeq: _*)
-      fileDiff.unionByName(
-        aligned(markedRows).withColumn("_change_type", lit("delete")))
+        .join(broadcast(markDelta), Seq(FileKeyCol, RowIdxCol))
+        .select(col("_change_type") +:
+          s.fields.map(fl => col(cb.physName(fl.name)).as(fl.name)).toSeq: _*)
+      // align to the union schema like before/after, tag riding along
+      val alignedMarked = markedRows.select(col("_change_type") +: allCols.map { c =>
+        if (markedRows.columns.contains(c)) col(c) else lit(null).cast(types(c)).as(c)
+      }.toSeq: _*)
+      fileDiff.unionByName(alignedMarked)
     }
   }
 
@@ -1318,9 +1572,15 @@ object VersionedTable {
     keep.headOption.filter(_ => drop.nonEmpty).foreach { mk =>
       if (chainAnchor(f, root, mk) < mk) {
         val c = readManifest(f, root, mk)
+        // SAME logical commit re-encoded: preserve the original commit ts
+        // (legacy manifests: preserve the file's mtime as the ts) so
+        // TIMESTAMP AS OF resolves identically across the vacuum
+        val origTs = if (c.ts > 0L) c.ts
+          else f.getFileStatus(manifest(root, mk)).getModificationTime
         val body = manifestJson(mk, c.files,
           c.schema.map(_.json).getOrElse("null"),
-          c.stats, c.rows, c.txn, c.dv, c.dvRows) // no parent → full form
+          c.stats, c.rows, c.txn, c.dv, c.dvRows, // no parent → full form
+          colMap = c.colMap, physDropped = c.physDropped, ts = origTs)
         val tmp = new Path(root, s".anchor-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
         val out = f.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()

@@ -472,6 +472,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(ch2.map(_.getLong(0)).toSet == (300L to 304L).toSet)
   }
 
+  test("change feed across RESTORE: shrunk and swapped DV marks diff both ways") {
+    val path = java.nio.file.Files.createTempDirectory("cdfr").toString + "/t"
+    VersionedTable.write(
+      spark.range(1, 11).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .coalesce(1), path)
+    VersionedTable.deleteVectorized(spark, path, col("id") <= 3) // v2: marks {1,2,3}
+    VersionedTable.restore(spark, path, 1L)                      // v3: marks gone
+    // RESTORE across a dv-delete: the un-deleted rows are CDF inserts
+    val ch = VersionedTable.changes(spark, path, 2L, 3L).collect()
+    assert(ch.length == 3, ch.mkString(";"))
+    assert(ch.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(ch.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // swap at EQUAL count: v4 marks {8,9,10}; diff v2 -> v4 must surface
+    // both directions even though each side marks exactly 3 rows
+    VersionedTable.deleteVectorized(spark, path, col("id") >= 8)
+    val ch2 = VersionedTable.changes(spark, path, 2L, 4L).collect()
+    val ins = ch2.filter(_.getAs[String]("_change_type") == "insert").map(_.getLong(0)).toSet
+    val del = ch2.filter(_.getAs[String]("_change_type") == "delete").map(_.getLong(0)).toSet
+    assert(ins == Set(1L, 2L, 3L), ch2.mkString(";"))
+    assert(del == Set(8L, 9L, 10L), ch2.mkString(";"))
+    // replay invariant: from-version rows + feed = to-version rows (multiset)
+    val before = VersionedTable.read(spark, path, Some(2L)).select("id", "v")
+    val after = VersionedTable.read(spark, path, Some(4L)).select("id", "v")
+    val feed = VersionedTable.changes(spark, path, 2L, 4L)
+    val replayed = before
+      .unionByName(feed.filter(col("_change_type") === "insert").select("id", "v"))
+      .exceptAll(feed.filter(col("_change_type") === "delete").select("id", "v"))
+    assert(replayed.exceptAll(after).count() == 0 && after.exceptAll(replayed).count() == 0)
+    // unchanged-marks fast path still holds: same dv list => pure file diff
+    val ch3 = VersionedTable.changes(spark, path, 4L, 4L)
+    assert(ch3.count() == 0)
+  }
+
   test("ADD/DROP COLUMN are metadata-only commits: zero bytes move") {
     import org.apache.spark.sql.types.{IntegerType, StructField}
     val path = java.nio.file.Files.createTempDirectory("ddl").toString + "/t"
@@ -504,6 +537,109 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.dropColumns(spark, path, Seq("nope"))
     }
+  }
+
+  test("column mapping: DROP then re-ADD binds fresh physical name, no resurrection") {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField}
+    val path = java.nio.file.Files.createTempDirectory("colmap").toString + "/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), path)
+    VersionedTable.dropColumns(spark, path, Seq("v"))                      // v2
+    VersionedTable.addColumns(spark, path, Seq(StructField("v", StringType))) // v3
+    // same-name, same-type re-add: carried files must serve NULLS, not the
+    // stale pre-drop bytes their physical column still holds
+    val reAdded = VersionedTable.read(spark, path)
+    assert(reAdded.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(reAdded.filter(col("v").isNotNull).count() == 0,
+      "re-added column resurrected stale data from carried files")
+    // different-type re-add: drop again, re-add as INT — reads all-null
+    // (without mapping this was a scan TYPE ERROR against the old strings)
+    VersionedTable.dropColumns(spark, path, Seq("v"))                       // v4
+    VersionedTable.addColumns(spark, path, Seq(StructField("v", IntegerType))) // v5
+    val retyped = VersionedTable.read(spark, path)
+    assert(retyped.schema("v").dataType == IntegerType)
+    assert(retyped.filter(col("v").isNotNull).count() == 0)
+    // pre-drop versions still time-travel with their OWN mapping and values
+    val old = VersionedTable.read(spark, path, Some(1L))
+    assert(old.select("v").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // writes after the re-add store real values under the fresh physical
+    // name; carried files keep reading null alongside them
+    VersionedTable.append(Seq((3L, 33)).toDF("id", "v"), path)              // v6
+    val mixed = VersionedTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(mixed == Map(1L -> None, 2L -> None, 3L -> Some(33)))
+    // merge through the mapped table: CoW rewrite materializes the mapping
+    VersionedTable.upsert(Seq((1L, 100)).toDF("id", "v"), path, Seq("id"))  // v7
+    val merged = VersionedTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(merged == Map(1L -> Some(100), 2L -> None, 3L -> Some(33)))
+    // history of every version stays readable (delta/full chains intact)
+    assert(VersionedTable.history(spark, path).count() == 7)
+  }
+
+  test("O(1) head discovery: pointer reads never list the log; fallbacks hold") {
+    val path = java.nio.file.Files.createTempDirectory("headptr").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    (1 to 3).foreach(i => VersionedTable.write(Seq((i, s"v$i")).toDF("id", "v"), path))
+    val head = new org.apache.hadoop.fs.Path(root, "_graft_log/_head")
+    assert(f.exists(head), "_head pointer must be written on commit")
+    VersionedTable.listCalls.set(0L)
+    assert(VersionedTable.read(spark, path).count() == 1)
+    assert(VersionedTable.countRows(spark, path).contains(1L))
+    assert(VersionedTable.latestVersion(spark, path).contains(3L))
+    assert(VersionedTable.listCalls.get() == 0L,
+      "pointer-based reads must not list _graft_log")
+    // STALE pointer (writer crashed before the update): probe-forward heals
+    val out = f.create(head, true); out.write("1".getBytes("UTF-8")); out.close()
+    assert(VersionedTable.latestVersion(spark, path).contains(3L))
+    assert(VersionedTable.listCalls.get() == 0L, "stale pointer heals by probing, not listing")
+    // MISSING pointer: full-listing fallback still resolves
+    f.delete(head, false)
+    assert(VersionedTable.latestVersion(spark, path).contains(3L))
+    assert(VersionedTable.listCalls.get() > 0L, "no pointer => listing fallback")
+    // and the next commit re-establishes the pointer
+    VersionedTable.write(Seq((4, "v4")).toDF("id", "v"), path)
+    VersionedTable.listCalls.set(0L)
+    assert(VersionedTable.latestVersion(spark, path).contains(4L))
+    assert(VersionedTable.listCalls.get() == 0L)
+  }
+
+  test("restore refuses a target whose files are gone (vacuum race pre-check)") {
+    val path = java.nio.file.Files.createTempDirectory("resguard").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    VersionedTable.write(Seq((1, "a")).toDF("id", "v").coalesce(1), path)
+    VersionedTable.write(Seq((2, "b")).toDF("id", "v").coalesce(1), path)
+    // simulate the vacuum race: v1's only data file disappears
+    val v1File = VersionedTable.filesOf(spark, path, 1L).head
+    assert(f.delete(new org.apache.hadoop.fs.Path(root, v1File), false))
+    intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, path, 1L)
+    }
+    // head unchanged and still readable
+    assert(VersionedTable.latestVersion(spark, path).contains(2L))
+    assert(VersionedTable.read(spark, path).count() == 1)
+  }
+
+  test("TIMESTAMP AS OF is stable across vacuum re-anchor") {
+    val path = java.nio.file.Files.createTempDirectory("tsvac").toString + "/t"
+    val marks = (1 to 13).map { i =>
+      val v = VersionedTable.write(Seq((i, s"v$i")).toDF("id", "v"), path)
+      Thread.sleep(3) // ms-granularity commit stamps must separate
+      v -> System.currentTimeMillis()
+    }
+    marks.foreach { case (v, t) =>
+      assert(VersionedTable.versionAt(spark, path, t).contains(v)) }
+    // keepLast=3 drops 1..10 and re-anchors v11 (its delta chain descended
+    // into dropped versions) — the re-encode must preserve the COMMIT ts,
+    // not adopt the rewrite time (which would resolve these to wrong
+    // versions or none)
+    VersionedTable.vacuum(spark, path, keepLast = 3, orphanRetentionMs = 0L)
+    Seq(11, 12, 13).foreach { v =>
+      assert(VersionedTable.versionAt(spark, path, marks(v - 1)._2).contains(v.toLong),
+        s"version $v shifted across vacuum re-anchor") }
+    // instants before the oldest kept commit no longer resolve
+    assert(VersionedTable.versionAt(spark, path, marks.head._2 - 10000L).isEmpty)
   }
 
   test("minMaxFromStats: exact metadata extrema; DV marks and stat gaps disable it") {
