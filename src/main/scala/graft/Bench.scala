@@ -101,7 +101,16 @@ object Bench {
     }.sorted
     val jitterMedPct =
       if (spreads.isEmpty) -1.0 else math.round(spreads(spreads.size / 2) * 1000) / 10.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","jitter_med_pct":$jitterMedPct,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
+    // SELF-LABELING POLLUTION GUARD: a machine-interference window (other
+    // processes, HotSpot deopt storms) shows up as med >> min and a high
+    // jitter median. Such a run must announce itself as polluted instead of
+    // masquerading as a regression — the consumer should re-run, or judge
+    // only per-query minima. Thresholds: med/min > 1.5x OR jitter > 35%.
+    val polluted = (total > 0 && totalMed / total > 1.5) || jitterMedPct > 35.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
+    if (polluted) System.err.println(
+      s"[bench] WARNING: polluted run (med/min=${math.round(totalMed / total * 100) / 100.0}, " +
+        s"jitter_med_pct=$jitterMedPct) — numbers reflect interference, not the code; re-run idle")
     println(line)
     // stdout alone is fragile: log-tail capture truncated the round-4
     // artifact (`"parsed": null`). Persist the same line to a known file so

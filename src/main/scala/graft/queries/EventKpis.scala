@@ -141,22 +141,47 @@ object EventKpis {
   // q_bottlenecks — W1+F6+A5 (bottlenecks_local.py:29-62: lead() over
   // event-time window → stage transition duration → per-stage count/avg/
   // p50/p90/max). Durations kept in exact integer microseconds; percentiles
-  // via exact interpolating percentile_cont (matches DuckDB quantile_cont),
-  // rounded to absorb last-ulp interpolation differences.
+  // exact-interpolating (matches DuckDB percentile_cont), rounded to absorb
+  // last-ulp interpolation differences.
+  //
+  // SCALE: Spark's percentile_cont aggregate BUFFERS each group's values in
+  // executor memory, and event_type is the only key — a 100× scale-up
+  // concentrates ~all rows into ~5 groups and OOMs the buffer. This is the
+  // rank method instead: row_number + count over the group (sort-based
+  // window — WindowExec spills to disk, memory stays bounded at any group
+  // size), then an ordinary hash aggregate touches ONLY the two boundary
+  // ranks per quantile: value = v[lo] + frac·(v[lo+1] − v[lo]) with
+  // lo = ⌊(n−1)p⌋ — percentile_cont's own formula, same doubles, same
+  // result. The per-group sort is the irreducible cost of an EXACT
+  // percentile; q_bottlenecks_approx remains the declared sketch path.
   // --------------------------------------------------------------------------
   def bottlenecks(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(spark, dir)
+    val dur = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("next_ts", lead(col("ts"), 1).over(w))
       .withColumn("duration_us", unix_micros(col("next_ts")) - unix_micros(col("ts")))
       .filter(col("next_ts").isNotNull && col("duration_us") >= 0)
-      .groupBy(col("event_type"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("duration_us"))
+    val wGrp = Window.partitionBy(col("event_type"))
+    val ranked = dur
+      .select(col("event_type"), col("duration_us"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wGrp))
+    def pc(p: Double): Column = {
+      val r = (col("n") - 1).cast(DoubleType) * lit(p)
+      val lo = floor(r).cast("long") + 1 // 1-based boundary rank
+      val vLo = sum(when(col("rn") === lo, col("duration_us").cast(DoubleType)))
+      val vHi = sum(when(col("rn") === lo + 1, col("duration_us").cast(DoubleType)))
+      val frac = max(r - floor(r)) // constant within the group
+      vLo + frac * (coalesce(vHi, vLo) - vLo)
+    }
+    ranked.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("stage_hops"),
         sum(col("duration_us")).as("total_us"),
-        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY duration_us)"), 1).as("p50_us"),
-        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY duration_us)"), 1).as("p90_us"),
+        round(pc(0.5), 1).as("p50_us"),
+        round(pc(0.9), 1).as("p90_us"),
         max(col("duration_us")).as("max_us"))
       .withColumn("avg_us", col("total_us").cast(DoubleType) / col("stage_hops"))
   }

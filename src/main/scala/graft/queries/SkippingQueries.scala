@@ -103,7 +103,10 @@ object SkippingQueries {
         ev.repartitionByRange(16, col("user_id")), path, statsCols = Seq("user_id"))
     }
     if (VersionedTable.latestVersion(spark, path).contains(1L))
-      VersionedTable.deleteVectorized(spark, path, col("user_id").between(DvLo, DvHi))
+      // purgeFraction=1.0 opts OUT of auto-purge: this query's entire point
+      // is exercising the merge-on-read path (marks present at scan time)
+      VersionedTable.deleteVectorized(spark, path,
+        col("user_id").between(DvLo, DvHi), purgeFraction = 1.0)
     path
   }
 

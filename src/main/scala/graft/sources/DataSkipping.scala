@@ -224,36 +224,48 @@ object DataSkipping {
   // Manifest (de)serialization
   // ------------------------------------------------------------------
 
-  def toJson(stats: FileStats): String = {
+  /** One FILE's column-stat map as a JSON object string — the unit a
+    * parquet checkpoint manifest stores per row (one row per file), so a
+    * million-file checkpoint never serializes as one monolithic string. */
+  def colsToJson(cols: Map[String, ColStat]): String = {
     def v(a: Any): String = a match {
       case d: BigDecimal => d.bigDecimal.toPlainString
       case s: String =>
         new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
       case other => other.toString
     }
-    stats.toSeq.sortBy(_._1).map { case (file, cols) =>
-      val body = cols.toSeq.sortBy(_._1).map { case (c, st) =>
-        val mn = st.min.map(x => s""""min":${v(x)},""").getOrElse("")
-        val mx = st.max.map(x => s""""max":${v(x)},""").getOrElse("")
-        s""""$c":{$mn$mx"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
-      }.mkString(",")
-      s""""$file":{$body}"""
+    cols.toSeq.sortBy(_._1).map { case (c, st) =>
+      val mn = st.min.map(x => s""""min":${v(x)},""").getOrElse("")
+      val mx = st.max.map(x => s""""max":${v(x)},""").getOrElse("")
+      s""""$c":{$mn$mx"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
     }.mkString("{", ",", "}")
   }
+
+  def colsFromJson(node: com.fasterxml.jackson.databind.JsonNode): Map[String, ColStat] = {
+    import scala.jdk.CollectionConverters._
+    node.properties().asScala.map { ce =>
+      val o = ce.getValue
+      def bound(k: String): Option[Any] = Option(o.get(k)).map { b =>
+        if (b.isNumber) BigDecimal(b.decimalValue()) else b.asText()
+      }
+      ce.getKey -> ColStat(bound("min"), bound("max"),
+        Option(o.get("nulls")).map(_.asLong()).getOrElse(0L),
+        Option(o.get("all_nulls")).exists(_.asBoolean()))
+    }.toMap
+  }
+
+  def colsFromJson(s: String): Map[String, ColStat] =
+    colsFromJson(new com.fasterxml.jackson.databind.ObjectMapper().readTree(s))
+
+  def toJson(stats: FileStats): String =
+    stats.toSeq.sortBy(_._1).map { case (file, cols) =>
+      s""""$file":${colsToJson(cols)}"""
+    }.mkString("{", ",", "}")
 
   def fromJson(node: com.fasterxml.jackson.databind.JsonNode): FileStats = {
     import scala.jdk.CollectionConverters._
     node.properties().asScala.map { e =>
-      val cols = e.getValue.properties().asScala.map { ce =>
-        val o = ce.getValue
-        def bound(k: String): Option[Any] = Option(o.get(k)).map { b =>
-          if (b.isNumber) BigDecimal(b.decimalValue()) else b.asText()
-        }
-        ce.getKey -> ColStat(bound("min"), bound("max"),
-          Option(o.get("nulls")).map(_.asLong()).getOrElse(0L),
-          Option(o.get("all_nulls")).exists(_.asBoolean()))
-      }.toMap
-      e.getKey -> cols
+      e.getKey -> colsFromJson(e.getValue)
     }.toMap
   }
 

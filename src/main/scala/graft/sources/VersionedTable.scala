@@ -262,7 +262,8 @@ object VersionedTable {
     Option(node.get("schema")).filterNot(_.isNull).map(s =>
       DataType.fromJson(s.toString).asInstanceOf[StructType])
 
-  private def readManifest(f: FileSystem, root: Path, v: Long): Commit = {
+  private def readManifest(spark: SparkSession, f: FileSystem, root: Path,
+      v: Long): Commit = {
     // walk delta manifests down to their full (or legacy) anchor, then
     // replay them oldest-first
     var node = parseManifest(f, root, v)
@@ -271,7 +272,7 @@ object VersionedTable {
       deltas ::= node // ends ordered oldest-first
       node = parseManifest(f, root, node.get("base").asLong())
     }
-    var c = parseFull(f, root, node)
+    var c = parseFull(spark, f, root, node)
     deltas.foreach { d =>
       val removed = strArr(d, "files_remove").toSet
       val added = strArr(d, "files_add")
@@ -291,7 +292,7 @@ object VersionedTable {
     c
   }
 
-  private def parseFull(f: FileSystem, root: Path,
+  private def parseFull(spark: SparkSession, f: FileSystem, root: Path,
       node: com.fasterxml.jackson.databind.JsonNode): Commit =
     Option(node.get("files")) match {
       case Some(_) =>
@@ -299,6 +300,14 @@ object VersionedTable {
           Option(node.get("stats"))
             .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats),
           longMap(node, "rows"), longMap(node, "txn"),
+          strArr(node, "dv"), longMap(node, "dv_rows"),
+          strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node))
+      case None if node.has("ckpt") =>
+        // parquet checkpoint: the file list + per-file stats/rows live in a
+        // parquet dir written and parsed by Spark itself — the manifest
+        // JSON stays O(1) no matter how many files the table holds
+        val (files, stats, rows) = readCkpt(spark, root, node.get("ckpt").asText())
+        Commit(files, schemaOf(node), stats, rows, longMap(node, "txn"),
           strArr(node, "dv"), longMap(node, "dv_rows"),
           strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node))
       case None =>
@@ -334,6 +343,85 @@ object VersionedTable {
     (om, (s: String) => om.writeValueAsString(s))
   }
 
+  /** Above this many files, a FULL manifest's file list (+ per-file stats
+    * and row counts) is written as a PARQUET CHECKPOINT directory next to
+    * the log — built and parsed by Spark executors, columnar-compressed —
+    * and the manifest JSON carries only a reference. Below it, inline JSON
+    * is cheaper (no Spark job per checkpoint). This is the knob that keeps
+    * a 1M-file table's checkpoint from being a ~100 MB JSON string built,
+    * written and Jackson-parsed on the driver (Delta's multi-part parquet
+    * checkpoint idiom). Mutable as a test hook only. */
+  private[sources] var CkptInlineMaxFiles: Int = 512
+
+  /** Write the checkpoint parquet for version `v`: one row per file
+    * (ordinal, path, row count, per-file stats JSON). Token-named like
+    * data dirs — unreferenced until its manifest commits, cleaned by the
+    * committing verb on a lost race and by vacuum if orphaned. */
+  private def writeCkpt(spark: SparkSession, root: Path, v: Long,
+      files: Seq[String], stats: DataSkipping.FileStats,
+      rows: Map[String, Long]): (String, Path) = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"$LogDir/ckpt-$v%08d-$token"
+    val dir = new Path(root, rel)
+    import spark.implicits._
+    val data = files.zipWithIndex.map { case (p, i) =>
+      (i, p, rows.get(p), stats.get(p).map(DataSkipping.colsToJson))
+    }
+    val parts = math.max(1, math.min(files.size / 100000 + 1, 64))
+    spark.createDataset(data).toDF("idx", "path", "rows", "stats")
+      .repartition(parts).write.mode("overwrite").parquet(dir.toString)
+    (rel, dir)
+  }
+
+  private def readCkpt(spark: SparkSession, root: Path, rel: String)
+      : (Seq[String], DataSkipping.FileStats, Map[String, Long]) = {
+    val rowsArr = spark.read.parquet(new Path(root, rel).toString)
+      .select(col("idx"), col("path"), col("rows"), col("stats"))
+      .collect().sortBy(_.getInt(0))
+    val files = rowsArr.map(_.getString(1)).toSeq
+    val rowCounts = rowsArr.iterator.filterNot(_.isNullAt(2))
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val stats: DataSkipping.FileStats = rowsArr.iterator.filterNot(_.isNullAt(3))
+      .map(r => r.getString(1) -> DataSkipping.colsFromJson(r.getString(3))).toMap
+    (files, stats, rowCounts)
+  }
+
+  /** Can version `v` delta-encode against its parent? Only between
+    * checkpoints, and only when every carried file's stats/rows are
+    * byte-identical to the parent's (anything else — e.g. DROP COLUMN
+    * pruning stats — can't be expressed as a file delta). */
+  private def deltaEligible(v: Long, files: Seq[String],
+      stats: DataSkipping.FileStats, rows: Map[String, Long],
+      parent: Option[Commit], forceFull: Boolean): Boolean =
+    parent.exists { p =>
+      !forceFull && v % CheckpointEvery != 0L && {
+        val addedSet = files.filterNot(p.files.toSet).toSet
+        files.forall(fk => addedSet(fk) ||
+          (stats.get(fk) == p.stats.get(fk) && rows.get(fk) == p.rows.get(fk)))
+      }
+    }
+
+  /** Encode + stage a commit's manifest body: the delta/inline-full/
+    * parquet-checkpoint decision in one place. Returns the JSON body and
+    * the checkpoint dir IF one was written — the caller must delete it
+    * when the commit CAS is lost. */
+  private def encodeCommit(spark: SparkSession, root: Path, v: Long,
+      files: Seq[String], schemaJson: String, stats: DataSkipping.FileStats,
+      rows: Map[String, Long], txn: Map[String, Long],
+      dv: Seq[String] = Seq.empty, dvRows: Map[String, Long] = Map.empty,
+      parent: Option[Commit] = None, forceFull: Boolean = false,
+      colMap: Map[String, String] = Map.empty,
+      physDropped: Set[String] = Set.empty,
+      ts: Long = 0L): (String, Option[Path]) =
+    if (!deltaEligible(v, files, stats, rows, parent, forceFull) &&
+        files.size > CkptInlineMaxFiles) {
+      val (rel, dir) = writeCkpt(spark, root, v, files, stats, rows)
+      (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
+        parent, forceFull, colMap, physDropped, ts, ckptRef = Some(rel)), Some(dir))
+    } else
+      (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
+        parent, forceFull, colMap, physDropped, ts), None)
+
   /** Encode a commit: FULL at checkpoints (and when forced, when there is
     * no parent, or when a carried file's stats/rows changed — e.g. DROP
     * COLUMN — which a file-delta cannot express); otherwise a DELTA against
@@ -348,7 +436,8 @@ object VersionedTable {
       parent: Option[Commit] = None, forceFull: Boolean = false,
       colMap: Map[String, String] = Map.empty,
       physDropped: Set[String] = Set.empty,
-      ts: Long = 0L): String = {
+      ts: Long = 0L,
+      ckptRef: Option[String] = None): String = {
     val (_, jstr) = jsonHelpers
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     def obj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
@@ -367,32 +456,26 @@ object VersionedTable {
         else s""","phys_dropped":${arr(physDropped.toSeq.sorted)}"""
       s""","ts":$tsVal$dvField$mapField$droppedField"""
     }
-    def full: String = {
+    def full: String = ckptRef match {
+      case Some(ck) => // file list/stats/rows live in the parquet checkpoint
+        s"""{"version":$v,"ckpt":${jstr(ck)},"schema":$schemaJson,"txn":${obj(txn)}$commonTail}"""
+      case None =>
+        val statsField =
+          if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
+        s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$commonTail}"""
+    }
+    if (deltaEligible(v, files, stats, rows, parent, forceFull)) {
+      val p = parent.get
+      val pSet = p.files.toSet
+      val added = files.filterNot(pSet)
+      val addedSet = added.toSet
+      val removed = p.files.filterNot(files.toSet)
+      val statsAdd = stats.filter(kv => addedSet(kv._1))
       val statsField =
-        if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
-      s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$commonTail}"""
-    }
-    parent match {
-      case Some(p) if !forceFull && v % CheckpointEvery != 0L =>
-        val pSet = p.files.toSet
-        val newSet = files.toSet
-        val added = files.filterNot(pSet)
-        val addedSet = added.toSet
-        val removed = p.files.filterNot(newSet)
-        // delta encoding assumes carried entries are byte-identical to the
-        // parent's; anything else (schema DDL touching stats) goes full
-        val carriedOk = files.forall(fk => addedSet(fk) ||
-          (stats.get(fk) == p.stats.get(fk) && rows.get(fk) == p.rows.get(fk)))
-        if (!carriedOk) full
-        else {
-          val statsAdd = stats.filter(kv => addedSet(kv._1))
-          val statsField =
-            if (statsAdd.isEmpty) ""
-            else s""","stats_add":${DataSkipping.toJson(statsAdd)}"""
-          s"""{"version":$v,"base":${v - 1},"schema":$schemaJson,"files_add":${arr(added)},"files_remove":${arr(removed)},"rows_add":${obj(rows.filter(kv => addedSet(kv._1)))},"txn":${obj(txn)}$statsField$commonTail}"""
-        }
-      case _ => full
-    }
+        if (statsAdd.isEmpty) ""
+        else s""","stats_add":${DataSkipping.toJson(statsAdd)}"""
+      s"""{"version":$v,"base":${v - 1},"schema":$schemaJson,"files_add":${arr(added)},"files_remove":${arr(removed)},"rows_add":${obj(rows.filter(kv => addedSet(kv._1)))},"txn":${obj(txn)}$statsField$commonTail}"""
+    } else full
   }
 
   /** Stage `df`'s files under a fresh private token dir; nothing references
@@ -520,15 +603,16 @@ object VersionedTable {
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(spark, path)
-      val parent = base.map(b => readManifest(f, root, b))
+      val parent = base.map(b => readManifest(spark, f, root, b))
       // carry the streaming-txn watermarks: a snapshot write between two
       // micro-batches must not reopen the door to batch replay
       val txn = parent.map(_.txn).getOrElse(Map.empty)
       val v = base.getOrElse(0L) + 1L
-      if (tryCommit(f, root, v,
-        manifestJson(v, rel, df.schema.json, stats, rows, txn, parent = parent)))
-        committed = v
+      val (body, ckptDir) = encodeCommit(spark, root, v, rel, df.schema.json,
+        stats, rows, txn, parent = parent)
+      if (tryCommit(f, root, v, body)) committed = v
       else {
+        ckptDir.foreach(d => f.delete(d, true))
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt commit races in a row; giving up")
@@ -565,7 +649,7 @@ object VersionedTable {
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(spark, path)
-      val c = base.map(b => readManifest(f, root, b))
+      val c = base.map(b => readManifest(spark, f, root, b))
       txn.foreach { case (app, bid) =>
         if (c.exists(_.txn.get(app).exists(_ >= bid))) {
           // replayed batch: already committed — clean up and no-op
@@ -599,7 +683,8 @@ object VersionedTable {
           df.schema.fields.find(_.name == bf.name).exists(_.nullable)))).json
       }.getOrElse(df.schema.json)
       val v = base.getOrElse(0L) + 1L
-      val body = manifestJson(v, c.map(_.files).getOrElse(Nil) ++ rel, schemaJson,
+      val (body, ckptDir) = encodeCommit(spark, root, v,
+        c.map(_.files).getOrElse(Nil) ++ rel, schemaJson,
         c.map(_.stats).getOrElse(Map.empty) ++ st,
         c.map(_.rows).getOrElse(Map.empty) ++ rw,
         c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap,
@@ -610,6 +695,7 @@ object VersionedTable {
       else {
         // staged files stay valid for the next slot (content is
         // base-independent); only the txn/schema checks re-run
+        ckptDir.foreach(d => f.delete(d, true))
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt append commit races in a row; giving up")
@@ -665,8 +751,8 @@ object VersionedTable {
       val head = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       if (head == toV) return head
-      val target = readManifest(f, root, toV)
-      val cur = readManifest(f, root, head)
+      val target = readManifest(spark, f, root, toV)
+      val cur = readManifest(spark, f, root, head)
       // RESTORE vs VACUUM race guard: a vacuum computing liveness BEFORE
       // this restore commits may drop toV and delete files referenced only
       // by dropped versions — the CAS alone can't see that. Check the
@@ -679,7 +765,7 @@ object VersionedTable {
         s"$path: cannot restore to $toV — ${preMissing.size} file(s) already " +
           s"removed (concurrent vacuum?): ${preMissing.take(3).mkString(",")}")
       val v = head + 1L
-      val body = manifestJson(v, target.files,
+      val (body, ckptDir) = encodeCommit(spark, root, v, target.files,
         target.schema.map(_.json).getOrElse("null"),
         target.stats, target.rows, cur.txn, target.dv, target.dvRows,
         parent = Some(cur), colMap = target.colMap,
@@ -687,12 +773,13 @@ object VersionedTable {
       if (tryCommit(f, root, v, body)) {
         val postMissing = missingOf(target)
         if (postMissing.nonEmpty) {
-          val undo = manifestJson(v + 1L, cur.files,
+          val (undo, undoCkpt) = encodeCommit(spark, root, v + 1L, cur.files,
             cur.schema.map(_.json).getOrElse("null"),
             cur.stats, cur.rows, cur.txn, cur.dv, cur.dvRows,
             parent = Some(target), forceFull = true,
             colMap = cur.colMap, physDropped = cur.physDropped)
-          tryCommit(f, root, v + 1L, undo) // best-effort compensation
+          if (!tryCommit(f, root, v + 1L, undo)) // best-effort compensation
+            undoCkpt.foreach(d => f.delete(d, true))
           throw new IllegalStateException(
             s"$path: restore to $toV raced a vacuum — ${postMissing.size} of its " +
               s"file(s) were deleted after the commit; re-published version $head " +
@@ -700,6 +787,7 @@ object VersionedTable {
         }
         committed = v
       } else {
+        ckptDir.foreach(d => f.delete(d, true))
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt restore commit races in a row; giving up")
@@ -728,7 +816,7 @@ object VersionedTable {
         latestVersion(spark, path).getOrElse(
           throw new IllegalArgumentException(s"$path has no committed versions"))
     }
-    (root, f, readManifest(f, root, v))
+    (root, f, readManifest(spark, f, root, v))
   }
 
   /** Columns of a deletion-vector sidecar row: the data file's manifest key
@@ -1010,7 +1098,7 @@ object VersionedTable {
         // "latest" below this point would race a concurrent commit past the
         // CAS check
         val base = latestVersion(spark, path)
-        val baseC = base.map(b => readManifest(f, root, b))
+        val baseC = base.map(b => readManifest(spark, f, root, b))
         txn.foreach { case (app, bid) =>
           if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
         }
@@ -1084,12 +1172,13 @@ object VersionedTable {
               if (carryKeys.isEmpty) Set.empty[String] else c.physDropped)
         }
         val v = base.getOrElse(0L) + 1L
-        if (tryCommit(f, root, v, manifestJson(v, files, schemaJson, stats, rows,
-          newTxn, dvKeep, dvRowsKeep, parent = baseC,
-          colMap = cMap, physDropped = physDrop)))
-          committed = v
+        val (body, ckptDir) = encodeCommit(spark, root, v, files, schemaJson,
+          stats, rows, newTxn, dvKeep, dvRowsKeep, parent = baseC,
+          colMap = cMap, physDropped = physDrop)
+        if (tryCommit(f, root, v, body)) committed = v
         else {
           f.delete(stagedDir, true) // stale merge — recompute against the new head
+          ckptDir.foreach(d => f.delete(d, true))
           attempt += 1
           require(attempt < MaxCommitRetries,
             s"$path: lost $attempt upsert commit races in a row; giving up")
@@ -1148,7 +1237,7 @@ object VersionedTable {
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
-      val c = readManifest(f, root, b)
+      val c = readManifest(spark, f, root, b)
       val (candKeys, carryKeys) = c.schema match {
         case Some(s) if c.stats.nonEmpty =>
           DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
@@ -1162,7 +1251,7 @@ object VersionedTable {
       val carrySet = carryKeys.toSet
       val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
       val v = b + 1L
-      val body = manifestJson(v, carryKeys ++ rel,
+      val (body, ckptDir) = encodeCommit(spark, root, v, carryKeys ++ rel,
         c.schema.map(_.json).getOrElse(kept.schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
         c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
@@ -1171,6 +1260,7 @@ object VersionedTable {
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true) // stale — recompute against the new head
+        ckptDir.foreach(d => f.delete(d, true))
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt delete commit races in a row; giving up")
@@ -1232,7 +1322,7 @@ object VersionedTable {
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
-      val c = readManifest(f, root, b)
+      val c = readManifest(spark, f, root, b)
       require(c.schema.isDefined, s"$path: schema DDL needs a schema-recorded table")
       val v = b + 1L
       val (next, nextMap, nextDropped) = change(c.schema.get, c, v)
@@ -1240,10 +1330,12 @@ object VersionedTable {
       val stats = c.stats.map { case (fk, cols) =>
         fk -> cols.filter(kv => keep(kv._1))
       }.filter(_._2.nonEmpty)
-      if (tryCommit(f, root, v, manifestJson(v, c.files, next.json, stats,
-        c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
-        colMap = nextMap, physDropped = nextDropped))) committed = v
+      val (body, ckptDir) = encodeCommit(spark, root, v, c.files, next.json,
+        stats, c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
+        colMap = nextMap, physDropped = nextDropped)
+      if (tryCommit(f, root, v, body)) committed = v
       else {
+        ckptDir.foreach(d => f.delete(d, true))
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt $verb-column commit races in a row; giving up")
@@ -1271,7 +1363,22 @@ object VersionedTable {
     * Candidate files come from manifest stats like the CoW path — a file
     * provably without matches contributes nothing and is never scanned. */
   def deleteVectorized(spark: SparkSession, path: String,
-      predicate: Column): Long = {
+      predicate: Column): Long =
+    deleteVectorized(spark, path, predicate, DefaultDvPurgeFraction)
+
+  /** Marked-rows fraction above which DV hygiene kicks in AUTOMATICALLY: a
+    * [[deleteVectorized]] that would push a file past this materializes
+    * that file's survivors in the same commit instead of carrying the
+    * marks (Delta tracks the same deleted-rows-fraction to self-schedule
+    * purges). Without it, a table absorbing daily point deletes pays an
+    * ever-growing anti-join until someone remembers to OPTIMIZE. Pass
+    * `purgeFraction = 1.0` to opt a delete out (pure merge-on-read). */
+  val DefaultDvPurgeFraction: Double = 0.5
+
+  /** @param purgeFraction see [[DefaultDvPurgeFraction]]; compared against
+    *                      (existing + new marks) / file rows per file. */
+  def deleteVectorized(spark: SparkSession, path: String,
+      predicate: Column, purgeFraction: Double): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -1279,7 +1386,7 @@ object VersionedTable {
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
-      val c = readManifest(f, root, b)
+      val c = readManifest(spark, f, root, b)
       require(c.schema.isDefined,
         s"$path: vectorized delete needs a schema-recorded table")
       val s = c.schema.get
@@ -1313,22 +1420,108 @@ object VersionedTable {
         val perFile = marked.groupBy(col(FileKeyCol)).count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         if (perFile.isEmpty) return b // predicate matched no live row
-        val (dir, rel) = stage(marked, root, f)
         val mergedDvRows = c.dvRows ++ perFile.map { case (k, n) =>
           k -> (c.dvRows.getOrElse(k, 0L) + n)
         }
+        // AUTO-PURGE: files the merged marks would push past the threshold
+        // are rewritten (survivors materialized) in this SAME commit — the
+        // marks never land, so the read-side anti-join stays bounded.
+        // Unknown row counts (legacy commits) never purge: conservative.
+        val purgeKeys = c.files.filter { fk =>
+          val m = mergedDvRows.getOrElse(fk, 0L)
+          m > 0L && c.rows.get(fk).exists(r => r > 0L && m.toDouble / r > purgeFraction)
+        }
+        val purgeSet = purgeKeys.toSet
+        val carryKeys = c.files.filterNot(purgeSet)
+        // marks for carried files ride in a new sidecar; marks for purged
+        // files are consumed by their rewrite
+        val carriedMarks =
+          if (purgeKeys.isEmpty) marked
+          else marked.filter(!col(FileKeyCol).isin(purgeKeys: _*))
+        val newCarriedMarks = perFile.keys.exists(k => !purgeSet(k))
+        val (markDir, markRel) =
+          if (newCarriedMarks) stage(carriedMarks, root, f)
+          else (new Path(root, s".no-marks"), Seq.empty[String])
+        val (dataDir, dataRel, st, rw) =
+          if (purgeKeys.isEmpty)
+            (new Path(root, s".no-purge"), Seq.empty[String],
+              Map.empty: DataSkipping.FileStats, Map.empty[String, Long])
+          else {
+            // dataFrameFor applies the OLD marks; the predicate filter
+            // drops this delete's matches — survivors only
+            val survivors = dataFrameFor(spark, root, c, purgeKeys)
+              .filter(!coalesce(predicate, lit(false)))
+            val (d, r) = stage(survivors, root, f, c.colMap)
+            val (s2, r2) = metaFor(spark, root, r, inheritedStatsCols(c, Nil), c.colMap)
+            (d, r, s2, r2)
+          }
+        val dvRowsKeep = mergedDvRows.filter(kv => kv._2 > 0L && !purgeSet(kv._1))
+        val dvKeep = if (dvRowsKeep.isEmpty) Seq.empty[String] else c.dv ++ markRel
         val v = b + 1L
-        val body = manifestJson(v, c.files, s.json, c.stats, c.rows, c.txn,
-          c.dv ++ rel, mergedDvRows, parent = Some(c),
+        val (body, ckptDir) = encodeCommit(spark, root, v, carryKeys ++ dataRel, s.json,
+          c.stats.filter(kv => !purgeSet(kv._1)) ++ st,
+          c.rows.filter(kv => !purgeSet(kv._1)) ++ rw,
+          c.txn, dvKeep, dvRowsKeep, parent = Some(c),
           colMap = c.colMap, physDropped = c.physDropped)
         if (tryCommit(f, root, v, body)) committed = v
         else {
-          f.delete(dir, true) // stale marks — recompute against the new head
+          // stale marks — recompute against the new head
+          if (newCarriedMarks) f.delete(markDir, true)
+          if (purgeKeys.nonEmpty) f.delete(dataDir, true)
+          ckptDir.foreach(d => f.delete(d, true))
           attempt += 1
           require(attempt < MaxCommitRetries,
             s"$path: lost $attempt dv-delete commit races in a row; giving up")
         }
       } finally marked.unpersist()
+    }
+    committed
+  }
+
+  /** Maintenance verb: MATERIALIZE deletion-vector marks — rewrite every
+    * file whose marked fraction exceeds `minFraction` (default: any marked
+    * file) as its surviving rows, dropping the marks, as one commit. The
+    * file-granular complement to [[compact]]/[[zOrderBy]] for a table
+    * whose marks accumulated under an opted-out [[deleteVectorized]]:
+    * afterwards the read plan for those files is a plain scan again (no
+    * anti-join). No-op when nothing qualifies. */
+  def purgeDeletes(spark: SparkSession, path: String,
+      minFraction: Double = 0.0): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
+      val c = readManifest(spark, f, root, b)
+      val purgeKeys = c.files.filter { fk =>
+        val m = c.dvRows.getOrElse(fk, 0L)
+        m > 0L && c.rows.get(fk).exists(r => r > 0L && m.toDouble / r > minFraction)
+      }
+      if (purgeKeys.isEmpty) return b
+      val purgeSet = purgeKeys.toSet
+      val carryKeys = c.files.filterNot(purgeSet)
+      val survivors = dataFrameFor(spark, root, c, purgeKeys) // marks applied
+      val (dir, rel) = stage(survivors, root, f, c.colMap)
+      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, Nil), c.colMap)
+      val dvRowsKeep = c.dvRows.filter(kv => kv._2 > 0L && !purgeSet(kv._1))
+      val dvKeep = if (dvRowsKeep.isEmpty) Seq.empty[String] else c.dv
+      val v = b + 1L
+      val (body, ckptDir) = encodeCommit(spark, root, v, carryKeys ++ rel,
+        c.schema.map(_.json).getOrElse(survivors.schema.json),
+        c.stats.filter(kv => !purgeSet(kv._1)) ++ st,
+        c.rows.filter(kv => !purgeSet(kv._1)) ++ rw,
+        c.txn, dvKeep, dvRowsKeep, parent = Some(c),
+        colMap = c.colMap, physDropped = c.physDropped)
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        f.delete(dir, true)
+        ckptDir.foreach(d => f.delete(d, true))
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt purge commit races in a row; giving up")
+      }
     }
     committed
   }
@@ -1354,7 +1547,7 @@ object VersionedTable {
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
-      val c = readManifest(f, root, b)
+      val c = readManifest(spark, f, root, b)
       val sized = c.files.map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
       val smallSet = sized.filter(_._2 < targetBytes / 2).map(_._1).toSet
       if (smallSet.size < 2) return b // nothing worth packing
@@ -1367,7 +1560,7 @@ object VersionedTable {
       val carrySet = carry.toSet
       val (dvK, dvR) = c.dvFor(carrySet) // packed files materialized their DVs
       val v = b + 1L
-      val body = manifestJson(v, carry ++ rel,
+      val (body, ckptDir) = encodeCommit(spark, root, v, carry ++ rel,
         c.schema.map(_.json).getOrElse(packed.schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
         c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
@@ -1376,6 +1569,7 @@ object VersionedTable {
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true)
+        ckptDir.foreach(d => f.delete(d, true))
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt compact commit races in a row; giving up")
@@ -1407,17 +1601,18 @@ object VersionedTable {
     while (committed < 0) {
       val bse = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
-      val c = readManifest(f, root, bse)
+      val c = readManifest(spark, f, root, bse)
       val placed = TableIO.zPlaced(dataFrameFor(spark, root, c, c.files), cols, bits)
       val (dir, rel) = stage(placed, root, f)
       val (st, rw) = metaFor(spark, root, rel, cols)
       val v = bse + 1L
-      val body = manifestJson(v, rel,
+      val (body, ckptDir) = encodeCommit(spark, root, v, rel,
         c.schema.map(_.json).getOrElse(placed.schema.json), st, rw, c.txn,
         parent = Some(c))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true)
+        ckptDir.foreach(d => f.delete(d, true))
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt zorder commit races in a row; giving up")
@@ -1524,7 +1719,7 @@ object VersionedTable {
     val root = new Path(path)
     val f = fs(spark, root)
     versions(spark, path).map { v =>
-      val c = readManifest(f, root, v)
+      val c = readManifest(spark, f, root, v)
       val dvDeleted = c.files.map(fk => c.dvRows.getOrElse(fk, 0L)).sum
       val rows =
         if (c.files.isEmpty) Some(0L)
@@ -1571,13 +1766,13 @@ object VersionedTable {
     // chains stop there, since chains step one version at a time.
     keep.headOption.filter(_ => drop.nonEmpty).foreach { mk =>
       if (chainAnchor(f, root, mk) < mk) {
-        val c = readManifest(f, root, mk)
+        val c = readManifest(spark, f, root, mk)
         // SAME logical commit re-encoded: preserve the original commit ts
         // (legacy manifests: preserve the file's mtime as the ts) so
         // TIMESTAMP AS OF resolves identically across the vacuum
         val origTs = if (c.ts > 0L) c.ts
           else f.getFileStatus(manifest(root, mk)).getModificationTime
-        val body = manifestJson(mk, c.files,
+        val (body, _) = encodeCommit(spark, root, mk, c.files,
           c.schema.map(_.json).getOrElse("null"),
           c.stats, c.rows, c.txn, c.dv, c.dvRows, // no parent → full form
           colMap = c.colMap, physDropped = c.physDropped, ts = origTs)
@@ -1599,7 +1794,7 @@ object VersionedTable {
     }
     val live: Set[String] =
       keep.flatMap { v =>
-        val c = readManifest(f, root, v)
+        val c = readManifest(spark, f, root, v)
         c.files ++ c.dv // DV sidecars are live exactly like data files
       }.toSet
     val liveDirs: Set[String] = live.map(_.takeWhile(_ != '/'))
@@ -1610,11 +1805,17 @@ object VersionedTable {
     // list — its manifest still goes, and its files fall to the orphan
     // sweep rather than breaking this vacuum forever.
     val dropFiles = drop.flatMap(v =>
-      scala.util.Try(readManifest(f, root, v)).toOption.toSeq
+      scala.util.Try(readManifest(spark, f, root, v)).toOption.toSeq
         .flatMap(c => c.files ++ c.dv))
+    // checkpoint parquet dirs referenced only by dropped manifests die with
+    // them (kept chains never descend past the re-anchored oldest keep)
+    val dropCkpts = drop.flatMap(v =>
+      scala.util.Try(parseManifest(f, root, v)).toOption
+        .flatMap(n => Option(n.get("ckpt")).map(_.asText())))
     // all manifests first: a crash between manifest and data deletion must
     // not leave a committed version whose data is gone
     drop.foreach(v => f.delete(manifest(root, v), false))
+    dropCkpts.foreach(rel => f.delete(new Path(root, rel), true))
     dropFiles.filterNot(live).foreach { r =>
       f.delete(new Path(root, r), false)
       droppedDirs += r.takeWhile(_ != '/')
@@ -1633,6 +1834,19 @@ object VersionedTable {
         n.startsWith(".commit-") && n.endsWith(".tmp")
       if (st.getModificationTime < cutoff &&
         ((st.isDirectory && versioned && !liveDirs.contains(n)) || staleStage))
+        f.delete(st.getPath, st.isDirectory)
+    }
+    // orphaned checkpoint dirs (writers that died between ckpt write and
+    // manifest CAS) and stale head-pointer tmps, under the same cutoff
+    val keptCkpts: Set[String] = keep.flatMap(v =>
+      scala.util.Try(parseManifest(f, root, v)).toOption
+        .flatMap(n => Option(n.get("ckpt")).map(_.asText()))).toSet
+    f.listStatus(new Path(root, LogDir)).foreach { st =>
+      val n = st.getPath.getName
+      val orphanCkpt = st.isDirectory && n.startsWith("ckpt-") &&
+        !keptCkpts.contains(s"$LogDir/$n")
+      val staleHead = !st.isDirectory && n.startsWith(".head-") && n.endsWith(".tmp")
+      if (st.getModificationTime < cutoff && (orphanCkpt || staleHead))
         f.delete(st.getPath, st.isDirectory)
     }
   }

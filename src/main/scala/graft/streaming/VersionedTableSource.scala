@@ -28,11 +28,23 @@ import graft.sources.VersionedTable
   * empty batch. Use [[graft.sources.VersionedTable.changes]] for a
   * row-level diff instead.
   *
+  * RATE CONTROL (Delta's maxFilesPerTrigger / backfill-throttle parity):
+  * without it, a query restarting after a long gap receives EVERYTHING
+  * between its checkpoint and the head as ONE micro-batch — at 100 TB that
+  * is an unbounded unit of work and an unbounded state-store update.
+  * `maxVersionsPerTrigger` caps how many commits a batch may span;
+  * `maxFilesPerTrigger` caps the cumulative appended files per batch
+  * (always admitting at least one version, so progress is guaranteed).
+  * Offsets stay exact version numbers, so throttled batches replay
+  * deterministically across restarts — exactly-once is unaffected.
+  *
   * Usage:
   * {{{
   *   spark.readStream.format("graft-table")          // or the class name
   *     .option("startingVersion", "0")               // default: from genesis
   *     .option("ignoreChanges", "false")
+  *     .option("maxVersionsPerTrigger", "10")        // default: unbounded
+  *     .option("maxFilesPerTrigger", "1000")         // default: unbounded
   *     .load(tablePath)
   * }}}
   */
@@ -59,22 +71,63 @@ class VersionedTableSourceProvider extends StreamSourceProvider with DataSourceR
       sqlContext.sparkSession,
       tablePath(parameters),
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong))
 }
 
 private[streaming] class VersionedTableSource(
     spark: SparkSession,
     path: String,
     startingVersion: Long,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None) extends Source {
+
+  require(maxVersionsPerTrigger.forall(_ >= 1L), "maxVersionsPerTrigger must be >= 1")
+  require(maxFilesPerTrigger.forall(_ >= 1L), "maxFilesPerTrigger must be >= 1")
 
   // pinned at source creation: a streaming query's schema cannot drift
   // mid-run (evolve the table → restart the query, as with Delta)
   override val schema: StructType = VersionedTable.read(spark, path).schema
 
-  override def getOffset: Option[Offset] =
-    VersionedTable.latestVersion(spark, path)
-      .filter(_ >= startingVersion).map(LongOffset(_))
+  /** Highest version already handed out as a batch END this run — the
+    * throttle's anchor. After a checkpoint restart the engine replays the
+    * pending batch through getBatch first, which re-seeds this; until then
+    * the starting version anchors. */
+  private var lastEnd: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
+    val latest = VersionedTable.latestVersion(spark, path).filter(_ >= startingVersion)
+    latest.map { lv =>
+      val from = lastEnd.getOrElse(math.max(0L, startingVersion - 1L))
+      if (lv <= from) LongOffset(lv) // fully caught up: no new batch
+      else {
+        var end = maxVersionsPerTrigger.fold(lv)(mv => math.min(lv, from + mv))
+        maxFilesPerTrigger.foreach { mf =>
+          // walk the backlog accumulating each version's APPENDED file
+          // count; stop before the budget bursts but always take one
+          var prev: Set[String] =
+            if (from <= 0L) Set.empty
+            else VersionedTable.filesOf(spark, path, from).toSet
+          var chosen = from
+          var cum = 0L
+          var v = from + 1L
+          while (v <= end && (chosen == from || cum < mf)) {
+            val cur = VersionedTable.filesOf(spark, path, v)
+            val added = cur.count(fk => !prev(fk))
+            if (chosen == from || cum + added <= mf) { chosen = v; cum += added }
+            else cum = mf // budget burst: stop the walk
+            prev = cur.toSet
+            v += 1L
+          }
+          end = chosen
+        }
+        lastEnd = Some(end)
+        LongOffset(end)
+      }
+    }
+  }
 
   /** Offsets arrive as LongOffset in-run but as SerializedOffset (raw JSON)
     * after a checkpoint restart — parse the JSON form uniformly. */
@@ -83,6 +136,7 @@ private[streaming] class VersionedTableSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(version).getOrElse(math.max(0L, startingVersion - 1L))
     val toV = version(end)
+    lastEnd = Some(lastEnd.fold(toV)(math.max(_, toV))) // re-seed after restart
     val fromFiles =
       if (fromV <= 0L) Set.empty[String]
       else VersionedTable.filesOf(spark, path, fromV).toSet

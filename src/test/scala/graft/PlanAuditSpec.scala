@@ -181,6 +181,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_bottlenecks: exact percentiles via rank method — no group-buffering aggregate") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_bottlenecks")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the point of the rewrite: no percentile_cont ObjectAggregate holding
+    // a whole group's values in executor memory — sort-based window (which
+    // spills) + plain hash aggregate instead
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    // and the rank method IS percentile_cont: same rows as the buffering
+    // aggregate on the same input
+    import graft.queries.EventKpis
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val reference = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("duration_us", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .filter(col("next_ts").isNotNull && col("duration_us") >= 0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("stage_hops"),
+        sum(col("duration_us")).as("total_us"),
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY duration_us)"), 1).as("p50_us"),
+        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY duration_us)"), 1).as("p90_us"),
+        max(col("duration_us")).as("max_us"))
+      .withColumn("avg_us", col("total_us").cast("double") / col("stage_hops"))
+    assert(df.exceptAll(reference).count() == 0 && reference.exceptAll(df).count() == 0)
+  }
+
   test("IVF centroid assignment is narrow: no exchange, window, or explode") {
     import org.apache.spark.sql.functions._
     import graft.queries.SimilarityQueries

@@ -406,6 +406,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.countRows(spark, path).contains(946L))
   }
 
+  test("automatic DV purge: past-threshold files materialize, anti-join disappears") {
+    val path = java.nio.file.Files.createTempDirectory("dvpurge").toString + "/t"
+    rangeTable(path) // 1000 rows, 4 files of 250
+    val v1Files = filesOf(path)
+    // 150/250 = 60% of one file > DefaultDvPurgeFraction: the marks must
+    // NOT land — that file rewrites to its 100 survivors in the same commit
+    VersionedTable.deleteVectorized(spark, path, col("id") < 150)
+    assert(VersionedTable.read(spark, path).count() == 850)
+    assert(VersionedTable.countRows(spark, path).contains(850L))
+    val h2 = VersionedTable.history(spark, path).orderBy(col("version").desc).first()
+    assert(h2.getLong(4) == 0L, "auto-purge must leave zero deletion-vector marks")
+    assert((filesOf(path) intersect v1Files).size == 3, "only the hot file rewrites")
+    assert(!VersionedTable.read(spark, path).queryExecution.executedPlan.toString
+      .contains("LeftAnti"), "purged table must read as a plain scan")
+    // BELOW-threshold marks still take the merge-on-read path
+    VersionedTable.deleteVectorized(spark, path, col("id") === 500L)
+    val v2Files = filesOf(path)
+    val h3 = VersionedTable.history(spark, path).orderBy(col("version").desc).first()
+    assert(h3.getLong(4) == 1L)
+    assert(VersionedTable.read(spark, path).count() == 849)
+    // explicit maintenance purge materializes whatever accumulated
+    VersionedTable.purgeDeletes(spark, path)
+    val h4 = VersionedTable.history(spark, path).orderBy(col("version").desc).first()
+    assert(h4.getLong(4) == 0L)
+    assert(VersionedTable.read(spark, path).count() == 849)
+    assert(VersionedTable.countRows(spark, path).contains(849L))
+    assert(!VersionedTable.read(spark, path).queryExecution.executedPlan.toString
+      .contains("LeftAnti"))
+    assert((filesOf(path) intersect v2Files).size == 3, "purge rewrites only marked files")
+    // opt-out: purgeFraction=1.0 keeps even heavy deletes merge-on-read
+    VersionedTable.deleteVectorized(spark, path, col("id") >= 800, purgeFraction = 1.0)
+    val h5 = VersionedTable.history(spark, path).orderBy(col("version").desc).first()
+    assert(h5.getLong(4) == 200L, h5.toString)
+    assert(VersionedTable.read(spark, path).count() == 649)
+  }
+
   test("deletion-vector sidecars survive vacuum while their version is live") {
     val path = java.nio.file.Files.createTempDirectory("dvv").toString + "/t"
     rangeTable(path)
@@ -640,6 +676,48 @@ class VersionedTableSpec extends SparkSpec {
         s"version $v shifted across vacuum re-anchor") }
     // instants before the oldest kept commit no longer resolve
     assert(VersionedTable.versionAt(spark, path, marks.head._2 - 10000L).isEmpty)
+  }
+
+  test("parquet checkpoint manifests: big file lists never ride as one JSON blob") {
+    val path = java.nio.file.Files.createTempDirectory("ckptpq").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      (1 to 12).foreach(i =>
+        VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), path, Seq("id")))
+      // v10 is a checkpoint with 10 files > threshold: its manifest must
+      // reference a parquet dir and carry NO inline file list
+      val m10 = new org.apache.hadoop.fs.Path(root, "_graft_log/00000010.json")
+      val len = f.getFileStatus(m10).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = f.open(m10); try in.readFully(bytes) finally in.close()
+      val json10 = new String(bytes, "UTF-8")
+      assert(json10.contains("\"ckpt\""), "checkpoint must be parquet-backed")
+      assert(!json10.contains("\"files\""), "no inline file list at a parquet checkpoint")
+      assert(!json10.contains("\"stats\""), "no inline stats blob at a parquet checkpoint")
+      assert(f.listStatus(new org.apache.hadoop.fs.Path(root, "_graft_log"))
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("ckpt-00000010")))
+      // the full read path resolves through the parquet checkpoint: reads,
+      // metadata count, stats pruning, and time travel to the ckpt itself
+      assert(VersionedTable.read(spark, path).count() == 12)
+      assert(VersionedTable.countRows(spark, path).contains(12L))
+      val (kept, skipped) = VersionedTable.pruneInfo(spark, path, col("id") === 5)
+      assert(kept.size == 1 && skipped.size == 11,
+        s"stats must survive the parquet round-trip: ${kept.size}/${skipped.size}")
+      assert(VersionedTable.readWhere(spark, path, col("id") === 5).count() == 1)
+      assert(VersionedTable.read(spark, path, Some(10L)).count() == 10)
+      // vacuum: dropped versions' ckpt dirs die; the re-anchored oldest
+      // keep (v11, 11 files > threshold) gets its own parquet checkpoint
+      VersionedTable.vacuum(spark, path, keepLast = 2, orphanRetentionMs = 0L)
+      assert(VersionedTable.read(spark, path).count() == 12)
+      assert(VersionedTable.read(spark, path, Some(11L)).count() == 11)
+      val ckpts = f.listStatus(new org.apache.hadoop.fs.Path(root, "_graft_log"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("ckpt-"))
+      assert(ckpts.nonEmpty && ckpts.forall(_.getPath.getName.startsWith("ckpt-00000011")),
+        s"only the re-anchored keep's ckpt survives: ${ckpts.map(_.getPath.getName).mkString(",")}")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
   test("minMaxFromStats: exact metadata extrema; DV marks and stat gaps disable it") {

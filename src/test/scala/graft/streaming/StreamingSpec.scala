@@ -274,7 +274,9 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(1 -> "a", 2 -> "b", 3 -> "c"), got.toString)
       assert(spark.table("vt_src").count() == 3, "no duplicates across batches")
       // a deletion-vector commit adds no files → empty batch, no failure
-      VersionedTable.deleteVectorized(spark, table, col("id") === 1)
+      // (purgeFraction=1.0: this must stay a pure mark commit even though
+      // the marked row is a large fraction of its tiny file)
+      VersionedTable.deleteVectorized(spark, table, col("id") === 1, purgeFraction = 1.0)
       q.processAllAvailable()
       assert(spark.table("vt_src").count() == 3)
     } finally q.stop()
@@ -375,5 +377,46 @@ class StreamingSpec extends SparkSpec {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  test("source rate control: backlog drains in bounded batches, exactly-once") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val bronze = Files.createTempDirectory("rc-b").toString + "/t"
+    val ckpt = Files.createTempDirectory("rc-ckpt").toString
+    // 10-commit backlog, one file per commit
+    (1 to 10).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), bronze))
+    def reader = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", "3").load(bronze)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    def collectBatch(df: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
+      val ids = df.select("id").as[Int].collect().toSeq
+      seen.synchronized { if (ids.nonEmpty) seen += ids }
+    }
+    // ONE trigger processes only the first 3 versions, not the whole backlog
+    val q1 = reader.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(collectBatch _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    assert(seen.toSeq == Seq(Seq(1, 2, 3)),
+      s"a throttled trigger must take exactly maxVersionsPerTrigger commits: $seen")
+    // MID-DRAIN RESTART from the checkpoint: the rest arrives in bounded
+    // batches, no replay of versions 1..3, no loss
+    val q2 = reader.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(collectBatch _).start()
+    try q2.processAllAvailable() finally q2.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    assert(seen.flatten.sorted == (1 to 10), s"no dup, no loss across restart: $seen")
+    assert(seen.forall(_.size <= 3), s"every batch bounded by the throttle: $seen")
+    assert(seen.size >= 4, s"10 versions at <=3/trigger need >=4 batches: $seen")
+    // maxFilesPerTrigger: same backlog, file-budgeted batches of <= 2
+    val q3 = spark.readStream.format("graft-table")
+      .option("maxFilesPerTrigger", "2").load(bronze)
+      .writeStream.format("memory").queryName("rc_out3").start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.table("rc_out3").select("id").as[Int].collect().toSet == (1 to 10).toSet)
+    val fsizes = q3.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(fsizes.nonEmpty && fsizes.forall(_ <= 2L), fsizes.mkString(","))
   }
 }
