@@ -273,23 +273,27 @@ object VersionedTable {
       node = parseManifest(f, root, node.get("base").asLong())
     }
     var c = parseFull(spark, f, root, node)
-    deltas.foreach { d =>
-      val removed = strArr(d, "files_remove").toSet
-      val added = strArr(d, "files_add")
-      c = Commit(
-        c.files.filterNot(removed) ++ added,
-        schemaOf(d),
-        c.stats.filter(kv => !removed(kv._1)) ++ Option(d.get("stats_add"))
-          .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats),
-        c.rows.filter(kv => !removed(kv._1)) ++ longMap(d, "rows_add"),
-        longMap(d, "txn"),
-        strArr(d, "dv"),
-        longMap(d, "dv_rows"),
-        strMap(d, "colmap"),
-        strArr(d, "phys_dropped").toSet,
-        tsOf(d))
-    }
+    deltas.foreach(d => c = applyDelta(c, d))
     c
+  }
+
+  /** Replay one delta manifest on top of its parent's resolved commit. */
+  private def applyDelta(c: Commit,
+      d: com.fasterxml.jackson.databind.JsonNode): Commit = {
+    val removed = strArr(d, "files_remove").toSet
+    val added = strArr(d, "files_add")
+    Commit(
+      c.files.filterNot(removed) ++ added,
+      schemaOf(d),
+      c.stats.filter(kv => !removed(kv._1)) ++ Option(d.get("stats_add"))
+        .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats),
+      c.rows.filter(kv => !removed(kv._1)) ++ longMap(d, "rows_add"),
+      longMap(d, "txn"),
+      strArr(d, "dv"),
+      longMap(d, "dv_rows"),
+      strMap(d, "colmap"),
+      strArr(d, "phys_dropped").toSet,
+      tsOf(d))
   }
 
   private def parseFull(spark: SparkSession, f: FileSystem, root: Path,
@@ -1718,8 +1722,21 @@ object VersionedTable {
     import spark.implicits._
     val root = new Path(path)
     val f = fs(spark, root)
+    // SINGLE PASS over the log: each version resolves by replaying its
+    // delta onto the PREVIOUS version's already-resolved commit (deltas
+    // chain strictly to v-1; the oldest kept version is always full after
+    // a vacuum re-anchor). Per-version chain walks would read each
+    // checkpoint up to CheckpointEvery times — O(V·chain) vs this O(V).
+    var cur: Option[(Long, Commit)] = None
     versions(spark, path).map { v =>
-      val c = readManifest(spark, f, root, v)
+      val node = parseManifest(f, root, v)
+      val c = cur match {
+        case Some((pv, pc)) if node.has("base") && node.get("base").asLong() == pv =>
+          applyDelta(pc, node)
+        case _ if node.has("base") => readManifest(spark, f, root, v) // gap: chain walk
+        case _ => parseFull(spark, f, root, node)
+      }
+      cur = Some((v, c))
       val dvDeleted = c.files.map(fk => c.dvRows.getOrElse(fk, 0L)).sum
       val rows =
         if (c.files.isEmpty) Some(0L)

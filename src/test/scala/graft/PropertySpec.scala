@@ -129,6 +129,102 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: random DDL/write sequences ≡ model (column-mapping soundness)") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // a table driven by a random interleaving of ADD/DROP COLUMN, append,
+    // upsert, and DELETE must match a driver-side model at every step —
+    // in particular a re-ADD of a dropped name must read null everywhere
+    // the model says null (the resurrection bug class), and every recorded
+    // version must time-travel to its own snapshot under its own mapping
+    val pool = Seq(("x", IntegerType), ("y", StringType), ("a", IntegerType))
+    samples(Gen.chooseNum(0L, 10000L), 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val path = java.nio.file.Files.createTempDirectory("ddlprop").toString + "/t"
+      var cols = Vector[(String, DataType)](("id", LongType), ("a", IntegerType))
+      var rows = Map.empty[Long, Map[String, Any]]
+      var nextId = 0L
+      def freshRow(step: Int): (Long, Map[String, Any]) = {
+        val id = nextId; nextId += 1
+        id -> (cols.map {
+          case ("id", _) => "id" -> id
+          case (n, IntegerType) => n -> (id + step).toInt
+          case (n, _) => n -> s"$n-$id-$step"
+        }.toMap)
+      }
+      def toDf(rs: Seq[Map[String, Any]]) = spark.createDataFrame(
+        rs.map(m => org.apache.spark.sql.Row.fromSeq(
+          cols.map { case (n, _) => m.getOrElse(n, null) })).asJava,
+        StructType(cols.map { case (n, t) => StructField(n, t, nullable = true) }))
+      def check(label: String): Unit = {
+        val got = VersionedTable.read(spark, path).collect().map { r =>
+          cols.indices.map(i => if (r.isNullAt(i)) null else r.get(i)).toVector
+        }.sortBy(_.head.asInstanceOf[Long]).toSeq
+        val want = rows.toSeq.sortBy(_._1).map { case (_, m) =>
+          cols.map { case (n, _) => m.getOrElse(n, null) }.toVector }
+        assert(got == want, s"seed=$seed at $label:\n got=$got\nwant=$want")
+        assert(VersionedTable.countRows(spark, path).contains(rows.size.toLong),
+          s"seed=$seed at $label: countRows")
+      }
+      val init = (0 until 8).map(_ => freshRow(0))
+      rows = init.toMap
+      VersionedTable.write(toDf(init.map(_._2)), path)
+      var snapshots = Vector((1L, cols, rows))
+      (1 to 10).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 => // ADD a pool column not currently live (fresh-binds if dropped before)
+            pool.filter(p => !cols.exists(_._1 == p._1)) match {
+              case Seq() => ()
+              case cands =>
+                val (n, t) = cands(rnd.nextInt(cands.size))
+                VersionedTable.addColumns(spark, path, Seq(StructField(n, t)))
+                cols = cols :+ (n -> t)
+            }
+          case 1 => // DROP a non-key column
+            cols.map(_._1).filter(_ != "id") match {
+              case Seq() => ()
+              case cands =>
+                val n = cands(rnd.nextInt(cands.size))
+                VersionedTable.dropColumns(spark, path, Seq(n))
+                cols = cols.filterNot(_._1 == n)
+                rows = rows.map { case (k, m) => k -> (m - n) }
+            }
+          case 2 => // append fresh rows
+            val batch = (0 until 3).map(_ => freshRow(step))
+            VersionedTable.append(toDf(batch.map(_._2)), path)
+            rows = rows ++ batch
+          case 3 => // upsert: touch some existing + some new keys
+            val existing = rows.keys.toSeq.sorted.take(2)
+              .map(id => id -> (cols.map {
+                case ("id", _) => "id" -> id
+                case (n, IntegerType) => n -> (id + step).toInt
+                case (n, _) => n -> s"$n-$id-$step"
+              }.toMap))
+            val fresh = (0 until 2).map(_ => freshRow(step))
+            val batch = existing ++ fresh
+            VersionedTable.upsert(toDf(batch.map(_._2)), path, Seq("id"))
+            rows = rows ++ batch
+          case 4 => // DELETE a key band
+            val k = 2 + rnd.nextInt(3)
+            VersionedTable.delete(spark, path, col("id") % k === 0)
+            rows = rows.filter { case (id, _) => id % k != 0 }
+        }
+        check(s"step $step")
+        snapshots = snapshots :+ ((VersionedTable.latestVersion(spark, path).get, cols, rows))
+      }
+      // every recorded version time-travels to ITS snapshot under ITS schema
+      snapshots.takeRight(4).foreach { case (v, vCols, vRows) =>
+        val got = VersionedTable.read(spark, path, Some(v)).collect().map { r =>
+          vCols.indices.map(i => if (r.isNullAt(i)) null else r.get(i)).toVector
+        }.sortBy(_.head.asInstanceOf[Long]).toSeq
+        val want = vRows.toSeq.sortBy(_._1).map { case (_, m) =>
+          vCols.map { case (n, _) => m.getOrElse(n, null) }.toVector }
+        assert(got == want, s"seed=$seed time travel to v$v")
+      }
+    }
+  }
+
   test("property: dedupe is idempotent and keeps exactly one row per event_id") {
     samples(Gen.chooseNum(1, 4), 3).foreach { copies =>
       val lines = (1 to copies).flatMap(_ =>
