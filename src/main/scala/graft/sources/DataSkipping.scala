@@ -224,14 +224,18 @@ object DataSkipping {
   // Manifest (de)serialization
   // ------------------------------------------------------------------
 
+  /** Shared, thread-safe after construction; a fresh ObjectMapper per
+    * checkpoint ROW would make a million-file checkpoint driver-CPU-bound
+    * on mapper construction alone. */
+  private val sharedMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** One FILE's column-stat map as a JSON object string — the unit a
     * parquet checkpoint manifest stores per row (one row per file), so a
     * million-file checkpoint never serializes as one monolithic string. */
   def colsToJson(cols: Map[String, ColStat]): String = {
     def v(a: Any): String = a match {
       case d: BigDecimal => d.bigDecimal.toPlainString
-      case s: String =>
-        new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+      case s: String => sharedMapper.writeValueAsString(s)
       case other => other.toString
     }
     cols.toSeq.sortBy(_._1).map { case (c, st) =>
@@ -255,7 +259,7 @@ object DataSkipping {
   }
 
   def colsFromJson(s: String): Map[String, ColStat] =
-    colsFromJson(new com.fasterxml.jackson.databind.ObjectMapper().readTree(s))
+    colsFromJson(sharedMapper.readTree(s))
 
   def toJson(stats: FileStats): String =
     stats.toSeq.sortBy(_._1).map { case (file, cols) =>

@@ -148,6 +148,22 @@ object VersionedTable {
       new String(bytes, "UTF-8").trim.toLong
     }.toOption
 
+  /** Atomic REPLACE of `dest` with `tmp` (readers see old or new content,
+    * never partial): nio ATOMIC_MOVE on the local filesystem, FileContext
+    * rename(OVERWRITE) elsewhere. Shared by the head pointer and vacuum's
+    * re-anchor. */
+  private def atomicReplace(f: FileSystem, root: Path, tmp: Path, dest: Path): Unit =
+    if ("file" == Option(root.toUri.getScheme).getOrElse("file"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
+      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
   /** Advance the head pointer to `v` (best-effort: commit durability comes
     * from the manifest CAS, not from this; any failure just leaves later
     * readers a longer probe-forward or the listing fallback). Written via
@@ -158,17 +174,7 @@ object VersionedTable {
         s"$LogDir/.head-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      val dest = headPtr(root)
-      if ("file" == Option(root.toUri.getScheme).getOrElse("file"))
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(dest.toUri.getPath),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      else {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
-        fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      }
+      atomicReplace(f, root, tmp, headPtr(root))
     }
 
   /** One committed version: root-relative data files, the schema they are
@@ -416,15 +422,18 @@ object VersionedTable {
       parent: Option[Commit] = None, forceFull: Boolean = false,
       colMap: Map[String, String] = Map.empty,
       physDropped: Set[String] = Set.empty,
-      ts: Long = 0L): (String, Option[Path]) =
-    if (!deltaEligible(v, files, stats, rows, parent, forceFull) &&
-        files.size > CkptInlineMaxFiles) {
+      ts: Long = 0L): (String, Option[Path]) = {
+    // the O(files) carried-stats comparison runs ONCE; manifestJson takes
+    // the decision, it does not re-derive it
+    val isDelta = deltaEligible(v, files, stats, rows, parent, forceFull)
+    if (!isDelta && files.size > CkptInlineMaxFiles) {
       val (rel, dir) = writeCkpt(spark, root, v, files, stats, rows)
       (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
-        parent, forceFull, colMap, physDropped, ts, ckptRef = Some(rel)), Some(dir))
+        parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel)), Some(dir))
     } else
       (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
-        parent, forceFull, colMap, physDropped, ts), None)
+        parent, isDelta, colMap, physDropped, ts), None)
+  }
 
   /** Encode a commit: FULL at checkpoints (and when forced, when there is
     * no parent, or when a carried file's stats/rows changed — e.g. DROP
@@ -437,7 +446,7 @@ object VersionedTable {
       stats: DataSkipping.FileStats, rows: Map[String, Long],
       txn: Map[String, Long], dv: Seq[String] = Seq.empty,
       dvRows: Map[String, Long] = Map.empty,
-      parent: Option[Commit] = None, forceFull: Boolean = false,
+      parent: Option[Commit] = None, isDelta: Boolean = false,
       colMap: Map[String, String] = Map.empty,
       physDropped: Set[String] = Set.empty,
       ts: Long = 0L,
@@ -468,7 +477,7 @@ object VersionedTable {
           if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
         s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$commonTail}"""
     }
-    if (deltaEligible(v, files, stats, rows, parent, forceFull)) {
+    if (isDelta) {
       val p = parent.get
       val pSet = p.files.toSet
       val added = files.filterNot(pSet)
@@ -717,9 +726,24 @@ object VersionedTable {
   def versionAt(spark: SparkSession, path: String, tsMillis: Long): Option[Long] = {
     val root = new Path(path)
     val f = fs(spark, root)
-    versions(spark, path)
-      .filter(v => commitTime(f, root, v) <= tsMillis)
-      .lastOption
+    val vs = versions(spark, path).toIndexedSeq
+    if (vs.isEmpty) return None
+    // BINARY SEARCH over the (version-ordered, ts-non-decreasing) log:
+    // O(log V) small manifest parses instead of parsing every manifest —
+    // at 10⁵-10⁶ commits a linear scan reads the whole log's bytes on the
+    // driver per query. Commit stamps come from one wall clock per writer;
+    // cross-writer skew can locally perturb the order — the same caveat
+    // Delta documents for timestamp time travel (it adjusts commits to be
+    // monotonic; we accept the filesystem-granularity answer).
+    var lo = 0
+    var hi = vs.size - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTime(f, root, vs(mid)) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0) None else Some(vs(ans))
   }
 
   private def commitTime(f: FileSystem, root: Path, v: Long): Long = {
@@ -806,6 +830,16 @@ object VersionedTable {
   def filesOf(spark: SparkSession, path: String, v: Long): Seq[String] = {
     val (_, _, c) = commitFor(spark, path, Some(v))
     c.files
+  }
+
+  /** A version's logical→physical column mapping (empty = identity). The
+    * streaming source needs it to read appended files with their PHYSICAL
+    * schema — binding the pinned logical schema directly against
+    * column-mapped files would stream every mapped column as null. */
+  private[graft] def columnMappingOf(spark: SparkSession, path: String,
+      v: Long): Map[String, String] = {
+    val (_, _, c) = commitFor(spark, path, Some(v))
+    c.colMap
   }
 
   private def commitFor(spark: SparkSession, path: String,
@@ -1796,17 +1830,7 @@ object VersionedTable {
         val tmp = new Path(root, s".anchor-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
         val out = f.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()
-        val dest = manifest(root, mk)
-        if ("file" == Option(root.toUri.getScheme).getOrElse("file")) {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp.toUri.getPath),
-            java.nio.file.Paths.get(dest.toUri.getPath),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        } else {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, f.getConf)
-          fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        }
+        atomicReplace(f, root, tmp, manifest(root, mk))
       }
     }
     val live: Set[String] =

@@ -92,10 +92,31 @@ private[streaming] class VersionedTableSource(
   override val schema: StructType = VersionedTable.read(spark, path).schema
 
   /** Highest version already handed out as a batch END this run — the
-    * throttle's anchor. After a checkpoint restart the engine replays the
-    * pending batch through getBatch first, which re-seeds this; until then
-    * the starting version anchors. */
+    * throttle's anchor. RECOVERED on restart through BOTH engine paths:
+    * the uncommitted-replay AND the committed cases call getBatch before
+    * the first getOffset (MicroBatchExecution's populateStartOffsets
+    * replays the previous batch precisely so sources can re-seed state),
+    * and commit() re-seeds it again when the engine acknowledges a batch.
+    * Without recovery, a post-drain restart would hand out an offset
+    * BELOW the committed one — a permanent non-append-refusal wedge. */
   private var lastEnd: Option[Long] = None
+
+  private def seedLastEnd(v: Long): Unit =
+    lastEnd = Some(lastEnd.fold(v)(math.max(_, v)))
+
+  /** Per-version file lists are immutable once committed — memoize the
+    * few the throttle walk and getBatch revisit, so a walk over the
+    * backlog doesn't re-resolve the same manifest chains every trigger. */
+  private val fileCache = new java.util.LinkedHashMap[Long, Seq[String]](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Long, Seq[String]]): Boolean =
+      size > 4
+  }
+  private def filesAt(v: Long): Seq[String] =
+    Option(fileCache.get(v)).getOrElse {
+      val fs = VersionedTable.filesOf(spark, path, v)
+      fileCache.put(v, fs)
+      fs
+    }
 
   override def getOffset: Option[Offset] = {
     val latest = VersionedTable.latestVersion(spark, path).filter(_ >= startingVersion)
@@ -108,13 +129,12 @@ private[streaming] class VersionedTableSource(
           // walk the backlog accumulating each version's APPENDED file
           // count; stop before the budget bursts but always take one
           var prev: Set[String] =
-            if (from <= 0L) Set.empty
-            else VersionedTable.filesOf(spark, path, from).toSet
+            if (from <= 0L) Set.empty else filesAt(from).toSet
           var chosen = from
           var cum = 0L
           var v = from + 1L
           while (v <= end && (chosen == from || cum < mf)) {
-            val cur = VersionedTable.filesOf(spark, path, v)
+            val cur = filesAt(v)
             val added = cur.count(fk => !prev(fk))
             if (chosen == from || cum + added <= mf) { chosen = v; cum += added }
             else cum = mf // budget burst: stop the walk
@@ -123,7 +143,7 @@ private[streaming] class VersionedTableSource(
           }
           end = chosen
         }
-        lastEnd = Some(end)
+        seedLastEnd(end)
         LongOffset(end)
       }
     }
@@ -133,14 +153,16 @@ private[streaming] class VersionedTableSource(
     * after a checkpoint restart — parse the JSON form uniformly. */
   private def version(o: Offset): Long = o.json().trim.toLong
 
+  override def commit(end: Offset): Unit = seedLastEnd(version(end))
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(version).getOrElse(math.max(0L, startingVersion - 1L))
     val toV = version(end)
-    lastEnd = Some(lastEnd.fold(toV)(math.max(_, toV))) // re-seed after restart
+    seedLastEnd(toV) // re-seed after restart (committed AND replay paths)
     val fromFiles =
       if (fromV <= 0L) Set.empty[String]
-      else VersionedTable.filesOf(spark, path, fromV).toSet
-    val toFiles = VersionedTable.filesOf(spark, path, toV)
+      else filesAt(fromV).toSet
+    val toFiles = filesAt(toV)
     val removed = fromFiles -- toFiles
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
@@ -151,8 +173,20 @@ private[streaming] class VersionedTableSource(
           "whole, or consume VersionedTable.changes for a row-level diff.")
     val added = toFiles.filterNot(fromFiles)
     val root = new Path(path)
-    org.apache.spark.sql.graft.StreamingRelationShim.parquetBatch(
-      spark, schema, added.map(r => new Path(root, r).toString))
+    // COLUMN MAPPING: appended files store PHYSICAL names — bind them and
+    // alias back to the pinned logical schema, exactly like batch reads;
+    // binding logical names directly would stream mapped columns as null
+    val mapping = VersionedTable.columnMappingOf(spark, path, toV)
+    val physSchema =
+      if (mapping.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = mapping.getOrElse(f.name, f.name))))
+    val batch = org.apache.spark.sql.graft.StreamingRelationShim.parquetBatch(
+      spark, physSchema, added.map(r => new Path(root, r).toString))
+    if (mapping.isEmpty) batch
+    else batch.select(schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(mapping.getOrElse(f.name, f.name))
+        .as(f.name)).toSeq: _*)
   }
 
   override def stop(): Unit = ()

@@ -410,13 +410,48 @@ class StreamingSpec extends SparkSpec {
     assert(seen.flatten.sorted == (1 to 10), s"no dup, no loss across restart: $seen")
     assert(seen.forall(_.size <= 3), s"every batch bounded by the throttle: $seen")
     assert(seen.size >= 4, s"10 versions at <=3/trigger need >=4 batches: $seen")
+    // POST-DRAIN RESTART: the throttle anchor must recover from the
+    // engine's committed-batch replay, not reset below the committed
+    // offset (which would wedge every restart on a non-append refusal)
+    (11 to 13).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), bronze))
+    val q2b = reader.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(collectBatch _).start()
+    try q2b.processAllAvailable() finally q2b.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    assert(seen.flatten.sorted == (1 to 13),
+      s"post-drain restart must resume forward, never regress: $seen")
+    assert(seen.forall(_.size <= 3), seen.toString)
     // maxFilesPerTrigger: same backlog, file-budgeted batches of <= 2
     val q3 = spark.readStream.format("graft-table")
       .option("maxFilesPerTrigger", "2").load(bronze)
       .writeStream.format("memory").queryName("rc_out3").start()
     try q3.processAllAvailable() finally q3.stop()
-    assert(spark.table("rc_out3").select("id").as[Int].collect().toSet == (1 to 10).toSet)
+    assert(spark.table("rc_out3").select("id").as[Int].collect().toSet == (1 to 13).toSet)
     val fsizes = q3.recentProgress.map(_.numInputRows).filter(_ > 0)
     assert(fsizes.nonEmpty && fsizes.forall(_ <= 2L), fsizes.mkString(","))
+  }
+
+  test("streaming a column-mapped table: re-added columns stream real values") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    import spark.implicits._
+    val table = Files.createTempDirectory("cmsrc").toString + "/t"
+    VersionedTable.write(Seq((1L, 10)).toDF("id", "v").coalesce(1), table)
+    VersionedTable.dropColumns(spark, table, Seq("v"))                        // v2
+    VersionedTable.addColumns(spark, table, Seq(StructField("v", IntegerType))) // v3
+    val startV = VersionedTable.latestVersion(spark, table).get
+    // appends after the re-add store the column under its FRESH physical
+    // name; the stream must surface the real values, not nulls
+    VersionedTable.append(Seq((2L, 20), (3L, 30)).toDF("id", "v"), table)     // v4
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", (startV + 1).toString).load(table)
+      .writeStream.format("memory").queryName("cm_src").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    val got = spark.table("cm_src").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got == Map(2L -> Some(20), 3L -> Some(30)),
+      s"column-mapped appends must stream real values: $got")
   }
 }
