@@ -403,8 +403,97 @@ object ExtQueries {
       |FROM part""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tpch_q7 — volume-shipping shape (TPC-H Q7): the two-sided nation
+  // predicate ((supp=A ∧ cust=B) ∨ (supp=B ∧ cust=A)) cannot push below
+  // the join as written, so each nation DIMENSION is pre-filtered to the
+  // pair members (the per-side implication of the disjunction) and only
+  // the cross-pair exclusion runs post-join — the fact scan joins two
+  // 2-row broadcast dims instead of 25-row ones, and at 100 TB the
+  // lineitem side is filtered by shipdate alone, never re-scanned per
+  // branch. Year extraction groups the revenue stream.
+  // --------------------------------------------------------------------------
+  private val Q7NationA = "NATION_19"
+  private val Q7NationB = "NATION_11"
+
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq(Q7NationA, Q7NationB)
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("2000-01-01 00:00:00").cast(TimestampType))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation")) // exclude (A,A)/(B,B)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val tpchQ7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE ((n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+       |    OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q19 — disjunctive-join shape (TPC-H Q19): an OR of three
+  // brand/size/quantity conjunctions over an equi-join. Written as the
+  // single filter the spec spells; Catalyst's one-sided-implication
+  // extraction (PredicateHelper.extractPredicatesWithinOutputSet) derives
+  // the OR of part-only conjuncts and the OR of quantity bands and pushes
+  // EACH below the join — so the part scan reads only pair-candidate
+  // rows and the join stays a hash join on p_partkey. The plan audit
+  // pins both pushdowns.
+  // --------------------------------------------------------------------------
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val b1 = col("p_brand") === "Brand#1" && col("p_type") === "SMALL" &&
+      col("l_quantity").between(1, 25) && col("p_size").between(1, 25)
+    val b2 = col("p_brand") === "Brand#2" && col("p_type") === "MEDIUM" &&
+      col("l_quantity").between(10, 35) && col("p_size").between(1, 30)
+    val b3 = col("p_brand") === "Brand#3" && col("p_type") === "LARGE" &&
+      col("l_quantity").between(20, 50) && col("p_size").between(1, 40)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val tpchQ19Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_type = 'SMALL'
+      |    AND l_quantity BETWEEN 1 AND 25 AND p_size BETWEEN 1 AND 25)
+      |   OR (p_brand = 'Brand#2' AND p_type = 'MEDIUM'
+      |    AND l_quantity BETWEEN 10 AND 35 AND p_size BETWEEN 1 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_type = 'LARGE'
+      |    AND l_quantity BETWEEN 20 AND 50 AND p_size BETWEEN 1 AND 40)""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q7"      -> (tpchQ7 _),
+    "q_tpch_q19"     -> (tpchQ19 _),
     "q_tpch_q3"      -> (tpchQ3 _),
     "q_tpch_q5"      -> (tpchQ5 _),
     "q_tpch_q17"     -> (tpchQ17 _),
@@ -420,6 +509,8 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q7"      -> tpchQ7Sql,
+    "q_tpch_q19"     -> tpchQ19Sql,
     "q_tpch_q3"      -> tpchQ3Sql,
     "q_tpch_q5"      -> tpchQ5Sql,
     "q_tpch_q17"     -> tpchQ17Sql,

@@ -181,6 +181,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q19: per-side ORs of the disjunctive predicate push below the hash join") {
+    val p = plan("q_tpch_q19")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the OR of part-only conjuncts reaches the part scan...
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("p_brand")), p)
+    // ...and the OR of quantity bands reaches the lineitem scan
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_quantity")), p)
+  }
+
+  test("q_tpch_q7: nation dims collapse to the pair members and broadcast") {
+    val p = plan("q_tpch_q7")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-side implication of the two-sided OR is applied BEFORE the
+    // join: both nation scans carry the pair-membership filter
+    assert(p.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("n_name")) >= 2, p)
+  }
+
   test("q_bottlenecks: exact percentiles via rank method — no group-buffering aggregate") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q_bottlenecks")(spark, sf0001)
