@@ -72,12 +72,32 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `"files"`) remain readable: the file list is resolved by listing and
   * their stats keys are remapped.
   *
-  * METADATA SCALING: manifests are DELTA-ENCODED between full checkpoints
-  * (every [[CheckpointEvery]] versions) — a commit serializes O(changed
-  * files) of metadata, not O(table files), the same action-log/checkpoint
-  * split as Delta's `_delta_log`. Readers resolve a delta chain of at most
-  * [[CheckpointEvery]] manifests; [[vacuum]] re-anchors the oldest kept
-  * version in full form before dropping its chain.
+  * METADATA SCALING (the full stack, each piece spec-pinned):
+  *  - manifests are DELTA-ENCODED between full checkpoints (every
+  *    [[CheckpointEvery]] versions) — a commit serializes O(changed files)
+  *    of metadata, not O(table files), the same action-log/checkpoint
+  *    split as Delta's `_delta_log`. Readers resolve a delta chain of at
+  *    most [[CheckpointEvery]] manifests; [[vacuum]] re-anchors the oldest
+  *    kept version in full form before dropping its chain.
+  *  - checkpoints above [[CkptInlineMaxFiles]] files ride a PARQUET dir
+  *    written and parsed by Spark executors (one row per file), so a
+  *    million-file checkpoint is never a ~100 MB JSON string built and
+  *    Jackson-parsed on the driver (Delta's multi-part checkpoint idiom).
+  *  - head discovery is O(1) via the `_graft_log/_head` pointer (Delta's
+  *    `_last_checkpoint` idiom) with probe-forward healing — no
+  *    per-operation listing of a log that can hold 10⁵-10⁶ manifests.
+  *  - TIMESTAMP AS OF binary-searches commit timestamps recorded INSIDE
+  *    manifests (stable across vacuum's re-anchor rewrite).
+  *  - schema DDL uses COLUMN MAPPING (logical→physical names +
+  *    tombstones), so DROP/re-ADD is metadata-only at any table size and
+  *    can never resurrect carried files' stale bytes.
+  *
+  * Known ceiling, deliberate: resolving a commit still materializes its
+  * file list (and, for stats-carrying tables, per-file bounds) on the
+  * driver — the same driver-plans-files model as Delta before distributed
+  * log replay; at 128 MB/file that is ~1M small entries per 100 TB, cheap
+  * to hold, and the expensive parts (serialization, parsing, footer
+  * reads) are already off the driver.
   */
 object VersionedTable {
 

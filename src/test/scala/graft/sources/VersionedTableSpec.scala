@@ -720,6 +720,40 @@ class VersionedTableSpec extends SparkSpec {
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
+  test("composition: pruning × deletion vectors × column mapping × time travel") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val path = java.nio.file.Files.createTempDirectory("compose").toString + "/t"
+    // v1: range-clustered with stats on k
+    VersionedTable.write(
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).cast("int").as("w"))
+        .repartitionByRange(4, col("k")), path, Seq("k"))
+    // v2: dv-mark a small band (below purge threshold)
+    VersionedTable.deleteVectorized(spark, path, col("k").between(100, 119))
+    // v3-v4: drop w, re-add as INT (fresh physical binding)
+    VersionedTable.dropColumns(spark, path, Seq("w"))
+    VersionedTable.addColumns(spark, path, Seq(StructField("w", IntegerType)))
+    // v5: append rows that DO carry w values, under the mapping
+    VersionedTable.append(
+      spark.range(2000, 2010).select(col("id").as("k"), lit(7).as("w")), path)
+    // pruned read composes all of it: file skipping still fires, marked
+    // rows stay deleted, carried files read w=null, appended rows read w=7
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, col("k") < 250)
+    assert(skipped.nonEmpty, "stats pruning must survive DDL + DV commits")
+    val got = VersionedTable.readWhere(spark, path, col("k") < 250)
+    assert(got.count() == 230) // 250 - 20 dv-marked
+    assert(got.filter(col("w").isNotNull).count() == 0)
+    val appended = VersionedTable.readWhere(spark, path, col("k") >= 2000)
+    assert(appended.count() == 10)
+    assert(appended.filter(col("w") === 7).count() == 10,
+      "appends through the mapping must serve real values")
+    // metadata count subtracts marks across the whole composition
+    assert(VersionedTable.countRows(spark, path).contains(1000L - 20L + 10L))
+    // time travel: v1 pre-everything (w = old values), v2 has the marks
+    val v1 = VersionedTable.read(spark, path, Some(1L))
+    assert(v1.count() == 1000 && v1.filter(col("w") === col("k") * 2).count() == 1000)
+    assert(VersionedTable.read(spark, path, Some(2L)).count() == 980)
+  }
+
   test("minMaxFromStats: exact metadata extrema; DV marks and stat gaps disable it") {
     val path = java.nio.file.Files.createTempDirectory("mmx").toString + "/t"
     rangeTable(path)
