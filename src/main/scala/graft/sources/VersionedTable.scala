@@ -92,12 +92,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    tombstones), so DROP/re-ADD is metadata-only at any table size and
   *    can never resurrect carried files' stale bytes.
   *
+  *  - per-file STATS stay off the driver on checkpoint-anchored reads:
+  *    the stats column is lazily deferred ([[LazyStats]]) and file
+  *    skipping evaluates DISTRIBUTED over the checkpoint parquet
+  *    (executors parse + prune, only kept keys return). Only write verbs,
+  *    metadata MIN/MAX, and schema DDL force the full map.
+  *
   * Known ceiling, deliberate: resolving a commit still materializes its
-  * file list (and, for stats-carrying tables, per-file bounds) on the
-  * driver — the same driver-plans-files model as Delta before distributed
-  * log replay; at 128 MB/file that is ~1M small entries per 100 TB, cheap
-  * to hold, and the expensive parts (serialization, parsing, footer
-  * reads) are already off the driver.
+  * FILE LIST (keys + row counts) on the driver — the driver-plans-files
+  * model Delta also uses; at 128 MB/file that is ~1M small strings per
+  * 100 TB, cheap to hold, and everything heavier (stats serialization,
+  * JSON parsing, footer reads, pruning) is already executor-side.
   */
 object VersionedTable {
 
@@ -222,17 +227,47 @@ object VersionedTable {
     *                rewrite (which refreshes the file's mtime) cannot
     *                shift time travel. 0 = legacy manifest (mtime
     *                fallback) */
+  /** Lazily-forced per-file stats: checkpoint-backed commits defer the
+    * scan+parse of a potentially million-entry stats column until a
+    * consumer actually needs the full map (write verbs, metadata MIN/MAX,
+    * schema DDL) — plain reads, counts, streaming batches, and the
+    * DISTRIBUTED prune path never force it. */
+  private final class LazyStats(thunk: () => DataSkipping.FileStats) {
+    lazy val value: DataSkipping.FileStats = thunk()
+  }
+  private object LazyStats {
+    def of(s: DataSkipping.FileStats): LazyStats = new LazyStats(() => s)
+    val empty: LazyStats = of(Map.empty)
+  }
+
+  /** Test hook: number of times a checkpoint's stats column was actually
+    * scanned+parsed — specs assert the hot read paths leave it at zero. */
+  private[sources] val ckptStatsParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** @param ckptInfo  for commits whose delta chain anchors at a PARQUET
+    *                  checkpoint: (ckpt dir rel path, the anchor's file
+    *                  set). File keys are never reused across versions
+    *                  (uuid-token dirs), so for any CURRENT file that the
+    *                  anchor lists, the anchor's recorded stats are
+    *                  authoritative — which is what lets [[pruned]] run
+    *                  file skipping on executors against the checkpoint
+    *                  parquet instead of materializing stats driver-side
+    * @param statsAdds eager stats for files added AFTER the anchor (delta
+    *                  layers only — small by construction) */
   private final case class Commit(
       files: Seq[String],
       schema: Option[StructType],
-      stats: DataSkipping.FileStats,
+      statsRef: LazyStats,
       rows: Map[String, Long],
       txn: Map[String, Long],
       dv: Seq[String],
       dvRows: Map[String, Long],
       colMap: Map[String, String] = Map.empty,
       physDropped: Set[String] = Set.empty,
-      ts: Long = 0L) {
+      ts: Long = 0L,
+      ckptInfo: Option[(String, Set[String])] = None,
+      statsAdds: DataSkipping.FileStats = Map.empty) {
+    def stats: DataSkipping.FileStats = statsRef.value
     def physName(logical: String): String = colMap.getOrElse(logical, logical)
     /** DV bookkeeping for a commit that keeps only `keep` of this commit's
       * data files: counts for dropped files go; the sidecar list survives
@@ -303,23 +338,29 @@ object VersionedTable {
     c
   }
 
-  /** Replay one delta manifest on top of its parent's resolved commit. */
+  /** Replay one delta manifest on top of its parent's resolved commit.
+    * The stats composition is itself LAZY (a thunk over the parent's
+    * thunk), so replaying a chain on a checkpoint-anchored commit forces
+    * nothing until some consumer asks for the full stats map. */
   private def applyDelta(c: Commit,
       d: com.fasterxml.jackson.databind.JsonNode): Commit = {
     val removed = strArr(d, "files_remove").toSet
     val added = strArr(d, "files_add")
+    val adds = Option(d.get("stats_add"))
+      .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)
     Commit(
       c.files.filterNot(removed) ++ added,
       schemaOf(d),
-      c.stats.filter(kv => !removed(kv._1)) ++ Option(d.get("stats_add"))
-        .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats),
+      new LazyStats(() => c.stats.filter(kv => !removed(kv._1)) ++ adds),
       c.rows.filter(kv => !removed(kv._1)) ++ longMap(d, "rows_add"),
       longMap(d, "txn"),
       strArr(d, "dv"),
       longMap(d, "dv_rows"),
       strMap(d, "colmap"),
       strArr(d, "phys_dropped").toSet,
-      tsOf(d))
+      tsOf(d),
+      ckptInfo = c.ckptInfo,
+      statsAdds = c.statsAdds.filter(kv => !removed(kv._1)) ++ adds)
   }
 
   private def parseFull(spark: SparkSession, f: FileSystem, root: Path,
@@ -327,19 +368,26 @@ object VersionedTable {
     Option(node.get("files")) match {
       case Some(_) =>
         Commit(strArr(node, "files"), schemaOf(node),
-          Option(node.get("stats"))
-            .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats),
+          LazyStats.of(Option(node.get("stats"))
+            .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)),
           longMap(node, "rows"), longMap(node, "txn"),
           strArr(node, "dv"), longMap(node, "dv_rows"),
           strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node))
       case None if node.has("ckpt") =>
         // parquet checkpoint: the file list + per-file stats/rows live in a
         // parquet dir written and parsed by Spark itself — the manifest
-        // JSON stays O(1) no matter how many files the table holds
-        val (files, stats, rows) = readCkpt(spark, root, node.get("ckpt").asText())
-        Commit(files, schemaOf(node), stats, rows, longMap(node, "txn"),
+        // JSON stays O(1) no matter how many files the table holds. The
+        // file list + row counts scan reads ONLY those columns (columnar);
+        // the stats column is deferred behind LazyStats and most readers
+        // never touch it (pruning runs distributed via ckptInfo).
+        val rel = node.get("ckpt").asText()
+        val (files, rows) = readCkptLight(spark, root, rel)
+        Commit(files, schemaOf(node),
+          new LazyStats(() => readCkptStats(spark, root, rel)),
+          rows, longMap(node, "txn"),
           strArr(node, "dv"), longMap(node, "dv_rows"),
-          strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node))
+          strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node),
+          ckptInfo = Some((rel, files.toSet)))
       case None =>
         // legacy single-dir manifest: resolve the file list by listing the
         // dir (as pre-file-list readers did) and remap stats keys from bare
@@ -352,7 +400,8 @@ object VersionedTable {
         val stats = Option(node.get("stats"))
           .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)
           .map { case (name, cs) => s"$dirName/$name" -> cs }
-        Commit(files, schemaOf(node), stats, Map.empty, Map.empty, Seq.empty, Map.empty)
+        Commit(files, schemaOf(node), LazyStats.of(stats),
+          Map.empty, Map.empty, Seq.empty, Map.empty)
     }
 
   /** The version anchoring `v`'s delta chain (v itself when its manifest is
@@ -403,18 +452,59 @@ object VersionedTable {
     (rel, dir)
   }
 
-  private def readCkpt(spark: SparkSession, root: Path, rel: String)
-      : (Seq[String], DataSkipping.FileStats, Map[String, Long]) = {
+  /** Checkpoint file list + row counts — reads ONLY those columns (the
+    * stats column never leaves the parquet pages). */
+  private def readCkptLight(spark: SparkSession, root: Path, rel: String)
+      : (Seq[String], Map[String, Long]) = {
     val rowsArr = spark.read.parquet(new Path(root, rel).toString)
-      .select(col("idx"), col("path"), col("rows"), col("stats"))
+      .select(col("idx"), col("path"), col("rows"))
       .collect().sortBy(_.getInt(0))
     val files = rowsArr.map(_.getString(1)).toSeq
     val rowCounts = rowsArr.iterator.filterNot(_.isNullAt(2))
       .map(r => r.getString(1) -> r.getLong(2)).toMap
-    val stats: DataSkipping.FileStats = rowsArr.iterator.filterNot(_.isNullAt(3))
-      .map(r => r.getString(1) -> DataSkipping.colsFromJson(r.getString(3))).toMap
-    (files, stats, rowCounts)
+    (files, rowCounts)
   }
+
+  /** Full stats map off a checkpoint — the expensive scan+parse the lazy
+    * path defers; only write verbs, metadata MIN/MAX, and schema DDL
+    * force it. */
+  private def readCkptStats(spark: SparkSession, root: Path,
+      rel: String): DataSkipping.FileStats = {
+    ckptStatsParses.incrementAndGet()
+    spark.read.parquet(new Path(root, rel).toString)
+      .select(col("path"), col("stats"))
+      .collect().iterator.filterNot(_.isNullAt(1))
+      .map(r => r.getString(0) -> DataSkipping.colsFromJson(r.getString(1))).toMap
+  }
+
+  /** DISTRIBUTED file pruning over a checkpoint parquet: executors parse
+    * each file's stats JSON and evaluate the resolved predicate; only the
+    * kept file keys travel back. Per-file stats for a million-file table
+    * never materialize on the driver for a skipping read. Returns the
+    * kept subset of `liveAnchorFiles` (files in the anchor AND the
+    * current version). Falls back to None if the predicate fails to ship
+    * (caller then forces driver-side stats — pruning stays an
+    * optimization, never a correctness dependency). */
+  private def distributedPrune(spark: SparkSession, root: Path, rel: String,
+      liveAnchorFiles: Set[String],
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression): Option[Set[String]] =
+    scala.util.Try {
+      val live = spark.sparkContext.broadcast(liveAnchorFiles)
+      try {
+        import spark.implicits._
+        spark.read.parquet(new Path(root, rel).toString)
+          .select(col("path"), col("stats"))
+          .as[(String, String)]
+          .mapPartitions { it =>
+            it.filter { case (p, st) =>
+              live.value.contains(p) &&
+                (st == null || !DataSkipping.canSkip(resolved,
+                  DataSkipping.colsFromJson(st)))
+            }.map(_._1)
+          }
+          .collect().toSet
+      } finally live.destroy()
+    }.toOption
 
   /** Can version `v` delta-encode against its parent? Only between
     * checkpoints, and only when every carried file's stats/rows are
@@ -1020,8 +1110,28 @@ object VersionedTable {
       asOf: Option[Long]): (Path, Seq[String], Seq[String], Commit) = {
     val (root, _, c) = commitFor(spark, path, asOf)
     val (kept, skipped) = c.schema match {
-      case Some(s) if c.stats.nonEmpty =>
-        DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
+      case Some(s) => c.ckptInfo match {
+        case Some((rel, anchorSet)) =>
+          // checkpoint-anchored: skip files DISTRIBUTED over the ckpt
+          // parquet (anchor stats are authoritative for any current file
+          // the anchor lists — file keys are never reused); the handful
+          // of delta-added files prune driver-side from their own eager
+          // stats. The full stats map never materializes on the driver.
+          val resolved = DataSkipping.resolve(spark, s, predicate)
+          val (inAnchor, rest) = c.files.partition(anchorSet)
+          distributedPrune(spark, root, rel, inAnchor.toSet, resolved) match {
+            case Some(keptAnchor) =>
+              val (keptRest, _) = DataSkipping.prune(rest, c.statsAdds, resolved)
+              val keptSet = keptAnchor ++ keptRest.toSet
+              c.files.partition(keptSet)
+            case None => // predicate didn't ship: force stats, prune local
+              if (c.stats.isEmpty) (c.files, Seq.empty[String])
+              else DataSkipping.prune(c.files, c.stats, resolved)
+          }
+        case None if c.stats.nonEmpty =>
+          DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
+        case None => (c.files, Seq.empty[String])
+      }
       case _ => (c.files, Seq.empty[String]) // no stats/schema recorded: keep all
     }
     (root, kept, skipped, c)

@@ -700,7 +700,12 @@ class VersionedTableSpec extends SparkSpec {
       assert(f.listStatus(new org.apache.hadoop.fs.Path(root, "_graft_log"))
         .exists(s => s.isDirectory && s.getPath.getName.startsWith("ckpt-00000010")))
       // the full read path resolves through the parquet checkpoint: reads,
-      // metadata count, stats pruning, and time travel to the ckpt itself
+      // metadata count, stats pruning, and time travel to the ckpt itself.
+      // None of these may materialize the stats column on the driver —
+      // reads/counts don't need it and pruning runs DISTRIBUTED over the
+      // checkpoint parquet (executors parse + evaluate, only kept keys
+      // return)
+      VersionedTable.ckptStatsParses.set(0L)
       assert(VersionedTable.read(spark, path).count() == 12)
       assert(VersionedTable.countRows(spark, path).contains(12L))
       val (kept, skipped) = VersionedTable.pruneInfo(spark, path, col("id") === 5)
@@ -708,6 +713,11 @@ class VersionedTableSpec extends SparkSpec {
         s"stats must survive the parquet round-trip: ${kept.size}/${skipped.size}")
       assert(VersionedTable.readWhere(spark, path, col("id") === 5).count() == 1)
       assert(VersionedTable.read(spark, path, Some(10L)).count() == 10)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "reads, counts, and skipping must never force the driver-side stats map")
+      // metadata MIN/MAX is a legitimate force of the full stats map
+      assert(VersionedTable.minMaxFromStats(spark, path, "id").isDefined)
+      assert(VersionedTable.ckptStatsParses.get() > 0L)
       // vacuum: dropped versions' ckpt dirs die; the re-anchored oldest
       // keep (v11, 11 files > threshold) gets its own parquet checkpoint
       VersionedTable.vacuum(spark, path, keepLast = 2, orphanRetentionMs = 0L)
