@@ -237,7 +237,6 @@ object VersionedTable {
   }
   private object LazyStats {
     def of(s: DataSkipping.FileStats): LazyStats = new LazyStats(() => s)
-    val empty: LazyStats = of(Map.empty)
   }
 
   /** Test hook: number of times a checkpoint's stats column was actually
@@ -481,29 +480,30 @@ object VersionedTable {
     * each file's stats JSON and evaluate the resolved predicate; only the
     * kept file keys travel back. Per-file stats for a million-file table
     * never materialize on the driver for a skipping read. Returns the
-    * kept subset of `liveAnchorFiles` (files in the anchor AND the
-    * current version). Falls back to None if the predicate fails to ship
-    * (caller then forces driver-side stats — pruning stays an
-    * optimization, never a correctness dependency). */
+    * kept subset of the anchor's files still live in the current version.
+    * Liveness ships as the REMOVED set (anchor minus current — O(changed
+    * files) across at most CheckpointEvery deltas), not the O(table)
+    * live set. Falls back to None if the predicate fails to ship (caller
+    * then forces driver-side stats — pruning stays an optimization,
+    * never a correctness dependency). */
   private def distributedPrune(spark: SparkSession, root: Path, rel: String,
-      liveAnchorFiles: Set[String],
+      removedFromAnchor: Set[String],
       resolved: org.apache.spark.sql.catalyst.expressions.Expression): Option[Set[String]] =
     scala.util.Try {
-      val live = spark.sparkContext.broadcast(liveAnchorFiles)
-      try {
-        import spark.implicits._
-        spark.read.parquet(new Path(root, rel).toString)
-          .select(col("path"), col("stats"))
-          .as[(String, String)]
-          .mapPartitions { it =>
-            it.filter { case (p, st) =>
-              live.value.contains(p) &&
-                (st == null || !DataSkipping.canSkip(resolved,
-                  DataSkipping.colsFromJson(st)))
-            }.map(_._1)
-          }
-          .collect().toSet
-      } finally live.destroy()
+      import spark.implicits._
+      val removed = removedFromAnchor // small closure capture, not O(table)
+      val kept: Array[String] = spark.read.parquet(new Path(root, rel).toString)
+        .select(col("path"), col("stats"))
+        .as[(String, String)]
+        .mapPartitions { it =>
+          it.filter { case (p, st) =>
+            !removed.contains(p) &&
+              (st == null || !DataSkipping.canSkip(resolved,
+                DataSkipping.colsFromJson(st)))
+          }.map(_._1)
+        }
+        .collect()
+      kept.toSet[String]
     }.toOption
 
   /** Can version `v` delta-encode against its parent? Only between
@@ -511,7 +511,7 @@ object VersionedTable {
     * byte-identical to the parent's (anything else — e.g. DROP COLUMN
     * pruning stats — can't be expressed as a file delta). */
   private def deltaEligible(v: Long, files: Seq[String],
-      stats: DataSkipping.FileStats, rows: Map[String, Long],
+      stats: => DataSkipping.FileStats, rows: Map[String, Long],
       parent: Option[Commit], forceFull: Boolean): Boolean =
     parent.exists { p =>
       !forceFull && v % CheckpointEvery != 0L && {
@@ -524,25 +524,47 @@ object VersionedTable {
   /** Encode + stage a commit's manifest body: the delta/inline-full/
     * parquet-checkpoint decision in one place. Returns the JSON body and
     * the checkpoint dir IF one was written — the caller must delete it
-    * when the commit CAS is lost. */
+    * when the commit CAS is lost.
+    *
+    * `stats` is BY-NAME: for a delta-encoded commit with
+    * `carriedIdentical`+`statsAddOnly` supplied, the full map is never
+    * evaluated — so an APPEND to a checkpoint-anchored million-file table
+    * doesn't force the parent's stats onto the driver just to write an
+    * O(changed files) delta. Only the full/checkpoint forms (every
+    * [[CheckpointEvery]]th commit) evaluate it.
+    *
+    * @param carriedIdentical caller GUARANTEES every file present in both
+    *                         parent and child has unchanged stats/rows
+    *                         (true by construction for carry-by-reference
+    *                         verbs) — skips the per-file comparison scan
+    * @param statsAddOnly     stats for exactly the files this commit adds
+    *                         (what the delta form serializes) */
   private def encodeCommit(spark: SparkSession, root: Path, v: Long,
-      files: Seq[String], schemaJson: String, stats: DataSkipping.FileStats,
+      files: Seq[String], schemaJson: String, stats: => DataSkipping.FileStats,
       rows: Map[String, Long], txn: Map[String, Long],
       dv: Seq[String] = Seq.empty, dvRows: Map[String, Long] = Map.empty,
       parent: Option[Commit] = None, forceFull: Boolean = false,
       colMap: Map[String, String] = Map.empty,
       physDropped: Set[String] = Set.empty,
-      ts: Long = 0L): (String, Option[Path]) = {
-    // the O(files) carried-stats comparison runs ONCE; manifestJson takes
-    // the decision, it does not re-derive it
-    val isDelta = deltaEligible(v, files, stats, rows, parent, forceFull)
+      ts: Long = 0L,
+      carriedIdentical: Boolean = false,
+      statsAddOnly: Option[DataSkipping.FileStats] = None): (String, Option[Path]) = {
+    // the O(files) carried-stats comparison runs ONCE (or not at all when
+    // the caller vouches for carry identity); manifestJson takes the
+    // decision, it does not re-derive it
+    val isDelta =
+      if (carriedIdentical) parent.isDefined && !forceFull && v % CheckpointEvery != 0L
+      else deltaEligible(v, files, stats, rows, parent, forceFull)
     if (!isDelta && files.size > CkptInlineMaxFiles) {
-      val (rel, dir) = writeCkpt(spark, root, v, files, stats, rows)
-      (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
-        parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel)), Some(dir))
+      val fullStats = stats
+      val (rel, dir) = writeCkpt(spark, root, v, files, fullStats, rows)
+      (manifestJson(v, files, schemaJson, fullStats, rows, txn, dv, dvRows,
+        parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel),
+        statsAddOnly = statsAddOnly), Some(dir))
     } else
       (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
-        parent, isDelta, colMap, physDropped, ts), None)
+        parent, isDelta, colMap, physDropped, ts,
+        statsAddOnly = statsAddOnly), None)
   }
 
   /** Encode a commit: FULL at checkpoints (and when forced, when there is
@@ -553,14 +575,15 @@ object VersionedTable {
     * wall-clock; pass the ORIGINAL commit's ts when re-encoding an existing
     * version (vacuum's re-anchor) so TIMESTAMP AS OF stays stable. */
   private def manifestJson(v: Long, files: Seq[String], schemaJson: String,
-      stats: DataSkipping.FileStats, rows: Map[String, Long],
+      stats: => DataSkipping.FileStats, rows: Map[String, Long],
       txn: Map[String, Long], dv: Seq[String] = Seq.empty,
       dvRows: Map[String, Long] = Map.empty,
       parent: Option[Commit] = None, isDelta: Boolean = false,
       colMap: Map[String, String] = Map.empty,
       physDropped: Set[String] = Set.empty,
       ts: Long = 0L,
-      ckptRef: Option[String] = None): String = {
+      ckptRef: Option[String] = None,
+      statsAddOnly: Option[DataSkipping.FileStats] = None): String = {
     val (_, jstr) = jsonHelpers
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     def obj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
@@ -593,7 +616,9 @@ object VersionedTable {
       val added = files.filterNot(pSet)
       val addedSet = added.toSet
       val removed = p.files.filterNot(files.toSet)
-      val statsAdd = stats.filter(kv => addedSet(kv._1))
+      val statsAdd = statsAddOnly // avoids forcing the full by-name map
+        .map(_.filter(kv => addedSet(kv._1)))
+        .getOrElse(stats.filter(kv => addedSet(kv._1)))
       val statsField =
         if (statsAdd.isEmpty) ""
         else s""","stats_add":${DataSkipping.toJson(statsAdd)}"""
@@ -806,6 +831,10 @@ object VersionedTable {
           df.schema.fields.find(_.name == bf.name).exists(_.nullable)))).json
       }.getOrElse(df.schema.json)
       val v = base.getOrElse(0L) + 1L
+      // stats is by-name and this append vouches for carry identity, so a
+      // delta-encoded append NEVER forces the parent's (possibly
+      // checkpoint-deferred, million-entry) stats map — it serializes only
+      // the new files' stats it already holds
       val (body, ckptDir) = encodeCommit(spark, root, v,
         c.map(_.files).getOrElse(Nil) ++ rel, schemaJson,
         c.map(_.stats).getOrElse(Map.empty) ++ st,
@@ -813,7 +842,8 @@ object VersionedTable {
         c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap,
         c.map(_.dv).getOrElse(Seq.empty), c.map(_.dvRows).getOrElse(Map.empty),
         parent = c, colMap = curColMap,
-        physDropped = c.map(_.physDropped).getOrElse(Set.empty))
+        physDropped = c.map(_.physDropped).getOrElse(Set.empty),
+        carriedIdentical = true, statsAddOnly = Some(st))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         // staged files stay valid for the next slot (content is
@@ -853,7 +883,13 @@ object VersionedTable {
       if (commitTime(f, root, vs(mid)) <= tsMillis) { ans = mid; lo = mid + 1 }
       else hi = mid - 1
     }
-    if (ans < 0) None else Some(vs(ans))
+    if (ans >= 0) Some(vs(ans))
+    else
+      // a local timestamp inversion (cross-writer clock skew, out-of-order
+      // legacy mtime) can hide a hit from the binary search — fall back to
+      // the exact linear contract rather than answer None for a table the
+      // old scan resolved
+      vs.filter(v => commitTime(f, root, v) <= tsMillis).lastOption
   }
 
   private def commitTime(f: FileSystem, root: Path, v: Long): Long = {
@@ -942,14 +978,15 @@ object VersionedTable {
     c.files
   }
 
-  /** A version's logical→physical column mapping (empty = identity). The
-    * streaming source needs it to read appended files with their PHYSICAL
-    * schema — binding the pinned logical schema directly against
-    * column-mapped files would stream every mapped column as null. */
-  private[graft] def columnMappingOf(spark: SparkSession, path: String,
-      v: Long): Map[String, String] = {
+  /** A version's file list AND logical→physical column mapping in ONE
+    * manifest resolution — the streaming source needs both per batch (the
+    * mapping to read appended files with their PHYSICAL schema; binding
+    * the pinned logical schema directly against column-mapped files would
+    * stream every mapped column as null) and caches them together. */
+  private[graft] def filesAndMappingOf(spark: SparkSession, path: String,
+      v: Long): (Seq[String], Map[String, String]) = {
     val (_, _, c) = commitFor(spark, path, Some(v))
-    c.colMap
+    (c.files, c.colMap)
   }
 
   private def commitFor(spark: SparkSession, path: String,
@@ -1119,7 +1156,8 @@ object VersionedTable {
           // stats. The full stats map never materializes on the driver.
           val resolved = DataSkipping.resolve(spark, s, predicate)
           val (inAnchor, rest) = c.files.partition(anchorSet)
-          distributedPrune(spark, root, rel, inAnchor.toSet, resolved) match {
+          val removedFromAnchor = anchorSet -- inAnchor
+          distributedPrune(spark, root, rel, removedFromAnchor, resolved) match {
             case Some(keptAnchor) =>
               val (keptRest, _) = DataSkipping.prune(rest, c.statsAdds, resolved)
               val keptSet = keptAnchor ++ keptRest.toSet

@@ -104,19 +104,23 @@ private[streaming] class VersionedTableSource(
   private def seedLastEnd(v: Long): Unit =
     lastEnd = Some(lastEnd.fold(v)(math.max(_, v)))
 
-  /** Per-version file lists are immutable once committed — memoize the
-    * few the throttle walk and getBatch revisit, so a walk over the
-    * backlog doesn't re-resolve the same manifest chains every trigger. */
-  private val fileCache = new java.util.LinkedHashMap[Long, Seq[String]](8, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Long, Seq[String]]): Boolean =
-      size > 4
-  }
-  private def filesAt(v: Long): Seq[String] =
-    Option(fileCache.get(v)).getOrElse {
-      val fs = VersionedTable.filesOf(spark, path, v)
-      fileCache.put(v, fs)
-      fs
+  /** Per-version file lists and column mappings are immutable once
+    * committed — memoize the few the throttle walk and getBatch revisit
+    * (both facts from ONE manifest resolution), so a trigger doesn't
+    * re-resolve the same chains for files and again for the mapping. */
+  private val metaCache =
+    new java.util.LinkedHashMap[Long, (Seq[String], Map[String, String])](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, (Seq[String], Map[String, String])]): Boolean =
+        size > 4
     }
+  private def metaAt(v: Long): (Seq[String], Map[String, String]) =
+    Option(metaCache.get(v)).getOrElse {
+      val m = VersionedTable.filesAndMappingOf(spark, path, v)
+      metaCache.put(v, m)
+      m
+    }
+  private def filesAt(v: Long): Seq[String] = metaAt(v)._1
 
   override def getOffset: Option[Offset] = {
     val latest = VersionedTable.latestVersion(spark, path).filter(_ >= startingVersion)
@@ -162,7 +166,7 @@ private[streaming] class VersionedTableSource(
     val fromFiles =
       if (fromV <= 0L) Set.empty[String]
       else filesAt(fromV).toSet
-    val toFiles = filesAt(toV)
+    val (toFiles, mapping) = metaAt(toV)
     val removed = fromFiles -- toFiles
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
@@ -176,7 +180,6 @@ private[streaming] class VersionedTableSource(
     // COLUMN MAPPING: appended files store PHYSICAL names — bind them and
     // alias back to the pinned logical schema, exactly like batch reads;
     // binding logical names directly would stream mapped columns as null
-    val mapping = VersionedTable.columnMappingOf(spark, path, toV)
     val physSchema =
       if (mapping.isEmpty) schema
       else StructType(schema.fields.map(f =>
