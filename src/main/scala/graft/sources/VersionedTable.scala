@@ -664,13 +664,37 @@ object VersionedTable {
       meta.map { case (k, m) => k -> m.rows })
   }
 
+  /** Drop ZERO-ROW staged files from a commit's file list: a copy-on-write
+    * rewrite whose survivors are empty (e.g. DELETE matching a whole file)
+    * must shrink the table, not add an unprunable empty file that every
+    * later scan and skipping pass pays for. The physical file stays on
+    * disk unreferenced; vacuum's orphan sweep reclaims it. */
+  private def dropEmpty(rel: Seq[String], st: DataSkipping.FileStats,
+      rw: Map[String, Long])
+      : (Seq[String], DataSkipping.FileStats, Map[String, Long]) = {
+    val live = rel.filter(r => rw.getOrElse(r, 1L) > 0L).toSet
+    (rel.filter(live), st.filter(kv => live(kv._1)), rw.filter(kv => live(kv._1)))
+  }
+
   /** The stats columns a maintenance commit should keep collecting when the
     * caller didn't name any: whatever the parent manifest tracked, so a
     * table's data-skipping never silently degrades across MERGE/DELETE/
-    * OPTIMIZE commits. */
-  private def inheritedStatsCols(c: Commit, explicit: Seq[String]): Seq[String] =
+    * OPTIMIZE commits. On a checkpoint-anchored commit the answer comes
+    * from the delta-added stats or a ONE-ROW probe of the checkpoint's
+    * stats column — never by forcing the full deferred map. */
+  private def inheritedStatsCols(spark: SparkSession, root: Path, c: Commit,
+      explicit: Seq[String]): Seq[String] =
     if (explicit.nonEmpty) explicit
-    else c.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
+    else if (c.statsAdds.nonEmpty) c.statsAdds.values.head.keys.toSeq.sorted
+    else c.ckptInfo match {
+      case Some((rel, _)) =>
+        spark.read.parquet(new Path(root, rel).toString)
+          .select(col("stats")).filter(col("stats").isNotNull).limit(1)
+          .collect().headOption
+          .map(r => DataSkipping.colsFromJson(r.getString(0)).keys.toSeq.sorted)
+          .getOrElse(Nil)
+      case None => c.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
+    }
 
   /** Claim version `v` by atomically creating its manifest. Returns false —
     * with the stage file cleaned up — iff another writer holds `v`. */
@@ -820,7 +844,7 @@ object VersionedTable {
       }
       if (staged.isEmpty) {
         val (dir, rel) = stage(df, root, f, curColMap)
-        val cols = c.map(inheritedStatsCols(_, statsCols)).getOrElse(statsCols)
+        val cols = c.map(inheritedStatsCols(spark, root, _, statsCols)).getOrElse(statsCols)
         val (st, rw) = metaFor(spark, root, rel, cols, curColMap)
         staged = Some((dir, rel, st, rw, curColMap))
       }
@@ -1143,33 +1167,42 @@ object VersionedTable {
       skipped.map(r => new Path(root, r).toString))
   }
 
+  /** Partition a commit's files into (candidates, provably-unmatched) for
+    * a RESOLVED predicate — the one file-selection routine behind
+    * [[readWhere]]/[[pruneInfo]] AND the copy-on-write verbs' rewrite
+    * selection. Checkpoint-anchored commits skip DISTRIBUTED over the
+    * ckpt parquet (anchor stats are authoritative for any current file
+    * the anchor lists — file keys are never reused); the handful of
+    * delta-added files prune driver-side from their own eager stats. The
+    * full stats map never materializes on the driver unless the predicate
+    * fails to ship (conservative fallback). */
+  private def pruneFiles(spark: SparkSession, root: Path, c: Commit,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Seq[String], Seq[String]) =
+    c.ckptInfo match {
+      case Some((rel, anchorSet)) =>
+        val (inAnchor, rest) = c.files.partition(anchorSet)
+        val removedFromAnchor = anchorSet -- inAnchor
+        distributedPrune(spark, root, rel, removedFromAnchor, resolved) match {
+          case Some(keptAnchor) =>
+            val (keptRest, _) = DataSkipping.prune(rest, c.statsAdds, resolved)
+            val keptSet = keptAnchor ++ keptRest.toSet
+            c.files.partition(keptSet)
+          case None => // predicate didn't ship: force stats, prune local
+            if (c.stats.isEmpty) (c.files, Seq.empty[String])
+            else DataSkipping.prune(c.files, c.stats, resolved)
+        }
+      case None if c.stats.nonEmpty =>
+        DataSkipping.prune(c.files, c.stats, resolved)
+      case None => (c.files, Seq.empty[String])
+    }
+
   private def pruned(spark: SparkSession, path: String, predicate: Column,
       asOf: Option[Long]): (Path, Seq[String], Seq[String], Commit) = {
     val (root, _, c) = commitFor(spark, path, asOf)
     val (kept, skipped) = c.schema match {
-      case Some(s) => c.ckptInfo match {
-        case Some((rel, anchorSet)) =>
-          // checkpoint-anchored: skip files DISTRIBUTED over the ckpt
-          // parquet (anchor stats are authoritative for any current file
-          // the anchor lists — file keys are never reused); the handful
-          // of delta-added files prune driver-side from their own eager
-          // stats. The full stats map never materializes on the driver.
-          val resolved = DataSkipping.resolve(spark, s, predicate)
-          val (inAnchor, rest) = c.files.partition(anchorSet)
-          val removedFromAnchor = anchorSet -- inAnchor
-          distributedPrune(spark, root, rel, removedFromAnchor, resolved) match {
-            case Some(keptAnchor) =>
-              val (keptRest, _) = DataSkipping.prune(rest, c.statsAdds, resolved)
-              val keptSet = keptAnchor ++ keptRest.toSet
-              c.files.partition(keptSet)
-            case None => // predicate didn't ship: force stats, prune local
-              if (c.stats.isEmpty) (c.files, Seq.empty[String])
-              else DataSkipping.prune(c.files, c.stats, resolved)
-          }
-        case None if c.stats.nonEmpty =>
-          DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
-        case None => (c.files, Seq.empty[String])
-      }
+      case Some(s) =>
+        pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
       case _ => (c.files, Seq.empty[String]) // no stats/schema recorded: keep all
     }
     (root, kept, skipped, c)
@@ -1309,12 +1342,12 @@ object VersionedTable {
           if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
         }
         val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
-        val (files, schemaJson, stats, rows, stagedDir, dvKeep, dvRowsKeep,
-            cMap, physDrop) = baseC match {
+        val (files, schemaJson, statsFn, statsAdd, rows, stagedDir, dvKeep,
+            dvRowsKeep, cMap, physDrop) = baseC match {
           case None =>
             val (dir, rel) = stage(inserts, root, f)
             val (st, rw) = metaFor(spark, root, rel, statsCols)
-            (rel, deduped.schema.json, st, rw, dir,
+            (rel, deduped.schema.json, () => st, st, rw, dir,
               Seq.empty[String], Map.empty[String, Long],
               Map.empty[String, String], Set.empty[String])
           case Some(c) =>
@@ -1346,7 +1379,7 @@ object VersionedTable {
                     .diff(bs.fieldNames.toSet).exists(c.physDropped)
                   val (rw, cy) =
                     if (resurrects) (c.files, Seq.empty[String])
-                    else selectRewrite(spark, c, bs, deduped, keys)
+                    else selectRewrite(spark, root, c, bs, deduped, keys)
                   (rw, cy, Some(StructType(mergedFields)))
                 }
               case None => (c.files, Seq.empty[String], None) // legacy: no schema to prove carries
@@ -1364,14 +1397,19 @@ object VersionedTable {
               else dataFrameFor(spark, root, c, rewriteKeys)
                 .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
                 .unionByName(inserts, allowMissingColumns = evolveSchema)
-            val (dir, rel) = stage(rewriteDf, root, f, c.colMap)
-            val (st, rw) = metaFor(spark, root, rel,
-              inheritedStatsCols(c, statsCols), c.colMap)
+            val (dir, rel0) = stage(rewriteDf, root, f, c.colMap)
+            val (st0, rw0) = metaFor(spark, root, rel0,
+              inheritedStatsCols(spark, root, c, statsCols), c.colMap)
+            val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
             val carrySet = carryKeys.toSet
             val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
             (carryKeys ++ rel,
               merged.map(_.json).getOrElse(rewriteDf.schema.json),
-              c.stats.filter(kv => carrySet(kv._1)) ++ st,
+              // LAZY: a delta-encoded merge serializes only the new files'
+              // stats (statsAdd); the full carried map is evaluated only
+              // when this commit lands on a checkpoint boundary
+              () => c.stats.filter(kv => carrySet(kv._1)) ++ st,
+              st,
               c.rows.filter(kv => carrySet(kv._1)) ++ rw,
               dir, dvK, dvR, c.colMap,
               // no carried file left → no stale physical column anywhere
@@ -1379,8 +1417,9 @@ object VersionedTable {
         }
         val v = base.getOrElse(0L) + 1L
         val (body, ckptDir) = encodeCommit(spark, root, v, files, schemaJson,
-          stats, rows, newTxn, dvKeep, dvRowsKeep, parent = baseC,
-          colMap = cMap, physDropped = physDrop)
+          statsFn(), rows, newTxn, dvKeep, dvRowsKeep, parent = baseC,
+          colMap = cMap, physDropped = physDrop,
+          carriedIdentical = true, statsAddOnly = Some(statsAdd))
         if (tryCommit(f, root, v, body)) committed = v
         else {
           f.delete(stagedDir, true) // stale merge — recompute against the new head
@@ -1401,9 +1440,13 @@ object VersionedTable {
     * (rewrite); skipped files provably contain none (carry). Any failure
     * (exotic key type, stats gap) falls back to rewrite-everything —
     * selection is an optimization, never a correctness dependency. */
-  private def selectRewrite(spark: SparkSession, c: Commit, schema: StructType,
+  private def selectRewrite(spark: SparkSession, root: Path, c: Commit,
+      schema: StructType,
       updates: DataFrame, keys: Seq[String]): (Seq[String], Seq[String]) = {
-    if (c.stats.isEmpty || c.files.isEmpty) return (c.files, Seq.empty)
+    // ckpt-anchored commits must NOT probe c.stats here (that forces the
+    // deferred map); their selection runs distributed via pruneFiles
+    if (c.files.isEmpty || (c.ckptInfo.isEmpty && c.stats.isEmpty))
+      return (c.files, Seq.empty)
     scala.util.Try {
       val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
       val r = updates.agg(aggs.head, aggs.tail: _*).head()
@@ -1421,7 +1464,7 @@ object VersionedTable {
           } else col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
         }
         val resolved = DataSkipping.resolve(spark, schema, perCol.reduce(_ && _))
-        DataSkipping.prune(c.files, c.stats, resolved)
+        pruneFiles(spark, root, c, resolved)
       }
     }.getOrElse((c.files, Seq.empty))
   }
@@ -1445,15 +1488,17 @@ object VersionedTable {
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
       val (candKeys, carryKeys) = c.schema match {
-        case Some(s) if c.stats.nonEmpty =>
-          DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
+        case Some(s) =>
+          pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
         case _ => (c.files, Seq.empty[String])
       }
       if (candKeys.isEmpty) return b // provably nothing to delete
       val kept = dataFrameFor(spark, root, c, candKeys)
         .filter(!coalesce(predicate, lit(false))) // keep p=false AND p=null rows
-      val (dir, rel) = stage(kept, root, f, c.colMap)
-      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, statsCols), c.colMap)
+      val (dir, rel0) = stage(kept, root, f, c.colMap)
+      val (st0, rw0) = metaFor(spark, root, rel0,
+        inheritedStatsCols(spark, root, c, statsCols), c.colMap)
+      val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
       val carrySet = carryKeys.toSet
       val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
       val v = b + 1L
@@ -1462,7 +1507,8 @@ object VersionedTable {
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
         c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
         parent = Some(c), colMap = c.colMap,
-        physDropped = if (carryKeys.isEmpty) Set.empty else c.physDropped)
+        physDropped = if (carryKeys.isEmpty) Set.empty else c.physDropped,
+        carriedIdentical = true, statsAddOnly = Some(st))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true) // stale — recompute against the new head
@@ -1597,9 +1643,7 @@ object VersionedTable {
         s"$path: vectorized delete needs a schema-recorded table")
       val s = c.schema.get
       val (candKeys, _) =
-        if (c.stats.nonEmpty)
-          DataSkipping.prune(c.files, c.stats, DataSkipping.resolve(spark, s, predicate))
-        else (c.files, Seq.empty[String])
+        pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
       if (candKeys.isEmpty) return b // provably nothing to delete
       // scan ONLY candidate files, with existing DVs applied (so a second
       // delete never double-marks a row — generations stay disjoint and
@@ -1657,8 +1701,10 @@ object VersionedTable {
             // drops this delete's matches — survivors only
             val survivors = dataFrameFor(spark, root, c, purgeKeys)
               .filter(!coalesce(predicate, lit(false)))
-            val (d, r) = stage(survivors, root, f, c.colMap)
-            val (s2, r2) = metaFor(spark, root, r, inheritedStatsCols(c, Nil), c.colMap)
+            val (d, r0) = stage(survivors, root, f, c.colMap)
+            val (s0, c0) = metaFor(spark, root, r0,
+              inheritedStatsCols(spark, root, c, Nil), c.colMap)
+            val (r, s2, r2) = dropEmpty(r0, s0, c0)
             (d, r, s2, r2)
           }
         val dvRowsKeep = mergedDvRows.filter(kv => kv._2 > 0L && !purgeSet(kv._1))
@@ -1668,7 +1714,8 @@ object VersionedTable {
           c.stats.filter(kv => !purgeSet(kv._1)) ++ st,
           c.rows.filter(kv => !purgeSet(kv._1)) ++ rw,
           c.txn, dvKeep, dvRowsKeep, parent = Some(c),
-          colMap = c.colMap, physDropped = c.physDropped)
+          colMap = c.colMap, physDropped = c.physDropped,
+          carriedIdentical = true, statsAddOnly = Some(st))
         if (tryCommit(f, root, v, body)) committed = v
         else {
           // stale marks — recompute against the new head
@@ -1709,8 +1756,10 @@ object VersionedTable {
       val purgeSet = purgeKeys.toSet
       val carryKeys = c.files.filterNot(purgeSet)
       val survivors = dataFrameFor(spark, root, c, purgeKeys) // marks applied
-      val (dir, rel) = stage(survivors, root, f, c.colMap)
-      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, Nil), c.colMap)
+      val (dir, rel0) = stage(survivors, root, f, c.colMap)
+      val (st0, rw0) = metaFor(spark, root, rel0,
+        inheritedStatsCols(spark, root, c, Nil), c.colMap)
+      val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
       val dvRowsKeep = c.dvRows.filter(kv => kv._2 > 0L && !purgeSet(kv._1))
       val dvKeep = if (dvRowsKeep.isEmpty) Seq.empty[String] else c.dv
       val v = b + 1L
@@ -1719,7 +1768,8 @@ object VersionedTable {
         c.stats.filter(kv => !purgeSet(kv._1)) ++ st,
         c.rows.filter(kv => !purgeSet(kv._1)) ++ rw,
         c.txn, dvKeep, dvRowsKeep, parent = Some(c),
-        colMap = c.colMap, physDropped = c.physDropped)
+        colMap = c.colMap, physDropped = c.physDropped,
+        carriedIdentical = true, statsAddOnly = Some(st))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true)
@@ -1762,7 +1812,7 @@ object VersionedTable {
       val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
       val packed = dataFrameFor(spark, root, c, c.files.filter(smallSet)).coalesce(nOut)
       val (dir, rel) = stage(packed, root, f, c.colMap)
-      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(c, Nil), c.colMap)
+      val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(spark, root, c, Nil), c.colMap)
       val carrySet = carry.toSet
       val (dvK, dvR) = c.dvFor(carrySet) // packed files materialized their DVs
       val v = b + 1L
@@ -1771,7 +1821,8 @@ object VersionedTable {
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
         c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
         parent = Some(c), colMap = c.colMap,
-        physDropped = if (carry.isEmpty) Set.empty else c.physDropped)
+        physDropped = if (carry.isEmpty) Set.empty else c.physDropped,
+        carriedIdentical = true, statsAddOnly = Some(st))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         f.delete(dir, true)

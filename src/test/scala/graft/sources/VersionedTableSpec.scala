@@ -718,14 +718,29 @@ class VersionedTableSpec extends SparkSpec {
       // metadata MIN/MAX is a legitimate force of the full stats map
       assert(VersionedTable.minMaxFromStats(spark, path, "id").isDefined)
       assert(VersionedTable.ckptStatsParses.get() > 0L)
+      // WRITE verbs stay lazy too: delta-encoded append/MERGE/DELETE
+      // select their files distributed and serialize only their own adds —
+      // none may materialize the checkpoint stats map on the driver
+      VersionedTable.ckptStatsParses.set(0L)
+      VersionedTable.append(Seq((13, "v13")).toDF("id", "v").coalesce(1), path) // v13
+      VersionedTable.upsert(Seq((5, "UP")).toDF("id", "v"), path, Seq("id"))    // v14
+      VersionedTable.delete(spark, path, col("id") === 12)                      // v15
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "delta-encoded writes must not force the checkpoint stats map")
+      val now = VersionedTable.read(spark, path)
+      assert(now.count() == 12) // 12 + 1 appended - 1 deleted
+      assert(now.filter(col("id") === 5).select("v").as[String].head() == "UP")
+      // and the adds carried skipping forward: new files prune too
+      val (k5, s5) = VersionedTable.pruneInfo(spark, path, col("id") === 13)
+      assert(k5.size == 1 && s5.nonEmpty, s"${k5.size}/${s5.size}")
       // vacuum: dropped versions' ckpt dirs die; the re-anchored oldest
-      // keep (v11, 11 files > threshold) gets its own parquet checkpoint
+      // keep (v14, >threshold files) gets its own parquet checkpoint
       VersionedTable.vacuum(spark, path, keepLast = 2, orphanRetentionMs = 0L)
       assert(VersionedTable.read(spark, path).count() == 12)
-      assert(VersionedTable.read(spark, path, Some(11L)).count() == 11)
+      assert(VersionedTable.read(spark, path, Some(14L)).count() == 13)
       val ckpts = f.listStatus(new org.apache.hadoop.fs.Path(root, "_graft_log"))
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("ckpt-"))
-      assert(ckpts.nonEmpty && ckpts.forall(_.getPath.getName.startsWith("ckpt-00000011")),
+      assert(ckpts.nonEmpty && ckpts.forall(_.getPath.getName.startsWith("ckpt-00000014")),
         s"only the re-anchored keep's ckpt survives: ${ckpts.map(_.getPath.getName).mkString(",")}")
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
