@@ -590,7 +590,14 @@ object VersionedTable {
       .map { case (k, n) => s"${jstr(k)}:$n" }.mkString("{", ",", "}")
     def sobj(m: Map[String, String]) = m.toSeq.sortBy(_._1)
       .map { case (k, s) => s"${jstr(k)}:${jstr(s)}" }.mkString("{", ",", "}")
-    val tsVal = if (ts > 0L) ts else System.currentTimeMillis()
+    // MONOTONIC commit stamps (Delta's idiom: ts = max(now, parent.ts+1)) —
+    // versionAt's binary search requires non-decreasing timestamps along the
+    // log; without this, cross-writer clock skew could order a later version
+    // EARLIER and make TIMESTAMP AS OF resolve a version other than "the
+    // latest committed at or before ts". Legacy parents (ts=0) add nothing.
+    val tsVal =
+      if (ts > 0L) ts
+      else math.max(System.currentTimeMillis(), parent.map(_.ts + 1L).getOrElse(0L))
     def commonTail: String = {
       val dvField =
         if (dv.isEmpty) ""
@@ -881,6 +888,23 @@ object VersionedTable {
     committed
   }
 
+  /** Cheap appended-file-count hint for the streaming throttle's backlog
+    * walk: Some(n) when `v`'s manifest is a DELTA against v-1 — its
+    * `files_add` list IS the appended set, one small JSON parse, no chain
+    * resolution and no Spark job (a ckpt-anchored `filesAt` costs one).
+    * None for full/checkpoint manifests, whose appended set would need both
+    * versions' full file lists resolved — the walk treats those as a batch
+    * boundary instead of paying O(table) per getOffset. */
+  private[graft] def addedFilesHint(spark: SparkSession, path: String,
+      v: Long): Option[Long] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val node = parseManifest(f, root, v)
+    if (node.has("base") && node.get("base").asLong() == v - 1L)
+      Some(strArr(node, "files_add").size.toLong)
+    else None
+  }
+
   /** TIMESTAMP AS OF: the latest version committed at or before `ts`
     * (epoch millis). Commit times come from the `ts` field RECORDED INSIDE
     * each manifest at commit time — not the manifest file's mtime, which
@@ -890,30 +914,42 @@ object VersionedTable {
   def versionAt(spark: SparkSession, path: String, tsMillis: Long): Option[Long] = {
     val root = new Path(path)
     val f = fs(spark, root)
-    val vs = versions(spark, path).toIndexedSeq
-    if (vs.isEmpty) return None
+    // LISTING-FREE candidate range: version numbers are DENSE by
+    // construction (each CAS claims parent+1) and vacuum only ever drops a
+    // PREFIX, so manifests exist exactly over [floor, head]. The head comes
+    // from the O(1) pointer ([[latestVersion]]) and the floor from a
+    // manifest-absence binary probe — a TIMESTAMP AS OF on a 10⁵-commit
+    // table never lists the log (the listing the `_head` pointer was built
+    // to avoid; history()/vacuum() still list, but they are maintenance).
+    val head = latestVersion(spark, path).getOrElse(return None)
+    var flo = 1L
+    var fhi = head
+    while (flo < fhi) {
+      val mid = (flo + fhi) >>> 1
+      if (f.exists(manifest(root, mid))) fhi = mid else flo = mid + 1
+    }
+    val floor = flo
     // BINARY SEARCH over the (version-ordered, ts-non-decreasing) log:
-    // O(log V) small manifest parses instead of parsing every manifest —
-    // at 10⁵-10⁶ commits a linear scan reads the whole log's bytes on the
-    // driver per query. Commit stamps come from one wall clock per writer;
-    // cross-writer skew can locally perturb the order — the same caveat
-    // Delta documents for timestamp time travel (it adjusts commits to be
-    // monotonic; we accept the filesystem-granularity answer).
-    var lo = 0
-    var hi = vs.size - 1
-    var ans = -1
+    // O(log V) small manifest parses instead of parsing every manifest.
+    // Commit stamps are enforced monotonic at write time (manifestJson:
+    // ts = max(now, parent.ts+1), Delta's idiom), so the precondition holds
+    // on any table written by this code; legacy mixed-clock tables keep the
+    // exact linear fallback below.
+    var lo = floor
+    var hi = head
+    var ans = -1L
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (commitTime(f, root, vs(mid)) <= tsMillis) { ans = mid; lo = mid + 1 }
+      if (commitTime(f, root, mid) <= tsMillis) { ans = mid; lo = mid + 1 }
       else hi = mid - 1
     }
-    if (ans >= 0) Some(vs(ans))
+    if (ans >= 0) Some(ans)
     else
-      // a local timestamp inversion (cross-writer clock skew, out-of-order
-      // legacy mtime) can hide a hit from the binary search — fall back to
-      // the exact linear contract rather than answer None for a table the
-      // old scan resolved
-      vs.filter(v => commitTime(f, root, v) <= tsMillis).lastOption
+      // a local timestamp inversion (pre-monotonic-stamp history, out-of-
+      // order legacy mtime) can hide a hit from the binary search — fall
+      // back to the exact linear contract rather than answer None for a
+      // table the old scan resolved
+      (floor to head).filter(v => commitTime(f, root, v) <= tsMillis).lastOption
   }
 
   private def commitTime(f: FileSystem, root: Path, v: Long): Long = {

@@ -122,6 +122,18 @@ private[streaming] class VersionedTableSource(
     }
   private def filesAt(v: Long): Seq[String] = metaAt(v)._1
 
+  /** Column mapping PINNED at source creation, like the schema: appended
+    * files are read with their version's PHYSICAL layout, so a DROP/re-ADD
+    * COLUMN mid-run (metadata-only — adds no files, so the non-append guard
+    * can't see it) would silently bind pre-DDL files under the post-DDL
+    * mapping and stream the remapped column as null. Any batch whose
+    * mapping differs from the pinned one — or whose range CROSSES a
+    * mapping change — fails instead, advising a restart (Delta fails a
+    * stream on mid-run schema change the same way). */
+  private val pinnedMapping: Map[String, String] =
+    VersionedTable.latestVersion(spark, path).map(v => metaAt(v)._2)
+      .getOrElse(Map.empty)
+
   override def getOffset: Option[Offset] = {
     val latest = VersionedTable.latestVersion(spark, path).filter(_ >= startingVersion)
     latest.map { lv =>
@@ -130,19 +142,28 @@ private[streaming] class VersionedTableSource(
       else {
         var end = maxVersionsPerTrigger.fold(lv)(mv => math.min(lv, from + mv))
         maxFilesPerTrigger.foreach { mf =>
-          // walk the backlog accumulating each version's APPENDED file
-          // count; stop before the budget bursts but always take one
-          var prev: Set[String] =
-            if (from <= 0L) Set.empty else filesAt(from).toSet
+          // walk the backlog accumulating each version's APPENDED file count
+          // from the CHEAP side of the log: a delta manifest's `files_add`
+          // list is that count in one small JSON parse — no chain
+          // resolution, no Spark job (resolving a ckpt-anchored version's
+          // full file list costs one PER VERSION, making an unbounded walk
+          // O(backlog) Spark jobs inside a single getOffset). A full/
+          // checkpoint manifest (no cheap count) ends the walk: it is taken
+          // alone if it must be (progress guarantee), otherwise the batch
+          // stops just before it.
           var chosen = from
           var cum = 0L
           var v = from + 1L
-          while (v <= end && (chosen == from || cum < mf)) {
-            val cur = filesAt(v)
-            val added = cur.count(fk => !prev(fk))
-            if (chosen == from || cum + added <= mf) { chosen = v; cum += added }
-            else cum = mf // budget burst: stop the walk
-            prev = cur.toSet
+          var stop = false
+          while (v <= end && !stop && (chosen == from || cum < mf)) {
+            graft.sources.VersionedTable.addedFilesHint(spark, path, v) match {
+              case Some(added) =>
+                if (chosen == from || cum + added <= mf) { chosen = v; cum += added }
+                else stop = true // budget burst
+              case None => // full/ckpt manifest: batch boundary
+                if (chosen == from) chosen = v
+                stop = true
+            }
             v += 1L
           }
           end = chosen
@@ -167,6 +188,16 @@ private[streaming] class VersionedTableSource(
       if (fromV <= 0L) Set.empty[String]
       else filesAt(fromV).toSet
     val (toFiles, mapping) = metaAt(toV)
+    val fromMapping = if (fromV <= 0L) mapping else metaAt(fromV)._2
+    if (mapping != pinnedMapping || fromMapping != mapping)
+      throw new IllegalStateException(
+        s"$path: the table's column mapping changed " +
+          (if (fromMapping != mapping) s"inside batch range ($fromV, $toV]"
+           else s"since this stream started (version $toV)") +
+          " — a DROP/re-ADD COLUMN rebinds physical names, and files " +
+          "appended before the DDL would stream the remapped column as " +
+          "null under the new mapping. Restart the query (fresh checkpoint " +
+          "or startingVersion past the schema change).")
     val removed = fromFiles -- toFiles
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(

@@ -678,6 +678,43 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versionAt(spark, path, marks.head._2 - 10000L).isEmpty)
   }
 
+  test("commit timestamps are monotonic; versionAt never lists a pointered log") {
+    val path = java.nio.file.Files.createTempDirectory("tsmono").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // rapid-fire commits land within the same millisecond; the recorded
+    // stamps must STILL be strictly increasing (ts = max(now, parent.ts+1),
+    // the precondition versionAt's binary search relies on)
+    (1 to 6).foreach(i => VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v"), path))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def tsOf(v: Long): Long = {
+      val mf = new org.apache.hadoop.fs.Path(root, f"_graft_log/$v%08d.json")
+      val bytes = new Array[Byte](f.getFileStatus(mf).getLen.toInt)
+      val in = f.open(mf); try in.readFully(bytes) finally in.close()
+      om.readTree(new String(bytes, "UTF-8")).get("ts").asLong()
+    }
+    val stamps = (1L to 6L).map(tsOf)
+    assert(stamps.zip(stamps.tail).forall { case (a, b) => a < b },
+      s"commit stamps must be strictly increasing: $stamps")
+    // TIMESTAMP AS OF is a QUERY path: on a pointer-maintained table it
+    // must resolve without ever listing _graft_log (head from the pointer,
+    // vacuum floor from manifest-absence probes — versions are dense)
+    VersionedTable.listCalls.set(0L)
+    assert(VersionedTable.versionAt(spark, path, stamps(3)).contains(4L))
+    assert(VersionedTable.versionAt(spark, path, stamps.head - 1L).isEmpty)
+    assert(VersionedTable.versionAt(spark, path, Long.MaxValue).contains(6L))
+    assert(VersionedTable.listCalls.get() == 0L,
+      "versionAt must not list the log on a pointer-maintained table")
+    // a vacuumed floor resolves by absence-probe, still listing-free
+    VersionedTable.vacuum(spark, path, keepLast = 3, orphanRetentionMs = 0L)
+    VersionedTable.listCalls.set(0L)
+    assert(VersionedTable.versionAt(spark, path, stamps(4)).contains(5L))
+    assert(VersionedTable.versionAt(spark, path, stamps(1)).isEmpty,
+      "instants before the vacuum floor no longer resolve")
+    assert(VersionedTable.listCalls.get() == 0L,
+      "the vacuum floor must come from absence probes, not a listing")
+  }
+
   test("parquet checkpoint manifests: big file lists never ride as one JSON blob") {
     val path = java.nio.file.Files.createTempDirectory("ckptpq").toString + "/t"
     val root = new org.apache.hadoop.fs.Path(path)

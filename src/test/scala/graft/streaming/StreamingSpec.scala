@@ -432,6 +432,59 @@ class StreamingSpec extends SparkSpec {
     assert(fsizes.nonEmpty && fsizes.forall(_ <= 2L), fsizes.mkString(","))
   }
 
+  test("mid-stream DROP/re-ADD COLUMN fails the query instead of serving nulls") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    import spark.implicits._
+    val table = Files.createTempDirectory("cmguard").toString + "/t"
+    VersionedTable.write(Seq((1L, 10)).toDF("id", "v").coalesce(1), table)
+    val q = spark.readStream.format("graft-table").load(table)
+      .writeStream.format("memory").queryName("cm_guard").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // DDL while the query runs: metadata-only commits add no files, so
+      // the non-append guard can't fire — the MAPPING guard must, or the
+      // next batch would bind pre-DDL appends under the new physical name
+      // and stream the column as null
+      VersionedTable.dropColumns(spark, table, Seq("v"))
+      VersionedTable.addColumns(spark, table, Seq(StructField("v", IntegerType)))
+      VersionedTable.append(Seq((2L, 20)).toDF("id", "v"), table)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(ex.getCause).fold(ex.getMessage)(_.getMessage)
+      assert(msg.contains("column mapping"), s"wrong failure: $msg")
+    } finally q.stop()
+  }
+
+  test("file-budget walk stops at full manifests instead of resolving them") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val table = Files.createTempDirectory("rcwalk").toString + "/t"
+    // 12-commit backlog, one file each; v1 and v10 carry FULL manifests
+    // (genesis / checkpoint cadence), the rest are deltas
+    (1 to 12).foreach(i =>
+      VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), table))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft-table")
+      .option("maxFilesPerTrigger", "100").load(table)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count().toInt
+        seen.synchronized { if (n > 0) seen += n }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    // the throttle walk reads per-version appended counts from DELTA
+    // manifests only (files_add — one tiny JSON parse each); the full
+    // manifests at v1/v10 are batch boundaries, never per-version full
+    // file-list resolutions (a ckpt-anchored one costs a Spark job EACH —
+    // O(backlog) jobs in one getOffset). Deterministic batch shape:
+    // [v1], [v2..v9], [v10], [v11..v12].
+    assert(seen.toSeq == Seq(1, 8, 1, 2),
+      s"walk must batch deltas cheaply and break at full manifests: $seen")
+  }
+
   test("streaming a column-mapped table: re-added columns stream real values") {
     import graft.sources.VersionedTable
     import org.apache.spark.sql.types.{IntegerType, StructField}
