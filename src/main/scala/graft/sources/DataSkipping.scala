@@ -32,9 +32,48 @@ object DataSkipping {
 
   /** Min/max/null summary of one column within one file. `min`/`max` are
     * None when the writer recorded no usable bound (e.g. parquet omitted
-    * oversized binary stats) — such a column never prunes the file. */
+    * oversized binary stats) — such a column never prunes the file.
+    * `inexact` marks TRUNCATED string bounds (see [[StatStringMaxLen]]):
+    * still sound for pruning (outer bounds), but metadata-only MIN/MAX
+    * must refuse them — the true extremum may lie strictly inside. */
   final case class ColStat(
-      min: Option[Any], max: Option[Any], numNulls: Long, allNulls: Boolean)
+      min: Option[Any], max: Option[Any], numNulls: Long, allNulls: Boolean,
+      inexact: Boolean = false)
+
+  /** Stored string bounds are capped at this many chars (Delta's 32-char
+    * stats truncation): on an LLM corpus with stats collected on a text
+    * column, verbatim bounds would put two full documents PER FILE into the
+    * manifest/checkpoint — metadata that can blow up. Truncation keeps the
+    * bounds OUTER (min → prefix, which UTF-8-orders <= the original; max →
+    * prefix with its last incrementable char bumped, which orders > it), so
+    * pruning stays conservative and can never produce a false skip. */
+  val StatStringMaxLen = 32
+
+  /** Outer upper bound for an over-long string: 32-char prefix with the
+    * last char below the surrogate range incremented, everything after
+    * dropped — strictly greater than the original in UTF-8 order. None for
+    * the pathological all-unincrementable prefix (no bound recorded; the
+    * column then never prunes that file, never lies). */
+  private def truncMax(s: String): Option[String] = {
+    val p = s.substring(0, StatStringMaxLen)
+    val i = p.lastIndexWhere(c => c < 0xD7FF.toChar)
+    if (i < 0) None else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
+  /** Apply string truncation to a merged (min, max) pair; the third element
+    * reports whether any bound is now inexact. A truncated MIN is just the
+    * prefix — taking fewer chars can only order <= the original, even when
+    * the cut splits a surrogate pair. */
+  private def truncateBounds(mn: Option[Any], mx: Option[Any])
+      : (Option[Any], Option[Any], Boolean) = {
+    val longMin = mn.exists { case s: String => s.length > StatStringMaxLen; case _ => false }
+    val longMax = mx.exists { case s: String => s.length > StatStringMaxLen; case _ => false }
+    if (!longMin && !longMax) (mn, mx, false)
+    else (
+      if (longMin) mn.map { case s: String => s.substring(0, StatStringMaxLen) } else mn,
+      if (longMax) mx.flatMap { case s: String => truncMax(s) } else mx,
+      true)
+  }
 
   /** file name (relative to the data dir) -> column -> stat */
   type FileStats = Map[String, Map[String, ColStat]]
@@ -116,7 +155,10 @@ object DataSkipping {
           }
         }
         if (!usable) Some(name -> ColStat(None, None, nulls, allNulls = false))
-        else Some(name -> ColStat(mn, mx, nulls, allNulls = values == 0L))
+        else {
+          val (tmn, tmx, inexact) = truncateBounds(mn, mx)
+          Some(name -> ColStat(tmn, tmx, nulls, allNulls = values == 0L, inexact))
+        }
       }.toMap
       FileMeta(colStats, rowCount)
     } finally reader.close()
@@ -241,7 +283,8 @@ object DataSkipping {
     cols.toSeq.sortBy(_._1).map { case (c, st) =>
       val mn = st.min.map(x => s""""min":${v(x)},""").getOrElse("")
       val mx = st.max.map(x => s""""max":${v(x)},""").getOrElse("")
-      s""""$c":{$mn$mx"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
+      val tr = if (st.inexact) s""""trunc":true,""" else ""
+      s""""$c":{$mn$mx$tr"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
     }.mkString("{", ",", "}")
   }
 
@@ -254,7 +297,8 @@ object DataSkipping {
       }
       ce.getKey -> ColStat(bound("min"), bound("max"),
         Option(o.get("nulls")).map(_.asLong()).getOrElse(0L),
-        Option(o.get("all_nulls")).exists(_.asBoolean()))
+        Option(o.get("all_nulls")).exists(_.asBoolean()),
+        Option(o.get("trunc")).exists(_.asBoolean()))
     }.toMap
   }
 

@@ -1175,6 +1175,9 @@ object VersionedTable {
     val bounds = perFile.flatten.filterNot(_.allNulls)
     if (bounds.isEmpty) return None // MIN/MAX over zero non-null rows is NULL
     if (bounds.exists(st => st.min.isEmpty || st.max.isEmpty)) return None
+    // TRUNCATED string bounds are outer, not exact — the true extremum may
+    // lie strictly inside them; metadata MIN/MAX must refuse, not lie
+    if (bounds.exists(_.inexact)) return None
     Some((bounds.map(_.min.get).min(DataSkipping.statOrdering),
       bounds.map(_.max.get).max(DataSkipping.statOrdering)))
   }

@@ -235,6 +235,45 @@ class DataSkippingSpec extends SparkSpec {
       df.filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2026-01-01 01:00:00"))).count())
   }
 
+  test("over-long string bounds truncate to 32 chars; pruning stays sound; MIN/MAX refuses") {
+    val path = java.nio.file.Files.createTempDirectory("strtrunc").toString + "/t"
+    // two files with disjoint >1 KB string ranges (first-32-char prefixes
+    // differ, so truncated bounds still separate them)
+    val pad = "x" * 2000
+    val dfA = Seq(s"aaa-doc-$pad-1", s"abb-doc-$pad-2").toDF("doc").coalesce(1)
+    val dfB = Seq(s"mmm-doc-$pad-1", s"mzz-doc-$pad-2").toDF("doc").coalesce(1)
+    VersionedTable.write(dfA, path, statsCols = Seq("doc"))
+    VersionedTable.append(dfB, path, statsCols = Seq("doc"))
+    // the manifest must hold BOUNDED bounds, not two full documents per file
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new org.apache.hadoop.fs.Path(root, "_graft_log")
+    f.listStatus(logDir).filter(_.getPath.getName.endsWith(".json")).foreach { st =>
+      assert(st.getLen < 4096,
+        s"${st.getPath.getName}: manifest must stay small under >1KB string stats (${st.getLen}B)")
+    }
+    // truncated bounds remain OUTER: an equality on a real value keeps its
+    // file and returns it; the other file (disjoint prefix) is skipped
+    val target = s"mmm-doc-$pad-1"
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, col("doc") === target)
+    assert(kept.size == 1 && skipped.size == 1,
+      s"disjoint truncated prefixes must still prune: kept=${kept.size} skipped=${skipped.size}")
+    val got = VersionedTable.readWhere(spark, path, col("doc") === target).collect()
+    assert(got.length == 1 && got.head.getString(0) == target, "no false skip")
+    // a probe just ABOVE a truncated max must be conservative, never lie:
+    // full-table bounds admit it nowhere only if truncation stayed outer
+    assert(VersionedTable.readWhere(spark, path, col("doc") > s"mzz-doc-$pad-2")
+      .count() == 0L)
+    // metadata-only MIN/MAX refuses truncated bounds (true extremum may lie
+    // strictly inside them)...
+    assert(VersionedTable.minMaxFromStats(spark, path, "doc").isEmpty,
+      "minMaxFromStats must refuse truncated string bounds")
+    // ...but stays exact for short strings
+    val p2 = java.nio.file.Files.createTempDirectory("strshort").toString + "/t"
+    VersionedTable.write(Seq("alpha", "omega").toDF("doc"), p2, statsCols = Seq("doc"))
+    assert(VersionedTable.minMaxFromStats(spark, p2, "doc").contains(("alpha", "omega")))
+  }
+
   test("q_skipping_scan (the DECLARED query) skips files and matches the raw scan") {
     import graft.queries.SkippingQueries
     val dir = sf0001
