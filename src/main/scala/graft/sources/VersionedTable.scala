@@ -451,13 +451,56 @@ object VersionedTable {
     (rel, dir)
   }
 
+  /** Author checkpoint `v` FROM ITS ANCHOR's checkpoint parquet as a Spark
+    * job — anchor rows minus the removed keys, union the (small,
+    * driver-known) adds since the anchor — so a checkpoint COMMIT on a
+    * million-file table never materializes the stats map on the driver
+    * (the write-side twin of [[distributedPrune]]; previously every
+    * [[CheckpointEvery]]th commit collected every file's parsed stats onto
+    * the driver via readCkptStats and re-serialized them).
+    * `keepStatsCols`, when set, prunes each carried file's stats to those
+    * columns ON THE EXECUTORS — DROP COLUMN's stats rewrite, distributed.
+    * Adds get idx keys past any anchor ordinal; readers order by
+    * (idx, path), which is total and deterministic. */
+  private def writeCkptFromAnchor(spark: SparkSession, root: Path, v: Long,
+      anchorRel: String, removed: Set[String],
+      adds: Seq[(String, Option[Long], Option[String])],
+      keepStatsCols: Option[Set[String]]): (String, Path) = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"$LogDir/ckpt-$v%08d-$token"
+    val dir = new Path(root, rel)
+    import spark.implicits._
+    val rm = removed // small closure: O(changed files since anchor)
+    val keep = keepStatsCols
+    val carried = spark.read.parquet(new Path(root, anchorRel).toString)
+      .select(col("idx"), col("path"), col("rows"), col("stats"))
+      .as[(Int, String, Option[Long], Option[String])]
+      .mapPartitions(_.collect {
+        case (i, p, rw, st) if !rm.contains(p) =>
+          val pruned = (keep, st) match {
+            case (Some(ks), Some(s)) =>
+              val m = DataSkipping.colsFromJson(s).filter(kv => ks(kv._1))
+              if (m.isEmpty) None else Some(DataSkipping.colsToJson(m))
+            case _ => st
+          }
+          (i, p, rw, pruned)
+      })
+    val addRows = spark.createDataset(adds.zipWithIndex.map {
+      case ((p, rw, st), k) => (1000000000 + k, p, rw, st)
+    })
+    val parts = math.max(1, math.min((removed.size + adds.size) / 100000 + 8, 64))
+    carried.union(addRows).toDF("idx", "path", "rows", "stats")
+      .repartition(parts).write.mode("overwrite").parquet(dir.toString)
+    (rel, dir)
+  }
+
   /** Checkpoint file list + row counts — reads ONLY those columns (the
     * stats column never leaves the parquet pages). */
   private def readCkptLight(spark: SparkSession, root: Path, rel: String)
       : (Seq[String], Map[String, Long]) = {
     val rowsArr = spark.read.parquet(new Path(root, rel).toString)
       .select(col("idx"), col("path"), col("rows"))
-      .collect().sortBy(_.getInt(0))
+      .collect().sortBy(r => (r.getInt(0), r.getString(1)))
     val files = rowsArr.map(_.getString(1)).toSeq
     val rowCounts = rowsArr.iterator.filterNot(_.isNullAt(2))
       .map(r => r.getString(1) -> r.getLong(2)).toMap
@@ -1134,10 +1177,72 @@ object VersionedTable {
 
   /** Read the latest committed version, or `asOf` for time travel. The file
     * list and schema come from the commit manifest, so empty versions read
-    * fine and no footer inference runs. */
+    * fine and no footer inference runs.
+    *
+    * Schema-recorded tables read through the [[GraftFileIndex]] RELATION
+    * (the `format("graft-table")` batch path): any `.filter` the caller
+    * composes later prunes files AT PLAN TIME via manifest stats — the
+    * read-then-filter idiom no longer silently scans every file, and DV/
+    * column mapping ride inside the file format instead of a join. Legacy
+    * no-schema manifests — and tables whose deletion vectors exceed the
+    * broadcast bound — keep the anti-join read. */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val (root, _, c) = commitFor(spark, path, asOf)
-    dataFrameFor(spark, root, c, c.files)
+    if (relationEligible(c))
+      org.apache.spark.sql.graft.GraftBatchShim.ofRelation(spark,
+        relationFor(spark, root, c))
+    else dataFrameFor(spark, root, c, c.files)
+  }
+
+  /** Relation reads need a recorded schema (legacy manifests infer) and
+    * driver-collectable deletion-vector marks (the format applies them as
+    * a broadcast mark set; past the bound the anti-join read scales
+    * better — and such a table should be purged, see
+    * [[DefaultDvPurgeFraction]]). */
+  private def relationEligible(c: Commit): Boolean =
+    c.schema.isDefined &&
+      c.files.iterator.map(fk => c.dvRows.getOrElse(fk, 0L)).sum <= DvBroadcastMaxRows
+
+  /** The `format("graft-table")` batch relation over one committed version:
+    * plan-time file skipping (pushed filters → [[pruneFiles]], distributed
+    * over checkpoint parquet), column mapping and deletion vectors inside
+    * the scan, vectorized parquet + codegen preserved. */
+  private[graft] def batchRelation(spark: SparkSession, path: String,
+      asOf: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
+    val (root, _, c) = commitFor(spark, path, asOf)
+    require(c.schema.isDefined,
+      s"$path: format(\"graft-table\") batch reads need a schema-recorded " +
+        "table (legacy manifests: use VersionedTable.read)")
+    relationFor(spark, root, c)
+  }
+
+  private def relationFor(spark: SparkSession, root: Path,
+      c: Commit): org.apache.spark.sql.sources.BaseRelation =
+    org.apache.spark.sql.graft.GraftBatchShim.relation(
+      spark, root, c.schema.get, c.files,
+      keep = {
+        case Some(resolved) => pruneFiles(spark, root, c, resolved)._1
+        case None => c.files
+      },
+      colMap = c.colMap,
+      dvMarks = dvMarksFor(spark, root, c))
+
+  /** Deletion-vector marks as a driver map (file key → sorted marked row
+    * indices) for the scan-side filter; None when no live file has marks.
+    * Sidecars are point-delete-sized by contract (auto-purge rewrites past
+    * [[DefaultDvPurgeFraction]]); marks for files no longer live are
+    * dropped here so the broadcast carries only what the scan can meet. */
+  private def dvMarksFor(spark: SparkSession, root: Path,
+      c: Commit): Option[Map[String, Array[Long]]] = {
+    val marked = c.files.filter(fk => c.dvRows.getOrElse(fk, 0L) > 0L).toSet
+    if (marked.isEmpty) None
+    else Some(
+      spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
+        .select(col(FileKeyCol), col(RowIdxCol))
+        .collect().iterator
+        .filter(r => marked(r.getString(0)))
+        .toArray.groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray })
   }
 
   /** `count(*)` from the manifest alone — zero data files opened. Answers
@@ -1193,8 +1298,22 @@ object VersionedTable {
     * read when the manifest carries no stats. */
   def readWhere(spark: SparkSession, path: String, predicate: Column,
       asOf: Option[Long] = None): DataFrame = {
-    val (root, kept, _, c) = pruned(spark, path, predicate, asOf)
-    dataFrameFor(spark, root, c, kept).filter(predicate)
+    // the relation path prunes the SAME predicate at plan time (pushed data
+    // filters → pruneFiles inside listFiles), so read().filter() and
+    // readWhere() are now literally the same plan; the explicit pre-pruned
+    // scan remains for legacy/huge-DV tables
+    val (root, _, c) = commitFor(spark, path, asOf)
+    if (relationEligible(c))
+      org.apache.spark.sql.graft.GraftBatchShim.ofRelation(spark,
+        relationFor(spark, root, c)).filter(predicate)
+    else {
+      val (kept, _) = c.schema match {
+        case Some(s) =>
+          pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
+        case _ => (c.files, Seq.empty[String])
+      }
+      dataFrameFor(spark, root, c, kept).filter(predicate)
+    }
   }
 
   /** Files (kept, skipped) for `predicate` — the observable pruning

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.VersionedTable
@@ -48,13 +48,40 @@ import graft.sources.VersionedTable
   *     .load(tablePath)
   * }}}
   */
-class VersionedTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class VersionedTableSourceProvider extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
   private def tablePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table source requires .load(<tablePath>)"))
+
+  /** BATCH reads: `spark.read.format("graft-table").load(path)` — a
+    * snapshot relation whose [[graft.sources.VersionedTable]] file index
+    * prunes files at PLAN time from manifest stats (any later `.filter`
+    * composes), with deletion vectors and column mapping applied inside
+    * the scan. Time travel rides options, Delta-style:
+    * {{{
+    *   spark.read.format("graft-table")
+    *     .option("versionAsOf", "3")            // or
+    *     .option("timestampAsOf", "2026-01-01 00:00:00")  // or epoch millis
+    *     .load(tablePath)
+    * }}} */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = tablePath(parameters)
+    val asOf = parameters.get("versionAsOf").map(_.trim.toLong).orElse(
+      parameters.get("timestampAsOf").map { raw =>
+        val ts = scala.util.Try(raw.trim.toLong).getOrElse(
+          java.sql.Timestamp.valueOf(raw.trim).getTime)
+        VersionedTable.versionAt(spark, path, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path has no version committed at or before $raw"))
+      })
+    VersionedTable.batchRelation(spark, path, asOf)
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =

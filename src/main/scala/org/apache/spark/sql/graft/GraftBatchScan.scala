@@ -1,0 +1,232 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{sources, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, Expression, UnsafeProjection}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.datasources.{FileFormat, FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.BaseRelation
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Catalyst-integrated batch reads for graft versioned tables — the piece
+  * that makes `spark.read.format("graft-table").load(p).filter(pred)` prune
+  * files AT PLAN TIME, the way Delta's TahoeFileIndex does. The pre-existing
+  * `readWhere(predicate)` API pruned only when callers routed through it;
+  * the reference's own idiom is read-then-filter
+  * (`pipelines/gold/kpis_local.py:31,38`), which silently scanned every
+  * live file. With a [[FileIndex]] the pushed data filters arrive inside
+  * `listFiles` during physical planning, so ANY DataFrame filter — however
+  * composed — prunes through the same manifest-stats machinery, and the
+  * scan keeps Spark's vectorized parquet reader, column pruning, parquet
+  * row-group pushdown and whole-stage codegen (a custom DSv2 reader would
+  * re-implement all four).
+  *
+  * Lives in an `org.apache.spark.sql` subpackage solely for
+  * `Dataset.ofRows`/`LogicalRelation` (both `private[sql]`), like the
+  * streaming shim above it. No Spark internals are modified.
+  */
+
+/** Snapshot file index over one committed version: immutable, no listing,
+  * no inference — the file list comes from the manifest, and `listFiles`
+  * partitions it with the caller-supplied pruner (manifest min/max stats,
+  * evaluated distributed for checkpoint-anchored commits).
+  *
+  * @param keep  pushed data filters => root-relative files that may hold
+  *              matching rows (conservative; unknown shapes keep all)
+  */
+private[graft] class GraftFileIndex(
+    spark: SparkSession,
+    root: Path,
+    allFiles: Seq[String],
+    keep: Option[Expression] => Seq[String]) extends FileIndex {
+
+  override val rootPaths: Seq[Path] = Seq(root)
+  override def partitionSchema: StructType = new StructType()
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] =
+    allFiles.map(r => new Path(root, r).toString).toArray
+
+  /** FileStatus per live file, resolved with ONE listStatus per data dir
+    * (files are grouped under token-named dirs — O(dirs) driver RPCs, and
+    * the statuses themselves are the documented driver-plans-files ceiling
+    * shared with the manifest's file list). Lazy: a fully-pruned query on a
+    * cached plan never pays it twice. */
+  private lazy val statusOf: Map[String, FileStatus] = {
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val wanted = allFiles.toSet
+    allFiles.map(_.takeWhile(_ != '/')).distinct.flatMap { d =>
+      val dir = new Path(root, d)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        val rel = s"$d/${st.getPath.getName}"
+        if (wanted(rel)) Seq(rel -> st) else Seq.empty
+      }
+    }.toMap
+  }
+
+  /** Real on-disk bytes of the live files — honest input for broadcast
+    * decisions (a row-count × schema-width estimate underestimates text
+    * corpora badly enough to broadcast a huge table). */
+  override lazy val sizeInBytes: Long =
+    math.max(1L, allFiles.flatMap(statusOf.get).map(_.getLen).sum)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = keep(dataFilters.reduceOption(CatalystAnd))
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.flatMap(statusOf.get).toArray))
+  }
+}
+
+/** ParquetFileFormat that understands graft's COLUMN MAPPING and DELETION
+  * VECTORS, so the relation's user-facing schema stays logical and deleted
+  * rows never surface:
+  *
+  *  - column mapping: requested/data schemas and pushed filters are
+  *    rewritten logical→physical before delegating — reader output is
+  *    positional, so rows come back already in logical order, and a
+  *    re-added column's fresh physical name is simply absent from pre-drop
+  *    files (parquet serves nulls, never the dropped column's stale bytes).
+  *  - deletion vectors: files with marked rows are read with Spark's
+  *    row-index temporary column appended (correct across splits and
+  *    row-group pruning — it is how `_metadata.row_index` works) and the
+  *    marked positions dropped by a per-row filter against a broadcast
+  *    sorted-array mark set; the extra column is projected away. Batch
+  *    (columnar) output is disabled only when marks exist, exactly like
+  *    Delta's DV scan.
+  */
+private[graft] class GraftParquetFileFormat(
+    val colMap: Map[String, String],
+    val dv: Option[Broadcast[Map[String, Array[Long]]]]) extends ParquetFileFormat {
+
+  private def phys(n: String): String = colMap.getOrElse(n, n)
+  private def physSchema(s: StructType): StructType =
+    if (colMap.isEmpty) s else StructType(s.fields.map(f => f.copy(name = phys(f.name))))
+
+  override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
+    dv.isEmpty && super.supportBatch(sparkSession, schema)
+
+  override def toString: String = "GraftParquet"
+
+  // distinct graft scans must not canonicalize equal (ParquetFileFormat
+  // compares by class only; two snapshots can differ in mapping or marks)
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftParquetFileFormat =>
+      g.colMap == colMap && g.dv.map(_.id) == dv.map(_.id)
+    case _ => false
+  }
+  override def hashCode(): Int = colMap.hashCode() ^ dv.map(_.id).hashCode()
+
+  /** Rename a pushed source filter's columns logical→physical. Exact per
+    * node; an untranslatable subtree degrades SOUNDLY (And keeps the known
+    * side, Or/Not drop the filter — scan filters are best-effort, the
+    * engine re-applies the full predicate above the scan). */
+  private def physFilter(f: sources.Filter): Option[sources.Filter] = f match {
+    case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
+    case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(phys(a), v))
+    case sources.GreaterThan(a, v) => Some(sources.GreaterThan(phys(a), v))
+    case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(phys(a), v))
+    case sources.LessThan(a, v) => Some(sources.LessThan(phys(a), v))
+    case sources.LessThanOrEqual(a, v) => Some(sources.LessThanOrEqual(phys(a), v))
+    case sources.In(a, vs) => Some(sources.In(phys(a), vs))
+    case sources.IsNull(a) => Some(sources.IsNull(phys(a)))
+    case sources.IsNotNull(a) => Some(sources.IsNotNull(phys(a)))
+    case sources.StringStartsWith(a, v) => Some(sources.StringStartsWith(phys(a), v))
+    case sources.StringEndsWith(a, v) => Some(sources.StringEndsWith(phys(a), v))
+    case sources.StringContains(a, v) => Some(sources.StringContains(phys(a), v))
+    case sources.And(l, r) => (physFilter(l), physFilter(r)) match {
+      case (Some(x), Some(y)) => Some(sources.And(x, y))
+      case (one, other) => one.orElse(other)
+    }
+    case sources.Or(l, r) => for { x <- physFilter(l); y <- physFilter(r) }
+      yield sources.Or(x, y)
+    case sources.Not(c) => physFilter(c).map(sources.Not)
+    case passthrough @ (_: sources.AlwaysTrue | _: sources.AlwaysFalse) => Some(passthrough)
+    case _ => None
+  }
+
+  /** The manifest key of a scanned file: its last two path segments
+    * ("d-token/part-...parquet"), matching deletion-vector sidecar keys. */
+  private def fileKey(pf: PartitionedFile): String = {
+    val p = pf.toPath
+    s"${p.getParent.getName}/${p.getName}"
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : PartitionedFile => Iterator[InternalRow] = {
+    val pFilters = if (colMap.isEmpty) filters else filters.flatMap(physFilter(_))
+    def delegate(required: StructType): PartitionedFile => Iterator[InternalRow] =
+      super.buildReaderWithPartitionValues(sparkSession, physSchema(dataSchema),
+        partitionSchema, physSchema(required), pFilters, options, hadoopConf)
+    dv match {
+      case None => delegate(requiredSchema)
+      case Some(marks) =>
+        val idxName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+        val existing = requiredSchema.fieldNames.indexOf(idxName)
+        val withIdx =
+          if (existing >= 0) requiredSchema
+          else StructType(requiredSchema.fields :+
+            StructField(idxName, LongType, nullable = true))
+        val idxOrd = if (existing >= 0) existing else requiredSchema.length
+        val plain = delegate(requiredSchema)
+        val withRowIdx = delegate(withIdx)
+        val appended = existing < 0
+        (pf: PartitionedFile) => marks.value.get(fileKey(pf)) match {
+          case None => plain(pf)
+          case Some(dead) =>
+            val live = withRowIdx(pf).filter(row =>
+              java.util.Arrays.binarySearch(dead, row.getLong(idxOrd)) < 0)
+            if (!appended) live
+            else {
+              // project the temp column back out (downstream expects
+              // exactly requiredSchema + partition values; partitions are
+              // empty for graft tables, so it sits last)
+              val attrs = withIdx.fields.toSeq.map(f =>
+                AttributeReference(f.name, f.dataType, f.nullable)())
+              val proj = UnsafeProjection.create(attrs.dropRight(1), attrs)
+              live.map(proj)
+            }
+        }
+    }
+  }
+}
+
+/** Builders the graft.sources side calls (the only place needing
+  * `private[sql]` constructors). */
+object GraftBatchShim {
+
+  def relation(
+      spark: SparkSession,
+      root: Path,
+      logicalSchema: StructType,
+      files: Seq[String],
+      keep: Option[Expression] => Seq[String],
+      colMap: Map[String, String],
+      dvMarks: Option[Map[String, Array[Long]]]): BaseRelation = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val bc = dvMarks.map(session.sparkContext.broadcast(_))
+    HadoopFsRelation(
+      location = new GraftFileIndex(spark, root, files, keep),
+      partitionSchema = new StructType(),
+      // asNullable matches what spark.read.schema(...).parquet produced on
+      // the pre-relation read path (DataSource forces it for file sources)
+      dataSchema = logicalSchema.asNullable,
+      bucketSpec = None,
+      fileFormat = new GraftParquetFileFormat(colMap, bc),
+      options = Map.empty)(session)
+  }
+
+  def ofRelation(spark: SparkSession, rel: BaseRelation): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      LogicalRelation(rel))
+}
