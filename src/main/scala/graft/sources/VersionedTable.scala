@@ -581,7 +581,16 @@ object VersionedTable {
     *                         (true by construction for carry-by-reference
     *                         verbs) — skips the per-file comparison scan
     * @param statsAddOnly     stats for exactly the files this commit adds
-    *                         (what the delta form serializes) */
+    *                         (what the delta form serializes)
+    * @param anchorSrc        the commit whose checkpoint anchor a FULL
+    *                         encoding may be authored from (defaults to
+    *                         `parent`; vacuum's re-anchor passes the
+    *                         re-encoded commit itself)
+    * @param keepStatsCols    DROP COLUMN's distributed stats rewrite: an
+    *                         anchor-authored checkpoint prunes each carried
+    *                         file's stats to these columns on the EXECUTORS
+    *                         (the only carried-stats change a ride can
+    *                         express) */
   private def encodeCommit(spark: SparkSession, root: Path, v: Long,
       files: Seq[String], schemaJson: String, stats: => DataSkipping.FileStats,
       rows: Map[String, Long], txn: Map[String, Long],
@@ -591,7 +600,9 @@ object VersionedTable {
       physDropped: Set[String] = Set.empty,
       ts: Long = 0L,
       carriedIdentical: Boolean = false,
-      statsAddOnly: Option[DataSkipping.FileStats] = None): (String, Option[Path]) = {
+      statsAddOnly: Option[DataSkipping.FileStats] = None,
+      anchorSrc: Option[Commit] = None,
+      keepStatsCols: Option[Set[String]] = None): (String, Option[Path]) = {
     // the O(files) carried-stats comparison runs ONCE (or not at all when
     // the caller vouches for carry identity); manifestJson takes the
     // decision, it does not re-derive it
@@ -599,11 +610,36 @@ object VersionedTable {
       if (carriedIdentical) parent.isDefined && !forceFull && v % CheckpointEvery != 0L
       else deltaEligible(v, files, stats, rows, parent, forceFull)
     if (!isDelta && files.size > CkptInlineMaxFiles) {
-      val fullStats = stats
-      val (rel, dir) = writeCkpt(spark, root, v, files, fullStats, rows)
-      (manifestJson(v, files, schemaJson, fullStats, rows, txn, dv, dvRows,
-        parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel),
-        statsAddOnly = statsAddOnly), Some(dir))
+      // DISTRIBUTED authoring: when the stats of every carried file are the
+      // anchor's verbatim (carry-by-reference verbs) — or differ only by a
+      // column drop the executors can apply — the new checkpoint is written
+      // as a Spark job from the anchor's parquet, and the full stats map
+      // NEVER materializes on the driver (the adds since the anchor are
+      // driver-known and O(changed files) by construction)
+      val src = anchorSrc.orElse(parent)
+        .filter(_ => carriedIdentical || keepStatsCols.isDefined)
+      src.flatMap(_.ckptInfo) match {
+        case Some((aRel, aSet)) =>
+          val filesSet = files.toSet
+          val knownAdds = src.get.statsAdds ++ statsAddOnly.getOrElse(Map.empty)
+          val adds = files.filterNot(aSet).map { k =>
+            val st = knownAdds.get(k)
+              .map(m => keepStatsCols.fold(m)(ks => m.filter(kv => ks(kv._1))))
+              .filter(_.nonEmpty)
+            (k, rows.get(k), st.map(DataSkipping.colsToJson))
+          }
+          val (rel, dir) = writeCkptFromAnchor(spark, root, v, aRel,
+            removed = aSet.diff(filesSet), adds, keepStatsCols)
+          (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
+            parent, isDelta = false, colMap, physDropped, ts,
+            ckptRef = Some(rel), statsAddOnly = statsAddOnly), Some(dir))
+        case None =>
+          val fullStats = stats
+          val (rel, dir) = writeCkpt(spark, root, v, files, fullStats, rows)
+          (manifestJson(v, files, schemaJson, fullStats, rows, txn, dv, dvRows,
+            parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel),
+            statsAddOnly = statsAddOnly), Some(dir))
+      }
     } else
       (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
         parent, isDelta, colMap, physDropped, ts,
@@ -1737,12 +1773,24 @@ object VersionedTable {
       val v = b + 1L
       val (next, nextMap, nextDropped) = change(c.schema.get, c, v)
       val keep = next.fieldNames.toSet
-      val stats = c.stats.map { case (fk, cols) =>
+      // LAZY: on a checkpoint-anchored table the stats prune runs on the
+      // EXECUTORS (keepStatsCols → writeCkptFromAnchor); this driver-side
+      // map is only ever forced on small/inline tables
+      lazy val stats = c.stats.map { case (fk, cols) =>
         fk -> cols.filter(kv => keep(kv._1))
       }.filter(_._2.nonEmpty)
+      // ADD COLUMN touches no file stats (carry identity holds — it may
+      // delta-encode and never forces the parent map); DROP COLUMN changes
+      // carried stats, which a file-delta can't express: full form, with
+      // the column prune shipped to the executors for anchored tables
+      val isDrop = verb == "drop"
       val (body, ckptDir) = encodeCommit(spark, root, v, c.files, next.json,
         stats, c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
-        colMap = nextMap, physDropped = nextDropped)
+        forceFull = isDrop,
+        colMap = nextMap, physDropped = nextDropped,
+        carriedIdentical = !isDrop,
+        statsAddOnly = Some(Map.empty),
+        keepStatsCols = if (isDrop) Some(keep) else None)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         ckptDir.foreach(d => f.delete(d, true))
@@ -2203,7 +2251,11 @@ object VersionedTable {
         val (body, _) = encodeCommit(spark, root, mk, c.files,
           c.schema.map(_.json).getOrElse("null"),
           c.stats, c.rows, c.txn, c.dv, c.dvRows, // no parent → full form
-          colMap = c.colMap, physDropped = c.physDropped, ts = origTs)
+          colMap = c.colMap, physDropped = c.physDropped, ts = origTs,
+          // the re-encoded commit IS its own anchor source: a ckpt-chained
+          // keep re-anchors via a Spark job over its anchor's parquet
+          // instead of forcing the stats map onto the driver
+          carriedIdentical = true, anchorSrc = Some(c))
         val tmp = new Path(root, s".anchor-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
         val out = f.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()

@@ -782,6 +782,59 @@ class VersionedTableSpec extends SparkSpec {
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
+  test("checkpoint COMMITS ride the anchor: stats never materialize on the driver") {
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val path = java.nio.file.Files.createTempDirectory("ckptride").toString + "/t"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      // v1..v12: the v10 checkpoint is driver-authored (its parent is
+      // inline, so everything is driver-held anyway)
+      (1 to 12).foreach(i =>
+        VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1),
+          path, Seq("id", "v")))
+      // From here the table is checkpoint-anchored. The ENTIRE next cycle —
+      // deltas v13..v19, the v20 CHECKPOINT COMMIT (a MERGE, the worst
+      // case), an ADD COLUMN delta and a DROP COLUMN full re-encode — must
+      // author from the anchor's parquet as Spark jobs and never parse the
+      // stats column on the driver (previously every 10th commit collected
+      // the full map via readCkptStats and re-serialized it).
+      VersionedTable.ckptStatsParses.set(0L)
+      (13 to 19).foreach(i =>
+        VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), path))
+      VersionedTable.upsert(Seq((7, "UP")).toDF("id", "v"), path, Seq("id")) // v20: ckpt
+      VersionedTable.addColumns(spark, path, Seq(StructField("w", IntegerType))) // v21
+      VersionedTable.dropColumns(spark, path, Seq("v")) // v22: full, stats col pruned
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "a ckpt-crossing commit sequence must never force the stats map onto the driver")
+      // v20's manifest is parquet-checkpoint-backed (no inline list/stats)
+      val m20 = new org.apache.hadoop.fs.Path(root, "_graft_log/00000020.json")
+      val bytes = new Array[Byte](f.getFileStatus(m20).getLen.toInt)
+      val in = f.open(m20); try in.readFully(bytes) finally in.close()
+      val json20 = new String(bytes, "UTF-8")
+      assert(json20.contains("\"ckpt\"") && !json20.contains("\"files\""))
+      // resolution off the ridden checkpoints stays fully correct
+      assert(VersionedTable.countRows(spark, path).contains(19L))
+      val now = VersionedTable.read(spark, path)
+      assert(now.columns.toSeq == Seq("id", "w"))
+      assert(now.count() == 19L)
+      assert(VersionedTable.read(spark, path, Some(20L))
+        .filter(col("id") === 7).select("v").as[String].head() == "UP")
+      // pruning runs off the ridden anchor; the upsert's new file pruned in
+      val (k, s) = VersionedTable.pruneInfo(spark, path, col("id") === 15)
+      assert(k.size == 1 && s.size >= 18, s"${k.size}/${s.size}")
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "reads and pruning after ridden checkpoints stay distributed")
+      // the DROP's executor-side stats prune really removed the column:
+      // metadata MIN/MAX (a legitimate force) finds nothing for it
+      assert(VersionedTable.minMaxFromStats(spark, path, "v").isEmpty)
+      assert(VersionedTable.minMaxFromStats(spark, path, "id").isDefined)
+      assert(VersionedTable.ckptStatsParses.get() > 0L, "counter is live")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
   test("composition: pruning × deletion vectors × column mapping × time travel") {
     import org.apache.spark.sql.types.{IntegerType, StructField}
     val path = java.nio.file.Files.createTempDirectory("compose").toString + "/t"
