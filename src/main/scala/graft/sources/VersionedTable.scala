@@ -782,58 +782,84 @@ object VersionedTable {
       case None => c.stats.values.headOption.map(_.keys.toSeq.sorted).getOrElse(Nil)
     }
 
-  /** Claim version `v` by atomically creating its manifest. Returns false —
-    * with the stage file cleaned up — iff another writer holds `v`. */
+  /** The commit-store seam (Delta's `LogStore` idiom): everything above the
+    * CAS — staging, retries, recompute-on-lost-race, pointer maintenance —
+    * is store-agnostic, so the atomic create-if-absent is INJECTABLE. The
+    * default [[FsCommitStore]] covers POSIX and HDFS-like filesystems;
+    * object stores whose rename is non-atomic (e.g. S3A) need a store
+    * backed by an external conditional-put (DynamoDB-style), exactly as
+    * Delta ships LogStore implementations per cloud. Tests swap in a
+    * memory-backed putIfAbsent fake to exercise that contract. */
+  trait CommitStore {
+    /** Publish `body` at `dest` if and only if nothing is committed there:
+      * of all concurrent callers for one `dest`, EXACTLY ONE returns true,
+      * and a reader can never observe a partially-written `dest`. */
+    def putIfAbsent(f: FileSystem, root: Path, dest: Path, body: Array[Byte]): Boolean
+  }
+
+  /** Filesystem-native CAS: POSIX `link(2)` locally (create-if-absent of
+    * already-complete content), contractual `Rename.NONE` on HDFS-like
+    * stores, with a TOCTOU `!exists && rename` fallback where FileContext
+    * has no binding. NOT safe on object stores that emulate rename
+    * non-atomically (S3A) — inject a conditional-put store there. */
+  object FsCommitStore extends CommitStore {
+    def putIfAbsent(f: FileSystem, root: Path, dest: Path, body: Array[Byte]): Boolean = {
+      val stage = new Path(root,
+        s".commit-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(stage, true)
+      try out.write(body)
+      finally out.close()
+      val localRoot = "file" == Option(root.toUri.getScheme).getOrElse("file")
+      val won =
+        if (localRoot) {
+          // POSIX link(2): atomic create-if-absent; the linked content is
+          // already complete, so no reader can observe a partial manifest
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dest.toUri.getPath),
+              java.nio.file.Paths.get(stage.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          // FileContext.rename(Options.Rename.NONE) is the CONTRACTUAL
+          // no-replace rename (atomic create-if-absent on HDFS); the plain
+          // FileSystem `!exists && rename` is a TOCTOU fallback for
+          // filesystems with no FileContext binding.
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              root.toUri, f.getConf)
+            fc.rename(stage, dest, org.apache.hadoop.fs.Options.Rename.NONE)
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              !f.exists(dest) && f.rename(stage, dest)
+            // some HDFS-compatible filesystems signal a Rename.NONE collision
+            // as a plain IOException ("rename destination exists") — if the
+            // destination now exists the race was simply lost (retry next
+            // slot); only an IOException with the destination still absent is
+            // a real failure worth aborting the writer
+            case e: java.io.IOException =>
+              if (f.exists(dest)) false else throw e
+          }
+        }
+      f.delete(stage, false)
+      won
+    }
+  }
+
+  /** The store commits publish through — swappable (volatile: racing writer
+    * threads must observe the same store; production code leaves the
+    * default). */
+  @volatile var commitStore: CommitStore = FsCommitStore
+
+  /** Claim version `v` by atomically creating its manifest through the
+    * [[commitStore]]. Returns false iff another writer holds `v`. */
   private def tryCommit(f: FileSystem, root: Path, v: Long, body: String): Boolean = {
-    val log = new Path(root, LogDir)
-    f.mkdirs(log)
-    val stage = new Path(root,
-      s".commit-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = f.create(stage, true)
-    try out.write(body.getBytes("UTF-8"))
-    finally out.close()
-    val dest = manifest(root, v)
-    val localRoot = "file" == Option(root.toUri.getScheme).getOrElse("file")
-    val won =
-      if (localRoot) {
-        // POSIX link(2): atomic create-if-absent; the linked content is
-        // already complete, so no reader can observe a partial manifest
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dest.toUri.getPath),
-            java.nio.file.Paths.get(stage.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else {
-        // FileContext.rename(Options.Rename.NONE) is the CONTRACTUAL
-        // no-replace rename (atomic create-if-absent on HDFS); the plain
-        // FileSystem `!exists && rename` is a TOCTOU fallback for
-        // filesystems with no FileContext binding. NOTE: object stores
-        // whose FileSystem emulates rename non-atomically (e.g. S3A)
-        // guarantee neither path — multi-writer safety there needs an
-        // external lock or a real transaction-log service, as with Delta
-        // on S3 (documented limit, not silently assumed away).
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            root.toUri, f.getConf)
-          fc.rename(stage, dest, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            !f.exists(dest) && f.rename(stage, dest)
-          // some HDFS-compatible filesystems signal a Rename.NONE collision
-          // as a plain IOException ("rename destination exists") — if the
-          // destination now exists the race was simply lost (retry next
-          // slot); only an IOException with the destination still absent is
-          // a real failure worth aborting the writer
-          case e: java.io.IOException =>
-            if (f.exists(dest)) false else throw e
-        }
-      }
-    f.delete(stage, false)
+    f.mkdirs(new Path(root, LogDir))
+    val won = commitStore.putIfAbsent(f, root, manifest(root, v), body.getBytes("UTF-8"))
     if (won) writeHead(f, root, v) // pointer update AFTER the commit point
     won
   }

@@ -1020,6 +1020,120 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("commit store is pluggable: a memory-backed putIfAbsent serializes writers") {
+    // models Delta's LogStore for object stores whose rename is non-atomic
+    // (S3A): uniqueness comes from an external conditional-put, and the
+    // winner materializes the manifest with an atomic publish. The full
+    // multi-writer contract must hold through the seam.
+    class MemoryCommitStore extends VersionedTable.CommitStore {
+      val claims = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+      val puts = new java.util.concurrent.atomic.AtomicLong(0L)
+      def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          root: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path,
+          body: Array[Byte]): Boolean = {
+        puts.incrementAndGet()
+        if (claims.putIfAbsent(dest.toString, java.lang.Boolean.TRUE) != null) false
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(root,
+            s".mem-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+          val out = f.create(tmp, true)
+          try out.write(body) finally out.close()
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        }
+      }
+    }
+    val mem = new MemoryCommitStore
+    val saved = VersionedTable.commitStore
+    VersionedTable.commitStore = mem
+    try {
+      val path = java.nio.file.Files.createTempDirectory("memstore").toString + "/t"
+      VersionedTable.write(Seq((0, "seed")).toDF("id", "v"), path)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val futs = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            VersionedTable.append(Seq((i, s"w$i")).toDF("id", "v"), path)
+          }
+        })
+      }
+      gate.countDown()
+      val vs = futs.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS)).sorted
+      pool.shutdown()
+      assert(vs == Seq(2L, 3L, 4L, 5L), s"one winner per slot through the fake: $vs")
+      assert(mem.puts.get() >= 5L, "commits must route through the injected store")
+      assert(VersionedTable.read(spark, path).count() == 5)
+      assert(VersionedTable.countRows(spark, path).contains(5L))
+    } finally VersionedTable.commitStore = saved
+  }
+
+  test("extended chaos: RESTORE, vacuum, and schema DDL race appends and upserts") {
+    import scala.util.{Failure, Success, Try}
+    val path = java.nio.file.Files.createTempDirectory("chaos2").toString + "/t"
+    rangeTable(path) // v1: ids 0..999
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    def submit(body: => Long) =
+      pool.submit(new java.util.concurrent.Callable[Try[Long]] {
+        def call(): Try[Long] = { gate.await(); Try(body) }
+      })
+    val racers: Seq[(String, java.util.concurrent.Future[Try[Long]])] = Seq(
+      "upsert" -> submit(VersionedTable.upsert(
+        spark.range(0, 10).select(col("id"), lit("RACED").as("v")), path, Seq("id"))),
+      "append" -> submit(VersionedTable.append(
+        spark.range(5000, 5010).select(col("id"), concat(lit("n"), col("id")).as("v")),
+        path)),
+      "ddl" -> submit(VersionedTable.addColumns(spark, path,
+        Seq(org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType)))),
+      "restore" -> submit(VersionedTable.restore(spark, path, 1L)),
+      "vacuum" -> submit { VersionedTable.vacuum(spark, path, keepLast = 3); -1L })
+    gate.countDown()
+    val outcomes = racers.map { case (n, f) =>
+      n -> f.get(240, java.util.concurrent.TimeUnit.SECONDS) }
+    pool.shutdown()
+    // every failure is a DOCUMENTED refusal, never a corrupted state:
+    // schema guards (a DDL won first), restore÷vacuum race guards
+    outcomes.foreach {
+      case (name, Failure(e)) =>
+        val m = Option(e.getMessage).getOrElse("")
+        assert(m.contains("schema mismatch") || m.contains("has no version") ||
+          m.contains("cannot restore") || m.contains("raced a vacuum"),
+          s"$name died outside its contract: $e")
+      case _ => ()
+    }
+    val byName = outcomes.toMap
+    // successful verbs claimed DISTINCT versions
+    val claimed = outcomes.collect { case (n, Success(v)) if n != "vacuum" => v }
+    assert(claimed.distinct.size == claimed.size, s"version collision: $outcomes")
+    // the surviving log is contiguous, every survivor is a readable
+    // snapshot, and the head agrees with its metadata
+    val vs = VersionedTable.versions(spark, path)
+    assert(vs == (vs.head to vs.last), s"log must stay dense: $vs")
+    vs.foreach(v => VersionedTable.read(spark, path, Some(v)).count())
+    assert(VersionedTable.countRows(spark, path)
+      .forall(_ == VersionedTable.read(spark, path).count()))
+    assert(VersionedTable.history(spark, path).count() == vs.size)
+    // each successful verb's effect is observable AT ITS OWN VERSION — or
+    // that version was legitimately vacuumed away (refusal-or-effect: no
+    // third outcome exists)
+    def at(v: Long): Option[org.apache.spark.sql.DataFrame] =
+      Try(VersionedTable.read(spark, path, Some(v))).toOption
+    byName("upsert").foreach(v => at(v).foreach(df =>
+      assert(df.filter(col("v") === "RACED").count() == 10)))
+    byName("append").foreach(v => at(v).foreach(df =>
+      assert(df.filter(col("id") >= 5000).count() == 10)))
+    byName("ddl").foreach(v => at(v).foreach(df =>
+      assert(df.columns.contains("tag"))))
+    byName("restore").foreach(v => at(v).foreach(df =>
+      assert(df.count() == 1000)))
+  }
+
   test("a failed version write never becomes readable; vacuum retires old versions") {
     val path = java.nio.file.Files.createTempDirectory("vt").toString + "/t"
     VersionedTable.write(Seq((1, "a")).toDF("id", "v"), path)
