@@ -134,6 +134,44 @@ object SkippingQueries {
        |FROM events WHERE user_id NOT BETWEEN $DvLo AND $DvHi
        |GROUP BY 1""".stripMargin
 
+  /** Filter band for q_batch_format: deliberately STRADDLES the DV band
+    * ([[DvLo]], [[DvHi]]) so the result is wrong unless the scan both
+    * prunes files from manifest stats AND drops deletion-vector marks. */
+  val FmtLo = 4L
+  val FmtHi = 10L
+
+  /** q_batch_format — the Catalyst-integrated read path under the oracle
+    * gate: `spark.read.format("graft-table").load(path).filter(pred)` —
+    * read-then-filter, the reference's own idiom
+    * (`pipelines/gold/kpis_local.py:31,38`) — over the DV-deleted
+    * clustered copy. The filter is a plain DataFrame `.filter` AFTER the
+    * load, so matching the oracle proves the format's [[GraftFileIndex]]
+    * receives it as a pushed data filter at plan time (BatchFormatSpec
+    * separately asserts the scanned file set equals the pruned set) and
+    * that merge-on-read DV marks are dropped inside the format's reader.
+    * One green row = pruning × DV × format composition is invisible in
+    * results, not just spec-asserted. */
+  def batchFormat(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureDvTable(spark, dir)
+    spark.read.format("graft-table").load(path)
+      .filter(col("user_id").between(FmtLo, FmtHi))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+  }
+
+  val batchFormatSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM events
+       |WHERE user_id BETWEEN $FmtLo AND $FmtHi
+       |  AND user_id NOT BETWEEN $DvLo AND $DvHi
+       |GROUP BY 1""".stripMargin
+
   /** q_meta_count — `count(*)` answered from the commit manifest's per-file
     * row counts alone (zero data files opened; VersionedTableSpec proves
     * the zero-read property by destroying the data files). The most common
@@ -178,11 +216,13 @@ object SkippingQueries {
     "q_skipping_scan" -> (skippingScan _),
     "q_meta_count" -> (metaCount _),
     "q_meta_minmax" -> (metaMinMax _),
-    "q_dv_delete" -> (dvDelete _))
+    "q_dv_delete" -> (dvDelete _),
+    "q_batch_format" -> (batchFormat _))
 
   val oracles: Map[String, String] = Map(
     "q_skipping_scan" -> skippingScanSql,
     "q_meta_count" -> metaCountSql,
     "q_meta_minmax" -> metaMinMaxSql,
-    "q_dv_delete" -> dvDeleteSql)
+    "q_dv_delete" -> dvDeleteSql,
+    "q_batch_format" -> batchFormatSql)
 }
