@@ -1180,6 +1180,13 @@ object VersionedTable {
     * away with [[compact]]/[[zOrderBy]] rather than broadcast). */
   val DvBroadcastMaxRows = 2L * 1000 * 1000
 
+  /** The effective mark-broadcast bound: [[DvBroadcastMaxRows]] unless
+    * overridden via `spark.graft.dv.broadcastMaxRows` (lets specs exercise
+    * the over-bound paths without millions of marked rows). */
+  private def dvBroadcastBound(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.broadcastMaxRows")
+      .map(_.toLong).getOrElse(DvBroadcastMaxRows)
+
   /** The manifest key of the file each scanned row came from: the last two
     * path segments of `_metadata.file_path` ("d-token/part-...parquet"). */
   private def fileKeyExpr: org.apache.spark.sql.Column =
@@ -1231,7 +1238,8 @@ object VersionedTable {
         if (files.size == c.files.size) dvAll
         else dvAll.filter(col(FileKeyCol).isin(files: _*))
       val dvSide =
-        if (c.dvRows.values.sum <= DvBroadcastMaxRows) broadcast(dvScoped) else dvScoped
+        if (c.dvRows.values.sum <= dvBroadcastBound(spark)) broadcast(dvScoped)
+        else dvScoped
       base.join(dvSide, Seq(FileKeyCol, RowIdxCol), "left_anti")
         .select(s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)).toSeq: _*)
     }
@@ -1250,7 +1258,7 @@ object VersionedTable {
     * broadcast bound — keep the anti-join read. */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     val (root, _, c) = commitFor(spark, path, asOf)
-    if (relationEligible(c))
+    if (relationEligible(spark, c))
       org.apache.spark.sql.graft.GraftBatchShim.ofRelation(spark,
         relationFor(spark, root, c))
     else dataFrameFor(spark, root, c, c.files)
@@ -1261,21 +1269,27 @@ object VersionedTable {
     * a broadcast mark set; past the bound the anti-join read scales
     * better — and such a table should be purged, see
     * [[DefaultDvPurgeFraction]]). */
-  private def relationEligible(c: Commit): Boolean =
+  private def relationEligible(spark: SparkSession, c: Commit): Boolean =
     c.schema.isDefined &&
-      c.files.iterator.map(fk => c.dvRows.getOrElse(fk, 0L)).sum <= DvBroadcastMaxRows
+      c.files.iterator.map(fk => c.dvRows.getOrElse(fk, 0L)).sum <=
+        dvBroadcastBound(spark)
 
   /** The `format("graft-table")` batch relation over one committed version:
     * plan-time file skipping (pushed filters → [[pruneFiles]], distributed
     * over checkpoint parquet), column mapping and deletion vectors inside
-    * the scan, vectorized parquet + codegen preserved. */
+    * the scan, vectorized parquet + codegen preserved. Tables whose
+    * deletion-vector marks exceed the broadcast bound get the
+    * [[DvAntiJoinRelation]] fallback — same pruning, scalable shuffled
+    * anti-join, no driver mark map — instead of OOMing the driver on
+    * exactly the path the bound protects. */
   private[graft] def batchRelation(spark: SparkSession, path: String,
       asOf: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
     val (root, _, c) = commitFor(spark, path, asOf)
     require(c.schema.isDefined,
       s"$path: format(\"graft-table\") batch reads need a schema-recorded " +
         "table (legacy manifests: use VersionedTable.read)")
-    relationFor(spark, root, c)
+    if (relationEligible(spark, c)) relationFor(spark, root, c)
+    else new DvAntiJoinRelation(spark, root, c)
   }
 
   private def relationFor(spark: SparkSession, root: Path,
@@ -1287,24 +1301,102 @@ object VersionedTable {
         case None => c.files
       },
       colMap = c.colMap,
-      dvMarks = dvMarksFor(spark, root, c))
+      dvMarks = dvThunkFor(spark, root, c))
 
-  /** Deletion-vector marks as a driver map (file key → sorted marked row
-    * indices) for the scan-side filter; None when no live file has marks.
-    * Sidecars are point-delete-sized by contract (auto-purge rewrites past
-    * [[DefaultDvPurgeFraction]]); marks for files no longer live are
-    * dropped here so the broadcast carries only what the scan can meet. */
-  private def dvMarksFor(spark: SparkSession, root: Path,
-      c: Commit): Option[Map[String, Array[Long]]] = {
-    val marked = c.files.filter(fk => c.dvRows.getOrElse(fk, 0L) > 0L).toSet
+  /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
+    * marked row indices) for the scan-side filter; None when no live file
+    * has marks (a manifest-only fact — no sidecar is opened to decide).
+    * The thunk runs at the format's first reader build, so schema-only
+    * relation uses never pay the sidecar scan, and marks for files no
+    * longer live are filtered INSIDE that scan (executor-side), not
+    * collected and discarded on the driver. Sidecars are
+    * point-delete-sized by contract ([[relationEligible]] bounds the total;
+    * auto-purge rewrites past [[DefaultDvPurgeFraction]]). */
+  /** Diagnostic: number of DV sidecar collects (spec-asserts the thunk's
+    * laziness — schema-only relation uses must not bump it). */
+  private[sources] val dvMarkLoads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def dvThunkFor(spark: SparkSession, root: Path,
+      c: Commit): Option[() => Map[String, Array[Long]]] = {
+    val marked = c.files.filter(fk => c.dvRows.getOrElse(fk, 0L) > 0L)
     if (marked.isEmpty) None
-    else Some(
+    else Some { () =>
+      dvMarkLoads.incrementAndGet()
       spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
         .select(col(FileKeyCol), col(RowIdxCol))
-        .collect().iterator
-        .filter(r => marked(r.getString(0)))
-        .toArray.groupBy(_.getString(0))
-        .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray })
+        .filter(col(FileKeyCol).isin(marked: _*))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toArray }
+    }
+  }
+
+  /** Best-effort translation of a pushed DSv1 filter to a Column. A
+    * translated predicate is always IMPLIED BY the original (And may keep
+    * one side — weaker), so it is safe both for [[pruneFiles]] (skipping
+    * only what provably fails a weaker predicate is conservative) and as a
+    * row filter (Spark re-applies the full original above the scan).
+    * Under Not, polarity flips, so `exact` forbids the And relaxation:
+    * Not(And(x, dropped)) would be STRONGER than the original. */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter,
+      exact: Boolean = false): Option[Column] = {
+    import org.apache.spark.sql.{sources => s}
+    f match {
+      case s.EqualTo(a, v) => Some(col(a) === lit(v))
+      case s.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case s.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case s.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case s.LessThan(a, v) => Some(col(a) < lit(v))
+      case s.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case s.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case s.IsNull(a) => Some(col(a).isNull)
+      case s.IsNotNull(a) => Some(col(a).isNotNull)
+      case s.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case s.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case s.StringContains(a, v) => Some(col(a).contains(v))
+      case s.And(l, r) => (filterToColumn(l, exact), filterToColumn(r, exact)) match {
+        case (Some(x), Some(y)) => Some(x && y)
+        case _ if exact => None
+        case (one, other) => one.orElse(other)
+      }
+      case s.Or(l, r) =>
+        for { x <- filterToColumn(l, exact); y <- filterToColumn(r, exact) }
+          yield x || y
+      case s.Not(c) => filterToColumn(c, exact = true).map(!_)
+      case _ => None
+    }
+  }
+
+  /** Fallback `format("graft-table")` relation for tables whose
+    * deletion-vector marks exceed the broadcast bound: pushed filters still
+    * prune files at plan time (PrunedFilteredScan → [[pruneFiles]]), and
+    * the marks apply through [[dataFrameFor]]'s SHUFFLED anti-join — no
+    * driver mark map, no broadcast, so the scan scales with the cluster
+    * instead of the driver heap. Rows cross one Row→InternalRow conversion
+    * (the price of staying on public DSv1 APIs); a table in this state
+    * should purge its DVs ([[purgeDeletes]]) to return to the fast path. */
+  private final class DvAntiJoinRelation(spark: SparkSession, root: Path,
+      c: Commit) extends org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.PrunedFilteredScan {
+    override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+    override val schema: StructType =
+      org.apache.spark.sql.graft.GraftBatchShim.nullable(c.schema.get)
+    override def toString: String = s"GraftDvAntiJoin(${c.files.size} files)"
+    override def buildScan(requiredColumns: Array[String],
+        filters: Array[org.apache.spark.sql.sources.Filter])
+        : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+      val pred = filters.flatMap(filterToColumn(_)).reduceOption(_ && _)
+      val kept = pred match {
+        case Some(p) =>
+          pruneFiles(spark, root, c, DataSkipping.resolve(spark, c.schema.get, p))._1
+        case None => c.files
+      }
+      val df = dataFrameFor(spark, root, c, kept)
+      // applying the (implied) predicate here cuts rows before the Row
+      // conversion; Spark re-applies the full filters above regardless
+      val filtered = pred.fold(df)(df.filter)
+      filtered.select(requiredColumns.map(col).toSeq: _*).rdd
+    }
   }
 
   /** `count(*)` from the manifest alone — zero data files opened. Answers
@@ -1365,7 +1457,7 @@ object VersionedTable {
     // readWhere() are now literally the same plan; the explicit pre-pruned
     // scan remains for legacy/huge-DV tables
     val (root, _, c) = commitFor(spark, path, asOf)
-    if (relationEligible(c))
+    if (relationEligible(spark, c))
       org.apache.spark.sql.graft.GraftBatchShim.ofRelation(spark,
         relationFor(spark, root, c)).filter(predicate)
     else {

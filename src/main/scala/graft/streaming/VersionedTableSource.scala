@@ -149,17 +149,21 @@ private[streaming] class VersionedTableSource(
     }
   private def filesAt(v: Long): Seq[String] = metaAt(v)._1
 
-  /** Column mapping PINNED at source creation, like the schema: appended
-    * files are read with their version's PHYSICAL layout, so a DROP/re-ADD
-    * COLUMN mid-run (metadata-only — adds no files, so the non-append guard
-    * can't see it) would silently bind pre-DDL files under the post-DDL
-    * mapping and stream the remapped column as null. Any batch whose
-    * mapping differs from the pinned one — or whose range CROSSES a
-    * mapping change — fails instead, advising a restart (Delta fails a
-    * stream on mid-run schema change the same way). */
-  private val pinnedMapping: Map[String, String] =
-    VersionedTable.latestVersion(spark, path).map(v => metaAt(v)._2)
-      .getOrElse(Map.empty)
+  /** Column mapping PINNED at source creation, like the schema, together
+    * with the version it came from. Every batch binds files under THIS
+    * mapping — exactly how a batch read of the pinned version interprets
+    * them — so historical DDL inside the backlog is fine: files appended
+    * before a pre-pin DROP/re-ADD simply lack the re-added column's fresh
+    * physical name and stream it as null (never the dropped column's stale
+    * bytes). What CANNOT be served is a mapping change AFTER the pin: a
+    * mid-run DROP/re-ADD is metadata-only (adds no files, so the
+    * non-append guard can't see it), and files appended under the NEW
+    * mapping would bind their remapped column as null under the pinned
+    * one. Such batches fail, advising a restart (Delta fails a stream on
+    * mid-run schema change the same way). */
+  private val (pinnedVersion, pinnedMapping): (Long, Map[String, String]) =
+    VersionedTable.latestVersion(spark, path).map(v => (v, metaAt(v)._2))
+      .getOrElse((-1L, Map.empty[String, String]))
 
   override def getOffset: Option[Offset] = {
     val latest = VersionedTable.latestVersion(spark, path).filter(_ >= startingVersion)
@@ -214,17 +218,15 @@ private[streaming] class VersionedTableSource(
     val fromFiles =
       if (fromV <= 0L) Set.empty[String]
       else filesAt(fromV).toSet
-    val (toFiles, mapping) = metaAt(toV)
-    val fromMapping = if (fromV <= 0L) mapping else metaAt(fromV)._2
-    if (mapping != pinnedMapping || fromMapping != mapping)
+    val (toFiles, toMapping) = metaAt(toV)
+    if (toV > pinnedVersion && toMapping != pinnedMapping)
       throw new IllegalStateException(
-        s"$path: the table's column mapping changed " +
-          (if (fromMapping != mapping) s"inside batch range ($fromV, $toV]"
-           else s"since this stream started (version $toV)") +
-          " — a DROP/re-ADD COLUMN rebinds physical names, and files " +
-          "appended before the DDL would stream the remapped column as " +
-          "null under the new mapping. Restart the query (fresh checkpoint " +
-          "or startingVersion past the schema change).")
+        s"$path: the table's column mapping changed since this stream " +
+          s"started (pinned at version $pinnedVersion, batch end $toV) — " +
+          "a DROP/re-ADD COLUMN rebinds physical names, and files " +
+          "appended under the new mapping would stream the remapped " +
+          "column as null under the pinned one. Restart the query to pick " +
+          "up the new schema.")
     val removed = fromFiles -- toFiles
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(
@@ -235,18 +237,21 @@ private[streaming] class VersionedTableSource(
           "whole, or consume VersionedTable.changes for a row-level diff.")
     val added = toFiles.filterNot(fromFiles)
     val root = new Path(path)
-    // COLUMN MAPPING: appended files store PHYSICAL names — bind them and
-    // alias back to the pinned logical schema, exactly like batch reads;
-    // binding logical names directly would stream mapped columns as null
+    // COLUMN MAPPING: appended files store PHYSICAL names — bind the
+    // PINNED mapping and alias back to the pinned logical schema, exactly
+    // like a batch read of the pinned version. Files older than a pre-pin
+    // DROP/re-ADD lack the re-added column's fresh physical name and serve
+    // nulls (binding each version's OWN historical mapping instead would
+    // resurrect the dropped column's stale bytes).
     val physSchema =
-      if (mapping.isEmpty) schema
+      if (pinnedMapping.isEmpty) schema
       else StructType(schema.fields.map(f =>
-        f.copy(name = mapping.getOrElse(f.name, f.name))))
+        f.copy(name = pinnedMapping.getOrElse(f.name, f.name))))
     val batch = org.apache.spark.sql.graft.StreamingRelationShim.parquetBatch(
       spark, physSchema, added.map(r => new Path(root, r).toString))
-    if (mapping.isEmpty) batch
+    if (pinnedMapping.isEmpty) batch
     else batch.select(schema.fields.map(f =>
-      org.apache.spark.sql.functions.col(mapping.getOrElse(f.name, f.name))
+      org.apache.spark.sql.functions.col(pinnedMapping.getOrElse(f.name, f.name))
         .as(f.name)).toSeq: _*)
   }
 

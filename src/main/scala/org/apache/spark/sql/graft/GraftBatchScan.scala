@@ -76,8 +76,17 @@ private[graft] class GraftFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = keep(dataFilters.reduceOption(CatalystAnd))
+    // a manifest-listed file that is missing on disk is a read ERROR
+    // (external deletion, failed vacuum, eventual consistency) — failing
+    // loudly matches the plain parquet path (ignoreMissingFiles=false);
+    // silently scanning the surviving subset would return partial results
     Seq(PartitionDirectory(InternalRow.empty,
-      kept.flatMap(statusOf.get).toArray))
+      kept.map(r => statusOf.getOrElse(r,
+        throw new java.io.FileNotFoundException(
+          s"${new Path(root, r)}: listed in the commit manifest but " +
+            "missing on disk — the table's data files were modified " +
+            "outside the commit log (external delete or failed vacuum)")))
+        .toArray))
   }
 }
 
@@ -100,14 +109,25 @@ private[graft] class GraftFileIndex(
   */
 private[graft] class GraftParquetFileFormat(
     val colMap: Map[String, String],
-    val dv: Option[Broadcast[Map[String, Array[Long]]]]) extends ParquetFileFormat {
+    @transient val dvThunk: Option[() => Broadcast[Map[String, Array[Long]]]])
+    extends ParquetFileFormat {
+
+  /** Marks are collected + broadcast LAZILY, at the first reader build
+    * (physical planning of an executed query) — schema-only uses of the
+    * relation (streaming-source creation resolves the schema twice) never
+    * pay the sidecar scan. One broadcast per relation, however many times
+    * the plan builds readers. Driver-only (`@transient`): the reader
+    * FUNCTION closes over the broadcast; the format object never needs it
+    * on executors. */
+  @transient private lazy val dv: Option[Broadcast[Map[String, Array[Long]]]] =
+    dvThunk.map(_())
 
   private def phys(n: String): String = colMap.getOrElse(n, n)
   private def physSchema(s: StructType): StructType =
     if (colMap.isEmpty) s else StructType(s.fields.map(f => f.copy(name = phys(f.name))))
 
   override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
-    dv.isEmpty && super.supportBatch(sparkSession, schema)
+    dvThunk.isEmpty && super.supportBatch(sparkSession, schema)
 
   override def toString: String = "GraftParquet"
 
@@ -115,16 +135,25 @@ private[graft] class GraftParquetFileFormat(
   // compares by class only; two snapshots can differ in mapping or marks)
   override def equals(other: Any): Boolean = other match {
     case g: GraftParquetFileFormat =>
-      g.colMap == colMap && g.dv.map(_.id) == dv.map(_.id)
+      g.colMap == colMap && ((g.dvThunk, dvThunk) match {
+        case (None, None) => true
+        case (Some(a), Some(b)) => a eq b
+        case _ => false
+      })
     case _ => false
   }
-  override def hashCode(): Int = colMap.hashCode() ^ dv.map(_.id).hashCode()
+  override def hashCode(): Int =
+    colMap.hashCode() ^ dvThunk.map(System.identityHashCode).getOrElse(0)
 
   /** Rename a pushed source filter's columns logical→physical. Exact per
-    * node; an untranslatable subtree degrades SOUNDLY (And keeps the known
-    * side, Or/Not drop the filter — scan filters are best-effort, the
-    * engine re-applies the full predicate above the scan). */
-  private def physFilter(f: sources.Filter): Option[sources.Filter] = f match {
+    * node; an untranslatable subtree degrades SOUNDLY: And keeps the known
+    * side (weaker filter), Or drops the whole filter — scan filters are
+    * best-effort, the engine re-applies the full predicate above the scan.
+    * Under Not, polarity flips, so `exact` forbids the And relaxation
+    * there: Not(And(x, unknown)) → Not(x) would be STRONGER than the
+    * original and could skip row groups holding matching rows. */
+  private def physFilter(f: sources.Filter,
+      exact: Boolean = false): Option[sources.Filter] = f match {
     case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
     case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(phys(a), v))
     case sources.GreaterThan(a, v) => Some(sources.GreaterThan(phys(a), v))
@@ -137,13 +166,14 @@ private[graft] class GraftParquetFileFormat(
     case sources.StringStartsWith(a, v) => Some(sources.StringStartsWith(phys(a), v))
     case sources.StringEndsWith(a, v) => Some(sources.StringEndsWith(phys(a), v))
     case sources.StringContains(a, v) => Some(sources.StringContains(phys(a), v))
-    case sources.And(l, r) => (physFilter(l), physFilter(r)) match {
+    case sources.And(l, r) => (physFilter(l, exact), physFilter(r, exact)) match {
       case (Some(x), Some(y)) => Some(sources.And(x, y))
+      case _ if exact => None
       case (one, other) => one.orElse(other)
     }
-    case sources.Or(l, r) => for { x <- physFilter(l); y <- physFilter(r) }
+    case sources.Or(l, r) => for { x <- physFilter(l, exact); y <- physFilter(r, exact) }
       yield sources.Or(x, y)
-    case sources.Not(c) => physFilter(c).map(sources.Not)
+    case sources.Not(c) => physFilter(c, exact = true).map(sources.Not)
     case passthrough @ (_: sources.AlwaysTrue | _: sources.AlwaysFalse) => Some(passthrough)
     case _ => None
   }
@@ -212,9 +242,11 @@ object GraftBatchShim {
       files: Seq[String],
       keep: Option[Expression] => Seq[String],
       colMap: Map[String, String],
-      dvMarks: Option[Map[String, Array[Long]]]): BaseRelation = {
+      dvMarks: Option[() => Map[String, Array[Long]]]): BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val bc = dvMarks.map(session.sparkContext.broadcast(_))
+    // deferred: the sidecar collect + broadcast run at first reader build,
+    // not at relation construction (schema-only reads never pay them)
+    val bcThunk = dvMarks.map(f => () => session.sparkContext.broadcast(f()))
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, files, keep),
       partitionSchema = new StructType(),
@@ -222,9 +254,14 @@ object GraftBatchShim {
       // the pre-relation read path (DataSource forces it for file sources)
       dataSchema = logicalSchema.asNullable,
       bucketSpec = None,
-      fileFormat = new GraftParquetFileFormat(colMap, bc),
+      fileFormat = new GraftParquetFileFormat(colMap, bcThunk),
       options = Map.empty)(session)
   }
+
+  /** `StructType.asNullable` is `private[sql]` — re-exported for the
+    * graft.sources fallback relation (its row schema comes from
+    * `spark.read.schema(...)`, which forces nullable the same way). */
+  def nullable(s: StructType): StructType = s.asNullable
 
   def ofRelation(spark: SparkSession, rel: BaseRelation): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],

@@ -91,4 +91,57 @@ class BatchFormatSpec extends SparkSpec {
         VersionedTable.latestVersion(spark, path).get).size,
       "stats pruning must keep working on a column-mapped table")
   }
+
+  test("a manifest-listed file missing on disk fails loudly, never a silent subset") {
+    val path = java.nio.file.Files.createTempDirectory("fmtmiss").toString + "/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(2), path, Seq("id"))
+    val rel = VersionedTable.filesOf(spark, path,
+      VersionedTable.latestVersion(spark, path).get)
+    assert(new java.io.File(s"$path/${rel.head}").delete())
+    val ex = intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft-table").load(path).count()
+    }
+    assert(ex.getMessage.contains("missing on disk"), ex.getMessage)
+  }
+
+  test("DV marks past the broadcast bound: format falls back to the pruned anti-join") {
+    spark.conf.set("spark.graft.dv.broadcastMaxRows", "0")
+    try {
+      val path = java.nio.file.Files.createTempDirectory("fmtdvbig").toString + "/t"
+      VersionedTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("id", "v").repartitionByRange(2, col("id")), path, Seq("id"))
+      VersionedTable.deleteVectorized(spark, path, col("id") === 2L, 1.0)
+      val df = spark.read.format("graft-table").load(path)
+      assert(df.queryExecution.executedPlan.toString.contains("GraftDvAntiJoin"),
+        "over-bound DV tables must take the anti-join relation, not a broadcast map")
+      assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+      // the read() API picks the same scalable anti-join and stays correct
+      // (it reads ALL live files — plan-time pruning is the format path's)
+      assert(VersionedTable.read(spark, path).filter(col("id") === 1L)
+        .select("id").as[Long].collect().toSeq == Seq(1L))
+      // plan-time pruning survives the fallback: destroy the file the
+      // predicate excludes — the pruned query still runs, never opening it
+      val (_, skipped) = VersionedTable.pruneInfo(spark, path, col("id") === 1L)
+      assert(skipped.nonEmpty)
+      skipped.foreach(p => assert(new java.io.File(p.stripPrefix("file:")).delete()))
+      assert(spark.read.format("graft-table").load(path)
+        .filter(col("id") === 1L).select("id").as[Long].collect().toSeq == Seq(1L))
+    } finally spark.conf.unset("spark.graft.dv.broadcastMaxRows")
+  }
+
+  test("DV marks collect lazily: schema-only relation uses never scan sidecars") {
+    val path = java.nio.file.Files.createTempDirectory("fmtdvlazy").toString + "/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1), path, Seq("id"))
+    VersionedTable.deleteVectorized(spark, path, col("id") === 2L, 1.0)
+    val before = VersionedTable.dvMarkLoads.get()
+    val df = VersionedTable.read(spark, path)
+    df.schema // schema-only: what the streaming source does at creation
+    assert(VersionedTable.dvMarkLoads.get() == before,
+      "relation construction / schema resolution must not collect DV marks")
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L),
+      "marks must still apply when the plan executes")
+    assert(VersionedTable.dvMarkLoads.get() > before)
+  }
 }

@@ -507,4 +507,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(2L -> Some(20), 3L -> Some(30)),
       s"column-mapped appends must stream real values: $got")
   }
+
+  test("a fresh stream over HISTORICAL DDL catches up: nulls pre-drop, values after") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    import spark.implicits._
+    val table = Files.createTempDirectory("cmhist").toString + "/t"
+    VersionedTable.write(Seq((1L, 10)).toDF("id", "v").coalesce(1), table)    // v1
+    VersionedTable.dropColumns(spark, table, Seq("v"))                        // v2
+    VersionedTable.addColumns(spark, table, Seq(StructField("v", IntegerType))) // v3
+    VersionedTable.append(Seq((2L, 20)).toDF("id", "v"), table)               // v4
+    // stream from GENESIS: the DROP/re-ADD is history, not a mid-run
+    // change. The guard must not fire (the pin predates nothing — every
+    // batch is at or before the pinned version), and pre-drop files must
+    // bind the PINNED mapping: the re-added column streams as null there,
+    // exactly like a batch read — never the dropped column's stale bytes,
+    // and never a permanent mapping-changed failure.
+    val q = spark.readStream.format("graft-table").load(table)
+      .writeStream.format("memory").queryName("cm_hist").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    val got = spark.table("cm_hist").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(20)),
+      s"historical DDL: pre-drop files stream nulls, post-DDL appends values: $got")
+    // throttled to one version per trigger, each historical batch crosses
+    // the guard individually — still no spurious failure
+    val q2 = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", "1").load(table)
+      .writeStream.format("memory").queryName("cm_hist2").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    val got2 = spark.table("cm_hist2").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got2 == got, s"per-version batches must agree with the drain: $got2")
+  }
 }
