@@ -877,23 +877,50 @@ object VersionedTable {
     * and copy-on-write file selection in [[upsert]]/[[delete]]. Choose the
     * columns the table is z-ordered/clustered by: stats on a column the
     * layout doesn't cluster are valid but rarely selective. */
-  def write(df: DataFrame, path: String, statsCols: Seq[String]): Long = {
+  def write(df: DataFrame, path: String, statsCols: Seq[String]): Long =
+    writeInternal(df, path, statsCols, txn = None)
+
+  /** Exactly-once streaming SNAPSHOT commit — [[commitBatch]]'s twin for
+    * Complete output mode: the new version contains exactly `df`, UNLESS
+    * this (appId, batchId) — or a later batch of the same app — already
+    * committed, in which case the call is a no-op returning the current
+    * version (a re-delivered Complete batch must not mint a duplicate
+    * version, even though its contents would be identical). */
+  def commitSnapshot(df: DataFrame, path: String, appId: String,
+      batchId: Long, statsCols: Seq[String] = Nil): Long =
+    writeInternal(df, path, statsCols, txn = Some(appId -> batchId))
+
+  private def writeInternal(df: DataFrame, path: String, statsCols: Seq[String],
+      txn: Option[(String, Long)]): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
-    val (_, rel) = stage(df, root, f)
-    val (stats, rows) = metaFor(spark, root, rel, statsCols)
+    var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
+      Map[String, Long])] = None
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(spark, path)
       val parent = base.map(b => readManifest(spark, f, root, b))
+      txn.foreach { case (app, bid) =>
+        if (parent.exists(_.txn.get(app).exists(_ >= bid))) {
+          // replayed batch: already committed — clean up and no-op
+          staged.foreach(s => f.delete(s._1, true))
+          return base.get
+        }
+      }
+      if (staged.isEmpty) {
+        val (dir, rel) = stage(df, root, f)
+        val (st, rw) = metaFor(spark, root, rel, statsCols)
+        staged = Some((dir, rel, st, rw))
+      }
+      val (_, rel, stats, rows) = staged.get
       // carry the streaming-txn watermarks: a snapshot write between two
       // micro-batches must not reopen the door to batch replay
-      val txn = parent.map(_.txn).getOrElse(Map.empty)
+      val txnMap = parent.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
       val v = base.getOrElse(0L) + 1L
       val (body, ckptDir) = encodeCommit(spark, root, v, rel, df.schema.json,
-        stats, rows, txn, parent = parent)
+        stats, rows, txnMap, parent = parent)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         ckptDir.foreach(d => f.delete(d, true))

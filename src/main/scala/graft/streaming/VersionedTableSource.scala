@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.VersionedTable
@@ -49,13 +50,73 @@ import graft.sources.VersionedTable
   * }}}
   */
 class VersionedTableSourceProvider extends StreamSourceProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
   private def tablePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table source requires .load(<tablePath>)"))
+
+  private def statsCols(parameters: Map[String, String]): Seq[String] =
+    parameters.get("statsCols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** BATCH writes: `df.write.format("graft-table").mode(m).save(path)` —
+    * every mode lands as an atomic commit on the versioned log:
+    *
+    *  - Append    → new version = parent files + df's files
+    *  - Overwrite → new FULL-SNAPSHOT version (a logical overwrite: prior
+    *                versions stay time-travelable, like Delta's)
+    *  - ErrorIfExists (default) → snapshot write, refused if the table has
+    *                any committed version
+    *  - Ignore    → snapshot write only if the table does not exist
+    *
+    * `option("statsCols", "a,b")` records per-file min/max for those
+    * columns in the manifest, feeding plan-time skipping on the read path. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = tablePath(parameters)
+    val cols = statsCols(parameters)
+    val exists = VersionedTable.latestVersion(spark, path).isDefined
+    mode match {
+      case SaveMode.Append => VersionedTable.append(data, path, cols)
+      case SaveMode.Overwrite => VersionedTable.write(data, path, cols)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"$path: table already exists (SaveMode.ErrorIfExists); use " +
+            "mode(\"append\") or mode(\"overwrite\")")
+      case SaveMode.ErrorIfExists => VersionedTable.write(data, path, cols)
+      case SaveMode.Ignore => if (!exists) VersionedTable.write(data, path, cols)
+    }
+    createRelation(sqlContext, parameters) // read relation over the result
+  }
+
+  /** STREAMING sink: `df.writeStream.format("graft-table").start(path)` —
+    * every micro-batch commits through the (appId, batchId) txn watermark
+    * ([[graft.sources.VersionedTable.commitBatch]]), so a batch
+    * re-delivered after a crash-restart is a NO-OP: exactly-once without
+    * foreachBatch boilerplate. The appId defaults to the streaming query's
+    * id (stable across restarts — it lives in the checkpoint), overridable
+    * with `option("txnAppId", ...)` for cross-query dedup lineage.
+    * Append mode appends the batch; Complete mode commits each batch as a
+    * full-snapshot version (the log keeps history; replays of a Complete
+    * batch are also suppressed by the watermark). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink: partitioning rides the table layout, not partitionBy")
+    require(outputMode != OutputMode.Update(),
+      "graft-table sink supports Append and Complete output modes " +
+        "(Update emits row-level upserts; route them through foreachBatch " +
+        "+ VersionedTable.upsert instead)")
+    new VersionedTableSink(tablePath(parameters), statsCols(parameters),
+      complete = outputMode == OutputMode.Complete(),
+      appIdOverride = parameters.get("txnAppId"))
+  }
 
   /** BATCH reads: `spark.read.format("graft-table").load(path)` — a
     * snapshot relation whose [[graft.sources.VersionedTable]] file index
@@ -258,4 +319,37 @@ private[streaming] class VersionedTableSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"VersionedTableSource[$path]"
+}
+
+/** Exactly-once streaming SINK over a [[graft.sources.VersionedTable]] —
+  * the write half of Delta's streaming story: each micro-batch is one
+  * atomic commit, fenced by the (appId, batchId) txn watermark the
+  * manifests already carry, so the crash-replay batch the engine
+  * re-delivers after a restart is a NO-OP instead of a duplicate version.
+  *
+  * The micro-batch DataFrame arrives backed by an IncrementalExecution;
+  * it is re-planned as a batch frame (shim `batchOf`) before the ordinary
+  * write path stages parquet. appId = the streaming query id by default
+  * (stable across restarts — it lives in the checkpoint metadata), the
+  * same derivation Delta's sink uses. */
+private[streaming] class VersionedTableSink(path: String,
+    statsCols: Seq[String], complete: Boolean,
+    appIdOverride: Option[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.StreamingRelationShim.batchOf(data)
+    val appId = appIdOverride
+      .orElse(org.apache.spark.sql.graft.StreamingRelationShim
+        .currentQueryId(data.sparkSession))
+      .getOrElse(throw new IllegalStateException(
+        "graft-table sink: no streaming query id on the context and no " +
+          "txnAppId option — cannot fence replays"))
+    if (complete)
+      VersionedTable.commitSnapshot(batch, path, appId, batchId, statsCols)
+    else
+      VersionedTable.commitBatch(batch, path, appId, batchId, statsCols)
+    ()
+  }
+
+  override def toString: String = s"VersionedTableSink[$path]"
 }

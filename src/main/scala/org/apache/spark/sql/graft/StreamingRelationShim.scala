@@ -35,4 +35,24 @@ object StreamingRelationShim {
       Dataset.ofRows(session, LogicalRelation(relation, isStreaming = true))
     }
   }
+
+  /** Re-plan a micro-batch DataFrame (backed by an IncrementalExecution)
+    * as a BATCH DataFrame a Sink can hand to ordinary writers: execute the
+    * incremental plan to an InternalRow RDD and wrap it in a LogicalRDD —
+    * the standard DSv1 custom-sink idiom (rows are `copy()`d because
+    * unsafe-row buffers are reused per partition). */
+  def batchOf(data: DataFrame): DataFrame = {
+    val session = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = data.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    Dataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD(qe.analyzed.output, rdd)(session))
+  }
+
+  /** The running streaming query's id during `Sink.addBatch` — Spark sets
+    * it as a local property on the spark context (how Delta's sink derives
+    * a stable txn appId without an explicit option). */
+  def currentQueryId(spark: SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
 }

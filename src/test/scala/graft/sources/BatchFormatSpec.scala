@@ -130,6 +130,33 @@ class BatchFormatSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dv.broadcastMaxRows")
   }
 
+  test("df.write.format(\"graft-table\"): all four SaveModes land as commits") {
+    val path = java.nio.file.Files.createTempDirectory("fmtwrite").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.format("graft-table")
+      .option("statsCols", "id").save(path)                          // v1 (default mode)
+    intercept[IllegalStateException] {
+      Seq((1L, "a")).toDF("id", "v").write.format("graft-table").save(path)
+    }
+    Seq((2L, "b")).toDF("id", "v").write.format("graft-table")
+      .mode("append").save(path)                                     // v2
+    assert(spark.read.format("graft-table").load(path).count() == 2L)
+    Seq((9L, "z")).toDF("id", "v").write.format("graft-table")
+      .mode("ignore").save(path)                                     // no-op
+    assert(VersionedTable.latestVersion(spark, path).contains(2L))
+    Seq((3L, "c")).toDF("id", "v").write.format("graft-table")
+      .mode("overwrite").save(path)                                  // v3 snapshot
+    assert(spark.read.format("graft-table").load(path)
+      .select("v").as[String].collect().toSeq == Seq("c"))
+    // a LOGICAL overwrite: prior versions stay time-travelable
+    assert(spark.read.format("graft-table").option("versionAsOf", "2")
+      .load(path).count() == 2L)
+    // statsCols recorded through the writer feed plan-time pruning: the
+    // appended files inherit the stats column, so id-pruning has stats
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path,
+      col("id") === 3L, asOf = Some(2L))
+    assert(kept.size + skipped.size == 2)
+  }
+
   test("DV marks collect lazily: schema-only relation uses never scan sidecars") {
     val path = java.nio.file.Files.createTempDirectory("fmtdvlazy").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")

@@ -542,4 +542,76 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
     assert(got2 == got, s"per-version batches must agree with the drain: $got2")
   }
+
+  test("graft-table streaming SINK: exactly-once appends without foreachBatch") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snk-in").toString
+    val table = Files.createTempDirectory("snk-out").toString + "/t"
+    val ckpt = Files.createTempDirectory("snk-ckpt").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.txt"), "r1\nr2".getBytes("UTF-8"))
+    def start() = spark.readStream.text(dir)
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", ckpt).start(table)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    assert(VersionedTable.versions(spark, table) == Seq(1L))
+    // CRASH WINDOW: commit landed, engine died before marking batch 0
+    // complete — the restart re-delivers batch 0; the sink's (queryId,
+    // batchId) watermark must make the replay a no-op
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/0")), "checkpoint layout changed?")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/.0.crc"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(VersionedTable.versions(spark, table) == Seq(1L),
+        "replayed batch must not commit a duplicate version")
+      Files.write(java.nio.file.Paths.get(s"$dir/b1.txt"), "r3".getBytes("UTF-8"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    assert(VersionedTable.versions(spark, table).size == 2)
+    assert(VersionedTable.read(spark, table).select("value").as[String]
+      .collect().sorted.toSeq == Seq("r1", "r2", "r3"))
+  }
+
+  test("graft-table streaming SINK: Complete mode commits snapshot versions") {
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("snkc-in").toString
+    val table = Files.createTempDirectory("snkc-out").toString + "/t"
+    val ckpt = Files.createTempDirectory("snkc-ckpt").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.txt"), "a\nb\na".getBytes("UTF-8"))
+    val q = spark.readStream.text(dir)
+      .groupBy("value").count()
+      .writeStream.format("graft-table").outputMode("complete")
+      .option("checkpointLocation", ckpt).start(table)
+    try {
+      q.processAllAvailable()
+      val v1 = VersionedTable.read(spark, table).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(v1 == Map("a" -> 2L, "b" -> 1L), v1.toString)
+      Files.write(java.nio.file.Paths.get(s"$dir/b1.txt"), "b".getBytes("UTF-8"))
+      q.processAllAvailable()
+    } finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    // each batch is a full snapshot; the log keeps the old one travelable
+    val latest = VersionedTable.read(spark, table).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(latest == Map("a" -> 2L, "b" -> 2L), latest.toString)
+    val firstV = VersionedTable.versions(spark, table).min
+    assert(VersionedTable.read(spark, table, Some(firstV)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 2L, "b" -> 1L))
+    // Update mode is refused with guidance
+    val ex = intercept[Exception] {
+      spark.readStream.text(dir).groupBy("value").count()
+        .writeStream.format("graft-table").outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("snkc-ckpt2").toString).start(table)
+    }
+    assert(ex.getMessage.contains("foreachBatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("foreachBatch")), ex.getMessage)
+  }
 }
