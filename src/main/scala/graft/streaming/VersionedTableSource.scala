@@ -144,12 +144,19 @@ class VersionedTableSourceProvider extends StreamSourceProvider
     VersionedTable.batchRelation(spark, path, asOf)
   }
 
+  private def changeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
       val spark = sqlContext.sparkSession
       val path = tablePath(parameters)
-      VersionedTable.read(spark, path).schema // latest committed schema
+      val base = VersionedTable.read(spark, path).schema // latest committed schema
+      if (changeFeed(parameters))
+        StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
+      else base
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -161,7 +168,8 @@ class VersionedTableSourceProvider extends StreamSourceProvider
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong))
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      changeFeed = changeFeed(parameters))
 }
 
 private[streaming] class VersionedTableSource(
@@ -170,14 +178,22 @@ private[streaming] class VersionedTableSource(
     startingVersion: Long,
     ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None) extends Source {
+    maxFilesPerTrigger: Option[Long] = None,
+    changeFeed: Boolean = false) extends Source {
 
   require(maxVersionsPerTrigger.forall(_ >= 1L), "maxVersionsPerTrigger must be >= 1")
   require(maxFilesPerTrigger.forall(_ >= 1L), "maxFilesPerTrigger must be >= 1")
 
   // pinned at source creation: a streaming query's schema cannot drift
-  // mid-run (evolve the table → restart the query, as with Delta)
-  override val schema: StructType = VersionedTable.read(spark, path).schema
+  // mid-run (evolve the table → restart the query, as with Delta).
+  // CHANGE-FEED mode appends _change_type, Delta CDF's tag column.
+  override val schema: StructType = {
+    val base = VersionedTable.read(spark, path).schema
+    if (changeFeed)
+      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
+    else base
+  }
 
   /** Highest version already handed out as a batch END this run — the
     * throttle's anchor. RECOVERED on restart through BOTH engine paths:
@@ -276,9 +292,6 @@ private[streaming] class VersionedTableSource(
     val fromV = start.map(version).getOrElse(math.max(0L, startingVersion - 1L))
     val toV = version(end)
     seedLastEnd(toV) // re-seed after restart (committed AND replay paths)
-    val fromFiles =
-      if (fromV <= 0L) Set.empty[String]
-      else filesAt(fromV).toSet
     val (toFiles, toMapping) = metaAt(toV)
     if (toV > pinnedVersion && toMapping != pinnedMapping)
       throw new IllegalStateException(
@@ -288,6 +301,25 @@ private[streaming] class VersionedTableSource(
           "appended under the new mapping would stream the remapped " +
           "column as null under the pinned one. Restart the query to pick " +
           "up the new schema.")
+    if (changeFeed) {
+      // CHANGE FEED: row-level CDC — non-append commits are the POINT here
+      // (MERGE/DELETE/OPTIMIZE/DV emit their row diffs instead of being
+      // refused), so the removed-files guard below does not apply. The
+      // first batch snapshots the table as inserts (Delta CDF's initial
+      // load); later batches ride VersionedTable.changes, whose DV mark
+      // diff is bidirectional (RESTORE un-deletes surface as inserts).
+      val diff =
+        if (fromV <= 0L)
+          VersionedTable.read(spark, path, Some(toV)).withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+        else VersionedTable.changes(spark, path, fromV, toV)
+      val ordered = diff.select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name)).toSeq: _*)
+      return org.apache.spark.sql.graft.StreamingRelationShim.streamingOf(ordered)
+    }
+    val fromFiles =
+      if (fromV <= 0L) Set.empty[String]
+      else filesAt(fromV).toSet
     val removed = fromFiles -- toFiles
     if (removed.nonEmpty && !ignoreChanges)
       throw new IllegalStateException(

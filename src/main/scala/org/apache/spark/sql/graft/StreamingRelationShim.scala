@@ -49,6 +49,21 @@ object StreamingRelationShim {
       org.apache.spark.sql.execution.LogicalRDD(qe.analyzed.output, rdd)(session))
   }
 
+  /** Re-plan an arbitrary BATCH DataFrame as a STREAMING one — what a
+    * `Source.getBatch` computing row-level diffs (joins/anti-joins, not a
+    * single file relation) must return: MicroBatchExecution asserts
+    * `isStreaming` on the plan, and `LogicalRDD` is the one public-shaped
+    * leaf that both carries the flag and wraps an already-planned
+    * computation. The wrapped RDD stays lazy — jobs run when the engine
+    * executes the batch, not here. */
+  def streamingOf(df: DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    Dataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD(
+        qe.analyzed.output, qe.toRdd.map(_.copy()), isStreaming = true)(session))
+  }
+
   /** The running streaming query's id during `Sink.addBatch` — Spark sets
     * it as a local property on the spark context (how Delta's sink derives
     * a stable txn appId without an explicit option). */

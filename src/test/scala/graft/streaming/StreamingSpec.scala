@@ -543,6 +543,47 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == got, s"per-version batches must agree with the drain: $got2")
   }
 
+  test("change-feed streaming source: row-level CDC over non-append commits") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val table = Files.createTempDirectory("cdfsrc").toString + "/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1), table, Seq("id"))                                       // v1
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("maxVersionsPerTrigger", "1")
+      .load(table)
+      .writeStream.format("memory").queryName("cdf_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.append(Seq((3L, "c")).toDF("id", "v").coalesce(1), table) // v2
+      // MERGE rewrite — the file-level source REFUSES this; CDF emits the
+      // row-level delete+insert pair instead
+      VersionedTable.upsert(Seq((2L, "B")).toDF("id", "v"), table, Seq("id")) // v3
+      // merge-on-read DV delete — zero files rewritten, still a CDC delete
+      VersionedTable.deleteVectorized(spark, table, col("id") === 1L, 1.0)    // v4
+      q.processAllAvailable()
+    } finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    val got = spark.table("cdf_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    val expected = Seq(
+      (1L, "a", "insert"), (2L, "b", "insert"),  // initial snapshot (v1)
+      (3L, "c", "insert"),                       // append (v2)
+      (2L, "b", "delete"), (2L, "B", "insert"),  // MERGE rewrite (v3)
+      (1L, "a", "delete")                        // DV delete (v4)
+    ).sorted
+    assert(got == expected, s"CDC rows:\n${got.mkString("\n")}")
+    // replaying the feed from scratch folds to the live table state:
+    // inserts ∖ deletes (multiset) == current rows
+    val live = VersionedTable.read(spark, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val residual = got.filter(_._3 == "insert").map(t => (t._1, t._2))
+      .diff(got.filter(_._3 == "delete").map(t => (t._1, t._2)))
+    assert(residual.toMap == live && residual.size == live.size,
+      s"folded $residual vs live $live")
+  }
+
   test("graft-table streaming SINK: exactly-once appends without foreachBatch") {
     import graft.sources.VersionedTable
     import spark.implicits._
