@@ -1426,6 +1426,29 @@ object VersionedTable {
     }
   }
 
+  /** BATCH change-feed relation (Delta's `table_changes`) for the
+    * `format("graft-table")` read path: the row-level diff of versions
+    * (fromV, toV], tagged `_change_type`. fromV = 0 serves the toV
+    * snapshot as inserts (initial load). Plans lazily — constructing the
+    * relation resolves schemas only, no jobs. */
+  private[graft] def changesRelation(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): org.apache.spark.sql.sources.BaseRelation = {
+    require(fromV >= 0L && toV > math.max(fromV - 1L, 0L),
+      s"$path: invalid change-feed range ($fromV, $toV]")
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      private def df: DataFrame =
+        if (fromV <= 0L)
+          read(spark, path, Some(toV)).withColumn("_change_type", lit("insert"))
+        else changes(spark, path, fromV, toV)
+      override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+      override val schema: StructType = df.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.rdd
+      override def toString: String = s"GraftChanges($fromV,$toV]"
+    }
+  }
+
   /** `count(*)` from the manifest alone — zero data files opened. Answers
     * None when any file predates row-count recording (legacy commits);
     * callers then fall back to `read(...).count()`. At any scale this is

@@ -133,15 +133,30 @@ class VersionedTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = tablePath(parameters)
-    val asOf = parameters.get("versionAsOf").map(_.trim.toLong).orElse(
-      parameters.get("timestampAsOf").map { raw =>
-        val ts = scala.util.Try(raw.trim.toLong).getOrElse(
-          java.sql.Timestamp.valueOf(raw.trim).getTime)
-        VersionedTable.versionAt(spark, path, ts).getOrElse(
-          throw new IllegalArgumentException(
-            s"$path has no version committed at or before $raw"))
-      })
-    VersionedTable.batchRelation(spark, path, asOf)
+    if (changeFeed(parameters)) {
+      // BATCH CDF (Delta's table_changes): row-level diff between two
+      // committed versions. startingVersion is REQUIRED (the diff's base,
+      // exclusive — 0 means "from genesis", serving the v-end snapshot as
+      // inserts); endingVersion defaults to the head.
+      val fromV = parameters.get("startingVersion").map(_.trim.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: batch readChangeFeed requires option(\"startingVersion\", v) " +
+            "(exclusive diff base; 0 = from genesis)"))
+      val toV = parameters.get("endingVersion").map(_.trim.toLong).getOrElse(
+        VersionedTable.latestVersion(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"$path: empty table")))
+      VersionedTable.changesRelation(spark, path, fromV, toV)
+    } else {
+      val asOf = parameters.get("versionAsOf").map(_.trim.toLong).orElse(
+        parameters.get("timestampAsOf").map { raw =>
+          val ts = scala.util.Try(raw.trim.toLong).getOrElse(
+            java.sql.Timestamp.valueOf(raw.trim).getTime)
+          VersionedTable.versionAt(spark, path, ts).getOrElse(
+            throw new IllegalArgumentException(
+              s"$path has no version committed at or before $raw"))
+        })
+      VersionedTable.batchRelation(spark, path, asOf)
+    }
   }
 
   private def changeFeed(parameters: Map[String, String]): Boolean =

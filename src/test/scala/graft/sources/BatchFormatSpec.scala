@@ -157,6 +157,38 @@ class BatchFormatSpec extends SparkSpec {
     assert(kept.size + skipped.size == 2)
   }
 
+  test("batch readChangeFeed: table_changes over a version range through the format") {
+    val path = java.nio.file.Files.createTempDirectory("fmtcdf").toString + "/t"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1), path, Seq("id"))                                      // v1
+    VersionedTable.upsert(Seq((2L, "B")).toDF("id", "v"), path, Seq("id")) // v2
+    VersionedTable.deleteVectorized(spark, path, col("id") === 1L, 1.0)    // v3
+    def feed(from: Long, to: Long) =
+      spark.read.format("graft-table").option("readChangeFeed", "true")
+        .option("startingVersion", from.toString)
+        .option("endingVersion", to.toString).load(path)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+    // initial load: snapshot of v1 as inserts
+    assert(feed(0, 1) == Seq((1L, "a", "insert"), (2L, "b", "insert")))
+    // the MERGE rewrite as a delete+insert pair
+    assert(feed(1, 2) == Seq((2L, "B", "insert"), (2L, "b", "delete")))
+    // the DV delete, and a cumulative range folding both commits
+    assert(feed(2, 3) == Seq((1L, "a", "delete")))
+    assert(feed(1, 3) == Seq((1L, "a", "delete"), (2L, "B", "insert"),
+      (2L, "b", "delete")))
+    // endingVersion defaults to head
+    val headFeed = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(path).collect()
+    assert(headFeed.length == 1)
+    // startingVersion is required for the batch feed
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("readChangeFeed", "true")
+        .load(path).collect()
+    }
+  }
+
   test("DV marks collect lazily: schema-only relation uses never scan sidecars") {
     val path = java.nio.file.Files.createTempDirectory("fmtdvlazy").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
