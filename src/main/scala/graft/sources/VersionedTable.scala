@@ -890,8 +890,22 @@ object VersionedTable {
       batchId: Long, statsCols: Seq[String] = Nil): Long =
     writeInternal(df, path, statsCols, txn = Some(appId -> batchId))
 
+  /** Snapshot write that commits ONLY IF the table has no committed
+    * version, deciding INSIDE the commit loop — not check-then-act: a
+    * concurrent creator makes this call error (`errorIfExists = true`,
+    * SaveMode.ErrorIfExists) or no-op returning the winner's version
+    * (`false`, SaveMode.Ignore), never silently mint a second version. */
+  private[graft] def writeIfAbsent(df: DataFrame, path: String,
+      statsCols: Seq[String], errorIfExists: Boolean): Long =
+    writeInternal(df, path, statsCols, txn = None,
+      ifExists = Some(errorIfExists))
+
+  /** @param ifExists None = normal snapshot write; Some(true) = throw if a
+    *                 version exists (observed at commit time, inside the
+    *                 CAS loop); Some(false) = no-op returning it. */
   private def writeInternal(df: DataFrame, path: String, statsCols: Seq[String],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)],
+      ifExists: Option[Boolean] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
@@ -902,6 +916,15 @@ object VersionedTable {
     while (committed < 0) {
       val base = latestVersion(spark, path)
       val parent = base.map(b => readManifest(spark, f, root, b))
+      ifExists.foreach { errorOut =>
+        base.foreach { existing =>
+          staged.foreach(s => f.delete(s._1, true))
+          if (errorOut) throw new IllegalStateException(
+            s"$path: table already exists (SaveMode.ErrorIfExists); use " +
+              "mode(\"append\") or mode(\"overwrite\")")
+          return existing // SaveMode.Ignore: the racing creator won
+        }
+      }
       txn.foreach { case (app, bid) =>
         if (parent.exists(_.txn.get(app).exists(_ >= bid))) {
           // replayed batch: already committed — clean up and no-op
@@ -1365,22 +1388,29 @@ object VersionedTable {
     * row filter (Spark re-applies the full original above the scan).
     * Under Not, polarity flips, so `exact` forbids the And relaxation:
     * Not(And(x, dropped)) would be STRONGER than the original. */
+  /** Column ref treating the name as a LITERAL top-level column — bare
+    * `col()` parses dots as struct-field access, which would misbind a
+    * column literally named "a.b". Manifest schemas are flat at the top
+    * level and DSv1 never pushes nested attributes, so literal binding is
+    * always the right reading here. */
+  private def litCol(n: String): Column = col(s"`${n.replace("`", "``")}`")
+
   private def filterToColumn(f: org.apache.spark.sql.sources.Filter,
       exact: Boolean = false): Option[Column] = {
     import org.apache.spark.sql.{sources => s}
     f match {
-      case s.EqualTo(a, v) => Some(col(a) === lit(v))
-      case s.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-      case s.GreaterThan(a, v) => Some(col(a) > lit(v))
-      case s.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-      case s.LessThan(a, v) => Some(col(a) < lit(v))
-      case s.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-      case s.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
-      case s.IsNull(a) => Some(col(a).isNull)
-      case s.IsNotNull(a) => Some(col(a).isNotNull)
-      case s.StringStartsWith(a, v) => Some(col(a).startsWith(v))
-      case s.StringEndsWith(a, v) => Some(col(a).endsWith(v))
-      case s.StringContains(a, v) => Some(col(a).contains(v))
+      case s.EqualTo(a, v) => Some(litCol(a) === lit(v))
+      case s.EqualNullSafe(a, v) => Some(litCol(a) <=> lit(v))
+      case s.GreaterThan(a, v) => Some(litCol(a) > lit(v))
+      case s.GreaterThanOrEqual(a, v) => Some(litCol(a) >= lit(v))
+      case s.LessThan(a, v) => Some(litCol(a) < lit(v))
+      case s.LessThanOrEqual(a, v) => Some(litCol(a) <= lit(v))
+      case s.In(a, vs) => Some(litCol(a).isin(vs.toSeq: _*))
+      case s.IsNull(a) => Some(litCol(a).isNull)
+      case s.IsNotNull(a) => Some(litCol(a).isNotNull)
+      case s.StringStartsWith(a, v) => Some(litCol(a).startsWith(v))
+      case s.StringEndsWith(a, v) => Some(litCol(a).endsWith(v))
+      case s.StringContains(a, v) => Some(litCol(a).contains(v))
       case s.And(l, r) => (filterToColumn(l, exact), filterToColumn(r, exact)) match {
         case (Some(x), Some(y)) => Some(x && y)
         case _ if exact => None
@@ -1422,29 +1452,44 @@ object VersionedTable {
       // applying the (implied) predicate here cuts rows before the Row
       // conversion; Spark re-applies the full filters above regardless
       val filtered = pred.fold(df)(df.filter)
-      filtered.select(requiredColumns.map(col).toSeq: _*).rdd
+      filtered.select(requiredColumns.map(litCol).toSeq: _*).rdd
     }
   }
 
+  /** The CDF tag column appended to a table schema — ONE definition for
+    * the batch relation, the streaming source's pinned schema, and the
+    * provider's sourceSchema (they must agree or MicroBatchExecution's
+    * column-count assert trips). Idempotent for caller-supplied schemas
+    * that already carry the tag. */
+  private[graft] def withChangeType(base: StructType): StructType =
+    if (base.fieldNames.contains("_change_type")) base
+    else StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
+
+  /** The CDF frame for versions (fromV, toV] — ONE definition for batch
+    * and streaming: fromV = 0 serves the toV snapshot as inserts (initial
+    * load); otherwise the row-level diff with bidirectional DV marks. */
+  private[graft] def changeDf(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame =
+    if (fromV <= 0L)
+      read(spark, path, Some(toV)).withColumn("_change_type", lit("insert"))
+    else changes(spark, path, fromV, toV)
+
   /** BATCH change-feed relation (Delta's `table_changes`) for the
     * `format("graft-table")` read path: the row-level diff of versions
-    * (fromV, toV], tagged `_change_type`. fromV = 0 serves the toV
-    * snapshot as inserts (initial load). Plans lazily — constructing the
-    * relation resolves schemas only, no jobs. */
+    * (fromV, toV], tagged `_change_type`. Plans lazily; the frame is
+    * resolved ONCE and shared by schema and buildScan. */
   private[graft] def changesRelation(spark: SparkSession, path: String,
       fromV: Long, toV: Long): org.apache.spark.sql.sources.BaseRelation = {
     require(fromV >= 0L && toV > math.max(fromV - 1L, 0L),
       s"$path: invalid change-feed range ($fromV, $toV]")
     new org.apache.spark.sql.sources.BaseRelation
         with org.apache.spark.sql.sources.TableScan {
-      private def df: DataFrame =
-        if (fromV <= 0L)
-          read(spark, path, Some(toV)).withColumn("_change_type", lit("insert"))
-        else changes(spark, path, fromV, toV)
+      private lazy val frame: DataFrame = changeDf(spark, path, fromV, toV)
       override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
-      override val schema: StructType = df.schema
+      override lazy val schema: StructType = frame.schema
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-        df.rdd
+        frame.rdd
       override def toString: String = s"GraftChanges($fromV,$toV]"
     }
   }

@@ -80,18 +80,27 @@ class VersionedTableSourceProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val path = tablePath(parameters)
     val cols = statsCols(parameters)
-    val exists = VersionedTable.latestVersion(spark, path).isDefined
     mode match {
       case SaveMode.Append => VersionedTable.append(data, path, cols)
       case SaveMode.Overwrite => VersionedTable.write(data, path, cols)
-      case SaveMode.ErrorIfExists if exists =>
-        throw new IllegalStateException(
-          s"$path: table already exists (SaveMode.ErrorIfExists); use " +
-            "mode(\"append\") or mode(\"overwrite\")")
-      case SaveMode.ErrorIfExists => VersionedTable.write(data, path, cols)
-      case SaveMode.Ignore => if (!exists) VersionedTable.write(data, path, cols)
+      // exists-or-not is decided INSIDE the commit loop (re-evaluated
+      // after a lost CAS), so a concurrent creator makes ErrorIfExists
+      // throw and Ignore no-op — never a silent second version
+      case SaveMode.ErrorIfExists =>
+        VersionedTable.writeIfAbsent(data, path, cols, errorIfExists = true)
+      case SaveMode.Ignore =>
+        VersionedTable.writeIfAbsent(data, path, cols, errorIfExists = false)
     }
-    createRelation(sqlContext, parameters) // read relation over the result
+    // the returned relation is unused by SaveIntoDataSourceCommand; keep it
+    // LAZY (TableScan over the public read API) so a save() onto a legacy
+    // schema-less table doesn't throw AFTER its commit already landed
+    val outerCtx = sqlContext
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = outerCtx
+      override lazy val schema: StructType = VersionedTable.read(spark, path).schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        VersionedTable.read(spark, path).rdd
+    }
   }
 
   /** STREAMING sink: `df.writeStream.format("graft-table").start(path)` —
@@ -163,16 +172,17 @@ class VersionedTableSourceProvider extends StreamSourceProvider
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse {
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse {
       val spark = sqlContext.sparkSession
-      val path = tablePath(parameters)
-      val base = VersionedTable.read(spark, path).schema // latest committed schema
-      if (changeFeed(parameters))
-        StructType(base.fields :+ org.apache.spark.sql.types.StructField(
-          "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
-      else base
-    })
+      VersionedTable.read(spark, tablePath(parameters)).schema // latest committed
+    }
+    // the tag column rides a USER-SUPPLIED schema too (idempotently): the
+    // Source always declares it in CDF mode, and a declared/batch column
+    // count mismatch trips MicroBatchExecution's plan assert
+    (shortName(),
+      if (changeFeed(parameters)) VersionedTable.withChangeType(base) else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -204,10 +214,7 @@ private[streaming] class VersionedTableSource(
   // CHANGE-FEED mode appends _change_type, Delta CDF's tag column.
   override val schema: StructType = {
     val base = VersionedTable.read(spark, path).schema
-    if (changeFeed)
-      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
-        "_change_type", org.apache.spark.sql.types.StringType, nullable = false))
-    else base
+    if (changeFeed) VersionedTable.withChangeType(base) else base
   }
 
   /** Highest version already handed out as a batch END this run — the
@@ -323,13 +330,12 @@ private[streaming] class VersionedTableSource(
       // first batch snapshots the table as inserts (Delta CDF's initial
       // load); later batches ride VersionedTable.changes, whose DV mark
       // diff is bidirectional (RESTORE un-deletes surface as inserts).
-      val diff =
-        if (fromV <= 0L)
-          VersionedTable.read(spark, path, Some(toV)).withColumn("_change_type",
-            org.apache.spark.sql.functions.lit("insert"))
-        else VersionedTable.changes(spark, path, fromV, toV)
+      val diff = VersionedTable.changeDf(spark, path, fromV, toV)
+      // backtick-quoted so a dotted column name binds literally (bare
+      // col() would parse it as struct-field access)
       val ordered = diff.select(schema.fields.map(f =>
-        org.apache.spark.sql.functions.col(f.name)).toSeq: _*)
+        org.apache.spark.sql.functions.col(
+          s"`${f.name.replace("`", "``")}`")).toSeq: _*)
       return org.apache.spark.sql.graft.StreamingRelationShim.streamingOf(ordered)
     }
     val fromFiles =

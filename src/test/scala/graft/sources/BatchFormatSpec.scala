@@ -157,6 +157,30 @@ class BatchFormatSpec extends SparkSpec {
     assert(kept.size + skipped.size == 2)
   }
 
+  test("concurrent creators: ErrorIfExists / Ignore decide inside the commit loop") {
+    val path = java.nio.file.Files.createTempDirectory("fmtrace").toString + "/t"
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Long]]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        val df = Seq((i.toLong, s"w$i")).toDF("id", "v")
+        try outcomes.add(Right(
+          VersionedTable.writeIfAbsent(df, path, Nil, errorIfExists = true)))
+        catch { case e: IllegalStateException => outcomes.add(Left(e.getMessage)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = outcomes.asScala.toSeq.partition(_.isLeft)
+    assert(winners == Seq(Right(1L)) && losers.size == 3,
+      s"exactly one creator must win: $outcomes")
+    assert(VersionedTable.versions(spark, path) == Seq(1L),
+      "losers must never mint a second version")
+    // Ignore mode: a no-op returning the winner's version, not an error
+    assert(VersionedTable.writeIfAbsent(
+      Seq((9L, "z")).toDF("id", "v"), path, Nil, errorIfExists = false) == 1L)
+    assert(VersionedTable.versions(spark, path) == Seq(1L))
+  }
+
   test("batch readChangeFeed: table_changes over a version range through the format") {
     val path = java.nio.file.Files.createTempDirectory("fmtcdf").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")

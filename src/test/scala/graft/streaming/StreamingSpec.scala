@@ -582,6 +582,18 @@ class StreamingSpec extends SparkSpec {
       .diff(got.filter(_._3 == "delete").map(t => (t._1, t._2)))
     assert(residual.toMap == live && residual.size == live.size,
       s"folded $residual vs live $live")
+    // a USER-SUPPLIED schema (without the tag) still gets _change_type
+    // appended — sourceSchema and the Source must agree on column count
+    val userSchema = VersionedTable.read(spark, table).schema
+    val q2 = spark.readStream.schema(userSchema).format("graft-table")
+      .option("readChangeFeed", "true").load(table)
+      .writeStream.format("memory").queryName("cdf_out2").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    assert(spark.table("cdf_out2").columns.toSeq ==
+      userSchema.fieldNames.toSeq :+ "_change_type")
+    assert(spark.table("cdf_out2").count() == live.size,
+      "initial snapshot under a user schema must serve the live rows as inserts")
   }
 
   test("graft-table streaming SINK: exactly-once appends without foreachBatch") {
