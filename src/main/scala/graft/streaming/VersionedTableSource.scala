@@ -142,7 +142,20 @@ class VersionedTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = tablePath(parameters)
-    if (changeFeed(parameters)) {
+    if (parameters.get("history").exists(_.toBoolean)) {
+      // DESCRIBE HISTORY through the format: one row per committed
+      // version, from manifests alone. Lazy like the other metadata
+      // relations — constructing the frame resolves the log, no data files.
+      val outerCtx = sqlContext
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        private lazy val frame = VersionedTable.history(spark, path)
+        override def sqlContext: SQLContext = outerCtx
+        override lazy val schema: StructType = frame.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          frame.rdd
+        override def toString: String = "GraftHistory"
+      }
+    } else if (changeFeed(parameters)) {
       // BATCH CDF (Delta's table_changes): row-level diff between two
       // committed versions. startingVersion is REQUIRED (the diff's base,
       // exclusive — 0 means "from genesis", serving the v-end snapshot as

@@ -213,6 +213,21 @@ class BatchFormatSpec extends SparkSpec {
     }
   }
 
+  test("option(\"history\") serves DESCRIBE HISTORY through the format") {
+    val path = java.nio.file.Files.createTempDirectory("fmthist").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "v").coalesce(1), path, Seq("id"))
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "v").coalesce(1), path)
+    VersionedTable.deleteVectorized(spark, path, col("id") === 1L, 1.0)
+    val hist = spark.read.format("graft-table").option("history", "true").load(path)
+    assert(hist.count() == 3L)
+    assert(hist.columns.contains("version"))
+    assert(hist.select("version").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // agrees with the API it wraps
+    assert(hist.collect().map(_.toString).sorted.toSeq ==
+      VersionedTable.history(spark, path).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("DV marks collect lazily: schema-only relation uses never scan sidecars") {
     val path = java.nio.file.Files.createTempDirectory("fmtdvlazy").toString + "/t"
     VersionedTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
