@@ -49,15 +49,37 @@ object Tables {
     if (narrow && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** The events table is written with parquet TIMESTAMP(NANOS), which the
-    * Spark 4 parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
-    * nanos as a raw long (legacy conf, runtime-settable) and rebuild a
-    * microsecond TimestampType column ourselves. `div` keeps the arithmetic
-    * integral — a double division would lose precision above 2^53 ns.
+  /** The events table's `ts` column has shipped in three physical encodings
+    * across harness testdata generations, so the loader adapts to whatever it
+    * observes instead of hard-coding one case (the reference's silver layer is
+    * equally defensive about input shape —
+    * reference/pipelines/silver/transform_local.py:37-74):
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark 4's reader rejects it outright
+    *    (PARQUET_TYPE_ILLEGAL), so we read nanos as a raw long (legacy conf,
+    *    runtime-settable) and rebuild microseconds with integral `div` — a
+    *    double division would lose precision above 2^53 ns;
+    *  - TIMESTAMP_NTZ (plain timestamp[us], no zone): cast to TimestampType.
+    *    The session timezone is pinned UTC, so the wall-clock reinterpreted
+    *    as an instant is identical to what DuckDB reads from the same file;
+    *  - TimestampType: passthrough.
+    *
+    * The normalized contract (asserted by TestdataDriftSpec) is always
+    * `ts: TimestampType`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType =>
+        df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other — update Tables.events for the new testdata encoding")
+    }
   }
 }
