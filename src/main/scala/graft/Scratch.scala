@@ -11,6 +11,8 @@ object Scratch {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.storage.memoryMapThreshold", "2g")

@@ -14,6 +14,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.storage.memoryMapThreshold", "2g")

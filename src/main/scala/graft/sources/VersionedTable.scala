@@ -900,6 +900,18 @@ object VersionedTable {
     writeInternal(df, path, statsCols, txn = None,
       ifExists = Some(errorIfExists))
 
+  /** CREATE TABLE: commit version 1 with `df`'s schema (normally zero
+    * rows), refused if any version exists — the SQL catalog's DDL entry
+    * point. `partitionCols` reserved for the partitioned-layout write
+    * path. */
+  private[graft] def createEmpty(df: DataFrame, path: String,
+      statsCols: Seq[String], partitionCols: Seq[String]): Long = {
+    require(partitionCols.isEmpty,
+      s"$path: PARTITIONED BY is not supported yet — cluster by the column " +
+        "and record it in statsCols for equivalent plan-time pruning")
+    writeInternal(df, path, statsCols, txn = None, ifExists = Some(true))
+  }
+
   /** @param ifExists None = normal snapshot write; Some(true) = throw if a
     *                 version exists (observed at commit time, inside the
     *                 CAS loop); Some(false) = no-op returning it. */
@@ -1351,7 +1363,15 @@ object VersionedTable {
         case None => c.files
       },
       colMap = c.colMap,
-      dvMarks = dvThunkFor(spark, root, c))
+      dvMarks = dvThunkFor(spark, root, c),
+      // exact snapshot row count from the manifest (DV marks are disjoint
+      // per generation, so the subtraction is exact — same contract as
+      // countRows); None when a legacy commit predates row recording
+      liveRows =
+        if (c.files.forall(c.rows.contains))
+          Some(c.files.map(c.rows).sum -
+            c.files.map(fk => c.dvRows.getOrElse(fk, 0L)).sum)
+        else None)
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file

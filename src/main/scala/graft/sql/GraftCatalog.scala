@@ -1,0 +1,171 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.VersionedTable
+
+/** Path-based SQL catalog for graft versioned tables, Delta's
+  * `delta.`/path/to/table`` idiom:
+  *
+  * {{{
+  *   spark.sql.catalog.graft = graft.sql.GraftCatalog   // session conf
+  *
+  *   SELECT * FROM graft.`/data/events`
+  *   SELECT * FROM graft.`/data/events` VERSION AS OF 3
+  *   SELECT * FROM graft.`/data/events` TIMESTAMP AS OF '2026-01-01'
+  *   INSERT INTO graft.`/data/events` SELECT ...
+  *   INSERT OVERWRITE graft.`/data/events` SELECT ...
+  *   CREATE TABLE graft.`/data/new` (id BIGINT, v DOUBLE)
+  *   ALTER TABLE graft.`/data/new` ADD COLUMNS (w STRING)
+  *   MERGE INTO graft.`/data/new` t USING u ON t.id = u.id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * The identifier IS the table path (an empty namespace), so there is no
+  * metastore state to administer or drift: the commit log at the path is the
+  * single source of truth, exactly as in the DataFrame API. The reference
+  * ships its whole contract as SQL DDL over named tables
+  * (reference/sql/ddl/02_silver_events.sql:8-61); this catalog is how that
+  * surface reaches graft tables.
+  *
+  * Time travel: `VERSION AS OF n` resolves through `loadTable(ident, n)`;
+  * `TIMESTAMP AS OF ts` through `loadTable(ident, micros)` →
+  * [[VersionedTable.versionAt]] (latest version committed at or before ts).
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  /** `graft.`/a/b`` parses to namespace=[] name="/a/b"; a dotted
+    * multi-part identifier would be a metastore name, which this catalog
+    * deliberately doesn't keep. */
+  private def pathOf(ident: Identifier): String = {
+    require(ident.namespace.isEmpty,
+      s"graft catalog identifies tables by path — use $catalogName.`/path/to/table`, " +
+        s"not a namespaced name (got ${ident.namespace.mkString(".")}.${ident.name})")
+    ident.name
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    VersionedTable.latestVersion(spark, pathOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftTable(spark, path, asOf = None)
+  }
+
+  /** `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val v = scala.util.Try(version.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path: VERSION AS OF takes a version number, got '$version'"))
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftTable(spark, path, asOf = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    val v = VersionedTable.versionAt(spark, path, timestamp / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftTable(spark, path, asOf = Some(v))
+  }
+
+  /** `CREATE TABLE graft.`/path`` (cols)`: commits version 1 with the
+    * declared schema and zero rows — refused atomically if any version
+    * already exists (decided inside the commit CAS loop, never
+    * check-then-act). `TBLPROPERTIES ('statsCols'='a,b')` seeds per-file
+    * min/max stats collection; `PARTITIONED BY (col)` declares the
+    * partition layout dimension. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    val props = properties.asScala
+    val statsCols = props.get("statsCols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val partitionCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name == "identity" && refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"$path: only identity partition transforms on top-level columns are " +
+          s"supported (got $t)")
+      refs(0).fieldNames()(0)
+    }
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+    try VersionedTable.createEmpty(empty, path, statsCols, partitionCols)
+    catch {
+      case e: IllegalStateException if e.getMessage.contains("already exists") =>
+        throw new TableAlreadyExistsException(ident)
+    }
+    new GraftTable(spark, path, asOf = None)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS / DROP COLUMN` land as metadata-only
+    * schema-evolution commits ([[VersionedTable.addColumns]]/
+    * [[VersionedTable.dropColumns]] — column mapping keeps old files
+    * readable). Other changes are refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + drops.size == changes.size,
+      s"$path: graft supports ALTER TABLE ADD COLUMNS / DROP COLUMN " +
+        s"(got ${changes.mkString(", ")})")
+    if (adds.nonEmpty) {
+      adds.foreach(a => require(a.fieldNames.length == 1,
+        s"$path: nested ADD COLUMN not supported (${a.fieldNames.mkString(".")})"))
+      VersionedTable.addColumns(spark, path,
+        adds.map(a => org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, a.isNullable)))
+    }
+    if (drops.nonEmpty) {
+      drops.foreach(d => require(d.fieldNames.length == 1,
+        s"$path: nested DROP COLUMN not supported (${d.fieldNames.mkString(".")})"))
+      VersionedTable.dropColumns(spark, path, drops.map(_.fieldNames()(0)))
+    }
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE graft.`/path``: removes the table — commit log AND data
+    * files — irreversibly. This is the managed-table contract; time travel
+    * cannot survive it. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    if (VersionedTable.latestVersion(spark, path).isEmpty) false
+    else {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(root, true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft tables are identified by path; move the directory instead")
+
+  /** Path-based catalog: no enumerable namespace. */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+}

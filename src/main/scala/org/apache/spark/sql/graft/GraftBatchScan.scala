@@ -36,12 +36,18 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * @param keep  pushed data filters => root-relative files that may hold
   *              matching rows (conservative; unknown shapes keep all)
+  * @param liveRows exact live row count of this snapshot from the commit
+  *                 manifest (per-file rows minus deletion-vector marks),
+  *                 None when any file predates row-count recording. Powers
+  *                 the metadata-only COUNT(*) rewrite (GraftMetadataCount)
+  *                 — a plain .count() then answers without touching data.
   */
 private[graft] class GraftFileIndex(
     spark: SparkSession,
     root: Path,
     allFiles: Seq[String],
-    keep: Option[Expression] => Seq[String]) extends FileIndex {
+    keep: Option[Expression] => Seq[String],
+    val liveRows: Option[Long] = None) extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = new StructType()
@@ -242,13 +248,14 @@ object GraftBatchShim {
       files: Seq[String],
       keep: Option[Expression] => Seq[String],
       colMap: Map[String, String],
-      dvMarks: Option[() => Map[String, Array[Long]]]): BaseRelation = {
+      dvMarks: Option[() => Map[String, Array[Long]]],
+      liveRows: Option[Long] = None): BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
     // not at relation construction (schema-only reads never pay them)
     val bcThunk = dvMarks.map(f => () => session.sparkContext.broadcast(f()))
     HadoopFsRelation(
-      location = new GraftFileIndex(spark, root, files, keep),
+      location = new GraftFileIndex(spark, root, files, keep, liveRows),
       partitionSchema = new StructType(),
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -266,4 +273,34 @@ object GraftBatchShim {
   def ofRelation(spark: SparkSession, rel: BaseRelation): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       LogicalRelation(rel))
+
+  /** V1 relation node with a CALLER-CHOSEN output (the SQL-surface
+    * conversion rule must preserve the V2 relation's attribute ids so
+    * references above the swapped node keep binding). */
+  def logicalRelation(rel: BaseRelation,
+      output: Seq[AttributeReference]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    LogicalRelation(rel, output, None, isStreaming = false, stream = None)
+
+  /** Execute an already-analyzed logical plan as a DataFrame (the MERGE
+    * command's source side). `Dataset.ofRows` is `private[sql]`. */
+  def ofPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wrap a (possibly unresolved) expression as a user-facing Column —
+    * the classic-session constructor is `private[sql]`. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The exact live row count behind a plan node, when that node is a
+    * graft snapshot relation whose manifest recorded per-file rows — the
+    * manifest-answered COUNT(*) hook ([[GraftFileIndex.liveRows]]).
+    * GraftFileIndex is package-private, so the match lives here. */
+  def liveRowsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Long] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        g.liveRows
+      case _ => None
+    }
 }

@@ -99,8 +99,10 @@ class BatchFormatSpec extends SparkSpec {
     val rel = VersionedTable.filesOf(spark, path,
       VersionedTable.latestVersion(spark, path).get)
     assert(new java.io.File(s"$path/${rel.head}").delete())
+    // NOT .count(): a bare count now answers from the manifest without
+    // opening any data file (GraftMetadataCount) — use a row-reading action
     val ex = intercept[java.io.FileNotFoundException] {
-      spark.read.format("graft-table").load(path).count()
+      spark.read.format("graft-table").load(path).collect()
     }
     assert(ex.getMessage.contains("missing on disk"), ex.getMessage)
   }
