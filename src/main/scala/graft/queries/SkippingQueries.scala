@@ -212,17 +212,127 @@ object SkippingQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_rows
       |FROM events""".stripMargin
 
+  /** Deterministic location of the DATE-PARTITIONED versioned copy. */
+  def partTablePath(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_partscan_v1_$key"
+  }
+
+  /** Idempotently build the hive-partitioned copy of events: one dir per
+    * event_date under the commit's token dir (the reference's
+    * date-partition idiom, `pipelines/bronze/ingest_local.py:59`). */
+  def ensurePartTable(spark: SparkSession, dir: String): String = {
+    val path = partTablePath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      val ev = Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("event_date"))
+      VersionedTable.write(ev, path, statsCols = Seq("user_id"),
+        partitionBy = Seq("event_date"))
+    }
+    path
+  }
+
+  /** q_partitioned_scan — the partitioned layout + SQL catalog under the
+    * oracle gate: a `spark.sql` query over `graft.`path`` with a DATE
+    * predicate that must prune whole partition DIRECTORIES at plan time
+    * (PartitionedTableSpec asserts the file counts; this row proves the
+    * pruning — and the V2→V1 relation conversion behind spark.sql — is
+    * invisible in results). The DuckDB oracle computes the same answer
+    * from the raw events parquet. */
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartTable(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM graft.`$path`
+         |WHERE event_date BETWEEN DATE'2024-01-05' AND DATE'2024-01-09'
+         |GROUP BY event_type""".stripMargin)
+  }
+
+  val partitionedScanSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+      |GROUP BY 1""".stripMargin
+
+  def mergeTablePath(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_sqlmerge_v1_$key"
+  }
+
+  /** Idempotently build a keep-latest table with REAL SQL MERGE: seed with
+    * each user's FIRST event, then `MERGE INTO` the LAST events —
+    * update-matched / insert-unmatched, the runbook's documented contract
+    * (docs/runbooks/silver-transform.md:114-122) executed as the SQL it is
+    * written in, not a DataFrame re-expression. */
+  def ensureMergeTable(spark: SparkSession, dir: String): String = {
+    val path = mergeTablePath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, dir).select(
+        col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      def pick(w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+        ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            to_date(col("ts")).as("last_date"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+      val seed = pick(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc))
+      VersionedTable.write(seed, path, statsCols = Seq("user_id"))
+      val updates = pick(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc))
+      val view = s"graft_merge_updates_${path.replaceAll("[^a-zA-Z0-9]", "_")}"
+      updates.createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO graft.`$path` t USING $view s
+           |ON t.user_id = s.user_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    path
+  }
+
+  /** q_sql_merge — the SQL MERGE path under the oracle gate: the table
+    * state AFTER a real `MERGE INTO` (seeded first-events, merged
+    * last-events) must equal DuckDB's keep-latest window over the raw
+    * events. One green row = the MERGE→upsert translation, the catalog
+    * write path and the commit it lands are all invisible in results. */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureMergeTable(spark, dir)
+    spark.sql(s"SELECT * FROM graft.`$path`")
+  }
+
+  val sqlMergeSql: String =
+    """SELECT user_id, event_id AS last_event_id, CAST(ts AS DATE) AS last_date,
+      |  event_type AS last_type, value AS last_value
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_merge" -> (sqlMerge _),
     "q_skipping_scan" -> (skippingScan _),
     "q_meta_count" -> (metaCount _),
     "q_meta_minmax" -> (metaMinMax _),
     "q_dv_delete" -> (dvDelete _),
-    "q_batch_format" -> (batchFormat _))
+    "q_batch_format" -> (batchFormat _),
+    "q_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_merge" -> sqlMergeSql,
     "q_skipping_scan" -> skippingScanSql,
     "q_meta_count" -> metaCountSql,
     "q_meta_minmax" -> metaMinMaxSql,
     "q_dv_delete" -> dvDeleteSql,
-    "q_batch_format" -> batchFormatSql)
+    "q_batch_format" -> batchFormatSql,
+    "q_partitioned_scan" -> partitionedScanSql)
 }

@@ -718,16 +718,36 @@ object VersionedTable {
     * logical columns to the table's PHYSICAL names before writing, so every
     * data file of a column-mapped table stores the same physical layout. */
   private def stage(df: DataFrame, root: Path, f: FileSystem,
-      colMap: Map[String, String] = Map.empty): (Path, Seq[String]) = {
+      colMap: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Nil): (Path, Seq[String]) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(root, s"d-$token")
     val physical =
       if (colMap.isEmpty) df
       else df.select(df.columns.map(c => col(c).as(colMap.getOrElse(c, c))).toSeq: _*)
-    physical.write.mode("overwrite").parquet(dir.toString)
-    val rel = f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted.map(n => s"d-$token/$n").toSeq
+    val writer = physical.write.mode("overwrite")
+    // hive-style layout under the token dir (d-token/dt=X/part-*.parquet):
+    // the partition columns leave the data files and live in the dir names,
+    // exactly like Delta's partitioned layout — one commit can span many
+    // partition dirs, and reads prune whole dirs at plan time
+    val physPart = partitionCols.map(c => colMap.getOrElse(c, c))
+    (if (physPart.isEmpty) writer else writer.partitionBy(physPart: _*))
+      .parquet(dir.toString)
+    val rel = listParquetRec(f, dir).sorted.map(n => s"d-$token/$n")
     (dir, rel)
+  }
+
+  /** Parquet files under `dir`, any depth, as dir-relative paths —
+    * partitioned stages nest one level per partition column. */
+  private def listParquetRec(f: FileSystem, dir: Path): Seq[String] = {
+    def walk(p: Path, prefix: String): Seq[String] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, s"$prefix$name/")
+        else if (name.endsWith(".parquet")) Seq(s"$prefix$name")
+        else Seq.empty
+      }
+    walk(dir, "")
   }
 
   /** Footer pass over newly staged files: per-file stats for `statsCols`
@@ -880,6 +900,14 @@ object VersionedTable {
   def write(df: DataFrame, path: String, statsCols: Seq[String]): Long =
     writeInternal(df, path, statsCols, txn = None)
 
+  /** As [[write]], laying the snapshot out hive-partitioned by
+    * `partitionBy` (dir-per-value under each commit's token dir): reads
+    * prune whole partition directories at plan time, appends inherit the
+    * layout. */
+  def write(df: DataFrame, path: String, statsCols: Seq[String],
+      partitionBy: Seq[String]): Long =
+    writeInternal(df, path, statsCols, txn = None, partitionCols = partitionBy)
+
   /** Exactly-once streaming SNAPSHOT commit — [[commitBatch]]'s twin for
     * Complete output mode: the new version contains exactly `df`, UNLESS
     * this (appId, batchId) — or a later batch of the same app — already
@@ -896,33 +924,70 @@ object VersionedTable {
     * SaveMode.ErrorIfExists) or no-op returning the winner's version
     * (`false`, SaveMode.Ignore), never silently mint a second version. */
   private[graft] def writeIfAbsent(df: DataFrame, path: String,
-      statsCols: Seq[String], errorIfExists: Boolean): Long =
+      statsCols: Seq[String], errorIfExists: Boolean,
+      partitionCols: Seq[String] = Nil): Long =
     writeInternal(df, path, statsCols, txn = None,
-      ifExists = Some(errorIfExists))
+      ifExists = Some(errorIfExists), partitionCols = partitionCols)
+
+  /** The PARTITION DIMENSION of a table rides the recorded schema as field
+    * METADATA (key = ordinal among the partition columns), so it flows
+    * through every manifest encoding — full, delta, parquet checkpoint,
+    * schema evolution — with zero extra log fields, the way the schema
+    * itself does. The recorded column order is normalized to data columns
+    * first, partition columns last, matching the relation's user-facing
+    * order (dataSchema ++ partitionSchema). */
+  private val PartitionIdxKey = "graft.partition_index"
+
+  private[graft] def partitionColsOf(schema: StructType): Seq[String] =
+    schema.fields.filter(_.metadata.contains(PartitionIdxKey))
+      .sortBy(_.metadata.getLong(PartitionIdxKey)).map(_.name).toSeq
+
+  private def withPartitionMeta(schema: StructType, cols: Seq[String]): StructType = {
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition column(s) not in the schema: ${missing.mkString(",")}")
+    require(cols.size < schema.fields.length,
+      "cannot partition by every column")
+    val partSet = cols.toSet
+    val tagged = cols.zipWithIndex.map { case (n, i) =>
+      val fl = schema(n)
+      fl.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(fl.metadata).putLong(PartitionIdxKey, i.toLong).build())
+    }
+    StructType(schema.fields.filterNot(fl => partSet(fl.name)) ++ tagged)
+  }
+
+  /** Verbs not yet taught the partitioned layout refuse LOUDLY — a
+    * copy-on-write rewrite that flattened the dirs (or null-filled the
+    * partition columns) would corrupt the table silently. */
+  private def requireUnpartitioned(c: Commit, path: String, verb: String): Unit =
+    c.schema.map(partitionColsOf).filter(_.nonEmpty).foreach { pc =>
+      throw new UnsupportedOperationException(
+        s"$path: $verb is not supported on a partitioned graft table " +
+          s"(PARTITIONED BY ${pc.mkString(", ")}) yet; supported there: " +
+          "append, overwrite, read, time travel, change feed, streaming")
+    }
 
   /** CREATE TABLE: commit version 1 with `df`'s schema (normally zero
     * rows), refused if any version exists — the SQL catalog's DDL entry
-    * point. `partitionCols` reserved for the partitioned-layout write
-    * path. */
+    * point. */
   private[graft] def createEmpty(df: DataFrame, path: String,
-      statsCols: Seq[String], partitionCols: Seq[String]): Long = {
-    require(partitionCols.isEmpty,
-      s"$path: PARTITIONED BY is not supported yet — cluster by the column " +
-        "and record it in statsCols for equivalent plan-time pruning")
-    writeInternal(df, path, statsCols, txn = None, ifExists = Some(true))
-  }
+      statsCols: Seq[String], partitionCols: Seq[String]): Long =
+    writeInternal(df, path, statsCols, txn = None, ifExists = Some(true),
+      partitionCols = partitionCols)
 
   /** @param ifExists None = normal snapshot write; Some(true) = throw if a
     *                 version exists (observed at commit time, inside the
     *                 CAS loop); Some(false) = no-op returning it. */
   private def writeInternal(df: DataFrame, path: String, statsCols: Seq[String],
       txn: Option[(String, Long)],
-      ifExists: Option[Boolean] = None): Long = {
+      ifExists: Option[Boolean] = None,
+      partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
     var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
-      Map[String, Long])] = None
+      Map[String, Long], StructType)] = None
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
@@ -945,16 +1010,27 @@ object VersionedTable {
         }
       }
       if (staged.isEmpty) {
-        val (dir, rel) = stage(df, root, f)
+        // a snapshot onto an existing partitioned table keeps its layout
+        // unless the caller re-declares one (an overwrite may re-partition
+        // — old versions keep their own layout via their own manifests)
+        val effPart =
+          if (partitionCols.nonEmpty) partitionCols
+          else parent.flatMap(_.schema).map(partitionColsOf).getOrElse(Nil)
+        val tagged =
+          if (effPart.isEmpty) df.schema else withPartitionMeta(df.schema, effPart)
+        val ordered =
+          if (effPart.isEmpty) df
+          else df.select(tagged.fieldNames.map(col).toSeq: _*)
+        val (dir, rel) = stage(ordered, root, f, partitionCols = effPart)
         val (st, rw) = metaFor(spark, root, rel, statsCols)
-        staged = Some((dir, rel, st, rw))
+        staged = Some((dir, rel, st, rw, tagged))
       }
-      val (_, rel, stats, rows) = staged.get
+      val (_, rel, stats, rows, tagged) = staged.get
       // carry the streaming-txn watermarks: a snapshot write between two
       // micro-batches must not reopen the door to batch replay
       val txnMap = parent.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
       val v = base.getOrElse(0L) + 1L
-      val (body, ckptDir) = encodeCommit(spark, root, v, rel, df.schema.json,
+      val (body, ckptDir) = encodeCommit(spark, root, v, rel, tagged.json,
         stats, rows, txnMap, parent = parent)
       if (tryCommit(f, root, v, body)) committed = v
       else {
@@ -974,6 +1050,13 @@ object VersionedTable {
   def append(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
     appendInternal(df, path, statsCols, txn = None)
 
+  /** As [[append]] with an explicit partition layout — required to match
+    * the table's (first writer fixes it); mostly useful as the
+    * genesis-append form. */
+  def append(df: DataFrame, path: String, statsCols: Seq[String],
+      partitionBy: Seq[String]): Long =
+    appendInternal(df, path, statsCols, txn = None, partitionCols = partitionBy)
+
   /** Exactly-once streaming commit (Delta's txnAppId/txnVersion idiom):
     * append `df` as a new version UNLESS this (appId, batchId) — or a later
     * batch of the same app — already committed, in which case the call is a
@@ -985,7 +1068,8 @@ object VersionedTable {
     appendInternal(df, path, statsCols, txn = Some(appId -> batchId))
 
   private def appendInternal(df: DataFrame, path: String, statsCols: Seq[String],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)],
+      partitionCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
@@ -1016,8 +1100,19 @@ object VersionedTable {
         staged.foreach(s => f.delete(s._1, true))
         staged = None
       }
+      // a table's partition layout is part of its contract: appends inherit
+      // it; an explicit partitionBy must agree (it cannot re-layout —
+      // carried files keep their dirs)
+      val parentPart = c.flatMap(_.schema).map(partitionColsOf).getOrElse(Nil)
+      val effPart =
+        if (c.isEmpty && partitionCols.nonEmpty) partitionCols else parentPart
+      if (c.nonEmpty && partitionCols.nonEmpty)
+        require(partitionCols == parentPart,
+          s"append partitionBy (${partitionCols.mkString(",")}) must match the " +
+            s"table's layout (${if (parentPart.isEmpty) "unpartitioned"
+            else parentPart.mkString(",")}); only overwrite may re-partition")
       if (staged.isEmpty) {
-        val (dir, rel) = stage(df, root, f, curColMap)
+        val (dir, rel) = stage(df, root, f, curColMap, effPart)
         val cols = c.map(inheritedStatsCols(spark, root, _, statsCols)).getOrElse(statsCols)
         val (st, rw) = metaFor(spark, root, rel, cols, curColMap)
         staged = Some((dir, rel, st, rw, curColMap))
@@ -1027,7 +1122,9 @@ object VersionedTable {
       val schemaJson = c.flatMap(_.schema).map { bs =>
         StructType(bs.fields.map(bf => bf.copy(nullable = bf.nullable ||
           df.schema.fields.find(_.name == bf.name).exists(_.nullable)))).json
-      }.getOrElse(df.schema.json)
+      }.getOrElse(
+        (if (effPart.isEmpty) df.schema
+         else withPartitionMeta(df.schema, effPart)).json)
       val v = base.getOrElse(0L) + 1L
       // stats is by-name and this append vouches for carry identity, so a
       // delta-encoded append NEVER forces the parent's (possibly
@@ -1264,12 +1361,72 @@ object VersionedTable {
 
   /** Physical-schema parquet read of `files`, aliased back to logical
     * names (projection-only — Catalyst collapses it into the scan). */
+  /** The partition-dir fragment of a root-relative file ("dt=X[/h=Y]"), or
+    * "" for unpartitioned layouts (file directly under the token dir). */
+  private def partFragOf(rel: String): String = {
+    val segs = rel.split('/')
+    if (segs.length <= 2) "" else segs.slice(1, segs.length - 1).mkString("/")
+  }
+
+  /** The raw (hive-unescaped) value of partition column `physName` inside a
+    * fragment; None for the hive null sentinel or an absent segment. */
+  private def rawPartValue(frag: String, physName: String): Option[String] =
+    frag.split('/').iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0 && seg.substring(0, i) == physName) Some(seg.substring(i + 1))
+      else None
+    }.toSeq.headOption
+      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName)
+
   private def physRead(spark: SparkSession, root: Path, c: Commit,
       s: StructType, files: Seq[String]): DataFrame = {
-    val df = spark.read.schema(physSchema(c, s))
-      .parquet(files.map(r => new Path(root, r).toString): _*)
-    if (c.colMap.isEmpty) df
-    else df.select(s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)).toSeq: _*)
+    val partCols = c.schema.map(partitionColsOf).getOrElse(Nil)
+      .filter(s.fieldNames.contains)
+    if (partCols.isEmpty) {
+      val df = spark.read.schema(physSchema(c, s))
+        .parquet(files.map(r => new Path(root, r).toString): _*)
+      if (c.colMap.isEmpty) df
+      else df.select(s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)).toSeq: _*)
+    } else {
+      // hive-partitioned layout: the partition columns live in dir names,
+      // not in the files. Rebuild them by joining each row's partition-dir
+      // fragment (from _metadata.file_path) against a driver-built,
+      // broadcast fragment→values lookup — one row per DISTINCT partition
+      // dir, values unescaped on the driver (no SQL-side url-decode, whose
+      // '+'-to-space rule disagrees with hive escaping), then cast to the
+      // declared types under the session's UTC zone.
+      import org.apache.spark.sql.types.{StringType, StructField}
+      val partSet = partCols.toSet
+      val dataS = StructType(s.fields.filterNot(fl => partSet(fl.name)))
+      val base = spark.read.schema(physSchema(c, dataS))
+        .parquet(files.map(r => new Path(root, r).toString): _*)
+        .withColumn("__graft_frag", regexp_extract(col("_metadata.file_path"),
+          "/(d-[^/]+/.+)/[^/]+$", 1))
+      // _metadata.file_path reports the URL-ENCODED URI of the raw on-disk
+      // name. The join key is the token-dir..partition-dirs fragment,
+      // computed on the driver with the SAME encoder that produced
+      // file_path (hadoop Path → java URI: '%'→%25, space→%20, '+' kept) —
+      // re-deriving those rules by hand is how values get lost. Scheme and
+      // authority are excluded from the key (they vary by qualification).
+      val lookupSchema = StructType(StructField("__graft_frag", StringType) +:
+        partCols.map(n => StructField(s"__graft_p_$n", StringType, nullable = true)))
+      val lookupRows: java.util.List[org.apache.spark.sql.Row] = {
+        val rows = files.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
+          .map { dirRel =>
+            val frag = dirRel.split('/').drop(1).mkString("/")
+            org.apache.spark.sql.Row.fromSeq(
+              new Path("/" + dirRel).toUri.getRawPath.stripPrefix("/") +:
+                partCols.map(n => rawPartValue(frag, c.physName(n)).orNull))
+          }
+        java.util.Arrays.asList(rows: _*)
+      }
+      val lookup = spark.createDataFrame(lookupRows, lookupSchema)
+      base.join(broadcast(lookup), Seq("__graft_frag"), "left")
+        .select(s.fields.map(fl =>
+          (if (partSet(fl.name)) col(s"__graft_p_${fl.name}").cast(fl.dataType)
+           else col(c.physName(fl.name))).as(fl.name)).toSeq: _*)
+    }
   }
 
   /** DataFrame over a subset of a commit's files, read with the commit's
@@ -1364,6 +1521,7 @@ object VersionedTable {
       },
       colMap = c.colMap,
       dvMarks = dvThunkFor(spark, root, c),
+      partitionCols = partitionColsOf(c.schema.get),
       // exact snapshot row count from the manifest (DV marks are disjoint
       // per generation, so the subtraction is exact — same contract as
       // countRows); None when a legacy commit predates row recording
@@ -1765,6 +1923,7 @@ object VersionedTable {
         // CAS check
         val base = latestVersion(spark, path)
         val baseC = base.map(b => readManifest(spark, f, root, b))
+        baseC.foreach(requireUnpartitioned(_, path, "MERGE/upsert"))
         txn.foreach { case (app, bid) =>
           if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
         }
@@ -1914,6 +2073,7 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
+      requireUnpartitioned(c, path, "DELETE")
       val (candKeys, carryKeys) = c.schema match {
         case Some(s) =>
           pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
@@ -1986,6 +2146,10 @@ object VersionedTable {
     alterSchema(spark, path, "drop", { (s, c, _) =>
       val missing = names.toSet -- s.fieldNames.toSet
       require(missing.isEmpty, s"$path: no such column(s): ${missing.mkString(",")}")
+      val partHit = names.toSet intersect partitionColsOf(s).toSet
+      require(partHit.isEmpty,
+        s"$path: cannot drop partition column(s) ${partHit.mkString(",")} — " +
+          "the layout depends on them")
       require(s.fields.length > names.size, s"$path: cannot drop every column")
       (StructType(s.fields.filterNot(f => names.contains(f.name))),
         c.colMap -- names,
@@ -2078,6 +2242,7 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
+      requireUnpartitioned(c, path, "vectorized DELETE")
       require(c.schema.isDefined,
         s"$path: vectorized delete needs a schema-recorded table")
       val s = c.schema.get
@@ -2187,6 +2352,7 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
+      requireUnpartitioned(c, path, "OPTIMIZE purge")
       val purgeKeys = c.files.filter { fk =>
         val m = c.dvRows.getOrElse(fk, 0L)
         m > 0L && c.rows.get(fk).exists(r => r > 0L && m.toDouble / r > minFraction)
@@ -2243,6 +2409,7 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
+      requireUnpartitioned(c, path, "OPTIMIZE compact")
       val sized = c.files.map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
       val smallSet = sized.filter(_._2 < targetBytes / 2).map(_._1).toSet
       if (smallSet.size < 2) return b // nothing worth packing
@@ -2298,6 +2465,7 @@ object VersionedTable {
       val bse = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, bse)
+      requireUnpartitioned(c, path, "ZORDER")
       val placed = TableIO.zPlaced(dataFrameFor(spark, root, c, c.files), cols, bits)
       val (dir, rel) = stage(placed, root, f)
       val (st, rw) = metaFor(spark, root, rel, cols)

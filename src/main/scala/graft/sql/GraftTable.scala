@@ -49,6 +49,14 @@ class GraftTable(
 
   override def schema(): StructType = relation.schema
 
+  /** The table's partition dimension (identity transforms), recovered from
+    * the recorded schema's partition metadata — DESCRIBE shows it, CREATE
+    * TABLE ... PARTITIONED BY round-trips it. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    VersionedTable.partitionColsOf(schema())
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)

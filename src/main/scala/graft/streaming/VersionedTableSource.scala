@@ -63,6 +63,23 @@ class VersionedTableSourceProvider extends StreamSourceProvider
     parameters.get("statsCols").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
+  /** Partition layout for batch writes: `option("partitionBy", "a,b")` or
+    * the writer's own `.partitionBy(...)`, which DSv1 forwards as a
+    * JSON-array option under `__partition_columns`. */
+  private def partitionCols(parameters: Map[String, String]): Seq[String] = {
+    val explicit = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val writerSide = parameters.get("__partition_columns").toSeq.flatMap { js =>
+      import scala.jdk.CollectionConverters._
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(js).elements().asScala.map(_.asText()).toSeq
+    }
+    require(explicit.isEmpty || writerSide.isEmpty || explicit == writerSide,
+      s"conflicting partition declarations: option partitionBy=$explicit " +
+        s"vs writer partitionBy=$writerSide")
+    if (explicit.nonEmpty) explicit else writerSide
+  }
+
   /** BATCH writes: `df.write.format("graft-table").mode(m).save(path)` —
     * every mode lands as an atomic commit on the versioned log:
     *
@@ -80,16 +97,19 @@ class VersionedTableSourceProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val path = tablePath(parameters)
     val cols = statsCols(parameters)
+    val parts = partitionCols(parameters)
     mode match {
-      case SaveMode.Append => VersionedTable.append(data, path, cols)
-      case SaveMode.Overwrite => VersionedTable.write(data, path, cols)
+      case SaveMode.Append => VersionedTable.append(data, path, cols, parts)
+      case SaveMode.Overwrite => VersionedTable.write(data, path, cols, parts)
       // exists-or-not is decided INSIDE the commit loop (re-evaluated
       // after a lost CAS), so a concurrent creator makes ErrorIfExists
       // throw and Ignore no-op — never a silent second version
       case SaveMode.ErrorIfExists =>
-        VersionedTable.writeIfAbsent(data, path, cols, errorIfExists = true)
+        VersionedTable.writeIfAbsent(data, path, cols, errorIfExists = true,
+          partitionCols = parts)
       case SaveMode.Ignore =>
-        VersionedTable.writeIfAbsent(data, path, cols, errorIfExists = false)
+        VersionedTable.writeIfAbsent(data, path, cols, errorIfExists = false,
+          partitionCols = parts)
     }
     // the returned relation is unused by SaveIntoDataSourceCommand; keep it
     // LAZY (TableScan over the public read API) so a save() onto a legacy

@@ -41,29 +41,40 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *                 None when any file predates row-count recording. Powers
   *                 the metadata-only COUNT(*) rewrite (GraftMetadataCount)
   *                 — a plain .count() then answers without touching data.
+  * @param partSchema the table's partition dimension (empty when
+  *                 unpartitioned): files live in hive-style dirs under each
+  *                 token dir, their values parsed from the path; filters on
+  *                 these columns arrive as PARTITION filters and prune
+  *                 whole directories here, before any footer or stat is
+  *                 consulted.
+  * @param physNameOf logical→physical column renaming for partition dir
+  *                 names (column mapping writes physical names into paths)
   */
 private[graft] class GraftFileIndex(
     spark: SparkSession,
     root: Path,
     allFiles: Seq[String],
     keep: Option[Expression] => Seq[String],
-    val liveRows: Option[Long] = None) extends FileIndex {
+    val liveRows: Option[Long] = None,
+    partSchema: StructType = new StructType(),
+    physNameOf: String => String = identity) extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = partSchema
   override def refresh(): Unit = ()
   override def inputFiles: Array[String] =
     allFiles.map(r => new Path(root, r).toString).toArray
 
-  /** FileStatus per live file, resolved with ONE listStatus per data dir
-    * (files are grouped under token-named dirs — O(dirs) driver RPCs, and
-    * the statuses themselves are the documented driver-plans-files ceiling
-    * shared with the manifest's file list). Lazy: a fully-pruned query on a
-    * cached plan never pays it twice. */
+  /** FileStatus per live file, resolved with ONE listStatus per leaf data
+    * dir (files are grouped under token-named dirs, one level deeper per
+    * partition column — O(leaf dirs) driver RPCs, and the statuses
+    * themselves are the documented driver-plans-files ceiling shared with
+    * the manifest's file list). Lazy: a fully-pruned query on a cached
+    * plan never pays it twice. */
   private lazy val statusOf: Map[String, FileStatus] = {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val wanted = allFiles.toSet
-    allFiles.map(_.takeWhile(_ != '/')).distinct.flatMap { d =>
+    allFiles.map(r => r.substring(0, r.lastIndexOf('/'))).distinct.flatMap { d =>
       val dir = new Path(root, d)
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq.flatMap { st =>
@@ -73,11 +84,48 @@ private[graft] class GraftFileIndex(
     }.toMap
   }
 
+  /** Typed partition values per file, parsed from the hive-style path
+    * segments (driver-side unescape — hive %-escaping, not URL '+' rules)
+    * and cast under the session zone. */
+  private lazy val partValuesOf: Map[String, InternalRow] =
+    if (partSchema.isEmpty) Map.empty
+    else {
+      val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      allFiles.map { rel =>
+        val segs = rel.split('/')
+        val kv = segs.slice(1, math.max(1, segs.length - 1)).flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+        }.toMap
+        rel -> InternalRow.fromSeq(partSchema.fields.toSeq.map { f =>
+          kv.get(physNameOf(f.name))
+            .filterNot(_ == "__HIVE_DEFAULT_PARTITION__") match {
+            case None => null
+            case Some(raw) =>
+              val s = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(raw)
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                  org.apache.spark.sql.types.StringType),
+                f.dataType, zone).eval(null)
+          }
+        })
+      }.toMap
+    }
+
   /** Real on-disk bytes of the live files — honest input for broadcast
     * decisions (a row-count × schema-width estimate underestimates text
     * corpora badly enough to broadcast a huge table). */
   override lazy val sizeInBytes: Long =
     math.max(1L, allFiles.flatMap(statusOf.get).map(_.getLen).sum)
+
+  private def statusOrThrow(r: String): FileStatus =
+    statusOf.getOrElse(r,
+      throw new java.io.FileNotFoundException(
+        s"${new Path(root, r)}: listed in the commit manifest but " +
+          "missing on disk — the table's data files were modified " +
+          "outside the commit log (external delete or failed vacuum)"))
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -86,13 +134,29 @@ private[graft] class GraftFileIndex(
     // (external deletion, failed vacuum, eventual consistency) — failing
     // loudly matches the plain parquet path (ignoreMissingFiles=false);
     // silently scanning the surviving subset would return partial results
-    Seq(PartitionDirectory(InternalRow.empty,
-      kept.map(r => statusOf.getOrElse(r,
-        throw new java.io.FileNotFoundException(
-          s"${new Path(root, r)}: listed in the commit manifest but " +
-            "missing on disk — the table's data files were modified " +
-            "outside the commit log (external delete or failed vacuum)")))
-        .toArray))
+    if (partSchema.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty,
+        kept.map(statusOrThrow).toArray))
+    else {
+      // DIRECTORY pruning: evaluate the pushed partition filters against
+      // each file's parsed partition values, driver-side, before any
+      // data-file stat or footer — the 100 TB first lever. Unknown shapes
+      // keep the partition (conservative, like the stats pruner).
+      val pred = partitionFilters.reduceOption(CatalystAnd).map { e =>
+        val bound = e.transform {
+          case a: AttributeReference =>
+            val idx = partSchema.fieldIndex(a.name)
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              idx, partSchema(idx).dataType, nullable = true)
+        }
+        org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+      }
+      kept.groupBy(partValuesOf.getOrElse(_, InternalRow.empty)).toSeq
+        .filter { case (row, _) => pred.forall(_.eval(row)) }
+        .map { case (row, rels) =>
+          PartitionDirectory(row, rels.map(statusOrThrow).toArray)
+        }
+    }
   }
 }
 
@@ -249,17 +313,28 @@ object GraftBatchShim {
       keep: Option[Expression] => Seq[String],
       colMap: Map[String, String],
       dvMarks: Option[() => Map[String, Array[Long]]],
-      liveRows: Option[Long] = None): BaseRelation = {
+      liveRows: Option[Long] = None,
+      partitionCols: Seq[String] = Nil): BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
     // not at relation construction (schema-only reads never pay them)
     val bcThunk = dvMarks.map(f => () => session.sparkContext.broadcast(f()))
+    // partitioned layout: the partition columns leave the data schema and
+    // become the relation's partition dimension — their filters prune
+    // DIRECTORIES in listFiles, their values come from the paths
+    val partSet = partitionCols.toSet
+    val partSchema = StructType(
+      partitionCols.map(n => logicalSchema(logicalSchema.fieldIndex(n))))
+    require(partSet.isEmpty || dvMarks.isEmpty,
+      "deletion vectors on a partitioned graft table are not supported")
     HadoopFsRelation(
-      location = new GraftFileIndex(spark, root, files, keep, liveRows),
-      partitionSchema = new StructType(),
+      location = new GraftFileIndex(spark, root, files, keep, liveRows,
+        partSchema.asNullable, n => colMap.getOrElse(n, n)),
+      partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
-      dataSchema = logicalSchema.asNullable,
+      dataSchema = StructType(
+        logicalSchema.fields.filterNot(f => partSet(f.name))).asNullable,
       bucketSpec = None,
       fileFormat = new GraftParquetFileFormat(colMap, bcThunk),
       options = Map.empty)(session)

@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hive-partitioned layout for graft tables: dir-per-value under each
+  * commit's token dir, partition values recorded in paths (not files),
+  * DIRECTORY pruning at plan time via the relation's partitionFilters —
+  * the date-partition idiom every reference table assumes
+  * (reference/pipelines/bronze/ingest_local.py:59, transform_local.py:193). */
+class PartitionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-part").toString + "/t"
+
+  /** Execute, then dig the scan out (descending into AQE's wrapper —
+    * an aggregate query's final plan hides behind AdaptiveSparkPlanExec). */
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    df.collect()
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          find(q.plan)
+      }.flatten
+    find(df.queryExecution.executedPlan).head
+  }
+
+  private val days = Seq("2026-01-01", "2026-01-02", "2026-01-03")
+
+  private def sample(n: Int = 30): DataFrame =
+    spark.range(0, n).toDF("id")
+      .withColumn("dt", to_date(element_at(
+        typedLit(days), (col("id") % 3 + 1).cast("int"))))
+      .withColumn("v", col("id") * 2.0)
+
+  test("partitioned write lays out dir-per-value; read returns the partition column") {
+    val p = tmp()
+    sample().write.format("graft-table").partitionBy("dt")
+      .option("statsCols", "id").save(p)
+    // on-disk layout: d-token/dt=YYYY-MM-DD/part-*.parquet
+    val rels = VersionedTable.filesOf(spark, p, 1L)
+    assert(rels.nonEmpty && rels.forall(_.matches("d-[^/]+/dt=[^/]+/.*\\.parquet")),
+      rels.mkString(", "))
+    val back = spark.read.format("graft-table").load(p)
+    // partition column rides last (dataSchema ++ partitionSchema)
+    assert(back.columns.toSeq == Seq("id", "v", "dt"))
+    assert(back.count() == 30)
+    val expect = sample().select($"id", $"v", $"dt").collect().map(_.toString).toSet
+    assert(back.select($"id", $"v", $"dt").collect().map(_.toString).toSet == expect)
+  }
+
+  test("a date filter prunes DIRECTORIES at plan time, not just file stats") {
+    val p = tmp()
+    sample(300).repartition(4).write.format("graft-table").partitionBy("dt").save(p)
+    // scanOf executes exactly once: numFiles is a driver metric posted on
+    // the FIRST selectedPartitions materialization; a second execution of
+    // the same plan resets it to zero
+    val all = spark.read.format("graft-table").load(p)
+    val total = scanOf(all).metrics("numFiles").value
+    assert(total > 3, s"want multiple files per partition, got $total")
+
+    val one = spark.read.format("graft-table").load(p)
+      .filter($"dt" === lit(java.sql.Date.valueOf(days.head)))
+    val scan = scanOf(one)
+    assert(one.count() == 100)
+    // the filter arrived as a PARTITION filter (directory dimension), and
+    // only the matching partition's files are planned
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.metrics("numFiles").value == total / 3,
+      s"expected ${total / 3} of $total files, got ${scan.metrics("numFiles").value}")
+    // partition pruning composes with manifest stats pruning on data cols
+    val both = spark.read.format("graft-table").load(p)
+      .filter($"dt" === lit(java.sql.Date.valueOf(days.head)) && $"id" < 0)
+    assert(both.count() == 0)
+  }
+
+  test("appends inherit the layout; a conflicting partitionBy is refused") {
+    val p = tmp()
+    sample().write.format("graft-table").partitionBy("dt").save(p)
+    // plain append (no partitionBy declared) inherits dir-per-value
+    sample().withColumn("id", $"id" + 100).write.format("graft-table")
+      .mode("append").save(p)
+    val rels = VersionedTable.filesOf(spark, p, 2L)
+    assert(rels.forall(_.contains("/dt=")), rels.mkString(", "))
+    assert(spark.read.format("graft-table").load(p).count() == 60)
+    val e = intercept[IllegalArgumentException] {
+      sample().write.format("graft-table").mode("append")
+        .partitionBy("v").save(p)
+    }
+    assert(e.getMessage.contains("must match the table's layout"), e.getMessage)
+  }
+
+  test("change feed and time travel rebuild partition values from paths") {
+    val p = tmp()
+    sample(9).write.format("graft-table").partitionBy("dt").save(p)
+    sample(9).withColumn("id", $"id" + 100).write.format("graft-table")
+      .mode("append").save(p)
+    // CDF reads ride physRead (not the relation): values must come back
+    // real, not null
+    val changes = VersionedTable.changes(spark, p, 1L, 2L)
+    assert(changes.count() == 9)
+    assert(changes.filter($"dt".isNull).count() == 0)
+    assert(changes.select("dt").distinct().count() == 3)
+    // time travel across an overwrite that RE-partitions
+    sample(9).write.format("graft-table").mode("overwrite")
+      .partitionBy("v").save(p)
+    assert(VersionedTable.filesOf(spark, p, 3L).forall(_.contains("/v=")))
+    val v2 = spark.read.format("graft-table").option("versionAsOf", "2").load(p)
+    assert(v2.count() == 18 && v2.filter($"dt".isNull).count() == 0)
+  }
+
+  test("hive-escaped and null partition values round-trip") {
+    val p = tmp()
+    Seq((9L, "seed")).toDF("id", "k")
+      .write.format("graft-table").partitionBy("k").save(p)
+    val df = Seq((1L, "a b"), (2L, "x:y"), (3L, null), (4L, "plus+sign"))
+      .toDF("id", "k")
+    df.write.format("graft-table").mode("append").save(p)
+    val back = spark.read.format("graft-table").load(p).filter($"id" < 9)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a b"), (2L, "x:y"), (3L, null), (4L, "plus+sign")))
+    // and through the physRead path too (the appended files, as CDF inserts)
+    val cdf = VersionedTable.changes(spark, p, 1L, 2L)
+    assert(cdf.select("id", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a b"), (2L, "x:y"), (3L, null), (4L, "plus+sign")))
+  }
+
+  test("row-level verbs refuse loudly on partitioned tables") {
+    val p = tmp()
+    sample().write.format("graft-table").partitionBy("dt").save(p)
+    def refused(f: => Any): Unit = {
+      val e = intercept[UnsupportedOperationException](f)
+      assert(e.getMessage.contains("partitioned graft table"), e.getMessage)
+    }
+    refused(VersionedTable.upsert(sample(), p, Seq("id")))
+    refused(VersionedTable.delete(spark, p, $"id" === 1))
+    refused(VersionedTable.deleteVectorized(spark, p, $"id" === 1))
+    refused(VersionedTable.compact(spark, p))
+    refused(VersionedTable.zOrderBy(spark, p, Seq("id", "v"), 16))
+    // dropping the partition column is refused; other DDL works
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.dropColumns(spark, p, Seq("dt")))
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    VersionedTable.addColumns(spark, p,
+      Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    val cols = spark.read.format("graft-table").load(p).columns.toSeq
+    assert(cols.contains("note") && cols.contains("dt"), cols.mkString(","))
+  }
+
+  test("metadata COUNT(*) and SQL DDL/queries work on partitioned tables") {
+    val p = tmp()
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, v DOUBLE, dt DATE) " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('statsCols'='id')")
+    sample(30).select($"id", $"v", $"dt").write.format("graft-table")
+      .mode("append").save(p)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p`").as[Long].head() == 30)
+    // partition pruning through the SQL path
+    val q = spark.sql(
+      s"SELECT sum(v) AS sv FROM graft.`$p` WHERE dt = DATE'${days.head}'")
+    assert(scanOf(q).partitionFilters.nonEmpty)
+    assert(q.as[Double].head() > 0)
+    // streaming sink commits inherit the layout
+    assert(VersionedTable.partitionColsOf(
+      VersionedTable.read(spark, p).schema) == Seq("dt"))
+  }
+}
