@@ -957,15 +957,19 @@ object VersionedTable {
     StructType(schema.fields.filterNot(fl => partSet(fl.name)) ++ tagged)
   }
 
-  /** Verbs not yet taught the partitioned layout refuse LOUDLY — a
-    * copy-on-write rewrite that flattened the dirs (or null-filled the
-    * partition columns) would corrupt the table silently. */
+  /** Verbs not yet taught the partitioned layout refuse LOUDLY — silently
+    * flattening the dirs or null-filling partition columns would corrupt
+    * the table. Currently: deletion-vector verbs (sidecar file keys assume
+    * the flat layout) and ZORDER (z-tiles × partition dirs would explode
+    * the file count; the within-partition variant is the next rung).
+    * Everything else — append, overwrite, read, time travel, change feed,
+    * streaming, DELETE, MERGE/upsert, OPTIMIZE compact, DDL — works. */
   private def requireUnpartitioned(c: Commit, path: String, verb: String): Unit =
     c.schema.map(partitionColsOf).filter(_.nonEmpty).foreach { pc =>
       throw new UnsupportedOperationException(
         s"$path: $verb is not supported on a partitioned graft table " +
-          s"(PARTITIONED BY ${pc.mkString(", ")}) yet; supported there: " +
-          "append, overwrite, read, time travel, change feed, streaming")
+          s"(PARTITIONED BY ${pc.mkString(", ")}) yet; use OPTIMIZE compact " +
+          "or a copy-on-write DELETE instead")
     }
 
   /** CREATE TABLE: commit version 1 with `df`'s schema (normally zero
@@ -1761,26 +1765,84 @@ object VersionedTable {
     * delta-added files prune driver-side from their own eager stats. The
     * full stats map never materializes on the driver unless the predicate
     * fails to ship (conservative fallback). */
+  /** Exact per-file ColStats for the partition columns, synthesized from
+    * the file's PATH (min = max = the dir value; the hive null sentinel is
+    * an all-null column): partition predicates prune through the same
+    * three-valued evaluator as data stats — in reads, in readWhere, and in
+    * copy-on-write file selection — with zero stored metadata. A value
+    * that fails to cast contributes no stat (never prunes, never lies). */
+  private def partColStats(c: Commit,
+      partFields: Seq[org.apache.spark.sql.types.StructField],
+      rel: String, zone: Option[String]): Map[String, DataSkipping.ColStat] = {
+    val frag = partFragOf(rel)
+    partFields.flatMap { fl =>
+      rawPartValue(frag, c.physName(fl.name)) match {
+        case None =>
+          Some(fl.name -> DataSkipping.ColStat(None, None,
+            numNulls = 1L, allNulls = true))
+        case Some(s) =>
+          val internal = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType),
+            fl.dataType, zone).eval(null)
+          partDomain(internal, fl.dataType).map(v =>
+            fl.name -> DataSkipping.ColStat(Some(v), Some(v), 0L, allNulls = false))
+      }
+    }.toMap
+  }
+
+  /** Internal partition value → the stats comparison domain (BigDecimal
+    * for numerics/date-days/timestamp-micros, String for strings —
+    * matching DataSkipping's literal domain). */
+  private def partDomain(v: Any, dt: DataType): Option[Any] = v match {
+    case null => None
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+    case l: java.lang.Long => Some(BigDecimal(l.longValue))
+    case s: java.lang.Short => Some(BigDecimal(s.intValue))
+    case b: java.lang.Byte => Some(BigDecimal(b.intValue))
+    case d: java.lang.Double if java.lang.Double.isFinite(d) => Some(BigDecimal(d))
+    case f: java.lang.Float if java.lang.Float.isFinite(f) => Some(BigDecimal(f.toDouble))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+
   private def pruneFiles(spark: SparkSession, root: Path, c: Commit,
       resolved: org.apache.spark.sql.catalyst.expressions.Expression)
-      : (Seq[String], Seq[String]) =
-    c.ckptInfo match {
+      : (Seq[String], Seq[String]) = {
+    // pass 1 — partition-value pruning (exact, driver-side, path-derived):
+    // a dt-scoped predicate drops whole partition directories before any
+    // stat map is consulted or any distributed prune job runs
+    val partFields = c.schema.toSeq.flatMap(s =>
+      partitionColsOf(s).map(n => s(s.fieldIndex(n))))
+    val partSkipped: Set[String] =
+      if (partFields.isEmpty) Set.empty
+      else {
+        val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+        c.files.filter(fk =>
+          DataSkipping.canSkip(resolved, partColStats(c, partFields, fk, zone))).toSet
+      }
+    val files = c.files.filterNot(partSkipped)
+    // pass 2 — per-file min/max stats over the survivors
+    val (kept, statSkipped) = c.ckptInfo match {
       case Some((rel, anchorSet)) =>
-        val (inAnchor, rest) = c.files.partition(anchorSet)
+        val (inAnchor, rest) = files.partition(anchorSet)
         val removedFromAnchor = anchorSet -- inAnchor
         distributedPrune(spark, root, rel, removedFromAnchor, resolved) match {
           case Some(keptAnchor) =>
             val (keptRest, _) = DataSkipping.prune(rest, c.statsAdds, resolved)
             val keptSet = keptAnchor ++ keptRest.toSet
-            c.files.partition(keptSet)
+            files.partition(keptSet)
           case None => // predicate didn't ship: force stats, prune local
-            if (c.stats.isEmpty) (c.files, Seq.empty[String])
-            else DataSkipping.prune(c.files, c.stats, resolved)
+            if (c.stats.isEmpty) (files, Seq.empty[String])
+            else DataSkipping.prune(files, c.stats, resolved)
         }
       case None if c.stats.nonEmpty =>
-        DataSkipping.prune(c.files, c.stats, resolved)
-      case None => (c.files, Seq.empty[String])
+        DataSkipping.prune(files, c.stats, resolved)
+      case None => (files, Seq.empty[String])
     }
+    (kept, statSkipped ++ partSkipped.toSeq.sorted)
+  }
 
   private def pruned(spark: SparkSession, path: String, predicate: Column,
       asOf: Option[Long]): (Path, Seq[String], Seq[String], Commit) = {
@@ -1923,7 +1985,6 @@ object VersionedTable {
         // CAS check
         val base = latestVersion(spark, path)
         val baseC = base.map(b => readManifest(spark, f, root, b))
-        baseC.foreach(requireUnpartitioned(_, path, "MERGE/upsert"))
         txn.foreach { case (app, bid) =>
           if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
         }
@@ -1950,13 +2011,20 @@ object VersionedTable {
                   updSchema.fields.find(_.name == bf.name).forall(_.dataType == bf.dataType))
                 if (!typesOk) (c.files, Seq.empty[String], None) // coercion → full rewrite
                 else {
-                  val mergedFields = bs.fields.map { bf =>
+                  val mergedRaw = bs.fields.map { bf =>
                     updSchema.fields.find(_.name == bf.name) match {
                       case Some(uf) => bf.copy(nullable = bf.nullable || uf.nullable)
                       case None => bf.copy(nullable = true) // null-filled on the update side
                     }
                   } ++ updSchema.fields.filterNot(uf => bs.fieldNames.contains(uf.name))
                     .map(_.copy(nullable = true)) // absent from carried files
+                  // partitioned layout contract: partition columns stay LAST
+                  // (an evolved column would otherwise land after them)
+                  val basePart = partitionColsOf(bs).toSet
+                  val mergedFields =
+                    if (basePart.isEmpty) mergedRaw
+                    else mergedRaw.filterNot(fl => basePart(fl.name)) ++
+                      mergedRaw.filter(fl => basePart(fl.name))
                   // an evolved column REUSING a dropped physical name can't
                   // ride identity-mapped over carried files (their stale
                   // bytes would resurrect): rewrite everything instead, so
@@ -1983,7 +2051,8 @@ object VersionedTable {
               else dataFrameFor(spark, root, c, rewriteKeys)
                 .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
                 .unionByName(inserts, allowMissingColumns = evolveSchema)
-            val (dir, rel0) = stage(rewriteDf, root, f, c.colMap)
+            val (dir, rel0) = stage(rewriteDf, root, f, c.colMap,
+              c.schema.map(partitionColsOf).getOrElse(Nil))
             val (st0, rw0) = metaFor(spark, root, rel0,
               inheritedStatsCols(spark, root, c, statsCols), c.colMap)
             val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
@@ -2073,7 +2142,6 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
-      requireUnpartitioned(c, path, "DELETE")
       val (candKeys, carryKeys) = c.schema match {
         case Some(s) =>
           pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
@@ -2082,7 +2150,8 @@ object VersionedTable {
       if (candKeys.isEmpty) return b // provably nothing to delete
       val kept = dataFrameFor(spark, root, c, candKeys)
         .filter(!coalesce(predicate, lit(false))) // keep p=false AND p=null rows
-      val (dir, rel0) = stage(kept, root, f, c.colMap)
+      val (dir, rel0) = stage(kept, root, f, c.colMap,
+        c.schema.map(partitionColsOf).getOrElse(Nil))
       val (st0, rw0) = metaFor(spark, root, rel0,
         inheritedStatsCols(spark, root, c, statsCols), c.colMap)
       val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
@@ -2409,15 +2478,22 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
-      requireUnpartitioned(c, path, "OPTIMIZE compact")
       val sized = c.files.map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
       val smallSet = sized.filter(_._2 < targetBytes / 2).map(_._1).toSet
       if (smallSet.size < 2) return b // nothing worth packing
       val carry = c.files.filterNot(smallSet)
       val totalSmall = sized.collect { case (r, n) if smallSet(r) => n }.sum
       val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
-      val packed = dataFrameFor(spark, root, c, c.files.filter(smallSet)).coalesce(nOut)
-      val (dir, rel) = stage(packed, root, f, c.colMap)
+      val partCols = c.schema.map(partitionColsOf).getOrElse(Nil)
+      val small = dataFrameFor(spark, root, c, c.files.filter(smallSet))
+      // partitioned tables pack PER DIRECTORY: a plain coalesce would give
+      // every output task rows of many partitions, and the partitioned
+      // stage would re-split each into one file per dir — nOut × dirs tiny
+      // files, the opposite of compaction
+      val packed =
+        if (partCols.isEmpty) small.coalesce(nOut)
+        else small.repartition(nOut, partCols.map(col): _*)
+      val (dir, rel) = stage(packed, root, f, c.colMap, partCols)
       val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(spark, root, c, Nil), c.colMap)
       val carrySet = carry.toSet
       val (dvK, dvR) = c.dvFor(carrySet) // packed files materialized their DVs

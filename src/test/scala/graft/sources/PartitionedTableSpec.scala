@@ -135,17 +135,14 @@ class PartitionedTableSpec extends SparkSpec {
       Set((1L, "a b"), (2L, "x:y"), (3L, null), (4L, "plus+sign")))
   }
 
-  test("row-level verbs refuse loudly on partitioned tables") {
+  test("DV verbs and ZORDER refuse loudly on partitioned tables; DDL works") {
     val p = tmp()
     sample().write.format("graft-table").partitionBy("dt").save(p)
     def refused(f: => Any): Unit = {
       val e = intercept[UnsupportedOperationException](f)
       assert(e.getMessage.contains("partitioned graft table"), e.getMessage)
     }
-    refused(VersionedTable.upsert(sample(), p, Seq("id")))
-    refused(VersionedTable.delete(spark, p, $"id" === 1))
     refused(VersionedTable.deleteVectorized(spark, p, $"id" === 1))
-    refused(VersionedTable.compact(spark, p))
     refused(VersionedTable.zOrderBy(spark, p, Seq("id", "v"), 16))
     // dropping the partition column is refused; other DDL works
     val e = intercept[IllegalArgumentException](
@@ -156,6 +153,70 @@ class PartitionedTableSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))
     val cols = spark.read.format("graft-table").load(p).columns.toSeq
     assert(cols.contains("note") && cols.contains("dt"), cols.mkString(","))
+  }
+
+  test("partition-scoped DELETE carries other partitions' files by reference") {
+    val p = tmp()
+    sample(300).repartition(4).write.format("graft-table").partitionBy("dt").save(p)
+    val before = VersionedTable.filesOf(spark, p, 1L)
+    val otherDirs = before.filterNot(_.contains(s"dt=${days.head}")).toSet
+    assert(otherDirs.nonEmpty)
+    // delete one whole partition: the partition-value pruning pass must
+    // select ONLY that dir's files for rewrite — every other partition's
+    // file is carried byte-identical (same relative path in the manifest)
+    VersionedTable.delete(spark, p,
+      $"dt" === lit(java.sql.Date.valueOf(days.head)))
+    val after = VersionedTable.filesOf(spark, p, 2L).toSet
+    assert(otherDirs.subsetOf(after),
+      s"untouched partitions must carry by reference:\n${(otherDirs -- after).mkString("\n")}")
+    assert(after.forall(r => !r.contains(s"dt=${days.head}")))
+    val left = spark.read.format("graft-table").load(p)
+    assert(left.count() == 200)
+    assert(left.filter($"dt" === lit(java.sql.Date.valueOf(days.head))).count() == 0)
+    // row-scoped delete inside one partition also only rewrites that dir
+    VersionedTable.delete(spark, p,
+      $"dt" === lit(java.sql.Date.valueOf(days(1))) && $"id" < 10)
+    assert(spark.read.format("graft-table").load(p).count() == 200 -
+      sample(300).filter($"dt" === lit(java.sql.Date.valueOf(days(1))) && $"id" < 10).count())
+  }
+
+  test("MERGE/upsert preserves the partitioned layout, including schema evolution") {
+    val p = tmp()
+    sample(30).write.format("graft-table").partitionBy("dt").save(p)
+    val updates = sample(36).filter($"id" >= 24) // 24..29 update, 30..35 insert
+      .withColumn("v", $"v" + 1000.0)
+    VersionedTable.upsert(updates, p, Seq("id"))
+    val table = spark.read.format("graft-table").load(p)
+    assert(table.count() == 36)
+    assert(table.filter($"id" >= 24 && $"v" < 1000).count() == 0)
+    // every file still lives under a dt dir; values survive the rewrite
+    assert(VersionedTable.filesOf(spark, p, 2L).forall(_.contains("/dt=")))
+    assert(table.filter($"dt".isNull).count() == 0)
+    // evolution: new column lands BEFORE the partition column in the schema
+    val evolved = updates.filter($"id" >= 30).withColumn("tag", lit("x"))
+    VersionedTable.upsert(evolved, p, Seq("id"), evolveSchema = true)
+    val cols = spark.read.format("graft-table").load(p).columns.toSeq
+    assert(cols == Seq("id", "v", "tag", "dt"), cols.mkString(","))
+    assert(VersionedTable.partitionColsOf(
+      VersionedTable.read(spark, p).schema) == Seq("dt"))
+  }
+
+  test("OPTIMIZE compact packs per partition directory") {
+    val p = tmp()
+    // several small appends → many small files per partition
+    (0 until 4).foreach { i =>
+      sample(30).withColumn("id", $"id" + i * 100)
+        .write.format("graft-table").mode(if (i == 0) "overwrite" else "append")
+        .partitionBy("dt").save(p)
+    }
+    val before = VersionedTable.filesOf(spark, p, 4L).size
+    VersionedTable.compact(spark, p)
+    val afterFiles = VersionedTable.filesOf(spark, p, 5L)
+    assert(afterFiles.size < before, s"$before -> ${afterFiles.size}")
+    assert(afterFiles.forall(_.contains("/dt=")))
+    val table = spark.read.format("graft-table").load(p)
+    assert(table.count() == 120)
+    assert(table.filter($"dt".isNull).count() == 0)
   }
 
   test("metadata COUNT(*) and SQL DDL/queries work on partitioned tables") {
