@@ -1393,44 +1393,56 @@ object VersionedTable {
       if (c.colMap.isEmpty) df
       else df.select(s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)).toSeq: _*)
     } else {
-      // hive-partitioned layout: the partition columns live in dir names,
-      // not in the files. Rebuild them by joining each row's partition-dir
-      // fragment (from _metadata.file_path) against a driver-built,
-      // broadcast fragment→values lookup — one row per DISTINCT partition
-      // dir, values unescaped on the driver (no SQL-side url-decode, whose
-      // '+'-to-space rule disagrees with hive escaping), then cast to the
-      // declared types under the session's UTC zone.
-      import org.apache.spark.sql.types.{StringType, StructField}
       val partSet = partCols.toSet
       val dataS = StructType(s.fields.filterNot(fl => partSet(fl.name)))
       val base = spark.read.schema(physSchema(c, dataS))
         .parquet(files.map(r => new Path(root, r).toString): _*)
-        .withColumn("__graft_frag", regexp_extract(col("_metadata.file_path"),
-          "/(d-[^/]+/.+)/[^/]+$", 1))
-      // _metadata.file_path reports the URL-ENCODED URI of the raw on-disk
-      // name. The join key is the token-dir..partition-dirs fragment,
-      // computed on the driver with the SAME encoder that produced
-      // file_path (hadoop Path → java URI: '%'→%25, space→%20, '+' kept) —
-      // re-deriving those rules by hand is how values get lost. Scheme and
-      // authority are excluded from the key (they vary by qualification).
-      val lookupSchema = StructType(StructField("__graft_frag", StringType) +:
-        partCols.map(n => StructField(s"__graft_p_$n", StringType, nullable = true)))
-      val lookupRows: java.util.List[org.apache.spark.sql.Row] = {
-        val rows = files.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
-          .map { dirRel =>
-            val frag = dirRel.split('/').drop(1).mkString("/")
-            org.apache.spark.sql.Row.fromSeq(
-              new Path("/" + dirRel).toUri.getRawPath.stripPrefix("/") +:
-                partCols.map(n => rawPartValue(frag, c.physName(n)).orNull))
-          }
-        java.util.Arrays.asList(rows: _*)
-      }
-      val lookup = spark.createDataFrame(lookupRows, lookupSchema)
-      base.join(broadcast(lookup), Seq("__graft_frag"), "left")
+      val partFields = partCols.map(n => s(s.fieldIndex(n)))
+      joinPartitionValues(spark, base, files, partFields, c.physName)
         .select(s.fields.map(fl =>
           (if (partSet(fl.name)) col(s"__graft_p_${fl.name}").cast(fl.dataType)
            else col(c.physName(fl.name))).as(fl.name)).toSeq: _*)
     }
+  }
+
+  /** Rebuild hive-partitioned dir values onto a DataFrame read from
+    * `files` (which therefore exposes `_metadata`): the partition columns
+    * live in dir names, not in the files, so each row's partition-dir
+    * fragment joins against a driver-built broadcast lookup — one row per
+    * DISTINCT partition dir, values hive-unescaped on the driver (no
+    * SQL-side url-decode, whose '+'-to-space rule disagrees with hive
+    * escaping). Appends one STRING column `__graft_p_<logical>` per
+    * partition field; the caller casts and orders.
+    *
+    * `_metadata.file_path` reports the URL-ENCODED URI of the raw on-disk
+    * name, so the join key is the token-dir..partition-dirs fragment
+    * computed with the SAME encoder that produced file_path (hadoop Path →
+    * java URI: '%'→%25, space→%20, '+' kept) — re-deriving those rules by
+    * hand is how values get silently nulled. Scheme and authority are
+    * excluded from the key (they vary by qualification). */
+  private[graft] def joinPartitionValues(spark: SparkSession, base: DataFrame,
+      files: Seq[String],
+      partFields: Seq[org.apache.spark.sql.types.StructField],
+      physName: String => String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val keyed = base.withColumn("__graft_frag",
+      regexp_extract(col("_metadata.file_path"), "/(d-[^/]+/.+)/[^/]+$", 1))
+    val lookupSchema = StructType(StructField("__graft_frag", StringType) +:
+      partFields.map(fl =>
+        StructField(s"__graft_p_${fl.name}", StringType, nullable = true)))
+    val lookupRows: java.util.List[org.apache.spark.sql.Row] = {
+      val rows = files.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
+        .map { dirRel =>
+          val frag = dirRel.split('/').drop(1).mkString("/")
+          org.apache.spark.sql.Row.fromSeq(
+            new Path("/" + dirRel).toUri.getRawPath.stripPrefix("/") +:
+              partFields.map(fl => rawPartValue(frag, physName(fl.name)).orNull))
+        }
+      java.util.Arrays.asList(rows: _*)
+    }
+    val lookup = spark.createDataFrame(lookupRows, lookupSchema)
+    keyed.join(broadcast(lookup), Seq("__graft_frag"), "left")
+      .drop("__graft_frag")
   }
 
   /** DataFrame over a subset of a commit's files, read with the commit's

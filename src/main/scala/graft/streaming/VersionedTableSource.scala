@@ -390,16 +390,31 @@ private[streaming] class VersionedTableSource(
     // DROP/re-ADD lack the re-added column's fresh physical name and serve
     // nulls (binding each version's OWN historical mapping instead would
     // resurrect the dropped column's stale bytes).
-    val physSchema =
-      if (pinnedMapping.isEmpty) schema
-      else StructType(schema.fields.map(f =>
-        f.copy(name = pinnedMapping.getOrElse(f.name, f.name))))
+    // PARTITIONED layout: partition columns live in dir names, not files —
+    // reading them through the file schema would stream them as NULL. Read
+    // the data columns only and rebuild the partition values from the
+    // paths (same joinPartitionValues as the CDF/batch fallback read).
+    val partCols = VersionedTable.partitionColsOf(schema)
+    val partSet = partCols.toSet
+    val dataFields = schema.fields.filterNot(f => partSet(f.name))
+    val physSchema = StructType(dataFields.map(f =>
+      f.copy(name = pinnedMapping.getOrElse(f.name, f.name))))
     val batch = org.apache.spark.sql.graft.StreamingRelationShim.parquetBatch(
       spark, physSchema, added.map(r => new Path(root, r).toString))
-    if (pinnedMapping.isEmpty) batch
-    else batch.select(schema.fields.map(f =>
-      org.apache.spark.sql.functions.col(pinnedMapping.getOrElse(f.name, f.name))
-        .as(f.name)).toSeq: _*)
+    if (partCols.isEmpty) {
+      if (pinnedMapping.isEmpty) batch
+      else batch.select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(pinnedMapping.getOrElse(f.name, f.name))
+          .as(f.name)).toSeq: _*)
+    } else {
+      import org.apache.spark.sql.functions.col
+      val partFields = partCols.map(n => schema(schema.fieldIndex(n)))
+      VersionedTable.joinPartitionValues(spark, batch, added, partFields,
+        n => pinnedMapping.getOrElse(n, n))
+        .select(schema.fields.map(f =>
+          (if (partSet(f.name)) col(s"__graft_p_${f.name}").cast(f.dataType)
+           else col(pinnedMapping.getOrElse(f.name, f.name))).as(f.name)).toSeq: _*)
+    }
   }
 
   override def stop(): Unit = ()

@@ -219,6 +219,27 @@ class PartitionedTableSpec extends SparkSpec {
     assert(table.filter($"dt".isNull).count() == 0)
   }
 
+  test("streaming source on a partitioned table rebuilds partition values") {
+    val p = tmp()
+    sample(9).write.format("graft-table").partitionBy("dt").save(p)
+    val q = spark.readStream.format("graft-table").load(p)
+      .writeStream.format("memory").queryName("part_src")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("part_src").count() == 9)
+      sample(9).withColumn("id", $"id" + 100).write.format("graft-table")
+        .mode("append").save(p)
+      q.processAllAvailable()
+      val got = spark.table("part_src")
+      assert(got.count() == 18)
+      // the partition column streams with REAL values, never nulls
+      assert(got.filter($"dt".isNull).count() == 0)
+      assert(got.select("dt").distinct().count() == 3)
+    } finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+  }
+
   test("metadata COUNT(*) and SQL DDL/queries work on partitioned tables") {
     val p = tmp()
     spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, v DOUBLE, dt DATE) " +
