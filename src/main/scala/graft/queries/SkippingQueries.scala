@@ -35,13 +35,16 @@ object SkippingQueries {
 
   def predicate: Column = col("user_id").between(UserLo, UserHi)
 
-  /** Deterministic per-dataset location of the clustered versioned copy.
-    * Bump the `v1` tag if the layout recipe ever changes. */
-  def tablePath(dir: String): String = {
+  /** Deterministic per-dataset tmp location for an idempotently-built
+    * fixture table. Bump a recipe's tag when its layout changes. */
+  private def cachedTablePath(dir: String, tag: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_skipscan_v1_$key"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
   }
+
+  /** Deterministic per-dataset location of the clustered versioned copy. */
+  def tablePath(dir: String): String = cachedTablePath(dir, "skipscan_v1")
 
   /** Idempotently build the range-clustered versioned copy: the version
     * commit is atomic, so an existing version is always complete and the
@@ -83,11 +86,7 @@ object SkippingQueries {
   val DvHi = 8L
 
   /** Deterministic location of the DV-deleted copy of events. */
-  def dvTablePath(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_dvscan_v1_$key"
-  }
+  def dvTablePath(dir: String): String = cachedTablePath(dir, "dvscan_v1")
 
   /** Idempotently build a range-clustered versioned copy of events and
     * erase one user band with a DELETION VECTOR (merge-on-read: zero data
@@ -213,11 +212,7 @@ object SkippingQueries {
       |FROM events""".stripMargin
 
   /** Deterministic location of the DATE-PARTITIONED versioned copy. */
-  def partTablePath(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_partscan_v1_$key"
-  }
+  def partTablePath(dir: String): String = cachedTablePath(dir, "partscan_v1")
 
   /** Idempotently build the hive-partitioned copy of events: one dir per
     * event_date under the commit's token dir (the reference's
@@ -260,11 +255,7 @@ object SkippingQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
       |GROUP BY 1""".stripMargin
 
-  def mergeTablePath(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_sqlmerge_v1_$key"
-  }
+  def mergeTablePath(dir: String): String = cachedTablePath(dir, "sqlmerge_v1")
 
   /** Idempotently build a keep-latest table with REAL SQL MERGE: seed with
     * each user's FIRST event, then `MERGE INTO` the LAST events —
@@ -273,19 +264,25 @@ object SkippingQueries {
     * written in, not a DataFrame re-expression. */
   def ensureMergeTable(spark: SparkSession, dir: String): String = {
     val path = mergeTablePath(dir)
+    import org.apache.spark.sql.expressions.Window
+    lazy val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts"),
+      col("event_type"), col("value"))
+    def pick(w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+      ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          to_date(col("ts")).as("last_date"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+    // commits are atomic, so the recipe RESUMES from either checkpoint: no
+    // table → seed still needed; one version → the MERGE still needs to
+    // run (a crash between the two must not leave the half-built fixture
+    // cached forever); two versions → done
     if (VersionedTable.latestVersion(spark, path).isEmpty) {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(spark, dir).select(
-        col("user_id"), col("event_id"), col("ts"),
-        col("event_type"), col("value"))
-      def pick(w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
-        ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("user_id"), col("event_id").as("last_event_id"),
-            to_date(col("ts")).as("last_date"),
-            col("event_type").as("last_type"), col("value").as("last_value"))
       val seed = pick(Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc))
       VersionedTable.write(seed, path, statsCols = Seq("user_id"))
+    }
+    if (VersionedTable.latestVersion(spark, path).contains(1L)) {
       val updates = pick(Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc))
       val view = s"graft_merge_updates_${path.replaceAll("[^a-zA-Z0-9]", "_")}"

@@ -1078,7 +1078,7 @@ object VersionedTable {
     val root = new Path(path)
     val f = fs(spark, root)
     var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
-      Map[String, Long], Map[String, String])] = None
+      Map[String, Long], Map[String, String], Seq[String])] = None
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
@@ -1099,11 +1099,6 @@ object VersionedTable {
             s"batch ${df.schema.simpleString}")
       }
       val curColMap = c.map(_.colMap).getOrElse(Map.empty)
-      if (staged.exists(_._5 != curColMap)) {
-        // a racing DDL changed the physical mapping: restage under it
-        staged.foreach(s => f.delete(s._1, true))
-        staged = None
-      }
       // a table's partition layout is part of its contract: appends inherit
       // it; an explicit partitionBy must agree (it cannot re-layout —
       // carried files keep their dirs)
@@ -1115,13 +1110,21 @@ object VersionedTable {
           s"append partitionBy (${partitionCols.mkString(",")}) must match the " +
             s"table's layout (${if (parentPart.isEmpty) "unpartitioned"
             else parentPart.mkString(",")}); only overwrite may re-partition")
+      if (staged.exists(st => st._5 != curColMap || st._6 != effPart)) {
+        // a racing DDL changed the physical mapping, or a racing OVERWRITE
+        // re-partitioned the table (allowed): files staged under the old
+        // layout would parse null partition values under the new one —
+        // restage under the current contract
+        staged.foreach(s => f.delete(s._1, true))
+        staged = None
+      }
       if (staged.isEmpty) {
         val (dir, rel) = stage(df, root, f, curColMap, effPart)
         val cols = c.map(inheritedStatsCols(spark, root, _, statsCols)).getOrElse(statsCols)
         val (st, rw) = metaFor(spark, root, rel, cols, curColMap)
-        staged = Some((dir, rel, st, rw, curColMap))
+        staged = Some((dir, rel, st, rw, curColMap, effPart))
       }
-      val (_, rel, st, rw, _) = staged.get
+      val (_, rel, st, rw, _, _) = staged.get
       // merge nullability so an appended nullable column stays readable
       val schemaJson = c.flatMap(_.schema).map { bs =>
         StructType(bs.fields.map(bf => bf.copy(nullable = bf.nullable ||
@@ -1312,9 +1315,9 @@ object VersionedTable {
     * the pinned logical schema directly against column-mapped files would
     * stream every mapped column as null) and caches them together. */
   private[graft] def filesAndMappingOf(spark: SparkSession, path: String,
-      v: Long): (Seq[String], Map[String, String]) = {
+      v: Long): (Seq[String], Map[String, String], Seq[String]) = {
     val (_, _, c) = commitFor(spark, path, Some(v))
-    (c.files, c.colMap)
+    (c.files, c.colMap, c.schema.map(partitionColsOf).getOrElse(Nil))
   }
 
   private def commitFor(spark: SparkSession, path: String,
@@ -1425,8 +1428,11 @@ object VersionedTable {
       partFields: Seq[org.apache.spark.sql.types.StructField],
       physName: String => String): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField}
+    // greedy ".*" anchors the match on the LAST d-* segment — a table
+    // ROOT containing an ancestor dir named d-something must not shift
+    // the fragment (the lookup key is always token-dir/partition-dirs)
     val keyed = base.withColumn("__graft_frag",
-      regexp_extract(col("_metadata.file_path"), "/(d-[^/]+/.+)/[^/]+$", 1))
+      regexp_extract(col("_metadata.file_path"), "^.*/(d-[^/]+/.+)/[^/]+$", 1))
     val lookupSchema = StructType(StructField("__graft_frag", StringType) +:
       partFields.map(fl =>
         StructField(s"__graft_p_${fl.name}", StringType, nullable = true)))
@@ -1785,8 +1791,7 @@ object VersionedTable {
     * that fails to cast contributes no stat (never prunes, never lies). */
   private def partColStats(c: Commit,
       partFields: Seq[org.apache.spark.sql.types.StructField],
-      rel: String, zone: Option[String]): Map[String, DataSkipping.ColStat] = {
-    val frag = partFragOf(rel)
+      frag: String, zone: Option[String]): Map[String, DataSkipping.ColStat] = {
     partFields.flatMap { fl =>
       rawPartValue(frag, c.physName(fl.name)) match {
         case None =>
@@ -1830,9 +1835,15 @@ object VersionedTable {
     val partSkipped: Set[String] =
       if (partFields.isEmpty) Set.empty
       else {
+        // values are per DIRECTORY: evaluate once per distinct fragment,
+        // not once per file (1M files over 1K dirs = 1K evals, not 1M)
         val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
-        c.files.filter(fk =>
-          DataSkipping.canSkip(resolved, partColStats(c, partFields, fk, zone))).toSet
+        val byFrag = c.files.groupBy(partFragOf)
+        byFrag.iterator.flatMap { case (frag, fks) =>
+          if (DataSkipping.canSkip(resolved,
+            partColStats(c, partFields, frag, zone))) fks
+          else Seq.empty
+        }.toSet
       }
     val files = c.files.filterNot(partSkipped)
     // pass 2 — per-file min/max stats over the survivors
@@ -2211,8 +2222,14 @@ object VersionedTable {
       val freshMap = newFields.map(_.name)
         .filter(n => c.physDropped.contains(c.physName(n)) || c.physDropped.contains(n))
         .map(n => n -> s"${n}__p$v").toMap // version-unique → collision-free
-      (StructType(s.fields ++ newFields.map(_.copy(nullable = true))),
-        c.colMap ++ freshMap, c.physDropped)
+      // partitioned layout contract: partition columns stay LAST, so every
+      // read path (relation = dataSchema ++ partitionSchema, physRead =
+      // recorded order) agrees on column order after the DDL
+      val partSet = partitionColsOf(s).toSet
+      val widened = s.fields.filterNot(fl => partSet(fl.name)) ++
+        newFields.map(_.copy(nullable = true)) ++
+        s.fields.filter(fl => partSet(fl.name))
+      (StructType(widened), c.colMap ++ freshMap, c.physDropped)
     })
 
   /** ALTER TABLE DROP COLUMNS as a METADATA-ONLY commit: the dropped

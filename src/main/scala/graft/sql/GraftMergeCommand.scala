@@ -112,12 +112,32 @@ object GraftMergeTranslation {
         other.map(_.getClass.getSimpleName).mkString(", "))
     }
 
-    val insertRow = m.notMatchedActions match {
-      case Seq(InsertAction(None, as)) => fullRow(as, "INSERT")
-      case Seq(InsertStarAction(None)) => starRow("INSERT *")
-      case Seq() => fail("a WHEN NOT MATCHED THEN INSERT clause is required " +
-        "(upsert always inserts unmatched source rows)")
-      case other => fail(s"unsupported WHEN NOT MATCHED clauses: " +
+    // With a tombstone DELETE clause, upsert NEVER inserts a row matching
+    // the condition — matched or not. SQL's unconditional NOT MATCHED
+    // INSERT would insert an unmatched tombstone row, so that combination
+    // is refused rather than silently diverging; the expressible (and, in
+    // CDC practice, intended) shape carries the negated condition on the
+    // INSERT clause, which upsert's tombstone filter implements exactly.
+    def negates(ic: Expression, dc: Expression): Boolean =
+      ic.semanticEquals(Not(dc)) || (ic match {
+        case Not(inner) => inner.semanticEquals(dc)
+        case _ => false
+      })
+    val insertRow = (deleteCond, m.notMatchedActions) match {
+      case (None, Seq(InsertAction(None, as))) => fullRow(as, "INSERT")
+      case (None, Seq(InsertStarAction(None))) => starRow("INSERT *")
+      case (Some(dc), Seq(InsertAction(Some(ic), as))) if negates(ic, dc) =>
+        fullRow(as, "INSERT")
+      case (Some(dc), Seq(InsertStarAction(Some(ic)))) if negates(ic, dc) =>
+        starRow("INSERT *")
+      case (Some(_), Seq(InsertAction(None, _)) | Seq(InsertStarAction(None))) =>
+        fail("a MERGE with WHEN MATCHED AND <cond> THEN DELETE needs " +
+          "WHEN NOT MATCHED AND NOT <cond> THEN INSERT: tombstone rows are " +
+          "never inserted by upsert, so an unconditional INSERT of an " +
+          "unmatched tombstone row is not expressible")
+      case (_, Seq()) => fail("a WHEN NOT MATCHED THEN INSERT clause is " +
+        "required (upsert always inserts unmatched source rows)")
+      case (_, other) => fail(s"unsupported WHEN NOT MATCHED clauses: " +
         other.map(_.getClass.getSimpleName).mkString(", "))
     }
     if (m.notMatchedBySourceActions.nonEmpty)

@@ -268,12 +268,13 @@ private[streaming] class VersionedTableSource(
     * (both facts from ONE manifest resolution), so a trigger doesn't
     * re-resolve the same chains for files and again for the mapping. */
   private val metaCache =
-    new java.util.LinkedHashMap[Long, (Seq[String], Map[String, String])](8, 0.75f, true) {
+    new java.util.LinkedHashMap[Long, (Seq[String], Map[String, String], Seq[String])](
+      8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, (Seq[String], Map[String, String])]): Boolean =
-        size > 4
+          e: java.util.Map.Entry[Long, (Seq[String], Map[String, String], Seq[String])])
+          : Boolean = size > 4
     }
-  private def metaAt(v: Long): (Seq[String], Map[String, String]) =
+  private def metaAt(v: Long): (Seq[String], Map[String, String], Seq[String]) =
     Option(metaCache.get(v)).getOrElse {
       val m = VersionedTable.filesAndMappingOf(spark, path, v)
       metaCache.put(v, m)
@@ -293,9 +294,11 @@ private[streaming] class VersionedTableSource(
     * mapping would bind their remapped column as null under the pinned
     * one. Such batches fail, advising a restart (Delta fails a stream on
     * mid-run schema change the same way). */
-  private val (pinnedVersion, pinnedMapping): (Long, Map[String, String]) =
-    VersionedTable.latestVersion(spark, path).map(v => (v, metaAt(v)._2))
-      .getOrElse((-1L, Map.empty[String, String]))
+  private val (pinnedVersion, pinnedMapping, pinnedPartCols)
+      : (Long, Map[String, String], Seq[String]) =
+    VersionedTable.latestVersion(spark, path)
+      .map { v => val m = metaAt(v); (v, m._2, m._3) }
+      .getOrElse((-1L, Map.empty[String, String], Seq.empty[String]))
 
   override def getOffset: Option[Offset] = {
     val latest = VersionedTable.latestVersion(spark, path).filter(_ >= startingVersion)
@@ -347,7 +350,16 @@ private[streaming] class VersionedTableSource(
     val fromV = start.map(version).getOrElse(math.max(0L, startingVersion - 1L))
     val toV = version(end)
     seedLastEnd(toV) // re-seed after restart (committed AND replay paths)
-    val (toFiles, toMapping) = metaAt(toV)
+    val (toFiles, toMapping, toPartCols) = metaAt(toV)
+    if (toV > pinnedVersion && toPartCols != pinnedPartCols)
+      throw new IllegalStateException(
+        s"$path: the table's partition layout changed since this stream " +
+          s"started (pinned ${if (pinnedPartCols.isEmpty) "unpartitioned"
+          else pinnedPartCols.mkString(",")} at version $pinnedVersion, " +
+          s"batch end $toV has ${if (toPartCols.isEmpty) "unpartitioned"
+          else toPartCols.mkString(",")}) — files laid out under the new " +
+          "layout would stream their partition columns as null under the " +
+          "pinned one. Restart the query to pick up the new layout.")
     if (toV > pinnedVersion && toMapping != pinnedMapping)
       throw new IllegalStateException(
         s"$path: the table's column mapping changed since this stream " +
@@ -394,7 +406,7 @@ private[streaming] class VersionedTableSource(
     // reading them through the file schema would stream them as NULL. Read
     // the data columns only and rebuild the partition values from the
     // paths (same joinPartitionValues as the CDF/batch fallback read).
-    val partCols = VersionedTable.partitionColsOf(schema)
+    val partCols = pinnedPartCols
     val partSet = partCols.toSet
     val dataFields = schema.fields.filterNot(f => partSet(f.name))
     val physSchema = StructType(dataFields.map(f =>

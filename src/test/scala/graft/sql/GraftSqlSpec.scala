@@ -137,11 +137,23 @@ class GraftSqlSpec extends SparkSpec {
     // s = 'dead' tombstones the key; others upsert
     Seq((2L, "dead", 0.0), (3L, "ins", 3.0)).toDF("id", "s", "v")
       .createOrReplaceTempView("merge_cdc")
+    // the INSERT clause must carry the negated tombstone condition — an
+    // unconditional INSERT would (in SQL semantics) insert an UNMATCHED
+    // tombstone row, which upsert cannot express, so that shape refuses
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"""MERGE INTO ${sqlName(p)} t USING merge_cdc u
+        ON t.id = u.id
+        WHEN MATCHED AND u.s = 'dead' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.id = u.id, t.s = u.s, t.v = u.v
+        WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (u.id, u.s, u.v)""")
+    }
+    assert(e.getMessage.contains("NOT <cond>"), e.getMessage)
     spark.sql(s"""MERGE INTO ${sqlName(p)} t USING merge_cdc u
       ON t.id = u.id
       WHEN MATCHED AND u.s = 'dead' THEN DELETE
       WHEN MATCHED THEN UPDATE SET t.id = u.id, t.s = u.s, t.v = u.v
-      WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (u.id, u.s, u.v)""")
+      WHEN NOT MATCHED AND NOT (u.s = 'dead')
+        THEN INSERT (id, s, v) VALUES (u.id, u.s, u.v)""")
     // key 2 removed (tombstone not inserted), 3 inserted (its s != 'dead')...
     // no: 3 is unmatched and s='ins' — inserted; tombstone rows that match
     // nothing are dropped by upsert's insert filter
