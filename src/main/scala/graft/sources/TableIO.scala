@@ -246,6 +246,24 @@ object TableIO {
       .sortWithinPartitions(col("__z")).drop("__z")
   }
 
+  /** Z placement WITHIN partitions (Delta's ZORDER on a partitioned
+    * table): range-partition by (partition columns, z) so each output task
+    * covers a contiguous slice of ONE-ish partition's z-curve — the
+    * partitioned stage then splits each task into ~one file per dir
+    * (plain zPlaced would put every z-tile across ALL partitions,
+    * exploding the file count to tiles × dirs), and files get narrow
+    * per-partition z ranges for the manifest stats to prune. */
+  def zPlacedWithin(df: DataFrame, partCols: Seq[String],
+      cols: Seq[String], bits: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = partCols.map(col) :+ col("__z")
+    df.withColumn("__z", zValue(cols.map(col), bits))
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__z")
+  }
+
   /** Small-file compaction — the other half of the reference's OPTIMIZE
     * story (01_bronze.sql:18-26 autoCompact): rewrite the table into
     * ceil(tableBytes / targetFileBytes) files via the atomic overwrite, so

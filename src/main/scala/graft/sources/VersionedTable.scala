@@ -959,11 +959,13 @@ object VersionedTable {
 
   /** Verbs not yet taught the partitioned layout refuse LOUDLY — silently
     * flattening the dirs or null-filling partition columns would corrupt
-    * the table. Currently: deletion-vector verbs (sidecar file keys assume
-    * the flat layout) and ZORDER (z-tiles × partition dirs would explode
-    * the file count; the within-partition variant is the next rung).
-    * Everything else — append, overwrite, read, time travel, change feed,
-    * streaming, DELETE, MERGE/upsert, OPTIMIZE compact, DDL — works. */
+    * the table. Currently only the deletion-vector verbs: their sidecar
+    * file keys (last-two-path-segments, matching `fileKeyExpr`) assume the
+    * flat layout, and URL-encoding differences between `_metadata
+    * .file_path` and manifest-relative paths make a partitioned key
+    * mismatch silently unmark rows. Everything else — append, overwrite,
+    * read, time travel, change feed, streaming, DELETE, MERGE/upsert,
+    * OPTIMIZE compact, ZORDER (within partitions), DDL — works. */
   private def requireUnpartitioned(c: Commit, path: String, verb: String): Unit =
     c.schema.map(partitionColsOf).filter(_.nonEmpty).foreach { pc =>
       throw new UnsupportedOperationException(
@@ -2570,9 +2572,14 @@ object VersionedTable {
       val bse = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, bse)
-      requireUnpartitioned(c, path, "ZORDER")
-      val placed = TableIO.zPlaced(dataFrameFor(spark, root, c, c.files), cols, bits)
-      val (dir, rel) = stage(placed, root, f)
+      val partCols = c.schema.map(partitionColsOf).getOrElse(Nil)
+      val base = dataFrameFor(spark, root, c, c.files)
+      // partitioned tables z-order WITHIN partitions (Delta's semantics):
+      // clustering spans the z columns inside each dir, never across dirs
+      val placed =
+        if (partCols.isEmpty) TableIO.zPlaced(base, cols, bits)
+        else TableIO.zPlacedWithin(base, partCols, cols, bits)
+      val (dir, rel) = stage(placed, root, f, partitionCols = partCols)
       val (st, rw) = metaFor(spark, root, rel, cols)
       val v = bse + 1L
       val (body, ckptDir) = encodeCommit(spark, root, v, rel,

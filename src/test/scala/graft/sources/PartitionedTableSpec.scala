@@ -135,7 +135,7 @@ class PartitionedTableSpec extends SparkSpec {
       Set((1L, "a b"), (2L, "x:y"), (3L, null), (4L, "plus+sign")))
   }
 
-  test("DV verbs and ZORDER refuse loudly on partitioned tables; DDL works") {
+  test("DV verbs refuse loudly on partitioned tables; DDL works") {
     val p = tmp()
     sample().write.format("graft-table").partitionBy("dt").save(p)
     def refused(f: => Any): Unit = {
@@ -143,7 +143,6 @@ class PartitionedTableSpec extends SparkSpec {
       assert(e.getMessage.contains("partitioned graft table"), e.getMessage)
     }
     refused(VersionedTable.deleteVectorized(spark, p, $"id" === 1))
-    refused(VersionedTable.zOrderBy(spark, p, Seq("id", "v"), 16))
     // dropping the partition column is refused; other DDL works
     val e = intercept[IllegalArgumentException](
       VersionedTable.dropColumns(spark, p, Seq("dt")))
@@ -217,6 +216,22 @@ class PartitionedTableSpec extends SparkSpec {
     val table = spark.read.format("graft-table").load(p)
     assert(table.count() == 120)
     assert(table.filter($"dt".isNull).count() == 0)
+  }
+
+  test("ZORDER clusters within partitions and preserves the layout") {
+    val p = tmp()
+    sample(300).repartition(8).write.format("graft-table").partitionBy("dt").save(p)
+    VersionedTable.zOrderBy(spark, p, Seq("id", "v"), 16)
+    val rels = VersionedTable.filesOf(spark, p, 2L)
+    assert(rels.forall(_.contains("/dt=")), rels.mkString(", "))
+    val table = spark.read.format("graft-table").load(p)
+    assert(table.count() == 300)
+    assert(table.filter($"dt".isNull).count() == 0)
+    // per-file stats on the z columns are narrow: a selective id band
+    // opens a strict subset of the files
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, p, $"id" < 20)
+    assert(skipped.nonEmpty,
+      s"z-clustered partitioned table must prune: kept=${kept.size}")
   }
 
   test("streaming source on a partitioned table rebuilds partition values") {
