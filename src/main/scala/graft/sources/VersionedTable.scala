@@ -957,23 +957,6 @@ object VersionedTable {
     StructType(schema.fields.filterNot(fl => partSet(fl.name)) ++ tagged)
   }
 
-  /** Verbs not yet taught the partitioned layout refuse LOUDLY — silently
-    * flattening the dirs or null-filling partition columns would corrupt
-    * the table. Currently only the deletion-vector verbs: their sidecar
-    * file keys (last-two-path-segments, matching `fileKeyExpr`) assume the
-    * flat layout, and URL-encoding differences between `_metadata
-    * .file_path` and manifest-relative paths make a partitioned key
-    * mismatch silently unmark rows. Everything else — append, overwrite,
-    * read, time travel, change feed, streaming, DELETE, MERGE/upsert,
-    * OPTIMIZE compact, ZORDER (within partitions), DDL — works. */
-  private def requireUnpartitioned(c: Commit, path: String, verb: String): Unit =
-    c.schema.map(partitionColsOf).filter(_.nonEmpty).foreach { pc =>
-      throw new UnsupportedOperationException(
-        s"$path: $verb is not supported on a partitioned graft table " +
-          s"(PARTITIONED BY ${pc.mkString(", ")}) yet; use OPTIMIZE compact " +
-          "or a copy-on-write DELETE instead")
-    }
-
   /** CREATE TABLE: commit version 1 with `df`'s schema (normally zero
     * rows), refused if any version exists — the SQL catalog's DDL entry
     * point. */
@@ -1355,10 +1338,11 @@ object VersionedTable {
     spark.conf.getOption("spark.graft.dv.broadcastMaxRows")
       .map(_.toLong).getOrElse(DvBroadcastMaxRows)
 
-  /** The manifest key of the file each scanned row came from: the last two
-    * path segments of `_metadata.file_path` ("d-token/part-...parquet"). */
-  private def fileKeyExpr: org.apache.spark.sql.Column =
-    regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+  /** The manifest key of the file each scanned row came from: the
+    * root-relative path from the token dir ("d-token[/dt=X]/part-..."),
+    * resolved through [[joinFileMeta]]'s exact encoded→raw lookup. For
+    * flat layouts this equals the historical last-two-segments key, so
+    * existing DV sidecars keep matching. */
 
   /** The commit's schema with PHYSICAL field names — what `spark.read
     * .schema(...)` must request so carried files bind the right bytes (a
@@ -1389,68 +1373,78 @@ object VersionedTable {
       .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName)
 
   private def physRead(spark: SparkSession, root: Path, c: Commit,
-      s: StructType, files: Seq[String]): DataFrame = {
+      s: StructType, files: Seq[String]): DataFrame =
+    physReadKeyed(spark, root, c, s, files, withKeys = false)
+
+  /** Physical-schema parquet read of `files` aliased to logical names,
+    * with hive-partition values rebuilt from the paths, optionally carrying
+    * ([[FileKeyCol]], [[RowIdxCol]]) for deletion-vector joins — the ONE
+    * row-reading primitive behind the fallback/CDF/streaming/DV paths. */
+  private def physReadKeyed(spark: SparkSession, root: Path, c: Commit,
+      s: StructType, files: Seq[String], withKeys: Boolean): DataFrame = {
     val partCols = c.schema.map(partitionColsOf).getOrElse(Nil)
       .filter(s.fieldNames.contains)
-    if (partCols.isEmpty) {
-      val df = spark.read.schema(physSchema(c, s))
-        .parquet(files.map(r => new Path(root, r).toString): _*)
-      if (c.colMap.isEmpty) df
-      else df.select(s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)).toSeq: _*)
-    } else {
-      val partSet = partCols.toSet
-      val dataS = StructType(s.fields.filterNot(fl => partSet(fl.name)))
-      val base = spark.read.schema(physSchema(c, dataS))
-        .parquet(files.map(r => new Path(root, r).toString): _*)
-      val partFields = partCols.map(n => s(s.fieldIndex(n)))
-      joinPartitionValues(spark, base, files, partFields, c.physName)
-        .select(s.fields.map(fl =>
-          (if (partSet(fl.name)) col(s"__graft_p_${fl.name}").cast(fl.dataType)
-           else col(c.physName(fl.name))).as(fl.name)).toSeq: _*)
-    }
+    val partSet = partCols.toSet
+    val dataS = StructType(s.fields.filterNot(fl => partSet(fl.name)))
+    val raw = spark.read.schema(physSchema(c, dataS))
+      .parquet(files.map(r => new Path(root, r).toString): _*)
+    if (partCols.isEmpty && c.colMap.isEmpty && !withKeys) return raw
+    val withMeta =
+      if (partCols.isEmpty && !withKeys) raw
+      else joinFileMeta(spark, raw, files,
+        partCols.map(n => s(s.fieldIndex(n))), c.physName, withKeys)
+    val dataCols = s.fields.map(fl =>
+      (if (partSet(fl.name)) col(s"__graft_p_${fl.name}").cast(fl.dataType)
+       else col(c.physName(fl.name))).as(fl.name)).toSeq
+    withMeta.select(
+      (if (withKeys) dataCols :+ col(FileKeyCol) :+ col(RowIdxCol) else dataCols): _*)
   }
 
-  /** Rebuild hive-partitioned dir values onto a DataFrame read from
-    * `files` (which therefore exposes `_metadata`): the partition columns
-    * live in dir names, not in the files, so each row's partition-dir
-    * fragment joins against a driver-built broadcast lookup — one row per
-    * DISTINCT partition dir, values hive-unescaped on the driver (no
-    * SQL-side url-decode, whose '+'-to-space rule disagrees with hive
-    * escaping). Appends one STRING column `__graft_p_<logical>` per
-    * partition field; the caller casts and orders.
+  /** Rebuild per-file metadata onto a DataFrame read from `files` (which
+    * therefore exposes `_metadata`): the manifest FILE KEY (`withKeys`,
+    * with [[RowIdxCol]]) and one STRING column `__graft_p_<logical>` per
+    * partition field — partition columns live in dir names, not in the
+    * files. One broadcast lookup row per FILE, keyed by the URL-ENCODED
+    * relative path computed with the SAME encoder that produced
+    * `_metadata.file_path` (hadoop Path → java URI: '%'→%25, space→%20,
+    * '+' kept) — re-deriving those rules by hand, or a SQL-side
+    * url-decode (whose '+'-to-space rule disagrees with hive escaping),
+    * is how values get silently nulled. Values are hive-unescaped on the
+    * driver. The greedy ".*" anchors on the LAST d-* segment, so a table
+    * ROOT containing an ancestor dir named d-something cannot shift the
+    * key.
     *
-    * `_metadata.file_path` reports the URL-ENCODED URI of the raw on-disk
-    * name, so the join key is the token-dir..partition-dirs fragment
-    * computed with the SAME encoder that produced file_path (hadoop Path →
-    * java URI: '%'→%25, space→%20, '+' kept) — re-deriving those rules by
-    * hand is how values get silently nulled. Scheme and authority are
-    * excluded from the key (they vary by qualification). */
-  private[graft] def joinPartitionValues(spark: SparkSession, base: DataFrame,
+    * Every `_metadata`-derived column is materialized BEFORE the join:
+    * the hidden metadata column does not survive one. */
+  private[graft] def joinFileMeta(spark: SparkSession, base: DataFrame,
       files: Seq[String],
       partFields: Seq[org.apache.spark.sql.types.StructField],
-      physName: String => String): DataFrame = {
+      physName: String => String,
+      withKeys: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField}
-    // greedy ".*" anchors the match on the LAST d-* segment — a table
-    // ROOT containing an ancestor dir named d-something must not shift
-    // the fragment (the lookup key is always token-dir/partition-dirs)
-    val keyed = base.withColumn("__graft_frag",
-      regexp_extract(col("_metadata.file_path"), "^.*/(d-[^/]+/.+)/[^/]+$", 1))
-    val lookupSchema = StructType(StructField("__graft_frag", StringType) +:
-      partFields.map(fl =>
-        StructField(s"__graft_p_${fl.name}", StringType, nullable = true)))
+    val keyed0 = base.withColumn("__graft_enc",
+      regexp_extract(col("_metadata.file_path"), "^.*/(d-[^/]+/.+)$", 1))
+    val keyed =
+      if (withKeys) keyed0.withColumn(RowIdxCol, col("_metadata.row_index"))
+      else keyed0
+    val lookupSchema = StructType(
+      (StructField("__graft_enc", StringType) +:
+        (if (withKeys) Seq(StructField(FileKeyCol, StringType)) else Nil)) ++
+        partFields.map(fl =>
+          StructField(s"__graft_p_${fl.name}", StringType, nullable = true)))
     val lookupRows: java.util.List[org.apache.spark.sql.Row] = {
-      val rows = files.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
-        .map { dirRel =>
-          val frag = dirRel.split('/').drop(1).mkString("/")
-          org.apache.spark.sql.Row.fromSeq(
-            new Path("/" + dirRel).toUri.getRawPath.stripPrefix("/") +:
-              partFields.map(fl => rawPartValue(frag, physName(fl.name)).orNull))
-        }
+      val rows = files.distinct.map { rel =>
+        val frag = partFragOf(rel)
+        org.apache.spark.sql.Row.fromSeq(
+          (new Path("/" + rel).toUri.getRawPath.stripPrefix("/") +:
+            (if (withKeys) Seq(rel) else Nil)) ++
+            partFields.map(fl => rawPartValue(frag, physName(fl.name)).orNull))
+      }
       java.util.Arrays.asList(rows: _*)
     }
     val lookup = spark.createDataFrame(lookupRows, lookupSchema)
-    keyed.join(broadcast(lookup), Seq("__graft_frag"), "left")
-      .drop("__graft_frag")
+    keyed.join(broadcast(lookup), Seq("__graft_enc"), "left")
+      .drop("__graft_enc")
   }
 
   /** DataFrame over a subset of a commit's files, read with the commit's
@@ -1473,9 +1467,7 @@ object VersionedTable {
     if (abs.isEmpty || !files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) plain
     else {
       val s = c.schema.get // dv commits always record a schema
-      val base = spark.read.schema(physSchema(c, s)).parquet(abs: _*)
-        .withColumn(FileKeyCol, fileKeyExpr)
-        .withColumn(RowIdxCol, col("_metadata.row_index"))
+      val base = physReadKeyed(spark, root, c, s, files, withKeys = true)
       val dvAll = spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
       val dvScoped =
         if (files.size == c.files.size) dvAll
@@ -1484,7 +1476,7 @@ object VersionedTable {
         if (c.dvRows.values.sum <= dvBroadcastBound(spark)) broadcast(dvScoped)
         else dvScoped
       base.join(dvSide, Seq(FileKeyCol, RowIdxCol), "left_anti")
-        .select(s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)).toSeq: _*)
+        .select(s.fields.map(fl => col(fl.name)).toSeq: _*)
     }
   }
 
@@ -1511,11 +1503,17 @@ object VersionedTable {
     * driver-collectable deletion-vector marks (the format applies them as
     * a broadcast mark set; past the bound the anti-join read scales
     * better — and such a table should be purged, see
-    * [[DefaultDvPurgeFraction]]). */
+    * [[DefaultDvPurgeFraction]]). A PARTITIONED table with live marks
+    * also takes the anti-join read: the in-scan row-index filter composed
+    * with reader-appended partition vectors trips the vectorized batch
+    * layout (rows surface with unpopulated vectors), so until that
+    * combination is taught to the format, correctness routes around it. */
   private def relationEligible(spark: SparkSession, c: Commit): Boolean =
-    c.schema.isDefined &&
-      c.files.iterator.map(fk => c.dvRows.getOrElse(fk, 0L)).sum <=
-        dvBroadcastBound(spark)
+    c.schema.isDefined && {
+      val dvTotal = c.files.iterator.map(fk => c.dvRows.getOrElse(fk, 0L)).sum
+      dvTotal <= dvBroadcastBound(spark) &&
+        (dvTotal == 0L || partitionColsOf(c.schema.get).isEmpty)
+    }
 
   /** The `format("graft-table")` batch relation over one committed version:
     * plan-time file skipping (pushed filters → [[pruneFiles]], distributed
@@ -2342,7 +2340,6 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
-      requireUnpartitioned(c, path, "vectorized DELETE")
       require(c.schema.isDefined,
         s"$path: vectorized delete needs a schema-recorded table")
       val s = c.schema.get
@@ -2352,15 +2349,8 @@ object VersionedTable {
       // scan ONLY candidate files, with existing DVs applied (so a second
       // delete never double-marks a row — generations stay disjoint and
       // countRows' subtraction stays exact)
-      val abs = candKeys.map(r => new Path(root, r).toString)
       val live = {
-        val phys = spark.read.schema(physSchema(c, s)).parquet(abs: _*)
-          .withColumn(FileKeyCol, fileKeyExpr)
-          .withColumn(RowIdxCol, col("_metadata.row_index"))
-        val base = // bind physical, alias to logical; keep the mark columns
-          if (c.colMap.isEmpty) phys
-          else phys.select((s.fields.map(fl => col(c.physName(fl.name)).as(fl.name)) :+
-            col(FileKeyCol) :+ col(RowIdxCol)).toSeq: _*)
+        val base = physReadKeyed(spark, root, c, s, candKeys, withKeys = true)
         if (!candKeys.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) base
         else {
           val dvAll = spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
@@ -2405,7 +2395,8 @@ object VersionedTable {
             // drops this delete's matches — survivors only
             val survivors = dataFrameFor(spark, root, c, purgeKeys)
               .filter(!coalesce(predicate, lit(false)))
-            val (d, r0) = stage(survivors, root, f, c.colMap)
+            val (d, r0) = stage(survivors, root, f, c.colMap,
+              c.schema.map(partitionColsOf).getOrElse(Nil))
             val (s0, c0) = metaFor(spark, root, r0,
               inheritedStatsCols(spark, root, c, Nil), c.colMap)
             val (r, s2, r2) = dropEmpty(r0, s0, c0)
@@ -2452,7 +2443,6 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
-      requireUnpartitioned(c, path, "OPTIMIZE purge")
       val purgeKeys = c.files.filter { fk =>
         val m = c.dvRows.getOrElse(fk, 0L)
         m > 0L && c.rows.get(fk).exists(r => r > 0L && m.toDouble / r > minFraction)
@@ -2461,7 +2451,8 @@ object VersionedTable {
       val purgeSet = purgeKeys.toSet
       val carryKeys = c.files.filterNot(purgeSet)
       val survivors = dataFrameFor(spark, root, c, purgeKeys) // marks applied
-      val (dir, rel0) = stage(survivors, root, f, c.colMap)
+      val (dir, rel0) = stage(survivors, root, f, c.colMap,
+        c.schema.map(partitionColsOf).getOrElse(Nil))
       val (st0, rw0) = metaFor(spark, root, rel0,
         inheritedStatsCols(spark, root, c, Nil), c.colMap)
       val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
@@ -2671,13 +2662,11 @@ object VersionedTable {
       // same bytes; mapping differences across a DDL boundary follow the
       // destination version's view, like the file diff does)
       val cb = if (cTo.schema.isDefined) cTo else cFrom
-      val markedRows = spark.read.schema(physSchema(cb, s))
-        .parquet(dvCandFiles.map(r => new Path(root, r).toString): _*)
-        .withColumn(FileKeyCol, fileKeyExpr)
-        .withColumn(RowIdxCol, col("_metadata.row_index"))
+      val markedRows = physReadKeyed(spark, root, cb, s, dvCandFiles,
+        withKeys = true)
         .join(broadcast(markDelta), Seq(FileKeyCol, RowIdxCol))
         .select(col("_change_type") +:
-          s.fields.map(fl => col(cb.physName(fl.name)).as(fl.name)).toSeq: _*)
+          s.fields.map(fl => col(fl.name)).toSeq: _*)
       // align to the union schema like before/after, tag riding along
       val alignedMarked = markedRows.select(col("_change_type") +: allCols.map { c =>
         if (markedRows.columns.contains(c)) col(c) else lit(null).cast(types(c)).as(c)

@@ -405,7 +405,7 @@ private[streaming] class VersionedTableSource(
     // PARTITIONED layout: partition columns live in dir names, not files —
     // reading them through the file schema would stream them as NULL. Read
     // the data columns only and rebuild the partition values from the
-    // paths (same joinPartitionValues as the CDF/batch fallback read).
+    // paths (same joinFileMeta lookup as the CDF/batch fallback read).
     val partCols = pinnedPartCols
     val partSet = partCols.toSet
     val dataFields = schema.fields.filterNot(f => partSet(f.name))
@@ -421,8 +421,8 @@ private[streaming] class VersionedTableSource(
     } else {
       import org.apache.spark.sql.functions.col
       val partFields = partCols.map(n => schema(schema.fieldIndex(n)))
-      VersionedTable.joinPartitionValues(spark, batch, added, partFields,
-        n => pinnedMapping.getOrElse(n, n))
+      VersionedTable.joinFileMeta(spark, batch, added, partFields,
+        n => pinnedMapping.getOrElse(n, n), withKeys = false)
         .select(schema.fields.map(f =>
           (if (partSet(f.name)) col(s"__graft_p_${f.name}").cast(f.dataType)
            else col(pinnedMapping.getOrElse(f.name, f.name))).as(f.name)).toSeq: _*)

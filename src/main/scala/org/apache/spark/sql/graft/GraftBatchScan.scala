@@ -248,11 +248,17 @@ private[graft] class GraftParquetFileFormat(
     case _ => None
   }
 
-  /** The manifest key of a scanned file: its last two path segments
-    * ("d-token/part-...parquet"), matching deletion-vector sidecar keys. */
+  /** The manifest key of a scanned file: its path from the LAST token dir
+    * ("d-token[/dt=X]/part-...parquet"), matching deletion-vector sidecar
+    * keys in both the flat and the hive-partitioned layout. URI-decoded
+    * segments equal the raw on-disk names, hence the manifest's relative
+    * paths. Partition dirs always contain '=' and token dirs never do, so
+    * the anchor cannot land on a partition segment. */
   private def fileKey(pf: PartitionedFile): String = {
-    val p = pf.toPath
-    s"${p.getParent.getName}/${p.getName}"
+    val segs = pf.toPath.toUri.getPath.split('/')
+    val i = segs.lastIndexWhere(seg => seg.startsWith("d-") && !seg.contains('='))
+    if (i >= 0) segs.drop(i).mkString("/")
+    else s"${pf.toPath.getParent.getName}/${pf.toPath.getName}"
   }
 
   override def buildReaderWithPartitionValues(
@@ -289,11 +295,13 @@ private[graft] class GraftParquetFileFormat(
             if (!appended) live
             else {
               // project the temp column back out (downstream expects
-              // exactly requiredSchema + partition values; partitions are
-              // empty for graft tables, so it sits last)
-              val attrs = withIdx.fields.toSeq.map(f =>
+              // exactly requiredSchema + partition values; the reader
+              // appends partition values AFTER the requested columns, so
+              // the temp column sits at idxOrd, not necessarily last)
+              val attrs = (withIdx.fields ++ partitionSchema.fields).toSeq.map(f =>
                 AttributeReference(f.name, f.dataType, f.nullable)())
-              val proj = UnsafeProjection.create(attrs.dropRight(1), attrs)
+              val proj = UnsafeProjection.create(
+                attrs.patch(idxOrd, Nil, 1), attrs)
               live.map(proj)
             }
         }
@@ -325,8 +333,6 @@ object GraftBatchShim {
     val partSet = partitionCols.toSet
     val partSchema = StructType(
       partitionCols.map(n => logicalSchema(logicalSchema.fieldIndex(n))))
-    require(partSet.isEmpty || dvMarks.isEmpty,
-      "deletion vectors on a partitioned graft table are not supported")
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n)),

@@ -135,23 +135,77 @@ class PartitionedTableSpec extends SparkSpec {
       Set((1L, "a b"), (2L, "x:y"), (3L, null), (4L, "plus+sign")))
   }
 
-  test("DV verbs refuse loudly on partitioned tables; DDL works") {
+  test("partition DDL guards: partition column cannot drop; ADD COLUMNS keeps it last") {
     val p = tmp()
     sample().write.format("graft-table").partitionBy("dt").save(p)
-    def refused(f: => Any): Unit = {
-      val e = intercept[UnsupportedOperationException](f)
-      assert(e.getMessage.contains("partitioned graft table"), e.getMessage)
-    }
-    refused(VersionedTable.deleteVectorized(spark, p, $"id" === 1))
-    // dropping the partition column is refused; other DDL works
     val e = intercept[IllegalArgumentException](
       VersionedTable.dropColumns(spark, p, Seq("dt")))
     assert(e.getMessage.contains("partition column"), e.getMessage)
     VersionedTable.addColumns(spark, p,
       Seq(org.apache.spark.sql.types.StructField("note",
         org.apache.spark.sql.types.StringType)))
+    // layout contract: partition column stays LAST so every read path
+    // agrees on column order after the DDL
     val cols = spark.read.format("graft-table").load(p).columns.toSeq
-    assert(cols.contains("note") && cols.contains("dt"), cols.mkString(","))
+    assert(cols == Seq("id", "v", "note", "dt"), cols.mkString(","))
+  }
+
+  test("deletion vectors on partitioned tables: merge-on-read, both read paths") {
+    val p = tmp()
+    sample(90).write.format("graft-table").partitionBy("dt").save(p)
+    // partition-scoped mark (predicate on dt) + data-scoped mark (on id),
+    // purgeFraction=1.0 keeps the marks live (merge-on-read exercised)
+    VersionedTable.deleteVectorized(spark, p,
+      $"dt" === lit(java.sql.Date.valueOf(days.head)) && $"id" < 30,
+      purgeFraction = 1.0)
+    VersionedTable.deleteVectorized(spark, p, $"id" >= 80, purgeFraction = 1.0)
+    val expected = sample(90)
+      .filter(!($"dt" === lit(java.sql.Date.valueOf(days.head)) && $"id" < 30))
+      .filter(!($"id" >= 80))
+      .select($"id", $"v", $"dt").collect().map(_.toString).toSet
+    // format/relation path (row-index filter inside the reader, partition
+    // values appended by the scan — the projection must drop the temp
+    // row-index column from the right position)
+    val viaFormat = spark.read.format("graft-table").load(p)
+      .select($"id", $"v", $"dt")
+    assert(viaFormat.collect().map(_.toString).toSet == expected)
+    assert(viaFormat.filter($"dt".isNull).count() == 0)
+    // metadata count subtracts the marks
+    assert(spark.read.format("graft-table").load(p).count() == expected.size)
+    // physRead path (CDF): the marks surface as row-level deletes with
+    // REAL partition values
+    val v3 = VersionedTable.latestVersion(spark, p).get
+    val cdf = VersionedTable.changes(spark, p, 1L, v3)
+    assert(cdf.filter($"_change_type" === "delete").count() == 90 - expected.size)
+    assert(cdf.filter($"dt".isNull).count() == 0)
+  }
+
+  test("deletion vectors + hive-escaped partition values (exact key lookup)") {
+    val p = tmp()
+    Seq((1L, "a b"), (2L, "a b"), (3L, "x:y"), (4L, "plain"))
+      .toDF("id", "k").write.format("graft-table").partitionBy("k").save(p)
+    VersionedTable.deleteVectorized(spark, p, $"id" === 1, purgeFraction = 1.0)
+    val left = spark.read.format("graft-table").load(p)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left == Set((2L, "a b"), (3L, "x:y"), (4L, "plain")), left.toString)
+  }
+
+  test("auto-purge and purgeDeletes rewrite survivors in the partitioned layout") {
+    val p = tmp()
+    sample(90).write.format("graft-table").partitionBy("dt").save(p)
+    // purgeFraction=0.0: every marked file rewrites in the same commit
+    VersionedTable.deleteVectorized(spark, p, $"id" < 30, purgeFraction = 0.0)
+    val v2 = VersionedTable.latestVersion(spark, p).get
+    assert(VersionedTable.filesOf(spark, p, v2).forall(_.contains("/dt=")))
+    val t = spark.read.format("graft-table").load(p)
+    assert(t.count() == 60 && t.filter($"dt".isNull).count() == 0)
+    // now mark-then-purge explicitly
+    VersionedTable.deleteVectorized(spark, p, $"id" >= 80, purgeFraction = 1.0)
+    VersionedTable.purgeDeletes(spark, p)
+    val vEnd = VersionedTable.latestVersion(spark, p).get
+    assert(VersionedTable.filesOf(spark, p, vEnd).forall(_.contains("/dt=")))
+    val t2 = spark.read.format("graft-table").load(p)
+    assert(t2.count() == 50 && t2.filter($"dt".isNull).count() == 0)
   }
 
   test("partition-scoped DELETE carries other partitions' files by reference") {
