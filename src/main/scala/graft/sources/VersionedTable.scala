@@ -1544,6 +1544,7 @@ object VersionedTable {
       colMap = c.colMap,
       dvMarks = dvThunkFor(spark, root, c),
       partitionCols = partitionColsOf(c.schema.get),
+      minMaxOf = minMaxOfCommit(c, _),
       // exact snapshot row count from the manifest (DV marks are disjoint
       // per generation, so the subtraction is exact — same contract as
       // countRows); None when a legacy commit predates row recording
@@ -1722,6 +1723,10 @@ object VersionedTable {
   def minMaxFromStats(spark: SparkSession, path: String, column: String,
       asOf: Option[Long] = None): Option[(Any, Any)] = {
     val (_, _, c) = commitFor(spark, path, asOf)
+    minMaxOfCommit(c, column)
+  }
+
+  private def minMaxOfCommit(c: Commit, column: String): Option[(Any, Any)] = {
     if (c.files.isEmpty) return None
     if (c.files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) return None
     val perFile = c.files.map(fk => c.stats.get(fk).flatMap(_.get(column)))

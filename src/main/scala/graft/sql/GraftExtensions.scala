@@ -80,36 +80,93 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
-/** Optimizer rule: a bare `COUNT(*)` (no filter, no grouping, no DISTINCT)
-  * over a graft snapshot whose manifest recorded per-file row counts is a
-  * METADATA question — [[org.apache.spark.sql.graft.GraftBatchShim.liveRowsOf]]
-  * answers it exactly (per-file rows minus deletion-vector marks, the
-  * [[graft.sources.VersionedTable.countRows]] contract), so the whole scan
-  * collapses to a one-row local relation. Projections are cardinality-
-  * preserving and therefore transparent; any Filter/Limit/expansion
-  * disables the rewrite. */
+/** Optimizer rule: a bare `COUNT(*)` / `MIN(col)` / `MAX(col)` aggregate
+  * (no filter, no grouping, no DISTINCT) over a graft snapshot is a
+  * METADATA question — the manifest's per-file row counts (minus
+  * deletion-vector marks, the [[graft.sources.VersionedTable.countRows]]
+  * contract) and exact per-file min/max stats
+  * ([[graft.sources.VersionedTable.minMaxFromStats]]: refuses marks,
+  * truncated bounds, missing stats) answer it without opening a data file,
+  * so the whole scan collapses to a one-row local relation. Every
+  * aggregate in the list must be answerable or the plan is left alone.
+  * Projections are transparent for COUNT (cardinality-preserving) and for
+  * MIN/MAX only when the projected item passes the relation's own column
+  * through (a computed column reusing the name must not read the base
+  * column's stats); any Filter/Limit/expansion disables the rewrite. */
 case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def countStar(e: Expression): Boolean = e match {
-    case Alias(child, _) => countStar(child)
-    case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _) =>
-      l.value != null
-    case _ => false
+  /** (relation metadata hooks, aggregate-attr exprId → relation column). */
+  private def snapshotOf(plan: LogicalPlan): Option[
+      ((Option[Long], String => Option[(Any, Any)]), Map[ExprId, String])] =
+    GraftBatchShim.graftMetadataOf(plan) match {
+      case Some(meta) =>
+        Some((meta, plan.output.map(a => a.exprId -> a.name).toMap))
+      case None => plan match {
+        case Project(items, child) => snapshotOf(child).map { case (meta, base) =>
+          (meta, items.flatMap {
+            case a: AttributeReference => base.get(a.exprId).map(a.exprId -> _)
+            case al @ Alias(a: AttributeReference, _) =>
+              base.get(a.exprId).map(al.exprId -> _)
+            case _ => None // computed column: MIN/MAX over it must decline
+          }.toMap)
+        }
+        case _ => None
+      }
+    }
+
+  /** Stats-domain bound → Catalyst internal value for the column type;
+    * None (decline) on any shape the conversion cannot do EXACTLY. */
+  private def internalOf(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    scala.util.Try((v, dt) match {
+      case (bd: BigDecimal, ByteType) => bd.bigDecimal.byteValueExact()
+      case (bd: BigDecimal, ShortType) => bd.bigDecimal.shortValueExact()
+      case (bd: BigDecimal, IntegerType) => bd.bigDecimal.intValueExact()
+      case (bd: BigDecimal, LongType) => bd.bigDecimal.longValueExact()
+      case (bd: BigDecimal, DateType) => bd.bigDecimal.intValueExact()
+      case (bd: BigDecimal, TimestampType) => bd.bigDecimal.longValueExact()
+      case (bd: BigDecimal, TimestampNTZType) => bd.bigDecimal.longValueExact()
+      // float/double stats were built FROM the file's float/double values
+      // (statValue widens exactly), so narrowing back is exact
+      case (bd: BigDecimal, DoubleType) => bd.toDouble
+      case (bd: BigDecimal, FloatType) => bd.toFloat
+      case (bd: BigDecimal, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(bd.setScale(d.scale))
+      case (s: String, StringType) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case _ => return None
+    }).toOption
   }
 
-  private def snapshotRows(plan: LogicalPlan): Option[Long] = plan match {
-    case Project(_, child) => snapshotRows(child) // never changes cardinality
-    case other => GraftBatchShim.liveRowsOf(other)
+  private def answer(e: Expression, liveRows: Option[Long],
+      minMaxOf: String => Option[(Any, Any)],
+      colOf: Map[ExprId, String]): Option[Any] = e match {
+    case Alias(child, _) => answer(child, liveRows, minMaxOf, colOf)
+    case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+        if l.value != null => liveRows
+    case AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference),
+        _, false, None, _) =>
+      colOf.get(a.exprId).flatMap(minMaxOf(_))
+        .flatMap(b => internalOf(b._1, a.dataType))
+    case AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Max(a: AttributeReference),
+        _, false, None, _) =>
+      colOf.get(a.exprId).flatMap(minMaxOf(_))
+        .flatMap(b => internalOf(b._2, a.dataType))
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, aggExprs, child, _)
-        if aggExprs.nonEmpty && aggExprs.forall(countStar) =>
-      snapshotRows(child) match {
-        case Some(n) =>
-          LocalRelation(agg.output,
-            Seq(org.apache.spark.sql.catalyst.InternalRow(
-              agg.output.map(_ => n): _*)))
+    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+      snapshotOf(child) match {
+        case Some(((liveRows, minMaxOf), colOf)) =>
+          val values = aggExprs.map(answer(_, liveRows, minMaxOf, colOf))
+          if (values.forall(_.isDefined))
+            LocalRelation(agg.output,
+              Seq(org.apache.spark.sql.catalyst.InternalRow(
+                values.map(_.get): _*)))
+          else agg
         case None => agg
       }
   }

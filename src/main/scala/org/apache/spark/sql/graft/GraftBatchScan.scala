@@ -57,7 +57,8 @@ private[graft] class GraftFileIndex(
     keep: Option[Expression] => Seq[String],
     val liveRows: Option[Long] = None,
     partSchema: StructType = new StructType(),
-    physNameOf: String => String = identity) extends FileIndex {
+    physNameOf: String => String = identity,
+    val minMaxOf: String => Option[(Any, Any)] = _ => None) extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = partSchema
@@ -322,7 +323,8 @@ object GraftBatchShim {
       colMap: Map[String, String],
       dvMarks: Option[() => Map[String, Array[Long]]],
       liveRows: Option[Long] = None,
-      partitionCols: Seq[String] = Nil): BaseRelation = {
+      partitionCols: Seq[String] = Nil,
+      minMaxOf: String => Option[(Any, Any)] = _ => None): BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
     // not at relation construction (schema-only reads never pay them)
@@ -335,7 +337,7 @@ object GraftBatchShim {
       partitionCols.map(n => logicalSchema(logicalSchema.fieldIndex(n))))
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
-        partSchema.asNullable, n => colMap.getOrElse(n, n)),
+        partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -379,9 +381,18 @@ object GraftBatchShim {
     * manifest-answered COUNT(*) hook ([[GraftFileIndex.liveRows]]).
     * GraftFileIndex is package-private, so the match lives here. */
   def liveRowsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Long] =
+    graftMetadataOf(plan).flatMap(_._1)
+
+  /** The metadata hooks of a graft snapshot relation node: exact live row
+    * count and exact per-column MIN/MAX from manifest stats (column name →
+    * bounds in the stats domain: BigDecimal for numerics/date-days/
+    * timestamp-micros, String for strings; None whenever the manifest
+    * cannot answer EXACTLY — marks, truncation, missing stats). */
+  def graftMetadataOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(Option[Long], String => Option[(Any, Any)])] =
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
-        g.liveRows
+        Some((g.liveRows, g.minMaxOf))
       case _ => None
     }
 }

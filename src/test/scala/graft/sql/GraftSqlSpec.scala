@@ -203,6 +203,50 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("MIN/MAX answer from manifest stats — data files never opened") {
+    val p = tmp()
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", $"id" * 1.5)
+      .withColumn("s", concat(lit("k"), format_string("%04d", $"id")))
+    VersionedTable.write(df.repartition(4), p, statsCols = Seq("id", "v", "s"))
+    // destroy every data file; the commit log survives
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("d-"))
+      .foreach(st => fs.delete(st.getPath, true))
+
+    val got = spark.sql(
+      s"SELECT min(id) AS a, max(id) AS b, min(v) AS c, max(v) AS d, " +
+        s"min(s) AS e, max(s) AS f, count(*) AS n FROM ${sqlName(p)}").head()
+    assert(got.toString == "[0,999,0.0,1498.5,k0000,k0999,1000]", got.toString)
+    // the same through the format read path
+    val viaFormat = spark.read.format("graft-table").load(p)
+      .agg(min($"id"), max($"s")).head()
+    assert(viaFormat.toString == "[0,k0999]", viaFormat.toString)
+    // a pass-through projection (rename) still answers; a COMPUTED column
+    // reusing the name must NOT read the base column's stats — with the
+    // files destroyed, the honest behavior is to fail, not to answer
+    assert(spark.sql(s"SELECT min(x) FROM (SELECT id AS x FROM ${sqlName(p)})")
+      .head().getLong(0) == 0L)
+    intercept[Throwable] {
+      spark.sql(s"SELECT min(id) FROM (SELECT id + 1 AS id FROM ${sqlName(p)})")
+        .collect()
+    }
+    // filters and columns without stats must scan (and therefore fail here)
+    intercept[Throwable] {
+      spark.sql(s"SELECT min(id) FROM ${sqlName(p)} WHERE v > 10").collect()
+    }
+  }
+
+  test("MIN/MAX rewrite declines on deletion-vector marks (a marked row could be the extremum)") {
+    val p = tmp()
+    VersionedTable.write(spark.range(0, 100).toDF("id"), p, statsCols = Seq("id"))
+    VersionedTable.deleteVectorized(spark, p, $"id" >= 95)
+    // must come from a real scan: the stats still say max=99
+    assert(spark.read.format("graft-table").load(p).agg(max($"id"))
+      .head().getLong(0) == 94L)
+  }
+
   test("COUNT(*) rewrite subtracts deletion-vector marks and respects filters") {
     val p = tmp()
     VersionedTable.write(spark.range(0, 100).toDF("id"), p, statsCols = Seq("id"))
