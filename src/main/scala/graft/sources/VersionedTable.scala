@@ -1503,17 +1503,11 @@ object VersionedTable {
     * driver-collectable deletion-vector marks (the format applies them as
     * a broadcast mark set; past the bound the anti-join read scales
     * better — and such a table should be purged, see
-    * [[DefaultDvPurgeFraction]]). A PARTITIONED table with live marks
-    * also takes the anti-join read: the in-scan row-index filter composed
-    * with reader-appended partition vectors trips the vectorized batch
-    * layout (rows surface with unpopulated vectors), so until that
-    * combination is taught to the format, correctness routes around it. */
+    * [[DefaultDvPurgeFraction]]). */
   private def relationEligible(spark: SparkSession, c: Commit): Boolean =
-    c.schema.isDefined && {
-      val dvTotal = c.files.iterator.map(fk => c.dvRows.getOrElse(fk, 0L)).sum
-      dvTotal <= dvBroadcastBound(spark) &&
-        (dvTotal == 0L || partitionColsOf(c.schema.get).isEmpty)
-    }
+    c.schema.isDefined &&
+      c.files.iterator.map(fk => c.dvRows.getOrElse(fk, 0L)).sum <=
+        dvBroadcastBound(spark)
 
   /** The `format("graft-table")` batch relation over one committed version:
     * plan-time file skipping (pushed filters → [[pruneFiles]], distributed

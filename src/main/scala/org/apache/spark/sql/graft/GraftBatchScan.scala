@@ -272,9 +272,16 @@ private[graft] class GraftParquetFileFormat(
       hadoopConf: org.apache.hadoop.conf.Configuration)
       : PartitionedFile => Iterator[InternalRow] = {
     val pFilters = if (colMap.isEmpty) filters else filters.flatMap(physFilter(_))
+    // each delegate gets its OWN Configuration: the parquet reader writes
+    // its requested schema INTO the conf it is given, and in local mode a
+    // broadcast hands back the same object — two readers built over one
+    // conf would both read the LAST-built schema, and the extra row-index
+    // column then shifts every appended partition column (rows surface
+    // with type-mismatched vectors)
     def delegate(required: StructType): PartitionedFile => Iterator[InternalRow] =
       super.buildReaderWithPartitionValues(sparkSession, physSchema(dataSchema),
-        partitionSchema, physSchema(required), pFilters, options, hadoopConf)
+        partitionSchema, physSchema(required), pFilters, options,
+        new org.apache.hadoop.conf.Configuration(hadoopConf))
     dv match {
       case None => delegate(requiredSchema)
       case Some(marks) =>
