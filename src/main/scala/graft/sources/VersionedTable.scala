@@ -1338,12 +1338,6 @@ object VersionedTable {
     spark.conf.getOption("spark.graft.dv.broadcastMaxRows")
       .map(_.toLong).getOrElse(DvBroadcastMaxRows)
 
-  /** The manifest key of the file each scanned row came from: the
-    * root-relative path from the token dir ("d-token[/dt=X]/part-..."),
-    * resolved through [[joinFileMeta]]'s exact encoded→raw lookup. For
-    * flat layouts this equals the historical last-two-segments key, so
-    * existing DV sidecars keep matching. */
-
   /** The commit's schema with PHYSICAL field names — what `spark.read
     * .schema(...)` must request so carried files bind the right bytes (a
     * re-added column's fresh physical name is absent from pre-drop files,
@@ -1352,8 +1346,6 @@ object VersionedTable {
     if (c.colMap.isEmpty) s
     else StructType(s.fields.map(fl => fl.copy(name = c.physName(fl.name))))
 
-  /** Physical-schema parquet read of `files`, aliased back to logical
-    * names (projection-only — Catalyst collapses it into the scan). */
   /** The partition-dir fragment of a root-relative file ("dt=X[/h=Y]"), or
     * "" for unpartitioned layouts (file directly under the token dir). */
   private def partFragOf(rel: String): String = {
@@ -1422,8 +1414,17 @@ object VersionedTable {
       physName: String => String,
       withKeys: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField}
+    // token dirs never contain '=' and partition dirs always do, so the
+    // [^/=] guard keeps the anchor off a partition COLUMN named d-*
+    // (GraftBatchScan.fileKey applies the same rule). Partition-values-only
+    // callers key by the encoded DIRECTORY — one lookup row per distinct
+    // dir, not per file (same values, far smaller broadcast on
+    // many-files-per-dir tables); key-carrying callers key per file.
     val keyed0 = base.withColumn("__graft_enc",
-      regexp_extract(col("_metadata.file_path"), "^.*/(d-[^/]+/.+)$", 1))
+      if (withKeys)
+        regexp_extract(col("_metadata.file_path"), "^.*/(d-[^/=]+/.+)$", 1)
+      else
+        regexp_extract(col("_metadata.file_path"), "^.*/(d-[^/=]+/.+)/[^/]+$", 1))
     val keyed =
       if (withKeys) keyed0.withColumn(RowIdxCol, col("_metadata.row_index"))
       else keyed0
@@ -1432,14 +1433,22 @@ object VersionedTable {
         (if (withKeys) Seq(StructField(FileKeyCol, StringType)) else Nil)) ++
         partFields.map(fl =>
           StructField(s"__graft_p_${fl.name}", StringType, nullable = true)))
+    def enc(rel: String): String =
+      new Path("/" + rel).toUri.getRawPath.stripPrefix("/")
     val lookupRows: java.util.List[org.apache.spark.sql.Row] = {
-      val rows = files.distinct.map { rel =>
-        val frag = partFragOf(rel)
-        org.apache.spark.sql.Row.fromSeq(
-          (new Path("/" + rel).toUri.getRawPath.stripPrefix("/") +:
-            (if (withKeys) Seq(rel) else Nil)) ++
-            partFields.map(fl => rawPartValue(frag, physName(fl.name)).orNull))
-      }
+      val rows =
+        if (withKeys) files.distinct.map { rel =>
+          org.apache.spark.sql.Row.fromSeq(
+            Seq(enc(rel), rel) ++ partFields.map(fl =>
+              rawPartValue(partFragOf(rel), physName(fl.name)).orNull))
+        }
+        else files.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
+          .map { dirRel =>
+            val frag = dirRel.split('/').drop(1).mkString("/")
+            org.apache.spark.sql.Row.fromSeq(
+              enc(dirRel) +: partFields.map(fl =>
+                rawPartValue(frag, physName(fl.name)).orNull))
+          }
       java.util.Arrays.asList(rows: _*)
     }
     val lookup = spark.createDataFrame(lookupRows, lookupSchema)

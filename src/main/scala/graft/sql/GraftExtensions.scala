@@ -118,24 +118,25 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     * None (decline) on any shape the conversion cannot do EXACTLY. */
   private def internalOf(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
     import org.apache.spark.sql.types._
-    scala.util.Try((v, dt) match {
-      case (bd: BigDecimal, ByteType) => bd.bigDecimal.byteValueExact()
-      case (bd: BigDecimal, ShortType) => bd.bigDecimal.shortValueExact()
-      case (bd: BigDecimal, IntegerType) => bd.bigDecimal.intValueExact()
-      case (bd: BigDecimal, LongType) => bd.bigDecimal.longValueExact()
-      case (bd: BigDecimal, DateType) => bd.bigDecimal.intValueExact()
-      case (bd: BigDecimal, TimestampType) => bd.bigDecimal.longValueExact()
-      case (bd: BigDecimal, TimestampNTZType) => bd.bigDecimal.longValueExact()
+    val conv: Option[() => Any] = (v, dt) match {
+      case (bd: BigDecimal, ByteType) => Some(() => bd.bigDecimal.byteValueExact())
+      case (bd: BigDecimal, ShortType) => Some(() => bd.bigDecimal.shortValueExact())
+      case (bd: BigDecimal, IntegerType) => Some(() => bd.bigDecimal.intValueExact())
+      case (bd: BigDecimal, LongType) => Some(() => bd.bigDecimal.longValueExact())
+      case (bd: BigDecimal, DateType) => Some(() => bd.bigDecimal.intValueExact())
+      case (bd: BigDecimal, TimestampType) => Some(() => bd.bigDecimal.longValueExact())
+      case (bd: BigDecimal, TimestampNTZType) => Some(() => bd.bigDecimal.longValueExact())
       // float/double stats were built FROM the file's float/double values
       // (statValue widens exactly), so narrowing back is exact
-      case (bd: BigDecimal, DoubleType) => bd.toDouble
-      case (bd: BigDecimal, FloatType) => bd.toFloat
+      case (bd: BigDecimal, DoubleType) => Some(() => bd.toDouble)
+      case (bd: BigDecimal, FloatType) => Some(() => bd.toFloat)
       case (bd: BigDecimal, d: DecimalType) =>
-        org.apache.spark.sql.types.Decimal(bd.setScale(d.scale))
+        Some(() => org.apache.spark.sql.types.Decimal(bd.setScale(d.scale)))
       case (s: String, StringType) =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      case _ => return None
-    }).toOption
+        Some(() => org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => None
+    }
+    conv.flatMap(f => scala.util.Try(f()).toOption)
   }
 
   private def answer(e: Expression, liveRows: Option[Long],
