@@ -1806,11 +1806,15 @@ object VersionedTable {
           Some(fl.name -> DataSkipping.ColStat(None, None,
             numNulls = 1L, allNulls = true))
         case Some(s) =>
+          // TRY-mode cast: under the session default (ANSI on Spark 4) an
+          // uncastable dir value would THROW at plan time; TRY degrades it
+          // to null → no stat → never prunes, never lies, as documented
           val internal = org.apache.spark.sql.catalyst.expressions.Cast(
             org.apache.spark.sql.catalyst.expressions.Literal(
               org.apache.spark.unsafe.types.UTF8String.fromString(s),
               org.apache.spark.sql.types.StringType),
-            fl.dataType, zone).eval(null)
+            fl.dataType, zone,
+            org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
           partDomain(internal, fl.dataType).map(v =>
             fl.name -> DataSkipping.ColStat(Some(v), Some(v), 0L, allNulls = false))
       }

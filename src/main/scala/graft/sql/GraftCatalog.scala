@@ -110,6 +110,24 @@ class GraftCatalog extends TableCatalog {
           s"supported (got $t)")
       refs(0).fieldNames()(0)
     }
+    // The recorded schema normalizes partition columns to the END (the
+    // relation's user-facing order is dataSchema ++ partitionSchema, and
+    // every read path depends on that invariant). A CREATE TABLE declaring
+    // a partition column mid-schema would therefore expose a column order
+    // DIFFERENT from the declared DDL — positional INSERT INTO would
+    // silently swap values between type-compatible columns. Refuse loudly
+    // instead of silently reordering (Delta preserves declared order; we
+    // document the trailing-columns contract).
+    if (partitionCols.nonEmpty) {
+      val declared = schema.fieldNames.toSeq
+      val trailing = declared.takeRight(partitionCols.size)
+      require(trailing == partitionCols,
+        s"$path: partition column(s) (${partitionCols.mkString(", ")}) must be " +
+          s"declared LAST in the schema and in PARTITIONED BY order (got " +
+          s"schema ...${trailing.mkString(", ")}). graft stores partition " +
+          "columns after data columns; declaring them elsewhere would make " +
+          "SELECT * / positional INSERT INTO order diverge from the DDL.")
+    }
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
     try VersionedTable.createEmpty(empty, path, statsCols, partitionCols)

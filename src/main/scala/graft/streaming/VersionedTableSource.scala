@@ -351,15 +351,23 @@ private[streaming] class VersionedTableSource(
     val toV = version(end)
     seedLastEnd(toV) // re-seed after restart (committed AND replay paths)
     val (toFiles, toMapping, toPartCols) = metaAt(toV)
-    if (toV > pinnedVersion && toPartCols != pinnedPartCols)
+    // The guard fires in BOTH directions: forward (toV > pinned — the
+    // table was re-partitioned after the stream started) AND on a
+    // recovery-REPLAYED batch whose end version predates a re-partitioning
+    // overwrite (toV < pinned, batch files laid out flat or under another
+    // dimension). Either way, reading those files under pinnedPartCols
+    // would stream partition columns as silent NULLs (the path-derived
+    // joinFileMeta lookup misses), so both throw.
+    if (toPartCols != pinnedPartCols)
       throw new IllegalStateException(
-        s"$path: the table's partition layout changed since this stream " +
-          s"started (pinned ${if (pinnedPartCols.isEmpty) "unpartitioned"
-          else pinnedPartCols.mkString(",")} at version $pinnedVersion, " +
-          s"batch end $toV has ${if (toPartCols.isEmpty) "unpartitioned"
-          else toPartCols.mkString(",")}) — files laid out under the new " +
-          "layout would stream their partition columns as null under the " +
-          "pinned one. Restart the query to pick up the new layout.")
+        s"$path: batch end $toV has a different partition layout " +
+          s"(${if (toPartCols.isEmpty) "unpartitioned"
+          else toPartCols.mkString(",")}) than the one this stream pinned " +
+          s"(${if (pinnedPartCols.isEmpty) "unpartitioned"
+          else pinnedPartCols.mkString(",")} at version $pinnedVersion) — " +
+          "files laid out under one layout would stream their partition " +
+          "columns as null under the other. Restart the query to pick up " +
+          "the current layout.")
     if (toV > pinnedVersion && toMapping != pinnedMapping)
       throw new IllegalStateException(
         s"$path: the table's column mapping changed since this stream " +

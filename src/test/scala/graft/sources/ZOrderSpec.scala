@@ -101,4 +101,57 @@ class ZOrderSpec extends SparkSpec {
     assert(perFile.forall(_._2 <= 31), s"aligned z files bound b: $perFile")
     assert(perFile.forall(_._3 <= 15), s"aligned z files bound a: $perFile")
   }
+
+  // ADVICE r8 audit: zOrderBy stages WITHOUT the colMap — deliberately.
+  // The rewrite reads the logical view (dataFrameFor binds the mapping),
+  // writes logical-named files, and the new manifest drops colmap AND
+  // phys_dropped together, so the post-zorder table is self-consistent
+  // with the mapping debt shed (rewritten files no longer hold any
+  // dropped column's stale bytes). These two tests pin that contract.
+  test("ZORDER on a column-mapped table reads back identical values; history intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val p = java.nio.file.Files.createTempDirectory("zorder-cm").toString + "/t"
+    val df1 = Seq((1L, 10, "a"), (2L, 20, "b"), (3L, 30, "c"))
+      .toDF("id", "score", "name")
+    VersionedTable.write(df1, p, Seq("id", "score"))                      // v1
+    VersionedTable.dropColumns(spark, p, Seq("name"))                     // v2
+    VersionedTable.addColumns(spark, p,                                   // v3: fresh
+      Seq(StructField("name", StringType)))                               // physical name
+    VersionedTable.append(Seq((4L, 40, "dd"))
+      .toDF("id", "score", "name"), p)                                    // v4 mapped file
+    val before = VersionedTable.read(spark, p).collect().map(_.toString).toSet
+    assert(before == Set("[1,10,null]", "[2,20,null]", "[3,30,null]", "[4,40,dd]"))
+    val v = VersionedTable.zOrderBy(spark, p, "id", "score")
+    assert(VersionedTable.read(spark, p).collect().map(_.toString).toSet == before)
+    // pre-zorder version still binds its own mapping (time travel intact)
+    assert(VersionedTable.read(spark, p, Some(v - 1))
+      .collect().map(_.toString).toSet == before)
+    // the table keeps working after the mapping is shed
+    VersionedTable.append(Seq((5L, 50, "ee")).toDF("id", "score", "name"), p)
+    assert(VersionedTable.read(spark, p).count() == 5)
+  }
+
+  test("partitioned ZORDER on a column-mapped table stays correct") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val p = java.nio.file.Files.createTempDirectory("zorder-cmp").toString + "/t"
+    val df1 = Seq((1L, 5, "x", "d1"), (2L, 6, "y", "d1"), (3L, 7, "z", "d2"))
+      .toDF("id", "score", "name", "dt")
+    VersionedTable.write(df1, p, Seq("id"), Seq("dt"))
+    VersionedTable.dropColumns(spark, p, Seq("name"))
+    VersionedTable.addColumns(spark, p, Seq(StructField("name", StringType)))
+    VersionedTable.append(Seq((4L, 8, "w", "d2"))
+      .toDF("id", "score", "name", "dt"), p)
+    val before = VersionedTable.read(spark, p)
+      .select("id", "score", "name", "dt").collect().map(_.toString).toSet
+    VersionedTable.zOrderBy(spark, p, Seq("id", "score"), 16)
+    val after = VersionedTable.read(spark, p)
+      .select("id", "score", "name", "dt").collect().map(_.toString).toSet
+    assert(after == before)
+    // partition pruning still works on the shed-mapping rewrite
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, p,
+      org.apache.spark.sql.functions.col("dt") === "d1")
+    assert(skipped.nonEmpty, s"expected d2 files pruned, kept=$kept")
+  }
 }

@@ -264,4 +264,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, p).isEmpty)
     intercept[Exception] { spark.sql(s"SELECT * FROM ${sqlName(p)}") }
   }
+
+  private def messagesOf(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("CREATE TABLE refuses non-trailing partition columns; trailing order round-trips") {
+    val p = tmp()
+    // the recorded schema puts partition columns LAST; accepting dt
+    // mid-schema would silently reorder SELECT * / positional INSERT
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${sqlName(p)} (dt STRING, id BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (dt)")
+    }
+    assert(messagesOf(e).contains("declared LAST"), messagesOf(e))
+    assert(VersionedTable.latestVersion(spark, p).isEmpty) // nothing committed
+    spark.sql(s"CREATE TABLE ${sqlName(p)} (id BIGINT, v DOUBLE, dt STRING) " +
+      "PARTITIONED BY (dt)")
+    spark.sql(s"INSERT INTO ${sqlName(p)} VALUES (1, 2.0, 'a')")
+    val out = spark.sql(s"SELECT * FROM ${sqlName(p)}")
+    assert(out.columns.toSeq == Seq("id", "v", "dt"))
+    assert(rows(out) == Set("[1,2.0,a]"))
+  }
 }

@@ -667,4 +667,26 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("foreachBatch") ||
       Option(ex.getCause).exists(_.getMessage.contains("foreachBatch")), ex.getMessage)
   }
+
+  test("recovery-replayed batch predating a re-partitioning overwrite is refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import graft.sources.VersionedTable
+    val p = Files.createTempDirectory("stream-replay").toString + "/t"
+    VersionedTable.append(Seq((1L, "d1")).toDF("id", "dt"), p)            // v1 flat
+    VersionedTable.append(Seq((2L, "d1")).toDF("id", "dt"), p)            // v2 flat
+    VersionedTable.write(Seq((1L, "d1"), (2L, "d1")).toDF("id", "dt"),
+      p, Nil, Seq("dt"))                                                  // v3 re-partitions
+    // a source created AFTER the overwrite pins the partitioned layout; a
+    // recovery-replayed batch ending at v2 holds FLAT files — reading them
+    // under the pinned layout would stream dt as silent NULL, so it throws
+    val src = new VersionedTableSource(spark, p, startingVersion = 0L,
+      ignoreChanges = true)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    }
+    assert(e.getMessage.contains("partition layout"), e.getMessage)
+    // a replayed batch under the SAME layout is served, not refused
+    assert(src.getBatch(Some(LongOffset(2L)), LongOffset(3L)).isStreaming)
+  }
 }
