@@ -315,8 +315,87 @@ object SkippingQueries {
       |  FROM events) t
       |WHERE rn = 1""".stripMargin
 
+  def dmlTablePath(dir: String): String = cachedTablePath(dir, "sqldml_v1")
+
+  /** Idempotently build the DML fixture: a DATE-PARTITIONED copy of events
+    * (v1), then a real SQL `DELETE FROM` whose predicate mixes a
+    * partition-scoped term with a data term (v2 — exercises BOTH prune
+    * passes: whole early-date directories drop, user-band files rewrite),
+    * then a real SQL `UPDATE` with an arithmetic assignment (v3). Commits
+    * are atomic, so the recipe resumes from any checkpoint; the user band
+    * guarantees both statements match rows at every SF (dense ids from 0). */
+  def ensureDmlTable(spark: SparkSession, dir: String): String = {
+    val path = dmlTablePath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      val ev = Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("event_date"))
+      VersionedTable.write(ev, path, statsCols = Seq("user_id"),
+        partitionBy = Seq("event_date"))
+    }
+    if (VersionedTable.latestVersion(spark, path).contains(1L))
+      spark.sql(s"DELETE FROM graft.`$path` WHERE " +
+        s"event_date < DATE'2024-01-04' OR user_id BETWEEN $UserLo AND $UserHi")
+    if (VersionedTable.latestVersion(spark, path).contains(2L))
+      spark.sql(s"UPDATE graft.`$path` SET value = value * 2 " +
+        "WHERE user_id % 2 = 0")
+    path
+  }
+
+  /** q_sql_delete — the SQL `DELETE FROM` path under the oracle gate: the
+    * post-delete snapshot (VERSION AS OF 2 — the UPDATE lands later on the
+    * same fixture) must equal DuckDB anti-filtering the raw events. One
+    * green row = the DELETE→[[VersionedTable.delete]] translation, its
+    * partition-directory pruning and the CoW commit are invisible in
+    * results. Exact aggregates only (count/distinct/min/max) for
+    * bit-stable comparison. */
+  def sqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureDmlTable(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM graft.`$path` VERSION AS OF 2
+         |GROUP BY event_type""".stripMargin)
+  }
+
+  val sqlDeleteSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM events
+       |WHERE NOT (CAST(ts AS DATE) < DATE '2024-01-04'
+       |  OR user_id BETWEEN $UserLo AND $UserHi)
+       |GROUP BY 1""".stripMargin
+
+  /** q_sql_update — the SQL `UPDATE` path under the oracle gate: the final
+    * fixture state (post-DELETE, post-UPDATE) must equal DuckDB applying
+    * the same anti-filter and the same conditional doubling to the raw
+    * events (×2 is exact in floating point, so MIN/MAX stay bit-stable). */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureDmlTable(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM graft.`$path`
+         |GROUP BY event_type""".stripMargin)
+  }
+
+  val sqlUpdateSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  MIN(CASE WHEN user_id % 2 = 0 THEN value * 2 ELSE value END) AS min_value,
+       |  MAX(CASE WHEN user_id % 2 = 0 THEN value * 2 ELSE value END) AS max_value
+       |FROM events
+       |WHERE NOT (CAST(ts AS DATE) < DATE '2024-01-04'
+       |  OR user_id BETWEEN $UserLo AND $UserHi)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_merge" -> (sqlMerge _),
+    "q_sql_delete" -> (sqlDelete _),
+    "q_sql_update" -> (sqlUpdate _),
     "q_skipping_scan" -> (skippingScan _),
     "q_meta_count" -> (metaCount _),
     "q_meta_minmax" -> (metaMinMax _),
@@ -326,6 +405,8 @@ object SkippingQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sql_merge" -> sqlMergeSql,
+    "q_sql_delete" -> sqlDeleteSql,
+    "q_sql_update" -> sqlUpdateSql,
     "q_skipping_scan" -> skippingScanSql,
     "q_meta_count" -> metaCountSql,
     "q_meta_minmax" -> metaMinMaxSql,

@@ -2212,6 +2212,72 @@ object VersionedTable {
     committed
   }
 
+  /** Row-level UPDATE as a versioned commit (the verb Delta spells
+    * `UPDATE t SET c = e WHERE p`): rows where `predicate` is TRUE get
+    * each assignment applied (all assignments see the OLD row, standard
+    * SQL UPDATE semantics); rows where it is false or NULL are untouched.
+    * File-granular copy-on-write exactly like [[delete]]: only files whose
+    * manifest stats admit a matching row are rewritten — every other file,
+    * including whole untouched partition directories, is carried by
+    * reference, byte-identical. Assignment values are cast to the column's
+    * recorded type under the session's cast semantics (ANSI by default: a
+    * lossy cast fails the commit, never silently truncates). Updating a
+    * partition column is allowed — rewritten rows land in the directories
+    * their NEW values name. A predicate that provably matches nothing is a
+    * no-op (current version returned, no new commit). */
+  def update(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column], statsCols: Seq[String] = Nil): Long = {
+    require(set.nonEmpty, "UPDATE requires at least one assignment")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
+      val c = readManifest(spark, f, root, b)
+      val s = c.schema.getOrElse(throw new IllegalArgumentException(
+        s"$path: UPDATE needs a schema-recorded table"))
+      val missing = set.keySet -- s.fieldNames.toSet
+      require(missing.isEmpty,
+        s"$path: UPDATE assigns to missing column(s): ${missing.mkString(",")}")
+      val (candKeys, carryKeys) =
+        pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
+      if (candKeys.isEmpty) return b // provably nothing to update
+      val hit = coalesce(predicate, lit(false))
+      val updated = dataFrameFor(spark, root, c, candKeys).select(
+        s.fields.map { fl =>
+          set.get(fl.name) match {
+            case Some(v) =>
+              when(hit, v.cast(fl.dataType)).otherwise(col(fl.name)).as(fl.name)
+            case None => col(fl.name)
+          }
+        }.toSeq: _*)
+      val (dir, rel) = stage(updated, root, f, c.colMap, partitionColsOf(s))
+      val (st, rw) = metaFor(spark, root, rel,
+        inheritedStatsCols(spark, root, c, statsCols), c.colMap)
+      val carrySet = carryKeys.toSet
+      val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
+      val v = b + 1L
+      val (body, ckptDir) = encodeCommit(spark, root, v, carryKeys ++ rel,
+        s.json,
+        c.stats.filter(kv => carrySet(kv._1)) ++ st,
+        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
+        parent = Some(c), colMap = c.colMap,
+        physDropped = if (carryKeys.isEmpty) Set.empty else c.physDropped,
+        carriedIdentical = true, statsAddOnly = Some(st))
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        f.delete(dir, true) // stale — recompute against the new head
+        ckptDir.foreach(d => f.delete(d, true))
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt update commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
   /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit: a new version with
     * the same files and an extended schema. Parquet reads by name, so every
     * carried file serves the new columns as nulls — zero bytes move, like

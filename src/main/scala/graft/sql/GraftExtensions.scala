@@ -57,12 +57,20 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       case w: V2WriteCommand => protect(w.table)
       case m: MergeIntoTable => protect(m.targetTable)
       case i: InsertIntoStatement => protect(i.table)
+      case d: DeleteFromTable => protect(d.table)
+      case u: UpdateTable => protect(u.table)
       case _ => ()
     }
 
     plan.resolveOperatorsUp {
       case m: MergeIntoTable if m.resolved && graftTarget(m).isDefined =>
         GraftMergeTranslation.translate(spark, m, graftTarget(m).get)
+
+      case d: DeleteFromTable if d.resolved && graftRelOf(d.table).isDefined =>
+        GraftDmlTranslation.delete(spark, d, graftRelOf(d.table).get)
+
+      case u: UpdateTable if u.resolved && graftRelOf(u.table).isDefined =>
+        GraftDmlTranslation.update(spark, u, graftRelOf(u.table).get)
 
       case r: DataSourceV2Relation if !writeTargets.contains(r) &&
           r.table.isInstanceOf[GraftTable] && r.timeTravelSpec.isEmpty =>
@@ -73,7 +81,10 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def graftTarget(m: MergeIntoTable): Option[GraftTable] =
-    EliminateSubqueryAliases(m.targetTable) match {
+    graftRelOf(m.targetTable)
+
+  private def graftRelOf(p: LogicalPlan): Option[GraftTable] =
+    EliminateSubqueryAliases(p) match {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         Some(r.table.asInstanceOf[GraftTable])
       case _ => None

@@ -269,6 +269,72 @@ class GraftSqlSpec extends SparkSpec {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
 
+  test("DELETE FROM ≡ VersionedTable.delete; untouched partitions carry by reference") {
+    val p = tmp(); val p2 = tmp()
+    val df = Seq((1L, 10.0, "d1"), (2L, 20.0, "d1"), (3L, 30.0, "d2"),
+      (4L, 40.0, "d2")).toDF("id", "v", "dt")
+    VersionedTable.write(df, p, statsCols = Seq("id"), partitionBy = Seq("dt"))
+    VersionedTable.write(df, p2, statsCols = Seq("id"), partitionBy = Seq("dt"))
+    val d2Before = VersionedTable.filesOf(spark, p, 1L).filter(_.contains("dt=d2"))
+
+    spark.sql(s"DELETE FROM ${sqlName(p)} WHERE dt = 'd1' AND id > 1")
+    VersionedTable.delete(spark, p2, $"dt" === "d1" && $"id" > 1)
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) ==
+      rows(VersionedTable.read(spark, p2)))
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) ==
+      Set("[1,10.0,d1]", "[3,30.0,d2]", "[4,40.0,d2]"))
+    // ONE commit, and the dt=d2 directory's files are the same physical
+    // paths in v2 — carried by reference, never rewritten
+    assert(VersionedTable.latestVersion(spark, p).contains(2L))
+    val d2After = VersionedTable.filesOf(spark, p, 2L).filter(_.contains("dt=d2"))
+    assert(d2After.toSet == d2Before.toSet, s"d2 rewritten: $d2Before -> $d2After")
+  }
+
+  test("UPDATE ... SET ≡ VersionedTable.update; assignments see the old row") {
+    val p = tmp(); val p2 = tmp()
+    val df = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("id", "v", "s")
+    VersionedTable.write(df, p, statsCols = Seq("id"))
+    VersionedTable.write(df, p2, statsCols = Seq("id"))
+
+    spark.sql(s"UPDATE ${sqlName(p)} SET v = v * 2 + id, s = 'hit' WHERE id >= 2")
+    VersionedTable.update(spark, p2, $"id" >= 2,
+      Map("v" -> ($"v" * 2 + $"id"), "s" -> lit("hit")))
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) ==
+      rows(VersionedTable.read(spark, p2)))
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) ==
+      Set("[1,10.0,a]", "[2,42.0,hit]", "[3,63.0,hit]"))
+    assert(VersionedTable.latestVersion(spark, p).contains(2L)) // one commit
+    // pre-UPDATE snapshot stays time-travelable
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)} VERSION AS OF 1")) ==
+      rows(df))
+  }
+
+  test("DELETE FROM without WHERE empties the table in one commit; history intact") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), p)
+    spark.sql(s"DELETE FROM ${sqlName(p)}")
+    assert(spark.sql(s"SELECT * FROM ${sqlName(p)}").count() == 0)
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)} VERSION AS OF 1")) ==
+      Set("[1,a]", "[2,b]"))
+  }
+
+  test("DML refusals: subquery conditions and nested SET targets fail loudly") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)
+    Seq((2L, "x")).toDF("id", "s").createOrReplaceTempView("dml_src")
+    val e1 = intercept[Exception] {
+      spark.sql(s"DELETE FROM ${sqlName(p)} WHERE id IN (SELECT id FROM dml_src)")
+    }
+    assert(messagesOf(e1).contains("subqueries"), messagesOf(e1))
+    val e2 = intercept[Exception] {
+      spark.sql(s"UPDATE ${sqlName(p)} SET v = (SELECT MAX(id) FROM dml_src)")
+    }
+    assert(messagesOf(e2).nonEmpty) // refused (unknown column or subquery)
+    // nothing committed by any refusal
+    assert(VersionedTable.latestVersion(spark, p).contains(1L))
+  }
+
   test("CREATE TABLE refuses non-trailing partition columns; trailing order round-trips") {
     val p = tmp()
     // the recorded schema puts partition columns LAST; accepting dt
