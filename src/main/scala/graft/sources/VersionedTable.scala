@@ -265,7 +265,8 @@ object VersionedTable {
       physDropped: Set[String] = Set.empty,
       ts: Long = 0L,
       ckptInfo: Option[(String, Set[String])] = None,
-      statsAdds: DataSkipping.FileStats = Map.empty) {
+      statsAdds: DataSkipping.FileStats = Map.empty,
+      props: Map[String, String] = Map.empty) {
     def stats: DataSkipping.FileStats = statsRef.value
     def physName(logical: String): String = colMap.getOrElse(logical, logical)
     /** DV bookkeeping for a commit that keeps only `keep` of this commit's
@@ -359,7 +360,8 @@ object VersionedTable {
       strArr(d, "phys_dropped").toSet,
       tsOf(d),
       ckptInfo = c.ckptInfo,
-      statsAdds = c.statsAdds.filter(kv => !removed(kv._1)) ++ adds)
+      statsAdds = c.statsAdds.filter(kv => !removed(kv._1)) ++ adds,
+      props = strMap(d, "props"))
   }
 
   private def parseFull(spark: SparkSession, f: FileSystem, root: Path,
@@ -371,7 +373,8 @@ object VersionedTable {
             .map(DataSkipping.fromJson).getOrElse(Map.empty: DataSkipping.FileStats)),
           longMap(node, "rows"), longMap(node, "txn"),
           strArr(node, "dv"), longMap(node, "dv_rows"),
-          strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node))
+          strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node),
+          props = strMap(node, "props"))
       case None if node.has("ckpt") =>
         // parquet checkpoint: the file list + per-file stats/rows live in a
         // parquet dir written and parsed by Spark itself — the manifest
@@ -386,7 +389,8 @@ object VersionedTable {
           rows, longMap(node, "txn"),
           strArr(node, "dv"), longMap(node, "dv_rows"),
           strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node),
-          ckptInfo = Some((rel, files.toSet)))
+          ckptInfo = Some((rel, files.toSet)),
+          props = strMap(node, "props"))
       case None =>
         // legacy single-dir manifest: resolve the file list by listing the
         // dir (as pre-file-list readers did) and remap stats keys from bare
@@ -602,7 +606,12 @@ object VersionedTable {
       carriedIdentical: Boolean = false,
       statsAddOnly: Option[DataSkipping.FileStats] = None,
       anchorSrc: Option[Commit] = None,
-      keepStatsCols: Option[Set[String]] = None): (String, Option[Path]) = {
+      keepStatsCols: Option[Set[String]] = None,
+      props: Option[Map[String, String]] = None): (String, Option[Path]) = {
+    // TABLE PROPERTIES carry from the parent unless a verb sets them
+    // explicitly (the props-changing commits, restore, vacuum re-anchor) —
+    // a property survives every maintenance verb the way the schema does
+    val effProps = props.getOrElse(parent.map(_.props).getOrElse(Map.empty))
     // the O(files) carried-stats comparison runs ONCE (or not at all when
     // the caller vouches for carry identity); manifestJson takes the
     // decision, it does not re-derive it
@@ -632,18 +641,19 @@ object VersionedTable {
             removed = aSet.diff(filesSet), adds, keepStatsCols)
           (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
             parent, isDelta = false, colMap, physDropped, ts,
-            ckptRef = Some(rel), statsAddOnly = statsAddOnly), Some(dir))
+            ckptRef = Some(rel), statsAddOnly = statsAddOnly,
+            props = effProps), Some(dir))
         case None =>
           val fullStats = stats
           val (rel, dir) = writeCkpt(spark, root, v, files, fullStats, rows)
           (manifestJson(v, files, schemaJson, fullStats, rows, txn, dv, dvRows,
             parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel),
-            statsAddOnly = statsAddOnly), Some(dir))
+            statsAddOnly = statsAddOnly, props = effProps), Some(dir))
       }
     } else
       (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
         parent, isDelta, colMap, physDropped, ts,
-        statsAddOnly = statsAddOnly), None)
+        statsAddOnly = statsAddOnly, props = effProps), None)
   }
 
   /** Encode a commit: FULL at checkpoints (and when forced, when there is
@@ -662,7 +672,8 @@ object VersionedTable {
       physDropped: Set[String] = Set.empty,
       ts: Long = 0L,
       ckptRef: Option[String] = None,
-      statsAddOnly: Option[DataSkipping.FileStats] = None): String = {
+      statsAddOnly: Option[DataSkipping.FileStats] = None,
+      props: Map[String, String] = Map.empty): String = {
     val (_, jstr) = jsonHelpers
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     def obj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
@@ -686,7 +697,11 @@ object VersionedTable {
       val droppedField =
         if (physDropped.isEmpty) ""
         else s""","phys_dropped":${arr(physDropped.toSeq.sorted)}"""
-      s""","ts":$tsVal$dvField$mapField$droppedField"""
+      // like schema/colmap, props ride FULL in both manifest forms (small
+      // by construction; a delta that omitted them would reset the map)
+      val propsField =
+        if (props.isEmpty) "" else s""","props":${sobj(props)}"""
+      s""","ts":$tsVal$dvField$mapField$droppedField$propsField"""
     }
     def full: String = ckptRef match {
       case Some(ck) => // file list/stats/rows live in the parquet checkpoint
@@ -722,17 +737,25 @@ object VersionedTable {
       partitionCols: Seq[String] = Nil): (Path, Seq[String]) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(root, s"d-$token")
-    val physical =
-      if (colMap.isEmpty) df
-      else df.select(df.columns.map(c => col(c).as(colMap.getOrElse(c, c))).toSeq: _*)
-    val writer = physical.write.mode("overwrite")
-    // hive-style layout under the token dir (d-token/dt=X/part-*.parquet):
-    // the partition columns leave the data files and live in the dir names,
-    // exactly like Delta's partitioned layout — one commit can span many
-    // partition dirs, and reads prune whole dirs at plan time
-    val physPart = partitionCols.map(c => colMap.getOrElse(c, c))
-    (if (physPart.isEmpty) writer else writer.partitionBy(physPart: _*))
-      .parquet(dir.toString)
+    try {
+      val physical =
+        if (colMap.isEmpty) df
+        else df.select(df.columns.map(c => col(c).as(colMap.getOrElse(c, c))).toSeq: _*)
+      val writer = physical.write.mode("overwrite")
+      // hive-style layout under the token dir (d-token/dt=X/part-*.parquet):
+      // the partition columns leave the data files and live in the dir names,
+      // exactly like Delta's partitioned layout — one commit can span many
+      // partition dirs, and reads prune whole dirs at plan time
+      val physPart = partitionCols.map(c => colMap.getOrElse(c, c))
+      (if (physPart.isEmpty) writer else writer.partitionBy(physPart: _*))
+        .parquet(dir.toString)
+    } catch {
+      case e: Throwable =>
+        // a failed write job (constraint violation, task crash) must not
+        // leave a half-staged dir for vacuum to babysit
+        scala.util.Try(f.delete(dir, true))
+        throw e
+    }
     val rel = listParquetRec(f, dir).sorted.map(n => s"d-$token/$n")
     (dir, rel)
   }
@@ -959,11 +982,13 @@ object VersionedTable {
 
   /** CREATE TABLE: commit version 1 with `df`'s schema (normally zero
     * rows), refused if any version exists — the SQL catalog's DDL entry
-    * point. */
+    * point. `props` become the table's persistent TBLPROPERTIES, carried
+    * forward by every subsequent commit. */
   private[graft] def createEmpty(df: DataFrame, path: String,
-      statsCols: Seq[String], partitionCols: Seq[String]): Long =
+      statsCols: Seq[String], partitionCols: Seq[String],
+      props: Map[String, String] = Map.empty): Long =
     writeInternal(df, path, statsCols, txn = None, ifExists = Some(true),
-      partitionCols = partitionCols)
+      partitionCols = partitionCols, newProps = Some(props))
 
   /** @param ifExists None = normal snapshot write; Some(true) = throw if a
     *                 version exists (observed at commit time, inside the
@@ -971,17 +996,27 @@ object VersionedTable {
   private def writeInternal(df: DataFrame, path: String, statsCols: Seq[String],
       txn: Option[(String, Long)],
       ifExists: Option[Boolean] = None,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      newProps: Option[Map[String, String]] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
     var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
-      Map[String, Long], StructType)] = None
+      Map[String, Long], StructType, Map[String, String])] = None
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion(spark, path)
       val parent = base.map(b => readManifest(spark, f, root, b))
+      // the committed version's props: an explicit set (CREATE TABLE) or
+      // the parent's, carried — the same resolution encodeCommit applies
+      val effProps = newProps.getOrElse(parent.map(_.props).getOrElse(Map.empty))
+      if (staged.exists(_._6 != effProps)) {
+        // a racing properties commit changed the write contract (e.g. a
+        // new CHECK constraint must validate THIS snapshot too) — restage
+        staged.foreach(s => f.delete(s._1, true))
+        staged = None
+      }
       ifExists.foreach { errorOut =>
         base.foreach { existing =>
           staged.foreach(s => f.delete(s._1, true))
@@ -1010,17 +1045,21 @@ object VersionedTable {
         val ordered =
           if (effPart.isEmpty) df
           else df.select(tagged.fieldNames.map(col).toSeq: _*)
-        val (dir, rel) = stage(ordered, root, f, partitionCols = effPart)
+        val shaped = withChecks(
+          optimizeWriteShape(ordered, effProps, effPart), effProps, path)
+        val (dir, rel) =
+          try stage(shaped, root, f, partitionCols = effPart)
+          catch { case e: Throwable => translateViolation(e, path) }
         val (st, rw) = metaFor(spark, root, rel, statsCols)
-        staged = Some((dir, rel, st, rw, tagged))
+        staged = Some((dir, rel, st, rw, tagged, effProps))
       }
-      val (_, rel, stats, rows, tagged) = staged.get
+      val (_, rel, stats, rows, tagged, _) = staged.get
       // carry the streaming-txn watermarks: a snapshot write between two
       // micro-batches must not reopen the door to batch replay
       val txnMap = parent.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
       val v = base.getOrElse(0L) + 1L
       val (body, ckptDir) = encodeCommit(spark, root, v, rel, tagged.json,
-        stats, rows, txnMap, parent = parent)
+        stats, rows, txnMap, parent = parent, props = newProps)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         ckptDir.foreach(d => f.delete(d, true))
@@ -1063,7 +1102,8 @@ object VersionedTable {
     val root = new Path(path)
     val f = fs(spark, root)
     var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
-      Map[String, Long], Map[String, String], Seq[String])] = None
+      Map[String, Long], Map[String, String], Seq[String],
+      Map[String, String])] = None
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
@@ -1095,21 +1135,28 @@ object VersionedTable {
           s"append partitionBy (${partitionCols.mkString(",")}) must match the " +
             s"table's layout (${if (parentPart.isEmpty) "unpartitioned"
             else parentPart.mkString(",")}); only overwrite may re-partition")
-      if (staged.exists(st => st._5 != curColMap || st._6 != effPart)) {
-        // a racing DDL changed the physical mapping, or a racing OVERWRITE
-        // re-partitioned the table (allowed): files staged under the old
-        // layout would parse null partition values under the new one —
-        // restage under the current contract
+      val curProps = c.map(_.props).getOrElse(Map.empty)
+      if (staged.exists(st => st._5 != curColMap || st._6 != effPart ||
+          st._7 != curProps)) {
+        // a racing DDL changed the physical mapping, a racing OVERWRITE
+        // re-partitioned the table (allowed), or a racing properties
+        // commit changed the write contract (a new CHECK constraint must
+        // validate THIS batch too): files staged under the old contract
+        // are stale — restage under the current one
         staged.foreach(s => f.delete(s._1, true))
         staged = None
       }
       if (staged.isEmpty) {
-        val (dir, rel) = stage(df, root, f, curColMap, effPart)
+        val shaped = withChecks(
+          optimizeWriteShape(df, curProps, effPart), curProps, path)
+        val (dir, rel) =
+          try stage(shaped, root, f, curColMap, effPart)
+          catch { case e: Throwable => translateViolation(e, path) }
         val cols = c.map(inheritedStatsCols(spark, root, _, statsCols)).getOrElse(statsCols)
         val (st, rw) = metaFor(spark, root, rel, cols, curColMap)
-        staged = Some((dir, rel, st, rw, curColMap, effPart))
+        staged = Some((dir, rel, st, rw, curColMap, effPart, curProps))
       }
-      val (_, rel, st, rw, _, _) = staged.get
+      val (_, rel, st, rw, _, _, _) = staged.get
       // merge nullability so an appended nullable column stays readable
       val schemaJson = c.flatMap(_.schema).map { bs =>
         StructType(bs.fields.map(bf => bf.copy(nullable = bf.nullable ||
@@ -1141,6 +1188,9 @@ object VersionedTable {
           s"$path: lost $attempt append commit races in a row; giving up")
       }
     }
+    // post-commit hygiene: bin-pack the touched partitions when the table
+    // opted in (chained commit; failure never un-commits the append)
+    staged.foreach(s => autoCompactAfter(spark, path, s._7, s._2))
     committed
   }
 
@@ -1259,7 +1309,8 @@ object VersionedTable {
         target.schema.map(_.json).getOrElse("null"),
         target.stats, target.rows, cur.txn, target.dv, target.dvRows,
         parent = Some(cur), colMap = target.colMap,
-        physDropped = target.physDropped)
+        physDropped = target.physDropped,
+        props = Some(target.props)) // RESTORE restores properties too
       if (tryCommit(f, root, v, body)) {
         val postMissing = missingOf(target)
         if (postMissing.nonEmpty) {
@@ -1267,7 +1318,8 @@ object VersionedTable {
             cur.schema.map(_.json).getOrElse("null"),
             cur.stats, cur.rows, cur.txn, cur.dv, cur.dvRows,
             parent = Some(target), forceFull = true,
-            colMap = cur.colMap, physDropped = cur.physDropped)
+            colMap = cur.colMap, physDropped = cur.physDropped,
+            props = Some(cur.props))
           if (!tryCommit(f, root, v + 1L, undo)) // best-effort compensation
             undoCkpt.foreach(d => f.delete(d, true))
           throw new IllegalStateException(
@@ -2086,8 +2138,13 @@ object VersionedTable {
               else dataFrameFor(spark, root, c, rewriteKeys)
                 .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
                 .unionByName(inserts, allowMissingColumns = evolveSchema)
-            val (dir, rel0) = stage(rewriteDf, root, f, c.colMap,
-              c.schema.map(partitionColsOf).getOrElse(Nil))
+            // carried-file rows are valid by the ADD CONSTRAINT invariant;
+            // the union re-checks them only because they ride the rewrite —
+            // one in-task pass, no extra scan
+            val (dir, rel0) =
+              try stage(withChecks(rewriteDf, c.props, path), root, f,
+                c.colMap, c.schema.map(partitionColsOf).getOrElse(Nil))
+              catch { case e: Throwable => translateViolation(e, path) }
             val (st0, rw0) = metaFor(spark, root, rel0,
               inheritedStatsCols(spark, root, c, statsCols), c.colMap)
             val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
@@ -2253,7 +2310,10 @@ object VersionedTable {
             case None => col(fl.name)
           }
         }.toSeq: _*)
-      val (dir, rel) = stage(updated, root, f, c.colMap, partitionColsOf(s))
+      val (dir, rel) =
+        try stage(withChecks(updated, c.props, path), root, f, c.colMap,
+          partitionColsOf(s))
+        catch { case e: Throwable => translateViolation(e, path) }
       val (st, rw) = metaFor(spark, root, rel,
         inheritedStatsCols(spark, root, c, statsCols), c.colMap)
       val carrySet = carryKeys.toSet
@@ -2331,6 +2391,159 @@ object VersionedTable {
         c.colMap -- names,
         c.physDropped ++ names.map(c.physName))
     })
+
+  /** ALTER TABLE SET / UNSET TBLPROPERTIES as a METADATA-ONLY commit: the
+    * new version carries the same files, schema, stats and marks with an
+    * updated properties map. Properties drive table-level behavior —
+    * `graft.autoCompact` (commit-time small-file hygiene),
+    * `graft.optimizeWrite` (pre-write partition coalescing),
+    * `graft.constraint.<name>` (CHECK predicates, see addCheckConstraint) —
+    * and persist in the manifest like the schema does, so every writer
+    * observes them, not just the session that set them. */
+  def setProperties(spark: SparkSession, path: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
+      val c = readManifest(spark, f, root, b)
+      val next = (c.props -- unset) ++ set
+      if (next == c.props) return b // no-op: nothing changed
+      val v = b + 1L
+      val (body, ckptDir) = encodeCommit(spark, root, v, c.files,
+        c.schema.map(_.json).getOrElse("null"), c.stats, c.rows, c.txn,
+        c.dv, c.dvRows, parent = Some(c), colMap = c.colMap,
+        physDropped = c.physDropped, carriedIdentical = true,
+        statsAddOnly = Some(Map.empty), props = Some(next))
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        ckptDir.foreach(d => f.delete(d, true))
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt set-properties commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
+  /** The table's persistent properties at a version (TBLPROPERTIES). */
+  def propertiesOf(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Map[String, String] = {
+    val (_, _, c) = commitFor(spark, path, asOf)
+    c.props
+  }
+
+  /** CHECK-constraint predicates ride table properties under this prefix
+    * (`graft.constraint.<name>` → predicate SQL), so they persist in the
+    * commit log and bind EVERY writer — the data-contract half the
+    * reference documents but leaves unenforced
+    * (reference/docs/data-contracts.md:76-88; the empty-but-referenced
+    * contracts/expectations.yml, README.md:88-91). Delta's
+    * `ALTER TABLE ADD CONSTRAINT ... CHECK` stores them the same way. */
+  private val ConstraintPrefix = "graft.constraint."
+
+  private val ViolationMarker = "GRAFT CONSTRAINT VIOLATION"
+
+  /** The table's CHECK constraints (name → predicate SQL). */
+  def checkConstraintsOf(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Map[String, String] =
+    constraintsIn(propertiesOf(spark, path, asOf))
+
+  private def constraintsIn(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+      k.stripPrefix(ConstraintPrefix) -> v }
+
+  /** Wrap the rows a write verb is about to stage so every CHECK
+    * constraint is validated DURING the write job — one pass, in-task, no
+    * separate validation scan (the only shape that holds at 100 TB). A row
+    * passes a CHECK when the predicate is TRUE or NULL (ANSI semantics);
+    * a FALSE row fails its task via raise_error, the staged dir is
+    * removed, and the verb refuses the commit atomically — the version
+    * never advances ([[translateViolation]] surfaces the named
+    * constraint). */
+  private def withChecks(df: DataFrame, props: Map[String, String],
+      path: String): DataFrame = {
+    val cs = constraintsIn(props)
+    if (cs.isEmpty) df
+    else cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      val ok = coalesce(expr(sql), lit(true))
+      d.filter(when(ok, lit(true)).otherwise(raise_error(concat(
+        lit(s"$ViolationMarker: $path constraint '$name' CHECK ($sql) " +
+          "violated by row "),
+        substring(to_json(struct(df.columns.map(col).toSeq: _*)), 1, 256)))))
+    }
+  }
+
+  /** Re-throw a staging failure caused by a CHECK violation as a clean,
+    * named refusal (the raise_error surfaces wrapped in task/job failure
+    * layers); anything else propagates untouched. */
+  private def translateViolation(e: Throwable, path: String): Nothing = {
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .find(_.contains(ViolationMarker))
+    msg match {
+      case Some(m) => throw new IllegalStateException(
+        m.substring(m.indexOf(ViolationMarker)) +
+          " — commit refused, table version unchanged")
+      case None => throw e
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (predicate): validate EXISTING
+    * rows first (one scan of the pinned base version — any violating row
+    * refuses the DDL), then commit the predicate into table properties so
+    * every subsequent write verb enforces it. The CAS pins the validated
+    * version: losing the race re-validates against the new head, so a
+    * concurrent append can never slip an unvalidated row under the
+    * constraint. */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+      predicateSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    val key = ConstraintPrefix + name
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
+      val c = readManifest(spark, f, root, b)
+      require(!c.props.contains(key),
+        s"$path: constraint '$name' already exists " +
+          s"(CHECK (${c.props(key)})); DROP it first")
+      val ok = coalesce(expr(predicateSql), lit(true))
+      val bad = read(spark, path, Some(b)).filter(!ok).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"$path: cannot ADD CONSTRAINT $name CHECK ($predicateSql) — " +
+          "existing rows violate it; fix the data first " +
+          "(DELETE/UPDATE the violating rows)")
+      val v = b + 1L
+      val (body, ckptDir) = encodeCommit(spark, root, v, c.files,
+        c.schema.map(_.json).getOrElse("null"), c.stats, c.rows, c.txn,
+        c.dv, c.dvRows, parent = Some(c), colMap = c.colMap,
+        physDropped = c.physDropped, carriedIdentical = true,
+        statsAddOnly = Some(Map.empty),
+        props = Some(c.props + (key -> predicateSql)))
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        ckptDir.foreach(d => f.delete(d, true))
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt add-constraint commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: removes the stored predicate (metadata
+    * commit); no-op returning the current version if absent. */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): Long =
+    setProperties(spark, path, Map.empty, Seq(ConstraintPrefix + name))
 
   private def alterSchema(spark: SparkSession, path: String, verb: String,
       change: (StructType, Commit, Long) => (StructType, Map[String, String], Set[String])): Long = {
@@ -2568,8 +2781,132 @@ object VersionedTable {
     * Read results are bit-identical across the compaction (row-level
     * multiset is unchanged). No-op (current version returned) when fewer
     * than two files qualify. */
+  /** Write-time table properties (the reference declares both on every
+    * table, `sql/ddl/01_bronze.sql:18-22` — Delta's
+    * `delta.autoOptimize.{optimizeWrite,autoCompact}`):
+    *
+    *  - `graft.optimizeWrite` = true: before staging, repartition append/
+    *    snapshot rows by the partition columns so each touched partition
+    *    directory receives ONE file per commit instead of one per input
+    *    task (32 tasks × K dirs = 32K tiny files per streaming batch is
+    *    how partitioned tables die; the shuffle is the price of bounded
+    *    file counts, exactly Delta's optimizeWrite trade).
+    *  - `graft.autoCompact` = true: after an append commits, any touched
+    *    partition directory holding at least `graft.autoCompact.minFiles`
+    *    (default 8) files is bin-packed to `graft.autoCompact.targetBytes`
+    *    (default 128 MiB) as a chained commit — unattended small-file
+    *    hygiene, so a streaming table converges to a bounded file count
+    *    per partition without anyone remembering to run OPTIMIZE.
+    */
+  private val OptimizeWriteKey = "graft.optimizeWrite"
+  private val AutoCompactKey = "graft.autoCompact"
+  private val AutoCompactMinFilesKey = "graft.autoCompact.minFiles"
+  private val AutoCompactTargetKey = "graft.autoCompact.targetBytes"
+
+  private def boolProp(props: Map[String, String], key: String): Boolean =
+    props.get(key).exists(_.equalsIgnoreCase("true"))
+
+  /** Pre-stage shaping under `graft.optimizeWrite`: one shuffle on the
+    * partition columns → one file per touched partition dir per commit.
+    * Unpartitioned tables are untouched (their file count per commit is
+    * already the task count of a narrow plan, and a blind coalesce would
+    * serialize the write). */
+  private def optimizeWriteShape(df: DataFrame, props: Map[String, String],
+      partCols: Seq[String]): DataFrame =
+    if (partCols.nonEmpty && boolProp(props, OptimizeWriteKey))
+      df.repartition(partCols.map(col): _*)
+    else df
+
+  /** Post-commit hook under `graft.autoCompact` — see the key's doc above.
+    * The probe is a driver-side group-by over the in-memory manifest list
+    * restricted to the dirs THIS append touched, and the size pass inside
+    * compactImpl stats only in-scope files: O(touched partitions), never
+    * O(table). Failures are swallowed — the append already committed;
+    * hygiene retries on the next append (Delta's post-commit hook
+    * semantics). */
+  private def autoCompactAfter(spark: SparkSession, path: String,
+      props: Map[String, String], newRel: Seq[String]): Unit =
+    if (boolProp(props, AutoCompactKey) && newRel.nonEmpty) {
+      val minFiles = props.get(AutoCompactMinFilesKey).map(_.toInt).getOrElse(8)
+      val target = props.get(AutoCompactTargetKey).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024)
+      val touched = newRel.map(partFragOf).toSet
+      scala.util.Try(compactImpl(spark, path, target, (_, c) =>
+        c.files.groupBy(partFragOf).collect {
+          case (frag, fks) if touched(frag) && fks.size >= minFiles => fks
+        }.flatten.toSet))
+    }
+
   def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L * 1024 * 1024): Long = {
+      targetBytes: Long = 128L * 1024 * 1024): Long =
+    compact(spark, path, targetBytes, where = None)
+
+  /** Resolve `where` against the schema and require it to reference ONLY
+    * partition columns: partition values are exact per directory, so the
+    * scope is EXACT — the predicate is evaluated directly against each
+    * distinct directory's parsed values (once per dir, not per file), and
+    * a dir is in scope iff it evaluates TRUE. A data-column scope would be
+    * stats-approximate, and a maintenance verb must touch exactly what the
+    * operator named — hence the refusal, and hence direct evaluation
+    * rather than the conservative three-valued stat pruner (which keeps
+    * shapes it cannot prove dead). Returns the in-scope file set. */
+  private def partitionScope(spark: SparkSession, root: Path, c: Commit,
+      where: Column, verb: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Cast, EvalMode, Literal}
+    val s = c.schema.getOrElse(throw new IllegalArgumentException(
+      s"$root: partition-scoped $verb needs a schema-recorded table"))
+    val partCols = partitionColsOf(s)
+    val partFields = partCols.map(n => s(s.fieldIndex(n)))
+    val resolved = DataSkipping.resolve(spark, s, where)
+    val refs = resolved.references.map(_.name).toSet
+    require(refs.nonEmpty && refs.subsetOf(partCols.toSet),
+      s"$root: $verb ... WHERE may reference only partition column(s) " +
+        s"[${partCols.mkString(",")}] (got [${refs.mkString(",")}]) — a " +
+        "data-column scope would be stats-approximate, touching files the " +
+        "predicate didn't name")
+    require(resolved.deterministic,
+      s"$root: $verb ... WHERE must be deterministic")
+    val bound = resolved.transformUp {
+      // RuntimeReplaceable wrappers (to_date, ilike, …) only exist for the
+      // optimizer; direct eval needs their replacement expression
+      case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        rr.replacement
+      case a: AttributeReference =>
+        BoundReference(partCols.indexOf(a.name), a.dataType, a.nullable)
+    }
+    val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    c.files.groupBy(partFragOf).iterator.flatMap { case (frag, fks) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        partFields.map { fl =>
+          rawPartValue(frag, c.physName(fl.name)) match {
+            case None => null // hive null sentinel
+            case Some(v) => Cast(Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              org.apache.spark.sql.types.StringType),
+              fl.dataType, zone, EvalMode.TRY).eval(null)
+          }
+        })
+      if (bound.eval(row) == true) fks else Seq.empty
+    }.toSet
+  }
+
+  /** Partition-scoped OPTIMIZE (`OPTIMIZE t WHERE p = v`): bin-pack only
+    * the files in partitions matching `where` — at 100 TB you only ever
+    * compact recent partitions, and the file-size probe itself must be
+    * O(scope), not O(table). Out-of-scope files (and their stats, rows and
+    * deletion-vector marks) are carried by reference, byte-identical. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+      where: Option[Column]): Long =
+    compactImpl(spark, path, targetBytes, (root, c) => where match {
+      case None => c.files.toSet
+      case Some(p) => partitionScope(spark, root, c, p, "OPTIMIZE")
+    })
+
+  /** The one bin-pack loop behind [[compact]] and [[autoCompactAfter]]:
+    * `scopeOf` names the candidate files per head re-read (CAS retries
+    * recompute it), everything else carries by reference. */
+  private def compactImpl(spark: SparkSession, path: String, targetBytes: Long,
+      scopeOf: (Path, Commit) => Set[String]): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -2578,7 +2915,9 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
-      val sized = c.files.map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
+      val scope: Set[String] = scopeOf(root, c)
+      val sized = c.files.filter(scope)
+        .map(r => r -> f.getFileStatus(new Path(root, r)).getLen)
       val smallSet = sized.filter(_._2 < targetBytes / 2).map(_._1).toSet
       if (smallSet.size < 2) return b // nothing worth packing
       val carry = c.files.filterNot(smallSet)
@@ -2628,6 +2967,60 @@ object VersionedTable {
     * the streaming-txn watermarks carry forward. */
   def zOrderBy(spark: SparkSession, path: String, a: String, b: String,
       bits: Int = 16): Long = zOrderBy(spark, path, Seq(a, b), bits)
+
+  /** Partition-scoped ZORDER (`OPTIMIZE t WHERE p = v ZORDER BY (a, b)`):
+    * re-cluster only the partitions matching `where` (which must reference
+    * partition columns only — see [[partitionScope]]); every out-of-scope
+    * file is carried by reference, byte-identical, keeping its stats and
+    * deletion-vector marks. Unlike the whole-table rewrite, a scoped
+    * zorder CANNOT shed the column mapping (carried files still need it),
+    * so rewritten files stage under the mapping and the manifest keeps
+    * colmap/phys_dropped. The idiom at 100 TB: cluster yesterday's
+    * partition after its last append, never touch the other 3 years. */
+  def zOrderBy(spark: SparkSession, path: String, cols: Seq[String],
+      bits: Int, where: Option[Column]): Long = {
+    if (where.isEmpty) return zOrderBy(spark, path, cols, bits)
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
+      val c = readManifest(spark, f, root, b)
+      val scope = partitionScope(spark, root, c, where.get, "ZORDER")
+      if (scope.isEmpty) return b // predicate matches no partition
+      val s = c.schema.get // partitionScope required it
+      val partCols = partitionColsOf(s)
+      val cand = c.files.filter(scope)
+      val base = dataFrameFor(spark, root, c, cand)
+      val placed =
+        if (partCols.isEmpty) TableIO.zPlaced(base, cols, bits)
+        else TableIO.zPlacedWithin(base, partCols, cols, bits)
+      val (dir, rel) = stage(placed, root, f, c.colMap, partCols)
+      val (st, rw) = metaFor(spark, root, rel, cols, c.colMap)
+      val carryKeys = c.files.filterNot(scope)
+      val carrySet = carryKeys.toSet
+      val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
+      val v = b + 1L
+      val (body, ckptDir) = encodeCommit(spark, root, v, carryKeys ++ rel,
+        s.json,
+        c.stats.filter(kv => carrySet(kv._1)) ++ st,
+        c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
+        parent = Some(c), colMap = c.colMap,
+        physDropped = if (carryKeys.isEmpty) Set.empty else c.physDropped,
+        carriedIdentical = true, statsAddOnly = Some(st))
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        f.delete(dir, true)
+        ckptDir.foreach(d => f.delete(d, true))
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt scoped-zorder commit races in a row; giving up")
+      }
+    }
+    committed
+  }
 
   /** N-dimensional variant: cluster on any number of columns (dims × bits
     * must fit a signed long); stats are recorded on exactly those columns. */
@@ -2808,6 +3201,24 @@ object VersionedTable {
     * retention window is still exposed — same contract as Delta's
     * retention horizon; don't pass a window shorter than your slowest
     * writer. Stale `.commit-*.tmp` files are swept under the same cutoff. */
+  /** `VACUUM ... RETAIN n HOURS` (Delta's retention spelling, the
+    * reference's own runbook line `sql/ddl/01_bronze.sql:26`): drop every
+    * version whose commit stamp is older than the horizon — except the
+    * current head, which always survives — then sweep files referenced
+    * only by dropped versions, with the same horizon as the orphan
+    * retention floor. Commit stamps are monotonic (manifestJson), so the
+    * kept set is a suffix, exactly what [[vacuum]]'s keepLast expresses. */
+  def vacuumRetain(spark: SparkSession, path: String, retainMs: Long): Unit = {
+    require(retainMs >= 0, "retention must be non-negative")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return
+    val cutoff = System.currentTimeMillis() - retainMs
+    val keepLast = math.max(1, vs.count(v => commitTime(f, root, v) >= cutoff))
+    vacuum(spark, path, keepLast, orphanRetentionMs = retainMs)
+  }
+
   def vacuum(spark: SparkSession, path: String, keepLast: Int,
       orphanRetentionMs: Long = DefaultOrphanRetentionMs): Unit = {
     require(keepLast >= 1, "must keep at least the current version")
@@ -2832,6 +3243,7 @@ object VersionedTable {
           c.schema.map(_.json).getOrElse("null"),
           c.stats, c.rows, c.txn, c.dv, c.dvRows, // no parent → full form
           colMap = c.colMap, physDropped = c.physDropped, ts = origTs,
+          props = Some(c.props), // same logical commit: keep its props
           // the re-encoded commit IS its own anchor source: a ckpt-chained
           // keep re-anchors via a Spark job over its anchor's parquet
           // instead of forcing the stats map onto the driver

@@ -62,6 +62,12 @@ class GraftCatalog extends TableCatalog {
     ident.name
   }
 
+  /** Declares CHECK-constraint DDL support so Spark's parser-level
+    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK` routes here. */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def tableExists(ident: Identifier): Boolean =
     VersionedTable.latestVersion(spark, pathOf(ident)).isDefined
 
@@ -130,7 +136,15 @@ class GraftCatalog extends TableCatalog {
     }
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
-    try VersionedTable.createEmpty(empty, path, statsCols, partitionCols)
+    // persist the user's TBLPROPERTIES in the commit log (minus the
+    // engine-internal keys Spark itself adds to every CREATE TABLE) so
+    // every writer observes them — autoCompact/optimizeWrite/constraints
+    // are table contracts, not session settings
+    val internalKeys = Set("provider", "location", "owner",
+      "external", "is_managed_location")
+    val stored = props.toMap.filter { case (k, _) =>
+      !internalKeys.contains(k.toLowerCase) && !k.startsWith("option.") }
+    try VersionedTable.createEmpty(empty, path, statsCols, partitionCols, stored)
     catch {
       case e: IllegalStateException if e.getMessage.contains("already exists") =>
         throw new TableAlreadyExistsException(ident)
@@ -141,14 +155,37 @@ class GraftCatalog extends TableCatalog {
   /** `ALTER TABLE ... ADD COLUMNS / DROP COLUMN` land as metadata-only
     * schema-evolution commits ([[VersionedTable.addColumns]]/
     * [[VersionedTable.dropColumns]] — column mapping keeps old files
-    * readable). Other changes are refused loudly. */
+    * readable); `SET/UNSET TBLPROPERTIES` as a properties commit
+    * ([[VersionedTable.setProperties]]). Other changes are refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
-    require(adds.size + drops.size == changes.size,
-      s"$path: graft supports ALTER TABLE ADD COLUMNS / DROP COLUMN " +
-        s"(got ${changes.mkString(", ")})")
+    val sets = changes.collect { case s: TableChange.SetProperty => s }
+    val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
+    val addCons = changes.collect { case a: TableChange.AddConstraint => a }
+    val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
+    require(adds.size + drops.size + sets.size + unsets.size +
+        addCons.size + dropCons.size == changes.size,
+      s"$path: graft supports ALTER TABLE ADD COLUMNS / DROP COLUMN / " +
+        "SET TBLPROPERTIES / UNSET TBLPROPERTIES / ADD CONSTRAINT ... " +
+        s"CHECK / DROP CONSTRAINT (got ${changes.mkString(", ")})")
+    if (sets.nonEmpty || unsets.nonEmpty)
+      VersionedTable.setProperties(spark, path,
+        sets.map(s => s.property -> s.value).toMap, unsets.map(_.property))
+    addCons.foreach { a =>
+      a.constraint match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          // validates existing rows, then commits the predicate into
+          // table properties — every write verb enforces it from then on
+          VersionedTable.addCheckConstraint(spark, path, chk.name,
+            chk.predicateSql)
+        case other => throw new UnsupportedOperationException(
+          s"$path: only CHECK constraints are supported (got $other) — " +
+            "uniqueness belongs to MERGE keys (upsert), not a stored flag")
+      }
+    }
+    dropCons.foreach(d => VersionedTable.dropCheckConstraint(spark, path, d.name))
     if (adds.nonEmpty) {
       adds.foreach(a => require(a.fieldNames.length == 1,
         s"$path: nested ADD COLUMN not supported (${a.fieldNames.mkString(".")})"))

@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => GraftAnalysis(session))
     ext.injectOptimizerRule(session => GraftMetadataCount(session))
+    // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
+    // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 
@@ -59,6 +62,12 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       case i: InsertIntoStatement => protect(i.table)
       case d: DeleteFromTable => protect(d.table)
       case u: UpdateTable => protect(u.table)
+      // ALTER TABLE … (ADD CONSTRAINT binds its CHECK expression against
+      // the relation child) — converting it would hide the V2 relation
+      // from Spark's own DDL resolution (ResolveSessionCatalog probes any
+      // LogicalRelation for a catalogTable identifier and ours has none)
+      case a: AlterTableCommand => protect(a.table)
+      case a: AddCheckConstraint => protect(a.child)
       case _ => ()
     }
 

@@ -1,0 +1,204 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.graft.GraftBatchShim
+import org.apache.spark.sql.types._
+
+import graft.sources.VersionedTable
+
+/** Parser extension for the maintenance statements a lakehouse operator
+  * runs but Spark's grammar lacks — exactly the reference's documented
+  * operations playbook (`reference/sql/ddl/01_bronze.sql:24-26` OPTIMIZE /
+  * VACUUM RETAIN 168 HOURS; `02_silver_events.sql:61` OPTIMIZE ... ZORDER
+  * BY), each routed to its proven [[VersionedTable]] verb:
+  *
+  * {{{
+  *   OPTIMIZE graft.`/p`                            -- compact (bin-pack)
+  *   OPTIMIZE graft.`/p` WHERE dt = DATE'2026-01-01' -- partition-scoped
+  *   OPTIMIZE graft.`/p` ZORDER BY (a, b)           -- whole-table zorder
+  *   OPTIMIZE graft.`/p` WHERE dt = ... ZORDER BY (a, b) -- scoped zorder
+  *   VACUUM graft.`/p` RETAIN 168 HOURS             -- version-horizon sweep
+  *   RESTORE [TABLE] graft.`/p` TO VERSION AS OF 3
+  *   RESTORE [TABLE] graft.`/p` TO TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *   DESCRIBE HISTORY graft.`/p`
+  * }}}
+  *
+  * Anything that doesn't match one of these shapes delegates verbatim to
+  * the underlying parser, so the extension is invisible to every other
+  * statement. The table reference is `catalog.`/path``; the catalog name
+  * is verified to be a registered [[GraftCatalog]] at EXECUTION, not
+  * parse, time (parsers must not touch the session). Delta spells these
+  * statements the same way, for the same reason: a lakehouse operator
+  * lives in SQL, and maintenance that only exists as a library API never
+  * makes it into the runbook.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlStatements.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private[sql] object GraftSqlStatements {
+
+  // catalog.`/path/to/table` — the path-catalog reference shape
+  private val Ref = """(\w+)\s*\.\s*`([^`]+)`"""
+
+  private val OptimizeRe =
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?\\s*;?\\s*""".r
+  private val VacuumRe =
+    s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*""".r
+  private val RestoreVersionRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTsRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
+  private val HistoryRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(cat, path, where, zorder) =>
+      val zCols = Option(zorder).map(_.trim)
+        .map(z => (if (z.startsWith("(") && z.endsWith(")"))
+          z.substring(1, z.length - 1) else z)
+          .split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      Some(GraftOptimizeCommand(cat, path, Option(where).map(_.trim), zCols))
+    case VacuumRe(cat, path, hours) =>
+      Some(GraftVacuumCommand(cat, path, Option(hours).map(_.toLong)))
+    case RestoreVersionRe(cat, path, v) =>
+      Some(GraftRestoreCommand(cat, path, Some(v.toLong), None))
+    case RestoreTsRe(cat, path, ts) =>
+      Some(GraftRestoreCommand(cat, path, None, Some(ts)))
+    case HistoryRe(cat, path) =>
+      Some(GraftDescribeHistoryCommand(cat, path))
+    case _ => None
+  }
+
+  /** Verify (at execution) that `cat` names a registered [[GraftCatalog]]
+    * and return the table path. A typo'd catalog gets a loud, named error
+    * rather than a statement that silently did nothing. */
+  def graftPath(session: SparkSession, cat: String, path: String,
+      stmt: String): String = {
+    val plugin = GraftBatchShim.catalogPlugin(session, cat)
+    require(plugin.exists(_.isInstanceOf[GraftCatalog]),
+      s"$stmt: '$cat' is not a registered graft catalog (set " +
+        s"spark.sql.catalog.$cat = graft.sql.GraftCatalog)")
+    path
+  }
+
+  /** `TIMESTAMP AS OF` literal → epoch millis under the session zone
+    * (accepts `yyyy-MM-dd[ HH:mm:ss[.S]]` and ISO-8601 instants). */
+  def tsMillis(session: SparkSession, s: String): Long = {
+    val zone = java.time.ZoneId.of(session.sessionState.conf.sessionLocalTimeZone)
+    val t = s.trim
+    scala.util.Try(java.time.Instant.parse(t).toEpochMilli)
+      .orElse(scala.util.Try(java.time.LocalDateTime
+        .parse(t.replace(' ', 'T')).atZone(zone).toInstant.toEpochMilli))
+      .orElse(scala.util.Try(java.time.LocalDate.parse(t)
+        .atStartOfDay(zone).toInstant.toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF: cannot parse '$s' (use yyyy-MM-dd[ HH:mm:ss] " +
+          "or an ISO-8601 instant)"))
+  }
+}
+
+/** `OPTIMIZE [WHERE …] [ZORDER BY (…)]` → [[VersionedTable.compact]] /
+  * [[VersionedTable.zOrderBy]] (partition-scoped when WHERE is given).
+  * Returns the committed version (unchanged head when nothing qualified). */
+case class GraftOptimizeCommand(cat: String, path: String,
+    whereSql: Option[String], zorderBy: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "OPTIMIZE")
+    val where = whereSql.map(expr)
+    val v =
+      if (zorderBy.nonEmpty) VersionedTable.zOrderBy(session, p, zorderBy,
+        bits = 16, where = where)
+      else VersionedTable.compact(session, p, 128L * 1024 * 1024, where)
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM [RETAIN n HOURS]` → [[VersionedTable.vacuumRetain]] (default
+  * 168 hours — Delta's 7-day horizon, and the retention the reference's
+  * runbook line spells out). Returns the retention horizon applied. */
+case class GraftVacuumCommand(cat: String, path: String,
+    retainHours: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("retain_hours", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "VACUUM")
+    val hours = retainHours.getOrElse(168L)
+    VersionedTable.vacuumRetain(session, p, hours * 3600L * 1000L)
+    Seq(Row(hours))
+  }
+}
+
+/** `RESTORE [TABLE] … TO VERSION/TIMESTAMP AS OF …` →
+  * [[VersionedTable.restore]] (metadata-only re-commit of the target
+  * version as the new head). Returns (restored_to, new_version). */
+case class GraftRestoreCommand(cat: String, path: String,
+    version: Option[Long], timestamp: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "RESTORE")
+    val toV = version.getOrElse {
+      val ms = GraftSqlStatements.tsMillis(session, timestamp.get)
+      VersionedTable.versionAt(session, p, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"$p has no version committed at or before '${timestamp.get}'"))
+    }
+    Seq(Row(toV, VersionedTable.restore(session, p, toV)))
+  }
+}
+
+/** `DESCRIBE HISTORY` → [[VersionedTable.history]]: one row per committed
+  * version, newest first, assembled from manifests only. */
+case class GraftDescribeHistoryCommand(cat: String,
+    path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("txn", StringType, nullable = false)(),
+    AttributeReference("num_dv_deleted", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE HISTORY")
+    VersionedTable.history(session, p)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .collect().toSeq
+  }
+}

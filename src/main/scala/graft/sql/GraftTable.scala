@@ -61,8 +61,20 @@ class GraftTable(
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** The table's stored CHECK constraints, surfaced to the DSv2 layer
+    * (DESCRIBE shows them; enforcement itself lives in the write verbs —
+    * the V1 write fallback routes every SQL INSERT through them). */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    VersionedTable.checkConstraintsOf(spark, path, asOf).toSeq.sortBy(_._1)
+      .map { case (name, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(name).predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
+
   override def properties(): util.Map[String, String] = {
-    val base = Map("provider" -> "graft-table", "location" -> path)
+    val base = Map("provider" -> "graft-table", "location" -> path) ++
+      VersionedTable.propertiesOf(spark, path, asOf) // stored TBLPROPERTIES
     (asOf match {
       case Some(v) => base + ("versionAsOf" -> v.toString)
       case None => base

@@ -405,4 +405,11 @@ object GraftBatchShim {
         Some((g.liveRows, g.minMaxOf))
       case _ => None
     }
+
+  /** The session catalog registered under `name`, if any — `CatalogManager`
+    * is `private[sql]`, so the maintenance-statement commands resolve their
+    * `cat.`/path`` reference through this shim. */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    scala.util.Try(spark.sessionState.catalogManager.catalog(name)).toOption
 }

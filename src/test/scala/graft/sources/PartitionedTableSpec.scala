@@ -325,4 +325,65 @@ class PartitionedTableSpec extends SparkSpec {
     assert(VersionedTable.partitionColsOf(
       VersionedTable.read(spark, p).schema) == Seq("dt"))
   }
+
+  test("partition-scoped OPTIMIZE packs only matching dirs; others carry byte-identical") {
+    val p = tmp()
+    (0 until 4).foreach { i =>
+      sample(30).withColumn("id", $"id" + i * 100)
+        .write.format("graft-table").mode(if (i == 0) "overwrite" else "append")
+        .partitionBy("dt").save(p)
+    }
+    val expect = spark.read.format("graft-table").load(p)
+      .collect().map(_.toString).toSet
+    val before = VersionedTable.filesOf(spark, p, 4L)
+    val d1 = s"dt=${days.head}"
+    VersionedTable.compact(spark, p, 128L * 1024 * 1024,
+      Some(to_date(lit(days.head)) === col("dt")))
+    val after = VersionedTable.filesOf(spark, p, 5L)
+    // in-scope dir packed to fewer files; every other file is the SAME
+    // physical path (carried by reference, never rewritten)
+    assert(after.count(_.contains(d1)) < before.count(_.contains(d1)),
+      s"$d1 not packed: ${before.count(_.contains(d1))} -> ${after.count(_.contains(d1))}")
+    assert(after.filterNot(_.contains(d1)).toSet ==
+      before.filterNot(_.contains(d1)).toSet, "out-of-scope files rewritten")
+    assert(spark.read.format("graft-table").load(p)
+      .collect().map(_.toString).toSet == expect)
+  }
+
+  test("partition-scoped ZORDER rewrites only matching dirs and keeps the mapping") {
+    val p = tmp()
+    sample(300).repartition(4).write.format("graft-table").partitionBy("dt")
+      .option("statsCols", "id").save(p)
+    // column-mapped table: scoped zorder must carry the mapping (unlike the
+    // whole-table rewrite, which sheds it)
+    VersionedTable.dropColumns(spark, p, Seq("v"))
+    VersionedTable.addColumns(spark, p,
+      Seq(org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    VersionedTable.append(sample(30).withColumn("id", $"id" + 1000), p)
+    val expect = VersionedTable.read(spark, p).collect().map(_.toString).toSet
+    val headV = VersionedTable.latestVersion(spark, p).get
+    val d1 = s"dt=${days.head}"
+    val before = VersionedTable.filesOf(spark, p, headV)
+    VersionedTable.zOrderBy(spark, p, Seq("id"), 16,
+      Some(col("dt") === to_date(lit(days.head))))
+    val after = VersionedTable.filesOf(spark, p, headV + 1)
+    assert(after.filterNot(_.contains(d1)).toSet ==
+      before.filterNot(_.contains(d1)).toSet, "out-of-scope files rewritten")
+    assert(after.filter(_.contains(d1)).toSet != before.filter(_.contains(d1)).toSet)
+    assert(VersionedTable.read(spark, p).collect().map(_.toString).toSet == expect)
+  }
+
+  test("scoped maintenance refuses data-column predicates loudly") {
+    val p = tmp()
+    sample().write.format("graft-table").partitionBy("dt").save(p)
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.compact(spark, p, 128L * 1024 * 1024, Some(col("id") > 5))
+    }
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.zOrderBy(spark, p, Seq("id"), 16, Some(col("v") > 5))
+    }
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+  }
 }

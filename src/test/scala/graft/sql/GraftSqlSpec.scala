@@ -335,6 +335,103 @@ class GraftSqlSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, p).contains(1L))
   }
 
+  test("SQL OPTIMIZE ≡ compact: packs small files, read results identical") {
+    val p = tmp()
+    (0 until 4).foreach { i =>
+      VersionedTable.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), p)
+    }
+    val expect = rows(VersionedTable.read(spark, p))
+    val before = VersionedTable.filesOf(spark, p, 4L).size
+    val out = spark.sql(s"OPTIMIZE ${sqlName(p)}").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(5L)) // the committed version
+    assert(VersionedTable.filesOf(spark, p, 5L).size < before)
+    assert(rows(VersionedTable.read(spark, p)) == expect)
+  }
+
+  test("SQL OPTIMIZE WHERE ... ZORDER BY: scoped to partitions, out-of-scope untouched") {
+    val p = tmp()
+    val df = (0 until 200).map(i => (i.toLong, i * 2.0, s"d${i % 2}"))
+      .toDF("id", "v", "dt")
+    VersionedTable.write(df.repartition(4), p, statsCols = Seq("id"),
+      partitionBy = Seq("dt"))
+    val expect = rows(spark.sql(s"SELECT * FROM ${sqlName(p)}"))
+    val before = VersionedTable.filesOf(spark, p, 1L)
+    spark.sql(s"OPTIMIZE ${sqlName(p)} WHERE dt = 'd0' ZORDER BY (id, v)")
+    val after = VersionedTable.filesOf(spark, p, 2L)
+    assert(after.filterNot(_.contains("dt=d0")).toSet ==
+      before.filterNot(_.contains("dt=d0")).toSet, "out-of-scope rewritten")
+    assert(after.filter(_.contains("dt=d0")).toSet !=
+      before.filter(_.contains("dt=d0")).toSet, "in-scope not re-clustered")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) == expect)
+  }
+
+  test("SQL VACUUM RETAIN 0 HOURS keeps only the head; DESCRIBE HISTORY shrinks") {
+    val p = tmp()
+    (0 until 3).foreach { i =>
+      VersionedTable.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), p)
+    }
+    assert(spark.sql(s"DESCRIBE HISTORY ${sqlName(p)}")
+      .select("version").collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    val expect = rows(VersionedTable.read(spark, p))
+    spark.sql(s"VACUUM ${sqlName(p)} RETAIN 0 HOURS")
+    assert(spark.sql(s"DESCRIBE HISTORY ${sqlName(p)}")
+      .select("version").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(rows(VersionedTable.read(spark, p)) == expect)
+    intercept[Exception] { VersionedTable.read(spark, p, Some(1L)).collect() }
+  }
+
+  test("SQL RESTORE TO VERSION / TIMESTAMP AS OF re-commits the target as head") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)          // v1
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "s"), p)         // v2
+    val out = spark.sql(s"RESTORE ${sqlName(p)} TO VERSION AS OF 1").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+    assert(rows(VersionedTable.read(spark, p)) == Set("[1,a]"))
+    // TIMESTAMP form: far-future instant resolves to the current head (v3,
+    // contents = v1); restoring it is a no-op returning the head version
+    val out2 = spark.sql(
+      s"RESTORE TABLE ${sqlName(p)} TO TIMESTAMP AS OF '2099-01-01'").collect()
+    assert(out2.head.getLong(1) == 3L)
+    assert(rows(VersionedTable.read(spark, p)) == Set("[1,a]"))
+  }
+
+  test("maintenance statements refuse a non-graft catalog; other SQL still parses") {
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE nosuchcat.`/tmp/nope`").collect()
+    }
+    assert(messagesOf(e).contains("not a registered graft catalog"), messagesOf(e))
+    // the injected parser is invisible to everything else
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+  }
+
+  test("TBLPROPERTIES via SQL: CREATE stores them, SET/UNSET commit, constraints enforce") {
+    val p = tmp()
+    spark.sql(s"CREATE TABLE ${sqlName(p)} (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.autoCompact'='true')")
+    assert(VersionedTable.propertiesOf(spark, p)
+      .get("graft.autoCompact").contains("true"))
+    spark.sql(s"ALTER TABLE ${sqlName(p)} SET TBLPROPERTIES " +
+      "('graft.optimizeWrite'='true')")
+    assert(VersionedTable.propertiesOf(spark, p)
+      .get("graft.optimizeWrite").contains("true"))
+    spark.sql(s"ALTER TABLE ${sqlName(p)} UNSET TBLPROPERTIES ('graft.autoCompact')")
+    assert(!VersionedTable.propertiesOf(spark, p).contains("graft.autoCompact"))
+
+    // ADD CONSTRAINT ... CHECK through Spark's native DDL (the catalog
+    // declares SUPPORT_TABLE_CONSTRAINT); INSERT then enforces it
+    spark.sql(s"INSERT INTO ${sqlName(p)} VALUES (1, 10.0)")
+    spark.sql(s"ALTER TABLE ${sqlName(p)} ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(VersionedTable.checkConstraintsOf(spark, p).contains("v_pos"))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO ${sqlName(p)} VALUES (2, -1.0)")
+    }
+    assert(messagesOf(e).contains("v_pos"), messagesOf(e))
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) == Set("[1,10.0]"))
+    spark.sql(s"ALTER TABLE ${sqlName(p)} DROP CONSTRAINT v_pos")
+    spark.sql(s"INSERT INTO ${sqlName(p)} VALUES (2, -1.0)")
+    assert(spark.sql(s"SELECT * FROM ${sqlName(p)}").count() == 2)
+  }
+
   test("CREATE TABLE refuses non-trailing partition columns; trailing order round-trips") {
     val p = tmp()
     // the recorded schema puts partition columns LAST; accepting dt
