@@ -374,6 +374,40 @@ class PartitionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, p).collect().map(_.toString).toSet == expect)
   }
 
+  test("partition-evolution migration recipe: CTAS into the new layout") {
+    // changing an existing table's partition dimension in place is refused
+    // (appends must match the layout; carried files keep their dirs). The
+    // DOCUMENTED migration path is CREATE TABLE ... PARTITIONED BY +
+    // INSERT SELECT into a fresh location — this test is that recipe.
+    val p = tmp()
+    val p2 = tmp()
+    sample(60).write.format("graft-table").option("statsCols", "id").save(p)
+    sample(30).withColumn("id", $"id" + 100)
+      .write.format("graft-table").mode("append").save(p) // history: v1, v2
+    intercept[Exception] { // in-place re-layout refused
+      sample(10).write.format("graft-table").mode("append")
+        .partitionBy("dt").save(p)
+    }
+    spark.sql(s"CREATE TABLE graft.`$p2` (id BIGINT, v DOUBLE, dt DATE) " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('statsCols'='id')")
+    spark.sql(s"INSERT INTO graft.`$p2` SELECT id, v, dt FROM graft.`$p`")
+    // hash identity: the migrated table holds exactly the old rows
+    assert(spark.sql(s"SELECT * FROM graft.`$p2`")
+      .collect().map(_.toString).toSet ==
+      spark.read.format("graft-table").load(p)
+        .select($"id", $"v", $"dt").collect().map(_.toString).toSet)
+    // the new layout is real: dir-per-value files, directory pruning works
+    assert(VersionedTable.filesOf(spark, p2, 2L).forall(_.contains("/dt=")))
+    val (_, skipped) = VersionedTable.pruneInfo(spark, p2,
+      col("dt") === lit(java.sql.Date.valueOf(days.head)))
+    assert(skipped.nonEmpty)
+    // history starts fresh (CREATE + INSERT), old table intact at its head
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$p2`")
+      .select("version").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(VersionedTable.latestVersion(spark, p).contains(2L))
+    assert(VersionedTable.read(spark, p).count() == 90)
+  }
+
   test("scoped maintenance refuses data-column predicates loudly") {
     val p = tmp()
     sample().write.format("graft-table").partitionBy("dt").save(p)
