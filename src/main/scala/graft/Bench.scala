@@ -120,6 +120,16 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    // and APPEND to a cumulative history (one line per run, epoch-stamped):
+    // per-round BENCH_rNN.json tails get front-truncated by log capture,
+    // which made r7's minima unrecoverable for the r8 review — the full
+    // parsed line per run survives here regardless
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      s"""{"at":${System.currentTimeMillis()},""" + line.drop(1) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable => System.err.println(s"[bench] history append failed: $e") }
     spark.stop()
   }
 }
