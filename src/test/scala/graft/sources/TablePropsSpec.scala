@@ -82,6 +82,25 @@ class TablePropsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, p).count() == 5)
   }
 
+  test("constraints bind the exactly-once streaming commit path too") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, 5.0)).toDF("id", "v"), p)
+    VersionedTable.addCheckConstraint(spark, p, "v_pos", "v > 0")
+    // a valid micro-batch commits with its txn watermark
+    VersionedTable.commitBatch(Seq((2L, 2.0)).toDF("id", "v"), p, "appX", 0L)
+    assert(VersionedTable.latestVersion(spark, p).contains(3L))
+    // a violating micro-batch is refused atomically: no version, and the
+    // txn watermark does NOT advance — a corrected retry of the SAME
+    // batch id still commits (refusal must not burn the batch)
+    val e = intercept[IllegalStateException] {
+      VersionedTable.commitBatch(Seq((3L, -1.0)).toDF("id", "v"), p, "appX", 1L)
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    assert(VersionedTable.latestVersion(spark, p).contains(3L))
+    VersionedTable.commitBatch(Seq((3L, 3.0)).toDF("id", "v"), p, "appX", 1L)
+    assert(VersionedTable.read(spark, p).count() == 3)
+  }
+
   test("autoCompact converges streaming-style appends to a bounded file count") {
     val p = tmp()
     val pOff = tmp()

@@ -432,6 +432,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM ${sqlName(p)}").count() == 2)
   }
 
+  test("CTAS: CREATE TABLE AS SELECT lands as create+insert commits, partitioned too") {
+    val p = tmp(); val p2 = tmp(); val p3 = tmp()
+    VersionedTable.write(
+      Seq((1L, 2.0, "a"), (2L, 4.0, "b")).toDF("id", "v", "dt"), p)
+    spark.sql(s"CREATE TABLE ${sqlName(p2)} AS SELECT * FROM ${sqlName(p)}")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p2)}")) ==
+      rows(VersionedTable.read(spark, p)))
+    assert(VersionedTable.latestVersion(spark, p2).contains(2L)) // create + insert
+    // partitioned CTAS: the one-statement migration recipe
+    spark.sql(s"CREATE TABLE ${sqlName(p3)} PARTITIONED BY (dt) " +
+      s"AS SELECT id, v, dt FROM ${sqlName(p)}")
+    assert(VersionedTable.filesOf(spark, p3,
+      VersionedTable.latestVersion(spark, p3).get).forall(_.contains("/dt=")))
+    assert(rows(spark.sql(s"SELECT id, v, dt FROM ${sqlName(p3)}")) ==
+      rows(VersionedTable.read(spark, p)))
+    // SHOW TBLPROPERTIES reads the stored props through the catalog
+    VersionedTable.setProperties(spark, p2, Map("graft.team" -> "ops"))
+    assert(spark.sql(s"SHOW TBLPROPERTIES ${sqlName(p2)}")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .contains(("graft.team", "ops")))
+  }
+
   test("CREATE TABLE refuses non-trailing partition columns; trailing order round-trips") {
     val p = tmp()
     // the recorded schema puts partition columns LAST; accepting dt
