@@ -92,6 +92,22 @@ object DataSkipping {
     * cluster (one task per slice of the file list); only the keys and the
     * tiny per-column summaries travel back to the driver. Row counts are
     * read even when `cols` is empty — they come from the same footer. */
+  /** Decode a raw (already hive-unescaped) partition DIRECTORY value to
+    * the column's internal Catalyst value — the ONE decode behind the
+    * scan's partition rows, the stats-domain partition pruning, and the
+    * maintenance verbs' partition scoping (three call sites that must
+    * never diverge on the same dir string). TRY mode: under the session
+    * default (ANSI on Spark 4) an uncastable value would THROW at plan
+    * time; TRY degrades it to null — no stat, never prunes, never lies. */
+  def castPartValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType, zone: Option[String]): Any =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+        org.apache.spark.sql.types.StringType),
+      dt, zone,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
+
   def collectMeta(spark: SparkSession, files: Seq[(String, String)],
       cols: Seq[String]): Map[String, FileMeta] = {
     if (files.isEmpty) return Map.empty

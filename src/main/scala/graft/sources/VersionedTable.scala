@@ -1858,17 +1858,9 @@ object VersionedTable {
           Some(fl.name -> DataSkipping.ColStat(None, None,
             numNulls = 1L, allNulls = true))
         case Some(s) =>
-          // TRY-mode cast: under the session default (ANSI on Spark 4) an
-          // uncastable dir value would THROW at plan time; TRY degrades it
-          // to null → no stat → never prunes, never lies, as documented
-          val internal = org.apache.spark.sql.catalyst.expressions.Cast(
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              org.apache.spark.unsafe.types.UTF8String.fromString(s),
-              org.apache.spark.sql.types.StringType),
-            fl.dataType, zone,
-            org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
-          partDomain(internal, fl.dataType).map(v =>
-            fl.name -> DataSkipping.ColStat(Some(v), Some(v), 0L, allNulls = false))
+          partDomain(DataSkipping.castPartValue(s, fl.dataType, zone), fl.dataType)
+            .map(v => fl.name ->
+              DataSkipping.ColStat(Some(v), Some(v), 0L, allNulls = false))
       }
     }.toMap
   }
@@ -2387,6 +2379,22 @@ object VersionedTable {
         s"$path: cannot drop partition column(s) ${partHit.mkString(",")} — " +
           "the layout depends on them")
       require(s.fields.length > names.size, s"$path: cannot drop every column")
+      // a stored CHECK constraint referencing a dropped column would brick
+      // every later write with an unresolved-column error that never names
+      // the real cause — refuse at DDL time, like Delta (drop the
+      // constraint first if the drop is intended)
+      val lowerDrop = names.map(_.toLowerCase).toSet
+      constraintsIn(c.props).foreach { case (cname, sql) =>
+        val refs = scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(sql).collect {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts.head.toLowerCase
+          }.toSet).getOrElse(Set.empty[String])
+        val hit = refs intersect lowerDrop
+        require(hit.isEmpty,
+          s"$path: cannot drop column(s) ${hit.mkString(",")} — constraint " +
+            s"'$cname' CHECK ($sql) references them; DROP CONSTRAINT first")
+      }
       (StructType(s.fields.filterNot(f => names.contains(f.name))),
         c.colMap -- names,
         c.physDropped ++ names.map(c.physName))
@@ -2402,6 +2410,15 @@ object VersionedTable {
     * observes them, not just the session that set them. */
   def setProperties(spark: SparkSession, path: String,
       set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    // constraints must enter through addCheckConstraint (which validates
+    // EXISTING rows first) — a raw property write would install a
+    // constraint the data already violates, breaking the invariant every
+    // carry-by-reference verb relies on. Unset stays allowed: that IS
+    // dropCheckConstraint's implementation.
+    val smuggled = set.keys.filter(_.startsWith(ConstraintPrefix))
+    require(smuggled.isEmpty,
+      s"$path: cannot set ${smuggled.mkString(", ")} via table properties — " +
+        "use ADD CONSTRAINT (addCheckConstraint), which validates existing rows")
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -2826,16 +2843,21 @@ object VersionedTable {
     * semantics). */
   private def autoCompactAfter(spark: SparkSession, path: String,
       props: Map[String, String], newRel: Seq[String]): Unit =
-    if (boolProp(props, AutoCompactKey) && newRel.nonEmpty) {
-      val minFiles = props.get(AutoCompactMinFilesKey).map(_.toInt).getOrElse(8)
-      val target = props.get(AutoCompactTargetKey).map(_.toLong)
-        .getOrElse(128L * 1024 * 1024)
-      val touched = newRel.map(partFragOf).toSet
-      scala.util.Try(compactImpl(spark, path, target, (_, c) =>
-        c.files.groupBy(partFragOf).collect {
-          case (frag, fks) if touched(frag) && fks.size >= minFiles => fks
-        }.flatten.toSet))
-    }
+    if (boolProp(props, AutoCompactKey) && newRel.nonEmpty)
+      // the WHOLE hook is swallowed — including threshold parsing: the
+      // append already committed, and a malformed minFiles value must not
+      // make a succeeded write look failed (a retrying caller would
+      // double-write the batch)
+      scala.util.Try {
+        val minFiles = props.get(AutoCompactMinFilesKey).map(_.trim.toInt).getOrElse(8)
+        val target = props.get(AutoCompactTargetKey).map(_.trim.toLong)
+          .getOrElse(128L * 1024 * 1024)
+        val touched = newRel.map(partFragOf).toSet
+        compactImpl(spark, path, target, (_, c) =>
+          c.files.groupBy(partFragOf).collect {
+            case (frag, fks) if touched(frag) && fks.size >= minFiles => fks
+          }.flatten.toSet)
+      }
 
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Long =
@@ -2852,7 +2874,7 @@ object VersionedTable {
     * shapes it cannot prove dead). Returns the in-scope file set. */
   private def partitionScope(spark: SparkSession, root: Path, c: Commit,
       where: Column, verb: String): Set[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Cast, EvalMode, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference}
     val s = c.schema.getOrElse(throw new IllegalArgumentException(
       s"$root: partition-scoped $verb needs a schema-recorded table"))
     val partCols = partitionColsOf(s)
@@ -2880,10 +2902,7 @@ object VersionedTable {
         partFields.map { fl =>
           rawPartValue(frag, c.physName(fl.name)) match {
             case None => null // hive null sentinel
-            case Some(v) => Cast(Literal(
-              org.apache.spark.unsafe.types.UTF8String.fromString(v),
-              org.apache.spark.sql.types.StringType),
-              fl.dataType, zone, EvalMode.TRY).eval(null)
+            case Some(v) => DataSkipping.castPartValue(v, fl.dataType, zone)
           }
         })
       if (bound.eval(row) == true) fks else Seq.empty

@@ -61,11 +61,20 @@ class GraftTable(
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Stored TBLPROPERTIES resolved ONCE per table handle (a handle pins a
+    * snapshot; properties()/constraints() are called several times per
+    * statement and each uncached read walks the manifest chain). */
+  private lazy val storedProps: Map[String, String] =
+    VersionedTable.propertiesOf(spark, path, asOf)
+
   /** The table's stored CHECK constraints, surfaced to the DSv2 layer
     * (DESCRIBE shows them; enforcement itself lives in the write verbs —
     * the V1 write fallback routes every SQL INSERT through them). */
   override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    VersionedTable.checkConstraintsOf(spark, path, asOf).toSeq.sortBy(_._1)
+    storedProps.collect {
+      case (k, sql) if k.startsWith("graft.constraint.") =>
+        k.stripPrefix("graft.constraint.") -> sql
+    }.toSeq.sortBy(_._1)
       .map { case (name, sql) =>
         org.apache.spark.sql.connector.catalog.constraints.Constraint
           .check(name).predicateSql(sql).build()
@@ -73,8 +82,10 @@ class GraftTable(
       }.toArray
 
   override def properties(): util.Map[String, String] = {
-    val base = Map("provider" -> "graft-table", "location" -> path) ++
-      VersionedTable.propertiesOf(spark, path, asOf) // stored TBLPROPERTIES
+    // stored props first, ENGINE values second: a user property named
+    // 'provider'/'location' must not override what Spark reads
+    val base = storedProps ++
+      Map("provider" -> "graft-table", "location" -> path)
     (asOf match {
       case Some(v) => base + ("versionAsOf" -> v.toString)
       case None => base

@@ -103,16 +103,10 @@ private[graft] class GraftFileIndex(
             .filterNot(_ == "__HIVE_DEFAULT_PARTITION__") match {
             case None => null
             case Some(raw) =>
-              val s = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .unescapePathName(raw)
-              // TRY-mode: a malformed dir value must surface as a null
-              // partition value, not an ANSI plan-time cast error
-              org.apache.spark.sql.catalyst.expressions.Cast(
-                org.apache.spark.sql.catalyst.expressions.Literal(
-                  org.apache.spark.unsafe.types.UTF8String.fromString(s),
-                  org.apache.spark.sql.types.StringType),
-                f.dataType, zone,
-                org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
+              graft.sources.DataSkipping.castPartValue(
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(raw),
+                f.dataType, zone)
           }
         })
       }.toMap

@@ -82,6 +82,41 @@ class TablePropsSpec extends SparkSpec {
     assert(VersionedTable.read(spark, p).count() == 5)
   }
 
+  test("constraint hygiene: no property smuggling, no dropping referenced columns") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, -5.0)).toDF("id", "v"), p)
+    // installing a constraint via raw SET TBLPROPERTIES would skip the
+    // existing-row validation — refused, pointing at ADD CONSTRAINT
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.setProperties(spark, p, Map("graft.constraint.v_pos" -> "v > 0"))
+    }
+    assert(e1.getMessage.contains("ADD CONSTRAINT"), e1.getMessage)
+    assert(VersionedTable.checkConstraintsOf(spark, p).isEmpty)
+    // dropping a column a stored constraint references would brick every
+    // later write with an unresolved-column error — refused at DDL time
+    VersionedTable.update(spark, p, lit(true), Map("v" -> lit(5.0)))
+    VersionedTable.addCheckConstraint(spark, p, "v_pos", "v > 0")
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, p, Seq("v"))
+    }
+    assert(e2.getMessage.contains("v_pos"), e2.getMessage)
+    VersionedTable.dropCheckConstraint(spark, p, "v_pos")
+    VersionedTable.dropColumns(spark, p, Seq("v")) // now fine
+    assert(VersionedTable.read(spark, p).columns.toSeq == Seq("id"))
+  }
+
+  test("malformed autoCompact threshold never fails a committed append") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "d1")).toDF("id", "dt"), p,
+      statsCols = Nil, partitionBy = Seq("dt"))
+    VersionedTable.setProperties(spark, p, Map(
+      "graft.autoCompact" -> "true",
+      "graft.autoCompact.minFiles" -> "not-a-number"))
+    // the hook swallows its own failure; the append itself must succeed
+    val v = VersionedTable.append(Seq((2L, "d1")).toDF("id", "dt"), p)
+    assert(v > 0 && VersionedTable.read(spark, p).count() == 2)
+  }
+
   test("constraints bind the exactly-once streaming commit path too") {
     val p = tmp()
     VersionedTable.write(Seq((1L, 5.0)).toDF("id", "v"), p)
