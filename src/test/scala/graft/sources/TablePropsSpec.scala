@@ -117,6 +117,49 @@ class TablePropsSpec extends SparkSpec {
     assert(v > 0 && VersionedTable.read(spark, p).count() == 2)
   }
 
+  test("constraint checks never fire on rows the caller's own filters removed") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, 1.0)).toDF("id", "v"), p)
+    VersionedTable.addCheckConstraint(spark, p, "v_pos", "v > 0")
+    // the violating row is filtered OUT by the caller before the append;
+    // the enforcement filter composes ABOVE it, and Catalyst's filter
+    // split/pushdown must not evaluate the check on rows the user filter
+    // removes (And conjuncts short-circuit left-to-right, inner first)
+    val src = Seq((2L, 2.0, true), (3L, -3.0, false)).toDF("id", "v", "keep")
+    VersionedTable.append(src.filter($"keep").select("id", "v"), p)
+    assert(VersionedTable.read(spark, p).count() == 2)
+  }
+
+  test("UPDATE racing concurrent appends: optimistic retry, no lost rows") {
+    val p = tmp()
+    VersionedTable.write(
+      (0 until 8).map(i => (i.toLong, 0.0)).toDF("id", "v"), p,
+      statsCols = Seq("id"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val jobs = (0 until 4).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          gate.await()
+          if (w % 2 == 0)
+            VersionedTable.update(spark, p, col("id") === w.toLong,
+              Map("v" -> lit(w + 1.0)))
+          else VersionedTable.append(
+            Seq((100L + w, -1.0)).toDF("id", "v"), p)
+        }
+      })
+    }
+    gate.countDown()
+    val got = jobs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(got == Seq(2L, 3L, 4L, 5L), got) // four distinct versions, none lost
+    val rows = VersionedTable.read(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 10) // 8 seeded + 2 appended
+    assert(rows(0L) == 1.0 && rows(2L) == 3.0, rows) // both updates landed
+    assert(rows(101L) == -1.0 && rows(103L) == -1.0)
+  }
+
   test("constraints bind the exactly-once streaming commit path too") {
     val p = tmp()
     VersionedTable.write(Seq((1L, 5.0)).toDF("id", "v"), p)
