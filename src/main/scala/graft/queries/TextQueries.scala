@@ -269,6 +269,100 @@ object TextQueries {
        |WHERE $conds""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q_decontaminate — benchmark DECONTAMINATION, the training-data op every
+  // serious pipeline runs before pretraining: flag (to drop) every training
+  // document that shares an n-gram with the held-out evaluation set, so the
+  // model can't be graded on text it memorized. Benchmark membership here is
+  // a deterministic doc_id slice (`doc_id % 19 == 0`, ~5%) standing in for
+  // the external eval files a real run would load.
+  //
+  // Plan at 100 TB: the BENCHMARK side is always tiny (thousands of docs →
+  // millions of shingles), so its distinct shingle set BROADCASTS; the
+  // training side streams through one narrow explode → broadcast-hash
+  // semi-ish inner join → per-doc count — no shuffle of the corpus, no
+  // candidate blowup (the join key is the shingle, and only matching
+  // shingles survive the broadcast probe). Linear in corpus size.
+  // --------------------------------------------------------------------------
+  val DecontShingle = 5
+  val BenchMod = 19
+
+  private def wsShingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k)))"))
+        .as("shingle"))
+      .distinct()
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = wsShingles(docs.filter(col("doc_id") % BenchMod === 0), DecontShingle)
+      .select(col("shingle")).distinct()
+    val train = wsShingles(
+      graft.sources.Tables.spread(docs.filter(col("doc_id") % BenchMod =!= 0)),
+      DecontShingle)
+    train.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles")) // train side is distinct
+  }
+
+  val decontaminateSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, doc_id % $BenchMod = 0 AS is_bench,
+       |    array_to_string(w[i:i+${DecontShingle - 1}], ' ') AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |    UNNEST(range(1, len(w) - ${DecontShingle - 2})) AS t(i)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT t.doc_id, COUNT(*) AS n_shared_shingles
+       |FROM (SELECT doc_id, shingle FROM sh WHERE NOT is_bench) t
+       |JOIN (SELECT DISTINCT shingle FROM sh WHERE is_bench) b USING (shingle)
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_seq_pack — SEQUENCE PACKING: assign documents to fixed-token-budget
+  // training sequences by cumulative token count, the batch-construction op
+  // between curation and the trainer. Deterministic contiguous packing:
+  // docs ordered by doc_id, each lands in chunk floor(tokens-before / B).
+  //
+  // Plan at 100 TB: the window partitions BY LANG (in a real pipeline: by
+  // shard), so the running sum never funnels the corpus through one task —
+  // one shuffle on the partition key, then a linear per-partition window
+  // pass, then one hash agg. A global (unpartitioned) window would be the
+  // classic single-task scale killer; packing within shards is both the
+  // honest distributed shape and what trainers actually consume.
+  // --------------------------------------------------------------------------
+  val SeqBudget = 256L
+
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("seq_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / SeqBudget))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  val seqPackSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), packed AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $SeqBudget.0) AS BIGINT) AS seq_id
+       |  FROM toks
+       |)
+       |SELECT lang, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_funnel" -> (curationFunnel _),
@@ -278,6 +372,8 @@ object TextQueries {
     "q_token_count"     -> (tokenCount _),
     "q_lang_id"         -> (langId _),
     "q_doc_fingerprint" -> (docFingerprint _),
+    "q_decontaminate"   -> (decontaminate _),
+    "q_seq_pack"        -> (seqPack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -289,5 +385,7 @@ object TextQueries {
     "q_token_count"     -> tokenCountSql,
     "q_lang_id"         -> langIdSql,
     "q_doc_fingerprint" -> docFingerprintSql,
+    "q_decontaminate"   -> decontaminateSql,
+    "q_seq_pack"        -> seqPackSql,
   )
 }
