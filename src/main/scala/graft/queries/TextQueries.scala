@@ -324,44 +324,50 @@ object TextQueries {
   // q_seq_pack — SEQUENCE PACKING: assign documents to fixed-token-budget
   // training sequences by cumulative token count, the batch-construction op
   // between curation and the trainer. Deterministic contiguous packing:
-  // docs ordered by doc_id, each lands in chunk floor(tokens-before / B).
+  // docs ordered by doc_id within a SHARD, each lands in chunk
+  // floor(tokens-before / B); a shard boundary is a sequence boundary.
   //
-  // Plan at 100 TB: the window partitions BY LANG (in a real pipeline: by
-  // shard), so the running sum never funnels the corpus through one task —
-  // one shuffle on the partition key, then a linear per-partition window
-  // pass, then one hash agg. A global (unpartitioned) window would be the
-  // classic single-task scale killer; packing within shards is both the
-  // honest distributed shape and what trainers actually consume.
+  // Plan at 100 TB: the window partitions by (lang, shard) where shard is a
+  // BOUNDED doc_id range (ShardDocs docs), so the running sum is a linear
+  // pass over a bounded partition — never a per-lang (3-value!) or global
+  // window funneling the corpus through a handful of tasks. One shuffle on
+  // the shard key, one window pass, one hash agg; shard count grows with
+  // the corpus, so parallelism does too. Packing within shards is also
+  // what trainers actually consume — shard files are the unit of shuffle
+  // on the training side.
   // --------------------------------------------------------------------------
   val SeqBudget = 256L
+  val ShardDocs = 100L
 
   def seqPack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
+        floor(col("doc_id") / ShardDocs).as("shard"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       .withColumn("seq_id",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / SeqBudget))
-      .groupBy(col("lang"), col("seq_id"))
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
   val seqPackSql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, lang, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  SELECT doc_id, lang, CAST(FLOOR(doc_id / $ShardDocs.0) AS BIGINT) AS shard,
+       |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents
        |), packed AS (
-       |  SELECT doc_id, lang, n_tokens,
-       |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |  SELECT doc_id, lang, shard, n_tokens,
+       |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $SeqBudget.0) AS BIGINT) AS seq_id
        |  FROM toks
        |)
-       |SELECT lang, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+       |SELECT lang, shard, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-       |FROM packed GROUP BY 1, 2""".stripMargin
+       |FROM packed GROUP BY 1, 2, 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),

@@ -247,4 +247,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("Generate"), p)
   }
+
+  test("q_decontaminate: benchmark shingles broadcast; corpus never shuffles for the join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_seq_pack: window partitions by bounded shard, never a global window") {
+    val df = SparkEntry.queries("q_seq_pack")(spark, sf0001)
+    val exec = df.queryExecution.executedPlan
+    df.write.format("noop").mode("overwrite").save()
+    val windows = exec.toString
+    assert(windows.contains("Window"), windows)
+    // the window's partition spec must include the shard key — a
+    // lang-only (3-value) or empty partition spec is the single-task
+    // funnel this op exists to avoid
+    assert(windows.contains("shard"), windows)
+  }
 }
