@@ -3238,6 +3238,31 @@ object VersionedTable {
     vacuum(spark, path, keepLast, orphanRetentionMs = retainMs)
   }
 
+  /** `VACUUM ... DRY RUN`: the root-relative data/DV files (and manifest
+    * names) the retention horizon WOULD delete — computed read-only, no
+    * re-anchor, no deletion (the post-re-anchor file set is identical:
+    * re-anchoring re-encodes the same logical commit). The operator's
+    * look-before-you-leap for an irreversible sweep. */
+  def vacuumPreview(spark: SparkSession, path: String,
+      retainMs: Long): Seq[String] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return Seq.empty
+    val cutoff = System.currentTimeMillis() - retainMs
+    val keepLast = math.max(1, vs.count(v => commitTime(f, root, v) >= cutoff))
+    val (drop, keep) = (vs.dropRight(keepLast), vs.takeRight(keepLast))
+    if (drop.isEmpty) return Seq.empty
+    val live: Set[String] = keep.flatMap { v =>
+      val c = readManifest(spark, f, root, v)
+      c.files ++ c.dv
+    }.toSet
+    val deadData = drop.flatMap(v =>
+      scala.util.Try(readManifest(spark, f, root, v)).toOption.toSeq
+        .flatMap(c => c.files ++ c.dv)).distinct.filterNot(live)
+    drop.map(v => f"$LogDir/$v%08d.json") ++ deadData
+  }
+
   def vacuum(spark: SparkSession, path: String, keepLast: Int,
       orphanRetentionMs: Long = DefaultOrphanRetentionMs): Unit = {
     require(keepLast >= 1, "must keep at least the current version")

@@ -68,7 +68,7 @@ private[sql] object GraftSqlStatements {
   private val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s+(.+?))?\\s*;?\\s*""".r
   private val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$Ref(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val RestoreVersionRe =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTsRe =
@@ -85,8 +85,9 @@ private[sql] object GraftSqlStatements {
           .filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
       Some(GraftOptimizeCommand(cat, path, Option(where).map(_.trim), zCols))
-    case VacuumRe(cat, path, hours) =>
-      Some(GraftVacuumCommand(cat, path, Option(hours).map(_.toLong)))
+    case VacuumRe(cat, path, hours, dry) =>
+      Some(GraftVacuumCommand(cat, path, Option(hours).map(_.toLong),
+        dryRun = dry != null))
     case RestoreVersionRe(cat, path, v) =>
       Some(GraftRestoreCommand(cat, path, Some(v.toLong), None))
     case RestoreTsRe(cat, path, ts) =>
@@ -144,20 +145,29 @@ case class GraftOptimizeCommand(cat: String, path: String,
   }
 }
 
-/** `VACUUM [RETAIN n HOURS]` → [[VersionedTable.vacuumRetain]] (default
-  * 168 hours — Delta's 7-day horizon, and the retention the reference's
-  * runbook line spells out). Returns the retention horizon applied. */
+/** `VACUUM [RETAIN n HOURS] [DRY RUN]` → [[VersionedTable.vacuumRetain]]
+  * (default 168 hours — Delta's 7-day horizon, and the retention the
+  * reference's runbook line spells out). DRY RUN lists what the horizon
+  * WOULD delete, touching nothing — the look-before-you-leap for an
+  * irreversible sweep (Delta's same clause). */
 case class GraftVacuumCommand(cat: String, path: String,
-    retainHours: Option[Long]) extends LeafRunnableCommand {
+    retainHours: Option[Long],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
-    Seq(AttributeReference("retain_hours", LongType, nullable = false)())
+    if (dryRun) Seq(AttributeReference("would_delete", StringType, nullable = false)())
+    else Seq(AttributeReference("retain_hours", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "VACUUM")
     val hours = retainHours.getOrElse(168L)
-    VersionedTable.vacuumRetain(session, p, hours * 3600L * 1000L)
-    Seq(Row(hours))
+    if (dryRun)
+      VersionedTable.vacuumPreview(session, p, hours * 3600L * 1000L)
+        .map(Row(_))
+    else {
+      VersionedTable.vacuumRetain(session, p, hours * 3600L * 1000L)
+      Seq(Row(hours))
+    }
   }
 }
 

@@ -380,6 +380,24 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { VersionedTable.read(spark, p, Some(1L)).collect() }
   }
 
+  test("VACUUM DRY RUN previews the sweep without deleting anything") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)          // v1
+    VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), p)          // v2 replaces v1
+    val preview = spark.sql(s"VACUUM ${sqlName(p)} RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    // v1's manifest and its now-unreferenced data file are listed
+    assert(preview.exists(_.endsWith("00000001.json")), preview.mkString(","))
+    assert(preview.exists(_.endsWith(".parquet")), preview.mkString(","))
+    // nothing was touched: full history still reads
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)} VERSION AS OF 1")) ==
+      Set("[1,a]"))
+    // the real sweep then deletes exactly that horizon
+    spark.sql(s"VACUUM ${sqlName(p)} RETAIN 0 HOURS")
+    intercept[Exception] { VersionedTable.read(spark, p, Some(1L)).collect() }
+    assert(rows(VersionedTable.read(spark, p)) == Set("[2,b]"))
+  }
+
   test("SQL RESTORE TO VERSION / TIMESTAMP AS OF re-commits the target as head") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)          // v1
