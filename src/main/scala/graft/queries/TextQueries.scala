@@ -8,9 +8,12 @@ import graft.functions.TextFunctions._
 import graft.sources.Tables
 
 /** Training-data text operators over the `documents` table: exact dedup,
-  * quality scoring, token counting, language-ID heuristic, fingerprinting.
-  * Every one is a narrow scan → project → (optional) single hash aggregation:
-  * no joins, no second shuffle, linear at 100 TB.
+  * quality scoring, token counting, language-ID heuristic, fingerprinting,
+  * benchmark decontamination, sequence packing. The per-row operators are
+  * narrow scan → project → (optional) single hash aggregation;
+  * decontamination adds one BROADCAST join (bench side tiny, corpus never
+  * shuffles) and packing one bounded-shard window — each operator's header
+  * states its own plan shape and why it holds at 100 TB.
   */
 object TextQueries {
 
@@ -287,24 +290,31 @@ object TextQueries {
   val DecontShingle = 5
   val BenchMod = 19
 
+  /** (doc_id, shingle) pairs WITHOUT dedup — the corpus-side producer must
+    * stay a pure narrow explode (a distinct here would hash-shuffle ~5× the
+    * corpus before any probe). Consumers dedup on whatever tiny set
+    * survives their join/filter. */
   private def wsShingles(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k)))"))
         .as("shingle"))
-      .distinct()
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // bench side is tiny: one distinct on the shingle alone, broadcast
     val bench = wsShingles(docs.filter(col("doc_id") % BenchMod === 0), DecontShingle)
       .select(col("shingle")).distinct()
+    // train side streams NARROW into the broadcast probe — no distinct, no
+    // corpus shuffle; only MATCHED (doc, shingle) pairs reach the
+    // aggregation, and countDistinct dedups that small survivor set
     val train = wsShingles(
       graft.sources.Tables.spread(docs.filter(col("doc_id") % BenchMod =!= 0)),
       DecontShingle)
     train.join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_shingles")) // train side is distinct
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"))
   }
 
   val decontaminateSql: String =

@@ -3238,11 +3238,86 @@ object VersionedTable {
     vacuum(spark, path, keepLast, orphanRetentionMs = retainMs)
   }
 
-  /** `VACUUM ... DRY RUN`: the root-relative data/DV files (and manifest
-    * names) the retention horizon WOULD delete — computed read-only, no
-    * re-anchor, no deletion (the post-re-anchor file set is identical:
-    * re-anchoring re-encodes the same logical commit). The operator's
-    * look-before-you-leap for an irreversible sweep. */
+  /** Everything one retention sweep would remove, computed READ-ONLY —
+    * the single source of truth behind both [[vacuum]] (which executes it)
+    * and [[vacuumPreview]] (which shows it): dropped manifests, their
+    * checkpoint parquet dirs, data/DV files referenced only by dropped
+    * versions, fully-dead data dirs, and the orphan-dir/stale-tmp entries
+    * under the mtime cutoff. One computation → the preview can never
+    * understate the sweep. */
+  private final case class SweepPlan(
+      drop: Seq[Long], keep: Seq[Long], dropCkpts: Seq[String],
+      deadFiles: Seq[String], deadDirs: Seq[String],
+      orphans: Seq[(Path, Boolean)])
+
+  private def sweepPlan(spark: SparkSession, f: FileSystem, root: Path,
+      path: String, keepLast: Int, orphanRetentionMs: Long): SweepPlan = {
+    val vs = versions(spark, path)
+    val (drop, keep) = (vs.dropRight(keepLast), vs.takeRight(keepLast))
+    val live: Set[String] =
+      keep.flatMap { v =>
+        val c = readManifest(spark, f, root, v)
+        c.files ++ c.dv // DV sidecars are live exactly like data files
+      }.toSet
+    val liveDirs: Set[String] = live.map(_.takeWhile(_ != '/'))
+    // resolve EVERY dropped commit before deleting ANY manifest: dropped
+    // versions may be deltas chained onto other dropped versions. A commit
+    // left unresolvable by a previous vacuum crash just loses its file
+    // list — its manifest still goes, and its files fall to the orphan
+    // sweep rather than breaking this vacuum forever.
+    val dropFiles = drop.flatMap(v =>
+      scala.util.Try(readManifest(spark, f, root, v)).toOption.toSeq
+        .flatMap(c => c.files ++ c.dv))
+    // checkpoint parquet dirs referenced only by dropped manifests die with
+    // them (kept chains never descend past the re-anchored oldest keep)
+    val dropCkpts = drop.flatMap(v =>
+      scala.util.Try(parseManifest(f, root, v)).toOption
+        .flatMap(n => Option(n.get("ckpt")).map(_.asText())))
+    val deadFiles = dropFiles.distinct.filterNot(live)
+    // dirs that held only dropped-version files are fully dead: writers
+    // never add files to a dir once its commit landed
+    val deadDirs = deadFiles.map(_.takeWhile(_ != '/'))
+      .distinct.filterNot(liveDirs)
+    val oldestKeptTime = keep.headOption
+      .map(v => f.getFileStatus(manifest(root, v)).getModificationTime)
+      .getOrElse(Long.MaxValue)
+    val cutoff = math.min(oldestKeptTime,
+      System.currentTimeMillis() - orphanRetentionMs)
+    val rootOrphans = f.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val versioned = n.startsWith("d-") || n.startsWith("v=") // incl. legacy layout
+      val staleStage = !st.isDirectory &&
+        n.startsWith(".commit-") && n.endsWith(".tmp")
+      if (st.getModificationTime < cutoff &&
+        ((st.isDirectory && versioned && !liveDirs.contains(n)) || staleStage))
+        Some(st.getPath -> st.isDirectory)
+      else None
+    }
+    // orphaned checkpoint dirs (writers that died between ckpt write and
+    // manifest CAS) and stale head-pointer tmps, under the same cutoff
+    val keptCkpts: Set[String] = keep.flatMap(v =>
+      scala.util.Try(parseManifest(f, root, v)).toOption
+        .flatMap(n => Option(n.get("ckpt")).map(_.asText()))).toSet
+    val logOrphans = f.listStatus(new Path(root, LogDir)).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val orphanCkpt = st.isDirectory && n.startsWith("ckpt-") &&
+        !keptCkpts.contains(s"$LogDir/$n")
+      val staleHead = !st.isDirectory && n.startsWith(".head-") && n.endsWith(".tmp")
+      if (st.getModificationTime < cutoff && (orphanCkpt || staleHead))
+        Some(st.getPath -> st.isDirectory)
+      else None
+    }
+    SweepPlan(drop, keep, dropCkpts, deadFiles, deadDirs,
+      rootOrphans ++ logOrphans)
+  }
+
+  /** `VACUUM ... DRY RUN`: everything the retention horizon WOULD delete
+    * — dropped manifests, checkpoint dirs, dead data/DV files, dead dirs
+    * (trailing '/'), orphan dirs and stale tmps — computed from the SAME
+    * [[sweepPlan]] the real vacuum executes, read-only, no re-anchor, no
+    * deletion (re-anchoring re-encodes the same logical commit, so the
+    * swept set is identical). The operator's look-before-you-leap for an
+    * irreversible sweep. */
   def vacuumPreview(spark: SparkSession, path: String,
       retainMs: Long): Seq[String] = {
     val root = new Path(path)
@@ -3251,16 +3326,15 @@ object VersionedTable {
     if (vs.isEmpty) return Seq.empty
     val cutoff = System.currentTimeMillis() - retainMs
     val keepLast = math.max(1, vs.count(v => commitTime(f, root, v) >= cutoff))
-    val (drop, keep) = (vs.dropRight(keepLast), vs.takeRight(keepLast))
-    if (drop.isEmpty) return Seq.empty
-    val live: Set[String] = keep.flatMap { v =>
-      val c = readManifest(spark, f, root, v)
-      c.files ++ c.dv
-    }.toSet
-    val deadData = drop.flatMap(v =>
-      scala.util.Try(readManifest(spark, f, root, v)).toOption.toSeq
-        .flatMap(c => c.files ++ c.dv)).distinct.filterNot(live)
-    drop.map(v => f"$LogDir/$v%08d.json") ++ deadData
+    val plan = sweepPlan(spark, f, root, path, keepLast, retainMs)
+    val rootUri = root.toUri.getPath
+    def rel(p: Path): String = {
+      val s = p.toUri.getPath
+      if (s.startsWith(rootUri)) s.stripPrefix(rootUri).stripPrefix("/") else s
+    }
+    plan.drop.map(v => f"$LogDir/$v%08d.json") ++
+      plan.dropCkpts ++ plan.deadFiles ++ plan.deadDirs.map(_ + "/") ++
+      plan.orphans.map { case (p, isDir) => rel(p) + (if (isDir) "/" else "") }
   }
 
   def vacuum(spark: SparkSession, path: String, keepLast: Int,
@@ -3298,62 +3372,15 @@ object VersionedTable {
         atomicReplace(f, root, tmp, manifest(root, mk))
       }
     }
-    val live: Set[String] =
-      keep.flatMap { v =>
-        val c = readManifest(spark, f, root, v)
-        c.files ++ c.dv // DV sidecars are live exactly like data files
-      }.toSet
-    val liveDirs: Set[String] = live.map(_.takeWhile(_ != '/'))
-    val droppedDirs = scala.collection.mutable.Set.empty[String]
-    // resolve EVERY dropped commit before deleting ANY manifest: dropped
-    // versions may be deltas chained onto other dropped versions. A commit
-    // left unresolvable by a previous vacuum crash just loses its file
-    // list — its manifest still goes, and its files fall to the orphan
-    // sweep rather than breaking this vacuum forever.
-    val dropFiles = drop.flatMap(v =>
-      scala.util.Try(readManifest(spark, f, root, v)).toOption.toSeq
-        .flatMap(c => c.files ++ c.dv))
-    // checkpoint parquet dirs referenced only by dropped manifests die with
-    // them (kept chains never descend past the re-anchored oldest keep)
-    val dropCkpts = drop.flatMap(v =>
-      scala.util.Try(parseManifest(f, root, v)).toOption
-        .flatMap(n => Option(n.get("ckpt")).map(_.asText())))
-    // all manifests first: a crash between manifest and data deletion must
-    // not leave a committed version whose data is gone
-    drop.foreach(v => f.delete(manifest(root, v), false))
-    dropCkpts.foreach(rel => f.delete(new Path(root, rel), true))
-    dropFiles.filterNot(live).foreach { r =>
-      f.delete(new Path(root, r), false)
-      droppedDirs += r.takeWhile(_ != '/')
-    }
-    // dirs that held only dropped-version files are fully dead: writers
-    // never add files to a dir once its commit landed
-    droppedDirs.filterNot(liveDirs).foreach(d => f.delete(new Path(root, d), true))
-    val oldestKeptTime = keep.headOption
-      .map(v => f.getFileStatus(manifest(root, v)).getModificationTime)
-      .getOrElse(Long.MaxValue)
-    val cutoff = math.min(oldestKeptTime, System.currentTimeMillis() - orphanRetentionMs)
-    f.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      val versioned = n.startsWith("d-") || n.startsWith("v=") // incl. legacy layout
-      val staleStage = !st.isDirectory &&
-        n.startsWith(".commit-") && n.endsWith(".tmp")
-      if (st.getModificationTime < cutoff &&
-        ((st.isDirectory && versioned && !liveDirs.contains(n)) || staleStage))
-        f.delete(st.getPath, st.isDirectory)
-    }
-    // orphaned checkpoint dirs (writers that died between ckpt write and
-    // manifest CAS) and stale head-pointer tmps, under the same cutoff
-    val keptCkpts: Set[String] = keep.flatMap(v =>
-      scala.util.Try(parseManifest(f, root, v)).toOption
-        .flatMap(n => Option(n.get("ckpt")).map(_.asText()))).toSet
-    f.listStatus(new Path(root, LogDir)).foreach { st =>
-      val n = st.getPath.getName
-      val orphanCkpt = st.isDirectory && n.startsWith("ckpt-") &&
-        !keptCkpts.contains(s"$LogDir/$n")
-      val staleHead = !st.isDirectory && n.startsWith(".head-") && n.endsWith(".tmp")
-      if (st.getModificationTime < cutoff && (orphanCkpt || staleHead))
-        f.delete(st.getPath, st.isDirectory)
-    }
+    // one plan (shared with DRY RUN), executed in safety order: all
+    // manifests first — a crash between manifest and data deletion must
+    // not leave a committed version whose data is gone — then ckpt dirs,
+    // dead files, dead dirs, and the orphan/stale-tmp sweep
+    val plan = sweepPlan(spark, f, root, path, keepLast, orphanRetentionMs)
+    plan.drop.foreach(v => f.delete(manifest(root, v), false))
+    plan.dropCkpts.foreach(rel => f.delete(new Path(root, rel), true))
+    plan.deadFiles.foreach(r => f.delete(new Path(root, r), false))
+    plan.deadDirs.foreach(d => f.delete(new Path(root, d), true))
+    plan.orphans.foreach { case (p, isDir) => f.delete(p, isDir) }
   }
 }

@@ -249,20 +249,45 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_decontaminate: benchmark shingles broadcast; corpus never shuffles for the join") {
-    val p = plan("q_decontaminate")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan // pre-AQE: structural, not string
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, sp.toString)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, sp.toString)
+    // the STREAMED (corpus) side of the probe must reach the join without
+    // any HASH shuffle — a distinct there would hash-exchange ~5× the
+    // corpus (every shingle of every doc) before a single row is probed,
+    // the exact scale killer this operator's design avoids (only matched
+    // survivors may shuffle, above the join). Tables.spread's round-robin
+    // fan-out of the COMPACT pre-explode rows is allowed: it moves doc
+    // rows, not shingles, and exists to un-serialize single-row-group
+    // input
+    val streamed = joins.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => joins.head.left
+      case _ => joins.head.right
+    }
+    val hashShuffles = streamed.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"corpus side hash-shuffles before the probe:\n$streamed")
+    spark.catalog.clearCache()
   }
 
   test("q_seq_pack: window partitions by bounded shard, never a global window") {
-    val df = SparkEntry.queries("q_seq_pack")(spark, sf0001)
-    val exec = df.queryExecution.executedPlan
-    df.write.format("noop").mode("overwrite").save()
-    val windows = exec.toString
-    assert(windows.contains("Window"), windows)
-    // the window's partition spec must include the shard key — a
-    // lang-only (3-value) or empty partition spec is the single-task
-    // funnel this op exists to avoid
-    assert(windows.contains("shard"), windows)
+    val p = plan("q_seq_pack")
+    // assert on the WINDOW OPERATOR's own line: the partition spec inside
+    // windowspecdefinition must carry the shard key — a lang-only
+    // (3-value) or empty partition spec is the single-task funnel this op
+    // exists to avoid, and 'shard' appearing elsewhere in the plan (the
+    // project alias, the aggregate keys) must not mask it
+    val specLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specLines.nonEmpty, p)
+    assert(specLines.forall(_.contains("shard")), specLines.mkString("\n"))
   }
 }

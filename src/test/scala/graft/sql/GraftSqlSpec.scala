@@ -384,6 +384,7 @@ class GraftSqlSpec extends SparkSpec {
     val p = tmp()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)          // v1
     VersionedTable.write(Seq((2L, "b")).toDF("id", "s"), p)          // v2 replaces v1
+    Thread.sleep(5L) // RETAIN 0 keeps commits stamped at-or-after "now"
     val preview = spark.sql(s"VACUUM ${sqlName(p)} RETAIN 0 HOURS DRY RUN")
       .collect().map(_.getString(0))
     // v1's manifest and its now-unreferenced data file are listed
