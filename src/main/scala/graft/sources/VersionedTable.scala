@@ -2055,6 +2055,10 @@ object VersionedTable {
     // rows) but only non-tombstone rows are (re-)inserted
     val inserts = deleteWhere
       .map(p => deduped.filter(!coalesce(p, lit(false)))).getOrElse(deduped)
+    // captured for the post-commit auto-compact hook: the files THIS merge
+    // wrote, and the props that governed the committed version
+    var hookRel: Seq[String] = Nil
+    var hookProps: Map[String, String] = Map.empty
     try {
       var attempt = 0
       var committed = -1L
@@ -2159,8 +2163,14 @@ object VersionedTable {
           statsFn(), rows, newTxn, dvKeep, dvRowsKeep, parent = baseC,
           colMap = cMap, physDropped = physDrop,
           carriedIdentical = true, statsAddOnly = Some(statsAdd))
-        if (tryCommit(f, root, v, body)) committed = v
-        else {
+        if (tryCommit(f, root, v, body)) {
+          committed = v
+          hookRel = statsAdd.keys.toSeq match {
+            case Nil => files.filterNot(baseC.map(_.files.toSet).getOrElse(Set.empty))
+            case ks => ks
+          }
+          hookProps = baseC.map(_.props).getOrElse(Map.empty)
+        } else {
           f.delete(stagedDir, true) // stale merge — recompute against the new head
           ckptDir.foreach(d => f.delete(d, true))
           attempt += 1
@@ -2168,6 +2178,10 @@ object VersionedTable {
             s"$path: lost $attempt upsert commit races in a row; giving up")
         }
       }
+      // a MERGE-maintained table fragments exactly like an append-
+      // maintained one (every streaming micro-merge stages fresh files):
+      // same post-commit hygiene hook as appendInternal
+      autoCompactAfter(spark, path, hookProps, hookRel)
       committed
     } finally deduped.unpersist()
   }

@@ -75,6 +75,8 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
+  private val DetailRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(cat, path, where, zorder) =>
@@ -94,6 +96,8 @@ private[sql] object GraftSqlStatements {
       Some(GraftRestoreCommand(cat, path, None, Some(ts)))
     case HistoryRe(cat, path) =>
       Some(GraftDescribeHistoryCommand(cat, path))
+    case DetailRe(cat, path) =>
+      Some(GraftDescribeDetailCommand(cat, path))
     case _ => None
   }
 
@@ -190,6 +194,44 @@ case class GraftRestoreCommand(cat: String, path: String,
           s"$p has no version committed at or before '${timestamp.get}'"))
     }
     Seq(Row(toV, VersionedTable.restore(session, p, toV)))
+  }
+}
+
+/** `DESCRIBE DETAIL` (Delta's table-summary statement): ONE row of
+  * operational facts — head version, file count, manifest row count,
+  * partition dimension, properties and constraints — assembled from one
+  * manifest resolution, zero data files opened (file SIZES are
+  * deliberately absent: the manifest doesn't store them, and a
+  * getFileStatus sweep would make a metadata statement O(table files)). */
+case class GraftDescribeDetailCommand(cat: String,
+    path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)(),
+    AttributeReference("check_constraints", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
+    val v = VersionedTable.latestVersion(session, p).getOrElse(
+      throw new IllegalArgumentException(s"$p has no committed versions"))
+    val partCols = VersionedTable.partitionColsOf(
+      VersionedTable.read(session, p).schema)
+    val props = VersionedTable.propertiesOf(session, p)
+    val cons = VersionedTable.checkConstraintsOf(session, p)
+    def kv(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString(",")
+    Seq(Row(p, "graft-table", v,
+      VersionedTable.filesOf(session, p, v).size,
+      VersionedTable.countRows(session, p).map(java.lang.Long.valueOf).orNull,
+      partCols.mkString(","),
+      kv(props.filterNot(_._1.startsWith("graft.constraint."))),
+      kv(cons)))
   }
 }
 

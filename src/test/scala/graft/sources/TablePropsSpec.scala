@@ -210,6 +210,20 @@ class TablePropsSpec extends SparkSpec {
       VersionedTable.read(spark, pOff).collect().map(_.toString).toSet)
   }
 
+  test("autoCompact also converges a MERGE-maintained (streaming upsert sink) table") {
+    val p = tmp()
+    VersionedTable.write(Seq((0L, 0.0)).toDF("id", "v"), p, statsCols = Seq("id"))
+    VersionedTable.setProperties(spark, p, Map(
+      "graft.autoCompact" -> "true", "graft.autoCompact.minFiles" -> "4"))
+    (1 to 10).foreach { i => // each micro-merge inserts a fresh key
+      VersionedTable.upsert(Seq((i.toLong, i.toDouble)).toDF("id", "v"), p, Seq("id"))
+    }
+    val head = VersionedTable.latestVersion(spark, p).get
+    assert(VersionedTable.filesOf(spark, p, head).size < 6,
+      VersionedTable.filesOf(spark, p, head).mkString(","))
+    assert(VersionedTable.read(spark, p).count() == 11)
+  }
+
   test("optimizeWrite writes one file per touched partition dir per commit") {
     val p = tmp()
     VersionedTable.write(Seq((0L, "d1"), (1L, "d2")).toDF("id", "dt"), p,

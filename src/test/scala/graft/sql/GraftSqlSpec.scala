@@ -380,6 +380,22 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { VersionedTable.read(spark, p, Some(1L)).collect() }
   }
 
+  test("DESCRIBE DETAIL: one manifest-only row of operational facts") {
+    val p = tmp()
+    val df = Seq((1L, 2.0, "a"), (2L, 4.0, "b")).toDF("id", "v", "dt")
+    VersionedTable.write(df, p, statsCols = Seq("id"), partitionBy = Seq("dt"))
+    VersionedTable.setProperties(spark, p, Map("graft.team" -> "ops"))
+    VersionedTable.addCheckConstraint(spark, p, "v_pos", "v > 0")
+    val r = spark.sql(s"DESCRIBE DETAIL ${sqlName(p)}").collect().head
+    assert(r.getString(0) == p)
+    assert(r.getLong(2) == 3L)                       // head version
+    assert(r.getInt(3) == 2)                         // one file per dt dir
+    assert(r.getLong(4) == 2L)                       // manifest row count
+    assert(r.getString(5) == "dt")                   // partition dimension
+    assert(r.getString(6).contains("graft.team=ops"), r.getString(6))
+    assert(r.getString(7) == "v_pos=v > 0", r.getString(7))
+  }
+
   test("VACUUM DRY RUN previews the sweep without deleting anything") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)          // v1
