@@ -219,15 +219,34 @@ class VersionedTableSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = tablePath(parameters)
+    // startingTimestamp (Delta's option of the same name): resolved to the
+    // version horizon ONCE at source creation — the stream starts at the
+    // first version committed AT or AFTER the instant (Delta's contract):
+    // versionAt(ts-1) is the last version strictly before ts, so +1; when
+    // nothing predates ts, every version qualifies → genesis
+    val startV = (parameters.get("startingVersion"),
+        parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        s"$path: startingVersion and startingTimestamp are mutually exclusive")
+      case (Some(v), None) => v.toLong
+      case (None, Some(raw)) =>
+        val ts = scala.util.Try(java.time.Instant.parse(raw.trim).toEpochMilli)
+          .getOrElse(java.sql.Timestamp.valueOf(raw.trim).getTime)
+        VersionedTable.versionAt(spark, path, ts - 1L).map(_ + 1L).getOrElse(0L)
+      case (None, None) => 0L
+    }
     new VersionedTableSource(
-      sqlContext.sparkSession,
-      tablePath(parameters),
-      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      spark,
+      path,
+      startingVersion = startV,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
       changeFeed = changeFeed(parameters))
+  }
 }
 
 private[streaming] class VersionedTableSource(

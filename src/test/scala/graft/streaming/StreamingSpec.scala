@@ -668,6 +668,34 @@ class StreamingSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("foreachBatch")), ex.getMessage)
   }
 
+  test("startingTimestamp: the stream begins at the first version at-or-after the instant") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val p = Files.createTempDirectory("stream-sts").toString + "/t"
+    VersionedTable.append(Seq((1L, "a")).toDF("id", "s"), p)             // v1
+    Thread.sleep(15L)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15L)
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "s"), p)             // v2
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "s"), p)             // v3
+    val q = spark.readStream.format("graft-table")
+      .option("path", p)
+      .option("startingTimestamp",
+        java.time.Instant.ofEpochMilli(mid).toString)
+      .load()
+      .writeStream.format("memory").queryName("sts_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // v1 predates the instant and is excluded; v2/v3 stream
+    assert(spark.table("sts_out").collect().map(_.toString).toSet ==
+      Set("[2,b]", "[3,c]"))
+    // both options together are refused
+    intercept[Exception] {
+      spark.readStream.format("graft-table").option("path", p)
+        .option("startingVersion", "1").option("startingTimestamp", "2026-01-01")
+        .load().writeStream.format("noop").start().processAllAvailable()
+    }
+  }
+
   test("recovery-replayed batch predating a re-partitioning overwrite is refused") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
