@@ -37,6 +37,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // Delta's `table_changes` as a TABLE-VALUED FUNCTION:
+    //   SELECT * FROM graft_table_changes('/path', fromV, toV)
+    // the row-level CDF of versions (fromV, toV], _change_type-tagged;
+    // fromV = 0 serves the toV snapshot as inserts (initial load)
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "graft_table_changes"),
+      (args: Seq[Expression]) => GraftExtensions.tableChangesPlan(args)))
+  }
+}
+
+object GraftExtensions {
+  /** Build the CDF plan for `graft_table_changes(path, fromV, toV)` —
+    * arguments must be literals (the range pins which versions diff; an
+    * expression-valued range would make the plan's schema dynamic). */
+  private[sql] def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"graft_table_changes(path, fromVersion, toVersion): $msg")
+    if (args.size != 3) fail(s"expected 3 arguments, got ${args.size}")
+    val path = args.head match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => fail(s"path must be a string literal (got ${other.sql})")
+    }
+    def lng(e: Expression, what: String): Long = e match {
+      case Literal(v: java.lang.Integer, _) => v.longValue
+      case Literal(v: java.lang.Long, _) => v.longValue
+      case other => fail(s"$what must be an integer literal (got ${other.sql})")
+    }
+    val spark = SparkSession.active
+    GraftBatchShim.ofRelation(spark,
+      graft.sources.VersionedTable.changesRelation(spark, path,
+        lng(args(1), "fromVersion"), lng(args(2), "toVersion")))
+      .queryExecution.logical
   }
 }
 

@@ -380,6 +380,27 @@ class GraftSqlSpec extends SparkSpec {
     intercept[Exception] { VersionedTable.read(spark, p, Some(1L)).collect() }
   }
 
+  test("graft_table_changes TVF: row-level CDF through plain SQL") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), p)   // v1
+    VersionedTable.delete(spark, p, $"id" === 1)                         // v2
+    assert(rows(spark.sql(
+      s"SELECT _change_type, id, s FROM graft_table_changes('$p', 1, 2)")) ==
+      Set("[delete,1,a]"))
+    // fromV = 0: initial load — the toV snapshot as inserts
+    assert(rows(spark.sql(
+      s"SELECT _change_type, id, s FROM graft_table_changes('$p', 0, 1)")) ==
+      Set("[insert,1,a]", "[insert,2,b]"))
+    // composable: aggregate over the feed like any table
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft_table_changes('$p', 1, 2)")
+      .collect().head.getLong(0) == 1L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$p', 1)").collect()
+    }
+    assert(messagesOf(e).contains("expected 3 arguments"), messagesOf(e))
+  }
+
   test("DESCRIBE DETAIL: one manifest-only row of operational facts") {
     val p = tmp()
     val df = Seq((1L, 2.0, "a"), (2L, 4.0, "b")).toDF("id", "v", "dt")
