@@ -9,11 +9,13 @@ import graft.sources.Tables
 
 /** Training-data text operators over the `documents` table: exact dedup,
   * quality scoring, token counting, language-ID heuristic, fingerprinting,
-  * benchmark decontamination, sequence packing. The per-row operators are
-  * narrow scan → project → (optional) single hash aggregation;
-  * decontamination adds one BROADCAST join (bench side tiny, corpus never
-  * shuffles) and packing one bounded-shard window — each operator's header
-  * states its own plan shape and why it holds at 100 TB.
+  * benchmark decontamination, sequence packing, repetition filtering,
+  * domain-mixture weighting, deterministic training-order shuffle. The
+  * per-row operators are narrow scan → project → (optional) single hash
+  * aggregation; decontamination adds one BROADCAST join (bench side tiny,
+  * corpus never shuffles), packing/shuffling one bounded-shard window —
+  * each operator's header states its own plan shape and why it holds at
+  * 100 TB.
   */
 object TextQueries {
 
@@ -379,6 +381,148 @@ object TextQueries {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM packed GROUP BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_repetition_stats — Gopher-style REPETITION signals, the quality filter
+  // every pretraining pipeline runs (Rae et al. 2021 §A1.1: documents
+  // dominated by one word or one n-gram are boilerplate/spam): per document,
+  // the fraction of tokens claimed by the most frequent word and by the most
+  // frequent bigram, plus the drop flag at the classic thresholds.
+  //
+  // Plan at 100 TB: two explode → two-level hash aggregations (partial
+  // map-side combine on the high-cardinality (doc, gram) key, then a per-doc
+  // rollup) and one equi-join of two doc-keyed aggregates. Everything is
+  // keyed by doc_id or (doc_id, gram) — unique/near-unique keys, no skew,
+  // linear in corpus size, no window, no driver state.
+  // --------------------------------------------------------------------------
+  val RepTopWordFrac = 0.20
+  val RepTopBigramFrac = 0.18
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val wstats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_word"), sum(col("c")).as("n_words"))
+    val bstats = wsShingles(docs, 2)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram"), sum(col("c")).as("n_bigrams"))
+    wstats.join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(col("top_word").cast(DoubleType) / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(col("top_bigram").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_word_frac") > RepTopWordFrac ||
+          coalesce(col("top_bigram_frac") > RepTopBigramFrac, lit(false)))
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, MAX(c) AS top_word, SUM(c) AS n_words FROM wc GROUP BY 1),
+       |bg AS (
+       |  SELECT doc_id, array_to_string(wl[i:i+1], ' ') AS bgm
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+       |    UNNEST(range(1, len(wl))) AS t(i)),
+       |bc AS (SELECT doc_id, bgm, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams FROM bc GROUP BY 1),
+       |fr AS (
+       |  SELECT ws.doc_id,
+       |    ROUND(CAST(top_word AS DOUBLE) / n_words, 6) AS top_word_frac,
+       |    ROUND(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+       |  FROM ws LEFT JOIN bs USING (doc_id))
+       |SELECT doc_id, top_word_frac, top_bigram_frac,
+       |  top_word_frac > $RepTopWordFrac
+       |    OR COALESCE(top_bigram_frac > $RepTopBigramFrac, FALSE) AS repetitive
+       |FROM fr""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_domain_mix — DOMAIN-MIXTURE sampling weights: per-source doc/token
+  // accounting plus the temperature-scaled sampling weight
+  // w_s ∝ share_s^(1/2) (the standard sqrt/temperature reweighting that
+  // up-samples small domains for pretraining mixes). Two tiny global
+  // aggregates ride as broadcast one-row cross joins; the only corpus-sized
+  // work is ONE hash aggregation on `source` — low-cardinality key, but
+  // map-side partial combine means each task emits at most |sources| rows,
+  // so the 20-key reduce never sees corpus-sized traffic.
+  // --------------------------------------------------------------------------
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), wordCount(col("text")).as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    val shares = per.join(broadcast(tot))
+      .withColumn("token_share",
+        round(col("n_tokens").cast(DoubleType) / col("total_tokens"), 6))
+      .withColumn("w_raw",
+        round(sqrt(col("n_tokens").cast(DoubleType) / col("total_tokens")), 6))
+    val z = shares.agg(sum(col("w_raw")).as("z"))
+    shares.join(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("token_share"),
+        round(col("w_raw") / col("z"), 6).as("mix_weight"))
+  }
+
+  val domainMixSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
+      |sh AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+      |    ROUND(SQRT(CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS w_raw
+      |  FROM per CROSS JOIN tot),
+      |z AS (SELECT SUM(w_raw) AS z FROM sh)
+      |SELECT source, n_docs, n_tokens, token_share,
+      |  ROUND(w_raw / z, 6) AS mix_weight
+      |FROM sh CROSS JOIN z""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_train_shuffle — deterministic GLOBAL SHUFFLE for training order: every
+  // doc gets a shard (first hash byte mod ShuffleShards) and a position
+  // within its shard (rank by hash). Reproducible across engines,
+  // partitionings and reruns — shuffle order is a pure function of
+  // (seed, doc_id), the property a resumable data loader needs.
+  //
+  // Plan at 100 TB: one shuffle on the shard key + a per-shard sort (the
+  // window's ORDER BY). Shard count is the scale knob — a real run sizes it
+  // as corpus_tokens / shard_file_budget, so per-shard sort volume stays
+  // bounded as the corpus grows; 64 here is sized for the test corpus.
+  // --------------------------------------------------------------------------
+  val ShuffleSeed = "graft-shuffle-42:"
+  val ShuffleShards = 64
+
+  def trainShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("hx"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))).as("hx"))
+      .withColumn("shard",
+        conv(substring(col("hx"), 1, 2), 16, 10).cast(LongType) % ShuffleShards)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val trainShuffleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    md5(concat('$ShuffleSeed', CAST(doc_id AS VARCHAR))) AS hx
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, hx,
+       |    CAST(concat('0x', substring(hx, 1, 2)) AS BIGINT) % $ShuffleShards AS shard
+       |  FROM h)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_funnel" -> (curationFunnel _),
@@ -390,6 +534,9 @@ object TextQueries {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_decontaminate"   -> (decontaminate _),
     "q_seq_pack"        -> (seqPack _),
+    "q_repetition_stats" -> (repetitionStats _),
+    "q_domain_mix"      -> (domainMix _),
+    "q_train_shuffle"   -> (trainShuffle _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -403,5 +550,8 @@ object TextQueries {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_decontaminate"   -> decontaminateSql,
     "q_seq_pack"        -> seqPackSql,
+    "q_repetition_stats" -> repetitionStatsSql,
+    "q_domain_mix"      -> domainMixSql,
+    "q_train_shuffle"   -> trainShuffleSql,
   )
 }

@@ -290,4 +290,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(specLines.nonEmpty, p)
     assert(specLines.forall(_.contains("shard")), specLines.mkString("\n"))
   }
+
+  test("q_repetition_stats: aggregate-join shape — no window, no cartesian") {
+    val df = SparkEntry.queries("q_repetition_stats")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    // per-doc rollups join on the unique doc_id key; any window or
+    // cartesian here would be a rewrite gone wrong (the op is two
+    // two-level hash aggregations + one equi-join)
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, sp.toString)
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, sp.toString)
+    // both gram counts must partial-aggregate map-side before the
+    // (doc, gram) exchange — the plan carries partial/final HashAggregates
+    val aggs = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+    assert(aggs.size >= 4, sp.toString) // 2 levels × 2 gram kinds, partial+final
+  }
+
+  test("q_domain_mix: global scalars ride broadcasts, never a shuffle join") {
+    val df = SparkEntry.queries("q_domain_mix")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    // the two one-row totals (total_tokens, z) must join as broadcasts —
+    // a sort-merge or cartesian join against a one-row side means the
+    // broadcast hints were lost in a refactor
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, sp.toString)
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, sp.toString)
+    val bcasts = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bcasts.size >= 2, sp.toString)
+  }
+
+  test("q_train_shuffle: window partitions by the hash shard, never global") {
+    val p = plan("q_train_shuffle")
+    val specLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specLines.nonEmpty, p)
+    assert(specLines.forall(_.contains("shard")), specLines.mkString("\n"))
+  }
 }
