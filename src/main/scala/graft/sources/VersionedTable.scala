@@ -469,24 +469,33 @@ object VersionedTable {
   private def writeCkptFromAnchor(spark: SparkSession, root: Path, v: Long,
       anchorRel: String, removed: Set[String],
       adds: Seq[(String, Option[Long], Option[String])],
-      keepStatsCols: Option[Set[String]]): (String, Path) = {
+      keepStatsCols: Option[Set[String]],
+      renameStats: Option[(String, String)] = None): (String, Path) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"$LogDir/ckpt-$v%08d-$token"
     val dir = new Path(root, rel)
     import spark.implicits._
     val rm = removed // small closure: O(changed files since anchor)
     val keep = keepStatsCols
+    val ren = renameStats
     val carried = spark.read.parquet(new Path(root, anchorRel).toString)
       .select(col("idx"), col("path"), col("rows"), col("stats"))
       .as[(Int, String, Option[Long], Option[String])]
       .mapPartitions(_.collect {
         case (i, p, rw, st) if !rm.contains(p) =>
-          val pruned = (keep, st) match {
-            case (Some(ks), Some(s)) =>
-              val m = DataSkipping.colsFromJson(s).filter(kv => ks(kv._1))
-              if (m.isEmpty) None else Some(DataSkipping.colsToJson(m))
-            case _ => st
-          }
+          // RENAME COLUMN rekeys a carried file's stats (same physical
+          // column, new logical key) before DROP's keep-filter applies —
+          // both rewrites run here on the EXECUTORS
+          val pruned =
+            if (keep.isEmpty && ren.isEmpty) st
+            else st.flatMap { s =>
+              val parsed = DataSkipping.colsFromJson(s)
+              val rekeyed = ren.fold(parsed) { case (from, to) =>
+                parsed.map { case (k0, v0) => (if (k0 == from) to else k0) -> v0 }
+              }
+              val kept = keep.fold(rekeyed)(ks => rekeyed.filter(kv => ks(kv._1)))
+              if (kept.isEmpty) None else Some(DataSkipping.colsToJson(kept))
+            }
           (i, p, rw, pruned)
       })
     val addRows = spark.createDataset(adds.zipWithIndex.map {
@@ -607,6 +616,7 @@ object VersionedTable {
       statsAddOnly: Option[DataSkipping.FileStats] = None,
       anchorSrc: Option[Commit] = None,
       keepStatsCols: Option[Set[String]] = None,
+      renameStats: Option[(String, String)] = None,
       props: Option[Map[String, String]] = None): (String, Option[Path]) = {
     // TABLE PROPERTIES carry from the parent unless a verb sets them
     // explicitly (the props-changing commits, restore, vacuum re-anchor) —
@@ -633,12 +643,17 @@ object VersionedTable {
           val knownAdds = src.get.statsAdds ++ statsAddOnly.getOrElse(Map.empty)
           val adds = files.filterNot(aSet).map { k =>
             val st = knownAdds.get(k)
-              .map(m => keepStatsCols.fold(m)(ks => m.filter(kv => ks(kv._1))))
+              .map { m0 =>
+                val m = renameStats.fold(m0) { case (from, to) =>
+                  m0.map { case (k0, v0) => (if (k0 == from) to else k0) -> v0 }
+                }
+                keepStatsCols.fold(m)(ks => m.filter(kv => ks(kv._1)))
+              }
               .filter(_.nonEmpty)
             (k, rows.get(k), st.map(DataSkipping.colsToJson))
           }
           val (rel, dir) = writeCkptFromAnchor(spark, root, v, aRel,
-            removed = aSet.diff(filesSet), adds, keepStatsCols)
+            removed = aSet.diff(filesSet), adds, keepStatsCols, renameStats)
           (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
             parent, isDelta = false, colMap, physDropped, ts,
             ckptRef = Some(rel), statsAddOnly = statsAddOnly,
@@ -2414,6 +2429,58 @@ object VersionedTable {
         c.physDropped ++ names.map(c.physName))
     })
 
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
+    * column-mapping rename): the logical name changes in the recorded
+    * schema while the column keeps its PHYSICAL name, so every carried
+    * file — which physically stores the old name — serves the renamed
+    * column without a byte moving, and pre-rename versions time-travel
+    * under their own name/mapping. Manifest file stats are REKEYED to the
+    * new logical name (same physical column, same values), so data
+    * skipping and metadata MIN/MAX keep working across the rename; on
+    * checkpoint-anchored tables the rekey runs on the executors
+    * (writeCkptFromAnchor), never as an O(table) driver step.
+    *
+    * Refused for partition columns (directory names, the streaming layout
+    * pin, and every path-derived read depend on the physical partition
+    * key) and for columns a CHECK constraint references (the stored
+    * predicate text would silently stop resolving — DROP CONSTRAINT
+    * first, like Delta). A rename TO a previously-dropped name is fine:
+    * the mapping binds the new logical name to the renamed column's
+    * physical name, so carried files' stale bytes under the old dropped
+    * name stay unreachable. */
+  def renameColumn(spark: SparkSession, path: String,
+      from: String, to: String): Long =
+    alterSchema(spark, path, "rename", { (s, c, _) =>
+      require(from != to, s"$path: RENAME COLUMN $from TO $to is a no-op")
+      require(s.fieldNames.contains(from), s"$path: no such column: $from")
+      require(!s.fieldNames.contains(to),
+        s"$path: column already exists: $to")
+      require(!partitionColsOf(s).contains(from),
+        s"$path: cannot rename partition column $from — the directory " +
+          "layout depends on it (migrate via CREATE TABLE ... PARTITIONED " +
+          "BY + INSERT SELECT)")
+      val lowerFrom = from.toLowerCase
+      constraintsIn(c.props).foreach { case (cname, sql) =>
+        val refs = scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(sql).collect {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts.head.toLowerCase
+          }.toSet).getOrElse(Set.empty[String])
+        require(!refs.contains(lowerFrom),
+          s"$path: cannot rename column $from — constraint '$cname' " +
+            s"CHECK ($sql) references it; DROP CONSTRAINT first")
+      }
+      val phys = c.physName(from)
+      val fields = s.fields.map(fl =>
+        if (fl.name == from) fl.copy(name = to) else fl)
+      // identity mappings stay out of the map (phys == to can only arise
+      // from a rename chain that lands back on its physical name)
+      val nextMap =
+        if (phys == to) c.colMap - from
+        else (c.colMap - from) + (to -> phys)
+      (StructType(fields), nextMap, c.physDropped)
+    }, renameStats = Some(from -> to))
+
   /** ALTER TABLE SET / UNSET TBLPROPERTIES as a METADATA-ONLY commit: the
     * new version carries the same files, schema, stats and marks with an
     * updated properties map. Properties drive table-level behavior —
@@ -2577,7 +2644,8 @@ object VersionedTable {
     setProperties(spark, path, Map.empty, Seq(ConstraintPrefix + name))
 
   private def alterSchema(spark: SparkSession, path: String, verb: String,
-      change: (StructType, Commit, Long) => (StructType, Map[String, String], Set[String])): Long = {
+      change: (StructType, Commit, Long) => (StructType, Map[String, String], Set[String]),
+      renameStats: Option[(String, String)] = None): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -2592,22 +2660,28 @@ object VersionedTable {
       val keep = next.fieldNames.toSet
       // LAZY: on a checkpoint-anchored table the stats prune runs on the
       // EXECUTORS (keepStatsCols → writeCkptFromAnchor); this driver-side
-      // map is only ever forced on small/inline tables
+      // map is only ever forced on small/inline tables. RENAME rekeys the
+      // renamed column's entries first (same physical column, new logical
+      // key), then the keep-filter sheds truly-dropped names.
       lazy val stats = c.stats.map { case (fk, cols) =>
-        fk -> cols.filter(kv => keep(kv._1))
+        val rekeyed = renameStats.fold(cols) { case (from, to) =>
+          cols.map { case (k0, v0) => (if (k0 == from) to else k0) -> v0 }
+        }
+        fk -> rekeyed.filter(kv => keep(kv._1))
       }.filter(_._2.nonEmpty)
       // ADD COLUMN touches no file stats (carry identity holds — it may
-      // delta-encode and never forces the parent map); DROP COLUMN changes
-      // carried stats, which a file-delta can't express: full form, with
-      // the column prune shipped to the executors for anchored tables
-      val isDrop = verb == "drop"
+      // delta-encode and never forces the parent map); DROP/RENAME COLUMN
+      // change carried stats, which a file-delta can't express: full form,
+      // with the stats rewrite shipped to the executors for anchored tables
+      val reshape = verb == "drop" || renameStats.isDefined
       val (body, ckptDir) = encodeCommit(spark, root, v, c.files, next.json,
         stats, c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
-        forceFull = isDrop,
+        forceFull = reshape,
         colMap = nextMap, physDropped = nextDropped,
-        carriedIdentical = !isDrop,
+        carriedIdentical = !reshape,
         statsAddOnly = Some(Map.empty),
-        keepStatsCols = if (isDrop) Some(keep) else None)
+        keepStatsCols = if (reshape) Some(keep) else None,
+        renameStats = renameStats)
       if (tryCommit(f, root, v, body)) committed = v
       else {
         ckptDir.foreach(d => f.delete(d, true))

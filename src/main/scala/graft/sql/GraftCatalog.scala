@@ -152,24 +152,26 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(spark, path, asOf = None)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS / DROP COLUMN` land as metadata-only
-    * schema-evolution commits ([[VersionedTable.addColumns]]/
-    * [[VersionedTable.dropColumns]] — column mapping keeps old files
-    * readable); `SET/UNSET TBLPROPERTIES` as a properties commit
-    * ([[VersionedTable.setProperties]]). Other changes are refused loudly. */
+  /** `ALTER TABLE ... ADD COLUMNS / DROP COLUMN / RENAME COLUMN` land as
+    * metadata-only schema-evolution commits ([[VersionedTable.addColumns]]/
+    * [[VersionedTable.dropColumns]]/[[VersionedTable.renameColumn]] —
+    * column mapping keeps old files readable); `SET/UNSET TBLPROPERTIES`
+    * as a properties commit ([[VersionedTable.setProperties]]). Other
+    * changes are refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
     val addCons = changes.collect { case a: TableChange.AddConstraint => a }
     val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
-    require(adds.size + drops.size + sets.size + unsets.size +
+    require(adds.size + drops.size + renames.size + sets.size + unsets.size +
         addCons.size + dropCons.size == changes.size,
       s"$path: graft supports ALTER TABLE ADD COLUMNS / DROP COLUMN / " +
-        "SET TBLPROPERTIES / UNSET TBLPROPERTIES / ADD CONSTRAINT ... " +
-        s"CHECK / DROP CONSTRAINT (got ${changes.mkString(", ")})")
+        "RENAME COLUMN / SET TBLPROPERTIES / UNSET TBLPROPERTIES / " +
+        s"ADD CONSTRAINT ... CHECK / DROP CONSTRAINT (got ${changes.mkString(", ")})")
     if (sets.nonEmpty || unsets.nonEmpty)
       VersionedTable.setProperties(spark, path,
         sets.map(s => s.property -> s.value).toMap, unsets.map(_.property))
@@ -197,6 +199,11 @@ class GraftCatalog extends TableCatalog {
       drops.foreach(d => require(d.fieldNames.length == 1,
         s"$path: nested DROP COLUMN not supported (${d.fieldNames.mkString(".")})"))
       VersionedTable.dropColumns(spark, path, drops.map(_.fieldNames()(0)))
+    }
+    renames.foreach { r =>
+      require(r.fieldNames.length == 1,
+        s"$path: nested RENAME COLUMN not supported (${r.fieldNames.mkString(".")})")
+      VersionedTable.renameColumn(spark, path, r.fieldNames()(0), r.newName)
     }
     loadTable(ident)
   }

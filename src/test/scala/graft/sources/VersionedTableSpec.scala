@@ -612,6 +612,91 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.history(spark, path).count() == 7)
   }
 
+  test("RENAME COLUMN: metadata-only, stats rekeyed, no byte moves") {
+    val path = java.nio.file.Files.createTempDirectory("rename").toString + "/t"
+    rangeTable(path) // 4 range files, stats on id
+    val v1Files = filesOf(path)
+    val v2 = VersionedTable.renameColumn(spark, path, "id", "key")
+    assert(v2 == 2L && filesOf(path) == v1Files, "RENAME must not touch data")
+    // reads serve the carried files' values under the new name
+    val now = VersionedTable.read(spark, path)
+    assert(now.schema.fieldNames.toSeq == Seq("key", "v"))
+    assert(now.filter(col("key") === 900L).select("v").as[String].head() == "v900")
+    // file stats followed the rename: pruning + metadata MIN/MAX on the NEW
+    // name still work (same physical column, rekeyed manifest entries)
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, col("key") === 900L)
+    assert(kept.size == 1 && skipped.size == 3,
+      s"stats must survive the rename: kept=${kept.size} skipped=${skipped.size}")
+    val mm = VersionedTable.minMaxFromStats(spark, path, "key")
+    assert(mm.exists { case (mn, mx) =>
+      mn.toString.toDouble == 0.0 && mx.toString.toDouble == 999.0 }, s"$mm")
+    // pre-rename versions time-travel under their own name
+    assert(VersionedTable.read(spark, path, Some(1L))
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // writes after the rename use the new name; CoW through the mapping
+    VersionedTable.append(Seq((2000L, "x")).toDF("key", "v").coalesce(1), path)
+    VersionedTable.upsert(Seq((900L, "UP")).toDF("key", "v"), path, Seq("key"))
+    val merged = VersionedTable.read(spark, path)
+    assert(merged.count() == 1001)
+    assert(merged.filter(col("key") === 900L).select("v").as[String].head() == "UP")
+    // refusals: unknown, collision, self
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, path, "nope", "x") }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, path, "key", "v") }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, path, "key", "key") }
+  }
+
+  test("RENAME COLUMN: partition/constraint refusals; no resurrection via rename") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    // partition column: refused (directory layout depends on it)
+    val p1 = java.nio.file.Files.createTempDirectory("renamePart").toString + "/t"
+    VersionedTable.write(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p"),
+      p1, Nil, Seq("p"))
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, p1, "p", "q") }
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    // constraint-referenced column: refused naming the constraint
+    val p2 = java.nio.file.Files.createTempDirectory("renameCons").toString + "/t"
+    VersionedTable.write(Seq((1L, 5L)).toDF("id", "n"), p2)
+    VersionedTable.addCheckConstraint(spark, p2, "n_pos", "n > 0")
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, p2, "n", "m") }
+    assert(e2.getMessage.contains("n_pos"), e2.getMessage)
+    // renaming another column ONTO a previously-dropped name must not
+    // resurrect the dropped column's carried bytes: the mapping binds the
+    // renamed column's physical name, not the stale one in the files
+    val p3 = java.nio.file.Files.createTempDirectory("renameDrop").toString + "/t"
+    VersionedTable.write(Seq((1L, "old1", "keep1"), (2L, "old2", "keep2"))
+      .toDF("id", "v", "w").coalesce(1), p3)
+    VersionedTable.dropColumns(spark, p3, Seq("v"))      // files still hold v
+    VersionedTable.renameColumn(spark, p3, "w", "v")     // w takes the name
+    val got = VersionedTable.read(spark, p3).orderBy("id")
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("keep1", "keep2"),
+      s"rename onto a dropped name resurrected stale bytes: $got")
+  }
+
+  test("RENAME COLUMN on a checkpoint-anchored table rekeys stats on executors") {
+    val path = java.nio.file.Files.createTempDirectory("renameCkpt").toString + "/t"
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      (1 to 12).foreach(i =>
+        VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), path, Seq("id")))
+      VersionedTable.ckptStatsParses.set(0L)
+      VersionedTable.renameColumn(spark, path, "id", "key") // v13: full, anchored
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "anchored rename must rekey stats distributed, not on the driver")
+      val (kept, skipped) = VersionedTable.pruneInfo(spark, path, col("key") === 5)
+      assert(kept.size == 1 && skipped.size == 11,
+        s"rekeyed stats must prune: kept=${kept.size} skipped=${skipped.size}")
+      assert(VersionedTable.read(spark, path).filter(col("key") === 5)
+        .select("v").as[String].head() == "v5")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
   test("O(1) head discovery: pointer reads never list the log; fallbacks hold") {
     val path = java.nio.file.Files.createTempDirectory("headptr").toString + "/t"
     val root = new org.apache.hadoop.fs.Path(path)

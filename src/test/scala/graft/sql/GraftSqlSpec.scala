@@ -109,6 +109,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(VersionedTable.read(spark, p).columns.toSeq == Seq("id", "score"))
   }
 
+  test("ALTER TABLE RENAME COLUMN: carried files answer under the new name") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), p,
+      statsCols = Seq("id"))
+    spark.sql(s"ALTER TABLE ${sqlName(p)} RENAME COLUMN id TO key")
+    assert(VersionedTable.read(spark, p).columns.toSeq == Seq("key", "s"))
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)} WHERE key = 2")) ==
+      Set("[2,b]"))
+    // INSERT after the rename; metadata MIN/MAX still answers on the new name
+    spark.sql(s"INSERT INTO ${sqlName(p)} VALUES (5, 'c')")
+    assert(rows(spark.sql(s"SELECT MIN(key) AS mn, MAX(key) AS mx FROM ${sqlName(p)}")) ==
+      Set("[1,5]"))
+    // pre-rename version still time-travels under its own name
+    assert(spark.sql(s"SELECT id FROM ${sqlName(p)} VERSION AS OF 1").count() == 2)
+  }
+
   test("MERGE INTO ≡ VersionedTable.upsert (differential)") {
     val pSql = tmp(); val pApi = tmp()
     val base = Seq((1L, "old1", 10.0), (2L, "old2", 20.0)).toDF("id", "s", "v")
