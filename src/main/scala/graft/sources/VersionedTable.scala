@@ -1780,6 +1780,36 @@ object VersionedTable {
     else None
   }
 
+  /** SHOW PARTITIONS from the manifest alone: one row per live partition
+    * value — (display fragment under LOGICAL names, live file count, exact
+    * row count when every file in the partition has a recorded count,
+    * DV-deleted rows subtracted). Zero data files opened, zero directory
+    * listings: partition values come from the file keys the manifest
+    * already holds, so the statement is O(live files) driver work — the
+    * same order as planning any read. Refused on unpartitioned tables. */
+  def partitionsOf(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Seq[(String, Int, Option[Long])] = {
+    val (_, _, c) = commitFor(spark, path, asOf)
+    val s = c.schema.getOrElse(throw new IllegalArgumentException(
+      s"$path: SHOW PARTITIONS needs a schema-recorded table"))
+    val partCols = partitionColsOf(s)
+    require(partCols.nonEmpty, s"$path is not partitioned")
+    c.files.groupBy(partFragOf).toSeq.map { case (frag, fs) =>
+      // display under LOGICAL names (the fragment holds physical ones)
+      val display = partCols.map { n =>
+        val shown = rawPartValue(frag, c.physName(n))
+          .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+        s"$n=$shown"
+      }.mkString("/")
+      val rows =
+        if (fs.forall(c.rows.contains))
+          Some(fs.map(c.rows).sum - fs.map(fk => c.dvRows.getOrElse(fk, 0L)).sum)
+        else None
+      (display, fs.size, rows)
+    }.sortBy(_._1)
+  }
+
   /** Exact MIN/MAX of a stats column from the manifest alone — zero data
     * files opened (the metadata twin of [[countRows]]; parquet chunk
     * statistics are exact whenever recorded, and collection drops columns

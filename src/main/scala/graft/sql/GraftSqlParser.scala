@@ -27,6 +27,8 @@ import graft.sources.VersionedTable
   *   RESTORE [TABLE] graft.`/p` TO VERSION AS OF 3
   *   RESTORE [TABLE] graft.`/p` TO TIMESTAMP AS OF '2026-01-01 00:00:00'
   *   DESCRIBE HISTORY graft.`/p`
+  *   DESCRIBE DETAIL graft.`/p`
+  *   SHOW PARTITIONS graft.`/p`
   * }}}
   *
   * Anything that doesn't match one of these shapes delegates verbatim to
@@ -77,6 +79,8 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
   private val DetailRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
+  private val ShowPartsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(cat, path, where, zorder) =>
@@ -98,6 +102,8 @@ private[sql] object GraftSqlStatements {
       Some(GraftDescribeHistoryCommand(cat, path))
     case DetailRe(cat, path) =>
       Some(GraftDescribeDetailCommand(cat, path))
+    case ShowPartsRe(cat, path) =>
+      Some(GraftShowPartitionsCommand(cat, path))
     case _ => None
   }
 
@@ -232,6 +238,27 @@ case class GraftDescribeDetailCommand(cat: String,
       partCols.mkString(","),
       kv(props.filterNot(_._1.startsWith("graft.constraint."))),
       kv(cons)))
+  }
+}
+
+/** `SHOW PARTITIONS` from the manifest alone: one row per live partition
+  * value with its file count and exact row count (DV-subtracted; null
+  * when a legacy file predates row-count recording). No directory
+  * listing, no data files opened — partition values come from the file
+  * keys the manifest already holds. */
+case class GraftShowPartitionsCommand(cat: String,
+    path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "SHOW PARTITIONS")
+    VersionedTable.partitionsOf(session, p).map { case (part, nf, nr) =>
+      Row(part, nf, nr.map(java.lang.Long.valueOf).orNull)
+    }
   }
 }
 

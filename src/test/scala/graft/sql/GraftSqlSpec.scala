@@ -433,6 +433,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getString(7) == "v_pos=v > 0", r.getString(7))
   }
 
+  test("SHOW PARTITIONS: manifest-only values, counts, DV subtraction") {
+    val p = tmp()
+    VersionedTable.write(
+      Seq((1L, "a", "2026-01-01"), (2L, "b", "2026-01-01"), (3L, "c", "2026-01-02"))
+        .toDF("id", "s", "dt"), p, Nil, Seq("dt"))
+    VersionedTable.deleteVectorized(spark, p, $"id" === 1L) // mark, no rewrite
+    val got = spark.sql(s"SHOW PARTITIONS ${sqlName(p)}")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(("dt=2026-01-01", 1, 1L), ("dt=2026-01-02", 1, 1L)), got)
+    // manifest-only: answers with every data file destroyed
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    VersionedTable.filesOf(spark, p, 2L).foreach(rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
+    assert(spark.sql(s"SHOW PARTITIONS ${sqlName(p)}").count() == 2)
+    // unpartitioned table: loud refusal
+    val p2 = tmp()
+    VersionedTable.write(Seq((1L, "x")).toDF("id", "s"), p2)
+    val e = intercept[Exception] { spark.sql(s"SHOW PARTITIONS ${sqlName(p2)}") }
+    assert(e.getMessage.contains("not partitioned"), e.getMessage)
+  }
+
   test("VACUUM DRY RUN previews the sweep without deleting anything") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)          // v1
