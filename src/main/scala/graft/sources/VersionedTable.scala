@@ -1353,6 +1353,91 @@ object VersionedTable {
     committed
   }
 
+  /** CLONE (Delta's `SHALLOW CLONE`, strengthened): create a NEW table at
+    * `destPath` from `srcPath`'s live state at a version, copying ZERO
+    * data bytes on hardlink-capable filesystems — every live data file,
+    * DV sidecar, and (on checkpoint-anchored sources) the anchor's
+    * checkpoint parquet is hard-linked under dest with its exact
+    * root-relative key, so the manifest's stats/rows/DV/colMap maps carry
+    * VERBATIM. Where links aren't possible (cross-filesystem, object
+    * stores) each file degrades to a copy.
+    *
+    * The clone starts a fresh history at version 1 carrying the source's
+    * schema (partition dimension and column mapping included), file
+    * stats, row counts, DV marks, and TBLPROPERTIES (CHECK constraints
+    * keep enforcing on the clone); the source's streaming-txn watermarks
+    * do NOT carry — a clone is a new sink. After the clone the tables are
+    * fully independent: every verb on either side is invisible to the
+    * other, and — unlike Delta's shallow clone, which a source VACUUM can
+    * break — links keep shared bytes alive until BOTH tables drop them.
+    *
+    * At 100 TB this is the cheap-branching verb (test a risky MERGE or a
+    * migration against prod data without copying it): O(live files)
+    * metadata operations, no data movement, and on an anchored source the
+    * stats map never materializes on the driver (the dest checkpoint is
+    * authored distributed from the linked anchor). */
+  def cloneTo(spark: SparkSession, srcPath: String, destPath: String,
+      asOf: Option[Long] = None): Long = {
+    val (srcRoot, srcFs, c) = commitFor(spark, srcPath, asOf)
+    val destRoot = new Path(destPath)
+    val destFs = fs(spark, destRoot)
+    require(new Path(srcPath).toUri.getPath != destRoot.toUri.getPath,
+      s"CLONE: source and destination are the same table ($srcPath)")
+    require(latestVersion(spark, destPath).isEmpty,
+      s"$destPath: table already exists — CLONE creates a new table")
+    destFs.mkdirs(new Path(destRoot, LogDir))
+    // link (or copy) every live data file + DV sidecar under the SAME key;
+    // a pre-existing dest file means a racing clone of the same source
+    // already linked it (identical bytes) — the commit CAS below decides
+    (c.files ++ c.dv).foreach(rel =>
+      linkOrCopy(srcFs, destFs, new Path(srcRoot, rel), new Path(destRoot, rel)))
+    // anchored source: link the anchor checkpoint dir too, so the dest's
+    // own v1 checkpoint can be authored DISTRIBUTED from it (encodeCommit
+    // anchorSrc) instead of forcing the stats map onto the driver
+    c.ckptInfo.foreach { case (aRel, _) =>
+      srcFs.listStatus(new Path(srcRoot, aRel)).filter(_.isFile).foreach(s =>
+        linkOrCopy(srcFs, destFs, s.getPath,
+          new Path(new Path(destRoot, aRel), s.getPath.getName)))
+    }
+    val v = 1L
+    val (body, ckptDir) = encodeCommit(spark, destRoot, v, c.files,
+      c.schema.map(_.json).getOrElse("null"), c.stats, c.rows,
+      txn = Map.empty, dv = c.dv, dvRows = c.dvRows,
+      colMap = c.colMap, physDropped = c.physDropped,
+      carriedIdentical = true, statsAddOnly = Some(Map.empty),
+      anchorSrc = Some(c), props = Some(c.props))
+    if (!tryCommit(destFs, destRoot, v, body)) {
+      ckptDir.foreach(d => destFs.delete(d, true))
+      throw new IllegalStateException(
+        s"$destPath: a concurrent creator committed first — CLONE aborted " +
+          "(its files are intact; this clone's staged links were shared keys)")
+    }
+    v
+  }
+
+  /** Hard-link `src` to `dst` when both live on a local filesystem (the
+    * zero-copy path CLONE relies on); byte copy otherwise. An
+    * already-present `dst` is left alone — identical content by key
+    * construction. */
+  private def linkOrCopy(sf: FileSystem, df: FileSystem,
+      src: Path, dst: Path): Unit = {
+    if (df.exists(dst)) return
+    df.mkdirs(dst.getParent)
+    val bothLocal = sf.getUri.getScheme == "file" && df.getUri.getScheme == "file"
+    if (bothLocal) {
+      val s = java.nio.file.Paths.get(src.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try { java.nio.file.Files.createLink(d, s); return }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => return
+        case _: UnsupportedOperationException => // fall through to copy
+        case _: java.nio.file.FileSystemException => // cross-device: copy
+      }
+    }
+    org.apache.hadoop.fs.FileUtil.copy(sf, src, df, dst,
+      false, sf.getConf)
+  }
+
   /** Root-relative data files of a committed version (the manifest's file
     * list) — the observable commit contents; the streaming source derives
     * per-version appends from consecutive lists. */

@@ -29,6 +29,7 @@ import graft.sources.VersionedTable
   *   DESCRIBE HISTORY graft.`/p`
   *   DESCRIBE DETAIL graft.`/p`
   *   SHOW PARTITIONS graft.`/p`
+  *   CREATE TABLE graft.`/dst` [SHALLOW] CLONE graft.`/src` [VERSION AS OF n]
   * }}}
   *
   * Anything that doesn't match one of these shapes delegates verbatim to
@@ -81,6 +82,8 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
   private val ShowPartsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
+  private val CloneRe =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$Ref\\s+(?:SHALLOW\\s+)?CLONE\\s+$Ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(cat, path, where, zorder) =>
@@ -104,6 +107,9 @@ private[sql] object GraftSqlStatements {
       Some(GraftDescribeDetailCommand(cat, path))
     case ShowPartsRe(cat, path) =>
       Some(GraftShowPartitionsCommand(cat, path))
+    case CloneRe(dstCat, dstPath, srcCat, srcPath, v) =>
+      Some(GraftCloneCommand(dstCat, dstPath, srcCat, srcPath,
+        Option(v).map(_.toLong)))
     case _ => None
   }
 
@@ -238,6 +244,26 @@ case class GraftDescribeDetailCommand(cat: String,
       partCols.mkString(","),
       kv(props.filterNot(_._1.startsWith("graft.constraint."))),
       kv(cons)))
+  }
+}
+
+/** `CREATE TABLE dst [SHALLOW] CLONE src [VERSION AS OF n]` →
+  * [[VersionedTable.cloneTo]]: a new table sharing the source's live
+  * bytes via hard links — zero data copied, fresh history, properties
+  * and constraints carried. */
+case class GraftCloneCommand(dstCat: String, dstPath: String,
+    srcCat: String, srcPath: String,
+    version: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftSqlStatements.graftPath(session, srcCat, srcPath, "CLONE")
+    val dst = GraftSqlStatements.graftPath(session, dstCat, dstPath, "CLONE")
+    val v = VersionedTable.cloneTo(session, src, dst, version)
+    Seq(Row(v, VersionedTable.filesOf(session, dst, v).size))
   }
 }
 

@@ -678,6 +678,78 @@ class VersionedTableSpec extends SparkSpec {
       s"rename onto a dropped name resurrected stale bytes: $got")
   }
 
+  test("CLONE: zero-copy branch — hardlinked files, fresh history, full independence") {
+    val base = java.nio.file.Files.createTempDirectory("clone").toString
+    val src = base + "/src"; val dst = base + "/dst"
+    rangeTable(src)                                            // v1: 4 files
+    VersionedTable.deleteVectorized(spark, src, col("id") === 7L) // v2: DV mark
+    assert(VersionedTable.cloneTo(spark, src, dst) == 1L)
+    // same rows (DV marks carried), fresh one-version history
+    assert(VersionedTable.read(spark, dst).count() == 999)
+    assert(VersionedTable.read(spark, dst).filter(col("id") === 7L).count() == 0)
+    assert(VersionedTable.history(spark, dst).count() == 1)
+    // stats carried verbatim: pruning works on the clone immediately
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, dst, col("id") === 900L)
+    assert(kept.size == 1 && skipped.size == 3, s"${kept.size}/${skipped.size}")
+    // ZERO bytes copied: every data file is a hard link (nlink == 2)
+    VersionedTable.filesOf(spark, dst, 1L).foreach { rel =>
+      val p = java.nio.file.Paths.get(dst + "/" + rel)
+      val n = java.nio.file.Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue
+      assert(n >= 2, s"$rel: expected a hard link, nlink=$n")
+    }
+    // independence: writes on either side are invisible to the other
+    VersionedTable.append(Seq((5000L, "dstonly")).toDF("id", "v"), dst)
+    VersionedTable.upsert(Seq((900L, "SRCUP")).toDF("id", "v"), src, Seq("id"))
+    assert(VersionedTable.read(spark, src).filter(col("id") === 5000L).count() == 0)
+    assert(VersionedTable.read(spark, dst)
+      .filter(col("id") === 900L).select("v").as[String].head() == "v900")
+    // a source VACUUM cannot break the clone: links keep shared bytes alive
+    VersionedTable.vacuum(spark, src, keepLast = 1, orphanRetentionMs = 0L)
+    assert(VersionedTable.read(spark, dst).count() == 1000) // 999 + 1 appended
+    // duplicate clone target refused; self-clone refused
+    intercept[IllegalArgumentException] { VersionedTable.cloneTo(spark, src, dst) }
+    intercept[IllegalArgumentException] { VersionedTable.cloneTo(spark, src, src) }
+  }
+
+  test("CLONE carries properties/constraints/layout; VERSION AS OF clones the past") {
+    val base = java.nio.file.Files.createTempDirectory("cloneMeta").toString
+    val src = base + "/src"; val dst = base + "/dst"; val dstOld = base + "/dstOld"
+    VersionedTable.write(
+      Seq((1L, 5L, "a"), (2L, 6L, "b")).toDF("id", "n", "p"), src, Nil, Seq("p")) // v1
+    VersionedTable.addCheckConstraint(spark, src, "n_pos", "n > 0")               // v2
+    VersionedTable.append(Seq((3L, 7L, "c")).toDF("id", "n", "p"), src)           // v3
+    VersionedTable.cloneTo(spark, src, dst)
+    // layout carried: partition column still prunes directories on the clone
+    assert(VersionedTable.partitionsOf(spark, dst).map(_._1).sorted ==
+      Seq("p=a", "p=b", "p=c"))
+    // constraint carried AND enforcing on the clone
+    val e = intercept[Exception] {
+      VersionedTable.append(Seq((9L, -1L, "z")).toDF("id", "n", "p"), dst) }
+    assert(e.getMessage.contains("n_pos"), e.getMessage)
+    // VERSION AS OF: clone the pre-append state
+    VersionedTable.cloneTo(spark, src, dstOld, asOf = Some(2L))
+    assert(VersionedTable.read(spark, dstOld).count() == 2)
+  }
+
+  test("CLONE of a checkpoint-anchored table never drags stats onto the driver") {
+    val base = java.nio.file.Files.createTempDirectory("cloneCkpt").toString
+    val src = base + "/src"; val dst = base + "/dst"
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      (1 to 12).foreach(i =>
+        VersionedTable.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), src, Seq("id")))
+      VersionedTable.ckptStatsParses.set(0L)
+      VersionedTable.cloneTo(spark, src, dst)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "anchored clone must author the dest checkpoint distributed")
+      assert(VersionedTable.read(spark, dst).count() == 12)
+      val (kept, skipped) = VersionedTable.pruneInfo(spark, dst, col("id") === 5)
+      assert(kept.size == 1 && skipped.size == 11, s"${kept.size}/${skipped.size}")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
   test("RENAME COLUMN on a checkpoint-anchored table rekeys stats on executors") {
     val path = java.nio.file.Files.createTempDirectory("renameCkpt").toString + "/t"
     val saved = VersionedTable.CkptInlineMaxFiles

@@ -455,6 +455,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("not partitioned"), e.getMessage)
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE: SQL branch of a table, zero copy") {
+    val base = Files.createTempDirectory("graft-clone").toString
+    val src = base + "/src"; val dst = base + "/dst"
+    VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src,
+      statsCols = Seq("id"))
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "s"), src)
+    val out = spark.sql(
+      s"CREATE TABLE ${sqlName(dst)} SHALLOW CLONE ${sqlName(src)}").collect()
+    assert(out.head.getLong(0) == 1L)
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(dst)}")) ==
+      rows(spark.sql(s"SELECT * FROM ${sqlName(src)}")))
+    // VERSION AS OF form clones the older state into a third table
+    val dstOld = base + "/dstOld"
+    spark.sql(s"CREATE TABLE ${sqlName(dstOld)} CLONE ${sqlName(src)} VERSION AS OF 1")
+    assert(spark.sql(s"SELECT * FROM ${sqlName(dstOld)}").count() == 2)
+  }
+
   test("VACUUM DRY RUN previews the sweep without deleting anything") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)          // v1
