@@ -1393,12 +1393,15 @@ object VersionedTable {
       linkOrCopy(srcFs, destFs, new Path(srcRoot, rel), new Path(destRoot, rel)))
     // anchored source: link the anchor checkpoint dir too, so the dest's
     // own v1 checkpoint can be authored DISTRIBUTED from it (encodeCommit
-    // anchorSrc) instead of forcing the stats map onto the driver
-    c.ckptInfo.foreach { case (aRel, _) =>
-      srcFs.listStatus(new Path(srcRoot, aRel)).filter(_.isFile).foreach(s =>
-        linkOrCopy(srcFs, destFs, s.getPath,
-          new Path(new Path(destRoot, aRel), s.getPath.getName)))
-    }
+    // anchorSrc) instead of forcing the stats map onto the driver — only
+    // when the dest will actually take the checkpoint path (small clones
+    // encode inline and the linked dir would just be orphan garbage)
+    if (c.files.size > CkptInlineMaxFiles)
+      c.ckptInfo.foreach { case (aRel, _) =>
+        srcFs.listStatus(new Path(srcRoot, aRel)).filter(_.isFile).foreach(s =>
+          linkOrCopy(srcFs, destFs, s.getPath,
+            new Path(new Path(destRoot, aRel), s.getPath.getName)))
+      }
     val v = 1L
     val (body, ckptDir) = encodeCommit(spark, destRoot, v, c.files,
       c.schema.map(_.json).getOrElse("null"), c.stats, c.rows,
@@ -2493,8 +2496,15 @@ object VersionedTable {
     alterSchema(spark, path, "add", { (s, c, v) =>
       val clash = newFields.map(_.name).toSet intersect s.fieldNames.toSet
       require(clash.isEmpty, s"$path: column(s) already exist: ${clash.mkString(",")}")
+      // a new column binds a FRESH physical name when its own name is
+      // already claimed physically — by a dropped column's bytes (the
+      // resurrection hazard) or by a LIVE column's mapping (RENAME a TO x
+      // leaves x bound to physical 'a'; a later ADD COLUMN a with an
+      // identity binding would alias the SAME physical column twice)
+      val livePhys = s.fieldNames.map(c.physName).toSet
       val freshMap = newFields.map(_.name)
-        .filter(n => c.physDropped.contains(c.physName(n)) || c.physDropped.contains(n))
+        .filter(n => c.physDropped.contains(c.physName(n)) ||
+          c.physDropped.contains(n) || livePhys.contains(n))
         .map(n => n -> s"${n}__p$v").toMap // version-unique → collision-free
       // partitioned layout contract: partition columns stay LAST, so every
       // read path (relation = dataSchema ++ partitionSchema, physRead =

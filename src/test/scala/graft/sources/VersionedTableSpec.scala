@@ -750,6 +750,26 @@ class VersionedTableSpec extends SparkSpec {
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
+  test("ADD COLUMN reusing a renamed column's old name binds a fresh physical name") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val path = java.nio.file.Files.createTempDirectory("renameAdd").toString + "/t"
+    VersionedTable.write(Seq((1L, "orig1"), (2L, "orig2"))
+      .toDF("id", "a").coalesce(1), path)
+    VersionedTable.renameColumn(spark, path, "a", "x") // x now bound to phys 'a'
+    VersionedTable.addColumns(spark, path, Seq(StructField("a", StringType)))
+    // the NEW 'a' must NOT alias x's physical column: carried files serve
+    // null for it, while x keeps serving the original values
+    val got = VersionedTable.read(spark, path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((1L, "orig1", null), (2L, "orig2", null)), got.toString)
+    // and writes land each column under its own physical name
+    VersionedTable.append(Seq((3L, "x3", "a3")).toDF("id", "x", "a"), path)
+    val r3 = VersionedTable.read(spark, path).filter(col("id") === 3L)
+      .select("x", "a").collect().head
+    assert((r3.getString(0), r3.getString(1)) == ("x3", "a3"))
+  }
+
   test("RENAME COLUMN on a checkpoint-anchored table rekeys stats on executors") {
     val path = java.nio.file.Files.createTempDirectory("renameCkpt").toString + "/t"
     val saved = VersionedTable.CkptInlineMaxFiles
