@@ -523,6 +523,198 @@ object TextQueries {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
        |FROM s""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_segment_dedup — exact SUBSTRING-level dedup at segment granularity
+  // (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  // Better": duplicated passages inside otherwise-distinct documents are
+  // the dominant duplication mode in web corpora, invisible to doc-level
+  // dedup). Documents split into consecutive SegWords-word segments; a
+  // segment INSTANCE is a duplicate unless it is the first occurrence of
+  // its content corpus-wide (first = min (doc_id, pos) — deterministic
+  // survivor policy). Per document: segment count, duplicate count, and
+  // the retained fraction a segment-level scrub would keep.
+  //
+  // Plan at 100 TB: one narrow explode (doc → segments, hashed to a
+  // 32-char key so the wide text never shuffles), one hash agg per segment
+  // hash for the first-occurrence owner (map-side partial combine), one
+  // shuffle join of instances⋈owners on the hash (both sides keyed,
+  // AQE handles hot boilerplate segments), one per-doc agg. Linear; no
+  // window, no driver state, no all-pairs anything.
+  // --------------------------------------------------------------------------
+  val SegWords = 8
+
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0L, cast(ceil(size(ws) / $SegWords.0) as bigint) - 1),
+           |  i -> concat_ws(' ', slice(ws, cast(i * $SegWords + 1 as int), $SegWords)))"""
+          .stripMargin.replaceAll("\n", " ")))
+        .as(Seq("pos", "segment")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        md5(col("segment")).as("h"))
+    val owners = seg.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+    seg.join(owners, "h")
+      .withColumn("dup",
+        when(col("doc_id") === col("first_occ.doc_id") &&
+          col("pos") === col("first_occ.pos"), 0L).otherwise(1L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dup")).as("n_dup_segments"),
+        round(lit(1.0) - sum(col("dup")).cast(DoubleType) / count(lit(1)), 6)
+          .as("kept_frac"))
+  }
+
+  val segmentDedupSql: String =
+    s"""WITH seg AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(wl[i * $SegWords + 1 : i * $SegWords + $SegWords], ' ')) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+       |    UNNEST(range(0, CAST(CEIL(LEN(wl) / $SegWords.0) AS BIGINT))) AS t(i)),
+       |own AS (
+       |  SELECT h, MIN({'doc_id': doc_id, 'pos': pos}) AS first_occ
+       |  FROM seg GROUP BY 1),
+       |fl AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.doc_id = w.first_occ.doc_id AND s.pos = w.first_occ.pos
+       |      THEN 0 ELSE 1 END AS dup
+       |  FROM seg s JOIN own w USING (h))
+       |SELECT doc_id, COUNT(*) AS n_segments,
+       |  CAST(SUM(dup) AS BIGINT) AS n_dup_segments,
+       |  ROUND(1.0 - CAST(SUM(dup) AS DOUBLE) / COUNT(*), 6) AS kept_frac
+       |FROM fl GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_gopher_rules — the Gopher quality-filter rule set (Rae et al. 2021
+  // §A1.1), the canonical public pre-training document gate: word-count
+  // bounds, mean-word-length bounds, and the ≥2-distinct-stopwords
+  // evidence-of-real-prose rule, each surfaced as its own flag plus the
+  // conjunctive keep decision (a pipeline wants per-rule accounting, not
+  // just the verdict — that is how thresholds get tuned). Canonical
+  // thresholds; a pure narrow projection — no shuffle at any scale.
+  // --------------------------------------------------------------------------
+  val GopherWordMin = 50L
+  val GopherWordMax = 100000L
+  val GopherMwlMin = 3.0
+  val GopherMwlMax = 10.0
+  val GopherStopKinds = 2L
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        wordCount(col("text")).as("n_words"),
+        round(avgWordLen(col("text")), 6).as("mean_word_len"),
+        size(array_intersect(array_distinct(words(col("text"))),
+          typedLit(Stopwords))).cast(LongType).as("n_stop_kinds"))
+      .withColumn("pass_word_count",
+        col("n_words") >= GopherWordMin && col("n_words") <= GopherWordMax)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= GopherMwlMin && col("mean_word_len") <= GopherMwlMax)
+      .withColumn("pass_stopwords", col("n_stop_kinds") >= GopherStopKinds)
+      .withColumn("keep",
+        col("pass_word_count") && col("pass_word_len") && col("pass_stopwords"))
+
+  val gopherRulesSql: String = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+       |      / LEN(string_split(text, ' ')), 6) AS mean_word_len,
+       |    CAST(LEN(list_intersect(list_distinct(string_split(text, ' ')),
+       |      [$stop])) AS BIGINT) AS n_stop_kinds
+       |  FROM documents)
+       |SELECT doc_id, n_words, mean_word_len, n_stop_kinds,
+       |  n_words >= $GopherWordMin AND n_words <= $GopherWordMax AS pass_word_count,
+       |  mean_word_len >= $GopherMwlMin AND mean_word_len <= $GopherMwlMax AS pass_word_len,
+       |  n_stop_kinds >= $GopherStopKinds AS pass_stopwords,
+       |  (n_words >= $GopherWordMin AND n_words <= $GopherWordMax)
+       |    AND (mean_word_len >= $GopherMwlMin AND mean_word_len <= $GopherMwlMax)
+       |    AND n_stop_kinds >= $GopherStopKinds AS keep
+       |FROM m""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q_vocab_coverage — top-K vocabulary with cumulative token coverage, the
+  // corpus statistic behind tokenizer construction and OOV budgeting. The
+  // running-share window runs over exactly K rows (top-k FIRST, via a
+  // distributed TakeOrdered — never a global window over the vocabulary);
+  // the corpus-sized work is one hash agg on `word` with map-side partial
+  // combine, and the grand total rides as a broadcast one-row cross join.
+  // --------------------------------------------------------------------------
+  val VocabTopK = 100
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"))
+    val topk = cnts.orderBy(col("cnt").desc, col("word").asc).limit(VocabTopK)
+    // single-partition window is SAFE here: input is the K-row limit result
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    topk.join(broadcast(tot))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("cum_share", round(
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType) / col("total"), 6))
+      .select(col("rk"), col("word"), col("cnt"), col("cum_share"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH c AS (
+       |  SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+       |tk AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT $VocabTopK)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rk,
+       |  word, cnt,
+       |  ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 6) AS cum_share
+       |FROM tk CROSS JOIN tot""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_pii_scrub — REDACTION: rewrite each document replacing sensitive
+  // spans with typed placeholder tokens and account for what was removed —
+  // the pre-release scrub every published training corpus runs. Three
+  // detector classes: email and IPv4 regexes (absent from this synthetic
+  // corpus — the zero-match path is exercised end-to-end) and a dictionary
+  // entity term ('customer' stands in for a real deny-list). The scrubbed
+  // text is pinned by hash, so the oracle verifies the REWRITE itself, not
+  // just the counts. Pure narrow projection; regexes are RE2-compatible so
+  // both engines match spans identically.
+  // --------------------------------------------------------------------------
+  val PiiEmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  val PiiIpv4Re = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  val PiiEntityRe = "\\bcustomer\\b"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), PiiEmailRe, "<EMAIL>"),
+        PiiIpv4Re, "<IP>"),
+      PiiEntityRe, "<ENTITY>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(PiiEmailRe)).cast(LongType).as("n_email"),
+      regexp_count(col("text"), lit(PiiIpv4Re)).cast(LongType).as("n_ip"),
+      regexp_count(col("text"), lit(PiiEntityRe)).cast(LongType).as("n_entity"),
+      md5(scrubbed).as("scrubbed_hash"))
+  }
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(LEN(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT) AS n_email,
+       |  CAST(LEN(regexp_extract_all(text, '$PiiIpv4Re')) AS BIGINT) AS n_ip,
+       |  CAST(LEN(regexp_extract_all(text, '$PiiEntityRe')) AS BIGINT) AS n_entity,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$PiiEmailRe', '<EMAIL>', 'g'),
+       |    '$PiiIpv4Re', '<IP>', 'g'),
+       |    '$PiiEntityRe', '<ENTITY>', 'g')) AS scrubbed_hash
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_funnel" -> (curationFunnel _),
@@ -537,6 +729,10 @@ object TextQueries {
     "q_repetition_stats" -> (repetitionStats _),
     "q_domain_mix"      -> (domainMix _),
     "q_train_shuffle"   -> (trainShuffle _),
+    "q_segment_dedup"   -> (segmentDedup _),
+    "q_gopher_rules"    -> (gopherRules _),
+    "q_vocab_coverage"  -> (vocabCoverage _),
+    "q_pii_scrub"       -> (piiScrub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -553,5 +749,9 @@ object TextQueries {
     "q_repetition_stats" -> repetitionStatsSql,
     "q_domain_mix"      -> domainMixSql,
     "q_train_shuffle"   -> trainShuffleSql,
+    "q_segment_dedup"   -> segmentDedupSql,
+    "q_gopher_rules"    -> gopherRulesSql,
+    "q_vocab_coverage"  -> vocabCoverageSql,
+    "q_pii_scrub"       -> piiScrubSql,
   )
 }

@@ -335,4 +335,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(specLines.nonEmpty, p)
     assert(specLines.forall(_.contains("shard")), specLines.mkString("\n"))
   }
+
+  test("q_segment_dedup: hashed equi-join shape — segments shuffle as 32-char keys, no window, no cartesian") {
+    val df = SparkEntry.queries("q_segment_dedup")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, sp.toString)
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case c: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => c
+    }.isEmpty, sp.toString)
+    // every hash exchange must key on the md5 hash or doc_id — the raw
+    // segment STRING must never be a shuffle key (at 100 TB that shuffles
+    // the whole corpus text; the 32-char hash is the point of hashing).
+    // Exchanges exist only post-EnsureRequirements → audit the executed
+    // plan's text (AQE wraps the tree, so structural collect can't descend)
+    val hashEx = plan("q_segment_dedup").linesIterator
+      .filter(_.contains("Exchange hashpartitioning(")).toSeq
+    hashEx.foreach { line =>
+      val keys = line.substring(line.indexOf("hashpartitioning("))
+      assert(keys.contains("h#") || keys.contains("doc_id"), s"shuffle key: $line")
+    }
+  }
+
+  test("q_gopher_rules and q_pii_scrub are pure narrow projections — zero exchanges") {
+    Seq("q_gopher_rules", "q_pii_scrub").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange "), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("q_vocab_coverage: top-k short-circuits before the K-row window") {
+    val df = SparkEntry.queries("q_vocab_coverage")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    // the vocabulary-sized input must reach a TakeOrdered (distributed
+    // top-k), and the single-partition window may only run ABOVE it —
+    // a window whose subtree lacks the TakeOrdered would be the global
+    // vocabulary funnel this op is designed to avoid
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, sp.toString)
+    windows.foreach { w =>
+      assert(w.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"window not bounded by top-k:\n$w")
+    }
+  }
 }
