@@ -4,7 +4,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** Versioned parquet table — the transaction-log-lite answer to the
   * reference's Delta features this environment has no jars for
@@ -1110,9 +1111,76 @@ object VersionedTable {
       statsCols: Seq[String] = Nil): Long =
     appendInternal(df, path, statsCols, txn = Some(appId -> batchId))
 
+  /** Thrown when a concurrent [[copyInto]] committed an OVERLAPPING subset
+    * of this call's source files mid-flight: the staged batch would
+    * double-load those files, so the caller must re-diff against the new
+    * manifest and re-stage only the still-unloaded remainder. */
+  private[sources] final class ConcurrentCopyException(msg: String)
+    extends RuntimeException(msg)
+
+  /** COPY INTO (Delta's idempotent bulk-ingest statement): load the parquet
+    * files under `srcDir` (optionally narrowed by a `pattern` glob on the
+    * file name) into the table as ONE append commit, SKIPPING every source
+    * file a previous COPY INTO already loaded. Idempotence rides the same
+    * manifest txn map as the exactly-once streaming sink: each loaded file
+    * records `copy:<md5(absolute path)> -> mtime`, carried by every
+    * subsequent commit, so re-running the statement after a crash, a
+    * partial pipeline retry, or on a directory that keeps growing loads
+    * each file exactly once. Returns (version, filesLoaded) —
+    * (currentHead, 0) when everything listed was already loaded.
+    *
+    * Scale shape: one driver listing of the SOURCE directory (inherent to
+    * the statement), one key-diff against the txn map (O(source files)),
+    * and one distributed parquet read → append of only the new files. The
+    * table's own size never enters. Schema must match the table's (the
+    * append's contract) — a drifted source file refuses the whole commit
+    * atomically, naming the mismatch. */
+  def copyInto(spark: SparkSession, tablePath: String, srcDir: String,
+      pattern: Option[String] = None): (Long, Int) = {
+    val src = new Path(srcDir)
+    val sf = fs(spark, src)
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(spark, tablePath)
+      val loaded: Map[String, Long] = head
+        .map(b => readManifest(spark, fs(spark, new Path(tablePath)),
+          new Path(tablePath), b).txn)
+        .getOrElse(Map.empty)
+      val listed = pattern match {
+        case Some(g) => Option(sf.globStatus(new Path(src, g)))
+          .map(_.toSeq).getOrElse(Nil).filter(_.isFile)
+        case None => sf.listStatus(src).toSeq.filter(_.isFile)
+      }
+      val candidates = listed
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath, copyKey(s.getPath), s.getModificationTime))
+      val fresh = candidates.filterNot { case (_, k, _) => loaded.contains(k) }
+      if (fresh.isEmpty) return (head.getOrElse(0L), 0)
+      val df = spark.read.parquet(fresh.map(_._1.toString): _*)
+      try {
+        val v = appendInternal(df, tablePath, Nil, txn = None,
+          txnMulti = fresh.map { case (_, k, m) => k -> m }.toMap)
+        return (v, fresh.size)
+      } catch {
+        case _: ConcurrentCopyException =>
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"$tablePath: lost $attempt concurrent COPY INTO races; giving up")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def copyKey(p: Path): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.toString.getBytes("UTF-8"))
+    "copy:" + d.map("%02x".format(_)).mkString
+  }
+
   private def appendInternal(df: DataFrame, path: String, statsCols: Seq[String],
       txn: Option[(String, Long)],
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      txnMulti: Map[String, Long] = Map.empty): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
@@ -1129,6 +1197,19 @@ object VersionedTable {
           // replayed batch: already committed — clean up and no-op
           staged.foreach(s => f.delete(s._1, true))
           return base.get
+        }
+      }
+      if (txnMulti.nonEmpty) c.foreach { cc =>
+        val present = txnMulti.keySet.count(cc.txn.contains)
+        if (present == txnMulti.size) { // full replay: every file loaded
+          staged.foreach(s => f.delete(s._1, true))
+          return base.get
+        }
+        if (present > 0) { // overlapping concurrent load: staged batch
+          staged.foreach(s => f.delete(s._1, true)) // would double-load
+          throw new ConcurrentCopyException(
+            s"$path: $present of ${txnMulti.size} source files were loaded " +
+              "concurrently; re-diff against the new manifest")
         }
       }
       c.flatMap(_.schema).foreach { bs =>
@@ -1188,7 +1269,7 @@ object VersionedTable {
         c.map(_.files).getOrElse(Nil) ++ rel, schemaJson,
         c.map(_.stats).getOrElse(Map.empty) ++ st,
         c.map(_.rows).getOrElse(Map.empty) ++ rw,
-        c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap,
+        c.map(_.txn).getOrElse(Map.empty) ++ txn.toMap ++ txnMulti,
         c.map(_.dv).getOrElse(Seq.empty), c.map(_.dvRows).getOrElse(Map.empty),
         parent = c, colMap = curColMap,
         physDropped = c.map(_.physDropped).getOrElse(Set.empty),
@@ -1455,9 +1536,9 @@ object VersionedTable {
     * the pinned logical schema directly against column-mapped files would
     * stream every mapped column as null) and caches them together. */
   private[graft] def filesAndMappingOf(spark: SparkSession, path: String,
-      v: Long): (Seq[String], Map[String, String], Seq[String]) = {
+      v: Long): (Seq[String], Map[String, String], Seq[String], Option[StructType]) = {
     val (_, _, c) = commitFor(spark, path, Some(v))
-    (c.files, c.colMap, c.schema.map(partitionColsOf).getOrElse(Nil))
+    (c.files, c.colMap, c.schema.map(partitionColsOf).getOrElse(Nil), c.schema)
   }
 
   private def commitFor(spark: SparkSession, path: String,
@@ -2605,6 +2686,53 @@ object VersionedTable {
         else (c.colMap - from) + (to -> phys)
       (StructType(fields), nextMap, c.physDropped)
     }, renameStats = Some(from -> to))
+
+  /** TYPE WIDENING (Delta's `ALTER COLUMN ... TYPE`, metadata-only): change
+    * a column's recorded type to a strictly wider one WITHOUT touching a
+    * byte of data. Carried files keep their narrow physical type; Spark 4's
+    * parquet readers (vectorized included) widen INT32→int64, float→double
+    * and decimal-precision natively at scan time, so every read path —
+    * plain, format, SQL, CDF, maintenance rewrites — serves the wide
+    * logical type over mixed-width files. New writes land wide. Manifest
+    * stats need no rewrite: bounds live in the BigDecimal/UTF-8 domain
+    * (DataSkipping normalizes at collection), so pruning and metadata
+    * MIN/MAX stay exact across the width change.
+    *
+    * Allowed: byte→short/int/long, short→int/long, int→long, float→double,
+    * decimal(p,s)→decimal(p′,s) with p′>p. Anything else — narrowing,
+    * scale changes, cross-family casts — refuses loudly: those need a
+    * rewrite, which is an explicit CTAS migration, not a metadata verb.
+    * Partition columns refuse too: the directory-value decode, layout pin
+    * and streaming path-derivation all key on the recorded type. */
+  def widenColumn(spark: SparkSession, path: String,
+      name: String, to: DataType): Long =
+    alterSchema(spark, path, "widen", { (s, c, _) =>
+      require(s.fieldNames.contains(name), s"$path: no such column: $name")
+      val from = s(s.fieldIndex(name)).dataType
+      require(widenable(from, to),
+        s"$path: cannot widen $name from ${from.simpleString} to " +
+          s"${to.simpleString} — allowed: byte/short/int→wider integral, " +
+          "float→double, decimal precision increase (same scale); anything " +
+          "else needs a CTAS migration")
+      require(!partitionColsOf(s).contains(name),
+        s"$path: cannot change the type of partition column $name — the " +
+          "directory layout and streaming path derivation depend on it " +
+          "(migrate via CREATE TABLE ... PARTITIONED BY + INSERT SELECT)")
+      (StructType(s.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f)),
+        c.colMap, c.physDropped)
+    })
+
+  private def widenable(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if f == t => false // no-op is a refusal: nothing to commit
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (d1: DecimalType, d2: DecimalType) =>
+      d1.scale == d2.scale && d2.precision > d1.precision
+    case _ => false
+  }
 
   /** ALTER TABLE SET / UNSET TBLPROPERTIES as a METADATA-ONLY commit: the
     * new version carries the same files, schema, stats and marks with an

@@ -167,10 +167,12 @@ class GraftCatalog extends TableCatalog {
     val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
     val addCons = changes.collect { case a: TableChange.AddConstraint => a }
     val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
+    val widens = changes.collect { case w: TableChange.UpdateColumnType => w }
     require(adds.size + drops.size + renames.size + sets.size + unsets.size +
-        addCons.size + dropCons.size == changes.size,
+        addCons.size + dropCons.size + widens.size == changes.size,
       s"$path: graft supports ALTER TABLE ADD COLUMNS / DROP COLUMN / " +
-        "RENAME COLUMN / SET TBLPROPERTIES / UNSET TBLPROPERTIES / " +
+        "RENAME COLUMN / ALTER COLUMN ... TYPE (widening) / " +
+        "SET TBLPROPERTIES / UNSET TBLPROPERTIES / " +
         s"ADD CONSTRAINT ... CHECK / DROP CONSTRAINT (got ${changes.mkString(", ")})")
     if (sets.nonEmpty || unsets.nonEmpty)
       VersionedTable.setProperties(spark, path,
@@ -204,6 +206,12 @@ class GraftCatalog extends TableCatalog {
       require(r.fieldNames.length == 1,
         s"$path: nested RENAME COLUMN not supported (${r.fieldNames.mkString(".")})")
       VersionedTable.renameColumn(spark, path, r.fieldNames()(0), r.newName)
+    }
+    widens.foreach { w =>
+      require(w.fieldNames.length == 1,
+        s"$path: nested ALTER COLUMN not supported (${w.fieldNames.mkString(".")})")
+      // metadata-only TYPE WIDENING; non-widening changes refuse inside
+      VersionedTable.widenColumn(spark, path, w.fieldNames()(0), w.newDataType)
     }
     loadTable(ident)
   }

@@ -84,6 +84,10 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
   private val CloneRe =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$Ref\\s+(?:SHALLOW\\s+)?CLONE\\s+$Ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
+  private val ReorgRe =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+$Ref\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
+  private val CopyIntoRe =
+    s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*PARQUET(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(cat, path, where, zorder) =>
@@ -110,6 +114,10 @@ private[sql] object GraftSqlStatements {
     case CloneRe(dstCat, dstPath, srcCat, srcPath, v) =>
       Some(GraftCloneCommand(dstCat, dstPath, srcCat, srcPath,
         Option(v).map(_.toLong)))
+    case ReorgRe(cat, path) =>
+      Some(GraftReorgCommand(cat, path))
+    case CopyIntoRe(cat, path, src, pat) =>
+      Some(GraftCopyIntoCommand(cat, path, src, Option(pat)))
     case _ => None
   }
 
@@ -264,6 +272,41 @@ case class GraftCloneCommand(dstCat: String, dstPath: String,
     val dst = GraftSqlStatements.graftPath(session, dstCat, dstPath, "CLONE")
     val v = VersionedTable.cloneTo(session, src, dst, version)
     Seq(Row(v, VersionedTable.filesOf(session, dst, v).size))
+  }
+}
+
+/** `REORG TABLE ... APPLY (PURGE)` (Delta's DV-materialization verb) →
+  * [[VersionedTable.purgeDeletes]]: rewrite every file carrying deletion-
+  * vector marks as its surviving rows in one commit, so those files scan
+  * plain again (no anti-join). Returns the committed version — unchanged
+  * head when no file carries marks. */
+case class GraftReorgCommand(cat: String,
+    path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "REORG TABLE")
+    Seq(Row(VersionedTable.purgeDeletes(session, p)))
+  }
+}
+
+/** `COPY INTO ... FROM '<dir>' FILEFORMAT = PARQUET [PATTERN = '<glob>']`
+  * (Delta's idempotent bulk-ingest statement) → [[VersionedTable.copyInto]]:
+  * one append commit of exactly the source files not already loaded; a
+  * re-run is a no-op. Returns (version, files_loaded). */
+case class GraftCopyIntoCommand(cat: String, path: String,
+    srcDir: String, pattern: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "COPY INTO")
+    val (v, n) = VersionedTable.copyInto(session, p, srcDir, pattern)
+    Seq(Row(v, n))
   }
 }
 

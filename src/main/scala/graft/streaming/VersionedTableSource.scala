@@ -287,13 +287,16 @@ private[streaming] class VersionedTableSource(
     * (both facts from ONE manifest resolution), so a trigger doesn't
     * re-resolve the same chains for files and again for the mapping. */
   private val metaCache =
-    new java.util.LinkedHashMap[Long, (Seq[String], Map[String, String], Seq[String])](
+    new java.util.LinkedHashMap[Long, (Seq[String], Map[String, String], Seq[String],
+        Option[StructType])](
       8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, (Seq[String], Map[String, String], Seq[String])])
+          e: java.util.Map.Entry[Long, (Seq[String], Map[String, String], Seq[String],
+            Option[StructType])])
           : Boolean = size > 4
     }
-  private def metaAt(v: Long): (Seq[String], Map[String, String], Seq[String]) =
+  private def metaAt(v: Long): (Seq[String], Map[String, String], Seq[String],
+      Option[StructType]) =
     Option(metaCache.get(v)).getOrElse {
       val m = VersionedTable.filesAndMappingOf(spark, path, v)
       metaCache.put(v, m)
@@ -313,11 +316,17 @@ private[streaming] class VersionedTableSource(
     * mapping would bind their remapped column as null under the pinned
     * one. Such batches fail, advising a restart (Delta fails a stream on
     * mid-run schema change the same way). */
-  private val (pinnedVersion, pinnedMapping, pinnedPartCols)
-      : (Long, Map[String, String], Seq[String]) =
+  private val (pinnedVersion, pinnedMapping, pinnedPartCols, pinnedTypes)
+      : (Long, Map[String, String], Seq[String], Map[String, org.apache.spark.sql.types.DataType]) =
     VersionedTable.latestVersion(spark, path)
-      .map { v => val m = metaAt(v); (v, m._2, m._3) }
-      .getOrElse((-1L, Map.empty[String, String], Seq.empty[String]))
+      .map { v =>
+        val m = metaAt(v)
+        (v, m._2, m._3,
+          m._4.map(_.fields.map(f => f.name -> f.dataType).toMap)
+            .getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType]))
+      }
+      .getOrElse((-1L, Map.empty[String, String], Seq.empty[String],
+        Map.empty[String, org.apache.spark.sql.types.DataType]))
 
   override def getOffset: Option[Offset] = {
     val latest = VersionedTable.latestVersion(spark, path).filter(_ >= startingVersion)
@@ -369,7 +378,7 @@ private[streaming] class VersionedTableSource(
     val fromV = start.map(version).getOrElse(math.max(0L, startingVersion - 1L))
     val toV = version(end)
     seedLastEnd(toV) // re-seed after restart (committed AND replay paths)
-    val (toFiles, toMapping, toPartCols) = metaAt(toV)
+    val (toFiles, toMapping, toPartCols, toSchema) = metaAt(toV)
     // The guard fires in BOTH directions: forward (toV > pinned — the
     // table was re-partitioned after the stream started) AND on a
     // recovery-REPLAYED batch whose end version predates a re-partitioning
@@ -395,6 +404,25 @@ private[streaming] class VersionedTableSource(
           "appended under the new mapping would stream the remapped " +
           "column as null under the pinned one. Restart the query to pick " +
           "up the new schema.")
+    // TYPE WIDENING guard: after a mid-run ALTER COLUMN ... TYPE, new
+    // files store the WIDE physical type; reading them under the pinned
+    // narrow schema is a NARROWING parquet read — unsupported, and the
+    // low-level error would not name the cause. Fail with the remedy.
+    // (Historic widenings inside the backlog are fine: the pinned WIDE
+    // schema reads pre-widen narrow files via the native widening path.)
+    if (toV > pinnedVersion) {
+      val widened = toSchema.map(_.fields.collect {
+        case f if pinnedTypes.get(f.name).exists(_ != f.dataType) =>
+          s"${f.name}: ${pinnedTypes(f.name).simpleString}→${f.dataType.simpleString}"
+      }.toSeq).getOrElse(Nil)
+      if (widened.nonEmpty)
+        throw new IllegalStateException(
+          s"$path: column type(s) changed since this stream started " +
+            s"(pinned at version $pinnedVersion, batch end $toV): " +
+            s"${widened.mkString(", ")} — files appended under the new " +
+            "type cannot be read under the pinned one. Restart the query " +
+            "to pick up the widened schema.")
+    }
     if (changeFeed) {
       // CHANGE FEED: row-level CDC — non-append commits are the POINT here
       // (MERGE/DELETE/OPTIMIZE/DV emit their row diffs instead of being

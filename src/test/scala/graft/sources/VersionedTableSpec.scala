@@ -1357,4 +1357,63 @@ class VersionedTableSpec extends SparkSpec {
     assert(!tmp.exists(), "zero-retention vacuum must sweep stale commit tmps")
     assert(VersionedTable.read(spark, path).count() == 2)
   }
+
+  test("TYPE WIDENING: metadata-only ALTER COLUMN, mixed-width files read wide") {
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Files.createTempDirectory("widen").toString + "/t"
+    VersionedTable.write(Seq((1, 1.5f), (2, 2.5f)).toDF("id", "f")
+      .repartition(1), path, statsCols = Seq("id"))
+    val narrowFiles = VersionedTable.pruneInfo(spark, path, lit(true))._1.toSet
+    VersionedTable.widenColumn(spark, path, "id", LongType)
+    VersionedTable.widenColumn(spark, path, "f", DoubleType)
+    // zero data movement: the carried file set is byte-identical
+    assert(VersionedTable.pruneInfo(spark, path, lit(true))._1.toSet == narrowFiles)
+    val wide = VersionedTable.read(spark, path)
+    assert(wide.schema("id").dataType == LongType)
+    assert(wide.schema("f").dataType == DoubleType)
+    assert(wide.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 1.5), (2L, 2.5)))
+    // new appends land wide; reads span narrow + wide physical files
+    VersionedTable.append(
+      Seq((3000000000L, 3.5)).toDF("id", "f").repartition(1), path)
+    assert(VersionedTable.read(spark, path).orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5), (3000000000L, 3.5)))
+    // pruning stays sound across the width change (stats live in the
+    // BigDecimal domain): the narrow file is provably dead for a big key
+    val (_, skipped) = VersionedTable.pruneInfo(spark, path, col("id") === 3000000000L)
+    assert(skipped.nonEmpty, "expected the narrow file pruned")
+    // metadata MIN/MAX still answers exactly over mixed-width stats
+    assert(VersionedTable.minMaxFromStats(spark, path, "id")
+      .map { case (mn, mx) => (mn.toString, mx.toString) }
+      .contains(("1", "3000000000")))
+    // time travel reads the NARROW schema at the old version
+    assert(VersionedTable.read(spark, path, Some(1L)).schema("id").dataType == IntegerType)
+  }
+
+  test("TYPE WIDENING refusals: narrowing, cross-family, partition and no-op") {
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Files.createTempDirectory("widenRef").toString + "/t"
+    VersionedTable.write(
+      Seq((1L, 1.0, "a")).toDF("id", "v", "dt"), path, Nil, Seq("dt"))
+    def refuses(name: String, to: DataType, msgPart: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.widenColumn(spark, path, name, to) }
+      assert(e.getMessage.contains(msgPart), e.getMessage)
+    }
+    refuses("id", IntegerType, "cannot widen")   // narrowing
+    refuses("v", LongType, "cannot widen")       // cross-family double→long
+    refuses("id", LongType, "cannot widen")      // no-op: nothing to commit
+    refuses("dt", StringType, "cannot widen")    // no-op string
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.widenColumn(spark, path, "xx", LongType) }
+    assert(e.getMessage.contains("no such column"), e.getMessage)
+    // a genuinely widenable type on a PARTITION column still refuses
+    val p2 = java.nio.file.Files.createTempDirectory("widenRef2").toString + "/t"
+    VersionedTable.write(Seq((1L, 7)).toDF("id", "part"), p2, Nil, Seq("part"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.widenColumn(spark, p2, "part", org.apache.spark.sql.types.LongType) }
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+    assert(VersionedTable.latestVersion(spark, path).contains(1L)) // nothing committed
+  }
 }

@@ -582,4 +582,130 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "v", "dt"))
     assert(rows(out) == Set("[1,2.0,a]"))
   }
+
+  test("ALTER COLUMN TYPE widens through SQL; non-widening refused") {
+    val p = tmp()
+    VersionedTable.write(Seq((1, 1.5f), (2, 2.5f)).toDF("id", "f"), p)
+    spark.sql(s"ALTER TABLE ${sqlName(p)} ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE ${sqlName(p)} ALTER COLUMN f TYPE DOUBLE")
+    val out = spark.sql(s"SELECT * FROM ${sqlName(p)} ORDER BY id")
+    assert(out.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType, out.schema)
+    assert(out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    spark.sql(s"INSERT INTO ${sqlName(p)} VALUES (3000000000, 9.25)")
+    assert(spark.sql(
+      s"SELECT id FROM ${sqlName(p)} WHERE id > 2000000000").count() == 1)
+    // narrowing: refused by Spark's own analyzer before reaching the catalog
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlName(p)} ALTER COLUMN f TYPE FLOAT") }
+    assert(messagesOf(e).contains("NOT_SUPPORTED_CHANGE_COLUMN"), messagesOf(e))
+    // a cast Spark's canUpCast allows but graft's metadata-only contract
+    // can't serve (int→double changes the parquet physical family): OUR
+    // refusal, naming the CTAS migration
+    val p2 = tmp()
+    VersionedTable.write(Seq((1, "a")).toDF("k", "s"), p2)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${sqlName(p2)} ALTER COLUMN k TYPE DOUBLE") }
+    assert(messagesOf(e2).contains("cannot widen"), messagesOf(e2))
+  }
+
+  test("COPY INTO loads each source file exactly once; re-run is a no-op") {
+    val p = tmp()
+    val srcDir = Files.createTempDirectory("graft-copy-src").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.parquet(srcDir + "/batch1")
+    Seq((3L, "c")).toDF("id", "s").coalesce(1)
+      .write.parquet(srcDir + "/batch2")
+    // flatten the part files into one landing dir (the statement lists one
+    // level, the shape of a drop-zone directory)
+    val land = Files.createTempDirectory("graft-copy-land").toString
+    var i = 0
+    Seq("batch1", "batch2").foreach { b =>
+      new java.io.File(srcDir + "/" + b).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(land, s"part-$i.parquet"))
+          i += 1
+        }
+    }
+    val r1 = spark.sql(
+      s"COPY INTO ${sqlName(p)} FROM '$land' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(r1.getInt(1) == 2, r1.toString)
+    assert(VersionedTable.read(spark, p).count() == 3)
+    // idempotent: same statement again loads nothing, commits nothing
+    val headBefore = VersionedTable.latestVersion(spark, p).get
+    val r2 = spark.sql(
+      s"COPY INTO ${sqlName(p)} FROM '$land' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(r2.getInt(1) == 0 && r2.getLong(0) == headBefore, r2.toString)
+    assert(VersionedTable.read(spark, p).count() == 3)
+    // a NEW file in a growing directory: only it loads, one commit
+    Seq((4L, "d")).toDF("id", "s").coalesce(1)
+      .write.parquet(srcDir + "/batch3")
+    new java.io.File(srcDir + "/batch3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(land, "part-new.parquet"))
+      }
+    val r3 = spark.sql(
+      s"COPY INTO ${sqlName(p)} FROM '$land' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(r3.getInt(1) == 1 && r3.getLong(0) == headBefore + 1, r3.toString)
+    assert(rows(VersionedTable.read(spark, p).select($"id")) ==
+      Set("[1]", "[2]", "[3]", "[4]"))
+  }
+
+  test("COPY INTO PATTERN narrows the load; schema drift refuses atomically") {
+    val p = tmp()
+    val land = Files.createTempDirectory("graft-copy-pat").toString
+    def drop(df: DataFrame, name: String): Unit = {
+      val d = Files.createTempDirectory("graft-copy-tmp").toString
+      df.coalesce(1).write.parquet(d + "/o")
+      new java.io.File(d + "/o").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(land, name))
+        }
+    }
+    drop(Seq((1L, "a")).toDF("id", "s"), "events-1.parquet")
+    drop(Seq((2L, "b")).toDF("id", "s"), "audit-1.parquet")
+    val r = spark.sql(s"COPY INTO ${sqlName(p)} FROM '$land' " +
+      "FILEFORMAT = PARQUET PATTERN = 'events-*.parquet'").collect().head
+    assert(r.getInt(1) == 1, r.toString)
+    assert(rows(VersionedTable.read(spark, p).select($"id")) == Set("[1]"))
+    // drifted schema in the drop zone: whole statement refuses, no commit
+    drop(Seq((9, 1.5)).toDF("other", "x"), "events-2.parquet")
+    val head = VersionedTable.latestVersion(spark, p).get
+    val e = intercept[Exception] {
+      spark.sql(s"COPY INTO ${sqlName(p)} FROM '$land' " +
+        "FILEFORMAT = PARQUET PATTERN = 'events-*.parquet'").collect()
+    }
+    assert(messagesOf(e).contains("schema"), messagesOf(e))
+    assert(VersionedTable.latestVersion(spark, p).contains(head))
+  }
+
+  test("REORG TABLE APPLY (PURGE) materializes DV marks; re-run is a no-op") {
+    val p = tmp()
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s").repartition(4), p)
+    // pure merge-on-read marks (opted out of auto-purge)
+    VersionedTable.deleteVectorized(spark, p, $"id" % 10 === 0, purgeFraction = 1.0)
+    def dvDeletedAt(v: Long): Long = VersionedTable.history(spark, p)
+      .filter($"version" === v).collect().head.getAs[Long]("num_dv_deleted")
+    val before = VersionedTable.read(spark, p)
+    assert(before.count() == 90)
+    assert(dvDeletedAt(2L) == 10L, "expected live DV marks before REORG")
+    val beforeRows = rows(before)
+    val v = spark.sql(s"REORG TABLE ${sqlName(p)} APPLY (PURGE)")
+      .collect().head.getLong(0)
+    assert(v == 3L)
+    val after = VersionedTable.read(spark, p)
+    assert(after.count() == 90)
+    assert(dvDeletedAt(3L) == 0L, "REORG must materialize away every mark")
+    assert(rows(after) == beforeRows)
+    // nothing marked → no-op, head unchanged
+    assert(spark.sql(s"REORG TABLE ${sqlName(p)} APPLY (PURGE)")
+      .collect().head.getLong(0) == 3L)
+  }
 }

@@ -457,6 +457,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mid-stream TYPE WIDENING fails the query with the remedy named") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val table = Files.createTempDirectory("widenguard").toString + "/t"
+    VersionedTable.write(Seq((1, 10L)).toDF("v", "id").coalesce(1), table)
+    val q = spark.readStream.format("graft-table").load(table)
+      .writeStream.format("memory").queryName("widen_guard").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // widening is metadata-only (no files added → non-append guard blind);
+      // the post-widen APPEND stores int64 where the pinned schema says int —
+      // a narrowing parquet read. The typed guard must fail the batch.
+      VersionedTable.widenColumn(spark, table, "v", LongType)
+      VersionedTable.append(Seq((2L, 20L)).toDF("v", "id"), table)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(ex.getCause).fold(ex.getMessage)(_.getMessage)
+      assert(msg.contains("type(s) changed"), s"wrong failure: $msg")
+      assert(msg.contains("Restart the query"), s"missing remedy: $msg")
+    } finally q.stop()
+    // a FRESH stream (pinned wide) reads the narrow backlog + wide appends
+    val q2 = spark.readStream.format("graft-table").load(table)
+      .writeStream.format("memory").queryName("widen_fresh").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("widen_fresh").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 10L), (2L, 20L)), got.toString)
+    } finally q2.stop()
+  }
+
   test("file-budget walk stops at full manifests instead of resolving them") {
     import graft.sources.VersionedTable
     import spark.implicits._
