@@ -715,7 +715,58 @@ object TextQueries {
        |    '$PiiEntityRe', '<ENTITY>', 'g')) AS scrubbed_hash
        |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_doc_chunks — sliding token-window chunking, the RAG/embedding-
+  // ingestion primitive: each document becomes ⌈n_tok/stride⌉ overlapping
+  // chunks of up to ChunkTokens tokens, each carrying its token offset (so
+  // a retrieval hit can be located in the source) and content hash (so
+  // chunk-level dedup/caching can key on it). Entirely NARROW: split →
+  // per-row start sequence → one Generate (explode) → project; no shuffle
+  // at any scale, output partitioning inherits the scan. Chunk counts are a
+  // pure function of token count — no cross-document state — so the
+  // operator parallelizes embarrassingly at 100 TB.
+  // --------------------------------------------------------------------------
+  val ChunkTokens = 16
+  val ChunkStride = 12 // 4-token overlap between consecutive chunks
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      // chunk k covers tokens [k·stride, k·stride + ChunkTokens); starts
+      // enumerate while start < n so every token lands in ≥1 chunk
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        least(lit(ChunkTokens), col("n") - col("start_tok"))
+          .cast(LongType).as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens))))
+          .as("chunk_hash"))
+  }
+
+  val docChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    LEN(string_split(text, ' ')) AS n
+       |  FROM documents WHERE LEN(string_split(text, ' ')) > 0),
+       |c AS (
+       |  SELECT doc_id, toks, n, CAST(s.start AS INTEGER) AS start_tok,
+       |    CAST(s.start // $ChunkStride AS INTEGER) AS chunk_idx
+       |  FROM d, LATERAL (SELECT unnest(range(0, n, $ChunkStride)) AS start) s)
+       |SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(LEAST($ChunkTokens, n - start_tok) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(
+       |    list_slice(toks, start_tok + 1, start_tok + $ChunkTokens), ' ')) AS chunk_hash
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_chunks"      -> (docChunks _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_funnel" -> (curationFunnel _),
     "q_tfidf"           -> (tfidf _),
@@ -736,6 +787,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_doc_chunks"      -> docChunksSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_tfidf"           -> tfidfSql,

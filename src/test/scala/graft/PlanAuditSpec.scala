@@ -382,4 +382,35 @@ class PlanAuditSpec extends SparkSpec {
       }.nonEmpty, s"window not bounded by top-k:\n$w")
     }
   }
+
+  test("q_doc_chunks: pure narrow — one Generate, zero exchanges") {
+    val p = plan("q_doc_chunks")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    // exactly one explode (the start-offset sequence); a second Generate
+    // would mean the token array exploded too — a row blow-up the slice
+    // formulation exists to avoid
+    assert(p.linesIterator.count(_.contains("Generate")) == 1, p)
+  }
+
+  test("q_semantic_dedup: pair candidates are bucket-equi-joined, never all-pairs") {
+    val df = SparkEntry.queries("q_semantic_dedup")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    spark.catalog.clearCache()
+    // SemDeDup's entire scale story is that pairs form WITHIN a cluster:
+    // the self-join must key on bucket equality (hash or broadcast-hash),
+    // and a cartesian/nested-loop here would be the N² plan it exists to
+    // avoid; the rank inequality rides as a join condition, not the key
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, sp.toString)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, sp.toString)
+    val equiJoins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(equiJoins.nonEmpty, sp.toString)
+  }
 }
