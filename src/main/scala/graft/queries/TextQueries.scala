@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -716,6 +716,156 @@ object TextQueries {
        |FROM documents""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_dsir_weights — DSIR-style importance weights (Xie et al. 2023,
+  // arXiv:2302.03169): score each document by how much its hashed-unigram
+  // distribution looks like a TARGET domain (here lang='en') relative to
+  // the RAW corpus. Features are hashed into DsirBuckets buckets (md5 →
+  // bucket id, engine-portable), both distributions come from ONE
+  // conditional aggregation pass (bounded: B rows), and the add-one-
+  // smoothed probability ratio per bucket is quantized to integer MICROS
+  // on the driver — so per-document scoring is a PURE NARROW pass:
+  // aggregate(transform(words, w → ratioMap[bucket(w)])) — integer adds
+  // inside one row, no explode, no join, no shuffle. At 100 TB the model
+  // is a B-entry literal (like the IVF centroids); the corpus is scanned
+  // twice (model + scoring), both embarrassingly parallel. Determinism:
+  // only IEEE division/multiplication (exactly-rounded, bit-identical
+  // across engines) — deliberately NO log, whose libm implementations
+  // differ by ulps between engines; the ratio is a monotone surrogate for
+  // DSIR's log-ratio, so ranking/resampling behavior is preserved.
+  // --------------------------------------------------------------------------
+  val DsirBuckets = 256
+  private val DsirTargetLang = "en"
+
+  /** md5-derived hash bucket — first 4 hex chars as int, mod B (identical
+    * arithmetic to the oracle's concat('0x',…) cast). */
+  private def dsirBucket(w: Column): Column =
+    conv(substring(md5(w), 1, 4), 16, 10).cast(IntegerType) % DsirBuckets
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // model pass: raw + target counts per bucket in one aggregation
+    val counts = docs
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .select(col("lang"), dsirBucket(col("w")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("r_cnt"),
+        count(when(col("lang") === DsirTargetLang, 1)).as("t_cnt"))
+      .collect()
+      .map(r => r.getAs[Int]("b") -> (r.getAs[Long]("r_cnt"), r.getAs[Long]("t_cnt")))
+      .toMap
+    val rTotal = counts.valuesIterator.map(_._1).sum
+    val tTotal = counts.valuesIterator.map(_._2).sum
+    val qRatio: Map[Int, Long] = (0 until DsirBuckets).map { b =>
+      val (r, t) = counts.getOrElse(b, (0L, 0L))
+      val num = (t + 1.0) / (tTotal + DsirBuckets)
+      val den = (r + 1.0) / (rTotal + DsirBuckets)
+      b -> math.round(num / den * 1000000.0)
+    }.toMap
+    // scoring pass: narrow — per-row integer fold over the token array
+    val toks = words(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      .select(
+        col("doc_id"),
+        col("n").cast(LongType).as("n_tok"),
+        (aggregate(
+          transform(col("toks"), w => element_at(typedLit(qRatio), dsirBucket(w))),
+          lit(0L), (acc, x) => acc + x).cast(DoubleType)
+          / 1000000.0 / col("n").cast(DoubleType)).as("dsir_weight"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    CAST(concat('0x', substr(md5(u.w), 1, 4)) AS INTEGER) % $DsirBuckets AS b
+       |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u),
+       |cnt AS (
+       |  SELECT b, COUNT(*) AS r_cnt,
+       |    COUNT(*) FILTER (WHERE lang = '$DsirTargetLang') AS t_cnt
+       |  FROM w GROUP BY b),
+       |tot AS (SELECT SUM(r_cnt) AS rt, SUM(t_cnt) AS tt FROM cnt),
+       |q AS (
+       |  SELECT g.range AS b,
+       |    CAST(ROUND(((COALESCE(t_cnt, 0) + 1.0) / (tt + $DsirBuckets))
+       |      / ((COALESCE(r_cnt, 0) + 1.0) / (rt + $DsirBuckets))
+       |      * 1000000.0) AS BIGINT) AS q
+       |  FROM range(0, $DsirBuckets) g
+       |  LEFT JOIN cnt ON cnt.b = g.range CROSS JOIN tot),
+       |s AS (
+       |  SELECT w.doc_id, SUM(q.q) AS s, COUNT(*) AS n
+       |  FROM w JOIN q USING (b) GROUP BY w.doc_id)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       |  CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS dsir_weight
+       |FROM s WHERE n > 0""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_lm_typicality — CCNet-style reference-LM scoring (Wenzek et al. 2020,
+  // arXiv:1911.00359): build a character-trigram LM from the target-domain
+  // subset (lang='en'), score every document by its mean conditional
+  // trigram likelihood p(c₃|c₁c₂) = c3(tri)/c2(prefix), plus its
+  // out-of-model trigram count. The model is bounded by charset³ (377
+  // distinct trigrams here; bounded at any corpus size), so it BROADCASTS;
+  // scoring is explode → broadcast-left-join → per-doc partial-aggregated
+  // sum (1 row/doc leaves each map task). Probabilities are quantized to
+  // integer micros before summation — order-independent exact adds — and
+  // use division only (no log), bit-identical across engines; the mean
+  // likelihood ranks documents the same way CCNet's perplexity does, low =
+  // atypical of the reference domain.
+  // --------------------------------------------------------------------------
+  def lmTypicality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def triExplode(df: DataFrame, extra: Column*): DataFrame =
+      df.filter(length(col("text")) >= 3)
+        .select(extra :+ explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("tri"): _*)
+    val c3 = triExplode(docs.filter(col("lang") === DsirTargetLang))
+      .groupBy(col("tri")).agg(count(lit(1)).as("c"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("pre"))
+      .agg(sum(col("c")).as("s"))
+    val model = c3.join(c2, substring(col("tri"), 1, 2) === col("pre"))
+      .select(col("tri"),
+        round(col("c").cast(DoubleType) / col("s").cast(DoubleType) * 1000000.0)
+          .cast(LongType).as("q"))
+    triExplode(docs, col("doc_id"))
+      .join(broadcast(model), Seq("tri"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tri"),
+        count(when(col("q").isNull, 1)).as("n_unseen"),
+        sum(coalesce(col("q"), lit(0L))).as("s"))
+      .select(col("doc_id"), col("n_tri"), col("n_unseen"),
+        (col("s").cast(DoubleType) / 1000000.0 / col("n_tri").cast(DoubleType))
+          .as("typicality"))
+  }
+
+  val lmTypicalitySql: String =
+    s"""WITH tri_t AS (
+       |  SELECT substr(text, CAST(u.i AS INTEGER), 3) AS tri
+       |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) u
+       |  WHERE lang = '$DsirTargetLang' AND length(text) >= 3),
+       |c3 AS (SELECT tri, COUNT(*) AS c FROM tri_t GROUP BY tri),
+       |c2 AS (SELECT substr(tri, 1, 2) AS pre, SUM(c) AS s FROM c3 GROUP BY 1),
+       |q AS (
+       |  SELECT tri,
+       |    CAST(ROUND(CAST(c AS DOUBLE) / CAST(s AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       |  FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pre),
+       |alltri AS (
+       |  SELECT doc_id, substr(text, CAST(u.i AS INTEGER), 3) AS tri
+       |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) u
+       |  WHERE length(text) >= 3),
+       |agg AS (
+       |  SELECT a.doc_id, COUNT(*) AS n_tri,
+       |    COUNT(*) FILTER (WHERE q.q IS NULL) AS n_unseen,
+       |    SUM(COALESCE(q.q, 0)) AS s
+       |  FROM alltri a LEFT JOIN q ON a.tri = q.tri
+       |  GROUP BY a.doc_id)
+       |SELECT doc_id, n_tri, n_unseen,
+       |  CAST(s AS DOUBLE) / 1000000.0 / CAST(n_tri AS DOUBLE) AS typicality
+       |FROM agg""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_doc_chunks — sliding token-window chunking, the RAG/embedding-
   // ingestion primitive: each document becomes ⌈n_tok/stride⌉ overlapping
   // chunks of up to ChunkTokens tokens, each carrying its token offset (so
@@ -766,6 +916,8 @@ object TextQueries {
        |FROM c""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights"    -> (dsirWeights _),
+    "q_lm_typicality"   -> (lmTypicality _),
     "q_doc_chunks"      -> (docChunks _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_curation_funnel" -> (curationFunnel _),
@@ -787,6 +939,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dsir_weights"    -> dsirWeightsSql,
+    "q_lm_typicality"   -> lmTypicalitySql,
     "q_doc_chunks"      -> docChunksSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_funnel" -> curationFunnelSql,

@@ -383,6 +383,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_dsir_weights: scoring pass is pure narrow — model rides as a literal map") {
+    val p = plan("q_dsir_weights")
+    // the model (B quantized bucket ratios) is collected once and enters
+    // the plan as a literal; the returned scoring plan must be a bare
+    // scan → project with the per-row array fold — any exchange, join, or
+    // generate here means the model leaked back in as a plan node
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q_lm_typicality: trigram model broadcasts; corpus side never sort-merges") {
+    val df = SparkEntry.queries("q_lm_typicality")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, sp.toString)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, sp.toString)
+    // per-doc scoring sum must partial-aggregate map-side (1 row/doc per
+    // task reaches the exchange)
+    val aggs = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+    assert(aggs.size >= 2, sp.toString)
+  }
+
   test("q_doc_chunks: pure narrow — one Generate, zero exchanges") {
     val p = plan("q_doc_chunks")
     assert(!p.contains("Exchange"), p)
