@@ -1056,11 +1056,15 @@ object VersionedTable {
         val effPart =
           if (partitionCols.nonEmpty) partitionCols
           else parent.flatMap(_.schema).map(partitionColsOf).getOrElse(Nil)
+        // generation first (a generated PARTITION column must exist before
+        // the layout reorder below), then shaping, then CHECKs
+        val genDf = applyGenerated(df, effProps, path)
         val tagged =
-          if (effPart.isEmpty) df.schema else withPartitionMeta(df.schema, effPart)
+          if (effPart.isEmpty) genDf.schema
+          else withPartitionMeta(genDf.schema, effPart)
         val ordered =
-          if (effPart.isEmpty) df
-          else df.select(tagged.fieldNames.map(col).toSeq: _*)
+          if (effPart.isEmpty) genDf
+          else genDf.select(tagged.fieldNames.map(col).toSeq: _*)
         val shaped = withChecks(
           optimizeWriteShape(ordered, effProps, effPart), effProps, path)
         val (dir, rel) =
@@ -1212,12 +1216,15 @@ object VersionedTable {
               "concurrently; re-diff against the new manifest")
         }
       }
+      // generated columns fill/enforce BEFORE the schema-match contract, so
+      // a writer that (correctly) omits a generated column still appends
+      val effDf = applyGenerated(df, c.map(_.props).getOrElse(Map.empty), path)
       c.flatMap(_.schema).foreach { bs =>
-        require(bs.fieldNames.toSet == df.schema.fieldNames.toSet &&
+        require(bs.fieldNames.toSet == effDf.schema.fieldNames.toSet &&
           bs.fields.forall(bf =>
-            df.schema.fields.find(_.name == bf.name).forall(_.dataType == bf.dataType)),
+            effDf.schema.fields.find(_.name == bf.name).forall(_.dataType == bf.dataType)),
           s"append schema mismatch vs $path: table ${bs.simpleString}, " +
-            s"batch ${df.schema.simpleString}")
+            s"batch ${effDf.schema.simpleString}")
       }
       val curColMap = c.map(_.colMap).getOrElse(Map.empty)
       // a table's partition layout is part of its contract: appends inherit
@@ -1244,7 +1251,7 @@ object VersionedTable {
       }
       if (staged.isEmpty) {
         val shaped = withChecks(
-          optimizeWriteShape(df, curProps, effPart), curProps, path)
+          optimizeWriteShape(effDf, curProps, effPart), curProps, path)
         val (dir, rel) =
           try stage(shaped, root, f, curColMap, effPart)
           catch { case e: Throwable => translateViolation(e, path) }
@@ -1256,10 +1263,10 @@ object VersionedTable {
       // merge nullability so an appended nullable column stays readable
       val schemaJson = c.flatMap(_.schema).map { bs =>
         StructType(bs.fields.map(bf => bf.copy(nullable = bf.nullable ||
-          df.schema.fields.find(_.name == bf.name).exists(_.nullable)))).json
+          effDf.schema.fields.find(_.name == bf.name).exists(_.nullable)))).json
       }.getOrElse(
-        (if (effPart.isEmpty) df.schema
-         else withPartitionMeta(df.schema, effPart)).json)
+        (if (effPart.isEmpty) effDf.schema
+         else withPartitionMeta(effDf.schema, effPart)).json)
       val v = base.getOrElse(0L) + 1L
       // stats is by-name and this append vouches for carry identity, so a
       // delta-encoded append NEVER forces the parent's (possibly
@@ -2251,19 +2258,28 @@ object VersionedTable {
     // probe, anti-join key set, union right side) — at 100 TB the updates
     // are the SMALL side; recomputing their lineage per consumer is the
     // only part of the merge that wouldn't scale with the update
+    // generated columns: FILL absent ones on the update side up front (so
+    // the schema-match/evolution contract sees full rows); supplied values
+    // are enforced again with fresh props at the staging site inside the
+    // CAS loop, which also covers a racing generation declaration
+    val updatesG = latestVersion(spark, path) match {
+      case Some(b) => applyGenerated(updates,
+        readManifest(spark, f, root, b).props, path)
+      case None => updates
+    }
     val deduped = (latestBy match {
       case Some(ord) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
-        updates.withColumn("__rn", row_number().over(w))
+        updatesG.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       case None =>
-        val dups = updates.groupBy(keys.map(col): _*)
+        val dups = updatesG.groupBy(keys.map(col): _*)
           .count().filter(col("count") > 1).limit(1).count()
         require(dups == 0,
           s"updates contain duplicate merge keys ${keys.mkString(",")}; " +
             "pass latestBy to pick a survivor")
-        updates
+        updatesG
     }).cache()
     // tombstones' keys participate in the anti-join (they remove matched
     // rows) but only non-tombstone rows are (re-)inserted
@@ -2352,7 +2368,7 @@ object VersionedTable {
             // the union re-checks them only because they ride the rewrite —
             // one in-task pass, no extra scan
             val (dir, rel0) =
-              try stage(withChecks(rewriteDf, c.props, path), root, f,
+              try stage(withContract(rewriteDf, c.props, path), root, f,
                 c.colMap, c.schema.map(partitionColsOf).getOrElse(Nil))
               catch { case e: Throwable => translateViolation(e, path) }
             val (st0, rw0) = metaFor(spark, root, rel0,
@@ -2530,8 +2546,13 @@ object VersionedTable {
             case None => col(fl.name)
           }
         }.toSeq: _*)
+      // withContract (not just withChecks): an UPDATE that modifies a
+      // source column of a generated column without keeping the generated
+      // value consistent refuses loudly — the remedy is to SET the
+      // generated column too (or drop the generation); silently serving a
+      // stale derived value is the failure mode generation exists to kill
       val (dir, rel) =
-        try stage(withChecks(updated, c.props, path), root, f, c.colMap,
+        try stage(withContract(updated, c.props, path), root, f, c.colMap,
           partitionColsOf(s))
         catch { case e: Throwable => translateViolation(e, path) }
       val (st, rw) = metaFor(spark, root, rel,
@@ -2620,15 +2641,20 @@ object VersionedTable {
       // constraint first if the drop is intended)
       val lowerDrop = names.map(_.toLowerCase).toSet
       constraintsIn(c.props).foreach { case (cname, sql) =>
-        val refs = scala.util.Try(
-          spark.sessionState.sqlParser.parseExpression(sql).collect {
-            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              u.nameParts.head.toLowerCase
-          }.toSet).getOrElse(Set.empty[String])
+        val refs = exprRefs(spark, sql)
         val hit = refs intersect lowerDrop
         require(hit.isEmpty,
           s"$path: cannot drop column(s) ${hit.mkString(",")} — constraint " +
             s"'$cname' CHECK ($sql) references them; DROP CONSTRAINT first")
+      }
+      generatedIn(c.props).foreach { case (gname, sql) =>
+        require(!lowerDrop.contains(gname.toLowerCase),
+          s"$path: cannot drop generated column $gname — drop the " +
+            "generation first (dropGeneratedColumn)")
+        val hit = exprRefs(spark, sql) intersect lowerDrop
+        require(hit.isEmpty,
+          s"$path: cannot drop column(s) ${hit.mkString(",")} — generated " +
+            s"column $gname AS ($sql) references them; drop the generation first")
       }
       (StructType(s.fields.filterNot(f => names.contains(f.name))),
         c.colMap -- names,
@@ -2667,14 +2693,17 @@ object VersionedTable {
           "BY + INSERT SELECT)")
       val lowerFrom = from.toLowerCase
       constraintsIn(c.props).foreach { case (cname, sql) =>
-        val refs = scala.util.Try(
-          spark.sessionState.sqlParser.parseExpression(sql).collect {
-            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              u.nameParts.head.toLowerCase
-          }.toSet).getOrElse(Set.empty[String])
-        require(!refs.contains(lowerFrom),
+        require(!exprRefs(spark, sql).contains(lowerFrom),
           s"$path: cannot rename column $from — constraint '$cname' " +
             s"CHECK ($sql) references it; DROP CONSTRAINT first")
+      }
+      generatedIn(c.props).foreach { case (gname, sql) =>
+        require(gname.toLowerCase != lowerFrom,
+          s"$path: cannot rename generated column $from — drop the " +
+            "generation first (dropGeneratedColumn)")
+        require(!exprRefs(spark, sql).contains(lowerFrom),
+          s"$path: cannot rename column $from — generated column $gname " +
+            s"AS ($sql) references it; drop the generation first")
       }
       val phys = c.physName(from)
       val fields = s.fields.map(fl =>
@@ -2718,6 +2747,15 @@ object VersionedTable {
         s"$path: cannot change the type of partition column $name — the " +
           "directory layout and streaming path derivation depend on it " +
           "(migrate via CREATE TABLE ... PARTITIONED BY + INSERT SELECT)")
+      generatedIn(c.props).foreach { case (gname, sql) =>
+        require(gname != name,
+          s"$path: cannot widen generated column $name — its declared type " +
+            s"equals the expression's ($sql); drop the generation first")
+        require(!exprRefs(spark, sql).contains(name.toLowerCase),
+          s"$path: cannot widen column $name — generated column $gname " +
+            s"AS ($sql) references it and its type contract would drift; " +
+            "drop the generation first")
+      }
       (StructType(s.fields.map(f =>
         if (f.name == name) f.copy(dataType = to) else f)),
         c.colMap, c.physDropped)
@@ -2753,6 +2791,12 @@ object VersionedTable {
     require(smuggled.isEmpty,
       s"$path: cannot set ${smuggled.mkString(", ")} via table properties — " +
         "use ADD CONSTRAINT (addCheckConstraint), which validates existing rows")
+    // same closed door for generation declarations: setGeneratedColumn
+    // validates the expression contract AND the existing rows first
+    val smuggledGen = set.keys.filter(_.startsWith(GeneratedPrefix))
+    require(smuggledGen.isEmpty,
+      s"$path: cannot set ${smuggledGen.mkString(", ")} via table properties — " +
+        "use setGeneratedColumn, which validates the expression and existing rows")
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -2895,6 +2939,168 @@ object VersionedTable {
   def dropCheckConstraint(spark: SparkSession, path: String,
       name: String): Long =
     setProperties(spark, path, Map.empty, Seq(ConstraintPrefix + name))
+
+  // --------------------------------------------------------------------
+  // GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS (expr)`): the
+  // expression rides table properties (`graft.generated.<col>` → SQL) so
+  // it binds EVERY writer through the commit log, like CHECK constraints.
+  // Write-verb semantics: a batch that OMITS the column gets it COMPUTED
+  // in-task during the write job (no separate pass); a batch that
+  // SUPPLIES it is enforced row-by-row (value must equal the expression —
+  // Delta's explicit-value rule) through the same raise_error/refuse-
+  // atomically machinery as CHECK constraints. This is exactly the
+  // reference's derived-column contract (p_event_date from occurred_at,
+  // event_hash from the payload — silver DDL 02_silver_events.sql) made
+  // self-maintaining: the canonical use is a generated PARTITION column,
+  // where the writer never hand-computes the partition value again.
+  // --------------------------------------------------------------------
+
+  private val GeneratedPrefix = "graft.generated."
+
+  /** The table's generated columns (name → generation expression SQL). */
+  def generatedColumnsOf(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Map[String, String] =
+    generatedIn(propertiesOf(spark, path, asOf))
+
+  private def generatedIn(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(GeneratedPrefix) =>
+      k.stripPrefix(GeneratedPrefix) -> v }
+
+  /** Top-level column names a SQL expression references (unresolved). */
+  private def exprRefs(spark: SparkSession, sql: String): Set[String] =
+    scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.head.toLowerCase
+      }.toSet).getOrElse(Set.empty[String])
+
+  /** Declaration-time contract, enforced BEFORE anything is stored (so the
+    * write path needs no casts and can never hit a type surprise):
+    * the expression must analyze against the OTHER columns only (no self-
+    * reference, no forward reference to another generated column), its
+    * analyzed type must EQUAL the declared column type, and it must be
+    * deterministic (a now()/rand() generation would make replays, CoW
+    * rewrites and constraint re-checks non-reproducible — Delta refuses
+    * these too). */
+  private[graft] def validateGenerationExpr(spark: SparkSession,
+      schema: StructType, name: String, exprSql: String,
+      otherGenerated: Set[String]): Unit = {
+    require(schema.fieldNames.contains(name),
+      s"generated column $name: no such column in ${schema.simpleString}")
+    val refs = exprRefs(spark, exprSql)
+    require(!refs.contains(name.toLowerCase),
+      s"generated column $name: expression ($exprSql) may not reference itself")
+    val genHit = refs intersect otherGenerated.map(_.toLowerCase)
+    require(genHit.isEmpty,
+      s"generated column $name: expression ($exprSql) may not reference " +
+        s"other generated column(s) ${genHit.mkString(",")}")
+    val others = StructType(schema.fields.filterNot(_.name == name))
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), others)
+    val analyzed =
+      try probe.select(expr(exprSql))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"generated column $name: expression ($exprSql) does not analyze " +
+            s"against the table's other columns: ${e.getMessage}")
+      }
+    val dt = analyzed.schema.fields(0).dataType
+    val declared = schema(schema.fieldIndex(name)).dataType
+    require(dt == declared,
+      s"generated column $name: expression type ${dt.simpleString} must " +
+        s"equal the declared type ${declared.simpleString} (add an explicit " +
+        "CAST in the expression)")
+    require(analyzed.queryExecution.analyzed.expressions.forall(_.deterministic),
+      s"generated column $name: expression ($exprSql) must be deterministic")
+    val lower = exprSql.toLowerCase
+    val timeish = Seq("current_timestamp", "current_date", "now()",
+      "localtimestamp", "current_timezone")
+    val badTime = timeish.filter(lower.contains)
+    require(badTime.isEmpty,
+      s"generated column $name: expression may not depend on evaluation " +
+        s"time (${badTime.mkString(",")}) — replays and rewrites would " +
+        "regenerate different values")
+  }
+
+  /** Declare `name` GENERATED ALWAYS AS (exprSql) on an EXISTING table:
+    * validates the declaration contract, then that every existing row
+    * already satisfies `name <=> expr` (one scan, refused on the first
+    * violation — same shape as [[addCheckConstraint]], and the CAS pins
+    * the validated version so a racing append can't slip an unvalidated
+    * row under the declaration). */
+  def setGeneratedColumn(spark: SparkSession, path: String, name: String,
+      exprSql: String): Long = {
+    val key = GeneratedPrefix + name
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
+      val c = readManifest(spark, f, root, b)
+      require(!c.props.contains(key),
+        s"$path: column $name is already generated " +
+          s"(${c.props(key)}); drop the generation first")
+      val s = c.schema.getOrElse(throw new IllegalStateException(
+        s"$path: version $b records no schema"))
+      validateGenerationExpr(spark, s, name, exprSql,
+        generatedIn(c.props).keySet - name)
+      val bad = read(spark, path, Some(b))
+        .filter(!(col(name) <=> expr(exprSql))).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"$path: cannot declare $name GENERATED ALWAYS AS ($exprSql) — " +
+          "existing rows hold a different value; fix the data first")
+      val v = b + 1L
+      val (body, ckptDir) = encodeCommit(spark, root, v, c.files,
+        c.schema.map(_.json).getOrElse("null"), c.stats, c.rows, c.txn,
+        c.dv, c.dvRows, parent = Some(c), colMap = c.colMap,
+        physDropped = c.physDropped, carriedIdentical = true,
+        statsAddOnly = Some(Map.empty),
+        props = Some(c.props + (key -> exprSql)))
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        ckptDir.foreach(d => f.delete(d, true))
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt set-generated commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
+  /** Remove the generation declaration (metadata commit): the column stays,
+    * becomes an ordinary writable column; no-op if not generated. */
+  def dropGeneratedColumn(spark: SparkSession, path: String,
+      name: String): Long =
+    setProperties(spark, path, Map.empty, Seq(GeneratedPrefix + name))
+
+  /** The write-verb hook: fill absent generated columns, enforce supplied
+    * ones — both as in-task expressions on the write job itself, zero
+    * extra passes. Fill needs no cast ([[validateGenerationExpr]] pinned
+    * the type at declaration). */
+  private def applyGenerated(df: DataFrame, props: Map[String, String],
+      path: String): DataFrame = {
+    val gens = generatedIn(props)
+    if (gens.isEmpty) df
+    else gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+      if (!d.columns.contains(name)) d.withColumn(name, expr(sql))
+      else {
+        val ok = col(name) <=> expr(sql)
+        d.filter(when(ok, lit(true)).otherwise(raise_error(concat(
+          lit(s"$ViolationMarker: $path generated column '$name' must equal " +
+            s"($sql) — supplied row disagrees: "),
+          substring(to_json(struct(d.columns.map(col).toSeq: _*)), 1, 256)))))
+      }
+    }
+  }
+
+  /** Generation + CHECKs in one wrapper — the full write contract every
+    * staging site applies (generation first, so constraints may reference
+    * generated columns). */
+  private def withContract(df: DataFrame, props: Map[String, String],
+      path: String): DataFrame =
+    withChecks(applyGenerated(df, props, path), props, path)
 
   private def alterSchema(spark: SparkSession, path: String, verb: String,
       change: (StructType, Commit, Long) => (StructType, Map[String, String], Set[String]),

@@ -63,10 +63,13 @@ class GraftCatalog extends TableCatalog {
   }
 
   /** Declares CHECK-constraint DDL support so Spark's parser-level
-    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK` routes here. */
+    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK` routes here, and
+    * generated-column DDL so `CREATE TABLE ... (c T GENERATED ALWAYS AS
+    * (expr))` hands the expression through field metadata. */
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def tableExists(ident: Identifier): Boolean =
     VersionedTable.latestVersion(spark, pathOf(ident)).isDefined
@@ -103,6 +106,30 @@ class GraftCatalog extends TableCatalog {
     * check-then-act). `TBLPROPERTIES ('statsCols'='a,b')` seeds per-file
     * min/max stats collection; `PARTITIONED BY (col)` declares the
     * partition layout dimension. */
+  /** The Column[]-based entry Spark actually calls for SQL CREATE TABLE:
+    * `GENERATED ALWAYS AS` rides `Column.generationExpression()` and the
+    * default Column→StructType bridge DROPS it — re-attach each expression
+    * as field metadata so the schema-based path below lifts it into the
+    * commit-log property contract. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    val withGen = StructType(columns.map { c =>
+      require(c.defaultValue() == null,
+        s"${pathOf(ident)}: DEFAULT values are not supported (column ${c.name})")
+      require(c.identityColumnSpec() == null,
+        s"${pathOf(ident)}: IDENTITY columns are not supported (column ${c.name})")
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.generationExpression()).foreach(
+        mb.putString(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, _))
+      org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable, mb.build())
+    })
+    createTable(ident, withGen, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val path = pathOf(ident)
@@ -134,8 +161,33 @@ class GraftCatalog extends TableCatalog {
           "columns after data columns; declaring them elsewhere would make " +
           "SELECT * / positional INSERT INTO order diverge from the DDL.")
     }
+    // GENERATED ALWAYS AS (expr) arrives as field metadata — lift each
+    // expression into the commit-log property contract (validated against
+    // the declared schema first) and strip the metadata, so the recorded
+    // schema carries no engine-specific keys and every write verb — DF
+    // API, SQL, streaming — enforces the generation uniformly
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    val genCols: Map[String, String] = schema.fields.collect {
+      case fl if GeneratedColumn.isGeneratedColumn(fl) =>
+        fl.name -> GeneratedColumn.getGenerationExpression(fl).get
+    }.toMap
+    genCols.foreach { case (n, sql) =>
+      VersionedTable.validateGenerationExpr(spark, schema, n, sql,
+        genCols.keySet - n)
+    }
+    val cleanSchema =
+      if (genCols.isEmpty) schema
+      else StructType(schema.fields.map { fl =>
+        if (!GeneratedColumn.isGeneratedColumn(fl)) fl
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(fl.metadata)
+            .remove(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY)
+          fl.copy(metadata = mb.build())
+        }
+      })
     val empty = spark.createDataFrame(
-      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+      new util.ArrayList[org.apache.spark.sql.Row](), cleanSchema)
     // persist the user's TBLPROPERTIES in the commit log (minus the
     // engine-internal keys Spark itself adds to every CREATE TABLE) so
     // every writer observes them — autoCompact/optimizeWrite/constraints
@@ -143,7 +195,8 @@ class GraftCatalog extends TableCatalog {
     val internalKeys = Set("provider", "location", "owner",
       "external", "is_managed_location")
     val stored = props.toMap.filter { case (k, _) =>
-      !internalKeys.contains(k.toLowerCase) && !k.startsWith("option.") }
+      !internalKeys.contains(k.toLowerCase) && !k.startsWith("option.") } ++
+      genCols.map { case (n, sql) => s"graft.generated.$n" -> sql }
     try VersionedTable.createEmpty(empty, path, statsCols, partitionCols, stored)
     catch {
       case e: IllegalStateException if e.getMessage.contains("already exists") =>

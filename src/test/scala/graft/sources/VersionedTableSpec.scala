@@ -1416,4 +1416,87 @@ class VersionedTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("partition column"), e2.getMessage)
     assert(VersionedTable.latestVersion(spark, path).contains(1L)) // nothing committed
   }
+
+  test("GENERATED columns: fill on append, enforce supplied values, atomic refusal") {
+    val path = java.nio.file.Files.createTempDirectory("gen").toString + "/t"
+    VersionedTable.write(Seq((1, 10, 20), (2, 7, 14)).toDF("id", "n", "dbl"), path)
+    VersionedTable.setGeneratedColumn(spark, path, "dbl", "n * 2")
+    // a writer that OMITS the generated column gets it computed
+    VersionedTable.append(Seq((3, 5)).toDF("id", "n"), path)
+    assert(VersionedTable.read(spark, path).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 10, 20), (2, 7, 14), (3, 5, 10)))
+    // a writer that SUPPLIES the correct value passes
+    VersionedTable.append(Seq((4, 6, 12)).toDF("id", "n", "dbl"), path)
+    // a wrong supplied value refuses the COMMIT atomically
+    val vBefore = VersionedTable.latestVersion(spark, path).get
+    val e = intercept[IllegalStateException] {
+      VersionedTable.append(Seq((5, 6, 99)).toDF("id", "n", "dbl"), path) }
+    assert(e.getMessage.contains("generated column 'dbl'"), e.getMessage)
+    assert(VersionedTable.latestVersion(spark, path).contains(vBefore))
+    // upsert fills an omitted generated column too (CDC writers never
+    // hand-compute derived columns)
+    VersionedTable.upsert(Seq((3, 8)).toDF("id", "n"), path, Seq("id"),
+      evolveSchema = true)
+    assert(VersionedTable.read(spark, path).filter(col("id") === 3)
+      .select("dbl").as[Int].head() == 16)
+  }
+
+  test("GENERATED columns: declaration validates expr contract and existing rows") {
+    val path = java.nio.file.Files.createTempDirectory("gen2").toString + "/t"
+    VersionedTable.write(Seq((1, 10, 21)).toDF("id", "n", "dbl"), path)
+    // existing rows disagree with the declaration → refused
+    val e0 = intercept[IllegalStateException] {
+      VersionedTable.setGeneratedColumn(spark, path, "dbl", "n * 2") }
+    assert(e0.getMessage.contains("existing rows"), e0.getMessage)
+    // type mismatch (int column, bigint expr) → refused naming the fix
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.setGeneratedColumn(spark, path, "dbl", "CAST(n AS BIGINT)") }
+    assert(e1.getMessage.contains("must equal the declared type"), e1.getMessage)
+    // self-reference → refused
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.setGeneratedColumn(spark, path, "dbl", "dbl") }
+    assert(e2.getMessage.contains("reference itself"), e2.getMessage)
+    // non-deterministic → refused
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.setGeneratedColumn(spark, path, "dbl",
+        "CAST(rand() * 10 AS INT)") }
+    assert(e3.getMessage.contains("deterministic"), e3.getMessage)
+    // evaluation-time dependence → refused
+    VersionedTable.addColumns(spark, path, Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType)))
+    val e4 = intercept[IllegalArgumentException] {
+      VersionedTable.setGeneratedColumn(spark, path, "d", "current_date") }
+    assert(e4.getMessage.contains("evaluation"), e4.getMessage)
+    // raw property smuggling is closed
+    val e5 = intercept[IllegalArgumentException] {
+      VersionedTable.setProperties(spark, path,
+        Map("graft.generated.dbl" -> "n * 2")) }
+    assert(e5.getMessage.contains("setGeneratedColumn"), e5.getMessage)
+  }
+
+  test("GENERATED columns: DDL guards on drop/rename/widen; dropGeneration reopens") {
+    import org.apache.spark.sql.types.LongType
+    val path = java.nio.file.Files.createTempDirectory("gen3").toString + "/t"
+    VersionedTable.write(Seq((1, 10, 20)).toDF("id", "n", "dbl"), path)
+    VersionedTable.setGeneratedColumn(spark, path, "dbl", "n * 2")
+    val eDropG = intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, path, Seq("dbl")) }
+    assert(eDropG.getMessage.contains("generated"), eDropG.getMessage)
+    val eDropSrc = intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, path, Seq("n")) }
+    assert(eDropSrc.getMessage.contains("generated column dbl"), eDropSrc.getMessage)
+    val eRen = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, path, "n", "m") }
+    assert(eRen.getMessage.contains("generated column dbl"), eRen.getMessage)
+    val eWiden = intercept[IllegalArgumentException] {
+      VersionedTable.widenColumn(spark, path, "n", LongType) }
+    assert(eWiden.getMessage.contains("generated column dbl"), eWiden.getMessage)
+    // dropping the generation turns dbl back into an ordinary column
+    VersionedTable.dropGeneratedColumn(spark, path, "dbl")
+    VersionedTable.append(Seq((2, 3, 99)).toDF("id", "n", "dbl"), path) // free value OK now
+    VersionedTable.widenColumn(spark, path, "n", LongType) // and the widen passes
+    assert(VersionedTable.read(spark, path).count() == 2)
+  }
 }

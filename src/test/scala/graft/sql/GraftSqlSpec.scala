@@ -708,4 +708,61 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(s"REORG TABLE ${sqlName(p)} APPLY (PURGE)")
       .collect().head.getLong(0) == 3L)
   }
+
+  test("GENERATED ALWAYS AS partition column: DDL → fill → directory pruning") {
+    val p = tmp()
+    spark.sql(s"CREATE TABLE ${sqlName(p)} (id BIGINT, ts TIMESTAMP, " +
+      "p_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "PARTITIONED BY (p_date)")
+    // the recorded schema carries NO engine metadata; the declaration
+    // rides table properties like constraints do
+    assert(VersionedTable.generatedColumnsOf(spark, p) ==
+      Map("p_date" -> "CAST(ts AS DATE)"))
+    // a DataFrame append OMITTING the partition column: generation feeds
+    // the hive layout — the reference's derived-p_event_date contract with
+    // the derivation owned by the table, not every writer
+    VersionedTable.append(Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-02 11:00:00")))
+      .toDF("id", "ts"), p)
+    assert(VersionedTable.filesOf(spark, p,
+      VersionedTable.latestVersion(spark, p).get).forall(_.contains("/p_date=")))
+    assert(rows(spark.sql(
+      s"SELECT id, p_date FROM ${sqlName(p)} WHERE p_date = DATE'2026-01-01'")) ==
+      Set("[1,2026-01-01]"))
+    // SQL INSERT supplying a CONSISTENT value passes; a wrong one refuses
+    // atomically (Delta's explicit-value-must-match rule)
+    spark.sql(s"INSERT INTO ${sqlName(p)} VALUES " +
+      "(3, TIMESTAMP'2026-01-03 09:00:00', DATE'2026-01-03')")
+    val vBefore = VersionedTable.latestVersion(spark, p).get
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO ${sqlName(p)} VALUES " +
+        "(4, TIMESTAMP'2026-01-04 09:00:00', DATE'1999-01-01')") }
+    assert(messagesOf(e).contains("generated column 'p_date'"), messagesOf(e))
+    assert(VersionedTable.latestVersion(spark, p).contains(vBefore))
+    // declaration contract violations refuse the CREATE itself
+    val p2 = tmp()
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${sqlName(p2)} (id BIGINT, " +
+        "b BIGINT GENERATED ALWAYS AS (rand()))") }
+    assert(messagesOf(e2).contains("deterministic") ||
+      messagesOf(e2).contains("must equal the declared type"), messagesOf(e2))
+    assert(VersionedTable.latestVersion(spark, p2).isEmpty)
+  }
+
+  test("UPDATE that breaks a generation refuses naming the generated column") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, 10L, 20L)).toDF("id", "n", "dbl"), p)
+    VersionedTable.setGeneratedColumn(spark, p, "dbl", "n * 2")
+    // consistent UPDATE (sets both) passes
+    spark.sql(s"UPDATE ${sqlName(p)} SET n = 11, dbl = 22 WHERE id = 1")
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) == Set("[1,11,22]"))
+    // stale-derived-value UPDATE refuses, version unchanged
+    val vBefore = VersionedTable.latestVersion(spark, p).get
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE ${sqlName(p)} SET n = 12 WHERE id = 1") }
+    assert(messagesOf(e).contains("generated column 'dbl'"), messagesOf(e))
+    assert(VersionedTable.latestVersion(spark, p).contains(vBefore))
+    assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) == Set("[1,11,22]"))
+  }
 }
