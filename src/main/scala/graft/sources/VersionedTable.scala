@@ -1019,6 +1019,7 @@ object VersionedTable {
     val f = fs(spark, root)
     var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
       Map[String, Long], StructType, Map[String, String])] = None
+    var idAdvance: Long => Map[String, String] = _ => Map.empty
     var attempt = 0
     var committed = -1L
     while (committed < 0) {
@@ -1056,9 +1057,15 @@ object VersionedTable {
         val effPart =
           if (partitionCols.nonEmpty) partitionCols
           else parent.flatMap(_.schema).map(partitionColsOf).getOrElse(Nil)
-        // generation first (a generated PARTITION column must exist before
-        // the layout reorder below), then shaping, then CHECKs
-        val genDf = applyGenerated(df, effProps, path)
+        // identity allocation (skipped on the CREATE TABLE path, whose
+        // declared empty frame legitimately carries the column), then
+        // generation (a generated PARTITION column must exist before the
+        // layout reorder below), then shaping, then CHECKs
+        val (idDf, idAdv) =
+          if (ifExists.contains(true)) (df, (_: Long) => Map.empty[String, String])
+          else applyIdentity(df, effProps, path)
+        idAdvance = idAdv
+        val genDf = applyGenerated(idDf, effProps, path)
         val tagged =
           if (effPart.isEmpty) genDf.schema
           else withPartitionMeta(genDf.schema, effPart)
@@ -1078,8 +1085,12 @@ object VersionedTable {
       // micro-batches must not reopen the door to batch replay
       val txnMap = parent.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
       val v = base.getOrElse(0L) + 1L
+      // identity hwm advances with the snapshot's own rows (hwm never
+      // resets on overwrite — Delta keeps allocating monotonic)
+      val idProps = idAdvance(rows.values.sum)
       val (body, ckptDir) = encodeCommit(spark, root, v, rel, tagged.json,
-        stats, rows, txnMap, parent = parent, props = newProps)
+        stats, rows, txnMap, parent = parent,
+        props = if (idProps.isEmpty) newProps else Some(effProps ++ idProps))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         ckptDir.foreach(d => f.delete(d, true))
@@ -1216,9 +1227,12 @@ object VersionedTable {
               "concurrently; re-diff against the new manifest")
         }
       }
-      // generated columns fill/enforce BEFORE the schema-match contract, so
-      // a writer that (correctly) omits a generated column still appends
-      val effDf = applyGenerated(df, c.map(_.props).getOrElse(Map.empty), path)
+      // identity allocation, then generated fill/enforce (a generation may
+      // reference the identity column), all BEFORE the schema-match
+      // contract, so a writer that (correctly) omits either still appends
+      val curProps0 = c.map(_.props).getOrElse(Map.empty)
+      val (idDf, idAdvance) = applyIdentity(df, curProps0, path)
+      val effDf = applyGenerated(idDf, curProps0, path)
       c.flatMap(_.schema).foreach { bs =>
         require(bs.fieldNames.toSet == effDf.schema.fieldNames.toSet &&
           bs.fields.forall(bf =>
@@ -1272,6 +1286,9 @@ object VersionedTable {
       // delta-encoded append NEVER forces the parent's (possibly
       // checkpoint-deferred, million-entry) stats map — it serializes only
       // the new files' stats it already holds
+      // identity hwm advances ATOMICALLY with the rows this commit added
+      // (rw = the staged files' exact row counts)
+      val idProps = idAdvance(rw.values.sum)
       val (body, ckptDir) = encodeCommit(spark, root, v,
         c.map(_.files).getOrElse(Nil) ++ rel, schemaJson,
         c.map(_.stats).getOrElse(Map.empty) ++ st,
@@ -1280,7 +1297,8 @@ object VersionedTable {
         c.map(_.dv).getOrElse(Seq.empty), c.map(_.dvRows).getOrElse(Map.empty),
         parent = c, colMap = curColMap,
         physDropped = c.map(_.physDropped).getOrElse(Set.empty),
-        carriedIdentical = true, statsAddOnly = Some(st))
+        carriedIdentical = true, statsAddOnly = Some(st),
+        props = if (idProps.isEmpty) None else Some(curProps ++ idProps))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         // staged files stay valid for the next slot (content is
@@ -2263,8 +2281,16 @@ object VersionedTable {
     // are enforced again with fresh props at the staging site inside the
     // CAS loop, which also covers a racing generation declaration
     val updatesG = latestVersion(spark, path) match {
-      case Some(b) => applyGenerated(updates,
-        readManifest(spark, f, root, b).props, path)
+      case Some(b) =>
+        val props = readManifest(spark, f, root, b).props
+        // Delta parity: MERGE is not supported with identity columns —
+        // matched rows carry their ids while inserted rows would need
+        // allocation, and GENERATED ALWAYS forbids the carried ones
+        require(identityIn(props).isEmpty,
+          s"$path: MERGE/upsert is not supported on tables with identity " +
+            s"column(s) ${identityIn(props).keys.mkString(",")} (append new " +
+            "rows; use DELETE + append for replacements)")
+        applyGenerated(updates, props, path)
       case None => updates
     }
     val deduped = (latestBy match {
@@ -2534,6 +2560,10 @@ object VersionedTable {
       val missing = set.keySet -- s.fieldNames.toSet
       require(missing.isEmpty,
         s"$path: UPDATE assigns to missing column(s): ${missing.mkString(",")}")
+      val idHit = set.keySet intersect identityIn(c.props).keySet
+      require(idHit.isEmpty,
+        s"$path: cannot UPDATE identity column(s) ${idHit.mkString(",")} — " +
+          "values are allocated by the table")
       val (candKeys, carryKeys) =
         pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
       if (candKeys.isEmpty) return b // provably nothing to update
@@ -2656,6 +2686,11 @@ object VersionedTable {
           s"$path: cannot drop column(s) ${hit.mkString(",")} — generated " +
             s"column $gname AS ($sql) references them; drop the generation first")
       }
+      identityIn(c.props).keys.foreach { iname =>
+        require(!lowerDrop.contains(iname.toLowerCase),
+          s"$path: cannot drop identity column $iname — drop the identity " +
+            "declaration first (dropIdentityColumn)")
+      }
       (StructType(s.fields.filterNot(f => names.contains(f.name))),
         c.colMap -- names,
         c.physDropped ++ names.map(c.physName))
@@ -2704,6 +2739,11 @@ object VersionedTable {
         require(!exprRefs(spark, sql).contains(lowerFrom),
           s"$path: cannot rename column $from — generated column $gname " +
             s"AS ($sql) references it; drop the generation first")
+      }
+      identityIn(c.props).keys.foreach { iname =>
+        require(iname.toLowerCase != lowerFrom,
+          s"$path: cannot rename identity column $from — drop the identity " +
+            "declaration first (dropIdentityColumn)")
       }
       val phys = c.physName(from)
       val fields = s.fields.map(fl =>
@@ -2797,6 +2837,20 @@ object VersionedTable {
     require(smuggledGen.isEmpty,
       s"$path: cannot set ${smuggledGen.mkString(", ")} via table properties — " +
         "use setGeneratedColumn, which validates the expression and existing rows")
+    // and for identity: the declaration + high-water mark are allocation
+    // STATE, maintained only by declareIdentityColumn and the write verbs
+    val smuggledId = set.keys.filter(k =>
+      k.startsWith(IdentityPrefix) || k.startsWith(IdentityHwmPrefix))
+    require(smuggledId.isEmpty,
+      s"$path: cannot set ${smuggledId.mkString(", ")} via table properties — " +
+        "identity declaration and high-water mark are maintained by " +
+        "declareIdentityColumn and the write verbs")
+    setPropertiesInternal(spark, path, set, unset)
+  }
+
+  /** The unguarded property commit the validated entry points share. */
+  private def setPropertiesInternal(spark: SparkSession, path: String,
+      set: Map[String, String], unset: Seq[String]): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -3101,6 +3155,111 @@ object VersionedTable {
   private def withContract(df: DataFrame, props: Map[String, String],
       path: String): DataFrame =
     withChecks(applyGenerated(df, props, path), props, path)
+
+  // --------------------------------------------------------------------
+  // IDENTITY COLUMNS (Delta 3.3's `GENERATED ALWAYS AS IDENTITY`): the
+  // declaration (`graft.identity.<col>` → start/step/explicit) and the
+  // HIGH-WATER MARK (`graft.identityHwm.<col>` → next value) both ride
+  // table properties, so allocation state lives in the commit log itself:
+  // each identity-filling commit advances the mark ATOMICALLY with the
+  // rows it allocated, a lost CAS race restages under the new mark (the
+  // props-staleness check already forces that), and CLONE carries the
+  // mark so a branched table keeps numbering where the source left off.
+  // Values are allocated DENSE per commit — batch row i gets
+  // hwm + step·i via one zipWithIndex pass over the incoming batch (the
+  // batch, never the table; the extra pass is the price of gap-free ids
+  // and is bounded by the write itself).
+  // --------------------------------------------------------------------
+
+  private val IdentityPrefix = "graft.identity."
+  private val IdentityHwmPrefix = "graft.identityHwm."
+
+  /** start/step and whether explicit values are accepted (Delta's
+    * GENERATED BY DEFAULT) or refused (GENERATED ALWAYS). */
+  final case class IdentitySpec(start: Long, step: Long, allowExplicit: Boolean)
+
+  def identityColumnsOf(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Map[String, IdentitySpec] =
+    identityIn(propertiesOf(spark, path, asOf))
+
+  private def identityIn(props: Map[String, String]): Map[String, IdentitySpec] =
+    props.collect { case (k, v) if k.startsWith(IdentityPrefix) =>
+      val m = v.split(";").map(_.split("=", 2)).collect {
+        case Array(a, b) => a -> b }.toMap
+      k.stripPrefix(IdentityPrefix) -> IdentitySpec(
+        m("start").toLong, m("step").toLong, m("explicit").toBoolean)
+    }
+
+  /** Declare `name` as an identity column. Only on a table with ZERO live
+    * rows (Delta allows identity at CREATE only — existing free values
+    * could collide with every future allocation); the column must be
+    * BIGINT and not generated. */
+  def declareIdentityColumn(spark: SparkSession, path: String, name: String,
+      start: Long = 1L, step: Long = 1L,
+      allowExplicit: Boolean = false): Long = {
+    require(step != 0L, s"$path: identity step must be non-zero")
+    val s = read(spark, path).schema
+    require(s.fieldNames.contains(name), s"$path: no such column: $name")
+    require(s(s.fieldIndex(name)).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$path: identity column $name must be BIGINT " +
+        s"(got ${s(s.fieldIndex(name)).dataType.simpleString})")
+    require(!generatedColumnsOf(spark, path).contains(name),
+      s"$path: $name is a generated column — a column cannot be both")
+    require(countRows(spark, path)
+        .getOrElse(read(spark, path).count()) == 0L,
+      s"$path: identity can only be declared on an empty table (existing " +
+        "values could collide with future allocations) — declare it at " +
+        "CREATE TABLE, or CTAS into a fresh table")
+    setPropertiesInternal(spark, path, Map(
+      IdentityPrefix + name -> s"start=$start;step=$step;explicit=$allowExplicit",
+      IdentityHwmPrefix + name -> start.toString), Nil)
+  }
+
+  /** Remove the identity declaration AND its high-water mark (metadata
+    * commit): the column keeps its values, becomes ordinary. */
+  def dropIdentityColumn(spark: SparkSession, path: String,
+      name: String): Long =
+    setPropertiesInternal(spark, path, Map.empty,
+      Seq(IdentityPrefix + name, IdentityHwmPrefix + name))
+
+  /** The append/snapshot hook: returns the batch with every ABSENT
+    * identity column filled dense from the current mark, plus the
+    * hwm-advance per filled column as a function of the staged row count
+    * (the count is known only after staging — the caller folds it into
+    * the SAME commit's properties). A batch SUPPLYING a GENERATED ALWAYS
+    * identity column refuses; BY DEFAULT accepts it untouched (and does
+    * not advance the mark — Delta's explicit-insert contract). */
+  private def applyIdentity(df: DataFrame, props: Map[String, String],
+      path: String): (DataFrame, Long => Map[String, String]) = {
+    val specs = identityIn(props)
+    if (specs.isEmpty) return (df, _ => Map.empty)
+    val present = specs.keys.filter(df.columns.contains).toSeq
+    present.foreach { n =>
+      require(specs(n).allowExplicit,
+        s"$path: column $n is GENERATED ALWAYS AS IDENTITY — omit it from " +
+          "the batch (or declare it GENERATED BY DEFAULT to allow explicit " +
+          "values)")
+    }
+    val absent = (specs -- present).toSeq.sortBy(_._1)
+    if (absent.isEmpty) return (df, _ => Map.empty)
+    val marks = absent.map { case (n, sp) =>
+      (n, sp.step, props.get(IdentityHwmPrefix + n).map(_.toLong).getOrElse(sp.start))
+    }
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ marks.map { case (n, _, _) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false) })
+    val filled = spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq ++ marks.map { case (_, step, hwm) => hwm + step * idx })
+      }, outSchema)
+    val advance = (nRows: Long) => marks.map { case (n, step, hwm) =>
+      IdentityHwmPrefix + n -> (hwm + step * nRows).toString
+    }.toMap
+    (filled, advance)
+  }
 
   private def alterSchema(spark: SparkSession, path: String, verb: String,
       change: (StructType, Commit, Long) => (StructType, Map[String, String], Set[String]),

@@ -69,7 +69,8 @@ class GraftCatalog extends TableCatalog {
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def tableExists(ident: Identifier): Boolean =
     VersionedTable.latestVersion(spark, pathOf(ident)).isDefined
@@ -118,8 +119,6 @@ class GraftCatalog extends TableCatalog {
     val withGen = StructType(columns.map { c =>
       require(c.defaultValue() == null,
         s"${pathOf(ident)}: DEFAULT values are not supported (column ${c.name})")
-      require(c.identityColumnSpec() == null,
-        s"${pathOf(ident)}: IDENTITY columns are not supported (column ${c.name})")
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       Option(c.comment()).foreach(mb.putString("comment", _))
       Option(c.generationExpression()).foreach(
@@ -127,7 +126,26 @@ class GraftCatalog extends TableCatalog {
       org.apache.spark.sql.types.StructField(
         c.name, c.dataType, c.nullable, mb.build())
     })
-    createTable(ident, withGen, partitions, properties)
+    // GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY → the commit-log identity
+    // declaration + initial high-water mark, validated here (the table is
+    // empty by construction at CREATE — exactly when Delta allows identity)
+    val propsWithId = new util.HashMap[String, String](properties)
+    columns.foreach { c =>
+      Option(c.identityColumnSpec()).foreach { sp =>
+        require(c.dataType == org.apache.spark.sql.types.LongType,
+          s"${pathOf(ident)}: identity column ${c.name} must be BIGINT " +
+            s"(got ${c.dataType.simpleString})")
+        require(sp.getStep != 0L,
+          s"${pathOf(ident)}: identity step must be non-zero (${c.name})")
+        require(c.generationExpression() == null,
+          s"${pathOf(ident)}: ${c.name} cannot be both generated and identity")
+        propsWithId.put(s"graft.identity.${c.name}",
+          s"start=${sp.getStart};step=${sp.getStep};" +
+            s"explicit=${sp.isAllowExplicitInsert}")
+        propsWithId.put(s"graft.identityHwm.${c.name}", sp.getStart.toString)
+      }
+    }
+    createTable(ident, withGen, partitions, propsWithId)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -1499,4 +1499,52 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.widenColumn(spark, path, "n", LongType) // and the widen passes
     assert(VersionedTable.read(spark, path).count() == 2)
   }
+
+  test("IDENTITY columns: dense allocation, hwm rides the commit log, ALWAYS refusals") {
+    val path = java.nio.file.Files.createTempDirectory("ident").toString + "/t"
+    VersionedTable.write(
+      Seq.empty[(Long, String)].toDF("id", "v"), path)
+    VersionedTable.declareIdentityColumn(spark, path, "id",
+      start = 10L, step = 5L)
+    // two appends, each omitting id → dense per commit, monotonic across
+    VersionedTable.append(Seq("a", "b", "c").toDF("v"), path)
+    VersionedTable.append(Seq("d", "e").toDF("v"), path)
+    val got = VersionedTable.read(spark, path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((10L, "a"), (15L, "b"), (20L, "c"), (25L, "d"), (30L, "e")), got)
+    assert(VersionedTable.propertiesOf(spark, path)
+      .get("graft.identityHwm.id").contains("35"))
+    // GENERATED ALWAYS: explicit values refuse; update/upsert refuse
+    val eExp = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((99L, "x")).toDF("id", "v"), path) }
+    assert(eExp.getMessage.contains("GENERATED ALWAYS AS IDENTITY"), eExp.getMessage)
+    val eUp = intercept[IllegalArgumentException] {
+      VersionedTable.upsert(Seq((10L, "A")).toDF("id", "v"), path, Seq("id")) }
+    assert(eUp.getMessage.contains("identity"), eUp.getMessage)
+    val eSet = intercept[IllegalArgumentException] {
+      VersionedTable.update(spark, path, col("v") === "a",
+        Map("id" -> lit(1L))) }
+    assert(eSet.getMessage.contains("identity"), eSet.getMessage)
+    // raw hwm smuggling is closed; dropping the declaration reopens writes
+    val eSm = intercept[IllegalArgumentException] {
+      VersionedTable.setProperties(spark, path,
+        Map("graft.identityHwm.id" -> "0")) }
+    assert(eSm.getMessage.contains("declareIdentityColumn"), eSm.getMessage)
+    VersionedTable.dropIdentityColumn(spark, path, "id")
+    VersionedTable.append(Seq((99L, "x")).toDF("id", "v"), path)
+    assert(VersionedTable.read(spark, path).count() == 6)
+  }
+
+  test("IDENTITY declaration contract: empty table only, BIGINT only") {
+    val path = java.nio.file.Files.createTempDirectory("ident2").toString + "/t"
+    VersionedTable.write(Seq((1L, 2, "a")).toDF("id", "n", "v"), path)
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.declareIdentityColumn(spark, path, "id") }
+    assert(e1.getMessage.contains("empty table"), e1.getMessage)
+    val path2 = java.nio.file.Files.createTempDirectory("ident3").toString + "/t"
+    VersionedTable.write(Seq.empty[(Int, String)].toDF("n", "v"), path2)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.declareIdentityColumn(spark, path2, "n") }
+    assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
+  }
 }

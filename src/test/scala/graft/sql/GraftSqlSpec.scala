@@ -750,6 +750,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, p2).isEmpty)
   }
 
+  test("GENERATED ALWAYS AS IDENTITY through CREATE TABLE DDL") {
+    val p = tmp()
+    spark.sql(s"CREATE TABLE ${sqlName(p)} (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 100 INCREMENT BY 10), v STRING)")
+    assert(VersionedTable.identityColumnsOf(spark, p) ==
+      Map("id" -> VersionedTable.IdentitySpec(100L, 10L, allowExplicit = false)))
+    // DataFrame appends omit the column; allocation is dense per commit
+    VersionedTable.append(Seq("a", "b").toDF("v"), p)
+    VersionedTable.append(Seq("c").toDF("v"), p)
+    assert(rows(spark.sql(s"SELECT id, v FROM ${sqlName(p)}")) ==
+      Set("[100,a]", "[110,b]", "[120,c]"))
+    // ALWAYS: an explicit SQL INSERT refuses naming the contract
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO ${sqlName(p)} VALUES (999, 'x')") }
+    assert(messagesOf(e).contains("GENERATED ALWAYS AS IDENTITY"), messagesOf(e))
+    // BY DEFAULT: explicit values pass through, absent ones still allocate
+    val p2 = tmp()
+    spark.sql(s"CREATE TABLE ${sqlName(p2)} (id BIGINT GENERATED BY DEFAULT " +
+      "AS IDENTITY, v STRING)")
+    spark.sql(s"INSERT INTO ${sqlName(p2)} VALUES (999, 'x')")
+    VersionedTable.append(Seq("y").toDF("v"), p2)
+    assert(rows(spark.sql(s"SELECT id, v FROM ${sqlName(p2)}")) ==
+      Set("[999,x]", "[1,y]"))
+  }
+
   test("UPDATE that breaks a generation refuses naming the generated column") {
     val p = tmp()
     VersionedTable.write(Seq((1L, 10L, 20L)).toDF("id", "n", "dbl"), p)
