@@ -664,6 +664,45 @@ class StreamingSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq("r1", "r2", "r3"))
   }
 
+  test("streaming sink onto an IDENTITY table: fill per batch, replay never double-allocates") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snkid-in").toString
+    val table = Files.createTempDirectory("snkid-out").toString + "/t"
+    val ckpt = Files.createTempDirectory("snkid-ckpt").toString
+    VersionedTable.write(Seq.empty[(Long, String)].toDF("id", "value"), table)
+    VersionedTable.declareIdentityColumn(spark, table, "id")
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.txt"), "r1\nr2".getBytes("UTF-8"))
+    def start() = spark.readStream.text(dir)
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", ckpt).start(table)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    assert(VersionedTable.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "r1"), (2L, "r2")))
+    // crash window: commit landed, batch-0 completion marker lost — the
+    // replayed batch must neither commit NOR advance the high-water mark
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/0")), "checkpoint layout changed?")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$ckpt/commits/.0.crc"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(VersionedTable.propertiesOf(spark, table)
+        .get("graft.identityHwm.id").contains("3"),
+        "replay must not re-allocate")
+      Files.write(java.nio.file.Paths.get(s"$dir/b1.txt"), "r3".getBytes("UTF-8"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    assert(VersionedTable.read(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "r1"), (2L, "r2"), (3L, "r3")))
+  }
+
   test("graft-table streaming SINK: Complete mode commits snapshot versions") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("snkc-in").toString
