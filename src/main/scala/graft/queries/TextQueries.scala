@@ -820,8 +820,12 @@ object TextQueries {
         .select(extra :+ explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
           .as("tri"): _*)
+    // c3 feeds BOTH sides of the model join (c2 derives from it) — cache
+    // the charset³-bounded aggregate so the target corpus is scanned once,
+    // not twice
     val c3 = triExplode(docs.filter(col("lang") === DsirTargetLang))
       .groupBy(col("tri")).agg(count(lit(1)).as("c"))
+      .cache()
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("pre"))
       .agg(sum(col("c")).as("s"))
     val model = c3.join(c2, substring(col("tri"), 1, 2) === col("pre"))

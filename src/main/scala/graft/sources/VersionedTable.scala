@@ -1020,9 +1020,10 @@ object VersionedTable {
     var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
       Map[String, Long], StructType, Map[String, String])] = None
     var idAdvance: Long => Map[String, String] = _ => Map.empty
+    var idSrc: Option[DataFrame] = None
     var attempt = 0
     var committed = -1L
-    while (committed < 0) {
+    try while (committed < 0) {
       val base = latestVersion(spark, path)
       val parent = base.map(b => readManifest(spark, f, root, b))
       // the committed version's props: an explicit set (CREATE TABLE) or
@@ -1061,9 +1062,12 @@ object VersionedTable {
         // declared empty frame legitimately carries the column), then
         // generation (a generated PARTITION column must exist before the
         // layout reorder below), then shaping, then CHECKs
-        val (idDf, idAdv) =
-          if (ifExists.contains(true)) (df, (_: Long) => Map.empty[String, String])
+        val (idDf, idAdv, idS) =
+          if (ifExists.contains(true))
+            (df, (_: Long) => Map.empty[String, String], None)
           else applyIdentity(df, effProps, path)
+        idSrc.foreach(_.unpersist())
+        idSrc = idS
         idAdvance = idAdv
         val genDf = applyGenerated(idDf, effProps, path)
         val tagged =
@@ -1098,7 +1102,7 @@ object VersionedTable {
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt commit races in a row; giving up")
       }
-    }
+    } finally idSrc.foreach(_.unpersist())
     committed
   }
 
@@ -1202,9 +1206,12 @@ object VersionedTable {
     var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
       Map[String, Long], Map[String, String], Seq[String],
       Map[String, String])] = None
+    // (props the allocation read, filled frame, hwm-advance, persisted src)
+    var idCache: Option[(Map[String, String], DataFrame,
+      Long => Map[String, String], Option[DataFrame])] = None
     var attempt = 0
     var committed = -1L
-    while (committed < 0) {
+    try while (committed < 0) {
       val base = latestVersion(spark, path)
       val c = base.map(b => readManifest(spark, f, root, b))
       txn.foreach { case (app, bid) =>
@@ -1229,9 +1236,19 @@ object VersionedTable {
       }
       // identity allocation, then generated fill/enforce (a generation may
       // reference the identity column), all BEFORE the schema-match
-      // contract, so a writer that (correctly) omits either still appends
+      // contract, so a writer that (correctly) omits either still appends.
+      // The allocation (an eager zipWithIndex count job) is MEMOIZED on
+      // the props it read — a lost CAS race whose winner didn't change the
+      // write contract reuses it; a changed hwm/declaration recomputes.
       val curProps0 = c.map(_.props).getOrElse(Map.empty)
-      val (idDf, idAdvance) = applyIdentity(df, curProps0, path)
+      val (idDf, idAdvance) = idCache match {
+        case Some((p, d, a, _)) if p == curProps0 => (d, a)
+        case prev =>
+          prev.foreach(_._4.foreach(_.unpersist()))
+          val (d, a, src) = applyIdentity(df, curProps0, path)
+          idCache = Some((curProps0, d, a, src))
+          (d, a)
+      }
       val effDf = applyGenerated(idDf, curProps0, path)
       c.flatMap(_.schema).foreach { bs =>
         require(bs.fieldNames.toSet == effDf.schema.fieldNames.toSet &&
@@ -1308,7 +1325,7 @@ object VersionedTable {
         require(attempt < MaxCommitRetries,
           s"$path: lost $attempt append commit races in a row; giving up")
       }
-    }
+    } finally idCache.foreach(_._4.foreach(_.unpersist()))
     // post-commit hygiene: bin-pack the touched partitions when the table
     // opted in (chained commit; failure never un-commits the append)
     staged.foreach(s => autoCompactAfter(spark, path, s._7, s._2))
@@ -2324,6 +2341,15 @@ object VersionedTable {
         // CAS check
         val base = latestVersion(spark, path)
         val baseC = base.map(b => readManifest(spark, f, root, b))
+        // re-check per iteration: the entry check raced a concurrent CREATE
+        // or declaration (a None→Some table with identity would otherwise
+        // merge id=NULL rows under evolveSchema, silently skipping
+        // allocation)
+        baseC.foreach { c =>
+          require(identityIn(c.props).isEmpty,
+            s"$path: MERGE/upsert is not supported on tables with identity " +
+              s"column(s) ${identityIn(c.props).keys.mkString(",")}")
+        }
         txn.foreach { case (app, bid) =>
           if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
         }
@@ -3066,10 +3092,18 @@ object VersionedTable {
         "CAST in the expression)")
     require(analyzed.queryExecution.analyzed.expressions.forall(_.deterministic),
       s"generated column $name: expression ($exprSql) must be deterministic")
-    val lower = exprSql.toLowerCase
-    val timeish = Seq("current_timestamp", "current_date", "now()",
-      "localtimestamp", "current_timezone")
-    val badTime = timeish.filter(lower.contains)
+    // evaluation-time dependence hides behind deterministic=true (Catalyst
+    // treats now()/current_date as query-constant): walk the ANALYZED tree
+    // for the time nodes themselves — this also catches indirect forms the
+    // SQL text doesn't show (unix_timestamp() resolves to
+    // UnixTimestamp(CurrentTimestamp(), …), curdate() to CurrentDate)
+    val timeNodes = Set("CurrentTimestamp", "CurrentTimestampLike", "Now",
+      "CurrentDate", "LocalTimestamp", "CurrentTimeZone", "CurrentBatchTimestamp")
+    val badTime = analyzed.queryExecution.analyzed.expressions.flatMap(
+      _.collect {
+        case e if timeNodes.contains(e.getClass.getSimpleName) =>
+          e.getClass.getSimpleName
+      }).distinct
     require(badTime.isEmpty,
       s"generated column $name: expression may not depend on evaluation " +
         s"time (${badTime.mkString(",")}) — replays and rewrites would " +
@@ -3096,6 +3130,8 @@ object VersionedTable {
       require(!c.props.contains(key),
         s"$path: column $name is already generated " +
           s"(${c.props(key)}); drop the generation first")
+      require(!identityIn(c.props).contains(name),
+        s"$path: $name is an identity column — a column cannot be both")
       val s = c.schema.getOrElse(throw new IllegalStateException(
         s"$path: version $b records no schema"))
       validateGenerationExpr(spark, s, name, exprSql,
@@ -3198,22 +3234,57 @@ object VersionedTable {
       start: Long = 1L, step: Long = 1L,
       allowExplicit: Boolean = false): Long = {
     require(step != 0L, s"$path: identity step must be non-zero")
-    val s = read(spark, path).schema
-    require(s.fieldNames.contains(name), s"$path: no such column: $name")
-    require(s(s.fieldIndex(name)).dataType ==
-      org.apache.spark.sql.types.LongType,
-      s"$path: identity column $name must be BIGINT " +
-        s"(got ${s(s.fieldIndex(name)).dataType.simpleString})")
-    require(!generatedColumnsOf(spark, path).contains(name),
-      s"$path: $name is a generated column — a column cannot be both")
-    require(countRows(spark, path)
-        .getOrElse(read(spark, path).count()) == 0L,
-      s"$path: identity can only be declared on an empty table (existing " +
-        "values could collide with future allocations) — declare it at " +
-        "CREATE TABLE, or CTAS into a fresh table")
-    setPropertiesInternal(spark, path, Map(
-      IdentityPrefix + name -> s"start=$start;step=$step;explicit=$allowExplicit",
-      IdentityHwmPrefix + name -> start.toString), Nil)
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    // every precondition validates INSIDE the CAS loop against the pinned
+    // version (like setGeneratedColumn): a racing append cannot slip rows
+    // under the declaration — losing the race re-validates emptiness
+    // against the new head
+    while (committed < 0) {
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
+      val c = readManifest(spark, f, root, b)
+      val s = c.schema.getOrElse(throw new IllegalStateException(
+        s"$path: version $b records no schema"))
+      require(s.fieldNames.contains(name), s"$path: no such column: $name")
+      require(s(s.fieldIndex(name)).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"$path: identity column $name must be BIGINT " +
+          s"(got ${s(s.fieldIndex(name)).dataType.simpleString})")
+      require(!generatedIn(c.props).contains(name),
+        s"$path: $name is a generated column — a column cannot be both")
+      require(!c.props.contains(IdentityPrefix + name),
+        s"$path: $name is already an identity column")
+      val live = c.files.map(fk => c.rows.getOrElse(fk, -1L))
+      val nRows =
+        if (live.forall(_ >= 0))
+          live.sum - c.files.map(fk => c.dvRows.getOrElse(fk, 0L)).sum
+        else read(spark, path, Some(b)).count()
+      require(nRows == 0L,
+        s"$path: identity can only be declared on an empty table (existing " +
+          "values could collide with future allocations) — declare it at " +
+          "CREATE TABLE, or CTAS into a fresh table")
+      val v = b + 1L
+      val (body, ckptDir) = encodeCommit(spark, root, v, c.files,
+        c.schema.map(_.json).getOrElse("null"), c.stats, c.rows, c.txn,
+        c.dv, c.dvRows, parent = Some(c), colMap = c.colMap,
+        physDropped = c.physDropped, carriedIdentical = true,
+        statsAddOnly = Some(Map.empty),
+        props = Some(c.props +
+          (IdentityPrefix + name ->
+            s"start=$start;step=$step;explicit=$allowExplicit") +
+          (IdentityHwmPrefix + name -> start.toString)))
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        ckptDir.foreach(d => f.delete(d, true))
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt declare-identity commit races in a row; giving up")
+      }
+    }
+    committed
   }
 
   /** Remove the identity declaration AND its high-water mark (metadata
@@ -3231,9 +3302,9 @@ object VersionedTable {
     * identity column refuses; BY DEFAULT accepts it untouched (and does
     * not advance the mark — Delta's explicit-insert contract). */
   private def applyIdentity(df: DataFrame, props: Map[String, String],
-      path: String): (DataFrame, Long => Map[String, String]) = {
+      path: String): (DataFrame, Long => Map[String, String], Option[DataFrame]) = {
     val specs = identityIn(props)
-    if (specs.isEmpty) return (df, _ => Map.empty)
+    if (specs.isEmpty) return (df, _ => Map.empty, None)
     val present = specs.keys.filter(df.columns.contains).toSeq
     present.foreach { n =>
       require(specs(n).allowExplicit,
@@ -3242,23 +3313,29 @@ object VersionedTable {
           "values)")
     }
     val absent = (specs -- present).toSeq.sortBy(_._1)
-    if (absent.isEmpty) return (df, _ => Map.empty)
+    if (absent.isEmpty) return (df, _ => Map.empty, None)
     val marks = absent.map { case (n, sp) =>
       (n, sp.step, props.get(IdentityHwmPrefix + n).map(_.toLong).getOrElse(sp.start))
     }
     val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields ++ marks.map { case (n, _, _) =>
+    // zipWithIndex computes per-partition counts in one job, then the
+    // staging write computes values in another — PERSIST the batch so both
+    // passes observe ONE materialization (a replay-unstable source would
+    // otherwise hand the two passes different partitions → duplicate or
+    // gapped ids). The caller unpersists after the commit resolves.
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outSchema = StructType(src.schema.fields ++ marks.map { case (n, _, _) =>
       org.apache.spark.sql.types.StructField(n,
         org.apache.spark.sql.types.LongType, nullable = false) })
     val filled = spark.createDataFrame(
-      df.rdd.zipWithIndex.map { case (row, idx) =>
+      src.rdd.zipWithIndex.map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(
           row.toSeq ++ marks.map { case (_, step, hwm) => hwm + step * idx })
       }, outSchema)
     val advance = (nRows: Long) => marks.map { case (n, step, hwm) =>
       IdentityHwmPrefix + n -> (hwm + step * nRows).toString
     }.toMap
-    (filled, advance)
+    (filled, advance, Some(src))
   }
 
   private def alterSchema(spark: SparkSession, path: String, verb: String,

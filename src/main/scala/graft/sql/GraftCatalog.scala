@@ -126,26 +126,30 @@ class GraftCatalog extends TableCatalog {
       org.apache.spark.sql.types.StructField(
         c.name, c.dataType, c.nullable, mb.build())
     })
-    // GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY → the commit-log identity
-    // declaration + initial high-water mark, validated here (the table is
-    // empty by construction at CREATE — exactly when Delta allows identity)
-    val propsWithId = new util.HashMap[String, String](properties)
-    columns.foreach { c =>
-      Option(c.identityColumnSpec()).foreach { sp =>
-        require(c.dataType == org.apache.spark.sql.types.LongType,
-          s"${pathOf(ident)}: identity column ${c.name} must be BIGINT " +
-            s"(got ${c.dataType.simpleString})")
-        require(sp.getStep != 0L,
-          s"${pathOf(ident)}: identity step must be non-zero (${c.name})")
-        require(c.generationExpression() == null,
-          s"${pathOf(ident)}: ${c.name} cannot be both generated and identity")
-        propsWithId.put(s"graft.identity.${c.name}",
-          s"start=${sp.getStart};step=${sp.getStep};" +
-            s"explicit=${sp.isAllowExplicitInsert}")
-        propsWithId.put(s"graft.identityHwm.${c.name}", sp.getStart.toString)
+    // GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY → validated here (the
+    // table is empty by construction at CREATE — exactly when Delta allows
+    // identity) and handed down as FIELD METADATA like generation, never
+    // through the user-properties map (which refuses those keys below)
+    val withId = StructType(withGen.fields.zip(columns).map { case (fl, c) =>
+      Option(c.identityColumnSpec()) match {
+        case Some(sp) =>
+          require(c.dataType == org.apache.spark.sql.types.LongType,
+            s"${pathOf(ident)}: identity column ${c.name} must be BIGINT " +
+              s"(got ${c.dataType.simpleString})")
+          require(sp.getStep != 0L,
+            s"${pathOf(ident)}: identity step must be non-zero (${c.name})")
+          require(c.generationExpression() == null,
+            s"${pathOf(ident)}: ${c.name} cannot be both generated and identity")
+          fl.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(fl.metadata)
+            .putString(GraftCatalog.IdentitySpecMetadataKey,
+              s"start=${sp.getStart};step=${sp.getStep};" +
+                s"explicit=${sp.isAllowExplicitInsert}")
+            .build())
+        case None => fl
       }
-    }
-    createTable(ident, withGen, partitions, propsWithId)
+    })
+    createTable(ident, withId, partitions, properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -185,6 +189,15 @@ class GraftCatalog extends TableCatalog {
     // schema carries no engine-specific keys and every write verb — DF
     // API, SQL, streaming — enforces the generation uniformly
     import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    // generation/identity declarations may ONLY arrive through their DDL
+    // channels (field metadata, validated below) — a raw TBLPROPERTIES key
+    // would install an unvalidated expression or allocation state, exactly
+    // what the setProperties smuggle guard closes post-create
+    val guarded = Seq("graft.generated.", "graft.identity.", "graft.identityHwm.")
+    val smuggled = props.keys.filter(k => guarded.exists(k.startsWith))
+    require(smuggled.isEmpty,
+      s"$path: cannot set ${smuggled.mkString(", ")} via TBLPROPERTIES — " +
+        "declare GENERATED/IDENTITY columns in the column list")
     val genCols: Map[String, String] = schema.fields.collect {
       case fl if GeneratedColumn.isGeneratedColumn(fl) =>
         fl.name -> GeneratedColumn.getGenerationExpression(fl).get
@@ -193,17 +206,21 @@ class GraftCatalog extends TableCatalog {
       VersionedTable.validateGenerationExpr(spark, schema, n, sql,
         genCols.keySet - n)
     }
-    val cleanSchema =
-      if (genCols.isEmpty) schema
-      else StructType(schema.fields.map { fl =>
-        if (!GeneratedColumn.isGeneratedColumn(fl)) fl
-        else {
-          val mb = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(fl.metadata)
-            .remove(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY)
-          fl.copy(metadata = mb.build())
-        }
-      })
+    val idCols: Map[String, String] = schema.fields.collect {
+      case fl if fl.metadata.contains(GraftCatalog.IdentitySpecMetadataKey) =>
+        fl.name -> fl.metadata.getString(GraftCatalog.IdentitySpecMetadataKey)
+    }.toMap
+    val strippedKeys = Seq(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY,
+      GraftCatalog.IdentitySpecMetadataKey)
+    val cleanSchema = StructType(schema.fields.map { fl =>
+      if (!strippedKeys.exists(fl.metadata.contains)) fl
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fl.metadata)
+        strippedKeys.foreach(mb.remove)
+        fl.copy(metadata = mb.build())
+      }
+    })
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), cleanSchema)
     // persist the user's TBLPROPERTIES in the commit log (minus the
@@ -214,7 +231,12 @@ class GraftCatalog extends TableCatalog {
       "external", "is_managed_location")
     val stored = props.toMap.filter { case (k, _) =>
       !internalKeys.contains(k.toLowerCase) && !k.startsWith("option.") } ++
-      genCols.map { case (n, sql) => s"graft.generated.$n" -> sql }
+      genCols.map { case (n, sql) => s"graft.generated.$n" -> sql } ++
+      idCols.flatMap { case (n, spec) =>
+        val start = spec.split(";").collectFirst {
+          case s if s.startsWith("start=") => s.stripPrefix("start=") }.get
+        Seq(s"graft.identity.$n" -> spec, s"graft.identityHwm.$n" -> start)
+      }
     try VersionedTable.createEmpty(empty, path, statsCols, partitionCols, stored)
     catch {
       case e: IllegalStateException if e.getMessage.contains("already exists") =>
@@ -309,4 +331,11 @@ class GraftCatalog extends TableCatalog {
     Array.empty
 
   override def invalidateTable(ident: Identifier): Unit = ()
+}
+
+object GraftCatalog {
+  /** Internal field-metadata channel the Column[]→StructType bridge uses to
+    * hand a validated identity declaration to the schema-based createTable;
+    * stripped before the schema is recorded. */
+  private[sql] val IdentitySpecMetadataKey = "__graft_identity_spec"
 }

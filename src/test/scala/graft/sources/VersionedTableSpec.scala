@@ -1469,6 +1469,15 @@ class VersionedTableSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException] {
       VersionedTable.setGeneratedColumn(spark, path, "d", "current_date") }
     assert(e4.getMessage.contains("evaluation"), e4.getMessage)
+    // indirect time dependence (unix_timestamp() resolves to
+    // UnixTimestamp(CurrentTimestamp,…) — invisible to a text scan) is
+    // caught by the AST walk
+    VersionedTable.addColumns(spark, path, Seq(
+      org.apache.spark.sql.types.StructField("sec",
+        org.apache.spark.sql.types.LongType)))
+    val e4b = intercept[IllegalArgumentException] {
+      VersionedTable.setGeneratedColumn(spark, path, "sec", "unix_timestamp()") }
+    assert(e4b.getMessage.contains("evaluation"), e4b.getMessage)
     // raw property smuggling is closed
     val e5 = intercept[IllegalArgumentException] {
       VersionedTable.setProperties(spark, path,
@@ -1546,5 +1555,18 @@ class VersionedTableSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       VersionedTable.declareIdentityColumn(spark, path2, "n") }
     assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
+  }
+
+  test("identity and generation are mutually exclusive, checked from both sides") {
+    val path = java.nio.file.Files.createTempDirectory("identgen").toString + "/t"
+    VersionedTable.write(Seq.empty[(Long, Long)].toDF("id", "n"), path)
+    VersionedTable.declareIdentityColumn(spark, path, "id")
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.setGeneratedColumn(spark, path, "id", "CAST(1 AS BIGINT)") }
+    assert(e1.getMessage.contains("identity column"), e1.getMessage)
+    VersionedTable.setGeneratedColumn(spark, path, "n", "CAST(2 AS BIGINT)")
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.declareIdentityColumn(spark, path, "n") }
+    assert(e2.getMessage.contains("generated column"), e2.getMessage)
   }
 }

@@ -775,6 +775,20 @@ class GraftSqlSpec extends SparkSpec {
       Set("[999,x]", "[1,y]"))
   }
 
+  test("CREATE TABLE TBLPROPERTIES cannot smuggle generation/identity keys") {
+    val p = tmp()
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${sqlName(p)} (a INT, b INT) " +
+        "TBLPROPERTIES ('graft.generated.b'='CAST(rand()*10 AS INT)')") }
+    assert(messagesOf(e).contains("column list"), messagesOf(e))
+    assert(VersionedTable.latestVersion(spark, p).isEmpty)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${sqlName(p)} (a BIGINT, b INT) " +
+        "TBLPROPERTIES ('graft.identity.a'='start=1;step=0;explicit=false')") }
+    assert(messagesOf(e2).contains("column list"), messagesOf(e2))
+    assert(VersionedTable.latestVersion(spark, p).isEmpty)
+  }
+
   test("UPDATE that breaks a generation refuses naming the generated column") {
     val p = tmp()
     VersionedTable.write(Seq((1L, 10L, 20L)).toDF("id", "n", "dbl"), p)
