@@ -397,6 +397,75 @@ object SimilarityQueries {
        |LEFT JOIN matched m ON m.query_id = q.vec_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_hard_negatives — hard-negative mining for contrastive training
+  // (in-batch negatives are mostly easy; the negatives that move a model
+  // are the most-similar DIFFERENT-label examples). Search is LSH-bucketed
+  // (same hyperplane index as q_ann_lsh): an anchor only scores its own
+  // bucket — corpus/2^planes of the data — then filters to label
+  // mismatches and keeps the top-k by cosine. The label predicate rides
+  // INSIDE the bucket join (filters before the window), so the candidate
+  // set stays sublinear at any corpus size; the anchor side is bounded and
+  // the corpus never shuffles beyond the bucket hash.
+  // --------------------------------------------------------------------------
+  val HardNegTopK = 3
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", bucketExpr(col("v")))
+    val anchors = emb.filter(col("vec_id") >= 200 && col("vec_id") < 220)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val corpus = emb.select(col("vec_id").as("nbr_id"),
+      col("label").as("n_label"), col("v").as("nv"), col("nrm").as("nn"),
+      col("bucket"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    anchors.join(corpus, Seq("bucket"))
+      .filter(col("nbr_id") =!= col("anchor_id") &&
+        col("n_label") =!= col("a_label"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HardNegTopK)
+      .select(col("anchor_id"), col("rk"), col("nbr_id"),
+        col("a_label"), col("n_label"), col("cosine"))
+  }
+
+  lazy val hardNegativesSql: String = {
+    def lit64(a: Array[Double]): String = a.mkString("[", ", ", "]")
+    val bucketTerms = (0 until NumPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, LEN(v) + 1),
+         |  i -> (${lit64(planes(p))})[i] * v[i])) >= 0.0 THEN ${1 << p} ELSE 0 END)"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |    $bucketTerms AS bucket
+       |  FROM v),
+       |cand AS (
+       |  SELECT q.vec_id AS anchor_id, c.vec_id AS nbr_id,
+       |    q.label AS a_label, c.label AS n_label,
+       |    ROUND(list_sum(list_transform(range(1, LEN(q.v) + 1),
+       |      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c
+       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |      AND q.label <> c.label
+       |  WHERE q.vec_id >= 200 AND q.vec_id < 220)
+       |SELECT anchor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |    ORDER BY cosine DESC, nbr_id ASC) AS rk,
+       |  nbr_id, a_label, n_label, cosine
+       |FROM cand
+       |QUALIFY rk <= $HardNegTopK""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // q_semantic_dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
   // semantic near-duplicate pruning over embeddings. Cluster the corpus with
   // k-means, then compare pairs ONLY within a cluster — the candidate set is
@@ -515,6 +584,7 @@ object SimilarityQueries {
     "q_ann_lsh"        -> (annLsh _),
     "q_ann_recall"     -> (annRecall _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "q_hard_negatives" -> (hardNegatives _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -523,5 +593,6 @@ object SimilarityQueries {
     "q_ann_lsh"        -> annLshSql,
     "q_ann_recall"     -> annRecallSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_hard_negatives" -> hardNegativesSql,
   )
 }

@@ -410,6 +410,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.size >= 2, sp.toString)
   }
 
+  test("q_hard_negatives: bucket-equi-join with the label filter below the window") {
+    val df = SparkEntry.queries("q_hard_negatives")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    // the whole point is sublinear candidates: join keyed on the LSH
+    // bucket (never a cartesian), label-mismatch filtered BEFORE the
+    // top-k window buffers anything
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, sp.toString)
+    val windows = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, sp.toString)
+    windows.foreach { w =>
+      assert(w.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.nonEmpty, s"window not fed by the bucket equi-join:\n$w")
+    }
+  }
+
   test("q_doc_chunks: pure narrow — one Generate, zero exchanges") {
     val p = plan("q_doc_chunks")
     assert(!p.contains("Exchange"), p)

@@ -175,6 +175,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("session_window streaming agg: gap-merged sessions close at the watermark") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sess-in").toString
+    // user A: two bursts 3 min apart (one session under a 10-min gap) then
+    // a burst 30 min later (a second session); user B: one event
+    Files.write(java.nio.file.Paths.get(s"$dir/b0.csv"),
+      Seq("A,2026-01-15T10:00:00", "A,2026-01-15T10:03:00",
+        "A,2026-01-15T10:33:00", "B,2026-01-15T10:05:00")
+        .mkString("\n").getBytes("UTF-8"))
+    val q = spark.readStream.schema("user STRING, ts TIMESTAMP").csv(dir)
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user"), col("session_window.start").as("start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past every open session to flush them
+      Files.write(java.nio.file.Paths.get(s"$dir/b1.csv"),
+        "B,2026-01-15T12:00:00".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getString(0),
+          r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(got == Set(
+        ("A", "2026-01-15 10:00:00.0", 2L), // burst pair gap-merged
+        ("A", "2026-01-15 10:33:00.0", 1L), // 30-min gap → new session
+        ("B", "2026-01-15 10:05:00.0", 1L)), got.toString)
+    } finally q.stop()
+  }
+
   test("restart replay: a re-delivered micro-batch is a no-op (exactly-once sink)") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("stream-rr").toString
