@@ -748,16 +748,41 @@ object VersionedTable {
     * paths of the parquet files written. `colMap` renames the DataFrame's
     * logical columns to the table's PHYSICAL names before writing, so every
     * data file of a column-mapped table stores the same physical layout. */
+  /** Columns the table asked to carry PARQUET-NATIVE BLOOM FILTERS for
+    * (`TBLPROPERTIES ('graft.bloomCols'='a,b')`): complements manifest
+    * min/max skipping at the next granularity down — the manifest prunes
+    * whole FILES (tight after ZORDER), the in-file bloom prunes ROW GROUPS
+    * on equality/IN over high-cardinality unsorted columns, where a range
+    * bound can't help and a manifest-embedded bloom can't fit (a 1M-row
+    * file needs ~1 MB of bloom at 1% fpp — per file — which is why Delta
+    * keeps blooms beside the data too, never in the log). Spark's
+    * vectorized reader consults them automatically for pushed equality
+    * filters; every write verb routes through [[stage]], so rewrites
+    * (OPTIMIZE/ZORDER/MERGE) regenerate blooms for their output files. */
+  private def bloomColsIn(props: Map[String, String]): Seq[String] =
+    props.get("graft.bloomCols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
   private def stage(df: DataFrame, root: Path, f: FileSystem,
       colMap: Map[String, String] = Map.empty,
-      partitionCols: Seq[String] = Nil): (Path, Seq[String]) = {
+      partitionCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): (Path, Seq[String]) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(root, s"d-$token")
     try {
       val physical =
         if (colMap.isEmpty) df
         else df.select(df.columns.map(c => col(c).as(colMap.getOrElse(c, c))).toSeq: _*)
-      val writer = physical.write.mode("overwrite")
+      val bloomPhys = bloomColsIn(props).map(c => colMap.getOrElse(c, c))
+        .filter(physical.columns.contains)
+      val writer = bloomPhys.foldLeft(
+        physical.write.mode("overwrite")
+          // adaptive sizing: parquet right-sizes each filter to the row
+          // group's observed NDV instead of a worst-case allocation
+          .option("parquet.bloom.filter.adaptive.enabled",
+            (bloomPhys.nonEmpty).toString)) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
       // hive-style layout under the token dir (d-token/dt=X/part-*.parquet):
       // the partition columns leave the data files and live in the dir names,
       // exactly like Delta's partitioned layout — one commit can span many
@@ -1079,7 +1104,8 @@ object VersionedTable {
         val shaped = withChecks(
           optimizeWriteShape(ordered, effProps, effPart), effProps, path)
         val (dir, rel) =
-          try stage(shaped, root, f, partitionCols = effPart)
+          try stage(shaped, root, f, partitionCols = effPart,
+            props = effProps)
           catch { case e: Throwable => translateViolation(e, path) }
         val (st, rw) = metaFor(spark, root, rel, statsCols)
         staged = Some((dir, rel, st, rw, tagged, effProps))
@@ -1284,7 +1310,7 @@ object VersionedTable {
         val shaped = withChecks(
           optimizeWriteShape(effDf, curProps, effPart), curProps, path)
         val (dir, rel) =
-          try stage(shaped, root, f, curColMap, effPart)
+          try stage(shaped, root, f, curColMap, effPart, curProps)
           catch { case e: Throwable => translateViolation(e, path) }
         val cols = c.map(inheritedStatsCols(spark, root, _, statsCols)).getOrElse(statsCols)
         val (st, rw) = metaFor(spark, root, rel, cols, curColMap)
@@ -2421,7 +2447,7 @@ object VersionedTable {
             // one in-task pass, no extra scan
             val (dir, rel0) =
               try stage(withContract(rewriteDf, c.props, path), root, f,
-                c.colMap, c.schema.map(partitionColsOf).getOrElse(Nil))
+                c.colMap, c.schema.map(partitionColsOf).getOrElse(Nil), c.props)
               catch { case e: Throwable => translateViolation(e, path) }
             val (st0, rw0) = metaFor(spark, root, rel0,
               inheritedStatsCols(spark, root, c, statsCols), c.colMap)
@@ -2531,7 +2557,7 @@ object VersionedTable {
       val kept = dataFrameFor(spark, root, c, candKeys)
         .filter(!coalesce(predicate, lit(false))) // keep p=false AND p=null rows
       val (dir, rel0) = stage(kept, root, f, c.colMap,
-        c.schema.map(partitionColsOf).getOrElse(Nil))
+        c.schema.map(partitionColsOf).getOrElse(Nil), c.props)
       val (st0, rw0) = metaFor(spark, root, rel0,
         inheritedStatsCols(spark, root, c, statsCols), c.colMap)
       val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
@@ -2609,7 +2635,7 @@ object VersionedTable {
       // stale derived value is the failure mode generation exists to kill
       val (dir, rel) =
         try stage(withContract(updated, c.props, path), root, f, c.colMap,
-          partitionColsOf(s))
+          partitionColsOf(s), c.props)
         catch { case e: Throwable => translateViolation(e, path) }
       val (st, rw) = metaFor(spark, root, rel,
         inheritedStatsCols(spark, root, c, statsCols), c.colMap)
@@ -3487,7 +3513,7 @@ object VersionedTable {
             val survivors = dataFrameFor(spark, root, c, purgeKeys)
               .filter(!coalesce(predicate, lit(false)))
             val (d, r0) = stage(survivors, root, f, c.colMap,
-              c.schema.map(partitionColsOf).getOrElse(Nil))
+              c.schema.map(partitionColsOf).getOrElse(Nil), c.props)
             val (s0, c0) = metaFor(spark, root, r0,
               inheritedStatsCols(spark, root, c, Nil), c.colMap)
             val (r, s2, r2) = dropEmpty(r0, s0, c0)
@@ -3543,7 +3569,7 @@ object VersionedTable {
       val carryKeys = c.files.filterNot(purgeSet)
       val survivors = dataFrameFor(spark, root, c, purgeKeys) // marks applied
       val (dir, rel0) = stage(survivors, root, f, c.colMap,
-        c.schema.map(partitionColsOf).getOrElse(Nil))
+        c.schema.map(partitionColsOf).getOrElse(Nil), c.props)
       val (st0, rw0) = metaFor(spark, root, rel0,
         inheritedStatsCols(spark, root, c, Nil), c.colMap)
       val (rel, st, rw) = dropEmpty(rel0, st0, rw0)
@@ -3734,7 +3760,7 @@ object VersionedTable {
       val packed =
         if (partCols.isEmpty) small.coalesce(nOut)
         else small.repartition(nOut, partCols.map(col): _*)
-      val (dir, rel) = stage(packed, root, f, c.colMap, partCols)
+      val (dir, rel) = stage(packed, root, f, c.colMap, partCols, c.props)
       val (st, rw) = metaFor(spark, root, rel, inheritedStatsCols(spark, root, c, Nil), c.colMap)
       val carrySet = carry.toSet
       val (dvK, dvR) = c.dvFor(carrySet) // packed files materialized their DVs
@@ -3799,7 +3825,7 @@ object VersionedTable {
       val placed =
         if (partCols.isEmpty) TableIO.zPlaced(base, cols, bits)
         else TableIO.zPlacedWithin(base, partCols, cols, bits)
-      val (dir, rel) = stage(placed, root, f, c.colMap, partCols)
+      val (dir, rel) = stage(placed, root, f, c.colMap, partCols, c.props)
       val (st, rw) = metaFor(spark, root, rel, cols, c.colMap)
       val carryKeys = c.files.filterNot(scope)
       val carrySet = carryKeys.toSet
@@ -3843,7 +3869,8 @@ object VersionedTable {
       val placed =
         if (partCols.isEmpty) TableIO.zPlaced(base, cols, bits)
         else TableIO.zPlacedWithin(base, partCols, cols, bits)
-      val (dir, rel) = stage(placed, root, f, partitionCols = partCols)
+      val (dir, rel) = stage(placed, root, f, partitionCols = partCols,
+        props = c.props)
       val (st, rw) = metaFor(spark, root, rel, cols)
       val v = bse + 1L
       val (body, ckptDir) = encodeCommit(spark, root, v, rel,

@@ -1557,6 +1557,51 @@ class VersionedTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
   }
 
+  test("graft.bloomCols: staged parquet carries native bloom filters; rewrites regenerate them") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Files.createTempDirectory("bloom").toString + "/t"
+    VersionedTable.write(Seq.empty[(Long, String)].toDF("id", "v"), path)
+    VersionedTable.setProperties(spark, path, Map("graft.bloomCols" -> "id"))
+    VersionedTable.append(
+      (0L until 5000L).map(i => (i * 7L, s"v$i")).toDF("id", "v").coalesce(1), path)
+
+    def bloomStateOf(fileKey: String): (Boolean, Boolean, Boolean) = {
+      // (id has bloom, bloom finds a present key, v has no bloom)
+      val conf = spark.sessionState.newHadoopConf()
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$path/$fileKey"), conf))
+      try {
+        val block = rd.getFooter.getBlocks.asScala.head
+        val byName = block.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+        val idCol = byName("id")
+        val hasBloom = idCol.getBloomFilterOffset >= 0
+        val bloomHits = hasBloom && {
+          val bf = rd.getBloomFilterDataReader(block).readBloomFilter(idCol)
+          bf != null && bf.findHash(bf.hash(21L)) && // 3*7 present
+            !bf.findHash(bf.hash(3L)) // 3 absent (1% fpp — deterministic file)
+        }
+        (hasBloom, bloomHits, byName("v").getBloomFilterOffset < 0)
+      } finally rd.close()
+    }
+    // the appended file, not the zero-row-group genesis file
+    val dataFile = (VersionedTable.filesOf(spark, path,
+      VersionedTable.latestVersion(spark, path).get).toSet --
+      VersionedTable.filesOf(spark, path, 1L).toSet).head
+    assert(bloomStateOf(dataFile) == (true, true, true), bloomStateOf(dataFile))
+    // equality read stays correct with the filter pushed (the bloom is a
+    // row-group pruning aid, never a correctness dependency)
+    assert(VersionedTable.read(spark, path).filter(col("id") === 21L)
+      .collect().map(_.getString(1)).toSeq == Seq("v3"))
+    // a maintenance rewrite regenerates blooms for its output files
+    VersionedTable.zOrderBy(spark, path, Seq("id"), bits = 16)
+    val zFile = VersionedTable.filesOf(spark, path,
+      VersionedTable.latestVersion(spark, path).get)
+      .find(_ != dataFile).get
+    assert(bloomStateOf(zFile)._1, "zorder output lost the bloom filters")
+  }
+
   test("identity and generation are mutually exclusive, checked from both sides") {
     val path = java.nio.file.Files.createTempDirectory("identgen").toString + "/t"
     VersionedTable.write(Seq.empty[(Long, Long)].toDF("id", "n"), path)
