@@ -2310,8 +2310,37 @@ object VersionedTable {
       latestBy: Option[String],
       statsCols: Seq[String],
       txn: Option[(String, Long)],
-      deleteWhere: Option[Column]): Long = {
+      deleteWhere: Option[Column]): Long =
+    upsert(updates, path, keys, evolveSchema, latestBy, statsCols, txn,
+      deleteWhere, guardBy = None)
+
+  /** @param guardBy OUT-OF-ORDER guard (the APPLY CHANGES INTO sequencing
+    *                contract): a matched table row is replaced only when
+    *                the update's value of this column is >= the stored
+    *                row's — a late-arriving OLDER change (update or
+    *                tombstone) is ignored instead of clobbering newer
+    *                data. `latestBy` orders WITHIN the batch; `guardBy`
+    *                orders ACROSS commits — a CDC sink needs both (usually
+    *                the same column). NULL semantics: an update with a
+    *                NULL sequence never replaces an existing row (it still
+    *                inserts when the key is absent); a stored NULL
+    *                sequence is always replaceable. Ties go to the update
+    *                (re-delivered current events re-apply idempotently). */
+  def upsert(
+      updates: DataFrame,
+      path: String,
+      keys: Seq[String],
+      evolveSchema: Boolean,
+      latestBy: Option[String],
+      statsCols: Seq[String],
+      txn: Option[(String, Long)],
+      deleteWhere: Option[Column],
+      guardBy: Option[String]): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
+    guardBy.foreach { g =>
+      require(updates.columns.contains(g),
+        s"$path: guardBy column $g is not in the update schema")
+    }
     val spark = updates.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
@@ -2439,9 +2468,36 @@ object VersionedTable {
                   if (updSchema.fieldNames.contains(fl.name)) col(fl.name)
                   else lit(null).cast(fl.dataType).as(fl.name)).toSeq: _*)
               } else if (rewriteKeys.isEmpty) inserts // empty/legacy base
-              else dataFrameFor(spark, root, c, rewriteKeys)
-                .join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti")
-                .unionByName(inserts, allowMissingColumns = evolveSchema)
+              else {
+                val base = dataFrameFor(spark, root, c, rewriteKeys)
+                guardBy match {
+                  case None =>
+                    base.join(deduped.select(keys.map(col): _*).distinct(),
+                        keys, "left_anti")
+                      .unionByName(inserts, allowMissingColumns = evolveSchema)
+                  case Some(seq) =>
+                    // sequencing guard: per matched key, exactly one side
+                    // survives — the stored row when it is STRICTLY newer
+                    // than the update, the update otherwise (ties → update).
+                    // Both joins are keyed on the merge keys against the
+                    // SAME stats-pruned candidate file set; the guard adds
+                    // one small-side join, never a second table scan.
+                    val useq = deduped.select(
+                      (keys.map(col) :+ col(seq).as("__graft_useq")): _*)
+                    val survivors = base.join(useq, keys, "left")
+                      .filter(col("__graft_useq").isNull ||
+                        (col(seq).isNotNull && col("__graft_useq") < col(seq)))
+                      .drop("__graft_useq")
+                    val bseq = base.select(
+                      (keys.map(col) :+ col(seq).as("__graft_bseq")): _*)
+                    val applied = inserts.join(bseq, keys, "left")
+                      .filter(col("__graft_bseq").isNull ||
+                        (col(seq).isNotNull && col(seq) >= col("__graft_bseq")))
+                      .drop("__graft_bseq")
+                    survivors.unionByName(applied,
+                      allowMissingColumns = evolveSchema)
+                }
+              }
             // carried-file rows are valid by the ADD CONSTRAINT invariant;
             // the union re-checks them only because they ride the rewrite —
             // one in-task pass, no extra scan

@@ -234,7 +234,9 @@ case class GraftDescribeDetailCommand(cat: String,
     AttributeReference("num_rows", LongType, nullable = true)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
     AttributeReference("properties", StringType, nullable = false)(),
-    AttributeReference("check_constraints", StringType, nullable = false)())
+    AttributeReference("check_constraints", StringType, nullable = false)(),
+    AttributeReference("generated_columns", StringType, nullable = false)(),
+    AttributeReference("identity_columns", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
@@ -246,12 +248,17 @@ case class GraftDescribeDetailCommand(cat: String,
     val cons = VersionedTable.checkConstraintsOf(session, p)
     def kv(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString(",")
+    val gens = VersionedTable.generatedColumnsOf(session, p)
+    val ids = VersionedTable.identityColumnsOf(session, p).map { case (n, sp) =>
+      n -> s"start=${sp.start};step=${sp.step};explicit=${sp.allowExplicit}" }
+    val declPrefixes = Seq("graft.constraint.", "graft.generated.",
+      "graft.identity.", "graft.identityHwm.")
     Seq(Row(p, "graft-table", v,
       VersionedTable.filesOf(session, p, v).size,
       VersionedTable.countRows(session, p).map(java.lang.Long.valueOf).orNull,
       partCols.mkString(","),
-      kv(props.filterNot(_._1.startsWith("graft.constraint."))),
-      kv(cons)))
+      kv(props.filterNot(e => declPrefixes.exists(e._1.startsWith))),
+      kv(cons), kv(gens), kv(ids)))
   }
 }
 

@@ -122,7 +122,8 @@ object StreamingSilver {
       latestBy: Option[String] = None,
       appId: String = "graft-silver-stream",
       checkpoint: Option[String] = None,
-      deleteWhere: Option[org.apache.spark.sql.Column] = None)
+      deleteWhere: Option[org.apache.spark.sql.Column] = None,
+      guardBy: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = silver.writeStream
       .outputMode(OutputMode.Append())
@@ -130,11 +131,39 @@ object StreamingSilver {
         if (!batch.isEmpty)
           graft.sources.VersionedTable.upsert(batch.toDF(), path, keys,
             evolveSchema = false, latestBy = latestBy, statsCols = Nil,
-            txn = Some(appId -> batchId), deleteWhere = deleteWhere): Unit
+            txn = Some(appId -> batchId), deleteWhere = deleteWhere,
+            guardBy = guardBy): Unit
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()
   }
+
+  /** APPLY CHANGES INTO (the DLT CDC-apply idiom, composed from this
+    * module's parts): apply a change stream carrying (keys…, `sequenceBy`,
+    * `opCol`) into a versioned table with
+    *  - intra-batch ordering: per key, the max-`sequenceBy` change wins
+    *    the micro-batch (latestBy),
+    *  - CROSS-batch out-of-order tolerance: a late change older than the
+    *    stored row's sequence is ignored, never applied (guardBy — the
+    *    property DLT adds over a plain streaming MERGE),
+    *  - tombstones: rows whose `opCol` equals `deleteOp` delete their key
+    *    (when not out-of-order) instead of upserting,
+    *  - exactly-once: (appId, batchId) rides the manifest txn map, so a
+    *    replayed micro-batch is a no-op commit. */
+  def applyChangesInto(
+      changes: DataFrame,
+      path: String,
+      keys: Seq[String],
+      sequenceBy: String,
+      opCol: String = "op",
+      deleteOp: String = "delete",
+      appId: String = "graft-apply-changes",
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sinkToVersioned(changes, path, keys,
+      latestBy = Some(sequenceBy), appId = appId, checkpoint = checkpoint,
+      deleteWhere = Some(org.apache.spark.sql.functions.col(opCol) === deleteOp),
+      guardBy = Some(sequenceBy))
 
   // --------------------------------------------------------------------------
   // Custom streaming state, NEW API: the same per-author running totals via

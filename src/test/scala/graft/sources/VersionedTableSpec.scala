@@ -1602,6 +1602,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(bloomStateOf(zFile)._1, "zorder output lost the bloom filters")
   }
 
+  test("guardBy upsert: out-of-order changes never clobber newer stored rows") {
+    val path = java.nio.file.Files.createTempDirectory("guard").toString + "/t"
+    VersionedTable.write(
+      Seq(("k1", 5L, "v5"), ("k2", 3L, "w3")).toDF("k", "seq", "v"), path)
+    def up(rows: Seq[(String, Long, String)], del: Option[org.apache.spark.sql.Column] = None) =
+      VersionedTable.upsert(rows.toDF("k", "seq", "v"), path, Seq("k"),
+        evolveSchema = false, latestBy = Some("seq"), statsCols = Nil,
+        txn = None, deleteWhere = del, guardBy = Some("seq"))
+    def state(): Map[String, (Long, String)] =
+      VersionedTable.read(spark, path).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // LATE change (seq 4 < stored 5): ignored, stored row survives
+    up(Seq(("k1", 4L, "late")))
+    assert(state()("k1") == (5L, "v5"), state().toString)
+    // newer change applies; tie (same seq) also applies (re-delivery)
+    up(Seq(("k1", 6L, "v6"), ("k2", 3L, "w3b")))
+    assert(state() == Map("k1" -> (6L, "v6"), "k2" -> (3L, "w3b")), state().toString)
+    // new key inserts regardless of sequence
+    up(Seq(("k3", 1L, "x1")))
+    assert(state()("k3") == (1L, "x1"))
+    // LATE tombstone ignored; newer tombstone deletes
+    up(Seq(("k1", 2L, "zzz")), del = Some(lit(true)))
+    assert(state().contains("k1"), "late tombstone must not delete")
+    up(Seq(("k1", 7L, "zzz")), del = Some(lit(true)))
+    assert(!state().contains("k1"), "newer tombstone must delete")
+    assert(state().keySet == Set("k2", "k3"))
+  }
+
   test("identity and generation are mutually exclusive, checked from both sides") {
     val path = java.nio.file.Files.createTempDirectory("identgen").toString + "/t"
     VersionedTable.write(Seq.empty[(Long, Long)].toDF("id", "n"), path)

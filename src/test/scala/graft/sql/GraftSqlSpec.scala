@@ -431,6 +431,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getString(5) == "dt")                   // partition dimension
     assert(r.getString(6).contains("graft.team=ops"), r.getString(6))
     assert(r.getString(7) == "v_pos=v > 0", r.getString(7))
+    // generated/identity declarations surface in their own columns, and
+    // the raw declaration keys stay OUT of the generic properties blob
+    val p2 = tmp()
+    VersionedTable.write(Seq.empty[(Long, Long, Long)]
+      .toDF("id", "n", "dbl"), p2)
+    VersionedTable.declareIdentityColumn(spark, p2, "id", start = 5L, step = 2L)
+    VersionedTable.setGeneratedColumn(spark, p2, "dbl", "n * 2")
+    val r2 = spark.sql(s"DESCRIBE DETAIL ${sqlName(p2)}").collect().head
+    assert(!r2.getString(6).contains("graft.identity"), r2.getString(6))
+    assert(r2.getString(8) == "dbl=n * 2", r2.getString(8))
+    assert(r2.getString(9) == "id=start=5;step=2;explicit=false", r2.getString(9))
   }
 
   test("SHOW PARTITIONS: manifest-only values, counts, DV subtraction") {

@@ -737,6 +737,41 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "r1"), (2L, "r2"), (3L, "r3")))
   }
 
+  test("APPLY CHANGES INTO: CDC stream applies with cross-batch out-of-order tolerance") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cdc-in").toString
+    val table = Files.createTempDirectory("cdc-out").toString + "/t"
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+    def writeBatch(name: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$dir/$name.csv"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    // batch 0: inserts (k1 seq1, k2 seq1) + an intra-batch supersede for k1
+    writeBatch("b0", Seq("k1,1,a,upsert", "k1,2,b,upsert", "k2,1,c,upsert"))
+    val q = StreamingSilver.applyChangesInto(
+      spark.readStream.schema("k STRING, seq LONG, v STRING, op STRING").csv(dir),
+      table, Seq("k"), sequenceBy = "seq", checkpoint = Some(ckpt))
+    def state(): Map[String, (Long, String)] =
+      VersionedTable.read(spark, table).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    try {
+      q.processAllAvailable()
+      assert(state() == Map("k1" -> (2L, "b"), "k2" -> (1L, "c")), state().toString)
+      // batch 1: a LATE update for k1 (seq 1 < stored 2) must be ignored;
+      // a newer delete removes k2; k3 inserts
+      writeBatch("b1", Seq("k1,1,stale,upsert", "k2,5,x,delete", "k3,1,d,upsert"))
+      q.processAllAvailable()
+      assert(state() == Map("k1" -> (2L, "b"), "k3" -> (1L, "d")), state().toString)
+      // batch 2: a LATE re-insert of the deleted k2... arrives after the
+      // delete. The tombstone row itself is GONE from the table (no stored
+      // sequence to compare), so CDC re-insert applies — the documented
+      // APPLY CHANGES semantic without tombstone retention
+      writeBatch("b2", Seq("k1,3,final,upsert"))
+      q.processAllAvailable()
+      assert(state()("k1") == (3L, "final"), state().toString)
+    } finally q.stop()
+  }
+
   test("graft-table streaming SINK: Complete mode commits snapshot versions") {
     import graft.sources.VersionedTable
     val dir = Files.createTempDirectory("snkc-in").toString
