@@ -773,8 +773,12 @@ object VersionedTable {
       val physical =
         if (colMap.isEmpty) df
         else df.select(df.columns.map(c => col(c).as(colMap.getOrElse(c, c))).toSeq: _*)
+      // resolve case-insensitively, like Spark's own column resolution
+      // (a TBLPROPERTIES 'ID' against a schema 'id' must not silently
+      // disable the bloom)
+      val byLower = physical.columns.map(c => c.toLowerCase -> c).toMap
       val bloomPhys = bloomColsIn(props).map(c => colMap.getOrElse(c, c))
-        .filter(physical.columns.contains)
+        .flatMap(c => byLower.get(c.toLowerCase))
       val writer = bloomPhys.foldLeft(
         physical.write.mode("overwrite")
           // adaptive sizing: parquet right-sizes each filter to the row
@@ -2321,11 +2325,18 @@ object VersionedTable {
     *                tombstone) is ignored instead of clobbering newer
     *                data. `latestBy` orders WITHIN the batch; `guardBy`
     *                orders ACROSS commits — a CDC sink needs both (usually
-    *                the same column). NULL semantics: an update with a
-    *                NULL sequence never replaces an existing row (it still
-    *                inserts when the key is absent); a stored NULL
-    *                sequence is always replaceable. Ties go to the update
-    *                (re-delivered current events re-apply idempotently). */
+    *                the same column). The decision is PER KEY against the
+    *                key's MAX stored sequence. NULL semantics: an update
+    *                with a NULL sequence never replaces stored rows (it
+    *                still inserts when the key is absent — including when
+    *                both sides are NULL, the stored row wins); a key whose
+    *                stored sequences are all NULL is replaceable by any
+    *                non-NULL update. Ties go to the update (re-delivered
+    *                current events re-apply idempotently).
+    * @param dropCols bookkeeping columns (e.g. a CDC `op` marker) removed
+    *                from the rows BEFORE they land — but AFTER latestBy
+    *                dedup and the deleteWhere/guard decisions, which may
+    *                reference them. The target schema never sees them. */
   def upsert(
       updates: DataFrame,
       path: String,
@@ -2335,12 +2346,17 @@ object VersionedTable {
       statsCols: Seq[String],
       txn: Option[(String, Long)],
       deleteWhere: Option[Column],
-      guardBy: Option[String]): Long = {
+      guardBy: Option[String],
+      dropCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     guardBy.foreach { g =>
       require(updates.columns.contains(g),
         s"$path: guardBy column $g is not in the update schema")
+      require(!dropCols.contains(g),
+        s"$path: guardBy column $g cannot be dropped — it is table state")
     }
+    require(!keys.exists(dropCols.contains),
+      s"$path: merge key(s) cannot be dropped")
     val spark = updates.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
@@ -2380,9 +2396,11 @@ object VersionedTable {
         updatesG
     }).cache()
     // tombstones' keys participate in the anti-join (they remove matched
-    // rows) but only non-tombstone rows are (re-)inserted
+    // rows) but only non-tombstone rows are (re-)inserted; bookkeeping
+    // columns leave AFTER the dedup/tombstone/guard decisions used them
     val inserts = deleteWhere
       .map(p => deduped.filter(!coalesce(p, lit(false)))).getOrElse(deduped)
+      .drop(dropCols: _*)
     // captured for the post-commit auto-compact hook: the files THIS merge
     // wrote, and the props that governed the committed version
     var hookRel: Seq[String] = Nil
@@ -2414,11 +2432,11 @@ object VersionedTable {
           case None =>
             val (dir, rel) = stage(inserts, root, f)
             val (st, rw) = metaFor(spark, root, rel, statsCols)
-            (rel, deduped.schema.json, () => st, st, rw, dir,
+            (rel, inserts.schema.json, () => st, st, rw, dir,
               Seq.empty[String], Map.empty[String, Long],
               Map.empty[String, String], Set.empty[String])
           case Some(c) =>
-            val updSchema = deduped.schema
+            val updSchema = inserts.schema
             // (rewrite candidates, provably-unmatched carries, merged schema)
             val (rewriteKeys, carryKeys, merged) = c.schema match {
               case Some(bs) =>
@@ -2476,24 +2494,34 @@ object VersionedTable {
                         keys, "left_anti")
                       .unionByName(inserts, allowMissingColumns = evolveSchema)
                   case Some(seq) =>
-                    // sequencing guard: per matched key, exactly one side
-                    // survives — the stored row when it is STRICTLY newer
-                    // than the update, the update otherwise (ties → update).
-                    // Both joins are keyed on the merge keys against the
-                    // SAME stats-pruned candidate file set; the guard adds
-                    // one small-side join, never a second table scan.
-                    val useq = deduped.select(
-                      (keys.map(col) :+ col(seq).as("__graft_useq")): _*)
-                    val survivors = base.join(useq, keys, "left")
-                      .filter(col("__graft_useq").isNull ||
-                        (col(seq).isNotNull && col("__graft_useq") < col(seq)))
-                      .drop("__graft_useq")
-                    val bseq = base.select(
-                      (keys.map(col) :+ col(seq).as("__graft_bseq")): _*)
-                    val applied = inserts.join(bseq, keys, "left")
-                      .filter(col("__graft_bseq").isNull ||
-                        (col(seq).isNotNull && col(seq) >= col("__graft_bseq")))
-                      .drop("__graft_bseq")
+                    // sequencing guard, decided ONCE PER KEY (not per base
+                    // row — a table holding duplicate key rows must not
+                    // half-apply): the update wins iff its sequence is
+                    // non-NULL and >= the key's max stored sequence (NULL
+                    // stored sequences are always replaceable; a NULL
+                    // update sequence never replaces; ties → update, so
+                    // re-deliveries re-apply idempotently). An update that
+                    // wins replaces EVERY stored row of its key — which
+                    // also collapses pre-existing duplicates. Costs one
+                    // extra pass over the candidate files, but that pass
+                    // reads only the key+sequence columns (column-pruned),
+                    // not the full rows.
+                    val bmax = base.groupBy(keys.map(col): _*)
+                      .agg(max(col(seq)).as("__graft_bseq"))
+                    val dec = deduped
+                      .select((keys.map(col) :+ col(seq).as("__graft_useq")): _*)
+                      .join(bmax, keys, "left")
+                      .select((keys.map(col) :+
+                        (col("__graft_useq").isNotNull &&
+                          (col("__graft_bseq").isNull ||
+                            col("__graft_useq") >= col("__graft_bseq")))
+                          .as("__graft_uwins")): _*)
+                    val survivors = base.join(dec, keys, "left")
+                      .filter(!coalesce(col("__graft_uwins"), lit(false)))
+                      .drop("__graft_uwins")
+                    val applied = inserts.join(dec, keys, "left")
+                      .filter(coalesce(col("__graft_uwins"), lit(true)))
+                      .drop("__graft_uwins")
                     survivors.unionByName(applied,
                       allowMissingColumns = evolveSchema)
                 }
@@ -2802,6 +2830,14 @@ object VersionedTable {
       (StructType(s.fields.filterNot(f => names.contains(f.name))),
         c.colMap -- names,
         c.physDropped ++ names.map(c.physName))
+    },
+    // a dropped column leaves the bloom hint too (harmless if stale, but
+    // a property naming a ghost column misleads DESCRIBE DETAIL readers)
+    propsTransform = props => props.get("graft.bloomCols").fold(props) { bc =>
+      val kept = bc.split(",").map(_.trim)
+        .filterNot(cn => names.exists(_.equalsIgnoreCase(cn)))
+      if (kept.isEmpty) props - "graft.bloomCols"
+      else props + ("graft.bloomCols" -> kept.mkString(","))
     })
 
   /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
@@ -2862,7 +2898,13 @@ object VersionedTable {
         if (phys == to) c.colMap - from
         else (c.colMap - from) + (to -> phys)
       (StructType(fields), nextMap, c.physDropped)
-    }, renameStats = Some(from -> to))
+    }, renameStats = Some(from -> to),
+    // the bloom-column hint follows the rename (a dangling old name would
+    // silently stop emitting blooms for the column)
+    propsTransform = props => props.get("graft.bloomCols").fold(props) { bc =>
+      props + ("graft.bloomCols" -> bc.split(",").map(_.trim)
+        .map(c => if (c.equalsIgnoreCase(from)) to else c).mkString(","))
+    })
 
   /** TYPE WIDENING (Delta's `ALTER COLUMN ... TYPE`, metadata-only): change
     * a column's recorded type to a strictly wider one WITHOUT touching a
@@ -3001,6 +3043,14 @@ object VersionedTable {
     * contracts/expectations.yml, README.md:88-91). Delta's
     * `ALTER TABLE ADD CONSTRAINT ... CHECK` stores them the same way. */
   private val ConstraintPrefix = "graft.constraint."
+
+  /** Property prefixes carrying validated DECLARATIONS (constraints,
+    * generation, identity + its mark) — the keys every generic-properties
+    * surface (DESCRIBE DETAIL, smuggle guards) must treat specially.
+    * Single source of truth; the SQL layer reads it rather than repeating
+    * the strings. */
+  private[graft] def declarationPrefixes: Seq[String] =
+    Seq(ConstraintPrefix, GeneratedPrefix, IdentityPrefix, IdentityHwmPrefix)
 
   private val ViolationMarker = "GRAFT CONSTRAINT VIOLATION"
 
@@ -3422,7 +3472,8 @@ object VersionedTable {
 
   private def alterSchema(spark: SparkSession, path: String, verb: String,
       change: (StructType, Commit, Long) => (StructType, Map[String, String], Set[String]),
-      renameStats: Option[(String, String)] = None): Long = {
+      renameStats: Option[(String, String)] = None,
+      propsTransform: Map[String, String] => Map[String, String] = identity): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -3451,6 +3502,7 @@ object VersionedTable {
       // change carried stats, which a file-delta can't express: full form,
       // with the stats rewrite shipped to the executors for anchored tables
       val reshape = verb == "drop" || renameStats.isDefined
+      val nextProps = propsTransform(c.props)
       val (body, ckptDir) = encodeCommit(spark, root, v, c.files, next.json,
         stats, c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
         forceFull = reshape,
@@ -3458,7 +3510,8 @@ object VersionedTable {
         carriedIdentical = !reshape,
         statsAddOnly = Some(Map.empty),
         keepStatsCols = if (reshape) Some(keep) else None,
-        renameStats = renameStats)
+        renameStats = renameStats,
+        props = if (nextProps == c.props) None else Some(nextProps))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         ckptDir.foreach(d => f.delete(d, true))

@@ -251,8 +251,7 @@ case class GraftDescribeDetailCommand(cat: String,
     val gens = VersionedTable.generatedColumnsOf(session, p)
     val ids = VersionedTable.identityColumnsOf(session, p).map { case (n, sp) =>
       n -> s"start=${sp.start};step=${sp.step};explicit=${sp.allowExplicit}" }
-    val declPrefixes = Seq("graft.constraint.", "graft.generated.",
-      "graft.identity.", "graft.identityHwm.")
+    val declPrefixes = VersionedTable.declarationPrefixes
     Seq(Row(p, "graft-table", v,
       VersionedTable.filesOf(session, p, v).size,
       VersionedTable.countRows(session, p).map(java.lang.Long.valueOf).orNull,

@@ -123,7 +123,8 @@ object StreamingSilver {
       appId: String = "graft-silver-stream",
       checkpoint: Option[String] = None,
       deleteWhere: Option[org.apache.spark.sql.Column] = None,
-      guardBy: Option[String] = None)
+      guardBy: Option[String] = None,
+      dropCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = silver.writeStream
       .outputMode(OutputMode.Append())
@@ -132,7 +133,7 @@ object StreamingSilver {
           graft.sources.VersionedTable.upsert(batch.toDF(), path, keys,
             evolveSchema = false, latestBy = latestBy, statsCols = Nil,
             txn = Some(appId -> batchId), deleteWhere = deleteWhere,
-            guardBy = guardBy): Unit
+            guardBy = guardBy, dropCols = dropCols): Unit
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()
@@ -163,7 +164,10 @@ object StreamingSilver {
     sinkToVersioned(changes, path, keys,
       latestBy = Some(sequenceBy), appId = appId, checkpoint = checkpoint,
       deleteWhere = Some(org.apache.spark.sql.functions.col(opCol) === deleteOp),
-      guardBy = Some(sequenceBy))
+      guardBy = Some(sequenceBy),
+      // the op marker is change-feed bookkeeping, not table data — DLT's
+      // APPLY CHANGES excludes it from the target the same way
+      dropCols = Seq(opCol))
 
   // --------------------------------------------------------------------------
   // Custom streaming state, NEW API: the same per-author running totals via

@@ -1630,6 +1630,63 @@ class VersionedTableSpec extends SparkSpec {
     assert(state().keySet == Set("k2", "k3"))
   }
 
+  test("guardBy decides per KEY: duplicate stored rows neither half-apply nor multiply") {
+    val path = java.nio.file.Files.createTempDirectory("guard2").toString + "/t"
+    // two appends put TWO rows for kd (seq 1 and 9) — a key-uniqueness
+    // violation the guard must not make worse
+    VersionedTable.write(Seq(("kd", 1L, "old")).toDF("k", "seq", "v"), path)
+    VersionedTable.append(Seq(("kd", 9L, "new")).toDF("k", "seq", "v"), path)
+    def up(rows: Seq[(String, Long, String)]) =
+      VersionedTable.upsert(rows.toDF("k", "seq", "v"), path, Seq("k"),
+        evolveSchema = false, latestBy = Some("seq"), statsCols = Nil,
+        txn = None, deleteWhere = None, guardBy = Some("seq"))
+    def rows() = VersionedTable.read(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // update older than the key's MAX: ignored wholesale — both stored
+    // rows survive, the update row is NOT emitted even once
+    up(Seq(("kd", 5L, "mid")))
+    assert(rows() == Set(("kd", 1L, "old"), ("kd", 9L, "new")), rows().toString)
+    // update newer than the max: replaces EVERY stored row of the key,
+    // collapsing the duplicate
+    up(Seq(("kd", 10L, "final")))
+    assert(rows() == Set(("kd", 10L, "final")), rows().toString)
+  }
+
+  test("guardBy NULL-vs-NULL: the stored row wins, no duplicate key emitted") {
+    val path = java.nio.file.Files.createTempDirectory("guard3").toString + "/t"
+    VersionedTable.write(
+      Seq(("k", Option.empty[java.lang.Long], "stored"))
+        .toDF("k", "seq", "v"), path)
+    VersionedTable.upsert(
+      Seq(("k", Option.empty[java.lang.Long], "update"), ("k2", Option(2L): Option[java.lang.Long], "n"))
+        .toDF("k", "seq", "v"), path, Seq("k"),
+      evolveSchema = false, latestBy = None, statsCols = Nil,
+      txn = None, deleteWhere = None, guardBy = Some("seq"))
+    val got = VersionedTable.read(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    // NULL update sequence never replaces; NULL stored sequence IS
+    // replaceable by a non-null update; absent keys insert
+    assert(got == Set(("k", "stored"), ("k2", "n")), got.toString)
+    VersionedTable.upsert(
+      Seq(("k", Option(1L): Option[java.lang.Long], "nonnull")).toDF("k", "seq", "v"),
+      path, Seq("k"), evolveSchema = false, latestBy = None, statsCols = Nil,
+      txn = None, deleteWhere = None, guardBy = Some("seq"))
+    assert(VersionedTable.read(spark, path).filter(col("k") === "k")
+      .collect().map(_.getString(2)).toSeq == Seq("nonnull"))
+  }
+
+  test("graft.bloomCols follows RENAME COLUMN and sheds on DROP COLUMN") {
+    val path = java.nio.file.Files.createTempDirectory("bloomren").toString + "/t"
+    VersionedTable.write(Seq((1L, "a", 2.0)).toDF("id", "s", "x"), path)
+    VersionedTable.setProperties(spark, path, Map("graft.bloomCols" -> "id,s"))
+    VersionedTable.renameColumn(spark, path, "id", "uid")
+    assert(VersionedTable.propertiesOf(spark, path)
+      .get("graft.bloomCols").contains("uid,s"))
+    VersionedTable.dropColumns(spark, path, Seq("s"))
+    assert(VersionedTable.propertiesOf(spark, path)
+      .get("graft.bloomCols").contains("uid"))
+  }
+
   test("identity and generation are mutually exclusive, checked from both sides") {
     val path = java.nio.file.Files.createTempDirectory("identgen").toString + "/t"
     VersionedTable.write(Seq.empty[(Long, Long)].toDF("id", "n"), path)

@@ -756,19 +756,23 @@ class StreamingSpec extends SparkSpec {
         .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
     try {
       q.processAllAvailable()
+      // the op marker is bookkeeping — it must NOT land in the target
+      assert(VersionedTable.read(spark, table).columns.toSeq ==
+        Seq("k", "seq", "v"))
       assert(state() == Map("k1" -> (2L, "b"), "k2" -> (1L, "c")), state().toString)
       // batch 1: a LATE update for k1 (seq 1 < stored 2) must be ignored;
       // a newer delete removes k2; k3 inserts
       writeBatch("b1", Seq("k1,1,stale,upsert", "k2,5,x,delete", "k3,1,d,upsert"))
       q.processAllAvailable()
       assert(state() == Map("k1" -> (2L, "b"), "k3" -> (1L, "d")), state().toString)
-      // batch 2: a LATE re-insert of the deleted k2... arrives after the
-      // delete. The tombstone row itself is GONE from the table (no stored
-      // sequence to compare), so CDC re-insert applies — the documented
-      // APPLY CHANGES semantic without tombstone retention
-      writeBatch("b2", Seq("k1,3,final,upsert"))
+      // batch 2: k1 advances; a re-insert of the DELETED k2 applies even
+      // with a sequence below the tombstone's — the tombstone row itself is
+      // gone from the table, so there is no stored sequence to compare
+      // (the documented semantic without tombstone retention)
+      writeBatch("b2", Seq("k1,3,final,upsert", "k2,2,back,upsert"))
       q.processAllAvailable()
-      assert(state()("k1") == (3L, "final"), state().toString)
+      assert(state() == Map("k1" -> (3L, "final"), "k2" -> (2L, "back"),
+        "k3" -> (1L, "d")), state().toString)
     } finally q.stop()
   }
 
