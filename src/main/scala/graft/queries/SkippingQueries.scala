@@ -392,7 +392,112 @@ object SkippingQueries {
        |  OR user_id BETWEEN $UserLo AND $UserHi)
        |GROUP BY 1""".stripMargin
 
+  def guardTablePath(dir: String): String = cachedTablePath(dir, "guardmerge_v1")
+
+  /** Idempotently build the guarded-merge fixture: seed = each user's
+    * SECOND-latest event, then one guardBy upsert whose batch mixes both
+    * branches — even users send their LATEST event (newer than stored →
+    * applies), odd users their EARLIEST (older → must be IGNORED); users
+    * with a single event are absent from the seed and INSERT. Atomic
+    * commits make the recipe resume from either checkpoint. */
+  def ensureGuardTable(spark: SparkSession, dir: String): String = {
+    val path = guardTablePath(dir)
+    import org.apache.spark.sql.expressions.Window
+    lazy val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts"), col("value"))
+    lazy val ranked = ev
+      .withColumn("rd", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("ra", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)))
+    def shape(df: DataFrame): DataFrame = df.select(col("user_id"),
+      col("event_id").as("cur_event"), col("ts").as("seq_ts"),
+      col("value").as("cur_value"))
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(shape(ranked.filter(col("rd") === 2)), path,
+        statsCols = Seq("user_id"))
+    if (VersionedTable.latestVersion(spark, path).contains(1L))
+      VersionedTable.upsert(
+        shape(ranked.filter(
+          (col("user_id") % 2 === 0 && col("rd") === 1) ||
+            (col("user_id") % 2 =!= 0 && col("ra") === 1))),
+        path, Seq("user_id"), evolveSchema = false, latestBy = None,
+        statsCols = Nil, txn = None, deleteWhere = None,
+        guardBy = Some("seq_ts"))
+    path
+  }
+
+  /** q_guarded_merge — the APPLY CHANGES sequencing guard under the oracle
+    * gate: the post-merge state must equal DuckDB replaying the per-key
+    * decision rule (update wins iff its sequence >= the stored row's) over
+    * the raw events — one green row proves late changes were ignored and
+    * newer ones applied, end to end through the CoW merge. */
+  def guardedMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureGuardTable(spark, dir)
+    spark.sql(s"SELECT user_id, cur_event, cur_value FROM graft.`$path`")
+  }
+
+  val guardedMergeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY t DESC, event_id DESC) AS rd,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY t ASC, event_id ASC) AS ra
+      |  FROM e),
+      |seed AS (SELECT user_id, event_id, t, value FROM r WHERE rd = 2),
+      |upd AS (
+      |  SELECT user_id, event_id, t, value FROM r
+      |  WHERE (user_id % 2 = 0 AND rd = 1) OR (user_id % 2 <> 0 AND ra = 1))
+      |SELECT u.user_id,
+      |  CASE WHEN s.user_id IS NULL OR u.t >= s.t
+      |       THEN u.event_id ELSE s.event_id END AS cur_event,
+      |  CASE WHEN s.user_id IS NULL OR u.t >= s.t
+      |       THEN u.value ELSE s.value END AS cur_value
+      |FROM upd u LEFT JOIN seed s ON s.user_id = u.user_id""".stripMargin
+
+  def genIdTablePath(dir: String): String = cachedTablePath(dir, "genid_v1")
+
+  /** Idempotently build the generated+identity fixture: CREATE TABLE with
+    * an IDENTITY uid (start 1000, step 2) and a GENERATED p_date, then ONE
+    * append supplying only (event_id, ts) — uid allocates dense in a
+    * single sorted partition (repartition(1)+sortWithinPartitions pins the
+    * zip order so the assignment is a pure function of event_id rank, the
+    * property the oracle replays), p_date fills from its expression. */
+  def ensureGenIdTable(spark: SparkSession, dir: String): String = {
+    val path = genIdTablePath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      spark.sql(s"CREATE TABLE graft.`$path` (" +
+        "uid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 2), " +
+        "event_id BIGINT, ts TIMESTAMP, " +
+        "p_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))")
+    if (VersionedTable.latestVersion(spark, path).contains(1L))
+      VersionedTable.append(
+        Tables.events(spark, dir).select(col("event_id"), col("ts"))
+          .repartition(1).sortWithinPartitions(col("event_id")),
+        path)
+    path
+  }
+
+  /** q_gen_identity — identity allocation + generated fill under the
+    * oracle gate: uid must equal 1000 + 2·rank(event_id) and p_date the
+    * date of ts, computed by DuckDB from the raw events — one green row
+    * proves the write-path fill/allocation machinery end to end. */
+  def genIdentity(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureGenIdTable(spark, dir)
+    spark.sql(s"SELECT uid, event_id, p_date FROM graft.`$path`")
+  }
+
+  val genIdentitySql: String =
+    """SELECT 1000 + 2 * (ROW_NUMBER() OVER (ORDER BY event_id) - 1) AS uid,
+      |  event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS p_date
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_guarded_merge" -> (guardedMerge _),
+    "q_gen_identity" -> (genIdentity _),
     "q_sql_merge" -> (sqlMerge _),
     "q_sql_delete" -> (sqlDelete _),
     "q_sql_update" -> (sqlUpdate _),
@@ -404,6 +509,8 @@ object SkippingQueries {
     "q_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
+    "q_guarded_merge" -> guardedMergeSql,
+    "q_gen_identity" -> genIdentitySql,
     "q_sql_merge" -> sqlMergeSql,
     "q_sql_delete" -> sqlDeleteSql,
     "q_sql_update" -> sqlUpdateSql,
