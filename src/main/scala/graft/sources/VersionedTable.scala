@@ -759,6 +759,10 @@ object VersionedTable {
     * vectorized reader consults them automatically for pushed equality
     * filters; every write verb routes through [[stage]], so rewrites
     * (OPTIMIZE/ZORDER/MERGE) regenerate blooms for their output files. */
+  /** Properties holding comma-separated COLUMN-NAME lists that schema DDL
+    * must keep in step (rename follows, drop sheds). */
+  private val ColumnListHints = Seq("graft.bloomCols", "graft.clusterBy")
+
   private def bloomColsIn(props: Map[String, String]): Seq[String] =
     props.get("graft.bloomCols").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
@@ -2831,13 +2835,14 @@ object VersionedTable {
         c.colMap -- names,
         c.physDropped ++ names.map(c.physName))
     },
-    // a dropped column leaves the bloom hint too (harmless if stale, but
-    // a property naming a ghost column misleads DESCRIBE DETAIL readers)
-    propsTransform = props => props.get("graft.bloomCols").fold(props) { bc =>
-      val kept = bc.split(",").map(_.trim)
-        .filterNot(cn => names.exists(_.equalsIgnoreCase(cn)))
-      if (kept.isEmpty) props - "graft.bloomCols"
-      else props + ("graft.bloomCols" -> kept.mkString(","))
+    // a dropped column leaves the column-list hints too (harmless if
+    // stale, but a property naming a ghost column misleads readers)
+    propsTransform = props => ColumnListHints.foldLeft(props) { (ps, key) =>
+      ps.get(key).fold(ps) { bc =>
+        val kept = bc.split(",").map(_.trim)
+          .filterNot(cn => names.exists(_.equalsIgnoreCase(cn)))
+        if (kept.isEmpty) ps - key else ps + (key -> kept.mkString(","))
+      }
     })
 
   /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
@@ -2899,11 +2904,13 @@ object VersionedTable {
         else (c.colMap - from) + (to -> phys)
       (StructType(fields), nextMap, c.physDropped)
     }, renameStats = Some(from -> to),
-    // the bloom-column hint follows the rename (a dangling old name would
-    // silently stop emitting blooms for the column)
-    propsTransform = props => props.get("graft.bloomCols").fold(props) { bc =>
-      props + ("graft.bloomCols" -> bc.split(",").map(_.trim)
-        .map(c => if (c.equalsIgnoreCase(from)) to else c).mkString(","))
+    // column-list hints (bloom emission, declared clustering) follow the
+    // rename — a dangling old name would silently disable them
+    propsTransform = props => ColumnListHints.foldLeft(props) { (ps, key) =>
+      ps.get(key).fold(ps) { bc =>
+        ps + (key -> bc.split(",").map(_.trim)
+          .map(c => if (c.equalsIgnoreCase(from)) to else c).mkString(","))
+      }
     })
 
   /** TYPE WIDENING (Delta's `ALTER COLUMN ... TYPE`, metadata-only): change

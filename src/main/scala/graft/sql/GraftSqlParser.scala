@@ -161,8 +161,17 @@ case class GraftOptimizeCommand(cat: String, path: String,
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "OPTIMIZE")
     val where = whereSql.map(expr)
+    // Delta's liquid-clustering user story, expressed on the zorder
+    // machinery: a table DECLARES its clustering once
+    // (TBLPROPERTIES 'graft.clusterBy'='a,b') and every plain OPTIMIZE
+    // applies it — the runbook never has to repeat the column list. An
+    // explicit ZORDER BY clause still overrides per statement.
+    val declared =
+      if (zorderBy.nonEmpty) zorderBy
+      else VersionedTable.propertiesOf(session, p).get("graft.clusterBy")
+        .toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val v =
-      if (zorderBy.nonEmpty) VersionedTable.zOrderBy(session, p, zorderBy,
+      if (declared.nonEmpty) VersionedTable.zOrderBy(session, p, declared,
         bits = 16, where = where)
       else VersionedTable.compact(session, p, 128L * 1024 * 1024, where)
     Seq(Row(v))

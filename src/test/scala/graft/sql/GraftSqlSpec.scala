@@ -786,6 +786,41 @@ class GraftSqlSpec extends SparkSpec {
       Set("[999,x]", "[1,y]"))
   }
 
+  test("CLUSTER BY declaration: plain OPTIMIZE applies the declared clustering") {
+    val p = tmp()
+    spark.sql(s"CREATE TABLE ${sqlName(p)} (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.clusterBy'='id', 'statsCols'='id')")
+    // four interleaved files: every file covers the FULL id range, so no
+    // equality band can prune anything before clustering
+    // ids spread over the full 16-bit z-space so clustering yields
+    // multiple aligned tiles (tiny ids would all land in tile 0)
+    (0 until 4).foreach { i =>
+      VersionedTable.append((0L until 400L).filter(_ % 4 == i)
+        .map(x => (x * 163L, s"v$x")).toDF("id", "v").coalesce(1), p)
+    }
+    val allBefore = VersionedTable.filesOf(spark, p,
+      VersionedTable.latestVersion(spark, p).get).size
+    val before = VersionedTable.pruneInfo(spark, p,
+      col("id").between(0L, 4000L))._1.size
+    assert(before == allBefore,
+      s"interleaved files must all survive pruning: $before of $allBefore")
+    // NO zorder clause — the declared clustering applies
+    spark.sql(s"OPTIMIZE ${sqlName(p)}")
+    val files = VersionedTable.filesOf(spark, p,
+      VersionedTable.latestVersion(spark, p).get)
+    val after = VersionedTable.pruneInfo(spark, p,
+      col("id").between(0L, 4000L))._1.size
+    assert(after < files.size,
+      s"declared clustering must make the band prunable ($after of ${files.size})")
+    // rows unchanged
+    assert(spark.sql(s"SELECT COUNT(*) FROM ${sqlName(p)}")
+      .collect().head.getLong(0) == 400L)
+    // the declaration follows a rename like the bloom hint does
+    spark.sql(s"ALTER TABLE ${sqlName(p)} RENAME COLUMN id TO uid")
+    assert(VersionedTable.propertiesOf(spark, p)
+      .get("graft.clusterBy").contains("uid"))
+  }
+
   test("CREATE TABLE TBLPROPERTIES cannot smuggle generation/identity keys") {
     val p = tmp()
     val e = intercept[Exception] {
