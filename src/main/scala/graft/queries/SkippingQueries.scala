@@ -36,10 +36,17 @@ object SkippingQueries {
   def predicate: Column = col("user_id").between(UserLo, UserHi)
 
   /** Deterministic per-dataset tmp location for an idempotently-built
-    * fixture table. Bump a recipe's tag when its layout changes. */
+    * fixture table. Bump a recipe's tag when its layout changes.
+    *
+    * The key fingerprints the SOURCE DATA (events.parquet length + mtime),
+    * not just the directory path: a regenerated dataset at the same path —
+    * the round-7 failure mode — automatically invalidates every cached
+    * fixture instead of serving stale rows against a fresh oracle. */
   private def cachedTablePath(dir: String, tag: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val ident = s"$dir|${src.length}|${src.lastModified}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
   }
 
