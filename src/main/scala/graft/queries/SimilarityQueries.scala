@@ -489,6 +489,9 @@ object SimilarityQueries {
     semanticDedup(spark, dir, NumCentroids)
 
   def semanticDedup(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    // cache lifetime contract: the returned (lazy) frame references this
+    // cache, so it cannot unpersist here — every harness (Bench, Verify)
+    // clearCache()s after the result materializes; ad-hoc callers should too
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))

@@ -1171,6 +1171,13 @@ object VersionedTable {
   private[sources] final class ConcurrentCopyException(msg: String)
     extends RuntimeException(msg)
 
+  /** Control-flow signal from [[appendInternal]] back to [[copyInto]]: every
+    * source file in the staged batch was already loaded (a full statement
+    * replay) — the head is returned unchanged and NO files were loaded by
+    * this call, so the caller must report 0, not the batch size. */
+  private final class CopyReplayedException(val head: Long)
+    extends RuntimeException("all source files already loaded")
+
   /** COPY INTO (Delta's idempotent bulk-ingest statement): load the parquet
     * files under `srcDir` (optionally narrowed by a `pattern` glob on the
     * file name) into the table as ONE append commit, SKIPPING every source
@@ -1179,8 +1186,12 @@ object VersionedTable {
     * records `copy:<md5(absolute path)> -> mtime`, carried by every
     * subsequent commit, so re-running the statement after a crash, a
     * partial pipeline retry, or on a directory that keeps growing loads
-    * each file exactly once. Returns (version, filesLoaded) —
-    * (currentHead, 0) when everything listed was already loaded.
+    * each file exactly once. Loaded source files are IMMUTABLE: the
+    * recorded mtime is compared on every run, and a file regenerated in
+    * place (same name, new mtime) refuses the statement loudly instead of
+    * being silently skipped. Returns (version, filesLoaded) —
+    * (currentHead, 0) when everything listed was already loaded, including
+    * when a concurrent COPY INTO won the race for the whole batch.
     *
     * Scale shape: one driver listing of the SOURCE directory (inherent to
     * the statement), one key-diff against the txn map (O(source files)),
@@ -1207,6 +1218,18 @@ object VersionedTable {
       val candidates = listed
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map(s => (s.getPath, copyKey(s.getPath), s.getModificationTime))
+      // source files are assumed immutable once loaded (Delta COPY INTO
+      // semantics); the recorded mtime DETECTS a violation — a file
+      // regenerated in place would otherwise be silently skipped, its new
+      // content never loaded. Refuse loudly rather than reload: reloading
+      // would duplicate the rows the first load already committed.
+      val mutated = candidates.collect {
+        case (p, k, m) if loaded.get(k).exists(_ != m) => p.getName
+      }
+      require(mutated.isEmpty,
+        s"$tablePath: COPY INTO source file(s) changed since they were " +
+          s"loaded (${mutated.mkString(", ")}); loaded source files are " +
+          "immutable — write corrections as NEW files, or MERGE them")
       val fresh = candidates.filterNot { case (_, k, _) => loaded.contains(k) }
       if (fresh.isEmpty) return (head.getOrElse(0L), 0)
       val df = spark.read.parquet(fresh.map(_._1.toString): _*)
@@ -1215,6 +1238,7 @@ object VersionedTable {
           txnMulti = fresh.map { case (_, k, m) => k -> m }.toMap)
         return (v, fresh.size)
       } catch {
+        case r: CopyReplayedException => return (r.head, 0)
         case _: ConcurrentCopyException =>
           attempt += 1
           require(attempt < MaxCommitRetries,
@@ -1259,7 +1283,7 @@ object VersionedTable {
         val present = txnMulti.keySet.count(cc.txn.contains)
         if (present == txnMulti.size) { // full replay: every file loaded
           staged.foreach(s => f.delete(s._1, true))
-          return base.get
+          throw new CopyReplayedException(base.get)
         }
         if (present > 0) { // overlapping concurrent load: staged batch
           staged.foreach(s => f.delete(s._1, true)) // would double-load
@@ -2511,14 +2535,19 @@ object VersionedTable {
                     // reads only the key+sequence columns (column-pruned),
                     // not the full rows.
                     val bmax = base.groupBy(keys.map(col): _*)
-                      .agg(max(col(seq)).as("__graft_bseq"))
+                      .agg(max(col(seq)).as("__graft_bseq"),
+                        lit(true).as("__graft_present"))
+                    // absent key (present NULL after the left join) → the
+                    // update always lands, even with a NULL sequence — the
+                    // guard only arbitrates against STORED rows
                     val dec = deduped
                       .select((keys.map(col) :+ col(seq).as("__graft_useq")): _*)
                       .join(bmax, keys, "left")
                       .select((keys.map(col) :+
-                        (col("__graft_useq").isNotNull &&
-                          (col("__graft_bseq").isNull ||
-                            col("__graft_useq") >= col("__graft_bseq")))
+                        (col("__graft_present").isNull ||
+                          (col("__graft_useq").isNotNull &&
+                            (col("__graft_bseq").isNull ||
+                              col("__graft_useq") >= col("__graft_bseq"))))
                           .as("__graft_uwins")): _*)
                     val survivors = base.join(dec, keys, "left")
                       .filter(!coalesce(col("__graft_uwins"), lit(false)))

@@ -1679,6 +1679,26 @@ class VersionedTableSpec extends SparkSpec {
       .collect().map(_.getString(2)).toSeq == Seq("nonnull"))
   }
 
+  test("guardBy NULL-seq insert of an ABSENT key still lands (first-seen CDC row)") {
+    val path = java.nio.file.Files.createTempDirectory("guard4").toString + "/t"
+    VersionedTable.write(
+      Seq(("k", Option(5L): Option[java.lang.Long], "stored"))
+        .toDF("k", "seq", "v"), path)
+    // the batch carries BOTH a stored key (forcing the guarded-rewrite path,
+    // not the pure-insert fast path) and a NULL-sequence row for a key the
+    // table has never seen — the guard arbitrates only against stored rows,
+    // so the first-seen row must insert despite its NULL sequence
+    VersionedTable.upsert(
+      Seq(("k", Option(9L): Option[java.lang.Long], "newer"),
+        ("kfresh", Option.empty[java.lang.Long], "first"))
+        .toDF("k", "seq", "v"), path, Seq("k"),
+      evolveSchema = false, latestBy = None, statsCols = Nil,
+      txn = None, deleteWhere = None, guardBy = Some("seq"))
+    val got = VersionedTable.read(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got == Set(("k", "newer"), ("kfresh", "first")), got.toString)
+  }
+
   test("graft.bloomCols follows RENAME COLUMN and sheds on DROP COLUMN") {
     val path = java.nio.file.Files.createTempDirectory("bloomren").toString + "/t"
     VersionedTable.write(Seq((1L, "a", 2.0)).toDF("id", "s", "x"), path)

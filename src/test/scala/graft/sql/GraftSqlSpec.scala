@@ -696,6 +696,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, p).contains(head))
   }
 
+  test("COPY INTO refuses a source file regenerated in place (mtime drift)") {
+    val p = tmp()
+    val land = Files.createTempDirectory("graft-copy-mut").toString
+    def drop(df: DataFrame, name: String, mtime: Long): Unit = {
+      val d = Files.createTempDirectory("graft-copy-tmp").toString
+      df.coalesce(1).write.parquet(d + "/o")
+      new java.io.File(d + "/o").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = java.nio.file.Paths.get(land, name)
+          java.nio.file.Files.copy(f.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(mtime)
+        }
+    }
+    drop(Seq((1L, "a")).toDF("id", "s"), "f1.parquet", 1000000L)
+    val (_, n1) = VersionedTable.copyInto(spark, p, land)
+    assert(n1 == 1)
+    // regenerate f1 in place: same name, new content, new mtime — loaded
+    // files are immutable, so the statement must refuse loudly rather than
+    // silently skip the new content
+    drop(Seq((9L, "mut")).toDF("id", "s"), "f1.parquet", 2000000L)
+    val head = VersionedTable.latestVersion(spark, p).get
+    val e = intercept[Exception] { VersionedTable.copyInto(spark, p, land) }
+    assert(messagesOf(e).contains("changed since they were loaded"),
+      messagesOf(e))
+    assert(VersionedTable.latestVersion(spark, p).contains(head))
+    // restoring the recorded mtime (content assumed immutable) runs clean
+    new java.io.File(land, "f1.parquet").setLastModified(1000000L)
+    val (v2, n2) = VersionedTable.copyInto(spark, p, land)
+    assert(n2 == 0 && v2 == head)
+  }
+
   test("REORG TABLE APPLY (PURGE) materializes DV marks; re-run is a no-op") {
     val p = tmp()
     VersionedTable.write(
