@@ -779,8 +779,95 @@ object NearDup {
   }
 
   // --------------------------------------------------------------------------
+  // q_incremental_dedup — CONTINUOUS-INGESTION dedup: a NEW batch of
+  // documents (doc_id % IncrMod == 0 stands in for "today's crawl") dedups
+  // against the EXISTING corpus without recomputing any corpus-internal
+  // pair. The batch's band keys probe the corpus band index; only banded
+  // (batch, corpus) candidates reach the exact-Jaccard verify; every batch
+  // doc reports its duplicate count, best corpus match and keep/drop flag.
+  //
+  // Plan at 100 TB: this is the shape that makes LSH dedup OPERATIONALLY
+  // viable — the corpus band index is write-once (here recomputed so the
+  // DuckDB oracle can replicate it; in production it persists as a graft
+  // table keyed by (band, key)), the daily batch is ~1/1000 of the corpus,
+  // and the probe is one shuffle join on (band, key) whose output is
+  // bounded by banding, never |batch| × |corpus|. The final per-batch-doc
+  // aggregate and left join are batch-sized. Corpus-internal pairs are
+  // never materialized, which is exactly the asymptotic win over rerunning
+  // q_minhash_lsh on corpus+batch.
+  // --------------------------------------------------------------------------
+  val IncrMod = 10L
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // one shingle/band pass over ALL docs, split afterwards: cheaper than
+    // two scans at test scale; production keeps the corpus side persisted
+    val sh = cachedShingles(docs)
+    val bands = cachedBands(sh)
+    val cand = bands.filter(col("doc_id") % IncrMod === 0)
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(bands.filter(col("doc_id") % IncrMod =!= 0)
+        .select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val ver = verifyJaccard(cand, sh) // (doc_a=batch, doc_b=corpus, jaccard)
+    val best = ver.groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(struct(col("jaccard"), col("doc_b"))).as("m"))
+    docs.filter(col("doc_id") % IncrMod === 0)
+      .select(col("doc_id").as("doc_a"))
+      .join(best, Seq("doc_a"), "left")
+      .select(col("doc_a").as("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("m.doc_b").as("dup_of"),
+        round(col("m.jaccard"), 6).as("jaccard"),
+        col("m").isNotNull.as("is_dup"))
+  }
+
+  val incrementalDedupSql: String = {
+    val mhCols = (0 until NumHashes)
+      .map(i => s"MIN(md5(shingle || '#$i')) AS mh$i").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    shinglesCte + ",\n" +
+      s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id % $IncrMod = 0 AND b.doc_id % $IncrMod <> 0),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |ver AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.doc_a
+         |  JOIN sizes nb ON nb.doc_id = i.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter)
+         |    >= $JaccardThreshold),
+         |best AS (
+         |  SELECT doc_a, COUNT(*) AS n_dups,
+         |    MAX({'jaccard': jaccard, 'doc_b': doc_b}) AS m
+         |  FROM ver GROUP BY doc_a)
+         |SELECT d.doc_id, COALESCE(b.n_dups, 0) AS n_dups,
+         |  b.m.doc_b AS dup_of, ROUND(b.m.jaccard, 6) AS jaccard,
+         |  b.m IS NOT NULL AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncrMod = 0) d
+         |LEFT JOIN best b ON b.doc_a = d.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_dedup" -> (incrementalDedup _),
     "q_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_minhash_estimate" -> (minhashEstimate _),
@@ -792,6 +879,7 @@ object NearDup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_dedup" -> incrementalDedupSql,
     "q_minhash_lsh"   -> minhashLshSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_minhash_estimate" -> minhashEstimateSql,

@@ -377,7 +377,8 @@ object TextQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $SeqBudget.0) AS BIGINT) AS seq_id
        |  FROM toks
        |)
-       |SELECT lang, shard, seq_id, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+       |SELECT lang, shard, seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM packed GROUP BY 1, 2, 3""".stripMargin
 
@@ -822,7 +823,8 @@ object TextQueries {
           .as("tri"): _*)
     // c3 feeds BOTH sides of the model join (c2 derives from it) — cache
     // the charset³-bounded aggregate so the target corpus is scanned once,
-    // not twice
+    // not twice. Cache lifetime: the returned frame references it, so the
+    // release is the harness's post-materialize clearCache() (Bench/Verify)
     val c3 = triExplode(docs.filter(col("lang") === DsirTargetLang))
       .groupBy(col("tri")).agg(count(lit(1)).as("c"))
       .cache()
@@ -919,7 +921,202 @@ object TextQueries {
        |    list_slice(toks, start_tok + 1, start_tok + $ChunkTokens), ' ')) AS chunk_hash
        |FROM c""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_bm25 — BM25 ranked retrieval (Robertson & Walker 1994; the Okapi
+  // k1/b form): top-K documents per query for a fixed query set, the
+  // retrieval primitive behind eval-set decontamination sweeps, RAG index
+  // sanity checks, and targeted corpus audits. Scoring is exact BM25 with
+  // idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contributions are
+  // quantized to integer micros before summation (order-independent exact
+  // adds — the cross-engine determinism pattern every sketch/LM query here
+  // uses), so the score is bit-identical in Spark and DuckDB.
+  //
+  // Plan at 100 TB: the query set is tiny and BROADCASTS; the corpus-side
+  // work is one narrow pass that filters each doc's token array to query
+  // terms BEFORE exploding (non-matching tokens never leave the map task),
+  // one (doc_id, term)-keyed hash agg with map-side combine, and a
+  // term-keyed df aggregate bounded by |query vocabulary|. Top-K is
+  // TWO-PHASE: rank within (query_id, salt) first — 32-way parallel, each
+  // emits ≤ K — then rank the ≤ 32·K survivors per query; the global
+  // top-K is provably inside the salted top-Ks, and no per-query window
+  // ever funnels the corpus through |queries| tasks.
+  // --------------------------------------------------------------------------
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+  val Bm25Salt = 32L
+  /** Fixed query set: (query_id, terms). */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("hash", "join", "merge"),
+    1 -> Seq("stream", "window", "batch"),
+    2 -> Seq("vector", "scan", "filter"))
+
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val allTerms = Bm25Queries.flatMap(_._2).distinct
+    val termList = allTerms.map(t => s"'$t'").mkString(", ")
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
+        col("toks"))
+    // one-row global stats ride as a broadcast cross join
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(toks, t -> t IN ($termList))")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = df_.join(broadcast(stats))
+      .select(col("term"),
+        // idf quantized to micros ONCE per term: ln is the only non-IEEE-
+        // mandated op in the score; confining it to one rounding per term
+        // keeps the summed contributions engine-exact
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1e6).cast(LongType).as("idf_micro"),
+        (col("sum_dl").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    val contrib = tf.join(broadcast(idf), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf_micro") * (col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * col("dl") / col("avgdl")))))
+          .cast(LongType).as("c_micro"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_micro")).as("s_micro"))
+    // two-phase exact top-K (see header): salted local rank, then final
+    val local = scored
+      .withColumn("salt", col("doc_id") % Bm25Salt)
+      .withColumn("r", row_number().over(Window
+        .partitionBy(col("query_id"), col("salt"))
+        .orderBy(col("s_micro").desc, col("doc_id").asc)))
+      .filter(col("r") <= Bm25TopK).drop("r", "salt")
+    local
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("s_micro").desc, col("doc_id").asc)).cast(LongType))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("s_micro").cast(DoubleType) / 1e6, 6).as("score"))
+  }
+
+  val bm25Sql: String = {
+    val allTerms = Bm25Queries.flatMap(_._2).distinct
+    val termList = allTerms.map(t => s"'$t'").mkString(", ")
+    val qvals = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM d, UNNEST(list_filter(toks, x -> x IN ($termList))) AS t(term)
+       |  GROUP BY 1, 2, 3),
+       |dfp AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |idf AS (
+       |  SELECT term,
+       |    CAST(ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0)
+       |      AS BIGINT) AS idf_micro,
+       |    CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+       |  FROM dfp CROSS JOIN st),
+       |qt(query_id, term) AS (VALUES $qvals),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(ROUND(i.idf_micro * (tf.tf * (${Bm25K1} + 1.0) /
+       |      (tf.tf + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B} * tf.dl / i.avgdl))))
+       |      AS BIGINT) AS c_micro
+       |  FROM tf JOIN idf i USING (term) JOIN qt USING (term)),
+       |scored AS (
+       |  SELECT query_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS s_micro
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id,
+       |  ROUND(CAST(s_micro AS DOUBLE) / 1000000.0, 6) AS score
+       |FROM (
+       |  SELECT query_id, doc_id, s_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $Bm25TopK""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q_domain_resample — MATERIALIZE the temperature mixture that
+  // q_domain_mix only weights: per document, the integer replication count
+  // ("epochs") that makes each source's post-resample token share equal its
+  // mix weight. factor_s = mix_weight_s · total_tokens / tokens_s; each doc
+  // gets ⌊factor⌋ copies plus one more iff its deterministic hash-fraction
+  // u(doc_id) < frac(factor) — so expected replication equals the factor
+  // exactly, reproducibly across engines, partitionings and reruns (the
+  // same pure-function-of-(seed, doc_id) property as q_train_shuffle).
+  //
+  // Plan at 100 TB: the per-source factor table is |sources|-sized and
+  // BROADCASTS; the per-doc pass is narrow (md5 + arithmetic, no shuffle).
+  // The only corpus-sized aggregation is the same single low-cardinality
+  // source rollup q_domain_mix runs.
+  // --------------------------------------------------------------------------
+  val ResampleSeed = "graft-resample-7:"
+
+  def domainResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), wordCount(col("text")).as("toks"))
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    val shares = per.join(broadcast(tot))
+      .withColumn("w_raw",
+        round(sqrt(col("n_tokens").cast(DoubleType) / col("total_tokens")), 6))
+    val z = shares.agg(sum(col("w_raw")).as("z"))
+    val factors = shares.join(broadcast(z))
+      .select(col("source"),
+        // quantize the factor BEFORE floor/frac so the branch never sits on
+        // an engine-dependent ulp boundary
+        round(col("w_raw") / col("z") * col("total_tokens")
+          / col("n_tokens"), 6).as("factor"))
+    docs.join(broadcast(factors), Seq("source"))
+      .withColumn("u",
+        round(conv(substring(md5(concat(lit(ResampleSeed),
+          col("doc_id").cast("string"))), 1, 6), 16, 10).cast(DoubleType)
+          / 16777216.0, 6))
+      .select(col("doc_id"), col("source"), col("factor"),
+        (floor(col("factor")) +
+          when(col("u") < round(col("factor") - floor(col("factor")), 6), 1L)
+            .otherwise(0L)).cast(LongType).as("n_copies"))
+  }
+
+  val domainResampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+       |  FROM docs GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
+       |sh AS (
+       |  SELECT source, n_tokens, total_tokens,
+       |    ROUND(SQRT(CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS w_raw
+       |  FROM per CROSS JOIN tot),
+       |z AS (SELECT SUM(w_raw) AS z FROM sh),
+       |f AS (
+       |  SELECT source,
+       |    ROUND(w_raw / z * total_tokens / n_tokens, 6) AS factor
+       |  FROM sh CROSS JOIN z)
+       |SELECT d.doc_id, d.source, f.factor,
+       |  CAST(FLOOR(f.factor) +
+       |    CASE WHEN ROUND(CAST(concat('0x', substring(md5(concat(
+       |        '$ResampleSeed', CAST(d.doc_id AS VARCHAR))), 1, 6)) AS BIGINT)
+       |        / 16777216.0, 6)
+       |      < ROUND(f.factor - FLOOR(f.factor), 6) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS n_copies
+       |FROM docs d JOIN f USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"            -> (bm25 _),
+    "q_domain_resample" -> (domainResample _),
     "q_dsir_weights"    -> (dsirWeights _),
     "q_lm_typicality"   -> (lmTypicality _),
     "q_doc_chunks"      -> (docChunks _),
@@ -943,6 +1140,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bm25"            -> bm25Sql,
+    "q_domain_resample" -> domainResampleSql,
     "q_dsir_weights"    -> dsirWeightsSql,
     "q_lm_typicality"   -> lmTypicalitySql,
     "q_doc_chunks"      -> docChunksSql,

@@ -462,4 +462,55 @@ class PlanAuditSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
     assert(equiJoins.nonEmpty, sp.toString)
   }
+
+  test("q_bm25: top-k is two-phase salted; query-side tables broadcast") {
+    val df = SparkEntry.queries("q_bm25")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val sp = df.queryExecution.sparkPlan
+    spark.catalog.clearCache()
+    // the LOCAL rank must partition by (query_id, salt) — a plan whose
+    // only window partitions by query_id alone funnels every scored doc
+    // through |queries| tasks, the exact bottleneck the op documents away
+    val specLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specLines.exists(_.contains("salt")), specLines.mkString("\n"))
+    // idf / query-term / global-stat sides are tiny and must broadcast;
+    // a sort-merge join against them means a lost hint
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, sp.toString)
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, sp.toString)
+  }
+
+  test("q_domain_resample: factor table broadcasts; per-doc pass has no window") {
+    val df = SparkEntry.queries("q_domain_resample")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    spark.catalog.clearCache()
+    // the corpus-sized side takes exactly one aggregation (the source
+    // rollup); the factor/total/z scalars ride back as broadcasts and the
+    // replication decision is a narrow projection — no window anywhere
+    assert(sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, sp.toString)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, sp.toString)
+    val bcasts = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(bcasts.size >= 3, sp.toString)
+  }
+
+  test("q_incremental_dedup: batch probes the band index as an equi-join, never all-pairs") {
+    val df = SparkEntry.queries("q_incremental_dedup")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    spark.catalog.clearCache()
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, sp.toString)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, sp.toString)
+  }
 }

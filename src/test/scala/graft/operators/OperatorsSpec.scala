@@ -157,6 +157,36 @@ class NearDupSpec extends SparkSpec {
       found.toString)
   }
 
+  test("incremental dedup: planted batch dups caught against the corpus, corpus pairs never materialize") {
+    // corpus = doc_id % 10 != 0; batch = multiples of 10. Doc 10 is an
+    // exact copy of corpus doc 3; doc 20 is unrelated; doc 30 copies
+    // corpus doc 7. Corpus docs 3 and 5 are ALSO identical to each other —
+    // an internal corpus pair the incremental op must NOT report.
+    val t1 = "a b c d e f g h i j"
+    val t2 = "k l m n o p q r s t"
+    val t3 = "u v w x y z aa bb cc dd"
+    val docs = Seq(
+      (1L, "one two three four five six seven"),
+      (3L, t1), (5L, t1), (7L, t2),
+      (10L, t1), (20L, t3), (30L, t2)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("incd").toString
+    docs.write.mode("overwrite").parquet(s"$path/documents.parquet")
+    val out = NearDup.incrementalDedup(spark, path).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    spark.catalog.clearCache()
+    // output covers exactly the batch, never corpus docs
+    assert(out.keySet == Set(10L, 20L, 30L), out.keySet.toString)
+    assert(out(10L).getAs[Boolean]("is_dup") &&
+      out(10L).getAs[Double]("jaccard") == 1.0)
+    // doc 10 matches BOTH identical corpus docs 3 and 5; best = max doc_b
+    assert(out(10L).getAs[Long]("n_dups") == 2 &&
+      out(10L).getAs[Long]("dup_of") == 5L, out(10L).toString)
+    assert(!out(20L).getAs[Boolean]("is_dup") &&
+      out(20L).getAs[Long]("n_dups") == 0L)
+    assert(out(30L).getAs[Boolean]("is_dup") &&
+      out(30L).getAs[Long]("dup_of") == 7L)
+  }
+
   test("simhash band-bucket cap has headroom on the test corpus (no-op there)") {
     val fps = NearDup.simhash64Keys(spark, sf0001)
     val maxBucket = (0 until NearDup.SimhashBands).map { b =>
