@@ -502,7 +502,57 @@ object SkippingQueries {
       |  event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS p_date
       |FROM events""".stripMargin
 
+  def genPruneTablePath(dir: String): String = cachedTablePath(dir, "genprune_v2")
+
+  /** Idempotently build the generated-partition fixture: a copy of events
+    * whose DATE partition column is declared `GENERATED ALWAYS AS
+    * (CAST(ts AS DATE))` and NEVER supplied by the writer — the table owns
+    * the derivation (fill-on-write) AND the read-side pruning. */
+  def ensureGenPruneTable(spark: SparkSession, dir: String): String = {
+    val path = genPruneTablePath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      spark.sql(s"CREATE TABLE graft.`$path` (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP, " +
+        "p_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+        "PARTITIONED BY (p_date)")
+      VersionedTable.append(Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("ts")), path)
+    }
+    path
+  }
+
+  /** q_gen_prune — generated-column partition pruning under the oracle
+    * gate: the query filters ONLY on the raw `ts` range; the optimizer
+    * rule (GraftDerivePartitionFilters) derives the `p_date` bounds that
+    * prune 27 of the 30 date directories at plan time. The DuckDB oracle
+    * applies the same ts range to the RAW events parquet — a green row
+    * proves the derivation is invisible in results, exactly like the
+    * stats-skipping gate. PartitionedTableSpec pins the file-count
+    * reduction; this row pins the semantics. */
+  def genPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureGenPruneTable(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM graft.`$path`
+         |WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP'2024-01-13 00:00:00'
+         |GROUP BY event_type""".stripMargin)
+  }
+
+  val genPruneSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gen_prune" -> (genPrune _),
     "q_guarded_merge" -> (guardedMerge _),
     "q_gen_identity" -> (genIdentity _),
     "q_sql_merge" -> (sqlMerge _),
@@ -516,6 +566,7 @@ object SkippingQueries {
     "q_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
+    "q_gen_prune" -> genPruneSql,
     "q_guarded_merge" -> guardedMergeSql,
     "q_gen_identity" -> genIdentitySql,
     "q_sql_merge" -> sqlMergeSql,

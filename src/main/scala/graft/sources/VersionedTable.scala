@@ -267,7 +267,12 @@ object VersionedTable {
       ts: Long = 0L,
       ckptInfo: Option[(String, Set[String])] = None,
       statsAdds: DataSkipping.FileStats = Map.empty,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      /** WRITER features the head manifest declares (the `wf` field):
+        * table contracts every mutator must enforce. Readers ignore them;
+        * [[encodeCommit]] refuses to commit over a head whose wf this
+        * build does not implement. */
+      wf: Set[String] = Set.empty) {
     def stats: DataSkipping.FileStats = statsRef.value
     def physName(logical: String): String = colMap.getOrElse(logical, logical)
     /** DV bookkeeping for a commit that keeps only `keep` of this commit's
@@ -324,15 +329,60 @@ object VersionedTable {
     Option(node.get("schema")).filterNot(_.isNull).map(s =>
       DataType.fromJson(s.toString).asInstanceOf[StructType])
 
+  // --------------------------------------------------------------------------
+  // PROTOCOL FEATURE GATING (Delta's reader/writer protocol, per-manifest
+  // self-describing): every manifest lists the READER features (`rf`)
+  // required to interpret it and the WRITER features (`wf`) any mutator
+  // must enforce. A build that meets rf but not wf can still READ the
+  // table (time travel, CDF, clone-from) — it just refuses to commit,
+  // which is exactly the fail-safe an old binary against a newer table
+  // needs. Both sets are recomputed from the manifest's actual content at
+  // encode time, so they never drift from what the bytes require.
+  // --------------------------------------------------------------------------
+
+  /** Reader features this build interprets. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("dv", "colmap", "ckpt", "delta", "partitioned")
+
+  /** Writer features this build enforces (beyond the reader set, which
+    * every writer needs too — a mutator first reads). */
+  val SupportedWriterFeatures: Set[String] =
+    Set("constraints", "generated", "identity")
+
+  private def checkReaderFeatures(node: com.fasterxml.jackson.databind.JsonNode,
+      root: Path, v: Long): Unit = {
+    val unknown = strArr(node, "rf").toSet.diff(SupportedReaderFeatures)
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"$root version $v requires reader feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this build does not " +
+        s"support (supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}); " +
+        "upgrade to read this table")
+  }
+
+  /** The head manifest's declared (readerFeatures, writerFeatures). */
+  def protocolOf(spark: SparkSession, path: String): (Set[String], Set[String]) = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"$path has no committed versions"))
+    val node = parseManifest(f, root, v)
+    (strArr(node, "rf").toSet, strArr(node, "wf").toSet)
+  }
+
   private def readManifest(spark: SparkSession, f: FileSystem, root: Path,
       v: Long): Commit = {
     // walk delta manifests down to their full (or legacy) anchor, then
-    // replay them oldest-first
+    // replay them oldest-first; every node on the chain gets the reader-
+    // feature gate BEFORE anything interprets it
+    var cur = v
     var node = parseManifest(f, root, v)
+    checkReaderFeatures(node, root, cur)
     var deltas = List.empty[com.fasterxml.jackson.databind.JsonNode]
     while (node.has("base")) {
       deltas ::= node // ends ordered oldest-first
-      node = parseManifest(f, root, node.get("base").asLong())
+      cur = node.get("base").asLong()
+      node = parseManifest(f, root, cur)
+      checkReaderFeatures(node, root, cur)
     }
     var c = parseFull(spark, f, root, node)
     deltas.foreach(d => c = applyDelta(c, d))
@@ -362,7 +412,8 @@ object VersionedTable {
       tsOf(d),
       ckptInfo = c.ckptInfo,
       statsAdds = c.statsAdds.filter(kv => !removed(kv._1)) ++ adds,
-      props = strMap(d, "props"))
+      props = strMap(d, "props"),
+      wf = strArr(d, "wf").toSet)
   }
 
   private def parseFull(spark: SparkSession, f: FileSystem, root: Path,
@@ -375,7 +426,8 @@ object VersionedTable {
           longMap(node, "rows"), longMap(node, "txn"),
           strArr(node, "dv"), longMap(node, "dv_rows"),
           strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node),
-          props = strMap(node, "props"))
+          props = strMap(node, "props"),
+          wf = strArr(node, "wf").toSet)
       case None if node.has("ckpt") =>
         // parquet checkpoint: the file list + per-file stats/rows live in a
         // parquet dir written and parsed by Spark itself — the manifest
@@ -391,7 +443,8 @@ object VersionedTable {
           strArr(node, "dv"), longMap(node, "dv_rows"),
           strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node),
           ckptInfo = Some((rel, files.toSet)),
-          props = strMap(node, "props"))
+          props = strMap(node, "props"),
+          wf = strArr(node, "wf").toSet)
       case None =>
         // legacy single-dir manifest: resolve the file list by listing the
         // dir (as pre-file-list readers did) and remap stats keys from bare
@@ -618,7 +671,22 @@ object VersionedTable {
       anchorSrc: Option[Commit] = None,
       keepStatsCols: Option[Set[String]] = None,
       renameStats: Option[(String, String)] = None,
-      props: Option[Map[String, String]] = None): (String, Option[Path]) = {
+      props: Option[Map[String, String]] = None,
+      inheritWf: Set[String] = Set.empty): (String, Option[Path]) = {
+    // WRITER-FEATURE GATE: committing over a head that declares writer
+    // features this build does not enforce would silently break the
+    // table's contract (an unenforced CHECK, an unadvanced identity hwm,
+    // a skipped generation fill). Reading stays allowed — only mutation
+    // refuses. Verbatim re-encodes (vacuum re-anchor, clone) pass
+    // parent=None + inheritWf instead: they copy, never reinterpret.
+    parent.foreach { p =>
+      val unknown = p.wf.diff(SupportedWriterFeatures)
+      require(unknown.isEmpty,
+        s"$root: this table requires writer feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} this build does not " +
+          s"support (supported: ${SupportedWriterFeatures.toSeq.sorted.mkString(", ")}); " +
+          "the table remains readable — upgrade to write to it")
+    }
     // TABLE PROPERTIES carry from the parent unless a verb sets them
     // explicitly (the props-changing commits, restore, vacuum re-anchor) —
     // a property survives every maintenance verb the way the schema does
@@ -658,18 +726,20 @@ object VersionedTable {
           (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
             parent, isDelta = false, colMap, physDropped, ts,
             ckptRef = Some(rel), statsAddOnly = statsAddOnly,
-            props = effProps), Some(dir))
+            props = effProps, inheritWf = inheritWf), Some(dir))
         case None =>
           val fullStats = stats
           val (rel, dir) = writeCkpt(spark, root, v, files, fullStats, rows)
           (manifestJson(v, files, schemaJson, fullStats, rows, txn, dv, dvRows,
             parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel),
-            statsAddOnly = statsAddOnly, props = effProps), Some(dir))
+            statsAddOnly = statsAddOnly, props = effProps,
+            inheritWf = inheritWf), Some(dir))
       }
     } else
       (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
         parent, isDelta, colMap, physDropped, ts,
-        statsAddOnly = statsAddOnly, props = effProps), None)
+        statsAddOnly = statsAddOnly, props = effProps,
+        inheritWf = inheritWf), None)
   }
 
   /** Encode a commit: FULL at checkpoints (and when forced, when there is
@@ -689,7 +759,8 @@ object VersionedTable {
       ts: Long = 0L,
       ckptRef: Option[String] = None,
       statsAddOnly: Option[DataSkipping.FileStats] = None,
-      props: Map[String, String] = Map.empty): String = {
+      props: Map[String, String] = Map.empty,
+      inheritWf: Set[String] = Set.empty): String = {
     val (_, jstr) = jsonHelpers
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     def obj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
@@ -717,7 +788,28 @@ object VersionedTable {
       // by construction; a delta that omitted them would reset the map)
       val propsField =
         if (props.isEmpty) "" else s""","props":${sobj(props)}"""
-      s""","ts":$tsVal$dvField$mapField$droppedField$propsField"""
+      // protocol: rf/wf recomputed from THIS manifest's actual content
+      // (never drifts from what the bytes require); inheritWf carries
+      // through features a verbatim re-encode (vacuum re-anchor, clone)
+      // must not shed even though it does not interpret them
+      val rf = Seq(
+        if (dv.nonEmpty) Seq("dv") else Nil,
+        if (colMap.nonEmpty) Seq("colmap") else Nil,
+        if (ckptRef.isDefined) Seq("ckpt") else Nil,
+        if (isDelta) Seq("delta") else Nil,
+        if (schemaJson.contains(PartitionIdxKey)) Seq("partitioned") else Nil
+      ).flatten.sorted
+      val wf = (Seq(
+        if (props.keys.exists(_.startsWith(ConstraintPrefix)))
+          Seq("constraints") else Nil,
+        if (props.keys.exists(_.startsWith(GeneratedPrefix)))
+          Seq("generated") else Nil,
+        if (props.keys.exists(_.startsWith(IdentityPrefix)))
+          Seq("identity") else Nil
+      ).flatten ++ inheritWf).distinct.sorted
+      val rfField = if (rf.isEmpty) "" else s""","rf":${arr(rf)}"""
+      val wfField = if (wf.isEmpty) "" else s""","wf":${arr(wf)}"""
+      s""","ts":$tsVal$dvField$mapField$droppedField$propsField$rfField$wfField"""
     }
     def full: String = ckptRef match {
       case Some(ck) => // file list/stats/rows live in the parquet checkpoint
@@ -1589,7 +1681,7 @@ object VersionedTable {
       txn = Map.empty, dv = c.dv, dvRows = c.dvRows,
       colMap = c.colMap, physDropped = c.physDropped,
       carriedIdentical = true, statsAddOnly = Some(Map.empty),
-      anchorSrc = Some(c), props = Some(c.props))
+      anchorSrc = Some(c), props = Some(c.props), inheritWf = c.wf)
     if (!tryCommit(destFs, destRoot, v, body)) {
       ckptDir.foreach(d => destFs.delete(d, true))
       throw new IllegalStateException(
@@ -1884,6 +1976,12 @@ object VersionedTable {
       dvMarks = dvThunkFor(spark, root, c),
       partitionCols = partitionColsOf(c.schema.get),
       minMaxOf = minMaxOfCommit(c, _),
+      // generation SQL for generated PARTITION columns only — licenses the
+      // base-column → partition-filter derivation rule
+      generatedPartDefs = {
+        val parts = partitionColsOf(c.schema.get).toSet
+        generatedIn(c.props).filter { case (n, _) => parts(n) }
+      },
       // exact snapshot row count from the manifest (DV marks are disjoint
       // per generation, so the subtraction is exact — same contract as
       // countRows); None when a legacy commit predates row recording
@@ -4317,6 +4415,7 @@ object VersionedTable {
           c.stats, c.rows, c.txn, c.dv, c.dvRows, // no parent → full form
           colMap = c.colMap, physDropped = c.physDropped, ts = origTs,
           props = Some(c.props), // same logical commit: keep its props
+          inheritWf = c.wf,
           // the re-encoded commit IS its own anchor source: a ckpt-chained
           // keep re-anchors via a Spark job over its anchor's parquet
           // instead of forcing the stats map onto the driver

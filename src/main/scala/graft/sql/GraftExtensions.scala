@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => GraftAnalysis(session))
     ext.injectOptimizerRule(session => GraftMetadataCount(session))
+    // generated-partition-column pruning: predicates on the BASE column of
+    // a generated partition column derive partition predicates (monotone
+    // generation shapes only) — directory pruning for ts-range queries
+    // over to_date(ts)-partitioned tables
+    ext.injectOptimizerRule(session =>
+      org.apache.spark.sql.graft.GraftDerivePartitionFilters(session))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))

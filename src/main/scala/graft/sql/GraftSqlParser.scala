@@ -245,7 +245,9 @@ case class GraftDescribeDetailCommand(cat: String,
     AttributeReference("properties", StringType, nullable = false)(),
     AttributeReference("check_constraints", StringType, nullable = false)(),
     AttributeReference("generated_columns", StringType, nullable = false)(),
-    AttributeReference("identity_columns", StringType, nullable = false)())
+    AttributeReference("identity_columns", StringType, nullable = false)(),
+    AttributeReference("reader_features", StringType, nullable = false)(),
+    AttributeReference("writer_features", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
@@ -261,12 +263,14 @@ case class GraftDescribeDetailCommand(cat: String,
     val ids = VersionedTable.identityColumnsOf(session, p).map { case (n, sp) =>
       n -> s"start=${sp.start};step=${sp.step};explicit=${sp.allowExplicit}" }
     val declPrefixes = VersionedTable.declarationPrefixes
+    val (rf, wf) = VersionedTable.protocolOf(session, p)
     Seq(Row(p, "graft-table", v,
       VersionedTable.filesOf(session, p, v).size,
       VersionedTable.countRows(session, p).map(java.lang.Long.valueOf).orNull,
       partCols.mkString(","),
       kv(props.filterNot(e => declPrefixes.exists(e._1.startsWith))),
-      kv(cons), kv(gens), kv(ids)))
+      kv(cons), kv(gens), kv(ids),
+      rf.toSeq.sorted.mkString(","), wf.toSeq.sorted.mkString(",")))
   }
 }
 

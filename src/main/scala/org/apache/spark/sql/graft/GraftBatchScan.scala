@@ -58,7 +58,13 @@ private[graft] class GraftFileIndex(
     val liveRows: Option[Long] = None,
     partSchema: StructType = new StructType(),
     physNameOf: String => String = identity,
-    val minMaxOf: String => Option[(Any, Any)] = _ => None) extends FileIndex {
+    val minMaxOf: String => Option[(Any, Any)] = _ => None,
+    /** partition column → generation expression SQL, for every PARTITION
+      * column declared `GENERATED ALWAYS AS (...)` — the declaration
+      * contract guarantees `p <=> f(base)` on every stored row, which is
+      * what licenses [[GraftDerivePartitionFilters]] to turn base-column
+      * predicates into directory-pruning partition predicates. */
+    val generatedPartDefs: Map[String, String] = Map.empty) extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = partSchema
@@ -328,7 +334,8 @@ object GraftBatchShim {
       dvMarks: Option[() => Map[String, Array[Long]]],
       liveRows: Option[Long] = None,
       partitionCols: Seq[String] = Nil,
-      minMaxOf: String => Option[(Any, Any)] = _ => None): BaseRelation = {
+      minMaxOf: String => Option[(Any, Any)] = _ => None,
+      generatedPartDefs: Map[String, String] = Map.empty): BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
     // not at relation construction (schema-only reads never pay them)
@@ -341,7 +348,8 @@ object GraftBatchShim {
       partitionCols.map(n => logicalSchema(logicalSchema.fieldIndex(n))))
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
-        partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf),
+        partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
+        generatedPartDefs),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -406,4 +414,170 @@ object GraftBatchShim {
   def catalogPlugin(spark: SparkSession, name: String)
       : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
     scala.util.Try(spark.sessionState.catalogManager.catalog(name)).toOption
+}
+
+/** Optimizer rule: DERIVE partition filters from predicates on the BASE
+  * column of a generated partition column (Delta's generated-column
+  * partition pruning). A table declared
+  * `p GENERATED ALWAYS AS (to_date(ts)) PARTITIONED BY (p)` is almost
+  * always queried by `ts` — without derivation such a query scans every
+  * partition, which at 100 TB is the difference between reading one day
+  * and reading years. The declaration contract guarantees `p <=> f(ts)` on
+  * every stored row ([[graft.sources.VersionedTable.setGeneratedColumn]]
+  * re-validates existing rows; writes fill-or-enforce), so for a MONOTONE
+  * f every range/equality predicate on ts implies a range/equality
+  * predicate on p:
+  *
+  *   ts >= L  =>  p >= f(L) OR p IS NULL      (f non-decreasing)
+  *   ts <= U  =>  p <= f(U) OR p IS NULL
+  *   ts  = V  =>  p  = f(V) OR p IS NULL
+  *
+  * The `OR p IS NULL` keeps rows whose generation evaluated to NULL (then
+  * `p <=> f(ts)` stored NULL) — dropping the null directory would be
+  * wrong. Monotone shapes recognized (after RuntimeReplaceable
+  * normalization): the identity, casts to DATE from timestamp/date types,
+  * widening integral casts, `year`, `trunc`/`date_trunc` with a literal
+  * unit, `floor(x / K)` for positive literal K, and `substring(s, 1, N)`
+  * string prefixes. Anything else derives nothing — the rule is an
+  * optimization, never a correctness dependency, and strict bounds keep
+  * their strictness only where implied (a strict ts bound still derives a
+  * NON-strict p bound: distinct ts values can share a partition value).
+  *
+  * Idempotent under the optimizer's fix-point: a derived conjunct is only
+  * added when no semantically-equal conjunct is already present, and the
+  * emitted `Or(cmp, IsNull)` shape is stable under the simplification
+  * rules that run in the same batch.
+  */
+case class GraftDerivePartitionFilters(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, LocalRelation, Project}
+  import org.apache.spark.sql.types._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        rel @ LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _))
+        if g.generatedPartDefs.nonEmpty =>
+      val conjuncts = splitConjuncts(cond)
+      val derived = g.generatedPartDefs.toSeq.sortBy(_._1).flatMap {
+        case (pcol, sql) => deriveFor(pcol, sql, rel.output, conjuncts)
+      }.filterNot(d => conjuncts.exists(_.semanticEquals(d)))
+      if (derived.isEmpty) f
+      else Filter((conjuncts ++ derived).reduce(And), rel)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The analyzed generation expression over the live base attribute, with
+    * RuntimeReplaceable nodes normalized to their replacements (to_date
+    * analyzes to one — its eval asserts otherwise). None when the SQL
+    * references anything but exactly one resolvable base column. */
+  private def analyzedGen(sql: String,
+      output: Seq[Attribute]): Option[(Expression, Attribute)] =
+    scala.util.Try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val refs = parsed.collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.head
+      }.distinct
+      require(refs.size == 1)
+      val base = output.find(_.name.equalsIgnoreCase(refs.head)).get
+      val dummy = LocalRelation(Seq(base.asInstanceOf[AttributeReference]))
+      val analyzed = spark.sessionState.analyzer
+        .execute(Project(Seq(Alias(parsed, "__g")()), dummy))
+      val gen = analyzed.asInstanceOf[Project].projectList.head
+        .asInstanceOf[Alias].child
+        .transformUp { case r: RuntimeReplaceable => r.replacement }
+        // fold literal subtrees (the analyzer wraps divisor literals in
+        // casts; the monotone matcher wants plain literals)
+        .transformUp {
+          case e if e.foldable && !e.isInstanceOf[Literal] =>
+            Literal.create(e.eval(InternalRow.empty), e.dataType)
+        }
+      (gen, base)
+    }.toOption
+
+  /** Non-decreasing in `base`? Conservative whitelist — unknown shapes
+    * derive nothing. */
+  private def monotone(e: Expression, base: Attribute): Boolean = e match {
+    case a: AttributeReference => a.exprId == base.exprId
+    case c: Cast => (c.child.dataType, c.dataType) match {
+      case (TimestampType | TimestampNTZType | DateType, DateType) =>
+        monotone(c.child, base)
+      case (ByteType | ShortType | IntegerType | LongType,
+          IntegerType | LongType | DoubleType)
+          // widening only — a narrowing integral cast wraps, not monotone
+          if widthOf(c.child.dataType) <= widthOf(c.dataType) =>
+        monotone(c.child, base)
+      case _ => false
+    }
+    case Year(c) => monotone(c, base)
+    case TruncTimestamp(Literal(_, _), c, _) => monotone(c, base)
+    case TruncDate(c, Literal(_, _)) => monotone(c, base)
+    case Floor(c) => monotone(c, base)
+    case Divide(c, Literal(k: java.lang.Number, _), _)
+        if k.doubleValue() > 0 => monotone(c, base)
+    case Substring(c, Literal(p: java.lang.Integer, IntegerType),
+        Literal(n: java.lang.Integer, IntegerType))
+        if p == 1 && n >= 0 => monotone(c, base)
+    case _ => false
+  }
+
+  private def widthOf(dt: DataType): Int = dt match {
+    case ByteType => 1; case ShortType => 2; case IntegerType => 4
+    case LongType => 8; case DoubleType => 16; case _ => 0
+  }
+
+  /** f(literal), evaluated at plan time; None on eval failure or a NULL
+    * result (a NULL bound derives nothing useful). */
+  private def evalGen(gen: Expression, base: Attribute,
+      l: Literal): Option[Literal] = scala.util.Try {
+    val sub = gen.transform {
+      case a: AttributeReference if a.exprId == base.exprId => l
+    }
+    if (!sub.foldable) None
+    else Option(sub.eval(InternalRow.empty))
+      .map(v => Literal.create(v, gen.dataType))
+  }.toOption.flatten
+
+  private def deriveFor(pcol: String, sql: String, output: Seq[Attribute],
+      conjuncts: Seq[Expression]): Seq[Expression] = {
+    val partAttr = output.find(_.name.equalsIgnoreCase(pcol))
+      .getOrElse(return Nil)
+    val (gen, base) = analyzedGen(sql, output).getOrElse(return Nil)
+    if (!monotone(gen, base)) return Nil
+    def guard(cmp: Expression): Expression = Or(cmp, IsNull(partAttr))
+    def attrIs(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == base.exprId
+      case _ => false
+    }
+    conjuncts.flatMap {
+      case EqualTo(b, l: Literal) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(EqualTo(partAttr, fl)))
+      case EqualTo(l: Literal, b) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(EqualTo(partAttr, fl)))
+      case GreaterThanOrEqual(b, l: Literal) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(GreaterThanOrEqual(partAttr, fl)))
+      case GreaterThan(b, l: Literal) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(GreaterThanOrEqual(partAttr, fl)))
+      case LessThanOrEqual(b, l: Literal) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(LessThanOrEqual(partAttr, fl)))
+      case LessThan(b, l: Literal) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(LessThanOrEqual(partAttr, fl)))
+      // literal-first comparisons flip the bound direction
+      case GreaterThanOrEqual(l: Literal, b) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(LessThanOrEqual(partAttr, fl)))
+      case GreaterThan(l: Literal, b) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(LessThanOrEqual(partAttr, fl)))
+      case LessThanOrEqual(l: Literal, b) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(GreaterThanOrEqual(partAttr, fl)))
+      case LessThan(l: Literal, b) if attrIs(b) =>
+        evalGen(gen, base, l).map(fl => guard(GreaterThanOrEqual(partAttr, fl)))
+      case _ => Nil
+    }
+  }
 }

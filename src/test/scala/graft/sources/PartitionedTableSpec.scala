@@ -420,4 +420,86 @@ class PartitionedTableSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("partition column"), e2.getMessage)
   }
+
+  test("generated-column derivation: a ts filter prunes to_date(ts) partition dirs") {
+    val p = tmp()
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP, " +
+      "p_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "PARTITIONED BY (p_date)")
+    val rows = (0 until 300).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(f"2026-01-${i % 3 + 1}%02d ${i % 24}%02d:00:00")))
+    VersionedTable.append(rows.toDF("id", "ts").repartition(4), p)
+    val all = spark.read.format("graft-table").load(p)
+    val total = scanOf(all).metrics("numFiles").value
+    assert(total > 3, s"want multiple files per partition, got $total")
+    // the query filters ONLY on ts — without derivation this scans every
+    // partition; the rule turns the ts range into p_date bounds
+    val day2 = spark.read.format("graft-table").load(p).filter(
+      $"ts" >= lit(java.sql.Timestamp.valueOf("2026-01-02 00:00:00")) &&
+      $"ts" <= lit(java.sql.Timestamp.valueOf("2026-01-02 23:59:59")))
+    val scan = scanOf(day2)
+    assert(day2.count() == 100)
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.metrics("numFiles").value == total / 3,
+      s"expected ${total / 3} of $total files, got ${scan.metrics("numFiles").value}")
+    // a strict EXCLUSIVE bound at midnight derives the conservative
+    // non-strict date bound (distinct ts values share a partition value),
+    // keeping the boundary day's dir — 2 of 3 days, never all 3
+    val range = spark.read.format("graft-table").load(p).filter(
+      $"ts" >= lit(java.sql.Timestamp.valueOf("2026-01-02 00:00:00")) &&
+      $"ts" < lit(java.sql.Timestamp.valueOf("2026-01-03 00:00:00")))
+    val sc2 = scanOf(range)
+    assert(range.count() == 100)
+    assert(sc2.metrics("numFiles").value == 2 * total / 3, sc2.toString)
+    // equality on ts derives equality on p_date; results stay exact
+    val one = spark.read.format("graft-table").load(p).filter(
+      $"ts" === lit(java.sql.Timestamp.valueOf("2026-01-01 05:00:00")))
+    val sc1 = scanOf(one)
+    assert(sc1.metrics("numFiles").value == total / 3, sc1.toString)
+    assert(one.count() ==
+      rows.count(_._2 == java.sql.Timestamp.valueOf("2026-01-01 05:00:00")))
+    // the SQL path derives too
+    val viaSql = spark.sql(s"SELECT count(*) FROM graft.`$p` " +
+      "WHERE ts >= TIMESTAMP'2026-01-03 00:00:00'")
+    assert(viaSql.collect().head.getLong(0) == 100)
+  }
+
+  test("generated-column derivation declines non-monotone shapes, results unchanged") {
+    val p = tmp()
+    // month(ts) is NOT monotone across years — deriving month bounds from
+    // a ts range would be wrong; the rule must decline and scan everything
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, ts TIMESTAMP, " +
+      "p_m INT GENERATED ALWAYS AS (MONTH(ts))) PARTITIONED BY (p_m)")
+    VersionedTable.append(Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-02-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-15 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2026-02-20 00:00:00")))
+      .toDF("id", "ts"), p)
+    val allFiles = scanOf(spark.read.format("graft-table").load(p))
+      .metrics("numFiles").value
+    val q = spark.read.format("graft-table").load(p).filter(
+      $"ts" >= lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val scan = scanOf(q)
+    // month-2 dir must NOT be pruned (it holds a 2026 row the filter keeps)
+    assert(q.count() == 2)
+    assert(scan.partitionFilters.isEmpty, scan.toString)
+    assert(scan.metrics("numFiles").value == allFiles, scan.toString)
+  }
+
+  test("generated-column derivation: floor-division shard pruning on a bigint key") {
+    val p = tmp()
+    spark.sql(s"CREATE TABLE graft.`$p` (id BIGINT, v DOUBLE, " +
+      "shard BIGINT GENERATED ALWAYS AS (CAST(FLOOR(id / 100) AS BIGINT))) " +
+      "PARTITIONED BY (shard)")
+    VersionedTable.append(
+      spark.range(0, 300).toDF("id").withColumn("v", col("id") * 1.5), p)
+    val q = spark.read.format("graft-table").load(p)
+      .filter($"id" >= 100L && $"id" < 200L)
+    val scan = scanOf(q)
+    assert(q.count() == 100)
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    val allFiles = scanOf(spark.read.format("graft-table").load(p))
+      .metrics("numFiles").value
+    assert(scan.metrics("numFiles").value < allFiles, scan.toString)
+  }
 }

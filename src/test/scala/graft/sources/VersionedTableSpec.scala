@@ -1699,6 +1699,54 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Set(("k", "newer"), ("kfresh", "first")), got.toString)
   }
 
+  test("protocol gating: unknown reader feature refuses reads; unknown writer feature refuses only writes") {
+    val path = java.nio.file.Files.createTempDirectory("proto").toString + "/t"
+    VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), path)
+    VersionedTable.append(Seq((2L, "b")).toDF("id", "s"), path)
+    val head = VersionedTable.latestVersion(spark, path).get
+    val mf = java.nio.file.Paths.get(path, "_graft_log", f"$head%08d.json")
+    val orig = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    def stamp(field: String): Unit =
+      java.nio.file.Files.write(mf,
+        (orig.stripSuffix("}") + s""",$field}""").getBytes("UTF-8"))
+    // a FUTURE reader feature: this build must refuse to interpret the
+    // manifest at all, naming the feature
+    stamp(""""rf":["v9_dict_encoding"]""")
+    val eR = intercept[UnsupportedOperationException] {
+      VersionedTable.read(spark, path).collect() }
+    assert(eR.getMessage.contains("v9_dict_encoding"), eR.getMessage)
+    // a FUTURE writer feature: reads stay fine (the whole point of the
+    // reader/writer split), every mutation refuses naming the feature
+    stamp(""""wf":["v9_auto_index"]""")
+    assert(VersionedTable.read(spark, path).count() == 2)
+    assert(VersionedTable.protocolOf(spark, path)._2 == Set("v9_auto_index"))
+    val eW = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq((3L, "c")).toDF("id", "s"), path) }
+    assert(eW.getMessage.contains("v9_auto_index") &&
+      eW.getMessage.contains("remains readable"), eW.getMessage)
+    assert(VersionedTable.latestVersion(spark, path).contains(head))
+    // restored manifest: both gates open again
+    java.nio.file.Files.write(mf, orig.getBytes("UTF-8"))
+    VersionedTable.append(Seq((3L, "c")).toDF("id", "s"), path)
+    assert(VersionedTable.read(spark, path).count() == 3)
+  }
+
+  test("protocol features are self-describing: declared contracts surface in wf") {
+    val path = java.nio.file.Files.createTempDirectory("proto2").toString + "/t"
+    VersionedTable.write(Seq((1L, 5.0)).toDF("id", "x"), path)
+    assert(VersionedTable.protocolOf(spark, path)._2.isEmpty)
+    VersionedTable.addCheckConstraint(spark, path, "x_pos", "x > 0")
+    assert(VersionedTable.protocolOf(spark, path)._2 == Set("constraints"))
+    // the feature sheds with the contract (recomputed per commit)
+    VersionedTable.dropCheckConstraint(spark, path, "x_pos")
+    assert(VersionedTable.protocolOf(spark, path)._2.isEmpty)
+    // reader features reflect the bytes: a DV delete declares "dv"
+    VersionedTable.deleteVectorized(spark, path, col("id") === -1L,
+      purgeFraction = 1.0)
+    val (rf, _) = VersionedTable.protocolOf(spark, path)
+    assert(!rf.contains("partitioned"), rf.toString)
+  }
+
   test("graft.bloomCols follows RENAME COLUMN and sheds on DROP COLUMN") {
     val path = java.nio.file.Files.createTempDirectory("bloomren").toString + "/t"
     VersionedTable.write(Seq((1L, "a", 2.0)).toDF("id", "s", "x"), path)

@@ -442,6 +442,10 @@ class GraftSqlSpec extends SparkSpec {
     assert(!r2.getString(6).contains("graft.identity"), r2.getString(6))
     assert(r2.getString(8) == "dbl=n * 2", r2.getString(8))
     assert(r2.getString(9) == "id=start=5;step=2;explicit=false", r2.getString(9))
+    // the protocol surfaces alongside: p is partitioned (reader feature)
+    // and carries a CHECK constraint (writer feature)
+    assert(r.getString(10).contains("partitioned"), r.getString(10))
+    assert(r.getString(11) == "constraints", r.getString(11))
   }
 
   test("SHOW PARTITIONS: manifest-only values, counts, DV subtraction") {
