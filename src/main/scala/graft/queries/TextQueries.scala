@@ -816,11 +816,16 @@ object TextQueries {
   // --------------------------------------------------------------------------
   def lmTypicality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // trigrams ride as packed int codes from the codegen'd
+    // CharTrigramCodes expression (injective for the byte window, equal to
+    // char trigrams on ASCII text — the substring formulation allocated a
+    // UTF8String per position and joined on string keys; this one emits a
+    // primitive array and joins on ints). Short strings yield an empty
+    // array, so the explode drops them exactly like the oracle's
+    // length >= 3 guard.
     def triExplode(df: DataFrame, extra: Column*): DataFrame =
-      df.filter(length(col("text")) >= 3)
-        .select(extra :+ explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("tri"): _*)
+      df.select(extra :+
+        explode(graft.functions.CharTrigramCodes(col("text"))).as("tri"): _*)
     // c3 feeds BOTH sides of the model join (c2 derives from it) — cache
     // the charset³-bounded aggregate so the target corpus is scanned once,
     // not twice. Cache lifetime: the returned frame references it, so the
@@ -828,9 +833,10 @@ object TextQueries {
     val c3 = triExplode(docs.filter(col("lang") === DsirTargetLang))
       .groupBy(col("tri")).agg(count(lit(1)).as("c"))
       .cache()
-    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("pre"))
+    // prefix of the code = its high two bytes (substring(tri,1,2) ≡ tri>>8)
+    val c2 = c3.groupBy(shiftright(col("tri"), 8).as("pre"))
       .agg(sum(col("c")).as("s"))
-    val model = c3.join(c2, substring(col("tri"), 1, 2) === col("pre"))
+    val model = c3.join(c2, shiftright(col("tri"), 8) === col("pre"))
       .select(col("tri"),
         round(col("c").cast(DoubleType) / col("s").cast(DoubleType) * 1000000.0)
           .cast(LongType).as("q"))

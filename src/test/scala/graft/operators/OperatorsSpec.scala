@@ -217,6 +217,31 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got.head.getDouble(0) == 32.0)
   }
 
+  test("codegen trigram codes match the substring formulation on ASCII, incl. edges") {
+    import graft.functions.CharTrigramCodes
+    val df = Seq("the cat sat", "ab", "abc", "", "xyz xyz").toDF("text")
+    val got = df.select(col("text"),
+      CharTrigramCodes(col("text")).as("codes"),
+      // sequence(1, 0) counts DOWN in Spark, so guard short strings
+      expr("CASE WHEN length(text) >= 3 THEN transform(" +
+        "sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
+        "ELSE array() END").as("tris")).collect()
+    got.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val tris = r.getSeq[String](2)
+      assert(codes.length == tris.length, r.getString(0))
+      // injective packing: code == (c0<<16)|(c1<<8)|c2 of the trigram chars
+      codes.zip(tris).foreach { case (c, t) =>
+        val expect = (t.charAt(0) << 16) | (t.charAt(1) << 8) | t.charAt(2)
+        assert(c == expect, s"'$t' -> $c vs $expect")
+      }
+    }
+    // null propagates; 0-2 char strings yield empty arrays, not errors
+    val edge = Seq(Option.empty[String], Some("ab")).toDF("text")
+      .select(CharTrigramCodes(col("text")).as("c")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).getSeq[Int](0).isEmpty)
+  }
+
   test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
     val df = Seq((Array(3.0, 4.0), Array(3.0, 4.0), Array(-4.0, 3.0)))
       .toDF("a", "b", "c")
