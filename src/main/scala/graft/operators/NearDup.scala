@@ -219,37 +219,55 @@ object NearDup {
        |  FROM w),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  private def jaccardTail(candCte: String): String =
+  /** Per-hash signature expression — the ONE place the minhash protocol is
+    * spelled in SQL (every oracle builder composes it). */
+  private def mhExpr(i: Int): String = s"MIN(md5(shingle || '#$i'))"
+
+  /** sig + bands CTEs (expect `sh (doc_id, shingle)` in scope): signatures
+    * then LSH band keys, shared verbatim by every banding oracle. */
+  private def sigBandsCte: String = {
+    val mhCols = (0 until NumHashes)
+      .map(i => s"${mhExpr(i)} AS mh$i").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  /** The symmetric LSH candidate CTE (a < b de-dupes the pair). */
+  private val lshCandCte: String =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Exact-Jaccard verification CTEs over a `cand (doc_a, doc_b)` CTE:
+    * `ver` holds the >= threshold survivors with their jaccard — the one
+    * SQL spelling of the verify formula, shared by every consumer. */
+  private def jaccardVerifyCtes(candCte: String): String =
     s"""$candCte,
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
        |  FROM cand c
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-       |  GROUP BY c.doc_a, c.doc_b)
-       |SELECT i.doc_a, i.doc_b,
-       |  CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
-       |FROM inter i
-       |JOIN sizes na ON na.doc_id = i.doc_a
-       |JOIN sizes nb ON nb.doc_id = i.doc_b
-       |WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= $JaccardThreshold""".stripMargin
+       |  GROUP BY c.doc_a, c.doc_b),
+       |ver AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.doc_a
+       |  JOIN sizes nb ON nb.doc_id = i.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter)
+       |    >= $JaccardThreshold)""".stripMargin
 
-  val minhashLshSql: String = {
-    val mhCols = (0 until NumHashes)
-      .map(i => s"MIN(md5(shingle || '#$i')) AS mh$i").mkString(", ")
-    val bandSelects = (0 until NumBands).map { b =>
-      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
-    }.mkString(" UNION ALL ")
-    shinglesCte + ",\n" +
-      s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
-         |bands AS ($bandSelects)""".stripMargin + ",\n" +
-      jaccardTail(
-        """cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM bands a JOIN bands b
-          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin)
-  }
+  private def jaccardTail(candCte: String): String =
+    jaccardVerifyCtes(candCte) + "\nSELECT doc_a, doc_b, jaccard FROM ver"
+
+  val minhashLshSql: String =
+    shinglesCte + ",\n" + sigBandsCte + ",\n" + jaccardTail(lshCandCte)
 
   // --------------------------------------------------------------------------
   // q_minhash_estimate — Jaccard ESTIMATED from signature agreement
@@ -280,21 +298,10 @@ object NearDup {
   }
 
   val minhashEstimateSql: String = {
-    val mhCols = (0 until NumHashes)
-      .map(i => s"MIN(md5(shingle || '#$i')) AS mh$i").mkString(", ")
-    val bandSelects = (0 until NumBands).map { b =>
-      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
-    }.mkString(" UNION ALL ")
     val matches = (0 until NumHashes)
       .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-    shinglesCte + ",\n" +
-      s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    shinglesCte + ",\n" + sigBandsCte + ",\n" +
+      s"""$lshCandCte
          |SELECT c.doc_a, c.doc_b,
          |  CAST($matches AS DOUBLE) / $NumHashes AS est_jaccard
          |FROM cand c
@@ -397,31 +404,9 @@ object NearDup {
     * is Σ component_size² rows — near-dup components are tiny, so this stays
     * far smaller than the corpus. */
   val dedupClustersSql: String = {
-    val mhCols = (0 until NumHashes)
-      .map(i => s"MIN(md5(shingle || '#$i')) AS mh$i").mkString(", ")
-    val bandSelects = (0 until NumBands).map { b =>
-      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
-    }.mkString(" UNION ALL ")
     shinglesCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
-      s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-         |  GROUP BY c.doc_a, c.doc_b),
-         |pairs AS (
-         |  SELECT i.doc_a, i.doc_b
-         |  FROM inter i
-         |  JOIN sizes na ON na.doc_id = i.doc_a
-         |  JOIN sizes nb ON nb.doc_id = i.doc_b
-         |  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= $JaccardThreshold),
+      sigBandsCte + ",\n" + jaccardVerifyCtes(lshCandCte) + ",\n" +
+      s"""pairs AS (SELECT doc_a, doc_b FROM ver),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -458,8 +443,7 @@ object NearDup {
       .agg(graft.functions.MinHashSketchAgg(col("shingle"), NumHashes).as("signature"))
 
   val minhashSignaturesSql: String = {
-    val mins = (0 until NumHashes)
-      .map(i => s"MIN(md5(shingle || '#$i'))").mkString(", ")
+    val mins = (0 until NumHashes).map(mhExpr).mkString(", ")
     shinglesCte + "\n" +
       s"SELECT doc_id, concat_ws('|', $mins) AS signature FROM sh GROUP BY doc_id"
   }
@@ -825,35 +809,15 @@ object NearDup {
   }
 
   val incrementalDedupSql: String = {
-    val mhCols = (0 until NumHashes)
-      .map(i => s"MIN(md5(shingle || '#$i')) AS mh$i").mkString(", ")
-    val bandSelects = (0 until NumBands).map { b =>
-      val parts = (0 until BandRows).map(r => s"mh${b * BandRows + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $parts)) AS key FROM sig"
-    }.mkString(" UNION ALL ")
-    shinglesCte + ",\n" +
-      s"""sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (
+    val incrCand =
+      s"""cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.key = b.key
-         |  WHERE a.doc_id % $IncrMod = 0 AND b.doc_id % $IncrMod <> 0),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-         |  GROUP BY c.doc_a, c.doc_b),
-         |ver AS (
-         |  SELECT i.doc_a, i.doc_b,
-         |    CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) AS jaccard
-         |  FROM inter i
-         |  JOIN sizes na ON na.doc_id = i.doc_a
-         |  JOIN sizes nb ON nb.doc_id = i.doc_b
-         |  WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter)
-         |    >= $JaccardThreshold),
-         |best AS (
+         |  WHERE a.doc_id % $IncrMod = 0 AND b.doc_id % $IncrMod <> 0)""".stripMargin
+    shinglesCte + ",\n" + sigBandsCte + ",\n" +
+      jaccardVerifyCtes(incrCand) + ",\n" +
+      s"""best AS (
          |  SELECT doc_a, COUNT(*) AS n_dups,
          |    MAX({'jaccard': jaccard, 'doc_b': doc_b}) AS m
          |  FROM ver GROUP BY doc_a)

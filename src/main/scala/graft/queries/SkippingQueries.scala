@@ -502,7 +502,7 @@ object SkippingQueries {
       |  event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS p_date
       |FROM events""".stripMargin
 
-  def genPruneTablePath(dir: String): String = cachedTablePath(dir, "genprune_v2")
+  def genPruneTablePath(dir: String): String = cachedTablePath(dir, "genprune_v3")
 
   /** Idempotently build the generated-partition fixture: a copy of events
     * whose DATE partition column is declared `GENERATED ALWAYS AS
@@ -510,15 +510,17 @@ object SkippingQueries {
     * the derivation (fill-on-write) AND the read-side pruning. */
   def ensureGenPruneTable(spark: SparkSession, dir: String): String = {
     val path = genPruneTablePath(dir)
-    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+    // two atomic commits, each guarded by its own checkpoint (a crash
+    // between them must not leave the fixture permanently empty)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
       spark.sql(s"CREATE TABLE graft.`$path` (event_id BIGINT, " +
         "user_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP, " +
         "p_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
         "PARTITIONED BY (p_date)")
+    if (VersionedTable.latestVersion(spark, path).contains(1L))
       VersionedTable.append(Tables.events(spark, dir).select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("ts")), path)
-    }
     path
   }
 

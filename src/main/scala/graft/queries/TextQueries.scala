@@ -451,38 +451,50 @@ object TextQueries {
   // map-side partial combine means each task emits at most |sources| rows,
   // so the 20-key reduce never sees corpus-sized traffic.
   // --------------------------------------------------------------------------
-  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE derivation of the sqrt-temperature mixture ingredients, shared
+    * by q_domain_mix (which reports the weights) and q_domain_resample
+    * (which materializes them as replication counts): per-source rollup →
+    * broadcast total → quantized w_raw → broadcast normalizer, as columns
+    * (source, n_docs, n_tokens, total_tokens, w_raw, z). */
+  private def mixIngredients(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.documents(spark, dir)
       .select(col("source"), wordCount(col("text")).as("toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
     val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
     val shares = per.join(broadcast(tot))
-      .withColumn("token_share",
-        round(col("n_tokens").cast(DoubleType) / col("total_tokens"), 6))
       .withColumn("w_raw",
         round(sqrt(col("n_tokens").cast(DoubleType) / col("total_tokens")), 6))
     val z = shares.agg(sum(col("w_raw")).as("z"))
     shares.join(broadcast(z))
-      .select(col("source"), col("n_docs"), col("n_tokens"), col("token_share"),
-        round(col("w_raw") / col("z"), 6).as("mix_weight"))
   }
 
-  val domainMixSql: String =
-    """WITH per AS (
+  /** Ditto in DuckDB: per/tot/sh/z CTEs, identical text in both oracles. */
+  private val mixIngredientsCtes: String =
+    """per AS (
       |  SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
       |sh AS (
-      |  SELECT source, n_docs, n_tokens,
-      |    ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+      |  SELECT source, n_docs, n_tokens, total_tokens,
       |    ROUND(SQRT(CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS w_raw
       |  FROM per CROSS JOIN tot),
-      |z AS (SELECT SUM(w_raw) AS z FROM sh)
-      |SELECT source, n_docs, n_tokens, token_share,
-      |  ROUND(w_raw / z, 6) AS mix_weight
-      |FROM sh CROSS JOIN z""".stripMargin
+      |z AS (SELECT SUM(w_raw) AS z FROM sh)""".stripMargin
+
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    mixIngredients(spark, dir)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("total_tokens"), 6)
+          .as("token_share"),
+        round(col("w_raw") / col("z"), 6).as("mix_weight"))
+
+  val domainMixSql: String =
+    s"""WITH $mixIngredientsCtes
+       |SELECT source, n_docs, n_tokens,
+       |  ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+       |  ROUND(w_raw / z, 6) AS mix_weight
+       |FROM sh CROSS JOIN z""".stripMargin
 
   // --------------------------------------------------------------------------
   // q_train_shuffle — deterministic GLOBAL SHUFFLE for training order: every
@@ -1067,22 +1079,15 @@ object TextQueries {
   val ResampleSeed = "graft-resample-7:"
 
   def domainResample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), wordCount(col("text")).as("toks"))
-    val per = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
-    val shares = per.join(broadcast(tot))
-      .withColumn("w_raw",
-        round(sqrt(col("n_tokens").cast(DoubleType) / col("total_tokens")), 6))
-    val z = shares.agg(sum(col("w_raw")).as("z"))
-    val factors = shares.join(broadcast(z))
+    val factors = mixIngredients(spark, dir)
       .select(col("source"),
         // quantize the factor BEFORE floor/frac so the branch never sits on
         // an engine-dependent ulp boundary
         round(col("w_raw") / col("z") * col("total_tokens")
           / col("n_tokens"), 6).as("factor"))
-    docs.join(broadcast(factors), Seq("source"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(factors), Seq("source"))
       .withColumn("u",
         round(conv(substring(md5(concat(lit(ResampleSeed),
           col("doc_id").cast("string"))), 1, 6), 16, 10).cast(DoubleType)
@@ -1094,19 +1099,7 @@ object TextQueries {
   }
 
   val domainResampleSql: String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, source,
-       |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks
-       |  FROM documents),
-       |per AS (
-       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
-       |  FROM docs GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
-       |sh AS (
-       |  SELECT source, n_tokens, total_tokens,
-       |    ROUND(SQRT(CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS w_raw
-       |  FROM per CROSS JOIN tot),
-       |z AS (SELECT SUM(w_raw) AS z FROM sh),
+    s"""WITH $mixIngredientsCtes,
        |f AS (
        |  SELECT source,
        |    ROUND(w_raw / z * total_tokens / n_tokens, 6) AS factor
@@ -1118,7 +1111,7 @@ object TextQueries {
        |        / 16777216.0, 6)
        |      < ROUND(f.factor - FLOOR(f.factor), 6) THEN 1 ELSE 0 END
        |    AS BIGINT) AS n_copies
-       |FROM docs d JOIN f USING (source)""".stripMargin
+       |FROM documents d JOIN f USING (source)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"            -> (bm25 _),

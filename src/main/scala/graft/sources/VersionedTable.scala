@@ -1980,7 +1980,9 @@ object VersionedTable {
       // base-column → partition-filter derivation rule
       generatedPartDefs = {
         val parts = partitionColsOf(c.schema.get).toSet
-        generatedIn(c.props).filter { case (n, _) => parts(n) }
+        val zones = generatedZonesIn(c.props)
+        generatedIn(c.props).collect { case (n, sql) if parts(n) =>
+          n -> (sql, zones.get(n)) }
       },
       // exact snapshot row count from the manifest (DV marks are disjoint
       // per generation, so the subtraction is exact — same contract as
@@ -3117,7 +3119,8 @@ object VersionedTable {
         "use ADD CONSTRAINT (addCheckConstraint), which validates existing rows")
     // same closed door for generation declarations: setGeneratedColumn
     // validates the expression contract AND the existing rows first
-    val smuggledGen = set.keys.filter(_.startsWith(GeneratedPrefix))
+    val smuggledGen = set.keys.filter(k =>
+      k.startsWith(GeneratedPrefix) || k.startsWith(GeneratedZonePrefix))
     require(smuggledGen.isEmpty,
       s"$path: cannot set ${smuggledGen.mkString(", ")} via table properties — " +
         "use setGeneratedColumn, which validates the expression and existing rows")
@@ -3184,7 +3187,8 @@ object VersionedTable {
     * Single source of truth; the SQL layer reads it rather than repeating
     * the strings. */
   private[graft] def declarationPrefixes: Seq[String] =
-    Seq(ConstraintPrefix, GeneratedPrefix, IdentityPrefix, IdentityHwmPrefix)
+    Seq(ConstraintPrefix, GeneratedPrefix, GeneratedZonePrefix,
+      IdentityPrefix, IdentityHwmPrefix)
 
   private val ViolationMarker = "GRAFT CONSTRAINT VIOLATION"
 
@@ -3302,6 +3306,28 @@ object VersionedTable {
   // --------------------------------------------------------------------
 
   private val GeneratedPrefix = "graft.generated."
+  /** Session zone recorded at declaration for ZONE-DEPENDENT generations
+    * (absent for zone-free expressions and legacy declarations): writes in
+    * a different session zone refuse, and the partition-filter derivation
+    * declines — a zone-dependent fill under a drifted zone would silently
+    * corrupt the `p <=> f(base)` invariant both rely on. */
+  private[graft] val GeneratedZonePrefix = "graft.generatedZone."
+
+  /** Does `e` read the session time zone anywhere? (The derivation rule
+    * and the declaration share this definition.) */
+  def zoneDependentExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.exists {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        org.apache.spark.sql.catalyst.expressions.Cast
+          .needsTimeZone(c.child.dataType, c.dataType)
+      case t: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression =>
+        !t.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Cast]
+      case _ => false
+    }
+
+  private[graft] def generatedZonesIn(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(GeneratedZonePrefix) =>
+      k.stripPrefix(GeneratedZonePrefix) -> v }
 
   /** The table's generated columns (name → generation expression SQL). */
   def generatedColumnsOf(spark: SparkSession, path: String,
@@ -3328,9 +3354,14 @@ object VersionedTable {
     * deterministic (a now()/rand() generation would make replays, CoW
     * rewrites and constraint re-checks non-reproducible — Delta refuses
     * these too). */
+  /** Declaration-time contract checks; returns TRUE when the analyzed
+    * expression is SESSION-TIME-ZONE-DEPENDENT (a timestamp→date cast,
+    * trunc, hour, ...) — the caller then records the declaring session's
+    * zone so writes and the partition-filter derivation can hold the
+    * `p <=> f(base)` invariant across sessions. */
   private[graft] def validateGenerationExpr(spark: SparkSession,
       schema: StructType, name: String, exprSql: String,
-      otherGenerated: Set[String]): Unit = {
+      otherGenerated: Set[String]): Boolean = {
     require(schema.fieldNames.contains(name),
       s"generated column $name: no such column in ${schema.simpleString}")
     val refs = exprRefs(spark, exprSql)
@@ -3374,6 +3405,7 @@ object VersionedTable {
       s"generated column $name: expression may not depend on evaluation " +
         s"time (${badTime.mkString(",")}) — replays and rewrites would " +
         "regenerate different values")
+    analyzed.queryExecution.analyzed.expressions.exists(zoneDependentExpr)
   }
 
   /** Declare `name` GENERATED ALWAYS AS (exprSql) on an EXISTING table:
@@ -3400,7 +3432,7 @@ object VersionedTable {
         s"$path: $name is an identity column — a column cannot be both")
       val s = c.schema.getOrElse(throw new IllegalStateException(
         s"$path: version $b records no schema"))
-      validateGenerationExpr(spark, s, name, exprSql,
+      val zoneDep = validateGenerationExpr(spark, s, name, exprSql,
         generatedIn(c.props).keySet - name)
       val bad = read(spark, path, Some(b))
         .filter(!(col(name) <=> expr(exprSql))).limit(1).count()
@@ -3413,7 +3445,10 @@ object VersionedTable {
         c.dv, c.dvRows, parent = Some(c), colMap = c.colMap,
         physDropped = c.physDropped, carriedIdentical = true,
         statsAddOnly = Some(Map.empty),
-        props = Some(c.props + (key -> exprSql)))
+        props = Some(c.props + (key -> exprSql) ++
+          (if (zoneDep) Map(GeneratedZonePrefix + name ->
+            spark.sessionState.conf.sessionLocalTimeZone)
+           else Map.empty)))
       if (tryCommit(f, root, v, body)) committed = v
       else {
         ckptDir.foreach(d => f.delete(d, true))
@@ -3429,7 +3464,8 @@ object VersionedTable {
     * becomes an ordinary writable column; no-op if not generated. */
   def dropGeneratedColumn(spark: SparkSession, path: String,
       name: String): Long =
-    setProperties(spark, path, Map.empty, Seq(GeneratedPrefix + name))
+    setProperties(spark, path, Map.empty,
+      Seq(GeneratedPrefix + name, GeneratedZonePrefix + name))
 
   /** The write-verb hook: fill absent generated columns, enforce supplied
     * ones — both as in-task expressions on the write job itself, zero
@@ -3439,7 +3475,18 @@ object VersionedTable {
       path: String): DataFrame = {
     val gens = generatedIn(props)
     if (gens.isEmpty) df
-    else gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
+    else {
+      val zones = generatedZonesIn(props)
+      val cur = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      zones.foreach { case (name, z) =>
+        require(z == cur,
+          s"$path: generated column '$name' was declared under session " +
+            s"time zone $z; this session uses $cur — a zone-dependent " +
+            "generation filled under a different zone would corrupt the " +
+            "column invariant. Set spark.sql.session.timeZone to the " +
+            "declared zone to write.")
+      }
+    gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, sql)) =>
       if (!d.columns.contains(name)) d.withColumn(name, expr(sql))
       else {
         val ok = col(name) <=> expr(sql)
@@ -3448,6 +3495,7 @@ object VersionedTable {
             s"($sql) — supplied row disagrees: "),
           substring(to_json(struct(d.columns.map(col).toSeq: _*)), 1, 256)))))
       }
+    }
     }
   }
 

@@ -193,7 +193,8 @@ class GraftCatalog extends TableCatalog {
     // channels (field metadata, validated below) — a raw TBLPROPERTIES key
     // would install an unvalidated expression or allocation state, exactly
     // what the setProperties smuggle guard closes post-create
-    val guarded = Seq("graft.generated.", "graft.identity.", "graft.identityHwm.")
+    val guarded = Seq("graft.generated.", "graft.generatedZone.",
+      "graft.identity.", "graft.identityHwm.")
     val smuggled = props.keys.filter(k => guarded.exists(k.startsWith))
     require(smuggled.isEmpty,
       s"$path: cannot set ${smuggled.mkString(", ")} via TBLPROPERTIES — " +
@@ -202,9 +203,12 @@ class GraftCatalog extends TableCatalog {
       case fl if GeneratedColumn.isGeneratedColumn(fl) =>
         fl.name -> GeneratedColumn.getGenerationExpression(fl).get
     }.toMap
-    genCols.foreach { case (n, sql) =>
-      VersionedTable.validateGenerationExpr(spark, schema, n, sql,
+    val genZones: Map[String, String] = genCols.flatMap { case (n, sql) =>
+      val zoneDep = VersionedTable.validateGenerationExpr(spark, schema, n, sql,
         genCols.keySet - n)
+      if (zoneDep) Some(VersionedTable.GeneratedZonePrefix + n ->
+        spark.sessionState.conf.sessionLocalTimeZone)
+      else None
     }
     val idCols: Map[String, String] = schema.fields.collect {
       case fl if fl.metadata.contains(GraftCatalog.IdentitySpecMetadataKey) =>
@@ -232,6 +236,7 @@ class GraftCatalog extends TableCatalog {
     val stored = props.toMap.filter { case (k, _) =>
       !internalKeys.contains(k.toLowerCase) && !k.startsWith("option.") } ++
       genCols.map { case (n, sql) => s"graft.generated.$n" -> sql } ++
+      genZones ++
       idCols.flatMap { case (n, spec) =>
         val start = spec.split(";").collectFirst {
           case s if s.startsWith("start=") => s.stripPrefix("start=") }.get

@@ -59,12 +59,14 @@ private[graft] class GraftFileIndex(
     partSchema: StructType = new StructType(),
     physNameOf: String => String = identity,
     val minMaxOf: String => Option[(Any, Any)] = _ => None,
-    /** partition column → generation expression SQL, for every PARTITION
+    /** partition column → (generation expression SQL, declared session
+      * zone when the expression is zone-dependent), for every PARTITION
       * column declared `GENERATED ALWAYS AS (...)` — the declaration
       * contract guarantees `p <=> f(base)` on every stored row, which is
       * what licenses [[GraftDerivePartitionFilters]] to turn base-column
       * predicates into directory-pruning partition predicates. */
-    val generatedPartDefs: Map[String, String] = Map.empty) extends FileIndex {
+    val generatedPartDefs: Map[String, (String, Option[String])] = Map.empty)
+    extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = partSchema
@@ -335,7 +337,8 @@ object GraftBatchShim {
       liveRows: Option[Long] = None,
       partitionCols: Seq[String] = Nil,
       minMaxOf: String => Option[(Any, Any)] = _ => None,
-      generatedPartDefs: Map[String, String] = Map.empty): BaseRelation = {
+      generatedPartDefs: Map[String, (String, Option[String])] = Map.empty)
+      : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
     // not at relation construction (schema-only reads never pay them)
@@ -461,7 +464,8 @@ case class GraftDerivePartitionFilters(spark: SparkSession)
         if g.generatedPartDefs.nonEmpty =>
       val conjuncts = splitConjuncts(cond)
       val derived = g.generatedPartDefs.toSeq.sortBy(_._1).flatMap {
-        case (pcol, sql) => deriveFor(pcol, sql, rel.output, conjuncts)
+        case (pcol, (sql, zone)) =>
+          deriveFor(pcol, sql, zone, rel.output, conjuncts)
       }.filterNot(d => conjuncts.exists(_.semanticEquals(d)))
       if (derived.isEmpty) f
       else Filter((conjuncts ++ derived).reduce(And), rel)
@@ -544,12 +548,21 @@ case class GraftDerivePartitionFilters(spark: SparkSession)
       .map(v => Literal.create(v, gen.dataType))
   }.toOption.flatten
 
-  private def deriveFor(pcol: String, sql: String, output: Seq[Attribute],
-      conjuncts: Seq[Expression]): Seq[Expression] = {
+  private def deriveFor(pcol: String, sql: String, declaredZone: Option[String],
+      output: Seq[Attribute], conjuncts: Seq[Expression]): Seq[Expression] = {
     val partAttr = output.find(_.name.equalsIgnoreCase(pcol))
       .getOrElse(return Nil)
     val (gen, base) = analyzedGen(sql, output).getOrElse(return Nil)
     if (!monotone(gen, base)) return Nil
+    // a zone-dependent f (timestamp→date cast, trunc, ...) is only the
+    // function the stored rows were filled with when this session runs
+    // under the DECLARED zone — anything else (including a legacy table
+    // with no recorded zone) must decline, or the derived bounds would
+    // prune directories that hold matching rows
+    if (graft.sources.VersionedTable.zoneDependentExpr(gen)) {
+      val cur = spark.sessionState.conf.sessionLocalTimeZone
+      if (!declaredZone.contains(cur)) return Nil
+    }
     def guard(cmp: Expression): Expression = Or(cmp, IsNull(partAttr))
     def attrIs(e: Expression): Boolean = e match {
       case a: AttributeReference => a.exprId == base.exprId

@@ -1699,6 +1699,46 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Set(("k", "newer"), ("kfresh", "first")), got.toString)
   }
 
+  test("zone-dependent generations pin the declaring session zone; drifted-zone writes refuse") {
+    val path = java.nio.file.Files.createTempDirectory("genzone").toString + "/t"
+    VersionedTable.write(Seq.empty[(Long, java.sql.Timestamp, java.sql.Date)]
+      .toDF("id", "ts", "d"), path)
+    VersionedTable.setGeneratedColumn(spark, path, "d", "CAST(ts AS DATE)")
+    // the declaring session's zone rides the commit log
+    assert(VersionedTable.propertiesOf(spark, path)
+      .get("graft.generatedZone.d").contains("UTC"))
+    // a zone-free generation records nothing
+    val p2 = java.nio.file.Files.createTempDirectory("genzone2").toString + "/t"
+    VersionedTable.write(Seq.empty[(Long, Long)].toDF("n", "dbl"), p2)
+    VersionedTable.setGeneratedColumn(spark, p2, "dbl", "n * 2")
+    assert(!VersionedTable.propertiesOf(spark, p2).keys
+      .exists(_.startsWith("graft.generatedZone.")))
+    // a write under a DIFFERENT session zone refuses loudly — filling
+    // CAST(ts AS DATE) under another zone would corrupt p <=> f(ts)
+    val zoneKey = "spark.sql.session.timeZone"
+    spark.conf.set(zoneKey, "America/Los_Angeles")
+    try {
+      val e = intercept[Exception] {
+        VersionedTable.append(Seq(
+          (1L, java.sql.Timestamp.valueOf("2026-01-02 06:00:00")))
+          .toDF("id", "ts"), path) }
+      assert(e.getMessage.contains("declared under session time zone UTC"),
+        e.getMessage)
+      // the zone-free table keeps writing under any zone
+      VersionedTable.append(Seq((5L, 10L)).toDF("n", "dbl"), p2)
+    } finally spark.conf.set(zoneKey, "UTC")
+    // back in the declared zone, the write lands and fills
+    VersionedTable.append(Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-02 06:00:00")))
+      .toDF("id", "ts"), path)
+    assert(VersionedTable.read(spark, path).select(col("d"))
+      .collect().map(_.getDate(0).toString).toSeq == Seq("2026-01-02"))
+    // dropping the generation sheds the zone key with it
+    VersionedTable.dropGeneratedColumn(spark, path, "d")
+    assert(!VersionedTable.propertiesOf(spark, path).keys
+      .exists(_.startsWith("graft.generatedZone.")))
+  }
+
   test("protocol gating: unknown reader feature refuses reads; unknown writer feature refuses only writes") {
     val path = java.nio.file.Files.createTempDirectory("proto").toString + "/t"
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), path)
