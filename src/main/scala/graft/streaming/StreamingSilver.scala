@@ -139,6 +139,98 @@ object StreamingSilver {
     writer.start()
   }
 
+  // --------------------------------------------------------------------------
+  // STREAMING INCREMENTAL DEDUP — the operational form of
+  // NearDup.incrementalDedup: a persisted MinHash BAND INDEX lives in a
+  // versioned table, and every micro-batch dedups against ALL history by
+  // probing it — corpus-internal pairs are never recomputed, which is what
+  // makes continuous LSH dedup viable at 100 TB (the batch is ~1/1000 of
+  // the corpus; the probe is one equi-join on (band, key); the index grows
+  // only by the batch's survivors).
+  //
+  // Duplicate decision: signature-agreement estimate (matching minhash
+  // components / NumHashes ≥ JaccardThreshold — the q_minhash_estimate
+  // screen), computed entirely from the denormalized index row, so the
+  // index stores (doc_id, band, key, mh0..mhN) and no shingle ever
+  // persists. Intra-batch duplicates resolve first-occurrence-wins
+  // (lower doc_id survives). Exactly-once: decisions commit BEFORE the
+  // index append under per-table (appId, batchId) txn keys — a replay
+  // after a crash between the two recomputes decisions against the
+  // still-unchanged index and lands only the missing commit.
+  // --------------------------------------------------------------------------
+
+  def incrementalDedupSink(
+      docs: DataFrame, // streaming (doc_id LONG, text STRING)
+      indexPath: String,
+      decisionsPath: String,
+      appId: String = "graft-stream-dedup",
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          dedupMicroBatch(batch.toDF(), batchId, indexPath, decisionsPath, appId)
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
+  private[graft] def dedupMicroBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, decisionsPath: String, appId: String): Unit = {
+    import graft.operators.NearDup
+    import graft.sources.VersionedTable
+    val spark = batch.sparkSession
+    val mhCols = (0 until NearDup.NumHashes).map(i => s"mh$i")
+    val sig = NearDup.signatures(NearDup.shingles(batch)).cache()
+    // the index row: band key for the probe + the full signature for the
+    // agreement estimate, so a probe hit answers without a second join
+    val rows = NearDup.bandKeys(sig).join(sig, Seq("doc_id"))
+    try {
+      val existing: DataFrame =
+        if (VersionedTable.latestVersion(spark, indexPath).isDefined)
+          VersionedTable.read(spark, indexPath)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), rows.schema)
+      def side(df: DataFrame): DataFrame = df.select(
+        col("doc_id").as("c_doc") +: col("band") +: col("key") +:
+          mhCols.map(c => col(c).as(s"c_$c")): _*)
+      // history probe (self-pairs excluded: a replayed batch whose index
+      // rows already landed must not match itself) + intra-batch
+      // first-occurrence-wins probe
+      val cand = rows.join(side(existing), Seq("band", "key"))
+          .filter(col("c_doc") =!= col("doc_id"))
+        .unionByName(rows.join(side(rows), Seq("band", "key"))
+          .filter(col("c_doc") < col("doc_id")))
+      val matches = mhCols.map(c =>
+        when(col(c) === col(s"c_$c"), 1).otherwise(0)).reduce(_ + _)
+      val scored = cand
+        .select(col("doc_id"), col("c_doc"),
+          (matches.cast("double") / NearDup.NumHashes).as("est"))
+        .dropDuplicates("doc_id", "c_doc")
+        .filter(col("est") >= NearDup.JaccardThreshold)
+      val best = scored.groupBy(col("doc_id"))
+        .agg(countDistinct(col("c_doc")).as("n_dups"),
+          max(struct(col("est"), col("c_doc"))).as("m"))
+      val decisions = batch.select(col("doc_id")).distinct()
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(batchId).as("batch_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("m.c_doc").as("dup_of"),
+          col("m.est").as("est_jaccard"),
+          col("m").isNotNull.as("is_dup"))
+      // decisions FIRST (they are defined against the pre-append index),
+      // index second — see the replay contract in the header
+      VersionedTable.commitBatch(decisions, decisionsPath,
+        s"$appId:decisions", batchId)
+      val survivors = rows.join(
+        decisions.filter(col("is_dup")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      VersionedTable.commitBatch(survivors, indexPath,
+        s"$appId:index", batchId): Unit
+    } finally sig.unpersist(): Unit
+  }
+
   /** APPLY CHANGES INTO (the DLT CDC-apply idiom, composed from this
     * module's parts): apply a change stream carrying (keys…, `sequenceBy`,
     * `opCol`) into a versioned table with

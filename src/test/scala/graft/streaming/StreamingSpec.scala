@@ -862,4 +862,66 @@ class StreamingSpec extends SparkSpec {
     // a replayed batch under the SAME layout is served, not refused
     assert(src.getBatch(Some(LongOffset(2L)), LongOffset(3L)).isStreaming)
   }
+
+  test("streaming incremental dedup: micro-batches probe the persisted band index exactly-once") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val dir = Files.createTempDirectory("sdedup-in").toString
+    val idx = Files.createTempDirectory("sdedup-idx").toString + "/t"
+    val dec = Files.createTempDirectory("sdedup-dec").toString + "/t"
+    val ckpt = Files.createTempDirectory("sdedup-ckpt").toString
+    val tA = "a b c d e f g h"
+    val tB = "x y z w v u t s"
+    val tC = "one two three four five six"
+    val tD = "p q r s t u v w"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$dir/$name.csv"),
+        rows.map { case (i, t) => s"$i;$t" }.mkString("\n").getBytes("UTF-8"))
+    writeBatch("b0", Seq(1L -> tA, 2L -> tB))
+    val q = StreamingSilver.incrementalDedupSink(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("sep", ";").csv(dir),
+      idx, dec, checkpoint = Some(ckpt))
+    def decisions(): Map[Long, (Boolean, Option[Long], Long)] =
+      VersionedTable.read(spark, dec).collect().map(r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("is_dup"),
+          Option(r.get(r.fieldIndex("dup_of"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("n_dups")))).toMap
+    def indexDocs(): Set[Long] =
+      VersionedTable.read(spark, idx).select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+    try {
+      q.processAllAvailable()
+      assert(decisions() == Map(1L -> ((false, None, 0L)),
+        2L -> ((false, None, 0L))), decisions().toString)
+      assert(indexDocs() == Set(1L, 2L))
+      // batch 1: doc 10 duplicates HISTORY (doc 1); doc 11 is fresh
+      writeBatch("b1", Seq(10L -> tA, 11L -> tC))
+      q.processAllAvailable()
+      assert(decisions()(10L) == ((true, Some(1L), 1L)), decisions().toString)
+      assert(decisions()(11L) == ((false, None, 0L)))
+      // the duplicate never entered the index — only survivors grow it
+      assert(indexDocs() == Set(1L, 2L, 11L))
+      // batch 2: doc 20 duplicates doc 10's text — but doc 10 is NOT in
+      // the index, so the match lands on the original (doc 1); docs 21/22
+      // are identical WITHIN the batch: first occurrence survives
+      writeBatch("b2", Seq(20L -> tA, 21L -> tD, 22L -> tD))
+      q.processAllAvailable()
+      assert(decisions()(20L) == ((true, Some(1L), 1L)), decisions().toString)
+      assert(decisions()(21L) == ((false, None, 0L)))
+      assert(decisions()(22L) == ((true, Some(21L), 1L)), decisions().toString)
+      assert(indexDocs() == Set(1L, 2L, 11L, 21L))
+    } finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    // REPLAY: re-running batch 2's work directly is a full no-op on both
+    // tables (per-table txn keys) — the crash-between-commits contract
+    val decHead = VersionedTable.latestVersion(spark, dec).get
+    val idxHead = VersionedTable.latestVersion(spark, idx).get
+    import spark.implicits._
+    StreamingSilver.dedupMicroBatch(
+      Seq(20L -> tA, 21L -> tD, 22L -> tD).toDF("doc_id", "text"),
+      batchId = 2L, idx, dec, appId = "graft-stream-dedup")
+    assert(VersionedTable.latestVersion(spark, dec).contains(decHead))
+    assert(VersionedTable.latestVersion(spark, idx).contains(idxHead))
+  }
 }
