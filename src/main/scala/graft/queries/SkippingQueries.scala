@@ -553,7 +553,64 @@ object SkippingQueries {
       |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
       |GROUP BY 1""".stripMargin
 
+  def convertTablePath(dir: String): String = cachedTablePath(dir, "convert_v1")
+
+  /** Idempotently build the CONVERT fixture: a plain spark.write
+    * hive-partitioned parquet copy of events (NO graft involvement), then
+    * adopt it in place with CONVERT TO GRAFT. The parquet write is not
+    * atomic, so the recipe keys on the commit log: no log → (re)write the
+    * parquet dir from scratch and convert — a half-written dir from a
+    * crash is simply rebuilt. */
+  def ensureConvertTable(spark: SparkSession, dir: String): String = {
+    val path = convertTablePath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      val f = new java.io.File(path)
+      if (f.exists()) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f)
+      }
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), to_date(col("ts")).as("event_date"))
+        .write.partitionBy("event_date").parquet(path)
+      spark.sql(s"CONVERT TO GRAFT parquet.`$path` STATSCOLS (user_id)")
+    }
+    path
+  }
+
+  /** q_convert — CONVERT TO GRAFT under the oracle gate: a plain
+    * hive-partitioned parquet copy of events is adopted in place (zero
+    * bytes moved), then queried through the graft SQL surface with BOTH a
+    * partition predicate (directory pruning over the adopted layout) and
+    * a stats predicate (manifest skipping from footer-collected stats).
+    * The DuckDB oracle applies the same filters to the RAW events —
+    * a green row proves adoption is invisible in results. */
+  def convertScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureConvertTable(spark, dir)
+    spark.sql(
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM graft.`$path`
+         |WHERE event_date >= DATE'2024-01-10' AND event_date < DATE'2024-01-20'
+         |  AND user_id BETWEEN $UserLo AND $UserHi
+         |GROUP BY event_type""".stripMargin)
+  }
+
+  val convertScanSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+       |  AND CAST(ts AS DATE) < DATE '2024-01-20'
+       |  AND user_id BETWEEN $UserLo AND $UserHi
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
     "q_guarded_merge" -> (guardedMerge _),
     "q_gen_identity" -> (genIdentity _),
@@ -568,6 +625,7 @@ object SkippingQueries {
     "q_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
+    "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,
     "q_guarded_merge" -> guardedMergeSql,
     "q_gen_identity" -> genIdentitySql,

@@ -1291,6 +1291,74 @@ object VersionedTable {
     * table's own size never enters. Schema must match the table's (the
     * append's contract) — a drifted source file refuses the whole commit
     * atomically, naming the mismatch. */
+  /** CONVERT TO GRAFT (Delta's CONVERT TO DELTA): adopt an existing plain
+    * parquet directory as a versioned table IN PLACE — one genesis commit
+    * listing the files exactly where they are; zero bytes move or rewrite.
+    * Hive-style `col=value` directory segments become the table's
+    * partition dimension, discovered the way `spark.read.parquet` does
+    * (partition columns are the inferred columns absent from the files
+    * themselves, with inferred types). Per-file row counts — and manifest
+    * stats for `statsCols` — are collected DISTRIBUTED from parquet
+    * footers, so conversion of a million-file table is one Spark job plus
+    * one O(files) manifest write. After conversion every format verb
+    * works on the adopted files (time travel from v1, CoW MERGE/DELETE,
+    * OPTIMIZE/ZORDER, deletion vectors, SQL): rewrites land in fresh token
+    * dirs while carried originals stay put — the mixed layout is native.
+    *
+    * Refusals: an existing commit log (already converted), zero parquet
+    * files, files sitting directly at the table root (the manifest and
+    * scan key files as `dir/file`; move them into a subdirectory first),
+    * and statsCols naming partition columns (their values live in paths,
+    * not footers). */
+  def convertToGraft(spark: SparkSession, path: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    require(f.exists(root), s"$path does not exist")
+    require(latestVersion(spark, path).isEmpty,
+      s"$path is already a graft table (found a commit log); CONVERT " +
+        "adopts plain parquet directories only")
+    val rootUri = f.getFileStatus(root).getPath.toUri
+    val it = f.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      val segs = rel.split('/')
+      if (st.getPath.getName.endsWith(".parquet") &&
+        !segs.exists(sg => sg.startsWith("_") || sg.startsWith(".")))
+        files += rel
+    }
+    require(files.nonEmpty, s"$path: no parquet files to convert")
+    val atRoot = files.filterNot(_.contains('/'))
+    require(atRoot.isEmpty,
+      s"$path: parquet file(s) at the table root are not adoptable — the " +
+        s"manifest keys files as dir/file (${atRoot.take(3).mkString(", ")}" +
+        "); move them into a subdirectory first")
+    // full schema WITH discovered partition columns (appended last, typed
+    // by Spark's partition inference); the physical file schema tells the
+    // two apart
+    val full = spark.read.parquet(path).schema
+    val dataCols = spark.read
+      .parquet(new Path(root, files.head).toString).schema.fieldNames.toSet
+    val partCols = full.fields.map(_.name).filterNot(dataCols).toSeq
+    val badStats = statsCols.filterNot(dataCols)
+    require(badStats.isEmpty,
+      s"$path: statsCols ${badStats.mkString(", ")} are not data columns " +
+        "(partition values live in paths, not footers)")
+    val schema =
+      if (partCols.isEmpty) full else withPartitionMeta(full, partCols)
+    val (st, rw) = metaFor(spark, root, files.toSeq, statsCols)
+    val (body, ckptDir) = encodeCommit(spark, root, 1L, files.toSeq,
+      schema.json, st, rw, txn = Map.empty)
+    if (!tryCommit(f, root, 1L, body)) {
+      ckptDir.foreach(d => f.delete(d, true))
+      throw new IllegalStateException(
+        s"$path: a concurrent creator committed first — CONVERT aborted")
+    }
+    1L
+  }
+
   def copyInto(spark: SparkSession, tablePath: String, srcDir: String,
       pattern: Option[String] = None): (Long, Int) = {
     val src = new Path(srcDir)
@@ -1774,12 +1842,12 @@ object VersionedTable {
     if (c.colMap.isEmpty) s
     else StructType(s.fields.map(fl => fl.copy(name = c.physName(fl.name))))
 
-  /** The partition-dir fragment of a root-relative file ("dt=X[/h=Y]"), or
-    * "" for unpartitioned layouts (file directly under the token dir). */
-  private def partFragOf(rel: String): String = {
-    val segs = rel.split('/')
-    if (segs.length <= 2) "" else segs.slice(1, segs.length - 1).mkString("/")
-  }
+  /** The directory fragment of a root-relative file — every segment but
+    * the file itself. [[rawPartValue]] picks the `col=value` segments out,
+    * so token dirs (never contain '=') and CONVERTed layouts (no token
+    * dir at all) both parse correctly. */
+  private def partFragOf(rel: String): String =
+    rel.split('/').dropRight(1).mkString("/")
 
   /** The raw (hive-unescaped) value of partition column `physName` inside a
     * fragment; None for the hive null sentinel or an absent segment. */
@@ -1872,7 +1940,7 @@ object VersionedTable {
         }
         else files.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
           .map { dirRel =>
-            val frag = dirRel.split('/').drop(1).mkString("/")
+            val frag = dirRel // rawPartValue picks the col=value segments
             org.apache.spark.sql.Row.fromSeq(
               enc(dirRel) +: partFields.map(fl =>
                 rawPartValue(frag, physName(fl.name)).orNull))

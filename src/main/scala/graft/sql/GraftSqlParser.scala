@@ -30,6 +30,7 @@ import graft.sources.VersionedTable
   *   DESCRIBE DETAIL graft.`/p`
   *   SHOW PARTITIONS graft.`/p`
   *   CREATE TABLE graft.`/dst` [SHALLOW] CLONE graft.`/src` [VERSION AS OF n]
+  *   CONVERT TO GRAFT parquet.`/dir` [STATSCOLS (a, b)]
   * }}}
   *
   * Anything that doesn't match one of these shapes delegates verbatim to
@@ -86,6 +87,8 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$Ref\\s+(?:SHALLOW\\s+)?CLONE\\s+$Ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
   private val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$Ref\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
+  private val ConvertRe =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+parquet\\s*\\.\\s*`([^`]+)`(?:\\s+STATSCOLS\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
   private val CopyIntoRe =
     s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*PARQUET(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*""".r
 
@@ -118,6 +121,10 @@ private[sql] object GraftSqlStatements {
       Some(GraftReorgCommand(cat, path))
     case CopyIntoRe(cat, path, src, pat) =>
       Some(GraftCopyIntoCommand(cat, path, src, Option(pat)))
+    case ConvertRe(path, stats) =>
+      Some(GraftConvertCommand(path, Option(stats).toSeq
+        .flatMap(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty))))
     case _ => None
   }
 
@@ -326,6 +333,24 @@ case class GraftCopyIntoCommand(cat: String, path: String,
     val p = GraftSqlStatements.graftPath(session, cat, path, "COPY INTO")
     val (v, n) = VersionedTable.copyInto(session, p, srcDir, pattern)
     Seq(Row(v, n))
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`/dir`` (Delta's CONVERT TO DELTA): adopt a
+  * plain parquet directory in place as a one-commit graft table —
+  * [[VersionedTable.convertToGraft]]. The reference is `parquet.`...``
+  * (not a graft catalog): the target is by definition NOT a graft table
+  * yet, exactly Delta's spelling. */
+case class GraftConvertCommand(path: String,
+    statsCols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = VersionedTable.convertToGraft(session, path, statsCols)
+    Seq(Row(v, VersionedTable.filesOf(session, path, v).size))
   }
 }
 

@@ -102,7 +102,9 @@ private[graft] class GraftFileIndex(
       val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
       allFiles.map { rel =>
         val segs = rel.split('/')
-        val kv = segs.slice(1, math.max(1, segs.length - 1)).flatMap { seg =>
+        // every dir segment may carry a col=value pair: token dirs never
+        // contain '=', and CONVERTed layouts have no token dir at all
+        val kv = segs.dropRight(1).flatMap { seg =>
           val i = seg.indexOf('=')
           if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
         }.toMap

@@ -732,6 +732,44 @@ class GraftSqlSpec extends SparkSpec {
     assert(n2 == 0 && v2 == head)
   }
 
+  test("CONVERT TO GRAFT adopts a hive-partitioned parquet dir in place; verbs work on it") {
+    val p = Files.createTempDirectory("graft-convert").toString + "/t"
+    val src = Seq((1L, "a", "2026-01-01"), (2L, "b", "2026-01-01"),
+      (3L, "c", "2026-01-02"), (4L, "d", "2026-01-02"))
+      .toDF("id", "s", "dt")
+    src.write.partitionBy("dt").parquet(p)
+    val before = spark.read.parquet(p).select($"id", $"s", $"dt")
+      .collect().map(_.toString).toSet
+    val r = spark.sql(s"CONVERT TO GRAFT parquet.`$p` STATSCOLS (id)")
+      .collect().head
+    assert(r.getLong(0) == 1L && r.getInt(1) >= 2, r.toString)
+    // the adopted table serves the same rows, partition dimension intact
+    val t = spark.read.format("graft-table").load(p)
+    assert(t.columns.toSeq == Seq("id", "s", "dt"))
+    assert(t.select($"id", $"s", $"dt").collect().map(_.toString).toSet == before)
+    assert(VersionedTable.partitionColsOf(t.schema) == Seq("dt"))
+    // partition pruning works on the converted layout (no token dirs)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p` WHERE dt = '2026-01-01'")
+      .collect().head.getLong(0) == 2L)
+    // a CoW verb on adopted files: DELETE rewrites only the touched ones
+    spark.sql(s"DELETE FROM graft.`$p` WHERE id = 1")
+    assert(spark.read.format("graft-table").load(p).count() == 3)
+    // time travel still serves the adopted snapshot
+    assert(VersionedTable.read(spark, p, Some(1L)).count() == 4)
+    // refusals: double-convert, and a root-level parquet file
+    val e = intercept[Exception] { VersionedTable.convertToGraft(spark, p) }
+    assert(messagesOf(e).contains("already a graft table"), messagesOf(e))
+    val p2 = Files.createTempDirectory("graft-convert2").toString + "/t"
+    Seq((1L, "x")).toDF("id", "s").coalesce(1).write.parquet(p2 + "/sub")
+    new java.io.File(p2 + "/sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { fl =>
+        java.nio.file.Files.copy(fl.toPath,
+          java.nio.file.Paths.get(p2, "loose.parquet"))
+      }
+    val e2 = intercept[Exception] { VersionedTable.convertToGraft(spark, p2) }
+    assert(messagesOf(e2).contains("table root"), messagesOf(e2))
+  }
+
   test("REORG TABLE APPLY (PURGE) materializes DV marks; re-run is a no-op") {
     val p = tmp()
     VersionedTable.write(
