@@ -830,7 +830,105 @@ object NearDup {
 
   // --------------------------------------------------------------------------
 
+  // --------------------------------------------------------------------------
+  // q_stream_dedup — the STREAMING incremental-dedup path under the oracle
+  // gate: the corpus arrives as StreamSlices ordered micro-batches
+  // (doc_id % StreamSlices plays "arrival day"), each processed by the
+  // REAL streaming sink body (StreamingSilver.dedupMicroBatch — persisted
+  // band index in a versioned table, decisions committed exactly-once),
+  // and the accumulated decisions table is the query result. The DuckDB
+  // oracle unrolls the three batch steps as pure set logic over the
+  // signature-agreement pair table — survivors of batch b-1 form batch
+  // b's index — so a green row proves the streaming path's stateful
+  // decisions (history probe, intra-batch first-occurrence-wins,
+  // duplicates-never-index) end-to-end, not just in specs.
+  //
+  // The fixture keys on the source data fingerprint; re-running the
+  // batches is a per-table (appId, batchId) no-op, so the build is
+  // crash-resumable by construction.
+  // --------------------------------------------------------------------------
+  val StreamSlices = 3
+
+  private def streamDedupFixture(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val ident = s"$dir|${src.length}|${src.lastModified}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_streamdedup_v1_$key"
+  }
+
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val base = streamDedupFixture(dir)
+    (0 until StreamSlices).foreach { b =>
+      graft.streaming.StreamingSilver.dedupMicroBatch(
+        docs.filter(col("doc_id") % StreamSlices === b), b.toLong,
+        s"$base/index", s"$base/decisions", appId = "graft-qstream")
+    }
+    graft.sources.VersionedTable.read(spark, s"$base/decisions")
+  }
+
+  val streamDedupSql: String = {
+    val matches = (0 until NumHashes)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    def batchDocs(b: Int) =
+      s"(SELECT doc_id FROM documents WHERE doc_id % $StreamSlices = $b)"
+    shinglesCte + ",\n" + sigBandsCte + ",\n" +
+      s"""apairs AS (
+         |  SELECT DISTINCT x.doc_id AS d, y.doc_id AS c
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id <> y.doc_id),
+         |est AS (
+         |  SELECT p.d, p.c, CAST($matches AS DOUBLE) / $NumHashes AS est
+         |  FROM apairs p
+         |  JOIN sig a ON a.doc_id = p.d
+         |  JOIN sig b ON b.doc_id = p.c
+         |  WHERE CAST($matches AS DOUBLE) / $NumHashes >= $JaccardThreshold),
+         |dup0 AS (
+         |  SELECT e.d AS doc_id, COUNT(DISTINCT e.c) AS n_dups,
+         |    MAX({'est': e.est, 'c': e.c}) AS m
+         |  FROM est e
+         |  WHERE e.d % $StreamSlices = 0 AND e.c % $StreamSlices = 0
+         |    AND e.c < e.d
+         |  GROUP BY 1),
+         |surv0 AS (SELECT doc_id FROM ${batchDocs(0)} d0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dup0)),
+         |dup1 AS (
+         |  SELECT e.d AS doc_id, COUNT(DISTINCT e.c) AS n_dups,
+         |    MAX({'est': e.est, 'c': e.c}) AS m
+         |  FROM est e
+         |  WHERE e.d % $StreamSlices = 1
+         |    AND (e.c IN (SELECT doc_id FROM surv0)
+         |      OR (e.c % $StreamSlices = 1 AND e.c < e.d))
+         |  GROUP BY 1),
+         |surv1 AS (SELECT doc_id FROM ${batchDocs(1)} d1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+         |dup2 AS (
+         |  SELECT e.d AS doc_id, COUNT(DISTINCT e.c) AS n_dups,
+         |    MAX({'est': e.est, 'c': e.c}) AS m
+         |  FROM est e
+         |  WHERE e.d % $StreamSlices = 2
+         |    AND (e.c IN (SELECT doc_id FROM surv0)
+         |      OR e.c IN (SELECT doc_id FROM surv1)
+         |      OR (e.c % $StreamSlices = 2 AND e.c < e.d))
+         |  GROUP BY 1),
+         |dec AS (
+         |  SELECT d0.doc_id, 0 AS b, u.n_dups, u.m
+         |  FROM ${batchDocs(0)} d0 LEFT JOIN dup0 u USING (doc_id)
+         |  UNION ALL
+         |  SELECT d1.doc_id, 1 AS b, u.n_dups, u.m
+         |  FROM ${batchDocs(1)} d1 LEFT JOIN dup1 u USING (doc_id)
+         |  UNION ALL
+         |  SELECT d2.doc_id, 2 AS b, u.n_dups, u.m
+         |  FROM ${batchDocs(2)} d2 LEFT JOIN dup2 u USING (doc_id))
+         |SELECT doc_id, CAST(b AS BIGINT) AS batch_id,
+         |  COALESCE(n_dups, 0) AS n_dups, m.c AS dup_of,
+         |  m.est AS est_jaccard, m IS NOT NULL AS is_dup
+         |FROM dec""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup" -> (streamDedup _),
     "q_incremental_dedup" -> (incrementalDedup _),
     "q_minhash_lsh"   -> (minhashLsh _),
     "q_dedup_clusters" -> (dedupClusters _),
@@ -843,6 +941,7 @@ object NearDup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_dedup" -> streamDedupSql,
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_minhash_lsh"   -> minhashLshSql,
     "q_dedup_clusters" -> dedupClustersSql,
