@@ -490,8 +490,165 @@ object ExtQueries {
       |    AND l_quantity BETWEEN 20 AND 50 AND p_size BETWEEN 1 AND 40)""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tpch_q4 — order-priority-checking shape (TPC-H Q4): a correlated
+  // EXISTS whose predicate compares COLUMNS FROM BOTH SIDES
+  // (l_shipdate > o_orderdate stands in for commitdate < receiptdate,
+  // absent from this schema) → a left-semi hash join with a non-equi
+  // residual condition, then a tiny group-by. The decorrelation must keep
+  // the cross-side comparison INSIDE the join condition — a rewrite that
+  // materializes per-order aggregates first would scan lineitem twice.
+  // --------------------------------------------------------------------------
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1995-01-01") &&
+        to_date(col("o_orderdate")) < lit("1995-07-01"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1995-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q12 — shipping-priority-split shape (TPC-H Q12's conditional
+  // dual count, keyed by return flag in place of the absent shipmode):
+  // one join, one group-by, two CASE-filtered sums — the map-side-combine
+  // shape where each task emits |groups| rows regardless of input size.
+  // --------------------------------------------------------------------------
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1995-01-01", "1995-12-31"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+
+  val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q14 — promo-revenue-share shape (TPC-H Q14: a ratio of a
+  // CASE-guarded sum to the total over the same join; 'SMALL' plays the
+  // PROMO% class). Exact decimal sums, one final double division —
+  // bit-stable and order-independent.
+  // --------------------------------------------------------------------------
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1995-03-01", "1995-03-31"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "SMALL",
+          dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"))))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType) * 100.0 /
+          revenue).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+
+  val tpchQ14Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p_type = 'SMALL'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS promo_revenue_pct,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q16 — supplier-count-by-part shape (TPC-H Q16 re-expressed over
+  // lineitem as the part↔supplier bridge, partsupp being absent): filtered
+  // parts, an uncorrelated NOT IN pruning the supplier side, then
+  // COUNT(DISTINCT supplier) per part class. The NOT IN must become a
+  // broadcast anti join; the distinct count shuffles once on the class key.
+  // --------------------------------------------------------------------------
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36)),
+        col("l_partkey") === col("p_partkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q18 — large-volume-customer shape (TPC-H Q18): an IN over a
+  // GROUP BY ... HAVING subquery on the fact table itself, then a re-join
+  // of the qualifying orders back to lineitem for the detail sum. The
+  // HAVING subquery must evaluate ONCE (one aggregate over lineitem), its
+  // qualifying key set joining as a semi join — never a per-order re-probe.
+  // --------------------------------------------------------------------------
+  val Q18MinQty = 120.0
+
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+      .filter(col("q") > Q18MinQty)
+      .select(col("l_orderkey").as("bk"))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("bk"), "left_semi")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+  }
+
+  val tpchQ18Sql: String =
+    s"""SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       |  o_totalprice,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > $Q18MinQty)
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q4"      -> (tpchQ4 _),
+    "q_tpch_q12"     -> (tpchQ12 _),
+    "q_tpch_q14"     -> (tpchQ14 _),
+    "q_tpch_q16"     -> (tpchQ16 _),
+    "q_tpch_q18"     -> (tpchQ18 _),
     "q_tpch_q7"      -> (tpchQ7 _),
     "q_tpch_q19"     -> (tpchQ19 _),
     "q_tpch_q3"      -> (tpchQ3 _),
@@ -509,6 +666,11 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q4"      -> tpchQ4Sql,
+    "q_tpch_q12"     -> tpchQ12Sql,
+    "q_tpch_q14"     -> tpchQ14Sql,
+    "q_tpch_q16"     -> tpchQ16Sql,
+    "q_tpch_q18"     -> tpchQ18Sql,
     "q_tpch_q7"      -> tpchQ7Sql,
     "q_tpch_q19"     -> tpchQ19Sql,
     "q_tpch_q3"      -> tpchQ3Sql,

@@ -463,6 +463,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(equiJoins.nonEmpty, sp.toString)
   }
 
+  test("q_tpch_q4/q16/q18: EXISTS→semi, NOT IN→anti, HAVING-IN→one aggregate + semi") {
+    val p4 = plan("q_tpch_q4")
+    // the cross-side comparison (l_shipdate > o_orderdate) must ride the
+    // semi join itself, not force a pre-aggregation
+    assert(p4.contains("LeftSemi"), p4)
+    val p16 = plan("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), p16)
+    assert(!p16.contains("CartesianProduct"), p16)
+    val p18 = plan("q_tpch_q18")
+    assert(p18.contains("LeftSemi"), p18)
+    // the HAVING subquery is ONE aggregate over lineitem feeding the semi
+    // join — a correlated per-order re-probe would show as a second join
+    // of lineitem against itself without the aggregate below it
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoopJoin"), p18)
+  }
+
   test("q_bm25: top-k is two-phase salted; query-side tables broadcast") {
     val df = SparkEntry.queries("q_bm25")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
