@@ -642,8 +642,43 @@ object ExtQueries {
        |GROUP BY 1, 2, 3, 4""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tpch_q15 — top-supplier shape (TPC-H Q15): a derived revenue view
+  // aggregated once, compared against ITS OWN global max (an uncorrelated
+  // scalar subquery over the same derived table). The view must not
+  // evaluate twice per branch beyond the two uses, and the scalar max
+  // rides back as a one-row broadcast. Revenue sums are exact decimals, so
+  // the equality against the max is bit-stable after the double cast.
+  // --------------------------------------------------------------------------
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1995-01-01", "1995-03-31"))
+      .groupBy(col("l_suppkey"))
+      .agg(revenue.as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val tpchQ15Sql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN r ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q15"     -> (tpchQ15 _),
     "q_tpch_q4"      -> (tpchQ4 _),
     "q_tpch_q12"     -> (tpchQ12 _),
     "q_tpch_q14"     -> (tpchQ14 _),
@@ -666,6 +701,7 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q15"     -> tpchQ15Sql,
     "q_tpch_q4"      -> tpchQ4Sql,
     "q_tpch_q12"     -> tpchQ12Sql,
     "q_tpch_q14"     -> tpchQ14Sql,
