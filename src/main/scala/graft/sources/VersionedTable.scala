@@ -1842,12 +1842,16 @@ object VersionedTable {
     if (c.colMap.isEmpty) s
     else StructType(s.fields.map(fl => fl.copy(name = c.physName(fl.name))))
 
-  /** The directory fragment of a root-relative file — every segment but
-    * the file itself. [[rawPartValue]] picks the `col=value` segments out,
-    * so token dirs (never contain '=') and CONVERTed layouts (no token
-    * dir at all) both parse correctly. */
+  /** The partition fragment of a root-relative file: the `col=value`
+    * directory segments ONLY, in path order. Two jobs depend on exactly
+    * this shape: value parsing ([[rawPartValue]]) and partition GROUPING
+    * (autoCompact/compact/SHOW PARTITIONS bucket files across commits by
+    * this key — a fragment that included the per-commit token dir would
+    * put every commit in its own group and quietly disable cross-commit
+    * bin-packing). Token dirs never contain '='; CONVERTed layouts have
+    * no token dir at all; both reduce to the same fragment. */
   private def partFragOf(rel: String): String =
-    rel.split('/').dropRight(1).mkString("/")
+    rel.split('/').dropRight(1).filter(_.contains('=')).mkString("/")
 
   /** The raw (hive-unescaped) value of partition column `physName` inside a
     * fragment; None for the hive null sentinel or an absent segment. */
