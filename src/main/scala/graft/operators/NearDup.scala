@@ -849,13 +849,9 @@ object NearDup {
   // --------------------------------------------------------------------------
   val StreamSlices = 3
 
-  private def streamDedupFixture(dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val ident = s"$dir|${src.length}|${src.lastModified}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_streamdedup_v1_$key"
-  }
+  private def streamDedupFixture(dir: String): String =
+    graft.queries.SkippingQueries.cachedFixturePath(
+      dir, "streamdedup_v1", "documents.parquet")
 
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))

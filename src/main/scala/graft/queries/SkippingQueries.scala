@@ -42,8 +42,15 @@ object SkippingQueries {
     * not just the directory path: a regenerated dataset at the same path —
     * the round-7 failure mode — automatically invalidates every cached
     * fixture instead of serving stale rows against a fresh oracle. */
-  private def cachedTablePath(dir: String, tag: String): String = {
-    val src = new java.io.File(s"$dir/events.parquet")
+  private def cachedTablePath(dir: String, tag: String): String =
+    SkippingQueries.cachedFixturePath(dir, tag, "events.parquet")
+
+  /** Shared fixture-path recipe (any source table): one place owns the
+    * fingerprint rules, so a future cache-key fix (the round-7 stale-
+    * fixture lesson) propagates to every fixture consumer at once. */
+  private[graft] def cachedFixturePath(dir: String, tag: String,
+      srcName: String): String = {
+    val src = new java.io.File(s"$dir/$srcName")
     val ident = s"$dir|${src.length}|${src.lastModified}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)

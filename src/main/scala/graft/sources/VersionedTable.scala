@@ -1270,27 +1270,6 @@ object VersionedTable {
   private final class CopyReplayedException(val head: Long)
     extends RuntimeException("all source files already loaded")
 
-  /** COPY INTO (Delta's idempotent bulk-ingest statement): load the parquet
-    * files under `srcDir` (optionally narrowed by a `pattern` glob on the
-    * file name) into the table as ONE append commit, SKIPPING every source
-    * file a previous COPY INTO already loaded. Idempotence rides the same
-    * manifest txn map as the exactly-once streaming sink: each loaded file
-    * records `copy:<md5(absolute path)> -> mtime`, carried by every
-    * subsequent commit, so re-running the statement after a crash, a
-    * partial pipeline retry, or on a directory that keeps growing loads
-    * each file exactly once. Loaded source files are IMMUTABLE: the
-    * recorded mtime is compared on every run, and a file regenerated in
-    * place (same name, new mtime) refuses the statement loudly instead of
-    * being silently skipped. Returns (version, filesLoaded) —
-    * (currentHead, 0) when everything listed was already loaded, including
-    * when a concurrent COPY INTO won the race for the whole batch.
-    *
-    * Scale shape: one driver listing of the SOURCE directory (inherent to
-    * the statement), one key-diff against the txn map (O(source files)),
-    * and one distributed parquet read → append of only the new files. The
-    * table's own size never enters. Schema must match the table's (the
-    * append's contract) — a drifted source file refuses the whole commit
-    * atomically, naming the mismatch. */
   /** CONVERT TO GRAFT (Delta's CONVERT TO DELTA): adopt an existing plain
     * parquet directory as a versioned table IN PLACE — one genesis commit
     * listing the files exactly where they are; zero bytes move or rewrite.
@@ -1359,6 +1338,28 @@ object VersionedTable {
     1L
   }
 
+
+  /** COPY INTO (Delta's idempotent bulk-ingest statement): load the parquet
+    * files under `srcDir` (optionally narrowed by a `pattern` glob on the
+    * file name) into the table as ONE append commit, SKIPPING every source
+    * file a previous COPY INTO already loaded. Idempotence rides the same
+    * manifest txn map as the exactly-once streaming sink: each loaded file
+    * records `copy:<md5(absolute path)> -> mtime`, carried by every
+    * subsequent commit, so re-running the statement after a crash, a
+    * partial pipeline retry, or on a directory that keeps growing loads
+    * each file exactly once. Loaded source files are IMMUTABLE: the
+    * recorded mtime is compared on every run, and a file regenerated in
+    * place (same name, new mtime) refuses the statement loudly instead of
+    * being silently skipped. Returns (version, filesLoaded) —
+    * (currentHead, 0) when everything listed was already loaded, including
+    * when a concurrent COPY INTO won the race for the whole batch.
+    *
+    * Scale shape: one driver listing of the SOURCE directory (inherent to
+    * the statement), one key-diff against the txn map (O(source files)),
+    * and one distributed parquet read → append of only the new files. The
+    * table's own size never enters. Schema must match the table's (the
+    * append's contract) — a drifted source file refuses the whole commit
+    * atomically, naming the mismatch. */
   def copyInto(spark: SparkSession, tablePath: String, srcDir: String,
       pattern: Option[String] = None): (Long, Int) = {
     val src = new Path(srcDir)
@@ -1883,7 +1884,7 @@ object VersionedTable {
     if (partCols.isEmpty && c.colMap.isEmpty && !withKeys) return raw
     val withMeta =
       if (partCols.isEmpty && !withKeys) raw
-      else joinFileMeta(spark, raw, files,
+      else joinFileMeta(spark, raw, root, files,
         partCols.map(n => s(s.fieldIndex(n))), c.physName, withKeys)
     val dataCols = s.fields.map(fl =>
       (if (partSet(fl.name)) col(s"__graft_p_${fl.name}").cast(fl.dataType)
@@ -1896,35 +1897,30 @@ object VersionedTable {
     * therefore exposes `_metadata`): the manifest FILE KEY (`withKeys`,
     * with [[RowIdxCol]]) and one STRING column `__graft_p_<logical>` per
     * partition field — partition columns live in dir names, not in the
-    * files. One broadcast lookup row per FILE, keyed by the URL-ENCODED
-    * relative path computed with the SAME encoder that produced
-    * `_metadata.file_path` (hadoop Path → java URI: '%'→%25, space→%20,
-    * '+' kept) — re-deriving those rules by hand, or a SQL-side
-    * url-decode (whose '+'-to-space rule disagrees with hive escaping),
-    * is how values get silently nulled. Values are hive-unescaped on the
-    * driver. The greedy ".*" anchors on the LAST d-* segment, so a table
-    * ROOT containing an ancestor dir named d-something cannot shift the
-    * key.
+    * files. One broadcast lookup row per FILE, keyed by the ABSOLUTE
+    * file_path string, rebuilt on the driver with the SAME rules that
+    * produced `_metadata.file_path` (scheme + ':' + URI-RAW percent-
+    * encoded path — see GraftBatchShim.rootAbsOf/encRel) — layout-
+    * independent (token dirs, hive dirs, CONVERTed token-less trees at
+    * any depth), unlike the previous d-token regex anchor, which silently
+    * nulled every partition value on adopted files. Values are
+    * hive-unescaped on the driver.
     *
     * Every `_metadata`-derived column is materialized BEFORE the join:
     * the hidden metadata column does not survive one. */
   private[graft] def joinFileMeta(spark: SparkSession, base: DataFrame,
-      files: Seq[String],
+      root: Path, files: Seq[String],
       partFields: Seq[org.apache.spark.sql.types.StructField],
       physName: String => String,
       withKeys: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField}
-    // token dirs never contain '=' and partition dirs always do, so the
-    // [^/=] guard keeps the anchor off a partition COLUMN named d-*
-    // (GraftBatchScan.fileKey applies the same rule). Partition-values-only
-    // callers key by the encoded DIRECTORY — one lookup row per distinct
-    // dir, not per file (same values, far smaller broadcast on
-    // many-files-per-dir tables); key-carrying callers key per file.
+    val rootAbs = org.apache.spark.sql.graft.GraftBatchShim.rootAbsOf(spark, root)
+    // partition-values-only callers key by the DIRECTORY — one lookup row
+    // per distinct dir, not per file (same values, far smaller broadcast
+    // on many-files-per-dir tables); key-carrying callers key per file
     val keyed0 = base.withColumn("__graft_enc",
-      if (withKeys)
-        regexp_extract(col("_metadata.file_path"), "^.*/(d-[^/=]+/.+)$", 1)
-      else
-        regexp_extract(col("_metadata.file_path"), "^.*/(d-[^/=]+/.+)/[^/]+$", 1))
+      if (withKeys) col("_metadata.file_path")
+      else regexp_extract(col("_metadata.file_path"), "^(.*)/[^/]+$", 1))
     val keyed =
       if (withKeys) keyed0.withColumn(RowIdxCol, col("_metadata.row_index"))
       else keyed0
@@ -1934,20 +1930,19 @@ object VersionedTable {
         partFields.map(fl =>
           StructField(s"__graft_p_${fl.name}", StringType, nullable = true)))
     def enc(rel: String): String =
-      new Path("/" + rel).toUri.getRawPath.stripPrefix("/")
+      org.apache.spark.sql.graft.GraftBatchShim.encRel(rel)
     val lookupRows: java.util.List[org.apache.spark.sql.Row] = {
       val rows =
         if (withKeys) files.distinct.map { rel =>
           org.apache.spark.sql.Row.fromSeq(
-            Seq(enc(rel), rel) ++ partFields.map(fl =>
+            Seq(rootAbs + enc(rel), rel) ++ partFields.map(fl =>
               rawPartValue(partFragOf(rel), physName(fl.name)).orNull))
         }
         else files.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
           .map { dirRel =>
-            val frag = dirRel // rawPartValue picks the col=value segments
             org.apache.spark.sql.Row.fromSeq(
-              enc(dirRel) +: partFields.map(fl =>
-                rawPartValue(frag, physName(fl.name)).orNull))
+              (rootAbs + enc(dirRel)) +: partFields.map(fl =>
+                rawPartValue(dirRel, physName(fl.name)).orNull))
           }
       java.util.Arrays.asList(rows: _*)
     }

@@ -219,15 +219,20 @@ object StreamingSilver {
           col("m.c_doc").as("dup_of"),
           col("m.est").as("est_jaccard"),
           col("m").isNotNull.as("is_dup"))
-      // decisions FIRST (they are defined against the pre-append index),
-      // index second — see the replay contract in the header
-      VersionedTable.commitBatch(decisions, decisionsPath,
-        s"$appId:decisions", batchId)
-      val survivors = rows.join(
-        decisions.filter(col("is_dup")).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      VersionedTable.commitBatch(survivors, indexPath,
-        s"$appId:index", batchId): Unit
+      // decisions feed BOTH commits — persist so the candidate probe and
+      // aggregation run once, not once per commit
+      decisions.persist()
+      try {
+        // decisions FIRST (they are defined against the pre-append index),
+        // index second — see the replay contract in the header
+        VersionedTable.commitBatch(decisions, decisionsPath,
+          s"$appId:decisions", batchId)
+        val survivors = rows.join(
+          decisions.filter(col("is_dup")).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        VersionedTable.commitBatch(survivors, indexPath,
+          s"$appId:index", batchId): Unit
+      } finally decisions.unpersist(): Unit
     } finally sig.unpersist(): Unit
   }
 

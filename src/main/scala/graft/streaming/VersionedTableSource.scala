@@ -476,7 +476,7 @@ private[streaming] class VersionedTableSource(
     } else {
       import org.apache.spark.sql.functions.col
       val partFields = partCols.map(n => schema(schema.fieldIndex(n)))
-      VersionedTable.joinFileMeta(spark, batch, added, partFields,
+      VersionedTable.joinFileMeta(spark, batch, root, added, partFields,
         n => pinnedMapping.getOrElse(n, n), withKeys = false)
         .select(schema.fields.map(f =>
           (if (partSet(f.name)) col(s"__graft_p_${f.name}").cast(f.dataType)

@@ -187,7 +187,12 @@ private[graft] class GraftFileIndex(
   */
 private[graft] class GraftParquetFileFormat(
     val colMap: Map[String, String],
-    @transient val dvThunk: Option[() => Broadcast[Map[String, Array[Long]]]])
+    @transient val dvThunk: Option[() => Broadcast[Map[String, Array[Long]]]],
+    /** DECODED qualified table-root path prefix WITH trailing slash
+      * ("/t/root/"): stripping it off a scanned file's decoded URI path
+      * yields the manifest's root-relative key for ANY layout — token
+      * dirs, hive dirs, and CONVERTed token-less trees at any depth. */
+    val rootAbs: String = "")
     extends ParquetFileFormat {
 
   /** Marks are collected + broadcast LAZILY, at the first reader build
@@ -213,7 +218,8 @@ private[graft] class GraftParquetFileFormat(
   // compares by class only; two snapshots can differ in mapping or marks)
   override def equals(other: Any): Boolean = other match {
     case g: GraftParquetFileFormat =>
-      g.colMap == colMap && ((g.dvThunk, dvThunk) match {
+      g.colMap == colMap && g.rootAbs == rootAbs &&
+      ((g.dvThunk, dvThunk) match {
         case (None, None) => true
         case (Some(a), Some(b)) => a eq b
         case _ => false
@@ -263,6 +269,12 @@ private[graft] class GraftParquetFileFormat(
     * paths. Partition dirs always contain '=' and token dirs never do, so
     * the anchor cannot land on a partition segment. */
   private def fileKey(pf: PartitionedFile): String = {
+    // decoded URI path on both sides: no encoding round-trip to get wrong
+    val full = pf.toPath.toUri.getPath
+    if (rootAbs.nonEmpty && full.startsWith(rootAbs))
+      return full.substring(rootAbs.length)
+    // legacy fallback (relations built before the root rode the format):
+    // anchor on the token dir, else parent/name
     val segs = pf.toPath.toUri.getPath.split('/')
     val i = segs.lastIndexWhere(seg => seg.startsWith("d-") && !seg.contains('='))
     if (i >= 0) segs.drop(i).mkString("/")
@@ -328,6 +340,34 @@ private[graft] class GraftParquetFileFormat(
   * `private[sql]` constructors). */
 object GraftBatchShim {
 
+  /** The qualified-root prefix of `_metadata.file_path`, trailing slash
+    * included. file_path renders scheme + ':' [+ '//' authority] + the
+    * URI-RAW (percent-encoded) path — NOT `Path.toString` (decoded) and
+    * NOT `toUri.toString` (empty authority renders '//'); empirically
+    * pinned by MetaKeySpec. Append [[encRel]] of a manifest rel to get
+    * that file's exact file_path. */
+  def rootAbsOf(spark: SparkSession, root: Path): String = {
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val u = f.makeQualified(root).toUri
+    val sb = new StringBuilder
+    if (u.getScheme != null) sb.append(u.getScheme).append(':')
+    if (u.getAuthority != null && u.getAuthority.nonEmpty)
+      sb.append("//").append(u.getAuthority)
+    sb.append(u.getRawPath).append('/')
+    sb.toString
+  }
+
+  /** A manifest-relative path in file_path's encoding (URI raw). */
+  def encRel(rel: String): String =
+    new Path("/" + rel).toUri.getRawPath.stripPrefix("/")
+
+  /** DECODED qualified-root path prefix ("/tmp/root/", scheme-less) — the
+    * prefix of `pf.toPath.toUri.getPath`, for scan-side key recovery. */
+  def rootPathOf(spark: SparkSession, root: Path): String = {
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    f.makeQualified(root).toUri.getPath + "/"
+  }
+
   def relation(
       spark: SparkSession,
       root: Path,
@@ -361,7 +401,8 @@ object GraftBatchShim {
       dataSchema = StructType(
         logicalSchema.fields.filterNot(f => partSet(f.name))).asNullable,
       bucketSpec = None,
-      fileFormat = new GraftParquetFileFormat(colMap, bcThunk),
+      fileFormat = new GraftParquetFileFormat(colMap, bcThunk,
+        GraftBatchShim.rootPathOf(spark, root)),
       options = Map.empty)(session)
   }
 

@@ -751,11 +751,23 @@ class GraftSqlSpec extends SparkSpec {
     // partition pruning works on the converted layout (no token dirs)
     assert(spark.sql(s"SELECT count(*) FROM graft.`$p` WHERE dt = '2026-01-01'")
       .collect().head.getLong(0) == 2L)
-    // a CoW verb on adopted files: DELETE rewrites only the touched ones
+    // a CoW verb on adopted files: DELETE rewrites only the touched ones,
+    // and the surviving rows keep their FULL values — the partition column
+    // must survive the rewrite (the file-key join must resolve adopted
+    // token-less paths, not silently null dt)
     spark.sql(s"DELETE FROM graft.`$p` WHERE id = 1")
-    assert(spark.read.format("graft-table").load(p).count() == 3)
+    assert(spark.read.format("graft-table").load(p)
+      .select($"id", $"s", $"dt").collect().map(_.toString).toSet ==
+      (before - "[1,a,2026-01-01]"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$p` WHERE dt = '2026-01-01'")
+      .collect().head.getLong(0) == 1L)
     // time travel still serves the adopted snapshot
     assert(VersionedTable.read(spark, p, Some(1L)).count() == 4)
+    // deletion vectors on adopted files: the scan-side file key must match
+    // the manifest key for token-less paths, or the marks never apply
+    VersionedTable.deleteVectorized(spark, p, $"id" === 2L, purgeFraction = 1.0)
+    assert(spark.read.format("graft-table").load(p)
+      .select($"id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
     // refusals: double-convert, and a root-level parquet file
     val e = intercept[Exception] { VersionedTable.convertToGraft(spark, p) }
     assert(messagesOf(e).contains("already a graft table"), messagesOf(e))
@@ -768,6 +780,25 @@ class GraftSqlSpec extends SparkSpec {
       }
     val e2 = intercept[Exception] { VersionedTable.convertToGraft(spark, p2) }
     assert(messagesOf(e2).contains("table root"), messagesOf(e2))
+  }
+
+  test("CONVERT TO GRAFT: two-level partitions round-trip values and DVs at depth") {
+    val p = Files.createTempDirectory("graft-convert3").toString + "/t"
+    Seq((1L, "2026-01-01", 0), (2L, "2026-01-01", 1), (3L, "2026-01-02", 0))
+      .toDF("id", "dt", "h").write.partitionBy("dt", "h").parquet(p)
+    VersionedTable.convertToGraft(spark, p)
+    val t = spark.read.format("graft-table").load(p)
+    assert(t.select($"id", $"dt", $"h").collect().map(_.toString).toSet ==
+      Set("[1,2026-01-01,0]", "[2,2026-01-01,1]", "[3,2026-01-02,0]"))
+    // depth-2 adopted paths: CoW rewrite keeps both partition values
+    spark.sql(s"UPDATE graft.`$p` SET id = id + 10 WHERE h = 1")
+    assert(spark.read.format("graft-table").load(p)
+      .select($"id", $"dt", $"h").collect().map(_.toString).toSet ==
+      Set("[1,2026-01-01,0]", "[12,2026-01-01,1]", "[3,2026-01-02,0]"))
+    // depth-2 DV: scan-side key must equal the full dir-relative manifest key
+    VersionedTable.deleteVectorized(spark, p, $"id" === 3L, purgeFraction = 1.0)
+    assert(spark.read.format("graft-table").load(p)
+      .select($"id").collect().map(_.getLong(0)).toSet == Set(1L, 12L))
   }
 
   test("REORG TABLE APPLY (PURGE) materializes DV marks; re-run is a no-op") {
