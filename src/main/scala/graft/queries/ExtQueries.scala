@@ -676,8 +676,70 @@ object ExtQueries {
       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tpch_q6 — forecasting-revenue shape (TPC-H Q6): the pure-scan
+  // aggregate whose entire cost is pushdown quality — date range, discount
+  // band and quantity cap must ALL reach the parquet scan, then one
+  // map-side-combined global sum. The simplest query and the cleanest
+  // pushdown differential: PlanAuditSpec asserts every predicate lands in
+  // PushedFilters.
+  // --------------------------------------------------------------------------
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")).between("1995-01-01", "1995-12-31") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val tpchQ6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q10 — returned-item-reporting shape (TPC-H Q10): revenue lost
+  // to returns per customer — fact filter (returnflag) → join orders (date
+  // window) → join customer dims → top-20 by revenue. The classic
+  // star-join + TakeOrdered shape: dims broadcast, one shuffle on the
+  // group key, the top-k short-circuits without a global sort.
+  // --------------------------------------------------------------------------
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+        .filter(to_date(col("o_orderdate")).between("1995-01-01", "1995-06-30")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q6"      -> (tpchQ6 _),
+    "q_tpch_q10"     -> (tpchQ10 _),
     "q_tpch_q15"     -> (tpchQ15 _),
     "q_tpch_q4"      -> (tpchQ4 _),
     "q_tpch_q12"     -> (tpchQ12 _),
@@ -701,6 +763,8 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q6"      -> tpchQ6Sql,
+    "q_tpch_q10"     -> tpchQ10Sql,
     "q_tpch_q15"     -> tpchQ15Sql,
     "q_tpch_q4"      -> tpchQ4Sql,
     "q_tpch_q12"     -> tpchQ12Sql,

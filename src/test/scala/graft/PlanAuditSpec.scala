@@ -480,6 +480,16 @@ class PlanAuditSpec extends SparkSpec {
       !p18.contains("BroadcastNestedLoopJoin"), p18)
   }
 
+  test("q_tpch_q6: every predicate reaches the scan; q_tpch_q10 top-20 short-circuits") {
+    val p6 = plan("q_tpch_q6")
+    val pushed = p6.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity") &&
+      pushed.contains("l_shipdate"), pushed)
+    val p10 = plan("q_tpch_q10")
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    assert(p10.contains("BroadcastHashJoin"), p10)
+  }
+
   test("q_bm25: top-k is two-phase salted; query-side tables broadcast") {
     val df = SparkEntry.queries("q_bm25")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
