@@ -828,13 +828,13 @@ object TextQueries {
   // --------------------------------------------------------------------------
   def lmTypicality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // trigrams ride as packed int codes from the codegen'd
-    // CharTrigramCodes expression (injective for the byte window, equal to
-    // char trigrams on ASCII text — the substring formulation allocated a
-    // UTF8String per position and joined on string keys; this one emits a
-    // primitive array and joins on ints). Short strings yield an empty
-    // array, so the explode drops them exactly like the oracle's
-    // length >= 3 guard.
+    // trigrams ride as packed long codes from the codegen'd
+    // CharTrigramCodes expression (injective over CODE POINTS, so equal to
+    // the oracle's substr char trigrams on ANY text, multi-byte UTF-8
+    // included — the substring formulation allocated a UTF8String per
+    // position and joined on string keys; this one emits a primitive array
+    // and joins on longs). Short strings yield an empty array, so the
+    // explode drops them exactly like the oracle's length >= 3 guard.
     def triExplode(df: DataFrame, extra: Column*): DataFrame =
       df.select(extra :+
         explode(graft.functions.CharTrigramCodes(col("text"))).as("tri"): _*)
@@ -845,10 +845,11 @@ object TextQueries {
     val c3 = triExplode(docs.filter(col("lang") === DsirTargetLang))
       .groupBy(col("tri")).agg(count(lit(1)).as("c"))
       .cache()
-    // prefix of the code = its high two bytes (substring(tri,1,2) ≡ tri>>8)
-    val c2 = c3.groupBy(shiftright(col("tri"), 8).as("pre"))
+    // prefix of the code = its high two code points (substring(tri,1,2) ≡
+    // tri>>21: drop the 21-bit last code point)
+    val c2 = c3.groupBy(shiftright(col("tri"), 21).as("pre"))
       .agg(sum(col("c")).as("s"))
-    val model = c3.join(c2, shiftright(col("tri"), 8) === col("pre"))
+    val model = c3.join(c2, shiftright(col("tri"), 21) === col("pre"))
       .select(col("tri"),
         round(col("c").cast(DoubleType) / col("s").cast(DoubleType) * 1000000.0)
           .cast(LongType).as("q"))

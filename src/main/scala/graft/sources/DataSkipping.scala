@@ -83,8 +83,12 @@ object DataSkipping {
   // ------------------------------------------------------------------
 
   /** One file's manifest-bound metadata: per-column min/max stats plus the
-    * file's total row count (the latter powers metadata-only `count(*)`). */
-  final case class FileMeta(stats: Map[String, ColStat], rows: Long)
+    * file's total row count (the latter powers metadata-only `count(*)`)
+    * and the footer's top-level field names (CONVERT uses these to refuse
+    * adopting a directory whose files disagree on schema — the same footer
+    * pass, no extra I/O). */
+  final case class FileMeta(stats: Map[String, ColStat], rows: Long,
+      fields: Seq[String] = Nil)
 
   /** Read per-file min/max for `cols` AND per-file row counts from the
     * parquet FOOTERS of `files` (pairs of manifest key → absolute path),
@@ -176,7 +180,10 @@ object DataSkipping {
           Some(name -> ColStat(tmn, tmx, nulls, allNulls = values == 0L, inexact))
         }
       }.toMap
-      FileMeta(colStats, rowCount)
+      val fieldNames =
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSeq
+      FileMeta(colStats, rowCount, fieldNames)
     } finally reader.close()
   }
 

@@ -1287,8 +1287,12 @@ object VersionedTable {
     * Refusals: an existing commit log (already converted), zero parquet
     * files, files sitting directly at the table root (the manifest and
     * scan key files as `dir/file`; move them into a subdirectory first),
-    * and statsCols naming partition columns (their values live in paths,
-    * not footers). */
+    * statsCols naming partition columns (their values live in paths, not
+    * footers), files whose FOOTER SCHEMAS disagree (one footer would be
+    * silently adopted for all — evolve the layout to one schema first),
+    * and `key=value` directory segments whose key is not a discovered
+    * partition column (ambiguous: the partition parser would read them as
+    * metadata). */
   def convertToGraft(spark: SparkSession, path: String,
       statsCols: Seq[String] = Nil): Long = {
     val root = new Path(path)
@@ -1307,6 +1311,10 @@ object VersionedTable {
       if (st.getPath.getName.endsWith(".parquet") &&
         !segs.exists(sg => sg.startsWith("_") || sg.startsWith(".")))
         files += rel
+      // a million-file adoption is a minutes-long driver listing; make it
+      // observably alive rather than silent
+      if (files.nonEmpty && files.size % 100000 == 0)
+        System.err.println(s"[graft] CONVERT $path: listed ${files.size} files…")
     }
     require(files.nonEmpty, s"$path: no parquet files to convert")
     val atRoot = files.filterNot(_.contains('/'))
@@ -1315,19 +1323,45 @@ object VersionedTable {
         s"manifest keys files as dir/file (${atRoot.take(3).mkString(", ")}" +
         "); move them into a subdirectory first")
     // full schema WITH discovered partition columns (appended last, typed
-    // by Spark's partition inference); the physical file schema tells the
-    // two apart
+    // by Spark's partition inference); the footer field census below tells
+    // the two apart — and proves every file carries the SAME data columns,
+    // so the adopted (single-footer) schema is the schema of every file,
+    // not just of whichever footer the reader happened to open
     val full = spark.read.parquet(path).schema
-    val dataCols = spark.read
-      .parquet(new Path(root, files.head).toString).schema.fieldNames.toSet
+    val meta = DataSkipping.collectMeta(
+      spark, files.toSeq.map(r => r -> new Path(root, r).toString), statsCols)
+    val fieldSets = meta.view.mapValues(_.fields.toSet).toMap
+    val dataCols = fieldSets.valuesIterator.next()
+    val disagree = fieldSets.filter(_._2 != dataCols).keys.toSeq.sorted
+    require(disagree.isEmpty,
+      s"$path: file schemas disagree — ${disagree.take(3).mkString(", ")} " +
+        s"carry different columns than ${fieldSets.keysIterator.next()}; " +
+        "CONVERT adopts one schema for every file, so a heterogeneous " +
+        "directory (schema evolution in place) must be rewritten to one " +
+        "schema first")
     val partCols = full.fields.map(_.name).filterNot(dataCols).toSeq
+    // any key=value directory segment must name a discovered partition
+    // column; anything else is ambiguous (the path parser would adopt it)
+    val eqKeys = files.iterator.flatMap(_.split('/').dropRight(1)).toSet[String]
+      .flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i)) else None
+      }
+    val rogue = (eqKeys -- partCols).toSeq.sorted
+    require(rogue.isEmpty,
+      s"$path: directory segment key(s) ${rogue.mkString(", ")} look like " +
+        "hive partition metadata but were not discovered as partition " +
+        "columns — rename those directories (or fix the layout) before " +
+        "converting; adopting them would mis-parse partition values")
     val badStats = statsCols.filterNot(dataCols)
     require(badStats.isEmpty,
       s"$path: statsCols ${badStats.mkString(", ")} are not data columns " +
         "(partition values live in paths, not footers)")
     val schema =
       if (partCols.isEmpty) full else withPartitionMeta(full, partCols)
-    val (st, rw) = metaFor(spark, root, files.toSeq, statsCols)
+    val st = if (statsCols.isEmpty) Map.empty[String, Map[String, DataSkipping.ColStat]]
+      else meta.map { case (k, m) => k -> m.stats }
+    val rw = meta.map { case (k, m) => k -> m.rows }
     val (body, ckptDir) = encodeCommit(spark, root, 1L, files.toSeq,
       schema.json, st, rw, txn = Map.empty)
     if (!tryCommit(f, root, 1L, body)) {
@@ -1844,15 +1878,28 @@ object VersionedTable {
     else StructType(s.fields.map(fl => fl.copy(name = c.physName(fl.name))))
 
   /** The partition fragment of a root-relative file: the `col=value`
-    * directory segments ONLY, in path order. Two jobs depend on exactly
-    * this shape: value parsing ([[rawPartValue]]) and partition GROUPING
-    * (autoCompact/compact/SHOW PARTITIONS bucket files across commits by
-    * this key — a fragment that included the per-commit token dir would
-    * put every commit in its own group and quietly disable cross-commit
+    * directory segments whose key is a DECLARED (physical) partition
+    * column, in path order. Two jobs depend on exactly this shape: value
+    * parsing ([[rawPartValue]]) and partition GROUPING (autoCompact/
+    * compact/SHOW PARTITIONS bucket files across commits by this key — a
+    * fragment that included the per-commit token dir would put every
+    * commit in its own group and quietly disable cross-commit
     * bin-packing). Token dirs never contain '='; CONVERTed layouts have
-    * no token dir at all; both reduce to the same fragment. */
-  private def partFragOf(rel: String): String =
-    rel.split('/').dropRight(1).filter(_.contains('=')).mkString("/")
+    * no token dir at all; both reduce to the same fragment. Restricting
+    * to declared keys (rather than any '='-containing segment) keeps a
+    * CONVERTed tree's incidental `name=value` subdirectories out of the
+    * partition metadata — [[convertToGraft]] additionally refuses
+    * adoption when such ambiguous segments are present. */
+  private def partFragOf(rel: String, partKeys: Set[String]): String =
+    rel.split('/').dropRight(1).filter { seg =>
+      val i = seg.indexOf('=')
+      i > 0 && partKeys(seg.substring(0, i))
+    }.mkString("/")
+
+  /** Physical names of the commit's declared partition columns — the only
+    * keys [[partFragOf]] may treat as partition metadata. */
+  private def partPhysOf(c: Commit): Set[String] =
+    c.schema.map(partitionColsOf).getOrElse(Nil).map(c.physName).toSet
 
   /** The raw (hive-unescaped) value of partition column `physName` inside a
     * fragment; None for the hive null sentinel or an absent segment. */
@@ -1933,10 +1980,13 @@ object VersionedTable {
       org.apache.spark.sql.graft.GraftBatchShim.encRel(rel)
     val lookupRows: java.util.List[org.apache.spark.sql.Row] = {
       val rows =
-        if (withKeys) files.distinct.map { rel =>
-          org.apache.spark.sql.Row.fromSeq(
-            Seq(rootAbs + enc(rel), rel) ++ partFields.map(fl =>
-              rawPartValue(partFragOf(rel), physName(fl.name)).orNull))
+        if (withKeys) {
+          val partKeys = partFields.map(fl => physName(fl.name)).toSet
+          files.distinct.map { rel =>
+            org.apache.spark.sql.Row.fromSeq(
+              Seq(rootAbs + enc(rel), rel) ++ partFields.map(fl =>
+                rawPartValue(partFragOf(rel, partKeys), physName(fl.name)).orNull))
+          }
         }
         else files.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
           .map { dirRel =>
@@ -2230,7 +2280,7 @@ object VersionedTable {
       s"$path: SHOW PARTITIONS needs a schema-recorded table"))
     val partCols = partitionColsOf(s)
     require(partCols.nonEmpty, s"$path is not partitioned")
-    c.files.groupBy(partFragOf).toSeq.map { case (frag, fs) =>
+    c.files.groupBy(partFragOf(_, partPhysOf(c))).toSeq.map { case (frag, fs) =>
       // display under LOGICAL names (the fragment holds physical ones)
       val display = partCols.map { n =>
         val shown = rawPartValue(frag, c.physName(n))
@@ -2375,7 +2425,7 @@ object VersionedTable {
         // values are per DIRECTORY: evaluate once per distinct fragment,
         // not once per file (1M files over 1K dirs = 1K evals, not 1M)
         val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
-        val byFrag = c.files.groupBy(partFragOf)
+        val byFrag = c.files.groupBy(partFragOf(_, partPhysOf(c)))
         byFrag.iterator.flatMap { case (frag, fks) =>
           if (DataSkipping.canSkip(resolved,
             partColStats(c, partFields, frag, zone))) fks
@@ -4019,11 +4069,13 @@ object VersionedTable {
         val minFiles = props.get(AutoCompactMinFilesKey).map(_.trim.toInt).getOrElse(8)
         val target = props.get(AutoCompactTargetKey).map(_.trim.toLong)
           .getOrElse(128L * 1024 * 1024)
-        val touched = newRel.map(partFragOf).toSet
-        compactImpl(spark, path, target, (_, c) =>
-          c.files.groupBy(partFragOf).collect {
+        compactImpl(spark, path, target, (_, c) => {
+          val pk = partPhysOf(c)
+          val touched = newRel.map(partFragOf(_, pk)).toSet
+          c.files.groupBy(partFragOf(_, pk)).collect {
             case (frag, fks) if touched(frag) && fks.size >= minFiles => fks
-          }.flatten.toSet)
+          }.flatten.toSet
+        })
       }
 
   def compact(spark: SparkSession, path: String,
@@ -4064,7 +4116,7 @@ object VersionedTable {
         BoundReference(partCols.indexOf(a.name), a.dataType, a.nullable)
     }
     val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
-    c.files.groupBy(partFragOf).iterator.flatMap { case (frag, fks) =>
+    c.files.groupBy(partFragOf(_, partPhysOf(c))).iterator.flatMap { case (frag, fks) =>
       val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
         partFields.map { fl =>
           rawPartValue(frag, c.physName(fl.name)) match {

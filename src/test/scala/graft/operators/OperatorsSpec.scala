@@ -217,9 +217,13 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got.head.getDouble(0) == 32.0)
   }
 
-  test("codegen trigram codes match the substring formulation on ASCII, incl. edges") {
+  test("codegen trigram codes match the substring formulation, incl. non-ASCII") {
     import graft.functions.CharTrigramCodes
-    val df = Seq("the cat sat", "ab", "abc", "", "xyz xyz").toDF("text")
+    // multi-byte coverage: 2-byte (é, ü), 3-byte (日本語, 好), 4-byte (😀,
+    // U+10000) — code-point windows must equal SQL character windows here,
+    // where the old byte-window formulation diverged
+    val df = Seq("the cat sat", "ab", "abc", "", "xyz xyz",
+      "café über", "日本語テスト", "a😀b😀c", "na𐀀ve").toDF("text")
     val got = df.select(col("text"),
       CharTrigramCodes(col("text")).as("codes"),
       // sequence(1, 0) counts DOWN in Spark, so guard short strings
@@ -227,19 +231,26 @@ class VectorFunctionsSpec extends SparkSpec {
         "sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
         "ELSE array() END").as("tris")).collect()
     got.foreach { r =>
-      val codes = r.getSeq[Int](1)
+      val codes = r.getSeq[Long](1)
       val tris = r.getSeq[String](2)
       assert(codes.length == tris.length, r.getString(0))
-      // injective packing: code == (c0<<16)|(c1<<8)|c2 of the trigram chars
+      // injective packing: code == (cp0<<42)|(cp1<<21)|cp2 of the trigram
+      // CODE POINTS (21 bits each)
       codes.zip(tris).foreach { case (c, t) =>
-        val expect = (t.charAt(0) << 16) | (t.charAt(1) << 8) | t.charAt(2)
+        val cp0 = t.codePointAt(0)
+        val cp1 = t.codePointAt(t.offsetByCodePoints(0, 1))
+        val cp2 = t.codePointAt(t.offsetByCodePoints(0, 2))
+        val expect = (cp0.toLong << 42) | (cp1.toLong << 21) | cp2.toLong
         assert(c == expect, s"'$t' -> $c vs $expect")
+        // the substr(tri,1,2) prefix is the top two code points: code >>> 21
+        assert((c >>> 21) == ((cp0.toLong << 21) | cp1.toLong))
       }
     }
     // null propagates; 0-2 char strings yield empty arrays, not errors
-    val edge = Seq(Option.empty[String], Some("ab")).toDF("text")
+    val edge = Seq(Option.empty[String], Some("ab"), Some("日本")).toDF("text")
       .select(CharTrigramCodes(col("text")).as("c")).collect()
-    assert(edge(0).isNullAt(0) && edge(1).getSeq[Int](0).isEmpty)
+    assert(edge(0).isNullAt(0) && edge(1).getSeq[Long](0).isEmpty &&
+      edge(2).getSeq[Long](0).isEmpty)
   }
 
   test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
