@@ -47,11 +47,25 @@ object SkippingQueries {
 
   /** Shared fixture-path recipe (any source table): one place owns the
     * fingerprint rules, so a future cache-key fix (the round-7 stale-
-    * fixture lesson) propagates to every fixture consumer at once. */
+    * fixture lesson) propagates to every fixture consumer at once.
+    *
+    * The source may be a single parquet file or a parquet DIRECTORY; for a
+    * directory, `length` is meaningless and the top-level mtime only moves
+    * when direct children are added/removed — an in-place rewrite of a
+    * nested part file would serve a stale fixture. So the fingerprint is
+    * the RECURSIVE listing: (relative name, length, mtime) of every
+    * regular file under the source, sorted for determinism. */
   private[graft] def cachedFixturePath(dir: String, tag: String,
       srcName: String): String = {
     val src = new java.io.File(s"$dir/$srcName")
-    val ident = s"$dir|${src.length}|${src.lastModified}"
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val files =
+      if (src.exists()) walk(src)
+        .map(f => s"${f.getPath.stripPrefix(src.getPath)}|${f.length}|${f.lastModified}")
+      else Seq("absent")
+    val ident = s"$dir|${files.mkString(";")}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
@@ -472,6 +486,94 @@ object SkippingQueries {
       |       THEN u.value ELSE s.value END AS cur_value
       |FROM upd u LEFT JOIN seed s ON s.user_id = u.user_id""".stripMargin
 
+  def applyChangesTablePath(dir: String): String =
+    cachedTablePath(dir, "applychanges_v1")
+
+  /** Idempotently build the APPLY CHANGES fixture: seed = each user's
+    * SECOND-latest event (v1), then ONE out-of-order CDC batch applied via
+    * the SQL `APPLY CHANGES INTO` statement (v2). The batch mixes all four
+    * guard branches by user-id residue mod 4: 0 → fresh tombstone
+    * (applies, key removed), 2 → LATE tombstone (ignored, stored row
+    * survives), 1 → fresh update (applies), 3 → LATE update (ignored).
+    * Single-event users are absent from the seed: their op='upsert' rows
+    * INSERT, their op='delete' rows are no-ops (tombstones never insert).
+    * Atomic commits make the recipe resume from either checkpoint. */
+  def ensureApplyChangesTable(spark: SparkSession, dir: String): String = {
+    val path = applyChangesTablePath(dir)
+    import org.apache.spark.sql.expressions.Window
+    lazy val ranked = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rd", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("ra", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)))
+    def shape(df: DataFrame): DataFrame = df.select(col("user_id"),
+      col("event_id").as("cur_event"), col("ts").as("seq_ts"),
+      col("value").as("cur_value"))
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(shape(ranked.filter(col("rd") === 2)), path,
+        statsCols = Seq("user_id"))
+    if (VersionedTable.latestVersion(spark, path).contains(1L)) {
+      // residue picks fresh (rd=1) vs late (ra=1) rows; op rides along and
+      // is dropped by COLUMNS * EXCEPT after the delete decision reads it
+      val cdc = shape(ranked.filter(
+        (col("user_id") % 4 === 0 && col("rd") === 1) ||
+          (col("user_id") % 4 === 2 && col("ra") === 1) ||
+          (col("user_id") % 4 === 1 && col("rd") === 1) ||
+          (col("user_id") % 4 === 3 && col("ra") === 1)))
+        .withColumn("op",
+          when(col("user_id") % 4 === 0 || col("user_id") % 4 === 2,
+            lit("delete")).otherwise(lit("upsert")))
+      val view = s"graft_cdc_batch_${math.abs(path.hashCode)}"
+      cdc.createOrReplaceTempView(view)
+      spark.sql(
+        s"""APPLY CHANGES INTO graft.`$path` FROM $view
+           |KEYS (user_id)
+           |APPLY AS DELETE WHEN op = 'delete'
+           |SEQUENCE BY seq_ts
+           |COLUMNS * EXCEPT (op)""".stripMargin)
+      spark.catalog.dropTempView(view)
+    }
+    path
+  }
+
+  /** q_sql_apply_changes — the SQL CDC-apply statement under the oracle
+    * gate: the post-apply state must equal DuckDB replaying the per-key
+    * guard rule (a change wins iff the key is absent or its sequence >=
+    * the stored row's; winning tombstones remove, losing anything is
+    * ignored, tombstones never insert) over the raw events. One green row
+    * proves the statement's parse, clause mapping and the guarded CoW
+    * merge end to end. */
+  def sqlApplyChanges(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureApplyChangesTable(spark, dir)
+    spark.sql(s"SELECT user_id, cur_event, cur_value FROM graft.`$path`")
+  }
+
+  val sqlApplyChangesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY t DESC, event_id DESC) AS rd,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY t ASC, event_id ASC) AS ra
+      |  FROM e),
+      |seed AS (SELECT user_id, event_id, t, value FROM r WHERE rd = 2),
+      |cdc AS (
+      |  SELECT user_id, event_id, t, value,
+      |    CASE WHEN user_id % 4 IN (0, 2) THEN 'delete' ELSE 'upsert' END AS op
+      |  FROM r
+      |  WHERE (user_id % 4 = 0 AND rd = 1) OR (user_id % 4 = 2 AND ra = 1)
+      |     OR (user_id % 4 = 1 AND rd = 1) OR (user_id % 4 = 3 AND ra = 1))
+      |SELECT c.user_id,
+      |  CASE WHEN s.user_id IS NULL OR c.t >= s.t
+      |       THEN c.event_id ELSE s.event_id END AS cur_event,
+      |  CASE WHEN s.user_id IS NULL OR c.t >= s.t
+      |       THEN c.value ELSE s.value END AS cur_value
+      |FROM cdc c LEFT JOIN seed s ON s.user_id = c.user_id
+      |WHERE NOT (c.op = 'delete' AND (s.user_id IS NULL OR c.t >= s.t))""".stripMargin
+
   def genIdTablePath(dir: String): String = cachedTablePath(dir, "genid_v1")
 
   /** Idempotently build the generated+identity fixture: CREATE TABLE with
@@ -620,6 +722,7 @@ object SkippingQueries {
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
     "q_guarded_merge" -> (guardedMerge _),
+    "q_sql_apply_changes" -> (sqlApplyChanges _),
     "q_gen_identity" -> (genIdentity _),
     "q_sql_merge" -> (sqlMerge _),
     "q_sql_delete" -> (sqlDelete _),
@@ -635,6 +738,7 @@ object SkippingQueries {
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,
     "q_guarded_merge" -> guardedMergeSql,
+    "q_sql_apply_changes" -> sqlApplyChangesSql,
     "q_gen_identity" -> genIdentitySql,
     "q_sql_merge" -> sqlMergeSql,
     "q_sql_delete" -> sqlDeleteSql,

@@ -31,6 +31,9 @@ import graft.sources.VersionedTable
   *   SHOW PARTITIONS graft.`/p`
   *   CREATE TABLE graft.`/dst` [SHALLOW] CLONE graft.`/src` [VERSION AS OF n]
   *   CONVERT TO GRAFT parquet.`/dir` [STATSCOLS (a, b)]
+  *   APPLY CHANGES INTO graft.`/p` FROM cdc_view KEYS (k)
+  *     [APPLY AS DELETE WHEN op = 'delete'] SEQUENCE BY seq
+  *     [COLUMNS * EXCEPT (op)]              -- sequence-guarded CDC merge
   * }}}
   *
   * Anything that doesn't match one of these shapes delegates verbatim to
@@ -91,6 +94,9 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+parquet\\s*\\.\\s*`([^`]+)`(?:\\s+STATSCOLS\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
   private val CopyIntoRe =
     s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*PARQUET(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*""".r
+  // DLT's clause order: KEYS, [APPLY AS DELETE WHEN], SEQUENCE BY, [COLUMNS]
+  private val ApplyChangesRe =
+    s"""(?is)\\s*APPLY\\s+CHANGES\\s+INTO\\s+$Ref\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\(([^)]+)\\)(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+(.+?))?\\s+SEQUENCE\\s+BY\\s+(`[^`]+`|\\w+)(?:\\s+COLUMNS\\s+\\*\\s+EXCEPT\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(cat, path, where, zorder) =>
@@ -125,6 +131,13 @@ private[sql] object GraftSqlStatements {
       Some(GraftConvertCommand(path, Option(stats).toSeq
         .flatMap(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty))))
+    case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
+      def cols(s: String): Seq[String] = s.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      Some(GraftApplyChangesCommand(cat, path, from.trim,
+        cols(keys), Option(deleteWhen).map(_.trim),
+        seqBy.stripPrefix("`").stripSuffix("`"),
+        Option(except).toSeq.flatMap(cols)))
     case _ => None
   }
 
@@ -351,6 +364,48 @@ case class GraftConvertCommand(path: String,
   override def run(session: SparkSession): Seq[Row] = {
     val v = VersionedTable.convertToGraft(session, path, statsCols)
     Seq(Row(v, VersionedTable.filesOf(session, path, v).size))
+  }
+}
+
+/** `APPLY CHANGES INTO` (Databricks DLT's CDC-apply statement, here in its
+  * batch form): apply one out-of-order-tolerant CDC batch to a graft table
+  * as ONE sequence-guarded merge commit. The reference's silver dedupe
+  * contract (`docs/runbooks/silver-transform.md:114-122`, keep the record
+  * with max(ingested_at)) is exactly this statement with
+  * `SEQUENCE BY ingested_at`. Every clause maps 1:1 onto the proven
+  * [[VersionedTable.upsert]] knobs — the SQL surface adds NO new
+  * semantics, so the guarded-merge specs and the q_guarded_merge oracle
+  * cover this path's engine behavior:
+  *
+  *  - `FROM <rel>` — a view/table name or parenthesized subquery, resolved
+  *    by the session at execution (`SELECT * FROM <rel>`);
+  *  - `KEYS (…)` — the merge keys;
+  *  - `SEQUENCE BY c` — BOTH intra-batch dedup (`latestBy`: the newest row
+  *    per key within the batch wins) and the cross-commit out-of-order
+  *    guard (`guardBy`: a stored row is replaced only by a change with
+  *    sequence >= its own, so late updates AND late tombstones are
+  *    ignored);
+  *  - `APPLY AS DELETE WHEN <cond>` — tombstone clause (`deleteWhere`);
+  *  - `COLUMNS * EXCEPT (…)` — bookkeeping columns (the CDC op marker)
+  *    dropped before landing, AFTER the delete/guard decisions that read
+  *    them (`dropCols`).
+  *
+  * Returns the committed version. */
+case class GraftApplyChangesCommand(cat: String, path: String,
+    fromText: String, keys: Seq[String], deleteWhen: Option[String],
+    seqCol: String, exceptCols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "APPLY CHANGES INTO")
+    val src = session.sql(s"SELECT * FROM $fromText")
+    val v = VersionedTable.upsert(src, p, keys, evolveSchema = false,
+      latestBy = Some(seqCol), statsCols = Nil, txn = None,
+      deleteWhere = deleteWhen.map(expr), guardBy = Some(seqCol),
+      dropCols = exceptCols)
+    Seq(Row(v))
   }
 }
 

@@ -177,6 +177,51 @@ class GraftSqlSpec extends SparkSpec {
       Set("[1,keep,1.0]", "[3,ins,3.0]"))
   }
 
+  test("APPLY CHANGES INTO ≡ upsert(guardBy): late update and late tombstone ignored") {
+    val pSql = tmp(); val pApi = tmp()
+    // stored state carries sequence 100 for every key
+    val base = Seq((1L, 100L, "s1"), (2L, 100L, "s2"), (3L, 100L, "s3"),
+      (4L, 100L, "s4")).toDF("id", "seq", "s")
+    VersionedTable.write(base, pSql, statsCols = Seq("id"))
+    VersionedTable.write(base, pApi, statsCols = Seq("id"))
+    // one CDC batch exercising every branch, with an intra-batch duplicate:
+    //  id=1 fresh update (200 ≥ 100, applies) — delivered TWICE with
+    //        different seqs; SEQUENCE BY keeps the newer (210)
+    //  id=2 LATE update (50 < 100, ignored)
+    //  id=3 fresh tombstone (150 ≥ 100, key removed)
+    //  id=4 LATE tombstone (10 < 100, ignored — stored row survives)
+    //  id=5 insert (absent key)
+    //  id=6 tombstone for an absent key (never inserts)
+    val cdc = Seq(
+      (1L, 200L, "u1a", "upsert"), (1L, 210L, "u1b", "upsert"),
+      (2L, 50L, "u2", "upsert"),
+      (3L, 150L, "x", "delete"), (4L, 10L, "x", "delete"),
+      (5L, 500L, "u5", "upsert"), (6L, 500L, "x", "delete"))
+      .toDF("id", "seq", "s", "op")
+    cdc.createOrReplaceTempView("apply_cdc")
+    spark.sql(s"""APPLY CHANGES INTO ${sqlName(pSql)} FROM apply_cdc
+      KEYS (id)
+      APPLY AS DELETE WHEN op = 'delete'
+      SEQUENCE BY seq
+      COLUMNS * EXCEPT (op)""")
+    VersionedTable.upsert(cdc, pApi, Seq("id"), evolveSchema = false,
+      latestBy = Some("seq"), statsCols = Nil, txn = None,
+      deleteWhere = Some(col("op") === "delete"), guardBy = Some("seq"),
+      dropCols = Seq("op"))
+    assert(rows(VersionedTable.read(spark, pSql)) ==
+      rows(VersionedTable.read(spark, pApi)))
+    assert(rows(VersionedTable.read(spark, pSql)) ==
+      Set("[1,210,u1b]", "[2,100,s2]", "[4,100,s4]", "[5,500,u5]"))
+    // FROM accepts a parenthesized subquery too; a second apply of the SAME
+    // changes is idempotent (ties go to the update, values identical)
+    spark.sql(s"""APPLY CHANGES INTO ${sqlName(pSql)}
+      FROM (SELECT * FROM apply_cdc WHERE id = 1)
+      KEYS (id) APPLY AS DELETE WHEN op = 'delete' SEQUENCE BY seq
+      COLUMNS * EXCEPT (op)""")
+    assert(rows(VersionedTable.read(spark, pSql))
+      .contains("[1,210,u1b]"))
+  }
+
   test("unsupported MERGE shapes are refused with the contract named") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "a", 1.0)).toDF("id", "s", "v"), p)
