@@ -113,7 +113,24 @@ object Bench {
     if (polluted) System.err.println(
       s"[bench] WARNING: polluted run (med/min=${math.round(totalMed / total * 100) / 100.0}, " +
         s"jitter_med_pct=$jitterMedPct) — numbers reflect interference, not the code; re-run idle")
-    println(line)
+    // The driver's log capture keeps only the LAST ~2000 chars; a longer
+    // stdout line gets front-truncated and records `parsed: null` (r7, r10).
+    // With 100+ queries the full per-query map cannot fit, so the stdout
+    // line is a GUARANTEED-PARSEABLE summary: headline numbers, per-query
+    // count, the slowest queries (the plan-audit set), and a pointer to
+    // BENCH_LAST.json / BENCH_HISTORY.jsonl, which always carry the full
+    // map (both are committed to the repo). If the full line fits the
+    // window, it is printed as-is and nothing is truncated.
+    val stdoutLine =
+      if (line.length <= 1900) line
+      else {
+        def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+        val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+          .map { case (k, mn, _) => "\"" + k + "\":" + r3(mn) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries_n":${results.size},"queries_slowest":$slow,"queries_full":"BENCH_LAST.json + BENCH_HISTORY.jsonl (committed; full per-query min+median maps)","sf":"$sfDir"}"""
+      }
+    println(stdoutLine)
     // stdout alone is fragile: log-tail capture truncated the round-4
     // artifact (`"parsed": null`). Persist the same line to a known file so
     // the measurement survives any log-capture failure.
