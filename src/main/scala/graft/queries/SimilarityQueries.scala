@@ -127,8 +127,14 @@ object SimilarityQueries {
     * declared q_ann_ivf pins iters=1 to match its oracle; callers building a
     * real index run it to convergence. `emb` should be cached — each
     * iteration re-scans it, the canonical iterative-ML working-set shape. */
-  def kmeans(emb: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
-    val seeds = emb.filter(col("vec_id") < k).select(col("vec_id"), col("v"))
+  def kmeans(emb: DataFrame, k: Int, iters: Int): Seq[Centroid] =
+    kmeansSeeded(emb, col("vec_id") < k, iters)
+
+  /** As [[kmeans]] with an explicit seed predicate — the persisted-index
+    * build seeds from the first k CORPUS vectors, which are not the first
+    * k vec_ids when the corpus is a filtered view of the table. */
+  def kmeansSeeded(emb: DataFrame, seedPred: Column, iters: Int): Seq[Centroid] = {
+    val seeds = emb.filter(seedPred).select(col("vec_id"), col("v"))
       .collect()
       .map { r =>
         val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
@@ -397,6 +403,241 @@ object SimilarityQueries {
        |LEFT JOIN matched m ON m.query_id = q.vec_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_ann_incremental — the PERSISTED IVF index: the operational shape that
+  // makes ANN viable at 100 TB. q_ann_ivf re-clusters the corpus per run;
+  // here the index is built ONCE into two graft tables — `centroids` (the
+  // K×dim artifact) and `assignments` (vec_id, v, nrm, bucket — the
+  // inverted lists, with manifest stats on `bucket` so a probe's scan
+  // prunes to its buckets' files once the table is clustered by bucket) —
+  // and every subsequent batch only PROBES it: load K centroids (bounded
+  // collect, like any ANN index), assign the batch with a narrow argmax,
+  // broadcast the tiny probe side into the assignments scan, exact cosine
+  // re-rank inside the probed buckets. New vectors are folded in by
+  // annIndexAppend (assign with the STORED centroids, append — no
+  // re-cluster), and annIndexRecluster is the periodic maintenance verb
+  // (Lloyd passes seeded by the stored centroids, then one re-assignment
+  // rewrite). Same pattern as q_incremental_dedup's persisted band index.
+  //
+  // The oracle replays the build deterministically (corpus k-means with
+  // the q_ann_ivf micros-quantized Lloyd step, seeded by the first K
+  // corpus vectors) and then the probe, so a green row proves the
+  // persisted index holds exactly the index the build computed AND that
+  // the probe reads it faithfully. AnnIndexSpec proves the incremental
+  // contract: queries and appends never bump the centroids table version
+  // (the corpus is never re-clustered per batch).
+  // --------------------------------------------------------------------------
+  val AnnIncrMod = 10L
+  val AnnIncrQueryMax = 200L
+
+  /** Fixture root (fingerprint-keyed on the source parquet): `centroids`
+    * and `assignments` graft tables live under it. */
+  def annIndexRoot(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "annindex_v1", "embeddings.parquet")
+
+  /** (vec_id, v double[], nrm) for the whole embeddings table. */
+  private def embFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private def centroidDf(spark: SparkSession, cents: Seq[Centroid]): DataFrame = {
+    import spark.implicits._
+    cents.map(c => (c.id, c.v.toSeq, c.nrm)).toDF("id", "v", "nrm")
+  }
+
+  /** The K stored centroids — a bounded collect (the index artifact every
+    * IVF deployment loads before probing), never data-sized. */
+  def loadCentroids(spark: SparkSession, centPath: String): Seq[Centroid] =
+    graft.sources.VersionedTable.read(spark, centPath).collect().map { r =>
+      Centroid(r.getAs[Number]("id").intValue,
+        r.getAs[scala.collection.Seq[Double]]("v").toArray,
+        r.getAs[Double]("nrm"))
+    }.toSeq.sortBy(_.id)
+
+  /** Generic index build: k-means the (cached) corpus with `seedPred`
+    * seeds and `iters` micros-quantized Lloyd passes, then persist
+    * `centroids` and `assignments` as graft tables. Idempotent and
+    * crash-resumable — each table is skipped when already committed, and
+    * assignments are always derived from the STORED centroids so a resume
+    * after a crash between the two writes stays consistent. */
+  def buildAnnIndex(corpus: DataFrame, seedPred: Column,
+      centPath: String, asgPath: String, iters: Int = 1): (Long, Long) = {
+    import graft.sources.VersionedTable
+    val spark = corpus.sparkSession
+    val cv = VersionedTable.latestVersion(spark, centPath).getOrElse {
+      VersionedTable.write(
+        centroidDf(spark, kmeansSeeded(corpus, seedPred, iters)), centPath)
+    }
+    val av = VersionedTable.latestVersion(spark, asgPath).getOrElse {
+      VersionedTable.write(
+        assignBuckets(corpus, loadCentroids(spark, centPath))
+          .select(col("vec_id"), col("v"), col("nrm"), col("bucket")),
+        asgPath, statsCols = Seq("bucket"))
+    }
+    (cv, av)
+  }
+
+  /** The declared fixture build over the CORPUS residues (vec_id not ≡ 0
+    * mod [[AnnIncrMod]]; the ≡ 0 residue plays "new batch"), seeded by the
+    * first K corpus vectors (vec_ids 1..K — none are ≡ 0 mod 10 for
+    * K ≤ 9). */
+  def ensureAnnIndex(spark: SparkSession, dir: String): (String, String) = {
+    import graft.sources.VersionedTable
+    val rootDir = annIndexRoot(dir)
+    val centPath = s"$rootDir/centroids"
+    val asgPath = s"$rootDir/assignments"
+    if (VersionedTable.latestVersion(spark, centPath).isEmpty ||
+        VersionedTable.latestVersion(spark, asgPath).isEmpty) {
+      val corpus = embFrame(spark, dir)
+        .filter(col("vec_id") % AnnIncrMod =!= 0).cache()
+      try buildAnnIndex(corpus,
+        col("vec_id") >= 1 && col("vec_id") <= NumCentroids,
+        centPath, asgPath, iters = 1)
+      finally corpus.unpersist()
+    }
+    (centPath, asgPath)
+  }
+
+  /** Fold a batch into the index WITHOUT re-clustering: assign with the
+    * stored centroids (narrow argmax), append to the assignments table.
+    * Returns the new assignments version; the centroids version does not
+    * move — AnnIndexSpec pins that. */
+  def annIndexAppend(spark: SparkSession, batch: DataFrame,
+      centPath: String, asgPath: String): Long = {
+    val cents = loadCentroids(spark, centPath)
+    graft.sources.VersionedTable.append(
+      assignBuckets(batch, cents)
+        .select(col("vec_id"), col("v"), col("nrm"), col("bucket")),
+      asgPath, statsCols = Seq("bucket"))
+  }
+
+  /** Periodic maintenance: refine the stored centroids with `iters` Lloyd
+    * passes over the CURRENT assignments, then rewrite both tables (new
+    * centroid version, full re-assignment). This is the only operation
+    * that re-clusters — it runs on a schedule, never per batch. */
+  def annIndexRecluster(spark: SparkSession, centPath: String,
+      asgPath: String, iters: Int = 1): (Long, Long) = {
+    import graft.sources.VersionedTable
+    val emb = VersionedTable.read(spark, asgPath)
+      .select(col("vec_id"), col("v"), col("nrm")).cache()
+    try {
+      val cents = (1 to iters).foldLeft(loadCentroids(spark, centPath))(
+        (c, _) => lloydRefine(emb, c))
+      val cv = VersionedTable.write(centroidDf(spark, cents), centPath)
+      val av = VersionedTable.write(
+        assignBuckets(emb, cents)
+          .select(col("vec_id"), col("v"), col("nrm"), col("bucket")),
+        asgPath, statsCols = Seq("bucket"))
+      (cv, av)
+    } finally emb.unpersist()
+  }
+
+  /** The probe: batch vectors (vec_id ≡ 0 mod [[AnnIncrMod]], below
+    * [[AnnIncrQueryMax]]) search the PERSISTED index — no k-means in this
+    * path. The probe side is broadcast (|queries|×nprobe rows); the
+    * assignments scan never shuffles. */
+  def annIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (centPath, asgPath) = ensureAnnIndex(spark, dir)
+    val batch = embFrame(spark, dir)
+      .filter(col("vec_id") % AnnIncrMod === 0 &&
+        col("vec_id") < AnnIncrQueryMax)
+    annIndexProbe(batch, centPath, asgPath, NumProbes, AnnTopK)
+  }
+
+  /** Generic probe of a persisted index: assign `queries` (vec_id, v, nrm)
+    * with the stored centroids, broadcast the |queries|×nprobe probe side
+    * into the assignments scan, exact-cosine re-rank to `topK`. No k-means
+    * anywhere in this path. */
+  def annIndexProbe(queries: DataFrame, centPath: String, asgPath: String,
+      nprobe: Int, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadCentroids(spark, centPath)
+    val probes = assignBuckets(queries, cents)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(reverse(array_sort(col("cand"))), 1, nprobe)).as("pr"))
+      .withColumn("probe", -col("pr.negk"))
+    val corpus = graft.sources.VersionedTable.read(spark, asgPath)
+      .select(col("vec_id").as("nbr_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    // self-guard is a no-op against the freshly-built fixture index (batch
+    // ids are not in the corpus) but keeps the probe correct after appends
+    broadcast(probes)
+      .join(corpus, col("bucket") === col("probe") &&
+        col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("nbr_id"), col("cosine"))
+  }
+
+  /** Oracle: replay the corpus-only build (seed vec_ids 1..K, one
+    * micros-quantized Lloyd pass — the q_ann_ivf recipe restricted to the
+    * corpus residues), then the batch probe against it. */
+  lazy val annIncrementalSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |corpus AS (SELECT * FROM n WHERE vec_id % $AnnIncrMod <> 0),
+       |seeds AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+       |  WHERE vec_id >= 1 AND vec_id <= $NumCentroids),
+       |s1 AS (
+       |  SELECT c0.vec_id, c0.v, c.cent_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(c0.v) + 1),
+       |      i -> c0.v[i] * c.cv[i])) / (c0.nrm * c.cn), 6) AS cent_cos
+       |  FROM corpus c0 CROSS JOIN seeds c),
+       |a1 AS (
+       |  SELECT vec_id, v, cent_id AS bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cent_cos DESC, cent_id ASC) AS crn
+       |  FROM s1),
+       |asg1 AS (SELECT vec_id, v, bucket FROM a1 WHERE crn = 1),
+       |means AS (
+       |  SELECT bucket, t.i AS i,
+       |    SUM(CAST(ROUND(v[t.i] * 1000000) AS BIGINT)) AS s, COUNT(*) AS cnt
+       |  FROM asg1 CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY bucket, t.i),
+       |cents2 AS (
+       |  SELECT bucket, list((CAST(s AS DOUBLE) / 1000000.0) / cnt ORDER BY i) AS cv
+       |  FROM means GROUP BY bucket),
+       |c2n AS (
+       |  SELECT bucket, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM cents2),
+       |s2 AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.bucket AS cent_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(n.v) + 1),
+       |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn), 6) AS cent_cos
+       |  FROM n CROSS JOIN c2n c),
+       |a2 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cent_cos DESC, cent_id ASC) AS crn
+       |  FROM s2),
+       |assigned AS (
+       |  SELECT vec_id AS nbr_id, v AS nv, nrm AS nn, cent_id AS bucket
+       |  FROM a2 WHERE crn = 1 AND vec_id % $AnnIncrMod <> 0),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS probe
+       |  FROM a2 WHERE vec_id % $AnnIncrMod = 0 AND vec_id < $AnnIncrQueryMax
+       |    AND crn <= $NumProbes),
+       |cand AS (
+       |  SELECT p.query_id, a.nbr_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(p.qv) + 1),
+       |      i -> p.qv[i] * a.nv[i])) / (p.qn * a.nn), 6) AS cosine
+       |  FROM probes p JOIN assigned a
+       |    ON a.bucket = p.probe AND a.nbr_id <> p.query_id)
+       |SELECT query_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk,
+       |  nbr_id, cosine
+       |FROM cand
+       |QUALIFY rk <= $AnnTopK""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_hard_negatives — hard-negative mining for contrastive training
   // (in-batch negatives are mostly easy; the negatives that move a model
   // are the most-similar DIFFERENT-label examples). Search is LSH-bucketed
@@ -586,6 +827,7 @@ object SimilarityQueries {
     "q_ann_ivf"        -> (annIvf _),
     "q_ann_lsh"        -> (annLsh _),
     "q_ann_recall"     -> (annRecall _),
+    "q_ann_incremental" -> (annIncremental _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_hard_negatives" -> (hardNegatives _),
   )
@@ -595,6 +837,7 @@ object SimilarityQueries {
     "q_ann_ivf"        -> annIvfSql,
     "q_ann_lsh"        -> annLshSql,
     "q_ann_recall"     -> annRecallSql,
+    "q_ann_incremental" -> annIncrementalSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_hard_negatives" -> hardNegativesSql,
   )
