@@ -360,12 +360,14 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_image_features"      -> (imageFeaturesQuery _),
+    "q_image_neardup"       -> (ImageHash.imageNearDup _),
     "q_video_frames"        -> (videoFramesQuery _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_image_features"      -> imageFeaturesSql,
+    "q_image_neardup"       -> ImageHash.imageNearDupSql,
     "q_video_frames"        -> videoFramesSql,
   )
 }

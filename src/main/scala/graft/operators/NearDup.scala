@@ -539,12 +539,30 @@ object NearDup {
   }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keyNames = (0 until SimhashBands).map(b => s"k$b")
     // fingerprints fan out to the group-collapse AND the per-doc join; cache
     // + eager count for the same AQE-concurrent-subtree reason as shingles
     val fps = simhash64Keys(spark, dir).cache()
     fps.count()
+    bandedHammingFrame(fps)
+      .filter(col("n_neighbors") > 0)
+      .select(col("doc_id"), col("n_neighbors"),
+        when(col("grp_size") > 1, lit(0L)).otherwise(col("min_h"))
+          .cast(LongType).as("closest_hamming"))
+  }
+
+  /** The banded-hamming neighbor machinery over ANY (doc_id, k0..k3)
+    * fingerprint frame — each k is one 16-bit band of a 64-bit perceptual
+    * hash, so band-wise XOR popcount equals full-hash hamming and the
+    * pigeonhole guarantee (distance ≤ 3 ⇒ one band agrees) holds. Shared
+    * by the SimHash text path and the dHash image path (ImageHash):
+    * identical-fingerprint collapse, deterministic per-(band,key) bucket
+    * cap, symmetric cross-group stats. Returns every input doc with its
+    * keys plus grp_size, n_neighbors, min_h (null when the doc has no
+    * cross-group neighbor within [[HammingThreshold]]). `fps` should be
+    * cached — it fans out to the collapse and the final per-doc join. */
+  private[graft] def bandedHammingFrame(fps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyNames = (0 until SimhashBands).map(b => s"k$b")
     val groups = fps.groupBy(keyNames.map(col): _*)
       .agg(count(lit(1)).as("grp_size"), min(col("doc_id")).as("rep"))
     val banded = groups.select(
@@ -576,10 +594,6 @@ object NearDup {
       .join(crossAgg, col("rep") === col("rep_a"), "left")
       .withColumn("n_neighbors",
         (col("grp_size") - 1 + coalesce(col("cross_n"), lit(0L))).cast(LongType))
-      .filter(col("n_neighbors") > 0)
-      .select(col("doc_id"), col("n_neighbors"),
-        when(col("grp_size") > 1, lit(0L)).otherwise(col("min_h"))
-          .cast(LongType).as("closest_hamming"))
   }
 
   /** 64-bit vote CTEs (same decode as [[simhashSql]], wider). */
