@@ -5,7 +5,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
-  FloatType, IntegerType, LongType, ShortType, StructType}
+  FloatType, IntegerType, LongType, ShortType, StringType, StructField,
+  StructType}
 
 /** Versioned parquet table — the transaction-log-lite answer to the
   * reference's Delta features this environment has no jars for
@@ -272,7 +273,14 @@ object VersionedTable {
         * table contracts every mutator must enforce. Readers ignore them;
         * [[encodeCommit]] refuses to commit over a head whose wf this
         * build does not implement. */
-      wf: Set[String] = Set.empty) {
+      wf: Set[String] = Set.empty,
+      /** Row-tracking id high watermark (`row_hwm`): the next fresh base
+        * row id. 0 = never assigned. Monotone across versions. */
+      rowHwm: Long = 0L,
+      /** Per-file base row id (`base_row` / checkpoint column) — full map
+        * whenever row tracking is on, same driver-memory order as
+        * [[rows]]. */
+      baseRow: Map[String, Long] = Map.empty) {
     def stats: DataSkipping.FileStats = statsRef.value
     def physName(logical: String): String = colMap.getOrElse(logical, logical)
     /** DV bookkeeping for a commit that keeps only `keep` of this commit's
@@ -347,7 +355,7 @@ object VersionedTable {
   /** Writer features this build enforces (beyond the reader set, which
     * every writer needs too — a mutator first reads). */
   val SupportedWriterFeatures: Set[String] =
-    Set("constraints", "generated", "identity")
+    Set("constraints", "generated", "identity", "rowtracking")
 
   private def checkReaderFeatures(node: com.fasterxml.jackson.databind.JsonNode,
       root: Path, v: Long): Unit = {
@@ -413,7 +421,10 @@ object VersionedTable {
       ckptInfo = c.ckptInfo,
       statsAdds = c.statsAdds.filter(kv => !removed(kv._1)) ++ adds,
       props = strMap(d, "props"),
-      wf = strArr(d, "wf").toSet)
+      wf = strArr(d, "wf").toSet,
+      rowHwm = Option(d.get("row_hwm")).map(_.asLong()).getOrElse(c.rowHwm),
+      baseRow = c.baseRow.filter(kv => !removed(kv._1)) ++
+        longMap(d, "base_row_add"))
   }
 
   private def parseFull(spark: SparkSession, f: FileSystem, root: Path,
@@ -427,7 +438,9 @@ object VersionedTable {
           strArr(node, "dv"), longMap(node, "dv_rows"),
           strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node),
           props = strMap(node, "props"),
-          wf = strArr(node, "wf").toSet)
+          wf = strArr(node, "wf").toSet,
+          rowHwm = Option(node.get("row_hwm")).map(_.asLong()).getOrElse(0L),
+          baseRow = longMap(node, "base_row"))
       case None if node.has("ckpt") =>
         // parquet checkpoint: the file list + per-file stats/rows live in a
         // parquet dir written and parsed by Spark itself — the manifest
@@ -436,7 +449,7 @@ object VersionedTable {
         // the stats column is deferred behind LazyStats and most readers
         // never touch it (pruning runs distributed via ckptInfo).
         val rel = node.get("ckpt").asText()
-        val (files, rows) = readCkptLight(spark, root, rel)
+        val (files, rows, baseRow) = readCkptLight(spark, root, rel)
         Commit(files, schemaOf(node),
           new LazyStats(() => readCkptStats(spark, root, rel)),
           rows, longMap(node, "txn"),
@@ -444,7 +457,9 @@ object VersionedTable {
           strMap(node, "colmap"), strArr(node, "phys_dropped").toSet, tsOf(node),
           ckptInfo = Some((rel, files.toSet)),
           props = strMap(node, "props"),
-          wf = strArr(node, "wf").toSet)
+          wf = strArr(node, "wf").toSet,
+          rowHwm = Option(node.get("row_hwm")).map(_.asLong()).getOrElse(0L),
+          baseRow = baseRow)
       case None =>
         // legacy single-dir manifest: resolve the file list by listing the
         // dir (as pre-file-list readers did) and remap stats keys from bare
@@ -495,16 +510,18 @@ object VersionedTable {
     * committing verb on a lost race and by vacuum if orphaned. */
   private def writeCkpt(spark: SparkSession, root: Path, v: Long,
       files: Seq[String], stats: DataSkipping.FileStats,
-      rows: Map[String, Long]): (String, Path) = {
+      rows: Map[String, Long],
+      baseRow: Map[String, Long] = Map.empty): (String, Path) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"$LogDir/ckpt-$v%08d-$token"
     val dir = new Path(root, rel)
     import spark.implicits._
     val data = files.zipWithIndex.map { case (p, i) =>
-      (i, p, rows.get(p), stats.get(p).map(DataSkipping.colsToJson))
+      (i, p, rows.get(p), stats.get(p).map(DataSkipping.colsToJson),
+        baseRow.get(p))
     }
     val parts = math.max(1, math.min(files.size / 100000 + 1, 64))
-    spark.createDataset(data).toDF("idx", "path", "rows", "stats")
+    spark.createDataset(data).toDF("idx", "path", "rows", "stats", "base_row")
       .repartition(parts).write.mode("overwrite").parquet(dir.toString)
     (rel, dir)
   }
@@ -522,7 +539,7 @@ object VersionedTable {
     * (idx, path), which is total and deterministic. */
   private def writeCkptFromAnchor(spark: SparkSession, root: Path, v: Long,
       anchorRel: String, removed: Set[String],
-      adds: Seq[(String, Option[Long], Option[String])],
+      adds: Seq[(String, Option[Long], Option[String], Option[Long])],
       keepStatsCols: Option[Set[String]],
       renameStats: Option[(String, String)] = None): (String, Path) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -532,11 +549,18 @@ object VersionedTable {
     val rm = removed // small closure: O(changed files since anchor)
     val keep = keepStatsCols
     val ren = renameStats
-    val carried = spark.read.parquet(new Path(root, anchorRel).toString)
-      .select(col("idx"), col("path"), col("rows"), col("stats"))
-      .as[(Int, String, Option[Long], Option[String])]
+    val anchorDf = spark.read.parquet(new Path(root, anchorRel).toString)
+    // pre-row-tracking anchors lack the base_row column; carried files
+    // then have no ids (the caller falls back to a full authoring when it
+    // actually needs to introduce them — see encodeCommit)
+    val anchorBase =
+      if (anchorDf.columns.contains("base_row")) col("base_row")
+      else lit(null).cast("long").as("base_row")
+    val carried = anchorDf
+      .select(col("idx"), col("path"), col("rows"), col("stats"), anchorBase)
+      .as[(Int, String, Option[Long], Option[String], Option[Long])]
       .mapPartitions(_.collect {
-        case (i, p, rw, st) if !rm.contains(p) =>
+        case (i, p, rw, st, br) if !rm.contains(p) =>
           // RENAME COLUMN rekeys a carried file's stats (same physical
           // column, new logical key) before DROP's keep-filter applies —
           // both rewrites run here on the EXECUTORS
@@ -550,28 +574,33 @@ object VersionedTable {
               val kept = keep.fold(rekeyed)(ks => rekeyed.filter(kv => ks(kv._1)))
               if (kept.isEmpty) None else Some(DataSkipping.colsToJson(kept))
             }
-          (i, p, rw, pruned)
+          (i, p, rw, pruned, br)
       })
     val addRows = spark.createDataset(adds.zipWithIndex.map {
-      case ((p, rw, st), k) => (1000000000 + k, p, rw, st)
+      case ((p, rw, st, br), k) => (1000000000 + k, p, rw, st, br)
     })
     val parts = math.max(1, math.min((removed.size + adds.size) / 100000 + 8, 64))
-    carried.union(addRows).toDF("idx", "path", "rows", "stats")
+    carried.union(addRows).toDF("idx", "path", "rows", "stats", "base_row")
       .repartition(parts).write.mode("overwrite").parquet(dir.toString)
     (rel, dir)
   }
 
-  /** Checkpoint file list + row counts — reads ONLY those columns (the
-    * stats column never leaves the parquet pages). */
+  /** Checkpoint file list + row counts + base row ids — reads ONLY those
+    * columns (the stats column never leaves the parquet pages). */
   private def readCkptLight(spark: SparkSession, root: Path, rel: String)
-      : (Seq[String], Map[String, Long]) = {
-    val rowsArr = spark.read.parquet(new Path(root, rel).toString)
-      .select(col("idx"), col("path"), col("rows"))
+      : (Seq[String], Map[String, Long], Map[String, Long]) = {
+    val df0 = spark.read.parquet(new Path(root, rel).toString)
+    val hasBase = df0.columns.contains("base_row") // pre-feature checkpoints
+    val rowsArr = df0
+      .select(col("idx"), col("path"), col("rows"),
+        (if (hasBase) col("base_row") else lit(null).cast("long")).as("base_row"))
       .collect().sortBy(r => (r.getInt(0), r.getString(1)))
     val files = rowsArr.map(_.getString(1)).toSeq
     val rowCounts = rowsArr.iterator.filterNot(_.isNullAt(2))
       .map(r => r.getString(1) -> r.getLong(2)).toMap
-    (files, rowCounts)
+    val baseRow = rowsArr.iterator.filterNot(_.isNullAt(3))
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    (files, rowCounts, baseRow)
   }
 
   /** Full stats map off a checkpoint — the expensive scan+parse the lazy
@@ -672,7 +701,8 @@ object VersionedTable {
       keepStatsCols: Option[Set[String]] = None,
       renameStats: Option[(String, String)] = None,
       props: Option[Map[String, String]] = None,
-      inheritWf: Set[String] = Set.empty): (String, Option[Path]) = {
+      inheritWf: Set[String] = Set.empty,
+      rowIdSeed: Option[(Long, Map[String, Long])] = None): (String, Option[Path]) = {
     // WRITER-FEATURE GATE: committing over a head that declares writer
     // features this build does not enforce would silently break the
     // table's contract (an unenforced CHECK, an unadvanced identity hwm,
@@ -691,13 +721,47 @@ object VersionedTable {
     // explicitly (the props-changing commits, restore, vacuum re-anchor) —
     // a property survives every maintenance verb the way the schema does
     val effProps = props.getOrElse(parent.map(_.props).getOrElse(Map.empty))
+    // ROW-TRACKING ID ASSIGNMENT — one place for every verb: files already
+    // holding a base id (in the seed: normally the parent's map; restore/
+    // clone/vacuum re-encodes pass the source commit's) keep it verbatim
+    // (a base id is immutable for the life of the file); files without one
+    // draw sequential ranges off the monotone high watermark, sized by the
+    // commit's recorded per-file row counts. O(files) map work, zero I/O —
+    // the same driver-memory order as the `rows` map riding beside it.
+    val trackingOn = rowTrackingOn(effProps)
+    val (seedHwm, seedBase) = rowIdSeed.getOrElse(
+      parent.map(p => (p.rowHwm, p.baseRow)).getOrElse((0L, Map.empty[String, Long])))
+    val fileSet0 = files.toSet
+    val (rowHwm, baseRow, rowBackfill) =
+      if (!trackingOn)
+        // feature off: carry any prior assignment (re-enable resumes)
+        (seedHwm, seedBase.filter(kv => fileSet0(kv._1)), false)
+      else {
+        val fresh = files.filterNot(seedBase.contains)
+        fresh.foreach { fk =>
+          require(rows.contains(fk),
+            s"$root: row tracking needs a row count for every file but $fk " +
+              "has none (pre-rowcount manifest); OPTIMIZE the table before " +
+              s"enabling $RowTrackingKey")
+        }
+        var hwm = seedHwm
+        val assigned = fresh.map { fk => val b = hwm; hwm += rows(fk); fk -> b }
+        val parentFiles = parent.map(_.files.toSet).getOrElse(Set.empty[String])
+        // ids newly minted for files the PARENT already carried (the
+        // enable-on-existing-table backfill) can't ride a file delta
+        (hwm, seedBase.filter(kv => fileSet0(kv._1)) ++ assigned,
+          fresh.exists(parentFiles))
+      }
     // the O(files) carried-stats comparison runs ONCE (or not at all when
     // the caller vouches for carry identity); manifestJson takes the
     // decision, it does not re-derive it
     val isDelta =
-      if (carriedIdentical) parent.isDefined && !forceFull && v % CheckpointEvery != 0L
+      if (rowBackfill) false
+      else if (carriedIdentical) parent.isDefined && !forceFull && v % CheckpointEvery != 0L
       else deltaEligible(v, files, stats, rows, parent, forceFull)
-    if (!isDelta && files.size > CkptInlineMaxFiles) {
+    // a backfill also can't author from the anchor checkpoint (the anchor
+    // has no base ids for the carried files) — one full authoring, once
+    if (!isDelta && files.size > CkptInlineMaxFiles && !rowBackfill) {
       // DISTRIBUTED authoring: when the stats of every carried file are the
       // anchor's verbatim (carry-by-reference verbs) — or differ only by a
       // column drop the executors can apply — the new checkpoint is written
@@ -719,27 +783,41 @@ object VersionedTable {
                 keepStatsCols.fold(m)(ks => m.filter(kv => ks(kv._1)))
               }
               .filter(_.nonEmpty)
-            (k, rows.get(k), st.map(DataSkipping.colsToJson))
+            (k, rows.get(k), st.map(DataSkipping.colsToJson), baseRow.get(k))
           }
           val (rel, dir) = writeCkptFromAnchor(spark, root, v, aRel,
             removed = aSet.diff(filesSet), adds, keepStatsCols, renameStats)
           (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
             parent, isDelta = false, colMap, physDropped, ts,
             ckptRef = Some(rel), statsAddOnly = statsAddOnly,
-            props = effProps, inheritWf = inheritWf), Some(dir))
+            props = effProps, inheritWf = inheritWf,
+            rowHwm = rowHwm, baseRow = baseRow), Some(dir))
         case None =>
           val fullStats = stats
-          val (rel, dir) = writeCkpt(spark, root, v, files, fullStats, rows)
+          val (rel, dir) = writeCkpt(spark, root, v, files, fullStats, rows,
+            baseRow)
           (manifestJson(v, files, schemaJson, fullStats, rows, txn, dv, dvRows,
             parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel),
             statsAddOnly = statsAddOnly, props = effProps,
-            inheritWf = inheritWf), Some(dir))
+            inheritWf = inheritWf,
+            rowHwm = rowHwm, baseRow = baseRow), Some(dir))
       }
+    } else if (files.size > CkptInlineMaxFiles && !isDelta) {
+      // backfill on a big table: full authoring once (see above)
+      val fullStats = stats
+      val (rel, dir) = writeCkpt(spark, root, v, files, fullStats, rows,
+        baseRow)
+      (manifestJson(v, files, schemaJson, fullStats, rows, txn, dv, dvRows,
+        parent, isDelta, colMap, physDropped, ts, ckptRef = Some(rel),
+        statsAddOnly = statsAddOnly, props = effProps,
+        inheritWf = inheritWf,
+        rowHwm = rowHwm, baseRow = baseRow), Some(dir))
     } else
       (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
         parent, isDelta, colMap, physDropped, ts,
         statsAddOnly = statsAddOnly, props = effProps,
-        inheritWf = inheritWf), None)
+        inheritWf = inheritWf,
+        rowHwm = rowHwm, baseRow = baseRow), None)
   }
 
   /** Encode a commit: FULL at checkpoints (and when forced, when there is
@@ -760,7 +838,9 @@ object VersionedTable {
       ckptRef: Option[String] = None,
       statsAddOnly: Option[DataSkipping.FileStats] = None,
       props: Map[String, String] = Map.empty,
-      inheritWf: Set[String] = Set.empty): String = {
+      inheritWf: Set[String] = Set.empty,
+      rowHwm: Long = 0L,
+      baseRow: Map[String, Long] = Map.empty): String = {
     val (_, jstr) = jsonHelpers
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
     def obj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
@@ -805,11 +885,15 @@ object VersionedTable {
         if (props.keys.exists(_.startsWith(GeneratedPrefix)))
           Seq("generated") else Nil,
         if (props.keys.exists(_.startsWith(IdentityPrefix)))
-          Seq("identity") else Nil
+          Seq("identity") else Nil,
+        if (rowTrackingOn(props)) Seq("rowtracking") else Nil
       ).flatten ++ inheritWf).distinct.sorted
       val rfField = if (rf.isEmpty) "" else s""","rf":${arr(rf)}"""
       val wfField = if (wf.isEmpty) "" else s""","wf":${arr(wf)}"""
-      s""","ts":$tsVal$dvField$mapField$droppedField$propsField$rfField$wfField"""
+      // the high watermark rides every form; the per-file base map rides
+      // inline-full / delta-add JSON, or the checkpoint parquet column
+      val hwmField = if (rowHwm > 0L) s""","row_hwm":$rowHwm""" else ""
+      s""","ts":$tsVal$dvField$mapField$droppedField$propsField$rfField$wfField$hwmField"""
     }
     def full: String = ckptRef match {
       case Some(ck) => // file list/stats/rows live in the parquet checkpoint
@@ -817,7 +901,9 @@ object VersionedTable {
       case None =>
         val statsField =
           if (stats.isEmpty) "" else s""","stats":${DataSkipping.toJson(stats)}"""
-        s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$commonTail}"""
+        val baseField =
+          if (baseRow.isEmpty) "" else s""","base_row":${obj(baseRow)}"""
+        s"""{"version":$v,"files":${arr(files)},"schema":$schemaJson,"rows":${obj(rows)},"txn":${obj(txn)}$statsField$baseField$commonTail}"""
     }
     if (isDelta) {
       val p = parent.get
@@ -831,7 +917,10 @@ object VersionedTable {
       val statsField =
         if (statsAdd.isEmpty) ""
         else s""","stats_add":${DataSkipping.toJson(statsAdd)}"""
-      s"""{"version":$v,"base":${v - 1},"schema":$schemaJson,"files_add":${arr(added)},"files_remove":${arr(removed)},"rows_add":${obj(rows.filter(kv => addedSet(kv._1)))},"txn":${obj(txn)}$statsField$commonTail}"""
+      val baseAdd = baseRow.filter(kv => addedSet(kv._1))
+      val baseField =
+        if (baseAdd.isEmpty) "" else s""","base_row_add":${obj(baseAdd)}"""
+      s"""{"version":$v,"base":${v - 1},"schema":$schemaJson,"files_add":${arr(added)},"files_remove":${arr(removed)},"rows_add":${obj(rows.filter(kv => addedSet(kv._1)))},"txn":${obj(txn)}$statsField$baseField$commonTail}"""
     } else full
   }
 
@@ -1701,16 +1790,23 @@ object VersionedTable {
         target.stats, target.rows, cur.txn, target.dv, target.dvRows,
         parent = Some(cur), colMap = target.colMap,
         physDropped = target.physDropped,
-        props = Some(target.props)) // RESTORE restores properties too
+        props = Some(target.props), // RESTORE restores properties too
+        // restored files keep the ids THEIR commit assigned; the watermark
+        // stays monotone vs the abandoned head so later mints never collide
+        rowIdSeed = Some((math.max(cur.rowHwm, target.rowHwm), target.baseRow)))
       if (tryCommit(f, root, v, body)) {
         val postMissing = missingOf(target)
         if (postMissing.nonEmpty) {
+          // compensation re-publishes cur; seed off the JUST-COMMITTED v so
+          // any ids it minted stay fenced
+          val vC = readManifest(spark, f, root, v)
           val (undo, undoCkpt) = encodeCommit(spark, root, v + 1L, cur.files,
             cur.schema.map(_.json).getOrElse("null"),
             cur.stats, cur.rows, cur.txn, cur.dv, cur.dvRows,
             parent = Some(target), forceFull = true,
             colMap = cur.colMap, physDropped = cur.physDropped,
-            props = Some(cur.props))
+            props = Some(cur.props),
+            rowIdSeed = Some((math.max(vC.rowHwm, cur.rowHwm), cur.baseRow)))
           if (!tryCommit(f, root, v + 1L, undo)) // best-effort compensation
             undoCkpt.foreach(d => f.delete(d, true))
           throw new IllegalStateException(
@@ -1784,7 +1880,9 @@ object VersionedTable {
       txn = Map.empty, dv = c.dv, dvRows = c.dvRows,
       colMap = c.colMap, physDropped = c.physDropped,
       carriedIdentical = true, statsAddOnly = Some(Map.empty),
-      anchorSrc = Some(c), props = Some(c.props), inheritWf = c.wf)
+      anchorSrc = Some(c), props = Some(c.props), inheritWf = c.wf,
+      // clones preserve row identity (Delta parity): same files, same ids
+      rowIdSeed = Some((c.rowHwm, c.baseRow)))
     if (!tryCommit(destFs, destRoot, v, body)) {
       ckptDir.foreach(d => destFs.delete(d, true))
       throw new IllegalStateException(
@@ -1856,6 +1954,40 @@ object VersionedTable {
     * hidden column — stable, because committed files are immutable). */
   val FileKeyCol = "__graft_dv_file"
   val RowIdxCol = "__graft_dv_row"
+
+  /** ROW TRACKING (Delta's row-ID idiom). When the table property
+    * [[RowTrackingKey]] is `true`, every row has a STABLE 64-bit identity
+    * that survives copy-on-write rewrites (OPTIMIZE/MERGE/UPDATE/DELETE):
+    *
+    *  - every data file carries a `base_row` id in the manifest (assigned
+    *    at commit time from the table's monotone `row_hwm` high watermark,
+    *    advanced by the file's row count — both ride beside the per-file
+    *    `rows` map, same driver-memory order, same checkpoint column
+    *    treatment);
+    *  - a FRESH file's row ids are `base_row + row_index` — computed, zero
+    *    bytes in the data;
+    *  - a REWRITE materializes the carried rows' CURRENT ids into the
+    *    physical column [[RowIdCol]] inside the new files (null for rows
+    *    the commit genuinely inserts, which then default to the new file's
+    *    `base_row + row_index`), so identity survives reordering,
+    *    bin-packing and z-ordering;
+    *  - a row's id is therefore `coalesce(materialized, base + index)` —
+    *    [[readWithRowIds]] exposes it, and the row-keyed change feed
+    *    ([[changesWithRowIds]]) uses it to collapse rewritten-but-unchanged
+    *    rows to NOTHING and to pair updates as pre/post images.
+    *
+    * Files never move between tables or versions under a different key, so
+    * a base id assigned once is authoritative in every later manifest that
+    * carries the file; verbatim re-encodes (vacuum re-anchor, clone,
+    * restore) pass the source commit's assignment through `rowIdSeed`.
+    * Mutators on builds without the feature are fenced by the
+    * `rowtracking` WRITER feature; readers are unaffected (the extra
+    * physical column is invisible to schema-bound reads). */
+  val RowIdCol = "_graft_row_id"
+  val RowTrackingKey = "graft.rowTracking"
+
+  private def rowTrackingOn(props: Map[String, String]): Boolean =
+    props.get(RowTrackingKey).exists(_.trim.equalsIgnoreCase("true"))
 
   /** Above this many marked rows, the DV anti-join drops its broadcast
     * hint and lets AQE pick the join side (a huge DV should be compacted
@@ -2033,6 +2165,67 @@ object VersionedTable {
         .select(s.fields.map(fl => col(fl.name)).toSeq: _*)
     }
   }
+
+  /** The table with each row's TRACKED id exposed as [[RowIdCol]] (long):
+    * `coalesce(materialized id, file base_row + row index)`. Requires row
+    * tracking (see [[RowTrackingKey]]); DV-marked rows are filtered
+    * exactly like [[read]]. */
+  def readWithRowIds(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val (root, _, c) = commitFor(spark, path, asOf)
+    require(c.baseRow.nonEmpty || c.files.isEmpty,
+      s"$path: row tracking is not enabled — set TBLPROPERTIES " +
+        s"('$RowTrackingKey'='true') and commit once")
+    rowIdFrame(spark, root, c, c.files)
+  }
+
+  /** (data columns ++ [[RowIdCol]]) over a subset of a commit's files —
+    * also the carried-row source for every CoW rewrite when tracking is
+    * on, so ids survive the rewrite. The id is the materialized column
+    * where a previous rewrite wrote one (schema-bound parquet read: files
+    * without the column read null), else the file's base id + row index;
+    * the base-id lookup is one broadcast row per file, exactly like the
+    * DV/partition metadata joins. */
+  private def rowIdFrame(spark: SparkSession, root: Path, c: Commit,
+      files: Seq[String]): DataFrame = {
+    val s = c.schema.getOrElse(
+      sys.error(s"$root: row tracking requires a schema-recorded table"))
+    val outFields = s.fields.toSeq :+ StructField(RowIdCol, LongType, nullable = true)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(outFields))
+    val sPlus = StructType(s.fields :+ StructField(RowIdCol, LongType, nullable = true))
+    val keyed = physReadKeyed(spark, root, c, sPlus, files, withKeys = true)
+    val afterDv =
+      if (!files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) keyed
+      else {
+        val dvAll = spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
+        val dvScoped =
+          if (files.size == c.files.size) dvAll
+          else dvAll.filter(col(FileKeyCol).isin(files: _*))
+        val dvSide =
+          if (c.dvRows.values.sum <= dvBroadcastBound(spark)) broadcast(dvScoped)
+          else dvScoped
+        keyed.join(dvSide, Seq(FileKeyCol, RowIdxCol), "left_anti")
+      }
+    import spark.implicits._
+    val lookup = files.map(fk => (fk, c.baseRow.get(fk)))
+      .toDF(FileKeyCol, "__graft_base")
+    afterDv.join(broadcast(lookup), Seq(FileKeyCol))
+      .withColumn(RowIdCol,
+        coalesce(col(RowIdCol), col("__graft_base") + col(RowIdxCol)))
+      .select(s.fields.map(fl => col(fl.name)).toSeq :+ col(RowIdCol): _*)
+  }
+
+  /** The carried-row source for a CoW rewrite: id-materializing when the
+    * commit tracks rows, the plain frame otherwise. Insert sides attach an
+    * inherited or null id (see upsert); fresh rows then default to the new
+    * file's base + index. */
+  private def rewriteSource(spark: SparkSession, root: Path, c: Commit,
+      files: Seq[String]): DataFrame =
+    if (rowTrackingOn(c.props)) rowIdFrame(spark, root, c, files)
+    else dataFrameFor(spark, root, c, files)
 
   /** Read the latest committed version, or `asOf` for time travel. The file
     * list and schema come from the commit manifest, so empty versions read
@@ -2248,6 +2441,27 @@ object VersionedTable {
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
         frame.rdd
       override def toString: String = s"GraftChanges($fromV,$toV]"
+    }
+  }
+
+  /** The [[changesWithRowIds]] twin of [[changesRelation]] — backs the
+    * `graft_row_changes` table-valued function. */
+  private[graft] def rowChangesRelation(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): org.apache.spark.sql.sources.BaseRelation = {
+    require(fromV >= 0L && toV > math.max(fromV - 1L, 0L),
+      s"$path: invalid change-feed range ($fromV, $toV]")
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      private lazy val frame: DataFrame =
+        if (fromV <= 0L) // initial load: the snapshot as inserts, with ids
+          readWithRowIds(spark, path, Some(toV))
+            .withColumn("_change_type", lit("insert"))
+        else changesWithRowIds(spark, path, fromV, toV)
+      override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+      override lazy val schema: StructType = frame.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        frame.rdd
+      override def toString: String = s"GraftRowChanges($fromV,$toV]"
     }
   }
 
@@ -2594,6 +2808,8 @@ object VersionedTable {
       guardBy: Option[String],
       dropCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
+    require(!updates.columns.contains(RowIdCol),
+      s"$path: $RowIdCol is reserved for row tracking")
     guardBy.foreach { g =>
       require(updates.columns.contains(g),
         s"$path: guardBy column $g is not in the update schema")
@@ -2732,12 +2948,26 @@ object VersionedTable {
                   else lit(null).cast(fl.dataType).as(fl.name)).toSeq: _*)
               } else if (rewriteKeys.isEmpty) inserts // empty/legacy base
               else {
-                val base = dataFrameFor(spark, root, c, rewriteKeys)
+                // row tracking: carried rows ride with their materialized
+                // ids; a MERGE-matched incoming row INHERITS the id of the
+                // stored row it replaces (min over any legacy duplicate-key
+                // rows — deterministic), so updates keep identity and the
+                // row-keyed change feed pairs them; truly-new keys stay
+                // null and draw fresh ids from the new file's base
+                val tracked = rowTrackingOn(c.props)
+                val base = rewriteSource(spark, root, c, rewriteKeys)
+                def inherited(src: DataFrame): DataFrame =
+                  if (!tracked) src
+                  else src.join(
+                    base.groupBy(keys.map(col): _*)
+                      .agg(min(col(RowIdCol)).as(RowIdCol)),
+                    keys, "left")
                 guardBy match {
                   case None =>
                     base.join(deduped.select(keys.map(col): _*).distinct(),
                         keys, "left_anti")
-                      .unionByName(inserts, allowMissingColumns = evolveSchema)
+                      .unionByName(inherited(inserts),
+                        allowMissingColumns = evolveSchema)
                   case Some(seq) =>
                     // sequencing guard, decided ONCE PER KEY (not per base
                     // row — a table holding duplicate key rows must not
@@ -2769,7 +2999,8 @@ object VersionedTable {
                     val survivors = base.join(dec, keys, "left")
                       .filter(!coalesce(col("__graft_uwins"), lit(false)))
                       .drop("__graft_uwins")
-                    val applied = inserts.join(dec, keys, "left")
+                    val applied = inherited(inserts)
+                      .join(dec, keys, "left")
                       .filter(coalesce(col("__graft_uwins"), lit(true)))
                       .drop("__graft_uwins")
                     survivors.unionByName(applied,
@@ -2789,7 +3020,8 @@ object VersionedTable {
             val carrySet = carryKeys.toSet
             val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
             (carryKeys ++ rel,
-              merged.map(_.json).getOrElse(rewriteDf.schema.json),
+              // the materialized id column is physical-only — never schema
+              merged.map(_.json).getOrElse(rewriteDf.drop(RowIdCol).schema.json),
               // LAZY: a delta-encoded merge serializes only the new files'
               // stats (statsAdd); the full carried map is evaluated only
               // when this commit lands on a checkpoint boundary
@@ -2888,7 +3120,7 @@ object VersionedTable {
         case _ => (c.files, Seq.empty[String])
       }
       if (candKeys.isEmpty) return b // provably nothing to delete
-      val kept = dataFrameFor(spark, root, c, candKeys)
+      val kept = rewriteSource(spark, root, c, candKeys)
         .filter(!coalesce(predicate, lit(false))) // keep p=false AND p=null rows
       val (dir, rel0) = stage(kept, root, f, c.colMap,
         c.schema.map(partitionColsOf).getOrElse(Nil), c.props)
@@ -2899,7 +3131,7 @@ object VersionedTable {
       val (dvK, dvR) = c.dvFor(carrySet) // rewritten files materialized their DVs
       val v = b + 1L
       val (body, ckptDir) = encodeCommit(spark, root, v, carryKeys ++ rel,
-        c.schema.map(_.json).getOrElse(kept.schema.json),
+        c.schema.map(_.json).getOrElse(kept.drop(RowIdCol).schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
         c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
         parent = Some(c), colMap = c.colMap,
@@ -2954,14 +3186,17 @@ object VersionedTable {
         pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
       if (candKeys.isEmpty) return b // provably nothing to update
       val hit = coalesce(predicate, lit(false))
-      val updated = dataFrameFor(spark, root, c, candKeys).select(
-        s.fields.map { fl =>
+      // updated rows KEEP their tracked id (SQL UPDATE preserves identity;
+      // the row-keyed change feed pairs them as pre/post images)
+      val tracked = rowTrackingOn(c.props)
+      val updated = rewriteSource(spark, root, c, candKeys).select(
+        (s.fields.map { fl =>
           set.get(fl.name) match {
             case Some(v) =>
               when(hit, v.cast(fl.dataType)).otherwise(col(fl.name)).as(fl.name)
             case None => col(fl.name)
           }
-        }.toSeq: _*)
+        }.toSeq ++ (if (tracked) Seq(col(RowIdCol)) else Nil)): _*)
       // withContract (not just withChecks): an UPDATE that modifies a
       // source column of a generated column without keeping the generated
       // value consistent refuses loudly — the remedy is to SET the
@@ -3287,6 +3522,14 @@ object VersionedTable {
       asOf: Option[Long] = None): Map[String, String] = {
     val (_, _, c) = commitFor(spark, path, asOf)
     c.props
+  }
+
+  /** The row-tracking id high watermark at a version — the next fresh row
+    * id. None when tracking has never assigned ids. */
+  def rowIdHighWatermark(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Option[Long] = {
+    val (_, _, c) = commitFor(spark, path, asOf)
+    if (c.rowHwm > 0L) Some(c.rowHwm) else None
   }
 
   /** CHECK-constraint predicates ride table properties under this prefix
@@ -3916,9 +4159,9 @@ object VersionedTable {
             (new Path(root, s".no-purge"), Seq.empty[String],
               Map.empty: DataSkipping.FileStats, Map.empty[String, Long])
           else {
-            // dataFrameFor applies the OLD marks; the predicate filter
-            // drops this delete's matches — survivors only
-            val survivors = dataFrameFor(spark, root, c, purgeKeys)
+            // the source applies the OLD marks; the predicate filter
+            // drops this delete's matches — survivors only (ids carried)
+            val survivors = rewriteSource(spark, root, c, purgeKeys)
               .filter(!coalesce(predicate, lit(false)))
             val (d, r0) = stage(survivors, root, f, c.colMap,
               c.schema.map(partitionColsOf).getOrElse(Nil), c.props)
@@ -3975,7 +4218,7 @@ object VersionedTable {
       if (purgeKeys.isEmpty) return b
       val purgeSet = purgeKeys.toSet
       val carryKeys = c.files.filterNot(purgeSet)
-      val survivors = dataFrameFor(spark, root, c, purgeKeys) // marks applied
+      val survivors = rewriteSource(spark, root, c, purgeKeys) // marks applied
       val (dir, rel0) = stage(survivors, root, f, c.colMap,
         c.schema.map(partitionColsOf).getOrElse(Nil), c.props)
       val (st0, rw0) = metaFor(spark, root, rel0,
@@ -3985,7 +4228,7 @@ object VersionedTable {
       val dvKeep = if (dvRowsKeep.isEmpty) Seq.empty[String] else c.dv
       val v = b + 1L
       val (body, ckptDir) = encodeCommit(spark, root, v, carryKeys ++ rel,
-        c.schema.map(_.json).getOrElse(survivors.schema.json),
+        c.schema.map(_.json).getOrElse(survivors.drop(RowIdCol).schema.json),
         c.stats.filter(kv => !purgeSet(kv._1)) ++ st,
         c.rows.filter(kv => !purgeSet(kv._1)) ++ rw,
         c.txn, dvKeep, dvRowsKeep, parent = Some(c),
@@ -4162,7 +4405,7 @@ object VersionedTable {
       val totalSmall = sized.collect { case (r, n) if smallSet(r) => n }.sum
       val nOut = math.max(1, math.ceil(totalSmall.toDouble / targetBytes).toInt)
       val partCols = c.schema.map(partitionColsOf).getOrElse(Nil)
-      val small = dataFrameFor(spark, root, c, c.files.filter(smallSet))
+      val small = rewriteSource(spark, root, c, c.files.filter(smallSet))
       // partitioned tables pack PER DIRECTORY: a plain coalesce would give
       // every output task rows of many partitions, and the partitioned
       // stage would re-split each into one file per dir — nOut × dirs tiny
@@ -4176,7 +4419,7 @@ object VersionedTable {
       val (dvK, dvR) = c.dvFor(carrySet) // packed files materialized their DVs
       val v = b + 1L
       val (body, ckptDir) = encodeCommit(spark, root, v, carry ++ rel,
-        c.schema.map(_.json).getOrElse(packed.schema.json),
+        c.schema.map(_.json).getOrElse(packed.drop(RowIdCol).schema.json),
         c.stats.filter(kv => carrySet(kv._1)) ++ st,
         c.rows.filter(kv => carrySet(kv._1)) ++ rw, c.txn, dvK, dvR,
         parent = Some(c), colMap = c.colMap,
@@ -4231,7 +4474,7 @@ object VersionedTable {
       val s = c.schema.get // partitionScope required it
       val partCols = partitionColsOf(s)
       val cand = c.files.filter(scope)
-      val base = dataFrameFor(spark, root, c, cand)
+      val base = rewriteSource(spark, root, c, cand)
       val placed =
         if (partCols.isEmpty) TableIO.zPlaced(base, cols, bits)
         else TableIO.zPlacedWithin(base, partCols, cols, bits)
@@ -4273,7 +4516,7 @@ object VersionedTable {
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, bse)
       val partCols = c.schema.map(partitionColsOf).getOrElse(Nil)
-      val base = dataFrameFor(spark, root, c, c.files)
+      val base = rewriteSource(spark, root, c, c.files)
       // partitioned tables z-order WITHIN partitions (Delta's semantics):
       // clustering spans the z columns inside each dir, never across dirs
       val placed =
@@ -4284,7 +4527,7 @@ object VersionedTable {
       val (st, rw) = metaFor(spark, root, rel, cols)
       val v = bse + 1L
       val (body, ckptDir) = encodeCommit(spark, root, v, rel,
-        c.schema.map(_.json).getOrElse(placed.schema.json), st, rw, c.txn,
+        c.schema.map(_.json).getOrElse(placed.drop(RowIdCol).schema.json), st, rw, c.txn,
         parent = Some(c))
       if (tryCommit(f, root, v, body)) committed = v
       else {
@@ -4381,6 +4624,116 @@ object VersionedTable {
       val alignedMarked = markedRows.select(col("_change_type") +: allCols.map { c =>
         if (markedRows.columns.contains(c)) col(c) else lit(null).cast(types(c)).as(c)
       }.toSeq: _*)
+      fileDiff.unionByName(alignedMarked)
+    }
+  }
+
+  /** Row-IDENTITY change feed between two versions — requires row
+    * tracking ([[RowTrackingKey]]). Same file-granular bound as
+    * [[changes]] (only files removed by one side or added by the other
+    * are read; carried files contribute at most their deletion-vector
+    * mark deltas), but keyed on the STABLE row id instead of row values:
+    *
+    *  - a row rewritten with identical values (OPTIMIZE, ZORDER, compact,
+    *    the untouched rows of a MERGE/UPDATE file) appears on both sides
+    *    under the same id and collapses to NOTHING;
+    *  - a value change under a surviving id emits an `update_preimage` /
+    *    `update_postimage` PAIR (UPDATE and MERGE-matched rows keep their
+    *    ids through the rewrite — see [[rewriteSource]]);
+    *  - ids present on one side only emit `delete` / `insert`.
+    *
+    * Output: the table columns + [[RowIdCol]] + `_change_type`. */
+  def changesWithRowIds(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val (root, _, cFrom) = commitFor(spark, path, Some(fromV))
+    val (_, _, cTo) = commitFor(spark, path, Some(toV))
+    require(cFrom.baseRow.nonEmpty || cFrom.files.isEmpty,
+      s"$path: version $fromV predates row tracking — use changes()")
+    require(cTo.baseRow.nonEmpty || cTo.files.isEmpty,
+      s"$path: version $toV predates row tracking — use changes()")
+    val fromSet = cFrom.files.toSet
+    val toSet = cTo.files.toSet
+    val removed = cFrom.files.filterNot(toSet)
+    val added = cTo.files.filterNot(fromSet)
+    val before = rowIdFrame(spark, root, cFrom, removed)
+    val after = rowIdFrame(spark, root, cTo, added)
+    val types = (before.schema ++ after.schema)
+      .map(fl => fl.name -> fl.dataType).toMap
+    val allCols = (before.columns ++ after.columns).distinct
+      .filterNot(_ == RowIdCol)
+    def aligned(df: DataFrame) = df.select(
+      allCols.map { c2 =>
+        if (df.columns.contains(c2)) col(c2)
+        else lit(null).cast(types(c2)).as(c2)
+      }.toSeq :+ col(RowIdCol): _*)
+    // one struct per side → a full-outer id join classifies in one pass;
+    // struct <=> is null-safe field-wise, so a column null on both sides
+    // still reads as unchanged
+    val b = aligned(before)
+      .select(struct(allCols.map(col): _*).as("__b"), col(RowIdCol))
+    val a = aligned(after)
+      .select(struct(allCols.map(col): _*).as("__a"), col(RowIdCol))
+    val joined = b.join(a, Seq(RowIdCol), "full_outer")
+    val pre = joined
+      .filter(col("__b").isNotNull &&
+        (col("__a").isNull || !(col("__b") <=> col("__a"))))
+      .select(col(RowIdCol), col("__b").as("__row"),
+        when(col("__a").isNull, lit("delete"))
+          .otherwise(lit("update_preimage")).as("_change_type"))
+    val post = joined
+      .filter(col("__a").isNotNull &&
+        (col("__b").isNull || !(col("__b") <=> col("__a"))))
+      .select(col(RowIdCol), col("__a").as("__row"),
+        when(col("__b").isNull, lit("insert"))
+          .otherwise(lit("update_postimage")).as("_change_type"))
+    val fileDiff = pre.unionByName(post).select(
+      allCols.map(c2 => col(s"__row.`$c2`").as(c2)) :+
+        col(RowIdCol) :+ col("_change_type"): _*)
+    // carried files can differ only by DV mark deltas (same contract and
+    // bound as changes()): newly-marked rows are deletes, un-marked rows
+    // (the RESTORE direction) are inserts — each with its tracked id
+    val dvCandFiles =
+      if (cFrom.dv == cTo.dv) Seq.empty
+      else (fromSet & toSet).toSeq.filter(fk =>
+        cFrom.dvRows.getOrElse(fk, 0L) > 0L || cTo.dvRows.getOrElse(fk, 0L) > 0L)
+    if (dvCandFiles.isEmpty) fileDiff
+    else {
+      val s = cTo.schema.orElse(cFrom.schema).get
+      def marksOf(c: Commit): DataFrame =
+        if (c.dv.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField(FileKeyCol, StringType),
+              StructField(RowIdxCol, LongType))))
+        else spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
+          .filter(col(FileKeyCol).isin(dvCandFiles: _*))
+          .select(col(FileKeyCol), col(RowIdxCol))
+      val fromMarks = marksOf(cFrom)
+      val toMarks = marksOf(cTo)
+      val markDelta = toMarks
+        .join(fromMarks, Seq(FileKeyCol, RowIdxCol), "left_anti")
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(fromMarks
+          .join(toMarks, Seq(FileKeyCol, RowIdxCol), "left_anti")
+          .withColumn("_change_type", lit("insert")))
+      val cb = if (cTo.schema.isDefined) cTo else cFrom
+      val sPlus = StructType(s.fields :+
+        StructField(RowIdCol, LongType, nullable = true))
+      val marked = physReadKeyed(spark, root, cb, sPlus, dvCandFiles,
+        withKeys = true)
+        .join(broadcast(markDelta), Seq(FileKeyCol, RowIdxCol))
+      import spark.implicits._
+      // a carried file's base id is identical in both commits (immutable)
+      val lookup = dvCandFiles.map(fk => (fk, cb.baseRow.get(fk)))
+        .toDF(FileKeyCol, "__graft_base")
+      val withIds = marked.join(broadcast(lookup), Seq(FileKeyCol))
+        .withColumn(RowIdCol,
+          coalesce(col(RowIdCol), col("__graft_base") + col(RowIdxCol)))
+      val alignedMarked = withIds.select(
+        allCols.map { c2 =>
+          if (withIds.columns.contains(c2)) col(c2)
+          else lit(null).cast(types(c2)).as(c2)
+        }.toSeq :+ col(RowIdCol) :+ col("_change_type"): _*)
       fileDiff.unionByName(alignedMarked)
     }
   }
@@ -4586,7 +4939,9 @@ object VersionedTable {
           // the re-encoded commit IS its own anchor source: a ckpt-chained
           // keep re-anchors via a Spark job over its anchor's parquet
           // instead of forcing the stats map onto the driver
-          carriedIdentical = true, anchorSrc = Some(c))
+          carriedIdentical = true, anchorSrc = Some(c),
+          // verbatim re-encode: same files, same ids, same watermark
+          rowIdSeed = Some((c.rowHwm, c.baseRow)))
         val tmp = new Path(root, s".anchor-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
         val out = f.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()

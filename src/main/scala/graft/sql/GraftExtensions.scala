@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftExtensions].getName, "graft_table_changes"),
       (args: Seq[Expression]) => GraftExtensions.tableChangesPlan(args)))
+    // the row-IDENTITY change feed (requires graft.rowTracking):
+    //   SELECT * FROM graft_row_changes('/path', fromV, toV)
+    // rewritten-but-unchanged rows collapse to nothing; value changes pair
+    // as update_preimage/update_postimage under one stable _graft_row_id
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_row_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "graft_row_changes"),
+      (args: Seq[Expression]) => GraftExtensions.rowChangesPlan(args)))
   }
 }
 
@@ -59,9 +68,9 @@ object GraftExtensions {
   /** Build the CDF plan for `graft_table_changes(path, fromV, toV)` —
     * arguments must be literals (the range pins which versions diff; an
     * expression-valued range would make the plan's schema dynamic). */
-  private[sql] def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
+  private def changesArgs(fn: String, args: Seq[Expression]): (String, Long, Long) = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
-      s"graft_table_changes(path, fromVersion, toVersion): $msg")
+      s"$fn(path, fromVersion, toVersion): $msg")
     if (args.size != 3) fail(s"expected 3 arguments, got ${args.size}")
     val path = args.head match {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
@@ -72,10 +81,22 @@ object GraftExtensions {
       case Literal(v: java.lang.Long, _) => v.longValue
       case other => fail(s"$what must be an integer literal (got ${other.sql})")
     }
+    (path, lng(args(1), "fromVersion"), lng(args(2), "toVersion"))
+  }
+
+  private[sql] def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    val (path, fromV, toV) = changesArgs("graft_table_changes", args)
     val spark = SparkSession.active
     GraftBatchShim.ofRelation(spark,
-      graft.sources.VersionedTable.changesRelation(spark, path,
-        lng(args(1), "fromVersion"), lng(args(2), "toVersion")))
+      graft.sources.VersionedTable.changesRelation(spark, path, fromV, toV))
+      .queryExecution.logical
+  }
+
+  private[sql] def rowChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    val (path, fromV, toV) = changesArgs("graft_row_changes", args)
+    val spark = SparkSession.active
+    GraftBatchShim.ofRelation(spark,
+      graft.sources.VersionedTable.rowChangesRelation(spark, path, fromV, toV))
       .queryExecution.logical
   }
 }

@@ -267,7 +267,9 @@ case class GraftDescribeDetailCommand(cat: String,
     AttributeReference("generated_columns", StringType, nullable = false)(),
     AttributeReference("identity_columns", StringType, nullable = false)(),
     AttributeReference("reader_features", StringType, nullable = false)(),
-    AttributeReference("writer_features", StringType, nullable = false)())
+    AttributeReference("writer_features", StringType, nullable = false)(),
+    AttributeReference("row_tracking", BooleanType, nullable = false)(),
+    AttributeReference("row_id_high_watermark", LongType, nullable = true)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
@@ -290,7 +292,10 @@ case class GraftDescribeDetailCommand(cat: String,
       partCols.mkString(","),
       kv(props.filterNot(e => declPrefixes.exists(e._1.startsWith))),
       kv(cons), kv(gens), kv(ids),
-      rf.toSeq.sorted.mkString(","), wf.toSeq.sorted.mkString(",")))
+      rf.toSeq.sorted.mkString(","), wf.toSeq.sorted.mkString(","),
+      wf.contains("rowtracking"),
+      VersionedTable.rowIdHighWatermark(session, p)
+        .map(java.lang.Long.valueOf).orNull))
   }
 }
 
