@@ -116,4 +116,91 @@ object KmvSketchAgg {
   /** Column-API form: `kmv_distinct(col, k)`. */
   def apply(c: Column, k: Int): Column =
     Bridge.column(KmvSketchAgg(Bridge.expression(c), k).toAggregateExpression())
+
+  /** The [[KmvSketchAgg]] estimator applied to an already-merged sketch
+    * (the k smallest hex hashes, sorted ascending) — what plan-time
+    * consumers run after unioning per-file sketches from the manifest. */
+  def estimate(sketch: Seq[String], k: Int): Long =
+    if (sketch.size < k) sketch.size.toLong
+    else {
+      val v = java.lang.Long.parseLong(
+        sketch(k - 1).substring(0, 13), 16) max 1L
+      math.floor((k - 1).toDouble * Normalizer / v).toLong
+    }
+
+  /** Union per-sketch hash sets keeping the k smallest — the mergeable-
+    * sketch property that lets per-FILE sketches in the manifest answer
+    * table-level (or pruned-subset-level) NDV at plan time. */
+  def merge(sketches: Iterable[Seq[String]], k: Int): Seq[String] = {
+    val set = new java.util.TreeSet[String]()
+    sketches.foreach(_.foreach { h =>
+      if (set.size < k || h < set.last()) {
+        set.add(h)
+        if (set.size > k) set.pollLast()
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    set.iterator().asScala.toSeq
+  }
+}
+
+/** The sketch ITSELF (k smallest md5 hex hashes, sorted ascending) as an
+  * aggregate value — the write-side producer for manifest-persisted NDV
+  * sketches ([[KmvSketchAgg]] is the same buffer evaluated to an estimate;
+  * this returns the mergeable representation so per-file sketches can be
+  * unioned at plan time). */
+case class KmvHashesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  private val impl = KmvSketchAgg(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    impl.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[String],
+      input: InternalRow): java.util.TreeSet[String] = impl.update(buf, input)
+  override def merge(b1: java.util.TreeSet[String],
+      b2: java.util.TreeSet[String]): java.util.TreeSet[String] =
+    impl.merge(b1, b2)
+
+  override def eval(buf: java.util.TreeSet[String]): Any = {
+    val arr = new Array[org.apache.spark.unsafe.types.UTF8String](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] =
+    impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] =
+    impl.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvHashesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvHashesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvHashesAgg =
+    copy(child = newChildren.head)
+}
+
+object KmvHashesAgg {
+  /** Column-API form: the sorted k-smallest-hash sketch of `c`. */
+  def apply(c: Column, k: Int): Column =
+    Bridge.column(KmvHashesAgg(Bridge.expression(c), k).toAggregateExpression())
 }

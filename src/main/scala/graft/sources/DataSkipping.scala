@@ -38,7 +38,13 @@ object DataSkipping {
     * must refuse them — the true extremum may lie strictly inside. */
   final case class ColStat(
       min: Option[Any], max: Option[Any], numNulls: Long, allNulls: Boolean,
-      inexact: Boolean = false)
+      inexact: Boolean = false,
+      /** KMV NDV sketch: the k smallest md5 hex hashes of the column's
+        * values in THIS file, sorted ascending — mergeable across files
+        * (union keeping k smallest), so table-level or pruned-subset NDV
+        * answers at plan time from the manifest alone. Written by
+        * ANALYZE ... COMPUTE NDV, absent otherwise. */
+      ndv: Option[Seq[String]] = None)
 
   /** Stored string bounds are capped at this many chars (Delta's 32-char
     * stats truncation): on an LLM corpus with stats collected on a text
@@ -307,7 +313,10 @@ object DataSkipping {
       val mn = st.min.map(x => s""""min":${v(x)},""").getOrElse("")
       val mx = st.max.map(x => s""""max":${v(x)},""").getOrElse("")
       val tr = if (st.inexact) s""""trunc":true,""" else ""
-      s""""$c":{$mn$mx$tr"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
+      val nd = st.ndv.map(h => s""""ndv":${h.map(x =>
+        sharedMapper.writeValueAsString(x)).mkString("[", ",", "]")},""")
+        .getOrElse("")
+      s""""$c":{$mn$mx$tr$nd"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
     }.mkString("{", ",", "}")
   }
 
@@ -321,7 +330,9 @@ object DataSkipping {
       ce.getKey -> ColStat(bound("min"), bound("max"),
         Option(o.get("nulls")).map(_.asLong()).getOrElse(0L),
         Option(o.get("all_nulls")).exists(_.asBoolean()),
-        Option(o.get("trunc")).exists(_.asBoolean()))
+        Option(o.get("trunc")).exists(_.asBoolean()),
+        Option(o.get("ndv")).map(a => a.elements().asScala
+          .map(_.asText()).toSeq))
     }.toMap
   }
 

@@ -942,7 +942,8 @@ object VersionedTable {
     * (OPTIMIZE/ZORDER/MERGE) regenerate blooms for their output files. */
   /** Properties holding comma-separated COLUMN-NAME lists that schema DDL
     * must keep in step (rename follows, drop sheds). */
-  private val ColumnListHints = Seq("graft.bloomCols", "graft.clusterBy")
+  private val ColumnListHints =
+    Seq("graft.bloomCols", "graft.clusterBy", "graft.ndvCols")
 
   private def bloomColsIn(props: Map[String, String]): Seq[String] =
     props.get("graft.bloomCols").toSeq
@@ -2286,6 +2287,7 @@ object VersionedTable {
       dvMarks = dvThunkFor(spark, root, c),
       partitionCols = partitionColsOf(c.schema.get),
       minMaxOf = minMaxOfCommit(c, _),
+      ndvOf = ndvOfCommit(c, _),
       // generation SQL for generated PARTITION columns only — licenses the
       // base-column → partition-filter derivation rule
       generatedPartDefs = {
@@ -2524,6 +2526,118 @@ object VersionedTable {
       asOf: Option[Long] = None): Option[(Any, Any)] = {
     val (_, _, c) = commitFor(spark, path, asOf)
     minMaxOfCommit(c, column)
+  }
+
+  /** ANALYZE ... COMPUTE NDV: collect a per-file KMV sketch
+    * ([[graft.functions.KmvHashesAgg]], k = [[NdvSketchK]]) for each of
+    * `cols` over the live rows (DV-marked rows excluded) and commit the
+    * table with the sketches merged into its per-file manifest stats — a
+    * stats-only commit, same files, same schema. One column-pruned
+    * distributed scan; the collected result is O(files × cols × k) driver
+    * memory, the stats-map order. Plan time then answers NDV by unioning
+    * the per-file sketches ([[ndvFromStats]]), which is what licenses
+    * CBO-lite broadcast decisions on filtered graft scans
+    * (GraftNdvJoinEstimation). Files appended AFTER the analyze carry no
+    * sketch; their values go uncounted, which UNDERestimates NDV and
+    * therefore OVERestimates a filter's surviving size — the conservative
+    * direction for a broadcast decision — until the next analyze. */
+  def analyzeNdv(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "analyzeNdv needs at least one column")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val b = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"$path has no committed versions"))
+      val c = readManifest(spark, f, root, b)
+      val s = c.schema.getOrElse(throw new IllegalArgumentException(
+        s"$path: ANALYZE needs a schema-recorded table"))
+      val missing = cols.filterNot(s.fieldNames.contains)
+      require(missing.isEmpty,
+        s"$path: ANALYZE names missing column(s): ${missing.mkString(",")}")
+      if (c.files.isEmpty) return b
+      val sub = StructType(s.fields.filter(fl => cols.contains(fl.name)))
+      val keyed0 = physReadKeyed(spark, root, c, sub, c.files, withKeys = true)
+      val keyed =
+        if (!c.files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) keyed0
+        else keyed0.join(
+          spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
+            .select(col(FileKeyCol), col(RowIdxCol)),
+          Seq(FileKeyCol, RowIdxCol), "left_anti")
+      val sketchRows = keyed.groupBy(col(FileKeyCol))
+        .agg(graft.functions.KmvHashesAgg(col(cols.head), NdvSketchK)
+            .as(cols.head),
+          cols.tail.map(n =>
+            graft.functions.KmvHashesAgg(col(n), NdvSketchK).as(n)): _*)
+        .collect()
+      val sketches: Map[String, Map[String, Seq[String]]] =
+        sketchRows.map { r =>
+          r.getString(0) -> cols.map(n =>
+            n -> r.getAs[scala.collection.Seq[String]](n).toSeq).toMap
+        }.toMap
+      val newStats: DataSkipping.FileStats = c.files.map { fk =>
+        val prior = c.stats.getOrElse(fk, Map.empty)
+        val sk = sketches.getOrElse(fk, Map.empty)
+        fk -> (prior ++ sk.map { case (n, h) =>
+          n -> prior.getOrElse(n,
+              DataSkipping.ColStat(None, None, 0L, allNulls = false))
+            .copy(ndv = Some(h))
+        })
+      }.toMap
+      val v = b + 1L
+      // the analyzed-column roster rides TBLPROPERTIES so plan-time
+      // consumers can answer "is there a sketch for this column?" from the
+      // O(1) manifest head WITHOUT forcing the lazy checkpoint stats map —
+      // ndvOfCommit gates on it, keeping un-analyzed reads zero-cost
+      val roster = (ndvColsIn(c.props) ++ cols).distinct.sorted
+      val nextProps = c.props + (NdvColsKey -> roster.mkString(","))
+      // carried stats CHANGED → not delta-expressible; encodes full
+      val (body, ckptDir) = encodeCommit(spark, root, v, c.files, s.json,
+        newStats, c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
+        colMap = c.colMap, physDropped = c.physDropped,
+        props = Some(nextProps))
+      if (tryCommit(f, root, v, body)) committed = v
+      else {
+        ckptDir.foreach(d => f.delete(d, true))
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"$path: lost $attempt analyze commit races in a row; giving up")
+      }
+    }
+    committed
+  }
+
+  /** Width of the persisted NDV sketches: k smallest hashes per column per
+    * file (~1/sqrt(k) relative error ≈ 18% — plenty for order-of-magnitude
+    * broadcast decisions, small enough that a sketch costs ~1 KB of
+    * manifest per column per file). */
+  val NdvSketchK = 32
+
+  /** Plan-time NDV for `column` at the head version: union the per-file
+    * sketches across live files. None when no live file carries one. */
+  def ndvFromStats(spark: SparkSession, path: String, column: String,
+      asOf: Option[Long] = None): Option[Long] = {
+    val (_, _, c) = commitFor(spark, path, asOf)
+    ndvOfCommit(c, column)
+  }
+
+  /** Columns with manifest NDV sketches, from the property roster — the
+    * O(1) gate that keeps [[ndvOfCommit]] from forcing the lazy
+    * checkpoint stats map on tables that were never analyzed. */
+  val NdvColsKey = "graft.ndvCols"
+  private def ndvColsIn(props: Map[String, String]): Seq[String] =
+    props.get(NdvColsKey).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  private def ndvOfCommit(c: Commit, column: String): Option[Long] = {
+    if (c.files.isEmpty) return None
+    if (!ndvColsIn(c.props).contains(column)) return None
+    val sketches = c.files.flatMap(fk =>
+      c.stats.get(fk).flatMap(_.get(column)).flatMap(_.ndv))
+    if (sketches.isEmpty) None
+    else Some(graft.functions.KmvSketchAgg.estimate(
+      graft.functions.KmvSketchAgg.merge(sketches, NdvSketchK), NdvSketchK))
   }
 
   private def minMaxOfCommit(c: Commit, column: String): Option[(Any, Any)] = {

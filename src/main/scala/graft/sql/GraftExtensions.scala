@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // over to_date(ts)-partitioned tables
     ext.injectOptimizerRule(session =>
       org.apache.spark.sql.graft.GraftDerivePartitionFilters(session))
+    // CBO-lite: equality-selectivity size estimates from manifest NDV
+    // sketches (ANALYZE ... COMPUTE NDV) — flips eligible joins on
+    // filtered graft scans to broadcast in the STATIC plan
+    ext.injectOptimizerRule(session =>
+      org.apache.spark.sql.graft.GraftNdvJoinEstimation(session))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))

@@ -94,6 +94,8 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+parquet\\s*\\.\\s*`([^`]+)`(?:\\s+STATSCOLS\\s*\\(([^)]*)\\))?\\s*;?\\s*""".r
   private val CopyIntoRe =
     s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*PARQUET(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*""".r
+  private val AnalyzeNdvRe =
+    s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+NDV\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
   // DLT's clause order: KEYS, [APPLY AS DELETE WHEN], SEQUENCE BY, [COLUMNS]
   private val ApplyChangesRe =
     s"""(?is)\\s*APPLY\\s+CHANGES\\s+INTO\\s+$Ref\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\(([^)]+)\\)(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+(.+?))?\\s+SEQUENCE\\s+BY\\s+(`[^`]+`|\\w+)(?:\\s+COLUMNS\\s+\\*\\s+EXCEPT\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
@@ -131,6 +133,10 @@ private[sql] object GraftSqlStatements {
       Some(GraftConvertCommand(path, Option(stats).toSeq
         .flatMap(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty))))
+    case AnalyzeNdvRe(cat, path, cols) =>
+      Some(GraftAnalyzeNdvCommand(cat, path, cols.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq))
     case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
       def cols(s: String): Seq[String] = s.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -369,6 +375,23 @@ case class GraftConvertCommand(path: String,
   override def run(session: SparkSession): Seq[Row] = {
     val v = VersionedTable.convertToGraft(session, path, statsCols)
     Seq(Row(v, VersionedTable.filesOf(session, path, v).size))
+  }
+}
+
+/** `ANALYZE [TABLE] graft.`/p` COMPUTE NDV FOR COLUMNS (a, b)` — collect
+  * per-file KMV NDV sketches into the manifest stats (one column-pruned
+  * distributed scan, a stats-only commit). The sketches power the
+  * CBO-lite broadcast decisions of GraftNdvJoinEstimation. Returns the
+  * committed version. */
+case class GraftAnalyzeNdvCommand(cat: String, path: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "ANALYZE")
+    Seq(Row(VersionedTable.analyzeNdv(session, p, cols)))
   }
 }
 

@@ -65,7 +65,11 @@ private[graft] class GraftFileIndex(
       * contract guarantees `p <=> f(base)` on every stored row, which is
       * what licenses [[GraftDerivePartitionFilters]] to turn base-column
       * predicates into directory-pruning partition predicates. */
-    val generatedPartDefs: Map[String, (String, Option[String])] = Map.empty)
+    val generatedPartDefs: Map[String, (String, Option[String])] = Map.empty,
+    /** Plan-time NDV per column from manifest KMV sketches (ANALYZE ...
+      * COMPUTE NDV) — None for un-analyzed columns. Powers the CBO-lite
+      * equality-selectivity estimate in [[GraftNdvJoinEstimation]]. */
+    val ndvOf: String => Option[Long] = _ => None)
     extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
@@ -127,6 +131,22 @@ private[graft] class GraftFileIndex(
     * corpora badly enough to broadcast a huge table). */
   override lazy val sizeInBytes: Long =
     math.max(1L, allFiles.flatMap(statusOf.get).map(_.getLen).sum)
+
+  /** True on indexes produced by [[withSizeEstimate]] — guards the
+    * estimation rule against re-application under the optimizer's
+    * fix-point. */
+  val estimated: Boolean = false
+
+  /** A copy of this index reporting `est` bytes — the CBO-lite selectivity
+    * hook ([[GraftNdvJoinEstimation]]). The copy IS a GraftFileIndex, so
+    * derive-filters, metadata hooks and listing behave identically; only
+    * the size the join planner reads changes. */
+  def withSizeEstimate(est: Long): GraftFileIndex =
+    new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
+      physNameOf, minMaxOf, generatedPartDefs, ndvOf) {
+      override lazy val sizeInBytes: Long = est
+      override val estimated: Boolean = true
+    }
 
   private def statusOrThrow(r: String): FileStatus =
     statusOf.getOrElse(r,
@@ -379,7 +399,8 @@ object GraftBatchShim {
       liveRows: Option[Long] = None,
       partitionCols: Seq[String] = Nil,
       minMaxOf: String => Option[(Any, Any)] = _ => None,
-      generatedPartDefs: Map[String, (String, Option[String])] = Map.empty)
+      generatedPartDefs: Map[String, (String, Option[String])] = Map.empty,
+      ndvOf: String => Option[Long] = _ => None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -394,7 +415,7 @@ object GraftBatchShim {
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
-        generatedPartDefs),
+        generatedPartDefs, ndvOf),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)

@@ -1,0 +1,77 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  EqualNullSafe, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** CBO-lite join-side estimation from manifest NDV sketches (the
+  * broadcast-decision half of what a full cost-based optimizer buys).
+  *
+  * Spark's size-only stats propagation keeps a Filter's size estimate at
+  * its child's, so `big.join(dim.filter(col === v))` plans a sort-merge
+  * join whenever the UNFILTERED dim exceeds the broadcast threshold — even
+  * when the filter provably keeps a handful of rows. Delta solves this
+  * with table-level column stats; graft stores mergeable per-file KMV
+  * sketches in the manifest (`ANALYZE ... COMPUTE NDV`,
+  * [[graft.sources.VersionedTable.analyzeNdv]]) and this rule applies the
+  * classic equality selectivity `1/ndv` (`|list|/ndv` for IN) to the
+  * scan's honest on-disk size, republishing the relation with the
+  * estimate. The join planner then reads the shrunken size and flips to a
+  * broadcast hash join when it clears the threshold.
+  *
+  * Conservative by construction: only top-level equality/IN conjuncts on
+  * sketched columns contribute (anything else estimates 1.0); un-analyzed
+  * files leave their values out of the sketch, which UNDERestimates NDV
+  * and therefore OVERestimates surviving size — never an unsafe
+  * broadcast. AQE's runtime re-plan still corrects either direction at
+  * execution; this rule fixes the STATIC plan, which is what decides
+  * whether the first execution shuffles 100 TB. Idempotent under the
+  * optimizer fix-point via the index's `estimated` marker.
+  */
+case class GraftNdvJoinEstimation(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        rel @ LogicalRelation(
+          r @ HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _))
+        if !g.estimated =>
+      val sel = selectivity(cond, g.ndvOf)
+      if (sel >= 1.0) f
+      else {
+        val est = math.max(1L, math.ceil(g.sizeInBytes.toDouble * sel).toLong)
+        Filter(cond, rel.copy(relation =
+          r.copy(location = g.withSizeEstimate(est))(
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])))
+      }
+  }
+
+  /** Combined selectivity of the top-level conjuncts: product of `n/ndv`
+    * over equality/IN predicates on sketched columns, 1.0 for everything
+    * else (including un-sketched columns — no guess without a sketch). */
+  private def selectivity(cond: Expression,
+      ndvOf: String => Option[Long]): Double = {
+    def eqSel(a: AttributeReference, n: Int): Double =
+      ndvOf(a.name).filter(_ > 0L)
+        .map(d => math.min(1.0, n.toDouble / d)).getOrElse(1.0)
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case other => Seq(other)
+    }
+    conj(cond).foldLeft(1.0) { (acc, e) =>
+      acc * (e match {
+        case EqualTo(a: AttributeReference, _: Literal) => eqSel(a, 1)
+        case EqualTo(_: Literal, a: AttributeReference) => eqSel(a, 1)
+        case EqualNullSafe(a: AttributeReference, _: Literal) => eqSel(a, 1)
+        case EqualNullSafe(_: Literal, a: AttributeReference) => eqSel(a, 1)
+        case In(a: AttributeReference, vs)
+            if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+          eqSel(a, vs.size)
+        case _ => 1.0
+      })
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ANALYZE ... COMPUTE NDV → manifest KMV sketches → CBO-lite broadcast:
+  * the static join plan on a FILTERED graft scan flips to broadcast once
+  * the sketch proves the filter keeps almost nothing. */
+class NdvEstimationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("ndv").toString + "/t"
+
+  // incompressible-ish payload so parquet size tracks row count
+  private def dimDf(n: Int) = (1 to n).map(i =>
+    (i.toLong, java.util.UUID.nameUUIDFromBytes(
+      BigInt(i).toByteArray).toString * 2)).toDF("id", "payload")
+
+  test("sketch estimate lands within KMV error; merges across files; survives appends") {
+    val p = tmp()
+    VersionedTable.write(dimDf(6000), p)
+    VersionedTable.append(dimDf(6000).withColumn("id", col("id") + 6000L), p)
+    VersionedTable.analyzeNdv(spark, p, Seq("id"))
+    val est = VersionedTable.ndvFromStats(spark, p, "id").get
+    assert(est > 8000L && est < 18000L, s"12000 true NDV, estimated $est")
+    // un-analyzed appends leave values uncounted — conservative, not wrong
+    VersionedTable.append(dimDf(1000).withColumn("id", col("id") + 12000L), p)
+    assert(VersionedTable.ndvFromStats(spark, p, "id").contains(est))
+    assert(VersionedTable.ndvFromStats(spark, p, "payload").isEmpty,
+      "no sketch was requested for payload")
+  }
+
+  test("a filtered graft join flips to broadcast from sketch-estimated cardinality") {
+    val p = tmp()
+    VersionedTable.write(dimDf(20000), p)
+    // the fact side must itself exceed the threshold, or IT broadcasts
+    val fact = spark.range(500000L).select(
+      (col("id") % 100).as("id"), col("id").as("x"))
+    def planOf(): String = {
+      val dim = VersionedTable.read(spark, p).filter(col("id") === 7L)
+      fact.join(dim, "id").queryExecution.sparkPlan.toString
+    }
+    val raw = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(_.length).sum
+    // threshold below the table's real bytes: without a sketch the filter
+    // keeps the child's size and the static plan refuses to broadcast
+    val threshold = math.max(65536L, raw / 4)
+    assert(raw > threshold, s"dim must out-size the threshold (raw=$raw)")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString,
+      // the static decision is the point — AQE would mask it at runtime
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      assert(!planOf().contains("BroadcastHashJoin"),
+        "without a sketch the filtered dim must not broadcast statically")
+      VersionedTable.analyzeNdv(spark, p, Seq("id"))
+      assert(planOf().contains("BroadcastHashJoin"),
+        s"1/20000 selectivity on ~$raw bytes must clear $threshold")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("the ANALYZE SQL statement commits the sketch version") {
+    val p = tmp()
+    VersionedTable.write(dimDf(500), p)
+    val v = spark.sql(
+      s"ANALYZE TABLE graft.`$p` COMPUTE NDV FOR COLUMNS (id)")
+      .collect().head.getLong(0)
+    assert(v == 2L)
+    // k=32 saturates at 500 distinct values — wide 1/sqrt(k) error band
+    assert(VersionedTable.ndvFromStats(spark, p, "id").exists(e =>
+      e > 200L && e < 1200L))
+    // stats-only commit: same files, new version
+    assert(VersionedTable.filesOf(spark, p, 1L) ==
+      VersionedTable.filesOf(spark, p, 2L))
+  }
+}
