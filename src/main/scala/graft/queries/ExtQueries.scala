@@ -455,6 +455,71 @@ object ExtQueries {
        |GROUP BY 1, 2, 3""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_tpch_q8 — national-market-share shape (TPC-H Q8): an eight-way star
+  // over the fact (part filter, orders date window, customer → nation →
+  // region on the demand side, supplier → nation on the supply side),
+  // then per-order-year market share = one nation's revenue over total
+  // revenue. Every dimension broadcasts (the fact never shuffles for a
+  // dim); numerator and denominator accumulate as exact DECIMAL sums and
+  // divide in double only at the end — order-independent, so the share
+  // hash-matches DuckDB. This closes the TPC-H set at 18 of 22: Q2, Q9
+  // and Q11 are the partsupp queries, and the corpus has no partsupp
+  // table to express them over.
+  // --------------------------------------------------------------------------
+  val Q8Nation = "NATION_7"
+
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation")))
+    val america = broadcast(Tables.region(spark, dir)
+      .filter(col("r_name") === "AMERICA").select(col("r_regionkey")))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .filter(to_date(col("o_orderdate")).between("1995-01-01", "1996-12-31")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("n1_key"))
+      .join(america, col("n1_region") === col("r_regionkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === Q8Nation,
+          dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"))))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType) /
+          revenue).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val tpchQ8Sql: String =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(SUM(CASE WHEN n2.n_name = '$Q8Nation'
+       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       |    AS mkt_share,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region ON n1.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+       |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_tpch_q19 — disjunctive-join shape (TPC-H Q19): an OR of three
   // brand/size/quantity conjunctions over an equi-join. Written as the
   // single filter the spec spells; Catalyst's one-sided-implication
@@ -743,6 +808,7 @@ object ExtQueries {
     "q_tpch_q15"     -> (tpchQ15 _),
     "q_tpch_q4"      -> (tpchQ4 _),
     "q_tpch_q12"     -> (tpchQ12 _),
+    "q_tpch_q8"      -> (tpchQ8 _),
     "q_tpch_q14"     -> (tpchQ14 _),
     "q_tpch_q16"     -> (tpchQ16 _),
     "q_tpch_q18"     -> (tpchQ18 _),
@@ -768,6 +834,7 @@ object ExtQueries {
     "q_tpch_q15"     -> tpchQ15Sql,
     "q_tpch_q4"      -> tpchQ4Sql,
     "q_tpch_q12"     -> tpchQ12Sql,
+    "q_tpch_q8"      -> tpchQ8Sql,
     "q_tpch_q14"     -> tpchQ14Sql,
     "q_tpch_q16"     -> tpchQ16Sql,
     "q_tpch_q18"     -> tpchQ18Sql,

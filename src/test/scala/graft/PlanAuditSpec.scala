@@ -540,4 +540,30 @@ class PlanAuditSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }.isEmpty, sp.toString)
   }
+
+  test("q_ann_incremental: the probe broadcasts the query side into the persisted index") {
+    val df = SparkEntry.queries("q_ann_incremental")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    spark.catalog.clearCache()
+    // the probe is one broadcast hash join (tiny query side) against the
+    // assignments-table scan — no SMJ, no cartesian, and no Lloyd pass
+    // (an exchange-heavy kmeans subtree would show as extra aggregates)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, sp.toString)
+    assert(sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, sp.toString)
+  }
+
+  test("q_image_neardup: pair stage rides banded equi-joins, never all-pairs") {
+    val df = SparkEntry.queries("q_image_neardup")(spark, sf0001)
+    val sp = df.queryExecution.sparkPlan
+    spark.catalog.clearCache()
+    assert(sp.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, sp.toString)
+  }
 }
