@@ -574,6 +574,81 @@ object SkippingQueries {
       |FROM cdc c LEFT JOIN seed s ON s.user_id = c.user_id
       |WHERE NOT (c.op = 'delete' AND (s.user_id IS NULL OR c.t >= s.t))""".stripMargin
 
+  def rowTrackTablePath(dir: String): String =
+    cachedTablePath(dir, "rowtrack_v1")
+
+  /** Idempotently build the ROW TRACKING fixture with fully deterministic
+    * id assignment: v1 = ONE sorted single-partition file of the %3==0
+    * users' latest events; v2 = TBLPROPERTIES enables tracking (backfill:
+    * base 0, id = row index = user_id rank − 1); v3 = CoW UPDATE doubling
+    * cur_value for user_id%5==0 — the rewrite MUST carry ids through its
+    * materialized column; v4 = a second sorted single-partition append of
+    * the %3==1 users (ids = high watermark + rank − 1). Atomic commits
+    * make the recipe resume from any checkpoint. */
+  def ensureRowTrackTable(spark: SparkSession, dir: String): String = {
+    val path = rowTrackTablePath(dir)
+    import org.apache.spark.sql.expressions.Window
+    def slice(res: Long): DataFrame = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .filter(col("user_id") % 3 === res)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("cur_event"),
+        col("value").as("cur_value"))
+      .repartition(1).sortWithinPartitions(col("user_id"))
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(slice(0L), path, statsCols = Seq("user_id"))
+    if (VersionedTable.latestVersion(spark, path).contains(1L))
+      VersionedTable.setProperties(spark, path,
+        Map(VersionedTable.RowTrackingKey -> "true"))
+    if (VersionedTable.latestVersion(spark, path).contains(2L))
+      VersionedTable.update(spark, path, col("user_id") % 5 === 0,
+        Map("cur_value" -> (col("cur_value") * 2.0)))
+    if (VersionedTable.latestVersion(spark, path).contains(3L))
+      VersionedTable.append(slice(1L), path)
+    path
+  }
+
+  /** q_row_tracking — row identity under the oracle gate: every row's id
+    * equals its deterministic assignment rank INCLUDING the rows whose
+    * file the UPDATE rewrote between the two assignments. A green row
+    * proves ids are minted once, survive the copy-on-write rewrite via
+    * the materialized column, and extend monotonically on append — with
+    * the updated rows' values checked in the same pass. DuckDB replays
+    * the two sorted assignments with ROW_NUMBER. */
+  def rowTracking(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureRowTrackTable(spark, dir)
+    VersionedTable.readWithRowIds(spark, path)
+      .select(col("user_id"), col("cur_event"), col("cur_value"),
+        col(VersionedTable.RowIdCol).as("row_id"))
+  }
+
+  val rowTrackingSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY t DESC, event_id DESC) AS rn
+      |  FROM e),
+      |latest AS (SELECT user_id, event_id, value FROM r WHERE rn = 1),
+      |g0 AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN user_id % 5 = 0 THEN value * 2 ELSE value END AS cur_value,
+      |    ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS row_id
+      |  FROM latest WHERE user_id % 3 = 0),
+      |g1 AS (
+      |  -- the v3 UPDATE's rewritten file draws a fresh base range for its
+      |  -- row count even though every row keeps its materialized id
+      |  -- (Delta-faithful: base ids are per-file and never reused), so the
+      |  -- append assigns from 2*n0, not n0
+      |  SELECT user_id, event_id, value AS cur_value,
+      |    (SELECT COUNT(*) * 2 FROM g0) + ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS row_id
+      |  FROM latest WHERE user_id % 3 = 1)
+      |SELECT user_id, event_id AS cur_event, cur_value, row_id FROM g0
+      |UNION ALL
+      |SELECT user_id, event_id AS cur_event, cur_value, row_id FROM g1""".stripMargin
+
   def genIdTablePath(dir: String): String = cachedTablePath(dir, "genid_v1")
 
   /** Idempotently build the generated+identity fixture: CREATE TABLE with
@@ -723,6 +798,7 @@ object SkippingQueries {
     "q_gen_prune" -> (genPrune _),
     "q_guarded_merge" -> (guardedMerge _),
     "q_sql_apply_changes" -> (sqlApplyChanges _),
+    "q_row_tracking" -> (rowTracking _),
     "q_gen_identity" -> (genIdentity _),
     "q_sql_merge" -> (sqlMerge _),
     "q_sql_delete" -> (sqlDelete _),
@@ -739,6 +815,7 @@ object SkippingQueries {
     "q_gen_prune" -> genPruneSql,
     "q_guarded_merge" -> guardedMergeSql,
     "q_sql_apply_changes" -> sqlApplyChangesSql,
+    "q_row_tracking" -> rowTrackingSql,
     "q_gen_identity" -> genIdentitySql,
     "q_sql_merge" -> sqlMergeSql,
     "q_sql_delete" -> sqlDeleteSql,
