@@ -1232,6 +1232,13 @@ object VersionedTable {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
+    // same reserved-name fence as setProperties, for the CREATE-with-props
+    // path: a data column named like the materialized id would collide
+    // with the id-surfacing read
+    if (newProps.exists(rowTrackingOn))
+      require(!df.columns.contains(RowIdCol),
+        s"$path: cannot enable $RowTrackingKey — the schema already has " +
+          s"a column named $RowIdCol (reserved for row tracking)")
     var staged: Option[(Path, Seq[String], DataSkipping.FileStats,
       Map[String, Long], StructType, Map[String, String])] = None
     var idAdvance: Long => Map[String, String] = _ => Map.empty
@@ -3598,6 +3605,15 @@ object VersionedTable {
       s"$path: cannot set ${smuggledId.mkString(", ")} via table properties — " +
         "identity declaration and high-water mark are maintained by " +
         "declareIdentityColumn and the write verbs")
+    // row tracking reserves the materialized-id column name: a schema
+    // already using it would collide with the id-surfacing read
+    if (set.get(RowTrackingKey).exists(_.trim.equalsIgnoreCase("true")))
+      latestVersion(spark, path).foreach { _ =>
+        val (_, _, c) = commitFor(spark, path, None)
+        c.schema.foreach(s => require(!s.fieldNames.contains(RowIdCol),
+          s"$path: cannot enable $RowTrackingKey — the schema already has " +
+            s"a column named $RowIdCol (reserved for row tracking)"))
+      }
     setPropertiesInternal(spark, path, set, unset)
   }
 
@@ -4782,7 +4798,15 @@ object VersionedTable {
       }.toSeq :+ col(RowIdCol): _*)
     // one struct per side → a full-outer id join classifies in one pass;
     // struct <=> is null-safe field-wise, so a column null on both sides
-    // still reads as unchanged
+    // still reads as unchanged. Schemas with UNORDERABLE columns (maps)
+    // can't ride a struct comparison — those compare the sides' JSON
+    // renderings instead (a rewrite preserves map entry order through
+    // read→write, so equal stored rows render identically).
+    val orderable = allCols.forall(c2 =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(types(c2)))
+    def sameRow(x: Column, y: Column): Column =
+      if (orderable) x <=> y else to_json(x) <=> to_json(y)
     val b = aligned(before)
       .select(struct(allCols.map(col): _*).as("__b"), col(RowIdCol))
     val a = aligned(after)
@@ -4790,13 +4814,13 @@ object VersionedTable {
     val joined = b.join(a, Seq(RowIdCol), "full_outer")
     val pre = joined
       .filter(col("__b").isNotNull &&
-        (col("__a").isNull || !(col("__b") <=> col("__a"))))
+        (col("__a").isNull || !sameRow(col("__b"), col("__a"))))
       .select(col(RowIdCol), col("__b").as("__row"),
         when(col("__a").isNull, lit("delete"))
           .otherwise(lit("update_preimage")).as("_change_type"))
     val post = joined
       .filter(col("__a").isNotNull &&
-        (col("__b").isNull || !(col("__b") <=> col("__a"))))
+        (col("__b").isNull || !sameRow(col("__b"), col("__a"))))
       .select(col(RowIdCol), col("__a").as("__row"),
         when(col("__b").isNull, lit("insert"))
           .otherwise(lit("update_postimage")).as("_change_type"))

@@ -141,6 +141,27 @@ class RowTrackingSpec extends SparkSpec {
       initial.forall(_.getAs[String]("_change_type") == "insert"))
   }
 
+  test("reserved-name schemas refuse; map-column tables classify via JSON compare") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "x")).toDF("id", VersionedTable.RowIdCol), p)
+    intercept[IllegalArgumentException] { tracked(p) }
+    // maps are unorderable in Spark — the row-keyed feed must still pair
+    // updates (it falls back to comparing the sides' JSON renderings)
+    val pm = tmp()
+    VersionedTable.write(
+      Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2))).toDF("id", "m"), pm,
+      statsCols = Seq("id"))
+    tracked(pm)
+    val v0 = VersionedTable.latestVersion(spark, pm).get
+    val vU = VersionedTable.update(spark, pm, col("id") === 2L,
+      Map("m" -> map(lit("b"), lit(9))))
+    val got = VersionedTable.changesWithRowIds(spark, pm, v0, vU)
+      .select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq ==
+      Seq((2L, "update_postimage"), (2L, "update_preimage")), got.mkString(","))
+  }
+
   test("DESCRIBE DETAIL and the protocol surface the feature") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "a")).toDF("id", "s"), p)
