@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+
 
 /** Perceptual image hashing — the image leg of the near-duplicate story
   * (text rides SimHash/MinHash in [[NearDup]], embeddings ride hyperplane
@@ -76,11 +76,7 @@ object ImageHash {
   def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
     val fps = dhashKeys(Multimodal.imageTable(spark, dir)).cache()
     fps.count()
-    NearDup.bandedHammingFrame(fps)
-      .select(col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3"),
-        col("n_neighbors"),
-        when(col("grp_size") > 1, lit(0L)).otherwise(col("min_h"))
-          .cast(LongType).as("closest_hamming"))
+    NearDup.keepAllNeighborSelect(NearDup.bandedHammingFrame(fps))
   }
 
   /** Oracle: the synthetic raster is pixel `i` of a w×h image with
@@ -90,18 +86,9 @@ object ImageHash {
     * form; band keys aggregate per-bit CASE terms exactly like the simhash
     * oracle, and the neighbor stats mirror simhashPairsSql. */
   val imageNearDupSql: String = {
-    val bands = NearDup.SimhashBands
-    val cap = NearDup.MaxBandBucket
-    val thr = NearDup.HammingThreshold
-    val keyList = (0 until bands).map(b => s"k$b").mkString(", ")
-    val keyAggs = (0 until bands).map(b =>
+    val keyAggs = (0 until NearDup.SimhashBands).map(b =>
       s"CAST(SUM(CASE WHEN p // 16 = $b THEN bit * (1 << (p % 16)) ELSE 0 END) AS INTEGER) AS k$b")
       .mkString(",\n    ")
-    val bandSelects = (0 until bands).map(b =>
-      s"SELECT rep, grp_size, $keyList, $b AS band, k$b AS key FROM grp")
-      .mkString(" UNION ALL ")
-    val hamming = (0 until bands)
-      .map(i => s"bit_count(xor(a.k$i, b.k$i))").mkString(" + ")
     s"""WITH pix AS (
        |  SELECT doc_id, y, x,
        |    ((y * (doc_id % 12 + 4)) // 8) * (doc_id % 16 + 4)
@@ -123,29 +110,6 @@ object ImageHash {
        |  SELECT doc_id,
        |    $keyAggs
        |  FROM bits GROUP BY doc_id),
-       |grp AS (
-       |  SELECT $keyList, COUNT(*) AS grp_size, MIN(doc_id) AS rep
-       |  FROM fp GROUP BY $keyList),
-       |banded AS ($bandSelects),
-       |capped AS (
-       |  SELECT * FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY rep) AS rn
-       |    FROM banded)
-       |  WHERE rn <= $cap),
-       |pairs AS (
-       |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
-       |    CAST($hamming AS BIGINT) AS hamming, b.grp_size AS sz_b
-       |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.key = b.key AND a.rep <> b.rep),
-       |near AS (SELECT * FROM pairs WHERE hamming <= $thr),
-       |cross_agg AS (
-       |  SELECT rep_a, CAST(SUM(sz_b) AS BIGINT) AS cross_n, MIN(hamming) AS min_h
-       |  FROM near GROUP BY rep_a)
-       |SELECT f.doc_id, f.k0, f.k1, f.k2, f.k3,
-       |  CAST(g.grp_size - 1 + COALESCE(c.cross_n, 0) AS BIGINT) AS n_neighbors,
-       |  CAST(CASE WHEN g.grp_size > 1 THEN 0 ELSE c.min_h END AS BIGINT) AS closest_hamming
-       |FROM fp f
-       |JOIN grp g USING ($keyList)
-       |LEFT JOIN cross_agg c ON c.rep_a = g.rep""".stripMargin
+       |${NearDup.bandedHammingTailSql}""".stripMargin
   }
 }

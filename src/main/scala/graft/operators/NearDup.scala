@@ -596,6 +596,55 @@ object NearDup {
         (col("grp_size") - 1 + coalesce(col("cross_n"), lit(0L))).cast(LongType))
   }
 
+  /** The keep-all output shape over [[bandedHammingFrame]] shared by the
+    * image and video hashes: every doc with its band keys (the hash
+    * identity) plus neighbor stats; zero-neighbor docs stay. */
+  private[operators] def keepAllNeighborSelect(stats: DataFrame): DataFrame =
+    stats.select(col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3"),
+      col("n_neighbors"),
+      when(col("grp_size") > 1, lit(0L)).otherwise(col("min_h"))
+        .cast(LongType).as("closest_hamming"))
+
+  /** The banded-hamming neighbor-stats oracle TAIL shared by the image
+    * and video perceptual hashes — the SQL twin of the keep-all consumers
+    * of [[bandedHammingFrame]]. Expects a CTE `fp(doc_id, k0..k3)` in
+    * scope; emits the collapse/cap/pair/aggregate chain and the final
+    * keep-all select, so the cap and tie-break contracts live in ONE
+    * place per language. (simhashPairs' oracle predates this and keeps
+    * its filtered, keys-free output shape.) */
+  private[operators] def bandedHammingTailSql: String = {
+    val keyList = (0 until SimhashBands).map(b => s"k$b").mkString(", ")
+    val bandSelects = (0 until SimhashBands).map(b =>
+      s"SELECT rep, grp_size, $keyList, $b AS band, k$b AS key FROM grp")
+      .mkString(" UNION ALL ")
+    val hamming = (0 until SimhashBands)
+      .map(i => s"bit_count(xor(a.k$i, b.k$i))").mkString(" + ")
+    s"""grp AS (
+       |  SELECT $keyList, COUNT(*) AS grp_size, MIN(doc_id) AS rep
+       |  FROM fp GROUP BY $keyList),
+       |banded AS ($bandSelects),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY rep) AS rn
+       |    FROM banded)
+       |  WHERE rn <= $MaxBandBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+       |    CAST($hamming AS BIGINT) AS hamming, b.grp_size AS sz_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.key = b.key AND a.rep <> b.rep),
+       |near AS (SELECT * FROM pairs WHERE hamming <= $HammingThreshold),
+       |cross_agg AS (
+       |  SELECT rep_a, CAST(SUM(sz_b) AS BIGINT) AS cross_n, MIN(hamming) AS min_h
+       |  FROM near GROUP BY rep_a)
+       |SELECT f.doc_id, f.k0, f.k1, f.k2, f.k3,
+       |  CAST(g.grp_size - 1 + COALESCE(c.cross_n, 0) AS BIGINT) AS n_neighbors,
+       |  CAST(CASE WHEN g.grp_size > 1 THEN 0 ELSE c.min_h END AS BIGINT) AS closest_hamming
+       |FROM fp f
+       |JOIN grp g USING ($keyList)
+       |LEFT JOIN cross_agg c ON c.rep_a = g.rep""".stripMargin
+  }
+
   /** 64-bit vote CTEs (same decode as [[simhashSql]], wider). */
   private val simhash64KeysSql: String = {
     val votes = (0 until SimhashPairBits).map { j =>

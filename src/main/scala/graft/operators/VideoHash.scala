@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+
 
 /** Perceptual video hashing — the fourth and last leg of the near-dup
   * story (text SimHash/MinHash, embedding LSH, image dHash; this adds
@@ -28,35 +28,13 @@ object VideoHash {
     * frames land on disjoint rotations for up to 64 frames. */
   val FrameRot = 7
 
-  /** dHash of one grayscale raster: nearest-neighbor resize to 9×8 (the
-    * exact ImageCodec.resize sampling: source index
-    * `(y*h/8)*w + (x*w/9)`), bit `y*8+x` set iff the right sample is
-    * strictly brighter than the left. */
-  def dHashGray(w: Int, h: Int, gray: Array[Int]): Long = {
-    val s = new Array[Int](ImageHash.DHashW * ImageHash.DHashH)
-    var y = 0
-    while (y < ImageHash.DHashH) {
-      val sy = y * h / ImageHash.DHashH
-      var x = 0
-      while (x < ImageHash.DHashW) {
-        s(y * ImageHash.DHashW + x) = gray(sy * w + x * w / ImageHash.DHashW)
-        x += 1
-      }
-      y += 1
-    }
-    var hsh = 0L
-    y = 0
-    while (y < ImageHash.DHashH) {
-      var x = 0
-      while (x < ImageHash.DHashH) {
-        if (s(y * ImageHash.DHashW + x + 1) > s(y * ImageHash.DHashW + x))
-          hsh |= 1L << (y * 8 + x)
-        x += 1
-      }
-      y += 1
-    }
-    hsh
-  }
+  /** dHash of one grayscale raster — delegates to [[ImageHash.dHash]] by
+    * packing gray as (g,g,g): the integer luma `(77+150+29)·g >> 8` is
+    * exactly g, so the sampling and gradient contracts live in ONE place
+    * (a divergence would silently split the image and video oracles). */
+  def dHashGray(w: Int, h: Int, gray: Array[Int]): Long =
+    ImageHash.dHash(ImageCodec.Image(w, h,
+      gray.map(g => (g << 16) | (g << 8) | g)))
 
   /** One 64-bit signature for a frame-hash sequence: XOR of each hash
     * rotated left by `FrameRot × frame_index mod 64`. */
@@ -85,11 +63,7 @@ object VideoHash {
   def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
     val fps = signatureKeys(Multimodal.videoTable(spark, dir)).cache()
     fps.count()
-    NearDup.bandedHammingFrame(fps)
-      .select(col("doc_id"), col("k0"), col("k1"), col("k2"), col("k3"),
-        col("n_neighbors"),
-        when(col("grp_size") > 1, lit(0L)).otherwise(col("min_h"))
-          .cast(LongType).as("closest_hamming"))
+    NearDup.keepAllNeighborSelect(NearDup.bandedHammingFrame(fps))
   }
 
   /** Oracle: the synthetic corpus's frame pixel is
@@ -101,18 +75,9 @@ object VideoHash {
     * BIGINT refuses `1<<63`). The neighbor tail mirrors the image/simhash
     * oracles. */
   val videoNearDupSql: String = {
-    val bands = NearDup.SimhashBands
-    val cap = NearDup.MaxBandBucket
-    val thr = NearDup.HammingThreshold
-    val keyList = (0 until bands).map(b => s"k$b").mkString(", ")
-    val keyAggs = (0 until bands).map(j =>
+    val keyAggs = (0 until NearDup.SimhashBands).map(j =>
       s"CAST(SUM(CASE WHEN b // 16 = $j THEN sb * (1 << (b % 16)) ELSE 0 END) AS INTEGER) AS k$j")
       .mkString(",\n    ")
-    val bandSelects = (0 until bands).map(b =>
-      s"SELECT rep, grp_size, $keyList, $b AS band, k$b AS key FROM grp")
-      .mkString(" UNION ALL ")
-    val hamming = (0 until bands)
-      .map(i => s"bit_count(xor(a.k$i, b.k$i))").mkString(" + ")
     s"""WITH vid AS (
        |  SELECT doc_id, doc_id % 12 + 4 AS w, doc_id % 8 + 4 AS h
        |  FROM documents),
@@ -140,29 +105,6 @@ object VideoHash {
        |  SELECT doc_id,
        |    $keyAggs
        |  FROM sig GROUP BY doc_id),
-       |grp AS (
-       |  SELECT $keyList, COUNT(*) AS grp_size, MIN(doc_id) AS rep
-       |  FROM fp GROUP BY $keyList),
-       |banded AS ($bandSelects),
-       |capped AS (
-       |  SELECT * FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY rep) AS rn
-       |    FROM banded)
-       |  WHERE rn <= $cap),
-       |pairs AS (
-       |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
-       |    CAST($hamming AS BIGINT) AS hamming, b.grp_size AS sz_b
-       |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.key = b.key AND a.rep <> b.rep),
-       |near AS (SELECT * FROM pairs WHERE hamming <= $thr),
-       |cross_agg AS (
-       |  SELECT rep_a, CAST(SUM(sz_b) AS BIGINT) AS cross_n, MIN(hamming) AS min_h
-       |  FROM near GROUP BY rep_a)
-       |SELECT f.doc_id, f.k0, f.k1, f.k2, f.k3,
-       |  CAST(g.grp_size - 1 + COALESCE(c.cross_n, 0) AS BIGINT) AS n_neighbors,
-       |  CAST(CASE WHEN g.grp_size > 1 THEN 0 ELSE c.min_h END AS BIGINT) AS closest_hamming
-       |FROM fp f
-       |JOIN grp g USING ($keyList)
-       |LEFT JOIN cross_agg c ON c.rep_a = g.rep""".stripMargin
+       |${NearDup.bandedHammingTailSql}""".stripMargin
   }
 }

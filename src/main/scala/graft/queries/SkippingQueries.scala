@@ -59,7 +59,9 @@ object SkippingQueries {
       srcName: String): String = {
     val src = new java.io.File(s"$dir/$srcName")
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      // listFiles is null for unreadable/concurrently-removed dirs
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .toSeq.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     val files =
       if (src.exists()) walk(src)

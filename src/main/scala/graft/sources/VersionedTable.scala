@@ -1406,12 +1406,14 @@ object VersionedTable {
       val rel = rootUri.relativize(st.getPath.toUri).getPath
       val segs = rel.split('/')
       if (st.getPath.getName.endsWith(".parquet") &&
-        !segs.exists(sg => sg.startsWith("_") || sg.startsWith(".")))
+        !segs.exists(sg => sg.startsWith("_") || sg.startsWith("."))) {
         files += rel
-      // a million-file adoption is a minutes-long driver listing; make it
-      // observably alive rather than silent
-      if (files.nonEmpty && files.size % 100000 == 0)
-        System.err.println(s"[graft] CONVERT $path: listed ${files.size} files…")
+        // a million-file adoption is a minutes-long driver listing; make
+        // it observably alive rather than silent (only on actual appends,
+        // or interleaved non-parquet entries would re-print the line)
+        if (files.size % 100000 == 0)
+          System.err.println(s"[graft] CONVERT $path: listed ${files.size} files…")
+      }
     }
     require(files.nonEmpty, s"$path: no parquet files to convert")
     val atRoot = files.filterNot(_.contains('/'))
@@ -2640,6 +2642,12 @@ object VersionedTable {
   private def ndvOfCommit(c: Commit, column: String): Option[Long] = {
     if (c.files.isEmpty) return None
     if (!ndvColsIn(c.props).contains(column)) return None
+    // deletion-vector marks make the sketches stale in the UNSAFE
+    // direction: a value-skewed DV delete can leave live NDV far below
+    // the sketched one, shrinking the size estimate enough to broadcast a
+    // huge side. Refuse like minMaxOfCommit does — REORG PURGE/OPTIMIZE
+    // (or the next ANALYZE) re-enables.
+    if (c.files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) return None
     val sketches = c.files.flatMap(fk =>
       c.stats.get(fk).flatMap(_.get(column)).flatMap(_.ndv))
     if (sketches.isEmpty) None

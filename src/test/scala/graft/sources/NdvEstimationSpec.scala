@@ -63,6 +63,19 @@ class NdvEstimationSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("deletion-vector marks disable the estimate (the unsafe-broadcast guard)") {
+    val p = tmp()
+    VersionedTable.write(dimDf(2000), p, statsCols = Seq("id"))
+    VersionedTable.analyzeNdv(spark, p, Seq("id"))
+    assert(VersionedTable.ndvFromStats(spark, p, "id").isDefined)
+    // a value-skewed DV delete leaves live NDV far below the sketched one;
+    // a stale estimate would shrink sizes in the BROADCAST direction
+    VersionedTable.deleteVectorized(spark, p, col("id") > 100L,
+      purgeFraction = 1.0)
+    assert(VersionedTable.ndvFromStats(spark, p, "id").isEmpty,
+      "stale sketches must refuse once marks exist")
+  }
+
   test("the ANALYZE SQL statement commits the sketch version") {
     val p = tmp()
     VersionedTable.write(dimDf(500), p)
