@@ -557,13 +557,15 @@ class PlanAuditSpec extends SparkSpec {
     }.isEmpty, sp.toString)
   }
 
-  test("q_image_neardup: pair stage rides banded equi-joins, never all-pairs") {
-    val df = SparkEntry.queries("q_image_neardup")(spark, sf0001)
-    val sp = df.queryExecution.sparkPlan
-    spark.catalog.clearCache()
-    assert(sp.collect {
-      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-    }.isEmpty, sp.toString)
+  test("q_image_neardup / q_video_neardup: pair stages ride banded equi-joins, never all-pairs") {
+    Seq("q_image_neardup", "q_video_neardup").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val sp = df.queryExecution.sparkPlan
+      spark.catalog.clearCache()
+      assert(sp.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"$name: $sp")
+    }
   }
 }
