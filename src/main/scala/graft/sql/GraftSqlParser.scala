@@ -275,7 +275,8 @@ case class GraftDescribeDetailCommand(cat: String,
     AttributeReference("reader_features", StringType, nullable = false)(),
     AttributeReference("writer_features", StringType, nullable = false)(),
     AttributeReference("row_tracking", BooleanType, nullable = false)(),
-    AttributeReference("row_id_high_watermark", LongType, nullable = true)())
+    AttributeReference("row_id_high_watermark", LongType, nullable = true)(),
+    AttributeReference("ndv_columns", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
@@ -296,12 +297,14 @@ case class GraftDescribeDetailCommand(cat: String,
       VersionedTable.filesOf(session, p, v).size,
       VersionedTable.countRows(session, p).map(java.lang.Long.valueOf).orNull,
       partCols.mkString(","),
-      kv(props.filterNot(e => declPrefixes.exists(e._1.startsWith))),
+      kv(props.filterNot(e => declPrefixes.exists(e._1.startsWith) ||
+        e._1 == VersionedTable.NdvColsKey)), // surfaced in its own column
       kv(cons), kv(gens), kv(ids),
       rf.toSeq.sorted.mkString(","), wf.toSeq.sorted.mkString(","),
       wf.contains("rowtracking"),
       VersionedTable.rowIdHighWatermark(session, p)
-        .map(java.lang.Long.valueOf).orNull))
+        .map(java.lang.Long.valueOf).orNull,
+      props.getOrElse(VersionedTable.NdvColsKey, "")))
   }
 }
 

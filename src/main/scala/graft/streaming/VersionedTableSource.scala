@@ -175,19 +175,25 @@ class VersionedTableSourceProvider extends StreamSourceProvider
           frame.rdd
         override def toString: String = "GraftHistory"
       }
-    } else if (changeFeed(parameters)) {
+    } else if (changeFeed(parameters) || rowChangeFeed(parameters)) {
       // BATCH CDF (Delta's table_changes): row-level diff between two
       // committed versions. startingVersion is REQUIRED (the diff's base,
       // exclusive — 0 means "from genesis", serving the v-end snapshot as
-      // inserts); endingVersion defaults to the head.
+      // inserts); endingVersion defaults to the head. readRowChanges is
+      // the row-IDENTITY variant (requires graft.rowTracking): rewritten-
+      // but-unchanged rows collapse, updates pair as pre/post images.
+      val what = if (rowChangeFeed(parameters)) "readRowChanges"
+        else "readChangeFeed"
       val fromV = parameters.get("startingVersion").map(_.trim.toLong)
         .getOrElse(throw new IllegalArgumentException(
-          s"$path: batch readChangeFeed requires option(\"startingVersion\", v) " +
+          s"$path: batch $what requires option(\"startingVersion\", v) " +
             "(exclusive diff base; 0 = from genesis)"))
       val toV = parameters.get("endingVersion").map(_.trim.toLong).getOrElse(
         VersionedTable.latestVersion(spark, path).getOrElse(
           throw new IllegalArgumentException(s"$path: empty table")))
-      VersionedTable.changesRelation(spark, path, fromV, toV)
+      if (rowChangeFeed(parameters))
+        VersionedTable.rowChangesRelation(spark, path, fromV, toV)
+      else VersionedTable.changesRelation(spark, path, fromV, toV)
     } else {
       val asOf = parameters.get("versionAsOf").map(_.trim.toLong).orElse(
         parameters.get("timestampAsOf").map { raw =>
@@ -203,6 +209,9 @@ class VersionedTableSourceProvider extends StreamSourceProvider
 
   private def changeFeed(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  private def rowChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readRowChanges").exists(_.toBoolean)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {

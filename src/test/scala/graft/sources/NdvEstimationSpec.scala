@@ -89,5 +89,10 @@ class NdvEstimationSpec extends SparkSpec {
     // stats-only commit: same files, new version
     assert(VersionedTable.filesOf(spark, p, 1L) ==
       VersionedTable.filesOf(spark, p, 2L))
+    // DESCRIBE DETAIL surfaces the analyzed-column roster dedicated (and
+    // keeps it out of the generic properties blob)
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$p`").collect().head
+    assert(d.getAs[String]("ndv_columns") == "id")
+    assert(!d.getAs[String]("properties").contains("ndvCols"))
   }
 }

@@ -141,6 +141,27 @@ class RowTrackingSpec extends SparkSpec {
       initial.forall(_.getAs[String]("_change_type") == "insert"))
   }
 
+  test("readRowChanges: the row-keyed feed through the batch format surface") {
+    val p = tmp()
+    VersionedTable.write((1L to 4L).map(i => (i, s"a$i")).toDF("id", "s"), p,
+      statsCols = Seq("id"))
+    tracked(p)
+    val v0 = VersionedTable.latestVersion(spark, p).get
+    val vU = VersionedTable.update(spark, p, col("id") === 3L,
+      Map("s" -> lit("fmt")))
+    val viaFormat = spark.read.format("graft-table")
+      .option("readRowChanges", "true")
+      .option("startingVersion", v0.toString)
+      .option("endingVersion", vU.toString)
+      .load(p)
+      .select(col("id"), col("s"), col("_change_type"))
+      .collect().map(_.toString).sorted
+    val viaApi = VersionedTable.changesWithRowIds(spark, p, v0, vU)
+      .select(col("id"), col("s"), col("_change_type"))
+      .collect().map(_.toString).sorted
+    assert(viaFormat.sameElements(viaApi) && viaFormat.length == 2)
+  }
+
   test("reserved-name schemas refuse; map-column tables classify via JSON compare") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "x")).toDF("id", VersionedTable.RowIdCol), p)
