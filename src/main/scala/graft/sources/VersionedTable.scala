@@ -2455,19 +2455,35 @@ object VersionedTable {
     }
   }
 
+  /** The row-keyed CDF frame for versions (fromV, toV] — the
+    * [[changeDf]] twin: fromV = 0 serves the toV snapshot as inserts with
+    * ids (initial load); otherwise the id-keyed diff. ONE definition for
+    * the batch relation, the TVF, and the streaming source's row mode. */
+  private[graft] def rowChangeDf(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame =
+    if (fromV <= 0L)
+      readWithRowIds(spark, path, Some(toV))
+        .withColumn("_change_type", lit("insert"))
+    else changesWithRowIds(spark, path, fromV, toV)
+
+  /** The CDF tag + row id columns appended to a table schema — the
+    * streaming row mode's pinned-schema twin of [[withChangeType]]. */
+  private[graft] def withRowChangeType(base: StructType): StructType =
+    withChangeType(
+      if (base.fieldNames.contains(RowIdCol)) base
+      else StructType(base.fields :+
+        StructField(RowIdCol, LongType, nullable = true)))
+
   /** The [[changesWithRowIds]] twin of [[changesRelation]] — backs the
-    * `graft_row_changes` table-valued function. */
+    * `graft_row_changes` table-valued function and the batch
+    * `readRowChanges` format option. */
   private[graft] def rowChangesRelation(spark: SparkSession, path: String,
       fromV: Long, toV: Long): org.apache.spark.sql.sources.BaseRelation = {
     require(fromV >= 0L && toV > math.max(fromV - 1L, 0L),
       s"$path: invalid change-feed range ($fromV, $toV]")
     new org.apache.spark.sql.sources.BaseRelation
         with org.apache.spark.sql.sources.TableScan {
-      private lazy val frame: DataFrame =
-        if (fromV <= 0L) // initial load: the snapshot as inserts, with ids
-          readWithRowIds(spark, path, Some(toV))
-            .withColumn("_change_type", lit("insert"))
-        else changesWithRowIds(spark, path, fromV, toV)
+      private lazy val frame: DataFrame = rowChangeDf(spark, path, fromV, toV)
       override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
       override lazy val schema: StructType = frame.schema
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =

@@ -223,7 +223,9 @@ class VersionedTableSourceProvider extends StreamSourceProvider
     // Source always declares it in CDF mode, and a declared/batch column
     // count mismatch trips MicroBatchExecution's plan assert
     (shortName(),
-      if (changeFeed(parameters)) VersionedTable.withChangeType(base) else base)
+      if (rowChangeFeed(parameters)) VersionedTable.withRowChangeType(base)
+      else if (changeFeed(parameters)) VersionedTable.withChangeType(base)
+      else base)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -254,7 +256,8 @@ class VersionedTableSourceProvider extends StreamSourceProvider
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
-      changeFeed = changeFeed(parameters))
+      changeFeed = changeFeed(parameters),
+      rowChanges = rowChangeFeed(parameters))
   }
 }
 
@@ -265,7 +268,12 @@ private[streaming] class VersionedTableSource(
     ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false,
+    /** Row-IDENTITY change feed (requires graft.rowTracking): same
+      * version cadence as changeFeed, but each batch is the row-keyed
+      * diff — rewritten-but-unchanged rows collapse, updates pair as
+      * pre/post images under one stable _graft_row_id. */
+    rowChanges: Boolean = false) extends Source {
 
   require(maxVersionsPerTrigger.forall(_ >= 1L), "maxVersionsPerTrigger must be >= 1")
   require(maxFilesPerTrigger.forall(_ >= 1L), "maxFilesPerTrigger must be >= 1")
@@ -275,7 +283,9 @@ private[streaming] class VersionedTableSource(
   // CHANGE-FEED mode appends _change_type, Delta CDF's tag column.
   override val schema: StructType = {
     val base = VersionedTable.read(spark, path).schema
-    if (changeFeed) VersionedTable.withChangeType(base) else base
+    if (rowChanges) VersionedTable.withRowChangeType(base)
+    else if (changeFeed) VersionedTable.withChangeType(base)
+    else base
   }
 
   /** Highest version already handed out as a batch END this run — the
@@ -432,14 +442,18 @@ private[streaming] class VersionedTableSource(
             "type cannot be read under the pinned one. Restart the query " +
             "to pick up the widened schema.")
     }
-    if (changeFeed) {
+    if (changeFeed || rowChanges) {
       // CHANGE FEED: row-level CDC — non-append commits are the POINT here
       // (MERGE/DELETE/OPTIMIZE/DV emit their row diffs instead of being
       // refused), so the removed-files guard below does not apply. The
       // first batch snapshots the table as inserts (Delta CDF's initial
-      // load); later batches ride VersionedTable.changes, whose DV mark
-      // diff is bidirectional (RESTORE un-deletes surface as inserts).
-      val diff = VersionedTable.changeDf(spark, path, fromV, toV)
+      // load); later batches ride VersionedTable.changes — or, in row
+      // mode, the id-keyed diff (unchanged rewrites collapse; updates
+      // pair) — whose DV mark diff is bidirectional (RESTORE un-deletes
+      // surface as inserts).
+      val diff =
+        if (rowChanges) VersionedTable.rowChangeDf(spark, path, fromV, toV)
+        else VersionedTable.changeDf(spark, path, fromV, toV)
       // backtick-quoted so a dotted column name binds literally (bare
       // col() would parse it as struct-field access)
       val ordered = diff.select(schema.fields.map(f =>

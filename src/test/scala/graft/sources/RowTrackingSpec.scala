@@ -162,6 +162,39 @@ class RowTrackingSpec extends SparkSpec {
     assert(viaFormat.sameElements(viaApi) && viaFormat.length == 2)
   }
 
+  test("streaming readRowChanges: snapshot with ids, then update pairs under one id") {
+    val p = tmp()
+    VersionedTable.write((1L to 3L).map(i => (i, s"a$i")).toDF("id", "s")
+      .coalesce(1), p, statsCols = Seq("id"))
+    tracked(p) // v2 — the unthrottled initial load lands at-or-after this
+    val ids = idsOf(p)
+    val q = spark.readStream.format("graft-table")
+      .option("readRowChanges", "true")
+      .load(p)
+      .writeStream.format("memory").queryName("row_cdf_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.update(spark, p, col("id") === 2L, Map("s" -> lit("U")))
+      q.processAllAvailable()
+    } finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    val got = spark.table("row_cdf_out")
+      .select(col("id"), col("s"), col(VersionedTable.RowIdCol),
+        col("_change_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    val expected = Seq(
+      (1L, "a1", ids(1L), "insert"), (2L, "a2", ids(2L), "insert"),
+      (3L, "a3", ids(3L), "insert"),
+      // the CoW rewrite of the whole file emits ONLY the changed row,
+      // paired under its surviving id — rows 1 and 3 collapse
+      (2L, "a2", ids(2L), "update_preimage"),
+      (2L, "U", ids(2L), "update_postimage")).sorted
+    assert(got == expected, got.mkString("\n"))
+  }
+
   test("reserved-name schemas refuse; map-column tables classify via JSON compare") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "x")).toDF("id", VersionedTable.RowIdCol), p)
