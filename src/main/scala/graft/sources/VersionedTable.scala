@@ -2655,6 +2655,26 @@ object VersionedTable {
     props.get(NdvColsKey).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
+  /** Fraction of live rows living in files WITHOUT a sketch for `column`
+    * — the operational re-ANALYZE signal (uncounted rows underestimate
+    * NDV, which conservatively widens size estimates until the next
+    * analyze). None when the column was never analyzed or any row count
+    * is unknown; 0.0 means the sketches are fully current. Manifest-only,
+    * zero data files opened. */
+  def ndvStaleness(spark: SparkSession, path: String, column: String,
+      asOf: Option[Long] = None): Option[Double] = {
+    val (_, _, c) = commitFor(spark, path, asOf)
+    if (!ndvColsIn(c.props).contains(column)) return None
+    if (c.files.isEmpty) return Some(0.0)
+    if (!c.files.forall(c.rows.contains)) return None
+    val total = c.files.map(c.rows).sum
+    if (total == 0L) return Some(0.0)
+    val uncounted = c.files
+      .filter(fk => c.stats.get(fk).flatMap(_.get(column)).flatMap(_.ndv).isEmpty)
+      .map(c.rows).sum
+    Some(uncounted.toDouble / total)
+  }
+
   private def ndvOfCommit(c: Commit, column: String): Option[Long] = {
     if (c.files.isEmpty) return None
     if (!ndvColsIn(c.props).contains(column)) return None

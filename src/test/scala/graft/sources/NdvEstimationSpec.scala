@@ -25,10 +25,20 @@ class NdvEstimationSpec extends SparkSpec {
     val est = VersionedTable.ndvFromStats(spark, p, "id").get
     assert(est > 8000L && est < 18000L, s"12000 true NDV, estimated $est")
     // un-analyzed appends leave values uncounted — conservative, not wrong
+    assert(VersionedTable.ndvStaleness(spark, p, "id").contains(0.0))
     VersionedTable.append(dimDf(1000).withColumn("id", col("id") + 12000L), p)
     assert(VersionedTable.ndvFromStats(spark, p, "id").contains(est))
     assert(VersionedTable.ndvFromStats(spark, p, "payload").isEmpty,
       "no sketch was requested for payload")
+    // staleness = the re-ANALYZE signal: 1000 of 13000 rows uncounted
+    val stale = VersionedTable.ndvStaleness(spark, p, "id").get
+    assert(math.abs(stale - 1000.0 / 13000.0) < 1e-9, stale.toString)
+    assert(VersionedTable.ndvStaleness(spark, p, "payload").isEmpty)
+    // re-analyzing folds the appended rows in and resets the signal
+    VersionedTable.analyzeNdv(spark, p, Seq("id"))
+    assert(VersionedTable.ndvStaleness(spark, p, "id").contains(0.0))
+    assert(VersionedTable.ndvFromStats(spark, p, "id").exists(e2 =>
+      e2 > 9000L && e2 < 19000L))
   }
 
   test("a filtered graft join flips to broadcast from sketch-estimated cardinality") {
