@@ -801,8 +801,182 @@ object ExtQueries {
       |LIMIT 20""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Derived partsupp — closes the TPC-H set at 22/22. The corpus ships no
+  // partsupp table, but lineitem's (l_partkey, l_suppkey) pairs ARE its
+  // part↔supplier bridge (the observation q_tpch_q20 already leans on):
+  // partsupp := the DISTINCT observed pair set, with availqty/supplycost as
+  // deterministic integer functions of the key pair. All the math is exact
+  // BIGINT in both engines — money stays in integer CENTS until one final
+  // CAST to DOUBLE (a single exact division), the same late-divide
+  // discipline as the other TPC-H shapes, so every aggregate hash-matches
+  // the DuckDB oracle. The derivation itself is a two-column column-pruned
+  // scan + distinct; at 100 TB partsupp would be a materialized dimension
+  // and these queries would read it directly — the join shapes below
+  // (broadcast dims, semi-filtered fact, per-part window over a
+  // dimension-filtered candidate set) are unchanged by that swap.
+  // --------------------------------------------------------------------------
+  private def derivedPartsupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 61 + col("ps_suppkey") * 17) % 9999 + 1)
+      .withColumn("ps_cost_cents",
+        (col("ps_partkey") * 7 + col("ps_suppkey") * 13) % 99900 + 100)
+
+  private val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    (l_partkey * 61 + l_suppkey * 17) % 9999 + 1 AS ps_availqty,
+      |    (l_partkey * 7 + l_suppkey * 13) % 99900 + 100 AS ps_cost_cents
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q2 — minimum-cost-supplier shape (TPC-H Q2): for each part in a
+  // size/type band, the EUROPE supplier(s) quoting the per-part minimum
+  // supplycost. The correlated MIN decorrelates to a window over the
+  // candidate set: part filter and region-joined supplier both broadcast,
+  // so the only exchange is the per-part window partition over the (small)
+  // filtered candidates — never over the full partsupp relation.
+  // --------------------------------------------------------------------------
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val europeSupp = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    derivedPartsupp(spark, dir)
+      .join(europeSupp, col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("ps_partkey") === col("p_partkey"))
+      .withColumn("min_cents",
+        min(col("ps_cost_cents")).over(Window.partitionBy(col("ps_partkey"))))
+      .filter(col("ps_cost_cents") === col("min_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), (col("ps_cost_cents").cast(DoubleType) / 100.0).as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val tpchQ2Sql: String =
+    s"""WITH $partsuppCte
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       |       CAST(ps_cost_cents AS DOUBLE)/100.0 AS supplycost
+       |FROM partsupp JOIN part ON p_partkey = ps_partkey
+       | JOIN supplier ON s_suppkey = ps_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+       |  AND ps_cost_cents = (
+       |    SELECT MIN(ps2.ps_cost_cents) FROM partsupp ps2
+       |     JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |     JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q9 — product-type profit shape (TPC-H Q9): per (nation, year),
+  // revenue minus supply cost over the parts matching a name pattern. The
+  // part filter broadcasts and ALSO semi-filters the partsupp side before
+  // its (partkey, suppkey) equi-join with the fact; supplier→nation
+  // broadcasts; orders joins on the orderkey shuffle. Revenue accumulates
+  // as exact DECIMAL, cost as exact BIGINT cents; the two sums meet in
+  // DOUBLE only in the final projection.
+  // --------------------------------------------------------------------------
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%")).select(col("p_partkey")))
+    val suppNation = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val ps = derivedPartsupp(spark, dir)
+      .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+    Tables.lineitem(spark, dir)
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount")))).cast(DoubleType) -
+          sum(col("ps_cost_cents") * col("l_quantity").cast(LongType))
+            .cast(DoubleType) / 100.0).as("sum_profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val tpchQ9Sql: String =
+    s"""WITH $partsuppCte
+       |SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       |   - CAST(SUM(ps_cost_cents * CAST(l_quantity AS BIGINT)) AS DOUBLE)/100.0
+       |   AS sum_profit,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       | JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       | JOIN part ON p_partkey = l_partkey
+       | JOIN supplier ON s_suppkey = l_suppkey
+       | JOIN orders ON o_orderkey = l_orderkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_tpch_q11 — important-stock shape (TPC-H Q11): per-part inventory
+  // value within one nation, keeping parts whose value exceeds a threshold
+  // fraction of the nation's total. The published query's fixed fraction is
+  // scale-dependent (it empties as the part count grows), so the threshold
+  // here is scale-free: keep parts worth more than 2× the average part —
+  // sval·npart > 2·total, compared in exact integers (cents), no division
+  // anywhere until the output projection.
+  // --------------------------------------------------------------------------
+  val Q11Nation = "NATION_7"
+
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    val supp = broadcast(Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).filter(col("n_name") === Q11Nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val g = derivedPartsupp(spark, dir)
+      .join(supp, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("sval"))
+    val tot = g.agg(sum(col("sval")).as("t"), count(lit(1)).as("npart"))
+    g.crossJoin(broadcast(tot))
+      .filter(col("sval") * col("npart") > col("t") * 2)
+      .select(col("ps_partkey"), (col("sval").cast(DoubleType) / 100.0).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  val tpchQ11Sql: String =
+    s"""WITH $partsuppCte,
+       |v AS (SELECT ps_partkey, ps_cost_cents * ps_availqty AS val
+       |  FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+       |   JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = '$Q11Nation'),
+       |tot AS (SELECT SUM(val) AS t, COUNT(DISTINCT ps_partkey) AS npart FROM v)
+       |SELECT ps_partkey, CAST(SUM(val) AS DOUBLE)/100.0 AS value
+       |FROM v, tot GROUP BY ps_partkey, t, npart
+       |HAVING SUM(val) * npart > 2 * t
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2"      -> (tpchQ2 _),
+    "q_tpch_q9"      -> (tpchQ9 _),
+    "q_tpch_q11"     -> (tpchQ11 _),
     "q_tpch_q6"      -> (tpchQ6 _),
     "q_tpch_q10"     -> (tpchQ10 _),
     "q_tpch_q15"     -> (tpchQ15 _),
@@ -829,6 +1003,9 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q2"      -> tpchQ2Sql,
+    "q_tpch_q9"      -> tpchQ9Sql,
+    "q_tpch_q11"     -> tpchQ11Sql,
     "q_tpch_q6"      -> tpchQ6Sql,
     "q_tpch_q10"     -> tpchQ10Sql,
     "q_tpch_q15"     -> tpchQ15Sql,
