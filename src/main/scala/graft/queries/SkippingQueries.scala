@@ -795,7 +795,50 @@ object SkippingQueries {
        |  AND user_id BETWEEN $UserLo AND $UserHi
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_bucketed_join — two co-bucketed graft tables (orders and customer,
+  // hash-clustered on custkey into 8 buckets at write time) join with ZERO
+  // exchange on either side: the declared bucket layout makes the scans
+  // report HashPartitioning(custkey, 8), so the shuffle that dominates a
+  // fact-fact join at 100 TB simply is not in the plan (PlanAuditSpec pins
+  // it). The merge hint keeps the gate honest — it proves the
+  // exchange-free sort-merge join, not a trivially exchange-free
+  // broadcast. Money sums in exact DECIMAL, cast to DOUBLE only at the
+  // end, the repo-wide hash-match discipline.
+  // --------------------------------------------------------------------------
+  private def ensureBucketedPair(spark: SparkSession, dir: String)
+      : (String, String) = {
+    val po = cachedFixturePath(dir, "bktorders_v1", "orders.parquet")
+    if (VersionedTable.latestVersion(spark, po).isEmpty)
+      VersionedTable.writeBucketed(
+        Tables.orders(spark, dir), po, Seq("o_custkey"), 8)
+    val pc = cachedFixturePath(dir, "bktcust_v1", "customer.parquet")
+    if (VersionedTable.latestVersion(spark, pc).isEmpty)
+      VersionedTable.writeBucketed(
+        Tables.customer(spark, dir), pc, Seq("c_custkey"), 8)
+    (po, pc)
+  }
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (po, pc) = ensureBucketedPair(spark, dir)
+    VersionedTable.read(spark, po).hint("merge")
+      .join(VersionedTable.read(spark, pc).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
     "q_guarded_merge" -> (guardedMerge _),
@@ -813,6 +856,7 @@ object SkippingQueries {
     "q_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
+    "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,
     "q_guarded_merge" -> guardedMergeSql,

@@ -235,7 +235,12 @@ object VersionedTable {
     * schema DDL) — plain reads, counts, streaming batches, and the
     * DISTRIBUTED prune path never force it. */
   private final class LazyStats(thunk: () => DataSkipping.FileStats) {
-    lazy val value: DataSkipping.FileStats = thunk()
+    @volatile private var done = false
+    lazy val value: DataSkipping.FileStats = { val v = thunk(); done = true; v }
+    /** True once the full map is materialized — consumers that can answer
+      * either way (plan-time NDV) use the in-memory map when it is already
+      * paid for, the distributed path when it is not. */
+    def forced: Boolean = done
   }
   private object LazyStats {
     def of(s: DataSkipping.FileStats): LazyStats = new LazyStats(() => s)
@@ -355,7 +360,37 @@ object VersionedTable {
   /** Writer features this build enforces (beyond the reader set, which
     * every writer needs too — a mutator first reads). */
   val SupportedWriterFeatures: Set[String] =
-    Set("constraints", "generated", "identity", "rowtracking")
+    Set("constraints", "generated", "identity", "rowtracking", "bucketing")
+
+  /** CLUSTERED-BY bucket layout (Spark's hash bucketing, graft-versioned):
+    * `graft.bucketBy` = comma-separated columns, `graft.numBuckets` = N.
+    * Declared at CREATE time only; every staged data file is written
+    * through a `repartition(N, cols)` shuffle — Spark's own
+    * `HashPartitioning.partitionIdExpression` (pmod of murmur3) — and
+    * physically named with its bucket ordinal in Spark's bucketed-file
+    * format (`..._%05d.parquet`), so the read relation declares a
+    * [[org.apache.spark.sql.catalyst.catalog.BucketSpec]] and
+    * FileSourceScanExec reports `HashPartitioning(cols, N)`: joins and
+    * aggregations on the bucket columns run with ZERO exchange, and an
+    * equality filter prunes to one bucket's files. Because a row's bucket
+    * is a pure function of its column values, EVERY rewrite verb that
+    * stages through [[stage]] (append, CoW MERGE/DELETE/UPDATE, OPTIMIZE,
+    * DV purge) re-buckets its output correctly by construction — a
+    * one-file rewrite hashes straight back to that file's bucket.
+    * Guarded by the `bucketing` WRITER feature: a build that doesn't
+    * enforce the layout refuses to mutate the table. */
+  val BucketByKey = "graft.bucketBy"
+  val NumBucketsKey = "graft.numBuckets"
+
+  private[sources] def bucketSpecIn(
+      props: Map[String, String]): Option[(Seq[String], Int)] =
+    for {
+      cols <- props.get(BucketByKey)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+      n <- props.get(NumBucketsKey)
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+    } yield (cols, n)
 
   private def checkReaderFeatures(node: com.fasterxml.jackson.databind.JsonNode,
       root: Path, v: Long): Unit = {
@@ -541,7 +576,8 @@ object VersionedTable {
       anchorRel: String, removed: Set[String],
       adds: Seq[(String, Option[Long], Option[String], Option[Long])],
       keepStatsCols: Option[Set[String]],
-      renameStats: Option[(String, String)] = None): (String, Path) = {
+      renameStats: Option[(String, String)] = None,
+      ndvMerge: Option[(DataFrame, Seq[String])] = None): (String, Path) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"$LogDir/ckpt-$v%08d-$token"
     val dir = new Path(root, rel)
@@ -556,7 +592,7 @@ object VersionedTable {
     val anchorBase =
       if (anchorDf.columns.contains("base_row")) col("base_row")
       else lit(null).cast("long").as("base_row")
-    val carried = anchorDf
+    val carried0 = anchorDf
       .select(col("idx"), col("path"), col("rows"), col("stats"), anchorBase)
       .as[(Int, String, Option[Long], Option[String], Option[Long])]
       .mapPartitions(_.collect {
@@ -576,6 +612,38 @@ object VersionedTable {
             }
           (i, p, rw, pruned, br)
       })
+    // ANALYZE's carried-stats rewrite: join the freshly-computed per-file
+    // KMV sketch frame against the anchor rows ON THE EXECUTORS and fold
+    // each file's hashes into its stats JSON — the third rewrite a ride
+    // can express (after drop-prune and rename-rekey). Files with no
+    // sketch row (zero live rows) keep their stats untouched. The full
+    // stats map never materializes on the driver.
+    val carried = ndvMerge match {
+      case None => carried0
+      case Some((skDf, cols)) =>
+        val skCols = cols // small closure
+        val sk = skDf.select(col(FileKeyCol).as("_sk_path"),
+          map(cols.flatMap(n => Seq(lit(n), col(n))): _*).as("_sk"))
+        carried0.toDF("idx", "path", "rows", "stats", "base_row")
+          .join(sk, col("path") === col("_sk_path"), "left")
+          .select(col("idx"), col("path"), col("rows"), col("stats"),
+            col("base_row"), col("_sk"))
+          .as[(Int, String, Option[Long], Option[String], Option[Long],
+            Option[Map[String, Seq[String]]])]
+          .map { case (i, p, rw, st, br, skm) =>
+            val merged = skm match {
+              case None => st
+              case Some(m) =>
+                val parsed = st.map(DataSkipping.colsFromJson).getOrElse(Map.empty)
+                val next = parsed ++ skCols.flatMap(n => m.get(n).map(h =>
+                  n -> parsed.getOrElse(n, DataSkipping.ColStat(None, None, 0L,
+                      allNulls = false))
+                    .copy(ndv = Some(h))))
+                if (next.isEmpty) None else Some(DataSkipping.colsToJson(next))
+            }
+            (i, p, rw, merged, br)
+          }
+    }
     val addRows = spark.createDataset(adds.zipWithIndex.map {
       case ((p, rw, st, br), k) => (1000000000 + k, p, rw, st, br)
     })
@@ -700,6 +768,7 @@ object VersionedTable {
       anchorSrc: Option[Commit] = None,
       keepStatsCols: Option[Set[String]] = None,
       renameStats: Option[(String, String)] = None,
+      ndvMerge: Option[(DataFrame, Seq[String])] = None,
       props: Option[Map[String, String]] = None,
       inheritWf: Set[String] = Set.empty,
       rowIdSeed: Option[(Long, Map[String, Long])] = None): (String, Option[Path]) = {
@@ -769,7 +838,8 @@ object VersionedTable {
       // NEVER materializes on the driver (the adds since the anchor are
       // driver-known and O(changed files) by construction)
       val src = anchorSrc.orElse(parent)
-        .filter(_ => carriedIdentical || keepStatsCols.isDefined)
+        .filter(_ => carriedIdentical || keepStatsCols.isDefined ||
+          ndvMerge.isDefined)
       src.flatMap(_.ckptInfo) match {
         case Some((aRel, aSet)) =>
           val filesSet = files.toSet
@@ -786,7 +856,8 @@ object VersionedTable {
             (k, rows.get(k), st.map(DataSkipping.colsToJson), baseRow.get(k))
           }
           val (rel, dir) = writeCkptFromAnchor(spark, root, v, aRel,
-            removed = aSet.diff(filesSet), adds, keepStatsCols, renameStats)
+            removed = aSet.diff(filesSet), adds, keepStatsCols, renameStats,
+            ndvMerge)
           (manifestJson(v, files, schemaJson, stats, rows, txn, dv, dvRows,
             parent, isDelta = false, colMap, physDropped, ts,
             ckptRef = Some(rel), statsAddOnly = statsAddOnly,
@@ -886,7 +957,8 @@ object VersionedTable {
           Seq("generated") else Nil,
         if (props.keys.exists(_.startsWith(IdentityPrefix)))
           Seq("identity") else Nil,
-        if (rowTrackingOn(props)) Seq("rowtracking") else Nil
+        if (rowTrackingOn(props)) Seq("rowtracking") else Nil,
+        if (bucketSpecIn(props).isDefined) Seq("bucketing") else Nil
       ).flatten ++ inheritWf).distinct.sorted
       val rfField = if (rf.isEmpty) "" else s""","rf":${arr(rf)}"""
       val wfField = if (wf.isEmpty) "" else s""","wf":${arr(wf)}"""
@@ -943,7 +1015,7 @@ object VersionedTable {
   /** Properties holding comma-separated COLUMN-NAME lists that schema DDL
     * must keep in step (rename follows, drop sheds). */
   private val ColumnListHints =
-    Seq("graft.bloomCols", "graft.clusterBy", "graft.ndvCols")
+    Seq("graft.bloomCols", "graft.clusterBy", "graft.ndvCols", BucketByKey)
 
   private def bloomColsIn(props: Map[String, String]): Seq[String] =
     props.get("graft.bloomCols").toSeq
@@ -956,9 +1028,26 @@ object VersionedTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(root, s"d-$token")
     try {
-      val physical =
+      val physical0 =
         if (colMap.isEmpty) df
         else df.select(df.columns.map(c => col(c).as(colMap.getOrElse(c, c))).toSeq: _*)
+      // bucket layout: every staged data file gets its rows via Spark's
+      // own bucket-id shuffle, so partition index i == bucket i (pmod of
+      // murmur3 — identical to BucketingUtils.getBucketIdFromValue). A
+      // rewrite whose rows all came from one bucket hashes straight back
+      // to a single output file; a multi-bucket batch fans out correctly.
+      val bucket = bucketSpecIn(props)
+      val physical = bucket match {
+        case Some((cols0, n)) =>
+          require(partitionCols.isEmpty,
+            "bucketed tables cannot also be hive-partitioned")
+          val phys = cols0.map(c => colMap.getOrElse(c, c))
+          val missing = phys.filterNot(physical0.columns.contains)
+          require(missing.isEmpty,
+            s"bucket column(s) missing from the written frame: ${missing.mkString(",")}")
+          physical0.repartition(n, phys.map(col): _*)
+        case None => physical0
+      }
       // resolve case-insensitively, like Spark's own column resolution
       // (a TBLPROPERTIES 'ID' against a schema 'id' must not silently
       // disable the bloom)
@@ -987,7 +1076,29 @@ object VersionedTable {
         scala.util.Try(f.delete(dir, true))
         throw e
     }
-    val rel = listParquetRec(f, dir).sorted.map(n => s"d-$token/$n")
+    val names = listParquetRec(f, dir).sorted
+    // bucketed stage: tag each file with its writer-partition ordinal in
+    // Spark's bucketed-file format (`..._%05d` before the extension) —
+    // FileSourceScanExec parses exactly this (BucketingUtils.getBucketId)
+    // to group files by bucket and report HashPartitioning
+    val tagged = bucketSpecIn(props) match {
+      case Some(_) if partitionCols.isEmpty =>
+        names.map { n =>
+          val part = "part-(\\d+)".r.findFirstMatchIn(n).getOrElse(
+            throw new IllegalStateException(
+              s"staged file $n has no writer-partition ordinal to bucket-tag"))
+            .group(1).toInt
+          val dot = n.indexOf('.')
+          val t =
+            if (dot < 0) n + f"_$part%05d"
+            else n.substring(0, dot) + f"_$part%05d" + n.substring(dot)
+          require(f.rename(new Path(dir, n), new Path(dir, t)),
+            s"failed to bucket-tag staged file $n")
+          t
+        }
+      case _ => names
+    }
+    val rel = tagged.map(n => s"d-$token/$n")
     (dir, rel)
   }
 
@@ -1161,6 +1272,33 @@ object VersionedTable {
   def write(df: DataFrame, path: String, statsCols: Seq[String],
       partitionBy: Seq[String]): Long =
     writeInternal(df, path, statsCols, txn = None, partitionCols = partitionBy)
+
+  /** CREATE a bucketed table (CLUSTERED BY (cols) INTO n BUCKETS): the
+    * snapshot lands hash-bucketed and every later verb preserves the
+    * layout — see [[BucketByKey]]. Joins/aggregations on `bucketBy` run
+    * exchange-free against any co-bucketed graft table (same cols, same
+    * n). Refused over an existing table: the physical file naming is part
+    * of the layout contract, so re-bucketing is an explicit re-create.
+    * `statsCols` default to the bucket columns (the natural prune/CoW
+    * selection keys). */
+  def writeBucketed(df: DataFrame, path: String, bucketBy: Seq[String],
+      numBuckets: Int, statsCols: Seq[String] = Nil): Long = {
+    require(bucketBy.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val missing = bucketBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$path: bucket column(s) not in the frame: ${missing.mkString(",")}")
+    require(latestVersion(df.sparkSession, path).isEmpty,
+      s"$path: table already exists — the bucket layout is fixed at " +
+        "creation (files are physically bucket-named); re-create to re-bucket")
+    // ifExists guards the race too: a concurrent creator is observed
+    // INSIDE the commit loop, not just by the friendly pre-check above
+    writeInternal(df, path,
+      if (statsCols.isEmpty) bucketBy else statsCols, txn = None,
+      ifExists = Some(true),
+      newProps = Some(Map(BucketByKey -> bucketBy.mkString(","),
+        NumBucketsKey -> numBuckets.toString)))
+  }
 
   /** Exactly-once streaming SNAPSHOT commit — [[commitBatch]]'s twin for
     * Complete output mode: the new version contains exactly `df`, UNLESS
@@ -2296,7 +2434,12 @@ object VersionedTable {
       dvMarks = dvThunkFor(spark, root, c),
       partitionCols = partitionColsOf(c.schema.get),
       minMaxOf = minMaxOfCommit(c, _),
-      ndvOf = ndvOfCommit(c, _),
+      ndvOf = ndvOfCommit(spark, root, c, _),
+      // declared bucket layout → the scan reports HashPartitioning(cols, n)
+      // and joins/aggs on the bucket key skip their exchange entirely
+      bucketSpec = bucketSpecIn(c.props).map { case (cols, n) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil)
+      },
       // generation SQL for generated PARTITION columns only — licenses the
       // base-column → partition-filter derivation rule
       generatedPartDefs = {
@@ -2558,8 +2701,13 @@ object VersionedTable {
     * `cols` over the live rows (DV-marked rows excluded) and commit the
     * table with the sketches merged into its per-file manifest stats — a
     * stats-only commit, same files, same schema. One column-pruned
-    * distributed scan; the collected result is O(files × cols × k) driver
-    * memory, the stats-map order. Plan time then answers NDV by unioning
+    * distributed scan. On a checkpoint-anchored table past
+    * [[CkptInlineMaxFiles]] the new checkpoint is AUTHORED DISTRIBUTED
+    * (the sketch frame joins the anchor rows on the executors via
+    * writeCkptFromAnchor's ndvMerge channel) and the driver only ever
+    * holds the post-anchor adds' sketches; on inline-manifest tables the
+    * merge is the O(files × cols × k) driver map those tables already
+    * carry. Plan time then answers NDV by unioning
     * the per-file sketches ([[ndvFromStats]]), which is what licenses
     * CBO-lite broadcast decisions on filtered graft scans
     * (GraftNdvJoinEstimation). Files appended AFTER the analyze carry no
@@ -2590,26 +2738,11 @@ object VersionedTable {
           spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
             .select(col(FileKeyCol), col(RowIdxCol)),
           Seq(FileKeyCol, RowIdxCol), "left_anti")
-      val sketchRows = keyed.groupBy(col(FileKeyCol))
+      val sketchDf = keyed.groupBy(col(FileKeyCol))
         .agg(graft.functions.KmvHashesAgg(col(cols.head), NdvSketchK)
             .as(cols.head),
           cols.tail.map(n =>
             graft.functions.KmvHashesAgg(col(n), NdvSketchK).as(n)): _*)
-        .collect()
-      val sketches: Map[String, Map[String, Seq[String]]] =
-        sketchRows.map { r =>
-          r.getString(0) -> cols.map(n =>
-            n -> r.getAs[scala.collection.Seq[String]](n).toSeq).toMap
-        }.toMap
-      val newStats: DataSkipping.FileStats = c.files.map { fk =>
-        val prior = c.stats.getOrElse(fk, Map.empty)
-        val sk = sketches.getOrElse(fk, Map.empty)
-        fk -> (prior ++ sk.map { case (n, h) =>
-          n -> prior.getOrElse(n,
-              DataSkipping.ColStat(None, None, 0L, allNulls = false))
-            .copy(ndv = Some(h))
-        })
-      }.toMap
       val v = b + 1L
       // the analyzed-column roster rides TBLPROPERTIES so plan-time
       // consumers can answer "is there a sketch for this column?" from the
@@ -2617,11 +2750,63 @@ object VersionedTable {
       // ndvOfCommit gates on it, keeping un-analyzed reads zero-cost
       val roster = (ndvColsIn(c.props) ++ cols).distinct.sorted
       val nextProps = c.props + (NdvColsKey -> roster.mkString(","))
-      // carried stats CHANGED → not delta-expressible; encodes full
-      val (body, ckptDir) = encodeCommit(spark, root, v, c.files, s.json,
-        newStats, c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
-        colMap = c.colMap, physDropped = c.physDropped,
-        props = Some(nextProps))
+      val (body, ckptDir) =
+        if (c.ckptInfo.isDefined && c.files.size > CkptInlineMaxFiles) {
+          // DISTRIBUTED authoring: the sketch frame joins the anchor
+          // checkpoint rows on the EXECUTORS (writeCkptFromAnchor's
+          // ndvMerge channel); only the post-anchor adds' sketches —
+          // O(changed files) by construction — come back to the driver.
+          // The full stats map is NEVER materialized here: a million-file
+          // ANALYZE costs one column-pruned data scan plus one
+          // checkpoint-sized Spark job, same as any other anchored ride.
+          sketchDf.persist() // scanned once for adds, once for the ride
+          val aSet = c.ckptInfo.get._2
+          val addKeys = c.files.filterNot(aSet)
+          val addSk: Map[String, Map[String, Seq[String]]] =
+            if (addKeys.isEmpty) Map.empty
+            else sketchDf.filter(col(FileKeyCol).isInCollection(addKeys))
+              .collect().map(r => r.getString(0) -> cols.map(n =>
+                n -> r.getAs[scala.collection.Seq[String]](n).toSeq).toMap)
+              .toMap
+          val addStats: DataSkipping.FileStats = addKeys.map { fk =>
+            val prior = c.statsAdds.getOrElse(fk, Map.empty)
+            fk -> (prior ++ addSk.getOrElse(fk, Map.empty).map { case (n, h) =>
+              n -> prior.getOrElse(n,
+                  DataSkipping.ColStat(None, None, 0L, allNulls = false))
+                .copy(ndv = Some(h))
+            })
+          }.toMap
+          try encodeCommit(spark, root, v, c.files, s.json,
+            stats = c.stats, // by-name: never forced on this path
+            rows = c.rows, txn = c.txn, dv = c.dv, dvRows = c.dvRows,
+            parent = Some(c), forceFull = true,
+            colMap = c.colMap, physDropped = c.physDropped,
+            statsAddOnly = Some(addStats), ndvMerge = Some((sketchDf, cols)),
+            props = Some(nextProps))
+          finally sketchDf.unpersist()
+        } else {
+          // inline/small tables: merge on the driver (stats are already
+          // driver-resident at this size)
+          val sketches: Map[String, Map[String, Seq[String]]] =
+            sketchDf.collect().map { r =>
+              r.getString(0) -> cols.map(n =>
+                n -> r.getAs[scala.collection.Seq[String]](n).toSeq).toMap
+            }.toMap
+          val newStats: DataSkipping.FileStats = c.files.map { fk =>
+            val prior = c.stats.getOrElse(fk, Map.empty)
+            val sk = sketches.getOrElse(fk, Map.empty)
+            fk -> (prior ++ sk.map { case (n, h) =>
+              n -> prior.getOrElse(n,
+                  DataSkipping.ColStat(None, None, 0L, allNulls = false))
+                .copy(ndv = Some(h))
+            })
+          }.toMap
+          // carried stats CHANGED → not delta-expressible; encodes full
+          encodeCommit(spark, root, v, c.files, s.json,
+            newStats, c.rows, c.txn, c.dv, c.dvRows, parent = Some(c),
+            colMap = c.colMap, physDropped = c.physDropped,
+            props = Some(nextProps))
+        }
       if (tryCommit(f, root, v, body)) committed = v
       else {
         ckptDir.foreach(d => f.delete(d, true))
@@ -2643,8 +2828,8 @@ object VersionedTable {
     * sketches across live files. None when no live file carries one. */
   def ndvFromStats(spark: SparkSession, path: String, column: String,
       asOf: Option[Long] = None): Option[Long] = {
-    val (_, _, c) = commitFor(spark, path, asOf)
-    ndvOfCommit(c, column)
+    val (root, _, c) = commitFor(spark, path, asOf)
+    ndvOfCommit(spark, root, c, column)
   }
 
   /** Columns with manifest NDV sketches, from the property roster — the
@@ -2663,19 +2848,49 @@ object VersionedTable {
     * zero data files opened. */
   def ndvStaleness(spark: SparkSession, path: String, column: String,
       asOf: Option[Long] = None): Option[Double] = {
-    val (_, _, c) = commitFor(spark, path, asOf)
+    val (root, _, c) = commitFor(spark, path, asOf)
     if (!ndvColsIn(c.props).contains(column)) return None
     if (c.files.isEmpty) return Some(0.0)
     if (!c.files.forall(c.rows.contains)) return None
     val total = c.files.map(c.rows).sum
     if (total == 0L) return Some(0.0)
-    val uncounted = c.files
-      .filter(fk => c.stats.get(fk).flatMap(_.get(column)).flatMap(_.ndv).isEmpty)
-      .map(c.rows).sum
+    // which live files carry a sketch for `column`: answered off the
+    // checkpoint ON THE EXECUTORS for anchored tables (the returned key
+    // set is the same driver-memory order as c.files itself), off the
+    // in-memory map otherwise
+    val sketched: Set[String] = distributedNdvRead(spark, root, c) match {
+      case Some((aRel, aSet)) =>
+        import spark.implicits._
+        val live = c.files.toSet
+        val colName = column
+        val fromCkpt = spark.read.parquet(new Path(root, aRel).toString)
+          .select(col("path"), col("stats"))
+          .as[(String, Option[String])]
+          .mapPartitions(_.collect { case (p, Some(s))
+            if DataSkipping.colsFromJson(s).get(colName).exists(_.ndv.isDefined) => p })
+          .collect().toSet.intersect(live)
+        fromCkpt ++ c.files.filterNot(aSet).filter(fk =>
+          c.statsAdds.get(fk).flatMap(_.get(colName)).exists(_.ndv.isDefined))
+      case None =>
+        c.files.filter(fk =>
+          c.stats.get(fk).flatMap(_.get(column)).flatMap(_.ndv).isDefined).toSet
+    }
+    val uncounted = c.files.filterNot(sketched).map(c.rows).sum
     Some(uncounted.toDouble / total)
   }
 
-  private def ndvOfCommit(c: Commit, column: String): Option[Long] = {
+  /** When plan-time NDV consumers should read sketches DISTRIBUTED off the
+    * checkpoint parquet instead of forcing the full stats map onto the
+    * driver: the commit is checkpoint-anchored, past the inline bound, and
+    * nobody has paid for the in-memory map yet. Returns the anchor
+    * (rel path, anchor file set) to read from. */
+  private def distributedNdvRead(spark: SparkSession, root: Path,
+      c: Commit): Option[(String, Set[String])] =
+    c.ckptInfo.filter(_ =>
+      c.files.size > CkptInlineMaxFiles && !c.statsRef.forced)
+
+  private def ndvOfCommit(spark: SparkSession, root: Path, c: Commit,
+      column: String): Option[Long] = {
     if (c.files.isEmpty) return None
     if (!ndvColsIn(c.props).contains(column)) return None
     // deletion-vector marks make the sketches stale in the UNSAFE
@@ -2684,8 +2899,39 @@ object VersionedTable {
     // huge side. Refuse like minMaxOfCommit does — REORG PURGE/OPTIMIZE
     // (or the next ANALYZE) re-enables.
     if (c.files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) return None
-    val sketches = c.files.flatMap(fk =>
-      c.stats.get(fk).flatMap(_.get(column)).flatMap(_.ndv))
+    val sketches: Seq[Seq[String]] = distributedNdvRead(spark, root, c) match {
+      case Some((aRel, aSet)) =>
+        // k-smallest of the union computes DISTRIBUTED: executors parse
+        // each anchored file's stats JSON and emit the column's hashes; a
+        // TakeOrdered brings back at most k strings. Files removed since
+        // the anchor (O(delta) by construction) are filtered out; files
+        // added since carry driver-known statsAdds. Same plan-time cost
+        // class as the distributed prune path.
+        val removed = aSet.diff(c.files.toSet)
+        val colName = column
+        import spark.implicits._
+        val fromCkpt: Seq[String] =
+          spark.read.parquet(new Path(root, aRel).toString)
+            .select(col("path"), col("stats"))
+            .as[(String, Option[String])]
+            .mapPartitions(_.flatMap { case (p, st) =>
+              if (removed.contains(p)) Iterator.empty
+              else st.iterator.flatMap(s =>
+                DataSkipping.colsFromJson(s).get(colName)
+                  .flatMap(_.ndv).getOrElse(Seq.empty))
+            })
+            .toDF("h").distinct() // KMV sketches are DISTINCT-hash sets —
+            // dedup before the k-truncation or a value shared across files
+            // could crowd a genuine distinct hash out of the window
+            .orderBy(col("h")).limit(NdvSketchK)
+            .as[String].collect().toSeq
+        val fromAdds: Seq[Seq[String]] = c.files.filterNot(aSet).flatMap(fk =>
+          c.statsAdds.get(fk).flatMap(_.get(colName)).flatMap(_.ndv))
+        (if (fromCkpt.isEmpty) Seq.empty else Seq(fromCkpt)) ++ fromAdds
+      case None =>
+        c.files.flatMap(fk =>
+          c.stats.get(fk).flatMap(_.get(column)).flatMap(_.ndv))
+    }
     if (sketches.isEmpty) None
     else Some(graft.functions.KmvSketchAgg.estimate(
       graft.functions.KmvSketchAgg.merge(sketches, NdvSketchK), NdvSketchK))
@@ -3477,6 +3723,12 @@ object VersionedTable {
           s"$path: cannot drop identity column $iname — drop the identity " +
             "declaration first (dropIdentityColumn)")
       }
+      bucketSpecIn(c.props).foreach { case (bcols, _) =>
+        val hit = bcols.map(_.toLowerCase).toSet intersect lowerDrop
+        require(hit.isEmpty,
+          s"$path: cannot drop bucket column(s) ${hit.mkString(",")} — " +
+            "the physical file layout hashes on them; re-create to re-bucket")
+      }
       (StructType(s.fields.filterNot(f => names.contains(f.name))),
         c.colMap -- names,
         c.physDropped ++ names.map(c.physName))
@@ -3590,6 +3842,14 @@ object VersionedTable {
         s"$path: cannot change the type of partition column $name — the " +
           "directory layout and streaming path derivation depend on it " +
           "(migrate via CREATE TABLE ... PARTITIONED BY + INSERT SELECT)")
+      // murmur3 hashes int and long inputs DIFFERENTLY: widening a bucket
+      // column would silently re-key every existing file's bucket
+      bucketSpecIn(c.props).foreach { case (bcols, _) =>
+        require(!bcols.exists(_.equalsIgnoreCase(name)),
+          s"$path: cannot widen bucket column $name — the bucket hash is " +
+            "type-sensitive (existing files would land in wrong buckets); " +
+            "re-create to re-bucket")
+      }
       generatedIn(c.props).foreach { case (gname, sql) =>
         require(gname != name,
           s"$path: cannot widen generated column $name — its declared type " +
@@ -3649,6 +3909,16 @@ object VersionedTable {
       s"$path: cannot set ${smuggledId.mkString(", ")} via table properties — " +
         "identity declaration and high-water mark are maintained by " +
         "declareIdentityColumn and the write verbs")
+    // the bucket layout is physical (file-name ordinals + every staged
+    // file's shuffle): declaring it on existing unbucketed files — or
+    // shedding it while files keep bucket names — would desynchronize the
+    // declared HashPartitioning from the data
+    val smuggledBucket = (set.keys ++ unset).filter(k =>
+      k == BucketByKey || k == NumBucketsKey)
+    require(smuggledBucket.isEmpty,
+      s"$path: cannot change ${smuggledBucket.mkString(", ")} via table " +
+        "properties — the bucket layout is fixed at creation " +
+        "(writeBucketed / CREATE TABLE); re-create to re-bucket")
     // row tracking reserves the materialized-id column name: a schema
     // already using it would collide with the id-surfacing read
     if (set.get(RowTrackingKey).exists(_.trim.equalsIgnoreCase("true")))
@@ -4643,6 +4913,9 @@ object VersionedTable {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
+      require(bucketSpecIn(c.props).isEmpty,
+        s"$path: ZORDER is not supported on bucketed tables — the bucket " +
+          "layout is the table's clustering (OPTIMIZE compacts per bucket)")
       val scope = partitionScope(spark, root, c, where.get, "ZORDER")
       if (scope.isEmpty) return b // predicate matches no partition
       val s = c.schema.get // partitionScope required it
@@ -4689,6 +4962,11 @@ object VersionedTable {
       val bse = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, bse)
+      // the bucket shuffle in stage would destroy the z-placement, and a
+      // bucketed table's layout contract IS its clustering — refuse
+      require(bucketSpecIn(c.props).isEmpty,
+        s"$path: ZORDER is not supported on bucketed tables — the bucket " +
+          "layout is the table's clustering (OPTIMIZE compacts per bucket)")
       val partCols = c.schema.map(partitionColsOf).getOrElse(Nil)
       val base = rewriteSource(spark, root, c, c.files)
       // partitioned tables z-order WITHIN partitions (Delta's semantics):

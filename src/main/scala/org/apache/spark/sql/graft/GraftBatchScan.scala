@@ -400,7 +400,8 @@ object GraftBatchShim {
       partitionCols: Seq[String] = Nil,
       minMaxOf: String => Option[(Any, Any)] = _ => None,
       generatedPartDefs: Map[String, (String, Option[String])] = Map.empty,
-      ndvOf: String => Option[Long] = _ => None)
+      ndvOf: String => Option[Long] = _ => None,
+      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -421,7 +422,11 @@ object GraftBatchShim {
       // the pre-relation read path (DataSource forces it for file sources)
       dataSchema = StructType(
         logicalSchema.fields.filterNot(f => partSet(f.name))).asNullable,
-      bucketSpec = None,
+      // the graft bucket layout (VersionedTable.BucketByKey): files carry
+      // Spark's `_%05d` bucket ordinal, so the stock v1 bucketed-scan
+      // machinery (bucket-grouped partitions, HashPartitioning report,
+      // bucket pruning on equality) works unmodified
+      bucketSpec = bucketSpec,
       fileFormat = new GraftParquetFileFormat(colMap, bcThunk,
         GraftBatchShim.rootPathOf(spark, root)),
       options = Map.empty)(session)

@@ -104,6 +104,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftOuter"), p) // outer semantics survive the pushed predicate
   }
 
+  test("q_bucketed_join: co-bucketed graft scans sort-merge with ZERO exchange on the join keys") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p) // the merge hint held: not a broadcast
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join sides must not shuffle:\n$p")
+    assert(p.contains("Bucketed: true"), p) // both scans read bucket-grouped
+  }
+
+  test("q_tpch_q2: dims broadcast, per-part min is a window over filtered candidates, top-k short-circuits") {
+    val p = plan("q_tpch_q2")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)       // part/supplier/nation/region dims
+    assert(p.contains("Window"), p)                  // decorrelated per-part MIN
+    assert(p.contains("TakeOrderedAndProject"), p)   // ORDER BY + LIMIT 100
+  }
+
+  test("q_tpch_q9: part filter broadcasts to both fact and partsupp sides; no cartesian") {
+    val p = plan("q_tpch_q9")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("StringContains(p_name,red)"), p) // name LIKE pushed to the part scan
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_tpch_q11: nation filter pushes to scan; only the 1-row total rides a nested-loop broadcast") {
+    val p = plan("q_tpch_q11")
+    assert(p.contains("EqualTo(n_name,NATION_7)"), p)
+    // exactly one BNLJ: the scalar (t, npart) cross join — never a data-data nested loop
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_tpch_q22: NOT EXISTS is a left-anti hash join; scalar thresholds execute once") {
     val p = plan("q_tpch_q22")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

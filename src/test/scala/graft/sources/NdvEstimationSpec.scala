@@ -105,4 +105,34 @@ class NdvEstimationSpec extends SparkSpec {
     assert(d.getAs[String]("ndv_columns") == "id")
     assert(!d.getAs[String]("properties").contains("ndvCols"))
   }
+
+  test("ANALYZE on a checkpoint-anchored table authors the sketch commit distributed") {
+    val p = tmp()
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      // 12 one-file appends: v10 anchors a parquet checkpoint, v11-v12 are
+      // post-anchor delta adds — so the analyze must handle BOTH carried
+      // files (executor-side merge) and adds (driver-side, O(delta))
+      (1 to 12).foreach(i => VersionedTable.append(
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), p, Seq("id")))
+      VersionedTable.ckptStatsParses.set(0L)
+      VersionedTable.analyzeNdv(spark, p, Seq("id"))
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "anchored ANALYZE must merge sketches on executors, never force " +
+          "the full stats map onto the driver")
+      // every file counted — carried AND post-anchor: 12 distinct ids,
+      // under k → the KMV estimate is exact. The READ side stays
+      // distributed too: estimate and staleness answer off the checkpoint
+      // without ever forcing the driver-side stats parse.
+      assert(VersionedTable.ndvFromStats(spark, p, "id").contains(12L))
+      assert(VersionedTable.ndvStaleness(spark, p, "id").contains(0.0))
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "anchored NDV reads must union sketches on executors")
+      // prior min/max stats survive the executor-side merge: pruning intact
+      val (kept, skipped) = VersionedTable.pruneInfo(spark, p, col("id") === 5)
+      assert(kept.size == 1 && skipped.size == 11,
+        s"kept=${kept.size} skipped=${skipped.size}")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
 }
