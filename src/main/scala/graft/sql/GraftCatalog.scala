@@ -158,13 +158,50 @@ class GraftCatalog extends TableCatalog {
     val props = properties.asScala
     val statsCols = props.get("statsCols").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    val partitionCols = partitions.toSeq.map { t =>
+    // CLUSTERED BY (cols) INTO n BUCKETS arrives as a bucket transform —
+    // lift it into the graft bucket-layout properties (VersionedTable
+    // stages every file through the bucket shuffle and the read relation
+    // declares the BucketSpec). SORTED BY is refused below: the sorted
+    // bucketed scan needs a one-file-per-bucket invariant appends break.
+    val (bucketTrans, partTrans) = partitions.toSeq.partition(_.name == "bucket")
+    val bucketProps: Map[String, String] = bucketTrans match {
+      case Nil => Map.empty
+      case Seq(bt) =>
+        val cols = bt.references.toSeq.map { r =>
+          require(r.fieldNames.length == 1,
+            s"$path: bucket columns must be top-level (got $r)")
+          r.fieldNames()(0)
+        }
+        // the transform's literal argument is the bucket count (the column
+        // args are the references above)
+        val n = bt.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$path: bucket transform without a bucket count: $bt"))
+        Map(VersionedTable.BucketByKey -> cols.mkString(","),
+          VersionedTable.NumBucketsKey -> n)
+      case ts => throw new IllegalArgumentException(
+        s"$path: unsupported bucket transform(s): ${ts.mkString(", ")}")
+    }
+    bucketProps.foreach { case (k, v) =>
+      props.get(k).foreach(pv => require(pv == v,
+        s"$path: TBLPROPERTIES $k='$pv' conflicts with CLUSTERED BY ($v)"))
+    }
+    bucketProps.get(VersionedTable.BucketByKey).foreach { bc =>
+      val missing = bc.split(",").filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"$path: CLUSTERED BY column(s) not in the schema: ${missing.mkString(",")}")
+    }
+    val partitionCols = partTrans.map { t =>
       val refs = t.references()
       require(t.name == "identity" && refs.length == 1 && refs(0).fieldNames.length == 1,
         s"$path: only identity partition transforms on top-level columns are " +
           s"supported (got $t)")
       refs(0).fieldNames()(0)
     }
+    require(bucketProps.isEmpty || partitionCols.isEmpty,
+      s"$path: CLUSTERED BY cannot combine with PARTITIONED BY")
     // The recorded schema normalizes partition columns to the END (the
     // relation's user-facing order is dataSchema ++ partitionSchema, and
     // every read path depends on that invariant). A CREATE TABLE declaring
@@ -241,7 +278,7 @@ class GraftCatalog extends TableCatalog {
         val start = spec.split(";").collectFirst {
           case s if s.startsWith("start=") => s.stripPrefix("start=") }.get
         Seq(s"graft.identity.$n" -> spec, s"graft.identityHwm.$n" -> start)
-      }
+      } ++ bucketProps
     try VersionedTable.createEmpty(empty, path, statsCols, partitionCols, stored)
     catch {
       case e: IllegalStateException if e.getMessage.contains("already exists") =>

@@ -276,7 +276,9 @@ case class GraftDescribeDetailCommand(cat: String,
     AttributeReference("writer_features", StringType, nullable = false)(),
     AttributeReference("row_tracking", BooleanType, nullable = false)(),
     AttributeReference("row_id_high_watermark", LongType, nullable = true)(),
-    AttributeReference("ndv_columns", StringType, nullable = false)())
+    AttributeReference("ndv_columns", StringType, nullable = false)(),
+    AttributeReference("bucket_columns", StringType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = true)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
@@ -298,13 +300,19 @@ case class GraftDescribeDetailCommand(cat: String,
       VersionedTable.countRows(session, p).map(java.lang.Long.valueOf).orNull,
       partCols.mkString(","),
       kv(props.filterNot(e => declPrefixes.exists(e._1.startsWith) ||
-        e._1 == VersionedTable.NdvColsKey)), // surfaced in its own column
+        e._1 == VersionedTable.NdvColsKey || // surfaced in dedicated columns
+        e._1 == VersionedTable.BucketByKey ||
+        e._1 == VersionedTable.NumBucketsKey)),
       kv(cons), kv(gens), kv(ids),
       rf.toSeq.sorted.mkString(","), wf.toSeq.sorted.mkString(","),
       wf.contains("rowtracking"),
       VersionedTable.rowIdHighWatermark(session, p)
         .map(java.lang.Long.valueOf).orNull,
-      props.getOrElse(VersionedTable.NdvColsKey, "")))
+      props.getOrElse(VersionedTable.NdvColsKey, ""),
+      props.getOrElse(VersionedTable.BucketByKey, ""),
+      props.get(VersionedTable.NumBucketsKey)
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .map(java.lang.Integer.valueOf).orNull))
   }
 }
 

@@ -129,6 +129,39 @@ class BucketedGraftSpec extends SparkSpec {
     assert(VersionedTable.read(spark, p).count() == 250)
   }
 
+  test("SQL surface: CLUSTERED BY INTO BUCKETS; DESCRIBE DETAIL; row tracking composes") {
+    val p = tmp()
+    spark.sql(s"CREATE TABLE graft.`$p` (k BIGINT, v STRING) " +
+      "CLUSTERED BY (k) INTO 4 BUCKETS " +
+      s"TBLPROPERTIES ('${VersionedTable.RowTrackingKey}'='true')")
+    spark.sql(s"INSERT INTO graft.`$p` VALUES (1, 'a'), (2, 'b'), (15, 'c')")
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$p`").collect().head
+    assert(d.getAs[String]("bucket_columns") == "k")
+    assert(d.getAs[Int]("num_buckets") == 4)
+    assert(d.getAs[Boolean]("row_tracking"))
+    assert(!d.getAs[String]("properties").contains("bucket"), d.toString)
+    // the SQL-declared layout produces the same physical contract as
+    // writeBucketed: files bucket-named, aggregation on k exchange-free
+    VersionedTable.filesOf(spark, p, VersionedTable.latestVersion(spark, p).get)
+      .foreach(r => assert(bucketIdOf(r).exists(i => i >= 0 && i < 4), r))
+    noBroadcast {
+      val agg = spark.sql(s"SELECT k, COUNT(*) FROM graft.`$p` GROUP BY k")
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(k"), agg.queryExecution.executedPlan)
+      assert(agg.count() == 3)
+    }
+    // row tracking rides the bucketed write path: stable distinct ids
+    val ids = VersionedTable.readWithRowIds(spark, p)
+      .select(VersionedTable.RowIdCol).as[Long].collect().sorted
+    assert(ids.toSeq == Seq(0L, 1L, 2L), ids.toSeq.toString)
+    // conflicting TBLPROPERTIES vs CLUSTERED BY refuses
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.`${tmp()}` (k BIGINT) " +
+        "CLUSTERED BY (k) INTO 4 BUCKETS " +
+        s"TBLPROPERTIES ('${VersionedTable.NumBucketsKey}'='8')")
+    }
+  }
+
   test("the layout is contractual: refusals and the writer feature") {
     val p = tmp()
     VersionedTable.writeBucketed(
