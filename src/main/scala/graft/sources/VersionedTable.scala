@@ -382,6 +382,26 @@ object VersionedTable {
   val BucketByKey = "graft.bucketBy"
   val NumBucketsKey = "graft.numBuckets"
 
+  /** Optional within-bucket sort declaration (SORTED BY): staged files are
+    * written sorted on these columns inside each bucket, and the relation
+    * declares them as the BucketSpec's sort columns. Spark reports the
+    * scan's output ORDERING only while every selected bucket has at most
+    * one file (its own invariant check), so the declaration is always
+    * safe: fresh appends add files per bucket and the planner silently
+    * falls back to sorting; after OPTIMIZE (one packed file per bucket) a
+    * co-bucketed co-sorted join is a pure streaming merge — zero exchange
+    * AND zero sort. Spark gates the ordering report behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (off by default
+    * because FOREIGN writers can't be trusted to have sorted); graft's
+    * stage() enforces the write-side sort, so sessions reading only graft
+    * tables can enable it safely to get the merge-only plan. */
+  val BucketSortByKey = "graft.bucketSortBy"
+
+  private[sources] def bucketSortColsIn(
+      props: Map[String, String]): Seq[String] =
+    props.get(BucketSortByKey).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
   private[sources] def bucketSpecIn(
       props: Map[String, String]): Option[(Seq[String], Int)] =
     for {
@@ -1015,7 +1035,8 @@ object VersionedTable {
   /** Properties holding comma-separated COLUMN-NAME lists that schema DDL
     * must keep in step (rename follows, drop sheds). */
   private val ColumnListHints =
-    Seq("graft.bloomCols", "graft.clusterBy", "graft.ndvCols", BucketByKey)
+    Seq("graft.bloomCols", "graft.clusterBy", "graft.ndvCols", BucketByKey,
+      BucketSortByKey)
 
   private def bloomColsIn(props: Map[String, String]): Seq[String] =
     props.get("graft.bloomCols").toSeq
@@ -1045,7 +1066,10 @@ object VersionedTable {
           val missing = phys.filterNot(physical0.columns.contains)
           require(missing.isEmpty,
             s"bucket column(s) missing from the written frame: ${missing.mkString(",")}")
-          physical0.repartition(n, phys.map(col): _*)
+          val sorted = bucketSortColsIn(props).map(c => colMap.getOrElse(c, c))
+          val shuffled = physical0.repartition(n, phys.map(col): _*)
+          if (sorted.isEmpty) shuffled
+          else shuffled.sortWithinPartitions(sorted.map(col): _*)
         case None => physical0
       }
       // resolve case-insensitively, like Spark's own column resolution
@@ -1282,12 +1306,13 @@ object VersionedTable {
     * `statsCols` default to the bucket columns (the natural prune/CoW
     * selection keys). */
   def writeBucketed(df: DataFrame, path: String, bucketBy: Seq[String],
-      numBuckets: Int, statsCols: Seq[String] = Nil): Long = {
+      numBuckets: Int, statsCols: Seq[String] = Nil,
+      sortBy: Seq[String] = Nil): Long = {
     require(bucketBy.nonEmpty, "writeBucketed needs at least one bucket column")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    val missing = bucketBy.filterNot(df.columns.contains)
+    val missing = (bucketBy ++ sortBy).filterNot(df.columns.contains)
     require(missing.isEmpty,
-      s"$path: bucket column(s) not in the frame: ${missing.mkString(",")}")
+      s"$path: bucket/sort column(s) not in the frame: ${missing.mkString(",")}")
     require(latestVersion(df.sparkSession, path).isEmpty,
       s"$path: table already exists — the bucket layout is fixed at " +
         "creation (files are physically bucket-named); re-create to re-bucket")
@@ -1297,7 +1322,9 @@ object VersionedTable {
       if (statsCols.isEmpty) bucketBy else statsCols, txn = None,
       ifExists = Some(true),
       newProps = Some(Map(BucketByKey -> bucketBy.mkString(","),
-        NumBucketsKey -> numBuckets.toString)))
+        NumBucketsKey -> numBuckets.toString) ++
+        (if (sortBy.isEmpty) Map.empty
+         else Map(BucketSortByKey -> sortBy.mkString(",")))))
   }
 
   /** Exactly-once streaming SNAPSHOT commit — [[commitBatch]]'s twin for
@@ -2438,7 +2465,8 @@ object VersionedTable {
       // declared bucket layout → the scan reports HashPartitioning(cols, n)
       // and joins/aggs on the bucket key skip their exchange entirely
       bucketSpec = bucketSpecIn(c.props).map { case (cols, n) =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil)
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols,
+          bucketSortColsIn(c.props))
       },
       // generation SQL for generated PARTITION columns only — licenses the
       // base-column → partition-filter derivation rule
@@ -3724,10 +3752,12 @@ object VersionedTable {
             "declaration first (dropIdentityColumn)")
       }
       bucketSpecIn(c.props).foreach { case (bcols, _) =>
-        val hit = bcols.map(_.toLowerCase).toSet intersect lowerDrop
+        val hit = (bcols ++ bucketSortColsIn(c.props))
+          .map(_.toLowerCase).toSet intersect lowerDrop
         require(hit.isEmpty,
-          s"$path: cannot drop bucket column(s) ${hit.mkString(",")} — " +
-            "the physical file layout hashes on them; re-create to re-bucket")
+          s"$path: cannot drop bucket/sort column(s) ${hit.mkString(",")} — " +
+            "the physical file layout hashes/orders on them; re-create to " +
+            "re-bucket")
       }
       (StructType(s.fields.filterNot(f => names.contains(f.name))),
         c.colMap -- names,
@@ -3914,7 +3944,7 @@ object VersionedTable {
     // shedding it while files keep bucket names — would desynchronize the
     // declared HashPartitioning from the data
     val smuggledBucket = (set.keys ++ unset).filter(k =>
-      k == BucketByKey || k == NumBucketsKey)
+      k == BucketByKey || k == NumBucketsKey || k == BucketSortByKey)
     require(smuggledBucket.isEmpty,
       s"$path: cannot change ${smuggledBucket.mkString(", ")} via table " +
         "properties — the bucket layout is fixed at creation " +

@@ -163,24 +163,17 @@ class GraftCatalog extends TableCatalog {
     // stages every file through the bucket shuffle and the read relation
     // declares the BucketSpec). SORTED BY is refused below: the sorted
     // bucketed scan needs a one-file-per-bucket invariant appends break.
-    val (bucketTrans, partTrans) = partitions.toSeq.partition(_.name == "bucket")
+    val (bucketTrans, partTrans) = partitions.toSeq.partition(t =>
+      org.apache.spark.sql.graft.GraftBatchShim.bucketTransformInfo(t).isDefined)
     val bucketProps: Map[String, String] = bucketTrans match {
       case Nil => Map.empty
       case Seq(bt) =>
-        val cols = bt.references.toSeq.map { r =>
-          require(r.fieldNames.length == 1,
-            s"$path: bucket columns must be top-level (got $r)")
-          r.fieldNames()(0)
-        }
-        // the transform's literal argument is the bucket count (the column
-        // args are the references above)
-        val n = bt.arguments.collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            l.value.toString
-        }.getOrElse(throw new IllegalArgumentException(
-          s"$path: bucket transform without a bucket count: $bt"))
+        val (n, cols, sortCols) =
+          org.apache.spark.sql.graft.GraftBatchShim.bucketTransformInfo(bt).get
         Map(VersionedTable.BucketByKey -> cols.mkString(","),
-          VersionedTable.NumBucketsKey -> n)
+          VersionedTable.NumBucketsKey -> n.toString) ++
+          (if (sortCols.isEmpty) Map.empty
+           else Map(VersionedTable.BucketSortByKey -> sortCols.mkString(",")))
       case ts => throw new IllegalArgumentException(
         s"$path: unsupported bucket transform(s): ${ts.mkString(", ")}")
     }
@@ -188,10 +181,11 @@ class GraftCatalog extends TableCatalog {
       props.get(k).foreach(pv => require(pv == v,
         s"$path: TBLPROPERTIES $k='$pv' conflicts with CLUSTERED BY ($v)"))
     }
-    bucketProps.get(VersionedTable.BucketByKey).foreach { bc =>
+    (bucketProps.get(VersionedTable.BucketByKey) ++
+        bucketProps.get(VersionedTable.BucketSortByKey)).foreach { bc =>
       val missing = bc.split(",").filterNot(schema.fieldNames.contains)
       require(missing.isEmpty,
-        s"$path: CLUSTERED BY column(s) not in the schema: ${missing.mkString(",")}")
+        s"$path: CLUSTERED/SORTED BY column(s) not in the schema: ${missing.mkString(",")}")
     }
     val partitionCols = partTrans.map { t =>
       val refs = t.references()

@@ -360,6 +360,30 @@ private[graft] class GraftParquetFileFormat(
   * `private[sql]` constructors). */
 object GraftBatchShim {
 
+  /** Decompose a (sorted) bucket transform — the classes are
+    * `private[sql]`, so the graft catalog reads them through this shim.
+    * Returns (numBuckets, bucket columns, sort columns); None for any
+    * other transform. Multi-part column references refuse upstream. */
+  def bucketTransformInfo(t: org.apache.spark.sql.connector.expressions.Transform)
+      : Option[(Int, Seq[String], Seq[String])] = {
+    import org.apache.spark.sql.connector.expressions.{BucketTransform, SortedBucketTransform}
+    def names(rs: Seq[org.apache.spark.sql.connector.expressions.NamedReference])
+        : Seq[String] = rs.map { r =>
+      require(r.fieldNames.length == 1,
+        s"bucket columns must be top-level (got $r)")
+      r.fieldNames()(0)
+    }
+    t match {
+      case b: BucketTransform =>
+        Some((b.numBuckets.value.asInstanceOf[Number].intValue(),
+          names(b.columns), Nil))
+      case s: SortedBucketTransform =>
+        Some((s.numBuckets.value.asInstanceOf[Number].intValue(),
+          names(s.columns), names(s.sortedColumns)))
+      case _ => None
+    }
+  }
+
   /** The qualified-root prefix of `_metadata.file_path`, trailing slash
     * included. file_path renders scheme + ':' [+ '//' authority] + the
     * URI-RAW (percent-encoded) path — NOT `Path.toString` (decoded) and

@@ -129,6 +129,49 @@ class BucketedGraftSpec extends SparkSpec {
     assert(VersionedTable.read(spark, p).count() == 250)
   }
 
+  test("SORTED BY buckets: after OPTIMIZE the join is a pure streaming merge — no exchange, no sort") {
+    val a = tmp(); val b = tmp()
+    VersionedTable.writeBucketed(
+      (1L to 300L).map(i => (i, s"a$i")).toDF("k", "va"), a,
+      Seq("k"), 4, sortBy = Seq("k"))
+    VersionedTable.writeBucketed(
+      (200L to 500L).map(i => (i, s"b$i")).toDF("k", "vb")
+        .withColumnRenamed("k", "k2"), b,
+      Seq("k2"), 4, sortBy = Seq("k2"))
+    // Spark reports sorted-bucket ordering only behind this legacy conf
+    // (foreign writers can't be trusted to have sorted; graft's stage()
+    // enforces the sort, so enabling it for graft reads is sound)
+    val orderKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(orderKey, "true")
+    def joinPlan(): (String, Long) = noBroadcast {
+      val j = VersionedTable.read(spark, a)
+        .join(VersionedTable.read(spark, b), col("k") === col("k2"))
+      (j.queryExecution.executedPlan.toString, j.count())
+    }
+    try {
+    // one write = one file per bucket → Spark reports the scan ordering:
+    // the SMJ runs with ZERO exchange and ZERO sort on either side
+    val (p1, n1) = joinPlan()
+    assert(p1.contains("SortMergeJoin"), p1)
+    assert(!p1.contains("Exchange hashpartitioning"), p1)
+    assert(!p1.contains("+- Sort "), s"sorted buckets must elide the SMJ sorts:\n$p1")
+    assert(n1 == 101)
+    // an append breaks the one-file-per-bucket invariant: Spark falls back
+    // to sorting (correctness first), still no exchange
+    VersionedTable.append(Seq((600L, "a600")).toDF("k", "va"), a)
+    val (p2, n2) = joinPlan()
+    assert(p2.contains("Sort "), p2)
+    assert(!p2.contains("Exchange hashpartitioning"), p2)
+    assert(n2 == 101)
+    // OPTIMIZE packs each bucket back to one sorted file → merge-only again
+    VersionedTable.compact(spark, a)
+    val (p3, n3) = joinPlan()
+    assert(!p3.contains("+- Sort "), s"post-OPTIMIZE join must be sort-free:\n$p3")
+    assert(!p3.contains("Exchange hashpartitioning"), p3)
+    assert(n3 == 101)
+    } finally spark.conf.unset(orderKey)
+  }
+
   test("SQL surface: CLUSTERED BY INTO BUCKETS; DESCRIBE DETAIL; row tracking composes") {
     val p = tmp()
     spark.sql(s"CREATE TABLE graft.`$p` (k BIGINT, v STRING) " +
