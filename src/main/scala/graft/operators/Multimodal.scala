@@ -361,6 +361,7 @@ object Multimodal {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_image_features"      -> (imageFeaturesQuery _),
     "q_image_neardup"       -> (ImageHash.imageNearDup _),
+    "q_audio_neardup"       -> (AudioHash.audioNearDup _),
     "q_video_neardup"       -> (VideoHash.videoNearDup _),
     "q_video_frames"        -> (videoFramesQuery _),
   )
@@ -369,6 +370,7 @@ object Multimodal {
     "q_multimodal_features" -> multimodalFeaturesSql,
     "q_image_features"      -> imageFeaturesSql,
     "q_image_neardup"       -> ImageHash.imageNearDupSql,
+    "q_audio_neardup"       -> AudioHash.audioNearDupSql,
     "q_video_neardup"       -> VideoHash.videoNearDupSql,
     "q_video_frames"        -> videoFramesSql,
   )

@@ -589,8 +589,8 @@ class PlanAuditSpec extends SparkSpec {
     }.isEmpty, sp.toString)
   }
 
-  test("q_image_neardup / q_video_neardup: pair stages ride banded equi-joins, never all-pairs") {
-    Seq("q_image_neardup", "q_video_neardup").foreach { name =>
+  test("q_image_neardup / q_audio_neardup / q_video_neardup: pair stages ride banded equi-joins, never all-pairs") {
+    Seq("q_image_neardup", "q_audio_neardup", "q_video_neardup").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val sp = df.queryExecution.sparkPlan
       spark.catalog.clearCache()
