@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Tables, VersionedTable}
+import graft.sources.{MaterializedView, Tables, VersionedTable}
 
 /** q_skipping_scan — file-level data skipping under the DuckDB oracle gate.
   *
@@ -837,7 +837,113 @@ object SkippingQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_incremental_mv — incrementally-maintained materialized view
+  // (sources.MaterializedView): a COUNT/SUM-per-group view over a graft
+  // copy of lineitem, maintained through a DELETE → refresh → APPEND →
+  // refresh → UPDATE → refresh chain where every refresh applies ONLY the
+  // source's change feed since the previous one (one changes() diff + one
+  // CoW MERGE keyed on the group columns), never a recompute. The oracle
+  // replays the three DML statements as set logic over raw lineitem and
+  // aggregates once — one green row proves three deltas composed exactly.
+  // --------------------------------------------------------------------------
+  private def mvSourcePath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvsrc_v2", "lineitem.parquet")
+  private def mvViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvview_v2", "lineitem.parquet")
+
+  def ensureMv(spark: SparkSession, dir: String): String = {
+    val src = mvSourcePath(dir)
+    val mv = mvViewPath(dir)
+    if (VersionedTable.latestVersion(spark, src).isEmpty) {
+      val li = Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity").cast("long").as("qty"))
+      VersionedTable.write(li, src, statsCols = Seq("l_orderkey"))   // src v1
+    }
+    MaterializedView.create(spark, src, mv, // registers on src → src v2
+      Seq("l_returnflag", "l_linestatus"), Seq("qty")) // idempotent resume
+    if (VersionedTable.latestVersion(spark, src).contains(2L))
+      VersionedTable.delete(spark, src, col("l_orderkey") % 7 === 0) // src v3
+    MaterializedView.refresh(spark, mv)        // applies the delete delta
+    if (VersionedTable.latestVersion(spark, src).contains(3L))
+      VersionedTable.append(Tables.lineitem(spark, dir)              // src v4
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+          col("l_linestatus"), (col("l_quantity").cast("long") * 2).as("qty")),
+        src)
+    MaterializedView.refresh(spark, mv)        // applies the append delta
+    if (VersionedTable.latestVersion(spark, src).contains(4L))
+      spark.sql(s"UPDATE graft.`$src` SET qty = qty + 1 " +
+        "WHERE l_orderkey % 11 = 0")                                 // src v5
+    MaterializedView.refresh(spark, mv)        // applies the update delta
+    mv
+  }
+
+  def incrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val mv = ensureMv(spark, dir)
+    VersionedTable.read(spark, mv)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("mv_count"), col("sum_qty"))
+  }
+
+  val incrementalMvSql: String =
+    """WITH src AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS BIGINT)
+      |      + CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END AS qty
+      |  FROM lineitem WHERE l_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT l_returnflag, l_linestatus,
+      |    2 * CAST(l_quantity AS BIGINT)
+      |      + CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END AS qty
+      |  FROM lineitem WHERE l_partkey % 3 = 0)
+      |SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS mv_count, CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM src GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_mv_rewrite — materialized-view QUERY REWRITE under the oracle gate:
+  // a GROUP BY aggregate over the SOURCE graft table (a rollup to a SUBSET
+  // of the view's grouping — l_returnflag alone) that GraftMvRewrite
+  // answers from the view's rows (COUNT(*) → SUM(mv_count), SUM(qty) →
+  // SUM(sum_qty)). The query REQUIRES the rewrite to have fired (optimized
+  // plan must scan the view's files, not the source's), so the green row
+  // proves both the substitution and its exactness against DuckDB
+  // replaying the DML chain over raw lineitem.
+  // --------------------------------------------------------------------------
+  def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val mv = ensureMv(spark, dir)
+    val src = mvSourcePath(dir)
+    val out = VersionedTable.read(spark, src)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(src),
+      s"q_mv_rewrite: expected the aggregate over $src to rewrite to the " +
+        s"fresh view $mv; optimized plan scans $roots")
+    out
+  }
+
+  val mvRewriteSql: String =
+    """WITH src AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT)
+      |      + CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END AS qty
+      |  FROM lineitem WHERE l_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT l_returnflag,
+      |    2 * CAST(l_quantity AS BIGINT)
+      |      + CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END AS qty
+      |  FROM lineitem WHERE l_partkey % 3 = 0)
+      |SELECT l_returnflag,
+      |  COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM src GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_mv" -> (incrementalMv _),
+    "q_mv_rewrite" -> (mvRewrite _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
@@ -856,6 +962,8 @@ object SkippingQueries {
     "q_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
+    "q_incremental_mv" -> incrementalMvSql,
+    "q_mv_rewrite" -> mvRewriteSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,

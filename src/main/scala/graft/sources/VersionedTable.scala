@@ -2111,6 +2111,15 @@ object VersionedTable {
 
   private def commitFor(spark: SparkSession, path: String,
       asOf: Option[Long]): (Path, FileSystem, Commit) = {
+    val (root, f, _, c) = commitForV(spark, path, asOf)
+    (root, f, c)
+  }
+
+  /** As [[commitFor]], also returning the RESOLVED version — for callers
+    * that pin the snapshot identity into what they build (the relation's
+    * materialized-view freshness anchor). */
+  private def commitForV(spark: SparkSession, path: String,
+      asOf: Option[Long]): (Path, FileSystem, Long, Commit) = {
     val root = new Path(path)
     val f = fs(spark, root)
     val v = asOf match {
@@ -2121,7 +2130,7 @@ object VersionedTable {
         latestVersion(spark, path).getOrElse(
           throw new IllegalArgumentException(s"$path has no committed versions"))
     }
-    (root, f, readManifest(spark, f, root, v))
+    (root, f, v, readManifest(spark, f, root, v))
   }
 
   /** Columns of a deletion-vector sidecar row: the data file's manifest key
@@ -2414,10 +2423,10 @@ object VersionedTable {
     * no-schema manifests — and tables whose deletion vectors exceed the
     * broadcast bound — keep the anti-join read. */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
-    val (root, _, c) = commitFor(spark, path, asOf)
+    val (root, _, v, c) = commitForV(spark, path, asOf)
     if (relationEligible(spark, c))
       org.apache.spark.sql.graft.GraftBatchShim.ofRelation(spark,
-        relationFor(spark, root, c))
+        relationFor(spark, root, v, c))
     else dataFrameFor(spark, root, c, c.files)
   }
 
@@ -2441,15 +2450,15 @@ object VersionedTable {
     * exactly the path the bound protects. */
   private[graft] def batchRelation(spark: SparkSession, path: String,
       asOf: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
-    val (root, _, c) = commitFor(spark, path, asOf)
+    val (root, _, v, c) = commitForV(spark, path, asOf)
     require(c.schema.isDefined,
       s"$path: format(\"graft-table\") batch reads need a schema-recorded " +
         "table (legacy manifests: use VersionedTable.read)")
-    if (relationEligible(spark, c)) relationFor(spark, root, c)
+    if (relationEligible(spark, c)) relationFor(spark, root, v, c)
     else new DvAntiJoinRelation(spark, root, c)
   }
 
-  private def relationFor(spark: SparkSession, root: Path,
+  private def relationFor(spark: SparkSession, root: Path, version: Long,
       c: Commit): org.apache.spark.sql.sources.BaseRelation =
     org.apache.spark.sql.graft.GraftBatchShim.relation(
       spark, root, c.schema.get, c.files,
@@ -2468,6 +2477,11 @@ object VersionedTable {
         org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols,
           bucketSortColsIn(c.props))
       },
+      // registered materialized views + the pinned version — what licenses
+      // the aggregate-rewrite rule to answer GROUP BY queries from a view
+      // whose refresh watermark equals exactly this snapshot
+      mvViews = MaterializedView.viewsIn(c.props),
+      snapshotVersion = Some(version),
       // generation SQL for generated PARTITION columns only — licenses the
       // base-column → partition-filter derivation rule
       generatedPartDefs = {
@@ -2995,10 +3009,10 @@ object VersionedTable {
     // filters → pruneFiles inside listFiles), so read().filter() and
     // readWhere() are now literally the same plan; the explicit pre-pruned
     // scan remains for legacy/huge-DV tables
-    val (root, _, c) = commitFor(spark, path, asOf)
+    val (root, _, v, c) = commitForV(spark, path, asOf)
     if (relationEligible(spark, c))
       org.apache.spark.sql.graft.GraftBatchShim.ofRelation(spark,
-        relationFor(spark, root, c)).filter(predicate)
+        relationFor(spark, root, v, c)).filter(predicate)
     else {
       val (kept, _) = c.schema match {
         case Some(s) =>
@@ -3996,6 +4010,18 @@ object VersionedTable {
       asOf: Option[Long] = None): Map[String, String] = {
     val (_, _, c) = commitFor(spark, path, asOf)
     c.props
+  }
+
+  /** The exactly-once watermark for `appId` at the head: the highest
+    * batchId a [[commitBatch]]/[[commitSnapshot]]/txn-bearing [[upsert]]
+    * committed under that app. The public face of the manifest txn map —
+    * consumers that key incremental work off it (the materialized-view
+    * refresh) read the SAME value the replay no-op check uses, so their
+    * progress cursor is atomic with the commit that moved it. */
+  def lastTxn(spark: SparkSession, path: String, appId: String,
+      asOf: Option[Long] = None): Option[Long] = {
+    val (_, _, c) = commitFor(spark, path, asOf)
+    c.txn.get(appId)
   }
 
   /** The row-tracking id high watermark at a version — the next fresh row

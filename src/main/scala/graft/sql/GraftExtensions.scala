@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filtered graft scans to broadcast in the STATIC plan
     ext.injectOptimizerRule(session =>
       org.apache.spark.sql.graft.GraftNdvJoinEstimation(session))
+    // materialized-view query rewrite: GROUP BY aggregates over a source
+    // with a registered FRESH view answer from the view's few rows
+    ext.injectOptimizerRule(session => GraftMvRewrite(session))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))

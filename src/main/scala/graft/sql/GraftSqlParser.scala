@@ -34,6 +34,9 @@ import graft.sources.VersionedTable
   *   APPLY CHANGES INTO graft.`/p` FROM cdc_view KEYS (k)
   *     [APPLY AS DELETE WHEN op = 'delete'] SEQUENCE BY seq
   *     [COLUMNS * EXCEPT (op)]              -- sequence-guarded CDC merge
+  *   CREATE MATERIALIZED VIEW graft.`/mv` AS
+  *     SELECT g, COUNT(*), SUM(v) FROM graft.`/src` GROUP BY g
+  *   REFRESH MATERIALIZED VIEW graft.`/mv` -- applies the change feed
   * }}}
   *
   * Anything that doesn't match one of these shapes delegates verbatim to
@@ -96,6 +99,10 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*PARQUET(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*""".r
   private val AnalyzeNdvRe =
     s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+NDV\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
+  private val CreateMvRe =
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+  private val RefreshMvRe =
+    s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s*;?\\s*""".r
   // DLT's clause order: KEYS, [APPLY AS DELETE WHEN], SEQUENCE BY, [COLUMNS]
   private val ApplyChangesRe =
     s"""(?is)\\s*APPLY\\s+CHANGES\\s+INTO\\s+$Ref\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\(([^)]+)\\)(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+(.+?))?\\s+SEQUENCE\\s+BY\\s+(`[^`]+`|\\w+)(?:\\s+COLUMNS\\s+\\*\\s+EXCEPT\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
@@ -137,6 +144,11 @@ private[sql] object GraftSqlStatements {
       Some(GraftAnalyzeNdvCommand(cat, path, cols.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq))
+    case CreateMvRe(cat, path, selectList, srcCat, srcPath, groupBy) =>
+      Some(GraftCreateMvCommand(cat, path, srcCat, srcPath,
+        selectList.trim, groupBy.trim))
+    case RefreshMvRe(cat, path) =>
+      Some(GraftRefreshMvCommand(cat, path))
     case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
       def cols(s: String): Seq[String] = s.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -486,5 +498,68 @@ case class GraftDescribeHistoryCommand(cat: String,
     VersionedTable.history(session, p)
       .orderBy(org.apache.spark.sql.functions.col("version").desc)
       .collect().toSeq
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW mv AS SELECT g…, COUNT(*), SUM(c)… FROM src
+  * GROUP BY g…` — the incremental-view DDL
+  * ([[graft.sources.MaterializedView]]). The SELECT shape is deliberately
+  * restricted to the SELF-MAINTAINABLE aggregates — GROUP BY columns,
+  * COUNT(*), SUM(col) — because those are the ones a change-feed delta can
+  * repair (a deleted MIN/MAX needs the surviving rows); warehouse engines
+  * restrict incremental views the same way. View columns land as the group
+  * columns + `mv_count` + `sum_<col>`. */
+case class GraftCreateMvCommand(cat: String, path: String,
+    srcCat: String, srcPath: String, selectList: String,
+    groupByList: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq.empty
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val stmt = "CREATE MATERIALIZED VIEW"
+    val p = GraftSqlStatements.graftPath(session, cat, path, stmt)
+    val src = GraftSqlStatements.graftPath(session, srcCat, srcPath, stmt)
+    def strip(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+    val groupBy = groupByList.split(",").map(strip).filter(_.nonEmpty).toSeq
+    val Count = """(?i)COUNT\s*\(\s*\*\s*\)""".r
+    val Sum = """(?i)SUM\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
+    val plainCols = scala.collection.mutable.ArrayBuffer[String]()
+    val sumCols = scala.collection.mutable.ArrayBuffer[String]()
+    var hasCount = false
+    selectList.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+      case Count() => hasCount = true
+      case Sum(c) => sumCols += strip(c)
+      case c if c.matches("`[^`]+`|\\w+") => plainCols += strip(c)
+      case other => throw new IllegalArgumentException(
+        s"$stmt: unsupported select item '$other' — an incremental view " +
+          "maintains GROUP BY columns, COUNT(*) and SUM(col) only " +
+          "(MIN/MAX cannot be repaired from a delta)")
+    }
+    require(plainCols.toSeq == groupBy,
+      s"$stmt: the select list's plain columns (${plainCols.mkString(",")}) " +
+        s"must equal GROUP BY (${groupBy.mkString(",")}), in order")
+    require(hasCount,
+      s"$stmt: the select list must include COUNT(*) — the group-liveness " +
+        "aggregate that lets emptied groups leave the view")
+    graft.sources.MaterializedView.create(session, src, p, groupBy,
+      sumCols.toSeq)
+    Seq.empty
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW mv` → [[graft.sources.MaterializedView
+  * .refresh]]: apply the source's change feed since the view's txn
+  * watermark as one CoW MERGE. Returns the view's (possibly unchanged)
+  * version. */
+case class GraftRefreshMvCommand(cat: String,
+    path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path,
+      "REFRESH MATERIALIZED VIEW")
+    Seq(Row(graft.sources.MaterializedView.refresh(session, p)))
   }
 }

@@ -69,7 +69,16 @@ private[graft] class GraftFileIndex(
     /** Plan-time NDV per column from manifest KMV sketches (ANALYZE ...
       * COMPUTE NDV) — None for un-analyzed columns. Powers the CBO-lite
       * equality-selectivity estimate in [[GraftNdvJoinEstimation]]. */
-    val ndvOf: String => Option[Long] = _ => None)
+    val ndvOf: String => Option[Long] = _ => None,
+    /** Materialized-view paths registered over this table (the source-side
+      * `graft.mv.views` roster) — candidates for the aggregate-rewrite rule
+      * ([[graft.sql.GraftMvRewrite]]). Empty for tables with no views, so
+      * the rule's match is O(1) on everything else. */
+    val mvViews: Seq[String] = Nil,
+    /** The committed version this relation pinned at build time — the
+      * rewrite's freshness anchor (a view answers for THIS snapshot only
+      * when its refresh watermark equals it). */
+    val snapshotVersion: Option[Long] = None)
     extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
@@ -425,7 +434,9 @@ object GraftBatchShim {
       minMaxOf: String => Option[(Any, Any)] = _ => None,
       generatedPartDefs: Map[String, (String, Option[String])] = Map.empty,
       ndvOf: String => Option[Long] = _ => None,
-      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None)
+      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None,
+      mvViews: Seq[String] = Nil,
+      snapshotVersion: Option[Long] = None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -440,7 +451,7 @@ object GraftBatchShim {
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
-        generatedPartDefs, ndvOf),
+        generatedPartDefs, ndvOf, mvViews, snapshotVersion),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -502,6 +513,29 @@ object GraftBatchShim {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         Some((g.liveRows, g.minMaxOf))
       case _ => None
+    }
+
+  /** Materialized-view rewrite hooks of a graft snapshot relation node:
+    * (registered view paths, pinned source version). None when the node is
+    * not a graft relation, has no registered views, or pinned no version —
+    * the O(1) gate that keeps [[graft.sql.GraftMvRewrite]] from touching
+    * any manifest for tables without views. */
+  def mvRewriteInfoOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(Seq[String], Long)] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.mvViews.nonEmpty && g.snapshotVersion.isDefined =>
+        Some((g.mvViews, g.snapshotVersion.get))
+      case _ => None
+    }
+
+  /** Roots of every graft relation scanned by a DataFrame's OPTIMIZED plan
+    * — the spec/assertion hook that pins which physical table a rewritten
+    * query actually reads. */
+  def scanRootsOf(df: org.apache.spark.sql.DataFrame): Seq[Path] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        g.rootPaths.head
     }
 
   /** The session catalog registered under `name`, if any — `CatalogManager`

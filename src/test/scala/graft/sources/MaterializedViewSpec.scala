@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Incremental materialized views: refresh applies the change feed, never
+  * a recompute; emptied groups leave, new groups arrive, replay is a
+  * no-op, and the view always equals the full aggregation. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("mv").toString
+
+  private def fullAgg(src: String): Map[(String, Long), (Long, Long)] =
+    VersionedTable.read(spark, src)
+      .groupBy(col("g"), col("g2")).agg(count(lit(1)), sum(col("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+
+  private def viewRows(mv: String): Map[(String, Long), (Long, Long)] =
+    VersionedTable.read(spark, mv)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("g2")) ->
+        (r.getAs[Long](MaterializedView.CountCol),
+          r.getAs[Long](MaterializedView.sumColName("v")))).toMap
+
+  test("create + three DML refreshes track the source exactly; groups enter and leave") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, if (i <= 90) "a" else "b", i % 3, i))
+        .toDF("id", "g", "g2", "v"), src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    assert(viewRows(mv) == fullAgg(src))
+    // DELETE empties group ("b", *) entirely → its rows must LEAVE the view
+    VersionedTable.delete(spark, src, col("g") === "b")
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == fullAgg(src))
+    assert(!viewRows(mv).keys.exists(_._1 == "b"), viewRows(mv).toString)
+    // APPEND introduces a NEW group ("c") and grows an existing one
+    VersionedTable.append(
+      Seq((200L, "c", 0L, 7L), (201L, "a", 1L, 5L)).toDF("id", "g", "g2", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == fullAgg(src))
+    assert(viewRows(mv).contains(("c", 0L)))
+    // UPDATE changes values without changing counts (delete+insert pair in
+    // the feed; d_count = 0, d_sum ≠ 0 — the sum-only delta branch)
+    VersionedTable.update(spark, src, col("id") <= 10L,
+      Map("v" -> (col("v") + 100L)))
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == fullAgg(src))
+  }
+
+  test("refresh is incremental and exactly-once: no-op without source motion, replay no-op, cursor atomic") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 50L).map(i => (i, "g" + i % 4, 0L, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    val v0 = VersionedTable.latestVersion(spark, mv).get
+    // source unchanged → refresh commits nothing
+    assert(MaterializedView.refresh(spark, mv) == v0)
+    assert(VersionedTable.latestVersion(spark, mv).contains(v0))
+    // one delta → exactly one new view version; the cursor moved WITH it
+    VersionedTable.delete(spark, src, col("id") === 1L)
+    val v1 = MaterializedView.refresh(spark, mv)
+    assert(v1 == v0 + 1)
+    assert(VersionedTable.lastTxn(spark, mv, MaterializedView.App)
+      .contains(VersionedTable.latestVersion(spark, src).get))
+    // replaying the same refresh (crash re-run) is the upsert txn no-op
+    assert(MaterializedView.refresh(spark, mv) == v1)
+    assert(viewRows(mv) == fullAgg(src))
+  }
+
+  test("SUM null semantics maintained exactly: null inserts, all-null groups, last non-null leaving") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    // group "a" mixes values and nulls; group "b" is ALL-null (sum = NULL)
+    VersionedTable.write(Seq(
+      (1L, "a", 0L, Some(10L)), (2L, "a", 0L, None),
+      (3L, "b", 0L, None), (4L, "b", 0L, None))
+      .toDF("id", "g", "g2", "v"), src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    def sums(): Map[String, Any] = VersionedTable.read(spark, mv).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Any]("sum_v")).toMap
+    // null-safe view-vs-recompute comparison (the shared helpers use
+    // getLong, which rightly refuses NULL sums)
+    def tracks(): Unit = {
+      val full = VersionedTable.read(spark, src)
+        .groupBy(col("g"), col("g2")).agg(count(lit(1)), sum(col("v")))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getAs[Any](3))).toMap
+      val view = VersionedTable.read(spark, mv).collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("g2")) ->
+          (r.getAs[Long](MaterializedView.CountCol),
+            r.getAs[Any](MaterializedView.sumColName("v")))).toMap
+      assert(view == full, s"view $view != recompute $full")
+    }
+    assert(sums() == Map("a" -> 10L, "b" -> null))
+    // a NULL insert moves the count, never the sum
+    VersionedTable.append(Seq((5L, "a", 0L, Option.empty[Long]))
+      .toDF("id", "g", "g2", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    tracks()
+    assert(sums() == Map("a" -> 10L, "b" -> null))
+    // deleting the LAST non-null contribution sends the sum back to NULL
+    VersionedTable.delete(spark, src, col("id") === 1L)
+    MaterializedView.refresh(spark, mv)
+    assert(sums() == Map("a" -> null, "b" -> null))
+    // and a value arriving in an all-null group revives it
+    VersionedTable.append(Seq((6L, "b", 0L, Some(7L)))
+      .toDF("id", "g", "g2", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(sums() == Map("a" -> null, "b" -> 7L))
+    tracks()
+  }
+
+  test("NULL group values are refused loudly, at create and at refresh") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(Seq((1L, Option.empty[String], 0L, 1L))
+      .toDF("id", "g", "g2", "v"), src, statsCols = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v")) }
+    assert(e.getMessage.contains("NULL group value"), e.getMessage)
+    // a clean create, then a null group key arriving through the feed
+    val src2 = base + "/src2"; val mv2 = base + "/mv2"
+    VersionedTable.write(Seq((1L, Option("x"), 0L, 1L))
+      .toDF("id", "g", "g2", "v"), src2, statsCols = Seq("id"))
+    MaterializedView.create(spark, src2, mv2, Seq("g", "g2"), Seq("v"))
+    VersionedTable.append(Seq((2L, Option.empty[String], 0L, 2L))
+      .toDF("id", "g", "g2", "v"), src2)
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, mv2) }
+    assert(e2.getMessage.contains("NULL group value"), e2.getMessage)
+  }
+
+  test("refresh reads the DIFF, not the source: only changed files open") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    // 8 single-file commits → 8 source files with disjoint id ranges
+    (0 until 8).foreach { k =>
+      val df = ((k * 100L + 1) to (k * 100L + 100))
+        .map(i => (i, "g" + k, 0L, i)).toDF("id", "g", "g2", "v").coalesce(1)
+      if (k == 0) VersionedTable.write(df, src, statsCols = Seq("id"))
+      else VersionedTable.append(df, src)
+    }
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    // delete inside ONE file's id range: the diff is that file's rewrite
+    VersionedTable.delete(spark, src, col("id").between(301L, 310L))
+    val delta = VersionedTable.changes(spark, src,
+      VersionedTable.lastTxn(spark, mv, MaterializedView.App).get,
+      VersionedTable.latestVersion(spark, src).get)
+    // the change feed is FILE-granular: the diff's rows come from the one
+    // rewritten file (its group) — the other 7 files never contribute
+    val groups = delta.select(col("g")).distinct().as[String].collect().toSet
+    assert(groups == Set("g3"), groups.toString)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == fullAgg(src))
+  }
+}

@@ -1000,4 +1000,35 @@ class GraftSqlSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, p).contains(vBefore))
     assert(rows(spark.sql(s"SELECT * FROM ${sqlName(p)}")) == Set("[1,11,22]"))
   }
+
+  test("CREATE/REFRESH MATERIALIZED VIEW: incremental view DDL end to end") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-mv").toString
+    val src = base + "/src"; val mv = base + "/mv"
+    graft.sources.VersionedTable.write(
+      (1L to 60L).map(i => (i, "g" + i % 3, i)).toDF("id", "g", "v"), src,
+      statsCols = Seq("id"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, COUNT(*), SUM(v) FROM graft.`$src` GROUP BY g")
+    def viewNow() = spark.sql(s"SELECT * FROM graft.`$mv`").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("mv_count"), r.getAs[Long]("sum_v"))).toMap
+    def expect() = spark.sql(s"SELECT g, COUNT(*) c, SUM(v) s FROM graft.`$src` GROUP BY g")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viewNow() == expect())
+    // DML on the source, then SQL refresh applies only the delta
+    spark.sql(s"DELETE FROM graft.`$src` WHERE id % 2 = 0")
+    val v1 = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .collect().head.getLong(0)
+    assert(viewNow() == expect())
+    // refresh without source motion: same version comes back, no commit
+    val v2 = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      .collect().head.getLong(0)
+    assert(v2 == v1)
+    // the restricted SELECT shape refuses what a delta cannot repair
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base}/mv2` AS " +
+        s"SELECT g, COUNT(*), MIN(v) FROM graft.`$src` GROUP BY g") }
+    assert(e.getMessage.contains("MIN/MAX"), e.getMessage)
+  }
 }
