@@ -1846,6 +1846,7 @@ object VersionedTable {
     // post-commit hygiene: bin-pack the touched partitions when the table
     // opted in (chained commit; failure never un-commits the append)
     staged.foreach(s => autoCompactAfter(spark, path, s._7, s._2))
+    staged.foreach(s => autoAnalyzeAfter(spark, path, s._7))
     committed
   }
 
@@ -3507,8 +3508,9 @@ object VersionedTable {
       }
       // a MERGE-maintained table fragments exactly like an append-
       // maintained one (every streaming micro-merge stages fresh files):
-      // same post-commit hygiene hook as appendInternal
+      // same post-commit hygiene hooks as appendInternal
       autoCompactAfter(spark, path, hookProps, hookRel)
+      autoAnalyzeAfter(spark, path, hookProps)
       committed
     } finally deduped.unpersist()
   }
@@ -4780,6 +4782,19 @@ object VersionedTable {
   private val AutoCompactMinFilesKey = "graft.autoCompact.minFiles"
   private val AutoCompactTargetKey = "graft.autoCompact.targetBytes"
 
+  /** `graft.ndv.autoAnalyze` = staleness fraction (e.g. "0.2"): after an
+    * append/merge commits (and after its chained auto-compact, whose
+    * rewrites also shed sketches), re-run `ANALYZE ... COMPUTE NDV` for
+    * the declared roster whenever any column's [[ndvStaleness]] exceeds
+    * the fraction — Delta's predictive-optimization stats story. The
+    * probe is manifest-only (zero data files opened) and the threshold
+    * bounds the re-scan frequency: at 0.2 a table pays one stats scan per
+    * +25% growth, so sketch upkeep amortizes to O(1) scans per doubling.
+    * CoW DELETE/UPDATE rewrites raise staleness without firing the hook;
+    * the next append/merge catches up — same deferred-hygiene contract as
+    * auto-compact. */
+  private[graft] val AutoAnalyzeKey = "graft.ndv.autoAnalyze"
+
   private def boolProp(props: Map[String, String], key: String): Boolean =
     props.get(key).exists(_.equalsIgnoreCase("true"))
 
@@ -4820,6 +4835,23 @@ object VersionedTable {
           }.flatten.toSet
         })
       }
+
+  /** Post-commit hook under [[AutoAnalyzeKey]] — runs AFTER
+    * [[autoCompactAfter]] so the fresh sketches cover the packed files.
+    * Same swallow-everything contract: the data commit already succeeded,
+    * and stats hygiene must never make it look failed. The staleness probe
+    * costs zero data reads; [[analyzeNdv]] scans only when it fires. */
+  private def autoAnalyzeAfter(spark: SparkSession, path: String,
+      props: Map[String, String]): Unit =
+    props.get(AutoAnalyzeKey).foreach { t =>
+      scala.util.Try {
+        val threshold = t.trim.toDouble
+        val cols = ndvColsIn(props)
+        if (cols.nonEmpty && cols.exists(c =>
+            ndvStaleness(spark, path, c).exists(_ > threshold)))
+          analyzeNdv(spark, path, cols)
+      }
+    }
 
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Long =

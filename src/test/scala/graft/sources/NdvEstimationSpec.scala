@@ -135,4 +135,35 @@ class NdvEstimationSpec extends SparkSpec {
         s"kept=${kept.size} skipped=${skipped.size}")
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
+
+  test("graft.ndv.autoAnalyze: appends past the staleness fraction re-ANALYZE themselves") {
+    val p = tmp()
+    VersionedTable.write(dimDf(4000), p)
+    VersionedTable.analyzeNdv(spark, p, Seq("id"))
+    VersionedTable.setProperties(spark, p,
+      Map(VersionedTable.AutoAnalyzeKey -> "0.2"))
+    // +10% — under the 20% threshold: the hook must NOT fire (one append
+    // commit, staleness stays nonzero)
+    val v0 = VersionedTable.latestVersion(spark, p).get
+    VersionedTable.append(dimDf(400).withColumn("id", col("id") + 4000L), p)
+    assert(VersionedTable.latestVersion(spark, p).contains(v0 + 1),
+      "an under-threshold append must not chain a stats commit")
+    val stale = VersionedTable.ndvStaleness(spark, p, "id").get
+    assert(stale > 0.0 && stale < 0.2, stale.toString)
+    // +~35% of the new total — over the threshold: the append CHAINS the
+    // ANALYZE commit and the signal resets; the estimate now counts all
+    val v1 = VersionedTable.latestVersion(spark, p).get
+    VersionedTable.append(dimDf(2400).withColumn("id", col("id") + 4400L), p)
+    assert(VersionedTable.latestVersion(spark, p).contains(v1 + 2),
+      "an over-threshold append must chain exactly one stats commit")
+    assert(VersionedTable.ndvStaleness(spark, p, "id").contains(0.0))
+    val est = VersionedTable.ndvFromStats(spark, p, "id").get
+    assert(est > 4500L && est < 10000L, s"6800 true NDV, estimated $est")
+    // tables that never declared the property keep the manual contract
+    val q = tmp()
+    VersionedTable.write(dimDf(100), q)
+    VersionedTable.analyzeNdv(spark, q, Seq("id"))
+    VersionedTable.append(dimDf(100).withColumn("id", col("id") + 100L), q)
+    assert(VersionedTable.ndvStaleness(spark, q, "id").exists(_ > 0.0))
+  }
 }
