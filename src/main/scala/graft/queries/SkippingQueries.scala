@@ -926,6 +926,97 @@ object SkippingQueries {
     out
   }
 
+  // --------------------------------------------------------------------------
+  // q_mv_filtered — a FILTERED materialized view (WHERE qty % 2 = 0) under
+  // the oracle gate: create applies the predicate to the snapshot, refresh
+  // applies it to the change feed (row-local membership), and the rewrite
+  // answers a query that repeats the predicate — asserted in-query via the
+  // optimized plan's scan roots, like q_mv_rewrite.
+  // --------------------------------------------------------------------------
+  private def mvfSourcePath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvfsrc_v1", "lineitem.parquet")
+  private def mvfViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvfview_v1", "lineitem.parquet")
+
+  def mvFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val src = mvfSourcePath(dir)
+    val mv = mvfViewPath(dir)
+    if (VersionedTable.latestVersion(spark, src).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty")),
+        src, statsCols = Seq("l_orderkey"))                          // src v1
+    MaterializedView.create(spark, src, mv, // registers on src → src v2
+      Seq("l_returnflag"), Seq("qty"), where = Some("qty % 2 = 0"))
+    if (VersionedTable.latestVersion(spark, src).contains(2L))
+      VersionedTable.delete(spark, src, col("l_orderkey") % 5 === 0) // src v3
+    MaterializedView.refresh(spark, mv)
+    val out = VersionedTable.read(spark, src)
+      .filter(expr("qty % 2 = 0"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(src),
+      s"q_mv_filtered: expected the filtered aggregate over $src to rewrite " +
+        s"to the view $mv; optimized plan scans $roots")
+    out
+  }
+
+  val mvFilteredSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+      |      FROM lineitem WHERE l_orderkey % 5 <> 0)
+      |WHERE qty % 2 = 0 GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_mv_minmax — MIN/MAX materialized view under the oracle gate: inserts
+  // fold monotonically, and the DELETE removes stored extrema (the max
+  // l_quantity rows of several groups), forcing the per-group repair path;
+  // the rewrite-asserted query then proves repaired extrema, folded counts,
+  // and the rollup composition all at once against DuckDB's replay.
+  // --------------------------------------------------------------------------
+  private def mvmSourcePath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvmsrc_v1", "lineitem.parquet")
+  private def mvmViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvmview_v1", "lineitem.parquet")
+
+  def mvMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val src = mvmSourcePath(dir)
+    val mv = mvmViewPath(dir)
+    if (VersionedTable.latestVersion(spark, src).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty")),
+        src, statsCols = Seq("l_orderkey"))                          // src v1
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT l_returnflag, l_linestatus, COUNT(*), MIN(qty), MAX(qty) " +
+      s"FROM graft.`$src` GROUP BY l_returnflag, l_linestatus") // src v2
+    if (VersionedTable.latestVersion(spark, src).contains(2L))
+      VersionedTable.delete(spark, src,
+        col("qty") >= 49L || col("qty") <= 2L)                       // src v3
+    MaterializedView.refresh(spark, mv) // extrema deleted → per-group repair
+    val out = VersionedTable.read(spark, src)
+      .groupBy(col("l_returnflag")) // rollup: min-of-mins composes
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(src),
+      s"q_mv_minmax: expected the MIN/MAX rollup over $src to rewrite to " +
+        s"the view $mv; optimized plan scans $roots")
+    out
+  }
+
+  val mvMinMaxSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(MIN(qty) AS BIGINT) AS min_qty,
+      |  CAST(MAX(qty) AS BIGINT) AS max_qty
+      |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+      |      FROM lineitem)
+      |WHERE qty < 49 AND qty > 2 GROUP BY 1""".stripMargin
+
   val mvRewriteSql: String =
     """WITH src AS (
       |  SELECT l_returnflag,
@@ -944,6 +1035,8 @@ object SkippingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_mv" -> (incrementalMv _),
     "q_mv_rewrite" -> (mvRewrite _),
+    "q_mv_filtered" -> (mvFiltered _),
+    "q_mv_minmax" -> (mvMinMax _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
@@ -964,6 +1057,8 @@ object SkippingQueries {
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
     "q_mv_rewrite" -> mvRewriteSql,
+    "q_mv_filtered" -> mvFilteredSql,
+    "q_mv_minmax" -> mvMinMaxSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,

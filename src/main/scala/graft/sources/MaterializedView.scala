@@ -8,23 +8,33 @@ import org.apache.spark.sql.functions._
   * feed: the view is a graft table holding `GROUP BY` aggregates of a
   * source graft table, and REFRESH applies only the source's CHANGES
   * since the last refresh (one [[VersionedTable.changes]] diff + one CoW
-  * MERGE), never a recompute.
+  * MERGE), never a full recompute.
   *
-  * Maintained aggregates are the self-maintainable ones — COUNT(*) and
-  * SUM(col) per group (AVG derives as sum/count at query time): an insert
-  * contributes +1/+value, a delete −1/−value, an update is its
-  * delete+insert pair — so the per-group delta is one aggregation of the
-  * change feed with a sign column, and groups whose count reaches zero
-  * leave the view through the MERGE's tombstone clause. MIN/MAX are
-  * deliberately absent: a delete of the current extremum cannot be
-  * repaired from a delta (it needs the surviving rows), which is exactly
-  * why warehouse engines restrict incremental views the same way.
+  * Maintained aggregates: COUNT(*), SUM(col), MIN(col), MAX(col) per
+  * group (AVG derives as sum/count at query time). COUNT and SUM are
+  * fully delta-repairable — an insert contributes +1/+value, a delete
+  * −1/−value, an update is its delete+insert pair — so their delta is one
+  * aggregation of the change feed with a sign column. MIN/MAX fold
+  * monotonically on inserts (`least`/`greatest`), and a delete that
+  * removes the stored extremum — with no equal value re-inserted in the
+  * same delta — triggers a PER-GROUP REPAIR: only the affected groups
+  * recompute from the source, through a scan filtered to their keys.
+  * That is exactly how warehouse engines maintain MIN/MAX views
+  * (monotone fold + targeted recompute), and it bounds repair cost to
+  * O(affected groups' data), never O(table).
   *
-  * SUM's SQL null semantics are maintained EXACTLY: each `sum_<col>`
-  * rides with a non-null contribution count `nn_<col>`, and the merged
-  * sum goes back to NULL when that count reaches zero — so a group whose
-  * every value is NULL reports NULL (not 0), and an inserted NULL row
-  * changes the count but never the sum, same as recomputing would.
+  * SUM's SQL null semantics are maintained EXACTLY: every maintained
+  * value column rides with a non-null contribution count `nn_<col>`, and
+  * the merged aggregate goes back to NULL when that count reaches zero —
+  * so a group whose every value is NULL reports NULL (not 0), and an
+  * inserted NULL row changes the count but never the sum/min/max, same
+  * as recomputing would.
+  *
+  * An optional `WHERE` predicate ([[WhereKey]]) restricts the view to the
+  * rows that satisfy it — applied to the create snapshot and to every
+  * refresh's change feed. Exactness rests on the predicate being
+  * ROW-LOCAL and STABLE, so non-deterministic and clock-reading
+  * predicates are refused at create.
   *
   * NULL GROUP VALUES ARE REFUSED (create and refresh both check): the
   * refresh MERGE addresses view rows by key EQUALITY, and SQL equality
@@ -39,15 +49,16 @@ import org.apache.spark.sql.functions._
   * no-op, never a double-count.
   *
   * Registered views feed [[graft.sql.GraftMvRewrite]]: a GROUP BY query
-  * over the SOURCE whose grouping columns and aggregates the view covers
-  * is answered from the view when its watermark equals the queried
-  * snapshot — the aggregate-rewrite story that makes a 100 TB fact's
-  * daily dashboard read kilobytes.
+  * over the SOURCE whose grouping columns, filter, and aggregates the
+  * view covers is answered from the view when its watermark equals the
+  * queried snapshot — the aggregate-rewrite story that makes a 100 TB
+  * fact's daily dashboard read kilobytes.
   *
   * Scale shape at 100 TB: refresh cost is O(changed source files) to read
   * the diff (changes() is file-granular) + O(touched view files) to merge
   * it (CoW file selection on the group keys, which are the view's stats
-  * columns) — a view over a 100 TB fact whose daily delta touches one
+  * columns) + O(repaired groups' source data) when a MIN/MAX extremum was
+  * deleted — a view over a 100 TB fact whose daily delta touches one
   * partition refreshes by reading that partition's files and rewriting
   * the handful of view files whose key bounds admit the changed groups. */
 object MaterializedView {
@@ -59,6 +70,17 @@ object MaterializedView {
   val SourceKey = "graft.mv.source"
   val GroupByKey = "graft.mv.groupBy"
   val SumColsKey = "graft.mv.sumCols"
+  val MinMaxColsKey = "graft.mv.minMaxCols"
+
+  /** Optional row predicate (SQL text) the view maintains OVER — applied
+    * to the create snapshot and to every refresh's change feed. Exactness
+    * rests on the predicate being ROW-LOCAL and STABLE: membership of a
+    * row is decided by that row alone, identically at every refresh, so
+    * filtering the feed's insert/delete pairs filters the delta exactly.
+    * Non-deterministic and clock-reading predicates are refused at create
+    * (rand() changes per evaluation; current_date() changes per refresh —
+    * either would let a row enter the view it could never leave). */
+  val WhereKey = "graft.mv.where"
 
   /** SOURCE-side roster of registered view paths — what the relation
     * builder hands the aggregate-rewrite rule ([[graft.sql.GraftMvRewrite]])
@@ -69,18 +91,54 @@ object MaterializedView {
   private[sources] def viewsIn(props: Map[String, String]): Seq[String] =
     props.get(ViewsKey).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
-  /** The maintained row count per group; sums land as `sum_<col>` with
-    * their non-null contribution count as `nn_<col>`. */
+  /** The maintained row count per group; sums land as `sum_<col>`,
+    * extrema as `min_<col>`/`max_<col>`, and every maintained value
+    * column's non-null contribution count as `nn_<col>`. */
   val CountCol = "mv_count"
   def sumColName(c: String): String = s"sum_$c"
+  def minColName(c: String): String = s"min_$c"
+  def maxColName(c: String): String = s"max_$c"
   def nnColName(c: String): String = s"nn_$c"
 
+  /** Diagnostic: number of per-group MIN/MAX repair scans refresh has run
+    * (spec-asserts that folds never scan the source and that an
+    * extremum-delete scans exactly once). */
+  val repairScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def aggFrame(src: DataFrame, groupBy: Seq[String],
-      sumCols: Seq[String]): DataFrame =
+      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame = {
+    val nnCols = (sumCols ++ minMaxCols).distinct
     src.groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as(CountCol),
-        sumCols.flatMap(c => Seq(sum(col(c)).as(sumColName(c)),
-          count(col(c)).as(nnColName(c)))): _*)
+        (sumCols.map(c => sum(col(c)).as(sumColName(c))) ++
+          minMaxCols.flatMap(c => Seq(min(col(c)).as(minColName(c)),
+            max(col(c)).as(maxColName(c)))) ++
+          nnCols.map(c => count(col(c)).as(nnColName(c)))): _*)
+  }
+
+  /** Validate + apply the view predicate: analyzed condition must be
+    * deterministic and free of clock reads (see [[WhereKey]]). */
+  private def applyWhere(df: DataFrame, where: Option[String],
+      what: String): DataFrame = where match {
+    case None => df
+    case Some(sql) =>
+      val filtered = df.filter(expr(sql))
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      filtered.queryExecution.analyzed.collectFirst { case Filter(cond, _) =>
+        require(cond.deterministic,
+          s"materialized view $what: WHERE '$sql' is non-deterministic — " +
+            "row membership must be decided identically at every refresh")
+        val clock = cond.collectFirst {
+          case e if e.getClass.getSimpleName.matches(
+            "CurrentDate|CurrentTimestamp|CurrentTimeZone|Now|LocalTimestamp|CurrentTime") => e
+        }
+        require(clock.isEmpty,
+          s"materialized view $what: WHERE '$sql' reads the clock " +
+            s"(${clock.get.prettyName}) — it would evaluate differently at " +
+            "each refresh, so rows could enter the view they can never leave")
+      }
+      filtered
+  }
 
   /** Loud null-group-key gate — `frame` is already one row per group
     * (O(groups), not O(rows)). */
@@ -94,13 +152,28 @@ object MaterializedView {
         "matches NULL; coalesce or filter null keys upstream")
   }
 
+  def create(spark: SparkSession, srcPath: String, mvPath: String,
+      groupBy: Seq[String], sumCols: Seq[String]): Long =
+    create(spark, srcPath, mvPath, groupBy, sumCols, where = None)
+
+  def create(spark: SparkSession, srcPath: String, mvPath: String,
+      groupBy: Seq[String], sumCols: Seq[String],
+      where: Option[String]): Long =
+    create(spark, srcPath, mvPath, groupBy, sumCols, Nil, where)
+
   /** CREATE MATERIALIZED VIEW: one full aggregation of the source's head
     * snapshot, committed with the txn watermark pinned to the source
     * version it read. Idempotent/resumable: an existing view just gets
-    * its definition properties (re)asserted. */
+    * its definition properties (re)asserted — under the SAME definition
+    * only (redefinition refused). */
   def create(spark: SparkSession, srcPath: String, mvPath: String,
-      groupBy: Seq[String], sumCols: Seq[String]): Long = {
+      groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
+      where: Option[String]): Long = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
+    // validate the predicate BEFORE any side effect (a refused create must
+    // leave zero trace — no registration, no view)
+    where.foreach(_ => applyWhere(VersionedTable.read(spark, srcPath),
+      where, s"create over $srcPath"))
     // register the view on the SOURCE first (its props feed the rewrite
     // rule's candidate list), so the snapshot read below — at the version
     // the registration produced or later — can leave the view fresh enough
@@ -111,9 +184,24 @@ object MaterializedView {
         Map(ViewsKey -> (registered :+ mvPath).mkString(",")))
     val v = VersionedTable.latestVersion(spark, srcPath).getOrElse(
       throw new IllegalArgumentException(s"$srcPath has no committed versions"))
+    // idempotent resume, NOT redefinition: an existing view's content was
+    // built under its stored definition — silently re-pointing the props
+    // would desynchronize them (absent keys pass: a create that crashed
+    // between snapshot and props resumes here)
+    if (VersionedTable.latestVersion(spark, mvPath).isDefined) {
+      val p = VersionedTable.propertiesOf(spark, mvPath)
+      require(p.get(SourceKey).forall(_ == srcPath) &&
+          p.get(GroupByKey).forall(_ == groupBy.mkString(",")) &&
+          p.get(SumColsKey).forall(_ == sumCols.mkString(",")) &&
+          p.get(MinMaxColsKey).forall(_ == minMaxCols.mkString(",")) &&
+          p.get(WhereKey).forall(_ == where.getOrElse("")),
+        s"materialized view $mvPath already exists with a different " +
+          "definition — drop and re-create to redefine")
+    }
     if (VersionedTable.latestVersion(spark, mvPath).isEmpty) {
-      val snap = VersionedTable.read(spark, srcPath, Some(v))
-      val agg = aggFrame(snap, groupBy, sumCols)
+      val snap = applyWhere(VersionedTable.read(spark, srcPath, Some(v)),
+        where, s"create over $srcPath")
+      val agg = aggFrame(snap, groupBy, sumCols, minMaxCols)
       refuseNullGroups(agg, groupBy, s"create over $srcPath")
       // group keys are the view's stats columns: the refresh MERGE's CoW
       // file selection prunes on exactly these
@@ -122,64 +210,147 @@ object MaterializedView {
     VersionedTable.setProperties(spark, mvPath, Map(
       SourceKey -> srcPath,
       GroupByKey -> groupBy.mkString(","),
-      SumColsKey -> sumCols.mkString(",")))
+      SumColsKey -> sumCols.mkString(","),
+      MinMaxColsKey -> minMaxCols.mkString(","),
+      // stored even when absent ("") so the redefinition guard catches a
+      // WHERE being ADDED to a view created without one
+      WhereKey -> where.getOrElse("")))
   }
+
+  private def colsOf(props: Map[String, String], k: String): Seq[String] =
+    props.get(k).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
   /** REFRESH: diff the source between the view's txn watermark and the
     * source head, aggregate the diff with an insert=+1/delete=−1 sign,
     * and MERGE the per-group delta into the view — new groups insert,
     * emptied groups tombstone out, untouched view files carry by
-    * reference. No-op (current version) when the source hasn't moved.
+    * reference. MIN/MAX fold on inserts; groups whose stored extremum was
+    * deleted (without an equal re-insert) recompute from a key-filtered
+    * source scan. No-op (current version) when the source hasn't moved.
     * Crash-safe: a re-run of an applied (App, version) is the upsert
     * replay no-op. */
   def refresh(spark: SparkSession, mvPath: String): Long = {
     val props = VersionedTable.propertiesOf(spark, mvPath)
     val src = props.getOrElse(SourceKey, throw new IllegalArgumentException(
       s"$mvPath is not a materialized view (no $SourceKey property)"))
-    val groupBy = props(GroupByKey).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val sumCols = props.get(SumColsKey).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val groupBy = colsOf(props, GroupByKey)
+    val sumCols = colsOf(props, SumColsKey)
+    val minMaxCols = colsOf(props, MinMaxColsKey)
+    val nnCols = (sumCols ++ minMaxCols).distinct
+    val where = props.get(WhereKey).filter(_.nonEmpty)
     val v0 = VersionedTable.lastTxn(spark, mvPath, App).getOrElse(
       throw new IllegalStateException(s"$mvPath carries no $App watermark"))
     val v1 = VersionedTable.latestVersion(spark, src).getOrElse(
       throw new IllegalArgumentException(s"$src has no committed versions"))
     val cur = VersionedTable.latestVersion(spark, mvPath).get
     if (v1 <= v0) return cur // source unchanged (versions never rewind)
-    val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-    val delta = VersionedTable.changes(spark, src, v0, v1)
+    val isIns = col("_change_type") === "insert"
+    val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
+    def ins(c: String): Column = when(isIns, col(c)) // else null: min/max skip
+    def del(c: String): Column = when(!isIns, col(c))
+    val delta = applyWhere(VersionedTable.changes(spark, src, v0, v1),
+        where, s"refresh of $mvPath")
       .groupBy(groupBy.map(col): _*)
       .agg(sum(sign).as("d_count"),
-        sumCols.flatMap(c => Seq(
-          sum(sign * col(c)).as(s"d_$c"),
+        (sumCols.map(c => sum(sign * col(c)).as(s"d_$c")) ++
+          minMaxCols.flatMap(c => Seq(
+            min(ins(c)).as(s"imin_$c"), max(ins(c)).as(s"imax_$c"),
+            min(del(c)).as(s"dmin_$c"), max(del(c)).as(s"dmax_$c"))) ++
           // non-null contribution delta: NULL values move the row count
-          // but never the sum — tracked so the merged sum can return to
-          // SQL-NULL when its last non-null contribution leaves
-          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"dnn_$c"))): _*)
+          // but never the aggregates — tracked so a merged aggregate can
+          // return to SQL-NULL when its last non-null contribution leaves
+          nnCols.map(c =>
+            sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"dnn_$c"))): _*)
       // a group whose inserts and deletes cancel exactly contributes
-      // nothing — dropping it keeps the MERGE's CoW selection tight
+      // nothing — dropping it keeps the MERGE's CoW selection tight.
+      // (For MIN/MAX, equal insert/delete extremes with zero count and nn
+      // movement mean the extremum value is still present: droppable.)
       .filter(col("d_count") =!= 0L ||
-        sumCols.map(c => coalesce(col(s"d_$c"), lit(0)) =!= lit(0) ||
-            col(s"dnn_$c") =!= 0L)
+        (sumCols.map(c => coalesce(col(s"d_$c"), lit(0)) =!= lit(0)) ++
+          minMaxCols.flatMap(c => Seq(
+            !(col(s"imin_$c") <=> col(s"dmin_$c")),
+            !(col(s"imax_$c") <=> col(s"dmax_$c")))) ++
+          nnCols.map(c => col(s"dnn_$c") =!= 0L))
           .foldLeft(lit(false))(_ || _))
     refuseNullGroups(delta, groupBy, s"refresh of $mvPath")
-    val viewCols = Seq(CountCol) ++
-      sumCols.flatMap(c => Seq(sumColName(c), nnColName(c)))
+    val viewCols = Seq(CountCol) ++ sumCols.map(sumColName) ++
+      minMaxCols.flatMap(c => Seq(minColName(c), maxColName(c))) ++
+      nnCols.map(nnColName)
     val curView = VersionedTable.read(spark, mvPath).select(
       (groupBy ++ viewCols).map(col): _*)
-    val merged = delta.join(curView, groupBy, "left")
-      .select(groupBy.map(col) ++ Seq(
+    def nnNew(c: String): Column =
+      coalesce(col(nnColName(c)), lit(0L)) + col(s"dnn_$c")
+    // a stored MIN is lost when a delete reaches it and no insert ties or
+    // beats it (an insert BELOW the deleted extremum makes the fold exact
+    // again); symmetric for MAX — only those groups pay a source scan
+    def lostMin(c: String): Column =
+      (col(s"dmin_$c") <=> col(minColName(c))) && col(minColName(c)).isNotNull &&
+        (col(s"imin_$c").isNull || col(s"imin_$c") > col(s"dmin_$c"))
+    def lostMax(c: String): Column =
+      (col(s"dmax_$c") <=> col(maxColName(c))) && col(maxColName(c)).isNotNull &&
+        (col(s"imax_$c").isNull || col(s"imax_$c") < col(s"dmax_$c"))
+    val repairFlag =
+      if (minMaxCols.isEmpty) lit(false)
+      else minMaxCols.flatMap(c => Seq(lostMin(c), lostMax(c)))
+        .reduce(_ || _) && (coalesce(col(CountCol), lit(0L)) + col("d_count")) > 0L
+    val joined = delta.join(curView, groupBy, "left")
+      .withColumn("__graft_repair", repairFlag)
+    // the no-repair shape still carries the repair columns (null) so the
+    // merged select below resolves identically on both paths
+    def noRepair(df: DataFrame): DataFrame =
+      minMaxCols.foldLeft(df.withColumn("__graft_repaired", lit(false))) {
+        (d, c) =>
+          val dt = curView.schema(minColName(c)).dataType
+          d.withColumn(s"rmin_$c", lit(null).cast(dt))
+            .withColumn(s"rmax_$c", lit(null).cast(dt))
+      }
+    val withRepair =
+      if (minMaxCols.isEmpty) joined
+      else {
+        val keys = joined.filter(col("__graft_repair"))
+          .select(groupBy.map(col): _*)
+        if (keys.isEmpty) noRepair(joined)
+        else {
+          repairScans.incrementAndGet()
+          // recompute ONLY the affected groups from the source AT v1 (the
+          // version this refresh lands), through a key-filtered scan
+          val rep = applyWhere(VersionedTable.read(spark, src, Some(v1)),
+              where, s"refresh of $mvPath")
+            .join(broadcast(keys), groupBy)
+            .groupBy(groupBy.map(col): _*)
+            .agg(min(col(minMaxCols.head)).as(s"rmin_${minMaxCols.head}"),
+              (Seq(max(col(minMaxCols.head)).as(s"rmax_${minMaxCols.head}")) ++
+                minMaxCols.tail.flatMap(c => Seq(min(col(c)).as(s"rmin_$c"),
+                  max(col(c)).as(s"rmax_$c")))): _*)
+            .withColumn("__graft_repaired", lit(true))
+          joined.join(rep, groupBy, "left")
+            .withColumn("__graft_repaired",
+              coalesce(col("__graft_repaired"), lit(false)))
+        }
+      }
+    val merged = withRepair.select(groupBy.map(col) ++ Seq(
         (coalesce(col(CountCol), lit(0L)) + col("d_count")).as(CountCol)) ++
-        sumCols.flatMap { c =>
+        sumCols.map { c =>
           val dt = curView.schema(sumColName(c)).dataType
           val zero = lit(0).cast(dt)
-          val nn = coalesce(col(nnColName(c)), lit(0L)) + col(s"dnn_$c")
+          when(nnNew(c) === 0L, lit(null).cast(dt))
+            .otherwise((coalesce(col(sumColName(c)), zero) +
+              coalesce(col(s"d_$c"), zero)).cast(dt))
+            .as(sumColName(c))
+        } ++
+        minMaxCols.flatMap { c =>
+          val dt = curView.schema(minColName(c)).dataType
+          def pick(repaired: String, folded: Column) =
+            when(nnNew(c) === 0L, lit(null).cast(dt))
+              .otherwise(when(col("__graft_repaired"), col(repaired))
+                .otherwise(folded))
           Seq(
-            when(nn === 0L, lit(null).cast(dt))
-              .otherwise((coalesce(col(sumColName(c)), zero) +
-                coalesce(col(s"d_$c"), zero)).cast(dt))
-              .as(sumColName(c)),
-            nn.as(nnColName(c)))
-        }: _*)
+            pick(s"rmin_$c", least(col(minColName(c)), col(s"imin_$c")))
+              .as(minColName(c)),
+            pick(s"rmax_$c", greatest(col(maxColName(c)), col(s"imax_$c")))
+              .as(maxColName(c)))
+        } ++
+        nnCols.map(c => nnNew(c).as(nnColName(c))): _*)
     VersionedTable.upsert(merged, mvPath, keys = groupBy,
       evolveSchema = false, latestBy = None, statsCols = groupBy,
       txn = Some(App -> v1),

@@ -2,8 +2,8 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
 import org.apache.spark.sql.types.LongType
@@ -24,11 +24,21 @@ import graft.sources.{MaterializedView, VersionedTable}
   * partial sums compose exactly for the integral types the rewrite
   * accepts.
   *
+  * PREDICATES: a view maintained over `WHERE p` answers queries whose
+  * filter conjuncts include p's (matched semantically after name
+  * canonicalization — folded/rewritten shapes that no longer match
+  * decline, never mis-match). Conjuncts beyond the view's — including all
+  * of them, for an unfiltered view — survive as a RESIDUAL filter over
+  * the view, provided they reference only the view's GROUP BY columns
+  * (group columns are constant within a group, so filtering view rows is
+  * exactly filtering source rows). Anything else declines.
+  *
   * Fires only when ALL of:
-  *  - the aggregate's child is (a column-pruning projection of) a graft
-  *    snapshot relation carrying registered views (`graft.mv.views`) and a
-  *    pinned version — both attached at relation build, so tables without
-  *    views cost one pattern match and zero manifest reads;
+  *  - the aggregate's child is (attribute-only projections / filters
+  *    over) a graft snapshot relation carrying registered views
+  *    (`graft.mv.views`) and a pinned version — both attached at relation
+  *    build, so tables without views cost one pattern match and zero
+  *    manifest reads;
   *  - every grouping expression is a plain source column, every aggregate
   *    is COUNT(*) (non-distinct, unfiltered) or SUM(col) of LongType —
   *    fractional re-aggregation is declined (reordering float partial
@@ -43,32 +53,76 @@ import graft.sources.{MaterializedView, VersionedTable}
   *
   * The substituted node preserves the original output attribute ids
   * (downstream operators keep binding), and SQL null semantics survive:
-  * a global COUNT(*) over an empty table coalesces its SUM(mv_count) to
-  * 0, and SUM-of-sums skips the per-group NULLs the view maintains for
-  * all-NULL groups. Disable with `spark.graft.mv.rewrite.enabled=false`.
+  * a global COUNT(*) over an empty (or fully-filtered) table coalesces
+  * its SUM(mv_count) to 0, and SUM-of-sums skips the per-group NULLs the
+  * view maintains for all-NULL groups. Disable with
+  * `spark.graft.mv.rewrite.enabled=false`.
   */
 case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean = spark.sessionState.conf
     .getConfString("spark.graft.mv.rewrite.enabled", "true").toBoolean
 
+  /** Name-canonical form of a predicate: every attribute reference becomes
+    * a synthetic attribute KEYED BY SOURCE COLUMN NAME, so predicates from
+    * different plans (the query's filter, the view's stored WHERE) compare
+    * with `semanticEquals` and rebuild against any attribute space. None
+    * when the predicate reaches outside the map (computed columns), is
+    * non-deterministic, or carries a subquery. */
+  private def named(e: Expression,
+      nameOf: Map[ExprId, String]): Option[Expression] = {
+    if (!e.deterministic || e.exists(_.isInstanceOf[PlanExpression[_]]))
+      return None
+    var ok = true
+    val t = e.transform { case a: AttributeReference =>
+      nameOf.get(a.exprId) match {
+        case Some(n) => AttributeReference(n, a.dataType, a.nullable)(
+          exprId = ExprId(n.hashCode.toLong & 0x7fffffffL))
+        case None => ok = false; a
+      }
+    }
+    if (!ok) return None
+    // fold constant subtrees: the QUERY side arrives optimizer-folded
+    // (`cast(2 as bigint)` → `2L`) while the view's stored WHERE is only
+    // analyzed — without folding, identical predicates would never match
+    Some(t.transformDown {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(), e.dataType)
+    })
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
   /** ((registered views, pinned source version), aggregate-side exprId →
-    * source column name) — walking attribute-only projections the same way
-    * [[GraftMetadataCount]] does. */
+    * source column name, name-canonical filter conjuncts below the
+    * aggregate) — walking attribute-only projections and filters. */
   private def sourceOf(plan: LogicalPlan)
-      : Option[((Seq[String], Long), Map[ExprId, String])] =
+      : Option[((Seq[String], Long), Map[ExprId, String], Seq[Expression])] =
     GraftBatchShim.mvRewriteInfoOf(plan) match {
       case Some(info) =>
-        Some((info, plan.output.map(a => a.exprId -> a.name).toMap))
+        Some((info, plan.output.map(a => a.exprId -> a.name).toMap, Nil))
       case None => plan match {
-        case Project(items, child) => sourceOf(child).map { case (info, base) =>
-          (info, items.flatMap {
-            case a: AttributeReference => base.get(a.exprId).map(a.exprId -> _)
-            case al @ Alias(a: AttributeReference, _) =>
-              base.get(a.exprId).map(al.exprId -> _)
-            case _ => None // computed column: aggregates over it must decline
-          }.toMap)
-        }
+        case Project(items, child) =>
+          sourceOf(child).map { case (info, base, conds) =>
+            (info, items.flatMap {
+              case a: AttributeReference => base.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(a: AttributeReference, _) =>
+                base.get(a.exprId).map(al.exprId -> _)
+              case _ => None // computed column: references to it must decline
+            }.toMap, conds)
+          }
+        case Filter(cond, child) =>
+          sourceOf(child).flatMap { case (info, base, conds) =>
+            // the filter's output is its child's, so `base` is exactly the
+            // map cond's references resolve in
+            val split = splitConjuncts(cond).map(named(_, base))
+            if (split.forall(_.isDefined))
+              Some((info, base, conds ++ split.map(_.get)))
+            else None
+          }
         case _ => None
       }
     }
@@ -79,6 +133,10 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       dt: org.apache.spark.sql.types.DataType) extends Out
   private case class CountOut(id: ExprId, name: String) extends Out
   private case class SumOut(id: ExprId, name: String, srcCol: String) extends Out
+  private case class MinOut(id: ExprId, name: String, srcCol: String,
+      dt: org.apache.spark.sql.types.DataType) extends Out
+  private case class MaxOut(id: ExprId, name: String, srcCol: String,
+      dt: org.apache.spark.sql.types.DataType) extends Out
 
   private def classify(e: NamedExpression,
       colOf: Map[ExprId, String]): Option[Out] = e match {
@@ -92,6 +150,12 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), n)
         if al.dataType == LongType =>
       colOf.get(a.exprId).map(SumOut(al.exprId, n, _))
+    // MIN/MAX re-aggregate EXACTLY for any orderable type: the min of
+    // group-minima IS the min (no reordering concern, unlike float sums)
+    case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), n) =>
+      colOf.get(a.exprId).map(MinOut(al.exprId, n, _, a.dataType))
+    case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), n) =>
+      colOf.get(a.exprId).map(MaxOut(al.exprId, n, _, a.dataType))
     case _ => None
   }
 
@@ -106,21 +170,40 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
     for {
-      ((views, srcV), colOf) <- sourceOf(child)
+      ((views, srcV), colOf, conds) <- sourceOf(child)
       groupCols <- traverse(groupExprs.map {
         case a: AttributeReference => colOf.get(a.exprId)
         case _ => None
       })
       outs <- traverse(aggExprs.map(classify(_, colOf)))
       plan <- views.iterator
-        .flatMap(tryView(_, srcV, groupCols, outs)).nextOption()
+        .flatMap(tryView(_, srcV, groupCols, outs, conds)).nextOption()
     } yield plan
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
+  /** The view's WHERE predicate as name-canonical conjuncts — resolved by
+    * filtering the view's SOURCE relation with the stored SQL, so types
+    * and implicit casts land exactly as they did at create/refresh. */
+  private def viewConds(props: Map[String, String]): Option[Seq[Expression]] =
+    props.get(MaterializedView.WhereKey).filter(_.nonEmpty) match {
+      case None => Some(Nil)
+      case Some(sql) =>
+        for {
+          srcPath <- props.get(MaterializedView.SourceKey)
+          analyzed <- scala.util.Try(
+            VersionedTable.read(spark, srcPath)
+              .filter(org.apache.spark.sql.functions.expr(sql))
+              .queryExecution.analyzed).toOption
+          (cond, base) <- analyzed.collectFirst { case Filter(c, ch) =>
+            (c, ch.output.map(a => a.exprId -> a.name).toMap) }
+          conjuncts <- traverse(splitConjuncts(cond).map(named(_, base)))
+        } yield conjuncts
+    }
+
   private def tryView(mvPath: String, srcV: Long, groupCols: Seq[String],
-      outs: Seq[Out]): Option[LogicalPlan] = {
+      outs: Seq[Out], queryConds: Seq[Expression]): Option[LogicalPlan] = {
     // freshness, checked and then READ at the same pinned view version
     val hv = VersionedTable.latestVersion(spark, mvPath).getOrElse(return None)
     if (!VersionedTable.lastTxn(spark, mvPath, MaterializedView.App, Some(hv))
@@ -130,9 +213,42 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val vGroup = cols(MaterializedView.GroupByKey).toSet
     val vSums = cols(MaterializedView.SumColsKey).toSet
+    val vMinMax = cols(MaterializedView.MinMaxColsKey).toSet
     val neededGroups = outs.collect { case g: GroupOut => g.srcCol } ++ groupCols
     val neededSums = outs.collect { case s: SumOut => s.srcCol }
-    if (!neededGroups.forall(vGroup) || !neededSums.forall(vSums)) return None
+    val neededMinMax = outs.collect {
+      case m: MinOut => m.srcCol
+      case m: MaxOut => m.srcCol }
+    if (!neededGroups.forall(vGroup) || !neededSums.forall(vSums) ||
+        !neededMinMax.forall(vMinMax)) return None
+
+    // predicate cover: every view conjunct must appear among the query's;
+    // what remains of the query's is the residual, applied over the view —
+    // legal only on group columns (constant within a group)
+    val vConds = viewConds(props).getOrElse(return None)
+    var residual = queryConds
+    vConds.foreach { vc =>
+      val i = residual.indexWhere(_.canonicalized.semanticEquals(vc.canonicalized))
+      if (i < 0) return None // the view filters rows this query wants
+      residual = residual.patch(i, Nil, 1)
+    }
+    // optimizer-inferred IsNotNull conjuncts that a matched NULL-INTOLERANT
+    // view conjunct already guarantees (a null there made the predicate
+    // NULL, so the row never reached the view) are satisfied by every view
+    // row — drop them rather than decline
+    def nullRejecting(e: Expression): Boolean = e match {
+      case _: AttributeReference | _: Literal => true
+      case x => x.nullIntolerant && x.children.forall(nullRejecting)
+    }
+    val nullRejected: Set[String] = vConds.filter(nullRejecting)
+      .flatMap(_.collect { case a: AttributeReference => a.name }).toSet
+    residual = residual.filterNot {
+      case IsNotNull(a: AttributeReference) => nullRejected(a.name)
+      case _ => false
+    }
+    val residualCols = residual.flatMap(_.collect {
+      case a: AttributeReference => a.name })
+    if (!residualCols.forall(vGroup)) return None
 
     val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
       .queryExecution.analyzed
@@ -145,23 +261,47 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ok = outs.forall {
       case GroupOut(_, _, c, dt) => attr.get(c).exists(_.dataType == dt)
       case SumOut(_, _, c) => longAttr(MaterializedView.sumColName(c)).isDefined
+      case MinOut(_, _, c, dt) =>
+        attr.get(MaterializedView.minColName(c)).exists(_.dataType == dt)
+      case MaxOut(_, _, c, dt) =>
+        attr.get(MaterializedView.maxColName(c)).exists(_.dataType == dt)
       case _: CountOut => true
-    } && groupCols.forall(attr.contains)
+    } && groupCols.forall(attr.contains) &&
+      residualCols.forall(n => attr.contains(n))
     if (!ok) return None
+
+    // rebuild the residual against the view's attributes (same names, same
+    // types by the groupBy pass-through — checked, never coerced)
+    if (!residual.forall(_.collect { case a: AttributeReference => a }
+        .forall(a => attr.get(a.name).exists(_.dataType == a.dataType))))
+      return None
+    val residualOnView = residual.map(_.transform {
+      case a: AttributeReference => attr(a.name)
+    })
+    val scan: LogicalPlan =
+      if (residualOnView.isEmpty) viewPlan
+      else Filter(residualOnView.reduce(And), viewPlan)
 
     def reSum(a: Attribute): Expression = new Sum(a).toAggregateExpression()
     val globalAgg = groupCols.isEmpty
     val newAggs: Seq[NamedExpression] = outs.map {
       case GroupOut(id, n, c, _) => Alias(attr(c), n)(exprId = id)
       case CountOut(id, n) =>
-        // a GLOBAL count over an empty table is 0, but SUM over the empty
-        // view would be NULL — coalesce restores COUNT's totality
+        // a GLOBAL count over an empty (or fully-filtered) table is 0, but
+        // SUM over the empty view would be NULL — coalesce restores
+        // COUNT's totality
         val e = if (globalAgg) Coalesce(Seq(reSum(cnt), Literal(0L)))
                 else reSum(cnt)
         Alias(e, n)(exprId = id)
       case SumOut(id, n, c) =>
         Alias(reSum(attr(MaterializedView.sumColName(c))), n)(exprId = id)
+      case MinOut(id, n, c, _) =>
+        Alias(Min(attr(MaterializedView.minColName(c))).toAggregateExpression(),
+          n)(exprId = id)
+      case MaxOut(id, n, c, _) =>
+        Alias(Max(attr(MaterializedView.maxColName(c))).toAggregateExpression(),
+          n)(exprId = id)
     }
-    Some(Aggregate(groupCols.map(attr(_)), newAggs, viewPlan))
+    Some(Aggregate(groupCols.map(attr(_)), newAggs, scan))
   }
 }

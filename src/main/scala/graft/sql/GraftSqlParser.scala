@@ -100,7 +100,7 @@ private[sql] object GraftSqlStatements {
   private val AnalyzeNdvRe =
     s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+NDV\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
   private val CreateMvRe =
-    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
   private val RefreshMvRe =
     s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s*;?\\s*""".r
   // DLT's clause order: KEYS, [APPLY AS DELETE WHEN], SEQUENCE BY, [COLUMNS]
@@ -144,9 +144,9 @@ private[sql] object GraftSqlStatements {
       Some(GraftAnalyzeNdvCommand(cat, path, cols.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq))
-    case CreateMvRe(cat, path, selectList, srcCat, srcPath, groupBy) =>
+    case CreateMvRe(cat, path, selectList, srcCat, srcPath, where, groupBy) =>
       Some(GraftCreateMvCommand(cat, path, srcCat, srcPath,
-        selectList.trim, groupBy.trim))
+        selectList.trim, groupBy.trim, Option(where).map(_.trim)))
     case RefreshMvRe(cat, path) =>
       Some(GraftRefreshMvCommand(cat, path))
     case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
@@ -501,17 +501,20 @@ case class GraftDescribeHistoryCommand(cat: String,
   }
 }
 
-/** `CREATE MATERIALIZED VIEW mv AS SELECT g…, COUNT(*), SUM(c)… FROM src
-  * GROUP BY g…` — the incremental-view DDL
-  * ([[graft.sources.MaterializedView]]). The SELECT shape is deliberately
-  * restricted to the SELF-MAINTAINABLE aggregates — GROUP BY columns,
-  * COUNT(*), SUM(col) — because those are the ones a change-feed delta can
-  * repair (a deleted MIN/MAX needs the surviving rows); warehouse engines
-  * restrict incremental views the same way. View columns land as the group
-  * columns + `mv_count` + `sum_<col>`. */
+/** `CREATE MATERIALIZED VIEW mv AS SELECT g…, COUNT(*), SUM(c)…, MIN(c)…,
+  * MAX(c)… FROM src [WHERE p] GROUP BY g…` — the incremental-view DDL
+  * ([[graft.sources.MaterializedView]]). The SELECT shape is restricted to
+  * the INCREMENTALLY-MAINTAINABLE aggregates: COUNT/SUM repair from the
+  * change-feed delta alone; MIN/MAX fold on inserts and repair a group
+  * from the source only when its stored extremum was deleted. Anything
+  * else (AVG derives as sum/count at query time; DISTINCT aggregates need
+  * full value multisets) is refused. View columns land as the group
+  * columns + `mv_count` + `sum_<col>`/`min_<col>`/`max_<col>` +
+  * `nn_<col>`. */
 case class GraftCreateMvCommand(cat: String, path: String,
     srcCat: String, srcPath: String, selectList: String,
-    groupByList: String) extends LeafRunnableCommand {
+    groupByList: String, where: Option[String] = None)
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq.empty
 
@@ -523,17 +526,23 @@ case class GraftCreateMvCommand(cat: String, path: String,
     val groupBy = groupByList.split(",").map(strip).filter(_.nonEmpty).toSeq
     val Count = """(?i)COUNT\s*\(\s*\*\s*\)""".r
     val Sum = """(?i)SUM\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
+    val MinAgg = """(?i)MIN\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
+    val MaxAgg = """(?i)MAX\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
     val plainCols = scala.collection.mutable.ArrayBuffer[String]()
     val sumCols = scala.collection.mutable.ArrayBuffer[String]()
+    val minMaxCols = scala.collection.mutable.ArrayBuffer[String]()
     var hasCount = false
     selectList.split(",").map(_.trim).filter(_.nonEmpty).foreach {
       case Count() => hasCount = true
       case Sum(c) => sumCols += strip(c)
+      case MinAgg(c) => minMaxCols += strip(c)
+      case MaxAgg(c) => minMaxCols += strip(c)
       case c if c.matches("`[^`]+`|\\w+") => plainCols += strip(c)
       case other => throw new IllegalArgumentException(
         s"$stmt: unsupported select item '$other' — an incremental view " +
-          "maintains GROUP BY columns, COUNT(*) and SUM(col) only " +
-          "(MIN/MAX cannot be repaired from a delta)")
+          "maintains GROUP BY columns, COUNT(*), SUM(col), MIN(col) and " +
+          "MAX(col) (inserts fold; a deleted extremum repairs its group " +
+          "from the source)")
     }
     require(plainCols.toSeq == groupBy,
       s"$stmt: the select list's plain columns (${plainCols.mkString(",")}) " +
@@ -542,7 +551,7 @@ case class GraftCreateMvCommand(cat: String, path: String,
       s"$stmt: the select list must include COUNT(*) — the group-liveness " +
         "aggregate that lets emptied groups leave the view")
     graft.sources.MaterializedView.create(session, src, p, groupBy,
-      sumCols.toSeq)
+      sumCols.toSeq, minMaxCols.distinct.toSeq, where)
     Seq.empty
   }
 }

@@ -132,6 +132,81 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e2.getMessage.contains("NULL group value"), e2.getMessage)
   }
 
+  test("MIN/MAX: inserts fold without a repair scan; a deleted extremum repairs only its group") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 60L).map(i => (i, "g" + i % 3, 0L, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Nil,
+      Seq("v"), where = None)
+    def mm(): Map[String, (Any, Any)] = VersionedTable.read(spark, mv)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Any]("min_v"), r.getAs[Any]("max_v"))).toMap
+    def expect(): Map[String, (Any, Any)] = VersionedTable.read(spark, src)
+      .groupBy(col("g")).agg(min(col("v")), max(col("v"))).collect()
+      .map(r => r.getString(0) -> (r.getAs[Any](1), r.getAs[Any](2))).toMap
+    assert(mm() == expect())
+    val scans0 = MaterializedView.repairScans.get()
+    // inserts extend both extremes: pure fold, NO source scan
+    VersionedTable.append(Seq((100L, "g0", 0L, 0L), (101L, "g1", 0L, 999L))
+      .toDF("id", "g", "g2", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(mm() == expect())
+    assert(MaterializedView.repairScans.get() == scans0,
+      "an insert-only delta must never scan the source")
+    // delete a NON-extremum value: still no repair
+    VersionedTable.delete(spark, src, col("id") === 30L) // v=30, not extremal
+    MaterializedView.refresh(spark, mv)
+    assert(mm() == expect())
+    assert(MaterializedView.repairScans.get() == scans0,
+      "deleting a non-extremum must never scan the source")
+    // delete the stored MAX of g1 (999): exactly one repair scan, exact result
+    VersionedTable.delete(spark, src, col("id") === 101L)
+    MaterializedView.refresh(spark, mv)
+    assert(mm() == expect())
+    assert(MaterializedView.repairScans.get() == scans0 + 1,
+      "a deleted extremum repairs through one key-filtered source scan")
+    // delete an extremum AND re-insert an equal value in the same delta:
+    // the extremum survives, so the fold suffices — no scan
+    VersionedTable.delete(spark, src, col("id") === 100L) // g0's min 0 leaves
+    VersionedTable.append(Seq((102L, "g0", 0L, 0L))       // and 0 returns
+      .toDF("id", "g", "g2", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(mm() == expect())
+    assert(MaterializedView.repairScans.get() == scans0 + 1,
+      "an equal re-insert makes the deleted extremum moot — no scan")
+  }
+
+  test("filtered view: WHERE maintained exactly through DML, rows entering and leaving the predicate") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, "g" + i % 3, 0L, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"),
+      where = Some("v % 2 = 0"))
+    def filteredAgg(): Map[(String, Long), (Long, Long)] =
+      VersionedTable.read(spark, src).filter(col("v") % 2 === 0)
+        .groupBy(col("g"), col("g2")).agg(count(lit(1)), sum(col("v")))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+    assert(viewRows(mv) == filteredAgg())
+    // deletes of in- and out-of-predicate rows
+    VersionedTable.delete(spark, src, col("id") <= 20L)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == filteredAgg())
+    // an UPDATE that moves rows INTO the predicate (odd v → even v) and
+    // one that moves rows OUT (even → odd): the feed's delete+insert pairs
+    // filter row-locally to exactly the membership change
+    VersionedTable.update(spark, src, col("id").between(21L, 30L),
+      Map("v" -> (col("v") * 2L)))        // 5 odd rows enter
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == filteredAgg())
+    VersionedTable.update(spark, src, col("id").between(31L, 40L),
+      Map("v" -> (col("v") * 2L + 1L)))   // 5 even rows leave
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == filteredAgg())
+  }
+
   test("refresh reads the DIFF, not the source: only changed files open") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // 8 single-file commits → 8 source files with disjoint id ranges

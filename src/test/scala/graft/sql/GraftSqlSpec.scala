@@ -1025,10 +1025,20 @@ class GraftSqlSpec extends SparkSpec {
     val v2 = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
       .collect().head.getLong(0)
     assert(v2 == v1)
-    // the restricted SELECT shape refuses what a delta cannot repair
+    // MIN/MAX are maintainable (fold + per-group repair); AVG and other
+    // shapes are refused — they derive at query time or need full multisets
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base}/mv2` AS " +
+      s"SELECT g, COUNT(*), MIN(v), MAX(v) FROM graft.`$src` GROUP BY g")
+    val mm = spark.sql(s"SELECT * FROM graft.`${base}/mv2`").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))).toMap
+    val mmExpect = spark.sql(
+      s"SELECT g, MIN(v), MAX(v) FROM graft.`$src` GROUP BY g").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mm == mmExpect)
     val e = intercept[Exception] {
-      spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base}/mv2` AS " +
-        s"SELECT g, COUNT(*), MIN(v) FROM graft.`$src` GROUP BY g") }
-    assert(e.getMessage.contains("MIN/MAX"), e.getMessage)
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base}/mv3` AS " +
+        s"SELECT g, COUNT(*), AVG(v) FROM graft.`$src` GROUP BY g") }
+    assert(e.getMessage.contains("unsupported select item"), e.getMessage)
   }
 }

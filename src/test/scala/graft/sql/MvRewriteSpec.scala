@@ -86,17 +86,113 @@ class MvRewriteSpec extends SparkSpec {
     MaterializedView.create(spark, src, mv, Seq("g"), Seq("v"))
     def srcScan(df: DataFrame) = roots(df).contains(src)
     val t = VersionedTable.read(spark, src)
-    // a WHERE between the aggregate and the scan: the view covers the
-    // WHOLE table only
+    // a WHERE on a NON-group column: no residual over the view can apply it
     assert(srcScan(t.filter($"id" > 50L).groupBy($"g").agg(count(lit(1)).as("n"))))
-    // MIN is not maintainable, SUM(id) is not covered, DISTINCT changes
-    // semantics, SUM(f) re-aggregation would reorder float addition
+    // MIN over a col the view doesn't maintain extrema for, SUM(id) is not
+    // covered, DISTINCT changes semantics, SUM(f) would reorder float adds
     assert(srcScan(t.groupBy($"g").agg(min($"v").as("m"))))
     assert(srcScan(t.groupBy($"g").agg(sum($"id").as("s"))))
     assert(srcScan(t.groupBy($"g").agg(countDistinct($"v").as("n"))))
     assert(srcScan(t.groupBy($"g").agg(sum($"f").as("s"))))
     // grouping by a non-view column declines
     assert(srcScan(t.groupBy($"v").agg(count(lit(1)).as("n"))))
+  }
+
+  test("group-column predicates apply as a residual over the view") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 120L).map(i => (i, "g" + i % 4, i % 2, i))
+        .toDF("id", "g", "g2", "v"), src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    // WHERE on group columns — including a rollup underneath — rides the
+    // view as a residual filter
+    assertRewrites(src, mv, VersionedTable.read(spark, src)
+      .filter($"g" =!= "g0" && $"g2" === 1L)
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    // and a global aggregate whose filter keeps nothing still counts 0
+    val none = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$src` WHERE g = 'nope'")
+    assert(roots(none).contains(mv), roots(none).toString)
+    assert(none.collect().head.getLong(0) == 0L)
+  }
+
+  test("a view maintained over WHERE answers exactly the queries that repeat it") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, "g" + i % 4, i)).toDF("id", "g", "v"),
+      src, statsCols = Seq("id"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, COUNT(*), SUM(v) FROM graft.`$src` WHERE v % 2 = 0 GROUP BY g")
+    def q(whereSql: String) = spark.sql(
+      s"SELECT g, COUNT(*) AS n, SUM(v) AS s FROM graft.`$src` $whereSql GROUP BY g")
+    // the view's own predicate: rewrites; plus a group-col residual: rewrites
+    assertRewrites(src, mv, q("WHERE v % 2 = 0"))
+    assertRewrites(src, mv, q("WHERE v % 2 = 0 AND g = 'g1'"))
+    // missing or different predicate: the view filtered rows the query wants
+    assert(roots(q("")).contains(src))
+    assert(roots(q("WHERE v % 2 = 1")).contains(src))
+    // DML + refresh keeps the filtered view exact
+    VersionedTable.delete(spark, src, $"id" <= 30L)
+    assert(roots(q("WHERE v % 2 = 0")).contains(src)) // stale → declines
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(src, mv, q("WHERE v % 2 = 0"))
+  }
+
+  test("clock-reading and non-deterministic view predicates are refused at create") {
+    val base = tmp(); val src = base + "/src"
+    VersionedTable.write(
+      (1L to 10L).map(i => (i, "g", i)).toDF("id", "g", "v"),
+      src, statsCols = Seq("id"))
+    val e1 = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, src, base + "/mv1", Seq("g"), Seq("v"),
+        Some("id > unix_timestamp(current_date())")) }
+    assert(e1.getMessage.contains("reads the clock"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, src, base + "/mv2", Seq("g"), Seq("v"),
+        Some("rand() > 0.5")) }
+    assert(e2.getMessage.contains("non-deterministic"), e2.getMessage)
+    // neither refusal left a half-created view behind
+    assert(VersionedTable.latestVersion(spark, base + "/mv1").isEmpty)
+    assert(VersionedTable.latestVersion(spark, base + "/mv2").isEmpty)
+  }
+
+  test("redefinition refused: an existing view only resumes under its stored definition") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 10L).map(i => (i, "g" + i % 2, i)).toDF("id", "g", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g"), Seq("v"))
+    MaterializedView.create(spark, src, mv, Seq("g"), Seq("v")) // resume ok
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, src, mv, Seq("g"), Seq("v"),
+        Some("v > 5")) }
+    assert(e.getMessage.contains("different"), e.getMessage)
+  }
+
+  test("MIN/MAX rewrite: exact for any orderable type, rollup composes, uncovered declines") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 90L).map(i => (i, "g" + i % 3, i % 5, i, "s" + (i * 7 % 90)))
+        .toDF("id", "g", "g2", "v", "s"), src, statsCols = Seq("id"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, g2, COUNT(*), MIN(v), MAX(v), MIN(s) FROM graft.`$src` " +
+      "GROUP BY g, g2")
+    // exact grouping and rollup: min-of-mins IS the min — strings included
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT g, g2, MIN(v) AS mn, MAX(v) AS mx, MIN(s) AS ms " +
+        s"FROM graft.`$src` GROUP BY g, g2"))
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT g, COUNT(*) AS n, MIN(v) AS mn, MAX(s) AS mx " +
+        s"FROM graft.`$src` GROUP BY g"))
+    // MAX(s) worked above because MIN(s) put s in the minMax roster (both
+    // extrema are materialized per col); an UNLISTED col still declines
+    assert(roots(spark.sql(
+      s"SELECT g, MIN(id) AS m FROM graft.`$src` GROUP BY g")).contains(src))
+    // DML on an extremum, refresh, rewrite still exact
+    VersionedTable.delete(spark, src, $"v" === 90L)
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT g, MAX(v) AS mx FROM graft.`$src` GROUP BY g"))
   }
 
   test("SQL surface rewrites too, and null-sum groups survive the round trip") {
