@@ -88,7 +88,7 @@ object MaterializedView {
     * so the view's watermark can equal the source head from version one. */
   val ViewsKey = "graft.mv.views"
 
-  private[sources] def viewsIn(props: Map[String, String]): Seq[String] =
+  private[graft] def viewsIn(props: Map[String, String]): Seq[String] =
     props.get(ViewsKey).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
   /** The maintained row count per group; sums land as `sum_<col>`,

@@ -1847,6 +1847,7 @@ object VersionedTable {
     // opted in (chained commit; failure never un-commits the append)
     staged.foreach(s => autoCompactAfter(spark, path, s._7, s._2))
     staged.foreach(s => autoAnalyzeAfter(spark, path, s._7))
+    staged.foreach(s => autoRefreshViewsAfter(spark, path, s._7))
     committed
   }
 
@@ -3511,6 +3512,7 @@ object VersionedTable {
       // same post-commit hygiene hooks as appendInternal
       autoCompactAfter(spark, path, hookProps, hookRel)
       autoAnalyzeAfter(spark, path, hookProps)
+      autoRefreshViewsAfter(spark, path, hookProps)
       committed
     } finally deduped.unpersist()
   }
@@ -3565,10 +3567,12 @@ object VersionedTable {
     val f = fs(spark, root)
     var attempt = 0
     var committed = -1L
+    var hookProps: Map[String, String] = Map.empty
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
+      hookProps = c.props
       val (candKeys, carryKeys) = c.schema match {
         case Some(s) =>
           pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
@@ -3601,6 +3605,7 @@ object VersionedTable {
           s"$path: lost $attempt delete commit races in a row; giving up")
       }
     }
+    autoRefreshViewsAfter(spark, path, hookProps)
     committed
   }
 
@@ -3624,10 +3629,12 @@ object VersionedTable {
     val f = fs(spark, root)
     var attempt = 0
     var committed = -1L
+    var hookProps: Map[String, String] = Map.empty
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
+      hookProps = c.props
       val s = c.schema.getOrElse(throw new IllegalArgumentException(
         s"$path: UPDATE needs a schema-recorded table"))
       val missing = set.keySet -- s.fieldNames.toSet
@@ -3682,6 +3689,7 @@ object VersionedTable {
           s"$path: lost $attempt update commit races in a row; giving up")
       }
     }
+    autoRefreshViewsAfter(spark, path, hookProps)
     committed
   }
 
@@ -4606,10 +4614,12 @@ object VersionedTable {
     val f = fs(spark, root)
     var attempt = 0
     var committed = -1L
+    var hookProps: Map[String, String] = Map.empty
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
+      hookProps = c.props
       require(c.schema.isDefined,
         s"$path: vectorized delete needs a schema-recorded table")
       val s = c.schema.get
@@ -4693,6 +4703,7 @@ object VersionedTable {
         }
       } finally marked.unpersist()
     }
+    autoRefreshViewsAfter(spark, path, hookProps)
     committed
   }
 
@@ -4852,6 +4863,27 @@ object VersionedTable {
           analyzeNdv(spark, path, cols)
       }
     }
+
+  /** `graft.mv.autoRefresh` = true: every mutating commit on this table
+    * (append, merge, DELETE, UPDATE, DV delete) chains a REFRESH of its
+    * registered materialized views — the always-fresh-rewrite story: with
+    * the watermark tracking the head, [[graft.sql.GraftMvRewrite]] keeps
+    * answering aggregates from the views instead of declining on
+    * staleness. Each refresh costs one change-feed diff + one view-sized
+    * MERGE, paid per source commit — right for batch-cadence tables; a
+    * high-frequency streaming appender should prefer scheduled
+    * `REFRESH MATERIALIZED VIEW`. Same swallow-everything post-commit
+    * contract as auto-compact/auto-analyze (per view, so one broken view
+    * cannot starve the others); a refresh of an unchanged source inside a
+    * chained hook is the versions-never-rewind no-op. */
+  private[graft] val MvAutoRefreshKey = "graft.mv.autoRefresh"
+
+  private def autoRefreshViewsAfter(spark: SparkSession, path: String,
+      props: Map[String, String]): Unit =
+    if (boolProp(props, MvAutoRefreshKey))
+      MaterializedView.viewsIn(props).foreach { mv =>
+        scala.util.Try(MaterializedView.refresh(spark, mv))
+      }
 
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Long =

@@ -352,6 +352,24 @@ class GraftCatalog extends TableCatalog {
     val path = pathOf(ident)
     if (VersionedTable.latestVersion(spark, path).isEmpty) false
     else {
+      // dropping a MATERIALIZED VIEW unregisters it from its source, so
+      // the rewrite rule stops probing a path that no longer exists (a
+      // dangling candidate is harmless — tryView declines on the missing
+      // version — but costs every aggregate query a manifest miss)
+      scala.util.Try {
+        val props = VersionedTable.propertiesOf(spark, path)
+        props.get(graft.sources.MaterializedView.SourceKey)
+          .filter(_.nonEmpty).foreach { src =>
+            val left = graft.sources.MaterializedView
+              .viewsIn(VersionedTable.propertiesOf(spark, src))
+              .filterNot(_ == path)
+            VersionedTable.setProperties(spark, src,
+              if (left.isEmpty) Map.empty
+              else Map(graft.sources.MaterializedView.ViewsKey -> left.mkString(",")),
+              unset = if (left.isEmpty)
+                Seq(graft.sources.MaterializedView.ViewsKey) else Nil)
+          }
+      }
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(root, true)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.graft.GraftBatchShim
 import org.apache.spark.sql.types._
 
-import graft.sources.VersionedTable
+import graft.sources.{MaterializedView, VersionedTable}
 
 /** Parser extension for the maintenance statements a lakehouse operator
   * runs but Spark's grammar lacks — exactly the reference's documented
@@ -35,7 +35,8 @@ import graft.sources.VersionedTable
   *     [APPLY AS DELETE WHEN op = 'delete'] SEQUENCE BY seq
   *     [COLUMNS * EXCEPT (op)]              -- sequence-guarded CDC merge
   *   CREATE MATERIALIZED VIEW graft.`/mv` AS
-  *     SELECT g, COUNT(*), SUM(v) FROM graft.`/src` GROUP BY g
+  *     SELECT g, COUNT(*), SUM(v), MIN(v), MAX(v) FROM graft.`/src`
+  *     [WHERE v % 2 = 0] GROUP BY g
   *   REFRESH MATERIALIZED VIEW graft.`/mv` -- applies the change feed
   * }}}
   *
@@ -290,7 +291,14 @@ case class GraftDescribeDetailCommand(cat: String,
     AttributeReference("row_id_high_watermark", LongType, nullable = true)(),
     AttributeReference("ndv_columns", StringType, nullable = false)(),
     AttributeReference("bucket_columns", StringType, nullable = false)(),
-    AttributeReference("num_buckets", IntegerType, nullable = true)())
+    AttributeReference("num_buckets", IntegerType, nullable = true)(),
+    // materialized-view facts: what this view maintains (source + refresh
+    // watermark + whether the rewrite would fire right now), and which
+    // views are registered over this table when it is a SOURCE
+    AttributeReference("mv_source", StringType, nullable = false)(),
+    AttributeReference("mv_watermark", LongType, nullable = true)(),
+    AttributeReference("mv_fresh", BooleanType, nullable = true)(),
+    AttributeReference("mv_views", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
@@ -307,6 +315,7 @@ case class GraftDescribeDetailCommand(cat: String,
       n -> s"start=${sp.start};step=${sp.step};explicit=${sp.allowExplicit}" }
     val declPrefixes = VersionedTable.declarationPrefixes
     val (rf, wf) = VersionedTable.protocolOf(session, p)
+    val (wm, fresh) = mvFacts(session, p, props)
     Seq(Row(p, "graft-table", v,
       VersionedTable.filesOf(session, p, v).size,
       VersionedTable.countRows(session, p).map(java.lang.Long.valueOf).orNull,
@@ -314,7 +323,9 @@ case class GraftDescribeDetailCommand(cat: String,
       kv(props.filterNot(e => declPrefixes.exists(e._1.startsWith) ||
         e._1 == VersionedTable.NdvColsKey || // surfaced in dedicated columns
         e._1 == VersionedTable.BucketByKey ||
-        e._1 == VersionedTable.NumBucketsKey)),
+        e._1 == VersionedTable.NumBucketsKey ||
+        e._1 == MaterializedView.SourceKey ||
+        e._1 == MaterializedView.ViewsKey)),
       kv(cons), kv(gens), kv(ids),
       rf.toSeq.sorted.mkString(","), wf.toSeq.sorted.mkString(","),
       wf.contains("rowtracking"),
@@ -324,8 +335,27 @@ case class GraftDescribeDetailCommand(cat: String,
       props.getOrElse(VersionedTable.BucketByKey, ""),
       props.get(VersionedTable.NumBucketsKey)
         .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-        .map(java.lang.Integer.valueOf).orNull))
+        .map(java.lang.Integer.valueOf).orNull,
+      props.getOrElse(MaterializedView.SourceKey, ""),
+      wm.map(java.lang.Long.valueOf).orNull,
+      fresh.map(java.lang.Boolean.valueOf).orNull,
+      props.getOrElse(MaterializedView.ViewsKey, "")))
   }
+
+  /** (refresh watermark, fresh-right-now) for a materialized view; (None,
+    * None) for plain tables. Fresh = the watermark equals the source's
+    * head version — exactly [[graft.sql.GraftMvRewrite]]'s gate, so this
+    * column answers "would the rewrite fire" without running a query. */
+  private def mvFacts(session: SparkSession, p: String,
+      props: Map[String, String]): (Option[Long], Option[Boolean]) =
+    props.get(MaterializedView.SourceKey) match {
+      case None => (None, None)
+      case Some(src) =>
+        val wm = VersionedTable.lastTxn(session, p, MaterializedView.App)
+        val head = scala.util.Try(
+          VersionedTable.latestVersion(session, src)).toOption.flatten
+        (wm, Some(wm.isDefined && wm == head))
+    }
 }
 
 /** `CREATE TABLE dst [SHALLOW] CLONE src [VERSION AS OF n]` →

@@ -207,6 +207,40 @@ class MaterializedViewSpec extends SparkSpec {
     assert(viewRows(mv) == filteredAgg())
   }
 
+  test("graft.mv.autoRefresh: every mutating source commit chains the views' refresh") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 40L).map(i => (i, "g" + i % 2, 0L, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    VersionedTable.setProperties(spark, src,
+      Map(VersionedTable.MvAutoRefreshKey -> "true"))
+    def fresh(): Boolean =
+      VersionedTable.lastTxn(spark, mv, MaterializedView.App) ==
+        VersionedTable.latestVersion(spark, src)
+    // the property commit itself left the view behind — the FIRST hooked
+    // mutation catches it up and every later one keeps it at the head
+    VersionedTable.append(Seq((50L, "g0", 0L, 7L)).toDF("id", "g", "g2", "v"), src)
+    assert(fresh(), "append must chain the refresh")
+    assert(viewRows(mv) == fullAgg(src))
+    VersionedTable.delete(spark, src, col("id") === 50L)
+    assert(fresh(), "DELETE must chain the refresh")
+    VersionedTable.update(spark, src, col("id") === 1L,
+      Map("v" -> (col("v") + 100L)))
+    assert(fresh(), "UPDATE must chain the refresh")
+    VersionedTable.deleteVectorized(spark, src, col("id") === 2L, 0.9)
+    assert(fresh(), "DV delete must chain the refresh")
+    VersionedTable.upsert(Seq((3L, "g1", 0L, 999L)).toDF("id", "g", "g2", "v"),
+      src, keys = Seq("id"))
+    assert(fresh(), "MERGE must chain the refresh")
+    assert(viewRows(mv) == fullAgg(src))
+    // without the property, mutations leave the view stale (the default)
+    VersionedTable.setProperties(spark, src,
+      Map.empty, unset = Seq(VersionedTable.MvAutoRefreshKey))
+    VersionedTable.append(Seq((60L, "g0", 0L, 1L)).toDF("id", "g", "g2", "v"), src)
+    assert(!fresh(), "auto-refresh must stay opt-in")
+  }
+
   test("refresh reads the DIFF, not the source: only changed files open") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // 8 single-file commits → 8 source files with disjoint id ranges

@@ -1040,5 +1040,34 @@ class GraftSqlSpec extends SparkSpec {
       spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base}/mv3` AS " +
         s"SELECT g, COUNT(*), AVG(v) FROM graft.`$src` GROUP BY g") }
     assert(e.getMessage.contains("unsupported select item"), e.getMessage)
+    // DESCRIBE DETAIL surfaces the MV facts on both sides of the edge:
+    // the view names its source, watermark, and rewrite-would-fire;
+    // the source names its registered views. (mv2's own registration
+    // bumped the source, so mv — refreshed before that — reads stale, and
+    // mv2 — created at the new head — reads fresh: both are the truth.)
+    def detail(t: String) = spark.sql(s"DESCRIBE DETAIL graft.`$t`")
+      .collect().head
+    val mv2 = s"${base}/mv2"
+    val dv = detail(mv2)
+    assert(dv.getAs[String]("mv_source") == src)
+    assert(dv.getAs[Boolean]("mv_fresh"), "a just-created view reads fresh")
+    assert(dv.getAs[Long]("mv_watermark") ==
+      VersionedTable.latestVersion(spark, src).get)
+    assert(!detail(mv).getAs[Boolean]("mv_fresh"),
+      "mv2's registration moved the source past mv's watermark")
+    val views = detail(src).getAs[String]("mv_views").split(",")
+    assert(views.contains(mv) && views.contains(mv2), views.mkString(","))
+    // a source mutation flips mv2's freshness off until the next refresh
+    spark.sql(s"DELETE FROM graft.`$src` WHERE id = 3")
+    assert(!detail(mv2).getAs[Boolean]("mv_fresh"))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv2`")
+    assert(detail(mv2).getAs[Boolean]("mv_fresh"))
+    // plain tables answer null, not false — "not a view" is not "stale"
+    assert(detail(src).isNullAt(detail(src).fieldIndex("mv_fresh")))
+    // DROP TABLE on a view unregisters it from the source's roster, so
+    // the rewrite rule stops probing a path that no longer exists
+    spark.sql(s"DROP TABLE graft.`$mv2`")
+    val after = detail(src).getAs[String]("mv_views").split(",")
+    assert(after.contains(mv) && !after.contains(mv2), after.mkString(","))
   }
 }
