@@ -359,4 +359,47 @@ object MaterializedView {
 
   /** Predicate helper for deleteWhere-style callers/tests. */
   def dead: Column = col(CountCol) === 0L
+
+  /** STREAMING maintenance: a long-running query that refreshes the view
+    * whenever the source commits — the continuous sibling of the
+    * `graft.mv.autoRefresh` hook for sources written by OTHER processes.
+    *
+    * Shape: a change-feed stream on the source acts purely as a
+    * CHANGE-DETECTION TRIGGER with the source's own rate control
+    * (`maxVersionsPerTrigger` etc. via the format's offset machinery);
+    * the foreachBatch sink never touches the batch DataFrame, so the
+    * trigger stream reads ZERO data — [[refresh]] pulls its own diff,
+    * and its manifest-txn watermark makes each application exactly-once
+    * REGARDLESS of Spark's batch replay (a re-delivered trigger is the
+    * versions-never-rewind no-op). The stream starts at the view's
+    * current watermark, so history already folded into the view is never
+    * re-listed. Change-feed mode matters: a plain stream refuses
+    * non-append commits, and DELETE/UPDATE are exactly the commits a
+    * view must see.
+    *
+    * `Trigger.AvailableNow` drains the backlog and stops (the scheduled
+    * catch-up shape); `Trigger.ProcessingTime` keeps the view
+    * continuously fresh. */
+  def maintainStream(spark: SparkSession, mvPath: String,
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val props = VersionedTable.propertiesOf(spark, mvPath)
+    val src = props.getOrElse(SourceKey, throw new IllegalArgumentException(
+      s"$mvPath is not a materialized view (no $SourceKey property)"))
+    val wm = VersionedTable.lastTxn(spark, mvPath, App).getOrElse(
+      throw new IllegalStateException(s"$mvPath carries no $App watermark"))
+    spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", wm.toString)
+      .load(src)
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, mvPath); ()
+      }
+      .start()
+  }
 }

@@ -241,6 +241,44 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!fresh(), "auto-refresh must stay opt-in")
   }
 
+  test("maintainStream: a live query keeps the view fresh across external DML, exactly once") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    val ckpt = base + "/ckpt"
+    VersionedTable.write(
+      (1L to 40L).map(i => (i, "g" + i % 2, 0L, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    // backlog accumulated BEFORE the stream starts (the external-writer
+    // story): deletes and appends the plain stream mode would refuse
+    VersionedTable.delete(spark, src, col("id") <= 5L)
+    VersionedTable.append(Seq((50L, "g0", 0L, 9L)).toDF("id", "g", "g2", "v"), src)
+    val q = MaterializedView.maintainStream(spark, mv, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      assert(viewRows(mv) == fullAgg(src))
+      val vAfterDrain = VersionedTable.latestVersion(spark, mv).get
+      // live DML while the query runs
+      VersionedTable.update(spark, src, col("id") === 10L,
+        Map("v" -> (col("v") + 1000L)))
+      q.processAllAvailable()
+      assert(viewRows(mv) == fullAgg(src))
+      assert(VersionedTable.latestVersion(spark, mv).contains(vAfterDrain + 1),
+        "one source commit must land as exactly one view version")
+      // no source motion → no view churn (the trigger stream reads no
+      // data and refresh no-ops on an unchanged watermark)
+      q.processAllAvailable()
+      assert(VersionedTable.latestVersion(spark, mv).contains(vAfterDrain + 1))
+    } finally q.stop()
+    // restart from the checkpoint: still exactly-once, still fresh
+    VersionedTable.append(Seq((51L, "g1", 0L, 4L)).toDF("id", "g", "g2", "v"), src)
+    val q2 = MaterializedView.maintainStream(spark, mv, ckpt)
+    try q2.awaitTermination() finally q2.stop() // AvailableNow drains and ends
+    assert(viewRows(mv) == fullAgg(src))
+    assert(VersionedTable.lastTxn(spark, mv, MaterializedView.App) ==
+      VersionedTable.latestVersion(spark, src))
+  }
+
   test("refresh reads the DIFF, not the source: only changed files open") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // 8 single-file commits → 8 source files with disjoint id ranges
