@@ -351,10 +351,17 @@ object MaterializedView {
               .as(maxColName(c)))
         } ++
         nnCols.map(c => nnNew(c).as(nnColName(c))): _*)
-    VersionedTable.upsert(merged, mvPath, keys = groupBy,
+    // the view-content write fence opens only for the refresh itself —
+    // every other mutator on the view path refuses (derived content).
+    // Saved/restored, not cleared: an auto-refresh chained off THIS
+    // upsert's hook (a view over a view) must not drop the outer bypass
+    val prev = VersionedTable.mvMaintenance.get()
+    VersionedTable.mvMaintenance.set(true)
+    try VersionedTable.upsert(merged, mvPath, keys = groupBy,
       evolveSchema = false, latestBy = None, statsCols = groupBy,
       txn = Some(App -> v1),
       deleteWhere = Some(col(CountCol) === 0L))
+    finally VersionedTable.mvMaintenance.set(prev)
   }
 
   /** Predicate helper for deleteWhere-style callers/tests. */

@@ -1413,6 +1413,7 @@ object VersionedTable {
     try while (committed < 0) {
       val base = latestVersion(spark, path)
       val parent = base.map(b => readManifest(spark, f, root, b))
+      parent.foreach(p => fenceMvWrite(p.props, path, "write"))
       // the committed version's props: an explicit set (CREATE TABLE) or
       // the parent's, carried — the same resolution encodeCommit applies
       val effProps = newProps.getOrElse(parent.map(_.props).getOrElse(Map.empty))
@@ -1731,6 +1732,7 @@ object VersionedTable {
     try while (committed < 0) {
       val base = latestVersion(spark, path)
       val c = base.map(b => readManifest(spark, f, root, b))
+      c.foreach(cc => fenceMvWrite(cc.props, path, "append"))
       txn.foreach { case (app, bid) =>
         if (c.exists(_.txn.get(app).exists(_ >= bid))) {
           // replayed batch: already committed — clean up and no-op
@@ -3287,6 +3289,7 @@ object VersionedTable {
     val updatesG = latestVersion(spark, path) match {
       case Some(b) =>
         val props = readManifest(spark, f, root, b).props
+        fenceMvWrite(props, path, "MERGE")
         // Delta parity: MERGE is not supported with identity columns —
         // matched rows carry their ids while inserted rows would need
         // allocation, and GENERATED ALWAYS forbids the carried ones
@@ -3573,6 +3576,7 @@ object VersionedTable {
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
       hookProps = c.props
+      fenceMvWrite(c.props, path, "DELETE")
       val (candKeys, carryKeys) = c.schema match {
         case Some(s) =>
           pruneFiles(spark, root, c, DataSkipping.resolve(spark, s, predicate))
@@ -3635,6 +3639,7 @@ object VersionedTable {
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
       hookProps = c.props
+      fenceMvWrite(c.props, path, "UPDATE")
       val s = c.schema.getOrElse(throw new IllegalArgumentException(
         s"$path: UPDATE needs a schema-recorded table"))
       val missing = set.keySet -- s.fieldNames.toSet
@@ -4620,6 +4625,7 @@ object VersionedTable {
         throw new IllegalArgumentException(s"$path has no committed versions"))
       val c = readManifest(spark, f, root, b)
       hookProps = c.props
+      fenceMvWrite(c.props, path, "DELETE")
       require(c.schema.isDefined,
         s"$path: vectorized delete needs a schema-recorded table")
       val s = c.schema.get
@@ -4877,6 +4883,26 @@ object VersionedTable {
     * cannot starve the others); a refresh of an unchanged source inside a
     * chained hook is the versions-never-rewind no-op. */
   private[graft] val MvAutoRefreshKey = "graft.mv.autoRefresh"
+
+  /** Materialized-view content is DERIVED: a direct write would silently
+    * desynchronize it from its definition — the rewrite would then serve
+    * corrupted aggregates as if they were the source's. Every row-changing
+    * verb refuses on a table carrying the view marker (the source
+    * property), except when the refresh machinery itself is applying the
+    * delta (thread-local bypass). Maintenance verbs that preserve content
+    * (OPTIMIZE/VACUUM) and RESTORE (which rewinds content and watermark
+    * COHERENTLY — the next refresh catches up) stay allowed. */
+  private[sources] val mvMaintenance = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private def fenceMvWrite(props: Map[String, String], path: String,
+      verb: String): Unit =
+    require(!props.contains(MaterializedView.SourceKey) || mvMaintenance.get(),
+      s"$path is a materialized view over ${props.getOrElse(
+        MaterializedView.SourceKey, "?")} — its content is derived, and a " +
+        s"direct $verb would desynchronize it; mutate the source and " +
+        "REFRESH MATERIALIZED VIEW (or drop the view)")
 
   private def autoRefreshViewsAfter(spark: SparkSession, path: String,
       props: Map[String, String]): Unit =

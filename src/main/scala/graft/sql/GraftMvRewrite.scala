@@ -58,6 +58,18 @@ import graft.sources.{MaterializedView, VersionedTable}
   * view maintains for all-NULL groups. Disable with
   * `spark.graft.mv.rewrite.enabled=false`.
   */
+object GraftMvRewrite {
+  /** Stable synthetic ExprId per COLUMN NAME for predicate normalization:
+    * both sides of a comparison draw from this map, so equal names always
+    * share an id and DIFFERENT names never do — deriving the id from
+    * name.hashCode would let colliding names (the classic "Aa"/"BB")
+    * falsely match two different predicates. */
+  private val nameIds =
+    new java.util.concurrent.ConcurrentHashMap[String, ExprId]()
+  private def idFor(n: String): ExprId =
+    nameIds.computeIfAbsent(n, _ => NamedExpression.newExprId)
+}
+
 case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean = spark.sessionState.conf
@@ -77,7 +89,7 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val t = e.transform { case a: AttributeReference =>
       nameOf.get(a.exprId) match {
         case Some(n) => AttributeReference(n, a.dataType, a.nullable)(
-          exprId = ExprId(n.hashCode.toLong & 0x7fffffffL))
+          exprId = GraftMvRewrite.idFor(n))
         case None => ok = false; a
       }
     }

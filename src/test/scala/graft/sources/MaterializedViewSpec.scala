@@ -279,6 +279,32 @@ class MaterializedViewSpec extends SparkSpec {
       VersionedTable.latestVersion(spark, src))
   }
 
+  test("view content is write-fenced: direct mutations refuse, refresh still applies") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 20L).map(i => (i, "g" + i % 2, 0L, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    def refuses(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("derived"), e.getMessage)
+    }
+    val bogus = Seq(("gX", 0L, 99L, 9L, 9L)).toDF("g", "g2",
+      MaterializedView.CountCol,
+      MaterializedView.sumColName("v"), MaterializedView.nnColName("v"))
+    refuses(VersionedTable.append(bogus, mv))
+    refuses(VersionedTable.delete(spark, mv, col("g") === "g0"))
+    refuses(VersionedTable.update(spark, mv, col("g") === "g0",
+      Map(MaterializedView.CountCol -> lit(0L))))
+    refuses(VersionedTable.deleteVectorized(spark, mv, col("g") === "g0", 0.9))
+    refuses(VersionedTable.upsert(bogus, mv, keys = Seq("g", "g2")))
+    refuses(spark.sql(s"DELETE FROM graft.`$mv` WHERE g = 'g0'").collect())
+    // the fence is for CONTENT, not maintenance: refresh still applies
+    VersionedTable.delete(spark, src, col("id") <= 4L)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == fullAgg(src))
+  }
+
   test("refresh reads the DIFF, not the source: only changed files open") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // 8 single-file commits → 8 source files with disjoint id ranges
