@@ -72,6 +72,16 @@ object MaterializedView {
   val SumColsKey = "graft.mv.sumCols"
   val MinMaxColsKey = "graft.mv.minMaxCols"
 
+  /** Optional hive-partition dimension of the VIEW itself (must be a
+    * subset of the GROUP BY columns): view rows land in one directory per
+    * partition value, so the refresh MERGE's CoW selection prunes whole
+    * DIRECTORIES (on top of the key-bound file pruning the group-key
+    * stats already give), residual group-column filters over a rewritten
+    * query prune the same way, and partition-scoped OPTIMIZE works. Right
+    * for views with a coarse leading dimension (date, tenant); pointless
+    * below a few files per partition value. */
+  val PartitionByKey = "graft.mv.partitionBy"
+
   /** Optional row predicate (SQL text) the view maintains OVER — applied
     * to the create snapshot and to every refresh's change feed. Exactness
     * rests on the predicate being ROW-LOCAL and STABLE: membership of a
@@ -161,15 +171,25 @@ object MaterializedView {
       where: Option[String]): Long =
     create(spark, srcPath, mvPath, groupBy, sumCols, Nil, where)
 
+  def create(spark: SparkSession, srcPath: String, mvPath: String,
+      groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
+      where: Option[String]): Long =
+    create(spark, srcPath, mvPath, groupBy, sumCols, minMaxCols, where, Nil)
+
   /** CREATE MATERIALIZED VIEW: one full aggregation of the source's head
     * snapshot, committed with the txn watermark pinned to the source
     * version it read. Idempotent/resumable: an existing view just gets
     * its definition properties (re)asserted — under the SAME definition
-    * only (redefinition refused). */
+    * only (redefinition refused). `partitionBy` lays the VIEW out
+    * hive-partitioned (see [[PartitionByKey]]). */
   def create(spark: SparkSession, srcPath: String, mvPath: String,
       groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
-      where: Option[String]): Long = {
+      where: Option[String], partitionBy: Seq[String]): Long = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
+    require(partitionBy.forall(groupBy.contains),
+      s"materialized view partition column(s) " +
+        s"${partitionBy.filterNot(groupBy.contains).mkString(",")} must be " +
+        "GROUP BY columns — only group keys exist on the view")
     // validate the predicate BEFORE any side effect (a refused create must
     // leave zero trace — no registration, no view)
     where.foreach(_ => applyWhere(VersionedTable.read(spark, srcPath),
@@ -194,7 +214,8 @@ object MaterializedView {
           p.get(GroupByKey).forall(_ == groupBy.mkString(",")) &&
           p.get(SumColsKey).forall(_ == sumCols.mkString(",")) &&
           p.get(MinMaxColsKey).forall(_ == minMaxCols.mkString(",")) &&
-          p.get(WhereKey).forall(_ == where.getOrElse("")),
+          p.get(WhereKey).forall(_ == where.getOrElse("")) &&
+          p.get(PartitionByKey).forall(_ == partitionBy.mkString(",")),
         s"materialized view $mvPath already exists with a different " +
           "definition — drop and re-create to redefine")
     }
@@ -204,14 +225,17 @@ object MaterializedView {
       val agg = aggFrame(snap, groupBy, sumCols, minMaxCols)
       refuseNullGroups(agg, groupBy, s"create over $srcPath")
       // group keys are the view's stats columns: the refresh MERGE's CoW
-      // file selection prunes on exactly these
-      VersionedTable.commitSnapshot(agg, mvPath, App, v, statsCols = groupBy)
+      // file selection prunes on exactly these (directory pruning on top
+      // when the view is partitioned)
+      VersionedTable.commitSnapshot(agg, mvPath, App, v, statsCols = groupBy,
+        partitionBy = partitionBy)
     }
     VersionedTable.setProperties(spark, mvPath, Map(
       SourceKey -> srcPath,
       GroupByKey -> groupBy.mkString(","),
       SumColsKey -> sumCols.mkString(","),
       MinMaxColsKey -> minMaxCols.mkString(","),
+      PartitionByKey -> partitionBy.mkString(","),
       // stored even when absent ("") so the redefinition guard catches a
       // WHERE being ADDED to a view created without one
       WhereKey -> where.getOrElse("")))

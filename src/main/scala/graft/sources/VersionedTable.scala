@@ -1334,8 +1334,10 @@ object VersionedTable {
     * version (a re-delivered Complete batch must not mint a duplicate
     * version, even though its contents would be identical). */
   def commitSnapshot(df: DataFrame, path: String, appId: String,
-      batchId: Long, statsCols: Seq[String] = Nil): Long =
-    writeInternal(df, path, statsCols, txn = Some(appId -> batchId))
+      batchId: Long, statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Long =
+    writeInternal(df, path, statsCols, txn = Some(appId -> batchId),
+      partitionCols = partitionBy)
 
   /** Snapshot write that commits ONLY IF the table has no committed
     * version, deciding INSIDE the commit loop — not check-then-act: a

@@ -101,7 +101,7 @@ private[sql] object GraftSqlStatements {
   private val AnalyzeNdvRe =
     s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+NDV\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
   private val CreateMvRe =
-    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
   private val RefreshMvRe =
     s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s*;?\\s*""".r
   // DLT's clause order: KEYS, [APPLY AS DELETE WHEN], SEQUENCE BY, [COLUMNS]
@@ -145,9 +145,11 @@ private[sql] object GraftSqlStatements {
       Some(GraftAnalyzeNdvCommand(cat, path, cols.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq))
-    case CreateMvRe(cat, path, selectList, srcCat, srcPath, where, groupBy) =>
+    case CreateMvRe(cat, path, partBy, selectList, srcCat, srcPath, where, groupBy) =>
       Some(GraftCreateMvCommand(cat, path, srcCat, srcPath,
-        selectList.trim, groupBy.trim, Option(where).map(_.trim)))
+        selectList.trim, groupBy.trim, Option(where).map(_.trim),
+        Option(partBy).toSeq.flatMap(_.split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
     case RefreshMvRe(cat, path) =>
       Some(GraftRefreshMvCommand(cat, path))
     case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
@@ -543,7 +545,8 @@ case class GraftDescribeHistoryCommand(cat: String,
   * `nn_<col>`. */
 case class GraftCreateMvCommand(cat: String, path: String,
     srcCat: String, srcPath: String, selectList: String,
-    groupByList: String, where: Option[String] = None)
+    groupByList: String, where: Option[String] = None,
+    partitionBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq.empty
@@ -581,7 +584,7 @@ case class GraftCreateMvCommand(cat: String, path: String,
       s"$stmt: the select list must include COUNT(*) — the group-liveness " +
         "aggregate that lets emptied groups leave the view")
     graft.sources.MaterializedView.create(session, src, p, groupBy,
-      sumCols.toSeq, minMaxCols.distinct.toSeq, where)
+      sumCols.toSeq, minMaxCols.distinct.toSeq, where, partitionBy)
     Seq.empty
   }
 }

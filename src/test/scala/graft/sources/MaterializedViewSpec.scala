@@ -305,6 +305,41 @@ class MaterializedViewSpec extends SparkSpec {
     assert(viewRows(mv) == fullAgg(src))
   }
 
+  test("partitioned view: hive layout through create and refresh, rewrite prunes through it") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 90L).map(i => (i, "g" + i % 3, i % 2, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` PARTITIONED BY (g) AS " +
+      s"SELECT g, g2, COUNT(*), SUM(v) FROM graft.`$src` GROUP BY g, g2")
+    def files(): Seq[String] = VersionedTable.filesOf(spark, mv,
+      VersionedTable.latestVersion(spark, mv).get)
+    assert(files().nonEmpty && files().forall(_.contains("g=g")),
+      files().mkString(","))
+    assert(viewRows(mv) == fullAgg(src))
+    // refresh keeps the partitioned layout (every CoW verb does)
+    VersionedTable.delete(spark, src, col("id") % 4 === 0)
+    MaterializedView.refresh(spark, mv)
+    assert(files().forall(_.contains("g=g")), files().mkString(","))
+    assert(viewRows(mv) == fullAgg(src))
+    // a rewritten query with a residual on the PARTITION column reads the
+    // view and prunes its directories; values match the source answer
+    val q = spark.sql(s"SELECT g2, COUNT(*) AS n, SUM(v) AS s " +
+      s"FROM graft.`$src` WHERE g = 'g1' GROUP BY g2")
+    assert(org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(q)
+      .map(_.toString).contains(mv))
+    val expect = VersionedTable.read(spark, src).filter(col("g") === "g1")
+      .groupBy(col("g2")).agg(count(lit(1)), sum(col("v"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(q.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap == expect)
+    // partition columns must be group keys — only group keys exist
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, src, base + "/mv2", Seq("g"), Seq("v"),
+        Nil, None, partitionBy = Seq("g2")) }
+    assert(e.getMessage.contains("GROUP BY columns"), e.getMessage)
+  }
+
   test("refresh reads the DIFF, not the source: only changed files open") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // 8 single-file commits → 8 source files with disjoint id ranges
