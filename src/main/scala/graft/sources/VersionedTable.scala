@@ -2104,6 +2104,20 @@ object VersionedTable {
     c.files
   }
 
+  /** Whether every data file of version `v` is still present — the
+    * time-travel READABILITY probe: vacuum may have reclaimed an old
+    * version's files, and a consumer about to substitute that version
+    * into a plan (the materialized-view rewrite answering a time-travel
+    * query from view history) must decline rather than plant a
+    * runtime-failing scan. O(files) driver existence checks — intended
+    * for SMALL tables (views); probing a fact table's history this way
+    * would be the wrong tool. */
+  def versionReadable(spark: SparkSession, path: String, v: Long): Boolean = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    filesOf(spark, path, v).forall(r => f.exists(new Path(root, r)))
+  }
+
   /** A version's file list AND logical→physical column mapping in ONE
     * manifest resolution — the streaming source needs both per batch (the
     * mapping to read appended files with their PHYSICAL schema; binding

@@ -214,13 +214,42 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         } yield conjuncts
     }
 
+  /** The view version whose refresh watermark equals `srcV` — the head
+    * when fresh (the common case, O(1)), else a BINARY SEARCH over the
+    * view's history: watermarks are monotone in view version (each
+    * refresh moves the cursor forward, atomically with its commit), so a
+    * TIME-TRAVEL query over the source rewrites to the view AS IT WAS.
+    * A non-head hit additionally probes that its files still exist
+    * (vacuum may have reclaimed them — a view is small, so the probe is
+    * a handful of driver existence checks); declines otherwise. */
+  private def versionFor(mvPath: String, srcV: Long): Option[Long] = {
+    val head = VersionedTable.latestVersion(spark, mvPath).getOrElse(return None)
+    def wm(v: Long): Option[Long] = scala.util.Try(
+      VersionedTable.lastTxn(spark, mvPath, MaterializedView.App, Some(v)))
+      .toOption.flatten
+    wm(head) match {
+      case Some(w) if w == srcV => Some(head)
+      case Some(w) if w < srcV => None // view behind even at its head
+      case _ =>
+        var lo = 0L; var hi = head
+        while (lo < hi) { // earliest version with watermark >= srcV
+          val mid = lo + (hi - lo) / 2
+          if (wm(mid).exists(_ >= srcV)) hi = mid else lo = mid + 1
+        }
+        wm(lo).filter(_ == srcV).map(_ => lo)
+          .filter(v => scala.util.Try(
+            VersionedTable.versionReadable(spark, mvPath, v)).getOrElse(false))
+    }
+  }
+
   private def tryView(mvPath: String, srcV: Long, groupCols: Seq[String],
       outs: Seq[Out], queryConds: Seq[Expression]): Option[LogicalPlan] = {
-    // freshness, checked and then READ at the same pinned view version
-    val hv = VersionedTable.latestVersion(spark, mvPath).getOrElse(return None)
-    if (!VersionedTable.lastTxn(spark, mvPath, MaterializedView.App, Some(hv))
-        .contains(srcV)) return None
-    val props = VersionedTable.propertiesOf(spark, mvPath, Some(hv))
+    // freshness, checked and then READ at the same pinned view version.
+    // The DEFINITION comes from the head — it is immutable (redefinition
+    // is refused), while a history hit's own version may predate the
+    // props commit that follows the create snapshot
+    val hv = versionFor(mvPath, srcV).getOrElse(return None)
+    val props = VersionedTable.propertiesOf(spark, mvPath)
     def cols(k: String): Seq[String] = props.get(k).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val vGroup = cols(MaterializedView.GroupByKey).toSet

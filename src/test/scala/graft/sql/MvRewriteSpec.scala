@@ -56,7 +56,7 @@ class MvRewriteSpec extends SparkSpec {
       s"SELECT g, COUNT(*) AS n FROM graft.`$src` GROUP BY g HAVING COUNT(*) > 30"))
   }
 
-  test("staleness declines and refresh re-arms; time travel never matches") {
+  test("staleness declines and refresh re-arms; time travel answers from view history") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     VersionedTable.write(
       (1L to 100L).map(i => (i, "g" + i % 4, i)).toDF("id", "g", "v"),
@@ -66,16 +66,30 @@ class MvRewriteSpec extends SparkSpec {
       .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"))
     assert(roots(q).contains(mv))
     // source moves, view not refreshed: the rewrite must DECLINE — the
-    // view would answer with yesterday's data
+    // view would answer with yesterday's data (the head watermark is
+    // BEHIND the pinned version; history search cannot help)
     VersionedTable.delete(spark, src, $"id" <= 10L)
     assert(roots(q).contains(src), roots(q).toString)
     assert(sorted(q) == sorted(q)) // and the source answer stands on its own
     MaterializedView.refresh(spark, mv)
     assertRewrites(src, mv, q)
-    // a time-travel read of an OLDER version never matches the watermark
-    val old = VersionedTable.read(spark, src, Some(2L))
+    // TIME TRAVEL: a read of source@2 (what the create snapshot reflected)
+    // answers from the view AS IT WAS — the version whose watermark is 2,
+    // found by binary search over the view's history
+    def old = VersionedTable.read(spark, src, Some(2L))
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    assertRewrites(src, mv, old)
+    // a version NO view state ever reflected (src@1 predates the view)
+    // declines
+    val preView = VersionedTable.read(spark, src, Some(1L))
       .groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(roots(preView).contains(src), roots(preView).toString)
+    // vacuum reclaims the view's history → the time-travel rewrite
+    // DECLINES (plan-time readability probe) instead of planting a
+    // runtime-failing scan; the head rewrite keeps working
+    VersionedTable.vacuumRetain(spark, mv, 0L)
     assert(roots(old).contains(src), roots(old).toString)
+    assertRewrites(src, mv, q)
   }
 
   test("uncovered shapes decline: WHERE below, MIN, uncovered SUM, distinct, fractional") {
