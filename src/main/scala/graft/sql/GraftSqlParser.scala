@@ -90,6 +90,8 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
   private val ShowPartsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
+  private val ShowMvsRe =
+    s"""(?is)\\s*SHOW\\s+MATERIALIZED\\s+VIEWS\\s+(?:ON|FOR)\\s+$Ref\\s*;?\\s*""".r
   private val CloneRe =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$Ref\\s+(?:SHALLOW\\s+)?CLONE\\s+$Ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
   private val ReorgRe =
@@ -130,6 +132,8 @@ private[sql] object GraftSqlStatements {
       Some(GraftDescribeDetailCommand(cat, path))
     case ShowPartsRe(cat, path) =>
       Some(GraftShowPartitionsCommand(cat, path))
+    case ShowMvsRe(cat, path) =>
+      Some(GraftShowMaterializedViewsCommand(cat, path))
     case CloneRe(dstCat, dstPath, srcCat, srcPath, v) =>
       Some(GraftCloneCommand(dstCat, dstPath, srcCat, srcPath,
         Option(v).map(_.toLong)))
@@ -497,6 +501,49 @@ case class GraftApplyChangesCommand(cat: String, path: String,
   * when a legacy file predates row-count recording). No directory
   * listing, no data files opened — partition values come from the file
   * keys the manifest already holds. */
+/** `SHOW MATERIALIZED VIEWS ON src` — one row per registered view with
+  * its maintenance facts: group/aggregate definition, predicate, refresh
+  * watermark vs the source head, and whether the rewrite would fire RIGHT
+  * NOW. Dropped-but-unregistered paths (an fs-level delete that bypassed
+  * DROP TABLE) report fresh=false with a null watermark. */
+case class GraftShowMaterializedViewsCommand(cat: String,
+    path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("group_by", StringType, nullable = false)(),
+    AttributeReference("aggregates", StringType, nullable = false)(),
+    AttributeReference("where", StringType, nullable = false)(),
+    AttributeReference("watermark", LongType, nullable = true)(),
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("fresh", BooleanType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path,
+      "SHOW MATERIALIZED VIEWS")
+    val head = VersionedTable.latestVersion(session, p).getOrElse(
+      throw new IllegalArgumentException(s"$p has no committed versions"))
+    val props = VersionedTable.propertiesOf(session, p)
+    MaterializedView.viewsIn(props).map { mv =>
+      val vp = scala.util.Try(
+        VersionedTable.propertiesOf(session, mv)).getOrElse(Map.empty)
+      def l(k: String) = vp.getOrElse(k, "")
+      val sums = l(MaterializedView.SumColsKey).split(",").filter(_.nonEmpty)
+        .map(c => s"SUM($c)")
+      val mms = l(MaterializedView.MinMaxColsKey).split(",").filter(_.nonEmpty)
+        .flatMap(c => Seq(s"MIN($c)", s"MAX($c)"))
+      val wm = scala.util.Try(
+        VersionedTable.lastTxn(session, mv, MaterializedView.App))
+        .toOption.flatten
+      Row(mv, l(MaterializedView.GroupByKey),
+        ("COUNT(*)" +: (sums ++ mms)).mkString(","),
+        l(MaterializedView.WhereKey),
+        wm.map(java.lang.Long.valueOf).orNull, head,
+        wm.contains(head))
+    }
+  }
+}
+
 case class GraftShowPartitionsCommand(cat: String,
     path: String) extends LeafRunnableCommand {
 

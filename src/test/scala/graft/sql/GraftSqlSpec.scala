@@ -1064,10 +1064,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(detail(mv2).getAs[Boolean]("mv_fresh"))
     // plain tables answer null, not false — "not a view" is not "stale"
     assert(detail(src).isNullAt(detail(src).fieldIndex("mv_fresh")))
+    // SHOW MATERIALIZED VIEWS ON src: roster + definitions + freshness
+    val shown = spark.sql(s"SHOW MATERIALIZED VIEWS ON graft.`$src`")
+      .collect().map(r => r.getAs[String]("view") ->
+        (r.getAs[String]("aggregates"), r.getAs[Boolean]("fresh"))).toMap
+    assert(shown.keySet == Set(mv, mv2), shown.keySet.toString)
+    assert(shown(mv2)._1 == "COUNT(*),MIN(v),MAX(v)", shown(mv2)._1)
+    assert(shown(mv2)._2, "mv2 was just refreshed — fresh")
+    assert(!shown(mv)._2, "mv's watermark is behind the source head")
     // DROP TABLE on a view unregisters it from the source's roster, so
     // the rewrite rule stops probing a path that no longer exists
     spark.sql(s"DROP TABLE graft.`$mv2`")
     val after = detail(src).getAs[String]("mv_views").split(",")
     assert(after.contains(mv) && !after.contains(mv2), after.mkString(","))
+    assert(spark.sql(s"SHOW MATERIALIZED VIEWS ON graft.`$src`")
+      .collect().map(_.getString(0)).toSeq == Seq(mv))
   }
 }
