@@ -1009,6 +1009,49 @@ object SkippingQueries {
     out
   }
 
+  // --------------------------------------------------------------------------
+  // q_mv_derived — DERIVED group keys under the oracle gate: the view
+  // groups by year(l_shipdate) (the canonical time-rollup MV), refresh
+  // evaluates the same key expression on the change feed, and the rewrite
+  // matches the query's year(...) grouping — through the optimizer's
+  // PullOutGroupingExpressions shape — against the stored definition.
+  // --------------------------------------------------------------------------
+  private def mvdSourcePath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvdsrc_v1", "lineitem.parquet")
+  private def mvdViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvdview_v1", "lineitem.parquet")
+
+  def mvDerived(spark: SparkSession, dir: String): DataFrame = {
+    val src = mvdSourcePath(dir)
+    val mv = mvdViewPath(dir)
+    if (VersionedTable.latestVersion(spark, src).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_shipdate"),
+        col("l_quantity").cast("long").as("qty")),
+        src, statsCols = Seq("l_orderkey"))                          // src v1
+    MaterializedView.create(spark, src, mv, // registers on src → src v2
+      Seq("yr"), Seq("qty"), Nil, None, Nil,
+      groupKeyExprs = Map("yr" -> "year(l_shipdate)"))
+    if (VersionedTable.latestVersion(spark, src).contains(2L))
+      VersionedTable.delete(spark, src, col("l_orderkey") % 3 === 0) // src v3
+    MaterializedView.refresh(spark, mv)
+    val out = VersionedTable.read(spark, src)
+      .groupBy(expr("year(l_shipdate)").as("yr"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(src),
+      s"q_mv_derived: expected the year() rollup over $src to rewrite to " +
+        s"the view $mv; optimized plan scans $roots")
+    out
+  }
+
+  val mvDerivedSql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS yr,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 3 <> 0 GROUP BY 1""".stripMargin
+
   val mvMinMaxSql: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
       |  CAST(MIN(qty) AS BIGINT) AS min_qty,
@@ -1037,6 +1080,7 @@ object SkippingQueries {
     "q_mv_rewrite" -> (mvRewrite _),
     "q_mv_filtered" -> (mvFiltered _),
     "q_mv_minmax" -> (mvMinMax _),
+    "q_mv_derived" -> (mvDerived _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
@@ -1059,6 +1103,7 @@ object SkippingQueries {
     "q_mv_rewrite" -> mvRewriteSql,
     "q_mv_filtered" -> mvFilteredSql,
     "q_mv_minmax" -> mvMinMaxSql,
+    "q_mv_derived" -> mvDerivedSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,

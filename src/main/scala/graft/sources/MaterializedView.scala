@@ -72,6 +72,25 @@ object MaterializedView {
   val SumColsKey = "graft.mv.sumCols"
   val MinMaxColsKey = "graft.mv.minMaxCols"
 
+  /** Optional EXPRESSION group keys: `alias -> SQL` pairs recorded when
+    * the view groups by derived values (`to_date(ts) AS day`, the
+    * canonical daily rollup). Aliases are the view's columns — everything
+    * name-based (MERGE keys, stats columns, partitioning) works on them
+    * unchanged; the expressions evaluate the keys on the snapshot, the
+    * change feed, and the repair scan. Row-local and stable required,
+    * same contract (and same refusals) as [[WhereKey]]. Plain-column
+    * views record nothing here. Items are joined with the ASCII record
+    * separator, alias and SQL with the unit separator — SQL text may
+    * contain commas. */
+  val GroupExprsKey = "graft.mv.groupExprs"
+  private val Rs = '\u001E'; private val Us = '\u001F'
+
+  private[graft] def groupExprsIn(props: Map[String, String]): Map[String, String] =
+    props.get(GroupExprsKey).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(Rs).toSeq.map { item =>
+        val Array(a, sql) = item.split(Us.toString, 2); a -> sql
+      }).toMap
+
   /** Optional hive-partition dimension of the VIEW itself (must be a
     * subset of the GROUP BY columns): view rows land in one directory per
     * partition value, so the refresh MERGE's CoW selection prunes whole
@@ -126,8 +145,37 @@ object MaterializedView {
           nnCols.map(c => count(col(c)).as(nnColName(c)))): _*)
   }
 
-  /** Validate + apply the view predicate: analyzed condition must be
-    * deterministic and free of clock reads (see [[WhereKey]]). */
+  /** Project a source-shaped frame to the view's key space: every group
+    * alias becomes its evaluated expression (or the plain column), value
+    * columns ride along — the one place expression group keys are
+    * computed, shared by the create snapshot, the refresh delta, and the
+    * MIN/MAX repair scan. */
+  private def keyed(df: DataFrame, groupBy: Seq[String],
+      exprOf: Map[String, String], valueCols: Seq[String]): DataFrame =
+    df.select((groupBy.map(a =>
+      exprOf.get(a).map(s => expr(s)).getOrElse(col(a)).as(a)) ++
+      valueCols.map(col)): _*)
+
+  /** The row-local-and-stable contract every view expression (predicate
+    * and group key alike) must satisfy — anything else would decide a
+    * row's group or membership differently across refreshes. */
+  private def checkRowLocal(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String, kind: String, sql: String): Unit = {
+    require(cond.deterministic,
+      s"materialized view $what: $kind '$sql' is non-deterministic — " +
+        "it must evaluate identically at every refresh")
+    val clock = cond.collectFirst {
+      case e if e.getClass.getSimpleName.matches(
+        "CurrentDate|CurrentTimestamp|CurrentTimeZone|Now|LocalTimestamp|CurrentTime") => e
+    }
+    require(clock.isEmpty,
+      s"materialized view $what: $kind '$sql' reads the clock " +
+        s"(${clock.get.prettyName}) — it would evaluate differently at " +
+        "each refresh, so rows could land in state they can never leave")
+  }
+
+  /** Validate + apply the view predicate (see [[WhereKey]]). */
   private def applyWhere(df: DataFrame, where: Option[String],
       what: String): DataFrame = where match {
     case None => df
@@ -135,20 +183,28 @@ object MaterializedView {
       val filtered = df.filter(expr(sql))
       import org.apache.spark.sql.catalyst.plans.logical.Filter
       filtered.queryExecution.analyzed.collectFirst { case Filter(cond, _) =>
-        require(cond.deterministic,
-          s"materialized view $what: WHERE '$sql' is non-deterministic — " +
-            "row membership must be decided identically at every refresh")
-        val clock = cond.collectFirst {
-          case e if e.getClass.getSimpleName.matches(
-            "CurrentDate|CurrentTimestamp|CurrentTimeZone|Now|LocalTimestamp|CurrentTime") => e
-        }
-        require(clock.isEmpty,
-          s"materialized view $what: WHERE '$sql' reads the clock " +
-            s"(${clock.get.prettyName}) — it would evaluate differently at " +
-            "each refresh, so rows could enter the view they can never leave")
+        checkRowLocal(cond, what, "WHERE", sql)
       }
       filtered
   }
+
+  /** Validate expression group keys against the source frame: resolvable,
+    * deterministic, clock-free. */
+  private def validateGroupExprs(df: DataFrame,
+      exprOf: Map[String, String], what: String): Unit =
+    if (exprOf.nonEmpty) {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      val proj = df.select(exprOf.toSeq.map { case (a, sql) =>
+        expr(sql).as(a) }: _*).queryExecution.analyzed
+      proj.collectFirst { case Project(items, _) =>
+        items.foreach {
+          case al @ Alias(e, a) =>
+            checkRowLocal(e, what, s"group key $a", exprOf.getOrElse(a, al.sql))
+          case _ => ()
+        }
+      }
+    }
 
   /** Loud null-group-key gate — `frame` is already one row per group
     * (O(groups), not O(rows)). */
@@ -181,19 +237,28 @@ object MaterializedView {
     * version it read. Idempotent/resumable: an existing view just gets
     * its definition properties (re)asserted — under the SAME definition
     * only (redefinition refused). `partitionBy` lays the VIEW out
-    * hive-partitioned (see [[PartitionByKey]]). */
+    * hive-partitioned (see [[PartitionByKey]]); `groupKeyExprs` makes a
+    * group alias a DERIVED key (see [[GroupExprsKey]] — the
+    * `to_date(ts) AS day` daily rollup). */
   def create(spark: SparkSession, srcPath: String, mvPath: String,
       groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
-      where: Option[String], partitionBy: Seq[String]): Long = {
+      where: Option[String], partitionBy: Seq[String],
+      groupKeyExprs: Map[String, String] = Map.empty): Long = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
     require(partitionBy.forall(groupBy.contains),
       s"materialized view partition column(s) " +
         s"${partitionBy.filterNot(groupBy.contains).mkString(",")} must be " +
         "GROUP BY columns — only group keys exist on the view")
-    // validate the predicate BEFORE any side effect (a refused create must
-    // leave zero trace — no registration, no view)
+    require(groupKeyExprs.keySet.subsetOf(groupBy.toSet),
+      s"group key expression alias(es) " +
+        s"${(groupKeyExprs.keySet -- groupBy).mkString(",")} are not GROUP " +
+        "BY columns")
+    // validate predicate and key expressions BEFORE any side effect (a
+    // refused create must leave zero trace — no registration, no view)
     where.foreach(_ => applyWhere(VersionedTable.read(spark, srcPath),
       where, s"create over $srcPath"))
+    validateGroupExprs(VersionedTable.read(spark, srcPath), groupKeyExprs,
+      s"create over $srcPath")
     // register the view on the SOURCE first (its props feed the rewrite
     // rule's candidate list), so the snapshot read below — at the version
     // the registration produced or later — can leave the view fresh enough
@@ -215,14 +280,16 @@ object MaterializedView {
           p.get(SumColsKey).forall(_ == sumCols.mkString(",")) &&
           p.get(MinMaxColsKey).forall(_ == minMaxCols.mkString(",")) &&
           p.get(WhereKey).forall(_ == where.getOrElse("")) &&
-          p.get(PartitionByKey).forall(_ == partitionBy.mkString(",")),
+          p.get(PartitionByKey).forall(_ == partitionBy.mkString(",")) &&
+          p.get(GroupExprsKey).forall(_ == serializeExprs(groupKeyExprs)),
         s"materialized view $mvPath already exists with a different " +
           "definition — drop and re-create to redefine")
     }
     if (VersionedTable.latestVersion(spark, mvPath).isEmpty) {
       val snap = applyWhere(VersionedTable.read(spark, srcPath, Some(v)),
         where, s"create over $srcPath")
-      val agg = aggFrame(snap, groupBy, sumCols, minMaxCols)
+      val agg = aggFrame(keyed(snap, groupBy, groupKeyExprs,
+        (sumCols ++ minMaxCols).distinct), groupBy, sumCols, minMaxCols)
       refuseNullGroups(agg, groupBy, s"create over $srcPath")
       // group keys are the view's stats columns: the refresh MERGE's CoW
       // file selection prunes on exactly these (directory pruning on top
@@ -236,10 +303,14 @@ object MaterializedView {
       SumColsKey -> sumCols.mkString(","),
       MinMaxColsKey -> minMaxCols.mkString(","),
       PartitionByKey -> partitionBy.mkString(","),
+      GroupExprsKey -> serializeExprs(groupKeyExprs),
       // stored even when absent ("") so the redefinition guard catches a
       // WHERE being ADDED to a view created without one
       WhereKey -> where.getOrElse("")))
   }
+
+  private def serializeExprs(exprOf: Map[String, String]): String =
+    exprOf.toSeq.sortBy(_._1).map { case (a, s) => s"$a$Us$s" }.mkString(Rs.toString)
 
   private def colsOf(props: Map[String, String], k: String): Seq[String] =
     props.get(k).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
@@ -272,8 +343,12 @@ object MaterializedView {
     val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
     def ins(c: String): Column = when(isIns, col(c)) // else null: min/max skip
     def del(c: String): Column = when(!isIns, col(c))
-    val delta = applyWhere(VersionedTable.changes(spark, src, v0, v1),
-        where, s"refresh of $mvPath")
+    val exprOf = groupExprsIn(props)
+    val valueCols = (sumCols ++ minMaxCols).distinct
+    val delta = keyed(
+        applyWhere(VersionedTable.changes(spark, src, v0, v1),
+          where, s"refresh of $mvPath"),
+        groupBy, exprOf, valueCols :+ "_change_type")
       .groupBy(groupBy.map(col): _*)
       .agg(sum(sign).as("d_count"),
         (sumCols.map(c => sum(sign * col(c)).as(s"d_$c")) ++
@@ -338,8 +413,10 @@ object MaterializedView {
           repairScans.incrementAndGet()
           // recompute ONLY the affected groups from the source AT v1 (the
           // version this refresh lands), through a key-filtered scan
-          val rep = applyWhere(VersionedTable.read(spark, src, Some(v1)),
-              where, s"refresh of $mvPath")
+          val rep = keyed(
+              applyWhere(VersionedTable.read(spark, src, Some(v1)),
+                where, s"refresh of $mvPath"),
+              groupBy, exprOf, minMaxCols)
             .join(broadcast(keys), groupBy)
             .groupBy(groupBy.map(col): _*)
             .agg(min(col(minMaxCols.head)).as(s"rmin_${minMaxCols.head}"),

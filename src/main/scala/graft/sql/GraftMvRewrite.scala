@@ -75,24 +75,32 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean = spark.sessionState.conf
     .getConfString("spark.graft.mv.rewrite.enabled", "true").toBoolean
 
-  /** Name-canonical form of a predicate: every attribute reference becomes
-    * a synthetic attribute KEYED BY SOURCE COLUMN NAME, so predicates from
-    * different plans (the query's filter, the view's stored WHERE) compare
-    * with `semanticEquals` and rebuild against any attribute space. None
-    * when the predicate reaches outside the map (computed columns), is
+  /** Name-canonical form of an expression: every attribute reference
+    * resolves through `envOf` to its canonical SOURCE-LEVEL expression — a
+    * synthetic attribute keyed by source column name for relation columns,
+    * or the (already-canonical) computed expression for derived Project
+    * columns (the optimizer's PullOutGroupingExpressions extracts
+    * `year(d)` into exactly such a column). Two plans' expressions then
+    * compare with `semanticEquals` and rebuild against any attribute
+    * space. None when the expression reaches outside the environment, is
     * non-deterministic, or carries a subquery. */
   private def named(e: Expression,
-      nameOf: Map[ExprId, String]): Option[Expression] = {
+      envOf: Map[ExprId, Expression]): Option[Expression] = {
     if (!e.deterministic || e.exists(_.isInstanceOf[PlanExpression[_]]))
       return None
     var ok = true
-    val t = e.transform { case a: AttributeReference =>
-      nameOf.get(a.exprId) match {
-        case Some(n) => AttributeReference(n, a.dataType, a.nullable)(
-          exprId = GraftMvRewrite.idFor(n))
+    // manual substitution, NOT transformDown: a replacement like
+    // `year(canonAttr(d))` contains canonical attrs whose ids are not in
+    // the environment — descending into it would mis-flag them as
+    // unresolvable
+    def subst(x: Expression): Expression = x match {
+      case a: AttributeReference => envOf.get(a.exprId) match {
+        case Some(canon) => canon
         case None => ok = false; a
       }
+      case other => other.mapChildren(subst)
     }
+    val t = subst(e)
     if (!ok) return None
     // fold constant subtrees: the QUERY side arrives optimizer-folded
     // (`cast(2 as bigint)` → `2L`) while the view's stored WHERE is only
@@ -103,27 +111,31 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
+  private def canonAttr(a: Attribute): Expression =
+    AttributeReference(a.name, a.dataType, a.nullable)(
+      exprId = GraftMvRewrite.idFor(a.name))
+
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case x => Seq(x)
   }
 
   /** ((registered views, pinned source version), aggregate-side exprId →
-    * source column name, name-canonical filter conjuncts below the
-    * aggregate) — walking attribute-only projections and filters. */
+    * canonical source-level expression, name-canonical filter conjuncts
+    * below the aggregate) — walking projections (attribute-passing AND
+    * computed columns) and filters. */
   private def sourceOf(plan: LogicalPlan)
-      : Option[((Seq[String], Long), Map[ExprId, String], Seq[Expression])] =
+      : Option[((Seq[String], Long), Map[ExprId, Expression], Seq[Expression])] =
     GraftBatchShim.mvRewriteInfoOf(plan) match {
       case Some(info) =>
-        Some((info, plan.output.map(a => a.exprId -> a.name).toMap, Nil))
+        Some((info, plan.output.map(a => a.exprId -> canonAttr(a)).toMap, Nil))
       case None => plan match {
         case Project(items, child) =>
           sourceOf(child).map { case (info, base, conds) =>
             (info, items.flatMap {
               case a: AttributeReference => base.get(a.exprId).map(a.exprId -> _)
-              case al @ Alias(a: AttributeReference, _) =>
-                base.get(a.exprId).map(al.exprId -> _)
-              case _ => None // computed column: references to it must decline
+              case al @ Alias(e, _) => named(e, base).map(al.exprId -> _)
+              case _ => None
             }.toMap, conds)
           }
         case Filter(cond, child) =>
@@ -139,11 +151,25 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  /** What each output slot of the original aggregate needs from the view. */
+  /** The SOURCE COLUMN NAME behind an attribute, when its canonical form
+    * is a plain relation column (what SUM/MIN/MAX/COUNT(col) need — they
+    * answer from per-COLUMN companions on the view). */
+  private def colName(a: AttributeReference,
+      envOf: Map[ExprId, Expression]): Option[String] =
+    envOf.get(a.exprId).collect { case at: AttributeReference => at.name }
+
+  /** What each output slot of the original aggregate needs from the view.
+    * Group slots carry their NAME-CANONICAL expression — a plain column or
+    * a derived key (`to_date(ts)`), matched against the view's group items
+    * the same way predicates are. */
   private sealed trait Out
-  private case class GroupOut(id: ExprId, name: String, srcCol: String,
+  private case class GroupOut(id: ExprId, name: String, norm: Expression,
       dt: org.apache.spark.sql.types.DataType) extends Out
   private case class CountOut(id: ExprId, name: String) extends Out
+  /** COUNT(col) — the NON-NULL count: answers from the view's nn_<col>
+    * companion (maintained for every SUM/MIN/MAX column). */
+  private case class CountColOut(id: ExprId, name: String,
+      srcCol: String) extends Out
   private case class SumOut(id: ExprId, name: String, srcCol: String) extends Out
   private case class MinOut(id: ExprId, name: String, srcCol: String,
       dt: org.apache.spark.sql.types.DataType) extends Out
@@ -151,23 +177,28 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       dt: org.apache.spark.sql.types.DataType) extends Out
 
   private def classify(e: NamedExpression,
-      colOf: Map[ExprId, String]): Option[Out] = e match {
+      env: Map[ExprId, Expression]): Option[Out] = e match {
     case a: AttributeReference =>
-      colOf.get(a.exprId).map(GroupOut(a.exprId, a.name, _, a.dataType))
-    case al @ Alias(a: AttributeReference, n) =>
-      colOf.get(a.exprId).map(GroupOut(al.exprId, n, _, a.dataType))
+      named(a, env).map(GroupOut(a.exprId, a.name, _, a.dataType))
     case al @ Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), n)
         if l.value != null =>
       Some(CountOut(al.exprId, n))
+    case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), n) =>
+      colName(a, env).map(CountColOut(al.exprId, n, _))
     case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), n)
         if al.dataType == LongType =>
-      colOf.get(a.exprId).map(SumOut(al.exprId, n, _))
+      colName(a, env).map(SumOut(al.exprId, n, _))
     // MIN/MAX re-aggregate EXACTLY for any orderable type: the min of
     // group-minima IS the min (no reordering concern, unlike float sums)
     case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), n) =>
-      colOf.get(a.exprId).map(MinOut(al.exprId, n, _, a.dataType))
+      colName(a, env).map(MinOut(al.exprId, n, _, a.dataType))
     case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), n) =>
-      colOf.get(a.exprId).map(MaxOut(al.exprId, n, _, a.dataType))
+      colName(a, env).map(MaxOut(al.exprId, n, _, a.dataType))
+    // a non-aggregate output slot: a group key, plain or derived — the
+    // normalized form must match one of the view's group items
+    case al @ Alias(g, n)
+        if !g.exists(_.isInstanceOf[AggregateExpression]) =>
+      named(g, env).map(GroupOut(al.exprId, n, _, al.dataType))
     case _ => None
   }
 
@@ -179,17 +210,30 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  private def dbg(msg: => String): Unit =
+    if (spark.sessionState.conf.getConfString(
+      "spark.graft.mv.rewrite.debug", "false").toBoolean)
+      // scalastyle:off println
+      println(s"[mv-rewrite] $msg")
+      // scalastyle:on println
+
   private def rewrite(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
     for {
       ((views, srcV), colOf, conds) <- sourceOf(child)
-      groupCols <- traverse(groupExprs.map {
-        case a: AttributeReference => colOf.get(a.exprId)
-        case _ => None
+      _ = dbg(s"source v=$srcV views=$views conds=$conds")
+      groupKeys <- traverse(groupExprs.map {
+        case g if !g.exists(_.isInstanceOf[AggregateExpression]) =>
+          val r = named(g, colOf)
+          dbg(s"group expr $g (${g.getClass.getSimpleName}) -> $r; env keys=${colOf.keySet}")
+          r
+        case g => dbg(s"group expr $g contains aggregate"); None
       })
+      _ = dbg(s"groupKeys=$groupKeys")
       outs <- traverse(aggExprs.map(classify(_, colOf)))
+      _ = dbg(s"outs=$outs")
       plan <- views.iterator
-        .flatMap(tryView(_, srcV, groupCols, outs, conds)).nextOption()
+        .flatMap(tryView(_, srcV, groupKeys, outs, conds)).nextOption()
     } yield plan
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
@@ -209,10 +253,39 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               .filter(org.apache.spark.sql.functions.expr(sql))
               .queryExecution.analyzed).toOption
           (cond, base) <- analyzed.collectFirst { case Filter(c, ch) =>
-            (c, ch.output.map(a => a.exprId -> a.name).toMap) }
+            (c, ch.output.map(a => a.exprId -> canonAttr(a)).toMap) }
           conjuncts <- traverse(splitConjuncts(cond).map(named(_, base)))
         } yield conjuncts
     }
+
+  /** The view's group items as (alias, name-canonical expression) — plain
+    * columns and derived keys (`day -> to_date(ts)`) alike, resolved
+    * against the SOURCE relation so types land exactly as create/refresh
+    * computed them. */
+  private def groupItemsOf(props: Map[String, String])
+      : Option[Seq[(String, Expression)]] = {
+    val aliases = props.get(MaterializedView.GroupByKey).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    if (aliases.isEmpty) return None
+    val exprOf = MaterializedView.groupExprsIn(props)
+    for {
+      srcPath <- props.get(MaterializedView.SourceKey)
+      analyzed <- scala.util.Try(
+        VersionedTable.read(spark, srcPath).select(aliases.map(a =>
+          org.apache.spark.sql.functions.expr(exprOf.getOrElse(a, s"`$a`"))
+            .as(a)): _*)
+          .queryExecution.analyzed).toOption
+      items <- analyzed.collectFirst {
+        case Project(projItems, ch) =>
+          val base = ch.output.map(x => x.exprId -> canonAttr(x)).toMap
+          traverse(projItems.map {
+            case al @ Alias(e, a) => named(e, base).map(a -> _)
+            case at: AttributeReference => named(at, base).map(at.name -> _)
+            case _ => None
+          })
+      }.flatten
+    } yield items
+  }
 
   /** The view version whose refresh watermark equals `srcV` — the head
     * when fresh (the common case, O(1)), else a BINARY SEARCH over the
@@ -242,7 +315,7 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def tryView(mvPath: String, srcV: Long, groupCols: Seq[String],
+  private def tryView(mvPath: String, srcV: Long, groupKeys: Seq[Expression],
       outs: Seq[Out], queryConds: Seq[Expression]): Option[LogicalPlan] = {
     // freshness, checked and then READ at the same pinned view version.
     // The DEFINITION comes from the head — it is immutable (redefinition
@@ -252,16 +325,34 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val props = VersionedTable.propertiesOf(spark, mvPath)
     def cols(k: String): Seq[String] = props.get(k).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    val vGroup = cols(MaterializedView.GroupByKey).toSet
     val vSums = cols(MaterializedView.SumColsKey).toSet
     val vMinMax = cols(MaterializedView.MinMaxColsKey).toSet
-    val neededGroups = outs.collect { case g: GroupOut => g.srcCol } ++ groupCols
+    val vNn = vSums ++ vMinMax // every maintained value col has nn_<col>
     val neededSums = outs.collect { case s: SumOut => s.srcCol }
     val neededMinMax = outs.collect {
       case m: MinOut => m.srcCol
       case m: MaxOut => m.srcCol }
-    if (!neededGroups.forall(vGroup) || !neededSums.forall(vSums) ||
-        !neededMinMax.forall(vMinMax)) return None
+    val neededNn = outs.collect { case c: CountColOut => c.srcCol }
+    if (!neededSums.forall(vSums) ||
+        !neededMinMax.forall(vMinMax) || !neededNn.forall(vNn)) return None
+
+    // group-key cover: every grouping slot (and group output) must match a
+    // view group item — plain columns and derived keys compare by their
+    // name-canonical expressions, exactly like predicates
+    val items = groupItemsOf(props).getOrElse {
+      dbg(s"$mvPath: groupItemsOf failed"); return None }
+    dbg(s"$mvPath: items=$items hv=$hv")
+    def aliasFor(norm: Expression): Option[String] = items
+      .find(_._2.canonicalized.semanticEquals(norm.canonicalized)).map(_._1)
+    val groupAliases = traverse(groupKeys.map(aliasFor)).getOrElse {
+      dbg(s"$mvPath: group keys unmatched"); return None }
+    val outAliases: Map[ExprId, String] = traverse(outs.collect {
+      case GroupOut(id, _, norm, _) => aliasFor(norm).map(id -> _)
+    }).getOrElse(return None).toMap
+    // residuals may only reference PLAIN group columns (a residual on a
+    // derived key's BASE column cannot apply over the view)
+    val plainGroup: Set[String] = (items.map(_._1).toSet --
+      MaterializedView.groupExprsIn(props).keySet)
 
     // predicate cover: every view conjunct must appear among the query's;
     // what remains of the query's is the residual, applied over the view —
@@ -289,7 +380,7 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val residualCols = residual.flatMap(_.collect {
       case a: AttributeReference => a.name })
-    if (!residualCols.forall(vGroup)) return None
+    if (!residualCols.forall(plainGroup)) return None
 
     val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
       .queryExecution.analyzed
@@ -300,14 +391,17 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // every referenced column must exist on the view with the exact type
     // the original output promised — else decline, never coerce
     val ok = outs.forall {
-      case GroupOut(_, _, c, dt) => attr.get(c).exists(_.dataType == dt)
+      case GroupOut(id, _, _, dt) =>
+        outAliases.get(id).flatMap(attr.get).exists(_.dataType == dt)
       case SumOut(_, _, c) => longAttr(MaterializedView.sumColName(c)).isDefined
+      case CountColOut(_, _, c) =>
+        longAttr(MaterializedView.nnColName(c)).isDefined
       case MinOut(_, _, c, dt) =>
         attr.get(MaterializedView.minColName(c)).exists(_.dataType == dt)
       case MaxOut(_, _, c, dt) =>
         attr.get(MaterializedView.maxColName(c)).exists(_.dataType == dt)
       case _: CountOut => true
-    } && groupCols.forall(attr.contains) &&
+    } && groupAliases.forall(attr.contains) &&
       residualCols.forall(n => attr.contains(n))
     if (!ok) return None
 
@@ -324,9 +418,9 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       else Filter(residualOnView.reduce(And), viewPlan)
 
     def reSum(a: Attribute): Expression = new Sum(a).toAggregateExpression()
-    val globalAgg = groupCols.isEmpty
+    val globalAgg = groupKeys.isEmpty
     val newAggs: Seq[NamedExpression] = outs.map {
-      case GroupOut(id, n, c, _) => Alias(attr(c), n)(exprId = id)
+      case GroupOut(id, n, _, _) => Alias(attr(outAliases(id)), n)(exprId = id)
       case CountOut(id, n) =>
         // a GLOBAL count over an empty (or fully-filtered) table is 0, but
         // SUM over the empty view would be NULL — coalesce restores
@@ -336,6 +430,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(e, n)(exprId = id)
       case SumOut(id, n, c) =>
         Alias(reSum(attr(MaterializedView.sumColName(c))), n)(exprId = id)
+      case CountColOut(id, n, c) =>
+        // COUNT(col) totality, like COUNT(*): 0 on empty, never NULL
+        val re = reSum(attr(MaterializedView.nnColName(c)))
+        val e = if (globalAgg) Coalesce(Seq(re, Literal(0L))) else re
+        Alias(e, n)(exprId = id)
       case MinOut(id, n, c, _) =>
         Alias(Min(attr(MaterializedView.minColName(c))).toAggregateExpression(),
           n)(exprId = id)
@@ -343,6 +442,6 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(Max(attr(MaterializedView.maxColName(c))).toAggregateExpression(),
           n)(exprId = id)
     }
-    Some(Aggregate(groupCols.map(attr(_)), newAggs, scan))
+    Some(Aggregate(groupAliases.map(attr(_)), newAggs, scan))
   }
 }

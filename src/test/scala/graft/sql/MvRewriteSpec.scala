@@ -209,6 +209,53 @@ class MvRewriteSpec extends SparkSpec {
       s"SELECT g, MAX(v) AS mx FROM graft.`$src` GROUP BY g"))
   }
 
+  test("derived group keys: a year(date) rollup view maintains and rewrites") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 120L).map(i => (i,
+        java.sql.Date.valueOf(s"202${i % 3}-0${1 + (i % 9 / 3).toInt}-15"), i))
+        .toDF("id", "d", "v"), src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("yr"), Seq("v"), Nil, None,
+      Nil, groupKeyExprs = Map("yr" -> "year(d)"))
+    def q = spark.sql(
+      s"SELECT year(d) AS yr, COUNT(*) AS n, SUM(v) AS s " +
+        s"FROM graft.`$src` GROUP BY year(d)")
+    assertRewrites(src, mv, q)
+    // the delta and the repair scan evaluate the SAME key expression:
+    // deletes and appends fold through refresh
+    VersionedTable.delete(spark, src, col("id") % 5 === 0)
+    VersionedTable.append(Seq((200L,
+      java.sql.Date.valueOf("2025-01-01"), 7L)).toDF("id", "d", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(src, mv, q)
+    val expect = VersionedTable.read(spark, src)
+      .groupBy(expr("year(d)").as("yr"))
+      .agg(count(lit(1)), sum($"v")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(q.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2))).toMap == expect)
+    // a DIFFERENT derivation over the same column declines
+    assert(roots(spark.sql(
+      s"SELECT month(d) AS m, COUNT(*) AS n FROM graft.`$src` GROUP BY month(d)"))
+      .contains(src))
+    // MIN/MAX compose with derived keys: extremum delete repairs by
+    // re-evaluating the key expression on the source scan
+    val mv2 = base + "/mv2"
+    MaterializedView.create(spark, src, mv2, Seq("yr"), Nil, Seq("v"), None,
+      Nil, groupKeyExprs = Map("yr" -> "year(d)"))
+    VersionedTable.delete(spark, src,
+      col("v") === VersionedTable.read(spark, src).agg(max($"v"))
+        .collect().head.getLong(0))
+    MaterializedView.refresh(spark, mv2)
+    def qm = spark.sql(
+      s"SELECT year(d) AS yr, MAX(v) AS mx FROM graft.`$src` GROUP BY year(d)")
+    assert(roots(qm).contains(mv2), roots(qm).toString)
+    val em = VersionedTable.read(spark, src)
+      .groupBy(expr("year(d)").as("yr")).agg(max($"v")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(qm.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == em)
+  }
+
   test("SQL surface rewrites too, and null-sum groups survive the round trip") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // group g3 carries ONLY null v: its view sum is SQL-NULL, and the
@@ -224,5 +271,16 @@ class MvRewriteSpec extends SparkSpec {
     val byG = q.collect().map(r => r.getString(0) ->
       (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2))).toMap
     assert(byG("g3") == (20L, null), byG.toString) // all-null group: NULL, not 0
+    // COUNT(col) — the NON-NULL count — answers from the nn companion,
+    // distinguishing itself from COUNT(*) exactly on the null rows
+    def qc = spark.sql(
+      s"SELECT g, COUNT(v) AS nv, COUNT(*) AS n FROM graft.`$src` GROUP BY g")
+    assertRewrites(src, mv, qc)
+    val nv = qc.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(nv("g3") == (0L, 20L), nv.toString)
+    // and the GLOBAL COUNT(col) keeps COUNT's totality through the rewrite
+    def qg = spark.sql(s"SELECT COUNT(v) AS nv FROM graft.`$src`")
+    assertRewrites(src, mv, qg)
   }
 }
