@@ -259,15 +259,22 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** The view's group items as (alias, name-canonical expression) — plain
-    * columns and derived keys (`day -> to_date(ts)`) alike, resolved
-    * against the SOURCE relation so types land exactly as create/refresh
-    * computed them. */
-  private def groupItemsOf(props: Map[String, String])
-      : Option[Seq[(String, Expression)]] = {
+    * columns and derived keys (`day -> to_date(ts)`) alike. Plain-column
+    * views (no [[MaterializedView.GroupExprsKey]]) build their items from
+    * the VIEW's own attributes — same name, type, and relation
+    * nullability as the source column by the groupBy pass-through — so
+    * the common case costs no extra relation build; derived keys resolve
+    * their stored SQL against the SOURCE relation so types land exactly
+    * as create/refresh computed them. */
+  private def groupItemsOf(props: Map[String, String],
+      viewAttr: Map[String, Attribute]): Option[Seq[(String, Expression)]] = {
     val aliases = props.get(MaterializedView.GroupByKey).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     if (aliases.isEmpty) return None
     val exprOf = MaterializedView.groupExprsIn(props)
+    if (exprOf.isEmpty)
+      return traverse(aliases.map(a => viewAttr.get(a).map(va =>
+        a -> canonAttr(va))))
     for {
       srcPath <- props.get(MaterializedView.SourceKey)
       analyzed <- scala.util.Try(
@@ -336,10 +343,13 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!neededSums.forall(vSums) ||
         !neededMinMax.forall(vMinMax) || !neededNn.forall(vNn)) return None
 
+    val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
+      .queryExecution.analyzed
+    val attr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
     // group-key cover: every grouping slot (and group output) must match a
     // view group item — plain columns and derived keys compare by their
     // name-canonical expressions, exactly like predicates
-    val items = groupItemsOf(props).getOrElse {
+    val items = groupItemsOf(props, attr).getOrElse {
       dbg(s"$mvPath: groupItemsOf failed"); return None }
     dbg(s"$mvPath: items=$items hv=$hv")
     def aliasFor(norm: Expression): Option[String] = items
@@ -382,9 +392,6 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => a.name })
     if (!residualCols.forall(plainGroup)) return None
 
-    val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
-      .queryExecution.analyzed
-    val attr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
     def longAttr(n: String): Option[Attribute] =
       attr.get(n).filter(_.dataType == LongType)
     val cnt = longAttr(MaterializedView.CountCol).getOrElse(return None)
