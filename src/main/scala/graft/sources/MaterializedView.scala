@@ -465,6 +465,41 @@ object MaterializedView {
     finally VersionedTable.mvMaintenance.set(prev)
   }
 
+  /** FULL refresh: recompute the whole aggregate from the source's head
+    * snapshot and REPLACE the view's content in one snapshot commit — the
+    * recovery verb for when the incremental path is gone: the source's
+    * history was VACUUMed past the view's watermark (changes() needs the
+    * old manifests and throws), or an operator suspects drift. The commit
+    * carries the same (App, sourceVersion) txn marker as an incremental
+    * refresh, so it is exactly-once under replay and the rewrite's
+    * freshness gate re-arms on it; a view already AT the source head is a
+    * txn-replay no-op. Costs O(source) — the thing incremental refresh
+    * exists to avoid — so it is a deliberate verb, never a fallback the
+    * engine takes silently. */
+  def fullRefresh(spark: SparkSession, mvPath: String): Long = {
+    val props = VersionedTable.propertiesOf(spark, mvPath)
+    val src = props.getOrElse(SourceKey, throw new IllegalArgumentException(
+      s"$mvPath is not a materialized view (no $SourceKey property)"))
+    val groupBy = colsOf(props, GroupByKey)
+    val sumCols = colsOf(props, SumColsKey)
+    val minMaxCols = colsOf(props, MinMaxColsKey)
+    val exprOf = groupExprsIn(props)
+    val where = props.get(WhereKey).filter(_.nonEmpty)
+    val partitionBy = colsOf(props, PartitionByKey)
+    val v1 = VersionedTable.latestVersion(spark, src).getOrElse(
+      throw new IllegalArgumentException(s"$src has no committed versions"))
+    val snap = applyWhere(VersionedTable.read(spark, src, Some(v1)),
+      where, s"full refresh of $mvPath")
+    val agg = aggFrame(keyed(snap, groupBy, exprOf,
+      (sumCols ++ minMaxCols).distinct), groupBy, sumCols, minMaxCols)
+    refuseNullGroups(agg, groupBy, s"full refresh of $mvPath")
+    val prev = VersionedTable.mvMaintenance.get()
+    VersionedTable.mvMaintenance.set(true)
+    try VersionedTable.commitSnapshot(agg, mvPath, App, v1,
+      statsCols = groupBy, partitionBy = partitionBy)
+    finally VersionedTable.mvMaintenance.set(prev)
+  }
+
   /** Predicate helper for deleteWhere-style callers/tests. */
   def dead: Column = col(CountCol) === 0L
 

@@ -105,7 +105,7 @@ private[sql] object GraftSqlStatements {
   private val CreateMvRe =
     s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
   private val RefreshMvRe =
-    s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref\\s*;?\\s*""".r
+    s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref(\\s+FULL)?\\s*;?\\s*""".r
   // DLT's clause order: KEYS, [APPLY AS DELETE WHEN], SEQUENCE BY, [COLUMNS]
   private val ApplyChangesRe =
     s"""(?is)\\s*APPLY\\s+CHANGES\\s+INTO\\s+$Ref\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\(([^)]+)\\)(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+(.+?))?\\s+SEQUENCE\\s+BY\\s+(`[^`]+`|\\w+)(?:\\s+COLUMNS\\s+\\*\\s+EXCEPT\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
@@ -154,8 +154,8 @@ private[sql] object GraftSqlStatements {
         selectList.trim, groupBy.trim, Option(where).map(_.trim),
         Option(partBy).toSeq.flatMap(_.split(",")
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
-    case RefreshMvRe(cat, path) =>
-      Some(GraftRefreshMvCommand(cat, path))
+    case RefreshMvRe(cat, path, full) =>
+      Some(GraftRefreshMvCommand(cat, path, full != null))
     case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
       def cols(s: String): Seq[String] = s.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
@@ -641,7 +641,7 @@ case class GraftCreateMvCommand(cat: String, path: String,
   * watermark as one CoW MERGE. Returns the view's (possibly unchanged)
   * version. */
 case class GraftRefreshMvCommand(cat: String,
-    path: String) extends LeafRunnableCommand {
+    path: String, full: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
@@ -649,6 +649,8 @@ case class GraftRefreshMvCommand(cat: String,
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path,
       "REFRESH MATERIALIZED VIEW")
-    Seq(Row(graft.sources.MaterializedView.refresh(session, p)))
+    Seq(Row(
+      if (full) graft.sources.MaterializedView.fullRefresh(session, p)
+      else graft.sources.MaterializedView.refresh(session, p)))
   }
 }

@@ -340,6 +340,33 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("GROUP BY columns"), e.getMessage)
   }
 
+  test("FULL refresh recovers a view whose source history was vacuumed past the watermark") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 50L).map(i => (i, "g" + i % 3, 0L, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    // the source moves several times WITHOUT refreshes, then its history
+    // is reclaimed — the incremental diff's base manifests are gone
+    VersionedTable.delete(spark, src, col("id") <= 10L)
+    VersionedTable.append(Seq((60L, "g0", 0L, 6L)).toDF("id", "g", "g2", "v"), src)
+    VersionedTable.vacuumRetain(spark, src, 0L)
+    intercept[Exception] { MaterializedView.refresh(spark, mv) }
+    // FULL refresh recomputes from the head snapshot, replaces the
+    // content, and re-arms the watermark in the SAME commit
+    val v = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv` FULL")
+      .collect().head.getLong(0)
+    assert(viewRows(mv) == fullAgg(src))
+    assert(VersionedTable.lastTxn(spark, mv, MaterializedView.App) ==
+      VersionedTable.latestVersion(spark, src))
+    // replay (crash re-run) of the same full refresh is the txn no-op
+    assert(MaterializedView.fullRefresh(spark, mv) == v)
+    // and the incremental path works again from the new watermark
+    VersionedTable.append(Seq((61L, "g1", 0L, 7L)).toDF("id", "g", "g2", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv) == fullAgg(src))
+  }
+
   test("refresh reads the DIFF, not the source: only changed files open") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // 8 single-file commits → 8 source files with disjoint id ranges
