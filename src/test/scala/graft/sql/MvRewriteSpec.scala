@@ -54,6 +54,12 @@ class MvRewriteSpec extends SparkSpec {
     // HAVING composes: the filter sits ABOVE the rewritten aggregate
     assertRewrites(src, mv, spark.sql(
       s"SELECT g, COUNT(*) AS n FROM graft.`$src` GROUP BY g HAVING COUNT(*) > 30"))
+    // SELECT DISTINCT over group columns IS an aggregate with no
+    // aggregate functions — the cheapest query the view can answer
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT DISTINCT g FROM graft.`$src`"))
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT DISTINCT g, g2 FROM graft.`$src`"))
   }
 
   test("staleness declines and refresh re-arms; time travel answers from view history") {
