@@ -323,8 +323,42 @@ object MaterializedView {
     * deleted (without an equal re-insert) recompute from a key-filtered
     * source scan. No-op (current version) when the source hasn't moved.
     * Crash-safe: a re-run of an applied (App, version) is the upsert
-    * replay no-op. */
+    * replay no-op.
+    *
+    * Concurrency-safe two ways: a per-view JVM lock serializes the
+    * in-process races (the `graft.mv.autoRefresh` hook vs a manual
+    * REFRESH), and the MERGE carries a `txnExpected` precondition checked
+    * atomically inside the commit CAS loop — the delta computed from
+    * watermark v0 lands ONLY on a view still at v0. Without it, two
+    * refreshes reading the same v0 could commit deltas (v0,v1] then
+    * (v0,v2]: the second passes the replay guard (v2 > v1) yet was
+    * computed without the first's effects on the stored view — a group
+    * whose (v0,v1] change was reverted by v2 keeps the first delta's
+    * value while the watermark advances. On conflict the refresh
+    * recomputes from the NEW watermark and retries. */
   def refresh(spark: SparkSession, mvPath: String): Long = {
+    val lock = refreshLocks.computeIfAbsent(mvPath, _ => new Object)
+    lock.synchronized {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        try return refreshOnce(spark, mvPath)
+        catch {
+          case _: VersionedTable.ConcurrentTxnException if attempts < 5 =>
+            // an external process moved the watermark between our read and
+            // our commit — the recompute picks up the new v0 (often a
+            // versions-never-rewind no-op if it covered our window)
+            ()
+        }
+      }
+      -1L // unreachable
+    }
+  }
+
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def refreshOnce(spark: SparkSession, mvPath: String): Long = {
     val props = VersionedTable.propertiesOf(spark, mvPath)
     val src = props.getOrElse(SourceKey, throw new IllegalArgumentException(
       s"$mvPath is not a materialized view (no $SourceKey property)"))
@@ -461,7 +495,11 @@ object MaterializedView {
     try VersionedTable.upsert(merged, mvPath, keys = groupBy,
       evolveSchema = false, latestBy = None, statsCols = groupBy,
       txn = Some(App -> v1),
-      deleteWhere = Some(col(CountCol) === 0L))
+      deleteWhere = Some(col(CountCol) === 0L),
+      guardBy = None,
+      // atomic with the commit: the delta was computed from watermark v0,
+      // so it may land only on a view whose watermark is STILL v0
+      txnExpected = Some(App -> v0))
     finally VersionedTable.mvMaintenance.set(prev)
   }
 

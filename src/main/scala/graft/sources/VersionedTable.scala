@@ -1528,6 +1528,20 @@ object VersionedTable {
   private[sources] final class ConcurrentCopyException(msg: String)
     extends RuntimeException(msg)
 
+  /** Optimistic-concurrency signal from [[upsert]]'s `txnExpected`
+    * precondition: the target's stored txn watermark for the app moved off
+    * the value the caller computed its update against — applying the
+    * update would silently skip (or double-apply) the interleaved window.
+    * The caller must recompute against the new watermark and retry
+    * (see [[MaterializedView.refresh]]). */
+  private[graft] final class ConcurrentTxnException(
+      val path: String, val app: String, val expected: Long,
+      val stored: Option[Long])
+    extends RuntimeException(
+      s"$path: txn watermark for app '$app' is " +
+        s"${stored.map(_.toString).getOrElse("absent")}, expected " +
+        s"$expected — a concurrent commit moved it; recompute and retry")
+
   /** Control-flow signal from [[appendInternal]] back to [[copyInto]]: every
     * source file in the staged batch was already loaded (a full statement
     * replay) — the head is returned unchanged and NO files were loaded by
@@ -3268,7 +3282,18 @@ object VersionedTable {
     * @param dropCols bookkeeping columns (e.g. a CDC `op` marker) removed
     *                from the rows BEFORE they land — but AFTER latestBy
     *                dedup and the deleteWhere/guard decisions, which may
-    *                reference them. The target schema never sees them. */
+    *                reference them. The target schema never sees them.
+    * @param txnExpected optimistic-concurrency precondition, checked inside
+    *                the CAS loop against the SAME pinned base the commit
+    *                lands on: the stored txn watermark for this app must
+    *                equal this value or the upsert throws
+    *                [[ConcurrentTxnException]] (after the replay no-op
+    *                check — a full replay still no-ops). This is how an
+    *                incremental consumer (e.g. MV refresh) guarantees the
+    *                delta it computed from watermark v0 lands only on a
+    *                table still AT v0 — two racing refreshes can otherwise
+    *                each pass the `batchId <= stored` replay guard while
+    *                one of them applies a stale window. */
   def upsert(
       updates: DataFrame,
       path: String,
@@ -3279,7 +3304,8 @@ object VersionedTable {
       txn: Option[(String, Long)],
       deleteWhere: Option[Column],
       guardBy: Option[String],
-      dropCols: Seq[String] = Nil): Long = {
+      dropCols: Seq[String] = Nil,
+      txnExpected: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     require(!updates.columns.contains(RowIdCol),
       s"$path: $RowIdCol is reserved for row tracking")
@@ -3360,6 +3386,13 @@ object VersionedTable {
         }
         txn.foreach { case (app, bid) =>
           if (baseC.exists(_.txn.get(app).exists(_ >= bid))) return base.get
+        }
+        // after the replay no-op: a watermark that moved PAST the batch is a
+        // replay, a watermark that moved but not past it is a stale window
+        txnExpected.foreach { case (app, expected) =>
+          val stored = baseC.flatMap(_.txn.get(app))
+          if (!stored.contains(expected))
+            throw new ConcurrentTxnException(path, app, expected, stored)
         }
         val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
         val (files, schemaJson, statsFn, statsAdd, rows, stagedDir, dvKeep,

@@ -110,8 +110,43 @@ private[sql] object GraftSqlStatements {
   private val ApplyChangesRe =
     s"""(?is)\\s*APPLY\\s+CHANGES\\s+INTO\\s+$Ref\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\(([^)]+)\\)(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+(.+?))?\\s+SEQUENCE\\s+BY\\s+(`[^`]+`|\\w+)(?:\\s+COLUMNS\\s+\\*\\s+EXCEPT\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
 
+  /** Guard for free-text clause captures. The regex grammar splits clauses
+    * on keywords, so a string literal (or backticked name, or
+    * parenthesized subexpression) containing a clause keyword — e.g.
+    * `WHERE s = ' GROUP BY '` — would otherwise split MID-LITERAL and
+    * execute a silently wrong statement. A mis-split always leaves at
+    * least one fragment with an unbalanced quote/backtick/paren, so
+    * balance-checking every captured fragment turns the silent mis-split
+    * into a loud refusal (SQL's '' escape balances as two quotes). */
+  private def balancedFrag(stmt: String, clause: String, text: String)
+      : String = {
+    var quote = false; var tick = false; var depth = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote) { if (c == '\'') quote = false }
+      else if (tick) { if (c == '`') tick = false }
+      else c match {
+        case '\'' => quote = true
+        case '`' => tick = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (quote || tick || depth != 0) throw new IllegalArgumentException(
+      s"$stmt: the $clause clause '$text' has unbalanced quotes/backticks/" +
+        "parentheses — a clause keyword (KEYS/GROUP BY/ZORDER BY/...) " +
+        "inside a literal confuses the statement grammar; rewrite the " +
+        "literal without the keyword text or quote it differently")
+    text
+  }
+
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(cat, path, where, zorder) =>
+      Option(where).foreach(balancedFrag("OPTIMIZE", "WHERE", _))
+      Option(zorder).foreach(balancedFrag("OPTIMIZE", "ZORDER BY", _))
       val zCols = Option(zorder).map(_.trim)
         .map(z => (if (z.startsWith("(") && z.endsWith(")"))
           z.substring(1, z.length - 1) else z)
@@ -150,6 +185,10 @@ private[sql] object GraftSqlStatements {
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq))
     case CreateMvRe(cat, path, partBy, selectList, srcCat, srcPath, where, groupBy) =>
+      val stmt = "CREATE MATERIALIZED VIEW"
+      balancedFrag(stmt, "SELECT", selectList)
+      Option(where).foreach(balancedFrag(stmt, "WHERE", _))
+      balancedFrag(stmt, "GROUP BY", groupBy)
       Some(GraftCreateMvCommand(cat, path, srcCat, srcPath,
         selectList.trim, groupBy.trim, Option(where).map(_.trim),
         Option(partBy).toSeq.flatMap(_.split(",")
@@ -157,6 +196,12 @@ private[sql] object GraftSqlStatements {
     case RefreshMvRe(cat, path, full) =>
       Some(GraftRefreshMvCommand(cat, path, full != null))
     case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
+      // FROM stays free text (a table name or a parenthesized subquery,
+      // executed via the session's own parser) — the balance check is what
+      // refuses a literal containing ' KEYS (' that would mis-split here
+      balancedFrag("APPLY CHANGES INTO", "FROM", from)
+      Option(deleteWhen).foreach(
+        balancedFrag("APPLY CHANGES INTO", "APPLY AS DELETE WHEN", _))
       def cols(s: String): Seq[String] = s.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
       Some(GraftApplyChangesCommand(cat, path, from.trim,

@@ -151,8 +151,12 @@ private[graft] class GraftFileIndex(
     * derive-filters, metadata hooks and listing behave identically; only
     * the size the join planner reads changes. */
   def withSizeEstimate(est: Long): GraftFileIndex =
+    // every constructor argument forwards — dropping mvViews/snapshotVersion
+    // here would make the MV-rewrite rule (injected AFTER estimation) stop
+    // seeing the view roster on exactly the filtered plans estimation touches
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
-      physNameOf, minMaxOf, generatedPartDefs, ndvOf) {
+      physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
+      snapshotVersion) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }

@@ -25,11 +25,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Conservative by construction: only top-level equality/IN conjuncts on
   * sketched columns contribute (anything else estimates 1.0); un-analyzed
   * files leave their values out of the sketch, which UNDERestimates NDV
-  * and therefore OVERestimates surviving size — never an unsafe
-  * broadcast. AQE's runtime re-plan still corrects either direction at
-  * execution; this rule fixes the STATIC plan, which is what decides
-  * whether the first execution shuffles 100 TB. Idempotent under the
-  * optimizer fix-point via the index's `estimated` marker.
+  * and therefore OVERestimates surviving size — the STALE-SKETCH
+  * direction can never cause an unsafe broadcast. The SKEW direction can:
+  * `1/ndv` assumes uniform value frequency, and a column where one value
+  * holds most rows survives far larger than the estimate. Two guards
+  * bound that exposure: the combined selectivity is FLOORED at
+  * `spark.graft.ndv.selectivityFloor` (default 0.001 — a flip needs the
+  * unfiltered side within 1000× of the broadcast threshold, capping the
+  * worst-case mistaken broadcast), and AQE's runtime re-plan corrects the
+  * join strategy from observed sizes at execution. This rule fixes the
+  * STATIC plan, which is what decides whether the first execution
+  * shuffles 100 TB. Idempotent under the optimizer fix-point via the
+  * index's `estimated` marker.
   */
 case class GraftNdvJoinEstimation(spark: SparkSession)
     extends Rule[LogicalPlan] {
@@ -39,7 +46,11 @@ case class GraftNdvJoinEstimation(spark: SparkSession)
         rel @ LogicalRelation(
           r @ HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _))
         if !g.estimated =>
-      val sel = selectivity(cond, g.ndvOf)
+      // skew floor: 1/ndv is a uniform-frequency assumption; never let a
+      // heavy-hitter column shrink an estimate below this fraction
+      val floor = spark.conf.getOption("spark.graft.ndv.selectivityFloor")
+        .map(_.toDouble).getOrElse(0.001)
+      val sel = math.max(selectivity(cond, g.ndvOf), floor)
       if (sel >= 1.0) f
       else {
         val est = math.max(1L, math.ceil(g.sizeInBytes.toDouble * sel).toLong)

@@ -50,6 +50,33 @@ class MaterializedViewSpec extends SparkSpec {
     assert(viewRows(mv) == fullAgg(src))
   }
 
+  test("concurrent refreshes serialize: racing threads never double-apply a window") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 60L).map(i => (i, "g" + i % 3, i % 2, i)).toDF("id", "g", "g2", "v"),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("v"))
+    // interleave source motion with refresh storms: every round appends,
+    // then four threads refresh AT ONCE — the per-view lock serializes
+    // them and the txnExpected precondition makes any externally-raced
+    // window impossible to double-apply
+    (1 to 3).foreach { round =>
+      VersionedTable.append(
+        Seq((100L * round, "g0", 0L, 10L * round),
+          (100L * round + 1, "gNEW", 1L, round.toLong))
+          .toDF("id", "g", "g2", "v"), src)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val tasks = (1 to 4).map(_ =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = MaterializedView.refresh(spark, mv)
+          }))
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      assert(viewRows(mv) == fullAgg(src), s"round $round drifted")
+    }
+  }
+
   test("refresh is incremental and exactly-once: no-op without source motion, replay no-op, cursor atomic") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     VersionedTable.write(

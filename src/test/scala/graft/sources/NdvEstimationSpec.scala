@@ -73,6 +73,38 @@ class NdvEstimationSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("selectivity floor bounds the skew exposure: a high floor blocks the flip") {
+    val p = tmp()
+    VersionedTable.write(dimDf(20000), p)
+    VersionedTable.analyzeNdv(spark, p, Seq("id"))
+    val fact = spark.range(500000L).select(
+      (col("id") % 100).as("id"), col("id").as("x"))
+    def planOf(): String = {
+      val dim = VersionedTable.read(spark, p).filter(col("id") === 7L)
+      fact.join(dim, "id").queryExecution.sparkPlan.toString
+    }
+    val raw = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(_.length).sum
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> math.max(65536L, raw / 4).toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // default floor 0.001: 1/20000 floors to 1/1000 of raw — still flips
+      assert(planOf().contains("BroadcastHashJoin"))
+      // a floor of 0.5 models "one value may hold half the rows": the
+      // estimate may never shrink below raw/2 > threshold — no flip
+      spark.conf.set("spark.graft.ndv.selectivityFloor", "0.5")
+      assert(!planOf().contains("BroadcastHashJoin"),
+        "the floor must cap how far 1/ndv can shrink a skewed column")
+    } finally {
+      spark.conf.unset("spark.graft.ndv.selectivityFloor")
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
+
   test("deletion-vector marks disable the estimate (the unsafe-broadcast guard)") {
     val p = tmp()
     VersionedTable.write(dimDf(2000), p, statsCols = Seq("id"))

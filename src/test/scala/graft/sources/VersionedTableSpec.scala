@@ -365,6 +365,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, p2).select("v").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("upsert txnExpected: a stale-watermark delta refuses instead of applying") {
+    val path = java.nio.file.Files.createTempDirectory("txe").toString + "/t"
+    def up(df: org.apache.spark.sql.DataFrame, bid: Long,
+        expect: Option[Long]): Long =
+      VersionedTable.upsert(df, path, Seq("id"), evolveSchema = false,
+        latestBy = None, statsCols = Nil, txn = Some("mv" -> bid),
+        deleteWhere = None, guardBy = None,
+        txnExpected = expect.map("mv" -> _))
+    up(Seq((1, "a")).toDF("id", "v"), 5L, None) // watermark now 5
+    // matching precondition lands
+    assert(up(Seq((1, "b")).toDF("id", "v"), 6L, Some(5L)) == 2L)
+    // a FULL replay (batch <= watermark) stays the no-op even with a stale
+    // precondition — the replay check precedes it
+    assert(up(Seq((1, "STALE")).toDF("id", "v"), 6L, Some(5L)) == 2L)
+    assert(VersionedTable.read(spark, path).select("v")
+      .as[String].collect().toSeq == Seq("b"))
+    // a NEW batch computed against watermark 5 after the move to 6 is the
+    // lost-window race: it must refuse, not silently apply a stale delta
+    val e = intercept[VersionedTable.ConcurrentTxnException] {
+      up(Seq((1, "c")).toDF("id", "v"), 7L, Some(5L))
+    }
+    assert(e.expected == 5L && e.stored.contains(6L))
+    // recomputed against the real watermark: lands
+    assert(up(Seq((1, "c")).toDF("id", "v"), 7L, Some(6L)) == 3L)
+  }
+
   test("deletion vectors: merge-on-read DELETE rewrites ZERO files") {
     val path = java.nio.file.Files.createTempDirectory("dv").toString + "/t"
     rangeTable(path)

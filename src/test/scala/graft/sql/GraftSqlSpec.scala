@@ -222,6 +222,32 @@ class GraftSqlSpec extends SparkSpec {
       .contains("[1,210,u1b]"))
   }
 
+  test("clause keywords inside literals refuse loudly instead of mis-splitting") {
+    val p = tmp()
+    VersionedTable.write(Seq((1L, "g", 2L)).toDF("id", "g", "v"), p)
+    def refuse(sql: String): Unit = {
+      val e = intercept[IllegalArgumentException] { spark.sql(sql) }
+      assert(e.getMessage.contains("unbalanced"), e.getMessage)
+    }
+    // the regex grammar splits clauses on keywords; each of these carries a
+    // clause keyword INSIDE a literal, so the non-greedy split lands
+    // mid-literal — the balance check refuses instead of executing a
+    // silently wrong statement
+    refuse(s"CREATE MATERIALIZED VIEW graft.`$p/mv` AS SELECT g, COUNT(*) " +
+      s"FROM ${sqlName(p)} WHERE g = ' GROUP BY x' GROUP BY g")
+    refuse(s"OPTIMIZE ${sqlName(p)} WHERE g = ' ZORDER BY q' ZORDER BY (g)")
+    // APPLY CHANGES has a hard later anchor (SEQUENCE BY <ident>), so
+    // backtracking recovers the CORRECT split past a ' KEYS (x)' literal —
+    // the statement executes with the full subquery as its source
+    Seq((1L, 5L, " KEYS (x)")).toDF("id", "seq", "s")
+      .createOrReplaceTempView("ac_lit")
+    spark.sql(s"APPLY CHANGES INTO ${sqlName(p)} " +
+      "FROM (SELECT id, s AS g, seq AS v FROM ac_lit WHERE s = ' KEYS (x)') " +
+      "KEYS (id) SEQUENCE BY v")
+    assert(VersionedTable.read(spark, p).filter(col("g") === " KEYS (x)")
+      .count() == 1L)
+  }
+
   test("unsupported MERGE shapes are refused with the contract named") {
     val p = tmp()
     VersionedTable.write(Seq((1L, "a", 1.0)).toDF("id", "s", "v"), p)

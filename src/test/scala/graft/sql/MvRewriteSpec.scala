@@ -158,6 +158,24 @@ class MvRewriteSpec extends SparkSpec {
     assertRewrites(src, mv, q("WHERE v % 2 = 0"))
   }
 
+  test("NDV size estimation on the filter keeps the view roster intact") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, "g" + i % 4, i)).toDF("id", "g", "v"),
+      src, statsCols = Seq("id"))
+    // sketch FIRST so the view's watermark lands at the analyzed head
+    VersionedTable.analyzeNdv(spark, src, Seq("g"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, COUNT(*), SUM(v) FROM graft.`$src` WHERE g = 'g1' GROUP BY g")
+    // the filter is an equality on a sketched column, so the estimation
+    // rule (injected BEFORE the MV rewrite) fires and REBUILDS the file
+    // index — a rebuild that drops mvViews/snapshotVersion would make the
+    // rewrite silently decline on exactly the filtered aggregates it covers
+    def q = spark.sql(s"SELECT g, COUNT(*) AS n, SUM(v) AS s " +
+      s"FROM graft.`$src` WHERE g = 'g1' GROUP BY g")
+    assertRewrites(src, mv, q)
+  }
+
   test("clock-reading and non-deterministic view predicates are refused at create") {
     val base = tmp(); val src = base + "/src"
     VersionedTable.write(
