@@ -1052,6 +1052,71 @@ object SkippingQueries {
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem WHERE l_orderkey % 3 <> 0 GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_mv_join — JOIN materialized view (the star-schema dashboard shape)
+  // under the oracle gate: the view maintains `fact ⋈ part` grouped by a
+  // DIM column (p_brand) through a fact-side delete and append, each
+  // refresh joining only the fact's diff with the PINNED dim; the gated
+  // query is the star aggregate itself, required in-query to answer from
+  // the view (optimized plan scans neither the fact nor the dim). The
+  // oracle replays the DML as set logic over raw lineitem and re-joins
+  // part — one green row proves the delta-join maintenance AND the
+  // join-shape rewrite compose exactly.
+  // --------------------------------------------------------------------------
+  private def mvjFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvjfact_v1", "lineitem.parquet")
+  private def mvjDimPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvjdim_v1", "part.parquet")
+  private def mvjViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvjview_v1", "lineitem.parquet")
+
+  def mvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = mvjFactPath(dir)
+    val dim = mvjDimPath(dir)
+    val mv = mvjViewPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_orderkey"))                         // fact v1
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    MaterializedView.createJoined(spark, fact, dim,   // registers → fact v2
+      Seq("l_partkey" -> "p_partkey"), mv, Seq("p_brand"), Seq("qty"))
+    if (VersionedTable.latestVersion(spark, fact).contains(2L))
+      VersionedTable.delete(spark, fact, col("l_orderkey") % 6 === 0) // v3
+    MaterializedView.refresh(spark, mv)  // fact diff ⋈ pinned dim
+    if (VersionedTable.latestVersion(spark, fact).contains(3L))
+      VersionedTable.append(Tables.lineitem(spark, dir)              // v4
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_quantity").cast("long") * 3L).as("qty")), fact)
+    MaterializedView.refresh(spark, mv)
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(fact) &&
+      !roots.contains(dim),
+      s"q_mv_join: expected the star aggregate over $fact ⋈ $dim to " +
+        s"rewrite to the view $mv; optimized plan scans $roots")
+    out
+  }
+
+  val mvJoinSql: String =
+    """WITH fact AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey % 6 <> 0
+      |  UNION ALL
+      |  SELECT l_partkey, 3 * CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_partkey % 4 = 0)
+      |SELECT p_brand, COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin
+
   val mvMinMaxSql: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
       |  CAST(MIN(qty) AS BIGINT) AS min_qty,
@@ -1081,6 +1146,7 @@ object SkippingQueries {
     "q_mv_filtered" -> (mvFiltered _),
     "q_mv_minmax" -> (mvMinMax _),
     "q_mv_derived" -> (mvDerived _),
+    "q_mv_join" -> (mvJoin _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
@@ -1104,6 +1170,7 @@ object SkippingQueries {
     "q_mv_filtered" -> mvFilteredSql,
     "q_mv_minmax" -> mvMinMaxSql,
     "q_mv_derived" -> mvDerivedSql,
+    "q_mv_join" -> mvJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,

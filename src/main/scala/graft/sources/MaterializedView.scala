@@ -117,6 +117,58 @@ object MaterializedView {
     * so the view's watermark can equal the source head from version one. */
   val ViewsKey = "graft.mv.views"
 
+  /** JOIN views (the star-schema dashboard shape): the view aggregates
+    * `fact INNER JOIN dim ON fk = pk` instead of the bare fact. The FACT
+    * is the [[SourceKey]] source (its change feed drives the incremental
+    * refresh, exactly as for plain views); the DIMENSION is a second graft
+    * table, pinned at [[JoinDimVersionKey]]:
+    *
+    *  - the dim's join keys must be UNIQUE (a primary key) — checked with
+    *    one O(dim) aggregate at create and at every FULL refresh; without
+    *    it a fact row would contribute once per matching dim row and the
+    *    fact-delta maintenance would be wrong;
+    *  - incremental refresh joins the fact's change feed with the dim AT
+    *    THE PINNED VERSION — each fact insert/delete pairs with exactly
+    *    the dim row it paired with at create, so signs cancel exactly;
+    *  - a dim that MOVED refuses the incremental path loudly (its changed
+    *    rows would need per-group repair across the whole fact) — FULL
+    *    refresh re-pins the head and re-validates uniqueness;
+    *  - the rewrite answers `Aggregate(fact ⋈ dim)` queries only when the
+    *    fact watermark matches the queried fact snapshot AND the queried
+    *    dim snapshot is exactly the pinned one.
+    *
+    * At 100 TB this is the shape that matters: the fact's daily delta
+    * joins a broadcast-sized dim, and the dashboard's star aggregate reads
+    * the view's kilobytes instead of re-joining the fact. */
+  val JoinDimKey = "graft.mv.joinDim"
+  /** `fk<US>pk` pairs joined by `<RS>` — fact column = dim column. */
+  val JoinKeysKey = "graft.mv.joinKeys"
+  val JoinDimVersionKey = "graft.mv.joinDimVersion"
+
+  private[graft] def joinSpecIn(props: Map[String, String])
+      : Option[(String, Seq[(String, String)], Long)] =
+    for {
+      dim <- props.get(JoinDimKey).filter(_.nonEmpty)
+      keysRaw <- props.get(JoinKeysKey).filter(_.nonEmpty)
+      v <- props.get(JoinDimVersionKey).map(_.toLong)
+    } yield (dim, keysRaw.split(Rs.toString).toSeq.map { item =>
+      val Array(fk, pk) = item.split(Us.toString, 2); (fk, pk)
+    }, v)
+
+  /** `fact ⋈ dim` with the dim's key columns dropped (the fact's fk
+    * carries the value — equal by the join). Shared by the create
+    * snapshot, the refresh delta, the repair scan, and the rewrite's
+    * definition resolution, so the joined column space is identical
+    * everywhere. */
+  private[graft] def joinFrames(fact: DataFrame, dim: DataFrame,
+      keys: Seq[(String, String)]): DataFrame = {
+    val cond = keys.map { case (fk, pk) => fact(fk) === dim(pk) }
+      .reduce(_ && _)
+    keys.map(_._2).foldLeft(fact.join(dim, cond, "inner")) { (d, pk) =>
+      d.drop(dim(pk))
+    }
+  }
+
   private[graft] def viewsIn(props: Map[String, String]): Seq[String] =
     props.get(ViewsKey).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
@@ -243,7 +295,68 @@ object MaterializedView {
   def create(spark: SparkSession, srcPath: String, mvPath: String,
       groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
       where: Option[String], partitionBy: Seq[String],
+      groupKeyExprs: Map[String, String] = Map.empty): Long =
+    createImpl(spark, srcPath, mvPath, groupBy, sumCols, minMaxCols,
+      where, partitionBy, groupKeyExprs, join = None)
+
+  /** CREATE a JOIN materialized view over `fact INNER JOIN dim` (see
+    * [[JoinDimKey]]): group/value columns come from the JOINED frame (the
+    * fact's columns plus the dim's non-key columns). The dim is pinned at
+    * its current head; its join keys are validated UNIQUE and its non-key
+    * column names validated collision-free against the fact's — both
+    * refused loudly, before any side effect. */
+  def createJoined(spark: SparkSession, factPath: String, dimPath: String,
+      joinKeys: Seq[(String, String)], mvPath: String,
+      groupBy: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil, where: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
       groupKeyExprs: Map[String, String] = Map.empty): Long = {
+    require(joinKeys.nonEmpty, "join materialized view needs join keys")
+    val dimV = VersionedTable.latestVersion(spark, dimPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dimPath has no committed versions"))
+    validateJoin(spark, factPath, dimPath, joinKeys, dimV,
+      s"create over $factPath ⋈ $dimPath")
+    createImpl(spark, factPath, mvPath, groupBy, sumCols, minMaxCols,
+      where, partitionBy, groupKeyExprs,
+      join = Some((dimPath, joinKeys, dimV)))
+  }
+
+  /** The join contract, checked at create and FULL refresh: key columns
+    * exist on both sides, the dim's non-key names don't collide with the
+    * fact's (the joined frame must have unambiguous names), and the dim's
+    * key tuple is UNIQUE — one O(dim) aggregate, the price of exact
+    * fact-delta maintenance. */
+  private def validateJoin(spark: SparkSession, factPath: String,
+      dimPath: String, keys: Seq[(String, String)], dimV: Long,
+      what: String): Unit = {
+    val factCols = VersionedTable.read(spark, factPath).columns.toSet
+    val dim = VersionedTable.read(spark, dimPath, Some(dimV))
+    val dimCols = dim.columns.toSet
+    val missF = keys.map(_._1).filterNot(factCols)
+    val missD = keys.map(_._2).filterNot(dimCols)
+    require(missF.isEmpty && missD.isEmpty,
+      s"materialized view $what: join key column(s) " +
+        s"${(missF ++ missD).mkString(",")} missing")
+    val clash = (dimCols -- keys.map(_._2)).intersect(factCols)
+    require(clash.isEmpty,
+      s"materialized view $what: dim column(s) ${clash.mkString(",")} " +
+        "collide with fact columns — the joined frame needs unambiguous " +
+        "names; rename or drop them on one side")
+    val dupes = dim.groupBy(keys.map(k => col(k._2)): _*)
+      .count().filter(col("count") > 1L).limit(1).count()
+    require(dupes == 0L,
+      s"materialized view $what: dim join key " +
+        s"(${keys.map(_._2).mkString(",")}) is not unique in $dimPath@$dimV " +
+        "— a fact row would contribute once per matching dim row, so " +
+        "fact-delta maintenance would be wrong")
+  }
+
+  private def createImpl(spark: SparkSession, srcPath: String, mvPath: String,
+      groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
+      where: Option[String], partitionBy: Seq[String],
+      groupKeyExprs: Map[String, String],
+      join: Option[(String, Seq[(String, String)], Long)]): Long = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
     require(partitionBy.forall(groupBy.contains),
       s"materialized view partition column(s) " +
@@ -253,11 +366,21 @@ object MaterializedView {
       s"group key expression alias(es) " +
         s"${(groupKeyExprs.keySet -- groupBy).mkString(",")} are not GROUP " +
         "BY columns")
+    // all reads below go through the (possibly joined) source frame, so
+    // predicates and group keys may reference dim columns too
+    def srcFrame(asOf: Option[Long]): DataFrame = {
+      val fact = VersionedTable.read(spark, srcPath, asOf)
+      join match {
+        case None => fact
+        case Some((dim, keys, dimV)) =>
+          joinFrames(fact, VersionedTable.read(spark, dim, Some(dimV)), keys)
+      }
+    }
     // validate predicate and key expressions BEFORE any side effect (a
     // refused create must leave zero trace — no registration, no view)
-    where.foreach(_ => applyWhere(VersionedTable.read(spark, srcPath),
+    where.foreach(_ => applyWhere(srcFrame(None),
       where, s"create over $srcPath"))
-    validateGroupExprs(VersionedTable.read(spark, srcPath), groupKeyExprs,
+    validateGroupExprs(srcFrame(None), groupKeyExprs,
       s"create over $srcPath")
     // register the view on the SOURCE first (its props feed the rewrite
     // rule's candidate list), so the snapshot read below — at the version
@@ -281,13 +404,15 @@ object MaterializedView {
           p.get(MinMaxColsKey).forall(_ == minMaxCols.mkString(",")) &&
           p.get(WhereKey).forall(_ == where.getOrElse("")) &&
           p.get(PartitionByKey).forall(_ == partitionBy.mkString(",")) &&
-          p.get(GroupExprsKey).forall(_ == serializeExprs(groupKeyExprs)),
+          p.get(GroupExprsKey).forall(_ == serializeExprs(groupKeyExprs)) &&
+          p.get(JoinDimKey).forall(_ ==
+            join.map(_._1).getOrElse("")) &&
+          p.get(JoinKeysKey).forall(_ == serializeJoinKeys(join)),
         s"materialized view $mvPath already exists with a different " +
           "definition — drop and re-create to redefine")
     }
     if (VersionedTable.latestVersion(spark, mvPath).isEmpty) {
-      val snap = applyWhere(VersionedTable.read(spark, srcPath, Some(v)),
-        where, s"create over $srcPath")
+      val snap = applyWhere(srcFrame(Some(v)), where, s"create over $srcPath")
       val agg = aggFrame(keyed(snap, groupBy, groupKeyExprs,
         (sumCols ++ minMaxCols).distinct), groupBy, sumCols, minMaxCols)
       refuseNullGroups(agg, groupBy, s"create over $srcPath")
@@ -306,8 +431,18 @@ object MaterializedView {
       GroupExprsKey -> serializeExprs(groupKeyExprs),
       // stored even when absent ("") so the redefinition guard catches a
       // WHERE being ADDED to a view created without one
-      WhereKey -> where.getOrElse("")))
+      WhereKey -> where.getOrElse("")) ++
+      join.map { case (dim, _, dimV) => Map(
+        JoinDimKey -> dim,
+        JoinKeysKey -> serializeJoinKeys(join),
+        JoinDimVersionKey -> dimV.toString)
+      }.getOrElse(Map.empty))
   }
+
+  private def serializeJoinKeys(
+      join: Option[(String, Seq[(String, String)], Long)]): String =
+    join.map(_._2.map { case (fk, pk) => s"$fk$Us$pk" }.mkString(Rs.toString))
+      .getOrElse("")
 
   private def serializeExprs(exprOf: Map[String, String]): String =
     exprOf.toSeq.sortBy(_._1).map { case (a, s) => s"$a$Us$s" }.mkString(Rs.toString)
@@ -373,6 +508,25 @@ object MaterializedView {
       throw new IllegalArgumentException(s"$src has no committed versions"))
     val cur = VersionedTable.latestVersion(spark, mvPath).get
     if (v1 <= v0) return cur // source unchanged (versions never rewind)
+    // JOIN views: the incremental path joins the fact's diff with the dim
+    // AT THE PINNED VERSION — exact only while the dim hasn't moved (a
+    // changed dim row would re-shape groups across the WHOLE fact, which
+    // is a repair, not a delta). Refuse loudly; FULL refresh re-pins.
+    val joinSpec = joinSpecIn(props)
+    joinSpec.foreach { case (dim, _, dimV) =>
+      val head = VersionedTable.latestVersion(spark, dim).getOrElse(
+        throw new IllegalStateException(
+          s"$mvPath: join dimension $dim has no committed versions"))
+      require(head == dimV,
+        s"$mvPath: join dimension $dim moved to version $head (pinned " +
+          s"$dimV) — the incremental refresh joins the pinned dim; run " +
+          "fullRefresh / REFRESH MATERIALIZED VIEW ... FULL to re-pin")
+    }
+    def withDim(fact: DataFrame): DataFrame = joinSpec match {
+      case None => fact
+      case Some((dim, keys, dimV)) =>
+        joinFrames(fact, VersionedTable.read(spark, dim, Some(dimV)), keys)
+    }
     val isIns = col("_change_type") === "insert"
     val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
     def ins(c: String): Column = when(isIns, col(c)) // else null: min/max skip
@@ -380,7 +534,7 @@ object MaterializedView {
     val exprOf = groupExprsIn(props)
     val valueCols = (sumCols ++ minMaxCols).distinct
     val delta = keyed(
-        applyWhere(VersionedTable.changes(spark, src, v0, v1),
+        applyWhere(withDim(VersionedTable.changes(spark, src, v0, v1)),
           where, s"refresh of $mvPath"),
         groupBy, exprOf, valueCols :+ "_change_type")
       .groupBy(groupBy.map(col): _*)
@@ -448,7 +602,7 @@ object MaterializedView {
           // recompute ONLY the affected groups from the source AT v1 (the
           // version this refresh lands), through a key-filtered scan
           val rep = keyed(
-              applyWhere(VersionedTable.read(spark, src, Some(v1)),
+              applyWhere(withDim(VersionedTable.read(spark, src, Some(v1))),
                 where, s"refresh of $mvPath"),
               groupBy, exprOf, minMaxCols)
             .join(broadcast(keys), groupBy)
@@ -526,15 +680,47 @@ object MaterializedView {
     val partitionBy = colsOf(props, PartitionByKey)
     val v1 = VersionedTable.latestVersion(spark, src).getOrElse(
       throw new IllegalArgumentException(s"$src has no committed versions"))
-    val snap = applyWhere(VersionedTable.read(spark, src, Some(v1)),
+    // JOIN views: FULL refresh is the dim-moved recovery verb — re-pin the
+    // dim HEAD (re-validating the uniqueness/collision contract) and
+    // rebuild against it
+    val rePinned = joinSpecIn(props).map { case (dim, keys, _) =>
+      val dimV = VersionedTable.latestVersion(spark, dim).getOrElse(
+        throw new IllegalStateException(
+          s"$mvPath: join dimension $dim has no committed versions"))
+      validateJoin(spark, src, dim, keys, dimV, s"full refresh of $mvPath")
+      (dim, keys, dimV)
+    }
+    def withDim(fact: DataFrame): DataFrame = rePinned match {
+      case None => fact
+      case Some((dim, keys, dimV)) =>
+        joinFrames(fact, VersionedTable.read(spark, dim, Some(dimV)), keys)
+    }
+    val snap = applyWhere(withDim(VersionedTable.read(spark, src, Some(v1))),
       where, s"full refresh of $mvPath")
     val agg = aggFrame(keyed(snap, groupBy, exprOf,
       (sumCols ++ minMaxCols).distinct), groupBy, sumCols, minMaxCols)
     refuseNullGroups(agg, groupBy, s"full refresh of $mvPath")
+    // replay/no-op accounting must consider BOTH cursors: the fact
+    // watermark (the txn map) and, for join views, the dim pin. A view
+    // already at the fact head with a fresh pin is the no-op; at the fact
+    // head with a STALE pin (dim moved, fact didn't) the commit must land
+    // anyway — the fact-version batchId alone would replay-no-op — so it
+    // goes in WITHOUT a txn marker (the watermark carries unchanged).
+    val wm = VersionedTable.lastTxn(spark, mvPath, App)
+    val pinFresh = rePinned.forall { case (_, _, dimV) =>
+      joinSpecIn(props).exists(_._3 == dimV) }
+    if (wm.contains(v1) && pinFresh)
+      return VersionedTable.latestVersion(spark, mvPath).get
     val prev = VersionedTable.mvMaintenance.get()
     VersionedTable.mvMaintenance.set(true)
-    try VersionedTable.commitSnapshot(agg, mvPath, App, v1,
-      statsCols = groupBy, partitionBy = partitionBy)
+    // the re-pinned dim version lands IN the snapshot commit — a separate
+    // props commit would leave a crash window where the content (built
+    // against the new dim) and the pin (still the old one) disagree
+    try VersionedTable.commitSnapshotRaw(agg, mvPath,
+      statsCols = groupBy, partitionBy = partitionBy,
+      txn = if (wm.exists(_ >= v1)) None else Some(App -> v1),
+      propsAdd = rePinned.map { case (_, _, dimV) =>
+        Map(JoinDimVersionKey -> dimV.toString) }.getOrElse(Map.empty))
     finally VersionedTable.mvMaintenance.set(prev)
   }
 

@@ -1339,6 +1339,24 @@ object VersionedTable {
     writeInternal(df, path, statsCols, txn = Some(appId -> batchId),
       partitionCols = partitionBy)
 
+  /** [[commitSnapshot]] that additionally lands a property delta IN THE
+    * SAME commit — for state that must stay atomic with the content it
+    * describes (a join view's re-pinned dim version: a separate props
+    * commit would leave a crash window where content and pin disagree).
+    * `txn = None` commits unconditionally (the existing watermark carries)
+    * — the join-view FULL refresh needs this when the DIM moved but the
+    * fact didn't: the fact-version batchId alone would replay-no-op. */
+  private[sources] def commitSnapshotRaw(df: DataFrame, path: String,
+      statsCols: Seq[String], partitionBy: Seq[String],
+      txn: Option[(String, Long)], propsAdd: Map[String, String]): Long =
+    writeInternal(df, path, statsCols, txn = txn,
+      partitionCols = partitionBy,
+      newProps =
+        if (propsAdd.isEmpty) None
+        else Some(latestVersion(df.sparkSession, path)
+          .map(_ => propertiesOf(df.sparkSession, path))
+          .getOrElse(Map.empty) ++ propsAdd))
+
   /** Snapshot write that commits ONLY IF the table has no committed
     * version, deciding INSIDE the commit loop — not check-then-act: a
     * concurrent creator makes this call error (`errorIfExists = true`,

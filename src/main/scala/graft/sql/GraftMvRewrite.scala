@@ -3,7 +3,8 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
 import org.apache.spark.sql.types.LongType
@@ -120,31 +121,111 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  /** ((registered views, pinned source version), aggregate-side exprId →
-    * canonical source-level expression, name-canonical filter conjuncts
-    * below the aggregate) — walking projections (attribute-passing AND
-    * computed columns) and filters. */
-  private def sourceOf(plan: LogicalPlan)
-      : Option[((Seq[String], Long), Map[ExprId, Expression], Seq[Expression])] =
+  /** The join half of a matched `fact ⋈ dim` shape: the dim relation's
+    * identity (path + pinned version) and the equi-join key pairs as
+    * (fact column, dim column) names. */
+  private case class QueryJoin(dimPath: String, dimV: Long,
+      pairs: Set[(String, String)]) {
+    def keyNames: Set[String] = pairs.flatMap(p => Set(p._1, p._2))
+  }
+
+  /** What the aggregate's child resolved to: the FACT relation's rewrite
+    * info, the merged exprId → canonical-expression environment, every
+    * filter conjunct found anywhere in the walked tree (above or below a
+    * join — pushdown moves them, the pool is position-independent), and
+    * the join half when the child is a star shape. */
+  private case class SrcInfo(views: Seq[String], srcV: Long,
+      env: Map[ExprId, Expression], conds: Seq[Expression],
+      join: Option[QueryJoin])
+
+  /** Walk projections (attribute-passing AND computed columns), filters,
+    * and at most one INNER equi-join whose other side is a plain graft
+    * snapshot (the dimension). */
+  private def sourceOf(plan: LogicalPlan): Option[SrcInfo] =
     GraftBatchShim.mvRewriteInfoOf(plan) match {
-      case Some(info) =>
-        Some((info, plan.output.map(a => a.exprId -> canonAttr(a)).toMap, Nil))
+      case Some((views, v)) =>
+        Some(SrcInfo(views, v,
+          plan.output.map(a => a.exprId -> canonAttr(a)).toMap, Nil, None))
       case None => plan match {
         case Project(items, child) =>
-          sourceOf(child).map { case (info, base, conds) =>
-            (info, items.flatMap {
+          sourceOf(child).map { s =>
+            s.copy(env = items.flatMap {
+              case a: AttributeReference => s.env.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(e, _) => named(e, s.env).map(al.exprId -> _)
+              case _ => None
+            }.toMap)
+          }
+        case Filter(cond, child) =>
+          sourceOf(child).flatMap { s =>
+            // the filter's output is its child's, so `env` is exactly the
+            // map cond's references resolve in
+            val split = splitConjuncts(cond).map(named(_, s.env))
+            if (split.forall(_.isDefined))
+              Some(s.copy(conds = s.conds ++ split.map(_.get)))
+            else None
+          }
+        case Join(l, r, Inner, Some(cond), _) =>
+          joined(l, r, cond).orElse(joined(r, l, cond))
+        case _ => None
+      }
+    }
+
+  /** Match `factSide INNER JOIN dimSide ON <equi keys>`: the fact side
+    * resolves through [[sourceOf]] (and must not itself contain a join),
+    * the dim side through [[dimOf]]; the join condition must be PURE
+    * key equalities. The canonical environment is keyed by column NAME, so
+    * a non-key name shared by both sides would alias two different columns
+    * — refused here (a join view over such tables cannot exist anyway:
+    * create refuses the collision). */
+  private def joined(factSide: LogicalPlan, dimSide: LogicalPlan,
+      cond: Expression): Option[SrcInfo] =
+    for {
+      fact <- sourceOf(factSide)
+      if fact.join.isEmpty
+      (dimPath, dimV, dimEnv, dimConds) <- dimOf(dimSide)
+      pairs <- traverse(splitConjuncts(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          (plainCol(a, fact.env), plainCol(b, dimEnv),
+            plainCol(b, fact.env), plainCol(a, dimEnv)) match {
+            case (Some(fa), Some(db), _, _) => Some((fa, db))
+            case (_, _, Some(fb), Some(da)) => Some((fb, da))
+            case _ => None
+          }
+        case _ => None // any non-equi conjunct: not the recorded shape
+      }).map(_.toSet)
+      keyNames = pairs.flatMap(p => Set(p._1, p._2))
+      shared = factSide.output.map(_.name).toSet
+        .intersect(dimSide.output.map(_.name).toSet)
+      if shared.subsetOf(keyNames)
+    } yield SrcInfo(fact.views, fact.srcV, fact.env ++ dimEnv,
+      fact.conds ++ dimConds, Some(QueryJoin(dimPath, dimV, pairs)))
+
+  private def plainCol(a: AttributeReference,
+      env: Map[ExprId, Expression]): Option[String] =
+    env.get(a.exprId).collect { case at: AttributeReference => at.name }
+
+  /** The dimension side: (projections/filters over) ANY graft snapshot
+    * relation — identified by root path + pinned version. */
+  private def dimOf(plan: LogicalPlan)
+      : Option[(String, Long, Map[ExprId, Expression], Seq[Expression])] =
+    GraftBatchShim.graftSnapshotOf(plan) match {
+      case Some((root, v)) =>
+        Some((root.toUri.getPath, v,
+          plan.output.map(a => a.exprId -> canonAttr(a)).toMap, Nil))
+      case None => plan match {
+        case Project(items, child) =>
+          dimOf(child).map { case (p, v, base, conds) =>
+            (p, v, items.flatMap {
               case a: AttributeReference => base.get(a.exprId).map(a.exprId -> _)
               case al @ Alias(e, _) => named(e, base).map(al.exprId -> _)
               case _ => None
             }.toMap, conds)
           }
         case Filter(cond, child) =>
-          sourceOf(child).flatMap { case (info, base, conds) =>
-            // the filter's output is its child's, so `base` is exactly the
-            // map cond's references resolve in
+          dimOf(child).flatMap { case (p, v, base, conds) =>
             val split = splitConjuncts(cond).map(named(_, base))
             if (split.forall(_.isDefined))
-              Some((info, base, conds ++ split.map(_.get)))
+              Some((p, v, base, conds ++ split.map(_.get)))
             else None
           }
         case _ => None
@@ -220,37 +301,51 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
     for {
-      ((views, srcV), colOf, conds) <- sourceOf(child)
-      _ = dbg(s"source v=$srcV views=$views conds=$conds")
+      src <- sourceOf(child)
+      _ = dbg(s"source v=${src.srcV} views=${src.views} conds=${src.conds} " +
+        s"join=${src.join}")
       groupKeys <- traverse(groupExprs.map {
         case g if !g.exists(_.isInstanceOf[AggregateExpression]) =>
-          val r = named(g, colOf)
-          dbg(s"group expr $g (${g.getClass.getSimpleName}) -> $r; env keys=${colOf.keySet}")
+          val r = named(g, src.env)
+          dbg(s"group expr $g (${g.getClass.getSimpleName}) -> $r; env keys=${src.env.keySet}")
           r
         case g => dbg(s"group expr $g contains aggregate"); None
       })
       _ = dbg(s"groupKeys=$groupKeys")
-      outs <- traverse(aggExprs.map(classify(_, colOf)))
+      outs <- traverse(aggExprs.map(classify(_, src.env)))
       _ = dbg(s"outs=$outs")
-      plan <- views.iterator
-        .flatMap(tryView(_, srcV, groupKeys, outs, conds)).nextOption()
+      plan <- src.views.iterator
+        .flatMap(tryView(_, src, groupKeys, outs)).nextOption()
     } yield plan
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
+  /** The view's maintained SOURCE FRAME — the bare source relation, or
+    * `fact ⋈ dim` (dim pinned) for a join view: the column space the
+    * stored WHERE and derived group keys resolve in. */
+  private def sourceFrameOf(props: Map[String, String])
+      : Option[org.apache.spark.sql.DataFrame] =
+    props.get(MaterializedView.SourceKey).flatMap { src =>
+      scala.util.Try(MaterializedView.joinSpecIn(props) match {
+        case None => VersionedTable.read(spark, src)
+        case Some((dim, keys, dimV)) =>
+          MaterializedView.joinFrames(VersionedTable.read(spark, src),
+            VersionedTable.read(spark, dim, Some(dimV)), keys)
+      }).toOption
+    }
+
   /** The view's WHERE predicate as name-canonical conjuncts — resolved by
-    * filtering the view's SOURCE relation with the stored SQL, so types
+    * filtering the view's SOURCE frame with the stored SQL, so types
     * and implicit casts land exactly as they did at create/refresh. */
   private def viewConds(props: Map[String, String]): Option[Seq[Expression]] =
     props.get(MaterializedView.WhereKey).filter(_.nonEmpty) match {
       case None => Some(Nil)
       case Some(sql) =>
         for {
-          srcPath <- props.get(MaterializedView.SourceKey)
+          frame <- sourceFrameOf(props)
           analyzed <- scala.util.Try(
-            VersionedTable.read(spark, srcPath)
-              .filter(org.apache.spark.sql.functions.expr(sql))
+            frame.filter(org.apache.spark.sql.functions.expr(sql))
               .queryExecution.analyzed).toOption
           (cond, base) <- analyzed.collectFirst { case Filter(c, ch) =>
             (c, ch.output.map(a => a.exprId -> canonAttr(a)).toMap) }
@@ -276,9 +371,9 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       return traverse(aliases.map(a => viewAttr.get(a).map(va =>
         a -> canonAttr(va))))
     for {
-      srcPath <- props.get(MaterializedView.SourceKey)
+      frame <- sourceFrameOf(props)
       analyzed <- scala.util.Try(
-        VersionedTable.read(spark, srcPath).select(aliases.map(a =>
+        frame.select(aliases.map(a =>
           org.apache.spark.sql.functions.expr(exprOf.getOrElse(a, s"`$a`"))
             .as(a)): _*)
           .queryExecution.analyzed).toOption
@@ -322,14 +417,31 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def tryView(mvPath: String, srcV: Long, groupKeys: Seq[Expression],
-      outs: Seq[Out], queryConds: Seq[Expression]): Option[LogicalPlan] = {
+  private def tryView(mvPath: String, src: SrcInfo,
+      groupKeys: Seq[Expression], outs: Seq[Out]): Option[LogicalPlan] = {
+    val queryConds = src.conds
     // freshness, checked and then READ at the same pinned view version.
     // The DEFINITION comes from the head — it is immutable (redefinition
     // is refused), while a history hit's own version may predate the
     // props commit that follows the create snapshot
-    val hv = versionFor(mvPath, srcV).getOrElse(return None)
+    val hv = versionFor(mvPath, src.srcV).getOrElse(return None)
     val props = VersionedTable.propertiesOf(spark, mvPath)
+    // JOIN agreement: a join view answers only the join query over ITS
+    // fact/dim/keys, pinned at ITS dim version — and only at the view
+    // HEAD (the dim pin is a head property that moves on FULL refresh,
+    // so historical view versions cannot vouch for their own pin)
+    val joinKeyNames: Set[String] =
+      (MaterializedView.joinSpecIn(props), src.join) match {
+        case (None, None) => Set.empty
+        case (Some((dimPath, keys, pinned)), Some(q)) =>
+          if (!VersionedTable.latestVersion(spark, mvPath).contains(hv))
+            return None
+          if (new org.apache.hadoop.fs.Path(dimPath).toUri.getPath !=
+            q.dimPath) return None
+          if (keys.toSet != q.pairs || pinned != q.dimV) return None
+          q.keyNames
+        case _ => return None // join-ness mismatch: cannot answer
+      }
     def cols(k: String): Seq[String] = props.get(k).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val vSums = cols(MaterializedView.SumColsKey).toSet
@@ -385,7 +497,10 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val nullRejected: Set[String] = vConds.filter(nullRejecting)
       .flatMap(_.collect { case a: AttributeReference => a.name }).toSet
     residual = residual.filterNot {
-      case IsNotNull(a: AttributeReference) => nullRejected(a.name)
+      // join-key IsNotNull conjuncts (inferred from the equi-join) hold on
+      // every view row — an inner equi-join never admits a null key
+      case IsNotNull(a: AttributeReference) =>
+        nullRejected(a.name) || joinKeyNames(a.name)
       case _ => false
     }
     val residualCols = residual.flatMap(_.collect {

@@ -533,6 +533,18 @@ object GraftBatchShim {
       case _ => None
     }
 
+  /** (root path, pinned version) of ANY graft snapshot relation node — the
+    * join rewrite's DIMENSION-side identity ([[mvRewriteInfoOf]] covers
+    * only view-carrying fact relations). */
+  def graftSnapshotOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(Path, Long)] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.snapshotVersion.isDefined =>
+        Some((g.rootPaths.head, g.snapshotVersion.get))
+      case _ => None
+    }
+
   /** Roots of every graft relation scanned by a DataFrame's OPTIMIZED plan
     * — the spec/assertion hook that pins which physical table a rewritten
     * query actually reads. */

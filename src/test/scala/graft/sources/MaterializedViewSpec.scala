@@ -394,6 +394,75 @@ class MaterializedViewSpec extends SparkSpec {
     assert(viewRows(mv) == fullAgg(src))
   }
 
+  test("join view: fact DML maintains fact ⋈ dim exactly; dim motion refuses; FULL re-pins") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, i % 10, i)).toDF("id", "k", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "region" + k % 3)).toDF("k", "g"),
+      dim, statsCols = Seq("k"))
+    def joinedAgg(): Map[String, (Long, Long)] =
+      VersionedTable.read(spark, fact).as("f")
+        .join(VersionedTable.read(spark, dim).as("d"), "k")
+        .groupBy(col("g")).agg(count(lit(1)), sum(col("v")))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def view(): Map[String, (Long, Long)] =
+      VersionedTable.read(spark, mv).collect().map(r =>
+        r.getAs[String]("g") -> (r.getAs[Long]("mv_count"),
+          r.getAs[Long]("sum_v"))).toMap
+    MaterializedView.createJoined(spark, fact, dim, Seq("k" -> "k"), mv,
+      Seq("g"), Seq("v"))
+    assert(view() == joinedAgg())
+    // fact-side DML chain: delete, append (incl. a dangling fk that must
+    // stay OUT of the view — inner join), update
+    VersionedTable.delete(spark, fact, col("id") % 7 === 0)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == joinedAgg())
+    VersionedTable.append(
+      Seq((200L, 3L, 50L), (201L, 99L, 1000L)).toDF("id", "k", "v"), fact)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == joinedAgg())
+    VersionedTable.update(spark, fact, col("id") <= 5L,
+      Map("v" -> (col("v") + 100L)))
+    MaterializedView.refresh(spark, mv)
+    assert(view() == joinedAgg())
+    // dim motion: incremental refusal names the recovery verb
+    VersionedTable.append(Seq((10L, "regionNEW")).toDF("k", "g"), dim)
+    VersionedTable.append(Seq((300L, 10L, 7L)).toDF("id", "k", "v"), fact)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("FULL"), e.getMessage)
+    // FULL refresh re-pins the dim head atomically with the rebuild
+    MaterializedView.fullRefresh(spark, mv)
+    assert(view() == joinedAgg())
+    assert(view().contains("regionNEW"))
+    // and the incremental path works again against the new pin
+    VersionedTable.append(Seq((301L, 10L, 8L)).toDF("id", "k", "v"), fact)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == joinedAgg())
+  }
+
+  test("join view contracts refuse loudly: duplicate dim keys, colliding names") {
+    val base = tmp(); val fact = base + "/fact"; val dup = base + "/dup"
+    val clash = base + "/clash"
+    VersionedTable.write(Seq((1L, 1L, 2L)).toDF("id", "k", "v"), fact)
+    VersionedTable.write(Seq((1L, "a"), (1L, "b")).toDF("k", "g"), dup)
+    val e1 = intercept[IllegalArgumentException] {
+      MaterializedView.createJoined(spark, fact, dup, Seq("k" -> "k"),
+        base + "/mv1", Seq("g"), Seq("v"))
+    }
+    assert(e1.getMessage.contains("not unique"), e1.getMessage)
+    VersionedTable.write(Seq((1L, "a", 9L)).toDF("k", "g", "v"), clash)
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedView.createJoined(spark, fact, clash, Seq("k" -> "k"),
+        base + "/mv2", Seq("g"), Seq("v"))
+    }
+    assert(e2.getMessage.contains("collide"), e2.getMessage)
+  }
+
   test("refresh reads the DIFF, not the source: only changed files open") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // 8 single-file commits → 8 source files with disjoint id ranges

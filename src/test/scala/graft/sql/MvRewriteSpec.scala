@@ -158,6 +158,53 @@ class MvRewriteSpec extends SparkSpec {
     assertRewrites(src, mv, q("WHERE v % 2 = 0"))
   }
 
+  test("join view rewrite: the star aggregate answers from the view, pinned both ways") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 200L).map(i => (i, i % 10, i)).toDF("id", "k", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "r" + k % 3, k % 2)).toDF("k", "g", "g2"),
+      dim, statsCols = Seq("k"))
+    MaterializedView.createJoined(spark, fact, dim, Seq("k" -> "k"), mv,
+      Seq("g", "g2"), Seq("v"))
+    def q = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), Seq("k"))
+      .groupBy($"g", $"g2")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    assertRewrites(fact, mv, q)
+    // rollup to a dim-side subset rewrites; residual on a dim group col too
+    assertRewrites(fact, mv,
+      VersionedTable.read(spark, fact)
+        .join(VersionedTable.read(spark, dim), Seq("k"))
+        .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    assertRewrites(fact, mv,
+      VersionedTable.read(spark, fact)
+        .join(VersionedTable.read(spark, dim), Seq("k"))
+        .filter($"g" === "r1")
+        .groupBy($"g", $"g2").agg(count(lit(1)).as("n")))
+    // fact motion: stale → declines; refresh re-arms
+    VersionedTable.delete(spark, fact, $"id" % 9 === 0)
+    assert(roots(q).contains(fact))
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(fact, mv, q)
+    // a DIFFERENT join shape declines: wrong keys, wrong dim, plain agg
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "x" + k)).toDF("k", "g3"), base + "/dim2")
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, base + "/dim2"), Seq("k"))
+      .groupBy($"g3").agg(count(lit(1)).as("n"))).contains(fact))
+    assert(roots(VersionedTable.read(spark, fact)
+      .groupBy($"k").agg(count(lit(1)).as("n"))).contains(fact))
+    // dim motion: the queried dim snapshot is no longer the pinned one
+    VersionedTable.append(Seq((10L, "rX", 0L)).toDF("k", "g", "g2"), dim)
+    assert(roots(q).contains(fact), "moved dim must decline the rewrite")
+    // FULL refresh re-pins → rewrite fires again, with the new dim row
+    MaterializedView.fullRefresh(spark, mv)
+    assertRewrites(fact, mv, q)
+  }
+
   test("NDV size estimation on the filter keeps the view roster intact") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     VersionedTable.write(
