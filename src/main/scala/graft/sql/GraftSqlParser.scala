@@ -35,7 +35,8 @@ import graft.sources.{MaterializedView, VersionedTable}
   *     [APPLY AS DELETE WHEN op = 'delete'] SEQUENCE BY seq
   *     [COLUMNS * EXCEPT (op)]              -- sequence-guarded CDC merge
   *   CREATE MATERIALIZED VIEW graft.`/mv` AS
-  *     SELECT g, COUNT(*), SUM(v), MIN(v), MAX(v) FROM graft.`/src`
+  *     SELECT g, COUNT(*), SUM(v), AVG(v), MIN(v), MAX(v) FROM graft.`/src`
+  *     [JOIN graft.`/dim` ON fk = pk]     -- star view (fact side first)
   *     [WHERE v % 2 = 0] GROUP BY g
   *   REFRESH MATERIALIZED VIEW graft.`/mv` -- applies the change feed
   * }}}
@@ -103,7 +104,7 @@ private[sql] object GraftSqlStatements {
   private val AnalyzeNdvRe =
     s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+NDV\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
   private val CreateMvRe =
-    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref(?:\\s+JOIN\\s+$Ref\\s+ON\\s+(.+?))?(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
   private val RefreshMvRe =
     s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref(\\s+FULL)?\\s*;?\\s*""".r
   // DLT's clause order: KEYS, [APPLY AS DELETE WHEN], SEQUENCE BY, [COLUMNS]
@@ -184,15 +185,18 @@ private[sql] object GraftSqlStatements {
       Some(GraftAnalyzeNdvCommand(cat, path, cols.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq))
-    case CreateMvRe(cat, path, partBy, selectList, srcCat, srcPath, where, groupBy) =>
+    case CreateMvRe(cat, path, partBy, selectList, srcCat, srcPath,
+        dimCat, dimPath, onText, where, groupBy) =>
       val stmt = "CREATE MATERIALIZED VIEW"
       balancedFrag(stmt, "SELECT", selectList)
+      Option(onText).foreach(balancedFrag(stmt, "ON", _))
       Option(where).foreach(balancedFrag(stmt, "WHERE", _))
       balancedFrag(stmt, "GROUP BY", groupBy)
       Some(GraftCreateMvCommand(cat, path, srcCat, srcPath,
         selectList.trim, groupBy.trim, Option(where).map(_.trim),
         Option(partBy).toSeq.flatMap(_.split(",")
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)),
+        Option(dimCat), Option(dimPath), Option(onText).map(_.trim)))
     case RefreshMvRe(cat, path, full) =>
       Some(GraftRefreshMvCommand(cat, path, full != null))
     case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
@@ -638,7 +642,9 @@ case class GraftDescribeHistoryCommand(cat: String,
 case class GraftCreateMvCommand(cat: String, path: String,
     srcCat: String, srcPath: String, selectList: String,
     groupByList: String, where: Option[String] = None,
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    dimCat: Option[String] = None, dimPath: Option[String] = None,
+    onText: Option[String] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq.empty
@@ -651,6 +657,7 @@ case class GraftCreateMvCommand(cat: String, path: String,
     val groupBy = groupByList.split(",").map(strip).filter(_.nonEmpty).toSeq
     val Count = """(?i)COUNT\s*\(\s*\*\s*\)""".r
     val Sum = """(?i)SUM\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
+    val AvgAgg = """(?i)AVG\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
     val MinAgg = """(?i)MIN\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
     val MaxAgg = """(?i)MAX\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
     val plainCols = scala.collection.mutable.ArrayBuffer[String]()
@@ -660,14 +667,18 @@ case class GraftCreateMvCommand(cat: String, path: String,
     selectList.split(",").map(_.trim).filter(_.nonEmpty).foreach {
       case Count() => hasCount = true
       case Sum(c) => sumCols += strip(c)
+      // AVG maintains as its exact components — the view stores
+      // sum_<c>/nn_<c> and the mean derives at query time (a stored
+      // quotient column would go stale the moment either component moves)
+      case AvgAgg(c) => sumCols += strip(c)
       case MinAgg(c) => minMaxCols += strip(c)
       case MaxAgg(c) => minMaxCols += strip(c)
       case c if c.matches("`[^`]+`|\\w+") => plainCols += strip(c)
       case other => throw new IllegalArgumentException(
         s"$stmt: unsupported select item '$other' — an incremental view " +
-          "maintains GROUP BY columns, COUNT(*), SUM(col), MIN(col) and " +
-          "MAX(col) (inserts fold; a deleted extremum repairs its group " +
-          "from the source)")
+          "maintains GROUP BY columns, COUNT(*), SUM(col), AVG(col) (as " +
+          "its sum/count components), MIN(col) and MAX(col) (inserts " +
+          "fold; a deleted extremum repairs its group from the source)")
     }
     require(plainCols.toSeq == groupBy,
       s"$stmt: the select list's plain columns (${plainCols.mkString(",")}) " +
@@ -675,8 +686,29 @@ case class GraftCreateMvCommand(cat: String, path: String,
     require(hasCount,
       s"$stmt: the select list must include COUNT(*) — the group-liveness " +
         "aggregate that lets emptied groups leave the view")
-    graft.sources.MaterializedView.create(session, src, p, groupBy,
-      sumCols.toSeq, minMaxCols.distinct.toSeq, where, partitionBy)
+    (dimCat, dimPath, onText) match {
+      case (Some(dc), Some(dp), Some(on)) =>
+        val dim = GraftSqlStatements.graftPath(session, dc, dp, stmt)
+        // ON fact_col = dim_col [AND ...] — plain or backticked names;
+        // the left side of each equality is the FACT column
+        val Pair = """(?i)\s*(`[^`]+`|\w+)\s*=\s*(`[^`]+`|\w+)\s*""".r
+        val keys = on.split("(?i)\\s+AND\\s+").toSeq.map {
+          case Pair(fk, pk) => strip(fk) -> strip(pk)
+          case bad => throw new IllegalArgumentException(
+            s"$stmt: unsupported ON term '$bad' — the join condition is " +
+              "fact_col = dim_col equalities joined by AND (fact side " +
+              "first)")
+        }
+        graft.sources.MaterializedView.createJoined(session, src, dim,
+          keys, p, groupBy, sumCols.distinct.toSeq,
+          minMaxCols.distinct.toSeq, where, partitionBy)
+      case (None, None, None) =>
+        graft.sources.MaterializedView.create(session, src, p, groupBy,
+          sumCols.distinct.toSeq, minMaxCols.distinct.toSeq, where,
+          partitionBy)
+      case _ => throw new IllegalArgumentException(
+        s"$stmt: JOIN needs both a graft dim reference and an ON clause")
+    }
     Seq.empty
   }
 }

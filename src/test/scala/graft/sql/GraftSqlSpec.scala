@@ -1062,10 +1062,6 @@ class GraftSqlSpec extends SparkSpec {
       s"SELECT g, MIN(v), MAX(v) FROM graft.`$src` GROUP BY g").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(mm == mmExpect)
-    val e = intercept[Exception] {
-      spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base}/mv3` AS " +
-        s"SELECT g, COUNT(*), AVG(v) FROM graft.`$src` GROUP BY g") }
-    assert(e.getMessage.contains("unsupported select item"), e.getMessage)
     // DESCRIBE DETAIL surfaces the MV facts on both sides of the edge:
     // the view names its source, watermark, and rewrite-would-fire;
     // the source names its registered views. (mv2's own registration
@@ -1105,5 +1101,57 @@ class GraftSqlSpec extends SparkSpec {
     assert(after.contains(mv) && !after.contains(mv2), after.mkString(","))
     assert(spark.sql(s"SHOW MATERIALIZED VIEWS ON graft.`$src`")
       .collect().map(_.getString(0)).toSeq == Seq(mv))
+    // AVG(v) maintains as its exact components: the view stores
+    // sum_v + nn_v and the mean derives at query time
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base}/mv3` AS " +
+      s"SELECT g, COUNT(*), AVG(v) FROM graft.`$src` GROUP BY g")
+    val avg = spark.sql(
+      s"SELECT g, sum_v / nn_v AS a FROM graft.`${base}/mv3`").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val avgExpect = spark.sql(
+      s"SELECT g, SUM(v) / COUNT(v) AS a FROM graft.`$src` GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(avg == avgExpect)
+  }
+
+  test("JOIN materialized view DDL: star view creates, refreshes, and rewrites") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-mvj").toString
+    val fact = base + "/fact"; val dim = base + "/dim"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 80L).map(i => (i, i % 8, i)).toDF("id", "fk", "v"), fact,
+      statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 7L).map(k => (k, "b" + k % 2)).toDF("pk", "brand"), dim,
+      statsCols = Seq("pk"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT brand, COUNT(*), SUM(v) FROM graft.`$fact` " +
+      s"JOIN graft.`$dim` ON fk = pk GROUP BY brand")
+    def expect() = spark.sql(
+      s"SELECT brand, COUNT(*) c, SUM(v) s FROM graft.`$fact` " +
+        s"JOIN graft.`$dim` ON fk = pk GROUP BY brand")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def viewNow() = spark.sql(s"SELECT * FROM graft.`$mv`").collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Long]("mv_count"), r.getAs[Long]("sum_v"))).toMap
+    assert(viewNow() == expect())
+    spark.sql(s"DELETE FROM graft.`$fact` WHERE id % 3 = 0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+    assert(viewNow() == expect())
+    // the SQL star aggregate itself answers from the view
+    val q = spark.sql(s"SELECT brand, COUNT(*) AS n, SUM(v) AS s " +
+      s"FROM graft.`$fact` JOIN graft.`$dim` ON fk = pk GROUP BY brand")
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(q)
+      .map(_.toString)
+    assert(roots.contains(mv) && !roots.contains(fact), roots.toString)
+    // dim motion: REFRESH refuses naming FULL; REFRESH ... FULL re-pins
+    VersionedTable.append(Seq((8L, "bNEW")).toDF("pk", "brand"), dim)
+    VersionedTable.append(Seq((500L, 8L, 9L)).toDF("id", "fk", "v"), fact)
+    val e = intercept[Exception] {
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`") }
+    assert(messagesOf(e).contains("FULL"), messagesOf(e))
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv` FULL")
+    assert(viewNow() == expect())
+    assert(viewNow().contains("bNEW"))
   }
 }
