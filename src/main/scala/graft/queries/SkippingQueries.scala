@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{MaterializedView, Tables, VersionedTable}
+import graft.sources.{ForeignKeys, MaterializedView, Tables, VersionedTable}
 
 /** q_skipping_scan — file-level data skipping under the DuckDB oracle gate.
   *
@@ -1107,6 +1107,60 @@ object SkippingQueries {
     out
   }
 
+  // --------------------------------------------------------------------------
+  // q_join_elim — PK/FK JOIN ELIMINATION under the oracle gate: the fact
+  // (lineitem-derived, fk = l_partkey) declares FOREIGN KEY REFERENCES the
+  // dim (part-derived, pk = p_partkey) RELY — the declaration VALIDATES
+  // uniqueness + non-null + no orphans at exact version pins. The gated
+  // query is the star join reading only fact columns, required in-query to
+  // have DROPPED the dim from the plan; DuckDB executes the join for real,
+  // so the green row proves the elimination preserved the answer.
+  // --------------------------------------------------------------------------
+  private def fkFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "fkfact_v1", "lineitem.parquet")
+  private def fkDimPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "fkdim_v1", "part.parquet")
+
+  def joinElim(spark: SparkSession, dir: String): DataFrame = {
+    val fact = fkFactPath(dir)
+    val dim = fkDimPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_orderkey"))
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    // idempotent across runs: skip when the stored pins already anchor the
+    // current heads (a fresh declare would mint a new props version)
+    val pinned = ForeignKeys.declsIn(
+      VersionedTable.propertiesOf(spark, fact)).exists(d =>
+      d.fkCols == Seq("l_partkey") &&
+        VersionedTable.latestVersion(spark, fact).contains(d.factPin) &&
+        VersionedTable.latestVersion(spark, dim).contains(d.dimPin))
+    if (!pinned)
+      ForeignKeys.declare(spark, fact, Seq("l_partkey"), dim,
+        Seq("p_partkey"))
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(fact) && !roots.contains(dim),
+      s"q_join_elim: expected the dim join to $dim to be ELIMINATED from " +
+        s"the star aggregate; optimized plan scans $roots")
+    out
+  }
+
+  val joinElimSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
   val mvJoinSql: String =
     """WITH fact AS (
       |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty
@@ -1147,6 +1201,7 @@ object SkippingQueries {
     "q_mv_minmax" -> (mvMinMax _),
     "q_mv_derived" -> (mvDerived _),
     "q_mv_join" -> (mvJoin _),
+    "q_join_elim" -> (joinElim _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
@@ -1171,6 +1226,7 @@ object SkippingQueries {
     "q_mv_minmax" -> mvMinMaxSql,
     "q_mv_derived" -> mvDerivedSql,
     "q_mv_join" -> mvJoinSql,
+    "q_join_elim" -> joinElimSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,

@@ -2534,6 +2534,10 @@ object VersionedTable {
       // whose refresh watermark equals exactly this snapshot
       mvViews = MaterializedView.viewsIn(c.props),
       snapshotVersion = Some(version),
+      // declared FOREIGN KEY + UNIQUE pins — what licenses join elimination
+      fkProps = c.props.filter(kv =>
+        kv._1.startsWith(ForeignKeys.Prefix) ||
+          kv._1.startsWith(ForeignKeys.UniquePrefix)),
       // generation SQL for generated PARTITION columns only — licenses the
       // base-column → partition-filter derivation rule
       generatedPartDefs = {
@@ -4057,9 +4061,21 @@ object VersionedTable {
     setPropertiesInternal(spark, path, set, unset)
   }
 
+  /** Property commit that lands ONLY on the expected base version — the
+    * optimistic precondition for pins whose validity was proven against a
+    * specific snapshot (FOREIGN KEY ... RELY validates integrity at base
+    * b, then pins b+1, whose file set is identical because THIS commit is
+    * props-only; a racing data commit in between would make the pin vouch
+    * for rows never checked). Throws [[ConcurrentTxnException]] on a
+    * mismatch; the caller re-validates and retries. */
+  private[sources] def setPropertiesExpecting(spark: SparkSession,
+      path: String, set: Map[String, String], expectedBase: Long): Long =
+    setPropertiesInternal(spark, path, set, Nil, Some(expectedBase))
+
   /** The unguarded property commit the validated entry points share. */
   private def setPropertiesInternal(spark: SparkSession, path: String,
-      set: Map[String, String], unset: Seq[String]): Long = {
+      set: Map[String, String], unset: Seq[String],
+      expectedBase: Option[Long] = None): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
@@ -4067,6 +4083,9 @@ object VersionedTable {
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
+      expectedBase.foreach { e =>
+        if (b != e) throw new ConcurrentTxnException(path, "(base)", e, Some(b))
+      }
       val c = readManifest(spark, f, root, b)
       val next = (c.props -- unset) ++ set
       if (next == c.props) return b // no-op: nothing changed

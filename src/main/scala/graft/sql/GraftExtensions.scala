@@ -48,6 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view query rewrite: GROUP BY aggregates over a source
     // with a registered FRESH view answer from the view's few rows
     ext.injectOptimizerRule(session => GraftMvRewrite(session))
+    // PK/FK join elimination: a star join the query reads no dim column
+    // from drops entirely, licensed by a validated FOREIGN KEY pin
+    ext.injectOptimizerRule(session => GraftJoinElimination(session))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))

@@ -107,6 +107,17 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref(?:\\s+JOIN\\s+$Ref\\s+ON\\s+(.+?))?(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
   private val RefreshMvRe =
     s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref(\\s+FULL)?\\s*;?\\s*""".r
+  // FOREIGN KEY ... RELY: validate + pin (ForeignKeys.declare); DROP
+  // unpins. RELY is mandatory spelling — the declaration is ONLY an
+  // optimizer license here, and the keyword says the user asked for that.
+  private val AddFkRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+FOREIGN\\s+KEY\\s*\\(([^)]+)\\)\\s*REFERENCES\\s+$Ref\\s*\\(([^)]+)\\)\\s+RELY\\s*;?\\s*""".r
+  private val DropFkRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+FOREIGN\\s+KEY\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
+  private val AddUniqueRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+UNIQUE\\s*\\(([^)]+)\\)\\s+RELY\\s*;?\\s*""".r
+  private val DropUniqueRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+UNIQUE\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
   // DLT's clause order: KEYS, [APPLY AS DELETE WHEN], SEQUENCE BY, [COLUMNS]
   private val ApplyChangesRe =
     s"""(?is)\\s*APPLY\\s+CHANGES\\s+INTO\\s+$Ref\\s+FROM\\s+(.+?)\\s+KEYS\\s*\\(([^)]+)\\)(?:\\s+APPLY\\s+AS\\s+DELETE\\s+WHEN\\s+(.+?))?\\s+SEQUENCE\\s+BY\\s+(`[^`]+`|\\w+)(?:\\s+COLUMNS\\s+\\*\\s+EXCEPT\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
@@ -199,6 +210,23 @@ private[sql] object GraftSqlStatements {
         Option(dimCat), Option(dimPath), Option(onText).map(_.trim)))
     case RefreshMvRe(cat, path, full) =>
       Some(GraftRefreshMvCommand(cat, path, full != null))
+    case AddFkRe(cat, path, fkCols, dimCat, dimPath, pkCols) =>
+      def cols(s: String): Seq[String] = s.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      Some(GraftForeignKeyCommand(cat, path, cols(fkCols),
+        Some((dimCat, dimPath, cols(pkCols)))))
+    case DropFkRe(cat, path, fkCols) =>
+      def cols(s: String): Seq[String] = s.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      Some(GraftForeignKeyCommand(cat, path, cols(fkCols), None))
+    case AddUniqueRe(cat, path, uCols) =>
+      def cols(s: String): Seq[String] = s.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      Some(GraftUniqueKeyCommand(cat, path, cols(uCols), add = true))
+    case DropUniqueRe(cat, path, uCols) =>
+      def cols(s: String): Seq[String] = s.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      Some(GraftUniqueKeyCommand(cat, path, cols(uCols), add = false))
     case ApplyChangesRe(cat, path, from, keys, deleteWhen, seqBy, except) =>
       // FROM stays free text (a table name or a parenthesized subquery,
       // executed via the session's own parser) — the balance check is what
@@ -353,7 +381,11 @@ case class GraftDescribeDetailCommand(cat: String,
     AttributeReference("mv_source", StringType, nullable = false)(),
     AttributeReference("mv_watermark", LongType, nullable = true)(),
     AttributeReference("mv_fresh", BooleanType, nullable = true)(),
-    AttributeReference("mv_views", StringType, nullable = false)())
+    AttributeReference("mv_views", StringType, nullable = false)(),
+    // declared key pins (FOREIGN KEY ... RELY / UNIQUE ... RELY), each
+    // suffixed with whether its pin still ARMS join elimination right now
+    AttributeReference("foreign_keys", StringType, nullable = false)(),
+    AttributeReference("unique_keys", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
@@ -380,7 +412,9 @@ case class GraftDescribeDetailCommand(cat: String,
         e._1 == VersionedTable.BucketByKey ||
         e._1 == VersionedTable.NumBucketsKey ||
         e._1 == MaterializedView.SourceKey ||
-        e._1 == MaterializedView.ViewsKey)),
+        e._1 == MaterializedView.ViewsKey ||
+        e._1.startsWith(graft.sources.ForeignKeys.Prefix) ||
+        e._1.startsWith(graft.sources.ForeignKeys.UniquePrefix))),
       kv(cons), kv(gens), kv(ids),
       rf.toSeq.sorted.mkString(","), wf.toSeq.sorted.mkString(","),
       wf.contains("rowtracking"),
@@ -394,7 +428,18 @@ case class GraftDescribeDetailCommand(cat: String,
       props.getOrElse(MaterializedView.SourceKey, ""),
       wm.map(java.lang.Long.valueOf).orNull,
       fresh.map(java.lang.Boolean.valueOf).orNull,
-      props.getOrElse(MaterializedView.ViewsKey, "")))
+      props.getOrElse(MaterializedView.ViewsKey, ""),
+      graft.sources.ForeignKeys.declsIn(props).map { d =>
+        val dimHead = scala.util.Try(
+          VersionedTable.latestVersion(session, d.dimPath)).toOption.flatten
+        val armed = d.factPin == v && dimHead.contains(d.dimPin)
+        s"(${d.fkCols.mkString("~")})->${d.dimPath}" +
+          s"(${d.pkCols.mkString("~")})[${if (armed) "armed" else "stale"}]"
+      }.mkString(","),
+      graft.sources.ForeignKeys.uniqueDeclsIn(props).map { u =>
+        s"(${u.cols.mkString("~")})" +
+          s"[${if (u.pin == v) "armed" else "stale"}]"
+      }.mkString(",")))
   }
 
   /** (refresh watermark, fresh-right-now) for a materialized view; (None,
@@ -710,6 +755,50 @@ case class GraftCreateMvCommand(cat: String, path: String,
         s"$stmt: JOIN needs both a graft dim reference and an ON clause")
     }
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE fact ADD FOREIGN KEY (fk) REFERENCES dim (pk) RELY` →
+  * [[graft.sources.ForeignKeys.declare]] (validate + pin), and the DROP
+  * twin → unpin. Returns the fact version carrying (or dropping) the
+  * declaration. */
+case class GraftForeignKeyCommand(cat: String, path: String,
+    fkCols: Seq[String],
+    refDim: Option[(String, String, Seq[String])])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val stmt = refDim.fold("ALTER TABLE DROP FOREIGN KEY")(_ =>
+      "ALTER TABLE ADD FOREIGN KEY")
+    val fact = GraftSqlStatements.graftPath(session, cat, path, stmt)
+    Seq(Row(refDim match {
+      case Some((dc, dp, pkCols)) =>
+        val dim = GraftSqlStatements.graftPath(session, dc, dp, stmt)
+        graft.sources.ForeignKeys.declare(session, fact, fkCols, dim, pkCols)
+      case None =>
+        graft.sources.ForeignKeys.drop(session, fact, fkCols)
+    }))
+  }
+}
+
+/** `ALTER TABLE t ADD UNIQUE (cols) RELY` →
+  * [[graft.sources.ForeignKeys.declareUnique]] (validate + pin; licenses
+  * LEFT-join elimination), and the DROP twin → unpin. */
+case class GraftUniqueKeyCommand(cat: String, path: String,
+    cols: Seq[String], add: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val stmt = if (add) "ALTER TABLE ADD UNIQUE" else "ALTER TABLE DROP UNIQUE"
+    val p = GraftSqlStatements.graftPath(session, cat, path, stmt)
+    Seq(Row(
+      if (add) graft.sources.ForeignKeys.declareUnique(session, p, cols)
+      else graft.sources.ForeignKeys.dropUnique(session, p, cols)))
   }
 }
 

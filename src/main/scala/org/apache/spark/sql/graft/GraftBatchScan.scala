@@ -78,7 +78,12 @@ private[graft] class GraftFileIndex(
     /** The committed version this relation pinned at build time — the
       * rewrite's freshness anchor (a view answers for THIS snapshot only
       * when its refresh watermark equals it). */
-    val snapshotVersion: Option[Long] = None)
+    val snapshotVersion: Option[Long] = None,
+    /** Declared FOREIGN KEY pins (`graft.fk.*` props, serialized) — what
+      * licenses [[graft.sql.GraftJoinElimination]] to drop a dim join a
+      * query never reads from. Empty for tables without declarations, so
+      * the rule's match is O(1) on everything else. */
+    val fkProps: Map[String, String] = Map.empty)
     extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
@@ -156,7 +161,7 @@ private[graft] class GraftFileIndex(
     // seeing the view roster on exactly the filtered plans estimation touches
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
-      snapshotVersion) {
+      snapshotVersion, fkProps) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -440,7 +445,8 @@ object GraftBatchShim {
       ndvOf: String => Option[Long] = _ => None,
       bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None,
       mvViews: Seq[String] = Nil,
-      snapshotVersion: Option[Long] = None)
+      snapshotVersion: Option[Long] = None,
+      fkProps: Map[String, String] = Map.empty)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -455,7 +461,7 @@ object GraftBatchShim {
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
-        generatedPartDefs, ndvOf, mvViews, snapshotVersion),
+        generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -530,6 +536,21 @@ object GraftBatchShim {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
           if g.mvViews.nonEmpty && g.snapshotVersion.isDefined =>
         Some((g.mvViews, g.snapshotVersion.get))
+      case _ => None
+    }
+
+  /** FOREIGN-KEY elimination hooks of a graft relation node: (root path,
+    * pinned version, serialized `graft.fk.*` declarations). None when the
+    * node is not a graft relation or declares no keys — the O(1) gate
+    * that keeps [[graft.sql.GraftJoinElimination]] from touching any
+    * manifest for tables without declarations. */
+  def fkInfoOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(Path, Long, Seq[String])] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.fkProps.nonEmpty && g.snapshotVersion.isDefined =>
+        Some((g.rootPaths.head, g.snapshotVersion.get,
+          g.fkProps.toSeq.sortBy(_._1).map(_._2)))
       case _ => None
     }
 

@@ -1,0 +1,185 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBatchShim
+
+import graft.SparkSpec
+import graft.sources.{ForeignKeys, VersionedTable}
+
+/** FOREIGN KEY ... RELY: declaration validates integrity at exact pins,
+  * and join elimination drops a dim the query never reads — only while
+  * both tables still sit at the validated versions. */
+class ForeignKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("fk").toString
+
+  private def roots(df: DataFrame): Seq[String] =
+    GraftBatchShim.scanRootsOf(df).map(_.toString)
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Asserts the plan dropped the dim AND that the answer equals the
+    * un-eliminated one. */
+  private def assertEliminates(dim: String, q: => DataFrame): Unit = {
+    val on = q
+    assert(!roots(on).contains(dim),
+      s"expected the join to $dim to drop, scanned ${roots(on)}")
+    spark.conf.set("spark.graft.fk.elimination.enabled", "false")
+    try {
+      val off = q
+      assert(roots(off).contains(dim), s"kill-switch ignored: ${roots(off)}")
+      assert(sorted(on) == sorted(off))
+    } finally
+      spark.conf.set("spark.graft.fk.elimination.enabled", "true")
+  }
+
+  test("declaration validates: duplicate pk, null fk, and orphans all refuse") {
+    val base = tmp(); val fact = base + "/fact"
+    VersionedTable.write(Seq((1L, 1L), (2L, 2L)).toDF("id", "fk"), fact)
+    val dup = base + "/dup"
+    VersionedTable.write(Seq((1L, "a"), (1L, "b")).toDF("pk", "g"), dup)
+    val e1 = intercept[IllegalArgumentException] {
+      ForeignKeys.declare(spark, fact, Seq("fk"), dup, Seq("pk")) }
+    assert(e1.getMessage.contains("not"), e1.getMessage)
+    val dim = base + "/dim"
+    VersionedTable.write(Seq((1L, "a")).toDF("pk", "g"), dim)
+    // fk=2 has no pk=2 match
+    val e2 = intercept[IllegalArgumentException] {
+      ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk")) }
+    assert(e2.getMessage.contains("absent"), e2.getMessage)
+    val nulls = base + "/nulls"
+    VersionedTable.write(Seq((1L, Some(1L)), (2L, None))
+      .toDF("id", "fk"), nulls)
+    VersionedTable.append(Seq((2L, "b")).toDF("pk", "g"), dim)
+    val e3 = intercept[IllegalArgumentException] {
+      ForeignKeys.declare(spark, nulls, Seq("fk"), dim, Seq("pk")) }
+    assert(e3.getMessage.contains("NULL"), e3.getMessage)
+    // no declaration landed anywhere
+    assert(ForeignKeys.declsIn(
+      VersionedTable.propertiesOf(spark, fact)).isEmpty)
+  }
+
+  test("join elimination: fires on fact-only reads, declines on every disarm") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, i % 10, i)).toDF("id", "fk", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "g" + k % 3)).toDF("pk", "g"), dim,
+      statsCols = Seq("pk"))
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    def q = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("fk") === col("pk"))
+      .groupBy((col("fk") % 2).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assertEliminates(dim, q)
+    // a fact-side filter only shrinks the fact: still fires
+    assertEliminates(dim, VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .filter(col("v") > 50L)
+      .select(col("id"), col("v")))
+    // reading a dim column declines
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))).contains(dim))
+    // a dim-side filter changes which fact rows survive: declines
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).filter(col("pk") < 5L),
+        col("fk") === col("pk"))
+      .select(col("id"))).contains(dim))
+    // undeclared key pairing declines
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("id") === col("pk"))
+      .select(col("v"))).contains(dim))
+    // fact motion disarms (the new rows were never validated)...
+    VersionedTable.append(Seq((999L, 42L, 1L)).toDF("id", "fk", "v"), fact)
+    assert(roots(q).contains(dim), "fact moved — the pin must disarm")
+    // ...and the orphan fk=42 makes re-declaration REFUSE (exactly right:
+    // eliminating now would change answers)
+    intercept[IllegalArgumentException] {
+      ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk")) }
+    VersionedTable.delete(spark, fact, col("id") === 999L)
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    assertEliminates(dim, q)
+    // dim motion disarms too; re-declare re-arms
+    VersionedTable.append(Seq((10L, "gNEW")).toDF("pk", "g"), dim)
+    assert(roots(q).contains(dim), "dim moved — the pin must disarm")
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    assertEliminates(dim, q)
+  }
+
+  test("LEFT-join elimination: a UNIQUE pin alone drops an unread lookup") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    // the left side needs NO declaration and NO integrity: orphan fks and
+    // null fks are fine — a left join keeps those rows regardless
+    VersionedTable.write(
+      Seq((1L, Some(1L), 10L), (2L, Some(99L), 20L), (3L, None, 30L))
+        .toDF("id", "fk", "v"), fact)
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "g" + k)).toDF("pk", "g"), dim)
+    ForeignKeys.declareUnique(spark, dim, Seq("pk"))
+    def q = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"),
+        "left")
+      .select(col("id"), col("v"))
+    assertEliminates(dim, q)
+    // a dim-side filter is harmless for LEFT joins: still fires
+    assertEliminates(dim, VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).filter(col("pk") < 5L),
+        col("fk") === col("pk"), "left")
+      .groupBy(col("fk")).agg(sum(col("v")).as("s")))
+    // an INNER join must NOT fire off a unique pin alone (orphans/nulls
+    // drop rows — only the FK pin proves they don't)
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .select(col("id"))).contains(dim))
+    // reading a dim column declines; dim motion disarms
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"),
+        "left")
+      .select(col("id"), col("g"))).contains(dim))
+    VersionedTable.append(Seq((10L, "g10")).toDF("pk", "g"), dim)
+    assert(roots(q).contains(dim), "dim moved — the unique pin must disarm")
+    // SQL twins re-arm and drop
+    spark.sql(s"ALTER TABLE graft.`$dim` ADD UNIQUE (pk) RELY")
+    assertEliminates(dim, q)
+    spark.sql(s"ALTER TABLE graft.`$dim` DROP UNIQUE (pk)")
+    assert(roots(q).contains(dim))
+  }
+
+  test("SQL surface: ADD FOREIGN KEY ... RELY eliminates; DROP disarms") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      (1L to 40L).map(i => (i, i % 4, i)).toDF("id", "fk", "v"), fact)
+    VersionedTable.write(
+      (0L to 3L).map(k => (k, "g" + k)).toDF("pk", "g"), dim)
+    spark.sql(s"ALTER TABLE graft.`$fact` ADD FOREIGN KEY (fk) " +
+      s"REFERENCES graft.`$dim` (pk) RELY")
+    def q = spark.sql(s"SELECT fk, COUNT(*) AS n, SUM(v) AS s " +
+      s"FROM graft.`$fact` JOIN graft.`$dim` ON fk = pk GROUP BY fk")
+    assertEliminates(dim, q)
+    spark.sql(s"ALTER TABLE graft.`$fact` DROP FOREIGN KEY (fk)")
+    assert(roots(q).contains(dim), "dropped declaration must disarm")
+    // DESCRIBE DETAIL surfaces the pins with their armed/stale state.
+    // UNIQUE first: its props commit bumps the dim, and an FK pinned
+    // before it would (correctly) read stale
+    spark.sql(s"ALTER TABLE graft.`$dim` ADD UNIQUE (pk) RELY")
+    spark.sql(s"ALTER TABLE graft.`$fact` ADD FOREIGN KEY (fk) " +
+      s"REFERENCES graft.`$dim` (pk) RELY")
+    val df = spark.sql(s"DESCRIBE DETAIL graft.`$fact`").collect().head
+    assert(df.getAs[String]("foreign_keys") ==
+      s"(fk)->$dim(pk)[armed]", df.getAs[String]("foreign_keys"))
+    val dd = spark.sql(s"DESCRIBE DETAIL graft.`$dim`").collect().head
+    assert(dd.getAs[String]("unique_keys") == "(pk)[armed]",
+      dd.getAs[String]("unique_keys"))
+    VersionedTable.append(Seq((99L, "gX")).toDF("pk", "g"), dim)
+    val stale = spark.sql(s"DESCRIBE DETAIL graft.`$fact`").collect().head
+    assert(stale.getAs[String]("foreign_keys").endsWith("[stale]"),
+      stale.getAs[String]("foreign_keys"))
+  }
+}
