@@ -1155,6 +1155,47 @@ object SkippingQueries {
     out
   }
 
+  // --------------------------------------------------------------------------
+  // q_distinct_elim — DISTINCT elimination under the oracle gate: the
+  // orders copy declares UNIQUE (o_orderkey) RELY (its true key — the
+  // synthetic lineitem has no unique tuple), and the gated query is
+  // SELECT DISTINCT over columns covering it — required in-query to have
+  // NO Aggregate in the optimized plan (the dedup shuffle dropped).
+  // DuckDB runs the DISTINCT for real, proving the identity.
+  // --------------------------------------------------------------------------
+  private def uqPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "uqfact_v1", "orders.parquet")
+
+  def distinctElim(spark: SparkSession, dir: String): DataFrame = {
+    val t = uqPath(dir)
+    if (VersionedTable.latestVersion(spark, t).isEmpty)
+      VersionedTable.write(Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        // explicit floor: Spark's double→long cast truncates while
+        // DuckDB's rounds — floor is the engine-independent spelling
+        floor(col("o_totalprice")).cast("long").as("price_l")),
+        t, statsCols = Seq("o_orderkey"))
+    val pinned = ForeignKeys.uniqueDeclsIn(
+      VersionedTable.propertiesOf(spark, t)).exists(u =>
+      u.cols == Seq("o_orderkey") &&
+        VersionedTable.latestVersion(spark, t).contains(u.pin))
+    if (!pinned)
+      ForeignKeys.declareUnique(spark, t, Seq("o_orderkey"))
+    val out = VersionedTable.read(spark, t)
+      .select(col("o_orderkey"), col("price_l"))
+      .distinct()
+    require(!out.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      "q_distinct_elim: expected the covering DISTINCT to drop its " +
+        s"aggregate; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val distinctElimSql: String =
+    """SELECT DISTINCT o_orderkey,
+      |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_l
+      |FROM orders""".stripMargin
+
   val joinElimSql: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
@@ -1202,6 +1243,7 @@ object SkippingQueries {
     "q_mv_derived" -> (mvDerived _),
     "q_mv_join" -> (mvJoin _),
     "q_join_elim" -> (joinElim _),
+    "q_distinct_elim" -> (distinctElim _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
@@ -1227,6 +1269,7 @@ object SkippingQueries {
     "q_mv_derived" -> mvDerivedSql,
     "q_mv_join" -> mvJoinSql,
     "q_join_elim" -> joinElimSql,
+    "q_distinct_elim" -> distinctElimSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,

@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PK/FK join elimination: a star join the query reads no dim column
     // from drops entirely, licensed by a validated FOREIGN KEY pin
     ext.injectOptimizerRule(session => GraftJoinElimination(session))
+    // DISTINCT elimination: SELECT DISTINCT over columns covering a
+    // pinned UNIQUE key is an identity — the dedup shuffle drops
+    ext.injectOptimizerRule(session => GraftDistinctElimination(session))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))

@@ -200,3 +200,55 @@ case class GraftJoinElimination(spark: SparkSession)
     if (hit) Some(factSide) else None
   }
 }
+
+/** DISTINCT elimination from a pinned UNIQUE key: `SELECT DISTINCT`
+  * (which the optimizer has already rewritten to an Aggregate whose
+  * output is exactly its grouping attributes) over columns that COVER a
+  * declared unique key is an identity — the rows are already distinct —
+  * so the whole aggregate, and the shuffle it would run, drop from the
+  * plan. Filters below only remove rows (uniqueness survives) and
+  * attribute-only projections keep the relation-level names the
+  * declaration is stated in. The pin contract is
+  * [[graft.sources.ForeignKeys.declareUnique]]'s: the relation must sit
+  * at exactly the validated version. At 100 TB a de-dup pass over an
+  * already-keyed table is the difference between a full shuffle and a
+  * straight scan. Shares the kill switch with join elimination
+  * (`spark.graft.fk.elimination.enabled`). */
+case class GraftDistinctElimination(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean = spark.sessionState.conf
+    .getConfString("spark.graft.fk.elimination.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case agg @ Aggregate(groups, aggs, child, _)
+          // the SELECT DISTINCT shape: every output IS a grouping attr
+          if aggs.nonEmpty && aggs.forall {
+            case a: AttributeReference => groups.exists(_.semanticEquals(a))
+            case _ => false
+          } && groups.forall(_.isInstanceOf[AttributeReference]) =>
+        val names = groups.map(_.asInstanceOf[AttributeReference].name).toSet
+        if (!uniqueCovered(child, names)) agg
+        else if (aggs.map(_.exprId) == child.output.map(_.exprId)) child
+        else Project(aggs.map(_.asInstanceOf[AttributeReference]), child)
+    }
+  }
+
+  /** Does some UNIQUE pin on the underlying graft relation — still at its
+    * validated version — have all its columns among `names`? */
+  private def uniqueCovered(plan: LogicalPlan, names: Set[String]): Boolean =
+    GraftBatchShim.fkInfoOf(plan) match {
+      case Some((_, v, raw)) =>
+        raw.flatMap(ForeignKeys.parseUnique).exists(u =>
+          u.pin == v && u.cols.forall(names))
+      case None => plan match {
+        case Project(items, child)
+            if items.forall(_.isInstanceOf[AttributeReference]) =>
+          uniqueCovered(child, names)
+        case Filter(_, child) => uniqueCovered(child, names)
+        case _ => false
+      }
+    }
+}

@@ -152,6 +152,36 @@ class ForeignKeySpec extends SparkSpec {
     assert(roots(q).contains(dim))
   }
 
+  test("DISTINCT elimination: a covering UNIQUE pin drops the dedup aggregate") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      (1L to 50L).map(i => (i, i % 5, i * 2)).toDF("id", "g", "v"), t,
+      statsCols = Seq("id"))
+    ForeignKeys.declareUnique(spark, t, Seq("id"))
+    def hasAgg(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+    // covering DISTINCTs collapse: all columns, a subset including the key,
+    // and under a filter (fewer rows are still unique)
+    def q1 = VersionedTable.read(spark, t).distinct()
+    def q2 = VersionedTable.read(spark, t).select("id", "v").distinct()
+    def q3 = VersionedTable.read(spark, t).filter(col("g") === 2L).distinct()
+    Seq(q1, q2, q3).foreach { q =>
+      assert(!hasAgg(q), q.queryExecution.optimizedPlan.toString)
+    }
+    spark.conf.set("spark.graft.fk.elimination.enabled", "false")
+    val (offAgg, offRows) =
+      try (hasAgg(q1), sorted(q1))
+      finally spark.conf.set("spark.graft.fk.elimination.enabled", "true")
+    assert(offAgg, "kill-switch ignored")
+    assert(offRows == sorted(q1), "elimination changed the answer")
+    // NON-covering distinct keeps its aggregate (g,v are not unique)...
+    assert(hasAgg(VersionedTable.read(spark, t).select("g", "v").distinct()))
+    // ...and table motion disarms
+    VersionedTable.append(Seq((99L, 0L, 0L)).toDF("id", "g", "v"), t)
+    assert(hasAgg(VersionedTable.read(spark, t).distinct()))
+  }
+
   test("SQL surface: ADD FOREIGN KEY ... RELY eliminates; DROP disarms") {
     val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
     VersionedTable.write(
