@@ -152,6 +152,62 @@ class ForeignKeySpec extends SparkSpec {
     assert(roots(q).contains(dim))
   }
 
+  test("re-declaring validates incrementally: O(delta) re-pin, violations still refuse") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, i % 10, i)).toDF("id", "fk", "v"), fact,
+      statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "g" + k)).toDF("pk", "g"), dim,
+      statsCols = Seq("pk"))
+    def counters = (ForeignKeys.fullValidations.get,
+      ForeignKeys.incrementalValidations.get)
+    val (f0, i0) = counters
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    assert(counters == (f0 + 1, i0), "first declaration is the full pass")
+    // still armed → no-op, no validation at all, no version bump
+    val vBefore = VersionedTable.latestVersion(spark, fact).get
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    assert(counters == (f0 + 1, i0))
+    assert(VersionedTable.latestVersion(spark, fact).contains(vBefore))
+    // the daily-load shape: append + delete on the fact, append on the
+    // dim → re-declare takes the INCREMENTAL path and re-arms
+    VersionedTable.append(Seq((200L, 3L, 7L)).toDF("id", "fk", "v"), fact)
+    VersionedTable.delete(spark, fact, col("id") <= 10L)
+    VersionedTable.append(Seq((10L, "g10")).toDF("pk", "g"), dim)
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    assert(counters == (f0 + 1, i0 + 1), "post-load re-pin must be O(delta)")
+    def q = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .select(col("id"), col("v"))
+    assertEliminates(dim, q)
+    // an appended ORPHAN is caught by the incremental path
+    VersionedTable.append(Seq((300L, 77L, 1L)).toDF("id", "fk", "v"), fact)
+    val (f1, i1) = counters
+    val e = intercept[IllegalArgumentException] {
+      ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk")) }
+    assert(e.getMessage.contains("absent"), e.getMessage)
+    assert(counters == (f1, i1 + 1), "the refusal itself was incremental")
+    // a dim-key DELETE that orphans existing fact rows is caught too
+    VersionedTable.delete(spark, fact, col("id") === 300L)
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk")) // re-arm
+    VersionedTable.delete(spark, dim, col("pk") === 3L)
+    val e2 = intercept[IllegalArgumentException] {
+      ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk")) }
+    assert(e2.getMessage.contains("absent"), e2.getMessage)
+    // UNIQUE re-pin: incremental after an append, dup insert refused
+    val (f2, i2) = counters
+    ForeignKeys.declareUnique(spark, dim, Seq("pk"))
+    assert(counters == (f2 + 1, i2), "first unique declaration is full")
+    VersionedTable.append(Seq((20L, "g20")).toDF("pk", "g"), dim)
+    ForeignKeys.declareUnique(spark, dim, Seq("pk"))
+    assert(counters == (f2 + 1, i2 + 1))
+    VersionedTable.append(Seq((20L, "dup")).toDF("pk", "g"), dim)
+    val e3 = intercept[IllegalArgumentException] {
+      ForeignKeys.declareUnique(spark, dim, Seq("pk")) }
+    assert(e3.getMessage.contains("not unique"), e3.getMessage)
+  }
+
   test("DISTINCT elimination: a covering UNIQUE pin drops the dedup aggregate") {
     val base = tmp(); val t = base + "/t"
     VersionedTable.write(
