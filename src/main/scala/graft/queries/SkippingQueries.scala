@@ -1196,6 +1196,55 @@ object SkippingQueries {
       |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_l
       |FROM orders""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_eager_agg — EAGER AGGREGATION under the oracle gate: the fact copy
+  // carries an NDV sketch on l_partkey (2k distinct vs 60k rows — the
+  // cost gate's license), so the star aggregate grouped by the dim's
+  // p_brand pre-aggregates the fact on its join key BELOW the join. The
+  // gated query asserts in-plan that exactly one partial aggregate sits
+  // under the join; DuckDB executes the plain join-then-aggregate, so the
+  // green row proves the transform is value-exact.
+  // --------------------------------------------------------------------------
+  private def eagerFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "eagerfact_v1", "lineitem.parquet")
+
+  def eagerAgg(spark: SparkSession, dir: String): DataFrame = {
+    val fact = eagerFactPath(dir)
+    val dim = fkDimPath(dir) // the q_join_elim part copy, reused read-only
+    if (VersionedTable.latestVersion(spark, fact).isEmpty) {
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_orderkey"))
+      VersionedTable.analyzeNdv(spark, fact, Seq("l_partkey"))
+    }
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        min(col("qty")).as("min_qty"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+    val partials = out.queryExecution.optimizedPlan.collect {
+      case LJoin(l, r, _, _, _) =>
+        Seq(l, r).count(_.exists(_.isInstanceOf[LAgg]))
+    }.sum
+    require(partials == 1,
+      s"q_eager_agg: expected one partial aggregate below the join; " +
+        s"plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val eagerAggSql: String =
+    """SELECT p_brand, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
   val joinElimSql: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
@@ -1244,6 +1293,7 @@ object SkippingQueries {
     "q_mv_join" -> (mvJoin _),
     "q_join_elim" -> (joinElim _),
     "q_distinct_elim" -> (distinctElim _),
+    "q_eager_agg" -> (eagerAgg _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
@@ -1270,6 +1320,7 @@ object SkippingQueries {
     "q_mv_join" -> mvJoinSql,
     "q_join_elim" -> joinElimSql,
     "q_distinct_elim" -> distinctElimSql,
+    "q_eager_agg" -> eagerAggSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,

@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DISTINCT elimination: SELECT DISTINCT over columns covering a
     // pinned UNIQUE key is an identity — the dedup shuffle drops
     ext.injectOptimizerRule(session => GraftDistinctElimination(session))
+    // eager aggregation (AFTER the strictly-better rewrites above): a
+    // star aggregate's fact side pre-aggregates on the join keys when
+    // NDV sketches prove the rollup collapses it
+    ext.injectOptimizerRule(session => GraftEagerAggregation(session))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))

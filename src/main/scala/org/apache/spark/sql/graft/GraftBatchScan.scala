@@ -554,6 +554,18 @@ object GraftBatchShim {
       case _ => None
     }
 
+  /** (plan-time NDV per column, manifest live row count) of a graft
+    * relation node — the eager-aggregation cost gate. None when the node
+    * is not a graft relation or records no row count. */
+  def ndvStatsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String => Option[Long], Long)] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.liveRows.isDefined =>
+        Some((g.ndvOf, g.liveRows.get))
+      case _ => None
+    }
+
   /** (root path, pinned version) of ANY graft snapshot relation node — the
     * join rewrite's DIMENSION-side identity ([[mvRewriteInfoOf]] covers
     * only view-carrying fact relations). */
