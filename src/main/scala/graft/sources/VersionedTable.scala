@@ -4991,11 +4991,38 @@ object VersionedTable {
         "REFRESH MATERIALIZED VIEW (or drop the view)")
 
   private def autoRefreshViewsAfter(spark: SparkSession, path: String,
-      props: Map[String, String]): Unit =
+      props: Map[String, String]): Unit = {
     if (boolProp(props, MvAutoRefreshKey))
       MaterializedView.viewsIn(props).foreach { mv =>
         scala.util.Try(MaterializedView.refresh(spark, mv))
       }
+    autoRepinAfter(spark, path, props)
+  }
+
+  /** `graft.fk.autoRepin` = true: after every mutating commit, re-declare
+    * this table's FOREIGN KEY and UNIQUE pins — the incremental
+    * re-validation makes this O(commit delta), so a loaded table's
+    * elimination licenses re-arm without an operator in the loop. An
+    * integrity VIOLATION in the delta leaves the pin disarmed (stale pins
+    * are silent-correct: elimination just declines) — the swallow matches
+    * the other hygiene hooks, which never un-commit the data they chase.
+    * Scope: the hooks fire on THIS table's commits, so fact loads re-arm
+    * fact-side FK pins and the table's own UNIQUE pins; a DIM's motion
+    * disarms referencing facts until their next load or a manual
+    * re-declare (the dim does not know who references it). */
+  private[graft] val FkAutoRepinKey = "graft.fk.autoRepin"
+
+  private def autoRepinAfter(spark: SparkSession, path: String,
+      props: Map[String, String]): Unit =
+    if (boolProp(props, FkAutoRepinKey)) {
+      ForeignKeys.declsIn(props).foreach { d =>
+        scala.util.Try(
+          ForeignKeys.declare(spark, path, d.fkCols, d.dimPath, d.pkCols))
+      }
+      ForeignKeys.uniqueDeclsIn(props).foreach { u =>
+        scala.util.Try(ForeignKeys.declareUnique(spark, path, u.cols))
+      }
+    }
 
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Long =

@@ -208,6 +208,36 @@ class ForeignKeySpec extends SparkSpec {
     assert(e3.getMessage.contains("not unique"), e3.getMessage)
   }
 
+  test("graft.fk.autoRepin: loads re-arm the pins; a violating load leaves them disarmed") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      (1L to 60L).map(i => (i, i % 6, i)).toDF("id", "fk", "v"), fact,
+      statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 5L).map(k => (k, "g" + k)).toDF("pk", "g"), dim)
+    VersionedTable.setProperties(spark, fact,
+      Map("graft.fk.autoRepin" -> "true"))
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    def q = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .select(col("id"), col("v"))
+    assertEliminates(dim, q)
+    // a clean load: the post-commit hook re-pins incrementally — the
+    // elimination stays armed with no operator in the loop
+    val (f0, i0) = (ForeignKeys.fullValidations.get,
+      ForeignKeys.incrementalValidations.get)
+    VersionedTable.append(Seq((100L, 3L, 7L)).toDF("id", "fk", "v"), fact)
+    assert(ForeignKeys.fullValidations.get == f0 &&
+      ForeignKeys.incrementalValidations.get == i0 + 1)
+    assertEliminates(dim, q)
+    // a violating load: the hook's re-declare refuses, the commit stands,
+    // and the pin just stays disarmed (elimination declines — correct)
+    VersionedTable.append(Seq((101L, 99L, 8L)).toDF("id", "fk", "v"), fact)
+    assert(VersionedTable.read(spark, fact).count() == 62L,
+      "the load itself must stand")
+    assert(roots(q).contains(dim), "a stale pin must decline, not throw")
+  }
+
   test("DISTINCT elimination: a covering UNIQUE pin drops the dedup aggregate") {
     val base = tmp(); val t = base + "/t"
     VersionedTable.write(
