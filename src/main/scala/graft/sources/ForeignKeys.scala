@@ -162,25 +162,31 @@ object ForeignKeys {
       // check the CURRENT dim restricted to those key values
       val insKeys = dimDiff.filter(col("_change_type") === "insert")
         .select(pkCols.map(col): _*).distinct()
-      val dupes = dim.join(broadcast(insKeys), pkCols, "left_semi")
-        .groupBy(pkCols.map(col): _*)
-        .count().filter(col("count") > 1L).limit(1).count()
-      require(dupes == 0L,
-        s"$factPath: REFERENCES ${dimPath}(${pkCols.mkString(",")}) is " +
-          s"not unique at version $dimV — declaration refused")
+      if (!insKeys.isEmpty) {
+        val dupes = dim.join(broadcast(insKeys), pkCols, "left_semi")
+          .groupBy(pkCols.map(col): _*)
+          .count().filter(col("count") > 1L).limit(1).count()
+        require(dupes == 0L,
+          s"$factPath: REFERENCES ${dimPath}(${pkCols.mkString(",")}) is " +
+            s"not unique at version $dimV — declaration refused")
+      }
       // keys deleted and NOT re-inserted may have orphaned fact rows:
-      // probe the fact on exactly those keys (stats/clustering prune)
+      // probe the fact on exactly those keys (stats/clustering prune).
+      // The empty-set shortcut matters: an APPEND-ONLY dim motion (the
+      // common case) must not pay any fact-side scan at all
       val gone = dimDiff.filter(col("_change_type") =!= "insert")
         .select(pkCols.map(col): _*).distinct()
         .join(dim.select(pkCols.map(col): _*), pkCols, "left_anti")
         .toDF(fkCols: _*)
-      val orphaned = VersionedTable.read(spark, factPath, Some(factV))
-        .select(fkCols.map(col): _*)
-        .join(broadcast(gone), fkCols, "left_semi").limit(1).count()
-      require(orphaned == 0L,
-        s"$factPath: FOREIGN KEY (${fkCols.mkString(",")}) has value(s) " +
-          s"absent from ${dimPath}(${pkCols.mkString(",")}) at versions " +
-          s"($factV, $dimV) — integrity does not hold, declaration refused")
+      if (!gone.isEmpty) {
+        val orphaned = VersionedTable.read(spark, factPath, Some(factV))
+          .select(fkCols.map(col): _*)
+          .join(broadcast(gone), fkCols, "left_semi").limit(1).count()
+        require(orphaned == 0L,
+          s"$factPath: FOREIGN KEY (${fkCols.mkString(",")}) has value(s) " +
+            s"absent from ${dimPath}(${pkCols.mkString(",")}) at versions " +
+            s"($factV, $dimV) — integrity does not hold, declaration refused")
+      }
     }
     if (factV > prior.factPin) {
       // fact inserts are the only new rows — non-null and matched, one
@@ -260,13 +266,15 @@ object ForeignKeys {
           val insKeys = VersionedTable.changes(spark, path, u.pin, v)
             .filter(col("_change_type") === "insert")
             .select(cols.map(col): _*).distinct()
-          df.join(broadcast(insKeys), cols, "left_semi")
+          // delete-only motion: nothing new to collide — no table scan
+          if (insKeys.isEmpty) None
+          else Some(df.join(broadcast(insKeys), cols, "left_semi"))
         case _ =>
           fullValidations.incrementAndGet()
-          df
+          Some(df)
       }
-      val dupes = keyed.groupBy(cols.map(col): _*)
-        .count().filter(col("count") > 1L).limit(1).count()
+      val dupes = keyed.map(_.groupBy(cols.map(col): _*)
+        .count().filter(col("count") > 1L).limit(1).count()).getOrElse(0L)
       require(dupes == 0L,
         s"$path: (${cols.mkString(",")}) is not unique at version $v — " +
           "declaration refused")
