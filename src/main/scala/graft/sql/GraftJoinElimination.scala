@@ -2,6 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -229,10 +230,40 @@ case class GraftDistinctElimination(spark: SparkSession)
             case a: AttributeReference => groups.exists(_.semanticEquals(a))
             case _ => false
           } && groups.forall(_.isInstanceOf[AttributeReference]) =>
+        // covering-key soundness for a group SUPERSET of the unique key:
+        // rows are unique on the key, so groups are one row each and the
+        // aggregate is an identity on however many columns it outputs
         val names = groups.map(_.asInstanceOf[AttributeReference].name).toSet
         if (!uniqueCovered(child, names)) agg
         else if (aggs.map(_.exprId) == child.output.map(_.exprId)) child
         else Project(aggs.map(_.asInstanceOf[AttributeReference]), child)
+      // dropDuplicates(subset) — the training-pipeline dedup verb: the
+      // optimizer rewrites Deduplicate to Aggregate(keys, keys ∪
+      // First(other) under fresh alias ids, child). One-row groups make
+      // every First(a) = a, so a covering unique pin turns the node into
+      // a Project rebinding each alias to its First's own input attribute
+      // (ignoreNulls is irrelevant on a one-row group).
+      case agg @ Aggregate(groups, aggs, child, _)
+          if groups.nonEmpty &&
+            groups.forall(_.isInstanceOf[AttributeReference]) &&
+            aggs.forall {
+              case a: AttributeReference =>
+                groups.exists(_.semanticEquals(a))
+              case Alias(AggregateExpression(
+                  org.apache.spark.sql.catalyst.expressions.aggregate
+                    .First(_: AttributeReference, _), _, false, None, _), _) =>
+                true
+              case _ => false
+            } && aggs.exists(_.isInstanceOf[Alias]) =>
+        val names = groups.map(_.asInstanceOf[AttributeReference].name).toSet
+        if (!uniqueCovered(child, names)) agg
+        else Project(aggs.map {
+          case a: AttributeReference => a
+          case al @ Alias(AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .First(fa: AttributeReference, _), _, _, _, _), n) =>
+            Alias(fa, n)(exprId = al.exprId)
+        }, child)
     }
   }
 

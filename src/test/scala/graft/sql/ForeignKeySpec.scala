@@ -261,11 +261,24 @@ class ForeignKeySpec extends SparkSpec {
       finally spark.conf.set("spark.graft.fk.elimination.enabled", "true")
     assert(offAgg, "kill-switch ignored")
     assert(offRows == sorted(q1), "elimination changed the answer")
+    // dropDuplicates(subset) — the Deduplicate → Aggregate(First) shape —
+    // collapses too when the subset covers the key, and its non-key
+    // columns survive verbatim (one-row groups make First an identity)
+    def q4 = VersionedTable.read(spark, t).dropDuplicates("id")
+    assert(!hasAgg(q4), q4.queryExecution.optimizedPlan.toString)
+    spark.conf.set("spark.graft.fk.elimination.enabled", "false")
+    val (ddAgg, ddRows) =
+      try (hasAgg(q4), sorted(q4))
+      finally spark.conf.set("spark.graft.fk.elimination.enabled", "true")
+    assert(ddAgg && ddRows == sorted(q4))
+    // a NON-covering dropDuplicates keeps its aggregate
+    assert(hasAgg(VersionedTable.read(spark, t).dropDuplicates("g")))
     // NON-covering distinct keeps its aggregate (g,v are not unique)...
     assert(hasAgg(VersionedTable.read(spark, t).select("g", "v").distinct()))
     // ...and table motion disarms
     VersionedTable.append(Seq((99L, 0L, 0L)).toDF("id", "g", "v"), t)
     assert(hasAgg(VersionedTable.read(spark, t).distinct()))
+    assert(hasAgg(VersionedTable.read(spark, t).dropDuplicates("id")))
   }
 
   test("SQL surface: ADD FOREIGN KEY ... RELY eliminates; DROP disarms") {
