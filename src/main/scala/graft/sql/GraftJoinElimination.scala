@@ -264,6 +264,27 @@ case class GraftDistinctElimination(spark: SparkSession)
                 .First(fa: AttributeReference, _), _, _, _, _), n) =>
             Alias(fa, n)(exprId = al.exprId)
         }, child)
+      // keep-latest window dedup (`row_number() over (partition by key
+      // order by ts) = 1` — the silver-transform idiom): partitions of a
+      // covering unique key hold EXACTLY ONE row, so every ranking
+      // function is the literal 1 — the Window (a full shuffle + sort)
+      // becomes a Project, and Spark's own constant folding then kills
+      // the `= 1` filter above it in the same fixpoint.
+      case w @ org.apache.spark.sql.catalyst.plans.logical.Window(
+          winExprs, partSpec, _, child, _)
+          if winExprs.nonEmpty && partSpec.nonEmpty &&
+            partSpec.forall(_.isInstanceOf[AttributeReference]) &&
+            winExprs.forall {
+              case Alias(WindowExpression(
+                _: RowNumber | _: Rank | _: DenseRank, _), _) => true
+              case _ => false
+            } =>
+        val names = partSpec.map(_.asInstanceOf[AttributeReference].name).toSet
+        if (!uniqueCovered(child, names)) w
+        else Project(child.output ++ winExprs.map {
+          case al @ Alias(we: WindowExpression, n) =>
+            Alias(Literal.create(1, we.dataType), n)(exprId = al.exprId)
+        }, child)
     }
   }
 

@@ -273,6 +273,34 @@ class ForeignKeySpec extends SparkSpec {
     assert(ddAgg && ddRows == sorted(q4))
     // a NON-covering dropDuplicates keeps its aggregate
     assert(hasAgg(VersionedTable.read(spark, t).dropDuplicates("g")))
+    // keep-latest window dedup: row_number partitioned by the covering
+    // key is the literal 1 — the Window collapses and constant folding
+    // kills the filter; rank() collapses the same way
+    import org.apache.spark.sql.expressions.{Window => W}
+    def hasWindow(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window])
+    def q5 = VersionedTable.read(spark, t)
+      .withColumn("rn", row_number().over(W.partitionBy("id").orderBy("v")))
+      .filter(col("rn") === 1).drop("rn")
+    assert(!hasWindow(q5), q5.queryExecution.optimizedPlan.toString)
+    assert(!q5.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]),
+      "constant folding must kill the rn = 1 filter")
+    spark.conf.set("spark.graft.fk.elimination.enabled", "false")
+    val (wOff, wRows) =
+      try (hasWindow(q5), sorted(q5))
+      finally spark.conf.set("spark.graft.fk.elimination.enabled", "true")
+    assert(wOff && wRows == sorted(q5))
+    assert(!hasWindow(VersionedTable.read(spark, t)
+      .withColumn("r", rank().over(W.partitionBy("id").orderBy("v")))))
+    // a NON-covering partition keeps its window
+    assert(hasWindow(VersionedTable.read(spark, t)
+      .withColumn("rn", row_number().over(W.partitionBy("g").orderBy("v")))
+      .filter(col("rn") === 1)))
+    // a non-ranking window function keeps its window even on the key
+    assert(hasWindow(VersionedTable.read(spark, t)
+      .withColumn("s", sum("v").over(W.partitionBy("id")))))
     // NON-covering distinct keeps its aggregate (g,v are not unique)...
     assert(hasAgg(VersionedTable.read(spark, t).select("g", "v").distinct()))
     // ...and table motion disarms
