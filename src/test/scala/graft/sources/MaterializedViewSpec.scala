@@ -445,6 +445,39 @@ class MaterializedViewSpec extends SparkSpec {
     assert(view() == joinedAgg())
   }
 
+  test("maintainStream keeps a JOIN view fresh: the trigger rides the fact feed") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    val mv = base + "/mv"; val ckpt = base + "/ckpt"
+    VersionedTable.write(
+      (1L to 50L).map(i => (i, i % 5, i)).toDF("id", "k", "v"), fact,
+      statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 4L).map(k => (k, "r" + k % 2)).toDF("k", "g"), dim)
+    MaterializedView.createJoined(spark, fact, dim, Seq("k" -> "k"), mv,
+      Seq("g"), Seq("v"))
+    def joinedAgg(): Map[String, (Long, Long)] =
+      VersionedTable.read(spark, fact)
+        .join(VersionedTable.read(spark, dim), Seq("k"))
+        .groupBy(col("g")).agg(count(lit(1)), sum(col("v")))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def view(): Map[String, (Long, Long)] =
+      VersionedTable.read(spark, mv).collect().map(r =>
+        r.getAs[String]("g") -> (r.getAs[Long]("mv_count"),
+          r.getAs[Long]("sum_v"))).toMap
+    // fact backlog before the stream starts
+    VersionedTable.delete(spark, fact, col("id") % 4 === 0)
+    val q = MaterializedView.maintainStream(spark, mv, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      q.processAllAvailable()
+      assert(view() == joinedAgg())
+      // live fact DML: each refresh joins only the diff with the PINNED dim
+      VersionedTable.append(Seq((100L, 2L, 30L)).toDF("id", "k", "v"), fact)
+      q.processAllAvailable()
+      assert(view() == joinedAgg())
+    } finally q.stop()
+  }
+
   test("join view contracts refuse loudly: duplicate dim keys, colliding names") {
     val base = tmp(); val fact = base + "/fact"; val dup = base + "/dup"
     val clash = base + "/clash"
