@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.LongType
   * dim rows contributes its values to k (dim-side) groups, and so does
   * its partial — replication distributes over COUNT-as-SUM, SUM, MIN and
   * MAX. What it does need:
-  *  - INNER join (null-keyed fact rows drop identically on both shapes);
+  *  - an INNER join (null-keyed fact rows drop identically on both
+  *    shapes) or a LEFT join with the fact on the LEFT (an unmatched
+  *    fact row and its unmatched partial surface the same null-dim-group
+  *    row; fact-as-right is declined — COUNT(*) counts unmatched left
+  *    rows a null partial would skip);
   *  - every aggregate input from ONE side (the fact), as COUNT(*)/
   *    COUNT(col)/SUM(integral)/MIN/MAX — fractional SUM/AVG/DISTINCT
   *    decline (re-association is not bit-exact / not decomposable);
@@ -62,6 +66,14 @@ case class GraftEagerAggregation(spark: SparkSession)
         rewrite(groups, aggs, j, l, r, cond)
           .orElse(rewrite(groups, aggs, j, r, l, cond))
           .getOrElse(agg)
+      // LEFT join with the FACT on the LEFT: an unmatched fact row and
+      // its unmatched partial surface the same null-dim-group row, so the
+      // replication argument carries over verbatim. (Fact-as-RIGHT does
+      // NOT: COUNT(*) counts unmatched left rows the null partial would
+      // skip — so only this orientation is tried.)
+      case agg @ Aggregate(groups, aggs,
+          j @ Join(l, r, LeftOuter, Some(cond), _), _) if groups.nonEmpty =>
+        rewrite(groups, aggs, j, l, r, cond).getOrElse(agg)
       // column pruning may interpose an attribute-only Project — the
       // outer aggregate references only its own attrs, all still present
       // on the join output, so the Project drops from the rewritten shape
@@ -72,6 +84,11 @@ case class GraftEagerAggregation(spark: SparkSession)
         rewrite(groups, aggs, j, l, r, cond)
           .orElse(rewrite(groups, aggs, j, r, l, cond))
           .getOrElse(agg)
+      case agg @ Aggregate(groups, aggs, Project(items,
+          j @ Join(l, r, LeftOuter, Some(cond), _)), _)
+          if groups.nonEmpty &&
+            items.forall(_.isInstanceOf[AttributeReference]) =>
+        rewrite(groups, aggs, j, l, r, cond).getOrElse(agg)
     }
   }
 
@@ -184,7 +201,7 @@ case class GraftEagerAggregation(spark: SparkSession)
       case (o: MinCol, Some(al)) => o.id -> al.toAttribute
       case (o: MaxCol, Some(al)) => o.id -> al.toAttribute
     }.toMap
-    val newJoin = Join(partial, dimSide, Inner, Some(cond), j.hint)
+    val newJoin = Join(partial, dimSide, j.joinType, Some(cond), j.hint)
     def reSum(a: Attribute): Expression = new Sum(a).toAggregateExpression()
     val newAggs: Seq[NamedExpression] = outs.map {
       case GroupRef(a) => a

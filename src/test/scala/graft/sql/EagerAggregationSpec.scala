@@ -61,6 +61,19 @@ class EagerAggregationSpec extends SparkSpec {
     // a fact-side filter rides below the partial
     assertEager(f.filter($"v" > 100L).join(d, $"fk" === $"pk")
       .groupBy($"g").agg(sum($"v").as("s")))
+    // LEFT join with the fact on the LEFT: unmatched fact rows surface
+    // the same null-dim group either way — fires and stays exact
+    // (fact rows with fk ∈ 0..19 all match here, so ALSO check a dim
+    // subset that leaves some unmatched)
+    assertEager(f.join(d.filter($"pk" < 10L), $"fk" === $"pk", "left")
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        count($"v").as("nn"), min($"v").as("mn")))
+    // fact on the RIGHT of a left join declines (COUNT(*) counts
+    // unmatched dim rows a null partial would skip)
+    def declinesQ(q: DataFrame): Unit =
+      assert(partialAggs(q) == 0, q.queryExecution.optimizedPlan.toString)
+    declinesQ(d.join(f, $"fk" === $"pk", "left")
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s")))
     // declines: fractional SUM, DISTINCT, global aggregate, un-sketched
     def declines(q: DataFrame): Unit =
       assert(partialAggs(q) == 0, q.queryExecution.optimizedPlan.toString)
