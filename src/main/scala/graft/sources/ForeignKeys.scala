@@ -38,7 +38,19 @@ object ForeignKeys {
     * and unmatched rows survive the left join anyway - no referential
     * check needed). */
   val UniquePrefix = "graft.unique."
+  /** DIM-side roster of fact tables declaring keys INTO this table - the
+    * reverse index that lets a dim's own `graft.fk.autoRepin` hook chain
+    * re-validation of the facts that reference it (a fact's hook covers
+    * fact loads; without this, dim motion would disarm referencing facts
+    * until their next load). Registered by [[declare]] BEFORE the pin is
+    * read, so the registration commit can never invalidate the pin it
+    * precedes. */
+  val ReferencedByKey = "graft.fk.referencedBy"
   private val Us = '\u001F'
+
+  private[graft] def referencedByIn(props: Map[String, String]): Seq[String] =
+    props.get(ReferencedByKey).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
   case class Decl(fkCols: Seq[String], dimPath: String, pkCols: Seq[String],
       factPin: Long, dimPin: Long)
@@ -91,6 +103,15 @@ object ForeignKeys {
     require(fkCols.nonEmpty && fkCols.size == pkCols.size,
       s"$factPath: FOREIGN KEY needs matching fact/dim column lists " +
         s"(got ${fkCols.size} vs ${pkCols.size})")
+    // register the fact on the DIM's reverse roster FIRST (like the MV
+    // roster): the registration commit bumps the dim, so doing it before
+    // the pin is read means it can never invalidate the pin it precedes —
+    // and the dim's own autoRepin hook can then chain re-validation of
+    // this fact when the dim itself loads
+    val roster = referencedByIn(VersionedTable.propertiesOf(spark, dimPath))
+    if (!roster.exists(samePath(_, factPath)))
+      VersionedTable.setProperties(spark, dimPath,
+        Map(ReferencedByKey -> (roster :+ factPath).mkString(",")))
     var attempts = 0
     while (true) {
       attempts += 1
@@ -212,9 +233,31 @@ object ForeignKeys {
   }
 
   /** Drop a declared key set (props-only commit; elimination disarms). */
-  def drop(spark: SparkSession, factPath: String, fkCols: Seq[String]): Long =
-    VersionedTable.setProperties(spark, factPath, Map.empty,
+  def drop(spark: SparkSession, factPath: String, fkCols: Seq[String]): Long = {
+    // unregister from the dim's reverse roster when this was the LAST
+    // declaration from this fact into that dim (a stale roster entry is
+    // harmless — the dim hook's re-declare of a missing decl is a cheap
+    // no-op — but unbounded growth isn't)
+    val before = declsIn(VersionedTable.propertiesOf(spark, factPath))
+    val dropped = before.find(_.fkCols == fkCols)
+    val out = VersionedTable.setProperties(spark, factPath, Map.empty,
       unset = Seq(keyFor(fkCols)))
+    dropped.foreach { d =>
+      val remaining = before.exists(o =>
+        o.fkCols != fkCols && samePath(o.dimPath, d.dimPath))
+      if (!remaining) scala.util.Try {
+        val roster = referencedByIn(
+          VersionedTable.propertiesOf(spark, d.dimPath))
+        val next = roster.filterNot(samePath(_, factPath))
+        if (next != roster)
+          VersionedTable.setProperties(spark, d.dimPath,
+            if (next.isEmpty) Map.empty
+            else Map(ReferencedByKey -> next.mkString(",")),
+            unset = if (next.isEmpty) Seq(ReferencedByKey) else Nil)
+      }
+    }
+    out
+  }
 
   case class UniqueDecl(cols: Seq[String], pin: Long)
 

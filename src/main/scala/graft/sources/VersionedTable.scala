@@ -5022,6 +5022,21 @@ object VersionedTable {
       ForeignKeys.uniqueDeclsIn(props).foreach { u =>
         scala.util.Try(ForeignKeys.declareUnique(spark, path, u.cols))
       }
+      // the REVERSE roster: this table may be the DIM of other facts'
+      // declarations — chain their re-validation too (incremental: the
+      // dim diff is examined once per fact; each fact's own pin commit is
+      // props-only and fires no hooks, so no recursion)
+      ForeignKeys.referencedByIn(props).foreach { fact =>
+        scala.util.Try {
+          ForeignKeys.declsIn(propertiesOf(spark, fact))
+            .filter(d => new Path(d.dimPath).toUri.getPath ==
+              new Path(path).toUri.getPath)
+            .foreach { d =>
+              scala.util.Try(ForeignKeys.declare(spark, fact, d.fkCols,
+                d.dimPath, d.pkCols))
+            }
+        }
+      }
     }
 
   def compact(spark: SparkSession, path: String,

@@ -230,6 +230,14 @@ class ForeignKeySpec extends SparkSpec {
     assert(ForeignKeys.fullValidations.get == f0 &&
       ForeignKeys.incrementalValidations.get == i0 + 1)
     assertEliminates(dim, q)
+    // DIM-side chaining via the reverse roster: a dim opting in re-pins
+    // the facts that reference it (declare registered the fact on the
+    // dim's graft.fk.referencedBy BEFORE reading the pin)
+    VersionedTable.setProperties(spark, dim,
+      Map("graft.fk.autoRepin" -> "true"))
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk")) // re-arm
+    VersionedTable.append(Seq((6L, "g6")).toDF("pk", "g"), dim)
+    assertEliminates(dim, q)
     // a violating load: the hook's re-declare refuses, the commit stands,
     // and the pin just stays disarmed (elimination declines — correct)
     VersionedTable.append(Seq((101L, 99L, 8L)).toDF("id", "fk", "v"), fact)
@@ -323,8 +331,11 @@ class ForeignKeySpec extends SparkSpec {
     spark.sql(s"ALTER TABLE graft.`$fact` DROP FOREIGN KEY (fk)")
     assert(roots(q).contains(dim), "dropped declaration must disarm")
     // DESCRIBE DETAIL surfaces the pins with their armed/stale state.
-    // UNIQUE first: its props commit bumps the dim, and an FK pinned
-    // before it would (correctly) read stale
+    // Each declaration's props commit bumps the dim and stales the other
+    // pin — the final FK re-declare is the empty-diff incremental re-pin
+    // that leaves BOTH armed (the operational sequence an operator runs)
+    spark.sql(s"ALTER TABLE graft.`$fact` ADD FOREIGN KEY (fk) " +
+      s"REFERENCES graft.`$dim` (pk) RELY")
     spark.sql(s"ALTER TABLE graft.`$dim` ADD UNIQUE (pk) RELY")
     spark.sql(s"ALTER TABLE graft.`$fact` ADD FOREIGN KEY (fk) " +
       s"REFERENCES graft.`$dim` (pk) RELY")
