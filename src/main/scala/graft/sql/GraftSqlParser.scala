@@ -382,6 +382,9 @@ case class GraftDescribeDetailCommand(cat: String,
     AttributeReference("mv_watermark", LongType, nullable = true)(),
     AttributeReference("mv_fresh", BooleanType, nullable = true)(),
     AttributeReference("mv_views", StringType, nullable = false)(),
+    // join views: the pinned dimension and whether the pin still matches
+    // the dim's head (stale = incremental refresh will refuse; FULL re-pins)
+    AttributeReference("mv_join", StringType, nullable = false)(),
     // declared key pins (FOREIGN KEY ... RELY / UNIQUE ... RELY), each
     // suffixed with whether its pin still ARMS join elimination right now
     AttributeReference("foreign_keys", StringType, nullable = false)(),
@@ -413,6 +416,9 @@ case class GraftDescribeDetailCommand(cat: String,
         e._1 == VersionedTable.NumBucketsKey ||
         e._1 == MaterializedView.SourceKey ||
         e._1 == MaterializedView.ViewsKey ||
+        e._1 == MaterializedView.JoinDimKey ||
+        e._1 == MaterializedView.JoinKeysKey ||
+        e._1 == MaterializedView.JoinDimVersionKey ||
         e._1.startsWith(graft.sources.ForeignKeys.Prefix) ||
         e._1.startsWith(graft.sources.ForeignKeys.UniquePrefix))),
       kv(cons), kv(gens), kv(ids),
@@ -429,6 +435,13 @@ case class GraftDescribeDetailCommand(cat: String,
       wm.map(java.lang.Long.valueOf).orNull,
       fresh.map(java.lang.Boolean.valueOf).orNull,
       props.getOrElse(MaterializedView.ViewsKey, ""),
+      MaterializedView.joinSpecIn(props).map { case (dim, keys, dimV) =>
+        val head = scala.util.Try(
+          VersionedTable.latestVersion(session, dim)).toOption.flatten
+        val state = if (head.contains(dimV)) "armed" else "stale"
+        s"$dim@$dimV(${keys.map(k => s"${k._1}=${k._2}").mkString(",")})" +
+          s"[$state]"
+      }.getOrElse(""),
       graft.sources.ForeignKeys.declsIn(props).map { d =>
         val dimHead = scala.util.Try(
           VersionedTable.latestVersion(session, d.dimPath)).toOption.flatten

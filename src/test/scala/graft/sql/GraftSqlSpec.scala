@@ -1144,8 +1144,13 @@ class GraftSqlSpec extends SparkSpec {
     val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(q)
       .map(_.toString)
     assert(roots.contains(mv) && !roots.contains(fact), roots.toString)
+    // DESCRIBE DETAIL shows the pinned dim and its live state
+    def mvJoinFact() = spark.sql(s"DESCRIBE DETAIL graft.`$mv`")
+      .collect().head.getAs[String]("mv_join")
+    assert(mvJoinFact() == s"$dim@1(fk=pk)[armed]", mvJoinFact())
     // dim motion: REFRESH refuses naming FULL; REFRESH ... FULL re-pins
     VersionedTable.append(Seq((8L, "bNEW")).toDF("pk", "brand"), dim)
+    assert(mvJoinFact().endsWith("[stale]"), mvJoinFact())
     VersionedTable.append(Seq((500L, 8L, 9L)).toDF("id", "fk", "v"), fact)
     val e = intercept[Exception] {
       spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`") }
