@@ -2,12 +2,12 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 import graft.sources.{MaterializedView, VersionedTable}
 
@@ -251,10 +251,19 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * companion (maintained for every SUM/MIN/MAX column). */
   private case class CountColOut(id: ExprId, name: String,
       srcCol: String) extends Out
-  private case class SumOut(id: ExprId, name: String, srcCol: String) extends Out
+  private case class SumOut(id: ExprId, name: String, srcCol: String,
+      dt: org.apache.spark.sql.types.DataType) extends Out
   private case class MinOut(id: ExprId, name: String, srcCol: String,
       dt: org.apache.spark.sql.types.DataType) extends Out
   private case class MaxOut(id: ExprId, name: String, srcCol: String,
+      dt: org.apache.spark.sql.types.DataType) extends Out
+  /** AVG(col) — answered from the view's sum_<col>/nn_<col> companions
+    * (exactly how the MV DDL maintains AVG: a stored quotient would go
+    * stale the moment either component moved). `srcDt` is the SOURCE
+    * column type (drives the recombination tree), `dt` the original AVG
+    * output type. */
+  private case class AvgOut(id: ExprId, name: String, srcCol: String,
+      srcDt: org.apache.spark.sql.types.DataType,
       dt: org.apache.spark.sql.types.DataType) extends Out
 
   private def classify(e: NamedExpression,
@@ -266,9 +275,27 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Some(CountOut(al.exprId, n))
     case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), n) =>
       colName(a, env).map(CountColOut(al.exprId, n, _))
-    case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _), n)
-        if al.dataType == LongType =>
-      colName(a, env).map(SumOut(al.exprId, n, _))
+    // SUM at LongType or DecimalType: integral partial sums are exact, and
+    // DECIMAL partial sums re-associate exactly too — the re-sum carries 10
+    // extra digits (the same headroom Spark's own two-phase aggregation
+    // uses) and casts back to the original SUM type, going NULL/throwing on
+    // overflow exactly where the unrewritten SUM would. Float/double SUM
+    // declines (re-association is not bit-exact). TRY declines: an
+    // overflowed-to-NULL stored partial would be SKIPPED by the re-sum.
+    case al @ Alias(AggregateExpression(Sum(a: AttributeReference, em), _, false, None, _), n)
+        if em != EvalMode.TRY &&
+          (al.dataType == LongType ||
+            al.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+      colName(a, env).map(SumOut(al.exprId, n, _, al.dataType))
+    // AVG recombines from exact SUM + non-null-COUNT components — the
+    // same decomposition the view itself maintains. Integral and decimal
+    // inputs only (double sums don't re-associate bit-exactly); TRY
+    // declines as for SUM.
+    case al @ Alias(AggregateExpression(Average(a: AttributeReference, em), _, false, None, _), n)
+        if em != EvalMode.TRY && (a.dataType == LongType ||
+          a.dataType == IntegerType || a.dataType == ShortType ||
+          a.dataType == ByteType || a.dataType.isInstanceOf[DecimalType]) =>
+      colName(a, env).map(AvgOut(al.exprId, n, _, a.dataType, al.dataType))
     // MIN/MAX re-aggregate EXACTLY for any orderable type: the min of
     // group-minima IS the min (no reordering concern, unlike float sums)
     case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), n) =>
@@ -447,11 +474,15 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val vSums = cols(MaterializedView.SumColsKey).toSet
     val vMinMax = cols(MaterializedView.MinMaxColsKey).toSet
     val vNn = vSums ++ vMinMax // every maintained value col has nn_<col>
-    val neededSums = outs.collect { case s: SumOut => s.srcCol }
+    val neededSums = outs.collect {
+      case s: SumOut => s.srcCol
+      case a: AvgOut => a.srcCol }
     val neededMinMax = outs.collect {
       case m: MinOut => m.srcCol
       case m: MaxOut => m.srcCol }
-    val neededNn = outs.collect { case c: CountColOut => c.srcCol }
+    val neededNn = outs.collect {
+      case c: CountColOut => c.srcCol
+      case a: AvgOut => a.srcCol }
     if (!neededSums.forall(vSums) ||
         !neededMinMax.forall(vMinMax) || !neededNn.forall(vNn)) return None
 
@@ -515,13 +546,20 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val ok = outs.forall {
       case GroupOut(id, _, _, dt) =>
         outAliases.get(id).flatMap(attr.get).exists(_.dataType == dt)
-      case SumOut(_, _, c) => longAttr(MaterializedView.sumColName(c)).isDefined
+      case SumOut(_, _, c, dt) =>
+        // the view's stored sum column has the SAME Sum result type the
+        // query's aggregate promises (both sum the same source column)
+        attr.get(MaterializedView.sumColName(c)).exists(_.dataType == dt)
       case CountColOut(_, _, c) =>
         longAttr(MaterializedView.nnColName(c)).isDefined
       case MinOut(_, _, c, dt) =>
         attr.get(MaterializedView.minColName(c)).exists(_.dataType == dt)
       case MaxOut(_, _, c, dt) =>
         attr.get(MaterializedView.maxColName(c)).exists(_.dataType == dt)
+      case AvgOut(_, _, c, srcDt, _) =>
+        attr.get(MaterializedView.sumColName(c))
+          .exists(_.dataType == expectedSumType(srcDt)) &&
+          longAttr(MaterializedView.nnColName(c)).isDefined
       case _: CountOut => true
     } && groupAliases.forall(attr.contains) &&
       residualCols.forall(n => attr.contains(n))
@@ -550,8 +588,13 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val e = if (globalAgg) Coalesce(Seq(reSum(cnt), Literal(0L)))
                 else reSum(cnt)
         Alias(e, n)(exprId = id)
-      case SumOut(id, n, c) =>
-        Alias(reSum(attr(MaterializedView.sumColName(c))), n)(exprId = id)
+      case SumOut(id, n, c, dt) =>
+        // decimal re-sums widen by 10 digits — cast back to the original
+        // SUM type (NULL/throw on overflow exactly as the source SUM's
+        // CheckOverflowInSum would); long re-sums are already exact
+        val re = reSum(attr(MaterializedView.sumColName(c)))
+        val e = if (re.dataType == dt) re else Cast(re, dt)
+        Alias(e, n)(exprId = id)
       case CountColOut(id, n, c) =>
         // COUNT(col) totality, like COUNT(*): 0 on empty, never NULL
         val re = reSum(attr(MaterializedView.nnColName(c)))
@@ -563,7 +606,31 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case MaxOut(id, n, c, _) =>
         Alias(Max(attr(MaterializedView.maxColName(c))).toAggregateExpression(),
           n)(exprId = id)
+      case AvgOut(id, n, c, srcDt, dt) =>
+        // the recombination tree Average.evaluateExpression itself builds,
+        // over the view's exact SUM + non-null-COUNT components (the divide
+        // is LEGACY there in every eval mode — count 0 yields SQL NULL)
+        val re = reSum(attr(MaterializedView.sumColName(c)))
+        val cnt = reSum(attr(MaterializedView.nnColName(c)))
+        val e = srcDt match {
+          case _: DecimalType =>
+            val sumDT = expectedSumType(srcDt)
+            val total = if (re.dataType == sumDT) re else Cast(re, sumDT)
+            Cast(Divide(total, Cast(cnt, DecimalType(20, 0)),
+              EvalMode.LEGACY), dt)
+          case _ =>
+            Divide(Cast(re, DoubleType), Cast(cnt, DoubleType),
+              EvalMode.LEGACY)
+        }
+        Alias(e, n)(exprId = id)
     }
     Some(Aggregate(groupAliases.map(attr(_)), newAggs, scan))
+  }
+
+  /** The type `SUM(col)` carries for a source column type — what the
+    * view's stored sum companion has (both sum the same column). */
+  private def expectedSumType(srcDt: DataType): DataType = srcDt match {
+    case d: DecimalType => DecimalType(math.min(d.precision + 10, 38), d.scale)
+    case _ => LongType
   }
 }

@@ -17,12 +17,14 @@ class EagerAggregationSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("eager").toString
 
-  /** Number of Aggregate nodes below a Join in the optimized plan. */
+  /** Number of Aggregate nodes below the TOP join in the optimized plan
+    * (counting per-join would double-count a partial sitting under two
+    * stacked joins of a multi-join star). */
   private def partialAggs(df: DataFrame): Int =
-    df.queryExecution.optimizedPlan.collect {
-      case Join(l, r, _, _, _) =>
-        Seq(l, r).count(_.exists(_.isInstanceOf[Aggregate]))
-    }.sum
+    df.queryExecution.optimizedPlan.collectFirst { case j: Join => j }
+      .map(j => Seq(j.left, j.right)
+        .map(_.collect { case a: Aggregate => a }.size).sum)
+      .getOrElse(0)
 
   private def sorted(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
@@ -93,5 +95,115 @@ class EagerAggregationSpec extends SparkSpec {
     try declines(f.join(d, $"fk" === $"pk").groupBy($"g")
       .agg(sum($"v").as("s")))
     finally spark.conf.unset("spark.graft.eagerAgg.maxKeyRatio")
+  }
+
+  test("decimal SUM and AVG decompose exactly; double AVG declines") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      (1L to 2000L).map(i => (i, i % 20, BigDecimal(i) / 100, i, i / 7.0))
+        .toDF("id", "fk", "dec", "v", "f")
+        .select($"id", $"fk", $"dec".cast("decimal(12,2)").as("dec"),
+          $"v", $"f"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 19L).map(k => (k, "g" + k % 4)).toDF("pk", "g"), dim,
+      statsCols = Seq("pk"))
+    VersionedTable.analyzeNdv(spark, fact, Seq("fk"))
+    def f = VersionedTable.read(spark, fact)
+    def d = VersionedTable.read(spark, dim)
+    // decimal SUM: partial sums re-associate exactly; output type preserved
+    assertEager(f.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(sum($"dec").as("s"), count(lit(1)).as("n")))
+    // AVG at decimal and long inputs (rule-off value equality included in
+    // assertEager — which needs a FRESH frame per evaluation, the plan is
+    // lazily cached per DataFrame); output types must survive the
+    // recombination
+    def avgQ = f.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(avg($"dec").as("a_dec"), avg($"v").as("a_long"),
+        sum($"dec").as("s"), count(lit(1)).as("n"))
+    assert(avgQ.schema("a_dec").dataType ==
+      org.apache.spark.sql.types.DecimalType(16, 6))
+    assert(avgQ.schema("a_long").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assertEager(avgQ)
+    // AVG through a LEFT join with unmatched fact rows stays exact
+    assertEager(f.join(d.filter($"pk" < 10L), $"fk" === $"pk", "left")
+      .groupBy($"g").agg(avg($"dec").as("a"), avg($"v").as("a2"),
+        count(lit(1)).as("n")))
+    // nulls: a decimal column that is NULL for some rows — AVG counts
+    // only non-null contributions, SUM skips them
+    val nfact = base + "/nfact"
+    VersionedTable.write(
+      (1L to 400L).map(i => (i, i % 10,
+        if (i % 3 == 0) null else (BigDecimal(i) / 10).bigDecimal))
+        .toDF("id", "fk", "dec")
+        .select($"id", $"fk", $"dec".cast("decimal(12,2)").as("dec")),
+      nfact, statsCols = Seq("id"))
+    VersionedTable.analyzeNdv(spark, nfact, Seq("fk"))
+    assertEager(VersionedTable.read(spark, nfact)
+      .join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(avg($"dec").as("a"), sum($"dec").as("s"),
+        count($"dec").as("nn"), count(lit(1)).as("n")))
+    // double AVG declines (re-association is not bit-exact)
+    def declines(q: org.apache.spark.sql.DataFrame): Unit =
+      assert(partialAggs(q) == 0, q.queryExecution.optimizedPlan.toString)
+    declines(f.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(avg($"f").as("a")))
+  }
+
+  test("multi-join star pre-aggregates the fact below BOTH joins") {
+    val base = tmp(); val fact = base + "/fact"
+    val d1 = base + "/d1"; val d2 = base + "/d2"
+    VersionedTable.write(
+      (1L to 2000L).map(i =>
+        (i, i % 20, i % 7, i, BigDecimal(i) / 100))
+        .toDF("id", "fk1", "fk2", "v", "dec")
+        .select($"id", $"fk1", $"fk2", $"v",
+          $"dec".cast("decimal(12,2)").as("dec")),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 19L).map(k => (k, "a" + k % 4)).toDF("pk1", "g1"), d1)
+    VersionedTable.write(
+      (0L to 6L).map(k => (k, "b" + k % 3)).toDF("pk2", "g2"), d2)
+    VersionedTable.analyzeNdv(spark, fact, Seq("fk1", "fk2"))
+    def f = VersionedTable.read(spark, fact)
+    def dd1 = VersionedTable.read(spark, d1)
+    def dd2 = VersionedTable.read(spark, d2)
+    // the partial must land BELOW the innermost (fact) join: exactly one
+    // Aggregate under the LOWEST join in the optimized plan
+    def lowestJoinHasPartial(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: Join => j }
+      val lowest = joins.last // collect is pre-order; last is innermost
+      Seq(lowest.left, lowest.right)
+        .exists(_.exists(_.isInstanceOf[Aggregate]))
+    }
+    def q = f.join(dd1, $"fk1" === $"pk1").join(dd2, $"fk2" === $"pk2")
+      .groupBy($"g1", $"g2")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        sum($"dec").as("sd"), avg($"v").as("a"), min($"v").as("mn"))
+    assertEager(q)
+    val qq = q
+    assert(lowestJoinHasPartial(qq),
+      s"partial not below the lowest join:\n${qq.queryExecution.optimizedPlan}")
+    // mixed group: fact-side group column joins the partial keys while
+    // dim groups ride above
+    assertEager(f.join(dd1, $"fk1" === $"pk1").join(dd2, $"fk2" === $"pk2")
+      .groupBy($"g1", $"fk2").agg(sum($"v").as("s")))
+    // LEFT joins along the path with the fact on the left: exact
+    assertEager(f.join(dd1.filter($"pk1" < 10L), $"fk1" === $"pk1", "left")
+      .join(dd2, $"fk2" === $"pk2")
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    // sketch missing for one of the path keys: declines (fk2 unsketched)
+    val bare = base + "/bare"
+    VersionedTable.write(
+      (1L to 200L).map(i => (i, i % 5, i % 3, i))
+        .toDF("id", "fk1", "fk2", "v"), bare)
+    VersionedTable.analyzeNdv(spark, bare, Seq("fk1"))
+    def declines(q: org.apache.spark.sql.DataFrame): Unit =
+      assert(partialAggs(q) == 0, q.queryExecution.optimizedPlan.toString)
+    declines(VersionedTable.read(spark, bare)
+      .join(dd1, $"fk1" === $"pk1").join(dd2, $"fk2" === $"pk2")
+      .groupBy($"g1", $"g2").agg(sum($"v").as("s")))
   }
 }

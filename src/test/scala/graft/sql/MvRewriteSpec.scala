@@ -327,6 +327,89 @@ class MvRewriteSpec extends SparkSpec {
     assert(qm.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap == em)
   }
 
+  test("decimal SUM and AVG answer from the view: exact, typed, rollup composes") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    // money-typed values, UNMODIFIED decimal(12,2) — the warehouse shape
+    // the rewrite must not silently decline; g3 carries only NULL money
+    VersionedTable.write(
+      (1L to 200L).map(i => (i, "g" + i % 5, i % 3,
+        if (i % 5 == 3) None else Some(BigDecimal(i * 7) / 4)))
+        .toDF("id", "g", "g2", "m")
+        .select($"id", $"g", $"g2", $"m".cast("decimal(12,2)").as("m")),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "g2"), Seq("m"))
+    def t = VersionedTable.read(spark, src)
+    // exact grouping and a rollup: decimal partial sums re-associate
+    // exactly; the output type stays the original SUM's decimal(22,2)
+    def q1 = t.groupBy($"g", $"g2").agg(sum($"m").as("s"),
+      count(lit(1)).as("n"))
+    assert(q1.schema("s").dataType ==
+      org.apache.spark.sql.types.DecimalType(22, 2))
+    assertRewrites(src, mv, q1)
+    assertRewrites(src, mv, t.groupBy($"g").agg(sum($"m").as("s"),
+      avg($"m").as("a"), count($"m").as("nn")))
+    // AVG recombines from the view's sum/nn companions with Average's own
+    // Divide/cast tree — type preserved at decimal(16,6)
+    def qa = t.groupBy($"g").agg(avg($"m").as("a"))
+    assert(qa.schema("a").dataType ==
+      org.apache.spark.sql.types.DecimalType(16, 6))
+    assertRewrites(src, mv, qa)
+    // the all-null money group stays SQL-NULL for SUM and AVG both
+    val rows = t.groupBy($"g").agg(sum($"m").as("s"), avg($"m").as("a"))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(rows("g3") == ((null, null)), rows.toString)
+    // DML + refresh keeps the decimal components exact
+    VersionedTable.delete(spark, src, $"id" % 7 === 0)
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(src, mv, t.groupBy($"g").agg(sum($"m").as("s"),
+      avg($"m").as("a"), count(lit(1)).as("n")))
+    // AVG over a LONG column answers as exact-sum/count too
+    val src2 = base + "/src2"; val mv2 = base + "/mv2"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, "g" + i % 4, i)).toDF("id", "g", "v"),
+      src2, statsCols = Seq("id"))
+    MaterializedView.create(spark, src2, mv2, Seq("g"), Seq("v"))
+    assertRewrites(src2, mv2, VersionedTable.read(spark, src2)
+      .groupBy($"g").agg(avg($"v").as("a"), sum($"v").as("s")))
+    // fractional AVG declines (double sums don't re-associate bit-exactly)
+    val src3 = base + "/src3"; val mv3 = base + "/mv3"
+    VersionedTable.write(
+      (1L to 50L).map(i => (i, "g" + i % 2, i / 7.0)).toDF("id", "g", "f"),
+      src3, statsCols = Seq("id"))
+    MaterializedView.create(spark, src3, mv3, Seq("g"), Seq("f"))
+    assert(roots(VersionedTable.read(spark, src3)
+      .groupBy($"g").agg(avg($"f").as("a"))).contains(src3))
+  }
+
+  test("join view: decimal SUM/AVG and dim residuals COMBINED with the view's WHERE") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 300L).map(i => (i, i % 12, BigDecimal(i * 3) / 2))
+        .toDF("id", "k", "m")
+        .select($"id", $"k", $"m".cast("decimal(12,2)").as("m")),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 11L).map(k => (k, "b" + k % 4, k % 2)).toDF("k", "brand", "tier"),
+      dim, statsCols = Seq("k"))
+    MaterializedView.createJoined(spark, fact, dim, Seq("k" -> "k"), mv,
+      Seq("brand", "tier"), Seq("m"), where = Some("id % 5 != 0"))
+    def star = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), Seq("k"))
+      .filter(expr("id % 5 != 0"))
+    // the view's own WHERE + a dim-side group-column residual + decimal
+    // SUM + AVG, all composing in one rewrite
+    assertRewrites(fact, mv, star.filter($"brand" === "b2")
+      .groupBy($"brand", $"tier")
+      .agg(sum($"m").as("s"), avg($"m").as("a"), count(lit(1)).as("n")))
+    // dim residual UNDER a rollup that drops the filtered column's sibling
+    assertRewrites(fact, mv, star.filter($"brand" =!= "b0")
+      .groupBy($"brand").agg(sum($"m").as("s"), count(lit(1)).as("n")))
+    // a dim residual on a NON-group dim column cannot ride the view
+    assert(roots(star.filter($"k" > 5L).groupBy($"brand")
+      .agg(count(lit(1)).as("n"))).contains(fact))
+  }
+
   test("SQL surface rewrites too, and null-sum groups survive the round trip") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // group g3 carries ONLY null v: its view sum is SQL-NULL, and the
