@@ -30,9 +30,11 @@ import graft.sources.ForeignKeys
   *  - the join is INNER, its condition is PURE key equalities, and the
   *    (fact column, dim column) name pairs equal a declared key set
   *    exactly;
-  *  - the dim side is attribute-only projections over a graft snapshot —
-  *    no dim-side filter (a filtered dim changes which fact rows survive)
-  *    and no renames;
+  *  - the dim side is attribute-only projections over a graft snapshot
+  *    (no renames), optionally filtered ON THE EQUATED KEY COLUMNS ONLY —
+  *    such a filter transposes exactly to the fact's own key (`σ_p(pk)
+  *    (dim)` joined one-to-one is `σ_p(fk)(fact)`), while a filter on any
+  *    other dim column changes which fact rows survive and declines;
   *  - both relations sit at EXACTLY the declaration's validated pins —
   *    any commit on either table disarms silently (re-declare to re-pin).
   *
@@ -41,12 +43,30 @@ import graft.sources.ForeignKeys
   * filters are fine — they only shrink the fact rows, and every surviving
   * row still matched exactly once.
   *
+  * READING THE DIM KEY does not block the drop: on every surviving row
+  * `dim.pk = fact.fk` by the join condition itself, so a query whose only
+  * dim-side references are the equated key columns (the common
+  * SELECT-includes-the-join-key BI shape) rewrites them to the fact's own
+  * key via an aliasing Project that keeps the dim attributes' ids — and
+  * the dim still drops. Any OTHER dim column read declines.
+  *
   * LEFT joins eliminate on a weaker license: a declared UNIQUE pin on the
   * RIGHT side ([[ForeignKeys.declareUnique]]) whose columns are all bound
   * by the join condition — unmatched left rows survive a left join
   * anyway, so no referential check is needed, the LEFT side can be any
   * plan, and right-side filters are harmless (a lost match is an unread
-  * null). Disable with `spark.graft.fk.elimination.enabled=false`.
+  * null). (No key substitution here: an unmatched left row carries NULL
+  * dim columns where the left expression is non-null.)
+  *
+  * SELF-JOINS eliminate on a UNIQUE pin alone: `t a JOIN t b ON a.k =
+  * b.k` where both sides are (projections over) the SAME pinned snapshot
+  * and the equated columns cover a validated unique key matches every row
+  * to exactly itself — the join collapses to ONE scan with the other
+  * side's columns re-aliased in place (the classic view-flattening
+  * artifact, a whole shuffle-or-broadcast for zero information). Plain
+  * `=` conjuncts contribute an IS NOT NULL guard (a null never equals
+  * itself; `<=>` needs none — the pin allows at most one all-null key).
+  * Disable with `spark.graft.fk.elimination.enabled=false`.
   */
 case class GraftJoinElimination(spark: SparkSession)
     extends Rule[LogicalPlan] {
@@ -68,6 +88,9 @@ case class GraftJoinElimination(spark: SparkSession)
       case a @ Aggregate(g, aggs, f @ Filter(cond, j: Join), h) =>
         eliminate(j, refs(g ++ aggs) ++ cond.references)
           .map(c => Aggregate(g, aggs, Filter(cond, c), h)).getOrElse(a)
+      // self-join collapse is OUTPUT-PRESERVING (every join output column
+      // survives, re-aliased), so it needs no parent-shape license
+      case j: Join => trySelfJoin(j).getOrElse(j)
     }
   }
 
@@ -140,14 +163,21 @@ case class GraftJoinElimination(spark: SparkSession)
 
   /** Attribute-only walk of the DIM side down to a graft relation: every
     * kept column keeps its name (no aliases — a rename would detach the
-    * name pairing the declaration is stated in) and nothing filters. */
-  private def dimRelOf(plan: LogicalPlan): Option[(String, Long)] =
+    * name pairing the declaration is stated in). Filters are COLLECTED,
+    * not refused — the caller drops the dim only if each conjunct
+    * references nothing but the equated key columns (where it is exactly
+    * a fact-side filter on the fact key, by the pin's one-to-one match);
+    * anything else declines there. */
+  private def dimRelOf(plan: LogicalPlan)
+      : Option[(String, Long, Seq[Expression])] =
     GraftBatchShim.graftSnapshotOf(plan)
-      .map { case (root, v) => (root.toUri.getPath, v) }
+      .map { case (root, v) => (root.toUri.getPath, v, Nil) }
       .orElse(plan match {
         case Project(items, child)
             if items.forall(_.isInstanceOf[AttributeReference]) =>
           dimRelOf(child)
+        case Filter(cond, child) if cond.deterministic =>
+          dimRelOf(child).map { case (p, v, cs) => (p, v, cs :+ cond) }
         case _ => None
       })
 
@@ -172,33 +202,167 @@ case class GraftJoinElimination(spark: SparkSession)
 
   private def tryDrop(factSide: LogicalPlan, dimSide: LogicalPlan,
       cond: Expression, used: AttributeSet): Option[LogicalPlan] = {
-    if (!used.subsetOf(factSide.outputSet)) return None
+    // fast refusal: the only dim attributes the rewrite can supply are the
+    // condition's own — anything else read from the dim blocks the drop
+    if (!used.subsetOf(factSide.outputSet ++ cond.references)) return None
     val (_, factV, decls) = factRelOf(factSide).getOrElse(return None)
-    val (dimPath, dimV) = dimRelOf(dimSide).getOrElse(return None)
-    // the join condition as (fact name, dim name) pairs — attributes only,
+    val (dimPath, dimV, dimConds) = dimRelOf(dimSide).getOrElse(return None)
+    // the join condition as (fact attr, dim attr) pairs — attributes only,
     // resolved by side membership (names are relation-level: both walks
     // refused renames)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case x => Seq(x)
     }
-    val pairs = conjuncts(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (factSide.outputSet.contains(a) && dimSide.outputSet.contains(b))
-          Some((a.name, b.name))
-        else if (factSide.outputSet.contains(b) &&
-          dimSide.outputSet.contains(a)) Some((b.name, a.name))
-        else None
-      case _ => None
-    }
+    val pairs: Seq[Option[(AttributeReference, AttributeReference)]] =
+      conjuncts(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          if (factSide.outputSet.contains(a) && dimSide.outputSet.contains(b))
+            Some((a, b))
+          else if (factSide.outputSet.contains(b) &&
+            dimSide.outputSet.contains(a)) Some((b, a))
+          else None
+        case _ => None
+      }
     if (pairs.exists(_.isEmpty)) return None
-    val pairSet = pairs.flatten.toSet
+    val attrPairs = pairs.flatten
+    val pairSet = attrPairs.map { case (f, d) => (f.name, d.name) }.toSet
     val hit = decls.exists { d =>
       d.fkCols.zip(d.pkCols).toSet == pairSet &&
         new org.apache.hadoop.fs.Path(d.dimPath).toUri.getPath == dimPath &&
         d.factPin == factV && d.dimPin == dimV
     }
-    if (hit) Some(factSide) else None
+    if (!hit) return None
+    // on every surviving row the equated columns are EQUAL and every fact
+    // row survives (all matched, by the pin) — so dim attributes rewrite
+    // to their fact twins, both in dim-side FILTERS (σ_p(pk)(dim) joined
+    // one-to-one is σ_p(fk)(fact)) and in upstream READS of the key
+    val factFor: Map[ExprId, AttributeReference] =
+      attrPairs.map { case (f, d) => d.exprId -> f }.toMap
+    def onFact(e: Expression): Option[Expression] =
+      if (e.references.forall(a => factFor.contains(a.exprId)))
+        Some(e.transform { case a: AttributeReference => factFor(a.exprId) })
+      else None
+    val rewrittenDimConds = dimConds.map(onFact(_).getOrElse(return None))
+    val base: LogicalPlan =
+      if (rewrittenDimConds.isEmpty) factSide
+      else Filter(rewrittenDimConds.reduce[Expression](And), factSide)
+    if (used.subsetOf(factSide.outputSet)) return Some(base)
+    val extra = (used -- factSide.outputSet).toSeq
+    if (!extra.forall(a => factFor.contains(a.exprId))) return None
+    Some(Project(factSide.output ++
+      extra.map(a => Alias(factFor(a.exprId), a.name)(exprId = a.exprId)),
+      base))
+  }
+
+  // ---------------------------------------------------------------------
+  // Self-join elimination
+  // ---------------------------------------------------------------------
+
+  /** `t a JOIN t b ON a.k = b.k` over one pinned snapshot whose unique key
+    * the equalities cover: every row matches exactly itself, so the join
+    * IS the scan with the dropped side's columns re-aliased. The KEPT side
+    * may carry filters (its survivors still self-match against the
+    * unfiltered other side); the DROPPED side must be attribute-only —
+    * a filter there would have to be re-bound, so it declines (the rule
+    * tries both orientations, covering one-sided filters either way). */
+  private def trySelfJoin(j: Join): Option[LogicalPlan] = j match {
+    case Join(l, r, Inner, Some(cond), _) =>
+      selfCollapse(l, r, cond, keepLeft = true)
+        .orElse(selfCollapse(r, l, cond, keepLeft = false))
+    case _ => None
+  }
+
+  /** The graft relation NODE under attribute-only projects (and filters,
+    * when allowed) — the node itself, so the caller can read its full
+    * output and its pin/props. */
+  private def relNodeOf(plan: LogicalPlan,
+      allowFilter: Boolean): Option[LogicalPlan] =
+    if (GraftBatchShim.graftSnapshotOf(plan).isDefined) Some(plan)
+    else plan match {
+      case Project(items, child)
+          if items.forall(_.isInstanceOf[AttributeReference]) =>
+        relNodeOf(child, allowFilter)
+      case Filter(_, child) if allowFilter => relNodeOf(child, allowFilter)
+      case _ => None
+    }
+
+  /** Rebuild an attribute-only-Project/Filter stack over a graft relation
+    * so `extra` relation attributes ride through every Project — the kept
+    * side must now also supply the dropped side's columns. */
+  private def widened(plan: LogicalPlan, extra: Seq[Attribute]): LogicalPlan =
+    plan match {
+      case Project(items, child)
+          if items.forall(_.isInstanceOf[AttributeReference]) =>
+        val have = AttributeSet(items)
+        Project(items ++ extra.filterNot(have.contains),
+          widened(child, extra))
+      case Filter(cond, child) => Filter(cond, widened(child, extra))
+      case rel => rel
+    }
+
+  private def selfCollapse(keep: LogicalPlan, drop: LogicalPlan,
+      cond: Expression, keepLeft: Boolean): Option[LogicalPlan] = {
+    val keepRel = relNodeOf(keep, allowFilter = true).getOrElse(return None)
+    val dropRel = relNodeOf(drop, allowFilter = false).getOrElse(return None)
+    val (keepPath, keepV) =
+      GraftBatchShim.graftSnapshotOf(keepRel).getOrElse(return None)
+    val (dropPath, dropV) =
+      GraftBatchShim.graftSnapshotOf(dropRel).getOrElse(return None)
+    if (keepPath.toUri.getPath != dropPath.toUri.getPath || keepV != dropV)
+      return None
+    val uniques = GraftBatchShim.fkInfoOf(keepRel) match {
+      case Some((_, v, raw)) if v == keepV =>
+        raw.flatMap(ForeignKeys.parseUnique).filter(_.pin == keepV)
+      case _ => return None
+    }
+    if (uniques.isEmpty) return None
+    // every conjunct must equate THE SAME relation column across the two
+    // sides (attribute-only walks: names are relation-level); `=` needs an
+    // IS NOT NULL guard on the kept attr (null never self-matches), `<=>`
+    // does not. Any other conjunct shape declines — `a.v > b.v` is
+    // v > v only where v is non-null, and nothing here proves that.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    def sameCol(a: Expression, b: Expression)
+        : Option[(AttributeReference, String)] = (a, b) match {
+      case (x: AttributeReference, y: AttributeReference)
+          if x.name == y.name =>
+        if (keep.outputSet.contains(x) && drop.outputSet.contains(y))
+          Some((x, x.name))
+        else if (keep.outputSet.contains(y) && drop.outputSet.contains(x))
+          Some((y, y.name))
+        else None
+      case _ => None
+    }
+    val eqs: Seq[(AttributeReference, String, Boolean)] =
+      conjuncts(cond).map {
+        case EqualTo(a, b) => sameCol(a, b).map(p => (p._1, p._2, false))
+        case EqualNullSafe(a, b) => sameCol(a, b).map(p => (p._1, p._2, true))
+        case _ => None
+      }.map(_.getOrElse(return None))
+    val equatedNames = eqs.map(_._2).toSet
+    if (!uniques.exists(_.cols.toSet.subsetOf(equatedNames))) return None
+    // rebind the dropped side's output to the kept side's RELATION
+    // attributes (same names — both walks are attribute-only) under the
+    // dropped attributes' own ids, widening the kept stack to carry them
+    val keepByName: Map[String, Attribute] =
+      keepRel.output.map(a => a.name -> a).toMap
+    if (!drop.output.forall(a => keepByName.contains(a.name))) return None
+    val extra = drop.output.map(a => keepByName(a.name))
+      .filterNot(keep.outputSet.contains).distinct
+    val rebinds = drop.output.map(a =>
+      Alias(keepByName(a.name), a.name)(exprId = a.exprId))
+    val notNulls = eqs.collect { case (a, _, false) => IsNotNull(a) }
+    val base = widened(keep, extra)
+    val guarded =
+      if (notNulls.isEmpty) base
+      else Filter(notNulls.reduce[Expression](And), base)
+    Some(Project(
+      if (keepLeft) keep.output ++ rebinds else rebinds ++ keep.output,
+      guarded))
   }
 }
 

@@ -87,9 +87,15 @@ class ForeignKeySpec extends SparkSpec {
     assert(roots(VersionedTable.read(spark, fact)
       .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))).contains(dim))
-    // a dim-side filter changes which fact rows survive: declines
-    assert(roots(VersionedTable.read(spark, fact)
+    // a dim-side filter ON THE KEY transposes to the fact's fk: still drops
+    assertEliminates(dim, VersionedTable.read(spark, fact)
       .join(VersionedTable.read(spark, dim).filter(col("pk") < 5L),
+        col("fk") === col("pk"))
+      .select(col("id")))
+    // a dim-side filter on a NON-key column changes which fact rows
+    // survive: declines
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).filter(col("g") === "g1"),
         col("fk") === col("pk"))
       .select(col("id"))).contains(dim))
     // undeclared key pairing declines
@@ -349,5 +355,115 @@ class ForeignKeySpec extends SparkSpec {
     val stale = spark.sql(s"DESCRIBE DETAIL graft.`$fact`").collect().head
     assert(stale.getAs[String]("foreign_keys").endsWith("[stale]"),
       stale.getAs[String]("foreign_keys"))
+  }
+
+  test("join elimination substitutes the fact key when only the dim KEY is read") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, i % 10, i)).toDF("id", "fk", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "g" + k % 3)).toDF("pk", "g"), dim,
+      statsCols = Seq("pk"))
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    // the SELECT-includes-the-join-key BI shape: pk is read in a group
+    // key AND an aggregate input — both substitute to fk, dim drops
+    assertEliminates(dim, VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .groupBy((col("pk") % 2).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("pk")).as("spk"),
+        sum(col("v")).as("s")))
+    // plain projection of the key, through a filter between join and parent
+    assertEliminates(dim, VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .filter(col("pk") > 3L)
+      .select(col("id"), col("pk")))
+    // a NON-key dim column still blocks the drop
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .groupBy(col("pk")).agg(count(col("g")).as("n"))).contains(dim))
+    // motion disarms the substitution too
+    VersionedTable.append(Seq((10L, "gZ")).toDF("pk", "g"), dim)
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
+      .select(col("id"), col("pk"))).contains(dim))
+  }
+
+  test("self-join on a pinned unique key collapses to one scan") {
+    val base = tmp(); val t = base + "/t"
+    // one NULL-keyed row: the pin allows at most one, and a plain `=`
+    // self-join drops it — the IS NOT NULL guard must reproduce that
+    VersionedTable.write(
+      ((1L to 50L).map(i => (Some(i), "s" + i % 3, i * 2)) :+
+        ((None: Option[Long], "snull", 0L)))
+        .toDF("k", "s", "v"), t, statsCols = Seq("v"))
+    ForeignKeys.declareUnique(spark, t, Seq("k"))
+    def joins(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    def a = VersionedTable.read(spark, t)
+    def b = VersionedTable.read(spark, t)
+    /** collapse asserted by plan shape AND by value equality vs rule-off */
+    def assertCollapses(q: => DataFrame): Unit = {
+      val on = q
+      assert(joins(on) == 0, s"expected the self-join to collapse:\n" +
+        on.queryExecution.optimizedPlan)
+      spark.conf.set("spark.graft.fk.elimination.enabled", "false")
+      try {
+        val off = q
+        assert(joins(off) == 1, "kill-switch ignored")
+        assert(sorted(on) == sorted(off))
+      } finally
+        spark.conf.set("spark.graft.fk.elimination.enabled", "true")
+    }
+    def self(l: DataFrame, r: DataFrame) =
+      l.join(r, l("k") === r("k"))
+        .select(l("k"), l("s"), r("v").as("v_r"))
+    assertCollapses(self(a, b))
+    // null-key row really drops on both shapes (51 rows in, 50 out)
+    assert(self(a, b).count() == 50L)
+    // a filter on either side still collapses (the other side stays whole)
+    assertCollapses {
+      val l = a.filter(col("v") > 40L); val r = b
+      l.join(r, l("k") === r("k")).select(l("k"), r("s").as("s_r"))
+    }
+    assertCollapses {
+      val l = a; val r = b.filter(col("v") > 40L)
+      l.join(r, l("k") === r("k")).select(l("s"), r("k").as("k_r"))
+    }
+    // <=> keeps the null row: 51 rows, still collapsed
+    val nsafe = {
+      val l = a; val r = b
+      l.join(r, l("k") <=> r("k")).select(l("k"), r("v").as("v_r"))
+    }
+    assert(joins(nsafe) == 0, nsafe.queryExecution.optimizedPlan.toString)
+    assert(nsafe.count() == 51L)
+    // declines: filters on BOTH sides (neither side can vouch whole)
+    assert(joins {
+      val l = a.filter(col("v") > 10L); val r = b.filter(col("v") < 90L)
+      l.join(r, l("k") === r("k")).select(l("k"), r("s").as("s_r"))
+    } == 1)
+    // declines: equated column is not the unique key
+    assert(joins {
+      val l = a; val r = b
+      l.join(r, l("s") === r("s")).select(l("k"), r("k").as("k2"))
+    } == 1)
+    // declines: a non-equality conjunct (v > v is not provably vacuous)
+    assert(joins {
+      val l = a; val r = b
+      l.join(r, l("k") === r("k") && l("v") >= r("v"))
+        .select(l("k"), r("s").as("s2"))
+    } == 1)
+    // declines: sides at different versions (time travel on one side)
+    VersionedTable.append(Seq((Some(99L), "sX", 99L)).toDF("k", "s", "v"), t)
+    val old = VersionedTable.read(spark, t, Some(1L))
+    val newer = VersionedTable.read(spark, t, Some(2L))
+    assert(joins(newer
+      .join(old, newer("k") === old("k")).select(old("v").as("v2"))) == 1)
+    // motion disarmed the pin entirely; re-declare re-arms incrementally
+    assert(joins(self(a, b)) == 1)
+    ForeignKeys.declareUnique(spark, t, Seq("k"))
+    assertCollapses(self(a, b))
   }
 }
