@@ -1070,7 +1070,10 @@ object SkippingQueries {
   private def mvjViewPath(dir: String): String =
     SkippingQueries.cachedFixturePath(dir, "mvjview_v1", "lineitem.parquet")
 
-  def mvJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Builds/resumes the join-view fixture chain (idempotent across runs);
+    * shared by q_mv_join and q_mv_join_residual. Returns (fact, dim, mv). */
+  private def ensureMvJoin(spark: SparkSession, dir: String)
+      : (String, String, String) = {
     val fact = mvjFactPath(dir)
     val dim = mvjDimPath(dir)
     val mv = mvjViewPath(dir)
@@ -1093,6 +1096,11 @@ object SkippingQueries {
         .select(col("l_orderkey"), col("l_partkey"),
           (col("l_quantity").cast("long") * 3L).as("qty")), fact)
     MaterializedView.refresh(spark, mv)
+    (fact, dim, mv)
+  }
+
+  def mvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim, mv) = ensureMvJoin(spark, dir)
     val out = VersionedTable.read(spark, fact)
       .join(VersionedTable.read(spark, dim),
         col("l_partkey") === col("p_partkey"))
@@ -1108,6 +1116,42 @@ object SkippingQueries {
   }
 
   // --------------------------------------------------------------------------
+  // q_mv_join_residual — the dashboard-filter shape over a JOIN view: the
+  // star aggregate FILTERED ON A DIM ATTRIBUTE that is a view group column
+  // (`WHERE p_brand = 'Brand#13'`) still answers from the view, the
+  // predicate riding it as a residual (group columns are constant within a
+  // group, so filtering view rows IS filtering source rows). Same fixtures
+  // as q_mv_join; DuckDB executes the filtered join for real.
+  // --------------------------------------------------------------------------
+  def mvJoinResidual(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim, mv) = ensureMvJoin(spark, dir)
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === "Brand#13")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(fact) &&
+      !roots.contains(dim),
+      s"q_mv_join_residual: expected the brand-filtered star aggregate to " +
+        s"ride the view $mv as a residual; optimized plan scans $roots")
+    out
+  }
+
+  val mvJoinResidualSql: String =
+    """WITH fact AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey % 6 <> 0
+      |  UNION ALL
+      |  SELECT l_partkey, 3 * CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_partkey % 4 = 0)
+      |SELECT p_brand, COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#13' GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_join_elim — PK/FK JOIN ELIMINATION under the oracle gate: the fact
   // (lineitem-derived, fk = l_partkey) declares FOREIGN KEY REFERENCES the
   // dim (part-derived, pk = p_partkey) RELY — the declaration VALIDATES
@@ -1121,7 +1165,9 @@ object SkippingQueries {
   private def fkDimPath(dir: String): String =
     SkippingQueries.cachedFixturePath(dir, "fkdim_v1", "part.parquet")
 
-  def joinElim(spark: SparkSession, dir: String): DataFrame = {
+  /** Builds the FK star fixtures and (re-)pins the declaration; shared by
+    * q_join_elim and q_join_elim_key. Returns (fact, dim). */
+  private def ensureFk(spark: SparkSession, dir: String): (String, String) = {
     val fact = fkFactPath(dir)
     val dim = fkDimPath(dir)
     if (VersionedTable.latestVersion(spark, fact).isEmpty)
@@ -1142,6 +1188,11 @@ object SkippingQueries {
     if (!pinned)
       ForeignKeys.declare(spark, fact, Seq("l_partkey"), dim,
         Seq("p_partkey"))
+    (fact, dim)
+  }
+
+  def joinElim(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = ensureFk(spark, dir)
     val out = VersionedTable.read(spark, fact)
       .join(VersionedTable.read(spark, dim),
         col("l_partkey") === col("p_partkey"))
@@ -1156,6 +1207,66 @@ object SkippingQueries {
   }
 
   // --------------------------------------------------------------------------
+  // q_join_elim_key — join elimination when the query READS THE DIM KEY
+  // (the SELECT-includes-the-join-key BI shape): on every surviving row
+  // p_partkey = l_partkey by the pinned FK, so the dim attribute rewrites
+  // to the fact's own key — grouped on AND summed here — and the dim scan
+  // plus its join still drop. A dim-side key filter (p_partkey % 3 = 0)
+  // transposes to the fact the same way. DuckDB executes the real join.
+  // --------------------------------------------------------------------------
+  def joinElimKey(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = ensureFk(spark, dir)
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim)
+        .filter(col("p_partkey") % 3 === 0),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy((col("p_partkey") % 5).as("pk_band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("p_partkey")).as("sum_pk"),
+        sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(fact) && !roots.contains(dim),
+      s"q_join_elim_key: expected the key-only dim read to substitute " +
+        s"l_partkey and drop $dim; optimized plan scans $roots")
+    out
+  }
+
+  val joinElimKeySql: String =
+    """SELECT p_partkey % 5 AS pk_band, COUNT(*) AS n_rows,
+      |  CAST(SUM(p_partkey) AS BIGINT) AS sum_pk,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_partkey % 3 = 0 GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_self_join_elim — SELF-JOIN elimination on a pinned UNIQUE key: the
+  // orders copy (UNIQUE o_orderkey RELY, the q_distinct_elim pin) joined
+  // to itself on the key collapses to ONE scan with the other side's
+  // columns re-aliased — the classic view-flattening artifact, a whole
+  // shuffle for zero information. Asserted in-query: NO Join in the
+  // optimized plan. DuckDB executes the real self-join.
+  // --------------------------------------------------------------------------
+  def selfJoinElim(spark: SparkSession, dir: String): DataFrame = {
+    val t = ensureUnique(spark, dir)
+    val a = VersionedTable.read(spark, t)
+    val b = VersionedTable.read(spark, t)
+    val out = a.join(b, a("o_orderkey") === b("o_orderkey"))
+      .select(a("o_orderkey"), a("o_orderstatus"),
+        b("price_l").as("price_other"))
+    require(!out.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+      "q_self_join_elim: expected the unique-key self-join to collapse " +
+        s"to one scan; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val selfJoinElimSql: String =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus,
+      |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_l FROM orders)
+      |SELECT a.o_orderkey, a.o_orderstatus, b.price_l AS price_other
+      |FROM t a JOIN t b ON a.o_orderkey = b.o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_distinct_elim — DISTINCT elimination under the oracle gate: the
   // orders copy declares UNIQUE (o_orderkey) RELY (its true key — the
   // synthetic lineitem has no unique tuple), and the gated query is
@@ -1166,7 +1277,9 @@ object SkippingQueries {
   private def uqPath(dir: String): String =
     SkippingQueries.cachedFixturePath(dir, "uqfact_v1", "orders.parquet")
 
-  def distinctElim(spark: SparkSession, dir: String): DataFrame = {
+  /** Builds the UNIQUE-pinned orders copy (idempotent); shared by
+    * q_distinct_elim and q_self_join_elim. */
+  private def ensureUnique(spark: SparkSession, dir: String): String = {
     val t = uqPath(dir)
     if (VersionedTable.latestVersion(spark, t).isEmpty)
       VersionedTable.write(Tables.orders(spark, dir).select(
@@ -1181,6 +1294,11 @@ object SkippingQueries {
         VersionedTable.latestVersion(spark, t).contains(u.pin))
     if (!pinned)
       ForeignKeys.declareUnique(spark, t, Seq("o_orderkey"))
+    t
+  }
+
+  def distinctElim(spark: SparkSession, dir: String): DataFrame = {
+    val t = ensureUnique(spark, dir)
     val out = VersionedTable.read(spark, t)
       .select(col("o_orderkey"), col("price_l"))
       .distinct()
@@ -1245,6 +1363,176 @@ object SkippingQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1""".stripMargin
 
+  /** Exact decimal(12,2) money from the raw double price: FLOOR(×100) is
+    * the engine-independent integer-cents spelling (both engines compute
+    * the double product and floor IEEE-identically), and cents × 0.01 in
+    * decimal arithmetic is exact in both — no double→decimal rounding
+    * anywhere. */
+  private val moneyExpr =
+    "CAST(CAST(FLOOR(l_extendedprice * 100) AS DECIMAL(16,2)) * " +
+      "CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2))"
+
+  // --------------------------------------------------------------------------
+  // q_eager_agg_dec — eager aggregation over a DECIMAL money column (the
+  // most common warehouse aggregate): the partial SUM below the join
+  // carries decimal(12,2) exactly (partial decimal sums re-associate
+  // exactly; the re-sum casts back with the original's overflow
+  // semantics). Plan-asserted like q_eager_agg; sums leave the query as
+  // DOUBLE only at the output boundary (exact decimal → double is
+  // deterministic on both engines).
+  // --------------------------------------------------------------------------
+  private def eagerDecFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "eagdec_v1", "lineitem.parquet")
+
+  def eagerAggDec(spark: SparkSession, dir: String): DataFrame = {
+    val fact = eagerDecFactPath(dir)
+    val dim = fkDimPath(dir) // the q_join_elim part copy, reused read-only
+    if (VersionedTable.latestVersion(spark, fact).isEmpty) {
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"),
+        expr(moneyExpr).as("price")),
+        fact, statsCols = Seq("l_orderkey"))
+      VersionedTable.analyzeNdv(spark, fact, Seq("l_partkey"))
+    }
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    val agg = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("sum_price"),
+        min(col("price")).as("min_price"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+    val partials = agg.queryExecution.optimizedPlan.collect {
+      case LJoin(l, r, _, _, _) =>
+        Seq(l, r).count(_.exists(_.isInstanceOf[LAgg]))
+    }.sum
+    require(partials == 1,
+      s"q_eager_agg_dec: expected one partial aggregate below the join; " +
+        s"plan:\n${agg.queryExecution.optimizedPlan}")
+    agg.select(col("p_brand"), col("n_rows"),
+      col("sum_price").cast("double").as("sum_price"),
+      col("min_price").cast("double").as("min_price"))
+  }
+
+  val eagerAggDecSql: String =
+    s"""WITH fact AS (SELECT l_partkey, $moneyExpr AS price FROM lineitem)
+      |SELECT p_brand, COUNT(*) AS n_rows,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_price,
+      |  CAST(MIN(price) AS DOUBLE) AS min_price
+      |FROM fact JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_eager_agg_star — eager aggregation beneath a MULTI-JOIN star
+  // (fact ⋈ dim1 ⋈ dim2, grouped by one attribute of EACH dim): the
+  // partial lands at the fact leaf below BOTH joins, whatever association
+  // the optimizer chose, shrinking the first shuffle from O(fact) to
+  // O(|k1|·|k2|). Asserted in-plan: exactly two aggregates total and an
+  // aggregate beneath every join. DuckDB runs the raw two-join rollup.
+  // --------------------------------------------------------------------------
+  private def eagerStarFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "eagstar_v1", "lineitem.parquet")
+  private def eagerStarDim1Path(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "eagstard1_v1", "part.parquet")
+  private def eagerStarDim2Path(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "eagstard2_v1", "supplier.parquet")
+
+  def eagerAggStar(spark: SparkSession, dir: String): DataFrame = {
+    val fact = eagerStarFactPath(dir)
+    val d1 = eagerStarDim1Path(dir)
+    val d2 = eagerStarDim2Path(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty) {
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), (col("l_partkey") % 50).as("fk1"),
+        (col("l_suppkey") % 20).as("fk2"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_orderkey"))
+      VersionedTable.analyzeNdv(spark, fact, Seq("fk1", "fk2"))
+    }
+    if (VersionedTable.latestVersion(spark, d1).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir)
+        .select((col("p_partkey") % 50).as("k1")).distinct()
+        .select(col("k1"),
+          concat(lit("a"), (col("k1") % 7).cast("string")).as("g1")),
+        d1, statsCols = Seq("k1"))
+    if (VersionedTable.latestVersion(spark, d2).isEmpty)
+      VersionedTable.write(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") % 20).as("k2")).distinct()
+        .select(col("k2"),
+          concat(lit("b"), (col("k2") % 3).cast("string")).as("g2")),
+        d2, statsCols = Seq("k2"))
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, d1), col("fk1") === col("k1"))
+      .join(VersionedTable.read(spark, d2), col("fk2") === col("k2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+    val plan = out.queryExecution.optimizedPlan
+    val nAggs = plan.collect { case a: LAgg => a }.size
+    val joinsCovered = plan.collect { case j: LJoin =>
+      Seq(j.left, j.right).exists(_.exists(_.isInstanceOf[LAgg])) }
+    require(nAggs == 2 && joinsCovered.size == 2 && joinsCovered.forall(identity),
+      s"q_eager_agg_star: expected ONE partial below BOTH joins; plan:\n$plan")
+    out
+  }
+
+  val eagerAggStarSql: String =
+    """WITH fact AS (SELECT l_partkey % 50 AS fk1, l_suppkey % 20 AS fk2,
+      |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      |d1 AS (SELECT k1, 'a' || CAST(k1 % 7 AS VARCHAR) AS g1
+      |       FROM (SELECT DISTINCT p_partkey % 50 AS k1 FROM part)),
+      |d2 AS (SELECT k2, 'b' || CAST(k2 % 3 AS VARCHAR) AS g2
+      |       FROM (SELECT DISTINCT s_suppkey % 20 AS k2 FROM supplier))
+      |SELECT g1, g2, COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact JOIN d1 ON fk1 = k1 JOIN d2 ON fk2 = k2
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_mv_decimal — materialized-view rewrite over a DECIMAL money column,
+  // maintained through a delete delta: the view's stored sum companion is
+  // decimal(22,2) (the exact SUM type), the rollup re-sums it with 10
+  // digits of headroom and casts back, and the rewrite-asserted query
+  // proves the whole chain equals DuckDB's replay over raw lineitem.
+  // --------------------------------------------------------------------------
+  private def mvDecSourcePath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvdecsrc_v1", "lineitem.parquet")
+  private def mvDecViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvdecview_v1", "lineitem.parquet")
+
+  def mvDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val src = mvDecSourcePath(dir)
+    val mv = mvDecViewPath(dir)
+    if (VersionedTable.latestVersion(spark, src).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_returnflag"),
+        expr(moneyExpr).as("price")),
+        src, statsCols = Seq("l_orderkey"))                          // src v1
+    MaterializedView.create(spark, src, mv, // registers on src → src v2
+      Seq("l_returnflag"), Seq("price"))
+    if (VersionedTable.latestVersion(spark, src).contains(2L))
+      VersionedTable.delete(spark, src, col("l_orderkey") % 9 === 0) // src v3
+    MaterializedView.refresh(spark, mv)
+    val agg = VersionedTable.read(spark, src)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("sum_price"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(agg)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(src),
+      s"q_mv_decimal: expected the decimal-money aggregate over $src to " +
+        s"rewrite to the view $mv; optimized plan scans $roots")
+    agg.select(col("l_returnflag"), col("n_rows"),
+      col("sum_price").cast("double").as("sum_price"))
+  }
+
+  val mvDecimalSql: String =
+    s"""WITH src AS (SELECT l_returnflag, $moneyExpr AS price
+      |  FROM lineitem WHERE l_orderkey % 9 <> 0)
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_price
+      |FROM src GROUP BY 1""".stripMargin
+
   val joinElimSql: String =
     """SELECT l_returnflag, COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
@@ -1291,9 +1579,15 @@ object SkippingQueries {
     "q_mv_minmax" -> (mvMinMax _),
     "q_mv_derived" -> (mvDerived _),
     "q_mv_join" -> (mvJoin _),
+    "q_mv_join_residual" -> (mvJoinResidual _),
+    "q_mv_decimal" -> (mvDecimal _),
     "q_join_elim" -> (joinElim _),
+    "q_join_elim_key" -> (joinElimKey _),
+    "q_self_join_elim" -> (selfJoinElim _),
     "q_distinct_elim" -> (distinctElim _),
     "q_eager_agg" -> (eagerAgg _),
+    "q_eager_agg_dec" -> (eagerAggDec _),
+    "q_eager_agg_star" -> (eagerAggStar _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_convert" -> (convertScan _),
     "q_gen_prune" -> (genPrune _),
@@ -1318,9 +1612,15 @@ object SkippingQueries {
     "q_mv_minmax" -> mvMinMaxSql,
     "q_mv_derived" -> mvDerivedSql,
     "q_mv_join" -> mvJoinSql,
+    "q_mv_join_residual" -> mvJoinResidualSql,
+    "q_mv_decimal" -> mvDecimalSql,
     "q_join_elim" -> joinElimSql,
+    "q_join_elim_key" -> joinElimKeySql,
+    "q_self_join_elim" -> selfJoinElimSql,
     "q_distinct_elim" -> distinctElimSql,
     "q_eager_agg" -> eagerAggSql,
+    "q_eager_agg_dec" -> eagerAggDecSql,
+    "q_eager_agg_star" -> eagerAggStarSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_convert" -> convertScanSql,
     "q_gen_prune" -> genPruneSql,
