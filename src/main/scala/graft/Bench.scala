@@ -28,7 +28,11 @@ object Bench {
       .config("spark.storage.memoryMapThreshold", "2g")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's log capture keeps only the LAST ~2000
+    // chars of combined output, and ambient WARN lines on stderr (flushed
+    // unbuffered, after the piped stdout JSON) evicted the measurement from
+    // the r12 artifact's tail — at ERROR the JSON line is the tail
+    spark.sparkContext.setLogLevel("ERROR")
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit = {
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -148,5 +152,10 @@ object Bench {
       java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] history append failed: $e") }
     spark.stop()
+    // print the summary line AGAIN as the very last output: anything
+    // spark.stop() itself wrote cannot evict the measurement from a
+    // tail-truncating log capture (duplicate JSON lines parse identically)
+    println(stdoutLine)
+    System.out.flush()
   }
 }

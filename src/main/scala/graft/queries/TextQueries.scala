@@ -665,8 +665,12 @@ object TextQueries {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val tot = cnts.agg(sum(col("cnt")).as("total"))
     val topk = cnts.orderBy(col("cnt").desc, col("word").asc).limit(VocabTopK)
-    // single-partition window is SAFE here: input is the K-row limit result
-    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    // single-partition window is SAFE here: input is the K-row limit
+    // result. The constant partition key states that intent to Spark —
+    // same single-partition plan, without the global-window WARN that
+    // polluted every bench/verify log tail
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("cnt").desc, col("word").asc)
     topk.join(broadcast(tot))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .withColumn("cum_share", round(
