@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filtered graft scans to broadcast in the STATIC plan
     ext.injectOptimizerRule(session =>
       org.apache.spark.sql.graft.GraftNdvJoinEstimation(session))
+    // NDV-gated shuffle-partition sizing: an aggregation exchange hashing
+    // on sketched scan columns caps its STATIC partition count at the
+    // provable group bound — map tasks stop writing (and the scheduler
+    // stops launching) hundreds of empty buckets for a dozens-group rollup
+    ext.injectQueryStagePrepRule(session =>
+      org.apache.spark.sql.graft.GraftShufflePartitionSizing(session))
     // materialized-view query rewrite: GROUP BY aggregates over a source
     // with a registered FRESH view answer from the view's few rows
     ext.injectOptimizerRule(session => GraftMvRewrite(session))

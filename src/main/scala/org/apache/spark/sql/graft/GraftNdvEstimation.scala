@@ -86,3 +86,93 @@ case class GraftNdvJoinEstimation(spark: SparkSession)
     }
   }
 }
+
+/** NDV-gated shuffle-partition sizing (query-stage-prep rule): an
+  * aggregation exchange hashing on columns whose manifest NDV sketches
+  * bound the distinct-group count gets its STATIC partition count capped
+  * at `headroom × Πndv` — a rollup that provably collapses to dozens of
+  * groups should not fan its shuffle into `spark.sql.shuffle.partitions`
+  * map buckets and reduce tasks. AQE's coalescing fixes the reduce side
+  * from observed bytes at runtime; this fixes what AQE cannot see until
+  * the map side has already run — the number of buckets every map task
+  * writes and the scheduler overhead of the empty reducers, which at
+  * 1000-executor scale (default 200+ partitions per exchange) is pure
+  * waste for a 25-group rollup.
+  *
+  * SAFETY — the rule only ever touches the exchange FEEDING AN AGGREGATE
+  * (matched through an optional Sort, single-child ClusteredDistribution):
+  * join exchanges are left alone, because sizing one side of a shuffled
+  * join differently from the other would break the co-partitioning
+  * EnsureRequirements established. Partition keys must be plain attributes
+  * resolving BY EXPRESSION ID to a graft scan's output (grouping
+  * pass-through preserves ids; computed keys and renames miss and
+  * decline). A KMV sketch can under-estimate, so the cap carries a
+  * configurable headroom (`spark.graft.shufflePartitions.headroom`,
+  * default 2.0) — and a wrong bound can only cost balance, never
+  * correctness (hash partitioning is correct at any count). Disable with
+  * `spark.graft.shufflePartitions.enabled=false`. */
+case class GraftShufflePartitionSizing(spark: SparkSession)
+    extends Rule[org.apache.spark.sql.execution.SparkPlan] {
+  import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
+
+  private def enabled: Boolean = spark.sessionState.conf
+    .getConfString("spark.graft.shufflePartitions.enabled", "true").toBoolean
+
+  private def headroom: Double = spark.sessionState.conf
+    .getConfString("spark.graft.shufflePartitions.headroom", "2.0").toDouble
+
+  override def apply(plan: SparkPlan): SparkPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case agg: BaseAggregateExec => agg.child match {
+        case ex: ShuffleExchangeExec =>
+          agg.withNewChildren(Seq(resize(ex)))
+        case sort @ SortExec(_, _, ex: ShuffleExchangeExec, _) =>
+          agg.withNewChildren(Seq(sort.copy(child = resize(ex))))
+        case _ => agg
+      }
+    }
+  }
+
+  private def resize(ex: ShuffleExchangeExec): SparkPlan = ex match {
+    case ShuffleExchangeExec(hp @ HashPartitioning(exprs, n),
+        child, ENSURE_REQUIREMENTS, _)
+        if exprs.nonEmpty &&
+          exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      groupBound(child, exprs.map(_.asInstanceOf[AttributeReference]))
+        .map { k =>
+          val capped = math.max(1L, math.ceil(k * headroom).toLong)
+          if (capped >= n) ex
+          else ex.copy(outputPartitioning =
+            HashPartitioning(exprs, capped.toInt))
+        }.getOrElse(ex)
+    case _ => ex
+  }
+
+  /** Πndv over the partition keys, each resolved by exprId to a graft
+    * scan's output beneath the exchange — None unless EVERY key is a
+    * sketched scan column (no guess without a sketch), or as soon as the
+    * product already exceeds every useful cap. */
+  private def groupBound(plan: SparkPlan,
+      keys: Seq[AttributeReference]): Option[Long] = {
+    val scans = plan.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.isInstanceOf[GraftFileIndex] =>
+        (s.output, s.relation.location.asInstanceOf[GraftFileIndex].ndvOf)
+    }
+    if (scans.isEmpty) return None
+    var product = 1.0
+    keys.foreach { k =>
+      val ndv = scans.collectFirst {
+        case (out, ndvOf) if out.exists(_.exprId == k.exprId) =>
+          ndvOf(k.name)
+      }.flatten.getOrElse(return None)
+      product *= math.max(1L, ndv).toDouble
+      if (product > 1e9) return None // far past any partition count
+    }
+    Some(product.toLong)
+  }
+}
