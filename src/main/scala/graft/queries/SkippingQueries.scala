@@ -1267,6 +1267,96 @@ object SkippingQueries {
       |FROM t a JOIN t b ON a.o_orderkey = b.o_orderkey""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_semi_elim — SEMI-JOIN (WHERE ... IN) elimination on the pinned FK:
+  // the validation predicate `l_partkey IN (SELECT p_partkey FROM part)`
+  // is an IDENTITY when the declaration proved every fact key matched —
+  // the subquery, its scan, and the semi join all drop. Asserted
+  // in-query: NO Join in the optimized plan and the dim not scanned.
+  // DuckDB executes the IN for real.
+  // --------------------------------------------------------------------------
+  def semiElim(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = ensureFk(spark, dir)
+    val out = spark.sql(
+      s"SELECT l_returnflag, COUNT(*) AS n_rows, SUM(qty) AS sum_qty " +
+        s"FROM graft.`$fact` WHERE l_partkey IN " +
+        s"(SELECT p_partkey FROM graft.`$dim`) GROUP BY l_returnflag")
+    val plan = out.queryExecution.optimizedPlan
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]) &&
+      !roots.contains(dim),
+      s"q_semi_elim: expected the IN-subquery semi join to $dim to drop; " +
+        s"scans $roots, plan:\n$plan")
+    out
+  }
+
+  val semiElimSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_groupkey_elim — GROUP BY a pinned unique key: every group is one
+  // row, so COUNT(*)/SUM/MAX are per-row scalars and the aggregate (and
+  // its table-sized shuffle) becomes a Project. Asserted in-query: NO
+  // Aggregate in the optimized plan. DuckDB groups for real.
+  // --------------------------------------------------------------------------
+  def groupKeyElim(spark: SparkSession, dir: String): DataFrame = {
+    val t = ensureUnique(spark, dir)
+    val out = VersionedTable.read(spark, t)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_l")).as("sum_price"),
+        max(col("o_orderstatus")).as("max_status"))
+    require(!out.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+      "q_groupkey_elim: expected the keyed GROUP BY to collapse to a " +
+        s"Project; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val groupKeyElimSql: String =
+    """SELECT o_orderkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+      |    AS sum_price,
+      |  MAX(o_orderstatus) AS max_status
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_count_distinct_key — COUNT(DISTINCT key) under a covering unique
+  // pin de-DISTINCTs to a plain COUNT: the planner skips the Expand +
+  // double-aggregation (two shuffles → one). Asserted in-query: no
+  // DISTINCT aggregate left in the optimized plan. DuckDB counts the
+  // DISTINCT for real.
+  // --------------------------------------------------------------------------
+  def countDistinctKey(spark: SparkSession, dir: String): DataFrame = {
+    val t = ensureUnique(spark, dir)
+    val out = VersionedTable.read(spark, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count_distinct(col("o_orderkey")).as("n_keys"),
+        count(lit(1)).as("n_rows"))
+    val distinctLeft = out.queryExecution.optimizedPlan.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.exists(_.exists {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+            .AggregateExpression => ae.isDistinct
+          case _ => false
+        })
+      case _ => false
+    }
+    require(!distinctLeft,
+      "q_count_distinct_key: expected COUNT(DISTINCT o_orderkey) to " +
+        s"de-distinct; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val countDistinctKeySql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_orderkey) AS n_keys,
+      |  COUNT(*) AS n_rows
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_distinct_elim — DISTINCT elimination under the oracle gate: the
   // orders copy declares UNIQUE (o_orderkey) RELY (its true key — the
   // synthetic lineitem has no unique tuple), and the gated query is
@@ -1584,6 +1674,9 @@ object SkippingQueries {
     "q_join_elim" -> (joinElim _),
     "q_join_elim_key" -> (joinElimKey _),
     "q_self_join_elim" -> (selfJoinElim _),
+    "q_semi_elim" -> (semiElim _),
+    "q_groupkey_elim" -> (groupKeyElim _),
+    "q_count_distinct_key" -> (countDistinctKey _),
     "q_distinct_elim" -> (distinctElim _),
     "q_eager_agg" -> (eagerAgg _),
     "q_eager_agg_dec" -> (eagerAggDec _),
@@ -1617,6 +1710,9 @@ object SkippingQueries {
     "q_join_elim" -> joinElimSql,
     "q_join_elim_key" -> joinElimKeySql,
     "q_self_join_elim" -> selfJoinElimSql,
+    "q_semi_elim" -> semiElimSql,
+    "q_groupkey_elim" -> groupKeyElimSql,
+    "q_count_distinct_key" -> countDistinctKeySql,
     "q_distinct_elim" -> distinctElimSql,
     "q_eager_agg" -> eagerAggSql,
     "q_eager_agg_dec" -> eagerAggDecSql,

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
@@ -66,6 +66,16 @@ import graft.sources.ForeignKeys
   * artifact, a whole shuffle-or-broadcast for zero information). Plain
   * `=` conjuncts contribute an IS NOT NULL guard (a null never equals
   * itself; `<=>` needs none — the pin allows at most one all-null key).
+  *
+  * SEMI/ANTI joins on the declared keys eliminate too: `WHERE fk IN
+  * (SELECT pk FROM dim)` is an IDENTITY under the pin (every fact row
+  * matched), and `NOT EXISTS` is EMPTY; dim-side key filters transpose
+  * to the fact key for both (anti keeps the null-tolerant complement,
+  * `NOT coalesce(p(fk), false)`). The SQL spellings are additionally
+  * eliminated in their SUBQUERY-EXPRESSION form (InSubquery/Exists inside
+  * a Filter, correlation read from OuterReference conjuncts or the
+  * pulled-up joinCond) — Spark only rewrites those to joins in the late
+  * RewriteSubquery batch, after this rule's fixpoint.
   * Disable with `spark.graft.fk.elimination.enabled=false`.
   */
 case class GraftJoinElimination(spark: SparkSession)
@@ -88,9 +98,18 @@ case class GraftJoinElimination(spark: SparkSession)
       case a @ Aggregate(g, aggs, f @ Filter(cond, j: Join), h) =>
         eliminate(j, refs(g ++ aggs) ++ cond.references)
           .map(c => Aggregate(g, aggs, Filter(cond, c), h)).getOrElse(a)
-      // self-join collapse is OUTPUT-PRESERVING (every join output column
-      // survives, re-aliased), so it needs no parent-shape license
-      case j: Join => trySelfJoin(j).getOrElse(j)
+      // self-join collapse and semi/anti elimination are OUTPUT-PRESERVING
+      // (the join's output IS the left side), so no parent-shape license
+      case j: Join => trySelfJoin(j).orElse(trySemiAnti(j)).getOrElse(j)
+      // IN/EXISTS still in their SUBQUERY-EXPRESSION form: Spark only
+      // rewrites them to semi/anti joins in the late RewriteSubquery batch
+      // (after this rule's), so the SQL spellings are eliminated here at
+      // the expression level — the subquery becomes a literal or a
+      // transposed fact-key predicate, and Spark's own constant folding /
+      // filter pruning finishes the job
+      case f @ Filter(cond, child) =>
+        rewriteSubqueryPredicates(cond, child)
+          .map(Filter(_, child)).getOrElse(f)
     }
   }
 
@@ -256,6 +275,198 @@ case class GraftJoinElimination(spark: SparkSession)
   }
 
   // ---------------------------------------------------------------------
+  // Semi/anti-join elimination on a pinned FOREIGN KEY
+  // ---------------------------------------------------------------------
+
+  /** `fact WHERE fk IN (SELECT pk FROM dim)` — a LeftSemi join on a
+    * validated FK pin — is an IDENTITY: every fact row matches (exactly
+    * once, though semi doesn't even need that), so the subquery, its scan
+    * and its join drop and the fact passes through. The dual LeftAnti
+    * (`NOT EXISTS`) keeps exactly the unmatched rows: NONE, so the whole
+    * subtree collapses to an empty relation. Dim-side filters on the
+    * equated key columns transpose to the fact key like the inner-join
+    * case (`semi σ_p(pk)(dim)` keeps exactly `σ_p(fk)(fact)`; anti keeps
+    * its complement-with-null, `NOT coalesce(p(fk), false)`); any other
+    * dim filter declines. */
+  private def trySemiAnti(j: Join): Option[LogicalPlan] = j match {
+    case Join(l, r, jt, Some(cond), _)
+        if jt == LeftSemi || jt == LeftAnti =>
+      val (_, factV, decls) = factRelOf(l).getOrElse(return None)
+      val (dimPath, dimV, dimConds) = dimRelOf(r).getOrElse(return None)
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case x => Seq(x)
+      }
+      val attrPairs = conjuncts(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          if (l.outputSet.contains(a) && r.outputSet.contains(b))
+            Some((a, b))
+          else if (l.outputSet.contains(b) && r.outputSet.contains(a))
+            Some((b, a))
+          else None
+        case _ => None
+      }.map(_.getOrElse(return None))
+      val pairSet = attrPairs.map { case (f, d) => (f.name, d.name) }.toSet
+      val hit = decls.exists { d =>
+        d.fkCols.zip(d.pkCols).toSet == pairSet &&
+          new org.apache.hadoop.fs.Path(d.dimPath).toUri.getPath == dimPath &&
+          d.factPin == factV && d.dimPin == dimV
+      }
+      if (!hit) return None
+      val factFor: Map[ExprId, AttributeReference] =
+        attrPairs.map { case (f, d) => d.exprId -> f }.toMap
+      val onFact = dimConds.map { e =>
+        if (e.references.forall(a => factFor.contains(a.exprId)))
+          e.transform { case a: AttributeReference => factFor(a.exprId) }
+        else return None
+      }
+      if (jt == LeftSemi) {
+        Some(if (onFact.isEmpty) l
+          else Filter(onFact.reduce[Expression](And), l))
+      } else {
+        Some(if (onFact.isEmpty)
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(l.output)
+        else Filter(Not(Coalesce(Seq(onFact.reduce[Expression](And),
+          Literal.FalseLiteral))), l))
+      }
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------------
+  // IN / EXISTS subquery-expression elimination on a pinned FOREIGN KEY
+  // ---------------------------------------------------------------------
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case x => Seq(x)
+  }
+
+  /** Rewrite IN/EXISTS (and their negations) over a pinned FK inside a
+    * Filter's condition. Truth tables under the pin (every fact key
+    * non-null and matched exactly once; dim key unique):
+    *  - `fk IN (SELECT pk FROM dim)` ≡ TRUE; over a key-filtered dim,
+    *    ≡ `coalesce(p(fk), false)` (the only candidate element is the
+    *    row's own match);
+    *  - `fk NOT IN (...)` over the UNFILTERED dim ≡ FALSE (the match is
+    *    always present — a null pk elsewhere only turns FALSE into
+    *    sometimes-NULL, which filters identically); a FILTERED dim
+    *    declines (an unknowable null element would flip ¬p rows to NULL);
+    *  - `EXISTS (... WHERE d.pk = f.fk [AND p])` ≡ TRUE, or
+    *    `coalesce(p(fk), false)`; `NOT EXISTS` is its negation.
+    * None when nothing rewrote. */
+  private def rewriteSubqueryPredicates(cond: Expression,
+      child: LogicalPlan): Option[Expression] = {
+    if (!cond.exists(e => e.isInstanceOf[InSubquery] || e.isInstanceOf[Exists]))
+      return None
+    val (_, factV, decls) = factRelOf(child).getOrElse(return None)
+    if (decls.isEmpty) return None
+
+    /** TRUE / coalesce(p(fk), false) for a membership probe of `values`
+      * against the subquery plan, when the pin vouches for it. */
+    def membership(values: Seq[Expression], sub: LogicalPlan,
+        corrPairs: Seq[(AttributeReference, AttributeReference)],
+        localConds: Seq[Expression], dimPath: String, dimV: Long)
+        : Option[Expression] = {
+      val valuePairs = values.zip(sub.output).map {
+        case (a: AttributeReference, out) if child.outputSet.contains(a) =>
+          (a, out)
+        case _ => return None
+      }
+      val all = valuePairs.map { case (f, d) => (f, d) } ++ corrPairs
+      if (all.isEmpty) return None
+      val pairSet = all.map { case (f, d) => (f.name, d.name) }.toSet
+      val hit = decls.exists { d =>
+        d.fkCols.zip(d.pkCols).toSet == pairSet &&
+          new org.apache.hadoop.fs.Path(d.dimPath).toUri.getPath == dimPath &&
+          d.factPin == factV && d.dimPin == dimV
+      }
+      if (!hit) return None
+      val factFor: Map[ExprId, AttributeReference] =
+        all.map { case (f, d) => d.exprId -> f }.toMap
+      val onFact = localConds.map { e =>
+        if (e.references.forall(a => factFor.contains(a.exprId)))
+          e.transform { case a: AttributeReference => factFor(a.exprId) }
+        else return None
+      }
+      Some(if (onFact.isEmpty) Literal.TrueLiteral
+        else Coalesce(Seq(onFact.reduce[Expression](And),
+          Literal.FalseLiteral)))
+    }
+
+    /** The IN shape: the subquery's output IS the probed key tuple. */
+    def inElim(in: InSubquery, negated: Boolean): Option[Expression] = {
+      if (in.query.joinCond.nonEmpty) return None // correlated IN: decline
+      val sub = in.query.plan
+      if (sub.output.size != in.values.size) return None
+      val (dimPath, dimV, conds) = dimRelOf(sub).getOrElse(return None)
+      if (negated && conds.nonEmpty) return None // null-element hazard
+      membership(in.values, sub, Nil, conds, dimPath, dimV)
+        .map(e => if (negated) Not(e) else e)
+    }
+
+    /** The EXISTS shape: correlation predicates live INSIDE the subquery
+      * as `outer(fk) = pk` conjuncts; projections may compute anything
+      * (their output is never read). */
+    def existsWalk(plan: LogicalPlan)
+        : Option[(String, Long, Seq[Expression], AttributeSet)] =
+      GraftBatchShim.graftSnapshotOf(plan) match {
+        case Some((root, v)) =>
+          Some((root.toUri.getPath, v, Nil, plan.outputSet))
+        case None => plan match {
+          case Project(_, ch) => existsWalk(ch)
+          case Filter(c, ch) if c.deterministic =>
+            existsWalk(ch).map { case (p, v, cs, out) =>
+              (p, v, cs ++ splitConj(c), out) }
+          case _ => None
+        }
+      }
+
+    def existsElim(ex: Exists, negated: Boolean): Option[Expression] = {
+      val (dimPath, dimV, conds, dimOut) =
+        existsWalk(ex.plan).getOrElse(return None)
+      // correlation predicates appear in TWO places depending on where in
+      // the fixpoint we run: still inside the plan as OuterReference
+      // conjuncts (pre-PullupCorrelatedPredicates), or pulled into
+      // ex.joinCond as plain attr = attr equalities (post-pullup)
+      val (corr, local) = conds.partition(_.exists(
+        _.isInstanceOf[OuterReference]))
+      def strip(e: Expression): Expression = e match {
+        case OuterReference(a) => a
+        case other => other
+      }
+      val corrPairs = (corr ++ ex.joinCond.flatMap(splitConj)).map {
+        case EqualTo(x, y) => (strip(x), strip(y)) match {
+          case (a: AttributeReference, b: AttributeReference)
+              if child.outputSet.contains(a) && dimOut.contains(b) => (a, b)
+          case (b: AttributeReference, a: AttributeReference)
+              if child.outputSet.contains(a) && dimOut.contains(b) => (a, b)
+          case _ => return None
+        }
+        case _ => return None
+      }
+      if (local.exists(_.exists(_.isInstanceOf[OuterReference]))) return None
+      membership(Nil, ex.plan, corrPairs, local, dimPath, dimV)
+        .map(e => if (negated) Not(e) else e)
+    }
+
+    var changed = false
+    val out = splitConj(cond).map { c =>
+      val r = c match {
+        case in: InSubquery => inElim(in, negated = false)
+        case Not(in: InSubquery) => inElim(in, negated = true)
+        case ex: Exists => existsElim(ex, negated = false)
+        case Not(ex: Exists) => existsElim(ex, negated = true)
+        case _ => None
+      }
+      r match {
+        case Some(e) => changed = true; e
+        case None => c
+      }
+    }
+    if (changed) Some(out.reduce[Expression](And)) else None
+  }
+
+  // ---------------------------------------------------------------------
   // Self-join elimination
   // ---------------------------------------------------------------------
 
@@ -377,8 +588,17 @@ case class GraftJoinElimination(spark: SparkSession)
   * [[graft.sources.ForeignKeys.declareUnique]]'s: the relation must sit
   * at exactly the validated version. At 100 TB a de-dup pass over an
   * already-keyed table is the difference between a full shuffle and a
-  * straight scan. Shares the kill switch with join elimination
-  * (`spark.graft.fk.elimination.enabled`). */
+  * straight scan.
+  *
+  * The same one-row-per-key fact powers three more rewrites here:
+  * `dropDuplicates(subset)` and keep-latest window dedup become Projects
+  * (below), COUNT(DISTINCT key...) de-DISTINCTs to a plain COUNT (the
+  * planner skips Expand + double aggregation — one shuffle instead of
+  * two), and GROUP BY a covering key collapses the WHOLE aggregate to a
+  * Project of per-row scalars (COUNT(*)→1, SUM(v)→v widened, MIN/MAX/
+  * FIRST/LAST→v, AVG→v cast — DISTINCT args are a no-op on one row;
+  * FILTER clauses and TRY modes decline). Shares the kill switch with
+  * join elimination (`spark.graft.fk.elimination.enabled`). */
 case class GraftDistinctElimination(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
@@ -449,7 +669,85 @@ case class GraftDistinctElimination(spark: SparkSession)
           case al @ Alias(we: WindowExpression, n) =>
             Alias(Literal.create(1, we.dataType), n)(exprId = al.exprId)
         }, child)
+      // The two remaining unique-pin aggregate rewrites, in one case so
+      // neither shadows the other in the partial function:
+      //  - COUNT(DISTINCT k, ...) whose argument tuple covers a pinned
+      //    unique key de-DISTINCTs (the tuples are already distinct on
+      //    every row where they are all non-null — exactly the rows either
+      //    form counts), skipping the planner's Expand + double
+      //    aggregation: one shuffle instead of two at scale;
+      //  - GROUP BY a covering unique key makes every group EXACTLY ONE
+      //    ROW, so each aggregate is a per-row scalar (COUNT(*)→1,
+      //    SUM(v)→v widened, MIN/MAX/FIRST/LAST→v, AVG→v cast, COUNT(cols)
+      //    →all-non-null indicator, DISTINCT a no-op) and the whole
+      //    aggregate — its shuffle included — becomes a Project. The
+      //    classic view-flattening artifact: `SELECT key, SUM(v) FROM t
+      //    GROUP BY key` over a keyed table.
+      case agg @ Aggregate(groups, aggs, child, h) =>
+        var changed = false
+        val newAggs = aggs.map(_.transform {
+          case ae @ AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate
+                .Count(args), _, true, None, _)
+              if args.nonEmpty &&
+                args.forall(_.isInstanceOf[AttributeReference]) &&
+                uniqueCovered(child, args.map(
+                  _.asInstanceOf[AttributeReference].name).toSet) =>
+            changed = true
+            ae.copy(isDistinct = false)
+        }.asInstanceOf[NamedExpression])
+        val collapsed =
+          if (groups.nonEmpty &&
+            groups.forall(_.isInstanceOf[AttributeReference]) &&
+            uniqueCovered(child, groups.map(
+              _.asInstanceOf[AttributeReference].name).toSet))
+            traverse(newAggs.map {
+              case a: AttributeReference => Some(a)
+              case al @ Alias(e, n) =>
+                collapseOneRow(e).map(Alias(_, n)(exprId = al.exprId))
+              case _ => None
+            }).map(Project(_, child))
+          else None
+        collapsed.getOrElse(
+          if (changed) Aggregate(groups, newAggs, child, h) else agg)
     }
+  }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** An aggregate-bearing output expression evaluated over a ONE-ROW
+    * group: every AggregateExpression inside reduces to a row-local
+    * scalar (DISTINCT is a no-op on one row); None for any function/shape
+    * where that identity is not airtight (FILTER clauses, TRY modes,
+    * exotic functions). */
+  private def collapseOneRow(e: Expression): Option[Expression] = e match {
+    case AggregateExpression(f, _, _, None, _) =>
+      import org.apache.spark.sql.catalyst.expressions.aggregate._
+      f match {
+        case Count(Seq(l: Literal)) if l.value != null => Some(Literal(1L))
+        case Count(args) if args.nonEmpty =>
+          // COUNT over columns counts the row iff every arg is non-null
+          Some(If(args.map(IsNotNull).reduce[Expression](And),
+            Literal(1L), Literal(0L)))
+        case s @ Sum(c, em) if em != EvalMode.TRY =>
+          // single-value "sum" is the value widened to the SUM type —
+          // a widening cast can neither overflow nor round
+          Some(if (c.dataType == s.dataType) c else Cast(c, s.dataType))
+        case Min(c) => Some(c)
+        case Max(c) => Some(c)
+        case a @ Average(c, em) if em != EvalMode.TRY =>
+          // value/1 at the AVG output type; the cast widens scale only
+          Some(Cast(c, a.dataType))
+        case First(c, _) => Some(c)
+        case Last(c, _) => Some(c)
+        case _ => None
+      }
+    case _: AggregateExpression => None
+    case other =>
+      val kids = other.children.map(collapseOneRow)
+      if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+      else None
   }
 
   /** Does some UNIQUE pin on the underlying graft relation — still at its

@@ -466,4 +466,130 @@ class ForeignKeySpec extends SparkSpec {
     ForeignKeys.declareUnique(spark, t, Seq("k"))
     assertCollapses(self(a, b))
   }
+
+  test("semi/anti elimination: IN-subquery on a pinned FK is an identity, NOT EXISTS is empty") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, i % 10, i)).toDF("id", "fk", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "g" + k % 3)).toDF("pk", "g"), dim,
+      statsCols = Seq("pk"))
+    ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    def joins(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    def assertNoJoin(q: => DataFrame): Unit = {
+      val on = q
+      assert(joins(on) == 0, on.queryExecution.optimizedPlan.toString)
+      spark.conf.set("spark.graft.fk.elimination.enabled", "false")
+      try {
+        val off = q
+        assert(joins(off) == 1, "kill-switch ignored")
+        assert(sorted(on) == sorted(off))
+      } finally
+        spark.conf.set("spark.graft.fk.elimination.enabled", "true")
+    }
+    // the WHERE-IN validation predicate: an identity under the pin
+    assertNoJoin(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).select(col("pk")),
+        col("fk") === col("pk"), "left_semi"))
+    // a dim key filter transposes: semi keeps exactly σ_p(fk)(fact)
+    assertNoJoin(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).filter(col("pk") < 5L)
+        .select(col("pk")), col("fk") === col("pk"), "left_semi"))
+    // NOT EXISTS: empty under the pin; with a key filter, the complement
+    assertNoJoin(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).select(col("pk")),
+        col("fk") === col("pk"), "left_anti"))
+    assert(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).select(col("pk")),
+        col("fk") === col("pk"), "left_anti").count() == 0L)
+    assertNoJoin(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).filter(col("pk") < 5L)
+        .select(col("pk")), col("fk") === col("pk"), "left_anti"))
+    // SQL spelling: IN / NOT EXISTS subqueries plan as semi/anti
+    assertNoJoin(spark.sql(s"SELECT id, v FROM graft.`$fact` " +
+      s"WHERE fk IN (SELECT pk FROM graft.`$dim`)"))
+    assertNoJoin(spark.sql(s"SELECT id FROM graft.`$fact` f " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM graft.`$dim` d WHERE d.pk = f.fk)"))
+    // a non-key dim filter declines
+    assert(joins(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).filter(col("g") === "g1")
+        .select(col("pk")), col("fk") === col("pk"), "left_semi")) == 1)
+    // motion disarms
+    VersionedTable.append(Seq((10L, "gZ")).toDF("pk", "g"), dim)
+    assert(joins(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).select(col("pk")),
+        col("fk") === col("pk"), "left_semi")) == 1)
+  }
+
+  test("unique-pin aggregates: COUNT(DISTINCT key) de-distincts; GROUP BY key collapses to a Project") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      ((1L to 60L).map(i =>
+        (Some(i), "g" + i % 4, if (i % 5 == 0) None else Some(i * 3),
+          BigDecimal(i * 7) / 4)) :+
+        ((None: Option[Long], "gn", None: Option[Long], BigDecimal(0))))
+        .toDF("k", "g", "v", "m")
+        .select(col("k"), col("g"), col("v"),
+          col("m").cast("decimal(10,2)").as("m")),
+      t, statsCols = Seq("g"))
+    ForeignKeys.declareUnique(spark, t, Seq("k"))
+    def rd = VersionedTable.read(spark, t)
+    def hasDistinct(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.exists(_.exists {
+            case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+              .AggregateExpression => ae.isDistinct
+            case _ => false
+          })
+        case _ => false
+      }
+    def hasAgg(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+    def offOn[T](q: => DataFrame): (Seq[String], Seq[String]) = {
+      val on = sorted(q)
+      spark.conf.set("spark.graft.fk.elimination.enabled", "false")
+      try (sorted(q), on)
+      finally spark.conf.set("spark.graft.fk.elimination.enabled", "true")
+    }
+    // COUNT(DISTINCT k): de-distincted (global and grouped), values equal
+    def qg = rd.groupBy(col("g"))
+      .agg(countDistinct(col("k")).as("nk"), count(lit(1)).as("n"))
+    assert(!hasDistinct(qg), qg.queryExecution.optimizedPlan.toString)
+    val (offG, onG) = offOn(qg); assert(offG == onG)
+    def qglob = rd.agg(countDistinct(col("k")).as("nk"))
+    assert(!hasDistinct(qglob))
+    assert(qglob.collect().head.getLong(0) == 60L) // null key not counted
+    // COUNT(DISTINCT non-key) keeps its DISTINCT
+    assert(hasDistinct(rd.agg(countDistinct(col("g")).as("ng"))))
+    // GROUP BY the key: the whole aggregate becomes a Project — COUNT(*),
+    // COUNT(v), SUM long + decimal, MIN/MAX, AVG, even DISTINCT args
+    def qk = rd.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        sum(col("v")).as("sv"), sum(col("m")).as("sm"),
+        min(col("g")).as("mn"), max(col("v")).as("mx"),
+        avg(col("v")).as("av"), avg(col("m")).as("am"),
+        sum_distinct(col("v")).as("sdv"))
+    assert(!hasAgg(qk), qk.queryExecution.optimizedPlan.toString)
+    val (offK, onK) = offOn(qk); assert(offK == onK)
+    // grouping by a SUPERSET of the key still collapses
+    assert(!hasAgg(rd.groupBy(col("k"), col("g"))
+      .agg(sum(col("v")).as("s"))))
+    // a non-covering group keeps the aggregate; FILTER clauses decline
+    assert(hasAgg(rd.groupBy(col("g")).agg(sum(col("v")).as("s"))))
+    assert(hasAgg(rd.groupBy(col("k"))
+      .agg(expr("sum(v) FILTER (WHERE v > 10)").as("s"))))
+    // motion disarms both rewrites
+    VersionedTable.append(Seq((Some(99L), "gX", Some(1L), BigDecimal(1)))
+      .toDF("k", "g", "v", "m")
+      .select(col("k"), col("g"), col("v"),
+        col("m").cast("decimal(10,2)").as("m")), t)
+    assert(hasDistinct(rd.agg(countDistinct(col("k")).as("nk"))))
+    assert(hasAgg(rd.groupBy(col("k")).agg(sum(col("v")).as("s"))))
+  }
 }
