@@ -285,6 +285,34 @@ object SkippingQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_part_census — the PARTITION CENSUS answered from the manifest: a
+  // date-filtered GROUP-BY-partition-column COUNT over the partitioned
+  // copy must collapse to a LocalRelation (asserted in-query: the
+  // optimized plan scans NOTHING — the manifest's exact per-partition
+  // live rows are the answer). The ops dashboard's rows-per-day panel at
+  // 100 TB: zero data files opened. DuckDB counts the raw events.
+  // --------------------------------------------------------------------------
+  def partCensus(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartTable(spark, dir)
+    val out = VersionedTable.read(spark, path)
+      .filter(expr("event_date >= DATE'2024-01-03'"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_rows"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+    require(roots.isEmpty && out.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "q_part_census: expected the partition census to answer from the " +
+        s"manifest; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val partCensusSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_rows
+      |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
+      |GROUP BY 1""".stripMargin
+
   def mergeTablePath(dir: String): String = cachedTablePath(dir, "sqlmerge_v1")
 
   /** Idempotently build a keep-latest table with REAL SQL MERGE: seed with
@@ -1696,7 +1724,8 @@ object SkippingQueries {
     "q_meta_minmax" -> (metaMinMax _),
     "q_dv_delete" -> (dvDelete _),
     "q_batch_format" -> (batchFormat _),
-    "q_partitioned_scan" -> (partitionedScan _))
+    "q_partitioned_scan" -> (partitionedScan _),
+    "q_part_census" -> (partCensus _))
 
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
@@ -1732,5 +1761,6 @@ object SkippingQueries {
     "q_meta_minmax" -> metaMinMaxSql,
     "q_dv_delete" -> dvDeleteSql,
     "q_batch_format" -> batchFormatSql,
-    "q_partitioned_scan" -> partitionedScanSql)
+    "q_partitioned_scan" -> partitionedScanSql,
+    "q_part_census" -> partCensusSql)
 }

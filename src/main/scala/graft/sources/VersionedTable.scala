@@ -2553,7 +2553,15 @@ object VersionedTable {
         if (c.files.forall(c.rows.contains))
           Some(c.files.map(c.rows).sum -
             c.files.map(fk => c.dvRows.getOrElse(fk, 0L)).sum)
-        else None)
+        else None,
+      // exact per-file live rows (same DV-disjointness contract) — the
+      // partition-census rewrite's license; empty when any file predates
+      // row recording so the census is exact or absent
+      fileRows =
+        if (c.files.forall(c.rows.contains))
+          c.files.map(fk =>
+            fk -> (c.rows(fk) - c.dvRows.getOrElse(fk, 0L))).toMap
+        else Map.empty)
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file

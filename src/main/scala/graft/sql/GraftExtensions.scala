@@ -265,15 +265,211 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
-      snapshotOf(child) match {
-        case Some(((liveRows, minMaxOf), colOf)) =>
+      val direct = snapshotOf(child).flatMap {
+        case ((liveRows, minMaxOf), colOf) =>
           val values = aggExprs.map(answer(_, liveRows, minMaxOf, colOf))
           if (values.forall(_.isDefined))
-            LocalRelation(agg.output,
+            Some(LocalRelation(agg.output,
               Seq(org.apache.spark.sql.catalyst.InternalRow(
-                values.map(_.get): _*)))
-          else agg
-        case None => agg
+                values.map(_.get): _*))))
+          else None
       }
+      // fallback: GLOBAL aggregates of PARTITION columns (file stats never
+      // cover them) answer from the census — `SELECT max(event_date) FROM
+      // t [WHERE day-filter]`, the freshness probe every ops dashboard
+      // runs, with COUNT's 0-on-empty / MIN-MAX's null-on-empty totality
+      direct.orElse(censusGlobal(agg, aggExprs, child)).getOrElse(agg)
+    // GROUP BY partition columns — the partition census (`SELECT
+    // event_date, COUNT(*) … GROUP BY event_date`, SHOW-PARTITIONS-style
+    // DISTINCT, per-partition MIN/MAX of partition columns): the manifest
+    // knows every partition's EXACT live row count (per-file rows minus
+    // DV marks), so the whole aggregate — scan, shuffle and all —
+    // collapses to a LocalRelation of one row per live partition.
+    // Filters referencing only partition columns evaluate driver-side
+    // against the census tuples (the same values directory pruning uses).
+    case agg @ Aggregate(groups, aggExprs, child, _) if groups.nonEmpty =>
+      censusOf(child).flatMap { case (census, idxOf, partSchema, conds) =>
+        rewriteCensus(agg, groups, aggExprs, census, idxOf, partSchema,
+          conds)
+      }.getOrElse(agg)
+  }
+
+  /** The GLOBAL census answer: COUNT(*) / COUNT(partition cols) /
+    * MIN/MAX(partition col) over (partition-only filters over) a
+    * census-carrying relation, with SQL's empty-input totality (COUNT 0,
+    * MIN/MAX NULL). */
+  private def censusGlobal(agg: Aggregate, aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] =
+    censusOf(child).flatMap { case (census, idxOf, partSchema, conds) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+      import org.apache.spark.sql.catalyst.util.TypeUtils
+      val preds = conds.map(
+        org.apache.spark.sql.catalyst.expressions.Predicate.createInterpreted)
+      val live = census.filter { case (row, n) =>
+        n > 0L && preds.forall(_.eval(row))
+      }
+      val fields = partSchema.fields
+      def valueAt(row: InternalRow, i: Int): Any =
+        row.get(i, fields(i).dataType)
+      def colIdx(e: Expression): Option[Int] = e match {
+        case a: AttributeReference => idxOf.get(a.exprId)
+        case _ => None
+      }
+      def extremum(i: Int, dt: org.apache.spark.sql.types.DataType,
+          takeMax: Boolean): Any = {
+        val vs = live.map(_._1).filterNot(_.isNullAt(i)).map(valueAt(_, i))
+        if (vs.isEmpty) null
+        else if (takeMax) vs.max(TypeUtils.getInterpretedOrdering(dt))
+        else vs.min(TypeUtils.getInterpretedOrdering(dt))
+      }
+      val values = aggExprs.map {
+        case Alias(e, _) => e match {
+          case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+              if l.value != null =>
+            live.map(_._2).sum
+          case AggregateExpression(Count(args), _, false, None, _)
+              if args.nonEmpty =>
+            val is = args.map(colIdx(_).getOrElse(return None))
+            live.filter(e => is.forall(i => !e._1.isNullAt(i)))
+              .map(_._2).sum
+          case AggregateExpression(Min(a), _, false, None, _) =>
+            extremum(colIdx(a).getOrElse(return None), a.dataType,
+              takeMax = false)
+          case AggregateExpression(Max(a), _, false, None, _) =>
+            extremum(colIdx(a).getOrElse(return None), a.dataType,
+              takeMax = true)
+          case _ => return None
+        }
+        case _ => return None
+      }
+      Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+    }
+
+  /** Census walk: attribute-only projections and partition-column-only
+    * filters over a census-carrying graft relation. Returns (census,
+    * exprId → partition field index, partition schema, filter conjuncts
+    * PRE-BOUND to census tuple indices). */
+  private def censusOf(plan: LogicalPlan): Option[(
+      Seq[(org.apache.spark.sql.catalyst.InternalRow, Long)],
+      Map[ExprId, Int], org.apache.spark.sql.types.StructType,
+      Seq[Expression])] =
+    GraftBatchShim.graftPartitionCensusOf(plan) match {
+      case Some((partSchema, census)) =>
+        val idxOf = plan.output.flatMap { a =>
+          val i = partSchema.fieldNames.indexOf(a.name)
+          if (i >= 0) Some(a.exprId -> i) else None
+        }.toMap
+        Some((census, idxOf, partSchema, Nil))
+      case None => plan match {
+        case Project(items, c) => censusOf(c).flatMap {
+          case (census, idxOf, ps, conds) =>
+            val mapped = items.flatMap {
+              case a: AttributeReference =>
+                idxOf.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(a: AttributeReference, _) =>
+                idxOf.get(a.exprId).map(al.exprId -> _)
+              case _ => None // computed column: its consumers must decline
+            }.toMap
+            Some((census, mapped, ps, conds))
+        }
+        case Filter(cond, c)
+            if cond.deterministic &&
+              !cond.exists(_.isInstanceOf[PlanExpression[_]]) =>
+          censusOf(c).flatMap { case (census, idxOf, ps, conds) =>
+            def split(e: Expression): Seq[Expression] = e match {
+              case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+                split(l) ++ split(r)
+              case x => Seq(x)
+            }
+            val cs = split(cond)
+            // every conjunct must reference partition columns only — and
+            // binds HERE, against the map valid at its own level (a
+            // Project above may legitimately prune a filter-only column)
+            if (cs.forall(_.references.forall(a => idxOf.contains(a.exprId))))
+              Some((census, idxOf, ps, conds ++ cs.map(_.transform {
+                case a: AttributeReference =>
+                  BoundReference(idxOf(a.exprId), a.dataType, nullable = true)
+              })))
+            else None
+          }
+        case _ => None
+      }
+    }
+
+  private def rewriteCensus(agg: Aggregate, groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      census: Seq[(org.apache.spark.sql.catalyst.InternalRow, Long)],
+      idxOf: Map[ExprId, Int],
+      partSchema: org.apache.spark.sql.types.StructType,
+      conds: Seq[Expression]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    // every group key must be a partition column
+    val gIdx = groups.map {
+      case a: AttributeReference => idxOf.getOrElse(a.exprId, return None)
+      case _ => return None
+    }
+    // classify output slots
+    sealed trait Slot
+    case class GroupSlot(i: Int) extends Slot
+    case object CountStarSlot extends Slot
+    case class CountColsSlot(is: Seq[Int]) extends Slot
+    case class MinSlot(i: Int, dt: org.apache.spark.sql.types.DataType) extends Slot
+    case class MaxSlot(i: Int, dt: org.apache.spark.sql.types.DataType) extends Slot
+    def colIdx(e: Expression): Option[Int] = e match {
+      case a: AttributeReference => idxOf.get(a.exprId)
+      case _ => None
+    }
+    val slots: Seq[Slot] = aggExprs.map {
+      case a: AttributeReference => GroupSlot(idxOf.getOrElse(a.exprId, return None))
+      case al @ Alias(e, _) => e match {
+        case a: AttributeReference =>
+          GroupSlot(idxOf.getOrElse(a.exprId, return None))
+        case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+            if l.value != null => CountStarSlot
+        case AggregateExpression(Count(args), _, false, None, _)
+            if args.nonEmpty =>
+          CountColsSlot(args.map(colIdx(_).getOrElse(return None)))
+        case AggregateExpression(Min(a), _, false, None, _) =>
+          MinSlot(colIdx(a).getOrElse(return None), a.dataType)
+        case AggregateExpression(Max(a), _, false, None, _) =>
+          MaxSlot(colIdx(a).getOrElse(return None), a.dataType)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    // the partition-only filters arrive pre-bound to census tuple indices
+    val preds = conds.map(
+      org.apache.spark.sql.catalyst.expressions.Predicate.createInterpreted)
+    val live = census.filter { case (row, n) =>
+      n > 0L && preds.forall(_.eval(row)) // null-valued predicate filters
+    }
+    val fields = partSchema.fields
+    def valueAt(row: InternalRow, i: Int): Any =
+      row.get(i, fields(i).dataType)
+    val grouped = live.groupBy { case (row, _) => gIdx.map(valueAt(row, _)) }
+    val outRows = grouped.toSeq.map { case (_, entries) =>
+      val rep = entries.head._1
+      InternalRow.fromSeq(slots.map {
+        case GroupSlot(i) => valueAt(rep, i)
+        case CountStarSlot => entries.map(_._2).sum
+        case CountColsSlot(is) =>
+          entries.filter(e => is.forall(i => !e._1.isNullAt(i)))
+            .map(_._2).sum
+        case MinSlot(i, dt) =>
+          val vs = entries.map(_._1).filterNot(_.isNullAt(i))
+            .map(valueAt(_, i))
+          if (vs.isEmpty) null
+          else vs.min(TypeUtils.getInterpretedOrdering(dt))
+        case MaxSlot(i, dt) =>
+          val vs = entries.map(_._1).filterNot(_.isNullAt(i))
+            .map(valueAt(_, i))
+          if (vs.isEmpty) null
+          else vs.max(TypeUtils.getInterpretedOrdering(dt))
+      })
+    }
+    Some(LocalRelation(agg.output, outRows))
   }
 }

@@ -83,7 +83,13 @@ private[graft] class GraftFileIndex(
       * licenses [[graft.sql.GraftJoinElimination]] to drop a dim join a
       * query never reads from. Empty for tables without declarations, so
       * the rule's match is O(1) on everything else. */
-    val fkProps: Map[String, String] = Map.empty)
+    val fkProps: Map[String, String] = Map.empty,
+    /** EXACT live rows per file (manifest rows minus deletion-vector
+      * marks) — what licenses the partition-census rewrite
+      * ([[graft.sql.GraftMetadataCount]]'s grouped case) to answer
+      * GROUP-BY-partition-column aggregates without opening a data file.
+      * Empty when any live file predates row recording. */
+    val fileRows: Map[String, Long] = Map.empty)
     extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
@@ -161,10 +167,27 @@ private[graft] class GraftFileIndex(
     // seeing the view roster on exactly the filtered plans estimation touches
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
-      snapshotVersion, fkProps) {
+      snapshotVersion, fkProps, fileRows) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
+
+  /** The `col=value` path segments identifying a file's partition — the
+    * census grouping key (InternalRow has no value-based hashCode). */
+  private def partDirOf(rel: String): String = rel.split('/').dropRight(1)
+    .filter(_.contains('=')).mkString("/")
+
+  /** EXACT per-partition live-row census from the manifest: one (typed
+    * partition-values row, live rows) entry per partition directory.
+    * None when the table is unpartitioned or any live file predates row
+    * recording — the census must be exact or absent. Zero-row partitions
+    * (fully DV-marked) are kept here; consumers drop them (no underlying
+    * row ⇒ no group). Driver cost O(files), the same ceiling as listing. */
+  lazy val partitionCensus: Option[Seq[(InternalRow, Long)]] =
+    if (partSchema.isEmpty || !allFiles.forall(fileRows.contains)) None
+    else Some(allFiles.groupBy(partDirOf).map { case (_, fs) =>
+      (partValuesOf(fs.head), fs.map(fileRows).sum)
+    }.toSeq)
 
   private def statusOrThrow(r: String): FileStatus =
     statusOf.getOrElse(r,
@@ -446,7 +469,8 @@ object GraftBatchShim {
       bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None,
       mvViews: Seq[String] = Nil,
       snapshotVersion: Option[Long] = None,
-      fkProps: Map[String, String] = Map.empty)
+      fkProps: Map[String, String] = Map.empty,
+      fileRows: Map[String, Long] = Map.empty)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -461,7 +485,8 @@ object GraftBatchShim {
     HadoopFsRelation(
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
-        generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps),
+        generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
+        fileRows),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -563,6 +588,20 @@ object GraftBatchShim {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
           if g.liveRows.isDefined =>
         Some((g.ndvOf, g.liveRows.get))
+      case _ => None
+    }
+
+  /** Partition-census hooks of a graft snapshot relation node: the
+    * PARTITION schema and the exact per-partition live-row census — what
+    * the grouped metadata rewrite needs to answer GROUP-BY-partition-
+    * column aggregates without a scan. None for unpartitioned tables or
+    * manifests without per-file counts. */
+  def graftPartitionCensusOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(org.apache.spark.sql.types.StructType,
+        Seq[(org.apache.spark.sql.catalyst.InternalRow, Long)])] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        g.partitionCensus.map(c => (g.partitionSchema, c))
       case _ => None
     }
 

@@ -1,0 +1,117 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.VersionedTable
+
+/** Partition census: GROUP BY partition columns answers from the
+  * manifest's exact per-partition live row counts — zero data files
+  * opened — including through DV-marked deletes, partition-only filters,
+  * DISTINCT, and MIN/MAX of partition columns. Anything touching a data
+  * column declines. */
+class PartitionCensusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("census").toString
+
+  /** True when the plan reads NO files (LocalRelation answer). */
+  private def scanFree(df: DataFrame): Boolean =
+    org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(df).isEmpty &&
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("GROUP BY partition column answers from the manifest, through deletes") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      (1L to 200L).map(i => (i, "d" + i % 5, i % 7, i))
+        .toDF("id", "day", "k", "v"),
+      t, statsCols = Seq("id"), partitionBy = Seq("day"))
+    def q = VersionedTable.read(spark, t)
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    assert(scanFree(q), q.queryExecution.optimizedPlan.toString)
+    val expected = (0 to 4).map(d => s"[d$d,40]").sorted
+    assert(sorted(q) == expected)
+    // a DV-marked delete (merge-on-read: files keep their rows, the marks
+    // subtract) changes the counts the census must report exactly
+    VersionedTable.deleteVectorized(spark, t, $"v" % 4 === 0)
+    val q2 = VersionedTable.read(spark, t)
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    assert(scanFree(q2), q2.queryExecution.optimizedPlan.toString)
+    // ground truth via a NON-aggregate read (a bare projection is a real
+    // scan — the census rewrite only touches Aggregates)
+    val truth = VersionedTable.read(spark, t).select($"day").collect()
+      .groupBy(_.getString(0)).toSeq
+      .map { case (d, rs) => s"[$d,${rs.length}]" }.sorted
+    assert(sorted(q2) == truth,
+      "census counts must equal the scanned ground truth")
+  }
+
+  test("filters on partition columns, DISTINCT, MIN/MAX; data columns decline") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      (1L to 120L).map(i => (i, "d" + i % 4, i % 3, i))
+        .toDF("id", "day", "bucket", "v"),
+      t, statsCols = Seq("id"), partitionBy = Seq("day", "bucket"))
+    def rd = VersionedTable.read(spark, t)
+    // partition-only filter evaluates against the census tuples
+    val qf = rd.filter($"day" >= "d2").groupBy($"day")
+      .agg(count(lit(1)).as("n"), count($"bucket").as("nb"))
+    assert(scanFree(qf), qf.queryExecution.optimizedPlan.toString)
+    assert(sorted(qf) == Seq("[d2,30,30]", "[d3,30,30]"))
+    // DISTINCT over partition columns = SHOW PARTITIONS
+    val qd = rd.select($"day", $"bucket").distinct()
+    assert(scanFree(qd), qd.queryExecution.optimizedPlan.toString)
+    assert(qd.count() == 12)
+    // MIN/MAX of a partition column per group
+    val qm = rd.groupBy($"day").agg(min($"bucket").as("mn"),
+      max($"bucket").as("mx"), count(lit(1)).as("n"))
+    assert(scanFree(qm), qm.queryExecution.optimizedPlan.toString)
+    assert(sorted(qm) == Seq("[d0,0,2,30]", "[d1,0,2,30]",
+      "[d2,0,2,30]", "[d3,0,2,30]"))
+    // grouping on a DATA column declines
+    assert(!scanFree(rd.groupBy($"v" % 2).agg(count(lit(1)).as("n"))))
+    // an aggregate over a data column declines
+    assert(!scanFree(rd.groupBy($"day").agg(sum($"v").as("s"))))
+    // a filter touching a data column declines
+    assert(!scanFree(rd.filter($"v" > 50L).groupBy($"day")
+      .agg(count(lit(1)).as("n"))))
+    // unpartitioned tables decline
+    val u = base + "/u"
+    VersionedTable.write((1L to 10L).map(i => (i, "g" + i % 2))
+      .toDF("id", "g"), u, statsCols = Seq("id"))
+    assert(!scanFree(VersionedTable.read(spark, u).groupBy($"g")
+      .agg(count(lit(1)).as("n"))))
+  }
+
+  test("GLOBAL MIN/MAX/COUNT of partition columns: the freshness probe is metadata") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      (1L to 90L).map(i => (i, "d" + i % 3, i)).toDF("id", "day", "v"),
+      t, statsCols = Seq("id"), partitionBy = Seq("day"))
+    def rd = VersionedTable.read(spark, t)
+    // the ops freshness probe: file stats never cover partition columns,
+    // so this is the census's answer
+    val qm = rd.agg(max($"day").as("latest"), min($"day").as("first"),
+      count(lit(1)).as("n"))
+    assert(scanFree(qm), qm.queryExecution.optimizedPlan.toString)
+    assert(qm.collect().head.toString == "[d2,d0,90]")
+    // through a partition-only filter
+    val qf = rd.filter($"day" =!= "d1").agg(max($"day").as("latest"),
+      count($"day").as("nd"))
+    assert(scanFree(qf), qf.queryExecution.optimizedPlan.toString)
+    assert(qf.collect().head.toString == "[d2,60]")
+    // empty survivor set keeps SQL totality: COUNT 0, MAX null
+    val qe = rd.filter($"day" === "zz").agg(count(lit(1)).as("n"),
+      max($"day").as("mx"))
+    assert(scanFree(qe), qe.queryExecution.optimizedPlan.toString)
+    assert(qe.collect().head.toString == "[0,null]")
+    // a data-column aggregate under a filter still scans
+    assert(!scanFree(rd.filter($"day" === "d1").agg(sum($"v").as("s"))))
+  }
+}
