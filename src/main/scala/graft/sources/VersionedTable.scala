@@ -2561,7 +2561,21 @@ object VersionedTable {
         if (c.files.forall(c.rows.contains))
           c.files.map(fk =>
             fk -> (c.rows(fk) - c.dvRows.getOrElse(fk, 0L))).toMap
-        else Map.empty)
+        else Map.empty,
+      // exact per-(file, column) bounds for census MIN/MAX of data columns
+      // — per-file twin of minMaxOfCommit's refusal rules: a DV-marked
+      // file could have lost its extremum, truncated string bounds are
+      // outer not exact, a missing stat answers nothing; an all-NULL
+      // column is a VALID answer that contributes no value
+      fileMinMaxOf = (fk, column) =>
+        if (c.dvRows.getOrElse(fk, 0L) > 0L) None
+        else c.stats.get(fk).flatMap(_.get(column)) match {
+          case None => None
+          case Some(st) if st.allNulls => Some(None)
+          case Some(st)
+              if st.min.isEmpty || st.max.isEmpty || st.inexact => None
+          case Some(st) => Some(Some((st.min.get, st.max.get)))
+        })
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file

@@ -288,108 +288,86 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     // Filters referencing only partition columns evaluate driver-side
     // against the census tuples (the same values directory pruning uses).
     case agg @ Aggregate(groups, aggExprs, child, _) if groups.nonEmpty =>
-      censusOf(child).flatMap { case (census, idxOf, partSchema, conds) =>
-        rewriteCensus(agg, groups, aggExprs, census, idxOf, partSchema,
-          conds)
-      }.getOrElse(agg)
+      censusOf(child).flatMap(rewriteCensus(agg, groups, aggExprs, _))
+        .getOrElse(agg)
   }
 
+  /** Everything the census rewrites need, resolved through the walk:
+    * the per-partition entries (typed values, live rows, member files),
+    * the attribute maps for partition and data columns, and the
+    * partition-only filter conjuncts PRE-BOUND to census tuple indices. */
+  private case class CensusInfo(
+      census: Seq[(org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String])],
+      idxOf: Map[ExprId, Int],
+      dataColOf: Map[ExprId, String],
+      partSchema: org.apache.spark.sql.types.StructType,
+      fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]],
+      conds: Seq[Expression])
+
   /** The GLOBAL census answer: COUNT(*) / COUNT(partition cols) /
-    * MIN/MAX(partition col) over (partition-only filters over) a
-    * census-carrying relation, with SQL's empty-input totality (COUNT 0,
-    * MIN/MAX NULL). */
+    * MIN/MAX of partition OR stats-covered data columns, over
+    * (partition-only filters over) a census-carrying relation, with SQL's
+    * empty-input totality (COUNT 0, MIN/MAX NULL). */
   private def censusGlobal(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] =
-    censusOf(child).flatMap { case (census, idxOf, partSchema, conds) =>
-      import org.apache.spark.sql.catalyst.InternalRow
-      import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
-      import org.apache.spark.sql.catalyst.util.TypeUtils
-      val preds = conds.map(
-        org.apache.spark.sql.catalyst.expressions.Predicate.createInterpreted)
-      val live = census.filter { case (row, n) =>
-        n > 0L && preds.forall(_.eval(row))
-      }
-      val fields = partSchema.fields
-      def valueAt(row: InternalRow, i: Int): Any =
-        row.get(i, fields(i).dataType)
-      def colIdx(e: Expression): Option[Int] = e match {
-        case a: AttributeReference => idxOf.get(a.exprId)
-        case _ => None
-      }
-      def extremum(i: Int, dt: org.apache.spark.sql.types.DataType,
-          takeMax: Boolean): Any = {
-        val vs = live.map(_._1).filterNot(_.isNullAt(i)).map(valueAt(_, i))
-        if (vs.isEmpty) null
-        else if (takeMax) vs.max(TypeUtils.getInterpretedOrdering(dt))
-        else vs.min(TypeUtils.getInterpretedOrdering(dt))
-      }
-      val values = aggExprs.map {
-        case Alias(e, _) => e match {
-          case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
-              if l.value != null =>
-            live.map(_._2).sum
-          case AggregateExpression(Count(args), _, false, None, _)
-              if args.nonEmpty =>
-            val is = args.map(colIdx(_).getOrElse(return None))
-            live.filter(e => is.forall(i => !e._1.isNullAt(i)))
-              .map(_._2).sum
-          case AggregateExpression(Min(a), _, false, None, _) =>
-            extremum(colIdx(a).getOrElse(return None), a.dataType,
-              takeMax = false)
-          case AggregateExpression(Max(a), _, false, None, _) =>
-            extremum(colIdx(a).getOrElse(return None), a.dataType,
-              takeMax = true)
-          case _ => return None
-        }
-        case _ => return None
-      }
-      Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
-    }
+      child: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val info = censusOf(child).getOrElse(return None)
+    val slots = traverseOpt(aggExprs.map {
+      case Alias(e, _) => classifySlot(e, info, groupRefs = false)
+      case _ => None
+    }).getOrElse(return None)
+    val live = liveEntries(info)
+    val values = slots.map(evalSlot(_, live, info).getOrElse(return None))
+    Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+  }
 
   /** Census walk: attribute-only projections and partition-column-only
-    * filters over a census-carrying graft relation. Returns (census,
-    * exprId → partition field index, partition schema, filter conjuncts
-    * PRE-BOUND to census tuple indices). */
-  private def censusOf(plan: LogicalPlan): Option[(
-      Seq[(org.apache.spark.sql.catalyst.InternalRow, Long)],
-      Map[ExprId, Int], org.apache.spark.sql.types.StructType,
-      Seq[Expression])] =
+    * filters over a census-carrying graft relation; tracks BOTH maps
+    * (partition field index and data-column relation name) and binds
+    * filter conjuncts at their own level (a Project above may
+    * legitimately prune a filter-only column). */
+  private def censusOf(plan: LogicalPlan): Option[CensusInfo] =
     GraftBatchShim.graftPartitionCensusOf(plan) match {
-      case Some((partSchema, census)) =>
+      case Some((partSchema, census, fmm)) =>
+        val partNames = partSchema.fieldNames
         val idxOf = plan.output.flatMap { a =>
-          val i = partSchema.fieldNames.indexOf(a.name)
+          val i = partNames.indexOf(a.name)
           if (i >= 0) Some(a.exprId -> i) else None
         }.toMap
-        Some((census, idxOf, partSchema, Nil))
+        val dataColOf = plan.output.flatMap { a =>
+          if (partNames.contains(a.name)) None
+          else Some(a.exprId -> a.name)
+        }.toMap
+        Some(CensusInfo(census, idxOf, dataColOf, partSchema, fmm, Nil))
       case None => plan match {
-        case Project(items, c) => censusOf(c).flatMap {
-          case (census, idxOf, ps, conds) =>
-            val mapped = items.flatMap {
+        case Project(items, c) => censusOf(c).map { info =>
+          def remap[A](base: Map[ExprId, A]): Map[ExprId, A] =
+            items.flatMap {
               case a: AttributeReference =>
-                idxOf.get(a.exprId).map(a.exprId -> _)
+                base.get(a.exprId).map(a.exprId -> _)
               case al @ Alias(a: AttributeReference, _) =>
-                idxOf.get(a.exprId).map(al.exprId -> _)
+                base.get(a.exprId).map(al.exprId -> _)
               case _ => None // computed column: its consumers must decline
             }.toMap
-            Some((census, mapped, ps, conds))
+          info.copy(idxOf = remap(info.idxOf),
+            dataColOf = remap(info.dataColOf))
         }
         case Filter(cond, c)
             if cond.deterministic &&
               !cond.exists(_.isInstanceOf[PlanExpression[_]]) =>
-          censusOf(c).flatMap { case (census, idxOf, ps, conds) =>
+          censusOf(c).flatMap { info =>
             def split(e: Expression): Seq[Expression] = e match {
               case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
                 split(l) ++ split(r)
               case x => Seq(x)
             }
             val cs = split(cond)
-            // every conjunct must reference partition columns only — and
-            // binds HERE, against the map valid at its own level (a
-            // Project above may legitimately prune a filter-only column)
-            if (cs.forall(_.references.forall(a => idxOf.contains(a.exprId))))
-              Some((census, idxOf, ps, conds ++ cs.map(_.transform {
+            if (cs.forall(_.references.forall(a =>
+              info.idxOf.contains(a.exprId))))
+              Some(info.copy(conds = info.conds ++ cs.map(_.transform {
                 case a: AttributeReference =>
-                  BoundReference(idxOf(a.exprId), a.dataType, nullable = true)
+                  BoundReference(info.idxOf(a.exprId), a.dataType,
+                    nullable = true)
               })))
             else None
           }
@@ -397,79 +375,136 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  private def rewriteCensus(agg: Aggregate, groups: Seq[Expression],
-      aggExprs: Seq[NamedExpression],
-      census: Seq[(org.apache.spark.sql.catalyst.InternalRow, Long)],
-      idxOf: Map[ExprId, Int],
-      partSchema: org.apache.spark.sql.types.StructType,
-      conds: Seq[Expression]): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.InternalRow
+  // --- census slot machinery, shared by the grouped and global cases ---
+
+  private sealed trait Slot
+  private case class GroupSlot(i: Int) extends Slot
+  private case object CountStarSlot extends Slot
+  private case class CountColsSlot(is: Seq[Int]) extends Slot
+  private case class MinMaxSlot(i: Int,
+      dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
+  /** MIN/MAX of a DATA column from per-file manifest stats. */
+  private case class MinMaxDataSlot(colName: String,
+      dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
+
+  private def traverseOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  private def classifySlot(e: Expression, info: CensusInfo,
+      groupRefs: Boolean): Option[Slot] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
-    import org.apache.spark.sql.catalyst.util.TypeUtils
-    // every group key must be a partition column
-    val gIdx = groups.map {
-      case a: AttributeReference => idxOf.getOrElse(a.exprId, return None)
-      case _ => return None
-    }
-    // classify output slots
-    sealed trait Slot
-    case class GroupSlot(i: Int) extends Slot
-    case object CountStarSlot extends Slot
-    case class CountColsSlot(is: Seq[Int]) extends Slot
-    case class MinSlot(i: Int, dt: org.apache.spark.sql.types.DataType) extends Slot
-    case class MaxSlot(i: Int, dt: org.apache.spark.sql.types.DataType) extends Slot
-    def colIdx(e: Expression): Option[Int] = e match {
-      case a: AttributeReference => idxOf.get(a.exprId)
+    def colIdx(x: Expression): Option[Int] = x match {
+      case a: AttributeReference => info.idxOf.get(a.exprId)
       case _ => None
     }
-    val slots: Seq[Slot] = aggExprs.map {
-      case a: AttributeReference => GroupSlot(idxOf.getOrElse(a.exprId, return None))
-      case al @ Alias(e, _) => e match {
-        case a: AttributeReference =>
-          GroupSlot(idxOf.getOrElse(a.exprId, return None))
-        case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
-            if l.value != null => CountStarSlot
-        case AggregateExpression(Count(args), _, false, None, _)
-            if args.nonEmpty =>
-          CountColsSlot(args.map(colIdx(_).getOrElse(return None)))
-        case AggregateExpression(Min(a), _, false, None, _) =>
-          MinSlot(colIdx(a).getOrElse(return None), a.dataType)
-        case AggregateExpression(Max(a), _, false, None, _) =>
-          MaxSlot(colIdx(a).getOrElse(return None), a.dataType)
-        case _ => return None
-      }
-      case _ => return None
+    def minMax(a: Expression, takeMax: Boolean): Option[Slot] = a match {
+      case at: AttributeReference => info.idxOf.get(at.exprId)
+        .map(MinMaxSlot(_, at.dataType, takeMax))
+        .orElse(info.dataColOf.get(at.exprId)
+          .map(MinMaxDataSlot(_, at.dataType, takeMax)))
+      case _ => None
     }
-    // the partition-only filters arrive pre-bound to census tuple indices
-    val preds = conds.map(
+    e match {
+      case a: AttributeReference if groupRefs =>
+        info.idxOf.get(a.exprId).map(GroupSlot(_))
+      case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+          if l.value != null => Some(CountStarSlot)
+      case AggregateExpression(Count(args), _, false, None, _)
+          if args.nonEmpty =>
+        traverseOpt(args.map(colIdx)).map(CountColsSlot(_))
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Min(a),
+          _, false, None, _) => minMax(a, takeMax = false)
+      case AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Max(a),
+          _, false, None, _) => minMax(a, takeMax = true)
+      case _ => None
+    }
+  }
+
+  private def liveEntries(info: CensusInfo)
+      : Seq[(org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String])] = {
+    val preds = info.conds.map(
       org.apache.spark.sql.catalyst.expressions.Predicate.createInterpreted)
-    val live = census.filter { case (row, n) =>
+    info.census.filter { case (row, n, _) =>
       n > 0L && preds.forall(_.eval(row)) // null-valued predicate filters
     }
-    val fields = partSchema.fields
+  }
+
+  /** One slot's value over a set of census entries (a group, or the whole
+    * filtered table): None means the slot CANNOT be answered exactly —
+    * the caller abandons the rewrite. */
+  private def evalSlot(slot: Slot,
+      entries: Seq[(org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String])],
+      info: CensusInfo): Option[Any] = {
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    val fields = info.partSchema.fields
+    def valueAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int): Any =
+      row.get(i, fields(i).dataType)
+    slot match {
+      case GroupSlot(i) =>
+        Some(entries.headOption.map(e => valueAt(e._1, i)).orNull)
+      case CountStarSlot => Some(entries.map(_._2).sum)
+      case CountColsSlot(is) =>
+        Some(entries.filter(e => is.forall(i => !e._1.isNullAt(i)))
+          .map(_._2).sum)
+      case MinMaxSlot(i, dt, takeMax) =>
+        val vs = entries.map(_._1).filterNot(_.isNullAt(i))
+          .map(valueAt(_, i))
+        Some(if (vs.isEmpty) null
+          else if (takeMax) vs.max(TypeUtils.getInterpretedOrdering(dt))
+          else vs.min(TypeUtils.getInterpretedOrdering(dt)))
+      case MinMaxDataSlot(colName, dt, takeMax) =>
+        // exact per-file bounds: ANY file that cannot answer exactly (DV
+        // marks, missing/truncated stats) abandons the rewrite; all-NULL
+        // files contribute nothing, and zero contributing files is NULL
+        val bounds = entries.flatMap(_._3).map(f =>
+          info.fileMinMaxOf(f, colName) match {
+            case None => return None
+            case Some(b) => b
+          }).flatten
+        if (bounds.isEmpty) Some(null)
+        else {
+          val statV =
+            if (takeMax) bounds.map(_._2)
+              .max(graft.sources.DataSkipping.statOrdering)
+            else bounds.map(_._1)
+              .min(graft.sources.DataSkipping.statOrdering)
+          internalOf(statV, dt) match {
+            case Some(v) => Some(v)
+            case None => return None // inexact conversion: refuse, not lie
+          }
+        }
+    }
+  }
+
+  private def rewriteCensus(agg: Aggregate, groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      info: CensusInfo): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    // every group key must be a partition column
+    val gIdx = groups.map {
+      case a: AttributeReference =>
+        info.idxOf.getOrElse(a.exprId, return None)
+      case _ => return None
+    }
+    val slots = traverseOpt(aggExprs.map {
+      case a: AttributeReference => classifySlot(a, info, groupRefs = true)
+      case Alias(e, _) =>
+        classifySlot(e, info, groupRefs = true)
+      case _ => None
+    }).getOrElse(return None)
+    val live = liveEntries(info)
+    val fields = info.partSchema.fields
     def valueAt(row: InternalRow, i: Int): Any =
       row.get(i, fields(i).dataType)
-    val grouped = live.groupBy { case (row, _) => gIdx.map(valueAt(row, _)) }
+    val grouped = live.groupBy { case (row, _, _) =>
+      gIdx.map(valueAt(row, _)) }
     val outRows = grouped.toSeq.map { case (_, entries) =>
-      val rep = entries.head._1
-      InternalRow.fromSeq(slots.map {
-        case GroupSlot(i) => valueAt(rep, i)
-        case CountStarSlot => entries.map(_._2).sum
-        case CountColsSlot(is) =>
-          entries.filter(e => is.forall(i => !e._1.isNullAt(i)))
-            .map(_._2).sum
-        case MinSlot(i, dt) =>
-          val vs = entries.map(_._1).filterNot(_.isNullAt(i))
-            .map(valueAt(_, i))
-          if (vs.isEmpty) null
-          else vs.min(TypeUtils.getInterpretedOrdering(dt))
-        case MaxSlot(i, dt) =>
-          val vs = entries.map(_._1).filterNot(_.isNullAt(i))
-            .map(valueAt(_, i))
-          if (vs.isEmpty) null
-          else vs.max(TypeUtils.getInterpretedOrdering(dt))
-      })
+      InternalRow.fromSeq(
+        slots.map(evalSlot(_, entries, info).getOrElse(return None)))
     }
     Some(LocalRelation(agg.output, outRows))
   }
 }
+

@@ -89,7 +89,15 @@ private[graft] class GraftFileIndex(
       * ([[graft.sql.GraftMetadataCount]]'s grouped case) to answer
       * GROUP-BY-partition-column aggregates without opening a data file.
       * Empty when any live file predates row recording. */
-    val fileRows: Map[String, Long] = Map.empty)
+    val fileRows: Map[String, Long] = Map.empty,
+    /** EXACT per-(file, column) min/max bounds from manifest stats, in the
+      * stats domain — `None` when the file cannot answer exactly (DV
+      * marks, missing/truncated stats), `Some(None)` when the column is
+      * all-NULL in the file (contributes nothing to an extremum), else
+      * `Some(Some((min, max)))`. Powers per-partition MIN/MAX of DATA
+      * columns in the census rewrite. */
+    val fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]] =
+      (_, _) => None)
     extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(root)
@@ -167,7 +175,7 @@ private[graft] class GraftFileIndex(
     // seeing the view roster on exactly the filtered plans estimation touches
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
-      snapshotVersion, fkProps, fileRows) {
+      snapshotVersion, fkProps, fileRows, fileMinMaxOf) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -178,15 +186,16 @@ private[graft] class GraftFileIndex(
     .filter(_.contains('=')).mkString("/")
 
   /** EXACT per-partition live-row census from the manifest: one (typed
-    * partition-values row, live rows) entry per partition directory.
-    * None when the table is unpartitioned or any live file predates row
-    * recording — the census must be exact or absent. Zero-row partitions
-    * (fully DV-marked) are kept here; consumers drop them (no underlying
-    * row ⇒ no group). Driver cost O(files), the same ceiling as listing. */
-  lazy val partitionCensus: Option[Seq[(InternalRow, Long)]] =
+    * partition-values row, live rows, member files) entry per partition
+    * directory. None when the table is unpartitioned or any live file
+    * predates row recording — the census must be exact or absent.
+    * Zero-row partitions (fully DV-marked) are kept here; consumers drop
+    * them (no underlying row ⇒ no group). Driver cost O(files), the same
+    * ceiling as listing. */
+  lazy val partitionCensus: Option[Seq[(InternalRow, Long, Seq[String])]] =
     if (partSchema.isEmpty || !allFiles.forall(fileRows.contains)) None
     else Some(allFiles.groupBy(partDirOf).map { case (_, fs) =>
-      (partValuesOf(fs.head), fs.map(fileRows).sum)
+      (partValuesOf(fs.head), fs.map(fileRows).sum, fs)
     }.toSeq)
 
   private def statusOrThrow(r: String): FileStatus =
@@ -470,7 +479,9 @@ object GraftBatchShim {
       mvViews: Seq[String] = Nil,
       snapshotVersion: Option[Long] = None,
       fkProps: Map[String, String] = Map.empty,
-      fileRows: Map[String, Long] = Map.empty)
+      fileRows: Map[String, Long] = Map.empty,
+      fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]] =
+        (_, _) => None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -486,7 +497,7 @@ object GraftBatchShim {
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
-        fileRows),
+        fileRows, fileMinMaxOf),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -598,10 +609,11 @@ object GraftBatchShim {
     * manifests without per-file counts. */
   def graftPartitionCensusOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[(org.apache.spark.sql.types.StructType,
-        Seq[(org.apache.spark.sql.catalyst.InternalRow, Long)])] =
+        Seq[(org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String])],
+        (String, String) => Option[Option[(Any, Any)]])] =
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
-        g.partitionCensus.map(c => (g.partitionSchema, c))
+        g.partitionCensus.map(c => (g.partitionSchema, c, g.fileMinMaxOf))
       case _ => None
     }
 

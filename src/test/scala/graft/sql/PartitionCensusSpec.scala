@@ -114,4 +114,42 @@ class PartitionCensusSpec extends SparkSpec {
     // a data-column aggregate under a filter still scans
     assert(!scanFree(rd.filter($"day" === "d1").agg(sum($"v").as("s"))))
   }
+
+  test("MIN/MAX of DATA columns answer from per-file stats, per partition and filtered-global") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      (1L to 90L).map(i => (i, "d" + i % 3,
+        if (i % 11 == 0) None else Some(i * 2)))
+        .toDF("id", "day", "v")
+        .repartition(4),
+      t, statsCols = Seq("v"), partitionBy = Seq("day"))
+    def rd = VersionedTable.read(spark, t)
+    // per-partition MAX/MIN of a stats-covered data column: the per-day
+    // value dashboard with zero files opened
+    val q = rd.groupBy($"day").agg(max($"v").as("mx"), min($"v").as("mn"),
+      count(lit(1)).as("n"))
+    assert(scanFree(q), q.queryExecution.optimizedPlan.toString)
+    // ground truth from a raw (non-aggregate) read
+    val truth = rd.select($"day", $"v").collect()
+      .groupBy(_.getString(0)).toSeq.map { case (d, rs) =>
+        val vs = rs.filterNot(_.isNullAt(1)).map(_.getLong(1))
+        s"[$d,${vs.max},${vs.min},${rs.length}]"
+      }.sorted
+    assert(sorted(q) == truth)
+    // the filtered GLOBAL probe: max(value) for one day
+    val qg = rd.filter($"day" === "d1").agg(max($"v").as("mx"))
+    assert(scanFree(qg), qg.queryExecution.optimizedPlan.toString)
+    assert(qg.collect().head.getLong(0) ==
+      rd.filter($"day" === "d1").select($"v").collect()
+        .filterNot(_.isNullAt(0)).map(_.getLong(0)).max)
+    // a column WITHOUT stats declines
+    assert(!scanFree(rd.groupBy($"day").agg(max($"id").as("m"))))
+    // a DV mark could have deleted the extremum: data MIN/MAX declines,
+    // while the pure COUNT census still answers (marks subtract exactly)
+    VersionedTable.deleteVectorized(spark, t, $"v" === 180L)
+    assert(!scanFree(rd.groupBy($"day").agg(max($"v").as("m"))))
+    val qc = rd.groupBy($"day").agg(count(lit(1)).as("n"))
+    assert(scanFree(qc), qc.queryExecution.optimizedPlan.toString)
+    assert(sorted(qc) == Seq("[d0,29]", "[d1,30]", "[d2,30]"))
+  }
 }
