@@ -298,7 +298,11 @@ object SkippingQueries {
     val out = VersionedTable.read(spark, path)
       .filter(expr("event_date >= DATE'2024-01-03'"))
       .groupBy(col("event_date"))
-      .agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_rows"),
+        // stats-covered DATA column extrema ride the same census from
+        // exact per-file bounds (the table is write-once: no DV marks)
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
     val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
     require(roots.isEmpty && out.queryExecution.optimizedPlan.collectLeaves()
       .forall(_.isInstanceOf[
@@ -309,7 +313,9 @@ object SkippingQueries {
   }
 
   val partCensusSql: String =
-    """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_rows
+    """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_rows,
+      |  CAST(MIN(user_id) AS BIGINT) AS min_user,
+      |  CAST(MAX(user_id) AS BIGINT) AS max_user
       |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
       |GROUP BY 1""".stripMargin
 

@@ -381,6 +381,9 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class GroupSlot(i: Int) extends Slot
   private case object CountStarSlot extends Slot
   private case class CountColsSlot(is: Seq[Int]) extends Slot
+  /** COUNT(DISTINCT partition cols): distinct non-null tuples among the
+    * live entries — "how many days of data" without touching a file. */
+  private case class CountDistinctSlot(is: Seq[Int]) extends Slot
   private case class MinMaxSlot(i: Int,
       dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
   /** MIN/MAX of a DATA column from per-file manifest stats. */
@@ -412,6 +415,9 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case AggregateExpression(Count(args), _, false, None, _)
           if args.nonEmpty =>
         traverseOpt(args.map(colIdx)).map(CountColsSlot(_))
+      case AggregateExpression(Count(args), _, true, None, _)
+          if args.nonEmpty =>
+        traverseOpt(args.map(colIdx)).map(CountDistinctSlot(_))
       case AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate.Min(a),
           _, false, None, _) => minMax(a, takeMax = false)
@@ -448,6 +454,9 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case CountColsSlot(is) =>
         Some(entries.filter(e => is.forall(i => !e._1.isNullAt(i)))
           .map(_._2).sum)
+      case CountDistinctSlot(is) =>
+        Some(entries.filter(e => is.forall(i => !e._1.isNullAt(i)))
+          .map(e => is.map(valueAt(e._1, _))).distinct.size.toLong)
       case MinMaxSlot(i, dt, takeMax) =>
         val vs = entries.map(_._1).filterNot(_.isNullAt(i))
           .map(valueAt(_, i))

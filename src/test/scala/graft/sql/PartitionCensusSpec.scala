@@ -68,6 +68,15 @@ class PartitionCensusSpec extends SparkSpec {
     val qd = rd.select($"day", $"bucket").distinct()
     assert(scanFree(qd), qd.queryExecution.optimizedPlan.toString)
     assert(qd.count() == 12)
+    // COUNT(DISTINCT partition cols): global and per group — "how many
+    // days/buckets of data" without touching a file
+    val qcd = rd.agg(countDistinct($"day").as("nd"),
+      countDistinct($"day", $"bucket").as("ndb"), count(lit(1)).as("n"))
+    assert(scanFree(qcd), qcd.queryExecution.optimizedPlan.toString)
+    assert(qcd.collect().head.toString == "[4,12,120]")
+    val qcg = rd.groupBy($"day").agg(countDistinct($"bucket").as("nb"))
+    assert(scanFree(qcg), qcg.queryExecution.optimizedPlan.toString)
+    assert(sorted(qcg) == Seq("[d0,3]", "[d1,3]", "[d2,3]", "[d3,3]"))
     // MIN/MAX of a partition column per group
     val qm = rd.groupBy($"day").agg(min($"bucket").as("mn"),
       max($"bucket").as("mx"), count(lit(1)).as("n"))
