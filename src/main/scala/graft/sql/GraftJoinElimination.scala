@@ -683,7 +683,15 @@ case class GraftDistinctElimination(spark: SparkSession)
       //    aggregate — its shuffle included — becomes a Project. The
       //    classic view-flattening artifact: `SELECT key, SUM(v) FROM t
       //    GROUP BY key` over a keyed table.
-      case agg @ Aggregate(groups, aggs, child, h) =>
+      case agg @ Aggregate(groups, aggs, child, h)
+          // cheap pre-gates before any walk or allocation: a DISTINCT
+          // aggregate somewhere, or plain-attribute groups that COULD
+          // cover a pin — everything else exits in O(expr nodes)
+          if aggs.exists(_.exists {
+            case ae: AggregateExpression => ae.isDistinct
+            case _ => false
+          }) || (groups.nonEmpty &&
+            groups.forall(_.isInstanceOf[AttributeReference])) =>
         var changed = false
         val newAggs = aggs.map(_.transform {
           case ae @ AggregateExpression(
