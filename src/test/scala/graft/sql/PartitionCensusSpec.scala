@@ -50,6 +50,16 @@ class PartitionCensusSpec extends SparkSpec {
       .map { case (d, rs) => s"[$d,${rs.length}]" }.sorted
     assert(sorted(q2) == truth,
       "census counts must equal the scanned ground truth")
+    // TIME TRAVEL: the census of version 1 still reports pre-delete counts
+    val qv1 = VersionedTable.read(spark, t, Some(1L))
+      .groupBy($"day").agg(count(lit(1)).as("n"))
+    assert(scanFree(qv1), qv1.queryExecution.optimizedPlan.toString)
+    assert(sorted(qv1) == expected)
+    // the SQL catalog surface rides the same relation → same census
+    val qs = spark.sql(
+      s"SELECT day, COUNT(*) AS n FROM graft.`$t` GROUP BY day")
+    assert(scanFree(qs), qs.queryExecution.optimizedPlan.toString)
+    assert(sorted(qs) == truth)
   }
 
   test("filters on partition columns, DISTINCT, MIN/MAX; data columns decline") {
