@@ -1150,6 +1150,85 @@ object SkippingQueries {
   }
 
   // --------------------------------------------------------------------------
+  // q_mv_star — the MULTI-DIMENSION star view (fact ⋈ part ⋈ supplier
+  // band, grouped by one attribute of EACH dim) maintained through a
+  // fact delete and append, each refresh joining only the fact's diff
+  // with BOTH pinned dims; the gated query is the two-join star
+  // aggregate itself, required in-query to answer from the view
+  // (optimized plan scans neither the fact nor either dim). The oracle
+  // replays the DML as set logic and re-joins both dims raw.
+  // --------------------------------------------------------------------------
+  private def mvStarFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvstarfact_v1", "lineitem.parquet")
+  private def mvStarDim2Path(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvstard2_v1", "supplier.parquet")
+  private def mvStarViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvstarview_v1", "lineitem.parquet")
+
+  def mvStar(spark: SparkSession, dir: String): DataFrame = {
+    val fact = mvStarFactPath(dir)
+    val dim = mvjDimPath(dir)   // the part copy, shared read-only
+    val d2 = mvStarDim2Path(dir)
+    val mv = mvStarViewPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_orderkey"))                         // fact v1
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    if (VersionedTable.latestVersion(spark, d2).isEmpty)
+      VersionedTable.write(Tables.supplier(spark, dir).select(
+        col("s_suppkey"),
+        concat(lit("n"), (col("s_nationkey") % 5).cast("string"))
+          .as("s_band")), d2, statsCols = Seq("s_suppkey"))
+    MaterializedView.createJoinedMulti(spark, fact,   // registers → fact v2
+      Seq(dim -> Seq("l_partkey" -> "p_partkey"),
+        d2 -> Seq("l_suppkey" -> "s_suppkey")),
+      mv, Seq("p_brand", "s_band"), Seq("qty"))
+    if (VersionedTable.latestVersion(spark, fact).contains(2L))
+      VersionedTable.delete(spark, fact, col("l_orderkey") % 5 === 0) // v3
+    MaterializedView.refresh(spark, mv)  // fact diff ⋈ both pinned dims
+    if (VersionedTable.latestVersion(spark, fact).contains(3L))
+      VersionedTable.append(Tables.lineitem(spark, dir)              // v4
+        .filter(col("l_partkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_quantity").cast("long") * 2L).as("qty")), fact)
+    MaterializedView.refresh(spark, mv)
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("l_partkey") === col("p_partkey"))
+      .join(VersionedTable.read(spark, d2),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_band"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(fact) &&
+      !roots.contains(dim) && !roots.contains(d2),
+      s"q_mv_star: expected the two-dim star aggregate to rewrite to the " +
+        s"view $mv; optimized plan scans $roots")
+    out
+  }
+
+  val mvStarSql: String =
+    """WITH fact AS (
+      |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT l_partkey, l_suppkey, 2 * CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_partkey % 3 = 0),
+      |d2 AS (SELECT s_suppkey,
+      |         'n' || CAST(s_nationkey % 5 AS VARCHAR) AS s_band
+      |       FROM supplier)
+      |SELECT p_brand, s_band, COUNT(*) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact JOIN part ON l_partkey = p_partkey
+      |  JOIN d2 ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_mv_join_residual — the dashboard-filter shape over a JOIN view: the
   // star aggregate FILTERED ON A DIM ATTRIBUTE that is a view group column
   // (`WHERE p_brand = 'Brand#13'`) still answers from the view, the
@@ -1703,6 +1782,7 @@ object SkippingQueries {
     "q_mv_minmax" -> (mvMinMax _),
     "q_mv_derived" -> (mvDerived _),
     "q_mv_join" -> (mvJoin _),
+    "q_mv_star" -> (mvStar _),
     "q_mv_join_residual" -> (mvJoinResidual _),
     "q_mv_decimal" -> (mvDecimal _),
     "q_join_elim" -> (joinElim _),
@@ -1740,6 +1820,7 @@ object SkippingQueries {
     "q_mv_minmax" -> mvMinMaxSql,
     "q_mv_derived" -> mvDerivedSql,
     "q_mv_join" -> mvJoinSql,
+    "q_mv_star" -> mvStarSql,
     "q_mv_join_residual" -> mvJoinResidualSql,
     "q_mv_decimal" -> mvDecimalSql,
     "q_join_elim" -> joinElimSql,

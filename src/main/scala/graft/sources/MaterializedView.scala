@@ -144,6 +144,12 @@ object MaterializedView {
   /** `fk<US>pk` pairs joined by `<RS>` — fact column = dim column. */
   val JoinKeysKey = "graft.mv.joinKeys"
   val JoinDimVersionKey = "graft.mv.joinDimVersion"
+  /** MULTI-DIM star views: `dim<GS>keysRaw<GS>pin` items joined by
+    * `<FS>` — written instead of the three legacy keys when the view
+    * joins MORE than one dimension (single-dim views keep the legacy
+    * encoding so pre-existing views and their pins parse unchanged). */
+  val JoinsKey = "graft.mv.joins"
+  private val Fs = '\u001C'; private val Gs = '\u001D'
 
   private[graft] def joinSpecIn(props: Map[String, String])
       : Option[(String, Seq[(String, String)], Long)] =
@@ -151,9 +157,34 @@ object MaterializedView {
       dim <- props.get(JoinDimKey).filter(_.nonEmpty)
       keysRaw <- props.get(JoinKeysKey).filter(_.nonEmpty)
       v <- props.get(JoinDimVersionKey).map(_.toLong)
-    } yield (dim, keysRaw.split(Rs.toString).toSeq.map { item =>
+    } yield (dim, parseKeys(keysRaw), v)
+
+  private def parseKeys(keysRaw: String): Seq[(String, String)] =
+    keysRaw.split(Rs.toString).toSeq.map { item =>
       val Array(fk, pk) = item.split(Us.toString, 2); (fk, pk)
-    }, v)
+    }
+
+  /** EVERY joined dimension of the view, in join order: the multi-dim
+    * encoding when present, else the legacy single-dim triple, else
+    * empty (a plain view). The ONE accessor all maintenance and rewrite
+    * paths read. */
+  private[graft] def joinsIn(props: Map[String, String])
+      : Seq[(String, Seq[(String, String)], Long)] =
+    props.get(JoinsKey).filter(_.nonEmpty) match {
+      case Some(raw) => raw.split(Fs.toString).toSeq.map { item =>
+        val Array(dim, keysRaw, v) = item.split(Gs.toString, 3)
+        (dim, parseKeys(keysRaw), v.toLong)
+      }
+      case None => joinSpecIn(props).toSeq
+    }
+
+  private def keysRawOf(keys: Seq[(String, String)]): String =
+    keys.map { case (fk, pk) => s"$fk$Us$pk" }.mkString(Rs.toString)
+
+  private[graft] def serializeJoins(
+      joins: Seq[(String, Seq[(String, String)], Long)]): String =
+    joins.map { case (dim, keys, v) => s"$dim$Gs${keysRawOf(keys)}$Gs$v" }
+      .mkString(Fs.toString)
 
   /** `fact ⋈ dim` with the dim's key columns dropped (the fact's fk
     * carries the value — equal by the join). Shared by the create
@@ -297,7 +328,7 @@ object MaterializedView {
       where: Option[String], partitionBy: Seq[String],
       groupKeyExprs: Map[String, String] = Map.empty): Long =
     createImpl(spark, srcPath, mvPath, groupBy, sumCols, minMaxCols,
-      where, partitionBy, groupKeyExprs, join = None)
+      where, partitionBy, groupKeyExprs, joins = Nil)
 
   /** CREATE a JOIN materialized view over `fact INNER JOIN dim` (see
     * [[JoinDimKey]]): group/value columns come from the JOINED frame (the
@@ -310,39 +341,68 @@ object MaterializedView {
       groupBy: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, where: Option[String] = None,
       partitionBy: Seq[String] = Nil,
+      groupKeyExprs: Map[String, String] = Map.empty): Long =
+    createJoinedMulti(spark, factPath, Seq(dimPath -> joinKeys), mvPath,
+      groupBy, sumCols, minMaxCols, where, partitionBy, groupKeyExprs)
+
+  /** CREATE a MULTI-DIMENSION star view over `fact ⋈ dim1 ⋈ dim2 ⋈ …`:
+    * dims join IN ORDER onto the accumulated frame, so later dims may key
+    * off earlier dims' columns (snowflakes) as well as the fact. Each
+    * dim's keys are validated UNIQUE and its non-key names
+    * collision-checked against everything already joined; every dim is
+    * pinned at its current head. */
+  def createJoinedMulti(spark: SparkSession, factPath: String,
+      dims: Seq[(String, Seq[(String, String)])], mvPath: String,
+      groupBy: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil, where: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
       groupKeyExprs: Map[String, String] = Map.empty): Long = {
-    require(joinKeys.nonEmpty, "join materialized view needs join keys")
-    val dimV = VersionedTable.latestVersion(spark, dimPath).getOrElse(
-      throw new IllegalArgumentException(
-        s"$dimPath has no committed versions"))
-    validateJoin(spark, factPath, dimPath, joinKeys, dimV,
-      s"create over $factPath ⋈ $dimPath")
+    require(dims.nonEmpty && dims.forall(_._2.nonEmpty),
+      "join materialized view needs at least one dimension with join keys")
+    val joins = pinAndValidate(spark, factPath, dims,
+      s"create over $factPath ⋈ ${dims.map(_._1).mkString(" ⋈ ")}")
     createImpl(spark, factPath, mvPath, groupBy, sumCols, minMaxCols,
-      where, partitionBy, groupKeyExprs,
-      join = Some((dimPath, joinKeys, dimV)))
+      where, partitionBy, groupKeyExprs, joins = joins)
+  }
+
+  /** Pin every dim at its head and validate the chain IN ORDER, each dim
+    * against the accumulated column space (fact ∪ earlier dims). */
+  private def pinAndValidate(spark: SparkSession, factPath: String,
+      dims: Seq[(String, Seq[(String, String)])], what: String)
+      : Seq[(String, Seq[(String, String)], Long)] = {
+    var taken = VersionedTable.read(spark, factPath).columns.toSet
+    dims.map { case (dimPath, keys) =>
+      val dimV = VersionedTable.latestVersion(spark, dimPath).getOrElse(
+        throw new IllegalArgumentException(
+          s"$dimPath has no committed versions"))
+      validateJoin(spark, taken, dimPath, keys, dimV, what)
+      taken ++= VersionedTable.read(spark, dimPath, Some(dimV))
+        .columns.toSet -- keys.map(_._2)
+      (dimPath, keys, dimV)
+    }
   }
 
   /** The join contract, checked at create and FULL refresh: key columns
-    * exist on both sides, the dim's non-key names don't collide with the
-    * fact's (the joined frame must have unambiguous names), and the dim's
-    * key tuple is UNIQUE — one O(dim) aggregate, the price of exact
-    * fact-delta maintenance. */
-  private def validateJoin(spark: SparkSession, factPath: String,
+    * exist on both sides (`takenCols` is the accumulated frame — the fact
+    * plus every earlier dim), the dim's non-key names don't collide with
+    * anything already joined (the joined frame must have unambiguous
+    * names), and the dim's key tuple is UNIQUE — one O(dim) aggregate,
+    * the price of exact fact-delta maintenance. */
+  private def validateJoin(spark: SparkSession, takenCols: Set[String],
       dimPath: String, keys: Seq[(String, String)], dimV: Long,
       what: String): Unit = {
-    val factCols = VersionedTable.read(spark, factPath).columns.toSet
     val dim = VersionedTable.read(spark, dimPath, Some(dimV))
     val dimCols = dim.columns.toSet
-    val missF = keys.map(_._1).filterNot(factCols)
+    val missF = keys.map(_._1).filterNot(takenCols)
     val missD = keys.map(_._2).filterNot(dimCols)
     require(missF.isEmpty && missD.isEmpty,
       s"materialized view $what: join key column(s) " +
         s"${(missF ++ missD).mkString(",")} missing")
-    val clash = (dimCols -- keys.map(_._2)).intersect(factCols)
+    val clash = (dimCols -- keys.map(_._2)).intersect(takenCols)
     require(clash.isEmpty,
       s"materialized view $what: dim column(s) ${clash.mkString(",")} " +
-        "collide with fact columns — the joined frame needs unambiguous " +
-        "names; rename or drop them on one side")
+        "collide with already-joined columns — the joined frame needs " +
+        "unambiguous names; rename or drop them on one side")
     val dupes = dim.groupBy(keys.map(k => col(k._2)): _*)
       .count().filter(col("count") > 1L).limit(1).count()
     require(dupes == 0L,
@@ -352,11 +412,18 @@ object MaterializedView {
         "fact-delta maintenance would be wrong")
   }
 
+  /** Fold every pinned dim onto the fact frame, in join order. */
+  private[graft] def joinAll(spark: SparkSession, fact: DataFrame,
+      joins: Seq[(String, Seq[(String, String)], Long)]): DataFrame =
+    joins.foldLeft(fact) { case (df, (dim, keys, dimV)) =>
+      joinFrames(df, VersionedTable.read(spark, dim, Some(dimV)), keys)
+    }
+
   private def createImpl(spark: SparkSession, srcPath: String, mvPath: String,
       groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
       where: Option[String], partitionBy: Seq[String],
       groupKeyExprs: Map[String, String],
-      join: Option[(String, Seq[(String, String)], Long)]): Long = {
+      joins: Seq[(String, Seq[(String, String)], Long)]): Long = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
     require(partitionBy.forall(groupBy.contains),
       s"materialized view partition column(s) " +
@@ -368,14 +435,8 @@ object MaterializedView {
         "BY columns")
     // all reads below go through the (possibly joined) source frame, so
     // predicates and group keys may reference dim columns too
-    def srcFrame(asOf: Option[Long]): DataFrame = {
-      val fact = VersionedTable.read(spark, srcPath, asOf)
-      join match {
-        case None => fact
-        case Some((dim, keys, dimV)) =>
-          joinFrames(fact, VersionedTable.read(spark, dim, Some(dimV)), keys)
-      }
-    }
+    def srcFrame(asOf: Option[Long]): DataFrame =
+      joinAll(spark, VersionedTable.read(spark, srcPath, asOf), joins)
     // validate predicate and key expressions BEFORE any side effect (a
     // refused create must leave zero trace — no registration, no view)
     where.foreach(_ => applyWhere(srcFrame(None),
@@ -398,6 +459,10 @@ object MaterializedView {
     // between snapshot and props resumes here)
     if (VersionedTable.latestVersion(spark, mvPath).isDefined) {
       val p = VersionedTable.propertiesOf(spark, mvPath)
+      // join DEFINITION = dims + keys, not pins (FULL refresh moves pins);
+      // ABSENT join props pass (a create that crashed between snapshot
+      // and props resumes here, like every other definition prop)
+      val joinPropsPresent = p.contains(JoinsKey) || p.contains(JoinDimKey)
       require(p.get(SourceKey).forall(_ == srcPath) &&
           p.get(GroupByKey).forall(_ == groupBy.mkString(",")) &&
           p.get(SumColsKey).forall(_ == sumCols.mkString(",")) &&
@@ -405,9 +470,9 @@ object MaterializedView {
           p.get(WhereKey).forall(_ == where.getOrElse("")) &&
           p.get(PartitionByKey).forall(_ == partitionBy.mkString(",")) &&
           p.get(GroupExprsKey).forall(_ == serializeExprs(groupKeyExprs)) &&
-          p.get(JoinDimKey).forall(_ ==
-            join.map(_._1).getOrElse("")) &&
-          p.get(JoinKeysKey).forall(_ == serializeJoinKeys(join)),
+          (!joinPropsPresent ||
+            joinsIn(p).map { case (d, k, _) => (d, k) } ==
+              joins.map { case (d, k, _) => (d, k) }),
         s"materialized view $mvPath already exists with a different " +
           "definition — drop and re-create to redefine")
     }
@@ -432,17 +497,18 @@ object MaterializedView {
       // stored even when absent ("") so the redefinition guard catches a
       // WHERE being ADDED to a view created without one
       WhereKey -> where.getOrElse("")) ++
-      join.map { case (dim, _, dimV) => Map(
-        JoinDimKey -> dim,
-        JoinKeysKey -> serializeJoinKeys(join),
-        JoinDimVersionKey -> dimV.toString)
-      }.getOrElse(Map.empty))
+      // single-dim views keep the LEGACY three-key encoding (pre-existing
+      // views, pins and their consumers parse unchanged); multi-dim stars
+      // land the list form
+      (joins match {
+        case Nil => Map.empty[String, String]
+        case Seq((dim, keys, dimV)) => Map(
+          JoinDimKey -> dim,
+          JoinKeysKey -> keysRawOf(keys),
+          JoinDimVersionKey -> dimV.toString)
+        case many => Map(JoinsKey -> serializeJoins(many))
+      }))
   }
-
-  private def serializeJoinKeys(
-      join: Option[(String, Seq[(String, String)], Long)]): String =
-    join.map(_._2.map { case (fk, pk) => s"$fk$Us$pk" }.mkString(Rs.toString))
-      .getOrElse("")
 
   private def serializeExprs(exprOf: Map[String, String]): String =
     exprOf.toSeq.sortBy(_._1).map { case (a, s) => s"$a$Us$s" }.mkString(Rs.toString)
@@ -508,12 +574,12 @@ object MaterializedView {
       throw new IllegalArgumentException(s"$src has no committed versions"))
     val cur = VersionedTable.latestVersion(spark, mvPath).get
     if (v1 <= v0) return cur // source unchanged (versions never rewind)
-    // JOIN views: the incremental path joins the fact's diff with the dim
-    // AT THE PINNED VERSION — exact only while the dim hasn't moved (a
+    // JOIN views: the incremental path joins the fact's diff with EVERY
+    // dim AT ITS PINNED VERSION — exact only while no dim has moved (a
     // changed dim row would re-shape groups across the WHOLE fact, which
     // is a repair, not a delta). Refuse loudly; FULL refresh re-pins.
-    val joinSpec = joinSpecIn(props)
-    joinSpec.foreach { case (dim, _, dimV) =>
+    val joins = joinsIn(props)
+    joins.foreach { case (dim, _, dimV) =>
       val head = VersionedTable.latestVersion(spark, dim).getOrElse(
         throw new IllegalStateException(
           s"$mvPath: join dimension $dim has no committed versions"))
@@ -522,11 +588,7 @@ object MaterializedView {
           s"$dimV) — the incremental refresh joins the pinned dim; run " +
           "fullRefresh / REFRESH MATERIALIZED VIEW ... FULL to re-pin")
     }
-    def withDim(fact: DataFrame): DataFrame = joinSpec match {
-      case None => fact
-      case Some((dim, keys, dimV)) =>
-        joinFrames(fact, VersionedTable.read(spark, dim, Some(dimV)), keys)
-    }
+    def withDim(fact: DataFrame): DataFrame = joinAll(spark, fact, joins)
     val isIns = col("_change_type") === "insert"
     val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
     def ins(c: String): Column = when(isIns, col(c)) // else null: min/max skip
@@ -680,21 +742,15 @@ object MaterializedView {
     val partitionBy = colsOf(props, PartitionByKey)
     val v1 = VersionedTable.latestVersion(spark, src).getOrElse(
       throw new IllegalArgumentException(s"$src has no committed versions"))
-    // JOIN views: FULL refresh is the dim-moved recovery verb — re-pin the
-    // dim HEAD (re-validating the uniqueness/collision contract) and
-    // rebuild against it
-    val rePinned = joinSpecIn(props).map { case (dim, keys, _) =>
-      val dimV = VersionedTable.latestVersion(spark, dim).getOrElse(
-        throw new IllegalStateException(
-          s"$mvPath: join dimension $dim has no committed versions"))
-      validateJoin(spark, src, dim, keys, dimV, s"full refresh of $mvPath")
-      (dim, keys, dimV)
-    }
-    def withDim(fact: DataFrame): DataFrame = rePinned match {
-      case None => fact
-      case Some((dim, keys, dimV)) =>
-        joinFrames(fact, VersionedTable.read(spark, dim, Some(dimV)), keys)
-    }
+    // JOIN views: FULL refresh is the dim-moved recovery verb — re-pin
+    // every dim's HEAD (re-validating the uniqueness/collision contract,
+    // chain-ordered) and rebuild against them
+    val storedJoins = joinsIn(props)
+    val rePinned = if (storedJoins.isEmpty) Nil
+      else pinAndValidate(spark, src,
+        storedJoins.map { case (d, k, _) => (d, k) },
+        s"full refresh of $mvPath")
+    def withDim(fact: DataFrame): DataFrame = joinAll(spark, fact, rePinned)
     val snap = applyWhere(withDim(VersionedTable.read(spark, src, Some(v1))),
       where, s"full refresh of $mvPath")
     val agg = aggFrame(keyed(snap, groupBy, exprOf,
@@ -707,20 +763,25 @@ object MaterializedView {
     // anyway — the fact-version batchId alone would replay-no-op — so it
     // goes in WITHOUT a txn marker (the watermark carries unchanged).
     val wm = VersionedTable.lastTxn(spark, mvPath, App)
-    val pinFresh = rePinned.forall { case (_, _, dimV) =>
-      joinSpecIn(props).exists(_._3 == dimV) }
+    val pinFresh = rePinned.forall { case (dim, _, dimV) =>
+      storedJoins.exists(j => j._1 == dim && j._3 == dimV) }
     if (wm.contains(v1) && pinFresh)
       return VersionedTable.latestVersion(spark, mvPath).get
     val prev = VersionedTable.mvMaintenance.get()
     VersionedTable.mvMaintenance.set(true)
-    // the re-pinned dim version lands IN the snapshot commit — a separate
+    // the re-pinned dim versions land IN the snapshot commit — a separate
     // props commit would leave a crash window where the content (built
-    // against the new dim) and the pin (still the old one) disagree
+    // against the new dims) and the pins (still the old ones) disagree.
+    // Single-dim views keep their legacy pin key; stars re-land the list
     try VersionedTable.commitSnapshotRaw(agg, mvPath,
       statsCols = groupBy, partitionBy = partitionBy,
       txn = if (wm.exists(_ >= v1)) None else Some(App -> v1),
-      propsAdd = rePinned.map { case (_, _, dimV) =>
-        Map(JoinDimVersionKey -> dimV.toString) }.getOrElse(Map.empty))
+      propsAdd = rePinned match {
+        case Nil => Map.empty[String, String]
+        case Seq((_, _, dimV)) if props.contains(JoinDimKey) =>
+          Map(JoinDimVersionKey -> dimV.toString)
+        case many => Map(JoinsKey -> serializeJoins(many))
+      })
     finally VersionedTable.mvMaintenance.set(prev)
   }
 

@@ -133,19 +133,21 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * info, the merged exprId → canonical-expression environment, every
     * filter conjunct found anywhere in the walked tree (above or below a
     * join — pushdown moves them, the pool is position-independent), and
-    * the join half when the child is a star shape. */
+    * the join halves when the child is a star shape (one per joined
+    * dimension, any association order). */
   private case class SrcInfo(views: Seq[String], srcV: Long,
       env: Map[ExprId, Expression], conds: Seq[Expression],
-      join: Option[QueryJoin])
+      joins: Seq[QueryJoin])
 
   /** Walk projections (attribute-passing AND computed columns), filters,
-    * and at most one INNER equi-join whose other side is a plain graft
-    * snapshot (the dimension). */
+    * and INNER equi-joins whose other side is a plain graft snapshot
+    * (a dimension) — one per star arm, whatever association the
+    * optimizer chose. */
   private def sourceOf(plan: LogicalPlan): Option[SrcInfo] =
     GraftBatchShim.mvRewriteInfoOf(plan) match {
       case Some((views, v)) =>
         Some(SrcInfo(views, v,
-          plan.output.map(a => a.exprId -> canonAttr(a)).toMap, Nil, None))
+          plan.output.map(a => a.exprId -> canonAttr(a)).toMap, Nil, Nil))
       case None => plan match {
         case Project(items, child) =>
           sourceOf(child).map { s =>
@@ -170,18 +172,19 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-  /** Match `factSide INNER JOIN dimSide ON <equi keys>`: the fact side
-    * resolves through [[sourceOf]] (and must not itself contain a join),
-    * the dim side through [[dimOf]]; the join condition must be PURE
-    * key equalities. The canonical environment is keyed by column NAME, so
-    * a non-key name shared by both sides would alias two different columns
+  /** Match `accumulatedSide INNER JOIN dimSide ON <equi keys>`: the
+    * accumulated side resolves through [[sourceOf]] (the bare fact, or
+    * fact ⋈ earlier dims — multi-dim stars compose one arm at a time),
+    * the dim side through [[dimOf]]; the join condition must be PURE key
+    * equalities. The canonical environment is keyed by column NAME, so a
+    * non-key name shared by both sides would alias two different columns
     * — refused here (a join view over such tables cannot exist anyway:
-    * create refuses the collision). */
+    * create refuses the collision). The join keys may reference EARLIER
+    * dims' columns too (snowflakes) — `fact.env` already carries them. */
   private def joined(factSide: LogicalPlan, dimSide: LogicalPlan,
       cond: Expression): Option[SrcInfo] =
     for {
       fact <- sourceOf(factSide)
-      if fact.join.isEmpty
       (dimPath, dimV, dimEnv, dimConds) <- dimOf(dimSide)
       pairs <- traverse(splitConjuncts(cond).map {
         case EqualTo(a: AttributeReference, b: AttributeReference) =>
@@ -198,7 +201,8 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .intersect(dimSide.output.map(_.name).toSet)
       if shared.subsetOf(keyNames)
     } yield SrcInfo(fact.views, fact.srcV, fact.env ++ dimEnv,
-      fact.conds ++ dimConds, Some(QueryJoin(dimPath, dimV, pairs)))
+      fact.conds ++ dimConds,
+      fact.joins :+ QueryJoin(dimPath, dimV, pairs))
 
   private def plainCol(a: AttributeReference,
       env: Map[ExprId, Expression]): Option[String] =
@@ -330,7 +334,7 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     for {
       src <- sourceOf(child)
       _ = dbg(s"source v=${src.srcV} views=${src.views} conds=${src.conds} " +
-        s"join=${src.join}")
+        s"joins=${src.joins}")
       groupKeys <- traverse(groupExprs.map {
         case g if !g.exists(_.isInstanceOf[AggregateExpression]) =>
           val r = named(g, src.env)
@@ -349,17 +353,14 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   /** The view's maintained SOURCE FRAME — the bare source relation, or
-    * `fact ⋈ dim` (dim pinned) for a join view: the column space the
-    * stored WHERE and derived group keys resolve in. */
+    * `fact ⋈ dims…` (each dim pinned) for a join view: the column space
+    * the stored WHERE and derived group keys resolve in. */
   private def sourceFrameOf(props: Map[String, String])
       : Option[org.apache.spark.sql.DataFrame] =
     props.get(MaterializedView.SourceKey).flatMap { src =>
-      scala.util.Try(MaterializedView.joinSpecIn(props) match {
-        case None => VersionedTable.read(spark, src)
-        case Some((dim, keys, dimV)) =>
-          MaterializedView.joinFrames(VersionedTable.read(spark, src),
-            VersionedTable.read(spark, dim, Some(dimV)), keys)
-      }).toOption
+      scala.util.Try(MaterializedView.joinAll(spark,
+        VersionedTable.read(spark, src),
+        MaterializedView.joinsIn(props))).toOption
     }
 
   /** The view's WHERE predicate as name-canonical conjuncts — resolved by
@@ -454,20 +455,28 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val hv = versionFor(mvPath, src.srcV).getOrElse(return None)
     val props = VersionedTable.propertiesOf(spark, mvPath)
     // JOIN agreement: a join view answers only the join query over ITS
-    // fact/dim/keys, pinned at ITS dim version — and only at the view
-    // HEAD (the dim pin is a head property that moves on FULL refresh,
-    // so historical view versions cannot vouch for their own pin)
+    // fact/dims/keys, each dim pinned at ITS version — and only at the
+    // view HEAD (the pins are head properties that move on FULL refresh,
+    // so historical view versions cannot vouch for their own pins). The
+    // query's join arms match the view's as a SET (association order and
+    // query spelling order are both free).
+    val viewJoins = MaterializedView.joinsIn(props)
+    if (viewJoins.size != src.joins.size)
+      return None // join-ness mismatch: cannot answer
     val joinKeyNames: Set[String] =
-      (MaterializedView.joinSpecIn(props), src.join) match {
-        case (None, None) => Set.empty
-        case (Some((dimPath, keys, pinned)), Some(q)) =>
-          if (!VersionedTable.latestVersion(spark, mvPath).contains(hv))
-            return None
-          if (new org.apache.hadoop.fs.Path(dimPath).toUri.getPath !=
-            q.dimPath) return None
-          if (keys.toSet != q.pairs || pinned != q.dimV) return None
-          q.keyNames
-        case _ => return None // join-ness mismatch: cannot answer
+      if (viewJoins.isEmpty) Set.empty
+      else {
+        if (!VersionedTable.latestVersion(spark, mvPath).contains(hv))
+          return None
+        var remaining = src.joins
+        viewJoins.foreach { case (dimPath, keys, pinned) =>
+          val canon = new org.apache.hadoop.fs.Path(dimPath).toUri.getPath
+          val i = remaining.indexWhere(q =>
+            q.dimPath == canon && q.pairs == keys.toSet && q.dimV == pinned)
+          if (i < 0) return None
+          remaining = remaining.patch(i, Nil, 1)
+        }
+        src.joins.flatMap(_.keyNames).toSet
       }
     def cols(k: String): Seq[String] = props.get(k).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))

@@ -103,8 +103,14 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*PARQUET(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*""".r
   private val AnalyzeNdvRe =
     s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+NDV\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
+  /** Non-capturing twin of [[Ref]] for REPEATED sections (a capture group
+    * inside a repetition would only keep its last occurrence). */
+  private val RefNc = """\w+\s*\.\s*`[^`]+`"""
   private val CreateMvRe =
-    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref(?:\\s+JOIN\\s+$Ref\\s+ON\\s+(.+?))?(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Ref(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Ref((?:\\s+JOIN\\s+$RefNc\\s+ON\\s+.+?)*)(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+  /** One JOIN arm inside the captured block: (cat, path, ON text). */
+  private val JoinArmRe =
+    s"""(?is)\\s+JOIN\\s+$Ref\\s+ON\\s+(.+?)(?=\\s+JOIN\\s+$RefNc\\s+ON|$$)""".r
   private val RefreshMvRe =
     s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Ref(\\s+FULL)?\\s*;?\\s*""".r
   // FOREIGN KEY ... RELY: validate + pin (ForeignKeys.declare); DROP
@@ -197,17 +203,20 @@ private[sql] object GraftSqlStatements {
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq))
     case CreateMvRe(cat, path, partBy, selectList, srcCat, srcPath,
-        dimCat, dimPath, onText, where, groupBy) =>
+        joinBlock, where, groupBy) =>
       val stmt = "CREATE MATERIALIZED VIEW"
       balancedFrag(stmt, "SELECT", selectList)
-      Option(onText).foreach(balancedFrag(stmt, "ON", _))
+      val joins = Option(joinBlock).filter(_.trim.nonEmpty).toSeq
+        .flatMap(b => JoinArmRe.findAllMatchIn(b).map(m =>
+          (m.group(1), m.group(2), m.group(3).trim)).toSeq)
+      joins.foreach { case (_, _, on) => balancedFrag(stmt, "ON", on) }
       Option(where).foreach(balancedFrag(stmt, "WHERE", _))
       balancedFrag(stmt, "GROUP BY", groupBy)
       Some(GraftCreateMvCommand(cat, path, srcCat, srcPath,
         selectList.trim, groupBy.trim, Option(where).map(_.trim),
         Option(partBy).toSeq.flatMap(_.split(",")
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)),
-        Option(dimCat), Option(dimPath), Option(onText).map(_.trim)))
+        joins))
     case RefreshMvRe(cat, path, full) =>
       Some(GraftRefreshMvCommand(cat, path, full != null))
     case AddFkRe(cat, path, fkCols, dimCat, dimPath, pkCols) =>
@@ -419,6 +428,7 @@ case class GraftDescribeDetailCommand(cat: String,
         e._1 == MaterializedView.JoinDimKey ||
         e._1 == MaterializedView.JoinKeysKey ||
         e._1 == MaterializedView.JoinDimVersionKey ||
+        e._1 == MaterializedView.JoinsKey ||
         e._1.startsWith(graft.sources.ForeignKeys.Prefix) ||
         e._1.startsWith(graft.sources.ForeignKeys.UniquePrefix))),
       kv(cons), kv(gens), kv(ids),
@@ -435,13 +445,13 @@ case class GraftDescribeDetailCommand(cat: String,
       wm.map(java.lang.Long.valueOf).orNull,
       fresh.map(java.lang.Boolean.valueOf).orNull,
       props.getOrElse(MaterializedView.ViewsKey, ""),
-      MaterializedView.joinSpecIn(props).map { case (dim, keys, dimV) =>
+      MaterializedView.joinsIn(props).map { case (dim, keys, dimV) =>
         val head = scala.util.Try(
           VersionedTable.latestVersion(session, dim)).toOption.flatten
         val state = if (head.contains(dimV)) "armed" else "stale"
         s"$dim@$dimV(${keys.map(k => s"${k._1}=${k._2}").mkString(",")})" +
           s"[$state]"
-      }.getOrElse(""),
+      }.mkString(";"),
       graft.sources.ForeignKeys.declsIn(props).map { d =>
         val dimHead = scala.util.Try(
           VersionedTable.latestVersion(session, d.dimPath)).toOption.flatten
@@ -701,8 +711,7 @@ case class GraftCreateMvCommand(cat: String, path: String,
     srcCat: String, srcPath: String, selectList: String,
     groupByList: String, where: Option[String] = None,
     partitionBy: Seq[String] = Nil,
-    dimCat: Option[String] = None, dimPath: Option[String] = None,
-    onText: Option[String] = None)
+    joins: Seq[(String, String, String)] = Nil)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq.empty
@@ -744,28 +753,29 @@ case class GraftCreateMvCommand(cat: String, path: String,
     require(hasCount,
       s"$stmt: the select list must include COUNT(*) — the group-liveness " +
         "aggregate that lets emptied groups leave the view")
-    (dimCat, dimPath, onText) match {
-      case (Some(dc), Some(dp), Some(on)) =>
+    if (joins.isEmpty)
+      graft.sources.MaterializedView.create(session, src, p, groupBy,
+        sumCols.distinct.toSeq, minMaxCols.distinct.toSeq, where,
+        partitionBy)
+    else {
+      // ON left_col = dim_col [AND ...] — plain or backticked names; the
+      // left side of each equality belongs to the ACCUMULATED frame (the
+      // fact, or an earlier dim for snowflakes), the right to this dim
+      val Pair = """(?i)\s*(`[^`]+`|\w+)\s*=\s*(`[^`]+`|\w+)\s*""".r
+      val dims = joins.map { case (dc, dp, on) =>
         val dim = GraftSqlStatements.graftPath(session, dc, dp, stmt)
-        // ON fact_col = dim_col [AND ...] — plain or backticked names;
-        // the left side of each equality is the FACT column
-        val Pair = """(?i)\s*(`[^`]+`|\w+)\s*=\s*(`[^`]+`|\w+)\s*""".r
         val keys = on.split("(?i)\\s+AND\\s+").toSeq.map {
           case Pair(fk, pk) => strip(fk) -> strip(pk)
           case bad => throw new IllegalArgumentException(
             s"$stmt: unsupported ON term '$bad' — the join condition is " +
-              "fact_col = dim_col equalities joined by AND (fact side " +
-              "first)")
+              "left_col = dim_col equalities joined by AND (dim side " +
+              "second)")
         }
-        graft.sources.MaterializedView.createJoined(session, src, dim,
-          keys, p, groupBy, sumCols.distinct.toSeq,
-          minMaxCols.distinct.toSeq, where, partitionBy)
-      case (None, None, None) =>
-        graft.sources.MaterializedView.create(session, src, p, groupBy,
-          sumCols.distinct.toSeq, minMaxCols.distinct.toSeq, where,
-          partitionBy)
-      case _ => throw new IllegalArgumentException(
-        s"$stmt: JOIN needs both a graft dim reference and an ON clause")
+        dim -> keys
+      }
+      graft.sources.MaterializedView.createJoinedMulti(session, src, dims,
+        p, groupBy, sumCols.distinct.toSeq,
+        minMaxCols.distinct.toSeq, where, partitionBy)
     }
     Seq.empty
   }

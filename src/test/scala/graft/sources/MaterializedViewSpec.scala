@@ -478,6 +478,95 @@ class MaterializedViewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-dim star view: delta refresh through both dims, motion refusal, FULL re-pins all") {
+    val base = tmp(); val fact = base + "/fact"
+    val d1 = base + "/d1"; val d2 = base + "/d2"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 200L).map(i => (i, i % 10, i % 4, i)).toDF("id", "k1", "k2", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "a" + k % 3)).toDF("k1", "g1"), d1,
+      statsCols = Seq("k1"))
+    VersionedTable.write(
+      (0L to 3L).map(k => (k, "b" + k % 2)).toDF("k2", "g2"), d2,
+      statsCols = Seq("k2"))
+    def truth(): Map[(String, String), (Long, Long)] =
+      VersionedTable.read(spark, fact)
+        .join(VersionedTable.read(spark, d1), Seq("k1"))
+        .join(VersionedTable.read(spark, d2), Seq("k2"))
+        .groupBy(col("g1"), col("g2"))
+        .agg(count(lit(1)), sum(col("v"))).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+    def view(): Map[(String, String), (Long, Long)] =
+      VersionedTable.read(spark, mv).collect().map(r =>
+        (r.getAs[String]("g1"), r.getAs[String]("g2")) ->
+          (r.getAs[Long]("mv_count"), r.getAs[Long]("sum_v"))).toMap
+    MaterializedView.createJoinedMulti(spark, fact,
+      Seq(d1 -> Seq("k1" -> "k1"), d2 -> Seq("k2" -> "k2")), mv,
+      Seq("g1", "g2"), Seq("v"))
+    assert(view() == truth())
+    // fact DML chain: each refresh joins only the diff with BOTH pinned
+    // dims (a dangling k1 stays out — inner chain)
+    VersionedTable.delete(spark, fact, col("id") % 6 === 0)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == truth())
+    VersionedTable.append(
+      Seq((500L, 3L, 2L, 90L), (501L, 77L, 1L, 9L)).toDF("id", "k1", "k2", "v"),
+      fact)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == truth())
+    // EITHER dim moving refuses the incremental path
+    VersionedTable.append(Seq((4L, "bNEW")).toDF("k2", "g2"), d2)
+    VersionedTable.append(Seq((502L, 1L, 4L, 3L)).toDF("id", "k1", "k2", "v"),
+      fact)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, mv) }
+    assert(e.getMessage.contains("FULL") && e.getMessage.contains(d2),
+      e.getMessage)
+    // FULL refresh re-pins BOTH dims atomically with the rebuild
+    MaterializedView.fullRefresh(spark, mv)
+    assert(view() == truth())
+    assert(view().keys.exists(_._2 == "bNEW"))
+    // the incremental path works again against the new pins
+    VersionedTable.append(Seq((503L, 2L, 4L, 5L)).toDF("id", "k1", "k2", "v"),
+      fact)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == truth())
+    // redefinition guard: different dim list refuses; same resumes
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedView.createJoinedMulti(spark, fact,
+        Seq(d1 -> Seq("k1" -> "k1")), mv, Seq("g1", "g2"), Seq("v")) }
+    assert(e2.getMessage.contains("different"), e2.getMessage)
+    MaterializedView.createJoinedMulti(spark, fact,
+      Seq(d1 -> Seq("k1" -> "k1"), d2 -> Seq("k2" -> "k2")), mv,
+      Seq("g1", "g2"), Seq("v")) // idempotent resume
+    assert(view() == truth())
+    // second-dim name collision against the accumulated frame refuses
+    val clash2 = base + "/clash2"
+    VersionedTable.write(Seq((0L, "x")).toDF("k2", "g1"), clash2)
+    val e3 = intercept[IllegalArgumentException] {
+      MaterializedView.createJoinedMulti(spark, fact,
+        Seq(d1 -> Seq("k1" -> "k1"), clash2 -> Seq("k2" -> "k2")),
+        base + "/mvX", Seq("g1"), Seq("v")) }
+    assert(e3.getMessage.contains("collide"), e3.getMessage)
+    // the SQL DDL spells the same star with repeated JOIN clauses
+    val mvSql = base + "/mvsql"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mvSql` AS " +
+      s"SELECT g1, g2, COUNT(*), SUM(v) FROM graft.`$fact` " +
+      s"JOIN graft.`$d1` ON k1 = k1 JOIN graft.`$d2` ON k2 = k2 " +
+      "GROUP BY g1, g2")
+    val sqlView = VersionedTable.read(spark, mvSql).collect().map(r =>
+      (r.getAs[String]("g1"), r.getAs[String]("g2")) ->
+        (r.getAs[Long]("mv_count"), r.getAs[Long]("sum_v"))).toMap
+    assert(sqlView == truth())
+    // DESCRIBE DETAIL lists BOTH pinned dims with their live state
+    val dd = spark.sql(s"DESCRIBE DETAIL graft.`$mvSql`").collect().head
+      .getAs[String]("mv_join")
+    assert(dd.contains(d1) && dd.contains(d2) &&
+      dd.split(";").forall(_.endsWith("[armed]")), dd)
+  }
+
   test("join view contracts refuse loudly: duplicate dim keys, colliding names") {
     val base = tmp(); val fact = base + "/fact"; val dup = base + "/dup"
     val clash = base + "/clash"

@@ -410,6 +410,50 @@ class MvRewriteSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))).contains(fact))
   }
 
+  test("multi-dim star rewrite: the two-join aggregate answers from the view in any order") {
+    val base = tmp(); val fact = base + "/fact"
+    val d1 = base + "/d1"; val d2 = base + "/d2"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 240L).map(i => (i, i % 12, i % 5, i * 3)).toDF("id", "k1", "k2", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 11L).map(k => (k, "a" + k % 4)).toDF("k1", "g1"), d1,
+      statsCols = Seq("k1"))
+    VersionedTable.write(
+      (0L to 4L).map(k => (k, "b" + k % 2)).toDF("k2", "g2"), d2,
+      statsCols = Seq("k2"))
+    MaterializedView.createJoinedMulti(spark, fact,
+      Seq(d1 -> Seq("k1" -> "k1"), d2 -> Seq("k2" -> "k2")), mv,
+      Seq("g1", "g2"), Seq("v"))
+    def f = VersionedTable.read(spark, fact)
+    def rd1 = VersionedTable.read(spark, d1)
+    def rd2 = VersionedTable.read(spark, d2)
+    // the star, spelled in BOTH join orders — association must not matter
+    assertRewrites(fact, mv, f.join(rd1, Seq("k1")).join(rd2, Seq("k2"))
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    assertRewrites(fact, mv, f.join(rd2, Seq("k2")).join(rd1, Seq("k1"))
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    // rollup to ONE dim's group column + a residual on the other's
+    assertRewrites(fact, mv, f.join(rd1, Seq("k1")).join(rd2, Seq("k2"))
+      .filter($"g2" === "b1")
+      .groupBy($"g1").agg(sum($"v").as("s"), count(lit(1)).as("n")))
+    // fact DML keeps the star fresh through refresh
+    VersionedTable.delete(spark, fact, $"id" % 9 === 0)
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(fact, mv, f.join(rd1, Seq("k1")).join(rd2, Seq("k2"))
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    // declines: a single-join query cannot answer from the two-dim view
+    assert(roots(f.join(rd1, Seq("k1"))
+      .groupBy($"g1").agg(count(lit(1)).as("n"))).contains(fact))
+    // declines: one dim moved (pins are per-dim) — FULL re-pin re-arms
+    VersionedTable.append(Seq((5L, "bX")).toDF("k2", "g2"), d2)
+    def star = f.join(rd1, Seq("k1")).join(rd2, Seq("k2"))
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    assert(roots(star).contains(fact), "moved dim must decline")
+    MaterializedView.fullRefresh(spark, mv)
+    assertRewrites(fact, mv, star)
+  }
+
   test("SQL surface rewrites too, and null-sum groups survive the round trip") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     // group g3 carries ONLY null v: its view sum is SQL-NULL, and the
