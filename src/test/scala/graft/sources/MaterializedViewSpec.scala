@@ -550,16 +550,36 @@ class MaterializedViewSpec extends SparkSpec {
         Seq(d1 -> Seq("k1" -> "k1"), clash2 -> Seq("k2" -> "k2")),
         base + "/mvX", Seq("g1"), Seq("v")) }
     assert(e3.getMessage.contains("collide"), e3.getMessage)
-    // the SQL DDL spells the same star with repeated JOIN clauses
+    // the SQL DDL spells the same star with repeated JOIN clauses — and
+    // maintains MIN/MAX: the extremum delete exercises the repair scan
+    // THROUGH both pinned dims
     val mvSql = base + "/mvsql"
     spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mvSql` AS " +
-      s"SELECT g1, g2, COUNT(*), SUM(v) FROM graft.`$fact` " +
+      s"SELECT g1, g2, COUNT(*), SUM(v), MIN(v), MAX(v) FROM graft.`$fact` " +
       s"JOIN graft.`$d1` ON k1 = k1 JOIN graft.`$d2` ON k2 = k2 " +
       "GROUP BY g1, g2")
-    val sqlView = VersionedTable.read(spark, mvSql).collect().map(r =>
+    def sqlView() = VersionedTable.read(spark, mvSql).collect().map(r =>
       (r.getAs[String]("g1"), r.getAs[String]("g2")) ->
-        (r.getAs[Long]("mv_count"), r.getAs[Long]("sum_v"))).toMap
-    assert(sqlView == truth())
+        (r.getAs[Long]("mv_count"), r.getAs[Long]("sum_v"),
+          r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))).toMap
+    def truthMm(): Map[(String, String), (Long, Long, Long, Long)] =
+      VersionedTable.read(spark, fact)
+        .join(VersionedTable.read(spark, d1), Seq("k1"))
+        .join(VersionedTable.read(spark, d2), Seq("k2"))
+        .groupBy(col("g1"), col("g2"))
+        .agg(count(lit(1)), sum(col("v")), min(col("v")), max(col("v")))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(sqlView() == truthMm())
+    // delete the global max rows: several groups lose their stored MAX,
+    // forcing the per-group repair scan to re-join the star
+    val mx = VersionedTable.read(spark, fact).agg(max(col("v")))
+      .collect().head.getLong(0)
+    VersionedTable.delete(spark, fact, col("v") >= mx - 30L)
+    MaterializedView.refresh(spark, mvSql)
+    assert(sqlView() == truthMm())
+    MaterializedView.refresh(spark, mv) // keep the API view fresh too
+    assert(view() == truth())
     // DESCRIBE DETAIL lists BOTH pinned dims with their live state
     val dd = spark.sql(s"DESCRIBE DETAIL graft.`$mvSql`").collect().head
       .getAs[String]("mv_join")
