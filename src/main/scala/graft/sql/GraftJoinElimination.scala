@@ -50,13 +50,20 @@ import graft.sources.ForeignKeys
   * key via an aliasing Project that keeps the dim attributes' ids — and
   * the dim still drops. Any OTHER dim column read declines.
   *
-  * LEFT joins eliminate on a weaker license: a declared UNIQUE pin on the
-  * RIGHT side ([[ForeignKeys.declareUnique]]) whose columns are all bound
-  * by the join condition — unmatched left rows survive a left join
-  * anyway, so no referential check is needed, the LEFT side can be any
-  * plan, and right-side filters are harmless (a lost match is an unread
-  * null). (No key substitution here: an unmatched left row carries NULL
-  * dim columns where the left expression is non-null.)
+  * LEFT joins eliminate two ways. Under a full FK pin a LEFT join IS an
+  * inner join (every fact row matched exactly once), so the whole inner
+  * machinery applies — including reading the dim key through
+  * substitution; dim-side filters decline there (a lost match NULLS the
+  * row instead of dropping it; only the inferred IsNotNull on an equated
+  * key column — which excludes nothing matchable — is tolerated).
+  * Failing that, a declared UNIQUE pin on the RIGHT side
+  * ([[ForeignKeys.declareUnique]]) whose columns are all bound by the
+  * join condition suffices when nothing reads the dim — unmatched left
+  * rows survive a left join anyway, so no referential check is needed,
+  * the LEFT side can be any plan, and right-side filters are harmless (a
+  * lost match is an unread null; no key substitution on this license: an
+  * unmatched left row carries NULL dim columns where the left expression
+  * is non-null).
   *
   * SELF-JOINS eliminate on a UNIQUE pin alone: `t a JOIN t b ON a.k =
   * b.k` where both sides are (projections over) the SAME pinned snapshot
@@ -120,14 +127,21 @@ case class GraftJoinElimination(spark: SparkSession)
     j match {
       case Join(l, r, Inner, Some(cond), _) =>
         tryDrop(l, r, cond, used).orElse(tryDrop(r, l, cond, used))
-      // LEFT join: unmatched left rows survive anyway, so a declared
-      // UNIQUE pin on the right side alone (multiplicity ≤ 1) suffices —
-      // no referential check, no restriction on the LEFT side at all, and
-      // right-side filters are fine (they only turn matches into the null
-      // rows nobody reads). The classic BI-tool shape: LEFT JOIN exactly
-      // so the lookup can be dropped when unused.
+      // LEFT join, two licenses:
+      //  - a full FK pin makes it an INNER join (every fact row matched,
+      //    exactly once) — the whole inner machinery applies, including
+      //    reading the dim key through substitution; dim-side filters
+      //    must NOT transpose here (a lost match nulls the row instead
+      //    of dropping it), so they decline;
+      //  - failing that, a declared UNIQUE pin on the right side alone
+      //    (multiplicity ≤ 1) suffices when nothing reads the dim —
+      //    unmatched left rows survive anyway, the LEFT side can be any
+      //    plan, and right-side filters are fine (they only turn matches
+      //    into the null rows nobody reads). The classic BI-tool shape:
+      //    LEFT JOIN exactly so the lookup can be dropped when unused.
       case Join(l, r, LeftOuter, Some(cond), _) =>
-        tryDropLeft(l, r, cond, used)
+        tryDrop(l, r, cond, used, allowDimConds = false)
+          .orElse(tryDropLeft(l, r, cond, used))
       case _ => None
     }
 
@@ -220,7 +234,8 @@ case class GraftJoinElimination(spark: SparkSession)
     }
 
   private def tryDrop(factSide: LogicalPlan, dimSide: LogicalPlan,
-      cond: Expression, used: AttributeSet): Option[LogicalPlan] = {
+      cond: Expression, used: AttributeSet,
+      allowDimConds: Boolean = true): Option[LogicalPlan] = {
     // fast refusal: the only dim attributes the rewrite can supply are the
     // condition's own — anything else read from the dim blocks the drop
     if (!used.subsetOf(factSide.outputSet ++ cond.references)) return None
@@ -258,11 +273,27 @@ case class GraftJoinElimination(spark: SparkSession)
     // one-to-one is σ_p(fk)(fact)) and in upstream READS of the key
     val factFor: Map[ExprId, AttributeReference] =
       attrPairs.map { case (f, d) => d.exprId -> f }.toMap
+    // LEFT-join callers: a filtered dim breaks the every-row-matched
+    // argument (a lost match NULLS the row instead of dropping it) — but
+    // the optimizer-inferred IsNotNull on an equated KEY column only
+    // excludes dim rows that could never match (null never equals), so
+    // it drops rather than declines
+    val effectiveDimConds =
+      if (allowDimConds) dimConds
+      else {
+        val benign = dimConds.forall {
+          case IsNotNull(a: AttributeReference) => factFor.contains(a.exprId)
+          case _ => false
+        }
+        if (!benign) return None
+        Nil
+      }
     def onFact(e: Expression): Option[Expression] =
       if (e.references.forall(a => factFor.contains(a.exprId)))
         Some(e.transform { case a: AttributeReference => factFor(a.exprId) })
       else None
-    val rewrittenDimConds = dimConds.map(onFact(_).getOrElse(return None))
+    val rewrittenDimConds =
+      effectiveDimConds.map(onFact(_).getOrElse(return None))
     val base: LogicalPlan =
       if (rewrittenDimConds.isEmpty) factSide
       else Filter(rewrittenDimConds.reduce[Expression](And), factSide)

@@ -382,6 +382,18 @@ class ForeignKeySpec extends SparkSpec {
     assert(roots(VersionedTable.read(spark, fact)
       .join(VersionedTable.read(spark, dim), col("fk") === col("pk"))
       .groupBy(col("pk")).agg(count(col("g")).as("n"))).contains(dim))
+    // a LEFT join under the FK pin IS an inner join: drop + substitution
+    assertEliminates(dim, VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim), col("fk") === col("pk"),
+        "left")
+      .groupBy((col("pk") % 2).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("pk")).as("spk")))
+    // ...but a dim-side KEY filter under LEFT declines (a lost match
+    // NULLS the row instead of dropping it)
+    assert(roots(VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim).filter(col("pk") < 5L),
+        col("fk") === col("pk"), "left")
+      .select(col("id"), col("pk"))).contains(dim))
     // motion disarms the substitution too
     VersionedTable.append(Seq((10L, "gZ")).toDF("pk", "g"), dim)
     assert(roots(VersionedTable.read(spark, fact)
