@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output bypasses sbt's logger so runMain mains (Bench/Verify)
+// print raw lines to stdout without the "[info] " framing — the driver
+// parses the bench summary JSON from the tail of captured stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -459,10 +459,15 @@ object MaterializedView {
     // between snapshot and props resumes here)
     if (VersionedTable.latestVersion(spark, mvPath).isDefined) {
       val p = VersionedTable.propertiesOf(spark, mvPath)
-      // join DEFINITION = dims + keys, not pins (FULL refresh moves pins);
-      // ABSENT join props pass (a create that crashed between snapshot
-      // and props resumes here, like every other definition prop)
-      val joinPropsPresent = p.contains(JoinsKey) || p.contains(JoinDimKey)
+      // join DEFINITION = dims + keys, not pins (FULL refresh moves pins).
+      // Absent join props pass ONLY while SourceKey is also absent (a
+      // create that crashed between snapshot and props resumes here);
+      // once SourceKey exists the original create COMPLETED, so absent
+      // join props mean the view genuinely has no joins — re-running
+      // create WITH joins against it is a redefinition, not a resume.
+      val createCompleted = p.contains(SourceKey)
+      val joinPropsPresent =
+        p.contains(JoinsKey) || p.contains(JoinDimKey) || createCompleted
       require(p.get(SourceKey).forall(_ == srcPath) &&
           p.get(GroupByKey).forall(_ == groupBy.mkString(",")) &&
           p.get(SumColsKey).forall(_ == sumCols.mkString(",")) &&

@@ -124,6 +124,14 @@ case class GraftShufflePartitionSizing(spark: SparkSession)
   private def headroom: Double = spark.sessionState.conf
     .getConfString("spark.graft.shufflePartitions.headroom", "2.0").toDouble
 
+  // KMV sketches can UNDER-estimate, and a query-stage-prep resize is
+  // unrecoverable at runtime (AQE coalesces, never splits), so the capped
+  // count never drops below this floor (clamped to the original count for
+  // genuinely tiny exchanges). Bounds the downside of a bad sketch to
+  // "floor reducers" instead of "one reducer".
+  private def minPartitions: Int = spark.sessionState.conf
+    .getConfString("spark.graft.shufflePartitions.min", "4").toInt
+
   override def apply(plan: SparkPlan): SparkPlan = {
     if (!enabled) return plan
     plan.transformUp {
@@ -144,7 +152,8 @@ case class GraftShufflePartitionSizing(spark: SparkSession)
           exprs.forall(_.isInstanceOf[AttributeReference]) =>
       groupBound(child, exprs.map(_.asInstanceOf[AttributeReference]))
         .map { k =>
-          val capped = math.max(1L, math.ceil(k * headroom).toLong)
+          val floor = math.min(n.toLong, math.max(1, minPartitions).toLong)
+          val capped = math.max(floor, math.ceil(k * headroom).toLong)
           if (capped >= n) ex
           else ex.copy(outputPartitioning =
             HashPartitioning(exprs, capped.toInt))

@@ -252,6 +252,16 @@ class MvRewriteSpec extends SparkSpec {
       MaterializedView.create(spark, src, mv, Seq("g"), Seq("v"),
         Some("v > 5")) }
     assert(e.getMessage.contains("different"), e.getMessage)
+    // a COMPLETED plain view (join props absent because it HAS no joins)
+    // refuses a re-create WITH joins — absent join props only mean
+    // "crashed mid-create" while SourceKey is also absent
+    val dim = base + "/dim"
+    VersionedTable.write(
+      Seq(("g0", 1L), ("g1", 2L)).toDF("gk", "w"), dim)
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializedView.createJoinedMulti(spark, src,
+        Seq(dim -> Seq("g" -> "gk")), mv, Seq("g"), Seq("v")) }
+    assert(e2.getMessage.contains("different"), e2.getMessage)
   }
 
   test("MIN/MAX rewrite: exact for any orderable type, rollup composes, uncovered declines") {

@@ -43,10 +43,16 @@ class ShufflePartitionSizingSpec extends SparkSpec {
       assert(sorted(q) == on)
     } finally
       spark.conf.set("spark.graft.shufflePartitions.enabled", "true")
-    // headroom is the knob: 1.0 → exactly ndv
+    // headroom is the knob: 1.0 → exactly ndv — but the under-sketch
+    // floor (default 4) holds first, because a query-stage-prep resize is
+    // unrecoverable (AQE coalesces, never splits)
     spark.conf.set("spark.graft.shufflePartitions.headroom", "1.0")
-    try assert(hashCounts(q) == Seq(3))
-    finally spark.conf.unset("spark.graft.shufflePartitions.headroom")
+    try {
+      assert(hashCounts(q) == Seq(4), "floor (default 4) should hold")
+      spark.conf.set("spark.graft.shufflePartitions.min", "1")
+      try assert(hashCounts(q) == Seq(3))
+      finally spark.conf.unset("spark.graft.shufflePartitions.min")
+    } finally spark.conf.unset("spark.graft.shufflePartitions.headroom")
     // a filter between scan and rollup keeps the bound (ndv only shrinks)
     assert(hashCounts(VersionedTable.read(spark, t).filter($"v" > 100L)
       .groupBy($"g").agg(sum($"v").as("s"))) == Seq(6))
