@@ -1265,6 +1265,84 @@ object SkippingQueries {
       |WHERE p_brand = 'Brand#13' GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_mv_dim_delta — INCREMENTAL join-view maintenance through DIM deltas:
+  // the most common star-schema event (a dim update) folds the DIM's
+  // change feed into the view instead of forcing a FULL O(fact) refresh.
+  // The chain exercises all three dim verbs — UPDATE (groups re-keyed:
+  // every matched fact row leaves its old brand and enters the new),
+  // DELETE (matched fact rows retract — inner join), and a re-INSERT of
+  // the deleted keys under a different brand — interleaved with a
+  // fact-side delete, all through plain refresh() (never fullRefresh);
+  // each dim pass advances the pin atomically with its merge commit. The
+  // gated query is the star aggregate itself, required in-query to answer
+  // from the view; DuckDB replays the dim DML as a CASE over raw part and
+  // re-joins lineitem for real.
+  // --------------------------------------------------------------------------
+  private def mvddFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvddfact_v1", "lineitem.parquet")
+  private def mvddDimPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvdddim_v1", "part.parquet")
+  private def mvddViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvddview_v1", "lineitem.parquet")
+
+  def mvDimDelta(spark: SparkSession, dir: String): DataFrame = {
+    val fact = mvddFactPath(dir)
+    val dim = mvddDimPath(dir)
+    val mv = mvddViewPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_orderkey", "l_partkey"))             // fact v1
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    MaterializedView.createJoined(spark, fact, dim,   // registers → fact v2
+      Seq("l_partkey" -> "p_partkey"), mv, Seq("p_brand"), Seq("qty"))
+    if (VersionedTable.latestVersion(spark, dim).contains(1L))
+      VersionedTable.update(spark, dim, col("p_partkey") % 7 === 0,
+        Map("p_brand" -> lit("Brand#U7")))                            // dim v2
+    MaterializedView.refresh(spark, mv)  // dim-delta pass: groups re-key
+    if (VersionedTable.latestVersion(spark, dim).contains(2L))
+      VersionedTable.delete(spark, dim, col("p_partkey") % 11 === 3)  // dim v3
+    if (VersionedTable.latestVersion(spark, dim).contains(3L))
+      VersionedTable.append(                                          // dim v4
+        Tables.part(spark, dir).filter(col("p_partkey") % 11 === 3)
+          .select(col("p_partkey"), lit("Brand#RE").as("p_brand")), dim)
+    if (VersionedTable.latestVersion(spark, fact).contains(2L))
+      VersionedTable.delete(spark, fact, col("l_orderkey") % 6 === 0) // fact v3
+    // ONE refresh folds the dim's (v2,v4] delete+re-insert delta AND the
+    // fact's delete — dim passes first, fact pass against the new pin
+    MaterializedView.refresh(spark, mv)
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(fact) &&
+      !roots.contains(dim),
+      s"q_mv_dim_delta: expected the star aggregate over the dim-delta-" +
+        s"maintained view to rewrite to $mv; optimized plan scans $roots")
+    out
+  }
+
+  val mvDimDeltaSql: String =
+    """WITH dim AS (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_partkey % 11 = 3 THEN 'Brand#RE'
+      |         WHEN p_partkey % 7 = 0 THEN 'Brand#U7'
+      |         ELSE p_brand END AS p_brand
+      |  FROM part),
+      |fact AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey % 6 <> 0)
+      |SELECT p_brand, COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact JOIN dim ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_join_elim — PK/FK JOIN ELIMINATION under the oracle gate: the fact
   // (lineitem-derived, fk = l_partkey) declares FOREIGN KEY REFERENCES the
   // dim (part-derived, pk = p_partkey) RELY — the declaration VALIDATES
@@ -1782,6 +1860,7 @@ object SkippingQueries {
     "q_mv_minmax" -> (mvMinMax _),
     "q_mv_derived" -> (mvDerived _),
     "q_mv_join" -> (mvJoin _),
+    "q_mv_dim_delta" -> (mvDimDelta _),
     "q_mv_star" -> (mvStar _),
     "q_mv_join_residual" -> (mvJoinResidual _),
     "q_mv_decimal" -> (mvDecimal _),
@@ -1820,6 +1899,7 @@ object SkippingQueries {
     "q_mv_minmax" -> mvMinMaxSql,
     "q_mv_derived" -> mvDerivedSql,
     "q_mv_join" -> mvJoinSql,
+    "q_mv_dim_delta" -> mvDimDeltaSql,
     "q_mv_star" -> mvStarSql,
     "q_mv_join_residual" -> mvJoinResidualSql,
     "q_mv_decimal" -> mvDecimalSql,

@@ -555,6 +555,10 @@ object MaterializedView {
             // our commit — the recompute picks up the new v0 (often a
             // versions-never-rewind no-op if it covered our window)
             ()
+          case _: VersionedTable.ConcurrentPropException if attempts < 5 =>
+            // same, for the dim PIN: a concurrent dim-delta refresh
+            // advanced it — recompute from the new pin (often a no-op)
+            ()
         }
       }
       -1L // unreachable
@@ -568,41 +572,189 @@ object MaterializedView {
     val props = VersionedTable.propertiesOf(spark, mvPath)
     val src = props.getOrElse(SourceKey, throw new IllegalArgumentException(
       s"$mvPath is not a materialized view (no $SourceKey property)"))
+    val v0 = VersionedTable.lastTxn(spark, mvPath, App).getOrElse(
+      throw new IllegalStateException(s"$mvPath carries no $App watermark"))
+    val cur = VersionedTable.latestVersion(spark, mvPath).get
+    // JOIN views: a MOVED dim folds ITS change feed in FIRST — one pass
+    // per dim, each a separate merge commit advancing that dim's pin
+    // atomically — so the fact pass below always joins fresh pins
+    val joins = joinsIn(props)
+    joins.foreach { case (dim, _, _) =>
+      require(VersionedTable.latestVersion(spark, dim).isDefined,
+        s"$mvPath: join dimension $dim has no committed versions")
+    }
+    val moved = joins.find { case (dim, _, pin) =>
+      !VersionedTable.latestVersion(spark, dim).contains(pin) }
+    moved.foreach { m =>
+      applyDimDelta(spark, mvPath, props, src, joins, m, v0)
+      // props changed (the pin advanced): re-enter for the next moved dim
+      // or the fact pass, both against fresh pins
+      return refreshOnce(spark, mvPath)
+    }
+    val v1 = VersionedTable.latestVersion(spark, src).getOrElse(
+      throw new IllegalArgumentException(s"$src has no committed versions"))
+    if (v1 <= v0) return cur // source unchanged (versions never rewind)
+    def withDim(fact: DataFrame): DataFrame = joinAll(spark, fact, joins)
+    // the fact pass CAS-es on the pins too (propsExpected): a concurrent
+    // dim-delta commit between our props read and this merge would
+    // otherwise land a delta joined against pins the view no longer holds
+    mergeDelta(spark, mvPath, props,
+      chg = withDim(VersionedTable.changes(spark, src, v0, v1)),
+      repairSrc = () => withDim(VersionedTable.read(spark, src, Some(v1))),
+      what = s"refresh of $mvPath",
+      txn = Some(App -> v1), txnExpected = App -> v0,
+      propsExpected = pinPropsExpected(props, joins))
+  }
+
+  /** The stored PIN encoding of a join view's props — the `propsExpected`
+    * CAS every incremental merge carries, so a delta computed against
+    * these pins can only land on a view still AT them. Plain views carry
+    * nothing. */
+  private def pinPropsExpected(props: Map[String, String],
+      joins: Seq[(String, Seq[(String, String)], Long)])
+      : Map[String, String] =
+    if (joins.isEmpty) Map.empty
+    else if (props.contains(JoinDimKey))
+      Map(JoinDimVersionKey -> props(JoinDimVersionKey))
+    else Map(JoinsKey -> props(JoinsKey))
+
+  /** The pin encoding with `dim` advanced to `head` — what a dim-delta
+    * merge lands via `propsAdd` (legacy single-dim key or the list form,
+    * matching the stored encoding). */
+  private def pinPropsAdvanced(props: Map[String, String],
+      joins: Seq[(String, Seq[(String, String)], Long)],
+      dim: String, head: Long): Map[String, String] =
+    if (props.contains(JoinDimKey)) Map(JoinDimVersionKey -> head.toString)
+    else Map(JoinsKey -> serializeJoins(joins.map(j =>
+      if (j._1 == dim) (j._1, j._2, head) else j)))
+
+  /** Accumulated column space (fact ∪ dims joined BEFORE `until`) — what
+    * [[validateJoin]] checks a dim's keys and names against, chain-ordered
+    * like create. */
+  private def takenBefore(spark: SparkSession, src: String,
+      joins: Seq[(String, Seq[(String, String)], Long)], until: String)
+      : Set[String] = {
+    var t = VersionedTable.read(spark, src).columns.toSet
+    joins.takeWhile(_._1 != until).foreach { case (d, ks, dv) =>
+      t ++= VersionedTable.read(spark, d, Some(dv)).columns.toSet --
+        ks.map(_._2)
+    }
+    t
+  }
+
+  /** Fold ONE moved dimension's change feed into the view — the
+    * incremental answer to the most common star-schema event, a dim
+    * update, which previously refused and forced a FULL (O(fact))
+    * refresh.
+    *
+    * EXACTNESS: the view aggregates `fact ⋈ dim ⋈ …`, which is LINEAR in
+    * the dim's row multiset (each fact row pairs with the matching dim
+    * rows), so `dim@head = dim@pin − deletes + inserts` gives
+    * `Agg(fact ⋈ dim@head) = Agg(fact ⋈ dim@pin) − Agg(fact ⋈ deletes) +
+    * Agg(fact ⋈ inserts)` — exactly the signed-delta shape the fact pass
+    * already merges: a deleted dim row retracts every fact row it matched
+    * (carrying its OLD attributes, so retractions leave the old groups),
+    * an inserted one contributes them under the NEW attributes, and a dim
+    * UPDATE is its delete/insert pair, so re-keyed groups repair with
+    * signs cancelling exactly. The fact reads AT THE VIEW'S WATERMARK v0
+    * (the state the stored aggregates reflect — the fact's own motion is
+    * the NEXT pass's job); other dims join at their CURRENT stored pins
+    * (dims already advanced by earlier passes contribute their new
+    * state). MIN/MAX extremum losses repair per group from
+    * `fact@v0 ⋈ dim@head ⋈ others@pins` — the refresh's TARGET state.
+    *
+    * SCALE SHAPE: the delta inner-joins the fact to ONLY the changed dim
+    * keys; when those keys are real fact columns and few
+    * (≤ [[VersionedTable.MaxInKeys]]), an IN-list pre-filter reaches the
+    * fact scan so data skipping prunes fact files — the same stats-pruned
+    * candidate-file trick the CoW merge uses. Cost is O(fact rows
+    * matching changed keys) + O(touched view files), never O(fact).
+    *
+    * The merge commit advances the dim's pin ATOMICALLY (`propsAdd`)
+    * under BOTH preconditions: the fact watermark is still v0
+    * (`txnExpected` — the delta joined fact@v0) and the stored pins are
+    * the ones this delta was computed against (`propsExpected` — a racing
+    * dim refresh recomputes and retries). The fact watermark itself
+    * carries unchanged (txn = None): only the pin moves. */
+  private def applyDimDelta(spark: SparkSession, mvPath: String,
+      props: Map[String, String], src: String,
+      joins: Seq[(String, Seq[(String, String)], Long)],
+      moved: (String, Seq[(String, String)], Long), v0: Long): Long = {
+    val (dim, keys, pin) = moved
+    val head = VersionedTable.latestVersion(spark, dim).get
+    require(head > pin,
+      s"$mvPath: join dimension $dim is at version $head BEHIND its pin " +
+        s"$pin — history rewound; run fullRefresh to re-pin")
+    // the contract holds only while the dim key stays unique — re-check
+    // at the head before trusting its inserts (same O(dim) price as
+    // create; collisions/missing keys from dim schema changes also refuse)
+    validateJoin(spark, takenBefore(spark, src, joins, until = dim),
+      dim, keys, head, s"dim-delta refresh of $mvPath")
+    val dimDelta = VersionedTable.changes(spark, dim, pin, head)
+    val fact0 = VersionedTable.read(spark, src, Some(v0))
+    // IN-list pre-filter (pruning only — the join is the exact match):
+    // applies when every fact-side key is a REAL fact column (not an
+    // earlier dim's, as in a snowflake) and the changed key set inlines
+    val factSide = {
+      val factCols = fact0.columns.toSet
+      if (!keys.forall(k => factCols(k._1))) fact0
+      else {
+        val changed = dimDelta.select(keys.map(k => col(k._2)): _*)
+          .distinct().limit(VersionedTable.MaxInKeys + 1).collect()
+        if (changed.length > VersionedTable.MaxInKeys) fact0
+        else keys.zipWithIndex.foldLeft(fact0) { case (df, ((fk, _), i)) =>
+          val vals = changed.map(_.get(i)).distinct.filter(_ != null)
+          // every changed key NULL in this component ⇒ the equi-join can
+          // never match ⇒ the delta is empty (the commit still lands to
+          // advance the pin)
+          if (vals.isEmpty) df.filter(lit(false))
+          else df.filter(col(fk).isin(vals: _*))
+        }
+      }
+    }
+    // the chain join with the moved dim's frame replaced by its change
+    // feed — `_change_type` rides through to sign each contribution
+    val chg = joins.foldLeft(factSide) { case (df, (d, ks, dv)) =>
+      joinFrames(df,
+        if (d == dim) dimDelta
+        else VersionedTable.read(spark, d, Some(dv)), ks)
+    }
+    def repairSrc(): DataFrame = joins.foldLeft(fact0) {
+      case (df, (d, ks, dv)) =>
+        joinFrames(df, VersionedTable.read(spark, d,
+          Some(if (d == dim) head else dv)), ks)
+    }
+    mergeDelta(spark, mvPath, props, chg, () => repairSrc(),
+      what = s"dim-delta refresh of $mvPath ($dim $pin→$head)",
+      txn = None, txnExpected = App -> v0,
+      propsAdd = pinPropsAdvanced(props, joins, dim, head),
+      propsExpected = pinPropsExpected(props, joins))
+  }
+
+  /** The signed-delta → MERGE core shared by the fact pass and the dim
+    * pass: aggregate `chg` (source-shaped rows + `_change_type`) per
+    * group with insert=+1/delete=−1 signs, fold into the stored view,
+    * repair MIN/MAX groups whose stored extremum left (from `repairSrc`,
+    * full rows at the refresh's TARGET state, key-filtered), and commit
+    * one CoW MERGE under the given txn/props preconditions. */
+  private def mergeDelta(spark: SparkSession, mvPath: String,
+      props: Map[String, String], chg: DataFrame,
+      repairSrc: () => DataFrame, what: String,
+      txn: Option[(String, Long)], txnExpected: (String, Long),
+      propsAdd: Map[String, String] = Map.empty,
+      propsExpected: Map[String, String] = Map.empty): Long = {
     val groupBy = colsOf(props, GroupByKey)
     val sumCols = colsOf(props, SumColsKey)
     val minMaxCols = colsOf(props, MinMaxColsKey)
     val nnCols = (sumCols ++ minMaxCols).distinct
     val where = props.get(WhereKey).filter(_.nonEmpty)
-    val v0 = VersionedTable.lastTxn(spark, mvPath, App).getOrElse(
-      throw new IllegalStateException(s"$mvPath carries no $App watermark"))
-    val v1 = VersionedTable.latestVersion(spark, src).getOrElse(
-      throw new IllegalArgumentException(s"$src has no committed versions"))
-    val cur = VersionedTable.latestVersion(spark, mvPath).get
-    if (v1 <= v0) return cur // source unchanged (versions never rewind)
-    // JOIN views: the incremental path joins the fact's diff with EVERY
-    // dim AT ITS PINNED VERSION — exact only while no dim has moved (a
-    // changed dim row would re-shape groups across the WHOLE fact, which
-    // is a repair, not a delta). Refuse loudly; FULL refresh re-pins.
-    val joins = joinsIn(props)
-    joins.foreach { case (dim, _, dimV) =>
-      val head = VersionedTable.latestVersion(spark, dim).getOrElse(
-        throw new IllegalStateException(
-          s"$mvPath: join dimension $dim has no committed versions"))
-      require(head == dimV,
-        s"$mvPath: join dimension $dim moved to version $head (pinned " +
-          s"$dimV) — the incremental refresh joins the pinned dim; run " +
-          "fullRefresh / REFRESH MATERIALIZED VIEW ... FULL to re-pin")
-    }
-    def withDim(fact: DataFrame): DataFrame = joinAll(spark, fact, joins)
     val isIns = col("_change_type") === "insert"
     val sign = when(isIns, lit(1L)).otherwise(lit(-1L))
     def ins(c: String): Column = when(isIns, col(c)) // else null: min/max skip
     def del(c: String): Column = when(!isIns, col(c))
     val exprOf = groupExprsIn(props)
     val valueCols = (sumCols ++ minMaxCols).distinct
-    val delta = keyed(
-        applyWhere(withDim(VersionedTable.changes(spark, src, v0, v1)),
-          where, s"refresh of $mvPath"),
+    val delta = keyed(applyWhere(chg, where, what),
         groupBy, exprOf, valueCols :+ "_change_type")
       .groupBy(groupBy.map(col): _*)
       .agg(sum(sign).as("d_count"),
@@ -626,7 +778,7 @@ object MaterializedView {
             !(col(s"imax_$c") <=> col(s"dmax_$c")))) ++
           nnCols.map(c => col(s"dnn_$c") =!= 0L))
           .foldLeft(lit(false))(_ || _))
-    refuseNullGroups(delta, groupBy, s"refresh of $mvPath")
+    refuseNullGroups(delta, groupBy, what)
     val viewCols = Seq(CountCol) ++ sumCols.map(sumColName) ++
       minMaxCols.flatMap(c => Seq(minColName(c), maxColName(c))) ++
       nnCols.map(nnColName)
@@ -666,11 +818,9 @@ object MaterializedView {
         if (keys.isEmpty) noRepair(joined)
         else {
           repairScans.incrementAndGet()
-          // recompute ONLY the affected groups from the source AT v1 (the
-          // version this refresh lands), through a key-filtered scan
-          val rep = keyed(
-              applyWhere(withDim(VersionedTable.read(spark, src, Some(v1))),
-                where, s"refresh of $mvPath"),
+          // recompute ONLY the affected groups from the refresh's TARGET
+          // state, through a key-filtered scan
+          val rep = keyed(applyWhere(repairSrc(), where, what),
               groupBy, exprOf, minMaxCols)
             .join(broadcast(keys), groupBy)
             .groupBy(groupBy.map(col): _*)
@@ -715,12 +865,15 @@ object MaterializedView {
     VersionedTable.mvMaintenance.set(true)
     try VersionedTable.upsert(merged, mvPath, keys = groupBy,
       evolveSchema = false, latestBy = None, statsCols = groupBy,
-      txn = Some(App -> v1),
+      txn = txn,
       deleteWhere = Some(col(CountCol) === 0L),
       guardBy = None,
-      // atomic with the commit: the delta was computed from watermark v0,
-      // so it may land only on a view whose watermark is STILL v0
-      txnExpected = Some(App -> v0))
+      // atomic with the commit: the delta was computed from the given
+      // watermark (and, for join views, the given pins) — it may land
+      // only on a view still AT them
+      txnExpected = Some(txnExpected),
+      propsAdd = propsAdd,
+      propsExpected = propsExpected)
     finally VersionedTable.mvMaintenance.set(prev)
   }
 

@@ -1560,6 +1560,18 @@ object VersionedTable {
         s"${stored.map(_.toString).getOrElse("absent")}, expected " +
         s"$expected — a concurrent commit moved it; recompute and retry")
 
+  /** Optimistic-concurrency signal from [[upsert]]'s `propsExpected`
+    * precondition: a table PROPERTY the caller's delta was computed
+    * against moved before the commit landed (e.g. a join view's dim pin
+    * advanced by a concurrent dim-delta refresh). Recompute and retry,
+    * same posture as [[ConcurrentTxnException]]. */
+  private[graft] final class ConcurrentPropException(
+      val path: String, val key: String, val expected: String,
+      val stored: Option[String])
+    extends RuntimeException(
+      s"$path: property '$key' is ${stored.getOrElse("absent")}, expected " +
+        s"$expected — a concurrent commit moved it; recompute and retry")
+
   /** Control-flow signal from [[appendInternal]] back to [[copyInto]]: every
     * source file in the staged batch was already loaded (a full statement
     * replay) — the head is returned unchanged and NO files were loaded by
@@ -3337,7 +3349,18 @@ object VersionedTable {
     *                delta it computed from watermark v0 lands only on a
     *                table still AT v0 — two racing refreshes can otherwise
     *                each pass the `batchId <= stored` replay guard while
-    *                one of them applies a stale window. */
+    *                one of them applies a stale window.
+    * @param propsAdd table-property delta landed ATOMICALLY with this merge
+    *                commit — for state that must stay consistent with the
+    *                content it describes (a join view's dim pin after a
+    *                dim-delta refresh). Empty = properties carry unchanged.
+    * @param propsExpected optimistic-concurrency precondition on table
+    *                PROPERTIES, checked inside the CAS loop against the same
+    *                pinned base the commit lands on: each key's stored value
+    *                must equal the given one or the upsert throws
+    *                [[ConcurrentPropException]] — the props-side twin of
+    *                `txnExpected` (a dim-delta computed against pin p must
+    *                not land on a view whose pin a concurrent refresh moved). */
   def upsert(
       updates: DataFrame,
       path: String,
@@ -3349,7 +3372,9 @@ object VersionedTable {
       deleteWhere: Option[Column],
       guardBy: Option[String],
       dropCols: Seq[String] = Nil,
-      txnExpected: Option[(String, Long)] = None): Long = {
+      txnExpected: Option[(String, Long)] = None,
+      propsAdd: Map[String, String] = Map.empty,
+      propsExpected: Map[String, String] = Map.empty): Long = {
     require(keys.nonEmpty, "upsert requires merge keys")
     require(!updates.columns.contains(RowIdCol),
       s"$path: $RowIdCol is reserved for row tracking")
@@ -3437,6 +3462,11 @@ object VersionedTable {
           val stored = baseC.flatMap(_.txn.get(app))
           if (!stored.contains(expected))
             throw new ConcurrentTxnException(path, app, expected, stored)
+        }
+        propsExpected.foreach { case (k, expected) =>
+          val stored = baseC.flatMap(_.props.get(k))
+          if (!stored.contains(expected))
+            throw new ConcurrentPropException(path, k, expected, stored)
         }
         val newTxn = baseC.map(_.txn).getOrElse(Map.empty) ++ txn.toMap
         val (files, schemaJson, statsFn, statsAdd, rows, stagedDir, dvKeep,
@@ -3587,7 +3617,10 @@ object VersionedTable {
         val (body, ckptDir) = encodeCommit(spark, root, v, files, schemaJson,
           statsFn(), rows, newTxn, dvKeep, dvRowsKeep, parent = baseC,
           colMap = cMap, physDropped = physDrop,
-          carriedIdentical = true, statsAddOnly = Some(statsAdd))
+          carriedIdentical = true, statsAddOnly = Some(statsAdd),
+          props =
+            if (propsAdd.isEmpty) None
+            else Some(baseC.map(_.props).getOrElse(Map.empty) ++ propsAdd))
         if (tryCommit(f, root, v, body)) {
           committed = v
           hookRel = statsAdd.keys.toSeq match {

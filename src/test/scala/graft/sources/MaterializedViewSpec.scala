@@ -394,7 +394,7 @@ class MaterializedViewSpec extends SparkSpec {
     assert(viewRows(mv) == fullAgg(src))
   }
 
-  test("join view: fact DML maintains fact ⋈ dim exactly; dim motion refuses; FULL re-pins") {
+  test("join view: fact DML maintains fact ⋈ dim exactly; dim DML folds incrementally") {
     val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
     val mv = base + "/mv"
     VersionedTable.write(
@@ -428,18 +428,26 @@ class MaterializedViewSpec extends SparkSpec {
       Map("v" -> (col("v") + 100L)))
     MaterializedView.refresh(spark, mv)
     assert(view() == joinedAgg())
-    // dim motion: incremental refusal names the recovery verb
+    // dim motion: ONE refresh folds the dim's change feed in (the pin
+    // advances atomically with the merge), then runs the fact pass —
+    // previously this refused and forced a FULL recompute
     VersionedTable.append(Seq((10L, "regionNEW")).toDF("k", "g"), dim)
     VersionedTable.append(Seq((300L, 10L, 7L)).toDF("id", "k", "v"), fact)
-    val e = intercept[IllegalArgumentException] {
-      MaterializedView.refresh(spark, mv)
-    }
-    assert(e.getMessage.contains("FULL"), e.getMessage)
-    // FULL refresh re-pins the dim head atomically with the rebuild
-    MaterializedView.fullRefresh(spark, mv)
+    MaterializedView.refresh(spark, mv)
     assert(view() == joinedAgg())
     assert(view().contains("regionNEW"))
-    // and the incremental path works again against the new pin
+    // dim UPDATE re-keys groups: every matched fact row leaves its old
+    // group (delete side, old attrs) and enters the new (insert side)
+    VersionedTable.update(spark, dim, col("k") === 3L,
+      Map("g" -> lit("regionX")))
+    MaterializedView.refresh(spark, mv)
+    assert(view() == joinedAgg())
+    assert(view().contains("regionX"))
+    // dim DELETE retracts every matched fact row (inner join)
+    VersionedTable.delete(spark, dim, col("k") === 9L)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == joinedAgg())
+    // and the incremental fact path works against the advanced pin
     VersionedTable.append(Seq((301L, 10L, 8L)).toDF("id", "k", "v"), fact)
     MaterializedView.refresh(spark, mv)
     assert(view() == joinedAgg())
@@ -478,7 +486,7 @@ class MaterializedViewSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("multi-dim star view: delta refresh through both dims, motion refusal, FULL re-pins all") {
+  test("multi-dim star view: delta refresh through both dims, dim deltas fold per dim") {
     val base = tmp(); val fact = base + "/fact"
     val d1 = base + "/d1"; val d2 = base + "/d2"; val mv = base + "/mv"
     VersionedTable.write(
@@ -516,18 +524,25 @@ class MaterializedViewSpec extends SparkSpec {
       fact)
     MaterializedView.refresh(spark, mv)
     assert(view() == truth())
-    // EITHER dim moving refuses the incremental path
+    // EITHER dim moving folds ITS change feed in — then the fact pass
+    // runs against the advanced pins, all inside ONE refresh()
     VersionedTable.append(Seq((4L, "bNEW")).toDF("k2", "g2"), d2)
     VersionedTable.append(Seq((502L, 1L, 4L, 3L)).toDF("id", "k1", "k2", "v"),
       fact)
-    val e = intercept[IllegalArgumentException] {
-      MaterializedView.refresh(spark, mv) }
-    assert(e.getMessage.contains("FULL") && e.getMessage.contains(d2),
-      e.getMessage)
-    // FULL refresh re-pins BOTH dims atomically with the rebuild
-    MaterializedView.fullRefresh(spark, mv)
+    MaterializedView.refresh(spark, mv)
     assert(view() == truth())
     assert(view().keys.exists(_._2 == "bNEW"))
+    // BOTH dims moving: one delta pass per dim, chain-ordered, each pin
+    // advancing atomically with its own merge commit
+    VersionedTable.update(spark, d1, col("k1") === 2L,
+      Map("g1" -> lit("aX")))
+    VersionedTable.delete(spark, d2, col("k2") === 0L)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == truth())
+    assert(view().keys.exists(_._1 == "aX"))
+    // FULL refresh remains the explicit rebuild verb (re-pins, same truth)
+    MaterializedView.fullRefresh(spark, mv)
+    assert(view() == truth())
     // the incremental path works again against the new pins
     VersionedTable.append(Seq((503L, 2L, 4L, 5L)).toDF("id", "k1", "k2", "v"),
       fact)
@@ -585,6 +600,50 @@ class MaterializedViewSpec extends SparkSpec {
       .getAs[String]("mv_join")
     assert(dd.contains(d1) && dd.contains(d2) &&
       dd.split(";").forall(_.endsWith("[armed]")), dd)
+  }
+
+  test("dim-delta refresh: MIN/MAX repair through a dim delta, WHERE on the joined frame, props-only dim commits") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 50L).map(i => (i, i % 5, i)).toDF("id", "k", "v"),
+      fact, statsCols = Seq("id", "k"))
+    VersionedTable.write(
+      (0L to 4L).map(k => (k, "r" + k % 2)).toDF("k", "g"), dim,
+      statsCols = Seq("k"))
+    MaterializedView.createJoined(spark, fact, dim, Seq("k" -> "k"), mv,
+      Seq("g"), Nil, Seq("v"), Some("v <= 45"))
+    def truth(): Map[String, (Any, Any)] =
+      VersionedTable.read(spark, fact)
+        .join(VersionedTable.read(spark, dim), Seq("k"))
+        .filter(col("v") <= 45).groupBy(col("g"))
+        .agg(min(col("v")), max(col("v"))).collect()
+        .map(r => r.getString(0) -> (r.getAs[Any](1), r.getAs[Any](2))).toMap
+    def view(): Map[String, (Any, Any)] = VersionedTable.read(spark, mv)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Any]("min_v"), r.getAs[Any]("max_v"))).toMap
+    assert(view() == truth())
+    val scans0 = MaterializedView.repairScans.get()
+    // dim UPDATE re-keys k=0's fact rows out of r0 — taking r0's stored
+    // max (v=45) with them: the delete side of the dim delta triggers the
+    // per-group repair, computed against fact@v0 ⋈ dim@HEAD; the insert
+    // side folds r1's new extremes without a scan
+    VersionedTable.update(spark, dim, col("k") === 0L,
+      Map("g" -> lit("r1")))
+    MaterializedView.refresh(spark, mv)
+    assert(view() == truth())
+    assert(MaterializedView.repairScans.get() == scans0 + 1,
+      "the dim update removed r0's stored max — exactly one repair scan")
+    // a props-only dim commit (no row changes) still advances the pin —
+    // through an EMPTY delta — so refresh converges instead of recursing
+    VersionedTable.setProperties(spark, dim, Map("comment" -> "dim notes"))
+    MaterializedView.refresh(spark, mv)
+    assert(view() == truth())
+    // the fact path keeps working against the advanced pin, WHERE intact
+    VersionedTable.append(
+      Seq((200L, 1L, 7L), (201L, 1L, 999L)).toDF("id", "k", "v"), fact)
+    MaterializedView.refresh(spark, mv)
+    assert(view() == truth())
   }
 
   test("join view contracts refuse loudly: duplicate dim keys, colliding names") {

@@ -200,8 +200,9 @@ class MvRewriteSpec extends SparkSpec {
     // dim motion: the queried dim snapshot is no longer the pinned one
     VersionedTable.append(Seq((10L, "rX", 0L)).toDF("k", "g", "g2"), dim)
     assert(roots(q).contains(fact), "moved dim must decline the rewrite")
-    // FULL refresh re-pins → rewrite fires again, with the new dim row
-    MaterializedView.fullRefresh(spark, mv)
+    // INCREMENTAL refresh folds the dim delta and advances the pin →
+    // rewrite fires again, with the new dim row
+    MaterializedView.refresh(spark, mv)
     assertRewrites(fact, mv, q)
   }
 
@@ -455,12 +456,13 @@ class MvRewriteSpec extends SparkSpec {
     // declines: a single-join query cannot answer from the two-dim view
     assert(roots(f.join(rd1, Seq("k1"))
       .groupBy($"g1").agg(count(lit(1)).as("n"))).contains(fact))
-    // declines: one dim moved (pins are per-dim) — FULL re-pin re-arms
+    // declines: one dim moved (pins are per-dim) — the dim-delta pass of
+    // an INCREMENTAL refresh advances that pin and re-arms
     VersionedTable.append(Seq((5L, "bX")).toDF("k2", "g2"), d2)
     def star = f.join(rd1, Seq("k1")).join(rd2, Seq("k2"))
       .groupBy($"g1", $"g2").agg(count(lit(1)).as("n"), sum($"v").as("s"))
     assert(roots(star).contains(fact), "moved dim must decline")
-    MaterializedView.fullRefresh(spark, mv)
+    MaterializedView.refresh(spark, mv)
     assertRewrites(fact, mv, star)
   }
 
