@@ -1596,30 +1596,38 @@ object SkippingQueries {
       |FROM orders""".stripMargin
 
   // --------------------------------------------------------------------------
-  // q_eager_agg — EAGER AGGREGATION under the oracle gate: the fact copy
-  // carries an NDV sketch on l_partkey (2k distinct vs 60k rows — the
-  // cost gate's license), so the star aggregate grouped by the dim's
-  // p_brand pre-aggregates the fact on its join key BELOW the join. The
-  // gated query asserts in-plan that exactly one partial aggregate sits
-  // under the join; DuckDB executes the plain join-then-aggregate, so the
-  // green row proves the transform is value-exact.
+  // q_eager_agg — EAGER AGGREGATION under the oracle gate, licensed by a
+  // VALIDATED FOREIGN KEY PIN instead of an ANALYZE sketch (the
+  // un-ANALYZE'd-table path: the pin proves ndv(l_partkey) ≤ dim rows —
+  // 2k vs 60k fact rows — so the cost gate fires with zero sketches; the
+  // sketch-gated path stays covered by q_eager_agg_dec/q_eager_agg_star).
+  // The star aggregate grouped by the dim's p_brand pre-aggregates the
+  // fact on its join key BELOW the join. The gated query asserts in-plan
+  // that exactly one partial aggregate sits under the join; DuckDB
+  // executes the plain join-then-aggregate, so the green row proves the
+  // transform is value-exact. The dim is this fixture's OWN copy — the FK
+  // declaration registers on the dim, which would disarm q_join_elim's
+  // pins if the copy were shared.
   // --------------------------------------------------------------------------
   private def eagerFactPath(dir: String): String =
-    SkippingQueries.cachedFixturePath(dir, "eagerfact_v1", "lineitem.parquet")
+    SkippingQueries.cachedFixturePath(dir, "eagerfact_v2", "lineitem.parquet")
+  private def eagerDimPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "eagerdim_v1", "part.parquet")
 
   def eagerAgg(spark: SparkSession, dir: String): DataFrame = {
     val fact = eagerFactPath(dir)
-    val dim = fkDimPath(dir) // the q_join_elim part copy, reused read-only
-    if (VersionedTable.latestVersion(spark, fact).isEmpty) {
+    val dim = eagerDimPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
       VersionedTable.write(Tables.lineitem(spark, dir).select(
         col("l_orderkey"), col("l_partkey"),
         col("l_quantity").cast("long").as("qty")),
         fact, statsCols = Seq("l_orderkey"))
-      VersionedTable.analyzeNdv(spark, fact, Seq("l_partkey"))
-    }
     if (VersionedTable.latestVersion(spark, dim).isEmpty)
       VersionedTable.write(Tables.part(spark, dir).select(
         col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    // idempotent: a fresh pin is a no-op; any motion re-validates in O(delta)
+    graft.sources.ForeignKeys.declare(spark, fact, Seq("l_partkey"),
+      dim, Seq("p_partkey"))
     val out = VersionedTable.read(spark, fact)
       .join(VersionedTable.read(spark, dim),
         col("l_partkey") === col("p_partkey"))

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
@@ -35,10 +35,15 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, 
   * its partial — replication distributes over COUNT-as-SUM, SUM, MIN and
   * MAX. What it does need:
   *  - INNER joins along the fact path (null-keyed fact rows drop
-  *    identically on both shapes) or LEFT joins with the fact on the LEFT
-  *    (an unmatched fact row and its unmatched partial surface the same
-  *    null-dim-group row; fact-as-right is declined — COUNT(*) counts
-  *    unmatched left rows a null partial would skip);
+  *    identically on both shapes), LEFT joins with the fact on the LEFT,
+  *    or RIGHT joins with the fact on the RIGHT — the spelling BI tools
+  *    emit when the fact is written second (an unmatched fact row and its
+  *    unmatched partial surface the same null-dim-group row; the fact on
+  *    an outer join's preserved-null side is declined — COUNT(*) counts
+  *    unmatched preserved rows a null partial would skip). The fact ARM
+  *    may itself be a LeftSemi/LeftAnti join: semi/anti only FILTER fact
+  *    rows, so the partial plants above them (aggregate-after-filter),
+  *    below the dim joins;
   *  - every aggregate input from ONE side (the fact), as COUNT(*)/
   *    COUNT(col)/SUM(integral|decimal)/MIN/MAX/AVG(integral|decimal) —
   *    float/double SUM and AVG decline (re-associating float partials is
@@ -58,11 +63,23 @@ import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, 
   *    come back NULL from a SUM re-aggregate).
   *
   * COST GATE: eager aggregation only helps when the partial collapses
-  * many rows, so the rule fires only when the fact relation carries
-  * ANALYZE'd NDV sketches for every partial key and their product stays
+  * many rows, so the rule fires only on a PROVEN key-cardinality bound
   * under `spark.graft.eagerAgg.maxKeyRatio` (default 0.5) of the
-  * manifest row count — no sketch, no transform (the same exact-or-
-  * decline posture as every other graft rule). Fixpoint-safe: the
+  * manifest row count — no bound, no transform (the same exact-or-
+  * decline posture as every other graft rule). Three bound sources, so
+  * un-ANALYZE'd tables still qualify when other validated state already
+  * proves the cardinality:
+  *  1. ANALYZE'd NDV sketches, per key, product-bounded;
+  *  2. a validated FOREIGN KEY pin on a key (at this exact snapshot):
+  *     the fact's key values are drawn from the pinned dim's key set, so
+  *     NDV(key) ≤ dim live rows + 1 (a possible null group);
+  *  3. a registered materialized view over this table — unfiltered,
+  *     join-free, plain-column groups covering every partial key, its
+  *     watermark AT this snapshot: its group count IS the distinct count
+  *     of its group tuple, which bounds the partial key tuple from above
+  *     (fewer columns, coarser tuples). Bounds the TUPLE directly, so it
+  *     fires where a per-key product would overshoot.
+  * Fixpoint-safe: the
   * rewritten fact side is an Aggregate, which the fact-side walk
   * refuses. Runs AFTER the MV rewrite and join elimination in the
   * extension list, so strictly-better transforms win. Disable with
@@ -103,18 +120,24 @@ case class GraftEagerAggregation(spark: SparkSession)
     case other => other
   }
 
-  /** (ndv per column name, live row count) of the fact relation under
-    * attribute-only projects / filters. Aggregates (including our own
-    * rewrite's partial) refuse the walk — fixpoint safety. */
+  /** (relation node, ndv per column name, live row count) of the fact
+    * relation under attribute-only projects / filters / semi-anti joins
+    * (semi/anti only REMOVE rows, like a Filter — the recorded live count
+    * then over-states the rows, which can only make the gate stricter).
+    * Aggregates (including our own rewrite's partial) refuse the walk —
+    * fixpoint safety. */
   private def factStats(plan: LogicalPlan)
-      : Option[(String => Option[Long], Long)] =
-    GraftBatchShim.ndvStatsOf(plan).orElse(plan match {
-      case Project(items, child)
-          if items.forall(_.isInstanceOf[AttributeReference]) =>
-        factStats(child)
-      case Filter(_, child) => factStats(child)
-      case _ => None
-    })
+      : Option[(LogicalPlan, String => Option[Long], Long)] =
+    GraftBatchShim.ndvStatsOf(plan)
+      .map { case (ndvOf, rows) => (plan, ndvOf, rows) }
+      .orElse(plan match {
+        case Project(items, child)
+            if items.forall(_.isInstanceOf[AttributeReference]) =>
+          factStats(child)
+        case Filter(_, child) => factStats(child)
+        case Join(l, _, LeftSemi | LeftAnti, _, _) => factStats(l)
+        case _ => None
+      })
 
   private sealed trait Agg
   private case class CountStar(id: ExprId, name: String) extends Agg
@@ -197,26 +220,37 @@ case class GraftEagerAggregation(spark: SparkSession)
     * through the partial). */
   private def plant(plan: LogicalPlan, keys: Seq[AttributeReference],
       groupAttrs: Seq[AttributeReference], aggInputs: AttributeSet,
-      outs: Seq[Agg], depth: Int)
+      outs: Seq[Agg], depth: Int, descended: Boolean = false)
       : Option[(LogicalPlan, Map[ExprId, Seq[Attribute]])] = {
     if (depth <= 0) return None
-    // leaf attempt: a sketched graft relation (under projects/filters)
-    // holding every aggregate input and every accumulated key
-    if (aggInputs.subsetOf(plan.outputSet) &&
+    // leaf attempt: a graft relation with a proven key bound (under
+    // projects/filters/semi-anti arms) holding every aggregate input and
+    // every accumulated key — but ONLY after descending through at least
+    // one join: a partial planted at the root of the descent is the
+    // identity split (the same grouping, nothing pushed below anything),
+    // which over a semi-arm fact (itself a Join the rule can match)
+    // would re-split its own partial forever
+    if (descended && aggInputs.subsetOf(plan.outputSet) &&
         keys.forall(plan.outputSet.contains)) {
       factStats(plan) match {
-        case Some((ndvOf, liveRows)) =>
-          return buildPartial(plan, keys, groupAttrs, outs, ndvOf, liveRows)
+        case Some((node, ndvOf, liveRows)) =>
+          return buildPartial(plan, keys, groupAttrs, outs, node, ndvOf,
+            liveRows)
         case None => ()
       }
     }
     plan match {
       case Join(l, r, jt, Some(cond), hint)
-          if (jt == Inner || jt == LeftOuter) && cond.deterministic =>
-        // candidate fact sides: LEFT always; RIGHT only for INNER (an
-        // unmatched left row of a LEFT join must keep counting)
-        val sides: Seq[Boolean] =
-          if (jt == Inner) Seq(true, false) else Seq(true)
+          if (jt == Inner || jt == LeftOuter || jt == RightOuter) &&
+            cond.deterministic =>
+        // candidate fact sides: both for INNER; only the PRESERVED side
+        // for outer joins (an unmatched preserved row must keep counting,
+        // which a null partial on the other side would skip)
+        val sides: Seq[Boolean] = jt match {
+          case Inner => Seq(true, false)
+          case LeftOuter => Seq(true)
+          case _ => Seq(false) // RightOuter: the fact is on the RIGHT
+        }
         sides.iterator.flatMap { onLeft =>
           val (side, other) = if (onLeft) (l, r) else (r, l)
           if (!aggInputs.subsetOf(side.outputSet)) None
@@ -230,7 +264,8 @@ case class GraftEagerAggregation(spark: SparkSession)
                 case a: AttributeReference if side.outputSet.contains(a) => a
               }
               plant(side, dedup(mine ++ condKeys), groupAttrs, aggInputs,
-                outs, depth - 1).map { case (newSide, pAttr) =>
+                outs, depth - 1, descended = true)
+                .map { case (newSide, pAttr) =>
                 val nj = if (onLeft) Join(newSide, other, jt, Some(cond), hint)
                          else Join(other, newSide, jt, Some(cond), hint)
                 (nj, pAttr)
@@ -240,7 +275,7 @@ case class GraftEagerAggregation(spark: SparkSession)
         }.nextOption()
       case Project(items, child)
           if items.forall(_.isInstanceOf[AttributeReference]) =>
-        plant(child, keys, groupAttrs, aggInputs, outs, depth - 1)
+        plant(child, keys, groupAttrs, aggInputs, outs, depth - 1, descended)
       case _ => None
     }
   }
@@ -251,22 +286,78 @@ case class GraftEagerAggregation(spark: SparkSession)
   /** The partial aggregate at the fact leaf: keys pass through with their
     * ORIGINAL attribute ids (every rebuilt join condition keeps binding);
     * each output's partial aliases map back through `pAttr`. */
+  /** The cost gate: true when the partial keys' distinct count is PROVEN
+    * ≤ `budget`. Per-key bounds multiply (sketch NDV, else a validated FK
+    * pin at this exact snapshot: key values ⊆ pinned dim's key set, so
+    * NDV ≤ dim live rows + 1 for a null group); when the product path
+    * fails, a registered covering view bounds the whole tuple by its
+    * group count. A wrong decline costs a missed optimization, never
+    * correctness — but every bound here is exact, not an estimate. */
+  private def gateHolds(factKeys: Seq[AttributeReference],
+      relNode: LogicalPlan, ndvOf: String => Option[Long],
+      budget: Double): Boolean = {
+    lazy val fkBound: Map[String, Long] =
+      GraftBatchShim.fkInfoOf(relNode) match {
+        case Some((_, snapV, raw)) =>
+          raw.flatMap(graft.sources.ForeignKeys.parse)
+            .filter(d => d.factPin == snapV && d.fkCols.size == 1)
+            .flatMap { d =>
+              scala.util.Try(graft.sources.VersionedTable.countRows(
+                spark, d.dimPath, Some(d.dimPin))).toOption.flatten
+                .map(n => d.fkCols.head -> (n + 1L))
+            }.toMap
+        case None => Map.empty
+      }
+    val perKey = factKeys.map(k => ndvOf(k.name).orElse(fkBound.get(k.name)))
+    val productOk = perKey.forall(_.isDefined) && {
+      var p = 1.0
+      perKey.flatten.forall { n =>
+        p *= math.max(1L, n).toDouble; p <= budget
+      }
+    }
+    productOk || viewTupleBound(relNode, factKeys).exists(_ <= budget)
+  }
+
+  /** Group count of a registered materialized view that PROVES the key
+    * tuple's cardinality: the view must be unfiltered and join-free (its
+    * groups then partition exactly this table's rows), group by plain
+    * columns covering every partial key (a coarser tuple never has more
+    * distinct values), and its watermark must equal the relation's pinned
+    * snapshot (the group count describes exactly this data). */
+  private def viewTupleBound(relNode: LogicalPlan,
+      factKeys: Seq[AttributeReference]): Option[Long] = {
+    import graft.sources.{MaterializedView => MV, VersionedTable => VT}
+    GraftBatchShim.mvRewriteInfoOf(relNode).flatMap { case (views, snapV) =>
+      views.iterator.flatMap { mv =>
+        scala.util.Try {
+          val props = VT.propertiesOf(spark, mv)
+          val groupBy = props.get(MV.GroupByKey).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).toSet
+          val derived = MV.groupExprsIn(props).keySet
+          val covers = factKeys.forall(k =>
+            groupBy.contains(k.name) && !derived.contains(k.name))
+          val plain = props.get(MV.WhereKey).forall(_.isEmpty) &&
+            MV.joinsIn(props).isEmpty
+          val fresh = VT.lastTxn(spark, mv, MV.App).contains(snapV)
+          if (covers && plain && fresh) VT.countRows(spark, mv) else None
+        }.toOption.flatten
+      }.nextOption()
+    }
+  }
+
   private def buildPartial(factSide: LogicalPlan,
       keys: Seq[AttributeReference], groupAttrs: Seq[AttributeReference],
-      outs: Seq[Agg], ndvOf: String => Option[Long], liveRows: Long)
+      outs: Seq[Agg], relNode: LogicalPlan,
+      ndvOf: String => Option[Long], liveRows: Long)
       : Option[(LogicalPlan, Map[ExprId, Seq[Attribute]])] = {
     val factKeys = dedup(keys ++ groupAttrs.filter(factSide.outputSet.contains))
     if (factKeys.isEmpty) return None
-    // COST GATE: sketched NDVs for every partial key, product bounded
+    // COST GATE: a PROVEN cardinality bound for the partial keys, under
+    // budget — sketches per key, FK-pin per key, or a covering view's
+    // group count for the whole tuple (see the class doc)
     if (liveRows <= 0L) return None
-    var keyProduct = 1.0
-    factKeys.foreach { k =>
-      ndvOf(k.name) match {
-        case Some(n) => keyProduct *= math.max(1L, n).toDouble
-        case None => return None
-      }
-      if (keyProduct > maxKeyRatio * liveRows) return None
-    }
+    if (!gateHolds(factKeys, relNode, ndvOf, maxKeyRatio * liveRows))
+      return None
     val pAliases: Seq[(Agg, Seq[Alias])] = outs.map {
       case o @ CountStar(_, _) =>
         o -> Seq(Alias(new Count(Seq(Literal(1)))

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
@@ -64,6 +64,10 @@ import graft.sources.ForeignKeys
   * lost match is an unread null; no key substitution on this license: an
   * unmatched left row carries NULL dim columns where the left expression
   * is non-null).
+  *
+  * RIGHT joins are the exact MIRROR (`dim RIGHT JOIN fact` — the spelling
+  * BI tools emit when the fact is written second): both licenses apply
+  * with the sides swapped — the preserved side is the RIGHT one.
   *
   * SELF-JOINS eliminate on a UNIQUE pin alone: `t a JOIN t b ON a.k =
   * b.k` where both sides are (projections over) the SAME pinned snapshot
@@ -141,7 +145,12 @@ case class GraftJoinElimination(spark: SparkSession)
       //    LEFT JOIN exactly so the lookup can be dropped when unused.
       case Join(l, r, LeftOuter, Some(cond), _) =>
         tryDrop(l, r, cond, used, allowDimConds = false)
-          .orElse(tryDropLeft(l, r, cond, used))
+          .orElse(tryDropOuter(l, r, cond, used))
+      // RIGHT join — the mirror (the spelling BI tools emit when the
+      // fact is written second): same two licenses, sides swapped
+      case Join(l, r, RightOuter, Some(cond), _) =>
+        tryDrop(r, l, cond, used, allowDimConds = false)
+          .orElse(tryDropOuter(r, l, cond, used))
       case _ => None
     }
 
@@ -162,16 +171,22 @@ case class GraftJoinElimination(spark: SparkSession)
       }
     }
 
-  private def tryDropLeft(left: LogicalPlan, right: LogicalPlan,
+  /** The unique-pin license for OUTER joins, orientation-agnostic: the
+    * PRESERVED side (`keep` — the left of a LeftOuter, the right of a
+    * RightOuter) survives unmatched anyway, so a declared UNIQUE pin on
+    * the other side alone (multiplicity ≤ 1) licenses the drop when
+    * nothing reads it. */
+  private def tryDropOuter(keep: LogicalPlan, drop: LogicalPlan,
       cond: Expression, used: AttributeSet): Option[LogicalPlan] = {
-    if (!used.subsetOf(left.outputSet)) return None
-    val (rightV, uniques) = uniqueRelOf(right).getOrElse(return None)
+    if (!used.subsetOf(keep.outputSet)) return None
+    val (dropV, uniques) = uniqueRelOf(drop).getOrElse(return None)
     if (uniques.isEmpty) return None
-    // the BOUND right-side column names: equated to something free of
-    // right-side references (a left column, a literal, an expression over
-    // the left), so the column is FIXED per left row — `r.a = r.b` binds
-    // nothing. Non-equality conjuncts only reduce matches, which a left
-    // join turns into unread nulls — ignored.
+    // the BOUND dropped-side column names: equated to something free of
+    // dropped-side references (a preserved column, a literal, an
+    // expression over the preserved side), so the column is FIXED per
+    // preserved row — `r.a = r.b` binds nothing. Non-equality conjuncts
+    // only reduce matches, which the outer join turns into unread nulls —
+    // ignored.
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case x => Seq(x)
@@ -179,8 +194,8 @@ case class GraftJoinElimination(spark: SparkSession)
     def boundName(a: Expression, other: Expression): Option[String] =
       a match {
         case at: AttributeReference
-            if right.outputSet.contains(at) &&
-              other.references.intersect(right.outputSet).isEmpty =>
+            if drop.outputSet.contains(at) &&
+              other.references.intersect(drop.outputSet).isEmpty =>
           Some(at.name)
         case _ => None
       }
@@ -190,8 +205,8 @@ case class GraftJoinElimination(spark: SparkSession)
       case _ => None
     }.toSet
     val hit = uniques.exists(u =>
-      u.pin == rightV && u.cols.toSet.subsetOf(equated))
-    if (hit) Some(left) else None
+      u.pin == dropV && u.cols.toSet.subsetOf(equated))
+    if (hit) Some(keep) else None
   }
 
   /** Attribute-only walk of the DIM side down to a graft relation: every

@@ -151,6 +151,73 @@ class EagerAggregationSpec extends SparkSpec {
       .agg(avg($"f").as("a")))
   }
 
+  test("un-sketched gates: FK pin bounds a key, a covering view bounds the tuple; RIGHT joins and semi arms") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      (1L to 2000L).map(i => (i, i % 20, i)).toDF("id", "fk", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 19L).map(k => (k, "g" + k % 4)).toDF("pk", "g"), dim,
+      statsCols = Seq("pk"))
+    def f = VersionedTable.read(spark, fact)
+    def d = VersionedTable.read(spark, dim)
+    def declines(q: DataFrame): Unit =
+      assert(partialAggs(q) == 0, q.queryExecution.optimizedPlan.toString)
+    // no sketch, no pin, no view: declines (no proven bound)
+    declines(f.join(d, $"fk" === $"pk").groupBy($"g").agg(sum($"v").as("s")))
+    // a validated FK pin at this snapshot bounds ndv(fk) ≤ dim rows + 1
+    graft.sources.ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    assertEager(f.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    // the pin is snapshot-anchored: fact motion disarms until re-declared
+    VersionedTable.append(Seq((9001L, 3L, 5L)).toDF("id", "fk", "v"), fact)
+    declines(f.join(d, $"fk" === $"pk").groupBy($"g").agg(sum($"v").as("s")))
+    graft.sources.ForeignKeys.declare(spark, fact, Seq("fk"), dim, Seq("pk"))
+    assertEager(f.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    // RIGHT join — dim RIGHT JOIN fact, fact on the PRESERVED side: fires
+    // (a dim subset leaves fact rows unmatched — the null group must agree)
+    assertEager(d.filter($"pk" < 10L).join(f, $"fk" === $"pk", "right")
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        count($"v").as("nn")))
+    // fact on the null-producing side of a RIGHT join declines
+    declines(f.join(d, $"fk" === $"pk", "right")
+      .groupBy($"g").agg(sum($"v").as("s")))
+    // the fact ARM may be a LeftSemi join (it only filters fact rows):
+    // the partial plants above the semi, below the dim join
+    val sd = base + "/semidim"
+    VersionedTable.write((0L to 9L).map(k => (k, k)).toDF("sk", "x"), sd)
+    assertEager(f.join(VersionedTable.read(spark, sd), $"fk" === $"sk",
+        "left_semi")
+      .join(d, $"fk" === $"pk")
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    // covering-view tuple bound: un-sketched, un-pinned fact whose
+    // registered view groups by a SUPERSET of the partial keys at the
+    // same watermark — the view's group count bounds the tuple. The view
+    // carries no MIN, so the MIN in the query keeps the partial itself
+    // from being answered by the view rewrite (pure gate test).
+    val fact2 = base + "/fact2"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 1000L).map(i => (i, i % 10, i % 5, i))
+        .toDF("id", "fk", "fk2", "v"), fact2, statsCols = Seq("id"))
+    def f2 = VersionedTable.read(spark, fact2)
+    declines(f2.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(sum($"v").as("s"), min($"v").as("mn")))
+    graft.sources.MaterializedView.create(spark, fact2, mv,
+      Seq("fk", "fk2"), Seq("v"))
+    assertEager(f2.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), min($"v").as("mn")))
+    // view watermark must equal the snapshot: fact2 motion disarms the
+    // bound until the view refreshes
+    VersionedTable.append(Seq((5001L, 3L, 3L, 9L))
+      .toDF("id", "fk", "fk2", "v"), fact2)
+    declines(f2.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(sum($"v").as("s"), min($"v").as("mn")))
+    graft.sources.MaterializedView.refresh(spark, mv)
+    assertEager(f2.join(d, $"fk" === $"pk").groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), min($"v").as("mn")))
+  }
+
   test("multi-join star pre-aggregates the fact below BOTH joins") {
     val base = tmp(); val fact = base + "/fact"
     val d1 = base + "/d1"; val d2 = base + "/d2"

@@ -158,6 +158,50 @@ class ForeignKeySpec extends SparkSpec {
     assert(roots(q).contains(dim))
   }
 
+  test("RIGHT-join elimination: the mirror spelling drops on both licenses") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    VersionedTable.write(
+      Seq((1L, Some(1L), 10L), (2L, Some(99L), 20L), (3L, None, 30L))
+        .toDF("id", "fk", "v"), fact)
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "g" + k)).toDF("pk", "g"), dim)
+    ForeignKeys.declareUnique(spark, dim, Seq("pk"))
+    // unique-pin license: dim RIGHT JOIN fact (the fact is the PRESERVED
+    // side — orphans and null fks survive regardless), nothing reads the dim
+    def q = VersionedTable.read(spark, dim)
+      .join(VersionedTable.read(spark, fact), col("fk") === col("pk"),
+        "right")
+      .select(col("id"), col("v"))
+    assertEliminates(dim, q)
+    // a dim-side filter is harmless (lost matches are unread nulls)
+    assertEliminates(dim, VersionedTable.read(spark, dim)
+      .filter(col("pk") < 5L)
+      .join(VersionedTable.read(spark, fact), col("fk") === col("pk"),
+        "right")
+      .groupBy(col("fk")).agg(sum(col("v")).as("s")))
+    // reading a dim column declines
+    assert(roots(VersionedTable.read(spark, dim)
+      .join(VersionedTable.read(spark, fact), col("fk") === col("pk"),
+        "right")
+      .select(col("id"), col("g"))).contains(dim))
+    // full FK pin: a pinned RIGHT join IS an inner join — drop WITH dim
+    // key substitution, same as the LEFT mirror
+    val fact2 = base + "/fact2"
+    VersionedTable.write(
+      (1L to 100L).map(i => (i, i % 10, i)).toDF("id", "fk", "v"), fact2,
+      statsCols = Seq("id"))
+    ForeignKeys.declare(spark, fact2, Seq("fk"), dim, Seq("pk"))
+    assertEliminates(dim, VersionedTable.read(spark, dim)
+      .join(VersionedTable.read(spark, fact2), col("fk") === col("pk"),
+        "right")
+      .groupBy((col("pk") % 2).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("pk")).as("spk"),
+        sum(col("v")).as("s")))
+    // dim motion disarms the mirror too
+    VersionedTable.append(Seq((10L, "g10")).toDF("pk", "g"), dim)
+    assert(roots(q).contains(dim), "dim moved — the pin must disarm")
+  }
+
   test("re-declaring validates incrementally: O(delta) re-pin, violations still refuse") {
     val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
     VersionedTable.write(
