@@ -638,6 +638,291 @@ object SimilarityQueries {
        |QUALIFY rk <= $AnnTopK""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_ann_pq — IVF-PQ (product quantization): the MEMORY-BOUNDED ANN shape
+  // 100 TB of embeddings actually needs. The persisted IVF index stores
+  // full float vectors; PQ stores M=8 one-byte codes per vector plus an
+  // M×K×(dim/M) codebook (a bounded driver artifact) — ~64× smaller than
+  // the raw 64-double vectors.
+  //
+  // TRAIN (deterministic, the IVF recipe per SUBSPACE): each vector splits
+  // into M contiguous subvectors; per subspace, seeds = the first PqK
+  // corpus vectors' subvectors (code id = vec_id), refined by ONE
+  // micros-quantized Lloyd step on squared-L2 assignment (integer sums ⇒
+  // order-independent ⇒ engine-identical codewords). ENCODE: per
+  // subspace, the nearest codeword id (round-6 L2², ties to the smallest
+  // id) — a NARROW argmin over literal candidates, zero joins/shuffles.
+  // Codebooks and codes persist as graft tables (the index).
+  //
+  // SEARCH (asymmetric distance): candidates are scored against the
+  // RECONSTRUCTION x̂ (the M codewords concatenated — decoding from the
+  // codes table + broadcast codebook literals, never touching raw
+  // vectors), with the same round-6 cosine both engines already agree
+  // on; the top-[[PqShortlist]] per query then re-rank EXACTLY by
+  // fetching true vectors for just the shortlist. The gated output is
+  // recall@k of the PQ result vs the brute-force ground truth — the
+  // approximation-quality number a PQ deployment ships with — and the
+  // DuckDB oracle replays train + encode + search + ground truth end to
+  // end, so a green row proves the whole quantization pipeline is
+  // engine-exact.
+  // --------------------------------------------------------------------------
+  val PqM = 8         // subspaces (embedding dim 64 → 8 dims each)
+  val PqSubDim = 8
+  val PqK = 16        // codewords per subspace
+  val PqShortlist = 24 // approx candidates per query before exact re-rank
+
+  /** One codeword: subspace `m`, code id `c`, the sub-vector. */
+  final case class Codeword(m: Int, c: Int, v: Array[Double])
+
+  /** Nearest-codeword id for subspace `m` of column `v`: round-6 squared
+    * L2 to each codeword as array<struct<d,c>>, array_min = smallest
+    * distance, ties to the smallest code id — all narrow expressions
+    * (the IVF argmax trick, argmin-flavored). */
+  private def pqCodeExpr(cws: Seq[Codeword], m: Int): Column = {
+    val sv = slice(col("v"), m * PqSubDim + 1, PqSubDim)
+    val cand = array(cws.filter(_.m == m).sortBy(_.c).map { cw =>
+      struct(round(l2sq(sv, typedLit(cw.v.toSeq)), 6).as("d"),
+        lit(cw.c).as("c"))
+    }: _*)
+    array_min(cand).getField("c")
+  }
+
+  /** All M per-row codes as one array<int> column — one narrow projection
+    * over the corpus, no explode, no shuffle. */
+  def pqCodesExpr(cws: Seq[Codeword]): Column =
+    array((0 until PqM).map(m => pqCodeExpr(cws, m)): _*)
+
+  /** Train the M codebooks: driver-side seeds (PqK × dim values), then ONE
+    * distributed Lloyd pass — per-row codes for every subspace (narrow),
+    * micros-quantized element sums per (subspace, code, position), and
+    * only the M×K×subDim codebook ever reaches the driver. Empty codewords
+    * drop (both engines agree by construction). */
+  def pqTrain(emb: DataFrame): Seq[Codeword] = {
+    val seeds: Seq[Codeword] = emb.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .flatMap { r =>
+        val v = r.getAs[scala.collection.Seq[Double]]("v").toArray
+        val c = r.getAs[Number]("vec_id").intValue
+        (0 until PqM).map(m =>
+          Codeword(m, c, v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+      }
+    val sums = emb.withColumn("codes", pqCodesExpr(seeds))
+      .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("m", (col("pos") / PqSubDim).cast("int"))
+      .withColumn("code", element_at(col("codes"), col("m") + 1))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(sum(expr("CAST(ROUND(x * 1000000) AS BIGINT)")).as("s"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    sums.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("code"))).toSeq
+      .map { case ((m, c), rows) =>
+        val vec = rows.sortBy(_.getAs[Int]("pos"))
+          .map(r => (r.getAs[Long]("s").toDouble / 1e6) /
+            r.getAs[Long]("cnt").toDouble)
+          .toArray
+        Codeword(m, c, vec)
+      }.sortBy(cw => (cw.m, cw.c))
+  }
+
+  def pqIndexRoot(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "pqindex_v1", "embeddings.parquet")
+
+  private def codewordDf(spark: SparkSession, cws: Seq[Codeword]): DataFrame = {
+    import spark.implicits._
+    cws.map(cw => (cw.m, cw.c, cw.v.toSeq)).toDF("m", "c", "cw")
+  }
+
+  def loadCodebooks(spark: SparkSession, cbPath: String): Seq[Codeword] =
+    graft.sources.VersionedTable.read(spark, cbPath).collect().map { r =>
+      Codeword(r.getAs[Number]("m").intValue, r.getAs[Number]("c").intValue,
+        r.getAs[scala.collection.Seq[Double]]("cw").toArray)
+    }.toSeq.sortBy(cw => (cw.m, cw.c))
+
+  /** Build (idempotent, crash-resumable like [[buildAnnIndex]]): train the
+    * codebooks into `codebooks`, encode the corpus into `codes` — both
+    * graft tables; codes always derive from the STORED codebooks so a
+    * resume stays consistent. The pair IS the index: M ints per vector +
+    * the bounded codebook vs dim doubles per vector raw. */
+  def buildPqIndex(corpus: DataFrame, cbPath: String, codesPath: String)
+      : (Long, Long) = {
+    import graft.sources.VersionedTable
+    val spark = corpus.sparkSession
+    val cv = VersionedTable.latestVersion(spark, cbPath).getOrElse {
+      VersionedTable.write(codewordDf(spark, pqTrain(corpus)), cbPath)
+    }
+    val xv = VersionedTable.latestVersion(spark, codesPath).getOrElse {
+      VersionedTable.write(
+        corpus.withColumn("codes", pqCodesExpr(loadCodebooks(spark, cbPath)))
+          .select(col("vec_id"), col("codes")),
+        codesPath, statsCols = Seq("vec_id"))
+    }
+    (cv, xv)
+  }
+
+  /** Decode x̂ from the codes column: per subspace a map-literal lookup
+    * code → codeword, flattened back to dim doubles — the asymmetric-
+    * distance reconstruction, computed from the INDEX alone. */
+  def pqDecodeExpr(cws: Seq[Codeword]): Column =
+    flatten(array((0 until PqM).map { m =>
+      val lut = typedLit(cws.filter(_.m == m).map(cw => cw.c -> cw.v.toSeq).toMap)
+      element_at(lut, element_at(col("codes"), m + 1))
+    }: _*))
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val root = pqIndexRoot(dir)
+    val cbPath = s"$root/codebooks"; val codesPath = s"$root/codes"
+    if (graft.sources.VersionedTable.latestVersion(spark, cbPath).isEmpty ||
+        graft.sources.VersionedTable.latestVersion(spark, codesPath).isEmpty) {
+      val corpus = embFrame(spark, dir).cache()
+      try buildPqIndex(corpus, cbPath, codesPath)
+      finally corpus.unpersist()
+    }
+    val cws = loadCodebooks(spark, cbPath)
+    val emb = embFrame(spark, dir)
+    val queries = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    // approximate pass reads ONLY the index: decode x̂ per code row, score
+    // with the same round-6 cosine the exact side uses
+    val decoded = graft.sources.VersionedTable.read(spark, codesPath)
+      .withColumn("xhat", pqDecodeExpr(cws))
+      .withColumn("xn", norm(col("xhat")))
+      .select(col("vec_id").as("nbr_id"), col("xhat"), col("xn"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("nbr_id").asc)
+    val shortlist = broadcast(queries)
+      .join(decoded, col("query_id") =!= col("nbr_id"))
+      .withColumn("approx",
+        round(dot(col("qv"), col("xhat")) / (col("qn") * col("xn")), 6))
+      .withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= PqShortlist)
+      .select(col("query_id"), col("qv"), col("qn"), col("nbr_id"))
+    // exact re-rank fetches true vectors for the SHORTLIST only
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val pqTop = shortlist
+      .join(emb.select(col("vec_id").as("nbr_id"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nbr_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("nbr_id"))
+    // recall@k vs the brute-force ground truth (the q_ann_recall frame)
+    val corpus = Tables.spread(emb)
+      .select(col("vec_id").as("nbr_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val exact = broadcast(queries)
+      .join(corpus, col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("nbr_id"))
+    val matched = exact.join(pqTop, Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+    queries.select(col("query_id"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") / AnnTopK)
+          .as("recall"))
+  }
+
+  lazy val annPqSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |sub AS (
+       |  SELECT vec_id, t.m AS m, list_slice(v, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM v CROSS JOIN range(0, $PqM) t(m)),
+       |seeds AS (SELECT vec_id AS c, m, sv AS cw FROM sub WHERE vec_id < $PqK),
+       |d1 AS (
+       |  SELECT s.vec_id, s.m, sd.c,
+       |    ROUND(list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> (s.sv[i] - sd.cw[i]) * (s.sv[i] - sd.cw[i]))), 6) AS d
+       |  FROM sub s JOIN seeds sd ON sd.m = s.m),
+       |a1 AS (
+       |  SELECT vec_id, m, c,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+       |  FROM d1),
+       |asg1 AS (
+       |  SELECT s.vec_id, s.m, a.c, s.sv
+       |  FROM sub s JOIN a1 a ON a.vec_id = s.vec_id AND a.m = s.m AND a.rn = 1),
+       |means AS (
+       |  SELECT m, c, t.i AS i,
+       |    SUM(CAST(ROUND(sv[t.i] * 1000000) AS BIGINT)) AS s, COUNT(*) AS cnt
+       |  FROM asg1 CROSS JOIN range(1, $PqSubDim + 1) t(i)
+       |  GROUP BY m, c, t.i),
+       |cb AS (
+       |  SELECT m, c, list((CAST(s AS DOUBLE) / 1000000.0) / cnt ORDER BY i) AS cw
+       |  FROM means GROUP BY m, c),
+       |d2 AS (
+       |  SELECT s.vec_id, s.m, cb.c,
+       |    ROUND(list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))), 6) AS d
+       |  FROM sub s JOIN cb ON cb.m = s.m),
+       |a2 AS (
+       |  SELECT vec_id, m, c,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+       |  FROM d2),
+       |codes AS (SELECT vec_id, m, c FROM a2 WHERE rn = 1),
+       |xhat AS (
+       |  SELECT codes.vec_id, flatten(list(cb.cw ORDER BY codes.m)) AS xh
+       |  FROM codes JOIN cb ON cb.m = codes.m AND cb.c = codes.c
+       |  GROUP BY codes.vec_id),
+       |xn AS (
+       |  SELECT vec_id, xh, sqrt(list_sum(list_transform(xh, x -> x * x))) AS xn
+       |  FROM xhat),
+       |approx AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS nbr_id, q.v AS qv, q.nrm AS qn,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> q.v[i] * x.xh[i])) / (q.nrm * x.xn), 6) AS ap
+       |  FROM n q JOIN xn x
+       |    ON q.vec_id >= 50 AND q.vec_id < 60 AND q.vec_id <> x.vec_id),
+       |short AS (
+       |  SELECT query_id, nbr_id, qv, qn,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ap DESC, nbr_id ASC) AS srk
+       |  FROM approx),
+       |rer AS (
+       |  SELECT s.query_id, s.nbr_id,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> s.qv[i] * c.v[i])) / (s.qn * c.nrm), 6) AS cosine
+       |  FROM short s JOIN n c ON c.vec_id = s.nbr_id
+       |  WHERE s.srk <= $PqShortlist),
+       |pq AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk
+       |    FROM rer)
+       |  WHERE rk <= $AnnTopK),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id >= 50 AND q.vec_id < 60 AND q.vec_id <> c.vec_id),
+       |exact AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $AnnTopK),
+       |matched AS (
+       |  SELECT e.query_id, COUNT(*) AS n_matched
+       |  FROM exact e
+       |  WHERE EXISTS (SELECT 1 FROM pq p
+       |                WHERE p.query_id = e.query_id AND p.nbr_id = e.nbr_id)
+       |  GROUP BY e.query_id)
+       |SELECT q.vec_id AS query_id,
+       |  COALESCE(m.n_matched, 0) AS n_matched,
+       |  CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / $AnnTopK AS recall
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 50 AND vec_id < 60) q
+       |LEFT JOIN matched m ON m.query_id = q.vec_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_hard_negatives — hard-negative mining for contrastive training
   // (in-batch negatives are mostly easy; the negatives that move a model
   // are the most-similar DIFFERENT-label examples). Search is LSH-bucketed
@@ -828,6 +1113,7 @@ object SimilarityQueries {
     "q_ann_lsh"        -> (annLsh _),
     "q_ann_recall"     -> (annRecall _),
     "q_ann_incremental" -> (annIncremental _),
+    "q_ann_pq"         -> (annPq _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_hard_negatives" -> (hardNegatives _),
   )
@@ -838,6 +1124,7 @@ object SimilarityQueries {
     "q_ann_lsh"        -> annLshSql,
     "q_ann_recall"     -> annRecallSql,
     "q_ann_incremental" -> annIncrementalSql,
+    "q_ann_pq"         -> annPqSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_hard_negatives" -> hardNegativesSql,
   )

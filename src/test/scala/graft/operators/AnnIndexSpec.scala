@@ -87,4 +87,58 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.getAs[Number]("bucket").intValue).toSet
     assert(usedBuckets.subsetOf(centIds))
   }
+
+  /** Deterministic synthetic 64-dim corpus for the PQ tests (PQ splits
+    * into [[SimilarityQueries.PqM]] subspaces of
+    * [[SimilarityQueries.PqSubDim]] dims). */
+  private def vecs64(ids: Seq[Int]): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    ids.map(id => (id.toLong,
+        Seq.tabulate(64)(d => ((id * 31 + d * 17) % 97 + 1).toDouble / 97.0)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", norm(col("v")))
+  }
+
+  test("PQ index is a bounded artifact: codes ≪ raw vectors, deterministic, resume is a no-op") {
+    import SimilarityQueries.{PqM, PqSubDim, PqK}
+    val root = tmp()
+    val (cb, codes) = (s"$root/codebooks", s"$root/codes")
+    val corpus = vecs64(0 until 300).cache()
+    try {
+      val (cv, xv) = SimilarityQueries.buildPqIndex(corpus, cb, codes)
+      assert(cv == 1L && xv == 1L)
+      // re-entrant build is a no-op (crash-resume contract)
+      assert(SimilarityQueries.buildPqIndex(corpus, cb, codes) == ((1L, 1L)))
+      // the INDEX is bounded: M codes per vector + an M×K×subDim codebook
+      // vs 64 doubles per vector raw — cells ratio well under 1/4
+      val cwRows = VersionedTable.read(spark, cb).collect()
+      assert(cwRows.length <= PqM * PqK)
+      assert(cwRows.forall(
+        _.getAs[scala.collection.Seq[Double]]("cw").length == PqSubDim))
+      val codeRows = VersionedTable.read(spark, codes).collect()
+      assert(codeRows.length == 300)
+      assert(codeRows.forall(
+        _.getAs[scala.collection.Seq[Int]]("codes").length == PqM))
+      val indexCells = codeRows.length * PqM + cwRows.length * PqSubDim
+      val rawCells = codeRows.length * 64
+      assert(indexCells.toDouble / rawCells < 0.25,
+        s"index $indexCells cells vs raw $rawCells")
+      // deterministic train: a rebuild lands byte-identical codebooks
+      val again = SimilarityQueries.pqTrain(corpus)
+      val stored = SimilarityQueries.loadCodebooks(spark, cb)
+      assert(again.map(c => (c.m, c.c, c.v.toSeq)) ==
+        stored.map(c => (c.m, c.c, c.v.toSeq)))
+      // every code refers to a live codeword, and the decode expression
+      // reconstructs exactly the concatenation of the row's codewords
+      val cwOf = stored.map(c => (c.m, c.c) -> c.v.toSeq).toMap
+      val decoded = VersionedTable.read(spark, codes)
+        .withColumn("xhat", SimilarityQueries.pqDecodeExpr(stored))
+        .collect()
+      decoded.foreach { r =>
+        val cs = r.getAs[scala.collection.Seq[Int]]("codes")
+        val expect = (0 until PqM).flatMap(m => cwOf((m, cs(m))))
+        assert(r.getAs[scala.collection.Seq[Double]]("xhat") == expect)
+      }
+    } finally corpus.unpersist()
+  }
 }
