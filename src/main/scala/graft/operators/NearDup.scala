@@ -312,14 +312,17 @@ object NearDup {
   // --------------------------------------------------------------------------
   // q_dedup_clusters — the dedup pipeline's last step: single-linkage
   // connected components over the LSH-verified near-dup pair graph, electing
-  // min(doc_id) per component as the canonical survivor. Min-label
-  // propagation (Pregel-style): each round is one edges⋈labels hash join +
-  // min-agg, iterated to fixpoint with a driver-side convergence count.
-  // Rounds = eccentricity of the component's min node; near-dup components
-  // are tiny by construction (LSH + Jaccard threshold), so this converges in
-  // 1-3 rounds at any corpus size — the iteration count scales with cluster
-  // DIAMETER, not corpus size. Labels are re-cached per round and the pair
-  // graph (orders smaller than the corpus) is cached once.
+  // min(doc_id) per component as the canonical survivor. Two tiers by the
+  // (already counted) edge total: a driver-sized graph solves in ONE
+  // union-find pass and broadcasts its label map ([[connectedLabels]]);
+  // above [[MaxDriverEdges]], Pregel-style min-label propagation — each
+  // round one edges⋈labels hash join + min-agg, iterated to fixpoint with
+  // a driver-side convergence count. Rounds = eccentricity of the
+  // component's min node; near-dup components are tiny by construction
+  // (LSH + Jaccard threshold), so this converges in 1-3 rounds at any
+  // corpus size — the iteration count scales with cluster DIAMETER, not
+  // corpus size. Labels are re-cached per round and the pair graph
+  // (orders smaller than the corpus) is cached once.
   // --------------------------------------------------------------------------
   /** Min-label propagation to fixpoint over a BIDIRECTIONAL edge list
     * (columns doc_a, doc_b); returns (doc_id, cluster_id) for every doc with
@@ -377,6 +380,54 @@ object NearDup {
     labels
   }
 
+  /** Edge lists at most this size are solved ON THE DRIVER with one
+    * union-find pass (exact, same min-per-component answer) instead of
+    * iterated distributed joins — the label map is then a broadcast-sized
+    * artifact, like an ANN index's centroids. The near-dup pair graph of
+    * a healthy corpus is orders smaller than the corpus, so at every test
+    * SF (and most real ones) clustering costs one collect + one broadcast
+    * join instead of 3+ fixpoint jobs; a genuinely huge pair graph (dirty
+    * corpus at 100 TB) takes the distributed min-label fixpoint
+    * unchanged. 1M edges ≈ 16 MB collected — dimension-table sized. */
+  val MaxDriverEdges = 1000000L
+
+  /** (doc_id, cluster_id) for every doc with an edge: driver union-find
+    * under [[MaxDriverEdges]] (union-by-min root, path compression — the
+    * root IS the component min), distributed [[labelPropagate]] above. */
+  def connectedLabels(pairs: DataFrame, nPairs: Long): DataFrame =
+    if (nPairs > MaxDriverEdges) labelPropagate(pairs)
+    else {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val dt = pairs.schema("doc_a").dataType
+      val edges = pairs
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent(c); parent(c) = r; c = nx
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // union-by-min: the surviving root is the smaller id, so every
+          // tree's root is its component's minimum at the end
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val members = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      broadcast(members.toSeq.map(d => (d, find(d))).toDF("doc_id", "cluster_id")
+        .select(col("doc_id").cast(dt).as("doc_id"),
+          col("cluster_id").cast(dt).as("cluster_id")))
+    }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = cachedShingles(docs)
@@ -386,8 +437,8 @@ object NearDup {
     // that AQE submits concurrently — a lazy cache would recompute the whole
     // LSH verify chain per subtree per round (same failure mode as the
     // shingle cache; observed 5-20× blowup)
-    pairs.count()
-    val labels = labelPropagate(pairs)
+    val nPairs = pairs.count()
+    val labels = connectedLabels(pairs, nPairs)
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

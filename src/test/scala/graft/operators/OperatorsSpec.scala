@@ -127,6 +127,17 @@ class NearDupSpec extends SparkSpec {
       m
     }
     assert(unrolled(4) != fixpoint, "diameter 8 must exceed a 4-round unroll")
+
+    // the driver union-find tier answers IDENTICALLY on the same graph
+    // (plus a disjoint pair clique), and the gate routes by edge count:
+    // an over-threshold count takes the distributed fixpoint
+    val mixed = pairs.unionAll(Seq((20L, 21L)).toDF("doc_a", "doc_b"))
+    val uf = NearDup.connectedLabels(mixed, 9L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = NearDup.connectedLabels(mixed, NearDup.MaxDriverEdges + 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == dist, s"driver $uf vs distributed $dist")
+    assert(uf == ((1L to 9L).map(_ -> 1L) ++ Seq(20L -> 20L, 21L -> 20L)).toMap)
   }
 
   test("embed near-dup: LSH pairs are sound vs brute force; planted dups always caught") {
