@@ -319,6 +319,39 @@ object SkippingQueries {
       |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_part_census_derived — the census through DERIVED groupings: `GROUP
+  // BY month(event_date), dayofmonth(event_date)` under a derived filter
+  // (`year(event_date) = 2024`) still collapses to a LocalRelation — the
+  // group keys and the filter are row-local functions of partition
+  // columns, so they bind to the census tuples and evaluate driver-side
+  // (the rows-per-calendar-bucket dashboard without a scan). DuckDB
+  // computes the same calendar rollup over raw events.
+  // --------------------------------------------------------------------------
+  def partCensusDerived(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartTable(spark, dir)
+    val out = VersionedTable.read(spark, path)
+      .filter(expr("year(event_date) = 2024"))
+      .groupBy(month(col("event_date")).as("mo"),
+        dayofmonth(col("event_date")).as("dom"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("event_date")).as("max_date"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+    require(roots.isEmpty && out.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "q_part_census_derived: expected the derived-grouping census to " +
+        s"answer from the manifest; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val partCensusDerivedSql: String =
+    """SELECT CAST(MONTH(CAST(ts AS DATE)) AS INTEGER) AS mo,
+      |  CAST(DAY(CAST(ts AS DATE)) AS INTEGER) AS dom,
+      |  COUNT(*) AS n_rows, MAX(CAST(ts AS DATE)) AS max_date
+      |FROM events WHERE YEAR(CAST(ts AS DATE)) = 2024
+      |GROUP BY 1, 2""".stripMargin
+
   def mergeTablePath(dir: String): String = cachedTablePath(dir, "sqlmerge_v1")
 
   /** Idempotently build a keep-latest table with REAL SQL MERGE: seed with
@@ -1898,7 +1931,8 @@ object SkippingQueries {
     "q_dv_delete" -> (dvDelete _),
     "q_batch_format" -> (batchFormat _),
     "q_partitioned_scan" -> (partitionedScan _),
-    "q_part_census" -> (partCensus _))
+    "q_part_census" -> (partCensus _),
+    "q_part_census_derived" -> (partCensusDerived _))
 
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
@@ -1937,5 +1971,6 @@ object SkippingQueries {
     "q_dv_delete" -> dvDeleteSql,
     "q_batch_format" -> batchFormatSql,
     "q_partitioned_scan" -> partitionedScanSql,
-    "q_part_census" -> partCensusSql)
+    "q_part_census" -> partCensusSql,
+    "q_part_census_derived" -> partCensusDerivedSql)
 }

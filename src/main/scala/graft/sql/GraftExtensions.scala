@@ -302,7 +302,13 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       dataColOf: Map[ExprId, String],
       partSchema: org.apache.spark.sql.types.StructType,
       fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]],
-      conds: Seq[Expression])
+      conds: Seq[Expression],
+      /** DERIVED partition values: a computed Project column whose every
+        * input is a partition column (`year(event_date) AS yr` — the shape
+        * Catalyst pulls grouping expressions into), pre-BOUND to census
+        * tuple indices. Constant within a partition by construction, so
+        * grouping/min-maxing by it is answerable per census entry. */
+      derivedOf: Map[ExprId, Expression])
 
   /** The GLOBAL census answer: COUNT(*) / COUNT(partition cols) /
     * MIN/MAX of partition OR stats-covered data columns, over
@@ -338,7 +344,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           if (partNames.contains(a.name)) None
           else Some(a.exprId -> a.name)
         }.toMap
-        Some(CensusInfo(census, idxOf, dataColOf, partSchema, fmm, Nil))
+        Some(CensusInfo(census, idxOf, dataColOf, partSchema, fmm, Nil,
+          Map.empty))
       case None => plan match {
         case Project(items, c) => censusOf(c).map { info =>
           def remap[A](base: Map[ExprId, A]): Map[ExprId, A] =
@@ -347,10 +354,22 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
                 base.get(a.exprId).map(a.exprId -> _)
               case al @ Alias(a: AttributeReference, _) =>
                 base.get(a.exprId).map(al.exprId -> _)
-              case _ => None // computed column: its consumers must decline
+              case _ => None // handled below when partition-derivable
             }.toMap
+          // a COMPUTED column whose every input is a partition (or
+          // already-derived) value binds to the census tuple — the
+          // `year(event_date) AS yr` grouping shape; anything touching a
+          // data column stays unmapped and its consumers decline
+          val derived = items.flatMap {
+            case al @ Alias(e, _)
+                if !e.isInstanceOf[AttributeReference] &&
+                  e.references.nonEmpty =>
+              bindPart(e, info).map(al.exprId -> _)
+            case _ => None
+          }.toMap
           info.copy(idxOf = remap(info.idxOf),
-            dataColOf = remap(info.dataColOf))
+            dataColOf = remap(info.dataColOf),
+            derivedOf = remap(info.derivedOf) ++ derived)
         }
         case Filter(cond, c)
             if cond.deterministic &&
@@ -361,30 +380,49 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
                 split(l) ++ split(r)
               case x => Seq(x)
             }
-            val cs = split(cond)
-            if (cs.forall(_.references.forall(a =>
-              info.idxOf.contains(a.exprId))))
-              Some(info.copy(conds = info.conds ++ cs.map(_.transform {
-                case a: AttributeReference =>
-                  BoundReference(info.idxOf(a.exprId), a.dataType,
-                    nullable = true)
-              })))
-            else None
+            val bound = traverseOpt(split(cond).map(bindPart(_, info)))
+            bound.map(bs => info.copy(conds = info.conds ++ bs))
           }
         case _ => None
       }
     }
 
+  /** Bind a partition-derivable expression to the census tuple: every
+    * referenced attribute must be a partition column (→ BoundReference at
+    * its census index) or an already-derived value (→ its own binding);
+    * non-deterministic, subquery-carrying, or data-column-touching
+    * expressions refuse. The one binder shared by derived Project columns,
+    * partition filters, derived group keys, and derived MIN/MAX. */
+  private def bindPart(e: Expression, info: CensusInfo): Option[Expression] =
+    if (e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        e.references.forall(a => info.idxOf.contains(a.exprId) ||
+          info.derivedOf.contains(a.exprId)))
+      Some(e.transform {
+        case a: AttributeReference if info.derivedOf.contains(a.exprId) =>
+          info.derivedOf(a.exprId)
+        case a: AttributeReference =>
+          BoundReference(info.idxOf(a.exprId), a.dataType, nullable = true)
+      })
+    else None
+
   // --- census slot machinery, shared by the grouped and global cases ---
 
   private sealed trait Slot
   private case class GroupSlot(i: Int) extends Slot
+  /** A DERIVED group key's value (bound expression over the census tuple —
+    * constant within the group by construction). */
+  private case class GroupExprSlot(e: Expression) extends Slot
   private case object CountStarSlot extends Slot
   private case class CountColsSlot(is: Seq[Int]) extends Slot
   /** COUNT(DISTINCT partition cols): distinct non-null tuples among the
     * live entries — "how many days of data" without touching a file. */
   private case class CountDistinctSlot(is: Seq[Int]) extends Slot
   private case class MinMaxSlot(i: Int,
+      dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
+  /** MIN/MAX of a DERIVED partition value: evaluate per census entry
+    * (row-local function of partition columns ⇒ the per-partition value
+    * IS every member row's value). */
+  private case class MinMaxExprSlot(e: Expression,
       dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
   /** MIN/MAX of a DATA column from per-file manifest stats. */
   private case class MinMaxDataSlot(colName: String,
@@ -403,13 +441,20 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     def minMax(a: Expression, takeMax: Boolean): Option[Slot] = a match {
       case at: AttributeReference => info.idxOf.get(at.exprId)
         .map(MinMaxSlot(_, at.dataType, takeMax))
+        .orElse(info.derivedOf.get(at.exprId)
+          .map(MinMaxExprSlot(_, at.dataType, takeMax)))
         .orElse(info.dataColOf.get(at.exprId)
           .map(MinMaxDataSlot(_, at.dataType, takeMax)))
+      // an inline derived value (`MAX(year(d))` with no Project pull-out):
+      // constant per partition ⇒ the per-entry extremum IS the row-level one
+      case other if other.references.nonEmpty =>
+        bindPart(other, info).map(MinMaxExprSlot(_, other.dataType, takeMax))
       case _ => None
     }
     e match {
       case a: AttributeReference if groupRefs =>
         info.idxOf.get(a.exprId).map(GroupSlot(_))
+          .orElse(info.derivedOf.get(a.exprId).map(GroupExprSlot(_)))
       case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
           if l.value != null => Some(CountStarSlot)
       case AggregateExpression(Count(args), _, false, None, _)
@@ -450,6 +495,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     slot match {
       case GroupSlot(i) =>
         Some(entries.headOption.map(e => valueAt(e._1, i)).orNull)
+      case GroupExprSlot(e) =>
+        Some(entries.headOption.map(en => e.eval(en._1)).orNull)
       case CountStarSlot => Some(entries.map(_._2).sum)
       case CountColsSlot(is) =>
         Some(entries.filter(e => is.forall(i => !e._1.isNullAt(i)))
@@ -460,6 +507,11 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case MinMaxSlot(i, dt, takeMax) =>
         val vs = entries.map(_._1).filterNot(_.isNullAt(i))
           .map(valueAt(_, i))
+        Some(if (vs.isEmpty) null
+          else if (takeMax) vs.max(TypeUtils.getInterpretedOrdering(dt))
+          else vs.min(TypeUtils.getInterpretedOrdering(dt)))
+      case MinMaxExprSlot(e, dt, takeMax) =>
+        val vs = entries.map(en => e.eval(en._1)).filter(_ != null)
         Some(if (vs.isEmpty) null
           else if (takeMax) vs.max(TypeUtils.getInterpretedOrdering(dt))
           else vs.min(TypeUtils.getInterpretedOrdering(dt)))
@@ -491,24 +543,30 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       info: CensusInfo): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
-    // every group key must be a partition column
-    val gIdx = groups.map {
-      case a: AttributeReference =>
-        info.idxOf.getOrElse(a.exprId, return None)
-      case _ => return None
+    // every group key must be a partition column or a derived partition
+    // value (`year(event_date)` — bound and evaluated per census entry);
+    // non-atomic key types decline (driver grouping uses value equality)
+    val gBound: Seq[Expression] = groups.map { g =>
+      if (!org.apache.spark.sql.catalyst.util.TypeUtils
+          .typeWithProperEquals(g.dataType))
+        return None // e.g. byte[] groups by reference — decline, not mis-group
+      bindPart(g, info).getOrElse(return None)
     }
     val slots = traverseOpt(aggExprs.map {
       case a: AttributeReference => classifySlot(a, info, groupRefs = true)
+      case Alias(e, _)
+          if !e.exists(_.isInstanceOf[AggregateExpression]) &&
+            groups.exists(_.semanticEquals(e)) =>
+        // a group expression spelled inline in the output (`year(d) AS yr`
+        // with no Project pull-out)
+        bindPart(e, info).map(GroupExprSlot(_))
       case Alias(e, _) =>
         classifySlot(e, info, groupRefs = true)
       case _ => None
     }).getOrElse(return None)
     val live = liveEntries(info)
-    val fields = info.partSchema.fields
-    def valueAt(row: InternalRow, i: Int): Any =
-      row.get(i, fields(i).dataType)
     val grouped = live.groupBy { case (row, _, _) =>
-      gIdx.map(valueAt(row, _)) }
+      gBound.map(_.eval(row)) }
     val outRows = grouped.toSeq.map { case (_, entries) =>
       InternalRow.fromSeq(
         slots.map(evalSlot(_, entries, info).getOrElse(return None)))

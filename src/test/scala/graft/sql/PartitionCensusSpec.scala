@@ -108,6 +108,62 @@ class PartitionCensusSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))))
   }
 
+  test("derived groupings: year/month over a date partition stay scan-free, values exact") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      (1L to 180L).map(i => (i,
+        java.sql.Date.valueOf(s"202${i % 3}-0${1 + (i % 6).toInt / 2}-15"), i))
+        .toDF("id", "d", "v"),
+      t, statsCols = Seq("id"), partitionBy = Seq("d"))
+    def rd = VersionedTable.read(spark, t)
+    // ground truth through a REAL scan (bare projections are never
+    // census-rewritten)
+    def truth(cols: DataFrame): Seq[String] =
+      cols.collect().map(_.toString).sorted.toSeq
+    // GROUP BY year(d): the derived key binds to the census tuple whether
+    // Catalyst pulls it into a Project or leaves it inline
+    val qy = rd.groupBy(year($"d").as("yr")).agg(count(lit(1)).as("n"))
+    assert(scanFree(qy), qy.queryExecution.optimizedPlan.toString)
+    val ty = truth(rd.select(year($"d").as("yr")).collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (y, rs) => (y, rs.length.toLong) }
+      .toDF("yr", "n"))
+    assert(sorted(qy) == ty)
+    // two derived keys + MIN/MAX of the raw partition column per group
+    val qym = rd.groupBy(year($"d").as("yr"), month($"d").as("mo"))
+      .agg(count(lit(1)).as("n"), max($"d").as("mx"))
+    assert(scanFree(qym), qym.queryExecution.optimizedPlan.toString)
+    val tym = truth(rd.select(year($"d").as("yr"), month($"d").as("mo"),
+        $"d").collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+      .map { case ((y, m), rs) =>
+        (y, m, rs.length.toLong, rs.map(_.getDate(2).toString).max) }
+      .toDF("yr", "mo", "n", "mx")
+      .select($"yr", $"mo", $"n", $"mx".cast("date")))
+    assert(sorted(qym) == tym)
+    // a derived FILTER evaluates against the census tuples too
+    val qf = rd.filter(year($"d") === 2021)
+      .groupBy(month($"d").as("mo")).agg(count(lit(1)).as("n"))
+    assert(scanFree(qf), qf.queryExecution.optimizedPlan.toString)
+    assert(sorted(qf).nonEmpty && sorted(qf) == truth(
+      rd.filter(year($"d") === 2021).select(month($"d").as("mo")).collect()
+        .groupBy(_.getInt(0)).toSeq
+        .map { case (m, rs) => (m, rs.length.toLong) }.toDF("mo", "n")))
+    // GLOBAL extrema of a derived value — the freshness probe by year
+    val qg = rd.agg(max(year($"d")).as("mxy"), min(month($"d")).as("mnm"),
+      count(lit(1)).as("n"))
+    assert(scanFree(qg), qg.queryExecution.optimizedPlan.toString)
+    assert(qg.collect().head.toString == "[2022,1,180]")
+    // SQL spelling
+    val qs = spark.sql(
+      s"SELECT year(d) AS yr, COUNT(*) AS n FROM graft.`$t` GROUP BY year(d)")
+    assert(scanFree(qs), qs.queryExecution.optimizedPlan.toString)
+    assert(sorted(qs) == ty)
+    // a derived value mixing in a DATA column declines
+    assert(!scanFree(rd.groupBy((year($"d") + $"v").as("k"))
+      .agg(count(lit(1)).as("n"))))
+  }
+
   test("GLOBAL MIN/MAX/COUNT of partition columns: the freshness probe is metadata") {
     val base = tmp(); val t = base + "/t"
     VersionedTable.write(
