@@ -1361,6 +1361,62 @@ object SkippingQueries {
     out
   }
 
+  // --------------------------------------------------------------------------
+  // q_mv_left_join — the BI OUTER star spelling answered from the view:
+  // `fact LEFT JOIN dim` is only the inner join the view maintains when
+  // every fact row provably matches, so the rewrite demands a VALIDATED
+  // FOREIGN KEY pin at exactly the queried snapshots (keys non-null and
+  // matched, dim key unique — no null-extended row can exist). The gated
+  // query asserts in-plan that the LEFT-join aggregate scans only the
+  // view; DuckDB executes the actual LEFT JOIN raw.
+  // --------------------------------------------------------------------------
+  private def mvlFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvlfact_v1", "lineitem.parquet")
+  private def mvlDimPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvldim_v1", "part.parquet")
+  private def mvlViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvlview_v1", "lineitem.parquet")
+
+  def mvLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = mvlFactPath(dir)
+    val dim = mvlDimPath(dir)
+    val mv = mvlViewPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_orderkey"))                          // v1
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    MaterializedView.createJoined(spark, fact, dim,   // registers → fact v2
+      Seq("l_partkey" -> "p_partkey"), mv, Seq("p_brand"), Seq("qty"))
+    // validate the FK (pins fact v3 / dim v2 — the roster + pin commits),
+    // then ONE refresh re-aligns the view: an empty dim-delta pass
+    // advances the pin, an empty fact pass advances the watermark
+    graft.sources.ForeignKeys.declare(spark, fact, Seq("l_partkey"),
+      dim, Seq("p_partkey"))
+    MaterializedView.refresh(spark, mv)
+    val fv = VersionedTable.read(spark, fact)
+    val dv = VersionedTable.read(spark, dim)
+    val out = fv.join(dv, fv("l_partkey") === dv("p_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(fact) &&
+      !roots.contains(dim),
+      s"q_mv_left_join: expected the LEFT-join star aggregate to answer " +
+        s"from the view $mv under the FK pin; optimized plan scans $roots")
+    out
+  }
+
+  val mvLeftJoinSql: String =
+    """SELECT p_brand, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
   val mvDimDeltaSql: String =
     """WITH dim AS (
       |  SELECT p_partkey,
@@ -1902,6 +1958,7 @@ object SkippingQueries {
     "q_mv_derived" -> (mvDerived _),
     "q_mv_join" -> (mvJoin _),
     "q_mv_dim_delta" -> (mvDimDelta _),
+    "q_mv_left_join" -> (mvLeftJoin _),
     "q_mv_star" -> (mvStar _),
     "q_mv_join_residual" -> (mvJoinResidual _),
     "q_mv_decimal" -> (mvDecimal _),
@@ -1942,6 +1999,7 @@ object SkippingQueries {
     "q_mv_derived" -> mvDerivedSql,
     "q_mv_join" -> mvJoinSql,
     "q_mv_dim_delta" -> mvDimDeltaSql,
+    "q_mv_left_join" -> mvLeftJoinSql,
     "q_mv_star" -> mvStarSql,
     "q_mv_join_residual" -> mvJoinResidualSql,
     "q_mv_decimal" -> mvDecimalSql,

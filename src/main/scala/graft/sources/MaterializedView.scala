@@ -963,6 +963,13 @@ object MaterializedView {
     * non-append commits, and DELETE/UPDATE are exactly the commits a
     * view must see.
     *
+    * JOIN views watch their DIMENSIONS too: each pinned dim contributes
+    * its own change-feed trigger (starting at the pin), unioned into the
+    * one query as zero-data tick frames — a dim commit now triggers the
+    * same refresh(), whose dim-delta pass folds it in incrementally. A
+    * later FULL refresh re-pins without restarting the stream (the feeds
+    * are triggers, not state — refresh always pulls its own diff).
+    *
     * `Trigger.AvailableNow` drains the backlog and stops (the scheduled
     * catch-up shape); `Trigger.ProcessingTime` keeps the view
     * continuously fresh. */
@@ -976,10 +983,18 @@ object MaterializedView {
       s"$mvPath is not a materialized view (no $SourceKey property)"))
     val wm = VersionedTable.lastTxn(spark, mvPath, App).getOrElse(
       throw new IllegalStateException(s"$mvPath carries no $App watermark"))
-    spark.readStream.format("graft-table")
-      .option("readChangeFeed", "true")
-      .option("startingVersion", wm.toString)
-      .load(src)
+    // the sink never touches the rows, so every feed projects to one
+    // literal column — schemas align for the union and ZERO data is read
+    def tick(path: String, from: Long): DataFrame =
+      spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", from.toString)
+        .load(path)
+        .select(org.apache.spark.sql.functions.lit(1).as("tick"))
+    val feeds = joinsIn(props).foldLeft(tick(src, wm)) {
+      case (f, (dim, _, pin)) => f.unionByName(tick(dim, pin))
+    }
+    feeds
       .writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(trigger)

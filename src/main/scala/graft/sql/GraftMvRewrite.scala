@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
@@ -137,7 +137,10 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * dimension, any association order). */
   private case class SrcInfo(views: Seq[String], srcV: Long,
       env: Map[ExprId, Expression], conds: Seq[Expression],
-      joins: Seq[QueryJoin])
+      joins: Seq[QueryJoin],
+      /** The fact relation's raw FK declarations — what lets an OUTER star
+        * spelling prove it IS the inner join the view maintains. */
+      fkRaw: Seq[String])
 
   /** Walk projections (attribute-passing AND computed columns), filters,
     * and INNER equi-joins whose other side is a plain graft snapshot
@@ -147,7 +150,8 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     GraftBatchShim.mvRewriteInfoOf(plan) match {
       case Some((views, v)) =>
         Some(SrcInfo(views, v,
-          plan.output.map(a => a.exprId -> canonAttr(a)).toMap, Nil, Nil))
+          plan.output.map(a => a.exprId -> canonAttr(a)).toMap, Nil, Nil,
+          GraftBatchShim.fkInfoOf(plan).map(_._3).getOrElse(Nil)))
       case None => plan match {
         case Project(items, child) =>
           sourceOf(child).map { s =>
@@ -168,6 +172,14 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case Join(l, r, Inner, Some(cond), _) =>
           joined(l, r, cond).orElse(joined(r, l, cond))
+        // OUTER star spellings (the BI `fact LEFT JOIN dim` idiom, and its
+        // RIGHT mirror): the query IS the inner join the view maintains
+        // when a validated FK pin at exactly these snapshots proves every
+        // fact row matched — requirePin makes joined() check it
+        case Join(l, r, LeftOuter, Some(cond), _) =>
+          joined(l, r, cond, requirePin = true)
+        case Join(l, r, RightOuter, Some(cond), _) =>
+          joined(r, l, cond, requirePin = true)
         case _ => None
       }
     }
@@ -182,7 +194,7 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * create refuses the collision). The join keys may reference EARLIER
     * dims' columns too (snowflakes) — `fact.env` already carries them. */
   private def joined(factSide: LogicalPlan, dimSide: LogicalPlan,
-      cond: Expression): Option[SrcInfo] =
+      cond: Expression, requirePin: Boolean = false): Option[SrcInfo] =
     for {
       fact <- sourceOf(factSide)
       (dimPath, dimV, dimEnv, dimConds) <- dimOf(dimSide)
@@ -200,9 +212,23 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       shared = factSide.output.map(_.name).toSet
         .intersect(dimSide.output.map(_.name).toSet)
       if shared.subsetOf(keyNames)
+      // OUTER spelling: a validated FK pin at EXACTLY (fact.srcV, dimV)
+      // proves every fact row matched (keys non-null, dim key unique), so
+      // the outer join produces no null-extended rows — it IS the inner
+      // join. A dim-side filter would break that (a lost match NULLS the
+      // row instead of dropping it): only the vacuous IsNotNull on an
+      // equated key column is tolerated (null keys never match anything).
+      if !requirePin || (fact.fkRaw.flatMap(graft.sources.ForeignKeys.parse)
+        .exists(d => d.fkCols.zip(d.pkCols).toSet == pairs &&
+          new org.apache.hadoop.fs.Path(d.dimPath).toUri.getPath == dimPath &&
+          d.factPin == fact.srcV && d.dimPin == dimV) &&
+        dimConds.forall {
+          case IsNotNull(at: AttributeReference) => keyNames.contains(at.name)
+          case _ => false
+        })
     } yield SrcInfo(fact.views, fact.srcV, fact.env ++ dimEnv,
       fact.conds ++ dimConds,
-      fact.joins :+ QueryJoin(dimPath, dimV, pairs))
+      fact.joins :+ QueryJoin(dimPath, dimV, pairs), fact.fkRaw)
 
   private def plainCol(a: AttributeReference,
       env: Map[ExprId, Expression]): Option[String] =

@@ -483,6 +483,18 @@ class MaterializedViewSpec extends SparkSpec {
       VersionedTable.append(Seq((100L, 2L, 30L)).toDF("id", "k", "v"), fact)
       q.processAllAvailable()
       assert(view() == joinedAgg())
+      // live DIM DML: the dim feed triggers too, and the refresh's
+      // dim-delta pass folds it in (pin advances, no FULL, no restart)
+      VersionedTable.append(Seq((5L, "rNEW")).toDF("k", "g"), dim)
+      VersionedTable.append(Seq((101L, 5L, 40L)).toDF("id", "k", "v"), fact)
+      q.processAllAvailable()
+      assert(view() == joinedAgg())
+      assert(view().contains("rNEW"))
+      VersionedTable.update(spark, dim, col("k") === 1L,
+        Map("g" -> lit("rX")))
+      q.processAllAvailable()
+      assert(view() == joinedAgg())
+      assert(view().contains("rX"))
     } finally q.stop()
   }
 

@@ -1148,15 +1148,18 @@ class GraftSqlSpec extends SparkSpec {
     def mvJoinFact() = spark.sql(s"DESCRIBE DETAIL graft.`$mv`")
       .collect().head.getAs[String]("mv_join")
     assert(mvJoinFact() == s"$dim@1(fk=pk)[armed]", mvJoinFact())
-    // dim motion: REFRESH refuses naming FULL; REFRESH ... FULL re-pins
+    // dim motion: plain REFRESH folds the dim's change feed in
+    // incrementally (the SQL verb rides the same refresh(); the pin
+    // advances atomically with the merge and re-arms the DESCRIBE state)
     VersionedTable.append(Seq((8L, "bNEW")).toDF("pk", "brand"), dim)
     assert(mvJoinFact().endsWith("[stale]"), mvJoinFact())
     VersionedTable.append(Seq((500L, 8L, 9L)).toDF("id", "fk", "v"), fact)
-    val e = intercept[Exception] {
-      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`") }
-    assert(messagesOf(e).contains("FULL"), messagesOf(e))
-    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv` FULL")
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
     assert(viewNow() == expect())
     assert(viewNow().contains("bNEW"))
+    assert(mvJoinFact() == s"$dim@2(fk=pk)[armed]", mvJoinFact())
+    // FULL remains the explicit rebuild verb
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv` FULL")
+    assert(viewNow() == expect())
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftBatchShim
 
 import graft.SparkSpec
-import graft.sources.{MaterializedView, VersionedTable}
+import graft.sources.{ForeignKeys, MaterializedView, VersionedTable}
 
 /** Materialized-view query rewrite: fresh views answer covered GROUP BY
   * aggregates (plan-pinned), staleness and uncovered shapes decline, and
@@ -464,6 +464,60 @@ class MvRewriteSpec extends SparkSpec {
     assert(roots(star).contains(fact), "moved dim must decline")
     MaterializedView.refresh(spark, mv)
     assertRewrites(fact, mv, star)
+  }
+
+  test("OUTER star spellings answer from the view under a validated FK pin") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 300L).map(i => (i, i % 10, i)).toDF("id", "k", "v"),
+      fact, statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 9L).map(k => (k, "r" + k % 3, k)).toDF("k", "g", "g2"), dim,
+      statsCols = Seq("k"))
+    MaterializedView.createJoined(spark, fact, dim, Seq("k" -> "k"), mv,
+      Seq("g"), Seq("v"))
+    def f = VersionedTable.read(spark, fact)
+    def d = VersionedTable.read(spark, dim)
+    // bind val frames per query: each `def` mention mints fresh exprIds,
+    // so the join condition must reference THE joined instances
+    def leftQ = { val fv = f; val dv = d
+      fv.join(dv, fv("k") === dv("k"), "left")
+        .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s")) }
+    def rightQ = { val fv = f; val dv = d
+      dv.join(fv, fv("k") === dv("k"), "right")
+        .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s")) }
+    // no pin: an unmatched fact row COULD surface a null-g group the
+    // inner-join view never holds — both outer spellings decline
+    assert(roots(leftQ).contains(fact))
+    assert(roots(rightQ).contains(fact))
+    // declare + validate the FK (bumps fact AND dim for the roster/pin
+    // commits), then one refresh re-aligns the view: empty dim-delta pass
+    // advances the pin, empty fact pass advances the watermark
+    ForeignKeys.declare(spark, fact, Seq("k"), dim, Seq("k"))
+    MaterializedView.refresh(spark, mv)
+    // LEFT and RIGHT spellings now prove inner via the pin and rewrite
+    assertRewrites(fact, mv, leftQ)
+    assertRewrites(fact, mv, rightQ)
+    // a REAL dim-side filter under the outer spelling declines (a lost
+    // match nulls the row instead of dropping it)
+    val fv2 = f; val dv2 = d.filter($"g2" < 5L)
+    assert(roots(fv2.join(dv2, fv2("k") === dv2("k"), "left")
+      .groupBy($"g").agg(sum($"v").as("s"))).contains(fact))
+    // fact motion disarms the pin: after re-aligning ONLY the view, the
+    // INNER spelling fires again while the outer one stays declined
+    VersionedTable.append(Seq((301L, 3L, 7L)).toDF("id", "k", "v"), fact)
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(fact, mv, { val fv = f; val dv = d
+      fv.join(dv, fv("k") === dv("k"))
+        .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s")) })
+    assert(roots(leftQ).contains(fact),
+      "a stale FK pin must not vouch for the outer spelling")
+    // re-validating the pin (O(delta)) re-arms it — refresh re-aligns the
+    // view over the pin's props commit first
+    ForeignKeys.declare(spark, fact, Seq("k"), dim, Seq("k"))
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(fact, mv, leftQ)
   }
 
   test("SQL surface rewrites too, and null-sum groups survive the round trip") {
