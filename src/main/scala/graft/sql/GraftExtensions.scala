@@ -413,10 +413,14 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     * constant within the group by construction). */
   private case class GroupExprSlot(e: Expression) extends Slot
   private case object CountStarSlot extends Slot
-  private case class CountColsSlot(is: Seq[Int]) extends Slot
-  /** COUNT(DISTINCT partition cols): distinct non-null tuples among the
-    * live entries — "how many days of data" without touching a file. */
-  private case class CountDistinctSlot(is: Seq[Int]) extends Slot
+  /** COUNT(cols): live rows whose every argument (a partition column or a
+    * derived partition value, pre-bound) is non-null — constant within a
+    * partition, so per-entry null checks are row-level ones. */
+  private case class CountColsSlot(es: Seq[Expression]) extends Slot
+  /** COUNT(DISTINCT cols): distinct all-non-null argument tuples among
+    * the live entries — "how many days (or YEARS — derived) of data"
+    * without touching a file. */
+  private case class CountDistinctSlot(es: Seq[Expression]) extends Slot
   private case class MinMaxSlot(i: Int,
       dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
   /** MIN/MAX of a DERIVED partition value: evaluate per census entry
@@ -434,8 +438,14 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   private def classifySlot(e: Expression, info: CensusInfo,
       groupRefs: Boolean): Option[Slot] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
-    def colIdx(x: Expression): Option[Int] = x match {
-      case a: AttributeReference => info.idxOf.get(a.exprId)
+    // a COUNT argument bound to the census tuple: a partition column, an
+    // already-derived value, or an inline partition-derivable expression
+    def colBound(x: Expression): Option[Expression] = x match {
+      case a: AttributeReference if info.idxOf.contains(a.exprId) =>
+        Some(BoundReference(info.idxOf(a.exprId), a.dataType,
+          nullable = true))
+      case a: AttributeReference => info.derivedOf.get(a.exprId)
+      case e2 if e2.references.nonEmpty => bindPart(e2, info)
       case _ => None
     }
     def minMax(a: Expression, takeMax: Boolean): Option[Slot] = a match {
@@ -459,10 +469,13 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           if l.value != null => Some(CountStarSlot)
       case AggregateExpression(Count(args), _, false, None, _)
           if args.nonEmpty =>
-        traverseOpt(args.map(colIdx)).map(CountColsSlot(_))
+        traverseOpt(args.map(colBound)).map(CountColsSlot(_))
       case AggregateExpression(Count(args), _, true, None, _)
-          if args.nonEmpty =>
-        traverseOpt(args.map(colIdx)).map(CountDistinctSlot(_))
+          // DISTINCT dedups by VALUE equality — decline types without it
+          if args.nonEmpty && args.forall(a =>
+            org.apache.spark.sql.catalyst.util.TypeUtils
+              .typeWithProperEquals(a.dataType)) =>
+        traverseOpt(args.map(colBound)).map(CountDistinctSlot(_))
       case AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate.Min(a),
           _, false, None, _) => minMax(a, takeMax = false)
@@ -498,12 +511,12 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case GroupExprSlot(e) =>
         Some(entries.headOption.map(en => e.eval(en._1)).orNull)
       case CountStarSlot => Some(entries.map(_._2).sum)
-      case CountColsSlot(is) =>
-        Some(entries.filter(e => is.forall(i => !e._1.isNullAt(i)))
+      case CountColsSlot(es) =>
+        Some(entries.filter(e => es.forall(_.eval(e._1) != null))
           .map(_._2).sum)
-      case CountDistinctSlot(is) =>
-        Some(entries.filter(e => is.forall(i => !e._1.isNullAt(i)))
-          .map(e => is.map(valueAt(e._1, _))).distinct.size.toLong)
+      case CountDistinctSlot(es) =>
+        Some(entries.map(e => es.map(_.eval(e._1)))
+          .filter(_.forall(_ != null)).distinct.size.toLong)
       case MinMaxSlot(i, dt, takeMax) =>
         val vs = entries.map(_._1).filterNot(_.isNullAt(i))
           .map(valueAt(_, i))

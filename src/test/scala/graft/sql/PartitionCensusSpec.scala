@@ -154,6 +154,13 @@ class PartitionCensusSpec extends SparkSpec {
       count(lit(1)).as("n"))
     assert(scanFree(qg), qg.queryExecution.optimizedPlan.toString)
     assert(qg.collect().head.toString == "[2022,1,180]")
+    // COUNT(DISTINCT derived) — "how many years / calendar buckets of
+    // data"; COUNT(derived) counts non-null rows
+    val qcd = rd.agg(countDistinct(year($"d")).as("ny"),
+      countDistinct(year($"d"), month($"d")).as("nym"),
+      count(month($"d")).as("nm"))
+    assert(scanFree(qcd), qcd.queryExecution.optimizedPlan.toString)
+    assert(qcd.collect().head.toString == "[3,6,180]")
     // SQL spelling
     val qs = spark.sql(
       s"SELECT year(d) AS yr, COUNT(*) AS n FROM graft.`$t` GROUP BY year(d)")
