@@ -352,6 +352,62 @@ object SkippingQueries {
       |FROM events WHERE YEAR(CAST(ts AS DATE)) = 2024
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_join_range — JOIN-KEY RANGE INFERENCE under the oracle gate: joining
+  // a NARROW dim (a part-key band) infers `l_partkey <= hi` on the fact
+  // from the dim's manifest bounds at plan time — static DPP — and data
+  // skipping then prunes fact files. The gated query asserts the injected
+  // conjunct in-plan (the band's lower bound equals the fact's own, so
+  // exactly the <= side must appear); DuckDB executes the plain join.
+  // --------------------------------------------------------------------------
+  private def jrFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "jrfact_v1", "lineitem.parquet")
+  private def jrDimPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "jrdim_v1", "part.parquet")
+
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val fact = jrFactPath(dir)
+    val dim = jrDimPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+          col("l_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .repartitionByRange(16, col("l_partkey")),  // range-placed: files
+        fact, statsCols = Seq("l_partkey"))         // carry narrow k bands
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir)
+        .filter(col("p_partkey") <= 120)
+        .select(col("p_partkey"), col("p_brand")), dim,
+        statsCols = Seq("p_partkey"))
+    val fv = VersionedTable.read(spark, fact)
+    val dv = VersionedTable.read(spark, dim)
+    val out = fv.join(dv, fv("l_partkey") === dv("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val injected = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) if c.exists {
+        case LessThanOrEqual(a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+            if a.name == "l_partkey" => true
+        case _ => false
+      } => c
+    }
+    require(injected.nonEmpty,
+      "q_join_range: expected the dim's manifest bound to inject a " +
+        s"l_partkey <= hi conjunct on the fact side; optimized plan:\n" +
+        out.queryExecution.optimizedPlan)
+    out
+  }
+
+  val joinRangeSql: String =
+    """WITH dim AS (
+      |  SELECT p_partkey, p_brand FROM part WHERE p_partkey <= 120)
+      |SELECT p_brand, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN dim ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
   def mergeTablePath(dir: String): String = cachedTablePath(dir, "sqlmerge_v1")
 
   /** Idempotently build a keep-latest table with REAL SQL MERGE: seed with
@@ -1989,7 +2045,8 @@ object SkippingQueries {
     "q_batch_format" -> (batchFormat _),
     "q_partitioned_scan" -> (partitionedScan _),
     "q_part_census" -> (partCensus _),
-    "q_part_census_derived" -> (partCensusDerived _))
+    "q_part_census_derived" -> (partCensusDerived _),
+    "q_join_range" -> (joinRange _))
 
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
@@ -2030,5 +2087,6 @@ object SkippingQueries {
     "q_batch_format" -> batchFormatSql,
     "q_partitioned_scan" -> partitionedScanSql,
     "q_part_census" -> partCensusSql,
-    "q_part_census_derived" -> partCensusDerivedSql)
+    "q_part_census_derived" -> partCensusDerivedSql,
+    "q_join_range" -> joinRangeSql)
 }

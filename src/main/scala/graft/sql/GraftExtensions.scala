@@ -64,6 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // star aggregate's fact side pre-aggregates on the join keys when
     // NDV sketches prove the rollup collapses it
     ext.injectOptimizerRule(session => GraftEagerAggregation(session))
+    // join-key range inference (LAST — the whole-operator rewrites above
+    // must see the un-annotated join shape first): a side's equi-join key
+    // gains `>= lo AND <= hi` conjuncts from the OTHER side's manifest
+    // bounds when they strictly narrow its own — pushdown carries them
+    // into the scan, where data skipping prunes fact files
+    ext.injectOptimizerRule(session => GraftJoinRangeInference(session))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
@@ -220,29 +226,10 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** Stats-domain bound → Catalyst internal value for the column type;
-    * None (decline) on any shape the conversion cannot do EXACTLY. */
-  private def internalOf(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
-    import org.apache.spark.sql.types._
-    val conv: Option[() => Any] = (v, dt) match {
-      case (bd: BigDecimal, ByteType) => Some(() => bd.bigDecimal.byteValueExact())
-      case (bd: BigDecimal, ShortType) => Some(() => bd.bigDecimal.shortValueExact())
-      case (bd: BigDecimal, IntegerType) => Some(() => bd.bigDecimal.intValueExact())
-      case (bd: BigDecimal, LongType) => Some(() => bd.bigDecimal.longValueExact())
-      case (bd: BigDecimal, DateType) => Some(() => bd.bigDecimal.intValueExact())
-      case (bd: BigDecimal, TimestampType) => Some(() => bd.bigDecimal.longValueExact())
-      case (bd: BigDecimal, TimestampNTZType) => Some(() => bd.bigDecimal.longValueExact())
-      // float/double stats were built FROM the file's float/double values
-      // (statValue widens exactly), so narrowing back is exact
-      case (bd: BigDecimal, DoubleType) => Some(() => bd.toDouble)
-      case (bd: BigDecimal, FloatType) => Some(() => bd.toFloat)
-      case (bd: BigDecimal, d: DecimalType) =>
-        Some(() => org.apache.spark.sql.types.Decimal(bd.setScale(d.scale)))
-      case (s: String, StringType) =>
-        Some(() => org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      case _ => None
-    }
-    conv.flatMap(f => scala.util.Try(f()).toOption)
-  }
+    * None (decline) on any shape the conversion cannot do EXACTLY.
+    * (Shared with [[GraftJoinRangeInference]] via [[GraftStats]].) */
+  private def internalOf(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] =
+    GraftStats.internalOf(v, dt)
 
   private def answer(e: Expression, liveRows: Option[Long],
       minMaxOf: String => Option[(Any, Any)],
