@@ -923,6 +923,242 @@ object SimilarityQueries {
        |LEFT JOIN matched m ON m.query_id = q.vec_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_ann_ivfpq — IVF + PQ COMPOSED (the FAISS-style IVFPQ): the index is
+  // inverted lists of CODES — one `cells` table (vec_id, bucket, codes),
+  // bucket-keyed with manifest stats, plus the two bounded driver
+  // artifacts (IVF centroids, PQ codebooks). Search probes only the
+  // nprobe nearest buckets (narrow argmax on the query side), ADC-scores
+  // ONLY the probed cells (codes decode AFTER the bucket join — raw
+  // vectors never enter the approximate pass), shortlists top-24, and
+  // exact-re-ranks by fetching true vectors for the shortlist. Cost per
+  // query: (corpus/K × nprobe) 8-byte code scores + |shortlist| exact
+  // dots — the memory- AND compute-bounded shape 100 TB of embeddings
+  // needs. Output is recall@3 vs brute force; DuckDB replays BOTH
+  // trainings (IVF Lloyd + per-subspace PQ Lloyd), the probe, the ADC
+  // pass, and the re-rank end to end.
+  // --------------------------------------------------------------------------
+  def ivfpqIndexRoot(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "ivfpq_v1", "embeddings.parquet")
+
+  /** Build (idempotent, crash-resumable): centroids and codebooks train
+    * independently; cells always derive from the STORED artifacts. */
+  def buildIvfPqIndex(corpus: DataFrame, root: String): Unit = {
+    import graft.sources.VersionedTable
+    val spark = corpus.sparkSession
+    val cent = s"$root/centroids"
+    val cb = s"$root/codebooks"
+    val cells = s"$root/cells"
+    if (VersionedTable.latestVersion(spark, cent).isEmpty)
+      VersionedTable.write(
+        centroidDf(spark, kmeans(corpus, NumCentroids, iters = 1)), cent)
+    if (VersionedTable.latestVersion(spark, cb).isEmpty)
+      VersionedTable.write(codewordDf(spark, pqTrain(corpus)), cb)
+    if (VersionedTable.latestVersion(spark, cells).isEmpty)
+      VersionedTable.write(
+        assignBuckets(corpus, loadCentroids(spark, cent))
+          .withColumn("codes", pqCodesExpr(loadCodebooks(spark, cb)))
+          .select(col("vec_id"), col("bucket"), col("codes")),
+        cells, statsCols = Seq("bucket"))
+  }
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val root = ivfpqIndexRoot(dir)
+    if (VersionedTable.latestVersion(spark, s"$root/cells").isEmpty) {
+      val corpus = embFrame(spark, dir).cache()
+      try buildIvfPqIndex(corpus, root)
+      finally corpus.unpersist()
+    }
+    val cents = loadCentroids(spark, s"$root/centroids")
+    val cws = loadCodebooks(spark, s"$root/codebooks")
+    val emb = embFrame(spark, dir)
+    val queries = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+    val probes = assignBuckets(queries, cents)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        explode(slice(reverse(array_sort(col("cand"))), 1, NumProbes))
+          .as("pr"))
+      .withColumn("probe", -col("pr.negk"))
+    // ADC pass over PROBED cells only: the bucket join restricts first,
+    // the decode projects after — no raw vector is touched here
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("ap").desc, col("nbr_id").asc)
+    val shortlist = broadcast(probes)
+      .join(VersionedTable.read(spark, s"$root/cells")
+          .select(col("vec_id").as("nbr_id"), col("bucket"), col("codes")),
+        col("bucket") === col("probe") && col("nbr_id") =!= col("query_id"))
+      .withColumn("xhat", pqDecodeExpr(cws))
+      .withColumn("xn", norm(col("xhat")))
+      .withColumn("ap",
+        round(dot(col("qv"), col("xhat")) / (col("qn") * col("xn")), 6))
+      .withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= PqShortlist)
+      .select(col("query_id"), col("qv"), col("qn"), col("nbr_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val pqTop = shortlist
+      .join(emb.select(col("vec_id").as("nbr_id"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nbr_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("nbr_id"))
+    val corpus = Tables.spread(emb)
+      .select(col("vec_id").as("nbr_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val exact = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn")))
+      .join(corpus, col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("query_id"), col("nbr_id"))
+    val matched = exact.join(pqTop, Seq("query_id", "nbr_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") / AnnTopK)
+          .as("recall"))
+  }
+
+  lazy val annIvfPqSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |ivseeds AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < $NumCentroids),
+       |ivs1 AS (
+       |  SELECT n.vec_id, n.v, c.cent_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(n.v) + 1),
+       |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn), 6) AS cent_cos
+       |  FROM n CROSS JOIN ivseeds c),
+       |iva1 AS (
+       |  SELECT vec_id, v, cent_id AS bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cent_cos DESC, cent_id ASC) AS crn
+       |  FROM ivs1),
+       |ivasg1 AS (SELECT vec_id, v, bucket FROM iva1 WHERE crn = 1),
+       |ivmeans AS (
+       |  SELECT bucket, t.i AS i,
+       |    SUM(CAST(ROUND(v[t.i] * 1000000) AS BIGINT)) AS s, COUNT(*) AS cnt
+       |  FROM ivasg1 CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY bucket, t.i),
+       |ivcents2 AS (
+       |  SELECT bucket, list((CAST(s AS DOUBLE) / 1000000.0) / cnt ORDER BY i) AS cv
+       |  FROM ivmeans GROUP BY bucket),
+       |ivc2n AS (
+       |  SELECT bucket, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM ivcents2),
+       |ivs2 AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.bucket AS cent_id,
+       |    ROUND(list_sum(list_transform(range(1, LEN(n.v) + 1),
+       |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn), 6) AS cent_cos
+       |  FROM n CROSS JOIN ivc2n c),
+       |iva2 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cent_cos DESC, cent_id ASC) AS crn
+       |  FROM ivs2),
+       |assigned AS (
+       |  SELECT vec_id AS nbr_id, cent_id AS bucket FROM iva2 WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS probe
+       |  FROM iva2 WHERE vec_id >= 50 AND vec_id < 60 AND crn <= $NumProbes),
+       |sub AS (
+       |  SELECT vec_id, t.m AS m, list_slice(v, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM v CROSS JOIN range(0, $PqM) t(m)),
+       |pqseeds AS (SELECT vec_id AS c, m, sv AS cw FROM sub WHERE vec_id < $PqK),
+       |pqd1 AS (
+       |  SELECT s.vec_id, s.m, sd.c,
+       |    ROUND(list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> (s.sv[i] - sd.cw[i]) * (s.sv[i] - sd.cw[i]))), 6) AS d
+       |  FROM sub s JOIN pqseeds sd ON sd.m = s.m),
+       |pqa1 AS (
+       |  SELECT vec_id, m, c,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+       |  FROM pqd1),
+       |pqasg1 AS (
+       |  SELECT s.vec_id, s.m, a.c, s.sv
+       |  FROM sub s JOIN pqa1 a ON a.vec_id = s.vec_id AND a.m = s.m AND a.rn = 1),
+       |pqmeans AS (
+       |  SELECT m, c, t.i AS i,
+       |    SUM(CAST(ROUND(sv[t.i] * 1000000) AS BIGINT)) AS s, COUNT(*) AS cnt
+       |  FROM pqasg1 CROSS JOIN range(1, $PqSubDim + 1) t(i)
+       |  GROUP BY m, c, t.i),
+       |pqcb AS (
+       |  SELECT m, c, list((CAST(s AS DOUBLE) / 1000000.0) / cnt ORDER BY i) AS cw
+       |  FROM pqmeans GROUP BY m, c),
+       |pqd2 AS (
+       |  SELECT s.vec_id, s.m, pqcb.c,
+       |    ROUND(list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> (s.sv[i] - pqcb.cw[i]) * (s.sv[i] - pqcb.cw[i]))), 6) AS d
+       |  FROM sub s JOIN pqcb ON pqcb.m = s.m),
+       |pqa2 AS (
+       |  SELECT vec_id, m, c,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+       |  FROM pqd2),
+       |codes AS (SELECT vec_id, m, c FROM pqa2 WHERE rn = 1),
+       |xhat AS (
+       |  SELECT codes.vec_id, flatten(list(pqcb.cw ORDER BY codes.m)) AS xh
+       |  FROM codes JOIN pqcb ON pqcb.m = codes.m AND pqcb.c = codes.c
+       |  GROUP BY codes.vec_id),
+       |xn AS (
+       |  SELECT vec_id, xh, sqrt(list_sum(list_transform(xh, x -> x * x))) AS xn
+       |  FROM xhat),
+       |cand AS (
+       |  SELECT p.query_id, a.nbr_id, p.qv, p.qn,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> p.qv[i] * x.xh[i])) / (p.qn * x.xn), 6) AS ap
+       |  FROM probes p
+       |  JOIN assigned a ON a.bucket = p.probe AND a.nbr_id <> p.query_id
+       |  JOIN xn x ON x.vec_id = a.nbr_id),
+       |short AS (
+       |  SELECT query_id, nbr_id, qv, qn,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ap DESC, nbr_id ASC) AS srk
+       |  FROM cand),
+       |rer AS (
+       |  SELECT s.query_id, s.nbr_id,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> s.qv[i] * c.v[i])) / (s.qn * c.nrm), 6) AS cosine
+       |  FROM short s JOIN n c ON c.vec_id = s.nbr_id
+       |  WHERE s.srk <= $PqShortlist),
+       |pq AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk
+       |    FROM rer)
+       |  WHERE rk <= $AnnTopK),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id >= 50 AND q.vec_id < 60 AND q.vec_id <> c.vec_id),
+       |exact AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $AnnTopK),
+       |matched AS (
+       |  SELECT e.query_id, COUNT(*) AS n_matched
+       |  FROM exact e
+       |  WHERE EXISTS (SELECT 1 FROM pq p
+       |                WHERE p.query_id = e.query_id AND p.nbr_id = e.nbr_id)
+       |  GROUP BY e.query_id)
+       |SELECT q.vec_id AS query_id,
+       |  COALESCE(m.n_matched, 0) AS n_matched,
+       |  CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / $AnnTopK AS recall
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 50 AND vec_id < 60) q
+       |LEFT JOIN matched m ON m.query_id = q.vec_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_hard_negatives — hard-negative mining for contrastive training
   // (in-batch negatives are mostly easy; the negatives that move a model
   // are the most-similar DIFFERENT-label examples). Search is LSH-bucketed
@@ -1114,6 +1350,7 @@ object SimilarityQueries {
     "q_ann_recall"     -> (annRecall _),
     "q_ann_incremental" -> (annIncremental _),
     "q_ann_pq"         -> (annPq _),
+    "q_ann_ivfpq"      -> (annIvfPq _),
     "q_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "q_hard_negatives" -> (hardNegatives _),
   )
@@ -1125,6 +1362,7 @@ object SimilarityQueries {
     "q_ann_recall"     -> annRecallSql,
     "q_ann_incremental" -> annIncrementalSql,
     "q_ann_pq"         -> annPqSql,
+    "q_ann_ivfpq"      -> annIvfPqSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_hard_negatives" -> hardNegativesSql,
   )

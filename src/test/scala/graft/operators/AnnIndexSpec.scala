@@ -141,4 +141,33 @@ class AnnIndexSpec extends SparkSpec {
       }
     } finally corpus.unpersist()
   }
+
+  test("composed IVFPQ index: cells hold codes not vectors; resume is a no-op") {
+    import SimilarityQueries.{PqM, NumCentroids}
+    val root = tmp()
+    val corpus = vecs64(0 until 300).cache()
+    try {
+      SimilarityQueries.buildIvfPqIndex(corpus, root)
+      // the inverted lists carry ONLY (vec_id, bucket, codes) — no raw
+      // vector column anywhere in the probe-side index
+      val cells = VersionedTable.read(spark, s"$root/cells")
+      assert(cells.columns.toSet == Set("vec_id", "bucket", "codes"),
+        cells.columns.mkString(","))
+      assert(cells.count() == 300)
+      val centIds = SimilarityQueries
+        .loadCentroids(spark, s"$root/centroids").map(_.id).toSet
+      assert(centIds.size <= NumCentroids)
+      val rows = cells.collect()
+      assert(rows.forall(r => centIds.contains(
+        r.getAs[Number]("bucket").intValue)))
+      assert(rows.forall(
+        _.getAs[scala.collection.Seq[Int]]("codes").length == PqM))
+      // crash-resume: a rebuild call writes nothing new
+      val versions = Seq("centroids", "codebooks", "cells").map(t =>
+        VersionedTable.latestVersion(spark, s"$root/$t"))
+      SimilarityQueries.buildIvfPqIndex(corpus, root)
+      assert(Seq("centroids", "codebooks", "cells").map(t =>
+        VersionedTable.latestVersion(spark, s"$root/$t")) == versions)
+    } finally corpus.unpersist()
+  }
 }
