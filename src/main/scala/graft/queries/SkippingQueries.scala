@@ -1388,14 +1388,16 @@ object SkippingQueries {
         col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
     MaterializedView.createJoined(spark, fact, dim,   // registers → fact v2
       Seq("l_partkey" -> "p_partkey"), mv, Seq("p_brand"), Seq("qty"))
-    if (VersionedTable.latestVersion(spark, dim).contains(1L))
-      VersionedTable.update(spark, dim, col("p_partkey") % 7 === 0,
-        Map("p_brand" -> lit("Brand#U7")))                            // dim v2
-    MaterializedView.refresh(spark, mv)  // dim-delta pass: groups re-key
+    // dim versions: v1 write, v2 = the dim-roster registration inside
+    // createJoined (the autoRefresh hook's reverse index)
     if (VersionedTable.latestVersion(spark, dim).contains(2L))
-      VersionedTable.delete(spark, dim, col("p_partkey") % 11 === 3)  // dim v3
+      VersionedTable.update(spark, dim, col("p_partkey") % 7 === 0,
+        Map("p_brand" -> lit("Brand#U7")))                            // dim v3
+    MaterializedView.refresh(spark, mv)  // dim-delta pass: groups re-key
     if (VersionedTable.latestVersion(spark, dim).contains(3L))
-      VersionedTable.append(                                          // dim v4
+      VersionedTable.delete(spark, dim, col("p_partkey") % 11 === 3)  // dim v4
+    if (VersionedTable.latestVersion(spark, dim).contains(4L))
+      VersionedTable.append(                                          // dim v5
         Tables.part(spark, dir).filter(col("p_partkey") % 11 === 3)
           .select(col("p_partkey"), lit("Brand#RE").as("p_brand")), dim)
     if (VersionedTable.latestVersion(spark, fact).contains(2L))

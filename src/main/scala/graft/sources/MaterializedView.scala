@@ -117,6 +117,19 @@ object MaterializedView {
     * so the view's watermark can equal the source head from version one. */
   val ViewsKey = "graft.mv.views"
 
+  /** DIM-side roster of join views that PIN this table — read ONLY by the
+    * `graft.mv.autoRefresh` post-commit hook (a dim commit then chains
+    * the view's refresh, whose dim-delta pass folds it in), deliberately
+    * NOT by the rewrite's candidate machinery: a dim-side ViewsKey entry
+    * would shadow the fact-first orientation the join matcher tries.
+    * Registered BEFORE the dim is pinned, so the roster commit can never
+    * stale the pin it precedes (the ForeignKeys.ReferencedByKey posture). */
+  val DimViewsKey = "graft.mv.dimViews"
+
+  private[graft] def dimViewsIn(props: Map[String, String]): Seq[String] =
+    props.get(DimViewsKey).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
   /** JOIN views (the star-schema dashboard shape): the view aggregates
     * `fact INNER JOIN dim ON fk = pk` instead of the bare fact. The FACT
     * is the [[SourceKey]] source (its change feed drives the incremental
@@ -359,6 +372,16 @@ object MaterializedView {
       groupKeyExprs: Map[String, String] = Map.empty): Long = {
     require(dims.nonEmpty && dims.forall(_._2.nonEmpty),
       "join materialized view needs at least one dimension with join keys")
+    // register on every DIM's roster FIRST: the roster commit bumps the
+    // dim, so doing it before the pins are read means it can never stale
+    // the pin it precedes — and the dim's own autoRefresh hook can then
+    // chain this view's refresh when the dim commits
+    dims.foreach { case (dimPath, _) =>
+      val roster = dimViewsIn(VersionedTable.propertiesOf(spark, dimPath))
+      if (!roster.contains(mvPath))
+        VersionedTable.setProperties(spark, dimPath,
+          Map(DimViewsKey -> (roster :+ mvPath).mkString(",")))
+    }
     val joins = pinAndValidate(spark, factPath, dims,
       s"create over $factPath ⋈ ${dims.map(_._1).mkString(" ⋈ ")}")
     createImpl(spark, factPath, mvPath, groupBy, sumCols, minMaxCols,

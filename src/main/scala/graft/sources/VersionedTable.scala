@@ -5047,10 +5047,16 @@ object VersionedTable {
 
   private def autoRefreshViewsAfter(spark: SparkSession, path: String,
       props: Map[String, String]): Unit = {
-    if (boolProp(props, MvAutoRefreshKey))
+    if (boolProp(props, MvAutoRefreshKey)) {
       MaterializedView.viewsIn(props).foreach { mv =>
         scala.util.Try(MaterializedView.refresh(spark, mv))
       }
+      // a DIM's commit chains the join views pinning it — the refresh's
+      // dim-delta pass folds the change feed in incrementally
+      MaterializedView.dimViewsIn(props).foreach { mv =>
+        scala.util.Try(MaterializedView.refresh(spark, mv))
+      }
+    }
     autoRepinAfter(spark, path, props)
   }
 

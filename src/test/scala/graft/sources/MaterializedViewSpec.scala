@@ -268,6 +268,44 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!fresh(), "auto-refresh must stay opt-in")
   }
 
+  test("graft.mv.autoRefresh on a DIM: dim commits chain the join views pinning it") {
+    val base = tmp(); val fact = base + "/fact"; val dim = base + "/dim"
+    val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 60L).map(i => (i, i % 5, i)).toDF("id", "k", "v"), fact,
+      statsCols = Seq("id"))
+    VersionedTable.write(
+      (0L to 4L).map(k => (k, "r" + k % 2)).toDF("k", "g"), dim,
+      statsCols = Seq("k"))
+    MaterializedView.createJoined(spark, fact, dim, Seq("k" -> "k"), mv,
+      Seq("g"), Seq("v"))
+    VersionedTable.setProperties(spark, dim,
+      Map(VersionedTable.MvAutoRefreshKey -> "true"))
+    def truth(): Map[String, (Long, Long)] =
+      VersionedTable.read(spark, fact)
+        .join(VersionedTable.read(spark, dim), Seq("k"))
+        .groupBy(col("g")).agg(count(lit(1)), sum(col("v")))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def view(): Map[String, (Long, Long)] =
+      VersionedTable.read(spark, mv).collect().map(r =>
+        r.getAs[String]("g") -> (r.getAs[Long]("mv_count"),
+          r.getAs[Long]("sum_v"))).toMap
+    // a dim UPDATE chains refresh through the DIM-side roster: the
+    // dim-delta pass folds it in with NO manual verb anywhere
+    VersionedTable.update(spark, dim, col("k") === 2L,
+      Map("g" -> lit("rX")))
+    assert(view() == truth(), "dim update must auto-refresh the join view")
+    assert(view().contains("rX"))
+    // and a dim APPEND matching existing fact rows... needs a dangling
+    // fact key first — append the fact row, refresh manually (the FACT
+    // has no autoRefresh), then the dim row arrives and chains
+    VersionedTable.append(Seq((100L, 9L, 50L)).toDF("id", "k", "v"), fact)
+    MaterializedView.refresh(spark, mv)
+    VersionedTable.append(Seq((9L, "rNEW")).toDF("k", "g"), dim)
+    assert(view() == truth(), "dim append must auto-refresh the join view")
+    assert(view().contains("rNEW"))
+  }
+
   test("maintainStream: a live query keeps the view fresh across external DML, exactly once") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     val ckpt = base + "/ckpt"

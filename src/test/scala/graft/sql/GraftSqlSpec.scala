@@ -1147,7 +1147,7 @@ class GraftSqlSpec extends SparkSpec {
     // DESCRIBE DETAIL shows the pinned dim and its live state
     def mvJoinFact() = spark.sql(s"DESCRIBE DETAIL graft.`$mv`")
       .collect().head.getAs[String]("mv_join")
-    assert(mvJoinFact() == s"$dim@1(fk=pk)[armed]", mvJoinFact())
+    assert(mvJoinFact() == s"$dim@2(fk=pk)[armed]", mvJoinFact())
     // dim motion: plain REFRESH folds the dim's change feed in
     // incrementally (the SQL verb rides the same refresh(); the pin
     // advances atomically with the merge and re-arms the DESCRIBE state)
@@ -1157,7 +1157,7 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
     assert(viewNow() == expect())
     assert(viewNow().contains("bNEW"))
-    assert(mvJoinFact() == s"$dim@2(fk=pk)[armed]", mvJoinFact())
+    assert(mvJoinFact() == s"$dim@3(fk=pk)[armed]", mvJoinFact())
     // FULL remains the explicit rebuild verb
     spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv` FULL")
     assert(viewNow() == expect())
