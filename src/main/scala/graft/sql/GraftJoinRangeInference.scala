@@ -66,8 +66,11 @@ private[sql] object GraftStats {
   * must be relation-level columns of the SAME type (attribute-only
   * projects, filters allowed); the conjunct is injected only on a STRICT
   * narrowing (equal-range star joins are untouched, so healthy schemas
-  * see zero plan churn), and only once (semantically-equal conjuncts
-  * already on the side are detected — fixpoint-idempotent). Runs LAST in
+  * see zero plan churn), and only once (ANY literal range conjunct
+  * already on the key — a prior iteration's injection, or the user's own
+  * filter, which informs skipping equally well — suppresses the pair
+  * before any bound lookup; bounds themselves memoize per (relation,
+  * column), so fixpoint re-visits cost O(1)). Runs LAST in
   * the extension list so the strictly-better whole-operator rewrites (MV,
   * elimination, eager agg) see the un-annotated shape first. Disable with
   * `spark.graft.joinRange.enabled=false`. */
@@ -76,6 +79,21 @@ case class GraftJoinRangeInference(spark: SparkSession)
 
   private def enabled: Boolean = spark.sessionState.conf
     .getConfString("spark.graft.joinRange.enabled", "true").toBoolean
+
+  /** Per-(relation, column) bound memo: `minMaxOf` folds O(files) manifest
+    * stats per call, and the optimizer fixpoint re-runs this rule dozens
+    * of times per query — the memo makes every re-visit O(1). Keyed
+    * WEAKLY by the relation's own minMaxOf closure (one per
+    * GraftFileIndex), so entries die with their snapshot. */
+  private val boundsMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[String => Option[(Any, Any)],
+      scala.collection.concurrent.TrieMap[String, Option[(Any, Any)]]]())
+
+  private def boundsOf(mm: String => Option[(Any, Any)],
+      column: String): Option[(Any, Any)] =
+    boundsMemo
+      .computeIfAbsent(mm, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(column, mm(column))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -139,10 +157,20 @@ case class GraftJoinRangeInference(spark: SparkSession)
             Some((y, x))
           else None
         pair.toSeq.flatMap { case (a, b) =>
-          if (a.dataType != b.dataType) Nil
+          // fast idempotence: a range conjunct on this key already sits on
+          // the side (a prior iteration's injection) — skip before any
+          // bound lookup
+          val already = tConds.exists {
+            case GreaterThanOrEqual(at: AttributeReference, _: Literal) =>
+              at.exprId == a.exprId
+            case LessThanOrEqual(at: AttributeReference, _: Literal) =>
+              at.exprId == a.exprId
+            case _ => false
+          }
+          if (already || a.dataType != b.dataType) Nil
           else scala.util.Try {
-            (tNames.get(a.exprId).flatMap(tMM(_)),
-              oNames.get(b.exprId).flatMap(oMM(_))) match {
+            (tNames.get(a.exprId).flatMap(boundsOf(tMM, _)),
+              oNames.get(b.exprId).flatMap(boundsOf(oMM, _))) match {
               case (Some((tLo, tHi)), Some((oLo, oHi))) =>
                 val lo =
                   if (ord.gt(oLo, tLo))
