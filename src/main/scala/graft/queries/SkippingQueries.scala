@@ -408,6 +408,124 @@ object SkippingQueries {
       |FROM lineitem JOIN dim ON l_partkey = p_partkey
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_topk_prune — TOP-K FILE PRUNING under the oracle gate: `ORDER BY ts
+  // DESC LIMIT 100` over a time-clustered table proves a threshold from
+  // the manifest (shortest file prefix by bound with ≥ 100 non-null rows)
+  // and reads only the newest band — asserted in-query BOTH ways (the
+  // injected `ts >= τ` conjunct in the optimized plan, and the physical
+  // scan actually selecting fewer files). DuckDB sorts everything. The
+  // event_id tiebreak makes the top-100 SET deterministic on both sides.
+  // --------------------------------------------------------------------------
+  private def topkPath(dir: String): String =
+    cachedFixturePath(dir, "topk_v2", "events.parquet")
+
+  def topkPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = topkPath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("value"))
+          .repartitionByRange(16, col("ts")), // time-clustered: each file
+        path, statsCols = Seq("ts"))          // covers a narrow ts band
+    val t = VersionedTable.read(spark, path)
+    val out = t.orderBy(col("ts").desc, col("event_id").asc).limit(100)
+    import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val injected = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) if c.exists {
+        case GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+            if a.name == "ts" => true
+        case _ => false
+      } => c
+    }
+    require(injected.nonEmpty,
+      "q_topk_prune: expected a manifest-proved ts >= τ conjunct below " +
+        s"the Sort; optimized plan:\n${out.queryExecution.optimizedPlan}")
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read < 16,
+      s"q_topk_prune: expected the threshold to prune files, read $read/16")
+    out
+  }
+
+  val topkPruneSql: String =
+    """SELECT event_id, ts, value FROM events
+      |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_dpp — RUNTIME dynamic partition pruning through the graft FileIndex:
+  // joining a hive-partitioned graft fact on its partition column against
+  // a dim filtered on a NON-join column (so no static rule can pre-compute
+  // the surviving partitions) plants Spark's own DynamicPruningExpression
+  // in the scan — at execution the dim's actual keys prune partition
+  // directories before any fact file opens. Static DPP (join-range
+  // inference) covers plan-time-provable bounds; this row proves the
+  // RUNTIME path composes with graft's manifest listing. The gated query
+  // asserts the dynamic filter in the physical scan; DuckDB executes the
+  // plain join.
+  // --------------------------------------------------------------------------
+  private def dppFactPath(dir: String): String =
+    cachedFixturePath(dir, "dppfact_v1", "events.parquet")
+  private def dppDimPath(dir: String): String =
+    cachedFixturePath(dir, "dppdim_v1", "events.parquet")
+
+  def dppRuntime(spark: SparkSession, dir: String): DataFrame = {
+    val fact = dppFactPath(dir)
+    val dim = dppDimPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.format("graft-table").partitionBy("event_type").save(fact)
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(
+        Tables.events(spark, dir).select(col("event_type")).distinct()
+          .withColumn("tl", length(col("event_type"))), dim)
+    val f = spark.read.format("graft-table").load(fact)
+    // tl = 5 keeps {click, error}: 2 of the 5 partition dirs — and only
+    // the executed dim rows can say which two
+    val d = VersionedTable.read(spark, dim).filter(col("tl") === 5)
+      .select(col("event_type"))
+    val out = f.join(d, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val dyn = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.output.exists(_.name == "user_id") =>
+        s.partitionFilters.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+    }
+    require(dyn.nonEmpty && dyn.forall(identity),
+      "q_dpp: expected a DynamicPruningExpression partition filter on the " +
+        s"fact scan; physical plan:\n$physical")
+    out
+  }
+
+  val dppRuntimeSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type FROM events WHERE LENGTH(event_type) = 5)
+      |SELECT e.event_type, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   def mergeTablePath(dir: String): String = cachedTablePath(dir, "sqlmerge_v1")
 
   /** Idempotently build a keep-latest table with REAL SQL MERGE: seed with
@@ -2048,7 +2166,9 @@ object SkippingQueries {
     "q_partitioned_scan" -> (partitionedScan _),
     "q_part_census" -> (partCensus _),
     "q_part_census_derived" -> (partCensusDerived _),
-    "q_join_range" -> (joinRange _))
+    "q_join_range" -> (joinRange _),
+    "q_topk_prune" -> (topkPrune _),
+    "q_dpp" -> (dppRuntime _))
 
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
@@ -2090,5 +2210,7 @@ object SkippingQueries {
     "q_partitioned_scan" -> partitionedScanSql,
     "q_part_census" -> partCensusSql,
     "q_part_census_derived" -> partCensusDerivedSql,
-    "q_join_range" -> joinRangeSql)
+    "q_join_range" -> joinRangeSql,
+    "q_topk_prune" -> topkPruneSql,
+    "q_dpp" -> dppRuntimeSql)
 }

@@ -1048,6 +1048,18 @@ object VersionedTable {
       props: Map[String, String] = Map.empty): (Path, Seq[String]) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dir = new Path(root, s"d-$token")
+    // graft data files carry TIMESTAMP columns as annotated INT64 MICROS,
+    // never Spark's legacy INT96 default: INT96 chunks record NO min/max
+    // stats, which would silently exempt every timestamp column from
+    // manifest data skipping, metadata MIN/MAX, join-range inference and
+    // top-k pruning — on a time-clustered 100 TB fact, exactly the column
+    // those rules exist for. Session-conf scoped to this one write job
+    // (the only way Spark exposes it) and restored on every exit path;
+    // readers handle INT96 and MICROS files side-by-side, so pre-existing
+    // tables keep working and simply gain stats on their next rewrite.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = df.sparkSession.conf.get(tsKey)
+    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
     try {
       val physical0 =
         if (colMap.isEmpty) df
@@ -1099,7 +1111,7 @@ object VersionedTable {
         // leave a half-staged dir for vacuum to babysit
         scala.util.Try(f.delete(dir, true))
         throw e
-    }
+    } finally df.sparkSession.conf.set(tsKey, tsPrev)
     val names = listParquetRec(f, dir).sorted
     // bucketed stage: tag each file with its writer-partition ordinal in
     // Spark's bucketed-file format (`..._%05d` before the extension) —
@@ -2587,7 +2599,21 @@ object VersionedTable {
           case Some(st)
               if st.min.isEmpty || st.max.isEmpty || st.inexact => None
           case Some(st) => Some(Some((st.min.get, st.max.get)))
-        })
+        },
+      // exact per-(file, column) live NON-NULL count — the top-k prune
+      // rule's counting side. DV marks could have removed either null or
+      // non-null rows, so marked files answer nothing; a footer whose
+      // chunk null counts were partially unset recorded neither bounds
+      // nor allNulls, so requiring one of those keeps numNulls exact.
+      // (Truncated string bounds taint only the BOUNDS — the null count
+      // underneath is still exact, so `inexact` stats still count.)
+      fileNonNullOf = (fk, column) =>
+        if (c.dvRows.getOrElse(fk, 0L) > 0L) None
+        else for {
+          rows <- c.rows.get(fk)
+          st <- c.stats.get(fk).flatMap(_.get(column))
+          if st.allNulls || (st.min.isDefined && st.max.isDefined)
+        } yield if (st.allNulls) 0L else rows - st.numNulls)
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file

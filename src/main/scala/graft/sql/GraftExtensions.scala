@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounds when they strictly narrow its own — pushdown carries them
     // into the scan, where data skipping prunes fact files
     ext.injectOptimizerRule(session => GraftJoinRangeInference(session))
+    // top-k file pruning: ORDER BY c LIMIT k proves a threshold from the
+    // manifest (shortest file prefix by bound with ≥ k non-null values)
+    // and injects it below the Sort — the scan reads only files that can
+    // still contribute to the top k
+    ext.injectOptimizerRule(session => GraftTopKPruning(session))
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM /
     // RESTORE / DESCRIBE HISTORY) — everything else delegates verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))

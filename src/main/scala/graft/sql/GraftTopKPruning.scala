@@ -1,0 +1,161 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.GraftBatchShim
+
+/** TOP-K FILE PRUNING from manifest bounds — `ORDER BY c LIMIT k` over a
+  * graft table scans only the files that can still contribute to the
+  * answer. The manifest holds, per file, the column's exact min/max and
+  * its exact non-null value count; sorting files by their BOUND (min for
+  * DESC, max for ASC) and taking the shortest prefix whose non-null
+  * counts sum to ≥ k proves a threshold τ with "at least k non-null
+  * values sit past τ" — so every row of the global top-k lies past τ,
+  * and the rule injects `c >= τ` (DESC) / `c <= τ` (ASC) below the Sort.
+  * Spark's own pushdown carries the conjunct into the scan, where
+  * manifest data skipping drops whole files and parquet row-group
+  * pruning drops pages inside the survivors. On a 100 TB time-ordered
+  * fact, `ORDER BY ts DESC LIMIT 100` falls from "read everything, keep
+  * a k-heap per task" to "read the newest file or two" — the same
+  * manifest arithmetic a LIMIT-pushdown in a native engine does, framed
+  * so Catalyst's TakeOrderedAndProject still runs unchanged on top.
+  *
+  * SOUNDNESS. The injected filter keeps a SUPERSET of every possible
+  * top-k selection, for all four direction/null-order combos:
+  *  - the prefix proof gives ≥ k non-null values past τ, so the k-th
+  *    most extreme value v_k is past τ, and every selectable non-null
+  *    row (ties included) is past v_k, hence past τ;
+  *  - NULLS LAST: nulls can only be selected when fewer than k non-null
+  *    rows exist, which the proof excludes — dropping them is safe;
+  *  - NULLS FIRST: nulls sort ahead and must survive, so the conjunct
+  *    widens to `cmp OR c IS NULL` (files that are all-null on c keep
+  *    their stats-pruner exemption: a numNulls > 0 file never prunes on
+  *    a null-tolerant predicate).
+  * The Sort + Limit stay in the plan and recompute the exact top-k over
+  * the filtered rows — the rule never changes semantics, only input.
+  *
+  * EXACT-OR-DECLINE posture: only files whose manifest stats answer
+  * exactly (no DV marks, no truncated bounds, footer null counts set)
+  * participate in the prefix proof — opaque files are simply never
+  * counted and never pruned. Declines: a Filter anywhere between Sort
+  * and scan (its selectivity would invalidate the count — and the
+  * decline doubles as fixpoint idempotence, since the rule's own
+  * injection lands exactly there), non-attribute sort keys, partition
+  * columns (no footer stats; the census rules own those), fewer than k
+  * provable non-null values, and thresholds that would not prune any
+  * file (zero plan churn on un-clustered data). Per-(column, k,
+  * direction) results memoize on the relation's stats closure, so the
+  * optimizer fixpoint re-visits cost O(1). Disable with
+  * `spark.graft.topk.enabled=false`. */
+case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean = spark.sessionState.conf
+    .getConfString("spark.graft.topk.enabled", "true").toBoolean
+
+  /** Memo: stats-closure → (column, k, desc, nullsFirst) → injectable
+    * bound in the stats domain (None = proved undecidable/unprofitable).
+    * Weakly keyed so entries die with their snapshot relation. */
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef,
+      scala.collection.concurrent.TrieMap[(String, Int, Boolean), Option[Any]]]())
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case g @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(IntegerLiteral(k2), inner)) if k == k2 && k > 0 =>
+        val rewritten = inner match {
+          case s: Sort => prune(s, k).map(ns => ll.copy(child = ns))
+          case p @ Project(_, s: Sort) =>
+            prune(s, k).map(ns => ll.copy(child = p.copy(child = ns)))
+          case _ => None
+        }
+        rewritten.fold(g: LogicalPlan)(nc => g.copy(child = nc))
+    }
+  }
+
+  /** The Sort with the threshold filter injected below it, when the
+    * manifest proves one that prunes — None otherwise. */
+  private def prune(s: Sort, k: Int): Option[Sort] = s match {
+    case Sort(SortOrder(a: AttributeReference, dir, nullOrd, _) +: _,
+        true, child, _) =>
+      val (files, mm, nn, names) = scanOf(child).getOrElse(return None)
+      val column = names.get(a.exprId).getOrElse(return None)
+      val desc = dir == Descending
+      val bound = memo
+        .computeIfAbsent(mm, _ => scala.collection.concurrent.TrieMap.empty)
+        .getOrElseUpdate((column, k, desc),
+          thresholdOf(files, mm, nn, column, k, desc))
+      bound.flatMap(GraftStats.internalOf(_, a.dataType)).map { v =>
+        val cmp =
+          if (desc) GreaterThanOrEqual(a, Literal(v, a.dataType))
+          else LessThanOrEqual(a, Literal(v, a.dataType))
+        val cond =
+          if (nullOrd == NullsFirst) Or(cmp, IsNull(a)) else cmp
+        s.copy(child = Filter(cond, child))
+      }
+    case _ => None
+  }
+
+  /** Descend from the Sort's child to a graft relation through
+    * attribute-only Projects (a Filter or anything else declines), keeping
+    * the exprId → relation-column-name pairing. Partition columns carry no
+    * footer stats, so they fall out naturally via the per-file hooks. */
+  private def scanOf(plan: LogicalPlan): Option[(Seq[String],
+      (String, String) => Option[Option[(Any, Any)]],
+      (String, String) => Option[Long], Map[ExprId, String])] =
+    GraftBatchShim.topkStatsOf(plan) match {
+      case Some((files, mm, nn)) =>
+        Some((files, mm, nn, plan.output.map(a => a.exprId -> a.name).toMap))
+      case None => plan match {
+        case Project(items, child)
+            if items.forall(_.isInstanceOf[AttributeReference]) =>
+          scanOf(child).map { case (files, mm, nn, names) =>
+            val out = items.map(_.asInstanceOf[AttributeReference].exprId).toSet
+            (files, mm, nn, names.filter(kv => out(kv._1)))
+          }
+        case _ => None
+      }
+    }
+
+  /** The stats-domain threshold: sort provable files by their bound
+    * (min DESC for a descending sort, max ASC for ascending), take the
+    * shortest prefix with ≥ k non-null values, answer the last taken
+    * file's bound — and only when at least one provable file falls
+    * entirely past it (so the injection actually prunes). */
+  private def thresholdOf(files: Seq[String],
+      mm: (String, String) => Option[Option[(Any, Any)]],
+      nn: (String, String) => Option[Long],
+      column: String, k: Int, desc: Boolean): Option[Any] =
+    scala.util.Try {
+      val ord = graft.sources.DataSkipping.statOrdering
+      // (bound-to-sort-by, far-edge, non-null count) per provable file
+      val cands = files.flatMap { fk =>
+        for {
+          b <- mm(fk, column).flatten
+          c <- nn(fk, column)
+          if c > 0L
+        } yield if (desc) (b._1, b._2, c) else (b._2, b._1, c)
+      }
+      val sorted =
+        if (desc) cands.sortBy(_._1)(ord.reverse) else cands.sortBy(_._1)(ord)
+      var need = k.toLong
+      var tau: Option[Any] = None
+      val it = sorted.iterator
+      while (need > 0 && it.hasNext) {
+        val (bound, _, c) = it.next()
+        need -= c
+        tau = Some(bound)
+      }
+      if (need > 0) None
+      else tau.filter { t =>
+        // profitable: some provable file lies entirely past the threshold
+        // (its far edge is strictly outside the kept range)
+        sorted.exists { case (_, far, _) =>
+          if (desc) ord.lt(far, t) else ord.gt(far, t)
+        }
+      }
+    }.toOption.flatten
+}

@@ -97,8 +97,18 @@ private[graft] class GraftFileIndex(
       * `Some(Some((min, max)))`. Powers per-partition MIN/MAX of DATA
       * columns in the census rewrite. */
     val fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]] =
-      (_, _) => None)
+      (_, _) => None,
+    /** EXACT live NON-NULL value count per (file, column) — rows minus the
+      * footer's null count. None when the file cannot answer exactly (DV
+      * marks may have removed either kind of row; partial footer stats
+      * make the null count itself unreliable). Powers the top-k prune
+      * rule's "≥ k values past the threshold" proof. */
+    val fileNonNullOf: (String, String) => Option[Long] = (_, _) => None)
     extends FileIndex {
+
+  /** The manifest's live file keys — the top-k prune rule's iteration
+    * domain (per-file hooks above are keyed by these). */
+  def liveFiles: Seq[String] = allFiles
 
   override val rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = partSchema
@@ -175,7 +185,7 @@ private[graft] class GraftFileIndex(
     // seeing the view roster on exactly the filtered plans estimation touches
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
-      snapshotVersion, fkProps, fileRows, fileMinMaxOf) {
+      snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -481,7 +491,8 @@ object GraftBatchShim {
       fkProps: Map[String, String] = Map.empty,
       fileRows: Map[String, Long] = Map.empty,
       fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]] =
-        (_, _) => None)
+        (_, _) => None,
+      fileNonNullOf: (String, String) => Option[Long] = (_, _) => None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -497,7 +508,7 @@ object GraftBatchShim {
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
-        fileRows, fileMinMaxOf),
+        fileRows, fileMinMaxOf, fileNonNullOf),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -614,6 +625,21 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         g.partitionCensus.map(c => (g.partitionSchema, c, g.fileMinMaxOf))
+      case _ => None
+    }
+
+  /** Top-k prune hooks of a graft snapshot relation node: (live file
+    * keys, per-(file, column) exact bounds, per-(file, column) exact
+    * non-null counts) — what [[graft.sql.GraftTopKPruning]] needs to
+    * prove "at least k non-null values sit past this threshold" from the
+    * manifest alone. None when the node is not a graft relation. */
+  def topkStatsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(Seq[String],
+        (String, String) => Option[Option[(Any, Any)]],
+        (String, String) => Option[Long])] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some((g.liveFiles, g.fileMinMaxOf, g.fileNonNullOf))
       case _ => None
     }
 

@@ -165,17 +165,15 @@ class DataSkippingSpec extends SparkSpec {
         make_dt_interval(lit(0), col("id").cast("int") / 10)).as("ts"),
       col("id"))
     // Spark's DEFAULT parquet timestamp encoding is INT96, which carries NO
-    // usable chunk statistics — a ts column then conservatively never
-    // prunes. Cluster-at-scale tables should write INT64 micros; do so here
-    // (and assert the INT96 fallback below).
+    // usable chunk statistics — graft's stage() therefore pins every data
+    // write to annotated INT64 MICROS regardless of the session conf, so
+    // timestamp columns always carry skippable bounds (and the session
+    // setting is untouched afterwards).
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val savedTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try VersionedTable.write(df.repartitionByRange(4, col("id")), path, Seq("d", "ts"))
-    finally savedTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
-    }
+    VersionedTable.write(df.repartitionByRange(4, col("id")), path, Seq("d", "ts"))
+    assert(spark.conf.getOption(tsKey) == savedTs,
+      "stage() must restore the session's outputTimestampType")
     // date equality: only the file whose day range admits it survives
     val dEq = col("d") === lit(java.sql.Date.valueOf("2026-01-15"))
     val (kd, sd) = VersionedTable.pruneInfo(spark, path, dEq)
@@ -191,9 +189,14 @@ class DataSkippingSpec extends SparkSpec {
     val (k2, s2) = VersionedTable.pruneInfo(spark, path,
       col("d") === lit(java.sql.Date.valueOf("2030-01-01")))
     assert(k2.isEmpty && s2.size == 4)
-    // INT96 (Spark's default) leaves ts without bounds: conservative keep-all
+    // INT96 still arrives via CONVERT of foreign parquet (graft itself
+    // never writes it): no usable bounds → conservative keep-all
     val p96 = java.nio.file.Files.createTempDirectory("skipts96").toString + "/t"
-    VersionedTable.write(df.repartitionByRange(4, col("id")), p96, Seq("ts"))
+    // hive-style dir so root schema inference (and thus CONVERT) works
+    df.repartitionByRange(4, col("id")).write.parquet(p96 + "/b=0")
+    assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96",
+      "this fallback test needs the session default (INT96) in force")
+    VersionedTable.convertToGraft(spark, p96, statsCols = Seq("ts"))
     val tsGe96 = col("ts") >= lit(java.sql.Timestamp.valueOf("2026-01-01 15:00:00"))
     val (k96, s96) = VersionedTable.pruneInfo(spark, p96, tsGe96)
     assert(k96.size == 4 && s96.isEmpty, "INT96 stats must disable pruning, not break it")
@@ -201,10 +204,11 @@ class DataSkippingSpec extends SparkSpec {
   }
 
   test("TIMESTAMP_MILLIS footer stats rescale to the micros literal domain") {
-    // outputTimestampType=TIMESTAMP_MILLIS records INT64 millis in the
-    // footer while analyzed literals are Spark-internal MICROS; without the
-    // unit rescale `ts >= X` compared max-in-millis against a micros
-    // literal and pruned EVERY file — files with matching rows included
+    // TIMESTAMP_MILLIS footers (CONVERTed foreign parquet — graft's own
+    // writes are pinned to MICROS) record INT64 millis while analyzed
+    // literals are Spark-internal MICROS; without the unit rescale
+    // `ts >= X` compared max-in-millis against a micros literal and
+    // pruned EVERY file — files with matching rows included
     val path = java.nio.file.Files.createTempDirectory("skiptsms").toString + "/t"
     val df = spark.range(0, 200).select(
       (lit("2026-01-01 00:00:00").cast("timestamp") +
@@ -213,11 +217,12 @@ class DataSkippingSpec extends SparkSpec {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val savedTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MILLIS")
-    try VersionedTable.write(df.repartitionByRange(4, col("id")), path, Seq("ts"))
+    try df.repartitionByRange(4, col("id")).write.parquet(path + "/b=0")
     finally savedTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
+    VersionedTable.convertToGraft(spark, path, statsCols = Seq("ts"))
     val tsGe = col("ts") >= lit(java.sql.Timestamp.valueOf("2026-01-01 15:00:00"))
     val (kt, st) = VersionedTable.pruneInfo(spark, path, tsGe)
     assert(kt.nonEmpty, "millis stats must not prune files that hold matching rows")
