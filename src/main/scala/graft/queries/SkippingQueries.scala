@@ -1121,6 +1121,78 @@ object SkippingQueries {
     mv
   }
 
+  // --------------------------------------------------------------------------
+  // q_mv_distinct — EXACT incremental COUNT(DISTINCT) in a materialized
+  // view: the per-(group, value) helper table absorbs each refresh's
+  // signed delta and touched groups recount from it, so the stored
+  // ndv_user_id stays exact through a DELETE (removing some users' last
+  // rows), an APPEND (new users + duplicates), and an UPDATE that REKEYS
+  // user ids (the value-swap every other aggregate cancels on — count,
+  // sum, non-null count all net zero — but the distinct multiset moves).
+  // The gated query aggregates over the SOURCE and requires GraftMvRewrite
+  // to answer it from the view (COUNT(DISTINCT) rewrites under exact
+  // grouping only); DuckDB replays the three DML statements as set logic
+  // over raw events and aggregates for real.
+  // --------------------------------------------------------------------------
+  private def mvDistSourcePath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvdistsrc_v1", "events.parquet")
+  private def mvDistViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvdistview_v1", "events.parquet")
+
+  def ensureDistinctMv(spark: SparkSession, dir: String): String = {
+    val src = mvDistSourcePath(dir)
+    val mv = mvDistViewPath(dir)
+    if (VersionedTable.latestVersion(spark, src).isEmpty)
+      VersionedTable.write(Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("user_id")),
+        src, statsCols = Seq("event_id"))                            // src v1
+    MaterializedView.create(spark, src, mv, // registers on src → src v2
+      Seq("event_type"), Nil, Nil, where = None, partitionBy = Nil,
+      distinctCols = Seq("user_id"))        // idempotent resume
+    if (VersionedTable.latestVersion(spark, src).contains(2L))
+      VersionedTable.delete(spark, src, col("user_id") % 7 === 0)    // src v3
+    MaterializedView.refresh(spark, mv)        // applies the delete delta
+    if (VersionedTable.latestVersion(spark, src).contains(3L))
+      VersionedTable.append(Tables.events(spark, dir)                // src v4
+        .filter(col("user_id") % 3 === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") + 500L).as("user_id")), src)
+    MaterializedView.refresh(spark, mv)        // applies the append delta
+    if (VersionedTable.latestVersion(spark, src).contains(4L))
+      spark.sql(s"UPDATE graft.`$src` SET user_id = user_id + 1000 " +
+        "WHERE event_id % 11 = 0")             // the distinct-only swap: v5
+    MaterializedView.refresh(spark, mv)        // applies the update delta
+    mv
+  }
+
+  def mvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val mv = ensureDistinctMv(spark, dir)
+    val src = mvDistSourcePath(dir)
+    val out = VersionedTable.read(spark, src)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(src),
+      s"q_mv_distinct: expected the exact-grouping COUNT(DISTINCT) over " +
+        s"$src to answer from the fresh view $mv; plan scans $roots")
+    out
+  }
+
+  val mvDistinctSql: String =
+    """WITH s1 AS (SELECT event_id, event_type, user_id FROM events),
+      |s2 AS (SELECT * FROM s1 WHERE user_id % 7 <> 0),
+      |s3 AS (SELECT * FROM s2 UNION ALL
+      |  SELECT event_id, event_type, user_id + 500 FROM events
+      |  WHERE user_id % 3 = 0),
+      |s4 AS (SELECT event_type,
+      |  CASE WHEN event_id % 11 = 0 THEN user_id + 1000
+      |       ELSE user_id END AS user_id FROM s3)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM s4 GROUP BY 1""".stripMargin
+
   def incrementalMv(spark: SparkSession, dir: String): DataFrame = {
     val mv = ensureMv(spark, dir)
     VersionedTable.read(spark, mv)
@@ -2168,7 +2240,8 @@ object SkippingQueries {
     "q_part_census_derived" -> (partCensusDerived _),
     "q_join_range" -> (joinRange _),
     "q_topk_prune" -> (topkPrune _),
-    "q_dpp" -> (dppRuntime _))
+    "q_dpp" -> (dppRuntime _),
+    "q_mv_distinct" -> (mvDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
@@ -2212,5 +2285,6 @@ object SkippingQueries {
     "q_part_census_derived" -> partCensusDerivedSql,
     "q_join_range" -> joinRangeSql,
     "q_topk_prune" -> topkPruneSql,
-    "q_dpp" -> dppRuntimeSql)
+    "q_dpp" -> dppRuntimeSql,
+    "q_mv_distinct" -> mvDistinctSql)
 }

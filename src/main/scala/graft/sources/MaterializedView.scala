@@ -224,6 +224,33 @@ object MaterializedView {
   def minColName(c: String): String = s"min_$c"
   def maxColName(c: String): String = s"max_$c"
   def nnColName(c: String): String = s"nn_$c"
+  def ndvColName(c: String): String = s"ndv_$c"
+
+  /** Columns maintained as EXACT `COUNT(DISTINCT col)` (comma-separated).
+    * Unlike COUNT/SUM, a distinct count is not a signed-delta fold — a
+    * deleted row only moves it when it was the value's LAST occurrence in
+    * its group — so each column keeps a companion HELPER table
+    * ([[distinctHelperPath]]) of (group keys, value, occurrence count)
+    * rows, itself maintained by the same signed delta; the view's
+    * `ndv_<col>` then repairs per TOUCHED group by counting the group's
+    * live helper rows (a key-filtered scan of the helper — the helper is
+    * already one row per distinct value, never per source row). NULL
+    * values are ignored, matching SQL COUNT(DISTINCT). Join views refuse
+    * distinct columns (a dim delta would need per-slice helper replay —
+    * undefined against two independently-moving watermarks). */
+  val DistinctColsKey = "graft.mv.distinctCols"
+
+  /** Present on a HELPER table: the distinct column it tracks. Helpers
+    * carry [[SourceKey]] → the VIEW path, which arms the content write
+    * fence for free; this marker makes refresh/DESCRIBE tell them apart
+    * from real views. */
+  val HelperOfKey = "graft.mv.helperOf"
+
+  /** The helper's occurrence-count column. */
+  val HelperCntCol = "mv_cnt"
+
+  def distinctHelperPath(mvPath: String, c: String): String =
+    mvPath.stripSuffix("/") + s"_distinct_$c"
 
   /** Diagnostic: number of per-group MIN/MAX repair scans refresh has run
     * (spec-asserts that folds never scan the source and that an
@@ -231,15 +258,27 @@ object MaterializedView {
   val repairScans = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def aggFrame(src: DataFrame, groupBy: Seq[String],
-      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String], minMaxCols: Seq[String],
+      distinctCols: Seq[String] = Nil): DataFrame = {
     val nnCols = (sumCols ++ minMaxCols).distinct
     src.groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as(CountCol),
         (sumCols.map(c => sum(col(c)).as(sumColName(c))) ++
           minMaxCols.flatMap(c => Seq(min(col(c)).as(minColName(c)),
             max(col(c)).as(maxColName(c)))) ++
-          nnCols.map(c => count(col(c)).as(nnColName(c)))): _*)
+          nnCols.map(c => count(col(c)).as(nnColName(c))) ++
+          distinctCols.map(c =>
+            countDistinct(col(c)).as(ndvColName(c)))): _*)
   }
+
+  /** One helper's full content from a source-shaped snapshot: one row per
+    * (group, live non-null value) with its occurrence count. */
+  private def helperFrame(snap: DataFrame, groupBy: Seq[String],
+      exprOf: Map[String, String], c: String): DataFrame =
+    keyed(snap, groupBy, exprOf, Seq(c))
+      .filter(col(c).isNotNull)
+      .groupBy((groupBy :+ c).map(col): _*)
+      .agg(count(lit(1)).as(HelperCntCol))
 
   /** Project a source-shaped frame to the view's key space: every group
     * alias becomes its evaluated expression (or the plain column), value
@@ -339,9 +378,11 @@ object MaterializedView {
   def create(spark: SparkSession, srcPath: String, mvPath: String,
       groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
       where: Option[String], partitionBy: Seq[String],
-      groupKeyExprs: Map[String, String] = Map.empty): Long =
+      groupKeyExprs: Map[String, String] = Map.empty,
+      distinctCols: Seq[String] = Nil): Long =
     createImpl(spark, srcPath, mvPath, groupBy, sumCols, minMaxCols,
-      where, partitionBy, groupKeyExprs, joins = Nil)
+      where, partitionBy, groupKeyExprs, joins = Nil,
+      distinctCols = distinctCols)
 
   /** CREATE a JOIN materialized view over `fact INNER JOIN dim` (see
     * [[JoinDimKey]]): group/value columns come from the JOINED frame (the
@@ -446,8 +487,18 @@ object MaterializedView {
       groupBy: Seq[String], sumCols: Seq[String], minMaxCols: Seq[String],
       where: Option[String], partitionBy: Seq[String],
       groupKeyExprs: Map[String, String],
-      joins: Seq[(String, Seq[(String, String)], Long)]): Long = {
+      joins: Seq[(String, Seq[(String, String)], Long)],
+      distinctCols: Seq[String] = Nil): Long = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
+    require(joins.isEmpty || distinctCols.isEmpty,
+      "join materialized views do not support COUNT(DISTINCT col): the " +
+        "helper-table maintenance would need per-slice replay against two " +
+        "independently-moving watermarks — keep the distinct count on a " +
+        "plain view over the fact")
+    require(distinctCols.forall(!groupBy.contains(_)),
+      s"COUNT(DISTINCT) over a GROUP BY column " +
+        s"(${distinctCols.filter(groupBy.contains).mkString(",")}) is " +
+        "constant 1 per group — drop it from the view definition")
     require(partitionBy.forall(groupBy.contains),
       s"materialized view partition column(s) " +
         s"${partitionBy.filterNot(groupBy.contains).mkString(",")} must be " +
@@ -495,6 +546,11 @@ object MaterializedView {
           p.get(GroupByKey).forall(_ == groupBy.mkString(",")) &&
           p.get(SumColsKey).forall(_ == sumCols.mkString(",")) &&
           p.get(MinMaxColsKey).forall(_ == minMaxCols.mkString(",")) &&
+          // like joins: once the create COMPLETED, an absent key means NO
+          // distinct cols — re-creating WITH them is a redefinition
+          (p.contains(DistinctColsKey) || !createCompleted ||
+            distinctCols.isEmpty) &&
+          p.get(DistinctColsKey).forall(_ == distinctCols.mkString(",")) &&
           p.get(WhereKey).forall(_ == where.getOrElse("")) &&
           p.get(PartitionByKey).forall(_ == partitionBy.mkString(",")) &&
           p.get(GroupExprsKey).forall(_ == serializeExprs(groupKeyExprs)) &&
@@ -507,7 +563,8 @@ object MaterializedView {
     if (VersionedTable.latestVersion(spark, mvPath).isEmpty) {
       val snap = applyWhere(srcFrame(Some(v)), where, s"create over $srcPath")
       val agg = aggFrame(keyed(snap, groupBy, groupKeyExprs,
-        (sumCols ++ minMaxCols).distinct), groupBy, sumCols, minMaxCols)
+        (sumCols ++ minMaxCols ++ distinctCols).distinct), groupBy, sumCols,
+        minMaxCols, distinctCols)
       refuseNullGroups(agg, groupBy, s"create over $srcPath")
       // group keys are the view's stats columns: the refresh MERGE's CoW
       // file selection prunes on exactly these (directory pruning on top
@@ -515,11 +572,28 @@ object MaterializedView {
       VersionedTable.commitSnapshot(agg, mvPath, App, v, statsCols = groupBy,
         partitionBy = partitionBy)
     }
+    // distinct helpers — built AT the view's watermark (a resumed create
+    // may find the source past the version the view snapshot read), each
+    // with the same (App, watermark) txn so a crashed create resumes as a
+    // replay no-op; props re-asserted idempotently after the content
+    distinctCols.foreach { c =>
+      val hp = distinctHelperPath(mvPath, c)
+      if (VersionedTable.latestVersion(spark, hp).isEmpty) {
+        val wm = VersionedTable.lastTxn(spark, mvPath, App).getOrElse(v)
+        VersionedTable.commitSnapshot(
+          helperFrame(applyWhere(srcFrame(Some(wm)), where,
+            s"create over $srcPath"), groupBy, groupKeyExprs, c),
+          hp, App, wm, statsCols = groupBy)
+      }
+      VersionedTable.setProperties(spark, hp, Map(
+        SourceKey -> mvPath, HelperOfKey -> c))
+    }
     VersionedTable.setProperties(spark, mvPath, Map(
       SourceKey -> srcPath,
       GroupByKey -> groupBy.mkString(","),
       SumColsKey -> sumCols.mkString(","),
       MinMaxColsKey -> minMaxCols.mkString(","),
+      DistinctColsKey -> distinctCols.mkString(","),
       PartitionByKey -> partitionBy.mkString(","),
       GroupExprsKey -> serializeExprs(groupKeyExprs),
       // stored even when absent ("") so the redefinition guard catches a
@@ -595,6 +669,9 @@ object MaterializedView {
     val props = VersionedTable.propertiesOf(spark, mvPath)
     val src = props.getOrElse(SourceKey, throw new IllegalArgumentException(
       s"$mvPath is not a materialized view (no $SourceKey property)"))
+    require(!props.contains(HelperOfKey),
+      s"$mvPath is an internal distinct-value helper of $src — " +
+        "REFRESH the view itself; its refresh maintains the helper")
     val v0 = VersionedTable.lastTxn(spark, mvPath, App).getOrElse(
       throw new IllegalStateException(s"$mvPath carries no $App watermark"))
     val cur = VersionedTable.latestVersion(spark, mvPath).get
@@ -769,6 +846,7 @@ object MaterializedView {
     val groupBy = colsOf(props, GroupByKey)
     val sumCols = colsOf(props, SumColsKey)
     val minMaxCols = colsOf(props, MinMaxColsKey)
+    val distinctCols = colsOf(props, DistinctColsKey)
     val nnCols = (sumCols ++ minMaxCols).distinct
     val where = props.get(WhereKey).filter(_.nonEmpty)
     val isIns = col("_change_type") === "insert"
@@ -777,8 +855,9 @@ object MaterializedView {
     def del(c: String): Column = when(!isIns, col(c))
     val exprOf = groupExprsIn(props)
     val valueCols = (sumCols ++ minMaxCols).distinct
-    val delta = keyed(applyWhere(chg, where, what),
-        groupBy, exprOf, valueCols :+ "_change_type")
+    val keyedChg = keyed(applyWhere(chg, where, what),
+      groupBy, exprOf, (valueCols ++ distinctCols).distinct :+ "_change_type")
+    val delta0 = keyedChg
       .groupBy(groupBy.map(col): _*)
       .agg(sum(sign).as("d_count"),
         (sumCols.map(c => sum(sign * col(c)).as(s"d_$c")) ++
@@ -801,10 +880,73 @@ object MaterializedView {
             !(col(s"imax_$c") <=> col(s"dmax_$c")))) ++
           nnCols.map(c => col(s"dnn_$c") =!= 0L))
           .foldLeft(lit(false))(_ || _))
+    // COUNT(DISTINCT) maintenance: per column, fold the per-(group, value)
+    // signed delta into the HELPER (occurrence counts; rows at zero leave),
+    // then recount each TOUCHED group's live helper rows — the new exact
+    // ndv. Runs BEFORE the view merge so a crash between the two replays
+    // cleanly: the helper may be one refresh AHEAD of the view (its merge
+    // then skips via the txn watermark), never behind. A value-swap that
+    // cancels in every other aggregate (delete c=1, insert c=2, same
+    // count) still moves the distinct count, so touched groups UNION into
+    // the delta (outer join; fills keep the fold arithmetic intact).
+    val ndvFrames: Seq[DataFrame] = distinctCols.map { c =>
+      val hp = distinctHelperPath(mvPath, c)
+      val h0 = VersionedTable.lastTxn(spark, hp, App).getOrElse(
+        throw new IllegalStateException(
+          s"$hp carries no ${App} watermark — run a FULL refresh"))
+      val hDelta = keyedChg.filter(col(c).isNotNull)
+        .groupBy((groupBy :+ c).map(col): _*)
+        .agg(sum(sign).as("d_cnt"))
+        .filter(col("d_cnt") =!= 0L)
+      val target = txn.map(_._2)
+      if (target.exists(h0 >= _)) {
+        // already applied by a crashed prior attempt — the view merge
+        // below is the half that still needs to land
+      } else {
+        require(h0 == txnExpected._2,
+          s"$hp watermark $h0 out of step with the view's " +
+            s"${txnExpected._2} — run REFRESH ... FULL to rebuild")
+        val curH = VersionedTable.read(spark, hp)
+          .select((groupBy :+ c :+ HelperCntCol).map(col): _*)
+        val mergedH = hDelta.join(curH, groupBy :+ c, "left")
+          .select((groupBy :+ c).map(col) ++ Seq(
+            (coalesce(col(HelperCntCol), lit(0L)) + col("d_cnt"))
+              .as(HelperCntCol)): _*)
+        val prevFence = VersionedTable.mvMaintenance.get()
+        VersionedTable.mvMaintenance.set(true)
+        try VersionedTable.upsert(mergedH, hp, keys = groupBy :+ c,
+          evolveSchema = false, latestBy = None, statsCols = groupBy,
+          txn = txn.map { case (a, v) => (a, v) },
+          deleteWhere = Some(col(HelperCntCol) === 0L),
+          guardBy = None,
+          txnExpected = Some(txnExpected._1 -> h0))
+        finally VersionedTable.mvMaintenance.set(prevFence)
+      }
+      // exact new ndv per touched group, from the helper's LIVE rows
+      // (groups whose values all left produce no row → 0 via the fill)
+      val tKeys = hDelta.select(groupBy.map(col): _*).distinct()
+      val recount = VersionedTable.read(spark, hp)
+        .join(broadcast(tKeys), groupBy)
+        .groupBy(groupBy.map(col): _*)
+        .agg(count(lit(1)).as(s"r_ndv_$c"))
+      tKeys.join(recount, groupBy, "left")
+        .select(groupBy.map(col) ++ Seq(
+          coalesce(col(s"r_ndv_$c"), lit(0L)).as(s"r_ndv_$c"),
+          lit(true).as(s"t_ndv_$c")): _*)
+    }
+    val delta = ndvFrames.foldLeft(delta0) { (d, h) =>
+      val joinedD = d.join(h, groupBy, "full_outer")
+      // groups touched ONLY in distinct space enter with null fold inputs:
+      // zero-fill the ones the merged select reads un-coalesced
+      nnCols.foldLeft(
+        joinedD.withColumn("d_count", coalesce(col("d_count"), lit(0L)))) {
+        (dd, c) => dd.withColumn(s"dnn_$c", coalesce(col(s"dnn_$c"), lit(0L)))
+      }
+    }
     refuseNullGroups(delta, groupBy, what)
     val viewCols = Seq(CountCol) ++ sumCols.map(sumColName) ++
       minMaxCols.flatMap(c => Seq(minColName(c), maxColName(c))) ++
-      nnCols.map(nnColName)
+      nnCols.map(nnColName) ++ distinctCols.map(ndvColName)
     val curView = VersionedTable.read(spark, mvPath).select(
       (groupBy ++ viewCols).map(col): _*)
     def nnNew(c: String): Column =
@@ -879,7 +1021,14 @@ object MaterializedView {
             pick(s"rmax_$c", greatest(col(maxColName(c)), col(s"imax_$c")))
               .as(maxColName(c)))
         } ++
-        nnCols.map(c => nnNew(c).as(nnColName(c))): _*)
+        nnCols.map(c => nnNew(c).as(nnColName(c))) ++
+        // touched groups take the helper recount; untouched keep their
+        // stored ndv (new groups are always touched when they carry any
+        // non-null value; an all-null newcomer is correctly 0)
+        distinctCols.map(c =>
+          when(col(s"t_ndv_$c"), col(s"r_ndv_$c"))
+            .otherwise(coalesce(col(ndvColName(c)), lit(0L)))
+            .as(ndvColName(c))): _*)
     // the view-content write fence opens only for the refresh itself —
     // every other mutator on the view path refuses (derived content).
     // Saved/restored, not cleared: an auto-refresh chained off THIS
@@ -915,9 +1064,13 @@ object MaterializedView {
     val props = VersionedTable.propertiesOf(spark, mvPath)
     val src = props.getOrElse(SourceKey, throw new IllegalArgumentException(
       s"$mvPath is not a materialized view (no $SourceKey property)"))
+    require(!props.contains(HelperOfKey),
+      s"$mvPath is an internal distinct-value helper of $src — " +
+        "REFRESH the view itself; its refresh maintains the helper")
     val groupBy = colsOf(props, GroupByKey)
     val sumCols = colsOf(props, SumColsKey)
     val minMaxCols = colsOf(props, MinMaxColsKey)
+    val distinctCols = colsOf(props, DistinctColsKey)
     val exprOf = groupExprsIn(props)
     val where = props.get(WhereKey).filter(_.nonEmpty)
     val partitionBy = colsOf(props, PartitionByKey)
@@ -935,8 +1088,28 @@ object MaterializedView {
     val snap = applyWhere(withDim(VersionedTable.read(spark, src, Some(v1))),
       where, s"full refresh of $mvPath")
     val agg = aggFrame(keyed(snap, groupBy, exprOf,
-      (sumCols ++ minMaxCols).distinct), groupBy, sumCols, minMaxCols)
+      (sumCols ++ minMaxCols ++ distinctCols).distinct), groupBy, sumCols,
+      minMaxCols, distinctCols)
     refuseNullGroups(agg, groupBy, s"full refresh of $mvPath")
+    // distinct HELPERS rebuild FIRST (each replay-safe under the same
+    // (App, v1) txn): a crash between a helper and the view leaves the
+    // helper AHEAD, which the incremental path detects and skips — the
+    // reverse order would leave it BEHIND, which nothing could repair
+    // short of another FULL refresh
+    distinctCols.foreach { c =>
+      val hp = distinctHelperPath(mvPath, c)
+      val hWm = VersionedTable.lastTxn(spark, hp, App)
+      if (!hWm.exists(_ >= v1)) {
+        val prevH = VersionedTable.mvMaintenance.get()
+        VersionedTable.mvMaintenance.set(true)
+        try VersionedTable.commitSnapshotRaw(
+          helperFrame(snap, groupBy, exprOf, c), hp,
+          statsCols = groupBy, partitionBy = Nil,
+          txn = Some(App -> v1), propsAdd = Map(
+            SourceKey -> mvPath, HelperOfKey -> c))
+        finally VersionedTable.mvMaintenance.set(prevH)
+      }
+    }
     // replay/no-op accounting must consider BOTH cursors: the fact
     // watermark (the txn map) and, for join views, the dim pin. A view
     // already at the fact head with a fresh pin is the no-op; at the fact

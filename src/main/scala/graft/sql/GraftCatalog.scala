@@ -372,6 +372,17 @@ class GraftCatalog extends TableCatalog {
       }
       val root = new Path(path)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // a view with COUNT(DISTINCT) columns owns its helper tables — they
+      // are derived content with no independent life
+      scala.util.Try {
+        val props = VersionedTable.propertiesOf(spark, path)
+        props.get(graft.sources.MaterializedView.DistinctColsKey).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          .foreach { c =>
+            fs.delete(new Path(graft.sources.MaterializedView
+              .distinctHelperPath(path, c)), true)
+          }
+      }
       fs.delete(root, true)
     }
   }

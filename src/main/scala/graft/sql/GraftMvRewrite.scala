@@ -295,6 +295,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class AvgOut(id: ExprId, name: String, srcCol: String,
       srcDt: org.apache.spark.sql.types.DataType,
       dt: org.apache.spark.sql.types.DataType) extends Out
+  /** COUNT(DISTINCT col) — answers from the view's ndv_<col> companion,
+    * and ONLY under exact grouping (a distinct count does not re-aggregate
+    * across merged groups the way sums and extrema do). */
+  private case class NdvOut(id: ExprId, name: String,
+      srcCol: String) extends Out
 
   private def classify(e: NamedExpression,
       env: Map[ExprId, Expression]): Option[Out] = e match {
@@ -305,6 +310,10 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Some(CountOut(al.exprId, n))
     case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), n) =>
       colName(a, env).map(CountColOut(al.exprId, n, _))
+    // COUNT(DISTINCT col): exact from the maintained ndv companion —
+    // multi-column distinct tuples decline (not maintained)
+    case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _), n) =>
+      colName(a, env).map(NdvOut(al.exprId, n, _))
     // SUM at LongType or DecimalType: integral partial sums are exact, and
     // DECIMAL partial sums re-associate exactly too — the re-sum carries 10
     // extra digits (the same headroom Spark's own two-phase aggregation
@@ -518,8 +527,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val neededNn = outs.collect {
       case c: CountColOut => c.srcCol
       case a: AvgOut => a.srcCol }
+    val vNdv = cols(MaterializedView.DistinctColsKey).toSet
+    val neededNdv = outs.collect { case d: NdvOut => d.srcCol }
     if (!neededSums.forall(vSums) ||
-        !neededMinMax.forall(vMinMax) || !neededNn.forall(vNn)) return None
+        !neededMinMax.forall(vMinMax) || !neededNn.forall(vNn) ||
+        !neededNdv.forall(vNdv)) return None
 
     val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
       .queryExecution.analyzed
@@ -534,6 +546,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .find(_._2.canonicalized.semanticEquals(norm.canonicalized)).map(_._1)
     val groupAliases = traverse(groupKeys.map(aliasFor)).getOrElse {
       dbg(s"$mvPath: group keys unmatched"); return None }
+    // COUNT(DISTINCT) is valid per stored group only: the query must group
+    // by EVERY view group item (each output group is then exactly one view
+    // row, so the stored ndv IS the answer) — rollups decline
+    if (neededNdv.nonEmpty &&
+        items.map(_._1).toSet != groupAliases.toSet) return None
     val outAliases: Map[ExprId, String] = traverse(outs.collect {
       case GroupOut(id, _, norm, _) => aliasFor(norm).map(id -> _)
     }).getOrElse(return None).toMap
@@ -595,6 +612,8 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         attr.get(MaterializedView.sumColName(c))
           .exists(_.dataType == expectedSumType(srcDt)) &&
           longAttr(MaterializedView.nnColName(c)).isDefined
+      case NdvOut(_, _, c) =>
+        longAttr(MaterializedView.ndvColName(c)).isDefined
       case _: CountOut => true
     } && groupAliases.forall(attr.contains) &&
       residualCols.forall(n => attr.contains(n))
@@ -641,6 +660,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case MaxOut(id, n, c, _) =>
         Alias(Max(attr(MaterializedView.maxColName(c))).toAggregateExpression(),
           n)(exprId = id)
+      case NdvOut(id, n, c) =>
+        // exact grouping (checked above): every output group is exactly one
+        // view row, so any pick-one re-aggregate reads the stored value
+        Alias(Max(attr(MaterializedView.ndvColName(c)))
+          .toAggregateExpression(), n)(exprId = id)
       case AvgOut(id, n, c, srcDt, dt) =>
         // the recombination tree Average.evaluateExpression itself builds,
         // over the view's exact SUM + non-null-COUNT components (the divide

@@ -723,6 +723,7 @@ case class GraftCreateMvCommand(cat: String, path: String,
     def strip(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
     val groupBy = groupByList.split(",").map(strip).filter(_.nonEmpty).toSeq
     val Count = """(?i)COUNT\s*\(\s*\*\s*\)""".r
+    val CountD = """(?i)COUNT\s*\(\s*DISTINCT\s+(`[^`]+`|\w+)\s*\)""".r
     val Sum = """(?i)SUM\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
     val AvgAgg = """(?i)AVG\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
     val MinAgg = """(?i)MIN\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
@@ -730,9 +731,13 @@ case class GraftCreateMvCommand(cat: String, path: String,
     val plainCols = scala.collection.mutable.ArrayBuffer[String]()
     val sumCols = scala.collection.mutable.ArrayBuffer[String]()
     val minMaxCols = scala.collection.mutable.ArrayBuffer[String]()
+    val distinctCols = scala.collection.mutable.ArrayBuffer[String]()
     var hasCount = false
     selectList.split(",").map(_.trim).filter(_.nonEmpty).foreach {
       case Count() => hasCount = true
+      // exact COUNT(DISTINCT col): maintained through a per-(group, value)
+      // occurrence-count helper table beside the view
+      case CountD(c) => distinctCols += strip(c)
       case Sum(c) => sumCols += strip(c)
       // AVG maintains as its exact components — the view stores
       // sum_<c>/nn_<c> and the mean derives at query time (a stored
@@ -743,9 +748,10 @@ case class GraftCreateMvCommand(cat: String, path: String,
       case c if c.matches("`[^`]+`|\\w+") => plainCols += strip(c)
       case other => throw new IllegalArgumentException(
         s"$stmt: unsupported select item '$other' — an incremental view " +
-          "maintains GROUP BY columns, COUNT(*), SUM(col), AVG(col) (as " +
-          "its sum/count components), MIN(col) and MAX(col) (inserts " +
-          "fold; a deleted extremum repairs its group from the source)")
+          "maintains GROUP BY columns, COUNT(*), COUNT(DISTINCT col), " +
+          "SUM(col), AVG(col) (as its sum/count components), MIN(col) " +
+          "and MAX(col) (inserts fold; a deleted extremum repairs its " +
+          "group from the source)")
     }
     require(plainCols.toSeq == groupBy,
       s"$stmt: the select list's plain columns (${plainCols.mkString(",")}) " +
@@ -756,8 +762,11 @@ case class GraftCreateMvCommand(cat: String, path: String,
     if (joins.isEmpty)
       graft.sources.MaterializedView.create(session, src, p, groupBy,
         sumCols.distinct.toSeq, minMaxCols.distinct.toSeq, where,
-        partitionBy)
+        partitionBy, distinctCols = distinctCols.distinct.toSeq)
     else {
+      require(distinctCols.isEmpty,
+        s"$stmt: COUNT(DISTINCT col) is not supported on JOIN views — " +
+          "keep the distinct count on a plain view over the fact")
       // ON left_col = dim_col [AND ...] — plain or backticked names; the
       // left side of each equality belongs to the ACCUMULATED frame (the
       // fact, or an earlier dim for snowflakes), the right to this dim

@@ -1,0 +1,178 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBatchShim
+
+import graft.SparkSpec
+import graft.sources.{MaterializedView, VersionedTable}
+
+/** Exact COUNT(DISTINCT col) in materialized views: the per-(group, value)
+  * helper table absorbs the signed delta, touched groups recount, the
+  * rewrite answers only under exact grouping, and every edge (last
+  * occurrence, duplicate, value swap, NULLs, emptied groups) lands
+  * exactly. */
+class DistinctMvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("mvdist").toString
+
+  private def viewRows(mv: String): Map[String, (Long, Long)] =
+    VersionedTable.read(spark, mv)
+      .select($"g", col(MaterializedView.CountCol),
+        col(MaterializedView.ndvColName("u")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def oracle(src: String): Map[String, (Long, Long)] =
+    VersionedTable.read(spark, src).groupBy($"g")
+      .agg(count(lit(1)).as("n"), countDistinct($"u").as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("DML chain: duplicates, last occurrences, swaps, NULLs, emptied groups") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    // g=a: users 1,1,2 (dup + distinct); g=b: users 3,null; g=c: user 4
+    VersionedTable.write(Seq(
+      ("a", java.lang.Long.valueOf(1L), 10L),
+      ("a", java.lang.Long.valueOf(1L), 11L),
+      ("a", java.lang.Long.valueOf(2L), 12L),
+      ("b", java.lang.Long.valueOf(3L), 13L),
+      ("b", null.asInstanceOf[java.lang.Long], 14L),
+      ("c", java.lang.Long.valueOf(4L), 15L)
+    ).toDF("g", "u", "v"), src, statsCols = Seq("g"))
+    MaterializedView.create(spark, src, mv, Seq("g"), Seq("v"), Nil,
+      where = None, partitionBy = Nil, distinctCols = Seq("u"))
+    assert(viewRows(mv) == Map("a" -> (3L, 2L), "b" -> (2L, 1L), "c" -> (1L, 1L)))
+    // helper holds one row per live (group, value): (a,1),(a,2),(b,3),(c,4)
+    val hp = MaterializedView.distinctHelperPath(mv, "u")
+    assert(VersionedTable.read(spark, hp).count() == 4L)
+    // delete ONE of a's two u=1 rows: ndv must NOT move
+    VersionedTable.delete(spark, src, $"v" === 10L)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv)("a") == (2L, 2L), viewRows(mv).toString)
+    // delete the LAST u=1 row: ndv drops
+    VersionedTable.delete(spark, src, $"v" === 11L)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv)("a") == (1L, 1L))
+    // VALUE SWAP in one commit: replace b's u=3 row with a u=5 row at the
+    // same v — every other aggregate cancels (count, sum, nn all net 0)
+    // but the distinct multiset moved; then swap onto an EXISTING value
+    VersionedTable.upsert(Seq(("b", 5L, 13L)).toDF("g", "u", "v"), src,
+      keys = Seq("g", "v"))
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv)("b") == (2L, 1L)) // null row still counts rows, not ndv
+    assert(oracle(src) == viewRows(mv))
+    // insert a duplicate of an existing value: count moves, ndv doesn't
+    VersionedTable.append(Seq(("c", java.lang.Long.valueOf(4L), 16L))
+      .toDF("g", "u", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv)("c") == (2L, 1L))
+    // empty group c entirely: its view row AND helper rows leave
+    VersionedTable.delete(spark, src, $"g" === "c")
+    MaterializedView.refresh(spark, mv)
+    assert(!viewRows(mv).contains("c"))
+    assert(VersionedTable.read(spark, hp).filter($"g" === "c").count() == 0L)
+    // new group arrives (with a duplicate value inside the batch)
+    VersionedTable.append(Seq(("d", java.lang.Long.valueOf(7L), 20L),
+      ("d", java.lang.Long.valueOf(7L), 21L),
+      ("d", java.lang.Long.valueOf(8L), 22L)).toDF("g", "u", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv)("d") == (3L, 2L))
+    assert(oracle(src) == viewRows(mv))
+    // replayed refresh is a no-op
+    val ver = VersionedTable.latestVersion(spark, mv)
+    MaterializedView.refresh(spark, mv)
+    assert(VersionedTable.latestVersion(spark, mv) == ver)
+    // FULL refresh agrees with the incremental state (and rebuilds helpers)
+    MaterializedView.fullRefresh(spark, mv)
+    assert(oracle(src) == viewRows(mv))
+  }
+
+  test("rewrite: exact grouping answers from the view; rollups decline") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 300L).map(i => ("g" + i % 5, "h" + i % 2, i % 17, i))
+        .toDF("g", "h", "u", "v"), src, statsCols = Seq("g"))
+    MaterializedView.create(spark, src, mv, Seq("g", "h"), Seq("v"), Nil,
+      where = None, partitionBy = Nil, distinctCols = Seq("u"))
+    def roots(df: DataFrame): Seq[String] =
+      GraftBatchShim.scanRootsOf(df).map(_.toString)
+    def q(): DataFrame = VersionedTable.read(spark, src)
+      .groupBy($"g", $"h")
+      .agg(countDistinct($"u").as("d"), count(lit(1)).as("n"))
+    val on = q()
+    assert(roots(on).contains(mv) && !roots(on).contains(src),
+      s"expected the exact-grouping distinct count to answer from the " +
+        s"view, scanned ${roots(on)}")
+    val onRows = on.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(q().collect().map(_.toString).sorted.toSeq == onRows)
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    // a ROLLUP of the grouping cannot reuse stored distinct counts
+    val roll = VersionedTable.read(spark, src)
+      .groupBy($"g").agg(countDistinct($"u").as("d"))
+    assert(roots(roll).contains(src), s"rollup must decline: ${roots(roll)}")
+    // but the same rollup WITHOUT the distinct count still rewrites
+    val rollNoD = VersionedTable.read(spark, src)
+      .groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(roots(rollNoD).contains(mv))
+    // stale view declines until refreshed
+    VersionedTable.append(Seq(("g0", "h0", 99L, 1000L)).toDF("g", "h", "u", "v"), src)
+    assert(roots(q()).contains(src))
+    MaterializedView.refresh(spark, mv)
+    assert(roots(q()).contains(mv))
+    assert(q().filter($"g" === "g0" && $"h" === "h0").collect().head.getAs[Long]("d") ==
+      VersionedTable.read(spark, src).filter($"g" === "g0" && $"h" === "h0")
+        .agg(countDistinct($"u")).collect().head.getLong(0))
+  }
+
+  test("refusals and ownership: joins, redefinition, helper refresh, DROP") {
+    val base = tmp(); val src = base + "/src"
+    val dim = base + "/dim"; val mv = base + "/mv"
+    VersionedTable.write((1L to 50L).map(i => ("g" + i % 3, i % 5, i))
+      .toDF("g", "u", "v"), src, statsCols = Seq("g"))
+    VersionedTable.write(Seq(("g0", "x"), ("g1", "y"), ("g2", "z"))
+      .toDF("pk", "tag"), dim)
+    // joins + distinct refuse loudly (the SQL path; the API has no
+    // distinctCols parameter on join creates by construction)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base + "/jmv2"}` AS " +
+        s"SELECT tag, COUNT(*), COUNT(DISTINCT u) FROM graft.`$src` " +
+        s"JOIN graft.`$dim` ON g = pk GROUP BY tag")
+    }
+    assert(e2.getMessage.contains("not supported on JOIN views"), e2.getMessage)
+    // SQL create + refresh of a plain distinct view end-to-end
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, COUNT(*), COUNT(DISTINCT u), SUM(v) FROM graft.`$src` GROUP BY g")
+    assert(VersionedTable.read(spark, mv).columns
+      .contains(MaterializedView.ndvColName("u")))
+    VersionedTable.append(Seq(("g0", 999L, 51L)).toDF("g", "u", "v"), src)
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+    val got = VersionedTable.read(spark, mv).filter($"g" === "g0")
+      .select(col(MaterializedView.ndvColName("u"))).collect().head.getLong(0)
+    val want = VersionedTable.read(spark, src).filter($"g" === "g0")
+      .agg(countDistinct($"u")).collect().head.getLong(0)
+    assert(got == want)
+    // redefinition: adding a distinct column to an existing view refuses
+    val e3 = intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, src, mv, Seq("g"), Seq("v"), Nil,
+        where = None, partitionBy = Nil, distinctCols = Seq("u", "v"))
+    }
+    assert(e3.getMessage.contains("different definition"), e3.getMessage)
+    // the helper is fenced and refuses direct refresh
+    val hp = MaterializedView.distinctHelperPath(mv, "u")
+    val e4 = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, hp)
+    }
+    assert(e4.getMessage.contains("helper"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      VersionedTable.append(Seq(("g0", 1L, 1L)).toDF("g", "u", "v"), hp)
+    }
+    assert(e5.getMessage.contains("materialized view"), e5.getMessage)
+    // DROP TABLE removes the helper beside the view
+    spark.sql(s"DROP TABLE graft.`$mv`")
+    assert(VersionedTable.latestVersion(spark, mv).isEmpty)
+    assert(VersionedTable.latestVersion(spark, hp).isEmpty,
+      "dropping the view must drop its distinct helpers")
+  }
+}
