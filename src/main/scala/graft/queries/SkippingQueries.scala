@@ -1180,6 +1180,42 @@ object SkippingQueries {
     out
   }
 
+  // --------------------------------------------------------------------------
+  // q_mv_distinct_rollup — COUNT(DISTINCT) at a grouping the view does NOT
+  // store (the global rollup): the helper table IS a materialized
+  // (group, value) dedup, so the rewrite answers from COUNT(DISTINCT value)
+  // over its rows joined onto the view rollup — never the source. The
+  // gated query asserts the plan scans the view + helper only; DuckDB
+  // replays the DML chain and aggregates globally for real.
+  // --------------------------------------------------------------------------
+  def mvDistinctRollup(spark: SparkSession, dir: String): DataFrame = {
+    val mv = ensureDistinctMv(spark, dir)
+    val src = mvDistSourcePath(dir)
+    val helper = graft.sources.MaterializedView.distinctHelperPath(mv, "user_id")
+    val out = VersionedTable.read(spark, src)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && roots.contains(helper) &&
+        !roots.contains(src),
+      s"q_mv_distinct_rollup: expected the global COUNT(DISTINCT) to " +
+        s"answer from the view + helper; plan scans $roots")
+    out
+  }
+
+  val mvDistinctRollupSql: String =
+    """WITH s1 AS (SELECT event_id, event_type, user_id FROM events),
+      |s2 AS (SELECT * FROM s1 WHERE user_id % 7 <> 0),
+      |s3 AS (SELECT * FROM s2 UNION ALL
+      |  SELECT event_id, event_type, user_id + 500 FROM events
+      |  WHERE user_id % 3 = 0),
+      |s4 AS (SELECT event_type,
+      |  CASE WHEN event_id % 11 = 0 THEN user_id + 1000
+      |       ELSE user_id END AS user_id FROM s3)
+      |SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+      |FROM s4""".stripMargin
+
   val mvDistinctSql: String =
     """WITH s1 AS (SELECT event_id, event_type, user_id FROM events),
       |s2 AS (SELECT * FROM s1 WHERE user_id % 7 <> 0),
@@ -2241,7 +2277,8 @@ object SkippingQueries {
     "q_join_range" -> (joinRange _),
     "q_topk_prune" -> (topkPrune _),
     "q_dpp" -> (dppRuntime _),
-    "q_mv_distinct" -> (mvDistinct _))
+    "q_mv_distinct" -> (mvDistinct _),
+    "q_mv_distinct_rollup" -> (mvDistinctRollup _))
 
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
@@ -2286,5 +2323,6 @@ object SkippingQueries {
     "q_join_range" -> joinRangeSql,
     "q_topk_prune" -> topkPruneSql,
     "q_dpp" -> dppRuntimeSql,
-    "q_mv_distinct" -> mvDistinctSql)
+    "q_mv_distinct" -> mvDistinctSql,
+    "q_mv_distinct_rollup" -> mvDistinctRollupSql)
 }

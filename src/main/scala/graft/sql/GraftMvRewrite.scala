@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.GraftBatchShim
 import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
@@ -546,11 +546,31 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .find(_._2.canonicalized.semanticEquals(norm.canonicalized)).map(_._1)
     val groupAliases = traverse(groupKeys.map(aliasFor)).getOrElse {
       dbg(s"$mvPath: group keys unmatched"); return None }
-    // COUNT(DISTINCT) is valid per stored group only: the query must group
-    // by EVERY view group item (each output group is then exactly one view
-    // row, so the stored ndv IS the answer) — rollups decline
-    if (neededNdv.nonEmpty &&
-        items.map(_._1).toSet != groupAliases.toSet) return None
+    // COUNT(DISTINCT) has two shapes: EXACT grouping reads the stored
+    // ndv_<col> (each output group is exactly one view row); a ROLLUP
+    // (grouping subset, including global) answers from the HELPER table —
+    // the materialized (group, value) dedup — as COUNT(DISTINCT value)
+    // over its rows, LEFT-joined back onto the view rollup so groups with
+    // no non-null values still emit 0. Each helper pins at the version
+    // whose refresh watermark matches the queried source snapshot, exactly
+    // like the view itself (time travel included).
+    val exactGrouping = items.map(_._1).toSet == groupAliases.toSet
+    val ndvHelpers: Map[String, LogicalPlan] =
+      if (neededNdv.isEmpty || exactGrouping) Map.empty
+      else {
+        val built = neededNdv.distinct.flatMap { c =>
+          val hp = MaterializedView.distinctHelperPath(mvPath, c)
+          versionFor(hp, src.srcV).flatMap { hv =>
+            scala.util.Try(VersionedTable.read(spark, hp, Some(hv))
+              .queryExecution.analyzed).toOption
+          }.map(c -> _)
+        }
+        if (built.size != neededNdv.distinct.size) {
+          dbg(s"$mvPath: distinct helper(s) unavailable at v=${src.srcV}")
+          return None
+        }
+        built.toMap
+      }
     val outAliases: Map[ExprId, String] = traverse(outs.collect {
       case GroupOut(id, _, norm, _) => aliasFor(norm).map(id -> _)
     }).getOrElse(return None).toMap
@@ -633,7 +653,7 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def reSum(a: Attribute): Expression = new Sum(a).toAggregateExpression()
     val globalAgg = groupKeys.isEmpty
-    val newAggs: Seq[NamedExpression] = outs.map {
+    def toViewAgg(out: Out): NamedExpression = (out: Out) match {
       case GroupOut(id, n, _, _) => Alias(attr(outAliases(id)), n)(exprId = id)
       case CountOut(id, n) =>
         // a GLOBAL count over an empty (or fully-filtered) table is 0, but
@@ -661,8 +681,9 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(Max(attr(MaterializedView.maxColName(c))).toAggregateExpression(),
           n)(exprId = id)
       case NdvOut(id, n, c) =>
-        // exact grouping (checked above): every output group is exactly one
-        // view row, so any pick-one re-aggregate reads the stored value
+        // EXACT grouping only (rollups route through the helper join
+        // below): every output group is exactly one view row, so any
+        // pick-one re-aggregate reads the stored value
         Alias(Max(attr(MaterializedView.ndvColName(c)))
           .toAggregateExpression(), n)(exprId = id)
       case AvgOut(id, n, c, srcDt, dt) =>
@@ -683,7 +704,77 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Alias(e, n)(exprId = id)
     }
-    Some(Aggregate(groupAliases.map(attr(_)), newAggs, scan))
+    if (ndvHelpers.isEmpty)
+      return Some(Aggregate(groupAliases.map(attr(_)),
+        outs.map(toViewAgg), scan))
+
+    // ROLLUP COUNT(DISTINCT): base view rollup (ndv slots excluded, hidden
+    // copies of the subset keys appended for the join — the query need not
+    // have selected them), one COUNT(DISTINCT value) aggregate per helper,
+    // LEFT-joined on the subset keys, final Project restoring the original
+    // slot order with absent groups' counts coalesced to 0
+    val hiddenKeys: Seq[NamedExpression] =
+      groupAliases.distinct.map(al => Alias(attr(al), s"__graft_k_$al")())
+    val baseAggs = outs.filterNot(_.isInstanceOf[NdvOut]).map(toViewAgg) ++
+      hiddenKeys
+    val keyAttrOf: Map[String, Attribute] =
+      groupAliases.distinct.zip(hiddenKeys.map(_.toAttribute)).toMap
+    val ndvCols = outs.collect { case d: NdvOut => d.srcCol }.distinct
+    var dAttrOf = Map.empty[String, Attribute]
+    var joined: LogicalPlan =
+      if (baseAggs.nonEmpty) Aggregate(groupAliases.map(attr(_)), baseAggs, scan)
+      else null // global all-distinct query: anchor on the first helper
+    ndvCols.foreach { c =>
+      val hPlan = ndvHelpers(c)
+      val hAttr: Map[String, Attribute] = hPlan.output.map(a => a.name -> a).toMap
+      // residuals re-apply on the helper: they reference plain group
+      // columns, which the helper stores under the same names and types —
+      // without them a filtered-out group's values would leak into the
+      // rollup's distinct set
+      val resOk = residual.forall(_.collect { case a: AttributeReference => a }
+        .forall(a => hAttr.get(a.name).exists(_.dataType == a.dataType)))
+      val keysOk = groupAliases.forall(hAttr.contains) && hAttr.contains(c)
+      if (!resOk || !keysOk) return None
+      val hScan: LogicalPlan =
+        if (residual.isEmpty) hPlan
+        else Filter(residual.map(_.transform {
+          case a: AttributeReference => hAttr(a.name)
+        }).reduce(And), hPlan)
+      val hKeys = groupAliases.distinct.map(hAttr(_))
+      val dAlias = Alias(Count(Seq(hAttr(c)))
+        .toAggregateExpression(isDistinct = true), s"__graft_d_$c")()
+      val hAgg = Aggregate(hKeys, hKeys ++ Seq(dAlias), hScan)
+      dAttrOf += c -> dAlias.toAttribute
+      joined =
+        if (joined == null) hAgg
+        else {
+          val cond = groupAliases.distinct
+            .map(al => EqualTo(keyAttrOf(al), hAttr(al)))
+            .reduceOption[Expression](And)
+          Join(joined, hAgg, LeftOuter, cond, JoinHint.NONE)
+        }
+    }
+    val finalProj: Seq[NamedExpression] = outs.map {
+      case NdvOut(id, n, c) =>
+        // anchored on the first helper (no base): its own count is never
+        // absent; joined helpers coalesce for groups they never saw
+        Alias(Coalesce(Seq(dAttrOf(c), Literal(0L))), n)(exprId = id)
+      case o =>
+        // base slots pass through the join under their original ids
+        joined.output.find(_.exprId == idOf(o)).getOrElse(return None)
+    }
+    Some(Project(finalProj, joined))
+  }
+
+  private def idOf(o: Out): ExprId = o match {
+    case GroupOut(id, _, _, _) => id
+    case CountOut(id, _) => id
+    case CountColOut(id, _, _) => id
+    case SumOut(id, _, _, _) => id
+    case MinOut(id, _, _, _) => id
+    case MaxOut(id, _, _, _) => id
+    case AvgOut(id, _, _, _, _) => id
+    case NdvOut(id, _, _) => id
   }
 
   /** The type `SUM(col)` carries for a source column type — what the

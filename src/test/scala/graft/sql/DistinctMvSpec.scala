@@ -88,34 +88,65 @@ class DistinctMvSpec extends SparkSpec {
     assert(oracle(src) == viewRows(mv))
   }
 
-  test("rewrite: exact grouping answers from the view; rollups decline") {
+  test("rewrite: exact grouping reads the view; rollups answer from the helper") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     VersionedTable.write(
-      (1L to 300L).map(i => ("g" + i % 5, "h" + i % 2, i % 17, i))
+      (1L to 300L).map(i => ("g" + i % 5, "h" + i % 2, i % 17, i % 23))
         .toDF("g", "h", "u", "v"), src, statsCols = Seq("g"))
     MaterializedView.create(spark, src, mv, Seq("g", "h"), Seq("v"), Nil,
-      where = None, partitionBy = Nil, distinctCols = Seq("u"))
+      where = None, partitionBy = Nil, distinctCols = Seq("u", "v"))
+    val hpU = MaterializedView.distinctHelperPath(mv, "u")
     def roots(df: DataFrame): Seq[String] =
       GraftBatchShim.scanRootsOf(df).map(_.toString)
+    def offRows(q: => DataFrame): Seq[String] = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try {
+        val off = q
+        assert(roots(off).contains(src))
+        off.collect().map(_.toString).sorted.toSeq
+      } finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
     def q(): DataFrame = VersionedTable.read(spark, src)
       .groupBy($"g", $"h")
       .agg(countDistinct($"u").as("d"), count(lit(1)).as("n"))
     val on = q()
-    assert(roots(on).contains(mv) && !roots(on).contains(src),
-      s"expected the exact-grouping distinct count to answer from the " +
-        s"view, scanned ${roots(on)}")
-    val onRows = on.collect().map(_.toString).sorted.toSeq
-    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
-    try assert(q().collect().map(_.toString).sorted.toSeq == onRows)
-    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
-    // a ROLLUP of the grouping cannot reuse stored distinct counts
-    val roll = VersionedTable.read(spark, src)
-      .groupBy($"g").agg(countDistinct($"u").as("d"))
-    assert(roots(roll).contains(src), s"rollup must decline: ${roots(roll)}")
-    // but the same rollup WITHOUT the distinct count still rewrites
-    val rollNoD = VersionedTable.read(spark, src)
-      .groupBy($"g").agg(count(lit(1)).as("n"))
-    assert(roots(rollNoD).contains(mv))
+    assert(roots(on).contains(mv) && !roots(on).contains(src) &&
+      !roots(on).contains(hpU),
+      s"exact grouping must read the STORED ndv, scanned ${roots(on)}")
+    assert(on.collect().map(_.toString).sorted.toSeq == offRows(q()))
+    // a ROLLUP of the grouping answers from the helper: the materialized
+    // (group, value) dedup — joined back onto the view rollup
+    def roll(): DataFrame = VersionedTable.read(spark, src)
+      .groupBy($"g").agg(countDistinct($"u").as("d"), count(lit(1)).as("n"))
+    val rOn = roll()
+    assert(roots(rOn).contains(mv) && roots(rOn).contains(hpU) &&
+      !roots(rOn).contains(src),
+      s"rollup distinct must scan view + helper: ${roots(rOn)}")
+    assert(rOn.collect().map(_.toString).sorted.toSeq == offRows(roll()))
+    // two distinct columns in one rollup: two helpers join in
+    def roll2(): DataFrame = VersionedTable.read(spark, src)
+      .groupBy($"h")
+      .agg(countDistinct($"u").as("du"), countDistinct($"v").as("dv"))
+    val r2 = roll2()
+    assert(roots(r2).contains(hpU) &&
+      roots(r2).contains(MaterializedView.distinctHelperPath(mv, "v")) &&
+      !roots(r2).contains(src), roots(r2).toString)
+    assert(r2.collect().map(_.toString).sorted.toSeq == offRows(roll2()))
+    // GLOBAL distinct count: the classic `SELECT COUNT(DISTINCT user)`
+    def g(): DataFrame = VersionedTable.read(spark, src)
+      .agg(countDistinct($"u").as("d"), count(lit(1)).as("n"))
+    val gOn = g()
+    assert(roots(gOn).contains(hpU) && !roots(gOn).contains(src),
+      roots(gOn).toString)
+    assert(gOn.collect().map(_.toString).sorted.toSeq == offRows(g()))
+    // residual on a NON-rolled-up group column filters the helper too
+    def res(): DataFrame = VersionedTable.read(spark, src)
+      .filter($"h" === "h1").groupBy($"g")
+      .agg(countDistinct($"u").as("d"))
+    val resOn = res()
+    assert(roots(resOn).contains(hpU) && !roots(resOn).contains(src),
+      roots(resOn).toString)
+    assert(resOn.collect().map(_.toString).sorted.toSeq == offRows(res()))
     // stale view declines until refreshed
     VersionedTable.append(Seq(("g0", "h0", 99L, 1000L)).toDF("g", "h", "u", "v"), src)
     assert(roots(q()).contains(src))
