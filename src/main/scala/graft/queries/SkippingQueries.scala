@@ -517,6 +517,119 @@ object SkippingQueries {
     out
   }
 
+  // --------------------------------------------------------------------------
+  // q_topk_part — top-k pruning on a PARTITION column: the sort column's
+  // bounds come from the directory values (exact min = max per file), so
+  // `ORDER BY event_type DESC LIMIT 100` over the hive-partitioned fact
+  // proves τ = the highest partition value holding ≥ 100 rows and prunes
+  // every other DIRECTORY through the ordinary partition-filter path —
+  // asserted in-query (injected conjunct + < total files scanned).
+  // --------------------------------------------------------------------------
+  def topkPart(spark: SparkSession, dir: String): DataFrame = {
+    val fact = dppFactPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.format("graft-table").partitionBy("event_type").save(fact)
+    val t = spark.read.format("graft-table").load(fact)
+    val total = t.inputFiles.length
+    val out = t.orderBy(col("event_type").desc, col("event_id").asc)
+      .limit(100)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val injected = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) if c.exists {
+        case GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+            if a.name == "event_type" => true
+        case _ => false
+      } => c
+    }
+    require(injected.nonEmpty,
+      "q_topk_part: expected a partition-value threshold below the Sort; " +
+        s"optimized plan:\n${out.queryExecution.optimizedPlan}")
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read < total,
+      s"q_topk_part: expected directory pruning, read $read/$total files")
+    out
+  }
+
+  val topkPartSql: String =
+    """SELECT event_id, event_type, user_id FROM events
+      |ORDER BY event_type DESC, event_id ASC LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_topk_window — WINDOW GROUP-LIMIT file pruning: "the latest 50 events
+  // per type" (`ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts
+  // DESC, event_id) <= 50`) proves a PER-DIRECTORY threshold from each
+  // partition's own file bounds and injects the OR-of-group-ranges below
+  // the Window, so every event-type directory reads only its newest time
+  // band — asserted in-query (injected disjunction + fewer files scanned).
+  // DuckDB runs the plain window query.
+  // --------------------------------------------------------------------------
+  private def topkwPath(dir: String): String =
+    cachedFixturePath(dir, "topkw_v1", "events.parquet")
+
+  def topkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val path = topkwPath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("value"), col("event_type"))
+          .repartitionByRange(16, col("event_type"), col("ts")),
+        path, statsCols = Seq("ts"), partitionBy = Seq("event_type"))
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").asc)
+    val out = t.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select(col("event_id"), col("event_type"), col("ts"), col("rn"))
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Or}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val injected = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) if c.isInstanceOf[Or] && c.exists {
+        case GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+            if a.name == "ts" => true
+        case _ => false
+      } => c
+    }
+    require(injected.nonEmpty,
+      "q_topk_window: expected per-group ts thresholds below the Window; " +
+        s"optimized plan:\n${out.queryExecution.optimizedPlan}")
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read < total,
+      s"q_topk_window: expected per-group pruning, read $read/$total files")
+    out
+  }
+
+  val topkWindowSql: String =
+    """SELECT event_id, event_type, ts, rn FROM (
+      |  SELECT event_id, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ts DESC, event_id ASC) AS rn
+      |  FROM events) AS w WHERE rn <= 50""".stripMargin
+
   val dppRuntimeSql: String =
     """WITH dim AS (
       |  SELECT DISTINCT event_type FROM events WHERE LENGTH(event_type) = 5)
@@ -2278,7 +2391,9 @@ object SkippingQueries {
     "q_topk_prune" -> (topkPrune _),
     "q_dpp" -> (dppRuntime _),
     "q_mv_distinct" -> (mvDistinct _),
-    "q_mv_distinct_rollup" -> (mvDistinctRollup _))
+    "q_mv_distinct_rollup" -> (mvDistinctRollup _),
+    "q_topk_part" -> (topkPart _),
+    "q_topk_window" -> (topkWindow _))
 
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
@@ -2324,5 +2439,7 @@ object SkippingQueries {
     "q_topk_prune" -> topkPruneSql,
     "q_dpp" -> dppRuntimeSql,
     "q_mv_distinct" -> mvDistinctSql,
-    "q_mv_distinct_rollup" -> mvDistinctRollupSql)
+    "q_mv_distinct_rollup" -> mvDistinctRollupSql,
+    "q_topk_part" -> topkPartSql,
+    "q_topk_window" -> topkWindowSql)
 }

@@ -39,16 +39,18 @@ import org.apache.spark.sql.graft.GraftBatchShim
   * EXACT-OR-DECLINE posture: only files whose manifest stats answer
   * exactly (no DV marks, no truncated bounds, footer null counts set)
   * participate in the prefix proof — opaque files are simply never
-  * counted and never pruned. Declines: a Filter anywhere between Sort
-  * and scan (its selectivity would invalidate the count — and the
-  * decline doubles as fixpoint idempotence, since the rule's own
-  * injection lands exactly there), non-attribute sort keys, partition
-  * columns (no footer stats; the census rules own those), fewer than k
-  * provable non-null values, and thresholds that would not prune any
-  * file (zero plan churn on un-clustered data). Per-(column, k,
-  * direction) results memoize on the relation's stats closure, so the
-  * optimizer fixpoint re-visits cost O(1). Disable with
-  * `spark.graft.topk.enabled=false`. */
+  * counted and never pruned. PARTITION columns participate through their
+  * path values (exact min = max per file, live rows as the non-null
+  * count) — `ORDER BY day DESC LIMIT k` over a date-partitioned table
+  * prunes whole DIRECTORIES via the ordinary partition-filter path.
+  * Declines: a Filter anywhere between Sort and scan (its selectivity
+  * would invalidate the count — and the decline doubles as fixpoint
+  * idempotence, since the rule's own injection lands exactly there),
+  * non-attribute sort keys, fewer than k provable non-null values, and
+  * thresholds that would not prune any file (zero plan churn on
+  * un-clustered data). Per-(column, k, direction) results memoize on the
+  * relation's stats closure, so the optimizer fixpoint re-visits cost
+  * O(1). Disable with `spark.graft.topk.enabled=false`. */
 case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean = spark.sessionState.conf
@@ -73,7 +75,112 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => None
         }
         rewritten.fold(g: LogicalPlan)(nc => g.copy(child = nc))
+      case f @ Filter(cond, w: Window) =>
+        windowPrune(cond, w).fold(f: LogicalPlan)(nw => f.copy(child = nw))
     }
+  }
+
+  /** WINDOW GROUP-LIMIT file pruning — the per-group twin of the Limit
+    * case: `ROW_NUMBER() OVER (PARTITION BY day ORDER BY ts DESC) <= k`
+    * ("the latest k per day") proves a threshold PER WINDOW GROUP when
+    * the window partitions by the table's PARTITION columns: the census
+    * hands each group its member files, the same shortest-prefix
+    * arithmetic proves τ_g, and the injected predicate is the OR over
+    * groups of `part <=> v_g AND ts >= τ_g` (groups with no provable
+    * threshold keep their bare group disjunct — never lost, never
+    * pruned). Data skipping evaluates the OR per file — the group
+    * equalities via path-synthesized partition stats — so each directory
+    * keeps only the files that can still hold its own top k. RANK is
+    * accepted too (rank ≤ k rows are always within the k-by-multiplicity
+    * prefix); DENSE_RANK declines (its k-th distinct value can sit past
+    * the count-based threshold). The single window expression must BE the
+    * ranking (any other window aggregate would be computed over the
+    * filtered rows — wrong). Group count caps at
+    * `spark.graft.topk.windowGroupCap` (default 64) to bound predicate
+    * width. */
+  private def windowPrune(cond: Expression, w: Window): Option[Window] = {
+    // exactly one window expression: the rank the filter bounds
+    val (rankId, fnOk) = w.windowExpressions match {
+      case Seq(al @ Alias(WindowExpression(fn, _), _)) =>
+        (al.exprId, fn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] ||
+          fn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank])
+      case _ => return None
+    }
+    if (!fnOk) return None
+    val k = splitConj(cond).collectFirst {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(n))
+          if a.exprId == rankId => n
+      case LessThan(a: AttributeReference, IntegerLiteral(n))
+          if a.exprId == rankId => n - 1
+      case EqualTo(a: AttributeReference, IntegerLiteral(n))
+          if a.exprId == rankId => n
+      case GreaterThanOrEqual(IntegerLiteral(n), a: AttributeReference)
+          if a.exprId == rankId => n
+    }.getOrElse(return None)
+    if (k < 1) return None
+    val (oc, dir, nullOrd) = w.orderSpec match {
+      case SortOrder(a: AttributeReference, d, no, _) +: _ => (a, d, no)
+      case _ => return None
+    }
+    val desc = dir == Descending
+    val (files, mm, nn, names, leaf) = scanOf(w.child).getOrElse(return None)
+    val ocName = names.get(oc.exprId).getOrElse(return None)
+    // window partition exprs: plain attributes naming TABLE partition cols
+    val partAttrs = w.partitionSpec.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val cap = spark.sessionState.conf
+      .getConfString("spark.graft.topk.windowGroupCap", "64").toInt
+    // (group key → member files); the empty-partition window is the one
+    // global group over every live file
+    val groups: Seq[(Seq[(AttributeReference, Any,
+        org.apache.spark.sql.types.DataType)], Seq[String])] =
+      if (partAttrs.isEmpty) Seq((Nil, files))
+      else {
+        val (partSchema, census, _) =
+          GraftBatchShim.graftPartitionCensusOf(leaf).getOrElse(return None)
+        val idx = partAttrs.map { a =>
+          val n = names.get(a.exprId).getOrElse(return None)
+          val i = partSchema.fieldNames.indexOf(n)
+          if (i < 0) return None // not a table partition column
+          (a, i, partSchema(i).dataType)
+        }
+        census.groupBy { case (row, _, _) =>
+          idx.map { case (_, i, dt) =>
+            if (row.isNullAt(i)) null else row.get(i, dt) }
+        }.toSeq.map { case (key, entries) =>
+          (idx.zip(key).map { case ((a, _, dt), v) => (a, v, dt) },
+            entries.flatMap(_._3))
+        }
+      }
+    if (groups.size > cap) return None
+    val ord = graft.sources.DataSkipping.statOrdering // touch: shared domain
+    val _ = ord
+    val taus = groups.map { case (key, gFiles) =>
+      (key, gFiles, thresholdOf(gFiles, mm, nn, ocName, k, desc)
+        .flatMap(GraftStats.internalOf(_, oc.dataType)))
+    }
+    if (taus.forall(_._3.isEmpty)) return None // nothing prunes anywhere
+    val disjuncts = taus.map { case (key, _, tau) =>
+      val groupPred = key.map { case (a, v, dt) =>
+        EqualNullSafe(a, Literal(v, dt)): Expression }
+      val keep = tau.map { t =>
+        val cmp: Expression =
+          if (desc) GreaterThanOrEqual(oc, Literal(t, oc.dataType))
+          else LessThanOrEqual(oc, Literal(t, oc.dataType))
+        if (nullOrd == NullsFirst) Or(cmp, IsNull(oc)) else cmp
+      }
+      (groupPred ++ keep.toSeq).reduceOption[Expression](And)
+        .getOrElse(return None) // global group with no τ cannot happen here
+    }
+    Some(w.copy(child =
+      Filter(disjuncts.reduce[Expression](Or), w.child)))
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case x => Seq(x)
   }
 
   /** The Sort with the threshold filter injected below it, when the
@@ -81,7 +188,7 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
   private def prune(s: Sort, k: Int): Option[Sort] = s match {
     case Sort(SortOrder(a: AttributeReference, dir, nullOrd, _) +: _,
         true, child, _) =>
-      val (files, mm, nn, names) = scanOf(child).getOrElse(return None)
+      val (files, mm, nn, names, _) = scanOf(child).getOrElse(return None)
       val column = names.get(a.exprId).getOrElse(return None)
       val desc = dir == Descending
       val bound = memo
@@ -101,20 +208,20 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Descend from the Sort's child to a graft relation through
     * attribute-only Projects (a Filter or anything else declines), keeping
-    * the exprId → relation-column-name pairing. Partition columns carry no
-    * footer stats, so they fall out naturally via the per-file hooks. */
+    * the exprId → relation-column-name pairing. */
   private def scanOf(plan: LogicalPlan): Option[(Seq[String],
       (String, String) => Option[Option[(Any, Any)]],
-      (String, String) => Option[Long], Map[ExprId, String])] =
+      (String, String) => Option[Long], Map[ExprId, String], LogicalPlan)] =
     GraftBatchShim.topkStatsOf(plan) match {
       case Some((files, mm, nn)) =>
-        Some((files, mm, nn, plan.output.map(a => a.exprId -> a.name).toMap))
+        Some((files, mm, nn,
+          plan.output.map(a => a.exprId -> a.name).toMap, plan))
       case None => plan match {
         case Project(items, child)
             if items.forall(_.isInstanceOf[AttributeReference]) =>
-          scanOf(child).map { case (files, mm, nn, names) =>
+          scanOf(child).map { case (files, mm, nn, names, leaf) =>
             val out = items.map(_.asInstanceOf[AttributeReference].exprId).toSet
-            (files, mm, nn, names.filter(kv => out(kv._1)))
+            (files, mm, nn, names.filter(kv => out(kv._1)), leaf)
           }
         case _ => None
       }

@@ -110,6 +110,58 @@ private[graft] class GraftFileIndex(
     * domain (per-file hooks above are keyed by these). */
   def liveFiles: Seq[String] = allFiles
 
+  /** Catalyst-internal partition value → the stats comparison domain
+    * (BigDecimal for numerics/date-days/timestamp-micros, String for
+    * strings) — the same domain footer stats live in, so the top-k rule
+    * compares partition and data bounds with one ordering. None declines
+    * (booleans, binaries — nothing orderable to prune on). */
+  private def statDomainOf(v: Any): Option[Any] = v match {
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue()))
+    case l: java.lang.Long => Some(BigDecimal(l.longValue()))
+    case s: java.lang.Short => Some(BigDecimal(s.intValue()))
+    case b: java.lang.Byte => Some(BigDecimal(b.intValue()))
+    case d: org.apache.spark.sql.types.Decimal =>
+      Some(BigDecimal(d.toJavaBigDecimal))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    // BigDecimal.valueOf round-trips doubles exactly (Double.toString)
+    case db: java.lang.Double => Some(BigDecimal(db.doubleValue()))
+    case f: java.lang.Float => Some(BigDecimal(f.floatValue().toDouble))
+    case _ => None
+  }
+
+  /** [[fileMinMaxOf]] that ALSO answers PARTITION columns: a file's
+    * partition value is an exact min = max bound (true under DV marks too
+    * — every surviving row still carries it), and the hive null dir is an
+    * all-null column. Top-k thresholds on these prune whole DIRECTORIES
+    * through the ordinary partition-filter path. */
+  def topkBoundsOf(fk: String, column: String): Option[Option[(Any, Any)]] =
+    partSchema.fieldNames.indexOf(column) match {
+      case -1 => fileMinMaxOf(fk, column)
+      case i => partValuesOf.get(fk).flatMap { row =>
+        if (row.isNullAt(i)) Some(None)
+        else statDomainOf(row.get(i, partSchema(i).dataType)).map(v =>
+          Some((v, v)))
+      }
+    }
+
+  /** [[fileNonNullOf]]'s partition-aware twin: every live row carries the
+    * file's partition value, so the manifest's exact live count (DV marks
+    * already subtracted) IS the non-null count. */
+  def topkNonNullOf(fk: String, column: String): Option[Long] =
+    partSchema.fieldNames.indexOf(column) match {
+      case -1 => fileNonNullOf(fk, column)
+      case i => partValuesOf.get(fk).flatMap { row =>
+        if (row.isNullAt(i)) Some(0L) else fileRows.get(fk)
+      }
+    }
+
+  /** STABLE function values of the two hooks above — the top-k rule's
+    * memo is weakly keyed by the bounds function's identity, so it must
+    * be one object per index, not a fresh eta-expansion per query. */
+  val topkBounds: (String, String) => Option[Option[(Any, Any)]] =
+    topkBoundsOf
+  val topkNonNull: (String, String) => Option[Long] = topkNonNullOf
+
   override val rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = partSchema
   override def refresh(): Unit = ()
@@ -639,7 +691,7 @@ object GraftBatchShim {
         (String, String) => Option[Long])] =
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
-        Some((g.liveFiles, g.fileMinMaxOf, g.fileNonNullOf))
+        Some((g.liveFiles, g.topkBounds, g.topkNonNull))
       case _ => None
     }
 

@@ -17,16 +17,24 @@ class TopKPruningSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("topk").toString
 
+  /** Files the scan carrying `col` selects — descending into materialized
+    * AQE query stages (QueryStageExec is a leaf plain collect stops at). */
+  private def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] =
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+    }.flatten
+
   private def filesRead(df: DataFrame, col: String): Long = {
     val p = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case other => other
     }
-    p.collect {
-      case s: FileSourceScanExec if s.output.exists(_.name == col) =>
-        s.selectedPartitions.totalNumberOfFiles
-    }.sum
+    scansIn(p).filter(_.output.exists(_.name == col))
+      .map(_.selectedPartitions.totalNumberOfFiles).sum
   }
 
   private def rows(df: DataFrame): Seq[String] =
@@ -105,6 +113,99 @@ class TopKPruningSpec extends SparkSpec {
     assert(nl.filter(col("c").isNull).count() == 0L)
     withRuleOff {
       assert(rows(t.orderBy(col("c").desc).limit(50)) == rows(nl))
+    }
+  }
+
+  test("partition-column top-k prunes whole directories") {
+    val path = tmp() + "/p"
+    spark.range(0, 4096)
+      .select((col("id") % 8).as("p"), col("id").as("v"))
+      .write.format("graft-table").partitionBy("p").save(path)
+    def t = spark.read.format("graft-table").load(path)
+    val total = t.inputFiles.length
+    val desc = t.orderBy(col("p").desc, col("v").asc).limit(100)
+    val descRows = rows(desc)
+    assert(filesRead(desc, "v") < total,
+      s"partition top-k must prune dirs: read ${filesRead(desc, "v")}/$total")
+    withRuleOff {
+      val off = t.orderBy(col("p").desc, col("v").asc).limit(100)
+      assert(rows(off) == descRows)
+      assert(filesRead(off, "v") == total)
+    }
+    // the hive null directory: ASC NULLS FIRST keeps it, DESC prunes it
+    spark.range(4096, 4296)
+      .select(lit(null).cast("long").as("p"), col("id").as("v"))
+      .write.format("graft-table").mode("append").save(path)
+    val nf = t.orderBy(col("p").asc, col("v").asc).limit(250)
+    assert(nf.filter(col("p").isNull).count() == 200L,
+      "NULLS FIRST top-250 must keep all 200 null-partition rows")
+    withRuleOff {
+      assert(rows(t.orderBy(col("p").asc, col("v").asc).limit(250)) == rows(nf))
+    }
+    val nl = t.orderBy(col("p").desc, col("v").asc).limit(50)
+    assert(nl.filter(col("p").isNull).count() == 0L)
+    withRuleOff {
+      assert(rows(t.orderBy(col("p").desc, col("v").asc).limit(50)) == rows(nl))
+    }
+  }
+
+  test("window group-limit: top-k per partition dir prunes per group") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val path = tmp() + "/w"
+    // 4 partition dirs; within each, v is range-placed over 4 files so the
+    // per-group top-k needs only each dir's high band
+    spark.range(0, 8192)
+      .select((col("id") % 4).as("p"), col("id").as("v"),
+        (col("id") * 7 % 13).as("x"))
+      .repartitionByRange(16, col("id") % 4, col("id"))
+      .write.format("graft-table").option("statsCols", "v")
+      .partitionBy("p").save(path)
+    def t = spark.read.format("graft-table").load(path)
+    val total = t.inputFiles.length
+    def q(fn: org.apache.spark.sql.Column): DataFrame = t
+      .withColumn("rn", fn.over(W.partitionBy(col("p")).orderBy(col("v").desc)))
+      .filter(col("rn") <= 5)
+      .select(col("p"), col("v"), col("rn"))
+    val on = q(row_number())
+    val onRows = rows(on).sorted
+    val read = filesRead(on, "v")
+    assert(read > 0 && read < total,
+      s"per-group top-k must prune each dir's low bands: $read/$total")
+    withRuleOff {
+      val off = q(row_number())
+      assert(rows(off).sorted == onRows)
+      assert(filesRead(off, "v") == total)
+    }
+    // RANK is admissible (its selected rows stay within the k-by-
+    // multiplicity prefix); DENSE_RANK must decline
+    assert(filesRead(q(rank()), "v") < total)
+    withRuleOff {
+      assert(rows(q(rank())).sorted == rows(q(rank())).sorted)
+    }
+    assert(filesRead(q(dense_rank()), "v") == total,
+      "dense_rank has no sound count-based threshold — must decline")
+    // a second window aggregate over the same spec would be computed over
+    // the filtered rows — the rule must decline the whole window
+    val two = t
+      .withColumn("rn", row_number().over(W.partitionBy(col("p")).orderBy(col("v").desc)))
+      .withColumn("s", sum(col("v")).over(W.partitionBy(col("p"))))
+      .filter(col("rn") <= 5)
+    assert(filesRead(two, "v") == total,
+      "extra window aggregates must decline the prune")
+    withRuleOff {
+      assert(rows(two).sorted == rows(t
+        .withColumn("rn", row_number().over(W.partitionBy(col("p")).orderBy(col("v").desc)))
+        .withColumn("s", sum(col("v")).over(W.partitionBy(col("p"))))
+        .filter(col("rn") <= 5)).sorted)
+    }
+    // global window (no PARTITION BY) behaves like ORDER BY + LIMIT
+    val g = t.withColumn("rn", row_number().over(W.orderBy(col("v").desc)))
+      .filter(col("rn") === 3)
+    assert(filesRead(g, "v") < total)
+    withRuleOff {
+      assert(rows(t.withColumn("rn",
+        row_number().over(W.orderBy(col("v").desc)))
+        .filter(col("rn") === 3)) == rows(g))
     }
   }
 
