@@ -116,4 +116,15 @@ object MinHashSketchAgg {
     * MessageDigest is not thread-safe, so one instance per task thread. */
   private[functions] val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** The exact hash the KMV sketches store for a value's canonical string
+    * — exposed so plan-time consumers (the dictionary-complete equality
+    * pruner in [[graft.sources.DataSkipping]]) can probe membership with
+    * the producer's own recipe. */
+  private[graft] def md5Hex(s: String): String = {
+    val md = digests.get()
+    md.reset()
+    md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    toHex(md.digest())
+  }
 }

@@ -639,6 +639,49 @@ object SkippingQueries {
       |FROM events e JOIN dim USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_dict_skip — DICTIONARY-COMPLETE equality pruning under the oracle
+  // gate: event_type is hash-spread across files (overlapping string
+  // ranges, disjoint-ish value SETS — exactly where min/max pruning is
+  // blind), ANALYZE ... COMPUTE NDV persists per-file KMV sketches, and an
+  // un-saturated sketch is the file's COMPLETE distinct-hash set — so
+  // `event_type = 'purchase'` provably skips every file that never saw
+  // the value, straight from the manifest. Asserted in-query via
+  // pruneInfo; DuckDB runs the plain filter + aggregate over raw events.
+  // --------------------------------------------------------------------------
+  private def dictPath(dir: String): String =
+    cachedFixturePath(dir, "dictskip_v1", "events.parquet")
+
+  def dictSkip(spark: SparkSession, dir: String): DataFrame = {
+    val path = dictPath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"))
+          .repartition(4, col("event_type")), // hash-spread: sets differ,
+        path, statsCols = Seq("event_type"))  // ranges overlap
+    if (VersionedTable.latestVersion(spark, path).contains(1L))
+      VersionedTable.analyzeNdv(spark, path, Seq("event_type"))
+    val pred = col("event_type") === "purchase"
+    val (kept, skipped) = VersionedTable.pruneInfo(spark, path, pred)
+    require(skipped.nonEmpty && kept.nonEmpty,
+      s"q_dict_skip: expected the complete sketches to skip the files " +
+        s"that never saw 'purchase'; kept=${kept.size} skipped=${skipped.size}")
+    VersionedTable.readWhere(spark, path, pred)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+  }
+
+  val dictSkipSql: String =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   def mergeTablePath(dir: String): String = cachedTablePath(dir, "sqlmerge_v1")
 
   /** Idempotently build a keep-latest table with REAL SQL MERGE: seed with
@@ -2393,7 +2436,8 @@ object SkippingQueries {
     "q_mv_distinct" -> (mvDistinct _),
     "q_mv_distinct_rollup" -> (mvDistinctRollup _),
     "q_topk_part" -> (topkPart _),
-    "q_topk_window" -> (topkWindow _))
+    "q_topk_window" -> (topkWindow _),
+    "q_dict_skip" -> (dictSkip _))
 
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
@@ -2441,5 +2485,6 @@ object SkippingQueries {
     "q_mv_distinct" -> mvDistinctSql,
     "q_mv_distinct_rollup" -> mvDistinctRollupSql,
     "q_topk_part" -> topkPartSql,
-    "q_topk_window" -> topkWindowSql)
+    "q_topk_window" -> topkWindowSql,
+    "q_dict_skip" -> dictSkipSql)
 }

@@ -386,7 +386,7 @@ object DataSkipping {
       case LessThanOrEqual(l, a) if isLit(l) && !isLit(a) =>
         canSkip(GreaterThanOrEqual(a, l), stats)
       case EqualTo(a, l) => cmpSkip(a, l, stats)(
-        (mn, mx, v) => ordLt(v, mn) || ordLt(mx, v))
+        (mn, mx, v) => ordLt(v, mn) || ordLt(mx, v)) || dictSkip(a, l, stats)
       case GreaterThan(a, l) => cmpSkip(a, l, stats)(
         (_, mx, v) => !ordLt(v, mx)) // max <= v
       case GreaterThanOrEqual(a, l) => cmpSkip(a, l, stats)(
@@ -403,6 +403,34 @@ object DataSkipping {
       case IsNotNull(a) => attrName(a).flatMap(stats.get).exists(_.allNulls)
       case _ => false
     }
+
+  /** DICTIONARY-COMPLETE equality pruning from the NDV sketches: a
+    * per-file KMV sketch with FEWER than k hashes contains the md5 of
+    * EVERY distinct value in the file (the k-minimum cut never dropped
+    * one), so for a categorical column — the case where overlapping
+    * min/max ranges never prune — `c = v` provably misses any file whose
+    * complete hash set lacks md5(v). This is the 100 TB categorical
+    * lookup: `status = 'failed'` over shuffled files skips every file that
+    * never saw the value, straight from the manifest, no footer opened.
+    *
+    * Soundness: an md5 collision can only ADD a hash (keeps the file —
+    * conservative); a file whose sketch is saturated (size == k) may have
+    * dropped hashes and never prunes; later DV deletes only shrink the
+    * live set, so the analyzed set stays a superset. The literal must be
+    * the column's EXACT type with no cast in between — the hash is of the
+    * internal value's canonical string, and a widening cast can change it
+    * (0.1f vs 0.1f.toDouble stringify differently). NULL literals never
+    * match rows anyway (equality is not null-safe here). */
+  private def dictSkip(attr: Expression, lit: Expression,
+      stats: Map[String, ColStat]): Boolean = (attr, asLiteral(lit)) match {
+    case (a: AttributeReference, Some(l))
+        if l.value != null && l.dataType == a.dataType =>
+      stats.get(a.name).exists(_.ndv.exists(h =>
+        h.size < VersionedTable.NdvSketchK &&
+          !h.contains(graft.functions.MinHashSketchAgg.md5Hex(
+            l.value.toString))))
+    case _ => false
+  }
 
   /** Shared shape for `attr <op> literal`: resolve the column's stat and the
     * literal into the comparison domain; `skip(min, max, lit)` decides.
