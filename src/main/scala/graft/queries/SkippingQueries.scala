@@ -1350,13 +1350,14 @@ object SkippingQueries {
     val helper = graft.sources.MaterializedView.distinctHelperPath(mv, "user_id")
     val out = VersionedTable.read(spark, src)
       .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("user_id")).as("n_users"))
+        countDistinct(col("user_id")).as("n_users"),
+        sum_distinct(col("user_id")).as("sum_users"))
     val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
       .map(_.toString)
     require(roots.contains(mv) && roots.contains(helper) &&
         !roots.contains(src),
-      s"q_mv_distinct_rollup: expected the global COUNT(DISTINCT) to " +
-        s"answer from the view + helper; plan scans $roots")
+      s"q_mv_distinct_rollup: expected the global COUNT(DISTINCT) and " +
+        s"SUM(DISTINCT) to answer from the view + helper; plan scans $roots")
     out
   }
 
@@ -1369,7 +1370,8 @@ object SkippingQueries {
       |s4 AS (SELECT event_type,
       |  CASE WHEN event_id % 11 = 0 THEN user_id + 1000
       |       ELSE user_id END AS user_id FROM s3)
-      |SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+      |SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+      |  SUM(DISTINCT user_id) AS sum_users
       |FROM s4""".stripMargin
 
   val mvDistinctSql: String =

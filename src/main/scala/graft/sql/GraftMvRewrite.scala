@@ -300,6 +300,17 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * across merged groups the way sums and extrema do). */
   private case class NdvOut(id: ExprId, name: String,
       srcCol: String) extends Out
+  /** SUM(DISTINCT col) — answers from the HELPER table at every grouping
+    * (the helper IS the materialized distinct value set; re-summing with
+    * DISTINCT dedups values shared across rolled-up groups). Integral and
+    * decimal inputs only, like SumOut. */
+  private case class SumDistinctOut(id: ExprId, name: String,
+      srcCol: String, dt: org.apache.spark.sql.types.DataType) extends Out
+  /** AVG(DISTINCT col) — recombines the helper's COUNT(DISTINCT) and
+    * SUM(DISTINCT) at every grouping, with Average's own divide tree. */
+  private case class AvgDistinctOut(id: ExprId, name: String,
+      srcCol: String, srcDt: org.apache.spark.sql.types.DataType,
+      dt: org.apache.spark.sql.types.DataType) extends Out
 
   private def classify(e: NamedExpression,
       env: Map[ExprId, Expression]): Option[Out] = e match {
@@ -326,6 +337,19 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           (al.dataType == LongType ||
             al.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
       colName(a, env).map(SumOut(al.exprId, n, _, al.dataType))
+    // SUM(DISTINCT col): exact from the distinct helper's value rows
+    case al @ Alias(AggregateExpression(Sum(a: AttributeReference, em), _, true, None, _), n)
+        if em != EvalMode.TRY &&
+          (al.dataType == LongType ||
+            al.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+      colName(a, env).map(SumDistinctOut(al.exprId, n, _, al.dataType))
+    // AVG(DISTINCT col): helper sum-distinct / count-distinct recombined
+    case al @ Alias(AggregateExpression(Average(a: AttributeReference, em), _, true, None, _), n)
+        if em != EvalMode.TRY && (a.dataType == LongType ||
+          a.dataType == IntegerType || a.dataType == ShortType ||
+          a.dataType == ByteType || a.dataType.isInstanceOf[DecimalType]) =>
+      colName(a, env).map(AvgDistinctOut(al.exprId, n, _, a.dataType,
+        al.dataType))
     // AVG recombines from exact SUM + non-null-COUNT components — the
     // same decomposition the view itself maintains. Integral and decimal
     // inputs only (double sums don't re-associate bit-exactly); TRY
@@ -529,9 +553,12 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AvgOut => a.srcCol }
     val vNdv = cols(MaterializedView.DistinctColsKey).toSet
     val neededNdv = outs.collect { case d: NdvOut => d.srcCol }
+    val neededAvgD = outs.collect { case d: AvgDistinctOut => d.srcCol }
+    val neededSumD = outs.collect { case d: SumDistinctOut => d.srcCol } ++
+      neededAvgD
     if (!neededSums.forall(vSums) ||
         !neededMinMax.forall(vMinMax) || !neededNn.forall(vNn) ||
-        !neededNdv.forall(vNdv)) return None
+        !neededNdv.forall(vNdv) || !neededSumD.forall(vNdv)) return None
 
     val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
       .queryExecution.analyzed
@@ -555,17 +582,21 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // whose refresh watermark matches the queried source snapshot, exactly
     // like the view itself (time travel included).
     val exactGrouping = items.map(_._1).toSet == groupAliases.toSet
+    // helper-answered columns: SUM(DISTINCT) always (no stored companion);
+    // COUNT(DISTINCT) only when the grouping rolls up past the stored ndv
+    val helperCols: Seq[String] =
+      (neededSumD ++ (if (exactGrouping) Nil else neededNdv)).distinct
     val ndvHelpers: Map[String, LogicalPlan] =
-      if (neededNdv.isEmpty || exactGrouping) Map.empty
+      if (helperCols.isEmpty) Map.empty
       else {
-        val built = neededNdv.distinct.flatMap { c =>
+        val built = helperCols.flatMap { c =>
           val hp = MaterializedView.distinctHelperPath(mvPath, c)
           versionFor(hp, src.srcV).flatMap { hv =>
             scala.util.Try(VersionedTable.read(spark, hp, Some(hv))
               .queryExecution.analyzed).toOption
           }.map(c -> _)
         }
-        if (built.size != neededNdv.distinct.size) {
+        if (built.size != helperCols.size) {
           dbg(s"$mvPath: distinct helper(s) unavailable at v=${src.srcV}")
           return None
         }
@@ -634,6 +665,10 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           longAttr(MaterializedView.nnColName(c)).isDefined
       case NdvOut(_, _, c) =>
         longAttr(MaterializedView.ndvColName(c)).isDefined
+      // helper-answered: types derive from the same source column (the
+      // helper's value col IS the source col); presence checked above
+      case _: SumDistinctOut => true
+      case _: AvgDistinctOut => true
       case _: CountOut => true
     } && groupAliases.forall(attr.contains) &&
       residualCols.forall(n => attr.contains(n))
@@ -686,6 +721,13 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // pick-one re-aggregate reads the stored value
         Alias(Max(attr(MaterializedView.ndvColName(c)))
           .toAggregateExpression(), n)(exprId = id)
+      case o: SumDistinctOut =>
+        // never a view slot — the helper-join path below owns it
+        throw new IllegalStateException(
+          s"SUM(DISTINCT ${o.srcCol}) reached the view-slot builder")
+      case o: AvgDistinctOut =>
+        throw new IllegalStateException(
+          s"AVG(DISTINCT ${o.srcCol}) reached the view-slot builder")
       case AvgOut(id, n, c, srcDt, dt) =>
         // the recombination tree Average.evaluateExpression itself builds,
         // over the view's exact SUM + non-null-COUNT components (the divide
@@ -715,16 +757,27 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // slot order with absent groups' counts coalesced to 0
     val hiddenKeys: Seq[NamedExpression] =
       groupAliases.distinct.map(al => Alias(attr(al), s"__graft_k_$al")())
-    val baseAggs = outs.filterNot(_.isInstanceOf[NdvOut]).map(toViewAgg) ++
-      hiddenKeys
+    val baseAggs = outs.filterNot {
+      case _: NdvOut => !exactGrouping // exact grouping reads the view ndv
+      case _: SumDistinctOut => true // never stored — always the helper
+      case _: AvgDistinctOut => true
+      case _ => false
+    }.map(toViewAgg) ++ hiddenKeys
     val keyAttrOf: Map[String, Attribute] =
       groupAliases.distinct.zip(hiddenKeys.map(_.toAttribute)).toMap
-    val ndvCols = outs.collect { case d: NdvOut => d.srcCol }.distinct
+    // AVG(DISTINCT) reads BOTH channels from the helper at every grouping
+    // (its per-group count-distinct over helper rows equals the stored ndv
+    // at exact grouping, so one source serves both shapes)
+    val needD: Set[String] =
+      (if (exactGrouping) Set.empty[String] else neededNdv.toSet) ++
+        neededAvgD
+    val needSd: Set[String] = neededSumD.toSet
     var dAttrOf = Map.empty[String, Attribute]
+    var sdAttrOf = Map.empty[String, Attribute]
     var joined: LogicalPlan =
       if (baseAggs.nonEmpty) Aggregate(groupAliases.map(attr(_)), baseAggs, scan)
       else null // global all-distinct query: anchor on the first helper
-    ndvCols.foreach { c =>
+    helperCols.foreach { c =>
       val hPlan = ndvHelpers(c)
       val hAttr: Map[String, Attribute] = hPlan.output.map(a => a.name -> a).toMap
       // residuals re-apply on the helper: they reference plain group
@@ -741,10 +794,19 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case a: AttributeReference => hAttr(a.name)
         }).reduce(And), hPlan)
       val hKeys = groupAliases.distinct.map(hAttr(_))
-      val dAlias = Alias(Count(Seq(hAttr(c)))
-        .toAggregateExpression(isDistinct = true), s"__graft_d_$c")()
-      val hAgg = Aggregate(hKeys, hKeys ++ Seq(dAlias), hScan)
-      dAttrOf += c -> dAlias.toAttribute
+      val dAlias =
+        if (!needD(c)) None
+        else Some(Alias(Count(Seq(hAttr(c)))
+          .toAggregateExpression(isDistinct = true), s"__graft_d_$c")())
+      // DISTINCT dedups values shared across rolled-up groups; within one
+      // stored group the helper already has each value once
+      val sdAlias =
+        if (!needSd(c)) None
+        else Some(Alias(new Sum(hAttr(c))
+          .toAggregateExpression(isDistinct = true), s"__graft_sd_$c")())
+      val hAgg = Aggregate(hKeys, hKeys ++ dAlias.toSeq ++ sdAlias.toSeq, hScan)
+      dAlias.foreach(a => dAttrOf += c -> a.toAttribute)
+      sdAlias.foreach(a => sdAttrOf += c -> a.toAttribute)
       joined =
         if (joined == null) hAgg
         else {
@@ -755,10 +817,32 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
     val finalProj: Seq[NamedExpression] = outs.map {
-      case NdvOut(id, n, c) =>
+      case NdvOut(id, n, c) if !exactGrouping =>
         // anchored on the first helper (no base): its own count is never
         // absent; joined helpers coalesce for groups they never saw
         Alias(Coalesce(Seq(dAttrOf(c), Literal(0L))), n)(exprId = id)
+      case SumDistinctOut(id, n, c, dt) =>
+        // SQL SUM totality: NULL on empty/all-null groups — exactly what
+        // the missing-join-row null already is
+        val sd = sdAttrOf(c)
+        val e: Expression = if (sd.dataType == dt) sd else Cast(sd, dt)
+        Alias(e, n)(exprId = id)
+      case AvgDistinctOut(id, n, c, srcDt, dt) =>
+        // Average's own recombination over the helper's exact components
+        // (missing join row → nulls → SQL NULL average, as unrewritten)
+        val sd: Expression = sdAttrOf(c)
+        val d: Expression = dAttrOf(c)
+        val e = srcDt match {
+          case sdt: DecimalType =>
+            val sumDT = expectedSumType(sdt)
+            val total = if (sd.dataType == sumDT) sd else Cast(sd, sumDT)
+            Cast(Divide(total, Cast(d, DecimalType(20, 0)),
+              EvalMode.LEGACY), dt)
+          case _ =>
+            Divide(Cast(sd, DoubleType), Cast(d, DoubleType),
+              EvalMode.LEGACY)
+        }
+        Alias(e, n)(exprId = id)
       case o =>
         // base slots pass through the join under their original ids
         joined.output.find(_.exprId == idOf(o)).getOrElse(return None)
@@ -775,6 +859,8 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case MaxOut(id, _, _, _) => id
     case AvgOut(id, _, _, _, _) => id
     case NdvOut(id, _, _) => id
+    case SumDistinctOut(id, _, _, _) => id
+    case AvgDistinctOut(id, _, _, _, _) => id
   }
 
   /** The type `SUM(col)` carries for a source column type — what the

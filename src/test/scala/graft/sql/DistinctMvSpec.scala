@@ -147,6 +147,41 @@ class DistinctMvSpec extends SparkSpec {
     assert(roots(resOn).contains(hpU) && !roots(resOn).contains(src),
       roots(resOn).toString)
     assert(resOn.collect().map(_.toString).sorted.toSeq == offRows(res()))
+    // SUM(DISTINCT) answers from the helper at EVERY grouping — exact
+    // (mixed with the stored ndv), rolled up, and global
+    def sde(): DataFrame = VersionedTable.read(spark, src)
+      .groupBy($"g", $"h")
+      .agg(sum_distinct($"u").as("sd"), countDistinct($"u").as("d"),
+        count(lit(1)).as("n"))
+    val sdeOn = sde()
+    assert(roots(sdeOn).contains(hpU) && !roots(sdeOn).contains(src),
+      roots(sdeOn).toString)
+    assert(sdeOn.collect().map(_.toString).sorted.toSeq == offRows(sde()))
+    def sdr(): DataFrame = VersionedTable.read(spark, src)
+      .groupBy($"g")
+      .agg(sum_distinct($"u").as("sd"), countDistinct($"v").as("dv"))
+    val sdrOn = sdr()
+    assert(roots(sdrOn).contains(hpU) && !roots(sdrOn).contains(src),
+      roots(sdrOn).toString)
+    assert(sdrOn.collect().map(_.toString).sorted.toSeq == offRows(sdr()))
+    def sdg(): DataFrame = VersionedTable.read(spark, src)
+      .agg(sum_distinct($"u").as("sd"))
+    val sdgOn = sdg()
+    assert(roots(sdgOn).contains(hpU) && !roots(sdgOn).contains(src),
+      roots(sdgOn).toString)
+    assert(sdgOn.collect().map(_.toString).sorted.toSeq == offRows(sdg()))
+    // AVG(DISTINCT): both channels from the helper, exact AND rolled up
+    def ad(exact: Boolean): DataFrame = {
+      val base = VersionedTable.read(spark, src)
+      val g = if (exact) base.groupBy($"g", $"h") else base.groupBy($"g")
+      g.agg(expr("avg(DISTINCT u)").as("ad"), count(lit(1)).as("n"))
+    }
+    Seq(true, false).foreach { exact =>
+      val on2 = ad(exact)
+      assert(roots(on2).contains(hpU) && !roots(on2).contains(src),
+        s"avg-distinct exact=$exact: ${roots(on2)}")
+      assert(on2.collect().map(_.toString).sorted.toSeq == offRows(ad(exact)))
+    }
     // stale view declines until refreshed
     VersionedTable.append(Seq(("g0", "h0", 99L, 1000L)).toDF("g", "h", "u", "v"), src)
     assert(roots(q()).contains(src))
