@@ -1291,9 +1291,9 @@ object SkippingQueries {
   // over raw events and aggregates for real.
   // --------------------------------------------------------------------------
   private def mvDistSourcePath(dir: String): String =
-    SkippingQueries.cachedFixturePath(dir, "mvdistsrc_v1", "events.parquet")
+    SkippingQueries.cachedFixturePath(dir, "mvdistsrc_v2", "events.parquet")
   private def mvDistViewPath(dir: String): String =
-    SkippingQueries.cachedFixturePath(dir, "mvdistview_v1", "events.parquet")
+    SkippingQueries.cachedFixturePath(dir, "mvdistview_v2", "events.parquet")
 
   def ensureDistinctMv(spark: SparkSession, dir: String): String = {
     val src = mvDistSourcePath(dir)
@@ -1304,7 +1304,10 @@ object SkippingQueries {
         src, statsCols = Seq("event_id"))                            // src v1
     MaterializedView.create(spark, src, mv, // registers on src → src v2
       Seq("event_type"), Nil, Nil, where = None, partitionBy = Nil,
-      distinctCols = Seq("user_id"))        // idempotent resume
+      // one single-column count and one TUPLE (pipe-joined entry):
+      // COUNT(DISTINCT user_id, event_id) maintains through its own
+      // (group, value-pair) helper
+      distinctCols = Seq("user_id", "user_id|event_id")) // idempotent resume
     if (VersionedTable.latestVersion(spark, src).contains(2L))
       VersionedTable.delete(spark, src, col("user_id") % 7 === 0)    // src v3
     MaterializedView.refresh(spark, mv)        // applies the delete delta
@@ -1327,12 +1330,15 @@ object SkippingQueries {
     val out = VersionedTable.read(spark, src)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("user_id")).as("n_users"))
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_id"), col("user_id")).as("n_pairs"))
     val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
       .map(_.toString)
     require(roots.contains(mv) && !roots.contains(src),
-      s"q_mv_distinct: expected the exact-grouping COUNT(DISTINCT) over " +
-        s"$src to answer from the fresh view $mv; plan scans $roots")
+      s"q_mv_distinct: expected the exact-grouping COUNT(DISTINCT)s — " +
+        s"single column AND the (event_id, user_id) tuple, spelled in the " +
+        s"REVERSE of the stored order — to answer from the fresh view " +
+        s"$mv; plan scans $roots")
     out
   }
 
@@ -1380,11 +1386,12 @@ object SkippingQueries {
       |s3 AS (SELECT * FROM s2 UNION ALL
       |  SELECT event_id, event_type, user_id + 500 FROM events
       |  WHERE user_id % 3 = 0),
-      |s4 AS (SELECT event_type,
+      |s4 AS (SELECT event_type, event_id,
       |  CASE WHEN event_id % 11 = 0 THEN user_id + 1000
       |       ELSE user_id END AS user_id FROM s3)
       |SELECT event_type, COUNT(*) AS n_rows,
-      |  COUNT(DISTINCT user_id) AS n_users
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT (event_id, user_id)) AS n_pairs
       |FROM s4 GROUP BY 1""".stripMargin
 
   def incrementalMv(spark: SparkSession, dir: String): DataFrame = {

@@ -225,6 +225,8 @@ object MaterializedView {
   def maxColName(c: String): String = s"max_$c"
   def nnColName(c: String): String = s"nn_$c"
   def ndvColName(c: String): String = s"ndv_$c"
+  /** Tuple form: COUNT(DISTINCT a, b) stores as `ndv_a_b`. */
+  def ndvColName(cols: Seq[String]): String = s"ndv_${cols.mkString("_")}"
 
   /** Columns maintained as EXACT `COUNT(DISTINCT col)` (comma-separated).
     * Unlike COUNT/SUM, a distinct count is not a signed-delta fold — a
@@ -251,6 +253,16 @@ object MaterializedView {
 
   def distinctHelperPath(mvPath: String, c: String): String =
     mvPath.stripSuffix("/") + s"_distinct_$c"
+  def distinctHelperPath(mvPath: String, cols: Seq[String]): String =
+    distinctHelperPath(mvPath, cols.mkString("_"))
+
+  /** The stored distinct ENTRIES: each a column tuple — `user_id` or
+    * `user_id|session_id` (COUNT(DISTINCT a, b)), pipe-joined in the
+    * comma-separated [[DistinctColsKey]] list. */
+  private[graft] def distinctsIn(props: Map[String, String]): Seq[Seq[String]] =
+    colsOf(props, DistinctColsKey)
+      .map(_.split('|').toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
 
   /** Diagnostic: number of per-group MIN/MAX repair scans refresh has run
     * (spec-asserts that folds never scan the source and that an
@@ -259,7 +271,7 @@ object MaterializedView {
 
   private def aggFrame(src: DataFrame, groupBy: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String],
-      distinctCols: Seq[String] = Nil): DataFrame = {
+      distincts: Seq[Seq[String]] = Nil): DataFrame = {
     val nnCols = (sumCols ++ minMaxCols).distinct
     src.groupBy(groupBy.map(col): _*)
       .agg(count(lit(1)).as(CountCol),
@@ -267,17 +279,18 @@ object MaterializedView {
           minMaxCols.flatMap(c => Seq(min(col(c)).as(minColName(c)),
             max(col(c)).as(maxColName(c)))) ++
           nnCols.map(c => count(col(c)).as(nnColName(c))) ++
-          distinctCols.map(c =>
-            countDistinct(col(c)).as(ndvColName(c)))): _*)
+          distincts.map(t => countDistinct(col(t.head), t.tail.map(col): _*)
+            .as(ndvColName(t)))): _*)
   }
 
   /** One helper's full content from a source-shaped snapshot: one row per
-    * (group, live non-null value) with its occurrence count. */
+    * (group, live value tuple) with its occurrence count. Tuples with ANY
+    * null component are out, matching SQL COUNT(DISTINCT a, b). */
   private def helperFrame(snap: DataFrame, groupBy: Seq[String],
-      exprOf: Map[String, String], c: String): DataFrame =
-    keyed(snap, groupBy, exprOf, Seq(c))
-      .filter(col(c).isNotNull)
-      .groupBy((groupBy :+ c).map(col): _*)
+      exprOf: Map[String, String], t: Seq[String]): DataFrame =
+    keyed(snap, groupBy, exprOf, t)
+      .filter(t.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((groupBy ++ t).map(col): _*)
       .agg(count(lit(1)).as(HelperCntCol))
 
   /** Project a source-shaped frame to the view's key space: every group
@@ -495,10 +508,15 @@ object MaterializedView {
         "helper-table maintenance would need per-slice replay against two " +
         "independently-moving watermarks — keep the distinct count on a " +
         "plain view over the fact")
-    require(distinctCols.forall(!groupBy.contains(_)),
+    // entries are column TUPLES — "u" or "u|s" for COUNT(DISTINCT u, s)
+    val distincts: Seq[Seq[String]] =
+      distinctCols.map(_.split('|').toSeq.map(_.trim).filter(_.nonEmpty))
+    require(distincts.forall(_.nonEmpty),
+      "empty COUNT(DISTINCT) column tuple")
+    require(distincts.flatten.forall(!groupBy.contains(_)),
       s"COUNT(DISTINCT) over a GROUP BY column " +
-        s"(${distinctCols.filter(groupBy.contains).mkString(",")}) is " +
-        "constant 1 per group — drop it from the view definition")
+        s"(${distincts.flatten.filter(groupBy.contains).mkString(",")}) " +
+        "is constant per group — drop it from the view definition")
     require(partitionBy.forall(groupBy.contains),
       s"materialized view partition column(s) " +
         s"${partitionBy.filterNot(groupBy.contains).mkString(",")} must be " +
@@ -563,8 +581,8 @@ object MaterializedView {
     if (VersionedTable.latestVersion(spark, mvPath).isEmpty) {
       val snap = applyWhere(srcFrame(Some(v)), where, s"create over $srcPath")
       val agg = aggFrame(keyed(snap, groupBy, groupKeyExprs,
-        (sumCols ++ minMaxCols ++ distinctCols).distinct), groupBy, sumCols,
-        minMaxCols, distinctCols)
+        (sumCols ++ minMaxCols ++ distincts.flatten).distinct), groupBy,
+        sumCols, minMaxCols, distincts)
       refuseNullGroups(agg, groupBy, s"create over $srcPath")
       // group keys are the view's stats columns: the refresh MERGE's CoW
       // file selection prunes on exactly these (directory pruning on top
@@ -576,17 +594,17 @@ object MaterializedView {
     // may find the source past the version the view snapshot read), each
     // with the same (App, watermark) txn so a crashed create resumes as a
     // replay no-op; props re-asserted idempotently after the content
-    distinctCols.foreach { c =>
-      val hp = distinctHelperPath(mvPath, c)
+    distincts.foreach { t =>
+      val hp = distinctHelperPath(mvPath, t)
       if (VersionedTable.latestVersion(spark, hp).isEmpty) {
         val wm = VersionedTable.lastTxn(spark, mvPath, App).getOrElse(v)
         VersionedTable.commitSnapshot(
           helperFrame(applyWhere(srcFrame(Some(wm)), where,
-            s"create over $srcPath"), groupBy, groupKeyExprs, c),
+            s"create over $srcPath"), groupBy, groupKeyExprs, t),
           hp, App, wm, statsCols = groupBy)
       }
       VersionedTable.setProperties(spark, hp, Map(
-        SourceKey -> mvPath, HelperOfKey -> c))
+        SourceKey -> mvPath, HelperOfKey -> t.mkString("|")))
     }
     VersionedTable.setProperties(spark, mvPath, Map(
       SourceKey -> srcPath,
@@ -846,7 +864,7 @@ object MaterializedView {
     val groupBy = colsOf(props, GroupByKey)
     val sumCols = colsOf(props, SumColsKey)
     val minMaxCols = colsOf(props, MinMaxColsKey)
-    val distinctCols = colsOf(props, DistinctColsKey)
+    val distincts = distinctsIn(props)
     val nnCols = (sumCols ++ minMaxCols).distinct
     val where = props.get(WhereKey).filter(_.nonEmpty)
     val isIns = col("_change_type") === "insert"
@@ -856,7 +874,8 @@ object MaterializedView {
     val exprOf = groupExprsIn(props)
     val valueCols = (sumCols ++ minMaxCols).distinct
     val keyedChg = keyed(applyWhere(chg, where, what),
-      groupBy, exprOf, (valueCols ++ distinctCols).distinct :+ "_change_type")
+      groupBy, exprOf,
+      (valueCols ++ distincts.flatten).distinct :+ "_change_type")
     val delta0 = keyedChg
       .groupBy(groupBy.map(col): _*)
       .agg(sum(sign).as("d_count"),
@@ -889,13 +908,14 @@ object MaterializedView {
     // cancels in every other aggregate (delete c=1, insert c=2, same
     // count) still moves the distinct count, so touched groups UNION into
     // the delta (outer join; fills keep the fold arithmetic intact).
-    val ndvFrames: Seq[DataFrame] = distinctCols.map { c =>
-      val hp = distinctHelperPath(mvPath, c)
+    val ndvFrames: Seq[DataFrame] = distincts.map { t =>
+      val nm = t.mkString("_")
+      val hp = distinctHelperPath(mvPath, t)
       val h0 = VersionedTable.lastTxn(spark, hp, App).getOrElse(
         throw new IllegalStateException(
           s"$hp carries no ${App} watermark — run a FULL refresh"))
-      val hDelta = keyedChg.filter(col(c).isNotNull)
-        .groupBy((groupBy :+ c).map(col): _*)
+      val hDelta = keyedChg.filter(t.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy((groupBy ++ t).map(col): _*)
         .agg(sum(sign).as("d_cnt"))
         .filter(col("d_cnt") =!= 0L)
       val target = txn.map(_._2)
@@ -907,14 +927,14 @@ object MaterializedView {
           s"$hp watermark $h0 out of step with the view's " +
             s"${txnExpected._2} — run REFRESH ... FULL to rebuild")
         val curH = VersionedTable.read(spark, hp)
-          .select((groupBy :+ c :+ HelperCntCol).map(col): _*)
-        val mergedH = hDelta.join(curH, groupBy :+ c, "left")
-          .select((groupBy :+ c).map(col) ++ Seq(
+          .select((groupBy ++ t :+ HelperCntCol).map(col): _*)
+        val mergedH = hDelta.join(curH, groupBy ++ t, "left")
+          .select((groupBy ++ t).map(col) ++ Seq(
             (coalesce(col(HelperCntCol), lit(0L)) + col("d_cnt"))
               .as(HelperCntCol)): _*)
         val prevFence = VersionedTable.mvMaintenance.get()
         VersionedTable.mvMaintenance.set(true)
-        try VersionedTable.upsert(mergedH, hp, keys = groupBy :+ c,
+        try VersionedTable.upsert(mergedH, hp, keys = groupBy ++ t,
           evolveSchema = false, latestBy = None, statsCols = groupBy,
           txn = txn.map { case (a, v) => (a, v) },
           deleteWhere = Some(col(HelperCntCol) === 0L),
@@ -928,11 +948,11 @@ object MaterializedView {
       val recount = VersionedTable.read(spark, hp)
         .join(broadcast(tKeys), groupBy)
         .groupBy(groupBy.map(col): _*)
-        .agg(count(lit(1)).as(s"r_ndv_$c"))
+        .agg(count(lit(1)).as(s"r_ndv_$nm"))
       tKeys.join(recount, groupBy, "left")
         .select(groupBy.map(col) ++ Seq(
-          coalesce(col(s"r_ndv_$c"), lit(0L)).as(s"r_ndv_$c"),
-          lit(true).as(s"t_ndv_$c")): _*)
+          coalesce(col(s"r_ndv_$nm"), lit(0L)).as(s"r_ndv_$nm"),
+          lit(true).as(s"t_ndv_$nm")): _*)
     }
     val delta = ndvFrames.foldLeft(delta0) { (d, h) =>
       val joinedD = d.join(h, groupBy, "full_outer")
@@ -946,7 +966,7 @@ object MaterializedView {
     refuseNullGroups(delta, groupBy, what)
     val viewCols = Seq(CountCol) ++ sumCols.map(sumColName) ++
       minMaxCols.flatMap(c => Seq(minColName(c), maxColName(c))) ++
-      nnCols.map(nnColName) ++ distinctCols.map(ndvColName)
+      nnCols.map(nnColName) ++ distincts.map(ndvColName)
     val curView = VersionedTable.read(spark, mvPath).select(
       (groupBy ++ viewCols).map(col): _*)
     def nnNew(c: String): Column =
@@ -1025,10 +1045,12 @@ object MaterializedView {
         // touched groups take the helper recount; untouched keep their
         // stored ndv (new groups are always touched when they carry any
         // non-null value; an all-null newcomer is correctly 0)
-        distinctCols.map(c =>
-          when(col(s"t_ndv_$c"), col(s"r_ndv_$c"))
-            .otherwise(coalesce(col(ndvColName(c)), lit(0L)))
-            .as(ndvColName(c))): _*)
+        distincts.map { t =>
+          val nm = t.mkString("_")
+          when(col(s"t_ndv_$nm"), col(s"r_ndv_$nm"))
+            .otherwise(coalesce(col(ndvColName(t)), lit(0L)))
+            .as(ndvColName(t))
+        }: _*)
     // the view-content write fence opens only for the refresh itself —
     // every other mutator on the view path refuses (derived content).
     // Saved/restored, not cleared: an auto-refresh chained off THIS
@@ -1070,7 +1092,7 @@ object MaterializedView {
     val groupBy = colsOf(props, GroupByKey)
     val sumCols = colsOf(props, SumColsKey)
     val minMaxCols = colsOf(props, MinMaxColsKey)
-    val distinctCols = colsOf(props, DistinctColsKey)
+    val distincts = distinctsIn(props)
     val exprOf = groupExprsIn(props)
     val where = props.get(WhereKey).filter(_.nonEmpty)
     val partitionBy = colsOf(props, PartitionByKey)
@@ -1088,25 +1110,25 @@ object MaterializedView {
     val snap = applyWhere(withDim(VersionedTable.read(spark, src, Some(v1))),
       where, s"full refresh of $mvPath")
     val agg = aggFrame(keyed(snap, groupBy, exprOf,
-      (sumCols ++ minMaxCols ++ distinctCols).distinct), groupBy, sumCols,
-      minMaxCols, distinctCols)
+      (sumCols ++ minMaxCols ++ distincts.flatten).distinct), groupBy,
+      sumCols, minMaxCols, distincts)
     refuseNullGroups(agg, groupBy, s"full refresh of $mvPath")
     // distinct HELPERS rebuild FIRST (each replay-safe under the same
     // (App, v1) txn): a crash between a helper and the view leaves the
     // helper AHEAD, which the incremental path detects and skips — the
     // reverse order would leave it BEHIND, which nothing could repair
     // short of another FULL refresh
-    distinctCols.foreach { c =>
-      val hp = distinctHelperPath(mvPath, c)
+    distincts.foreach { t =>
+      val hp = distinctHelperPath(mvPath, t)
       val hWm = VersionedTable.lastTxn(spark, hp, App)
       if (!hWm.exists(_ >= v1)) {
         val prevH = VersionedTable.mvMaintenance.get()
         VersionedTable.mvMaintenance.set(true)
         try VersionedTable.commitSnapshotRaw(
-          helperFrame(snap, groupBy, exprOf, c), hp,
+          helperFrame(snap, groupBy, exprOf, t), hp,
           statsCols = groupBy, partitionBy = Nil,
           txn = Some(App -> v1), propsAdd = Map(
-            SourceKey -> mvPath, HelperOfKey -> c))
+            SourceKey -> mvPath, HelperOfKey -> t.mkString("|")))
         finally VersionedTable.mvMaintenance.set(prevH)
       }
     }

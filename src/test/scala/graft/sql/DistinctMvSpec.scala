@@ -192,6 +192,49 @@ class DistinctMvSpec extends SparkSpec {
         .agg(countDistinct($"u")).collect().head.getLong(0))
   }
 
+  test("multi-column COUNT(DISTINCT a, b): tuple helpers maintain and rewrite") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 240L).map(i => ("g" + i % 3, i % 7, "s" + i % 4, i))
+        .toDF("g", "u", "s", "v"), src, statsCols = Seq("g"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, COUNT(*), COUNT(DISTINCT u, s), SUM(v) " +
+      s"FROM graft.`$src` GROUP BY g")
+    val ndvCol = MaterializedView.ndvColName(Seq("u", "s"))
+    assert(VersionedTable.read(spark, mv).columns.contains(ndvCol))
+    def oracleT: Map[String, Long] = VersionedTable.read(spark, src)
+      .groupBy($"g").agg(countDistinct($"u", $"s").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def viewT: Map[String, Long] = VersionedTable.read(spark, mv)
+      .select($"g", col(ndvCol))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viewT == oracleT)
+    // DML: delete a slice (kills some tuples' last occurrence), insert a
+    // TUPLE-swap (same u, new s — u-only counting would miss it)
+    VersionedTable.delete(spark, src, $"v" % 5 === 0)
+    VersionedTable.append(Seq(("g0", 3L, "s9", 1000L)).toDF("g", "u", "s", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(viewT == oracleT)
+    // rewrite: EXACT grouping reads the stored tuple ndv (column order in
+    // the query is free — tuples match as sets)
+    def roots(df: DataFrame): Seq[String] =
+      GraftBatchShim.scanRootsOf(df).map(_.toString)
+    val exact = VersionedTable.read(spark, src)
+      .groupBy($"g").agg(countDistinct($"s", $"u").as("d"))
+    assert(roots(exact).contains(mv) && !roots(exact).contains(src),
+      roots(exact).toString)
+    assert(exact.collect().map(_.toString).sorted.toSeq ==
+      oracleT.toSeq.map { case (g, d) => s"[$g,$d]" }.sorted)
+    // rollup: the GLOBAL tuple count answers from the tuple helper
+    val hp = MaterializedView.distinctHelperPath(mv, Seq("u", "s"))
+    val g = VersionedTable.read(spark, src)
+      .agg(countDistinct($"u", $"s").as("d"))
+    assert(roots(g).contains(hp) && !roots(g).contains(src), roots(g).toString)
+    val want = VersionedTable.read(spark, src)
+      .select($"u", $"s").distinct().count()
+    assert(g.collect().head.getLong(0) == want)
+  }
+
   test("refusals and ownership: joins, redefinition, helper refresh, DROP") {
     val base = tmp(); val src = base + "/src"
     val dim = base + "/dim"; val mv = base + "/mv"

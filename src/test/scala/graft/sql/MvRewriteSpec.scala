@@ -280,6 +280,10 @@ class MvRewriteSpec extends SparkSpec {
     assertRewrites(src, mv, spark.sql(
       s"SELECT g, COUNT(*) AS n, MIN(v) AS mn, MAX(s) AS mx " +
         s"FROM graft.`$src` GROUP BY g"))
+    // DISTINCT is a no-op on extrema — the spelling rewrites identically
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT g, MIN(DISTINCT v) AS mn, MAX(DISTINCT s) AS mx " +
+        s"FROM graft.`$src` GROUP BY g"))
     // MAX(s) worked above because MIN(s) put s in the minMax roster (both
     // extrema are materialized per col); an UNLISTED col still declines
     assert(roots(spark.sql(
