@@ -79,6 +79,19 @@ class DistinctMvSpec extends SparkSpec {
     MaterializedView.refresh(spark, mv)
     assert(viewRows(mv)("d") == (3L, 2L))
     assert(oracle(src) == viewRows(mv))
+    // a refresh whose delta carries ONLY null distinct values: the helper
+    // content is untouched but its watermark must still advance (an empty
+    // merge is a real commit), or the NEXT refresh would refuse as
+    // out-of-step — proven by the follow-up non-null cycle succeeding
+    VersionedTable.append(Seq(("d", null.asInstanceOf[java.lang.Long], 30L))
+      .toDF("g", "u", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv)("d") == (4L, 2L), viewRows(mv).toString)
+    VersionedTable.append(Seq(("d", java.lang.Long.valueOf(9L), 31L))
+      .toDF("g", "u", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(viewRows(mv)("d") == (5L, 3L))
+    assert(oracle(src) == viewRows(mv))
     // replayed refresh is a no-op
     val ver = VersionedTable.latestVersion(spark, mv)
     MaterializedView.refresh(spark, mv)
@@ -233,6 +246,26 @@ class DistinctMvSpec extends SparkSpec {
     val want = VersionedTable.read(spark, src)
       .select($"u", $"s").distinct().count()
     assert(g.collect().head.getLong(0) == want)
+  }
+
+  test("auto-refresh keeps a distinct view (and its helper) fresh through commits") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 3L))
+      .toDF("g", "u", "v"), src, statsCols = Seq("g"))
+    MaterializedView.create(spark, src, mv, Seq("g"), Nil, Nil,
+      where = None, partitionBy = Nil, distinctCols = Seq("u"))
+    VersionedTable.setProperties(spark, src,
+      Map("graft.mv.autoRefresh" -> "true"))
+    // the commit's own hook chains refresh(): view AND helper catch up
+    // with no operator in the loop
+    VersionedTable.append(Seq(("a", 9L, 4L), ("b", 3L, 5L)).toDF("g", "u", "v"), src)
+    assert(viewRows(mv) == Map("a" -> (3L, 3L), "b" -> (2L, 1L)))
+    VersionedTable.delete(spark, src, $"u" === 9L)
+    assert(viewRows(mv) == Map("a" -> (2L, 2L), "b" -> (2L, 1L)))
+    // and the rewrite stays armed right after the hook ran
+    val q = VersionedTable.read(spark, src).groupBy($"g")
+      .agg(countDistinct($"u").as("d"))
+    assert(GraftBatchShim.scanRootsOf(q).map(_.toString).contains(mv))
   }
 
   test("refusals and ownership: joins, redefinition, helper refresh, DROP") {
