@@ -51,7 +51,7 @@ case class KmvSketchAgg(
     if (v != null) {
       val md = MinHashSketchAgg.digests.get()
       md.reset()
-      md.update(v.toString.getBytes(StandardCharsets.UTF_8))
+      md.update(MinHashSketchAgg.canonical(v).getBytes(StandardCharsets.UTF_8))
       val h = MinHashSketchAgg.toHex(md.digest())
       // skip values that can't enter a full sketch — keeps the hot path
       // allocation-free once the stream saturates k

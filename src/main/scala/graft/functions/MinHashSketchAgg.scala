@@ -127,4 +127,15 @@ object MinHashSketchAgg {
     md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     toHex(md.digest())
   }
+
+  /** The VALUE-BASED canonical string the KMV sketches hash. Plain
+    * toString is value-based for every atomic internal type EXCEPT
+    * binary — Array[Byte].toString is the instance identity, which would
+    * make sketches on binary columns per-row noise (useless NDV) and,
+    * worse, let the dictionary pruner wrongly skip a file that holds the
+    * probed bytes. Base64 makes binary values compare by content. */
+  private[graft] def canonical(v: Any): String = v match {
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case x => x.toString
+  }
 }

@@ -424,11 +424,25 @@ object DataSkipping {
   private def dictSkip(attr: Expression, lit: Expression,
       stats: Map[String, ColStat]): Boolean = (attr, asLiteral(lit)) match {
     case (a: AttributeReference, Some(l))
-        if l.value != null && l.dataType == a.dataType =>
+        if l.value != null && l.dataType == a.dataType &&
+          // value-stable canonical strings only: array/struct internal
+          // values have no content-based toString, so their hashes never
+          // probe soundly
+          dictProbeType(a.dataType) =>
       stats.get(a.name).exists(_.ndv.exists(h =>
         h.size < VersionedTable.NdvSketchK &&
           !h.contains(graft.functions.MinHashSketchAgg.md5Hex(
-            l.value.toString))))
+            graft.functions.MinHashSketchAgg.canonical(l.value)))))
+    case _ => false
+  }
+
+  /** Types whose INTERNAL values stringify by content — the producer's
+    * hash recipe and the plan-time probe then agree byte-for-byte. */
+  private def dictProbeType(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+        LongType | FloatType | DoubleType | DateType | TimestampType |
+        TimestampNTZType | BinaryType => true
+    case _: DecimalType => true
     case _ => false
   }
 

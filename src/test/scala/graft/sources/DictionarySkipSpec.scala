@@ -67,4 +67,25 @@ class DictionarySkipSpec extends SparkSpec {
     assert(VersionedTable.readWhere(spark, path, col("s") === "banana")
       .count() == 1L)
   }
+
+  test("binary columns hash by CONTENT: present bytes keep their file") {
+    // Array[Byte].toString is instance identity — without the canonical
+    // Base64 recipe a file holding the probed bytes would be WRONGLY
+    // pruned (its stored hash would never match any probe)
+    val path = tmp() + "/b"
+    val f1 = Seq((Array[Byte](1, 2), 1L), (Array[Byte](3, 4), 2L))
+      .toDF("b", "v").coalesce(1)
+    val f2 = Seq((Array[Byte](5, 6), 3L)).toDF("b", "v").coalesce(1)
+    VersionedTable.write(f1, path)
+    VersionedTable.append(f2, path)
+    VersionedTable.analyzeNdv(spark, path, Seq("b"))
+    val present = col("b") === lit(Array[Byte](1, 2))
+    val (k1, s1) = VersionedTable.pruneInfo(spark, path, present)
+    assert(k1.size == 1 && s1.size == 1,
+      s"bytes (1,2) live only in the first file: $k1 / $s1")
+    assert(VersionedTable.readWhere(spark, path, present).count() == 1L)
+    val (k2, s2) = VersionedTable.pruneInfo(spark, path,
+      col("b") === lit(Array[Byte](9, 9)))
+    assert(k2.isEmpty && s2.size == 2, "absent bytes must skip every file")
+  }
 }
