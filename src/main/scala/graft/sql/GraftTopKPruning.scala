@@ -56,9 +56,10 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean = spark.sessionState.conf
     .getConfString("spark.graft.topk.enabled", "true").toBoolean
 
-  /** Memo: stats-closure → (column, k, desc, nullsFirst) → injectable
-    * bound in the stats domain (None = proved undecidable/unprofitable).
-    * Weakly keyed so entries die with their snapshot relation. */
+  /** Memo: stats-closure → (column, k, desc) → injectable bound in the
+    * stats domain (None = proved undecidable/unprofitable; null ordering
+    * does not change the THRESHOLD, only the conjunct's shape). Weakly
+    * keyed so entries die with their snapshot relation. */
   private val memo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[AnyRef,
       scala.collection.concurrent.TrieMap[(String, Int, Boolean), Option[Any]]]())
