@@ -1377,7 +1377,7 @@ object SkippingQueries {
       |  CASE WHEN event_id % 11 = 0 THEN user_id + 1000
       |       ELSE user_id END AS user_id FROM s3)
       |SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
-      |  SUM(DISTINCT user_id) AS sum_users
+      |  CAST(SUM(DISTINCT user_id) AS BIGINT) AS sum_users
       |FROM s4""".stripMargin
 
   val mvDistinctSql: String =

@@ -44,7 +44,16 @@ object DataSkipping {
         * (union keeping k smallest), so table-level or pruned-subset NDV
         * answers at plan time from the manifest alone. Written by
         * ANALYZE ... COMPUTE NDV, absent otherwise. */
-      ndv: Option[Seq[String]] = None)
+      ndv: Option[Seq[String]] = None,
+      /** Hash-recipe version the sketch was written under. Recipe 1
+        * (legacy, the parse-time default) stringified binary values by
+        * JVM identity, so its hashes are NOT reproducible at plan time;
+        * recipe 2 canonicalizes binary as Base64 (content-based).
+        * Dictionary probes on BinaryType require >= 2 — probing an old
+        * sketch with the new recipe would wrongly report a present value
+        * absent and skip a file that contains it. NDV *counting* is
+        * recipe-agnostic (it only sizes the hash set). */
+      ndvRecipe: Int = 1)
 
   /** Stored string bounds are capped at this many chars (Delta's 32-char
     * stats truncation): on an LLM corpus with stats collected on a text
@@ -316,7 +325,11 @@ object DataSkipping {
       val nd = st.ndv.map(h => s""""ndv":${h.map(x =>
         sharedMapper.writeValueAsString(x)).mkString("[", ",", "]")},""")
         .getOrElse("")
-      s""""$c":{$mn$mx$tr$nd"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
+      // recipe marker rides only when a sketch does and only past legacy —
+      // absent ⇒ parse-time default 1 keeps old manifests byte-compatible
+      val ndV = if (st.ndv.isDefined && st.ndvRecipe > 1)
+        s""""ndv_v":${st.ndvRecipe},""" else ""
+      s""""$c":{$mn$mx$tr$nd$ndV"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
     }.mkString("{", ",", "}")
   }
 
@@ -332,7 +345,8 @@ object DataSkipping {
         Option(o.get("all_nulls")).exists(_.asBoolean()),
         Option(o.get("trunc")).exists(_.asBoolean()),
         Option(o.get("ndv")).map(a => a.elements().asScala
-          .map(_.asText()).toSeq))
+          .map(_.asText()).toSeq),
+        Option(o.get("ndv_v")).map(_.asInt()).getOrElse(1))
     }.toMap
   }
 
@@ -429,12 +443,22 @@ object DataSkipping {
           // values have no content-based toString, so their hashes never
           // probe soundly
           dictProbeType(a.dataType) =>
-      stats.get(a.name).exists(_.ndv.exists(h =>
+      stats.get(a.name).exists(st => st.ndv.exists(h =>
         h.size < VersionedTable.NdvSketchK &&
+          // binary sketches written before the Base64 canonical recipe
+          // hashed Array[Byte].toString (JVM identity) — probing them
+          // with the content recipe would false-skip; require the
+          // recipe marker for BinaryType probes
+          (a.dataType != BinaryType || st.ndvRecipe >= NdvRecipeCurrent) &&
           !h.contains(graft.functions.MinHashSketchAgg.md5Hex(
             graft.functions.MinHashSketchAgg.canonical(l.value)))))
     case _ => false
   }
+
+  /** Current sketch hash-recipe version, stamped on every new ANALYZE
+    * sketch (see [[ColStat.ndvRecipe]]). Bump whenever the canonical
+    * string of ANY probe-able type changes. */
+  val NdvRecipeCurrent = 2
 
   /** Types whose INTERNAL values stringify by content — the producer's
     * hash recipe and the plan-time probe then agree byte-for-byte. */

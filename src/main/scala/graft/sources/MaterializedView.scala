@@ -513,6 +513,19 @@ object MaterializedView {
       distinctCols.map(_.split('|').toSeq.map(_.trim).filter(_.nonEmpty))
     require(distincts.forall(_.nonEmpty),
       "empty COUNT(DISTINCT) column tuple")
+    // ndv column names and helper paths join tuple columns with '_', so
+    // COUNT(DISTINCT a, b) and COUNT(DISTINCT a_b) would collide on both
+    // ndv_a_b and the <mv>_distinct_a_b helper — refuse up front with the
+    // colliding spellings named, instead of an opaque duplicate-column
+    // error downstream (and a silently-overwritten helper registration)
+    locally {
+      val collided = distincts.groupBy(ndvColName).filter(_._2.size > 1)
+      require(collided.isEmpty,
+        s"COUNT(DISTINCT) tuples ${collided.values.flatten
+          .map(_.mkString("(", ",", ")")).mkString(" and ")} collide on " +
+          s"view column/helper name ${collided.keys.mkString(",")} — " +
+          "'_'-joined tuple spellings must be pairwise distinct")
+    }
     require(distincts.flatten.forall(!groupBy.contains(_)),
       s"COUNT(DISTINCT) over a GROUP BY column " +
         s"(${distincts.flatten.filter(groupBy.contains).mkString(",")}) " +

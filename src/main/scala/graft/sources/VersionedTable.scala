@@ -658,7 +658,7 @@ object VersionedTable {
                 val next = parsed ++ skCols.flatMap(n => m.get(n).map(h =>
                   n -> parsed.getOrElse(n, DataSkipping.ColStat(None, None, 0L,
                       allNulls = false))
-                    .copy(ndv = Some(h))))
+                    .copy(ndv = Some(h), ndvRecipe = DataSkipping.NdvRecipeCurrent)))
                 if (next.isEmpty) None else Some(DataSkipping.colsToJson(next))
             }
             (i, p, rw, merged, br)
@@ -1053,14 +1053,15 @@ object VersionedTable {
     // stats, which would silently exempt every timestamp column from
     // manifest data skipping, metadata MIN/MAX, join-range inference and
     // top-k pruning — on a time-clustered 100 TB fact, exactly the column
-    // those rules exist for. Session-conf scoped to this one write job
-    // (the only way Spark exposes it) and restored on every exit path;
-    // readers handle INT96 and MICROS files side-by-side, so pre-existing
-    // tables keep working and simply gain stats on their next rewrite.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsPrev = df.sparkSession.conf.get(tsKey)
-    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try {
+    // those rules exist for. The override rides a CLONED session scoped
+    // to this one write job (GraftBatchShim.withSessionConfs), never the
+    // shared session conf — a concurrent writer in the same session can
+    // neither observe a transient restore mid-job nor have its own
+    // unrelated writes forced to MICROS. Readers handle INT96 and MICROS
+    // files side-by-side, so pre-existing tables keep working and simply
+    // gain stats on their next rewrite.
+    try org.apache.spark.sql.graft.GraftBatchShim.withSessionConfs(df,
+      Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) { df =>
       val physical0 =
         if (colMap.isEmpty) df
         else df.select(df.columns.map(c => col(c).as(colMap.getOrElse(c, c))).toSeq: _*)
@@ -1111,7 +1112,7 @@ object VersionedTable {
         // leave a half-staged dir for vacuum to babysit
         scala.util.Try(f.delete(dir, true))
         throw e
-    } finally df.sparkSession.conf.set(tsKey, tsPrev)
+    }
     val names = listParquetRec(f, dir).sorted
     // bucketed stage: tag each file with its writer-partition ordinal in
     // Spark's bucketed-file format (`..._%05d` before the extension) —
@@ -2931,7 +2932,7 @@ object VersionedTable {
             fk -> (prior ++ addSk.getOrElse(fk, Map.empty).map { case (n, h) =>
               n -> prior.getOrElse(n,
                   DataSkipping.ColStat(None, None, 0L, allNulls = false))
-                .copy(ndv = Some(h))
+                .copy(ndv = Some(h), ndvRecipe = DataSkipping.NdvRecipeCurrent)
             })
           }.toMap
           try encodeCommit(spark, root, v, c.files, s.json,
@@ -2956,7 +2957,7 @@ object VersionedTable {
             fk -> (prior ++ sk.map { case (n, h) =>
               n -> prior.getOrElse(n,
                   DataSkipping.ColStat(None, None, 0L, allNulls = false))
-                .copy(ndv = Some(h))
+                .copy(ndv = Some(h), ndvRecipe = DataSkipping.NdvRecipeCurrent)
             })
           }.toMap
           // carried stats CHANGED → not delta-expressible; encodes full

@@ -496,6 +496,24 @@ object GraftBatchShim {
     }
   }
 
+  /** Run `body` over `df` REBASED into a cloned session carrying `confs`:
+    * per-job conf isolation (same SparkContext, same cached data, own
+    * SQLConf) without mutating the shared session — a concurrent writer
+    * thread can never observe a transient override mid-job. The clone is
+    * cheap (session-state copy, no context) and garbage once the job
+    * ends. Needs `private[sql]`: both `cloneSession()` and
+    * `Dataset.ofRows` are sql-private in classic. */
+  def withSessionConfs[A](df: DataFrame, confs: Map[String, String])(
+      body: DataFrame => A): A = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val cloned = classic.cloneSession()
+    confs.foreach { case (k, v) => cloned.conf.set(k, v) }
+    body(org.apache.spark.sql.classic.Dataset.ofRows(cloned,
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.logical))
+  }
+
   /** The qualified-root prefix of `_metadata.file_path`, trailing slash
     * included. file_path renders scheme + ':' [+ '//' authority] + the
     * URI-RAW (percent-encoded) path — NOT `Path.toString` (decoded) and

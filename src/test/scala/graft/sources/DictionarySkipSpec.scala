@@ -88,4 +88,35 @@ class DictionarySkipSpec extends SparkSpec {
       col("b") === lit(Array[Byte](9, 9)))
     assert(k2.isEmpty && s2.size == 2, "absent bytes must skip every file")
   }
+
+  test("legacy (pre-Base64) binary sketches never dict-prune; recipe survives JSON") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val bytes = Array[Byte](9, 9)
+    val b = AttributeReference("b", BinaryType, nullable = true)()
+    val pred = EqualTo(b, Literal(bytes, BinaryType))
+    // an un-saturated sketch that does NOT contain md5(base64(bytes)) —
+    // exactly what an identity-hashing pre-change ANALYZE persisted
+    val legacy = Map("b" -> DataSkipping.ColStat(None, None, 0L,
+      allNulls = false, ndv = Some(Seq("00" * 16)))) // ndvRecipe default 1
+    assert(!DataSkipping.canSkip(pred, legacy),
+      "a legacy binary sketch is not content-reproducible — must keep")
+    val current = Map("b" -> legacy("b").copy(
+      ndvRecipe = DataSkipping.NdvRecipeCurrent))
+    assert(DataSkipping.canSkip(pred, current),
+      "same sketch at the current recipe proves absence — must skip")
+    // STRING probes stay recipe-agnostic (their canonical never changed)
+    val s = AttributeReference("s", StringType, nullable = true)()
+    val sPred = EqualTo(s, Literal.create("zzz", StringType))
+    val sLegacy = Map("s" -> DataSkipping.ColStat(None, None, 0L,
+      allNulls = false, ndv = Some(Seq("00" * 16))))
+    assert(DataSkipping.canSkip(sPred, sLegacy))
+    // the marker round-trips the manifest JSON (absent ⇒ legacy 1)
+    val rt = DataSkipping.colsFromJson(DataSkipping.colsToJson(current))
+    assert(rt("b").ndvRecipe == DataSkipping.NdvRecipeCurrent,
+      "ndv_v must survive colsToJson/colsFromJson")
+    val rtLegacy = DataSkipping.colsFromJson(DataSkipping.colsToJson(legacy))
+    assert(rtLegacy("b").ndvRecipe == 1,
+      "no marker in the JSON must parse as the legacy recipe")
+  }
 }
