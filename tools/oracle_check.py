@@ -14,6 +14,24 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Intended (spark_type, oracle_type) pairs the type lint accepts. The
+# str()-value compare below stringifies DECIMAL(38,0) 11904 and BIGINT
+# 11904 identically, so it can NEVER catch a result-type skew — but the
+# driver's hasher types its values and does. Integer-width pairs hash
+# alike driver-side (both fetch as plain ints; every rank()/row_number()
+# query — Spark INTEGER vs DuckDB BIGINT — is driver-green), so they are
+# allowlisted up to 64 bits; HUGEINT/DECIMAL-vs-integer is exactly the
+# skew that failed the driver (q_mv_distinct_rollup, round 14: DuckDB
+# types an uncast SUM(DISTINCT bigint) as a 128-bit value) and stays
+# flagged.
+_INTS = ["TINYINT", "SMALLINT", "INTEGER", "BIGINT"]
+TYPE_OK = {(a, b) for a in _INTS for b in _INTS if a != b}
+
+
+def col_types(con, query):
+    """column name -> DuckDB type string for an arbitrary SELECT."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {query}").fetchall()}
+
 
 def canon(rows):
     out = []
@@ -63,6 +81,23 @@ def main():
         wperm = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
         if sorted(got_cols) != sorted(want_cols):
             print(f"SCHEMA   {name}: spark={sorted(got_cols)} oracle={sorted(want_cols)}")
+            n_bad += 1
+            continue
+        # type lint: same-named columns must carry the same DuckDB type in
+        # the Spark parquet result and the oracle relation (modulo TYPE_OK)
+        try:
+            gt = col_types(con, f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            wt = col_types(con, f"({sql})")
+            skew = [(c, gt[c], wt[c]) for c in sorted(gt)
+                    if c in wt and gt[c] != wt[c] and (gt[c], wt[c]) not in TYPE_OK]
+        except Exception as e:
+            print(f"ERROR    {name}: type lint: {e}")
+            n_bad += 1
+            continue
+        if skew:
+            for c, g_ty, w_ty in skew:
+                print(f"TYPESKEW {name}.{c}: spark={g_ty} oracle={w_ty} "
+                      f"(driver hashes typed values — cast the oracle)")
             n_bad += 1
             continue
         g = canon([[r[i] for i in gperm] for r in got])
