@@ -580,7 +580,7 @@ object SkippingQueries {
   private def topkwPath(dir: String): String =
     cachedFixturePath(dir, "topkw_v1", "events.parquet")
 
-  def topkWindow(spark: SparkSession, dir: String): DataFrame = {
+  private def ensureTopkw(spark: SparkSession, dir: String): String = {
     val path = topkwPath(dir)
     if (VersionedTable.latestVersion(spark, path).isEmpty)
       VersionedTable.write(
@@ -588,6 +588,11 @@ object SkippingQueries {
           .select(col("event_id"), col("ts"), col("value"), col("event_type"))
           .repartitionByRange(16, col("event_type"), col("ts")),
         path, statsCols = Seq("ts"), partitionBy = Seq("event_type"))
+    path
+  }
+
+  def topkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureTopkw(spark, dir)
     val t = VersionedTable.read(spark, path)
     val total = t.inputFiles.length
     val w = org.apache.spark.sql.expressions.Window
@@ -627,6 +632,106 @@ object SkippingQueries {
     """SELECT event_id, event_type, ts, rn FROM (
       |  SELECT event_id, event_type, ts,
       |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ts DESC, event_id ASC) AS rn
+      |  FROM events) AS w WHERE rn <= 50""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_topk_filtered — top-k THROUGH a partition-only WHERE, the dashboard
+  // shape `WHERE part-filter ORDER BY ts DESC LIMIT k`: the filter keeps
+  // whole directories (file-constant predicate), so the shortest-prefix
+  // proof runs on the SURVIVING dirs' files and still injects `ts >= τ`
+  // under the user's filter — asserted in-query (conjunct + fewer files).
+  // DuckDB filters and sorts everything.
+  // --------------------------------------------------------------------------
+  def topkFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureTopkw(spark, dir)
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val out = t.filter(col("event_type") >= "p")
+      .orderBy(col("ts").desc, col("event_id").asc).limit(100)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val injected = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) if c.exists {
+        case GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+            if a.name == "ts" => true
+        case _ => false
+      } => c
+    }
+    require(injected.nonEmpty,
+      "q_topk_filtered: expected a ts >= τ conjunct proved over the " +
+        "filter-surviving dirs; optimized plan:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read < total,
+      s"q_topk_filtered: expected pruning under the filter, read $read/$total")
+    out
+  }
+
+  val topkFilteredSql: String =
+    """SELECT event_id, event_type, ts FROM events
+      |WHERE event_type >= 'p'
+      |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_topk_window_yr — window group-limit over a DERIVED window key:
+  // `PARTITION BY substring(event_type, 1, 1)` binds to the census tuple
+  // (the year(day)-style shape), each derived group proves its own τ from
+  // its member dirs' file bounds, and the injected OR carries RANGE
+  // bounds on the underlying partition column per group — asserted
+  // in-query (disjunction + fewer files). DuckDB runs the plain window.
+  // --------------------------------------------------------------------------
+  def topkWindowDerived(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureTopkw(spark, dir)
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring(col("event_type"), 1, 1))
+      .orderBy(col("ts").desc, col("event_id").asc)
+    val out = t.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select(col("event_id"), col("event_type"), col("ts"), col("rn"))
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Or}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val injected = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) if c.isInstanceOf[Or] && c.exists {
+        case GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+            if a.name == "ts" => true
+        case _ => false
+      } => c
+    }
+    require(injected.nonEmpty,
+      "q_topk_window_yr: expected per-derived-group ts thresholds below " +
+        s"the Window; optimized plan:\n${out.queryExecution.optimizedPlan}")
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read < total,
+      s"q_topk_window_yr: expected per-group pruning, read $read/$total")
+    out
+  }
+
+  val topkWindowDerivedSql: String =
+    """SELECT event_id, event_type, ts, rn FROM (
+      |  SELECT event_id, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY SUBSTRING(event_type, 1, 1)
       |      ORDER BY ts DESC, event_id ASC) AS rn
       |  FROM events) AS w WHERE rn <= 50""".stripMargin
 
@@ -2446,6 +2551,8 @@ object SkippingQueries {
     "q_mv_distinct_rollup" -> (mvDistinctRollup _),
     "q_topk_part" -> (topkPart _),
     "q_topk_window" -> (topkWindow _),
+    "q_topk_filtered" -> (topkFiltered _),
+    "q_topk_window_yr" -> (topkWindowDerived _),
     "q_dict_skip" -> (dictSkip _))
 
   val oracles: Map[String, String] = Map(
@@ -2495,5 +2602,7 @@ object SkippingQueries {
     "q_mv_distinct_rollup" -> mvDistinctRollupSql,
     "q_topk_part" -> topkPartSql,
     "q_topk_window" -> topkWindowSql,
+    "q_topk_filtered" -> topkFilteredSql,
+    "q_topk_window_yr" -> topkWindowDerivedSql,
     "q_dict_skip" -> dictSkipSql)
 }

@@ -211,6 +211,8 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
   * column's stats); any Filter/Limit/expansion disables the rewrite. */
 case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  import PartitionCensus.{CensusInfo, censusOf, bindPart, liveEntries, traverseOpt}
+
   /** (relation metadata hooks, aggregate-attr exprId → relation column). */
   private def snapshotOf(plan: LogicalPlan): Option[
       ((Option[Long], String => Option[(Any, Any)]), Map[ExprId, String])] =
@@ -284,23 +286,6 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         .getOrElse(agg)
   }
 
-  /** Everything the census rewrites need, resolved through the walk:
-    * the per-partition entries (typed values, live rows, member files),
-    * the attribute maps for partition and data columns, and the
-    * partition-only filter conjuncts PRE-BOUND to census tuple indices. */
-  private case class CensusInfo(
-      census: Seq[(org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String])],
-      idxOf: Map[ExprId, Int],
-      dataColOf: Map[ExprId, String],
-      partSchema: org.apache.spark.sql.types.StructType,
-      fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]],
-      conds: Seq[Expression],
-      /** DERIVED partition values: a computed Project column whose every
-        * input is a partition column (`year(event_date) AS yr` — the shape
-        * Catalyst pulls grouping expressions into), pre-BOUND to census
-        * tuple indices. Constant within a partition by construction, so
-        * grouping/min-maxing by it is answerable per census entry. */
-      derivedOf: Map[ExprId, Expression])
 
   /** The GLOBAL census answer: COUNT(*) / COUNT(partition cols) /
     * MIN/MAX of partition OR stats-covered data columns, over
@@ -318,84 +303,6 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     val values = slots.map(evalSlot(_, live, info).getOrElse(return None))
     Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
   }
-
-  /** Census walk: attribute-only projections and partition-column-only
-    * filters over a census-carrying graft relation; tracks BOTH maps
-    * (partition field index and data-column relation name) and binds
-    * filter conjuncts at their own level (a Project above may
-    * legitimately prune a filter-only column). */
-  private def censusOf(plan: LogicalPlan): Option[CensusInfo] =
-    GraftBatchShim.graftPartitionCensusOf(plan) match {
-      case Some((partSchema, census, fmm)) =>
-        val partNames = partSchema.fieldNames
-        val idxOf = plan.output.flatMap { a =>
-          val i = partNames.indexOf(a.name)
-          if (i >= 0) Some(a.exprId -> i) else None
-        }.toMap
-        val dataColOf = plan.output.flatMap { a =>
-          if (partNames.contains(a.name)) None
-          else Some(a.exprId -> a.name)
-        }.toMap
-        Some(CensusInfo(census, idxOf, dataColOf, partSchema, fmm, Nil,
-          Map.empty))
-      case None => plan match {
-        case Project(items, c) => censusOf(c).map { info =>
-          def remap[A](base: Map[ExprId, A]): Map[ExprId, A] =
-            items.flatMap {
-              case a: AttributeReference =>
-                base.get(a.exprId).map(a.exprId -> _)
-              case al @ Alias(a: AttributeReference, _) =>
-                base.get(a.exprId).map(al.exprId -> _)
-              case _ => None // handled below when partition-derivable
-            }.toMap
-          // a COMPUTED column whose every input is a partition (or
-          // already-derived) value binds to the census tuple — the
-          // `year(event_date) AS yr` grouping shape; anything touching a
-          // data column stays unmapped and its consumers decline
-          val derived = items.flatMap {
-            case al @ Alias(e, _)
-                if !e.isInstanceOf[AttributeReference] &&
-                  e.references.nonEmpty =>
-              bindPart(e, info).map(al.exprId -> _)
-            case _ => None
-          }.toMap
-          info.copy(idxOf = remap(info.idxOf),
-            dataColOf = remap(info.dataColOf),
-            derivedOf = remap(info.derivedOf) ++ derived)
-        }
-        case Filter(cond, c)
-            if cond.deterministic &&
-              !cond.exists(_.isInstanceOf[PlanExpression[_]]) =>
-          censusOf(c).flatMap { info =>
-            def split(e: Expression): Seq[Expression] = e match {
-              case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-                split(l) ++ split(r)
-              case x => Seq(x)
-            }
-            val bound = traverseOpt(split(cond).map(bindPart(_, info)))
-            bound.map(bs => info.copy(conds = info.conds ++ bs))
-          }
-        case _ => None
-      }
-    }
-
-  /** Bind a partition-derivable expression to the census tuple: every
-    * referenced attribute must be a partition column (→ BoundReference at
-    * its census index) or an already-derived value (→ its own binding);
-    * non-deterministic, subquery-carrying, or data-column-touching
-    * expressions refuse. The one binder shared by derived Project columns,
-    * partition filters, derived group keys, and derived MIN/MAX. */
-  private def bindPart(e: Expression, info: CensusInfo): Option[Expression] =
-    if (e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]]) &&
-        e.references.forall(a => info.idxOf.contains(a.exprId) ||
-          info.derivedOf.contains(a.exprId)))
-      Some(e.transform {
-        case a: AttributeReference if info.derivedOf.contains(a.exprId) =>
-          info.derivedOf(a.exprId)
-        case a: AttributeReference =>
-          BoundReference(info.idxOf(a.exprId), a.dataType, nullable = true)
-      })
-    else None
 
   // --- census slot machinery, shared by the grouped and global cases ---
 
@@ -424,8 +331,7 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class MinMaxDataSlot(colName: String,
       dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
 
-  private def traverseOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
-    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
 
   private def classifySlot(e: Expression, info: CensusInfo,
       groupRefs: Boolean): Option[Slot] = {
@@ -475,15 +381,6 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           org.apache.spark.sql.catalyst.expressions.aggregate.Max(a),
           _, false, None, _) => minMax(a, takeMax = true)
       case _ => None
-    }
-  }
-
-  private def liveEntries(info: CensusInfo)
-      : Seq[(org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String])] = {
-    val preds = info.conds.map(
-      org.apache.spark.sql.catalyst.expressions.Predicate.createInterpreted)
-    info.census.filter { case (row, n, _) =>
-      n > 0L && preds.forall(_.eval(row)) // null-valued predicate filters
     }
   }
 

@@ -43,12 +43,17 @@ import org.apache.spark.sql.graft.GraftBatchShim
   * path values (exact min = max per file, live rows as the non-null
   * count) — `ORDER BY day DESC LIMIT k` over a date-partitioned table
   * prunes whole DIRECTORIES via the ordinary partition-filter path.
-  * Declines: a Filter anywhere between Sort and scan (its selectivity
-  * would invalidate the count — and the decline doubles as fixpoint
-  * idempotence, since the rule's own injection lands exactly there),
-  * non-attribute sort keys, fewer than k provable non-null values, and
-  * thresholds that would not prune any file (zero plan churn on
-  * un-clustered data). Per-(column, k, direction) results memoize on the
+  * A Filter between Sort and scan participates ONLY when every conjunct
+  * binds to partition columns (the census walk — the predicate is then
+  * file-constant, so the surviving file set is exact and the prefix
+  * proof runs on it: `WHERE day >= d ORDER BY ts DESC LIMIT k` prunes).
+  * Declines: any data-column conjunct (its selectivity would invalidate
+  * the count — and the decline doubles as fixpoint idempotence, since
+  * the rule's own injection is exactly such a conjunct; a partition-
+  * column injection instead converges via the profitability check, which
+  * finds no surviving entirely-past file on revisit), non-attribute sort
+  * keys, fewer than k provable non-null values, and thresholds that
+  * would not prune any file (zero plan churn on un-clustered data). Per-(column, k, direction) results memoize on the
   * relation's stats closure, so the optimizer fixpoint re-visits cost
   * O(1). Disable with `spark.graft.topk.enabled=false`. */
 case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -124,59 +129,121 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     val desc = dir == Descending
-    val (files, mm, nn, names, leaf) = scanOf(w.child).getOrElse(return None)
-    val ocName = names.get(oc.exprId).getOrElse(return None)
-    // window partition exprs: plain attributes naming TABLE partition cols
-    val partAttrs = w.partitionSpec.map {
-      case a: AttributeReference => a
+    if (w.partitionSpec.isEmpty) {
+      // the empty-partition window is the one global group over every
+      // live file — same proof as the Limit case, injected below the
+      // Window (revisit declines: scanOf refuses the injected Filter)
+      val (files, mm, nn, names, _) = scanOf(w.child).getOrElse(return None)
+      val ocName = names.get(oc.exprId).getOrElse(return None)
+      val tau = thresholdOf(files, mm, nn, ocName, k, desc)
+        .flatMap(GraftStats.internalOf(_, oc.dataType)).getOrElse(return None)
+      val cmp: Expression =
+        if (desc) GreaterThanOrEqual(oc, Literal(tau, oc.dataType))
+        else LessThanOrEqual(oc, Literal(tau, oc.dataType))
+      val keep = if (nullOrd == NullsFirst) Or(cmp, IsNull(oc)) else cmp
+      return Some(w.copy(child = Filter(keep, w.child)))
+    }
+    // PARTITIONED window: the census walk accepts partition-only filters
+    // below the window (entries pre-filtered exactly — file-constant
+    // predicates cost no selectivity guess) and DERIVED window keys
+    // (`PARTITION BY year(day)` — bound over the census tuple). Group
+    // predicates and thresholds are injected at the LEAF, where every
+    // partition column still exists by name.
+    import PartitionCensus.{censusOf, liveEntries, bindPart}
+    val info = censusOf(w.child).getOrElse(return None)
+    val (_, mm, nn) = GraftBatchShim.topkStatsOf(info.leaf).getOrElse(return None)
+    val ocName = info.dataColOf.get(oc.exprId)
+      .orElse(info.idxOf.get(oc.exprId).map(info.partSchema.fieldNames(_)))
+      .getOrElse(return None)
+    def leafAttr(name: String): Option[AttributeReference] =
+      info.leaf.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }
+    val ocLeaf = leafAttr(ocName).getOrElse(return None)
+    // classify each window partition expr: a plain partition attribute
+    // gets an EXACT per-group equality; a derived value gets RANGE bounds
+    // over the partition columns it reads (sound: every member row's
+    // values lie inside its group's observed per-column range — overlap
+    // with other groups only widens the kept set, never loses a row)
+    sealed trait Key
+    case class Exact(i: Int) extends Key
+    case class Derived(bound: Expression) extends Key
+    val keys: Seq[Key] = w.partitionSpec.map {
+      case a: AttributeReference if info.idxOf.contains(a.exprId) =>
+        Exact(info.idxOf(a.exprId))
+      case a: AttributeReference if info.derivedOf.contains(a.exprId) =>
+        Derived(info.derivedOf(a.exprId))
+      case e if e.references.nonEmpty =>
+        bindPart(e, info).map(Derived(_)).getOrElse(return None)
       case _ => return None
     }
     val cap = spark.sessionState.conf
       .getConfString("spark.graft.topk.windowGroupCap", "64").toInt
-    // (group key → member files); the empty-partition window is the one
-    // global group over every live file
-    val groups: Seq[(Seq[(AttributeReference, Any,
-        org.apache.spark.sql.types.DataType)], Seq[String])] =
-      if (partAttrs.isEmpty) Seq((Nil, files))
-      else {
-        val (partSchema, census, _) =
-          GraftBatchShim.graftPartitionCensusOf(leaf).getOrElse(return None)
-        val idx = partAttrs.map { a =>
-          val n = names.get(a.exprId).getOrElse(return None)
-          val i = partSchema.fieldNames.indexOf(n)
-          if (i < 0) return None // not a table partition column
-          (a, i, partSchema(i).dataType)
-        }
-        census.groupBy { case (row, _, _) =>
-          idx.map { case (_, i, dt) =>
-            if (row.isNullAt(i)) null else row.get(i, dt) }
-        }.toSeq.map { case (key, entries) =>
-          (idx.zip(key).map { case ((a, _, dt), v) => (a, v, dt) },
-            entries.flatMap(_._3))
-        }
-      }
-    if (groups.size > cap) return None
-    val ord = graft.sources.DataSkipping.statOrdering // touch: shared domain
-    val _ = ord
-    val taus = groups.map { case (key, gFiles) =>
-      (key, gFiles, thresholdOf(gFiles, mm, nn, ocName, k, desc)
+    val fields = info.partSchema.fields
+    def valueAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int): Any =
+      if (row.isNullAt(i)) null else row.get(i, fields(i).dataType)
+    val entries = liveEntries(info)
+    val groups = entries.groupBy { case (row, _, _) =>
+      keys.map { case Exact(i) => valueAt(row, i)
+                 case Derived(b) => b.eval(row) }
+    }.toSeq
+    if (groups.isEmpty || groups.size > cap) return None
+    val taus = groups.map { case (_, ents) =>
+      (ents, thresholdOf(ents.flatMap(_._3), mm, nn, ocName, k, desc)
         .flatMap(GraftStats.internalOf(_, oc.dataType)))
     }
-    if (taus.forall(_._3.isEmpty)) return None // nothing prunes anywhere
-    val disjuncts = taus.map { case (key, _, tau) =>
-      val groupPred = key.map { case (a, v, dt) =>
-        EqualNullSafe(a, Literal(v, dt)): Expression }
+    if (taus.forall(_._2.isEmpty)) return None // nothing prunes anywhere
+    val disjuncts = taus.map { case (ents, tau) =>
+      val groupPreds: Seq[Expression] = keys.flatMap {
+        case Exact(i) =>
+          // constant within the group by construction (it IS a group key)
+          Seq(EqualNullSafe(leafAttr(fields(i).name).getOrElse(return None),
+            Literal(valueAt(ents.head._1, i), fields(i).dataType)))
+        case Derived(b) =>
+          // per referenced partition column: the group's observed range
+          b.collect { case br: BoundReference => br.ordinal }.distinct
+            .map { i =>
+              val dt = fields(i).dataType
+              val la = leafAttr(fields(i).name).getOrElse(return None)
+              val vs = ents.map(_._1).filterNot(_.isNullAt(i))
+                .map(_.get(i, dt))
+              val hasNull = ents.exists(_._1.isNullAt(i))
+              if (vs.isEmpty) IsNull(la): Expression
+              else {
+                val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+                  .getInterpretedOrdering(dt)
+                val rng = And(
+                  GreaterThanOrEqual(la, Literal(vs.min(ord), dt)),
+                  LessThanOrEqual(la, Literal(vs.max(ord), dt)))
+                if (hasNull) Or(rng, IsNull(la)) else rng
+              }
+            }
+      }
       val keep = tau.map { t =>
         val cmp: Expression =
-          if (desc) GreaterThanOrEqual(oc, Literal(t, oc.dataType))
-          else LessThanOrEqual(oc, Literal(t, oc.dataType))
-        if (nullOrd == NullsFirst) Or(cmp, IsNull(oc)) else cmp
+          if (desc) GreaterThanOrEqual(ocLeaf, Literal(t, ocLeaf.dataType))
+          else LessThanOrEqual(ocLeaf, Literal(t, ocLeaf.dataType))
+        if (nullOrd == NullsFirst) Or(cmp, IsNull(ocLeaf)) else cmp
       }
-      (groupPred ++ keep.toSeq).reduceOption[Expression](And)
-        .getOrElse(return None) // global group with no τ cannot happen here
+      (groupPreds ++ keep.toSeq).reduceOption[Expression](And)
+        .getOrElse(return None) // a keyless group cannot happen here
     }
-    Some(w.copy(child =
-      Filter(disjuncts.reduce[Expression](Or), w.child)))
+    injectAtLeaf(w.child, info.leaf, disjuncts.reduce[Expression](Or))
+      .map(nc => w.copy(child = nc))
+  }
+
+  /** Rebuild `plan` with `pred` filtered directly above `leaf` (reference
+    * identity) — the injection point where every partition column still
+    * exists by name. Revisit idempotence: the injected Filter either fails
+    * the census walk's bindPart (data-column conjunct) or removes every
+    * entirely-past file, failing thresholdOf's profitability check. */
+  private def injectAtLeaf(plan: LogicalPlan, leaf: LogicalPlan,
+      pred: Expression): Option[LogicalPlan] = {
+    var done = false
+    val out = plan.transformUp {
+      case p if (p eq leaf) && !done => done = true; Filter(pred, p)
+    }
+    if (done) Some(out) else None
   }
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
@@ -189,22 +256,57 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
   private def prune(s: Sort, k: Int): Option[Sort] = s match {
     case Sort(SortOrder(a: AttributeReference, dir, nullOrd, _) +: _,
         true, child, _) =>
-      val (files, mm, nn, names, _) = scanOf(child).getOrElse(return None)
-      val column = names.get(a.exprId).getOrElse(return None)
       val desc = dir == Descending
-      val bound = memo
-        .computeIfAbsent(mm, _ => scala.collection.concurrent.TrieMap.empty)
-        .getOrElseUpdate((column, k, desc),
-          thresholdOf(files, mm, nn, column, k, desc))
-      bound.flatMap(GraftStats.internalOf(_, a.dataType)).map { v =>
-        val cmp =
-          if (desc) GreaterThanOrEqual(a, Literal(v, a.dataType))
-          else LessThanOrEqual(a, Literal(v, a.dataType))
-        val cond =
-          if (nullOrd == NullsFirst) Or(cmp, IsNull(a)) else cmp
-        s.copy(child = Filter(cond, child))
+      scanOf(child) match {
+        case Some((files, mm, nn, names, _)) =>
+          val column = names.get(a.exprId).getOrElse(return None)
+          val bound = memo
+            .computeIfAbsent(mm, _ => scala.collection.concurrent.TrieMap.empty)
+            .getOrElseUpdate((column, k, desc),
+              thresholdOf(files, mm, nn, column, k, desc))
+          bound.flatMap(GraftStats.internalOf(_, a.dataType)).map { v =>
+            val cmp =
+              if (desc) GreaterThanOrEqual(a, Literal(v, a.dataType))
+              else LessThanOrEqual(a, Literal(v, a.dataType))
+            val cond =
+              if (nullOrd == NullsFirst) Or(cmp, IsNull(a)) else cmp
+            s.copy(child = Filter(cond, child))
+          }
+        case None => pruneFiltered(s, a, desc, nullOrd, k, child)
       }
     case _ => None
+  }
+
+  /** Top-k THROUGH a partition-only WHERE — the dashboard shape
+    * `WHERE day >= d ORDER BY ts DESC LIMIT k`. A filter whose every
+    * conjunct binds to partition columns selects an EXACT file set (the
+    * predicate is constant per file: it keeps all of a file's rows or
+    * none), so the shortest-prefix proof runs on the surviving files and
+    * the threshold conjunct injects at the leaf, UNDER the user's filter.
+    * Any data-column conjunct fails the census walk and declines — its
+    * selectivity would invalidate the non-null counts; that same refusal
+    * is the fixpoint guard once our own data-column conjunct lands. */
+  private def pruneFiltered(s: Sort, a: AttributeReference, desc: Boolean,
+      nullOrd: NullOrdering, k: Int, child: LogicalPlan): Option[Sort] = {
+    import PartitionCensus.{censusOf, liveEntries}
+    val info = censusOf(child).getOrElse(return None)
+    val (_, mm, nn) = GraftBatchShim.topkStatsOf(info.leaf).getOrElse(return None)
+    val column = info.dataColOf.get(a.exprId)
+      .orElse(info.idxOf.get(a.exprId).map(info.partSchema.fieldNames(_)))
+      .getOrElse(return None)
+    val files = liveEntries(info).flatMap(_._3)
+    if (files.isEmpty) return None
+    val tau = thresholdOf(files, mm, nn, column, k, desc)
+      .getOrElse(return None)
+    val la = info.leaf.output.collectFirst {
+      case la: AttributeReference if la.name == column => la
+    }.getOrElse(return None)
+    val v = GraftStats.internalOf(tau, la.dataType).getOrElse(return None)
+    val cmp =
+      if (desc) GreaterThanOrEqual(la, Literal(v, la.dataType))
+      else LessThanOrEqual(la, Literal(v, la.dataType))
+    val cond = if (nullOrd == NullsFirst) Or(cmp, IsNull(la)) else cmp
+    injectAtLeaf(child, info.leaf, cond).map(nc => s.copy(child = nc))
   }
 
   /** Descend from the Sort's child to a graft relation through

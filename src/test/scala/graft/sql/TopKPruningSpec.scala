@@ -209,6 +209,109 @@ class TopKPruningSpec extends SparkSpec {
     }
   }
 
+  test("partition-only WHERE: the prefix proof runs on the surviving dirs") {
+    val path = tmp() + "/f"
+    // 8 day-dirs; within each, ts is range-placed over 2 files
+    spark.range(0, 8192)
+      .select((col("id") % 8).as("day"), col("id").as("ts"),
+        (col("id") % 5).as("m"))
+      .repartitionByRange(16, col("id") % 8, col("id"))
+      .write.format("graft-table").option("statsCols", "ts")
+      .partitionBy("day").save(path)
+    def t = spark.read.format("graft-table").load(path)
+    val total = t.inputFiles.length
+    // the dashboard shape: WHERE day >= d ORDER BY ts DESC LIMIT k.
+    // τ is proved over the SURVIVING dirs only — and the partition filter
+    // itself already prunes the others, so the read set is the newest
+    // band within day >= 6
+    def q() = t.filter(col("day") >= 6).orderBy(col("ts").desc).limit(10)
+    val on = q()
+    val onRows = rows(on)
+    val read = filesRead(on, "m")
+    assert(read < 4L && read >= 1L,
+      s"filtered top-k must prune within the surviving dirs: $read/$total")
+    val injected = on.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _)
+          if c.exists {
+            case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+                a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+                if a.name == "ts" => true
+            case _ => false
+          } => c
+    }
+    assert(injected.nonEmpty,
+      s"expected a ts >= τ conjunct:\n${on.queryExecution.optimizedPlan}")
+    withRuleOff {
+      assert(rows(q()) == onRows)
+    }
+    // τ must respect the filter: the global top-10 (day 7's high band)
+    // differs from day >= 6's top-10 only in content, but a filter
+    // EXCLUDING the newest dirs must re-prove τ over old dirs — the
+    // result still matches the rule-off plan
+    def qOld() = t.filter(col("day") <= 1).orderBy(col("ts").desc).limit(10)
+    val oldRows = rows(qOld())
+    withRuleOff { assert(rows(qOld()) == oldRows) }
+    assert(oldRows.forall(r => r.endsWith(",0]") || r.endsWith(",1]")),
+      s"day <= 1 top-k must come from days 0/1: $oldRows")
+    // a data-column conjunct ANYWHERE in the filter declines the proof
+    val mixed = t.filter(col("day") >= 6 && col("m") === 3)
+      .orderBy(col("ts").desc).limit(10)
+    val mixedInjected = mixed.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _)
+          if c.exists {
+            case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+                a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+                org.apache.spark.sql.catalyst.expressions.Literal(_, _))
+                if a.name == "ts" => true
+            case _ => false
+          } => c
+    }
+    assert(mixedInjected.isEmpty,
+      "a data-column conjunct invalidates the count — must decline")
+    withRuleOff {
+      assert(rows(t.filter(col("day") >= 6 && col("m") === 3)
+        .orderBy(col("ts").desc).limit(10)) == rows(mixed))
+    }
+  }
+
+  test("window group-limit over DERIVED window keys (year-style)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val path = tmp() + "/y"
+    // 8 day-dirs mapping to 2 derived epochs (day / 4); ts range-placed
+    spark.range(0, 8192)
+      .select((col("id") % 8).as("day"), col("id").as("ts"))
+      .repartitionByRange(16, col("id") % 8, col("id"))
+      .write.format("graft-table").option("statsCols", "ts")
+      .partitionBy("day").save(path)
+    def t = spark.read.format("graft-table").load(path)
+    val total = t.inputFiles.length
+    def q() = t
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("day") / 4).orderBy(col("ts").desc)))
+      .filter(col("rn") <= 5)
+      .select(col("day"), col("ts"), col("rn"))
+    val on = q()
+    val onRows = rows(on).sorted
+    val read = filesRead(on, "ts")
+    assert(read > 0 && read < total,
+      s"derived-key group limit must prune each epoch's low bands: $read/$total")
+    withRuleOff {
+      val off = q()
+      assert(rows(off).sorted == onRows)
+      assert(filesRead(off, "ts") == total)
+    }
+    // composes with a partition-only WHERE below the window
+    def qf() = t.filter(col("day") >= 2)
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("day") / 4).orderBy(col("ts").desc)))
+      .filter(col("rn") <= 5)
+      .select(col("day"), col("ts"), col("rn"))
+    val onF = qf()
+    val onFRows = rows(onF).sorted
+    assert(filesRead(onF, "ts") < total)
+    withRuleOff { assert(rows(qf()).sorted == onFRows) }
+  }
+
   test("declines: filters, k past provable rows, DV-marked files") {
     val path = tmp() + "/d"
     VersionedTable.write(
