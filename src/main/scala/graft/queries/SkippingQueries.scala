@@ -755,19 +755,33 @@ object SkippingQueries {
   // pruneInfo; DuckDB runs the plain filter + aggregate over raw events.
   // --------------------------------------------------------------------------
   private def dictPath(dir: String): String =
-    cachedFixturePath(dir, "dictskip_v1", "events.parquet")
+    cachedFixturePath(dir, "dictskip_v2", "events.parquet")
 
   def dictSkip(spark: SparkSession, dir: String): DataFrame = {
     val path = dictPath(dir)
+    lazy val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
     if (VersionedTable.latestVersion(spark, path).isEmpty)
       VersionedTable.write(
-        Tables.events(spark, dir)
-          .select(col("event_id"), col("event_type"), col("user_id"),
-            col("value"))
+        ev.filter(col("event_id") % 5 =!= 0)
           .repartition(4, col("event_type")), // hash-spread: sets differ,
         path, statsCols = Seq("event_type"))  // ranges overlap
     if (VersionedTable.latestVersion(spark, path).contains(1L))
       VersionedTable.analyzeNdv(spark, path, Seq("event_type"))
+    // the append-then-re-analyze lifecycle: new files stale the
+    // dictionaries, INCREMENTAL ANALYZE re-proves them at O(new files)
+    if (VersionedTable.latestVersion(spark, path).contains(2L))
+      VersionedTable.append(
+        ev.filter(col("event_id") % 5 === 0).coalesce(1), path)
+    if (VersionedTable.latestVersion(spark, path).contains(3L)) {
+      val before = VersionedTable.filesOf(spark, path, 2L).toSet
+      val (_, scanned) = VersionedTable.analyzeNdvInfo(spark, path,
+        Seq("event_type"), incremental = true)
+      require(scanned.nonEmpty && scanned.forall(fk => !before(fk)),
+        s"q_dict_skip: the incremental re-analyze must scan ONLY the " +
+          s"appended files; scanned=$scanned")
+    }
     val pred = col("event_type") === "purchase"
     val (kept, skipped) = VersionedTable.pruneInfo(spark, path, pred)
     require(skipped.nonEmpty && kept.nonEmpty,

@@ -2873,12 +2873,21 @@ object VersionedTable {
     * sketch; their values go uncounted, which UNDERestimates NDV and
     * therefore OVERestimates a filter's surviving size — the conservative
     * direction for a broadcast decision — until the next analyze. */
-  def analyzeNdv(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+  def analyzeNdv(spark: SparkSession, path: String, cols: Seq[String],
+      incremental: Boolean = false): Long =
+    analyzeNdvInfo(spark, path, cols, incremental)._1
+
+  /** [[analyzeNdv]] plus the file keys it actually scanned — the hook an
+    * incremental-analyze caller (or spec) uses to pin that an append
+    * re-analyzed ONLY the new files. */
+  def analyzeNdvInfo(spark: SparkSession, path: String, cols: Seq[String],
+      incremental: Boolean = false): (Long, Seq[String]) = {
     require(cols.nonEmpty, "analyzeNdv needs at least one column")
     val root = new Path(path)
     val f = fs(spark, root)
     var attempt = 0
     var committed = -1L
+    var analyzed: Seq[String] = Nil
     while (committed < 0) {
       val b = latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"$path has no committed versions"))
@@ -2888,11 +2897,25 @@ object VersionedTable {
       val missing = cols.filterNot(s.fieldNames.contains)
       require(missing.isEmpty,
         s"$path: ANALYZE names missing column(s): ${missing.mkString(",")}")
-      if (c.files.isEmpty) return b
+      if (c.files.isEmpty) return (b, Nil)
+      // INCREMENTAL: scan only the files still needing a sketch for some
+      // requested column — the steady-state cost of keeping dictionary
+      // pruning and NDV gates fresh across appends is O(new files), not
+      // O(table). Every append otherwise silently stales them.
+      val todo: Seq[String] =
+        if (!incremental) c.files
+        else {
+          val needy = needsSketch(spark, root, c, s, cols)
+          if (needy.isEmpty && cols.forall(ndvColsIn(c.props).contains))
+            return (b, Nil) // fully covered: nothing to scan, no commit
+          else if (needy.isEmpty) c.files // roster drifted: re-prove fully
+          else needy
+        }
+      analyzed = todo
       val sub = StructType(s.fields.filter(fl => cols.contains(fl.name)))
-      val keyed0 = physReadKeyed(spark, root, c, sub, c.files, withKeys = true)
+      val keyed0 = physReadKeyed(spark, root, c, sub, todo, withKeys = true)
       val keyed =
-        if (!c.files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) keyed0
+        if (!todo.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) keyed0
         else keyed0.join(
           spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
             .select(col(FileKeyCol), col(RowIdxCol)),
@@ -2974,7 +2997,48 @@ object VersionedTable {
           s"$path: lost $attempt analyze commit races in a row; giving up")
       }
     }
-    committed
+    (committed, analyzed)
+  }
+
+  /** Files of `c` still needing an ANALYZE for any of `cols`: no sketch,
+    * or a BINARY column's sketch written under a pre-content hash recipe
+    * (not plan-time probe-able — see [[DataSkipping.ColStat.ndvRecipe]]).
+    * Anchored tables answer from the checkpoint parquet DISTRIBUTED (one
+    * checkpoint-sized job; the full stats map never lands on the driver),
+    * with driver-known statsAdds covering the post-anchor files. */
+  private def needsSketch(spark: SparkSession, root: Path, c: Commit,
+      s: StructType, cols: Seq[String]): Seq[String] = {
+    val binCols: Set[String] = cols.filter(n =>
+      s(s.fieldIndex(n)).dataType ==
+        org.apache.spark.sql.types.BinaryType).toSet
+    def covered(st: Map[String, DataSkipping.ColStat], n: String): Boolean =
+      st.get(n).exists(cs => cs.ndv.isDefined &&
+        (!binCols(n) || cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent))
+    distributedNdvRead(spark, root, c) match {
+      case Some((aRel, aSet)) =>
+        import spark.implicits._
+        val colsB = cols
+        val binB = binCols
+        val okFromCkpt: Set[String] =
+          spark.read.parquet(new Path(root, aRel).toString)
+            .select(col("path"), col("stats"))
+            .as[(String, Option[String])]
+            .mapPartitions(_.collect { case (p, Some(st))
+                if {
+                  val m = DataSkipping.colsFromJson(st)
+                  colsB.forall(n => m.get(n).exists(cs => cs.ndv.isDefined &&
+                    (!binB(n) ||
+                      cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent)))
+                } => p })
+            .collect().toSet
+        c.files.filter { fk =>
+          if (aSet(fk)) !okFromCkpt(fk)
+          else !cols.forall(covered(c.statsAdds.getOrElse(fk, Map.empty), _))
+        }
+      case None =>
+        c.files.filter(fk =>
+          !cols.forall(covered(c.stats.getOrElse(fk, Map.empty), _)))
+    }
   }
 
   /** Width of the persisted NDV sketches: k smallest hashes per column per
@@ -5034,7 +5098,10 @@ object VersionedTable {
         val cols = ndvColsIn(props)
         if (cols.nonEmpty && cols.exists(c =>
             ndvStaleness(spark, path, c).exists(_ > threshold)))
-          analyzeNdv(spark, path, cols)
+          // INCREMENTAL: copy-on-write rewrites mint new file keys, so
+          // "files missing a sketch" is exactly the changed set — the
+          // hook's steady-state cost is O(new files), never O(table)
+          analyzeNdv(spark, path, cols, incremental = true)
       }
     }
 

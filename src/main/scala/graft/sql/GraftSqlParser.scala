@@ -102,7 +102,7 @@ private[sql] object GraftSqlStatements {
   private val CopyIntoRe =
     s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*PARQUET(?:\\s+PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*""".r
   private val AnalyzeNdvRe =
-    s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+NDV\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
+    s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+(INCREMENTAL\\s+)?NDV\\s+FOR\\s+COLUMNS\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
   /** Non-capturing twin of [[Ref]] for REPEATED sections (a capture group
     * inside a repetition would only keep its last occurrence). */
   private val RefNc = """\w+\s*\.\s*`[^`]+`"""
@@ -198,10 +198,10 @@ private[sql] object GraftSqlStatements {
       Some(GraftConvertCommand(path, Option(stats).toSeq
         .flatMap(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty))))
-    case AnalyzeNdvRe(cat, path, cols) =>
+    case AnalyzeNdvRe(cat, path, inc, cols) =>
       Some(GraftAnalyzeNdvCommand(cat, path, cols.split(",")
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
-        .filter(_.nonEmpty).toSeq))
+        .filter(_.nonEmpty).toSeq, incremental = inc != null))
     case CreateMvRe(cat, path, partBy, selectList, srcCat, srcPath,
         joinBlock, where, groupBy) =>
       val stmt = "CREATE MATERIALIZED VIEW"
@@ -554,20 +554,23 @@ case class GraftConvertCommand(path: String,
   }
 }
 
-/** `ANALYZE [TABLE] graft.`/p` COMPUTE NDV FOR COLUMNS (a, b)` — collect
-  * per-file KMV NDV sketches into the manifest stats (one column-pruned
-  * distributed scan, a stats-only commit). The sketches power the
-  * CBO-lite broadcast decisions of GraftNdvJoinEstimation. Returns the
-  * committed version. */
+/** `ANALYZE [TABLE] graft.`/p` COMPUTE [INCREMENTAL] NDV FOR COLUMNS
+  * (a, b)` — collect per-file KMV NDV sketches into the manifest stats
+  * (one column-pruned distributed scan, a stats-only commit). INCREMENTAL
+  * scans only the files still missing a sketch — the O(new files)
+  * steady-state re-analyze after appends. The sketches power the CBO-lite
+  * broadcast decisions of GraftNdvJoinEstimation and dictionary-complete
+  * equality pruning. Returns the committed version. */
 case class GraftAnalyzeNdvCommand(cat: String, path: String,
-    cols: Seq[String]) extends LeafRunnableCommand {
+    cols: Seq[String], incremental: Boolean = false)
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "ANALYZE")
-    Seq(Row(VersionedTable.analyzeNdv(session, p, cols)))
+    Seq(Row(VersionedTable.analyzeNdv(session, p, cols, incremental)))
   }
 }
 

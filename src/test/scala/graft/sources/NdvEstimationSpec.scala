@@ -168,6 +168,46 @@ class NdvEstimationSpec extends SparkSpec {
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
+  test("INCREMENTAL re-ANALYZE touches only the files missing a sketch") {
+    val p = tmp()
+    VersionedTable.write(dimDf(2000).repartition(4), p)
+    val (_, first) = VersionedTable.analyzeNdvInfo(spark, p, Seq("id"))
+    assert(first.size == 4, s"initial analyze scans every file: $first")
+    // fully covered: the incremental re-run scans nothing and commits
+    // nothing (same version back)
+    val v1 = VersionedTable.latestVersion(spark, p).get
+    val (v1b, none) = VersionedTable.analyzeNdvInfo(spark, p, Seq("id"),
+      incremental = true)
+    assert(v1b == v1 && none.isEmpty,
+      s"covered table must be a no-op: v=$v1b scanned=$none")
+    // append two files → incremental scans EXACTLY those two
+    VersionedTable.append(
+      dimDf(1000).withColumn("id", col("id") + 2000L).repartition(2), p)
+    val before = VersionedTable.filesOf(spark, p,
+      VersionedTable.latestVersion(spark, p).get - 1).toSet
+    val (v2, scanned) = VersionedTable.analyzeNdvInfo(spark, p, Seq("id"),
+      incremental = true)
+    assert(scanned.size == 2 && scanned.forall(fk => !before(fk)),
+      s"incremental analyze must scan only the appended files: $scanned")
+    assert(v2 == VersionedTable.latestVersion(spark, p).get)
+    // the merged estimate counts old and new values alike
+    assert(VersionedTable.ndvStaleness(spark, p, "id").contains(0.0))
+    assert(VersionedTable.ndvFromStats(spark, p, "id").exists(e =>
+      e > 2000L && e < 5000L), "3000 true NDV after the merge")
+    // the SQL spelling drives the same path
+    VersionedTable.append(
+      dimDf(500).withColumn("id", col("id") + 3000L).coalesce(1), p)
+    spark.sql(
+      s"ANALYZE TABLE graft.`$p` COMPUTE INCREMENTAL NDV FOR COLUMNS (id)")
+    assert(VersionedTable.ndvStaleness(spark, p, "id").contains(0.0))
+    // a NEW column falls back to a full pass (no file carries its sketch)
+    val (_, forPayload) = VersionedTable.analyzeNdvInfo(spark, p,
+      Seq("payload"), incremental = true)
+    assert(forPayload.size == VersionedTable.filesOf(spark, p,
+      VersionedTable.latestVersion(spark, p).get).size,
+      "an un-analyzed column needs every file")
+  }
+
   test("graft.ndv.autoAnalyze: appends past the staleness fraction re-ANALYZE themselves") {
     val p = tmp()
     VersionedTable.write(dimDf(4000), p)
