@@ -2000,6 +2000,72 @@ object SkippingQueries {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_mv_star_distinct — exact COUNT(DISTINCT) on a JOIN view: the
+  // (group, value) helper maintains through BOTH passes — the fact pass
+  // folds the joined change feed under the shared watermark, the dim pass
+  // folds fact ⋈ dimDelta with the helper's own pin copy as idempotence
+  // token — and the star GLOBAL rollup answers from the view + helper
+  // (the stored ndv covers only the exact grouping). Asserted in-query:
+  // the plan scans the view and helper, never fact or dim. DuckDB replays
+  // the dim re-brand + fact delete and aggregates the real join.
+  // --------------------------------------------------------------------------
+  private def mvsdFactPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvsdfact_v1", "lineitem.parquet")
+  private def mvsdDimPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvsddim_v1", "part.parquet")
+  private def mvsdViewPath(dir: String): String =
+    SkippingQueries.cachedFixturePath(dir, "mvsdview_v1", "lineitem.parquet")
+
+  def mvStarDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val fact = mvsdFactPath(dir)
+    val dim = mvsdDimPath(dir)
+    val mv = mvsdViewPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty)
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_orderkey", "l_partkey"))             // fact v1
+    if (VersionedTable.latestVersion(spark, dim).isEmpty)
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), dim, statsCols = Seq("p_partkey"))
+    MaterializedView.createJoined(spark, fact, dim,   // registers → fact v2
+      Seq("l_partkey" -> "p_partkey"), mv, Seq("p_brand"), Seq("qty"),
+      distinctCols = Seq("l_suppkey"))
+    // DIM pass: re-brand — matched fact rows (and their supplier values)
+    // move between groups through the helper
+    if (VersionedTable.latestVersion(spark, dim).contains(2L))
+      VersionedTable.update(spark, dim, col("p_partkey") % 5 === 0,
+        Map("p_brand" -> lit("Brand#D5")))                            // dim v3
+    MaterializedView.refresh(spark, mv)
+    // FACT pass: a delete takes last occurrences out of some groups
+    if (VersionedTable.latestVersion(spark, fact).contains(2L))
+      VersionedTable.delete(spark, fact, col("l_orderkey") % 4 === 1) // fact v3
+    MaterializedView.refresh(spark, mv)
+    val helper = MaterializedView.distinctHelperPath(mv, "l_suppkey")
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, dim),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        sum(col("qty")).as("sum_qty"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && roots.contains(helper) &&
+      !roots.contains(fact) && !roots.contains(dim),
+      s"q_mv_star_distinct: expected the star global COUNT(DISTINCT) to " +
+        s"answer from the view + helper; optimized plan scans $roots")
+    out
+  }
+
+  val mvStarDistinctSql: String =
+    """WITH fact AS (
+      |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_orderkey % 4 <> 1)
+      |SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_join_elim — PK/FK JOIN ELIMINATION under the oracle gate: the fact
   // (lineitem-derived, fk = l_partkey) declares FOREIGN KEY REFERENCES the
   // dim (part-derived, pk = p_partkey) RELY — the declaration VALIDATES
@@ -2528,6 +2594,7 @@ object SkippingQueries {
     "q_mv_dim_delta" -> (mvDimDelta _),
     "q_mv_left_join" -> (mvLeftJoin _),
     "q_mv_star" -> (mvStar _),
+    "q_mv_star_distinct" -> (mvStarDistinct _),
     "q_mv_join_residual" -> (mvJoinResidual _),
     "q_mv_decimal" -> (mvDecimal _),
     "q_join_elim" -> (joinElim _),
@@ -2579,6 +2646,7 @@ object SkippingQueries {
     "q_mv_dim_delta" -> mvDimDeltaSql,
     "q_mv_left_join" -> mvLeftJoinSql,
     "q_mv_star" -> mvStarSql,
+    "q_mv_star_distinct" -> mvStarDistinctSql,
     "q_mv_join_residual" -> mvJoinResidualSql,
     "q_mv_decimal" -> mvDecimalSql,
     "q_join_elim" -> joinElimSql,

@@ -237,9 +237,13 @@ object MaterializedView {
     * `ndv_<col>` then repairs per TOUCHED group by counting the group's
     * live helper rows (a key-filtered scan of the helper — the helper is
     * already one row per distinct value, never per source row). NULL
-    * values are ignored, matching SQL COUNT(DISTINCT). Join views refuse
-    * distinct columns (a dim delta would need per-slice helper replay —
-    * undefined against two independently-moving watermarks). */
+    * values are ignored, matching SQL COUNT(DISTINCT). JOIN views
+    * maintain their helpers through BOTH passes: the fact pass folds the
+    * joined change feed under the shared (App, v) watermark, and the dim
+    * pass folds `fact ⋈ dimDelta` (linear in the dim multiset — the same
+    * exactness argument as the view's own aggregates) with the helper's
+    * OWN dim-pin copy as the idempotence token, advanced atomically with
+    * each fold. */
   val DistinctColsKey = "graft.mv.distinctCols"
 
   /** Present on a HELPER table: the distinct column it tracks. Helpers
@@ -408,9 +412,11 @@ object MaterializedView {
       groupBy: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, where: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      groupKeyExprs: Map[String, String] = Map.empty): Long =
+      groupKeyExprs: Map[String, String] = Map.empty,
+      distinctCols: Seq[String] = Nil): Long =
     createJoinedMulti(spark, factPath, Seq(dimPath -> joinKeys), mvPath,
-      groupBy, sumCols, minMaxCols, where, partitionBy, groupKeyExprs)
+      groupBy, sumCols, minMaxCols, where, partitionBy, groupKeyExprs,
+      distinctCols)
 
   /** CREATE a MULTI-DIMENSION star view over `fact ⋈ dim1 ⋈ dim2 ⋈ …`:
     * dims join IN ORDER onto the accumulated frame, so later dims may key
@@ -423,7 +429,8 @@ object MaterializedView {
       groupBy: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, where: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      groupKeyExprs: Map[String, String] = Map.empty): Long = {
+      groupKeyExprs: Map[String, String] = Map.empty,
+      distinctCols: Seq[String] = Nil): Long = {
     require(dims.nonEmpty && dims.forall(_._2.nonEmpty),
       "join materialized view needs at least one dimension with join keys")
     // register on every DIM's roster FIRST: the roster commit bumps the
@@ -439,7 +446,8 @@ object MaterializedView {
     val joins = pinAndValidate(spark, factPath, dims,
       s"create over $factPath ⋈ ${dims.map(_._1).mkString(" ⋈ ")}")
     createImpl(spark, factPath, mvPath, groupBy, sumCols, minMaxCols,
-      where, partitionBy, groupKeyExprs, joins = joins)
+      where, partitionBy, groupKeyExprs, joins = joins,
+      distinctCols = distinctCols)
   }
 
   /** Pin every dim at its head and validate the chain IN ORDER, each dim
@@ -503,11 +511,6 @@ object MaterializedView {
       joins: Seq[(String, Seq[(String, String)], Long)],
       distinctCols: Seq[String] = Nil): Long = {
     require(groupBy.nonEmpty, "materialized view needs GROUP BY columns")
-    require(joins.isEmpty || distinctCols.isEmpty,
-      "join materialized views do not support COUNT(DISTINCT col): the " +
-        "helper-table maintenance would need per-slice replay against two " +
-        "independently-moving watermarks — keep the distinct count on a " +
-        "plain view over the fact")
     // entries are column TUPLES — "u" or "u|s" for COUNT(DISTINCT u, s)
     val distincts: Seq[Seq[String]] =
       distinctCols.map(_.split('|').toSeq.map(_.trim).filter(_.nonEmpty))
@@ -606,7 +609,17 @@ object MaterializedView {
     // distinct helpers — built AT the view's watermark (a resumed create
     // may find the source past the version the view snapshot read), each
     // with the same (App, watermark) txn so a crashed create resumes as a
-    // replay no-op; props re-asserted idempotently after the content
+    // replay no-op; props re-asserted idempotently after the content.
+    // JOIN views: each helper carries its OWN copy of the dim-pin
+    // encoding — the dim-delta pass's idempotence token (its fold has no
+    // fact-watermark move to replay-guard on), advanced atomically with
+    // each helper fold. Initialized only when absent: a resume must not
+    // rewind pins a refresh has already advanced.
+    val helperPinProps: Map[String, String] = joins match {
+      case Nil => Map.empty
+      case Seq((_, _, dimV)) => Map(JoinDimVersionKey -> dimV.toString)
+      case many => Map(JoinsKey -> serializeJoins(many))
+    }
     distincts.foreach { t =>
       val hp = distinctHelperPath(mvPath, t)
       if (VersionedTable.latestVersion(spark, hp).isEmpty) {
@@ -616,8 +629,10 @@ object MaterializedView {
             s"create over $srcPath"), groupBy, groupKeyExprs, t),
           hp, App, wm, statsCols = groupBy)
       }
+      val hExisting = VersionedTable.propertiesOf(spark, hp)
       VersionedTable.setProperties(spark, hp, Map(
-        SourceKey -> mvPath, HelperOfKey -> t.mkString("|")))
+        SourceKey -> mvPath, HelperOfKey -> t.mkString("|")) ++
+        helperPinProps.filter { case (k, _) => !hExisting.contains(k) })
     }
     VersionedTable.setProperties(spark, mvPath, Map(
       SourceKey -> srcPath,
@@ -932,13 +947,29 @@ object MaterializedView {
         .agg(sum(sign).as("d_cnt"))
         .filter(col("d_cnt") =!= 0L)
       val target = txn.map(_._2)
-      if (target.exists(h0 >= _)) {
+      // JOIN views: the helper's own pin copy is the DIM pass's
+      // idempotence token (txn = None there — no fact-watermark move to
+      // replay-guard on). A crash between the helper fold and the view
+      // merge leaves the helper's pins AHEAD; the replay detects the
+      // already-advanced pins and skips, mirroring the fact pass's
+      // watermark skip. Both passes CAS the helper on the same expected
+      // pin encoding the view merge CASes on.
+      val hProps =
+        if (propsAdd.isEmpty && propsExpected.isEmpty) Map.empty[String, String]
+        else VersionedTable.propertiesOf(spark, hp)
+      val pinApplied = propsAdd.nonEmpty &&
+        propsAdd.forall { case (k, pv) => hProps.get(k).contains(pv) }
+      if (target.exists(h0 >= _) || (txn.isEmpty && pinApplied)) {
         // already applied by a crashed prior attempt — the view merge
         // below is the half that still needs to land
       } else {
         require(h0 == txnExpected._2,
           s"$hp watermark $h0 out of step with the view's " +
             s"${txnExpected._2} — run REFRESH ... FULL to rebuild")
+        require(propsExpected.forall { case (k, pv) =>
+            hProps.get(k).contains(pv) },
+          s"$hp dim pins out of step with the view's — run REFRESH ... " +
+            "FULL to rebuild")
         val curH = VersionedTable.read(spark, hp)
           .select((groupBy ++ t :+ HelperCntCol).map(col): _*)
         val mergedH = hDelta.join(curH, groupBy ++ t, "left")
@@ -952,7 +983,9 @@ object MaterializedView {
           txn = txn.map { case (a, v) => (a, v) },
           deleteWhere = Some(col(HelperCntCol) === 0L),
           guardBy = None,
-          txnExpected = Some(txnExpected._1 -> h0))
+          txnExpected = Some(txnExpected._1 -> h0),
+          propsAdd = propsAdd,
+          propsExpected = propsExpected)
         finally VersionedTable.mvMaintenance.set(prevFence)
       }
       // exact new ndv per touched group, from the helper's LIVE rows
@@ -1126,22 +1159,36 @@ object MaterializedView {
       (sumCols ++ minMaxCols ++ distincts.flatten).distinct), groupBy,
       sumCols, minMaxCols, distincts)
     refuseNullGroups(agg, groupBy, s"full refresh of $mvPath")
+    // the re-pinned dim versions, in the stored encoding — landed on the
+    // view AND on every helper (whose own pin copy is the dim pass's
+    // idempotence token)
+    val pinAdd: Map[String, String] = rePinned match {
+      case Nil => Map.empty[String, String]
+      case Seq((_, _, dimV)) if props.contains(JoinDimKey) =>
+        Map(JoinDimVersionKey -> dimV.toString)
+      case many => Map(JoinsKey -> serializeJoins(many))
+    }
     // distinct HELPERS rebuild FIRST (each replay-safe under the same
     // (App, v1) txn): a crash between a helper and the view leaves the
     // helper AHEAD, which the incremental path detects and skips — the
     // reverse order would leave it BEHIND, which nothing could repair
-    // short of another FULL refresh
+    // short of another FULL refresh. A helper at the fact watermark but
+    // on STALE pins (dim moved, fact didn't) rebuilds too — without a
+    // txn marker, like the view's own pin-stale commit below.
     distincts.foreach { t =>
       val hp = distinctHelperPath(mvPath, t)
       val hWm = VersionedTable.lastTxn(spark, hp, App)
-      if (!hWm.exists(_ >= v1)) {
+      val hPinFresh = pinAdd.forall { case (k, pv) =>
+        VersionedTable.propertiesOf(spark, hp).get(k).contains(pv) }
+      if (!hWm.exists(_ >= v1) || !hPinFresh) {
         val prevH = VersionedTable.mvMaintenance.get()
         VersionedTable.mvMaintenance.set(true)
         try VersionedTable.commitSnapshotRaw(
           helperFrame(snap, groupBy, exprOf, t), hp,
           statsCols = groupBy, partitionBy = Nil,
-          txn = Some(App -> v1), propsAdd = Map(
-            SourceKey -> mvPath, HelperOfKey -> t.mkString("|")))
+          txn = if (hWm.exists(_ >= v1)) None else Some(App -> v1),
+          propsAdd = Map(
+            SourceKey -> mvPath, HelperOfKey -> t.mkString("|")) ++ pinAdd)
         finally VersionedTable.mvMaintenance.set(prevH)
       }
     }
@@ -1165,12 +1212,7 @@ object MaterializedView {
     try VersionedTable.commitSnapshotRaw(agg, mvPath,
       statsCols = groupBy, partitionBy = partitionBy,
       txn = if (wm.exists(_ >= v1)) None else Some(App -> v1),
-      propsAdd = rePinned match {
-        case Nil => Map.empty[String, String]
-        case Seq((_, _, dimV)) if props.contains(JoinDimKey) =>
-          Map(JoinDimVersionKey -> dimV.toString)
-        case many => Map(JoinsKey -> serializeJoins(many))
-      })
+      propsAdd = pinAdd)
     finally VersionedTable.mvMaintenance.set(prev)
   }
 

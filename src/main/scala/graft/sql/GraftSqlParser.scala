@@ -397,7 +397,13 @@ case class GraftDescribeDetailCommand(cat: String,
     // declared key pins (FOREIGN KEY ... RELY / UNIQUE ... RELY), each
     // suffixed with whether its pin still ARMS join elimination right now
     AttributeReference("foreign_keys", StringType, nullable = false)(),
-    AttributeReference("unique_keys", StringType, nullable = false)())
+    AttributeReference("unique_keys", StringType, nullable = false)(),
+    // exact-distinct state: the maintained COUNT(DISTINCT) tuples and
+    // their (group, value) helper tables, each with its watermark and
+    // whether it is in step with the view (helpers run AHEAD, never
+    // behind — "stale" means a crashed refresh left drift: run FULL)
+    AttributeReference("mv_distinct", StringType, nullable = false)(),
+    AttributeReference("mv_helpers", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val p = GraftSqlStatements.graftPath(session, cat, path, "DESCRIBE DETAIL")
@@ -429,6 +435,7 @@ case class GraftDescribeDetailCommand(cat: String,
         e._1 == MaterializedView.JoinKeysKey ||
         e._1 == MaterializedView.JoinDimVersionKey ||
         e._1 == MaterializedView.JoinsKey ||
+        e._1 == MaterializedView.DistinctColsKey ||
         e._1.startsWith(graft.sources.ForeignKeys.Prefix) ||
         e._1.startsWith(graft.sources.ForeignKeys.UniquePrefix))),
       kv(cons), kv(gens), kv(ids),
@@ -462,7 +469,28 @@ case class GraftDescribeDetailCommand(cat: String,
       graft.sources.ForeignKeys.uniqueDeclsIn(props).map { u =>
         s"(${u.cols.mkString("~")})" +
           s"[${if (u.pin == v) "armed" else "stale"}]"
-      }.mkString(",")))
+      }.mkString(","),
+      props.getOrElse(MaterializedView.DistinctColsKey, ""),
+      MaterializedView.distinctsIn(props).map { t =>
+        val hp = MaterializedView.distinctHelperPath(p, t)
+        val hWm = scala.util.Try(VersionedTable.lastTxn(session, hp,
+          MaterializedView.App)).toOption.flatten
+        // in step = the helper's watermark has not fallen BEHIND the
+        // view's (the crash order keeps helpers ahead), and for join
+        // views its pin copy matches the view's
+        val inStep = (wm, hWm) match {
+          case (Some(vw), Some(hw)) =>
+            hw >= vw && {
+              val hProps = VersionedTable.propertiesOf(session, hp)
+              Seq(MaterializedView.JoinDimVersionKey,
+                  MaterializedView.JoinsKey)
+                .forall(k => props.get(k) == hProps.get(k))
+            }
+          case _ => false
+        }
+        s"$hp@${hWm.map(_.toString).getOrElse("?")}" +
+          s"[${if (inStep) "fresh" else "stale"}]"
+      }.mkString(";")))
   }
 
   /** (refresh watermark, fresh-right-now) for a materialized view; (None,
@@ -784,9 +812,6 @@ case class GraftCreateMvCommand(cat: String, path: String,
         sumCols.distinct.toSeq, minMaxCols.distinct.toSeq, where,
         partitionBy, distinctCols = distinctCols.distinct.toSeq)
     else {
-      require(distinctCols.isEmpty,
-        s"$stmt: COUNT(DISTINCT col) is not supported on JOIN views — " +
-          "keep the distinct count on a plain view over the fact")
       // ON left_col = dim_col [AND ...] — plain or backticked names; the
       // left side of each equality belongs to the ACCUMULATED frame (the
       // fact, or an earlier dim for snowflakes), the right to this dim
@@ -804,7 +829,8 @@ case class GraftCreateMvCommand(cat: String, path: String,
       }
       graft.sources.MaterializedView.createJoinedMulti(session, src, dims,
         p, groupBy, sumCols.distinct.toSeq,
-        minMaxCols.distinct.toSeq, where, partitionBy)
+        minMaxCols.distinct.toSeq, where, partitionBy,
+        distinctCols = distinctCols.distinct.toSeq)
     }
     Seq.empty
   }

@@ -268,6 +268,94 @@ class DistinctMvSpec extends SparkSpec {
     assert(GraftBatchShim.scanRootsOf(q).map(_.toString).contains(mv))
   }
 
+  test("JOIN views: distinct helpers maintain through fact AND dim passes") {
+    val base = tmp(); val src = base + "/src"
+    val dim = base + "/dim"; val mv = base + "/jmv"
+    // fact rows keyed g0..g3; g3 has NO dim match yet (inner join drops it)
+    VersionedTable.write(Seq(
+      ("g0", 1L, 10L), ("g0", 1L, 11L), ("g0", 2L, 12L),
+      ("g1", 3L, 13L), ("g1", 4L, 14L),
+      ("g2", 5L, 15L), ("g3", 6L, 16L)
+    ).toDF("g", "u", "v"), src, statsCols = Seq("g"))
+    VersionedTable.write(Seq(("g0", "x"), ("g1", "y"), ("g2", "y"))
+      .toDF("pk", "tag"), dim)
+    MaterializedView.createJoined(spark, src, dim, Seq("g" -> "pk"), mv,
+      groupBy = Seq("tag"), sumCols = Seq("v"), distinctCols = Seq("u"))
+    val hp = MaterializedView.distinctHelperPath(mv, "u")
+    def want: Map[String, (Long, Long)] = VersionedTable.read(spark, src)
+      .join(VersionedTable.read(spark, dim), $"g" === $"pk")
+      .groupBy($"tag").agg(count(lit(1)).as("n"), countDistinct($"u").as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def got: Map[String, (Long, Long)] = VersionedTable.read(spark, mv)
+      .select($"tag", col(MaterializedView.CountCol),
+        col(MaterializedView.ndvColName("u")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want && got == Map("x" -> (3L, 2L), "y" -> (3L, 3L)))
+    // the helper carries the view's dim-pin copy from create
+    assert(VersionedTable.propertiesOf(spark, hp)
+      .contains(MaterializedView.JoinDimVersionKey))
+    // FACT pass: a dup user (ndv still), a new user, a last-occurrence
+    // delete — the joined change feed folds the helper under the watermark
+    VersionedTable.append(Seq(("g0", 2L, 17L), ("g2", 7L, 18L))
+      .toDF("g", "u", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    assert(got == want && got("x") == (4L, 2L) && got("y") == (4L, 4L))
+    VersionedTable.delete(spark, src, $"v" === 13L) // u=3 leaves tag y
+    MaterializedView.refresh(spark, mv)
+    assert(got == want && got("y") == (3L, 3L))
+    // DIM pass 1 — re-tag g2 from y to x: every g2 fact row RETRACTS from
+    // y and re-enters under x; helper values move between groups (u=5, 7)
+    VersionedTable.upsert(Seq(("g2", "x")).toDF("pk", "tag"), dim,
+      keys = Seq("pk"))
+    MaterializedView.refresh(spark, mv)
+    assert(got == want && got("x") == (6L, 4L) && got("y") == (1L, 1L),
+      s"dim re-tag must move distinct values between groups: $got")
+    // DIM pass 2 — a NEW dim key matches previously-dropped fact rows:
+    // g3's u=6 appears under the new tag
+    VersionedTable.append(Seq(("g3", "z")).toDF("pk", "tag"), dim)
+    MaterializedView.refresh(spark, mv)
+    assert(got == want && got("z") == (1L, 1L))
+    // the helper's pin advanced with the folds: it matches the view's
+    val vp = VersionedTable.propertiesOf(spark, mv)
+    assert(VersionedTable.propertiesOf(spark, hp)
+      .get(MaterializedView.JoinDimVersionKey) ==
+      vp.get(MaterializedView.JoinDimVersionKey),
+      "helper pin must track the view pin")
+    // the star rewrite answers COUNT(DISTINCT): exact grouping from the
+    // view's ndv column, the GLOBAL rollup from the helper — fact and dim
+    // never scanned
+    val exact = VersionedTable.read(spark, src)
+      .join(VersionedTable.read(spark, dim), $"g" === $"pk")
+      .groupBy($"tag")
+      .agg(count(lit(1)).as("n"), countDistinct($"u").as("d"))
+    val exactRoots = GraftBatchShim.scanRootsOf(exact).map(_.toString)
+    assert(exactRoots.contains(mv) && !exactRoots.exists(r =>
+        r == src || r == dim),
+      s"exact star COUNT(DISTINCT) must answer from the view: $exactRoots")
+    val global = VersionedTable.read(spark, src)
+      .join(VersionedTable.read(spark, dim), $"g" === $"pk")
+      .agg(count(lit(1)).as("n"), countDistinct($"u").as("d"))
+    val globalRoots = GraftBatchShim.scanRootsOf(global).map(_.toString)
+    assert(globalRoots.contains(hp) && !globalRoots.exists(r =>
+        r == src || r == dim),
+      s"the global rollup must answer from the helper: $globalRoots")
+    assert(exact.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      want.map { case (t, (n, d)) => (t, n, d) }.toSet)
+    assert(global.collect().head.getLong(1) ==
+      VersionedTable.read(spark, src)
+        .join(VersionedTable.read(spark, dim), $"g" === $"pk")
+        .select($"u").distinct().count())
+    // FULL refresh re-pins and rebuilds helpers; everything still agrees
+    VersionedTable.append(Seq(("g1", 3L, 19L)).toDF("g", "u", "v"), src)
+    MaterializedView.fullRefresh(spark, mv)
+    assert(got == want)
+    assert(VersionedTable.propertiesOf(spark, hp)
+      .get(MaterializedView.JoinDimVersionKey) ==
+      VersionedTable.propertiesOf(spark, mv)
+        .get(MaterializedView.JoinDimVersionKey))
+  }
+
   test("refusals and ownership: joins, redefinition, helper refresh, DROP") {
     val base = tmp(); val src = base + "/src"
     val dim = base + "/dim"; val mv = base + "/mv"
@@ -275,14 +363,19 @@ class DistinctMvSpec extends SparkSpec {
       .toDF("g", "u", "v"), src, statsCols = Seq("g"))
     VersionedTable.write(Seq(("g0", "x"), ("g1", "y"), ("g2", "z"))
       .toDF("pk", "tag"), dim)
-    // joins + distinct refuse loudly (the SQL path; the API has no
-    // distinctCols parameter on join creates by construction)
-    val e2 = intercept[Exception] {
-      spark.sql(s"CREATE MATERIALIZED VIEW graft.`${base + "/jmv2"}` AS " +
-        s"SELECT tag, COUNT(*), COUNT(DISTINCT u) FROM graft.`$src` " +
-        s"JOIN graft.`$dim` ON g = pk GROUP BY tag")
-    }
-    assert(e2.getMessage.contains("not supported on JOIN views"), e2.getMessage)
+    // joins + distinct create through SQL and answer like any other view
+    val jmv2 = base + "/jmv2"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$jmv2` AS " +
+      s"SELECT tag, COUNT(*), COUNT(DISTINCT u) FROM graft.`$src` " +
+      s"JOIN graft.`$dim` ON g = pk GROUP BY tag")
+    val jWant = VersionedTable.read(spark, src)
+      .join(VersionedTable.read(spark, dim), $"g" === $"pk")
+      .groupBy($"tag").agg(countDistinct($"u").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val jGot = VersionedTable.read(spark, jmv2)
+      .select($"tag", col(MaterializedView.ndvColName("u")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(jGot == jWant, s"$jGot vs $jWant")
     // SQL create + refresh of a plain distinct view end-to-end
     spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
       s"SELECT g, COUNT(*), COUNT(DISTINCT u), SUM(v) FROM graft.`$src` GROUP BY g")

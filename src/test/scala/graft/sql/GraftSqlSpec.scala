@@ -1162,4 +1162,44 @@ class GraftSqlSpec extends SparkSpec {
     spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv` FULL")
     assert(viewNow() == expect())
   }
+
+  test("DESCRIBE DETAIL surfaces the distinct tuples and helper freshness") {
+    val base = tmp(); val src = s"$base/src"; val mv = s"$base/mv"
+    VersionedTable.write((1L to 40L).map(i => ("g" + i % 3, i % 7, i))
+      .toDF("g", "u", "v"), src, statsCols = Seq("g"))
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, COUNT(*), COUNT(DISTINCT u), COUNT(DISTINCT u, v) " +
+      s"FROM graft.`$src` GROUP BY g")
+    def detail() = spark.sql(s"DESCRIBE DETAIL graft.`$mv`").collect().head
+    val d0 = detail()
+    assert(d0.getAs[String]("mv_distinct") == "u,u|v",
+      d0.getAs[String]("mv_distinct"))
+    // the DistinctColsKey rides its dedicated column, not the props blob
+    assert(!d0.getAs[String]("properties").contains("distinctCols"))
+    val helpers = d0.getAs[String]("mv_helpers")
+    val hpU = graft.sources.MaterializedView.distinctHelperPath(mv, "u")
+    val hpUV = graft.sources.MaterializedView
+      .distinctHelperPath(mv, Seq("u", "v"))
+    assert(helpers.contains(s"$hpU@") && helpers.contains(s"$hpUV@") &&
+      helpers.split(";").forall(_.endsWith("[fresh]")), helpers)
+    // a source commit without a refresh: the VIEW goes unfresh while the
+    // helpers stay in step with it (they track the view, not the source)
+    VersionedTable.append(Seq(("g0", 99L, 41L)).toDF("g", "u", "v"), src)
+    val d1 = detail()
+    assert(d1.getAs[Boolean]("mv_fresh") == false)
+    assert(d1.getAs[String]("mv_helpers")
+      .split(";").forall(_.endsWith("[fresh]")))
+    // refresh re-arms everything; the helper watermarks advanced with it
+    spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+    val d2 = detail()
+    assert(d2.getAs[Boolean]("mv_fresh") == true)
+    val wm = d2.getAs[Long]("mv_watermark")
+    assert(d2.getAs[String]("mv_helpers").split(";").forall(h =>
+      h.contains(s"@$wm[") && h.endsWith("[fresh]")),
+      d2.getAs[String]("mv_helpers"))
+    // plain tables show empty distinct state
+    val dSrc = spark.sql(s"DESCRIBE DETAIL graft.`$src`").collect().head
+    assert(dSrc.getAs[String]("mv_distinct").isEmpty &&
+      dSrc.getAs[String]("mv_helpers").isEmpty)
+  }
 }
