@@ -207,15 +207,24 @@ object SkippingQueries {
     * query at any scale, reduced to one small JSON read. The DuckDB oracle
     * counts the raw table, so the metadata answer is value-checked. */
   def metaCount(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val path = ensureTable(spark, dir)
-    val n = VersionedTable.countRows(spark, path)
-      .getOrElse(VersionedTable.read(spark, path).count()) // legacy manifests
-    Seq(n).toDF("n_rows")
+    // the metadata-only aggregate family as the RULE answers it: COUNT(*)
+    // from per-file live rows, COUNT(col) from rows minus footer null
+    // counts — the whole aggregate collapses to a LocalRelation, asserted
+    // by the plan having NO scan roots at all
+    val out = VersionedTable.read(spark, path)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("n_users_nn"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+    require(roots.isEmpty,
+      s"q_meta_count: COUNT(*)/COUNT(col) must answer from the manifest " +
+        s"alone (zero scans); plan scans $roots")
+    out
   }
 
   val metaCountSql: String =
-    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events"
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(user_id) AS BIGINT) AS n_users_nn FROM events""".stripMargin
 
   /** q_meta_minmax — exact MIN/MAX + COUNT answered from manifest stats and
     * row counts alone (zero data files opened): parquet chunk statistics
@@ -727,6 +736,40 @@ object SkippingQueries {
       s"q_topk_window_yr: expected per-group pruning, read $read/$total")
     out
   }
+
+  // --------------------------------------------------------------------------
+  // q_topk_derived — top-k on a DERIVED sort key: `ORDER BY
+  // length(event_type) DESC LIMIT 100` binds the expression over the
+  // partition census, proves the entry-prefix threshold, and keeps only
+  // the directories whose derived value can still contribute — asserted
+  // in-query (fewer files scanned; result matches DuckDB sorting raw).
+  // --------------------------------------------------------------------------
+  def topkDerived(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureTopkw(spark, dir)
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val out = t.orderBy(length(col("event_type")).desc,
+        col("event_type").asc, col("ts").desc, col("event_id").asc)
+      .limit(100)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read < total,
+      s"q_topk_derived: expected derived-key pruning, read $read/$total")
+    out
+  }
+
+  val topkDerivedSql: String =
+    """SELECT event_id, event_type, ts FROM events
+      |ORDER BY LENGTH(event_type) DESC, event_type ASC, ts DESC,
+      |  event_id ASC LIMIT 100""".stripMargin
 
   val topkWindowDerivedSql: String =
     """SELECT event_id, event_type, ts, rn FROM (
@@ -2066,6 +2109,54 @@ object SkippingQueries {
       |FROM fact JOIN part ON l_partkey = p_partkey""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_constraint_elim — CONSTRAINT-IMPLIED FILTER PRUNING under the
+  // oracle gate: the query restates a validated CHECK (`av >= 0`) beside
+  // a real filter; the restated conjunct drops from the plan (the
+  // IsNotNull license stays, preserving SQL's NULL-dropping filter
+  // semantics against CHECK's NULL-passing ones) while DuckDB evaluates
+  // the full predicate for real.
+  // --------------------------------------------------------------------------
+  private def conelPath(dir: String): String =
+    cachedFixturePath(dir, "conel_v1", "events.parquet")
+
+  def constraintElim(spark: SparkSession, dir: String): DataFrame = {
+    val path = conelPath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(
+        Tables.events(spark, dir).select(col("event_id"), col("event_type"),
+          col("user_id"), abs(col("value")).as("av")),
+        path, statsCols = Seq("event_id"))
+    if (VersionedTable.latestVersion(spark, path).contains(1L))
+      VersionedTable.addCheckConstraint(spark, path, "av_nonneg", "av >= 0")
+    val out = VersionedTable.read(spark, path)
+      .filter(col("av") >= 0 && col("event_type") === "click")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+    import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val restated = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) if c.exists {
+        case GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+            if a.name == "av" => true
+        case _ => false
+      } => c
+    }
+    require(restated.isEmpty,
+      "q_constraint_elim: the CHECK-restating conjunct must drop from " +
+        s"the plan; optimized:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val constraintElimSql: String =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT event_type, user_id, ABS(value) AS av FROM events)
+      |WHERE av >= 0 AND event_type = 'click'
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_join_elim — PK/FK JOIN ELIMINATION under the oracle gate: the fact
   // (lineitem-derived, fk = l_partkey) declares FOREIGN KEY REFERENCES the
   // dim (part-derived, pk = p_partkey) RELY — the declaration VALIDATES
@@ -2595,6 +2686,7 @@ object SkippingQueries {
     "q_mv_left_join" -> (mvLeftJoin _),
     "q_mv_star" -> (mvStar _),
     "q_mv_star_distinct" -> (mvStarDistinct _),
+    "q_constraint_elim" -> (constraintElim _),
     "q_mv_join_residual" -> (mvJoinResidual _),
     "q_mv_decimal" -> (mvDecimal _),
     "q_join_elim" -> (joinElim _),
@@ -2634,6 +2726,7 @@ object SkippingQueries {
     "q_topk_window" -> (topkWindow _),
     "q_topk_filtered" -> (topkFiltered _),
     "q_topk_window_yr" -> (topkWindowDerived _),
+    "q_topk_derived" -> (topkDerived _),
     "q_dict_skip" -> (dictSkip _))
 
   val oracles: Map[String, String] = Map(
@@ -2647,6 +2740,7 @@ object SkippingQueries {
     "q_mv_left_join" -> mvLeftJoinSql,
     "q_mv_star" -> mvStarSql,
     "q_mv_star_distinct" -> mvStarDistinctSql,
+    "q_constraint_elim" -> constraintElimSql,
     "q_mv_join_residual" -> mvJoinResidualSql,
     "q_mv_decimal" -> mvDecimalSql,
     "q_join_elim" -> joinElimSql,
@@ -2686,5 +2780,6 @@ object SkippingQueries {
     "q_topk_window" -> topkWindowSql,
     "q_topk_filtered" -> topkFilteredSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,
+    "q_topk_derived" -> topkDerivedSql,
     "q_dict_skip" -> dictSkipSql)
 }

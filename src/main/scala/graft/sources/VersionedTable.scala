@@ -2563,6 +2563,10 @@ object VersionedTable {
       fkProps = c.props.filter(kv =>
         kv._1.startsWith(ForeignKeys.Prefix) ||
           kv._1.startsWith(ForeignKeys.UniquePrefix)),
+      // validated CHECK constraints of THIS pinned commit — what licenses
+      // constraint-implied filter pruning (time-travel reads carry the
+      // constraints that were in force at their version)
+      checkConstraints = constraintsIn(c.props),
       // generation SQL for generated PARTITION columns only — licenses the
       // base-column → partition-filter derivation rule
       generatedPartDefs = {

@@ -54,6 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized-view query rewrite: GROUP BY aggregates over a source
     // with a registered FRESH view answer from the view's few rows
     ext.injectOptimizerRule(session => GraftMvRewrite(session))
+    // constraint-implied filter pruning (AFTER the MV rewrite, whose
+    // predicate cover must see the query's conjuncts intact): a conjunct
+    // restating a validated CHECK constraint drops — null-rejecting
+    // shapes under the filter's own IsNotNull guards only
+    ext.injectOptimizerRule(session => GraftConstraintPruning(session))
     // PK/FK join elimination: a star join the query reads no dim column
     // from drops entirely, licensed by a validated FOREIGN KEY pin
     ext.injectOptimizerRule(session => GraftJoinElimination(session))
@@ -215,7 +220,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** (relation metadata hooks, aggregate-attr exprId → relation column). */
   private def snapshotOf(plan: LogicalPlan): Option[
-      ((Option[Long], String => Option[(Any, Any)]), Map[ExprId, String])] =
+      ((Option[Long], String => Option[(Any, Any)], String => Option[Long]),
+        Map[ExprId, String])] =
     GraftBatchShim.graftMetadataOf(plan) match {
       case Some(meta) =>
         Some((meta, plan.output.map(a => a.exprId -> a.name).toMap))
@@ -240,10 +246,18 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def answer(e: Expression, liveRows: Option[Long],
       minMaxOf: String => Option[(Any, Any)],
+      nonNullOf: String => Option[Long],
       colOf: Map[ExprId, String]): Option[Any] = e match {
-    case Alias(child, _) => answer(child, liveRows, minMaxOf, colOf)
+    case Alias(child, _) => answer(child, liveRows, minMaxOf, nonNullOf, colOf)
     case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
         if l.value != null => liveRows
+    // COUNT(col): live rows minus per-file null counts, summed — exact
+    // whenever every live file's footer recorded null counts and carries
+    // no DV marks. Single column only: COUNT(a, b) counts rows where ALL
+    // args are non-null, which per-column counts cannot compose.
+    case AggregateExpression(Count(Seq(a: AttributeReference)),
+        _, false, None, _) =>
+      colOf.get(a.exprId).flatMap(nonNullOf(_))
     case AggregateExpression(
         org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference),
         _, false, None, _) =>
@@ -260,8 +274,9 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       val direct = snapshotOf(child).flatMap {
-        case ((liveRows, minMaxOf), colOf) =>
-          val values = aggExprs.map(answer(_, liveRows, minMaxOf, colOf))
+        case ((liveRows, minMaxOf, nonNullOf), colOf) =>
+          val values = aggExprs.map(
+            answer(_, liveRows, minMaxOf, nonNullOf, colOf))
           if (values.forall(_.isDefined))
             Some(LocalRelation(agg.output,
               Seq(org.apache.spark.sql.catalyst.InternalRow(

@@ -232,6 +232,87 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       .map(nc => w.copy(child = nc))
   }
 
+  /** Top-k on a DERIVED partition expression: every row of a census entry
+    * shares the entry's evaluated key value, so the entry's live-row count
+    * IS its non-null-key count when the value is non-null (and 0 when
+    * null). The shortest entry prefix by value with ≥ k rows proves τ;
+    * the KEPT entries (value past τ, ties included, plus null-valued
+    * entries under NULLS FIRST) re-express as RANGE bounds on the
+    * underlying partition columns — sound because each kept entry's own
+    * values lie inside the observed ranges, and overlap only widens the
+    * kept set. Declines when nothing would prune; the injected predicate
+    * is partition-only, so the revisit converges by that same check. */
+  private def pruneDerivedKey(s: Sort, keyType: org.apache.spark.sql.types.DataType,
+      desc: Boolean, nullOrd: NullOrdering, k: Int, child: LogicalPlan,
+      info: PartitionCensus.CensusInfo, bound: Expression): Option[Sort] = {
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    val entries = PartitionCensus.liveEntries(info)
+    if (entries.isEmpty) return None
+    val ord = TypeUtils.getInterpretedOrdering(keyType)
+    val valued = entries.map(e => (bound.eval(e._1), e))
+    val nonNull = valued.filter(_._1 != null)
+    val sorted =
+      if (desc) nonNull.sortBy(_._1)(ord.reverse) else nonNull.sortBy(_._1)(ord)
+    var need = k.toLong
+    var tau: Any = null
+    val it = sorted.iterator
+    while (need > 0 && it.hasNext) {
+      val (v, e) = it.next(); need -= e._2; tau = v
+    }
+    if (need > 0) return None
+    val kept = nonNull.filter { case (v, _) =>
+      if (desc) ord.gteq(v, tau) else ord.lteq(v, tau)
+    }.map(_._2) ++
+      (if (nullOrd == NullsFirst) valued.filter(_._1 == null).map(_._2)
+       else Nil)
+    val idxs = bound.collect { case br: BoundReference => br.ordinal }.distinct
+    if (idxs.isEmpty) return None
+    val fields = info.partSchema.fields
+    // the range form per referenced column, plus its driver-side
+    // evaluation — the fire guard must test the WIDENED kept set (ranges
+    // can admit entries the exact threshold would not, e.g. day % 3), or
+    // a revisit could keep re-proving the same non-pruning predicate
+    case class Rng(i: Int, lo: Any, hi: Any, hasNull: Boolean,
+      nullOnly: Boolean)
+    val rngs: Seq[Rng] = idxs.map { i =>
+      val dt = fields(i).dataType
+      val vs = kept.map(_._1).filterNot(_.isNullAt(i)).map(_.get(i, dt))
+      val hasNull = kept.exists(_._1.isNullAt(i))
+      if (vs.isEmpty) Rng(i, null, null, hasNull = true, nullOnly = true)
+      else {
+        val vOrd = TypeUtils.getInterpretedOrdering(fields(i).dataType)
+        Rng(i, vs.min(vOrd), vs.max(vOrd), hasNull, nullOnly = false)
+      }
+    }
+    val widened = entries.count { e =>
+      rngs.forall { r =>
+        if (e._1.isNullAt(r.i)) r.hasNull
+        else if (r.nullOnly) false
+        else {
+          val vOrd = TypeUtils.getInterpretedOrdering(fields(r.i).dataType)
+          val v = e._1.get(r.i, fields(r.i).dataType)
+          vOrd.gteq(v, r.lo) && vOrd.lteq(v, r.hi)
+        }
+      }
+    }
+    if (widened >= entries.size) return None // nothing would prune
+    val preds: Seq[Expression] = rngs.map { r =>
+      val dt = fields(r.i).dataType
+      val la = info.leaf.output.collectFirst {
+        case la: AttributeReference if la.name == fields(r.i).name => la
+      }.getOrElse(return None)
+      if (r.nullOnly) IsNull(la): Expression
+      else {
+        val rng = And(
+          GreaterThanOrEqual(la, Literal(r.lo, dt)),
+          LessThanOrEqual(la, Literal(r.hi, dt)))
+        if (r.hasNull) Or(rng, IsNull(la)) else rng
+      }
+    }
+    injectAtLeaf(child, info.leaf, preds.reduce(And))
+      .map(nc => s.copy(child = nc))
+  }
+
   /** Rebuild `plan` with `pred` filtered directly above `leaf` (reference
     * identity) — the injection point where every partition column still
     * exists by name. Revisit idempotence: the injected Filter either fails
@@ -274,6 +355,16 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case None => pruneFiltered(s, a, desc, nullOrd, k, child)
       }
+    // INLINE derived sort key (`ORDER BY day / 4 DESC LIMIT k` — Sorts
+    // never get the Project pull-out Aggregates do): bind it over the
+    // census tuple and run the entry-prefix proof
+    case Sort(SortOrder(e, dir, nullOrd, _) +: _, true, child, _)
+        if e.references.nonEmpty =>
+      import PartitionCensus.{censusOf, bindPart}
+      val info = censusOf(child).getOrElse(return None)
+      val bound = bindPart(e, info).getOrElse(return None)
+      pruneDerivedKey(s, e.dataType, dir == Descending, nullOrd, k, child,
+        info, bound)
     case _ => None
   }
 
@@ -290,6 +381,15 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       nullOrd: NullOrdering, k: Int, child: LogicalPlan): Option[Sort] = {
     import PartitionCensus.{censusOf, liveEntries}
     val info = censusOf(child).getOrElse(return None)
+    // DERIVED sort key (`ORDER BY year(day) DESC LIMIT k`): constant per
+    // census entry, so the prefix proof runs over ENTRIES (entry live
+    // rows are all non-null in the derived key exactly when the entry's
+    // evaluated value is) and the kept set expresses as partition-column
+    // ranges, like the window rule's derived groups
+    info.derivedOf.get(a.exprId).foreach { bound =>
+      return pruneDerivedKey(s, a.dataType, desc, nullOrd, k, child, info,
+        bound)
+    }
     val (_, mm, nn) = GraftBatchShim.topkStatsOf(info.leaf).getOrElse(return None)
     val column = info.dataColOf.get(a.exprId)
       .orElse(info.idxOf.get(a.exprId).map(info.partSchema.fieldNames(_)))

@@ -103,7 +103,12 @@ private[graft] class GraftFileIndex(
       * marks may have removed either kind of row; partial footer stats
       * make the null count itself unreliable). Powers the top-k prune
       * rule's "≥ k values past the threshold" proof. */
-    val fileNonNullOf: (String, String) => Option[Long] = (_, _) => None)
+    val fileNonNullOf: (String, String) => Option[Long] = (_, _) => None,
+    /** Validated CHECK constraints (name → predicate SQL) of the pinned
+      * commit — what licenses [[graft.sql.GraftConstraintPruning]] to
+      * drop query conjuncts the table already guarantees. Empty for
+      * tables without constraints, so the rule's match is O(1). */
+    val checkConstraints: Map[String, String] = Map.empty)
     extends FileIndex {
 
   /** The manifest's live file keys — the top-k prune rule's iteration
@@ -161,6 +166,25 @@ private[graft] class GraftFileIndex(
   val topkBounds: (String, String) => Option[Option[(Any, Any)]] =
     topkBoundsOf
   val topkNonNull: (String, String) => Option[Long] = topkNonNullOf
+
+  /** TABLE-level exact non-null count of `column`: the per-file live
+    * non-null counts summed across every live file — what turns a global
+    * `COUNT(col)` into a manifest answer (the fourth metadata-only
+    * aggregate, after COUNT(*)/MIN/MAX). None the moment ANY file cannot
+    * answer exactly (DV marks, footer without null counts) — the query
+    * then simply scans. Partition columns answer through the path values
+    * (the hive null dir contributes 0). */
+  def nonNullCountOf(column: String): Option[Long] = {
+    var total = 0L
+    val it = liveFiles.iterator
+    while (it.hasNext) {
+      topkNonNullOf(it.next(), column) match {
+        case Some(n) => total += n
+        case None => return None
+      }
+    }
+    Some(total)
+  }
 
   override val rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = partSchema
@@ -237,7 +261,8 @@ private[graft] class GraftFileIndex(
     // seeing the view roster on exactly the filtered plans estimation touches
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
-      snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf) {
+      snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf,
+      checkConstraints) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -562,7 +587,8 @@ object GraftBatchShim {
       fileRows: Map[String, Long] = Map.empty,
       fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]] =
         (_, _) => None,
-      fileNonNullOf: (String, String) => Option[Long] = (_, _) => None)
+      fileNonNullOf: (String, String) => Option[Long] = (_, _) => None,
+      checkConstraints: Map[String, String] = Map.empty)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -578,7 +604,7 @@ object GraftBatchShim {
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
-        fileRows, fileMinMaxOf, fileNonNullOf),
+        fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -630,15 +656,17 @@ object GraftBatchShim {
     graftMetadataOf(plan).flatMap(_._1)
 
   /** The metadata hooks of a graft snapshot relation node: exact live row
-    * count and exact per-column MIN/MAX from manifest stats (column name →
+    * count, exact per-column MIN/MAX from manifest stats (column name →
     * bounds in the stats domain: BigDecimal for numerics/date-days/
     * timestamp-micros, String for strings; None whenever the manifest
-    * cannot answer EXACTLY — marks, truncation, missing stats). */
+    * cannot answer EXACTLY — marks, truncation, missing stats), and the
+    * exact table-level non-null count per column (for `COUNT(col)`). */
   def graftMetadataOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Option[(Option[Long], String => Option[(Any, Any)])] =
+      : Option[(Option[Long], String => Option[(Any, Any)],
+        String => Option[Long])] =
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
-        Some((g.liveRows, g.minMaxOf))
+        Some((g.liveRows, g.minMaxOf, g.nonNullCountOf))
       case _ => None
     }
 
@@ -695,6 +723,19 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         g.partitionCensus.map(c => (g.partitionSchema, c, g.fileMinMaxOf))
+      case _ => None
+    }
+
+  /** CHECK constraints of a graft snapshot relation node, with the node
+    * itself (the analysis anchor for resolving the predicate SQL). None
+    * when not a graft relation or no constraints are declared. */
+  def graftConstraintsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(Map[String, String],
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.checkConstraints.nonEmpty =>
+        Some((g.checkConstraints, plan))
       case _ => None
     }
 

@@ -322,4 +322,42 @@ class DataSkippingSpec extends SparkSpec {
     assert(kOld.size == 1)
     assert(VersionedTable.readWhere(spark, path, col("k") === 1, Some(1L)).count() == 1)
   }
+
+  test("COUNT(col) answers metadata-only from footer null counts; DV marks decline") {
+    import org.apache.spark.sql.graft.GraftBatchShim
+    val path = java.nio.file.Files.createTempDirectory("metacnt").toString + "/t"
+    // three files: mixed nulls, no nulls, ALL nulls — per-file counts
+    // 2 + 3 + 0 over 3 + 3 + 2 rows
+    val mixed = Seq((1L, java.lang.Long.valueOf(10L)),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(30L))).toDF("k", "c").coalesce(1)
+    val full = Seq((4L, 40L), (5L, 50L), (6L, 60L)).toDF("k", "c")
+      .select(col("k"), col("c").cast("long")).coalesce(1)
+    val nulls = Seq(7L, 8L).toDF("k")
+      .select(col("k"), lit(null).cast("long").as("c")).coalesce(1)
+    VersionedTable.write(mixed, path, statsCols = Seq("c"))
+    VersionedTable.append(full, path, statsCols = Seq("c"))
+    VersionedTable.append(nulls, path, statsCols = Seq("c"))
+    def q() = VersionedTable.read(spark, path)
+      .agg(count(lit(1)).as("n"), count(col("c")).as("nn"))
+    val out = q()
+    assert(GraftBatchShim.scanRootsOf(out).isEmpty,
+      s"COUNT(col) must collapse to a LocalRelation:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    assert(out.collect().head.toSeq == Seq(8L, 5L))
+    // multi-arg COUNT(a, b) cannot compose from per-column counts — scans
+    val multi = VersionedTable.read(spark, path)
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.count_if(
+          col("k").isNotNull && col("c").isNotNull).as("nn2"))
+    assert(multi.collect().head.getLong(1) == 5L)
+    // a DV mark makes the marked file's null split unknowable — the whole
+    // aggregate scans (and stays right) rather than guessing
+    VersionedTable.deleteVectorized(spark, path, col("k") === 2L,
+      purgeFraction = 1.0)
+    val afterDv = q()
+    assert(GraftBatchShim.scanRootsOf(afterDv).nonEmpty,
+      "DV-marked files must decline the metadata COUNT(col)")
+    assert(afterDv.collect().head.toSeq == Seq(7L, 5L))
+  }
 }

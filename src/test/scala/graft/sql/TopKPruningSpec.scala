@@ -312,6 +312,51 @@ class TopKPruningSpec extends SparkSpec {
     withRuleOff { assert(rows(qf()).sorted == onFRows) }
   }
 
+  test("DERIVED sort keys: ORDER BY f(partition col) LIMIT prunes directories") {
+    val path = tmp() + "/ds"
+    // 10 day-dirs → derived epoch day/4 ∈ {0,1,2}; newest epoch = days 8,9
+    spark.range(0, 4000)
+      .select((col("id") % 10).as("day"), col("id").as("v"))
+      .repartitionByRange(10, col("id") % 10)
+      .write.format("graft-table").partitionBy("day").save(path)
+    def t = spark.read.format("graft-table").load(path)
+    val total = t.inputFiles.length
+    def q() = t.orderBy((col("day") / 4).desc, col("v").asc).limit(100)
+    val on = q()
+    val onRows = rows(on)
+    val read = filesRead(on, "v")
+    assert(read < total && read >= 1,
+      s"derived-key top-k must prune older epochs: $read/$total")
+    withRuleOff {
+      val off = q()
+      assert(rows(off) == onRows)
+      assert(filesRead(off, "v") == total)
+    }
+    // composes with a partition-only WHERE (the filter shrinks the census
+    // before the entry-prefix proof)
+    def qf() = t.filter(col("day") < 8)
+      .orderBy((col("day") / 4).desc, col("v").asc).limit(50)
+    val onF = qf()
+    val onFRows = rows(onF)
+    assert(filesRead(onF, "v") < total)
+    withRuleOff { assert(rows(qf()) == onFRows) }
+    // ASC takes the oldest epoch instead
+    def qa() = t.orderBy((col("day") / 4).asc, col("v").asc).limit(50)
+    val onA = qa()
+    val onARows = rows(onA)
+    assert(filesRead(onA, "v") < total)
+    withRuleOff { assert(rows(qa()) == onARows) }
+    // k past the provable total declines
+    assert(filesRead(t.orderBy((col("day") / 4).desc).limit(100000), "v")
+      == total)
+    // a NON-monotonic derived key (day % 3) stays exact: ranges widen to
+    // whatever they must, results still match the rule-off plan
+    def qm() = t.orderBy((col("day") % 3).desc, col("v").asc).limit(40)
+    val onM = qm()
+    val onMRows = rows(onM)
+    withRuleOff { assert(rows(qm()) == onMRows) }
+  }
+
   test("declines: filters, k past provable rows, DV-marked files") {
     val path = tmp() + "/d"
     VersionedTable.write(
