@@ -226,6 +226,33 @@ object SkippingQueries {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(COUNT(user_id) AS BIGINT) AS n_users_nn FROM events""".stripMargin
 
+  /** q_meta_sum — exact global SUM answered from the per-file sums
+    * ANALYZE records (integral columns; files are immutable, so each sum
+    * stays exact until DV marks appear): the fourth metadata-only
+    * aggregate, plan-asserted to collapse with zero scans. At 100 TB the
+    * revenue-total dashboard stops costing a fact scan — without even a
+    * materialized view. DuckDB sums the raw table. */
+  def metaSum(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureTable(spark, dir)
+    if (!VersionedTable.propertiesOf(spark, path)
+        .get("graft.ndvCols").exists(_.contains("user_id")))
+      VersionedTable.analyzeNdv(spark, path, Seq("user_id"))
+    val out = VersionedTable.read(spark, path)
+      .agg(sum(col("user_id")).as("sum_users"),
+        count(col("user_id")).as("nn_users"),
+        count(lit(1)).as("n_rows"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+    require(roots.isEmpty,
+      s"q_meta_sum: SUM/COUNT must answer from the manifest alone " +
+        s"(zero scans); plan scans $roots")
+    out
+  }
+
+  val metaSumSql: String =
+    """SELECT CAST(SUM(user_id) AS BIGINT) AS sum_users,
+      |  CAST(COUNT(user_id) AS BIGINT) AS nn_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM events""".stripMargin
+
   /** q_meta_minmax — exact MIN/MAX + COUNT answered from manifest stats and
     * row counts alone (zero data files opened): parquet chunk statistics
     * are exact whenever recorded, so folding per-file bounds gives the true
@@ -2711,6 +2738,7 @@ object SkippingQueries {
     "q_sql_update" -> (sqlUpdate _),
     "q_skipping_scan" -> (skippingScan _),
     "q_meta_count" -> (metaCount _),
+    "q_meta_sum" -> (metaSum _),
     "q_meta_minmax" -> (metaMinMax _),
     "q_dv_delete" -> (dvDelete _),
     "q_batch_format" -> (batchFormat _),
@@ -2765,6 +2793,7 @@ object SkippingQueries {
     "q_sql_update" -> sqlUpdateSql,
     "q_skipping_scan" -> skippingScanSql,
     "q_meta_count" -> metaCountSql,
+    "q_meta_sum" -> metaSumSql,
     "q_meta_minmax" -> metaMinMaxSql,
     "q_dv_delete" -> dvDeleteSql,
     "q_batch_format" -> batchFormatSql,

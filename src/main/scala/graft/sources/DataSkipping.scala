@@ -53,7 +53,16 @@ object DataSkipping {
         * sketch with the new recipe would wrongly report a present value
         * absent and skip a file that contains it. NDV *counting* is
         * recipe-agnostic (it only sizes the hash set). */
-      ndvRecipe: Int = 1)
+      ndvRecipe: Int = 1,
+      /** EXACT sum of the column's live non-null values in this file
+        * (integral/decimal columns only — floating sums are not
+        * order-exact), written by ANALYZE alongside the NDV sketch; 0 for
+        * an all-null file (SQL SUM's per-file contribution), absent when
+        * never analyzed or when the per-file fold overflowed 38 digits.
+        * Files are immutable, so a recorded sum stays exact until DV
+        * marks appear — what turns a global `SUM(col)` into a manifest
+        * answer. */
+      sum: Option[BigDecimal] = None)
 
   /** Stored string bounds are capped at this many chars (Delta's 32-char
     * stats truncation): on an LLM corpus with stats collected on a text
@@ -309,6 +318,27 @@ object DataSkipping {
     * on mapper construction alone. */
   private val sharedMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Fold one ANALYZE patch — `to_json(struct(ndv, sum, cnt))` computed
+    * per (file, column) on the executors — into the column's prior stat:
+    * the KMV sketch always lands (current recipe); the EXACT sum lands for
+    * sum-eligible columns (0 for an all-null file — SQL SUM's per-file
+    * contribution; an overflowed per-file fold arrives null with cnt > 0
+    * and keeps the prior sum, which stays correct — files are immutable). */
+  private[graft] def applyAnalyzePatch(prior: ColStat, patchJson: String,
+      sumEligible: Boolean): ColStat = {
+    val node = sharedMapper.readTree(patchJson)
+    import scala.jdk.CollectionConverters._
+    val h = Option(node.get("ndv"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val cnt = Option(node.get("cnt")).map(_.asLong()).getOrElse(0L)
+    val sm =
+      if (!sumEligible) None
+      else if (cnt == 0L) Some(BigDecimal(0))
+      else Option(node.get("sum")).map(s => BigDecimal(s.asText()))
+    prior.copy(ndv = Some(h), ndvRecipe = NdvRecipeCurrent,
+      sum = sm.orElse(prior.sum))
+  }
+
   /** One FILE's column-stat map as a JSON object string — the unit a
     * parquet checkpoint manifest stores per row (one row per file), so a
     * million-file checkpoint never serializes as one monolithic string. */
@@ -329,7 +359,10 @@ object DataSkipping {
       // absent ⇒ parse-time default 1 keeps old manifests byte-compatible
       val ndV = if (st.ndv.isDefined && st.ndvRecipe > 1)
         s""""ndv_v":${st.ndvRecipe},""" else ""
-      s""""$c":{$mn$mx$tr$nd$ndV"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
+      // exact sums as plain strings: BigDecimal round-trips losslessly
+      val sm = st.sum.map(x =>
+        s""""sum":"${x.bigDecimal.toPlainString}",""").getOrElse("")
+      s""""$c":{$mn$mx$tr$nd$ndV$sm"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
     }.mkString("{", ",", "}")
   }
 
@@ -346,7 +379,8 @@ object DataSkipping {
         Option(o.get("trunc")).exists(_.asBoolean()),
         Option(o.get("ndv")).map(a => a.elements().asScala
           .map(_.asText()).toSeq),
-        Option(o.get("ndv_v")).map(_.asInt()).getOrElse(1))
+        Option(o.get("ndv_v")).map(_.asInt()).getOrElse(1),
+        Option(o.get("sum")).map(s => BigDecimal(s.asText())))
     }.toMap
   }
 

@@ -597,7 +597,8 @@ object VersionedTable {
       adds: Seq[(String, Option[Long], Option[String], Option[Long])],
       keepStatsCols: Option[Set[String]],
       renameStats: Option[(String, String)] = None,
-      ndvMerge: Option[(DataFrame, Seq[String])] = None): (String, Path) = {
+      ndvMerge: Option[(DataFrame, Seq[String], Set[String])] = None)
+      : (String, Path) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"$LogDir/ckpt-$v%08d-$token"
     val dir = new Path(root, rel)
@@ -640,8 +641,9 @@ object VersionedTable {
     // stats map never materializes on the driver.
     val carried = ndvMerge match {
       case None => carried0
-      case Some((skDf, cols)) =>
-        val skCols = cols // small closure
+      case Some((skDf, cols, sumEligible)) =>
+        val skCols = cols // small closures
+        val sumElig = sumEligible
         val sk = skDf.select(col(FileKeyCol).as("_sk_path"),
           map(cols.flatMap(n => Seq(lit(n), col(n))): _*).as("_sk"))
         carried0.toDF("idx", "path", "rows", "stats", "base_row")
@@ -649,16 +651,16 @@ object VersionedTable {
           .select(col("idx"), col("path"), col("rows"), col("stats"),
             col("base_row"), col("_sk"))
           .as[(Int, String, Option[Long], Option[String], Option[Long],
-            Option[Map[String, Seq[String]]])]
+            Option[Map[String, String]])]
           .map { case (i, p, rw, st, br, skm) =>
             val merged = skm match {
               case None => st
               case Some(m) =>
                 val parsed = st.map(DataSkipping.colsFromJson).getOrElse(Map.empty)
-                val next = parsed ++ skCols.flatMap(n => m.get(n).map(h =>
-                  n -> parsed.getOrElse(n, DataSkipping.ColStat(None, None, 0L,
-                      allNulls = false))
-                    .copy(ndv = Some(h), ndvRecipe = DataSkipping.NdvRecipeCurrent)))
+                val next = parsed ++ skCols.flatMap(n => m.get(n).map(js =>
+                  n -> DataSkipping.applyAnalyzePatch(
+                    parsed.getOrElse(n, DataSkipping.ColStat(None, None, 0L,
+                      allNulls = false)), js, sumElig(n))))
                 if (next.isEmpty) None else Some(DataSkipping.colsToJson(next))
             }
             (i, p, rw, merged, br)
@@ -788,7 +790,7 @@ object VersionedTable {
       anchorSrc: Option[Commit] = None,
       keepStatsCols: Option[Set[String]] = None,
       renameStats: Option[(String, String)] = None,
-      ndvMerge: Option[(DataFrame, Seq[String])] = None,
+      ndvMerge: Option[(DataFrame, Seq[String], Set[String])] = None,
       props: Option[Map[String, String]] = None,
       inheritWf: Set[String] = Set.empty,
       rowIdSeed: Option[(Long, Map[String, Long])] = None): (String, Option[Path]) = {
@@ -2618,7 +2620,13 @@ object VersionedTable {
           rows <- c.rows.get(fk)
           st <- c.stats.get(fk).flatMap(_.get(column))
           if st.allNulls || (st.min.isDefined && st.max.isDefined)
-        } yield if (st.allNulls) 0L else rows - st.numNulls)
+        } yield if (st.allNulls) 0L else rows - st.numNulls,
+      // exact per-(file, column) live SUM from ANALYZE — immutable files
+      // keep it valid forever; DV marks could have removed any subset of
+      // the summed rows, so marked files answer nothing
+      fileSumOf = (fk, column) =>
+        if (c.dvRows.getOrElse(fk, 0L) > 0L) None
+        else c.stats.get(fk).flatMap(_.get(column)).flatMap(_.sum))
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file
@@ -2924,11 +2932,31 @@ object VersionedTable {
           spark.read.parquet(c.dv.map(r => new Path(root, r).toString): _*)
             .select(col(FileKeyCol), col(RowIdxCol)),
           Seq(FileKeyCol, RowIdxCol), "left_anti")
+      // one patch per (file, column): the KMV sketch, the EXACT sum (for
+      // integral/decimal columns — cast into a 38-digit decimal so the
+      // fold is loss-free; floating sums are not order-exact and skip),
+      // and the non-null count (disambiguates an all-null file's sum 0
+      // from an overflowed fold's null) — serialized as one JSON string
+      // so the executor-side checkpoint merge channel stays a simple
+      // string map
+      val sumEligible: Set[String] = cols.filter(n =>
+        sumExactType(s(s.fieldIndex(n)).dataType)).toSet
+      def patchExpr(n: String): Column = {
+        val sumC: Column = s(s.fieldIndex(n)).dataType match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            sum(col(n).cast(org.apache.spark.sql.types
+              .DecimalType(38, d.scale))).cast("string")
+          case t if sumExactType(t) =>
+            sum(col(n).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("string")
+          case _ => lit(null).cast("string")
+        }
+        to_json(struct(
+          graft.functions.KmvHashesAgg(col(n), NdvSketchK).as("ndv"),
+          sumC.as("sum"), count(col(n)).as("cnt"))).as(n)
+      }
       val sketchDf = keyed.groupBy(col(FileKeyCol))
-        .agg(graft.functions.KmvHashesAgg(col(cols.head), NdvSketchK)
-            .as(cols.head),
-          cols.tail.map(n =>
-            graft.functions.KmvHashesAgg(col(n), NdvSketchK).as(n)): _*)
+        .agg(patchExpr(cols.head), cols.tail.map(patchExpr): _*)
       val v = b + 1L
       // the analyzed-column roster rides TBLPROPERTIES so plan-time
       // consumers can answer "is there a sketch for this column?" from the
@@ -2948,18 +2976,19 @@ object VersionedTable {
           sketchDf.persist() // scanned once for adds, once for the ride
           val aSet = c.ckptInfo.get._2
           val addKeys = c.files.filterNot(aSet)
-          val addSk: Map[String, Map[String, Seq[String]]] =
+          val addSk: Map[String, Map[String, String]] =
             if (addKeys.isEmpty) Map.empty
             else sketchDf.filter(col(FileKeyCol).isInCollection(addKeys))
               .collect().map(r => r.getString(0) -> cols.map(n =>
-                n -> r.getAs[scala.collection.Seq[String]](n).toSeq).toMap)
+                n -> r.getAs[String](n)).toMap)
               .toMap
           val addStats: DataSkipping.FileStats = addKeys.map { fk =>
             val prior = c.statsAdds.getOrElse(fk, Map.empty)
-            fk -> (prior ++ addSk.getOrElse(fk, Map.empty).map { case (n, h) =>
-              n -> prior.getOrElse(n,
-                  DataSkipping.ColStat(None, None, 0L, allNulls = false))
-                .copy(ndv = Some(h), ndvRecipe = DataSkipping.NdvRecipeCurrent)
+            fk -> (prior ++ addSk.getOrElse(fk, Map.empty).map { case (n, js) =>
+              n -> DataSkipping.applyAnalyzePatch(
+                prior.getOrElse(n,
+                  DataSkipping.ColStat(None, None, 0L, allNulls = false)),
+                js, sumEligible(n))
             })
           }.toMap
           try encodeCommit(spark, root, v, c.files, s.json,
@@ -2967,24 +2996,25 @@ object VersionedTable {
             rows = c.rows, txn = c.txn, dv = c.dv, dvRows = c.dvRows,
             parent = Some(c), forceFull = true,
             colMap = c.colMap, physDropped = c.physDropped,
-            statsAddOnly = Some(addStats), ndvMerge = Some((sketchDf, cols)),
+            statsAddOnly = Some(addStats),
+            ndvMerge = Some((sketchDf, cols, sumEligible)),
             props = Some(nextProps))
           finally sketchDf.unpersist()
         } else {
           // inline/small tables: merge on the driver (stats are already
           // driver-resident at this size)
-          val sketches: Map[String, Map[String, Seq[String]]] =
+          val sketches: Map[String, Map[String, String]] =
             sketchDf.collect().map { r =>
-              r.getString(0) -> cols.map(n =>
-                n -> r.getAs[scala.collection.Seq[String]](n).toSeq).toMap
+              r.getString(0) -> cols.map(n => n -> r.getAs[String](n)).toMap
             }.toMap
           val newStats: DataSkipping.FileStats = c.files.map { fk =>
             val prior = c.stats.getOrElse(fk, Map.empty)
             val sk = sketches.getOrElse(fk, Map.empty)
-            fk -> (prior ++ sk.map { case (n, h) =>
-              n -> prior.getOrElse(n,
-                  DataSkipping.ColStat(None, None, 0L, allNulls = false))
-                .copy(ndv = Some(h), ndvRecipe = DataSkipping.NdvRecipeCurrent)
+            fk -> (prior ++ sk.map { case (n, js) =>
+              n -> DataSkipping.applyAnalyzePatch(
+                prior.getOrElse(n,
+                  DataSkipping.ColStat(None, None, 0L, allNulls = false)),
+                js, sumEligible(n))
             })
           }.toMap
           // carried stats CHANGED → not delta-expressible; encodes full
@@ -3004,6 +3034,19 @@ object VersionedTable {
     (committed, analyzed)
   }
 
+  /** Types whose SUM is exactly representable in the manifest stats:
+    * integral and decimal (the fold rides a 38-digit decimal). Floating
+    * sums are not order-exact and never record. */
+  private def sumExactType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+
   /** Files of `c` still needing an ANALYZE for any of `cols`: no sketch,
     * or a BINARY column's sketch written under a pre-content hash recipe
     * (not plan-time probe-able — see [[DataSkipping.ColStat.ndvRecipe]]).
@@ -3015,14 +3058,18 @@ object VersionedTable {
     val binCols: Set[String] = cols.filter(n =>
       s(s.fieldIndex(n)).dataType ==
         org.apache.spark.sql.types.BinaryType).toSet
+    val sumCols: Set[String] = cols.filter(n =>
+      sumExactType(s(s.fieldIndex(n)).dataType)).toSet
     def covered(st: Map[String, DataSkipping.ColStat], n: String): Boolean =
       st.get(n).exists(cs => cs.ndv.isDefined &&
-        (!binCols(n) || cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent))
+        (!binCols(n) || cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent) &&
+        (!sumCols(n) || cs.sum.isDefined))
     distributedNdvRead(spark, root, c) match {
       case Some((aRel, aSet)) =>
         import spark.implicits._
         val colsB = cols
         val binB = binCols
+        val sumB = sumCols
         val okFromCkpt: Set[String] =
           spark.read.parquet(new Path(root, aRel).toString)
             .select(col("path"), col("stats"))
@@ -3032,7 +3079,8 @@ object VersionedTable {
                   val m = DataSkipping.colsFromJson(st)
                   colsB.forall(n => m.get(n).exists(cs => cs.ndv.isDefined &&
                     (!binB(n) ||
-                      cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent)))
+                      cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent) &&
+                    (!sumB(n) || cs.sum.isDefined)))
                 } => p })
             .collect().toSet
         c.files.filter { fk =>

@@ -220,8 +220,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** (relation metadata hooks, aggregate-attr exprId → relation column). */
   private def snapshotOf(plan: LogicalPlan): Option[
-      ((Option[Long], String => Option[(Any, Any)], String => Option[Long]),
-        Map[ExprId, String])] =
+      ((Option[Long], String => Option[(Any, Any)], String => Option[Long],
+        String => Option[BigDecimal]), Map[ExprId, String])] =
     GraftBatchShim.graftMetadataOf(plan) match {
       case Some(meta) =>
         Some((meta, plan.output.map(a => a.exprId -> a.name).toMap))
@@ -244,11 +244,26 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   private def internalOf(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] =
     GraftStats.internalOf(v, dt)
 
+  /** Exact manifest sum → the SUM aggregate's result-type internal value;
+    * None when it does not FIT (a scan would wrap or null there — decline
+    * rather than reproduce overflow semantics from metadata). */
+  private def sumInternal(v: BigDecimal,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      if (v.isValidLong) Some(v.toLong) else None
+    case d: org.apache.spark.sql.types.DecimalType =>
+      val dec = org.apache.spark.sql.types.Decimal(v.bigDecimal)
+      if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+    case _ => None
+  }
+
   private def answer(e: Expression, liveRows: Option[Long],
       minMaxOf: String => Option[(Any, Any)],
       nonNullOf: String => Option[Long],
+      sumOf: String => Option[BigDecimal],
       colOf: Map[ExprId, String]): Option[Any] = e match {
-    case Alias(child, _) => answer(child, liveRows, minMaxOf, nonNullOf, colOf)
+    case Alias(child, _) =>
+      answer(child, liveRows, minMaxOf, nonNullOf, sumOf, colOf)
     case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
         if l.value != null => liveRows
     // COUNT(col): live rows minus per-file null counts, summed — exact
@@ -258,6 +273,19 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     case AggregateExpression(Count(Seq(a: AttributeReference)),
         _, false, None, _) =>
       colOf.get(a.exprId).flatMap(nonNullOf(_))
+    // SUM(col) from the per-file exact sums ANALYZE records (integral/
+    // decimal; DV marks or any un-analyzed file decline): SQL totality
+    // via the non-null count (0 non-null inputs ⇒ NULL), overflow of the
+    // result type declines — never silently wraps where a scan would
+    case AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+          a: AttributeReference, _), _, false, None, _) =>
+      for {
+        n <- colOf.get(a.exprId)
+        nn <- nonNullOf(n)
+        v <- if (nn == 0L) Some(null)
+             else sumOf(n).flatMap(sumInternal(_, e.dataType))
+      } yield v
     case AggregateExpression(
         org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference),
         _, false, None, _) =>
@@ -274,9 +302,9 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       val direct = snapshotOf(child).flatMap {
-        case ((liveRows, minMaxOf, nonNullOf), colOf) =>
+        case ((liveRows, minMaxOf, nonNullOf, sumOf), colOf) =>
           val values = aggExprs.map(
-            answer(_, liveRows, minMaxOf, nonNullOf, colOf))
+            answer(_, liveRows, minMaxOf, nonNullOf, sumOf, colOf))
           if (values.forall(_.isDefined))
             Some(LocalRelation(agg.output,
               Seq(org.apache.spark.sql.catalyst.InternalRow(

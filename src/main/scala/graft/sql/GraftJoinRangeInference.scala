@@ -123,7 +123,7 @@ case class GraftJoinRangeInference(spark: SparkSession)
   private def relOf(plan: LogicalPlan): Option[
       (String => Option[(Any, Any)], Map[ExprId, String], Seq[Expression])] =
     GraftBatchShim.graftMetadataOf(plan) match {
-      case Some((_, mm, _)) =>
+      case Some((_, mm, _, _)) =>
         Some((mm, plan.output.map(a => a.exprId -> a.name).toMap, Nil))
       case None => plan match {
         case Project(items, child)

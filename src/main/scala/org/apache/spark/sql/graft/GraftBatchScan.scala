@@ -108,7 +108,11 @@ private[graft] class GraftFileIndex(
       * commit — what licenses [[graft.sql.GraftConstraintPruning]] to
       * drop query conjuncts the table already guarantees. Empty for
       * tables without constraints, so the rule's match is O(1). */
-    val checkConstraints: Map[String, String] = Map.empty)
+    val checkConstraints: Map[String, String] = Map.empty,
+    /** EXACT live SUM per (file, column) from ANALYZE (integral/decimal
+      * only; DV-marked files answer nothing) — powers the metadata-only
+      * SUM(col) rewrite. */
+    val fileSumOf: (String, String) => Option[BigDecimal] = (_, _) => None)
     extends FileIndex {
 
   /** The manifest's live file keys — the top-k prune rule's iteration
@@ -180,6 +184,33 @@ private[graft] class GraftFileIndex(
     while (it.hasNext) {
       topkNonNullOf(it.next(), column) match {
         case Some(n) => total += n
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+
+  /** TABLE-level exact SUM of `column`: per-file ANALYZE sums summed over
+    * every live file; PARTITION columns answer from path value × live
+    * rows. None the moment any file cannot answer — the query scans. */
+  def sumOf(column: String): Option[BigDecimal] = {
+    val pi = partSchema.fieldNames.indexOf(column)
+    var total = BigDecimal(0)
+    val it = liveFiles.iterator
+    while (it.hasNext) {
+      val fk = it.next()
+      val contrib: Option[BigDecimal] =
+        if (pi < 0) fileSumOf(fk, column)
+        else partValuesOf.get(fk).flatMap { row =>
+          if (row.isNullAt(pi)) Some(BigDecimal(0)) // nulls add nothing
+          else for {
+            v <- statDomainOf(row.get(pi, partSchema(pi).dataType))
+              .collect { case d: BigDecimal => d }
+            n <- fileRows.get(fk)
+          } yield v * BigDecimal(n)
+        }
+      contrib match {
+        case Some(x) => total += x
         case None => return None
       }
     }
@@ -262,7 +293,7 @@ private[graft] class GraftFileIndex(
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
       snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf,
-      checkConstraints) {
+      checkConstraints, fileSumOf) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -588,7 +619,8 @@ object GraftBatchShim {
       fileMinMaxOf: (String, String) => Option[Option[(Any, Any)]] =
         (_, _) => None,
       fileNonNullOf: (String, String) => Option[Long] = (_, _) => None,
-      checkConstraints: Map[String, String] = Map.empty)
+      checkConstraints: Map[String, String] = Map.empty,
+      fileSumOf: (String, String) => Option[BigDecimal] = (_, _) => None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -604,7 +636,7 @@ object GraftBatchShim {
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
-        fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints),
+        fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints, fileSumOf),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -663,10 +695,10 @@ object GraftBatchShim {
     * exact table-level non-null count per column (for `COUNT(col)`). */
   def graftMetadataOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[(Option[Long], String => Option[(Any, Any)],
-        String => Option[Long])] =
+        String => Option[Long], String => Option[BigDecimal])] =
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
-        Some((g.liveRows, g.minMaxOf, g.nonNullCountOf))
+        Some((g.liveRows, g.minMaxOf, g.nonNullCountOf, g.sumOf))
       case _ => None
     }
 

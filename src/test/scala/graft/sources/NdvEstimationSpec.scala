@@ -208,6 +208,68 @@ class NdvEstimationSpec extends SparkSpec {
       "an un-analyzed column needs every file")
   }
 
+  test("ANALYZE records exact sums; SUM(col) answers metadata-only") {
+    import org.apache.spark.sql.graft.GraftBatchShim
+    val p = tmp()
+    val f1 = Seq(
+      (1L, java.lang.Long.valueOf(10L), BigDecimal("1.25"), 0.5),
+      (2L, null.asInstanceOf[java.lang.Long], BigDecimal("2.75"), 1.5)
+    ).toDF("k", "v", "d", "f")
+      .select(col("k"), col("v"), col("d").cast("decimal(10,2)"), col("f"))
+      .coalesce(1)
+    val f2 = Seq((3L, 30L, BigDecimal("3.00"), 2.5)).toDF("k", "v", "d", "f")
+      .select(col("k"), col("v").cast("long"),
+        col("d").cast("decimal(10,2)"), col("f")).coalesce(1)
+    VersionedTable.write(f1, p, statsCols = Seq("k", "v", "d"))
+    VersionedTable.append(f2, p, statsCols = Seq("k", "v", "d"))
+    VersionedTable.analyzeNdv(spark, p, Seq("v", "d", "f"))
+    def q(c: String) = VersionedTable.read(spark, p)
+      .agg(sum(col(c)).as("s"), count(lit(1)).as("n"))
+    // long and decimal sums collapse to a LocalRelation with exact values
+    val qv = q("v")
+    assert(GraftBatchShim.scanRootsOf(qv).isEmpty,
+      s"SUM(long) must answer from the manifest:\n${qv.queryExecution.optimizedPlan}")
+    assert(qv.collect().head.toSeq == Seq(40L, 3L))
+    val qd = q("d")
+    assert(GraftBatchShim.scanRootsOf(qd).isEmpty)
+    assert(qd.collect().head.getDecimal(0) ==
+      new java.math.BigDecimal("7.00"))
+    // floating sums are never recorded — the query scans and stays right
+    val qf = q("f")
+    assert(GraftBatchShim.scanRootsOf(qf).nonEmpty,
+      "double sums are not order-exact — must scan")
+    assert(qf.collect().head.getDouble(0) == 4.5)
+    // an un-analyzed append stales the answer (scan) until the
+    // incremental re-analyze covers the new file
+    VersionedTable.append(
+      Seq((4L, 100L, BigDecimal("1.00"), 9.9)).toDF("k", "v", "d", "f")
+        .select(col("k"), col("v").cast("long"),
+          col("d").cast("decimal(10,2)"), col("f")).coalesce(1), p)
+    assert(GraftBatchShim.scanRootsOf(q("v")).nonEmpty,
+      "a sum-less new file must decline the metadata answer")
+    assert(q("v").collect().head.getLong(0) == 140L)
+    val (_, scanned) = VersionedTable.analyzeNdvInfo(spark, p,
+      Seq("v", "d", "f"), incremental = true)
+    assert(scanned.size == 1, s"only the appended file re-analyzes: $scanned")
+    assert(GraftBatchShim.scanRootsOf(q("v")).isEmpty)
+    assert(q("v").collect().head.toSeq == Seq(140L, 4L))
+    // DV marks could have removed summed rows — decline, stay right
+    VersionedTable.deleteVectorized(spark, p, col("k") === 3L,
+      purgeFraction = 1.0)
+    assert(GraftBatchShim.scanRootsOf(q("v")).nonEmpty)
+    assert(q("v").collect().head.toSeq == Seq(110L, 3L))
+    // SUM totality: a table whose column is entirely NULL answers NULL
+    // from the manifest (non-null count 0)
+    val pn = tmp()
+    VersionedTable.write(Seq(1L, 2L).toDF("k")
+      .select(col("k"), lit(null).cast("long").as("v")).coalesce(1), pn,
+      statsCols = Seq("v"))
+    VersionedTable.analyzeNdv(spark, pn, Seq("v"))
+    val qn = VersionedTable.read(spark, pn).agg(sum(col("v")).as("s"))
+    assert(GraftBatchShim.scanRootsOf(qn).isEmpty)
+    assert(qn.collect().head.isNullAt(0))
+  }
+
   test("graft.ndv.autoAnalyze: appends past the staleness fraction re-ANALYZE themselves") {
     val p = tmp()
     VersionedTable.write(dimDf(4000), p)
