@@ -356,6 +356,41 @@ object SkippingQueries {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_part_census_sum — the per-partition REVENUE dashboard from the
+  // manifest: after ANALYZE records per-file exact sums, `GROUP BY
+  // event_date → SUM(user_id), COUNT(user_id)` under a partition filter
+  // collapses to a LocalRelation — per-file sums and footer null counts
+  // summed per directory, zero data files opened. DuckDB aggregates raw.
+  // --------------------------------------------------------------------------
+  def partCensusSum(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartTable(spark, dir)
+    if (!VersionedTable.propertiesOf(spark, path)
+        .get("graft.ndvCols").exists(_.contains("user_id")))
+      VersionedTable.analyzeNdv(spark, path, Seq("user_id"))
+    val out = VersionedTable.read(spark, path)
+      .filter(expr("event_date >= DATE'2024-01-03'"))
+      .groupBy(col("event_date"))
+      .agg(sum(col("user_id")).as("sum_users"),
+        count(col("user_id")).as("nn_users"),
+        count(lit(1)).as("n_rows"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+    require(roots.isEmpty && out.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "q_part_census_sum: expected the per-partition SUM census to " +
+        s"answer from the manifest; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val partCensusSumSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_users,
+      |  CAST(COUNT(user_id) AS BIGINT) AS nn_users,
+      |  COUNT(*) AS n_rows
+      |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_part_census_derived — the census through DERIVED groupings: `GROUP
   // BY month(event_date), dayofmonth(event_date)` under a derived filter
   // (`year(event_date) = 2024`) still collapses to a LocalRelation — the
@@ -2744,6 +2779,7 @@ object SkippingQueries {
     "q_batch_format" -> (batchFormat _),
     "q_partitioned_scan" -> (partitionedScan _),
     "q_part_census" -> (partCensus _),
+    "q_part_census_sum" -> (partCensusSum _),
     "q_part_census_derived" -> (partCensusDerived _),
     "q_join_range" -> (joinRange _),
     "q_topk_prune" -> (topkPrune _),
@@ -2799,6 +2835,7 @@ object SkippingQueries {
     "q_batch_format" -> batchFormatSql,
     "q_partitioned_scan" -> partitionedScanSql,
     "q_part_census" -> partCensusSql,
+    "q_part_census_sum" -> partCensusSumSql,
     "q_part_census_derived" -> partCensusDerivedSql,
     "q_join_range" -> joinRangeSql,
     "q_topk_prune" -> topkPruneSql,

@@ -370,6 +370,12 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     * IS every member row's value). */
   private case class MinMaxExprSlot(e: Expression,
       dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
+  /** SUM of a DATA column from the per-file exact sums ANALYZE records
+    * (integral/decimal; SQL NULL totality via the non-null counts). */
+  private case class SumDataSlot(colName: String,
+      dt: org.apache.spark.sql.types.DataType) extends Slot
+  /** COUNT of a DATA column: per-file live non-null counts summed. */
+  private case class CountDataSlot(colName: String) extends Slot
   /** MIN/MAX of a DATA column from per-file manifest stats. */
   private case class MinMaxDataSlot(colName: String,
       dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
@@ -411,6 +417,17 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case AggregateExpression(Count(args), _, false, None, _)
           if args.nonEmpty =>
         traverseOpt(args.map(colBound)).map(CountColsSlot(_))
+          .orElse(args match {
+            // COUNT(data col): footer null counts per file (multi-arg
+            // counts rows where ALL are non-null — not composable)
+            case Seq(a: AttributeReference) =>
+              info.dataColOf.get(a.exprId).map(CountDataSlot(_))
+            case _ => None
+          })
+      case e2 @ AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            a: AttributeReference, _), _, false, None, _) =>
+        info.dataColOf.get(a.exprId).map(SumDataSlot(_, e2.dataType))
       case AggregateExpression(Count(args), _, true, None, _)
           // DISTINCT dedups by VALUE equality — decline types without it
           if args.nonEmpty && args.forall(a =>
@@ -460,6 +477,42 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(if (vs.isEmpty) null
           else if (takeMax) vs.max(TypeUtils.getInterpretedOrdering(dt))
           else vs.min(TypeUtils.getInterpretedOrdering(dt)))
+      case SumDataSlot(colName, dt) =>
+        // exact per-file sums + non-null counts: ANY file that cannot
+        // answer exactly (DV marks, never analyzed) abandons the rewrite;
+        // zero non-null inputs is SQL NULL; a result-type overflow
+        // declines (a scan would wrap or null there — never mimic from
+        // metadata)
+        val (sumOfF, nnOfF) = org.apache.spark.sql.graft.GraftBatchShim
+          .graftSumHooksOf(info.leaf).getOrElse(return None)
+        var nn = 0L
+        var tot = BigDecimal(0)
+        entries.flatMap(_._3).foreach { f =>
+          nnOfF(f, colName) match {
+            case Some(n) => nn += n
+            case None => return None
+          }
+          sumOfF(f, colName) match {
+            case Some(x) => tot += x
+            case None => return None
+          }
+        }
+        if (nn == 0L) Some(null)
+        else sumInternal(tot, dt) match {
+          case Some(v) => Some(v)
+          case None => return None
+        }
+      case CountDataSlot(colName) =>
+        val (_, nnOfF) = org.apache.spark.sql.graft.GraftBatchShim
+          .graftSumHooksOf(info.leaf).getOrElse(return None)
+        var nn = 0L
+        entries.flatMap(_._3).foreach { f =>
+          nnOfF(f, colName) match {
+            case Some(n) => nn += n
+            case None => return None
+          }
+        }
+        Some(nn)
       case MinMaxDataSlot(colName, dt, takeMax) =>
         // exact per-file bounds: ANY file that cannot answer exactly (DV
         // marks, missing/truncated stats) abandons the rewrite; all-NULL

@@ -771,6 +771,18 @@ object GraftBatchShim {
       case _ => None
     }
 
+  /** Per-file SUM + non-null-count hooks of a graft snapshot relation
+    * node — what lets the partition-census rewrite answer SUM(col)/
+    * COUNT(col) of DATA columns per partition from the manifest. */
+  def graftSumHooksOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[((String, String) => Option[BigDecimal],
+        (String, String) => Option[Long])] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some((g.fileSumOf, g.topkNonNull))
+      case _ => None
+    }
+
   /** Top-k prune hooks of a graft snapshot relation node: (live file
     * keys, per-(file, column) exact bounds, per-(file, column) exact
     * non-null counts) — what [[graft.sql.GraftTopKPruning]] needs to

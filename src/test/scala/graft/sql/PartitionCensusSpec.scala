@@ -234,4 +234,41 @@ class PartitionCensusSpec extends SparkSpec {
     assert(scanFree(qc), qc.queryExecution.optimizedPlan.toString)
     assert(sorted(qc) == Seq("[d0,29]", "[d1,30]", "[d2,30]"))
   }
+
+  test("SUM/COUNT of DATA columns answer from ANALYZE sums, per partition and filtered") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      (1L to 90L).map(i => (i, "d" + i % 3,
+        if (i % 11 == 0) None else Some(i * 2)))
+        .toDF("id", "day", "v")
+        .repartition(4),
+      t, statsCols = Seq("v"), partitionBy = Seq("day"))
+    def rd = VersionedTable.read(spark, t)
+    def sums = rd.select($"day", $"v").collect()
+      .groupBy(_.getString(0)).toSeq.map { case (d, rs) =>
+        val vs = rs.filterNot(_.isNullAt(1)).map(_.getLong(1))
+        (d, vs.sum, vs.length.toLong, rs.length.toLong)
+      }
+    // sums need an ANALYZE — before it, the aggregate scans (and is right)
+    def q = rd.groupBy($"day").agg(sum($"v").as("s"),
+      count($"v").as("nn"), count(lit(1)).as("n"))
+    assert(!scanFree(q), "un-analyzed sums must scan")
+    VersionedTable.analyzeNdv(spark, t, Seq("v"))
+    assert(scanFree(q), q.queryExecution.optimizedPlan.toString)
+    assert(sorted(q) ==
+      sums.map { case (d, s, nn, n) => s"[$d,$s,$nn,$n]" }.sorted)
+    // the filtered GLOBAL revenue probe: one day's total, zero files
+    val qg = rd.filter($"day" === "d1")
+      .agg(sum($"v").as("s"), count($"v").as("nn"))
+    assert(scanFree(qg), qg.queryExecution.optimizedPlan.toString)
+    val (_, s1, nn1, _) = sums.find(_._1 == "d1").get
+    assert(qg.collect().head.toSeq == Seq(s1, nn1))
+    // DV marks make every per-file sum unknowable — decline, stay right
+    VersionedTable.deleteVectorized(spark, t, $"v" === 4L,
+      purgeFraction = 1.0)
+    assert(!scanFree(q))
+    assert(sorted(q) ==
+      sums.map { case (d, s, nn, n) => s"[$d,$s,$nn,$n]" }.sorted,
+      "post-DV the scanned answer must match the fresh ground truth")
+  }
 }
