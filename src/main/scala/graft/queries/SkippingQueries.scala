@@ -391,6 +391,38 @@ object SkippingQueries {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_part_census_rollup — GROUPING SETS from the census: `GROUP BY
+  // ROLLUP(event_date)` answers every grouping set (per-day rows, the
+  // grand total) from the same manifest entries — the Expand-based
+  // aggregate collapses to a LocalRelation, subtotals included, zero
+  // files opened. DuckDB runs the real ROLLUP over raw events.
+  // --------------------------------------------------------------------------
+  def partCensusRollup(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartTable(spark, dir)
+    if (!VersionedTable.propertiesOf(spark, path)
+        .get("graft.ndvCols").exists(_.contains("user_id")))
+      VersionedTable.analyzeNdv(spark, path, Seq("user_id"))
+    val out = VersionedTable.read(spark, path)
+      .rollup(col("event_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("user_id")).as("sum_users"),
+        count(col("user_id")).as("nn_users"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+    require(roots.isEmpty && out.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "q_part_census_rollup: expected the ROLLUP census to answer from " +
+        s"the manifest; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val partCensusRollupSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_rows,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_users,
+      |  CAST(COUNT(user_id) AS BIGINT) AS nn_users
+      |FROM events GROUP BY ROLLUP (CAST(ts AS DATE))""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_part_census_derived — the census through DERIVED groupings: `GROUP
   // BY month(event_date), dayofmonth(event_date)` under a derived filter
   // (`year(event_date) = 2024`) still collapses to a LocalRelation — the
@@ -2780,6 +2812,7 @@ object SkippingQueries {
     "q_partitioned_scan" -> (partitionedScan _),
     "q_part_census" -> (partCensus _),
     "q_part_census_sum" -> (partCensusSum _),
+    "q_part_census_rollup" -> (partCensusRollup _),
     "q_part_census_derived" -> (partCensusDerived _),
     "q_join_range" -> (joinRange _),
     "q_topk_prune" -> (topkPrune _),
@@ -2836,6 +2869,7 @@ object SkippingQueries {
     "q_partitioned_scan" -> partitionedScanSql,
     "q_part_census" -> partCensusSql,
     "q_part_census_sum" -> partCensusSumSql,
+    "q_part_census_rollup" -> partCensusRollupSql,
     "q_part_census_derived" -> partCensusDerivedSql,
     "q_join_range" -> joinRangeSql,
     "q_topk_prune" -> topkPruneSql,

@@ -316,6 +316,18 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       // t [WHERE day-filter]`, the freshness probe every ops dashboard
       // runs, with COUNT's 0-on-empty / MIN-MAX's null-on-empty totality
       direct.orElse(censusGlobal(agg, aggExprs, child)).getOrElse(agg)
+    // ROLLUP / CUBE / GROUPING SETS over the census — the Expand-based
+    // aggregate: each Expand projection IS one grouping set (group values
+    // or NULL, plus the spark_grouping_id literal), so each set answers
+    // independently from the same census entries and the LocalRelation
+    // unions the per-set rows. `GROUP BY ROLLUP(day)` at 100 TB becomes
+    // manifest arithmetic, subtotals and grand total included.
+    case agg @ Aggregate(groups, aggExprs,
+        ex @ Expand(_, expOut, child), _)
+        if groups.nonEmpty && expOut.exists(_.name == "spark_grouping_id") =>
+      censusOf(child).flatMap(
+        rollupCensus(agg, groups, aggExprs, ex.projections, expOut, _))
+        .getOrElse(agg)
     // GROUP BY partition columns — the partition census (`SELECT
     // event_date, COUNT(*) … GROUP BY event_date`, SHOW-PARTITIONS-style
     // DISTINCT, per-partition MIN/MAX of partition columns): the manifest
@@ -327,6 +339,65 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     case agg @ Aggregate(groups, aggExprs, child, _) if groups.nonEmpty =>
       censusOf(child).flatMap(rewriteCensus(agg, groups, aggExprs, _))
         .getOrElse(agg)
+  }
+
+  /** The grouping-sets census: answer each Expand projection (one
+    * grouping set) independently over the filtered census entries.
+    * Substituting a projection into the aggregate's expressions turns
+    * grouped-out keys into NULL literals and the grouping id (plus any
+    * grouping()/grouping_id() spelling over it) into a foldable constant;
+    * everything else classifies through the ordinary census slots.
+    * Exact-or-decline: ANY unanswerable slot in ANY set abandons the
+    * whole rewrite. */
+  private def rollupCensus(agg: Aggregate, groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      projections: Seq[Seq[Expression]], expOut: Seq[Attribute],
+      info: CensusInfo): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val live = liveEntries(info)
+    val outRows = projections.flatMap { proj =>
+      if (proj.size != expOut.size) return None
+      val sub: Map[ExprId, Expression] =
+        expOut.map(_.exprId).zip(proj).toMap
+      def subst(e: Expression): Expression = e.transformUp {
+        case a: AttributeReference if sub.contains(a.exprId) => sub(a.exprId)
+      }
+      // per-set group keys at CHILD level: bound partition expressions,
+      // or constants (NULL for grouped-out keys, the grouping id)
+      // scala.util qualifiers: catalyst's Left/Right string expressions
+      // shadow the Either constructors under the wildcard import
+      val gBound: Seq[scala.util.Either[Any, Expression]] =
+        groups.map(subst).map {
+          case l: Literal => scala.util.Left(l.value)
+          case g if g.foldable => scala.util.Left(g.eval())
+          case g =>
+            if (!org.apache.spark.sql.catalyst.util.TypeUtils
+                .typeWithProperEquals(g.dataType)) return None
+            scala.util.Right(bindPart(g, info).getOrElse(return None))
+        }
+      val slots = traverseOpt(aggExprs.map(subst).map {
+        case l: Literal => Some(ConstSlot(l.value))
+        case e if e.foldable => Some(ConstSlot(e.eval()))
+        case a: AttributeReference => classifySlot(a, info, groupRefs = true)
+        case Alias(l: Literal, _) => Some(ConstSlot(l.value))
+        case Alias(e, _) if e.foldable &&
+            !e.exists(_.isInstanceOf[AggregateExpression]) =>
+          Some(ConstSlot(e.eval()))
+        case Alias(e, _) => classifySlot(e, info, groupRefs = true)
+        case _ => None
+      }).getOrElse(return None)
+      val bound = gBound.collect { case scala.util.Right(b) => b }
+      val grouped: Seq[Seq[(org.apache.spark.sql.catalyst.InternalRow,
+          Long, Seq[String])]] =
+        if (bound.isEmpty) Seq(live) // the (sub)total set: one group, even
+                                     // over empty input (COUNT totality)
+        else live.groupBy(e => bound.map(_.eval(e._1))).values.toSeq
+      grouped.map { entries =>
+        InternalRow.fromSeq(
+          slots.map(evalSlot(_, entries, info).getOrElse(return None)))
+      }
+    }
+    Some(LocalRelation(agg.output, outRows))
   }
 
 
@@ -370,6 +441,9 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     * IS every member row's value). */
   private case class MinMaxExprSlot(e: Expression,
       dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
+  /** A constant output slot (NULLed-out group keys and grouping ids in a
+    * grouping-sets rewrite). */
+  private case class ConstSlot(v: Any) extends Slot
   /** SUM of a DATA column from the per-file exact sums ANALYZE records
     * (integral/decimal; SQL NULL totality via the non-null counts). */
   private case class SumDataSlot(colName: String,
@@ -455,6 +529,7 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     def valueAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int): Any =
       row.get(i, fields(i).dataType)
     slot match {
+      case ConstSlot(v) => Some(v)
       case GroupSlot(i) =>
         Some(entries.headOption.map(e => valueAt(e._1, i)).orNull)
       case GroupExprSlot(e) =>

@@ -271,4 +271,49 @@ class PartitionCensusSpec extends SparkSpec {
       sums.map { case (d, s, nn, n) => s"[$d,$s,$nn,$n]" }.sorted,
       "post-DV the scanned answer must match the fresh ground truth")
   }
+
+  test("ROLLUP / CUBE / GROUPING SETS answer from the census, subtotals included") {
+    val base = tmp(); val t = base + "/t"
+    VersionedTable.write(
+      (1L to 120L).map(i => (i, "d" + i % 3, "h" + i % 2,
+        if (i % 13 == 0) None else Some(i)))
+        .toDF("id", "day", "half", "v").repartition(3),
+      t, statsCols = Seq("v"), partitionBy = Seq("day", "half"))
+    VersionedTable.analyzeNdv(spark, t, Seq("v"))
+    def rd = VersionedTable.read(spark, t)
+    def truth(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    // ROLLUP over both partition dims: per-(day,half), per-day, grand
+    val roll = rd.rollup($"day", $"half")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), count($"v").as("nn"))
+    assert(scanFree(roll), roll.queryExecution.optimizedPlan.toString)
+    // ground truth: Spark over a plain parquet copy of the same rows
+    val raw = rd.select($"id", $"day", $"half", $"v")
+    val copy = base + "/copy"
+    raw.write.parquet(copy)
+    val plain = spark.read.parquet(copy)
+    assert(truth(roll) == truth(plain.rollup($"day", $"half")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), count($"v").as("nn"))))
+    // CUBE adds the per-half slice; GROUPING SETS in SQL; grouping_id()
+    val cube = rd.cube($"day", $"half").agg(count(lit(1)).as("n"))
+    assert(scanFree(cube), cube.queryExecution.optimizedPlan.toString)
+    assert(truth(cube) ==
+      truth(plain.cube($"day", $"half").agg(count(lit(1)).as("n"))))
+    val gs = spark.sql(
+      s"SELECT day, half, COUNT(*) AS n, GROUPING(day) AS gd " +
+        s"FROM graft.`$t` GROUP BY GROUPING SETS ((day, half), (half), ())")
+    assert(scanFree(gs), gs.queryExecution.optimizedPlan.toString)
+    plain.createOrReplaceTempView("plain_gs")
+    assert(truth(gs) == truth(spark.sql(
+      "SELECT day, half, COUNT(*) AS n, GROUPING(day) AS gd " +
+        "FROM plain_gs GROUP BY GROUPING SETS ((day, half), (half), ())")))
+    // partition-only filters compose; data-column aggregates that cannot
+    // answer (no stats) decline the whole rewrite
+    val filtered = rd.filter($"day" =!= "d1").rollup($"half")
+      .agg(sum($"v").as("s"))
+    assert(scanFree(filtered), filtered.queryExecution.optimizedPlan.toString)
+    assert(truth(filtered) == truth(plain.filter($"day" =!= "d1")
+      .rollup($"half").agg(sum($"v").as("s"))))
+    assert(!scanFree(rd.rollup($"day").agg(sum($"id").as("s"))),
+      "an un-analyzed data column must decline the grouping-sets census")
+  }
 }
