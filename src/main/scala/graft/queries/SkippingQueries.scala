@@ -1673,6 +1673,46 @@ object SkippingQueries {
       |FROM src GROUP BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_mv_rollup — GROUPING SETS through the VIEW: `GROUP BY
+  // ROLLUP(l_returnflag, l_linestatus)` rewrites to the same Expand shape
+  // over the maintained view (partial aggregates pass through the Expand;
+  // each set re-aggregates replicated view rows), so the BI subtotal
+  // dashboard — per-pair rows, per-flag subtotals, the grand total —
+  // answers from the view's few rows. Asserted in-query; DuckDB replays
+  // the source DML chain and runs the real ROLLUP.
+  // --------------------------------------------------------------------------
+  def mvRollup(spark: SparkSession, dir: String): DataFrame = {
+    val mv = ensureMv(spark, dir)
+    val src = mvSourcePath(dir)
+    val out = VersionedTable.read(spark, src)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_flag"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && !roots.contains(src),
+      s"q_mv_rollup: expected the ROLLUP to answer from the view $mv; " +
+        s"plan scans $roots")
+    out
+  }
+
+  val mvRollupSql: String =
+    """WITH src AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS BIGINT)
+      |      + CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END AS qty
+      |  FROM lineitem WHERE l_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT l_returnflag, l_linestatus,
+      |    2 * CAST(l_quantity AS BIGINT)
+      |      + CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END AS qty
+      |  FROM lineitem WHERE l_partkey % 3 = 0)
+      |SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_rows, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag
+      |FROM src GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_mv_rewrite — materialized-view QUERY REWRITE under the oracle gate:
   // a GROUP BY aggregate over the SOURCE graft table (a rollup to a SUBSET
   // of the view's grouping — l_returnflag alone) that GraftMvRewrite
@@ -2772,6 +2812,7 @@ object SkippingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incremental_mv" -> (incrementalMv _),
     "q_mv_rewrite" -> (mvRewrite _),
+    "q_mv_rollup" -> (mvRollup _),
     "q_mv_filtered" -> (mvFiltered _),
     "q_mv_minmax" -> (mvMinMax _),
     "q_mv_derived" -> (mvDerived _),
@@ -2829,6 +2870,7 @@ object SkippingQueries {
   val oracles: Map[String, String] = Map(
     "q_incremental_mv" -> incrementalMvSql,
     "q_mv_rewrite" -> mvRewriteSql,
+    "q_mv_rollup" -> mvRollupSql,
     "q_mv_filtered" -> mvFilteredSql,
     "q_mv_minmax" -> mvMinMaxSql,
     "q_mv_derived" -> mvDerivedSql,

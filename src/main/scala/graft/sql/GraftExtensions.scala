@@ -387,10 +387,12 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }).getOrElse(return None)
       val bound = gBound.collect { case scala.util.Right(b) => b }
+      // a grouped aggregate over EMPTY input emits no rows — including
+      // the grand-total set (unlike the global Aggregate(Nil) totality)
       val grouped: Seq[Seq[(org.apache.spark.sql.catalyst.InternalRow,
           Long, Seq[String])]] =
-        if (bound.isEmpty) Seq(live) // the (sub)total set: one group, even
-                                     // over empty input (COUNT totality)
+        if (live.isEmpty) Nil
+        else if (bound.isEmpty) Seq(live) // the (sub)total set: one group
         else live.groupBy(e => bound.map(_.eval(e._1))).values.toSeq
       grouped.map { entries =>
         InternalRow.fromSeq(

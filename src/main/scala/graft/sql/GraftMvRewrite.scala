@@ -380,6 +380,10 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
+      case agg @ Aggregate(groupExprs, aggExprs,
+          ex @ org.apache.spark.sql.catalyst.plans.logical.Expand(_, expOut, child), _)
+          if expOut.exists(_.name == "spark_grouping_id") =>
+        rewriteSets(groupExprs, aggExprs, ex, child).getOrElse(agg)
       case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
         rewrite(groupExprs, aggExprs, child).getOrElse(agg)
     }
@@ -888,5 +892,296 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def expectedSumType(srcDt: DataType): DataType = srcDt match {
     case d: DecimalType => DecimalType(math.min(d.precision + 10, 38), d.scale)
     case _ => LongType
+  }
+
+  /** Output-slot shapes of a grouping-sets aggregate: a pass-through of
+    * an Expand position (group key or the grouping id), an expression of
+    * the grouping id alone (grouping()/grouping_id() spellings), or a
+    * standard re-aggregatable slot. */
+  private sealed trait SOut
+  private case class PosOut2(id: ExprId, name: String, pos: Int) extends SOut
+  private case class GidFnOut(id: ExprId, name: String,
+    e: Expression) extends SOut
+  private case class AggOut2(o: Out) extends SOut
+
+  // --------------------------------------------------------------------
+  // GROUPING SETS (ROLLUP / CUBE) through the view: the Expand-based
+  // aggregate rewrites to the SAME shape over the view — partial
+  // aggregates pass through the Expand unchanged (each grouping set
+  // re-aggregates replicated view rows exactly like a plain rollup of
+  // the view's grouping), group positions project the view's group
+  // column or NULL per set, and the grouping id rides as the literal it
+  // already is. The distinct family declines (its rollup path needs a
+  // helper join PER SET). BI subtotal dashboards over a 100 TB fact
+  // answer from the view's few rows, grand total included.
+  // --------------------------------------------------------------------
+
+  private def rewriteSets(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val expOut = ex.output
+    val projections = ex.projections
+    val n = expOut.size
+    if (projections.isEmpty || projections.exists(_.size != n)) return None
+    val src = sourceOf(child).getOrElse(return None)
+    val gidIdx = expOut.indexWhere(_.name == "spark_grouping_id")
+    if (gidIdx < 0) return None
+    val gidVals: Seq[Literal] = projections.map(_(gidIdx) match {
+      case l: Literal => l
+      case _ => return None
+    })
+    // per-position shape: UNIFORM value positions extend the environment
+    // (same child expression in every set — the pass-through channel agg
+    // functions read); GROUP positions vary between a fixed expression
+    // and NULL; anything else declines
+    val uniformEnv = scala.collection.mutable.Map.empty[ExprId, Expression]
+    val groupNorm = scala.collection.mutable.Map.empty[Int, Expression]
+    val nullAt: Int => Seq[Boolean] = i => projections.map(_(i) match {
+      case Literal(null, _) => true
+      case _ => false
+    })
+    (0 until n).foreach { i =>
+      if (i != gidIdx) {
+        val col = projections.map(_(i))
+        val nonNull = col.filterNot {
+          case Literal(null, _) => true
+          case _ => false
+        }
+        if (nonNull.isEmpty) {
+          // all-null position: only sound as a group key that is NULL in
+          // every set — unusual; decline rather than reason about it
+          if (expOut(i).references.nonEmpty) return None
+        } else if (!nonNull.forall(_.semanticEquals(nonNull.head))) {
+          return None // two different expressions share a position
+        } else named(nonNull.head, src.env) match {
+          case Some(norm) =>
+            if (nonNull.size == col.size) uniformEnv += expOut(i).exprId -> norm
+            groupNorm += i -> norm // uniform positions may still group
+          case None => return None
+        }
+      }
+    }
+    // the aggregate's grouping expressions: expOut attributes only, gid
+    // included (the grouping-sets shape)
+    val gKeys: Seq[Int] = groupExprs.map {
+      case a: AttributeReference =>
+        val i = expOut.indexWhere(_.exprId == a.exprId)
+        if (i < 0) return None
+        i
+      case _ => return None
+    }
+    if (!gKeys.contains(gidIdx)) return None
+    val groupPos: Seq[Int] = gKeys.filterNot(_ == gidIdx).distinct
+    if (groupPos.exists(!groupNorm.contains(_))) return None
+    // output slots: group positions and gid pass through; expressions of
+    // the gid alone (grouping()/grouping_id() spellings) rebuild against
+    // the new gid attribute; everything else classifies as a standard
+    // re-aggregatable slot — the distinct family declines
+    val env = src.env ++ uniformEnv
+    val souts: Seq[SOut] = aggExprs.map {
+      case a: AttributeReference =>
+        val i = expOut.indexWhere(_.exprId == a.exprId)
+        if (i < 0) return None
+        PosOut2(a.exprId, a.name, i)
+      case al @ Alias(a: AttributeReference, nm)
+          if expOut.exists(_.exprId == a.exprId) =>
+        PosOut2(al.exprId, nm, expOut.indexWhere(_.exprId == a.exprId))
+      case al @ Alias(e, nm)
+          if e.deterministic && e.references.nonEmpty &&
+            e.references.forall(_.exprId == expOut(gidIdx).exprId) &&
+            !e.exists(_.isInstanceOf[AggregateExpression]) =>
+        GidFnOut(al.exprId, nm, e)
+      case other =>
+        classify(other, env).map(AggOut2(_)).getOrElse(return None)
+    }
+    souts.foreach {
+      case AggOut2(_: NdvOut) | AggOut2(_: SumDistinctOut) |
+           AggOut2(_: AvgDistinctOut) => return None
+      case PosOut2(_, _, p) if p != gidIdx && !groupNorm.contains(p) =>
+        return None
+      case _ => ()
+    }
+    val outs = souts.collect { case AggOut2(o) => o }
+    src.views.iterator.flatMap(trySetView(_, src, groupPos.map(groupNorm),
+      groupPos, gidVals, nullAt, souts, outs, gKeys, gidIdx, expOut))
+      .nextOption()
+  }
+
+  /** The per-view half of the grouping-sets rewrite: freshness, join
+    * agreement, group/predicate cover, then the Aggregate-over-Expand
+    * build against the view scan. */
+  private def trySetView(mvPath: String, src: SrcInfo,
+      groupNorms: Seq[Expression], groupPos: Seq[Int], gidVals: Seq[Literal],
+      nullAt: Int => Seq[Boolean], souts: Seq[SOut], outs: Seq[Out],
+      gKeys: Seq[Int], gidIdx: Int,
+      expOut: Seq[Attribute]): Option[LogicalPlan] = {
+    val queryConds = src.conds
+    val hv = versionFor(mvPath, src.srcV).getOrElse(return None)
+    val props = VersionedTable.propertiesOf(spark, mvPath)
+    val viewJoins = MaterializedView.joinsIn(props)
+    if (viewJoins.size != src.joins.size) return None
+    if (viewJoins.nonEmpty) {
+      if (!VersionedTable.latestVersion(spark, mvPath).contains(hv))
+        return None
+      var remaining = src.joins
+      viewJoins.foreach { case (dimPath, keys, pinned) =>
+        val canon = new org.apache.hadoop.fs.Path(dimPath).toUri.getPath
+        val i = remaining.indexWhere(q =>
+          q.dimPath == canon && q.pairs == keys.toSet && q.dimV == pinned)
+        if (i < 0) return None
+        remaining = remaining.patch(i, Nil, 1)
+      }
+    }
+    val joinKeyNames: Set[String] = src.joins.flatMap(_.keyNames).toSet
+    def cols(k: String): Seq[String] = props.get(k).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val vSums = cols(MaterializedView.SumColsKey).toSet
+    val vMinMax = cols(MaterializedView.MinMaxColsKey).toSet
+    val vNn = vSums ++ vMinMax
+    val neededSums = outs.collect {
+      case s: SumOut => s.srcCol
+      case a: AvgOut => a.srcCol }
+    val neededMinMax = outs.collect {
+      case m: MinOut => m.srcCol
+      case m: MaxOut => m.srcCol }
+    val neededNn = outs.collect {
+      case c: CountColOut => c.srcCol
+      case a: AvgOut => a.srcCol }
+    if (!neededSums.forall(vSums) || !neededMinMax.forall(vMinMax) ||
+        !neededNn.forall(vNn)) return None
+    val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
+      .queryExecution.analyzed
+    val attr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
+    val items = groupItemsOf(props, attr).getOrElse(return None)
+    def aliasFor(norm: Expression): Option[String] = items
+      .find(_._2.canonicalized.semanticEquals(norm.canonicalized)).map(_._1)
+    val groupAliases = traverse(groupNorms.map(aliasFor)).getOrElse(return None)
+    val plainGroup: Set[String] = (items.map(_._1).toSet --
+      MaterializedView.groupExprsIn(props).keySet)
+    // predicate cover + residual — identical discipline to the flat path
+    val vConds = viewConds(props).getOrElse(return None)
+    var residual = queryConds
+    vConds.foreach { vc =>
+      val i = residual.indexWhere(_.canonicalized.semanticEquals(vc.canonicalized))
+      if (i < 0) return None
+      residual = residual.patch(i, Nil, 1)
+    }
+    def nullRejecting(e: Expression): Boolean = e match {
+      case _: AttributeReference | _: Literal => true
+      case x => x.nullIntolerant && x.children.forall(nullRejecting)
+    }
+    val nullRejected: Set[String] = vConds.filter(nullRejecting)
+      .flatMap(_.collect { case a: AttributeReference => a.name }).toSet
+    residual = residual.filterNot {
+      case IsNotNull(a: AttributeReference) =>
+        nullRejected(a.name) || joinKeyNames(a.name)
+      case _ => false
+    }
+    val residualCols = residual.flatMap(_.collect {
+      case a: AttributeReference => a.name })
+    if (!residualCols.forall(plainGroup)) return None
+    def longAttr(nm: String): Option[Attribute] =
+      attr.get(nm).filter(_.dataType == LongType)
+    val cnt = longAttr(MaterializedView.CountCol).getOrElse(return None)
+    // type checks: group positions must carry exactly the view column's
+    // type; aggregate slots check like the flat path
+    val posAlias: Map[Int, String] = groupPos.zip(groupAliases).toMap
+    if (!groupPos.forall(p => attr.get(posAlias(p))
+        .exists(_.dataType == expOut(p).dataType))) return None
+    val ok = outs.forall {
+      case SumOut(_, _, c, dt) =>
+        attr.get(MaterializedView.sumColName(c)).exists(_.dataType == dt)
+      case CountColOut(_, _, c) =>
+        longAttr(MaterializedView.nnColName(c)).isDefined
+      case MinOut(_, _, c, dt) =>
+        attr.get(MaterializedView.minColName(c)).exists(_.dataType == dt)
+      case MaxOut(_, _, c, dt) =>
+        attr.get(MaterializedView.maxColName(c)).exists(_.dataType == dt)
+      case AvgOut(_, _, c, srcDt, _) =>
+        attr.get(MaterializedView.sumColName(c))
+          .exists(_.dataType == expectedSumType(srcDt)) &&
+          longAttr(MaterializedView.nnColName(c)).isDefined
+      case _: CountOut => true
+      case _: GroupOut => return None // group slots arrive as PosOut here
+      case _ => return None
+    }
+    if (!ok) return None
+    if (!residual.forall(_.collect { case a: AttributeReference => a }
+        .forall(a => attr.get(a.name).exists(_.dataType == a.dataType))))
+      return None
+    val residualOnView = residual.map(_.transform {
+      case a: AttributeReference => attr(a.name)
+    })
+    val scan: LogicalPlan =
+      if (residualOnView.isEmpty) viewPlan
+      else Filter(residualOnView.reduce(And), viewPlan)
+    // the new Expand mirrors the original: view columns pass through
+    // under their own ids, each group position projects the view group
+    // column or NULL per set, the gid literal rides verbatim
+    val varyAttr: Map[Int, Attribute] = groupPos.map { p =>
+      p -> AttributeReference(posAlias(p), expOut(p).dataType,
+        nullable = true)()
+    }.toMap
+    val gidAttr = AttributeReference(expOut(gidIdx).name,
+      expOut(gidIdx).dataType, nullable = false)()
+    val nullPatterns: Map[Int, Seq[Boolean]] =
+      groupPos.map(p => p -> nullAt(p)).toMap
+    val newProjections: Seq[Seq[Expression]] = gidVals.zipWithIndex.map {
+      case (gl, pi) =>
+        scan.output.map(a => a: Expression) ++
+          groupPos.map { p =>
+            if (nullPatterns(p)(pi))
+              Literal(null, expOut(p).dataType): Expression
+            else attr(posAlias(p))
+          } :+ (gl: Expression)
+    }
+    val newExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
+      newProjections,
+      scan.output ++ groupPos.map(varyAttr) :+ gidAttr, scan)
+    def reSum(a: Attribute): Expression = new Sum(a).toAggregateExpression()
+    def toAgg(o: Out): NamedExpression = o match {
+      case CountOut(id, nm) => Alias(reSum(cnt), nm)(exprId = id)
+      case SumOut(id, nm, c, dt) =>
+        val re = reSum(attr(MaterializedView.sumColName(c)))
+        Alias(if (re.dataType == dt) re else Cast(re, dt), nm)(exprId = id)
+      case CountColOut(id, nm, c) =>
+        Alias(reSum(attr(MaterializedView.nnColName(c))), nm)(exprId = id)
+      case MinOut(id, nm, c, _) =>
+        Alias(Min(attr(MaterializedView.minColName(c)))
+          .toAggregateExpression(), nm)(exprId = id)
+      case MaxOut(id, nm, c, _) =>
+        Alias(Max(attr(MaterializedView.maxColName(c)))
+          .toAggregateExpression(), nm)(exprId = id)
+      case AvgOut(id, nm, c, srcDt, dt) =>
+        val re = reSum(attr(MaterializedView.sumColName(c)))
+        val nnc = reSum(attr(MaterializedView.nnColName(c)))
+        val e = srcDt match {
+          case _: DecimalType =>
+            val sumDT = expectedSumType(srcDt)
+            val total = if (re.dataType == sumDT) re else Cast(re, sumDT)
+            Cast(Divide(total, Cast(nnc, DecimalType(20, 0)),
+              EvalMode.LEGACY), dt)
+          case _ =>
+            Divide(Cast(re, DoubleType), Cast(nnc, DoubleType),
+              EvalMode.LEGACY)
+        }
+        Alias(e, nm)(exprId = id)
+      case _ => throw new IllegalStateException("unreachable set slot")
+    }
+    val newAggExprs: Seq[NamedExpression] = souts.map {
+      case PosOut2(id, nm, p) =>
+        if (p == gidIdx) Alias(gidAttr, nm)(exprId = id)
+        else Alias(varyAttr(p), nm)(exprId = id)
+      case GidFnOut(id, nm, e) =>
+        Alias(e.transform {
+          case a: AttributeReference if a.exprId == expOut(gidIdx).exprId =>
+            gidAttr
+        }, nm)(exprId = id)
+      case AggOut2(o) => toAgg(o)
+    }
+    val newGroups: Seq[Expression] = gKeys.map(p =>
+      if (p == gidIdx) gidAttr else varyAttr(p))
+    Some(Aggregate(newGroups, newAggExprs, newExpand))
   }
 }

@@ -62,6 +62,51 @@ class MvRewriteSpec extends SparkSpec {
       s"SELECT DISTINCT g, g2 FROM graft.`$src`"))
   }
 
+  test("GROUPING SETS / ROLLUP / CUBE answer from the view, subtotals included") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 240L).map(i => (i, "g" + i % 4, "h" + i % 2,
+        if (i % 7 == 0) None else Some(i), BigDecimal(i) / 4))
+        .toDF("id", "g", "h", "v", "d")
+        .select($"id", $"g", $"h", $"v", $"d".cast("decimal(12,2)")),
+      src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("g", "h"), Seq("v", "d"),
+      Seq("v"), where = None)
+    // ROLLUP over both view keys: per-(g,h), per-g, grand total — one
+    // Expand over the view's few rows instead of two passes over the fact
+    assertRewrites(src, mv, VersionedTable.read(spark, src)
+      .rollup($"g", $"h")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), count($"v").as("nn"),
+        min($"v").as("mn"), max($"v").as("mx"), avg($"v").as("a"),
+        sum($"d").as("sd")))
+    // CUBE adds the per-h slice
+    assertRewrites(src, mv, VersionedTable.read(spark, src)
+      .cube($"g", $"h").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+    // SQL GROUPING SETS with grouping()/grouping_id() spellings
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT g, h, COUNT(*) AS n, SUM(v) AS s, GROUPING(g) AS gg, " +
+        s"GROUPING_ID(g, h) AS gid FROM graft.`$src` " +
+        "GROUP BY GROUPING SETS ((g, h), (g), ())"))
+    // group-column residuals apply over the view before the Expand
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT g, h, COUNT(*) AS n FROM graft.`$src` WHERE g <> 'g1' " +
+        "GROUP BY ROLLUP (g, h)"))
+    // declines, correctly: COUNT(DISTINCT) per set needs helper joins
+    val d = VersionedTable.read(spark, src).rollup($"g")
+      .agg(countDistinct($"id").as("nd"))
+    assert(roots(d).contains(src), s"distinct rollup must decline: ${roots(d)}")
+    // staleness declines the set rewrite like the flat one
+    VersionedTable.append(Seq((241L, "g0", "h1",
+      java.lang.Long.valueOf(241L), BigDecimal(1))).toDF("id", "g", "h", "v", "d")
+      .select($"id", $"g", $"h", $"v", $"d".cast("decimal(12,2)")), src)
+    val stale = VersionedTable.read(spark, src).rollup($"g")
+      .agg(count(lit(1)).as("n"))
+    assert(roots(stale).contains(src))
+    MaterializedView.refresh(spark, mv)
+    assertRewrites(src, mv, VersionedTable.read(spark, src)
+      .rollup($"g", $"h").agg(count(lit(1)).as("n"), sum($"v").as("s")))
+  }
+
   test("staleness declines and refresh re-arms; time travel answers from view history") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     VersionedTable.write(

@@ -315,5 +315,12 @@ class PartitionCensusSpec extends SparkSpec {
       .rollup($"half").agg(sum($"v").as("s"))))
     assert(!scanFree(rd.rollup($"day").agg(sum($"id").as("s"))),
       "an un-analyzed data column must decline the grouping-sets census")
+    // a filter keeping NOTHING: the grouped aggregate emits no rows —
+    // including the grand-total set — exactly like the unrewritten plan
+    val empty = rd.filter($"day" === "nope").rollup($"half")
+      .agg(count(lit(1)).as("n"))
+    assert(scanFree(empty), empty.queryExecution.optimizedPlan.toString)
+    assert(truth(empty) == truth(plain.filter($"day" === "nope")
+      .rollup($"half").agg(count(lit(1)).as("n"))))
   }
 }
