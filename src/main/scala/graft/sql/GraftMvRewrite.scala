@@ -40,11 +40,15 @@ import graft.sources.{MaterializedView, VersionedTable}
   *    (`graft.mv.views`) and a pinned version — both attached at relation
   *    build, so tables without views cost one pattern match and zero
   *    manifest reads;
-  *  - every grouping expression is a plain source column, every aggregate
-  *    is COUNT(*) (non-distinct, unfiltered) or SUM(col) of LongType —
-  *    fractional re-aggregation is declined (reordering float partial
-  *    sums is not bit-exact), as is anything a COUNT/SUM view cannot
-  *    answer (MIN/MAX/AVG/DISTINCT/FILTER);
+  *  - every grouping expression matches a view group item (plain column
+  *    or derived key), and every aggregate re-aggregates EXACTLY from a
+  *    maintained companion: COUNT(*) / COUNT(col) / SUM / MIN / MAX /
+  *    AVG (sum+count recombined) of integral or decimal columns, and the
+  *    exact-distinct family (COUNT/SUM/AVG(DISTINCT)) through the stored
+  *    ndv column or its (group, value) helper. Fractional SUM/AVG decline
+  *    (reordering float partial sums is not bit-exact), as does anything
+  *    FILTERed. GROUPING SETS / ROLLUP / CUBE rewrite to the same Expand
+  *    shape over the view (the distinct family declines there);
   *  - a registered view's refresh watermark ([[VersionedTable.lastTxn]])
   *    equals the relation's pinned source version EXACTLY — a stale view
   *    (source moved, refresh hasn't) or a time-travel read of some other

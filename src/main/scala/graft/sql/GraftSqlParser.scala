@@ -733,11 +733,12 @@ case class GraftDescribeHistoryCommand(cat: String,
   * ([[graft.sources.MaterializedView]]). The SELECT shape is restricted to
   * the INCREMENTALLY-MAINTAINABLE aggregates: COUNT/SUM repair from the
   * change-feed delta alone; MIN/MAX fold on inserts and repair a group
-  * from the source only when its stored extremum was deleted. Anything
-  * else (AVG derives as sum/count at query time; DISTINCT aggregates need
-  * full value multisets) is refused. View columns land as the group
-  * columns + `mv_count` + `sum_<col>`/`min_<col>`/`max_<col>` +
-  * `nn_<col>`. */
+  * from the source only when its stored extremum was deleted;
+  * COUNT(DISTINCT col[, col…]) maintains through a per-(group, value)
+  * helper table — on plain AND join views alike. Anything else (AVG
+  * derives as sum/count at query time) is refused. View columns land as
+  * the group columns + `mv_count` + `sum_<col>`/`min_<col>`/`max_<col>` +
+  * `nn_<col>` + `ndv_<col>`. */
 case class GraftCreateMvCommand(cat: String, path: String,
     srcCat: String, srcPath: String, selectList: String,
     groupByList: String, where: Option[String] = None,
