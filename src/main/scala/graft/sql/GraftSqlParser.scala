@@ -28,6 +28,7 @@ import graft.sources.{MaterializedView, VersionedTable}
   *   RESTORE [TABLE] graft.`/p` TO TIMESTAMP AS OF '2026-01-01 00:00:00'
   *   DESCRIBE HISTORY graft.`/p`
   *   DESCRIBE DETAIL graft.`/p`
+  *   SHOW CREATE TABLE graft.`/p`                   -- replayable DDL
   *   SHOW PARTITIONS graft.`/p`
   *   CREATE TABLE graft.`/dst` [SHALLOW] CLONE graft.`/src` [VERSION AS OF n]
   *   CONVERT TO GRAFT parquet.`/dir` [STATSCOLS (a, b)]
@@ -89,6 +90,8 @@ private[sql] object GraftSqlStatements {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*""".r
   private val DetailRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*""".r
+  private val ShowCreateRe =
+    s"""(?is)\\s*SHOW\\s+CREATE\\s+TABLE\\s+$Ref\\s*;?\\s*""".r
   private val ShowPartsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*;?\\s*""".r
   private val ShowMvsRe =
@@ -183,6 +186,8 @@ private[sql] object GraftSqlStatements {
       Some(GraftDescribeHistoryCommand(cat, path))
     case DetailRe(cat, path) =>
       Some(GraftDescribeDetailCommand(cat, path))
+    case ShowCreateRe(cat, path) =>
+      Some(GraftShowCreateTableCommand(cat, path))
     case ShowPartsRe(cat, path) =>
       Some(GraftShowPartitionsCommand(cat, path))
     case ShowMvsRe(cat, path) =>
@@ -705,6 +710,70 @@ case class GraftShowPartitionsCommand(cat: String,
     VersionedTable.partitionsOf(session, p).map { case (part, nf, nr) =>
       Row(part, nf, nr.map(java.lang.Long.valueOf).orNull)
     }
+  }
+}
+
+/** `SHOW CREATE TABLE` — reconstruct replayable DDL from the commit log
+  * alone: the column list (generated and identity declarations inline,
+  * exactly the CREATE TABLE grammar this parser accepts), the partition
+  * dimension, the user-replayable TBLPROPERTIES (declaration and
+  * wiring keys excluded — constraints re-enter through their own ALTER
+  * statements, appended after the CREATE so the whole output replays
+  * top to bottom). One row, one `createtab_stmt` string, Delta's
+  * convention. */
+case class GraftShowCreateTableCommand(cat: String,
+    path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val p = GraftSqlStatements.graftPath(session, cat, path, "SHOW CREATE TABLE")
+    require(VersionedTable.latestVersion(session, p).isDefined,
+      s"$p has no committed versions")
+    val schema = VersionedTable.read(session, p).schema
+    val partCols = VersionedTable.partitionColsOf(schema)
+    val props = VersionedTable.propertiesOf(session, p)
+    val gens = VersionedTable.generatedColumnsOf(session, p)
+    val ids = VersionedTable.identityColumnsOf(session, p)
+    val cons = VersionedTable.checkConstraintsOf(session, p)
+    def q(n: String) = s"`$n`"
+    val colLines = schema.fields.map { f =>
+      val base = s"  ${q(f.name)} ${f.dataType.sql}"
+      ids.get(f.name) match {
+        case Some(sp) =>
+          val kind = if (sp.allowExplicit) "BY DEFAULT" else "ALWAYS"
+          s"$base GENERATED $kind AS IDENTITY (START WITH ${sp.start} " +
+            s"INCREMENT BY ${sp.step})"
+        case None => gens.get(f.name) match {
+          case Some(sql) => s"$base GENERATED ALWAYS AS ($sql)"
+          case None => base
+        }
+      }
+    }
+    // replayable properties only: declarations re-enter through their own
+    // statements; MV/FK wiring and stats rosters are engine-managed state
+    val managed = Seq("graft.mv.", "graft.fk.", "graft.uk.", "graft.ndvCols")
+    val userProps = props.toSeq.filterNot { case (k, _) =>
+      VersionedTable.declarationPrefixes.exists(k.startsWith) ||
+        managed.exists(k.startsWith)
+    }.sortBy(_._1)
+    val sb = new StringBuilder
+    sb.append(s"CREATE TABLE $cat.${q(p)} (\n")
+    sb.append(colLines.mkString(",\n")).append(")")
+    // no USING clause: the graft catalog prefix IS the format, and its
+    // CREATE TABLE grammar takes none — the output replays verbatim
+    if (partCols.nonEmpty)
+      sb.append(s"\nPARTITIONED BY (${partCols.mkString(", ")})")
+    if (userProps.nonEmpty)
+      sb.append("\nTBLPROPERTIES (\n").append(userProps.map { case (k, v) =>
+        s"  '$k' = '${v.replace("'", "\\'")}'" }.mkString(",\n")).append(")")
+    sb.append(";")
+    cons.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      sb.append(s"\nALTER TABLE $cat.${q(p)} ADD CONSTRAINT $name " +
+        s"CHECK ($sql);")
+    }
+    Seq(Row(sb.toString))
   }
 }
 

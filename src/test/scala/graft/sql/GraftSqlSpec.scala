@@ -1163,6 +1163,49 @@ class GraftSqlSpec extends SparkSpec {
     assert(viewNow() == expect())
   }
 
+  test("SHOW CREATE TABLE emits replayable DDL: columns, declarations, constraint") {
+    val p = tmp() + "/t"
+    spark.sql(s"CREATE TABLE ${sqlName(p)} (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 5 INCREMENT BY 5), v DOUBLE, ts TIMESTAMP, " +
+      "p_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "PARTITIONED BY (p_date) " +
+      "TBLPROPERTIES ('graft.bloomCols' = 'v')")
+    spark.sql(s"ALTER TABLE ${sqlName(p)} ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val stmt = spark.sql(s"SHOW CREATE TABLE ${sqlName(p)}")
+      .collect().head.getString(0)
+    assert(stmt.contains("GENERATED ALWAYS AS IDENTITY (START WITH 5 " +
+      "INCREMENT BY 5)") &&
+      stmt.contains("GENERATED ALWAYS AS (CAST(ts AS DATE))") &&
+      stmt.contains("PARTITIONED BY (p_date)") &&
+      stmt.contains("'graft.bloomCols' = 'v'") &&
+      stmt.contains("ADD CONSTRAINT v_pos CHECK (v > 0)"), stmt)
+    // the emitted statements REPLAY onto a fresh path, declaration for
+    // declaration (the whole point of the verb)
+    val p2 = tmp() + "/t2"
+    stmt.replace(p, p2).split(";\n").map(_.trim).filter(_.nonEmpty)
+      .foreach(spark.sql(_))
+    assert(VersionedTable.identityColumnsOf(spark, p2) ==
+      VersionedTable.identityColumnsOf(spark, p))
+    assert(VersionedTable.generatedColumnsOf(spark, p2) ==
+      VersionedTable.generatedColumnsOf(spark, p))
+    assert(VersionedTable.checkConstraintsOf(spark, p2) ==
+      VersionedTable.checkConstraintsOf(spark, p))
+    // the replayed table enforces and generates like the original
+    // (identity columns are always-generated: appends must omit them)
+    VersionedTable.append(Seq((1.5,
+      java.sql.Timestamp.valueOf("2026-01-02 03:04:05"))).toDF("v", "ts"), p2)
+    val r = spark.sql(s"SELECT id, p_date FROM ${sqlName(p2)}").collect().head
+    assert(r.getLong(0) == 5L && r.getDate(1).toString == "2026-01-02")
+    val e = intercept[Exception] {
+      VersionedTable.append(Seq((-1.0,
+        java.sql.Timestamp.valueOf("2026-01-02 03:04:05"))).toDF("v", "ts"), p2)
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    // engine-managed state never leaks into the DDL
+    assert(!stmt.contains("graft.mv.") && !stmt.contains("graft.constraint.") &&
+      !stmt.contains("graft.identity") && !stmt.contains("graft.generated"))
+  }
+
   test("DESCRIBE DETAIL surfaces the distinct tuples and helper freshness") {
     val base = tmp(); val src = s"$base/src"; val mv = s"$base/mv"
     VersionedTable.write((1L to 40L).map(i => ("g" + i % 3, i % 7, i))

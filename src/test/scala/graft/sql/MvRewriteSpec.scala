@@ -107,6 +107,39 @@ class MvRewriteSpec extends SparkSpec {
       .rollup($"g", $"h").agg(count(lit(1)).as("n"), sum($"v").as("s")))
   }
 
+  test("GROUPING SETS over a JOIN view: the star rollup answers from the view") {
+    val base = tmp(); val src = base + "/src"
+    val dim = base + "/dim"; val mv = base + "/jmv"
+    VersionedTable.write((1L to 300L).map(i => (i, i % 10, i))
+      .toDF("id", "fk", "v"), src, statsCols = Seq("id"))
+    VersionedTable.write((0L to 9L).map(k => (k, "b" + k % 3, "r" + k % 2))
+      .toDF("pk", "brand", "region"), dim)
+    MaterializedView.createJoined(spark, src, dim, Seq("fk" -> "pk"), mv,
+      groupBy = Seq("brand", "region"), sumCols = Seq("v"))
+    def q() = VersionedTable.read(spark, src)
+      .join(VersionedTable.read(spark, dim), $"fk" === $"pk")
+      .rollup($"brand", $"region")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val on = q()
+    assert(roots(on).contains(mv) && !roots(on).exists(r =>
+        r == src || r == dim),
+      s"star rollup must answer from the view: ${roots(on)}")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(sorted(q()) == sorted(on))
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    // a moved dim declines until refresh folds it in
+    VersionedTable.upsert(Seq((3L, "bNEW", "r1")).toDF("pk", "brand", "region"),
+      dim, keys = Seq("pk"))
+    val stale = q()
+    assert(roots(stale).contains(src), s"moved dim must decline: ${roots(stale)}")
+    MaterializedView.refresh(spark, mv)
+    val rearmed = q()
+    assert(roots(rearmed).contains(mv) && !roots(rearmed).contains(src))
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(sorted(q()) == sorted(rearmed))
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
   test("staleness declines and refresh re-arms; time travel answers from view history") {
     val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
     VersionedTable.write(
