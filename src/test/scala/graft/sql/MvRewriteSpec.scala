@@ -107,6 +107,25 @@ class MvRewriteSpec extends SparkSpec {
       .rollup($"g", $"h").agg(count(lit(1)).as("n"), sum($"v").as("s")))
   }
 
+  test("GROUPING SETS over a DERIVED-key view: ROLLUP(year(d)) answers from the view") {
+    val base = tmp(); val src = base + "/src"; val mv = base + "/mv"
+    VersionedTable.write(
+      (1L to 120L).map(i => (i,
+        java.sql.Date.valueOf(s"202${i % 3}-0${1 + (i % 9 / 3).toInt}-15"), i))
+        .toDF("id", "d", "v"), src, statsCols = Seq("id"))
+    MaterializedView.create(spark, src, mv, Seq("yr", "mo"), Seq("v"), Nil,
+      None, Nil, groupKeyExprs = Map("yr" -> "year(d)", "mo" -> "month(d)"))
+    // the Expand projections carry the pulled-out derived expressions —
+    // the per-position norms still match the view's stored group items
+    assertRewrites(src, mv, spark.sql(
+      s"SELECT year(d) AS yr, month(d) AS mo, COUNT(*) AS n, SUM(v) AS s " +
+        s"FROM graft.`$src` GROUP BY ROLLUP (year(d), month(d))"))
+    // a derivation the view does not store declines the whole rewrite
+    assert(roots(spark.sql(
+      s"SELECT dayofmonth(d) AS dd, COUNT(*) AS n FROM graft.`$src` " +
+        "GROUP BY ROLLUP (dayofmonth(d))")).contains(src))
+  }
+
   test("GROUPING SETS over a JOIN view: the star rollup answers from the view") {
     val base = tmp(); val src = base + "/src"
     val dim = base + "/dim"; val mv = base + "/jmv"
