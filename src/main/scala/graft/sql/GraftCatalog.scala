@@ -158,11 +158,12 @@ class GraftCatalog extends TableCatalog {
     val props = properties.asScala
     val statsCols = props.get("statsCols").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    // CLUSTERED BY (cols) INTO n BUCKETS arrives as a bucket transform —
-    // lift it into the graft bucket-layout properties (VersionedTable
-    // stages every file through the bucket shuffle and the read relation
-    // declares the BucketSpec). SORTED BY is refused below: the sorted
-    // bucketed scan needs a one-file-per-bucket invariant appends break.
+    // CLUSTERED BY (cols) [SORTED BY (cols)] INTO n BUCKETS arrives as a
+    // bucket transform — lift it into the graft bucket-layout properties
+    // (VersionedTable stages every file through the bucket shuffle and
+    // the read relation declares the BucketSpec, sort columns included;
+    // the sorted-scan ORDERING report is gated behind the one-file-per-
+    // bucket invariant — see VersionedTable.BucketSortByKey).
     val (bucketTrans, partTrans) = partitions.toSeq.partition(t =>
       org.apache.spark.sql.graft.GraftBatchShim.bucketTransformInfo(t).isDefined)
     val bucketProps: Map[String, String] = bucketTrans match {

@@ -737,7 +737,11 @@ case class GraftShowCreateTableCommand(cat: String,
     val gens = VersionedTable.generatedColumnsOf(session, p)
     val ids = VersionedTable.identityColumnsOf(session, p)
     val cons = VersionedTable.checkConstraintsOf(session, p)
-    def q(n: String) = s"`$n`"
+    // escaping in the dialect the CREATE TABLE path parses: identifiers
+    // double embedded backticks, string literals double embedded quotes
+    // (backslash escapes depend on a parser mode; doubling never does)
+    def q(n: String) = s"`${n.replace("`", "``")}`"
+    def qs(v: String) = s"'${v.replace("'", "''")}'"
     val colLines = schema.fields.map { f =>
       val base = s"  ${q(f.name)} ${f.dataType.sql}"
       ids.get(f.name) match {
@@ -752,8 +756,11 @@ case class GraftShowCreateTableCommand(cat: String,
       }
     }
     // replayable properties only: declarations re-enter through their own
-    // statements; MV/FK wiring and stats rosters are engine-managed state
-    val managed = Seq("graft.mv.", "graft.fk.", "graft.uk.", "graft.ndvCols")
+    // statements; MV/FK wiring and stats rosters are engine-managed
+    // state; the bucket layout re-enters as its own CLUSTERED BY clause
+    val managed = Seq("graft.mv.", "graft.fk.", "graft.uk.", "graft.ndvCols",
+      VersionedTable.BucketByKey, VersionedTable.NumBucketsKey,
+      VersionedTable.BucketSortByKey)
     val userProps = props.toSeq.filterNot { case (k, _) =>
       VersionedTable.declarationPrefixes.exists(k.startsWith) ||
         managed.exists(k.startsWith)
@@ -764,10 +771,23 @@ case class GraftShowCreateTableCommand(cat: String,
     // no USING clause: the graft catalog prefix IS the format, and its
     // CREATE TABLE grammar takes none — the output replays verbatim
     if (partCols.nonEmpty)
-      sb.append(s"\nPARTITIONED BY (${partCols.mkString(", ")})")
+      sb.append(s"\nPARTITIONED BY (${partCols.map(q).mkString(", ")})")
+    // the bucket layout is a CLAUSE, not properties — emit the canonical
+    // grammar the parser itself accepts (CLUSTERED BY excludes
+    // PARTITIONED BY at create, so at most one of the two appears)
+    for {
+      by <- props.get(VersionedTable.BucketByKey)
+      n <- props.get(VersionedTable.NumBucketsKey)
+    } {
+      sb.append(s"\nCLUSTERED BY (${by.split(",").map(q).mkString(", ")})")
+      props.get(VersionedTable.BucketSortByKey).foreach { sc =>
+        sb.append(s" SORTED BY (${sc.split(",").map(q).mkString(", ")})")
+      }
+      sb.append(s" INTO $n BUCKETS")
+    }
     if (userProps.nonEmpty)
       sb.append("\nTBLPROPERTIES (\n").append(userProps.map { case (k, v) =>
-        s"  '$k' = '${v.replace("'", "\\'")}'" }.mkString(",\n")).append(")")
+        s"  ${qs(k)} = ${qs(v)}" }.mkString(",\n")).append(")")
     sb.append(";")
     cons.toSeq.sortBy(_._1).foreach { case (name, sql) =>
       sb.append(s"\nALTER TABLE $cat.${q(p)} ADD CONSTRAINT $name " +

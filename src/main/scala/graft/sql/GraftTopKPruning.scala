@@ -189,11 +189,90 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     }.toSeq
     if (groups.isEmpty || groups.size > cap) return None
     val taus = groups.map { case (_, ents) =>
-      (ents, thresholdOf(ents.flatMap(_._3), mm, nn, ocName, k, desc)
-        .flatMap(GraftStats.internalOf(_, oc.dataType)))
+      val tauStat = thresholdOf(ents.flatMap(_._3), mm, nn, ocName, k, desc)
+      (ents, tauStat, tauStat.flatMap(GraftStats.internalOf(_, oc.dataType)))
     }
-    if (taus.forall(_._2.isEmpty)) return None // nothing prunes anywhere
-    val disjuncts = taus.map { case (ents, tau) =>
+    if (taus.forall(_._3.isEmpty)) return None // nothing prunes anywhere
+    // FIRE GUARD (fixpoint + profitability): DERIVED keys emit RANGE
+    // bounds that can overlap other groups and re-admit entries entirely
+    // past their own group's tau, so thresholdOf's per-group
+    // profitability alone is not enough — when the injected predicate is
+    // partition-only, the revisit still binds the census, proves the
+    // same thresholds, and would inject an identical Filter every
+    // optimizer iteration until maxIterations. Evaluate the disjunction
+    // over the live census FILES on the driver and decline unless at
+    // least one file is eliminated. A partition-column sort key
+    // evaluates EXACTLY (and is constant per entry, so elimination is
+    // whole-entry — the pre-filtered census strictly shrinks per fire:
+    // termination); a data-column tau admits a file when it could hold a
+    // surviving row (min/max overlap, unprovable stats, possible entry
+    // nulls under NULLS FIRST) — conservative in the DECLINING
+    // direction, and that branch's injected conjunct fails the census
+    // walk on revisit anyway.
+    locally {
+      val statOrd = graft.sources.DataSkipping.statOrdering
+      val ocPartIdx = info.idxOf.get(oc.exprId)
+      def keysAdmit(gents: Seq[(org.apache.spark.sql.catalyst.InternalRow,
+          Long, Seq[String])], e: (org.apache.spark.sql.catalyst.InternalRow,
+          Long, Seq[String])): Boolean =
+        keys.forall {
+          case Exact(i) =>
+            java.util.Objects.equals(valueAt(gents.head._1, i),
+              valueAt(e._1, i))
+          case Derived(b) =>
+            b.collect { case br: BoundReference => br.ordinal }.distinct
+              .forall { i =>
+                val dt = fields(i).dataType
+                val gvs = gents.map(_._1).filterNot(_.isNullAt(i))
+                  .map(_.get(i, dt))
+                val gHasNull = gents.exists(_._1.isNullAt(i))
+                if (e._1.isNullAt(i)) gHasNull
+                else if (gvs.isEmpty) false
+                else {
+                  val vOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+                    .getInterpretedOrdering(dt)
+                  val v = e._1.get(i, dt)
+                  vOrd.gteq(v, gvs.min(vOrd)) && vOrd.lteq(v, gvs.max(vOrd))
+                }
+              }
+        }
+      def tauAdmitsFile(tauStat: Option[Any], tauInt: Option[Any],
+          e: (org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String]),
+          f: String): Boolean = (tauStat, tauInt) match {
+        case (Some(ts), Some(ti)) => ocPartIdx match {
+          case Some(i) =>
+            val v = valueAt(e._1, i)
+            if (v == null) nullOrd == NullsFirst
+            else {
+              val vOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+                .getInterpretedOrdering(oc.dataType)
+              if (desc) vOrd.gteq(v, ti) else vOrd.lteq(v, ti)
+            }
+          case None =>
+            val entryMayHaveNulls = {
+              val nns = e._3.map(nn(_, ocName))
+              nns.exists(_.isEmpty) || nns.flatten.sum < e._2
+            }
+            (nullOrd == NullsFirst && entryMayHaveNulls) ||
+              (mm(f, ocName).flatten match {
+                case None => true // unprovable stats: survives
+                case Some((mn, mx)) =>
+                  if (desc) statOrd.gteq(mx, ts) else statOrd.lteq(mn, ts)
+              })
+        }
+        case _ => true // no provable tau: the group keeps its bare disjunct
+      }
+      val survivors = entries.iterator.map { e =>
+        e._3.count { f =>
+          taus.exists { case (gents, ts, ti) =>
+            keysAdmit(gents, e) && tauAdmitsFile(ts, ti, e, f)
+          }
+        }
+      }.sum
+      val totalFiles = entries.iterator.map(_._3.size).sum
+      if (survivors >= totalFiles) return None // would not eliminate any
+    }
+    val disjuncts = taus.map { case (ents, _, tau) =>
       val groupPreds: Seq[Expression] = keys.flatMap {
         case Exact(i) =>
           // constant within the group by construction (it IS a group key)
@@ -354,6 +433,7 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
             s.copy(child = Filter(cond, child))
           }
         case None => pruneFiltered(s, a, desc, nullOrd, k, child)
+          .orElse(pruneSortColData(s, a, desc, nullOrd, k, child))
       }
     // INLINE derived sort key (`ORDER BY day / 4 DESC LIMIT k` — Sorts
     // never get the Project pull-out Aggregates do): bind it over the
@@ -407,6 +487,107 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       else LessThanOrEqual(la, Literal(v, la.dataType))
     val cond = if (nullOrd == NullsFirst) Or(cmp, IsNull(la)) else cmp
     injectAtLeaf(child, info.leaf, cond).map(nc => s.copy(child = nc))
+  }
+
+  /** Top-k through a SORT-COLUMN data filter — the dashboard shape
+    * `WHERE ts >= d ORDER BY ts DESC LIMIT k` where the filter column IS
+    * the sort column. Sound when EVERY filter conjunct compares the sort
+    * column against a literal FACING THE SAME DIRECTION as the sort
+    * (>= / > for DESC, <= / < for ASC): the prefix proof counts only
+    * files whose ENTIRE value range satisfies every conjunct — their
+    * non-null counts are exact under the filter (the comparisons drop
+    * null rows, which the non-null count already excludes) — and the
+    * threshold injects UNDER the user's filter. Partially-overlapping
+    * files are excluded from the proof but stay in the scan.
+    * Opposite-direction or different-column conjuncts decline (their
+    * per-file selectivity is unknowable from bounds). Profitability
+    * demands a file the existing conjuncts do NOT already skip whole
+    * whose far edge falls past tau — which doubles as the fixpoint:
+    * after one injection every such file IS entirely failing, and the
+    * revisit declines (and the injected+user filter pair also fails this
+    * path's single-Filter match until CombineFilters merges them, at
+    * which point the profitability check declines). No NULLS FIRST
+    * widening: the user's own comparison conjuncts drop null rows before
+    * the Sort ever sees them. */
+  private def pruneSortColData(s: Sort, a: AttributeReference, desc: Boolean,
+      nullOrd: NullOrdering, k: Int, child: LogicalPlan): Option[Sort] = {
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    def toFilter(p: LogicalPlan): Option[(Expression, LogicalPlan)] = p match {
+      case Filter(c, i) => Some((c, i))
+      case Project(items, c)
+          if items.forall(_.isInstanceOf[AttributeReference]) => toFilter(c)
+      case _ => None
+    }
+    val (cond, inner) = toFilter(child).getOrElse(return None)
+    val (files, mm, nn, names, leaf) = scanOf(inner).getOrElse(return None)
+    val column = names.get(a.exprId).getOrElse(return None)
+    val ord = TypeUtils.getInterpretedOrdering(a.dataType)
+    // every conjunct as a same-direction bound on the sort column:
+    // (literal internal value, strict?) — anything else declines
+    val bounds: Seq[(Any, Boolean)] = splitConj(cond).map { c =>
+      def v(l: Expression): Option[Any] = l match {
+        case Literal(x, dt) if x != null && dt == a.dataType => Some(x)
+        case _ => None
+      }
+      def same(x: Expression) = x match {
+        case ar: AttributeReference => ar.exprId == a.exprId
+        case _ => false
+      }
+      (c match {
+        case GreaterThanOrEqual(x, l) if same(x) && desc => v(l).map((_, false))
+        case GreaterThan(x, l) if same(x) && desc => v(l).map((_, true))
+        case LessThanOrEqual(l, x) if same(x) && desc => v(l).map((_, false))
+        case LessThan(l, x) if same(x) && desc => v(l).map((_, true))
+        case LessThanOrEqual(x, l) if same(x) && !desc => v(l).map((_, false))
+        case LessThan(x, l) if same(x) && !desc => v(l).map((_, true))
+        case GreaterThanOrEqual(l, x) if same(x) && !desc => v(l).map((_, false))
+        case GreaterThan(l, x) if same(x) && !desc => v(l).map((_, true))
+        case _ => None
+      }).getOrElse(return None)
+    }
+    // a value at `edge` satisfies every conjunct?
+    def satAll(edge: Any): Boolean = bounds.forall { case (v, strict) =>
+      if (desc) { if (strict) ord.gt(edge, v) else ord.gteq(edge, v) }
+      else { if (strict) ord.lt(edge, v) else ord.lteq(edge, v) }
+    }
+    // provable files in the INTERNAL domain: (min, max, non-null count)
+    val fbs = scala.util.Try(files.flatMap { f =>
+      for {
+        b <- mm(f, column).flatten
+        im <- GraftStats.internalOf(b._1, a.dataType)
+        ix <- GraftStats.internalOf(b._2, a.dataType)
+        c <- nn(f, column)
+        if c > 0L
+      } yield (im, ix, c)
+    }).getOrElse(return None)
+    // fully-satisfying files (worst edge passes): exact counts under the
+    // filter; prefix proof over them in sort order
+    val fullSat = fbs.filter { case (mn, mx, _) => satAll(if (desc) mn else mx) }
+    val sortedFs =
+      if (desc) fullSat.sortBy(_._1)(ord.reverse) else fullSat.sortBy(_._2)(ord)
+    var need = k.toLong
+    var tau: Option[Any] = None
+    val it = sortedFs.iterator
+    while (need > 0 && it.hasNext) {
+      val (mn, mx, c) = it.next(); need -= c; tau = Some(if (desc) mn else mx)
+    }
+    if (need > 0) return None
+    val t = tau.get
+    // profitable-and-terminating: a file the existing conjuncts do not
+    // already skip whole must fall entirely past tau
+    val prunesNew = fbs.exists { case (mn, mx, _) =>
+      val alreadySkipped = !satAll(if (desc) mx else mn)
+      val pastTau = if (desc) ord.lt(mx, t) else ord.gt(mn, t)
+      !alreadySkipped && pastTau
+    }
+    if (!prunesNew) return None
+    val la = leaf.output.collectFirst {
+      case la: AttributeReference if la.name == column => la
+    }.getOrElse(return None)
+    val cmp: Expression =
+      if (desc) GreaterThanOrEqual(la, Literal(t, la.dataType))
+      else LessThanOrEqual(la, Literal(t, la.dataType))
+    injectAtLeaf(child, leaf, cmp).map(nc => s.copy(child = nc))
   }
 
   /** Descend from the Sort's child to a graft relation through

@@ -70,6 +70,100 @@ class ConstraintPruningSpec extends SparkSpec {
       "disjunctions are untouched and stay correct")
   }
 
+  test("implication matrix: range/IN/≠ conjuncts implied by the CHECK drop") {
+    val path = tmp()
+    VersionedTable.write(Seq((1L, 10L, "a"), (2L, 25L, "b"))
+      .toDF("k", "v", "s"), path, statsCols = Seq("k"))
+    VersionedTable.addCheckConstraint(spark, path, "v_min", "v >= 10")
+    VersionedTable.addCheckConstraint(spark, path, "s_dom", "s IN ('a','b')")
+    def conds(df: DataFrame) = filterConds(df).flatMap { c =>
+      def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          split(a) ++ split(b)
+        case x => Seq(x)
+      }
+      split(c)
+    }
+    def cmpCount(df: DataFrame): Int = conds(df).count {
+      case _: IsNotNull => false
+      case _ => true
+    }
+    // every one of these is implied: v>=10 ⇒ v>=5, v>4, v≠3; IN ⊆; s≠'z'
+    val implied = VersionedTable.read(spark, path).filter(
+      col("v") >= 5 && col("v") > 4 && col("v") =!= 3 &&
+        col("s").isin("a", "b", "c") && col("s") =!= "z" && col("k") < 10)
+    assert(cmpCount(implied) == 1,
+      s"only k < 10 may survive:\n${implied.queryExecution.optimizedPlan}")
+    val got = implied.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+    withRuleOff {
+      assert(VersionedTable.read(spark, path).filter(
+        col("v") >= 5 && col("v") > 4 && col("v") =!= 3 &&
+          col("s").isin("a", "b", "c") && col("s") =!= "z" && col("k") < 10)
+        .collect().map(_.getLong(0)).sorted.toSeq == got)
+    }
+    // NOT implied: stronger ranges, opposite side, ≠ inside the interval,
+    // IN not a superset — all keep their comparison
+    Seq(col("v") >= 20, col("v") <= 100, col("v") =!= 15,
+      col("s").isin("a", "z")).foreach { c =>
+      val q = VersionedTable.read(spark, path).filter(c && col("k") < 10)
+      assert(cmpCount(q) == 2,
+        s"$c is not implied by the CHECKs:\n${q.queryExecution.optimizedPlan}")
+    }
+    // BETWEEN splits: the implied half drops, the other half stays
+    val between = VersionedTable.read(spark, path)
+      .filter(col("v").between(5, 100) && col("k") < 10)
+    assert(cmpCount(between) == 2, // k < 10 and v <= 100
+      s"v >= 5 must drop, v <= 100 must stay:\n${between.queryExecution.optimizedPlan}")
+    assert(between.count() == 2L)
+    // a multi-conjunct CHECK licenses each of its conjuncts independently
+    // (FALSE AND NULL = FALSE: a passing row has every conjunct
+    // TRUE-or-NULL)
+    val path2 = tmp()
+    VersionedTable.write(Seq((1L, 10L, 5L)).toDF("k", "v", "w"), path2,
+      statsCols = Seq("k"))
+    VersionedTable.addCheckConstraint(spark, path2, "both",
+      "v >= 10 AND w > 0")
+    val multi = VersionedTable.read(spark, path2)
+      .filter(col("v") >= 7 && col("w") > 0 && col("k") < 10)
+    assert(cmpCount(multi) == 1,
+      s"both CHECK conjuncts must license drops:\n${multi.queryExecution.optimizedPlan}")
+    assert(multi.count() == 1L)
+  }
+
+  test("legacy-mode Divide/Cast refuse the null-rejection license") {
+    val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val path = tmp()
+      // qty = 0: total/qty is NULL in legacy mode — the CHECK passes it
+      // (TRUE-or-NULL), both columns are non-null, and a query restating
+      // the CHECK must NOT drop: its own evaluation is NULL → row out.
+      // nullIntolerant alone would license the drop (Divide is
+      // null-intolerant yet returns NULL on 1/0); the nullability check
+      // refuses it.
+      VersionedTable.write(Seq((1L, 10L, 2L), (2L, 10L, 0L))
+        .toDF("k", "total", "qty"), path, statsCols = Seq("k"))
+      VersionedTable.addCheckConstraint(spark, path, "ratio_pos",
+        "total / qty >= 0")
+      def q() = VersionedTable.read(spark, path)
+        .filter(col("total") / col("qty") >= 0 && col("k") < 10)
+      val on = q()
+      val hasDivCmp = filterConds(on).exists(_.exists {
+        case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+            _: org.apache.spark.sql.catalyst.expressions.Divide, _) => true
+        case _ => false
+      })
+      assert(hasDivCmp,
+        s"legacy Divide can NULL on non-null inputs — the conjunct must " +
+          s"stay:\n${on.queryExecution.optimizedPlan}")
+      val got = on.collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L), s"the qty=0 row must stay dropped: $got")
+      withRuleOff { assert(q().collect().map(_.getLong(0)).toSeq == got) }
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi0)
+  }
+
   test("time travel sees the constraints of ITS version; MV rewrite unaffected") {
     val path = tmp()
     VersionedTable.write(Seq((1L, 5L), (2L, 7L)).toDF("k", "v"),

@@ -1176,7 +1176,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(stmt.contains("GENERATED ALWAYS AS IDENTITY (START WITH 5 " +
       "INCREMENT BY 5)") &&
       stmt.contains("GENERATED ALWAYS AS (CAST(ts AS DATE))") &&
-      stmt.contains("PARTITIONED BY (p_date)") &&
+      stmt.contains("PARTITIONED BY (`p_date`)") &&
       stmt.contains("'graft.bloomCols' = 'v'") &&
       stmt.contains("ADD CONSTRAINT v_pos CHECK (v > 0)"), stmt)
     // the emitted statements REPLAY onto a fresh path, declaration for
@@ -1204,6 +1204,42 @@ class GraftSqlSpec extends SparkSpec {
     // engine-managed state never leaks into the DDL
     assert(!stmt.contains("graft.mv.") && !stmt.contains("graft.constraint.") &&
       !stmt.contains("graft.identity") && !stmt.contains("graft.generated"))
+  }
+
+  test("SHOW CREATE TABLE: bucket layout as CLUSTERED BY; escaping round-trips") {
+    val p = tmp() + "/b"
+    spark.sql(s"CREATE TABLE ${sqlName(p)} (k BIGINT, v STRING) " +
+      "CLUSTERED BY (k) SORTED BY (v) INTO 4 BUCKETS")
+    val stmt = spark.sql(s"SHOW CREATE TABLE ${sqlName(p)}")
+      .collect().head.getString(0)
+    // the layout is the CLAUSE the grammar accepts, never raw properties
+    assert(stmt.contains("CLUSTERED BY (`k`) SORTED BY (`v`) INTO 4 BUCKETS"),
+      stmt)
+    assert(!stmt.contains("graft.bucketBy") && !stmt.contains("graft.numBuckets")
+      && !stmt.contains("graft.bucketSortBy"), stmt)
+    val p2 = tmp() + "/b2"
+    stmt.replace(p, p2).split(";\n").map(_.trim).filter(_.nonEmpty)
+      .foreach(spark.sql(_))
+    val props2 = graft.sources.VersionedTable.propertiesOf(spark, p2)
+    assert(props2.get("graft.bucketBy").contains("k") &&
+      props2.get("graft.numBuckets").contains("4") &&
+      props2.get("graft.bucketSortBy").contains("v"), props2.toString)
+    // a quote-bearing property value and a backtick-bearing column name
+    // survive the emit → replay cycle (doubling, not backslash escapes)
+    val p3 = tmp() + "/q"
+    spark.sql(s"CREATE TABLE ${sqlName(p3)} (`we``ird` BIGINT, v STRING) " +
+      "TBLPROPERTIES ('note' = 'it''s quoted')")
+    val stmt3 = spark.sql(s"SHOW CREATE TABLE ${sqlName(p3)}")
+      .collect().head.getString(0)
+    assert(stmt3.contains("'note' = 'it''s quoted'") &&
+      stmt3.contains("`we``ird` BIGINT"), stmt3)
+    val p4 = tmp() + "/q2"
+    stmt3.replace(p3, p4).split(";\n").map(_.trim).filter(_.nonEmpty)
+      .foreach(spark.sql(_))
+    assert(graft.sources.VersionedTable.propertiesOf(spark, p4)
+      .get("note").contains("it's quoted"))
+    assert(spark.sql(s"SELECT * FROM ${sqlName(p4)}")
+      .columns.toSeq == Seq("we`ird", "v"))
   }
 
   test("DESCRIBE DETAIL surfaces the distinct tuples and helper freshness") {

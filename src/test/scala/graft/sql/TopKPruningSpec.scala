@@ -357,6 +357,67 @@ class TopKPruningSpec extends SparkSpec {
     withRuleOff { assert(rows(qm()) == onMRows) }
   }
 
+  test("SORT-COLUMN data filter: same-direction bounds prove τ, others decline") {
+    val path = tmp() + "/sc"
+    // 16 narrow bands of ts; the dashboard shape WHERE ts >= d ORDER BY
+    // ts DESC LIMIT k must prove τ over the fully-inside files only and
+    // still collapse the read to the top band
+    VersionedTable.write(
+      spark.range(0, 65536).select(col("id").as("ts"), (col("id") % 9).as("m"))
+        .repartitionByRange(16, col("ts")),
+      path, statsCols = Seq("ts"))
+    def t = VersionedTable.read(spark, path)
+    def hasGeTau(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+      }.exists { c =>
+        def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+              split(a) ++ split(b)
+            case x => Seq(x)
+          }
+        split(c).count {
+          case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              org.apache.spark.sql.catalyst.expressions.Literal(_, _))
+              if a.name == "ts" => true
+          case _ => false
+        } >= 2 // the user's own ts >= d plus the injected ts >= τ
+      }
+    def q() = t.filter(col("ts") >= 10000L).orderBy(col("ts").desc).limit(10)
+    val on = q()
+    val onRows = rows(on)
+    assert(hasGeTau(on),
+      s"expected an injected ts >= τ under the user filter:\n${on.queryExecution.optimizedPlan}")
+    val read = filesRead(on, "m")
+    assert(read <= 2L && read >= 1L,
+      s"the top band alone answers: read $read/16")
+    withRuleOff { assert(rows(q()) == onRows) }
+    // strict user bound still fires; ASC mirrors with <=
+    def qs() = t.filter(col("ts") > 60000L).orderBy(col("ts").desc).limit(10)
+    val onS = qs(); val onSRows = rows(onS)
+    assert(filesRead(onS, "m") <= 2L)
+    withRuleOff { assert(rows(qs()) == onSRows) }
+    def qa() = t.filter(col("ts") <= 50000L).orderBy(col("ts").asc).limit(10)
+    val onA = qa(); val onARows = rows(onA)
+    assert(filesRead(onA, "m") <= 2L)
+    withRuleOff { assert(rows(qa()) == onARows) }
+    // OPPOSITE-direction bound declines: its per-file selectivity is
+    // unknowable — no injected conjunct, results exact
+    def qo() = t.filter(col("ts") <= 30000L).orderBy(col("ts").desc).limit(10)
+    val onO = qo(); val onORows = rows(onO)
+    assert(!hasGeTau(onO) && onORows.size == 10)
+    withRuleOff { assert(rows(qo()) == onORows) }
+    // a RANGE (both directions) declines too — the <= conjunct poisons it
+    def qr() = t.filter(col("ts") >= 10000L && col("ts") <= 30000L)
+      .orderBy(col("ts").desc).limit(10)
+    val onR = qr(); val onRRows = rows(onR)
+    assert(!hasGeTau(onR))
+    withRuleOff { assert(rows(qr()) == onRRows) }
+  }
+
   test("declines: filters, k past provable rows, DV-marked files") {
     val path = tmp() + "/d"
     VersionedTable.write(
