@@ -372,6 +372,7 @@ object SkippingQueries {
       .groupBy(col("event_date"))
       .agg(sum(col("user_id")).as("sum_users"),
         count(col("user_id")).as("nn_users"),
+        avg(col("user_id")).as("avg_users"),
         count(lit(1)).as("n_rows"))
     val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
     require(roots.isEmpty && out.queryExecution.optimizedPlan.collectLeaves()
@@ -386,6 +387,7 @@ object SkippingQueries {
     """SELECT CAST(ts AS DATE) AS event_date,
       |  CAST(SUM(user_id) AS BIGINT) AS sum_users,
       |  CAST(COUNT(user_id) AS BIGINT) AS nn_users,
+      |  AVG(user_id) AS avg_users,
       |  COUNT(*) AS n_rows
       |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
       |GROUP BY 1""".stripMargin
@@ -784,6 +786,73 @@ object SkippingQueries {
   val topkFilteredSql: String =
     """SELECT event_id, event_type, ts FROM events
       |WHERE event_type >= 'p'
+      |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_topk_range — top-k THROUGH a SORT-COLUMN data filter, the other
+  // dashboard shape `WHERE ts >= d ORDER BY ts DESC LIMIT k`: the filter
+  // column IS the sort column and faces the sort direction, so the prefix
+  // proof runs over the files whose WHOLE range satisfies the filter
+  // (their non-null counts are exact under it) and injects `ts >= τ`
+  // under the user's conjunct; partially-overlapping files stay in the
+  // scan but out of the proof — asserted in-query (a second ts >= bound
+  // beside the user's own + fewer files than the user bound alone
+  // leaves). DuckDB filters and sorts everything.
+  // --------------------------------------------------------------------------
+  private def topkrPath(dir: String): String =
+    cachedFixturePath(dir, "topkr_v1", "events.parquet")
+
+  def topkRange(spark: SparkSession, dir: String): DataFrame = {
+    val path = topkrPath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("value"))
+          .repartitionByRange(16, col("ts")),
+        path, statsCols = Seq("ts"))
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val out = t
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      .orderBy(col("ts").desc, col("event_id").asc).limit(100)
+      .select(col("event_id"), col("ts"), col("value"))
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression,
+      GreaterThanOrEqual, Literal => CLit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => split(a) ++ split(b)
+      case x => Seq(x)
+    }
+    val geBounds = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) => c
+    }.flatMap(split).count {
+      case GreaterThanOrEqual(
+          a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+          _: CLit) if a.name == "ts" => true
+      case _ => false
+    }
+    require(geBounds >= 2,
+      "q_topk_range: expected an injected ts >= τ beside the user's " +
+        s"ts >= d; optimized plan:\n${out.queryExecution.optimizedPlan}")
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    // the user bound alone keeps ~2/3 of the month's files; τ collapses
+    // the read to the newest band
+    require(read < total / 2,
+      s"q_topk_range: expected τ to out-prune the user bound, read $read/$total")
+    out
+  }
+
+  val topkRangeSql: String =
+    """SELECT event_id, ts, value FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
       |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -1636,6 +1705,53 @@ object SkippingQueries {
       |  CAST(SUM(DISTINCT user_id) AS BIGINT) AS sum_users
       |FROM s4""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_mv_rollup_distinct — the exact-distinct family through GROUPING
+  // SETS: `GROUP BY ROLLUP(event_type)` with COUNT(DISTINCT) /
+  // SUM(DISTINCT) / AVG(DISTINCT) rewrites to the mirrored-Expand shape —
+  // the helper's rows replicate per grouping set under the same null
+  // patterns, re-aggregate per (set key, gid), and LEFT-join back onto
+  // the base set rewrite on null-safe keys. Per-type rows, the grand
+  // total, and the grouping() marker all answer from view + helper only —
+  // asserted in-query; DuckDB replays the DML chain and runs the real
+  // rollup.
+  // --------------------------------------------------------------------------
+  def mvRollupDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val mv = ensureDistinctMv(spark, dir)
+    val src = mvDistSourcePath(dir)
+    val helper = graft.sources.MaterializedView.distinctHelperPath(mv, "user_id")
+    val out = VersionedTable.read(spark, src)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum_distinct(col("user_id")).as("sum_users"),
+        expr("AVG(DISTINCT user_id)").as("avg_users"),
+        grouping(col("event_type")).as("g_et"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+      .map(_.toString)
+    require(roots.contains(mv) && roots.contains(helper) &&
+        !roots.contains(src),
+      s"q_mv_rollup_distinct: expected the rollup's distinct family to " +
+        s"answer from the view + helper; plan scans $roots")
+    out
+  }
+
+  val mvRollupDistinctSql: String =
+    """WITH s1 AS (SELECT event_id, event_type, user_id FROM events),
+      |s2 AS (SELECT * FROM s1 WHERE user_id % 7 <> 0),
+      |s3 AS (SELECT * FROM s2 UNION ALL
+      |  SELECT event_id, event_type, user_id + 500 FROM events
+      |  WHERE user_id % 3 = 0),
+      |s4 AS (SELECT event_type,
+      |  CASE WHEN event_id % 11 = 0 THEN user_id + 1000
+      |       ELSE user_id END AS user_id FROM s3)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(DISTINCT user_id) AS BIGINT) AS sum_users,
+      |  AVG(DISTINCT user_id) AS avg_users,
+      |  CAST(GROUPING(event_type) AS INT) AS g_et
+      |FROM s4 GROUP BY ROLLUP (event_type)""".stripMargin
+
   val mvDistinctSql: String =
     """WITH s1 AS (SELECT event_id, event_type, user_id FROM events),
       |s2 AS (SELECT * FROM s1 WHERE user_id % 7 <> 0),
@@ -2245,10 +2361,11 @@ object SkippingQueries {
   // --------------------------------------------------------------------------
   // q_constraint_elim — CONSTRAINT-IMPLIED FILTER PRUNING under the
   // oracle gate: the query restates a validated CHECK (`av >= 0`) beside
-  // a real filter; the restated conjunct drops from the plan (the
-  // IsNotNull license stays, preserving SQL's NULL-dropping filter
-  // semantics against CHECK's NULL-passing ones) while DuckDB evaluates
-  // the full predicate for real.
+  // a real filter, plus two conjuncts the CHECK merely IMPLIES
+  // (`av >= -5`, `av <> -1` — the interval matrix); all three drop from
+  // the plan (the IsNotNull license stays, preserving SQL's NULL-dropping
+  // filter semantics against CHECK's NULL-passing ones) while DuckDB
+  // evaluates the full predicate for real.
   // --------------------------------------------------------------------------
   private def conelPath(dir: String): String =
     cachedFixturePath(dir, "conel_v1", "events.parquet")
@@ -2263,23 +2380,28 @@ object SkippingQueries {
     if (VersionedTable.latestVersion(spark, path).contains(1L))
       VersionedTable.addCheckConstraint(spark, path, "av_nonneg", "av >= 0")
     val out = VersionedTable.read(spark, path)
-      .filter(col("av") >= 0 && col("event_type") === "click")
+      .filter(col("av") >= 0 && col("av") >= -5 && col("av") =!= -1 &&
+        col("event_type") === "click")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"))
-    import org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo,
+      GreaterThanOrEqual, Not}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val restated = out.queryExecution.optimizedPlan.collect {
       case LFilter(c, _) if c.exists {
         case GreaterThanOrEqual(
             a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
             if a.name == "av" => true
+        case Not(EqualTo(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _))
+            if a.name == "av" => true
         case _ => false
       } => c
     }
     require(restated.isEmpty,
-      "q_constraint_elim: the CHECK-restating conjunct must drop from " +
-        s"the plan; optimized:\n${out.queryExecution.optimizedPlan}")
+      "q_constraint_elim: the restated AND the implied conjuncts must " +
+        s"drop from the plan; optimized:\n${out.queryExecution.optimizedPlan}")
     out
   }
 
@@ -2287,7 +2409,82 @@ object SkippingQueries {
     """SELECT event_type, COUNT(*) AS n_rows,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM (SELECT event_type, user_id, ABS(value) AS av FROM events)
-      |WHERE av >= 0 AND event_type = 'click'
+      |WHERE av >= 0 AND av >= -5 AND av <> -1 AND event_type = 'click'
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_join_reorder — NDV-DRIVEN JOIN REORDERING under the oracle gate:
+  // the query spells the star in the WORST order (fact ⋈ full-part dim
+  // first, the 1-in-50-keys dim last); the manifest sketches prove the
+  // selective dim shrinks the fact ~50× and GraftJoinReorder swaps it
+  // inward — asserted in-query (some Join pairs exactly {fact, tiny}).
+  // DuckDB executes the literal worst-order SQL for real.
+  // --------------------------------------------------------------------------
+  private def jroFactPath(dir: String): String =
+    cachedFixturePath(dir, "jrofact_v1", "lineitem.parquet")
+  private def jroBigPath(dir: String): String =
+    cachedFixturePath(dir, "jrobig_v1", "part.parquet")
+  private def jroTinyPath(dir: String): String =
+    cachedFixturePath(dir, "jrotiny_v1", "part.parquet")
+
+  def joinReorder(spark: SparkSession, dir: String): DataFrame = {
+    val fact = jroFactPath(dir); val big = jroBigPath(dir)
+    val tiny = jroTinyPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty) {
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_partkey"))
+      VersionedTable.analyzeNdv(spark, fact, Seq("l_partkey"))
+    }
+    if (VersionedTable.latestVersion(spark, big).isEmpty) {
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_brand")), big, statsCols = Seq("p_partkey"))
+      VersionedTable.analyzeNdv(spark, big, Seq("p_partkey"))
+    }
+    if (VersionedTable.latestVersion(spark, tiny).isEmpty) {
+      VersionedTable.write(Tables.part(spark, dir)
+        .filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey").as("tp_partkey"),
+          col("p_type").as("tp_container")),
+        tiny, statsCols = Seq("tp_partkey"))
+      VersionedTable.analyzeNdv(spark, tiny, Seq("tp_partkey"))
+    }
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big),
+        col("l_partkey") === col("p_partkey"))
+      .join(VersionedTable.read(spark, tiny),
+        col("l_partkey") === col("tp_partkey"))
+      .groupBy(col("tp_container"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    def rootsUnder(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] = p.collect {
+      case LogicalRelation(fsr: HadoopFsRelation, _, _, _, _) =>
+        fsr.location.rootPaths.map(_.toUri.getPath)
+    }.flatten.toSet
+    val pairedFirst = out.queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }
+      .exists(j => rootsUnder(j) == Set(fact, tiny))
+    require(pairedFirst,
+      "q_join_reorder: the 50×-selective dim must join FIRST; plan:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val joinReorderSql: String =
+    """WITH fact AS (SELECT l_orderkey, l_partkey,
+      |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      |big AS (SELECT p_partkey, p_brand FROM part),
+      |tiny AS (SELECT p_partkey AS tp_partkey, p_type AS tp_container
+      |  FROM part WHERE p_partkey % 50 = 0)
+      |SELECT tp_container, COUNT(*) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact
+      |JOIN big ON l_partkey = p_partkey
+      |JOIN tiny ON l_partkey = tp_partkey
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
@@ -2822,6 +3019,7 @@ object SkippingQueries {
     "q_mv_star" -> (mvStar _),
     "q_mv_star_distinct" -> (mvStarDistinct _),
     "q_constraint_elim" -> (constraintElim _),
+    "q_join_reorder" -> (joinReorder _),
     "q_mv_join_residual" -> (mvJoinResidual _),
     "q_mv_decimal" -> (mvDecimal _),
     "q_join_elim" -> (joinElim _),
@@ -2860,9 +3058,11 @@ object SkippingQueries {
     "q_dpp" -> (dppRuntime _),
     "q_mv_distinct" -> (mvDistinct _),
     "q_mv_distinct_rollup" -> (mvDistinctRollup _),
+    "q_mv_rollup_distinct" -> (mvRollupDistinct _),
     "q_topk_part" -> (topkPart _),
     "q_topk_window" -> (topkWindow _),
     "q_topk_filtered" -> (topkFiltered _),
+    "q_topk_range" -> (topkRange _),
     "q_topk_window_yr" -> (topkWindowDerived _),
     "q_topk_derived" -> (topkDerived _),
     "q_dict_skip" -> (dictSkip _))
@@ -2880,6 +3080,7 @@ object SkippingQueries {
     "q_mv_star" -> mvStarSql,
     "q_mv_star_distinct" -> mvStarDistinctSql,
     "q_constraint_elim" -> constraintElimSql,
+    "q_join_reorder" -> joinReorderSql,
     "q_mv_join_residual" -> mvJoinResidualSql,
     "q_mv_decimal" -> mvDecimalSql,
     "q_join_elim" -> joinElimSql,
@@ -2918,9 +3119,11 @@ object SkippingQueries {
     "q_dpp" -> dppRuntimeSql,
     "q_mv_distinct" -> mvDistinctSql,
     "q_mv_distinct_rollup" -> mvDistinctRollupSql,
+    "q_mv_rollup_distinct" -> mvRollupDistinctSql,
     "q_topk_part" -> topkPartSql,
     "q_topk_window" -> topkWindowSql,
     "q_topk_filtered" -> topkFilteredSql,
+    "q_topk_range" -> topkRangeSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,
     "q_topk_derived" -> topkDerivedSql,
     "q_dict_skip" -> dictSkipSql)

@@ -176,7 +176,7 @@ case class GraftEagerAggregation(spark: SparkSession)
       case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), n) =>
         CountCol(al.exprId, n, a)
       case al @ Alias(AggregateExpression(Sum(a: AttributeReference, em), _, false, None, _), n)
-          if em != EvalMode.TRY &&
+          if em.evalMode != EvalMode.TRY &&
             (al.dataType == LongType || al.dataType.isInstanceOf[DecimalType]) =>
         // TRY declines: a try_sum partial that overflowed to NULL would be
         // SKIPPED by the re-sum (a wrong value, not a NULL)

@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PK/FK join elimination: a star join the query reads no dim column
     // from drops entirely, licensed by a validated FOREIGN KEY pin
     ext.injectOptimizerRule(session => GraftJoinElimination(session))
+    // NDV-driven inner-join reordering (CBO-lite phase 2): after
+    // elimination, so a dropped dim never anchors an estimate
+    ext.injectOptimizerRule(session => GraftJoinReorder(session))
     // DISTINCT elimination: SELECT DISTINCT over columns covering a
     // pinned UNIQUE key is an identity — the dedup shuffle drops
     ext.injectOptimizerRule(session => GraftDistinctElimination(session))
@@ -452,6 +455,13 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       dt: org.apache.spark.sql.types.DataType) extends Slot
   /** COUNT of a DATA column: per-file live non-null counts summed. */
   private case class CountDataSlot(colName: String) extends Slot
+  /** AVG of an INTEGRAL data column: the exact sum / non-null count
+    * quotient, SQL NULL on zero non-null inputs. Restricted to integral
+    * inputs whose exact sum fits double's 2^53 integer window — inside it
+    * the scan's own double accumulation is exact too, so the metadata
+    * quotient equals the scan's bit for bit; outside it (or for
+    * decimal/float inputs) decline rather than approximate. */
+  private case class AvgDataSlot(colName: String) extends Slot
   /** MIN/MAX of a DATA column from per-file manifest stats. */
   private case class MinMaxDataSlot(colName: String,
       dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends Slot
@@ -504,6 +514,16 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
             a: AttributeReference, _), _, false, None, _) =>
         info.dataColOf.get(a.exprId).map(SumDataSlot(_, e2.dataType))
+      // AVG(integral data col) → DOUBLE: exact sum / non-null count
+      case e2 @ AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+            a: AttributeReference, _), _, false, None, _)
+          if e2.dataType == org.apache.spark.sql.types.DoubleType &&
+            (a.dataType == org.apache.spark.sql.types.LongType ||
+              a.dataType == org.apache.spark.sql.types.IntegerType ||
+              a.dataType == org.apache.spark.sql.types.ShortType ||
+              a.dataType == org.apache.spark.sql.types.ByteType) =>
+        info.dataColOf.get(a.exprId).map(AvgDataSlot(_))
       case AggregateExpression(Count(args), _, true, None, _)
           // DISTINCT dedups by VALUE equality — decline types without it
           if args.nonEmpty && args.forall(a =>
@@ -590,6 +610,27 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
         Some(nn)
+      case AvgDataSlot(colName) =>
+        // exact-sum / non-null-count quotient: decline past double's 2^53
+        // integer window, where the scan's own accumulation order starts
+        // to matter — never answer where a scan could answer differently
+        val (sumOfF, nnOfF) = org.apache.spark.sql.graft.GraftBatchShim
+          .graftSumHooksOf(info.leaf).getOrElse(return None)
+        var nn = 0L
+        var tot = BigDecimal(0)
+        entries.flatMap(_._3).foreach { f =>
+          nnOfF(f, colName) match {
+            case Some(n) => nn += n
+            case None => return None
+          }
+          sumOfF(f, colName) match {
+            case Some(x) => tot += x
+            case None => return None
+          }
+        }
+        if (nn == 0L) Some(null)
+        else if (tot.abs > BigDecimal(2).pow(53)) return None
+        else Some(tot.toDouble / nn)
       case MinMaxDataSlot(colName, dt, takeMax) =>
         // exact per-file bounds: ANY file that cannot answer exactly (DV
         // marks, missing/truncated stats) abandons the rewrite; all-NULL

@@ -784,7 +784,7 @@ case class GraftDistinctElimination(spark: SparkSession)
           // COUNT over columns counts the row iff every arg is non-null
           Some(If(args.map(IsNotNull).reduce[Expression](And),
             Literal(1L), Literal(0L)))
-        case s @ Sum(c, em) if em != EvalMode.TRY =>
+        case s @ Sum(c, em) if em.evalMode != EvalMode.TRY =>
           // single-value "sum" is the value widened to the SUM type —
           // a widening cast can neither overflow nor round
           Some(if (c.dataType == s.dataType) c else Cast(c, s.dataType))

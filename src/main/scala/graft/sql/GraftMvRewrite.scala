@@ -340,13 +340,13 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // declines (re-association is not bit-exact). TRY declines: an
     // overflowed-to-NULL stored partial would be SKIPPED by the re-sum.
     case al @ Alias(AggregateExpression(Sum(a: AttributeReference, em), _, false, None, _), n)
-        if em != EvalMode.TRY &&
+        if em.evalMode != EvalMode.TRY &&
           (al.dataType == LongType ||
             al.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
       colName(a, env).map(SumOut(al.exprId, n, _, al.dataType))
     // SUM(DISTINCT col): exact from the distinct helper's value rows
     case al @ Alias(AggregateExpression(Sum(a: AttributeReference, em), _, true, None, _), n)
-        if em != EvalMode.TRY &&
+        if em.evalMode != EvalMode.TRY &&
           (al.dataType == LongType ||
             al.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
       colName(a, env).map(SumDistinctOut(al.exprId, n, _, al.dataType))
@@ -915,8 +915,15 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   // re-aggregates replicated view rows exactly like a plain rollup of
   // the view's grouping), group positions project the view's group
   // column or NULL per set, and the grouping id rides as the literal it
-  // already is. The distinct family declines (its rollup path needs a
-  // helper join PER SET). BI subtotal dashboards over a 100 TB fact
+  // already is. The exact-distinct family (COUNT/SUM/AVG(DISTINCT))
+  // answers from the (group, value) HELPER through a MIRRORED Expand:
+  // the helper's rows replicate per set under the same null patterns,
+  // re-aggregate per (set keys, gid) — values shared across rolled-up
+  // groups dedup exactly as the flat rollup path proves — and LEFT-join
+  // back onto the base set rewrite on NULL-SAFE key equality (subtotal
+  // rows carry NULLed-out keys BY DESIGN, and genuine NULL group values
+  // must keep matching their helper groups; plain EqualTo would silently
+  // zero every subtotal). BI subtotal dashboards over a 100 TB fact
   // answer from the view's few rows, grand total included.
   // --------------------------------------------------------------------
 
@@ -1000,8 +1007,6 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         classify(other, env).map(AggOut2(_)).getOrElse(return None)
     }
     souts.foreach {
-      case AggOut2(_: NdvOut) | AggOut2(_: SumDistinctOut) |
-           AggOut2(_: AvgDistinctOut) => return None
       case PosOut2(_, _, p) if p != gidIdx && !groupNorm.contains(p) =>
         return None
       case _ => ()
@@ -1054,6 +1059,37 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AvgOut => a.srcCol }
     if (!neededSums.forall(vSums) || !neededMinMax.forall(vMinMax) ||
         !neededNn.forall(vNn)) return None
+    // the exact-distinct family: EVERY set may roll past the stored ndv
+    // (the gid-keyed output is never one-view-row-per-group), so all
+    // three shapes answer from the (group, value) helpers, mirrored
+    // through their own Expand below
+    val canonTuple: Map[Set[String], Seq[String]] =
+      MaterializedView.distinctsIn(props).map(t => t.toSet -> t).toMap
+    def canonOf(cs: Seq[String]): Option[Seq[String]] =
+      canonTuple.get(cs.toSet).filter(_.size == cs.distinct.size)
+    val vNdvSingle: Set[String] =
+      canonTuple.values.filter(_.size == 1).map(_.head).toSet
+    val neededNdv = outs.collect { case d: NdvOut =>
+      canonOf(d.srcCols).getOrElse(return None) }
+    val neededAvgD = outs.collect { case d: AvgDistinctOut => d.srcCol }
+    val neededSumD = outs.collect { case d: SumDistinctOut => d.srcCol } ++
+      neededAvgD
+    if (!neededSumD.forall(vNdvSingle)) return None
+    val helperCols: Seq[Seq[String]] =
+      (neededSumD.map(Seq(_)) ++ neededNdv).distinct
+    val ndvHelpers: Map[Seq[String], LogicalPlan] =
+      if (helperCols.isEmpty) Map.empty
+      else {
+        val built = helperCols.flatMap { t =>
+          val hp = MaterializedView.distinctHelperPath(mvPath, t)
+          versionFor(hp, src.srcV).flatMap { hhv =>
+            scala.util.Try(VersionedTable.read(spark, hp, Some(hhv))
+              .queryExecution.analyzed).toOption
+          }.map(t -> _)
+        }
+        if (built.size != helperCols.size) return None
+        built.toMap
+      }
     val viewPlan = VersionedTable.read(spark, mvPath, Some(hv))
       .queryExecution.analyzed
     val attr: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
@@ -1107,8 +1143,10 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .exists(_.dataType == expectedSumType(srcDt)) &&
           longAttr(MaterializedView.nnColName(c)).isDefined
       case _: CountOut => true
+      // helper-answered: types derive from the source column (the
+      // helper's value col IS it); presence checked above
+      case _: NdvOut | _: SumDistinctOut | _: AvgDistinctOut => true
       case _: GroupOut => return None // group slots arrive as PosOut here
-      case _ => return None
     }
     if (!ok) return None
     if (!residual.forall(_.collect { case a: AttributeReference => a }
@@ -1173,7 +1211,11 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(e, nm)(exprId = id)
       case _ => throw new IllegalStateException("unreachable set slot")
     }
-    val newAggExprs: Seq[NamedExpression] = souts.map {
+    def isDistinctOut(o: Out): Boolean = o match {
+      case _: NdvOut | _: SumDistinctOut | _: AvgDistinctOut => true
+      case _ => false
+    }
+    val newAggExprs: Seq[NamedExpression] = souts.collect {
       case PosOut2(id, nm, p) =>
         if (p == gidIdx) Alias(gidAttr, nm)(exprId = id)
         else Alias(varyAttr(p), nm)(exprId = id)
@@ -1182,10 +1224,120 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case a: AttributeReference if a.exprId == expOut(gidIdx).exprId =>
             gidAttr
         }, nm)(exprId = id)
-      case AggOut2(o) => toAgg(o)
+      case AggOut2(o) if !isDistinctOut(o) => toAgg(o)
     }
     val newGroups: Seq[Expression] = gKeys.map(p =>
       if (p == gidIdx) gidAttr else varyAttr(p))
-    Some(Aggregate(newGroups, newAggExprs, newExpand))
+    if (helperCols.isEmpty)
+      return Some(Aggregate(newGroups, newAggExprs, newExpand))
+
+    // per-set distinct aggregates from the helpers: the BASE set rewrite
+    // grows hidden copies of its (set keys, gid) for the join; each
+    // helper mirrors the SAME Expand (same null patterns, same gid
+    // literals) over its own rows, re-aggregates per (set keys, gid) —
+    // within a stored group the helper has each value once, and the
+    // DISTINCT dedups values shared across rolled-up groups — and
+    // LEFT-joins back. Keys compare NULL-SAFELY: a subtotal row's
+    // NULLed-out key must match the helper's equally-NULLed one, and a
+    // genuine NULL group value must keep matching its helper group.
+    val hiddenKeys: Seq[NamedExpression] =
+      groupPos.map(p => Alias(varyAttr(p), s"__graft_k_$p")()) :+
+        Alias(gidAttr, "__graft_gid")()
+    var joined: LogicalPlan =
+      Aggregate(newGroups, newAggExprs ++ hiddenKeys, newExpand)
+    val keyAttrOfPos: Map[Int, Attribute] =
+      groupPos.zip(hiddenKeys.init.map(_.toAttribute)).toMap
+    val gidKeyAttr: Attribute = hiddenKeys.last.toAttribute
+    val needD: Set[Seq[String]] =
+      neededNdv.toSet ++ neededAvgD.map(Seq(_))
+    val needSd: Set[String] = neededSumD.toSet
+    var dAttrOf = Map.empty[Seq[String], Attribute]
+    var sdAttrOf = Map.empty[String, Attribute]
+    helperCols.foreach { t =>
+      val hPlan = ndvHelpers(t)
+      val hAttr: Map[String, Attribute] =
+        hPlan.output.map(a => a.name -> a).toMap
+      // residuals re-apply on the helper (plain group columns, same
+      // names/types) — without them a filtered-out group's values would
+      // leak into the subtotals; set keys must exist with the exact type
+      val resOk = residual.forall(_.collect { case a: AttributeReference => a }
+        .forall(a => hAttr.get(a.name).exists(_.dataType == a.dataType)))
+      val keysOk = groupPos.forall(p => hAttr.get(posAlias(p))
+        .exists(_.dataType == expOut(p).dataType)) && t.forall(hAttr.contains)
+      if (!resOk || !keysOk) return None
+      val hScan: LogicalPlan =
+        if (residual.isEmpty) hPlan
+        else Filter(residual.map(_.transform {
+          case a: AttributeReference => hAttr(a.name)
+        }).reduce(And), hPlan)
+      val hVary: Map[Int, Attribute] = groupPos.map(p =>
+        p -> AttributeReference(posAlias(p), expOut(p).dataType,
+          nullable = true)()).toMap
+      val hGid = AttributeReference(expOut(gidIdx).name,
+        expOut(gidIdx).dataType, nullable = false)()
+      val hProjections: Seq[Seq[Expression]] = gidVals.zipWithIndex.map {
+        case (gl, pi) =>
+          hScan.output.map(a => a: Expression) ++
+            groupPos.map { p =>
+              if (nullPatterns(p)(pi))
+                Literal(null, expOut(p).dataType): Expression
+              else hAttr(posAlias(p))
+            } :+ (gl: Expression)
+      }
+      val hExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
+        hProjections, hScan.output ++ groupPos.map(hVary) :+ hGid, hScan)
+      val hKeys: Seq[Attribute] = groupPos.map(hVary) :+ hGid
+      val nm = t.mkString("_")
+      val dAlias =
+        if (!needD(t)) None
+        else Some(Alias(Count(t.map(hAttr(_)))
+          .toAggregateExpression(isDistinct = true), s"__graft_d_$nm")())
+      val sdAlias =
+        if (t.size != 1 || !needSd(t.head)) None
+        else Some(Alias(new Sum(hAttr(t.head))
+          .toAggregateExpression(isDistinct = true), s"__graft_sd_$nm")())
+      val hAgg = Aggregate(hKeys,
+        (hKeys: Seq[NamedExpression]) ++ dAlias.toSeq ++ sdAlias.toSeq,
+        hExpand)
+      dAlias.foreach(a => dAttrOf += t -> a.toAttribute)
+      sdAlias.foreach(a => sdAttrOf += t.head -> a.toAttribute)
+      val cond = (groupPos.map(p =>
+        EqualNullSafe(keyAttrOfPos(p), hVary(p)): Expression) :+
+        (EqualTo(gidKeyAttr, hGid): Expression)).reduce(And)
+      joined = Join(joined, hAgg, LeftOuter, Some(cond), JoinHint.NONE)
+    }
+    val finalProj: Seq[NamedExpression] = souts.map {
+      case AggOut2(NdvOut(id, n, cs)) =>
+        // a base group the helper never saw has no non-null values: 0
+        Alias(Coalesce(Seq(dAttrOf(canonOf(cs).get), Literal(0L))),
+          n)(exprId = id)
+      case AggOut2(SumDistinctOut(id, n, c, dt)) =>
+        // SQL SUM totality: the missing-join-row null IS the answer
+        val sd = sdAttrOf(c)
+        val e: Expression = if (sd.dataType == dt) sd else Cast(sd, dt)
+        Alias(e, n)(exprId = id)
+      case AggOut2(AvgDistinctOut(id, n, c, srcDt, dt)) =>
+        val sd: Expression = sdAttrOf(c)
+        val d: Expression = dAttrOf(Seq(c))
+        val e = srcDt match {
+          case sdt: DecimalType =>
+            val sumDT = expectedSumType(sdt)
+            val total = if (sd.dataType == sumDT) sd else Cast(sd, sumDT)
+            Cast(Divide(total, Cast(d, DecimalType(20, 0)),
+              EvalMode.LEGACY), dt)
+          case _ =>
+            Divide(Cast(sd, DoubleType), Cast(d, DoubleType),
+              EvalMode.LEGACY)
+        }
+        Alias(e, n)(exprId = id)
+      case s =>
+        val id = s match {
+          case PosOut2(i, _, _) => i
+          case GidFnOut(i, _, _) => i
+          case AggOut2(o) => idOf(o)
+        }
+        joined.output.find(_.exprId == id).getOrElse(return None)
+    }
+    Some(Project(finalProj, joined))
   }
 }

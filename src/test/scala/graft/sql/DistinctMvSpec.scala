@@ -410,4 +410,94 @@ class DistinctMvSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, hp).isEmpty,
       "dropping the view must drop its distinct helpers")
   }
+
+  test("grouping sets: the distinct family answers from helpers, subtotal NULLs matched") {
+    val base = tmp(); val src = base + "/s2"; val mv = base + "/mv2"
+    // two group columns (genuine NULL group VALUES are refused at view
+    // create — MaterializedView.refuseNullGroups — so the NULLs this path
+    // must match are exactly the Expand-introduced subtotal keys, which
+    // the helper join compares NULL-SAFELY); u values shared across
+    // groups (the rollup's distinct union must dedup them) and a NULL u
+    val nullL = null.asInstanceOf[java.lang.Long]
+    def l(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    VersionedTable.write(Seq(
+      ("x", "p", l(1L), 1L), ("x", "p", l(2L), 2L),
+      ("x", "q", l(2L), 3L), ("y", "p", l(2L), 4L),
+      ("y", "q", l(3L), 5L), ("z", "p", l(1L), 6L),
+      ("z", "q", l(9L), 7L), ("y", "p", nullL, 8L)
+    ).toDF("g1", "g2", "u", "v"), src, statsCols = Seq("v"))
+    MaterializedView.create(spark, src, mv, Seq("g1", "g2"), Seq("v"), Nil,
+      where = None, partitionBy = Nil, distinctCols = Seq("u"))
+    def withRuleOff[A](f: => A): A = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try f finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+    def check(q: () => DataFrame, label: String): Unit = {
+      val on = q()
+      val roots = GraftBatchShim.scanRootsOf(on).map(_.toString)
+      assert(roots.contains(mv) && !roots.contains(src),
+        s"$label must answer from view + helper, scans $roots:\n" +
+          on.queryExecution.optimizedPlan)
+      val got = on.collect().map(_.toString).sorted.toSeq
+      val off = withRuleOff(q().collect().map(_.toString).sorted.toSeq)
+      assert(got == off, s"$label\ngot=$got\noff=$off")
+    }
+    check(() => VersionedTable.read(spark, src)
+      .rollup($"g1", $"g2")
+      .agg(count(lit(1)).as("n"), countDistinct($"u").as("d"),
+        sum_distinct($"u").as("sd"), expr("avg(distinct u)").as("ad"),
+        grouping($"g1").as("gg")), "ROLLUP distinct family")
+    check(() => VersionedTable.read(spark, src)
+      .cube($"g1", $"g2")
+      .agg(countDistinct($"u").as("d"), sum($"v").as("sv")),
+      "CUBE distinct beside a plain re-sum")
+    // the FLAT rollup (GROUP BY a grouping subset, no Expand) over the
+    // same keys still routes through the helper join
+    check(() => VersionedTable.read(spark, src).groupBy($"g1")
+      .agg(count(lit(1)).as("n"), countDistinct($"u").as("d")),
+      "flat rollup beside the sets path")
+    // declines stay declines: a STALE view answers nothing
+    VersionedTable.append(Seq(("x", "p", l(7L), 99L))
+      .toDF("g1", "g2", "u", "v"), src)
+    val stale = VersionedTable.read(spark, src).rollup($"g1")
+      .agg(countDistinct($"u").as("d"))
+    assert(GraftBatchShim.scanRootsOf(stale).map(_.toString).contains(src),
+      "a stale view must not answer the rollup")
+    MaterializedView.refresh(spark, mv)
+    check(() => VersionedTable.read(spark, src).rollup($"g1")
+      .agg(countDistinct($"u").as("d")), "re-armed after refresh")
+    // try_sum declines (its overflow-to-NULL granularity differs from
+    // the re-sum's cast) — regression for the NumericEvalContext guard
+    val tryQ = VersionedTable.read(spark, src).groupBy($"g1", $"g2")
+      .agg(expr("try_sum(v)").as("ts"))
+    assert(GraftBatchShim.scanRootsOf(tryQ).map(_.toString).contains(src),
+      s"try_sum must decline the rewrite:\n${tryQ.queryExecution.optimizedPlan}")
+  }
+
+  test("grouping sets: flat-path append chain keeps the sets rewrite exact") {
+    val base = tmp(); val src = base + "/s3"; val mv = base + "/mv3"
+    VersionedTable.write((1L to 60L).map(i => ("g" + i % 4, i % 9, i))
+      .toDF("g", "u", "v"), src, statsCols = Seq("v"))
+    MaterializedView.create(spark, src, mv, Seq("g"), Seq("v"), Nil,
+      where = None, partitionBy = Nil, distinctCols = Seq("u"))
+    def q() = VersionedTable.read(spark, src).rollup($"g")
+      .agg(countDistinct($"u").as("d"), sum_distinct($"u").as("sd"),
+        count(lit(1)).as("n"))
+    // refresh → answer → mutate → refresh → answer, twice, with a
+    // value-swap update in the middle (the distinct-only delta)
+    (1 to 2).foreach { round =>
+      VersionedTable.append(Seq(("g9", 100L + round, 1000L + round))
+        .toDF("g", "u", "v"), src)
+      spark.sql(s"UPDATE graft.`$src` SET u = u + 9 WHERE v % 17 = $round")
+      MaterializedView.refresh(spark, mv)
+      val on = q()
+      val roots = GraftBatchShim.scanRootsOf(on).map(_.toString)
+      assert(roots.contains(mv) && !roots.contains(src), roots.toString)
+      val got = on.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      val off = try q().collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      assert(got == off, s"round $round\ngot=$got\noff=$off")
+    }
+  }
 }

@@ -1,0 +1,138 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.VersionedTable
+
+/** NDV-driven inner-join reordering: `(F ⋈ big) ⋈ tiny` written in the
+  * worst order executes as `(F ⋈ tiny) ⋈ big` when the sketches prove a
+  * ≥10× output difference — and declines on outer joins, close calls,
+  * un-sketched keys, filtered legs, and conditions touching the middle
+  * leg. */
+class JoinReorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("jreorder").toString
+
+  private def rootsUnder(p: LogicalPlan): Set[String] = p.collect {
+    case LogicalRelation(fsr: HadoopFsRelation, _, _, _, _) =>
+      fsr.location.rootPaths.map(_.toUri.getPath)
+  }.flatten.toSet
+
+  /** True when some Join in the optimized plan joins EXACTLY these two
+    * tables — i.e. they were paired first. */
+  private def pairedFirst(df: DataFrame, a: String, b: String): Boolean =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      .exists(j => rootsUnder(j) == Set(a, b))
+
+  private def withRuleOff[A](f: => A): A = {
+    spark.conf.set("spark.graft.joinReorder.enabled", "false")
+    try f finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
+  }
+
+  test("worst-order star swaps the selective dim inward; results exact") {
+    val base = tmp()
+    val fact = base + "/fact"; val big = base + "/big"; val tiny = base + "/tiny"
+    VersionedTable.write(spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("v")),
+      fact, statsCols = Seq("k"))
+    VersionedTable.analyzeNdv(spark, fact, Seq("k"))
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("bk"), concat(lit("b"), col("id")).as("battr")),
+      big, statsCols = Seq("bk"))
+    VersionedTable.analyzeNdv(spark, big, Seq("bk"))
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("tk"), concat(lit("t"), col("id")).as("tattr")),
+      tiny, statsCols = Seq("tk"))
+    VersionedTable.analyzeNdv(spark, tiny, Seq("tk"))
+    def q() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(VersionedTable.read(spark, tiny), col("k") === col("tk"))
+      .groupBy(col("tattr")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val on = q()
+    assert(pairedFirst(on, fact, tiny),
+      s"est(F⋈tiny) is 50× smaller — must join tiny first:\n" +
+        on.queryExecution.optimizedPlan)
+    val got = on.collect().map(_.toString).sorted.toSeq
+    withRuleOff {
+      val off = q()
+      assert(!pairedFirst(off, fact, tiny), "rule off: user order")
+      assert(off.collect().map(_.toString).sorted.toSeq == got)
+    }
+    // already-best order: idempotent, same pairing, no churn
+    def qBest() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, tiny), col("k") === col("tk"))
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .groupBy(col("tattr")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(pairedFirst(qBest(), fact, tiny))
+    assert(qBest().collect().map(_.toString).sorted.toSeq == got)
+  }
+
+  test("declines: close call, outer arm, un-sketched key, filtered leg, B-touching cond") {
+    val base = tmp()
+    val fact = base + "/fact"; val big = base + "/big"
+    val half = base + "/half"; val nosketch = base + "/ns"
+    VersionedTable.write(spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("v")),
+      fact, statsCols = Seq("k"))
+    VersionedTable.analyzeNdv(spark, fact, Seq("k"))
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("bk"), (col("id") % 7).as("bm")),
+      big, statsCols = Seq("bk"))
+    VersionedTable.analyzeNdv(spark, big, Seq("bk"))
+    // 500 keys: est ratio only 2× — below the bar, user order kept
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 2 === 0)
+      .select(col("id").as("hk")), half, statsCols = Seq("hk"))
+    VersionedTable.analyzeNdv(spark, half, Seq("hk"))
+    def qClose() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(VersionedTable.read(spark, half), col("k") === col("hk"))
+      .agg(count(lit(1)).as("n"))
+    assert(!pairedFirst(qClose(), fact, half),
+      "a 2× estimate difference keeps the user's order")
+    // un-sketched tiny key: no guess without a sketch
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("nk")), nosketch, statsCols = Seq("nk"))
+    def qNs() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(VersionedTable.read(spark, nosketch), col("k") === col("nk"))
+      .agg(count(lit(1)).as("n"))
+    assert(!pairedFirst(qNs(), fact, nosketch))
+    // LEFT outer second join: not associativity-safe — decline
+    val tiny = base + "/tiny"
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("tk")), tiny, statsCols = Seq("tk"))
+    VersionedTable.analyzeNdv(spark, tiny, Seq("tk"))
+    def qOuter() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(VersionedTable.read(spark, tiny), col("k") === col("tk"),
+        "left")
+      .agg(count(lit(1)).as("n"))
+    val onOuter = qOuter()
+    assert(!pairedFirst(onOuter, fact, tiny))
+    val gotOuter = onOuter.collect().map(_.toString).toSeq
+    withRuleOff(assert(qOuter().collect().map(_.toString).toSeq == gotOuter))
+    // a filtered fact leg: surviving rows unknowable — decline
+    def qFiltered() = VersionedTable.read(spark, fact)
+      .filter(col("v") % 3 === 0)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(VersionedTable.read(spark, tiny), col("k") === col("tk"))
+      .agg(count(lit(1)).as("n"))
+    assert(!pairedFirst(qFiltered(), fact, tiny))
+    // outer condition touching B: not associativity — decline
+    def qTouch() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(VersionedTable.read(spark, tiny),
+        col("k") === col("tk") && col("bm") =!= 99)
+      .agg(count(lit(1)).as("n"))
+    val onT = qTouch()
+    assert(!pairedFirst(onT, fact, tiny))
+    val gotT = onT.collect().map(_.toString).toSeq
+    withRuleOff(assert(qTouch().collect().map(_.toString).toSeq == gotT))
+  }
+}

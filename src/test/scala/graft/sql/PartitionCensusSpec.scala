@@ -272,6 +272,42 @@ class PartitionCensusSpec extends SparkSpec {
       "post-DV the scanned answer must match the fresh ground truth")
   }
 
+  test("AVG of DATA columns: exact-sum quotient, NULL totality, declines") {
+    val base = tmp(); val t = base + "/t"
+    // day d9 exists with an ALL-NULL v (AVG must be SQL NULL there)
+    VersionedTable.write(
+      ((1L to 90L).map(i => (i, "d" + i % 3,
+        if (i % 11 == 0) None else Some(i * 2))) ++
+        (91L to 95L).map(i => (i, "d9", None: Option[Long])))
+        .toDF("id", "day", "v")
+        .repartition(4),
+      t, statsCols = Seq("v"), partitionBy = Seq("day"))
+    VersionedTable.analyzeNdv(spark, t, Seq("v"))
+    def rd = VersionedTable.read(spark, t)
+    def q = rd.groupBy($"day").agg(avg($"v").as("a"), count(lit(1)).as("n"))
+    assert(scanFree(q), q.queryExecution.optimizedPlan.toString)
+    val truth = rd.select($"day", $"v").collect()
+      .groupBy(_.getString(0)).toSeq.map { case (d, rs) =>
+        val vs = rs.filterNot(_.isNullAt(1)).map(_.getLong(1))
+        val a = if (vs.isEmpty) null
+          else java.lang.Double.valueOf(vs.map(_.toDouble).sum / vs.length)
+        s"[$d,$a,${rs.length}]"
+      }.sorted
+    assert(sorted(q) == truth, s"${sorted(q)}\nvs\n$truth")
+    // the global filtered AVG dashboard: one day, zero files
+    val qg = rd.filter($"day" === "d1").agg(avg($"v").as("a"))
+    assert(scanFree(qg), qg.queryExecution.optimizedPlan.toString)
+    // the all-null day answers NULL, scan-free
+    val qn = rd.filter($"day" === "d9").agg(avg($"v").as("a"))
+    assert(scanFree(qn))
+    assert(qn.collect().head.isNullAt(0), "all-null AVG must be SQL NULL")
+    // AVG(DISTINCT) and AVG of a DOUBLE column decline (no exact story)
+    val qd = rd.groupBy($"day").agg(expr("avg(DISTINCT v)").as("a"))
+    assert(!scanFree(qd), "AVG(DISTINCT) has no census answer — decline")
+    val qf = rd.groupBy($"day").agg(avg($"v".cast("double")).as("a"))
+    assert(!scanFree(qf), "a computed/double input declines")
+  }
+
   test("ROLLUP / CUBE / GROUPING SETS answer from the census, subtotals included") {
     val base = tmp(); val t = base + "/t"
     VersionedTable.write(
