@@ -789,6 +789,62 @@ object SkippingQueries {
       |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_topk_dense — DENSE_RANK window group limit: the count-based prefix
+  // proof is unsound for dense_rank (its k-th DISTINCT value can sit past
+  // the count threshold), so the per-group τ comes from the ANALYZE
+  // sketches' sound distinct LOWER bounds (every retained hash is the md5
+  // of a real value; collisions only undercount) — asserted in-query
+  // (per-group disjunction + fewer files). DuckDB runs the real
+  // dense_rank window.
+  // --------------------------------------------------------------------------
+  def topkDense(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureTopkw(spark, dir)
+    if (!VersionedTable.propertiesOf(spark, path)
+        .get("graft.ndvCols").exists(_.contains("ts")))
+      VersionedTable.analyzeNdv(spark, path, Seq("ts"))
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").asc)
+    val out = t.withColumn("rn", dense_rank().over(w))
+      .filter(col("rn") <= 40)
+      .select(col("event_id"), col("event_type"), col("ts"), col("rn"))
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Or}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val injected = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) if c.isInstanceOf[Or] && c.exists {
+        case GreaterThanOrEqual(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+            if a.name == "ts" => true
+        case _ => false
+      } => c
+    }
+    require(injected.nonEmpty,
+      "q_topk_dense: expected per-group distinct-proof thresholds below " +
+        s"the Window; optimized plan:\n${out.queryExecution.optimizedPlan}")
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read < total,
+      s"q_topk_dense: expected per-group pruning, read $read/$total files")
+    out
+  }
+
+  val topkDenseSql: String =
+    """SELECT event_id, event_type, ts, rn FROM (
+      |  SELECT event_id, event_type, ts,
+      |    DENSE_RANK() OVER (PARTITION BY event_type
+      |      ORDER BY ts DESC, event_id ASC) AS rn
+      |  FROM events) AS w WHERE rn <= 40""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_topk_range — top-k THROUGH a SORT-COLUMN data filter, the other
   // dashboard shape `WHERE ts >= d ORDER BY ts DESC LIMIT k`: the filter
   // column IS the sort column and faces the sort direction, so the prefix
@@ -3063,6 +3119,7 @@ object SkippingQueries {
     "q_topk_window" -> (topkWindow _),
     "q_topk_filtered" -> (topkFiltered _),
     "q_topk_range" -> (topkRange _),
+    "q_topk_dense" -> (topkDense _),
     "q_topk_window_yr" -> (topkWindowDerived _),
     "q_topk_derived" -> (topkDerived _),
     "q_dict_skip" -> (dictSkip _))
@@ -3124,6 +3181,7 @@ object SkippingQueries {
     "q_topk_window" -> topkWindowSql,
     "q_topk_filtered" -> topkFilteredSql,
     "q_topk_range" -> topkRangeSql,
+    "q_topk_dense" -> topkDenseSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,
     "q_topk_derived" -> topkDerivedSql,
     "q_dict_skip" -> dictSkipSql)

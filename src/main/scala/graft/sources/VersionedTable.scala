@@ -2626,7 +2626,15 @@ object VersionedTable {
       // the summed rows, so marked files answer nothing
       fileSumOf = (fk, column) =>
         if (c.dvRows.getOrElse(fk, 0L) > 0L) None
-        else c.stats.get(fk).flatMap(_.get(column)).flatMap(_.sum))
+        else c.stats.get(fk).flatMap(_.get(column)).flatMap(_.sum),
+      // per-(file, column) sketch hashes from ANALYZE — each is the md5
+      // of a real value of the IMMUTABLE file, so distinct-hash counts
+      // lower-bound distinct values; DV marks may have removed any value,
+      // so marked files answer nothing
+      fileNdvHashesOf = (fk, column) =>
+        if (c.dvRows.getOrElse(fk, 0L) > 0L) None
+        else c.stats.get(fk).flatMap(_.get(column))
+          .flatMap(st => st.ndv.map(h => (h, st.ndvRecipe))))
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file

@@ -98,21 +98,31 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     * equalities via path-synthesized partition stats — so each directory
     * keeps only the files that can still hold its own top k. RANK is
     * accepted too (rank ≤ k rows are always within the k-by-multiplicity
-    * prefix); DENSE_RANK declines (its k-th distinct value can sit past
-    * the count-based threshold). The single window expression must BE the
+    * prefix); DENSE_RANK needs a DISTINCT threshold (its k-th distinct
+    * value can sit past the count-based one) and gets it from the
+    * ANALYZE sketches' sound distinct LOWER bounds
+    * ([[distinctThresholdOf]]) — un-analyzed tables decline. The single
+    * window expression must BE the
     * ranking (any other window aggregate would be computed over the
     * filtered rows — wrong). Group count caps at
     * `spark.graft.topk.windowGroupCap` (default 64) to bound predicate
     * width. */
   private def windowPrune(cond: Expression, w: Window): Option[Window] = {
-    // exactly one window expression: the rank the filter bounds
-    val (rankId, fnOk) = w.windowExpressions match {
+    // exactly one window expression: the rank the filter bounds.
+    // ROW_NUMBER/RANK run the COUNT-based prefix proof; DENSE_RANK runs
+    // the DISTINCT one (sketch-hash lower bounds — see
+    // distinctThresholdOf); anything else declines
+    val (rankId, fnKind) = w.windowExpressions match {
       case Seq(al @ Alias(WindowExpression(fn, _), _)) =>
-        (al.exprId, fn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber] ||
-          fn.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Rank])
+        (al.exprId, fn match {
+          case _: org.apache.spark.sql.catalyst.expressions.RowNumber |
+               _: org.apache.spark.sql.catalyst.expressions.Rank => 1
+          case _: org.apache.spark.sql.catalyst.expressions.DenseRank => 2
+          case _ => 0
+        })
       case _ => return None
     }
-    if (!fnOk) return None
+    if (fnKind == 0) return None
     val k = splitConj(cond).collectFirst {
       case LessThanOrEqual(a: AttributeReference, IntegerLiteral(n))
           if a.exprId == rankId => n
@@ -133,9 +143,14 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       // the empty-partition window is the one global group over every
       // live file — same proof as the Limit case, injected below the
       // Window (revisit declines: scanOf refuses the injected Filter)
-      val (files, mm, nn, names, _) = scanOf(w.child).getOrElse(return None)
+      val (files, mm, nn, names, gLeaf) = scanOf(w.child).getOrElse(return None)
       val ocName = names.get(oc.exprId).getOrElse(return None)
-      val tau = thresholdOf(files, mm, nn, ocName, k, desc)
+      val tauStat =
+        if (fnKind == 2)
+          GraftBatchShim.topkNdvHashesOf(gLeaf).flatMap(h =>
+            distinctThresholdOf(files, mm, h, ocName, oc.dataType, k, desc))
+        else thresholdOf(files, mm, nn, ocName, k, desc)
+      val tau = tauStat
         .flatMap(GraftStats.internalOf(_, oc.dataType)).getOrElse(return None)
       val cmp: Expression =
         if (desc) GreaterThanOrEqual(oc, Literal(tau, oc.dataType))
@@ -188,8 +203,18 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
                  case Derived(b) => b.eval(row) }
     }.toSeq
     if (groups.isEmpty || groups.size > cap) return None
+    val ndvH: Option[(String, String) => Option[(Seq[String], Int)]] =
+      if (fnKind == 2) {
+        val h = GraftBatchShim.topkNdvHashesOf(info.leaf)
+        if (h.isEmpty) return None
+        h
+      } else None
     val taus = groups.map { case (_, ents) =>
-      val tauStat = thresholdOf(ents.flatMap(_._3), mm, nn, ocName, k, desc)
+      val fs = ents.flatMap(_._3)
+      val tauStat =
+        if (fnKind == 2)
+          distinctThresholdOf(fs, mm, ndvH.get, ocName, oc.dataType, k, desc)
+        else thresholdOf(fs, mm, nn, ocName, k, desc)
       (ents, tauStat, tauStat.flatMap(GraftStats.internalOf(_, oc.dataType)))
     }
     if (taus.forall(_._3.isEmpty)) return None // nothing prunes anywhere
@@ -610,6 +635,56 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     }
+
+  /** The DENSE_RANK threshold — a DISTINCT-count prefix proof from the
+    * ANALYZE sketches. Every hash a KMV sketch retains is the md5 of a
+    * REAL value of its (immutable) file: hash collisions only UNDERcount
+    * distinct values, saturation only truncates the retained set, and
+    * nulls never enter a sketch — so the count of DISTINCT hashes
+    * accumulated over a file prefix is a sound LOWER bound on the
+    * distinct non-null values past the prefix bound. Sort provable files
+    * by bound, union their hash sets, stop at ≥ k distinct hashes: at
+    * least k distinct non-null values lie past τ, so the group's k-th
+    * distinct value v_k is past τ and every dense_rank ≤ k row (value
+    * among the top k distinct values — NULLS FIRST widens with IS NULL
+    * at the caller) survives `c past τ`. Exact-or-decline: DV-marked
+    * files (marks may have removed any value), files without sketches,
+    * and — for BINARY columns — legacy identity-hash recipes (the same
+    * bytes hash differently per file there, which would OVERcount) are
+    * excluded from the proof but stay in the scan. Profitability as in
+    * [[thresholdOf]]. */
+  private def distinctThresholdOf(files: Seq[String],
+      mm: (String, String) => Option[Option[(Any, Any)]],
+      ndvH: (String, String) => Option[(Seq[String], Int)],
+      column: String, dt: org.apache.spark.sql.types.DataType,
+      k: Int, desc: Boolean): Option[Any] =
+    scala.util.Try {
+      val ord = graft.sources.DataSkipping.statOrdering
+      val cands = files.flatMap { fk =>
+        for {
+          b <- mm(fk, column).flatten
+          hs <- ndvH(fk, column)
+          if dt != org.apache.spark.sql.types.BinaryType ||
+            hs._2 >= graft.sources.DataSkipping.NdvRecipeCurrent
+        } yield if (desc) (b._1, b._2, hs._1) else (b._2, b._1, hs._1)
+      }
+      val sorted =
+        if (desc) cands.sortBy(_._1)(ord.reverse) else cands.sortBy(_._1)(ord)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var tau: Option[Any] = None
+      val it = sorted.iterator
+      while (seen.size < k && it.hasNext) {
+        val (bound, _, hs) = it.next()
+        seen ++= hs
+        tau = Some(bound)
+      }
+      if (seen.size < k) None
+      else tau.filter { t =>
+        sorted.exists { case (_, far, _) =>
+          if (desc) ord.lt(far, t) else ord.gt(far, t)
+        }
+      }
+    }.toOption.flatten
 
   /** The stats-domain threshold: sort provable files by their bound
     * (min DESC for a descending sort, max ASC for ascending), take the

@@ -112,7 +112,16 @@ private[graft] class GraftFileIndex(
     /** EXACT live SUM per (file, column) from ANALYZE (integral/decimal
       * only; DV-marked files answer nothing) — powers the metadata-only
       * SUM(col) rewrite. */
-    val fileSumOf: (String, String) => Option[BigDecimal] = (_, _) => None)
+    val fileSumOf: (String, String) => Option[BigDecimal] = (_, _) => None,
+    /** Per-(file, column) ANALYZE sketch HASHES + hash-recipe: every
+      * retained hash is the md5 of a REAL value in the file, so the count
+      * of DISTINCT hashes LOWER-bounds the file's distinct values
+      * (collisions only undercount, saturation only truncates, nulls
+      * never enter a sketch). DV-marked files answer nothing — marks may
+      * have removed any value. Powers the DENSE_RANK window group-limit
+      * proof. */
+    val fileNdvHashesOf: (String, String) => Option[(Seq[String], Int)] =
+      (_, _) => None)
     extends FileIndex {
 
   /** The manifest's live file keys — the top-k prune rule's iteration
@@ -161,6 +170,24 @@ private[graft] class GraftFileIndex(
       case -1 => fileNonNullOf(fk, column)
       case i => partValuesOf.get(fk).flatMap { row =>
         if (row.isNullAt(i)) Some(0L) else fileRows.get(fk)
+      }
+    }
+
+  /** [[fileNdvHashesOf]]'s partition-aware twin: a partition column has
+    * exactly one value per file — synthesize a per-value token (prefixed
+    * so it can never collide with an md5 hex) when the file has live
+    * rows, an empty set when the partition value is NULL or every row is
+    * dead, and nothing when liveness is unknowable. */
+  def topkNdvHashesOf(fk: String, column: String): Option[(Seq[String], Int)] =
+    partSchema.fieldNames.indexOf(column) match {
+      case -1 => fileNdvHashesOf(fk, column)
+      case i => fileRows.get(fk) match {
+        case None => None
+        case Some(n) if n <= 0L => Some((Nil, Int.MaxValue))
+        case Some(_) => partValuesOf.get(fk).map { row =>
+          if (row.isNullAt(i)) (Nil, Int.MaxValue)
+          else (Seq("p:" + row.get(i, partSchema(i).dataType)), Int.MaxValue)
+        }
       }
     }
 
@@ -293,7 +320,7 @@ private[graft] class GraftFileIndex(
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
       snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf,
-      checkConstraints, fileSumOf) {
+      checkConstraints, fileSumOf, fileNdvHashesOf) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -620,7 +647,9 @@ object GraftBatchShim {
         (_, _) => None,
       fileNonNullOf: (String, String) => Option[Long] = (_, _) => None,
       checkConstraints: Map[String, String] = Map.empty,
-      fileSumOf: (String, String) => Option[BigDecimal] = (_, _) => None)
+      fileSumOf: (String, String) => Option[BigDecimal] = (_, _) => None,
+      fileNdvHashesOf: (String, String) => Option[(Seq[String], Int)] =
+        (_, _) => None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -636,7 +665,8 @@ object GraftBatchShim {
       location = new GraftFileIndex(spark, root, files, keep, liveRows,
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
-        fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints, fileSumOf),
+        fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints, fileSumOf,
+        fileNdvHashesOf),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -795,6 +825,17 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         Some((g.liveFiles, g.topkBounds, g.topkNonNull))
+      case _ => None
+    }
+
+  /** Per-(file, column) sketch hashes + recipe of a graft relation node
+    * (partition-aware) — the DENSE_RANK group limit's distinct lower
+    * bound. */
+  def topkNdvHashesOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, String) => Option[(Seq[String], Int)]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some(g.topkNdvHashesOf)
       case _ => None
     }
 

@@ -177,13 +177,26 @@ class TopKPruningSpec extends SparkSpec {
       assert(filesRead(off, "v") == total)
     }
     // RANK is admissible (its selected rows stay within the k-by-
-    // multiplicity prefix); DENSE_RANK must decline
+    // multiplicity prefix); DENSE_RANK needs the DISTINCT proof, which
+    // needs sketches — un-analyzed it declines
     assert(filesRead(q(rank()), "v") < total)
     withRuleOff {
       assert(rows(q(rank())).sorted == rows(q(rank())).sorted)
     }
     assert(filesRead(q(dense_rank()), "v") == total,
-      "dense_rank has no sound count-based threshold — must decline")
+      "dense_rank without sketches has no sound distinct bound — decline")
+    // ANALYZE arms the sketch lower bounds: v is near-unique, so each
+    // group's newest band alone proves >= 5 distinct values past tau
+    graft.sources.VersionedTable.analyzeNdv(spark, path, Seq("v"))
+    val dOn = q(dense_rank())
+    val dRows = rows(dOn).sorted
+    assert(filesRead(dOn, "v") < total,
+      s"analyzed dense_rank must prune: ${filesRead(dOn, "v")}/$total")
+    withRuleOff {
+      val dOff = q(dense_rank())
+      assert(rows(dOff).sorted == dRows)
+      assert(filesRead(dOff, "v") == total)
+    }
     // a second window aggregate over the same spec would be computed over
     // the filtered rows — the rule must decline the whole window
     val two = t
