@@ -789,6 +789,60 @@ object SkippingQueries {
       |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_topk_mixed — top-k through MIXED filters, partition conjunct AND
+  // sort-column bound together (`WHERE type-filter AND ts >= d ORDER BY
+  // ts DESC LIMIT k` — the full dashboard shape both single-flavor paths
+  // decline): the tolerant census walk binds the partition conjunct
+  // exactly and the fully-inside prefix proof runs over the surviving
+  // dirs' files under the ts bound — asserted in-query (a second ts >=
+  // conjunct + fewer files). DuckDB filters and sorts everything.
+  // --------------------------------------------------------------------------
+  def topkMixed(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureTopkw(spark, dir)
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val out = t.filter(col("event_type") >= "p" &&
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      .orderBy(col("ts").desc, col("event_id").asc).limit(100)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression,
+      GreaterThanOrEqual, Literal => CLit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(x, y) => split(x) ++ split(y)
+      case x => Seq(x)
+    }
+    val geBounds = out.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) => c
+    }.flatMap(split).count {
+      case GreaterThanOrEqual(
+          a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+          _: CLit) if a.name == "ts" => true
+      case _ => false
+    }
+    require(geBounds >= 2,
+      "q_topk_mixed: expected an injected ts >= τ beside the user's " +
+        s"bounds; optimized plan:\n${out.queryExecution.optimizedPlan}")
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read < total,
+      s"q_topk_mixed: expected pruning under the mixed filter, read $read/$total")
+    out
+  }
+
+  val topkMixedSql: String =
+    """SELECT event_id, event_type, ts FROM events
+      |WHERE event_type >= 'p' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_topk_dense — DENSE_RANK window group limit: the count-based prefix
   // proof is unsound for dense_rank (its k-th DISTINCT value can sit past
   // the count threshold), so the per-group τ comes from the ANALYZE
@@ -3119,6 +3173,7 @@ object SkippingQueries {
     "q_topk_window" -> (topkWindow _),
     "q_topk_filtered" -> (topkFiltered _),
     "q_topk_range" -> (topkRange _),
+    "q_topk_mixed" -> (topkMixed _),
     "q_topk_dense" -> (topkDense _),
     "q_topk_window_yr" -> (topkWindowDerived _),
     "q_topk_derived" -> (topkDerived _),
@@ -3181,6 +3236,7 @@ object SkippingQueries {
     "q_topk_window" -> topkWindowSql,
     "q_topk_filtered" -> topkFilteredSql,
     "q_topk_range" -> topkRangeSql,
+    "q_topk_mixed" -> topkMixedSql,
     "q_topk_dense" -> topkDenseSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,
     "q_topk_derived" -> topkDerivedSql,

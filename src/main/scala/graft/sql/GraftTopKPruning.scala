@@ -459,6 +459,7 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case None => pruneFiltered(s, a, desc, nullOrd, k, child)
           .orElse(pruneSortColData(s, a, desc, nullOrd, k, child))
+          .orElse(pruneMixed(s, a, desc, nullOrd, k, child))
       }
     // INLINE derived sort key (`ORDER BY day / 4 DESC LIMIT k` — Sorts
     // never get the Project pull-out Aggregates do): bind it over the
@@ -546,66 +547,10 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     val (cond, inner) = toFilter(child).getOrElse(return None)
     val (files, mm, nn, names, leaf) = scanOf(inner).getOrElse(return None)
     val column = names.get(a.exprId).getOrElse(return None)
-    val ord = TypeUtils.getInterpretedOrdering(a.dataType)
-    // every conjunct as a same-direction bound on the sort column:
-    // (literal internal value, strict?) — anything else declines
-    val bounds: Seq[(Any, Boolean)] = splitConj(cond).map { c =>
-      def v(l: Expression): Option[Any] = l match {
-        case Literal(x, dt) if x != null && dt == a.dataType => Some(x)
-        case _ => None
-      }
-      def same(x: Expression) = x match {
-        case ar: AttributeReference => ar.exprId == a.exprId
-        case _ => false
-      }
-      (c match {
-        case GreaterThanOrEqual(x, l) if same(x) && desc => v(l).map((_, false))
-        case GreaterThan(x, l) if same(x) && desc => v(l).map((_, true))
-        case LessThanOrEqual(l, x) if same(x) && desc => v(l).map((_, false))
-        case LessThan(l, x) if same(x) && desc => v(l).map((_, true))
-        case LessThanOrEqual(x, l) if same(x) && !desc => v(l).map((_, false))
-        case LessThan(x, l) if same(x) && !desc => v(l).map((_, true))
-        case GreaterThanOrEqual(l, x) if same(x) && !desc => v(l).map((_, false))
-        case GreaterThan(l, x) if same(x) && !desc => v(l).map((_, true))
-        case _ => None
-      }).getOrElse(return None)
-    }
-    // a value at `edge` satisfies every conjunct?
-    def satAll(edge: Any): Boolean = bounds.forall { case (v, strict) =>
-      if (desc) { if (strict) ord.gt(edge, v) else ord.gteq(edge, v) }
-      else { if (strict) ord.lt(edge, v) else ord.lteq(edge, v) }
-    }
-    // provable files in the INTERNAL domain: (min, max, non-null count)
-    val fbs = scala.util.Try(files.flatMap { f =>
-      for {
-        b <- mm(f, column).flatten
-        im <- GraftStats.internalOf(b._1, a.dataType)
-        ix <- GraftStats.internalOf(b._2, a.dataType)
-        c <- nn(f, column)
-        if c > 0L
-      } yield (im, ix, c)
-    }).getOrElse(return None)
-    // fully-satisfying files (worst edge passes): exact counts under the
-    // filter; prefix proof over them in sort order
-    val fullSat = fbs.filter { case (mn, mx, _) => satAll(if (desc) mn else mx) }
-    val sortedFs =
-      if (desc) fullSat.sortBy(_._1)(ord.reverse) else fullSat.sortBy(_._2)(ord)
-    var need = k.toLong
-    var tau: Option[Any] = None
-    val it = sortedFs.iterator
-    while (need > 0 && it.hasNext) {
-      val (mn, mx, c) = it.next(); need -= c; tau = Some(if (desc) mn else mx)
-    }
-    if (need > 0) return None
-    val t = tau.get
-    // profitable-and-terminating: a file the existing conjuncts do not
-    // already skip whole must fall entirely past tau
-    val prunesNew = fbs.exists { case (mn, mx, _) =>
-      val alreadySkipped = !satAll(if (desc) mx else mn)
-      val pastTau = if (desc) ord.lt(mx, t) else ord.gt(mn, t)
-      !alreadySkipped && pastTau
-    }
-    if (!prunesNew) return None
+    val bounds = traverseOpt(splitConj(cond).map(boundOf(_, a, desc)))
+      .getOrElse(return None)
+    val t = sortColThreshold(files, mm, nn, column, a.dataType, k, desc,
+      bounds).getOrElse(return None)
     val la = leaf.output.collectFirst {
       case la: AttributeReference if la.name == column => la
     }.getOrElse(return None)
@@ -614,6 +559,117 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       else LessThanOrEqual(la, Literal(t, la.dataType))
     injectAtLeaf(child, leaf, cmp).map(nc => s.copy(child = nc))
   }
+
+  /** Top-k through MIXED filters — partition conjuncts AND sort-column
+    * bounds together (`WHERE day >= d AND ts >= t ORDER BY ts DESC LIMIT
+    * k`, the full dashboard shape, which both single-flavor paths
+    * decline). The TOLERANT census walk binds the partition conjuncts
+    * exactly (file-constant ⇒ the surviving entry set is exact) and
+    * hands back the sort-column conjuncts; the fully-inside prefix proof
+    * then runs over the SURVIVING entries' files only, with the same
+    * soundness, profitability, and fixpoint arguments as
+    * [[pruneSortColData]] (the injected conjunct is itself a tolerated
+    * sort-column bound on revisit, and the newly-skippable check
+    * declines). */
+  private def pruneMixed(s: Sort, a: AttributeReference, desc: Boolean,
+      nullOrd: NullOrdering, k: Int, child: LogicalPlan): Option[Sort] = {
+    import PartitionCensus.{censusOf, liveEntries}
+    val aId = a.exprId
+    val (info, tol) = censusOf(child,
+      e => e.references.map(_.exprId).toSet == Set(aId)).getOrElse(return None)
+    if (tol.isEmpty) return None // pure partition case: pruneFiltered owns it
+    val column = info.dataColOf.get(aId).getOrElse(return None)
+    val (_, mm, nn) = GraftBatchShim.topkStatsOf(info.leaf).getOrElse(return None)
+    val bounds = traverseOpt(tol.map(boundOf(_, a, desc)))
+      .getOrElse(return None)
+    val files = liveEntries(info).flatMap(_._3)
+    if (files.isEmpty) return None
+    val t = sortColThreshold(files, mm, nn, column, a.dataType, k, desc,
+      bounds).getOrElse(return None)
+    val la = info.leaf.output.collectFirst {
+      case la: AttributeReference if la.name == column => la
+    }.getOrElse(return None)
+    val cmp: Expression =
+      if (desc) GreaterThanOrEqual(la, Literal(t, la.dataType))
+      else LessThanOrEqual(la, Literal(t, la.dataType))
+    injectAtLeaf(child, info.leaf, cmp).map(nc => s.copy(child = nc))
+  }
+
+  /** A conjunct as a SAME-DIRECTION literal bound on the sort column:
+    * (internal value, strict?) — anything else is None. */
+  private def boundOf(c: Expression, a: AttributeReference,
+      desc: Boolean): Option[(Any, Boolean)] = {
+    def v(l: Expression): Option[Any] = l match {
+      case Literal(x, dt) if x != null && dt == a.dataType => Some(x)
+      case _ => None
+    }
+    def same(x: Expression) = x match {
+      case ar: AttributeReference => ar.exprId == a.exprId
+      case _ => false
+    }
+    c match {
+      case GreaterThanOrEqual(x, l) if same(x) && desc => v(l).map((_, false))
+      case GreaterThan(x, l) if same(x) && desc => v(l).map((_, true))
+      case LessThanOrEqual(l, x) if same(x) && desc => v(l).map((_, false))
+      case LessThan(l, x) if same(x) && desc => v(l).map((_, true))
+      case LessThanOrEqual(x, l) if same(x) && !desc => v(l).map((_, false))
+      case LessThan(x, l) if same(x) && !desc => v(l).map((_, true))
+      case GreaterThanOrEqual(l, x) if same(x) && !desc => v(l).map((_, false))
+      case GreaterThan(l, x) if same(x) && !desc => v(l).map((_, true))
+      case _ => None
+    }
+  }
+
+  private def traverseOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** The shared fully-inside prefix proof: over `files`, only those whose
+    * WHOLE value range satisfies every bound contribute their exact
+    * non-null counts; the shortest prefix with ≥ k rows proves τ
+    * (internal domain), answered only when some not-already-skipped file
+    * falls entirely past it (profitability AND the revisit fixpoint). */
+  private def sortColThreshold(files: Seq[String],
+      mm: (String, String) => Option[Option[(Any, Any)]],
+      nn: (String, String) => Option[Long],
+      column: String, dt: org.apache.spark.sql.types.DataType,
+      k: Int, desc: Boolean, bounds: Seq[(Any, Boolean)]): Option[Any] =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.util.TypeUtils
+      val ord = TypeUtils.getInterpretedOrdering(dt)
+      def satAll(edge: Any): Boolean = bounds.forall { case (v, strict) =>
+        if (desc) { if (strict) ord.gt(edge, v) else ord.gteq(edge, v) }
+        else { if (strict) ord.lt(edge, v) else ord.lteq(edge, v) }
+      }
+      val fbs = files.flatMap { f =>
+        for {
+          b <- mm(f, column).flatten
+          im <- GraftStats.internalOf(b._1, dt)
+          ix <- GraftStats.internalOf(b._2, dt)
+          c <- nn(f, column)
+          if c > 0L
+        } yield (im, ix, c)
+      }
+      val fullSat = fbs.filter { case (mn, mx, _) =>
+        satAll(if (desc) mn else mx) }
+      val sortedFs =
+        if (desc) fullSat.sortBy(_._1)(ord.reverse)
+        else fullSat.sortBy(_._2)(ord)
+      var need = k.toLong
+      var tau: Option[Any] = None
+      val it = sortedFs.iterator
+      while (need > 0 && it.hasNext) {
+        val (mn, mx, c) = it.next(); need -= c
+        tau = Some(if (desc) mn else mx)
+      }
+      if (need > 0) None
+      else tau.filter { t =>
+        fbs.exists { case (mn, mx, _) =>
+          val alreadySkipped = !satAll(if (desc) mx else mn)
+          val pastTau = if (desc) ord.lt(mx, t) else ord.gt(mn, t)
+          !alreadySkipped && pastTau
+        }
+      }
+    }.toOption.flatten
 
   /** Descend from the Sort's child to a graft relation through
     * attribute-only Projects (a Filter or anything else declines), keeping

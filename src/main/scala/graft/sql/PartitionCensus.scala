@@ -41,6 +41,16 @@ private[sql] object PartitionCensus {
     * filter conjuncts at their own level (a Project above may
     * legitimately prune a filter-only column). */
   private[sql] def censusOf(plan: LogicalPlan): Option[CensusInfo] =
+    censusOf(plan, _ => false).map(_._1)
+
+  /** The TOLERANT walk: conjuncts that fail partition binding but satisfy
+    * `tolerate` are collected (with the walk's info) instead of refusing
+    * the whole filter — the mixed-filter top-k's entry point (`WHERE day
+    * >= d AND ts >= t`: the day conjunct binds, the ts conjunct is the
+    * caller's to reason about). Any other unbindable conjunct still
+    * refuses. */
+  private[sql] def censusOf(plan: LogicalPlan,
+      tolerate: Expression => Boolean): Option[(CensusInfo, Seq[Expression])] =
     GraftBatchShim.graftPartitionCensusOf(plan) match {
       case Some((partSchema, census, fmm)) =>
         val partNames = partSchema.fieldNames
@@ -52,43 +62,54 @@ private[sql] object PartitionCensus {
           if (partNames.contains(a.name)) None
           else Some(a.exprId -> a.name)
         }.toMap
-        Some(CensusInfo(census, idxOf, dataColOf, partSchema, fmm, Nil,
-          Map.empty, plan))
+        Some((CensusInfo(census, idxOf, dataColOf, partSchema, fmm, Nil,
+          Map.empty, plan), Nil))
       case None => plan match {
-        case Project(items, c) => censusOf(c).map { info =>
-          def remap[A](base: Map[ExprId, A]): Map[ExprId, A] =
-            items.flatMap {
-              case a: AttributeReference =>
-                base.get(a.exprId).map(a.exprId -> _)
-              case al @ Alias(a: AttributeReference, _) =>
-                base.get(a.exprId).map(al.exprId -> _)
-              case _ => None // handled below when partition-derivable
+        case Project(items, c) => censusOf(c, tolerate).map {
+          case (info, tol) =>
+            def remap[A](base: Map[ExprId, A]): Map[ExprId, A] =
+              items.flatMap {
+                case a: AttributeReference =>
+                  base.get(a.exprId).map(a.exprId -> _)
+                case al @ Alias(a: AttributeReference, _) =>
+                  base.get(a.exprId).map(al.exprId -> _)
+                case _ => None // handled below when partition-derivable
+              }.toMap
+            // a COMPUTED column whose every input is a partition (or
+            // already-derived) value binds to the census tuple — the
+            // `year(event_date) AS yr` grouping shape; anything touching a
+            // data column stays unmapped and its consumers decline
+            val derived = items.flatMap {
+              case al @ Alias(e, _)
+                  if !e.isInstanceOf[AttributeReference] &&
+                    e.references.nonEmpty =>
+                bindPart(e, info).map(al.exprId -> _)
+              case _ => None
             }.toMap
-          // a COMPUTED column whose every input is a partition (or
-          // already-derived) value binds to the census tuple — the
-          // `year(event_date) AS yr` grouping shape; anything touching a
-          // data column stays unmapped and its consumers decline
-          val derived = items.flatMap {
-            case al @ Alias(e, _)
-                if !e.isInstanceOf[AttributeReference] &&
-                  e.references.nonEmpty =>
-              bindPart(e, info).map(al.exprId -> _)
-            case _ => None
-          }.toMap
-          info.copy(idxOf = remap(info.idxOf),
-            dataColOf = remap(info.dataColOf),
-            derivedOf = remap(info.derivedOf) ++ derived)
+            (info.copy(idxOf = remap(info.idxOf),
+              dataColOf = remap(info.dataColOf),
+              derivedOf = remap(info.derivedOf) ++ derived), tol)
         }
         case Filter(cond, c)
             if cond.deterministic &&
               !cond.exists(_.isInstanceOf[PlanExpression[_]]) =>
-          censusOf(c).flatMap { info =>
+          censusOf(c, tolerate).flatMap { case (info, tol) =>
             def split(e: Expression): Seq[Expression] = e match {
               case And(l, r) => split(l) ++ split(r)
               case x => Seq(x)
             }
-            val bound = traverseOpt(split(cond).map(bindPart(_, info)))
-            bound.map(bs => info.copy(conds = info.conds ++ bs))
+            val parts = traverseOpt(split(cond).map { x =>
+              bindPart(x, info) match {
+                case Some(b) => Some(scala.util.Left(b))
+                case None if tolerate(x) => Some(scala.util.Right(x))
+                case None => None
+              }
+            })
+            parts.map { ps =>
+              (info.copy(conds = info.conds ++
+                ps.collect { case scala.util.Left(b) => b }),
+                tol ++ ps.collect { case scala.util.Right(x) => x })
+            }
           }
         case _ => None
       }

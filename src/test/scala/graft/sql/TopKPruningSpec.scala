@@ -266,6 +266,23 @@ class TopKPruningSpec extends SparkSpec {
     withRuleOff { assert(rows(qOld()) == oldRows) }
     assert(oldRows.forall(r => r.endsWith(",0]") || r.endsWith(",1]")),
       s"day <= 1 top-k must come from days 0/1: $oldRows")
+    // MIXED partition + sort-column bounds — the full dashboard shape:
+    // the tolerant census walk binds day >= 6 exactly and the ts bound
+    // joins the fully-inside proof; only the surviving dirs' top band
+    // reads
+    def qm() = t.filter(col("day") >= 6 && col("ts") >= 4000L)
+      .orderBy(col("ts").desc).limit(10)
+    val onM = qm()
+    val onMRows = rows(onM)
+    val readM = filesRead(onM, "m")
+    assert(readM <= 2L && readM >= 1L,
+      s"mixed filters must prune to the surviving dirs' top band: $readM/$total")
+    withRuleOff { assert(rows(qm()) == onMRows) }
+    // opposite-direction ts bound poisons the proof — decline, exact
+    def qo() = t.filter(col("day") >= 6 && col("ts") <= 5000L)
+      .orderBy(col("ts").desc).limit(10)
+    val onO = qo(); val onORows = rows(onO)
+    withRuleOff { assert(rows(qo()) == onORows) }
     // a data-column conjunct ANYWHERE in the filter declines the proof
     val mixed = t.filter(col("day") >= 6 && col("m") === 3)
       .orderBy(col("ts").desc).limit(10)
