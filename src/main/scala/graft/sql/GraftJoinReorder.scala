@@ -24,21 +24,26 @@ import org.apache.spark.sql.graft.GraftBatchShim
   * output — symmetric on both candidates, so the comparison degrades
   * gracefully rather than unsafely.
   *
-  * CONSERVATIVE BY CONSTRUCTION — the rewrite fires only on the exact
-  * shape `(A ⋈ B) ⋈ C` where:
+  * CONSERVATIVE BY CONSTRUCTION — the rewrite fires only on the shape
+  * `(A ⋈ B) ⋈ C` where:
   *  - both joins are INNER, hint-free, with PURE EQUI conditions
   *    (attr = attr conjuncts, each pairing the two sides — anything else
   *    declines);
   *  - C's condition references A only (no B column), so swapping to
   *    `(A ⋈ C) ⋈ B` is plain inner-join associativity;
-  *  - all three legs are graft relations (through attribute-only
-  *    projections) with live row counts, and EVERY equi key on BOTH
-  *    candidates is sketched — no guess without a sketch, a filtered leg
-  *    declines (its surviving count is not knowable here);
+  *  - every leg is a graft relation (through attribute-only projections)
+  *    with live row counts OR itself such an inner equi-join (estimated
+  *    recursively with the same formula — a selective dim BUBBLES DOWN a
+  *    whole left-deep chain, one level per optimizer iteration), and
+  *    EVERY equi key on BOTH candidates is sketched — no guess without a
+  *    sketch, a filtered leg declines (its surviving count is not
+  *    knowable here);
   *  - the estimates differ by ≥ `spark.graft.joinReorder.ratio`
   *    (default 10): close calls keep the user's order.
   * The replacement wraps in a Project restoring the original column
-  * order (Spark's own reorder does the same). Revisit idempotence: a
+  * order (Spark's own reorder does the same). Termination: each swap
+  * strictly improves the inner estimate ≥10× at its node — a bubble
+  * sort with hysteresis over finitely many left-deep orders; a
   * swap-back would need the OPPOSITE ≥10× inequality — impossible.
   * Disable with `spark.graft.joinReorder.enabled=false`. */
 case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -51,16 +56,31 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
-    plan.transformUp {
-      case j @ Join(l, c, Inner, Some(cAC), JoinHint.NONE) =>
-        // column pruning wraps the inner join in an attribute-only
-        // Project — see through it (the rebuild re-derives pruning)
-        stripAttrProjects(l) match {
-          case Join(a, b, Inner, Some(cAB), JoinHint.NONE) =>
-            trySwap(j, a, b, c, cAB, cAC).getOrElse(j)
-          case _ => j
-        }
+    // run to an INTERNAL fixpoint: a selective dim bubbles down a whole
+    // chain in one rule application, BEFORE later rules (eager
+    // aggregation plants partial aggregates on the fact leg, which this
+    // rule's estimator rightly refuses) reshape the legs under it
+    var cur = plan
+    var changed = true
+    var guard = 0
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      cur = cur.transformUp {
+        case j @ Join(l, c, Inner, Some(cAC), JoinHint.NONE) =>
+          // column pruning wraps the inner join in an attribute-only
+          // Project — see through it (the rebuild re-derives pruning)
+          stripAttrProjects(l) match {
+            case Join(a, b, Inner, Some(cAB), JoinHint.NONE) =>
+              trySwap(j, a, b, c, cAB, cAC) match {
+                case Some(n) => changed = true; n
+                case None => j
+              }
+            case _ => j
+          }
+      }
     }
+    cur
   }
 
   private def stripAttrProjects(p: LogicalPlan): LogicalPlan = p match {
@@ -70,52 +90,76 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** (ndv hook, live rows, output ids) behind attribute-only projections
-    * over a graft relation; Filters decline — their surviving row count
-    * is not knowable from the manifest. */
-  private def statsOf(p: LogicalPlan)
-      : Option[(String => Option[Long], Long, Map[ExprId, String])] =
+  /** (estimated rows, per-column NDV by exprId) of a leg: a graft
+    * relation (through attribute-only projections) with live rows, or an
+    * INNER equi-join of such legs estimated with this rule's own formula
+    * — which is what lets a selective dim BUBBLE DOWN a whole left-deep
+    * chain: each optimizer iteration swaps it one level deeper, the
+    * composite leg re-estimating as it goes. A joined column's NDV keeps
+    * its leg's sketch value capped at the join's estimated rows (a
+    * filtering join can only shrink distinctness — the cap errs toward
+    * LARGER downstream estimates, symmetric across candidates). Filters
+    * and anything else decline. */
+  private def estOf(p: LogicalPlan): Option[(Double, ExprId => Option[Long])] =
     GraftBatchShim.ndvStatsOf(p) match {
       case Some((ndv, rows)) =>
-        Some((ndv, rows, p.output.map(a => a.exprId -> a.name).toMap))
+        val names = p.output.map(a => a.exprId -> a.name).toMap
+        Some((rows.toDouble, id => names.get(id).flatMap(ndv)))
       case None => p match {
         case Project(items, ch)
             if items.forall(_.isInstanceOf[AttributeReference]) =>
-          statsOf(ch).map { case (ndv, rows, names) =>
-            val keep = items.map(_.asInstanceOf[AttributeReference].exprId).toSet
-            (ndv, rows, names.filter(kv => keep(kv._1)))
+          estOf(ch) // ids preserved; pruning does not change stats
+        // inferred IsNotNull-only filters are join-estimate-transparent:
+        // null keys never match anyway, and the slight row overestimate
+        // on non-key columns only widens BOTH candidates
+        case Filter(c, ch) if splitConj(c).forall {
+          case IsNotNull(_: AttributeReference) => true
+          case _ => false
+        } => estOf(ch)
+        case Join(l, r, Inner, Some(c), JoinHint.NONE) =>
+          for {
+            le <- estOf(l)
+            re <- estOf(r)
+            pairs <- equiPairs(c, l, r)
+            est <- estimate(le._1, le._2, re._1, re._2, pairs)
+          } yield {
+            val lIds = l.output.map(_.exprId).toSet
+            val cap = math.max(1L, math.min(Long.MaxValue.toDouble, est).toLong)
+            val lookup: ExprId => Option[Long] = id =>
+              (if (lIds(id)) le._2(id) else re._2(id)).map(math.min(_, cap))
+            (est, lookup)
           }
         case _ => None
       }
     }
 
-  /** The condition's equi pairs as (left column, right column) NAMES —
-    * None unless EVERY conjunct is attr = attr across the two sides. */
-  private def equiPairs(cond: Expression, left: Map[ExprId, String],
-      right: Map[ExprId, String]): Option[Seq[(String, String)]] = {
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => split(l) ++ split(r)
-      case x => Seq(x)
-    }
-    val pairs = split(cond).map {
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x => Seq(x)
+  }
+
+  /** The condition's equi pairs as (left id, right id) — None unless
+    * EVERY conjunct is attr = attr across the two sides. */
+  private def equiPairs(cond: Expression, l: LogicalPlan,
+      r: LogicalPlan): Option[Seq[(ExprId, ExprId)]] = {
+    val lids = l.output.map(_.exprId).toSet
+    val rids = r.output.map(_.exprId).toSet
+    val pairs = splitConj(cond).map {
       case EqualTo(x: AttributeReference, y: AttributeReference) =>
-        (left.get(x.exprId), right.get(y.exprId),
-          left.get(y.exprId), right.get(x.exprId)) match {
-          case (Some(l), Some(r), _, _) => (l, r)
-          case (_, _, Some(l), Some(r)) => (l, r)
-          case _ => return None
-        }
+        if (lids(x.exprId) && rids(y.exprId)) (x.exprId, y.exprId)
+        else if (lids(y.exprId) && rids(x.exprId)) (y.exprId, x.exprId)
+        else return None
       case _ => return None
     }
     if (pairs.isEmpty) None else Some(pairs)
   }
 
-  /** `|X ⋈ Y|` from live rows and per-key sketches — None when any key
-    * side is un-sketched. */
-  private def estimate(rowsL: Long, ndvL: String => Option[Long],
-      rowsR: Long, ndvR: String => Option[Long],
-      pairs: Seq[(String, String)]): Option[Double] = {
-    var est = rowsL.toDouble * rowsR.toDouble
+  /** `|X ⋈ Y|` from estimated rows and per-key sketches — None when any
+    * key side is un-sketched. */
+  private def estimate(rowsL: Double, ndvL: ExprId => Option[Long],
+      rowsR: Double, ndvR: ExprId => Option[Long],
+      pairs: Seq[(ExprId, ExprId)]): Option[Double] = {
+    var est = rowsL * rowsR
     pairs.foreach { case (lk, rk) =>
       val dl = ndvL(lk).getOrElse(return None)
       val dr = ndvR(rk).getOrElse(return None)
@@ -129,11 +173,11 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
     // C's condition must not touch B — otherwise the swap is not
     // associativity but a different query
     if (cAC.references.exists(b.outputSet.contains)) return None
-    val (ndvA, rowsA, namesA) = statsOf(a).getOrElse(return None)
-    val (ndvB, rowsB, namesB) = statsOf(b).getOrElse(return None)
-    val (ndvC, rowsC, namesC) = statsOf(c).getOrElse(return None)
-    val pAB = equiPairs(cAB, namesA, namesB).getOrElse(return None)
-    val pAC = equiPairs(cAC, namesA, namesC).getOrElse(return None)
+    val (rowsA, ndvA) = estOf(a).getOrElse(return None)
+    val (rowsB, ndvB) = estOf(b).getOrElse(return None)
+    val (rowsC, ndvC) = estOf(c).getOrElse(return None)
+    val pAB = equiPairs(cAB, a, b).getOrElse(return None)
+    val pAC = equiPairs(cAC, a, c).getOrElse(return None)
     val estAB = estimate(rowsA, ndvA, rowsB, ndvB, pAB).getOrElse(return None)
     val estAC = estimate(rowsA, ndvA, rowsC, ndvC, pAC).getOrElse(return None)
     if (estAC * ratio > estAB) return None // close call: keep the user's order

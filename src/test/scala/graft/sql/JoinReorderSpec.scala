@@ -73,6 +73,41 @@ class JoinReorderSpec extends SparkSpec {
     assert(qBest().collect().map(_.toString).sorted.toSeq == got)
   }
 
+  test("a selective dim bubbles down a whole left-deep chain") {
+    val base = tmp()
+    val fact = base + "/fact"; val b1 = base + "/b1"
+    val b2 = base + "/b2"; val tiny = base + "/tiny"
+    VersionedTable.write(spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("v")),
+      fact, statsCols = Seq("k"))
+    VersionedTable.analyzeNdv(spark, fact, Seq("k"))
+    Seq((b1, "b1k"), (b2, "b2k")).foreach { case (p, kn) =>
+      VersionedTable.write(spark.range(0, 1000).select(col("id").as(kn)),
+        p, statsCols = Seq(kn))
+      VersionedTable.analyzeNdv(spark, p, Seq(kn))
+    }
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("tk"), concat(lit("t"), col("id")).as("tattr")),
+      tiny, statsCols = Seq("tk"))
+    VersionedTable.analyzeNdv(spark, tiny, Seq("tk"))
+    // WORST order: the 50x-selective dim joins LAST, two full dims first
+    def q() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, b1), col("k") === col("b1k"))
+      .join(VersionedTable.read(spark, b2), col("k") === col("b2k"))
+      .join(VersionedTable.read(spark, tiny), col("k") === col("tk"))
+      .groupBy(col("tattr")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val on = q()
+    assert(pairedFirst(on, fact, tiny),
+      s"the selective dim must bubble down to the fact:\n" +
+        on.queryExecution.optimizedPlan)
+    val got = on.collect().map(_.toString).sorted.toSeq
+    withRuleOff {
+      val off = q()
+      assert(!pairedFirst(off, fact, tiny))
+      assert(off.collect().map(_.toString).sorted.toSeq == got)
+    }
+  }
+
   test("declines: close call, outer arm, un-sketched key, filtered leg, B-touching cond") {
     val base = tmp()
     val fact = base + "/fact"; val big = base + "/big"
