@@ -789,6 +789,47 @@ object SkippingQueries {
       |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_count_boundary — HYBRID BOUNDARY COUNT: `COUNT(*) WHERE ts range`
+  // scans only the files STRADDLING the range edges; fully-inside files
+  // answer from manifest non-null counts, fully-outside ones contribute
+  // nothing — asserted in-query (≤ 2 edge files read out of 16). DuckDB
+  // counts the raw rows.
+  // --------------------------------------------------------------------------
+  def countBoundary(spark: SparkSession, dir: String): DataFrame = {
+    val path = topkrPath(dir)
+    if (VersionedTable.latestVersion(spark, path).isEmpty)
+      VersionedTable.write(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("value"))
+          .repartitionByRange(16, col("ts")),
+        path, statsCols = Seq("ts"))
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val out = t
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+      .agg(count(lit(1)).as("n_rows"), count(col("ts")).as("n_ts"))
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read <= 2L,
+      s"q_count_boundary: only the edge files may scan, read $read/$total; " +
+        s"plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val countBoundarySql: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(ts) AS n_ts FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_topk_mixed — top-k through MIXED filters, partition conjunct AND
   // sort-column bound together (`WHERE type-filter AND ts >= d ORDER BY
   // ts DESC LIMIT k` — the full dashboard shape both single-flavor paths
@@ -3174,6 +3215,7 @@ object SkippingQueries {
     "q_topk_filtered" -> (topkFiltered _),
     "q_topk_range" -> (topkRange _),
     "q_topk_mixed" -> (topkMixed _),
+    "q_count_boundary" -> (countBoundary _),
     "q_topk_dense" -> (topkDense _),
     "q_topk_window_yr" -> (topkWindowDerived _),
     "q_topk_derived" -> (topkDerived _),
@@ -3237,6 +3279,7 @@ object SkippingQueries {
     "q_topk_filtered" -> topkFilteredSql,
     "q_topk_range" -> topkRangeSql,
     "q_topk_mixed" -> topkMixedSql,
+    "q_count_boundary" -> countBoundarySql,
     "q_topk_dense" -> topkDenseSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,
     "q_topk_derived" -> topkDerivedSql,

@@ -317,8 +317,10 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       // fallback: GLOBAL aggregates of PARTITION columns (file stats never
       // cover them) answer from the census — `SELECT max(event_date) FROM
       // t [WHERE day-filter]`, the freshness probe every ops dashboard
-      // runs, with COUNT's 0-on-empty / MIN-MAX's null-on-empty totality
-      direct.orElse(censusGlobal(agg, aggExprs, child)).getOrElse(agg)
+      // runs, with COUNT's 0-on-empty / MIN-MAX's null-on-empty totality;
+      // then the HYBRID boundary count for single-column range filters
+      direct.orElse(censusGlobal(agg, aggExprs, child))
+        .orElse(boundaryCount(agg, aggExprs, child)).getOrElse(agg)
     // ROLLUP / CUBE / GROUPING SETS over the census — the Expand-based
     // aggregate: each Expand projection IS one grouping set (group values
     // or NULL, plus the spark_grouping_id literal), so each set answers
@@ -405,6 +407,178 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(LocalRelation(agg.output, outRows))
   }
 
+
+  /** HYBRID BOUNDARY COUNT — `COUNT(*) WHERE <single-column range>`
+    * scans only the files STRADDLING the range edges: a file whose whole
+    * [min,max] lies inside the range contributes its exact non-null
+    * count from the manifest (the comparisons drop null rows, which the
+    * non-null count already excludes), a file entirely outside (or
+    * all-null) contributes nothing, and only the boundary files run a
+    * real counting scan whose result ADDS to the metadata total.
+    * `SELECT COUNT(*) FROM t WHERE ts >= a AND ts < b` over a 100 TB
+    * time-clustered fact reads the two edge files instead of the whole
+    * range. Exact-or-decline: every conjunct must compare ONE column
+    * (data or partition — partition bounds synthesize from path values)
+    * against a non-null literal with </<=/>/>=/= (IsNotNull on that same
+    * column rides free — matching rows are non-null by construction);
+    * DV-marked and stats-less files classify as boundary (scanned, never
+    * guessed); COUNT(*) and COUNT(range-column) both answer. Fires only
+    * when at least one file classifies AWAY from the boundary scan —
+    * which is also the fixpoint: the rewritten sub-count's relation
+    * holds boundary files only, where the revisit classifies nothing
+    * away and declines. */
+  private def boundaryCount(agg: Aggregate, aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    def toFilter(p: LogicalPlan): Option[(Expression, LogicalPlan)] = p match {
+      case Filter(c, i) => Some((c, i))
+      case Project(items, ch)
+          if items.forall(_.isInstanceOf[AttributeReference]) => toFilter(ch)
+      case _ => None
+    }
+    val (cond, inner) = toFilter(child).getOrElse(return None)
+    if (!cond.deterministic || cond.exists(_.isInstanceOf[PlanExpression[_]]))
+      return None
+    def scanOf(p: LogicalPlan): Option[(Seq[String],
+        (String, String) => Option[Option[(Any, Any)]],
+        (String, String) => Option[Long], LogicalPlan)] =
+      GraftBatchShim.topkStatsOf(p) match {
+        case Some((files, mm, nn)) => Some((files, mm, nn, p))
+        case None => p match {
+          case Project(items, ch)
+              if items.forall(_.isInstanceOf[AttributeReference]) =>
+            scanOf(ch) // ids preserved through attribute-only projections
+          case _ => None
+        }
+      }
+    val (files, mm, nn, leaf) = scanOf(inner).getOrElse(return None)
+    // every conjunct: ONE shared column vs a non-null literal
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    var theCol: Option[AttributeReference] = None
+    def colOf(x: Expression): Option[AttributeReference] = x match {
+      case a: AttributeReference if theCol.forall(_.exprId == a.exprId) =>
+        theCol = Some(a); Some(a)
+      case _ => None
+    }
+    def lit(l: Expression, dt: org.apache.spark.sql.types.DataType)
+        : Option[Any] = l match {
+      case Literal(v, d) if v != null && d == dt => Some(v)
+      case _ => None
+    }
+    // accumulated interval in the INTERNAL domain: (value, strict)
+    var lo: Option[(Any, Boolean)] = None
+    var hi: Option[(Any, Boolean)] = None
+    def ordOf = TypeUtils.getInterpretedOrdering(theCol.get.dataType)
+    def addLo(v: Any, s: Boolean): Unit = lo = lo match {
+      case None => Some((v, s))
+      case Some((v0, s0)) =>
+        val ord = ordOf
+        if (ord.gt(v, v0)) Some((v, s))
+        else if (ord.lt(v, v0)) Some((v0, s0)) else Some((v0, s0 || s))
+    }
+    def addHi(v: Any, s: Boolean): Unit = hi = hi match {
+      case None => Some((v, s))
+      case Some((v0, s0)) =>
+        val ord = ordOf
+        if (ord.lt(v, v0)) Some((v, s))
+        else if (ord.gt(v, v0)) Some((v0, s0)) else Some((v0, s0 || s))
+    }
+    // each comparison tries both orientations (attr op lit / lit op attr)
+    def take(x: Expression, y: Expression,
+        attrFirst: (Any, AttributeReference) => Unit,
+        litFirst: (Any, AttributeReference) => Unit): Boolean =
+      (for (a <- colOf(x); v <- lit(y, a.dataType)) yield attrFirst(v, a))
+        .isDefined ||
+        (for (a <- colOf(y); v <- lit(x, a.dataType)) yield litFirst(v, a))
+          .isDefined
+    split(cond).foreach { c =>
+      val ok = c match {
+        case IsNotNull(x) => colOf(x).isDefined // rides free on the column
+        case GreaterThanOrEqual(x, y) =>
+          take(x, y, (v, _) => addLo(v, s = false), (v, _) => addHi(v, s = false))
+        case GreaterThan(x, y) =>
+          take(x, y, (v, _) => addLo(v, s = true), (v, _) => addHi(v, s = true))
+        case LessThanOrEqual(x, y) =>
+          take(x, y, (v, _) => addHi(v, s = false), (v, _) => addLo(v, s = false))
+        case LessThan(x, y) =>
+          take(x, y, (v, _) => addHi(v, s = true), (v, _) => addLo(v, s = true))
+        case EqualTo(x, y) =>
+          take(x, y,
+            (v, _) => { addLo(v, s = false); addHi(v, s = false) },
+            (v, _) => { addLo(v, s = false); addHi(v, s = false) })
+        case _ => false
+      }
+      if (!ok) return None
+    }
+    val a0 = theCol.getOrElse(return None)
+    // every output slot must be COUNT(*) or COUNT(the range column) —
+    // a matching row is non-null in it by the comparisons (IsNotNull-only
+    // filters match everything non-null, same argument)
+    aggExprs.foreach {
+      case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
+          if l.value != null => ()
+      case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _)
+          if a.exprId == a0.exprId => ()
+      case _ => return None
+    }
+    val colName = leaf.output.collectFirst {
+      case la: AttributeReference if la.exprId == a0.exprId => la.name
+    }.getOrElse(return None)
+    val ord = ordOf
+    def loOk(x: Any) = lo.forall { case (v, s) =>
+      if (s) ord.gt(x, v) else ord.gteq(x, v) }
+    def hiOk(x: Any) = hi.forall { case (v, s) =>
+      if (s) ord.lt(x, v) else ord.lteq(x, v) }
+    def failsLo(mx: Any) = lo.exists { case (v, s) =>
+      if (s) ord.lteq(mx, v) else ord.lt(mx, v) }
+    def failsHi(mn: Any) = hi.exists { case (v, s) =>
+      if (s) ord.gteq(mn, v) else ord.gt(mn, v) }
+    var insideSum = 0L
+    val boundary = Seq.newBuilder[String]
+    var boundaryN = 0
+    files.foreach { f =>
+      val cls: Int = mm(f, colName) match {
+        case None => 2 // unprovable (DV marks, no stats): scan it
+        case Some(None) => 0 // all-null: every row fails the comparison
+        case Some(Some((mnS, mxS))) =>
+          (for {
+            mn <- GraftStats.internalOf(mnS, a0.dataType)
+            mx <- GraftStats.internalOf(mxS, a0.dataType)
+          } yield {
+            if (loOk(mn) && hiOk(mx)) 1 // fully inside
+            else if (failsLo(mx) || failsHi(mn)) 0 // fully outside
+            else 2
+          }).getOrElse(2)
+      }
+      cls match {
+        case 1 => nn(f, colName) match {
+          case Some(c) => insideSum += c
+          case None => boundary += f; boundaryN += 1
+        }
+        case 0 => ()
+        case _ => boundary += f; boundaryN += 1
+      }
+    }
+    if (boundaryN >= files.size) return None // nothing classified away
+    if (boundaryN == 0)
+      return Some(LocalRelation(agg.output,
+        Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          aggExprs.map(_ => insideSum)))))
+    val subRel = GraftBatchShim
+      .restrictScanTo(spark, leaf, boundary.result()).getOrElse(return None)
+    val newChild = child.transformUp { case p if p eq leaf => subRel }
+    val cnt = Alias(Count(Seq(Literal(1L))).toAggregateExpression(),
+      "__graft_bcnt")()
+    val subAgg = Aggregate(Nil, Seq(cnt), newChild)
+    val outPs: Seq[NamedExpression] = aggExprs.map { e =>
+      Alias(org.apache.spark.sql.catalyst.expressions.Add(
+        Literal(insideSum), cnt.toAttribute), e.name)(exprId = e.exprId)
+    }
+    Some(Project(outPs, subAgg))
+  }
 
   /** The GLOBAL census answer: COUNT(*) / COUNT(partition cols) /
     * MIN/MAX of partition OR stats-covered data columns, over

@@ -309,6 +309,21 @@ private[graft] class GraftFileIndex(
     * fix-point. */
   val estimated: Boolean = false
 
+  /** A copy of this index restricted to a FILE SUBSET — the boundary-scan
+    * half of the hybrid COUNT rewrite. Table-level hooks that answer for
+    * the WHOLE snapshot (liveRows, mvViews) are blanked so no metadata
+    * rule can answer the subset from full-table facts; per-file hooks
+    * stay (they are keyed by file and remain exact); pushdown listing
+    * composes with the subset. */
+  def restrictedTo(subset: Seq[String]): GraftFileIndex = {
+    val in = subset.toSet
+    new GraftFileIndex(spark, root, allFiles.filter(in),
+      p => keep(p).filter(in), liveRows = None, partSchema, physNameOf,
+      minMaxOf, generatedPartDefs, ndvOf, Nil, None, fkProps,
+      fileRows.filter(kv => in(kv._1)), fileMinMaxOf, fileNonNullOf,
+      checkConstraints, fileSumOf, fileNdvHashesOf)
+  }
+
   /** A copy of this index reporting `est` bytes — the CBO-lite selectivity
     * hook ([[GraftNdvJoinEstimation]]). The copy IS a GraftFileIndex, so
     * derive-filters, metadata hooks and listing behave identically; only
@@ -825,6 +840,22 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         Some((g.liveFiles, g.topkBounds, g.topkNonNull))
+      case _ => None
+    }
+
+  /** The same relation NODE restricted to a file subset (same output
+    * attribute ids — the caller REPLACES the original node, never
+    * duplicates it) — the boundary-scan half of the hybrid COUNT
+    * rewrite. */
+  def restrictScanTo(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      files: Seq[String])
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    plan match {
+      case lr @ LogicalRelation(
+          r @ HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some(lr.copy(relation = r.copy(location = g.restrictedTo(files))(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])))
       case _ => None
     }
 

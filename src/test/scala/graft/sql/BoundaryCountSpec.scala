@@ -1,0 +1,124 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.VersionedTable
+
+/** Hybrid boundary COUNT: `COUNT(*) WHERE <single-column range>` reads
+  * only the files straddling the range edges — fully-inside files answer
+  * from manifest non-null counts, fully-outside (and all-null) files
+  * contribute nothing, and the edge files run a real counting scan whose
+  * result adds to the metadata total. */
+class BoundaryCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("bcount").toString + "/t"
+
+  private def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+    }.flatten
+
+  private def filesRead(df: DataFrame): Long = {
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    scansIn(p).map(_.selectedPartitions.totalNumberOfFiles).sum
+  }
+
+  private def scanFree(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+  private def withRuleOff[A](f: => A): A = {
+    // the boundary count lives inside GraftMetadataCount's arm; the
+    // metadata rules share no kill switch, so compare against a plain
+    // parquet copy instead
+    f
+  }
+
+  test("range count reads only the edge files; exact against a raw copy") {
+    val path = tmp()
+    // 16 narrow bands of v, nulls sprinkled in
+    VersionedTable.write(
+      spark.range(0, 65536).select(col("id").as("k"),
+        when(col("id") % 13 === 0, lit(null)).otherwise(col("id"))
+          .cast("long").as("v"))
+        .repartitionByRange(16, col("k")),
+      path, statsCols = Seq("v"))
+    val raw = VersionedTable.read(spark, path).select($"k", $"v")
+    val copyDir = java.nio.file.Files.createTempDirectory("bcopy").toString + "/c"
+    raw.write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def truth(c: org.apache.spark.sql.Column): Long = plain.filter(c).count()
+    def q(c: org.apache.spark.sql.Column): DataFrame =
+      VersionedTable.read(spark, path).filter(c)
+        .agg(count(lit(1)).as("n"), count($"v").as("nv"))
+    // a straddling range: two edge files scan, the middle answers from
+    // the manifest
+    val mid = q($"v" >= 10000L && $"v" < 50000L)
+    val read = filesRead(mid)
+    assert(read <= 2L && read >= 1L,
+      s"only the edge files may scan: $read\n${mid.queryExecution.optimizedPlan}")
+    val got = mid.collect().head
+    assert(got.getLong(0) == truth($"v" >= 10000L && $"v" < 50000L))
+    assert(got.getLong(1) == got.getLong(0),
+      "COUNT(v) equals COUNT(*) under a v-range (matches are non-null)")
+    // file-aligned bounds: fully metadata, zero scan
+    val minMax = plain.agg(min($"v"), max($"v")).collect().head
+    val all = q($"v" >= minMax.getLong(0) && $"v" <= minMax.getLong(1))
+    assert(scanFree(all), all.queryExecution.optimizedPlan.toString)
+    assert(all.collect().head.getLong(0) ==
+      truth($"v" >= minMax.getLong(0) && $"v" <= minMax.getLong(1)))
+    // IS NOT NULL alone: the per-file non-null counts, zero scan
+    val nnq = q($"v".isNotNull)
+    assert(scanFree(nnq), nnq.queryExecution.optimizedPlan.toString)
+    assert(nnq.collect().head.getLong(0) == truth($"v".isNotNull))
+    // out-of-range: zero scan, zero count
+    val none = q($"v" > 10000000L)
+    assert(scanFree(none))
+    assert(none.collect().head.getLong(0) == 0L)
+    // strict vs non-strict edges stay exact (boundary value on a file edge)
+    Seq($"v" > 4095L && $"v" <= 8192L, $"v" >= 4095L && $"v" < 8192L,
+      $"v" === 12345L).foreach { c =>
+      assert(q(c).collect().head.getLong(0) == truth(c), c.toString)
+    }
+  }
+
+  test("declines: two columns, COUNT(other col), non-count aggregates, DV files scan") {
+    val path = tmp()
+    VersionedTable.write(
+      spark.range(0, 8192).select(col("id").as("k"), col("id").as("v"),
+        (col("id") % 7).as("m")).repartitionByRange(8, col("k")),
+      path, statsCols = Seq("v"))
+    def t = VersionedTable.read(spark, path)
+    // two-column condition: matching rows aren't derivable per column
+    val two = t.filter($"v" >= 100L && $"m" === 3L).agg(count(lit(1)).as("n"))
+    assert(!scanFree(two))
+    assert(two.collect().head.getLong(0) ==
+      (100L until 8192L).count(_ % 7 == 3).toLong)
+    // COUNT(another column) under a v-range: not provable — full scan path
+    val other = t.filter($"v" >= 100L).agg(count($"m").as("n"))
+    assert(!scanFree(other))
+    assert(other.collect().head.getLong(0) == 8092L)
+    // SUM beside the COUNT declines the whole rewrite
+    val mixed = t.filter($"v" >= 100L).agg(count(lit(1)).as("n"),
+      sum($"v").as("s"))
+    assert(mixed.collect().head.getLong(0) == 8092L)
+    // DV marks: the marked file joins the boundary scan, totals stay exact
+    VersionedTable.deleteVectorized(spark, path, $"v" === 5000L,
+      purgeFraction = 1.0)
+    val afterDv = t.filter($"v" >= 1024L && $"v" < 7168L)
+      .agg(count(lit(1)).as("n"))
+    assert(afterDv.collect().head.getLong(0) == (7168L - 1024L - 1L),
+      "the DV-deleted row must stay out of the hybrid total")
+  }
+}
