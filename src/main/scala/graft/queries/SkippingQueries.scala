@@ -796,19 +796,22 @@ object SkippingQueries {
   // counts the raw rows.
   // --------------------------------------------------------------------------
   def countBoundary(spark: SparkSession, dir: String): DataFrame = {
-    val path = topkrPath(dir)
-    if (VersionedTable.latestVersion(spark, path).isEmpty)
+    val path = cachedFixturePath(dir, "bcnt_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
       VersionedTable.write(
         Tables.events(spark, dir)
           .select(col("event_id"), col("ts"), col("value"))
           .repartitionByRange(16, col("ts")),
-        path, statsCols = Seq("ts"))
+        path, statsCols = Seq("ts", "event_id"))
+      VersionedTable.analyzeNdv(spark, path, Seq("event_id"))
+    }
     val t = VersionedTable.read(spark, path)
     val total = t.inputFiles.length
     val out = t
       .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
-      .agg(count(lit(1)).as("n_rows"), count(col("ts")).as("n_ts"))
+      .agg(count(lit(1)).as("n_rows"), count(col("ts")).as("n_ts"),
+        sum(col("event_id")).as("sum_ids"))
     val physical = out.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
@@ -825,7 +828,8 @@ object SkippingQueries {
   }
 
   val countBoundarySql: String =
-    """SELECT COUNT(*) AS n_rows, COUNT(ts) AS n_ts FROM events
+    """SELECT COUNT(*) AS n_rows, COUNT(ts) AS n_ts,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids FROM events
       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
 

@@ -514,19 +514,43 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       if (!ok) return None
     }
     val a0 = theCol.getOrElse(return None)
-    // every output slot must be COUNT(*) or COUNT(the range column) —
-    // a matching row is non-null in it by the comparisons (IsNotNull-only
-    // filters match everything non-null, same argument)
-    aggExprs.foreach {
+    def leafAttr(id: ExprId): Option[AttributeReference] =
+      leaf.output.collectFirst {
+        case la: AttributeReference if la.exprId == id => la
+      }
+    val condAttr = leafAttr(a0.exprId).getOrElse(return None)
+    val colName = condAttr.name
+    // output slots: COUNT(*) / COUNT(range col) — a matching row is
+    // non-null in it by the comparisons — and SUM(long-typed col) from
+    // the per-file ANALYZE sums: the range column's own sum needs
+    // nothing extra (its nulls are outside both the filter and the SUM);
+    // any OTHER column's sum needs the range column NULL-COMPLETE in the
+    // file (then matching rows = all rows, and the file sum IS the
+    // matched sum). TRY sums decline (an overflowed-to-NULL stored
+    // partial would be skipped).
+    sealed trait BSlot
+    case object BCount extends BSlot
+    case class BSum(col: AttributeReference) extends BSlot
+    val slots: Seq[BSlot] = aggExprs.map {
       case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
-          if l.value != null => ()
+          if l.value != null => BCount
       case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _)
-          if a.exprId == a0.exprId => ()
+          if a.exprId == a0.exprId => BCount
+      case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
+            a: AttributeReference, em), _, false, None, _), _)
+          if em.evalMode != EvalMode.TRY &&
+            al.dataType == org.apache.spark.sql.types.LongType =>
+        BSum(leafAttr(a.exprId).getOrElse(return None))
       case _ => return None
     }
-    val colName = leaf.output.collectFirst {
-      case la: AttributeReference if la.exprId == a0.exprId => la.name
-    }.getOrElse(return None)
+    val sumCols: Seq[AttributeReference] = slots.collect {
+      case BSum(c) => c }.distinctBy(_.exprId)
+    lazy val sumHooks = org.apache.spark.sql.graft.GraftBatchShim
+      .graftSumHooksOf(leaf)
+    lazy val fileRows = GraftBatchShim.graftFileRowsOf(leaf)
+      .getOrElse(Map.empty[String, Long])
+    if (sumCols.nonEmpty && sumHooks.isEmpty) return None
     val ord = ordOf
     def loOk(x: Any) = lo.forall { case (v, s) =>
       if (s) ord.gt(x, v) else ord.gteq(x, v) }
@@ -536,7 +560,11 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       if (s) ord.lteq(mx, v) else ord.lt(mx, v) }
     def failsHi(mn: Any) = hi.exists { case (v, s) =>
       if (s) ord.gteq(mn, v) else ord.gt(mn, v) }
-    var insideSum = 0L
+    var insideCnt = 0L
+    val insideSums = scala.collection.mutable.Map.empty[ExprId, BigDecimal]
+      .withDefaultValue(BigDecimal(0))
+    val insideNnIn = scala.collection.mutable.Map.empty[ExprId, Long]
+      .withDefaultValue(0L)
     val boundary = Seq.newBuilder[String]
     var boundaryN = 0
     files.foreach { f =>
@@ -554,28 +582,82 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           }).getOrElse(2)
       }
       cls match {
-        case 1 => nn(f, colName) match {
-          case Some(c) => insideSum += c
-          case None => boundary += f; boundaryN += 1
-        }
+        case 1 =>
+          // the file's metadata contributions — ALL must answer, or the
+          // whole file joins the boundary scan
+          val contrib: Option[() => Unit] = for {
+            matchCnt <- nn(f, colName)
+            nullComplete = fileRows.get(f).contains(matchCnt)
+            sums <- {
+              val per = sumCols.map { c =>
+                if (c.exprId == a0.exprId)
+                  for { s <- sumHooks.get._1(f, c.name) }
+                    yield (c.exprId, s, matchCnt)
+                else if (!nullComplete) None
+                else for {
+                  s <- sumHooks.get._1(f, c.name)
+                  nnc <- sumHooks.get._2(f, c.name)
+                } yield (c.exprId, s, nnc)
+              }
+              if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+            }
+          } yield { () =>
+            insideCnt += matchCnt
+            sums.foreach { case (id, s, nnc) =>
+              insideSums(id) = insideSums(id) + s
+              insideNnIn(id) = insideNnIn(id) + nnc
+            }
+          }
+          contrib match {
+            case Some(run) => run()
+            case None => boundary += f; boundaryN += 1
+          }
         case 0 => ()
         case _ => boundary += f; boundaryN += 1
       }
     }
     if (boundaryN >= files.size) return None // nothing classified away
+    // inside sums must FIT the result type — never wrap from metadata
+    val insideSumLong: Map[ExprId, Long] = insideSums.map { case (id, v) =>
+      if (!v.isValidLong) return None
+      id -> v.toLong
+    }.toMap
     if (boundaryN == 0)
       return Some(LocalRelation(agg.output,
         Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-          aggExprs.map(_ => insideSum)))))
+          slots.zip(aggExprs).map {
+            case (BCount, _) => insideCnt
+            case (BSum(c), _) =>
+              if (insideNnIn(c.exprId) > 0L) insideSumLong(c.exprId)
+              else null // SQL SUM totality: no non-null inputs
+          }))))
     val subRel = GraftBatchShim
       .restrictScanTo(spark, leaf, boundary.result()).getOrElse(return None)
     val newChild = child.transformUp { case p if p eq leaf => subRel }
     val cnt = Alias(Count(Seq(Literal(1L))).toAggregateExpression(),
       "__graft_bcnt")()
-    val subAgg = Aggregate(Nil, Seq(cnt), newChild)
-    val outPs: Seq[NamedExpression] = aggExprs.map { e =>
-      Alias(org.apache.spark.sql.catalyst.expressions.Add(
-        Literal(insideSum), cnt.toAttribute), e.name)(exprId = e.exprId)
+    val subSums: Map[ExprId, Alias] = sumCols.map { c =>
+      c.exprId -> Alias(new org.apache.spark.sql.catalyst.expressions
+        .aggregate.Sum(c).toAggregateExpression(),
+        s"__graft_bsum_${c.name}")()
+    }.toMap
+    val subAgg = Aggregate(Nil, cnt +: subSums.values.toSeq, newChild)
+    import org.apache.spark.sql.catalyst.expressions.Add
+    val outPs: Seq[NamedExpression] = slots.zip(aggExprs).map {
+      case (BCount, e) =>
+        Alias(Add(Literal(insideCnt), cnt.toAttribute), e.name)(
+          exprId = e.exprId)
+      case (BSum(c), e) =>
+        val sub = subSums(c.exprId).toAttribute
+        // SQL SUM totality through the split: with inside non-null
+        // inputs the total is never NULL (coalesce the possibly-empty
+        // boundary half); without them the boundary half IS the answer
+        val expr: Expression =
+          if (insideNnIn(c.exprId) > 0L)
+            Add(Literal(insideSumLong(c.exprId)),
+              Coalesce(Seq(sub, Literal(0L))))
+          else sub
+        Alias(expr, e.name)(exprId = e.exprId)
     }
     Some(Project(outPs, subAgg))
   }

@@ -843,6 +843,17 @@ object GraftBatchShim {
       case _ => None
     }
 
+  /** Per-file LIVE row counts of a graft relation node (empty map when
+    * any live file predates row recording) — the null-completeness gate
+    * of the hybrid boundary SUM. */
+  def graftFileRowsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Map[String, Long]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some(g.fileRows)
+      case _ => None
+    }
+
   /** The same relation NODE restricted to a file subset (same output
     * attribute ids — the caller REPLACES the original node, never
     * duplicates it) — the boundary-scan half of the hybrid COUNT

@@ -93,6 +93,55 @@ class BoundaryCountSpec extends SparkSpec {
     }
   }
 
+  test("hybrid SUM: inside files answer from ANALYZE sums, edges scan") {
+    val path = tmp()
+    // k range-placed, never null; v (summed) has nulls; w = same col sum
+    VersionedTable.write(
+      spark.range(0, 65536).select(col("id").as("k"),
+        when(col("id") % 13 === 0, lit(null)).otherwise(col("id") * 3)
+          .cast("long").as("v"))
+        .repartitionByRange(16, col("k")),
+      path, statsCols = Seq("k", "v"))
+    VersionedTable.analyzeNdv(spark, path, Seq("k", "v"))
+    val raw = VersionedTable.read(spark, path).select($"k", $"v")
+    val copyDir = java.nio.file.Files.createTempDirectory("bscopy").toString + "/c"
+    raw.write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def q(c: org.apache.spark.sql.Column): DataFrame =
+      VersionedTable.read(spark, path).filter(c)
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"), sum($"k").as("sk"))
+    def truth(c: org.apache.spark.sql.Column): Seq[Any] =
+      plain.filter(c).agg(count(lit(1)), sum($"v"), sum($"k"))
+        .collect().head.toSeq
+    // straddling range on k: other-col SUM(v) needs k null-complete
+    // (it is), same-col SUM(k) needs nothing — both exact, edge files only
+    val mid = q($"k" >= 10000L && $"k" < 50000L)
+    assert(filesRead(mid) <= 2L,
+      s"only edges may scan:\n${mid.queryExecution.optimizedPlan}")
+    assert(mid.collect().head.toSeq ==
+      truth($"k" >= 10000L && $"k" < 50000L))
+    // range on the NULLABLE v: SUM(k) is an other-col sum and v is NOT
+    // null-complete — every inside file falls back to the scan...
+    // unless only same-col slots ride. SUM(v) alone stays hybrid.
+    val sameOnly = VersionedTable.read(spark, path)
+      .filter($"v" >= 30000L && $"v" < 150000L)
+      .agg(sum($"v").as("sv"))
+    assert(filesRead(sameOnly) <= 2L,
+      s"same-col sum under its own range:\n${sameOnly.queryExecution.optimizedPlan}")
+    assert(sameOnly.collect().head.getLong(0) ==
+      plain.filter($"v" >= 30000L && $"v" < 150000L)
+        .agg(sum($"v")).collect().head.getLong(0))
+    // SQL SUM totality: an out-of-range filter answers NULL, scan-free
+    val none = q($"k" > 10000000L)
+    assert(scanFree(none))
+    val r = none.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+    // file-aligned: fully metadata
+    val all = q($"k" >= 0L && $"k" < 65536L)
+    assert(scanFree(all), all.queryExecution.optimizedPlan.toString)
+    assert(all.collect().head.toSeq == truth($"k" >= 0L && $"k" < 65536L))
+  }
+
   test("declines: two columns, COUNT(other col), non-count aggregates, DV files scan") {
     val path = tmp()
     VersionedTable.write(
