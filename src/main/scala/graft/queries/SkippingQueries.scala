@@ -811,7 +811,9 @@ object SkippingQueries {
       .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
       .agg(count(lit(1)).as("n_rows"), count(col("ts")).as("n_ts"),
-        sum(col("event_id")).as("sum_ids"))
+        sum(col("event_id")).as("sum_ids"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        max(col("event_id")).as("max_id"))
     val physical = out.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
@@ -829,7 +831,9 @@ object SkippingQueries {
 
   val countBoundarySql: String =
     """SELECT COUNT(*) AS n_rows, COUNT(ts) AS n_ts,
-      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids FROM events
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+      |  MAX(event_id) AS max_id FROM events
       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
 

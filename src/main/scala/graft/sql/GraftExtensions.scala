@@ -422,7 +422,10 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     * against a non-null literal with </<=/>/>=/= (IsNotNull on that same
     * column rides free — matching rows are non-null by construction);
     * DV-marked and stats-less files classify as boundary (scanned, never
-    * guessed); COUNT(*) and COUNT(range-column) both answer. Fires only
+    * guessed); COUNT(*) / COUNT(range-column), SUM of long-typed columns
+    * (per-file ANALYZE sums; other columns under the range column's
+    * null-completeness), and MIN/MAX (file bounds, same gate) all
+    * answer. Fires only
     * when at least one file classifies AWAY from the boundary scan —
     * which is also the fixpoint: the rewritten sub-count's relation
     * holds boundary files only, where the revisit classifies nothing
@@ -531,6 +534,10 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     sealed trait BSlot
     case object BCount extends BSlot
     case class BSum(col: AttributeReference) extends BSlot
+    /** MIN/MAX: same split as SUM — the range column's own extremum from
+      * its (already classification-required) bounds, another column's
+      * under the null-complete gate; DISTINCT is a no-op on extrema. */
+    case class BExt(col: AttributeReference, takeMax: Boolean) extends BSlot
     val slots: Seq[BSlot] = aggExprs.map {
       case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
           if l.value != null => BCount
@@ -542,10 +549,22 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           if em.evalMode != EvalMode.TRY &&
             al.dataType == org.apache.spark.sql.types.LongType =>
         BSum(leafAttr(a.exprId).getOrElse(return None))
+      case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Min(
+            a: AttributeReference), _, _, None, _), _)
+          if al.dataType == a.dataType =>
+        BExt(leafAttr(a.exprId).getOrElse(return None), takeMax = false)
+      case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Max(
+            a: AttributeReference), _, _, None, _), _)
+          if al.dataType == a.dataType =>
+        BExt(leafAttr(a.exprId).getOrElse(return None), takeMax = true)
       case _ => return None
     }
     val sumCols: Seq[AttributeReference] = slots.collect {
       case BSum(c) => c }.distinctBy(_.exprId)
+    val extKeys: Seq[(AttributeReference, Boolean)] = slots.collect {
+      case BExt(c, mx) => (c, mx) }.distinct
     lazy val sumHooks = org.apache.spark.sql.graft.GraftBatchShim
       .graftSumHooksOf(leaf)
     lazy val fileRows = GraftBatchShim.graftFileRowsOf(leaf)
@@ -565,21 +584,39 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       .withDefaultValue(BigDecimal(0))
     val insideNnIn = scala.collection.mutable.Map.empty[ExprId, Long]
       .withDefaultValue(0L)
+    val insideExt = scala.collection.mutable
+      .Map.empty[(ExprId, Boolean), Any]
+    def foldExt(c: AttributeReference, takeMax: Boolean, v: Any): Unit = {
+      val key = (c.exprId, takeMax)
+      val ord = TypeUtils.getInterpretedOrdering(c.dataType)
+      insideExt.get(key) match {
+        case None => insideExt(key) = v
+        case Some(v0) =>
+          if (takeMax && ord.gt(v, v0)) insideExt(key) = v
+          else if (!takeMax && ord.lt(v, v0)) insideExt(key) = v
+      }
+    }
     val boundary = Seq.newBuilder[String]
     var boundaryN = 0
     files.foreach { f =>
-      val cls: Int = mm(f, colName) match {
-        case None => 2 // unprovable (DV marks, no stats): scan it
-        case Some(None) => 0 // all-null: every row fails the comparison
+      // cond-column bounds in the internal domain (None = unprovable,
+      // Some(None) = all-null)
+      val condB: Option[Option[(Any, Any)]] = mm(f, colName) match {
+        case None => None
+        case Some(None) => Some(None)
         case Some(Some((mnS, mxS))) =>
           (for {
             mn <- GraftStats.internalOf(mnS, a0.dataType)
             mx <- GraftStats.internalOf(mxS, a0.dataType)
-          } yield {
-            if (loOk(mn) && hiOk(mx)) 1 // fully inside
-            else if (failsLo(mx) || failsHi(mn)) 0 // fully outside
-            else 2
-          }).getOrElse(2)
+          } yield Some((mn, mx))) // both converted exactly
+      }
+      val cls: Int = condB match {
+        case None => 2 // unprovable (DV marks, no stats): scan it
+        case Some(None) => 0 // all-null: every row fails the comparison
+        case Some(Some((mn, mx))) =>
+          if (loOk(mn) && hiOk(mx)) 1 // fully inside
+          else if (failsLo(mx) || failsHi(mn)) 0 // fully outside
+          else 2
       }
       cls match {
         case 1 =>
@@ -601,12 +638,35 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
               }
               if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
             }
+            // extrema: the cond column's own from the classification
+            // bounds; another column's from its file bounds under the
+            // null-complete gate. An all-null column contributes NOTHING
+            // but stays answerable.
+            exts <- {
+              val (bMn, bMx) = condB.get.get // guaranteed at cls 1
+              val per: Seq[Option[Option[(AttributeReference, Boolean, Any)]]] =
+                extKeys.map { case (c, mx) =>
+                  if (c.exprId == a0.exprId)
+                    Some(Some((c, mx, if (mx) bMx else bMn)))
+                  else if (!nullComplete) None
+                  else mm(f, c.name) match {
+                    case None => None
+                    case Some(None) => Some(None) // all-null: no value
+                    case Some(Some((mnS, mxS))) =>
+                      GraftStats.internalOf(if (mx) mxS else mnS, c.dataType)
+                        .map(v => Some((c, mx, v)))
+                  }
+                }
+              if (per.forall(_.isDefined)) Some(per.flatMap(_.get))
+              else None
+            }
           } yield { () =>
             insideCnt += matchCnt
             sums.foreach { case (id, s, nnc) =>
               insideSums(id) = insideSums(id) + s
               insideNnIn(id) = insideNnIn(id) + nnc
             }
+            exts.foreach { case (c, mx, v) => foldExt(c, mx, v) }
           }
           contrib match {
             case Some(run) => run()
@@ -630,6 +690,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
             case (BSum(c), _) =>
               if (insideNnIn(c.exprId) > 0L) insideSumLong(c.exprId)
               else null // SQL SUM totality: no non-null inputs
+            case (BExt(c, mx), _) =>
+              insideExt.get((c.exprId, mx)).orNull // MIN/MAX: null on none
           }))))
     val subRel = GraftBatchShim
       .restrictScanTo(spark, leaf, boundary.result()).getOrElse(return None)
@@ -641,7 +703,15 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         .aggregate.Sum(c).toAggregateExpression(),
         s"__graft_bsum_${c.name}")()
     }.toMap
-    val subAgg = Aggregate(Nil, cnt +: subSums.values.toSeq, newChild)
+    val subExts: Map[(ExprId, Boolean), Alias] = extKeys.map { case (c, mx) =>
+      val fn =
+        if (mx) org.apache.spark.sql.catalyst.expressions.aggregate.Max(c)
+        else org.apache.spark.sql.catalyst.expressions.aggregate.Min(c)
+      (c.exprId, mx) -> Alias(fn.toAggregateExpression(),
+        s"__graft_bext_${c.name}_$mx")()
+    }.toMap
+    val subAgg = Aggregate(Nil,
+      cnt +: (subSums.values.toSeq ++ subExts.values.toSeq), newChild)
     import org.apache.spark.sql.catalyst.expressions.Add
     val outPs: Seq[NamedExpression] = slots.zip(aggExprs).map {
       case (BCount, e) =>
@@ -657,6 +727,19 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
             Add(Literal(insideSumLong(c.exprId)),
               Coalesce(Seq(sub, Literal(0L))))
           else sub
+        Alias(expr, e.name)(exprId = e.exprId)
+      case (BExt(c, mx), e) =>
+        val sub = subExts((c.exprId, mx)).toAttribute
+        // Least/Greatest SKIP nulls (null only when all inputs are), so
+        // the empty-boundary null composes with the inside extremum
+        val expr: Expression = insideExt.get((c.exprId, mx)) match {
+          case None => sub
+          case Some(v) =>
+            if (mx) org.apache.spark.sql.catalyst.expressions.Greatest(
+              Seq(Literal(v, c.dataType), sub))
+            else org.apache.spark.sql.catalyst.expressions.Least(
+              Seq(Literal(v, c.dataType), sub))
+        }
         Alias(expr, e.name)(exprId = e.exprId)
     }
     Some(Project(outPs, subAgg))

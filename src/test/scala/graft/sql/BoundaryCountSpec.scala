@@ -140,6 +140,30 @@ class BoundaryCountSpec extends SparkSpec {
     val all = q($"k" >= 0L && $"k" < 65536L)
     assert(scanFree(all), all.queryExecution.optimizedPlan.toString)
     assert(all.collect().head.toSeq == truth($"k" >= 0L && $"k" < 65536L))
+    // MIN/MAX join the hybrid: same-col from the classification bounds,
+    // other-col under the null-complete gate — edges only, exact
+    def qe(c: org.apache.spark.sql.Column): DataFrame =
+      VersionedTable.read(spark, path).filter(c)
+        .agg(min($"k").as("mnk"), max($"k").as("mxk"),
+          min($"v").as("mnv"), max($"v").as("mxv"),
+          count(lit(1)).as("n"))
+    val ext = qe($"k" >= 10000L && $"k" < 50000L)
+    assert(filesRead(ext) <= 2L,
+      s"extrema ride the edge scan:\n${ext.queryExecution.optimizedPlan}")
+    assert(ext.collect().head.toSeq ==
+      plain.filter($"k" >= 10000L && $"k" < 50000L)
+        .agg(min($"k"), max($"k"), min($"v"), max($"v"), count(lit(1)))
+        .collect().head.toSeq)
+    // aligned range: extrema fully metadata; empty range: SQL NULLs
+    val extAll = qe($"k" >= 0L && $"k" < 65536L)
+    assert(scanFree(extAll), extAll.queryExecution.optimizedPlan.toString)
+    assert(extAll.collect().head.toSeq ==
+      plain.agg(min($"k"), max($"k"), min($"v"), max($"v"), count(lit(1)))
+        .collect().head.toSeq)
+    val extNone = qe($"k" > 10000000L)
+    assert(scanFree(extNone))
+    val er = extNone.collect().head
+    assert(er.isNullAt(0) && er.isNullAt(3) && er.getLong(4) == 0L)
   }
 
   test("declines: two columns, COUNT(other col), non-count aggregates, DV files scan") {
@@ -158,7 +182,8 @@ class BoundaryCountSpec extends SparkSpec {
     val other = t.filter($"v" >= 100L).agg(count($"m").as("n"))
     assert(!scanFree(other))
     assert(other.collect().head.getLong(0) == 8092L)
-    // SUM beside the COUNT declines the whole rewrite
+    // SUM beside the COUNT without ANALYZE sums: inside files cannot
+    // contribute, everything joins the scan — exact either way
     val mixed = t.filter($"v" >= 100L).agg(count(lit(1)).as("n"),
       sum($"v").as("s"))
     assert(mixed.collect().head.getLong(0) == 8092L)
