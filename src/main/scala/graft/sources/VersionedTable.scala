@@ -2634,7 +2634,13 @@ object VersionedTable {
       fileNdvHashesOf = (fk, column) =>
         if (c.dvRows.getOrElse(fk, 0L) > 0L) None
         else c.stats.get(fk).flatMap(_.get(column))
-          .flatMap(st => st.ndv.map(h => (h, st.ndvRecipe))))
+          .flatMap(st => st.ndv.map(h => (h, st.ndvRecipe))),
+      // the boundary rewrite's gate: per-file driver iteration is free on
+      // inline manifests, and on an anchored commit only once its lazy
+      // stats map is already paid for — a COMMON shape (count-with-filter)
+      // must never be what forces a million-file checkpoint's stats
+      // column onto the driver
+      statsDriverCheap = () => c.ckptInfo.isEmpty || c.statsRef.forced)
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file

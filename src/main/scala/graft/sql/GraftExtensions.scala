@@ -455,6 +455,14 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }
     val (files, mm, nn, leaf) = scanOf(inner).getOrElse(return None)
+    // LAZY-STATS contract: this rewrite fires on shapes as common as any
+    // count-with-filter, so on a checkpoint-anchored table whose stats
+    // map is not already paid for it must DECLINE rather than silently
+    // materialize the checkpoint stats column driver-side (the census
+    // and top-k rules answer rarer, whole-scan-replacing shapes and keep
+    // their existing force-on-win behavior)
+    if (!GraftBatchShim.graftStatsDriverCheap(leaf).getOrElse(false))
+      return None
     // every conjunct: ONE shared column vs a non-null literal
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)

@@ -121,7 +121,14 @@ private[graft] class GraftFileIndex(
       * have removed any value. Powers the DENSE_RANK window group-limit
       * proof. */
     val fileNdvHashesOf: (String, String) => Option[(Seq[String], Int)] =
-      (_, _) => None)
+      (_, _) => None,
+    /** True when iterating per-file stats on the DRIVER costs nothing
+      * extra — inline-manifest commits, or an anchored commit whose lazy
+      * stats map is already paid for. Rewrites that would fire on COMMON
+      * shapes (the hybrid boundary aggregates: any count-with-filter)
+      * must check this and decline rather than silently materialize a
+      * million-file checkpoint's stats column driver-side. */
+    val statsDriverCheap: () => Boolean = () => true)
     extends FileIndex {
 
   /** The manifest's live file keys — the top-k prune rule's iteration
@@ -321,7 +328,7 @@ private[graft] class GraftFileIndex(
       p => keep(p).filter(in), liveRows = None, partSchema, physNameOf,
       minMaxOf, generatedPartDefs, ndvOf, Nil, None, fkProps,
       fileRows.filter(kv => in(kv._1)), fileMinMaxOf, fileNonNullOf,
-      checkConstraints, fileSumOf, fileNdvHashesOf)
+      checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap)
   }
 
   /** A copy of this index reporting `est` bytes — the CBO-lite selectivity
@@ -335,7 +342,7 @@ private[graft] class GraftFileIndex(
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
       snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf,
-      checkConstraints, fileSumOf, fileNdvHashesOf) {
+      checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -664,7 +671,8 @@ object GraftBatchShim {
       checkConstraints: Map[String, String] = Map.empty,
       fileSumOf: (String, String) => Option[BigDecimal] = (_, _) => None,
       fileNdvHashesOf: (String, String) => Option[(Seq[String], Int)] =
-        (_, _) => None)
+        (_, _) => None,
+      statsDriverCheap: () => Boolean = () => true)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -681,7 +689,7 @@ object GraftBatchShim {
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
         fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints, fileSumOf,
-        fileNdvHashesOf),
+        fileNdvHashesOf, statsDriverCheap),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -851,6 +859,16 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         Some(g.fileRows)
+      case _ => None
+    }
+
+  /** Whether per-file stats iteration on the driver is free for this
+    * graft relation node — the boundary rewrite's gate. */
+  def graftStatsDriverCheap(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Boolean] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some(g.statsDriverCheap())
       case _ => None
     }
 

@@ -132,6 +132,49 @@ class ConstraintPruningSpec extends SparkSpec {
     assert(multi.count() == 1L)
   }
 
+  test("property sweep: any drop the implication matrix makes is value-safe") {
+    // one table per CHECK family; for each, sweep every comparison shape
+    // x value against rule-off ground truth — the kept cases validate
+    // trivially, the dropped ones prove the implication sound (including
+    // over the NULL row, which CHECK admits and filters must drop)
+    val ks = Seq("v >= 10", "v > 3", "v <= 7", "v IN (2, 4, 6)", "v = 5",
+      "v >= 2 AND v <= 12")
+    val values = Seq(-5L, 0L, 2L, 3L, 4L, 5L, 6L, 7L, 10L, 12L, 15L)
+    ks.foreach { k =>
+      val path = tmp()
+      // rows satisfying the CHECK (or NULL) — generated per K by eval
+      val admitted = values.filter { v =>
+        k match {
+          case "v >= 10" => v >= 10
+          case "v > 3" => v > 3
+          case "v <= 7" => v <= 7
+          case "v IN (2, 4, 6)" => Seq(2L, 4L, 6L).contains(v)
+          case "v = 5" => v == 5
+          case _ => v >= 2 && v <= 12
+        }
+      }
+      VersionedTable.write(
+        (admitted.zipWithIndex.map { case (v, i) =>
+          (i.toLong, java.lang.Long.valueOf(v)) } :+
+          (99L, null.asInstanceOf[java.lang.Long]))
+          .toDF("k", "v"), path, statsCols = Seq("k"))
+      VersionedTable.addCheckConstraint(spark, path, "kk", k)
+      val cs: Seq[org.apache.spark.sql.Column] = values.flatMap { c =>
+        Seq(col("v") >= c, col("v") > c, col("v") <= c, col("v") < c,
+          col("v") === c, col("v") =!= c,
+          col("v").isin(c, c + 2, c + 11))
+      }
+      cs.foreach { c =>
+        def run() = VersionedTable.read(spark, path)
+          .filter(c && col("k") < 1000)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val on = run()
+        val off = withRuleOff(run())
+        assert(on == off, s"K=[$k] C=[$c]: on=$on off=$off")
+      }
+    }
+  }
+
   test("legacy-mode Divide/Cast refuse the null-rejection license") {
     val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
