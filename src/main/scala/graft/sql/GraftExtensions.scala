@@ -463,94 +463,103 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     // their existing force-on-win behavior)
     if (!GraftBatchShim.graftStatsDriverCheap(leaf).getOrElse(false))
       return None
-    // every conjunct: ONE shared column vs a non-null literal
+    // conjuncts accumulate PER-COLUMN intervals in the INTERNAL domain:
+    // `WHERE ts >= a AND ts < b AND day >= d` classifies each file
+    // against every column's interval at once (the multi-dimension
+    // dashboard). Anything that is not attr-vs-non-null-literal
+    // comparison (or IsNotNull on a cond column) declines.
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
-    }
-    var theCol: Option[AttributeReference] = None
-    def colOf(x: Expression): Option[AttributeReference] = x match {
-      case a: AttributeReference if theCol.forall(_.exprId == a.exprId) =>
-        theCol = Some(a); Some(a)
-      case _ => None
     }
     def lit(l: Expression, dt: org.apache.spark.sql.types.DataType)
         : Option[Any] = l match {
       case Literal(v, d) if v != null && d == dt => Some(v)
       case _ => None
     }
-    // accumulated interval in the INTERNAL domain: (value, strict)
-    var lo: Option[(Any, Boolean)] = None
-    var hi: Option[(Any, Boolean)] = None
-    def ordOf = TypeUtils.getInterpretedOrdering(theCol.get.dataType)
-    def addLo(v: Any, s: Boolean): Unit = lo = lo match {
-      case None => Some((v, s))
-      case Some((v0, s0)) =>
-        val ord = ordOf
-        if (ord.gt(v, v0)) Some((v, s))
-        else if (ord.lt(v, v0)) Some((v0, s0)) else Some((v0, s0 || s))
+    case class Iv(col: AttributeReference,
+        var lo: Option[(Any, Boolean)], var hi: Option[(Any, Boolean)]) {
+      def ord = TypeUtils.getInterpretedOrdering(col.dataType)
+      def addLo(v: Any, s: Boolean): Unit = lo = lo match {
+        case None => Some((v, s))
+        case Some((v0, s0)) =>
+          if (ord.gt(v, v0)) Some((v, s))
+          else if (ord.lt(v, v0)) Some((v0, s0)) else Some((v0, s0 || s))
+      }
+      def addHi(v: Any, s: Boolean): Unit = hi = hi match {
+        case None => Some((v, s))
+        case Some((v0, s0)) =>
+          if (ord.lt(v, v0)) Some((v, s))
+          else if (ord.gt(v, v0)) Some((v0, s0)) else Some((v0, s0 || s))
+      }
+      def loOk(x: Any): Boolean = lo.forall { case (v, st) =>
+        if (st) ord.gt(x, v) else ord.gteq(x, v) }
+      def hiOk(x: Any): Boolean = hi.forall { case (v, st) =>
+        if (st) ord.lt(x, v) else ord.lteq(x, v) }
+      def failsLo(mx: Any): Boolean = lo.exists { case (v, st) =>
+        if (st) ord.lteq(mx, v) else ord.lt(mx, v) }
+      def failsHi(mn: Any): Boolean = hi.exists { case (v, st) =>
+        if (st) ord.gteq(mn, v) else ord.gt(mn, v) }
     }
-    def addHi(v: Any, s: Boolean): Unit = hi = hi match {
-      case None => Some((v, s))
-      case Some((v0, s0)) =>
-        val ord = ordOf
-        if (ord.lt(v, v0)) Some((v, s))
-        else if (ord.gt(v, v0)) Some((v0, s0)) else Some((v0, s0 || s))
+    val ivs = scala.collection.mutable.LinkedHashMap.empty[ExprId, Iv]
+    def ivOf(x: Expression): Option[Iv] = x match {
+      case a: AttributeReference =>
+        Some(ivs.getOrElseUpdate(a.exprId, Iv(a, None, None)))
+      case _ => None
     }
     // each comparison tries both orientations (attr op lit / lit op attr)
     def take(x: Expression, y: Expression,
-        attrFirst: (Any, AttributeReference) => Unit,
-        litFirst: (Any, AttributeReference) => Unit): Boolean =
-      (for (a <- colOf(x); v <- lit(y, a.dataType)) yield attrFirst(v, a))
-        .isDefined ||
-        (for (a <- colOf(y); v <- lit(x, a.dataType)) yield litFirst(v, a))
-          .isDefined
+        attrFirst: (Iv, Any) => Unit,
+        litFirst: (Iv, Any) => Unit): Boolean =
+      (for (iv <- ivOf(x); v <- lit(y, iv.col.dataType))
+        yield attrFirst(iv, v)).isDefined ||
+        (for (iv <- ivOf(y); v <- lit(x, iv.col.dataType))
+          yield litFirst(iv, v)).isDefined
     split(cond).foreach { c =>
       val ok = c match {
-        case IsNotNull(x) => colOf(x).isDefined // rides free on the column
+        case IsNotNull(x) => ivOf(x).isDefined // registers the column
         case GreaterThanOrEqual(x, y) =>
-          take(x, y, (v, _) => addLo(v, s = false), (v, _) => addHi(v, s = false))
+          take(x, y, (iv, v) => iv.addLo(v, s = false),
+            (iv, v) => iv.addHi(v, s = false))
         case GreaterThan(x, y) =>
-          take(x, y, (v, _) => addLo(v, s = true), (v, _) => addHi(v, s = true))
+          take(x, y, (iv, v) => iv.addLo(v, s = true),
+            (iv, v) => iv.addHi(v, s = true))
         case LessThanOrEqual(x, y) =>
-          take(x, y, (v, _) => addHi(v, s = false), (v, _) => addLo(v, s = false))
+          take(x, y, (iv, v) => iv.addHi(v, s = false),
+            (iv, v) => iv.addLo(v, s = false))
         case LessThan(x, y) =>
-          take(x, y, (v, _) => addHi(v, s = true), (v, _) => addLo(v, s = true))
+          take(x, y, (iv, v) => iv.addHi(v, s = true),
+            (iv, v) => iv.addLo(v, s = true))
         case EqualTo(x, y) =>
           take(x, y,
-            (v, _) => { addLo(v, s = false); addHi(v, s = false) },
-            (v, _) => { addLo(v, s = false); addHi(v, s = false) })
+            (iv, v) => { iv.addLo(v, s = false); iv.addHi(v, s = false) },
+            (iv, v) => { iv.addLo(v, s = false); iv.addHi(v, s = false) })
         case _ => false
       }
       if (!ok) return None
     }
-    val a0 = theCol.getOrElse(return None)
+    if (ivs.isEmpty) return None
     def leafAttr(id: ExprId): Option[AttributeReference] =
       leaf.output.collectFirst {
         case la: AttributeReference if la.exprId == id => la
       }
-    val condAttr = leafAttr(a0.exprId).getOrElse(return None)
-    val colName = condAttr.name
-    // output slots: COUNT(*) / COUNT(range col) — a matching row is
-    // non-null in it by the comparisons — and SUM(long-typed col) from
-    // the per-file ANALYZE sums: the range column's own sum needs
-    // nothing extra (its nulls are outside both the filter and the SUM);
-    // any OTHER column's sum needs the range column NULL-COMPLETE in the
-    // file (then matching rows = all rows, and the file sum IS the
-    // matched sum). TRY sums decline (an overflowed-to-NULL stored
-    // partial would be skipped).
+    // every cond column must be a leaf column (name resolution)
+    val condName: Map[ExprId, String] = ivs.keysIterator.map { id =>
+      id -> leafAttr(id).getOrElse(return None).name
+    }.toMap
+    // output slots: COUNT(*) / COUNT(a cond column) — matching rows are
+    // non-null in every cond column by construction — plus SUM(long) and
+    // MIN/MAX from per-file metadata, gated per file on the cond
+    // columns' null-completeness (below)
     sealed trait BSlot
     case object BCount extends BSlot
     case class BSum(col: AttributeReference) extends BSlot
-    /** MIN/MAX: same split as SUM — the range column's own extremum from
-      * its (already classification-required) bounds, another column's
-      * under the null-complete gate; DISTINCT is a no-op on extrema. */
     case class BExt(col: AttributeReference, takeMax: Boolean) extends BSlot
     val slots: Seq[BSlot] = aggExprs.map {
       case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
           if l.value != null => BCount
       case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _)
-          if a.exprId == a0.exprId => BCount
+          if ivs.contains(a.exprId) => BCount
       case al @ Alias(AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
             a: AttributeReference, em), _, false, None, _), _)
@@ -575,18 +584,9 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case BExt(c, mx) => (c, mx) }.distinct
     lazy val sumHooks = org.apache.spark.sql.graft.GraftBatchShim
       .graftSumHooksOf(leaf)
-    lazy val fileRows = GraftBatchShim.graftFileRowsOf(leaf)
+    val fileRows = GraftBatchShim.graftFileRowsOf(leaf)
       .getOrElse(Map.empty[String, Long])
     if (sumCols.nonEmpty && sumHooks.isEmpty) return None
-    val ord = ordOf
-    def loOk(x: Any) = lo.forall { case (v, s) =>
-      if (s) ord.gt(x, v) else ord.gteq(x, v) }
-    def hiOk(x: Any) = hi.forall { case (v, s) =>
-      if (s) ord.lt(x, v) else ord.lteq(x, v) }
-    def failsLo(mx: Any) = lo.exists { case (v, s) =>
-      if (s) ord.lteq(mx, v) else ord.lt(mx, v) }
-    def failsHi(mn: Any) = hi.exists { case (v, s) =>
-      if (s) ord.gteq(mn, v) else ord.gt(mn, v) }
     var insideCnt = 0L
     val insideSums = scala.collection.mutable.Map.empty[ExprId, BigDecimal]
       .withDefaultValue(BigDecimal(0))
@@ -607,57 +607,74 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     val boundary = Seq.newBuilder[String]
     var boundaryN = 0
     files.foreach { f =>
-      // cond-column bounds in the internal domain (None = unprovable,
-      // Some(None) = all-null)
-      val condB: Option[Option[(Any, Any)]] = mm(f, colName) match {
-        case None => None
-        case Some(None) => Some(None)
-        case Some(Some((mnS, mxS))) =>
-          (for {
-            mn <- GraftStats.internalOf(mnS, a0.dataType)
-            mx <- GraftStats.internalOf(mxS, a0.dataType)
-          } yield Some((mn, mx))) // both converted exactly
-      }
-      val cls: Int = condB match {
-        case None => 2 // unprovable (DV marks, no stats): scan it
-        case Some(None) => 0 // all-null: every row fails the comparison
-        case Some(Some((mn, mx))) =>
-          if (loOk(mn) && hiOk(mx)) 1 // fully inside
-          else if (failsLo(mx) || failsHi(mn)) 0 // fully outside
-          else 2
-      }
-      cls match {
-        case 1 =>
-          // the file's metadata contributions — ALL must answer, or the
-          // whole file joins the boundary scan
-          val contrib: Option[() => Unit] = for {
-            matchCnt <- nn(f, colName)
-            nullComplete = fileRows.get(f).contains(matchCnt)
-            sums <- {
-              val per = sumCols.map { c =>
-                if (c.exprId == a0.exprId)
-                  for { s <- sumHooks.get._1(f, c.name) }
-                    yield (c.exprId, s, matchCnt)
-                else if (!nullComplete) None
-                else for {
-                  s <- sumHooks.get._1(f, c.name)
-                  nnc <- sumHooks.get._2(f, c.name)
-                } yield (c.exprId, s, nnc)
-              }
-              if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+      // per cond column: entirely-failing wins (zero matches — skippable
+      // even when another column is only partial), then partial, then
+      // all-inside. Internal-domain bounds kept per column for the
+      // extremum slots.
+      var outside = false
+      var partial = false
+      val colB = scala.collection.mutable.Map.empty[ExprId, (Any, Any)]
+      ivs.foreach { case (id, iv) =>
+        if (!outside) mm(f, condName(id)) match {
+          case None => partial = true
+          case Some(None) => outside = true // all-null: every row fails
+          case Some(Some((mnS, mxS))) =>
+            (for {
+              mn <- GraftStats.internalOf(mnS, iv.col.dataType)
+              mx <- GraftStats.internalOf(mxS, iv.col.dataType)
+            } yield (mn, mx)) match {
+              case None => partial = true
+              case Some((mn, mx)) =>
+                if (iv.failsLo(mx) || iv.failsHi(mn)) outside = true
+                else if (iv.loOk(mn) && iv.hiOk(mx)) colB(id) = (mn, mx)
+                else partial = true
             }
-            // extrema: the cond column's own from the classification
-            // bounds; another column's from its file bounds under the
-            // null-complete gate. An all-null column contributes NOTHING
-            // but stays answerable.
-            exts <- {
-              val (bMn, bMx) = condB.get.get // guaranteed at cls 1
-              val per: Seq[Option[Option[(AttributeReference, Boolean, Any)]]] =
-                extKeys.map { case (c, mx) =>
-                  if (c.exprId == a0.exprId)
-                    Some(Some((c, mx, if (mx) bMx else bMn)))
-                  else if (!nullComplete) None
-                  else mm(f, c.name) match {
+        }
+      }
+      if (outside) () // contributes nothing, skipped by data skipping too
+      else if (partial) { boundary += f; boundaryN += 1 }
+      else {
+        // ALL cond columns fully inside: matching rows = rows non-null in
+        // every cond column. With per-column non-null counts and the
+        // file's live rows, that composes EXACTLY when at most one cond
+        // column carries nulls (two nullable columns can overlap
+        // arbitrarily — boundary).
+        val contrib: Option[() => Unit] = for {
+          rows <- fileRows.get(f)
+          nns <- {
+            val per = ivs.keysIterator.map(id =>
+              nn(f, condName(id)).map(id -> _)).toSeq
+            if (per.forall(_.isDefined)) Some(per.map(_.get).toMap) else None
+          }
+          nullable = nns.filter(_._2 < rows).keys.toSeq
+          matchCnt <- nullable match {
+            case Seq() => Some(rows)
+            case Seq(one) => Some(nns(one))
+            case _ => None
+          }
+          // a slot column may ride the metadata only when matching rows
+          // = all rows, or = exactly the rows its OWN column is non-null
+          // in (then SUM/MIN/MAX skip the same nulls the filter drops)
+          slotOk = (c: AttributeReference) =>
+            nullable.isEmpty || nullable == Seq(c.exprId)
+          sums <- {
+            val per = sumCols.map { c =>
+              if (!slotOk(c)) None
+              else for {
+                sv <- sumHooks.get._1(f, c.name)
+                nnc <- sumHooks.get._2(f, c.name)
+              } yield (c.exprId, sv, nnc)
+            }
+            if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+          }
+          exts <- {
+            val per: Seq[Option[Option[(AttributeReference, Boolean, Any)]]] =
+              extKeys.map { case (c, mx) =>
+                if (!slotOk(c)) None
+                else colB.get(c.exprId) match {
+                  case Some((mn, mxv)) =>
+                    Some(Some((c, mx, if (mx) mxv else mn)))
+                  case None => mm(f, c.name) match {
                     case None => None
                     case Some(None) => Some(None) // all-null: no value
                     case Some(Some((mnS, mxS))) =>
@@ -665,23 +682,22 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
                         .map(v => Some((c, mx, v)))
                   }
                 }
-              if (per.forall(_.isDefined)) Some(per.flatMap(_.get))
-              else None
-            }
-          } yield { () =>
-            insideCnt += matchCnt
-            sums.foreach { case (id, s, nnc) =>
-              insideSums(id) = insideSums(id) + s
-              insideNnIn(id) = insideNnIn(id) + nnc
-            }
-            exts.foreach { case (c, mx, v) => foldExt(c, mx, v) }
+              }
+            if (per.forall(_.isDefined)) Some(per.flatMap(_.get))
+            else None
           }
-          contrib match {
-            case Some(run) => run()
-            case None => boundary += f; boundaryN += 1
+        } yield { () =>
+          insideCnt += matchCnt
+          sums.foreach { case (id, sv, nnc) =>
+            insideSums(id) = insideSums(id) + sv
+            insideNnIn(id) = insideNnIn(id) + nnc
           }
-        case 0 => ()
-        case _ => boundary += f; boundaryN += 1
+          exts.foreach { case (c, mx, v) => foldExt(c, mx, v) }
+        }
+        contrib match {
+          case Some(run) => run()
+          case None => boundary += f; boundaryN += 1
+        }
       }
     }
     if (boundaryN >= files.size) return None // nothing classified away

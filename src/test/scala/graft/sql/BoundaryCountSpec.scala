@@ -166,6 +166,53 @@ class BoundaryCountSpec extends SparkSpec {
     assert(er.isNullAt(0) && er.isNullAt(3) && er.getLong(4) == 0L)
   }
 
+  test("multi-column ranges classify per column; nullable accounting stays exact") {
+    val path = tmp()
+    // k and v co-clustered (both functions of id), v nullable, w a second
+    // nullable column — 16 bands
+    VersionedTable.write(
+      spark.range(0, 65536).select(col("id").as("k"),
+        when(col("id") % 13 === 0, lit(null)).otherwise(col("id") * 3)
+          .cast("long").as("v"),
+        when(col("id") % 11 === 0, lit(null)).otherwise(col("id") * 5)
+          .cast("long").as("w"))
+        .repartitionByRange(16, col("k")),
+      path, statsCols = Seq("k", "v", "w"))
+    VersionedTable.analyzeNdv(spark, path, Seq("k", "v", "w"))
+    val raw = VersionedTable.read(spark, path).select($"k", $"v", $"w")
+    val copyDir = java.nio.file.Files.createTempDirectory("bmcopy").toString + "/c"
+    raw.write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def t = VersionedTable.read(spark, path)
+    // BOTH columns bounded; exactly one (v) nullable: per-file matching
+    // counts compose via nn(v); SUM(v) rides (its own nulls are the
+    // filter's), SUM(k) must not (v's nulls cut unknown k values)
+    val c2 = $"k" >= 10000L && $"v" >= 36000L && $"v" < 120000L
+    val two = t.filter(c2).agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val readTwo = filesRead(two)
+    assert(readTwo <= 3L && readTwo >= 1L,
+      s"two-dimension edges only: $readTwo\n${two.queryExecution.optimizedPlan}")
+    assert(two.collect().head.toSeq ==
+      plain.filter(c2).agg(count(lit(1)), sum($"v")).collect().head.toSeq)
+    val withK = t.filter(c2).agg(count(lit(1)).as("n"), sum($"k").as("sk"))
+    assert(!scanFree(withK)) // and reads everything the filter keeps
+    assert(withK.collect().head.toSeq ==
+      plain.filter(c2).agg(count(lit(1)), sum($"k")).collect().head.toSeq)
+    // an either-dimension ENTIRELY-FAILING file skips even when the other
+    // dimension is partial: an impossible v range with a partial k bound
+    val none = t.filter($"k" >= 10000L && $"v" > 100000000L)
+      .agg(count(lit(1)).as("n"))
+    assert(scanFree(none))
+    assert(none.collect().head.getLong(0) == 0L)
+    // TWO nullable cond columns: per-file matching is not composable —
+    // every inside file re-joins the scan, the answer stays exact
+    val c3 = $"v" >= 0L && $"w" >= 0L
+    val twoNull = t.filter(c3).agg(count(lit(1)).as("n"))
+    assert(!scanFree(twoNull))
+    assert(twoNull.collect().head.getLong(0) ==
+      plain.filter(c3).count())
+  }
+
   test("declines: two columns, COUNT(other col), non-count aggregates, DV files scan") {
     val path = tmp()
     VersionedTable.write(
