@@ -474,6 +474,45 @@ class DistinctMvSpec extends SparkSpec {
       s"try_sum must decline the rewrite:\n${tryQ.queryExecution.optimizedPlan}")
   }
 
+  test("grouping sets: the distinct family composes with JOIN views") {
+    val base = tmp(); val src = base + "/jf"; val dim = base + "/jd"
+    val mv = base + "/jmv"
+    VersionedTable.write(Seq(
+      ("g0", 1L, 10L), ("g0", 1L, 11L), ("g0", 2L, 12L),
+      ("g1", 3L, 13L), ("g1", 2L, 14L),
+      ("g2", 5L, 15L), ("g3", 6L, 16L)
+    ).toDF("g", "u", "v"), src, statsCols = Seq("g"))
+    VersionedTable.write(Seq(("g0", "x"), ("g1", "y"), ("g2", "y"),
+      ("g3", "z")).toDF("pk", "tag"), dim)
+    MaterializedView.createJoined(spark, src, dim, Seq("g" -> "pk"), mv,
+      groupBy = Seq("tag"), sumCols = Seq("v"), distinctCols = Seq("u"))
+    def q() = VersionedTable.read(spark, src)
+      .join(VersionedTable.read(spark, dim), $"g" === $"pk")
+      .rollup($"tag")
+      .agg(count(lit(1)).as("n"), countDistinct($"u").as("d"),
+        sum_distinct($"u").as("sd"), grouping($"tag").as("gt"))
+    def check(label: String): Unit = {
+      val on = q()
+      val roots = GraftBatchShim.scanRootsOf(on).map(_.toString)
+      assert(roots.contains(mv) && !roots.contains(src) &&
+        !roots.contains(dim),
+        s"$label: the join rollup must answer from view + helper, " +
+          s"scans $roots:\n${on.queryExecution.optimizedPlan}")
+      val got = on.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      val off = try q().collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+      assert(got == off, s"$label\ngot=$got\noff=$off")
+    }
+    check("create snapshot")
+    // fact motion folds through; the rollup's subtotal dedups the u=2
+    // value shared across tags
+    VersionedTable.append(Seq(("g2", 2L, 19L), ("g0", 9L, 20L))
+      .toDF("g", "u", "v"), src)
+    MaterializedView.refresh(spark, mv)
+    check("after fact append + refresh")
+  }
+
   test("grouping sets: flat-path append chain keeps the sets rewrite exact") {
     val base = tmp(); val src = base + "/s3"; val mv = base + "/mv3"
     VersionedTable.write((1L to 60L).map(i => ("g" + i % 4, i % 9, i))
