@@ -224,15 +224,26 @@ class TopKPruningSpec extends SparkSpec {
 
   test("partition-only WHERE: the prefix proof runs on the surviving dirs") {
     val path = tmp() + "/f"
-    // 8 day-dirs; within each, ts is range-placed over 2 files
-    spark.range(0, 8192)
+    // 8 day-dirs; within each, ts is range-placed over EXACTLY 2 files.
+    // Deterministic placement: repartitionByRange samples with a seed
+    // derived from rdd.id, which drifts with whatever suites ran before —
+    // under full-suite load that produced 17-23 files with day-straddling
+    // bands and flaky read counts (the r16 1-in-3 flake). A union of
+    // explicitly-sliced single-partition legs places every row the same
+    // way every run.
+    val base = spark.range(0, 8192)
       .select((col("id") % 8).as("day"), col("id").as("ts"),
         (col("id") % 5).as("m"))
-      .repartitionByRange(16, col("id") % 8, col("id"))
-      .write.format("graft-table").option("statsCols", "ts")
-      .partitionBy("day").save(path)
+    for { d <- 0 until 8; lo <- Seq(true, false) } {
+      base.filter(col("day") === d &&
+        (if (lo) col("ts") < 4096 else col("ts") >= 4096)).coalesce(1)
+        .write.format("graft-table").option("statsCols", "ts")
+        .partitionBy("day").mode(if (d == 0 && lo) "overwrite" else "append")
+        .save(path)
+    }
     def t = spark.read.format("graft-table").load(path)
     val total = t.inputFiles.length
+    assert(total == 16, s"fixture must place exactly 2 files/day, got $total")
     // the dashboard shape: WHERE day >= d ORDER BY ts DESC LIMIT k.
     // τ is proved over the SURVIVING dirs only — and the partition filter
     // itself already prunes the others, so the read set is the newest
@@ -392,11 +403,18 @@ class TopKPruningSpec extends SparkSpec {
     // 16 narrow bands of ts; the dashboard shape WHERE ts >= d ORDER BY
     // ts DESC LIMIT k must prove τ over the fully-inside files only and
     // still collapse the read to the top band
-    VersionedTable.write(
-      spark.range(0, 65536).select(col("id").as("ts"), (col("id") % 9).as("m"))
-        .repartitionByRange(16, col("ts")),
-      path, statsCols = Seq("ts"))
+    // deterministic band placement (repartitionByRange samples with an
+    // rdd.id-derived seed — see the partition-only WHERE fixture note)
+    val bands = spark.range(0, 65536)
+      .select(col("id").as("ts"), (col("id") % 9).as("m"))
+    def band(b: Int) = bands
+      .filter(col("ts") >= b * 4096L && col("ts") < (b + 1) * 4096L)
+      .coalesce(1)
+    VersionedTable.write(band(0), path, statsCols = Seq("ts"))
+    (1 until 16).foreach(b =>
+      VersionedTable.append(band(b), path, statsCols = Seq("ts")))
     def t = VersionedTable.read(spark, path)
+    assert(t.inputFiles.length == 16)
     def hasGeTau(df: DataFrame): Boolean =
       df.queryExecution.optimizedPlan.collect {
         case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
