@@ -843,23 +843,31 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Join(joined, hAgg, LeftOuter, cond, JoinHint.NONE)
         }
     }
+    // reference helper slots through the JOIN's output: a helper Count is
+    // non-nullable on its own aggregate, but crossing a LeftOuter makes it
+    // nullable — keeping the pre-join attribute would let NullPropagation
+    // truncate Coalesce(d, 0) after its "never-null" first child and turn
+    // an all-missing group's 0 into NULL (the anchor helper, never joined,
+    // correctly keeps its own non-nullable attribute)
+    val liveOut = joined.output.map(a => a.exprId -> a).toMap
+    def live(a: Attribute): Attribute = liveOut.getOrElse(a.exprId, a)
     val finalProj: Seq[NamedExpression] = outs.map {
       case NdvOut(id, n, cs) if !exactGrouping =>
         // anchored on the first helper (no base): its own count is never
         // absent; joined helpers coalesce for groups they never saw
-        Alias(Coalesce(Seq(dAttrOf(canonOf(cs).get), Literal(0L))),
+        Alias(Coalesce(Seq(live(dAttrOf(canonOf(cs).get)), Literal(0L))),
           n)(exprId = id)
       case SumDistinctOut(id, n, c, dt) =>
         // SQL SUM totality: NULL on empty/all-null groups — exactly what
         // the missing-join-row null already is
-        val sd = sdAttrOf(c)
+        val sd = live(sdAttrOf(c))
         val e: Expression = if (sd.dataType == dt) sd else Cast(sd, dt)
         Alias(e, n)(exprId = id)
       case AvgDistinctOut(id, n, c, srcDt, dt) =>
         // Average's own recombination over the helper's exact components
         // (missing join row → nulls → SQL NULL average, as unrewritten)
-        val sd: Expression = sdAttrOf(c)
-        val d: Expression = dAttrOf(Seq(c))
+        val sd: Expression = live(sdAttrOf(c))
+        val d: Expression = live(dAttrOf(Seq(c)))
         val e = srcDt match {
           case sdt: DecimalType =>
             val sumDT = expectedSumType(sdt)
@@ -1306,19 +1314,24 @@ case class GraftMvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         (EqualTo(gidKeyAttr, hGid): Expression)).reduce(And)
       joined = Join(joined, hAgg, LeftOuter, Some(cond), JoinHint.NONE)
     }
+    // post-LeftOuter nullability (see the flat path's note): every helper
+    // here crosses a join — resolve its slots from joined.output so
+    // Coalesce(d, 0) keeps its 0 fallback under NullPropagation
+    val liveOut = joined.output.map(a => a.exprId -> a).toMap
+    def live(a: Attribute): Attribute = liveOut.getOrElse(a.exprId, a)
     val finalProj: Seq[NamedExpression] = souts.map {
       case AggOut2(NdvOut(id, n, cs)) =>
         // a base group the helper never saw has no non-null values: 0
-        Alias(Coalesce(Seq(dAttrOf(canonOf(cs).get), Literal(0L))),
+        Alias(Coalesce(Seq(live(dAttrOf(canonOf(cs).get)), Literal(0L))),
           n)(exprId = id)
       case AggOut2(SumDistinctOut(id, n, c, dt)) =>
         // SQL SUM totality: the missing-join-row null IS the answer
-        val sd = sdAttrOf(c)
+        val sd = live(sdAttrOf(c))
         val e: Expression = if (sd.dataType == dt) sd else Cast(sd, dt)
         Alias(e, n)(exprId = id)
       case AggOut2(AvgDistinctOut(id, n, c, srcDt, dt)) =>
-        val sd: Expression = sdAttrOf(c)
-        val d: Expression = dAttrOf(Seq(c))
+        val sd: Expression = live(sdAttrOf(c))
+        val d: Expression = live(dAttrOf(Seq(c)))
         val e = srcDt match {
           case sdt: DecimalType =>
             val sumDT = expectedSumType(sdt)

@@ -474,6 +474,56 @@ class DistinctMvSpec extends SparkSpec {
       s"try_sum must decline the rewrite:\n${tryQ.queryExecution.optimizedPlan}")
   }
 
+  test("all-NULL group: COUNT(DISTINCT) is 0, not NULL, through the helper join") {
+    // a group whose distinct column is ENTIRELY NULL has no helper row
+    // (the helper stores non-null values only) — its LeftOuter join
+    // misses and the rewrite's Coalesce(d, 0) must survive
+    // NullPropagation: with the helper Count's pre-join NON-nullable
+    // attribute, Catalyst truncates the Coalesce after the first child
+    // and the 0 silently becomes NULL (the r16 ADVICE hole)
+    val base = tmp(); val src = base + "/an"; val mv = base + "/anmv"
+    val nullL = null.asInstanceOf[java.lang.Long]
+    def l(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    VersionedTable.write(Seq(
+      ("a", "p", l(1L), 1L), ("a", "q", l(2L), 2L),
+      ("b", "p", nullL, 3L), ("b", "q", nullL, 4L), // b: all-NULL u
+      ("c", "p", l(2L), 5L)
+    ).toDF("g1", "g2", "u", "v"), src, statsCols = Seq("v"))
+    MaterializedView.create(spark, src, mv, Seq("g1", "g2"), Seq("v"), Nil,
+      where = None, partitionBy = Nil, distinctCols = Seq("u"))
+    def withRuleOff[A](f: => A): A = {
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try f finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+    def check(q: () => DataFrame, label: String): Unit = {
+      val on = q()
+      val roots = GraftBatchShim.scanRootsOf(on).map(_.toString)
+      assert(roots.contains(mv) && !roots.contains(src),
+        s"$label must answer from view + helper, scans $roots:\n" +
+          on.queryExecution.optimizedPlan)
+      val got = on.collect().map(_.toString).sorted.toSeq
+      val off = withRuleOff(q().collect().map(_.toString).sorted.toSeq)
+      assert(got == off, s"$label\ngot=$got\noff=$off")
+    }
+    // flat rollup: b's row must read [b,0,null,null] (d=0; SUM/AVG
+    // DISTINCT are SQL-NULL on all-null input — the join miss IS that)
+    def flat() = VersionedTable.read(spark, src).groupBy($"g1")
+      .agg(countDistinct($"u").as("d"), sum_distinct($"u").as("sd"),
+        expr("avg(distinct u)").as("ad"), count(lit(1)).as("n"))
+    check(flat _, "flat rollup with an all-NULL group")
+    assert(flat().filter($"g1" === "b").collect().head.getAs[Long]("d") == 0L,
+      "all-NULL group must COUNT(DISTINCT) = 0, not NULL")
+    // grouping sets: the all-NULL group's exact row AND the rollup
+    // subtotal it joins (the subtotal unions a,c values so it is
+    // non-zero — b's own row is the 0)
+    def sets() = VersionedTable.read(spark, src).rollup($"g1", $"g2")
+      .agg(countDistinct($"u").as("d"), sum_distinct($"u").as("sd"))
+    check(sets _, "ROLLUP with an all-NULL group")
+    assert(sets().filter($"g1" === "b" && $"g2".isNull)
+      .collect().head.getAs[Long]("d") == 0L,
+      "the all-NULL group's rollup subtotal must be 0, not NULL")
+  }
+
   test("grouping sets: the distinct family composes with JOIN views") {
     val base = tmp(); val src = base + "/jf"; val dim = base + "/jd"
     val mv = base + "/jmv"
