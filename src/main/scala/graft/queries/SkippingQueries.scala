@@ -838,6 +838,66 @@ object SkippingQueries {
       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_count_boundary_anchored — the boundary rewrite on a CHECKPOINT-
+  // ANCHORED table (the 100 TB deployment): the per-file interval
+  // classification runs DISTRIBUTED on executors over the checkpoint
+  // parquet — asserted in-query (edges-only read AND zero driver-side
+  // checkpoint stats parses across the query). DuckDB counts raw rows.
+  // --------------------------------------------------------------------------
+  def countBoundaryAnchored(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedFixturePath(dir, "bcnta_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      // 15 two-day band appends under a tiny inline bound → the head
+      // anchors at a parquet checkpoint; ANALYZE (a distributed
+      // ckpt-from-anchor ride) arms the per-file sums
+      val saved = VersionedTable.CkptInlineMaxFiles
+      VersionedTable.CkptInlineMaxFiles = 8
+      try {
+        val src = Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("value"))
+        (0 until 15).foreach { b =>
+          VersionedTable.append(
+            src.filter(dayofmonth(col("ts")) >= b * 2 + 1 &&
+              dayofmonth(col("ts")) <= b * 2 + 2).coalesce(1),
+            path, statsCols = Seq("ts", "event_id"))
+        }
+        VersionedTable.analyzeNdv(spark, path, Seq("event_id"))
+      } finally VersionedTable.CkptInlineMaxFiles = saved
+    }
+    val t = VersionedTable.read(spark, path)
+    val parsesBefore = VersionedTable.ckptStatsParses.get()
+    val out = t
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+      .agg(count(lit(1)).as("n_rows"), count(col("ts")).as("n_ts"),
+        sum(col("event_id")).as("sum_ids"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read <= 2L,
+      s"q_count_boundary_anchored: only the edge files may scan, read " +
+        s"$read; plan:\n${out.queryExecution.optimizedPlan}")
+    require(VersionedTable.ckptStatsParses.get() == parsesBefore,
+      "q_count_boundary_anchored: the distributed walk must never " +
+        "materialize the checkpoint stats column driver-side")
+    out
+  }
+
+  val countBoundaryAnchoredSql: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(ts) AS n_ts,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_topk_mixed — top-k through MIXED filters, partition conjunct AND
   // sort-column bound together (`WHERE type-filter AND ts >= d ORDER BY
   // ts DESC LIMIT k` — the full dashboard shape both single-flavor paths
@@ -3224,6 +3284,7 @@ object SkippingQueries {
     "q_topk_range" -> (topkRange _),
     "q_topk_mixed" -> (topkMixed _),
     "q_count_boundary" -> (countBoundary _),
+    "q_count_boundary_anchored" -> (countBoundaryAnchored _),
     "q_topk_dense" -> (topkDense _),
     "q_topk_window_yr" -> (topkWindowDerived _),
     "q_topk_derived" -> (topkDerived _),
@@ -3288,6 +3349,7 @@ object SkippingQueries {
     "q_topk_range" -> topkRangeSql,
     "q_topk_mixed" -> topkMixedSql,
     "q_count_boundary" -> countBoundarySql,
+    "q_count_boundary_anchored" -> countBoundaryAnchoredSql,
     "q_topk_dense" -> topkDenseSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,
     "q_topk_derived" -> topkDerivedSql,

@@ -248,7 +248,7 @@ object VersionedTable {
 
   /** Test hook: number of times a checkpoint's stats column was actually
     * scanned+parsed — specs assert the hot read paths leave it at zero. */
-  private[sources] val ckptStatsParses = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val ckptStatsParses = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** @param ckptInfo  for commits whose delta chain anchors at a PARQUET
     *                  checkpoint: (ckpt dir rel path, the anchor's file
@@ -557,7 +557,7 @@ object VersionedTable {
     * a 1M-file table's checkpoint from being a ~100 MB JSON string built,
     * written and Jackson-parsed on the driver (Delta's multi-part parquet
     * checkpoint idiom). Mutable as a test hook only. */
-  private[sources] var CkptInlineMaxFiles: Int = 512
+  private[graft] var CkptInlineMaxFiles: Int = 512
 
   /** Write the checkpoint parquet for version `v`: one row per file
     * (ordinal, path, row count, per-file stats JSON). Token-named like
@@ -2640,7 +2640,22 @@ object VersionedTable {
       // stats map is already paid for — a COMMON shape (count-with-filter)
       // must never be what forces a million-file checkpoint's stats
       // column onto the driver
-      statsDriverCheap = () => c.ckptInfo.isEmpty || c.statsRef.forced)
+      statsDriverCheap = () => c.ckptInfo.isEmpty || c.statsRef.forced,
+      // the DISTRIBUTED boundary walk's ingredients — everything here is
+      // O(delta) or already driver-resident (added files' stats ride
+      // statsAdds by construction; the checkpoint's stats column never
+      // leaves the executors)
+      boundaryDist = c.ckptInfo.map { case (aRel, aSet) =>
+        val added = c.files.filterNot(aSet)
+        org.apache.spark.sql.graft.GraftBoundaryDist(
+          ckptRel = aRel,
+          removed = aSet.diff(c.files.toSet),
+          added = added,
+          addedRows = added.flatMap(fk => c.rows.get(fk).map(fk -> _)).toMap,
+          addedStats = added.flatMap(fk =>
+            c.statsAdds.get(fk).map(fk -> _)).toMap,
+          dvRows = c.dvRows.filter(_._2 > 0L))
+      })
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file

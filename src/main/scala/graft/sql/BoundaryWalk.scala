@@ -1,0 +1,295 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types.DataType
+
+/** The hybrid boundary rewrite's per-file classification, extracted so the
+  * DRIVER walk (inline manifests / already-paid lazy stats) and the
+  * DISTRIBUTED walk (executors over a checkpoint parquet — the 100 TB
+  * deployment, where forcing the stats column driver-side is exactly what
+  * the `statsDriverCheap` gate forbids) run the SAME decision procedure
+  * and can never drift.
+  *
+  * Everything here is serializable: interval bounds are Catalyst-internal
+  * values (Long/Int/Double/UTF8String/Decimal — all Serializable),
+  * orderings re-derive from the DataType on whichever side evaluates.
+  */
+object BoundaryWalk extends Serializable {
+
+  /** One cond column's accumulated interval — INTERNAL-domain bounds,
+    * (value, strict). */
+  final case class IvS(name: String, dt: DataType,
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)])
+      extends Serializable
+
+  /** A SUM output slot's column. */
+  final case class SumS(name: String) extends Serializable
+
+  /** A MIN/MAX output slot's column. */
+  final case class ExtS(name: String, dt: DataType, takeMax: Boolean)
+      extends Serializable
+
+  sealed trait FileClass extends Serializable
+  /** Every row provably fails the range — contributes nothing. */
+  case object Outside extends FileClass
+  /** Straddling / unprovable — joins the real counting scan. */
+  case object Boundary extends FileClass
+  /** Fully inside: exact metadata contributions. `exts` values are
+    * internal-domain. */
+  final case class Inside(matchCnt: Long,
+      sums: Seq[(String, BigDecimal, Long)],
+      exts: Seq[(String, Boolean, Any)]) extends FileClass
+
+  /** Classify ONE file. Accessors follow the GraftFileIndex hook
+    * contracts exactly:
+    *  - `mm`: stats-domain bounds — None unprovable, Some(None) all-null,
+    *    Some(Some((min, max))) exact (partition columns synthesize
+    *    min = max = path value);
+    *  - `nn`: exact live non-null count (partition-aware);
+    *  - `sumOf`/`sumNn`: exact ANALYZE sum + its non-null count;
+    *  - `rows`: exact live rows (DV marks subtracted).
+    */
+  def classify(ivs: Seq[IvS], sumCols: Seq[SumS], extCols: Seq[ExtS],
+      mm: String => Option[Option[(Any, Any)]],
+      nn: String => Option[Long],
+      sumOf: String => Option[BigDecimal],
+      sumNn: String => Option[Long],
+      rows: Option[Long]): FileClass = {
+    // per cond column: entirely-failing wins (zero matches — skippable
+    // even when another column is only partial), then partial, then
+    // all-inside. Internal-domain bounds kept per column for the
+    // extremum slots.
+    var outside = false
+    var partial = false
+    val colB = scala.collection.mutable.Map.empty[String, (Any, Any)]
+    ivs.foreach { iv =>
+      if (!outside) mm(iv.name) match {
+        case None => partial = true
+        case Some(None) => outside = true // all-null: every row fails
+        case Some(Some((mnS, mxS))) =>
+          (for {
+            mn <- GraftStats.internalOf(mnS, iv.dt)
+            mx <- GraftStats.internalOf(mxS, iv.dt)
+          } yield (mn, mx)) match {
+            case None => partial = true
+            case Some((mn, mx)) =>
+              val ord = TypeUtils.getInterpretedOrdering(iv.dt)
+              val failsLo = iv.lo.exists { case (v, st) =>
+                if (st) ord.lteq(mx, v) else ord.lt(mx, v) }
+              val failsHi = iv.hi.exists { case (v, st) =>
+                if (st) ord.gteq(mn, v) else ord.gt(mn, v) }
+              val loOk = iv.lo.forall { case (v, st) =>
+                if (st) ord.gt(mn, v) else ord.gteq(mn, v) }
+              val hiOk = iv.hi.forall { case (v, st) =>
+                if (st) ord.lt(mx, v) else ord.lteq(mx, v) }
+              if (failsLo || failsHi) outside = true
+              else if (loOk && hiOk) colB(iv.name) = (mn, mx)
+              else partial = true
+          }
+      }
+    }
+    if (outside) return Outside
+    if (partial) return Boundary
+    // ALL cond columns fully inside: matching rows = rows non-null in
+    // every cond column. With per-column non-null counts and the file's
+    // live rows, that composes EXACTLY when at most one cond column
+    // carries nulls (two nullable columns can overlap arbitrarily —
+    // boundary).
+    val contrib: Option[Inside] = for {
+      r <- rows
+      nns <- {
+        val per = ivs.map(iv => nn(iv.name).map(iv.name -> _))
+        if (per.forall(_.isDefined)) Some(per.map(_.get).toMap) else None
+      }
+      nullable = ivs.map(_.name).filter(n => nns(n) < r)
+      matchCnt <- nullable match {
+        case Seq() => Some(r)
+        case Seq(one) => Some(nns(one))
+        case _ => None
+      }
+      // a slot column may ride the metadata only when matching rows =
+      // all rows, or = exactly the rows its OWN column is non-null in
+      // (then SUM/MIN/MAX skip the same nulls the filter drops)
+      slotOk = (c: String) => nullable.isEmpty || nullable == Seq(c)
+      sums <- {
+        val per = sumCols.map { c =>
+          if (!slotOk(c.name)) None
+          else for {
+            sv <- sumOf(c.name)
+            nnc <- sumNn(c.name)
+          } yield (c.name, sv, nnc)
+        }
+        if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+      }
+      exts <- {
+        val per: Seq[Option[Option[(String, Boolean, Any)]]] =
+          extCols.map { e =>
+            if (!slotOk(e.name)) None
+            else colB.get(e.name) match {
+              case Some((mn, mxv)) =>
+                Some(Some((e.name, e.takeMax, if (e.takeMax) mxv else mn)))
+              case None => mm(e.name) match {
+                case None => None
+                case Some(None) => Some(None) // all-null: no value
+                case Some(Some((mnS, mxS))) =>
+                  GraftStats.internalOf(if (e.takeMax) mxS else mnS, e.dt)
+                    .map(v => Some((e.name, e.takeMax, v)))
+              }
+            }
+          }
+        if (per.forall(_.isDefined)) Some(per.flatMap(_.get)) else None
+      }
+    } yield Inside(matchCnt, sums, exts)
+    contrib.getOrElse(Boundary)
+  }
+
+  /** The walk's accumulated result — mergeable across executors
+    * (`boundary` keys and `away` count travel; the inside contributions
+    * stay aggregated). */
+  final case class Agg(
+      insideCnt: Long,
+      sums: Map[String, (BigDecimal, Long)],
+      exts: Map[(String, Boolean), Any],
+      boundary: Vector[String],
+      away: Long) extends Serializable
+
+  val emptyAgg: Agg = Agg(0L, Map.empty, Map.empty, Vector.empty, 0L)
+
+  private def mergeExts(extCols: Seq[ExtS],
+      a: Map[(String, Boolean), Any], b: Map[(String, Boolean), Any])
+      : Map[(String, Boolean), Any] = {
+    val dtOf = extCols.map(e => (e.name, e.takeMax) -> e.dt).toMap
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      val v = (a.get(k), b.get(k)) match {
+        case (Some(x), None) => x
+        case (None, Some(y)) => y
+        case (Some(x), Some(y)) =>
+          val ord = TypeUtils.getInterpretedOrdering(dtOf(k))
+          if (k._2) (if (ord.gteq(x, y)) x else y)
+          else (if (ord.lteq(x, y)) x else y)
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+      k -> v
+    }.toMap
+  }
+
+  def fold(extCols: Seq[ExtS], a: Agg, fk: String, fc: FileClass): Agg =
+    fc match {
+      case Outside => a.copy(away = a.away + 1)
+      case Boundary => a.copy(boundary = a.boundary :+ fk)
+      case Inside(m, sums, exts) =>
+        Agg(
+          a.insideCnt + m,
+          sums.foldLeft(a.sums) { case (acc, (n, sv, nnc)) =>
+            val (s0, c0) = acc.getOrElse(n, (BigDecimal(0), 0L))
+            acc.updated(n, (s0 + sv, c0 + nnc))
+          },
+          mergeExts(extCols, a.exts,
+            exts.map { case (n, mx, v) => (n, mx) -> v }.toMap),
+          a.boundary,
+          a.away + 1)
+    }
+
+  def merge(extCols: Seq[ExtS], a: Agg, b: Agg): Agg =
+    Agg(
+      a.insideCnt + b.insideCnt,
+      (a.sums.keySet ++ b.sums.keySet).iterator.map { n =>
+        val (s0, c0) = a.sums.getOrElse(n, (BigDecimal(0), 0L))
+        val (s1, c1) = b.sums.getOrElse(n, (BigDecimal(0), 0L))
+        n -> (s0 + s1, c0 + c1)
+      }.toMap,
+      mergeExts(extCols, a.exts, b.exts),
+      a.boundary ++ b.boundary,
+      a.away + b.away)
+
+  /** Classify one file from its RAW manifest/checkpoint ingredients —
+    * the adapter both the executor-side checkpoint walk and the
+    * driver-side added-files pass feed [[classify]] through. Replicates
+    * the GraftFileIndex hook contracts exactly:
+    *  - partition columns answer from the path segments (min = max =
+    *    value; the hive null dir is all-null) — VALID under DV marks;
+    *  - data columns answer from ColStat under the same refusal rules as
+    *    fileMinMaxOf / fileNonNullOf / fileSumOf (DV-marked files answer
+    *    nothing; inexact/truncated bounds answer nothing; allNulls is a
+    *    valid "no rows match" answer);
+    *  - live rows = manifest rows minus DV-marked rows.
+    *
+    * @param neededPart (logical name, physical dir name, type) for every
+    *                   referenced PARTITION column
+    * @param zone       session zone for partition value casts
+    */
+  def classifyFromStats(path: String, rowsOpt: Option[Long],
+      stats: Map[String, graft.sources.DataSkipping.ColStat],
+      dvMarkedRows: Long,
+      neededPart: Seq[(String, String, DataType)], zone: Option[String],
+      ivs: Seq[IvS], sumCols: Seq[SumS], extCols: Seq[ExtS]): FileClass = {
+    val marked = dvMarkedRows > 0L
+    val liveRows: Option[Long] = rowsOpt.map(_ - dvMarkedRows)
+    // hive-style segments: token dirs never contain '='
+    lazy val kv: Map[String, String] = path.split('/').dropRight(1)
+      .flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+      }.toMap
+    // logical name -> Some(internal value) | None (hive null dir)
+    val partVals: Map[String, Option[Any]] = neededPart.map {
+      case (n, phys, dt) =>
+        n -> (kv.get(phys).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+          .flatMap { raw =>
+            Option(graft.sources.DataSkipping.castPartValue(
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(raw), dt, zone))
+          })
+    }.toMap
+    def mmC(c: String): Option[Option[(Any, Any)]] =
+      partVals.get(c) match {
+        case Some(None) => Some(None) // null partition value: all-null col
+        case Some(Some(v)) =>
+          statDomainOf(v).map(sd => Some((sd, sd)))
+        case None =>
+          if (marked) None
+          else stats.get(c) match {
+            case None => None
+            case Some(st) if st.allNulls => Some(None)
+            case Some(st)
+                if st.min.isEmpty || st.max.isEmpty || st.inexact => None
+            case Some(st) => Some(Some((st.min.get, st.max.get)))
+          }
+      }
+    def nnC(c: String): Option[Long] =
+      partVals.get(c) match {
+        case Some(None) => Some(0L)
+        case Some(Some(_)) => liveRows
+        case None =>
+          if (marked) None
+          else for {
+            r <- rowsOpt
+            st <- stats.get(c)
+            if st.allNulls || (st.min.isDefined && st.max.isDefined)
+          } yield if (st.allNulls) 0L else r - st.numNulls
+      }
+    def sumC(c: String): Option[BigDecimal] =
+      if (marked) None else stats.get(c).flatMap(_.sum)
+    classify(ivs, sumCols, extCols, mmC, nnC, sumC, nnC, liveRows)
+  }
+
+  /** Catalyst-internal partition value → the stats comparison domain
+    * (BigDecimal for numerics/date-days/timestamp-micros, String for
+    * strings) — the same domain footer stats live in, so partition and
+    * data bounds compare under one ordering. None declines (booleans,
+    * binaries — nothing orderable to prune on). Shared by
+    * GraftFileIndex's driver hooks and the distributed walk. */
+  def statDomainOf(v: Any): Option[Any] = v match {
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue()))
+    case l: java.lang.Long => Some(BigDecimal(l.longValue()))
+    case s: java.lang.Short => Some(BigDecimal(s.intValue()))
+    case b: java.lang.Byte => Some(BigDecimal(b.intValue()))
+    case d: org.apache.spark.sql.types.Decimal =>
+      Some(BigDecimal(d.toJavaBigDecimal))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    // BigDecimal.valueOf round-trips doubles exactly (Double.toString)
+    case db: java.lang.Double => Some(BigDecimal(db.doubleValue()))
+    case f: java.lang.Float => Some(BigDecimal(f.floatValue().toDouble))
+    case _ => None
+  }
+}

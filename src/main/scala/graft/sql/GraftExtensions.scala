@@ -457,11 +457,12 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     val (files, mm, nn, leaf) = scanOf(inner).getOrElse(return None)
     // LAZY-STATS contract: this rewrite fires on shapes as common as any
     // count-with-filter, so on a checkpoint-anchored table whose stats
-    // map is not already paid for it must DECLINE rather than silently
-    // materialize the checkpoint stats column driver-side (the census
-    // and top-k rules answer rarer, whole-scan-replacing shapes and keep
-    // their existing force-on-win behavior)
-    if (!GraftBatchShim.graftStatsDriverCheap(leaf).getOrElse(false))
+    // map is not already paid for the per-file walk must NOT run on the
+    // driver — it runs DISTRIBUTED over the checkpoint parquet instead
+    // (below), and declines only when neither path is available
+    val driverCheap =
+      GraftBatchShim.graftStatsDriverCheap(leaf).getOrElse(false)
+    if (!driverCheap && GraftBatchShim.graftBoundaryDistOf(leaf).isEmpty)
       return None
     // conjuncts accumulate PER-COLUMN intervals in the INTERNAL domain:
     // `WHERE ts >= a AND ts < b AND day >= d` classifies each file
@@ -587,138 +588,57 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     val fileRows = GraftBatchShim.graftFileRowsOf(leaf)
       .getOrElse(Map.empty[String, Long])
     if (sumCols.nonEmpty && sumHooks.isEmpty) return None
-    var insideCnt = 0L
-    val insideSums = scala.collection.mutable.Map.empty[ExprId, BigDecimal]
-      .withDefaultValue(BigDecimal(0))
-    val insideNnIn = scala.collection.mutable.Map.empty[ExprId, Long]
-      .withDefaultValue(0L)
-    val insideExt = scala.collection.mutable
-      .Map.empty[(ExprId, Boolean), Any]
-    def foldExt(c: AttributeReference, takeMax: Boolean, v: Any): Unit = {
-      val key = (c.exprId, takeMax)
-      val ord = TypeUtils.getInterpretedOrdering(c.dataType)
-      insideExt.get(key) match {
-        case None => insideExt(key) = v
-        case Some(v0) =>
-          if (takeMax && ord.gt(v, v0)) insideExt(key) = v
-          else if (!takeMax && ord.lt(v, v0)) insideExt(key) = v
-      }
-    }
-    val boundary = Seq.newBuilder[String]
-    var boundaryN = 0
-    files.foreach { f =>
-      // per cond column: entirely-failing wins (zero matches — skippable
-      // even when another column is only partial), then partial, then
-      // all-inside. Internal-domain bounds kept per column for the
-      // extremum slots.
-      var outside = false
-      var partial = false
-      val colB = scala.collection.mutable.Map.empty[ExprId, (Any, Any)]
-      ivs.foreach { case (id, iv) =>
-        if (!outside) mm(f, condName(id)) match {
-          case None => partial = true
-          case Some(None) => outside = true // all-null: every row fails
-          case Some(Some((mnS, mxS))) =>
-            (for {
-              mn <- GraftStats.internalOf(mnS, iv.col.dataType)
-              mx <- GraftStats.internalOf(mxS, iv.col.dataType)
-            } yield (mn, mx)) match {
-              case None => partial = true
-              case Some((mn, mx)) =>
-                if (iv.failsLo(mx) || iv.failsHi(mn)) outside = true
-                else if (iv.loOk(mn) && iv.hiOk(mx)) colB(id) = (mn, mx)
-                else partial = true
-            }
+    // the per-file decision procedure is BoundaryWalk.classify — shared
+    // with the DISTRIBUTED checkpoint walk so the two paths cannot drift
+    val ivSpecs: Seq[BoundaryWalk.IvS] = ivs.values.toSeq.map(iv =>
+      BoundaryWalk.IvS(condName(iv.col.exprId), iv.col.dataType,
+        iv.lo, iv.hi))
+    val sumSpecs: Seq[BoundaryWalk.SumS] =
+      sumCols.map(c => BoundaryWalk.SumS(c.name))
+    val extSpecs: Seq[BoundaryWalk.ExtS] = extKeys.map { case (c, mx) =>
+      BoundaryWalk.ExtS(c.name, c.dataType, mx) }
+    val walkAgg: BoundaryWalk.Agg =
+      if (driverCheap) {
+        // inline manifests / already-paid lazy stats: walk on the driver
+        files.foldLeft(BoundaryWalk.emptyAgg) { (acc, f) =>
+          val fc = BoundaryWalk.classify(ivSpecs, sumSpecs, extSpecs,
+            c => mm(f, c), c => nn(f, c),
+            c => sumHooks.get._1(f, c), c => sumHooks.get._2(f, c),
+            fileRows.get(f))
+          BoundaryWalk.fold(extSpecs, acc, f, fc)
         }
+      } else {
+        // checkpoint-anchored: executors classify the checkpoint rows,
+        // only the aggregated totals and boundary keys come back — the
+        // stats column never materializes driver-side
+        GraftBatchShim.graftBoundaryDistOf(leaf)
+          .flatMap(walk => walk(ivSpecs, sumSpecs, extSpecs))
+          .getOrElse(return None)
       }
-      if (outside) () // contributes nothing, skipped by data skipping too
-      else if (partial) { boundary += f; boundaryN += 1 }
-      else {
-        // ALL cond columns fully inside: matching rows = rows non-null in
-        // every cond column. With per-column non-null counts and the
-        // file's live rows, that composes EXACTLY when at most one cond
-        // column carries nulls (two nullable columns can overlap
-        // arbitrarily — boundary).
-        val contrib: Option[() => Unit] = for {
-          rows <- fileRows.get(f)
-          nns <- {
-            val per = ivs.keysIterator.map(id =>
-              nn(f, condName(id)).map(id -> _)).toSeq
-            if (per.forall(_.isDefined)) Some(per.map(_.get).toMap) else None
-          }
-          nullable = nns.filter(_._2 < rows).keys.toSeq
-          matchCnt <- nullable match {
-            case Seq() => Some(rows)
-            case Seq(one) => Some(nns(one))
-            case _ => None
-          }
-          // a slot column may ride the metadata only when matching rows
-          // = all rows, or = exactly the rows its OWN column is non-null
-          // in (then SUM/MIN/MAX skip the same nulls the filter drops)
-          slotOk = (c: AttributeReference) =>
-            nullable.isEmpty || nullable == Seq(c.exprId)
-          sums <- {
-            val per = sumCols.map { c =>
-              if (!slotOk(c)) None
-              else for {
-                sv <- sumHooks.get._1(f, c.name)
-                nnc <- sumHooks.get._2(f, c.name)
-              } yield (c.exprId, sv, nnc)
-            }
-            if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
-          }
-          exts <- {
-            val per: Seq[Option[Option[(AttributeReference, Boolean, Any)]]] =
-              extKeys.map { case (c, mx) =>
-                if (!slotOk(c)) None
-                else colB.get(c.exprId) match {
-                  case Some((mn, mxv)) =>
-                    Some(Some((c, mx, if (mx) mxv else mn)))
-                  case None => mm(f, c.name) match {
-                    case None => None
-                    case Some(None) => Some(None) // all-null: no value
-                    case Some(Some((mnS, mxS))) =>
-                      GraftStats.internalOf(if (mx) mxS else mnS, c.dataType)
-                        .map(v => Some((c, mx, v)))
-                  }
-                }
-              }
-            if (per.forall(_.isDefined)) Some(per.flatMap(_.get))
-            else None
-          }
-        } yield { () =>
-          insideCnt += matchCnt
-          sums.foreach { case (id, sv, nnc) =>
-            insideSums(id) = insideSums(id) + sv
-            insideNnIn(id) = insideNnIn(id) + nnc
-          }
-          exts.foreach { case (c, mx, v) => foldExt(c, mx, v) }
-        }
-        contrib match {
-          case Some(run) => run()
-          case None => boundary += f; boundaryN += 1
-        }
-      }
-    }
-    if (boundaryN >= files.size) return None // nothing classified away
+    if (walkAgg.away == 0L) return None // nothing classified away
+    val insideCnt = walkAgg.insideCnt
+    val insideNnIn: String => Long = n => walkAgg.sums.get(n).fold(0L)(_._2)
+    val insideExt: ((String, Boolean)) => Option[Any] = walkAgg.exts.get
+    val boundaryN = walkAgg.boundary.size
     // inside sums must FIT the result type — never wrap from metadata
-    val insideSumLong: Map[ExprId, Long] = insideSums.map { case (id, v) =>
-      if (!v.isValidLong) return None
-      id -> v.toLong
-    }.toMap
+    val insideSumLong: Map[String, Long] = walkAgg.sums.map {
+      case (n, (v, _)) =>
+        if (!v.isValidLong) return None
+        n -> v.toLong
+    }
     if (boundaryN == 0)
       return Some(LocalRelation(agg.output,
         Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
           slots.zip(aggExprs).map {
             case (BCount, _) => insideCnt
             case (BSum(c), _) =>
-              if (insideNnIn(c.exprId) > 0L) insideSumLong(c.exprId)
+              if (insideNnIn(c.name) > 0L) insideSumLong(c.name)
               else null // SQL SUM totality: no non-null inputs
             case (BExt(c, mx), _) =>
-              insideExt.get((c.exprId, mx)).orNull // MIN/MAX: null on none
+              insideExt((c.name, mx)).orNull // MIN/MAX: null on none
           }))))
     val subRel = GraftBatchShim
-      .restrictScanTo(spark, leaf, boundary.result()).getOrElse(return None)
+      .restrictScanTo(spark, leaf, walkAgg.boundary).getOrElse(return None)
     val newChild = child.transformUp { case p if p eq leaf => subRel }
     val cnt = Alias(Count(Seq(Literal(1L))).toAggregateExpression(),
       "__graft_bcnt")()
@@ -747,8 +667,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         // inputs the total is never NULL (coalesce the possibly-empty
         // boundary half); without them the boundary half IS the answer
         val expr: Expression =
-          if (insideNnIn(c.exprId) > 0L)
-            Add(Literal(insideSumLong(c.exprId)),
+          if (insideNnIn(c.name) > 0L)
+            Add(Literal(insideSumLong(c.name)),
               Coalesce(Seq(sub, Literal(0L))))
           else sub
         Alias(expr, e.name)(exprId = e.exprId)
@@ -756,7 +676,7 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         val sub = subExts((c.exprId, mx)).toAttribute
         // Least/Greatest SKIP nulls (null only when all inputs are), so
         // the empty-boundary null composes with the inside extremum
-        val expr: Expression = insideExt.get((c.exprId, mx)) match {
+        val expr: Expression = insideExt((c.name, mx)) match {
           case None => sub
           case Some(v) =>
             if (mx) org.apache.spark.sql.catalyst.expressions.Greatest(

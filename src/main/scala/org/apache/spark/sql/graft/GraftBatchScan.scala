@@ -50,6 +50,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * @param physNameOf logical→physical column renaming for partition dir
   *                 names (column mapping writes physical names into paths)
   */
+/** What the DISTRIBUTED boundary walk needs from a checkpoint-anchored
+  * commit: the checkpoint parquet (bulk of the files — classified on
+  * executors), the O(delta) removed/added bookkeeping (added files carry
+  * driver-known stats by construction), and the DV mark counts (marked
+  * files classify as boundary for data columns, but their partition
+  * values and live-row counts stay exact). */
+final case class GraftBoundaryDist(
+    ckptRel: String,
+    removed: Set[String],
+    added: Seq[String],
+    addedRows: Map[String, Long],
+    addedStats: Map[String, Map[String, graft.sources.DataSkipping.ColStat]],
+    dvRows: Map[String, Long])
+
 private[graft] class GraftFileIndex(
     spark: SparkSession,
     root: Path,
@@ -128,31 +142,28 @@ private[graft] class GraftFileIndex(
       * shapes (the hybrid boundary aggregates: any count-with-filter)
       * must check this and decline rather than silently materialize a
       * million-file checkpoint's stats column driver-side. */
-    val statsDriverCheap: () => Boolean = () => true)
+    val statsDriverCheap: () => Boolean = () => true,
+    /** Checkpoint-anchored commits: what the DISTRIBUTED boundary walk
+      * needs to classify every live file on EXECUTORS over the
+      * checkpoint parquet — the lift of the `statsDriverCheap` decline
+      * for exactly the tables (million-file, anchored) where the hybrid
+      * boundary rewrite is worth the most. None for inline-manifest
+      * commits (driver walk is free there) and for restricted copies
+      * (a subset walk over the full checkpoint would answer from files
+      * outside the subset). */
+    val boundaryDist: Option[GraftBoundaryDist] = None)
     extends FileIndex {
 
   /** The manifest's live file keys — the top-k prune rule's iteration
     * domain (per-file hooks above are keyed by these). */
   def liveFiles: Seq[String] = allFiles
 
-  /** Catalyst-internal partition value → the stats comparison domain
-    * (BigDecimal for numerics/date-days/timestamp-micros, String for
-    * strings) — the same domain footer stats live in, so the top-k rule
-    * compares partition and data bounds with one ordering. None declines
-    * (booleans, binaries — nothing orderable to prune on). */
-  private def statDomainOf(v: Any): Option[Any] = v match {
-    case i: java.lang.Integer => Some(BigDecimal(i.intValue()))
-    case l: java.lang.Long => Some(BigDecimal(l.longValue()))
-    case s: java.lang.Short => Some(BigDecimal(s.intValue()))
-    case b: java.lang.Byte => Some(BigDecimal(b.intValue()))
-    case d: org.apache.spark.sql.types.Decimal =>
-      Some(BigDecimal(d.toJavaBigDecimal))
-    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-    // BigDecimal.valueOf round-trips doubles exactly (Double.toString)
-    case db: java.lang.Double => Some(BigDecimal(db.doubleValue()))
-    case f: java.lang.Float => Some(BigDecimal(f.floatValue().toDouble))
-    case _ => None
-  }
+  /** Catalyst-internal partition value → the stats comparison domain —
+    * shared with the distributed boundary walk
+    * ([[graft.sql.BoundaryWalk.statDomainOf]]), which evaluates the same
+    * conversion on executors. */
+  private def statDomainOf(v: Any): Option[Any] =
+    graft.sql.BoundaryWalk.statDomainOf(v)
 
   /** [[fileMinMaxOf]] that ALSO answers PARTITION columns: a file's
     * partition value is an exact min = max bound (true under DV marks too
@@ -196,6 +207,80 @@ private[graft] class GraftFileIndex(
           else (Seq("p:" + row.get(i, partSchema(i).dataType)), Int.MaxValue)
         }
       }
+    }
+
+  /** The DISTRIBUTED boundary walk: classify every live file against the
+    * per-column intervals ON EXECUTORS over the checkpoint parquet —
+    * stats JSON parses where the data sits, only the aggregated inside
+    * totals and the (edge-sized) boundary file keys travel back. Files
+    * added since the anchor classify on the driver from their
+    * driver-known stats (O(delta) by construction). The per-file
+    * decision procedure is [[graft.sql.BoundaryWalk.classifyFromStats]]
+    * — byte-shared with the driver walk's hook contracts.
+    *
+    * Memoized per (intervals, slots) on this index instance: the
+    * optimizer may revisit the same shape across fixpoint iterations,
+    * and a second plan-time Spark job for an identical answer (the
+    * snapshot is immutable) would be pure waste. Returns None on any
+    * shipping failure — the rewrite then declines, never guesses. */
+  private val boundaryDistMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[graft.sql.BoundaryWalk.IvS], Seq[graft.sql.BoundaryWalk.SumS],
+      Seq[graft.sql.BoundaryWalk.ExtS]),
+    Option[graft.sql.BoundaryWalk.Agg]]()
+
+  def boundaryDistWalk(ivs: Seq[graft.sql.BoundaryWalk.IvS],
+      sumCols: Seq[graft.sql.BoundaryWalk.SumS],
+      extCols: Seq[graft.sql.BoundaryWalk.ExtS])
+      : Option[graft.sql.BoundaryWalk.Agg] =
+    boundaryDist.flatMap { bd =>
+      boundaryDistMemo.computeIfAbsent((ivs, sumCols, extCols), _ =>
+        scala.util.Try {
+          import graft.sql.BoundaryWalk
+          val needed = (ivs.map(_.name) ++ sumCols.map(_.name) ++
+            extCols.map(_.name)).distinct
+          val neededPart: Seq[(String, String,
+              org.apache.spark.sql.types.DataType)] =
+            needed.flatMap(n => partSchema.fields.find(_.name == n)
+              .map(f => (n, physNameOf(n), f.dataType)))
+          val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+          // locals only — the closure must not capture `this`
+          val removed = bd.removed
+          val dvR = bd.dvRows
+          val (ivsL, sumL, extL) = (ivs, sumCols, extCols)
+          val ckptDf = spark.read
+            .parquet(new Path(root, bd.ckptRel).toString)
+            .select(org.apache.spark.sql.functions.col("path"),
+              org.apache.spark.sql.functions.col("rows"),
+              org.apache.spark.sql.functions.col("stats"))
+          val partials: Array[BoundaryWalk.Agg] = ckptDf.rdd
+            .mapPartitions { it =>
+              var acc = BoundaryWalk.emptyAgg
+              it.foreach { r =>
+                val p = r.getString(0)
+                if (!removed.contains(p)) {
+                  val rowsOpt =
+                    if (r.isNullAt(1)) None else Some(r.getLong(1))
+                  val stats =
+                    if (r.isNullAt(2))
+                      Map.empty[String, graft.sources.DataSkipping.ColStat]
+                    else graft.sources.DataSkipping.colsFromJson(r.getString(2))
+                  val fc = BoundaryWalk.classifyFromStats(p, rowsOpt, stats,
+                    dvR.getOrElse(p, 0L), neededPart, zone, ivsL, sumL, extL)
+                  acc = BoundaryWalk.fold(extL, acc, p, fc)
+                }
+              }
+              Iterator.single(acc)
+            }
+            .collect()
+          val fromCkpt = partials.foldLeft(BoundaryWalk.emptyAgg)(
+            BoundaryWalk.merge(extL, _, _))
+          bd.added.foldLeft(fromCkpt) { (acc, fk) =>
+            val fc = BoundaryWalk.classifyFromStats(fk, bd.addedRows.get(fk),
+              bd.addedStats.getOrElse(fk, Map.empty),
+              dvR.getOrElse(fk, 0L), neededPart, zone, ivsL, sumL, extL)
+            BoundaryWalk.fold(extL, acc, fk, fc)
+          }
+        }.toOption)
     }
 
   /** STABLE function values of the two hooks above — the top-k rule's
@@ -342,7 +427,8 @@ private[graft] class GraftFileIndex(
     new GraftFileIndex(spark, root, allFiles, keep, liveRows, partSchema,
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
       snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf,
-      checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap) {
+      checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap,
+      boundaryDist) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -672,7 +758,8 @@ object GraftBatchShim {
       fileSumOf: (String, String) => Option[BigDecimal] = (_, _) => None,
       fileNdvHashesOf: (String, String) => Option[(Seq[String], Int)] =
         (_, _) => None,
-      statsDriverCheap: () => Boolean = () => true)
+      statsDriverCheap: () => Boolean = () => true,
+      boundaryDist: Option[GraftBoundaryDist] = None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -689,7 +776,7 @@ object GraftBatchShim {
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
         fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints, fileSumOf,
-        fileNdvHashesOf, statsDriverCheap),
+        fileNdvHashesOf, statsDriverCheap, boundaryDist),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -869,6 +956,23 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         Some(g.statsDriverCheap())
+      case _ => None
+    }
+
+  /** The DISTRIBUTED boundary walk of a checkpoint-anchored graft
+    * relation node — the boundary rewrite's path when driver-side stats
+    * iteration is NOT free ([[graftStatsDriverCheap]] false): executors
+    * classify the checkpoint rows, only aggregated totals and the
+    * boundary keys return. None for inline-manifest commits and
+    * restricted copies. */
+  def graftBoundaryDistOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(Seq[graft.sql.BoundaryWalk.IvS],
+        Seq[graft.sql.BoundaryWalk.SumS], Seq[graft.sql.BoundaryWalk.ExtS])
+        => Option[graft.sql.BoundaryWalk.Agg]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.boundaryDist.isDefined =>
+        Some((ivs, sums, exts) => g.boundaryDistWalk(ivs, sums, exts))
       case _ => None
     }
 

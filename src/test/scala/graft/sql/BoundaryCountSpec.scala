@@ -213,6 +213,91 @@ class BoundaryCountSpec extends SparkSpec {
       plain.filter(c3).count())
   }
 
+  test("checkpoint-anchored table: classification runs DISTRIBUTED, edges only") {
+    // the 100 TB posture: an anchored commit's stats live in the
+    // checkpoint parquet, the lazy driver map is NOT paid for, and the
+    // boundary walk must classify on executors — edges-only read with
+    // ckptStatsParses untouched (VersionedTableSpec's lazy-stats contract)
+    val path = tmp()
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      // 16 single-file appends of narrow k-bands → v10 writes a parquet
+      // checkpoint; v11..v16 are delta layers (their files classify from
+      // driver-known statsAdds — the added-files pass)
+      (0 until 16).foreach { b =>
+        VersionedTable.append(
+          spark.range(b * 4096L, (b + 1) * 4096L)
+            .select(col("id").as("k"),
+              when(col("id") % 13 === 0, lit(null)).otherwise(col("id") * 3)
+                .cast("long").as("v")).coalesce(1),
+          path, statsCols = Seq("k", "v"))
+      }
+      def t = VersionedTable.read(spark, path)
+      assert(t.inputFiles.length == 16)
+      val plainRows = (0L until 65536L).map(i =>
+        (i, if (i % 13 == 0) None else Some(i * 3)))
+      VersionedTable.ckptStatsParses.set(0L)
+      val q = t.filter($"k" >= 10000L && $"k" < 50000L)
+        .agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+      val read = filesRead(q)
+      assert(read <= 2L && read >= 1L,
+        s"anchored boundary count must read edges only: $read\n" +
+          q.queryExecution.optimizedPlan)
+      val got = q.collect().head
+      val hits = plainRows.filter(r => r._1 >= 10000L && r._1 < 50000L)
+      assert(got.getLong(0) == hits.size.toLong)
+      assert(got.getLong(1) == hits.head._1 && got.getLong(2) == hits.last._1)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the distributed walk must never materialize the checkpoint " +
+          "stats column driver-side")
+      // fully-aligned range: zero scan, still zero driver stats parses
+      val all = t.filter($"k" >= 0L && $"k" < 65536L)
+        .agg(count(lit(1)).as("n"), count($"k").as("nk"))
+      assert(scanFree(all), all.queryExecution.optimizedPlan.toString)
+      val gotAll = all.collect().head
+      assert(gotAll.getLong(0) == 65536L && gotAll.getLong(1) == 65536L)
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+      // nullable-column range (v): same-col count stays exact through
+      // the distributed classification too
+      val vq = t.filter($"v" >= 30000L && $"v" < 150000L)
+        .agg(count(lit(1)).as("n"))
+      assert(vq.collect().head.getLong(0) ==
+        plainRows.count(r => r._2.exists(v => v >= 30000L && v < 150000L)))
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
+  test("anchored + hive-partitioned: executors classify partition values from paths") {
+    val path = tmp()
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 4
+    try {
+      // 12 day-dirs, one commit each → anchored at v10; day is a
+      // PARTITION column whose per-file bounds the executors must
+      // synthesize from the path segments
+      (0 until 12).foreach { d =>
+        spark.range(d * 100L, (d + 1) * 100L)
+          .select(lit(d.toLong).as("day"), col("id").as("ts")).coalesce(1)
+          .write.format("graft-table").option("statsCols", "ts")
+          .partitionBy("day").mode(if (d == 0) "overwrite" else "append")
+          .save(path)
+      }
+      def t = spark.read.format("graft-table").load(path)
+      VersionedTable.ckptStatsParses.set(0L)
+      val q = t.filter($"day" >= 3L && $"day" < 9L && $"ts" >= 350L)
+        .agg(count(lit(1)).as("n"))
+      val got = q.collect().head.getLong(0)
+      assert(got == (350L until 900L).size.toLong, s"got $got")
+      val read = filesRead(q)
+      assert(read <= 1L,
+        s"only the straddling day-3 file may scan: $read\n" +
+          q.queryExecution.optimizedPlan)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "partition-value classification must not force driver stats")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
   test("declines: two columns, COUNT(other col), non-count aggregates, DV files scan") {
     val path = tmp()
     VersionedTable.write(
