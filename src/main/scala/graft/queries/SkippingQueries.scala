@@ -812,6 +812,7 @@ object SkippingQueries {
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
       .agg(count(lit(1)).as("n_rows"), count(col("ts")).as("n_ts"),
         sum(col("event_id")).as("sum_ids"),
+        avg(col("event_id")).as("avg_id"),
         min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
         max(col("event_id")).as("max_id"))
     val physical = out.queryExecution.executedPlan match {
@@ -832,10 +833,62 @@ object SkippingQueries {
   val countBoundarySql: String =
     """SELECT COUNT(*) AS n_rows, COUNT(ts) AS n_ts,
       |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  AVG(event_id) AS avg_id,
       |  MIN(ts) AS min_ts, MAX(ts) AS max_ts,
       |  MAX(event_id) AS max_id FROM events
       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_count_boundary_grouped — GROUPED hybrid boundary aggregate:
+  // `GROUP BY day WHERE ts range` over a day-partitioned fact reads only
+  // the straddling mid-day file; whole days inside the range answer per
+  // group from the manifest — asserted in-query (≤ 1 file read out of
+  // 30). DuckDB groups the raw rows.
+  // --------------------------------------------------------------------------
+  def countBoundaryGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedFixturePath(dir, "bcntg_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      Tables.events(spark, dir)
+        .select(dayofmonth(col("ts")).cast("long").as("day"),
+          col("event_id"), col("ts"))
+        .repartition(30, col("day"))
+        .write.format("graft-table").option("statsCols", "ts,event_id")
+        .partitionBy("day").save(path)
+      VersionedTable.analyzeNdv(spark, path, Seq("event_id"))
+    }
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val out = t
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 12:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_ids"),
+        avg(col("event_id")).as("avg_id"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read <= 1L,
+      s"q_count_boundary_grouped: only the mid-day straddler may scan, " +
+        s"read $read/$total; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val countBoundaryGroupedSql: String =
+    """SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+      |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  AVG(event_id) AS avg_id,
+      |  MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 12:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
   // q_count_boundary_anchored — the boundary rewrite on a CHECKPOINT-
@@ -871,6 +924,7 @@ object SkippingQueries {
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
       .agg(count(lit(1)).as("n_rows"), count(col("ts")).as("n_ts"),
         sum(col("event_id")).as("sum_ids"),
+        avg(col("event_id")).as("avg_id"),
         min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
     val physical = out.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -893,6 +947,7 @@ object SkippingQueries {
   val countBoundaryAnchoredSql: String =
     """SELECT COUNT(*) AS n_rows, COUNT(ts) AS n_ts,
       |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  AVG(event_id) AS avg_id,
       |  MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events
       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
@@ -3285,6 +3340,7 @@ object SkippingQueries {
     "q_topk_mixed" -> (topkMixed _),
     "q_count_boundary" -> (countBoundary _),
     "q_count_boundary_anchored" -> (countBoundaryAnchored _),
+    "q_count_boundary_grouped" -> (countBoundaryGrouped _),
     "q_topk_dense" -> (topkDense _),
     "q_topk_window_yr" -> (topkWindowDerived _),
     "q_topk_derived" -> (topkDerived _),
@@ -3350,6 +3406,7 @@ object SkippingQueries {
     "q_topk_mixed" -> topkMixedSql,
     "q_count_boundary" -> countBoundarySql,
     "q_count_boundary_anchored" -> countBoundaryAnchoredSql,
+    "q_count_boundary_grouped" -> countBoundaryGroupedSql,
     "q_topk_dense" -> topkDenseSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,
     "q_topk_derived" -> topkDerivedSql,

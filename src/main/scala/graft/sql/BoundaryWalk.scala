@@ -16,11 +16,16 @@ import org.apache.spark.sql.types.DataType
   */
 object BoundaryWalk extends Serializable {
 
-  /** One cond column's accumulated interval — INTERNAL-domain bounds,
-    * (value, strict). */
+  /** One INTERNAL-domain range: (lower, upper), each (value, strict);
+    * None = unbounded. */
+  type Rng = (Option[(Any, Boolean)], Option[(Any, Boolean)])
+
+  /** One cond column's accumulated CLAUSES — each clause is a union of
+    * ranges (a plain comparison is a one-range clause, `IN (…)` a union
+    * of points, `a < x OR a >= y` a union of ranges); the conjunction of
+    * clauses constrains the column. */
   final case class IvS(name: String, dt: DataType,
-      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)])
-      extends Serializable
+      clauses: Seq[Seq[Rng]]) extends Serializable
 
   /** A SUM output slot's column. */
   final case class SumS(name: String) extends Serializable
@@ -74,16 +79,26 @@ object BoundaryWalk extends Serializable {
             case None => partial = true
             case Some((mn, mx)) =>
               val ord = TypeUtils.getInterpretedOrdering(iv.dt)
-              val failsLo = iv.lo.exists { case (v, st) =>
-                if (st) ord.lteq(mx, v) else ord.lt(mx, v) }
-              val failsHi = iv.hi.exists { case (v, st) =>
-                if (st) ord.gteq(mn, v) else ord.gt(mn, v) }
-              val loOk = iv.lo.forall { case (v, st) =>
-                if (st) ord.gt(mn, v) else ord.gteq(mn, v) }
-              val hiOk = iv.hi.forall { case (v, st) =>
-                if (st) ord.lt(mx, v) else ord.lteq(mx, v) }
-              if (failsLo || failsHi) outside = true
-              else if (loOk && hiOk) colB(iv.name) = (mn, mx)
+              // a range FAILS the file when no value in [mn, mx] can
+              // satisfy it; it COVERS the file when every value does
+              def failsR(r: Rng): Boolean =
+                r._1.exists { case (v, st) =>
+                  if (st) ord.lteq(mx, v) else ord.lt(mx, v) } ||
+                r._2.exists { case (v, st) =>
+                  if (st) ord.gteq(mn, v) else ord.gt(mn, v) }
+              def coversR(r: Rng): Boolean =
+                r._1.forall { case (v, st) =>
+                  if (st) ord.gt(mn, v) else ord.gteq(mn, v) } &&
+                r._2.forall { case (v, st) =>
+                  if (st) ord.lt(mx, v) else ord.lteq(mx, v) }
+              // a clause (union of ranges) fails when EVERY disjunct
+              // fails; the column is fully inside when every clause has
+              // a SINGLE covering disjunct (a union covering [mn, mx]
+              // only piecewise stays conservative: partial → scan)
+              if (iv.clauses.exists(cl => cl.forall(failsR)))
+                outside = true
+              else if (iv.clauses.forall(cl => cl.exists(coversR)))
+                colB(iv.name) = (mn, mx)
               else partial = true
           }
       }
@@ -143,17 +158,24 @@ object BoundaryWalk extends Serializable {
     contrib.getOrElse(Boundary)
   }
 
-  /** The walk's accumulated result — mergeable across executors
-    * (`boundary` keys and `away` count travel; the inside contributions
-    * stay aggregated). */
-  final case class Agg(
-      insideCnt: Long,
+  /** One group's inside totals. */
+  final case class Grp(
+      cnt: Long,
       sums: Map[String, (BigDecimal, Long)],
-      exts: Map[(String, Boolean), Any],
+      exts: Map[(String, Boolean), Any]) extends Serializable
+
+  val emptyGrp: Grp = Grp(0L, Map.empty, Map.empty)
+
+  /** The walk's accumulated result, PER GROUP (the global walk is the
+    * one-group case with the empty key) — mergeable across executors
+    * (`boundary` keys and `away` count travel; the inside contributions
+    * stay aggregated; group count is bounded by the partition census). */
+  final case class Agg(
+      groups: Map[Seq[Any], Grp],
       boundary: Vector[String],
       away: Long) extends Serializable
 
-  val emptyAgg: Agg = Agg(0L, Map.empty, Map.empty, Vector.empty, 0L)
+  val emptyAgg: Agg = Agg(Map.empty, Vector.empty, 0L)
 
   private def mergeExts(extCols: Seq[ExtS],
       a: Map[(String, Boolean), Any], b: Map[(String, Boolean), Any])
@@ -173,32 +195,39 @@ object BoundaryWalk extends Serializable {
     }.toMap
   }
 
-  def fold(extCols: Seq[ExtS], a: Agg, fk: String, fc: FileClass): Agg =
-    fc match {
-      case Outside => a.copy(away = a.away + 1)
-      case Boundary => a.copy(boundary = a.boundary :+ fk)
-      case Inside(m, sums, exts) =>
-        Agg(
-          a.insideCnt + m,
-          sums.foldLeft(a.sums) { case (acc, (n, sv, nnc)) =>
-            val (s0, c0) = acc.getOrElse(n, (BigDecimal(0), 0L))
-            acc.updated(n, (s0 + sv, c0 + nnc))
-          },
-          mergeExts(extCols, a.exts,
-            exts.map { case (n, mx, v) => (n, mx) -> v }.toMap),
-          a.boundary,
-          a.away + 1)
-    }
-
-  def merge(extCols: Seq[ExtS], a: Agg, b: Agg): Agg =
-    Agg(
-      a.insideCnt + b.insideCnt,
+  private def mergeGrp(extCols: Seq[ExtS], a: Grp, b: Grp): Grp =
+    Grp(
+      a.cnt + b.cnt,
       (a.sums.keySet ++ b.sums.keySet).iterator.map { n =>
         val (s0, c0) = a.sums.getOrElse(n, (BigDecimal(0), 0L))
         val (s1, c1) = b.sums.getOrElse(n, (BigDecimal(0), 0L))
         n -> (s0 + s1, c0 + c1)
       }.toMap,
-      mergeExts(extCols, a.exts, b.exts),
+      mergeExts(extCols, a.exts, b.exts))
+
+  /** Fold one file's classification under its group key (Seq.empty for
+    * the global walk). */
+  def fold(extCols: Seq[ExtS], a: Agg, fk: String, key: Seq[Any],
+      fc: FileClass): Agg =
+    fc match {
+      case Outside => a.copy(away = a.away + 1)
+      case Boundary => a.copy(boundary = a.boundary :+ fk)
+      case Inside(m, sums, exts) =>
+        val g = Grp(m,
+          sums.map { case (n, sv, nnc) => n -> (sv, nnc) }.toMap,
+          exts.map { case (n, mx, v) => (n, mx) -> v }.toMap)
+        a.copy(
+          groups = a.groups.updated(key,
+            mergeGrp(extCols, a.groups.getOrElse(key, emptyGrp), g)),
+          away = a.away + 1)
+    }
+
+  def merge(extCols: Seq[ExtS], a: Agg, b: Agg): Agg =
+    Agg(
+      (a.groups.keySet ++ b.groups.keySet).iterator.map { k =>
+        k -> mergeGrp(extCols, a.groups.getOrElse(k, emptyGrp),
+          b.groups.getOrElse(k, emptyGrp))
+      }.toMap,
       a.boundary ++ b.boundary,
       a.away + b.away)
 
@@ -217,12 +246,18 @@ object BoundaryWalk extends Serializable {
     * @param neededPart (logical name, physical dir name, type) for every
     *                   referenced PARTITION column
     * @param zone       session zone for partition value casts
+    * @param groupPart  (logical, physical, type) of the GROUP BY
+    *                   partition columns — the returned key is the file's
+    *                   internal partition values in this order (empty for
+    *                   the global walk)
     */
   def classifyFromStats(path: String, rowsOpt: Option[Long],
       stats: Map[String, graft.sources.DataSkipping.ColStat],
       dvMarkedRows: Long,
       neededPart: Seq[(String, String, DataType)], zone: Option[String],
-      ivs: Seq[IvS], sumCols: Seq[SumS], extCols: Seq[ExtS]): FileClass = {
+      ivs: Seq[IvS], sumCols: Seq[SumS], extCols: Seq[ExtS],
+      groupPart: Seq[(String, String, DataType)] = Nil)
+      : (FileClass, Seq[Any]) = {
     val marked = dvMarkedRows > 0L
     val liveRows: Option[Long] = rowsOpt.map(_ - dvMarkedRows)
     // hive-style segments: token dirs never contain '='
@@ -270,7 +305,13 @@ object BoundaryWalk extends Serializable {
       }
     def sumC(c: String): Option[BigDecimal] =
       if (marked) None else stats.get(c).flatMap(_.sum)
-    classify(ivs, sumCols, extCols, mmC, nnC, sumC, nnC, liveRows)
+    val key: Seq[Any] = groupPart.map { case (_, phys, dt) =>
+      kv.get(phys).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+        .map(raw => graft.sources.DataSkipping.castPartValue(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(raw), dt, zone)).orNull
+    }
+    (classify(ivs, sumCols, extCols, mmC, nnC, sumC, nnC, liveRows), key)
   }
 
   /** Catalyst-internal partition value → the stats comparison domain

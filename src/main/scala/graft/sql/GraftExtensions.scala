@@ -343,6 +343,10 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     // against the census tuples (the same values directory pruning uses).
     case agg @ Aggregate(groups, aggExprs, child, _) if groups.nonEmpty =>
       censusOf(child).flatMap(rewriteCensus(agg, groups, aggExprs, _))
+        // the GROUPED hybrid boundary aggregate: `GROUP BY partition col
+        // WHERE data-column range` — per-group inside totals from the
+        // walk, only the edge files re-aggregate
+        .orElse(boundaryCount(agg, aggExprs, child, groups))
         .getOrElse(agg)
   }
 
@@ -431,7 +435,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     * holds boundary files only, where the revisit classifies nothing
     * away and declines. */
   private def boundaryCount(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] = {
+      child: LogicalPlan, groups: Seq[Expression] = Nil)
+      : Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.util.TypeUtils
     def toFilter(p: LogicalPlan): Option[(Expression, LogicalPlan)] = p match {
       case Filter(c, i) => Some((c, i))
@@ -464,13 +469,18 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftBatchShim.graftStatsDriverCheap(leaf).getOrElse(false)
     if (!driverCheap && GraftBatchShim.graftBoundaryDistOf(leaf).isEmpty)
       return None
-    // conjuncts accumulate PER-COLUMN intervals in the INTERNAL domain:
-    // `WHERE ts >= a AND ts < b AND day >= d` classifies each file
-    // against every column's interval at once (the multi-dimension
-    // dashboard). Anything that is not attr-vs-non-null-literal
-    // comparison (or IsNotNull on a cond column) declines.
+    // conjuncts accumulate PER-COLUMN interval CLAUSES in the INTERNAL
+    // domain: a plain comparison is a one-range clause, `IN (…)` a union
+    // of points, and `a < x OR a >= y` a union of ranges — every clause
+    // on ONE column (cross-column disjunctions decline: their per-file
+    // verdicts don't compose per column). `WHERE ts >= a AND ts < b AND
+    // day IN (…)` classifies each file against every column at once.
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    def splitOr(e: Expression): Seq[Expression] = e match {
+      case Or(l, r) => splitOr(l) ++ splitOr(r)
       case x => Seq(x)
     }
     def lit(l: Expression, dt: org.apache.spark.sql.types.DataType)
@@ -478,76 +488,90 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case Literal(v, d) if v != null && d == dt => Some(v)
       case _ => None
     }
-    case class Iv(col: AttributeReference,
-        var lo: Option[(Any, Boolean)], var hi: Option[(Any, Boolean)]) {
-      def ord = TypeUtils.getInterpretedOrdering(col.dataType)
-      def addLo(v: Any, s: Boolean): Unit = lo = lo match {
-        case None => Some((v, s))
-        case Some((v0, s0)) =>
-          if (ord.gt(v, v0)) Some((v, s))
-          else if (ord.lt(v, v0)) Some((v0, s0)) else Some((v0, s0 || s))
-      }
-      def addHi(v: Any, s: Boolean): Unit = hi = hi match {
-        case None => Some((v, s))
-        case Some((v0, s0)) =>
-          if (ord.lt(v, v0)) Some((v, s))
-          else if (ord.gt(v, v0)) Some((v0, s0)) else Some((v0, s0 || s))
-      }
-      def loOk(x: Any): Boolean = lo.forall { case (v, st) =>
-        if (st) ord.gt(x, v) else ord.gteq(x, v) }
-      def hiOk(x: Any): Boolean = hi.forall { case (v, st) =>
-        if (st) ord.lt(x, v) else ord.lteq(x, v) }
-      def failsLo(mx: Any): Boolean = lo.exists { case (v, st) =>
-        if (st) ord.lteq(mx, v) else ord.lt(mx, v) }
-      def failsHi(mn: Any): Boolean = hi.exists { case (v, st) =>
-        if (st) ord.gteq(mn, v) else ord.gt(mn, v) }
-    }
-    val ivs = scala.collection.mutable.LinkedHashMap.empty[ExprId, Iv]
-    def ivOf(x: Expression): Option[Iv] = x match {
-      case a: AttributeReference =>
-        Some(ivs.getOrElseUpdate(a.exprId, Iv(a, None, None)))
+    type Rng = BoundaryWalk.Rng
+    def attr(x: Expression): Option[AttributeReference] = x match {
+      case a: AttributeReference => Some(a)
       case _ => None
     }
-    // each comparison tries both orientations (attr op lit / lit op attr)
-    def take(x: Expression, y: Expression,
-        attrFirst: (Iv, Any) => Unit,
-        litFirst: (Iv, Any) => Unit): Boolean =
-      (for (iv <- ivOf(x); v <- lit(y, iv.col.dataType))
-        yield attrFirst(iv, v)).isDefined ||
-        (for (iv <- ivOf(y); v <- lit(x, iv.col.dataType))
-          yield litFirst(iv, v)).isDefined
-    split(cond).foreach { c =>
-      val ok = c match {
-        case IsNotNull(x) => ivOf(x).isDefined // registers the column
-        case GreaterThanOrEqual(x, y) =>
-          take(x, y, (iv, v) => iv.addLo(v, s = false),
-            (iv, v) => iv.addHi(v, s = false))
-        case GreaterThan(x, y) =>
-          take(x, y, (iv, v) => iv.addLo(v, s = true),
-            (iv, v) => iv.addHi(v, s = true))
-        case LessThanOrEqual(x, y) =>
-          take(x, y, (iv, v) => iv.addHi(v, s = false),
-            (iv, v) => iv.addLo(v, s = false))
-        case LessThan(x, y) =>
-          take(x, y, (iv, v) => iv.addHi(v, s = true),
-            (iv, v) => iv.addLo(v, s = true))
-        case EqualTo(x, y) =>
-          take(x, y,
-            (iv, v) => { iv.addLo(v, s = false); iv.addHi(v, s = false) },
-            (iv, v) => { iv.addLo(v, s = false); iv.addHi(v, s = false) })
-        case _ => false
+    // one comparison → (col, range), both orientations
+    def rangeOf(c: Expression): Option[(AttributeReference, Rng)] = {
+      def both(x: Expression, y: Expression,
+          attrFirst: Any => Rng, litFirst: Any => Rng) =
+        (for (a <- attr(x); v <- lit(y, a.dataType)) yield (a, attrFirst(v)))
+          .orElse(
+            for (a <- attr(y); v <- lit(x, a.dataType)) yield (a, litFirst(v)))
+      def pt(v: Any): Rng = (Some((v, false)), Some((v, false)))
+      c match {
+        case GreaterThanOrEqual(x, y) => both(x, y,
+          v => (Some((v, false)), None), v => (None, Some((v, false))))
+        case GreaterThan(x, y) => both(x, y,
+          v => (Some((v, true)), None), v => (None, Some((v, true))))
+        case LessThanOrEqual(x, y) => both(x, y,
+          v => (None, Some((v, false))), v => (Some((v, false)), None))
+        case LessThan(x, y) => both(x, y,
+          v => (None, Some((v, true))), v => (Some((v, true)), None))
+        case EqualTo(x, y) => both(x, y, pt, pt)
+        case _ => None
       }
-      if (!ok) return None
     }
-    if (ivs.isEmpty) return None
+    def clauseOf(c: Expression): Option[(AttributeReference, Seq[Rng])] =
+      c match {
+        // registers the column; covers every non-null value (matching
+        // rows are non-null in every cond column by construction)
+        case IsNotNull(a: AttributeReference) => Some((a, Seq((None, None))))
+        case In(a: AttributeReference, vs) if vs.nonEmpty =>
+          val pts = vs.map(v => lit(v, a.dataType))
+          if (pts.forall(_.isDefined))
+            Some((a, pts.map(_.get)
+              .map(v => (Some((v, false)), Some((v, false))): Rng)))
+          else None
+        // OptimizeIn rewrites larger IN lists to InSet (internal-domain
+        // values, type-consistent by construction; null declines)
+        case InSet(a: AttributeReference, hs)
+            if hs.nonEmpty && !hs.contains(null) =>
+          Some((a, hs.toSeq
+            .map(v => (Some((v, false)), Some((v, false))): Rng)))
+        case o @ Or(_, _) =>
+          val parts = splitOr(o).map(clauseOf)
+          if (parts.forall(_.isDefined)) {
+            val ps = parts.map(_.get)
+            if (ps.forall(_._1.exprId == ps.head._1.exprId))
+              Some((ps.head._1, ps.flatMap(_._2)))
+            else None // cross-column OR
+          } else None
+        case cmp => rangeOf(cmp).map { case (a, r) => (a, Seq(r)) }
+      }
+    val clauseList: Seq[(AttributeReference, Seq[Rng])] =
+      split(cond).map(c => clauseOf(c).getOrElse(return None))
+    if (clauseList.isEmpty) return None
+    val condCols: Seq[AttributeReference] =
+      clauseList.map(_._1).distinctBy(_.exprId)
+    val condIds: Set[ExprId] = condCols.map(_.exprId).toSet
     def leafAttr(id: ExprId): Option[AttributeReference] =
       leaf.output.collectFirst {
         case la: AttributeReference if la.exprId == id => la
       }
     // every cond column must be a leaf column (name resolution)
-    val condName: Map[ExprId, String] = ivs.keysIterator.map { id =>
-      id -> leafAttr(id).getOrElse(return None).name
+    val condName: Map[ExprId, String] = condCols.map { a =>
+      a.exprId -> leafAttr(a.exprId).getOrElse(return None).name
     }.toMap
+    // GROUPED: every group key must be a bare PARTITION column — each
+    // file then knows its group (constant per file), so inside totals
+    // accumulate per group and only the boundary files re-aggregate
+    val groupLeaf: Seq[AttributeReference] = groups.map {
+      case a: AttributeReference =>
+        leafAttr(a.exprId).getOrElse(return None)
+      case _ => return None
+    }
+    if (groups.nonEmpty) {
+      val partCols = GraftBatchShim.graftPartitionColsOf(leaf)
+        .getOrElse(return None).toSet
+      if (!groupLeaf.forall(g => partCols(g.name))) return None
+    }
+    val groupIds: Set[ExprId] = groups.collect {
+      case a: AttributeReference => a.exprId }.toSet
+    val groupIdxOf: Map[ExprId, Int] =
+      groupLeaf.map(_.exprId).zipWithIndex.toMap
     // output slots: COUNT(*) / COUNT(a cond column) — matching rows are
     // non-null in every cond column by construction — plus SUM(long) and
     // MIN/MAX from per-file metadata, gated per file on the cond
@@ -556,17 +580,38 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     case object BCount extends BSlot
     case class BSum(col: AttributeReference) extends BSlot
     case class BExt(col: AttributeReference, takeMax: Boolean) extends BSlot
+    case class BAvg(col: AttributeReference) extends BSlot
+    case class BGroup(col: AttributeReference) extends BSlot
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType)
     val slots: Seq[BSlot] = aggExprs.map {
+      case a: AttributeReference if groupIds(a.exprId) =>
+        BGroup(leafAttr(a.exprId).getOrElse(return None))
+      case Alias(a: AttributeReference, _) if groupIds(a.exprId) =>
+        BGroup(leafAttr(a.exprId).getOrElse(return None))
       case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
           if l.value != null => BCount
       case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _)
-          if ivs.contains(a.exprId) => BCount
+          if condIds(a.exprId) => BCount
       case al @ Alias(AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
             a: AttributeReference, em), _, false, None, _), _)
           if em.evalMode != EvalMode.TRY &&
             al.dataType == org.apache.spark.sql.types.LongType =>
         BSum(leafAttr(a.exprId).getOrElse(return None))
+      // AVG(integral) → DOUBLE: exact decimal partials recombine with ONE
+      // final rounding — DuckDB's own integer-AVG semantics (exact sum,
+      // single divide), and the mathematically exact answer where a
+      // double-accumulating scan would have rounded along the way
+      case al @ Alias(AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+            a: AttributeReference, _), _, false, None, _), _)
+          if al.dataType == org.apache.spark.sql.types.DoubleType &&
+            integral(a.dataType) =>
+        BAvg(leafAttr(a.exprId).getOrElse(return None))
       case al @ Alias(AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate.Min(
             a: AttributeReference), _, _, None, _), _)
@@ -579,8 +624,10 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         BExt(leafAttr(a.exprId).getOrElse(return None), takeMax = true)
       case _ => return None
     }
+    // AVG rides the same exact-sum channel the SUM slots use
     val sumCols: Seq[AttributeReference] = slots.collect {
-      case BSum(c) => c }.distinctBy(_.exprId)
+      case BSum(c) => c
+      case BAvg(c) => c }.distinctBy(_.exprId)
     val extKeys: Seq[(AttributeReference, Boolean)] = slots.collect {
       case BExt(c, mx) => (c, mx) }.distinct
     lazy val sumHooks = org.apache.spark.sql.graft.GraftBatchShim
@@ -590,42 +637,82 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     if (sumCols.nonEmpty && sumHooks.isEmpty) return None
     // the per-file decision procedure is BoundaryWalk.classify — shared
     // with the DISTRIBUTED checkpoint walk so the two paths cannot drift
-    val ivSpecs: Seq[BoundaryWalk.IvS] = ivs.values.toSeq.map(iv =>
-      BoundaryWalk.IvS(condName(iv.col.exprId), iv.col.dataType,
-        iv.lo, iv.hi))
+    val ivSpecs: Seq[BoundaryWalk.IvS] = condCols.map(a =>
+      BoundaryWalk.IvS(condName(a.exprId), a.dataType,
+        clauseList.filter(_._1.exprId == a.exprId).map(_._2)))
     val sumSpecs: Seq[BoundaryWalk.SumS] =
       sumCols.map(c => BoundaryWalk.SumS(c.name))
     val extSpecs: Seq[BoundaryWalk.ExtS] = extKeys.map { case (c, mx) =>
       BoundaryWalk.ExtS(c.name, c.dataType, mx) }
+    val groupNames: Seq[String] = groupLeaf.map(_.name)
     val walkAgg: BoundaryWalk.Agg =
       if (driverCheap) {
-        // inline manifests / already-paid lazy stats: walk on the driver
+        // inline manifests / already-paid lazy stats: walk on the driver.
+        // A file's group key is its partition values (min = max bounds);
+        // a file whose key is indeterminable joins the boundary scan.
+        def keyOf(f: String): Option[Seq[Any]] =
+          if (groupLeaf.isEmpty) Some(Nil)
+          else {
+            val per = groupLeaf.map { g =>
+              mm(f, g.name) match {
+                case Some(None) => Some(null) // hive null dir: NULL group
+                case Some(Some((vS, _))) =>
+                  GraftStats.internalOf(vS, g.dataType)
+                case None => None
+              }
+            }
+            if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+          }
         files.foldLeft(BoundaryWalk.emptyAgg) { (acc, f) =>
-          val fc = BoundaryWalk.classify(ivSpecs, sumSpecs, extSpecs,
+          val fc0 = BoundaryWalk.classify(ivSpecs, sumSpecs, extSpecs,
             c => mm(f, c), c => nn(f, c),
             c => sumHooks.get._1(f, c), c => sumHooks.get._2(f, c),
             fileRows.get(f))
-          BoundaryWalk.fold(extSpecs, acc, f, fc)
+          val (fc, key) = keyOf(f) match {
+            case Some(k) => (fc0, k)
+            case None => (BoundaryWalk.Boundary: BoundaryWalk.FileClass, Nil)
+          }
+          BoundaryWalk.fold(extSpecs, acc, f, key, fc)
         }
       } else {
         // checkpoint-anchored: executors classify the checkpoint rows,
         // only the aggregated totals and boundary keys come back — the
         // stats column never materializes driver-side
         GraftBatchShim.graftBoundaryDistOf(leaf)
-          .flatMap(walk => walk(ivSpecs, sumSpecs, extSpecs))
+          .flatMap(walk => walk(ivSpecs, sumSpecs, extSpecs, groupNames))
           .getOrElse(return None)
       }
     if (walkAgg.away == 0L) return None // nothing classified away
-    val insideCnt = walkAgg.insideCnt
-    val insideNnIn: String => Long = n => walkAgg.sums.get(n).fold(0L)(_._2)
-    val insideExt: ((String, Boolean)) => Option[Any] = walkAgg.exts.get
     val boundaryN = walkAgg.boundary.size
-    // inside sums must FIT the result type — never wrap from metadata
-    val insideSumLong: Map[String, Long] = walkAgg.sums.map {
-      case (n, (v, _)) =>
-        if (!v.isValidLong) return None
-        n -> v.toLong
+    // sum-fit / avg-encodable checks hold PER GROUP (the global walk is
+    // the one-group case under the empty key)
+    val bsumNames = slots.collect { case BSum(c) => c.name }.toSet
+    val avgNames = slots.collect { case BAvg(c) => c.name }.toSet
+    for (g <- walkAgg.groups.values; (n, (v, _)) <- g.sums) {
+      if (bsumNames(n) && !v.isValidLong) return None
+      if (avgNames(n) && v.abs >= BigDecimal(10).pow(38)) return None
     }
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    if (groups.nonEmpty)
+      return boundaryGrouped(agg, aggExprs, child, leaf, groupLeaf,
+        slots.map {
+          case BGroup(c) => GSlot.Group(groupIdxOf(c.exprId))
+          case BCount => GSlot.Cnt
+          case BSum(c) => GSlot.Sm(c)
+          case BAvg(c) => GSlot.Av(c)
+          case BExt(c, mx) => GSlot.Ext(c, mx)
+        }, walkAgg)
+    val grp0 = walkAgg.groups.getOrElse(Seq.empty, BoundaryWalk.emptyGrp)
+    val insideCnt = grp0.cnt
+    val insideNnIn: String => Long = n => grp0.sums.get(n).fold(0L)(_._2)
+    val insideExt: ((String, Boolean)) => Option[Any] = grp0.exts.get
+    // sums proven to fit long / encode as Decimal(38,0) by the per-group
+    // checks above
+    val insideSumLong: Map[String, Long] = grp0.sums.collect {
+      case (n, (v, _)) if bsumNames(n) => n -> v.toLong
+    }
+    def insideSumOf(n: String): BigDecimal =
+      grp0.sums.get(n).map(_._1).getOrElse(BigDecimal(0))
     if (boundaryN == 0)
       return Some(LocalRelation(agg.output,
         Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
@@ -634,6 +721,11 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
             case (BSum(c), _) =>
               if (insideNnIn(c.name) > 0L) insideSumLong(c.name)
               else null // SQL SUM totality: no non-null inputs
+            case (BAvg(c), _) =>
+              // exact sum, ONE rounding at the divide — SQL NULL totality
+              if (insideNnIn(c.name) > 0L)
+                insideSumOf(c.name).toDouble / insideNnIn(c.name).toDouble
+              else null
             case (BExt(c, mx), _) =>
               insideExt((c.name, mx)).orNull // MIN/MAX: null on none
           }))))
@@ -654,8 +746,23 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       (c.exprId, mx) -> Alias(fn.toAggregateExpression(),
         s"__graft_bext_${c.name}_$mx")()
     }.toMap
+    // AVG boundary channels: exact decimal sum (Decimal(38,0) — a file
+    // would need ~10^19 rows of max longs to overflow it) + the non-null
+    // count of the column under the pushed filter
+    val avgKeys: Seq[AttributeReference] = slots.collect {
+      case BAvg(c) => c }.distinctBy(_.exprId)
+    val subAvgSum: Map[ExprId, Alias] = avgKeys.map { c =>
+      c.exprId -> Alias(new org.apache.spark.sql.catalyst.expressions
+        .aggregate.Sum(Cast(c, dec38)).toAggregateExpression(),
+        s"__graft_bavgs_${c.name}")()
+    }.toMap
+    val subAvgCnt: Map[ExprId, Alias] = avgKeys.map { c =>
+      c.exprId -> Alias(Count(Seq(c)).toAggregateExpression(),
+        s"__graft_bavgc_${c.name}")()
+    }.toMap
     val subAgg = Aggregate(Nil,
-      cnt +: (subSums.values.toSeq ++ subExts.values.toSeq), newChild)
+      cnt +: (subSums.values.toSeq ++ subExts.values.toSeq ++
+        subAvgSum.values.toSeq ++ subAvgCnt.values.toSeq), newChild)
     import org.apache.spark.sql.catalyst.expressions.Add
     val outPs: Seq[NamedExpression] = slots.zip(aggExprs).map {
       case (BCount, e) =>
@@ -672,6 +779,26 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
               Coalesce(Seq(sub, Literal(0L))))
           else sub
         Alias(expr, e.name)(exprId = e.exprId)
+      case (BAvg(c), e) =>
+        // exact decimal partials, ONE rounding at the final divide —
+        // integer-AVG semantics (what DuckDB computes), and exact where
+        // a double-accumulating scan would round along the way. The If
+        // guard keeps SQL NULL totality without relying on legacy
+        // divide-by-zero (ANSI sessions would throw).
+        val bS = subAvgSum(c.exprId).toAttribute
+        val bC = subAvgCnt(c.exprId).toAttribute
+        val num: Expression = Add(
+          Literal(org.apache.spark.sql.types.Decimal(
+            insideSumOf(c.name).setScale(0).bigDecimal), dec38),
+          Coalesce(Seq(bS, Literal(
+            org.apache.spark.sql.types.Decimal(0L), dec38))))
+        val den: Expression = Add(Literal(insideNnIn(c.name)), bC)
+        val expr: Expression = If(EqualTo(den, Literal(0L)),
+          Literal(null, org.apache.spark.sql.types.DoubleType),
+          Divide(Cast(num, org.apache.spark.sql.types.DoubleType),
+            Cast(den, org.apache.spark.sql.types.DoubleType),
+            EvalMode.LEGACY))
+        Alias(expr, e.name)(exprId = e.exprId)
       case (BExt(c, mx), e) =>
         val sub = subExts((c.exprId, mx)).toAttribute
         // Least/Greatest SKIP nulls (null only when all inputs are), so
@@ -687,6 +814,144 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(expr, e.name)(exprId = e.exprId)
     }
     Some(Project(outPs, subAgg))
+  }
+
+  /** The grouped boundary rewrite's output slots: positional group keys
+    * plus the aggregate families the global path supports. */
+  private object GSlot {
+    sealed trait T
+    final case class Group(i: Int) extends T
+    case object Cnt extends T
+    final case class Sm(c: AttributeReference) extends T
+    final case class Av(c: AttributeReference) extends T
+    final case class Ext(c: AttributeReference, takeMax: Boolean) extends T
+  }
+
+  /** GROUPED hybrid boundary aggregate — `SELECT day, COUNT(*), SUM(v)
+    * WHERE ts range GROUP BY day` reads only the edge files: the walk
+    * accumulated inside totals PER GROUP (group keys are partition
+    * columns, constant per file); boundary files re-aggregate per group
+    * under the original filter, and the two sides union and re-combine.
+    * Grouped-aggregate-over-empty semantics hold by construction: a
+    * group appears only where some file contributed. */
+  private def boundaryGrouped(agg: Aggregate, aggExprs: Seq[NamedExpression],
+      child: LogicalPlan, leaf: LogicalPlan,
+      groupLeaf: Seq[AttributeReference], gslots: Seq[GSlot.T],
+      walkAgg: BoundaryWalk.Agg): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum => ASum}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val dec38 = DecimalType(38, 0)
+    val sumCols = gslots.collect { case GSlot.Sm(c) => c }.distinctBy(_.exprId)
+    val avgCols = gslots.collect { case GSlot.Av(c) => c }.distinctBy(_.exprId)
+    val extKeys = gslots.collect { case GSlot.Ext(c, mx) => (c, mx) }.distinct
+    // pure-metadata: one LocalRelation row per group
+    if (walkAgg.boundary.isEmpty) {
+      val rows = walkAgg.groups.toSeq.map { case (key, g) =>
+        InternalRow.fromSeq(gslots.map {
+          case GSlot.Group(i) => key(i)
+          case GSlot.Cnt => g.cnt
+          case GSlot.Sm(c) =>
+            val (v, nn) = g.sums.getOrElse(c.name, (BigDecimal(0), 0L))
+            if (nn > 0L) v.toLong else null
+          case GSlot.Av(c) =>
+            val (v, nn) = g.sums.getOrElse(c.name, (BigDecimal(0), 0L))
+            if (nn > 0L) v.toDouble / nn.toDouble else null
+          case GSlot.Ext(c, mx) => g.exts.get((c.name, mx)).orNull
+        })
+      }
+      return Some(LocalRelation(agg.output, rows))
+    }
+    val subRel = GraftBatchShim
+      .restrictScanTo(spark, leaf, walkAgg.boundary).getOrElse(return None)
+    val newChild = child.transformUp { case p if p eq leaf => subRel }
+    // channel schema — POSITIONAL across the union's two sides
+    val chanGroup = groupLeaf.map(g => AttributeReference(
+      s"__graft_gk_${g.name}", g.dataType, nullable = true)())
+    val chanCnt = AttributeReference("__graft_gcnt", LongType,
+      nullable = false)()
+    val chanSum = sumCols.map(c => c.exprId -> AttributeReference(
+      s"__graft_gsum_${c.name}", LongType, nullable = true)()).toMap
+    val chanExt = extKeys.map { case (c, mx) => (c.exprId, mx) ->
+      AttributeReference(s"__graft_gext_${c.name}_$mx", c.dataType,
+        nullable = true)() }.toMap
+    val chanAvgS = avgCols.map(c => c.exprId -> AttributeReference(
+      s"__graft_gavgs_${c.name}", dec38, nullable = true)()).toMap
+    val chanAvgC = avgCols.map(c => c.exprId -> AttributeReference(
+      s"__graft_gavgc_${c.name}", LongType, nullable = false)()).toMap
+    val chanOrder: Seq[Attribute] = chanGroup ++ (chanCnt +:
+      (sumCols.map(c => chanSum(c.exprId)) ++
+        extKeys.map(k => chanExt((k._1.exprId, k._2))) ++
+        avgCols.map(c => chanAvgS(c.exprId)) ++
+        avgCols.map(c => chanAvgC(c.exprId))))
+    val insideRows = walkAgg.groups.toSeq.map { case (key, g) =>
+      InternalRow.fromSeq(key ++ (g.cnt +:
+        (sumCols.map { c =>
+          val (v, nn) = g.sums.getOrElse(c.name, (BigDecimal(0), 0L))
+          if (nn > 0L) v.toLong else null
+        } ++
+          extKeys.map { case (c, mx) => g.exts.get((c.name, mx)).orNull } ++
+          avgCols.map { c =>
+            val (v, nn) = g.sums.getOrElse(c.name, (BigDecimal(0), 0L))
+            if (nn > 0L)
+              org.apache.spark.sql.types.Decimal(v.setScale(0).bigDecimal)
+            else null
+          } ++
+          avgCols.map(c =>
+            g.sums.getOrElse(c.name, (BigDecimal(0), 0L))._2))))
+    }
+    val insideRel = LocalRelation(chanOrder, insideRows)
+    val bOut: Seq[NamedExpression] =
+      groupLeaf.map(g => Alias(g, s"__graft_gk_${g.name}")()) ++
+        (Alias(Count(Seq(Literal(1L))).toAggregateExpression(),
+          "__graft_gcnt")() +:
+          (sumCols.map(c => Alias(new ASum(c).toAggregateExpression(),
+            s"__graft_gsum_${c.name}")()) ++
+            extKeys.map { case (c, mx) =>
+              val fn = if (mx) Max(c) else Min(c)
+              Alias(fn.toAggregateExpression(),
+                s"__graft_gext_${c.name}_$mx")()
+            } ++
+            avgCols.map(c => Alias(
+              new ASum(Cast(c, dec38)).toAggregateExpression(),
+              s"__graft_gavgs_${c.name}")()) ++
+            avgCols.map(c => Alias(Count(Seq(c)).toAggregateExpression(),
+              s"__graft_gavgc_${c.name}")())))
+    val bAgg = Aggregate(groupLeaf, bOut, newChild)
+    val u = Union(Seq(insideRel, bAgg))
+    val uo = u.output
+    val uG = uo.take(groupLeaf.size)
+    var pos = groupLeaf.size
+    def nextU(): Attribute = { val a = uo(pos); pos += 1; a }
+    val uCnt = nextU()
+    val uSum = sumCols.map(c => c.exprId -> nextU()).toMap
+    val uExt = extKeys.map { case (c, mx) =>
+      (c.exprId, mx) -> nextU() }.toMap
+    val uAvgS = avgCols.map(c => c.exprId -> nextU()).toMap
+    val uAvgC = avgCols.map(c => c.exprId -> nextU()).toMap
+    val outs: Seq[NamedExpression] = gslots.zip(aggExprs).map {
+      case (GSlot.Group(i), e) =>
+        Alias(uG(i), e.name)(exprId = e.exprId)
+      case (GSlot.Cnt, e) =>
+        // every group in the union has >= 1 non-null count row
+        Alias(new ASum(uCnt).toAggregateExpression(), e.name)(
+          exprId = e.exprId)
+      case (GSlot.Sm(c), e) =>
+        // SUM skips the null channel rows — SQL totality per group
+        Alias(new ASum(uSum(c.exprId)).toAggregateExpression(), e.name)(
+          exprId = e.exprId)
+      case (GSlot.Av(c), e) =>
+        val num = new ASum(uAvgS(c.exprId)).toAggregateExpression()
+        val den = new ASum(uAvgC(c.exprId)).toAggregateExpression()
+        Alias(If(EqualTo(den, Literal(0L)), Literal(null, DoubleType),
+          Divide(Cast(num, DoubleType), Cast(den, DoubleType),
+            EvalMode.LEGACY)), e.name)(exprId = e.exprId)
+      case (GSlot.Ext(c, mx), e) =>
+        val fn = if (mx) Max(uExt((c.exprId, mx)))
+          else Min(uExt((c.exprId, mx)))
+        Alias(fn.toAggregateExpression(), e.name)(exprId = e.exprId)
+    }
+    Some(Aggregate(uG, outs, u))
   }
 
   /** The GLOBAL census answer: COUNT(*) / COUNT(partition cols) /

@@ -225,23 +225,31 @@ private[graft] class GraftFileIndex(
     * shipping failure — the rewrite then declines, never guesses. */
   private val boundaryDistMemo = new java.util.concurrent.ConcurrentHashMap[
     (Seq[graft.sql.BoundaryWalk.IvS], Seq[graft.sql.BoundaryWalk.SumS],
-      Seq[graft.sql.BoundaryWalk.ExtS]),
+      Seq[graft.sql.BoundaryWalk.ExtS], Seq[String]),
     Option[graft.sql.BoundaryWalk.Agg]]()
 
   def boundaryDistWalk(ivs: Seq[graft.sql.BoundaryWalk.IvS],
       sumCols: Seq[graft.sql.BoundaryWalk.SumS],
-      extCols: Seq[graft.sql.BoundaryWalk.ExtS])
+      extCols: Seq[graft.sql.BoundaryWalk.ExtS],
+      groupCols: Seq[String] = Nil)
       : Option[graft.sql.BoundaryWalk.Agg] =
     boundaryDist.flatMap { bd =>
-      boundaryDistMemo.computeIfAbsent((ivs, sumCols, extCols), _ =>
-        scala.util.Try {
+      boundaryDistMemo.computeIfAbsent((ivs, sumCols, extCols, groupCols),
+        _ => scala.util.Try {
           import graft.sql.BoundaryWalk
           val needed = (ivs.map(_.name) ++ sumCols.map(_.name) ++
             extCols.map(_.name)).distinct
+          def partOf(n: String) = partSchema.fields.find(_.name == n)
+            .map(f => (n, physNameOf(n), f.dataType))
           val neededPart: Seq[(String, String,
               org.apache.spark.sql.types.DataType)] =
-            needed.flatMap(n => partSchema.fields.find(_.name == n)
-              .map(f => (n, physNameOf(n), f.dataType)))
+            needed.flatMap(partOf)
+          // every group column must be a partition column (the rule
+          // gates on this; a miss here means a contract break — decline)
+          val groupPart: Seq[(String, String,
+              org.apache.spark.sql.types.DataType)] =
+            groupCols.map(n => partOf(n).getOrElse(
+              throw new IllegalStateException(s"not a partition col: $n")))
           val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
           // locals only — the closure must not capture `this`
           val removed = bd.removed
@@ -264,9 +272,10 @@ private[graft] class GraftFileIndex(
                     if (r.isNullAt(2))
                       Map.empty[String, graft.sources.DataSkipping.ColStat]
                     else graft.sources.DataSkipping.colsFromJson(r.getString(2))
-                  val fc = BoundaryWalk.classifyFromStats(p, rowsOpt, stats,
-                    dvR.getOrElse(p, 0L), neededPart, zone, ivsL, sumL, extL)
-                  acc = BoundaryWalk.fold(extL, acc, p, fc)
+                  val (fc, key) = BoundaryWalk.classifyFromStats(p, rowsOpt,
+                    stats, dvR.getOrElse(p, 0L), neededPart, zone,
+                    ivsL, sumL, extL, groupPart)
+                  acc = BoundaryWalk.fold(extL, acc, p, key, fc)
                 }
               }
               Iterator.single(acc)
@@ -275,10 +284,11 @@ private[graft] class GraftFileIndex(
           val fromCkpt = partials.foldLeft(BoundaryWalk.emptyAgg)(
             BoundaryWalk.merge(extL, _, _))
           bd.added.foldLeft(fromCkpt) { (acc, fk) =>
-            val fc = BoundaryWalk.classifyFromStats(fk, bd.addedRows.get(fk),
-              bd.addedStats.getOrElse(fk, Map.empty),
-              dvR.getOrElse(fk, 0L), neededPart, zone, ivsL, sumL, extL)
-            BoundaryWalk.fold(extL, acc, fk, fc)
+            val (fc, key) = BoundaryWalk.classifyFromStats(fk,
+              bd.addedRows.get(fk), bd.addedStats.getOrElse(fk, Map.empty),
+              dvR.getOrElse(fk, 0L), neededPart, zone, ivsL, sumL, extL,
+              groupPart)
+            BoundaryWalk.fold(extL, acc, fk, key, fc)
           }
         }.toOption)
     }
@@ -967,12 +977,25 @@ object GraftBatchShim {
     * restricted copies. */
   def graftBoundaryDistOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[(Seq[graft.sql.BoundaryWalk.IvS],
-        Seq[graft.sql.BoundaryWalk.SumS], Seq[graft.sql.BoundaryWalk.ExtS])
+        Seq[graft.sql.BoundaryWalk.SumS], Seq[graft.sql.BoundaryWalk.ExtS],
+        Seq[String])
         => Option[graft.sql.BoundaryWalk.Agg]] =
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
           if g.boundaryDist.isDefined =>
-        Some((ivs, sums, exts) => g.boundaryDistWalk(ivs, sums, exts))
+        Some((ivs, sums, exts, groupCols) =>
+          g.boundaryDistWalk(ivs, sums, exts, groupCols))
+      case _ => None
+    }
+
+  /** Partition column names of a graft relation node — the grouped
+    * boundary rewrite's group-key gate (a group column must be a
+    * partition column so every file knows its group). */
+  def graftPartitionColsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Seq[String]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some(g.partitionSchema.fieldNames.toSeq)
       case _ => None
     }
 

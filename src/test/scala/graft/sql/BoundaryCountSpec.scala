@@ -213,6 +213,140 @@ class BoundaryCountSpec extends SparkSpec {
       plain.filter(c3).count())
   }
 
+  test("OR-of-ranges and IN classify as per-column interval unions") {
+    val path = tmp()
+    // deterministic 4096-aligned bands (repartitionByRange samples its
+    // split points — the "file-aligned" cases below need exact edges)
+    val src = spark.range(0, 65536).select(col("id").as("k"),
+      when(col("id") % 13 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("v"), (col("id") % 3).as("m"))
+    def band(b: Int) = src
+      .filter(col("k") >= b * 4096L && col("k") < (b + 1) * 4096L)
+      .coalesce(1)
+    VersionedTable.write(band(0), path, statsCols = Seq("k", "v"))
+    (1 until 16).foreach(b =>
+      VersionedTable.append(band(b), path, statsCols = Seq("k", "v")))
+    val raw = VersionedTable.read(spark, path).select($"k", $"v", $"m")
+    val copyDir = java.nio.file.Files.createTempDirectory("borcopy").toString + "/c"
+    raw.write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def q(c: org.apache.spark.sql.Column): DataFrame =
+      VersionedTable.read(spark, path).filter(c)
+        .agg(count(lit(1)).as("n"))
+    def truth(c: org.apache.spark.sql.Column): Long =
+      plain.filter(c).count()
+    // OR of two disjoint ranges on the SORT column: the middle 10 bands
+    // neither fail nor cover — but both tails' interiors answer from
+    // metadata and only the four edge files scan
+    val tails = $"k" < 10000L || $"k" >= 55000L
+    val or2 = q(tails)
+    val read = filesRead(or2)
+    assert(read <= 4L && read >= 1L,
+      s"OR tails: only the edge files may scan, read $read\n" +
+        or2.queryExecution.optimizedPlan)
+    assert(or2.collect().head.getLong(0) == truth(tails))
+    // file-aligned OR: zero scan
+    val aligned = $"k" < 4096L || $"k" >= 61440L
+    val orA = q(aligned)
+    assert(scanFree(orA), orA.queryExecution.optimizedPlan.toString)
+    assert(orA.collect().head.getLong(0) == truth(aligned))
+    // IN on a clustered column: each point either sits inside a file
+    // (that file scans — a point never covers a whole multi-value file)
+    // or prunes; count stays exact
+    val inC = $"k".isin(5L, 5000L, 30000L, 65000L)
+    val qin = q(inC)
+    assert(filesRead(qin) <= 4L)
+    assert(qin.collect().head.getLong(0) == truth(inC))
+    // IN composed with a range on ANOTHER column (both must classify)
+    val mixed = $"k".isin(100L, 200L, 64000L) && $"v" >= 0L
+    val qm = q(mixed)
+    assert(qm.collect().head.getLong(0) == truth(mixed))
+    // OR of a range and IN on the same column still composes
+    val orIn = ($"k" < 3000L) || $"k".isin(40000L, 64123L)
+    val qoi = q(orIn)
+    assert(qoi.collect().head.getLong(0) == truth(orIn))
+    // cross-column OR: per-file verdicts don't compose per column — the
+    // boundary rewrite declines (no hybrid `inside + scan` shape; plain
+    // data skipping may still prune files), result exact
+    val cross = $"k" < 1000L || $"v" > 60000L
+    val qc = q(cross)
+    assert(!scanFree(qc))
+    assert(!qc.queryExecution.optimizedPlan.toString.contains("__graft_b"),
+      s"cross-column OR must decline the boundary rewrite:\n" +
+        qc.queryExecution.optimizedPlan)
+    assert(qc.collect().head.getLong(0) == truth(cross))
+    // SUM/MIN/MAX ride an OR range the same way (inside tails from
+    // metadata when ANALYZE'd)
+    VersionedTable.analyzeNdv(spark, path, Seq("k", "v"))
+    val full = VersionedTable.read(spark, path).filter(tails)
+      .agg(count(lit(1)).as("n"), sum($"k").as("sk"),
+        min($"k").as("mn"), max($"k").as("mx"))
+    assert(filesRead(full) <= 4L,
+      s"OR with sum/extrema:\n${full.queryExecution.optimizedPlan}")
+    assert(full.collect().head.toSeq ==
+      plain.filter(tails).agg(count(lit(1)), sum($"k"), min($"k"),
+        max($"k")).collect().head.toSeq)
+  }
+
+  test("hybrid AVG: exact decimal partials, one rounding at the divide") {
+    val path = tmp()
+    // k range-placed never-null; v nullable; z entirely NULL (ANALYZE
+    // records sum 0 / nn 0 for it — the SQL-NULL AVG case)
+    VersionedTable.write(
+      spark.range(0, 65536).select(col("id").as("k"),
+        when(col("id") % 13 === 0, lit(null)).otherwise(col("id") * 3)
+          .cast("long").as("v"),
+        lit(null).cast("long").as("z"))
+        .repartitionByRange(16, col("k")),
+      path, statsCols = Seq("k", "v", "z"))
+    VersionedTable.analyzeNdv(spark, path, Seq("k", "v", "z"))
+    val raw = VersionedTable.read(spark, path).select($"k", $"v", $"z")
+    val copyDir = java.nio.file.Files.createTempDirectory("bacopy").toString + "/c"
+    raw.write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def q(c: org.apache.spark.sql.Column): DataFrame =
+      VersionedTable.read(spark, path).filter(c)
+        .agg(avg($"k").as("ak"), avg($"v").as("av"), count(lit(1)).as("n"))
+    def truth(c: org.apache.spark.sql.Column): Seq[Any] =
+      plain.filter(c).agg(avg($"k"), avg($"v"), count(lit(1)))
+        .collect().head.toSeq
+    // straddling range: edges scan, AVG recombines exactly (sums here sit
+    // far inside 2^53, so the rule-off double accumulation agrees too)
+    val mid = q($"k" >= 10000L && $"k" < 50000L)
+    assert(filesRead(mid) <= 2L,
+      s"AVG must ride the edge scan:\n${mid.queryExecution.optimizedPlan}")
+    assert(mid.collect().head.toSeq == truth($"k" >= 10000L && $"k" < 50000L))
+    // EMPTY boundary (file-aligned): fully metadata
+    val all = q($"k" >= 0L && $"k" < 65536L)
+    assert(scanFree(all), all.queryExecution.optimizedPlan.toString)
+    assert(all.collect().head.toSeq == truth($"k" >= 0L && $"k" < 65536L))
+    // out-of-range: SQL NULL totality, scan-free
+    val none = q($"k" > 10000000L)
+    assert(scanFree(none))
+    val r = none.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L)
+    // ALL-NULL avg column: SQL NULL beside live counts — both hybrid
+    // (straddling) and metadata (aligned) shapes
+    def qz(c: org.apache.spark.sql.Column): DataFrame =
+      VersionedTable.read(spark, path).filter(c)
+        .agg(avg($"z").as("az"), count(lit(1)).as("n"))
+    val zMid = qz($"k" >= 10000L && $"k" < 50000L)
+    assert(filesRead(zMid) <= 2L)
+    val zr = zMid.collect().head
+    assert(zr.isNullAt(0) && zr.getLong(1) == 40000L)
+    val zAll = qz($"k" >= 0L && $"k" < 65536L)
+    assert(scanFree(zAll), zAll.queryExecution.optimizedPlan.toString)
+    assert(zAll.collect().head.isNullAt(0))
+    // nullable v under its own range: same-col AVG stays hybrid
+    val vOwn = VersionedTable.read(spark, path)
+      .filter($"v" >= 30000L && $"v" < 150000L).agg(avg($"v").as("av"))
+    assert(filesRead(vOwn) <= 2L,
+      s"same-col AVG under its own range:\n${vOwn.queryExecution.optimizedPlan}")
+    assert(vOwn.collect().head.getDouble(0) ==
+      plain.filter($"v" >= 30000L && $"v" < 150000L)
+        .agg(avg($"v")).collect().head.getDouble(0))
+  }
+
   test("checkpoint-anchored table: classification runs DISTRIBUTED, edges only") {
     // the 100 TB posture: an anchored commit's stats live in the
     // checkpoint parquet, the lazy driver map is NOT paid for, and the
@@ -295,7 +429,92 @@ class BoundaryCountSpec extends SparkSpec {
           q.queryExecution.optimizedPlan)
       assert(VersionedTable.ckptStatsParses.get() == 0L,
         "partition-value classification must not force driver stats")
+      // GROUPED distributed walk: executors key each file by its path's
+      // partition value; only the day-3 straddler scans
+      val g = t.filter($"ts" >= 350L && $"ts" < 900L).groupBy($"day")
+        .agg(count(lit(1)).as("n"), min($"ts").as("mn"))
+      val gotG = g.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(gotG == (3L to 8L).map(d =>
+        (d, if (d == 3L) 50L else 100L,
+          if (d == 3L) 350L else d * 100L)).toSeq, gotG.toString)
+      assert(filesRead(g) <= 1L,
+        s"grouped anchored: edges only\n${g.queryExecution.optimizedPlan}")
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
     } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
+  test("GROUPED boundary: GROUP BY partition col under a data range, edges only") {
+    val path = tmp()
+    // 8 day-dirs, each two deterministic ts bands; v nullable; plus a
+    // hive NULL-day file inside the range (the NULL group)
+    val src = spark.range(0, 8000).select((col("id") / 1000)
+      .cast("long").as("day"),
+      col("id").as("ts"),
+      when(col("id") % 13 === 0, lit(null)).otherwise(col("id") * 2)
+        .cast("long").as("v"))
+    var first = true
+    for { d <- 0 until 8; lo <- Seq(true, false) } {
+      src.filter(col("day") === d &&
+        (if (lo) col("ts") % 1000 < 500 else col("ts") % 1000 >= 500))
+        .coalesce(1)
+        .write.format("graft-table").option("statsCols", "ts,v")
+        .partitionBy("day").mode(if (first) "overwrite" else "append")
+        .save(path)
+      first = false
+    }
+    spark.range(20000, 20100)
+      .select(lit(null).cast("long").as("day"), lit(3000L) + col("id") % 50,
+        (col("id") * 2).cast("long"))
+      .toDF("day", "ts", "v").coalesce(1)
+      .write.format("graft-table").option("statsCols", "ts,v")
+      .mode("append").save(path)
+    VersionedTable.analyzeNdv(spark, path, Seq("ts", "v"))
+    def t = spark.read.format("graft-table").load(path)
+    val total = t.inputFiles.length
+    assert(total == 17, s"fixture: $total files")
+    val copyDir = java.nio.file.Files.createTempDirectory("bgcopy").toString + "/c"
+    t.select($"day", $"ts", $"v").write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def q(c: org.apache.spark.sql.Column, on: DataFrame): DataFrame =
+      on.filter(c).groupBy($"day")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          min($"ts").as("mn"), max($"ts").as("mx"), avg($"ts").as("at"))
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // straddling range: day-1-low and day-6-high straddle (2 edge files);
+    // days 2-5 + day-1-high + day-6-low + the NULL-day file answer from
+    // metadata; days 0 and 7 drop out entirely
+    val cond = $"ts" >= 1300L && $"ts" < 6700L
+    val on = q(cond, t)
+    val read = filesRead(on)
+    assert(read <= 2L && read >= 1L,
+      s"grouped boundary must read edges only: $read/$total\n" +
+        on.queryExecution.optimizedPlan)
+    assert(rows(on) == rows(q(cond, plain)),
+      s"grouped hybrid mismatch:\ngot ${rows(on)}\nwant ${rows(q(cond, plain))}")
+    assert(on.filter($"day".isNull).count() == 1L,
+      "the NULL-day group must survive the metadata path")
+    // file-aligned range: every group from metadata, zero scan
+    val aligned = $"ts" >= 1500L && $"ts" < 6500L
+    val onA = q(aligned, t)
+    assert(scanFree(onA), onA.queryExecution.optimizedPlan.toString)
+    assert(rows(onA) == rows(q(aligned, plain)))
+    // entirely out-of-range: no groups at all (grouped-over-empty)
+    val none = q($"ts" > 1000000L, t)
+    assert(scanFree(none))
+    assert(none.count() == 0L)
+    // group col in the filter too (partition census handles pure
+    // partition filters; the data range makes it boundary territory)
+    val mixed = $"day" >= 2L && $"ts" >= 2200L && $"ts" < 5800L
+    val onM = q(mixed, t)
+    assert(rows(onM) == rows(q(mixed, plain)))
+    // non-partition group column declines (exact via scan)
+    val byData = t.filter(cond).groupBy($"v").agg(count(lit(1)).as("n"))
+    assert(!byData.queryExecution.optimizedPlan.toString.contains("__graft_g"),
+      "grouping by a data column must decline the grouped rewrite")
+    assert(rows(byData) ==
+      rows(plain.filter(cond).groupBy($"v").agg(count(lit(1)).as("n"))))
   }
 
   test("declines: two columns, COUNT(other col), non-count aggregates, DV files scan") {
