@@ -104,24 +104,18 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty[String, Seq[Double]]
       else {
         import scala.jdk.CollectionConverters._
+        // a REAL JSON parse (jackson ships with Spark) — a substring scan
+        // would silently break the moment the artifact nests objects
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val lines = java.nio.file.Files.readAllLines(p).asScala.toSeq.takeRight(5)
         val pairs = lines.flatMap { l =>
-          val key = "\"queries\":{"
-          val i = l.indexOf(key)
-          if (i < 0) Nil
-          else {
-            val rest = l.substring(i + key.length)
-            val j = rest.indexOf('}')
-            if (j < 0) Nil
-            else rest.substring(0, j).split(",").toSeq.flatMap { kv =>
-              kv.split(":") match {
-                case Array(n, v) => scala.util.Try(
-                  n.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
-                  .toOption
-                case _ => None
-              }
+          scala.util.Try {
+            val node = om.readTree(l)
+            Option(node.get("queries")).toSeq.flatMap { q =>
+              q.fields().asScala.toSeq.map(e =>
+                e.getKey -> e.getValue.asDouble())
             }
-          }
+          }.getOrElse(Nil)
         }
         pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
       }
@@ -129,6 +123,9 @@ object Bench {
     def trailingMed(n: String): Option[Double] = trailingMins.get(n)
       .map(_.filter(_ >= 0)).filter(_.nonEmpty).map(medianOf).filter(_ > 0)
     var healedCount = 0
+    // pre-heal minima per healed query ride the artifact: the downward
+    // adjustment stays transparent and auditable, not silent
+    val healedPre = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val healed: Seq[(String, Seq[Double])] = samples.map { case (name, all) =>
       val ts = all.filter(_ >= 0)
       val outlier = ts.nonEmpty && trailingMed(name).exists(m =>
@@ -136,6 +133,7 @@ object Bench {
       if (!outlier) name -> all
       else {
         healedCount += 1
+        healedPre(name) = math.round(ts.min * 1000) / 1000.0
         val fn = qs.find(_._1 == name).get._2
         val t0 = System.nanoTime()
         val extra =
@@ -173,7 +171,9 @@ object Bench {
     // masquerading as a regression — the consumer should re-run, or judge
     // only per-query minima. Thresholds: med/min > 1.5x OR jitter > 35%.
     val polluted = (total > 0 && totalMed / total > 1.5) || jitterMedPct > 35.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","healed":$healedCount,"jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
+    val healedPreJson = healedPre.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","healed":$healedCount,"healed_pre":$healedPreJson,"jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
     if (polluted) System.err.println(
       s"[bench] WARNING: polluted run (med/min=${math.round(totalMed / total * 100) / 100.0}, " +
         s"jitter_med_pct=$jitterMedPct) — numbers reflect interference, not the code; re-run idle")

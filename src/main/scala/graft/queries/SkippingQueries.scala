@@ -2762,6 +2762,66 @@ object SkippingQueries {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_join_reorder_filtered — join reorder through a FILTERED fact (the
+  // real dashboard shape the plain rule declines): the range conjunct's
+  // selectivity estimates from the column's exact manifest span, scaling
+  // both candidates identically, so the 50×-selective dim still swaps
+  // inward — asserted in-query. DuckDB executes the literal SQL.
+  // --------------------------------------------------------------------------
+  def joinReorderFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val fact = cachedFixturePath(dir, "jrofactf_v1", "lineitem.parquet")
+    val big = jroBigPath(dir); val tiny = jroTinyPath(dir)
+    if (VersionedTable.latestVersion(spark, fact).isEmpty) {
+      VersionedTable.write(Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty")),
+        fact, statsCols = Seq("l_partkey", "qty"))
+      VersionedTable.analyzeNdv(spark, fact, Seq("l_partkey", "qty"))
+    }
+    // big/tiny fixtures shared with q_join_reorder (built there if absent)
+    if (VersionedTable.latestVersion(spark, big).isEmpty ||
+      VersionedTable.latestVersion(spark, tiny).isEmpty)
+      joinReorder(spark, dir).collect()
+    val out = VersionedTable.read(spark, fact)
+      .filter(col("qty") >= 10L && col("qty") < 40L)
+      .join(VersionedTable.read(spark, big),
+        col("l_partkey") === col("p_partkey"))
+      .join(VersionedTable.read(spark, tiny),
+        col("l_partkey") === col("tp_partkey"))
+      .groupBy(col("tp_container"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    def rootsUnder(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] = p.collect {
+      case LogicalRelation(fsr: HadoopFsRelation, _, _, _, _) =>
+        fsr.location.rootPaths.map(_.toUri.getPath)
+    }.flatten.toSet
+    val pairedFirst = out.queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }
+      .exists(j => rootsUnder(j) == Set(fact, tiny))
+    require(pairedFirst,
+      "q_join_reorder_filtered: the selective dim must join FIRST " +
+        s"through the fact filter; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val joinReorderFilteredSql: String =
+    """WITH fact AS (SELECT l_orderkey, l_partkey,
+      |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      |big AS (SELECT p_partkey, p_brand FROM part),
+      |tiny AS (SELECT p_partkey AS tp_partkey, p_type AS tp_container
+      |  FROM part WHERE p_partkey % 50 = 0)
+      |SELECT tp_container, COUNT(*) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact
+      |JOIN big ON l_partkey = p_partkey
+      |JOIN tiny ON l_partkey = tp_partkey
+      |WHERE qty >= 10 AND qty < 40
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_join_elim — PK/FK JOIN ELIMINATION under the oracle gate: the fact
   // (lineitem-derived, fk = l_partkey) declares FOREIGN KEY REFERENCES the
   // dim (part-derived, pk = p_partkey) RELY — the declaration VALIDATES
@@ -3294,6 +3354,7 @@ object SkippingQueries {
     "q_mv_star_distinct" -> (mvStarDistinct _),
     "q_constraint_elim" -> (constraintElim _),
     "q_join_reorder" -> (joinReorder _),
+    "q_join_reorder_filtered" -> (joinReorderFiltered _),
     "q_mv_join_residual" -> (mvJoinResidual _),
     "q_mv_decimal" -> (mvDecimal _),
     "q_join_elim" -> (joinElim _),
@@ -3360,6 +3421,7 @@ object SkippingQueries {
     "q_mv_star_distinct" -> mvStarDistinctSql,
     "q_constraint_elim" -> constraintElimSql,
     "q_join_reorder" -> joinReorderSql,
+    "q_join_reorder_filtered" -> joinReorderFilteredSql,
     "q_mv_join_residual" -> mvJoinResidualSql,
     "q_mv_decimal" -> mvDecimalSql,
     "q_join_elim" -> joinElimSql,

@@ -62,7 +62,15 @@ object DataSkipping {
         * Files are immutable, so a recorded sum stays exact until DV
         * marks appear — what turns a global `SUM(col)` into a manifest
         * answer. */
-      sum: Option[BigDecimal] = None)
+      sum: Option[BigDecimal] = None,
+      /** JOINT null counts: rows where THIS column AND the named other
+        * column are BOTH null, recorded by ANALYZE for every pair of
+        * requested columns (keyed on the lexicographically-FIRST column,
+        * entries name the second). With per-column null counts this
+        * composes the exact matching-row count of a TWO-nullable-column
+        * range filter by inclusion-exclusion — what lifts the boundary
+        * rewrite's two-nullable decline. Absent ⇒ unknown (decline). */
+      jointNulls: Map[String, Long] = Map.empty)
 
   /** Stored string bounds are capped at this many chars (Delta's 32-char
     * stats truncation): on an LLM corpus with stats collected on a text
@@ -335,8 +343,13 @@ object DataSkipping {
       if (!sumEligible) None
       else if (cnt == 0L) Some(BigDecimal(0))
       else Option(node.get("sum")).map(s => BigDecimal(s.asText()))
+    // joint-null counts merge additively over pairs: files are immutable,
+    // so a re-analyzed pair re-records the identical value
+    val jn = Option(node.get("jn")).map(j => j.properties().asScala.map(e =>
+      e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
     prior.copy(ndv = Some(h), ndvRecipe = NdvRecipeCurrent,
-      sum = sm.orElse(prior.sum))
+      sum = sm.orElse(prior.sum),
+      jointNulls = prior.jointNulls ++ jn)
   }
 
   /** One FILE's column-stat map as a JSON object string — the unit a
@@ -362,7 +375,11 @@ object DataSkipping {
       // exact sums as plain strings: BigDecimal round-trips losslessly
       val sm = st.sum.map(x =>
         s""""sum":"${x.bigDecimal.toPlainString}",""").getOrElse("")
-      s""""$c":{$mn$mx$tr$nd$ndV$sm"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
+      val jn = if (st.jointNulls.isEmpty) ""
+        else st.jointNulls.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${sharedMapper.writeValueAsString(k)}:$v"
+        }.mkString(""""jn":{""", ",", "},")
+      s""""$c":{$mn$mx$tr$nd$ndV$sm$jn"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
     }.mkString("{", ",", "}")
   }
 
@@ -380,7 +397,9 @@ object DataSkipping {
         Option(o.get("ndv")).map(a => a.elements().asScala
           .map(_.asText()).toSeq),
         Option(o.get("ndv_v")).map(_.asInt()).getOrElse(1),
-        Option(o.get("sum")).map(s => BigDecimal(s.asText())))
+        Option(o.get("sum")).map(s => BigDecimal(s.asText())),
+        Option(o.get("jn")).map(j => j.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
     }.toMap
   }
 

@@ -2600,6 +2600,9 @@ object VersionedTable {
       // column is a VALID answer that contributes no value
       fileMinMaxOf = (fk, column) =>
         if (c.dvRows.getOrElse(fk, 0L) > 0L) None
+        // a zero-row file answers vacuously (parquet writes no column
+        // chunks, so its stats map is empty — that is not "unknown")
+        else if (c.rows.get(fk).contains(0L)) Some(None)
         else c.stats.get(fk).flatMap(_.get(column)) match {
           case None => None
           case Some(st) if st.allNulls => Some(None)
@@ -2616,6 +2619,7 @@ object VersionedTable {
       // underneath is still exact, so `inexact` stats still count.)
       fileNonNullOf = (fk, column) =>
         if (c.dvRows.getOrElse(fk, 0L) > 0L) None
+        else if (c.rows.get(fk).contains(0L)) Some(0L) // vacuous
         else for {
           rows <- c.rows.get(fk)
           st <- c.stats.get(fk).flatMap(_.get(column))
@@ -2626,6 +2630,7 @@ object VersionedTable {
       // the summed rows, so marked files answer nothing
       fileSumOf = (fk, column) =>
         if (c.dvRows.getOrElse(fk, 0L) > 0L) None
+        else if (c.rows.get(fk).contains(0L)) Some(BigDecimal(0)) // vacuous
         else c.stats.get(fk).flatMap(_.get(column)).flatMap(_.sum),
       // per-(file, column) sketch hashes from ANALYZE — each is the md5
       // of a real value of the IMMUTABLE file, so distinct-hash counts
@@ -2655,7 +2660,16 @@ object VersionedTable {
           addedStats = added.flatMap(fk =>
             c.statsAdds.get(fk).map(fk -> _)).toMap,
           dvRows = c.dvRows.filter(_._2 > 0L))
-      })
+      },
+      // exact per-(file, colA, colB) JOINT null counts from ANALYZE —
+      // keyed on the lexicographically-first column; DV marks could have
+      // removed rows from any null bucket, so marked files answer nothing
+      fileJointNullsOf = (fk, a, b) =>
+        if (c.dvRows.getOrElse(fk, 0L) > 0L) None
+        else {
+          val (x, y) = if (a <= b) (a, b) else (b, a)
+          c.stats.get(fk).flatMap(_.get(x)).flatMap(_.jointNulls.get(y))
+        })
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
     * marked row indices) for the scan-side filter; None when no live file
@@ -2980,9 +2994,22 @@ object VersionedTable {
               .cast("string")
           case _ => lit(null).cast("string")
         }
-        to_json(struct(
+        // JOINT null counts for every requested pair this column leads
+        // (lexicographically) — the two-nullable boundary composition's
+        // license; zero counts are recorded too (absence means unknown)
+        val pairs = cols.filter(_ > n).sorted
+        val base = struct(
           graft.functions.KmvHashesAgg(col(n), NdvSketchK).as("ndv"),
-          sumC.as("sum"), count(col(n)).as("cnt"))).as(n)
+          sumC.as("sum"), count(col(n)).as("cnt"))
+        val withJn =
+          if (pairs.isEmpty) base
+          else struct(
+            graft.functions.KmvHashesAgg(col(n), NdvSketchK).as("ndv"),
+            sumC.as("sum"), count(col(n)).as("cnt"),
+            map(pairs.flatMap(m => Seq(lit(m),
+              sum(when(col(n).isNull && col(m).isNull, 1L)
+                .otherwise(0L)))): _*).as("jn"))
+        to_json(withJn).as(n)
       }
       val sketchDf = keyed.groupBy(col(FileKeyCol))
         .agg(patchExpr(cols.head), cols.tail.map(patchExpr): _*)
@@ -3089,16 +3116,27 @@ object VersionedTable {
         org.apache.spark.sql.types.BinaryType).toSet
     val sumCols: Set[String] = cols.filter(n =>
       sumExactType(s(s.fieldIndex(n)).dataType)).toSet
+    // jn coverage: the pairs this ANALYZE will record must already exist
+    // (two single-column analyzes leave the pair unrecorded — the file
+    // then re-analyzes so two-nullable boundary composition stays armed)
+    val pairsOf: Map[String, Seq[String]] =
+      cols.map(n => n -> cols.filter(_ > n).sorted).toMap
     def covered(st: Map[String, DataSkipping.ColStat], n: String): Boolean =
       st.get(n).exists(cs => cs.ndv.isDefined &&
         (!binCols(n) || cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent) &&
-        (!sumCols(n) || cs.sum.isDefined))
+        (!sumCols(n) || cs.sum.isDefined) &&
+        pairsOf(n).forall(cs.jointNulls.contains))
+    // a zero-row file has nothing to sketch (its scan emits no patch row,
+    // so it would stay "needy" forever and defeat the nothing-to-scan
+    // fast path)
+    def zeroRows(fk: String): Boolean = c.rows.get(fk).contains(0L)
     distributedNdvRead(spark, root, c) match {
       case Some((aRel, aSet)) =>
         import spark.implicits._
         val colsB = cols
         val binB = binCols
         val sumB = sumCols
+        val pairsB = pairsOf
         val okFromCkpt: Set[String] =
           spark.read.parquet(new Path(root, aRel).toString)
             .select(col("path"), col("stats"))
@@ -3109,15 +3147,16 @@ object VersionedTable {
                   colsB.forall(n => m.get(n).exists(cs => cs.ndv.isDefined &&
                     (!binB(n) ||
                       cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent) &&
-                    (!sumB(n) || cs.sum.isDefined)))
+                    (!sumB(n) || cs.sum.isDefined) &&
+                    pairsB(n).forall(cs.jointNulls.contains)))
                 } => p })
             .collect().toSet
-        c.files.filter { fk =>
+        c.files.filterNot(zeroRows).filter { fk =>
           if (aSet(fk)) !okFromCkpt(fk)
           else !cols.forall(covered(c.statsAdds.getOrElse(fk, Map.empty), _))
         }
       case None =>
-        c.files.filter(fk =>
+        c.files.filterNot(zeroRows).filter(fk =>
           !cols.forall(covered(c.stats.getOrElse(fk, Map.empty), _)))
     }
   }
@@ -3244,7 +3283,12 @@ object VersionedTable {
   private def minMaxOfCommit(c: Commit, column: String): Option[(Any, Any)] = {
     if (c.files.isEmpty) return None
     if (c.files.exists(fk => c.dvRows.getOrElse(fk, 0L) > 0L)) return None
-    val perFile = c.files.map(fk => c.stats.get(fk).flatMap(_.get(column)))
+    // a ZERO-ROW file contributes nothing vacuously — its empty stats map
+    // (parquet writes no column chunks) is not "unknown", and refusing on
+    // it would poison table-level bounds for every consumer
+    val live = c.files.filterNot(fk => c.rows.get(fk).contains(0L))
+    if (live.isEmpty) return None
+    val perFile = live.map(fk => c.stats.get(fk).flatMap(_.get(column)))
     if (perFile.exists(_.isEmpty)) return None
     val bounds = perFile.flatten.filterNot(_.allNulls)
     if (bounds.isEmpty) return None // MIN/MAX over zero non-null rows is NULL

@@ -59,7 +59,8 @@ object BoundaryWalk extends Serializable {
       nn: String => Option[Long],
       sumOf: String => Option[BigDecimal],
       sumNn: String => Option[Long],
-      rows: Option[Long]): FileClass = {
+      rows: Option[Long],
+      jn: (String, String) => Option[Long] = (_, _) => None): FileClass = {
     // per cond column: entirely-failing wins (zero matches — skippable
     // even when another column is only partial), then partial, then
     // all-inside. Internal-domain bounds kept per column for the
@@ -120,6 +121,10 @@ object BoundaryWalk extends Serializable {
       matchCnt <- nullable match {
         case Seq() => Some(r)
         case Seq(one) => Some(nns(one))
+        // TWO nullable cond columns compose by inclusion-exclusion when
+        // ANALYZE recorded their joint null count: matching = rows
+        // non-null in both = nnA + nnB - rows + bothNull
+        case Seq(x, y) => jn(x, y).map(j => nns(x) + nns(y) - r + j)
         case _ => None
       }
       // a slot column may ride the metadata only when matching rows =
@@ -260,6 +265,10 @@ object BoundaryWalk extends Serializable {
       : (FileClass, Seq[Any]) = {
     val marked = dvMarkedRows > 0L
     val liveRows: Option[Long] = rowsOpt.map(_ - dvMarkedRows)
+    // a ZERO-ROW file is vacuously outside any range — its empty stats
+    // map (parquet writes no column chunks) is not "unknown"
+    if (liveRows.contains(0L))
+      return (Outside, groupPart.map(_ => null))
     // hive-style segments: token dirs never contain '='
     lazy val kv: Map[String, String] = path.split('/').dropRight(1)
       .flatMap { seg =>
@@ -305,13 +314,20 @@ object BoundaryWalk extends Serializable {
       }
     def sumC(c: String): Option[BigDecimal] =
       if (marked) None else stats.get(c).flatMap(_.sum)
+    def jnC(a: String, b: String): Option[Long] =
+      if (marked) None
+      else {
+        val (x, y) = if (a <= b) (a, b) else (b, a)
+        stats.get(x).flatMap(_.jointNulls.get(y))
+      }
     val key: Seq[Any] = groupPart.map { case (_, phys, dt) =>
       kv.get(phys).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
         .map(raw => graft.sources.DataSkipping.castPartValue(
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(raw), dt, zone)).orNull
     }
-    (classify(ivs, sumCols, extCols, mmC, nnC, sumC, nnC, liveRows), key)
+    (classify(ivs, sumCols, extCols, mmC, nnC, sumC, nnC, liveRows, jnC),
+      key)
   }
 
   /** Catalyst-internal partition value → the stats comparison domain

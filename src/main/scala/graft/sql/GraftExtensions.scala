@@ -663,11 +663,13 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
           }
+        val jnHook = GraftBatchShim.graftJointNullsOf(leaf)
+          .getOrElse((_: String, _: String, _: String) => None)
         files.foldLeft(BoundaryWalk.emptyAgg) { (acc, f) =>
           val fc0 = BoundaryWalk.classify(ivSpecs, sumSpecs, extSpecs,
             c => mm(f, c), c => nn(f, c),
             c => sumHooks.get._1(f, c), c => sumHooks.get._2(f, c),
-            fileRows.get(f))
+            fileRows.get(f), (a, b) => jnHook(f, a, b))
           val (fc, key) = keyOf(f) match {
             case Some(k) => (fc0, k)
             case None => (BoundaryWalk.Boundary: BoundaryWalk.FileClass, Nil)
@@ -1004,11 +1006,12 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   /** COUNT of a DATA column: per-file live non-null counts summed. */
   private case class CountDataSlot(colName: String) extends Slot
   /** AVG of an INTEGRAL data column: the exact sum / non-null count
-    * quotient, SQL NULL on zero non-null inputs. Restricted to integral
-    * inputs whose exact sum fits double's 2^53 integer window — inside it
-    * the scan's own double accumulation is exact too, so the metadata
-    * quotient equals the scan's bit for bit; outside it (or for
-    * decimal/float inputs) decline rather than approximate. */
+    * quotient with ONE rounding at the divide — integer-AVG semantics as
+    * DuckDB computes it, and the mathematically exact answer where a
+    * double-accumulating scan would have rounded along the way (past
+    * 2^53 the scan's own result depends on its partial order; the
+    * metadata answer does not reproduce any one order). SQL NULL on zero
+    * non-null inputs; decimal/float inputs decline. */
   private case class AvgDataSlot(colName: String) extends Slot
   /** MIN/MAX of a DATA column from per-file manifest stats. */
   private case class MinMaxDataSlot(colName: String,
@@ -1159,9 +1162,14 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Some(nn)
       case AvgDataSlot(colName) =>
-        // exact-sum / non-null-count quotient: decline past double's 2^53
-        // integer window, where the scan's own accumulation order starts
-        // to matter — never answer where a scan could answer differently
+        // exact-sum / non-null-count quotient with ONE rounding at the
+        // divide — integer-AVG semantics as DuckDB computes it (exact
+        // accumulation, single conversion), and the boundary rewrite's
+        // BAvg discipline. Where the sum leaves double's 2^53 window a
+        // double-accumulating scan may differ in the last ulp depending
+        // on its own partial order — the metadata answer is the
+        // mathematically exact one, not a reproduction of one particular
+        // accumulation order.
         val (sumOfF, nnOfF) = org.apache.spark.sql.graft.GraftBatchShim
           .graftSumHooksOf(info.leaf).getOrElse(return None)
         var nn = 0L
@@ -1177,8 +1185,7 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
         if (nn == 0L) Some(null)
-        else if (tot.abs > BigDecimal(2).pow(53)) return None
-        else Some(tot.toDouble / nn)
+        else Some(tot.toDouble / nn.toDouble)
       case MinMaxDataSlot(colName, dt, takeMax) =>
         // exact per-file bounds: ANY file that cannot answer exactly (DV
         // marks, missing/truncated stats) abandons the rewrite; all-NULL

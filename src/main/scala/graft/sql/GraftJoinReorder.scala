@@ -34,12 +34,21 @@ import org.apache.spark.sql.graft.GraftBatchShim
   *  - every leg is a graft relation (through attribute-only projections)
   *    with live row counts OR itself such an inner equi-join (estimated
   *    recursively with the same formula — a selective dim BUBBLES DOWN a
-  *    whole left-deep chain, one level per optimizer iteration), and
-  *    EVERY equi key on BOTH candidates is sketched — no guess without a
-  *    sketch, a filtered leg declines (its surviving count is not
-  *    knowable here);
+  *    whole left-deep chain, one level per optimizer iteration) OR a
+  *    FILTERED such leg whose every conjunct has an estimable
+  *    selectivity (equality → rows/ndv, range → exact-span fraction,
+  *    IN → size/ndv — anything else declines the leg), and EVERY equi
+  *    key on BOTH candidates is sketched — no guess without a sketch;
   *  - the estimates differ by ≥ `spark.graft.joinReorder.ratio`
-  *    (default 10): close calls keep the user's order.
+  *    (default 10): close calls keep the user's order. The comparison
+  *    assumes COMPARABLE sketch provenance on both candidates; an
+  *    ANALYZE'd dim against an un-analyzed one never reorders (the
+  *    un-sketched key declines), it keeps the user's order.
+  *
+  * The right-nested spelling `A ⋈ (B ⋈ C)` ROTATES to left-deep under
+  * the same hysteresis when A pairs with exactly one inner leg; neither
+  * rewrite emits a right-nested join, so swap and rotate cannot
+  * oscillate.
   * The replacement wraps in a Project restoring the original column
   * order (Spark's own reorder does the same). Termination: each swap
   * strictly improves the inner estimate ≥10× at its node — a bubble
@@ -67,16 +76,27 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
       changed = false
       guard += 1
       cur = cur.transformUp {
-        case j @ Join(l, c, Inner, Some(cAC), JoinHint.NONE) =>
-          // column pruning wraps the inner join in an attribute-only
-          // Project — see through it (the rebuild re-derives pruning)
-          stripAttrProjects(l) match {
+        case j @ Join(l, r, Inner, Some(cond), JoinHint.NONE) =>
+          // column pruning wraps inner joins in attribute-only Projects —
+          // see through them (the rebuild re-derives pruning)
+          val viaLeft = stripAttrProjects(l) match {
             case Join(a, b, Inner, Some(cAB), JoinHint.NONE) =>
-              trySwap(j, a, b, c, cAB, cAC) match {
-                case Some(n) => changed = true; n
-                case None => j
-              }
-            case _ => j
+              trySwap(j, a, b, r, cAB, cond)
+            case _ => None
+          }
+          // the RIGHT-NESTED spelling `A ⋈ (B ⋈ C)`: rotate to left-deep
+          // when the estimate says the rotated inner join is ≥ratio×
+          // smaller (rotation changes which join executes first, so it
+          // takes the same hysteresis as a swap); neither rewrite emits
+          // a right-nested join, so the two cannot oscillate
+          val rewritten = viaLeft.orElse(stripAttrProjects(r) match {
+            case Join(b, c, Inner, Some(cBC), JoinHint.NONE) =>
+              tryRotate(j, l, b, c, cond, cBC)
+            case _ => None
+          })
+          rewritten match {
+            case Some(n) => changed = true; n
+            case None => j
           }
       }
     }
@@ -116,6 +136,30 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
           case IsNotNull(_: AttributeReference) => true
           case _ => false
         } => estOf(ch)
+        // FILTERED legs estimate through per-conjunct selectivities from
+        // the same manifest facts — equality as rows/ndv (the KMV sketch
+        // under-estimates NDV, which OVER-estimates surviving rows), a
+        // range as its fraction of the column's exact span (uniform
+        // assumption — the ≥ratio hysteresis absorbs modest skew), IN as
+        // list-size/ndv. Any conjunct outside those shapes declines the
+        // whole leg: never guess a selectivity. NOTE the provenance
+        // asymmetry: an ANALYZE'd leg vs an un-analyzed one compares
+        // sketch-grounded against declined — the rule then simply keeps
+        // the user's order rather than reorder on one-sided evidence.
+        case Filter(c, ch) =>
+          for {
+            base <- estOf(ch)
+            bounds = boundsOf(ch)
+            sels <- {
+              val per = splitConj(c).map(selOf(_, base._2, bounds))
+              if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+            }
+          } yield {
+            val rowsF = math.max(1.0, base._1 * sels.product)
+            val cap =
+              math.max(1L, math.min(Long.MaxValue.toDouble, rowsF).toLong)
+            (rowsF, (id: ExprId) => base._2(id).map(math.min(_, cap)))
+          }
         case Join(l, r, Inner, Some(c), JoinHint.NONE) =>
           for {
             le <- estOf(l)
@@ -136,6 +180,72 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConj(l) ++ splitConj(r)
     case x => Seq(x)
+  }
+
+  /** Column bounds lookup (by exprId) of a leg — the relation's exact
+    * table-level stats-domain bounds, resolved through attribute-only
+    * projections. */
+  private def boundsOf(p: LogicalPlan): ExprId => Option[(Any, Any)] = {
+    val names = p.output.map(a => a.exprId -> a.name).toMap
+    val hook = GraftBatchShim.graftColBoundsOf(stripAttrProjects(p))
+    id => for { n <- names.get(id); h <- hook; b <- h(n) } yield b
+  }
+
+  /** One filter conjunct's selectivity from manifest facts — None when
+    * the shape isn't estimable (the whole leg then declines). */
+  private def selOf(e: Expression, ndv: ExprId => Option[Long],
+      bounds: ExprId => Option[(Any, Any)]): Option[Double] = {
+    def num(v: Any): Option[Double] = v match {
+      case bd: BigDecimal => Some(bd.toDouble)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def eq(a: AttributeReference): Option[Double] =
+      ndv(a.exprId).map(d => 1.0 / math.max(1L, d).toDouble)
+    // fraction of the column's exact span the interval covers (numeric/
+    // temporal internal values only; degenerate spans answer 1.0 — the
+    // over-estimating direction)
+    def frac(a: AttributeReference, lo: Option[Double],
+        hi: Option[Double]): Option[Double] =
+      bounds(a.exprId).flatMap { case (mnS, mxS) =>
+        for { mn <- num(mnS); mx <- num(mxS) } yield
+          if (mx <= mn) 1.0
+          else math.min(1.0, math.max(0.0,
+            (math.min(hi.getOrElse(mx), mx) -
+              math.max(lo.getOrElse(mn), mn)) / (mx - mn)))
+      }
+    def litNum(x: Expression): Option[Double] = x match {
+      case Literal(v, _) if v != null => num(v)
+      case _ => None
+    }
+    e match {
+      case IsNotNull(_: AttributeReference) => Some(1.0)
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null => eq(a)
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null => eq(a)
+      case In(a: AttributeReference, vs) if vs.forall {
+        case Literal(v, _) => v != null
+        case _ => false
+      } => ndv(a.exprId).map(d =>
+        math.min(1.0, vs.size.toDouble / math.max(1L, d).toDouble))
+      case GreaterThanOrEqual(a: AttributeReference, l) =>
+        litNum(l).flatMap(v => frac(a, Some(v), None))
+      case GreaterThan(a: AttributeReference, l) =>
+        litNum(l).flatMap(v => frac(a, Some(v), None))
+      case LessThanOrEqual(a: AttributeReference, l) =>
+        litNum(l).flatMap(v => frac(a, None, Some(v)))
+      case LessThan(a: AttributeReference, l) =>
+        litNum(l).flatMap(v => frac(a, None, Some(v)))
+      case GreaterThanOrEqual(l, a: AttributeReference) =>
+        litNum(l).flatMap(v => frac(a, None, Some(v)))
+      case GreaterThan(l, a: AttributeReference) =>
+        litNum(l).flatMap(v => frac(a, None, Some(v)))
+      case LessThanOrEqual(l, a: AttributeReference) =>
+        litNum(l).flatMap(v => frac(a, Some(v), None))
+      case LessThan(l, a: AttributeReference) =>
+        litNum(l).flatMap(v => frac(a, Some(v), None))
+      case _ => None
+    }
   }
 
   /** The condition's equi pairs as (left id, right id) — None unless
@@ -185,5 +295,40 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
       Join(a, c, Inner, Some(cAC), JoinHint.NONE),
       b, Inner, Some(cAB), JoinHint.NONE)
     Some(Project(j.output, swapped))
+  }
+
+  /** The right-nested spelling `A ⋈_cTop (B ⋈_cBC C)` rotates to
+    * left-deep when cTop pairs A with exactly ONE of the inner legs and
+    * the rotated inner join estimates ≥ratio× smaller than B ⋈ C — plain
+    * inner-join associativity (every condition keeps its references in
+    * scope at its new position). */
+  private def tryRotate(j: Join, a: LogicalPlan, b: LogicalPlan,
+      c: LogicalPlan, cTop: Expression, cBC: Expression)
+      : Option[LogicalPlan] = {
+    val (rowsA, ndvA) = estOf(a).getOrElse(return None)
+    val (rowsB, ndvB) = estOf(b).getOrElse(return None)
+    val (rowsC, ndvC) = estOf(c).getOrElse(return None)
+    val pBC = equiPairs(cBC, b, c).getOrElse(return None)
+    val estBC =
+      estimate(rowsB, ndvB, rowsC, ndvC, pBC).getOrElse(return None)
+    val touchesB = cTop.references.exists(b.outputSet.contains)
+    val touchesC = cTop.references.exists(c.outputSet.contains)
+    val rotated: Option[LogicalPlan] =
+      if (touchesB && !touchesC)
+        for {
+          pAB <- equiPairs(cTop, a, b)
+          estAB <- estimate(rowsA, ndvA, rowsB, ndvB, pAB)
+          if estAB * ratio <= estBC
+        } yield Join(Join(a, b, Inner, Some(cTop), JoinHint.NONE),
+          c, Inner, Some(cBC), JoinHint.NONE)
+      else if (touchesC && !touchesB)
+        for {
+          pAC <- equiPairs(cTop, a, c)
+          estAC <- estimate(rowsA, ndvA, rowsC, ndvC, pAC)
+          if estAC * ratio <= estBC
+        } yield Join(Join(a, c, Inner, Some(cTop), JoinHint.NONE),
+          b, Inner, Some(cBC), JoinHint.NONE)
+      else None // touches both (or neither): not a simple rotation
+    rotated.map(sw => Project(j.output, sw))
   }
 }

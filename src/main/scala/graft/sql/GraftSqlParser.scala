@@ -790,7 +790,9 @@ case class GraftShowCreateTableCommand(cat: String,
         s"  ${qs(k)} = ${qs(v)}" }.mkString(",\n")).append(")")
     sb.append(";")
     cons.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-      sb.append(s"\nALTER TABLE $cat.${q(p)} ADD CONSTRAINT $name " +
+      // the constraint NAME escapes like any identifier — replayable DDL
+      // even for names that need quoting
+      sb.append(s"\nALTER TABLE $cat.${q(p)} ADD CONSTRAINT ${q(name)} " +
         s"CHECK ($sql);")
     }
     Seq(Row(sb.toString))

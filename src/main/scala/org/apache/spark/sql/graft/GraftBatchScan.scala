@@ -151,7 +151,13 @@ private[graft] class GraftFileIndex(
       * commits (driver walk is free there) and for restricted copies
       * (a subset walk over the full checkpoint would answer from files
       * outside the subset). */
-    val boundaryDist: Option[GraftBoundaryDist] = None)
+    val boundaryDist: Option[GraftBoundaryDist] = None,
+    /** JOINT null count per (file, colA, colB) from ANALYZE — rows where
+      * BOTH columns are null, the inclusion-exclusion term that composes
+      * a two-nullable-column range filter's exact matching count. None
+      * when unrecorded or the file is DV-marked. */
+    val fileJointNullsOf: (String, String, String) => Option[Long] =
+      (_, _, _) => None)
     extends FileIndex {
 
   /** The manifest's live file keys — the top-k prune rule's iteration
@@ -423,7 +429,8 @@ private[graft] class GraftFileIndex(
       p => keep(p).filter(in), liveRows = None, partSchema, physNameOf,
       minMaxOf, generatedPartDefs, ndvOf, Nil, None, fkProps,
       fileRows.filter(kv => in(kv._1)), fileMinMaxOf, fileNonNullOf,
-      checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap)
+      checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap,
+      boundaryDist = None, fileJointNullsOf = fileJointNullsOf)
   }
 
   /** A copy of this index reporting `est` bytes — the CBO-lite selectivity
@@ -438,7 +445,7 @@ private[graft] class GraftFileIndex(
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
       snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf,
       checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap,
-      boundaryDist) {
+      boundaryDist, fileJointNullsOf) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -769,7 +776,9 @@ object GraftBatchShim {
       fileNdvHashesOf: (String, String) => Option[(Seq[String], Int)] =
         (_, _) => None,
       statsDriverCheap: () => Boolean = () => true,
-      boundaryDist: Option[GraftBoundaryDist] = None)
+      boundaryDist: Option[GraftBoundaryDist] = None,
+      fileJointNullsOf: (String, String, String) => Option[Long] =
+        (_, _, _) => None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -786,7 +795,7 @@ object GraftBatchShim {
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
         fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints, fileSumOf,
-        fileNdvHashesOf, statsDriverCheap, boundaryDist),
+        fileNdvHashesOf, statsDriverCheap, boundaryDist, fileJointNullsOf),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -893,6 +902,18 @@ object GraftBatchShim {
       case _ => None
     }
 
+  /** TABLE-level exact column bounds of a graft relation node (stats
+    * domain: BigDecimal for numerics, String for strings) — what lets
+    * the join-reorder rule turn a RANGE filter conjunct into an interval
+    * fraction of the column's span. */
+  def graftColBoundsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[String => Option[(Any, Any)]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some(g.minMaxOf)
+      case _ => None
+    }
+
   /** Partition-census hooks of a graft snapshot relation node: the
     * PARTITION schema and the exact per-partition live-row census — what
     * the grouped metadata rewrite needs to answer GROUP-BY-partition-
@@ -985,6 +1006,16 @@ object GraftBatchShim {
           if g.boundaryDist.isDefined =>
         Some((ivs, sums, exts, groupCols) =>
           g.boundaryDistWalk(ivs, sums, exts, groupCols))
+      case _ => None
+    }
+
+  /** Per-(file, colA, colB) JOINT null counts of a graft relation node —
+    * the two-nullable boundary composition's inclusion-exclusion term. */
+  def graftJointNullsOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, String, String) => Option[Long]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some(g.fileJointNullsOf)
       case _ => None
     }
 

@@ -204,13 +204,69 @@ class BoundaryCountSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(scanFree(none))
     assert(none.collect().head.getLong(0) == 0L)
-    // TWO nullable cond columns: per-file matching is not composable —
-    // every inside file re-joins the scan, the answer stays exact
+    // TWO nullable cond columns: ANALYZE recorded the (v, w) JOINT null
+    // count per file, so matching rows compose by inclusion-exclusion —
+    // an all-covering two-nullable range answers scan-FREE and exact
+    // (rows null in v, w, or both all drop; both-null rows must not be
+    // double-subtracted — ids divisible by 143 are exactly those)
     val c3 = $"v" >= 0L && $"w" >= 0L
     val twoNull = t.filter(c3).agg(count(lit(1)).as("n"))
-    assert(!scanFree(twoNull))
-    assert(twoNull.collect().head.getLong(0) ==
-      plain.filter(c3).count())
+    assert(scanFree(twoNull),
+      s"jn-armed two-nullable range must answer from metadata:\n" +
+        twoNull.queryExecution.optimizedPlan)
+    assert(twoNull.collect().head.getLong(0) == plain.filter(c3).count())
+    // a straddling two-nullable range: edges scan, totals exact
+    val c4 = $"v" >= 36000L && $"v" < 120000L && $"w" >= 0L
+    val twoNullMid = t.filter(c4).agg(count(lit(1)).as("n"))
+    assert(filesRead(twoNullMid) <= 3L)
+    assert(twoNullMid.collect().head.getLong(0) == plain.filter(c4).count())
+    // WITHOUT the recorded pair (footer stats only, no ANALYZE) the
+    // two-nullable composition declines — exact via the scan
+    val noJn = tmp()
+    VersionedTable.write(raw, noJn, statsCols = Seq("v", "w"))
+    val declined = VersionedTable.read(spark, noJn).filter(c3)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanFree(declined),
+      "un-analyzed two-nullable pair must keep scanning")
+    assert(declined.collect().head.getLong(0) == plain.filter(c3).count())
+  }
+
+  test("joint-null stat: incremental ANALYZE covers new files and un-recorded pairs") {
+    val path = tmp()
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"),
+        when(col("id") % 13 === 0, lit(null)).otherwise(col("id"))
+          .cast("long").as("v"),
+        when(col("id") % 11 === 0, lit(null)).otherwise(col("id"))
+          .cast("long").as("w")).coalesce(1)
+    VersionedTable.write(batch(0, 4096), path, statsCols = Seq("v", "w"))
+    // two SINGLE-column analyzes leave the (v, w) pair unrecorded — a
+    // subsequent incremental pair ANALYZE must treat the file as needy
+    VersionedTable.analyzeNdv(spark, path, Seq("v"))
+    VersionedTable.analyzeNdv(spark, path, Seq("w"))
+    val (_, scanned1) =
+      VersionedTable.analyzeNdvInfo(spark, path, Seq("v", "w"),
+        incremental = true)
+    assert(scanned1.nonEmpty,
+      "missing joint-null pair must make the file needy")
+    // append a band: incremental re-analyzes ONLY the new file
+    VersionedTable.append(batch(4096, 8192), path, statsCols = Seq("v", "w"))
+    val (_, scanned2) =
+      VersionedTable.analyzeNdvInfo(spark, path, Seq("v", "w"),
+        incremental = true)
+    assert(scanned2.size == 1,
+      s"incremental must scan only the appended file: $scanned2")
+    // fully covered: nothing to scan
+    val (_, scanned3) =
+      VersionedTable.analyzeNdvInfo(spark, path, Seq("v", "w"),
+        incremental = true)
+    assert(scanned3.isEmpty)
+    // and the composition fires across both files
+    val q = VersionedTable.read(spark, path)
+      .filter($"v" >= 0L && $"w" >= 0L).agg(count(lit(1)).as("n"))
+    assert(scanFree(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().head.getLong(0) ==
+      (0L until 8192L).count(i => i % 13 != 0 && i % 11 != 0).toLong)
   }
 
   test("OR-of-ranges and IN classify as per-column interval unions") {

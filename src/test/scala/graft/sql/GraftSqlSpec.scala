@@ -1178,7 +1178,7 @@ class GraftSqlSpec extends SparkSpec {
       stmt.contains("GENERATED ALWAYS AS (CAST(ts AS DATE))") &&
       stmt.contains("PARTITIONED BY (`p_date`)") &&
       stmt.contains("'graft.bloomCols' = 'v'") &&
-      stmt.contains("ADD CONSTRAINT v_pos CHECK (v > 0)"), stmt)
+      stmt.contains("ADD CONSTRAINT `v_pos` CHECK (v > 0)"), stmt)
     // the emitted statements REPLAY onto a fresh path, declaration for
     // declaration (the whole point of the verb)
     val p2 = tmp() + "/t2"

@@ -108,6 +108,174 @@ class JoinReorderSpec extends SparkSpec {
     }
   }
 
+  test("FILTERED legs estimate: range-filtered fact still swaps; an equality-filtered dim keeps its place") {
+    val base = tmp()
+    val fact = base + "/fact"; val big = base + "/big"; val tiny = base + "/tiny"
+    VersionedTable.write(spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("v")),
+      fact, statsCols = Seq("k", "v"))
+    VersionedTable.analyzeNdv(spark, fact, Seq("k", "v"))
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("bk"), concat(lit("b"), col("id")).as("battr")),
+      big, statsCols = Seq("bk"))
+    VersionedTable.analyzeNdv(spark, big, Seq("bk"))
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("tk"), concat(lit("t"), col("id")).as("tattr")),
+      tiny, statsCols = Seq("tk"))
+    VersionedTable.analyzeNdv(spark, tiny, Seq("tk"))
+    // the REAL dashboard shape: a range-filtered fact in the worst order.
+    // The range scales both candidates identically (span fraction), so
+    // the 50× tiny-vs-big gap survives and the swap still fires.
+    def q() = VersionedTable.read(spark, fact)
+      .filter(col("v") >= 5000L && col("v") < 15000L)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(VersionedTable.read(spark, tiny), col("k") === col("tk"))
+      .groupBy(col("tattr")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val on = q()
+    assert(pairedFirst(on, fact, tiny),
+      s"range-filtered fact must still swap the selective dim in:\n" +
+        on.queryExecution.optimizedPlan)
+    val got = on.collect().map(_.toString).sorted.toSeq
+    withRuleOff {
+      val off = q()
+      assert(!pairedFirst(off, fact, tiny))
+      assert(off.collect().map(_.toString).sorted.toSeq == got)
+    }
+    // an equality filter collapses the big dim to ~1 row — the estimate
+    // now says the USER's order is right, so no swap happens (the
+    // filtered-leg estimate prevents a blind tiny-first reorder)
+    def qEq() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big).filter(col("bk") === 500L),
+        col("k") === col("bk"))
+      .join(VersionedTable.read(spark, tiny), col("k") === col("tk"))
+      .agg(count(lit(1)).as("n"))
+    val onEq = qEq()
+    assert(!pairedFirst(onEq, fact, tiny),
+      s"an equality-filtered big dim (1/1000) must keep its place:\n" +
+        onEq.queryExecution.optimizedPlan)
+    val gotEq = onEq.collect().map(_.toString).toSeq
+    withRuleOff(assert(qEq().collect().map(_.toString).toSeq == gotEq))
+    // an OPAQUE conjunct beside an estimable one still declines the leg
+    // (never guess): worst order stays
+    def qOpaque() = VersionedTable.read(spark, fact)
+      .filter(col("v") >= 5000L && col("v") % 3 === 0)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(VersionedTable.read(spark, tiny), col("k") === col("tk"))
+      .agg(count(lit(1)).as("n"))
+    val onOp = qOpaque()
+    assert(!pairedFirst(onOp, fact, tiny),
+      "an inestimable conjunct must decline the filtered leg")
+    val gotOp = onOp.collect().map(_.toString).toSeq
+    withRuleOff(assert(qOpaque().collect().map(_.toString).toSeq == gotOp))
+  }
+
+  test("RIGHT-NESTED spelling rotates to left-deep under the same hysteresis") {
+    val base = tmp()
+    val fact = base + "/fact"; val big = base + "/big"; val tiny = base + "/tiny"
+    VersionedTable.write(spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("v")),
+      fact, statsCols = Seq("k"))
+    VersionedTable.analyzeNdv(spark, fact, Seq("k"))
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("bk"), concat(lit("b"), col("id")).as("battr")),
+      big, statsCols = Seq("bk"))
+    VersionedTable.analyzeNdv(spark, big, Seq("bk"))
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("tk"), concat(lit("t"), col("id")).as("tattr")),
+      tiny, statsCols = Seq("tk"))
+    VersionedTable.analyzeNdv(spark, tiny, Seq("tk"))
+    // tiny ⋈ (fact ⋈ big): the inner join is the FULL 20000-row fact-big
+    // pairing; rotating tiny onto the fact first shrinks it 50×
+    def q() = VersionedTable.read(spark, tiny)
+      .join(
+        VersionedTable.read(spark, fact)
+          .join(VersionedTable.read(spark, big), col("k") === col("bk")),
+        col("tk") === col("k"))
+      .groupBy(col("tattr")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val on = q()
+    assert(pairedFirst(on, tiny, fact),
+      s"right-nested worst order must rotate tiny onto the fact:\n" +
+        on.queryExecution.optimizedPlan)
+    val got = on.collect().map(_.toString).sorted.toSeq
+    withRuleOff {
+      val off = q()
+      assert(off.collect().map(_.toString).sorted.toSeq == got)
+    }
+    // rotation that would EXPAND the first join declines: fact ⋈
+    // (big ⋈ tiny) keeps the small inner join first
+    def qKeep() = VersionedTable.read(spark, fact)
+      .join(
+        VersionedTable.read(spark, big)
+          .join(VersionedTable.read(spark, tiny), col("bk") === col("tk")),
+        col("k") === col("bk"))
+      .agg(count(lit(1)).as("n"))
+    val onK = qKeep()
+    assert(pairedFirst(onK, big, tiny),
+      s"a small inner join stays first — no rotation:\n" +
+        onK.queryExecution.optimizedPlan)
+    val gotK = onK.collect().map(_.toString).toSeq
+    withRuleOff(assert(qKeep().collect().map(_.toString).toSeq == gotK))
+  }
+
+  test("BUSHY: a composite right leg estimates recursively and swaps in whole") {
+    val base = tmp()
+    val fact = base + "/fact"; val big = base + "/big"
+    val tiny = base + "/tiny"; val tdim = base + "/tdim"
+    VersionedTable.write(spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("v")),
+      fact, statsCols = Seq("k"))
+    VersionedTable.analyzeNdv(spark, fact, Seq("k"))
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("bk"), concat(lit("b"), col("id")).as("battr")),
+      big, statsCols = Seq("bk"))
+    VersionedTable.analyzeNdv(spark, big, Seq("bk"))
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("tk")), tiny, statsCols = Seq("tk"))
+    VersionedTable.analyzeNdv(spark, tiny, Seq("tk"))
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("dk"), concat(lit("d"), col("id")).as("dattr")),
+      tdim, statsCols = Seq("dk"))
+    VersionedTable.analyzeNdv(spark, tdim, Seq("dk"))
+    // worst order: (fact ⋈ big) ⋈ (tiny ⋈ tdim) — the selective COMPOSITE
+    // subtree must swap in whole (its estimate composes recursively)
+    def q() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(
+        VersionedTable.read(spark, tiny)
+          .join(VersionedTable.read(spark, tdim), col("tk") === col("dk")),
+        col("k") === col("tk"))
+      .groupBy(col("dattr")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val on = q()
+    // after the swap, some join must pair fact with the {tiny, tdim}
+    // subtree BEFORE big joins in
+    val pairedComposite = on.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+      .exists(j => rootsUnder(j) == Set(fact, tiny, tdim))
+    assert(pairedComposite,
+      s"the composite selective subtree must pair with the fact first:\n" +
+        on.queryExecution.optimizedPlan)
+    val got = on.collect().map(_.toString).sorted.toSeq
+    withRuleOff {
+      val off = q()
+      assert(!off.queryExecution.optimizedPlan.collect { case j: Join => j }
+        .exists(j => rootsUnder(j) == Set(fact, tiny, tdim)))
+      assert(off.collect().map(_.toString).sorted.toSeq == got)
+    }
+    // idempotence: the already-best bushy spelling re-optimizes to itself
+    def qBest() = VersionedTable.read(spark, fact)
+      .join(
+        VersionedTable.read(spark, tiny)
+          .join(VersionedTable.read(spark, tdim), col("tk") === col("dk")),
+        col("k") === col("tk"))
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .groupBy(col("dattr")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val best = qBest()
+    assert(best.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+      .exists(j => rootsUnder(j) == Set(fact, tiny, tdim)))
+    assert(best.collect().map(_.toString).sorted.toSeq == got)
+  }
+
   test("declines: close call, outer arm, un-sketched key, filtered leg, B-touching cond") {
     val base = tmp()
     val fact = base + "/fact"; val big = base + "/big"
