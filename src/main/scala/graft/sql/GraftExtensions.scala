@@ -514,6 +514,19 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     }
+    // `a != c` (and NOT(a = c)) is the two-range union (−∞,c) ∪ (c,∞)
+    def neqClause(c: Expression): Option[(AttributeReference, Seq[Rng])] = {
+      def mk(x: Expression, y: Expression) =
+        (for (a <- attr(x); v <- lit(y, a.dataType)) yield (a, v))
+          .orElse(for (a <- attr(y); v <- lit(x, a.dataType)) yield (a, v))
+          .map { case (a, v) =>
+            (a, Seq((None, Some((v, true))): Rng, (Some((v, true)), None): Rng))
+          }
+      c match {
+        case Not(EqualTo(x, y)) => mk(x, y)
+        case _ => None
+      }
+    }
     def clauseOf(c: Expression): Option[(AttributeReference, Seq[Rng])] =
       c match {
         // registers the column; covers every non-null value (matching
@@ -539,7 +552,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
               Some((ps.head._1, ps.flatMap(_._2)))
             else None // cross-column OR
           } else None
-        case cmp => rangeOf(cmp).map { case (a, r) => (a, Seq(r)) }
+        case cmp => neqClause(cmp)
+          .orElse(rangeOf(cmp).map { case (a, r) => (a, Seq(r)) })
       }
     val clauseList: Seq[(AttributeReference, Seq[Rng])] =
       split(cond).map(c => clauseOf(c).getOrElse(return None))

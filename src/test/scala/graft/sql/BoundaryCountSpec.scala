@@ -331,6 +331,18 @@ class BoundaryCountSpec extends SparkSpec {
       s"cross-column OR must decline the boundary rewrite:\n" +
         qc.queryExecution.optimizedPlan)
     assert(qc.collect().head.getLong(0) == truth(cross))
+    // != is the two-range union: one point's file scans, everything else
+    // answers from metadata (only the band holding 30000 reads)
+    val neq = $"k" =!= 30000L
+    val qneq = q(neq)
+    assert(filesRead(qneq) <= 1L,
+      s"!= must scan only the excluded point's file:\n" +
+        qneq.queryExecution.optimizedPlan)
+    assert(qneq.collect().head.getLong(0) == truth(neq))
+    // != a value OUTSIDE the data: fully metadata
+    val neqOut = q($"k" =!= -5L)
+    assert(scanFree(neqOut), neqOut.queryExecution.optimizedPlan.toString)
+    assert(neqOut.collect().head.getLong(0) == truth($"k" =!= -5L))
     // SUM/MIN/MAX ride an OR range the same way (inside tails from
     // metadata when ANALYZE'd)
     VersionedTable.analyzeNdv(spark, path, Seq("k", "v"))
