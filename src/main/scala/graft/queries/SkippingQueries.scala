@@ -891,6 +891,45 @@ object SkippingQueries {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_null_probe — the data-quality probe `COUNT(*) WHERE col IS NULL`
+  // answers from metadata alone: matching rows per file are the
+  // COMPLEMENT (rows − nonNull), known exactly from footer null counts —
+  // asserted in-query (zero files read). DuckDB recomputes the derived
+  // nullable column and counts its NULLs for real.
+  // --------------------------------------------------------------------------
+  def nullProbe(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedFixturePath(dir, "bnull_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      VersionedTable.write(
+        Tables.events(spark, dir).select(col("event_id"), col("ts"),
+          when(col("event_id") % 13 === 0, lit(null))
+            .otherwise(col("value")).as("nv")),
+        path, statsCols = Seq("ts", "nv"))
+    }
+    val out = VersionedTable.read(spark, path)
+      .filter(col("nv").isNull)
+      .agg(count(lit(1)).as("n_nulls"))
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read == 0L,
+      s"q_null_probe: the null count is pure metadata, read $read; " +
+        s"plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val nullProbeSql: String =
+    """SELECT COUNT(*) AS n_nulls FROM (
+      |  SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS nv
+      |  FROM events) WHERE nv IS NULL""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_count_boundary_anchored — the boundary rewrite on a CHECKPOINT-
   // ANCHORED table (the 100 TB deployment): the per-file interval
   // classification runs DISTRIBUTED on executors over the checkpoint
@@ -3401,6 +3440,7 @@ object SkippingQueries {
     "q_topk_mixed" -> (topkMixed _),
     "q_count_boundary" -> (countBoundary _),
     "q_count_boundary_anchored" -> (countBoundaryAnchored _),
+    "q_null_probe" -> (nullProbe _),
     "q_count_boundary_grouped" -> (countBoundaryGrouped _),
     "q_topk_dense" -> (topkDense _),
     "q_topk_window_yr" -> (topkWindowDerived _),
@@ -3468,6 +3508,7 @@ object SkippingQueries {
     "q_topk_mixed" -> topkMixedSql,
     "q_count_boundary" -> countBoundarySql,
     "q_count_boundary_anchored" -> countBoundaryAnchoredSql,
+    "q_null_probe" -> nullProbeSql,
     "q_count_boundary_grouped" -> countBoundaryGroupedSql,
     "q_topk_dense" -> topkDenseSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,

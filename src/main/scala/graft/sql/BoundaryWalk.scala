@@ -23,9 +23,16 @@ object BoundaryWalk extends Serializable {
   /** One cond column's accumulated CLAUSES — each clause is a union of
     * ranges (a plain comparison is a one-range clause, `IN (…)` a union
     * of points, `a < x OR a >= y` a union of ranges); the conjunction of
-    * clauses constrains the column. */
+    * clauses constrains the column. `wantNull` inverts the column's
+    * accounting: the filter keeps rows where the column IS NULL (the
+    * data-quality probe `WHERE v IS NULL`) — matching rows per file are
+    * then exactly rows − nonNull, known wherever the stats are, so such
+    * a condition never needs a boundary scan. A wantNull column carries
+    * no range clauses and must be the ONLY cond column (null-vs-range
+    * overlap across columns is not composable). */
   final case class IvS(name: String, dt: DataType,
-      clauses: Seq[Seq[Rng]]) extends Serializable
+      clauses: Seq[Seq[Rng]], wantNull: Boolean = false)
+      extends Serializable
 
   /** A SUM output slot's column. */
   final case class SumS(name: String) extends Serializable
@@ -69,7 +76,14 @@ object BoundaryWalk extends Serializable {
     var partial = false
     val colB = scala.collection.mutable.Map.empty[String, (Any, Any)]
     ivs.foreach { iv =>
-      if (!outside) mm(iv.name) match {
+      if (!outside && iv.wantNull) {
+        // IS NULL: the file's exact null count is rows − nonNull when
+        // both are known — no nulls proves outside; unknown scans
+        (rows, nn(iv.name)) match {
+          case (Some(r), Some(n)) => if (n >= r) outside = true
+          case _ => partial = true
+        }
+      } else if (!outside) mm(iv.name) match {
         case None => partial = true
         case Some(None) => outside = true // all-null: every row fails
         case Some(Some((mnS, mxS))) =>
@@ -118,14 +132,22 @@ object BoundaryWalk extends Serializable {
         if (per.forall(_.isDefined)) Some(per.map(_.get).toMap) else None
       }
       nullable = ivs.map(_.name).filter(n => nns(n) < r)
-      matchCnt <- nullable match {
-        case Seq() => Some(r)
-        case Seq(one) => Some(nns(one))
-        // TWO nullable cond columns compose by inclusion-exclusion when
-        // ANALYZE recorded their joint null count: matching = rows
-        // non-null in both = nnA + nnB - rows + bothNull
-        case Seq(x, y) => jn(x, y).map(j => nns(x) + nns(y) - r + j)
-        case _ => None
+      matchCnt <- {
+        if (ivs.exists(_.wantNull)) {
+          // single-column IS NULL (the rule gates the shape): matching
+          // rows are the COMPLEMENT — exactly the null count
+          if (ivs.size == 1 && sumCols.isEmpty && extCols.isEmpty)
+            Some(r - nns(ivs.head.name))
+          else None
+        } else nullable match {
+          case Seq() => Some(r)
+          case Seq(one) => Some(nns(one))
+          // TWO nullable cond columns compose by inclusion-exclusion
+          // when ANALYZE recorded their joint null count: matching =
+          // rows non-null in both = nnA + nnB - rows + bothNull
+          case Seq(x, y) => jn(x, y).map(j => nns(x) + nns(y) - r + j)
+          case _ => None
+        }
       }
       // a slot column may ride the metadata only when matching rows =
       // all rows, or = exactly the rows its OWN column is non-null in

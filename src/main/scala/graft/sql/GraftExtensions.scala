@@ -555,8 +555,19 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         case cmp => neqClause(cmp)
           .orElse(rangeOf(cmp).map { case (a, r) => (a, Seq(r)) })
       }
+    // `WHERE v IS NULL` — the data-quality probe: matching rows per file
+    // are the COMPLEMENT (rows − nonNull), known exactly wherever the
+    // stats are, so the count answers from metadata with no boundary
+    // scan at all. Single column, IS NULL only (null-vs-range overlap
+    // across columns is not composable), COUNT(*)-family slots only.
+    val conjs = split(cond)
+    val nullCols = conjs.collect { case IsNull(a: AttributeReference) => a }
+    val wantNull = nullCols.nonEmpty
+    if (wantNull && (conjs.size != nullCols.size ||
+        nullCols.map(_.exprId).distinct.size != 1)) return None
     val clauseList: Seq[(AttributeReference, Seq[Rng])] =
-      split(cond).map(c => clauseOf(c).getOrElse(return None))
+      if (wantNull) Seq((nullCols.head, Nil))
+      else conjs.map(c => clauseOf(c).getOrElse(return None))
     if (clauseList.isEmpty) return None
     val condCols: Seq[AttributeReference] =
       clauseList.map(_._1).distinctBy(_.exprId)
@@ -609,7 +620,7 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
           if l.value != null => BCount
       case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _)
-          if condIds(a.exprId) => BCount
+          if condIds(a.exprId) && !wantNull => BCount // IS NULL ⇒ COUNT(v)=0, not matchCnt
       case al @ Alias(AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
             a: AttributeReference, em), _, false, None, _), _)
@@ -638,6 +649,12 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         BExt(leafAttr(a.exprId).getOrElse(return None), takeMax = true)
       case _ => return None
     }
+    // IS NULL answers COUNT-family (and group passthrough) slots only —
+    // sums/extrema of matching rows are not derivable from per-file stats
+    if (wantNull && slots.exists {
+      case BCount | BGroup(_) => false
+      case _ => true
+    }) return None
     // AVG rides the same exact-sum channel the SUM slots use
     val sumCols: Seq[AttributeReference] = slots.collect {
       case BSum(c) => c
@@ -653,7 +670,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     // with the DISTRIBUTED checkpoint walk so the two paths cannot drift
     val ivSpecs: Seq[BoundaryWalk.IvS] = condCols.map(a =>
       BoundaryWalk.IvS(condName(a.exprId), a.dataType,
-        clauseList.filter(_._1.exprId == a.exprId).map(_._2)))
+        clauseList.filter(_._1.exprId == a.exprId).map(_._2),
+        wantNull = wantNull))
     val sumSpecs: Seq[BoundaryWalk.SumS] =
       sumCols.map(c => BoundaryWalk.SumS(c.name))
     val extSpecs: Seq[BoundaryWalk.ExtS] = extKeys.map { case (c, mx) =>

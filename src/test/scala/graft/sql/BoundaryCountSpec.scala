@@ -91,6 +91,29 @@ class BoundaryCountSpec extends SparkSpec {
       $"v" === 12345L).foreach { c =>
       assert(q(c).collect().head.getLong(0) == truth(c), c.toString)
     }
+    // IS NULL — the data-quality probe: matching rows per file are the
+    // complement (rows − nonNull), so the count is pure metadata
+    val isNull = VersionedTable.read(spark, path).filter($"v".isNull)
+      .agg(count(lit(1)).as("n"))
+    assert(scanFree(isNull), isNull.queryExecution.optimizedPlan.toString)
+    assert(isNull.collect().head.getLong(0) == truth($"v".isNull))
+    // a column WITHOUT stats declines (nn unknowable) — exact via scan
+    val kNull = VersionedTable.read(spark, path).filter($"k".isNull)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanFree(kNull), "un-stats'd column must decline IS NULL")
+    assert(kNull.collect().head.getLong(0) == 0L)
+    // IS NULL beside a range conjunct declines (cross-column null-vs-
+    // range overlap is not composable) — exact via the scan
+    val mixedNull = VersionedTable.read(spark, path)
+      .filter($"v".isNull && $"k" >= 10000L).agg(count(lit(1)).as("n"))
+    assert(!scanFree(mixedNull))
+    assert(mixedNull.collect().head.getLong(0) ==
+      truth($"v".isNull && $"k" >= 10000L))
+    // COUNT(v) WHERE v IS NULL is 0 — the rewrite declines it (matchCnt
+    // is not that count), the scan answers exactly
+    val cntCol = VersionedTable.read(spark, path).filter($"v".isNull)
+      .agg(count($"v").as("nv"))
+    assert(cntCol.collect().head.getLong(0) == 0L)
   }
 
   test("hybrid SUM: inside files answer from ANALYZE sums, edges scan") {
@@ -140,6 +163,11 @@ class BoundaryCountSpec extends SparkSpec {
     val all = q($"k" >= 0L && $"k" < 65536L)
     assert(scanFree(all), all.queryExecution.optimizedPlan.toString)
     assert(all.collect().head.toSeq == truth($"k" >= 0L && $"k" < 65536L))
+    // IS NULL on a stats-covered NEVER-NULL column: zero, scan-free
+    val kNull = VersionedTable.read(spark, path).filter($"k".isNull)
+      .agg(count(lit(1)).as("n"))
+    assert(scanFree(kNull), kNull.queryExecution.optimizedPlan.toString)
+    assert(kNull.collect().head.getLong(0) == 0L)
     // MIN/MAX join the hybrid: same-col from the classification bounds,
     // other-col under the null-complete gate — edges only, exact
     def qe(c: org.apache.spark.sql.Column): DataFrame =
