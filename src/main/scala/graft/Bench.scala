@@ -148,9 +148,16 @@ object Bench {
         if (ts.isEmpty) -1.0 else ts.min,
         if (ts.isEmpty) -1.0 else medianOf(ts))
     }
-    val qjson = results.map { case (k, mn, _) => "\"" + k + "\":" + mn }
+    // query-name keys go through a real JSON writer (same jackson the
+    // history parse uses) — hand concatenation would break on a name
+    // containing a quote or backslash
+    val jkey: String => String = {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      s => om.writeValueAsString(s)
+    }
+    val qjson = results.map { case (k, mn, _) => jkey(k) + ":" + mn }
       .mkString("{", ",", "}")
-    val qjsonMed = results.map { case (k, _, md) => "\"" + k + "\":" + md }
+    val qjsonMed = results.map { case (k, _, md) => jkey(k) + ":" + md }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -171,7 +178,7 @@ object Bench {
     // masquerading as a regression — the consumer should re-run, or judge
     // only per-query minima. Thresholds: med/min > 1.5x OR jitter > 35%.
     val polluted = (total > 0 && totalMed / total > 1.5) || jitterMedPct > 35.0
-    val healedPreJson = healedPre.map { case (k, v) => "\"" + k + "\":" + v }
+    val healedPreJson = healedPre.map { case (k, v) => jkey(k) + ":" + v }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","healed":$healedCount,"healed_pre":$healedPreJson,"jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
     if (polluted) System.err.println(
@@ -190,7 +197,7 @@ object Bench {
       else {
         def r3(v: Double): Double = math.round(v * 1000) / 1000.0
         val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-          .map { case (k, mn, _) => "\"" + k + "\":" + r3(mn) }
+          .map { case (k, mn, _) => jkey(k) + ":" + r3(mn) }
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","healed":$healedCount,"jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries_n":${results.size},"queries_slowest":$slow,"queries_full":"BENCH_LAST.json + BENCH_HISTORY.jsonl (committed; full per-query min+median maps)","sf":"$sfDir"}"""
       }

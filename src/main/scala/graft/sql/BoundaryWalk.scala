@@ -239,6 +239,16 @@ object BoundaryWalk extends Serializable {
     fc match {
       case Outside => a.copy(away = a.away + 1)
       case Boundary => a.copy(boundary = a.boundary :+ fk)
+      // ZERO matching rows contribute NOTHING — registering the group
+      // would emit a phantom (key, COUNT 0) row where SQL emits no group
+      // at all. Reachable via the two-nullable inclusion-exclusion
+      // (disjoint non-null sets: nnA + nnB − rows + bothNull = 0); such a
+      // file can carry no sums/exts (slotOk is false with two nullables),
+      // and dropping any is semantically right regardless: no row
+      // matches, so nothing may contribute. The GLOBAL walk reads its
+      // group via getOrElse(emptyGrp), so the missing entry still answers
+      // COUNT = 0 there (the correct global answer).
+      case Inside(0L, _, _) => a.copy(away = a.away + 1)
       case Inside(m, sums, exts) =>
         val g = Grp(m,
           sums.map { case (n, sv, nnc) => n -> (sv, nnc) }.toMap,
@@ -366,9 +376,16 @@ object BoundaryWalk extends Serializable {
     case d: org.apache.spark.sql.types.Decimal =>
       Some(BigDecimal(d.toJavaBigDecimal))
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-    // BigDecimal.valueOf round-trips doubles exactly (Double.toString)
-    case db: java.lang.Double => Some(BigDecimal(db.doubleValue()))
-    case f: java.lang.Float => Some(BigDecimal(f.floatValue().toDouble))
+    // BigDecimal.valueOf round-trips doubles exactly (Double.toString);
+    // NaN/Infinity have no BigDecimal image — DECLINE (mirrors
+    // DataSkipping.statValue's isFinite gate) instead of throwing at
+    // plan time on a NaN double partition value
+    case db: java.lang.Double =>
+      if (java.lang.Double.isFinite(db.doubleValue()))
+        Some(BigDecimal(db.doubleValue())) else None
+    case f: java.lang.Float =>
+      if (java.lang.Float.isFinite(f.floatValue()))
+        Some(BigDecimal(f.floatValue().toDouble)) else None
     case _ => None
   }
 }

@@ -613,6 +613,91 @@ class BoundaryCountSpec extends SparkSpec {
       rows(plain.filter(cond).groupBy($"v").agg(count(lit(1)).as("n"))))
   }
 
+  test("GROUPED boundary: a zero-match Inside group emits NO row (phantom COUNT=0)") {
+    val path = tmp()
+    // day 0: v and w non-null sets DISJOINT (v on odd ids, w on even) —
+    // under `v >= 0 AND w >= 0` the file classifies Inside via the
+    // joint-null inclusion-exclusion with matchCnt = nnV + nnW − rows +
+    // bothNull = 500 + 500 − 1000 + 0 = 0. SQL emits NO day-0 group; the
+    // rewrite must not emit a phantom (day 0, COUNT 0) row.
+    val day0 = spark.range(0, 1000).select(lit(0L).as("day"),
+      col("id").as("ts"),
+      when(col("id") % 2 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("v"),
+      when(col("id") % 2 === 1, lit(null)).otherwise(col("id"))
+        .cast("long").as("w"))
+    val day1 = spark.range(1000, 2000).select(lit(1L).as("day"),
+      col("id").as("ts"),
+      when(col("id") % 13 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("v"),
+      when(col("id") % 11 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("w"))
+    day0.coalesce(1).write.format("graft-table")
+      .option("statsCols", "v,w").partitionBy("day")
+      .mode("overwrite").save(path)
+    day1.coalesce(1).write.format("graft-table")
+      .option("statsCols", "v,w").partitionBy("day")
+      .mode("append").save(path)
+    VersionedTable.analyzeNdv(spark, path, Seq("v", "w"))
+    def t = spark.read.format("graft-table").load(path)
+    val copyDir = java.nio.file.Files.createTempDirectory("bpcopy")
+      .toString + "/c"
+    t.select($"day", $"ts", $"v", $"w").write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    val cond = $"v" >= 0L && $"w" >= 0L
+    def q(on: DataFrame): DataFrame =
+      on.filter(cond).groupBy($"day").agg(count(lit(1)).as("n"))
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // pure-metadata path: both files classify Inside (jn-armed), zero scan
+    val meta = q(t)
+    assert(scanFree(meta), meta.queryExecution.optimizedPlan.toString)
+    assert(rows(meta) == rows(q(plain)),
+      s"phantom zero-match group:\ngot ${rows(meta)}\nwant ${rows(q(plain))}")
+    assert(meta.filter($"day" === 0L).count() == 0L,
+      "a group whose every row fails the filter must be ABSENT")
+    // union path: an appended un-analyzed file makes day 2 a boundary
+    // scan — day 0's phantom must not survive the re-aggregation either
+    spark.range(2000, 3000).select(lit(2L).as("day"), col("id").as("ts"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("v"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("w"))
+      .coalesce(1).write.format("graft-table")
+      .option("statsCols", "v,w").partitionBy("day")
+      .mode("append").save(path)
+    val hybrid = q(t)
+    assert(rows(hybrid) == rows(q(plain.union(
+      spark.range(2000, 3000).select(lit(2L).as("day"), col("id").as("ts"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(col("id"))
+          .cast("long").as("v"),
+        when(col("id") % 5 === 0, lit(null)).otherwise(col("id"))
+          .cast("long").as("w"))))),
+      s"phantom group through the union path:\n${rows(hybrid)}")
+    assert(hybrid.filter($"day" === 0L).count() == 0L)
+  }
+
+  test("non-finite double partition values decline at plan time, no throw") {
+    import org.apache.spark.sql.types.DoubleType
+    // NaN/Infinity have no BigDecimal image — the walk must decline
+    // (mirroring DataSkipping.statValue's isFinite gate), not throw
+    assert(BoundaryWalk.statDomainOf(
+      java.lang.Double.valueOf(Double.NaN)).isEmpty)
+    assert(BoundaryWalk.statDomainOf(
+      java.lang.Float.valueOf(Float.PositiveInfinity)).isEmpty)
+    assert(BoundaryWalk.statDomainOf(java.lang.Double.valueOf(1.5))
+      .contains(BigDecimal(1.5)))
+    val (fc, _) = BoundaryWalk.classifyFromStats(
+      path = "x=NaN/part-0.parquet", rowsOpt = Some(10L),
+      stats = Map.empty, dvMarkedRows = 0L,
+      neededPart = Seq(("x", "x", DoubleType)), zone = None,
+      ivs = Seq(BoundaryWalk.IvS("x", DoubleType,
+        Seq(Seq((Some((0.0d, false)), None))))),
+      sumCols = Nil, extCols = Nil)
+    assert(fc == BoundaryWalk.Boundary,
+      s"NaN partition value must fall to the boundary scan: $fc")
+  }
+
   test("declines: two columns, COUNT(other col), non-count aggregates, DV files scan") {
     val path = tmp()
     VersionedTable.write(
