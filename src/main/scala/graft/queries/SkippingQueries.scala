@@ -937,25 +937,7 @@ object SkippingQueries {
   // checkpoint stats parses across the query). DuckDB counts raw rows.
   // --------------------------------------------------------------------------
   def countBoundaryAnchored(spark: SparkSession, dir: String): DataFrame = {
-    val path = cachedFixturePath(dir, "bcnta_v1", "events.parquet")
-    if (VersionedTable.latestVersion(spark, path).isEmpty) {
-      // 15 two-day band appends under a tiny inline bound → the head
-      // anchors at a parquet checkpoint; ANALYZE (a distributed
-      // ckpt-from-anchor ride) arms the per-file sums
-      val saved = VersionedTable.CkptInlineMaxFiles
-      VersionedTable.CkptInlineMaxFiles = 8
-      try {
-        val src = Tables.events(spark, dir)
-          .select(col("event_id"), col("ts"), col("value"))
-        (0 until 15).foreach { b =>
-          VersionedTable.append(
-            src.filter(dayofmonth(col("ts")) >= b * 2 + 1 &&
-              dayofmonth(col("ts")) <= b * 2 + 2).coalesce(1),
-            path, statsCols = Seq("ts", "event_id"))
-        }
-        VersionedTable.analyzeNdv(spark, path, Seq("event_id"))
-      } finally VersionedTable.CkptInlineMaxFiles = saved
-    }
+    val path = ensureAnchoredEvents(spark, dir)
     val t = VersionedTable.read(spark, path)
     val parsesBefore = VersionedTable.ckptStatsParses.get()
     val out = t
@@ -990,6 +972,147 @@ object SkippingQueries {
       |  MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events
       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
       |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_topk_anchored — top-k file pruning on a CHECKPOINT-ANCHORED table
+  // (the 100 TB deployment): the bound-sorted prefix proof runs
+  // DISTRIBUTED on executors over the checkpoint parquet — asserted
+  // in-query (pruned read AND zero driver-side checkpoint stats parses),
+  // the lift of the census/top-k "force-on-win" scale gap. DuckDB sorts
+  // the raw events.
+  // --------------------------------------------------------------------------
+  def topkAnchored(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureAnchoredEvents(spark, dir)
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val parsesBefore = VersionedTable.ckptStatsParses.get()
+    val out = t.orderBy(col("ts").desc, col("event_id").asc).limit(100)
+      .select(col("event_id"), col("ts"))
+    val read = filesReadOf(out)
+    require(read < total,
+      s"q_topk_anchored: the distributed prefix proof must prune " +
+        s"($read/$total); plan:\n${out.queryExecution.optimizedPlan}")
+    require(VersionedTable.ckptStatsParses.get() == parsesBefore,
+      "q_topk_anchored: the distributed prefix walk must never " +
+        "materialize the checkpoint stats column driver-side")
+    out
+  }
+
+  val topkAnchoredSql: String =
+    """SELECT event_id, ts FROM events
+      |ORDER BY ts DESC, event_id ASC LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q_part_census_anchored — the partition census with DATA-column
+  // aggregates on a CHECKPOINT-ANCHORED partitioned table: per-(dir,
+  // column) bounds / non-null counts / ANALYZE sums aggregate ON
+  // EXECUTORS over the checkpoint parquet, and the grouped aggregate
+  // still collapses to a LocalRelation — asserted in-query (zero files
+  // scanned AND zero driver-side checkpoint stats parses). DuckDB runs
+  // the real aggregate over raw events.
+  // --------------------------------------------------------------------------
+  def partCensusAnchored(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureAnchoredPartEvents(spark, dir)
+    val t = VersionedTable.read(spark, path)
+    val parsesBefore = VersionedTable.ckptStatsParses.get()
+    val out = t.filter(expr("event_date >= DATE'2024-01-05'"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_ids"),
+        count(col("event_id")).as("nn_ids"),
+        avg(col("event_id")).as("avg_id"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+    val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
+    require(roots.isEmpty && out.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "q_part_census_anchored: expected the anchored census to collapse " +
+        s"to a LocalRelation; plan:\n${out.queryExecution.optimizedPlan}")
+    require(VersionedTable.ckptStatsParses.get() == parsesBefore,
+      "q_part_census_anchored: the distributed census walk must never " +
+        "materialize the checkpoint stats column driver-side")
+    out
+  }
+
+  val partCensusAnchoredSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  CAST(COUNT(event_id) AS BIGINT) AS nn_ids,
+      |  AVG(event_id) AS avg_id,
+      |  CAST(MIN(user_id) AS BIGINT) AS min_user,
+      |  CAST(MAX(user_id) AS BIGINT) AS max_user
+      |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+      |GROUP BY 1""".stripMargin
+
+  /** The ANCHORED flat events fixture shared with q_count_boundary_anchored
+    * (same recipe, same path tag): 15 two-day band appends under a tiny
+    * inline bound → the head anchors at a parquet checkpoint whose lazy
+    * driver stats map is never paid for. */
+  private def ensureAnchoredEvents(spark: SparkSession, dir: String): String = {
+    val path = cachedFixturePath(dir, "bcnta_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      val saved = VersionedTable.CkptInlineMaxFiles
+      VersionedTable.CkptInlineMaxFiles = 8
+      try {
+        val src = Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("value"))
+        (0 until 15).foreach { b =>
+          VersionedTable.append(
+            src.filter(dayofmonth(col("ts")) >= b * 2 + 1 &&
+              dayofmonth(col("ts")) <= b * 2 + 2).coalesce(1),
+            path, statsCols = Seq("ts", "event_id"))
+        }
+        VersionedTable.analyzeNdv(spark, path, Seq("event_id"))
+      } finally VersionedTable.CkptInlineMaxFiles = saved
+    }
+    path
+  }
+
+  /** The ANCHORED partitioned events fixture: 15 two-day band appends
+    * hive-partitioned by event_date (30 day dirs), anchored the same way;
+    * ANALYZE arms the per-file event_id sums the census SUM/AVG slots
+    * read. */
+  private def ensureAnchoredPartEvents(spark: SparkSession, dir: String)
+      : String = {
+    val path = cachedFixturePath(dir, "censa_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      val saved = VersionedTable.CkptInlineMaxFiles
+      VersionedTable.CkptInlineMaxFiles = 8
+      try {
+        val src = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            to_date(col("ts")).as("event_date"))
+        (0 until 15).foreach { b =>
+          src.filter(dayofmonth(col("ts")) >= b * 2 + 1 &&
+            dayofmonth(col("ts")) <= b * 2 + 2).coalesce(1)
+            .write.format("graft-table")
+            .option("statsCols", "event_id,user_id")
+            .partitionBy("event_date")
+            .mode(if (b == 0) "overwrite" else "append").save(path)
+        }
+        VersionedTable.analyzeNdv(spark, path, Seq("event_id"))
+      } finally VersionedTable.CkptInlineMaxFiles = saved
+    }
+    path
+  }
+
+  /** Files selected by the scans of an executed plan (AQE-aware). */
+  private def filesReadOf(df: DataFrame): Long = {
+    val physical = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+    scans(physical).map(_.selectedPartitions.totalNumberOfFiles).sum
+  }
 
   // --------------------------------------------------------------------------
   // q_topk_mixed — top-k through MIXED filters, partition conjunct AND
@@ -3440,6 +3563,8 @@ object SkippingQueries {
     "q_topk_mixed" -> (topkMixed _),
     "q_count_boundary" -> (countBoundary _),
     "q_count_boundary_anchored" -> (countBoundaryAnchored _),
+    "q_topk_anchored" -> (topkAnchored _),
+    "q_part_census_anchored" -> (partCensusAnchored _),
     "q_null_probe" -> (nullProbe _),
     "q_count_boundary_grouped" -> (countBoundaryGrouped _),
     "q_topk_dense" -> (topkDense _),
@@ -3508,6 +3633,8 @@ object SkippingQueries {
     "q_topk_mixed" -> topkMixedSql,
     "q_count_boundary" -> countBoundarySql,
     "q_count_boundary_anchored" -> countBoundaryAnchoredSql,
+    "q_topk_anchored" -> topkAnchoredSql,
+    "q_part_census_anchored" -> partCensusAnchoredSql,
     "q_null_probe" -> nullProbeSql,
     "q_count_boundary_grouped" -> countBoundaryGroupedSql,
     "q_topk_dense" -> topkDenseSql,

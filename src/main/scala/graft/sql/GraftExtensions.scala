@@ -395,6 +395,7 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         case Alias(e, _) => classifySlot(e, info, groupRefs = true)
         case _ => None
       }).getOrElse(return None)
+      val dirAgg = censusDirAgg(info, slots).getOrElse(return None)
       val bound = gBound.collect { case scala.util.Right(b) => b }
       // a grouped aggregate over EMPTY input emits no rows — including
       // the grand-total set (unlike the global Aggregate(Nil) totality)
@@ -405,7 +406,7 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         else live.groupBy(e => bound.map(_.eval(e._1))).values.toSeq
       grouped.map { entries =>
         InternalRow.fromSeq(
-          slots.map(evalSlot(_, entries, info).getOrElse(return None)))
+          slots.map(evalSlot(_, entries, info, dirAgg).getOrElse(return None)))
       }
     }
     Some(LocalRelation(agg.output, outRows))
@@ -1000,9 +1001,36 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(e, _) => classifySlot(e, info, groupRefs = false)
       case _ => None
     }).getOrElse(return None)
+    val dirAgg = censusDirAgg(info, slots).getOrElse(return None)
     val live = liveEntries(info)
-    val values = slots.map(evalSlot(_, live, info).getOrElse(return None))
+    val values = slots.map(
+      evalSlot(_, live, info, dirAgg).getOrElse(return None))
     Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values))))
+  }
+
+  /** The LAZY-STATS dispatch for census DATA-column slots: when the
+    * relation is checkpoint-anchored and its stats map is not already
+    * driver-resident, the per-file hooks must NOT iterate on the driver —
+    * fetch the per-(partition dir, column) aggregates computed
+    * DISTRIBUTED over the checkpoint instead, and decline (None) when
+    * that walk cannot ship. Some(None) = driver hooks are fine (or no
+    * data column is referenced); Some(Some(map)) = evaluate dir-level. */
+  private def censusDirAgg(info: CensusInfo, slots: Seq[Slot])
+      : Option[Option[Map[String, Map[String, DistStats.ColAgg]]]] = {
+    val dataCols = slots.collect {
+      case SumDataSlot(c, _) => c
+      case CountDataSlot(c) => c
+      case AvgDataSlot(c) => c
+      case MinMaxDataSlot(c, _, _) => c
+    }.distinct
+    if (dataCols.isEmpty ||
+        GraftBatchShim.graftStatsDriverCheap(info.leaf).getOrElse(true))
+      Some(None)
+    else GraftBatchShim.graftCensusDistOf(info.leaf)
+      .flatMap(_(dataCols)) match {
+      case Some(m) => Some(Some(m))
+      case None => None // anchored, no distributed answer: decline, never force
+    }
   }
 
   // --- census slot machinery, shared by the grouped and global cases ---
@@ -1125,14 +1153,29 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** One slot's value over a set of census entries (a group, or the whole
     * filtered table): None means the slot CANNOT be answered exactly —
-    * the caller abandons the rewrite. */
+    * the caller abandons the rewrite. With `dirAgg` set (anchored table,
+    * stats not driver-resident) the DATA-column slots read the
+    * distributed per-(partition dir, column) aggregates instead of
+    * iterating per-file hooks — same refusal semantics, dir granularity
+    * (entries ARE partition dirs, so any entry grouping composes). */
   private def evalSlot(slot: Slot,
       entries: Seq[(org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String])],
-      info: CensusInfo): Option[Any] = {
+      info: CensusInfo,
+      dirAgg: Option[Map[String, Map[String, DistStats.ColAgg]]] = None)
+      : Option[Any] = {
     import org.apache.spark.sql.catalyst.util.TypeUtils
     val fields = info.partSchema.fields
     def valueAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int): Any =
       row.get(i, fields(i).dataType)
+    // one ColAgg per entry for `colName`, refusal (None) propagating —
+    // an entry's member files are exactly its partition dir's live files
+    def dirAggsOf(m: Map[String, Map[String, DistStats.ColAgg]],
+        colName: String): Option[Seq[DistStats.ColAgg]] = {
+      val per = entries.map(e => e._3.headOption
+        .flatMap(f => m.get(DistStats.partDirOf(f)))
+        .flatMap(_.get(colName)))
+      if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+    }
     slot match {
       case ConstSlot(v) => Some(v)
       case GroupSlot(i) =>
@@ -1163,36 +1206,19 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         // zero non-null inputs is SQL NULL; a result-type overflow
         // declines (a scan would wrap or null there — never mimic from
         // metadata)
-        val (sumOfF, nnOfF) = org.apache.spark.sql.graft.GraftBatchShim
-          .graftSumHooksOf(info.leaf).getOrElse(return None)
-        var nn = 0L
-        var tot = BigDecimal(0)
-        entries.flatMap(_._3).foreach { f =>
-          nnOfF(f, colName) match {
-            case Some(n) => nn += n
-            case None => return None
-          }
-          sumOfF(f, colName) match {
-            case Some(x) => tot += x
-            case None => return None
-          }
-        }
+        val (nn, tot) = sumChannelsOf(colName, entries, info, dirAgg)
+          .getOrElse(return None)
         if (nn == 0L) Some(null)
         else sumInternal(tot, dt) match {
           case Some(v) => Some(v)
           case None => return None
         }
       case CountDataSlot(colName) =>
-        val (_, nnOfF) = org.apache.spark.sql.graft.GraftBatchShim
-          .graftSumHooksOf(info.leaf).getOrElse(return None)
-        var nn = 0L
-        entries.flatMap(_._3).foreach { f =>
-          nnOfF(f, colName) match {
-            case Some(n) => nn += n
-            case None => return None
-          }
+        sumChannelsOf(colName, entries, info, dirAgg,
+          needSum = false) match {
+          case Some((nn, _)) => Some(nn)
+          case None => return None
         }
-        Some(nn)
       case AvgDataSlot(colName) =>
         // exact-sum / non-null-count quotient with ONE rounding at the
         // divide — integer-AVG semantics as DuckDB computes it (exact
@@ -1202,31 +1228,26 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         // on its own partial order — the metadata answer is the
         // mathematically exact one, not a reproduction of one particular
         // accumulation order.
-        val (sumOfF, nnOfF) = org.apache.spark.sql.graft.GraftBatchShim
-          .graftSumHooksOf(info.leaf).getOrElse(return None)
-        var nn = 0L
-        var tot = BigDecimal(0)
-        entries.flatMap(_._3).foreach { f =>
-          nnOfF(f, colName) match {
-            case Some(n) => nn += n
-            case None => return None
-          }
-          sumOfF(f, colName) match {
-            case Some(x) => tot += x
-            case None => return None
-          }
-        }
+        val (nn, tot) = sumChannelsOf(colName, entries, info, dirAgg)
+          .getOrElse(return None)
         if (nn == 0L) Some(null)
         else Some(tot.toDouble / nn.toDouble)
       case MinMaxDataSlot(colName, dt, takeMax) =>
         // exact per-file bounds: ANY file that cannot answer exactly (DV
         // marks, missing/truncated stats) abandons the rewrite; all-NULL
         // files contribute nothing, and zero contributing files is NULL
-        val bounds = entries.flatMap(_._3).map(f =>
-          info.fileMinMaxOf(f, colName) match {
-            case None => return None
-            case Some(b) => b
-          }).flatten
+        val bounds: Seq[(Any, Any)] = dirAgg match {
+          case Some(m) => dirAggsOf(m, colName).getOrElse(return None)
+            .map(_.bounds match {
+              case None => return None
+              case Some(b) => b
+            }).flatten
+          case None => entries.flatMap(_._3).map(f =>
+            info.fileMinMaxOf(f, colName) match {
+              case None => return None
+              case Some(b) => b
+            }).flatten
+        }
         if (bounds.isEmpty) Some(null)
         else {
           val statV =
@@ -1240,6 +1261,49 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
     }
+  }
+
+  /** A data column's (non-null count, exact sum) over `entries` — per-file
+    * driver hooks, or the distributed per-dir aggregates when `dirAgg` is
+    * set. None the moment anything cannot answer exactly. */
+  private def sumChannelsOf(colName: String,
+      entries: Seq[(org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String])],
+      info: CensusInfo,
+      dirAgg: Option[Map[String, Map[String, DistStats.ColAgg]]],
+      needSum: Boolean = true): Option[(Long, BigDecimal)] = dirAgg match {
+    case Some(m) =>
+      var nn = 0L
+      var tot = BigDecimal(0)
+      entries.foreach { e =>
+        val agg = e._3.headOption
+          .flatMap(f => m.get(DistStats.partDirOf(f)))
+          .flatMap(_.get(colName)).getOrElse(return None)
+        agg.nn match {
+          case Some(n) => nn += n
+          case None => return None
+        }
+        if (needSum) agg.sum match {
+          case Some(x) => tot += x
+          case None => return None
+        }
+      }
+      Some((nn, tot))
+    case None =>
+      val (sumOfF, nnOfF) = org.apache.spark.sql.graft.GraftBatchShim
+        .graftSumHooksOf(info.leaf).getOrElse(return None)
+      var nn = 0L
+      var tot = BigDecimal(0)
+      entries.flatMap(_._3).foreach { f =>
+        nnOfF(f, colName) match {
+          case Some(n) => nn += n
+          case None => return None
+        }
+        if (needSum) sumOfF(f, colName) match {
+          case Some(x) => tot += x
+          case None => return None
+        }
+      }
+      Some((nn, tot))
   }
 
   private def rewriteCensus(agg: Aggregate, groups: Seq[Expression],
@@ -1267,12 +1331,13 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         classifySlot(e, info, groupRefs = true)
       case _ => None
     }).getOrElse(return None)
+    val dirAgg = censusDirAgg(info, slots).getOrElse(return None)
     val live = liveEntries(info)
     val grouped = live.groupBy { case (row, _, _) =>
       gBound.map(_.eval(row)) }
     val outRows = grouped.toSeq.map { case (_, entries) =>
       InternalRow.fromSeq(
-        slots.map(evalSlot(_, entries, info).getOrElse(return None)))
+        slots.map(evalSlot(_, entries, info, dirAgg).getOrElse(return None)))
     }
     Some(LocalRelation(agg.output, outRows))
   }

@@ -69,6 +69,48 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     new java.util.WeakHashMap[AnyRef,
       scala.collection.concurrent.TrieMap[(String, Int, Boolean), Option[Any]]]())
 
+  /** LAZY-STATS dispatch: on a checkpoint-anchored table whose stats map
+    * is not already paid for, the per-file hooks must NOT iterate on the
+    * driver — the prefix proof runs DISTRIBUTED over the checkpoint
+    * parquet instead ([[GraftFileIndex.topkDistThreshold]]), and shapes
+    * the distributed walk cannot express decline rather than force. */
+  private def driverCheap(leaf: LogicalPlan): Boolean =
+    GraftBatchShim.graftStatsDriverCheap(leaf).getOrElse(true)
+
+  /** [[thresholdOf]] behind the dispatch: driver walk when the stats are
+    * already driver-resident, distributed walk otherwise (`partConds`
+    * carry the census's bound partition filters — evaluated executor-side
+    * from each file's path values, selecting the same file population as
+    * the driver's pre-filtered census entries). Stats-domain result. */
+  private def thresholdVia(leaf: LogicalPlan, files: Seq[String],
+      mm: (String, String) => Option[Option[(Any, Any)]],
+      nn: (String, String) => Option[Long],
+      column: String, k: Int, desc: Boolean,
+      partConds: Seq[Expression]): Option[Any] =
+    if (driverCheap(leaf)) thresholdOf(files, mm, nn, column, k, desc)
+    else GraftBatchShim.graftTopkDistOf(leaf)
+      .flatMap(d => d(column, k, desc, Nil, partConds))
+
+  /** [[sortColThreshold]] behind the same dispatch; internal-domain
+    * bounds convert to the stats domain for the distributed walk (the two
+    * domains are order-isomorphic — the premise of all stats pruning) and
+    * the stats-domain tau converts back. Internal-domain result. */
+  private def sortColThresholdVia(leaf: LogicalPlan, files: Seq[String],
+      mm: (String, String) => Option[Option[(Any, Any)]],
+      nn: (String, String) => Option[Long],
+      column: String, dt: org.apache.spark.sql.types.DataType,
+      k: Int, desc: Boolean, bounds: Seq[(Any, Boolean)],
+      partConds: Seq[Expression]): Option[Any] =
+    if (driverCheap(leaf))
+      sortColThreshold(files, mm, nn, column, dt, k, desc, bounds)
+    else for {
+      d <- GraftBatchShim.graftTopkDistOf(leaf)
+      sb <- traverseOpt(bounds.map { case (v, s) =>
+        BoundaryWalk.statDomainOf(v).map((_, s)) })
+      t <- d(column, k, desc, sb, partConds)
+      ti <- GraftStats.internalOf(t, dt)
+    } yield ti
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
@@ -145,11 +187,15 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       // Window (revisit declines: scanOf refuses the injected Filter)
       val (files, mm, nn, names, gLeaf) = scanOf(w.child).getOrElse(return None)
       val ocName = names.get(oc.exprId).getOrElse(return None)
+      // DENSE_RANK's distinct prefix needs the per-file sketch HASH SETS —
+      // not yet expressible in the distributed walk, so anchored-unforced
+      // tables decline rather than force the stats map driver-side
+      if (fnKind == 2 && !driverCheap(gLeaf)) return None
       val tauStat =
         if (fnKind == 2)
           GraftBatchShim.topkNdvHashesOf(gLeaf).flatMap(h =>
             distinctThresholdOf(files, mm, h, ocName, oc.dataType, k, desc))
-        else thresholdOf(files, mm, nn, ocName, k, desc)
+        else thresholdVia(gLeaf, files, mm, nn, ocName, k, desc, Nil)
       val tau = tauStat
         .flatMap(GraftStats.internalOf(_, oc.dataType)).getOrElse(return None)
       val cmp: Expression =
@@ -166,6 +212,15 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     // partition column still exists by name.
     import PartitionCensus.{censusOf, liveEntries, bindPart}
     val info = censusOf(w.child).getOrElse(return None)
+    // anchored-unforced: PARTITION sort columns never touch the stats map
+    // (bounds/counts synthesize from paths + fileRows), but a DATA sort
+    // column would force it — for both the per-group thresholds and the
+    // fire guard's per-file survival test. Distributing those needs two
+    // plan-time jobs (thresholds first, then the guard against them) —
+    // a known decline; the query scans, never pays an O(table) driver
+    // parse. (DENSE_RANK additionally needs per-file sketch hashes.)
+    if (!driverCheap(info.leaf) &&
+        (info.dataColOf.contains(oc.exprId) || fnKind == 2)) return None
     val (_, mm, nn) = GraftBatchShim.topkStatsOf(info.leaf).getOrElse(return None)
     val ocName = info.dataColOf.get(oc.exprId)
       .orElse(info.idxOf.get(oc.exprId).map(info.partSchema.fieldNames(_)))
@@ -443,12 +498,18 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
         true, child, _) =>
       val desc = dir == Descending
       scanOf(child) match {
-        case Some((files, mm, nn, names, _)) =>
+        case Some((files, mm, nn, names, leaf)) =>
           val column = names.get(a.exprId).getOrElse(return None)
-          val bound = memo
-            .computeIfAbsent(mm, _ => scala.collection.concurrent.TrieMap.empty)
-            .getOrElseUpdate((column, k, desc),
-              thresholdOf(files, mm, nn, column, k, desc))
+          // the distributed walk memoizes per shape on the index itself;
+          // the WeakHashMap memo covers only the driver walk
+          val bound =
+            if (!driverCheap(leaf))
+              GraftBatchShim.graftTopkDistOf(leaf)
+                .flatMap(d => d(column, k, desc, Nil, Nil))
+            else memo
+              .computeIfAbsent(mm, _ => scala.collection.concurrent.TrieMap.empty)
+              .getOrElseUpdate((column, k, desc),
+                thresholdOf(files, mm, nn, column, k, desc))
           bound.flatMap(GraftStats.internalOf(_, a.dataType)).map { v =>
             val cmp =
               if (desc) GreaterThanOrEqual(a, Literal(v, a.dataType))
@@ -502,8 +563,8 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     val files = liveEntries(info).flatMap(_._3)
     if (files.isEmpty) return None
-    val tau = thresholdOf(files, mm, nn, column, k, desc)
-      .getOrElse(return None)
+    val tau = thresholdVia(info.leaf, files, mm, nn, column, k, desc,
+      info.conds).getOrElse(return None)
     val la = info.leaf.output.collectFirst {
       case la: AttributeReference if la.name == column => la
     }.getOrElse(return None)
@@ -549,8 +610,8 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     val column = names.get(a.exprId).getOrElse(return None)
     val bounds = traverseOpt(splitConj(cond).map(boundOf(_, a, desc)))
       .getOrElse(return None)
-    val t = sortColThreshold(files, mm, nn, column, a.dataType, k, desc,
-      bounds).getOrElse(return None)
+    val t = sortColThresholdVia(leaf, files, mm, nn, column, a.dataType, k,
+      desc, bounds, Nil).getOrElse(return None)
     val la = leaf.output.collectFirst {
       case la: AttributeReference if la.name == column => la
     }.getOrElse(return None)
@@ -584,8 +645,8 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     val files = liveEntries(info).flatMap(_._3)
     if (files.isEmpty) return None
-    val t = sortColThreshold(files, mm, nn, column, a.dataType, k, desc,
-      bounds).getOrElse(return None)
+    val t = sortColThresholdVia(info.leaf, files, mm, nn, column,
+      a.dataType, k, desc, bounds, info.conds).getOrElse(return None)
     val la = info.leaf.output.collectFirst {
       case la: AttributeReference if la.name == column => la
     }.getOrElse(return None)

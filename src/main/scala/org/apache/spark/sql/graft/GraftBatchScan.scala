@@ -299,6 +299,217 @@ private[graft] class GraftFileIndex(
         }.toOption)
     }
 
+  /** The DISTRIBUTED census-stats walk: per-(partition dir, data column)
+    * aggregated bounds / non-null counts / ANALYZE sums, computed ON
+    * EXECUTORS over the checkpoint parquet — what lets the partition-
+    * census rewrites answer MIN/MAX/SUM/COUNT(col)/AVG of DATA columns on
+    * an anchored table without materializing the stats column driver-side
+    * (the census/top-k "force-on-win" lift). Refusal is sticky per
+    * (dir, column) channel, replicating the driver census's
+    * abandon-on-first-refusal exactly; the returned map is bounded by
+    * PARTITION count x requested columns, the same ceiling as the census
+    * itself. Memoized per requested column set on this index instance.
+    * None on any shipping failure — consumers decline, never guess. */
+  private val censusDistMemo = new java.util.concurrent.ConcurrentHashMap[
+    Seq[String],
+    Option[Map[String, Map[String, graft.sql.DistStats.ColAgg]]]]()
+
+  def censusDistStats(cols: Seq[String])
+      : Option[Map[String, Map[String, graft.sql.DistStats.ColAgg]]] =
+    boundaryDist.flatMap { bd =>
+      val cs = cols.distinct.sorted
+      censusDistMemo.computeIfAbsent(cs, _ => scala.util.Try {
+        import graft.sql.DistStats
+        val partFields: Seq[(String, String,
+            org.apache.spark.sql.types.DataType)] =
+          partSchema.fields.toSeq.map(f =>
+            (f.name, physNameOf(f.name), f.dataType))
+        val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+        // locals only — the closure must not capture `this`
+        val removed = bd.removed
+        val dvR = bd.dvRows
+        val csL = cs
+        val pfL = partFields
+        val ckptDf = spark.read
+          .parquet(new Path(root, bd.ckptRel).toString)
+          .select(org.apache.spark.sql.functions.col("path"),
+            org.apache.spark.sql.functions.col("rows"),
+            org.apache.spark.sql.functions.col("stats"))
+        val partials = ckptDf.rdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap
+            .empty[String, Array[DistStats.ColAgg]]
+          it.foreach { r =>
+            val p = r.getString(0)
+            if (!removed.contains(p)) {
+              val rowsOpt = if (r.isNullAt(1)) None else Some(r.getLong(1))
+              val stats =
+                if (r.isNullAt(2))
+                  Map.empty[String, graft.sources.DataSkipping.ColStat]
+                else graft.sources.DataSkipping.colsFromJson(r.getString(2))
+              val sv = new DistStats.StatView(p, rowsOpt, stats,
+                dvR.getOrElse(p, 0L), pfL, zone)
+              val cur = acc.getOrElseUpdate(DistStats.partDirOf(p),
+                Array.fill(csL.size)(DistStats.emptyColAgg))
+              var i = 0
+              while (i < csL.size) {
+                cur(i) = DistStats.mergeColAgg(cur(i),
+                  DistStats.colAggOf(sv, csL(i)))
+                i += 1
+              }
+            }
+          }
+          Iterator.single(acc.toMap)
+        }.collect()
+        val merged = scala.collection.mutable.HashMap
+          .empty[String, Array[graft.sql.DistStats.ColAgg]]
+        partials.foreach(_.foreach { case (dir, aggs) =>
+          merged.get(dir) match {
+            case None => merged(dir) = aggs.clone()
+            case Some(cur) =>
+              var i = 0
+              while (i < cs.size) {
+                cur(i) = graft.sql.DistStats.mergeColAgg(cur(i), aggs(i))
+                i += 1
+              }
+          }
+        })
+        // files ADDED since the anchor fold in driver-side — their stats
+        // ride statsAdds (O(delta) by construction)
+        bd.added.foreach { fk =>
+          val sv = new graft.sql.DistStats.StatView(fk, bd.addedRows.get(fk),
+            bd.addedStats.getOrElse(fk, Map.empty), bd.dvRows.getOrElse(fk, 0L),
+            partFields, zone)
+          val cur = merged.getOrElseUpdate(graft.sql.DistStats.partDirOf(fk),
+            Array.fill(cs.size)(graft.sql.DistStats.emptyColAgg))
+          var i = 0
+          while (i < cs.size) {
+            cur(i) = graft.sql.DistStats.mergeColAgg(cur(i),
+              graft.sql.DistStats.colAggOf(sv, cs(i)))
+            i += 1
+          }
+        }
+        merged.iterator.map { case (dir, aggs) =>
+          dir -> cs.zip(aggs).toMap
+        }.toMap
+      }.toOption)
+    }
+
+  /** The DISTRIBUTED top-k prefix proof: sort candidate files by their
+    * bound and take the shortest prefix with >= k provable non-null
+    * values — ON EXECUTORS over the checkpoint parquet, with only
+    * per-partition minimal prefixes (O(k) each) and one profitability
+    * far-edge traveling back; the driver re-walks the union, which
+    * provably consumes the same files as a global walk would. Same-
+    * direction `bounds` (stats domain) gate the prefix to fully-
+    * satisfying files, exactly as sortColThreshold does; `partConds`
+    * (bound over the partition schema) restrict the candidate population
+    * to the census-surviving files, evaluated from the path's partition
+    * values. Returns the stats-domain tau, None when unprovable,
+    * unprofitable, or the walk cannot ship. Memoized per shape. */
+  private val topkDistMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Boolean, Seq[(Any, Boolean)],
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]),
+    Option[Any]]()
+
+  def topkDistThreshold(column: String, k: Int, desc: Boolean,
+      bounds: Seq[(Any, Boolean)],
+      partConds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Any] =
+    boundaryDist.flatMap { bd =>
+      // the driver-side merge is O(partitions x k): a degenerate LIMIT
+      // would turn it into the very driver materialization this path
+      // exists to avoid — decline and scan instead
+      if (k <= 0 || k > 100000) return None
+      topkDistMemo.computeIfAbsent((column, k, desc, bounds, partConds),
+        _ => scala.util.Try {
+          import graft.sql.DistStats
+          val statOrd = graft.sources.DataSkipping.statOrdering
+          val partFields: Seq[(String, String,
+              org.apache.spark.sql.types.DataType)] =
+            partSchema.fields.toSeq.map(f =>
+              (f.name, physNameOf(f.name), f.dataType))
+          val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+          // locals only — the closure must not capture `this`
+          val removed = bd.removed
+          val dvR = bd.dvRows
+          val (colL, kL, descL, boundsL, condsL) =
+            (column, k, desc, bounds, partConds)
+          val pfL = partFields
+          def farBetter(a: Any, b: Any): Any =
+            if (descL) { if (statOrd.lt(a, b)) a else b }
+            else { if (statOrd.gt(a, b)) a else b }
+          val ckptDf = spark.read
+            .parquet(new Path(root, bd.ckptRel).toString)
+            .select(org.apache.spark.sql.functions.col("path"),
+              org.apache.spark.sql.functions.col("rows"),
+              org.apache.spark.sql.functions.col("stats"))
+          val partials: Array[(Vector[(Any, Long)], Option[Any])] =
+            ckptDf.rdd.mapPartitions { it =>
+              val preds = condsL.map(org.apache.spark.sql.catalyst
+                .expressions.Predicate.createInterpreted)
+              val heap = new DistStats.PrefixHeap(kL, descL)
+              var farBest: Option[Any] = None
+              it.foreach { r =>
+                val p = r.getString(0)
+                if (!removed.contains(p)) {
+                  val rowsOpt =
+                    if (r.isNullAt(1)) None else Some(r.getLong(1))
+                  val stats =
+                    if (r.isNullAt(2))
+                      Map.empty[String, graft.sources.DataSkipping.ColStat]
+                    else graft.sources.DataSkipping
+                      .colsFromJson(r.getString(2))
+                  val sv = new DistStats.StatView(p, rowsOpt, stats,
+                    dvR.getOrElse(p, 0L), pfL, zone)
+                  if (preds.forall(_.eval(sv.partRow))) {
+                    DistStats.candOf(sv, colL, descL).foreach {
+                      case (near, far, cnt) =>
+                        // prefix: fully-satisfying files only; the
+                        // profitability far-edge additionally admits
+                        // PARTIALLY overlapping files (satAll(near)
+                        // implies satAll(far) — near is the harder edge)
+                        if (DistStats.satAll(near, descL, boundsL))
+                          heap.add(near, cnt)
+                        if (DistStats.satAll(far, descL, boundsL))
+                          farBest = Some(farBest
+                            .fold(far)(fb => farBetter(far, fb)))
+                    }
+                  }
+                }
+              }
+              Iterator.single((heap.result, farBest))
+            }.collect()
+          var cands: Vector[(Any, Long)] = partials.flatMap(_._1).toVector
+          var farBest: Option[Any] = partials.flatMap(_._2)
+            .reduceOption(farBetter)
+          // files ADDED since the anchor (O(delta)) fold in driver-side
+          val predsD = partConds.map(org.apache.spark.sql.catalyst
+            .expressions.Predicate.createInterpreted)
+          bd.added.foreach { fk =>
+            val sv = new graft.sql.DistStats.StatView(fk,
+              bd.addedRows.get(fk), bd.addedStats.getOrElse(fk, Map.empty),
+              bd.dvRows.getOrElse(fk, 0L), partFields, zone)
+            if (predsD.forall(_.eval(sv.partRow))) {
+              graft.sql.DistStats.candOf(sv, column, desc).foreach {
+                case (near, far, cnt) =>
+                  if (graft.sql.DistStats.satAll(near, desc, bounds))
+                    cands = cands :+ ((near, cnt))
+                  if (graft.sql.DistStats.satAll(far, desc, bounds))
+                    farBest = Some(farBest.fold(far)(fb =>
+                      if (desc) { if (statOrd.lt(far, fb)) far else fb }
+                      else { if (statOrd.gt(far, fb)) far else fb }))
+              }
+            }
+          }
+          // profitable only when some not-already-skipped file falls
+          // ENTIRELY past tau — the same check (and revisit fixpoint) as
+          // the driver walks
+          graft.sql.DistStats.prefixWalk(cands, k, desc).filter(t =>
+            farBest.exists(f =>
+              if (desc) statOrd.lt(f, t) else statOrd.gt(f, t)))
+        }.toOption.flatten)
+    }
+
   /** STABLE function values of the two hooks above — the top-k rule's
     * memo is weakly keyed by the bounds function's identity, so it must
     * be one object per index, not a fresh eta-expansion per query. */
@@ -1016,6 +1227,36 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         Some(g.fileJointNullsOf)
+      case _ => None
+    }
+
+  /** The DISTRIBUTED census-stats walk of a checkpoint-anchored graft
+    * relation node — the partition-census rewrites' path when driver-side
+    * stats iteration is NOT free: per-(partition dir, data column)
+    * aggregates computed on executors over the checkpoint parquet. None
+    * for inline-manifest commits (driver hooks are free there) and
+    * restricted copies. */
+  def graftCensusDistOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Seq[String] =>
+        Option[Map[String, Map[String, graft.sql.DistStats.ColAgg]]]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.boundaryDist.isDefined =>
+        Some(cols => g.censusDistStats(cols))
+      case _ => None
+    }
+
+  /** The DISTRIBUTED top-k prefix proof of a checkpoint-anchored graft
+    * relation node — the top-k prune rule's path when driver-side stats
+    * iteration is NOT free: (column, k, desc, same-direction stats-domain
+    * bounds, partition conds) → stats-domain tau. */
+  def graftTopkDistOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, Int, Boolean, Seq[(Any, Boolean)],
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => Option[Any]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.boundaryDist.isDefined =>
+        Some((c, k, d, b, p) => g.topkDistThreshold(c, k, d, b, p))
       case _ => None
     }
 

@@ -359,4 +359,86 @@ class PartitionCensusSpec extends SparkSpec {
     assert(truth(empty) == truth(plain.filter($"day" === "nope")
       .rollup($"half").agg(count(lit(1)).as("n"))))
   }
+
+  test("anchored table: data-column census stats compute DISTRIBUTED, zero driver parses") {
+    val base = tmp(); val t = base + "/t"
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 4
+    try {
+      // 12 day dirs, one commit each → the head anchors at a parquet
+      // checkpoint; v nullable; ANALYZE arms the per-file sums (its own
+      // cost is fixture setup — the gate below resets the counter after)
+      (0 until 12).foreach { d =>
+        spark.range(d * 100L, (d + 1) * 100L)
+          .select(lit(d.toLong).as("day"), col("id").as("ts"),
+            when(col("id") % 13 === 0, lit(null)).otherwise(col("id") * 2)
+              .cast("long").as("v")).coalesce(1)
+          .write.format("graft-table").option("statsCols", "ts,v")
+          .partitionBy("day").mode(if (d == 0) "overwrite" else "append")
+          .save(t)
+      }
+      VersionedTable.analyzeNdv(spark, t, Seq("v"))
+      def rd = spark.read.format("graft-table").load(t)
+      assert(rd.inputFiles.length == 12)
+      val plainRows = (0 until 12).flatMap(d =>
+        (d * 100L until (d + 1) * 100L).map(i =>
+          (d.toLong, i, if (i % 13 == 0) None else Some(i * 2))))
+      VersionedTable.ckptStatsParses.set(0L)
+      // grouped: COUNT(*) + SUM/COUNT/AVG of the nullable data column +
+      // MIN/MAX of another data column, per partition — scan-free, with
+      // the per-dir stats aggregated on EXECUTORS over the checkpoint
+      val q = rd.filter($"day" >= 3L).groupBy($"day")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+          count($"v").as("nn"), avg($"v").as("a"),
+          min($"ts").as("mn"), max($"ts").as("mx"))
+      assert(scanFree(q), q.queryExecution.optimizedPlan.toString)
+      val truth = plainRows.filter(_._1 >= 3L).groupBy(_._1).toSeq
+        .map { case (d, rs) =>
+          val vs = rs.flatMap(_._3)
+          s"[$d,${rs.size},${vs.sum},${vs.size}," +
+            s"${vs.map(_.toDouble).sum / vs.size}," +
+            s"${rs.map(_._2).min},${rs.map(_._2).max}]"
+        }.sorted
+      assert(sorted(q) == truth, s"${sorted(q)}\nvs\n$truth")
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the distributed census walk must never materialize the " +
+          "checkpoint stats column driver-side")
+      // GLOBAL filtered: same channels through censusGlobal
+      val qg = rd.filter($"day" >= 6L)
+        .agg(sum($"v").as("s"), min($"ts").as("mn"), max($"ts").as("mx"))
+      assert(scanFree(qg), qg.queryExecution.optimizedPlan.toString)
+      val hits = plainRows.filter(_._1 >= 6L)
+      assert(qg.collect().head.toSeq == Seq(hits.flatMap(_._3).sum,
+        hits.map(_._2).min, hits.map(_._2).max))
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+      // ROLLUP rides the same distributed aggregates, subtotals included
+      val qr = rd.rollup($"day").agg(count(lit(1)).as("n"),
+        sum($"v").as("s"))
+      assert(scanFree(qr), qr.queryExecution.optimizedPlan.toString)
+      val perDay = plainRows.groupBy(_._1).toSeq.map { case (d, rs) =>
+        s"[$d,${rs.size},${rs.flatMap(_._3).sum}]" }
+      val grand = s"[null,${plainRows.size},${plainRows.flatMap(_._3).sum}]"
+      assert(sorted(qr) == (perDay :+ grand).sorted)
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+      // an appended post-anchor file folds in driver-side from its
+      // O(delta) statsAdds — still zero checkpoint parses
+      spark.range(1200L, 1250L)
+        .select(lit(3L).as("day"), col("id").as("ts"),
+          (col("id") * 2).cast("long").as("v")).coalesce(1)
+        .write.format("graft-table").option("statsCols", "ts,v")
+        .partitionBy("day").mode("append").save(t)
+      VersionedTable.analyzeNdv(spark, t, Seq("v"), incremental = true)
+      VersionedTable.ckptStatsParses.set(0L)
+      val q2 = rd.groupBy($"day").agg(count(lit(1)).as("n"),
+        sum($"v").as("s"), max($"ts").as("mx"))
+      assert(scanFree(q2), q2.queryExecution.optimizedPlan.toString)
+      val day3 = q2.filter($"day" === 3L).collect().head
+      val d3rows = plainRows.filter(_._1 == 3L)
+      assert(day3.getLong(1) == d3rows.size + 50L)
+      assert(day3.getLong(2) ==
+        d3rows.flatMap(_._3).sum + (1200L until 1250L).map(_ * 2).sum)
+      assert(day3.getLong(3) == 1249L)
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
 }

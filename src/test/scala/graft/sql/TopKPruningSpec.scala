@@ -466,6 +466,108 @@ class TopKPruningSpec extends SparkSpec {
     withRuleOff { assert(rows(qr()) == onRRows) }
   }
 
+  test("anchored table: the prefix proof runs DISTRIBUTED, zero driver stats parses") {
+    val path = tmp() + "/a"
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      // 16 single-file band appends → the head anchors at a parquet
+      // checkpoint and the lazy driver stats map is NOT paid for
+      (0 until 16).foreach { b =>
+        VersionedTable.append(
+          spark.range(b * 4096L, (b + 1) * 4096L)
+            .select(col("id").as("k"), col("id").as("v")).coalesce(1),
+          path, statsCols = Seq("k"))
+      }
+      def t = VersionedTable.read(spark, path)
+      assert(t.inputFiles.length == 16)
+      VersionedTable.ckptStatsParses.set(0L)
+      // plain top-k, both directions: prunes to the edge bands with the
+      // prefix proof computed on executors
+      val desc = t.orderBy(col("k").desc).limit(10)
+      val descRows = rows(desc)
+      val readDesc = filesRead(desc, "v")
+      assert(readDesc < 16L && readDesc >= 1L,
+        s"anchored descending top-k must prune: $readDesc")
+      val asc = t.orderBy(col("k").asc).limit(10)
+      val ascRows = rows(asc)
+      assert(filesRead(asc, "v") < 16L)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the distributed prefix walk must never materialize the " +
+          "checkpoint stats column driver-side")
+      withRuleOff {
+        assert(rows(t.orderBy(col("k").desc).limit(10)) == descRows)
+        assert(rows(t.orderBy(col("k").asc).limit(10)) == ascRows)
+      }
+      // SORT-COLUMN data filter (same-direction bound): the bound gates
+      // the prefix to fully-satisfying files, still distributed
+      val bounded = t.filter(col("k") >= 30000L)
+        .orderBy(col("k").desc).limit(10)
+      val boundedRows = rows(bounded)
+      assert(filesRead(bounded, "v") < 9L,
+        s"bounded anchored top-k: ${filesRead(bounded, "v")}")
+      withRuleOff {
+        assert(rows(t.filter(col("k") >= 30000L)
+          .orderBy(col("k").desc).limit(10)) == boundedRows)
+      }
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+      // a LIMIT past the distributed walk's k cap declines cleanly (scan,
+      // not a driver-side materialization) — correct either way
+      val big = t.orderBy(col("k").desc).limit(200000)
+      assert(big.count() == 65536L)
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
+  test("anchored + partitioned: filtered and mixed top-k stay distributed") {
+    val path = tmp() + "/ap"
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 4
+    try {
+      // 12 day dirs, one commit each, ts increasing with day → anchored
+      (0 until 12).foreach { d =>
+        spark.range(d * 100L, (d + 1) * 100L)
+          .select(lit(d.toLong).as("day"), col("id").as("ts"),
+            col("id").as("pk")).coalesce(1)
+          .write.format("graft-table").option("statsCols", "ts")
+          .partitionBy("day").mode(if (d == 0) "overwrite" else "append")
+          .save(path)
+      }
+      def t = spark.read.format("graft-table").load(path)
+      assert(t.inputFiles.length == 12)
+      VersionedTable.ckptStatsParses.set(0L)
+      // partition-only WHERE: the prefix proof runs over the surviving
+      // dirs' files, selected executor-side from the path values
+      val filtered = t.filter(col("day") >= 3L && col("day") < 9L)
+        .orderBy(col("ts").desc).limit(5)
+      val fRows = rows(filtered)
+      val fRead = filesRead(filtered, "pk")
+      assert(fRead < 6L && fRead >= 1L,
+        s"filtered anchored top-k must prune to the day-8 edge: $fRead")
+      assert(fRows.size == 5 && fRows ==
+        (899L to 895L by -1L).map(ts => s"[$ts,$ts,8]"))
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "partition-filtered prefix proof must stay off the driver")
+      // MIXED: partition conjunct AND same-direction sort bound
+      val mixed = t.filter(col("day") >= 3L && col("ts") >= 350L)
+        .orderBy(col("ts").desc).limit(5)
+      val mRows = rows(mixed)
+      assert(mRows == (1199L to 1195L by -1L).map(ts => s"[$ts,$ts,11]"))
+      assert(filesRead(mixed, "pk") < 9L)
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+      // window group-limit on a DATA sort column: anchored-unforced
+      // tables DECLINE (the per-group walk is a known next lift) — the
+      // answer must come from a real scan, never a driver stats parse
+      import org.apache.spark.sql.expressions.{Window => W}
+      val win = t.withColumn("rn", row_number().over(
+        W.partitionBy(col("day")).orderBy(col("ts").desc)))
+        .filter(col("rn") <= 2).select(col("day"), col("ts"))
+      assert(win.count() == 24L)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the declined window group-limit must not force driver stats")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
   test("declines: filters, k past provable rows, DV-marked files") {
     val path = tmp() + "/d"
     VersionedTable.write(
