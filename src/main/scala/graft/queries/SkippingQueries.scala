@@ -930,6 +930,57 @@ object SkippingQueries {
       |  FROM events) WHERE nv IS NULL""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_null_probe_range — the null probe COMPOSED with a time range
+  // (`COUNT(*) WHERE col IS NULL AND ts range`, the per-window
+  // data-quality check): fully-inside files answer nulls-per-file from
+  // footer stats, only the two range-edge straddlers scan — asserted
+  // in-query. DuckDB recomputes the derived column and counts for real.
+  // --------------------------------------------------------------------------
+  def nullProbeRange(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedFixturePath(dir, "bnullr_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      // 15 two-day ts bands, one file each — the range edges straddle at
+      // most two of them
+      val src = Tables.events(spark, dir).select(col("event_id"), col("ts"),
+        when(col("event_id") % 13 === 0, lit(null))
+          .otherwise(col("value")).as("nv"))
+      (0 until 15).foreach { b =>
+        VersionedTable.append(
+          src.filter(dayofmonth(col("ts")) >= b * 2 + 1 &&
+            dayofmonth(col("ts")) <= b * 2 + 2).coalesce(1),
+          path, statsCols = Seq("ts", "nv"))
+      }
+    }
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val out = t
+      .filter(col("nv").isNull &&
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 12:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+      .agg(count(lit(1)).as("n_nulls"))
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read <= 2L && read < total,
+      s"q_null_probe_range: only the range-edge straddlers may scan, " +
+        s"read $read/$total; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val nullProbeRangeSql: String =
+    """SELECT COUNT(*) AS n_nulls FROM (
+      |  SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS nv,
+      |    ts FROM events) WHERE nv IS NULL
+      |  AND ts >= TIMESTAMP '2024-01-08 12:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_count_boundary_anchored — the boundary rewrite on a CHECKPOINT-
   // ANCHORED table (the 100 TB deployment): the per-file interval
   // classification runs DISTRIBUTED on executors over the checkpoint
@@ -3566,6 +3617,7 @@ object SkippingQueries {
     "q_topk_anchored" -> (topkAnchored _),
     "q_part_census_anchored" -> (partCensusAnchored _),
     "q_null_probe" -> (nullProbe _),
+    "q_null_probe_range" -> (nullProbeRange _),
     "q_count_boundary_grouped" -> (countBoundaryGrouped _),
     "q_topk_dense" -> (topkDense _),
     "q_topk_window_yr" -> (topkWindowDerived _),
@@ -3636,6 +3688,7 @@ object SkippingQueries {
     "q_topk_anchored" -> topkAnchoredSql,
     "q_part_census_anchored" -> partCensusAnchoredSql,
     "q_null_probe" -> nullProbeSql,
+    "q_null_probe_range" -> nullProbeRangeSql,
     "q_count_boundary_grouped" -> countBoundaryGroupedSql,
     "q_topk_dense" -> topkDenseSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,

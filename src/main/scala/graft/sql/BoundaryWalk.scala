@@ -26,10 +26,10 @@ object BoundaryWalk extends Serializable {
     * clauses constrains the column. `wantNull` inverts the column's
     * accounting: the filter keeps rows where the column IS NULL (the
     * data-quality probe `WHERE v IS NULL`) — matching rows per file are
-    * then exactly rows − nonNull, known wherever the stats are, so such
-    * a condition never needs a boundary scan. A wantNull column carries
-    * no range clauses and must be the ONLY cond column (null-vs-range
-    * overlap across columns is not composable). */
+    * then the null rows that are NON-null in every range column, exact
+    * from nn (plus the joint-null stat when one range column is itself
+    * nullable). A wantNull column carries no range clauses; at most one
+    * per condition (the rule gates the shape). */
   final case class IvS(name: String, dt: DataType,
       clauses: Seq[Seq[Rng]], wantNull: Boolean = false)
       extends Serializable
@@ -133,12 +133,25 @@ object BoundaryWalk extends Serializable {
       }
       nullable = ivs.map(_.name).filter(n => nns(n) < r)
       matchCnt <- {
-        if (ivs.exists(_.wantNull)) {
-          // single-column IS NULL (the rule gates the shape): matching
-          // rows are the COMPLEMENT — exactly the null count
-          if (ivs.size == 1 && sumCols.isEmpty && extCols.isEmpty)
-            Some(r - nns(ivs.head.name))
-          else None
+        val wn = ivs.filter(_.wantNull)
+        if (wn.nonEmpty) {
+          // ONE IS NULL column (the rule gates the shape; COUNT-family
+          // slots only): matching rows are its null rows that are
+          // NON-null in every range column — the range comparisons drop
+          // nulls. With no nullable range column that is exactly the
+          // null count; ONE nullable range column composes through the
+          // joint-null stat (nulls(w) − bothNull(w, c)); more decline.
+          if (wn.size != 1 || sumCols.nonEmpty || extCols.nonEmpty) None
+          else {
+            val w = wn.head.name
+            val nullsW = r - nns(w)
+            ivs.filterNot(_.wantNull).map(_.name)
+              .filter(n => nns(n) < r) match {
+              case Seq() => Some(nullsW)
+              case Seq(c) => jn(w, c).map(j => nullsW - j)
+              case _ => None
+            }
+          }
         } else nullable match {
           case Seq() => Some(r)
           case Seq(one) => Some(nns(one))

@@ -556,19 +556,28 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         case cmp => neqClause(cmp)
           .orElse(rangeOf(cmp).map { case (a, r) => (a, Seq(r)) })
       }
-    // `WHERE v IS NULL` — the data-quality probe: matching rows per file
-    // are the COMPLEMENT (rows − nonNull), known exactly wherever the
-    // stats are, so the count answers from metadata with no boundary
-    // scan at all. Single column, IS NULL only (null-vs-range overlap
-    // across columns is not composable), COUNT(*)-family slots only.
+    // `WHERE v IS NULL [AND range conjuncts]` — the data-quality probe:
+    // matching rows per file are the null-complement intersected with the
+    // range columns' non-null rows — exact per file from nn (and the
+    // joint-null stat when one range column is itself nullable), so the
+    // count answers from metadata with at most the edge scans. ONE
+    // IS NULL column, COUNT(*)-family slots only.
     val conjs = split(cond)
-    val nullCols = conjs.collect { case IsNull(a: AttributeReference) => a }
+    val (nullConjs, rangeConjs) = conjs.partition {
+      case IsNull(_: AttributeReference) => true
+      case _ => false
+    }
+    val nullCols = nullConjs.collect { case IsNull(a: AttributeReference) => a }
     val wantNull = nullCols.nonEmpty
-    if (wantNull && (conjs.size != nullCols.size ||
-        nullCols.map(_.exprId).distinct.size != 1)) return None
+    if (wantNull && nullCols.map(_.exprId).distinct.size != 1) return None
+    val rangeClauses: Seq[(AttributeReference, Seq[Rng])] =
+      rangeConjs.map(c => clauseOf(c).getOrElse(return None))
+    // a range clause on the IS NULL column itself is contradictory or
+    // redundant (Catalyst folds the real cases) — decline, never guess
+    if (wantNull && rangeClauses.exists(_._1.exprId == nullCols.head.exprId))
+      return None
     val clauseList: Seq[(AttributeReference, Seq[Rng])] =
-      if (wantNull) Seq((nullCols.head, Nil))
-      else conjs.map(c => clauseOf(c).getOrElse(return None))
+      (if (wantNull) Seq((nullCols.head, Nil)) else Nil) ++ rangeClauses
     if (clauseList.isEmpty) return None
     val condCols: Seq[AttributeReference] =
       clauseList.map(_._1).distinctBy(_.exprId)
@@ -621,7 +630,12 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
           if l.value != null => BCount
       case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _)
-          if condIds(a.exprId) && !wantNull => BCount // IS NULL ⇒ COUNT(v)=0, not matchCnt
+          if condIds(a.exprId) &&
+            !nullCols.exists(_.exprId == a.exprId) =>
+        // COUNT(range col) = matchCnt (matching rows are non-null in
+        // every range column); COUNT(the IS NULL col) is 0, NOT matchCnt
+        // — that one falls through and declines
+        BCount
       case al @ Alias(AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate.Sum(
             a: AttributeReference, em), _, false, None, _), _)
@@ -672,7 +686,7 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     val ivSpecs: Seq[BoundaryWalk.IvS] = condCols.map(a =>
       BoundaryWalk.IvS(condName(a.exprId), a.dataType,
         clauseList.filter(_._1.exprId == a.exprId).map(_._2),
-        wantNull = wantNull))
+        wantNull = nullCols.exists(_.exprId == a.exprId)))
     val sumSpecs: Seq[BoundaryWalk.SumS] =
       sumCols.map(c => BoundaryWalk.SumS(c.name))
     val extSpecs: Seq[BoundaryWalk.ExtS] = extKeys.map { case (c, mx) =>

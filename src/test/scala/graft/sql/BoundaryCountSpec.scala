@@ -259,6 +259,86 @@ class BoundaryCountSpec extends SparkSpec {
     assert(declined.collect().head.getLong(0) == plain.filter(c3).count())
   }
 
+  test("IS NULL composing with ranges: the null probe stays metadata under conjuncts") {
+    val path = tmp()
+    // k range-placed and never null; v, w nullable — ANALYZE records the
+    // pairwise joint-null counts the composition licenses
+    VersionedTable.write(
+      spark.range(0, 65536).select(col("id").as("k"),
+        when(col("id") % 13 === 0, lit(null)).otherwise(col("id") * 3)
+          .cast("long").as("v"),
+        when(col("id") % 11 === 0, lit(null)).otherwise(col("id") * 5)
+          .cast("long").as("w"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(col("id"))
+          .cast("long").as("u"))
+        .repartitionByRange(16, col("k")),
+      path, statsCols = Seq("k", "v", "w", "u"))
+    VersionedTable.analyzeNdv(spark, path, Seq("k", "v", "w", "u"))
+    val raw = VersionedTable.read(spark, path)
+      .select($"k", $"v", $"w", $"u")
+    val copyDir = java.nio.file.Files.createTempDirectory("bncopy").toString + "/c"
+    raw.write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def t = VersionedTable.read(spark, path)
+    def truth(c: org.apache.spark.sql.Column): Long = plain.filter(c).count()
+    // IS NULL beside a NEVER-NULL range column: matching rows per inside
+    // file are exactly its v-null count — aligned range answers scan-free
+    val aligned = $"v".isNull && $"k" >= 0L && $"k" < 65536L
+    val qa = t.filter(aligned).agg(count(lit(1)).as("n"))
+    assert(scanFree(qa), qa.queryExecution.optimizedPlan.toString)
+    assert(qa.collect().head.getLong(0) == truth(aligned))
+    // straddling range: only the edge files scan, total stays exact
+    val mid = $"v".isNull && $"k" >= 10000L && $"k" < 50000L
+    val qm = t.filter(mid).agg(count(lit(1)).as("n"))
+    val readM = filesRead(qm)
+    assert(readM <= 2L && readM >= 1L,
+      s"IS NULL + range must scan edges only: $readM\n" +
+        qm.queryExecution.optimizedPlan)
+    assert(qm.collect().head.getLong(0) == truth(mid))
+    // a NULLABLE range column composes through the joint-null stat:
+    // matching = nulls(v) − bothNull(v, w) per inside file — scan-free
+    // when the w range covers every file (ids ÷ 143 are the both-null rows
+    // that must not double-count)
+    val nullable = $"v".isNull && $"w" >= 0L
+    val qn = t.filter(nullable).agg(count(lit(1)).as("n"))
+    assert(scanFree(qn),
+      s"jn-armed IS NULL + nullable range must answer from metadata:\n" +
+        qn.queryExecution.optimizedPlan)
+    assert(qn.collect().head.getLong(0) == truth(nullable))
+    // COUNT(range column) rides: matching rows are non-null in w
+    val qc = t.filter(nullable).agg(count($"w").as("nw"))
+    assert(scanFree(qc), qc.queryExecution.optimizedPlan.toString)
+    assert(qc.collect().head.getLong(0) == truth(nullable))
+    // straddling nullable range: edges only, exact
+    val nmid = $"v".isNull && $"w" >= 36000L && $"w" < 200000L
+    val qnm = t.filter(nmid).agg(count(lit(1)).as("n"))
+    assert(filesRead(qnm) <= 2L,
+      s"straddling:\n${qnm.queryExecution.optimizedPlan}")
+    assert(qnm.collect().head.getLong(0) == truth(nmid))
+    // TWO nullable range columns beside the IS NULL decline (higher-order
+    // overlap) — exact via the scan
+    val three = $"v".isNull && $"w" >= 0L && $"u" >= 0L
+    val qt = t.filter(three).agg(count(lit(1)).as("n"))
+    assert(!scanFree(qt),
+      "two nullable range columns under IS NULL must keep scanning")
+    assert(qt.collect().head.getLong(0) == truth(three))
+    // SUM under IS NULL still declines (sums of the null-complement are
+    // not derivable) — exact via the scan
+    val qs = t.filter(nullable).agg(sum($"w").as("sw"))
+    assert(!scanFree(qs))
+    assert(qs.collect().head.getLong(0) ==
+      plain.filter(nullable).agg(sum($"w")).collect().head.getLong(0))
+    // WITHOUT the recorded pair the nullable-range composition declines —
+    // exact via the scan
+    val noJn = tmp()
+    VersionedTable.write(raw, noJn, statsCols = Seq("v", "w"))
+    val declined = VersionedTable.read(spark, noJn).filter(nullable)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanFree(declined),
+      "un-analyzed pair must keep scanning under IS NULL + range")
+    assert(declined.collect().head.getLong(0) == truth(nullable))
+  }
+
   test("joint-null stat: incremental ANALYZE covers new files and un-recorded pairs") {
     val path = tmp()
     def batch(lo: Long, hi: Long) = spark.range(lo, hi)
