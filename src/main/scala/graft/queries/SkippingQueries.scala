@@ -891,6 +891,54 @@ object SkippingQueries {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_count_boundary_derived — the grouped boundary with a DERIVED group
+  // key: `GROUP BY day % 7` collapses several partitions into one group
+  // (inside totals merge across their dirs), still edges-only — asserted
+  // in-query. DuckDB re-derives the key over raw events.
+  // --------------------------------------------------------------------------
+  def countBoundaryDerived(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedFixturePath(dir, "bcntg_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      Tables.events(spark, dir)
+        .select(dayofmonth(col("ts")).cast("long").as("day"),
+          col("event_id"), col("ts"))
+        .repartition(30, col("day"))
+        .write.format("graft-table").option("statsCols", "ts,event_id")
+        .partitionBy("day").save(path)
+      VersionedTable.analyzeNdv(spark, path, Seq("event_id"))
+    }
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val out = t
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-08 12:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+      .groupBy((col("day") % 7).as("day7"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_ids"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val physical = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val read = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
+    require(read <= 1L,
+      s"q_count_boundary_derived: only the mid-day straddler may scan, " +
+        s"read $read/$total; plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val countBoundaryDerivedSql: String =
+    """SELECT CAST(date_part('day', ts) AS BIGINT) % 7 AS day7,
+      |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+      |  MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 12:00:00'
+      |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_null_probe — the data-quality probe `COUNT(*) WHERE col IS NULL`
   // answers from metadata alone: matching rows per file are the
   // COMPLEMENT (rows − nonNull), known exactly from footer null counts —
@@ -3619,6 +3667,7 @@ object SkippingQueries {
     "q_null_probe" -> (nullProbe _),
     "q_null_probe_range" -> (nullProbeRange _),
     "q_count_boundary_grouped" -> (countBoundaryGrouped _),
+    "q_count_boundary_derived" -> (countBoundaryDerived _),
     "q_topk_dense" -> (topkDense _),
     "q_topk_window_yr" -> (topkWindowDerived _),
     "q_topk_derived" -> (topkDerived _),
@@ -3690,6 +3739,7 @@ object SkippingQueries {
     "q_null_probe" -> nullProbeSql,
     "q_null_probe_range" -> nullProbeRangeSql,
     "q_count_boundary_grouped" -> countBoundaryGroupedSql,
+    "q_count_boundary_derived" -> countBoundaryDerivedSql,
     "q_topk_dense" -> topkDenseSql,
     "q_topk_window_yr" -> topkWindowDerivedSql,
     "q_topk_derived" -> topkDerivedSql,

@@ -272,6 +272,18 @@ object BoundaryWalk extends Serializable {
           away = a.away + 1)
     }
 
+  /** Re-key the walk's groups through a derived-key function (raw
+    * underlying partition values → derived group key), merging raw keys
+    * that derive equal — the grouped boundary's `GROUP BY year(day)` /
+    * `GROUP BY day % 3` path, where one derived group spans several
+    * partition dirs. Cost is bounded by the raw group count (≤ the
+    * partition census). */
+  def deriveGroups(extCols: Seq[ExtS], a: Agg, f: Seq[Any] => Seq[Any]): Agg =
+    a.copy(groups = a.groups.toSeq.groupBy { case (raw, _) => f(raw) }
+      .map { case (k, gs) =>
+        k -> gs.map(_._2).reduce(mergeGrp(extCols, _, _))
+      })
+
   def merge(extCols: Seq[ExtS], a: Agg, b: Agg): Agg =
     Agg(
       (a.groups.keySet ++ b.groups.keySet).iterator.map { k =>

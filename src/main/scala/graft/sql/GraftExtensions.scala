@@ -439,13 +439,32 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       child: LogicalPlan, groups: Seq[Expression] = Nil)
       : Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.util.TypeUtils
-    def toFilter(p: LogicalPlan): Option[(Expression, LogicalPlan)] = p match {
-      case Filter(c, i) => Some((c, i))
-      case Project(items, ch)
-          if items.forall(_.isInstanceOf[AttributeReference]) => toFilter(ch)
-      case _ => None
-    }
-    val (cond, inner) = toFilter(child).getOrElse(return None)
+    // descend to the filter through Projects — attribute-only, or ones
+    // carrying COMPUTED columns (PullOutGroupingExpressions materializes
+    // a derived group key as `expr AS _groupingexpression` in a Project
+    // above the Filter): computed aliases collect as substitutions so
+    // group keys inline back to leaf-level expressions. Top-down order —
+    // an upper alias may reference a lower one.
+    def toFilter(p: LogicalPlan, substs: Seq[Map[ExprId, Expression]])
+        : Option[(Expression, LogicalPlan, Seq[Map[ExprId, Expression]])] =
+      p match {
+        case Filter(c, i) => Some((c, i, substs))
+        case Project(items, ch) if items.forall {
+            case _: AttributeReference => true
+            case Alias(e, _) => e.deterministic &&
+              !e.exists(_.isInstanceOf[PlanExpression[_]])
+            case _ => false
+          } =>
+          val m: Map[ExprId, Expression] = items.collect {
+            case al @ Alias(e, _) => al.exprId -> e }.toMap
+          toFilter(ch, if (m.isEmpty) substs else substs :+ m)
+        case _ => None
+      }
+    val (cond, inner, substs) = toFilter(child, Nil).getOrElse(return None)
+    def inlined(e0: Expression): Expression =
+      substs.foldLeft(e0)((e, m) => e.transformUp {
+        case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+      })
     if (!cond.deterministic || cond.exists(_.isInstanceOf[PlanExpression[_]]))
       return None
     def scanOf(p: LogicalPlan): Option[(Seq[String],
@@ -590,23 +609,55 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     val condName: Map[ExprId, String] = condCols.map { a =>
       a.exprId -> leafAttr(a.exprId).getOrElse(return None).name
     }.toMap
-    // GROUPED: every group key must be a bare PARTITION column — each
-    // file then knows its group (constant per file), so inside totals
-    // accumulate per group and only the boundary files re-aggregate
-    val groupLeaf: Seq[AttributeReference] = groups.map {
-      case a: AttributeReference =>
-        leafAttr(a.exprId).getOrElse(return None)
-      case _ => return None
+    // GROUPED: every group key must be a deterministic row-local
+    // expression over PARTITION columns only — a bare column, or a
+    // DERIVED key (`year(day)`, `day % 3`) — so each file knows its group
+    // (constant per file): inside totals accumulate per group and only
+    // the boundary files re-aggregate. The walk keys on the RAW
+    // underlying partition values; derived keys evaluate driver-side over
+    // the walk's (census-bounded) group map, merging raw keys that
+    // derive equal (one derived group spanning several partition dirs).
+    val normGroups: Seq[Expression] = groups.map {
+      case Alias(c, _) => c
+      case g => g
     }
-    if (groups.nonEmpty) {
-      val partCols = GraftBatchShim.graftPartitionColsOf(leaf)
-        .getOrElse(return None).toSet
-      if (!groupLeaf.forall(g => partCols(g.name))) return None
+    lazy val partCols: Set[String] = GraftBatchShim
+      .graftPartitionColsOf(leaf).getOrElse(Set.empty[String].toSeq).toSet
+    val groupExprsLeaf: Seq[Expression] = normGroups.map(inlined).map { g =>
+      if (!g.deterministic || g.exists(_.isInstanceOf[PlanExpression[_]]) ||
+          g.exists(_.isInstanceOf[AggregateExpression]) ||
+          !org.apache.spark.sql.catalyst.util.TypeUtils
+            .typeWithProperEquals(g.dataType)) return None
+      val remapped = g.transform {
+        case a: AttributeReference =>
+          leafAttr(a.exprId).getOrElse(return None)
+      }
+      if (!remapped.references.forall(a => partCols(a.name))) return None
+      remapped
     }
-    val groupIds: Set[ExprId] = groups.collect {
-      case a: AttributeReference => a.exprId }.toSet
-    val groupIdxOf: Map[ExprId, Int] =
-      groupLeaf.map(_.exprId).zipWithIndex.toMap
+    // the DISTINCT underlying partition columns the walk keys on (raw
+    // values; the derived keys bind over this tuple)
+    val groupUnder: Seq[AttributeReference] = groupExprsLeaf
+      .flatMap(_.references.toSeq)
+      .collect { case a: AttributeReference => a }.distinctBy(_.exprId)
+    // an output slot matches a group key by the grouping Alias/attr id,
+    // or semantically (Catalyst keeps the expression in both lists)
+    val groupIdById: Map[ExprId, Int] = groups.zipWithIndex.collect {
+      case (al: Alias, i) => al.exprId -> i
+      case (a: AttributeReference, i) => a.exprId -> i
+    }.toMap
+    def groupIdx(e0: Expression): Option[Int] = {
+      val e = e0 match { case Alias(c, _) => c; case x => x }
+      e match {
+        case a: AttributeReference if groupIdById.contains(a.exprId) =>
+          Some(groupIdById(a.exprId))
+        case _ =>
+          val ie = inlined(e)
+          val i = normGroups.indexWhere(g =>
+            g.semanticEquals(e) || inlined(g).semanticEquals(ie))
+          if (i >= 0) Some(i) else None
+      }
+    }
     // output slots: COUNT(*) / COUNT(a cond column) — matching rows are
     // non-null in every cond column by construction — plus SUM(long) and
     // MIN/MAX from per-file metadata, gated per file on the cond
@@ -616,17 +667,17 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     case class BSum(col: AttributeReference) extends BSlot
     case class BExt(col: AttributeReference, takeMax: Boolean) extends BSlot
     case class BAvg(col: AttributeReference) extends BSlot
-    case class BGroup(col: AttributeReference) extends BSlot
+    case class BGroup(i: Int) extends BSlot
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.LongType,
       org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.ByteType)
     val slots: Seq[BSlot] = aggExprs.map {
-      case a: AttributeReference if groupIds(a.exprId) =>
-        BGroup(leafAttr(a.exprId).getOrElse(return None))
-      case Alias(a: AttributeReference, _) if groupIds(a.exprId) =>
-        BGroup(leafAttr(a.exprId).getOrElse(return None))
+      case e if groups.nonEmpty &&
+          !e.exists(_.isInstanceOf[AggregateExpression]) &&
+          groupIdx(e).isDefined =>
+        BGroup(groupIdx(e).get)
       case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
           if l.value != null => BCount
       case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _)
@@ -691,16 +742,17 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       sumCols.map(c => BoundaryWalk.SumS(c.name))
     val extSpecs: Seq[BoundaryWalk.ExtS] = extKeys.map { case (c, mx) =>
       BoundaryWalk.ExtS(c.name, c.dataType, mx) }
-    val groupNames: Seq[String] = groupLeaf.map(_.name)
-    val walkAgg: BoundaryWalk.Agg =
+    val groupNames: Seq[String] = groupUnder.map(_.name)
+    val walkAgg0: BoundaryWalk.Agg =
       if (driverCheap) {
         // inline manifests / already-paid lazy stats: walk on the driver.
-        // A file's group key is its partition values (min = max bounds);
-        // a file whose key is indeterminable joins the boundary scan.
+        // A file's group key is its RAW underlying partition values
+        // (min = max bounds); a file whose key is indeterminable joins
+        // the boundary scan.
         def keyOf(f: String): Option[Seq[Any]] =
-          if (groupLeaf.isEmpty) Some(Nil)
+          if (groupUnder.isEmpty) Some(Nil)
           else {
-            val per = groupLeaf.map { g =>
+            val per = groupUnder.map { g =>
               mm(f, g.name) match {
                 case Some(None) => Some(null) // hive null dir: NULL group
                 case Some(Some((vS, _))) =>
@@ -731,7 +783,25 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           .flatMap(walk => walk(ivSpecs, sumSpecs, extSpecs, groupNames))
           .getOrElse(return None)
       }
-    if (walkAgg.away == 0L) return None // nothing classified away
+    if (walkAgg0.away == 0L) return None // nothing classified away
+    // DERIVED group keys: evaluate each group expression over the raw
+    // partition-value tuple and merge raw keys that derive equal — a
+    // no-op re-key for bare-column groups. Runs BEFORE the per-group
+    // sum-fit checks (merged sums are what must fit).
+    val walkAgg: BoundaryWalk.Agg =
+      if (groups.isEmpty) walkAgg0
+      else {
+        val underIdx: Map[ExprId, Int] =
+          groupUnder.map(_.exprId).zipWithIndex.toMap
+        val bound: Seq[Expression] = groupExprsLeaf.map(_.transform {
+          case a: AttributeReference =>
+            BoundReference(underIdx(a.exprId), a.dataType, nullable = true)
+        })
+        BoundaryWalk.deriveGroups(extSpecs, walkAgg0, raw => {
+          val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(raw)
+          bound.map(_.eval(row))
+        })
+      }
     val boundaryN = walkAgg.boundary.size
     // sum-fit / avg-encodable checks hold PER GROUP (the global walk is
     // the one-group case under the empty key)
@@ -743,9 +813,14 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     if (groups.nonEmpty)
-      return boundaryGrouped(agg, aggExprs, child, leaf, groupLeaf,
+      // the boundary side rebuilds LEAF-level (Filter over the restricted
+      // scan): a computed Project above the filter (the pulled-out
+      // derived key) would prune the partition columns the leaf-level
+      // group expressions reference
+      return boundaryGrouped(agg, aggExprs, Filter(cond, inner), leaf,
+        groupExprsLeaf,
         slots.map {
-          case BGroup(c) => GSlot.Group(groupIdxOf(c.exprId))
+          case BGroup(i) => GSlot.Group(i)
           case BCount => GSlot.Cnt
           case BSum(c) => GSlot.Sm(c)
           case BAvg(c) => GSlot.Av(c)
@@ -879,13 +954,16 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   /** GROUPED hybrid boundary aggregate — `SELECT day, COUNT(*), SUM(v)
     * WHERE ts range GROUP BY day` reads only the edge files: the walk
     * accumulated inside totals PER GROUP (group keys are partition
-    * columns, constant per file); boundary files re-aggregate per group
-    * under the original filter, and the two sides union and re-combine.
-    * Grouped-aggregate-over-empty semantics hold by construction: a
-    * group appears only where some file contributed. */
+    * columns — or DERIVED row-local functions of them, already evaluated
+    * into `walkAgg`'s keys — constant per file); boundary files
+    * re-aggregate per group under the original filter, and the two sides
+    * union and re-combine. Grouped-aggregate-over-empty semantics hold
+    * by construction: a group appears only where some file contributed.
+    * `groupExprs` are LEAF-level group key expressions, index-aligned
+    * with both `GSlot.Group(i)` and the walk keys. */
   private def boundaryGrouped(agg: Aggregate, aggExprs: Seq[NamedExpression],
       child: LogicalPlan, leaf: LogicalPlan,
-      groupLeaf: Seq[AttributeReference], gslots: Seq[GSlot.T],
+      groupExprs: Seq[Expression], gslots: Seq[GSlot.T],
       walkAgg: BoundaryWalk.Agg): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum => ASum}
@@ -915,8 +993,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
       .restrictScanTo(spark, leaf, walkAgg.boundary).getOrElse(return None)
     val newChild = child.transformUp { case p if p eq leaf => subRel }
     // channel schema — POSITIONAL across the union's two sides
-    val chanGroup = groupLeaf.map(g => AttributeReference(
-      s"__graft_gk_${g.name}", g.dataType, nullable = true)())
+    val chanGroup = groupExprs.zipWithIndex.map { case (g, i) =>
+      AttributeReference(s"__graft_gk_$i", g.dataType, nullable = true)() }
     val chanCnt = AttributeReference("__graft_gcnt", LongType,
       nullable = false)()
     val chanSum = sumCols.map(c => c.exprId -> AttributeReference(
@@ -951,7 +1029,8 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val insideRel = LocalRelation(chanOrder, insideRows)
     val bOut: Seq[NamedExpression] =
-      groupLeaf.map(g => Alias(g, s"__graft_gk_${g.name}")()) ++
+      groupExprs.zipWithIndex.map { case (g, i) =>
+        Alias(g, s"__graft_gk_$i")() } ++
         (Alias(Count(Seq(Literal(1L))).toAggregateExpression(),
           "__graft_gcnt")() +:
           (sumCols.map(c => Alias(new ASum(c).toAggregateExpression(),
@@ -966,11 +1045,11 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
               s"__graft_gavgs_${c.name}")()) ++
             avgCols.map(c => Alias(Count(Seq(c)).toAggregateExpression(),
               s"__graft_gavgc_${c.name}")())))
-    val bAgg = Aggregate(groupLeaf, bOut, newChild)
+    val bAgg = Aggregate(groupExprs, bOut, newChild)
     val u = Union(Seq(insideRel, bAgg))
     val uo = u.output
-    val uG = uo.take(groupLeaf.size)
-    var pos = groupLeaf.size
+    val uG = uo.take(groupExprs.size)
+    var pos = groupExprs.size
     def nextU(): Attribute = { val a = uo(pos); pos += 1; a }
     val uCnt = nextU()
     val uSum = sumCols.map(c => c.exprId -> nextU()).toMap

@@ -693,6 +693,79 @@ class BoundaryCountSpec extends SparkSpec {
       rows(plain.filter(cond).groupBy($"v").agg(count(lit(1)).as("n"))))
   }
 
+  test("GROUPED boundary: DERIVED group keys collapse partitions, edges only") {
+    val path = tmp()
+    // 8 day-dirs, each two deterministic ts bands; v nullable; plus a
+    // hive NULL-day file inside the range (derived key of NULL is NULL)
+    val src = spark.range(0, 8000).select((col("id") / 1000)
+      .cast("long").as("day"),
+      col("id").as("ts"),
+      when(col("id") % 13 === 0, lit(null)).otherwise(col("id") * 2)
+        .cast("long").as("v"))
+    var first = true
+    for { d <- 0 until 8; lo <- Seq(true, false) } {
+      src.filter(col("day") === d &&
+        (if (lo) col("ts") % 1000 < 500 else col("ts") % 1000 >= 500))
+        .coalesce(1)
+        .write.format("graft-table").option("statsCols", "ts,v")
+        .partitionBy("day").mode(if (first) "overwrite" else "append")
+        .save(path)
+      first = false
+    }
+    spark.range(20000, 20100)
+      .select(lit(null).cast("long").as("day"), lit(3000L) + col("id") % 50,
+        (col("id") * 2).cast("long"))
+      .toDF("day", "ts", "v").coalesce(1)
+      .write.format("graft-table").option("statsCols", "ts,v")
+      .mode("append").save(path)
+    VersionedTable.analyzeNdv(spark, path, Seq("ts", "v"))
+    def t = spark.read.format("graft-table").load(path)
+    val total = t.inputFiles.length
+    val copyDir = java.nio.file.Files.createTempDirectory("bdcopy").toString + "/c"
+    t.select($"day", $"ts", $"v").write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // GROUP BY day % 3 — a row-local function of the partition value
+    // collapsing {0,3,6}/{1,4,7}/{2,5} (and NULL day → NULL key): inside
+    // totals merge across the collapsed partitions, edges only scan
+    def q(c: org.apache.spark.sql.Column, on: DataFrame): DataFrame =
+      on.filter(c).groupBy(($"day" % 3).as("d3"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          min($"ts").as("mn"), max($"ts").as("mx"), avg($"ts").as("at"))
+    val cond = $"ts" >= 1300L && $"ts" < 6700L
+    val on = q(cond, t)
+    val read = filesRead(on)
+    assert(read <= 2L && read >= 1L,
+      s"derived-key grouped boundary must read edges only: $read/$total\n" +
+        on.queryExecution.optimizedPlan)
+    assert(rows(on) == rows(q(cond, plain)),
+      s"derived-key mismatch:\ngot ${rows(on)}\nwant ${rows(q(cond, plain))}")
+    assert(on.filter($"d3".isNull).count() == 1L,
+      "the NULL-day group must derive to the NULL key")
+    // file-aligned range: scan-free, all groups from merged metadata
+    val aligned = $"ts" >= 1500L && $"ts" < 6500L
+    val onA = q(aligned, t)
+    assert(scanFree(onA), onA.queryExecution.optimizedPlan.toString)
+    assert(rows(onA) == rows(q(aligned, plain)))
+    // the derived key composes with the IS NULL probe: per-group null
+    // counts of v under a covering range, scan-free
+    val nullProbe = t.filter($"v".isNull && $"ts" >= 0L)
+      .groupBy(($"day" % 3).as("d3")).agg(count(lit(1)).as("n"))
+    assert(scanFree(nullProbe),
+      nullProbe.queryExecution.optimizedPlan.toString)
+    assert(rows(nullProbe) ==
+      rows(plain.filter($"v".isNull && $"ts" >= 0L)
+        .groupBy(($"day" % 3).as("d3")).agg(count(lit(1)).as("n"))))
+    // a derived key touching a DATA column declines (exact via scan)
+    val byData = t.filter(cond).groupBy(($"v" % 3).as("v3"))
+      .agg(count(lit(1)).as("n"))
+    assert(!byData.queryExecution.optimizedPlan.toString.contains("__graft_g"),
+      "derived keys over data columns must decline the grouped rewrite")
+    assert(rows(byData) == rows(plain.filter(cond)
+      .groupBy(($"v" % 3).as("v3")).agg(count(lit(1)).as("n"))))
+  }
+
   test("GROUPED boundary: a zero-match Inside group emits NO row (phantom COUNT=0)") {
     val path = tmp()
     // day 0: v and w non-null sets DISJOINT (v on odd ids, w on even) —
