@@ -70,7 +70,16 @@ object DataSkipping {
         * composes the exact matching-row count of a TWO-nullable-column
         * range filter by inclusion-exclusion — what lifts the boundary
         * rewrite's two-nullable decline. Absent ⇒ unknown (decline). */
-      jointNulls: Map[String, Long] = Map.empty)
+      jointNulls: Map[String, Long] = Map.empty,
+      /** Per-SET "rows null in >= 1 of these columns" counts, recorded by
+        * ANALYZE when THREE or more columns are requested together (keyed
+        * on the set's lexicographically-FIRST column; the map key names
+        * the REMAINING columns, sorted and comma-joined — parquet forbids
+        * commas in column names). `rows − nullAny` is then the exact
+        * count of rows non-null in EVERY set column, which composes the
+        * boundary rewrite's matching count past the two-nullable
+        * inclusion-exclusion. Absent ⇒ unknown (decline). */
+      nullAny: Map[String, Long] = Map.empty)
 
   /** Stored string bounds are capped at this many chars (Delta's 32-char
     * stats truncation): on an LLM corpus with stats collected on a text
@@ -347,9 +356,13 @@ object DataSkipping {
     // so a re-analyzed pair re-records the identical value
     val jn = Option(node.get("jn")).map(j => j.properties().asScala.map(e =>
       e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
+    // per-set null-any counts (3+ column ANALYZE) merge the same way
+    val na = Option(node.get("na")).map(j => j.properties().asScala.map(e =>
+      e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty)
     prior.copy(ndv = Some(h), ndvRecipe = NdvRecipeCurrent,
       sum = sm.orElse(prior.sum),
-      jointNulls = prior.jointNulls ++ jn)
+      jointNulls = prior.jointNulls ++ jn,
+      nullAny = prior.nullAny ++ na)
   }
 
   /** One FILE's column-stat map as a JSON object string — the unit a
@@ -379,7 +392,11 @@ object DataSkipping {
         else st.jointNulls.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${sharedMapper.writeValueAsString(k)}:$v"
         }.mkString(""""jn":{""", ",", "},")
-      s""""$c":{$mn$mx$tr$nd$ndV$sm$jn"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
+      val na = if (st.nullAny.isEmpty) ""
+        else st.nullAny.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${sharedMapper.writeValueAsString(k)}:$v"
+        }.mkString(""""na":{""", ",", "},")
+      s""""$c":{$mn$mx$tr$nd$ndV$sm$jn$na"nulls":${st.numNulls},"all_nulls":${st.allNulls}}"""
     }.mkString("{", ",", "}")
   }
 
@@ -399,6 +416,8 @@ object DataSkipping {
         Option(o.get("ndv_v")).map(_.asInt()).getOrElse(1),
         Option(o.get("sum")).map(s => BigDecimal(s.asText())),
         Option(o.get("jn")).map(j => j.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty),
+        Option(o.get("na")).map(j => j.properties().asScala.map(e =>
           e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty))
     }.toMap
   }

@@ -2669,6 +2669,15 @@ object VersionedTable {
         else {
           val (x, y) = if (a <= b) (a, b) else (b, a)
           c.stats.get(fk).flatMap(_.get(x)).flatMap(_.jointNulls.get(y))
+        },
+      // per-SET null-any from a 3+ column ANALYZE: keyed on the set's
+      // first column, the map key naming the rest comma-joined
+      fileNullAnyOf = (fk, set) =>
+        if (c.dvRows.getOrElse(fk, 0L) > 0L || set.size < 3) None
+        else {
+          val s = set.sorted
+          c.stats.get(fk).flatMap(_.get(s.head))
+            .flatMap(_.nullAny.get(s.tail.mkString(",")))
         })
 
   /** Deletion-vector marks as a DEFERRED driver map (file key → sorted
@@ -2998,18 +3007,25 @@ object VersionedTable {
         // (lexicographically) — the two-nullable boundary composition's
         // license; zero counts are recorded too (absence means unknown)
         val pairs = cols.filter(_ > n).sorted
-        val base = struct(
+        // per-SET null-any count for a 3+ column ANALYZE, recorded once
+        // on the set's lexicographically-first column: rows null in >= 1
+        // requested column — `rows − nullAny` is then the exact all-non-
+        // null count the boundary walk needs past two nullables
+        val naKey: Option[String] =
+          if (cols.size >= 3 && n == cols.min)
+            Some(cols.sorted.filterNot(_ == n).mkString(","))
+          else None
+        val fields = Seq(
           graft.functions.KmvHashesAgg(col(n), NdvSketchK).as("ndv"),
-          sumC.as("sum"), count(col(n)).as("cnt"))
-        val withJn =
-          if (pairs.isEmpty) base
-          else struct(
-            graft.functions.KmvHashesAgg(col(n), NdvSketchK).as("ndv"),
-            sumC.as("sum"), count(col(n)).as("cnt"),
-            map(pairs.flatMap(m => Seq(lit(m),
-              sum(when(col(n).isNull && col(m).isNull, 1L)
-                .otherwise(0L)))): _*).as("jn"))
-        to_json(withJn).as(n)
+          sumC.as("sum"), count(col(n)).as("cnt")) ++
+          (if (pairs.isEmpty) Nil
+           else Seq(map(pairs.flatMap(m => Seq(lit(m),
+             sum(when(col(n).isNull && col(m).isNull, 1L)
+               .otherwise(0L)))): _*).as("jn"))) ++
+          naKey.map(k => map(lit(k),
+            sum(when(cols.map(col(_).isNull).reduce(_ || _), 1L)
+              .otherwise(0L))).as("na")).toSeq
+        to_json(struct(fields: _*)).as(n)
       }
       val sketchDf = keyed.groupBy(col(FileKeyCol))
         .agg(patchExpr(cols.head), cols.tail.map(patchExpr): _*)
@@ -3121,11 +3137,19 @@ object VersionedTable {
     // then re-analyzes so two-nullable boundary composition stays armed)
     val pairsOf: Map[String, Seq[String]] =
       cols.map(n => n -> cols.filter(_ > n).sorted).toMap
+    // na coverage: a 3+ column ANALYZE also records the per-SET null-any
+    // count on the set's first column — absent (e.g. the set grew since)
+    // means the file re-analyzes
+    val naOf: Map[String, Option[String]] = cols.map(n => n ->
+      (if (cols.size >= 3 && n == cols.min)
+        Some(cols.sorted.filterNot(_ == n).mkString(","))
+      else None)).toMap
     def covered(st: Map[String, DataSkipping.ColStat], n: String): Boolean =
       st.get(n).exists(cs => cs.ndv.isDefined &&
         (!binCols(n) || cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent) &&
         (!sumCols(n) || cs.sum.isDefined) &&
-        pairsOf(n).forall(cs.jointNulls.contains))
+        pairsOf(n).forall(cs.jointNulls.contains) &&
+        naOf(n).forall(cs.nullAny.contains))
     // a zero-row file has nothing to sketch (its scan emits no patch row,
     // so it would stay "needy" forever and defeat the nothing-to-scan
     // fast path)
@@ -3137,6 +3161,7 @@ object VersionedTable {
         val binB = binCols
         val sumB = sumCols
         val pairsB = pairsOf
+        val naB = naOf
         val okFromCkpt: Set[String] =
           spark.read.parquet(new Path(root, aRel).toString)
             .select(col("path"), col("stats"))
@@ -3148,7 +3173,8 @@ object VersionedTable {
                     (!binB(n) ||
                       cs.ndvRecipe >= DataSkipping.NdvRecipeCurrent) &&
                     (!sumB(n) || cs.sum.isDefined) &&
-                    pairsB(n).forall(cs.jointNulls.contains)))
+                    pairsB(n).forall(cs.jointNulls.contains) &&
+                    naB(n).forall(cs.nullAny.contains)))
                 } => p })
             .collect().toSet
         c.files.filterNot(zeroRows).filter { fk =>

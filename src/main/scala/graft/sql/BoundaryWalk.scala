@@ -67,7 +67,8 @@ object BoundaryWalk extends Serializable {
       sumOf: String => Option[BigDecimal],
       sumNn: String => Option[Long],
       rows: Option[Long],
-      jn: (String, String) => Option[Long] = (_, _) => None): FileClass = {
+      jn: (String, String) => Option[Long] = (_, _) => None,
+      na: Seq[String] => Option[Long] = _ => None): FileClass = {
     // per cond column: entirely-failing wins (zero matches — skippable
     // even when another column is only partial), then partial, then
     // all-inside. Internal-domain bounds kept per column for the
@@ -152,14 +153,31 @@ object BoundaryWalk extends Serializable {
               case _ => None
             }
           }
-        } else nullable match {
-          case Seq() => Some(r)
-          case Seq(one) => Some(nns(one))
-          // TWO nullable cond columns compose by inclusion-exclusion
-          // when ANALYZE recorded their joint null count: matching =
-          // rows non-null in both = nnA + nnB - rows + bothNull
-          case Seq(x, y) => jn(x, y).map(j => nns(x) + nns(y) - r + j)
-          case _ => None
+        } else {
+          // THREE-plus nullable cond columns (and the two-nullable case
+          // when the pair stat is missing) compose through the per-SET
+          // null-any ANALYZE stat: matching = rows non-null in EVERY
+          // cond column = rows − nullAny(set). Valid for any recorded
+          // set that covers the nullable columns and stays within the
+          // cond columns (a cond column with zero nulls in this file
+          // adds nothing to nullAny) — try the full cond set, then the
+          // file's nullable subset.
+          def naLookup: Option[Long] = {
+            val full = ivs.map(_.name)
+            na(full)
+              .orElse(if (nullable.size != full.size) na(nullable) else None)
+              .map(cnt => r - cnt)
+          }
+          nullable match {
+            case Seq() => Some(r)
+            case Seq(one) => Some(nns(one))
+            // TWO nullable cond columns compose by inclusion-exclusion
+            // when ANALYZE recorded their joint null count: matching =
+            // rows non-null in both = nnA + nnB - rows + bothNull
+            case Seq(x, y) =>
+              jn(x, y).map(j => nns(x) + nns(y) - r + j).orElse(naLookup)
+            case _ => naLookup
+          }
         }
       }
       // a slot column may ride the metadata only when matching rows =
@@ -377,14 +395,20 @@ object BoundaryWalk extends Serializable {
         val (x, y) = if (a <= b) (a, b) else (b, a)
         stats.get(x).flatMap(_.jointNulls.get(y))
       }
+    def naC(set: Seq[String]): Option[Long] =
+      if (marked || set.size < 3) None
+      else {
+        val s = set.sorted
+        stats.get(s.head).flatMap(_.nullAny.get(s.tail.mkString(",")))
+      }
     val key: Seq[Any] = groupPart.map { case (_, phys, dt) =>
       kv.get(phys).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
         .map(raw => graft.sources.DataSkipping.castPartValue(
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(raw), dt, zone)).orNull
     }
-    (classify(ivs, sumCols, extCols, mmC, nnC, sumC, nnC, liveRows, jnC),
-      key)
+    (classify(ivs, sumCols, extCols, mmC, nnC, sumC, nnC, liveRows, jnC,
+      naC), key)
   }
 
   /** Catalyst-internal partition value → the stats comparison domain

@@ -764,11 +764,14 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         val jnHook = GraftBatchShim.graftJointNullsOf(leaf)
           .getOrElse((_: String, _: String, _: String) => None)
+        val naHook = GraftBatchShim.graftNullAnyOf(leaf)
+          .getOrElse((_: String, _: Seq[String]) => None)
         files.foldLeft(BoundaryWalk.emptyAgg) { (acc, f) =>
           val fc0 = BoundaryWalk.classify(ivSpecs, sumSpecs, extSpecs,
             c => mm(f, c), c => nn(f, c),
             c => sumHooks.get._1(f, c), c => sumHooks.get._2(f, c),
-            fileRows.get(f), (a, b) => jnHook(f, a, b))
+            fileRows.get(f), (a, b) => jnHook(f, a, b),
+            set => naHook(f, set))
           val (fc, key) = keyOf(f) match {
             case Some(k) => (fc0, k)
             case None => (BoundaryWalk.Boundary: BoundaryWalk.FileClass, Nil)

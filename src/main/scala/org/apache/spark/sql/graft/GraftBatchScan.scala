@@ -157,7 +157,13 @@ private[graft] class GraftFileIndex(
       * a two-nullable-column range filter's exact matching count. None
       * when unrecorded or the file is DV-marked. */
     val fileJointNullsOf: (String, String, String) => Option[Long] =
-      (_, _, _) => None)
+      (_, _, _) => None,
+    /** Per-SET null-any count per (file, sorted column set) from a 3+
+      * column ANALYZE — rows null in >= 1 set column; `rows − nullAny`
+      * composes the matching count past two nullable cond columns. None
+      * when unrecorded or the file is DV-marked. */
+    val fileNullAnyOf: (String, Seq[String]) => Option[Long] =
+      (_, _) => None)
     extends FileIndex {
 
   /** The manifest's live file keys — the top-k prune rule's iteration
@@ -641,7 +647,8 @@ private[graft] class GraftFileIndex(
       minMaxOf, generatedPartDefs, ndvOf, Nil, None, fkProps,
       fileRows.filter(kv => in(kv._1)), fileMinMaxOf, fileNonNullOf,
       checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap,
-      boundaryDist = None, fileJointNullsOf = fileJointNullsOf)
+      boundaryDist = None, fileJointNullsOf = fileJointNullsOf,
+      fileNullAnyOf = fileNullAnyOf)
   }
 
   /** A copy of this index reporting `est` bytes — the CBO-lite selectivity
@@ -656,7 +663,7 @@ private[graft] class GraftFileIndex(
       physNameOf, minMaxOf, generatedPartDefs, ndvOf, mvViews,
       snapshotVersion, fkProps, fileRows, fileMinMaxOf, fileNonNullOf,
       checkConstraints, fileSumOf, fileNdvHashesOf, statsDriverCheap,
-      boundaryDist, fileJointNullsOf) {
+      boundaryDist, fileJointNullsOf, fileNullAnyOf) {
       override lazy val sizeInBytes: Long = est
       override val estimated: Boolean = true
     }
@@ -989,7 +996,9 @@ object GraftBatchShim {
       statsDriverCheap: () => Boolean = () => true,
       boundaryDist: Option[GraftBoundaryDist] = None,
       fileJointNullsOf: (String, String, String) => Option[Long] =
-        (_, _, _) => None)
+        (_, _, _) => None,
+      fileNullAnyOf: (String, Seq[String]) => Option[Long] =
+        (_, _) => None)
       : BaseRelation = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // deferred: the sidecar collect + broadcast run at first reader build,
@@ -1006,7 +1015,8 @@ object GraftBatchShim {
         partSchema.asNullable, n => colMap.getOrElse(n, n), minMaxOf,
         generatedPartDefs, ndvOf, mvViews, snapshotVersion, fkProps,
         fileRows, fileMinMaxOf, fileNonNullOf, checkConstraints, fileSumOf,
-        fileNdvHashesOf, statsDriverCheap, boundaryDist, fileJointNullsOf),
+        fileNdvHashesOf, statsDriverCheap, boundaryDist, fileJointNullsOf,
+        fileNullAnyOf),
       partitionSchema = partSchema.asNullable,
       // asNullable matches what spark.read.schema(...).parquet produced on
       // the pre-relation read path (DataSource forces it for file sources)
@@ -1227,6 +1237,16 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         Some(g.fileJointNullsOf)
+      case _ => None
+    }
+
+  /** Per-(file, column set) null-any counts of a graft relation node —
+    * the 3+-nullable boundary composition's per-set ANALYZE stat. */
+  def graftNullAnyOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, Seq[String]) => Option[Long]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
+        Some(g.fileNullAnyOf)
       case _ => None
     }
 

@@ -693,6 +693,167 @@ class BoundaryCountSpec extends SparkSpec {
       rows(plain.filter(cond).groupBy($"v").agg(count(lit(1)).as("n"))))
   }
 
+  test("null-any set stat: three nullable columns compose from a 3+ column ANALYZE") {
+    val path = tmp()
+    // k range-placed never-null; a, b, c nullable on different moduli so
+    // the null overlaps are non-trivial (pairwise AND triple)
+    VersionedTable.write(
+      spark.range(0, 65536).select(col("id").as("k"),
+        when(col("id") % 5 === 0, lit(null)).otherwise(col("id"))
+          .cast("long").as("a"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 2)
+          .cast("long").as("b"),
+        when(col("id") % 11 === 0, lit(null)).otherwise(col("id") * 3)
+          .cast("long").as("c"))
+        .repartitionByRange(16, col("k")),
+      path, statsCols = Seq("k", "a", "b", "c"))
+    VersionedTable.analyzeNdv(spark, path, Seq("a", "b", "c"))
+    val raw = VersionedTable.read(spark, path).select($"k", $"a", $"b", $"c")
+    val copyDir = java.nio.file.Files.createTempDirectory("bacopy").toString + "/c"
+    raw.write.parquet(copyDir)
+    val plain = spark.read.parquet(copyDir)
+    def t = VersionedTable.read(spark, path)
+    def truth(cc: org.apache.spark.sql.Column): Long = plain.filter(cc).count()
+    // covering ranges on all three: matching = rows − nullAny{a,b,c} per
+    // file — scan-free and exact (the triple overlap at ids ÷ 385 must
+    // not mis-count)
+    val covering = $"a" >= 0L && $"b" >= 0L && $"c" >= 0L
+    val q3 = t.filter(covering).agg(count(lit(1)).as("n"))
+    assert(scanFree(q3),
+      s"na-armed three-nullable range must answer from metadata:\n" +
+        q3.queryExecution.optimizedPlan)
+    assert(q3.collect().head.getLong(0) == truth(covering))
+    // plus a never-null range column: the cond set {a,b,c,k} exceeds the
+    // recorded set, but the file's NULLABLE subset {a,b,c} matches it —
+    // straddling k range, edges only
+    val mixed = $"a" >= 0L && $"b" >= 0L && $"c" >= 0L &&
+      $"k" >= 10000L && $"k" < 50000L
+    val qm = t.filter(mixed).agg(count(lit(1)).as("n"))
+    val readM = filesRead(qm)
+    assert(readM <= 2L && readM >= 1L,
+      s"three-nullable + range must scan edges only: $readM\n" +
+        qm.queryExecution.optimizedPlan)
+    assert(qm.collect().head.getLong(0) == truth(mixed))
+    // two-nullable falls back to the set stat when the PAIR is missing:
+    // a and c straddled by a b-free filter — pair (a,c) was recorded by
+    // the 3-col ANALYZE anyway, so force the subset path via all three
+    // (covered above); here just pin the pair path still works
+    val two = $"a" >= 0L && $"c" >= 0L
+    val q2 = t.filter(two).agg(count(lit(1)).as("n"))
+    assert(scanFree(q2))
+    assert(q2.collect().head.getLong(0) == truth(two))
+    // WITHOUT the recorded set (pairwise-only ANALYZE on another copy)
+    // three nullables decline — exact via the scan
+    val noNa = tmp()
+    VersionedTable.write(raw, noNa, statsCols = Seq("a", "b", "c"))
+    VersionedTable.analyzeNdv(spark, noNa, Seq("a", "b"))
+    VersionedTable.analyzeNdv(spark, noNa, Seq("a", "c"))
+    VersionedTable.analyzeNdv(spark, noNa, Seq("b", "c"))
+    val declined = VersionedTable.read(spark, noNa).filter(covering)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanFree(declined),
+      "pairwise-only ANALYZE must keep scanning three nullables")
+    assert(declined.collect().head.getLong(0) == truth(covering))
+    // INCREMENTAL coverage: the pairwise-analyzed copy is needy for the
+    // 3-col set (na unrecorded); after the set ANALYZE it fires, and an
+    // append re-analyzes ONLY the new file
+    val (_, scanned1) =
+      VersionedTable.analyzeNdvInfo(spark, noNa, Seq("a", "b", "c"),
+        incremental = true)
+    assert(scanned1.nonEmpty, "missing na set must make files needy")
+    val fired = VersionedTable.read(spark, noNa).filter(covering)
+      .agg(count(lit(1)).as("n"))
+    assert(scanFree(fired), fired.queryExecution.optimizedPlan.toString)
+    assert(fired.collect().head.getLong(0) == truth(covering))
+    VersionedTable.append(
+      spark.range(65536, 66000).select(col("id").as("k"),
+        col("id").cast("long").as("a"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 2)
+          .cast("long").as("b"),
+        col("id").cast("long").as("c")).coalesce(1),
+      noNa, statsCols = Seq("a", "b", "c"))
+    val (_, scanned2) =
+      VersionedTable.analyzeNdvInfo(spark, noNa, Seq("a", "b", "c"),
+        incremental = true)
+    assert(scanned2.size == 1,
+      s"incremental must scan only the appended file: $scanned2")
+    val (_, scanned3) =
+      VersionedTable.analyzeNdvInfo(spark, noNa, Seq("a", "b", "c"),
+        incremental = true)
+    assert(scanned3.isEmpty, "fully covered: nothing to scan")
+  }
+
+  test("anchored: jn/na stats ride the checkpoint merge, compose with zero driver parses") {
+    val path = tmp()
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      // 16 single-file band appends → the head anchors at a parquet
+      // checkpoint; a, b, c nullable on different moduli
+      (0 until 16).foreach { band =>
+        VersionedTable.append(
+          spark.range(band * 4096L, (band + 1) * 4096L)
+            .select(col("id").as("k"),
+              when(col("id") % 5 === 0, lit(null)).otherwise(col("id"))
+                .cast("long").as("a"),
+              when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 2)
+                .cast("long").as("b"),
+              when(col("id") % 11 === 0, lit(null)).otherwise(col("id") * 3)
+                .cast("long").as("c")).coalesce(1),
+          path, statsCols = Seq("k", "a", "b", "c"))
+      }
+      // the 3-col ANALYZE authors its pair AND set channels through
+      // writeCkptFromAnchor's executor-side merge — the driver stats map
+      // must never materialize, during ANALYZE or after
+      VersionedTable.ckptStatsParses.set(0L)
+      VersionedTable.analyzeNdv(spark, path, Seq("a", "b", "c"))
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "anchored ANALYZE must ride the executor-side checkpoint merge")
+      def t = VersionedTable.read(spark, path)
+      def expectCnt(p: Long => Boolean): Long =
+        (0L until 65536L).count(i => p(i)).toLong
+      // three-nullable covering ranges: the DISTRIBUTED walk reads the na
+      // set stat from checkpoint rows ON EXECUTORS — scan-free, exact
+      val q3 = t.filter($"a" >= 0L && $"b" >= 0L && $"c" >= 0L)
+        .agg(count(lit(1)).as("n"))
+      assert(scanFree(q3), q3.queryExecution.optimizedPlan.toString)
+      assert(q3.collect().head.getLong(0) ==
+        expectCnt(i => i % 5 != 0 && i % 7 != 0 && i % 11 != 0))
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the distributed na composition must stay off the driver")
+      // two-nullable pair stat through the same ride
+      val q2 = t.filter($"a" >= 0L && $"b" >= 0L).agg(count(lit(1)).as("n"))
+      assert(scanFree(q2))
+      assert(q2.collect().head.getLong(0) ==
+        expectCnt(i => i % 5 != 0 && i % 7 != 0))
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+      // an append + INCREMENTAL ANALYZE: needsSketch's na coverage and
+      // the patch authoring both stay distributed (O(delta) driver work)
+      VersionedTable.append(
+        spark.range(65536L, 66000L).select(col("id").as("k"),
+          col("id").cast("long").as("a"),
+          when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 2)
+            .cast("long").as("b"),
+          col("id").cast("long").as("c")).coalesce(1),
+        path, statsCols = Seq("k", "a", "b", "c"))
+      VersionedTable.ckptStatsParses.set(0L)
+      val (_, scanned) = VersionedTable.analyzeNdvInfo(spark, path,
+        Seq("a", "b", "c"), incremental = true)
+      assert(scanned.size == 1,
+        s"incremental must scan only the appended file: $scanned")
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "incremental anchored ANALYZE must not parse checkpoint " +
+          "stats driver-side")
+      val q3b = t.filter($"a" >= 0L && $"b" >= 0L && $"c" >= 0L)
+        .agg(count(lit(1)).as("n"))
+      assert(scanFree(q3b))
+      assert(q3b.collect().head.getLong(0) ==
+        expectCnt(i => i % 5 != 0 && i % 7 != 0 && i % 11 != 0) +
+          (65536L until 66000L).count(i => i % 7 != 0).toLong)
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
   test("GROUPED boundary: DERIVED group keys collapse partitions, edges only") {
     val path = tmp()
     // 8 day-dirs, each two deterministic ts bands; v nullable; plus a
