@@ -3083,6 +3083,75 @@ object SkippingQueries {
       |GROUP BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // q_join_reorder_bushy — the BUSHY CROSS-SPLIT: `(fact ⋈ big) ⋈
+  // (tiny ⋈ dim)` with the top condition pairing big↔tiny AND fact↔dim —
+  // conjuncts split per leg and the selective composite pulls inward
+  // against BIG, not the fact — asserted in-query. DuckDB executes the
+  // literal flat-join SQL.
+  // --------------------------------------------------------------------------
+  def joinReorderBushy(spark: SparkSession, dir: String): DataFrame = {
+    val fact = jroFactPath(dir)
+    val big2 = cachedFixturePath(dir, "jrobig2_v1", "part.parquet")
+    val tiny = jroTinyPath(dir)
+    val dim = cachedFixturePath(dir, "jrodim_v1", "part.parquet")
+    if (VersionedTable.latestVersion(spark, fact).isEmpty ||
+      VersionedTable.latestVersion(spark, tiny).isEmpty)
+      joinReorder(spark, dir).collect()
+    if (VersionedTable.latestVersion(spark, big2).isEmpty) {
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey"), col("p_partkey").as("p2")),
+        big2, statsCols = Seq("p_partkey", "p2"))
+      VersionedTable.analyzeNdv(spark, big2, Seq("p_partkey", "p2"))
+    }
+    if (VersionedTable.latestVersion(spark, dim).isEmpty) {
+      VersionedTable.write(Tables.part(spark, dir).select(
+        col("p_partkey").as("d_partkey"), col("p_partkey").as("dd")),
+        dim, statsCols = Seq("d_partkey", "dd"))
+      VersionedTable.analyzeNdv(spark, dim, Seq("d_partkey", "dd"))
+    }
+    val out = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big2),
+        col("l_partkey") === col("p_partkey"))
+      .join(
+        VersionedTable.read(spark, tiny)
+          .join(VersionedTable.read(spark, dim),
+            col("tp_partkey") === col("d_partkey")),
+        col("p2") === col("tp_partkey") && col("l_partkey") === col("dd"))
+      .groupBy(col("tp_container"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    def rootsUnder(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Set[String] = p.collect {
+      case LogicalRelation(fsr: HadoopFsRelation, _, _, _, _) =>
+        fsr.location.rootPaths.map(_.toUri.getPath)
+    }.flatten.toSet
+    val pulledIn = out.queryExecution.optimizedPlan
+      .collect { case j: LJoin => j }
+      .exists(j => rootsUnder(j) == Set(big2, tiny, dim))
+    require(pulledIn,
+      "q_join_reorder_bushy: the selective composite must pair with big " +
+        s"first (cross-split); plan:\n${out.queryExecution.optimizedPlan}")
+    out
+  }
+
+  val joinReorderBushySql: String =
+    """WITH fact AS (SELECT l_orderkey, l_partkey,
+      |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      |big2 AS (SELECT p_partkey, p_partkey AS p2 FROM part),
+      |tiny AS (SELECT p_partkey AS tp_partkey, p_type AS tp_container
+      |  FROM part WHERE p_partkey % 50 = 0),
+      |dim AS (SELECT p_partkey AS d_partkey, p_partkey AS dd FROM part)
+      |SELECT tp_container, COUNT(*) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty
+      |FROM fact
+      |JOIN big2 ON l_partkey = p_partkey
+      |JOIN tiny ON p2 = tp_partkey
+      |JOIN dim ON tp_partkey = d_partkey AND l_partkey = dd
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // q_join_elim — PK/FK JOIN ELIMINATION under the oracle gate: the fact
   // (lineitem-derived, fk = l_partkey) declares FOREIGN KEY REFERENCES the
   // dim (part-derived, pk = p_partkey) RELY — the declaration VALIDATES
@@ -3616,6 +3685,7 @@ object SkippingQueries {
     "q_constraint_elim" -> (constraintElim _),
     "q_join_reorder" -> (joinReorder _),
     "q_join_reorder_filtered" -> (joinReorderFiltered _),
+    "q_join_reorder_bushy" -> (joinReorderBushy _),
     "q_mv_join_residual" -> (mvJoinResidual _),
     "q_mv_decimal" -> (mvDecimal _),
     "q_join_elim" -> (joinElim _),
@@ -3688,6 +3758,7 @@ object SkippingQueries {
     "q_constraint_elim" -> constraintElimSql,
     "q_join_reorder" -> joinReorderSql,
     "q_join_reorder_filtered" -> joinReorderFilteredSql,
+    "q_join_reorder_bushy" -> joinReorderBushySql,
     "q_mv_join_residual" -> mvJoinResidualSql,
     "q_mv_decimal" -> mvDecimalSql,
     "q_join_elim" -> joinElimSql,

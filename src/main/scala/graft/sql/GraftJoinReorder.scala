@@ -29,8 +29,12 @@ import org.apache.spark.sql.graft.GraftBatchShim
   *  - both joins are INNER, hint-free, with PURE EQUI conditions
   *    (attr = attr conjuncts, each pairing the two sides — anything else
   *    declines);
-  *  - C's condition references A only (no B column), so swapping to
-  *    `(A ⋈ C) ⋈ B` is plain inner-join associativity;
+  *  - C's condition conjuncts each pair ONE left-composite leg with C
+  *    (`attr = attr` across (A, C) or (B, C)) — the swap places each
+  *    conjunct at the level where its references are in scope, so
+  *    `(A ⋈ C) ⋈ B` and `(B ⋈ C) ⋈ A` are both plain inner-join
+  *    associativity, including the BUSHY cross-split `(A⋈B) ⋈ (C⋈D)`
+  *    whose top condition touches B and C; mixed A-B conjuncts decline;
   *  - every leg is a graft relation (through attribute-only projections)
   *    with live row counts OR itself such an inner equi-join (estimated
   *    recursively with the same formula — a selective dim BUBBLES DOWN a
@@ -278,30 +282,80 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(est)
   }
 
+  /** Classify the top condition's conjuncts of `(A ⋈ B) ⋈cTop X` by which
+    * left-composite leg they pair with X: every conjunct must be a pure
+    * `attr = attr` across (A, X) or (B, X) — anything else (non-equi,
+    * A-B-mixed, X-only) declines. The CROSS-SPLIT license: a condition
+    * touching BOTH legs splits per conjunct, each placed at the level
+    * where its references are in scope. */
+  private def partitionTop(cTop: Expression, a: LogicalPlan,
+      b: LogicalPlan, x: LogicalPlan)
+      : Option[(Seq[Expression], Seq[Expression])] = {
+    val aIds = a.outputSet
+    val bIds = b.outputSet
+    val xIds = x.outputSet
+    var conjAX = Vector.empty[Expression]
+    var conjBX = Vector.empty[Expression]
+    splitConj(cTop).foreach {
+      case cj @ EqualTo(p: AttributeReference, q: AttributeReference) =>
+        def side(at: AttributeReference): Int =
+          if (aIds.contains(at)) 0
+          else if (bIds.contains(at)) 1
+          else if (xIds.contains(at)) 2 else -1
+        (side(p), side(q)) match {
+          case (0, 2) | (2, 0) => conjAX :+= cj
+          case (1, 2) | (2, 1) => conjBX :+= cj
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some((conjAX, conjBX))
+  }
+
+  /** `(A ⋈cAB B) ⋈cTop X` — enumerate BOTH associations that pull X
+    * inward: `(A ⋈ X) ⋈ B` and `(B ⋈ X) ⋈ A`, with cTop's conjuncts
+    * SPLIT per leg (the bushy cross-split case: X itself composite and
+    * cTop pairing it with both A and B). A candidate needs its inner
+    * condition non-empty (no cartesian), every key sketched, and the
+    * inner estimate ≥ratio× below est(A ⋈ B); the smaller winner
+    * replaces, close calls keep the user's order. */
   private def trySwap(j: Join, a: LogicalPlan, b: LogicalPlan,
-      c: LogicalPlan, cAB: Expression, cAC: Expression): Option[LogicalPlan] = {
-    // C's condition must not touch B — otherwise the swap is not
-    // associativity but a different query
-    if (cAC.references.exists(b.outputSet.contains)) return None
+      x: LogicalPlan, cAB: Expression, cTop: Expression): Option[LogicalPlan] = {
     val (rowsA, ndvA) = estOf(a).getOrElse(return None)
     val (rowsB, ndvB) = estOf(b).getOrElse(return None)
-    val (rowsC, ndvC) = estOf(c).getOrElse(return None)
+    val (rowsX, ndvX) = estOf(x).getOrElse(return None)
     val pAB = equiPairs(cAB, a, b).getOrElse(return None)
-    val pAC = equiPairs(cAC, a, c).getOrElse(return None)
     val estAB = estimate(rowsA, ndvA, rowsB, ndvB, pAB).getOrElse(return None)
-    val estAC = estimate(rowsA, ndvA, rowsC, ndvC, pAC).getOrElse(return None)
-    if (estAC * ratio > estAB) return None // close call: keep the user's order
-    val swapped = Join(
-      Join(a, c, Inner, Some(cAC), JoinHint.NONE),
-      b, Inner, Some(cAB), JoinHint.NONE)
-    Some(Project(j.output, swapped))
+    val (conjAX, conjBX) = partitionTop(cTop, a, b, x).getOrElse(return None)
+    def cand(keep: LogicalPlan, keepRows: Double,
+        keepNdv: ExprId => Option[Long], innerConj: Seq[Expression],
+        outConj: Seq[Expression], out: LogicalPlan)
+        : Option[(Double, LogicalPlan)] =
+      if (innerConj.isEmpty) None // conditionless inner = cartesian: decline
+      else for {
+        pKX <- equiPairs(innerConj.reduce(And), keep, x)
+        est <- estimate(keepRows, keepNdv, rowsX, ndvX, pKX)
+        if est * ratio <= estAB
+      } yield (est, Join(
+        Join(keep, x, Inner, Some(innerConj.reduce(And)), JoinHint.NONE),
+        out, Inner, Some((cAB +: outConj).reduce(And)), JoinHint.NONE))
+    val viaA = cand(a, rowsA, ndvA, conjAX, conjBX, b)
+    val viaB = cand(b, rowsB, ndvB, conjBX, conjAX, a)
+    val best = (viaA, viaB) match {
+      case (Some(p), Some(q)) => Some(if (p._1 <= q._1) p else q)
+      case (one, None) => one
+      case (None, two) => two
+    }
+    best.map { case (_, swapped) => Project(j.output, swapped) }
   }
 
   /** The right-nested spelling `A ⋈_cTop (B ⋈_cBC C)` rotates to
-    * left-deep when cTop pairs A with exactly ONE of the inner legs and
-    * the rotated inner join estimates ≥ratio× smaller than B ⋈ C — plain
-    * inner-join associativity (every condition keeps its references in
-    * scope at its new position). */
+    * left-deep when the rotated inner join estimates ≥ratio× smaller
+    * than B ⋈ C — plain inner-join associativity (every condition keeps
+    * its references in scope at its new position). cTop's conjuncts
+    * SPLIT per inner leg (the cross-split case: cTop pairing A with
+    * both B and C places each conjunct at its own level); both
+    * associations enumerate under the same hysteresis. */
   private def tryRotate(j: Join, a: LogicalPlan, b: LogicalPlan,
       c: LogicalPlan, cTop: Expression, cBC: Expression)
       : Option[LogicalPlan] = {
@@ -311,24 +365,31 @@ case class GraftJoinReorder(spark: SparkSession) extends Rule[LogicalPlan] {
     val pBC = equiPairs(cBC, b, c).getOrElse(return None)
     val estBC =
       estimate(rowsB, ndvB, rowsC, ndvC, pBC).getOrElse(return None)
-    val touchesB = cTop.references.exists(b.outputSet.contains)
-    val touchesC = cTop.references.exists(c.outputSet.contains)
-    val rotated: Option[LogicalPlan] =
-      if (touchesB && !touchesC)
-        for {
-          pAB <- equiPairs(cTop, a, b)
-          estAB <- estimate(rowsA, ndvA, rowsB, ndvB, pAB)
-          if estAB * ratio <= estBC
-        } yield Join(Join(a, b, Inner, Some(cTop), JoinHint.NONE),
-          c, Inner, Some(cBC), JoinHint.NONE)
-      else if (touchesC && !touchesB)
-        for {
-          pAC <- equiPairs(cTop, a, c)
-          estAC <- estimate(rowsA, ndvA, rowsC, ndvC, pAC)
-          if estAC * ratio <= estBC
-        } yield Join(Join(a, c, Inner, Some(cTop), JoinHint.NONE),
-          b, Inner, Some(cBC), JoinHint.NONE)
-      else None // touches both (or neither): not a simple rotation
-    rotated.map(sw => Project(j.output, sw))
+    // partition cTop's conjuncts by which inner leg they pair A with —
+    // (A,B)- and (A,C)-pairing equi conjuncts; anything else declines
+    val (conjAB, conjAC) = partitionTop(cTop, b, c, a) match {
+      case Some((bx, cx)) => (bx, cx) // legs (B, C) against "x" = A
+      case None => return None
+    }
+    def cand(inner: LogicalPlan, innerRows: Double,
+        innerNdv: ExprId => Option[Long], innerConj: Seq[Expression],
+        outConj: Seq[Expression], out: LogicalPlan)
+        : Option[(Double, LogicalPlan)] =
+      if (innerConj.isEmpty) None // conditionless inner: decline
+      else for {
+        pAI <- equiPairs(innerConj.reduce(And), a, inner)
+        est <- estimate(rowsA, ndvA, innerRows, innerNdv, pAI)
+        if est * ratio <= estBC
+      } yield (est, Join(
+        Join(a, inner, Inner, Some(innerConj.reduce(And)), JoinHint.NONE),
+        out, Inner, Some((cBC +: outConj).reduce(And)), JoinHint.NONE))
+    val viaB = cand(b, rowsB, ndvB, conjAB, conjAC, c)
+    val viaC = cand(c, rowsC, ndvC, conjAC, conjAB, b)
+    val best = (viaB, viaC) match {
+      case (Some(p), Some(q)) => Some(if (p._1 <= q._1) p else q)
+      case (one, None) => one
+      case (None, two) => two
+    }
+    best.map { case (_, sw) => Project(j.output, sw) }
   }
 }

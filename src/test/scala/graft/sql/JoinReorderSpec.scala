@@ -276,6 +276,132 @@ class JoinReorderSpec extends SparkSpec {
     assert(best.collect().map(_.toString).sorted.toSeq == got)
   }
 
+  test("CROSS-SPLIT: a top condition touching both composite legs splits per conjunct") {
+    val base = tmp()
+    val fact = base + "/fact"; val big = base + "/big"
+    val tiny = base + "/tiny"; val tdim = base + "/tdim"
+    VersionedTable.write(spark.range(0, 20000)
+      .select((col("id") % 1000).as("k"), col("id").as("v")),
+      fact, statsCols = Seq("k"))
+    VersionedTable.analyzeNdv(spark, fact, Seq("k"))
+    // big carries a SECOND key the top condition pairs with the right
+    // composite — the B-touching case the swap previously declined
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("bk"), col("id").as("bk2")),
+      big, statsCols = Seq("bk", "bk2"))
+    VersionedTable.analyzeNdv(spark, big, Seq("bk", "bk2"))
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("tk")), tiny, statsCols = Seq("tk"))
+    VersionedTable.analyzeNdv(spark, tiny, Seq("tk"))
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("dk"), col("id").as("dd")),
+      tdim, statsCols = Seq("dk", "dd"))
+    VersionedTable.analyzeNdv(spark, tdim, Seq("dk", "dd"))
+    def joins(df: DataFrame): Seq[Set[String]] =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        .map(rootsUnder)
+    // SYMMETRIC case: `(fact ⋈ big) ⋈ X` with the top condition pairing
+    // ONLY big with X — `(big ⋈ X) ⋈ fact` is the association that pulls
+    // the selective composite inward
+    def qSym() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(
+        VersionedTable.read(spark, tiny)
+          .join(VersionedTable.read(spark, tdim), col("tk") === col("dk")),
+        col("bk2") === col("tk"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val onSym = qSym()
+    assert(joins(onSym).contains(Set(big, tiny, tdim)),
+      s"big must pair with the selective composite first:\n" +
+        onSym.queryExecution.optimizedPlan)
+    val gotSym = onSym.collect().map(_.toString).toSeq
+    withRuleOff {
+      val off = qSym()
+      assert(!joins(off).contains(Set(big, tiny, tdim)))
+      assert(off.collect().map(_.toString).toSeq == gotSym)
+    }
+    // CROSS-SPLIT proper: the top condition pairs big↔X AND fact↔X —
+    // conjuncts place at their own levels, the smaller inner wins
+    def qCross() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, big), col("k") === col("bk"))
+      .join(
+        VersionedTable.read(spark, tiny)
+          .join(VersionedTable.read(spark, tdim), col("tk") === col("dk")),
+        col("bk2") === col("tk") && col("k") === col("dd"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val onCross = qCross()
+    assert(joins(onCross).contains(Set(big, tiny, tdim)),
+      s"cross-split must still pull the composite inward:\n" +
+        onCross.queryExecution.optimizedPlan)
+    val gotCross = onCross.collect().map(_.toString).toSeq
+    withRuleOff {
+      val off = qCross()
+      assert(!joins(off).contains(Set(big, tiny, tdim)))
+      assert(off.collect().map(_.toString).toSeq == gotCross)
+    }
+    // IDEMPOTENCE: the rewritten spelling re-optimizes to itself (the
+    // reverse swap would need the opposite ≥10× inequality)
+    def qBest() = VersionedTable.read(spark, big)
+      .join(
+        VersionedTable.read(spark, tiny)
+          .join(VersionedTable.read(spark, tdim), col("tk") === col("dk")),
+        col("bk2") === col("tk"))
+      .join(VersionedTable.read(spark, fact),
+        col("k") === col("bk") && col("k") === col("dd"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val best = qBest()
+    assert(joins(best).contains(Set(big, tiny, tdim)))
+    assert(best.collect().map(_.toString).toSeq == gotCross)
+    // RIGHT-NESTED cross-split: `tiny20 ⋈ (big ⋈ big2)` with the top
+    // condition pairing tiny20 with BOTH inner legs — conjuncts split,
+    // and the selective tiny20↔big pairing rotates inward past the
+    // 1000-row big ⋈ big2
+    val tiny20 = base + "/tiny20"; val big2 = base + "/big2"
+    VersionedTable.write(spark.range(0, 1000).filter(col("id") % 50 === 0)
+      .select(col("id").as("t2k")), tiny20, statsCols = Seq("t2k"))
+    VersionedTable.analyzeNdv(spark, tiny20, Seq("t2k"))
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("b2k")), big2, statsCols = Seq("b2k"))
+    VersionedTable.analyzeNdv(spark, big2, Seq("b2k"))
+    def qRot() = VersionedTable.read(spark, tiny20)
+      .join(
+        VersionedTable.read(spark, big)
+          .join(VersionedTable.read(spark, big2), col("bk") === col("b2k")),
+        col("t2k") === col("bk") && col("t2k") === col("b2k"))
+      .agg(count(lit(1)).as("n"))
+    val onRot = qRot()
+    assert(joins(onRot).exists(s =>
+      s == Set(tiny20, big) || s == Set(tiny20, big2)),
+      s"a selective tiny20 pairing must rotate inward:\n" +
+        onRot.queryExecution.optimizedPlan)
+    val gotRot = onRot.collect().map(_.toString).toSeq
+    withRuleOff {
+      val off = qRot()
+      assert(!joins(off).exists(s =>
+        s == Set(tiny20, big) || s == Set(tiny20, big2)))
+      assert(off.collect().map(_.toString).toSeq == gotRot)
+    }
+    // UNSKETCHABLE split declines: an un-analyzed second key on big —
+    // no candidate has full sketch coverage, user order kept
+    val bigNs = base + "/bigNs"
+    VersionedTable.write(spark.range(0, 1000)
+      .select(col("id").as("nk"), col("id").as("nk2")),
+      bigNs, statsCols = Seq("nk", "nk2"))
+    VersionedTable.analyzeNdv(spark, bigNs, Seq("nk")) // nk2 un-sketched
+    def qNs() = VersionedTable.read(spark, fact)
+      .join(VersionedTable.read(spark, bigNs), col("k") === col("nk"))
+      .join(
+        VersionedTable.read(spark, tiny)
+          .join(VersionedTable.read(spark, tdim), col("tk") === col("dk")),
+        col("nk2") === col("tk"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val onNs = qNs()
+    assert(!joins(onNs).contains(Set(bigNs, tiny, tdim)),
+      "an un-sketched split key must keep the user's order")
+    val gotNs = onNs.collect().map(_.toString).toSeq
+    withRuleOff(assert(qNs().collect().map(_.toString).toSeq == gotNs))
+  }
+
   test("declines: close call, outer arm, un-sketched key, filtered leg, B-touching cond") {
     val base = tmp()
     val fact = base + "/fact"; val big = base + "/big"
