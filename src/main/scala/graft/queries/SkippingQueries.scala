@@ -1144,6 +1144,62 @@ object SkippingQueries {
       |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_topk_window_anchored — the WINDOW GROUP-LIMIT (top-2 per day by a
+  // DATA column) on a CHECKPOINT-ANCHORED partitioned table: the
+  // per-group prefix proofs and the fire guard both run DISTRIBUTED over
+  // the checkpoint parquet, and the scan RESTRICTS to each day's
+  // surviving band files — asserted in-query (pruned read AND zero
+  // driver-side checkpoint stats parses). DuckDB runs the real window.
+  // --------------------------------------------------------------------------
+  def topkWindowAnchored(spark: SparkSession, dir: String): DataFrame = {
+    val path = cachedFixturePath(dir, "censw_v1", "events.parquet")
+    if (VersionedTable.latestVersion(spark, path).isEmpty) {
+      // 12 event_id band appends, hive-partitioned by event_date → each
+      // day dir holds 12 band files and the head anchors at a parquet
+      // checkpoint (v10); each day's top-2 lives in its highest band
+      val saved = VersionedTable.CkptInlineMaxFiles
+      VersionedTable.CkptInlineMaxFiles = 8
+      try {
+        val src = Tables.events(spark, dir)
+          .select(col("event_id"), to_date(col("ts")).as("event_date"))
+        val n = src.agg(max(col("event_id"))).collect().head.getLong(0) + 1L
+        (0 until 12).foreach { b =>
+          src.filter(col("event_id") >= b * n / 12 &&
+            col("event_id") < (b + 1) * n / 12).coalesce(1)
+            .write.format("graft-table")
+            .option("statsCols", "event_id")
+            .partitionBy("event_date")
+            .mode(if (b == 0) "overwrite" else "append").save(path)
+        }
+      } finally VersionedTable.CkptInlineMaxFiles = saved
+    }
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val parsesBefore = VersionedTable.ckptStatsParses.get()
+    import org.apache.spark.sql.expressions.{Window => W}
+    val out = t.withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(W.partitionBy(col("event_date"))
+          .orderBy(col("event_id").desc)))
+      .filter(col("rn") <= 2).select(col("event_date"), col("event_id"))
+    val read = filesReadOf(out)
+    require(read < total,
+      s"q_topk_window_anchored: the distributed per-group proofs must " +
+        s"restrict the scan ($read/$total); plan:\n" +
+        out.queryExecution.optimizedPlan)
+    require(VersionedTable.ckptStatsParses.get() == parsesBefore,
+      "q_topk_window_anchored: the distributed group proofs + guard " +
+        "must never materialize the checkpoint stats column driver-side")
+    out
+  }
+
+  val topkWindowAnchoredSql: String =
+    """SELECT event_date, event_id FROM (
+      |  SELECT CAST(ts AS DATE) AS event_date, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+      |      ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn <= 2""".stripMargin
+
   /** The ANCHORED flat events fixture shared with q_count_boundary_anchored
     * (same recipe, same path tag): 15 two-day band appends under a tiny
     * inline bound → the head anchors at a parquet checkpoint whose lazy
@@ -3734,6 +3790,7 @@ object SkippingQueries {
     "q_count_boundary_anchored" -> (countBoundaryAnchored _),
     "q_topk_anchored" -> (topkAnchored _),
     "q_part_census_anchored" -> (partCensusAnchored _),
+    "q_topk_window_anchored" -> (topkWindowAnchored _),
     "q_null_probe" -> (nullProbe _),
     "q_null_probe_range" -> (nullProbeRange _),
     "q_count_boundary_grouped" -> (countBoundaryGrouped _),
@@ -3807,6 +3864,7 @@ object SkippingQueries {
     "q_count_boundary_anchored" -> countBoundaryAnchoredSql,
     "q_topk_anchored" -> topkAnchoredSql,
     "q_part_census_anchored" -> partCensusAnchoredSql,
+    "q_topk_window_anchored" -> topkWindowAnchoredSql,
     "q_null_probe" -> nullProbeSql,
     "q_null_probe_range" -> nullProbeRangeSql,
     "q_count_boundary_grouped" -> countBoundaryGroupedSql,

@@ -473,6 +473,19 @@ object DataSkipping {
         canSkip(GreaterThanOrEqual(a, l), stats)
       case EqualTo(a, l) => cmpSkip(a, l, stats)(
         (mn, mx, v) => ordLt(v, mn) || ordLt(mx, v)) || dictSkip(a, l, stats)
+      // null-safe equality (the grouped rewrites inject it for NULL-able
+      // group keys): a NULL literal matches only null rows — skippable
+      // when the file provably has none; a non-null literal prunes
+      // exactly like EqualTo (null rows never <=>-match it)
+      case EqualNullSafe(l, a) if isLit(l) && !isLit(a) =>
+        canSkip(EqualNullSafe(a, l), stats)
+      case EqualNullSafe(a, l) if isLit(l) =>
+        asLiteral(l) match {
+          case Some(lit) if lit.value == null =>
+            attrName(a).flatMap(stats.get).exists(st =>
+              st.numNulls == 0L && !st.allNulls && st.min.isDefined)
+          case _ => canSkip(EqualTo(a, l), stats)
+        }
       case GreaterThan(a, l) => cmpSkip(a, l, stats)(
         (_, mx, v) => !ordLt(v, mx)) // max <= v
       case GreaterThanOrEqual(a, l) => cmpSkip(a, l, stats)(
@@ -657,4 +670,42 @@ object DataSkipping {
         case None => true
       }
     }
+
+  /** Exact per-FILE ColStats for the partition columns, synthesized from
+    * the file's path segments (min = max = the dir value; the hive null
+    * sentinel is an all-null column) — what lets the per-file pruning
+    * pass disprove the PARTITION half of a mixed disjunct like the
+    * grouped top-k's `(day <=> d AND ts >= tau_d) OR …`, where
+    * fragment-level pruning cannot drop a dir (its own disjunct is
+    * alive) but each file still skips when every OTHER day's disjunct
+    * fails on `day` and its own fails on `ts`. Serializable (used by the
+    * distributed prune); a value that fails to cast or has no stats
+    * domain contributes no stat — never prunes, never lies.
+    *
+    * @param partFields (logical name, physical dir name, type) of every
+    *                   partition column
+    */
+  def pathPartStats(path: String,
+      partFields: Seq[(String, String, org.apache.spark.sql.types.DataType)],
+      zone: Option[String]): Map[String, ColStat] = {
+    if (partFields.isEmpty) return Map.empty
+    val kv: Map[String, String] = path.split('/').dropRight(1)
+      .flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+      }.toMap
+    partFields.flatMap { case (n, phys, dt) =>
+      kv.get(phys) match {
+        case None => None // token layout / absent dir: no stat
+        case Some("__HIVE_DEFAULT_PARTITION__") =>
+          Some(n -> ColStat(None, None, numNulls = 1L, allNulls = true))
+        case Some(raw) =>
+          Option(castPartValue(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(raw), dt, zone))
+            .flatMap(graft.sql.BoundaryWalk.statDomainOf)
+            .map(v => n -> ColStat(Some(v), Some(v), 0L, allNulls = false))
+      }
+    }.toMap
+  }
 }

@@ -717,10 +717,14 @@ object VersionedTable {
     * never a correctness dependency). */
   private def distributedPrune(spark: SparkSession, root: Path, rel: String,
       removedFromAnchor: Set[String],
-      resolved: org.apache.spark.sql.catalyst.expressions.Expression): Option[Set[String]] =
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      partFields: Seq[(String, String, org.apache.spark.sql.types.DataType)] = Nil,
+      zone: Option[String] = None): Option[Set[String]] =
     scala.util.Try {
       import spark.implicits._
       val removed = removedFromAnchor // small closure capture, not O(table)
+      val pf = partFields
+      val zn = zone
       val kept: Array[String] = spark.read.parquet(new Path(root, rel).toString)
         .select(col("path"), col("stats"))
         .as[(String, String)]
@@ -728,7 +732,8 @@ object VersionedTable {
           it.filter { case (p, st) =>
             !removed.contains(p) &&
               (st == null || !DataSkipping.canSkip(resolved,
-                DataSkipping.colsFromJson(st)))
+                DataSkipping.colsFromJson(st) ++
+                  DataSkipping.pathPartStats(p, pf, zn)))
           }.map(_._1)
         }
         .collect()
@@ -3418,12 +3423,12 @@ object VersionedTable {
     // stat map is consulted or any distributed prune job runs
     val partFields = c.schema.toSeq.flatMap(s =>
       partitionColsOf(s).map(n => s(s.fieldIndex(n))))
+    val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
     val partSkipped: Set[String] =
       if (partFields.isEmpty) Set.empty
       else {
         // values are per DIRECTORY: evaluate once per distinct fragment,
         // not once per file (1M files over 1K dirs = 1K evals, not 1M)
-        val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
         val byFrag = c.files.groupBy(partFragOf(_, partPhysOf(c)))
         byFrag.iterator.flatMap { case (frag, fks) =>
           if (DataSkipping.canSkip(resolved,
@@ -3432,22 +3437,40 @@ object VersionedTable {
         }.toSet
       }
     val files = c.files.filterNot(partSkipped)
-    // pass 2 — per-file min/max stats over the survivors
+    // pass 2 — per-file min/max stats over the survivors, AUGMENTED with
+    // the file's path-synthesized partition stats: a mixed disjunction
+    // (the grouped top-k's `(day <=> d AND ts >= tau_d) OR …`) prunes a
+    // file only when every OTHER group's disjunct is refuted on the
+    // PARTITION half and its own on the data half — fragment-level pass 1
+    // cannot do that (each dir's own disjunct is alive)
+    val pf3: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+      partFields.map(fl => (fl.name, c.physName(fl.name), fl.dataType))
+    def pruneAug(fs: Seq[String], stats: DataSkipping.FileStats)
+        : (Seq[String], Seq[String]) =
+      if (partFields.isEmpty) DataSkipping.prune(fs, stats, resolved)
+      else fs.partition { f =>
+        stats.get(f) match {
+          case Some(cs) => !DataSkipping.canSkip(resolved,
+            cs ++ DataSkipping.pathPartStats(f, pf3, zone))
+          case None => true
+        }
+      }
     val (kept, statSkipped) = c.ckptInfo match {
       case Some((rel, anchorSet)) =>
         val (inAnchor, rest) = files.partition(anchorSet)
         val removedFromAnchor = anchorSet -- inAnchor
-        distributedPrune(spark, root, rel, removedFromAnchor, resolved) match {
+        distributedPrune(spark, root, rel, removedFromAnchor, resolved,
+          pf3, zone) match {
           case Some(keptAnchor) =>
-            val (keptRest, _) = DataSkipping.prune(rest, c.statsAdds, resolved)
+            val (keptRest, _) = pruneAug(rest, c.statsAdds)
             val keptSet = keptAnchor ++ keptRest.toSet
             files.partition(keptSet)
           case None => // predicate didn't ship: force stats, prune local
             if (c.stats.isEmpty) (files, Seq.empty[String])
-            else DataSkipping.prune(files, c.stats, resolved)
+            else pruneAug(files, c.stats)
         }
       case None if c.stats.nonEmpty =>
-        DataSkipping.prune(files, c.stats, resolved)
+        pruneAug(files, c.stats)
       case None => (files, Seq.empty[String])
     }
     (kept, statSkipped ++ partSkipped.toSeq.sorted)

@@ -210,6 +210,47 @@ object DistStats extends Serializable {
     def result: Vector[(Any, Long)] = heap.toVector
   }
 
+  /** Per-DIR facts of the window group-limit's fire guard on a DATA
+    * sort column, aggregated on executors: live file count, the KEYS of
+    * files whose bounds survive the dir's effective tau (unprovable
+    * stats survive — never pruned on a guess; the key list is bounded by
+    * the surviving scan, and every file key is already driver-resident
+    * in the census), and the null-provability channel (any unknown
+    * non-null count / row count, Σnn, Σrows) that decides the NULLS
+    * FIRST admission driver-side. */
+  final case class GroupGuardAgg(files: Long, boundsAdmit: Vector[String],
+      nnUnknown: Boolean, nnSum: Long, rows: Long) extends Serializable
+
+  val emptyGuardAgg: GroupGuardAgg =
+    GroupGuardAgg(0L, Vector.empty, false, 0L, 0L)
+
+  def mergeGuardAgg(a: GroupGuardAgg, b: GroupGuardAgg): GroupGuardAgg =
+    GroupGuardAgg(a.files + b.files, a.boundsAdmit ++ b.boundsAdmit,
+      a.nnUnknown || b.nnUnknown, a.nnSum + b.nnSum, a.rows + b.rows)
+
+  /** Fold ONE file into its dir's guard aggregate. `eff` is the dir's
+    * effective stats-domain tau (None = every admitted group keeps all
+    * of its rows — the file survives regardless of bounds). */
+  def guardAggOf(sv: StatView, column: String, desc: Boolean,
+      eff: Option[Any], prior: GroupGuardAgg): GroupGuardAgg = {
+    val statOrd = DataSkipping.statOrdering
+    val admit = eff match {
+      case None => true
+      case Some(t) => sv.mm(column).flatten match {
+        case None => true // unprovable (or all-null) stats: survives
+        case Some((mn, mx)) =>
+          if (desc) statOrd.gteq(mx, t) else statOrd.lteq(mn, t)
+      }
+    }
+    val (unk, nnAdd, rowsAdd) = (sv.nn(column), sv.liveRows) match {
+      case (Some(n), Some(r)) => (false, n, r)
+      case _ => (true, 0L, 0L)
+    }
+    GroupGuardAgg(prior.files + 1L,
+      if (admit) prior.boundsAdmit :+ sv.path else prior.boundsAdmit,
+      prior.nnUnknown || unk, prior.nnSum + nnAdd, prior.rows + rowsAdd)
+  }
+
   /** The driver-side final walk over merged candidates: shortest
     * bound-sorted prefix with >= k non-null values; tau is the last
     * consumed bound (stats domain). None when fewer than k values are

@@ -213,14 +213,16 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     import PartitionCensus.{censusOf, liveEntries, bindPart}
     val info = censusOf(w.child).getOrElse(return None)
     // anchored-unforced: PARTITION sort columns never touch the stats map
-    // (bounds/counts synthesize from paths + fileRows), but a DATA sort
-    // column would force it — for both the per-group thresholds and the
-    // fire guard's per-file survival test. Distributing those needs two
-    // plan-time jobs (thresholds first, then the guard against them) —
-    // a known decline; the query scans, never pays an O(table) driver
-    // parse. (DENSE_RANK additionally needs per-file sketch hashes.)
-    if (!driverCheap(info.leaf) &&
-        (info.dataColOf.contains(oc.exprId) || fnKind == 2)) return None
+    // (bounds/counts synthesize from paths + fileRows). A DATA sort
+    // column dispatches to TWO distributed checkpoint jobs — the
+    // per-group prefix proofs, then the fire guard aggregation against
+    // the proven taus — so the stats map never materializes driver-side.
+    // DENSE_RANK stays declined there (its distinct prefix needs the
+    // per-file sketch hash SETS, which don't aggregate into a prefix
+    // walk); the query then scans, never pays an O(table) driver parse.
+    if (!driverCheap(info.leaf) && fnKind == 2) return None
+    val distMode =
+      !driverCheap(info.leaf) && info.dataColOf.contains(oc.exprId)
     val (_, mm, nn) = GraftBatchShim.topkStatsOf(info.leaf).getOrElse(return None)
     val ocName = info.dataColOf.get(oc.exprId)
       .orElse(info.idxOf.get(oc.exprId).map(info.partSchema.fieldNames(_)))
@@ -264,14 +266,31 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
         if (h.isEmpty) return None
         h
       } else None
-    val taus = groups.map { case (_, ents) =>
-      val fs = ents.flatMap(_._3)
-      val tauStat =
-        if (fnKind == 2)
-          distinctThresholdOf(fs, mm, ndvH.get, ocName, oc.dataType, k, desc)
-        else thresholdOf(fs, mm, nn, ocName, k, desc)
-      (ents, tauStat, tauStat.flatMap(GraftStats.internalOf(_, oc.dataType)))
-    }
+    val taus: Seq[(Seq[(org.apache.spark.sql.catalyst.InternalRow, Long,
+        Seq[String])], Option[Any], Option[Any])] =
+      if (distMode) {
+        // anchored: ONE checkpoint job proves every group's tau — the
+        // census already knows each dir's group (partition-level), so
+        // executors just route files by dir and keep O(k) per group
+        val hook = GraftBatchShim.graftTopkGroupDistOf(info.leaf)
+          .getOrElse(return None)
+        val dirGroup: Map[String, Int] = groups.zipWithIndex.flatMap {
+          case ((_, ents), gi) =>
+            ents.map(e => DistStats.partDirOf(e._3.head) -> gi)
+        }.toMap
+        val arr = hook(ocName, k, desc, dirGroup, groups.size)
+          .getOrElse(return None)
+        groups.zipWithIndex.map { case ((_, ents), gi) =>
+          (ents, arr(gi), arr(gi).flatMap(GraftStats.internalOf(_, oc.dataType)))
+        }
+      } else groups.map { case (_, ents) =>
+        val fs = ents.flatMap(_._3)
+        val tauStat =
+          if (fnKind == 2)
+            distinctThresholdOf(fs, mm, ndvH.get, ocName, oc.dataType, k, desc)
+          else thresholdOf(fs, mm, nn, ocName, k, desc)
+        (ents, tauStat, tauStat.flatMap(GraftStats.internalOf(_, oc.dataType)))
+      }
     if (taus.forall(_._3.isEmpty)) return None // nothing prunes anywhere
     // FIRE GUARD (fixpoint + profitability): DERIVED keys emit RANGE
     // bounds that can overlap other groups and re-admit entries entirely
@@ -289,33 +308,132 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     // nulls under NULLS FIRST) — conservative in the DECLINING
     // direction, and that branch's injected conjunct fails the census
     // walk on revisit anyway.
+    // group admission is PARTITION-level only (exact key equality, or
+    // membership in a derived key's observed per-column ranges) — shared
+    // by the driver guard's per-file loop and the distributed guard's
+    // per-dir effective-tau computation
+    def keysAdmit(gents: Seq[(org.apache.spark.sql.catalyst.InternalRow,
+        Long, Seq[String])], e: (org.apache.spark.sql.catalyst.InternalRow,
+        Long, Seq[String])): Boolean =
+      keys.forall {
+        case Exact(i) =>
+          java.util.Objects.equals(valueAt(gents.head._1, i),
+            valueAt(e._1, i))
+        case Derived(b) =>
+          b.collect { case br: BoundReference => br.ordinal }.distinct
+            .forall { i =>
+              val dt = fields(i).dataType
+              val gvs = gents.map(_._1).filterNot(_.isNullAt(i))
+                .map(_.get(i, dt))
+              val gHasNull = gents.exists(_._1.isNullAt(i))
+              if (e._1.isNullAt(i)) gHasNull
+              else if (gvs.isEmpty) false
+              else {
+                val vOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+                  .getInterpretedOrdering(dt)
+                val v = e._1.get(i, dt)
+                vOrd.gteq(v, gvs.min(vOrd)) && vOrd.lteq(v, gvs.max(vOrd))
+              }
+            }
+      }
+    // the kept-rows disjunction — one disjunct per group: its key
+    // predicate (exact equality, or the observed ranges of a derived
+    // key's inputs) AND its tau comparison when proven
+    val disjuncts: Seq[Expression] = taus.map { case (ents, _, tau) =>
+      val groupPreds: Seq[Expression] = keys.flatMap {
+        case Exact(i) =>
+          // constant within the group by construction (it IS a group key)
+          Seq(EqualNullSafe(leafAttr(fields(i).name).getOrElse(return None),
+            Literal(valueAt(ents.head._1, i), fields(i).dataType)))
+        case Derived(b) =>
+          // per referenced partition column: the group's observed range
+          b.collect { case br: BoundReference => br.ordinal }.distinct
+            .map { i =>
+              val dt = fields(i).dataType
+              val la = leafAttr(fields(i).name).getOrElse(return None)
+              val vs = ents.map(_._1).filterNot(_.isNullAt(i))
+                .map(_.get(i, dt))
+              val hasNull = ents.exists(_._1.isNullAt(i))
+              if (vs.isEmpty) IsNull(la): Expression
+              else {
+                val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+                  .getInterpretedOrdering(dt)
+                val rng = And(
+                  GreaterThanOrEqual(la, Literal(vs.min(ord), dt)),
+                  LessThanOrEqual(la, Literal(vs.max(ord), dt)))
+                if (hasNull) Or(rng, IsNull(la)) else rng
+              }
+            }
+      }
+      val keep = tau.map { t =>
+        val cmp: Expression =
+          if (desc) GreaterThanOrEqual(ocLeaf, Literal(t, ocLeaf.dataType))
+          else LessThanOrEqual(ocLeaf, Literal(t, ocLeaf.dataType))
+        if (nullOrd == NullsFirst) Or(cmp, IsNull(ocLeaf)) else cmp
+      }
+      (groupPreds ++ keep.toSeq).reduceOption[Expression](And)
+        .getOrElse(return None) // a keyless group cannot happen here
+    }
+    if (distMode) {
+      // anchored fire guard + pruning: per-dir survival facts aggregate
+      // in ONE checkpoint job against each dir's EFFECTIVE tau — the
+      // weakest tau among its admitting groups (an admitting group
+      // without a provable tau keeps everything); un-admitted dirs
+      // survive nowhere. Conservative in the KEEPING direction
+      // (unprovable stats survive, possible nulls under NULLS FIRST keep
+      // the whole dir). The scan then RESTRICTS to the surviving files —
+      // Spark's scan pushdown weakens a mixed `(day <=> d AND ts >=
+      // tau_d) OR …` into separate partition-only and data-only
+      // disjunctions, so predicate injection alone can only prune
+      // against min(tau); the restriction applies the per-group
+      // conjunction exactly. The injected Filter still trims rows.
+      val statOrd = graft.sources.DataSkipping.statOrdering
+      val guardHook = GraftBatchShim.graftTopkGroupGuardOf(info.leaf)
+        .getOrElse(return None)
+      var dirEff = Map.empty[String, Option[Any]]
+      entries.foreach { e =>
+        val admitted = taus.filter { case (gents, _, _) =>
+          keysAdmit(gents, e) }
+        if (admitted.nonEmpty) {
+          val eff: Option[Any] =
+            if (admitted.exists(t => t._2.isEmpty || t._3.isEmpty)) None
+            else {
+              val ts = admitted.flatMap(_._2)
+              Some(if (desc) ts.min(statOrd) else ts.max(statOrd))
+            }
+          dirEff += DistStats.partDirOf(e._3.head) -> eff
+        }
+      }
+      val agg = guardHook(ocName, desc, dirEff).getOrElse(return None)
+      var survivorKeys = Vector.empty[String]
+      entries.foreach { e =>
+        val dir = DistStats.partDirOf(e._3.head)
+        if (dirEff.contains(dir)) agg.get(dir) match {
+          // the walk must account for every live file of the dir —
+          // anything else is coverage drift: decline, never guess
+          case Some(g) if g.files == e._3.size.toLong =>
+            val mayNulls = g.nnUnknown || g.nnSum < g.rows
+            if (nullOrd == NullsFirst && mayNulls) survivorKeys ++= e._3
+            else survivorKeys ++= g.boundsAdmit
+          case _ => return None
+        }
+      }
+      val totalFiles = entries.iterator.map(_._3.size).sum
+      if (survivorKeys.size >= totalFiles) return None // nothing eliminated
+      val subRel = GraftBatchShim
+        .restrictScanTo(spark, info.leaf, survivorKeys).getOrElse(return None)
+      var replacedLeaf = false
+      val restricted = w.child.transformUp {
+        case p if (p eq info.leaf) && !replacedLeaf =>
+          replacedLeaf = true; subRel
+      }
+      if (!replacedLeaf) return None
+      return injectAtLeaf(restricted, subRel,
+        disjuncts.reduce[Expression](Or)).map(nc => w.copy(child = nc))
+    }
     locally {
       val statOrd = graft.sources.DataSkipping.statOrdering
       val ocPartIdx = info.idxOf.get(oc.exprId)
-      def keysAdmit(gents: Seq[(org.apache.spark.sql.catalyst.InternalRow,
-          Long, Seq[String])], e: (org.apache.spark.sql.catalyst.InternalRow,
-          Long, Seq[String])): Boolean =
-        keys.forall {
-          case Exact(i) =>
-            java.util.Objects.equals(valueAt(gents.head._1, i),
-              valueAt(e._1, i))
-          case Derived(b) =>
-            b.collect { case br: BoundReference => br.ordinal }.distinct
-              .forall { i =>
-                val dt = fields(i).dataType
-                val gvs = gents.map(_._1).filterNot(_.isNullAt(i))
-                  .map(_.get(i, dt))
-                val gHasNull = gents.exists(_._1.isNullAt(i))
-                if (e._1.isNullAt(i)) gHasNull
-                else if (gvs.isEmpty) false
-                else {
-                  val vOrd = org.apache.spark.sql.catalyst.util.TypeUtils
-                    .getInterpretedOrdering(dt)
-                  val v = e._1.get(i, dt)
-                  vOrd.gteq(v, gvs.min(vOrd)) && vOrd.lteq(v, gvs.max(vOrd))
-                }
-              }
-        }
       def tauAdmitsFile(tauStat: Option[Any], tauInt: Option[Any],
           e: (org.apache.spark.sql.catalyst.InternalRow, Long, Seq[String]),
           f: String): Boolean = (tauStat, tauInt) match {
@@ -351,41 +469,6 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       }.sum
       val totalFiles = entries.iterator.map(_._3.size).sum
       if (survivors >= totalFiles) return None // would not eliminate any
-    }
-    val disjuncts = taus.map { case (ents, _, tau) =>
-      val groupPreds: Seq[Expression] = keys.flatMap {
-        case Exact(i) =>
-          // constant within the group by construction (it IS a group key)
-          Seq(EqualNullSafe(leafAttr(fields(i).name).getOrElse(return None),
-            Literal(valueAt(ents.head._1, i), fields(i).dataType)))
-        case Derived(b) =>
-          // per referenced partition column: the group's observed range
-          b.collect { case br: BoundReference => br.ordinal }.distinct
-            .map { i =>
-              val dt = fields(i).dataType
-              val la = leafAttr(fields(i).name).getOrElse(return None)
-              val vs = ents.map(_._1).filterNot(_.isNullAt(i))
-                .map(_.get(i, dt))
-              val hasNull = ents.exists(_._1.isNullAt(i))
-              if (vs.isEmpty) IsNull(la): Expression
-              else {
-                val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-                  .getInterpretedOrdering(dt)
-                val rng = And(
-                  GreaterThanOrEqual(la, Literal(vs.min(ord), dt)),
-                  LessThanOrEqual(la, Literal(vs.max(ord), dt)))
-                if (hasNull) Or(rng, IsNull(la)) else rng
-              }
-            }
-      }
-      val keep = tau.map { t =>
-        val cmp: Expression =
-          if (desc) GreaterThanOrEqual(ocLeaf, Literal(t, ocLeaf.dataType))
-          else LessThanOrEqual(ocLeaf, Literal(t, ocLeaf.dataType))
-        if (nullOrd == NullsFirst) Or(cmp, IsNull(ocLeaf)) else cmp
-      }
-      (groupPreds ++ keep.toSeq).reduceOption[Expression](And)
-        .getOrElse(return None) // a keyless group cannot happen here
     }
     injectAtLeaf(w.child, info.leaf, disjuncts.reduce[Expression](Or))
       .map(nc => w.copy(child = nc))

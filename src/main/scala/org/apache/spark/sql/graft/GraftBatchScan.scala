@@ -516,6 +516,193 @@ private[graft] class GraftFileIndex(
         }.toOption.flatten)
     }
 
+  /** The DISTRIBUTED per-GROUP top-k prefix proofs — the window
+    * group-limit's thresholds on a DATA sort column over an anchored
+    * table: ONE checkpoint job keeps a [[graft.sql.DistStats.PrefixHeap]]
+    * plus a profitability far-edge PER GROUP, routed by a driver-shipped
+    * dir → group map (the census already knows every dir's group —
+    * partition-level facts that never touch the stats column); only
+    * O(groups × k) partials return, the driver re-walks each group's
+    * union. Result: stats-domain tau per group index, None where
+    * unprovable or unprofitable (that group keeps its bare disjunct).
+    * Memoized per shape; None on any shipping failure. */
+  private val topkGroupMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Boolean, Map[String, Int]),
+    Option[Array[Option[Any]]]]()
+
+  def topkGroupDistThresholds(column: String, k: Int, desc: Boolean,
+      dirGroup: Map[String, Int], nGroups: Int)
+      : Option[Array[Option[Any]]] =
+    boundaryDist.flatMap { bd =>
+      // same degenerate-LIMIT cap as the global walk: the driver merge
+      // is O(groups × k)
+      if (k <= 0 || k > 100000 || nGroups <= 0) return None
+      topkGroupMemo.computeIfAbsent((column, k, desc, dirGroup),
+        _ => scala.util.Try {
+          import graft.sql.DistStats
+          val statOrd = graft.sources.DataSkipping.statOrdering
+          val pfL: Seq[(String, String,
+              org.apache.spark.sql.types.DataType)] =
+            partSchema.fields.toSeq.map(f =>
+              (f.name, physNameOf(f.name), f.dataType))
+          val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+          // locals only — the closure must not capture `this`
+          val removed = bd.removed
+          val dvR = bd.dvRows
+          val (colL, kL, descL, dgL, ngL) =
+            (column, k, desc, dirGroup, nGroups)
+          def farBetter(a: Any, b: Any): Any =
+            if (descL) { if (statOrd.lt(a, b)) a else b }
+            else { if (statOrd.gt(a, b)) a else b }
+          val ckptDf = spark.read
+            .parquet(new Path(root, bd.ckptRel).toString)
+            .select(org.apache.spark.sql.functions.col("path"),
+              org.apache.spark.sql.functions.col("rows"),
+              org.apache.spark.sql.functions.col("stats"))
+          val partials: Array[(Array[Vector[(Any, Long)]],
+              Array[Option[Any]])] =
+            ckptDf.rdd.mapPartitions { it =>
+              val heaps =
+                Array.fill(ngL)(new DistStats.PrefixHeap(kL, descL))
+              val far = Array.fill[Option[Any]](ngL)(None)
+              it.foreach { r =>
+                val p = r.getString(0)
+                if (!removed.contains(p)) {
+                  dgL.get(DistStats.partDirOf(p)).foreach { gi =>
+                    val rowsOpt =
+                      if (r.isNullAt(1)) None else Some(r.getLong(1))
+                    val stats =
+                      if (r.isNullAt(2))
+                        Map.empty[String, graft.sources.DataSkipping.ColStat]
+                      else graft.sources.DataSkipping
+                        .colsFromJson(r.getString(2))
+                    val sv = new DistStats.StatView(p, rowsOpt, stats,
+                      dvR.getOrElse(p, 0L), pfL, zone)
+                    DistStats.candOf(sv, colL, descL).foreach {
+                      case (near, farE, cnt) =>
+                        heaps(gi).add(near, cnt)
+                        far(gi) =
+                          Some(far(gi).fold(farE)(f => farBetter(farE, f)))
+                    }
+                  }
+                }
+              }
+              Iterator.single((heaps.map(_.result), far))
+            }.collect()
+          val cands = Array.fill(nGroups)(Vector.empty[(Any, Long)])
+          val far = Array.fill[Option[Any]](nGroups)(None)
+          def foldFar(gi: Int, f: Any): Unit =
+            far(gi) = Some(far(gi).fold(f)(cur =>
+              if (desc) { if (statOrd.lt(f, cur)) f else cur }
+              else { if (statOrd.gt(f, cur)) f else cur }))
+          partials.foreach { case (hs, fs) =>
+            var i = 0
+            while (i < nGroups) {
+              cands(i) = cands(i) ++ hs(i)
+              fs(i).foreach(foldFar(i, _))
+              i += 1
+            }
+          }
+          // files ADDED since the anchor fold in driver-side (O(delta))
+          bd.added.foreach { fk =>
+            dirGroup.get(graft.sql.DistStats.partDirOf(fk)).foreach { gi =>
+              val sv = new graft.sql.DistStats.StatView(fk,
+                bd.addedRows.get(fk), bd.addedStats.getOrElse(fk, Map.empty),
+                bd.dvRows.getOrElse(fk, 0L), pfL, zone)
+              graft.sql.DistStats.candOf(sv, column, desc).foreach {
+                case (near, farE, cnt) =>
+                  cands(gi) = cands(gi) :+ ((near, cnt))
+                  foldFar(gi, farE)
+              }
+            }
+          }
+          Array.tabulate(nGroups)(gi =>
+            graft.sql.DistStats.prefixWalk(cands(gi), k, desc).filter(t =>
+              far(gi).exists(f =>
+                if (desc) statOrd.lt(f, t) else statOrd.gt(f, t))))
+        }.toOption)
+    }
+
+  /** The DISTRIBUTED window-guard aggregation: per partition DIR, the
+    * facts the group-limit fire guard needs on a DATA sort column —
+    * live file count, files whose bounds survive the dir's EFFECTIVE
+    * tau (unprovable stats survive — never pruned on a guess), and the
+    * null-provability channel for the NULLS FIRST admission. `dirEff`
+    * maps each ADMITTED dir to Some(stats-domain tau) or None =
+    * admit-all; un-mapped dirs are skipped entirely (no group admits
+    * their files). Result bounded by the mapped dir count. */
+  private val topkGuardMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Boolean, Map[String, Option[Any]]),
+    Option[Map[String, graft.sql.DistStats.GroupGuardAgg]]]()
+
+  def topkGroupGuardStats(column: String, desc: Boolean,
+      dirEff: Map[String, Option[Any]])
+      : Option[Map[String, graft.sql.DistStats.GroupGuardAgg]] =
+    boundaryDist.flatMap { bd =>
+      topkGuardMemo.computeIfAbsent((column, desc, dirEff),
+        _ => scala.util.Try {
+          import graft.sql.DistStats
+          val pfL: Seq[(String, String,
+              org.apache.spark.sql.types.DataType)] =
+            partSchema.fields.toSeq.map(f =>
+              (f.name, physNameOf(f.name), f.dataType))
+          val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+          // locals only — the closure must not capture `this`
+          val removed = bd.removed
+          val dvR = bd.dvRows
+          val (colL, descL, deL) = (column, desc, dirEff)
+          val ckptDf = spark.read
+            .parquet(new Path(root, bd.ckptRel).toString)
+            .select(org.apache.spark.sql.functions.col("path"),
+              org.apache.spark.sql.functions.col("rows"),
+              org.apache.spark.sql.functions.col("stats"))
+          val partials: Array[Map[String, DistStats.GroupGuardAgg]] =
+            ckptDf.rdd.mapPartitions { it =>
+              val acc = scala.collection.mutable.HashMap
+                .empty[String, DistStats.GroupGuardAgg]
+              it.foreach { r =>
+                val p = r.getString(0)
+                if (!removed.contains(p)) {
+                  val dir = DistStats.partDirOf(p)
+                  deL.get(dir).foreach { eff =>
+                    val rowsOpt =
+                      if (r.isNullAt(1)) None else Some(r.getLong(1))
+                    val stats =
+                      if (r.isNullAt(2))
+                        Map.empty[String, graft.sources.DataSkipping.ColStat]
+                      else graft.sources.DataSkipping
+                        .colsFromJson(r.getString(2))
+                    val sv = new DistStats.StatView(p, rowsOpt, stats,
+                      dvR.getOrElse(p, 0L), pfL, zone)
+                    acc(dir) = DistStats.guardAggOf(sv, colL, descL, eff,
+                      acc.getOrElse(dir, DistStats.emptyGuardAgg))
+                  }
+                }
+              }
+              Iterator.single(acc.toMap)
+            }.collect()
+          val merged = scala.collection.mutable.HashMap
+            .empty[String, graft.sql.DistStats.GroupGuardAgg]
+          partials.foreach(_.foreach { case (dir, agg) =>
+            merged(dir) = merged.get(dir)
+              .map(graft.sql.DistStats.mergeGuardAgg(_, agg))
+              .getOrElse(agg)
+          })
+          // files ADDED since the anchor fold in driver-side (O(delta))
+          bd.added.foreach { fk =>
+            val dir = graft.sql.DistStats.partDirOf(fk)
+            dirEff.get(dir).foreach { eff =>
+              val sv = new graft.sql.DistStats.StatView(fk,
+                bd.addedRows.get(fk), bd.addedStats.getOrElse(fk, Map.empty),
+                bd.dvRows.getOrElse(fk, 0L), pfL, zone)
+              merged(dir) = graft.sql.DistStats.guardAggOf(sv, column, desc,
+                eff, merged.getOrElse(dir, graft.sql.DistStats.emptyGuardAgg))
+            }
+          }
+          merged.toMap
+        }.toOption)
+    }
+
   /** STABLE function values of the two hooks above — the top-k rule's
     * memo is weakly keyed by the bounds function's identity, so it must
     * be one object per index, not a fresh eta-expansion per query. */
@@ -1247,6 +1434,34 @@ object GraftBatchShim {
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
         Some(g.fileNullAnyOf)
+      case _ => None
+    }
+
+  /** The DISTRIBUTED per-GROUP top-k prefix proofs of a checkpoint-
+    * anchored graft relation node — the window group-limit's thresholds
+    * on a DATA sort column: (column, k, desc, dir → group map, group
+    * count) → stats-domain tau per group index. */
+  def graftTopkGroupDistOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, Int, Boolean, Map[String, Int], Int) =>
+        Option[Array[Option[Any]]]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.boundaryDist.isDefined =>
+        Some((c, k, d, dg, n) => g.topkGroupDistThresholds(c, k, d, dg, n))
+      case _ => None
+    }
+
+  /** The DISTRIBUTED window-guard aggregation of a checkpoint-anchored
+    * graft relation node — per-dir survival facts for the group-limit
+    * fire guard: (column, desc, dir → effective tau) → per-dir
+    * aggregates. */
+  def graftTopkGroupGuardOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, Boolean, Map[String, Option[Any]]) =>
+        Option[Map[String, graft.sql.DistStats.GroupGuardAgg]]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.boundaryDist.isDefined =>
+        Some((c, d, de) => g.topkGroupGuardStats(c, d, de))
       case _ => None
     }
 

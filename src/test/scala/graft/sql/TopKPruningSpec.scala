@@ -559,12 +559,86 @@ class TopKPruningSpec extends SparkSpec {
       // tables DECLINE (the per-group walk is a known next lift) — the
       // answer must come from a real scan, never a driver stats parse
       import org.apache.spark.sql.expressions.{Window => W}
+      // window group-limit on a DATA sort column, SINGLE file per group:
+      // the distributed guard proves nothing would be eliminated (each
+      // group's only file holds its own top-2) — unprofitable, scans,
+      // still zero driver stats parses
       val win = t.withColumn("rn", row_number().over(
         W.partitionBy(col("day")).orderBy(col("ts").desc)))
         .filter(col("rn") <= 2).select(col("day"), col("ts"))
       assert(win.count() == 24L)
       assert(VersionedTable.ckptStatsParses.get() == 0L,
-        "the declined window group-limit must not force driver stats")
+        "the unprofitable window group-limit must not force driver stats")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
+
+  test("anchored window group-limit: per-group proofs and guard run DISTRIBUTED") {
+    val path = tmp() + "/aw"
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      // 6 day dirs × 3 single-file ts bands each (18 commits) → anchored;
+      // the top-2 per day lives entirely in the day's HIGH band
+      for { d <- 0 until 6; b <- 0 until 3 } {
+        spark.range(d * 300L + b * 100L, d * 300L + (b + 1) * 100L)
+          .select(lit(d.toLong).as("day"), col("id").as("ts"),
+            col("id").as("pk")).coalesce(1)
+          .write.format("graft-table").option("statsCols", "ts")
+          .partitionBy("day")
+          .mode(if (d == 0 && b == 0) "overwrite" else "append").save(path)
+      }
+      def t = spark.read.format("graft-table").load(path)
+      assert(t.inputFiles.length == 18)
+      VersionedTable.ckptStatsParses.set(0L)
+      import org.apache.spark.sql.expressions.{Window => W}
+      def q() = t.withColumn("rn", row_number().over(
+        W.partitionBy(col("day")).orderBy(col("ts").desc)))
+        .filter(col("rn") <= 2).select(col("day"), col("ts"))
+      val on = q()
+      val read = filesRead(on, "ts")
+      assert(read <= 6L && read >= 1L,
+        s"per-group proofs must prune to the high bands: $read/18\n" +
+          on.queryExecution.optimizedPlan)
+      val got = rows(on)
+      assert(got.size == 12)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the distributed group proofs + guard must never materialize " +
+          "the checkpoint stats column driver-side")
+      withRuleOff(assert(rows(q()) == got))
+      // DERIVED window key over the partition column: groups collapse
+      // (day % 2), proofs still distributed, still pruned
+      def qd() = t.withColumn("rn", row_number().over(
+        W.partitionBy(col("day") % 2).orderBy(col("ts").desc)))
+        .filter(col("rn") <= 2).select(col("day"), col("ts"))
+      val onD = qd()
+      assert(filesRead(onD, "ts") < 18L,
+        s"derived-key group proofs must prune:\n" +
+          onD.queryExecution.optimizedPlan)
+      val gotD = rows(onD)
+      assert(gotD.size == 4)
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+      withRuleOff(assert(rows(qd()) == gotD))
+      // an appended post-anchor file folds into the proofs driver-side
+      // from O(delta) statsAdds — day 0's new high band shifts its top-2
+      spark.range(5000L, 5100L)
+        .select(lit(0L).as("day"), col("id").as("ts"), col("id").as("pk"))
+        .coalesce(1).write.format("graft-table").option("statsCols", "ts")
+        .partitionBy("day").mode("append").save(path)
+      VersionedTable.ckptStatsParses.set(0L)
+      val on2 = q()
+      val got2 = rows(on2)
+      assert(got2.size == 12 && got2.exists(_.contains("5099")),
+        s"the appended band must win day 0's top-2: $got2")
+      assert(VersionedTable.ckptStatsParses.get() == 0L)
+      withRuleOff(assert(rows(q()) == got2))
+      // DENSE_RANK still declines on anchored tables (sketch hash sets
+      // don't aggregate into a prefix walk) — correct via the scan
+      val dr = t.withColumn("rn", dense_rank().over(
+        W.partitionBy(col("day")).orderBy(col("ts").desc)))
+        .filter(col("rn") <= 2).select(col("day"), col("ts"))
+      assert(dr.count() == 12L)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the declined DENSE_RANK must not force driver stats")
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
