@@ -431,7 +431,7 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       return injectAtLeaf(restricted, subRel,
         disjuncts.reduce[Expression](Or)).map(nc => w.copy(child = nc))
     }
-    locally {
+    val survivorKeys: Seq[String] = {
       val statOrd = graft.sources.DataSkipping.statOrdering
       val ocPartIdx = info.idxOf.get(oc.exprId)
       def tauAdmitsFile(tauStat: Option[Any], tauInt: Option[Any],
@@ -460,17 +460,28 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         case _ => true // no provable tau: the group keeps its bare disjunct
       }
-      val survivors = entries.iterator.map { e =>
-        e._3.count { f =>
+      entries.flatMap { e =>
+        e._3.filter { f =>
           taus.exists { case (gents, ts, ti) =>
             keysAdmit(gents, e) && tauAdmitsFile(ts, ti, e, f)
           }
         }
-      }.sum
-      val totalFiles = entries.iterator.map(_._3.size).sum
-      if (survivors >= totalFiles) return None // would not eliminate any
+      }
     }
-    injectAtLeaf(w.child, info.leaf, disjuncts.reduce[Expression](Or))
+    val totalFiles = entries.iterator.map(_._3.size).sum
+    if (survivorKeys.size >= totalFiles) return None // would not eliminate any
+    // RESTRICT the scan to the surviving files (Spark's pushdown weakens
+    // the mixed per-group disjunction — see the distMode comment) and
+    // keep the injected Filter for row trimming
+    val subRel = GraftBatchShim
+      .restrictScanTo(spark, info.leaf, survivorKeys).getOrElse(return None)
+    var replacedLeaf = false
+    val restricted = w.child.transformUp {
+      case p if (p eq info.leaf) && !replacedLeaf =>
+        replacedLeaf = true; subRel
+    }
+    if (!replacedLeaf) return None
+    injectAtLeaf(restricted, subRel, disjuncts.reduce[Expression](Or))
       .map(nc => w.copy(child = nc))
   }
 
