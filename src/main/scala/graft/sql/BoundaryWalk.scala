@@ -146,11 +146,26 @@ object BoundaryWalk extends Serializable {
           else {
             val w = wn.head.name
             val nullsW = r - nns(w)
+            // rows null in >= 1 column of a nullable-range set R —
+            // pairwise by inclusion-exclusion, larger sets from the
+            // per-set ANALYZE stat
+            def nullAnyOf(set: Seq[String]): Option[Long] = set match {
+              case Seq(c1, c2) =>
+                jn(c1, c2).map(j => (r - nns(c1)) + (r - nns(c2)) - j)
+              case _ => na(set)
+            }
             ivs.filterNot(_.wantNull).map(_.name)
               .filter(n => nns(n) < r) match {
               case Seq() => Some(nullsW)
               case Seq(c) => jn(w, c).map(j => nullsW - j)
-              case _ => None
+              // TWO-plus nullable range columns: matching = |w null ∧
+              // every R column non-null| = nullAny(R ∪ {w}) − nullAny(R)
+              // (the rows the union gains over R alone are exactly the
+              // w-null rows with every R column non-null)
+              case more => for {
+                naAll <- na(w +: more)
+                naR <- nullAnyOf(more)
+              } yield naAll - naR
             }
           }
         } else {

@@ -315,13 +315,23 @@ class BoundaryCountSpec extends SparkSpec {
     assert(filesRead(qnm) <= 2L,
       s"straddling:\n${qnm.queryExecution.optimizedPlan}")
     assert(qnm.collect().head.getLong(0) == truth(nmid))
-    // TWO nullable range columns beside the IS NULL decline (higher-order
-    // overlap) — exact via the scan
+    // TWO nullable range columns beside the IS NULL: declines until the
+    // SET stat for {u, v, w} exists (the 4-column ANALYZE recorded only
+    // the full set) — exact via the scan
     val three = $"v".isNull && $"w" >= 0L && $"u" >= 0L
     val qt = t.filter(three).agg(count(lit(1)).as("n"))
     assert(!scanFree(qt),
-      "two nullable range columns under IS NULL must keep scanning")
+      "two nullable range columns under IS NULL must scan without the set stat")
     assert(qt.collect().head.getLong(0) == truth(three))
+    // a {u, v, w} set ANALYZE arms the composition: matching =
+    // nullAny({u,v,w}) − nullAny({u,w}) subtracted from the v-null count
+    // (the pair term derives from the recorded joint-null) — scan-free
+    VersionedTable.analyzeNdv(spark, path, Seq("u", "v", "w"))
+    val qt2 = t.filter(three).agg(count(lit(1)).as("n"))
+    assert(scanFree(qt2),
+      s"set-armed IS NULL + two nullable ranges must answer from " +
+        s"metadata:\n${qt2.queryExecution.optimizedPlan}")
+    assert(qt2.collect().head.getLong(0) == truth(three))
     // SUM under IS NULL still declines (sums of the null-complement are
     // not derivable) — exact via the scan
     val qs = t.filter(nullable).agg(sum($"w").as("sw"))
