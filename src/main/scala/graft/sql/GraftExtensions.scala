@@ -221,21 +221,23 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   import PartitionCensus.{CensusInfo, censusOf, bindPart, liveEntries, traverseOpt}
 
-  /** (relation metadata hooks, aggregate-attr exprId → relation column). */
+  /** (relation metadata hooks, aggregate-attr exprId → relation column,
+    * the relation LEAF — the anchored-dispatch gate's anchor). */
   private def snapshotOf(plan: LogicalPlan): Option[
       ((Option[Long], String => Option[(Any, Any)], String => Option[Long],
-        String => Option[BigDecimal]), Map[ExprId, String])] =
+        String => Option[BigDecimal]), Map[ExprId, String], LogicalPlan)] =
     GraftBatchShim.graftMetadataOf(plan) match {
       case Some(meta) =>
-        Some((meta, plan.output.map(a => a.exprId -> a.name).toMap))
+        Some((meta, plan.output.map(a => a.exprId -> a.name).toMap, plan))
       case None => plan match {
-        case Project(items, child) => snapshotOf(child).map { case (meta, base) =>
-          (meta, items.flatMap {
-            case a: AttributeReference => base.get(a.exprId).map(a.exprId -> _)
-            case al @ Alias(a: AttributeReference, _) =>
-              base.get(a.exprId).map(al.exprId -> _)
-            case _ => None // computed column: MIN/MAX over it must decline
-          }.toMap)
+        case Project(items, child) => snapshotOf(child).map {
+          case (meta, base, leaf) =>
+            (meta, items.flatMap {
+              case a: AttributeReference => base.get(a.exprId).map(a.exprId -> _)
+              case al @ Alias(a: AttributeReference, _) =>
+                base.get(a.exprId).map(al.exprId -> _)
+              case _ => None // computed column: MIN/MAX over it must decline
+            }.toMap, leaf)
         }
         case _ => None
       }
@@ -305,14 +307,55 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       val direct = snapshotOf(child).flatMap {
-        case ((liveRows, minMaxOf, nonNullOf, sumOf), colOf) =>
-          val values = aggExprs.map(
-            answer(_, liveRows, minMaxOf, nonNullOf, sumOf, colOf))
-          if (values.forall(_.isDefined))
-            Some(LocalRelation(agg.output,
-              Seq(org.apache.spark.sql.catalyst.InternalRow(
-                values.map(_.get): _*))))
-          else None
+        case ((liveRows, minMaxOf, nonNullOf, sumOf), colOf, leaf) =>
+          // LAZY-STATS dispatch: on a checkpoint-anchored table whose
+          // stats map is not already paid for, the table-level DATA-column
+          // channels (MIN/MAX/COUNT(col)/SUM) must not iterate per-file
+          // hooks on the driver — ONE distributed census job aggregates
+          // the requested columns over the checkpoint parquet and the
+          // per-dir results merge here (partition columns keep the driver
+          // hooks: they answer from paths + fileRows, never the stats
+          // map). No distributed answer → decline to the later arms.
+          val cheap = GraftBatchShim.graftStatsDriverCheap(leaf)
+            .getOrElse(true)
+          val hooksOpt: Option[(String => Option[(Any, Any)],
+              String => Option[Long], String => Option[BigDecimal])] =
+            if (cheap) Some((minMaxOf, nonNullOf, sumOf))
+            else {
+              val partCols = GraftBatchShim.graftPartitionColsOf(leaf)
+                .getOrElse(Seq.empty).toSet
+              val dataCols = aggExprs.flatMap(_.collect {
+                case a: AttributeReference => colOf.get(a.exprId)
+              }.flatten).distinct.filterNot(partCols)
+              if (dataCols.isEmpty) Some((minMaxOf, nonNullOf, sumOf))
+              else GraftBatchShim.graftCensusDistOf(leaf)
+                .flatMap(_(dataCols)).map { byDir =>
+                  val merged: Map[String, DistStats.ColAgg] =
+                    dataCols.map(c => c -> byDir.valuesIterator
+                      .flatMap(_.get(c))
+                      .foldLeft(DistStats.emptyColAgg)(
+                        DistStats.mergeColAgg)).toMap
+                  val mm2: String => Option[(Any, Any)] = c =>
+                    if (partCols(c)) minMaxOf(c)
+                    else merged.get(c).flatMap(_.bounds).flatten
+                  val nn2: String => Option[Long] = c =>
+                    if (partCols(c)) nonNullOf(c)
+                    else merged.get(c).flatMap(_.nn)
+                  val sm2: String => Option[BigDecimal] = c =>
+                    if (partCols(c)) sumOf(c)
+                    else merged.get(c).flatMap(_.sum)
+                  (mm2, nn2, sm2)
+                }
+            }
+          hooksOpt.flatMap { case (mm2, nn2, sm2) =>
+            val values = aggExprs.map(
+              answer(_, liveRows, mm2, nn2, sm2, colOf))
+            if (values.forall(_.isDefined))
+              Some(LocalRelation(agg.output,
+                Seq(org.apache.spark.sql.catalyst.InternalRow(
+                  values.map(_.get): _*))))
+            else None
+          }
       }
       // fallback: GLOBAL aggregates of PARTITION columns (file stats never
       // cover them) answer from the census — `SELECT max(event_date) FROM

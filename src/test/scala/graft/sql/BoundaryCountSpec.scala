@@ -861,6 +861,22 @@ class BoundaryCountSpec extends SparkSpec {
         expectCnt(i => i % 5 != 0 && i % 7 != 0 && i % 11 != 0) +
           (65536L until 66000L).count(i => i % 7 != 0).toLong)
       assert(VersionedTable.ckptStatsParses.get() == 0L)
+      // BARE global aggregates (no filter — the direct metadata path):
+      // the table-level MIN/MAX/COUNT(col)/SUM channels must aggregate
+      // DISTRIBUTED over the checkpoint, never per-file on the driver
+      val qg = t.agg(count(lit(1)).as("n"), count($"a").as("na"),
+        min($"k").as("mn"), max($"k").as("mx"), sum($"a").as("sa"))
+      assert(scanFree(qg), qg.queryExecution.optimizedPlan.toString)
+      val gr = qg.collect().head
+      assert(gr.getLong(0) == 66000L)
+      assert(gr.getLong(1) ==
+        expectCnt(i => i % 5 != 0) + 464L) // appended a: never null
+      assert(gr.getLong(2) == 0L && gr.getLong(3) == 65999L)
+      assert(gr.getLong(4) ==
+        (0L until 65536L).filter(_ % 5 != 0).sum + (65536L until 66000L).sum)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the direct global metadata path must not force the checkpoint " +
+          "stats column driver-side")
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
