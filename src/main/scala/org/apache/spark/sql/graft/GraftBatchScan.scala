@@ -756,6 +756,40 @@ private[graft] class GraftFileIndex(
     Some(total)
   }
 
+  /** One data column's census aggregate merged across every partition
+    * dir — the single-column client of [[censusDistStats]] (memoized
+    * there per column set). */
+  private def mergedAggOf(c: String): Option[graft.sql.DistStats.ColAgg] =
+    censusDistStats(Seq(c)).map(_.valuesIterator.flatMap(_.get(c))
+      .foldLeft(graft.sql.DistStats.emptyColAgg)(
+        graft.sql.DistStats.mergeColAgg))
+
+  private def distDispatch(c: String): Boolean =
+    !statsDriverCheap() && boundaryDist.isDefined &&
+      !partSchema.fieldNames.contains(c)
+
+  /** The TABLE-level metadata channels behind the LAZY-STATS dispatch —
+    * STABLE function values (consumers memoize weakly by closure
+    * identity): driver hooks when the stats map is inline/already paid
+    * for or the column is a partition column (paths + manifest rows,
+    * never the stats map), ONE distributed census job per column
+    * otherwise. Sticky refusal semantics are identical on both paths
+    * (DV marks, truncation, missing stats, all-null all decline), so
+    * every consumer — global metadata answers, join-range inference,
+    * reorder selectivity — stops forcing a million-file checkpoint's
+    * stats column driver-side at plan time. */
+  val colBoundsDispatched: String => Option[(Any, Any)] = c =>
+    if (!distDispatch(c)) minMaxOf(c)
+    else mergedAggOf(c).flatMap(_.bounds).flatten
+
+  val colNonNullDispatched: String => Option[Long] = c =>
+    if (!distDispatch(c)) nonNullCountOf(c)
+    else mergedAggOf(c).flatMap(_.nn)
+
+  val colSumDispatched: String => Option[BigDecimal] = c =>
+    if (!distDispatch(c)) sumOf(c)
+    else mergedAggOf(c).flatMap(_.sum)
+
   override val rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = partSchema
   override def refresh(): Unit = ()
@@ -1265,7 +1299,8 @@ object GraftBatchShim {
         String => Option[Long], String => Option[BigDecimal])] =
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
-        Some((g.liveRows, g.minMaxOf, g.nonNullCountOf, g.sumOf))
+        Some((g.liveRows, g.colBoundsDispatched, g.colNonNullDispatched,
+          g.colSumDispatched))
       case _ => None
     }
 
@@ -1318,7 +1353,7 @@ object GraftBatchShim {
       : Option[String => Option[(Any, Any)]] =
     plan match {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _) =>
-        Some(g.minMaxOf)
+        Some(g.colBoundsDispatched)
       case _ => None
     }
 

@@ -96,4 +96,38 @@ class JoinRangeInferenceSpec extends SparkSpec {
       .groupBy($"g").agg(sum($"v").as("s"))
     assert(filesRead(outer, "v") == 16L)
   }
+
+  test("anchored fact: inference reads bounds DISTRIBUTED, zero driver stats parses") {
+    val base = tmp(); val fact = base + "/afact"; val dim = base + "/adim"
+    val saved = VersionedTable.CkptInlineMaxFiles
+    VersionedTable.CkptInlineMaxFiles = 8
+    try {
+      // 16 single-file band appends -> the head anchors at a parquet
+      // checkpoint; the dim's narrow range must prune fact files WITHOUT
+      // the fact's stats map ever materializing driver-side
+      (0 until 16).foreach { b =>
+        VersionedTable.append(
+          spark.range(b * 4096L, (b + 1) * 4096L)
+            .select(col("id").as("k"), col("id").as("v")).coalesce(1),
+          fact, statsCols = Seq("k"))
+      }
+      VersionedTable.write(
+        (1000L to 2999L).map(k => (k, "g" + k % 3)).toDF("pk", "g"), dim,
+        statsCols = Seq("pk"))
+      def f = VersionedTable.read(spark, fact)
+      VersionedTable.ckptStatsParses.set(0L)
+      val fv = f
+      val q = fv.join(VersionedTable.read(spark, dim), fv("k") === col("pk"))
+        .groupBy($"g").agg(sum($"v").as("s"))
+      val read = filesRead(q, "v")
+      val vals = sorted(q)
+      assert(read < 16L && read >= 1L,
+        s"anchored fact must prune through inferred ranges: $read/16")
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "join-range inference must not force the anchored stats map")
+      spark.conf.set("spark.graft.joinRange.enabled", "false")
+      try assert(sorted(q) == vals)
+      finally spark.conf.set("spark.graft.joinRange.enabled", "true")
+    } finally VersionedTable.CkptInlineMaxFiles = saved
+  }
 }
