@@ -240,10 +240,11 @@ object SkippingQueries {
     val out = VersionedTable.read(spark, path)
       .agg(sum(col("user_id")).as("sum_users"),
         count(col("user_id")).as("nn_users"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        avg(col("user_id")).as("avg_user"))
     val roots = org.apache.spark.sql.graft.GraftBatchShim.scanRootsOf(out)
     require(roots.isEmpty,
-      s"q_meta_sum: SUM/COUNT must answer from the manifest alone " +
+      s"q_meta_sum: SUM/COUNT/AVG must answer from the manifest alone " +
         s"(zero scans); plan scans $roots")
     out
   }
@@ -251,7 +252,8 @@ object SkippingQueries {
   val metaSumSql: String =
     """SELECT CAST(SUM(user_id) AS BIGINT) AS sum_users,
       |  CAST(COUNT(user_id) AS BIGINT) AS nn_users,
-      |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM events""".stripMargin
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  AVG(user_id) AS avg_user FROM events""".stripMargin
 
   /** q_meta_minmax — exact MIN/MAX + COUNT answered from manifest stats and
     * row counts alone (zero data files opened): parquet chunk statistics

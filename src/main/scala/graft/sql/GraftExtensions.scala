@@ -291,6 +291,23 @@ case class GraftMetadataCount(spark: SparkSession) extends Rule[LogicalPlan] {
         v <- if (nn == 0L) Some(null)
              else sumOf(n).flatMap(sumInternal(_, e.dataType))
       } yield v
+    // AVG(integral) → DOUBLE: exact sum / non-null count, ONE rounding at
+    // the divide — the census AvgDataSlot's semantics on the direct path
+    // (SQL NULL totality on zero non-null inputs)
+    case AggregateExpression(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+          a: AttributeReference, _), _, false, None, _)
+        if e.dataType == org.apache.spark.sql.types.DoubleType &&
+          (a.dataType == org.apache.spark.sql.types.LongType ||
+            a.dataType == org.apache.spark.sql.types.IntegerType ||
+            a.dataType == org.apache.spark.sql.types.ShortType ||
+            a.dataType == org.apache.spark.sql.types.ByteType) =>
+      for {
+        n <- colOf.get(a.exprId)
+        nn <- nonNullOf(n)
+        v <- if (nn == 0L) Some(null)
+             else sumOf(n).map(s => s.toDouble / nn.toDouble)
+      } yield v
     case AggregateExpression(
         org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference),
         _, false, None, _) =>

@@ -865,15 +865,18 @@ class BoundaryCountSpec extends SparkSpec {
       // the table-level MIN/MAX/COUNT(col)/SUM channels must aggregate
       // DISTRIBUTED over the checkpoint, never per-file on the driver
       val qg = t.agg(count(lit(1)).as("n"), count($"a").as("na"),
-        min($"k").as("mn"), max($"k").as("mx"), sum($"a").as("sa"))
+        min($"k").as("mn"), max($"k").as("mx"), sum($"a").as("sa"),
+        avg($"a").as("aa"))
       assert(scanFree(qg), qg.queryExecution.optimizedPlan.toString)
       val gr = qg.collect().head
       assert(gr.getLong(0) == 66000L)
-      assert(gr.getLong(1) ==
-        expectCnt(i => i % 5 != 0) + 464L) // appended a: never null
+      val nnA = expectCnt(i => i % 5 != 0) + 464L // appended a: never null
+      assert(gr.getLong(1) == nnA)
       assert(gr.getLong(2) == 0L && gr.getLong(3) == 65999L)
-      assert(gr.getLong(4) ==
-        (0L until 65536L).filter(_ % 5 != 0).sum + (65536L until 66000L).sum)
+      val sumA =
+        (0L until 65536L).filter(_ % 5 != 0).sum + (65536L until 66000L).sum
+      assert(gr.getLong(4) == sumA)
+      assert(gr.getDouble(5) == BigDecimal(sumA).toDouble / nnA.toDouble)
       assert(VersionedTable.ckptStatsParses.get() == 0L,
         "the direct global metadata path must not force the checkpoint " +
           "stats column driver-side")
