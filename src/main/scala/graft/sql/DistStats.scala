@@ -120,6 +120,25 @@ object DistStats extends Serializable {
       if (marked) None
       else if (zeroRow) Some(BigDecimal(0))
       else stats.get(c).flatMap(_.sum)
+
+    /** Per-file sketch hashes + recipe — topkNdvHashesOf's contract:
+      * partition columns synthesize one per-value token (exact), the
+      * hive null dir and zero-row files answer the empty exact set,
+      * marked files answer nothing. */
+    def ndvHashes(c: String): Option[(Seq[String], Int)] =
+      partVals.get(c) match {
+        case Some(vOpt) => liveRows match {
+          case None => None
+          case Some(n) if n <= 0L => Some((Nil, Int.MaxValue))
+          case Some(_) => vOpt match {
+            case None => Some((Nil, Int.MaxValue))
+            case Some(v) => Some((Seq("p:" + v), Int.MaxValue))
+          }
+        }
+        case None =>
+          if (marked) None
+          else stats.get(c).flatMap(st => st.ndv.map(h => (h, st.ndvRecipe)))
+      }
   }
 
   // ------------------------------------------------------------------
@@ -249,6 +268,73 @@ object DistStats extends Serializable {
     GroupGuardAgg(prior.files + 1L,
       if (admit) prior.boundsAdmit :+ sv.path else prior.boundsAdmit,
       prior.nnUnknown || unk, prior.nnSum + nnAdd, prior.rows + rowsAdd)
+  }
+
+  /** One file's DENSE_RANK candidacy: (sort bound, far edge, sketch
+    * hashes). Binary columns require the content-based hash recipe
+    * (pre-recipe sketches are not probe-able); files without a sketch
+    * or provable bounds are not candidates. */
+  def distinctCandOf(sv: StatView, column: String, desc: Boolean,
+      needRecipe: Boolean): Option[(Any, Any, Seq[String])] =
+    for {
+      b <- sv.mm(column).flatten
+      hs <- sv.ndvHashes(column)
+      if !needRecipe || hs._2 >= DataSkipping.NdvRecipeCurrent
+    } yield if (desc) (b._1, b._2, hs._1) else (b._2, b._1, hs._1)
+
+  /** Streaming minimal DISTINCT-prefix accumulator — the DENSE_RANK twin
+    * of [[PrefixHeap]]: keeps the shortest bound-sorted prefix whose
+    * UNIONED sketch hashes reach >= k distinct (the union of k-min
+    * sketches lower-bounds true distinct, so >= k proven here holds in
+    * truth). A candidate entirely past the proven prefix is dropped on
+    * arrival; `saturated` reports a partition that overflowed `cap`
+    * without reaching k distinct — the caller then DECLINES (shipping a
+    * truncated incomplete prefix would be unsound). The union of
+    * per-partition prefixes provably contains every file the global walk
+    * consumes (any dropped file has a full >= k-distinct prefix of
+    * same-or-better bounds in front of it, and distinct counts are
+    * monotone over supersets), so the driver re-walk yields the
+    * identical tau. */
+  final class DistinctPrefix(k: Int, desc: Boolean, cap: Int)
+      extends Serializable {
+    private val ord: Ordering[Any] =
+      if (desc) DataSkipping.statOrdering.reverse else DataSkipping.statOrdering
+    private var buf = Vector.empty[(Any, Seq[String])] // best bound first
+    private var sat = false
+    def add(bound: Any, hashes: Seq[String]): Unit = if (!sat) {
+      val i = buf.indexWhere(e => ord.gt(e._1, bound))
+      buf =
+        if (i < 0) buf :+ ((bound, hashes))
+        else (buf.take(i) :+ ((bound, hashes))) ++ buf.drop(i)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var cut = -1
+      var idx = 0
+      while (cut < 0 && idx < buf.size) {
+        seen ++= buf(idx)._2
+        if (seen.size >= k) cut = idx
+        idx += 1
+      }
+      if (cut >= 0) buf = buf.take(cut + 1)
+      else if (buf.size > cap) sat = true
+    }
+    def result: (Vector[(Any, Seq[String])], Boolean) = (buf, sat)
+  }
+
+  /** The driver-side final DISTINCT walk over merged candidates: shortest
+    * bound-sorted prefix whose unioned hashes reach >= k distinct; tau is
+    * the last consumed bound. None when k distinct are not provable. */
+  def distinctPrefixWalk(cands: Seq[(Any, Seq[String])], k: Int,
+      desc: Boolean): Option[Any] = {
+    val ord = DataSkipping.statOrdering
+    val sorted =
+      if (desc) cands.sortBy(_._1)(ord.reverse) else cands.sortBy(_._1)(ord)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var tau: Option[Any] = None
+    val it = sorted.iterator
+    while (seen.size < k && it.hasNext) {
+      val (b, hs) = it.next(); seen ++= hs; tau = Some(b)
+    }
+    if (seen.size < k) None else tau
   }
 
   /** The driver-side final walk over merged candidates: shortest

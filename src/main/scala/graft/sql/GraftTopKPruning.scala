@@ -187,14 +187,20 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       // Window (revisit declines: scanOf refuses the injected Filter)
       val (files, mm, nn, names, gLeaf) = scanOf(w.child).getOrElse(return None)
       val ocName = names.get(oc.exprId).getOrElse(return None)
-      // DENSE_RANK's distinct prefix needs the per-file sketch HASH SETS —
-      // not yet expressible in the distributed walk, so anchored-unforced
-      // tables decline rather than force the stats map driver-side
-      if (fnKind == 2 && !driverCheap(gLeaf)) return None
       val tauStat =
-        if (fnKind == 2)
-          GraftBatchShim.topkNdvHashesOf(gLeaf).flatMap(h =>
-            distinctThresholdOf(files, mm, h, ocName, oc.dataType, k, desc))
+        if (fnKind == 2) {
+          // DENSE_RANK's distinct prefix: driver walk when the stats are
+          // already paid for, otherwise the DISTRIBUTED distinct-prefix
+          // walk over the checkpoint (per-partition minimal >= k-distinct
+          // prefixes, driver re-walk — provably the same tau)
+          if (driverCheap(gLeaf))
+            GraftBatchShim.topkNdvHashesOf(gLeaf).flatMap(h =>
+              distinctThresholdOf(files, mm, h, ocName, oc.dataType, k, desc))
+          else GraftBatchShim.graftTopkDistinctDistOf(gLeaf)
+            .flatMap(d => d(ocName, k, desc,
+              oc.dataType == org.apache.spark.sql.types.BinaryType, None, 1))
+            .flatMap(_.headOption.flatten)
+        }
         else thresholdVia(gLeaf, files, mm, nn, ocName, k, desc, Nil)
       val tau = tauStat
         .flatMap(GraftStats.internalOf(_, oc.dataType)).getOrElse(return None)
@@ -213,14 +219,12 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     import PartitionCensus.{censusOf, liveEntries, bindPart}
     val info = censusOf(w.child).getOrElse(return None)
     // anchored-unforced: PARTITION sort columns never touch the stats map
-    // (bounds/counts synthesize from paths + fileRows). A DATA sort
-    // column dispatches to TWO distributed checkpoint jobs — the
-    // per-group prefix proofs, then the fire guard aggregation against
-    // the proven taus — so the stats map never materializes driver-side.
-    // DENSE_RANK stays declined there (its distinct prefix needs the
-    // per-file sketch hash SETS, which don't aggregate into a prefix
-    // walk); the query then scans, never pays an O(table) driver parse.
-    if (!driverCheap(info.leaf) && fnKind == 2) return None
+    // (bounds/counts/per-value sketch tokens synthesize from paths +
+    // fileRows). A DATA sort column dispatches to TWO distributed
+    // checkpoint jobs — the per-group prefix proofs (count-based, or the
+    // DENSE_RANK distinct-prefix walk), then the fire guard aggregation
+    // against the proven taus — so the stats map never materializes
+    // driver-side.
     val distMode =
       !driverCheap(info.leaf) && info.dataColOf.contains(oc.exprId)
     val (_, mm, nn) = GraftBatchShim.topkStatsOf(info.leaf).getOrElse(return None)
@@ -272,14 +276,21 @@ case class GraftTopKPruning(spark: SparkSession) extends Rule[LogicalPlan] {
         // anchored: ONE checkpoint job proves every group's tau — the
         // census already knows each dir's group (partition-level), so
         // executors just route files by dir and keep O(k) per group
-        val hook = GraftBatchShim.graftTopkGroupDistOf(info.leaf)
-          .getOrElse(return None)
+        // (the DENSE_RANK distinct-prefix walk for fnKind 2)
         val dirGroup: Map[String, Int] = groups.zipWithIndex.flatMap {
           case ((_, ents), gi) =>
             ents.map(e => DistStats.partDirOf(e._3.head) -> gi)
         }.toMap
-        val arr = hook(ocName, k, desc, dirGroup, groups.size)
-          .getOrElse(return None)
+        val arr =
+          if (fnKind == 2)
+            GraftBatchShim.graftTopkDistinctDistOf(info.leaf)
+              .flatMap(d => d(ocName, k, desc,
+                oc.dataType == org.apache.spark.sql.types.BinaryType,
+                Some(dirGroup), groups.size))
+              .getOrElse(return None)
+          else GraftBatchShim.graftTopkGroupDistOf(info.leaf)
+            .flatMap(h => h(ocName, k, desc, dirGroup, groups.size))
+            .getOrElse(return None)
         groups.zipWithIndex.map { case ((_, ents), gi) =>
           (ents, arr(gi), arr(gi).flatMap(GraftStats.internalOf(_, oc.dataType)))
         }

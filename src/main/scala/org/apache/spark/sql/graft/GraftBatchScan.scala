@@ -623,6 +623,126 @@ private[graft] class GraftFileIndex(
         }.toOption)
     }
 
+  /** The DISTRIBUTED per-GROUP DENSE_RANK prefix proofs — the distinct
+    * twin of [[topkGroupDistThresholds]]: each checkpoint partition keeps
+    * a [[graft.sql.DistStats.DistinctPrefix]] (plus a profitability
+    * far-edge) per group; only the minimal >= k-distinct prefixes travel
+    * back (sketches are [[graft.sources.DataSkipping]]-small: 32 hashes
+    * per file) and the driver re-walks each group's union — provably the
+    * same tau as a full walk. A partition that overflows the buffer cap
+    * without reaching k distinct poisons its group (None — decline,
+    * never a truncated guess). `dirGroup` None = one group over every
+    * live file (the non-partitioned window's global distinct prefix). */
+  private val topkDistinctMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Boolean, Boolean, Option[Map[String, Int]]),
+    Option[Array[Option[Any]]]]()
+
+  def topkDistinctDistThresholds(column: String, k: Int, desc: Boolean,
+      needRecipe: Boolean, dirGroup: Option[Map[String, Int]], nGroups: Int)
+      : Option[Array[Option[Any]]] =
+    boundaryDist.flatMap { bd =>
+      if (k <= 0 || k > 10000 || nGroups <= 0) return None
+      topkDistinctMemo.computeIfAbsent(
+        (column, k, desc, needRecipe, dirGroup),
+        _ => scala.util.Try {
+          import graft.sql.DistStats
+          val statOrd = graft.sources.DataSkipping.statOrdering
+          val pfL: Seq[(String, String,
+              org.apache.spark.sql.types.DataType)] =
+            partSchema.fields.toSeq.map(f =>
+              (f.name, physNameOf(f.name), f.dataType))
+          val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+          // locals only — the closure must not capture `this`
+          val removed = bd.removed
+          val dvR = bd.dvRows
+          val (colL, kL, descL, recL, dgL, ngL) =
+            (column, k, desc, needRecipe, dirGroup, nGroups)
+          val capL = math.max(64, 8 * k)
+          def farBetter(a: Any, b: Any): Any =
+            if (descL) { if (statOrd.lt(a, b)) a else b }
+            else { if (statOrd.gt(a, b)) a else b }
+          val ckptDf = spark.read
+            .parquet(new Path(root, bd.ckptRel).toString)
+            .select(org.apache.spark.sql.functions.col("path"),
+              org.apache.spark.sql.functions.col("rows"),
+              org.apache.spark.sql.functions.col("stats"))
+          val partials: Array[(Array[(Vector[(Any, Seq[String])], Boolean)],
+              Array[Option[Any]])] =
+            ckptDf.rdd.mapPartitions { it =>
+              val pre =
+                Array.fill(ngL)(new DistStats.DistinctPrefix(kL, descL, capL))
+              val far = Array.fill[Option[Any]](ngL)(None)
+              it.foreach { r =>
+                val p = r.getString(0)
+                if (!removed.contains(p)) {
+                  val giOpt = dgL match {
+                    case None => Some(0)
+                    case Some(m) => m.get(DistStats.partDirOf(p))
+                  }
+                  giOpt.foreach { gi =>
+                    val rowsOpt =
+                      if (r.isNullAt(1)) None else Some(r.getLong(1))
+                    val stats =
+                      if (r.isNullAt(2))
+                        Map.empty[String, graft.sources.DataSkipping.ColStat]
+                      else graft.sources.DataSkipping
+                        .colsFromJson(r.getString(2))
+                    val sv = new DistStats.StatView(p, rowsOpt, stats,
+                      dvR.getOrElse(p, 0L), pfL, zone)
+                    DistStats.distinctCandOf(sv, colL, descL, recL).foreach {
+                      case (near, farE, hs) =>
+                        pre(gi).add(near, hs)
+                        far(gi) =
+                          Some(far(gi).fold(farE)(f => farBetter(farE, f)))
+                    }
+                  }
+                }
+              }
+              Iterator.single((pre.map(_.result), far))
+            }.collect()
+          val cands =
+            Array.fill(nGroups)(Vector.empty[(Any, Seq[String])])
+          val far = Array.fill[Option[Any]](nGroups)(None)
+          val poisoned = Array.fill(nGroups)(false)
+          def foldFar(gi: Int, f: Any): Unit =
+            far(gi) = Some(far(gi).fold(f)(cur =>
+              if (desc) { if (statOrd.lt(f, cur)) f else cur }
+              else { if (statOrd.gt(f, cur)) f else cur }))
+          partials.foreach { case (pres, fs) =>
+            var i = 0
+            while (i < nGroups) {
+              val (buf, sat) = pres(i)
+              if (sat) poisoned(i) = true
+              cands(i) = cands(i) ++ buf
+              fs(i).foreach(foldFar(i, _))
+              i += 1
+            }
+          }
+          // files ADDED since the anchor fold in driver-side (O(delta))
+          bd.added.foreach { fk =>
+            val giOpt = dirGroup match {
+              case None => Some(0)
+              case Some(m) => m.get(graft.sql.DistStats.partDirOf(fk))
+            }
+            giOpt.foreach { gi =>
+              val sv = new graft.sql.DistStats.StatView(fk,
+                bd.addedRows.get(fk), bd.addedStats.getOrElse(fk, Map.empty),
+                bd.dvRows.getOrElse(fk, 0L), pfL, zone)
+              graft.sql.DistStats.distinctCandOf(sv, column, desc,
+                needRecipe).foreach { case (near, farE, hs) =>
+                cands(gi) = cands(gi) :+ ((near, hs))
+                foldFar(gi, farE)
+              }
+            }
+          }
+          Array.tabulate(nGroups)(gi =>
+            if (poisoned(gi)) None
+            else graft.sql.DistStats.distinctPrefixWalk(cands(gi), k, desc)
+              .filter(t => far(gi).exists(f =>
+                if (desc) statOrd.lt(f, t) else statOrd.gt(f, t))))
+        }.toOption)
+    }
+
   /** The DISTRIBUTED window-guard aggregation: per partition DIR, the
     * facts the group-limit fire guard needs on a DATA sort column —
     * live file count, files whose bounds survive the dir's EFFECTIVE
@@ -1483,6 +1603,21 @@ object GraftBatchShim {
       case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
           if g.boundaryDist.isDefined =>
         Some((c, k, d, dg, n) => g.topkGroupDistThresholds(c, k, d, dg, n))
+      case _ => None
+    }
+
+  /** The DISTRIBUTED per-GROUP DENSE_RANK prefix proofs of a
+    * checkpoint-anchored graft relation node: (column, k, desc,
+    * binary-recipe gate, optional dir → group map, group count) →
+    * stats-domain tau per group index. */
+  def graftTopkDistinctDistOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, Int, Boolean, Boolean, Option[Map[String, Int]],
+        Int) => Option[Array[Option[Any]]]] =
+    plan match {
+      case LogicalRelation(HadoopFsRelation(g: GraftFileIndex, _, _, _, _, _), _, _, _, _)
+          if g.boundaryDist.isDefined =>
+        Some((c, k, d, rec, dg, n) =>
+          g.topkDistinctDistThresholds(c, k, d, rec, dg, n))
       case _ => None
     }
 

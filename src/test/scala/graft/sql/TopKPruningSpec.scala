@@ -516,6 +516,24 @@ class TopKPruningSpec extends SparkSpec {
       val big = t.orderBy(col("k").desc).limit(200000)
       assert(big.count() == 65536L)
       assert(VersionedTable.ckptStatsParses.get() == 0L)
+      // GLOBAL DENSE_RANK (no window partition): ANALYZE arms the
+      // sketches and the DISTRIBUTED distinct-prefix walk proves the
+      // top-10-distinct threshold — pruned read, zero driver parses
+      VersionedTable.analyzeNdv(spark, path, Seq("k"))
+      VersionedTable.ckptStatsParses.set(0L)
+      import org.apache.spark.sql.expressions.{Window => W}
+      def qdr() = t.withColumn("rn",
+          dense_rank().over(W.orderBy(col("k").desc)))
+        .filter(col("rn") <= 10).select(col("k"))
+      val onDr = qdr()
+      assert(filesRead(onDr, "k") < 16L,
+        s"global dense_rank must prune: ${filesRead(onDr, "k")}/16\n" +
+          onDr.queryExecution.optimizedPlan)
+      val gotDr = rows(onDr)
+      assert(gotDr.size == 10)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the global distinct-prefix walk must stay off the driver")
+      withRuleOff(assert(rows(qdr()) == gotDr))
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
@@ -631,14 +649,31 @@ class TopKPruningSpec extends SparkSpec {
         s"the appended band must win day 0's top-2: $got2")
       assert(VersionedTable.ckptStatsParses.get() == 0L)
       withRuleOff(assert(rows(q()) == got2))
-      // DENSE_RANK still declines on anchored tables (sketch hash sets
-      // don't aggregate into a prefix walk) — correct via the scan
-      val dr = t.withColumn("rn", dense_rank().over(
+      // DENSE_RANK without sketches: no distinct proof exists — correct
+      // via the scan, still zero driver parses
+      def qdr() = t.withColumn("rn", dense_rank().over(
         W.partitionBy(col("day")).orderBy(col("ts").desc)))
         .filter(col("rn") <= 2).select(col("day"), col("ts"))
-      assert(dr.count() == 12L)
+      assert(qdr().count() == 12L)
       assert(VersionedTable.ckptStatsParses.get() == 0L,
-        "the declined DENSE_RANK must not force driver stats")
+        "the un-sketched DENSE_RANK must not force driver stats")
+      // ANALYZE arms the sketches (riding the anchored executor-side
+      // merge) and the DISTINCT-prefix proofs run DISTRIBUTED: each
+      // day's top-2 distinct values live in its high band — pruned read,
+      // zero driver parses
+      VersionedTable.analyzeNdv(spark, path, Seq("ts"))
+      VersionedTable.ckptStatsParses.set(0L)
+      val onDr = qdr()
+      val readDr = filesRead(onDr, "ts")
+      assert(readDr <= 7L && readDr >= 1L,
+        s"dense_rank distinct proofs must prune: $readDr/19\n" +
+          onDr.queryExecution.optimizedPlan)
+      val gotDr = rows(onDr)
+      assert(gotDr.size == 12)
+      assert(VersionedTable.ckptStatsParses.get() == 0L,
+        "the distributed distinct-prefix walk must never materialize " +
+          "the checkpoint stats column driver-side")
+      withRuleOff(assert(rows(qdr()) == gotDr))
     } finally VersionedTable.CkptInlineMaxFiles = saved
   }
 
