@@ -1202,6 +1202,47 @@ object SkippingQueries {
       |      ORDER BY event_id DESC) AS rn
       |  FROM events) WHERE rn <= 2""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // q_topk_dense_anchored — DENSE_RANK per day on the same CHECKPOINT-
+  // ANCHORED fixture: the DISTINCT-prefix proofs (per-partition minimal
+  // >= k-distinct sketch prefixes, driver re-walk) run DISTRIBUTED —
+  // asserted in-query (pruned read AND zero driver-side checkpoint stats
+  // parses). DuckDB runs the real window.
+  // --------------------------------------------------------------------------
+  def topkDenseAnchored(spark: SparkSession, dir: String): DataFrame = {
+    // the censw fixture (built by q_topk_window_anchored if absent) plus
+    // the sketches the distinct proofs need
+    topkWindowAnchored(spark, dir).collect()
+    val path = cachedFixturePath(dir, "censw_v1", "events.parquet")
+    if (!VersionedTable.propertiesOf(spark, path)
+        .get("graft.ndvCols").exists(_.contains("event_id")))
+      VersionedTable.analyzeNdv(spark, path, Seq("event_id"))
+    val t = VersionedTable.read(spark, path)
+    val total = t.inputFiles.length
+    val parsesBefore = VersionedTable.ckptStatsParses.get()
+    import org.apache.spark.sql.expressions.{Window => W}
+    val out = t.withColumn("rn", org.apache.spark.sql.functions.dense_rank()
+        .over(W.partitionBy(col("event_date"))
+          .orderBy(col("event_id").desc)))
+      .filter(col("rn") <= 2).select(col("event_date"), col("event_id"))
+    val read = filesReadOf(out)
+    require(read < total,
+      s"q_topk_dense_anchored: the distributed distinct proofs must " +
+        s"restrict the scan ($read/$total); plan:\n" +
+        out.queryExecution.optimizedPlan)
+    require(VersionedTable.ckptStatsParses.get() == parsesBefore,
+      "q_topk_dense_anchored: the distinct-prefix walk must never " +
+        "materialize the checkpoint stats column driver-side")
+    out
+  }
+
+  val topkDenseAnchoredSql: String =
+    """SELECT event_date, event_id FROM (
+      |  SELECT CAST(ts AS DATE) AS event_date, event_id,
+      |    DENSE_RANK() OVER (PARTITION BY CAST(ts AS DATE)
+      |      ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn <= 2""".stripMargin
+
   /** The ANCHORED flat events fixture shared with q_count_boundary_anchored
     * (same recipe, same path tag): 15 two-day band appends under a tiny
     * inline bound → the head anchors at a parquet checkpoint whose lazy
@@ -3793,6 +3834,7 @@ object SkippingQueries {
     "q_topk_anchored" -> (topkAnchored _),
     "q_part_census_anchored" -> (partCensusAnchored _),
     "q_topk_window_anchored" -> (topkWindowAnchored _),
+    "q_topk_dense_anchored" -> (topkDenseAnchored _),
     "q_null_probe" -> (nullProbe _),
     "q_null_probe_range" -> (nullProbeRange _),
     "q_count_boundary_grouped" -> (countBoundaryGrouped _),
@@ -3867,6 +3909,7 @@ object SkippingQueries {
     "q_topk_anchored" -> topkAnchoredSql,
     "q_part_census_anchored" -> partCensusAnchoredSql,
     "q_topk_window_anchored" -> topkWindowAnchoredSql,
+    "q_topk_dense_anchored" -> topkDenseAnchoredSql,
     "q_null_probe" -> nullProbeSql,
     "q_null_probe_range" -> nullProbeRangeSql,
     "q_count_boundary_grouped" -> countBoundaryGroupedSql,
