@@ -72,7 +72,9 @@ object AudioHash {
   def audioIntTable(spark: SparkSession, dir: String,
       sampleRate: Int = 8000): Dataset[Multimodal.AudioRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { d =>
+    // spread: WAV synthesis+encode+decode dominates and must not inherit the
+    // single-row-group source's ONE-partition layout (no-op at real scale)
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long].map { d =>
       val p = (32 + ((d / 2) % 37)).toInt
       val a = (8000 + ((d / 2) % 5) * 2048).toInt
       val spike = (d % 2).toInt * 700

@@ -49,7 +49,10 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** Wrap the documents table as a media table: binary payload + typed
-    * metadata columns. Deterministic media_type assignment by doc_id. */
+    * metadata columns. Deterministic media_type assignment by doc_id.
+    * No spread here: [[extractFeatures]] deliberately does not decode, so
+    * the pass is scan-bound, not compute-bound — repartitioning the full
+    * payload column costs more than the byte stats it would parallelize. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -109,7 +112,9 @@ object Multimodal {
     * encoded audio bytes, not text-as-bytes. */
   def audioTable(spark: SparkSession, dir: String, sampleRate: Int = 8000): Dataset[AudioRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+    // spread: the WAV synthesis+encode below is the expensive part and must
+    // not inherit the source file's single-row-group ONE-partition layout
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long].map { id =>
       val freq = 100.0 + (id % 40) * 20.0         // 100..880 Hz
       val amp = 0.2 + (id % 5) * 0.15             // 0.2..0.8
       val n = sampleRate / 4                      // 250 ms
@@ -151,7 +156,8 @@ object Multimodal {
     * bytes. Mirrors audioTable's real-WAV approach. */
   def imageTable(spark: SparkSession, dir: String): Dataset[ImageRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+    // spread: PNG encode (and the decode downstream) dominates; see mediaTable
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long].map { id =>
       val w = (id % 16 + 4).toInt
       val h = (id % 12 + 4).toInt
       val rgb = Array.tabulate(w * h) { i =>
@@ -232,7 +238,8 @@ object Multimodal {
     * grayscale rasters encoded as a REAL animated GIF. */
   def videoTable(spark: SparkSession, dir: String): Dataset[VideoRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+    // spread: GIF encode (and the decode downstream) dominates; see mediaTable
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"))).as[Long].map { id =>
       val w = (id % 12 + 4).toInt
       val h = (id % 8 + 4).toInt
       val nf = (id % 6 + 2).toInt
