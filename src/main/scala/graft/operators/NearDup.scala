@@ -109,15 +109,16 @@ object NearDup {
     jaccardFromInter(inter, sh)
   }
 
-  /** Cache + eager materialization: the shingle set fans out to 4-5 consumer
-    * subtrees which AQE submits CONCURRENTLY — with a lazy cache they all
-    * miss and recompute the chain in parallel (observed 5× redundant work).
-    * One count() fills the cache before the fan-out. */
-  private def cachedShingles(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).cache()
-    sh.count()
-    sh
-  }
+  /** Shingles marked for caching but NOT eagerly primed. The shingle set
+    * fans out to 4-5 consumer subtrees which AQE submits CONCURRENTLY — a
+    * cold cache at fan-out time means they all miss and recompute the chain
+    * in parallel (observed 5× redundant work). Every caller therefore
+    * materializes a SINGLE-subtree consumer first — [[cachedBands]]'s
+    * priming count or the hot-shingle probe — which fills this cache as a
+    * side effect with no concurrency hazard; a separate sh.count() priming
+    * job (the r15 design) re-read the whole chain for nothing. */
+  private def lazyCachedShingles(docs: DataFrame): DataFrame =
+    shingles(docs).cache()
 
   /** Band-key frame cached + primed BEFORE the LSH self-join: both join
     * inputs of [[lshCandidates]] are the SAME `bandKeys(signatures(sh))`
@@ -136,7 +137,9 @@ object NearDup {
   // q_minhash_lsh — MinHash+LSH candidates, exact-Jaccard verified.
   // --------------------------------------------------------------------------
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cachedShingles(Tables.documents(spark, dir))
+    // sh cache fills during cachedBands' priming count (signatures is one
+    // single-subtree aggregate over it) — no separate priming job needed
+    val sh = lazyCachedShingles(Tables.documents(spark, dir))
     verifyJaccard(lshCandidates(cachedBands(sh)), sh)
   }
 
@@ -279,7 +282,10 @@ object NearDup {
   // verification.
   // --------------------------------------------------------------------------
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cachedShingles(Tables.documents(spark, dir))
+    // shingles feed exactly ONE consumer here (the signature aggregate), so
+    // neither a shingle cache nor a priming job buys anything — the whole
+    // query runs off the signature cache below
+    val sh = shingles(Tables.documents(spark, dir))
     // the signature table feeds three subtrees (banding + both join sides);
     // eager cache for the usual AQE-concurrent-subtree reason
     val sig = signatures(sh).cache()
@@ -430,7 +436,7 @@ object NearDup {
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = cachedShingles(docs)
+    val sh = lazyCachedShingles(docs) // primed by cachedBands' count
     val pairs = verifyJaccard(lshCandidates(cachedBands(sh)), sh)
       .select(col("doc_a"), col("doc_b")).cache()
     // eager: every loop round references the edge set from several subtrees
@@ -900,7 +906,7 @@ object NearDup {
     val docs = Tables.documents(spark, dir)
     // one shingle/band pass over ALL docs, split afterwards: cheaper than
     // two scans at test scale; production keeps the corpus side persisted
-    val sh = cachedShingles(docs)
+    val sh = lazyCachedShingles(docs) // primed by cachedBands' count
     val bands = cachedBands(sh)
     val cand = bands.filter(col("doc_id") % IncrMod === 0)
       .select(col("band"), col("key"), col("doc_id").as("doc_a"))
