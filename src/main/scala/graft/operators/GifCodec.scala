@@ -3,6 +3,7 @@ package graft.operators
 import java.awt.image.{BufferedImage, IndexColorModel}
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{IIOImage, ImageIO}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** Real multi-frame (animated) GIF codec — pure JVM via `javax.imageio`,
   * the same move that made audio ([[WavCodec]]) and still images
@@ -22,7 +23,9 @@ object GifCodec {
   /** One grayscale frame: row-major 0..255 values. */
   final case class GrayFrame(width: Int, height: Int, gray: Array[Int])
 
-  private def grayIcm: IndexColorModel = {
+  // one shared instance: IndexColorModel is immutable and building the
+  // 256-entry ramp per encoded video was per-payload garbage in the hot path
+  private val grayIcm: IndexColorModel = {
     val ramp = Array.tabulate[Byte](256)(_.toByte)
     new IndexColorModel(8, 256, ramp, ramp, ramp)
   }
@@ -37,7 +40,10 @@ object GifCodec {
     require(frames.nonEmpty, "a video needs at least one frame")
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val out = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(out)
+    // explicit MEMORY-cached stream: ImageIO.createImageOutputStream backs
+    // every call with a TEMP FILE under the default useCache setting — one
+    // disk create+write+delete per encoded payload (see ImageCodec.encode)
+    val ios = new MemoryCacheImageOutputStream(out)
     try {
       writer.setOutput(ios)
       // interlace OFF: the JDK pair disagrees on interlaced images shorter
@@ -75,7 +81,8 @@ object GifCodec {
   /** Decode ALL frames of a GIF stream back to grayscale rasters. */
   def decodeFrames(bytes: Array[Byte]): Seq[GrayFrame] = {
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    // memory-cached: same per-payload temp-file avoidance as encodeFrames
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis)
       val n = reader.getNumImages(true)
@@ -99,7 +106,8 @@ object GifCodec {
     * ~1/10th of a full decode). */
   def decodeFramesAt(bytes: Array[Byte], indices: Seq[Int]): Seq[(Int, GrayFrame)] = {
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    // memory-cached: same per-payload temp-file avoidance as encodeFrames
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis)
       val n = reader.getNumImages(true)

@@ -3,6 +3,7 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** Real PNG/BMP image codec — pure JVM via `javax.imageio` (part of the
   * JDK, no native libraries), so the IMAGE modality of the multimodal
@@ -33,7 +34,22 @@ object ImageCodec {
     val bi = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
     bi.setRGB(0, 0, img.width, img.height, img.rgb, 0, img.width)
     val out = new ByteArrayOutputStream()
-    require(ImageIO.write(bi, format, out), s"no ImageIO writer for $format")
+    // explicit MEMORY-cached stream: ImageIO.write(_, _, OutputStream) goes
+    // through createImageOutputStream, which under the default
+    // ImageIO.getUseCache() backs every call with a TEMP FILE on disk — one
+    // file create+write+delete per encoded payload in the executors' hot
+    // path. Payloads here are KBs; cache them on heap.
+    val writers = ImageIO.getImageWritersByFormatName(format)
+    require(writers.hasNext, s"no ImageIO writer for $format")
+    val writer = writers.next()
+    val ios = new MemoryCacheImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(bi)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
     out.toByteArray
   }
 
@@ -47,7 +63,10 @@ object ImageCodec {
   /** Decode PNG/BMP (any format ImageIO can read) to a packed RGB raster.
     * Throws IllegalArgumentException on undecodable input. */
   def decode(bytes: Array[Byte]): Image = {
-    val bi = ImageIO.read(new ByteArrayInputStream(bytes))
+    // memory-cached stream for the same temp-file reason as encode; the
+    // ImageInputStream overload keeps ImageIO's format auto-detection
+    val bi = ImageIO.read(
+      new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
     require(bi != null, "undecodable image payload")
     val (w, h) = (bi.getWidth, bi.getHeight)
     // getRGB converts whatever the source color model is to packed ARGB;
