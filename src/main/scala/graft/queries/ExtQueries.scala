@@ -98,14 +98,22 @@ object ExtQueries {
   def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("q17_lineitem")
     Tables.part(spark, dir).createOrReplaceTempView("q17_part")
+    // the quantity half of the comparison runs in BIGINT, not DECIMAL:
+    // l_quantity is integral (1..50, all SFs), so `2*qty*cnt < sum(qty)`
+    // over longs is the same exact predicate (2*50*cnt stays far below
+    // 2^63 at any scale) while both per-part aggregates sum a primitive in
+    // codegen instead of per-row Decimal objects. The revenue sum keeps
+    // DECIMAL — extendedprice has cents, where doubles/longs would not be
+    // exact without a cents re-encoding. Oracle unchanged (it may keep the
+    // decimal spelling; the qualifying row set is provably identical).
     spark.sql(
       """SELECT p.p_brand,
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue,
         |  COUNT(*) AS n_small
         |FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
-        |WHERE CAST(2 AS DECIMAL(2,0)) * CAST(l.l_quantity AS DECIMAL(18,2)) *
+        |WHERE 2 * CAST(l.l_quantity AS BIGINT) *
         |      (SELECT COUNT(*) FROM q17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
-        |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+        |    < (SELECT SUM(CAST(l3.l_quantity AS BIGINT))
         |       FROM q17_lineitem l3 WHERE l3.l_partkey = p.p_partkey)
         |GROUP BY p.p_brand""".stripMargin)
   }
@@ -136,16 +144,19 @@ object ExtQueries {
   def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("q20_lineitem")
     Tables.supplier(spark, dir).createOrReplaceTempView("q20_supplier")
+    // BIGINT quantity sums for the same integral-quantity exactness
+    // argument as q17/q18 (5*sum stays far below 2^63 at any scale);
+    // primitive codegen aggregation instead of Decimal objects
     spark.sql(
       """SELECT s.s_suppkey, s.s_name
         |FROM q20_supplier s
         |WHERE s.s_suppkey IN (
         |  SELECT sp.l_suppkey
         |  FROM (SELECT l_suppkey, l_partkey,
-        |          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |          SUM(CAST(l_quantity AS BIGINT)) AS q
         |        FROM q20_lineitem GROUP BY l_suppkey, l_partkey) sp
-        |  WHERE CAST(5 AS DECIMAL(2,0)) * sp.q >
-        |    (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |  WHERE 5 * sp.q >
+        |    (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
         |     FROM q20_lineitem l2 WHERE l2.l_partkey = sp.l_partkey))""".stripMargin)
   }
 
@@ -680,9 +691,14 @@ object ExtQueries {
   val Q18MinQty = 120.0
 
   def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    // quantity sums run in BIGINT, not DECIMAL: l_quantity is integral
+    // (1..50, all SFs — checked via DuckDB), so a long sum is bit-identical
+    // to the decimal sum at any scale below 2^63/50 rows while aggregating
+    // as a primitive in codegen instead of per-row Decimal objects. Same
+    // exactness argument as q1_agg's sum_qty; the oracle is unchanged.
     val l = Tables.lineitem(spark, dir)
     val big = l.groupBy(col("l_orderkey"))
-      .agg(sum(dec(col("l_quantity"))).as("q"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("q"))
       .filter(col("q") > Q18MinQty)
       .select(col("l_orderkey").as("bk"))
     Tables.orders(spark, dir)
@@ -691,7 +707,7 @@ object ExtQueries {
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("c_name"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
-      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+      .agg(sum(col("l_quantity").cast(LongType)).cast(DoubleType).as("total_qty"))
   }
 
   val tpchQ18Sql: String =
