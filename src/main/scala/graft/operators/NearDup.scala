@@ -40,9 +40,15 @@ object NearDup {
     * The input is re-spread across all cores first: a single-row-group
     * parquet file arrives as ONE partition, which would serialize the whole
     * explode+hash chain onto one task (observed: 31/32 threads idle).
-    * Repartitioning a few MB of text is noise next to that. */
+    * Repartitioning a few MB of text is noise next to that.
+    *
+    * The spread is KEYED by doc_id: the `.distinct()` below groups on
+    * (doc_id, shingle) and every consumer aggregate (signatures, per-doc
+    * sizes) groups on doc_id, so hash(doc_id) partitioning satisfies all of
+    * their distributions — one exchange where the old round-robin spread
+    * paid three (spread + distinct + signature agg). */
   def shingles(docs: DataFrame): DataFrame =
-    Tables.spread(docs)
+    Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= ShingleSize)
       .select(col("doc_id"), explode(expr(
@@ -518,7 +524,9 @@ object NearDup {
     * the decoded digits, not `bits` string parses. One hash-aggregate. */
   private def voteAgg(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val nDigits = bits / 4
-    val wordsDf = Tables.spread(Tables.documents(spark, dir))
+    // doc_id-keyed spread: the vote aggregate below groups by doc_id, so it
+    // reuses this exchange instead of adding its own (see Tables.spread)
+    val wordsDf = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("h", md5(col("w")))
       .select(col("doc_id") +: (0 until nDigits).map(p =>
@@ -806,7 +814,9 @@ object NearDup {
 
   private def embeddingVectors(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
-    Tables.spread(Tables.embeddings(spark, dir))
+    // vec_id-keyed spread: the candidate-fetch joins re-key this frame by
+    // vec_id, so hash(vec_id) partitioning spares their corpus-side exchange
+    Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
   }

@@ -149,11 +149,19 @@ object TextQueries {
 
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = Tables.spread(Tables.documents(spark, dir))
+    // doc_id-keyed spread: the (doc_id, word) tf aggregate and the per-doc
+    // top-k window both cluster on doc_id, so they reuse this one exchange
+    val words = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = words.groupBy(col("word"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df derived FROM tf, not from a second explode pass: tf has exactly one
+    // row per (doc_id, word), so COUNT(*) per word over tf equals
+    // COUNT(DISTINCT doc_id) per word over raw words. At scale the tf
+    // subtree's exchange is shared via ReuseExchange, so the corpus is
+    // exploded and shuffled ONCE, and df's shuffle input is the
+    // pre-aggregated pair set instead of every token occurrence (guide §2.3
+    // aggregate-before-shuffle).
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word").asc)
@@ -312,7 +320,10 @@ object TextQueries {
     // corpus shuffle; only MATCHED (doc, shingle) pairs reach the
     // aggregation, and countDistinct dedups that small survivor set
     val train = wsShingles(
-      graft.sources.Tables.spread(docs.filter(col("doc_id") % BenchMod =!= 0)),
+      // doc_id-keyed spread: the broadcast probe preserves partitioning, so
+      // the per-doc countDistinct aggregate reuses this exchange
+      graft.sources.Tables.spread(
+        docs.filter(col("doc_id") % BenchMod =!= 0), col("doc_id")),
       DecontShingle)
     train.join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"))
@@ -399,7 +410,10 @@ object TextQueries {
   val RepTopBigramFrac = 0.18
 
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(spark, dir))
+    // doc_id-keyed spread: every aggregate here ((doc,tok), (doc,shingle),
+    // per-doc rollups) and the final doc_id join cluster on doc_id — the
+    // whole query runs off this single exchange
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
     val wstats = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -981,7 +995,10 @@ object TextQueries {
     val termList = allTerms.map(t => s"'$t'").mkString(", ")
     val qterms = Bm25Queries
       .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
-    val docs = Tables.spread(Tables.documents(spark, dir))
+    // doc_id-keyed spread: the (doc_id, dl, term) tf aggregate and the
+    // (query_id, doc_id) score rollup cluster on doc_id (broadcast joins in
+    // between preserve partitioning), so both reuse this one exchange
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"),
         col("toks"))

@@ -33,20 +33,33 @@ object Tables {
     * 100 TB layout — passes through untouched, so this never inserts a
     * gratuitous exchange at scale.
     *
+    * When `keys` are given, the spread HASH-partitions by them instead of
+    * round-robin: a caller whose downstream aggregations/distincts are keyed
+    * by (a superset of) `keys` then satisfies their ClusteredDistribution
+    * from this one exchange, so Catalyst inserts NO further exchange for
+    * them — the repartition we are forced to pay for an under-split input
+    * does double duty (guide §2.4: operations keyed the same way share one
+    * exchange). Callers pass a high-cardinality skew-free key (doc_id /
+    * vec_id), so the hash spread is as balanced as round-robin — and
+    * cheaper, since keyless repartition pays a local sort
+    * (sortBeforeRepartition) that hash partitioning skips.
+    *
     * Only NARROW plans (scan/project/filter/generate chains) are probed:
     * under AQE, `df.rdd` on a plan containing an exchange MATERIALIZES the
     * upstream shuffle stages as real jobs, so for any plan that already
     * shuffles (whose output partitioning is governed by
     * spark.sql.shuffle.partitions anyway) spread is an immediate no-op
     * rather than a silent double execution. */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val narrow = df.queryExecution.optimizedPlan.collectFirst {
       case _: Join | _: Aggregate | _: Distinct | _: RepartitionOperation |
            _: Window | _: Sort | _: GlobalLimit => ()
     }.isEmpty
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (narrow && df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (narrow && df.rdd.getNumPartitions < p) {
+      if (keys.isEmpty) df.repartition(p) else df.repartition(p, keys: _*)
+    } else df
   }
 
   /** The events table's `ts` column has shipped in three physical encodings
