@@ -648,11 +648,20 @@ object NearDup {
     val hamming = (0 until SimhashBands)
       .map(i => bit_count(col(s"a_k$i").bitwiseXOR(col(s"b_k$i"))))
       .reduce(_ + _).cast(LongType)
+    // r19: the hamming filter runs BEFORE the pair dedup, so only NEAR pairs
+    // (a tiny fraction of each bucket's candidates) ever reach an exchange
+    // (guide §2.3 — shuffle fewer bytes); and the dedup is a (rep_a, rep_b)
+    // group-agg instead of distinct+re-shuffle, so the per-rep rollup below
+    // clusters on a subset of its keys and reuses the same exchange (§2.4).
+    // hamming and sz_b are constants of the pair (one fingerprint, one group
+    // size per rep), so min() over the duplicate band hits reproduces the
+    // old distinct's row exactly.
     val pairs = a.join(b, Seq("band", "key"))
       .filter(col("rep_a") =!= col("rep_b"))
       .select(col("rep_a"), col("rep_b"), hamming.as("hamming"), col("sz_b"))
-      .distinct()
       .filter(col("hamming") <= HammingThreshold)
+      .groupBy(col("rep_a"), col("rep_b"))
+      .agg(min(col("hamming")).as("hamming"), min(col("sz_b")).as("sz_b"))
     val crossAgg = pairs.groupBy(col("rep_a"))
       .agg(sum(col("sz_b")).as("cross_n"), min(col("hamming")).as("min_h"))
     fps.join(groups, keyNames)
