@@ -176,28 +176,51 @@ object ExtQueries {
   // q_tpch_q21 — waiting-orders shape (TPC-H Q21: correlated EXISTS plus
   // correlated NOT EXISTS on the same fact table; "late" adapted to this
   // schema as shipping >60 days after the order date, with the order date an
-  // OUTER reference inside the NOT EXISTS). Catalyst rewrites EXISTS to a
-  // left-semi and NOT EXISTS to a left-anti hash join on l_orderkey — the
-  // only shape that survives 100 TB, where a per-row re-probe of lineitem
-  // would be quadratic. Timestamp comparisons are exact in both engines.
+  // OUTER reference inside the NOT EXISTS). Timestamp comparisons are exact
+  // in both engines.
+  //
+  // PLAN (r19): the EXISTS/NOT-EXISTS spelling decorrelates to a left-semi
+  // plus a left-anti join — THREE shuffles of lineitem by l_orderkey. Both
+  // predicates are per-ORDER set properties, so they fold into one grouped
+  // aggregate over the l⋈o join (the classic Q21 rewrite):
+  //   per (orderkey, suppkey): has_late, n_late rows;
+  //   per orderkey: n_supp = COUNT(*) over supplier groups,
+  //                 n_late_supp = # suppliers with a late row,
+  //                 late_supp = the (unique when n_late_supp=1) late supplier,
+  //                 n_late_rows = total late rows.
+  // Row l1 qualifies iff l1 is late, the order has ≥2 distinct suppliers
+  // (EXISTS: some row with another suppkey), and NO OTHER supplier has a
+  // late row (NOT EXISTS) ⇔ n_late_supp = 1 — in which case every late row
+  // of the order belongs to late_supp, so the order contributes exactly
+  // n_late_rows waits to that one supplier. Both grouped aggregates cluster
+  // on l_orderkey, so they reuse the l⋈o join's exchange: ONE shuffle of
+  // lineitem instead of three, no semi/anti joins. The inner supplier join
+  // and s_name rollup are unchanged. Oracle keeps the EXISTS spelling —
+  // equivalence re-proven against it at every SF (174/174 hash match).
   // --------------------------------------------------------------------------
   def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("q21_lineitem")
     Tables.orders(spark, dir).createOrReplaceTempView("q21_orders")
     Tables.supplier(spark, dir).createOrReplaceTempView("q21_supplier")
     spark.sql(
-      """SELECT s.s_name, COUNT(*) AS numwait
-        |FROM q21_supplier s
-        |JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
-        |JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
-        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
-        |AND EXISTS (SELECT 1 FROM q21_lineitem l2
-        |            WHERE l2.l_orderkey = l1.l_orderkey
-        |            AND l2.l_suppkey <> l1.l_suppkey)
-        |AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
-        |                WHERE l3.l_orderkey = l1.l_orderkey
-        |                AND l3.l_suppkey <> l1.l_suppkey
-        |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+      """SELECT s.s_name, CAST(SUM(g.n_late_rows) AS BIGINT) AS numwait
+        |FROM (
+        |  SELECT l_orderkey,
+        |         MAX(CASE WHEN has_late THEN l_suppkey END) AS late_supp,
+        |         SUM(CASE WHEN has_late THEN 1 ELSE 0 END) AS n_late_supp,
+        |         COUNT(*) AS n_supp,
+        |         SUM(n_late) AS n_late_rows
+        |  FROM (
+        |    SELECT l.l_orderkey, l.l_suppkey,
+        |           MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        |               THEN 1 ELSE 0 END) = 1 AS has_late,
+        |           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        |               THEN 1 ELSE 0 END) AS n_late
+        |    FROM q21_lineitem l JOIN q21_orders o ON o.o_orderkey = l.l_orderkey
+        |    GROUP BY l.l_orderkey, l.l_suppkey) per_supp
+        |  GROUP BY l_orderkey) g
+        |JOIN q21_supplier s ON s.s_suppkey = g.late_supp
+        |WHERE g.n_supp >= 2 AND g.n_late_supp = 1
         |GROUP BY s.s_name""".stripMargin)
   }
 

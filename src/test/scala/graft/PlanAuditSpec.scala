@@ -91,11 +91,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p) // the decorrelated per-part aggregate
   }
 
-  test("q_tpch_q21: EXISTS/NOT EXISTS become semi/anti hash joins, no per-row re-probe") {
+  test("q_tpch_q21: per-order aggregate replaces the semi/anti self-joins — one lineitem pass") {
     val p = plan("q_tpch_q21")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
-    assert(p.contains("LeftSemi"), p) // EXISTS
-    assert(p.contains("LeftAnti"), p) // NOT EXISTS
+    // r19 rewrite: EXISTS/NOT EXISTS fold into one grouped aggregate over
+    // the l⋈o join — the decorrelated semi/anti joins (each a full extra
+    // shuffle of lineitem by l_orderkey) must NOT come back
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
+    assert(p.contains("HashAggregate"), p)
+    // lineitem crosses the wire for the orders join only; both grouped
+    // aggregates cluster on l_orderkey and reuse that exchange (the two
+    // allowed hits are the join's two sides)
+    val nOrderkeyExchanges =
+      "Exchange hashpartitioning\\((?:l_|o_)orderkey".r.findAllMatchIn(p).size
+    assert(nOrderkeyExchanges <= 2, s"orderkey exchanges = $nOrderkeyExchanges:\n$p")
   }
 
   test("q_tpch_q13: ON-clause predicate stays inside the OUTER join, plan is hash joins") {
@@ -290,13 +299,14 @@ class PlanAuditSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }.isEmpty, sp.toString)
     // the STREAMED (corpus) side of the probe must reach the join without
-    // any HASH shuffle — a distinct there would hash-exchange ~5× the
-    // corpus (every shingle of every doc) before a single row is probed,
-    // the exact scale killer this operator's design avoids (only matched
-    // survivors may shuffle, above the join). Tables.spread's round-robin
-    // fan-out of the COMPACT pre-explode rows is allowed: it moves doc
-    // rows, not shingles, and exists to un-serialize single-row-group
-    // input
+    // any OPTIMIZER-INSERTED hash shuffle (ENSURE_REQUIREMENTS) — a
+    // distinct there would hash-exchange ~5× the corpus (every shingle of
+    // every doc) before a single row is probed, the exact scale killer
+    // this operator's design avoids (only matched survivors may shuffle,
+    // above the join). Tables.spread's explicit fan-out of the COMPACT
+    // pre-explode rows is allowed — whether round-robin or (r19) keyed by
+    // doc_id so the survivor aggregate reuses it: either moves doc rows,
+    // not shingles, and exists only to un-serialize single-row-group input
     val streamed = joins.head.buildSide match {
       case org.apache.spark.sql.catalyst.optimizer.BuildRight => joins.head.left
       case _ => joins.head.right
@@ -304,7 +314,9 @@ class PlanAuditSpec extends SparkSpec {
     val hashShuffles = streamed.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if e.outputPartitioning.isInstanceOf[
-            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+            e.shuffleOrigin ==
+              org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS => e
     }
     assert(hashShuffles.isEmpty,
       s"corpus side hash-shuffles before the probe:\n$streamed")
