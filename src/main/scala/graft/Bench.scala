@@ -180,7 +180,12 @@ object Bench {
     val polluted = (total > 0 && totalMed / total > 1.5) || jitterMedPct > 35.0
     val healedPreJson = healedPre.map { case (k, v) => jkey(k) + ":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","healed":$healedCount,"healed_pre":$healedPreJson,"jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
+    // healed-count per query (r18 verdict: publish it so a consumer can
+    // discount queries whose published stat mixes samples from different
+    // contention regimes; today a query heals at most once per run)
+    val healedNJson = healedPre.keys.map(k => jkey(k) + ":1")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_med":$totalMed,"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","healed":$healedCount,"healed_pre":$healedPreJson,"healed_n":$healedNJson,"jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries":$qjson,"queries_med":$qjsonMed,"sf":"$sfDir"}"""
     if (polluted) System.err.println(
       s"[bench] WARNING: polluted run (med/min=${math.round(totalMed / total * 100) / 100.0}, " +
         s"jitter_med_pct=$jitterMedPct) — numbers reflect interference, not the code; re-run idle")
@@ -192,15 +197,60 @@ object Bench {
     // BENCH_LAST.json / BENCH_HISTORY.jsonl, which always carry the full
     // map (both are committed to the repo). If the full line fits the
     // window, it is printed as-is and nothing is truncated.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val stdoutLine =
       if (line.length <= 1900) line
       else {
-        def r3(v: Double): Double = math.round(v * 1000) / 1000.0
         val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
           .map { case (k, mn, _) => jkey(k) + ":" + r3(mn) }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","healed":$healedCount,"jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries_n":${results.size},"queries_slowest":$slow,"queries_full":"BENCH_LAST.json + BENCH_HISTORY.jsonl (committed; full per-query min+median maps)","sf":"$sfDir"}"""
+        // `changed`: queries whose min deviates >10% AND >50ms from their
+        // BENCH_HISTORY trailing median — the round-over-round movers a
+        // tail-budgeted consumer needs even when the full map cannot fit
+        // (capped at 12 by |log-ratio|; `changed_n` carries the true count)
+        val movers = results.filter(_._2 >= 0).flatMap { case (k, mn, _) =>
+          trailingMed(k).collect {
+            case m if math.abs(mn - m) > 0.05 &&
+              (mn > m * 1.1 || mn < m / 1.1) => (math.abs(math.log(mn / m)), k, mn)
+          }
+        }.sortBy(-_._1)
+        val changed = movers.take(12)
+          .map { case (_, k, mn) => jkey(k) + ":" + r3(mn) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"failed":$failed,"n":$nTimed,"stat":"per_query_min_of_$nTimed","healed":$healedCount,"jitter_med_pct":$jitterMedPct,"polluted":$polluted,"queries_n":${results.size},"queries_slowest":$slow,"changed_n":${movers.size},"changed":$changed,"queries_full":"BENCH_LAST.json + BENCH_HISTORY.jsonl (committed; full per-query min+median maps)","sf":"$sfDir"}"""
       }
+    // CONTINUATION PART LINES (r18 verdict: PERF judged one noisy total
+    // because the slim line dropped the per-query map). The full 174-entry
+    // map at 3-digit precision is ~4.5 KB — over the driver's log-tail
+    // window — so it is split into standalone-parseable ~1.3 KB lines,
+    // ordered FASTEST queries first so the parts nearest the tail (the ones
+    // that survive truncation) carry the slowest queries, where all the
+    // perf signal lives. Each part also names its healed queries. Printed
+    // only when the full line doesn't fit (otherwise `line` carries it all).
+    val partLines: Seq[String] =
+      if (line.length <= 1900) Nil
+      else {
+        val asc = results.filter(_._2 >= 0).sortBy(_._2)
+        val entries = asc.map { case (k, mn, _) => (k, jkey(k) + ":" + r3(mn)) }
+        val chunks = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[(String, String)])
+        var len = 0
+        entries.foreach { e =>
+          if (len + e._2.length > 1300) {
+            chunks += scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+            len = 0
+          }
+          chunks.last += e
+          len += e._2.length + 1
+        }
+        val n = chunks.size
+        chunks.zipWithIndex.map { case (c, i) =>
+          val hq = c.collect { case (k, _) if healedPre.contains(k) => jkey(k) }
+            .mkString("[", ",", "]")
+          s"""{"metric":"queries_part","part":${i + 1},"of":$n,"healed_q":$hq,"queries":${c.map(_._2).mkString("{", ",", "}")}}"""
+        }.toSeq
+      }
+    partLines.foreach(println)
     println(stdoutLine)
     // stdout alone is fragile: log-tail capture truncated the round-4
     // artifact (`"parsed": null`). Persist the same line to a known file so
@@ -219,9 +269,11 @@ object Bench {
       java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] history append failed: $e") }
     spark.stop()
-    // print the summary line AGAIN as the very last output: anything
-    // spark.stop() itself wrote cannot evict the measurement from a
-    // tail-truncating log capture (duplicate JSON lines parse identically)
+    // print the part lines + summary line AGAIN as the very last output:
+    // anything spark.stop() itself wrote cannot evict the measurement from a
+    // tail-truncating log capture (duplicate JSON lines parse identically,
+    // and the re-print puts the slowest-query parts nearest the tail)
+    partLines.foreach(println)
     println(stdoutLine)
     System.out.flush()
   }
