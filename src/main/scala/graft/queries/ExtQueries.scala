@@ -24,6 +24,8 @@ object ExtQueries {
   // order-side join is shuffle, the final top-k is TakeOrderedAndProject.
   // --------------------------------------------------------------------------
   def tpchQ3(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: A/B-measured slower (selective customer filter shrinks
+    // the join early; the fan-out exchanges never pay off)
     Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") < lit("1998-07-01 00:00:00").cast(TimestampType))
@@ -53,11 +55,14 @@ object ExtQueries {
   // prunes via the broadcast dimension chain.
   // --------------------------------------------------------------------------
   def tpchQ5(spark: SparkSession, dir: String): DataFrame =
+    // fact sides spread keyed by the l⋈o join key (see tpchQ3); dims broadcast
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.spread(Tables.orders(spark, dir), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
         col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.spread(Tables.lineitem(spark, dir), col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
       .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -96,6 +101,8 @@ object ExtQueries {
   // summation-order-dependent and could flip boundary rows between engines.
   // --------------------------------------------------------------------------
   def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread: A/B-measured 1.24x slower — the decorrelated aggregates
+    // already share their exchange via ReuseExchange
     Tables.lineitem(spark, dir).createOrReplaceTempView("q17_lineitem")
     Tables.part(spark, dir).createOrReplaceTempView("q17_part")
     // the quantity half of the comparison runs in BIGINT, not DECIMAL:
@@ -142,7 +149,10 @@ object ExtQueries {
   // no float share-of-total that could flip boundary suppliers.
   // --------------------------------------------------------------------------
   def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("q20_lineitem")
+    // spread keyed by l_partkey: the (suppkey, partkey) rollup and the
+    // correlated per-partkey total both cluster on it (no-op at 100 TB)
+    Tables.spread(Tables.lineitem(spark, dir), col("l_partkey"))
+      .createOrReplaceTempView("q20_lineitem")
     Tables.supplier(spark, dir).createOrReplaceTempView("q20_supplier")
     // BIGINT quantity sums for the same integral-quantity exactness
     // argument as q17/q18 (5*sum stays far below 2^63 at any scale);
@@ -199,8 +209,12 @@ object ExtQueries {
   // equivalence re-proven against it at every SF (174/174 hash match).
   // --------------------------------------------------------------------------
   def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("q21_lineitem")
-    Tables.orders(spark, dir).createOrReplaceTempView("q21_orders")
+    // spread keyed by orderkey: the l⋈o join co-partitions off the fan-out
+    // exchanges and both stacked aggregates cluster on l_orderkey
+    Tables.spread(Tables.lineitem(spark, dir), col("l_orderkey"))
+      .createOrReplaceTempView("q21_lineitem")
+    Tables.spread(Tables.orders(spark, dir), col("o_orderkey"))
+      .createOrReplaceTempView("q21_orders")
     Tables.supplier(spark, dir).createOrReplaceTempView("q21_supplier")
     spark.sql(
       """SELECT s.s_name, CAST(SUM(g.n_late_rows) AS BIGINT) AS numwait
@@ -251,8 +265,12 @@ object ExtQueries {
   // driver-side work, integer-exact output.
   // --------------------------------------------------------------------------
   def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("q13_customer")
-    Tables.orders(spark, dir).createOrReplaceTempView("q13_orders")
+    // spread keyed by custkey: the outer join co-partitions off the fan-out
+    // exchanges and the per-customer count clusters on c_custkey
+    Tables.spread(Tables.customer(spark, dir), col("c_custkey"))
+      .createOrReplaceTempView("q13_customer")
+    Tables.spread(Tables.orders(spark, dir), col("o_custkey"))
+      .createOrReplaceTempView("q13_orders")
     spark.sql(
       """SELECT c_count, COUNT(*) AS custdist
         |FROM (
@@ -286,6 +304,8 @@ object ExtQueries {
   // boundary customers between engines.
   // --------------------------------------------------------------------------
   def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread: A/B-measured 1.6x slower (the scalar subqueries re-scan
+    // customer anyway; the anti join broadcasts its filtered side)
     Tables.customer(spark, dir).createOrReplaceTempView("q22_customer")
     Tables.orders(spark, dir).createOrReplaceTempView("q22_orders")
     spark.sql(
@@ -457,6 +477,7 @@ object ExtQueries {
     val n2 = broadcast(Tables.nation(spark, dir)
       .filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+    // NOT spread: A/B-measured slower (see tpchQ3)
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
         col("l_shipdate") < lit("2000-01-01 00:00:00").cast(TimestampType))
@@ -509,6 +530,7 @@ object ExtQueries {
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation")))
     val america = broadcast(Tables.region(spark, dir)
       .filter(col("r_name") === "AMERICA").select(col("r_regionkey")))
+    // NOT spread: A/B-measured slower (see tpchQ3)
     Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
         .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
@@ -570,6 +592,8 @@ object ExtQueries {
       col("l_quantity").between(10, 35) && col("p_size").between(1, 30)
     val b3 = col("p_brand") === "Brand#3" && col("p_type") === "LARGE" &&
       col("l_quantity").between(20, 50) && col("p_size").between(1, 40)
+    // NOT spread: A/B-measured 1.6x slower (broadcast probe + global agg
+    // never earn the exchange back)
     Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .filter(b1 || b2 || b3)
@@ -598,6 +622,7 @@ object ExtQueries {
   // materializes per-order aggregates first would scan lineitem twice.
   // --------------------------------------------------------------------------
   def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread: A/B-measured slower (see tpchQ3)
     val o = Tables.orders(spark, dir)
       .filter(to_date(col("o_orderdate")) >= lit("1995-01-01") &&
         to_date(col("o_orderdate")) < lit("1995-07-01"))
@@ -625,9 +650,11 @@ object ExtQueries {
   // shape where each task emits |groups| rows regardless of input size.
   // --------------------------------------------------------------------------
   def tpchQ12(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // fact sides spread keyed by the l⋈o join key (see tpchQ3)
+    Tables.spread(Tables.lineitem(spark, dir), col("l_orderkey"))
       .filter(to_date(col("l_shipdate")).between("1995-01-01", "1995-12-31"))
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.spread(Tables.orders(spark, dir), col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
@@ -652,6 +679,7 @@ object ExtQueries {
   // bit-stable and order-independent.
   // --------------------------------------------------------------------------
   def tpchQ14(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: A/B-measured slower (see tpchQ3)
     Tables.lineitem(spark, dir)
       .filter(to_date(col("l_shipdate")).between("1995-03-01", "1995-03-31"))
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
@@ -686,6 +714,8 @@ object ExtQueries {
   def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
     val badSupp = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    // NOT spread: A/B-measured 1.6x slower (the partkey fan-out serves
+    // neither the broadcast probes nor the class-keyed distinct aggregate)
     Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#1" &&
         col("p_size").isin(1, 4, 9, 16, 25, 36)),
@@ -719,12 +749,15 @@ object ExtQueries {
     // to the decimal sum at any scale below 2^63/50 rows while aggregating
     // as a primitive in codegen instead of per-row Decimal objects. Same
     // exactness argument as q1_agg's sum_qty; the oracle is unchanged.
-    val l = Tables.lineitem(spark, dir)
+    // spread keyed by l_orderkey: the HAVING aggregate, the semi join, the
+    // detail join AND the final per-order rollup all cluster on orderkey,
+    // so the one fan-out exchange serves the whole query (no-op at 100 TB)
+    val l = Tables.spread(Tables.lineitem(spark, dir), col("l_orderkey"))
     val big = l.groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast(LongType)).as("q"))
       .filter(col("q") > Q18MinQty)
       .select(col("l_orderkey").as("bk"))
-    Tables.orders(spark, dir)
+    Tables.spread(Tables.orders(spark, dir), col("o_orderkey"))
       .join(big, col("o_orderkey") === col("bk"), "left_semi")
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
@@ -754,6 +787,8 @@ object ExtQueries {
   // the equality against the max is bit-stable after the double cast.
   // --------------------------------------------------------------------------
   def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread: A/B-measured 1.3x slower (selective date filter; the
+    // exchange outweighs the single-task partial aggregate)
     val rev = Tables.lineitem(spark, dir)
       .filter(to_date(col("l_shipdate")).between("1995-01-01", "1995-03-31"))
       .groupBy(col("l_suppkey"))
@@ -812,6 +847,8 @@ object ExtQueries {
   // group key, the top-k short-circuits without a global sort.
   // --------------------------------------------------------------------------
   def tpchQ10(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: A/B-measured slower — both fact filters are selective, so
+    // the fan-out exchange moves more than the surviving join ever uses
     Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
       .join(Tables.orders(spark, dir)
@@ -855,7 +892,9 @@ object ExtQueries {
   // dimension-filtered candidate set) are unchanged by that swap.
   // --------------------------------------------------------------------------
   private def derivedPartsupp(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // spread keyed by l_partkey: the (partkey, suppkey) distinct, q11's
+    // per-part rollup and q2's per-part window all cluster on it
+    Tables.spread(Tables.lineitem(spark, dir), col("l_partkey"))
       .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .distinct()
       .withColumn("ps_availqty",
@@ -936,7 +975,8 @@ object ExtQueries {
       .select(col("s_suppkey"), col("n_name")))
     val ps = derivedPartsupp(spark, dir)
       .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
-    Tables.lineitem(spark, dir)
+    // spread keyed by l_partkey: co-partitions with the derived partsupp
+    Tables.spread(Tables.lineitem(spark, dir), col("l_partkey"))
       .join(redParts, col("l_partkey") === col("p_partkey"))
       .join(ps, col("l_partkey") === col("ps_partkey") &&
         col("l_suppkey") === col("ps_suppkey"))

@@ -289,6 +289,7 @@ object SimilarityQueries {
     }.reduce(_ + _)
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread: A/B-measured neutral-to-slower at this corpus size
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -434,7 +435,10 @@ object SimilarityQueries {
   def annIndexRoot(dir: String): String =
     SkippingQueries.cachedFixturePath(dir, "annindex_v1", "embeddings.parquet")
 
-  /** (vec_id, v double[], nrm) for the whole embeddings table. */
+  /** (vec_id, v double[], nrm) for the whole embeddings table. NOT spread:
+    * A/B-measured slower across the ANN family — at 2000 vectors the extra
+    * AQE exchange stage costs more than single-task norms, and the probe
+    * paths broadcast the query side anyway. */
   private def embFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -1172,6 +1176,7 @@ object SimilarityQueries {
   val HardNegTopK = 3
 
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread: A/B-measured neutral (see annLsh)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))

@@ -773,7 +773,9 @@ object TextQueries {
     conv(substring(md5(w), 1, 4), 16, 10).cast(IntegerType) % DsirBuckets
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // doc_id-keyed spread: both the bucket-count pass and the md5-per-token
+    // scoring pass otherwise run on one scan task (see lmTypicality)
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
     // model pass: raw + target counts per bucket in one aggregation
     val counts = docs
       .select(col("lang"), explode(words(col("text"))).as("w"))
@@ -845,7 +847,11 @@ object TextQueries {
   // atypical of the reference domain.
   // --------------------------------------------------------------------------
   def lmTypicality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // doc_id-keyed spread: the trigram explode of the WHOLE corpus (model
+    // and scoring passes) otherwise runs on the single scan task of a
+    // one-row-group input, and the per-doc scoring aggregate reuses the
+    // fan-out exchange (no-op on properly-split inputs)
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
     // trigrams ride as packed long codes from the codegen'd
     // CharTrigramCodes expression (injective over CODE POINTS, so equal to
     // the oracle's substr char trigrams on ANY text, multi-byte UTF-8

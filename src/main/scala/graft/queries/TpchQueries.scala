@@ -27,6 +27,9 @@ object TpchQueries {
   // hash aggregation. Filter + projection are pushed into the parquet scan.
   // --------------------------------------------------------------------------
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: A/B-measured 1.6x slower — the keyless fan-out pays a
+    // sort-before-repartition plus an exchange that the single-task decimal
+    // partial aggregation never earns back at this row count
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -56,7 +59,8 @@ object TpchQueries {
   // explicit broadcast of the small dimensions (no shuffle on the dim side).
   // --------------------------------------------------------------------------
   def joinAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    // spread the under-split fact so the dim probes run on all cores
+    Tables.spread(Tables.orders(spark, dir), col("o_custkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -109,7 +113,8 @@ object TpchQueries {
   // plans this as TakeOrderedAndProject — no full sort of the big side).
   // --------------------------------------------------------------------------
   def topk(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    // spread keyed by o_custkey: the per-customer aggregate reuses it
+    Tables.spread(Tables.orders(spark, dir), col("o_custkey"))
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
@@ -133,7 +138,8 @@ object TpchQueries {
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(spark, dir)
+    // spread keyed by o_custkey: the ranking window reuses it
+    Tables.spread(Tables.orders(spark, dir), col("o_custkey"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
@@ -151,6 +157,7 @@ object TpchQueries {
   // q_rollup — hierarchical aggregate (GROUPING SETS family).
   // --------------------------------------------------------------------------
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: A/B-measured 2.1x slower (see q1Agg)
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -167,6 +174,7 @@ object TpchQueries {
   // q_distinct_agg — multi-column COUNT(DISTINCT) (Catalyst expand+two-phase).
   // --------------------------------------------------------------------------
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: A/B-measured 1.9x slower (see q1Agg)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -185,6 +193,7 @@ object TpchQueries {
   // q_cube — full grouping-sets lattice over two dimensions.
   // --------------------------------------------------------------------------
   def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread: A/B-measured 1.2x slower (see q1Agg)
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
@@ -203,6 +212,7 @@ object TpchQueries {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NOT spread: A/B-measured slower (the window pays its exchange anyway)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
         sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"),
