@@ -58,10 +58,19 @@ object NearDup {
 
   /** MinHash signature: NumHashes independent hash functions simulated by
     * salting the shingle before md5; per-function minimum over the doc's
-    * shingle set. One hash-aggregate. */
+    * shingle set. One hash-aggregate.
+    *
+    * r19: the per-row work is [[graft.functions.SaltedMd5Bin]] — a codegen
+    * thread-local digest returning 16 BYTES — and the min runs on
+    * BinaryType (unsigned lexicographic == hex order for equal-length
+    * arrays), with the hex string produced once per GROUP. Values are
+    * bit-identical to `min(md5(concat(shingle, '#i')))` (NearDupSpec pins
+    * the identity); the per-row concat, per-call MessageDigest and 32-char
+    * hex allocation are gone from the hot aggregate. */
   def signatures(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
+      lower(hex(min(graft.functions.SaltedMd5Bin(col("shingle"), s"#$i"))))
+        .as(s"mh$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -39,6 +39,26 @@ class SessionizeSpec extends SparkSpec {
 class NearDupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("binary salted-md5 signature is bit-identical to the built-in hex formulation") {
+    // pins the r19 hot-aggregate rewrite: lower(hex(min(SaltedMd5Bin(s, salt))))
+    // must equal min(md5(concat(s, salt))) — hex is monotone over
+    // equal-length byte arrays, so the binary min IS the hex min. Exercises
+    // multi-byte UTF-8 and empty-ish shingles too.
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x"), (4L, "é ü 中 文 a b c")).toDF("doc_id", "text")
+    val sh = NearDup.shingles(docs)
+    val viaBuiltin = (0 until NearDup.NumHashes).map(i =>
+      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
+    val expected = sh.groupBy(col("doc_id"))
+      .agg(viaBuiltin.head, viaBuiltin.tail: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val actual = NearDup.signatures(sh)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(actual == expected)
+  }
+
   test("identical docs are found by both exact jaccard and minhash with j=1.0") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
