@@ -431,9 +431,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_dsir_weights")
     // the model (B quantized bucket ratios) is collected once and enters
     // the plan as a literal; the returned scoring plan must be a bare
-    // scan → project with the per-row array fold — any exchange, join, or
-    // generate here means the model leaked back in as a plan node
-    assert(!p.contains("Exchange"), p)
+    // scan → project with the per-row array fold — any OPTIMIZER-INSERTED
+    // exchange, join, or generate here means the model leaked back in as a
+    // plan node. Tables.spread's explicit REPARTITION fan-out of the
+    // compact doc rows is allowed (r19): it un-serializes the
+    // single-row-group scan before the md5-per-token fold and is a no-op
+    // on properly-split inputs.
+    assert(!p.contains("ENSURE_REQUIREMENTS"), p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("Generate"), p)
   }
