@@ -847,11 +847,10 @@ object TextQueries {
   // atypical of the reference domain.
   // --------------------------------------------------------------------------
   def lmTypicality(spark: SparkSession, dir: String): DataFrame = {
-    // doc_id-keyed spread: the trigram explode of the WHOLE corpus (model
-    // and scoring passes) otherwise runs on the single scan task of a
-    // one-row-group input, and the per-doc scoring aggregate reuses the
-    // fan-out exchange (no-op on properly-split inputs)
-    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // NOT spread: bench-methodology A/B across four runs read the keyed
+    // fan-out 1.2-1.7x SLOWER here — the trigram-code explode is cheap
+    // enough per row that the extra exchange stage never pays for itself
+    val docs = Tables.documents(spark, dir)
     // trigrams ride as packed long codes from the codegen'd
     // CharTrigramCodes expression (injective over CODE POINTS, so equal to
     // the oracle's substr char trigrams on ANY text, multi-byte UTF-8

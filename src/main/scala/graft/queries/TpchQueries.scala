@@ -59,8 +59,10 @@ object TpchQueries {
   // explicit broadcast of the small dimensions (no shuffle on the dim side).
   // --------------------------------------------------------------------------
   def joinAgg(spark: SparkSession, dir: String): DataFrame =
-    // spread the under-split fact so the dim probes run on all cores
-    Tables.spread(Tables.orders(spark, dir), col("o_custkey"))
+    // NOT spread: bench-methodology A/B across four runs read the keyed
+    // fan-out 1.2-1.6x slower (broadcast dims + low-cardinality rollup
+    // never reuse the exchange)
+    Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
